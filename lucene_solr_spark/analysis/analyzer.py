@@ -1,0 +1,158 @@
+"""StandardAnalyzer-equivalent tokenization.
+
+Reference semantics (Lucene/Solr 4.4):
+- StandardTokenizer: UAX#29 word-break rules, token types ALPHANUM/NUM/
+  IDEOGRAPHIC/KATAKANA/... (reference StandardTokenizer.java:59-103,
+  StandardTokenizerImpl.jflex:118-190).
+- max token length 255; longer tokens are dropped (StandardAnalyzer.java:58,98-100).
+- LowerCaseFilter: per-codepoint Character.toLowerCase (LowerCaseFilter.java:53-57).
+- StopFilter: 33 English stopwords (StopAnalyzer.java:51-57); position
+  increments are preserved, i.e. stopwords consume positions
+  (StopFilter.java:124-125), and the doc length used for norms counts the
+  tokens actually emitted, post-stop (DocInverterPerField.java:172).
+
+Two implementations:
+
+1. **JVM hot path** (`token_array`, `tokens_with_positions`): Spark built-in
+   `regexp_extract_all` + `filter`, which stays inside whole-stage codegen —
+   no Python in the loop. The token regex reproduces UAX#29 word segmentation
+   for the ALPHANUM/NUM classes (letter/digit runs joined across internal
+   apostrophes and dots, the MidLetter / MidNumLet rules WB6-WB12), which is
+   exact for Latin-script web text. This is the production tokenizer.
+
+2. **Fidelity path** (`standard_tokenize`, `tokenize_fidelity_udf`): a Python
+   implementation adding the non-Latin UAX#29 behaviors Lucene exhibits —
+   one token per Han/Hiragana ideograph, Katakana runs kept whole, and
+   Java-compatible per-codepoint lowercasing (e.g. U+0130 'İ' → 'i', where
+   Python's full case mapping would yield 'i̇'). Shipped as an Arrow-batched
+   pandas UDF for when the corpus needs it; asserted equivalent to the JVM
+   path on Latin-script fixtures.
+
+The same regex is valid under Java's regex engine (Spark) and RE2 (DuckDB),
+so oracle SQL can tokenize identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# StopAnalyzer.ENGLISH_STOP_WORDS_SET (reference StopAnalyzer.java:51-57).
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH (:58)
+
+# Letter/digit runs, joined across a single internal apostrophe (UAX#29
+# MidLetter, WB6/WB7 — "o'brien"), right single quote, or dot (MidNumLet —
+# "3.14", "u.s.a"). Valid in both Java regex and RE2.
+TOKEN_REGEX = r"[\p{L}\p{N}]+(?:['’.][\p{L}\p{N}]+)*"
+
+# Same pattern for Python `re`, which lacks \p{..}: [^\W_] == \w minus '_'
+# (Unicode letters+digits). CJK handled by separate alternatives below.
+_CJK_IDEO = "一-鿿㐀-䶿豈-﫿"
+_HIRA = "぀-ゟ"
+_KATA = "゠-ヿ"
+_PY_WORD_CHAR = rf"(?:(?![{_CJK_IDEO}{_HIRA}{_KATA}])[^\W_])"
+_PY_TOKEN_RE = re.compile(
+    rf"([{_CJK_IDEO}])"  # one token per ideograph (StandardTokenizer.java:83)
+    rf"|([{_KATA}]+)"  # Katakana runs join (UAX#29 WB13)
+    rf"|([{_HIRA}])"  # Hiragana: no join rule → one token per char
+    # word runs: joined across ' ’ . (MidLetter/MidNumLet) and across a comma
+    # when flanked by digits (MidNum, UAX#29 WB11/WB12 — "1,000")
+    rf"|({_PY_WORD_CHAR}+(?:['’.]{_PY_WORD_CHAR}+|(?<=\d),(?=\d){_PY_WORD_CHAR}+)*)"
+)
+
+
+def _java_lower(s: str) -> str:
+    """Per-codepoint lowercase approximating java.lang.Character.toLowerCase.
+
+    Python's str.lower applies full case mappings (one-to-many); Java's
+    Character.toLowerCase applies the *simple* one-to-one mapping
+    (LowerCaseFilter.java:53-57). Where Python expands (e.g. 'İ' U+0130 →
+    'i' + U+0307), the simple mapping is the first resulting codepoint.
+    """
+    out = []
+    for ch in s:
+        low = ch.lower()
+        out.append(low if len(low) == 1 else low[0])
+    return "".join(out)
+
+
+def standard_tokenize(text: str | None) -> list[tuple[int, str]]:
+    """Fidelity tokenizer: returns [(position, token)] post-stop.
+
+    Positions are pre-stop token indices, so stopwords consume positions
+    exactly as StopFilter's enablePositionIncrements=true does — a phrase
+    across a removed stopword does NOT match at distance 1.
+    """
+    if not text:
+        return []
+    out: list[tuple[int, str]] = []
+    pos = 0
+    for m in _PY_TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH:
+            # dropped entirely; Lucene's too-long tokens never reach the
+            # stream, and they do not consume a position
+            continue
+        tok = _java_lower(tok)
+        if tok not in ENGLISH_STOP_WORDS:
+            out.append((pos, tok))
+        pos += 1
+    return out
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_fidelity_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched fidelity tokenizer: text → array<string> (post-stop)."""
+    return texts.map(lambda t: [tok for _, tok in standard_tokenize(t)])
+
+
+def token_array(text: Column, lowercase: bool = True) -> Column:
+    """JVM-side tokenizer: text → array<string>, pre-stop, lowercased.
+
+    Stays in whole-stage codegen (regexp_extract_all + lower are built-ins).
+    Lowercasing the whole string first is equivalent to per-token lowering
+    for scripts where case mapping does not change letter-ness (all Latin,
+    Greek, Cyrillic); the fidelity UDF covers the exceptions.
+    """
+    col = F.lower(text) if lowercase else text
+    return F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)
+
+
+def _not_stopword(tok: Column) -> Column:
+    return ~tok.isin(*sorted(ENGLISH_STOP_WORDS))
+
+
+def post_stop_tokens(text: Column) -> Column:
+    """text → array<string> with stopwords and >255-char tokens removed."""
+    return F.filter(
+        token_array(text),
+        lambda t: _not_stopword(t) & (F.length(t) <= MAX_TOKEN_LENGTH),
+    )
+
+
+def doc_length_col(text: Column) -> Column:
+    """Field length for norms = number of tokens emitted post-stop
+    (DocInverterPerField.java:172; BM25Similarity.java:138-141)."""
+    return F.size(post_stop_tokens(text))
+
+
+def tokens_with_positions(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Explode a corpus into (keep_cols..., pos, term) rows, post-stop.
+
+    `pos` is the pre-stop position (stopwords consume positions). This is the
+    doc-inversion step (DocInverterPerField.java:92-172) as a narrow
+    projection + explode — Catalyst prunes `text` out of downstream scans.
+    """
+    toks = df.select(*keep_cols, F.posexplode(token_array(F.col(text_col))).alias("pos", "term"))
+    return toks.where(_not_stopword(F.col("term")) & (F.length("term") <= MAX_TOKEN_LENGTH))
