@@ -1,0 +1,567 @@
+"""Correctness-gate queries: each entry is one operator from SURVEY.md §2,
+expressed twice from the same template — once in Spark SQL, once in DuckDB
+SQL — so the driver can compare them row-for-row at sf=0.01.
+
+Design rules that make cross-engine value-hash equality achievable:
+- tokenization is the same regex (Java regex and RE2 compatible) + the same
+  33-word stop list in both dialects;
+- every aggregate over floats goes through exact DECIMAL sums or
+  fixed-order pivot addition (IEEE + is commutative but not associative;
+  GROUP BY SUM order is nondeterministic under parallelism, so multi-term
+  BM25 sums are written as COALESCE(s0,0)+COALESCE(s1,0)+... in query-term
+  order in BOTH engines);
+- the byte315 norm quantization uses the shared exact SQL from
+  lucene_solr_spark.index.norms (proven bit-equal to the numpy codec);
+- float outputs are ROUNDed; integer outputs are CAST to BIGINT (DuckDB
+  would otherwise emit HUGEINT/INT32 where Spark emits BIGINT).
+
+The Lucene-fidelity float32 scoring path lives in query/bm25.py and is
+tested against hand-computed goldens; these gate queries use the same
+formula in float64 (documented deviation: double instead of float32
+arithmetic — rank-equivalent except at sub-ulp ties).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .analysis.analyzer import ENGLISH_STOP_WORDS
+from .index.norms import quantized_doclen_sql
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+
+def _regex_literal(dialect: str) -> str:
+    # token regex: letter/digit runs joined across ' ’ . — see analyzer.py
+    pat = r"[\p{L}\p{N}]+(?:[''’.][\p{L}\p{N}]+)*"  # '' = escaped quote in SQL
+    if dialect == "spark":
+        pat = pat.replace("\\", "\\\\")  # Spark SQL string literals eat backslashes
+    return pat
+
+
+def _fcast(dialect: str) -> str:
+    return "FLOAT" if dialect == "spark" else "REAL"
+
+
+def md5i(expr: str, dialect: str) -> str:
+    """Portable deterministic 60-bit integer hash of a string expression."""
+    if dialect == "spark":
+        return f"CAST(CONV(SUBSTR(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(CONCAT('0x', SUBSTR(MD5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _rlike(col: str, pattern: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"{col} RLIKE '{pattern}'"
+    return f"REGEXP_MATCHES({col}, '{pattern}')"
+
+
+def tok_cte(dialect: str, stop_filter: bool = True) -> str:
+    """(doc_id, pos, term) rows for `documents`, 0-based pre-stop positions.
+
+    Reproduces the analysis chain (StandardTokenizer → lower → stop) with
+    stopwords consuming positions.
+    """
+    regex = _regex_literal(dialect)
+    stop = (
+        f"WHERE term NOT IN ({_STOPLIST_SQL}) AND LENGTH(term) <= 255"
+        if stop_filter
+        else ""
+    )
+    if dialect == "spark":
+        return f"""
+SELECT doc_id, pos, term FROM (
+  SELECT doc_id, tokpos.pos, tokpos.term
+  FROM documents
+  LATERAL VIEW POSEXPLODE(REGEXP_EXTRACT_ALL(LOWER(text), '{regex}', 0)) tokpos AS pos, term
+) {stop}"""
+    return f"""
+SELECT doc_id, pos, term FROM (
+  SELECT d.doc_id, u.term, u.pos
+  FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '{regex}') AS toks FROM documents) d,
+  LATERAL (SELECT UNNEST(d.toks) AS term, GENERATE_SUBSCRIPTS(d.toks, 1) - 1 AS pos) u
+) {stop}"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 (the flagship): exact global stats, byte315-quantized doc length,
+# fixed-order per-term sum, score desc / docID asc tie-break.
+# ---------------------------------------------------------------------------
+def bm25_sql(
+    dialect: str,
+    terms: list[str],
+    k: int = 10,
+    combine: str = "sum",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    fc = _fcast(dialect)
+    qdl = quantized_doclen_sql("dl.dl", dialect=dialect)
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    pivots = ",\n    ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}" for i, t in enumerate(terms)
+    )
+    if combine == "sum":  # BooleanQuery SHOULD disjunction sum
+        combined = " + ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(terms)))
+    elif combine == "max":  # DisjunctionMaxQuery (DisjunctionMaxQuery.java:299)
+        greatest_args = ", ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(terms)))
+        combined = f"GREATEST({greatest_args})"
+    else:
+        raise ValueError(combine)
+    return f"""
+WITH tok AS ({tok_cte(dialect)}),
+consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) FROM tok) AS {fc}) AS avgdl
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+qdl AS (SELECT doc_id, {qdl} AS qdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+dfv AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok WHERE term IN ({term_list}) GROUP BY term
+),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         LN(1.0 + (consts.n - dfv.df + 0.5) / (dfv.df + 0.5)) * ({k1} + 1.0) * tf.tf
+           / (tf.tf + {k1} * ((1.0 - {b}) + {b} * qdl.qdl / consts.avgdl)) AS s
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN qdl ON tf.doc_id = qdl.doc_id
+  CROSS JOIN consts
+),
+piv AS (
+  SELECT doc_id,
+    {pivots}
+  FROM per GROUP BY doc_id
+),
+summed AS (SELECT doc_id, {combined} AS score FROM piv)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       ROUND(score, 4) AS score
+FROM summed
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# registry: name -> (dialect -> sql)
+# ---------------------------------------------------------------------------
+_REGISTRY: dict[str, Callable[[str], str]] = {}
+
+
+def gate(name: str):
+    def deco(fn: Callable[[str], str]):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@gate("bm25_topk_single_term")
+def _q_bm25_single(d: str) -> str:
+    """TermQuery → TermScorer (TermQuery.java:45-161)."""
+    return bm25_sql(d, ["spark"], k=10)
+
+
+@gate("bm25_topk_multi_term")
+def _q_bm25_multi(d: str) -> str:
+    """BooleanQuery SHOULD disjunction sum (DisjunctionSumScorer.java)."""
+    return bm25_sql(d, ["spark", "merge", "window"], k=10)
+
+
+@gate("bm25_topk_head_term_skew")
+def _q_bm25_head(d: str) -> str:
+    """Head-term stress: the most frequent non-stop term (skew exercise)."""
+    return bm25_sql(d, ["value", "query"], k=10)
+
+
+@gate("dismax_topk")
+def _q_dismax(d: str) -> str:
+    """DisjunctionMaxQuery: max of per-clause scores (DisjunctionMaxQuery.java:299)."""
+    return bm25_sql(d, ["spark", "customer"], k=10, combine="max")
+
+
+@gate("bool_must_conjunction")
+def _q_must(d: str) -> str:
+    """MUST conjunction = leap-frog intersection (ConjunctionScorer.java)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM tok WHERE term IN ('fast', 'merge')
+GROUP BY doc_id HAVING COUNT(DISTINCT term) = 2
+ORDER BY doc_id"""
+
+
+@gate("bool_must_not")
+def _q_must_not(d: str) -> str:
+    """MUST_NOT = ReqExclScorer (ReqExclScorer.java) → anti-join."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+FROM tok
+WHERE term = 'fast'
+  AND doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'merge')
+ORDER BY doc_id"""
+
+
+@gate("bool_min_should_match")
+def _q_msm(d: str) -> str:
+    """minimumNumberShouldMatch >= 2 of 3 (MinShouldMatchSumScorer.java)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched
+FROM tok WHERE term IN ('hash', 'merge', 'stream')
+GROUP BY doc_id HAVING COUNT(DISTINCT term) >= 2
+ORDER BY doc_id"""
+
+
+@gate("phrase_exact")
+def _q_phrase(d: str) -> str:
+    """PhraseQuery via positions (ExactPhraseScorer.java:29-82); stopwords
+    consume positions so adjacency is pre-stop."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT CAST(t1.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_freq
+FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.term = 'fast' AND t2.term = 'merge'
+GROUP BY t1.doc_id
+ORDER BY doc_id"""
+
+
+@gate("term_range_query")
+def _q_range(d: str) -> str:
+    """TermRangeQuery over the term dictionary (TermRangeQuery.java)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE term >= 'query' AND term < 'spark'
+GROUP BY term ORDER BY term"""
+
+
+@gate("prefix_query")
+def _q_prefix(d: str) -> str:
+    """PrefixQuery → term-dict scan → per-term df (PrefixQuery.java:96)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE term LIKE 's%'
+GROUP BY term ORDER BY term"""
+
+
+@gate("wildcard_regexp_query")
+def _q_regex(d: str) -> str:
+    """WildcardQuery/RegexpQuery → DFA ∩ term dict (RegexpQuery.java:107)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE {_rlike("term", "^s.*[kw]$", d)}
+GROUP BY term ORDER BY term"""
+
+
+@gate("fuzzy_query")
+def _q_fuzzy(d: str) -> str:
+    """FuzzyQuery: Levenshtein <= 2 over the term dictionary (FuzzyQuery.java:28-76)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok WHERE LEVENSHTEIN(term, 'spqrk') <= 2
+GROUP BY term ORDER BY term"""
+
+
+@gate("facet_field_counts")
+def _q_facet_field(d: str) -> str:
+    """facet.field term counts (SimpleFacets.java:336-448): count docs per
+    term, order count desc then term asc, limit 20."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS facet_count
+FROM tok GROUP BY term
+ORDER BY facet_count DESC, term ASC
+LIMIT 20"""
+
+
+@gate("facet_query_counts")
+def _q_facet_query(d: str) -> str:
+    """facet.query: count per arbitrary predicate (SimpleFacets.java:277)."""
+    return f"""
+SELECT
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+  CAST(SUM(CASE WHEN source = 'src0' AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_src0_short
+FROM documents"""
+
+
+@gate("facet_range_numeric")
+def _q_facet_range(d: str) -> str:
+    """facet.range with gap (SimpleFacets.java:888-1078)."""
+    return """
+SELECT CAST(FLOOR(value / 10.0) * 10 AS DOUBLE) AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY FLOOR(value / 10.0) * 10
+ORDER BY bucket_lo"""
+
+
+@gate("facet_date_trunc")
+def _q_facet_date(d: str) -> str:
+    """facet.date / date math rounding (DateMathParser.java) → hourly buckets."""
+    return """
+SELECT DATE_TRUNC('hour', ts) AS hour_bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+ORDER BY hour_bucket, event_type
+LIMIT 100"""
+
+
+@gate("facet_pivot")
+def _q_pivot(d: str) -> str:
+    """pivot facets: hierarchical A→B counts (PivotFacetHelper.java)."""
+    return """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents GROUP BY lang, source
+ORDER BY lang, source"""
+
+
+@gate("stats_component")
+def _q_stats(d: str) -> str:
+    """StatsComponent: min/max/count/missing/sum/mean/stddev
+    (StatsValuesFactory.java:82-181). Sums via exact DECIMAL; stddev from
+    exact moments so both engines agree bit-for-bit pre-round."""
+    return """
+SELECT
+  CAST(COUNT(l_extendedprice) AS BIGINT) AS cnt,
+  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+  ROUND(MIN(l_extendedprice), 2) AS min_v,
+  ROUND(MAX(l_extendedprice), 2) AS max_v,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS mean_v,
+  ROUND(SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice))
+        / (COUNT(l_extendedprice) - 1)), 4) AS stddev_v
+FROM lineitem"""
+
+
+@gate("stats_per_facet")
+def _q_stats_facet(d: str) -> str:
+    """StatsComponent with facet: per-group stats (TPC-H Q1 shape)."""
+    return """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+@gate("grouping_top_docs_per_group")
+def _q_grouping(d: str) -> str:
+    """grouping: top-2 docs per group by sort value (Grouping.java,
+    AbstractFirst/SecondPassGroupingCollector)."""
+    return """
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) t WHERE rn <= 2
+ORDER BY source, rn"""
+
+
+@gate("distinct_counts")
+def _q_distinct(d: str) -> str:
+    """calcdistinct / AbstractDistinctValuesCollector."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_terms,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with_tokens
+FROM tok"""
+
+
+@gate("collection_statistics")
+def _q_collstats(d: str) -> str:
+    """CollectionStatistics: maxDoc, sumTotalTermFreq, avgdl — the BM25
+    inputs (CollectionStatistics.java; BM25Similarity.java:79-89)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS max_doc,
+       CAST(COUNT(*) AS BIGINT) AS sum_ttf,
+       CAST(COUNT(DISTINCT term) AS BIGINT) AS vocab_size,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents), 6) AS avgdl
+FROM tok"""
+
+
+@gate("norm_byte315_quantization")
+def _q_norms(d: str) -> str:
+    """The lossy byte315 norm round-trip per doc (SmallFloat.java:78-98) —
+    the exact doc length BM25 sees."""
+    qdl = quantized_doclen_sql("dl", dialect=d)
+    return f"""
+WITH tok AS ({tok_cte(d)}),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST({qdl} AS DOUBLE) AS quantized_dl
+FROM dls ORDER BY doc_id"""
+
+
+@gate("sort_topk_tiebreak")
+def _q_sort(d: str) -> str:
+    """TopFieldCollector: top-n by field with docID tie-break
+    (TopFieldCollector.java; HitQueue.java:76-81)."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10"""
+
+
+@gate("search_after_cursor")
+def _q_search_after(d: str) -> str:
+    """searchAfter deep paging: page 2 resumes after page 1's last (sort,doc)
+    cursor (IndexSearcher.java:242-258)."""
+    return """
+WITH page1 AS (
+  SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+),
+cursor AS (
+  SELECT n_chars AS c_chars, doc_id AS c_doc FROM page1 ORDER BY n_chars ASC, doc_id DESC LIMIT 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d, cursor
+WHERE d.n_chars < cursor.c_chars OR (d.n_chars = cursor.c_chars AND d.doc_id > cursor.c_doc)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10"""
+
+
+@gate("join_semi_solr")
+def _q_semijoin(d: str) -> str:
+    """Solr {!join from=f to=t} = semi-join (JoinUtil.java:93,
+    JoinQParserPlugin.java)."""
+    return """
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+GROUP BY c.c_mktsegment
+ORDER BY segment"""
+
+
+@gate("block_join_parent")
+def _q_blockjoin(d: str) -> str:
+    """ToParentBlockJoinQuery: child match → parent, score mode max + child
+    count (ToParentBlockJoinQuery.java:483, ScoreMode.java)."""
+    return """
+SELECT CAST(o.o_orderkey AS BIGINT) AS order_key,
+       ROUND(MAX(l.l_extendedprice), 2) AS best_child_score,
+       CAST(COUNT(*) AS BIGINT) AS n_matching_children
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity > 45
+GROUP BY o.o_orderkey
+ORDER BY best_child_score DESC, order_key ASC
+LIMIT 20"""
+
+
+@gate("dedup_exact_hash")
+def _q_dedup_exact(d: str) -> str:
+    """Exact dedup via content hash groupBy (updateDocument analog for
+    training-data pipelines)."""
+    return """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_unique,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM documents"""
+
+
+@gate("text_quality_scoring")
+def _q_quality(d: str) -> str:
+    """Quality scoring for training-data filtering: token count, mean token
+    length, stopword ratio per doc."""
+    return f"""
+WITH tok_all AS ({tok_cte(d, stop_filter=False)}),
+per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(LENGTH(term)) AS sum_len,
+         SUM(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop
+  FROM tok_all GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS mean_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+FROM per ORDER BY doc_id"""
+
+
+@gate("lang_id_stopword_heuristic")
+def _q_langid(d: str) -> str:
+    """n-gram/stopword language-ID heuristic vs the labeled lang column."""
+    return f"""
+WITH tok_all AS ({tok_cte(d, stop_filter=False)}),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS stop_ratio
+  FROM tok_all GROUP BY doc_id
+),
+pred AS (
+  SELECT p.doc_id, CASE WHEN p.stop_ratio >= 0.03 THEN 'en' ELSE 'other' END AS pred_lang
+  FROM per p
+)
+SELECT dd.lang, pred.pred_lang, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents dd JOIN pred ON dd.doc_id = pred.doc_id
+GROUP BY dd.lang, pred.pred_lang
+ORDER BY lang, pred_lang"""
+
+
+@gate("doc_fingerprint_rolling_hash")
+def _q_fingerprint(d: str) -> str:
+    """Deterministic document fingerprint: position-weighted token hash."""
+    h = md5i("term", d)
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(SUM(({h} % 1000003) * (pos + 1)) AS BIGINT) AS fingerprint
+FROM tok GROUP BY doc_id ORDER BY doc_id"""
+
+
+@gate("token_count_stats")
+def _q_tokcount(d: str) -> str:
+    """Token counting over the corpus (pipeline bookkeeping)."""
+    return f"""
+WITH tok_all AS ({tok_cte(d, stop_filter=False)}),
+per AS (SELECT doc_id, COUNT(*) AS n FROM tok_all GROUP BY doc_id)
+SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(MIN(n) AS BIGINT) AS min_doc_tokens,
+       CAST(MAX(n) AS BIGINT) AS max_doc_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per"""
+
+
+# ---------------------------------------------------------------------------
+# plumbing for __spark_entry__
+# ---------------------------------------------------------------------------
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def make(name: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_views(spark, sf_dir)
+            return spark.sql(_REGISTRY[name]("spark"))
+
+        return run
+
+    return {name: make(name) for name in _REGISTRY}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: fn("duckdb") for name, fn in _REGISTRY.items()}

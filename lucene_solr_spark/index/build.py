@@ -1,0 +1,303 @@
+"""Inverted-index build: pages → docs / terms / postings / lineage.
+
+Spark-first re-expression of the Lucene write path
+(DocInverterPerField.java:92-172 → TermsHashPerField.java:141-165 →
+Lucene41PostingsWriter.java:240-266 → DocumentsWriterPerThread.java:465-501):
+
+  read → dedup(url, keep latest warc_ts) → deterministic docIDs (global url
+  rank) → JVM tokenize+explode → groupBy(term, doc) [tf + positions] →
+  doc-range-chunked repartition on termID → applyInPandas pack → parquet
+  segments + lineage rows.
+
+Scale design (the part that must survive 100 TB):
+
+- **Skew**: head terms ("spark", "data", …) have posting lists with millions
+  of docs. The pack group key is (term_id, chunk_id) where chunk_id =
+  doc_id // chunk_span — a *deterministic* salt that (a) bounds every
+  applyInPandas group to chunk_span docs (no OOM on the 'the'-shaped term),
+  (b) preserves global docID order across chunks so query-side concat and
+  segment merge are pure appends, exactly like Lucene's 128-doc blocks.
+- **One wide shuffle**: explode → groupBy(term, doc) does map-side partial
+  aggregation (Spark hash agg) before the exchange, like the in-RAM
+  TermsHash; the (term→termID) join is the only other exchange.
+- **Norms are denormalized into posting rows** (norm_bytes parallel array),
+  the analog of Lucene's per-segment .nvd file: query-time scoring is then a
+  single scan + kernel with NO join against the docs table.
+- **Block metadata every 128 docs** (Lucene41PostingsFormat block size):
+  last_doc for skip/conjunction, block max(tf) + max(norm_byte) for lossless
+  block-max WAND bounds.
+- **Lineage**: one row per (segment), with doc ranges and counts; a build
+  driven from the lineage table skips completed segments on restart
+  (UpdateLog-style recoverability, UpdateLog.java:71-258).
+
+Segments are contiguous docID ranges (segment = doc_id // seg_span), so a
+sort-merge compaction of two segments is concatenation per termID.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import token_array, ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH
+from .docids import assign_dense_ids
+from .norms import encode_norm
+
+BLOCK_SIZE = 128  # Lucene41PostingsFormat.BLOCK_SIZE (:384)
+DEFAULT_CHUNK_SPAN = 1 << 18  # max docs per posting-row chunk (skew bound)
+
+POSTINGS_SCHEMA = (
+    "term_id long, seg_id int, chunk_id long, first_doc long, df_chunk int, "
+    "doc_gaps array<int>, tfs array<int>, norm_bytes array<int>, "
+    "skip_last_doc array<long>, block_max_tf array<int>, block_max_nb array<int>, "
+    "pos_flat array<int>"
+)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def terms(self) -> str:
+        return os.path.join(self.root, "terms")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def lineage(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pack one (term_id, seg_id, chunk_id) group into a posting row.
+
+    Mirrors Lucene41PostingsWriter: docID deltas (:240-246), 128-doc block
+    metadata (:256-266, skip entries Lucene41SkipWriter.java:29-70). Pure
+    numpy — no per-row Python.
+    """
+    order = np.argsort(pdf["doc_id"].values, kind="stable")
+    docs = pdf["doc_id"].values[order].astype(np.int64)
+    tfs = pdf["tf"].values[order].astype(np.int32)
+    nbs = pdf["norm_byte"].values[order].astype(np.int32)
+
+    gaps = np.empty_like(docs, dtype=np.int64)
+    gaps[0] = 0  # first_doc carried separately; gap[0] relative to first_doc
+    gaps[1:] = np.diff(docs)
+
+    n = len(docs)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    ends = np.minimum((np.arange(nblocks) + 1) * BLOCK_SIZE, n) - 1
+    skip_last = docs[ends]
+    block_max_tf = np.array(
+        [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+        dtype=np.int32,
+    )
+    block_max_nb = np.array(
+        [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+        dtype=np.int32,
+    )
+
+    if "positions" in pdf.columns:
+        pos_lists = pdf["positions"].values[order]
+        pos_flat = (
+            np.concatenate([np.asarray(p, dtype=np.int32) for p in pos_lists])
+            if n
+            else np.array([], dtype=np.int32)
+        )
+    else:
+        pos_flat = None
+
+    return pd.DataFrame(
+        {
+            "term_id": [int(pdf["term_id"].iloc[0])],
+            "seg_id": [int(pdf["seg_id"].iloc[0])],
+            "chunk_id": [int(pdf["chunk_id"].iloc[0])],
+            "first_doc": [int(docs[0])],
+            "df_chunk": [n],
+            "doc_gaps": [gaps.astype(np.int32)],
+            "tfs": [tfs],
+            "norm_bytes": [nbs],
+            "skip_last_doc": [skip_last],
+            "block_max_tf": [block_max_tf],
+            "block_max_nb": [block_max_nb],
+            "pos_flat": [pos_flat],
+        }
+    )
+
+
+def _norm_byte_udf():
+    @F.pandas_udf("int")
+    def enc(dl: pd.Series) -> pd.Series:
+        return pd.Series(encode_norm(dl.values).astype(np.int32))
+
+    return enc
+
+
+def build_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    key_col: str = "url",
+    ts_col: str | None = None,
+    num_segments: int = 1,
+    positions: bool = True,
+    chunk_span: int = DEFAULT_CHUNK_SPAN,
+    resume: bool = False,
+) -> IndexPaths:
+    """Build (or resume) the full inverted index under `out_dir`."""
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- 1. dedup: updateDocument semantics = delete-by-key + re-add
+    # (IndexWriter.java:1187) → keep the newest warc_ts per url
+    src = pages.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    if ts_col is not None:
+        w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+        src = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    # --- 2. deterministic docIDs = global url rank
+    with_ids = assign_dense_ids(
+        src.select(key_col, text_col), order_col=key_col, id_col="doc_id"
+    )
+
+    # --- 3. tokenize (JVM path) once; doc length + norms
+    toks = with_ids.select(
+        "doc_id",
+        F.col(key_col).alias("key"),
+        F.posexplode_outer(token_array(F.col(text_col))).alias("pos", "term"),
+    ).withColumn(
+        "term",
+        F.when(
+            F.col("term").isin(*sorted(ENGLISH_STOP_WORDS))
+            | (F.length("term") > MAX_TOKEN_LENGTH),
+            F.lit(None),
+        ).otherwise(F.col("term")),
+    )
+    # posexplode_outer + nulled stopwords keep empty/stop-only docs visible
+    doc_len = toks.groupBy("doc_id", "key").agg(
+        F.count("term").alias("dl")  # count(col) skips nulls → post-stop length
+    )
+    docs_tbl = doc_len.select(
+        "doc_id",
+        F.col("key").alias(key_col),
+        "dl",
+        _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
+    )
+    docs_tbl.write.mode("overwrite").parquet(paths.docs)
+    docs_tbl = spark.read.parquet(paths.docs)
+
+    max_doc = docs_tbl.count()
+    sum_ttf = docs_tbl.agg(F.sum("dl")).collect()[0][0] or 0
+    seg_span = max(1, math.ceil(max_doc / num_segments))
+
+    # --- 4. per (term, doc): tf + positions (map-side combine in hash agg)
+    term_doc = (
+        toks.where(F.col("term").isNotNull())
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            *(
+                [F.sort_array(F.collect_list("pos")).alias("positions")]
+                if positions
+                else []
+            ),
+        )
+    )
+
+    # --- 5. term dictionary with deterministic termIDs (global term rank)
+    term_stats = term_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
+    )
+    terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
+    terms_tbl.write.mode("overwrite").parquet(paths.terms)
+    terms_tbl = spark.read.parquet(paths.terms)
+
+    # --- 6. postings: join termIDs + norms, chunk, pack
+    enriched = (
+        term_doc.join(terms_tbl.select("term", "term_id"), "term")
+        .join(docs_tbl.select("doc_id", "norm_byte"), "doc_id")
+        .withColumn("seg_id", (F.col("doc_id") / F.lit(seg_span)).cast("int"))
+        .withColumn("chunk_id", (F.col("doc_id") / F.lit(chunk_span)).cast("long"))
+    )
+
+    if num_segments > 1:
+        enriched = enriched.persist()
+
+    done_segs: set[int] = set()
+    if resume and os.path.exists(paths.lineage):
+        done_segs = {
+            r.seg_id
+            for r in spark.read.parquet(paths.lineage)
+            .where(F.col("status") == "complete")
+            .select("seg_id")
+            .collect()
+        }
+
+    group_cols = ["term_id", "seg_id", "chunk_id"]
+    for seg in range(num_segments):
+        if seg in done_segs:
+            continue
+        seg_rows = enriched.where(F.col("seg_id") == seg)
+        packed = seg_rows.groupBy(*group_cols).applyInPandas(
+            lambda pdf: _pack_group(pdf), schema=POSTINGS_SCHEMA
+        )
+        (
+            packed.repartition(F.col("term_id"))
+            .sortWithinPartitions("term_id", "chunk_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(paths.postings, f"seg_id={seg}"))
+        )
+        seg_df = spark.read.parquet(os.path.join(paths.postings, f"seg_id={seg}"))
+        lineage_row = (
+            seg_df.agg(
+                F.min("first_doc").alias("doc_id_min"),
+                F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
+                F.count_distinct("term_id").alias("term_count"),
+                F.sum("df_chunk").alias("row_count"),
+                (F.sum(F.size("doc_gaps")) * 8).alias("posting_bytes"),
+            )
+            .withColumn("seg_id", F.lit(seg))
+            .withColumn("status", F.lit("complete"))
+            .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
+        )
+        lineage_row.write.mode("append").parquet(paths.lineage)
+
+    with open(paths.stats, "w") as fh:
+        json.dump(
+            {
+                "max_doc": int(max_doc),
+                "sum_total_term_freq": int(sum_ttf),
+                "num_segments": num_segments,
+                "seg_span": seg_span,
+                "chunk_span": chunk_span,
+                "positions": positions,
+                "block_size": BLOCK_SIZE,
+            },
+            fh,
+        )
+    spark.catalog.clearCache()
+    return paths

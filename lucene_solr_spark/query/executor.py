@@ -1,0 +1,257 @@
+"""Query execution over the built index: the IndexSearcher equivalent.
+
+Maps the reference's execution stack (IndexSearcher.java:267→685→607-630,
+scorer trees from BooleanQuery.java:302-364) onto Spark plans:
+
+- term dictionary lookup  → driver-side filter of the `terms` table
+  (BlockTree in-RAM FST analog: tiny broadcastable lookup per query)
+- TermScorer              → scan postings rows for the termIDs (parquet
+  row-group pruning on sorted term_id), numpy kernel per row: cumsum gaps →
+  docIDs, score = weight * tf / (tf + cache[norm_byte])   — float32, same
+  factorization as BM25Similarity.java:228-237
+- BooleanQuery SHOULD sum → groupBy(doc).sum(score) (DisjunctionSumScorer)
+- MUST conjunction        → HAVING count(matched must terms) == n
+  (ConjunctionScorer's leap-frog, expressed as hash agg)
+- MUST_NOT                → LEFT ANTI JOIN (ReqExclScorer)
+- minimumNumberShouldMatch→ HAVING matched >= m (MinShouldMatchSumScorer)
+- PhraseQuery             → per-doc position-set intersection of
+  (pos_i - i) (ExactPhraseScorer.java:29-82), freq feeds the same BM25 tf
+  formula with summed idf (BM25Similarity.java:185-198)
+- top-k                   → orderBy(score desc, docID asc).limit(k) =
+  TopScoreDocCollector + HitQueue tie-break (HitQueue.java:76-81), executed
+  as Spark's distributed TakeOrderedAndProject
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import standard_tokenize
+from ..index.build import IndexPaths
+from .bm25 import BM25Stats, K1, bm25_idf, norm_cache
+
+
+class Searcher:
+    def __init__(self, spark: SparkSession, paths: IndexPaths | str):
+        self.spark = spark
+        self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+        with open(self.paths.stats) as fh:
+            meta = json.load(fh)
+        self.stats = BM25Stats(
+            max_doc=meta["max_doc"], sum_total_term_freq=meta["sum_total_term_freq"]
+        )
+        self.meta = meta
+        self.docs = spark.read.parquet(self.paths.docs)
+        self.terms = spark.read.parquet(self.paths.terms)
+        self.postings = spark.read.option("basePath", self.paths.postings).parquet(
+            os.path.join(self.paths.postings, "seg_id=*")
+        )
+
+    # --- term dictionary -------------------------------------------------
+    def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
+        """Query-term metadata (term, term_id, df, ttf) — the Weight's
+        TermStatistics (TermQuery.java:45-74)."""
+        uniq = sorted(set(terms))
+        return (
+            self.terms.where(F.col("term").isin(uniq))
+            .select("term", "term_id", "df", "ttf")
+            .toPandas()
+        )
+
+    def analyze_query(self, query_text: str) -> list[str]:
+        return [t for _, t in standard_tokenize(query_text)]
+
+    # --- scoring scan -----------------------------------------------------
+    def _scored(self, tinfo: pd.DataFrame) -> DataFrame:
+        """(doc_id, term_id, score float) for every posting of the query
+        terms. One scan, numpy kernels, no joins (norms are in the rows)."""
+        if tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, term_id long, score float")
+        weights = {
+            int(tid): np.float32(bm25_idf(int(df_), self.stats.max_doc) * (K1 + np.float32(1.0)))
+            for tid, df_ in zip(tinfo["term_id"], tinfo["df"])
+        }
+        cache = norm_cache(self.stats)
+        tids = sorted(weights)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_doc, out_tid, out_score = [], [], []
+                for row in pdf.itertuples(index=False):
+                    gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                    docs = row.first_doc + np.cumsum(gaps)
+                    tfs = np.asarray(row.tfs, dtype=np.float32)
+                    nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                    w = np.float32(weights[int(row.term_id)])
+                    scores = (w * tfs / (tfs + cache[nbs])).astype(np.float32)
+                    out_doc.append(docs)
+                    out_tid.append(np.full(len(docs), row.term_id, dtype=np.int64))
+                    out_score.append(scores)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_doc),
+                        "term_id": np.concatenate(out_tid),
+                        "score": np.concatenate(out_score),
+                    }
+                )
+
+        rows = self.postings.where(F.col("term_id").isin(tids)).select(
+            "term_id", "first_doc", "doc_gaps", "tfs", "norm_bytes"
+        )
+        return rows.mapInPandas(kernel, schema="doc_id long, term_id long, score float")
+
+    def _topk(self, scored_docs: DataFrame, k: int) -> DataFrame:
+        return (
+            scored_docs.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    # --- public query surface ---------------------------------------------
+    def search(self, query: str | list[str], k: int = 10) -> DataFrame:
+        """Free-text query = BooleanQuery of SHOULD TermQuery clauses."""
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        return self.boolean_search(should=terms, k=k)
+
+    def boolean_search(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should_match: int = 0,
+        k: int = 10,
+    ) -> DataFrame:
+        must, should, must_not = must or [], should or [], must_not or []
+        tinfo = self.lookup_terms(must + should)
+        found = set(tinfo["term"])
+        if any(t not in found for t in must) or tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+
+        must_ids = set(int(r.term_id) for r in tinfo.itertuples() if r.term in set(must))
+        per_term = self._scored(tinfo)
+        agg = per_term.groupBy("doc_id").agg(
+            F.sum("score").cast("float").alias("score"),
+            F.count(F.when(F.col("term_id").isin(sorted(must_ids)), 1)).alias("n_must"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        cond = F.col("n_must") == len(must_ids)
+        if min_should_match > 0:
+            cond = cond & (F.col("n_matched") - F.col("n_must") >= min_should_match)
+        matched = agg.where(cond)
+
+        if must_not:
+            neg_info = self.lookup_terms(must_not)
+            if not neg_info.empty:
+                neg_docs = self._scored(neg_info).select("doc_id").distinct()
+                matched = matched.join(neg_docs, "doc_id", "left_anti")
+        return self._topk(matched, k)
+
+    # --- phrase -------------------------------------------------------------
+    def phrase_search(self, phrase: str | list[str], k: int = 10) -> DataFrame:
+        """Exact phrase: all terms at consecutive positions (stopword slots
+        in the original text break adjacency, matching Lucene's
+        position-increment semantics)."""
+        terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        tinfo = self.lookup_terms(terms)
+        by_term = {r.term: int(r.term_id) for r in tinfo.itertuples()}
+        if any(t not in by_term for t in terms):
+            return self.spark.createDataFrame([], "doc_id long, score float")
+
+        # phrase weight: summed idf (BM25Similarity.java:185-198)
+        idf_sum = np.float32(
+            sum(
+                float(bm25_idf(int(r.df), self.stats.max_doc))
+                for r in tinfo.itertuples()
+            )
+        )
+        weight = np.float32(idf_sum * (K1 + np.float32(1.0)))
+        cache = norm_cache(self.stats)
+        offsets = {}  # term_id -> list of query offsets (handles repeated terms)
+        for i, t in enumerate(terms):
+            offsets.setdefault(by_term[t], []).append(i)
+        tids = sorted(offsets)
+
+        def explode_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                recs = {"doc_id": [], "term_id": [], "norm_byte": [], "positions": []}
+                for row in pdf.itertuples(index=False):
+                    docs = row.first_doc + np.cumsum(np.asarray(row.doc_gaps, dtype=np.int64))
+                    tfs = np.asarray(row.tfs, dtype=np.int64)
+                    cuts = np.cumsum(tfs)[:-1]
+                    plists = np.split(np.asarray(row.pos_flat, dtype=np.int64), cuts)
+                    recs["doc_id"].extend(docs.tolist())
+                    recs["term_id"].extend([row.term_id] * len(docs))
+                    recs["norm_byte"].extend(np.asarray(row.norm_bytes).tolist())
+                    recs["positions"].extend([p.tolist() for p in plists])
+                yield pd.DataFrame(recs)
+
+        pos_rows = (
+            self.postings.where(F.col("term_id").isin(tids))
+            .select("term_id", "first_doc", "doc_gaps", "tfs", "norm_bytes", "pos_flat")
+            .mapInPandas(
+                explode_positions,
+                schema="doc_id long, term_id long, norm_byte int, positions array<long>",
+            )
+        )
+        # conjunction prefilter, then per-doc alignment check
+        grouped = (
+            pos_rows.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("nt"),
+                F.max("norm_byte").alias("norm_byte"),
+                F.collect_list(F.struct("term_id", "positions")).alias("plists"),
+            )
+            .where(F.col("nt") == len(tids))
+        )
+
+        def phrase_freq(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdf_iter:
+                doc_ids, freqs, nbs = [], [], []
+                for row in pdf.itertuples(index=False):
+                    cand: np.ndarray | None = None
+                    for entry in row.plists:
+                        tid, positions = entry["term_id"], entry["positions"]
+                        shifted: np.ndarray | None = None
+                        for off in offsets[int(tid)]:
+                            s = np.asarray(positions, dtype=np.int64) - off
+                            shifted = s if shifted is None else np.intersect1d(shifted, s)
+                        cand = shifted if cand is None else np.intersect1d(cand, shifted)
+                    n = int((cand >= 0).sum()) if cand is not None else 0
+                    if n > 0:
+                        doc_ids.append(row.doc_id)
+                        freqs.append(n)
+                        nbs.append(row.norm_byte)
+                yield pd.DataFrame({"doc_id": doc_ids, "freq": freqs, "norm_byte": nbs})
+
+        matches = grouped.mapInPandas(
+            phrase_freq, schema="doc_id long, freq int, norm_byte int"
+        )
+
+        def score_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in pdf_iter:
+                f32 = pdf["freq"].values.astype(np.float32)
+                nb = pdf["norm_byte"].values.astype(np.int64)
+                sc = (weight * f32 / (f32 + cache[nb])).astype(np.float32)
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc})
+
+        scored = matches.mapInPandas(score_kernel, schema="doc_id long, score float")
+        return self._topk(scored, k)
+
+    def count(self, query: str | list[str]) -> int:
+        """TotalHitCountCollector (TotalHitCountCollector.java:51)."""
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return 0
+        return self._scored(tinfo).select("doc_id").distinct().count()
