@@ -1,0 +1,294 @@
+"""Segment compaction: Lucene's tiered sort-merge, re-expressed for Spark.
+
+Reference semantics being reproduced:
+
+- **Sort-merge on termID**: Lucene merges segments by walking every
+  segment's term enum in sorted order through a priority queue
+  (reference MultiTermsEnum.java:34-132) and, per term, concatenating the
+  segments' posting lists with docID remapping
+  (TermsConsumer.java:86-171, SegmentMerger.java:71-130). Our segments are
+  *contiguous global docID ranges* (seg = doc_id // seg_span, docIDs are
+  global url ranks), so no remap is needed — the merge of k segments'
+  postings for one term is a concatenation in doc order followed by
+  re-delta-encoding. Spark expression: union the segment parquet dirs,
+  `groupBy(term_id, chunk_id).applyInPandas(recombine)` — a single shuffle
+  keyed exactly like the build's pack stage, which is the sort-merge.
+
+- **Merge selection**: TieredMergePolicy picks up to `maxMergeAtOnce`
+  segments per merge, prefers merges of equal-sized segments (skew score),
+  never produces a merged segment over `maxMergedSegmentBytes`, and ignores
+  the "floor" by rounding tiny segments up to `floorSegmentBytes`
+  (TieredMergePolicy.java:81-88 defaults; selection loop :317-423; score =
+  skew * pow(totalSize, 0.05) at :366-380, lower is better). `plan_merges`
+  reproduces that scoring on lineage rows.
+
+Scale notes (100 TB): the merge shuffle is keyed on (term_id, chunk_id) —
+the same deterministic skew bound as the build (no posting group can exceed
+chunk_span docs), and AQE handles residual imbalance. Segment parquet dirs
+are immutable inputs; the merged segment is written to a fresh directory and
+the lineage table is appended (old rows marked superseded) before old dirs
+are dropped — crash-safe in the same append-only style as Lucene's
+write-once segments + SegmentInfos generation swap.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .build import BLOCK_SIZE, IndexPaths, POSTINGS_SCHEMA
+
+# TieredMergePolicy defaults (TieredMergePolicy.java:81-88)
+MAX_MERGE_AT_ONCE = 10
+SEGS_PER_TIER = 10.0
+FLOOR_SEGMENT_BYTES = 2 * 1024 * 1024  # 2 MB
+MAX_MERGED_SEGMENT_BYTES = 5 * 1024 * 1024 * 1024  # 5 GB
+
+
+@dataclass(frozen=True)
+class SegmentInfo:
+    seg_id: int
+    posting_bytes: int
+
+
+@dataclass(frozen=True)
+class MergePlan:
+    seg_ids: tuple[int, ...]
+    score: float
+    merged_bytes: int
+
+
+def merge_score(window: list[SegmentInfo], floor_bytes: int = FLOOR_SEGMENT_BYTES) -> float:
+    """TieredMergePolicy merge scoring: skew * totalBytes^0.05, lower is
+    better — equal-sized merges beat lopsided ones, smaller merges beat
+    bigger at equal skew (TieredMergePolicy.java:366-380)."""
+    sizes = sorted((max(s.posting_bytes, floor_bytes) for s in window), reverse=True)
+    tot = sum(sizes)
+    return (sizes[0] / tot) * (tot ** 0.05)
+
+
+def plan_merges(
+    segments: list[SegmentInfo],
+    max_merge_at_once: int = MAX_MERGE_AT_ONCE,
+    segs_per_tier: float = SEGS_PER_TIER,
+    floor_bytes: int = FLOOR_SEGMENT_BYTES,
+    max_merged_bytes: int = MAX_MERGED_SEGMENT_BYTES,
+) -> list[MergePlan]:
+    """TieredMergePolicy-style merge selection over lineage rows.
+
+    Mirrors TieredMergePolicy.findMerges (:317-423): compute the allowed
+    segment budget from the total index size; while over budget, enumerate
+    candidate windows over the size-sorted segment list, score each by
+    skew * totalBytes^0.05 (lower = better, :366-380), emit the best,
+    repeat on the remainder.
+    """
+    segs = sorted(segments, key=lambda s: (-s.posting_bytes, s.seg_id))
+    floored = lambda b: max(b, floor_bytes)  # noqa: E731
+
+    total = sum(floored(s.posting_bytes) for s in segs)
+    # allowed count: levels of segsPerTier segments, each tier 10x bigger
+    # (TieredMergePolicy.java:338-352)
+    allowed = 0.0
+    level = float(floor_bytes)
+    remaining = float(total)
+    while remaining > 0:
+        count_at_level = remaining / level
+        if count_at_level < segs_per_tier:
+            allowed += math.ceil(count_at_level)
+            break
+        allowed += segs_per_tier
+        remaining -= segs_per_tier * level
+        level *= max_merge_at_once
+
+    plans: list[MergePlan] = []
+    pool = list(segs)
+    while len(pool) > allowed and len(pool) >= 2:
+        best: MergePlan | None = None
+        for start in range(len(pool)):
+            window = pool[start : start + max_merge_at_once]
+            if len(window) < 2:
+                break
+            tot = sum(floored(s.posting_bytes) for s in window)
+            if tot > max_merged_bytes:
+                continue
+            score = merge_score(window, floor_bytes)
+            if best is None or score < best.score:
+                best = MergePlan(
+                    seg_ids=tuple(s.seg_id for s in window),
+                    score=score,
+                    merged_bytes=tot,
+                )
+        if best is None:
+            break
+        plans.append(best)
+        chosen = set(best.seg_ids)
+        pool = [s for s in pool if s.seg_id not in chosen]
+    return plans
+
+
+def _recombine(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge ≥1 posting rows of one (term_id, chunk_id) from different
+    source segments into one row: decode gaps → global docIDs, concat in
+    doc order, re-delta + rebuild 128-doc block metadata.
+
+    Segments are disjoint doc ranges, so sorting the rows by first_doc and
+    concatenating is the whole sort-merge (TermsConsumer.java:86-171 without
+    the remap)."""
+    pdf = pdf.sort_values("first_doc")
+    docs_parts, tf_parts, nb_parts, pos_parts = [], [], [], []
+    for r in pdf.itertuples(index=False):
+        gaps = np.asarray(r.doc_gaps, dtype=np.int64)
+        docs_parts.append(gaps.cumsum() + r.first_doc)
+        tf_parts.append(np.asarray(r.tfs, dtype=np.int32))
+        nb_parts.append(np.asarray(r.norm_bytes, dtype=np.int32))
+        pos_parts.append(r.pos_flat)
+
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    nbs = np.concatenate(nb_parts)
+    has_pos = all(p is not None for p in pos_parts)
+    pos_flat = (
+        np.concatenate([np.asarray(p, dtype=np.int32) for p in pos_parts])
+        if has_pos
+        else None
+    )
+
+    gaps = np.empty_like(docs)
+    gaps[0] = 0
+    gaps[1:] = np.diff(docs)
+
+    n = len(docs)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    ends = np.minimum((np.arange(nblocks) + 1) * BLOCK_SIZE, n) - 1
+    return pd.DataFrame(
+        {
+            "term_id": [int(pdf["term_id"].iloc[0])],
+            "seg_id": [int(pdf["seg_id"].iloc[0])],  # overwritten by caller
+            "chunk_id": [int(pdf["chunk_id"].iloc[0])],
+            "first_doc": [int(docs[0])],
+            "df_chunk": [n],
+            "doc_gaps": [gaps.astype(np.int32)],
+            "tfs": [tfs],
+            "norm_bytes": [nbs],
+            "skip_last_doc": [docs[ends]],
+            "block_max_tf": [
+                np.array(
+                    [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+                    dtype=np.int32,
+                )
+            ],
+            "block_max_nb": [
+                np.array(
+                    [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+                    dtype=np.int32,
+                )
+            ],
+            "pos_flat": [pos_flat],
+        }
+    )
+
+
+def merge_segments(
+    spark: SparkSession,
+    paths: IndexPaths | str,
+    seg_ids: list[int],
+    new_seg_id: int | None = None,
+) -> int:
+    """Compact `seg_ids` into one new segment. Returns the new seg_id.
+
+    Write-once discipline: new dir written first, lineage appended, old dirs
+    removed last — a crash at any point leaves a readable index (the old
+    lineage rows are only superseded after the new segment exists)."""
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    if new_seg_id is None:
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(paths.postings)
+            if d.startswith("seg_id=")
+        ]
+        new_seg_id = max(existing) + 1
+
+    srcs = [os.path.join(paths.postings, f"seg_id={s}") for s in sorted(seg_ids)]
+    union = spark.read.parquet(*srcs)
+
+    merged = (
+        union.groupBy("term_id", "chunk_id")
+        .applyInPandas(_recombine, schema=POSTINGS_SCHEMA)
+        .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
+    )
+    out_dir = os.path.join(paths.postings, f"seg_id={new_seg_id}")
+    (
+        merged.repartition(F.col("term_id"))
+        .sortWithinPartitions("term_id", "chunk_id")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+
+    # lineage: new segment row + superseded markers, all in one append
+    seg_df = spark.read.parquet(out_dir)
+    new_row = (
+        seg_df.agg(
+            F.min("first_doc").alias("doc_id_min"),
+            F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
+            F.count_distinct("term_id").alias("term_count"),
+            F.sum("df_chunk").alias("row_count"),
+            (F.sum(F.size("doc_gaps")) * 8).alias("posting_bytes"),
+        )
+        .withColumn("seg_id", F.lit(new_seg_id))
+        .withColumn("status", F.lit("complete"))
+        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
+    )
+    superseded = (
+        spark.read.parquet(paths.lineage)
+        .where(F.col("seg_id").isin([int(s) for s in seg_ids]) & (F.col("status") == "complete"))
+        .withColumn("status", F.lit("superseded"))
+        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
+    )
+    new_row.unionByName(superseded).write.mode("append").parquet(paths.lineage)
+
+    for s in srcs:
+        shutil.rmtree(s, ignore_errors=True)
+    return new_seg_id
+
+
+def compact(spark: SparkSession, paths: IndexPaths | str, **policy_kwargs) -> list[int]:
+    """Run the tiered policy to quiescence: plan, merge, re-plan.
+
+    The driver-side analog of ConcurrentMergeScheduler's merge loop
+    (ConcurrentMergeScheduler.java) — in Spark the 'background threads' are
+    just successive jobs."""
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    new_ids: list[int] = []
+    while True:
+        lineage = spark.read.parquet(paths.lineage)
+        live = _live_segments(lineage)
+        plans = plan_merges(live, **policy_kwargs)
+        if not plans:
+            return new_ids
+        for plan in plans:
+            new_ids.append(merge_segments(spark, paths, list(plan.seg_ids)))
+
+
+def _live_segments(lineage_df) -> list[SegmentInfo]:
+    """Segments whose latest lineage row is `complete` (not superseded)."""
+    pdf = (
+        lineage_df.groupBy("seg_id")
+        .agg(
+            F.max_by("status", "built_at_snapshot").alias("status"),
+            F.max("posting_bytes").alias("posting_bytes"),
+        )
+        .where(F.col("status") == "complete")
+        .toPandas()
+    )
+    return [
+        SegmentInfo(seg_id=int(r.seg_id), posting_bytes=int(r.posting_bytes))
+        for r in pdf.itertuples(index=False)
+    ]
