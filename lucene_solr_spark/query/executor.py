@@ -38,6 +38,14 @@ from ..index.build import IndexPaths
 from .bm25 import BM25Stats, K1, bm25_idf, norm_cache
 
 
+def _ranges(reps: np.ndarray) -> np.ndarray:
+    """[0..r0-1, 0..r1-1, ...] concatenated — vectorized per-group arange."""
+    total = int(reps.sum())
+    out = np.arange(total, dtype=np.int64)
+    starts = np.repeat(np.cumsum(reps) - reps, reps)
+    return out - starts
+
+
 class Searcher:
     def __init__(self, spark: SparkSession, paths: IndexPaths | str):
         self.spark = spark
@@ -108,6 +116,192 @@ class Searcher:
             "term_id", "first_doc", "doc_gaps", "tfs", "norm_bytes"
         )
         return rows.mapInPandas(kernel, schema="doc_id long, term_id long, score float")
+
+    # --- block-max WAND (lossless pruned top-k) ---------------------------
+    def search_wand(self, query: str | list[str], k: int = 10) -> DataFrame:
+        """Top-k disjunction with block-max pruning, guaranteed identical to
+        exhaustive scoring (`search`).
+
+        The reference (Lucene 4.4) scores exhaustively into a bounded PQ
+        (TopScoreDocCollector.java:40-63); WAND/BMW arrived in Lucene 8. We
+        keep the reference's exhaustive results as ground truth and use the
+        per-block metadata the index already stores (block_max_tf /
+        block_max_nb every 128 docs, the skip-list analog) for *lossless*
+        skipping, adapted to a batch engine:
+
+        1. bound pass (JVM-only): per posting row, upper-bound the row's best
+           score from its block maxima — score is increasing in tf and
+           decreasing in cache[norm_byte], and cache[] is monotone decreasing
+           in the byte, so w*bmtf/(bmtf+cache[bmnb]) bounds every doc in the
+           block;
+        2. θ seed: exhaustively score the single doc-range chunk with the
+           highest summed bound (chunks are global docID ranges shared by
+           all terms, so per-chunk bounds are doc-aligned and summable
+           across terms); θ = kth best seed score;
+        3. prune: drop whole chunks with Σ_t bound < θ, then inside
+           surviving rows drop 128-doc blocks by doc-aligned bucket bounds
+           (Σ_t max over blocks intersecting the bucket < θ);
+        4. exhaustively score what survives; top-k.
+
+        Every dropped doc has provable score < θ ≤ true kth score, so the
+        result is rank- and score-identical to `search`.
+        """
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+
+        weights = {
+            int(tid): float(
+                np.float32(bm25_idf(int(df_), self.stats.max_doc) * (K1 + np.float32(1.0)))
+            )
+            for tid, df_ in zip(tinfo["term_id"], tinfo["df"])
+        }
+        cache = norm_cache(self.stats)
+        tids = sorted(weights)
+
+        rows = self.postings.where(F.col("term_id").isin(tids))
+        cache_arr = F.array(*[F.lit(float(c)) for c in cache.tolist()])
+        w_col = F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for tid in tids
+                    for c in (F.lit(tid).cast("long"), F.lit(weights[tid]))
+                ]
+            ),
+            F.col("term_id"),
+        )
+        # per-block bound, then max over the row's blocks — all JVM exprs
+        block_bounds = F.zip_with(
+            F.col("block_max_tf").cast("array<double>"),
+            F.transform(F.col("block_max_nb"), lambda nb: F.element_at(cache_arr, nb + 1)),
+            lambda t, c: w_col * t / (t + c),
+        )
+        bounds = rows.select(
+            "term_id",
+            "chunk_id",
+            F.array_max(block_bounds).alias("row_ub"),
+        )
+        chunk_ub = (
+            bounds.groupBy("chunk_id")
+            .agg(F.sum("row_ub").alias("ub"))
+            .orderBy(F.col("ub").desc())
+            .toPandas()
+        )
+        if len(chunk_ub) <= 1:
+            return self.search(terms, k=k)
+
+        # --- θ seed: exhaustive over the most promising chunk
+        seed_chunk = int(chunk_ub["chunk_id"].iloc[0])
+        seed = (
+            self._scored_rows(rows.where(F.col("chunk_id") == seed_chunk), weights)
+            .groupBy("doc_id")
+            .agg(F.sum("score").cast("float").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .toPandas()
+        )
+        theta = float(seed["score"].iloc[-1]) if len(seed) >= k else float("-inf")
+
+        live_chunks = [int(c) for c, u in zip(chunk_ub["chunk_id"], chunk_ub["ub"]) if u >= theta]
+        survivors = rows.where(F.col("chunk_id").isin(live_chunks))
+
+        scored = self._scored_rows(survivors, weights, theta=theta)
+        agg = scored.groupBy("doc_id").agg(F.sum("score").cast("float").alias("score"))
+        return self._topk(agg, k)
+
+    def _scored_rows(
+        self,
+        rows: DataFrame,
+        weights: dict[int, float],
+        theta: float = float("-inf"),
+        bucket_span: int = 4096,
+    ) -> DataFrame:
+        """Score posting rows → (doc_id, score). With a finite θ, performs
+        doc-aligned bucket pruning first (two kernel passes), else one pass.
+
+        Bucket pruning is only sound for the *sum* of bounds across all
+        query terms at the same doc range, which is why buckets are aligned
+        on absolute docIDs (doc_id // bucket_span), not per-list block
+        ordinals."""
+        cache = norm_cache(self.stats)
+        w32 = {t: np.float32(w) for t, w in weights.items()}
+
+        live_buckets: np.ndarray | None = None
+        if theta != float("-inf"):
+            def bucket_bounds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out_b, out_t, out_ub = [], [], []
+                    for row in pdf.itertuples(index=False):
+                        last = np.asarray(row.skip_last_doc, dtype=np.int64)
+                        starts = np.empty_like(last)
+                        starts[0] = row.first_doc
+                        starts[1:] = last[:-1] + 1  # blocks are doc-sorted
+                        bmtf = np.asarray(row.block_max_tf, dtype=np.float64)
+                        bmnb = np.asarray(row.block_max_nb, dtype=np.int64)
+                        ub = float(w32[int(row.term_id)]) * bmtf / (bmtf + cache[bmnb])
+                        b_lo = starts // bucket_span
+                        b_hi = last // bucket_span
+                        # expand each block to the buckets it spans
+                        reps = (b_hi - b_lo + 1).astype(np.int64)
+                        bkt = np.repeat(b_lo, reps) + _ranges(reps)
+                        out_b.append(bkt)
+                        out_t.append(np.full(len(bkt), row.term_id, dtype=np.int64))
+                        out_ub.append(np.repeat(ub, reps))
+                    if out_b:
+                        yield pd.DataFrame(
+                            {
+                                "bucket": np.concatenate(out_b),
+                                "term_id": np.concatenate(out_t),
+                                "ub": np.concatenate(out_ub),
+                            }
+                        )
+
+            bb = rows.select(
+                "term_id", "first_doc", "skip_last_doc", "block_max_tf", "block_max_nb"
+            ).mapInPandas(bucket_bounds, schema="bucket long, term_id long, ub double")
+            per_bucket = (
+                bb.groupBy("bucket", "term_id")
+                .agg(F.max("ub").alias("ub"))
+                .groupBy("bucket")
+                .agg(F.sum("ub").alias("ub"))
+                .where(F.col("ub") >= float(theta))
+                .select("bucket")
+                .toPandas()
+            )
+            live_buckets = np.sort(per_bucket["bucket"].values.astype(np.int64))
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                    docs = row.first_doc + np.cumsum(gaps)
+                    tfs = np.asarray(row.tfs, dtype=np.float32)
+                    nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                    if live_buckets is not None:
+                        if len(live_buckets) == 0:
+                            continue
+                        bkt = docs // bucket_span
+                        idx = np.minimum(
+                            np.searchsorted(live_buckets, bkt), len(live_buckets) - 1
+                        )
+                        mask = live_buckets[idx] == bkt
+                        if not mask.any():
+                            continue
+                        docs, tfs, nbs = docs[mask], tfs[mask], nbs[mask]
+                    w = w32[int(row.term_id)]
+                    out_doc.append(docs)
+                    out_score.append((w * tfs / (tfs + cache[nbs])).astype(np.float32))
+                if out_doc:
+                    yield pd.DataFrame(
+                        {"doc_id": np.concatenate(out_doc), "score": np.concatenate(out_score)}
+                    )
+
+        return rows.select(
+            "term_id", "first_doc", "doc_gaps", "tfs", "norm_bytes"
+        ).mapInPandas(kernel, schema="doc_id long, score float")
 
     def _topk(self, scored_docs: DataFrame, k: int) -> DataFrame:
         return (
