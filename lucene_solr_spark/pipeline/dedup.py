@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing is **portable** (MD5-derived 60-bit integers, identical in Spark
+SQL and DuckDB) so every operator has an exact cross-engine oracle, and
+**deterministic** (no RNG at runtime) so results are identical at any
+parallelism — the same property the index build relies on.
+
+Scale design:
+- exact dedup: one hash-groupBy shuffle, map-side combined.
+- MinHash: signatures are a narrow per-doc aggregation over shingles
+  (explode → groupBy(doc).agg(min per seed)); LSH banding turns the
+  quadratic all-pairs problem into an equi-join on (band, band_hash) —
+  Spark's hash join does the bucketing. Candidate pairs are then verified
+  with exact Jaccard only within buckets. No broadcast of the corpus, no
+  cartesian product; skewed buckets (boilerplate shingles) are bounded by
+  `max_bucket` (drop pathological buckets, standard practice at CC scale).
+- SimHash: per-doc 48-bit fingerprint via bit-majority over term hashes —
+  one groupBy; near-dup candidates join on band substrings of the
+  fingerprint (Hamming-distance blocking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import post_stop_tokens
+
+N_MINHASHES = 8
+LSH_BANDS = 4  # rows_per_band = N_MINHASHES // LSH_BANDS = 2
+SIMHASH_BITS = 48
+
+
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit integer hash (same value in DuckDB via
+    CAST(CONCAT('0x', SUBSTR(MD5(x),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-key doc per exact text hash (hash-groupBy dedup)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(key_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(key_col).alias(key_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(key, shingle) rows: distinct n-grams of post-stop tokens joined by
+    '_'. Expressed with JVM array functions only (no Python)."""
+    toks = post_stop_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws("_", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(key_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(key, sig_0..sig_{H-1}): per-doc MinHash signature.
+
+    sig_i = min over shingles of hash(i || ':' || shingle). Documents with
+    fewer than `shingle_n` tokens get no signature (no shingles)."""
+    sh = shingles(df, text_col, key_col, shingle_n)
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(key_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    key_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    bands: int = LSH_BANDS,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded LSH + estimated Jaccard.
+
+    Signature split into `bands` bands of n_hashes/bands rows; docs sharing
+    any band hash become a candidate pair; est_jaccard = matching signature
+    fraction. Pathological buckets larger than `max_bucket` are dropped
+    (head-shingle skew guard)."""
+    rows = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_long(F.concat_ws("|", *parts)).alias("bucket"),
+            )
+        )
+    buckets = sigs.select(
+        key_col, *[f"sig_{i}" for i in range(n_hashes)], F.explode(F.array(*band_cols)).alias("bb")
+    ).select(key_col, *[f"sig_{i}" for i in range(n_hashes)], "bb.band", "bb.bucket")
+
+    # skew guard: drop buckets with too many members
+    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    buckets = buckets.join(
+        sizes.where(F.col("n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col(f"a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+            *[
+                (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int").alias(f"m_{i}")
+                for i in range(n_hashes)
+            ],
+        )
+        .distinct()
+    )
+    match_sum = sum(F.col(f"m_{i}") for i in range(n_hashes))
+    return pairs.select(
+        "key_a",
+        "key_b",
+        (match_sum / F.lit(float(n_hashes))).alias("est_jaccard"),
+    ).distinct()
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (key_a, key_b):
+    |A∩B| / |A∪B| over distinct shingle sets — the verify stage after LSH."""
+    sh = shingles(df, text_col, key_col, shingle_n)
+    sh_a = sh.select(F.col(key_col).alias("key_a"), "shingle")
+    sh_b = sh.select(F.col(key_col).alias("kb"), F.col("shingle").alias("shingle_b"))
+    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.select("key_a", "key_b")
+        .join(sh_a, "key_a")
+        .join(
+            sh_b,
+            (F.col("key_b") == F.col("kb")) & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(key_col, "key_a").withColumnRenamed("n", "n_a"), "key_a")
+        .join(sizes.withColumnRenamed(key_col, "key_b").withColumnRenamed("n", "n_b"), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(key, simhash): bit b of the fingerprint = majority vote over terms of
+    bit b of hash(term), weighted by tf. Near-identical docs differ in few
+    bits (Charikar's SimHash)."""
+    toks = df.select(
+        F.col(key_col), F.explode(post_stop_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(key_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = md5_long(F.col("term"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    per_doc = tf.groupBy(key_col).agg(*bit_sums)
+    fingerprint = sum(
+        F.when(F.col(f"s_{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(bits)
+    )
+    return per_doc.select(F.col(key_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fps: DataFrame, key_col: str = "doc_id", bits: int = SIMHASH_BITS, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the fingerprint into `bands` bit-bands; any pair within
+    Hamming ≤ bands-1 shares at least one exact band (pigeonhole), so an
+    equi-join per band finds all candidates; verify with bit_count."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        key_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(key_col, "simhash", "bb.band", "bb.band_val")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("key_a", "key_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,155 @@
+"""Training-data pipeline operators: dedup (exact/MinHash/SimHash/Jaccard),
+similarity search (brute force vs LSH ANN), multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.pipeline import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    sent = "the quick brown fox jumps over lazy dog while spark shuffles postings "
+    base = sent * 4
+    # single-token change in one of the four repeats → near-dup
+    near = sent * 3 + sent.replace("lazy", "sleepy")
+    far = "completely different content about database query optimization engines"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, far),
+        (4, far + " with extra tail tokens appended here"),
+        (5, "tiny"),  # too short for shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).orderBy("doc_id").toPandas()
+    assert len(out) == 5  # 6 docs, one exact dup
+    assert out.loc[out["doc_id"] == 0, "n_copies"].iloc[0] == 2
+
+
+def test_shingles_short_doc_empty(docs):
+    sh = dedup.shingles(docs).where(F.col("doc_id") == 5)
+    assert sh.count() == 0
+
+
+def test_minhash_exact_dup_identical_signature(docs):
+    sigs = dedup.minhash_signatures(docs).orderBy("doc_id").toPandas()
+    s0 = sigs[sigs["doc_id"] == 0].iloc[0, 1:].tolist()
+    s1 = sigs[sigs["doc_id"] == 1].iloc[0, 1:].tolist()
+    assert s0 == s1
+    assert 5 not in sigs["doc_id"].tolist()  # shingle-less doc has no signature
+
+
+def test_minhash_lsh_finds_dups(docs):
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_lsh_pairs(sigs).toPandas()
+    got = {(int(a), int(b)): j for a, b, j in pairs.itertuples(index=False)}
+    assert got.get((0, 1)) == 1.0  # exact dup: all signatures match
+    # near dup found with high estimated jaccard
+    assert (0, 2) in got or (1, 2) in got
+
+
+def test_ngram_jaccard_verifies(spark, docs):
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_lsh_pairs(sigs)
+    verified = dedup.ngram_jaccard(docs, pairs).toPandas()
+    j = {(int(a), int(b)): v for a, b, v in verified.itertuples(index=False)}
+    assert j[(0, 1)] == 1.0
+    if (0, 2) in j:
+        assert 0.3 < j[(0, 2)] < 1.0
+
+
+def test_simhash_near_pairs(docs):
+    fps = dedup.simhash(docs)
+    pairs = dedup.simhash_near_pairs(fps, max_hamming=10).toPandas()
+    got = {(int(a), int(b)): h for a, b, h in pairs.itertuples(index=False)}
+    assert got.get((0, 1)) == 0  # identical text → identical fingerprint
+    assert (0, 2) in got  # near dup within hamming budget
+    assert (0, 3) not in got  # unrelated docs differ in many bits
+
+
+def test_simhash_deterministic_across_parallelism(spark, docs):
+    a = dedup.simhash(docs.repartition(1)).orderBy("doc_id").toPandas()
+    b = dedup.simhash(docs.repartition(7)).orderBy("doc_id").toPandas()
+    assert a["simhash"].tolist() == b["simhash"].tolist()
+
+
+# --- similarity -------------------------------------------------------------
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    centers = rng.randn(4, 16) * 3
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + rng.randn(16) * 0.1
+        rows.append((i, [float(np.float32(x)) for x in v], c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_topk_matches_numpy_oracle(vectors):
+    pdf = vectors.orderBy("vec_id").toPandas()
+    m = np.stack(pdf["embedding"].values).astype(np.float64)
+    q = m[0]
+    cos = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(cos)), key=lambda i: (-cos[i], i))[:10]
+
+    got = similarity.cosine_topk(vectors, list(q), k=10).toPandas()
+    assert got["vec_id"].tolist() == order
+    np.testing.assert_allclose(got["cosine"].values, cos[order], rtol=1e-9)
+
+    got2 = similarity.cosine_topk_pandas(vectors, q, k=10).toPandas()
+    assert got2["vec_id"].tolist() == order
+
+
+def test_ann_lsh_recall(vectors):
+    pdf = vectors.orderBy("vec_id").toPandas()
+    q = np.stack(pdf["embedding"].values)[0].astype(np.float64)
+    exact = set(similarity.cosine_topk_pandas(vectors, q, k=10).toPandas()["vec_id"])
+
+    signed = similarity.add_lsh_signature(vectors, dim=16, n_planes=12)
+    approx = set(
+        similarity.ann_lsh_topk(signed, q, k=10, n_planes=12, probe_hamming=2)
+        .toPandas()["vec_id"]
+    )
+    recall = len(exact & approx) / 10
+    assert recall >= 0.6  # clustered data, multiprobe → decent recall
+    # candidates actually pruned vs full corpus
+    probes_all = signed.select("signature").distinct().count()
+    assert probes_all > 1
+
+
+# --- multimodal -------------------------------------------------------------
+def test_image_features_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    feats = multimodal.image_features(media, fake=True)
+    pdf = feats.orderBy("id").toPandas()
+    assert len(pdf) == 32
+    assert all(len(f) == 16 for f in pdf["features"])
+    # deterministic: same input → same features at different parallelism
+    pdf2 = multimodal.image_features(media.repartition(5), fake=True).orderBy("id").toPandas()
+    np.testing.assert_array_equal(
+        np.stack(pdf["features"].values), np.stack(pdf2["features"].values)
+    )
+    # blobs are projected away
+    assert "media" not in feats.columns
+
+
+def test_real_decode_raises_without_libs(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx", 4, 4)
+
+
+def test_frame_sample(spark):
+    media = multimodal.synthetic_media(spark, n=8)
+    out = multimodal.frame_sample(media, every_n=10).toPandas()
+    meta = media.select("id", "meta.n_frames").toPandas()
+    for _, row in meta.iterrows():
+        expect = list(range(0, max(int(row["n_frames"]) - 1, 0) + 1, 10))
+        got = sorted(out[out["id"] == row["id"]]["frame_idx"])
+        assert got == expect
