@@ -154,14 +154,27 @@ LIMIT {k}"""
 
 
 # ---------------------------------------------------------------------------
-# registry: name -> (dialect -> sql)
+# registries:
+#   _REGISTRY    : name -> (dialect -> sql)  — same template on both engines
+#   _DF_REGISTRY : name -> (spark_fn(spark, sf_dir) -> DataFrame,
+#                           oracle_sql | None) — real DataFrame-API
+#                  implementations (pipeline ops); None oracle = rows-only
 # ---------------------------------------------------------------------------
 _REGISTRY: dict[str, Callable[[str], str]] = {}
+_DF_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
 def gate(name: str):
     def deco(fn: Callable[[str], str]):
         _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def df_gate(name: str, oracle_sql: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _DF_REGISTRY[name] = (fn, oracle_sql)
         return fn
 
     return deco
@@ -553,6 +566,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from . import gate_ext  # noqa: F401  (registers _DF_REGISTRY entries)
+
     def make(name: str):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             register_views(spark, sf_dir)
@@ -560,8 +575,16 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: make(name) for name in _REGISTRY}
+    out = {name: make(name) for name in _REGISTRY}
+    out.update({name: fn for name, (fn, _) in _DF_REGISTRY.items()})
+    return out
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: fn("duckdb") for name, fn in _REGISTRY.items()}
+    from . import gate_ext  # noqa: F401
+
+    out = {name: fn("duckdb") for name, fn in _REGISTRY.items()}
+    out.update(
+        {name: sql for name, (_, sql) in _DF_REGISTRY.items() if sql is not None}
+    )
+    return out

@@ -1,0 +1,296 @@
+"""Gate entries for the training-data pipeline operators.
+
+Unlike gate.py's dialect-template queries, the Spark side here runs the REAL
+DataFrame-API implementations from lucene_solr_spark.pipeline; the DuckDB
+oracle reproduces their semantics in SQL. Both sides share the portable
+MD5-derived 60-bit hash (gate.md5i) and the tokenizer regex, so values are
+bit-identical.
+
+Also registers a few reference-parity SQL gates that belong to SURVEY.md
+§2.14 (MoreLikeThis, suggest, spellcheck).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .gate import _STOPLIST_SQL, df_gate, gate, md5i, tok_cte
+from .pipeline import dedup, similarity
+
+N_H = dedup.N_MINHASHES
+SIM_BITS = dedup.SIMHASH_BITS
+
+
+def _duck_md5i(expr: str) -> str:
+    return md5i(expr, "duckdb")
+
+
+# --- shared DuckDB CTE fragments ---------------------------------------------
+def _shingle_cte() -> str:
+    """DISTINCT (doc_id, shingle) of consecutive post-stop token triples —
+    the SQL twin of pipeline.dedup.shingles."""
+    return f"""
+tok AS ({tok_cte('duckdb')}),
+seq AS (
+  SELECT doc_id, term,
+         LEAD(term, 1) OVER w AS t1,
+         LEAD(term, 2) OVER w AS t2
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+  SELECT DISTINCT doc_id, CONCAT(term, '_', t1, '_', t2) AS shingle
+  FROM seq WHERE t2 IS NOT NULL
+)"""
+
+
+def _sigs_select() -> str:
+    parts = []
+    for i in range(N_H):
+        seeded = "CONCAT('" + str(i) + ":', shingle)"
+        parts.append(f"MIN({_duck_md5i(seeded)}) AS sig_{i}")
+    mins = ",\n    ".join(parts)
+    return f"SELECT CAST(doc_id AS BIGINT) AS doc_id,\n    {mins}\n  FROM sh GROUP BY doc_id"
+
+
+# --- MinHash signatures -------------------------------------------------------
+_MINHASH_SIG_ORACLE = f"""
+WITH {_shingle_cte()}
+{_sigs_select()}"""
+
+
+@df_gate("dedup_minhash_signatures", _MINHASH_SIG_ORACLE)
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature build (shingle → min-hash per seed), the map stage
+    of MinHash-LSH dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signatures(docs)
+
+
+# --- MinHash LSH candidate pairs ----------------------------------------------
+def _bands_union() -> str:
+    rows = N_H // dedup.LSH_BANDS
+    selects = []
+    for b in range(dedup.LSH_BANDS):
+        parts = ", ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(
+            f"SELECT *, {b} AS band, {_duck_md5i(f'CONCAT_WS(chr(124), {parts})')} AS bucket FROM sigs"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+_MATCH_SUM = " + ".join(
+    f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)" for i in range(N_H)
+)
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH {_shingle_cte()},
+sigs AS ({_sigs_select()}),
+banded AS ({_bands_union()})
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS key_a, CAST(b.doc_id AS BIGINT) AS key_b,
+       ({_MATCH_SUM}) / {float(N_H)} AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+@df_gate("dedup_minhash_lsh_pairs", _MINHASH_PAIRS_ORACLE)
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH near-dup candidates + estimated Jaccard (the shuffle-join
+    stage of MinHash dedup)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(dedup.minhash_signatures(docs))
+
+
+# --- n-gram Jaccard verify ------------------------------------------------------
+_JACCARD_ORACLE = f"""
+WITH {_shingle_cte()},
+cand AS (
+  SELECT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM (SELECT DISTINCT doc_id FROM sh) a
+  JOIN (SELECT DISTINCT doc_id FROM sh) b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < 100
+),
+inter AS (
+  SELECT c.key_a, c.key_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.key_a
+  JOIN sh sb ON sb.doc_id = c.key_b AND sb.shingle = sa.shingle
+  GROUP BY c.key_a, c.key_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT CAST(i.key_a AS BIGINT) AS key_a, CAST(i.key_b AS BIGINT) AS key_b,
+       CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) AS jaccard
+FROM inter i JOIN sizes za ON za.doc_id = i.key_a JOIN sizes zb ON zb.doc_id = i.key_b"""
+
+
+@df_gate("dedup_ngram_jaccard_pairs", _JACCARD_ORACLE)
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification stage over a deterministic
+    candidate set (consecutive doc_ids < 100 that both have shingles)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh_docs = dedup.shingles(docs).select("doc_id").distinct()
+    a = sh_docs.select(F.col("doc_id").alias("key_a")).where(F.col("key_a") < 100)
+    b = sh_docs.select(F.col("doc_id").alias("key_b"))
+    pairs = a.join(b, F.col("key_b") == F.col("key_a") + 1)
+    out = dedup.ngram_jaccard(docs, pairs)
+    return out.select(
+        "key_a", "key_b", (F.col("jaccard").cast("double")).alias("jaccard")
+    )
+
+
+# --- SimHash fingerprints -------------------------------------------------------
+def _simhash_oracle() -> str:
+    h = _duck_md5i("term")
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS s_{b}"
+        for b in range(SIM_BITS)
+    )
+    fingerprint = " + ".join(
+        f"(CASE WHEN s_{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIM_BITS)
+    )
+    return f"""
+WITH tok AS ({tok_cte('duckdb')}),
+tf AS (
+  SELECT doc_id, term, {h} AS h, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM tf GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({fingerprint} AS BIGINT) AS simhash
+FROM bits"""
+
+
+@df_gate("dedup_simhash_fingerprint", _simhash_oracle())
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document (Charikar bit-majority over term hashes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+# --- embedding cosine top-k ------------------------------------------------------
+_EMB_UNNEST = """
+ev AS (
+  SELECT e.vec_id, u.idx, CAST(u.val AS DOUBLE) AS x
+  FROM embeddings e,
+  LATERAL (SELECT UNNEST(e.embedding) AS val, GENERATE_SUBSCRIPTS(e.embedding, 1) AS idx) u
+)"""
+
+_COSINE_TOPK_ORACLE = f"""
+WITH {_EMB_UNNEST},
+qv AS (SELECT idx, x AS y FROM ev WHERE vec_id = 0),
+acc AS (
+  SELECT ev.vec_id,
+         SUM(CAST(ev.x * qv.y AS DECIMAL(30,15))) AS dot,
+         SUM(CAST(ev.x * ev.x AS DECIMAL(30,15))) AS nv2
+  FROM ev JOIN qv USING (idx) GROUP BY ev.vec_id
+),
+nq AS (SELECT SQRT(CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE)) AS nq FROM qv)
+SELECT CAST(acc.vec_id AS BIGINT) AS vec_id,
+       ROUND(CAST(acc.dot AS DOUBLE) / (SQRT(CAST(acc.nv2 AS DOUBLE)) * nq.nq), 8) AS cosine
+FROM acc, nq
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10"""
+
+
+@df_gate("embedding_cosine_topk", _COSINE_TOPK_ORACLE)
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec 0 (the ANN correctness
+    baseline), DECIMAL-exact accumulation."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = similarity.cosine_topk(emb, [float(v) for v in q], k=10)
+    return out.select("vec_id", F.round("cosine", 8).alias("cosine"))
+
+
+# --- embedding near-dup pairs -----------------------------------------------------
+_NEAR_DUP_ORACLE = f"""
+WITH {_EMB_UNNEST},
+sub AS (SELECT * FROM ev WHERE vec_id < 200),
+nrm AS (SELECT vec_id, SQRT(CAST(SUM(CAST(x * x AS DECIMAL(30,15))) AS DOUBLE)) AS nrm FROM sub GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+         SUM(CAST(a.x * b.x AS DECIMAL(30,15))) AS dot
+  FROM sub a JOIN sub b ON a.idx = b.idx AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT CAST(d.key_a AS BIGINT) AS key_a, CAST(d.key_b AS BIGINT) AS key_b,
+       ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 8) AS cosine
+FROM dots d JOIN nrm na ON na.vec_id = d.key_a JOIN nrm nb ON nb.vec_id = d.key_b
+WHERE ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 8) >= 0.25"""
+
+
+@df_gate("embedding_near_dup_pairs", _NEAR_DUP_ORACLE)
+def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos ≥ 0.25) over vec_id<200 —
+    the verify stage behind LSH blocking."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 200)
+    return similarity.cosine_all_pairs(emb, threshold=0.25)
+
+
+# --- ANN (approximate — rows-only check, no oracle) --------------------------------
+@df_gate("ann_lsh_cosine_topk", None)
+def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (random-hyperplane signatures +
+    multiprobe). Approximate by design → no SQL oracle; the exact twin is
+    embedding_cosine_topk."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    signed = similarity.add_lsh_signature(emb, dim=len(q), n_planes=12)
+    out = similarity.ann_lsh_topk(
+        signed, np.asarray(q, dtype=np.float64), k=10, n_planes=12, probe_hamming=2
+    )
+    return out.select("vec_id", F.round("cosine", 8).alias("cosine"))
+
+
+# --- reference §2.14 extras (SQL templates on both engines) -------------------------
+@gate("morelikethis_top_terms")
+def _q_mlt(d: str) -> str:
+    """MoreLikeThis interesting-term selection: top-5 terms of doc 0 by
+    tf·idf with DefaultSimilarity idf = 1 + ln(N/(df+1))
+    (MoreLikeThis.java createQueue; TFIDFSimilarity.idf)."""
+    return f"""
+WITH tok AS ({tok_cte(d)}),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tfv AS (SELECT term, COUNT(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY term)
+SELECT tfv.term AS term, CAST(tfv.tf AS BIGINT) AS tf, CAST(dfv.df AS BIGINT) AS df,
+       ROUND(tfv.tf * (1.0 + LN(n.n / (dfv.df + 1.0))), 6) AS score
+FROM tfv JOIN dfv ON tfv.term = dfv.term CROSS JOIN n
+ORDER BY score DESC, tfv.term ASC
+LIMIT 5"""
+
+
+@gate("suggest_prefix_completion")
+def _q_suggest(d: str) -> str:
+    """AnalyzingSuggester analog: weight-ordered completion of a prefix from
+    the term dictionary, weight = total term frequency
+    (lucene/suggest/.../AnalyzingSuggester.java)."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
+FROM tok WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY weight DESC, term ASC
+LIMIT 10"""
+
+
+@gate("spellcheck_direct")
+def _q_spellcheck(d: str) -> str:
+    """DirectSpellChecker: candidate corrections within edit distance 2,
+    ranked by (distance asc, df desc) (DirectSpellChecker.java:532)."""
+    return f"""
+WITH tok AS ({tok_cte(d)}),
+dict AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(LEVENSHTEIN(term, 'merg') AS BIGINT) AS dist
+FROM dict WHERE LEVENSHTEIN(term, 'merg') <= 2
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 10"""

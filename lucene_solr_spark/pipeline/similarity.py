@@ -96,6 +96,38 @@ def cosine_topk_pandas(
     return scored.orderBy(F.col("cosine").desc(), F.col(key_col).asc()).limit(k)
 
 
+def cosine_all_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    round_digits: int = 8,
+) -> DataFrame:
+    """Exact near-dup pairs: all (a < b) with ROUND(cosine, d) ≥ threshold.
+
+    The brute-force baseline (deterministic DECIMAL accumulation, so it has
+    an exact DuckDB oracle). Norms are precomputed per vector and broadcast
+    into the pair join; at scale, pre-filter candidates with
+    `add_lsh_signature` bucketing before this verify stage."""
+    normed = embeddings.select(
+        F.col(key_col),
+        F.col(vec_col),
+        F.sqrt(_decimal_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
+    a = normed.select(
+        F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = normed.select(
+        F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    cos = F.round(_decimal_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_digits)
+    return (
+        pairs.select("key_a", "key_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 # --- LSH ANN ----------------------------------------------------------------
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     """Deterministic random hyperplanes (seeded Gaussian)."""
