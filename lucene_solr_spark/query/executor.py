@@ -349,6 +349,98 @@ class Searcher:
                 matched = matched.join(neg_docs, "doc_id", "left_anti")
         return self._topk(matched, k)
 
+    # --- parsed boolean queries (classic QueryParser surface) --------------
+    def query(self, query_string: str, k: int = 10) -> DataFrame:
+        """Parse classic syntax (+must -not "phrases" boosts AND/OR) and
+        execute as one mixed boolean query (QueryParserBase.java:494-790 →
+        BooleanQuery execution)."""
+        from .parser import parse
+
+        return self.execute_clauses(parse(query_string), k=k)
+
+    def execute_clauses(self, clauses, k: int = 10) -> DataFrame:
+        """Execute a mixed clause list: SHOULD sum + MUST constraints +
+        MUST_NOT anti-join, with per-clause boosts; phrase and term clauses
+        combine in one aggregation (BooleanQuery over TermScorer and
+        ExactPhraseScorer children)."""
+        from functools import reduce
+
+        from .parser import MUST, MUST_NOT, SHOULD  # noqa: F401
+
+        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        scoring = [c for c in clauses if c.occur in (MUST, SHOULD)]
+        negative = [c for c in clauses if c.occur == MUST_NOT]
+        if not scoring:
+            return empty
+
+        term_clauses = [c for c in scoring if c.kind == "term"]
+        uniq_terms = sorted({c.terms[0] for c in term_clauses})
+        tinfo = self.lookup_terms(uniq_terms) if uniq_terms else None
+        found = set(tinfo["term"]) if tinfo is not None else set()
+        # a MUST clause on a nonexistent term matches nothing
+        for c in scoring:
+            if c.occur == MUST and c.kind == "term" and c.terms[0] not in found:
+                return empty
+        tid_by_term = (
+            {r.term: int(r.term_id) for r in tinfo.itertuples()} if tinfo is not None else {}
+        )
+        scored_terms = (
+            self._scored(tinfo[tinfo["term"].isin(found)])
+            if tinfo is not None and found
+            else None
+        )
+
+        parts = []
+        must_ids: list[int] = []
+        for cid, c in enumerate(scoring):
+            if c.kind == "term":
+                if c.terms[0] not in found:
+                    continue  # unmatched SHOULD term
+                df_c = scored_terms.where(
+                    F.col("term_id") == tid_by_term[c.terms[0]]
+                ).select("doc_id", "score")
+            else:
+                df_c = self._phrase_scored(c.terms)
+                if df_c is None:
+                    if c.occur == MUST:
+                        return empty
+                    continue
+            if c.boost != 1.0:
+                b32 = float(np.float32(c.boost))
+                df_c = df_c.select(
+                    "doc_id", (F.col("score") * b32).cast("float").alias("score")
+                )
+            parts.append(df_c.withColumn("cid", F.lit(cid)))
+            if c.occur == MUST:
+                must_ids.append(cid)
+        if not parts:
+            return empty
+
+        union = reduce(DataFrame.unionByName, parts)
+        agg = union.groupBy("doc_id").agg(
+            F.sum("score").cast("float").alias("score"),
+            F.count(F.when(F.col("cid").isin(must_ids), 1)).alias("n_must"),
+        )
+        matched = agg.where(F.col("n_must") == len(must_ids))
+
+        neg_terms = sorted({t for c in negative for t in c.terms})
+        if neg_terms:
+            neg_docs = None
+            neg_term_info = self.lookup_terms(
+                [c.terms[0] for c in negative if c.kind == "term"]
+            )
+            if not neg_term_info.empty:
+                neg_docs = self._scored(neg_term_info).select("doc_id")
+            for c in negative:
+                if c.kind == "phrase":
+                    ph = self._phrase_scored(c.terms)
+                    if ph is not None:
+                        sel = ph.select("doc_id")
+                        neg_docs = sel if neg_docs is None else neg_docs.unionByName(sel)
+            if neg_docs is not None:
+                matched = matched.join(neg_docs.distinct(), "doc_id", "left_anti")
+        return self._topk(matched, k)
+
     # --- phrase -------------------------------------------------------------
     def phrase_search(self, phrase: str | list[str], k: int = 10) -> DataFrame:
         """Exact phrase: all terms at consecutive positions (stopword slots
@@ -357,10 +449,20 @@ class Searcher:
         terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score float")
+        scored = self._phrase_scored(terms)
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        return self._topk(scored, k)
+
+    def _phrase_scored(self, terms: list[str]) -> DataFrame | None:
+        """(doc_id, score) for every doc containing the exact phrase, or
+        None when a phrase term is missing from the dictionary."""
+        if not terms:
+            return None
         tinfo = self.lookup_terms(terms)
         by_term = {r.term: int(r.term_id) for r in tinfo.itertuples()}
         if any(t not in by_term for t in terms):
-            return self.spark.createDataFrame([], "doc_id long, score float")
+            return None
 
         # phrase weight: summed idf (BM25Similarity.java:185-198)
         idf_sum = np.float32(
@@ -439,8 +541,7 @@ class Searcher:
                 sc = (weight * f32 / (f32 + cache[nb])).astype(np.float32)
                 yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc})
 
-        scored = matches.mapInPandas(score_kernel, schema="doc_id long, score float")
-        return self._topk(scored, k)
+        return matches.mapInPandas(score_kernel, schema="doc_id long, score float")
 
     def count(self, query: str | list[str]) -> int:
         """TotalHitCountCollector (TotalHitCountCollector.java:51)."""

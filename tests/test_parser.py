@@ -1,0 +1,152 @@
+"""Classic QueryParser subset: parse semantics + end-to-end execution
+against the boolean/brute-force oracles."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.query.parser import (
+    MUST,
+    MUST_NOT,
+    SHOULD,
+    Clause,
+    QueryParseError,
+    parse,
+)
+
+
+def occurs(clauses):
+    return [(c.occur, c.kind, c.terms, c.boost) for c in clauses]
+
+
+def test_bag_of_words_default_or():
+    assert occurs(parse("spark fast merge")) == [
+        (SHOULD, "term", ["spark"], 1.0),
+        (SHOULD, "term", ["fast"], 1.0),
+        (SHOULD, "term", ["merge"], 1.0),
+    ]
+
+
+def test_plus_minus():
+    assert occurs(parse("+spark -slow fast")) == [
+        (MUST, "term", ["spark"], 1.0),
+        (MUST_NOT, "term", ["slow"], 1.0),
+        (SHOULD, "term", ["fast"], 1.0),
+    ]
+
+
+def test_and_promotes_both():
+    got = occurs(parse("spark AND merge fast"))
+    assert got[0] == (MUST, "term", ["spark"], 1.0)
+    assert got[1] == (MUST, "term", ["merge"], 1.0)
+    assert got[2] == (SHOULD, "term", ["fast"], 1.0)
+
+
+def test_not_keyword():
+    assert occurs(parse("spark NOT slow")) == [
+        (SHOULD, "term", ["spark"], 1.0),
+        (MUST_NOT, "term", ["slow"], 1.0),
+    ]
+
+
+def test_phrase_and_boost():
+    got = occurs(parse('"fast merge"^2 spark^1.5'))
+    assert got == [
+        (SHOULD, "phrase", ["fast", "merge"], 2.0),
+        (SHOULD, "term", ["spark"], 1.5),
+    ]
+
+
+def test_analysis_inside_parser():
+    # stopwords vanish; mixed case lowered; field alias accepted
+    assert occurs(parse("the Spark text:Merge")) == [
+        (SHOULD, "term", ["spark"], 1.0),
+        (SHOULD, "term", ["merge"], 1.0),
+    ]
+    with pytest.raises(QueryParseError):
+        parse("title:foo")
+
+
+def test_stopword_phrase_positions():
+    # "state of the art": stopwords dropped but positions preserved at
+    # execution time (phrase terms list is post-stop)
+    got = parse('"state of the art"')
+    assert got[0].terms == ["state", "art"]
+
+
+# --- execution ---------------------------------------------------------------
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    from tests.test_index_e2e import make_corpus
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import Searcher
+
+    corpus = make_corpus(n=150, seed=3)
+    pages = spark.createDataFrame(
+        [(u, t) for u, t in corpus.items()], "url string, text string"
+    )
+    out = str(tmp_path_factory.mktemp("pidx"))
+    paths = build_index(spark, pages, out)
+    urls = sorted(corpus)
+    return Searcher(spark, paths), {i: corpus[u] for i, u in enumerate(urls)}
+
+
+def test_query_equals_boolean_search(index):
+    s, _ = index
+    a = s.query("spark dog bird", k=10).toPandas()
+    b = s.search(["spark", "dog", "bird"], k=10).toPandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    np.testing.assert_array_equal(a["score"].values, b["score"].values)
+
+
+def test_query_must_not_matches_boolean(index):
+    s, _ = index
+    a = s.query("+fast -cat", k=1000).toPandas()
+    b = s.boolean_search(must=["fast"], must_not=["cat"], k=1000).toPandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+
+
+def test_query_and_conjunction(index):
+    s, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    got = s.query("fast AND dog", k=1000).toPandas()
+    expect = {
+        d
+        for d, t in texts.items()
+        if {"fast", "dog"} <= {tok for _, tok in standard_tokenize(t)}
+    }
+    assert set(got["doc_id"]) == expect
+
+
+def test_query_mixed_phrase_term(index):
+    s, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    got = s.query('+"fast dog" bird', k=1000).toPandas()
+    expect = set()
+    for d, t in texts.items():
+        pos = {}
+        for p, tok in standard_tokenize(t):
+            pos.setdefault(tok, set()).add(p)
+        if any(p + 1 in pos.get("dog", ()) for p in pos.get("fast", ())):
+            expect.add(d)
+    assert set(got["doc_id"]) == expect
+    # phrase-matching docs containing 'bird' must outscore same docs without
+    # it only via additive scoring — sanity: scores positive, sorted desc
+    assert (got["score"] > 0).all()
+
+
+def test_query_boost_scales_score(index):
+    s, _ = index
+    plain = s.query("spark", k=5).toPandas()
+    boosted = s.query("spark^2", k=5).toPandas()
+    assert plain["doc_id"].tolist() == boosted["doc_id"].tolist()
+    np.testing.assert_allclose(
+        boosted["score"].values, plain["score"].values * 2.0, rtol=1e-6
+    )
+
+
+def test_query_unknown_must_term_empty(index):
+    s, _ = index
+    assert s.query("+zzzznotaword spark", k=10).count() == 0
+    assert s.query("zzzznotaword spark", k=10).count() > 0
