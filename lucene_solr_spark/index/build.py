@@ -207,12 +207,22 @@ def build_index(
         "dl",
         _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
     )
-    docs_tbl.write.mode("overwrite").parquet(paths.docs)
+    # docs live under seg=bulk so NRT appends (docs/seg=N) share the layout
+    docs_tbl.write.mode("overwrite").parquet(os.path.join(paths.docs, "seg=bulk"))
     docs_tbl = spark.read.parquet(paths.docs)
 
     max_doc = docs_tbl.count()
     sum_ttf = docs_tbl.agg(F.sum("dl")).collect()[0][0] or 0
     seg_span = max(1, math.ceil(max_doc / num_segments))
+    # per-segment doc counts + token totals → lineage metrics
+    seg_doc_stats = {
+        int(r.seg): (int(r.n_docs), int(r.ttf))
+        for r in docs_tbl.groupBy(
+            (F.col("doc_id") / F.lit(seg_span)).cast("int").alias("seg")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("ttf"))
+        .collect()
+    }
 
     # --- 4. per (term, doc): tf + positions (map-side combine in hash agg)
     term_doc = (
@@ -283,6 +293,8 @@ def build_index(
             .withColumn("seg_id", F.lit(seg))
             .withColumn("status", F.lit("complete"))
             .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
+            .withColumn("n_docs", F.lit(seg_doc_stats.get(seg, (0, 0))[0]))
+            .withColumn("ttf", F.lit(seg_doc_stats.get(seg, (0, 0))[1]))
         )
         lineage_row.write.mode("append").parquet(paths.lineage)
 

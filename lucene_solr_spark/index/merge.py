@@ -232,7 +232,19 @@ def merge_segments(
         .parquet(out_dir)
     )
 
-    # lineage: new segment row + superseded markers, all in one append
+    # lineage: new segment row + superseded markers, all in one append;
+    # n_docs/ttf of the merged segment = sum over its sources (doc ranges
+    # are disjoint, so the metrics are additive)
+    lineage = spark.read.parquet(paths.lineage)
+    src_rows = lineage.where(
+        F.col("seg_id").isin([int(s) for s in seg_ids]) & (F.col("status") == "complete")
+    )
+    has_metrics = "n_docs" in lineage.columns
+    src_totals = (
+        src_rows.agg(F.sum("n_docs").alias("n"), F.sum("ttf").alias("t")).head()
+        if has_metrics
+        else None
+    )
     seg_df = spark.read.parquet(out_dir)
     new_row = (
         seg_df.agg(
@@ -246,11 +258,12 @@ def merge_segments(
         .withColumn("status", F.lit("complete"))
         .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
     )
-    superseded = (
-        spark.read.parquet(paths.lineage)
-        .where(F.col("seg_id").isin([int(s) for s in seg_ids]) & (F.col("status") == "complete"))
-        .withColumn("status", F.lit("superseded"))
-        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
+    if has_metrics:
+        new_row = new_row.withColumn(
+            "n_docs", F.lit(int(src_totals["n"] or 0))
+        ).withColumn("ttf", F.lit(int(src_totals["t"] or 0)))
+    superseded = src_rows.withColumn("status", F.lit("superseded")).withColumn(
+        "built_at_snapshot", F.lit(int(time.time() * 1000))
     )
     new_row.unionByName(superseded).write.mode("append").parquet(paths.lineage)
 

@@ -50,17 +50,25 @@ class Searcher:
     def __init__(self, spark: SparkSession, paths: IndexPaths | str):
         self.spark = spark
         self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+        self.reopen()
+
+    def reopen(self) -> "Searcher":
+        """Re-read index state — the SearcherManager NRT reopen
+        (SearcherManager.java): cheap, because segment data is immutable and
+        only the stats/terms snapshot pointers move."""
         with open(self.paths.stats) as fh:
             meta = json.load(fh)
         self.stats = BM25Stats(
             max_doc=meta["max_doc"], sum_total_term_freq=meta["sum_total_term_freq"]
         )
         self.meta = meta
-        self.docs = spark.read.parquet(self.paths.docs)
-        self.terms = spark.read.parquet(self.paths.terms)
-        self.postings = spark.read.option("basePath", self.paths.postings).parquet(
+        terms_dir = os.path.join(self.paths.root, meta.get("terms_dir", "terms"))
+        self.docs = self.spark.read.parquet(self.paths.docs)
+        self.terms = self.spark.read.parquet(terms_dir)
+        self.postings = self.spark.read.option("basePath", self.paths.postings).parquet(
             os.path.join(self.paths.postings, "seg_id=*")
         )
+        return self
 
     # --- term dictionary -------------------------------------------------
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:

@@ -1,0 +1,307 @@
+"""NRT micro-batch indexing: each Structured Streaming micro-batch becomes
+one appended segment.
+
+Reference semantics re-expressed:
+
+- **soft commit / openSearcher** (DirectUpdateHandler2.java:97-123,165-280):
+  a micro-batch append makes new docs searchable without touching existing
+  segments; `Searcher.reopen()` is the SearcherManager NRT reopen
+  (SearcherManager.java).
+- **docID assignment**: new docs get docIDs starting at the current maxDoc
+  (Lucene's per-segment docBase), ordered by url within the batch —
+  deterministic for a given stream order.
+- **termID assignment**: first-appearance order — NEW terms get ids after
+  the current max term_id (ranked by term within the batch), existing terms
+  keep theirs, df/ttf are incremented. This is exactly the reference's
+  in-RAM TermsHash behavior (TermsHashPerField.java:141-165: a new term
+  assigns the next termID) lifted to the global dictionary, and it keeps
+  previously-written posting segments valid forever.
+- **UpdateLog / replay** (UpdateLog.java:71-258): the streaming checkpoint +
+  the lineage table make appends idempotent — a redelivered batch whose
+  seg_id already has a `complete` lineage row is skipped (tlog replay).
+
+Crash safety (write-once discipline, SegmentInfos-generation style):
+every artifact of a batch is written to a batch-owned location with
+overwrite semantics — postings `postings/seg_id=N/`, docs `docs/seg=N/`,
+terms snapshot `terms_v{N}/` — and the lineage row (which carries the
+n_docs/ttf metrics) is appended LAST. Prior state (doc base, token totals,
+current terms snapshot) is derived from the lineage table, never from
+mutable counters, so a crash at ANY point either replays the whole batch
+into the same locations or skips it; nothing is double-counted.
+stats.json is a derived cache regenerated after each append.
+
+Scale notes: identical shuffle structure to the bulk build (explode →
+map-side-combined groupBy → chunked applyInPandas pack); the terms-dict
+delta join is broadcast-sized per batch (new vocabulary per micro-batch is
+tiny at CC scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, token_array
+from ..index.build import (
+    DEFAULT_CHUNK_SPAN,
+    IndexPaths,
+    POSTINGS_SCHEMA,
+    _norm_byte_udf,
+    _pack_group,
+)
+
+
+def resolve_terms_dir(paths: IndexPaths, completed: set[int]) -> str | None:
+    """Newest terms snapshot: terms_v{N} of the latest completed segment
+    that has one, else the bulk `terms` dir. Terms snapshots are written
+    before their lineage row, so a completed segment's snapshot exists."""
+    for seg in sorted(completed, reverse=True):
+        cand = os.path.join(paths.root, f"terms_v{seg}")
+        if os.path.exists(cand):
+            return cand
+    return paths.terms if os.path.exists(paths.terms) else None
+
+
+def _live_lineage(spark: SparkSession, paths: IndexPaths):
+    """Lineage rows whose latest status is `complete` (merge-aware)."""
+    lineage = spark.read.parquet(paths.lineage)
+    latest = lineage.groupBy("seg_id").agg(
+        F.max_by("status", "built_at_snapshot").alias("status"),
+        F.max("n_docs").alias("n_docs"),
+        F.max("ttf").alias("ttf"),
+    )
+    return latest.where(F.col("status") == "complete")
+
+
+def prior_state(spark: SparkSession, paths: IndexPaths) -> tuple[int, int, set[int]]:
+    """(doc_base, sum_ttf, completed_seg_ids) derived from lineage —
+    the authoritative, crash-consistent index state."""
+    if not os.path.exists(paths.lineage):
+        return 0, 0, set()
+    live = _live_lineage(spark, paths)
+    rows = live.collect()
+    completed = {int(r.seg_id) for r in rows}
+    doc_base = sum(int(r.n_docs or 0) for r in rows)
+    ttf = sum(int(r.ttf or 0) for r in rows)
+    return doc_base, ttf, completed
+
+
+def write_stats(paths: IndexPaths, max_doc: int, sum_ttf: int, n_segments: int, terms_dir: str) -> None:
+    stats = {
+        "max_doc": int(max_doc),
+        "sum_total_term_freq": int(sum_ttf),
+        "num_segments": int(n_segments),
+        "seg_span": None,
+        "chunk_span": DEFAULT_CHUNK_SPAN,
+        "positions": True,
+        "block_size": 128,
+        "terms_dir": os.path.relpath(terms_dir, paths.root),
+    }
+    with open(paths.stats, "w") as fh:
+        json.dump(stats, fh)
+
+
+def append_segment(
+    spark: SparkSession,
+    pages: DataFrame,
+    paths: IndexPaths | str,
+    seg_id: int | None = None,
+    text_col: str = "text",
+    key_col: str = "url",
+    ts_col: str | None = None,
+    chunk_span: int = DEFAULT_CHUNK_SPAN,
+) -> int:
+    """Index one micro-batch as a new segment appended to an existing (or
+    empty) index at `paths`. Returns the seg_id written (or skipped)."""
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    os.makedirs(paths.root, exist_ok=True)
+
+    doc_base, prior_ttf, completed = prior_state(spark, paths)
+    if seg_id is None:
+        seg_id = (max(completed) + 1) if completed else 0
+    if seg_id in completed:
+        return seg_id  # idempotent replay (UpdateLog-style)
+
+    terms_src = resolve_terms_dir(paths, completed)
+    old_terms = spark.read.parquet(terms_src) if terms_src else None
+    if old_terms is not None:
+        base_term_id = old_terms.agg(F.max("term_id")).head()[0]
+        next_term_id = (base_term_id + 1) if base_term_id is not None else 0
+    else:
+        next_term_id = 0
+
+    src = pages.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    if ts_col is not None:
+        w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
+        src = (
+            src.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    # docIDs: doc_base + rank(url within batch) — Lucene docBase semantics.
+    # Micro-batches are trigger-bounded, so a window rank is fine here; the
+    # bulk path uses the scale-out assign_dense_ids.
+    wr = Window.orderBy(key_col)
+    with_ids = src.select(key_col, text_col).withColumn(
+        "doc_id", F.row_number().over(wr).cast("long") + F.lit(doc_base - 1)
+    )
+
+    toks = with_ids.select(
+        "doc_id",
+        F.col(key_col).alias("key"),
+        F.posexplode_outer(token_array(F.col(text_col))).alias("pos", "term"),
+    ).withColumn(
+        "term",
+        F.when(
+            F.col("term").isin(*sorted(ENGLISH_STOP_WORDS))
+            | (F.length("term") > MAX_TOKEN_LENGTH),
+            F.lit(None),
+        ).otherwise(F.col("term")),
+    )
+    doc_len = toks.groupBy("doc_id", "key").agg(F.count("term").alias("dl"))
+    docs_new = doc_len.select(
+        "doc_id",
+        F.col("key").alias(key_col),
+        "dl",
+        _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
+    ).persist()
+    n_new = docs_new.count()
+    new_ttf = docs_new.agg(F.sum("dl")).head()[0] or 0
+
+    term_doc = (
+        toks.where(F.col("term").isNotNull())
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    batch_stats = term_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_delta"), F.sum("tf").alias("ttf_delta")
+    )
+
+    # --- term dictionary delta: keep old ids, append new terms by rank
+    if old_terms is not None:
+        joined = batch_stats.join(
+            F.broadcast(old_terms.select("term", "term_id")), "term", "left"
+        )
+    else:
+        joined = batch_stats.withColumn("term_id", F.lit(None).cast("long"))
+    wnt = Window.orderBy("term")
+    new_assign = (
+        joined.where(F.col("term_id").isNull())
+        .select("term")
+        .withColumn(
+            "term_id", F.row_number().over(wnt).cast("long") + F.lit(next_term_id - 1)
+        )
+    )
+    term_map = (
+        joined.where(F.col("term_id").isNotNull())
+        .select("term", "term_id")
+        .unionByName(new_assign)
+    )
+
+    # --- postings for this segment only → postings/seg_id=N (overwrite)
+    enriched = (
+        term_doc.join(F.broadcast(term_map), "term")
+        .join(docs_new.select("doc_id", "norm_byte"), "doc_id")
+        .withColumn("seg_id", F.lit(seg_id).cast("int"))
+        .withColumn("chunk_id", (F.col("doc_id") / F.lit(chunk_span)).cast("long"))
+    )
+    packed = enriched.groupBy("term_id", "seg_id", "chunk_id").applyInPandas(
+        lambda pdf: _pack_group(pdf), schema=POSTINGS_SCHEMA
+    )
+    seg_dir = os.path.join(paths.postings, f"seg_id={seg_id}")
+    (
+        packed.repartition(F.col("term_id"))
+        .sortWithinPartitions("term_id", "chunk_id")
+        .write.mode("overwrite")
+        .parquet(seg_dir)
+    )
+
+    # --- docs for this batch → docs/seg=N (overwrite: replay-safe)
+    docs_new.write.mode("overwrite").parquet(os.path.join(paths.docs, f"seg={seg_id}"))
+
+    # --- terms snapshot → terms_v{N} (overwrite: replay-safe)
+    updated = term_map.join(batch_stats, "term").select(
+        "term",
+        "term_id",
+        F.col("df_delta").alias("df"),
+        F.col("ttf_delta").alias("ttf"),
+    )
+    if old_terms is not None:
+        merged = (
+            old_terms.select("term", "term_id", "df", "ttf")
+            .unionByName(updated)
+            .groupBy("term")
+            .agg(
+                F.max("term_id").alias("term_id"),  # ids agree across inputs
+                F.sum("df").alias("df"),
+                F.sum("ttf").alias("ttf"),
+            )
+        )
+    else:
+        merged = updated
+    terms_dir = os.path.join(paths.root, f"terms_v{seg_id}")
+    merged.write.mode("overwrite").parquet(terms_dir)
+
+    # --- lineage row LAST: the commit point
+    seg_df = spark.read.parquet(seg_dir)
+    lineage_row = (
+        seg_df.agg(
+            F.min("first_doc").alias("doc_id_min"),
+            F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
+            F.count_distinct("term_id").alias("term_count"),
+            F.sum("df_chunk").alias("row_count"),
+            (F.sum(F.size("doc_gaps")) * 8).alias("posting_bytes"),
+        )
+        .withColumn("seg_id", F.lit(seg_id))
+        .withColumn("status", F.lit("complete"))
+        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
+        .withColumn("n_docs", F.lit(int(n_new)))
+        .withColumn("ttf", F.lit(int(new_ttf)))
+    )
+    lineage_row.write.mode("append").parquet(paths.lineage)
+
+    # stats.json: derived cache (regenerated; safe to lose)
+    write_stats(
+        paths,
+        max_doc=doc_base + int(n_new),
+        sum_ttf=prior_ttf + int(new_ttf),
+        n_segments=len(completed) + 1,
+        terms_dir=terms_dir,
+    )
+    docs_new.unpersist()
+    return seg_id
+
+
+def start_nrt_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    ts_col: str | None = None,
+    trigger_once: bool = False,
+):
+    """File-source NRT pipeline: new parquet drops in `input_dir` become
+    appended index segments. seg_id = streaming batch id (stable across
+    restarts via the checkpoint) → idempotent with the lineage guard."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_segment(spark, batch_df, index_dir, seg_id=int(batch_id), ts_col=ts_col)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
