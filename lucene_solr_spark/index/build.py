@@ -184,7 +184,8 @@ def build_index(
         src.select(key_col, text_col), order_col=key_col, id_col="doc_id"
     )
 
-    # --- 3. tokenize (JVM path) once; doc length + norms
+    # --- 3. tokenize (JVM path) ONCE; doc lengths derive from the term-level
+    # aggregation instead of a second tokenize pass
     toks = with_ids.select(
         "doc_id",
         F.col(key_col).alias("key"),
@@ -197,15 +198,35 @@ def build_index(
             F.lit(None),
         ).otherwise(F.col("term")),
     )
-    # posexplode_outer + nulled stopwords keep empty/stop-only docs visible
-    doc_len = toks.groupBy("doc_id", "key").agg(
-        F.count("term").alias("dl")  # count(col) skips nulls → post-stop length
+    # --- 4. per (term, doc): tf + positions (map-side combine in hash agg);
+    # this is the single tokenize+explode pass — everything else derives
+    term_doc = (
+        toks.where(F.col("term").isNotNull())
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            *(
+                [F.sort_array(F.collect_list("pos")).alias("positions")]
+                if positions
+                else []
+            ),
+        )
+        .persist()
     )
-    docs_tbl = doc_len.select(
-        "doc_id",
-        F.col("key").alias(key_col),
-        "dl",
-        _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
+
+    # doc length = Σ tf (post-stop, DocInverterPerField.java:172); docs whose
+    # tokens were all stopwords/empty get dl=0 via the left join
+    dl_nonempty = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    docs_tbl = (
+        with_ids.select("doc_id", F.col(key_col))
+        .join(dl_nonempty, "doc_id", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            key_col,
+            "dl",
+            _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
+        )
     )
     # docs live under seg=bulk so NRT appends (docs/seg=N) share the layout
     docs_tbl.write.mode("overwrite").parquet(os.path.join(paths.docs, "seg=bulk"))
@@ -223,20 +244,6 @@ def build_index(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("ttf"))
         .collect()
     }
-
-    # --- 4. per (term, doc): tf + positions (map-side combine in hash agg)
-    term_doc = (
-        toks.where(F.col("term").isNotNull())
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            *(
-                [F.sort_array(F.collect_list("pos")).alias("positions")]
-                if positions
-                else []
-            ),
-        )
-    )
 
     # --- 5. term dictionary with deterministic termIDs (global term rank)
     term_stats = term_doc.groupBy("term").agg(
