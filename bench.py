@@ -38,7 +38,11 @@ QUERIES: dict[str, dict] = {
     "q6_must_not": {"kind": "must_not", "must": ["fast"], "not": ["merge"]},
     "q7_phrase": {"kind": "phrase", "terms": ["fast", "merge"]},
     "q8_min_should": {"kind": "msm", "terms": ["hash", "merge", "stream"], "m": 2},
+    "q9_wand_two_term": {"kind": "wand", "terms": ["spark", "merge"]},
+    "q10_parsed_mixed": {"kind": "parsed", "q": '+scan -slow "group agg" filter^2'},
 }
+
+REPS = 3  # per-query repetitions for p50/p95
 
 
 def run_query(searcher: Searcher, spec: dict):
@@ -55,6 +59,10 @@ def run_query(searcher: Searcher, spec: dict):
         df = searcher.boolean_search(
             should=spec["terms"], min_should_match=spec["m"], k=10
         )
+    elif kind == "wand":
+        df = searcher.search_wand(spec["terms"], k=10)
+    elif kind == "parsed":
+        df = searcher.query(spec["q"], k=10)
     else:
         raise ValueError(kind)
     return df.collect()
@@ -84,11 +92,19 @@ def main() -> None:
         run_query(searcher, QUERIES["q2_single_mid"])  # warm-up
 
         q_times: dict[str, float] = {}
+        samples: list[float] = []
         for name, spec in QUERIES.items():
-            t = time.time()
-            run_query(searcher, spec)
-            q_times[name] = round(time.time() - t, 3)
+            per_rep = []
+            for _ in range(REPS):
+                t = time.time()
+                run_query(searcher, spec)
+                per_rep.append(time.time() - t)
+            q_times[name] = round(min(per_rep), 3)  # steady-state latency
+            samples.extend(per_rep)
 
+        samples.sort()
+        p50 = samples[len(samples) // 2]
+        p95 = samples[min(len(samples) - 1, int(len(samples) * 0.95))]
         total = round(build_sec + sum(q_times.values()), 3)
         print(
             json.dumps(
@@ -101,6 +117,8 @@ def main() -> None:
                     "build_sec": round(build_sec, 3),
                     "docs": n_docs,
                     "docs_per_sec": round(n_docs / build_sec, 1),
+                    "query_p50_sec": round(p50, 3),
+                    "query_p95_sec": round(p95, 3),
                     "cpus": cpus,
                 }
             )
