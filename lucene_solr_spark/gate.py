@@ -100,6 +100,8 @@ def bm25_sql(
     combine: str = "sum",
     k1: float = 1.2,
     b: float = 0.75,
+    doc_filter: str | None = None,
+    boost_expr: str | None = None,
 ) -> str:
     fc = _fcast(dialect)
     qdl = quantized_doclen_sql("dl.dl", dialect=dialect)
@@ -107,13 +109,40 @@ def bm25_sql(
     pivots = ",\n    ".join(
         f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{i}" for i, t in enumerate(terms)
     )
+    sum_expr = " + ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(terms)))
+    greatest_args = ", ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(terms)))
+    having = ""
     if combine == "sum":  # BooleanQuery SHOULD disjunction sum
-        combined = " + ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(terms)))
+        combined = sum_expr
     elif combine == "max":  # DisjunctionMaxQuery (DisjunctionMaxQuery.java:299)
-        greatest_args = ", ".join(f"COALESCE(s_{i}, 0.0)" for i in range(len(terms)))
         combined = f"GREATEST({greatest_args})"
+    elif combine == "max_tiebreak":
+        # DisjunctionMaxQuery with tieBreakerMultiplier: max + tie*(sum-max)
+        # (DisjunctionMaxQuery.java:58-63, tie=0.3)
+        combined = (
+            f"GREATEST({greatest_args}) + 0.3 * (({sum_expr}) - GREATEST({greatest_args}))"
+        )
+    elif combine == "req_opt":
+        # ReqOptSumScorer (ReqOptSumScorer.java): first term REQUIRED, the
+        # rest optional — optional scores counted only where required matches
+        combined = sum_expr
+        having = "WHERE s_0 IS NOT NULL"
     else:
         raise ValueError(combine)
+    if doc_filter:
+        # FilteredQuery (FilteredQuery.java): the filter restricts RESULT
+        # docs only — df/avgdl/norms stay corpus-global, like the reference
+        having = (having + " AND " if having else "WHERE ") + (
+            f"doc_id IN (SELECT doc_id FROM documents WHERE {doc_filter})"
+        )
+    if boost_expr:
+        # function-query boost product (ValueSourceParser 'recip'/'linear'
+        # etc., BoostedQuery): score = relevance * f(doc)
+        boost_join = "JOIN documents dd ON dd.doc_id = s.doc_id"
+        final_score = f"(s.score * ({boost_expr}))"
+    else:
+        boost_join = ""
+        final_score = "s.score"
     return f"""
 WITH tok AS ({tok_cte(dialect)}),
 consts AS (
@@ -144,12 +173,12 @@ piv AS (
     {pivots}
   FROM per GROUP BY doc_id
 ),
-summed AS (SELECT doc_id, {combined} AS score FROM piv)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
-       ROUND(score, 4) AS score
-FROM summed
-ORDER BY score DESC, doc_id ASC
+summed AS (SELECT doc_id, {combined} AS score FROM piv {having})
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY {final_score} DESC, s.doc_id ASC) AS BIGINT) AS rank,
+       ROUND({final_score}, 4) AS score
+FROM summed s {boost_join}
+ORDER BY {final_score} DESC, s.doc_id ASC
 LIMIT {k}"""
 
 
@@ -555,6 +584,55 @@ SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
        CAST(MAX(n) AS BIGINT) AS max_doc_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM per"""
+
+
+@gate("filtered_query_bm25")
+def _q_filtered(d: str) -> str:
+    """FilteredQuery: non-scoring filter ∧ scoring query (FilteredQuery.java,
+    Solr fq). Stats stay corpus-global; only result docs are restricted."""
+    return bm25_sql(d, ["spark", "merge"], k=10, doc_filter="lang = 'en'")
+
+
+@gate("req_opt_sum_scoring")
+def _q_req_opt(d: str) -> str:
+    """ReqOptSumScorer: required clause + optional score bonus
+    (ReqOptSumScorer.java)."""
+    return bm25_sql(d, ["fast", "merge"], k=10, combine="req_opt")
+
+
+@gate("dismax_tiebreak")
+def _q_dismax_tie(d: str) -> str:
+    """DisjunctionMaxQuery with tieBreakerMultiplier=0.3
+    (DisjunctionMaxQuery.java:58-63)."""
+    return bm25_sql(d, ["spark", "customer"], k=10, combine="max_tiebreak")
+
+
+@gate("function_query_recip_boost")
+def _q_funcboost(d: str) -> str:
+    """Function query boost: score * recip(field,m,a,b) = a/(m*x+b)
+    (ValueSourceParser.java 'recip', ReciprocalFloatFunction)."""
+    return bm25_sql(
+        d,
+        ["spark"],
+        k=10,
+        boost_expr="1000.0 / (1.0 * dd.n_chars + 1000.0)",
+    )
+
+
+@gate("proximity_window")
+def _q_proximity(d: str) -> str:
+    """Proximity: both terms within a 3-position window (the span-near /
+    sloppy-phrase matching predicate, SloppyPhraseScorer.java), reported as
+    per-doc pair count."""
+    return f"""
+WITH tok AS ({tok_cte(d)})
+SELECT CAST(t1.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM tok t1 JOIN tok t2
+  ON t1.doc_id = t2.doc_id
+ AND t2.pos > t1.pos AND t2.pos <= t1.pos + 3
+WHERE t1.term = 'fast' AND t2.term = 'merge'
+GROUP BY t1.doc_id
+ORDER BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
