@@ -87,37 +87,25 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pack one (term_id, seg_id, chunk_id) group into a posting row.
-
-    Mirrors Lucene41PostingsWriter: docID deltas (:240-246), 128-doc block
-    metadata (:256-266, skip entries Lucene41SkipWriter.java:29-70). Pure
-    numpy — no per-row Python.
-    """
-    order = np.argsort(pdf["doc_id"].values, kind="stable")
-    docs = pdf["doc_id"].values[order].astype(np.int64)
-    tfs = pdf["tf"].values[order].astype(np.int32)
-    nbs = pdf["norm_byte"].values[order].astype(np.int32)
-
-    gaps = np.empty_like(docs, dtype=np.int64)
-    gaps[0] = 0  # first_doc carried separately; gap[0] relative to first_doc
+def _pack_rows(
+    term_ids: np.ndarray,
+    seg_id: int,
+    chunk_id: int,
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    nbs: np.ndarray,
+    pos_lists,
+) -> dict:
+    """Pack one already-doc-sorted (term, seg, chunk) slice → posting-row
+    dict, numpy-only (Lucene41PostingsWriter semantics: docID deltas
+    :240-246, 128-doc block metadata :256-266)."""
+    gaps = np.empty_like(docs)
+    gaps[0] = 0
     gaps[1:] = np.diff(docs)
-
     n = len(docs)
     nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     ends = np.minimum((np.arange(nblocks) + 1) * BLOCK_SIZE, n) - 1
-    skip_last = docs[ends]
-    block_max_tf = np.array(
-        [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-        dtype=np.int32,
-    )
-    block_max_nb = np.array(
-        [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-        dtype=np.int32,
-    )
-
-    if "positions" in pdf.columns:
-        pos_lists = pdf["positions"].values[order]
+    if pos_lists is not None:
         pos_flat = (
             np.concatenate([np.asarray(p, dtype=np.int32) for p in pos_lists])
             if n
@@ -125,22 +113,103 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
         )
     else:
         pos_flat = None
+    return {
+        "term_id": int(term_ids[0]),
+        "seg_id": int(seg_id),
+        "chunk_id": int(chunk_id),
+        "first_doc": int(docs[0]),
+        "df_chunk": n,
+        "doc_gaps": gaps.astype(np.int32),
+        "tfs": tfs.astype(np.int32),
+        "norm_bytes": nbs.astype(np.int32),
+        "skip_last_doc": docs[ends],
+        "block_max_tf": np.array(
+            [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+            dtype=np.int32,
+        ),
+        "block_max_nb": np.array(
+            [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+            dtype=np.int32,
+        ),
+        "pos_flat": pos_flat,
+    }
 
-    return pd.DataFrame(
-        {
-            "term_id": [int(pdf["term_id"].iloc[0])],
-            "seg_id": [int(pdf["seg_id"].iloc[0])],
-            "chunk_id": [int(pdf["chunk_id"].iloc[0])],
-            "first_doc": [int(docs[0])],
-            "df_chunk": [n],
-            "doc_gaps": [gaps.astype(np.int32)],
-            "tfs": [tfs],
-            "norm_bytes": [nbs],
-            "skip_last_doc": [skip_last],
-            "block_max_tf": [block_max_tf],
-            "block_max_nb": [block_max_nb],
-            "pos_flat": [pos_flat],
-        }
+
+def pack_sorted_partitions(enriched: DataFrame, positions: bool) -> DataFrame:
+    """Pack posting rows via repartition-on-key + sortWithinPartitions +
+    mapInPandas, instead of groupBy().applyInPandas.
+
+    Why: at web scale the vocabulary has 10^7–10^8 terms, so per-group
+    pandas-DataFrame overhead (one per term×chunk in applyInPandas)
+    dominates. Here each Arrow batch holds MANY groups and the group
+    boundaries are found vectorized (np.unique on the sorted keys); rows of
+    a group that straddle Arrow batches are carried over inside the
+    iterator. The shuffle is the same single exchange keyed
+    (term_id, chunk_id) — chunking is the deterministic head-term salt."""
+    cols = ["term_id", "seg_id", "chunk_id", "doc_id", "tf", "norm_byte"] + (
+        ["positions"] if positions else []
+    )
+
+    def kernel(batches):
+        import pandas as pd  # noqa: F401 (worker-side)
+
+        carry: pd.DataFrame | None = None
+
+        def pack_block(pdf: pd.DataFrame, upto: int) -> pd.DataFrame:
+            rows = []
+            tid = pdf["term_id"].values[:upto]
+            cid = pdf["chunk_id"].values[:upto]
+            sid = pdf["seg_id"].values[:upto]
+            docs = pdf["doc_id"].values[:upto].astype(np.int64)
+            tfs = pdf["tf"].values[:upto]
+            nbs = pdf["norm_byte"].values[:upto]
+            poss = pdf["positions"].values[:upto] if positions else None
+            # group change points on the (term, seg, chunk) sorted key
+            change = np.flatnonzero(
+                (np.diff(tid) != 0) | (np.diff(cid) != 0) | (np.diff(sid) != 0)
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends_ = np.concatenate((change + 1, [upto]))
+            for s, e in zip(starts, ends_):
+                rows.append(
+                    _pack_rows(
+                        tid[s:e],
+                        int(sid[s]),
+                        int(cid[s]),
+                        docs[s:e],
+                        tfs[s:e],
+                        nbs[s:e],
+                        poss[s:e] if positions else None,
+                    )
+                )
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the last (term, chunk) group — it may continue in
+            # the next Arrow batch of this partition
+            tid = pdf["term_id"].values
+            cid = pdf["chunk_id"].values
+            sid_ = pdf["seg_id"].values
+            last_mask = (tid == tid[-1]) & (cid == cid[-1]) & (sid_ == sid_[-1])
+            cut = len(pdf) - int(last_mask[::-1].argmin() if not last_mask.all() else len(pdf))
+            if cut > 0:
+                out = pack_block(pdf, cut)
+                if len(out):
+                    yield out
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+        if carry is not None and len(carry):
+            yield pack_block(carry, len(carry))
+
+    return (
+        enriched.select(*cols)
+        .repartition(F.col("term_id"), F.col("chunk_id"))
+        .sortWithinPartitions("term_id", "seg_id", "chunk_id", "doc_id")
+        .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
     )
 
 
@@ -274,17 +343,13 @@ def build_index(
             .collect()
         }
 
-    group_cols = ["term_id", "seg_id", "chunk_id"]
     for seg in range(num_segments):
         if seg in done_segs:
             continue
         seg_rows = enriched.where(F.col("seg_id") == seg)
-        packed = seg_rows.groupBy(*group_cols).applyInPandas(
-            lambda pdf: _pack_group(pdf), schema=POSTINGS_SCHEMA
-        )
+        packed = pack_sorted_partitions(seg_rows, positions=positions)
         (
-            packed.repartition(F.col("term_id"))
-            .sortWithinPartitions("term_id", "chunk_id")
+            packed.sortWithinPartitions("term_id", "chunk_id")
             .write.mode("overwrite")
             .parquet(os.path.join(paths.postings, f"seg_id={seg}"))
         )

@@ -49,9 +49,8 @@ from ..analysis.analyzer import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, token_arra
 from ..index.build import (
     DEFAULT_CHUNK_SPAN,
     IndexPaths,
-    POSTINGS_SCHEMA,
     _norm_byte_udf,
-    _pack_group,
+    pack_sorted_partitions,
 )
 
 
@@ -213,13 +212,10 @@ def append_segment(
         .withColumn("seg_id", F.lit(seg_id).cast("int"))
         .withColumn("chunk_id", (F.col("doc_id") / F.lit(chunk_span)).cast("long"))
     )
-    packed = enriched.groupBy("term_id", "seg_id", "chunk_id").applyInPandas(
-        lambda pdf: _pack_group(pdf), schema=POSTINGS_SCHEMA
-    )
+    packed = pack_sorted_partitions(enriched, positions=True)
     seg_dir = os.path.join(paths.postings, f"seg_id={seg_id}")
     (
-        packed.repartition(F.col("term_id"))
-        .sortWithinPartitions("term_id", "chunk_id")
+        packed.sortWithinPartitions("term_id", "chunk_id")
         .write.mode("overwrite")
         .parquet(seg_dir)
     )

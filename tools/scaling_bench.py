@@ -32,8 +32,10 @@ from lucene_solr_spark.index.build import build_index
 from lucene_solr_spark.query.executor import Searcher
 
 cpus = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
-# shuffle partitions FIXED across parallelism levels so core count is the
-# only variable (a real N->4N cluster comparison holds the plan constant)
+# A real N->4N executor scale-up multiplies BOTH cores and aggregate memory;
+# local-mode stand-in: heap proportional to cores (2g/core), shuffle
+# partitions FIXED so the plan is identical and core count is the variable.
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{{2 * cpus}}g"
 spark = get_spark(app=f"scale{{cpus}}", cpus=cpus, shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(pages_dir)
