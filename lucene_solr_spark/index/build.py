@@ -6,15 +6,15 @@ Lucene41PostingsWriter.java:240-266 → DocumentsWriterPerThread.java:465-501):
 
   read → dedup(url, keep latest warc_ts) → deterministic docIDs (global url
   rank) → JVM tokenize+explode → groupBy(term, doc) [tf + positions] →
-  doc-range-chunked repartition on termID → applyInPandas pack → parquet
-  segments + lineage rows.
+  repartition(termID, chunk) + sortWithinPartitions → mapInPandas pack →
+  parquet segments + lineage rows.
 
 Scale design (the part that must survive 100 TB):
 
 - **Skew**: head terms ("spark", "data", …) have posting lists with millions
-  of docs. The pack group key is (term_id, chunk_id) where chunk_id =
-  doc_id // chunk_span — a *deterministic* salt that (a) bounds every
-  applyInPandas group to chunk_span docs (no OOM on the 'the'-shaped term),
+  of docs. The pack key is (term_id, chunk_id) where chunk_id =
+  doc_id // chunk_span — a *deterministic* salt that (a) bounds every pack
+  group to chunk_span docs (no OOM on the 'the'-shaped term),
   (b) preserves global docID order across chunks so query-side concat and
   segment merge are pure appends, exactly like Lucene's 128-doc blocks.
 - **One wide shuffle**: explode → groupBy(term, doc) does map-side partial

@@ -47,9 +47,16 @@ def _ranges(reps: np.ndarray) -> np.ndarray:
 
 
 class Searcher:
-    def __init__(self, spark: SparkSession, paths: IndexPaths | str):
+    def __init__(
+        self, spark: SparkSession, paths: IndexPaths | str, cache_terms: bool = True
+    ):
+        """cache_terms: persist the term dictionary DataFrame (the in-RAM
+        BlockTree/FST index analog — BlockTreeTermsWriter keeps the `.tip`
+        index in RAM). MEMORY_AND_DISK, so an oversized dictionary degrades
+        gracefully instead of OOMing."""
         self.spark = spark
         self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+        self._cache_terms = cache_terms
         self.reopen()
 
     def reopen(self) -> "Searcher":
@@ -63,12 +70,64 @@ class Searcher:
         )
         self.meta = meta
         terms_dir = os.path.join(self.paths.root, meta.get("terms_dir", "terms"))
+        if getattr(self, "terms", None) is not None and self._cache_terms:
+            self.terms.unpersist()
         self.docs = self.spark.read.parquet(self.paths.docs)
         self.terms = self.spark.read.parquet(terms_dir)
+        if self._cache_terms:
+            from pyspark.storagelevel import StorageLevel
+
+            self.terms = self.terms.persist(StorageLevel.MEMORY_AND_DISK)
         self.postings = self.spark.read.option("basePath", self.paths.postings).parquet(
             os.path.join(self.paths.postings, "seg_id=*")
         )
         return self
+
+    # --- stored fields / doc sets / facets --------------------------------
+    def fetch_docs(self, hits: DataFrame, source: DataFrame | None = None,
+                   key_col: str = "url") -> DataFrame:
+        """Stored-field retrieval for result docs — the distributed
+        GET_FIELDS stage (QueryComponent scatter-gather stage 2) /
+        documentCache path: join the (small) hits frame back to the docs
+        table and optionally the source corpus. `hits` is tiny (top-k), so
+        Spark broadcasts it into the join."""
+        out = F.broadcast(hits).join(self.docs.select("doc_id", key_col), "doc_id")
+        if source is not None:
+            out = out.join(source, key_col, "left")
+        return out
+
+    def match_docs(self, terms: list[str]) -> DataFrame:
+        """Non-scoring DocSet of every doc matching ≥1 term (the filterCache
+        DocSet analog, SolrIndexSearcher.java:144) — feeds faceting."""
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long")
+        return self._scored(tinfo).select("doc_id").distinct()
+
+    def facet_field(
+        self,
+        terms: list[str],
+        source: DataFrame,
+        facet_col: str,
+        key_col: str = "url",
+        limit: int = 20,
+        mincount: int = 1,
+    ) -> DataFrame:
+        """facet.field over the match set (SimpleFacets.java:336-448): count
+        matching docs per value of `facet_col` from the source corpus,
+        ordered count desc / value asc, with limit + mincount."""
+        matches = self.match_docs(terms)
+        joined = (
+            matches.join(self.docs.select("doc_id", key_col), "doc_id")
+            .join(source.select(key_col, facet_col), key_col)
+        )
+        return (
+            joined.groupBy(facet_col)
+            .agg(F.count(F.lit(1)).alias("facet_count"))
+            .where(F.col("facet_count") >= mincount)
+            .orderBy(F.col("facet_count").desc(), F.col(facet_col).asc())
+            .limit(limit)
+        )
 
     # --- term dictionary -------------------------------------------------
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
@@ -356,6 +415,53 @@ class Searcher:
                 neg_docs = self._scored(neg_info).select("doc_id").distinct()
                 matched = matched.join(neg_docs, "doc_id", "left_anti")
         return self._topk(matched, k)
+
+    # --- MultiTermQuery rewrites (§2.4): pattern → term set → boolean ------
+    def _rewrite_terms(self, cond) -> list[str]:
+        """Scan the term dictionary for matching terms — the
+        MultiTermQuery.rewrite step (MultiTermQuery.java:333): concrete
+        terms are then executed as a SHOULD disjunction. The dictionary scan
+        is a small broadcast-sized table read, the FST-intersection analog."""
+        return [r.term for r in self.terms.where(cond).select("term").collect()]
+
+    def prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
+        """PrefixQuery (PrefixQuery.java:96)."""
+        lit = prefix.replace("%", r"\%").replace("_", r"\_")
+        terms = self._rewrite_terms(F.col("term").like(lit + "%"))
+        return self.boolean_search(should=terms, k=k) if terms else self._empty()
+
+    def wildcard_search(self, pattern: str, k: int = 10) -> DataFrame:
+        """WildcardQuery: `*` any run, `?` one char (WildcardQuery.java:116),
+        compiled to an anchored regex against the term dictionary."""
+        import re as _re
+
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern
+        ) + "$"
+        terms = self._rewrite_terms(F.col("term").rlike(rx))
+        return self.boolean_search(should=terms, k=k) if terms else self._empty()
+
+    def regexp_search(self, regex: str, k: int = 10) -> DataFrame:
+        """RegexpQuery (RegexpQuery.java:107) — anchored like Lucene."""
+        terms = self._rewrite_terms(F.col("term").rlike(f"^(?:{regex})$"))
+        return self.boolean_search(should=terms, k=k) if terms else self._empty()
+
+    def fuzzy_search(self, term: str, max_edits: int = 2, k: int = 10) -> DataFrame:
+        """FuzzyQuery: Levenshtein ≤ max_edits over the dictionary
+        (FuzzyQuery.java:28-76); executed as the rewritten disjunction."""
+        terms = self._rewrite_terms(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        return self.boolean_search(should=terms, k=k) if terms else self._empty()
+
+    def range_search(self, lower: str, upper: str, k: int = 10,
+                     include_lower: bool = True, include_upper: bool = False) -> DataFrame:
+        """TermRangeQuery over the sorted dictionary (TermRangeQuery.java)."""
+        lo = F.col("term") >= lower if include_lower else F.col("term") > lower
+        hi = F.col("term") <= upper if include_upper else F.col("term") < upper
+        terms = self._rewrite_terms(lo & hi)
+        return self.boolean_search(should=terms, k=k) if terms else self._empty()
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score float")
 
     # --- parsed boolean queries (classic QueryParser surface) --------------
     def query(self, query_string: str, k: int = 10) -> DataFrame:

@@ -142,3 +142,80 @@ def test_dense_ids_deterministic_across_parallelism(spark):
     a = assign_dense_ids(df, "url", num_partitions=2).orderBy("url").toPandas()
     b = assign_dense_ids(df, "url", num_partitions=16).orderBy("url").toPandas()
     assert a["doc_id"].tolist() == b["doc_id"].tolist() == list(range(777))
+
+
+def test_fetch_docs_stored_fields(spark, index):
+    searcher, texts = index
+    hits = searcher.search(["fast"], k=5)
+    source = searcher.docs.select("url").withColumn(
+        "site", F.regexp_extract("url", r"https://(site\d+)", 1)
+    )
+    fetched = searcher.fetch_docs(hits, source).toPandas()
+    assert len(fetched) == hits.count()
+    assert set(fetched.columns) >= {"doc_id", "score", "url", "site"}
+    assert fetched["url"].str.startswith("https://").all()
+
+
+def test_facet_field_over_matches(spark, index):
+    searcher, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    source = searcher.docs.select("url").withColumn(
+        "site", F.regexp_extract("url", r"https://(site\d+)", 1)
+    )
+    got = searcher.facet_field(["fast"], source, "site", limit=100).toPandas()
+    # oracle: count matching docs per site
+    urls = sorted({u for u in searcher.docs.toPandas()["url"]})
+    expect: dict[str, int] = {}
+    for i, u in enumerate(urls):
+        if "fast" in {t for _, t in standard_tokenize(texts[i])}:
+            site = u.split("//")[1].split(".")[0]
+            expect[site] = expect.get(site, 0) + 1
+    got_map = dict(zip(got["site"], got["facet_count"]))
+    assert got_map == expect
+    # ordering: count desc, value asc
+    pairs = list(zip(-got["facet_count"], got["site"]))
+    assert pairs == sorted(pairs)
+
+
+def test_multiterm_rewrites(spark, index):
+    searcher, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    vocab_in_docs = {t for txt in texts.values() for _, t in standard_tokenize(txt)}
+
+    # prefix: all docs containing a term starting with 'b' (bird)
+    got = searcher.prefix_search("b", k=1000).toPandas()
+    expect = {
+        d for d, txt in texts.items()
+        if any(t.startswith("b") for _, t in standard_tokenize(txt))
+    }
+    assert set(got["doc_id"]) == expect
+
+    # wildcard ?at → cat
+    got_w = searcher.wildcard_search("?at", k=1000).toPandas()
+    expect_w = {
+        d for d, txt in texts.items()
+        if "cat" in {t for _, t in standard_tokenize(txt)}
+    }
+    assert set(got_w["doc_id"]) == expect_w
+
+    # fuzzy 'spork' ≤1 → spark? lev(spark, spork)=1
+    got_f = searcher.fuzzy_search("spork", max_edits=1, k=1000).toPandas()
+    expect_f = {
+        d for d, txt in texts.items()
+        if "spark" in {t for _, t in standard_tokenize(txt)}
+    }
+    assert set(got_f["doc_id"]) == expect_f
+
+    # range [cat, dog) → cat only (vocab: bird, cat, dog, fast, index...)
+    in_range = {t for t in vocab_in_docs if "cat" <= t < "dog"}
+    got_r = searcher.range_search("cat", "dog", k=1000).toPandas()
+    expect_r = {
+        d for d, txt in texts.items()
+        if in_range & {t for _, t in standard_tokenize(txt)}
+    }
+    assert set(got_r["doc_id"]) == expect_r
+
+    # no match → empty
+    assert searcher.prefix_search("zzz", k=10).count() == 0

@@ -1,16 +1,21 @@
-"""Two-parallelism-level scaling benchmark (the sandbox stand-in for the
-north rule's N vs 4N executor criterion).
+"""Two-cluster-size scaling benchmark (the sandbox stand-in for the north
+rule's N vs 4N executor criterion).
 
 Generates a deterministic synthetic page corpus in the BASELINE.json
 input_hint shape (url, warc_ts, html, text, lang) once, then runs the
-IDENTICAL build+query job at local[8] and local[32], reporting docs/sec at
-both and efficiency = (throughput_32 / throughput_8) / 4.
+IDENTICAL build+query job on a 2-executor and an 8-executor cluster
+(`local-cluster[N, 4, 8192]`: real separate executor JVMs, 4 cores + 8 GB
+each — per-executor resources constant, executor count is the variable,
+exactly how a production cluster scales out). Reports docs/sec at both and
+efficiency = (throughput_8ex / throughput_2ex) / 4.
 
-Usage: python tools/scaling_bench.py [n_docs] [--queries-only]
-Writes one JSON line; also appended (by hand) to BENCH/BASELINE.md.
+Why not local[8] vs local[32]: a single JVM with 4x the threads shares one
+fixed heap, so GC becomes the limiter and measured "scaling" reflects GC
+contention, not the engine's parallelism. Separate executor JVMs scale
+memory with cores like a real cluster does.
 
-Each parallelism level runs in a SUBPROCESS because one JVM cannot change
-its master / core count after start.
+Usage: python tools/scaling_bench.py [n_docs]
+Writes one JSON line; results recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -24,26 +29,36 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import json, os, sys, time, shutil, tempfile
+import json, os, sys, time, shutil, tempfile, subprocess
 sys.path.insert(0, {repo!r})
-from lucene_solr_spark.session import get_spark
-from lucene_solr_spark.sources.webgen import generate_pages
+os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
+from pyspark.sql import SparkSession
+
+n_exec = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
+spark = (
+    SparkSession.builder.master(f"local-cluster[{{n_exec}},4,8192]")
+    .appName(f"scale-{{n_exec}}ex")
+    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "4g")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+subprocess.run(["sh", {repo!r} + "/jobs/package.sh"], check=True, capture_output=True)
+spark.sparkContext.addPyFile({repo!r} + "/dist/lucene_solr_spark.zip")
+
 from lucene_solr_spark.index.build import build_index
 from lucene_solr_spark.query.executor import Searcher
 
-cpus = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
-# A real N->4N executor scale-up multiplies BOTH cores and aggregate memory;
-# local-mode stand-in: heap proportional to cores (2g/core), shuffle
-# partitions FIXED so the plan is identical and core count is the variable.
-os.environ["SPARK_GRAFT_DRIVER_MEM"] = f"{{2 * cpus}}g"
-spark = get_spark(app=f"scale{{cpus}}", cpus=cpus, shuffle_partitions=64)
-spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(pages_dir)
-idx = tempfile.mkdtemp(prefix=f"scale_idx_{{cpus}}_")
+idx = tempfile.mkdtemp(prefix=f"scale_idx_{{n_exec}}_")
 try:
-    # warm the JVM/codegen with a tiny throwaway job so the measured build
-    # isn't paying one-time JIT/class-load costs
-    pages.limit(100).count()
+    pages.limit(100).count()  # warm executor JVMs / codegen
     t0 = time.time()
     paths = build_index(spark, pages, idx, ts_col="warc_ts", num_segments=1)
     build_sec = time.time() - t0
@@ -56,7 +71,8 @@ try:
         for q in qs:
             s.search(q, k=10).collect()
     query_sec = (time.time() - tq0) / (reps * len(qs))
-    print(json.dumps({{"cpus": cpus, "build_sec": round(build_sec, 2),
+    print(json.dumps({{"executors": n_exec, "cores_total": n_exec * 4,
+                       "build_sec": round(build_sec, 2),
                        "docs_per_sec": round(n / build_sec, 1),
                        "mean_query_sec": round(query_sec, 3)}}))
 finally:
@@ -66,7 +82,7 @@ finally:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     tmp = tempfile.mkdtemp(prefix="scale_pages_")
     pages_dir = os.path.join(tmp, "pages")
 
@@ -83,24 +99,26 @@ def main() -> None:
 
     child = CHILD.format(repo=REPO)
     results = {}
-    for cpus in (8, 32):
+    for n_exec in (2, 8):
         out = subprocess.run(
-            [sys.executable, "-c", child, str(cpus), str(n), pages_dir],
+            [sys.executable, "-c", child, str(n_exec), str(n), pages_dir],
             check=True,
             capture_output=True,
             text=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        results[n_exec] = json.loads(line)
 
-    eff_build = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+    eff_build = (results[8]["docs_per_sec"] / results[2]["docs_per_sec"]) / 4.0
+    speedup_q = results[2]["mean_query_sec"] / results[8]["mean_query_sec"]
     print(
         json.dumps(
             {
                 "n_docs": n,
-                "local8": results[8],
-                "local32": results[32],
+                "cluster_N": results[2],
+                "cluster_4N": results[8],
                 "scaling_efficiency_build": round(eff_build, 3),
+                "query_speedup": round(speedup_q, 2),
             }
         )
     )
