@@ -52,7 +52,11 @@ from .docids import assign_dense_ids
 from .norms import encode_norm
 
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.BLOCK_SIZE (:384)
-DEFAULT_CHUNK_SPAN = 1 << 18  # max docs per posting-row chunk (skew bound)
+DEFAULT_CHUNK_SPAN = 1 << 16  # max docs per posting-row chunk (skew bound).
+# Sizing: a head term present in every doc of a chunk yields a row of
+# ~5 arrays x 64k ints + positions ~ 1-2 MB — safely under executor task
+# memory even with many concurrent tasks; 262144 (the old default) produced
+# 6-8 MB rows whose UnsafeRow serialization OOMed 8g executors.
 
 POSTINGS_SCHEMA = (
     "term_id long, seg_id int, chunk_id long, first_doc long, df_chunk int, "
@@ -348,10 +352,11 @@ def build_index(
             continue
         seg_rows = enriched.where(F.col("seg_id") == seg)
         packed = pack_sorted_partitions(seg_rows, positions=positions)
-        (
-            packed.sortWithinPartitions("term_id", "chunk_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(paths.postings, f"seg_id={seg}"))
+        # pack input is sorted (term_id, seg, chunk, doc) within partitions
+        # and mapInPandas preserves order, so rows arrive term-sorted — no
+        # extra sort of the (multi-MB) packed rows before write
+        packed.write.mode("overwrite").parquet(
+            os.path.join(paths.postings, f"seg_id={seg}")
         )
         seg_df = spark.read.parquet(os.path.join(paths.postings, f"seg_id={seg}"))
         lineage_row = (

@@ -225,6 +225,9 @@ def merge_segments(
         .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
     )
     out_dir = os.path.join(paths.postings, f"seg_id={new_seg_id}")
+    # merged segments are long-lived: sort rows by term so parquet row-group
+    # min/max stats stay tight for query-side term pruning (rows are
+    # ≤ chunk_span docs ≈ 1-2 MB, safe to sort)
     (
         merged.repartition(F.col("term_id"))
         .sortWithinPartitions("term_id", "chunk_id")
