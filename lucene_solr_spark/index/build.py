@@ -245,11 +245,13 @@ def build_index(
     # (IndexWriter.java:1187) → keep the newest warc_ts per url
     src = pages.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     if ts_col is not None:
-        w = Window.partitionBy(key_col).orderBy(F.col(ts_col).desc())
-        src = (
-            src.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__rn")
+        # max_by aggregation, NOT a row_number window: hash agg does
+        # map-side partial combining (a window sort-shuffles every row with
+        # no partial). Ordering key struct(ts, text) keeps ties deterministic.
+        src = src.groupBy(key_col).agg(
+            F.max_by(
+                F.col(text_col), F.struct(F.col(ts_col), F.col(text_col))
+            ).alias(text_col)
         )
 
     # --- 2. deterministic docIDs = global url rank
@@ -305,18 +307,26 @@ def build_index(
     docs_tbl.write.mode("overwrite").parquet(os.path.join(paths.docs, "seg=bulk"))
     docs_tbl = spark.read.parquet(paths.docs)
 
-    max_doc = docs_tbl.count()
-    sum_ttf = docs_tbl.agg(F.sum("dl")).collect()[0][0] or 0
+    # one aggregation job for the collection statistics
+    totals = docs_tbl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).head()
+    max_doc = int(totals["n"])
+    sum_ttf = int(totals["t"] or 0)
     seg_span = max(1, math.ceil(max_doc / num_segments))
-    # per-segment doc counts + token totals → lineage metrics
-    seg_doc_stats = {
-        int(r.seg): (int(r.n_docs), int(r.ttf))
-        for r in docs_tbl.groupBy(
-            (F.col("doc_id") / F.lit(seg_span)).cast("int").alias("seg")
-        )
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("ttf"))
-        .collect()
-    }
+    # per-segment doc counts + token totals → lineage metrics (second job
+    # only needed for multi-segment builds)
+    if num_segments == 1:
+        seg_doc_stats = {0: (max_doc, sum_ttf)}
+    else:
+        seg_doc_stats = {
+            int(r.seg): (int(r.n_docs), int(r.ttf))
+            for r in docs_tbl.groupBy(
+                (F.col("doc_id") / F.lit(seg_span)).cast("int").alias("seg")
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("ttf"))
+            .collect()
+        }
 
     # --- 5. term dictionary with deterministic termIDs (global term rank)
     term_stats = term_doc.groupBy("term").agg(
@@ -365,7 +375,7 @@ def build_index(
                 F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
                 F.count_distinct("term_id").alias("term_count"),
                 F.sum("df_chunk").alias("row_count"),
-                (F.sum(F.size("doc_gaps")) * 8).alias("posting_bytes"),
+                (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
             )
             .withColumn("seg_id", F.lit(seg))
             .withColumn("status", F.lit("complete"))

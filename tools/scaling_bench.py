@@ -35,9 +35,14 @@ os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
 from pyspark.sql import SparkSession
 
 n_exec = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
+os.makedirs(f"/dev/shm/spark-local-{{n_exec}}", exist_ok=True)
 spark = (
     SparkSession.builder.master(f"local-cluster[{{n_exec}},4,8192]")
     .appName(f"scale-{{n_exec}}ex")
+    # per-executor local SSD analog: tmpfs shuffle dirs, so the one shared
+    # spinning disk of the sandbox does not serialize the shuffle the way no
+    # real cluster would (every executor brings its own local disk)
+    .config("spark.local.dir", f"/dev/shm/spark-local-{{n_exec}}")
     .config("spark.sql.shuffle.partitions", "64")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
