@@ -275,6 +275,8 @@ def build_index(
     )
     # --- 4. per (term, doc): tf + positions (map-side combine in hash agg);
     # this is the single tokenize+explode pass — everything else derives
+    from pyspark.storagelevel import StorageLevel
+
     term_doc = (
         toks.where(F.col("term").isNotNull())
         .groupBy("term", "doc_id")
@@ -286,7 +288,11 @@ def build_index(
                 else []
             ),
         )
-        .persist()
+        # reused by 3 downstream jobs (doc lengths, term stats, pack).
+        # DISK_ONLY: at CC scale this is hundreds of GB of (term, doc,
+        # positions) rows — materializing columnar cache blocks in heap OOMs
+        # executors, while disk blocks stream
+        .persist(StorageLevel.DISK_ONLY)
     )
 
     # doc length = Σ tf (post-stop, DocInverterPerField.java:172); docs whose
