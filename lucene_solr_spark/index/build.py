@@ -275,8 +275,6 @@ def build_index(
     )
     # --- 4. per (term, doc): tf + positions (map-side combine in hash agg);
     # this is the single tokenize+explode pass — everything else derives
-    from pyspark.storagelevel import StorageLevel
-
     term_doc = (
         toks.where(F.col("term").isNotNull())
         .groupBy("term", "doc_id")
@@ -288,12 +286,16 @@ def build_index(
                 else []
             ),
         )
-        # reused by 3 downstream jobs (doc lengths, term stats, pack).
-        # DISK_ONLY: at CC scale this is hundreds of GB of (term, doc,
-        # positions) rows — materializing columnar cache blocks in heap OOMs
-        # executors, while disk blocks stream
-        .persist(StorageLevel.DISK_ONLY)
     )
+    # term_doc is reused by 3 downstream jobs (doc lengths, term stats,
+    # postings pack). Stage it as parquet rather than .persist(): at CC
+    # scale this is hundreds of GB of (term, doc, positions) rows, and
+    # Spark's cache serializer builds columnar batches in executor heap
+    # (observed OOM at 2M docs x 8g executors even with DISK_ONLY), while a
+    # parquet staging table is written streaming and read back compressed.
+    staging = os.path.join(out_dir, "_staging_term_doc")
+    term_doc.write.mode("overwrite").parquet(staging)
+    term_doc = spark.read.parquet(staging)
 
     # doc length = Σ tf (post-stop, DocInverterPerField.java:172); docs whose
     # tokens were all stopwords/empty get dl=0 via the left join
@@ -405,4 +407,7 @@ def build_index(
             fh,
         )
     spark.catalog.clearCache()
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
     return paths
