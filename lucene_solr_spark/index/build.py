@@ -254,9 +254,14 @@ def build_index(
             ).alias(text_col)
         )
 
-    # --- 2. deterministic docIDs = global url rank
+    # --- 2. deterministic docIDs = global url rank (parquet-staged: the
+    # sorted corpus is read twice and caching it OOMs executors at scale)
+    ids_staging = os.path.join(out_dir, "_staging_ids")
     with_ids = assign_dense_ids(
-        src.select(key_col, text_col), order_col=key_col, id_col="doc_id"
+        src.select(key_col, text_col),
+        order_col=key_col,
+        id_col="doc_id",
+        staging_dir=ids_staging,
     )
 
     # --- 3. tokenize (JVM path) ONCE; doc lengths derive from the term-level
@@ -410,4 +415,5 @@ def build_index(
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(ids_staging, ignore_errors=True)
     return paths

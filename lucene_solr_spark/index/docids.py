@@ -8,11 +8,20 @@ bottleneck and no `monotonically_increasing_id` (whose values depend on task
 placement):
 
 1. range-repartition + sort within partitions on the key,
-2. per-partition counts (one light job),
-3. cumulative offsets broadcast into a mapInPandas that adds offset+local rank.
+2. tag every row with (partition id, local index) in the same pass,
+3. per-partition counts (one light job) → cumulative offsets,
+4. id = offset[pid] + local index (broadcast join, pure JVM).
 
 The result is independent of where the range boundaries fall: partitions are
-disjoint ranges, so offset + local rank == global rank.
+disjoint key ranges, so offset + local rank == global rank.
+
+Two materialization strategies for the two passes over the sorted data:
+- `staging_dir=None` (small inputs): .persist() the sorted frame.
+- `staging_dir=...` (corpus-scale): write the tagged frame to parquet and
+  read it back. Spark's cache serializer builds columnar batches in executor
+  heap (observed OOMs on multi-GB corpora with 8g executors); a parquet
+  stage streams. Because (pid, local index) are COLUMNS, re-read partition
+  boundaries are irrelevant.
 """
 
 from __future__ import annotations
@@ -25,11 +34,31 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _tag_local_index(part: DataFrame) -> DataFrame:
+    """Append __local_idx = 0-based row index within the (sorted) partition."""
+    schema_out = part.schema.fieldNames() + ["__local_idx"]
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out["__local_idx"] = range(base, base + len(pdf))
+            base += len(pdf)
+            yield out
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(part.schema.fields) + [StructField("__local_idx", LongType(), False)])
+    out = part.mapInPandas(tag, schema=schema)
+    return out.select(*schema_out)
+
+
 def assign_dense_ids(
     df: DataFrame,
     order_col: str,
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    staging_dir: str | None = None,
 ) -> DataFrame:
     """Add `id_col` = 0-based rank of `order_col` (must be unique) in the
     global ascending sort order. Deterministic at any parallelism."""
@@ -40,31 +69,30 @@ def assign_dense_ids(
         df.repartitionByRange(num_partitions, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = dict(
-        part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
+    tagged = _tag_local_index(part)
+
+    if staging_dir is not None:
+        tagged.write.mode("overwrite").parquet(staging_dir)
+        tagged = spark.read.parquet(staging_dir)
+    else:
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+
+    counts = {
+        int(r["__pid"]): int(r["c"])
+        for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
     offsets = {}
     acc = 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
 
-    schema_out = part.drop("__pid").schema.add(id_col, "long", False)
-
-    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            base = offsets[int(pdf["__pid"].iloc[0])]
-            out = pdf.drop(columns=["__pid"])
-            out[id_col] = range(base + local, base + local + len(pdf))
-            local += len(pdf)
-            yield out
-
-    out = part.mapInPandas(add_ids, schema=schema_out)
-    # note: `part` stays persisted until the consumer is done; caller may
-    # materialize `out` then unpersist via spark.catalog.clearCache()
-    return out
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __offset long"
+    )
+    return (
+        tagged.join(F.broadcast(offsets_df), "__pid")
+        .withColumn(id_col, (F.col("__offset") + F.col("__local_idx")).cast("long"))
+        .drop("__pid", "__local_idx", "__offset")
+    )
