@@ -139,6 +139,78 @@ def _pack_rows(
     }
 
 
+def _invert_batch(doc_ids: np.ndarray, token_lists, positions: bool) -> pd.DataFrame:
+    """Vectorized per-doc inversion of one Arrow batch of (doc_id, tokens[]):
+    → rows (doc_id, term, tf[, positions]) with pre-stop positions.
+
+    This is DocInverterPerField.java:92-172 as a batch kernel: the term →
+    positions map is built inside the executor's Arrow batch (factorize +
+    stable lexsort + boundary split), so the JVM never materializes
+    object-hash aggregation state. The old formulation —
+    explode → groupBy(term, doc).agg(collect_list(pos)) — OOMed 8-10 GB
+    executors at 5×10^8 tokens; this kernel is O(batch) memory."""
+    lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    total = int(lens.sum())
+    empty = {"doc_id": np.array([], dtype=np.int64), "term": [], "tf": np.array([], dtype=np.int32)}
+    if positions:
+        empty["positions"] = []
+    if total == 0:
+        return pd.DataFrame(empty)
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if len(t)])
+    flat_docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
+    starts = np.cumsum(lens) - lens
+    flat_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+    stop = ENGLISH_STOP_WORDS
+    keep = np.fromiter(
+        (t not in stop and len(t) <= MAX_TOKEN_LENGTH for t in flat_terms),
+        dtype=bool,
+        count=total,
+    )
+    flat_terms, flat_docs, flat_pos = flat_terms[keep], flat_docs[keep], flat_pos[keep]
+    if len(flat_terms) == 0:
+        return pd.DataFrame(empty)
+
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    order = np.lexsort((codes, flat_docs))  # stable → positions stay ascending
+    d, c, p = flat_docs[order], codes[order], flat_pos[order]
+    change = np.flatnonzero((np.diff(d) != 0) | (np.diff(c) != 0))
+    bounds = np.concatenate(([0], change + 1, [len(d)]))
+    out = {
+        "doc_id": d[bounds[:-1]],
+        "term": uniques[c[bounds[:-1]]],
+        "tf": np.diff(bounds).astype(np.int32),
+    }
+    if positions:
+        out["positions"] = np.split(p.astype(np.int32), bounds[1:-1])
+    return pd.DataFrame(out)
+
+
+def invert_tokens(
+    with_ids: DataFrame, text_col: str, positions: bool
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, term, tf[, positions]) via JVM tokenization
+    + the Arrow inversion kernel. No wide JVM aggregation; the rows feed the
+    pack shuffle directly."""
+    schema = "doc_id long, term string, tf int" + (
+        ", positions array<int>" if positions else ""
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield _invert_batch(pdf["doc_id"].values, pdf["toks"].values, positions)
+
+    src = with_ids.select(
+        "doc_id",
+        F.coalesce(token_array(F.col(text_col)), F.array().cast("array<string>")).alias(
+            "toks"
+        ),
+    )
+    return src.mapInPandas(kernel, schema=schema)
+
+
 def pack_sorted_partitions(enriched: DataFrame, positions: bool) -> DataFrame:
     """Pack posting rows via repartition-on-key + sortWithinPartitions +
     mapInPandas, instead of groupBy().applyInPandas.
@@ -264,34 +336,9 @@ def build_index(
         staging_dir=ids_staging,
     )
 
-    # --- 3. tokenize (JVM path) ONCE; doc lengths derive from the term-level
-    # aggregation instead of a second tokenize pass
-    toks = with_ids.select(
-        "doc_id",
-        F.col(key_col).alias("key"),
-        F.posexplode_outer(token_array(F.col(text_col))).alias("pos", "term"),
-    ).withColumn(
-        "term",
-        F.when(
-            F.col("term").isin(*sorted(ENGLISH_STOP_WORDS))
-            | (F.length("term") > MAX_TOKEN_LENGTH),
-            F.lit(None),
-        ).otherwise(F.col("term")),
-    )
-    # --- 4. per (term, doc): tf + positions (map-side combine in hash agg);
-    # this is the single tokenize+explode pass — everything else derives
-    term_doc = (
-        toks.where(F.col("term").isNotNull())
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            *(
-                [F.sort_array(F.collect_list("pos")).alias("positions")]
-                if positions
-                else []
-            ),
-        )
-    )
+    # --- 3+4. tokenize (JVM) + per-doc inversion (Arrow kernel) in ONE
+    # map-side pass: (doc_id, term, tf, positions), no wide JVM aggregation
+    term_doc = invert_tokens(with_ids, text_col, positions)
     # term_doc is reused by 3 downstream jobs (doc lengths, term stats,
     # postings pack). Stage it as parquet rather than .persist(): at CC
     # scale this is hundreds of GB of (term, doc, positions) rows, and

@@ -45,11 +45,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..analysis.analyzer import ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH, token_array
 from ..index.build import (
     DEFAULT_CHUNK_SPAN,
     IndexPaths,
     _norm_byte_udf,
+    invert_tokens,
     pack_sorted_partitions,
 )
 
@@ -150,36 +150,22 @@ def append_segment(
         "doc_id", F.row_number().over(wr).cast("long") + F.lit(doc_base - 1)
     )
 
-    toks = with_ids.select(
-        "doc_id",
-        F.col(key_col).alias("key"),
-        F.posexplode_outer(token_array(F.col(text_col))).alias("pos", "term"),
-    ).withColumn(
-        "term",
-        F.when(
-            F.col("term").isin(*sorted(ENGLISH_STOP_WORDS))
-            | (F.length("term") > MAX_TOKEN_LENGTH),
-            F.lit(None),
-        ).otherwise(F.col("term")),
+    term_doc = invert_tokens(with_ids, text_col, positions=True).persist()
+    dl_nonempty = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    docs_new = (
+        with_ids.select("doc_id", key_col)
+        .join(dl_nonempty, "doc_id", "left")
+        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            key_col,
+            "dl",
+            _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
+        )
+        .persist()
     )
-    doc_len = toks.groupBy("doc_id", "key").agg(F.count("term").alias("dl"))
-    docs_new = doc_len.select(
-        "doc_id",
-        F.col("key").alias(key_col),
-        "dl",
-        _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
-    ).persist()
     n_new = docs_new.count()
     new_ttf = docs_new.agg(F.sum("dl")).head()[0] or 0
-
-    term_doc = (
-        toks.where(F.col("term").isNotNull())
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-    )
     batch_stats = term_doc.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_delta"), F.sum("tf").alias("ttf_delta")
     )
@@ -259,6 +245,7 @@ def append_segment(
         .withColumn("ttf", F.lit(int(new_ttf)))
     )
     lineage_row.write.mode("append").parquet(paths.lineage)
+    term_doc.unpersist()
 
     # stats.json: derived cache (regenerated; safe to lose)
     write_stats(

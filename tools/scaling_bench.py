@@ -4,7 +4,7 @@ rule's N vs 4N executor criterion).
 Generates a deterministic synthetic page corpus in the BASELINE.json
 input_hint shape (url, warc_ts, html, text, lang) once, then runs the
 IDENTICAL build+query job on a 2-executor and an 8-executor cluster
-(`local-cluster[N, 4, 8192]`: real separate executor JVMs, 4 cores + 8 GB
+(`local-cluster[N, 4, 10240]`: real separate executor JVMs, 4 cores + 10 GB
 each — per-executor resources constant, executor count is the variable,
 exactly how a production cluster scales out). Reports docs/sec at both and
 efficiency = (throughput_8ex / throughput_2ex) / 4.
@@ -35,15 +35,10 @@ os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
 from pyspark.sql import SparkSession
 
 n_exec = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
-os.makedirs(f"/dev/shm/spark-local-{{n_exec}}", exist_ok=True)
 spark = (
-    SparkSession.builder.master(f"local-cluster[{{n_exec}},4,8192]")
+    SparkSession.builder.master(f"local-cluster[{{n_exec}},4,10240]")
     .appName(f"scale-{{n_exec}}ex")
-    # per-executor local SSD analog: tmpfs shuffle dirs, so the one shared
-    # spinning disk of the sandbox does not serialize the shuffle the way no
-    # real cluster would (every executor brings its own local disk)
-    .config("spark.local.dir", f"/dev/shm/spark-local-{{n_exec}}")
-    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.sql.shuffle.partitions", "256")  # sized to the DATA (2M docs x ~250 tokens), identical at both cluster sizes
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
