@@ -1,37 +1,46 @@
 """Inverted-index build: pages → docs / terms / postings / lineage.
 
-Spark-first re-expression of the Lucene write path
-(DocInverterPerField.java:92-172 → TermsHashPerField.java:141-165 →
-Lucene41PostingsWriter.java:240-266 → DocumentsWriterPerThread.java:465-501):
+Spark-first re-expression of the Lucene write path, structured EXACTLY like
+Lucene's own two-level design (DocumentsWriterPerThread → segment merge):
 
   read → dedup(url, keep latest warc_ts) → deterministic docIDs (global url
-  rank) → JVM tokenize+explode → groupBy(term, doc) [tf + positions] →
-  repartition(termID, chunk) + sortWithinPartitions → mapInPandas pack →
-  parquet segments + lineage rows.
+  rank, parquet-staged) → ONE map pass per partition that tokenizes (JVM
+  regex), inverts per doc (DocInverterPerField.java:92-172), computes norms
+  inline (BM25Similarity.java:95-97) and packs PARTIAL posting rows per
+  (term, seg, chunk) over the partition's doc range (the DWPT in-RAM
+  segment, TermsHashPerField.java:141-165 / Lucene41PostingsWriter.java:
+  240-266) → one shuffle of those COMPACT partial rows keyed
+  (term, seg, chunk) → applyInPandas sort-merge of partials
+  (TermsConsumer.java:86-171) → parquet segments + lineage rows; the term
+  dictionary (term, termID, df, ttf) is derived from the written postings.
+
+Why partial-pack-then-merge instead of explode → groupBy(term, doc):
+the exploded row stream is ~vocabulary-independent 10^11 rows at CC scale;
+JVM object aggregation state for collect_list OOMs executors, and shuffling
+one row per (doc, term) pays Arrow/row overhead on ~50x more rows than the
+partial posting rows (one per term × input-partition × chunk). Map-side
+partial packing is precisely Lucene's DWPT architecture.
 
 Scale design (the part that must survive 100 TB):
 
-- **Skew**: head terms ("spark", "data", …) have posting lists with millions
-  of docs. The pack key is (term_id, chunk_id) where chunk_id =
-  doc_id // chunk_span — a *deterministic* salt that (a) bounds every pack
-  group to chunk_span docs (no OOM on the 'the'-shaped term),
-  (b) preserves global docID order across chunks so query-side concat and
-  segment merge are pure appends, exactly like Lucene's 128-doc blocks.
-- **One wide shuffle**: explode → groupBy(term, doc) does map-side partial
-  aggregation (Spark hash agg) before the exchange, like the in-RAM
-  TermsHash; the (term→termID) join is the only other exchange.
-- **Norms are denormalized into posting rows** (norm_bytes parallel array),
-  the analog of Lucene's per-segment .nvd file: query-time scoring is then a
-  single scan + kernel with NO join against the docs table.
+- **Skew**: head terms have posting lists with millions of docs. The pack
+  key is (term, chunk_id) with chunk_id = doc_id // chunk_span — a
+  deterministic salt that bounds every merged posting row to chunk_span
+  docs (no OOM on the 'the'-shaped term) while preserving global docID
+  order across chunks, exactly like Lucene's 128-doc blocks writ large.
+- **One wide shuffle** of compact pre-packed rows; everything before it is
+  map-only over the staged, range-partitioned corpus.
+- **Norms denormalized into posting rows** (the per-segment .nvd analog):
+  query scoring is scan → kernel → one groupBy(doc) — no join.
 - **Block metadata every 128 docs** (Lucene41PostingsFormat block size):
-  last_doc for skip/conjunction, block max(tf) + max(norm_byte) for lossless
+  last_doc for skip/conjunction, block max(tf)/max(norm_byte) for lossless
   block-max WAND bounds.
-- **Lineage**: one row per (segment), with doc ranges and counts; a build
-  driven from the lineage table skips completed segments on restart
-  (UpdateLog-style recoverability, UpdateLog.java:71-258).
+- **Lineage**: one row per segment with doc ranges, counts and byte sizes;
+  builds resume from the lineage table (UpdateLog.java:71-258 semantics).
 
-Segments are contiguous docID ranges (segment = doc_id // seg_span), so a
-sort-merge compaction of two segments is concatenation per termID.
+Postings are physically keyed by the term string (parquet dictionary
+encoding + row-group pruning on the sorted term column); the `terms` table
+still carries dense termIDs (global term rank) for the dictionary API.
 """
 
 from __future__ import annotations
@@ -39,27 +48,31 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..analysis.analyzer import token_array, ENGLISH_STOP_WORDS, MAX_TOKEN_LENGTH
+from ..analysis.analyzer import (
+    ENGLISH_STOP_WORDS,
+    MAX_TOKEN_LENGTH,
+    doc_length_col,
+    token_array,
+)
 from .docids import assign_dense_ids
 from .norms import encode_norm
 
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.BLOCK_SIZE (:384)
-DEFAULT_CHUNK_SPAN = 1 << 16  # max docs per posting-row chunk (skew bound).
-# Sizing: a head term present in every doc of a chunk yields a row of
-# ~5 arrays x 64k ints + positions ~ 1-2 MB — safely under executor task
-# memory even with many concurrent tasks; 262144 (the old default) produced
-# 6-8 MB rows whose UnsafeRow serialization OOMed 8g executors.
+DEFAULT_CHUNK_SPAN = 1 << 16  # max docs per merged posting row (skew bound):
+# a head term present in every doc of a chunk yields a ~1-2 MB row — safely
+# under executor task memory at any concurrency.
 
 POSTINGS_SCHEMA = (
-    "term_id long, seg_id int, chunk_id long, first_doc long, df_chunk int, "
+    "term string, seg_id int, chunk_id long, first_doc long, df_chunk int, "
     "doc_gaps array<int>, tfs array<int>, norm_bytes array<int>, "
     "skip_last_doc array<long>, block_max_tf array<int>, block_max_nb array<int>, "
     "pos_flat array<int>"
@@ -92,7 +105,7 @@ class IndexPaths:
 
 
 def _pack_rows(
-    term_ids: np.ndarray,
+    term,
     seg_id: int,
     chunk_id: int,
     docs: np.ndarray,
@@ -118,7 +131,7 @@ def _pack_rows(
     else:
         pos_flat = None
     return {
-        "term_id": int(term_ids[0]),
+        "term": term,
         "seg_id": int(seg_id),
         "chunk_id": int(chunk_id),
         "first_doc": int(docs[0]),
@@ -139,23 +152,15 @@ def _pack_rows(
     }
 
 
-def _invert_batch(doc_ids: np.ndarray, token_lists, positions: bool) -> pd.DataFrame:
-    """Vectorized per-doc inversion of one Arrow batch of (doc_id, tokens[]):
-    → rows (doc_id, term, tf[, positions]) with pre-stop positions.
-
-    This is DocInverterPerField.java:92-172 as a batch kernel: the term →
-    positions map is built inside the executor's Arrow batch (factorize +
-    stable lexsort + boundary split), so the JVM never materializes
-    object-hash aggregation state. The old formulation —
-    explode → groupBy(term, doc).agg(collect_list(pos)) — OOMed 8-10 GB
-    executors at 5×10^8 tokens; this kernel is O(batch) memory."""
+def _invert_flat(doc_ids: np.ndarray, token_lists):
+    """Common inversion front half: batch of (doc_id, tokens[]) →
+    per-(doc, term) group arrays (g_doc, terms-uniques, g_code, tf,
+    positions, dl_of_group_doc), with pre-stop positions and post-stop
+    filtering. Returns None for an effectively empty batch."""
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
     total = int(lens.sum())
-    empty = {"doc_id": np.array([], dtype=np.int64), "term": [], "tf": np.array([], dtype=np.int32)}
-    if positions:
-        empty["positions"] = []
     if total == 0:
-        return pd.DataFrame(empty)
+        return None
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in token_lists if len(t)])
     flat_docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
     starts = np.cumsum(lens) - lens
@@ -169,29 +174,44 @@ def _invert_batch(doc_ids: np.ndarray, token_lists, positions: bool) -> pd.DataF
     )
     flat_terms, flat_docs, flat_pos = flat_terms[keep], flat_docs[keep], flat_pos[keep]
     if len(flat_terms) == 0:
-        return pd.DataFrame(empty)
+        return None
 
     codes, uniques = pd.factorize(flat_terms, sort=False)
     order = np.lexsort((codes, flat_docs))  # stable → positions stay ascending
     d, c, p = flat_docs[order], codes[order], flat_pos[order]
     change = np.flatnonzero((np.diff(d) != 0) | (np.diff(c) != 0))
     bounds = np.concatenate(([0], change + 1, [len(d)]))
-    out = {
-        "doc_id": d[bounds[:-1]],
-        "term": uniques[c[bounds[:-1]]],
-        "tf": np.diff(bounds).astype(np.int32),
-    }
+    g_doc = d[bounds[:-1]]
+    g_code = c[bounds[:-1]]
+    tf = np.diff(bounds).astype(np.int64)
+    g_pos = np.split(p.astype(np.int32), bounds[1:-1])
+
+    # post-stop doc length (DocInverterPerField.java:172) → norm byte
+    # (BM25Similarity.java:95-97), computed inline — no docs-table join
+    doc_codes, doc_uniq = pd.factorize(g_doc, sort=False)
+    dl = np.bincount(doc_codes, weights=tf).astype(np.int64)
+    g_nb = encode_norm(dl)[doc_codes].astype(np.int64)
+    return g_doc, uniques, g_code, tf, g_pos, g_nb
+
+
+def _invert_batch(doc_ids: np.ndarray, token_lists, positions: bool) -> pd.DataFrame:
+    """(doc_id, tokens[]) batch → rows (doc_id, term, tf[, positions])."""
+    empty = {"doc_id": np.array([], dtype=np.int64), "term": [], "tf": np.array([], dtype=np.int32)}
     if positions:
-        out["positions"] = np.split(p.astype(np.int32), bounds[1:-1])
+        empty["positions"] = []
+    inv = _invert_flat(doc_ids, token_lists)
+    if inv is None:
+        return pd.DataFrame(empty)
+    g_doc, uniques, g_code, tf, g_pos, _ = inv
+    out = {"doc_id": g_doc, "term": uniques[g_code], "tf": tf.astype(np.int32)}
+    if positions:
+        out["positions"] = g_pos
     return pd.DataFrame(out)
 
 
-def invert_tokens(
-    with_ids: DataFrame, text_col: str, positions: bool
-) -> DataFrame:
+def invert_tokens(with_ids: DataFrame, text_col: str, positions: bool) -> DataFrame:
     """(doc_id, text) → (doc_id, term, tf[, positions]) via JVM tokenization
-    + the Arrow inversion kernel. No wide JVM aggregation; the rows feed the
-    pack shuffle directly."""
+    + the Arrow inversion kernel (used by the NRT micro-batch path)."""
     schema = "doc_id long, term string, tf int" + (
         ", positions array<int>" if positions else ""
     )
@@ -204,52 +224,162 @@ def invert_tokens(
 
     src = with_ids.select(
         "doc_id",
-        F.coalesce(token_array(F.col(text_col)), F.array().cast("array<string>")).alias(
-            "toks"
-        ),
+        F.coalesce(token_array(F.col(text_col)), F.array().cast("array<string>")).alias("toks"),
     )
     return src.mapInPandas(kernel, schema=schema)
 
 
-def pack_sorted_partitions(enriched: DataFrame, positions: bool) -> DataFrame:
-    """Pack posting rows via repartition-on-key + sortWithinPartitions +
-    mapInPandas, instead of groupBy().applyInPandas.
+def invert_and_pack_partials(
+    with_ids: DataFrame,
+    text_col: str,
+    seg_span: int,
+    chunk_span: int,
+    positions: bool,
+) -> DataFrame:
+    """The DWPT pass: per Arrow batch, tokenize (JVM upstream) + invert +
+    norm + pack PARTIAL posting rows per (term, seg, chunk) over the batch's
+    docs. Output rows follow POSTINGS_SCHEMA (term string key)."""
 
-    Why: at web scale the vocabulary has 10^7–10^8 terms, so per-group
-    pandas-DataFrame overhead (one per term×chunk in applyInPandas)
-    dominates. Here each Arrow batch holds MANY groups and the group
-    boundaries are found vectorized (np.unique on the sorted keys); rows of
-    a group that straddle Arrow batches are carried over inside the
-    iterator. The shuffle is the same single exchange keyed
-    (term_id, chunk_id) — chunking is the deterministic head-term salt."""
-    cols = ["term_id", "seg_id", "chunk_id", "doc_id", "tf", "norm_byte"] + (
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            inv = _invert_flat(pdf["doc_id"].values, pdf["toks"].values)
+            if inv is None:
+                continue
+            g_doc, uniques, g_code, tf, g_pos, g_nb = inv
+            seg = g_doc // seg_span
+            chunk = g_doc // chunk_span
+            # arrange by (term, doc) → contiguous partial posting slices
+            ord2 = np.lexsort((g_doc, g_code))
+            c2, s2, k2, d2 = g_code[ord2], seg[ord2], chunk[ord2], g_doc[ord2]
+            tf2, nb2 = tf[ord2], g_nb[ord2]
+            pos2 = [g_pos[i] for i in ord2] if positions else None
+            change = np.flatnonzero(
+                (np.diff(c2) != 0) | (np.diff(s2) != 0) | (np.diff(k2) != 0)
+            )
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(c2)]))
+            rows = []
+            for s, e in zip(starts, ends):
+                rows.append(
+                    _pack_rows(
+                        uniques[c2[s]],
+                        int(s2[s]),
+                        int(k2[s]),
+                        d2[s:e],
+                        tf2[s:e],
+                        nb2[s:e],
+                        pos2[s:e] if positions else None,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    src = with_ids.select(
+        "doc_id",
+        F.coalesce(token_array(F.col(text_col)), F.array().cast("array<string>")).alias("toks"),
+    )
+    return src.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+
+
+def recombine_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort-merge ≥1 partial/segment posting rows of one (term[, seg],
+    chunk) group into one row: decode gaps → docIDs, merge in doc order
+    (argsort — robust to arbitrary interleaving), re-delta + rebuild 128-doc
+    block metadata (TermsConsumer.java:86-171 without the docID remap,
+    because docIDs are global)."""
+    docs_parts, tf_parts, nb_parts, pos_parts = [], [], [], []
+    for r in pdf.itertuples(index=False):
+        gaps = np.asarray(r.doc_gaps, dtype=np.int64)
+        docs_parts.append(gaps.cumsum() + r.first_doc)
+        tf_parts.append(np.asarray(r.tfs, dtype=np.int64))
+        nb_parts.append(np.asarray(r.norm_bytes, dtype=np.int32))
+        pos_parts.append(r.pos_flat)
+
+    docs = np.concatenate(docs_parts)
+    tfs = np.concatenate(tf_parts)
+    nbs = np.concatenate(nb_parts)
+    order = np.argsort(docs, kind="stable")
+    has_pos = all(p is not None for p in pos_parts)
+    if has_pos:
+        # split each part's flat positions back per doc, reorder, re-flatten
+        per_doc_pos: list[np.ndarray] = []
+        for part_tf, part_pos in zip(tf_parts, pos_parts):
+            cuts = np.cumsum(part_tf)[:-1]
+            per_doc_pos.extend(np.split(np.asarray(part_pos, dtype=np.int32), cuts))
+        pos_flat = (
+            np.concatenate([per_doc_pos[i] for i in order])
+            if len(per_doc_pos)
+            else np.array([], dtype=np.int32)
+        )
+    else:
+        pos_flat = None
+    docs, tfs, nbs = docs[order], tfs[order], nbs[order]
+
+    gaps = np.empty_like(docs)
+    gaps[0] = 0
+    gaps[1:] = np.diff(docs)
+    n = len(docs)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    ends = np.minimum((np.arange(nblocks) + 1) * BLOCK_SIZE, n) - 1
+    return pd.DataFrame(
+        {
+            "term": [pdf["term"].iloc[0]],
+            "seg_id": [int(pdf["seg_id"].iloc[0])],
+            "chunk_id": [int(pdf["chunk_id"].iloc[0])],
+            "first_doc": [int(docs[0])],
+            "df_chunk": [n],
+            "doc_gaps": [gaps.astype(np.int32)],
+            "tfs": [tfs.astype(np.int32)],
+            "norm_bytes": [nbs],
+            "skip_last_doc": [docs[ends]],
+            "block_max_tf": [
+                np.array(
+                    [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+                    dtype=np.int32,
+                )
+            ],
+            "block_max_nb": [
+                np.array(
+                    [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+                    dtype=np.int32,
+                )
+            ],
+            "pos_flat": [pos_flat],
+        }
+    )
+
+
+def pack_sorted_partitions(enriched: DataFrame, positions: bool) -> DataFrame:
+    """Pack (doc_id, term, tf, norm_byte[, positions]) rows into posting
+    rows via repartition-on-key + sortWithinPartitions + mapInPandas (used
+    by the NRT micro-batch path, where batches are small). Group boundaries
+    found vectorized; groups straddling Arrow batches are carried over."""
+    cols = ["term", "seg_id", "chunk_id", "doc_id", "tf", "norm_byte"] + (
         ["positions"] if positions else []
     )
 
     def kernel(batches):
-        import pandas as pd  # noqa: F401 (worker-side)
-
         carry: pd.DataFrame | None = None
 
         def pack_block(pdf: pd.DataFrame, upto: int) -> pd.DataFrame:
             rows = []
-            tid = pdf["term_id"].values[:upto]
+            tid = pdf["term"].values[:upto]
             cid = pdf["chunk_id"].values[:upto]
             sid = pdf["seg_id"].values[:upto]
             docs = pdf["doc_id"].values[:upto].astype(np.int64)
             tfs = pdf["tf"].values[:upto]
             nbs = pdf["norm_byte"].values[:upto]
             poss = pdf["positions"].values[:upto] if positions else None
-            # group change points on the (term, seg, chunk) sorted key
             change = np.flatnonzero(
-                (np.diff(tid) != 0) | (np.diff(cid) != 0) | (np.diff(sid) != 0)
+                (tid[1:] != tid[:-1]) | (np.diff(cid) != 0) | (np.diff(sid) != 0)
             )
             starts = np.concatenate(([0], change + 1))
             ends_ = np.concatenate((change + 1, [upto]))
             for s, e in zip(starts, ends_):
                 rows.append(
                     _pack_rows(
-                        tid[s:e],
+                        tid[s],
                         int(sid[s]),
                         int(cid[s]),
                         docs[s:e],
@@ -266,13 +396,13 @@ def pack_sorted_partitions(enriched: DataFrame, positions: bool) -> DataFrame:
                 carry = None
             if len(pdf) == 0:
                 continue
-            # hold back the last (term, chunk) group — it may continue in
-            # the next Arrow batch of this partition
-            tid = pdf["term_id"].values
+            tid = pdf["term"].values
             cid = pdf["chunk_id"].values
             sid_ = pdf["seg_id"].values
             last_mask = (tid == tid[-1]) & (cid == cid[-1]) & (sid_ == sid_[-1])
-            cut = len(pdf) - int(last_mask[::-1].argmin() if not last_mask.all() else len(pdf))
+            cut = len(pdf) - int(
+                last_mask[::-1].argmin() if not last_mask.all() else len(pdf)
+            )
             if cut > 0:
                 out = pack_block(pdf, cut)
                 if len(out):
@@ -283,8 +413,8 @@ def pack_sorted_partitions(enriched: DataFrame, positions: bool) -> DataFrame:
 
     return (
         enriched.select(*cols)
-        .repartition(F.col("term_id"), F.col("chunk_id"))
-        .sortWithinPartitions("term_id", "seg_id", "chunk_id", "doc_id")
+        .repartition(F.col("term"), F.col("chunk_id"))
+        .sortWithinPartitions("term", "seg_id", "chunk_id", "doc_id")
         .mapInPandas(kernel, schema=POSTINGS_SCHEMA)
     )
 
@@ -295,6 +425,13 @@ def _norm_byte_udf():
         return pd.Series(encode_norm(dl.values).astype(np.int32))
 
     return enc
+
+
+def terms_ttf_col() -> F.Column:
+    """Σ tfs of a posting row as a JVM expression (no Python)."""
+    return F.aggregate(
+        F.col("tfs"), F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
 
 
 def build_index(
@@ -314,20 +451,20 @@ def build_index(
     os.makedirs(out_dir, exist_ok=True)
 
     # --- 1. dedup: updateDocument semantics = delete-by-key + re-add
-    # (IndexWriter.java:1187) → keep the newest warc_ts per url
+    # (IndexWriter.java:1187) → keep the newest warc_ts per url. max_by hash
+    # agg (map-side combinable), not a row_number window (sort shuffle, no
+    # partial); ties broken deterministically by (ts, text).
     src = pages.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     if ts_col is not None:
-        # max_by aggregation, NOT a row_number window: hash agg does
-        # map-side partial combining (a window sort-shuffles every row with
-        # no partial). Ordering key struct(ts, text) keeps ties deterministic.
         src = src.groupBy(key_col).agg(
-            F.max_by(
-                F.col(text_col), F.struct(F.col(ts_col), F.col(text_col))
-            ).alias(text_col)
+            F.max_by(F.col(text_col), F.struct(F.col(ts_col), F.col(text_col))).alias(
+                text_col
+            )
         )
 
-    # --- 2. deterministic docIDs = global url rank (parquet-staged: the
-    # sorted corpus is read twice and caching it OOMs executors at scale)
+    # --- 2. deterministic docIDs = global url rank (parquet-staged; the
+    # sorted corpus is read by two downstream passes and caching it in
+    # executors OOMs at scale)
     ids_staging = os.path.join(out_dir, "_staging_ids")
     with_ids = assign_dense_ids(
         src.select(key_col, text_col),
@@ -336,46 +473,21 @@ def build_index(
         staging_dir=ids_staging,
     )
 
-    # --- 3+4. tokenize (JVM) + per-doc inversion (Arrow kernel) in ONE
-    # map-side pass: (doc_id, term, tf, positions), no wide JVM aggregation
-    term_doc = invert_tokens(with_ids, text_col, positions)
-    # term_doc is reused by 3 downstream jobs (doc lengths, term stats,
-    # postings pack). Stage it as parquet rather than .persist(): at CC
-    # scale this is hundreds of GB of (term, doc, positions) rows, and
-    # Spark's cache serializer builds columnar batches in executor heap
-    # (observed OOM at 2M docs x 8g executors even with DISK_ONLY), while a
-    # parquet staging table is written streaming and read back compressed.
-    staging = os.path.join(out_dir, "_staging_term_doc")
-    term_doc.write.mode("overwrite").parquet(staging)
-    term_doc = spark.read.parquet(staging)
-
-    # doc length = Σ tf (post-stop, DocInverterPerField.java:172); docs whose
-    # tokens were all stopwords/empty get dl=0 via the left join
-    dl_nonempty = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    docs_tbl = (
-        with_ids.select("doc_id", F.col(key_col))
-        .join(dl_nonempty, "doc_id", "left")
-        .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)).cast("long"))
-        .select(
-            "doc_id",
-            key_col,
-            "dl",
-            _norm_byte_udf()(F.col("dl")).alias("norm_byte"),
-        )
-    )
+    # --- 3. docs table: post-stop length (JVM expression) + norm byte —
+    # a map-only pass over the staged corpus, no joins
+    docs_tbl = with_ids.select(
+        "doc_id",
+        key_col,
+        doc_length_col(F.col(text_col)).cast("long").alias("dl"),
+    ).withColumn("norm_byte", _norm_byte_udf()(F.col("dl")))
     # docs live under seg=bulk so NRT appends (docs/seg=N) share the layout
     docs_tbl.write.mode("overwrite").parquet(os.path.join(paths.docs, "seg=bulk"))
     docs_tbl = spark.read.parquet(paths.docs)
 
-    # one aggregation job for the collection statistics
-    totals = docs_tbl.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
-    ).head()
+    totals = docs_tbl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).head()
     max_doc = int(totals["n"])
     sum_ttf = int(totals["t"] or 0)
     seg_span = max(1, math.ceil(max_doc / num_segments))
-    # per-segment doc counts + token totals → lineage metrics (second job
-    # only needed for multi-segment builds)
     if num_segments == 1:
         seg_doc_stats = {0: (max_doc, sum_ttf)}
     else:
@@ -388,25 +500,14 @@ def build_index(
             .collect()
         }
 
-    # --- 5. term dictionary with deterministic termIDs (global term rank)
-    term_stats = term_doc.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf")
-    )
-    terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
-    terms_tbl.write.mode("overwrite").parquet(paths.terms)
-    terms_tbl = spark.read.parquet(paths.terms)
+    # --- 4. DWPT pass: invert + pack partial posting rows, staged once
+    partials_staging = os.path.join(out_dir, "_staging_partials")
+    invert_and_pack_partials(
+        with_ids, text_col, seg_span, chunk_span, positions
+    ).write.mode("overwrite").parquet(partials_staging)
+    partials = spark.read.parquet(partials_staging)
 
-    # --- 6. postings: join termIDs + norms, chunk, pack
-    enriched = (
-        term_doc.join(terms_tbl.select("term", "term_id"), "term")
-        .join(docs_tbl.select("doc_id", "norm_byte"), "doc_id")
-        .withColumn("seg_id", (F.col("doc_id") / F.lit(seg_span)).cast("int"))
-        .withColumn("chunk_id", (F.col("doc_id") / F.lit(chunk_span)).cast("long"))
-    )
-
-    if num_segments > 1:
-        enriched = enriched.persist()
-
+    # --- 5. per-segment sort-merge of partials → postings
     done_segs: set[int] = set()
     if resume and os.path.exists(paths.lineage):
         done_segs = {
@@ -420,22 +521,27 @@ def build_index(
     for seg in range(num_segments):
         if seg in done_segs:
             continue
-        seg_rows = enriched.where(F.col("seg_id") == seg)
-        packed = pack_sorted_partitions(seg_rows, positions=positions)
-        # pack input is sorted (term_id, seg, chunk, doc) within partitions
-        # and mapInPandas preserves order, so rows arrive term-sorted — no
-        # extra sort of the (multi-MB) packed rows before write
-        packed.write.mode("overwrite").parquet(
-            os.path.join(paths.postings, f"seg_id={seg}")
+        merged = (
+            partials.where(F.col("seg_id") == seg)
+            .groupBy("term", "chunk_id")
+            .applyInPandas(recombine_partials, schema=POSTINGS_SCHEMA)
+            .withColumn("seg_id", F.lit(seg).cast("int"))
+        )
+        # sort merged rows by term for parquet row-group pruning at query
+        (
+            merged.repartition(F.col("term"))
+            .sortWithinPartitions("term", "chunk_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(paths.postings, f"seg_id={seg}"))
         )
         seg_df = spark.read.parquet(os.path.join(paths.postings, f"seg_id={seg}"))
         lineage_row = (
             seg_df.agg(
                 F.min("first_doc").alias("doc_id_min"),
                 F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
-                F.count_distinct("term_id").alias("term_count"),
+                F.count_distinct("term").alias("term_count"),
                 F.sum("df_chunk").alias("row_count"),
-                (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
+                (F.sum("df_chunk") * 8).alias("posting_bytes"),
             )
             .withColumn("seg_id", F.lit(seg))
             .withColumn("status", F.lit("complete"))
@@ -444,6 +550,17 @@ def build_index(
             .withColumn("ttf", F.lit(seg_doc_stats.get(seg, (0, 0))[1]))
         )
         lineage_row.write.mode("append").parquet(paths.lineage)
+
+    # --- 6. term dictionary (term, termID=global term rank, df, ttf),
+    # derived from the written postings — no extra pipeline pass
+    postings_all = spark.read.option("basePath", paths.postings).parquet(
+        os.path.join(paths.postings, "seg_id=*")
+    )
+    term_stats = postings_all.groupBy("term").agg(
+        F.sum("df_chunk").alias("df"), F.sum(terms_ttf_col()).alias("ttf")
+    )
+    terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
+    terms_tbl.write.mode("overwrite").parquet(paths.terms)
 
     with open(paths.stats, "w") as fh:
         json.dump(
@@ -459,8 +576,6 @@ def build_index(
             fh,
         )
     spark.catalog.clearCache()
-    import shutil
-
-    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(partials_staging, ignore_errors=True)
     shutil.rmtree(ids_staging, ignore_errors=True)
     return paths

@@ -11,7 +11,7 @@ Reference semantics being reproduced:
   global url ranks), so no remap is needed — the merge of k segments'
   postings for one term is a concatenation in doc order followed by
   re-delta-encoding. Spark expression: union the segment parquet dirs,
-  `groupBy(term_id, chunk_id).applyInPandas(recombine)` — a single shuffle
+  `groupBy(term, chunk_id).applyInPandas(recombine)` — a single shuffle
   keyed exactly like the build's pack stage, which is the sort-merge.
 
 - **Merge selection**: TieredMergePolicy picks up to `maxMergeAtOnce`
@@ -44,7 +44,7 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .build import BLOCK_SIZE, IndexPaths, POSTINGS_SCHEMA
+from .build import BLOCK_SIZE, IndexPaths, POSTINGS_SCHEMA, recombine_partials
 
 # TieredMergePolicy defaults (TieredMergePolicy.java:81-88)
 MAX_MERGE_AT_ONCE = 10
@@ -134,68 +134,6 @@ def plan_merges(
     return plans
 
 
-def _recombine(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge ≥1 posting rows of one (term_id, chunk_id) from different
-    source segments into one row: decode gaps → global docIDs, concat in
-    doc order, re-delta + rebuild 128-doc block metadata.
-
-    Segments are disjoint doc ranges, so sorting the rows by first_doc and
-    concatenating is the whole sort-merge (TermsConsumer.java:86-171 without
-    the remap)."""
-    pdf = pdf.sort_values("first_doc")
-    docs_parts, tf_parts, nb_parts, pos_parts = [], [], [], []
-    for r in pdf.itertuples(index=False):
-        gaps = np.asarray(r.doc_gaps, dtype=np.int64)
-        docs_parts.append(gaps.cumsum() + r.first_doc)
-        tf_parts.append(np.asarray(r.tfs, dtype=np.int32))
-        nb_parts.append(np.asarray(r.norm_bytes, dtype=np.int32))
-        pos_parts.append(r.pos_flat)
-
-    docs = np.concatenate(docs_parts)
-    tfs = np.concatenate(tf_parts)
-    nbs = np.concatenate(nb_parts)
-    has_pos = all(p is not None for p in pos_parts)
-    pos_flat = (
-        np.concatenate([np.asarray(p, dtype=np.int32) for p in pos_parts])
-        if has_pos
-        else None
-    )
-
-    gaps = np.empty_like(docs)
-    gaps[0] = 0
-    gaps[1:] = np.diff(docs)
-
-    n = len(docs)
-    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    ends = np.minimum((np.arange(nblocks) + 1) * BLOCK_SIZE, n) - 1
-    return pd.DataFrame(
-        {
-            "term_id": [int(pdf["term_id"].iloc[0])],
-            "seg_id": [int(pdf["seg_id"].iloc[0])],  # overwritten by caller
-            "chunk_id": [int(pdf["chunk_id"].iloc[0])],
-            "first_doc": [int(docs[0])],
-            "df_chunk": [n],
-            "doc_gaps": [gaps.astype(np.int32)],
-            "tfs": [tfs],
-            "norm_bytes": [nbs],
-            "skip_last_doc": [docs[ends]],
-            "block_max_tf": [
-                np.array(
-                    [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-                    dtype=np.int32,
-                )
-            ],
-            "block_max_nb": [
-                np.array(
-                    [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-                    dtype=np.int32,
-                )
-            ],
-            "pos_flat": [pos_flat],
-        }
-    )
-
-
 def merge_segments(
     spark: SparkSession,
     paths: IndexPaths | str,
@@ -220,8 +158,8 @@ def merge_segments(
     union = spark.read.parquet(*srcs)
 
     merged = (
-        union.groupBy("term_id", "chunk_id")
-        .applyInPandas(_recombine, schema=POSTINGS_SCHEMA)
+        union.groupBy("term", "chunk_id")
+        .applyInPandas(recombine_partials, schema=POSTINGS_SCHEMA)
         .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
     )
     out_dir = os.path.join(paths.postings, f"seg_id={new_seg_id}")
@@ -229,8 +167,8 @@ def merge_segments(
     # min/max stats stay tight for query-side term pruning (rows are
     # ≤ chunk_span docs ≈ 1-2 MB, safe to sort)
     (
-        merged.repartition(F.col("term_id"))
-        .sortWithinPartitions("term_id", "chunk_id")
+        merged.repartition(F.col("term"))
+        .sortWithinPartitions("term", "chunk_id")
         .write.mode("overwrite")
         .parquet(out_dir)
     )
@@ -253,7 +191,7 @@ def merge_segments(
         seg_df.agg(
             F.min("first_doc").alias("doc_id_min"),
             F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
-            F.count_distinct("term_id").alias("term_count"),
+            F.count_distinct("term").alias("term_count"),
             F.sum("df_chunk").alias("row_count"),
             (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
         )

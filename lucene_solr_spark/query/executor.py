@@ -6,7 +6,7 @@ scorer trees from BooleanQuery.java:302-364) onto Spark plans:
 - term dictionary lookup  → driver-side filter of the `terms` table
   (BlockTree in-RAM FST analog: tiny broadcastable lookup per query)
 - TermScorer              → scan postings rows for the termIDs (parquet
-  row-group pruning on sorted term_id), numpy kernel per row: cumsum gaps →
+  row-group pruning on the sorted term column), numpy kernel per row: cumsum gaps →
   docIDs, score = weight * tf / (tf + cache[norm_byte])   — float32, same
   factorization as BM25Similarity.java:228-237
 - BooleanQuery SHOULD sum → groupBy(doc).sum(score) (DisjunctionSumScorer)
@@ -145,44 +145,44 @@ class Searcher:
 
     # --- scoring scan -----------------------------------------------------
     def _scored(self, tinfo: pd.DataFrame) -> DataFrame:
-        """(doc_id, term_id, score float) for every posting of the query
+        """(doc_id, term, score float) for every posting of the query
         terms. One scan, numpy kernels, no joins (norms are in the rows)."""
         if tinfo.empty:
-            return self.spark.createDataFrame([], "doc_id long, term_id long, score float")
+            return self.spark.createDataFrame([], "doc_id long, term string, score float")
         weights = {
-            int(tid): np.float32(bm25_idf(int(df_), self.stats.max_doc) * (K1 + np.float32(1.0)))
-            for tid, df_ in zip(tinfo["term_id"], tinfo["df"])
+            str(t): np.float32(bm25_idf(int(df_), self.stats.max_doc) * (K1 + np.float32(1.0)))
+            for t, df_ in zip(tinfo["term"], tinfo["df"])
         }
         cache = norm_cache(self.stats)
-        tids = sorted(weights)
+        qterms = sorted(weights)
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                out_doc, out_tid, out_score = [], [], []
+                out_doc, out_term, out_score = [], [], []
                 for row in pdf.itertuples(index=False):
                     gaps = np.asarray(row.doc_gaps, dtype=np.int64)
                     docs = row.first_doc + np.cumsum(gaps)
                     tfs = np.asarray(row.tfs, dtype=np.float32)
                     nbs = np.asarray(row.norm_bytes, dtype=np.int64)
-                    w = np.float32(weights[int(row.term_id)])
+                    w = np.float32(weights[row.term])
                     scores = (w * tfs / (tfs + cache[nbs])).astype(np.float32)
                     out_doc.append(docs)
-                    out_tid.append(np.full(len(docs), row.term_id, dtype=np.int64))
+                    out_term.extend([row.term] * len(docs))
                     out_score.append(scores)
                 yield pd.DataFrame(
                     {
                         "doc_id": np.concatenate(out_doc),
-                        "term_id": np.concatenate(out_tid),
+                        "term": out_term,
                         "score": np.concatenate(out_score),
                     }
                 )
 
-        rows = self.postings.where(F.col("term_id").isin(tids)).select(
-            "term_id", "first_doc", "doc_gaps", "tfs", "norm_bytes"
+        rows = self.postings.where(F.col("term").isin(qterms)).select(
+            "term", "first_doc", "doc_gaps", "tfs", "norm_bytes"
         )
-        return rows.mapInPandas(kernel, schema="doc_id long, term_id long, score float")
+        return rows.mapInPandas(kernel, schema="doc_id long, term string, score float")
 
     # --- block-max WAND (lossless pruned top-k) ---------------------------
     def search_wand(self, query: str | list[str], k: int = 10) -> DataFrame:
@@ -219,25 +219,21 @@ class Searcher:
             return self.spark.createDataFrame([], "doc_id long, score float")
 
         weights = {
-            int(tid): float(
+            str(t): float(
                 np.float32(bm25_idf(int(df_), self.stats.max_doc) * (K1 + np.float32(1.0)))
             )
-            for tid, df_ in zip(tinfo["term_id"], tinfo["df"])
+            for t, df_ in zip(tinfo["term"], tinfo["df"])
         }
         cache = norm_cache(self.stats)
-        tids = sorted(weights)
+        qterms = sorted(weights)
 
-        rows = self.postings.where(F.col("term_id").isin(tids))
+        rows = self.postings.where(F.col("term").isin(qterms))
         cache_arr = F.array(*[F.lit(float(c)) for c in cache.tolist()])
         w_col = F.element_at(
             F.create_map(
-                *[
-                    c
-                    for tid in tids
-                    for c in (F.lit(tid).cast("long"), F.lit(weights[tid]))
-                ]
+                *[c for t in qterms for c in (F.lit(t), F.lit(weights[t]))]
             ),
-            F.col("term_id"),
+            F.col("term"),
         )
         # per-block bound, then max over the row's blocks — all JVM exprs
         block_bounds = F.zip_with(
@@ -246,7 +242,7 @@ class Searcher:
             lambda t, c: w_col * t / (t + c),
         )
         bounds = rows.select(
-            "term_id",
+            "term",
             "chunk_id",
             F.array_max(block_bounds).alias("row_ub"),
         )
@@ -307,29 +303,29 @@ class Searcher:
                         starts[1:] = last[:-1] + 1  # blocks are doc-sorted
                         bmtf = np.asarray(row.block_max_tf, dtype=np.float64)
                         bmnb = np.asarray(row.block_max_nb, dtype=np.int64)
-                        ub = float(w32[int(row.term_id)]) * bmtf / (bmtf + cache[bmnb])
+                        ub = float(w32[row.term]) * bmtf / (bmtf + cache[bmnb])
                         b_lo = starts // bucket_span
                         b_hi = last // bucket_span
                         # expand each block to the buckets it spans
                         reps = (b_hi - b_lo + 1).astype(np.int64)
                         bkt = np.repeat(b_lo, reps) + _ranges(reps)
                         out_b.append(bkt)
-                        out_t.append(np.full(len(bkt), row.term_id, dtype=np.int64))
+                        out_t.extend([row.term] * len(bkt))
                         out_ub.append(np.repeat(ub, reps))
                     if out_b:
                         yield pd.DataFrame(
                             {
                                 "bucket": np.concatenate(out_b),
-                                "term_id": np.concatenate(out_t),
+                                "term": out_t,
                                 "ub": np.concatenate(out_ub),
                             }
                         )
 
             bb = rows.select(
-                "term_id", "first_doc", "skip_last_doc", "block_max_tf", "block_max_nb"
-            ).mapInPandas(bucket_bounds, schema="bucket long, term_id long, ub double")
+                "term", "first_doc", "skip_last_doc", "block_max_tf", "block_max_nb"
+            ).mapInPandas(bucket_bounds, schema="bucket long, term string, ub double")
             per_bucket = (
-                bb.groupBy("bucket", "term_id")
+                bb.groupBy("bucket", "term")
                 .agg(F.max("ub").alias("ub"))
                 .groupBy("bucket")
                 .agg(F.sum("ub").alias("ub"))
@@ -358,7 +354,7 @@ class Searcher:
                         if not mask.any():
                             continue
                         docs, tfs, nbs = docs[mask], tfs[mask], nbs[mask]
-                    w = w32[int(row.term_id)]
+                    w = w32[row.term]
                     out_doc.append(docs)
                     out_score.append((w * tfs / (tfs + cache[nbs])).astype(np.float32))
                 if out_doc:
@@ -367,7 +363,7 @@ class Searcher:
                     )
 
         return rows.select(
-            "term_id", "first_doc", "doc_gaps", "tfs", "norm_bytes"
+            "term", "first_doc", "doc_gaps", "tfs", "norm_bytes"
         ).mapInPandas(kernel, schema="doc_id long, score float")
 
     def _topk(self, scored_docs: DataFrame, k: int) -> DataFrame:
@@ -397,14 +393,14 @@ class Searcher:
         if any(t not in found for t in must) or tinfo.empty:
             return self.spark.createDataFrame([], "doc_id long, score float")
 
-        must_ids = set(int(r.term_id) for r in tinfo.itertuples() if r.term in set(must))
+        must_terms = sorted({r.term for r in tinfo.itertuples() if r.term in set(must)})
         per_term = self._scored(tinfo)
         agg = per_term.groupBy("doc_id").agg(
             F.sum("score").cast("float").alias("score"),
-            F.count(F.when(F.col("term_id").isin(sorted(must_ids)), 1)).alias("n_must"),
+            F.count(F.when(F.col("term").isin(must_terms), 1)).alias("n_must"),
             F.count(F.lit(1)).alias("n_matched"),
         )
-        cond = F.col("n_must") == len(must_ids)
+        cond = F.col("n_must") == len(must_terms)
         if min_should_match > 0:
             cond = cond & (F.col("n_matched") - F.col("n_must") >= min_should_match)
         matched = agg.where(cond)
@@ -495,9 +491,6 @@ class Searcher:
         for c in scoring:
             if c.occur == MUST and c.kind == "term" and c.terms[0] not in found:
                 return empty
-        tid_by_term = (
-            {r.term: int(r.term_id) for r in tinfo.itertuples()} if tinfo is not None else {}
-        )
         scored_terms = (
             self._scored(tinfo[tinfo["term"].isin(found)])
             if tinfo is not None and found
@@ -511,7 +504,7 @@ class Searcher:
                 if c.terms[0] not in found:
                     continue  # unmatched SHOULD term
                 df_c = scored_terms.where(
-                    F.col("term_id") == tid_by_term[c.terms[0]]
+                    F.col("term") == c.terms[0]
                 ).select("doc_id", "score")
             else:
                 df_c = self._phrase_scored(c.terms)
@@ -574,8 +567,8 @@ class Searcher:
         if not terms:
             return None
         tinfo = self.lookup_terms(terms)
-        by_term = {r.term: int(r.term_id) for r in tinfo.itertuples()}
-        if any(t not in by_term for t in terms):
+        found_terms = set(tinfo["term"])
+        if any(t not in found_terms for t in terms):
             return None
 
         # phrase weight: summed idf (BM25Similarity.java:185-198)
@@ -587,31 +580,31 @@ class Searcher:
         )
         weight = np.float32(idf_sum * (K1 + np.float32(1.0)))
         cache = norm_cache(self.stats)
-        offsets = {}  # term_id -> list of query offsets (handles repeated terms)
+        offsets = {}  # term -> list of query offsets (handles repeated terms)
         for i, t in enumerate(terms):
-            offsets.setdefault(by_term[t], []).append(i)
-        tids = sorted(offsets)
+            offsets.setdefault(t, []).append(i)
+        qterms = sorted(offsets)
 
         def explode_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                recs = {"doc_id": [], "term_id": [], "norm_byte": [], "positions": []}
+                recs = {"doc_id": [], "term": [], "norm_byte": [], "positions": []}
                 for row in pdf.itertuples(index=False):
                     docs = row.first_doc + np.cumsum(np.asarray(row.doc_gaps, dtype=np.int64))
                     tfs = np.asarray(row.tfs, dtype=np.int64)
                     cuts = np.cumsum(tfs)[:-1]
                     plists = np.split(np.asarray(row.pos_flat, dtype=np.int64), cuts)
                     recs["doc_id"].extend(docs.tolist())
-                    recs["term_id"].extend([row.term_id] * len(docs))
+                    recs["term"].extend([row.term] * len(docs))
                     recs["norm_byte"].extend(np.asarray(row.norm_bytes).tolist())
                     recs["positions"].extend([p.tolist() for p in plists])
                 yield pd.DataFrame(recs)
 
         pos_rows = (
-            self.postings.where(F.col("term_id").isin(tids))
-            .select("term_id", "first_doc", "doc_gaps", "tfs", "norm_bytes", "pos_flat")
+            self.postings.where(F.col("term").isin(qterms))
+            .select("term", "first_doc", "doc_gaps", "tfs", "norm_bytes", "pos_flat")
             .mapInPandas(
                 explode_positions,
-                schema="doc_id long, term_id long, norm_byte int, positions array<long>",
+                schema="doc_id long, term string, norm_byte int, positions array<long>",
             )
         )
         # conjunction prefilter, then per-doc alignment check
@@ -620,9 +613,9 @@ class Searcher:
             .agg(
                 F.count(F.lit(1)).alias("nt"),
                 F.max("norm_byte").alias("norm_byte"),
-                F.collect_list(F.struct("term_id", "positions")).alias("plists"),
+                F.collect_list(F.struct("term", "positions")).alias("plists"),
             )
-            .where(F.col("nt") == len(tids))
+            .where(F.col("nt") == len(qterms))
         )
 
         def phrase_freq(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -631,9 +624,9 @@ class Searcher:
                 for row in pdf.itertuples(index=False):
                     cand: np.ndarray | None = None
                     for entry in row.plists:
-                        tid, positions = entry["term_id"], entry["positions"]
+                        tid, positions = entry["term"], entry["positions"]
                         shifted: np.ndarray | None = None
-                        for off in offsets[int(tid)]:
+                        for off in offsets[tid]:
                             s = np.asarray(positions, dtype=np.int64) - off
                             shifted = s if shifted is None else np.intersect1d(shifted, s)
                         cand = shifted if cand is None else np.intersect1d(cand, shifted)

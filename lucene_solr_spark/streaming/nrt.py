@@ -191,10 +191,10 @@ def append_segment(
         .unionByName(new_assign)
     )
 
-    # --- postings for this segment only → postings/seg_id=N (overwrite)
+    # --- postings for this segment only → postings/seg_id=N (overwrite);
+    # postings are keyed by term string, so no dictionary join is needed here
     enriched = (
-        term_doc.join(F.broadcast(term_map), "term")
-        .join(docs_new.select("doc_id", "norm_byte"), "doc_id")
+        term_doc.join(docs_new.select("doc_id", "norm_byte"), "doc_id")
         .withColumn("seg_id", F.lit(seg_id).cast("int"))
         .withColumn("chunk_id", (F.col("doc_id") / F.lit(chunk_span)).cast("long"))
     )
@@ -234,7 +234,7 @@ def append_segment(
         seg_df.agg(
             F.min("first_doc").alias("doc_id_min"),
             F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
-            F.count_distinct("term_id").alias("term_count"),
+            F.count_distinct("term").alias("term_count"),
             F.sum("df_chunk").alias("row_count"),
             (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
         )

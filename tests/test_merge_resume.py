@@ -19,7 +19,7 @@ from lucene_solr_spark.query.executor import Searcher
 from tests.test_index_e2e import make_corpus
 
 POSTING_COLS = [
-    "term_id",
+    "term",
     "chunk_id",
     "first_doc",
     "df_chunk",
@@ -38,7 +38,7 @@ def _posting_snapshot(spark, paths):
         spark.read.option("basePath", paths.postings)
         .parquet(os.path.join(paths.postings, "seg_id=*"))
         .select(*POSTING_COLS)
-        .orderBy("term_id", "chunk_id", "first_doc")
+        .orderBy("term", "chunk_id", "first_doc")
     )
     return [tuple(map(_canon, row)) for row in df.collect()]
 

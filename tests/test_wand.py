@@ -56,9 +56,8 @@ def test_wand_prunes_chunks(wand_index, spark):
     """The bound pass must actually drop chunks for a selective query."""
     s = wand_index
     terms = ["rare1"]
-    tinfo = s.lookup_terms(terms)
     total_chunks = (
-        s.postings.where(s.postings.term_id.isin([int(t) for t in tinfo["term_id"]]))
+        s.postings.where(s.postings.term.isin(terms))
         .select("chunk_id")
         .distinct()
         .count()
