@@ -449,6 +449,8 @@ def build_index(
     """Build (or resume) the full inverted index under `out_dir`."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # fat posting/partial rows → small columnar reader batches (see session.py)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
 
     # --- 1. dedup: updateDocument semantics = delete-by-key + re-add
     # (IndexWriter.java:1187) → keep the newest warc_ts per url. max_by hash

@@ -146,6 +146,7 @@ def merge_segments(
     removed last — a crash at any point leaves a readable index (the old
     lineage rows are only superseded after the new segment exists)."""
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
     if new_seg_id is None:
         existing = [
             int(d.split("=", 1)[1])

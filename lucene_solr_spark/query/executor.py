@@ -57,6 +57,8 @@ class Searcher:
         self.spark = spark
         self.paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
         self._cache_terms = cache_terms
+        # fat posting rows → small columnar reader batches
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
         self.reopen()
 
     def reopen(self) -> "Searcher":

@@ -32,6 +32,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # posting rows carry multi-hundred-KB arrays; 4096-row columnar
+        # reader batches cannot reserve contiguous buffers for them
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -118,6 +118,7 @@ def append_segment(
     empty) index at `paths`. Returns the seg_id written (or skipped)."""
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     os.makedirs(paths.root, exist_ok=True)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
 
     doc_base, prior_ttf, completed = prior_state(spark, paths)
     if seg_id is None:
