@@ -38,6 +38,7 @@ n_exec = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
 spark = (
     SparkSession.builder.master(f"local-cluster[{{n_exec}},4,10240]")
     .appName(f"scale-{{n_exec}}ex")
+    .config("spark.sql.parquet.columnarReaderBatchSize", "128")
     .config("spark.sql.shuffle.partitions", "256")  # sized to the DATA (2M docs x ~250 tokens), identical at both cluster sizes
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
