@@ -504,9 +504,11 @@ def build_index(
 
     # --- 4. DWPT pass: invert + pack partial posting rows, staged once
     partials_staging = os.path.join(out_dir, "_staging_partials")
+    # 32 MB row groups: posting rows are huge, and oversized row groups (from
+    # lagging size estimation on fat rows) OOM the vectored parquet reader
     invert_and_pack_partials(
         with_ids, text_col, seg_span, chunk_span, positions
-    ).write.mode("overwrite").parquet(partials_staging)
+    ).write.mode("overwrite").option("parquet.block.size", str(32 * 1024 * 1024)).parquet(partials_staging)
     partials = spark.read.parquet(partials_staging)
 
     # --- 5. per-segment sort-merge of partials → postings
@@ -534,6 +536,7 @@ def build_index(
             merged.repartition(F.col("term"))
             .sortWithinPartitions("term", "chunk_id")
             .write.mode("overwrite")
+            .option("parquet.block.size", str(32 * 1024 * 1024))
             .parquet(os.path.join(paths.postings, f"seg_id={seg}"))
         )
         seg_df = spark.read.parquet(os.path.join(paths.postings, f"seg_id={seg}"))

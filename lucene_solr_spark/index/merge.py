@@ -171,6 +171,7 @@ def merge_segments(
         merged.repartition(F.col("term"))
         .sortWithinPartitions("term", "chunk_id")
         .write.mode("overwrite")
+        .option("parquet.block.size", str(32 * 1024 * 1024))
         .parquet(out_dir)
     )
 

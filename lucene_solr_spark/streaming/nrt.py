@@ -201,7 +201,7 @@ def append_segment(
     )
     packed = pack_sorted_partitions(enriched, positions=True)
     seg_dir = os.path.join(paths.postings, f"seg_id={seg_id}")
-    packed.write.mode("overwrite").parquet(seg_dir)
+    packed.write.mode("overwrite").option("parquet.block.size", str(32 * 1024 * 1024)).parquet(seg_dir)
 
     # --- docs for this batch → docs/seg=N (overwrite: replay-safe)
     docs_new.write.mode("overwrite").parquet(os.path.join(paths.docs, f"seg={seg_id}"))
