@@ -45,6 +45,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from .build import BLOCK_SIZE, IndexPaths, POSTINGS_SCHEMA, recombine_partials
+from .lineage import gc_superseded, latest_rows, read_lineage
 
 # TieredMergePolicy defaults (TieredMergePolicy.java:81-88)
 MAX_MERGE_AT_ONCE = 10
@@ -143,10 +144,14 @@ def merge_segments(
     """Compact `seg_ids` into one new segment. Returns the new seg_id.
 
     Write-once discipline: new dir written first, lineage appended, old dirs
-    removed last — a crash at any point leaves a readable index (the old
-    lineage rows are only superseded after the new segment exists)."""
+    removed last. Readers resolve segments through lineage (Searcher.reopen
+    reads only live segments' dirs), so a crash after the lineage append but
+    before the source rmtree cannot double-count postings; the orphaned dirs
+    are garbage-collected here on the next merge (gc_superseded)."""
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    # startup GC: clear dirs a previous crash left superseded-but-present
+    gc_superseded(spark, paths.postings, paths.lineage)
     if new_seg_id is None:
         existing = [
             int(d.split("=", 1)[1])
@@ -178,7 +183,7 @@ def merge_segments(
     # lineage: new segment row + superseded markers, all in one append;
     # n_docs/ttf of the merged segment = sum over its sources (doc ranges
     # are disjoint, so the metrics are additive)
-    lineage = spark.read.parquet(paths.lineage)
+    lineage = read_lineage(spark, paths.lineage)
     src_rows = lineage.where(
         F.col("seg_id").isin([int(s) for s in seg_ids]) & (F.col("status") == "complete")
     )
@@ -208,7 +213,9 @@ def merge_segments(
     superseded = src_rows.withColumn("status", F.lit("superseded")).withColumn(
         "built_at_snapshot", F.lit(int(time.time() * 1000))
     )
-    new_row.unionByName(superseded).write.mode("append").parquet(paths.lineage)
+    new_row.unionByName(superseded, allowMissingColumns=True).write.mode(
+        "append"
+    ).parquet(paths.lineage)
 
     for s in srcs:
         shutil.rmtree(s, ignore_errors=True)
@@ -224,7 +231,7 @@ def compact(spark: SparkSession, paths: IndexPaths | str, **policy_kwargs) -> li
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     new_ids: list[int] = []
     while True:
-        lineage = spark.read.parquet(paths.lineage)
+        lineage = read_lineage(spark, paths.lineage)
         live = _live_segments(lineage)
         plans = plan_merges(live, **policy_kwargs)
         if not plans:
@@ -236,11 +243,7 @@ def compact(spark: SparkSession, paths: IndexPaths | str, **policy_kwargs) -> li
 def _live_segments(lineage_df) -> list[SegmentInfo]:
     """Segments whose latest lineage row is `complete` (not superseded)."""
     pdf = (
-        lineage_df.groupBy("seg_id")
-        .agg(
-            F.max_by("status", "built_at_snapshot").alias("status"),
-            F.max("posting_bytes").alias("posting_bytes"),
-        )
+        latest_rows(lineage_df)
         .where(F.col("status") == "complete")
         .toPandas()
     )

@@ -80,10 +80,39 @@ class Searcher:
             from pyspark.storagelevel import StorageLevel
 
             self.terms = self.terms.persist(StorageLevel.MEMORY_AND_DISK)
+        # lineage-aware segment resolution: only segments whose latest lineage
+        # row is 'complete' are read, so a crash between a merge's lineage
+        # append and its source-dir removal cannot double-count postings
+        # (SegmentInfos-generation semantics; see index/lineage.py)
+        from ..index.lineage import live_seg_ids
+
+        live = live_seg_ids(self.spark, self.paths.lineage)
+        if live is None:
+            seg_glob = [os.path.join(self.paths.postings, "seg_id=*")]
+        else:
+            seg_glob = [
+                os.path.join(self.paths.postings, f"seg_id={s}")
+                for s in live
+                if os.path.exists(os.path.join(self.paths.postings, f"seg_id={s}"))
+            ]
         self.postings = self.spark.read.option("basePath", self.paths.postings).parquet(
-            os.path.join(self.paths.postings, "seg_id=*")
+            *seg_glob
         )
+        self._deletes = None
+        deletes_dir = os.path.join(self.paths.root, "deletes")
+        if os.path.exists(deletes_dir):
+            tomb = self.spark.read.parquet(deletes_dir).select("doc_id").distinct()
+            if tomb.limit(1).count() > 0:
+                self._deletes = F.broadcast(tomb)
         return self
+
+    def _drop_deleted(self, scored: DataFrame) -> DataFrame:
+        """Apply liveDocs: anti-join scored/matched docs against the tombstone
+        table (BufferedDeletesStream semantics — deletes are live at search
+        time, physically reclaimed at merge)."""
+        if self._deletes is None:
+            return scored
+        return scored.join(self._deletes, "doc_id", "left_anti")
 
     # --- stored fields / doc sets / facets --------------------------------
     def fetch_docs(self, hits: DataFrame, source: DataFrame | None = None,
@@ -104,7 +133,7 @@ class Searcher:
         tinfo = self.lookup_terms(terms)
         if tinfo.empty:
             return self.spark.createDataFrame([], "doc_id long")
-        return self._scored(tinfo).select("doc_id").distinct()
+        return self._drop_deleted(self._scored(tinfo).select("doc_id").distinct())
 
     def facet_field(
         self,
@@ -187,9 +216,25 @@ class Searcher:
         return rows.mapInPandas(kernel, schema="doc_id long, term string, score float")
 
     # --- block-max WAND (lossless pruned top-k) ---------------------------
+    @staticmethod
+    def _pad_theta(theta: float) -> float:
+        """θ lowered by two float32 ulps for pruning comparisons: block/chunk
+        upper bounds are evaluated in double while real scores round through
+        float32 (one multiply + one divide), so a doc attaining its block
+        maxima can exceed the double bound by up to ~2 ulps. Comparing bounds
+        against the padded θ keeps the pruning provably lossless."""
+        if theta == float("-inf"):
+            return theta
+        t = np.float32(theta)
+        t = np.nextafter(t, np.float32("-inf"))
+        t = np.nextafter(t, np.float32("-inf"))
+        return float(t)
+
     def search_wand(self, query: str | list[str], k: int = 10) -> DataFrame:
-        """Top-k disjunction with block-max pruning, guaranteed identical to
-        exhaustive scoring (`search`).
+        """Top-k disjunction with block-max pruning, rank- and
+        score-identical to exhaustive scoring (`search`) — bounds are
+        compared against a θ padded by 2 float32 ulps (`_pad_theta`) so
+        float32 rounding can never prune a true top-k doc.
 
         The reference (Lucene 4.4) scores exhaustively into a bounded PQ
         (TopScoreDocCollector.java:40-63); WAND/BMW arrived in Lucene 8. We
@@ -248,33 +293,43 @@ class Searcher:
             "chunk_id",
             F.array_max(block_bounds).alias("row_ub"),
         )
-        chunk_ub = (
-            bounds.groupBy("chunk_id")
-            .agg(F.sum("row_ub").alias("ub"))
-            .orderBy(F.col("ub").desc())
-            .toPandas()
-        )
-        if len(chunk_ub) <= 1:
+        # chunk upper bounds STAY DISTRIBUTED (maxDoc/chunk_span rows — ~15M
+        # at 10^12 docs; never pulled to the driver). The driver only ever
+        # sees the 2-row head (seed selection) and the k-row seed result.
+        # Cached across this query's two jobs; released on the next call.
+        if getattr(self, "_wand_cache", None) is not None:
+            self._wand_cache.unpersist()
+        chunk_ub = bounds.groupBy("chunk_id").agg(F.sum("row_ub").alias("ub")).persist()
+        self._wand_cache = chunk_ub
+        head = chunk_ub.orderBy(F.col("ub").desc()).limit(2).collect()
+        if len(head) <= 1:
             return self.search(terms, k=k)
 
         # --- θ seed: exhaustive over the most promising chunk
-        seed_chunk = int(chunk_ub["chunk_id"].iloc[0])
-        seed = (
+        seed_chunk = int(head[0]["chunk_id"])
+        seed_agg = (
             self._scored_rows(rows.where(F.col("chunk_id") == seed_chunk), weights)
             .groupBy("doc_id")
             .agg(F.sum("score").cast("float").alias("score"))
+        )
+        seed = (
+            self._drop_deleted(seed_agg)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
-            .toPandas()
+            .collect()
         )
-        theta = float(seed["score"].iloc[-1]) if len(seed) >= k else float("-inf")
+        theta = float(seed[-1]["score"]) if len(seed) >= k else float("-inf")
+        theta_pad = self._pad_theta(theta)
 
-        live_chunks = [int(c) for c, u in zip(chunk_ub["chunk_id"], chunk_ub["ub"]) if u >= theta]
-        survivors = rows.where(F.col("chunk_id").isin(live_chunks))
+        # prune whole chunks by semi-join against the surviving chunk set —
+        # no driver round-trip, no literal chunk list in the plan; AQE
+        # broadcasts the (small, post-prune) build side when it can
+        live = chunk_ub.where(F.col("ub") >= theta_pad).select("chunk_id")
+        survivors = rows.join(live, "chunk_id", "left_semi")
 
         scored = self._scored_rows(survivors, weights, theta=theta)
         agg = scored.groupBy("doc_id").agg(F.sum("score").cast("float").alias("score"))
-        return self._topk(agg, k)
+        return self._topk(self._drop_deleted(agg), k)
 
     def _scored_rows(
         self,
@@ -326,18 +381,36 @@ class Searcher:
             bb = rows.select(
                 "term", "first_doc", "skip_last_doc", "block_max_tf", "block_max_nb"
             ).mapInPandas(bucket_bounds, schema="bucket long, term string, ub double")
+            # survivors only (bounds vs padded θ — lossless, see _pad_theta);
+            # capped: if pruning leaves too many buckets to broadcast, the
+            # block-level pass isn't selective enough to pay for itself and
+            # chunk-level pruning (already applied upstream) stands alone
+            max_live = 2_000_000
             per_bucket = (
                 bb.groupBy("bucket", "term")
                 .agg(F.max("ub").alias("ub"))
                 .groupBy("bucket")
                 .agg(F.sum("ub").alias("ub"))
-                .where(F.col("ub") >= float(theta))
+                .where(F.col("ub") >= self._pad_theta(float(theta)))
                 .select("bucket")
+                .limit(max_live + 1)
                 .toPandas()
             )
-            live_buckets = np.sort(per_bucket["bucket"].values.astype(np.int64))
+            if len(per_bucket) > max_live:
+                live_buckets = None
+            else:
+                live_buckets = np.sort(per_bucket["bucket"].values.astype(np.int64))
+
+        # ship the live-bucket set as a broadcast variable (once per executor,
+        # not per task closure)
+        bc_buckets = (
+            rows.sparkSession.sparkContext.broadcast(live_buckets)
+            if live_buckets is not None
+            else None
+        )
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            lb = bc_buckets.value if bc_buckets is not None else None
             for pdf in batches:
                 out_doc, out_score = [], []
                 for row in pdf.itertuples(index=False):
@@ -345,14 +418,12 @@ class Searcher:
                     docs = row.first_doc + np.cumsum(gaps)
                     tfs = np.asarray(row.tfs, dtype=np.float32)
                     nbs = np.asarray(row.norm_bytes, dtype=np.int64)
-                    if live_buckets is not None:
-                        if len(live_buckets) == 0:
+                    if lb is not None:
+                        if len(lb) == 0:
                             continue
                         bkt = docs // bucket_span
-                        idx = np.minimum(
-                            np.searchsorted(live_buckets, bkt), len(live_buckets) - 1
-                        )
-                        mask = live_buckets[idx] == bkt
+                        idx = np.minimum(np.searchsorted(lb, bkt), len(lb) - 1)
+                        mask = lb[idx] == bkt
                         if not mask.any():
                             continue
                         docs, tfs, nbs = docs[mask], tfs[mask], nbs[mask]
@@ -375,11 +446,57 @@ class Searcher:
             .select("doc_id", "score")
         )
 
+    # --- fq / filterCache (SolrIndexSearcher.java:144,1243-1352) -----------
+    def filter_docs_from_source(
+        self, source: DataFrame, predicate, key_col: str = "url"
+    ) -> DataFrame:
+        """Build a non-scoring DocSet (doc_id frame) from a predicate over
+        the source corpus — the fq evaluation step. The result composes with
+        `search(..., filter_docs=...)`; persist it via `put_filter` to get
+        filterCache reuse semantics."""
+        return (
+            source.where(predicate)
+            .select(key_col)
+            .join(self.docs.select("doc_id", key_col), key_col)
+            .select("doc_id")
+        )
+
+    def put_filter(self, key: str, docset: DataFrame) -> DataFrame:
+        """filterCache insert: persist the DocSet for reuse across queries
+        (the DocSet-per-fq cache, SolrIndexSearcher.java:144)."""
+        from pyspark.storagelevel import StorageLevel
+
+        cache = getattr(self, "_filter_cache", None)
+        if cache is None:
+            cache = self._filter_cache = {}
+        if key in cache:
+            cache[key].unpersist()
+        cache[key] = docset.select("doc_id").distinct().persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        return cache[key]
+
+    def get_filter(self, key: str) -> DataFrame | None:
+        return getattr(self, "_filter_cache", {}).get(key)
+
+    def _apply_filter(self, matched: DataFrame, filter_docs: DataFrame | None) -> DataFrame:
+        """FilteredQuery semantics (FilteredQuery.java): the filter restricts
+        RESULT docs only — collection stats (df/avgdl/norms) stay global, so
+        scores of surviving docs are unchanged."""
+        if filter_docs is None:
+            return matched
+        return matched.join(filter_docs.select("doc_id"), "doc_id", "left_semi")
+
     # --- public query surface ---------------------------------------------
-    def search(self, query: str | list[str], k: int = 10) -> DataFrame:
+    def search(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        filter_docs: DataFrame | None = None,
+    ) -> DataFrame:
         """Free-text query = BooleanQuery of SHOULD TermQuery clauses."""
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
-        return self.boolean_search(should=terms, k=k)
+        return self.boolean_search(should=terms, k=k, filter_docs=filter_docs)
 
     def boolean_search(
         self,
@@ -388,6 +505,7 @@ class Searcher:
         must_not: list[str] | None = None,
         min_should_match: int = 0,
         k: int = 10,
+        filter_docs: DataFrame | None = None,
     ) -> DataFrame:
         must, should, must_not = must or [], should or [], must_not or []
         tinfo = self.lookup_terms(must + should)
@@ -410,17 +528,57 @@ class Searcher:
         if must_not:
             neg_info = self.lookup_terms(must_not)
             if not neg_info.empty:
-                neg_docs = self._scored(neg_info).select("doc_id").distinct()
+                # excluded docs need no scores — decode doc_ids only
+                # (ReqExclScorer iterates the excluded side without scoring)
+                neg_docs = self._posting_docs(neg_info).distinct()
                 matched = matched.join(neg_docs, "doc_id", "left_anti")
-        return self._topk(matched, k)
+        matched = self._apply_filter(matched, filter_docs)
+        return self._topk(self._drop_deleted(matched), k)
+
+    def _posting_docs(self, tinfo: pd.DataFrame) -> DataFrame:
+        """doc_ids (with duplicates across terms) of all postings of the given
+        terms — the non-scoring DocIdSetIterator path: no BM25 kernel, no
+        norm lookup, just gap decode."""
+        qterms = sorted(set(tinfo["term"]))
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                    outs.append(row.first_doc + np.cumsum(gaps))
+                if outs:
+                    yield pd.DataFrame({"doc_id": np.concatenate(outs)})
+
+        rows = self.postings.where(F.col("term").isin(qterms)).select(
+            "first_doc", "doc_gaps"
+        )
+        return rows.mapInPandas(kernel, schema="doc_id long")
 
     # --- MultiTermQuery rewrites (§2.4): pattern → term set → boolean ------
-    def _rewrite_terms(self, cond) -> list[str]:
+    MAX_EXPANSIONS = 1024  # BooleanQuery.maxClauseCount analog
+
+    def _rewrite_terms(self, cond, max_expansions: int | None = None) -> list[str]:
         """Scan the term dictionary for matching terms — the
         MultiTermQuery.rewrite step (MultiTermQuery.java:333): concrete
-        terms are then executed as a SHOULD disjunction. The dictionary scan
-        is a small broadcast-sized table read, the FST-intersection analog."""
-        return [r.term for r in self.terms.where(cond).select("term").collect()]
+        terms are then executed as a SHOULD disjunction.
+
+        Expansion is CAPPED at the highest-df `max_expansions` terms, the
+        TopTermsRewrite discipline (TopTermsRewrite.java keeps a bounded
+        priority queue; BooleanQuery.maxClauseCount bounds the rewritten
+        query) — a prefix like 's' can never materialize the whole
+        dictionary into the plan. The filter itself runs distributed on the
+        persisted terms table; only the ≤cap winners reach the driver,
+        exactly as Lucene's rewrite materializes concrete terms."""
+        cap = max_expansions or self.MAX_EXPANSIONS
+        rows = (
+            self.terms.where(cond)
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(cap)
+            .collect()
+        )
+        return [r.term for r in rows]
 
     def prefix_search(self, prefix: str, k: int = 10) -> DataFrame:
         """PrefixQuery (PrefixQuery.java:96)."""
@@ -446,8 +604,18 @@ class Searcher:
 
     def fuzzy_search(self, term: str, max_edits: int = 2, k: int = 10) -> DataFrame:
         """FuzzyQuery: Levenshtein ≤ max_edits over the dictionary
-        (FuzzyQuery.java:28-76); executed as the rewritten disjunction."""
-        terms = self._rewrite_terms(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        (FuzzyQuery.java:28-76); executed as the rewritten disjunction,
+        capped at 50 expansions like FuzzyQuery.defaultMaxExpansions. A
+        length-band prefilter (|len(t)-len(q)| ≤ edits, a necessary
+        condition) is pushed to the parquet scan before the UDF-free
+        levenshtein runs."""
+        band = (F.length("term") >= len(term) - max_edits) & (
+            F.length("term") <= len(term) + max_edits
+        )
+        terms = self._rewrite_terms(
+            band & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits),
+            max_expansions=50,
+        )
         return self.boolean_search(should=terms, k=k) if terms else self._empty()
 
     def range_search(self, lower: str, upper: str, k: int = 10,
@@ -539,7 +707,7 @@ class Searcher:
                 [c.terms[0] for c in negative if c.kind == "term"]
             )
             if not neg_term_info.empty:
-                neg_docs = self._scored(neg_term_info).select("doc_id")
+                neg_docs = self._posting_docs(neg_term_info)
             for c in negative:
                 if c.kind == "phrase":
                     ph = self._phrase_scored(c.terms)
@@ -548,32 +716,105 @@ class Searcher:
                         neg_docs = sel if neg_docs is None else neg_docs.unionByName(sel)
             if neg_docs is not None:
                 matched = matched.join(neg_docs.distinct(), "doc_id", "left_anti")
-        return self._topk(matched, k)
+        return self._topk(self._drop_deleted(matched), k)
 
     # --- phrase -------------------------------------------------------------
-    def phrase_search(self, phrase: str | list[str], k: int = 10) -> DataFrame:
-        """Exact phrase: all terms at consecutive positions (stopword slots
-        in the original text break adjacency, matching Lucene's
-        position-increment semantics)."""
+    def phrase_search(
+        self,
+        phrase: str | list[str],
+        k: int = 10,
+        slop: int = 0,
+        filter_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """PhraseQuery: slop=0 → exact adjacency (stopword slots in the
+        original text break adjacency, matching Lucene's position-increment
+        semantics); slop>0 → sloppy matching with sloppyFreq weighting
+        (SloppyPhraseScorer.java; BM25Similarity.java:70-72)."""
         terms = self.analyze_query(phrase) if isinstance(phrase, str) else list(phrase)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score float")
-        scored = self._phrase_scored(terms)
+        scored = self._phrase_scored(terms, slop=slop)
         if scored is None:
             return self.spark.createDataFrame([], "doc_id long, score float")
-        return self._topk(scored, k)
+        scored = self._apply_filter(scored, filter_docs)
+        return self._topk(self._drop_deleted(scored), k)
 
-    def _phrase_scored(self, terms: list[str]) -> DataFrame | None:
-        """(doc_id, score) for every doc containing the exact phrase, or
-        None when a phrase term is missing from the dictionary."""
+    def multi_phrase_search(
+        self, slots: list[list[str]], k: int = 10, slop: int = 0
+    ) -> DataFrame:
+        """MultiPhraseQuery (MultiPhraseQuery.java): each position slot holds
+        one or more term alternatives; a match takes any alternative per
+        slot. Alternatives missing from the dictionary are dropped; a slot
+        with no surviving alternative matches nothing."""
+        scored = self._phrase_scored(slots, slop=slop)
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        return self._topk(self._drop_deleted(scored), k)
+
+    @staticmethod
+    def _sloppy_freq(slot_arrs: list, slop: int) -> float:
+        """SloppyPhraseScorer.phraseFreq (SloppyPhraseScorer.java) for the
+        repeats-free case: a PQ-driven leap-frog over offset-adjusted
+        position lists; every minimal window with spread (matchLength)
+        ≤ slop contributes sloppyFreq = 1/(matchLength+1)
+        (BM25Similarity.java:70-72) to the phrase tf."""
+        import heapq
+
+        if len(slot_arrs) == 1:
+            return float(len(slot_arrs[0]))
+        nexts = [0] * len(slot_arrs)
+        heap = [(int(a[0]), s) for s, a in enumerate(slot_arrs)]
+        heapq.heapify(heap)
+        end = max(int(a[0]) for a in slot_arrs)
+        freq = 0.0
+        pos, s = heapq.heappop(heap)
+        match_length = end - pos
+        next_pos = heap[0][0]
+        while True:
+            nexts[s] += 1
+            if nexts[s] >= len(slot_arrs[s]):
+                break
+            newpos = int(slot_arrs[s][nexts[s]])
+            if newpos > end:
+                end = newpos
+            if newpos > next_pos:
+                if match_length <= slop:
+                    freq += 1.0 / (match_length + 1)
+                heapq.heappush(heap, (newpos, s))
+                pos, s = heapq.heappop(heap)
+                next_pos = heap[0][0]
+                match_length = end - pos
+            else:
+                ml2 = end - newpos
+                if ml2 < match_length:
+                    match_length = ml2
+        if match_length <= slop:
+            freq += 1.0 / (match_length + 1)
+        return freq
+
+    def _phrase_scored(
+        self, terms: list[str] | list[list[str]], slop: int = 0
+    ) -> DataFrame | None:
+        """(doc_id, score) for every doc matching the (multi-)phrase, or
+        None when a slot has no alternative in the dictionary.
+
+        `terms` is a list of slots; a plain string element is a
+        single-alternative slot. slop=0 → exact alignment freq
+        (ExactPhraseScorer.java:29-82); slop>0 → `_sloppy_freq`. The phrase
+        tf feeds the standard BM25 formula with summed idf over the query's
+        dictionary terms (BM25Similarity.java:185-198)."""
         if not terms:
             return None
-        tinfo = self.lookup_terms(terms)
+        slots: list[list[str]] = [[t] if isinstance(t, str) else list(t) for t in terms]
+        all_terms = sorted({t for slot in slots for t in slot})
+        tinfo = self.lookup_terms(all_terms)
         found_terms = set(tinfo["term"])
-        if any(t not in found_terms for t in terms):
+        slots = [[t for t in slot if t in found_terms] for slot in slots]
+        if any(not slot for slot in slots):
             return None
 
-        # phrase weight: summed idf (BM25Similarity.java:185-198)
+        # phrase weight: summed idf over the found terms
+        # (BM25Similarity.java:185-198)
         idf_sum = np.float32(
             sum(
                 float(bm25_idf(int(r.df), self.stats.max_doc))
@@ -582,10 +823,13 @@ class Searcher:
         )
         weight = np.float32(idf_sum * (K1 + np.float32(1.0)))
         cache = norm_cache(self.stats)
-        offsets = {}  # term -> list of query offsets (handles repeated terms)
-        for i, t in enumerate(terms):
-            offsets.setdefault(t, []).append(i)
-        qterms = sorted(offsets)
+        term_slots: dict[str, list[int]] = {}  # term -> slots it may fill
+        for i, slot in enumerate(slots):
+            for t in slot:
+                term_slots.setdefault(t, []).append(i)
+        qterms = sorted(term_slots)
+        n_slots = len(slots)
+        single_alternative = all(len(s) == 1 for s in slots)
 
         def explode_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -609,7 +853,40 @@ class Searcher:
                 schema="doc_id long, term string, norm_byte int, positions array<long>",
             )
         )
-        # conjunction prefilter, then per-doc alignment check
+        if single_alternative and len(qterms) > 1:
+            # conjunction prefilter BEFORE the position shuffle: a cheap
+            # doc-id-only pass (no pos_flat decode) finds docs containing all
+            # phrase terms, so full position lists are only shuffled for
+            # candidate docs — for a phrase with one head term + one rare
+            # term this cuts the heavy shuffle from df(head) to df(rare)
+            def doc_term(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    d_out, t_out = [], []
+                    for row in pdf.itertuples(index=False):
+                        gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                        d_out.append(row.first_doc + np.cumsum(gaps))
+                        t_out.extend([row.term] * len(gaps))
+                    if d_out:
+                        yield pd.DataFrame(
+                            {"doc_id": np.concatenate(d_out), "term": t_out}
+                        )
+
+            cand = (
+                self.postings.where(F.col("term").isin(qterms))
+                .select("term", "first_doc", "doc_gaps")
+                .mapInPandas(doc_term, schema="doc_id long, term string")
+                .groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("nt"))
+                .where(F.col("nt") == len(qterms))
+                .select("doc_id")
+            )
+            pos_rows = pos_rows.join(cand, "doc_id", "left_semi")
+        # per-doc alignment check over the (bounded: ≤ len(qterms) rows/doc)
+        # collected position lists
+        # a doc needs every distinct query term (single-alternative phrases)
+        # or at least one row (alternatives verified slot-by-slot in the
+        # kernel) before the alignment check runs
+        required_nt = len(qterms) if single_alternative else 1
         grouped = (
             pos_rows.groupBy("doc_id")
             .agg(
@@ -617,30 +894,43 @@ class Searcher:
                 F.max("norm_byte").alias("norm_byte"),
                 F.collect_list(F.struct("term", "positions")).alias("plists"),
             )
-            .where(F.col("nt") == len(qterms))
+            .where(F.col("nt") >= required_nt)
         )
+
+        sloppy_fn = Searcher._sloppy_freq
 
         def phrase_freq(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in pdf_iter:
                 doc_ids, freqs, nbs = [], [], []
                 for row in pdf.itertuples(index=False):
-                    cand: np.ndarray | None = None
+                    slot_arrs: list[np.ndarray | None] = [None] * n_slots
                     for entry in row.plists:
                         tid, positions = entry["term"], entry["positions"]
-                        shifted: np.ndarray | None = None
-                        for off in offsets[tid]:
-                            s = np.asarray(positions, dtype=np.int64) - off
-                            shifted = s if shifted is None else np.intersect1d(shifted, s)
-                        cand = shifted if cand is None else np.intersect1d(cand, shifted)
-                    n = int((cand >= 0).sum()) if cand is not None else 0
-                    if n > 0:
+                        p = np.asarray(positions, dtype=np.int64)
+                        for si in term_slots[tid]:
+                            adj = p - si
+                            slot_arrs[si] = (
+                                adj
+                                if slot_arrs[si] is None
+                                else np.union1d(slot_arrs[si], adj)
+                            )
+                    if any(a is None for a in slot_arrs):
+                        continue  # some slot has no alternative in this doc
+                    if slop == 0:
+                        cand = slot_arrs[0]
+                        for a in slot_arrs[1:]:
+                            cand = np.intersect1d(cand, a)
+                        freq = float((cand >= 0).sum())
+                    else:
+                        freq = sloppy_fn(slot_arrs, slop)
+                    if freq > 0:
                         doc_ids.append(row.doc_id)
-                        freqs.append(n)
+                        freqs.append(freq)
                         nbs.append(row.norm_byte)
                 yield pd.DataFrame({"doc_id": doc_ids, "freq": freqs, "norm_byte": nbs})
 
         matches = grouped.mapInPandas(
-            phrase_freq, schema="doc_id long, freq int, norm_byte int"
+            phrase_freq, schema="doc_id long, freq double, norm_byte int"
         )
 
         def score_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -658,4 +948,6 @@ class Searcher:
         tinfo = self.lookup_terms(terms)
         if tinfo.empty:
             return 0
-        return self._scored(tinfo).select("doc_id").distinct().count()
+        return int(
+            self._drop_deleted(self._posting_docs(tinfo).distinct()).count()
+        )

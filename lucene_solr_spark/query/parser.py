@@ -31,12 +31,17 @@ from ..analysis.analyzer import standard_tokenize
 
 MUST, SHOULD, MUST_NOT = "MUST", "SHOULD", "MUST_NOT"
 
+# `+`/`-` are operators only at clause start (start-of-string or after
+# whitespace) — the classic QueryParser treats a mid-word '-' as part of the
+# term ("state-of-the-art" is NOT a prohibit clause; the analyzer later
+# splits it into its word parts as SHOULD clauses). A word may therefore
+# contain '+'/'-' after its first character.
 _TOKEN_RE = re.compile(
     r"""
-    (?P<plus>\+)
-  | (?P<minus>-)
+    (?P<plus>(?:(?<=\s)|^)\+)
+  | (?P<minus>(?:(?<=\s)|^)-)
   | (?P<phrase>"(?P<phrase_body>[^"]*)"(\^(?P<pboost>\d+(\.\d+)?))?)
-  | (?P<word>[^\s+\-"^]+(\^(?P<wboost>\d+(\.\d+)?))?)
+  | (?P<word>[^\s+\-"^][^\s"^]*(\^(?P<wboost>\d+(\.\d+)?))?)
   | (?P<space>\s+)
     """,
     re.VERBOSE,

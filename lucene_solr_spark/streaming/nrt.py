@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -52,6 +53,8 @@ from ..index.build import (
     invert_tokens,
     pack_sorted_partitions,
 )
+from ..index.docids import assign_dense_ids
+from ..index.lineage import all_seg_ids, applied_batch_ids, latest_rows, read_lineage
 
 
 def resolve_terms_dir(paths: IndexPaths, completed: set[int]) -> str | None:
@@ -67,13 +70,9 @@ def resolve_terms_dir(paths: IndexPaths, completed: set[int]) -> str | None:
 
 def _live_lineage(spark: SparkSession, paths: IndexPaths):
     """Lineage rows whose latest status is `complete` (merge-aware)."""
-    lineage = spark.read.parquet(paths.lineage)
-    latest = lineage.groupBy("seg_id").agg(
-        F.max_by("status", "built_at_snapshot").alias("status"),
-        F.max("n_docs").alias("n_docs"),
-        F.max("ttf").alias("ttf"),
+    return latest_rows(read_lineage(spark, paths.lineage)).where(
+        F.col("status") == "complete"
     )
-    return latest.where(F.col("status") == "complete")
 
 
 def prior_state(spark: SparkSession, paths: IndexPaths) -> tuple[int, int, set[int]]:
@@ -113,18 +112,38 @@ def append_segment(
     key_col: str = "url",
     ts_col: str | None = None,
     chunk_span: int = DEFAULT_CHUNK_SPAN,
+    batch_id: int | None = None,
 ) -> int:
     """Index one micro-batch as a new segment appended to an existing (or
-    empty) index at `paths`. Returns the seg_id written (or skipped)."""
+    empty) index at `paths`. Returns the seg_id written (or skipped).
+
+    batch_id vs seg_id: streaming batch ids start at 0 per checkpoint and
+    are NOT segment numbers — a replayed batch is detected by its batch_id
+    recorded in lineage (the UpdateLog replay guard), while the segment id
+    is always allocated as max(every seg_id ever recorded, complete OR
+    superseded) + 1 so it can never collide with bulk-build segments
+    (0..N-1) or compact()'s merged ids."""
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     os.makedirs(paths.root, exist_ok=True)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
 
     doc_base, prior_ttf, completed = prior_state(spark, paths)
+    if batch_id is not None and batch_id in applied_batch_ids(spark, paths.lineage):
+        # idempotent replay (UpdateLog-style): this batch already committed
+        lineage = read_lineage(spark, paths.lineage)
+        row = (
+            lineage.where(
+                (F.col("batch_id") == batch_id) & (F.col("status") == "complete")
+            )
+            .select("seg_id")
+            .head()
+        )
+        return int(row.seg_id)
     if seg_id is None:
-        seg_id = (max(completed) + 1) if completed else 0
+        ever = all_seg_ids(spark, paths.lineage)
+        seg_id = (max(ever) + 1) if ever else 0
     if seg_id in completed:
-        return seg_id  # idempotent replay (UpdateLog-style)
+        return seg_id  # idempotent replay by explicit seg_id
 
     terms_src = resolve_terms_dir(paths, completed)
     old_terms = spark.read.parquet(terms_src) if terms_src else None
@@ -144,12 +163,16 @@ def append_segment(
         )
 
     # docIDs: doc_base + rank(url within batch) — Lucene docBase semantics.
-    # Micro-batches are trigger-bounded, so a window rank is fine here; the
-    # bulk path uses the scale-out assign_dense_ids.
-    wr = Window.orderBy(key_col)
-    with_ids = src.select(key_col, text_col).withColumn(
-        "doc_id", F.row_number().over(wr).cast("long") + F.lit(doc_base - 1)
-    )
+    # Scale-out assignment (assign_dense_ids: range-partition + per-partition
+    # offsets), NOT a global window — a catch-up batch after downtime must
+    # not funnel through one task.
+    ids_staging = os.path.join(paths.root, f"_staging_nrt_ids_{seg_id}")
+    with_ids = assign_dense_ids(
+        src.select(key_col, text_col),
+        order_col=key_col,
+        id_col="doc_id",
+        staging_dir=ids_staging,
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(doc_base))
 
     term_doc = invert_tokens(with_ids, text_col, positions=True).persist()
     dl_nonempty = term_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -178,13 +201,13 @@ def append_segment(
         )
     else:
         joined = batch_stats.withColumn("term_id", F.lit(None).cast("long"))
-    wnt = Window.orderBy("term")
-    new_assign = (
-        joined.where(F.col("term_id").isNull())
-        .select("term")
-        .withColumn(
-            "term_id", F.row_number().over(wnt).cast("long") + F.lit(next_term_id - 1)
-        )
+    # new-term ids by term rank — scale-out (no single-task global window)
+    new_assign = assign_dense_ids(
+        joined.where(F.col("term_id").isNull()).select("term"),
+        order_col="term",
+        id_col="__rank",
+    ).select(
+        "term", (F.col("__rank") + F.lit(next_term_id)).cast("long").alias("term_id")
     )
     term_map = (
         joined.where(F.col("term_id").isNotNull())
@@ -244,9 +267,14 @@ def append_segment(
         .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
         .withColumn("n_docs", F.lit(int(n_new)))
         .withColumn("ttf", F.lit(int(new_ttf)))
+        .withColumn(
+            "batch_id",
+            F.lit(batch_id).cast("long") if batch_id is not None else F.lit(None).cast("long"),
+        )
     )
     lineage_row.write.mode("append").parquet(paths.lineage)
     term_doc.unpersist()
+    shutil.rmtree(ids_staging, ignore_errors=True)
 
     # stats.json: derived cache (regenerated; safe to lose)
     write_stats(
@@ -270,14 +298,17 @@ def start_nrt_stream(
     trigger_once: bool = False,
 ):
     """File-source NRT pipeline: new parquet drops in `input_dir` become
-    appended index segments. seg_id = streaming batch id (stable across
-    restarts via the checkpoint) → idempotent with the lineage guard."""
+    appended index segments. The streaming batch id (stable across restarts
+    via the checkpoint) is recorded in lineage as the replay guard; segment
+    ids are allocated independently from the lineage namespace."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        append_segment(spark, batch_df, index_dir, seg_id=int(batch_id), ts_col=ts_col)
+        # seg_id is allocated from lineage (never collides with bulk/merged
+        # segments); batch_id is only the replay guard
+        append_segment(spark, batch_df, index_dir, batch_id=int(batch_id), ts_col=ts_col)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
