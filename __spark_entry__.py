@@ -16,9 +16,12 @@ from lucene_solr_spark import gate
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    gate.register_views(spark, "/root/testdata/sf0.001")
-    return spark.sql(gate.bm25_sql("spark", ["spark", "merge", "window"], k=10))
+    """Flagship: the REAL engine path (build_index + Searcher BM25 top-k)
+    over /root/testdata/sf0.001 documents; driver checks rows>0."""
+    from lucene_solr_spark.gate_engine import _engine_searcher, _to_orig
+
+    s = _engine_searcher(spark, "/root/testdata/sf0.001")
+    return _to_orig(s, s.search(["spark", "merge", "window"], k=10), ranked=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

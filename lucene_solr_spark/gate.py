@@ -644,7 +644,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from . import gate_ext  # noqa: F401  (registers _DF_REGISTRY entries)
+    from . import gate_engine, gate_ext  # noqa: F401  (register _DF_REGISTRY entries)
 
     def make(name: str):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,7 +659,7 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sqls() -> dict[str, str]:
-    from . import gate_ext  # noqa: F401
+    from . import gate_engine, gate_ext  # noqa: F401
 
     out = {name: fn("duckdb") for name, fn in _REGISTRY.items()}
     out.update(
