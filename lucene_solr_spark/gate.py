@@ -62,12 +62,12 @@ def _rlike(col: str, pattern: str, dialect: str) -> str:
     return f"REGEXP_MATCHES({col}, '{pattern}')"
 
 
-def tok_cte(dialect: str, stop_filter: bool = True) -> str:
+def tok_cte(dialect: str, stop_filter: bool = True, text_expr: str = "text") -> str:
     """(doc_id, pos, term) rows for `documents`, 0-based pre-stop positions.
 
     Reproduces the analysis chain (StandardTokenizer → lower → stop) with
-    stopwords consuming positions.
-    """
+    stopwords consuming positions. `text_expr` lets multi-field gates
+    tokenize a derived field (e.g. SUBSTRING(text, 1, 80))."""
     regex = _regex_literal(dialect)
     stop = (
         f"WHERE term NOT IN ({_STOPLIST_SQL}) AND LENGTH(term) <= 255"
@@ -79,12 +79,12 @@ def tok_cte(dialect: str, stop_filter: bool = True) -> str:
 SELECT doc_id, pos, term FROM (
   SELECT doc_id, tokpos.pos, tokpos.term
   FROM documents
-  LATERAL VIEW POSEXPLODE(REGEXP_EXTRACT_ALL(LOWER(text), '{regex}', 0)) tokpos AS pos, term
+  LATERAL VIEW POSEXPLODE(REGEXP_EXTRACT_ALL(LOWER({text_expr}), '{regex}', 0)) tokpos AS pos, term
 ) {stop}"""
     return f"""
 SELECT doc_id, pos, term FROM (
   SELECT d.doc_id, u.term, u.pos
-  FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '{regex}') AS toks FROM documents) d,
+  FROM (SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER({text_expr}), '{regex}') AS toks FROM documents) d,
   LATERAL (SELECT UNNEST(d.toks) AS term, GENERATE_SUBSCRIPTS(d.toks, 1) - 1 AS pos) u
 ) {stop}"""
 

@@ -336,6 +336,114 @@ def _e_collstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- eDisMax across fields ----------------------------------------------------
+_TITLE_EXPR = "SUBSTRING(text, 1, 80)"  # derived second field, both engines
+_DISMAX_TERMS = ["spark", "merge"]
+_DISMAX_QF = {"text": 1.0, "title": 3.0}
+_DISMAX_TIE = 0.3
+
+
+def _per_field_score_cte(d: str, tok_name: str, terms: list[str]) -> str:
+    """Per-(doc, term) BM25 scores with PER-FIELD stats (df, avgdl, norms) —
+    IndexSearcher.collectionStatistics(field) semantics."""
+    from .index.norms import quantized_doclen_sql
+
+    qdl = quantized_doclen_sql(f"dl_{tok_name}.dl", dialect=d)
+    fc = "FLOAT" if d == "spark" else "REAL"
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+consts_{tok_name} AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) FROM {tok_name}) AS {fc}) AS avgdl
+),
+dl_{tok_name} AS (SELECT doc_id, COUNT(*) AS dl FROM {tok_name} GROUP BY doc_id),
+qdl_{tok_name} AS (SELECT doc_id, {qdl} AS qdl FROM dl_{tok_name}),
+tf_{tok_name} AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM {tok_name} WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df_{tok_name} AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM {tok_name} WHERE term IN ({term_list}) GROUP BY term
+),
+per_{tok_name} AS (
+  SELECT tf.doc_id, tf.term,
+         LN(1.0 + (c.n - dfv.df + 0.5) / (dfv.df + 0.5)) * 2.2 * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * q.qdl / c.avgdl)) AS s
+  FROM tf_{tok_name} tf
+  JOIN df_{tok_name} dfv ON tf.term = dfv.term
+  JOIN qdl_{tok_name} q ON tf.doc_id = q.doc_id
+  CROSS JOIN consts_{tok_name} c
+)"""
+
+
+def _dismax_oracle(d: str) -> str:
+    boosts = _DISMAX_QF
+    return f"""
+WITH tok_a AS ({tok_cte(d)}),
+tok_b AS ({tok_cte(d, text_expr=_TITLE_EXPR)}),
+{_per_field_score_cte(d, 'tok_a', _DISMAX_TERMS)},
+{_per_field_score_cte(d, 'tok_b', _DISMAX_TERMS)},
+u AS (
+  SELECT doc_id, term, s * {boosts['text']} AS s FROM per_tok_a
+  UNION ALL
+  SELECT doc_id, term, s * {boosts['title']} AS s FROM per_tok_b
+),
+t AS (
+  SELECT doc_id, term, MAX(s) + {_DISMAX_TIE} * (SUM(s) - MAX(s)) AS ts
+  FROM u GROUP BY doc_id, term
+),
+f AS (SELECT doc_id, SUM(ts) AS score FROM t GROUP BY doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM f ORDER BY rank LIMIT 10"""
+
+
+def _dismax_searcher(spark: SparkSession, sf_dir: str):
+    from .query.dismax import DisMaxSearcher, build_multi_field_index
+
+    key = ("dismax", os.path.abspath(sf_dir))
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx_dir = os.path.join(_CACHE_ROOT, f"idx_{tag}_mf")
+    marker = os.path.join(idx_dir, "gate_marker.json")
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        fresh = m.get("version") == INDEX_VERSION and m.get("n_docs") == n_docs
+    if not fresh:
+        pages = docs.select(F.col("doc_id").alias("orig_id"), "text")
+        build_multi_field_index(
+            spark,
+            pages,
+            idx_dir,
+            field_exprs={
+                "text": F.col("text"),
+                "title": F.expr(_TITLE_EXPR),
+            },
+            key_col="orig_id",
+        )
+        with open(marker, "w") as fh:
+            json.dump({"version": INDEX_VERSION, "n_docs": n_docs}, fh)
+    ds = DisMaxSearcher(spark, idx_dir)
+    _SEARCHERS[key] = ds
+    return ds
+
+
+@df_gate("engine_dismax_qf", _dismax_oracle("duckdb"))
+def _e_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eDisMax qf across (text, title^3) with tie=0.3 through the real
+    multi-field index (ExtendedDismaxQParser.java:1512 →
+    DisjunctionMaxQuery.java:299) vs a per-field-stats DuckDB oracle."""
+    ds = _dismax_searcher(spark, sf_dir)
+    hits = ds.dismax_search(_DISMAX_TERMS, qf=_DISMAX_QF, tie=_DISMAX_TIE, k=10)
+    return _to_orig(ds.searchers["text"], hits, ranked=True)
+
+
 @df_gate(
     "engine_norm_bytes",
     f"""

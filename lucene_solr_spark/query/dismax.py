@@ -1,0 +1,200 @@
+"""Multi-field indexing + DisMax/eDisMax query execution.
+
+Reference semantics:
+
+- **Per-field index**: Lucene indexes each field with its own postings,
+  norms and statistics (FieldInfo; CollectionStatistics is per field —
+  IndexSearcher.collectionStatistics(field)). Here each field is a full
+  sub-index under `{root}/field={name}`, built from the SAME deduped,
+  docID-assigned corpus so docIDs coincide across fields.
+- **DisMax term query** (DisjunctionMaxQuery.java:299, tieBreaker at
+  :58-63): per user term, score = max over fields of (qf_boost × field
+  score) + tie × (sum − max).
+- **eDisMax structure** (ExtendedDismaxQParser.java:1512, DisMaxQParser):
+  the user query becomes a BooleanQuery of one per-term DisMax clause
+  (SHOULD, with minimumNumberShouldMatch = mm), plus optional pf phrase
+  clauses whose scores add in (phrase boost).
+
+Spark plan: one postings scan per field (term-pruned), float32 scoring
+kernels, a (doc_id, term) hash agg for the per-term max/sum, then the
+(doc_id) hash agg — two shuffles of tiny scored rows, top-k via
+TakeOrderedAndProject. Everything between the scans and the final top-k is
+JVM-side.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import IndexPaths, build_index
+from .executor import Searcher
+
+
+def build_multi_field_index(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    field_exprs: dict[str, Column],
+    key_col: str = "url",
+    ts_col: str | None = None,
+    num_segments: int = 1,
+) -> dict[str, IndexPaths]:
+    """Build one sub-index per field from a single deduped corpus.
+
+    `field_exprs` maps field name → Column expression over `pages` (e.g.
+    {'text': F.col('text'), 'title': F.substring('text', 1, 80)}). Dedup
+    (updateDocument keep-latest) happens ONCE here so every field sees the
+    same doc set and the per-field builds assign identical docIDs (global
+    key rank)."""
+    src = pages
+    if ts_col is not None:
+        src = src.groupBy(key_col).agg(
+            *[
+                F.max_by(expr, F.struct(F.col(ts_col), expr)).alias(f"__f_{name}")
+                for name, expr in field_exprs.items()
+            ]
+        )
+        projected = src.select(
+            key_col, *[F.col(f"__f_{n}").alias(n) for n in field_exprs]
+        )
+    else:
+        projected = src.select(
+            key_col, *[expr.alias(n) for n, expr in field_exprs.items()]
+        )
+
+    out: dict[str, IndexPaths] = {}
+    for name in field_exprs:
+        out[name] = build_index(
+            spark,
+            projected.select(key_col, name),
+            os.path.join(out_dir, f"field={name}"),
+            text_col=name,
+            key_col=key_col,
+            ts_col=None,
+            num_segments=num_segments,
+        )
+    return out
+
+
+class DisMaxSearcher:
+    """Searcher over a multi-field index (one Searcher per field)."""
+
+    def __init__(self, spark: SparkSession, root: str, fields: list[str] | None = None):
+        self.spark = spark
+        self.root = root
+        if fields is None:
+            fields = sorted(
+                d.split("=", 1)[1]
+                for d in os.listdir(root)
+                if d.startswith("field=")
+            )
+        self.fields = fields
+        self.searchers = {
+            f: Searcher(spark, os.path.join(root, f"field={f}")) for f in fields
+        }
+        self.docs = self.searchers[fields[0]].docs
+
+    def analyze_query(self, query_text: str) -> list[str]:
+        return self.searchers[self.fields[0]].analyze_query(query_text)
+
+    def dismax_search(
+        self,
+        query: str | list[str],
+        qf: dict[str, float],
+        tie: float = 0.0,
+        mm: int = 0,
+        pf: dict[str, float] | None = None,
+        k: int = 10,
+    ) -> DataFrame:
+        """eDisMax main query: Σ over user terms of
+        [max_f(qf_f·score_f) + tie·(Σ_f − max_f)], docs must cover ≥ mm
+        user terms (in any field); optional pf adds qf-style phrase scores
+        over the whole term sequence."""
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        if not terms:
+            return empty
+
+        parts: list[DataFrame] = []
+        for fname, boost in qf.items():
+            s = self.searchers[fname]
+            tinfo = s.lookup_terms(terms)
+            if tinfo.empty:
+                continue
+            b32 = float(np.float32(boost))
+            scored = s._scored(tinfo)
+            if boost != 1.0:
+                scored = scored.select(
+                    "doc_id",
+                    "term",
+                    (F.col("score") * F.lit(b32)).cast("float").alias("score"),
+                )
+            parts.append(scored)
+        if not parts:
+            return empty
+
+        from functools import reduce
+
+        union = reduce(DataFrame.unionByName, parts)
+        per_term = union.groupBy("doc_id", "term").agg(
+            F.max("score").alias("mx"), F.sum("score").alias("sm")
+        )
+        tie32 = float(np.float32(tie))
+        term_score = (
+            (F.col("mx") + F.lit(tie32) * (F.col("sm") - F.col("mx")))
+            .cast("float")
+            .alias("ts")
+        )
+        per_doc = (
+            per_term.select("doc_id", "term", term_score)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("ts").cast("float").alias("score"),
+                F.count(F.lit(1)).alias("n_terms"),
+            )
+        )
+        if mm > 0:
+            per_doc = per_doc.where(F.col("n_terms") >= mm)
+        result = per_doc.select("doc_id", "score")
+
+        if pf and len(terms) > 1:
+            # pf phrase boost: exact-phrase score per pf field, added to the
+            # main score for docs that already match (DisMaxQParser
+            # addShingledPhraseQueries → SHOULD clause)
+            ph_parts = []
+            for fname, boost in pf.items():
+                ph = self.searchers[fname]._phrase_scored(terms)
+                if ph is None:
+                    continue
+                b32 = float(np.float32(boost))
+                ph_parts.append(
+                    ph.select(
+                        "doc_id",
+                        (F.col("score") * F.lit(b32)).cast("float").alias("pscore"),
+                    )
+                )
+            if ph_parts:
+                phrases = (
+                    reduce(DataFrame.unionByName, ph_parts)
+                    .groupBy("doc_id")
+                    .agg(F.sum("pscore").cast("float").alias("pscore"))
+                )
+                result = (
+                    result.join(phrases, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        (F.col("score") + F.coalesce(F.col("pscore"), F.lit(0.0)))
+                        .cast("float")
+                        .alias("score"),
+                    )
+                )
+
+        return (
+            result.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score")
+        )

@@ -1,0 +1,140 @@
+"""eDisMax across fields: engine vs per-field brute-force oracle
+(DisjunctionMaxQuery.java:299 tie-break combine; per-field stats)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.analysis.analyzer import standard_tokenize
+from lucene_solr_spark.index.norms import encode_norm
+from lucene_solr_spark.query.bm25 import BM25Stats, bm25_score
+from lucene_solr_spark.query.dismax import DisMaxSearcher, build_multi_field_index
+
+CORPUS = {
+    "u00": "spark merge window agg fast merge",
+    "u01": "merge spark",
+    "u02": "window stream state store",
+    "u03": "spark spark spark merge window",
+    "u04": "agg fast stream",
+    "u05": "spark window",
+}
+TITLE_LEN = 12  # first 12 chars as the second field
+
+
+def field_texts():
+    urls = sorted(CORPUS)
+    text = {i: CORPUS[u] for i, u in enumerate(urls)}
+    title = {i: t[:TITLE_LEN] for i, t in text.items()}
+    return text, title
+
+
+def brute_dismax(fields: dict[str, tuple[dict, float]], terms, tie, k=10):
+    """fields: name -> (texts_by_docid, qf_boost)."""
+    doc_ids = sorted(next(iter(fields.values()))[0])
+    per_field_scores = {}
+    for name, (texts, boost) in fields.items():
+        toks = {d: [t for _, t in standard_tokenize(texts[d])] for d in doc_ids}
+        dls = np.array([len(toks[d]) for d in doc_ids], dtype=np.int64)
+        stats = BM25Stats(max_doc=len(doc_ids), sum_total_term_freq=int(dls.sum()))
+        nbs = encode_norm(dls)
+        b32 = np.float32(boost)
+        out = {}
+        for term in terms:
+            tf = np.array([toks[d].count(term) for d in doc_ids], dtype=np.int64)
+            df = int((tf > 0).sum())
+            if df == 0:
+                continue
+            s = bm25_score(tf, df, nbs, stats)
+            s = np.where(tf > 0, (s * b32).astype(np.float32), np.float32(0))
+            out[term] = s
+        per_field_scores[name] = out
+
+    total = np.zeros(len(doc_ids), dtype=np.float64)
+    matched = np.zeros(len(doc_ids), dtype=bool)
+    tie32 = np.float32(tie)
+    for term in terms:
+        cols = [
+            per_field_scores[f][term]
+            for f in fields
+            if term in per_field_scores[f]
+        ]
+        if not cols:
+            continue
+        m = np.stack(cols)  # (n_fields, n_docs) float32
+        mx = m.max(axis=0).astype(np.float64)
+        sm = m.astype(np.float64).sum(axis=0)
+        ts = (mx + float(tie32) * (sm - mx)).astype(np.float32)
+        hit = (m > 0).any(axis=0)
+        total += np.where(hit, ts.astype(np.float64), 0.0)
+        matched |= hit
+    total32 = total.astype(np.float32)
+    idx = np.nonzero(matched)[0]
+    order = sorted(idx, key=lambda i: (-float(total32[i]), int(doc_ids[i])))
+    return [(int(doc_ids[i]), float(total32[i])) for i in order[:k]]
+
+
+@pytest.fixture(scope="module")
+def mf_index(spark, tmp_path_factory):
+    pages = spark.createDataFrame(list(CORPUS.items()), "url string, text string")
+    out = str(tmp_path_factory.mktemp("mf_idx"))
+    build_multi_field_index(
+        spark,
+        pages,
+        out,
+        field_exprs={
+            "text": F.col("text"),
+            "title": F.substring("text", 1, TITLE_LEN),
+        },
+    )
+    return DisMaxSearcher(spark, out)
+
+
+def test_fields_discovered(mf_index):
+    assert mf_index.fields == ["text", "title"]
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3])
+def test_dismax_rank_and_scores(mf_index, tie):
+    text, title = field_texts()
+    terms = ["spark", "merge"]
+    qf = {"text": 1.0, "title": 4.0}
+    got = mf_index.dismax_search(terms, qf=qf, tie=tie, k=10).toPandas()
+    exp = brute_dismax(
+        {"text": (text, 1.0), "title": (title, 4.0)}, terms, tie
+    )
+    assert got["doc_id"].tolist() == [d for d, _ in exp]
+    np.testing.assert_allclose(
+        got["score"].values, [x for _, x in exp], rtol=2e-6
+    )
+
+
+def test_dismax_mm(mf_index):
+    # mm=2 keeps only docs covering both terms in some field
+    got = mf_index.dismax_search(
+        ["spark", "stream"], qf={"text": 1.0, "title": 1.0}, mm=2, k=10
+    ).toPandas()
+    text, _ = field_texts()
+    exp_docs = {
+        d
+        for d, t in text.items()
+        if "spark" in t.split() and "stream" in t.split()
+    }
+    assert set(got["doc_id"]) == exp_docs
+
+
+def test_dismax_pf_phrase_boost(mf_index):
+    base = mf_index.dismax_search(
+        ["merge", "spark"], qf={"text": 1.0}, k=10
+    ).toPandas()
+    boosted = mf_index.dismax_search(
+        ["merge", "spark"], qf={"text": 1.0}, pf={"text": 5.0}, k=10
+    ).toPandas()
+    # doc 1 = "merge spark" (exact phrase) must gain score
+    b = dict(zip(base["doc_id"], base["score"]))
+    p = dict(zip(boosted["doc_id"], boosted["score"]))
+    assert p[1] > b[1]
+    # non-phrase docs keep their base score
+    no_phrase = [d for d in b if d != 1 and d in p]
+    for d in no_phrase:
+        if "merge spark" not in field_texts()[0][d]:
+            assert p[d] == pytest.approx(b[d], rel=1e-6)
