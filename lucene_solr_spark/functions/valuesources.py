@@ -1,0 +1,275 @@
+"""Solr function-query ValueSources re-expressed as Column factories.
+
+Reference registry: ValueSourceParser.java:88-775 registers 46 named
+ValueSources; each is a per-document scalar usable in sorting, boosting
+(BoostedQuery: score × f(doc)) and pseudo-fields. The Spark mapping is a
+Column expression per name — evaluated inside whole-stage codegen, no UDFs.
+
+Index-statistic sources (docfreq/idf/termfreq/norm/maxdoc/...) read the
+engine's tables; use the `index_*` factories with a Searcher.
+
+Date math (`ms`, NOW/DAY rounding — DateMathParser.java) maps to interval
+arithmetic / date_trunc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- scalar math (ValueSourceParser.java: linear, recip, scale, div, mod,
+# abs, sum, product, sub, map, sqrt, pow, log, max, min, pi, e) ---------------
+
+
+def linear(x: Column, m: float, c: float) -> Column:
+    """LinearFloatFunction: m*x + c."""
+    return (F.lit(float(m)) * x + F.lit(float(c))).cast("double")
+
+
+def recip(x: Column, m: float, a: float, b: float) -> Column:
+    """ReciprocalFloatFunction: a/(m*x + b) — the classic recency boost."""
+    return (F.lit(float(a)) / (F.lit(float(m)) * x + F.lit(float(b)))).cast("double")
+
+
+def scale(df: DataFrame, x: Column, lo: float, hi: float) -> Column:
+    """ScaleFloatFunction: min-max scale x into [lo, hi]. Needs the frame's
+    global min/max — computed as scalar subqueries (two light aggregations,
+    broadcast by Catalyst)."""
+    mn, mx = df.agg(F.min(x), F.max(x)).head()
+    mn, mx = float(mn), float(mx)
+    rng = (mx - mn) or 1.0
+    return ((x - F.lit(mn)) / F.lit(rng) * F.lit(float(hi - lo)) + F.lit(float(lo))).cast(
+        "double"
+    )
+
+
+def div(a: Column, b: Column) -> Column:
+    return (a.cast("double") / b.cast("double"))
+
+
+def mod(a: Column, b: Column) -> Column:
+    return (a.cast("double") % b.cast("double"))
+
+
+def abs_(x: Column) -> Column:
+    return F.abs(x)
+
+
+def sum_(*xs: Column) -> Column:
+    out = xs[0]
+    for x in xs[1:]:
+        out = out + x
+    return out
+
+
+def sub(a: Column, b: Column) -> Column:
+    return a - b
+
+
+def product(*xs: Column) -> Column:
+    out = xs[0]
+    for x in xs[1:]:
+        out = out * x
+    return out
+
+
+def map_(x: Column, mn: float, mx: float, target: float) -> Column:
+    """RangeMapFloatFunction: values in [mn,mx] → target, else passthrough."""
+    return F.when((x >= mn) & (x <= mx), F.lit(float(target))).otherwise(x)
+
+
+def max_(*xs: Column) -> Column:
+    return F.greatest(*xs)
+
+
+def min_(*xs: Column) -> Column:
+    return F.least(*xs)
+
+
+def sqrt(x: Column) -> Column:
+    return F.sqrt(x)
+
+
+def pow_(a: Column, b) -> Column:
+    return F.pow(a, b)
+
+
+def log(x: Column) -> Column:
+    """Solr 'log' is base-10 (LogFloatFunction)."""
+    return F.log10(x)
+
+
+def ln(x: Column) -> Column:
+    return F.log(x)
+
+
+def pi() -> Column:
+    return F.lit(float(np.pi))
+
+
+def e() -> Column:
+    return F.lit(float(np.e))
+
+
+# --- boolean sources (if, exists, not, and, or, xor, def) --------------------
+
+
+def if_(cond: Column, then: Column, otherwise: Column) -> Column:
+    return F.when(cond, then).otherwise(otherwise)
+
+
+def exists(x: Column) -> Column:
+    return x.isNotNull()
+
+
+def not_(x: Column) -> Column:
+    return ~x
+
+
+def and_(*xs: Column) -> Column:
+    out = xs[0]
+    for x in xs[1:]:
+        out = out & x
+    return out
+
+
+def or_(*xs: Column) -> Column:
+    out = xs[0]
+    for x in xs[1:]:
+        out = out | x
+    return out
+
+
+def xor(a: Column, b: Column) -> Column:
+    return a != b
+
+
+def def_(x: Column, fallback: Column) -> Column:
+    """DefFunction: first defined (non-null) value."""
+    return F.coalesce(x, fallback)
+
+
+# --- strings / distance -------------------------------------------------------
+
+
+def strdist_levenshtein(a: Column, b: Column) -> Column:
+    """strdist(a, b, edit): Lucene's similarity form 1 - d/maxLen
+    (LevensteinDistance.getDistance)."""
+    mx = F.greatest(F.length(a), F.length(b))
+    return (F.lit(1.0) - F.levenshtein(a, b).cast("double") / mx.cast("double"))
+
+
+# --- date math (`ms`, DateMathParser rounding) -------------------------------
+
+
+def ms(a: Column, b: Column | None = None) -> Column:
+    """ms(a[, b]): epoch millis of a, or a-b in millis."""
+    ams = (F.unix_timestamp(a).cast("long") * 1000)
+    if b is None:
+        return ams
+    return ams - (F.unix_timestamp(b).cast("long") * 1000)
+
+
+def date_round(ts: Column, unit: str) -> Column:
+    """DateMathParser /UNIT rounding → date_trunc."""
+    return F.date_trunc(unit, ts)
+
+
+# --- index-statistic sources (docfreq, idf, termfreq, norm, maxdoc, numdocs,
+# totaltermfreq, sumtotaltermfreq, joindf) -------------------------------------
+
+
+def index_docfreq(searcher, term: str) -> int:
+    """docfreq(field, term) from the term dictionary."""
+    row = searcher.terms.where(F.col("term") == term).select("df").head()
+    return int(row.df) if row else 0
+
+
+def index_totaltermfreq(searcher, term: str) -> int:
+    row = searcher.terms.where(F.col("term") == term).select("ttf").head()
+    return int(row.ttf) if row else 0
+
+
+def index_idf(searcher, term: str) -> float:
+    """BM25 idf of a term (BM25Similarity.java:64-67)."""
+    from ..query.bm25 import bm25_idf
+
+    return float(bm25_idf(index_docfreq(searcher, term), searcher.stats.max_doc))
+
+
+def index_maxdoc(searcher) -> int:
+    return int(searcher.stats.max_doc)
+
+
+def index_sumtotaltermfreq(searcher) -> int:
+    return int(searcher.stats.sum_total_term_freq)
+
+
+def index_termfreq(searcher, term: str) -> DataFrame:
+    """termfreq(field, term) as a per-doc frame (doc_id, tf) — join it to
+    apply as a per-document value."""
+    import pandas as pd  # noqa: F401
+
+    tinfo = searcher.lookup_terms([term])
+    if tinfo.empty:
+        return searcher.spark.createDataFrame([], "doc_id long, tf int")
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs_out, tfs_out = [], []
+            for row in pdf.itertuples(index=False):
+                gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                docs_out.append(row.first_doc + np.cumsum(gaps))
+                tfs_out.append(np.asarray(row.tfs, dtype=np.int32))
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(docs_out),
+                        "tf": np.concatenate(tfs_out),
+                    }
+                )
+
+    rows = searcher.postings.where(F.col("term") == term).select(
+        "first_doc", "doc_gaps", "tfs"
+    )
+    return rows.mapInPandas(kernel, schema="doc_id long, tf int")
+
+
+def index_norm_decoded(searcher) -> DataFrame:
+    """norm(field) per doc: the byte315 round-tripped 1/sqrt(len) weight."""
+    from ..index.norms import NORM_DOCLEN_TABLE  # decoded lengths
+
+    # decoded doc length table indexed by the stored byte
+    tbl = F.array(*[F.lit(float(v)) for v in NORM_DOCLEN_TABLE.tolist()])
+    return searcher.docs.select(
+        "doc_id", F.element_at(tbl, F.col("norm_byte") + 1).alias("decoded_len")
+    )
+
+
+def boosted_topk(
+    searcher,
+    terms: list[str],
+    boost_frame: DataFrame,
+    boost_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """BoostedQuery (FunctionQParser boost): final = relevance × f(doc).
+    `boost_frame` carries (doc_id, boost_col); docs missing from it keep
+    their relevance score (boost treated as 1)."""
+    matched = searcher.boolean_search(should=terms, k=searcher.stats.max_doc)
+    joined = matched.join(boost_frame.select("doc_id", boost_col), "doc_id", "left")
+    boosted = joined.select(
+        "doc_id",
+        (F.col("score") * F.coalesce(F.col(boost_col), F.lit(1.0)))
+        .cast("double")
+        .alias("score"),
+    )
+    return (
+        boosted.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -444,6 +444,307 @@ def _e_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _to_orig(ds.searchers["text"], hits, ranked=True)
 
 
+# --- components: sort / paging / grouping / stats / facets -------------------
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@df_gate(
+    "engine_sort_topk",
+    """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
+)
+def _e_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopFieldCollector through components.sort_topk."""
+    from .query.components import sort_topk
+
+    out = sort_topk(_documents(spark, sf_dir), [("n_chars", False)], k=10)
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
+@df_gate(
+    "engine_search_after",
+    """
+WITH page1 AS (
+  SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+),
+cursor AS (
+  SELECT n_chars AS c_chars, doc_id AS c_doc FROM page1 ORDER BY n_chars ASC, doc_id DESC LIMIT 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d, cursor
+WHERE d.n_chars < cursor.c_chars OR (d.n_chars = cursor.c_chars AND d.doc_id > cursor.c_doc)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""",
+)
+def _e_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """searchAfter: page 2 via the cursor from page 1 (no offset re-scan)."""
+    from .query.components import search_after, sort_topk
+
+    docs = _documents(spark, sf_dir)
+    page1 = sort_topk(docs, [("n_chars", False)], k=10).collect()
+    cursor = (page1[-1]["n_chars"], page1[-1]["doc_id"])
+    out = search_after(docs, "n_chars", cursor, k=10, asc=False)
+    return out.select(F.col("doc_id").cast("long"), F.col("n_chars").cast("long"))
+
+
+@df_gate(
+    "engine_grouping",
+    """
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) t WHERE rn <= 2
+ORDER BY source, rn""",
+)
+def _e_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping (top-2 per group) through components.grouping_top_docs."""
+    from .query.components import grouping_top_docs
+
+    out = grouping_top_docs(_documents(spark, sf_dir), "source", "n_chars", 2)
+    return out.select("source", F.col("doc_id").cast("long"), "rn").orderBy(
+        "source", "rn"
+    )
+
+
+@df_gate(
+    "engine_stats_component",
+    """
+SELECT
+  CAST(COUNT(l_extendedprice) AS BIGINT) AS cnt,
+  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+  ROUND(MIN(l_extendedprice), 2) AS min_v,
+  ROUND(MAX(l_extendedprice), 2) AS max_v,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS mean_v,
+  ROUND(SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice))
+        / (COUNT(l_extendedprice) - 1)), 4) AS stddev_v
+FROM lineitem""",
+)
+def _e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StatsComponent through components.stats_component (DECIMAL-exact)."""
+    from .query.components import stats_component
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = stats_component(li, "l_extendedprice")
+    return out.select(
+        "cnt",
+        "missing",
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("mean_v", 6).alias("mean_v"),
+        F.round("stddev_v", 4).alias("stddev_v"),
+    )
+
+
+@df_gate(
+    "engine_facet_query",
+    """
+SELECT
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+  CAST(SUM(CASE WHEN source = 'src0' AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_src0_short
+FROM documents""",
+)
+def _e_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.components import facet_query
+
+    docs = _documents(spark, sf_dir)
+    return facet_query(
+        docs,
+        {
+            "n_en": F.col("lang") == "en",
+            "n_long": F.col("n_chars") > 300,
+            "n_src0_short": (F.col("source") == "src0") & (F.col("n_chars") <= 300),
+        },
+    )
+
+
+@df_gate(
+    "engine_facet_range",
+    """
+SELECT CAST(FLOOR(value / 10.0) * 10 AS DOUBLE) AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY FLOOR(value / 10.0) * 10
+ORDER BY bucket_lo""",
+)
+def _e_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.components import facet_range
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return facet_range(ev, "value", gap=10.0)
+
+
+@df_gate(
+    "engine_facet_pivot",
+    """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents GROUP BY lang, source
+ORDER BY lang, source""",
+)
+def _e_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.components import facet_pivot
+
+    return facet_pivot(_documents(spark, sf_dir), ["lang", "source"])
+
+
+@df_gate(
+    "engine_distinct_counts",
+    """
+SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS distinct_lang,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS distinct_source
+FROM documents""",
+)
+def _e_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .query.components import distinct_counts
+
+    return distinct_counts(_documents(spark, sf_dir), ["lang", "source"])
+
+
+@df_gate(
+    "engine_match_all",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents",
+)
+def _e_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchAllDocsQuery over the built index's live docs."""
+    from .query.components import match_all
+
+    s = _engine_searcher(spark, sf_dir)
+    return spark.createDataFrame([(match_all(s).count(),)], "total long")
+
+
+@df_gate(
+    "engine_docset_algebra",
+    f"""
+WITH tok AS ({tok_cte('duckdb')}),
+a AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast'),
+b AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+SELECT CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b) u) AS BIGINT) AS n_union,
+       CAST((SELECT COUNT(*) FROM a WHERE doc_id IN (SELECT doc_id FROM b)) AS BIGINT) AS n_intersect,
+       CAST((SELECT COUNT(*) FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)) AS BIGINT) AS n_and_not""",
+)
+def _e_docsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocSet union/intersection/andNot over real match sets."""
+    from .query.components import docset_and_not, docset_intersect, docset_union
+
+    s = _engine_searcher(spark, sf_dir)
+    a = s.match_docs(["fast"])
+    b = s.match_docs(["merge"])
+    return spark.createDataFrame(
+        [
+            (
+                docset_union(a, b).count(),
+                docset_intersect(a, b).count(),
+                docset_and_not(a, b).count(),
+            )
+        ],
+        "n_union long, n_intersect long, n_and_not long",
+    )
+
+
+# --- §2.14 through the real dictionary ----------------------------------------
+@df_gate(
+    "engine_mlt_terms",
+    f"""
+WITH tok AS ({tok_cte('duckdb')}),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+dfv AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+tfv AS (SELECT term, COUNT(*) AS tf FROM tok WHERE doc_id = 0 GROUP BY term),
+scored AS (
+  SELECT tfv.term, tfv.tf * (1.0 + LN(n.n / (dfv.df + 1.0))) AS score
+  FROM tfv JOIN dfv ON tfv.term = dfv.term CROSS JOIN n
+)
+SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+FROM scored ORDER BY rank LIMIT 5""",
+)
+def _e_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis interesting terms via re-analysis + the REAL term
+    dictionary's df (MoreLikeThis.java createQueue)."""
+    from .query.components import more_like_this
+
+    s = _engine_searcher(spark, sf_dir)
+    seed = (
+        _documents(spark, sf_dir).where(F.col("doc_id") == 0).select("text").head()[0]
+    )
+    _, terms = more_like_this(s, seed, max_query_terms=5)
+    return spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(terms)], "term string, rank long"
+    )
+
+
+@df_gate(
+    "engine_suggest",
+    f"""
+WITH tok AS ({tok_cte('duckdb')})
+SELECT term, CAST(COUNT(*) AS BIGINT) AS weight
+FROM tok WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY weight DESC, term ASC
+LIMIT 10""",
+)
+def _e_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix completion over the REAL term dictionary, ttf-weighted."""
+    from .query.components import suggest
+
+    s = _engine_searcher(spark, sf_dir)
+    return suggest(s, "s", n=10)
+
+
+@df_gate(
+    "engine_spellcheck",
+    f"""
+WITH tok AS ({tok_cte('duckdb')}),
+dict AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(LEVENSHTEIN(term, 'merg') AS BIGINT) AS dist
+FROM dict WHERE LEVENSHTEIN(term, 'merg') <= 2
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 10""",
+)
+def _e_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DirectSpellChecker over the REAL term dictionary."""
+    from .query.components import spellcheck
+
+    s = _engine_searcher(spark, sf_dir)
+    return spellcheck(s, "merg", max_edits=2, n=10)
+
+
+@df_gate(
+    "engine_function_boost",
+    _rank_only(
+        bm25_sql(
+            "duckdb",
+            ["spark"],
+            k=10,
+            boost_expr="1000.0 / (1.0 * dd.n_chars + 1000.0)",
+        )
+    ),
+)
+def _e_func_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoostedQuery: engine relevance × recip(n_chars) function query
+    (ValueSourceParser 'recip'; BoostedQuery)."""
+    from .functions.valuesources import boosted_topk, recip
+
+    s = _engine_searcher(spark, sf_dir)
+    mapping = s.docs.select("orig_id", F.col("doc_id").alias("int_id"))
+    boost_frame = (
+        _documents(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("orig_id"),
+            recip(F.col("n_chars"), 1.0, 1000.0, 1000.0).alias("boost"),
+        )
+        .join(mapping, "orig_id")
+        .select(F.col("int_id").alias("doc_id"), "boost")
+    )
+    hits = boosted_topk(s, ["spark"], boost_frame, "boost", k=10)
+    return _to_orig(s, hits, ranked=True)
+
+
 @df_gate(
     "engine_norm_bytes",
     f"""

@@ -1,0 +1,275 @@
+"""Search components: the Solr aggregation/sort/paging surface as engine
+APIs over a Searcher + source corpus.
+
+Each function is the engine-level counterpart of a SearchComponent or
+collector the reference runs inside SolrIndexSearcher — they take the
+engine's match DocSet (or the whole corpus) and produce the component
+result as a DataFrame. All are pure Catalyst plans (groupBy/window/agg) —
+the shapes Spark executes as partial+final hash aggregates or
+TakeOrderedAndProject, which is exactly the distributed version of the
+reference's collectors.
+
+- sort_topk / search_after   TopFieldCollector + IndexSearcher.searchAfter
+                             (TopFieldCollector.java; IndexSearcher.java:242-258)
+- windowed_search            queryResultWindowSize rounding + queryResultCache
+                             (SolrIndexSearcher.java:1243-1352)
+- grouping_top_docs          Grouping.java two-pass → one window
+- stats_component            StatsValuesFactory.java:82-181
+- facet_query/range/date/pivot  SimpleFacets.java:277,888-1078; PivotFacetHelper
+- distinct_counts            AbstractDistinctValuesCollector
+- docset algebra             DocSet.intersection/union/andNot
+- match_all                  MatchAllDocsQuery
+- more_like_this / suggest / spellcheck   MoreLikeThis.java, AnalyzingSuggester,
+                             DirectSpellChecker.java:532 — these three read the
+                             REAL term dictionary / analyzer, not raw SQL
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..analysis.analyzer import standard_tokenize
+
+
+# --- sort / paging -----------------------------------------------------------
+def sort_topk(
+    source: DataFrame,
+    sort_cols: Sequence[tuple[str, bool]],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TopFieldCollector: top-k by arbitrary sort fields with the docID-asc
+    final tie-break (TopFieldCollector.java; HitQueue.java:76-81)."""
+    order = [
+        (F.col(c).desc() if not asc else F.col(c).asc()) for c, asc in sort_cols
+    ] + [F.col(id_col).asc()]
+    return source.orderBy(*order).limit(k)
+
+
+def search_after(
+    source: DataFrame,
+    sort_col: str,
+    cursor: tuple,
+    k: int,
+    asc: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """searchAfter deep paging: resume strictly after the (sort_value, id)
+    cursor (IndexSearcher.java:242-258) — no offset re-scan."""
+    cv, cid = cursor
+    col = F.col(sort_col)
+    if asc:
+        cond = (col > cv) | ((col == cv) & (F.col(id_col) > cid))
+        order = [col.asc(), F.col(id_col).asc()]
+    else:
+        cond = (col < cv) | ((col == cv) & (F.col(id_col) > cid))
+        order = [col.desc(), F.col(id_col).asc()]
+    return source.where(cond).orderBy(*order).limit(k)
+
+
+class QueryResultCache:
+    """queryResultCache + queryResultWindowSize (SolrIndexSearcher.java:
+    1243-1352): fetch rows rounded UP to the window size, cache the superset
+    (collected — supersets are top-k sized), slice requested pages from it."""
+
+    def __init__(self, window_size: int = 50, max_entries: int = 512):
+        self.window_size = window_size
+        self.max_entries = max_entries
+        self._cache: dict = {}
+
+    def windowed(self, key, start: int, rows: int, fetch):
+        """fetch(n) -> ordered pandas DataFrame of the top n."""
+        need = start + rows
+        rounded = ((need + self.window_size - 1) // self.window_size) * self.window_size
+        cached = self._cache.get(key)
+        if cached is None or len(cached) < min(rounded, need):
+            cached = fetch(rounded)
+            if len(self._cache) >= self.max_entries:
+                self._cache.pop(next(iter(self._cache)))  # FIFO evict
+            self._cache[key] = cached
+        return cached.iloc[start : start + rows]
+
+
+# --- grouping / stats / facets ----------------------------------------------
+def grouping_top_docs(
+    source: DataFrame,
+    group_col: str,
+    sort_col: str,
+    top_n: int,
+    asc: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """group.field: top-n docs per group by sort value (Grouping.java's
+    two-pass collectors → one partitioned window; the shuffle partitions by
+    group exactly like pass 1's per-group competition)."""
+    order = [F.col(sort_col).asc() if asc else F.col(sort_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        source.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .select(group_col, id_col, sort_col, F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def stats_component(
+    source: DataFrame, field: str, facet_cols: Sequence[str] = ()
+) -> DataFrame:
+    """StatsComponent: count/missing/min/max/sum/mean/stddev, optionally per
+    facet group (StatsValuesFactory.java:82-181). Sums go through DECIMAL so
+    the result is order-independent (reproducible at any parallelism)."""
+    x = F.col(field)
+    dec = x.cast("decimal(18,2)")
+    dec2 = x.cast("decimal(28,4)")
+    aggs = [
+        F.count(x).alias("cnt"),
+        F.sum(F.when(x.isNull(), 1).otherwise(0)).cast("long").alias("missing"),
+        F.min(x).alias("min_v"),
+        F.max(x).alias("max_v"),
+        F.sum(dec).cast("double").alias("sum_v"),
+        (F.sum(dec).cast("double") / F.count(x)).alias("mean_v"),
+        F.sqrt(
+            (
+                F.sum(dec2 * dec2).cast("double")
+                - F.sum(dec).cast("double") * F.sum(dec).cast("double") / F.count(x)
+            )
+            / (F.count(x) - 1)
+        ).alias("stddev_v"),
+    ]
+    if facet_cols:
+        return source.groupBy(*facet_cols).agg(*aggs).orderBy(*facet_cols)
+    return source.agg(*aggs)
+
+
+def facet_query(source: DataFrame, queries: dict[str, Column]) -> DataFrame:
+    """facet.query: one count per arbitrary predicate (SimpleFacets.java:277)
+    — all predicates in ONE scan via conditional aggregation."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in queries.items()
+    ]
+    return source.agg(*aggs)
+
+
+def facet_range(
+    source: DataFrame, field: str, gap: float, mincount: int = 0
+) -> DataFrame:
+    """facet.range with gap (SimpleFacets.java:888-1078)."""
+    bucket = (F.floor(F.col(field) / F.lit(gap)) * F.lit(gap)).cast("double")
+    out = (
+        source.groupBy(bucket.alias("bucket_lo"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= mincount)
+        .orderBy("bucket_lo")
+    )
+    return out
+
+
+def facet_date(source: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
+    """facet.date via DateMathParser-style rounding → date_trunc buckets."""
+    return (
+        source.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+def facet_pivot(source: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """pivot facets: hierarchical counts (PivotFacetHelper)."""
+    return (
+        source.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt")).orderBy(*cols)
+    )
+
+
+def distinct_counts(source: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """stats calcdistinct / AbstractDistinctValuesCollector."""
+    return source.agg(
+        *[F.count_distinct(F.col(c)).alias(f"distinct_{c}") for c in cols]
+    )
+
+
+# --- DocSet algebra (DocSet.java / BitDocSet / SortedIntDocSet) --------------
+def docset_union(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.select("doc_id").union(b.select("doc_id")).distinct()
+
+
+def docset_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.select("doc_id").join(b.select("doc_id"), "doc_id", "left_semi")
+
+
+def docset_and_not(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.select("doc_id").join(b.select("doc_id"), "doc_id", "left_anti")
+
+
+def match_all(searcher) -> DataFrame:
+    """MatchAllDocsQuery: every live doc at constant score 1
+    (MatchAllDocsQuery.java)."""
+    docs = searcher.docs.select("doc_id", F.lit(1.0).cast("float").alias("score"))
+    return searcher._drop_deleted(docs)
+
+
+# --- §2.14 relevance features over the real index -----------------------------
+def more_like_this(
+    searcher,
+    text: str,
+    max_query_terms: int = 5,
+    k: int = 10,
+    min_doc_freq: int = 1,
+) -> tuple[DataFrame, list[str]]:
+    """MoreLikeThis (MoreLikeThis.java createQueue): re-analyze the seed
+    text (retrieveTerms(Reader) path), rank its terms by tf·idf with
+    DefaultSimilarity idf = 1 + ln(N/(df+1)), take the top
+    maxQueryTerms, run them as a SHOULD disjunction. Returns (hits,
+    interesting_terms)."""
+    toks = [t for _, t in standard_tokenize(text)]
+    if not toks:
+        return searcher._empty(), []
+    import pandas as pd
+
+    tf = pd.Series(toks).value_counts()
+    tinfo = searcher.lookup_terms(list(tf.index))
+    n = float(searcher.stats.max_doc)
+    scores = []
+    for r in tinfo.itertuples():
+        if int(r.df) < min_doc_freq:
+            continue
+        idf = 1.0 + np.log(n / (int(r.df) + 1.0))
+        scores.append((float(tf[r.term]) * idf, str(r.term)))
+    scores.sort(key=lambda p: (-p[0], p[1]))
+    top_terms = [t for _, t in scores[:max_query_terms]]
+    return searcher.boolean_search(should=top_terms, k=k), top_terms
+
+
+def suggest(searcher, prefix: str, n: int = 10) -> DataFrame:
+    """AnalyzingSuggester analog: completion of `prefix` from the REAL term
+    dictionary, weight-ordered (weight = total term frequency)."""
+    lit = prefix.replace("%", r"\%").replace("_", r"\_")
+    return (
+        searcher.terms.where(F.col("term").like(lit + "%"))
+        .select("term", F.col("ttf").cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
+def spellcheck(searcher, word: str, max_edits: int = 2, n: int = 10) -> DataFrame:
+    """DirectSpellChecker (DirectSpellChecker.java:532): dictionary terms
+    within `max_edits`, ranked distance asc then df desc (more frequent
+    corrections first). Length-band prefilter pushes to the scan."""
+    band = (F.length("term") >= len(word) - max_edits) & (
+        F.length("term") <= len(word) + max_edits
+    )
+    dist = F.levenshtein(F.col("term"), F.lit(word))
+    return (
+        searcher.terms.where(band & (dist <= max_edits))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(n)
+    )

@@ -1,0 +1,98 @@
+"""Search components + function-query ValueSources."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions import valuesources as vs
+from lucene_solr_spark.index.build import build_index
+from lucene_solr_spark.query import components as C
+from lucene_solr_spark.query.executor import Searcher
+
+CORPUS = {
+    "u00": "spark merge fast",
+    "u01": "fast spark spark",
+    "u02": "dog bird cat",
+    "u03": "fast stone merge spark",
+}
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pages = spark.createDataFrame(list(CORPUS.items()), "url string, text string")
+    paths = build_index(spark, pages, str(tmp_path_factory.mktemp("cidx")))
+    return Searcher(spark, paths)
+
+
+def test_query_result_cache_windowing():
+    calls = []
+
+    def fetch(n):
+        calls.append(n)
+        return pd.DataFrame({"doc_id": range(n), "score": range(n, 0, -1)})
+
+    qrc = C.QueryResultCache(window_size=20)
+    p1 = qrc.windowed("q", 0, 10, fetch)
+    assert len(p1) == 10 and calls == [20]
+    p2 = qrc.windowed("q", 10, 10, fetch)  # served from the cached superset
+    assert len(p2) == 10 and calls == [20]
+    assert p2["doc_id"].iloc[0] == 10
+    qrc.windowed("q", 20, 10, fetch)  # past the window → refetch rounded up
+    assert calls == [20, 40]
+
+
+def test_match_all_and_docsets(spark, idx):
+    assert C.match_all(idx).count() == len(CORPUS)
+    a = idx.match_docs(["fast"])  # docs 0,1,3
+    b = idx.match_docs(["merge"])  # docs 0,3
+    assert C.docset_union(a, b).count() == 3
+    assert C.docset_intersect(a, b).count() == 2
+    assert sorted(
+        r.doc_id for r in C.docset_and_not(a, b).collect()
+    ) == [1]
+
+
+def test_mlt_suggest_spellcheck(spark, idx):
+    hits, terms = C.more_like_this(idx, "spark merge spark", max_query_terms=2)
+    assert terms and len(terms) <= 2
+    assert hits.count() > 0
+    sug = C.suggest(idx, "s", n=10).toPandas()
+    assert "spark" in set(sug["term"])
+    # weight = ttf: spark appears 4x
+    assert int(sug.set_index("term").loc["spark", "weight"]) == 4
+    sp = C.spellcheck(idx, "spak", max_edits=1, n=5).toPandas()
+    assert sp["term"].iloc[0] == "spark"
+
+
+def test_valuesource_scalars(spark):
+    df = spark.createDataFrame([(1.0,), (3.0,), (5.0,)], "x double")
+    out = df.select(
+        vs.linear(F.col("x"), 2, 1).alias("lin"),
+        vs.recip(F.col("x"), 1, 10, 1).alias("rec"),
+        vs.map_(F.col("x"), 0, 2, 99).alias("mapped"),
+        vs.scale(df, F.col("x"), 0, 1).alias("scaled"),
+    ).orderBy("x").collect()
+    assert [r.lin for r in out] == [3.0, 7.0, 11.0]
+    assert out[0].rec == pytest.approx(10 / 2)
+    assert out[0].mapped == 99.0 and out[2].mapped == 5.0
+    assert [r.scaled for r in out] == [0.0, 0.5, 1.0]
+
+
+def test_index_valuesources(spark, idx):
+    assert vs.index_docfreq(idx, "spark") == 3
+    assert vs.index_totaltermfreq(idx, "spark") == 4
+    assert vs.index_maxdoc(idx) == 4
+    tf = vs.index_termfreq(idx, "spark").toPandas().set_index("doc_id")
+    assert int(tf.loc[1, "tf"]) == 2
+    nd = vs.index_norm_decoded(idx).toPandas()
+    assert len(nd) == 4
+
+
+def test_stats_component_matches_pandas(spark):
+    df = spark.createDataFrame([(1.5,), (2.5,), (None,), (4.0,)], "v double")
+    row = C.stats_component(df, "v").head()
+    assert row.cnt == 3 and row.missing == 1
+    assert row.sum_v == pytest.approx(8.0)
+    assert row.mean_v == pytest.approx(8.0 / 3)
+    assert row.stddev_v == pytest.approx(np.std([1.5, 2.5, 4.0], ddof=1))
