@@ -233,21 +233,175 @@ def _q_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_all_pairs(emb, threshold=0.25)
 
 
-# --- ANN (approximate — rows-only check, no oracle) --------------------------------
-@df_gate("ann_lsh_cosine_topk", None)
+# --- ANN: deterministic MD5-sign-plane LSH, fully oracle-checked --------------------
+ANN_PLANES = 12
+ANN_PROBE = 2
+
+
+def _ann_oracle() -> str:
+    """DuckDB replays the WHOLE ANN pipeline: MD5 ±1 hyperplanes →
+    DECIMAL-exact projections → signature bits → Hamming-≤2 candidate set →
+    DECIMAL-exact cosine rerank. Same algorithm, independent execution."""
+    sgn_hash = _duck_md5i(
+        "CONCAT(CAST(p.p AS VARCHAR), ':', CAST(i.idx - 1 AS VARCHAR))"
+    )
+    return f"""
+WITH {_EMB_UNNEST},
+pl AS (
+  SELECT p.p, i.idx,
+         CASE WHEN {sgn_hash} % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT UNNEST(RANGE({ANN_PLANES})) AS p) p
+  CROSS JOIN (SELECT DISTINCT idx FROM ev) i
+),
+proj AS (
+  SELECT ev.vec_id, pl.p,
+         CAST(SUM(CAST(ev.x * pl.sgn AS DECIMAL(30,15))) AS DOUBLE) AS pr
+  FROM ev JOIN pl ON pl.idx = ev.idx GROUP BY ev.vec_id, pl.p
+),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id
+),
+qs AS (SELECT sig AS qsig FROM sig WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sig s, qs WHERE bit_count(xor(s.sig, qs.qsig)) <= {ANN_PROBE}),
+qv AS (SELECT idx, x AS y FROM ev WHERE vec_id = 0),
+acc AS (
+  SELECT ev.vec_id,
+         SUM(CAST(ev.x * qv.y AS DECIMAL(30,15))) AS dot,
+         SUM(CAST(ev.x * ev.x AS DECIMAL(30,15))) AS nv2
+  FROM ev JOIN qv USING (idx)
+  WHERE ev.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY ev.vec_id
+),
+nq AS (SELECT SQRT(CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE)) AS nq FROM qv)
+SELECT CAST(acc.vec_id AS BIGINT) AS vec_id,
+       ROUND(CAST(acc.dot AS DOUBLE) / (SQRT(CAST(acc.nv2 AS DOUBLE)) * nq.nq), 8) AS cosine
+FROM acc, nq
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10"""
+
+
+@df_gate("ann_lsh_cosine_topk", _ann_oracle())
 def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-10 (random-hyperplane signatures +
-    multiprobe). Approximate by design → no SQL oracle; the exact twin is
-    embedding_cosine_topk."""
+    """LSH-bucketed approximate top-10 (MD5 random-sign hyperplanes +
+    Hamming-2 multiprobe + DECIMAL-exact rerank). Deterministic end to end,
+    so the DuckDB oracle replays it exactly — the former rows-only check is
+    now a full value-hash gate. Recall vs the exact top-k is asserted ≥0.9
+    in tests/test_pipeline.py::test_ann_recall."""
     import numpy as np
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    signed = similarity.add_lsh_signature(emb, dim=len(q), n_planes=12)
+    planes = similarity.md5_sign_planes(dim=len(q), n_planes=ANN_PLANES)
+    signed = similarity.add_lsh_signature(
+        emb, dim=len(q), n_planes=ANN_PLANES, planes=planes
+    )
     out = similarity.ann_lsh_topk(
-        signed, np.asarray(q, dtype=np.float64), k=10, n_planes=12, probe_hamming=2
+        signed,
+        np.asarray(q, dtype=np.float64),
+        k=10,
+        n_planes=ANN_PLANES,
+        probe_hamming=ANN_PROBE,
+        planes=planes,
+        decimal_rerank=True,
     )
     return out.select("vec_id", F.round("cosine", 8).alias("cosine"))
+
+
+# --- ANN quality signal: recall@10 vs the exact scan, both oracle-replayed ----------
+def _ann_recall_oracle() -> str:
+    sgn_hash = _duck_md5i(
+        "CONCAT(CAST(p.p AS VARCHAR), ':', CAST(i.idx - 1 AS VARCHAR))"
+    )
+    return f"""
+WITH {_EMB_UNNEST},
+pl AS (
+  SELECT p.p, i.idx,
+         CASE WHEN {sgn_hash} % 2 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT UNNEST(RANGE({ANN_PLANES})) AS p) p
+  CROSS JOIN (SELECT DISTINCT idx FROM ev) i
+),
+proj AS (
+  SELECT ev.vec_id, pl.p,
+         CAST(SUM(CAST(ev.x * pl.sgn AS DECIMAL(30,15))) AS DOUBLE) AS pr
+  FROM ev JOIN pl ON pl.idx = ev.idx GROUP BY ev.vec_id, pl.p
+),
+sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS sig
+  FROM proj GROUP BY vec_id
+),
+qs AS (SELECT sig AS qsig FROM sig WHERE vec_id = 0),
+cand AS (SELECT s.vec_id FROM sig s, qs WHERE bit_count(xor(s.sig, qs.qsig)) <= {ANN_PROBE}),
+qv AS (SELECT idx, x AS y FROM ev WHERE vec_id = 0),
+nq AS (SELECT SQRT(CAST(SUM(CAST(y * y AS DECIMAL(30,15))) AS DOUBLE)) AS nq FROM qv),
+allcos AS (
+  SELECT ev.vec_id,
+         CAST(SUM(CAST(ev.x * qv.y AS DECIMAL(30,15))) AS DOUBLE)
+           / (SQRT(CAST(SUM(CAST(ev.x * ev.x AS DECIMAL(30,15))) AS DOUBLE)) * (SELECT nq FROM nq)) AS cosine
+  FROM ev JOIN qv USING (idx) GROUP BY ev.vec_id
+),
+exact10 AS (SELECT vec_id FROM allcos ORDER BY cosine DESC, vec_id ASC LIMIT 10),
+ann10 AS (
+  SELECT vec_id FROM allcos WHERE vec_id IN (SELECT vec_id FROM cand)
+  ORDER BY cosine DESC, vec_id ASC LIMIT 10
+)
+SELECT CAST((SELECT COUNT(*) FROM ann10 WHERE vec_id IN (SELECT vec_id FROM exact10)) AS DOUBLE) / 10.0 AS recall_at_10,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM ev WHERE idx = 1) AS BIGINT) AS n_vectors"""
+
+
+@df_gate("ann_recall_at_10", _ann_recall_oracle())
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality number, recorded as a gate: recall@10 of the LSH path
+    vs the exhaustive scan, plus the candidate-set size that bought it. Both
+    sides replay the full deterministic pipeline. NOTE the sf0.01 synthetic
+    embeddings have near-random neighbor structure (top cosines ≈0.3), so
+    sub-linear probing necessarily misses most 'neighbors' here; on data
+    with real near-duplicate structure the same setting reaches recall ≈1.0
+    (tests/test_pipeline.py::test_ann_recall_planted_neardups)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    planes = similarity.md5_sign_planes(dim=len(q), n_planes=ANN_PLANES)
+    signed = similarity.add_lsh_signature(
+        emb, dim=len(q), n_planes=ANN_PLANES, planes=planes
+    ).persist()
+    exact = {
+        r.vec_id
+        for r in similarity.cosine_topk(emb, [float(v) for v in q], k=10).collect()
+    }
+    ann = {
+        r.vec_id
+        for r in similarity.ann_lsh_topk(
+            signed,
+            np.asarray(q, dtype=np.float64),
+            k=10,
+            n_planes=ANN_PLANES,
+            probe_hamming=ANN_PROBE,
+            planes=planes,
+            decimal_rerank=True,
+        ).collect()
+    }
+    qsig = 0
+    for b, v in enumerate(planes @ np.asarray(q, dtype=np.float64) >= 0):
+        qsig |= int(v) << b
+    probes = {qsig}
+    probes |= {qsig ^ (1 << b) for b in range(ANN_PLANES)}
+    probes |= {
+        qsig ^ (1 << b1) ^ (1 << b2)
+        for b1 in range(ANN_PLANES)
+        for b2 in range(b1 + 1, ANN_PLANES)
+    }
+    n_cand = signed.where(F.col("signature").isin(sorted(probes))).count()
+    n_vec = emb.count()
+    signed.unpersist()
+    return spark.createDataFrame(
+        [(len(ann & exact) / 10.0, n_cand, n_vec)],
+        "recall_at_10 double, n_candidates long, n_vectors long",
+    )
 
 
 # --- reference §2.14 extras (SQL templates on both engines) -------------------------

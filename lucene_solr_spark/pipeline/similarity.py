@@ -135,16 +135,33 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.randn(n_planes, dim).astype(np.float64)
 
 
+def md5_sign_planes(dim: int, n_planes: int) -> np.ndarray:
+    """±1 hyperplanes derived from MD5 — random-sign projections are a valid
+    random-hyperplane LSH family, and (unlike Gaussian planes) an external
+    SQL oracle can reproduce them exactly: sign(p, i) = +1 iff the 60-bit
+    MD5 integer of "p:i" is odd (the same md5i hash the dedup gates share)."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        for i in range(dim):
+            h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16)
+            out[p, i] = 1.0 if h % 2 == 1 else -1.0
+    return out
+
+
 def add_lsh_signature(
     embeddings: DataFrame,
     dim: int,
     n_planes: int = 16,
     seed: int = 7,
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Append `signature` = sign-bit pattern of the hyperplane projections.
-    At scale, partition/cluster the stored table by this column."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    At scale, partition/cluster the stored table by this column. Pass
+    `planes` (e.g. md5_sign_planes) to control the family explicitly."""
+    planes = planes if planes is not None else _hyperplanes(dim, n_planes, seed)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -178,11 +195,15 @@ def ann_lsh_topk(
     probe_hamming: int = 1,
     vec_col: str = "embedding",
     key_col: str = "vec_id",
+    planes: np.ndarray | None = None,
+    decimal_rerank: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates = query signature bucket plus all probes
-    within Hamming distance `probe_hamming`, exact cosine inside candidates."""
+    within Hamming distance `probe_hamming`, exact cosine inside candidates.
+    decimal_rerank=True uses the DECIMAL-exact JVM rerank (bit-reproducible
+    by a SQL oracle); default is the numpy throughput path."""
     q = np.asarray(query_vec, dtype=np.float64)
-    planes = _hyperplanes(len(q), n_planes, seed)
+    planes = planes if planes is not None else _hyperplanes(len(q), n_planes, seed)
     qsig = 0
     for b, v in enumerate(planes @ q >= 0):
         qsig |= int(v) << b
@@ -196,4 +217,8 @@ def ann_lsh_topk(
             for b2 in range(b1 + 1, n_planes)
         }
     cands = signed.where(F.col("signature").isin(sorted(probes)))
+    if decimal_rerank:
+        return cosine_topk(
+            cands, [float(v) for v in q], k=k, vec_col=vec_col, key_col=key_col
+        )
     return cosine_topk_pandas(cands, q, k=k, vec_col=vec_col, key_col=key_col)

@@ -124,6 +124,50 @@ def test_ann_lsh_recall(vectors):
     assert probes_all > 1
 
 
+def test_ann_recall_planted_neardups(spark):
+    """Recall ≥0.9 where the LSH premise holds: near-duplicate neighbors.
+    sf0.01 embeddings + 12 planted dups of vec 0 (cos ≥ ~0.99); the MD5
+    sign-plane pipeline (the gate's exact configuration) must recover ≥9 of
+    the true top-10 while scanning a sub-linear candidate set."""
+    base = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = np.asarray(
+        base.where(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(3)
+    planted = [
+        (10_000 + i, [float(np.float32(x)) for x in q + rng.randn(len(q)) * 0.02], 99)
+        for i in range(12)
+    ]
+    emb = base.unionByName(
+        spark.createDataFrame(planted, "vec_id long, embedding array<float>, label int")
+    )
+    planes = similarity.md5_sign_planes(dim=len(q), n_planes=12)
+    signed = similarity.add_lsh_signature(
+        emb, dim=len(q), n_planes=12, planes=planes
+    ).persist()
+    exact = set(
+        similarity.cosine_topk(emb, list(map(float, q)), k=10).toPandas()["vec_id"]
+    )
+    approx = set(
+        similarity.ann_lsh_topk(
+            signed, q, k=10, n_planes=12, probe_hamming=2, planes=planes
+        ).toPandas()["vec_id"]
+    )
+    recall = len(exact & approx) / 10
+    assert recall >= 0.9, f"recall@10 = {recall}"
+    # the probe set must prune: candidates < 40% of the corpus
+    qsig = 0
+    for b, v in enumerate(planes @ q >= 0):
+        qsig |= int(v) << b
+    probes = {qsig} | {qsig ^ (1 << b) for b in range(12)} | {
+        qsig ^ (1 << b1) ^ (1 << b2) for b1 in range(12) for b2 in range(b1 + 1, 12)
+    }
+    n_cand = signed.where(F.col("signature").isin(sorted(probes))).count()
+    assert n_cand < 0.4 * emb.count(), f"candidates {n_cand} not sub-linear"
+    signed.unpersist()
+
+
 # --- multimodal -------------------------------------------------------------
 def test_image_features_plumbing(spark):
     media = multimodal.synthetic_media(spark, n=32)
