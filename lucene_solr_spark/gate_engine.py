@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from .gate import bm25_sql, df_gate, tok_cte
 
-INDEX_VERSION = "r2.1"
+INDEX_VERSION = "r2.2"
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gate_cache")
 _SEARCHERS: dict = {}
 
@@ -65,6 +65,9 @@ def _engine_searcher(spark: SparkSession, sf_dir: str):
             m = json.load(fh)
         fresh = m.get("version") == INDEX_VERSION and m.get("n_docs") == n_docs and m.get("sf_dir") == key
     if not fresh:
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)  # stale format → clean rebuild
         pages = docs.select(F.col("doc_id").alias("orig_id"), "text")
         build_index(
             spark, pages, idx_dir, text_col="text", key_col="orig_id", num_segments=2
@@ -416,6 +419,9 @@ def _dismax_searcher(spark: SparkSession, sf_dir: str):
             m = json.load(fh)
         fresh = m.get("version") == INDEX_VERSION and m.get("n_docs") == n_docs
     if not fresh:
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
         pages = docs.select(F.col("doc_id").alias("orig_id"), "text")
         build_multi_field_index(
             spark,

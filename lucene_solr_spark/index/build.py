@@ -49,6 +49,7 @@ import json
 import math
 import os
 import shutil
+import sys
 import time
 from dataclasses import dataclass
 
@@ -445,12 +446,32 @@ def build_index(
     positions: bool = True,
     chunk_span: int = DEFAULT_CHUNK_SPAN,
     resume: bool = False,
+    sort_col: str | None = None,
 ) -> IndexPaths:
-    """Build (or resume) the full inverted index under `out_dir`."""
+    """Build (or resume) the full inverted index under `out_dir`.
+
+    sort_col: optional INDEX SORTING (the SortingMergePolicy idea,
+    lucene/misc SortingMergePolicy.java / later-Lucene index sorting):
+    docIDs follow (sort_col asc, key_col asc) instead of key rank, so docs
+    with similar static score potential cluster into the same docID chunks.
+    Sorting by ascending field length puts short (BM25-favored) docs first,
+    which is what makes block-max WAND's chunk pruning actually fire —
+    uniformly shuffled corpora have near-identical block maxima everywhere
+    and are unprunable at any block size."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     # fat posting/partial rows → small columnar reader batches (see session.py)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+
+    _t0 = [time.time()]
+
+    def _phase(name: str) -> None:
+        # opt-in wall-clock per build phase (LSS_PHASE_TIMING=1): the
+        # scaling bench uses this to find which stage stops scaling
+        if os.environ.get("LSS_PHASE_TIMING"):
+            now = time.time()
+            print(f"[build-phase] {name} {now - _t0[0]:.1f}s", file=sys.stderr, flush=True)
+            _t0[0] = now
 
     # --- 1. dedup: updateDocument semantics = delete-by-key + re-add
     # (IndexWriter.java:1187) → keep the newest warc_ts per url. max_by hash
@@ -458,35 +479,54 @@ def build_index(
     # partial); ties broken deterministically by (ts, text).
     src = pages.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     if ts_col is not None:
-        src = src.groupBy(key_col).agg(
+        aggs = [
             F.max_by(F.col(text_col), F.struct(F.col(ts_col), F.col(text_col))).alias(
                 text_col
             )
-        )
+        ]
+        if sort_col is not None:
+            aggs.append(
+                F.max_by(F.col(sort_col), F.struct(F.col(ts_col), F.col(text_col))).alias(
+                    sort_col
+                )
+            )
+        src = src.groupBy(key_col).agg(*aggs)
 
     # --- 2. deterministic docIDs = global url rank (parquet-staged; the
     # sorted corpus is read by two downstream passes and caching it in
     # executors OOMs at scale)
     ids_staging = os.path.join(out_dir, "_staging_ids")
+    id_cols = [key_col, text_col] if sort_col is None else [key_col, text_col, sort_col]
     with_ids = assign_dense_ids(
-        src.select(key_col, text_col),
-        order_col=key_col,
+        src.select(*id_cols),
+        order_col=key_col if sort_col is None else [sort_col, key_col],
         id_col="doc_id",
         staging_dir=ids_staging,
     )
 
     # --- 3. docs table: post-stop length (JVM expression) + norm byte —
-    # a map-only pass over the staged corpus, no joins
-    docs_tbl = with_ids.select(
-        "doc_id",
-        key_col,
-        doc_length_col(F.col(text_col)).cast("long").alias("dl"),
-    ).withColumn("norm_byte", _norm_byte_udf()(F.col("dl")))
-    # docs live under seg=bulk so NRT appends (docs/seg=N) share the layout
-    docs_tbl.write.mode("overwrite").parquet(os.path.join(paths.docs, "seg=bulk"))
-    docs_tbl = spark.read.parquet(paths.docs)
+    # a map-only pass over the staged corpus, no joins. Collection totals
+    # (maxDoc, sumTTF) ride along as observed metrics of the SAME write job
+    # instead of a separate aggregation pass (one driver barrier saved —
+    # fixed job overhead is what caps scaling efficiency at small corpora).
+    from pyspark.sql import Observation
 
-    totals = docs_tbl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).head()
+    obs_docs = Observation("docs_totals")
+    docs_tbl = (
+        with_ids.select(
+            "doc_id",
+            key_col,
+            doc_length_col(F.col(text_col)).cast("long").alias("dl"),
+        )
+        .withColumn("norm_byte", _norm_byte_udf()(F.col("dl")))
+        .observe(obs_docs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+    )
+    # docs live under seg=bulk so NRT appends (docs/seg=N) share the layout
+    _phase("dedup+docids")
+    docs_tbl.write.mode("overwrite").parquet(os.path.join(paths.docs, "seg=bulk"))
+    totals = obs_docs.get
+    _phase("docs+totals")
+    docs_tbl = spark.read.parquet(paths.docs)
     max_doc = int(totals["n"])
     sum_ttf = int(totals["t"] or 0)
     seg_span = max(1, math.ceil(max_doc / num_segments))
@@ -509,6 +549,7 @@ def build_index(
     invert_and_pack_partials(
         with_ids, text_col, seg_span, chunk_span, positions
     ).write.mode("overwrite").option("parquet.block.size", str(32 * 1024 * 1024)).parquet(partials_staging)
+    _phase("invert+partials")
     partials = spark.read.parquet(partials_staging)
 
     # --- 5. per-segment sort-merge of partials → postings
@@ -525,11 +566,24 @@ def build_index(
     for seg in range(num_segments):
         if seg in done_segs:
             continue
+        obs_seg = Observation(f"seg_{seg}_metrics")
         merged = (
             partials.where(F.col("seg_id") == seg)
             .groupBy("term", "chunk_id")
             .applyInPandas(recombine_partials, schema=POSTINGS_SCHEMA)
             .withColumn("seg_id", F.lit(seg).cast("int"))
+            # lineage metrics observed during the write itself (no re-read
+            # aggregation job). term_count is approx_count_distinct —
+            # observed metrics cannot run DISTINCT aggregates — which is
+            # fine: lineage term_count is informational; the exact global
+            # count lives in the terms table.
+            .observe(
+                obs_seg,
+                F.min("first_doc").alias("doc_id_min"),
+                F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
+                F.approx_count_distinct("term").alias("term_count"),
+                F.sum("df_chunk").alias("row_count"),
+            )
         )
         # sort merged rows by term for parquet row-group pruning at query
         (
@@ -539,22 +593,28 @@ def build_index(
             .option("parquet.block.size", str(32 * 1024 * 1024))
             .parquet(os.path.join(paths.postings, f"seg_id={seg}"))
         )
-        seg_df = spark.read.parquet(os.path.join(paths.postings, f"seg_id={seg}"))
-        lineage_row = (
-            seg_df.agg(
-                F.min("first_doc").alias("doc_id_min"),
-                F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
-                F.count_distinct("term").alias("term_count"),
-                F.sum("df_chunk").alias("row_count"),
-                (F.sum("df_chunk") * 8).alias("posting_bytes"),
-            )
-            .withColumn("seg_id", F.lit(seg))
-            .withColumn("status", F.lit("complete"))
-            .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
-            .withColumn("n_docs", F.lit(seg_doc_stats.get(seg, (0, 0))[0]))
-            .withColumn("ttf", F.lit(seg_doc_stats.get(seg, (0, 0))[1]))
+        m = obs_seg.get
+        lineage_row = spark.createDataFrame(
+            [
+                (
+                    int(m["doc_id_min"] or 0),
+                    int(m["doc_id_max"] or 0),
+                    int(m["term_count"] or 0),
+                    int(m["row_count"] or 0),
+                    int(m["row_count"] or 0) * 8,
+                    seg,
+                    "complete",
+                    int(time.time() * 1000),
+                    seg_doc_stats.get(seg, (0, 0))[0],
+                    seg_doc_stats.get(seg, (0, 0))[1],
+                )
+            ],
+            "doc_id_min long, doc_id_max long, term_count long, row_count long, "
+            "posting_bytes long, seg_id int, status string, built_at_snapshot long, "
+            "n_docs long, ttf long",
         )
         lineage_row.write.mode("append").parquet(paths.lineage)
+        _phase(f"seg{seg}_recombine+write")
 
     # --- 6. term dictionary (term, termID=global term rank, df, ttf),
     # derived from the written postings — no extra pipeline pass
@@ -566,6 +626,7 @@ def build_index(
     )
     terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
     terms_tbl.write.mode("overwrite").parquet(paths.terms)
+    _phase("terms")
 
     with open(paths.stats, "w") as fh:
         json.dump(

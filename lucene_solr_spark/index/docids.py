@@ -55,19 +55,22 @@ def _tag_local_index(part: DataFrame) -> DataFrame:
 
 def assign_dense_ids(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     staging_dir: str | None = None,
 ) -> DataFrame:
-    """Add `id_col` = 0-based rank of `order_col` (must be unique) in the
-    global ascending sort order. Deterministic at any parallelism."""
+    """Add `id_col` = 0-based rank of `order_col` (a unique column, or a
+    column list whose tuple is unique — e.g. [sort_key, unique_key] for
+    index sorting) in the global ascending sort order. Deterministic at any
+    parallelism."""
     spark = df.sparkSession
+    cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
         .withColumn("__pid", F.spark_partition_id())
     )
     tagged = _tag_local_index(part)

@@ -202,14 +202,14 @@ def merge_segments(
             F.sum("df_chunk").alias("row_count"),
             (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
         )
-        .withColumn("seg_id", F.lit(new_seg_id))
+        .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
         .withColumn("status", F.lit("complete"))
-        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
+        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)).cast("long"))
     )
     if has_metrics:
         new_row = new_row.withColumn(
-            "n_docs", F.lit(int(src_totals["n"] or 0))
-        ).withColumn("ttf", F.lit(int(src_totals["t"] or 0)))
+            "n_docs", F.lit(int(src_totals["n"] or 0)).cast("long")
+        ).withColumn("ttf", F.lit(int(src_totals["t"] or 0)).cast("long"))
     superseded = src_rows.withColumn("status", F.lit("superseded")).withColumn(
         "built_at_snapshot", F.lit(int(time.time() * 1000))
     )

@@ -230,7 +230,12 @@ class Searcher:
         t = np.nextafter(t, np.float32("-inf"))
         return float(t)
 
-    def search_wand(self, query: str | list[str], k: int = 10) -> DataFrame:
+    def search_wand(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        pruning_stats: dict | None = None,
+    ) -> DataFrame:
         """Top-k disjunction with block-max pruning, rank- and
         score-identical to exhaustive scoring (`search`) — bounds are
         compared against a θ padded by 2 float32 ulps (`_pad_theta`) so
@@ -326,6 +331,11 @@ class Searcher:
         # broadcasts the (small, post-prune) build side when it can
         live = chunk_ub.where(F.col("ub") >= theta_pad).select("chunk_id")
         survivors = rows.join(live, "chunk_id", "left_semi")
+        if pruning_stats is not None:
+            # effectiveness probe (two cheap counts on the cached bounds)
+            pruning_stats["chunks_total"] = chunk_ub.count()
+            pruning_stats["chunks_live"] = live.count()
+            pruning_stats["theta"] = theta
 
         scored = self._scored_rows(survivors, weights, theta=theta)
         agg = scored.groupBy("doc_id").agg(F.sum("score").cast("float").alias("score"))
@@ -639,19 +649,86 @@ class Searcher:
         return self.execute_clauses(parse(query_string), k=k)
 
     def execute_clauses(self, clauses, k: int = 10) -> DataFrame:
-        """Execute a mixed clause list: SHOULD sum + MUST constraints +
-        MUST_NOT anti-join, with per-clause boosts; phrase and term clauses
-        combine in one aggregation (BooleanQuery over TermScorer and
-        ExactPhraseScorer children)."""
+        """Execute a parsed clause tree: SHOULD sum + MUST constraints +
+        MUST_NOT anti-join, nested groups, multi-term syntax, per-clause
+        boosts (BooleanQuery over TermScorer / ExactPhraseScorer /
+        MultiTermQuery-rewrite / nested-BooleanQuery children)."""
+        empty = self.spark.createDataFrame([], "doc_id long, score float")
+        scored = self._clauses_scored(clauses)
+        if scored is None:
+            return empty
+        return self._topk(self._drop_deleted(scored), k)
+
+    def _multi_term_clause(self, c) -> DataFrame | None:
+        """MultiTermQuery clause via dictionary rewrite. Prefix/wildcard/
+        range execute constant-score (the 4.4 default rewrite,
+        CONSTANT_SCORE_AUTO_REWRITE_DEFAULT in MultiTermQuery.java); fuzzy
+        uses the scoring top-terms rewrite like FuzzyQuery."""
+        if c.kind == "prefix":
+            lit = c.terms[0].replace("%", r"\%").replace("_", r"\_")
+            terms = self._rewrite_terms(F.col("term").like(lit + "%"))
+            scoring = False
+        elif c.kind == "wildcard":
+            import re as _re
+
+            rx = "^" + "".join(
+                ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+                for ch in c.terms[0]
+            ) + "$"
+            terms = self._rewrite_terms(F.col("term").rlike(rx))
+            scoring = False
+        elif c.kind == "range":
+            lo = (
+                F.col("term") >= c.terms[0]
+                if c.include_lower
+                else F.col("term") > c.terms[0]
+            )
+            hi = (
+                F.col("term") <= c.terms[1]
+                if c.include_upper
+                else F.col("term") < c.terms[1]
+            )
+            terms = self._rewrite_terms(lo & hi)
+            scoring = False
+        elif c.kind == "fuzzy":
+            word = c.terms[0]
+            band = (F.length("term") >= len(word) - c.max_edits) & (
+                F.length("term") <= len(word) + c.max_edits
+            )
+            terms = self._rewrite_terms(
+                band & (F.levenshtein(F.col("term"), F.lit(word)) <= c.max_edits),
+                max_expansions=50,
+            )
+            scoring = True
+        else:
+            raise ValueError(c.kind)
+        if not terms:
+            return None
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return None
+        if scoring:
+            return (
+                self._scored(tinfo)
+                .groupBy("doc_id")
+                .agg(F.sum("score").cast("float").alias("score"))
+            )
+        return self._posting_docs(tinfo).distinct().select(
+            "doc_id", F.lit(1.0).cast("float").alias("score")
+        )
+
+    def _clauses_scored(self, clauses) -> DataFrame | None:
+        """(doc_id, score) of one boolean level — None when nothing can
+        match. Recurses into `group` clauses (nested BooleanQuery scoring:
+        the group's summed score becomes one sub-scorer contribution)."""
         from functools import reduce
 
         from .parser import MUST, MUST_NOT, SHOULD  # noqa: F401
 
-        empty = self.spark.createDataFrame([], "doc_id long, score float")
         scoring = [c for c in clauses if c.occur in (MUST, SHOULD)]
         negative = [c for c in clauses if c.occur == MUST_NOT]
         if not scoring:
-            return empty
+            return None
 
         term_clauses = [c for c in scoring if c.kind == "term"]
         uniq_terms = sorted({c.terms[0] for c in term_clauses})
@@ -660,7 +737,7 @@ class Searcher:
         # a MUST clause on a nonexistent term matches nothing
         for c in scoring:
             if c.occur == MUST and c.kind == "term" and c.terms[0] not in found:
-                return empty
+                return None
         scored_terms = (
             self._scored(tinfo[tinfo["term"].isin(found)])
             if tinfo is not None and found
@@ -676,32 +753,35 @@ class Searcher:
                 df_c = scored_terms.where(
                     F.col("term") == c.terms[0]
                 ).select("doc_id", "score")
-            else:
+            elif c.kind == "phrase":
                 df_c = self._phrase_scored(c.terms)
-                if df_c is None:
-                    if c.occur == MUST:
-                        return empty
-                    continue
+            elif c.kind == "group":
+                df_c = self._clauses_scored(c.children)
+            else:
+                df_c = self._multi_term_clause(c)
+            if df_c is None:
+                if c.occur == MUST:
+                    return None
+                continue
             if c.boost != 1.0:
                 b32 = float(np.float32(c.boost))
                 df_c = df_c.select(
                     "doc_id", (F.col("score") * b32).cast("float").alias("score")
                 )
-            parts.append(df_c.withColumn("cid", F.lit(cid)))
+            parts.append(df_c.select("doc_id", "score").withColumn("cid", F.lit(cid)))
             if c.occur == MUST:
                 must_ids.append(cid)
         if not parts:
-            return empty
+            return None
 
         union = reduce(DataFrame.unionByName, parts)
         agg = union.groupBy("doc_id").agg(
             F.sum("score").cast("float").alias("score"),
             F.count(F.when(F.col("cid").isin(must_ids), 1)).alias("n_must"),
         )
-        matched = agg.where(F.col("n_must") == len(must_ids))
+        matched = agg.where(F.col("n_must") == len(must_ids)).select("doc_id", "score")
 
-        neg_terms = sorted({t for c in negative for t in c.terms})
-        if neg_terms:
+        if negative:
             neg_docs = None
             neg_term_info = self.lookup_terms(
                 [c.terms[0] for c in negative if c.kind == "term"]
@@ -709,14 +789,21 @@ class Searcher:
             if not neg_term_info.empty:
                 neg_docs = self._posting_docs(neg_term_info)
             for c in negative:
+                sel = None
                 if c.kind == "phrase":
                     ph = self._phrase_scored(c.terms)
-                    if ph is not None:
-                        sel = ph.select("doc_id")
-                        neg_docs = sel if neg_docs is None else neg_docs.unionByName(sel)
+                    sel = ph.select("doc_id") if ph is not None else None
+                elif c.kind == "group":
+                    grp = self._clauses_scored(c.children)
+                    sel = grp.select("doc_id") if grp is not None else None
+                elif c.kind != "term":
+                    mt = self._multi_term_clause(c)
+                    sel = mt.select("doc_id") if mt is not None else None
+                if sel is not None:
+                    neg_docs = sel if neg_docs is None else neg_docs.unionByName(sel)
             if neg_docs is not None:
                 matched = matched.join(neg_docs.distinct(), "doc_id", "left_anti")
-        return self._topk(self._drop_deleted(matched), k)
+        return matched
 
     # --- phrase -------------------------------------------------------------
     def phrase_search(

@@ -262,11 +262,11 @@ def append_segment(
             F.sum("df_chunk").alias("row_count"),
             (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
         )
-        .withColumn("seg_id", F.lit(seg_id))
+        .withColumn("seg_id", F.lit(seg_id).cast("int"))
         .withColumn("status", F.lit("complete"))
-        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)))
-        .withColumn("n_docs", F.lit(int(n_new)))
-        .withColumn("ttf", F.lit(int(new_ttf)))
+        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)).cast("long"))
+        .withColumn("n_docs", F.lit(int(n_new)).cast("long"))
+        .withColumn("ttf", F.lit(int(new_ttf)).cast("long"))
         .withColumn(
             "batch_id",
             F.lit(batch_id).cast("long") if batch_id is not None else F.lit(None).cast("long"),

@@ -150,3 +150,120 @@ def test_query_unknown_must_term_empty(index):
     s, _ = index
     assert s.query("+zzzznotaword spark", k=10).count() == 0
     assert s.query("zzzznotaword spark", k=10).count() > 0
+
+
+# --- round 2: parens / ranges / wildcard / fuzzy syntax ----------------------
+def test_parens_group():
+    got = parse("(spark merge) AND fast")
+    assert got[0].kind == "group" and got[1].kind == "term"
+    assert [c.terms for c in got[0].children] == [["spark"], ["merge"]]
+    # AND promotes the group and the term
+    assert got[0].occur == MUST and got[1].occur == MUST
+
+
+def test_nested_group_with_boost_and_prohibit():
+    got = parse('-(slow "bad merge") fast^2')
+    assert got[0].kind == "group" and got[0].occur == MUST_NOT
+    kinds = [c.kind for c in got[0].children]
+    assert kinds == ["term", "phrase"]
+    assert got[1] == Clause(SHOULD, "term", ["fast"], 2.0)
+
+
+def test_group_boost_suffix():
+    got = parse("(spark merge)^3 dog")
+    assert got[0].kind == "group" and got[0].boost == 3.0
+
+
+def test_range_syntax():
+    (c,) = parse("[merge TO spark]")
+    assert c.kind == "range" and c.terms == ["merge", "spark"]
+    assert c.include_lower and c.include_upper
+    (c2,) = parse("{merge TO spark}")
+    assert not c2.include_lower and not c2.include_upper
+
+
+def test_wildcard_prefix_fuzzy_syntax():
+    got = parse("spar* te?m merge~1 fuzzy~")
+    assert [(c.kind, c.terms[0]) for c in got] == [
+        ("prefix", "spar"),
+        ("wildcard", "te?m"),
+        ("fuzzy", "merge"),
+        ("fuzzy", "fuzzy"),
+    ]
+    assert got[2].max_edits == 1 and got[3].max_edits == 2
+
+
+def test_unbalanced_parens_raise():
+    with pytest.raises(QueryParseError):
+        parse("(spark merge")
+
+
+def test_field_prefix_still_checked():
+    with pytest.raises(QueryParseError):
+        parse("title:spark")
+    assert parse("text:spark")[0].terms == ["spark"]
+
+
+def test_query_group_conjunction_e2e(index):
+    s, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    got = s.query("(cat bird) AND fast", k=1000).toPandas()
+    expect = set()
+    for d, t in texts.items():
+        toks = {tok for _, tok in standard_tokenize(t)}
+        if "fast" in toks and ({"cat", "bird"} & toks):
+            expect.add(d)
+    assert set(got["doc_id"]) == expect
+
+
+def test_query_range_constant_score_e2e(index):
+    s, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    got = s.query("[dog TO fast]", k=1000).toPandas()
+    expect = {
+        d
+        for d, t in texts.items()
+        if any("dog" <= tok < "fast" or tok == "fast" for _, tok in standard_tokenize(t))
+    }
+    assert set(got["doc_id"]) == expect
+    # constant-score rewrite: every match scores exactly 1.0f
+    assert set(got["score"]) == {1.0}
+
+
+def test_query_prefix_and_wildcard_e2e(index):
+    s, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    got = s.query("s*", k=1000).toPandas()
+    expect = {
+        d
+        for d, t in texts.items()
+        if any(tok.startswith("s") for _, tok in standard_tokenize(t))
+    }
+    assert set(got["doc_id"]) == expect
+
+    got2 = s.query("d?g", k=1000).toPandas()
+    expect2 = {
+        d
+        for d, t in texts.items()
+        if any(len(tok) == 3 and tok[0] == "d" and tok[2] == "g"
+               for _, tok in standard_tokenize(t))
+    }
+    assert set(got2["doc_id"]) == expect2
+
+
+def test_query_fuzzy_e2e(index):
+    s, texts = index
+    from lucene_solr_spark.analysis.analyzer import standard_tokenize
+
+    got = s.query("spak~1", k=1000).toPandas()
+    expect = {
+        d
+        for d, t in texts.items()
+        if "spark" in {tok for _, tok in standard_tokenize(t)}
+    }
+    # 'spak'~1 matches 'spark' (1 insertion); scores are BM25 (scoring rewrite)
+    assert set(got["doc_id"]) >= expect
+    assert (got["score"] > 0).all()

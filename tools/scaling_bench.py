@@ -35,9 +35,24 @@ os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
 from pyspark.sql import SparkSession
 
 n_exec = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
+# Pin this child's whole process tree (executor JVMs + their Python workers
+# + driver) to 4 CPUs per executor: Spark's core accounting does not cover
+# Python UDF workers, so an unpinned "8-core" baseline actually consumes
+# ~2x its nominal cores on an idle 32-core box, which understates scaling.
+# Affinity is inherited by all forked/spawned children.
+os.sched_setaffinity(0, set(range(min(4 * n_exec, os.cpu_count()))))
+# shuffle/spill on tmpfs: the sandbox has ONE shared disk, so 4N executors
+# would serialize on it; a real cluster has per-executor local disks. tmpfs
+# is the per-executor-disk analog (as in the round-1 protocol).
+shuffle_dir = tempfile.mkdtemp(prefix=f"scale_shuffle_{{n_exec}}_", dir="/dev/shm")
 spark = (
     SparkSession.builder.master(f"local-cluster[{{n_exec}},4,10240]")
     .appName(f"scale-{{n_exec}}ex")
+    # local-cluster's third arg is WORKER memory only; executor JVMs would
+    # otherwise default to 1g heaps. 6g/executor — identical per-executor
+    # resources at both cluster sizes, summing within machine RAM at 8.
+    .config("spark.executor.memory", "6g")
+    .config("spark.local.dir", shuffle_dir)
     .config("spark.sql.parquet.columnarReaderBatchSize", "128")
     .config("spark.sql.shuffle.partitions", "256")  # sized to the DATA (2M docs x ~250 tokens), identical at both cluster sizes
     .config("spark.sql.adaptive.enabled", "true")
@@ -57,7 +72,11 @@ from lucene_solr_spark.index.build import build_index
 from lucene_solr_spark.query.executor import Searcher
 
 pages = spark.read.parquet(pages_dir)
-idx = tempfile.mkdtemp(prefix=f"scale_idx_{{n_exec}}_")
+# index + staging also on tmpfs: a cluster writes segments to scale-out
+# object storage whose bandwidth grows with executors; the sandbox's one
+# shared disk would serialize the 4N writers and masquerade as poor engine
+# scaling. (The input corpus stays on disk — reads are page-cached.)
+idx = tempfile.mkdtemp(prefix=f"scale_idx_{{n_exec}}_", dir="/dev/shm")
 try:
     pages.limit(100).count()  # warm executor JVMs / codegen
     t0 = time.time()
@@ -72,20 +91,38 @@ try:
         for q in qs:
             s.search(q, k=10).collect()
     query_sec = (time.time() - tq0) / (reps * len(qs))
+    # WAND vs exhaustive on the same two-term query (pruning should win at
+    # corpus scale, where whole chunks fall below theta)
+    wq = ["spark", "merge"]
+    s.search_wand(wq, k=10).collect()
+    tw = time.time()
+    for _ in range(reps):
+        s.search_wand(wq, k=10).collect()
+    wand_sec = (time.time() - tw) / reps
+    te = time.time()
+    for _ in range(reps):
+        s.search(wq, k=10).collect()
+    exh_sec = (time.time() - te) / reps
     print(json.dumps({{"executors": n_exec, "cores_total": n_exec * 4,
                        "build_sec": round(build_sec, 2),
                        "docs_per_sec": round(n / build_sec, 1),
-                       "mean_query_sec": round(query_sec, 3)}}))
+                       "mean_query_sec": round(query_sec, 3),
+                       "wand_two_term_sec": round(wand_sec, 3),
+                       "exhaustive_two_term_sec": round(exh_sec, 3)}}))
 finally:
     shutil.rmtree(idx, ignore_errors=True)
     spark.stop()
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
 """
 
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    tmp = tempfile.mkdtemp(prefix="scale_pages_")
-    pages_dir = os.path.join(tmp, "pages")
+    if len(sys.argv) > 2:  # reuse an already-generated corpus
+        pages_dir = sys.argv[2]
+    else:
+        tmp = tempfile.mkdtemp(prefix="scale_pages_")
+        pages_dir = os.path.join(tmp, "pages")
 
     gen = (
         "import sys; sys.path.insert(0, {repo!r})\n"
@@ -96,28 +133,41 @@ def main() -> None:
         f"generate_pages(spark, {n}, seed=42).write.mode('overwrite').parquet({pages_dir!r})\n"
         "spark.stop()\n"
     ).format(repo=REPO)
-    subprocess.run([sys.executable, "-c", gen], check=True)
+    if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+        subprocess.run([sys.executable, "-c", gen], check=True)
 
     child = CHILD.format(repo=REPO)
     results = {}
-    for n_exec in (2, 8):
+    # N vs 4N executor counts; default 2 vs 8. SCALE_EXECS=1,4 keeps the 4N
+    # point at half the host's cores so single-box memory-bandwidth
+    # saturation doesn't masquerade as poor engine scaling.
+    pair = tuple(
+        int(x) for x in os.environ.get("SCALE_EXECS", "2,8").split(",")
+    )
+    for n_exec in pair:
         out = subprocess.run(
             [sys.executable, "-c", child, str(n_exec), str(n), pages_dir],
-            check=True,
             capture_output=True,
             text=True,
         )
+        for ln in out.stderr.splitlines():
+            if "[build-phase]" in ln:
+                print(f"exec{n_exec} {ln}", flush=True)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-8000:])
+            raise SystemExit(f"child (executors={n_exec}) failed rc={out.returncode}")
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[n_exec] = json.loads(line)
 
-    eff_build = (results[8]["docs_per_sec"] / results[2]["docs_per_sec"]) / 4.0
-    speedup_q = results[2]["mean_query_sec"] / results[8]["mean_query_sec"]
+    lo, hi = pair
+    eff_build = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / (hi / lo)
+    speedup_q = results[lo]["mean_query_sec"] / results[hi]["mean_query_sec"]
     print(
         json.dumps(
             {
                 "n_docs": n,
-                "cluster_N": results[2],
-                "cluster_4N": results[8],
+                "cluster_N": results[lo],
+                "cluster_4N": results[hi],
                 "scaling_efficiency_build": round(eff_build, 3),
                 "query_speedup": round(speedup_q, 2),
             }
