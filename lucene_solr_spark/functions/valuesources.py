@@ -251,6 +251,17 @@ def index_norm_decoded(searcher) -> DataFrame:
     )
 
 
+def index_joindf(searcher, frame: DataFrame, col: str) -> DataFrame:
+    """JoinDocFreqValueSource / `joindf(field)`: the document frequency of
+    the term held in another frame's column, read from the term dictionary
+    (JoinDocFreqValueSource.java; ValueSourceParser.java:287). Terms not in
+    the dictionary get df = 0."""
+    t = searcher.terms.select(F.col("term").alias(col), F.col("df").alias("joindf"))
+    return frame.join(t, col, "left").withColumn(
+        "joindf", F.coalesce(F.col("joindf"), F.lit(0)).cast("long")
+    )
+
+
 def boosted_topk(
     searcher,
     terms: list[str],

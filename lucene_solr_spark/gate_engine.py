@@ -653,6 +653,62 @@ def _e_docsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@df_gate(
+    "engine_join_semi",
+    """
+SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+GROUP BY c.c_mktsegment
+ORDER BY segment""",
+)
+def _e_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr {!join} through components.solr_join."""
+    from .query.components import solr_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = solr_join(
+        orders, "o_custkey", customer, "c_custkey", F.col("o_totalprice") > 100000
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+@df_gate(
+    "engine_block_join_parent",
+    """
+SELECT CAST(o.o_orderkey AS BIGINT) AS order_key,
+       ROUND(MAX(l.l_extendedprice), 2) AS best_child_score,
+       CAST(COUNT(*) AS BIGINT) AS n_matching_children
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_quantity > 45
+GROUP BY o.o_orderkey
+ORDER BY best_child_score DESC, order_key ASC
+LIMIT 20""",
+)
+def _e_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToParentBlockJoinQuery (score mode max) through components."""
+    from .query.components import block_join_parent
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rolled = block_join_parent(
+        li, F.col("l_quantity") > 45, "l_orderkey", "l_extendedprice", "max"
+    )
+    return (
+        rolled.select(
+            F.col("l_orderkey").cast("long").alias("order_key"),
+            F.round("parent_score", 2).alias("best_child_score"),
+            "n_matching_children",
+        )
+        .orderBy(F.col("best_child_score").desc(), F.col("order_key").asc())
+        .limit(20)
+    )
+
+
 # --- §2.14 through the real dictionary ----------------------------------------
 @df_gate(
     "engine_mlt_terms",

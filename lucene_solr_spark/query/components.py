@@ -211,6 +211,50 @@ def match_all(searcher) -> DataFrame:
     return searcher._drop_deleted(docs)
 
 
+# --- joins (§2.6) -------------------------------------------------------------
+def solr_join(
+    from_source: DataFrame,
+    from_col: str,
+    to_source: DataFrame,
+    to_col: str,
+    from_predicate: Column,
+) -> DataFrame:
+    """Solr `{!join from=f to=t}` (JoinUtil.java:93, JoinQParserPlugin):
+    two-pass semi-join — collect the `from` field's values over docs
+    matching the inner query, return docs whose `to` field holds any of
+    them. Spark: filter → project → LEFT SEMI JOIN (broadcast when the key
+    set is small, by AQE)."""
+    keys = (
+        from_source.where(from_predicate)
+        .select(F.col(from_col).alias(to_col))
+        .distinct()
+    )
+    return to_source.join(keys, to_col, "left_semi")
+
+
+def block_join_parent(
+    children: DataFrame,
+    child_predicate: Column,
+    parent_key: str,
+    score_col: str,
+    score_mode: str = "max",
+) -> DataFrame:
+    """ToParentBlockJoinQuery (ToParentBlockJoinQuery.java:483): child
+    matches roll up to the parent with ScoreMode none/avg/max/total plus a
+    matching-children count. The doc-block contiguity trick is unnecessary —
+    the parent key IS the block identity in a relational layout."""
+    aggs = [F.count(F.lit(1)).alias("n_matching_children")]
+    mode = {
+        "max": F.max,
+        "avg": F.avg,
+        "total": F.sum,
+        "none": None,
+    }[score_mode]
+    if mode is not None:
+        aggs.insert(0, mode(F.col(score_col)).alias("parent_score"))
+    return children.where(child_predicate).groupBy(parent_key).agg(*aggs)
+
+
 # --- §2.14 relevance features over the real index -----------------------------
 def more_like_this(
     searcher,

@@ -746,13 +746,30 @@ class Searcher:
 
         parts = []
         must_ids: list[int] = []
+        # ALL term clauses ride ONE postings scan: join the scored rows to a
+        # tiny broadcast (term → clause id, boost) map instead of filtering
+        # the scan once per clause (clause-count-many scan subtrees)
+        term_entries = [
+            (c.terms[0], cid, float(np.float32(c.boost)))
+            for cid, c in enumerate(scoring)
+            if c.kind == "term" and c.terms[0] in found
+        ]
+        if term_entries:
+            mdf = self.spark.createDataFrame(
+                term_entries, "term string, cid int, boost float"
+            )
+            parts.append(
+                scored_terms.join(F.broadcast(mdf), "term").select(
+                    "doc_id",
+                    (F.col("score") * F.col("boost")).cast("float").alias("score"),
+                    "cid",
+                )
+            )
         for cid, c in enumerate(scoring):
             if c.kind == "term":
-                if c.terms[0] not in found:
-                    continue  # unmatched SHOULD term
-                df_c = scored_terms.where(
-                    F.col("term") == c.terms[0]
-                ).select("doc_id", "score")
+                if c.occur == MUST and c.terms[0] in found:
+                    must_ids.append(cid)
+                continue  # scored via the shared scan above
             elif c.kind == "phrase":
                 df_c = self._phrase_scored(c.terms)
             elif c.kind == "group":
@@ -1028,6 +1045,32 @@ class Searcher:
                 yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc})
 
         return matches.mapInPandas(score_kernel, schema="doc_id long, score float")
+
+    def paged_search(
+        self,
+        query: str | list[str],
+        start: int = 0,
+        rows: int = 10,
+        filter_docs: DataFrame | None = None,
+    ):
+        """offset/rows windowing through the queryResultCache: fetch a
+        superset rounded up to queryResultWindowSize, cache it, slice pages
+        out of it (SolrIndexSearcher.java:1243-1352) — page 2 of a repeated
+        query never replans. Returns a pandas frame (pages are top-k-sized
+        driver objects by definition)."""
+        from .components import QueryResultCache
+
+        if getattr(self, "_qr_cache", None) is None:
+            self._qr_cache = QueryResultCache()
+        terms = tuple(
+            self.analyze_query(query) if isinstance(query, str) else query
+        )
+        key = (terms, id(filter_docs) if filter_docs is not None else None)
+
+        def fetch(n: int):
+            return self.search(list(terms), k=n, filter_docs=filter_docs).toPandas()
+
+        return self._qr_cache.windowed(key, start, rows, fetch)
 
     def count(self, query: str | list[str]) -> int:
         """TotalHitCountCollector (TotalHitCountCollector.java:51)."""

@@ -96,3 +96,36 @@ def test_stats_component_matches_pandas(spark):
     assert row.sum_v == pytest.approx(8.0)
     assert row.mean_v == pytest.approx(8.0 / 3)
     assert row.stddev_v == pytest.approx(np.std([1.5, 2.5, 4.0], ddof=1))
+
+
+def test_paged_search_windowing(spark, idx):
+    p1 = idx.paged_search(["fast"], start=0, rows=2)
+    p2 = idx.paged_search(["fast"], start=2, rows=2)
+    full = idx.search(["fast"], k=10).toPandas()
+    assert p1["doc_id"].tolist() == full["doc_id"].tolist()[:2]
+    assert p2["doc_id"].tolist() == full["doc_id"].tolist()[2:4]
+
+
+def test_solr_join_and_block_join(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 3.0), (3, "b", 7.0)], "id long, k string, v double"
+    )
+    right = spark.createDataFrame(
+        [(100, "a"), (200, "b"), (300, "c")], "rid long, k string"
+    )
+    out = C.solr_join(left, "k", right, "k", F.col("v") > 5.0).toPandas()
+    assert sorted(out["rid"]) == [100, 200]
+
+    rolled = C.block_join_parent(left, F.col("v") > 2.0, "k", "v", "max").toPandas()
+    got = rolled.set_index("k")
+    assert got.loc["a", "parent_score"] == 10.0
+    assert int(got.loc["a", "n_matching_children"]) == 2
+
+
+def test_joindf_valuesource(spark, idx):
+    frame = spark.createDataFrame(
+        [("spark",), ("zzzmissing",)], "word string"
+    )
+    out = vs.index_joindf(idx, frame, "word").toPandas().set_index("word")
+    assert int(out.loc["spark", "joindf"]) == 3
+    assert int(out.loc["zzzmissing", "joindf"]) == 0
