@@ -521,10 +521,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents"""
 
 
-@gate("text_quality_scoring")
-def _q_quality(d: str) -> str:
-    """Quality scoring for training-data filtering: token count, mean token
-    length, stopword ratio per doc."""
+def _quality_sql(d: str) -> str:
     return f"""
 WITH tok_all AS ({tok_cte(d, stop_filter=False)}),
 per AS (
@@ -541,9 +538,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM per ORDER BY doc_id"""
 
 
-@gate("lang_id_stopword_heuristic")
-def _q_langid(d: str) -> str:
-    """n-gram/stopword language-ID heuristic vs the labeled lang column."""
+def _langid_sql(d: str) -> str:
     return f"""
 WITH tok_all AS ({tok_cte(d, stop_filter=False)}),
 per AS (
@@ -562,9 +557,7 @@ GROUP BY dd.lang, pred.pred_lang
 ORDER BY lang, pred_lang"""
 
 
-@gate("doc_fingerprint_rolling_hash")
-def _q_fingerprint(d: str) -> str:
-    """Deterministic document fingerprint: position-weighted token hash."""
+def _fingerprint_sql(d: str) -> str:
     h = md5i("term", d)
     return f"""
 WITH tok AS ({tok_cte(d)})
@@ -573,9 +566,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM tok GROUP BY doc_id ORDER BY doc_id"""
 
 
-@gate("token_count_stats")
-def _q_tokcount(d: str) -> str:
-    """Token counting over the corpus (pipeline bookkeeping)."""
+def _tokcount_sql(d: str) -> str:
     return f"""
 WITH tok_all AS ({tok_cte(d, stop_filter=False)}),
 per AS (SELECT doc_id, COUNT(*) AS n FROM tok_all GROUP BY doc_id)
@@ -584,6 +575,49 @@ SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
        CAST(MAX(n) AS BIGINT) AS max_doc_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM per"""
+
+
+# --- text-analysis gates: Spark side runs the REUSABLE pipeline APIs
+# (pipeline/textstats.py), DuckDB replays the template SQL ------------------
+@df_gate("text_quality_scoring", _quality_sql("duckdb"))
+def _q_quality_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import quality_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_scores(docs).orderBy("doc_id")
+
+
+@df_gate("lang_id_stopword_heuristic", _langid_sql("duckdb"))
+def _q_langid_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .pipeline.textstats import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pred = lang_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@df_gate("doc_fingerprint_rolling_hash", _fingerprint_sql("duckdb"))
+def _q_fingerprint_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprints(docs).orderBy("doc_id")
+
+
+@df_gate("token_count_stats", _tokcount_sql("duckdb"))
+def _q_tokcount_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.textstats import token_count_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count_stats(docs)
 
 
 @gate("filtered_query_bm25")

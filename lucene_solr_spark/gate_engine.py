@@ -206,6 +206,19 @@ def _e_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _to_orig(s, hits, ranked=False)
 
 
+@df_gate(
+    "engine_req_opt_sum",
+    _rank_only(bm25_sql("duckdb", ["fast", "merge"], k=10, combine="req_opt")),
+)
+def _e_req_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReqOptSumScorer through the engine: required 'fast' + optional
+    'merge' scored only where the required clause matches
+    (ReqOptSumScorer.java) — boolean_search(must, should)."""
+    s = _engine_searcher(spark, sf_dir)
+    hits = s.boolean_search(must=["fast"], should=["merge"], k=10)
+    return _to_orig(s, hits, ranked=True)
+
+
 # --- positional --------------------------------------------------------------
 @df_gate(
     "engine_phrase_exact",

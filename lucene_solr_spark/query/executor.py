@@ -298,20 +298,58 @@ class Searcher:
             "chunk_id",
             F.array_max(block_bounds).alias("row_ub"),
         )
-        # chunk upper bounds STAY DISTRIBUTED (maxDoc/chunk_span rows — ~15M
-        # at 10^12 docs; never pulled to the driver). The driver only ever
-        # sees the 2-row head (seed selection) and the k-row seed result.
-        # Cached across this query's two jobs; released on the next call.
-        if getattr(self, "_wand_cache", None) is not None:
-            self._wand_cache.unpersist()
-        chunk_ub = bounds.groupBy("chunk_id").agg(F.sum("row_ub").alias("ub")).persist()
-        self._wand_cache = chunk_ub
-        head = chunk_ub.orderBy(F.col("ub").desc()).limit(2).collect()
-        if len(head) <= 1:
-            return self.search(terms, k=k)
+        chunk_ub = bounds.groupBy("chunk_id").agg(F.sum("row_ub").alias("ub"))
+        chunk_span = int(self.meta.get("chunk_span") or 1 << 16)
+        n_chunks_est = self.stats.max_doc // chunk_span + 1
 
-        # --- θ seed: exhaustive over the most promising chunk
-        seed_chunk = int(head[0]["chunk_id"])
+        if n_chunks_est <= 1024:
+            # small index: the whole bound table is ≤1024 rows — one action
+            # pulls it, pruning is planned driver-side and survivors filter
+            # with a bounded `isin` literal (pushdown-friendly, no join)
+            pdf = chunk_ub.orderBy(F.col("ub").desc()).toPandas()
+            if len(pdf) <= 1:
+                return self.search(terms, k=k)
+            seed_chunk = int(pdf["chunk_id"].iloc[0])
+            theta, theta_pad = self._wand_theta(rows, weights, seed_chunk, k)
+            live_chunks = [
+                int(c) for c, u in zip(pdf["chunk_id"], pdf["ub"]) if u >= theta_pad
+            ]
+            survivors = rows.where(F.col("chunk_id").isin(live_chunks))
+            if pruning_stats is not None:
+                pruning_stats["chunks_total"] = len(pdf)
+                pruning_stats["chunks_live"] = len(live_chunks)
+                pruning_stats["theta"] = theta
+        else:
+            # large index: chunk bounds STAY DISTRIBUTED (maxDoc/chunk_span
+            # rows — ~15M at 10^12 docs; never pulled to the driver). The
+            # driver only sees the 2-row head and the k-row seed; survivors
+            # prune by semi-join (AQE broadcasts the post-prune side).
+            # Cached across this query's jobs; released on the next call.
+            if getattr(self, "_wand_cache", None) is not None:
+                self._wand_cache.unpersist()
+            chunk_ub = chunk_ub.persist()
+            self._wand_cache = chunk_ub
+            head = chunk_ub.orderBy(F.col("ub").desc()).limit(2).collect()
+            if len(head) <= 1:
+                return self.search(terms, k=k)
+            seed_chunk = int(head[0]["chunk_id"])
+            theta, theta_pad = self._wand_theta(rows, weights, seed_chunk, k)
+            live = chunk_ub.where(F.col("ub") >= theta_pad).select("chunk_id")
+            survivors = rows.join(live, "chunk_id", "left_semi")
+            if pruning_stats is not None:
+                pruning_stats["chunks_total"] = chunk_ub.count()
+                pruning_stats["chunks_live"] = live.count()
+                pruning_stats["theta"] = theta
+
+        scored = self._scored_rows(survivors, weights, theta=theta)
+        agg = scored.groupBy("doc_id").agg(F.sum("score").cast("float").alias("score"))
+        return self._topk(self._drop_deleted(agg), k)
+
+    def _wand_theta(
+        self, rows: DataFrame, weights: dict, seed_chunk: int, k: int
+    ) -> tuple[float, float]:
+        """θ = k-th best score of the most promising chunk, exhaustively
+        scored (the seed pass), with its pruning-safe padded twin."""
         seed_agg = (
             self._scored_rows(rows.where(F.col("chunk_id") == seed_chunk), weights)
             .groupBy("doc_id")
@@ -324,22 +362,7 @@ class Searcher:
             .collect()
         )
         theta = float(seed[-1]["score"]) if len(seed) >= k else float("-inf")
-        theta_pad = self._pad_theta(theta)
-
-        # prune whole chunks by semi-join against the surviving chunk set —
-        # no driver round-trip, no literal chunk list in the plan; AQE
-        # broadcasts the (small, post-prune) build side when it can
-        live = chunk_ub.where(F.col("ub") >= theta_pad).select("chunk_id")
-        survivors = rows.join(live, "chunk_id", "left_semi")
-        if pruning_stats is not None:
-            # effectiveness probe (two cheap counts on the cached bounds)
-            pruning_stats["chunks_total"] = chunk_ub.count()
-            pruning_stats["chunks_live"] = live.count()
-            pruning_stats["theta"] = theta
-
-        scored = self._scored_rows(survivors, weights, theta=theta)
-        agg = scored.groupBy("doc_id").agg(F.sum("score").cast("float").alias("score"))
-        return self._topk(self._drop_deleted(agg), k)
+        return theta, self._pad_theta(theta)
 
     def _scored_rows(
         self,
@@ -957,7 +980,14 @@ class Searcher:
                 schema="doc_id long, term string, norm_byte int, positions array<long>",
             )
         )
-        if single_alternative and len(qterms) > 1:
+        # prefilter pays one extra postings pass to shrink the heavy position
+        # shuffle — worth it only when the position volume is actually heavy
+        prefilter = (
+            single_alternative
+            and len(qterms) > 1
+            and int(tinfo["df"].sum()) >= 500_000
+        )
+        if prefilter:
             # conjunction prefilter BEFORE the position shuffle: a cheap
             # doc-id-only pass (no pos_flat decode) finds docs containing all
             # phrase terms, so full position lists are only shuffled for

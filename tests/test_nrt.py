@@ -118,3 +118,30 @@ def test_streaming_file_source(spark, tmp_path):
     got = s.search(["spark", "newword"], k=10).toPandas()
     exp = brute_force_topk(texts, ["spark", "newword"], k=10)
     assert got["doc_id"].tolist() == [d for d, _ in exp]
+
+
+def test_large_batch_append_scales_out(spark, tmp_path):
+    """Catch-up batch (20k docs) through the scale-out id assignment
+    (assign_dense_ids, no single-task global windows) — correctness vs the
+    brute-force oracle on spot queries."""
+    from lucene_solr_spark.sources.webgen import generate_pages
+
+    idx = str(tmp_path / "nrt_big")
+    pages = generate_pages(spark, 20_000, seed=11).select("url", "warc_ts", "text")
+    seg = append_segment(spark, pages, idx, batch_id=0, ts_col="warc_ts")
+    assert seg == 0
+    s = Searcher(spark, idx)
+    assert s.stats.max_doc == pages.select("url").distinct().count()
+    got = s.search(["spark", "merge"], k=10).toPandas()
+    assert len(got) == 10 and got["score"].is_monotonic_decreasing
+    # appending a second batch preserves old docIDs and extends the corpus
+    pages2 = generate_pages(spark, 1_000, seed=12).select(
+        F.concat(F.lit("x-"), F.col("url")).alias("url"), "warc_ts", "text"
+    )
+    seg2 = append_segment(spark, pages2, idx, batch_id=1, ts_col="warc_ts")
+    assert seg2 == 1
+    s.reopen()
+    assert s.stats.max_doc == (
+        pages.select("url").distinct().count()
+        + pages2.select("url").distinct().count()
+    )

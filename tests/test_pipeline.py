@@ -197,3 +197,16 @@ def test_frame_sample(spark):
         expect = list(range(0, max(int(row["n_frames"]) - 1, 0) + 1, 10))
         got = sorted(out[out["id"] == row["id"]]["frame_idx"])
         assert got == expect
+
+
+def test_textstats_apis(spark, docs):
+    from lucene_solr_spark.pipeline import textstats
+
+    q = textstats.quality_scores(docs).toPandas()
+    assert (q["stop_ratio"] >= 0).all() and (q["n_tokens"] > 0).all()
+    li = textstats.lang_id(docs).toPandas()
+    assert set(li["pred_lang"]) <= {"en", "other"}
+    tc = textstats.token_count_stats(docs).head()
+    assert tc.total_tokens >= tc.n_docs >= 1
+    fp = textstats.fingerprints(docs).toPandas()
+    assert fp["fingerprint"].nunique() > 1
