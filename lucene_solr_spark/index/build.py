@@ -492,10 +492,27 @@ def build_index(
             )
         src = src.groupBy(key_col).agg(*aggs)
 
-    # --- 2. deterministic docIDs = global url rank (parquet-staged; the
-    # sorted corpus is read by two downstream passes and caching it in
-    # executors OOMs at scale)
-    ids_staging = os.path.join(out_dir, "_staging_ids")
+    # --- 2. deterministic docIDs = global url rank. The sorted corpus is
+    # read by two downstream passes: corpus-scale inputs parquet-stage it
+    # (caching multi-GB text in executors OOMs), small inputs (< 256 MB of
+    # source files, or in-memory frames) persist instead — two fewer jobs
+    # where the driver-barrier floor dominates.
+    def _input_bytes(df: DataFrame) -> int | None:
+        try:
+            files = df.inputFiles()
+        except Exception:  # noqa: BLE001 — exotic sources: assume big
+            return None
+        if not files:
+            return 0  # in-memory frame (tests/toy corpora)
+        try:
+            return sum(
+                os.path.getsize(f.removeprefix("file:")) for f in files
+            )
+        except OSError:  # non-local storage: assume big
+            return None
+    size = _input_bytes(src)
+    small_input = size is not None and size < 256 * 1024 * 1024
+    ids_staging = None if small_input else os.path.join(out_dir, "_staging_ids")
     id_cols = [key_col, text_col] if sort_col is None else [key_col, text_col, sort_col]
     with_ids = assign_dense_ids(
         src.select(*id_cols),
@@ -542,15 +559,25 @@ def build_index(
             .collect()
         }
 
-    # --- 4. DWPT pass: invert + pack partial posting rows, staged once
-    partials_staging = os.path.join(out_dir, "_staging_partials")
-    # 32 MB row groups: posting rows are huge, and oversized row groups (from
-    # lagging size estimation on fat rows) OOM the vectored parquet reader
-    invert_and_pack_partials(
+    # --- 4. DWPT pass: invert + pack partial posting rows
+    partials_staging = None
+    partials = invert_and_pack_partials(
         with_ids, text_col, seg_span, chunk_span, positions
-    ).write.mode("overwrite").option("parquet.block.size", str(32 * 1024 * 1024)).parquet(partials_staging)
-    _phase("invert+partials")
-    partials = spark.read.parquet(partials_staging)
+    )
+    if num_segments > 1 or resume:
+        # staged once: the per-segment loop re-reads partials per segment,
+        # and resume needs them durable across restarts. 32 MB row groups:
+        # posting rows are huge, and oversized row groups (from lagging size
+        # estimation on fat rows) OOM the vectored parquet reader.
+        partials_staging = os.path.join(out_dir, "_staging_partials")
+        partials.write.mode("overwrite").option(
+            "parquet.block.size", str(32 * 1024 * 1024)
+        ).parquet(partials_staging)
+        _phase("invert+partials")
+        partials = spark.read.parquet(partials_staging)
+    # else: single segment, no resume — one consumer, so the recombine
+    # shuffle reads the invert pass directly (the largest intermediate is
+    # never materialized twice)
 
     # --- 5. per-segment sort-merge of partials → postings
     done_segs: set[int] = set()
@@ -642,6 +669,8 @@ def build_index(
             fh,
         )
     spark.catalog.clearCache()
-    shutil.rmtree(partials_staging, ignore_errors=True)
-    shutil.rmtree(ids_staging, ignore_errors=True)
+    if partials_staging is not None:
+        shutil.rmtree(partials_staging, ignore_errors=True)
+    if ids_staging is not None:
+        shutil.rmtree(ids_staging, ignore_errors=True)
     return paths
