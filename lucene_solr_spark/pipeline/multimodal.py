@@ -98,6 +98,98 @@ def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def resize_gray(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL area-mean resize of a grayscale array (pure numpy, no image
+    libs): partitions the source grid into out_h × out_w cells and averages
+    each — the standard anti-aliased downscale. Works for up- and
+    down-scaling (nearest-neighbor rows/cols when upscaling)."""
+    h, w = px.shape
+    row_idx = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    col_idx = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float32)
+    csum = px.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    padded = np.zeros((h + 1, w + 1), dtype=np.float64)
+    padded[1:, 1:] = csum
+    for i in range(out_h):
+        r0, r1 = row_idx[i], max(row_idx[i + 1], row_idx[i] + 1)
+        r1 = min(r1, h)
+        for j in range(out_w):
+            c0, c1 = col_idx[j], max(col_idx[j + 1], col_idx[j] + 1)
+            c1 = min(c1, w)
+            area = (r1 - r0) * (c1 - c0)
+            s = (
+                padded[r1, c1] - padded[r0, c1] - padded[r1, c0] + padded[r0, c0]
+            )
+            out[i, j] = s / area
+    return out
+
+
+def resize_images(
+    df: DataFrame, out_h: int = 8, out_w: int = 8, fake: bool = True
+) -> DataFrame:
+    """media → resized grayscale pixel array (flattened), Arrow-batched.
+    The resize itself is real (resize_gray); only the codec is fake/stubbed
+    in this container."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pxs = [], []
+            for row in pdf.itertuples(index=False):
+                meta = row.meta
+                w, h = int(meta["width"]), int(meta["height"])
+                px = (
+                    _fake_decode(bytes(row.media), w, h)
+                    if fake
+                    else decode_image(bytes(row.media), w, h)
+                )
+                ids.append(row.id)
+                pxs.append(resize_gray(px, out_h, out_w).ravel())
+            yield pd.DataFrame({"id": ids, "pixels": pxs})
+
+    return df.select("id", "media", "meta").mapInPandas(
+        kernel, schema="id long, pixels array<float>"
+    )
+
+
+def audio_features(
+    df: DataFrame, frame_len: int = 256, n_frames_keep: int = 8
+) -> DataFrame:
+    """Raw-PCM audio feature extraction — REAL end to end: int16 PCM decodes
+    with np.frombuffer (no codec library involved), then per-frame RMS
+    energy and zero-crossing rate over the first `n_frames_keep` frames
+    (padded with zeros for short clips). Compressed codecs (mp3/ogg) would
+    slot in at the frombuffer line."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats, rates = [], [], []
+            for row in pdf.itertuples(index=False):
+                pcm = np.frombuffer(bytes(row.media), dtype="<i2").astype(np.float32)
+                pcm = pcm / 32768.0
+                n = (len(pcm) // frame_len) * frame_len
+                frames = pcm[:n].reshape(-1, frame_len) if n else np.zeros((0, frame_len), np.float32)
+                rms = np.sqrt((frames**2).mean(axis=1)) if len(frames) else np.array([])
+                zcr = (
+                    (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+                    if len(frames)
+                    else np.array([])
+                )
+                vec = np.zeros(2 * n_frames_keep, dtype=np.float32)
+                k = min(n_frames_keep, len(rms))
+                vec[:k] = rms[:k]
+                vec[n_frames_keep : n_frames_keep + k] = zcr[:k]
+                ids.append(row.id)
+                feats.append(vec)
+                rates.append(int(row.meta["sample_rate"] or 0))
+            yield pd.DataFrame(
+                {"id": ids, "features": feats, "sample_rate": rates}
+            )
+
+    return df.select("id", "media", "meta").mapInPandas(
+        kernel, schema="id long, features array<float>, sample_rate int"
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling STUB: emits (id, frame_idx) for frames
     0, every_n, 2*every_n, ... of meta.n_frames — the real implementation

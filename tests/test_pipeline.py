@@ -210,3 +210,37 @@ def test_textstats_apis(spark, docs):
     assert tc.total_tokens >= tc.n_docs >= 1
     fp = textstats.fingerprints(docs).toPandas()
     assert fp["fingerprint"].nunique() > 1
+
+
+def test_resize_gray_real():
+    from lucene_solr_spark.pipeline.multimodal import resize_gray
+
+    # constant image stays constant at any size
+    const = np.full((17, 13), 42, dtype=np.uint8)
+    out = resize_gray(const, 8, 8)
+    np.testing.assert_allclose(out, 42.0)
+    # 2x2 block mean on an even grid matches exact pooling
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    out2 = resize_gray(px, 2, 2)
+    exp = px.reshape(2, 2, 2, 2).mean(axis=(1, 3))
+    np.testing.assert_allclose(out2, exp)
+
+
+def test_resize_images_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=8)
+    out = multimodal.resize_images(media, 8, 8, fake=True).orderBy("id").toPandas()
+    assert len(out) == 8 and all(len(p) == 64 for p in out["pixels"])
+
+
+def test_audio_features_real_pcm(spark):
+    # a 1 kHz-ish square wave as raw int16 PCM: nonzero energy + high zcr
+    wave = (np.tile(np.r_[np.ones(8), -np.ones(8)], 512) * 16384).astype("<i2")
+    rows = [(0, bytearray(wave.tobytes()), "audio/pcm", (0, 0, 0, 16000)),
+            (1, bytearray(b""), "audio/pcm", (0, 0, 0, 16000))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.audio_features(df).orderBy("id").toPandas()
+    f0 = np.asarray(out["features"][0])
+    assert f0[:8].min() > 0.4  # RMS of the square wave ≈ 0.5
+    assert 0.05 < f0[8:].max() < 0.3  # zcr = 2 crossings / 16 samples
+    assert np.asarray(out["features"][1]).sum() == 0  # empty clip → zeros
+    assert out["sample_rate"].tolist() == [16000, 16000]
