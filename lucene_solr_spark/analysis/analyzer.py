@@ -115,6 +115,43 @@ def tokenize_fidelity_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: [tok for _, tok in standard_tokenize(t)])
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_fidelity_prestop_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched fidelity tokenizer, PRE-stop: every UAX#29 token
+    (stopwords included) lowercased with the Java simple mapping — the
+    fidelity twin of `token_array`, so the index build's inversion kernel
+    (which applies the stop/length filters itself, with stopwords consuming
+    positions) can run on either tokenizer."""
+
+    def toks(t):
+        if not t:
+            return []
+        return [_java_lower(m.group(0)) for m in _PY_TOKEN_RE.finditer(t)]
+
+    return texts.map(toks)
+
+
+def token_array_for(text: Column, tokenizer: str = "jvm") -> Column:
+    """Pre-stop token array under the chosen tokenizer: 'jvm' (codegen
+    regex, exact for Latin-script text) or 'fidelity' (Arrow UDF adding the
+    CJK/Java-lowercase behaviors)."""
+    if tokenizer == "jvm":
+        return token_array(text)
+    if tokenizer == "fidelity":
+        return tokenize_fidelity_prestop_udf(text)
+    raise ValueError(f"unknown tokenizer '{tokenizer}'")
+
+
+def doc_length_col_for(text: Column, tokenizer: str = "jvm") -> Column:
+    """Post-stop doc length under the chosen tokenizer."""
+    return F.size(
+        F.filter(
+            token_array_for(text, tokenizer),
+            lambda t: _not_stopword(t) & (F.length(t) <= MAX_TOKEN_LENGTH),
+        )
+    )
+
+
 def token_array(text: Column, lowercase: bool = True) -> Column:
     """JVM-side tokenizer: text → array<string>, pre-stop, lowercased.
 

@@ -62,7 +62,9 @@ from ..analysis.analyzer import (
     ENGLISH_STOP_WORDS,
     MAX_TOKEN_LENGTH,
     doc_length_col,
+    doc_length_col_for,
     token_array,
+    token_array_for,
 )
 from .docids import assign_dense_ids
 from .norms import encode_norm
@@ -210,9 +212,12 @@ def _invert_batch(doc_ids: np.ndarray, token_lists, positions: bool) -> pd.DataF
     return pd.DataFrame(out)
 
 
-def invert_tokens(with_ids: DataFrame, text_col: str, positions: bool) -> DataFrame:
-    """(doc_id, text) → (doc_id, term, tf[, positions]) via JVM tokenization
-    + the Arrow inversion kernel (used by the NRT micro-batch path)."""
+def invert_tokens(
+    with_ids: DataFrame, text_col: str, positions: bool, tokenizer: str = "jvm"
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, term, tf[, positions]) via the chosen
+    tokenizer + the Arrow inversion kernel (used by the NRT micro-batch
+    path)."""
     schema = "doc_id long, term string, tf int" + (
         ", positions array<int>" if positions else ""
     )
@@ -225,7 +230,7 @@ def invert_tokens(with_ids: DataFrame, text_col: str, positions: bool) -> DataFr
 
     src = with_ids.select(
         "doc_id",
-        F.coalesce(token_array(F.col(text_col)), F.array().cast("array<string>")).alias("toks"),
+        F.coalesce(token_array_for(F.col(text_col), tokenizer), F.array().cast("array<string>")).alias("toks"),
     )
     return src.mapInPandas(kernel, schema=schema)
 
@@ -236,6 +241,7 @@ def invert_and_pack_partials(
     seg_span: int,
     chunk_span: int,
     positions: bool,
+    tokenizer: str = "jvm",
 ) -> DataFrame:
     """The DWPT pass: per Arrow batch, tokenize (JVM upstream) + invert +
     norm + pack PARTIAL posting rows per (term, seg, chunk) over the batch's
@@ -278,7 +284,7 @@ def invert_and_pack_partials(
 
     src = with_ids.select(
         "doc_id",
-        F.coalesce(token_array(F.col(text_col)), F.array().cast("array<string>")).alias("toks"),
+        F.coalesce(token_array_for(F.col(text_col), tokenizer), F.array().cast("array<string>")).alias("toks"),
     )
     return src.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
 
@@ -447,6 +453,7 @@ def build_index(
     chunk_span: int = DEFAULT_CHUNK_SPAN,
     resume: bool = False,
     sort_col: str | None = None,
+    tokenizer: str = "jvm",
 ) -> IndexPaths:
     """Build (or resume) the full inverted index under `out_dir`.
 
@@ -533,7 +540,11 @@ def build_index(
         with_ids.select(
             "doc_id",
             key_col,
-            doc_length_col(F.col(text_col)).cast("long").alias("dl"),
+            (
+                doc_length_col(F.col(text_col))
+                if tokenizer == "jvm"
+                else doc_length_col_for(F.col(text_col), tokenizer)
+            ).cast("long").alias("dl"),
         )
         .withColumn("norm_byte", _norm_byte_udf()(F.col("dl")))
         .observe(obs_docs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
@@ -562,7 +573,7 @@ def build_index(
     # --- 4. DWPT pass: invert + pack partial posting rows
     partials_staging = None
     partials = invert_and_pack_partials(
-        with_ids, text_col, seg_span, chunk_span, positions
+        with_ids, text_col, seg_span, chunk_span, positions, tokenizer=tokenizer
     )
     if num_segments > 1 or resume:
         # staged once: the per-segment loop re-reads partials per segment,
@@ -665,6 +676,7 @@ def build_index(
                 "chunk_span": chunk_span,
                 "positions": positions,
                 "block_size": BLOCK_SIZE,
+                "tokenizer": tokenizer,
             },
             fh,
         )

@@ -93,3 +93,34 @@ def test_empty_and_whitespace():
 
 def test_all_stopword_text_counts_zero_length():
     assert standard_tokenize("the of and to") == []
+
+
+def test_fidelity_build_cjk(spark, tmp_path):
+    """build_index(tokenizer='fidelity'): CJK text indexes per-ideograph
+    (StandardTokenizer.java:83 semantics) and is searchable; the JVM path
+    would keep 日本語 as one token. Also checks stats tokenizer recording."""
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import Searcher
+
+    corpus = {
+        "c0": "日本語 spark の merge テスト",
+        "c1": "spark merge data",
+        "c2": "日本 と 本 だけ",
+    }
+    pages = spark.createDataFrame(list(corpus.items()), "url string, text string")
+    paths = build_index(
+        spark, pages, str(tmp_path / "fid_idx"), tokenizer="fidelity"
+    )
+    s = Searcher(spark, paths)
+    assert s.meta["tokenizer"] == "fidelity"
+    # 日 as a single ideograph token exists only under fidelity tokenization
+    terms = {r.term for r in s.terms.collect()}
+    assert {"日", "本", "語"} <= terms
+    assert "日本語" not in terms
+    # searching an ideograph finds both docs containing it
+    got = s.search(["本"], k=10).toPandas()
+    assert set(got["doc_id"]) == {0, 2}
+    # katakana run stays whole
+    assert "テスト" in terms
+    # latin terms work identically
+    assert s.count(["spark"]) == 2
