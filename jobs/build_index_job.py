@@ -30,6 +30,19 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--chunk-span", type=int, default=None)
+    ap.add_argument(
+        "--sort-col",
+        default=None,
+        help="index sorting: assign docIDs by (this column asc, key) — "
+        "SortingMergePolicy semantics; enables block-max chunk pruning",
+    )
+    ap.add_argument(
+        "--tokenizer",
+        default="jvm",
+        choices=["jvm", "fidelity"],
+        help="jvm = codegen regex (Latin-exact); fidelity = Arrow UDF with "
+        "CJK/Java-lowercase behaviors",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("lss-build-index").getOrCreate()
@@ -52,6 +65,8 @@ def main() -> None:
         positions=not args.no_positions,
         chunk_span=args.chunk_span or DEFAULT_CHUNK_SPAN,
         resume=args.resume,
+        sort_col=args.sort_col,
+        tokenizer=args.tokenizer,
     )
     n = spark.read.parquet(paths.lineage).count()
     print(f"index built at {paths.root}: {n} lineage rows")
