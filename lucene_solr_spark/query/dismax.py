@@ -101,19 +101,36 @@ class DisMaxSearcher:
     def analyze_query(self, query_text: str) -> list[str]:
         return self.searchers[self.fields[0]].analyze_query(query_text)
 
+    @staticmethod
+    def parse_qf(qf: str) -> dict[str, float]:
+        """Solr qf/pf syntax: 'text^1 title^3' → {field: boost}
+        (DisMaxQParser parseQueryFields / SolrPluginUtils.parseFieldBoosts)."""
+        out: dict[str, float] = {}
+        for part in qf.split():
+            if "^" in part:
+                f, b = part.split("^", 1)
+                out[f] = float(b)
+            else:
+                out[part] = 1.0
+        return out
+
     def dismax_search(
         self,
         query: str | list[str],
-        qf: dict[str, float],
+        qf: dict[str, float] | str,
         tie: float = 0.0,
         mm: int = 0,
-        pf: dict[str, float] | None = None,
+        pf: dict[str, float] | str | None = None,
         k: int = 10,
     ) -> DataFrame:
         """eDisMax main query: Σ over user terms of
         [max_f(qf_f·score_f) + tie·(Σ_f − max_f)], docs must cover ≥ mm
         user terms (in any field); optional pf adds qf-style phrase scores
         over the whole term sequence."""
+        if isinstance(qf, str):
+            qf = self.parse_qf(qf)
+        if isinstance(pf, str):
+            pf = self.parse_qf(pf)
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         if not terms:

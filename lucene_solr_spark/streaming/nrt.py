@@ -288,6 +288,38 @@ def append_segment(
     return seg_id
 
 
+def update_documents(
+    spark: SparkSession,
+    pages: DataFrame,
+    paths: IndexPaths | str,
+    text_col: str = "text",
+    key_col: str = "url",
+    ts_col: str | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """updateDocument on a LIVE index (IndexWriter.java:1187: atomic
+    delete-by-term on the unique key + add): tombstone any existing docs
+    with these keys, then append the batch as a new segment. The old
+    versions disappear from results immediately (liveDocs anti-join) and
+    are physically reclaimed by purge_deletes/merge. Returns the new
+    seg_id."""
+    from ..index.deletes import delete_by_key
+
+    paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
+    if os.path.exists(paths.docs):
+        keys = [r[0] for r in pages.select(key_col).distinct().collect()]
+        delete_by_key(spark, paths, keys, key_col=key_col)
+    return append_segment(
+        spark,
+        pages,
+        paths,
+        text_col=text_col,
+        key_col=key_col,
+        ts_col=ts_col,
+        batch_id=batch_id,
+    )
+
+
 def start_nrt_stream(
     spark: SparkSession,
     input_dir: str,

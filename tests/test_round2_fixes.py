@@ -233,3 +233,34 @@ def test_match_all_and_fuzzy(spark, idx):
     assert s.count(["spark"]) == 4
     fz = s.fuzzy_search("spalk", max_edits=1, k=10).toPandas()
     assert len(fz) == 4  # matches 'spark' postings
+
+
+def test_update_documents_replaces_live_version(spark, idx):
+    from lucene_solr_spark.streaming.nrt import update_documents
+
+    s = Searcher(spark, idx)
+    before = s.search(["spark"], k=100).toPandas()
+    assert 0 in set(before["doc_id"])  # u00 contains spark
+
+    newer = spark.createDataFrame(
+        [("u00", "updated text zebra only")], "url string, text string"
+    )
+    seg = update_documents(spark, newer, idx)
+    assert seg >= 2
+    s.reopen()
+    after = s.search(["spark"], k=100).toPandas()
+    assert 0 not in set(after["doc_id"])  # old version invisible
+    z = s.search(["zebra"], k=10).toPandas()
+    assert len(z) == 1  # new version searchable
+    # the new doc got a fresh docID beyond the original corpus
+    assert int(z["doc_id"].iloc[0]) >= len(CORPUS)
+
+
+def test_dismax_qf_string_parse():
+    from lucene_solr_spark.query.dismax import DisMaxSearcher
+
+    assert DisMaxSearcher.parse_qf("text^1 title^3.5 body") == {
+        "text": 1.0,
+        "title": 3.5,
+        "body": 1.0,
+    }
