@@ -271,8 +271,19 @@ def boosted_topk(
 ) -> DataFrame:
     """BoostedQuery (FunctionQParser boost): final = relevance × f(doc).
     `boost_frame` carries (doc_id, boost_col); docs missing from it keep
-    their relevance score (boost treated as 1)."""
-    matched = searcher.boolean_search(should=terms, k=searcher.stats.max_doc)
+    their relevance score (boost treated as 1).
+
+    The match set is scored WITHOUT a top-k (no global sort of every match):
+    boost joins onto the unsorted scored frame, and the only ordering is the
+    final distributed TakeOrderedAndProject at limit(k)."""
+    tinfo = searcher.lookup_terms(terms)
+    if tinfo.empty:
+        return searcher._empty()
+    matched = searcher._drop_deleted(
+        searcher._scored(tinfo)
+        .groupBy("doc_id")
+        .agg(F.sum("score").cast("float").alias("score"))
+    )
     joined = matched.join(boost_frame.select("doc_id", boost_col), "doc_id", "left")
     boosted = joined.select(
         "doc_id",

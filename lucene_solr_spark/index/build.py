@@ -677,6 +677,10 @@ def build_index(
                 "positions": positions,
                 "block_size": BLOCK_SIZE,
                 "tokenizer": tokenizer,
+                # live-lineage snapshot at write time (see nrt.write_stats):
+                # for a fresh bulk build the lineage sums equal the stats
+                "lineage_n_docs": int(max_doc),
+                "lineage_ttf": int(sum_ttf),
             },
             fh,
         )

@@ -53,13 +53,24 @@ def read_deletes(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
 
 
 def delete_by_key(
-    spark: SparkSession, paths: IndexPaths | str, keys: list, key_col: str = "url"
+    spark: SparkSession,
+    paths: IndexPaths | str,
+    keys: list | DataFrame,
+    key_col: str = "url",
 ) -> int:
     """Tombstone every doc whose key is in `keys` (deleteDocuments(Term) on
-    the unique-key field). Returns the number of docs tombstoned."""
+    the unique-key field). Returns the number of docs tombstoned.
+
+    `keys` may be a driver-side list (small explicit deletes) or a DataFrame
+    of keys (bulk updates) — the DataFrame path semi-joins distributed, so a
+    10^8-key catch-up batch never materializes on the driver."""
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     docs = spark.read.parquet(paths.docs)
-    hit = docs.where(F.col(key_col).isin(list(keys))).select("doc_id")
+    if isinstance(keys, DataFrame):
+        key_frame = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+        hit = docs.join(key_frame, key_col, "left_semi").select("doc_id")
+    else:
+        hit = docs.where(F.col(key_col).isin(list(keys))).select("doc_id")
     n = hit.count()
     if n:
         hit.write.mode("append").parquet(_deletes_dir(paths))
@@ -228,11 +239,26 @@ def purge_deletes(spark: SparkSession, paths: IndexPaths | str) -> int:
     shutil.rmtree(terms_dir)
     os.rename(tmp_terms, terms_dir)
 
-    # stats: recount over surviving docs
+    # stats: recount over surviving docs. The lineage snapshot is refreshed
+    # to the CURRENT live-lineage sums (purge never edits lineage), so the
+    # next append_segment reconstructs exact post-purge stats as
+    # `stats + (lineage_sum_then - this_snapshot)` — see nrt.write_stats.
     docs2 = spark.read.parquet(paths.docs)
     totals = docs2.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")).head()
     meta["max_doc"] = int(totals["n"])
     meta["sum_total_term_freq"] = int(totals["t"] or 0)
+    from .lineage import latest_rows, read_lineage
+
+    lineage = read_lineage(spark, paths.lineage)
+    if lineage is not None and "n_docs" in lineage.columns:
+        sums = (
+            latest_rows(lineage)
+            .where(F.col("status") == "complete")
+            .agg(F.sum("n_docs").alias("n"), F.sum("ttf").alias("t"))
+            .head()
+        )
+        meta["lineage_n_docs"] = int(sums["n"] or 0)
+        meta["lineage_ttf"] = int(sums["t"] or 0)
     with open(paths.stats, "w") as fh:
         json.dump(meta, fh)
 

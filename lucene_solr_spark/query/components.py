@@ -116,14 +116,30 @@ def grouping_top_docs(
 
 
 def stats_component(
-    source: DataFrame, field: str, facet_cols: Sequence[str] = ()
+    source: DataFrame, field: str, facet_cols: Sequence[str] = (),
+    scale: int | None = None,
 ) -> DataFrame:
     """StatsComponent: count/missing/min/max/sum/mean/stddev, optionally per
     facet group (StatsValuesFactory.java:82-181). Sums go through DECIMAL so
-    the result is order-independent (reproducible at any parallelism)."""
+    the result is order-independent (reproducible at any parallelism).
+
+    `scale` = decimal digits kept by the exact sums; inferred from the
+    column type when None (decimal → its own scale, integer → 0, floating →
+    6) so arbitrary numeric fields aren't silently rounded to 2 places."""
+    import re as _re
+
+    if scale is None:
+        dt = dict(source.dtypes).get(field, "")
+        m = _re.fullmatch(r"decimal\(\d+,\s*(\d+)\)", dt)
+        if m:
+            scale = int(m.group(1))
+        elif dt in ("tinyint", "smallint", "int", "bigint"):
+            scale = 0
+        else:
+            scale = 6
     x = F.col(field)
-    dec = x.cast("decimal(18,2)")
-    dec2 = x.cast("decimal(28,4)")
+    dec = x.cast(f"decimal({min(38, 20 + scale)},{scale})")
+    dec2 = x.cast(f"decimal({min(38, 18 + 2 * scale)},{min(18, 2 * scale)})")
     aggs = [
         F.count(x).alias("cnt"),
         F.sum(F.when(x.isNull(), 1).otherwise(0)).cast("long").alias("missing"),

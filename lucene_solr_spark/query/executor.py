@@ -98,6 +98,10 @@ class Searcher:
         self.postings = self.spark.read.option("basePath", self.paths.postings).parquet(
             *seg_glob
         )
+        # driver-side term-info cache (the in-RAM term index: BlockTree keeps
+        # the .tip FST in heap) — repeated queries skip the dictionary job
+        # entirely. Entry None = known-absent term. Cleared on reopen.
+        self._term_info_cache = {}
         self._deletes = None
         deletes_dir = os.path.join(self.paths.root, "deletes")
         if os.path.exists(deletes_dir):
@@ -163,13 +167,23 @@ class Searcher:
     # --- term dictionary -------------------------------------------------
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
         """Query-term metadata (term, term_id, df, ttf) — the Weight's
-        TermStatistics (TermQuery.java:45-74)."""
+        TermStatistics (TermQuery.java:45-74). Driver-cached per searcher
+        (incl. negative entries), so a repeated query costs zero jobs here."""
         uniq = sorted(set(terms))
-        return (
-            self.terms.where(F.col("term").isin(uniq))
-            .select("term", "term_id", "df", "ttf")
-            .toPandas()
-        )
+        cache = self._term_info_cache
+        missing = [t for t in uniq if t not in cache]
+        if missing:
+            fetched = (
+                self.terms.where(F.col("term").isin(missing))
+                .select("term", "term_id", "df", "ttf")
+                .toPandas()
+            )
+            for r in fetched.itertuples(index=False):
+                cache[r.term] = (int(r.term_id), int(r.df), int(r.ttf))
+            for t in missing:
+                cache.setdefault(t, None)
+        rows = [(t, *cache[t]) for t in uniq if cache[t] is not None]
+        return pd.DataFrame(rows, columns=["term", "term_id", "df", "ttf"])
 
     def analyze_query(self, query_text: str) -> list[str]:
         return [t for _, t in standard_tokenize(query_text)]
@@ -768,30 +782,56 @@ class Searcher:
         )
 
         parts = []
-        must_ids: list[int] = []
-        # ALL term clauses ride ONE postings scan: join the scored rows to a
-        # tiny broadcast (term → clause id, boost) map instead of filtering
-        # the scan once per clause (clause-count-many scan subtrees)
+        total_must = 0
+        # ALL term clauses ride ONE postings scan. Each part row carries
+        # nm = number of MUST clauses that row satisfies; the final agg just
+        # sums it (no clause-id set membership). Common case (each term in
+        # one clause): boost/must lookups are LITERAL maps — zero extra plan
+        # nodes, no per-query createDataFrame; duplicate-term clause sets
+        # fall back to the tiny broadcast join to keep per-clause float32
+        # boost rounding identical.
         term_entries = [
-            (c.terms[0], cid, float(np.float32(c.boost)))
-            for cid, c in enumerate(scoring)
+            (c.terms[0], float(np.float32(c.boost)), c.occur == MUST)
+            for c in scoring
             if c.kind == "term" and c.terms[0] in found
         ]
+        total_must += sum(1 for _, _, m in term_entries if m)
         if term_entries:
-            mdf = self.spark.createDataFrame(
-                term_entries, "term string, cid int, boost float"
-            )
-            parts.append(
-                scored_terms.join(F.broadcast(mdf), "term").select(
-                    "doc_id",
-                    (F.col("score") * F.col("boost")).cast("float").alias("score"),
-                    "cid",
+            uniq_clause_terms = {t for t, _, _ in term_entries}
+            if len(uniq_clause_terms) == len(term_entries):
+                boost_map = F.create_map(
+                    *[x for t, b, _ in term_entries for x in (F.lit(t), F.lit(b))]
                 )
-            )
-        for cid, c in enumerate(scoring):
+                must_map = F.create_map(
+                    *[
+                        x
+                        for t, _, m in term_entries
+                        for x in (F.lit(t), F.lit(1 if m else 0))
+                    ]
+                )
+                parts.append(
+                    scored_terms.select(
+                        "doc_id",
+                        (F.col("score") * F.element_at(boost_map, F.col("term")))
+                        .cast("float")
+                        .alias("score"),
+                        F.element_at(must_map, F.col("term")).alias("nm"),
+                    )
+                )
+            else:
+                mdf = self.spark.createDataFrame(
+                    [(t, b, 1 if m else 0) for t, b, m in term_entries],
+                    "term string, boost float, nm int",
+                )
+                parts.append(
+                    scored_terms.join(F.broadcast(mdf), "term").select(
+                        "doc_id",
+                        (F.col("score") * F.col("boost")).cast("float").alias("score"),
+                        "nm",
+                    )
+                )
+        for c in scoring:
             if c.kind == "term":
-                if c.occur == MUST and c.terms[0] in found:
-                    must_ids.append(cid)
                 continue  # scored via the shared scan above
             elif c.kind == "phrase":
                 df_c = self._phrase_scored(c.terms)
@@ -803,23 +843,27 @@ class Searcher:
                 if c.occur == MUST:
                     return None
                 continue
+            if c.occur == MUST:
+                total_must += 1
             if c.boost != 1.0:
                 b32 = float(np.float32(c.boost))
                 df_c = df_c.select(
                     "doc_id", (F.col("score") * b32).cast("float").alias("score")
                 )
-            parts.append(df_c.select("doc_id", "score").withColumn("cid", F.lit(cid)))
-            if c.occur == MUST:
-                must_ids.append(cid)
+            parts.append(
+                df_c.select("doc_id", "score").withColumn(
+                    "nm", F.lit(1 if c.occur == MUST else 0)
+                )
+            )
         if not parts:
             return None
 
         union = reduce(DataFrame.unionByName, parts)
         agg = union.groupBy("doc_id").agg(
             F.sum("score").cast("float").alias("score"),
-            F.count(F.when(F.col("cid").isin(must_ids), 1)).alias("n_must"),
+            F.sum("nm").alias("n_must"),
         )
-        matched = agg.where(F.col("n_must") == len(must_ids)).select("doc_id", "score")
+        matched = agg.where(F.col("n_must") == total_must).select("doc_id", "score")
 
         if negative:
             neg_docs = None
@@ -1082,12 +1126,18 @@ class Searcher:
         start: int = 0,
         rows: int = 10,
         filter_docs: DataFrame | None = None,
+        filter_key: str | None = None,
     ):
         """offset/rows windowing through the queryResultCache: fetch a
         superset rounded up to queryResultWindowSize, cache it, slice pages
         out of it (SolrIndexSearcher.java:1243-1352) — page 2 of a repeated
         query never replans. Returns a pandas frame (pages are top-k-sized
-        driver objects by definition)."""
+        driver objects by definition).
+
+        Filtered pages are cached only under an explicit stable `filter_key`
+        (the `put_filter` key string). An anonymous filter frame bypasses the
+        cache entirely — keying on `id(df)` is unsound because a collected
+        frame's id can be recycled by a NEW filter object."""
         from .components import QueryResultCache
 
         if getattr(self, "_qr_cache", None) is None:
@@ -1095,11 +1145,13 @@ class Searcher:
         terms = tuple(
             self.analyze_query(query) if isinstance(query, str) else query
         )
-        key = (terms, id(filter_docs) if filter_docs is not None else None)
 
         def fetch(n: int):
             return self.search(list(terms), k=n, filter_docs=filter_docs).toPandas()
 
+        if filter_docs is not None and filter_key is None:
+            return fetch(start + rows).iloc[start : start + rows]
+        key = (terms, filter_key)
         return self._qr_cache.windowed(key, start, rows, fetch)
 
     def count(self, query: str | list[str]) -> int:

@@ -141,15 +141,22 @@ def _parse_level(
             pending_occur = None
             pending_and = False
             return  # stopword/empty → clause dropped entirely
-        for t in analyzed:  # multi-term split → multiple clauses
-            attach_one = Clause(occur, "term", [t], boost)
-            clauses.append(attach_one)
-        if pending_and and len(clauses) >= 2:
-            for c in (clauses[-1], clauses[-2]):
-                if c.occur == SHOULD:
-                    c.occur = MUST
-        pending_occur = None
-        pending_and = False
+        if len(analyzed) == 1:
+            attach(Clause(occur, "term", [analyzed[0]], boost))
+        else:
+            # multi-token analysis → ONE group clause (newFieldQuery returns
+            # a BooleanQuery of SHOULD terms), so AND/+/- treat the split as
+            # a single neighbour — 'x AND foo-bar' promotes x and the group,
+            # exactly like the single-token path promotes both operands
+            attach(
+                Clause(
+                    occur,
+                    "group",
+                    [],
+                    boost,
+                    children=[Clause(SHOULD, "term", [t], 1.0) for t in analyzed],
+                )
+            )
 
     i = pos
     n = len(query)

@@ -88,7 +88,21 @@ def prior_state(spark: SparkSession, paths: IndexPaths) -> tuple[int, int, set[i
     return doc_base, ttf, completed
 
 
-def write_stats(paths: IndexPaths, max_doc: int, sum_ttf: int, n_segments: int, terms_dir: str) -> None:
+def write_stats(
+    paths: IndexPaths,
+    max_doc: int,
+    sum_ttf: int,
+    n_segments: int,
+    terms_dir: str,
+    lineage_n_docs: int | None = None,
+    lineage_ttf: int | None = None,
+) -> None:
+    """stats.json carries BOTH the true BM25 stats (max_doc / sum_ttf, which
+    purge_deletes corrects downward) AND a snapshot of the live-lineage
+    n_docs/ttf sums at write time. The snapshot lets the next append compute
+    exact post-purge stats as `stats + (lineage_sum_now - snapshot)` — lineage
+    sums are append-only (purge never edits lineage; merge carries source
+    sums forward), so the delta is exactly the docs added since this write."""
     stats = {
         "max_doc": int(max_doc),
         "sum_total_term_freq": int(sum_ttf),
@@ -98,6 +112,8 @@ def write_stats(paths: IndexPaths, max_doc: int, sum_ttf: int, n_segments: int, 
         "positions": True,
         "block_size": 128,
         "terms_dir": os.path.relpath(terms_dir, paths.root),
+        "lineage_n_docs": int(max_doc if lineage_n_docs is None else lineage_n_docs),
+        "lineage_ttf": int(sum_ttf if lineage_ttf is None else lineage_ttf),
     }
     with open(paths.stats, "w") as fh:
         json.dump(stats, fh)
@@ -276,13 +292,29 @@ def append_segment(
     term_doc.unpersist()
     shutil.rmtree(ids_staging, ignore_errors=True)
 
-    # stats.json: derived cache (regenerated; safe to lose)
+    # stats.json: true BM25 stats = previous stats + docs added since that
+    # write (reconciled through the lineage snapshot — survives purges, which
+    # shrink the true stats without touching lineage). Falls back to raw
+    # lineage sums for indexes never purged / missing stats.json.
+    lineage_docs_now = doc_base + int(n_new)
+    lineage_ttf_now = prior_ttf + int(new_ttf)
+    stats_max_doc, stats_ttf = lineage_docs_now, lineage_ttf_now
+    if os.path.exists(paths.stats):
+        with open(paths.stats) as fh:
+            prev = json.load(fh)
+        if "lineage_n_docs" in prev:
+            stats_max_doc = prev["max_doc"] + (lineage_docs_now - prev["lineage_n_docs"])
+            stats_ttf = prev["sum_total_term_freq"] + (
+                lineage_ttf_now - prev["lineage_ttf"]
+            )
     write_stats(
         paths,
-        max_doc=doc_base + int(n_new),
-        sum_ttf=prior_ttf + int(new_ttf),
+        max_doc=stats_max_doc,
+        sum_ttf=stats_ttf,
         n_segments=len(completed) + 1,
         terms_dir=terms_dir,
+        lineage_n_docs=lineage_docs_now,
+        lineage_ttf=lineage_ttf_now,
     )
     docs_new.unpersist()
     return seg_id
@@ -306,9 +338,16 @@ def update_documents(
     from ..index.deletes import delete_by_key
 
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
-    if os.path.exists(paths.docs):
-        keys = [r[0] for r in pages.select(key_col).distinct().collect()]
-        delete_by_key(spark, paths, keys, key_col=key_col)
+    # Replay guard FIRST (UpdateLog idempotence): a replayed batch's keys
+    # match the docs its original run appended — tombstoning them before
+    # append_segment's early-return would permanently hide the update.
+    replayed = batch_id is not None and batch_id in applied_batch_ids(
+        spark, paths.lineage
+    )
+    if not replayed and os.path.exists(paths.docs):
+        # keys stay distributed: delete_by_key semi-joins the docs table
+        # against this frame (no driver collect of a catch-up batch's keys)
+        delete_by_key(spark, paths, pages.select(key_col).distinct(), key_col=key_col)
     return append_segment(
         spark,
         pages,

@@ -19,10 +19,22 @@ from lucene_solr_spark.streaming.nrt import append_segment
 
 # --- parser ------------------------------------------------------------------
 def test_hyphen_inside_word_is_not_prohibit():
+    # a multi-token analysis wraps in ONE group clause (newFieldQuery
+    # returns a BooleanQuery), so AND/+ see the split as a single neighbour
     clauses = parse("state-of-the-art")
-    assert all(c.occur == SHOULD for c in clauses)
-    terms = [c.terms[0] for c in clauses]
+    assert len(clauses) == 1 and clauses[0].occur == SHOULD
+    assert clauses[0].kind == "group"
+    terms = [c.terms[0] for c in clauses[0].children]
     assert terms == ["state", "art"]  # of/the are stopwords
+
+
+def test_and_with_multi_token_word_promotes_left_operand():
+    clauses = parse("x AND foo-bar")
+    assert [(c.occur, c.kind) for c in clauses] == [
+        (MUST, "term"),
+        (MUST, "group"),
+    ]
+    assert [c.terms[0] for c in clauses[1].children] == ["foo", "bar"]
 
 
 def test_leading_minus_still_prohibits():
