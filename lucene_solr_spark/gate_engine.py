@@ -463,9 +463,86 @@ def _e_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _to_orig(ds.searchers["text"], hits, ranked=True)
 
 
+def _dismax_bq_oracle(d: str) -> str:
+    """Main dismax + bq (text:fast^0.5) + bf (recip over n_chars), the
+    DisMaxQParser.java:136-148 additive boost semantics."""
+    boosts = _DISMAX_QF
+    return f"""
+WITH tok_a AS ({tok_cte(d)}),
+tok_b AS ({tok_cte(d, text_expr=_TITLE_EXPR)}),
+{_per_field_score_cte(d, 'tok_a', _DISMAX_TERMS + ['fast'])},
+{_per_field_score_cte(d, 'tok_b', _DISMAX_TERMS)},
+u AS (
+  SELECT doc_id, term, s * {boosts['text']} AS s FROM per_tok_a WHERE term IN ('spark','merge')
+  UNION ALL
+  SELECT doc_id, term, s * {boosts['title']} AS s FROM per_tok_b WHERE term IN ('spark','merge')
+),
+t AS (
+  SELECT doc_id, term, MAX(s) + {_DISMAX_TIE} * (SUM(s) - MAX(s)) AS ts
+  FROM u GROUP BY doc_id, term
+),
+f AS (SELECT doc_id, SUM(ts) AS score FROM t GROUP BY doc_id),
+bqs AS (SELECT doc_id, 0.5 * s AS b FROM per_tok_a WHERE term = 'fast'),
+fin AS (
+  SELECT f.doc_id,
+         f.score + COALESCE(bqs.b, 0.0) + 1000.0 / (dd.n_chars + 1000.0) AS score
+  FROM f LEFT JOIN bqs ON bqs.doc_id = f.doc_id
+  JOIN documents dd ON dd.doc_id = f.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fin ORDER BY rank LIMIT 10"""
+
+
+@df_gate("engine_dismax_bq", _dismax_bq_oracle("duckdb"))
+def _e_dismax_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eDisMax bq + bf (DisMaxQParser.java:136-148): main dismax query
+    required, bq = text:fast^0.5 and bf = recip(n_chars,1,1000,1000) scores
+    ADD to matching docs."""
+    from .functions.valuesources import recip
+
+    ds = _dismax_searcher(spark, sf_dir)
+    mapping = ds.searchers["text"].docs.select("orig_id", F.col("doc_id").alias("int_id"))
+    bf_frame = (
+        _documents(spark, sf_dir)
+        .select(
+            F.col("doc_id").alias("orig_id"),
+            recip(F.col("n_chars"), 1.0, 1000.0, 1000.0).alias("bf"),
+        )
+        .join(mapping, "orig_id")
+        .select(F.col("int_id").alias("doc_id"), "bf")
+    )
+    hits = ds.dismax_search(
+        _DISMAX_TERMS,
+        qf=_DISMAX_QF,
+        tie=_DISMAX_TIE,
+        k=10,
+        bq=[("text", ["fast"], 0.5)],
+        bf=bf_frame,
+        bf_col="bf",
+    )
+    return _to_orig(ds.searchers["text"], hits, ranked=True)
+
+
 # --- components: sort / paging / grouping / stats / facets -------------------
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_COMPONENT_QUERY = ["spark"]  # the q whose DocSet the component gates run over
+_MATCH_CTE = "m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'spark')"
+
+
+def _match_orig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's match DocSet for the component query, in documents-table
+    doc_ids — Solr components run over the q+fq result DocSet
+    (SimpleFacets.java:336-448), so every component gate restricts to this."""
+    s = _engine_searcher(spark, sf_dir)
+    m = s.match_docs(_COMPONENT_QUERY)
+    return (
+        s.docs.join(m, "doc_id", "left_semi")
+        .select(F.col("orig_id").cast("long").alias("doc_id"))
+    )
 
 
 @df_gate(
@@ -511,20 +588,26 @@ def _e_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @df_gate(
     "engine_grouping",
-    """
+    f"""
+WITH tok AS ({tok_cte('duckdb')}), {_MATCH_CTE}
 SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(rn AS BIGINT) AS rn
 FROM (
-  SELECT source, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
-  FROM documents
+  SELECT d.source, d.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
 ) t WHERE rn <= 2
 ORDER BY source, rn""",
 )
 def _e_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping (top-2 per group) through components.grouping_top_docs."""
+    """Grouping (top-2 per group) through components.grouping_top_docs,
+    restricted to the engine's q='spark' match DocSet (Grouping.java runs
+    over the query result, not the corpus)."""
     from .query.components import grouping_top_docs
 
-    out = grouping_top_docs(_documents(spark, sf_dir), "source", "n_chars", 2)
+    out = grouping_top_docs(
+        _documents(spark, sf_dir), "source", "n_chars", 2,
+        matches=_match_orig(spark, sf_dir),
+    )
     return out.select("source", F.col("doc_id").cast("long"), "rn").orderBy(
         "source", "rn"
     )
@@ -532,30 +615,38 @@ def _e_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @df_gate(
     "engine_stats_component",
-    """
+    f"""
+WITH tok AS ({tok_cte('duckdb')}), {_MATCH_CTE}
 SELECT
-  CAST(COUNT(l_extendedprice) AS BIGINT) AS cnt,
-  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
-  ROUND(MIN(l_extendedprice), 2) AS min_v,
-  ROUND(MAX(l_extendedprice), 2) AS max_v,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_v,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS mean_v,
-  ROUND(SQRT((CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4)) * CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
-        - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice))
-        / (COUNT(l_extendedprice) - 1)), 4) AS stddev_v
-FROM lineitem""",
+  d.lang AS lang,
+  CAST(COUNT(d.n_chars) AS BIGINT) AS cnt,
+  CAST(SUM(CASE WHEN d.n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+  CAST(MIN(d.n_chars) AS BIGINT) AS min_v,
+  CAST(MAX(d.n_chars) AS BIGINT) AS max_v,
+  ROUND(CAST(SUM(CAST(d.n_chars AS DECIMAL(20,0))) AS DOUBLE), 2) AS sum_v,
+  ROUND(CAST(SUM(CAST(d.n_chars AS DECIMAL(20,0))) AS DOUBLE) / COUNT(d.n_chars), 6) AS mean_v,
+  ROUND(SQRT((CAST(SUM(CAST(d.n_chars AS DECIMAL(18,0)) * CAST(d.n_chars AS DECIMAL(18,0))) AS DOUBLE)
+        - CAST(SUM(CAST(d.n_chars AS DECIMAL(20,0))) AS DOUBLE) * CAST(SUM(CAST(d.n_chars AS DECIMAL(20,0))) AS DOUBLE) / COUNT(d.n_chars))
+        / (COUNT(d.n_chars) - 1)), 4) AS stddev_v
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY d.lang ORDER BY d.lang""",
 )
 def _e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """StatsComponent through components.stats_component (DECIMAL-exact)."""
+    """StatsComponent over the q='spark' match DocSet, per-facet by lang
+    (StatsValuesFactory.java:82-181 + stats.facet — Solr computes stats over
+    the query result set). DECIMAL-exact sums; scale inferred (bigint → 0)."""
     from .query.components import stats_component
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    out = stats_component(li, "l_extendedprice")
+    out = stats_component(
+        _documents(spark, sf_dir), "n_chars", facet_cols=["lang"],
+        matches=_match_orig(spark, sf_dir),
+    )
     return out.select(
+        "lang",
         "cnt",
         "missing",
-        F.round("min_v", 2).alias("min_v"),
-        F.round("max_v", 2).alias("max_v"),
+        F.col("min_v").cast("long"),
+        F.col("max_v").cast("long"),
         F.round("sum_v", 2).alias("sum_v"),
         F.round("mean_v", 6).alias("mean_v"),
         F.round("stddev_v", 4).alias("stddev_v"),
@@ -564,14 +655,17 @@ def _e_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @df_gate(
     "engine_facet_query",
-    """
+    f"""
+WITH tok AS ({tok_cte('duckdb')}), {_MATCH_CTE}
 SELECT
-  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-  CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
-  CAST(SUM(CASE WHEN source = 'src0' AND n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_src0_short
-FROM documents""",
+  CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(SUM(CASE WHEN d.n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+  CAST(SUM(CASE WHEN d.source = 'src0' AND d.n_chars <= 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_src0_short
+FROM documents d JOIN m ON m.doc_id = d.doc_id""",
 )
 def _e_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.query over the q='spark' match DocSet (SimpleFacets.java:277
+    counts each facet.query predicate within the result set)."""
     from .query.components import facet_query
 
     docs = _documents(spark, sf_dir)
@@ -582,47 +676,85 @@ def _e_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_long": F.col("n_chars") > 300,
             "n_src0_short": (F.col("source") == "src0") & (F.col("n_chars") <= 300),
         },
+        matches=_match_orig(spark, sf_dir),
     )
 
 
 @df_gate(
     "engine_facet_range",
-    """
-SELECT CAST(FLOOR(value / 10.0) * 10 AS DOUBLE) AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM events GROUP BY FLOOR(value / 10.0) * 10
+    f"""
+WITH tok AS ({tok_cte('duckdb')}), {_MATCH_CTE}
+SELECT CAST(FLOOR(d.n_chars / 50.0) * 50 AS DOUBLE) AS bucket_lo, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY FLOOR(d.n_chars / 50.0) * 50
 ORDER BY bucket_lo""",
 )
 def _e_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.range over the q='spark' match DocSet
+    (SimpleFacets.java:888-1078 buckets the result set)."""
     from .query.components import facet_range
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return facet_range(ev, "value", gap=10.0)
+    return facet_range(
+        _documents(spark, sf_dir), "n_chars", gap=50.0,
+        matches=_match_orig(spark, sf_dir),
+    )
 
 
 @df_gate(
     "engine_facet_pivot",
-    """
-SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt
-FROM documents GROUP BY lang, source
+    f"""
+WITH tok AS ({tok_cte('duckdb')}), {_MATCH_CTE}
+SELECT d.lang AS lang, d.source AS source, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents d JOIN m ON m.doc_id = d.doc_id
+GROUP BY d.lang, d.source
 ORDER BY lang, source""",
 )
 def _e_facet_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.pivot over the q='spark' match DocSet (PivotFacetHelper runs
+    within the base DocSet)."""
     from .query.components import facet_pivot
 
-    return facet_pivot(_documents(spark, sf_dir), ["lang", "source"])
+    return facet_pivot(
+        _documents(spark, sf_dir), ["lang", "source"],
+        matches=_match_orig(spark, sf_dir),
+    )
 
 
 @df_gate(
     "engine_distinct_counts",
-    """
-SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS distinct_lang,
-       CAST(COUNT(DISTINCT source) AS BIGINT) AS distinct_source
-FROM documents""",
+    f"""
+WITH tok AS ({tok_cte('duckdb')}), {_MATCH_CTE}
+SELECT CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS distinct_lang,
+       CAST(COUNT(DISTINCT d.source) AS BIGINT) AS distinct_source
+FROM documents d JOIN m ON m.doc_id = d.doc_id""",
 )
 def _e_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calcdistinct over the q='spark' match DocSet."""
     from .query.components import distinct_counts
 
-    return distinct_counts(_documents(spark, sf_dir), ["lang", "source"])
+    return distinct_counts(
+        _documents(spark, sf_dir), ["lang", "source"],
+        matches=_match_orig(spark, sf_dir),
+    )
+
+
+@df_gate(
+    "engine_facet_date",
+    """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events WHERE event_type = 'click'
+GROUP BY DATE_TRUNC('day', ts)
+ORDER BY bucket""",
+)
+def _e_facet_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.date (DateMathParser /DAY rounding → date_trunc buckets) over a
+    filter DocSet — the fq-restricted path through restrict_to_matches, with
+    event_id as the DocSet key (components are id-column generic)."""
+    from .query.components import facet_date
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    matches = ev.where(F.col("event_type") == "click").select("event_id")
+    return facet_date(ev, "ts", unit="day", matches=matches, id_col="event_id")
 
 
 @df_gate(
@@ -637,16 +769,9 @@ def _e_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(match_all(s).count(),)], "total long")
 
 
-@df_gate(
-    "engine_docset_algebra",
-    f"""
-WITH tok AS ({tok_cte('duckdb')}),
-a AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'fast'),
-b AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
-SELECT CAST((SELECT COUNT(*) FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b) u) AS BIGINT) AS n_union,
-       CAST((SELECT COUNT(*) FROM a WHERE doc_id IN (SELECT doc_id FROM b)) AS BIGINT) AS n_intersect,
-       CAST((SELECT COUNT(*) FROM a WHERE doc_id NOT IN (SELECT doc_id FROM b)) AS BIGINT) AS n_and_not""",
-)
+# not driver-registered (registry budget: the bool engine gates exercise the
+# same set algebra through the engine; tests/test_components.py covers the
+# DocSet API directly) — kept as a callable for pytest and manual runs
 def _e_docsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DocSet union/intersection/andNot over real match sets."""
     from .query.components import docset_and_not, docset_intersect, docset_union

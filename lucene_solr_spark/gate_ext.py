@@ -59,6 +59,23 @@ WITH {_shingle_cte()}
 {_sigs_select()}"""
 
 
+@df_gate(
+    "dedup_exact_hash",
+    """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY MD5(text) ORDER BY doc_id""",
+)
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup through the REAL pipeline (hash-groupBy, map-side
+    combined): lowest-key survivor + copy count per content hash."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        dedup.exact_dedup(docs)
+        .select(F.col("doc_id").cast("long"), F.col("n_copies").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 @df_gate("dedup_minhash_signatures", _MINHASH_SIG_ORACLE)
 def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature build (shingle → min-hash per seed), the map stage
@@ -401,6 +418,168 @@ def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(len(ann & exact) / 10.0, n_cand, n_vec)],
         "recall_at_10 double, n_candidates long, n_vectors long",
+    )
+
+
+# --- MinHash quality at production parameters (128 perms / 16 bands) ---------
+# Planted near-dups: for doc_id < 50, a mutated copy (every 25th post-stop
+# token dropped → shingle Jaccard ≈ 0.8) is added under doc_id + 1,000,000.
+# Everything is MD5-deterministic, so precision/recall vs exact Jaccard are
+# REPLAYED identically by the DuckDB oracle — the quality numbers are the
+# gate's recorded output, and any drift in the MinHash path flips the hash.
+_Q_HASHES = 128
+_Q_BANDS = 16
+_Q_DROP = 25
+_Q_PLANT = 50
+_Q_THRESH = 0.5
+
+
+def _q_sigs_select(n_hashes: int) -> str:
+    mins = ",\n    ".join(
+        "MIN({h}) AS sig_{i}".format(
+            h=_duck_md5i("CONCAT('{}:', shingle)".format(i)), i=i
+        )
+        for i in range(n_hashes)
+    )
+    return f"SELECT CAST(doc_id AS BIGINT) AS doc_id,\n    {mins}\n  FROM sh GROUP BY doc_id"
+
+
+def _q_bands_union(n_hashes: int, bands: int) -> str:
+    rows = n_hashes // bands
+    selects = []
+    for b in range(bands):
+        parts = ", ".join(f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows))
+        selects.append(
+            f"SELECT *, {b} AS band, {_duck_md5i(f'CONCAT_WS(chr(124), {parts})')} AS bucket FROM sigs"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def _balanced_sum(terms: list[str]) -> str:
+    """Parenthesize a sum as a balanced tree — a left-deep 128-term chain
+    exceeds DuckDB's binder recursion limit."""
+    if len(terms) == 1:
+        return terms[0]
+    mid = len(terms) // 2
+    return f"({_balanced_sum(terms[:mid])} + {_balanced_sum(terms[mid:])})"
+
+
+def _minhash_quality_oracle() -> str:
+    match_sum = _balanced_sum(
+        [
+            f"(CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END)"
+            for i in range(_Q_HASHES)
+        ]
+    )
+    return f"""
+WITH tok AS ({tok_cte('duckdb')}),
+ordd AS (
+  SELECT doc_id, term, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS ord
+  FROM tok
+),
+mut AS (
+  SELECT doc_id + 1000000 AS doc_id, term,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS ord
+  FROM ordd WHERE doc_id < {_Q_PLANT} AND ord % {_Q_DROP} <> {_Q_DROP - 1}
+),
+allt AS (SELECT * FROM ordd UNION ALL SELECT * FROM mut),
+seq AS (
+  SELECT doc_id, term, LEAD(term, 1) OVER w AS t1, LEAD(term, 2) OVER w AS t2
+  FROM allt WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+),
+sh AS MATERIALIZED (SELECT DISTINCT doc_id, CONCAT(term, '_', t1, '_', t2) AS shingle FROM seq WHERE t2 IS NOT NULL),
+sigs AS MATERIALIZED ({_q_sigs_select(_Q_HASHES)}),
+banded AS MATERIALIZED ({_q_bands_union(_Q_HASHES, _Q_BANDS)}),
+cand AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS key_a, CAST(b.doc_id AS BIGINT) AS key_b,
+         ({match_sum}) / {float(_Q_HASHES)} AS ej
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+candf AS (SELECT key_a, key_b FROM cand WHERE ej >= {_Q_THRESH}),
+inter AS (
+  SELECT sa.doc_id AS key_a, sb.doc_id AS key_b, COUNT(*) AS n_inter
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT CAST(i.key_a AS BIGINT) AS key_a, CAST(i.key_b AS BIGINT) AS key_b
+  FROM inter i JOIN sizes za ON za.doc_id = i.key_a JOIN sizes zb ON zb.doc_id = i.key_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= {_Q_THRESH}
+),
+hit AS (
+  SELECT c.key_a FROM candf c JOIN truth t ON t.key_a = c.key_a AND t.key_b = c.key_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM candf) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM candf), 0) AS precision_,
+       CAST((SELECT COUNT(*) FROM hit) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM truth), 0) AS recall_"""
+
+
+@df_gate("dedup_minhash_quality", _minhash_quality_oracle())
+def _q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup at production parameters (128 permutations, 16 bands of
+    8 — the Common-Crawl-style configuration) with MEASURED precision/recall
+    against exact shingle Jaccard on a planted near-dup corpus."""
+    from .analysis.analyzer import post_stop_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    kept = F.array_join(
+        F.filter(
+            post_stop_tokens(F.col("text")),
+            lambda t, i: (i % _Q_DROP) != (_Q_DROP - 1),
+        ),
+        " ",
+    )
+    mutated = docs.where(F.col("doc_id") < _Q_PLANT).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), kept.alias("text")
+    )
+    aug = docs.unionByName(mutated)
+
+    cand = (
+        dedup.minhash_lsh_pairs(
+            dedup.minhash_signatures(aug, n_hashes=_Q_HASHES),
+            n_hashes=_Q_HASHES,
+            bands=_Q_BANDS,
+        )
+        .where(F.col("est_jaccard") >= _Q_THRESH)
+        .select("key_a", "key_b")
+    )
+
+    sh = dedup.shingles(aug)
+    inter = (
+        sh.select(F.col("doc_id").alias("key_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("key_b"), "shingle"), "shingle")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("key_a"), F.col("n").alias("n_a")), "key_a")
+        .join(sizes.select(F.col("doc_id").alias("key_b"), F.col("n").alias("n_b")), "key_b")
+        .where(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= _Q_THRESH
+        )
+        .select("key_a", "key_b")
+    )
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = cand.join(truth, ["key_a", "key_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_hit,
+                (n_hit / n_cand) if n_cand else None,
+                (n_hit / n_truth) if n_truth else None,
+            )
+        ],
+        "n_truth long, n_candidates long, n_hits long, precision_ double, recall_ double",
     )
 
 

@@ -95,6 +95,21 @@ class QueryResultCache:
 
 
 # --- grouping / stats / facets ----------------------------------------------
+def restrict_to_matches(
+    source: DataFrame, matches: DataFrame | None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Restrict a component's input to the query's match DocSet — Solr runs
+    every SearchComponent over the q+fq result set (SimpleFacets.java:
+    336-448, Grouping.java, StatsValuesFactory.java:82-181), not the whole
+    corpus. Plain semi-join: AQE broadcasts small match sets; at 10^12 docs
+    a huge DocSet stays a shuffled semi-join, never a driver structure."""
+    if matches is None:
+        return source
+    return source.join(
+        matches.select(F.col(matches.columns[0]).alias(id_col)), id_col, "left_semi"
+    )
+
+
 def grouping_top_docs(
     source: DataFrame,
     group_col: str,
@@ -102,10 +117,12 @@ def grouping_top_docs(
     top_n: int,
     asc: bool = False,
     id_col: str = "doc_id",
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """group.field: top-n docs per group by sort value (Grouping.java's
     two-pass collectors → one partitioned window; the shuffle partitions by
     group exactly like pass 1's per-group competition)."""
+    source = restrict_to_matches(source, matches, id_col)
     order = [F.col(sort_col).asc() if asc else F.col(sort_col).desc(), F.col(id_col).asc()]
     w = Window.partitionBy(group_col).orderBy(*order)
     return (
@@ -118,6 +135,7 @@ def grouping_top_docs(
 def stats_component(
     source: DataFrame, field: str, facet_cols: Sequence[str] = (),
     scale: int | None = None,
+    matches: DataFrame | None = None, id_col: str = "doc_id",
 ) -> DataFrame:
     """StatsComponent: count/missing/min/max/sum/mean/stddev, optionally per
     facet group (StatsValuesFactory.java:82-181). Sums go through DECIMAL so
@@ -127,6 +145,8 @@ def stats_component(
     column type when None (decimal → its own scale, integer → 0, floating →
     6) so arbitrary numeric fields aren't silently rounded to 2 places."""
     import re as _re
+
+    source = restrict_to_matches(source, matches, id_col)
 
     if scale is None:
         dt = dict(source.dtypes).get(field, "")
@@ -160,9 +180,13 @@ def stats_component(
     return source.agg(*aggs)
 
 
-def facet_query(source: DataFrame, queries: dict[str, Column]) -> DataFrame:
+def facet_query(
+    source: DataFrame, queries: dict[str, Column],
+    matches: DataFrame | None = None, id_col: str = "doc_id",
+) -> DataFrame:
     """facet.query: one count per arbitrary predicate (SimpleFacets.java:277)
     — all predicates in ONE scan via conditional aggregation."""
+    source = restrict_to_matches(source, matches, id_col)
     aggs = [
         F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
         for name, cond in queries.items()
@@ -171,9 +195,11 @@ def facet_query(source: DataFrame, queries: dict[str, Column]) -> DataFrame:
 
 
 def facet_range(
-    source: DataFrame, field: str, gap: float, mincount: int = 0
+    source: DataFrame, field: str, gap: float, mincount: int = 0,
+    matches: DataFrame | None = None, id_col: str = "doc_id",
 ) -> DataFrame:
     """facet.range with gap (SimpleFacets.java:888-1078)."""
+    source = restrict_to_matches(source, matches, id_col)
     bucket = (F.floor(F.col(field) / F.lit(gap)) * F.lit(gap)).cast("double")
     out = (
         source.groupBy(bucket.alias("bucket_lo"))
@@ -184,8 +210,12 @@ def facet_range(
     return out
 
 
-def facet_date(source: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
+def facet_date(
+    source: DataFrame, ts_col: str, unit: str = "hour",
+    matches: DataFrame | None = None, id_col: str = "doc_id",
+) -> DataFrame:
     """facet.date via DateMathParser-style rounding → date_trunc buckets."""
+    source = restrict_to_matches(source, matches, id_col)
     return (
         source.groupBy(F.date_trunc(unit, F.col(ts_col)).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -193,15 +223,23 @@ def facet_date(source: DataFrame, ts_col: str, unit: str = "hour") -> DataFrame:
     )
 
 
-def facet_pivot(source: DataFrame, cols: Sequence[str]) -> DataFrame:
+def facet_pivot(
+    source: DataFrame, cols: Sequence[str],
+    matches: DataFrame | None = None, id_col: str = "doc_id",
+) -> DataFrame:
     """pivot facets: hierarchical counts (PivotFacetHelper)."""
+    source = restrict_to_matches(source, matches, id_col)
     return (
         source.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt")).orderBy(*cols)
     )
 
 
-def distinct_counts(source: DataFrame, cols: Sequence[str]) -> DataFrame:
+def distinct_counts(
+    source: DataFrame, cols: Sequence[str],
+    matches: DataFrame | None = None, id_col: str = "doc_id",
+) -> DataFrame:
     """stats calcdistinct / AbstractDistinctValuesCollector."""
+    source = restrict_to_matches(source, matches, id_col)
     return source.agg(
         *[F.count_distinct(F.col(c)).alias(f"distinct_{c}") for c in cols]
     )

@@ -101,6 +101,21 @@ class DisMaxSearcher:
     def analyze_query(self, query_text: str) -> list[str]:
         return self.searchers[self.fields[0]].analyze_query(query_text)
 
+    def query(self, query_string: str, k: int = 10, default_field: str | None = None) -> DataFrame:
+        """Classic-syntax query against the multi-field index: `field:term`
+        addresses any indexed field; unfielded clauses run on the default
+        field (QueryParserBase.java:494-790 is field-generic — every produced
+        query carries its field). Sub-indexes share docIDs, so cross-field
+        MUST/MUST_NOT constraints and score sums compose directly."""
+        from .parser import parse
+
+        base = self.searchers[default_field or self.fields[0]]
+        clauses = parse(query_string, fields=set(self.fields))
+        scored = base._clauses_scored(clauses, field_searchers=self.searchers)
+        if scored is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        return base._topk(base._drop_deleted(scored), k)
+
     @staticmethod
     def parse_qf(qf: str) -> dict[str, float]:
         """Solr qf/pf syntax: 'text^1 title^3' → {field: boost}
@@ -122,11 +137,20 @@ class DisMaxSearcher:
         mm: int = 0,
         pf: dict[str, float] | str | None = None,
         k: int = 10,
+        bq: list[tuple[str, list[str], float]] | None = None,
+        bf: DataFrame | None = None,
+        bf_col: str = "bf",
     ) -> DataFrame:
         """eDisMax main query: Σ over user terms of
         [max_f(qf_f·score_f) + tie·(Σ_f − max_f)], docs must cover ≥ mm
         user terms (in any field); optional pf adds qf-style phrase scores
-        over the whole term sequence."""
+        over the whole term sequence.
+
+        bq (boost queries) / bf (boost functions) follow DisMaxQParser.java:
+        136-148: the main query is the REQUIRED clause of the outer
+        BooleanQuery, bq entries (field, terms, boost) and the bf frame
+        (doc_id, bf_col) are extra SHOULD clauses whose scores ADD to docs
+        the main query already matches — they never change the match set."""
         if isinstance(qf, str):
             qf = self.parse_qf(qf)
         if isinstance(pf, str):
@@ -209,6 +233,41 @@ class DisMaxSearcher:
                         .alias("score"),
                     )
                 )
+
+        if bq:
+            # each bq: SHOULD-sum BM25 of `terms` on `field`, × boost, added
+            # where the main query matched (outer-BooleanQuery SHOULD clause)
+            bq_parts = []
+            for fname, bterms, boost in bq:
+                s = self.searchers[fname]
+                tinfo = s.lookup_terms(bterms)
+                if tinfo.empty:
+                    continue
+                b32 = float(np.float32(boost))
+                bq_parts.append(
+                    s._scored(tinfo)
+                    .groupBy("doc_id")
+                    .agg((F.sum("score") * F.lit(b32)).cast("float").alias("bqs"))
+                )
+            if bq_parts:
+                bq_scores = (
+                    reduce(DataFrame.unionByName, bq_parts)
+                    .groupBy("doc_id")
+                    .agg(F.sum("bqs").cast("float").alias("bqs"))
+                )
+                result = result.join(bq_scores, "doc_id", "left").select(
+                    "doc_id",
+                    (F.col("score") + F.coalesce(F.col("bqs"), F.lit(0.0)))
+                    .cast("float")
+                    .alias("score"),
+                )
+        if bf is not None:
+            result = result.join(bf.select("doc_id", bf_col), "doc_id", "left").select(
+                "doc_id",
+                (F.col("score") + F.coalesce(F.col(bf_col), F.lit(0.0)))
+                .cast("float")
+                .alias("score"),
+            )
 
         return (
             result.orderBy(F.col("score").desc(), F.col("doc_id").asc())

@@ -754,51 +754,63 @@ class Searcher:
             "doc_id", F.lit(1.0).cast("float").alias("score")
         )
 
-    def _clauses_scored(self, clauses) -> DataFrame | None:
+    def _clauses_scored(
+        self, clauses, field_searchers: dict | None = None
+    ) -> DataFrame | None:
         """(doc_id, score) of one boolean level — None when nothing can
         match. Recurses into `group` clauses (nested BooleanQuery scoring:
-        the group's summed score becomes one sub-scorer contribution)."""
+        the group's summed score becomes one sub-scorer contribution).
+
+        `field_searchers` maps a clause's `field` to the Searcher of that
+        field's sub-index (multi-field indexes share docIDs, so scores and
+        DocSets compose directly); clauses without a field run on self —
+        the field-generic QueryParserBase.java:494-790 surface."""
         from functools import reduce
 
         from .parser import MUST, MUST_NOT, SHOULD  # noqa: F401
+
+        fs = field_searchers or {}
+
+        def res(c) -> "Searcher":
+            f = getattr(c, "field", None)
+            return fs.get(f, self) if f is not None else self
 
         scoring = [c for c in clauses if c.occur in (MUST, SHOULD)]
         negative = [c for c in clauses if c.occur == MUST_NOT]
         if not scoring:
             return None
 
-        term_clauses = [c for c in scoring if c.kind == "term"]
-        uniq_terms = sorted({c.terms[0] for c in term_clauses})
-        tinfo = self.lookup_terms(uniq_terms) if uniq_terms else None
-        found = set(tinfo["term"]) if tinfo is not None else set()
-        # a MUST clause on a nonexistent term matches nothing
-        for c in scoring:
-            if c.occur == MUST and c.kind == "term" and c.terms[0] not in found:
-                return None
-        scored_terms = (
-            self._scored(tinfo[tinfo["term"].isin(found)])
-            if tinfo is not None and found
-            else None
-        )
-
         parts = []
         total_must = 0
-        # ALL term clauses ride ONE postings scan. Each part row carries
-        # nm = number of MUST clauses that row satisfies; the final agg just
-        # sums it (no clause-id set membership). Common case (each term in
-        # one clause): boost/must lookups are LITERAL maps — zero extra plan
+        # ALL term clauses of one field ride ONE postings scan. Each part
+        # row carries nm = number of MUST clauses that row satisfies; the
+        # final agg just sums it. Common case (each term in one clause per
+        # field): boost/must lookups are LITERAL maps — zero extra plan
         # nodes, no per-query createDataFrame; duplicate-term clause sets
         # fall back to the tiny broadcast join to keep per-clause float32
         # boost rounding identical.
-        term_entries = [
-            (c.terms[0], float(np.float32(c.boost)), c.occur == MUST)
-            for c in scoring
-            if c.kind == "term" and c.terms[0] in found
-        ]
-        total_must += sum(1 for _, _, m in term_entries if m)
-        if term_entries:
-            uniq_clause_terms = {t for t, _, _ in term_entries}
-            if len(uniq_clause_terms) == len(term_entries):
+        groups: dict[int, tuple["Searcher", list]] = {}
+        for c in scoring:
+            if c.kind == "term":
+                s = res(c)
+                groups.setdefault(id(s), (s, []))[1].append(c)
+        for s, cls in groups.values():
+            tinfo = s.lookup_terms(sorted({c.terms[0] for c in cls}))
+            found = set(tinfo["term"])
+            # a MUST clause on a nonexistent term matches nothing
+            for c in cls:
+                if c.occur == MUST and c.terms[0] not in found:
+                    return None
+            term_entries = [
+                (c.terms[0], float(np.float32(c.boost)), c.occur == MUST)
+                for c in cls
+                if c.terms[0] in found
+            ]
+            total_must += sum(1 for _, _, m in term_entries if m)
+            if not term_entries:
+                continue
+            scored_terms = s._scored(tinfo[tinfo["term"].isin(found)])
+            if len({t for t, _, _ in term_entries}) == len(term_entries):
                 boost_map = F.create_map(
                     *[x for t, b, _ in term_entries for x in (F.lit(t), F.lit(b))]
                 )
@@ -832,13 +844,13 @@ class Searcher:
                 )
         for c in scoring:
             if c.kind == "term":
-                continue  # scored via the shared scan above
+                continue  # scored via the shared per-field scan above
             elif c.kind == "phrase":
-                df_c = self._phrase_scored(c.terms)
+                df_c = res(c)._phrase_scored(c.terms)
             elif c.kind == "group":
-                df_c = self._clauses_scored(c.children)
+                df_c = self._clauses_scored(c.children, field_searchers=fs)
             else:
-                df_c = self._multi_term_clause(c)
+                df_c = res(c)._multi_term_clause(c)
             if df_c is None:
                 if c.occur == MUST:
                     return None
@@ -867,21 +879,26 @@ class Searcher:
 
         if negative:
             neg_docs = None
-            neg_term_info = self.lookup_terms(
-                [c.terms[0] for c in negative if c.kind == "term"]
-            )
-            if not neg_term_info.empty:
-                neg_docs = self._posting_docs(neg_term_info)
+            neg_groups: dict[int, tuple["Searcher", list]] = {}
+            for c in negative:
+                if c.kind == "term":
+                    s = res(c)
+                    neg_groups.setdefault(id(s), (s, []))[1].append(c.terms[0])
+            for s, ts in neg_groups.values():
+                neg_term_info = s.lookup_terms(ts)
+                if not neg_term_info.empty:
+                    nd = s._posting_docs(neg_term_info)
+                    neg_docs = nd if neg_docs is None else neg_docs.unionByName(nd)
             for c in negative:
                 sel = None
                 if c.kind == "phrase":
-                    ph = self._phrase_scored(c.terms)
+                    ph = res(c)._phrase_scored(c.terms)
                     sel = ph.select("doc_id") if ph is not None else None
                 elif c.kind == "group":
-                    grp = self._clauses_scored(c.children)
+                    grp = self._clauses_scored(c.children, field_searchers=fs)
                     sel = grp.select("doc_id") if grp is not None else None
                 elif c.kind != "term":
-                    mt = self._multi_term_clause(c)
+                    mt = res(c)._multi_term_clause(c)
                     sel = mt.select("doc_id") if mt is not None else None
                 if sel is not None:
                     neg_docs = sel if neg_docs is None else neg_docs.unionByName(sel)

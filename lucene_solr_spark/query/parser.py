@@ -20,8 +20,10 @@ Covers the classic syntax surface (QueryParserBase.java:494-790):
                               scoring top-terms rewrite like FuzzyQuery's
                               default
 - `t^2.5`                   → clause boost (multiplies the clause score)
-- `text:t` / `body:t`       → accepted as the default text field; other
-                              fields rejected (single-field engine)
+- `text:t` / `body:t`       → the default text field; `field:t` against any
+                              field of a multi-field index when parse() is
+                              given the index's field names (field-generic
+                              like QueryParserBase.java:494-790)
 
 Each raw word is passed through the analyzer exactly as the reference does
 (QueryParserBase.newFieldQuery → analyzer): a stopword query term produces
@@ -64,31 +66,38 @@ class Clause:
     include_lower: bool = True  # kind == range
     include_upper: bool = True
     max_edits: int = 2  # kind == fuzzy
+    field: str | None = None  # None = the default text field
 
 
 class QueryParseError(ValueError):
     pass
 
 
-def _strip_field(body: str) -> str:
+def _strip_field(body: str, known_fields: set[str] | None = None) -> tuple[str | None, str]:
+    """Split an optional `field:` prefix → (field_or_None, rest). The default
+    aliases map to None; any field in `known_fields` (a multi-field index's
+    field names) is carried on the clause; anything else is rejected."""
     if ":" in body:
         fld, rest = body.split(":", 1)
-        if fld not in _KNOWN_FIELDS:
-            raise QueryParseError(f"unknown field '{fld}' (single-field engine)")
-        return rest
-    return body
+        if fld in _KNOWN_FIELDS:
+            return None, rest
+        if known_fields and fld in known_fields:
+            return fld, rest
+        raise QueryParseError(f"unknown field '{fld}'")
+    return None, body
 
 
-def parse(query: str) -> list[Clause]:
-    """Parse classic syntax into a clause tree (groups nest)."""
-    clauses, rest, _ = _parse_level(query, 0, depth=0)
+def parse(query: str, fields: set[str] | None = None) -> list[Clause]:
+    """Parse classic syntax into a clause tree (groups nest). `fields` =
+    extra addressable field names of a multi-field index."""
+    clauses, rest, _ = _parse_level(query, 0, depth=0, fields=fields)
     if rest != len(query):
         raise QueryParseError(f"unbalanced ')' at offset {rest}")
     return clauses
 
 
 def _parse_level(
-    query: str, pos: int, depth: int
+    query: str, pos: int, depth: int, fields: set[str] | None = None
 ) -> tuple[list[Clause], int, float]:
     """Returns (clauses, next_pos, group_boost) — group_boost is the `)^b`
     suffix consumed by the closing paren of this level (1.0 at top level)."""
@@ -110,7 +119,7 @@ def _parse_level(
 
     def add_word(raw: str, boost: float, occur: str) -> None:
         nonlocal pending_occur, pending_and
-        body = _strip_field(raw)
+        fld, body = _strip_field(raw, fields)
         # fuzzy: trailing ~ with optional edit count (getFuzzyQuery)
         m = re.fullmatch(r"(.+?)~(\d*)", body)
         if m and "*" not in body and "?" not in body:
@@ -123,6 +132,7 @@ def _parse_level(
                         [term[0]],
                         boost,
                         max_edits=int(m.group(2)) if m.group(2) else 2,
+                        field=fld,
                     )
                 )
             else:
@@ -132,9 +142,9 @@ def _parse_level(
         if "*" in body or "?" in body:
             pat = body.lower()
             if re.fullmatch(r"[^*?]+\*", pat):  # getPrefixQuery fast path
-                attach(Clause(occur, "prefix", [pat[:-1]], boost))
+                attach(Clause(occur, "prefix", [pat[:-1]], boost, field=fld))
             else:
-                attach(Clause(occur, "wildcard", [pat], boost))
+                attach(Clause(occur, "wildcard", [pat], boost, field=fld))
             return
         analyzed = [t for _, t in standard_tokenize(body)]
         if not analyzed:
@@ -142,7 +152,7 @@ def _parse_level(
             pending_and = False
             return  # stopword/empty → clause dropped entirely
         if len(analyzed) == 1:
-            attach(Clause(occur, "term", [analyzed[0]], boost))
+            attach(Clause(occur, "term", [analyzed[0]], boost, field=fld))
         else:
             # multi-token analysis → ONE group clause (newFieldQuery returns
             # a BooleanQuery of SHOULD terms), so AND/+/- treat the split as
@@ -154,7 +164,7 @@ def _parse_level(
                     "group",
                     [],
                     boost,
-                    children=[Clause(SHOULD, "term", [t], 1.0) for t in analyzed],
+                    children=[Clause(SHOULD, "term", [t], 1.0, field=fld) for t in analyzed],
                 )
             )
 
@@ -176,7 +186,7 @@ def _parse_level(
             continue
         if m.group("lparen"):
             occur = pending_occur or SHOULD
-            children, i, boost = _parse_level(query, i, depth + 1)
+            children, i, boost = _parse_level(query, i, depth + 1, fields=fields)
             if children:
                 attach(Clause(occur, "group", [], boost, children=children))
             else:
