@@ -45,6 +45,16 @@ def _deletes_dir(paths: IndexPaths) -> str:
     return os.path.join(paths.root, "deletes")
 
 
+def tombstone_digest(deleted_sorted: np.ndarray) -> str:
+    """Stable digest of a tombstone set — lets a segment record which
+    delete generation was already applied to its postings (merge-inline
+    reclaim), so purge_deletes can skip rewriting it."""
+    import hashlib
+
+    arr = np.sort(np.asarray(deleted_sorted, dtype=np.int64))
+    return hashlib.md5(arr.tobytes()).hexdigest()
+
+
 def read_deletes(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     d = _deletes_dir(paths)
     if not os.path.exists(d):
@@ -197,8 +207,15 @@ def purge_deletes(spark: SparkSession, paths: IndexPaths | str) -> int:
             for d in os.listdir(paths.postings)
             if d.startswith("seg_id=")
         )
+    digest = tombstone_digest(deleted)
     for seg_id in live:
         seg_dir = os.path.join(paths.postings, f"seg_id={seg_id}")
+        marker = os.path.join(seg_dir, "_deletes_applied.json")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                applied = json.load(fh)
+            if applied.get("digest") == digest:
+                continue  # merge already reclaimed this exact tombstone set
         rows = spark.read.parquet(seg_dir)
         filtered = filter_deleted_rows(
             rows.withColumn("seg_id", F.lit(seg_id).cast("int")),

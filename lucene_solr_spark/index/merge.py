@@ -140,6 +140,7 @@ def merge_segments(
     paths: IndexPaths | str,
     seg_ids: list[int],
     new_seg_id: int | None = None,
+    apply_deletes: bool = True,
 ) -> int:
     """Compact `seg_ids` into one new segment. Returns the new seg_id.
 
@@ -147,7 +148,19 @@ def merge_segments(
     removed last. Readers resolve segments through lineage (Searcher.reopen
     reads only live segments' dirs), so a crash after the lineage append but
     before the source rmtree cannot double-count postings; the orphaned dirs
-    are garbage-collected here on the next merge (gc_superseded)."""
+    are garbage-collected here on the next merge (gc_superseded).
+
+    Tombstoned docs are dropped INLINE during the merge (Lucene merges skip
+    deleted docs in the same pass, TermsConsumer.java:86-171) — a merge
+    right after a delete wave reclaims those postings for free instead of
+    leaving them for purge_deletes to rewrite again. The merged dir records
+    a digest of the tombstone set it applied, so purge_deletes skips its
+    postings rewrite when the set is unchanged. Lineage n_docs/ttf still
+    carry the source sums (docID allocation must never reuse ids; BM25
+    stats keep counting deleted docs until purge, like CollectionStatistics
+    over an index with deletions)."""
+    from .deletes import filter_deleted_rows, read_deletes, tombstone_digest
+
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
     # startup GC: clear dirs a previous crash left superseded-but-present
@@ -162,6 +175,22 @@ def merge_segments(
 
     srcs = [os.path.join(paths.postings, f"seg_id={s}") for s in sorted(seg_ids)]
     union = spark.read.parquet(*srcs)
+
+    deleted = None
+    if apply_deletes:
+        tomb = read_deletes(spark, paths)
+        if tomb is not None:
+            import numpy as np
+
+            arr = np.array(sorted(r.doc_id for r in tomb.collect()), dtype=np.int64)
+            if len(arr):
+                deleted = arr
+    if deleted is not None:
+        import json as _json
+
+        with open(paths.stats) as fh:
+            positions = bool(_json.load(fh).get("positions", True))
+        union = filter_deleted_rows(union, deleted, positions)
 
     merged = (
         union.groupBy("term", "chunk_id")
@@ -179,6 +208,13 @@ def merge_segments(
         .option("parquet.block.size", str(32 * 1024 * 1024))
         .parquet(out_dir)
     )
+    if deleted is not None:
+        # marker AFTER the parquet write (the writer clears the dir), BEFORE
+        # the lineage append — a crash in between replays the whole merge
+        with open(os.path.join(out_dir, "_deletes_applied.json"), "w") as fh:
+            import json as _json
+
+            _json.dump({"digest": tombstone_digest(deleted), "n": int(len(deleted))}, fh)
 
     # lineage: new segment row + superseded markers, all in one append;
     # n_docs/ttf of the merged segment = sum over its sources (doc ranges

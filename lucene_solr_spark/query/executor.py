@@ -980,6 +980,31 @@ class Searcher:
             freq += 1.0 / (match_length + 1)
         return freq
 
+    @staticmethod
+    def _sloppy_freq_2(a: np.ndarray, b: np.ndarray, slop: int) -> float:
+        """Vectorized 2-slot sloppyFreq, exactly equal to `_sloppy_freq`:
+        with two sorted offset-adjusted lists, the PQ leap-frog records one
+        minimal window per ADJACENT CROSS-LIST PAIR of the merged order
+        (runs from the same list keep only their last element before a
+        switch), each contributing 1/(dist+1) when dist ≤ slop. At an equal
+        position in both lists, the loop lets the CURRENTLY-ADVANCING run
+        absorb the tie (newpos == next_pos does not complete a crossing), so
+        the tied element from the preceding element's list sorts first."""
+        pos = np.concatenate((a, b))
+        slot = np.concatenate(
+            (np.zeros(len(a), dtype=np.int8), np.ones(len(b), dtype=np.int8))
+        )
+        order = np.lexsort((slot, pos))
+        p, s = pos[order], slot[order]
+        ties = np.flatnonzero(p[1:] == p[:-1])  # one per value, cross-list
+        for i in ties:  # rare; left-to-right so chains see updated runs
+            if i > 0 and s[i - 1] == s[i + 1]:
+                s[i], s[i + 1] = s[i + 1], s[i]
+        cross = s[1:] != s[:-1]
+        d = (p[1:] - p[:-1])[cross]
+        d = d[d <= slop]
+        return float((1.0 / (d + 1.0)).sum())
+
     def _phrase_scored(
         self, terms: list[str] | list[list[str]], slop: int = 0
     ) -> DataFrame | None:
@@ -1093,6 +1118,7 @@ class Searcher:
         )
 
         sloppy_fn = Searcher._sloppy_freq
+        sloppy2_fn = Searcher._sloppy_freq_2
 
         def phrase_freq(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in pdf_iter:
@@ -1116,6 +1142,9 @@ class Searcher:
                         for a in slot_arrs[1:]:
                             cand = np.intersect1d(cand, a)
                         freq = float((cand >= 0).sum())
+                    elif n_slots == 2:
+                        # vectorized common case — no per-position Python
+                        freq = sloppy2_fn(slot_arrs[0], slot_arrs[1], slop)
                     else:
                         freq = sloppy_fn(slot_arrs, slop)
                     if freq > 0:

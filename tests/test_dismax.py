@@ -138,3 +138,66 @@ def test_dismax_pf_phrase_boost(mf_index):
     for d in no_phrase:
         if "merge spark" not in field_texts()[0][d]:
             assert p[d] == pytest.approx(b[d], rel=1e-6)
+
+
+def test_dismax_bq_bf_additive(mf_index, spark):
+    """bq/bf (DisMaxQParser.java:136-148): additive boosts on top of the
+    main dismax score; the match set is unchanged."""
+    terms, tie = ["spark", "merge"], 0.3
+    qf = {"text": 1.0, "title": 3.0}
+    base = {
+        r.doc_id: r.score for r in mf_index.dismax_search(terms, qf=qf, tie=tie, k=100).collect()
+    }
+    fast = {
+        r.doc_id: r.score
+        for r in mf_index.searchers["text"].search(["fast"], k=100).collect()
+    }
+    bf = spark.createDataFrame(
+        [(d, 0.01 * d) for d in range(len(CORPUS))], "doc_id long, bf double"
+    )
+    got = {
+        r.doc_id: r.score
+        for r in mf_index.dismax_search(
+            terms, qf=qf, tie=tie, k=100, bq=[("text", ["fast"], 0.5)], bf=bf
+        ).collect()
+    }
+    assert set(got) == set(base)  # boosts never change the match set
+    for d, s in got.items():
+        expected = base[d] + 0.5 * fast.get(d, 0.0) + 0.01 * d
+        assert abs(s - expected) < 1e-5, (d, s, expected)
+
+
+def test_fielded_classic_query(mf_index):
+    """field:term addresses any field of the multi-field index
+    (QueryParserBase.java:494-790 field-generic parse)."""
+    texts, titles = field_texts()
+
+    def tok(s):
+        return [t for _, t in standard_tokenize(s)]
+
+    got = {r.doc_id for r in mf_index.query("title:spark", k=100).collect()}
+    assert got == {d for d, t in titles.items() if "spark" in tok(t)}
+
+    got = {r.doc_id for r in mf_index.query("title:spark AND text:window", k=100).collect()}
+    expect = {
+        d
+        for d in texts
+        if "spark" in tok(titles[d]) and "window" in tok(texts[d])
+    }
+    assert got == expect
+
+    # default field is text; prohibit on a fielded clause
+    got = {r.doc_id for r in mf_index.query("window -title:spark", k=100).collect()}
+    expect = {
+        d
+        for d in texts
+        if "window" in tok(texts[d]) and "spark" not in tok(titles[d])
+    }
+    assert got == expect
+
+    # fielded prefix (MultiTermQuery rewrite against that field's dictionary)
+    got = {r.doc_id for r in mf_index.query("title:stre*", k=100).collect()}
+    expect = {
+        d for d in texts if any(t.startswith("stre") for t in tok(titles[d]))
+    }
+    assert got == expect

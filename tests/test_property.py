@@ -147,3 +147,22 @@ def test_plan_merges_well_formed(sizes):
         for sid in p.seg_ids:
             assert sid not in seen  # disjoint merges
             seen.add(sid)
+
+
+def test_sloppy_freq_2slot_vectorized_equals_pq_loop():
+    """The vectorized 2-slot sloppyFreq must be value-identical to the
+    PQ leap-frog (SloppyPhraseScorer semantics) on arbitrary inputs."""
+    import numpy as np
+
+    from lucene_solr_spark.query.executor import Searcher
+
+    rng = np.random.default_rng(7)
+    for trial in range(500):
+        na, nb = rng.integers(1, 12, size=2)
+        lo, hi = -3, 40  # offset-adjusted positions can be negative
+        a = np.sort(rng.choice(np.arange(lo, hi), size=na, replace=False))
+        b = np.sort(rng.choice(np.arange(lo, hi), size=nb, replace=False))
+        slop = int(rng.integers(1, 8))
+        want = Searcher._sloppy_freq([a.astype(np.int64), b.astype(np.int64)], slop)
+        got = Searcher._sloppy_freq_2(a.astype(np.int64), b.astype(np.int64), slop)
+        assert abs(want - got) < 1e-12, (a.tolist(), b.tolist(), slop, want, got)

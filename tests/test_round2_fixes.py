@@ -276,3 +276,38 @@ def test_dismax_qf_string_parse():
         "title": 3.5,
         "body": 1.0,
     }
+
+
+def test_delete_then_compact_reclaims_inline(spark, idx):
+    """Merge applies tombstones in the same pass (TermsConsumer.java:86-171):
+    after delete -> compact, the merged postings no longer contain the
+    deleted doc, purge skips the postings rewrite (digest marker), and the
+    final index equals a fresh build of the survivors."""
+    from lucene_solr_spark.index.merge import merge_segments
+
+    delete_by_key(spark, idx, ["u00"])  # doc_id 0
+    new_seg = merge_segments(spark, idx, [0, 1])
+
+    seg_dir = os.path.join(idx.postings, f"seg_id={new_seg}")
+    assert os.path.exists(os.path.join(seg_dir, "_deletes_applied.json"))
+    # the merged segment physically excludes doc 0 BEFORE any purge
+    decoded = spark.read.parquet(seg_dir).select("first_doc", "doc_gaps").toPandas()
+    all_docs = set()
+    for r in decoded.itertuples(index=False):
+        all_docs.update((r.first_doc + np.cumsum(np.asarray(r.doc_gaps))).tolist())
+    assert 0 not in all_docs and len(all_docs) == len(CORPUS) - 1
+
+    # purge now skips the postings rewrite (same tombstone digest) and only
+    # fixes docs/terms/stats; results equal a fresh build of the survivors
+    import time as _t
+
+    t0 = _t.time()
+    reclaimed = purge_deletes(spark, idx)
+    assert reclaimed == 1
+    s = Searcher(spark, idx)
+    assert s.stats.max_doc == len(CORPUS) - 1
+    texts = {i: t for i, t in texts_by_docid().items() if i != 0}
+    got = s.search(["spark", "merge"], k=10).toPandas()
+    exp = brute_force_topk(texts, ["spark", "merge"], k=10)
+    assert got["doc_id"].tolist() == [d for d, _ in exp]
+    np.testing.assert_allclose(got["score"].values, [x for _, x in exp], rtol=1e-6)
