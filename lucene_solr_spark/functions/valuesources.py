@@ -262,6 +262,61 @@ def index_joindf(searcher, frame: DataFrame, col: str) -> DataFrame:
     )
 
 
+def ord_frame(frame: DataFrame, col: str, out_col: str = "ord") -> DataFrame:
+    """OrdFieldSource / `ord(field)` (ValueSourceParser.java:95): 1-based
+    ordinal of the doc's value in the field's sorted value dictionary, 0 for
+    missing. Scale-out: global ordinals come from a dense rank over the
+    DISTINCT values (assign_dense_ids range-partition pass), joined back —
+    never a single-task global window over the corpus."""
+    from ..index.docids import assign_dense_ids
+
+    vals = frame.select(col).where(F.col(col).isNotNull()).distinct()
+    ranked = assign_dense_ids(vals, order_col=col, id_col="__ord")
+    ranked = ranked.select(col, (F.col("__ord") + 1).alias(out_col))
+    return frame.join(ranked, col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0)).cast("long")
+    )
+
+
+def rord_frame(frame: DataFrame, col: str, out_col: str = "rord") -> DataFrame:
+    """ReverseOrdFieldSource / `rord(field)` (ValueSourceParser.java:127):
+    numValues - ord + 1 (so the LAST value gets 1), 0 for missing."""
+    with_ord = ord_frame(frame, col, out_col="__o")
+    n_vals = with_ord.agg(F.max("__o")).head()[0] or 0
+    return with_ord.withColumn(
+        out_col,
+        F.when(F.col("__o") > 0, F.lit(int(n_vals) + 1) - F.col("__o"))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    ).drop("__o")
+
+
+def query_score(searcher, terms: list[str], out_col: str = "qscore") -> DataFrame:
+    """QueryValueSource / `query($q)` (ValueSourceParser.java:266): the
+    subquery's relevance score as a per-doc value, default 0 where the
+    subquery does not match. Returns (doc_id, qscore) to join onto any
+    frame keyed by doc_id."""
+    tinfo = searcher.lookup_terms(terms)
+    if tinfo.empty:
+        return searcher.spark.createDataFrame([], f"doc_id long, {out_col} float")
+    return (
+        searcher._scored(tinfo)
+        .groupBy("doc_id")
+        .agg(F.sum("score").cast("float").alias(out_col))
+    )
+
+
+def geodist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """`geodist()` (ValueSourceParser.java:296 → HaversineFunction): great-
+    circle distance in km on the mean earth radius, pure JVM expression."""
+    r = 6371.0087714  # GeoUtils mean earth radius, km
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return (F.lit(2.0 * r) * F.asin(F.sqrt(a))).cast("double")
+
+
 def boosted_topk(
     searcher,
     terms: list[str],

@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from .gate import bm25_sql, df_gate, tok_cte
 
-INDEX_VERSION = "r2.2"
+INDEX_VERSION = "r3.1"
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gate_cache")
 _SEARCHERS: dict = {}
 
@@ -69,8 +69,12 @@ def _engine_searcher(spark: SparkSession, sf_dir: str):
 
         shutil.rmtree(idx_dir, ignore_errors=True)  # stale format → clean rebuild
         pages = docs.select(F.col("doc_id").alias("orig_id"), "text")
+        # small chunk_span → a multi-chunk index even at sf0.01, so the WAND
+        # gate drives REAL chunk pruning (bounds job, θ seed, survivor
+        # filter), not the single-chunk exhaustive fallback
         build_index(
-            spark, pages, idx_dir, text_col="text", key_col="orig_id", num_segments=2
+            spark, pages, idx_dir, text_col="text", key_col="orig_id",
+            num_segments=2, chunk_span=64,
         )
         with open(marker, "w") as fh:
             json.dump({"version": INDEX_VERSION, "n_docs": n_docs, "sf_dir": key}, fh)

@@ -249,6 +249,7 @@ class Searcher:
         query: str | list[str],
         k: int = 10,
         pruning_stats: dict | None = None,
+        bucket_prune: bool | str = "auto",
     ) -> DataFrame:
         """Top-k disjunction with block-max pruning, rank- and
         score-identical to exhaustive scoring (`search`) — bounds are
@@ -280,6 +281,12 @@ class Searcher:
         result is rank- and score-identical to `search`.
         """
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        chunk_span = int(self.meta.get("chunk_span") or 1 << 16)
+        if self.stats.max_doc <= chunk_span:
+            # one chunk: chunk pruning cannot drop anything, so WAND would
+            # only add fixed job overhead — fall through to exhaustive with
+            # ZERO extra actions (the crossover begins at multi-chunk size)
+            return self.search(terms, k=k)
         tinfo = self.lookup_terms(terms)
         if tinfo.empty:
             return self.spark.createDataFrame([], "doc_id long, score float")
@@ -313,7 +320,6 @@ class Searcher:
             F.array_max(block_bounds).alias("row_ub"),
         )
         chunk_ub = bounds.groupBy("chunk_id").agg(F.sum("row_ub").alias("ub"))
-        chunk_span = int(self.meta.get("chunk_span") or 1 << 16)
         n_chunks_est = self.stats.max_doc // chunk_span + 1
 
         if n_chunks_est <= 1024:
@@ -329,6 +335,7 @@ class Searcher:
                 int(c) for c, u in zip(pdf["chunk_id"], pdf["ub"]) if u >= theta_pad
             ]
             survivors = rows.where(F.col("chunk_id").isin(live_chunks))
+            frac_live = len(live_chunks) / max(1, len(pdf))
             if pruning_stats is not None:
                 pruning_stats["chunks_total"] = len(pdf)
                 pruning_stats["chunks_live"] = len(live_chunks)
@@ -350,12 +357,25 @@ class Searcher:
             theta, theta_pad = self._wand_theta(rows, weights, seed_chunk, k)
             live = chunk_ub.where(F.col("ub") >= theta_pad).select("chunk_id")
             survivors = rows.join(live, "chunk_id", "left_semi")
+            frac_live = 1.0  # unknown without an extra action — keep buckets
             if pruning_stats is not None:
                 pruning_stats["chunks_total"] = chunk_ub.count()
                 pruning_stats["chunks_live"] = live.count()
                 pruning_stats["theta"] = theta
 
-        scored = self._scored_rows(survivors, weights, theta=theta)
+        # the block-level bucket pass costs one more metadata scan + action;
+        # when chunk pruning already dropped half the index it rarely pays
+        # for itself (measured at 2M docs, BASELINE.md), so 'auto' engages
+        # it only where chunk pruning was weak
+        use_buckets = (
+            bucket_prune is True
+            or (bucket_prune == "auto" and frac_live > 0.5)
+        )
+        if pruning_stats is not None:
+            pruning_stats["bucket_pass"] = bool(use_buckets)
+        scored = self._scored_rows(
+            survivors, weights, theta=theta if use_buckets else float("-inf")
+        )
         agg = scored.groupBy("doc_id").agg(F.sum("score").cast("float").alias("score"))
         return self._topk(self._drop_deleted(agg), k)
 

@@ -129,3 +129,44 @@ def test_joindf_valuesource(spark, idx):
     out = vs.index_joindf(idx, frame, "word").toPandas().set_index("word")
     assert int(out.loc["spark", "joindf"]) == 3
     assert int(out.loc["zzzmissing", "joindf"]) == 0
+
+
+def test_ord_rord_query_geodist_valuesources(spark, idx):
+    import math
+
+    from lucene_solr_spark.functions import valuesources as V
+
+    df = spark.createDataFrame(
+        [(0, "b"), (1, "a"), (2, None), (3, "c"), (4, "a")], "doc_id long, v string"
+    )
+    got = {r.doc_id: r.ord for r in V.ord_frame(df, "v").collect()}
+    assert got == {0: 2, 1: 1, 2: 0, 3: 3, 4: 1}  # a=1, b=2, c=3, missing=0
+    rgot = {r.doc_id: r.rord for r in V.rord_frame(df, "v").collect()}
+    assert rgot == {0: 2, 1: 3, 2: 0, 3: 1, 4: 3}
+
+    s = idx
+    qs = {r.doc_id: r.qscore for r in V.query_score(s, ["fast"]).collect()}
+    base = {r.doc_id: r.score for r in s.search(["fast"], k=100).collect()}
+    assert qs == base  # query() == the subquery's relevance score
+
+    gd = spark.createDataFrame(
+        [(48.8566, 2.3522, 51.5074, -0.1278)], "a double, b double, c double, d double"
+    )
+    km = gd.select(
+        V.geodist(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).head()[0]
+    assert math.isclose(km, 343.5, rel_tol=0.01)  # Paris-London great circle
+
+
+def test_postings_highlighter(spark, idx):
+    from lucene_solr_spark.query.highlight import highlight
+
+    pages = spark.createDataFrame(list(CORPUS.items()), "url string, text string")
+    hits = idx.search(["fast", "merge"], k=3)
+    snips = highlight(idx, hits, pages, ["fast", "merge"]).collect()
+    assert len(snips) == 3
+    for r in snips:
+        assert "<em>" in r.snippet
+    # doc 3 = "fast stone merge spark" — both terms marked
+    by_doc = {r.doc_id: r.snippet for r in snips}
+    assert "<em>fast</em>" in by_doc[3] and "<em>merge</em>" in by_doc[3]
