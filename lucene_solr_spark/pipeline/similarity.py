@@ -102,13 +102,27 @@ def cosine_all_pairs(
     vec_col: str = "embedding",
     key_col: str = "vec_id",
     round_digits: int = 8,
+    max_rows: int = 100_000,
+    allow_unblocked: bool = False,
 ) -> DataFrame:
     """Exact near-dup pairs: all (a < b) with ROUND(cosine, d) ≥ threshold.
 
     The brute-force baseline (deterministic DECIMAL accumulation, so it has
     an exact DuckDB oracle). Norms are precomputed per vector and broadcast
-    into the pair join; at scale, pre-filter candidates with
-    `add_lsh_signature` bucketing before this verify stage."""
+    into the pair join.
+
+    GUARDED: this is a cartesian product — O(n²) pairs. Inputs over
+    `max_rows` raise unless `allow_unblocked=True`; at scale, block
+    candidates first (`cosine_near_dup_pairs_lsh`, which feeds only
+    same-signature-bucket pairs into this exact verify)."""
+    if not allow_unblocked:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_all_pairs on {n} rows is an O(n^2) cartesian product; "
+                "use cosine_near_dup_pairs_lsh (LSH-blocked verify) or pass "
+                "allow_unblocked=True for a deliberate brute-force run"
+            )
     normed = embeddings.select(
         F.col(key_col),
         F.col(vec_col),
@@ -125,6 +139,45 @@ def cosine_all_pairs(
     return (
         pairs.select("key_a", "key_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    round_digits: int = 8,
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Near-dup pairs at scale: LSH signature blocking (same sign-plane
+    bucket → candidate) followed by the exact DECIMAL cosine verify on
+    candidates only — the equi-join replaces the cartesian product, exactly
+    like MinHash banding replaces all-pairs Jaccard. Recall is governed by
+    n_planes: P(same bucket) = (1 − θ/π)^n_planes for angle θ, so
+    high-cosine near-dups collide with high probability; raise recall by
+    unioning several plane families if needed."""
+    if planes is None:
+        planes = md5_sign_planes(dim, n_planes)
+    signed = add_lsh_signature(
+        embeddings, dim=dim, n_planes=n_planes, vec_col=vec_col, planes=planes
+    )
+    a = signed.select(
+        F.col(key_col).alias("key_a"), F.col(vec_col).alias("va"), "signature"
+    )
+    b = signed.select(
+        F.col(key_col).alias("key_b"), F.col(vec_col).alias("vb"), "signature"
+    )
+    cand = a.join(b, "signature").where(F.col("key_a") < F.col("key_b"))
+    na = F.sqrt(_decimal_dot(F.col("va"), F.col("va")))
+    nb = F.sqrt(_decimal_dot(F.col("vb"), F.col("vb")))
+    cos = F.round(_decimal_dot(F.col("va"), F.col("vb")) / (na * nb), round_digits)
+    return (
+        cand.select("key_a", "key_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

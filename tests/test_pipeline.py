@@ -244,3 +244,38 @@ def test_audio_features_real_pcm(spark):
     assert 0.05 < f0[8:].max() < 0.3  # zcr = 2 crossings / 16 samples
     assert np.asarray(out["features"][1]).sum() == 0  # empty clip → zeros
     assert out["sample_rate"].tolist() == [16000, 16000]
+
+
+def test_cosine_all_pairs_guard_and_lsh_blocked_verify(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from lucene_solr_spark.pipeline import similarity
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i < 8:  # planted near-dup: tiny perturbation → cosine ≈ 1
+            rows.append((1000 + i, [float(x) for x in v + rng.normal(scale=0.01, size=8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # the cartesian baseline refuses big inputs unless explicitly allowed
+    with _pytest.raises(ValueError, match="cartesian"):
+        similarity.cosine_all_pairs(emb, threshold=0.9, max_rows=10)
+
+    exact = {
+        (r.key_a, r.key_b)
+        for r in similarity.cosine_all_pairs(emb, threshold=0.95).collect()
+    }
+    blocked = {
+        (r.key_a, r.key_b)
+        for r in similarity.cosine_near_dup_pairs_lsh(
+            emb, threshold=0.95, dim=8, n_planes=8
+        ).collect()
+    }
+    assert blocked <= exact  # blocking never invents pairs
+    planted = {(i, 1000 + i) for i in range(8)} & exact
+    # sign-plane LSH keeps nearly-parallel vectors in one bucket
+    assert len(blocked & planted) / len(planted) >= 0.9
