@@ -70,6 +70,13 @@ from .docids import assign_dense_ids
 from .norms import encode_norm
 
 BLOCK_SIZE = 128  # Lucene41PostingsFormat.BLOCK_SIZE (:384)
+# dictionary impact metadata (the Lucene 8+ per-block impacts idea, hoisted
+# into the term dictionary): top-K impact pairs per term, and per-superchunk
+# score upper bounds capped at MAX_SC_ENTRIES entries per term so a head
+# term's sketch stays ≤ ~12 KB even at 10^12 docs (15M chunks coarsen to
+# 1024 superchunks)
+IMPACT_K = 32
+MAX_SC_ENTRIES = 1024
 DEFAULT_CHUNK_SPAN = 1 << 16  # max docs per merged posting row (skew bound):
 # a head term present in every doc of a chunk yields a ~1-2 MB row — safely
 # under executor task memory at any concurrency.
@@ -454,6 +461,7 @@ def build_index(
     resume: bool = False,
     sort_col: str | None = None,
     tokenizer: str = "jvm",
+    ram_budget_mb: float | None = None,
 ) -> IndexPaths:
     """Build (or resume) the full inverted index under `out_dir`.
 
@@ -557,6 +565,21 @@ def build_index(
     docs_tbl = spark.read.parquet(paths.docs)
     max_doc = int(totals["n"])
     sum_ttf = int(totals["t"] or 0)
+    if ram_budget_mb is not None:
+        # RAM-bounded flush policy (IndexWriterConfig.setRAMBufferSizeMB,
+        # default 16 MB; DocumentsWriterFlushControl flushes the DWPT whose
+        # buffer crosses the budget): pick the segment count so one
+        # segment's in-RAM posting buffer ≈ the budget. Estimated from the
+        # observed token total — each token costs ~a posting entry in the
+        # pack buffers (int64 doc gap + tf + norm byte, double that with
+        # positions), which is the doc-count-independent analog of Lucene's
+        # bytesUsed() accounting. An explicit num_segments > the estimate
+        # still wins (caller asked for more flushes, never fewer).
+        per_token_bytes = 20 if positions else 12
+        est_segments = math.ceil(
+            (sum_ttf * per_token_bytes) / (ram_budget_mb * 1024 * 1024)
+        )
+        num_segments = max(num_segments, max(1, est_segments))
     seg_span = max(1, math.ceil(max_doc / num_segments))
     if num_segments == 1:
         seg_doc_stats = {0: (max_doc, sum_ttf)}
@@ -654,16 +677,133 @@ def build_index(
         lineage_row.write.mode("append").parquet(paths.lineage)
         _phase(f"seg{seg}_recombine+write")
 
-    # --- 6. term dictionary (term, termID=global term rank, df, ttf),
-    # derived from the written postings — no extra pipeline pass
+    # --- 6. term dictionary (term, termID=global term rank, df, ttf) PLUS
+    # per-term impact metadata (the Lucene 8+ impacts idea —
+    # Lucene50PostingsWriter writes per-block (tf, norm) impact pairs;
+    # ImpactsDISI turns them into score upper bounds). Stored in the
+    # DICTIONARY instead of interleaved with postings, so the driver — which
+    # already looks up and caches query terms — gets, with ZERO extra jobs:
+    #   imp_tfs/imp_nbs: the term's top-K (tf, norm_byte) pairs by score
+    #     ratio tf/(tf+cache[nb]) — k ≤ K distinct real docs, so the k-th
+    #     best of their float32 scores is a VALID θ (any k attainable
+    #     scores' min ≤ global k-th best) computable driver-side;
+    #   sc_ids/sc_ubs: per SUPERCHUNK (≤1024 entries/term; superchunk =
+    #     sc_factor consecutive chunks) max block score ratio — driver-side
+    #     chunk pruning: Σ_t w_t·ub_t[sc] < θ_pad drops the whole range.
+    # Together they collapse block-max WAND from 3 Spark actions to ONE
+    # (the pruned scan) — the fixed per-action cost is what made WAND lose
+    # to the exhaustive single-action plan at every measured scale.
+    from ..query.bm25 import BM25Stats as _BS, norm_cache as _nc
+
+    cache64 = (
+        _nc(_BS(max_doc=max_doc, sum_total_term_freq=sum_ttf)).astype(np.float64)
+        if max_doc > 0
+        else np.ones(256, dtype=np.float64)
+    )
+    n_chunks = max_doc // chunk_span + 1
+    sc_factor = max(1, math.ceil(n_chunks / MAX_SC_ENTRIES))
+
+    def impact_rows(batches):
+        for pdf in batches:
+            out = {
+                "term": [], "sc": [], "ub": [], "imp_tfs": [], "imp_nbs": [],
+                "df_chunk": [], "ttf_row": [],
+            }
+            for row in pdf.itertuples(index=False):
+                tfs = np.asarray(row.tfs, dtype=np.float64)
+                nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                r = tfs / (tfs + cache64[nbs])
+                if len(r) > IMPACT_K:
+                    idx = np.argpartition(r, len(r) - IMPACT_K)[-IMPACT_K:]
+                else:
+                    idx = np.arange(len(r))
+                bmtf = np.asarray(row.block_max_tf, dtype=np.float64)
+                bmnb = np.asarray(row.block_max_nb, dtype=np.int64)
+                out["term"].append(row.term)
+                out["sc"].append(int(row.chunk_id) // sc_factor)
+                out["ub"].append(float(np.max(bmtf / (bmtf + cache64[bmnb]))))
+                out["imp_tfs"].append(tfs[idx].astype(np.int64).tolist())
+                out["imp_nbs"].append(nbs[idx].tolist())
+                out["df_chunk"].append(int(row.df_chunk))
+                out["ttf_row"].append(int(tfs.sum()))
+            yield pd.DataFrame(out)
+
+    def _top_impacts(tf_lists, nb_lists):
+        tfa = np.concatenate([np.asarray(x, dtype=np.int64) for x in tf_lists])
+        nba = np.concatenate([np.asarray(x, dtype=np.int64) for x in nb_lists])
+        r = tfa.astype(np.float64) / (tfa + cache64[nba])
+        if len(r) > IMPACT_K:
+            idx = np.argpartition(r, len(r) - IMPACT_K)[-IMPACT_K:]
+            tfa, nba, r = tfa[idx], nba[idx], r[idx]
+        order = np.argsort(-r, kind="stable")
+        return tfa[order].tolist(), nba[order].tolist()
+
+    def merge_sc(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ≤ sc_factor input rows (one per (term, chunk, seg))
+        tfs, nbs = _top_impacts(pdf["imp_tfs"], pdf["imp_nbs"])
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "sc": [int(pdf["sc"].iloc[0])],
+                "ub": [float(pdf["ub"].max())],
+                "imp_tfs": [tfs],
+                "imp_nbs": [nbs],
+                "df_chunk": [int(pdf["df_chunk"].sum())],
+                "ttf_row": [int(pdf["ttf_row"].sum())],
+            }
+        )
+
+    def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ≤ MAX_SC_ENTRIES input rows, one per superchunk
+        pdf = pdf.sort_values("sc")
+        tfs, nbs = _top_impacts(pdf["imp_tfs"], pdf["imp_nbs"])
+        return pd.DataFrame(
+            {
+                "term": [pdf["term"].iloc[0]],
+                "df": [int(pdf["df_chunk"].sum())],
+                "ttf": [int(pdf["ttf_row"].sum())],
+                "sc_ids": [pdf["sc"].astype(int).tolist()],
+                "sc_ubs": [pdf["ub"].astype(float).tolist()],
+                "imp_tfs": [tfs],
+                "imp_nbs": [nbs],
+            }
+        )
+
     postings_all = spark.read.option("basePath", paths.postings).parquet(
         os.path.join(paths.postings, "seg_id=*")
     )
-    term_stats = postings_all.groupBy("term").agg(
-        F.sum("df_chunk").alias("df"), F.sum(terms_ttf_col()).alias("ttf")
+    compact_rows = postings_all.select(
+        "term", "chunk_id", "df_chunk", "tfs", "norm_bytes",
+        "block_max_tf", "block_max_nb",
+    ).mapInPandas(
+        impact_rows,
+        schema="term string, sc int, ub double, imp_tfs array<long>, "
+        "imp_nbs array<long>, df_chunk long, ttf_row long",
+    )
+    term_stats = (
+        compact_rows.groupBy("term", "sc")
+        .applyInPandas(
+            merge_sc,
+            schema="term string, sc int, ub double, imp_tfs array<long>, "
+            "imp_nbs array<long>, df_chunk long, ttf_row long",
+        )
+        .groupBy("term")
+        .applyInPandas(
+            merge_term,
+            schema="term string, df long, ttf long, sc_ids array<int>, "
+            "sc_ubs array<double>, imp_tfs array<long>, imp_nbs array<long>",
+        )
     )
     terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
-    terms_tbl.write.mode("overwrite").parquet(paths.terms)
+    # this is the one pass that reads FOUR fat array columns of every
+    # posting row at once (tfs + norm_bytes + both block-max arrays); even
+    # 128-row reader batches × all cores blow a modest heap at 10^7 docs,
+    # so drop to 16 rows for this job only
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
+    try:
+        terms_tbl.write.mode("overwrite").parquet(paths.terms)
+    finally:
+        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
     _phase("terms")
 
     with open(paths.stats, "w") as fh:
@@ -677,6 +817,22 @@ def build_index(
                 "positions": positions,
                 "block_size": BLOCK_SIZE,
                 "tokenizer": tokenizer,
+                # index-sorting marker (SortingMergePolicy / IndexWriterConfig
+                # setIndexSort analog): docIDs ascend by this column, so chunk
+                # 0 holds the BM25-favored docs — WAND seeds θ there without
+                # first ranking chunk bounds (any seed chunk is lossless;
+                # chunk 0 on a sorted index is also the best one)
+                "sort_col": sort_col,
+                # dictionary impact metadata validity: the single-action WAND
+                # path may use imp_*/sc_* ONLY while max_doc still equals
+                # this value and no tombstones exist — appends add docs the
+                # sketches don't cover (their chunks would be wrongly
+                # pruned), purge shrinks max_doc; both mismatch and disable
+                "impact_meta": {
+                    "sc_factor": sc_factor,
+                    "k": IMPACT_K,
+                    "max_doc": int(max_doc),
+                },
                 # live-lineage snapshot at write time (see nrt.write_stats):
                 # for a fresh bulk build the lineage sums equal the stats
                 "lineage_n_docs": int(max_doc),

@@ -141,6 +141,8 @@ def merge_segments(
     seg_ids: list[int],
     new_seg_id: int | None = None,
     apply_deletes: bool = True,
+    lineage_lock=None,
+    skip_gc: bool = False,
 ) -> int:
     """Compact `seg_ids` into one new segment. Returns the new seg_id.
 
@@ -164,7 +166,10 @@ def merge_segments(
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
     # startup GC: clear dirs a previous crash left superseded-but-present
-    gc_superseded(spark, paths.postings, paths.lineage)
+    # (the concurrent scheduler GCs once per round instead — a racing GC
+    # could observe another thread's half-appended lineage)
+    if not skip_gc:
+        gc_superseded(spark, paths.postings, paths.lineage)
     if new_seg_id is None:
         existing = [
             int(d.split("=", 1)[1])
@@ -218,52 +223,74 @@ def merge_segments(
 
     # lineage: new segment row + superseded markers, all in one append;
     # n_docs/ttf of the merged segment = sum over its sources (doc ranges
-    # are disjoint, so the metrics are additive)
-    lineage = read_lineage(spark, paths.lineage)
-    src_rows = lineage.where(
-        F.col("seg_id").isin([int(s) for s in seg_ids]) & (F.col("status") == "complete")
-    )
-    has_metrics = "n_docs" in lineage.columns
-    src_totals = (
-        src_rows.agg(F.sum("n_docs").alias("n"), F.sum("ttf").alias("t")).head()
-        if has_metrics
-        else None
-    )
-    seg_df = spark.read.parquet(out_dir)
-    new_row = (
-        seg_df.agg(
-            F.min("first_doc").alias("doc_id_min"),
-            F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
-            F.count_distinct("term").alias("term_count"),
-            F.sum("df_chunk").alias("row_count"),
-            (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
-        )
-        .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
-        .withColumn("status", F.lit("complete"))
-        .withColumn("built_at_snapshot", F.lit(int(time.time() * 1000)).cast("long"))
-    )
-    if has_metrics:
-        new_row = new_row.withColumn(
-            "n_docs", F.lit(int(src_totals["n"] or 0)).cast("long")
-        ).withColumn("ttf", F.lit(int(src_totals["t"] or 0)).cast("long"))
-    superseded = src_rows.withColumn("status", F.lit("superseded")).withColumn(
-        "built_at_snapshot", F.lit(int(time.time() * 1000))
-    )
-    new_row.unionByName(superseded, allowMissingColumns=True).write.mode(
-        "append"
-    ).parquet(paths.lineage)
+    # are disjoint, so the metrics are additive). Under the concurrent
+    # scheduler the whole read→append→rmtree tail is serialized: parquet
+    # appends to ONE directory from concurrent jobs can collide in the
+    # shared _temporary staging dir, and a read racing an append could list
+    # half-committed part files. The heavy work (the merge shuffle + the
+    # new segment's write, each to its own dir) stays fully concurrent.
+    import contextlib
 
-    for s in srcs:
-        shutil.rmtree(s, ignore_errors=True)
+    with lineage_lock if lineage_lock is not None else contextlib.nullcontext():
+        lineage = read_lineage(spark, paths.lineage)
+        src_rows = lineage.where(
+            F.col("seg_id").isin([int(s) for s in seg_ids])
+            & (F.col("status") == "complete")
+        )
+        has_metrics = "n_docs" in lineage.columns
+        src_totals = (
+            src_rows.agg(F.sum("n_docs").alias("n"), F.sum("ttf").alias("t")).head()
+            if has_metrics
+            else None
+        )
+        seg_df = spark.read.parquet(out_dir)
+        new_row = (
+            seg_df.agg(
+                F.min("first_doc").alias("doc_id_min"),
+                F.max(F.element_at("skip_last_doc", -1)).alias("doc_id_max"),
+                F.count_distinct("term").alias("term_count"),
+                F.sum("df_chunk").alias("row_count"),
+                (F.sum("df_chunk") * 8).alias("posting_bytes"),  # df_chunk == len(doc_gaps); avoids scanning the arrays
+            )
+            .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
+            .withColumn("status", F.lit("complete"))
+            .withColumn(
+                "built_at_snapshot", F.lit(int(time.time() * 1000)).cast("long")
+            )
+        )
+        if has_metrics:
+            new_row = new_row.withColumn(
+                "n_docs", F.lit(int(src_totals["n"] or 0)).cast("long")
+            ).withColumn("ttf", F.lit(int(src_totals["t"] or 0)).cast("long"))
+        superseded = src_rows.withColumn("status", F.lit("superseded")).withColumn(
+            "built_at_snapshot", F.lit(int(time.time() * 1000))
+        )
+        new_row.unionByName(superseded, allowMissingColumns=True).write.mode(
+            "append"
+        ).parquet(paths.lineage)
+
+        for s in srcs:
+            shutil.rmtree(s, ignore_errors=True)
     return new_seg_id
 
 
-def compact(spark: SparkSession, paths: IndexPaths | str, **policy_kwargs) -> list[int]:
+def compact(
+    spark: SparkSession,
+    paths: IndexPaths | str,
+    max_concurrent: int = 4,
+    **policy_kwargs,
+) -> list[int]:
     """Run the tiered policy to quiescence: plan, merge, re-plan.
 
-    The driver-side analog of ConcurrentMergeScheduler's merge loop
-    (ConcurrentMergeScheduler.java) — in Spark the 'background threads' are
-    just successive jobs."""
+    The ConcurrentMergeScheduler analog (ConcurrentMergeScheduler.java:
+    maxThreadCount merges in flight, each on its own thread): plans within
+    one planning round touch DISJOINT segment sets (plan_merges removes
+    chosen segments from the pool), so their merge shuffles + new-segment
+    writes run as concurrent Spark jobs from `max_concurrent` driver
+    threads — on a busy cluster that overlaps the shuffles' network/IO
+    with each other instead of serializing driver barriers. New seg_ids are
+    pre-assigned per round, the round GCs once up front, and the lineage
+    append tail is serialized under one lock (see merge_segments)."""
     paths = paths if isinstance(paths, IndexPaths) else IndexPaths(paths)
     new_ids: list[int] = []
     while True:
@@ -272,8 +299,35 @@ def compact(spark: SparkSession, paths: IndexPaths | str, **policy_kwargs) -> li
         plans = plan_merges(live, **policy_kwargs)
         if not plans:
             return new_ids
-        for plan in plans:
-            new_ids.append(merge_segments(spark, paths, list(plan.seg_ids)))
+        if max_concurrent <= 1 or len(plans) == 1:
+            for plan in plans:
+                new_ids.append(merge_segments(spark, paths, list(plan.seg_ids)))
+            continue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        gc_superseded(spark, paths.postings, paths.lineage)
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(paths.postings)
+            if d.startswith("seg_id=")
+        ]
+        next_id = max(existing) + 1
+        lock = threading.Lock()
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futs = [
+                pool.submit(
+                    merge_segments,
+                    spark,
+                    paths,
+                    list(plan.seg_ids),
+                    new_seg_id=next_id + i,
+                    lineage_lock=lock,
+                    skip_gc=True,
+                )
+                for i, plan in enumerate(plans)
+            ]
+            new_ids.extend(f.result() for f in futs)
 
 
 def _live_segments(lineage_df) -> list[SegmentInfo]:

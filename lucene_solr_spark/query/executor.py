@@ -102,6 +102,20 @@ class Searcher:
         # the .tip FST in heap) — repeated queries skip the dictionary job
         # entirely. Entry None = known-absent term. Cleared on reopen.
         self._term_info_cache = {}
+        # dictionary impact metadata (build.py §6): usable only while the
+        # index still matches the build the sketches describe — appended
+        # docs are absent from the superchunk bounds (their chunks would be
+        # wrongly pruned) and deletions can make a sketched θ unattainable
+        # (over-pruning); max_doc mismatch or a live tombstone set disables
+        im = meta.get("impact_meta") or {}
+        self._impact_meta = im
+        self._impacts_on = bool(im) and im.get("max_doc") == meta["max_doc"] and {
+            "sc_ids",
+            "sc_ubs",
+            "imp_tfs",
+            "imp_nbs",
+        }.issubset(set(self.terms.columns))
+        self._impact_cache = {}
         self._deletes = None
         deletes_dir = os.path.join(self.paths.root, "deletes")
         if os.path.exists(deletes_dir):
@@ -173,13 +187,23 @@ class Searcher:
         cache = self._term_info_cache
         missing = [t for t in uniq if t not in cache]
         if missing:
+            cols = ["term", "term_id", "df", "ttf"]
+            if self._impacts_on:
+                # impact sketches ride the SAME lookup (and the same driver
+                # cache) — the single-action WAND path costs no extra job
+                cols += ["sc_ids", "sc_ubs", "imp_tfs", "imp_nbs"]
             fetched = (
-                self.terms.where(F.col("term").isin(missing))
-                .select("term", "term_id", "df", "ttf")
-                .toPandas()
+                self.terms.where(F.col("term").isin(missing)).select(*cols).toPandas()
             )
             for r in fetched.itertuples(index=False):
                 cache[r.term] = (int(r.term_id), int(r.df), int(r.ttf))
+                if self._impacts_on:
+                    self._impact_cache[r.term] = (
+                        np.asarray(r.sc_ids, dtype=np.int64),
+                        np.asarray(r.sc_ubs, dtype=np.float64),
+                        np.asarray(r.imp_tfs, dtype=np.int64),
+                        np.asarray(r.imp_nbs, dtype=np.int64),
+                    )
             for t in missing:
                 cache.setdefault(t, None)
         rows = [(t, *cache[t]) for t in uniq if cache[t] is not None]
@@ -301,6 +325,60 @@ class Searcher:
         qterms = sorted(weights)
 
         rows = self.postings.where(F.col("term").isin(qterms))
+
+        # --- SINGLE-ACTION path: dictionary impact sketches (build.py §6,
+        # the Lucene ImpactsDISI idea hoisted driver-side). θ and the live
+        # chunk set both come from metadata already in the driver's term
+        # cache, so the only Spark action is the pruned scan itself — WAND
+        # can no longer lose to exhaustive on fixed job cost.
+        if (
+            self._impacts_on
+            and self._deletes is None
+            and k <= int(self._impact_meta.get("k", 0))
+            and all(t in self._impact_cache for t in qterms)
+        ):
+            sc_factor = int(self._impact_meta["sc_factor"])
+            n_sc = (self.stats.max_doc // chunk_span) // sc_factor + 1
+            theta = float("-inf")
+            ub = np.zeros(n_sc, dtype=np.float64)
+            for t in qterms:
+                sc_ids, sc_ubs, imp_tfs, imp_nbs = self._impact_cache[t]
+                # exact float32 replay of the scoring kernel on the sketched
+                # (tf, norm_byte) pairs — k distinct real docs, so the k-th
+                # best of these scores is ≤ the global k-th best: a valid θ
+                tf32 = imp_tfs.astype(np.float32)
+                s = (np.float32(weights[t]) * tf32 / (tf32 + cache[imp_nbs])).astype(
+                    np.float32
+                )
+                if len(s) >= k:
+                    theta = max(theta, float(np.sort(s)[::-1][k - 1]))
+                ub[sc_ids] += float(weights[t]) * sc_ubs
+            theta_pad = self._pad_theta(theta)
+            nz = np.flatnonzero(ub > 0.0)
+            live = nz[ub[nz] >= theta_pad] if theta != float("-inf") else nz
+            if pruning_stats is not None:
+                pruning_stats["chunks_total"] = int(len(nz))
+                pruning_stats["chunks_live"] = int(len(live))
+                pruning_stats["theta"] = theta
+                pruning_stats["impact_path"] = True
+                pruning_stats["bucket_pass"] = bucket_prune is True
+            if len(live) == 0 or len(live) >= 0.95 * max(1, len(nz)):
+                # empty live set cannot happen for a θ attained by real docs
+                # (their superchunk's bound dominates it) — defensive fall
+                # back rather than an empty predicate; and pruning that
+                # drops <5% makes the predicate pure overhead
+                return self.search(terms, k=k)
+            survivors = rows.where(self._sc_predicate(live, sc_factor))
+            scored = self._scored_rows(
+                survivors,
+                weights,
+                theta=theta if bucket_prune is True else float("-inf"),
+            )
+            agg = scored.groupBy("doc_id").agg(
+                F.sum("score").cast("float").alias("score")
+            )
+            return self._topk(self._drop_deleted(agg), k)
+
         cache_arr = F.array(*[F.lit(float(c)) for c in cache.tolist()])
         w_col = F.element_at(
             F.create_map(
@@ -321,31 +399,67 @@ class Searcher:
         )
         chunk_ub = bounds.groupBy("chunk_id").agg(F.sum("row_ub").alias("ub"))
         n_chunks_est = self.stats.max_doc // chunk_span + 1
+        # θ from ANY seed chunk is lossless (a chunk's k-th best score is ≤
+        # the global k-th best), so on a SORTED index we seed from chunk 0 —
+        # which holds the BM25-favored short docs, i.e. it is also the BEST
+        # seed — WITHOUT first ranking chunk bounds. That breaks the
+        # bounds→seed dependency: the two jobs run concurrently (small path)
+        # or the bounds never leave the final job's plan at all (large
+        # path), cutting WAND's sequential action count from 3 to 2. The
+        # fixed per-action cost is what made WAND lose to exhaustive at 2M
+        # docs (BASELINE.md).
+        sorted_idx = bool(self.meta.get("sort_col"))
+        auto_buckets_ok = False  # only the small path measures frac_live
 
         if n_chunks_est <= 1024:
             # small index: the whole bound table is ≤1024 rows — one action
             # pulls it, pruning is planned driver-side and survivors filter
             # with a bounded `isin` literal (pushdown-friendly, no join)
-            pdf = chunk_ub.orderBy(F.col("ub").desc()).toPandas()
-            if len(pdf) <= 1:
-                return self.search(terms, k=k)
-            seed_chunk = int(pdf["chunk_id"].iloc[0])
-            theta, theta_pad = self._wand_theta(rows, weights, seed_chunk, k)
+            if sorted_idx:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    f_bounds = pool.submit(chunk_ub.toPandas)
+                    f_theta = pool.submit(self._wand_theta, rows, weights, 0, k)
+                    pdf = f_bounds.result()
+                    theta, theta_pad = f_theta.result()
+                if len(pdf) <= 1:
+                    return self.search(terms, k=k)
+            else:
+                pdf = chunk_ub.orderBy(F.col("ub").desc()).toPandas()
+                if len(pdf) <= 1:
+                    return self.search(terms, k=k)
+                seed_chunk = int(pdf["chunk_id"].iloc[0])
+                theta, theta_pad = self._wand_theta(rows, weights, seed_chunk, k)
             live_chunks = [
                 int(c) for c, u in zip(pdf["chunk_id"], pdf["ub"]) if u >= theta_pad
             ]
             survivors = rows.where(F.col("chunk_id").isin(live_chunks))
             frac_live = len(live_chunks) / max(1, len(pdf))
+            auto_buckets_ok = True
             if pruning_stats is not None:
                 pruning_stats["chunks_total"] = len(pdf)
                 pruning_stats["chunks_live"] = len(live_chunks)
                 pruning_stats["theta"] = theta
+        elif sorted_idx:
+            # large SORTED index — the 2-action plan: action 1 seeds θ from
+            # chunk 0; action 2 is the final scan whose plan embeds the
+            # bound computation and the chunk semi-join (bounds never
+            # materialize driver-side, AQE broadcasts the post-prune side)
+            theta, theta_pad = self._wand_theta(rows, weights, 0, k)
+            live = chunk_ub.where(F.col("ub") >= theta_pad).select("chunk_id")
+            survivors = rows.join(live, "chunk_id", "left_semi")
+            frac_live = 1.0
+            if pruning_stats is not None:
+                pruning_stats["chunks_total"] = chunk_ub.count()
+                pruning_stats["chunks_live"] = live.count()
+                pruning_stats["theta"] = theta
         else:
-            # large index: chunk bounds STAY DISTRIBUTED (maxDoc/chunk_span
-            # rows — ~15M at 10^12 docs; never pulled to the driver). The
-            # driver only sees the 2-row head and the k-row seed; survivors
-            # prune by semi-join (AQE broadcasts the post-prune side).
-            # Cached across this query's jobs; released on the next call.
+            # large UNSORTED index: chunk bounds STAY DISTRIBUTED
+            # (maxDoc/chunk_span rows — ~15M at 10^12 docs; never pulled to
+            # the driver). The driver only sees the 2-row head and the k-row
+            # seed; survivors prune by semi-join. Cached across this query's
+            # jobs; released on the next call.
             if getattr(self, "_wand_cache", None) is not None:
                 self._wand_cache.unpersist()
             chunk_ub = chunk_ub.persist()
@@ -357,7 +471,7 @@ class Searcher:
             theta, theta_pad = self._wand_theta(rows, weights, seed_chunk, k)
             live = chunk_ub.where(F.col("ub") >= theta_pad).select("chunk_id")
             survivors = rows.join(live, "chunk_id", "left_semi")
-            frac_live = 1.0  # unknown without an extra action — keep buckets
+            frac_live = 1.0
             if pruning_stats is not None:
                 pruning_stats["chunks_total"] = chunk_ub.count()
                 pruning_stats["chunks_live"] = live.count()
@@ -366,10 +480,12 @@ class Searcher:
         # the block-level bucket pass costs one more metadata scan + action;
         # when chunk pruning already dropped half the index it rarely pays
         # for itself (measured at 2M docs, BASELINE.md), so 'auto' engages
-        # it only where chunk pruning was weak
+        # it only where the small path MEASURED weak chunk pruning — on the
+        # large paths (frac_live unknown without an extra action) it is
+        # strictly opt-in
         use_buckets = (
             bucket_prune is True
-            or (bucket_prune == "auto" and frac_live > 0.5)
+            or (bucket_prune == "auto" and auto_buckets_ok and frac_live > 0.5)
         )
         if pruning_stats is not None:
             pruning_stats["bucket_pass"] = bool(use_buckets)
@@ -378,6 +494,42 @@ class Searcher:
         )
         agg = scored.groupBy("doc_id").agg(F.sum("score").cast("float").alias("score"))
         return self._topk(self._drop_deleted(agg), k)
+
+    @staticmethod
+    def _sc_predicate(live_sc: np.ndarray, sc_factor: int):
+        """chunk_id predicate covering the live superchunks. Consecutive
+        superchunks coalesce into BETWEEN ranges (pushdown-friendly — on a
+        sorted index the survivors cluster at the low chunks, so this is
+        typically ONE range); a pathologically fragmented set falls back to
+        an isin on the superchunk ordinal (correct, no row-group pushdown)."""
+        from functools import reduce
+        from operator import or_
+
+        runs: list[tuple[int, int]] = []
+        lo = prev = int(live_sc[0])
+        for s in live_sc[1:]:
+            s = int(s)
+            if s == prev + 1:
+                prev = s
+                continue
+            runs.append((lo, prev))
+            lo = prev = s
+        runs.append((lo, prev))
+        if len(runs) <= 256:
+            return reduce(
+                or_,
+                [
+                    F.col("chunk_id").between(
+                        a * sc_factor, b * sc_factor + sc_factor - 1
+                    )
+                    for a, b in runs
+                ],
+            )
+        return (
+            (F.col("chunk_id") / F.lit(sc_factor))
+            .cast("long")
+            .isin([int(s) for s in live_sc])
+        )
 
     def _wand_theta(
         self, rows: DataFrame, weights: dict, seed_chunk: int, k: int

@@ -103,18 +103,33 @@ def write_stats(
     exact post-purge stats as `stats + (lineage_sum_now - snapshot)` — lineage
     sums are append-only (purge never edits lineage; merge carries source
     sums forward), so the delta is exactly the docs added since this write."""
-    stats = {
-        "max_doc": int(max_doc),
-        "sum_total_term_freq": int(sum_ttf),
-        "num_segments": int(n_segments),
-        "seg_span": None,
-        "chunk_span": DEFAULT_CHUNK_SPAN,
-        "positions": True,
-        "block_size": 128,
-        "terms_dir": os.path.relpath(terms_dir, paths.root),
-        "lineage_n_docs": int(max_doc if lineage_n_docs is None else lineage_n_docs),
-        "lineage_ttf": int(sum_ttf if lineage_ttf is None else lineage_ttf),
-    }
+    # start from the existing stats so build-time facts the append does not
+    # change (chunk_span, positions, block_size, tokenizer) survive reopens
+    stats: dict = {}
+    if os.path.exists(paths.stats):
+        with open(paths.stats) as fh:
+            stats = json.load(fh)
+    stats.setdefault("chunk_span", DEFAULT_CHUNK_SPAN)
+    stats.setdefault("positions", True)
+    stats.setdefault("block_size", 128)
+    stats.update(
+        {
+            "max_doc": int(max_doc),
+            "sum_total_term_freq": int(sum_ttf),
+            "num_segments": int(n_segments),
+            "seg_span": None,
+            "terms_dir": os.path.relpath(terms_dir, paths.root),
+            "lineage_n_docs": int(
+                max_doc if lineage_n_docs is None else lineage_n_docs
+            ),
+            "lineage_ttf": int(sum_ttf if lineage_ttf is None else lineage_ttf),
+            # an appended segment's docIDs extend past the sorted bulk range
+            # regardless of sort key, so the index is no longer globally
+            # sorted — clear the marker (Lucene index sorting likewise
+            # requires every segment to be sorted)
+            "sort_col": None,
+        }
+    )
     with open(paths.stats, "w") as fh:
         json.dump(stats, fh)
 
