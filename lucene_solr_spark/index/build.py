@@ -683,10 +683,15 @@ def build_index(
     # ImpactsDISI turns them into score upper bounds). Stored in the
     # DICTIONARY instead of interleaved with postings, so the driver — which
     # already looks up and caches query terms — gets, with ZERO extra jobs:
-    #   imp_tfs/imp_nbs: the term's top-K (tf, norm_byte) pairs by score
-    #     ratio tf/(tf+cache[nb]) — k ≤ K distinct real docs, so the k-th
-    #     best of their float32 scores is a VALID θ (any k attainable
-    #     scores' min ≤ global k-th best) computable driver-side;
+    #   imp_tfs/imp_nbs/imp_docs: the term's top-K (tf, norm_byte, docID)
+    #     pairs under (score ratio tf/(tf+cache[nb]) desc, docID asc) — k ≤
+    #     K distinct real docs, so the k-th best of their float32 scores is
+    #     a VALID θ (any k attainable scores' min ≤ global k-th best)
+    #     computable driver-side; and for a SINGLE-term query with k ≤ K
+    #     the pairs answer the whole top-k from the driver's dictionary
+    #     cache with ZERO Spark actions (impact-sorted postings head /
+    #     ImpactsEnum early termination), guarded by a sufficiency check
+    #     against the selection-order cutoff;
     #   sc_ids/sc_ubs: per SUPERCHUNK (≤1024 entries/term; superchunk =
     #     sc_factor consecutive chunks) max block score ratio — driver-side
     #     chunk pruning: Σ_t w_t·ub_t[sc] < θ_pad drops the whole range.
@@ -703,44 +708,56 @@ def build_index(
     n_chunks = max_doc // chunk_span + 1
     sc_factor = max(1, math.ceil(n_chunks / MAX_SC_ENTRIES))
 
+    def _select_top(tfa, nba, doca):
+        """Top-IMPACT_K pairs under the TOTAL order (ratio desc, doc asc).
+
+        A total order makes the per-chunk → per-superchunk → per-term
+        selection a closure: any pair in the global top-K under this order
+        is in the top-K of every subset containing it, so the final kept
+        set is exactly the global top-K — including which doc wins a ratio
+        tie (the smallest docID, matching TopScoreDocCollector's tie-break
+        after the monotone float32 w· rounding at query time)."""
+        r = tfa.astype(np.float64) / (tfa + cache64[nba])
+        order = np.lexsort((doca, -r))[:IMPACT_K]
+        return tfa[order], nba[order], doca[order]
+
     def impact_rows(batches):
         for pdf in batches:
             out = {
                 "term": [], "sc": [], "ub": [], "imp_tfs": [], "imp_nbs": [],
-                "df_chunk": [], "ttf_row": [],
+                "imp_docs": [], "df_chunk": [], "ttf_row": [],
             }
             for row in pdf.itertuples(index=False):
-                tfs = np.asarray(row.tfs, dtype=np.float64)
+                tfs = np.asarray(row.tfs, dtype=np.int64)
                 nbs = np.asarray(row.norm_bytes, dtype=np.int64)
-                r = tfs / (tfs + cache64[nbs])
-                if len(r) > IMPACT_K:
-                    idx = np.argpartition(r, len(r) - IMPACT_K)[-IMPACT_K:]
-                else:
-                    idx = np.arange(len(r))
+                docs = row.first_doc + np.cumsum(
+                    np.asarray(row.doc_gaps, dtype=np.int64)
+                )
+                ktf, knb, kdoc = _select_top(tfs, nbs, docs)
                 bmtf = np.asarray(row.block_max_tf, dtype=np.float64)
                 bmnb = np.asarray(row.block_max_nb, dtype=np.int64)
                 out["term"].append(row.term)
                 out["sc"].append(int(row.chunk_id) // sc_factor)
                 out["ub"].append(float(np.max(bmtf / (bmtf + cache64[bmnb]))))
-                out["imp_tfs"].append(tfs[idx].astype(np.int64).tolist())
-                out["imp_nbs"].append(nbs[idx].tolist())
+                out["imp_tfs"].append(ktf.tolist())
+                out["imp_nbs"].append(knb.tolist())
+                out["imp_docs"].append(kdoc.tolist())
                 out["df_chunk"].append(int(row.df_chunk))
                 out["ttf_row"].append(int(tfs.sum()))
             yield pd.DataFrame(out)
 
-    def _top_impacts(tf_lists, nb_lists):
+    def _top_impacts(tf_lists, nb_lists, doc_lists):
         tfa = np.concatenate([np.asarray(x, dtype=np.int64) for x in tf_lists])
         nba = np.concatenate([np.asarray(x, dtype=np.int64) for x in nb_lists])
-        r = tfa.astype(np.float64) / (tfa + cache64[nba])
-        if len(r) > IMPACT_K:
-            idx = np.argpartition(r, len(r) - IMPACT_K)[-IMPACT_K:]
-            tfa, nba, r = tfa[idx], nba[idx], r[idx]
-        order = np.argsort(-r, kind="stable")
-        return tfa[order].tolist(), nba[order].tolist()
+        doca = np.concatenate([np.asarray(x, dtype=np.int64) for x in doc_lists])
+        ktf, knb, kdoc = _select_top(tfa, nba, doca)
+        return ktf.tolist(), knb.tolist(), kdoc.tolist()
 
     def merge_sc(pdf: pd.DataFrame) -> pd.DataFrame:
         # ≤ sc_factor input rows (one per (term, chunk, seg))
-        tfs, nbs = _top_impacts(pdf["imp_tfs"], pdf["imp_nbs"])
+        tfs, nbs, docs = _top_impacts(
+            pdf["imp_tfs"], pdf["imp_nbs"], pdf["imp_docs"]
+        )
         return pd.DataFrame(
             {
                 "term": [pdf["term"].iloc[0]],
@@ -748,6 +765,7 @@ def build_index(
                 "ub": [float(pdf["ub"].max())],
                 "imp_tfs": [tfs],
                 "imp_nbs": [nbs],
+                "imp_docs": [docs],
                 "df_chunk": [int(pdf["df_chunk"].sum())],
                 "ttf_row": [int(pdf["ttf_row"].sum())],
             }
@@ -756,7 +774,9 @@ def build_index(
     def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
         # ≤ MAX_SC_ENTRIES input rows, one per superchunk
         pdf = pdf.sort_values("sc")
-        tfs, nbs = _top_impacts(pdf["imp_tfs"], pdf["imp_nbs"])
+        tfs, nbs, docs = _top_impacts(
+            pdf["imp_tfs"], pdf["imp_nbs"], pdf["imp_docs"]
+        )
         return pd.DataFrame(
             {
                 "term": [pdf["term"].iloc[0]],
@@ -766,6 +786,7 @@ def build_index(
                 "sc_ubs": [pdf["ub"].astype(float).tolist()],
                 "imp_tfs": [tfs],
                 "imp_nbs": [nbs],
+                "imp_docs": [docs],
             }
         )
 
@@ -773,32 +794,35 @@ def build_index(
         os.path.join(paths.postings, "seg_id=*")
     )
     compact_rows = postings_all.select(
-        "term", "chunk_id", "df_chunk", "tfs", "norm_bytes",
-        "block_max_tf", "block_max_nb",
+        "term", "chunk_id", "df_chunk", "first_doc", "doc_gaps", "tfs",
+        "norm_bytes", "block_max_tf", "block_max_nb",
     ).mapInPandas(
         impact_rows,
         schema="term string, sc int, ub double, imp_tfs array<long>, "
-        "imp_nbs array<long>, df_chunk long, ttf_row long",
+        "imp_nbs array<long>, imp_docs array<long>, df_chunk long, "
+        "ttf_row long",
     )
     term_stats = (
         compact_rows.groupBy("term", "sc")
         .applyInPandas(
             merge_sc,
             schema="term string, sc int, ub double, imp_tfs array<long>, "
-            "imp_nbs array<long>, df_chunk long, ttf_row long",
+            "imp_nbs array<long>, imp_docs array<long>, df_chunk long, "
+            "ttf_row long",
         )
         .groupBy("term")
         .applyInPandas(
             merge_term,
             schema="term string, df long, ttf long, sc_ids array<int>, "
-            "sc_ubs array<double>, imp_tfs array<long>, imp_nbs array<long>",
+            "sc_ubs array<double>, imp_tfs array<long>, imp_nbs array<long>, "
+            "imp_docs array<long>",
         )
     )
     terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
-    # this is the one pass that reads FOUR fat array columns of every
-    # posting row at once (tfs + norm_bytes + both block-max arrays); even
-    # 128-row reader batches × all cores blow a modest heap at 10^7 docs,
-    # so drop to 16 rows for this job only
+    # this is the one pass that reads FIVE fat array columns of every
+    # posting row at once (doc_gaps + tfs + norm_bytes + both block-max
+    # arrays); even 128-row reader batches × all cores blow a modest heap
+    # at 10^7 docs, so drop to 16 rows for this job only
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
     try:
         terms_tbl.write.mode("overwrite").parquet(paths.terms)

@@ -115,6 +115,9 @@ class Searcher:
             "imp_tfs",
             "imp_nbs",
         }.issubset(set(self.terms.columns))
+        # imp_docs (docIDs of the kept pairs) additionally enables the
+        # zero-action single-term top-k (absent on pre-imp_docs indexes)
+        self._impact_docs_on = self._impacts_on and "imp_docs" in self.terms.columns
         self._impact_cache = {}
         self._deletes = None
         deletes_dir = os.path.join(self.paths.root, "deletes")
@@ -192,6 +195,8 @@ class Searcher:
                 # impact sketches ride the SAME lookup (and the same driver
                 # cache) — the single-action WAND path costs no extra job
                 cols += ["sc_ids", "sc_ubs", "imp_tfs", "imp_nbs"]
+            if self._impact_docs_on:
+                cols += ["imp_docs"]
             fetched = (
                 self.terms.where(F.col("term").isin(missing)).select(*cols).toPandas()
             )
@@ -203,6 +208,9 @@ class Searcher:
                         np.asarray(r.sc_ubs, dtype=np.float64),
                         np.asarray(r.imp_tfs, dtype=np.int64),
                         np.asarray(r.imp_nbs, dtype=np.int64),
+                        np.asarray(r.imp_docs, dtype=np.int64)
+                        if self._impact_docs_on
+                        else None,
                     )
             for t in missing:
                 cache.setdefault(t, None)
@@ -268,6 +276,74 @@ class Searcher:
         t = np.nextafter(t, np.float32("-inf"))
         return float(t)
 
+    def _impact_topk_single(
+        self, term: str, k: int, pruning_stats: dict | None = None
+    ):
+        """Single-term BM25 top-k answered ENTIRELY from the dictionary's
+        impact pairs — ZERO Spark scan actions once the term is in the
+        driver cache (the impact-sorted-postings-head / ImpactsEnum early
+        termination of Lucene 8; reference ground truth is still the
+        exhaustive TopScoreDocCollector.java:40-63 ranking, which this
+        reproduces exactly).
+
+        Returns None when the sketch cannot PROVE sufficiency, and the
+        caller falls back to a scan:
+        - impact docIDs absent (old index), tombstones live, term's pairs
+          missing, or k > kept pairs while more postings exist;
+        - the k-th replayed float32 score is not strictly above the padded
+          score bound of every excluded posting.
+
+        Soundness: build kept the global top-K postings under the total
+        order (r64 = tf/(tf+cache64[nb]) desc, docID asc). Every excluded
+        posting has r64 ≤ min kept r64, and the float32 kernel
+        fl(fl(w·tf)/fl(tf+c)) is within ~3 ulps of w·r64, so its score is
+        ≤ fl32(w·min_r64) padded up 6 ulps. If the k-th best replayed
+        score strictly exceeds that bound, no excluded posting can enter
+        the top k or steal a docID-asc tie — the replayed ranking equals
+        the exhaustive one in both scores and docIDs."""
+        if not self._impact_docs_on or self._deletes is not None:
+            return None
+        if term not in self._term_info_cache:
+            self.lookup_terms([term])
+        info = self._term_info_cache.get(term)
+        if info is None:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        ent = self._impact_cache.get(term)
+        if ent is None or ent[4] is None:
+            return None
+        _, _, imp_tfs, imp_nbs, imp_docs = ent
+        df_ = int(info[1])
+        n_kept = len(imp_tfs)
+        if n_kept == 0:
+            return None
+        if df_ > n_kept and k > n_kept:
+            return None
+        w = np.float32(
+            bm25_idf(df_, self.stats.max_doc) * (K1 + np.float32(1.0))
+        )
+        cache32 = norm_cache(self.stats)
+        tf32 = imp_tfs.astype(np.float32)
+        scores = (w * tf32 / (tf32 + cache32[imp_nbs])).astype(np.float32)
+        order = np.lexsort((imp_docs, -scores.astype(np.float64)))[:k]
+        if df_ > n_kept:
+            r64 = imp_tfs.astype(np.float64) / (
+                imp_tfs + cache32.astype(np.float64)[imp_nbs]
+            )
+            bound = np.float32(float(w) * float(r64.min()))
+            for _ in range(6):
+                bound = np.nextafter(bound, np.float32("inf"))
+            if not scores[order[-1]] > bound:
+                return None
+        if pruning_stats is not None:
+            pruning_stats["impact_head"] = True
+            pruning_stats["chunks_total"] = int(
+                self.stats.max_doc // int(self.meta.get("chunk_span") or 1 << 16)
+                + 1
+            )
+            pruning_stats["chunks_live"] = 0
+        rows = [(int(imp_docs[i]), float(scores[i])) for i in order]
+        return self.spark.createDataFrame(rows, "doc_id long, score float")
+
     def search_wand(
         self,
         query: str | list[str],
@@ -305,6 +381,10 @@ class Searcher:
         result is rank- and score-identical to `search`.
         """
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        if len(terms) == 1:
+            fast = self._impact_topk_single(terms[0], k, pruning_stats)
+            if fast is not None:
+                return fast
         chunk_span = int(self.meta.get("chunk_span") or 1 << 16)
         if self.stats.max_doc <= chunk_span:
             # one chunk: chunk pruning cannot drop anything, so WAND would
@@ -342,7 +422,7 @@ class Searcher:
             theta = float("-inf")
             ub = np.zeros(n_sc, dtype=np.float64)
             for t in qterms:
-                sc_ids, sc_ubs, imp_tfs, imp_nbs = self._impact_cache[t]
+                sc_ids, sc_ubs, imp_tfs, imp_nbs, _ = self._impact_cache[t]
                 # exact float32 replay of the scoring kernel on the sketched
                 # (tf, norm_byte) pairs — k distinct real docs, so the k-th
                 # best of these scores is ≤ the global k-th best: a valid θ
@@ -727,6 +807,17 @@ class Searcher:
         filter_docs: DataFrame | None = None,
     ) -> DataFrame:
         must, should, must_not = must or [], should or [], must_not or []
+        if (
+            len(should) == 1
+            and not must
+            and not must_not
+            and min_should_match <= 1
+            and filter_docs is None
+        ):
+            # pure single-term query: try the zero-action dictionary answer
+            fast = self._impact_topk_single(should[0], k)
+            if fast is not None:
+                return fast
         tinfo = self.lookup_terms(must + should)
         found = set(tinfo["term"])
         if any(t not in found for t in must) or tinfo.empty:

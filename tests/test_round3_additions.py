@@ -174,29 +174,92 @@ def test_nrt_append_preserves_build_meta(spark, tmp_path):
 
 
 def test_wand_impact_path_single_action(sorted_wand_index):
-    """With dictionary impact sketches, no deletes, and k <= IMPACT_K, WAND
-    must take the single-action path and stay identical to exhaustive."""
+    """With dictionary impact sketches, no deletes, and k <= IMPACT_K, a
+    multi-term WAND must take the single-action impact path and stay
+    identical to exhaustive (single-term queries take the stronger
+    zero-action head path, tested separately)."""
     s = sorted_wand_index
     assert s._impacts_on
     stats: dict = {}
-    exh = s.search(["rare1"], k=3).toPandas()
-    wnd = s.search_wand(["rare1"], k=3, pruning_stats=stats).toPandas()
+    q = ["rare1", "spark"]
+    exh = s.search(q, k=3).toPandas()
+    wnd = s.search_wand(q, k=3, pruning_stats=stats).toPandas()
     assert stats.get("impact_path") is True
-    assert stats["chunks_live"] < stats["chunks_total"]
+    assert stats["chunks_live"] <= stats["chunks_total"]
     assert wnd["doc_id"].tolist() == exh["doc_id"].tolist()
     np.testing.assert_array_equal(wnd["score"].values, exh["score"].values)
 
 
 def test_wand_impact_theta_is_attainable(sorted_wand_index):
-    """The sketched θ must equal the k-th best score of some single term —
-    i.e. ≤ the true k-th best (lossless), and for a single-term query
-    exactly the true k-th best."""
+    """The sketched θ (max over terms of the k-th best single-term score)
+    must be ≤ the true k-th best summed score — lossless."""
     s = sorted_wand_index
     stats: dict = {}
-    res = s.search_wand(["spark"], k=5, pruning_stats=stats).toPandas()
+    res = s.search_wand(["spark", "rare1"], k=5, pruning_stats=stats).toPandas()
     assert stats.get("impact_path") is True
-    # for a single-term query the impact θ is the exact kth best score
-    assert np.float32(stats["theta"]) == np.float32(res["score"].iloc[4])
+    assert np.float32(stats["theta"]) <= np.float32(res["score"].iloc[4])
+
+
+def test_impact_head_zero_action_single_term(sorted_wand_index):
+    """Single-term top-k is answered from the dictionary pairs (impact_head)
+    and is rank- AND score-identical to the exhaustive scan."""
+    s = sorted_wand_index
+    assert s._impact_docs_on
+    stats: dict = {}
+    fast = s.search_wand(["rare1"], k=3, pruning_stats=stats).toPandas()
+    assert stats.get("impact_head") is True
+    # force the scan path for the oracle
+    s._impact_docs_on = False
+    try:
+        exh = s.search(["rare1"], k=3).toPandas()
+    finally:
+        s._impact_docs_on = True
+    assert fast["doc_id"].tolist() == exh["doc_id"].tolist()
+    np.testing.assert_array_equal(fast["score"].values, exh["score"].values)
+    # boolean_search single-should also routes through the head
+    head = s.search(["rare1"], k=3).toPandas()
+    assert head["doc_id"].tolist() == exh["doc_id"].tolist()
+
+
+def test_impact_head_tie_break_doc_asc(spark, tmp_path):
+    """Heavy score ties: many byte-identical docs → equal BM25 scores; the
+    head path must reproduce the collector's docID-asc tie-break, or prove
+    insufficiency and fall back — either way results match the scan."""
+    rows = [(f"t{i:04d}", "alpha beta gamma") for i in range(200)]
+    rows += [(f"f{i:04d}", "delta " * (i % 7 + 1)) for i in range(300)]
+    pages = spark.createDataFrame(rows, "url string, text string").withColumn(
+        "__len", F.length("text")
+    )
+    paths = build_index(
+        spark, pages, str(tmp_path / "ties"), chunk_span=64, sort_col="__len"
+    )
+    s = Searcher(spark, paths)
+    fast = s.search(["alpha"], k=10).toPandas()
+    s._impact_docs_on = False
+    exh = s.search(["alpha"], k=10).toPandas()
+    assert fast["doc_id"].tolist() == exh["doc_id"].tolist()
+    np.testing.assert_array_equal(fast["score"].values, exh["score"].values)
+
+
+def test_impact_head_sufficiency_fallback(spark, tmp_path):
+    """df > kept pairs with the k-th kept score not strictly above the
+    exclusion bound (all-equal scores) → _impact_topk_single must return
+    None rather than answer unprovably."""
+    rows = [(f"t{i:04d}", "alpha beta") for i in range(100)]
+    pages = spark.createDataFrame(rows, "url string, text string").withColumn(
+        "__len", F.length("text")
+    )
+    paths = build_index(
+        spark, pages, str(tmp_path / "flat"), chunk_span=16, sort_col="__len"
+    )
+    s = Searcher(spark, paths)
+    assert s._impact_docs_on
+    # 100 identical postings, 32 kept: the kth kept score ties the bound
+    assert s._impact_topk_single("alpha", 5) is None
+    # and the public paths still answer correctly via the scan
+    res = s.search(["alpha"], k=5).toPandas()
+    assert res["doc_id"].tolist() == sorted(res["doc_id"].tolist())
+    assert len(res) == 5
 
 
 def test_wand_impact_fallback_large_k(sorted_wand_index):
