@@ -421,8 +421,10 @@ class Searcher:
             n_sc = (self.stats.max_doc // chunk_span) // sc_factor + 1
             theta = float("-inf")
             ub = np.zeros(n_sc, dtype=np.float64)
+            pool: dict[int, float] = {}  # doc → Σ known float64 contributions
+            have_docs = True
             for t in qterms:
-                sc_ids, sc_ubs, imp_tfs, imp_nbs, _ = self._impact_cache[t]
+                sc_ids, sc_ubs, imp_tfs, imp_nbs, imp_docs = self._impact_cache[t]
                 # exact float32 replay of the scoring kernel on the sketched
                 # (tf, norm_byte) pairs — k distinct real docs, so the k-th
                 # best of these scores is ≤ the global k-th best: a valid θ
@@ -432,7 +434,24 @@ class Searcher:
                 )
                 if len(s) >= k:
                     theta = max(theta, float(np.sort(s)[::-1][k - 1]))
+                if imp_docs is None:
+                    have_docs = False
+                else:
+                    # pool contributions BY DOC across terms: a doc present
+                    # in several sketches accumulates its known partial sum
+                    # (≤ its true float64 sum, and fl32 is monotone, so the
+                    # k-th best pooled fl32 score is still a valid θ — and
+                    # a much tighter one for correlated terms)
+                    for d, sc in zip(imp_docs.tolist(), s.astype(np.float64)):
+                        pool[d] = pool.get(d, 0.0) + sc
                 ub[sc_ids] += float(weights[t]) * sc_ubs
+            if have_docs and len(pool) >= k:
+                pooled = np.sort(
+                    np.asarray(list(pool.values()), dtype=np.float64).astype(
+                        np.float32
+                    )
+                )[::-1]
+                theta = max(theta, float(pooled[k - 1]))
             theta_pad = self._pad_theta(theta)
             nz = np.flatnonzero(ub > 0.0)
             live = nz[ub[nz] >= theta_pad] if theta != float("-inf") else nz
