@@ -279,3 +279,36 @@ def test_cosine_all_pairs_guard_and_lsh_blocked_verify(spark):
     planted = {(i, 1000 + i) for i in range(8)} & exact
     # sign-plane LSH keeps nearly-parallel vectors in one bucket
     assert len(blocked & planted) / len(planted) >= 0.9
+
+
+def test_ann_partitioned_table_prunes_and_matches(vectors, tmp_path):
+    """write_signed_partitioned + ann_lsh_topk_partitioned: identical results
+    to the in-memory ANN path, and the scan is Hive-partition-pruned (the
+    probe bands appear as PartitionFilters; non-probed sig_band dirs are
+    never read)."""
+    pdf = vectors.orderBy("vec_id").toPandas()
+    q = np.stack(pdf["embedding"].values)[0].astype(np.float64)
+    spark = vectors.sparkSession
+
+    signed = similarity.add_lsh_signature(vectors, dim=16, n_planes=12)
+    path = str(tmp_path / "signed")
+    similarity.write_signed_partitioned(signed, path, band_bits=4)
+
+    base = similarity.ann_lsh_topk(
+        signed, q, k=10, n_planes=12, probe_hamming=1, decimal_rerank=True
+    ).toPandas()
+    part = similarity.ann_lsh_topk_partitioned(
+        spark, path, q, k=10, n_planes=12, probe_hamming=1, band_bits=4,
+        decimal_rerank=True,
+    )
+    got = part.toPandas()
+    assert got["vec_id"].tolist() == base["vec_id"].tolist()
+    np.testing.assert_allclose(got["cosine"].values, base["cosine"].values)
+
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig_band" in plan
+    # probe set at Hamming≤1 covers ≤ 13 of the 16 bands — pruning is real
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "partition filter must be pushed"
