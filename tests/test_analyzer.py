@@ -124,3 +124,22 @@ def test_fidelity_build_cjk(spark, tmp_path):
     assert "テスト" in terms
     # latin terms work identically
     assert s.count(["spark"]) == 2
+
+
+def test_simple_lowercase_matches_jvm_table():
+    """`_java_lower` == java.lang.Character.toLowerCase, spot-checked on the
+    codepoints where full and simple case mappings could diverge (the
+    exhaustive 0x110000-codepoint audit lives in tools/lowercase_audit.py:
+    0 semantic divergences vs Java 17)."""
+    from lucene_solr_spark.analysis.analyzer import _java_lower
+
+    cases = {
+        "İ": "i",       # İ: full mapping expands to i + U+0307; simple is 'i'
+        "Σ": "σ",  # Σ → σ always (Final_Sigma is contextual, never per-char)
+        "Ǆ": "ǆ",  # Ǆ → ǆ (digraph: simple maps capital to small, not title)
+        "ẞ": "ß",  # ẞ → ß
+        "A": "a",
+        "А": "а",  # Cyrillic А → а
+    }
+    for src, want in cases.items():
+        assert _java_lower(src) == want, (hex(ord(src)), _java_lower(src))

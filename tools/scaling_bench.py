@@ -14,7 +14,13 @@ fixed heap, so GC becomes the limiter and measured "scaling" reflects GC
 contention, not the engine's parallelism. Separate executor JVMs scale
 memory with cores like a real cluster does.
 
-Usage: python tools/scaling_bench.py [n_docs]
+Usage: python tools/scaling_bench.py [n_docs] [pages_dir]
+Env: SCALE_EXECS=N,4N executor counts (default 2,8); SCALE_CORES=cores per
+executor (default 4). SCALE_CORES=1 with SCALE_EXECS=1,4 measures in the
+regime where this host's aggregate memory bandwidth still scales with CPU
+count (STREAM: 3.46x from 1->4 procs vs 1.31x from 4->16, BASELINE.md) —
+i.e. the regime that actually models a real cluster, where every added
+node brings its own memory controllers.
 Writes one JSON line; results recorded in BASELINE.md.
 """
 
@@ -35,23 +41,25 @@ os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
 from pyspark.sql import SparkSession
 
 n_exec = int(sys.argv[1]); n = int(sys.argv[2]); pages_dir = sys.argv[3]
+cores = int(os.environ.get("SCALE_CORES", "4"))  # cores PER EXECUTOR (constant across the pair)
 # Pin this child's whole process tree (executor JVMs + their Python workers
-# + driver) to 4 CPUs per executor: Spark's core accounting does not cover
-# Python UDF workers, so an unpinned "8-core" baseline actually consumes
-# ~2x its nominal cores on an idle 32-core box, which understates scaling.
-# Affinity is inherited by all forked/spawned children.
-os.sched_setaffinity(0, set(range(min(4 * n_exec, os.cpu_count()))))
+# + driver) to `cores` CPUs per executor: Spark's core accounting does not
+# cover Python UDF workers, so an unpinned "8-core" baseline actually
+# consumes ~2x its nominal cores on an idle 32-core box, which understates
+# scaling. Affinity is inherited by all forked/spawned children.
+os.sched_setaffinity(0, set(range(min(cores * n_exec, os.cpu_count()))))
 # shuffle/spill on tmpfs: the sandbox has ONE shared disk, so 4N executors
 # would serialize on it; a real cluster has per-executor local disks. tmpfs
 # is the per-executor-disk analog (as in the round-1 protocol).
 shuffle_dir = tempfile.mkdtemp(prefix=f"scale_shuffle_{{n_exec}}_", dir="/dev/shm")
 spark = (
-    SparkSession.builder.master(f"local-cluster[{{n_exec}},4,10240]")
+    SparkSession.builder.master(f"local-cluster[{{n_exec}},{{cores}},10240]")
     .appName(f"scale-{{n_exec}}ex")
     # local-cluster's third arg is WORKER memory only; executor JVMs would
-    # otherwise default to 1g heaps. 6g/executor — identical per-executor
-    # resources at both cluster sizes, summing within machine RAM at 8.
-    .config("spark.executor.memory", "6g")
+    # otherwise default to 1g heaps. Heap scales with the executor's core
+    # count (6g per 4 cores) — identical per-executor resources at both
+    # cluster sizes, summing within machine RAM at the 4N point.
+    .config("spark.executor.memory", f"{{max(2, round(1.5 * cores))}}g")
     .config("spark.local.dir", shuffle_dir)
     .config("spark.sql.parquet.columnarReaderBatchSize", "128")
     .config("spark.sql.shuffle.partitions", "256")  # sized to the DATA (2M docs x ~250 tokens), identical at both cluster sizes
@@ -103,7 +111,7 @@ try:
     for _ in range(reps):
         s.search(wq, k=10).collect()
     exh_sec = (time.time() - te) / reps
-    print(json.dumps({{"executors": n_exec, "cores_total": n_exec * 4,
+    print(json.dumps({{"executors": n_exec, "cores_total": n_exec * cores,
                        "build_sec": round(build_sec, 2),
                        "docs_per_sec": round(n / build_sec, 1),
                        "mean_query_sec": round(query_sec, 3),
