@@ -85,8 +85,37 @@ POSTINGS_SCHEMA = (
     "term string, seg_id int, chunk_id long, first_doc long, df_chunk int, "
     "doc_gaps array<int>, tfs array<int>, norm_bytes array<int>, "
     "skip_last_doc array<long>, block_max_tf array<int>, block_max_nb array<int>, "
-    "pos_flat array<int>"
+    "pos_flat array<int>, "
+    # per-row impact metadata, computed where the arrays are already in
+    # memory (pack/recombine) so the dictionary job never re-reads the fat
+    # array columns: ttf_row = Σ tfs; ub = max block score ratio (valid
+    # chunk upper bound); imp_* = the row's top-IMPACT_K (tf, norm, doc)
+    # pairs under (ratio desc, doc asc), imp_nr = each kept pair's NEGATED
+    # float64 ratio so the dictionary cascade can re-select in pure JVM
+    # (array_sort on struct(nr, doc, …) = the same total order). Rows
+    # packed without global stats (NRT appends, delete rewrites) carry
+    # ub=0/empty imps — those paths invalidate the dictionary sketches
+    # anyway (stats.json impact_meta).
+    "ttf_row long, ub double, imp_nr array<double>, imp_tfs array<long>, "
+    "imp_nbs array<long>, imp_docs array<long>"
 )
+
+
+def _impact_select(cache64: np.ndarray, tfa, nba, doca):
+    """Top-IMPACT_K pairs under the TOTAL order (score ratio desc, doc asc).
+
+    A total order makes the per-chunk → per-superchunk → per-term selection
+    a closure: any pair in the global top-K under this order is in the
+    top-K of every subset containing it, so the cascaded kept set is
+    exactly the global top-K — including which doc wins a ratio tie (the
+    smallest docID, matching TopScoreDocCollector's tie-break after the
+    monotone float32 w· rounding at query time)."""
+    tfa = np.asarray(tfa, dtype=np.int64)
+    nba = np.asarray(nba, dtype=np.int64)
+    doca = np.asarray(doca, dtype=np.int64)
+    r = tfa.astype(np.float64) / (tfa + cache64[nba])
+    order = np.lexsort((doca, -r))[:IMPACT_K]
+    return tfa[order], nba[order], doca[order], -r[order]
 
 
 @dataclass
@@ -122,10 +151,13 @@ def _pack_rows(
     tfs: np.ndarray,
     nbs: np.ndarray,
     pos_lists,
+    cache64: np.ndarray | None = None,
 ) -> dict:
     """Pack one already-doc-sorted (term, seg, chunk) slice → posting-row
     dict, numpy-only (Lucene41PostingsWriter semantics: docID deltas
-    :240-246, 128-doc block metadata :256-266)."""
+    :240-246, 128-doc block metadata :256-266). With cache64 (the float64
+    norm cache from global stats) the row also carries its impact metadata
+    (ub + top-K pairs) so the dictionary build never re-reads the arrays."""
     gaps = np.empty_like(docs)
     gaps[0] = 0
     gaps[1:] = np.diff(docs)
@@ -140,6 +172,23 @@ def _pack_rows(
         )
     else:
         pos_flat = None
+    block_max_tf = np.array(
+        [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+        dtype=np.int32,
+    )
+    block_max_nb = np.array(
+        [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
+        dtype=np.int32,
+    )
+    if cache64 is not None:
+        bmtf = block_max_tf.astype(np.float64)
+        ub = float(np.max(bmtf / (bmtf + cache64[block_max_nb])))
+        ktf, knb, kdoc, knr = _impact_select(cache64, tfs, nbs, docs)
+        imp_tfs, imp_nbs, imp_docs, imp_nr = (
+            ktf.tolist(), knb.tolist(), kdoc.tolist(), knr.tolist()
+        )
+    else:
+        ub, imp_tfs, imp_nbs, imp_docs, imp_nr = 0.0, [], [], [], []
     return {
         "term": term,
         "seg_id": int(seg_id),
@@ -150,15 +199,15 @@ def _pack_rows(
         "tfs": tfs.astype(np.int32),
         "norm_bytes": nbs.astype(np.int32),
         "skip_last_doc": docs[ends],
-        "block_max_tf": np.array(
-            [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-            dtype=np.int32,
-        ),
-        "block_max_nb": np.array(
-            [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-            dtype=np.int32,
-        ),
+        "block_max_tf": block_max_tf,
+        "block_max_nb": block_max_nb,
         "pos_flat": pos_flat,
+        "ttf_row": int(np.asarray(tfs, dtype=np.int64).sum()),
+        "ub": ub,
+        "imp_nr": imp_nr,
+        "imp_tfs": imp_tfs,
+        "imp_nbs": imp_nbs,
+        "imp_docs": imp_docs,
     }
 
 
@@ -296,72 +345,59 @@ def invert_and_pack_partials(
     return src.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
 
 
-def recombine_partials(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Sort-merge ≥1 partial/segment posting rows of one (term[, seg],
-    chunk) group into one row: decode gaps → docIDs, merge in doc order
-    (argsort — robust to arbitrary interleaving), re-delta + rebuild 128-doc
-    block metadata (TermsConsumer.java:86-171 without the docID remap,
-    because docIDs are global)."""
-    docs_parts, tf_parts, nb_parts, pos_parts = [], [], [], []
-    for r in pdf.itertuples(index=False):
-        gaps = np.asarray(r.doc_gaps, dtype=np.int64)
-        docs_parts.append(gaps.cumsum() + r.first_doc)
-        tf_parts.append(np.asarray(r.tfs, dtype=np.int64))
-        nb_parts.append(np.asarray(r.norm_bytes, dtype=np.int32))
-        pos_parts.append(r.pos_flat)
+def make_recombiner(cache64: np.ndarray | None):
+    """Build the (term[, seg], chunk)-group sort-merge kernel. With cache64
+    the merged row also carries its impact metadata (computed here, where
+    the merged arrays are already in memory — the dictionary job then reads
+    ONLY the small impact columns, never the fat posting arrays)."""
 
-    docs = np.concatenate(docs_parts)
-    tfs = np.concatenate(tf_parts)
-    nbs = np.concatenate(nb_parts)
-    order = np.argsort(docs, kind="stable")
-    has_pos = all(p is not None for p in pos_parts)
-    if has_pos:
-        # split each part's flat positions back per doc, reorder, re-flatten
-        per_doc_pos: list[np.ndarray] = []
-        for part_tf, part_pos in zip(tf_parts, pos_parts):
-            cuts = np.cumsum(part_tf)[:-1]
-            per_doc_pos.extend(np.split(np.asarray(part_pos, dtype=np.int32), cuts))
-        pos_flat = (
-            np.concatenate([per_doc_pos[i] for i in order])
-            if len(per_doc_pos)
-            else np.array([], dtype=np.int32)
+    def recombine(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs_parts, tf_parts, nb_parts, pos_parts = [], [], [], []
+        for r in pdf.itertuples(index=False):
+            gaps = np.asarray(r.doc_gaps, dtype=np.int64)
+            docs_parts.append(gaps.cumsum() + r.first_doc)
+            tf_parts.append(np.asarray(r.tfs, dtype=np.int64))
+            nb_parts.append(np.asarray(r.norm_bytes, dtype=np.int32))
+            pos_parts.append(r.pos_flat)
+
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tf_parts)
+        nbs = np.concatenate(nb_parts)
+        order = np.argsort(docs, kind="stable")
+        has_pos = all(p is not None for p in pos_parts)
+        if has_pos:
+            # split each part's flat positions back per doc, reorder, re-flatten
+            per_doc_pos: list[np.ndarray] = []
+            for part_tf, part_pos in zip(tf_parts, pos_parts):
+                cuts = np.cumsum(part_tf)[:-1]
+                per_doc_pos.extend(np.split(np.asarray(part_pos, dtype=np.int32), cuts))
+            pos_flat = (
+                np.concatenate([per_doc_pos[i] for i in order])
+                if len(per_doc_pos)
+                else np.array([], dtype=np.int32)
+            )
+        else:
+            pos_flat = None
+        docs, tfs, nbs = docs[order], tfs[order], nbs[order]
+        row = _pack_rows(
+            pdf["term"].iloc[0],
+            int(pdf["seg_id"].iloc[0]),
+            int(pdf["chunk_id"].iloc[0]),
+            docs,
+            tfs,
+            nbs,
+            None,
+            cache64=cache64,
         )
-    else:
-        pos_flat = None
-    docs, tfs, nbs = docs[order], tfs[order], nbs[order]
+        row["pos_flat"] = pos_flat
+        return pd.DataFrame({k: [v] for k, v in row.items()})
 
-    gaps = np.empty_like(docs)
-    gaps[0] = 0
-    gaps[1:] = np.diff(docs)
-    n = len(docs)
-    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    ends = np.minimum((np.arange(nblocks) + 1) * BLOCK_SIZE, n) - 1
-    return pd.DataFrame(
-        {
-            "term": [pdf["term"].iloc[0]],
-            "seg_id": [int(pdf["seg_id"].iloc[0])],
-            "chunk_id": [int(pdf["chunk_id"].iloc[0])],
-            "first_doc": [int(docs[0])],
-            "df_chunk": [n],
-            "doc_gaps": [gaps.astype(np.int32)],
-            "tfs": [tfs.astype(np.int32)],
-            "norm_bytes": [nbs],
-            "skip_last_doc": [docs[ends]],
-            "block_max_tf": [
-                np.array(
-                    [tfs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-                    dtype=np.int32,
-                )
-            ],
-            "block_max_nb": [
-                np.array(
-                    [nbs[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max() for i in range(nblocks)],
-                    dtype=np.int32,
-                )
-            ],
-            "pos_flat": [pos_flat],
-        }
-    )
+    return recombine
+
+
+# no-stats variant (merge/delete rewrites: the dictionary sketches are
+# invalidated by those paths anyway, see stats.json impact_meta)
+recombine_partials = make_recombiner(None)
 
 
 def pack_sorted_partitions(enriched: DataFrame, positions: bool) -> DataFrame:
@@ -613,6 +649,21 @@ def build_index(
     # shuffle reads the invert pass directly (the largest intermediate is
     # never materialized twice)
 
+    # norm cache from the global stats (known since step 3) — the impact
+    # metadata (Lucene 8+ impacts idea, see POSTINGS_SCHEMA) is computed
+    # INSIDE the recombine kernel where the merged arrays are in memory,
+    # so the dictionary job below never re-reads the fat array columns
+    from ..query.bm25 import BM25Stats as _BS, norm_cache as _nc
+
+    cache64 = (
+        _nc(_BS(max_doc=max_doc, sum_total_term_freq=sum_ttf)).astype(np.float64)
+        if max_doc > 0
+        else np.ones(256, dtype=np.float64)
+    )
+    n_chunks = max_doc // chunk_span + 1
+    sc_factor = max(1, math.ceil(n_chunks / MAX_SC_ENTRIES))
+    recombine_with_impacts = make_recombiner(cache64)
+
     # --- 5. per-segment sort-merge of partials → postings
     done_segs: set[int] = set()
     if resume and os.path.exists(paths.lineage):
@@ -631,7 +682,7 @@ def build_index(
         merged = (
             partials.where(F.col("seg_id") == seg)
             .groupBy("term", "chunk_id")
-            .applyInPandas(recombine_partials, schema=POSTINGS_SCHEMA)
+            .applyInPandas(recombine_with_impacts, schema=POSTINGS_SCHEMA)
             .withColumn("seg_id", F.lit(seg).cast("int"))
             # lineage metrics observed during the write itself (no re-read
             # aggregation job). term_count is approx_count_distinct —
@@ -698,136 +749,62 @@ def build_index(
     # Together they collapse block-max WAND from 3 Spark actions to ONE
     # (the pruned scan) — the fixed per-action cost is what made WAND lose
     # to the exhaustive single-action plan at every measured scale.
-    from ..query.bm25 import BM25Stats as _BS, norm_cache as _nc
-
-    cache64 = (
-        _nc(_BS(max_doc=max_doc, sum_total_term_freq=sum_ttf)).astype(np.float64)
-        if max_doc > 0
-        else np.ones(256, dtype=np.float64)
-    )
-    n_chunks = max_doc // chunk_span + 1
-    sc_factor = max(1, math.ceil(n_chunks / MAX_SC_ENTRIES))
-
-    def _select_top(tfa, nba, doca):
-        """Top-IMPACT_K pairs under the TOTAL order (ratio desc, doc asc).
-
-        A total order makes the per-chunk → per-superchunk → per-term
-        selection a closure: any pair in the global top-K under this order
-        is in the top-K of every subset containing it, so the final kept
-        set is exactly the global top-K — including which doc wins a ratio
-        tie (the smallest docID, matching TopScoreDocCollector's tie-break
-        after the monotone float32 w· rounding at query time)."""
-        r = tfa.astype(np.float64) / (tfa + cache64[nba])
-        order = np.lexsort((doca, -r))[:IMPACT_K]
-        return tfa[order], nba[order], doca[order]
-
-    def impact_rows(batches):
-        for pdf in batches:
-            out = {
-                "term": [], "sc": [], "ub": [], "imp_tfs": [], "imp_nbs": [],
-                "imp_docs": [], "df_chunk": [], "ttf_row": [],
-            }
-            for row in pdf.itertuples(index=False):
-                tfs = np.asarray(row.tfs, dtype=np.int64)
-                nbs = np.asarray(row.norm_bytes, dtype=np.int64)
-                docs = row.first_doc + np.cumsum(
-                    np.asarray(row.doc_gaps, dtype=np.int64)
-                )
-                ktf, knb, kdoc = _select_top(tfs, nbs, docs)
-                bmtf = np.asarray(row.block_max_tf, dtype=np.float64)
-                bmnb = np.asarray(row.block_max_nb, dtype=np.int64)
-                out["term"].append(row.term)
-                out["sc"].append(int(row.chunk_id) // sc_factor)
-                out["ub"].append(float(np.max(bmtf / (bmtf + cache64[bmnb]))))
-                out["imp_tfs"].append(ktf.tolist())
-                out["imp_nbs"].append(knb.tolist())
-                out["imp_docs"].append(kdoc.tolist())
-                out["df_chunk"].append(int(row.df_chunk))
-                out["ttf_row"].append(int(tfs.sum()))
-            yield pd.DataFrame(out)
-
-    def _top_impacts(tf_lists, nb_lists, doc_lists):
-        tfa = np.concatenate([np.asarray(x, dtype=np.int64) for x in tf_lists])
-        nba = np.concatenate([np.asarray(x, dtype=np.int64) for x in nb_lists])
-        doca = np.concatenate([np.asarray(x, dtype=np.int64) for x in doc_lists])
-        ktf, knb, kdoc = _select_top(tfa, nba, doca)
-        return ktf.tolist(), knb.tolist(), kdoc.tolist()
-
-    def merge_sc(pdf: pd.DataFrame) -> pd.DataFrame:
-        # ≤ sc_factor input rows (one per (term, chunk, seg))
-        tfs, nbs, docs = _top_impacts(
-            pdf["imp_tfs"], pdf["imp_nbs"], pdf["imp_docs"]
-        )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "sc": [int(pdf["sc"].iloc[0])],
-                "ub": [float(pdf["ub"].max())],
-                "imp_tfs": [tfs],
-                "imp_nbs": [nbs],
-                "imp_docs": [docs],
-                "df_chunk": [int(pdf["df_chunk"].sum())],
-                "ttf_row": [int(pdf["ttf_row"].sum())],
-            }
-        )
-
-    def merge_term(pdf: pd.DataFrame) -> pd.DataFrame:
-        # ≤ MAX_SC_ENTRIES input rows, one per superchunk
-        pdf = pdf.sort_values("sc")
-        tfs, nbs, docs = _top_impacts(
-            pdf["imp_tfs"], pdf["imp_nbs"], pdf["imp_docs"]
-        )
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "df": [int(pdf["df_chunk"].sum())],
-                "ttf": [int(pdf["ttf_row"].sum())],
-                "sc_ids": [pdf["sc"].astype(int).tolist()],
-                "sc_ubs": [pdf["ub"].astype(float).tolist()],
-                "imp_tfs": [tfs],
-                "imp_nbs": [nbs],
-                "imp_docs": [docs],
-            }
-        )
-
+    #
+    # The per-row sketches were computed inside the recombine kernel (see
+    # make_recombiner): this job reads ONLY the small impact columns —
+    # parquet column pruning skips the fat posting arrays entirely — and
+    # cascades them chunk → superchunk → term ENTIRELY IN JVM expressions
+    # (no Python workers): each pair carries its negated float64 ratio, so
+    # array_sort on struct(nr, doc, …) reproduces _impact_select's total
+    # order (ratio desc, doc asc) and slice(…, 1, K) is the selection —
+    # valid at every cascade level by the closure property. Per-group agg
+    # buffers stay bounded: ≤ sc_factor·K pairs at level 1, ≤ 1024·K at
+    # level 2 (the MAX_SC_ENTRIES cap — why the cascade has two levels).
     postings_all = spark.read.option("basePath", paths.postings).parquet(
         os.path.join(paths.postings, "seg_id=*")
     )
     compact_rows = postings_all.select(
-        "term", "chunk_id", "df_chunk", "first_doc", "doc_gaps", "tfs",
-        "norm_bytes", "block_max_tf", "block_max_nb",
-    ).mapInPandas(
-        impact_rows,
-        schema="term string, sc int, ub double, imp_tfs array<long>, "
-        "imp_nbs array<long>, imp_docs array<long>, df_chunk long, "
-        "ttf_row long",
+        "term",
+        (F.col("chunk_id") / F.lit(sc_factor)).cast("int").alias("sc"),
+        "ub",
+        F.arrays_zip("imp_nr", "imp_docs", "imp_tfs", "imp_nbs").alias("pairs"),
+        F.col("df_chunk").cast("long").alias("df_chunk"),
+        "ttf_row",
     )
+
+    def _topk_pairs(col: F.Column) -> F.Column:
+        return F.slice(F.array_sort(F.flatten(col)), 1, IMPACT_K)
+
     term_stats = (
         compact_rows.groupBy("term", "sc")
-        .applyInPandas(
-            merge_sc,
-            schema="term string, sc int, ub double, imp_tfs array<long>, "
-            "imp_nbs array<long>, imp_docs array<long>, df_chunk long, "
-            "ttf_row long",
+        .agg(
+            F.max("ub").alias("ub"),
+            _topk_pairs(F.collect_list("pairs")).alias("pairs"),
+            F.sum("df_chunk").alias("df_chunk"),
+            F.sum("ttf_row").alias("ttf_row"),
         )
         .groupBy("term")
-        .applyInPandas(
-            merge_term,
-            schema="term string, df long, ttf long, sc_ids array<int>, "
-            "sc_ubs array<double>, imp_tfs array<long>, imp_nbs array<long>, "
-            "imp_docs array<long>",
+        .agg(
+            F.sum("df_chunk").alias("df"),
+            F.sum("ttf_row").alias("ttf"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sc"), F.col("ub")))
+            ).alias("scub"),
+            _topk_pairs(F.collect_list("pairs")).alias("pairs"),
+        )
+        .select(
+            "term",
+            "df",
+            "ttf",
+            F.col("scub.sc").alias("sc_ids"),
+            F.col("scub.ub").alias("sc_ubs"),
+            F.col("pairs.imp_tfs").alias("imp_tfs"),
+            F.col("pairs.imp_nbs").alias("imp_nbs"),
+            F.col("pairs.imp_docs").alias("imp_docs"),
         )
     )
     terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
-    # this is the one pass that reads FIVE fat array columns of every
-    # posting row at once (doc_gaps + tfs + norm_bytes + both block-max
-    # arrays); even 128-row reader batches × all cores blow a modest heap
-    # at 10^7 docs, so drop to 16 rows for this job only
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "16")
-    try:
-        terms_tbl.write.mode("overwrite").parquet(paths.terms)
-    finally:
-        spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+    terms_tbl.write.mode("overwrite").parquet(paths.terms)
     _phase("terms")
 
     with open(paths.stats, "w") as fh:
