@@ -570,6 +570,7 @@ def build_index(
         order_col=key_col if sort_col is None else [sort_col, key_col],
         id_col="doc_id",
         staging_dir=ids_staging,
+        single_partition=small_input,
     )
 
     # --- 3. docs table: post-stop length (JVM expression) + norm byte —
@@ -775,15 +776,24 @@ def build_index(
     def _topk_pairs(col: F.Column) -> F.Column:
         return F.slice(F.array_sort(F.flatten(col)), 1, IMPACT_K)
 
-    term_stats = (
-        compact_rows.groupBy("term", "sc")
-        .agg(
+    if sc_factor == 1 and num_segments == 1:
+        # superchunk == chunk and one segment: (term, sc) is already unique
+        # (recombine emits one row per (term, chunk)) and a term has
+        # ≤ MAX_SC_ENTRIES rows, so the per-term agg buffer is bounded
+        # without the intermediate level — one shuffle instead of two.
+        # Multi-segment builds keep the (term, sc) agg: a chunk straddling
+        # a segment boundary yields duplicate sc rows, and the WAND
+        # consumer requires sc_ids unique (ub[sc_ids] += fancy-index).
+        sc_level = compact_rows
+    else:
+        sc_level = compact_rows.groupBy("term", "sc").agg(
             F.max("ub").alias("ub"),
             _topk_pairs(F.collect_list("pairs")).alias("pairs"),
             F.sum("df_chunk").alias("df_chunk"),
             F.sum("ttf_row").alias("ttf_row"),
         )
-        .groupBy("term")
+    term_stats = (
+        sc_level.groupBy("term")
         .agg(
             F.sum("df_chunk").alias("df"),
             F.sum("ttf_row").alias("ttf"),
@@ -803,7 +813,11 @@ def build_index(
             F.col("pairs.imp_docs").alias("imp_docs"),
         )
     )
-    terms_tbl = assign_dense_ids(term_stats, order_col="term", id_col="term_id")
+    # a small corpus implies a small vocabulary — reuse the input-size test
+    terms_tbl = assign_dense_ids(
+        term_stats, order_col="term", id_col="term_id",
+        single_partition=small_input,
+    )
     terms_tbl.write.mode("overwrite").parquet(paths.terms)
     _phase("terms")
 

@@ -59,15 +59,40 @@ def assign_dense_ids(
     id_col: str = "doc_id",
     num_partitions: int | None = None,
     staging_dir: str | None = None,
+    single_partition: bool = False,
 ) -> DataFrame:
     """Add `id_col` = 0-based rank of `order_col` (a unique column, or a
     column list whose tuple is unique — e.g. [sort_key, unique_key] for
     index sorting) in the global ascending sort order. Deterministic at any
-    parallelism."""
+    parallelism.
+
+    single_partition: small-input fast path — one-task global sort, ids are
+    the local indexes directly. Skips the range-sampling job, the
+    per-partition count collect, and the offset join (3+ driver barriers);
+    same ids by construction. Callers gate it on input size (the bulk
+    builder uses its <256 MB small-input test)."""
     spark = df.sparkSession
     cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if single_partition:
+        part = df.repartition(1).sortWithinPartitions(*cols)
+        tagged = _tag_local_index(part.withColumn("__pid", F.lit(0)))
+        return (
+            tagged.withColumn(id_col, F.col("__local_idx").cast("long"))
+            .drop("__pid", "__local_idx")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # repartitionByRange's boundary-sampling job re-evaluates the input
+    # plan (a second full run of whatever produced df — the dedup agg, the
+    # dictionary cascade). On the non-staged path, cache the input so the
+    # sampling pass materializes it ONCE and the sort pass reads the cache;
+    # corpus-scale callers pass staging_dir and keep the streaming behavior
+    # (caching multi-GB text columns OOMs executors — see module doc).
+    cached_input = None
+    if staging_dir is None:
+        cached_input = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df = cached_input
     part = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in cols])
         .sortWithinPartitions(*cols)
@@ -85,6 +110,9 @@ def assign_dense_ids(
         int(r["__pid"]): int(r["c"])
         for r in tagged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
     }
+    if cached_input is not None:
+        # tagged is materialized now; the input cache has served both passes
+        cached_input.unpersist()
     offsets = {}
     acc = 0
     for pid in sorted(counts):
