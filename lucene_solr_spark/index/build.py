@@ -698,10 +698,20 @@ def build_index(
                 F.sum("df_chunk").alias("row_count"),
             )
         )
-        # sort merged rows by term for parquet row-group pruning at query
+        # sort merged rows by term for parquet row-group pruning at query.
+        # Hash-by-term keeps every term's rows in ONE file (single-file
+        # locality for term lookups at scale); a small segment collapses to
+        # one globally term-sorted file instead — 32 fragment files of a
+        # 5k-doc segment cost more in per-file open/footer overhead than
+        # they buy in write parallelism (Lucene: one postings file per
+        # segment).
+        part = (
+            merged.repartition(1)
+            if small_input
+            else merged.repartition(F.col("term"))
+        )
         (
-            merged.repartition(F.col("term"))
-            .sortWithinPartitions("term", "chunk_id")
+            part.sortWithinPartitions("term", "chunk_id")
             .write.mode("overwrite")
             .option("parquet.block.size", str(32 * 1024 * 1024))
             .parquet(os.path.join(paths.postings, f"seg_id={seg}"))

@@ -341,8 +341,18 @@ class Searcher:
                 + 1
             )
             pruning_stats["chunks_live"] = 0
-        rows = [(int(imp_docs[i]), float(scores[i])) for i in order]
-        return self.spark.createDataFrame(rows, "doc_id long, score float")
+        # Arrow local relation (pandas), not a rows-list parallelize: the
+        # latter schedules a defaultParallelism-partition Python job at
+        # collect time (~1 s on local[32]) — slower than the scan this
+        # path exists to avoid. The pandas path ships one Arrow batch and
+        # collects without launching tasks.
+        out = pd.DataFrame(
+            {
+                "doc_id": imp_docs[order].astype(np.int64),
+                "score": scores[order].astype(np.float32),
+            }
+        )
+        return self.spark.createDataFrame(out)
 
     def search_wand(
         self,
@@ -858,8 +868,13 @@ class Searcher:
             neg_info = self.lookup_terms(must_not)
             if not neg_info.empty:
                 # excluded docs need no scores — decode doc_ids only
-                # (ReqExclScorer iterates the excluded side without scoring)
-                neg_docs = self._posting_docs(neg_info).distinct()
+                # (ReqExclScorer iterates the excluded side without scoring).
+                # distinct() (a full extra exchange+agg) only pays when >1
+                # excluded term can duplicate doc_ids; one term's postings
+                # are unique by construction and anti-join tolerates dups.
+                neg_docs = self._posting_docs(neg_info)
+                if len(neg_info) > 1:
+                    neg_docs = neg_docs.distinct()
                 matched = matched.join(neg_docs, "doc_id", "left_anti")
         matched = self._apply_filter(matched, filter_docs)
         return self._topk(self._drop_deleted(matched), k)
@@ -1403,6 +1418,9 @@ class Searcher:
         sloppy2_fn = Searcher._sloppy_freq_2
 
         def phrase_freq(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # alignment check AND BM25 scoring in ONE Python eval — a second
+            # mapInPandas in the same stage would pay a full extra
+            # JVM→Arrow→Python round trip per batch for one vectorized line
             for pdf in pdf_iter:
                 doc_ids, freqs, nbs = [], [], []
                 for row in pdf.itertuples(index=False):
@@ -1433,20 +1451,16 @@ class Searcher:
                         doc_ids.append(row.doc_id)
                         freqs.append(freq)
                         nbs.append(row.norm_byte)
-                yield pd.DataFrame({"doc_id": doc_ids, "freq": freqs, "norm_byte": nbs})
-
-        matches = grouped.mapInPandas(
-            phrase_freq, schema="doc_id long, freq double, norm_byte int"
-        )
-
-        def score_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in pdf_iter:
-                f32 = pdf["freq"].values.astype(np.float32)
-                nb = pdf["norm_byte"].values.astype(np.int64)
+                f32 = np.asarray(freqs, dtype=np.float32)
+                nb = np.asarray(nbs, dtype=np.int64)
                 sc = (weight * f32 / (f32 + cache[nb])).astype(np.float32)
-                yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "score": sc})
+                yield pd.DataFrame(
+                    {"doc_id": np.asarray(doc_ids, dtype=np.int64), "score": sc}
+                )
 
-        return matches.mapInPandas(score_kernel, schema="doc_id long, score float")
+        return grouped.mapInPandas(
+            phrase_freq, schema="doc_id long, score float"
+        )
 
     def paged_search(
         self,
