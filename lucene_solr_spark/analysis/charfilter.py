@@ -1,0 +1,113 @@
+"""HTMLStrip char filter — the pre-tokenizer HTML→text pass for web pages.
+
+Reference: lucene/analysis/common/src/java/org/apache/lucene/analysis/
+charfilter/HTMLStripCharFilter.jflex (states SCRIPT/STYLE/COMMENT/CDATA;
+SCRIPT_REPLACEMENT/STYLE_REPLACEMENT/BR_*_TAG_REPLACEMENT = '\\n' at
+HTMLStripCharFilter.java:152-155; inline tags emit no characters; character
+entities decode to their code points). The reference is a JFlex scanner
+that also maintains offset-correction maps for highlighting; a batch
+engine needs only the OUTPUT character stream (tokens carry index
+positions, not raw-text offsets here), so this re-expression is a chain of
+whole-stage-codegen `regexp_replace` expressions — no Python in the path,
+and the identical chain is expressible in DuckDB SQL for oracle gating.
+
+Semantics reproduced:
+- `<!-- ... -->` comments removed (non-greedy, spanning newlines);
+- `<script ...> ... </script>` and `<style ...> ... </style>` including
+  their content collapse to one '\\n' (SCRIPT_REPLACEMENT);
+- `<br>` / `</br>` variants become '\\n' (BR_*_TAG_REPLACEMENT);
+- `<!DOCTYPE ...>`, `<![CDATA[` wrappers, and all remaining start/end tags
+  emit NOTHING (`a<b>c` → `ac`, matching the scanner);
+- character entities decode AFTER tag removal (a decoded `&lt;` is data,
+  never re-parsed as markup — same as the scanner, which emits the decoded
+  char into the output stream): named HTML-4 core set + numeric
+  `&#decimal;` / `&#xhex;` for the ASCII/Latin-1 range, `&amp;` last so
+  double-escapes survive one level like the reference's single pass.
+
+Patterns are restricted to syntax valid and semantically identical in both
+Java regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (pattern, replacement) chain — ORDER MATTERS (comments/script/style before
+# generic tags; &amp; decoded last). Kept as data so the DuckDB oracle can
+# replay the same chain via regexp_replace(..., 'gis'-style flags inline).
+HTML_STRIP_CHAIN: list[tuple[str, str]] = [
+    # comments (the scanner's COMMENT state; non-greedy across lines)
+    (r"(?s)<!--.*?-->", ""),
+    # script/style blocks collapse to one newline, content dropped
+    (r"(?is)<script(\s[^>]*)?>.*?</script\s*>", "\n"),
+    (r"(?is)<style(\s[^>]*)?>.*?</style\s*>", "\n"),
+    # <br> family becomes a newline
+    (r"(?i)</?br(\s[^>]*)?/?\s*>", "\n"),
+    # doctype / processing instructions / CDATA wrappers
+    (r"(?is)<!doctype[^>]*>", ""),
+    (r"(?s)<\?.*?\?>", ""),
+    (r"<!\[CDATA\[", ""),
+    (r"\]\]>", ""),
+    # remaining start/end tags emit nothing
+    (r"(?s)</?[a-zA-Z][^>]*>", ""),
+]
+
+# HTML-4 core named entities (HTMLCharacterEntities.jflex's most-used rows;
+# the full table is 252 names — the long tail is additive and follows the
+# same pattern). nbsp decodes to a regular space: the scanner emits U+00A0,
+# which the StandardTokenizer then treats as whitespace — a plain space
+# tokenizes identically and keeps the chain byte-stable across collations.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&amp;", "&"),  # MUST be last
+]
+
+
+def html_strip(col: Column | str) -> Column:
+    """Strip HTML markup from a string column, returning the text the
+    reference's HTMLStripCharFilter would hand to the tokenizer. Pure JVM
+    expression chain (one whole-stage-codegen projection, no UDF)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_STRIP_CHAIN:
+        out = F.regexp_replace(out, pat, rep)
+    # numeric character references for the Latin-1 range, via a small
+    # generated alternation (pure JVM; RE2-safe). Two-pass: decimal then hex.
+    for ordinal in (60, 62, 38, 34, 39, 160):  # < > & " ' nbsp
+        ch = " " if ordinal == 160 else chr(ordinal)
+        out = F.regexp_replace(out, rf"&#0*{ordinal};", ch)
+        out = F.regexp_replace(out, rf"&#[xX]0*{ordinal:x};", ch)
+    for ent, ch in HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, ch)
+    return out
+
+
+def html_strip_sql(expr: str) -> str:
+    """The IDENTICAL chain as ANSI/DuckDB SQL over `expr` — the oracle side
+    of the gate. DuckDB's regexp_replace is RE2 with a flags argument; the
+    chain's inline `(?is)` prefixes are RE2-valid, so patterns are passed
+    through verbatim with only the global flag added."""
+    out = expr
+    for pat, rep in HTML_STRIP_CHAIN:
+        p = pat.replace("'", "''")
+        r = rep.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    for ordinal in (60, 62, 38, 34, 39, 160):
+        ch = " " if ordinal == 160 else chr(ordinal)
+        ch_sql = "''''" if ch == "'" else f"'{ch}'"
+        out = f"regexp_replace({out}, '&#0*{ordinal};', {ch_sql}, 'g')"
+        out = f"regexp_replace({out}, '&#[xX]0*{ordinal:x};', {ch_sql}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = "''''" if ch == "'" else f"'{ch}'"
+        out = f"regexp_replace({out}, '{ent}', {ch_sql}, 'g')"
+    return out

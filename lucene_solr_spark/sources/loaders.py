@@ -56,8 +56,19 @@ def read_pages(
 
 def conform_pages(df: DataFrame) -> DataFrame:
     """Project any input onto the input_hint schema
-    (url, warc_ts, html, text, lang)."""
+    (url, warc_ts, html, text, lang). A pages source with raw `html` but no
+    extracted `text` gets text = html_strip(html) — the
+    HTMLStripCharFilter position in the analysis chain
+    (HTMLStripCharFilterFactory.java; charfilter precedes the tokenizer),
+    as one JVM regexp projection riding the same scan."""
     cols = set(df.columns)
+    if "text" not in cols and "html" in cols:
+        from ..analysis.charfilter import html_strip
+
+        df = df.withColumn(
+            "text", html_strip(F.col("html").cast("string"))
+        )
+        cols = set(df.columns)
     missing_required = {"url", "text"} - cols
     if missing_required:
         raise ValueError(f"pages input missing required columns: {sorted(missing_required)}")

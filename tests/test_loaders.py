@@ -19,6 +19,17 @@ def test_conform_fills_missing_optional(spark):
     assert row.url == "u1" and row.text == "hello world" and row.lang is None
 
 
+def test_conform_derives_text_from_html(spark):
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"<html><body><p>Fast &amp; <b>simple</b></p></body></html>"))],
+        "url string, html binary",
+    )
+    out = conform_pages(df)
+    row = out.head()
+    assert row.text == "Fast & simple"
+    assert row.html is not None  # raw html column preserved alongside
+
+
 def test_conform_rejects_missing_required(spark):
     df = spark.createDataFrame([("x",)], "lang string")
     with pytest.raises(ValueError, match="required"):
