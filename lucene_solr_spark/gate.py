@@ -182,6 +182,58 @@ ORDER BY {final_score} DESC, s.doc_id ASC
 LIMIT {k}"""
 
 
+def classic_sql(dialect: str, terms: list[str], k: int = 10) -> str:
+    """DefaultSimilarity (classic TF-IDF) oracle — the reference default
+    scorer (DefaultSimilarity.java:55-140, TFIDFSimilarity.java:703-766):
+    score(d) = coord(m/|q|) * Σ_t sqrt(tf) * idf_t^2 * queryNorm * lnorm(d)
+    with idf = ln(n/(df+1)) + 1, queryNorm = 1/sqrt(Σ idf^2), and lnorm the
+    byte315 round-trip of 1/sqrt(dl) (exact dyadic — see
+    quantized_lengthnorm_sql). Evaluated in double; gates compare rank-only
+    (engine is float32), like every other engine scoring gate."""
+    from .index.norms import quantized_lengthnorm_sql
+
+    lnorm = quantized_lengthnorm_sql("dl.dl", dialect=dialect)
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    max_overlap = len(terms)
+    coord = (
+        f"(CAST(COUNT(*) AS DOUBLE) / {max_overlap}.0)" if max_overlap > 1 else "1.0"
+    )
+    return f"""
+WITH tok AS ({tok_cte(dialect)}),
+consts AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+lnorm AS (SELECT doc_id, {lnorm} AS lnorm FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+dfv AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok WHERE term IN ({term_list}) GROUP BY term
+),
+idfs AS (
+  SELECT term, LN(consts.n / (df + 1.0)) + 1.0 AS idf FROM dfv CROSS JOIN consts
+),
+qn AS (SELECT 1.0 / SQRT(SUM(idf * idf)) AS qnorm FROM idfs),
+per AS (
+  SELECT tf.doc_id,
+         SQRT(tf.tf) * idfs.idf * idfs.idf * qn.qnorm * lnorm.lnorm AS s
+  FROM tf
+  JOIN idfs ON tf.term = idfs.term
+  JOIN lnorm ON tf.doc_id = lnorm.doc_id
+  CROSS JOIN qn
+),
+summed AS (
+  SELECT doc_id, SUM(s) * {coord} AS score FROM per GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       ROUND(score, 4) AS score
+FROM summed
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}"""
+
+
 # ---------------------------------------------------------------------------
 # registries:
 #   _REGISTRY    : name -> (dialect -> sql)  — same template on both engines
@@ -714,6 +766,15 @@ RETIRED_SQL_GATES = {
     "spellcheck_direct",  # engine_spellcheck
 }
 
+# DataFrame gates retired on the same redundancy principle: the machinery is
+# a strict sub-step of surviving gates, so a row here buys no new evidence.
+RETIRED_DF_GATES = {
+    # the signature build is the map stage of BOTH dedup_minhash_lsh_pairs
+    # and dedup_minhash_quality (which also measures precision/recall at
+    # production 128-perm/16-band parameters) — both stay registered
+    "dedup_minhash_signatures",
+}
+
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver registry, ENGINE-FIRST: real-engine/pipeline DataFrame gates
@@ -728,7 +789,11 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    out = {name: fn for name, (fn, _) in _DF_REGISTRY.items()}
+    out = {
+        name: fn
+        for name, (fn, _) in _DF_REGISTRY.items()
+        if name not in RETIRED_DF_GATES
+    }
     out.update(
         {name: make(name) for name in _REGISTRY if name not in RETIRED_SQL_GATES}
     )
@@ -739,7 +804,9 @@ def oracle_sqls() -> dict[str, str]:
     from . import gate_engine, gate_ext  # noqa: F401
 
     out = {
-        name: sql for name, (_, sql) in _DF_REGISTRY.items() if sql is not None
+        name: sql
+        for name, (_, sql) in _DF_REGISTRY.items()
+        if sql is not None and name not in RETIRED_DF_GATES
     }
     out.update(
         {

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .gate import bm25_sql, df_gate, tok_cte
+from .gate import bm25_sql, classic_sql, df_gate, tok_cte
 
 INDEX_VERSION = "r3.1"
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gate_cache")
@@ -119,6 +119,21 @@ def _e_bm25_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     TermQuery.java:45-161) vs brute-force DuckDB recomputation."""
     s = _engine_searcher(spark, sf_dir)
     return _to_orig(s, s.search(["spark"], k=10), ranked=True)
+
+
+@df_gate(
+    "engine_classic_tfidf",
+    _rank_only(classic_sql("duckdb", ["spark", "merge", "window"], k=10)),
+)
+def _e_classic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DefaultSimilarity (the reference's unconfigured-core DEFAULT scorer,
+    DefaultSimilarity.java:55-140) over the SAME index the BM25 gates use —
+    Similarity is a search-time choice over shared byte315 norms. Rank-only
+    vs a double-precision DuckDB recomputation (coord + queryNorm +
+    quantized length norm); float32 score identity is pytest-gated against
+    brute_force_topk_classic (tests/test_classic.py)."""
+    s = _engine_searcher(spark, sf_dir)
+    return _to_orig(s, s.search_classic(["spark", "merge", "window"], k=10), ranked=True)
 
 
 @df_gate(

@@ -91,3 +91,20 @@ def quantized_doclen_sql(len_expr: str, dialect: str = "spark") -> str:
     dec = f"(FLOOR({f} * POWER(2.0, 2 - {e})) * POWER(2.0, {e} - 2))"
     # NORM_TABLE stores 1/(f*f) as float32 (BM25Similarity.java:127-134)
     return f"CAST(1.0 / ({dec} * {dec}) AS {fcast})"
+
+
+def quantized_lengthnorm_sql(len_expr: str, dialect: str = "spark") -> str:
+    """SQL for the byte315 round-tripped LENGTH NORM itself — the value
+    DefaultSimilarity.decodeNormValue returns (DefaultSimilarity.java:96-98,
+    NORM_TABLE = byte315ToFloat): the truncated f = 1/sqrt(numTerms),
+    exactly representable (3-bit mantissa dyadic rational), so the SQL is
+    exact in IEEE double. Same truncation identity as
+    `quantized_doclen_sql`, without BM25's 1/f^2 table transform."""
+    fcast = "FLOAT" if dialect == "spark" else "REAL"
+    f = f"CAST(1.0 / CAST(SQRT(CAST(({len_expr}) AS DOUBLE)) AS {fcast}) AS {fcast})"
+    e0 = f"FLOOR(LOG2({f}))"
+    e = (
+        f"(CASE WHEN POWER(2.0, {e0} + 1) <= {f} THEN {e0} + 1 "
+        f"WHEN POWER(2.0, {e0}) > {f} THEN {e0} - 1 ELSE {e0} END)"
+    )
+    return f"(FLOOR({f} * POWER(2.0, 2 - {e})) * POWER(2.0, {e} - 2))"

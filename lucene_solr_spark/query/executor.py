@@ -853,6 +853,12 @@ class Searcher:
             return self.spark.createDataFrame([], "doc_id long, score float")
 
         must_terms = sorted({r.term for r in tinfo.itertuples() if r.term in set(must)})
+        if filter_docs is None:
+            fast = self._single_slice_boolean(
+                tinfo, must_terms, must_not, min_should_match, k
+            )
+            if fast is not None:
+                return fast
         per_term = self._scored(tinfo)
         agg = per_term.groupBy("doc_id").agg(
             F.sum("score").cast("float").alias("score"),
@@ -878,6 +884,192 @@ class Searcher:
                 matched = matched.join(neg_docs, "doc_id", "left_anti")
         matched = self._apply_filter(matched, filter_docs)
         return self._topk(self._drop_deleted(matched), k)
+
+    def _single_slice_boolean(
+        self,
+        tinfo: pd.DataFrame,
+        must_terms: list[str],
+        must_not: list[str],
+        min_should_match: int,
+        k: int,
+    ) -> DataFrame | None:
+        """Collapsed single-slice execution of a boolean query whose TOTAL
+        matched postings fit one executor slice (Σdf across all clauses ≤
+        LSS_SINGLE_SLICE_POSTINGS, default 1M ≈ tens of MB of posting
+        arrays). The term-pruned scan is coalesced to ONE partition and a
+        single Arrow kernel does score + per-doc combine + must/msm/
+        must_not logic + top-k in-process — the plan is scan →
+        TakeOrderedAndProject: one job, one stage, NO exchange.
+
+        This is the SolrCore-local search regime: a Lucene searcher scores
+        a whole (small) segment in one thread with no cross-process merge
+        (IndexSearcher.java:581-619 single-slice path; Lucene only fans out
+        when multiple leaves warrant it). Queries whose matched postings
+        exceed the slice budget — the regime that actually occurs at 100 TB
+        head terms — fall through to the distributed scan+aggregate plan,
+        so this is a fixed-cost cut for the long tail of selective queries,
+        not a scale cap. Scores are identical: the kernel sums per-term
+        float32 scores in float64 and casts once, exactly like the
+        distributed `sum(score)::float` aggregate; tombstones present or an
+        fq filter disable the path (those compose distributed)."""
+        limit = int(os.environ.get("LSS_SINGLE_SLICE_POSTINGS", str(1_000_000)))
+        if limit <= 0 or self._deletes is not None:
+            return None
+        neg_info = self.lookup_terms(must_not) if must_not else None
+        neg_terms = set() if neg_info is None else set(neg_info["term"])
+        total_df = int(tinfo["df"].sum())
+        if neg_info is not None and not neg_info.empty:
+            total_df += int(neg_info["df"].sum())
+        if total_df > limit:
+            return None
+
+        weights = {
+            str(t): np.float32(
+                bm25_idf(int(df_), self.stats.max_doc) * (K1 + np.float32(1.0))
+            )
+            for t, df_ in zip(tinfo["term"], tinfo["df"])
+        }
+        cache = norm_cache(self.stats)
+        must_set = set(must_terms)
+        qterms = sorted(set(weights) | neg_terms)
+        n_must_req = len(must_terms)
+        msm = int(min_should_match)
+        kk = int(k)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            docs_l: list[np.ndarray] = []
+            score_l: list[np.ndarray] = []
+            must_l: list[np.ndarray] = []
+            neg_l: list[np.ndarray] = []
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                    docs = row.first_doc + np.cumsum(gaps)
+                    if row.term in neg_terms:
+                        neg_l.append(docs)
+                    if row.term in weights:
+                        tfs = np.asarray(row.tfs, dtype=np.float32)
+                        nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                        w = np.float32(weights[row.term])
+                        docs_l.append(docs)
+                        score_l.append(
+                            (w * tfs / (tfs + cache[nbs])).astype(np.float32)
+                        )
+                        must_l.append(
+                            np.full(
+                                len(docs),
+                                1 if row.term in must_set else 0,
+                                dtype=np.int64,
+                            )
+                        )
+            if not docs_l:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array([], dtype=np.int64),
+                        "score": np.array([], dtype=np.float32),
+                    }
+                )
+                return
+            alldocs = np.concatenate(docs_l)
+            u, inv = np.unique(alldocs, return_inverse=True)
+            # float64 accumulation then ONE float32 cast == the distributed
+            # sum(score)::float (Spark sums FloatType in double)
+            ssum = np.zeros(len(u), dtype=np.float64)
+            np.add.at(ssum, inv, np.concatenate(score_l).astype(np.float64))
+            nmust = np.zeros(len(u), dtype=np.int64)
+            np.add.at(nmust, inv, np.concatenate(must_l))
+            nmatched = np.bincount(inv, minlength=len(u))
+            mask = nmust == n_must_req
+            if msm > 0:
+                mask &= (nmatched - nmust) >= msm
+            if neg_l:
+                mask &= ~np.isin(u, np.concatenate(neg_l))
+            uu = u[mask]
+            s32 = ssum[mask].astype(np.float32)
+            order = np.lexsort((uu, -s32.astype(np.float64)))[:kk]
+            yield pd.DataFrame({"doc_id": uu[order], "score": s32[order]})
+
+        rows = (
+            self.postings.where(F.col("term").isin(qterms))
+            .select("term", "first_doc", "doc_gaps", "tfs", "norm_bytes")
+            .coalesce(1)
+            .mapInPandas(kernel, schema="doc_id long, score float")
+        )
+        return self._topk(rows, k)
+
+    def search_classic(
+        self, query: str | list[str], k: int = 10
+    ) -> DataFrame:
+        """DefaultSimilarity (practical TF-IDF) top-k — the similarity every
+        unconfigured core in the reference tree actually scores with (see
+        query/classic.py for the float32-faithful formula trail:
+        DefaultSimilarity.java:55-140, TFIDFSimilarity.java:703-766,
+        DisjunctionSumScorer.java:96-98). Same index, same postings scan
+        shape as BM25 (`_scored`): Similarity is a search-time choice over
+        the shared byte315 norms, exactly as in Lucene. Each distinct term
+        is one clause (duplicates collapse); absent terms still weigh into
+        queryNorm and maxOverlap (TermQuery builds their Weight, only the
+        scorer is null)."""
+        from .classic import classic_scores, classic_term_values
+
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        tinfo = self.lookup_terms(uniq)
+        if tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        dfs = {str(t): int(d) for t, d in zip(tinfo["term"], tinfo["df"])}
+        values = classic_term_values(uniq, dfs, self.stats.max_doc)
+        max_overlap = len(uniq)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                    docs = row.first_doc + np.cumsum(gaps)
+                    out_doc.append(docs)
+                    out_score.append(
+                        classic_scores(
+                            np.asarray(row.tfs, dtype=np.int64),
+                            np.asarray(row.norm_bytes, dtype=np.int64),
+                            values[row.term],
+                        )
+                    )
+                if out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_doc),
+                            "score": np.concatenate(out_score),
+                        }
+                    )
+
+        rows = self.postings.where(
+            F.col("term").isin(sorted(set(tinfo["term"])))
+        ).select("term", "first_doc", "doc_gaps", "tfs", "norm_bytes")
+        per_term = rows.mapInPandas(kernel, schema="doc_id long, score float")
+        # float32(double sum) then × float32 coord — the
+        # DisjunctionSumScorer/BooleanScorer2 combine, all JVM-side
+        agg = per_term.groupBy("doc_id").agg(
+            F.sum("score").cast("float").alias("s32"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+        if max_overlap > 1:
+            # Java's float ops == the double op rounded ONCE to float32
+            # (operands are exact in double), so cast at each rounding point
+            coord = (
+                F.col("n_matched").cast("double") / F.lit(float(max_overlap))
+            ).cast("float")
+            score = (F.col("s32").cast("double") * coord.cast("double")).cast(
+                "float"
+            )
+        else:
+            score = F.col("s32")
+        scored = agg.select("doc_id", score.alias("score"))
+        return self._topk(self._drop_deleted(scored), k)
 
     def _posting_docs(self, tinfo: pd.DataFrame) -> DataFrame:
         """doc_ids (with duplicates across terms) of all postings of the given
