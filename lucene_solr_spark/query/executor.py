@@ -1533,6 +1533,21 @@ class Searcher:
         n_slots = len(slots)
         single_alternative = all(len(s) == 1 for s in slots)
 
+        slice_limit = int(
+            os.environ.get("LSS_SINGLE_SLICE_POSITIONS", str(250_000))
+        )
+        total_pos = int(tinfo[tinfo["term"].isin(qterms)]["ttf"].sum())
+        if 0 < total_pos <= slice_limit:
+            # single-slice phrase: ALL position lists of the query terms fit
+            # one executor slice, so the alignment+scoring kernel runs once
+            # over a coalesced scan — no position shuffle, no collect_list
+            # exchange, one stage (same regime argument as
+            # `_single_slice_boolean`; Σttf is known from the dictionary
+            # before any job runs). Emits EVERY matching doc (callers topk).
+            return self._phrase_scored_single_slice(
+                qterms, slots, term_slots, n_slots, slop, weight, cache
+            )
+
         def explode_positions(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 recs = {"doc_id": [], "term": [], "norm_byte": [], "positions": []}
@@ -1652,6 +1667,79 @@ class Searcher:
 
         return grouped.mapInPandas(
             phrase_freq, schema="doc_id long, score float"
+        )
+
+    def _phrase_scored_single_slice(
+        self,
+        qterms: list[str],
+        slots: list[list[str]],
+        term_slots: dict[str, list[int]],
+        n_slots: int,
+        slop: int,
+        weight: np.float32,
+        cache: np.ndarray,
+    ) -> DataFrame:
+        """One-kernel (multi-)phrase evaluation for small position volumes:
+        decode + slot assembly + alignment + BM25 scoring in a single
+        coalesced task. Per-doc logic is IDENTICAL to the distributed
+        `phrase_freq` kernel (exact intersect chain / `_sloppy_freq_2` /
+        `_sloppy_freq`)."""
+        sloppy_fn = Searcher._sloppy_freq
+        sloppy2_fn = Searcher._sloppy_freq_2
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            slot_maps: list[dict] = [dict() for _ in range(n_slots)]
+            norm_map: dict[int, int] = {}
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    docs = row.first_doc + np.cumsum(
+                        np.asarray(row.doc_gaps, dtype=np.int64)
+                    )
+                    tfs = np.asarray(row.tfs, dtype=np.int64)
+                    plists = np.split(
+                        np.asarray(row.pos_flat, dtype=np.int64),
+                        np.cumsum(tfs)[:-1],
+                    )
+                    nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                    slot_ids = term_slots[row.term]
+                    for d, nb, p in zip(docs.tolist(), nbs.tolist(), plists):
+                        norm_map[d] = nb
+                        for si in slot_ids:
+                            adj = p - si
+                            m = slot_maps[si]
+                            prev = m.get(d)
+                            m[d] = adj if prev is None else np.union1d(prev, adj)
+            cand = set(slot_maps[0])
+            for m in slot_maps[1:]:
+                cand &= set(m)
+            doc_ids, freqs, nb_out = [], [], []
+            for d in sorted(cand):
+                slot_arrs = [m[d] for m in slot_maps]
+                if slop == 0:
+                    c = slot_arrs[0]
+                    for a in slot_arrs[1:]:
+                        c = np.intersect1d(c, a)
+                    freq = float((c >= 0).sum())
+                elif n_slots == 2:
+                    freq = sloppy2_fn(slot_arrs[0], slot_arrs[1], slop)
+                else:
+                    freq = sloppy_fn(slot_arrs, slop)
+                if freq > 0:
+                    doc_ids.append(d)
+                    freqs.append(freq)
+                    nb_out.append(norm_map[d])
+            f32 = np.asarray(freqs, dtype=np.float32)
+            nb = np.asarray(nb_out, dtype=np.int64)
+            sc = (weight * f32 / (f32 + cache[nb])).astype(np.float32)
+            yield pd.DataFrame(
+                {"doc_id": np.asarray(doc_ids, dtype=np.int64), "score": sc}
+            )
+
+        return (
+            self.postings.where(F.col("term").isin(qterms))
+            .select("term", "first_doc", "doc_gaps", "tfs", "norm_bytes", "pos_flat")
+            .coalesce(1)
+            .mapInPandas(kernel, schema="doc_id long, score float")
         )
 
     def paged_search(

@@ -49,6 +49,34 @@ def test_fast_path_matches_distributed(index, case):
     assert list(fast["score"]) == list(dist["score"])
 
 
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    corpus = make_corpus(n=150, seed=13)
+    rows = [(u, t, 1000) for u, t in corpus.items()]
+    pages = spark.createDataFrame(rows, "url string, text string, warc_ts long")
+    out = str(tmp_path_factory.mktemp("ss_pos_idx"))
+    paths = build_index(spark, pages, out, num_segments=2, positions=True)
+    return Searcher(spark, paths)
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    (["fast", "dog"], 0),
+    (["fast", "dog"], 2),
+    (["fast", "dog", "cat"], 3),
+    (["fast"], 0),
+])
+def test_phrase_fast_path_matches_distributed(pos_index, phrase, slop):
+    s = pos_index
+    fast = s.phrase_search(phrase, k=1000, slop=slop).toPandas()
+    os.environ["LSS_SINGLE_SLICE_POSITIONS"] = "0"
+    try:
+        dist = s.phrase_search(phrase, k=1000, slop=slop).toPandas()
+    finally:
+        del os.environ["LSS_SINGLE_SLICE_POSITIONS"]
+    assert list(fast["doc_id"]) == list(dist["doc_id"])
+    assert list(fast["score"]) == list(dist["score"])
+
+
 def test_fast_path_engages_and_big_df_declines(index, monkeypatch):
     s = index
     tinfo = s.lookup_terms(["fast", "dog"])
