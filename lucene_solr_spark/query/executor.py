@@ -37,6 +37,10 @@ from ..analysis.analyzer import standard_tokenize
 from ..index.build import IndexPaths
 from .bm25 import BM25Stats, K1, bm25_idf, norm_cache
 
+# "single-slice path not applicable" sentinel (None already means "matches
+# nothing" in the clause-execution contract)
+_SLICE_NA = object()
+
 
 def _ranges(reps: np.ndarray) -> np.ndarray:
     """[0..r0-1, 0..r1-1, ...] concatenated — vectorized per-group arange."""
@@ -1071,6 +1075,217 @@ class Searcher:
         scored = agg.select("doc_id", score.alias("score"))
         return self._topk(self._drop_deleted(scored), k)
 
+    def _single_slice_clauses(self, clauses):
+        """Collapsed single-slice execution of a PARSED mixed boolean query
+        (term + phrase clauses, one field): when Σdf of every term clause
+        fits LSS_SINGLE_SLICE_POSTINGS and Σttf of every phrase term fits
+        LSS_SINGLE_SLICE_POSITIONS, ONE coalesced kernel over ONE
+        term-pruned postings scan evaluates BM25×boost term scores, phrase
+        alignment scores, MUST counting, and MUST_NOT exclusion — the plan
+        is scan → kernel, no unions, no groupBy exchange, no anti-join.
+        Returns the sentinel `_SLICE_NA` when not applicable (caller runs
+        the distributed `_clauses_scored` plan: groups, multi-term rewrites,
+        multi-field clauses, duplicate-term clause sets, or budgets
+        exceeded); returns None when nothing can match (same contract as
+        `_clauses_scored`). Per-clause float32 rounding mirrors the
+        distributed plan step for step."""
+        from .parser import MUST, MUST_NOT, SHOULD  # noqa: F401
+
+        limit_post = int(os.environ.get("LSS_SINGLE_SLICE_POSTINGS", str(1_000_000)))
+        limit_pos = int(os.environ.get("LSS_SINGLE_SLICE_POSITIONS", str(250_000)))
+        if limit_post <= 0 or limit_pos <= 0:
+            return _SLICE_NA
+        if any(c.kind not in ("term", "phrase") for c in clauses):
+            return _SLICE_NA
+        scoring = [c for c in clauses if c.occur in (MUST, SHOULD)]
+        negative = [c for c in clauses if c.occur == MUST_NOT]
+        if not scoring:
+            return None
+        term_clauses = [c for c in scoring if c.kind == "term"]
+        tterms = [c.terms[0] for c in term_clauses]
+        if len(set(tterms)) != len(tterms):
+            return _SLICE_NA  # duplicate-term clause sets keep the join path
+        phrase_clauses = [c for c in scoring if c.kind == "phrase"]
+        neg_terms = sorted({c.terms[0] for c in negative if c.kind == "term"})
+        neg_phrases = [c for c in negative if c.kind == "phrase"]
+        need_pos = bool(phrase_clauses or neg_phrases)
+        if need_pos and "pos_flat" not in self.postings.columns:
+            return _SLICE_NA
+
+        all_phrase_terms = sorted(
+            {t for c in phrase_clauses + neg_phrases for t in c.terms}
+        )
+        tinfo = self.lookup_terms(
+            sorted(set(tterms)) + neg_terms + all_phrase_terms
+        )
+        found = set(tinfo["term"])
+        dfmap = {str(t): int(d) for t, d in zip(tinfo["term"], tinfo["df"])}
+        ttfmap = {str(t): int(x) for t, x in zip(tinfo["term"], tinfo["ttf"])}
+
+        # missing-term MUST semantics, mirroring _clauses_scored
+        for c in term_clauses:
+            if c.occur == MUST and c.terms[0] not in found:
+                return None
+        phrase_specs = []
+        total_must = 0
+        for c in phrase_clauses:
+            if any(t not in found for t in c.terms):
+                if c.occur == MUST:
+                    return None
+                continue  # SHOULD phrase with a missing term matches nothing
+            idf_sum = np.float32(
+                sum(float(bm25_idf(dfmap[t], self.stats.max_doc)) for t in c.terms)
+            )
+            phrase_specs.append(
+                {
+                    "terms": list(c.terms),
+                    "weight": np.float32(idf_sum * (K1 + np.float32(1.0))),
+                    "boost": float(np.float32(c.boost)),
+                    "nm": 1 if c.occur == MUST else 0,
+                }
+            )
+            total_must += 1 if c.occur == MUST else 0
+        neg_phrase_specs = [
+            {"terms": list(c.terms), "weight": np.float32(1.0), "boost": 1.0, "nm": 0}
+            for c in neg_phrases
+            if all(t in found for t in c.terms)
+        ]
+        term_entries = [
+            (c.terms[0], float(np.float32(c.boost)), c.occur == MUST)
+            for c in term_clauses
+            if c.terms[0] in found
+        ]
+        total_must += sum(1 for _, _, m in term_entries if m)
+        if not term_entries and not phrase_specs:
+            return None
+
+        score_terms = sorted({t for t, _, _ in term_entries})
+        pos_terms = sorted(
+            {t for s in phrase_specs + neg_phrase_specs for t in s["terms"]}
+        )
+        budget_post = sum(dfmap.get(t, 0) for t in score_terms) + sum(
+            dfmap.get(t, 0) for t in neg_terms
+        )
+        budget_pos = sum(ttfmap.get(t, 0) for t in pos_terms)
+        if budget_post > limit_post or budget_pos > limit_pos:
+            return _SLICE_NA
+
+        weights = {
+            t: np.float32(bm25_idf(dfmap[t], self.stats.max_doc) * (K1 + np.float32(1.0)))
+            for t in score_terms
+        }
+        boosts = {t: np.float32(b) for t, b, _ in term_entries}
+        nm_term = {t: (1 if m else 0) for t, _, m in term_entries}
+        cache = norm_cache(self.stats)
+        neg_term_set = set(neg_terms) & found
+        scan_terms = sorted(set(score_terms) | set(pos_terms) | neg_term_set)
+        cols = ["term", "first_doc", "doc_gaps", "tfs", "norm_bytes"]
+        if need_pos:
+            cols.append("pos_flat")
+        total_must_f = total_must
+        sloppy_fn = Searcher._sloppy_freq
+        sloppy2_fn = Searcher._sloppy_freq_2
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            store: dict[str, list] = {}
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    docs = row.first_doc + np.cumsum(
+                        np.asarray(row.doc_gaps, dtype=np.int64)
+                    )
+                    tfs = np.asarray(row.tfs, dtype=np.int64)
+                    nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                    plists = None
+                    if need_pos and row.term in pos_terms:
+                        plists = np.split(
+                            np.asarray(row.pos_flat, dtype=np.int64),
+                            np.cumsum(tfs)[:-1],
+                        )
+                    store.setdefault(row.term, []).append((docs, tfs, nbs, plists))
+
+            def eval_phrase(spec):
+                n_slots = len(spec["terms"])
+                slot_maps: list[dict] = [dict() for _ in range(n_slots)]
+                norm_map: dict[int, int] = {}
+                for si, t in enumerate(spec["terms"]):
+                    m = slot_maps[si]
+                    for docs, _tfs, nbs, plists in store.get(t, []):
+                        for d, nb, p in zip(docs.tolist(), nbs.tolist(), plists):
+                            adj = p - si
+                            prev = m.get(d)
+                            m[d] = adj if prev is None else np.union1d(prev, adj)
+                            norm_map[d] = nb
+                cand = set(slot_maps[0])
+                for m in slot_maps[1:]:
+                    cand &= set(m)
+                d_out, f_out, nb_out = [], [], []
+                for d in sorted(cand):
+                    slot_arrs = [m[d] for m in slot_maps]
+                    c0 = slot_arrs[0]
+                    for a in slot_arrs[1:]:
+                        c0 = np.intersect1d(c0, a)
+                    freq = float((c0 >= 0).sum())
+                    if freq > 0:
+                        d_out.append(d)
+                        f_out.append(freq)
+                        nb_out.append(norm_map[d])
+                f32 = np.asarray(f_out, dtype=np.float32)
+                nb = np.asarray(nb_out, dtype=np.int64)
+                sc = (spec["weight"] * f32 / (f32 + cache[nb])).astype(np.float32)
+                if spec["boost"] != 1.0:
+                    sc = (sc * np.float32(spec["boost"])).astype(np.float32)
+                return np.asarray(d_out, dtype=np.int64), sc
+
+            parts_docs, parts_score, parts_nm = [], [], []
+            for t in score_terms:
+                for docs, tfs, nbs, _pl in store.get(t, []):
+                    tf32 = tfs.astype(np.float32)
+                    s = (weights[t] * tf32 / (tf32 + cache[nbs])).astype(np.float32)
+                    s = (s * boosts[t]).astype(np.float32)
+                    parts_docs.append(docs)
+                    parts_score.append(s)
+                    parts_nm.append(
+                        np.full(len(docs), nm_term[t], dtype=np.int64)
+                    )
+            for spec in phrase_specs:
+                d, s = eval_phrase(spec)
+                parts_docs.append(d)
+                parts_score.append(s)
+                parts_nm.append(np.full(len(d), spec["nm"], dtype=np.int64))
+            if not parts_docs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array([], dtype=np.int64),
+                        "score": np.array([], dtype=np.float32),
+                    }
+                )
+                return
+            alldocs = np.concatenate(parts_docs)
+            u, inv = np.unique(alldocs, return_inverse=True)
+            ssum = np.zeros(len(u), dtype=np.float64)
+            np.add.at(ssum, inv, np.concatenate(parts_score).astype(np.float64))
+            nmust = np.zeros(len(u), dtype=np.int64)
+            np.add.at(nmust, inv, np.concatenate(parts_nm))
+            mask = nmust == total_must_f
+            neg_docs = [
+                docs for t in neg_term_set for docs, _, _, _ in store.get(t, [])
+            ]
+            for spec in neg_phrase_specs:
+                d, _ = eval_phrase(spec)
+                neg_docs.append(d)
+            if neg_docs:
+                mask &= ~np.isin(u, np.concatenate(neg_docs))
+            yield pd.DataFrame(
+                {"doc_id": u[mask], "score": ssum[mask].astype(np.float32)}
+            )
+
+        return (
+            self.postings.where(F.col("term").isin(scan_terms))
+            .select(*cols)
+            .coalesce(1)
+            .mapInPandas(kernel, schema="doc_id long, score float")
+        )
+
     def _posting_docs(self, tinfo: pd.DataFrame) -> DataFrame:
         """doc_ids (with duplicates across terms) of all postings of the given
         terms — the non-scoring DocIdSetIterator path: no BM25 kernel, no
@@ -1259,6 +1474,10 @@ class Searcher:
         from .parser import MUST, MUST_NOT, SHOULD  # noqa: F401
 
         fs = field_searchers or {}
+        if not fs:
+            fast = self._single_slice_clauses(clauses)
+            if fast is not _SLICE_NA:
+                return fast
 
         def res(c) -> "Searcher":
             f = getattr(c, "field", None)

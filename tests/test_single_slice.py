@@ -77,6 +77,30 @@ def test_phrase_fast_path_matches_distributed(pos_index, phrase, slop):
     assert list(fast["score"]) == list(dist["score"])
 
 
+PARSED = [
+    '+fast -slow "fast dog" cat^2',
+    'fast AND dog',
+    '+fast +dog -"slow cat"',
+    'fast^3 dog "dog cat"',
+    '"fast dog" OR "dog cat"',
+    '+zzznope fast',
+    'fast -zzznope',
+]
+
+
+@pytest.mark.parametrize("q", PARSED)
+def test_parsed_fast_path_matches_distributed(pos_index, q):
+    s = pos_index
+    fast = s.query(q, k=100).toPandas()
+    os.environ["LSS_SINGLE_SLICE_POSTINGS"] = "0"
+    try:
+        dist = s.query(q, k=100).toPandas()
+    finally:
+        del os.environ["LSS_SINGLE_SLICE_POSTINGS"]
+    assert list(fast["doc_id"]) == list(dist["doc_id"])
+    assert list(fast["score"]) == list(dist["score"])
+
+
 def test_fast_path_engages_and_big_df_declines(index, monkeypatch):
     s = index
     tinfo = s.lookup_terms(["fast", "dog"])
