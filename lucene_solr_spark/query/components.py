@@ -35,6 +35,42 @@ from pyspark.sql import functions as F
 from ..analysis.analyzer import standard_tokenize
 
 
+def realtime_get(spark, paths, keys, key_col: str = "url") -> DataFrame:
+    """RealTimeGet (/get) — fetch the CURRENT version of documents by unique
+    key, independent of any open Searcher's point-in-time snapshot
+    (RealTimeGetComponent.java:65-241). Solr answers /get from the update
+    log before a soft-commit makes docs searchable; here every micro-batch
+    commits atomically through lineage, so the real-time view is obtained by
+    resolving lineage FRESH on each call — an already-open Searcher keeps
+    its reopen-time snapshot, exactly the view /get exists to bypass.
+
+    Latest-wins per key: `update_documents` tombstones prior versions at
+    append time; if a key transiently carries several live rows the highest
+    doc_id (newest segment) is returned — the tlog-order rule. Keys may be a
+    list or a DataFrame of `key_col`; the key frame broadcasts into the
+    semi-join (top-k-sized by definition), so this is one pruned scan of
+    the docs table at any corpus size."""
+    from .executor import Searcher
+
+    searcher = Searcher(spark, paths)  # fresh lineage resolution = /get view
+    kdf = (
+        keys
+        if isinstance(keys, DataFrame)
+        else spark.createDataFrame([(k,) for k in keys], f"{key_col} string")
+    )
+    live = searcher._drop_deleted(
+        searcher.docs.join(
+            F.broadcast(kdf.select(key_col).distinct()), key_col, "left_semi"
+        )
+    )
+    rest = [c for c in live.columns if c != key_col]
+    return (
+        live.groupBy(key_col)
+        .agg(F.max_by(F.struct(*rest), F.col("doc_id")).alias("d"))
+        .select(key_col, "d.*")
+    )
+
+
 # --- sort / paging -----------------------------------------------------------
 def sort_topk(
     source: DataFrame,

@@ -145,3 +145,40 @@ def test_large_batch_append_scales_out(spark, tmp_path):
         pages.select("url").distinct().count()
         + pages2.select("url").distinct().count()
     )
+
+
+def test_realtime_get_sees_updates_past_open_searcher(spark, tmp_path):
+    """RealTimeGet: /get resolves lineage fresh — an updated doc is visible
+    to realtime_get immediately while an ALREADY-OPEN searcher keeps its
+    point-in-time view; deleted keys disappear; unknown keys return no row."""
+    from lucene_solr_spark.index.deletes import delete_by_key
+    from lucene_solr_spark.query.components import realtime_get
+    from lucene_solr_spark.streaming.nrt import update_documents
+
+    idx = str(tmp_path / "rtg")
+    df1 = spark.createDataFrame(list(B1.items()), "url string, text string")
+    append_segment(spark, df1, idx)
+    s_old = Searcher(spark, idx)
+    old_max = s_old.stats.max_doc
+
+    got = realtime_get(spark, idx, ["a01", "zz-missing"]).toPandas()
+    assert list(got["url"]) == ["a01"]
+    dl_before = int(got["dl"].iloc[0])
+
+    upd = spark.createDataFrame(
+        [("a01", "completely different much longer replacement text body")],
+        "url string, text string",
+    )
+    update_documents(spark, upd, idx)
+
+    # the open searcher still sees its snapshot ...
+    assert s_old.stats.max_doc == old_max
+    # ... while /get sees the new version (new doc_id, new length)
+    got2 = realtime_get(spark, idx, ["a01"]).toPandas()
+    assert len(got2) == 1
+    assert int(got2["doc_id"].iloc[0]) >= old_max
+    assert int(got2["dl"].iloc[0]) != dl_before
+
+    keys = spark.createDataFrame([("a01",)], "url string")
+    delete_by_key(spark, idx, keys)
+    assert realtime_get(spark, idx, ["a01"]).count() == 0
