@@ -40,7 +40,11 @@ def _row_rng(seed: int, i: int) -> np.random.RandomState:
     return np.random.RandomState((seed * 1_000_003 + i * 31337) % (2**31 - 1))
 
 
-def _make_text(rng: np.random.RandomState) -> str:
+# topical terms for bursty mode (includes the wand-bench query terms)
+_TOPICS = "spark merge query window stream value fast index".split()
+
+
+def _make_text(rng: np.random.RandomState, bursty: bool = False) -> str:
     n = int(rng.randint(20, 400))
     # Zipfian over content vocab
     ranks = rng.zipf(1.3, size=n) % len(_CONTENT)
@@ -52,11 +56,29 @@ def _make_text(rng: np.random.RandomState) -> str:
         words.insert(p, _STOP[int(rng.randint(0, len(_STOP)))])
     if rng.rand() < 0.05:
         words.insert(0, _EDGE[int(rng.randint(0, len(_EDGE)))])
+    if bursty and rng.rand() < 0.02:
+        # term-frequency burstiness (real web text: a page ABOUT a topic
+        # repeats it tens of times; background pages mention it 0-2×).
+        # Flat synthetic tf is provably unprunable for block-max WAND —
+        # bursts are what give per-block maxima the variance pruning needs.
+        t = _TOPICS[int(rng.randint(0, len(_TOPICS)))]
+        reps = int(rng.randint(15, 60))
+        pos = rng.randint(0, len(words) + 1, size=reps)
+        for p in sorted(pos.tolist(), reverse=True):
+            words.insert(p, t)
     return " ".join(words)
 
 
-def generate_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int | None = None) -> DataFrame:
-    """n synthetic pages, deterministic for (n, seed) at any parallelism."""
+def generate_pages(
+    spark: SparkSession,
+    n: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    bursty: bool = False,
+) -> DataFrame:
+    """n synthetic pages, deterministic for (n, seed, bursty) at any
+    parallelism. bursty=False (default) is byte-identical to prior rounds;
+    bursty=True adds topical tf bursts (see _make_text)."""
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = spark.range(0, n, 1, partitions)
@@ -71,7 +93,11 @@ def generate_pages(spark: SparkSession, n: int, seed: int = 42, partitions: int 
                 is_dup = i > 0 and (i % 101 == 0)
                 src = i - 1 if is_dup else i
                 url = f"https://site{src % 1000}.example/p/{src}"
-                text = _make_text(_row_rng(seed, src)) if not is_dup else _make_text(rng)
+                text = (
+                    _make_text(_row_rng(seed, src), bursty)
+                    if not is_dup
+                    else _make_text(rng, bursty)
+                )
                 ts = np.datetime64("2025-01-01") + np.timedelta64(i, "s")
                 title = f"page {src}"
                 html = f"<html><head><title>{title}</title></head><body>{text}</body></html>".encode()

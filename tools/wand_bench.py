@@ -10,8 +10,11 @@ field length so BM25-favored short docs cluster in the low chunks — the
 seed chunk then sets a θ that the long-doc chunks' bounds cannot reach, and
 whole chunks prune away.
 
-Usage: python tools/wand_bench.py [n_docs] [pages_dir]
+Usage: python tools/wand_bench.py [n_docs] [pages_dir | bursty]
 Prints one JSON line with both latencies and verifies rank+score identity.
+With `bursty`, the corpus adds topical tf bursts (webgen bursty mode — the
+block-maxima variance real web text has) and a third measurement column
+runs `search_wand(..., bucket_prune=True)` (block-level θ pruning).
 """
 
 from __future__ import annotations
@@ -36,7 +39,9 @@ from lucene_solr_spark.sources.webgen import generate_pages  # noqa: E402
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    pages_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    arg2 = sys.argv[2] if len(sys.argv) > 2 else None
+    bursty = arg2 == "bursty"
+    pages_dir = None if bursty else arg2
 
     spark = get_spark(app="wand-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,7 +51,9 @@ def main() -> None:
     else:
         tmp = tempfile.mkdtemp(prefix="wand_pages_")
         pages_dir = os.path.join(tmp, "pages")
-        generate_pages(spark, n, seed=42).write.mode("overwrite").parquet(pages_dir)
+        generate_pages(spark, n, seed=42, bursty=bursty).write.mode(
+            "overwrite"
+        ).parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
 
     idx = tempfile.mkdtemp(prefix="wand_idx_")
@@ -71,7 +78,12 @@ def main() -> None:
             "single_head": ["value"],
         }
         reps = 5
-        out = {"n_docs": n, "build_sec": round(build_sec, 1), "sorted_by": "doclen asc"}
+        out = {
+            "n_docs": n,
+            "build_sec": round(build_sec, 1),
+            "sorted_by": "doclen asc",
+            "bursty": bursty,
+        }
         for name, q in queries.items():
             exh = s.search(q, k=10)
             pstats: dict = {}
@@ -99,6 +111,18 @@ def main() -> None:
                     pstats.get("chunks_total", 0) - pstats.get("chunks_live", 0)
                 ),
             }
+            if bursty:
+                wb = s.search_wand(q, k=10, bucket_prune=True)
+                okb = [(r.doc_id, r.score) for r in e_rows] == [
+                    (r.doc_id, r.score) for r in wb.collect()
+                ]
+                tb = time.time()
+                for _ in range(reps):
+                    s.search_wand(q, k=10, bucket_prune=True).collect()
+                t_bkt = (time.time() - tb) / reps
+                out[name]["wand_bucket_sec"] = round(t_bkt, 3)
+                out[name]["bucket_speedup"] = round(t_exh / t_bkt, 2)
+                out[name]["bucket_identical"] = okb
         print(json.dumps(out))
     finally:
         shutil.rmtree(idx, ignore_errors=True)
