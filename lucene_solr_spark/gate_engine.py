@@ -776,16 +776,60 @@ def _e_facet_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_date(ev, "ts", unit="day", matches=matches, id_col="event_id")
 
 
-@df_gate(
-    "engine_match_all",
-    "SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents",
-)
+# not driver-registered (registry budget: a match-all row is the least
+# informative gate — its set is trivially every live doc_id, a property
+# engine_total_hits + the delete tests already pin); kept for pytest/manual
 def _e_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatchAllDocsQuery over the built index's live docs."""
     from .query.components import match_all
 
     s = _engine_searcher(spark, sf_dir)
     return spark.createDataFrame([(match_all(s).count(),)], "total long")
+
+
+def _span_near_sql() -> str:
+    d = "duckdb"
+    return f"""
+WITH tok AS ({tok_cte(d)}),
+a AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = 'merge'),
+ord AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_id
+  FROM a JOIN b ON a.doc_id = b.doc_id
+  WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1),
+unord AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_id
+  FROM a JOIN b ON a.doc_id = b.doc_id
+  WHERE ABS(b.pos - a.pos) - 1 <= 2)
+SELECT 'ordered' AS mode, doc_id FROM ord
+UNION ALL
+SELECT 'unordered' AS mode, doc_id FROM unord
+ORDER BY mode, doc_id"""
+
+
+@df_gate("engine_span_near", _span_near_sql())
+def _e_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpanNearQuery through the engine, both orders in one row set:
+    ordered 'fast merge' slop=1 (NearSpansOrdered.java:190-345 — exists a
+    pair p_fast < p_merge with gap ≤ 1) and unordered slop=2
+    (NearSpansUnordered.java:332-335 — exists a pair with window − 2 ≤ 2),
+    vs brute-force position-pair DuckDB oracles. Match-set equivalence of
+    the iterator enumeration to the exists-pair predicate is property-
+    tested in tests/test_spans.py."""
+    from .query.spans import SpanNear, SpanTerm
+
+    s = _engine_searcher(spark, sf_dir)
+    ordered = SpanNear((SpanTerm("fast"), SpanTerm("merge")), slop=1, in_order=True)
+    unordered = SpanNear(
+        (SpanTerm("fast"), SpanTerm("merge")), slop=2, in_order=False
+    )
+    a = _to_orig(s, s.span_search(ordered, k=1_000_000), ranked=False).select(
+        F.lit("ordered").alias("mode"), "doc_id"
+    )
+    b = _to_orig(s, s.span_search(unordered, k=1_000_000), ranked=False).select(
+        F.lit("unordered").alias("mode"), "doc_id"
+    )
+    return a.unionAll(b).orderBy("mode", "doc_id")
 
 
 # not driver-registered (registry budget: the bool engine gates exercise the

@@ -1380,6 +1380,16 @@ class Searcher:
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score float")
 
+    def span_search(self, node, k: int = 10,
+                    filter_docs: DataFrame | None = None) -> DataFrame:
+        """Span query (SpanTerm/SpanNear/SpanOr/SpanNot/SpanFirst tree over
+        this index's positions) — see query/spans.py for the iterator
+        semantics (NearSpansOrdered.java / NearSpansUnordered.java /
+        SpanScorer.java)."""
+        from .spans import span_search as _span_search
+
+        return _span_search(self, node, k=k, filter_docs=filter_docs)
+
     # --- parsed boolean queries (classic QueryParser surface) --------------
     def query(self, query_string: str, k: int = 10) -> DataFrame:
         """Parse classic syntax (+must -not "phrases" boosts AND/OR) and
