@@ -15,6 +15,7 @@ arithmetic / date_trunc.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -350,3 +351,254 @@ def boosted_topk(
         boosted.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+# --- registry tail (ValueSourceParser.java:95-444): the remaining named
+# sources. threadid/sleep/testfunc are diagnostics with no analytics
+# meaning (documented n/a). ---------------------------------------------------
+
+
+def literal(value: str) -> Column:
+    """LiteralValueSource (ValueSourceParser.java:119): constant string."""
+    return F.lit(str(value))
+
+
+def field(name: str) -> Column:
+    """FieldValueSource — a raw field reference (ValueSourceParser.java:388
+    `field(...)`); in the DataFrame model a column is already a value
+    source."""
+    return F.col(name)
+
+
+def true_() -> Column:
+    """BoolConstValueSource true (ValueSourceParser.java:410)."""
+    return F.lit(True)
+
+
+def false_() -> Column:
+    """BoolConstValueSource false (ValueSourceParser.java:416)."""
+    return F.lit(False)
+
+
+def index_numdocs(searcher) -> int:
+    """NumDocsValueSource (ValueSourceParser.java:434): maxDoc minus
+    deleted docs — the live document count."""
+    from ..index.deletes import read_deletes
+
+    dels = read_deletes(searcher.spark, searcher.paths)
+    n_deleted = dels.count() if dels is not None else 0
+    return int(searcher.stats.max_doc) - int(n_deleted)
+
+
+def top(x: Column) -> Column:
+    """TopValueSource (ValueSourceParser.java:102): re-binds a source to the
+    top-level reader. DataFrame columns are always collection-global, so
+    this is the identity."""
+    return x
+
+
+def vector(*xs: Column) -> Column:
+    """VectorValueSource (ValueSourceParser.java:302 `vector(...)`): bundle
+    scalar sources into one multi-valued value."""
+    return F.array(*[x.cast("double") for x in xs])
+
+
+def sqedist(a: list[Column], b: list[Column]) -> Column:
+    """SquaredEuclideanFunction (ValueSourceParser.java:337 `sqedist`)."""
+    out = F.lit(0.0)
+    for xa, xb in zip(a, b):
+        d = xa.cast("double") - xb.cast("double")
+        out = out + d * d
+    return out
+
+
+def dist(power: float, a: list[Column], b: list[Column]) -> Column:
+    """VectorDistanceFunction (ValueSourceParser.java:345 `dist`): Minkowski
+    p-norm distance; p=0 counts differing dimensions (sparseness), p=∞ is
+    the max coordinate delta."""
+    deltas = [F.abs(xa.cast("double") - xb.cast("double")) for xa, xb in zip(a, b)]
+    if power == 0:
+        out = F.lit(0.0)
+        for d in deltas:
+            out = out + F.when(d != 0.0, 1.0).otherwise(0.0)
+        return out
+    if power == float("inf"):
+        return F.greatest(*deltas) if len(deltas) > 1 else deltas[0]
+    out = F.lit(0.0)
+    for d in deltas:
+        out = out + F.pow(d, F.lit(float(power)))
+    return F.pow(out, F.lit(1.0 / float(power)))
+
+
+def hsin(radius: float, lat1: Column, lon1: Column, lat2: Column, lon2: Column,
+         to_radians: bool = True) -> Column:
+    """HaversineFunction (ValueSourceParser.java:311 `hsin`): great-circle
+    distance on a caller-supplied sphere radius; inputs in degrees unless
+    `to_radians=False` (the hsin convertToRadians flag)."""
+    rlat1 = F.radians(lat1) if to_radians else lat1.cast("double")
+    rlat2 = F.radians(lat2) if to_radians else lat2.cast("double")
+    rlon1 = F.radians(lon1) if to_radians else lon1.cast("double")
+    rlon2 = F.radians(lon2) if to_radians else lon2.cast("double")
+    dlat = (rlat2 - rlat1) / 2.0
+    dlon = (rlon2 - rlon1) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return (F.lit(2.0 * float(radius)) * F.asin(F.sqrt(a))).cast("double")
+
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 12) -> Column:
+    """GeoHashValueSource (ValueSourceParser.java:319 `geohash`):
+    interleaved-bit base-32 geohash. Vectorized Arrow UDF (bit twiddling
+    has no Catalyst expression); geohashing is a per-row O(precision)
+    integer op, never a shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    prec = int(precision)
+
+    @pandas_udf("string")
+    def _gh(la: pd.Series, lo: pd.Series) -> pd.Series:
+        la_v = np.asarray(la, dtype=np.float64)
+        lo_v = np.asarray(lo, dtype=np.float64)
+        nbits = prec * 5
+        # interleave lon (even bit positions, incl. the MSB) and lat (odd)
+        lon_n = (nbits + 1) // 2
+        lat_n = nbits // 2
+        lon_q = np.floor((lo_v + 180.0) / 360.0 * (1 << lon_n)).astype(np.uint64)
+        lat_q = np.floor((la_v + 90.0) / 180.0 * (1 << lat_n)).astype(np.uint64)
+        np.clip(lon_q, 0, (1 << lon_n) - 1, out=lon_q)
+        np.clip(lat_q, 0, (1 << lat_n) - 1, out=lat_q)
+        out = []
+        for lq, tq in zip(lon_q.tolist(), lat_q.tolist()):
+            bits = 0
+            for i in range(nbits):
+                if i % 2 == 0:
+                    b = (lq >> (lon_n - 1 - i // 2)) & 1
+                else:
+                    b = (tq >> (lat_n - 1 - i // 2)) & 1
+                bits = (bits << 1) | b
+            out.append(
+                "".join(
+                    _GEOHASH_B32[(bits >> (5 * (prec - 1 - j))) & 31]
+                    for j in range(prec)
+                )
+            )
+        return pd.Series(out)
+
+    return _gh(lat.cast("double"), lon.cast("double"))
+
+
+def ghhsin(radius: float, gh1: Column, gh2: Column) -> Column:
+    """GeohashHaversineFunction (ValueSourceParser.java:327 `ghhsin`):
+    haversine between two geohash-encoded points (decode → hsin)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _decode(gh: pd.Series) -> pd.Series:
+        def dec(s: str) -> list[float]:
+            bits = 0
+            for ch in s:
+                bits = (bits << 5) | _GEOHASH_B32.index(ch)
+            nbits = len(s) * 5
+            lon_q = lat_q = 0
+            for i in range(nbits):
+                b = (bits >> (nbits - 1 - i)) & 1
+                if i % 2 == 0:
+                    lon_q = (lon_q << 1) | b
+                else:
+                    lat_q = (lat_q << 1) | b
+            lon_n = (nbits + 1) // 2
+            lat_n = nbits // 2
+            lon = (lon_q + 0.5) / (1 << lon_n) * 360.0 - 180.0
+            lat = (lat_q + 0.5) / (1 << lat_n) * 180.0 - 90.0
+            return [lat, lon]
+
+        return gh.map(dec)
+
+    p1, p2 = _decode(gh1), _decode(gh2)
+    return hsin(
+        radius,
+        F.element_at(p1, 1), F.element_at(p1, 2),
+        F.element_at(p2, 1), F.element_at(p2, 2),
+        to_radians=True,
+    )
+
+
+def strdist_jaro_winkler(a: Column, b: Column) -> Column:
+    """strdist(..., 'jw') (ValueSourceParser.java:352 → JaroWinklerDistance):
+    similarity in [0,1]. Vectorized Arrow UDF (no Catalyst builtin)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def jw(s1: str, s2: str) -> float:
+        if s1 == s2:
+            return 1.0
+        l1, l2 = len(s1), len(s2)
+        if not l1 or not l2:
+            return 0.0
+        window = max(l1, l2) // 2 - 1
+        m1 = [False] * l1
+        m2 = [False] * l2
+        matches = 0
+        for i, c in enumerate(s1):
+            lo, hi = max(0, i - window), min(l2, i + window + 1)
+            for j in range(lo, hi):
+                if not m2[j] and s2[j] == c:
+                    m1[i] = m2[j] = True
+                    matches += 1
+                    break
+        if not matches:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(l1):
+            if m1[i]:
+                while not m2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+        prefix = 0
+        for c1, c2 in zip(s1, s2):
+            if c1 != c2 or prefix == 4:
+                break
+            prefix += 1
+        return jaro + prefix * 0.1 * (1.0 - jaro)
+
+    @pandas_udf("double")
+    def _jw(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series([jw(p or "", q or "") for p, q in zip(x, y)])
+
+    return _jw(a, b)
+
+
+def strdist_ngram(a: Column, b: Column, n: int = 2) -> Column:
+    """strdist(..., 'ngram') (ValueSourceParser.java:352 → NGramDistance).
+    DECLARED DIVERGENCE: the reference scores a DP alignment over n-gram
+    profiles; this maps the name to a pure-JVM Jaccard over the distinct
+    n-gram sets — same [0,1] range and 1.0-on-equal contract, stays inside
+    whole-stage codegen (the exact DP would force a per-row UDF)."""
+    def grams(c: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+    ga, gb = grams(a), grams(b)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+def currency_convert(
+    amount: Column, code: Column, target: str, rates: dict[str, float]
+) -> Column:
+    """CurrencyValueSource (ValueSourceParser.java:385 / CurrencyField):
+    convert (amount, currency_code) into the target currency with a
+    caller-supplied rate table (the FileExchangeRateProvider analog — Solr
+    also loads rates from configuration, never the index)."""
+    to_target = F.lit(float(rates[target]))
+    expr = F.lit(None).cast("double")
+    for cur, rate in rates.items():
+        expr = F.when(code == cur, amount.cast("double") / F.lit(float(rate)) * to_target).otherwise(expr)
+    return expr
