@@ -1075,6 +1075,64 @@ class Searcher:
         scored = agg.select("doc_id", score.alias("score"))
         return self._topk(self._drop_deleted(scored), k)
 
+    def search_lm_dirichlet(
+        self, query: str | list[str], k: int = 10, mu: float = 2000.0
+    ) -> DataFrame:
+        """LMDirichletSimilarity top-k — the third search-time similarity
+        over the same index/norms (see query/lmdirichlet.py for the formula
+        trail: LMDirichletSimilarity.java:64-70, LMSimilarity.java:148-155,
+        SimilarityBase.java:215-244). Same one-scan shape as `search` /
+        `search_classic`; boolean combine is the DisjunctionSumScorer
+        double-sum (coord/queryNorm are the Similarity.java:122,139
+        defaults of 1, so no coord factor)."""
+        from .lmdirichlet import collection_probability, lm_dirichlet_scores
+
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self._empty()
+        tinfo = self.lookup_terms(uniq)
+        if tinfo.empty:
+            return self._empty()
+        mu32 = np.float32(mu)
+        probs = {
+            str(t): collection_probability(int(ttf), self.stats.sum_total_term_freq)
+            for t, ttf in zip(tinfo["term"], tinfo["ttf"])
+        }
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_doc, out_score = [], []
+                for row in pdf.itertuples(index=False):
+                    gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                    out_doc.append(row.first_doc + np.cumsum(gaps))
+                    out_score.append(
+                        lm_dirichlet_scores(
+                            np.asarray(row.tfs, dtype=np.int64),
+                            np.asarray(row.norm_bytes, dtype=np.int64),
+                            probs[row.term],
+                            mu32,
+                        )
+                    )
+                if out_doc:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.concatenate(out_doc),
+                            "score": np.concatenate(out_score),
+                        }
+                    )
+
+        rows = self.postings.where(
+            F.col("term").isin(sorted(probs))
+        ).select("term", "first_doc", "doc_gaps", "tfs", "norm_bytes")
+        per_term = rows.mapInPandas(kernel, schema="doc_id long, score float")
+        scored = per_term.groupBy("doc_id").agg(
+            F.sum("score").cast("float").alias("score")
+        )
+        return self._topk(self._drop_deleted(scored), k)
+
     def _single_slice_clauses(self, clauses):
         """Collapsed single-slice execution of a PARSED mixed boolean query
         (term + phrase clauses, one field): when Σdf of every term clause
