@@ -1085,7 +1085,32 @@ class Searcher:
         `search_classic`; boolean combine is the DisjunctionSumScorer
         double-sum (coord/queryNorm are the Similarity.java:122,139
         defaults of 1, so no coord factor)."""
-        from .lmdirichlet import collection_probability, lm_dirichlet_scores
+        from .lmdirichlet import lm_dirichlet_scores
+
+        mu32 = np.float32(mu)
+        return self._search_lm(
+            query, k, lambda tf, nb, p: lm_dirichlet_scores(tf, nb, p, mu32)
+        )
+
+    def search_lm_jm(
+        self, query: str | list[str], k: int = 10, lam: float = 0.7
+    ) -> DataFrame:
+        """LMJelinekMercerSimilarity top-k (LMJelinekMercerSimilarity.java:
+        53-58) — linear interpolation smoothing over the same index/norms;
+        λ=0.7 (the long-query setting Zhai & Lafferty recommend and the
+        Solr LMJelinekMercerSimilarityFactory default)."""
+        from .lmdirichlet import lm_jelinek_mercer_scores
+
+        lam32 = np.float32(lam)
+        return self._search_lm(
+            query, k, lambda tf, nb, p: lm_jelinek_mercer_scores(tf, nb, p, lam32)
+        )
+
+    def _search_lm(self, query, k, score_fn) -> DataFrame:
+        """Shared LM execution: term-pruned postings scan → per-posting
+        float32 scores from `score_fn(tfs, norm_bytes, p_collection)` →
+        double-sum disjunction combine (unit coord/queryNorm) → top-k."""
+        from .lmdirichlet import collection_probability
 
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
         uniq = sorted(set(terms))
@@ -1094,7 +1119,6 @@ class Searcher:
         tinfo = self.lookup_terms(uniq)
         if tinfo.empty:
             return self._empty()
-        mu32 = np.float32(mu)
         probs = {
             str(t): collection_probability(int(ttf), self.stats.sum_total_term_freq)
             for t, ttf in zip(tinfo["term"], tinfo["ttf"])
@@ -1109,11 +1133,10 @@ class Searcher:
                     gaps = np.asarray(row.doc_gaps, dtype=np.int64)
                     out_doc.append(row.first_doc + np.cumsum(gaps))
                     out_score.append(
-                        lm_dirichlet_scores(
+                        score_fn(
                             np.asarray(row.tfs, dtype=np.int64),
                             np.asarray(row.norm_bytes, dtype=np.int64),
                             probs[row.term],
-                            mu32,
                         )
                     )
                 if out_doc:

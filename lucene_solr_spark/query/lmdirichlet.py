@@ -61,12 +61,35 @@ def lm_dirichlet_scores(
     return np.maximum(score, np.float32(0.0))
 
 
+def lm_jelinek_mercer_scores(
+    tfs: np.ndarray,
+    norm_bytes: np.ndarray,
+    p_collection: np.float32,
+    lam: np.float32,
+) -> np.ndarray:
+    """LMJelinekMercerSimilarity.score (LMJelinekMercerSimilarity.java:
+    53-58): float( log(1 + ((1-λ)·freq/docLen) / (λ·p(t|C))) ), boost=1.
+    Inner ratio arithmetic float32, the log double, final cast float32 —
+    always ≥ 0, no clip needed."""
+    freq = np.asarray(tfs, dtype=np.float32)
+    doc_len = LM_DOCLEN_TABLE[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+    ratio = ((np.float32(1.0) - lam) * freq / doc_len) / (lam * p_collection)
+    inner = np.float32(1.0) + ratio
+    return np.log(inner.astype(np.float64)).astype(np.float32)
+
+
 def brute_force_lm_topk(
-    texts: dict[int, str], query_terms: list[str], k: int = 10, mu: float = 2000.0
+    texts: dict[int, str],
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    similarity: str = "dirichlet",
+    lam: float = 0.7,
 ) -> list[tuple[int, float]]:
     """Exhaustive oracle: tokenize, quantize lengths through the stored
-    norm byte, score every distinct query term per doc, double-sum → float
-    (DisjunctionSumScorer), tie-break score desc / docID asc."""
+    norm byte, score every distinct query term per doc (Dirichlet or
+    Jelinek-Mercer), double-sum → float (DisjunctionSumScorer), tie-break
+    score desc / docID asc."""
     from ..analysis.analyzer import standard_tokenize
     from ..index.norms import encode_norm
 
@@ -88,9 +111,12 @@ def brute_force_lm_topk(
             matched = True  # a clipped-to-0 posting still matches
             ttf = sum(v.count(t) for v in token_lists.values())
             p = collection_probability(ttf, sum_ttf)
-            s = lm_dirichlet_scores(
-                np.array([tf]), np.array([nb]), p, mu32
-            )[0]
+            if similarity == "dirichlet":
+                s = lm_dirichlet_scores(np.array([tf]), np.array([nb]), p, mu32)[0]
+            else:
+                s = lm_jelinek_mercer_scores(
+                    np.array([tf]), np.array([nb]), p, np.float32(lam)
+                )[0]
             total += float(s)
         if matched:
             scores[d] = np.float32(total)

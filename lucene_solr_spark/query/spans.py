@@ -201,6 +201,8 @@ def eval_spans(node: SpanNode, positions: dict[str, np.ndarray]) -> list[tuple[i
             return []
         return [(int(x), int(x) + 1) for x in p]
     if isinstance(node, SpanNear):
+        if len(node.clauses) == 1:  # SpanNearQuery.getSpans single-clause
+            return eval_spans(node.clauses[0], positions)  # delegation
         subs = [eval_spans(c, positions) for c in node.clauses]
         if node.in_order:
             return _near_ordered(subs, node.slop)

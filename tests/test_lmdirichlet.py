@@ -90,6 +90,30 @@ def test_engine_matches_oracle(lm_index, terms, k):
     )
 
 
+@pytest.mark.parametrize("terms", [["spark"], ["spark", "merge", "plan"]])
+def test_jelinek_mercer_matches_oracle(lm_index, terms):
+    searcher, texts = lm_index
+    got = searcher.search_lm_jm(terms, k=10, lam=0.7).toPandas()
+    expect = brute_force_lm_topk(texts, terms, k=10, similarity="jm", lam=0.7)
+    assert got["doc_id"].tolist() == [d for d, _ in expect]
+    np.testing.assert_allclose(
+        got["score"].values,
+        np.array([s for _, s in expect], dtype=np.float32),
+        rtol=1e-6,
+    )
+
+
+def test_jm_always_nonnegative_and_lambda_sensitive():
+    p = collection_probability(50, 1000)
+    from lucene_solr_spark.query.lmdirichlet import lm_jelinek_mercer_scores
+    from lucene_solr_spark.index.norms import encode_norm
+
+    nb = encode_norm(np.array([30]))
+    hi = lm_jelinek_mercer_scores(np.array([3]), nb, p, np.float32(0.1))
+    lo = lm_jelinek_mercer_scores(np.array([3]), nb, p, np.float32(0.9))
+    assert float(hi[0]) > float(lo[0]) > 0.0
+
+
 def test_mu_parameter_changes_ranking_smoothly(lm_index):
     searcher, texts = lm_index
     a = searcher.search_lm_dirichlet(["spark", "merge"], k=10, mu=500.0).toPandas()

@@ -69,6 +69,12 @@ def test_near_ordered_slop_is_sum_of_gaps():
     assert eval_spans(tight, P(a=[0], b=[2], c=[5])) == []
 
 
+def test_near_single_clause_delegates():
+    # SpanNearQuery.getSpans returns the sole clause's spans directly
+    node = SpanNear((SpanTerm("a"),), slop=0, in_order=True)
+    assert eval_spans(node, P(a=[2, 9])) == [(2, 3), (9, 10)]
+
+
 def test_near_unordered_any_order():
     node = SpanNear((SpanTerm("a"), SpanTerm("b")), slop=0, in_order=False)
     assert eval_spans(node, P(a=[4], b=[3])) == [(3, 5)]
