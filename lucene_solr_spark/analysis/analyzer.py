@@ -54,6 +54,10 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH (:58)
 # "3.14", "u.s.a"). Valid in both Java regex and RE2.
 TOKEN_REGEX = r"[\p{L}\p{N}]+(?:['’.][\p{L}\p{N}]+)*"
 
+# EnglishPossessiveFilter.java:59-68 — trailing apostrophe (' U+2019 U+FF07)
+# + s/S. Valid in Java regex and RE2, so the oracle can strip identically.
+POSSESSIVE_REGEX = "['’＇][sS]$"
+
 # Same pattern for Python `re`, which lacks \p{..}: [^\W_] == \w minus '_'
 # (Unicode letters+digits). CJK handled by separate alternatives below.
 _CJK_IDEO = "一-鿿㐀-䶿豈-﫿"
@@ -139,12 +143,21 @@ def tokenize_fidelity_prestop_udf(texts: pd.Series) -> pd.Series:
 
 def token_array_for(text: Column, tokenizer: str = "jvm") -> Column:
     """Pre-stop token array under the chosen tokenizer: 'jvm' (codegen
-    regex, exact for Latin-script text) or 'fidelity' (Arrow UDF adding the
-    CJK/Java-lowercase behaviors)."""
+    regex, exact for Latin-script text), 'fidelity' (Arrow UDF adding the
+    CJK/Java-lowercase behaviors), or 'english' (jvm + possessive strip;
+    the Porter stem runs post-stop inside the inverter — see
+    analysis/english.py for the chain-order proof)."""
     if tokenizer == "jvm":
         return token_array(text)
     if tokenizer == "fidelity":
         return tokenize_fidelity_prestop_udf(text)
+    if tokenizer == "english":
+        # possessive strip BEFORE the stop filter ("it's" → "it" → stopped,
+        # EnglishAnalyzer.java:95-116 chain order); stays in codegen
+        return F.transform(
+            token_array(text),
+            lambda t: F.regexp_replace(t, POSSESSIVE_REGEX, ""),
+        )
     raise ValueError(f"unknown tokenizer '{tokenizer}'")
 
 

@@ -211,11 +211,16 @@ def _pack_rows(
     }
 
 
-def _invert_flat(doc_ids: np.ndarray, token_lists):
+def _invert_flat(doc_ids: np.ndarray, token_lists, stem: bool = False):
     """Common inversion front half: batch of (doc_id, tokens[]) →
     per-(doc, term) group arrays (g_doc, terms-uniques, g_code, tf,
     positions, dl_of_group_doc), with pre-stop positions and post-stop
-    filtering. Returns None for an effectively empty batch."""
+    filtering. Returns None for an effectively empty batch.
+
+    stem=True runs the Porter stemmer over the factorized vocabulary —
+    i.e. AFTER the stop filter, matching the EnglishAnalyzer chain order
+    (PorterStemFilter follows StopFilter, EnglishAnalyzer.java:95-116), and
+    once per distinct surface form instead of once per token."""
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
     total = int(lens.sum())
     if total == 0:
@@ -236,6 +241,19 @@ def _invert_flat(doc_ids: np.ndarray, token_lists):
         return None
 
     codes, uniques = pd.factorize(flat_terms, sort=False)
+    if stem:
+        from ..analysis.english import stem_tokens
+
+        # distinct surface forms can merge under stemming ("run"/"running");
+        # remap codes through the stemmed vocabulary and let the stable
+        # group sort below coalesce the merged (doc, term) groups — tf sums
+        # and positions stay ascending because pre-sort order is positional
+        scodes, suniques = pd.factorize(
+            np.asarray(stem_tokens(np.asarray(uniques, dtype=object)), dtype=object),
+            sort=False,
+        )
+        codes = scodes[codes]
+        uniques = np.asarray(suniques, dtype=object)
     order = np.lexsort((codes, flat_docs))  # stable → positions stay ascending
     d, c, p = flat_docs[order], codes[order], flat_pos[order]
     change = np.flatnonzero((np.diff(d) != 0) | (np.diff(c) != 0))
@@ -253,12 +271,14 @@ def _invert_flat(doc_ids: np.ndarray, token_lists):
     return g_doc, uniques, g_code, tf, g_pos, g_nb
 
 
-def _invert_batch(doc_ids: np.ndarray, token_lists, positions: bool) -> pd.DataFrame:
+def _invert_batch(
+    doc_ids: np.ndarray, token_lists, positions: bool, stem: bool = False
+) -> pd.DataFrame:
     """(doc_id, tokens[]) batch → rows (doc_id, term, tf[, positions])."""
     empty = {"doc_id": np.array([], dtype=np.int64), "term": [], "tf": np.array([], dtype=np.int32)}
     if positions:
         empty["positions"] = []
-    inv = _invert_flat(doc_ids, token_lists)
+    inv = _invert_flat(doc_ids, token_lists, stem=stem)
     if inv is None:
         return pd.DataFrame(empty)
     g_doc, uniques, g_code, tf, g_pos, _ = inv
@@ -277,12 +297,15 @@ def invert_tokens(
     schema = "doc_id long, term string, tf int" + (
         ", positions array<int>" if positions else ""
     )
+    stem = tokenizer == "english"
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            yield _invert_batch(pdf["doc_id"].values, pdf["toks"].values, positions)
+            yield _invert_batch(
+                pdf["doc_id"].values, pdf["toks"].values, positions, stem=stem
+            )
 
     src = with_ids.select(
         "doc_id",
@@ -303,11 +326,13 @@ def invert_and_pack_partials(
     norm + pack PARTIAL posting rows per (term, seg, chunk) over the batch's
     docs. Output rows follow POSTINGS_SCHEMA (term string key)."""
 
+    stem = tokenizer == "english"
+
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            inv = _invert_flat(pdf["doc_id"].values, pdf["toks"].values)
+            inv = _invert_flat(pdf["doc_id"].values, pdf["toks"].values, stem=stem)
             if inv is None:
                 continue
             g_doc, uniques, g_code, tf, g_pos, g_nb = inv

@@ -222,6 +222,13 @@ class Searcher:
         return pd.DataFrame(rows, columns=["term", "term_id", "df", "ttf"])
 
     def analyze_query(self, query_text: str) -> list[str]:
+        """Query-time analysis under the INDEX's chain (stats.json records
+        the build tokenizer) — the QueryParser-uses-the-field-analyzer rule
+        (QueryParserBase.newFieldQuery)."""
+        if self.meta.get("tokenizer") == "english":
+            from ..analysis.english import english_analyze
+
+            return [t for _, t in english_analyze(query_text)]
         return [t for _, t in standard_tokenize(query_text)]
 
     # --- scoring scan -----------------------------------------------------
