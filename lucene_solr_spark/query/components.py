@@ -407,3 +407,69 @@ def spellcheck(searcher, word: str, max_edits: int = 2, n: int = 10) -> DataFram
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
         .limit(n)
     )
+
+def terms_component(
+    searcher,
+    prefix: str | None = None,
+    lower: str | None = None,
+    upper: str | None = None,
+    lower_incl: bool = True,
+    upper_incl: bool = False,
+    mincount: int = 1,
+    maxcount: int | None = None,
+    limit: int = 10,
+    sort: str = "count",
+) -> DataFrame:
+    """TermsComponent (/terms handler, TermsComponent.java:84-235): enumerate
+    the term dictionary with terms.prefix / terms.lower / terms.upper bounds,
+    terms.mincount/maxcount df filters, terms.limit, and terms.sort=count
+    (df desc) or index (term asc). Reads ONLY the (term, df) columns of the
+    dictionary — a pruned scan + TakeOrderedAndProject, no postings touched,
+    so the plan is dictionary-sized at any corpus scale (the reference walks
+    the TermsEnum the same way)."""
+    t = searcher.terms.select("term", F.col("df").cast("long").alias("df"))
+    if prefix is not None:
+        lit = prefix.replace("%", r"\%").replace("_", r"\_")
+        t = t.where(F.col("term").like(lit + "%"))
+    if lower is not None:
+        t = t.where(F.col("term") >= lower if lower_incl else F.col("term") > lower)
+    if upper is not None:
+        t = t.where(F.col("term") <= upper if upper_incl else F.col("term") < upper)
+    t = t.where(F.col("df") >= mincount)
+    if maxcount is not None:
+        t = t.where(F.col("df") <= maxcount)
+    order = (
+        [F.col("df").desc(), F.col("term").asc()]
+        if sort == "count"
+        else [F.col("term").asc()]
+    )
+    return t.orderBy(*order).limit(limit)
+
+
+def term_vectors(
+    searcher,
+    hits: DataFrame,
+    source: DataFrame,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """TermVectorComponent (TermVectorComponent.java:120-318): per-document
+    term vectors (term, tf, positions) for the result docs. The reference
+    reads vectors STORED at index time; re-analyzing the stored text with
+    the index's own chain yields the identical vector (same analyzer, same
+    stop/length rules — the equivalence the reference's docs/tests rely on
+    when vectors are absent and TermVectorComponent falls back to
+    re-analysis). hits is top-k-sized, so it broadcasts into the source
+    join and the inversion kernel runs over k rows, not the corpus."""
+    from ..index.build import invert_tokens
+
+    docs = searcher.fetch_docs(hits.select("doc_id"), key_col=key_col).join(
+        source.select(key_col, text_col), key_col
+    )
+    tok = searcher.meta.get("tokenizer", "jvm")
+    vec = invert_tokens(
+        docs.select("doc_id", text_col), text_col, positions=True, tokenizer=tok
+    )
+    return vec.join(
+        F.broadcast(docs.select("doc_id", key_col)), "doc_id"
+    ).select(key_col, "term", "tf", "positions")
