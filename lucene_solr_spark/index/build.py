@@ -701,13 +701,33 @@ def build_index(
             .collect()
         }
 
+    approx_terms: int | None = 0 if not done_segs else None  # resume: unknown
     for seg in range(num_segments):
         if seg in done_segs:
             continue
         obs_seg = Observation(f"seg_{seg}_metrics")
+        # ONE fat shuffle, keyed by term alone: HashPartitioning(term)
+        # satisfies the (term, chunk_id) groupBy's ClusteredDistribution
+        # (term determines the partition), so the recombine runs on this
+        # exchange directly AND its output is already term-local for the
+        # write — the old plan shuffled the full posting bytes twice
+        # ((term, chunk) hash for recombine, then term hash for file
+        # locality). Head-term concentration is unchanged: the write task
+        # for a head term held its whole posting list before too; now the
+        # recombine of that term's chunks runs in the same task (each
+        # pandas group is still one (term, chunk) slice, so peak memory
+        # stays chunk-bounded). A small segment collapses to one globally
+        # term-sorted file instead — 32 fragment files of a 5k-doc segment
+        # cost more in per-file open/footer overhead than they buy in
+        # write parallelism (Lucene: one postings file per segment).
+        seg_partials = partials.where(F.col("seg_id") == seg)
+        seg_partials = (
+            seg_partials.repartition(1)
+            if small_input
+            else seg_partials.repartition(F.col("term"))
+        )
         merged = (
-            partials.where(F.col("seg_id") == seg)
-            .groupBy("term", "chunk_id")
+            seg_partials.groupBy("term", "chunk_id")
             .applyInPandas(recombine_with_impacts, schema=POSTINGS_SCHEMA)
             .withColumn("seg_id", F.lit(seg).cast("int"))
             # lineage metrics observed during the write itself (no re-read
@@ -723,20 +743,8 @@ def build_index(
                 F.sum("df_chunk").alias("row_count"),
             )
         )
-        # sort merged rows by term for parquet row-group pruning at query.
-        # Hash-by-term keeps every term's rows in ONE file (single-file
-        # locality for term lookups at scale); a small segment collapses to
-        # one globally term-sorted file instead — 32 fragment files of a
-        # 5k-doc segment cost more in per-file open/footer overhead than
-        # they buy in write parallelism (Lucene: one postings file per
-        # segment).
-        part = (
-            merged.repartition(1)
-            if small_input
-            else merged.repartition(F.col("term"))
-        )
         (
-            part.sortWithinPartitions("term", "chunk_id")
+            merged.sortWithinPartitions("term", "chunk_id")
             .write.mode("overwrite")
             .option("parquet.block.size", str(32 * 1024 * 1024))
             .parquet(os.path.join(paths.postings, f"seg_id={seg}"))
@@ -762,6 +770,8 @@ def build_index(
             "n_docs long, ttf long",
         )
         lineage_row.write.mode("append").parquet(paths.lineage)
+        if approx_terms is not None:
+            approx_terms += int(m["term_count"] or 0)
         _phase(f"seg{seg}_recombine+write")
 
     # --- 6. term dictionary (term, termID=global term rank, df, ttf) PLUS
@@ -848,10 +858,20 @@ def build_index(
             F.col("pairs.imp_docs").alias("imp_docs"),
         )
     )
-    # a small corpus implies a small vocabulary — reuse the input-size test
+    # one-task dense ids when the VOCABULARY is small — gated on the
+    # observed approx term counts (summed over segments: an overestimate,
+    # so the distributed path is kept conservatively; resume leaves the
+    # count unknown → distributed). Vocabulary grows ~corpus^0.5 (Heaps),
+    # so web corpora up to ~10^8 docs stay under the default 1M-term cap
+    # while 10^12-doc builds keep the fully distributed rank assignment.
+    # This is the terms-phase scaling fix: the range-sampled sort + count
+    # collect + offset join are 4 driver barriers over a dictionary that
+    # one task sorts in seconds.
+    vocab_cap = int(os.environ.get("LSS_TERMS_SINGLE_PARTITION_MAX", "1000000"))
     terms_tbl = assign_dense_ids(
         term_stats, order_col="term", id_col="term_id",
-        single_partition=small_input,
+        single_partition=small_input
+        or (approx_terms is not None and approx_terms <= vocab_cap),
     )
     terms_tbl.write.mode("overwrite").parquet(paths.terms)
     _phase("terms")

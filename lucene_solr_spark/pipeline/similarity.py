@@ -339,3 +339,117 @@ def ann_lsh_topk_partitioned(
             cands, [float(v) for v in q], k=k, vec_col=vec_col, key_col=key_col
         )
     return cosine_topk_pandas(cands, q, k=k, vec_col=vec_col, key_col=key_col)
+
+
+# --- IVF ANN ------------------------------------------------------------
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    dim: int,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    max_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means over a DETERMINISTIC
+    sample. The sample is hash-selected (crc32(key) mod m == 0), so it is
+    independent of partitioning/task order — same centroids on any cluster
+    size — and bounded (≤ max_sample rows collected to the driver, ~dim·8
+    bytes each; at 100 TB the sample is what's collected, never the table).
+    Lloyd's iterations run in numpy with seeded k-means++ init; empty
+    clusters keep their previous centroid. Centroids are L2-normalized each
+    round (spherical k-means), so nearest-centroid-by-dot == by-cosine."""
+    n = embeddings.count()
+    mod = max(1, n // max_sample)
+    sample = (
+        embeddings.select(key_col, vec_col)
+        .where((F.crc32(F.col(key_col).cast("string")) % mod) == 0)
+        .orderBy(key_col)
+        .limit(max_sample)
+        .toPandas()
+    )
+    x = np.stack(sample[vec_col].values).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding
+    cents = [x[rng.randint(len(x))]]
+    for _ in range(1, min(n_centroids, len(x))):
+        d2 = np.min(
+            [1.0 - x @ c for c in cents], axis=0
+        )  # cosine distance to nearest chosen
+        d2 = np.maximum(d2, 0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        cents.append(x[rng.choice(len(x), p=probs)])
+    c = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    c[j] = v / nv
+    return c
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append `list_id` = argmax-cosine centroid (ties → lowest id), one
+    Arrow-batched matrix product per batch — the IVF inverted-list key."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].values).astype(np.float64)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            out = pdf.copy()
+            out["list_id"] = np.argmax(m @ c.T, axis=1).astype(np.int32)
+            yield out
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(embeddings.schema.fields) + [StructField("list_id", IntegerType(), False)]
+    )
+    return embeddings.mapInPandas(kernel, schema=schema)
+
+
+def write_ivf_partitioned(assigned: DataFrame, path: str) -> None:
+    """Materialize the assigned table physically partitioned by `list_id` —
+    the IVF inverted lists as Hive partitions, so a probe scan lists and
+    reads ONLY the probed lists (PartitionFilters, zero I/O elsewhere).
+    Same locality idea as the per-term postings files / LSH sig_band."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    decimal_rerank: bool = False,
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query, scan the top
+    `nprobe` inverted lists (partition-pruned), exact cosine rerank inside.
+    Recall rises with nprobe (nprobe == n_centroids is exhaustive); the
+    scanned fraction is ~nprobe/n_centroids of the table."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    c = np.asarray(centroids, dtype=np.float64)
+    order = np.argsort(-(c @ qn), kind="stable")
+    lists = sorted(int(j) for j in order[:nprobe])
+    cands = spark.read.parquet(path).where(F.col("list_id").isin(lists))
+    if decimal_rerank:
+        return cosine_topk(
+            cands, [float(v) for v in q], k=k, vec_col=vec_col, key_col=key_col
+        )
+    return cosine_topk_pandas(cands, q, k=k, vec_col=vec_col, key_col=key_col)
