@@ -352,6 +352,7 @@ def more_like_this(
     max_query_terms: int = 5,
     k: int = 10,
     min_doc_freq: int = 1,
+    min_term_freq: int = 1,
 ) -> tuple[DataFrame, list[str]]:
     """MoreLikeThis (MoreLikeThis.java createQueue): re-analyze the seed
     text (retrieveTerms(Reader) path), rank its terms by tf·idf with
@@ -369,6 +370,9 @@ def more_like_this(
     scores = []
     for r in tinfo.itertuples():
         if int(r.df) < min_doc_freq:
+            continue
+        if int(tf[r.term]) < min_term_freq:
+            # MoreLikeThis.java:152 DEFAULT_MIN_TERM_FREQ gate
             continue
         idf = 1.0 + np.log(n / (int(r.df) + 1.0))
         scores.append((float(tf[r.term]) * idf, str(r.term)))
