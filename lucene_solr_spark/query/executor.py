@@ -168,22 +168,44 @@ class Searcher:
         key_col: str = "url",
         limit: int = 20,
         mincount: int = 1,
+        offset: int = 0,
+        prefix: str | None = None,
+        sort: str = "count",
+        missing: bool = False,
     ) -> DataFrame:
-        """facet.field over the match set (SimpleFacets.java:336-448): count
-        matching docs per value of `facet_col` from the source corpus,
-        ordered count desc / value asc, with limit + mincount."""
+        """facet.field over the match set (SimpleFacets.java:336-448) with
+        the full parameter surface: facet.limit/mincount/offset/prefix/
+        sort (count desc | index asc — FacetParams.FACET_SORT)/missing
+        (a NULL-keyed bucket counting matching docs with no value,
+        appended after the ordered buckets)."""
         matches = self.match_docs(terms)
         joined = (
             matches.join(self.docs.select("doc_id", key_col), "doc_id")
             .join(source.select(key_col, facet_col), key_col)
         )
-        return (
-            joined.groupBy(facet_col)
+        buckets = (
+            joined.where(F.col(facet_col).isNotNull() if prefix is None
+                         else F.col(facet_col).startswith(prefix))
+            .groupBy(facet_col)
             .agg(F.count(F.lit(1)).alias("facet_count"))
             .where(F.col("facet_count") >= mincount)
-            .orderBy(F.col("facet_count").desc(), F.col(facet_col).asc())
-            .limit(limit)
         )
+        if sort == "index":
+            buckets = buckets.orderBy(F.col(facet_col).asc())
+        else:
+            buckets = buckets.orderBy(
+                F.col("facet_count").desc(), F.col(facet_col).asc()
+            )
+        if offset:
+            buckets = buckets.offset(offset)
+        buckets = buckets.limit(limit)
+        if missing:
+            miss = joined.where(F.col(facet_col).isNull()).agg(
+                F.lit(None).cast(dict(joined.dtypes)[facet_col]).alias(facet_col),
+                F.count(F.lit(1)).alias("facet_count"),
+            )
+            buckets = buckets.unionByName(miss)
+        return buckets
 
     # --- term dictionary -------------------------------------------------
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:

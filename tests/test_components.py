@@ -170,3 +170,27 @@ def test_postings_highlighter(spark, idx):
     # doc 3 = "fast stone merge spark" — both terms marked
     by_doc = {r.doc_id: r.snippet for r in snips}
     assert "<em>fast</em>" in by_doc[3] and "<em>merge</em>" in by_doc[3]
+
+
+def test_facet_field_full_params(spark, idx):
+    # categories: u00→aa, u01→ab, u02→NULL, u03→ba  (query 'spark' matches
+    # u00,u01,u03; u02 has no 'spark')
+    src = spark.createDataFrame(
+        [("u00", "aa"), ("u01", "ab"), ("u02", None), ("u03", "ba")],
+        "url string, cat string",
+    )
+    base = idx.facet_field(["spark"], src, "cat")
+    assert [(r["cat"], r["facet_count"]) for r in base.collect()] == [
+        ("aa", 1), ("ab", 1), ("ba", 1)
+    ]
+    pref = idx.facet_field(["spark"], src, "cat", prefix="a")
+    assert [r["cat"] for r in pref.collect()] == ["aa", "ab"]
+    idx_sorted = idx.facet_field(["spark"], src, "cat", sort="index")
+    assert [r["cat"] for r in idx_sorted.collect()] == ["aa", "ab", "ba"]
+    off = idx.facet_field(["spark"], src, "cat", sort="index", offset=1, limit=1)
+    assert [r["cat"] for r in off.collect()] == ["ab"]
+    # facet.missing: 'fast' matches u00,u01,u03 → none null; 'merge' matches
+    # u00,u03 → none null; use match-all-ish term 'spark' plus doc u02 via
+    # 'dog': dog matches only u02 (cat NULL) → one missing bucket of 1
+    m = idx.facet_field(["dog"], src, "cat", missing=True).collect()
+    assert [(r["cat"], r["facet_count"]) for r in m] == [(None, 1)]
