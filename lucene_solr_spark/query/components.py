@@ -477,3 +477,130 @@ def term_vectors(
     return vec.join(
         F.broadcast(docs.select("doc_id", key_col)), "doc_id"
     ).select(key_col, "term", "tf", "positions")
+
+
+def elevate_query(
+    searcher,
+    terms: list[str],
+    elevate_keys: list[str],
+    k: int = 10,
+    exclude_keys: list[str] | None = None,
+    key_col: str = "url",
+    mark: bool = True,
+) -> DataFrame:
+    """QueryElevationComponent (QueryElevationComponent.java:87-150):
+    editorially pin documents to the top of a query's results in the
+    configured order (elevated docs are included even when they do not
+    match the query — the component ORs their id query into the main
+    query), and drop excluded ids. Returns (doc_id, score, elevated)
+    with elevated docs first in elevate-list order, organic hits after,
+    `k` rows total."""
+    exclude_keys = exclude_keys or []
+    keymap = searcher.docs.select("doc_id", key_col)
+    organic = searcher.boolean_search(should=terms, k=k + len(elevate_keys))
+    organic = organic.join(keymap, "doc_id")
+    drop = [str(x) for x in (list(elevate_keys) + list(exclude_keys))]
+    organic = (
+        organic.where(~F.col(key_col).isin(drop))
+        .select("doc_id", "score", F.lit(False).alias("elevated"))
+        .limit(max(0, k - len(elevate_keys)))
+    )
+    spark = searcher.spark
+    import pandas as pd
+
+    order = pd.DataFrame(
+        {key_col: [str(x) for x in elevate_keys],
+         "elev_rank": range(len(elevate_keys))}
+    )
+    pinned = (
+        F.broadcast(spark.createDataFrame(order))
+        .join(keymap, key_col)
+        .select(
+            "doc_id",
+            F.lit(float("inf")).cast("float").alias("score"),
+            F.lit(True).alias("elevated"),
+            F.col("elev_rank"),
+        )
+    )
+    organic = organic.withColumn("elev_rank", F.lit(2**31).cast("long"))
+    # union order is NOT execution order in Spark — the pinned-first rule
+    # must be an explicit sort (elevated first in elevate-list order, then
+    # organic by score desc / doc asc)
+    out = (
+        pinned.unionByName(organic)
+        .orderBy(
+            F.col("elevated").desc(),
+            F.col("elev_rank").asc(),
+            F.col("score").desc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(k)
+    )
+    cols = ["doc_id", "score"] + (["elevated"] if mark else [])
+    return out.select(*cols)
+
+
+def grouping_by_query(
+    searcher,
+    named_queries: dict[str, list[str]],
+    k_per_group: int = 5,
+) -> DataFrame:
+    """group.query (Grouping.java command=query; the QueryCommand variant
+    of grouping): for each named query, the top-k docs matching THAT
+    query — rows (group, doc_id, score, rank). Each group is an
+    independent top-k (TakeOrderedAndProject), unioned."""
+    parts = []
+    for name in sorted(named_queries):
+        hits = searcher.boolean_search(should=named_queries[name], k=k_per_group)
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        parts.append(
+            hits.withColumn("rank", F.row_number().over(w)).select(
+                F.lit(name).alias("group"), "doc_id", "score", "rank"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def spellcheck_collate(
+    searcher,
+    query_terms: list[str],
+    max_collations: int = 1,
+    max_edits: int = 2,
+) -> list[tuple[str, int]]:
+    """SpellCheckCollator.collate (SpellCheckCollator.java:51-151):
+    substitute the best correction for each unknown query term, re-run
+    the corrected query, and return collations WITH their verified hit
+    counts (only collations that produce hits are returned). Corrections
+    come from the DirectSpellChecker analog over the real dictionary;
+    known terms (df > 0) are left alone."""
+    tinfo = searcher.lookup_terms(query_terms)
+    known = set(tinfo["term"])
+    suggestions: dict[str, list[str]] = {}
+    for t in query_terms:
+        if t in known:
+            continue
+        alts = [r["term"] for r in spellcheck(searcher, t, max_edits=max_edits, n=max_collations).collect()]
+        if not alts:
+            return []  # an unknown term with no correction: no collation
+        suggestions[t] = alts
+    if not suggestions:
+        return []  # nothing misspelled — the reference emits no collation
+    out: list[tuple[str, int]] = []
+    for i in range(max_collations):
+        corrected = [
+            suggestions[t][min(i, len(suggestions[t]) - 1)] if t in suggestions else t
+            for t in query_terms
+        ]
+        hits = searcher.count(corrected)
+        if hits > 0:
+            out.append((" ".join(corrected), hits))
+    # dedupe while preserving order (ties in suggestion lists can repeat)
+    seen, uniq = set(), []
+    for c, h in out:
+        if c not in seen:
+            seen.add(c)
+            uniq.append((c, h))
+    return uniq

@@ -194,3 +194,44 @@ def test_facet_field_full_params(spark, idx):
     # 'dog': dog matches only u02 (cat NULL) → one missing bucket of 1
     m = idx.facet_field(["dog"], src, "cat", missing=True).collect()
     assert [(r["cat"], r["facet_count"]) for r in m] == [(None, 1)]
+
+
+def test_elevate_query(spark, idx):
+    # organic 'spark' hits: u00,u01,u03; elevate u02 (does NOT match) and
+    # exclude u00
+    url_of = {
+        r["doc_id"]: r["url"]
+        for r in idx.docs.select("doc_id", "url").collect()
+    }
+    rows = C.elevate_query(
+        idx, ["spark"], elevate_keys=["u02"], exclude_keys=["u00"], k=3
+    ).collect()  # returned frame is ordered: pinned first, then by score
+    urls = [url_of[r["doc_id"]] for r in rows]
+    assert urls[0] == "u02" and rows[0]["elevated"]
+    assert "u00" not in urls and len(urls) == 3
+    # pinned order respects the elevate list order
+    rows2 = C.elevate_query(idx, ["spark"], elevate_keys=["u03", "u02"], k=4).collect()
+    got = [url_of[r["doc_id"]] for r in rows2 if r["elevated"]]
+    assert got == ["u03", "u02"]
+
+
+def test_grouping_by_query(spark, idx):
+    out = C.grouping_by_query(
+        idx, {"g_spark": ["spark"], "g_animal": ["dog", "cat"]}, k_per_group=2
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(r)
+    assert set(by_group) == {"g_spark", "g_animal"}
+    assert all(len(v) <= 2 for v in by_group.values())
+    assert [r["rank"] for r in by_group["g_spark"]] == [1, 2]
+
+
+def test_spellcheck_collate(spark, idx):
+    # 'spark mrge' → 'merge' is 1 edit away; OR-query hits = u00,u01,u03
+    colls = C.spellcheck_collate(idx, ["spark", "mrge"])
+    assert colls and colls[0][0] == "spark merge" and colls[0][1] == 3
+    # fully known query → no collation (the reference emits none)
+    assert C.spellcheck_collate(idx, ["spark", "merge"]) == []
+    # hopeless term → no collation
+    assert C.spellcheck_collate(idx, ["zzzzqqqq"]) == []
