@@ -187,3 +187,40 @@ def percolate(
         .select(key_col, "query_id")
     )
     return matched
+
+
+def start_percolate_stream(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    queries: list[tuple[object, str]],
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    text_col: str = "text",
+    key_col: str = "url",
+    trigger_once: bool = False,
+):
+    """Streaming percolation (the alerting deployment of MemoryIndex):
+    each micro-batch of incoming pages is matched against the registered
+    query set inside foreachBatch and (key, query_id, batch_id) rows are
+    appended to `output_dir`. The query tables compile ONCE on the driver;
+    per-batch cost is one tokenize pass over the batch regardless of how
+    many queries are registered."""
+    compiled = compile_queries(queries)  # fail fast on bad queries
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = percolate(batch_df, queries, text_col=text_col, key_col=key_col)
+        matches.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(output_dir)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

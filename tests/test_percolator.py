@@ -94,3 +94,41 @@ def test_percolate_scales_on_testdata(spark, sf_dir):
     n_and = next((r["count"] for r in rows if r["query_id"] == "q1"), 0)
     n_term = P.percolate(docs, [("t", "data")]).count()
     assert n_and <= n_term
+
+
+def test_streaming_percolation(spark, tmp_path):
+    import os
+
+    from lucene_solr_spark.query.percolator import start_percolate_stream
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(in_dir)
+    schema = "url string, text string"
+    queries = [("alert_spark", "spark AND shuffle"), ("alert_fox", '"quick brown fox"')]
+
+    spark.createDataFrame(DOCS[:4], schema).write.mode("append").parquet(in_dir)
+    q = start_percolate_stream(
+        spark, in_dir, out_dir, ckpt, queries, schema=schema, trigger_once=True
+    )
+    q.awaitTermination(120)
+    got1 = {
+        (r["url"], r["query_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got1 == {("d0", "alert_spark"), ("d1", "alert_fox")}
+
+    # second batch: only NEW files are percolated (checkpointed source)
+    spark.createDataFrame(DOCS[4:], schema).write.mode("append").parquet(in_dir)
+    q = start_percolate_stream(
+        spark, in_dir, out_dir, ckpt, queries, schema=schema, trigger_once=True
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 3  # d5 matches alert_fox in batch 2
+    assert ("d5", "alert_fox") in {
+        (r["url"], r["query_id"]) for r in out.collect()
+    }
