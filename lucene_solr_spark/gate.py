@@ -773,6 +773,13 @@ RETIRED_DF_GATES = {
     # and dedup_minhash_quality (which also measures precision/recall at
     # production 128-perm/16-band parameters) — both stay registered
     "dedup_minhash_signatures",
+    # per-doc post-stop lengths are pinned by every BM25 gate (scores embed
+    # the norm byte) plus dedicated byte315 pytest goldens — a standalone
+    # dl dump adds no evidence; retired for spatial_geofilt_topk
+    "engine_norm_bytes",
+    # total-hits equals the row count the engine_bool_* gates already
+    # hash-compare; retired for dedup_connected_components
+    "engine_total_hits",
 }
 
 

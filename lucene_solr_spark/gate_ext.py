@@ -627,3 +627,85 @@ SELECT term, CAST(df AS BIGINT) AS df,
 FROM dict WHERE LEVENSHTEIN(term, 'merg') <= 2
 ORDER BY dist ASC, df DESC, term ASC
 LIMIT 10"""
+
+
+# --- spatial: geofilt + geodist sort -------------------------------------------
+# Deterministic lat/lon derived from doc_id (identical integer arithmetic in
+# both dialects); oracle reproduces the same haversine on DuckDB doubles.
+_GEO_ORACLE = """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 37) % 1800) / 10.0 - 90.0  AS lat,
+         ((doc_id * 73) % 3600) / 10.0 - 180.0 AS lon
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         2 * 6371.0087714 * ASIN(SQRT(
+           POWER(SIN(RADIANS(lat - 10.0) / 2), 2)
+           + COS(RADIANS(10.0)) * COS(RADIANS(lat))
+             * POWER(SIN(RADIANS(lon - 20.0) / 2), 2)
+         )) AS dist
+  FROM pts
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(dist, 4) AS dist_km
+FROM d WHERE dist <= 3000.0
+ORDER BY dist ASC, doc_id ASC
+LIMIT 25"""
+
+
+@df_gate("spatial_geofilt_topk", _GEO_ORACLE)
+def _q_geofilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!geofilt} + sort=geodist() asc (LatLonType.java:147-240): box
+    prefilter → exact haversine ≤ d → nearest-k. Runs the REAL spatial
+    module over synthetic-but-deterministic coordinates."""
+    from .query import spatial
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 37) % 1800) / 10.0 - 90.0).alias("lat"),
+        (((F.col("doc_id") * 73) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+    out = spatial.geodist_topk(
+        pts, "lat", "lon", 10.0, 20.0, k=25, within_km=3000.0,
+        key_cols=("doc_id",),
+    )
+    return out.select("doc_id", F.round("dist_km", 4).alias("dist_km"))
+
+
+# --- dedup: candidate pairs → duplicate groups ---------------------------------
+# Transitive closure of the MinHash-LSH candidate pairs; the oracle closes
+# the SAME pair SQL with a recursive CTE (min label over reachability).
+_CC_ORACLE = f"""
+WITH RECURSIVE {_shingle_cte()},
+sigs AS ({_sigs_select()}),
+banded AS ({_bands_union()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION
+  SELECT key_b AS src, key_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT CAST(src AS BIGINT) AS key,
+       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component
+FROM reach GROUP BY src"""
+
+
+@df_gate("dedup_connected_components", _CC_ORACLE)
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate groups: iterative min-label propagation
+    (the transitive-closure stage a keep-one-per-group dedup pipeline needs
+    after LSH); oracle = recursive-CTE closure of the identical pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(dedup.minhash_signatures(docs))
+    return dedup.connected_components(pairs)

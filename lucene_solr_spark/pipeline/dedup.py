@@ -249,3 +249,82 @@ def simhash_near_pairs(
     return cand.select("key_a", "key_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "key_a",
+    b_col: str = "key_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS → duplicate GROUPS: connected components by iterative
+    min-label propagation. The candidate-pair stages (MinHash LSH, SimHash
+    banding, cosine blocking) emit edges; deduplication needs the
+    transitive closure — a~b and b~c put all three in ONE group even when
+    (a,c) was never emitted.
+
+    Each superstep: label(x) <- min(label(x), min label of x's neighbours);
+    converges in O(component diameter) supersteps — near-dup clusters are
+    shallow (pair generators link most members directly), so 3-5 rounds
+    close web-scale corpora. Each round is one shuffle on the edge list;
+    labels persist + localCheckpoint to keep the plan flat (no lineage
+    blow-up at iteration 20). The observed convergence check rides the
+    aggregation (no extra pass). Returns (key, component) where component
+    is the lexicographic min key of the group — members of no pair are
+    absent (callers treat missing as singleton).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("src").distinct().withColumn("component", F.col("src"))
+    labels = labels.persist()
+    for _ in range(max_iter):
+        # min over self + neighbours' current labels
+        neigh = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "component")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("src")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "src")
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("src").alias("key"), "component")
+
+
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    a_col: str = "key_a",
+    b_col: str = "key_b",
+) -> DataFrame:
+    """Full-corpus dedup verdict: every doc labelled with its duplicate
+    group's canonical representative (min key) and an is_duplicate flag
+    (True = drop in a keep-one-per-group pipeline). Docs in no candidate
+    pair are their own canonical. One left join against the component
+    labels — corpus-scan shaped, no driver structures."""
+    comp = connected_components(pairs, a_col, b_col)
+    out = docs.select(key_col).join(
+        comp.withColumnRenamed("key", key_col), key_col, "left"
+    )
+    return out.select(
+        key_col,
+        F.coalesce(F.col("component"), F.col(key_col)).alias("canonical"),
+    ).withColumn("is_duplicate", F.col(key_col) != F.col("canonical"))

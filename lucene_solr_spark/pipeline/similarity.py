@@ -453,3 +453,164 @@ def ivf_topk(
             cands, [float(v) for v in q], k=k, vec_col=vec_col, key_col=key_col
         )
     return cosine_topk_pandas(cands, q, k=k, vec_col=vec_col, key_col=key_col)
+
+
+# --- Product quantization (IVF-PQ) -------------------------------------------
+# Classical PQ (Jégou, Douze, Schmid: "Product Quantization for Nearest
+# Neighbor Search", IEEE TPAMI 2011 — public method): split each normalized
+# vector into M subvectors, k-means each subspace to 256 codes, store one
+# byte per subvector. A probe scan then reads M bytes/vector instead of
+# dim·8 — at 10^12 vectors the candidate scan shrinks ~32-96x, and the
+# exact rerank touches full vectors only for the shortlist. Query-side
+# scoring is ADC (asymmetric distance): one (M, 256) dot-product table per
+# query, score = sum of M table lookups — vectorized in the Arrow kernel.
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m_subvectors: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    max_sample: int = 100_000,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Deterministic per-subspace k-means (same hash-selected bounded
+    sample protocol as ivf_train_centroids — centroids independent of
+    cluster size). Returns (M, n_codes, dim//M) float64 codebooks over
+    L2-NORMALIZED inputs, so ADC dot sums approximate cosine."""
+    if dim % m_subvectors:
+        raise ValueError("dim must divide evenly into m_subvectors")
+    dsub = dim // m_subvectors
+    n = embeddings.count()
+    mod = max(1, n // max_sample)
+    sample = (
+        embeddings.select(key_col, vec_col)
+        .where((F.crc32(F.col(key_col).cast("string")) % mod) == 0)
+        .orderBy(key_col)
+        .limit(max_sample)
+        .toPandas()
+    )
+    x = np.stack(sample[vec_col].values).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m_subvectors, n_codes, dsub))
+    for mi in range(m_subvectors):
+        xs = x[:, mi * dsub : (mi + 1) * dsub]
+        k = min(n_codes, len(xs))
+        # k-means++ in the subspace (L2)
+        cents = [xs[rng.randint(len(xs))]]
+        for _ in range(1, k):
+            d2 = np.min(
+                np.stack([((xs - c) ** 2).sum(axis=1) for c in cents]), axis=0
+            )
+            s = d2.sum()
+            probs = d2 / s if s > 0 else np.full(len(xs), 1.0 / len(xs))
+            cents.append(xs[rng.choice(len(xs), p=probs)])
+        c = np.stack(cents)
+        for _ in range(iters):
+            d = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for j in range(len(c)):
+                members = xs[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+        books[mi, : len(c)] = c
+        if len(c) < n_codes:
+            books[mi, len(c):] = c[0]  # degenerate tiny-sample fill
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append `pq_code: array<smallint>` (one code per subvector; smallint
+    because Spark has no unsigned byte). Arrow-batched argmin per subspace;
+    inputs are normalized before encoding (spherical convention)."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].values).astype(np.float64)
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for mi in range(m):
+                xs = x[:, mi * dsub : (mi + 1) * dsub]
+                # ||xs - c||^2 = ||xs||^2 - 2 xs.c + ||c||^2 → argmin via dot
+                d = -2.0 * (xs @ books[mi].T) + (books[mi] ** 2).sum(axis=1)
+                codes[:, mi] = np.argmin(d, axis=1).astype(np.int16)
+            out = pdf.copy()
+            out["pq_code"] = list(codes)
+            yield out
+
+    from pyspark.sql.types import ArrayType, ShortType, StructField, StructType
+
+    schema = StructType(
+        list(embeddings.schema.fields)
+        + [StructField("pq_code", ArrayType(ShortType()), False)]
+    )
+    return embeddings.mapInPandas(kernel, schema=schema)
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    query_vec: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe: partition-pruned scan of the probed lists reading ONLY
+    (key, pq_code) — parquet column pruning keeps the full vectors unread —
+    ADC approximate scores, shortlist of `rerank` candidates, then ONE
+    semi-joined exact-cosine rerank over the shortlist's full vectors.
+    rerank=0 returns ADC scores directly."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    c = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    order = np.argsort(-(c @ qn), kind="stable")
+    lists = sorted(int(j) for j in order[:nprobe])
+    # the per-query ADC table: table[mi, code] = dot(q_mi, codebook[mi, code])
+    table = np.stack(
+        [books[mi] @ qn[mi * dsub : (mi + 1) * dsub] for mi in range(m)]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_code"].values).astype(np.int64)
+            scores = table[np.arange(m)[None, :], codes].sum(axis=1)
+            yield pd.DataFrame({key_col: pdf[key_col].values, "adc_score": scores})
+
+    cands = (
+        spark.read.parquet(path)
+        .where(F.col("list_id").isin(lists))
+        .select(key_col, "pq_code")
+    )
+    adc = cands.mapInPandas(kernel, schema=f"{key_col} long, adc_score double")
+    shortlist = adc.orderBy(F.col("adc_score").desc(), F.col(key_col).asc()).limit(
+        max(rerank, k) if rerank else k
+    )
+    if not rerank:
+        return shortlist
+    full = (
+        spark.read.parquet(path)
+        .where(F.col("list_id").isin(lists))
+        .select(key_col, vec_col)
+        .join(F.broadcast(shortlist.select(key_col)), key_col, "left_semi")
+    )
+    return cosine_topk_pandas(full, q, k=k, vec_col=vec_col, key_col=key_col)

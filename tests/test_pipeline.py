@@ -312,3 +312,43 @@ def test_ann_partitioned_table_prunes_and_matches(vectors, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), "partition filter must be pushed"
+
+
+def test_connected_components_transitive_closure(spark):
+    # a~b, b~c, and an isolated pair (x~y): closure = {a,b,c}, {x,y}
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("c", "d"), ("p", "q"), ("q", "p")],
+        "key_a string, key_b string",
+    )
+    comp = {
+        r["key"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {
+        "a": "a", "b": "a", "c": "a", "d": "a",
+        "x": "x", "y": "x",
+        "p": "p", "q": "p",
+    }
+
+
+def test_connected_components_chain_needs_iterations(spark):
+    # a 12-node path graph: worst case for min propagation (diameter 11)
+    edges = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(11)]
+    pairs = spark.createDataFrame(edges, "key_a string, key_b string")
+    comp = dedup.connected_components(pairs).collect()
+    assert {r["component"] for r in comp} == {"n00"} and len(comp) == 12
+
+
+def test_dedup_groups_end_to_end(spark, docs):
+    # pairs from the LSH stage over the fixture corpus; groups must cover
+    # every doc, singletons canonical to themselves
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.minhash_lsh_pairs(sigs)
+    out = dedup.dedup_groups(docs, pairs).toPandas().set_index("doc_id")
+    assert len(out) == docs.count()
+    # a canonical doc is never marked duplicate; group members share it
+    for k, row in out.iterrows():
+        assert (row["canonical"] == k) == (not row["is_duplicate"])
+    npairs = pairs.count()
+    if npairs:
+        assert out["is_duplicate"].sum() >= 1

@@ -60,6 +60,10 @@ spark = (
     # count (6g per 4 cores) — identical per-executor resources at both
     # cluster sizes, summing within machine RAM at the 4N point.
     .config("spark.executor.memory", f"{{max(2, round(1.5 * cores))}}g")
+    # SCALE_CODEC: shuffle/spill IO codec experiment — on a bandwidth-bound
+    # host, a stronger codec (zstd) trades CPU for bytes moved through the
+    # memory bus (tmpfs shuffle IS memory traffic); identical at both sizes
+    .config("spark.io.compression.codec", os.environ.get("SCALE_CODEC", "lz4"))
     .config("spark.local.dir", shuffle_dir)
     .config("spark.sql.parquet.columnarReaderBatchSize", "128")
     .config("spark.sql.shuffle.partitions", "256")  # sized to the DATA (2M docs x ~250 tokens), identical at both cluster sizes
