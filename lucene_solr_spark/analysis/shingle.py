@@ -90,3 +90,43 @@ def shingles_with_fillers(
     return F.when(F.size(positioned) > 0, filtered).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def common_grams(
+    tokens: Column,
+    common_words: set[str] | None = None,
+    separator: str = "_",
+) -> Column:
+    """CommonGramsFilter (lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java:53): pass every unigram through and ADD a
+    bigram (posInc 0, type "gram") wherever either member of an adjacent
+    pair is a common word — the phrase-speed trick that keeps stopwords
+    queryable ("man of the year" → man, man_of, of, of_the, the, the_year,
+    year). Emission order matches the stream: unigram at i, then the
+    gram bridging i→i+1. Pure codegen."""
+    if common_words is None:
+        from .analyzer import ENGLISH_STOP_WORDS
+
+        common_words = ENGLISH_STOP_WORDS
+    words = sorted(common_words)
+
+    def is_common(t: Column) -> Column:
+        return t.isin(*words)
+
+    def at(i):  # 1-based element_at
+        return F.element_at(tokens, i + 1)
+
+    def per_pos(i: Column) -> Column:
+        uni = F.array(at(i))
+        has_next = (i + 2) <= F.size(tokens)
+        gram_applies = has_next & (is_common(at(i)) | is_common(at(i + 1)))
+        gram = F.when(
+            gram_applies,
+            F.array(F.concat_ws(separator, at(i), at(i + 1))),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(uni, gram)
+
+    out = F.flatten(F.transform(F.sequence(F.lit(0), F.size(tokens) - 1), per_pos))
+    return F.when(F.size(tokens) > 0, out).otherwise(
+        F.array().cast("array<string>")
+    )

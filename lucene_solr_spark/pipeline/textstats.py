@@ -26,7 +26,8 @@ def _is_stop(tok: Column) -> Column:
 
 
 def quality_scores(
-    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+    cast_key: bool = True,
 ) -> DataFrame:
     """Per-doc quality signals for corpus filtering: token count, mean token
     length, stopword ratio (the classic Gopher/C4-style heuristics built
@@ -37,8 +38,9 @@ def quality_scores(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
     )
     n_stop = F.size(F.filter(toks, _is_stop))
+    key = F.col(key_col).cast("long") if cast_key else F.col(key_col)
     return docs.select(
-        F.col(key_col).cast("long").alias(key_col),
+        key.alias(key_col),
         n.cast("long").alias("n_tokens"),
         F.round(sum_len.cast("double") / n, 6).alias("mean_token_len"),
         F.round(n_stop.cast("double") / n, 6).alias("stop_ratio"),
@@ -50,14 +52,16 @@ def lang_id(
     text_col: str = "text",
     key_col: str = "doc_id",
     stop_ratio_threshold: float = 0.03,
+    cast_key: bool = True,
 ) -> DataFrame:
     """Stopword-ratio language ID: English function words are so frequent
     that a near-zero stoplist hit rate marks non-English text. Returns
     (key, pred_lang ∈ {'en','other'})."""
     toks = _all_tokens(F.col(text_col))
     ratio = F.size(F.filter(toks, _is_stop)).cast("double") / F.size(toks)
+    key = F.col(key_col).cast("long") if cast_key else F.col(key_col)
     return docs.select(
-        F.col(key_col).cast("long").alias(key_col),
+        key.alias(key_col),
         F.when(ratio >= stop_ratio_threshold, F.lit("en"))
         .otherwise(F.lit("other"))
         .alias("pred_lang"),

@@ -117,3 +117,20 @@ def test_index_time_contraction(spark):
     toks = map_tokens_col(token_array(F.col("text")), rewrites)
     got = _run(spark, toks, "colour color colourful")
     assert got == ["color", "color", "colourful"]
+
+
+def test_common_grams_reference_example(spark):
+    from lucene_solr_spark.analysis.shingle import common_grams
+
+    toks = token_array(F.col("text"), lowercase=True)
+    got = _run(spark, common_grams(toks), "man of the year")
+    assert got == [
+        "man", "man_of",
+        "of", "of_the",
+        "the", "the_year",
+        "year",
+    ]
+    # no common words adjacent → unigrams only
+    got2 = _run(spark, common_grams(toks), "quick brown fox")
+    assert got2 == ["quick", "brown", "fox"]
+    assert _run(spark, common_grams(toks), "") == []
