@@ -9,15 +9,22 @@ Apache Lucene/Solr 4.4 (reference: steff1193/lucene-solr) on Spark DataFrames:
 - ``index``      — inverted-index build: deterministic docIDs, norms
                    (SmallFloat byte315), delta-packed posting lists with
                    128-doc block metadata, segments + lineage, tiered merge.
-- ``query``      — query parser, BM25 (k1=1.2, b=0.75) top-k, boolean algebra,
-                   phrase positions, block-max WAND pruning.
-- ``functions``  — Solr function-query scalars + text-analysis functions.
-- ``operators``  — faceting, stats, grouping, joins, MoreLikeThis, dedup
-                   (exact / MinHash-LSH / SimHash / n-gram Jaccard),
-                   similarity search over embeddings.
+- ``query``      — query parsers (classic/dismax), BM25 + Classic TF-IDF +
+                   LM similarities, boolean algebra, phrase/span positions,
+                   block-max WAND + impact sketches, components (facets,
+                   stats, grouping, joins, MLT, suggest, spellcheck,
+                   elevation, RealTimeGet, terms/term-vectors, highlight),
+                   spatial filters, classification, percolation.
+- ``functions``  — Solr function-query scalars + index-stat value sources.
+- ``pipeline``   — training-data operators: dedup (exact / MinHash-LSH /
+                   SimHash / n-gram Jaccard / connected-component groups),
+                   similarity search (brute-force, LSH, IVF, IVF-PQ),
+                   text quality/lang-ID stats, multimodal plumbing, and the
+                   end-to-end corpus curation flow.
 - ``sources``    — loaders + deterministic synthetic web-page corpus generator.
-- ``streaming``  — NRT micro-batch segment append (Structured Streaming).
-- ``plans``      — lineage / checkpoint-resume bookkeeping.
+- ``streaming``  — NRT micro-batch segment append (Structured Streaming);
+                   lineage / checkpoint-resume bookkeeping lives in
+                   ``index.lineage``.
 
 Everything here is built from public knowledge of the Spark API and the
 reference's observable semantics; reference citations in docstrings are
