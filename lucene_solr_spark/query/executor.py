@@ -1135,12 +1135,79 @@ class Searcher:
             query, k, lambda tf, nb, p: lm_jelinek_mercer_scores(tf, nb, p, lam32)
         )
 
+    def search_dfr(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        basic_model: str = "ine",
+        after_effect: str = "b",
+        normalization: str = "h2",
+        c: float = 1.0,
+        mu: float = 800.0,
+        z: float = 0.30,
+    ) -> DataFrame:
+        """DFRSimilarity top-k (DFRSimilarity.java:108-111; the full
+        reference model registry — basic models Be/D/G/I(F)/I(n)/I(ne)/P,
+        after effects no/L/B, normalizations no/H1/H2/H3/Z — see
+        query/dfr.py). Default I(ne)B2, the DFRSimilarityFactory example
+        combination. Same one-scan plan as every other similarity."""
+        from .dfr import TermStats, dfr_scores
+
+        n_docs, sum_ttf = self.stats.max_doc, self.stats.sum_total_term_freq
+
+        def make(term, df, ttf):
+            st = TermStats.make(n_docs, df, ttf, sum_ttf)
+            return lambda tf, nb: dfr_scores(
+                tf, nb, st, basic_model, after_effect, normalization, c, mu, z
+            )
+
+        return self._search_simbase(query, k, make)
+
+    def search_ib(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        distribution: str = "spl",
+        lam: str = "df",
+        normalization: str = "h2",
+        c: float = 1.0,
+        mu: float = 800.0,
+        z: float = 0.30,
+    ) -> DataFrame:
+        """IBSimilarity top-k (IBSimilarity.java:98-104; distributions
+        LL/SPL, lambdas df/ttf, shared normalizations — query/dfr.py)."""
+        from .dfr import TermStats, ib_scores
+
+        n_docs, sum_ttf = self.stats.max_doc, self.stats.sum_total_term_freq
+
+        def make(term, df, ttf):
+            st = TermStats.make(n_docs, df, ttf, sum_ttf)
+            return lambda tf, nb: ib_scores(
+                tf, nb, st, distribution, lam, normalization, c, mu, z
+            )
+
+        return self._search_simbase(query, k, make)
+
     def _search_lm(self, query, k, score_fn) -> DataFrame:
-        """Shared LM execution: term-pruned postings scan → per-posting
-        float32 scores from `score_fn(tfs, norm_bytes, p_collection)` →
-        double-sum disjunction combine (unit coord/queryNorm) → top-k."""
+        """Shared LM execution: per-posting float32 scores from
+        `score_fn(tfs, norm_bytes, p_collection)` via the generic
+        SimilarityBase path."""
         from .lmdirichlet import collection_probability
 
+        sum_ttf = self.stats.sum_total_term_freq
+
+        def make(term, df, ttf):
+            p = collection_probability(ttf, sum_ttf)
+            return lambda tf, nb: score_fn(tf, nb, p)
+
+        return self._search_simbase(query, k, make)
+
+    def _search_simbase(self, query, k, make_scorer) -> DataFrame:
+        """Shared SimilarityBase execution (SimilarityBase.java:215-244
+        family — LM Dirichlet/JM, DFR, IB): term-pruned postings scan →
+        per-posting float32 scores from `make_scorer(term, df, ttf)`'s
+        kernel → double-sum disjunction combine (unit coord/queryNorm,
+        Similarity.java:122,139 defaults) → top-k."""
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
         uniq = sorted(set(terms))
         if not uniq:
@@ -1148,9 +1215,9 @@ class Searcher:
         tinfo = self.lookup_terms(uniq)
         if tinfo.empty:
             return self._empty()
-        probs = {
-            str(t): collection_probability(int(ttf), self.stats.sum_total_term_freq)
-            for t, ttf in zip(tinfo["term"], tinfo["ttf"])
+        scorers = {
+            str(t): make_scorer(str(t), int(df), int(ttf))
+            for t, df, ttf in zip(tinfo["term"], tinfo["df"], tinfo["ttf"])
         }
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1162,10 +1229,9 @@ class Searcher:
                     gaps = np.asarray(row.doc_gaps, dtype=np.int64)
                     out_doc.append(row.first_doc + np.cumsum(gaps))
                     out_score.append(
-                        score_fn(
+                        scorers[row.term](
                             np.asarray(row.tfs, dtype=np.int64),
                             np.asarray(row.norm_bytes, dtype=np.int64),
-                            probs[row.term],
                         )
                     )
                 if out_doc:
@@ -1177,7 +1243,7 @@ class Searcher:
                     )
 
         rows = self.postings.where(
-            F.col("term").isin(sorted(probs))
+            F.col("term").isin(sorted(scorers))
         ).select("term", "first_doc", "doc_gaps", "tfs", "norm_bytes")
         per_term = rows.mapInPandas(kernel, schema="doc_id long, score float")
         scored = per_term.groupBy("doc_id").agg(
