@@ -353,6 +353,61 @@ def boosted_topk(
     )
 
 
+def function_range_docset(
+    searcher,
+    source: DataFrame,
+    value: Column,
+    l: float | None = None,
+    u: float | None = None,
+    incl: bool = True,
+    incu: bool = True,
+    key_col: str = "url",
+) -> DataFrame:
+    """{!frange} as a filter: ValueSourceRangeFilter semantics
+    (solr/core/src/java/org/apache/solr/search/function/
+    ValueSourceRangeFilter.java; FunctionRangeQParserPlugin.java:46-72) —
+    docs whose function value lies in [l, u], bounds optional, inclusivity
+    per `incl`/`incu` (both default true, like the parser). `value` is any
+    ValueSource Column composed from this module (e.g.
+    `sum_(F.col("rank_a"), F.col("rank_b"))` for the
+    `fq={!frange l=0 u=2.2}sum(...)` example).
+
+    Returns a non-scoring DocSet that composes with
+    `search(..., filter_docs=...)` and `put_filter` (the fq/filterCache
+    path) — the predicate evaluates as a pushdown-able Catalyst expression
+    over the source scan, never a per-doc Python loop."""
+    pred = F.lit(True)
+    if l is not None:
+        pred = pred & (value >= F.lit(l) if incl else value > F.lit(l))
+    if u is not None:
+        pred = pred & (value <= F.lit(u) if incu else value < F.lit(u))
+    return searcher.filter_docs_from_source(source, pred, key_col=key_col)
+
+
+def function_range_query(
+    searcher,
+    source: DataFrame,
+    value: Column,
+    l: float | None = None,
+    u: float | None = None,
+    incl: bool = True,
+    incu: bool = True,
+    boost: float = 1.0,
+    k: int = 10,
+    key_col: str = "url",
+) -> DataFrame:
+    """{!frange} as the MAIN query: FunctionRangeQuery extends
+    SolrConstantScoreQuery (FunctionRangeQuery in
+    FunctionRangeQParserPlugin.java:69-71), so every matching doc scores
+    the query boost; top-k ties resolve docID-ascending exactly like
+    TopScoreDocCollector on equal scores."""
+    docset = function_range_docset(searcher, source, value, l, u, incl, incu, key_col)
+    scored = docset.select(
+        "doc_id", F.lit(float(np.float32(boost))).cast("float").alias("score")
+    )
+    return searcher._topk(searcher._drop_deleted(scored), k)
+
+
 # --- registry tail (ValueSourceParser.java:95-444): the remaining named
 # sources. threadid/sleep/testfunc are diagnostics with no analytics
 # meaning (documented n/a). ---------------------------------------------------

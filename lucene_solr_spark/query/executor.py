@@ -918,6 +918,67 @@ class Searcher:
         matched = self._apply_filter(matched, filter_docs)
         return self._topk(self._drop_deleted(matched), k)
 
+    def max_score_search(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        tie: float = 0.0,
+        k: int = 10,
+        filter_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """MaxScoreQParser (MaxScoreQParser.java:32-80): parses like the
+        classic parser but every SHOULD clause is folded into ONE
+        DisjunctionMaxQuery(tie) added as a single SHOULD clause — so the
+        optional part of the score is max(should scores) + tie·(Σ − max)
+        (DisjunctionMaxScorer.java) instead of the plain sum, while MUST
+        clauses keep their summed contribution. tie=0 (the parser default)
+        makes the optional part a pure max. A term listed in both `must`
+        and `should` is treated as MUST only.
+
+        Plan: identical one-scan shape to `boolean_search` — the max/sum
+        split is two conditional aggregates in the same groupBy."""
+        must, should, must_not = must or [], should or [], must_not or []
+        should = [t for t in should if t not in set(must)]
+        tinfo = self.lookup_terms(must + should)
+        found = set(tinfo["term"])
+        if any(t not in found for t in must) or tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        must_terms = sorted({t for t in must if t in found})
+        per_term = self._scored(tinfo)
+        is_must = F.col("term").isin(must_terms)
+        agg = per_term.groupBy("doc_id").agg(
+            F.sum(F.when(is_must, F.col("score"))).alias("must_sum"),  # double
+            F.count(F.when(is_must, 1)).alias("n_must"),
+            F.max(F.when(~is_must, F.col("score"))).cast("float").alias("mx"),
+            F.sum(F.when(~is_must, F.col("score"))).cast("float").alias("sm"),
+            F.count(F.when(~is_must, 1)).alias("n_should"),
+        )
+        cond = F.col("n_must") == len(must_terms)
+        if not must_terms:
+            # BooleanQuery with only the dmq SHOULD clause: it must match
+            cond = F.col("n_should") >= 1
+        matched = agg.where(cond)
+        tie32 = float(np.float32(tie))
+        dmq = F.when(F.col("mx").isNull(), F.lit(0.0).cast("float")).otherwise(
+            (F.col("mx") + F.lit(tie32) * (F.col("sm") - F.col("mx"))).cast("float")
+        )
+        score = (
+            (F.coalesce(F.col("must_sum"), F.lit(0.0)) + dmq.cast("double"))
+            .cast("float")
+            .alias("score")
+        )
+        matched = matched.select("doc_id", score)
+        if must_not:
+            neg_info = self.lookup_terms(must_not)
+            if not neg_info.empty:
+                neg_docs = self._posting_docs(neg_info)
+                if len(neg_info) > 1:
+                    neg_docs = neg_docs.distinct()
+                matched = matched.join(neg_docs, "doc_id", "left_anti")
+        matched = self._apply_filter(matched, filter_docs)
+        return self._topk(self._drop_deleted(matched), k)
+
     def _single_slice_boolean(
         self,
         tinfo: pd.DataFrame,
