@@ -237,12 +237,16 @@ def span_freq(node: SpanNode, positions: dict[str, np.ndarray]) -> float:
 
 
 def span_search(
-    searcher, node: SpanNode, k: int = 10, filter_docs: DataFrame | None = None
+    searcher, node: SpanNode, k: int | None = 10,
+    filter_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k docs for a span query through the real index: postings scan
     restricted to the tree's terms → positions decoded per (doc, term) →
     one groupBy(doc_id) → per-doc tree evaluation + BM25 scoring in a
-    single Arrow kernel → TakeOrderedAndProject."""
+    single Arrow kernel → TakeOrderedAndProject. `k=None` skips the top-k
+    and returns the full scored match frame — the composition hook the
+    surround parser's boolean combine uses (no global sort happens in
+    that mode; the only ordering is the caller's final top-k)."""
     terms = sorted(tree_terms(node))
     tinfo = searcher.lookup_terms(terms)
     found = set(tinfo["term"])
@@ -315,4 +319,5 @@ def span_search(
 
     scored = grouped.mapInPandas(kernel, schema="doc_id long, score float")
     scored = searcher._apply_filter(scored, filter_docs)
-    return searcher._topk(searcher._drop_deleted(scored), k)
+    scored = searcher._drop_deleted(scored)
+    return scored if k is None else searcher._topk(scored, k)
