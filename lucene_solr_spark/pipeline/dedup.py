@@ -328,3 +328,104 @@ def dedup_groups(
         key_col,
         F.coalesce(F.col("component"), F.col(key_col)).alias("canonical"),
     ).withColumn("is_duplicate", F.col(key_col) != F.col("canonical"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    max_cluster: int = 20_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer
+    (`similarity.ivf_train_centroids` — deterministic at any parallelism),
+    then WITHIN each cluster connect items whose pairwise cosine ≥
+    `threshold` into duplicate groups and keep one representative per
+    group — the member with the LOWEST cosine to its cluster centroid (the
+    paper's keep-the-most-atypical rule), ties broken by smallest key.
+
+    Returns (key, list_id, canonical, is_duplicate): canonical = the kept
+    representative's key; is_duplicate=True rows are dropped by a
+    keep-one-per-group pipeline. Cross-cluster near-duplicates are NOT
+    examined — the published method's stated approximation; raise
+    n_centroids for tighter clusters, lower it for higher recall.
+
+    Scale: one Arrow matmul pass to assign clusters, one shuffle to group
+    by cluster, and an O(m²) in-memory similarity matrix per cluster —
+    sized by corpus/n_centroids, and clusters above `max_cluster` members
+    are deterministically sub-split by key hash (documented recall
+    approximation, same bound discipline as `max_bucket` in MinHash LSH)
+    so no task ever materializes an unbounded matrix."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign
+
+    c = np.asarray(centroids, dtype=np.float64)
+    assigned = ivf_assign(embeddings, c, vec_col=vec_col).select(
+        key_col, vec_col, "list_id"
+    )
+    # sub-split only oversized clusters: n_sub = ceil(size / max_cluster)
+    sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("n"))
+    assigned = (
+        assigned.join(F.broadcast(sizes), "list_id")
+        .withColumn(
+            "sub_split",
+            (
+                F.crc32(F.col(key_col).cast("string"))
+                % F.greatest(F.lit(1), F.ceil(F.col("n") / F.lit(max_cluster)))
+            ).cast("int"),
+        )
+        .drop("n")
+    )
+    thr = float(threshold)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"key": [], "list_id": [], "canonical": [], "is_duplicate": []}
+            )
+        keys = pdf[key_col].to_numpy()
+        lid = int(pdf["list_id"].iloc[0])
+        m = np.stack(pdf[vec_col].values).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sim = m @ m.T
+        cent_sim = m @ c[lid]
+        n = len(keys)
+        adj = sim >= thr
+        np.fill_diagonal(adj, False)
+        # connected components over the threshold graph (cluster-local BFS)
+        comp = np.full(n, -1, dtype=np.int64)
+        cur = 0
+        for s in range(n):
+            if comp[s] >= 0:
+                continue
+            stack = [s]
+            comp[s] = cur
+            while stack:
+                v = stack.pop()
+                for w in np.nonzero(adj[v] & (comp < 0))[0]:
+                    comp[w] = cur
+                    stack.append(w)
+            cur += 1
+        canonical = np.empty(n, dtype=keys.dtype)
+        for g in range(cur):
+            members = np.nonzero(comp == g)[0]
+            # keep lowest centroid-cosine; ties -> smallest key
+            order = sorted(members, key=lambda i: (cent_sim[i], keys[i]))
+            canonical[members] = keys[order[0]]
+        return pd.DataFrame(
+            {
+                "key": keys,
+                "list_id": np.full(n, lid, dtype=np.int32),
+                "canonical": canonical,
+                "is_duplicate": keys != canonical,
+            }
+        )
+
+    return assigned.groupBy("list_id", "sub_split").applyInPandas(
+        kernel,
+        schema="key long, list_id int, canonical long, is_duplicate boolean",
+    )
