@@ -1115,7 +1115,55 @@ class Searcher:
             return self.spark.createDataFrame([], "doc_id long, score float")
         dfs = {str(t): int(d) for t, d in zip(tinfo["term"], tinfo["df"])}
         values = classic_term_values(uniq, dfs, self.stats.max_doc)
-        max_overlap = len(uniq)
+        scorers = {
+            str(t): (lambda tf, nb, v=values[str(t)]: classic_scores(tf, nb, v))
+            for t in tinfo["term"]
+        }
+        return self._search_tfidf(tinfo, scorers, len(uniq), k)
+
+    def search_sweetspot(
+        self,
+        query: str | list[str],
+        k: int = 10,
+        tf_mode: str = "baseline",
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steep: float = 0.5,
+        **tf_kwargs,
+    ) -> DataFrame:
+        """SweetSpotSimilarity top-k (SweetSpotSimilarity.java:137-227 —
+        plateau lengthNorm + baseline/hyperbolic tf; idf/queryNorm/coord
+        inherited from DefaultSimilarity). Search-time over the same
+        default-encoded norms — see query/sweetspot.py for the
+        re-quantization trail. Completes the reference similarity-factory
+        registry: all seven factories now have engine counterparts."""
+        from .classic import classic_term_values
+        from .sweetspot import sweetspot_norm_table, sweetspot_scores
+
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        uniq = sorted(set(terms))
+        if not uniq:
+            return self._empty()
+        tinfo = self.lookup_terms(uniq)
+        if tinfo.empty:
+            return self._empty()
+        dfs = {str(t): int(d) for t, d in zip(tinfo["term"], tinfo["df"])}
+        values = classic_term_values(uniq, dfs, self.stats.max_doc)
+        table = sweetspot_norm_table(ln_min, ln_max, steep)
+        scorers = {
+            str(t): (
+                lambda tf, nb, v=values[str(t)]: sweetspot_scores(
+                    tf, nb, v, table, tf_mode, **tf_kwargs
+                )
+            )
+            for t in tinfo["term"]
+        }
+        return self._search_tfidf(tinfo, scorers, len(uniq), k)
+
+    def _search_tfidf(self, tinfo, scorers, max_overlap: int, k: int) -> DataFrame:
+        """Shared TFIDFSimilarity-family execution (classic + SweetSpot):
+        per-posting float32 scores → float32(double sum) × float32 coord
+        (DisjunctionSumScorer.java:96-98) → top-k."""
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -1127,10 +1175,9 @@ class Searcher:
                     docs = row.first_doc + np.cumsum(gaps)
                     out_doc.append(docs)
                     out_score.append(
-                        classic_scores(
+                        scorers[row.term](
                             np.asarray(row.tfs, dtype=np.int64),
                             np.asarray(row.norm_bytes, dtype=np.int64),
-                            values[row.term],
                         )
                     )
                 if out_doc:
