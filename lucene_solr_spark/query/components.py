@@ -393,6 +393,53 @@ def suggest(searcher, prefix: str, n: int = 10) -> DataFrame:
     )
 
 
+def fuzzy_suggest(
+    searcher,
+    prefix: str,
+    n: int = 10,
+    max_edits: int = 1,
+    non_fuzzy_prefix: int = 1,
+    min_fuzzy_length: int = 3,
+) -> DataFrame:
+    """FuzzySuggester analog (lucene/suggest/.../analyzing/
+    FuzzySuggester.java; solr FuzzyLookupFactory): completions whose HEAD
+    (the first len(prefix) chars) is within `max_edits` of the typed
+    prefix — reference defaults maxEdits=1, nonFuzzyPrefix=1 (the first
+    character must match exactly), minFuzzyLength=3 (shorter inputs match
+    exactly, :80-91). Ranked weight (ttf) desc like `suggest`.
+
+    Plan: the exact `non_fuzzy_prefix` head is a LIKE pushdown on the
+    dictionary scan; the edit distance runs JVM-side (levenshtein on the
+    head substring) over the pruned rows only."""
+    if len(prefix) < min_fuzzy_length:
+        return suggest(searcher, prefix, n)
+    head = prefix[:non_fuzzy_prefix]
+    lit = head.replace("%", r"\%").replace("_", r"\_")
+    plen = len(prefix)
+    # terms shorter than prefix-maxEdits can't complete the prefix
+    cand = searcher.terms.where(
+        F.col("term").like(lit + "%")
+        & (F.length("term") >= plen - max_edits)
+    )
+    dist = F.levenshtein(
+        F.substring(F.col("term"), 1, plen + max_edits), F.lit(prefix)
+    )
+    # allow the head window to run long by up to max_edits (deletions in
+    # the candidate's head count against the budget, Levenshtein-style)
+    dist_exact = F.levenshtein(F.substring(F.col("term"), 1, plen), F.lit(prefix))
+    best = F.least(dist, dist_exact)
+    return (
+        cand.where(best <= max_edits)
+        .select(
+            "term",
+            F.col("ttf").cast("long").alias("weight"),
+            best.cast("long").alias("dist"),
+        )
+        .orderBy(F.col("weight").desc(), F.col("term").asc())
+        .limit(n)
+    )
+
+
 def spellcheck(searcher, word: str, max_edits: int = 2, n: int = 10) -> DataFrame:
     """DirectSpellChecker (DirectSpellChecker.java:532): dictionary terms
     within `max_edits`, ranked distance asc then df desc (more frequent

@@ -235,3 +235,20 @@ def test_spellcheck_collate(spark, idx):
     assert C.spellcheck_collate(idx, ["spark", "merge"]) == []
     # hopeless term → no collation
     assert C.spellcheck_collate(idx, ["zzzzqqqq"]) == []
+
+
+def test_fuzzy_suggest(spark, idx):
+    from lucene_solr_spark.query.components import fuzzy_suggest
+
+    s = idx
+    terms = {r.term for r in s.terms.select("term").collect()}
+    assert any(t.startswith("merge") for t in terms)
+    # one substitution inside the typed prefix still completes
+    got = fuzzy_suggest(s, "marge", max_edits=1).toPandas()
+    assert any(t.startswith("merge") for t in got["term"])
+    # first char is the non-fuzzy prefix: an edit there never matches
+    got = fuzzy_suggest(s, "xerge", max_edits=1).toPandas()
+    assert got.empty
+    # short inputs fall back to exact prefix completion
+    got = fuzzy_suggest(s, "me", max_edits=1).toPandas()
+    assert all(t.startswith("me") for t in got["term"])
