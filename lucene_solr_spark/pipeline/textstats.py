@@ -107,3 +107,73 @@ def fingerprints(
         contrib.alias("fingerprint"),
     )
     return out.where(F.size(pairs) > 0)
+
+
+# --- URL classification (URLClassifyProcessor.java:44-240) --------------------
+LANDING_PAGE_SUFFIXES = [
+    "/",
+    "index.html", "index.htm", "index.phtml", "index.shtml", "index.xml",
+    "index.php", "index.asp", "index.aspx",
+    "welcome.html", "welcome.htm", "welcome.phtml", "welcome.shtml",
+    "welcome.xml", "welcome.php", "welcome.asp", "welcome.aspx",
+]  # reference array order (:67-86) — first match wins
+
+
+def url_classify(docs: DataFrame, url_col: str = "url") -> DataFrame:
+    """URLClassifyProcessor: append url_length, url_levels, url_toplevel,
+    url_landingpage, url_domain, url_canonical — every output a pure
+    Catalyst expression over `parse_url` (JVM, codegen), no UDFs.
+
+    Reference semantics (URLClassifyProcessor.java):
+    - levels = '/' count of the lowercased path with the landing suffix and
+      trailing slashes stripped (:169-179)
+    - toplevel = empty stripped path AND no query string (:186-190)
+    - landingpage = no query string AND path ends with a landing suffix
+      (:197-204); suffixes checked in array order, '/' first
+    - canonical = first '/'+suffix occurrence at the end replaced by '/'
+      (:143-153)
+    Declared subset: the reference normalizes via java.net.URI.normalize()
+    before classifying; '..'/'.' path segments are not resolved here."""
+    url = F.col(url_col)
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.parse_url(url, F.lit("QUERY"))
+
+    suffix = F.lit("")
+    for s in reversed(LANDING_PAGE_SUFFIXES):  # build when-chain, first wins
+        suffix = F.when(path.endswith(F.lit(s)), F.lit(s)).otherwise(suffix)
+
+    path_wo = F.expr(
+        f"substring(lower(coalesce(parse_url({url_col}, 'PATH'), '')), 1, "
+        f"length(lower(coalesce(parse_url({url_col}, 'PATH'), ''))) - length(__sfx))"
+    )
+    # stripped = path minus suffix minus trailing slashes
+    tmp = docs.withColumn("__sfx", suffix)
+    stripped = F.regexp_replace(path_wo, "/+$", "")
+    levels = (F.length(stripped) - F.length(F.regexp_replace(stripped, "/", ""))).cast(
+        "int"
+    )
+    canonical = F.when(
+        (F.col("__sfx") != "") & F.expr(f"endswith({url_col}, __sfx)"),
+        F.concat(
+            F.expr(f"substring({url_col}, 1, length({url_col}) - length(__sfx))"),
+            F.when(F.col("__sfx") == "/", F.lit("/")).otherwise(F.lit("")),
+        ),
+    ).otherwise(url)
+    # '/'+suffix -> '/': for named suffixes the preceding '/' is kept by
+    # dropping only the suffix text; for '/' itself the url is unchanged
+    out = (
+        tmp.withColumn("url_length", F.length(url).cast("int"))
+        .withColumn("url_levels", levels)
+        .withColumn(
+            "url_toplevel",
+            ((F.length(stripped) == 0) & query.isNull()).cast("int"),
+        )
+        .withColumn(
+            "url_landingpage",
+            (query.isNull() & (F.col("__sfx") != "")).cast("int"),
+        )
+        .withColumn("url_domain", F.parse_url(url, F.lit("HOST")))
+        .withColumn("url_canonical", canonical)
+        .drop("__sfx")
+    )
+    return out
