@@ -780,6 +780,11 @@ RETIRED_DF_GATES = {
     # total-hits equals the row count the engine_bool_* gates already
     # hash-compare; retired for dedup_connected_components
     "engine_total_hits",
+    # PrefixQuery is the strict special case ('st%') of the wildcard gate's
+    # dictionary-rewrite → match_docs path (engine_wildcard_match exercises
+    # the same _rewrite_terms + postings retrieval with a more general
+    # pattern); retired for engine_common_terms
+    "engine_prefix_match",
 }
 
 

@@ -274,6 +274,76 @@ def _e_sloppy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _common_terms_sql(terms: list[str], mtf: float = 0.5, k: int = 10) -> str:
+    """CommonTermsQuery oracle (CommonTermsQuery.java:170-226), DuckDB,
+    lowFreqOccur=SHOULD / highFreqOccur=SHOULD: terms are classified by df
+    computed FROM THE CORPUS (high iff df > ceil(mtf·maxDoc)); a doc matches
+    iff it holds ≥1 low-frequency term; common terms only add score."""
+    from .index.norms import quantized_doclen_sql
+
+    qdl = quantized_doclen_sql("dl.dl", dialect="duckdb")
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS ({tok_cte('duckdb')}),
+consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+         CAST((SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) FROM tok) AS FLOAT) AS avgdl
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+qdl AS (SELECT doc_id, {qdl} AS qdl FROM dl),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+dfv AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM tok WHERE term IN ({term_list}) GROUP BY term
+),
+klass AS (
+  SELECT term, CASE WHEN df > CEIL({mtf} * consts.n) THEN 1 ELSE 0 END AS is_high
+  FROM dfv CROSS JOIN consts
+),
+per AS (
+  SELECT tf.doc_id, tf.term,
+         LN(1.0 + (consts.n - dfv.df + 0.5) / (dfv.df + 0.5)) * 2.2 * tf.tf
+           / (tf.tf + 1.2 * (0.25 + 0.75 * qdl.qdl / consts.avgdl)) AS s
+  FROM tf
+  JOIN dfv ON tf.term = dfv.term
+  JOIN qdl ON tf.doc_id = qdl.doc_id
+  CROSS JOIN consts
+),
+agg AS (
+  SELECT per.doc_id,
+         SUM(CASE WHEN k.is_high = 0 THEN per.s END) AS low_s,
+         COUNT(CASE WHEN k.is_high = 0 THEN 1 END) AS n_low,
+         SUM(CASE WHEN k.is_high = 1 THEN per.s END) AS high_s
+  FROM per JOIN klass k ON per.term = k.term
+  GROUP BY per.doc_id
+),
+summed AS (
+  SELECT doc_id, COALESCE(low_s, 0.0) + COALESCE(high_s, 0.0) AS score
+  FROM agg WHERE n_low >= 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+FROM summed
+ORDER BY rank
+LIMIT {k}"""
+
+
+@df_gate("engine_common_terms", _common_terms_sql(["dup", "fast", "merge"]))
+def _e_common_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonTermsQuery through the engine (CommonTermsQuery.java:146-226):
+    'fast' and 'merge' are corpus-common (df ≈ 380/500 at sf0.01 > the
+    ceil(0.5·maxDoc) cutoff) so they become the optional clause; 'dup'
+    (df = 25) is the low-frequency clause that alone drives matching. The
+    oracle recomputes the df classification and the ReqOptSum score from
+    the raw corpus."""
+    s = _engine_searcher(spark, sf_dir)
+    hits = s.common_terms_search(["dup", "fast", "merge"], max_term_frequency=0.5, k=10)
+    return _to_orig(s, hits, ranked=True)
+
+
 # --- MultiTermQuery rewrites --------------------------------------------------
 @df_gate("engine_prefix_match", _docset_sql("duckdb", "term LIKE 'st%'"))
 def _e_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,6 +25,7 @@ scorer trees from BooleanQuery.java:302-364) onto Spark plans:
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Iterator
 
@@ -976,6 +977,127 @@ class Searcher:
                 if len(neg_info) > 1:
                     neg_docs = neg_docs.distinct()
                 matched = matched.join(neg_docs, "doc_id", "left_anti")
+        matched = self._apply_filter(matched, filter_docs)
+        return self._topk(self._drop_deleted(matched), k)
+
+    @staticmethod
+    def _low_freq_mm(min_should_match: float, n_low: int) -> int:
+        """calcLowFreqMinimumNumberShouldMatch (CommonTermsQuery.java:163-168):
+        values >= 1 or == 0 are absolute counts; a fraction in (0,1) is
+        Math.round(frac * numOptional) — half-up, like Java."""
+        if min_should_match >= 1.0 or min_should_match == 0.0:
+            return int(min_should_match)
+        return int(math.floor(min_should_match * n_low + 0.5))
+
+    def common_terms_search(
+        self,
+        query: str | list[str],
+        max_term_frequency: float = 0.01,
+        low_freq_occur: str = "should",
+        high_freq_occur: str = "should",
+        min_should_match: float = 0.0,
+        k: int = 10,
+        filter_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """CommonTermsQuery (lucene/queries/src/java/org/apache/lucene/
+        queries/CommonTermsQuery.java:146-226): query terms are classified by
+        their ACTUAL document frequency at query time — low-frequency terms
+        form the selective clause, high-frequency "common" terms an optional
+        clause whose scores only top up docs the low-frequency clause already
+        matched. Index-statistics stopwording: at web scale this is what
+        keeps 'http' or 'com' in a query from DRIVING a 10^11-posting match —
+        the common terms never expand the match set, they only add score on
+        the (small) low-df DocSet.
+
+        Classification (CommonTermsQuery.java:182-186): high-frequency iff
+        (max_term_frequency >= 1 and df > max_term_frequency) or
+        df > ceil(max_term_frequency * maxDoc); terms absent from the
+        dictionary are low-frequency clauses (the termContext == null branch,
+        :181). The df lookup hits the driver's term-info cache — zero extra
+        Spark jobs over a plain boolean query.
+
+        Rewrites exactly like buildQuery (:170-226):
+        - single term        -> plain TermQuery (rewrite(), :150-153);
+        - only high-freq     -> conjunction of ALL of them (:199-216 — the
+          "prevent slow queries" rewrite, SHOULD promoted to MUST);
+        - only low-freq      -> plain boolean query of them;
+        - mixed              -> BooleanQuery( lowFreq as MUST, highFreq as
+          SHOULD ), evaluated here in ONE term-pruned scan with conditional
+          aggregates — the same plan shape as boolean_search (scan →
+          partial/final hash agg → TakeOrderedAndProject), so the common
+          terms cost one posting decode, never a second scan.
+        min_should_match applies to the low-frequency SHOULD clause
+        (:163-168, :194-197). BM25 coord = 1, so the rewritten query's score
+        is the sum of member term scores (inner sums cast to float32 per
+        sub-scorer, ReqOptSumScorer.java)."""
+        if low_freq_occur not in ("must", "should") or high_freq_occur not in (
+            "must",
+            "should",
+        ):
+            raise ValueError("occur must be 'must' or 'should' (never MUST_NOT)")
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        # BooleanQuery clause order is irrelevant under coord=1; duplicate
+        # terms collapse to one clause (declared divergence from repeated
+        # add() calls, which no query parser produces).
+        uniq = list(dict.fromkeys(terms))
+        if not uniq:
+            return self._empty()
+        if len(uniq) == 1:
+            return self.boolean_search(should=uniq, k=k, filter_docs=filter_docs)
+        tinfo = self.lookup_terms(uniq)
+        df_of = dict(zip(tinfo["term"], (int(v) for v in tinfo["df"])))
+        # Java computes the fractional cutoff in float32: ceil(mtf * (float) maxDoc)
+        frac_cut = math.ceil(
+            float(np.float32(max_term_frequency) * np.float32(self.stats.max_doc))
+        )
+        high = [
+            t
+            for t in uniq
+            if t in df_of
+            and (
+                (max_term_frequency >= 1.0 and df_of[t] > max_term_frequency)
+                or df_of[t] > frac_cut
+            )
+        ]
+        low = [t for t in uniq if t not in high]
+        low_present = [t for t in low if t in df_of]
+        if not low:
+            # every term is common: conjunction so the query stays cheap
+            return self.boolean_search(must=high, k=k, filter_docs=filter_docs)
+        if not high:
+            if low_freq_occur == "must":
+                return self.boolean_search(must=low, k=k, filter_docs=filter_docs)
+            mm = self._low_freq_mm(min_should_match, len(low))
+            return self.boolean_search(
+                should=low, min_should_match=mm, k=k, filter_docs=filter_docs
+            )
+        if low_freq_occur == "must" and len(low_present) < len(low):
+            return self._empty()  # a required term is absent from the index
+        per_term = self._scored(tinfo)
+        is_low = F.col("term").isin(low_present)
+        agg = per_term.groupBy("doc_id").agg(
+            F.sum(F.when(is_low, F.col("score"))).cast("float").alias("low_s"),
+            F.count(F.when(is_low, 1)).alias("n_low"),
+            F.sum(F.when(~is_low, F.col("score"))).cast("float").alias("high_s"),
+            F.count(F.when(~is_low, 1)).alias("n_high"),
+        )
+        if low_freq_occur == "must":
+            matched = agg.where(F.col("n_low") == len(low_present))
+        else:
+            mm = self._low_freq_mm(min_should_match, len(low))
+            matched = agg.where(F.col("n_low") >= max(1, mm))
+        if high_freq_occur == "must":
+            # inner highFreq BooleanQuery of MUST clauses: contributes only
+            # when ALL common terms are present
+            opt = F.when(F.col("n_high") == len(high), F.col("high_s"))
+        else:
+            opt = F.col("high_s")
+        score = (
+            (F.col("low_s") + F.coalesce(opt, F.lit(0.0).cast("float")))
+            .cast("float")
+            .alias("score")
+        )
+        matched = matched.select("doc_id", score)
         matched = self._apply_filter(matched, filter_docs)
         return self._topk(self._drop_deleted(matched), k)
 
