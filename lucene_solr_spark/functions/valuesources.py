@@ -353,6 +353,92 @@ def boosted_topk(
     )
 
 
+def boosting_query_topk(
+    searcher,
+    match_terms: list[str],
+    context_terms: list[str],
+    boost: float,
+    k: int = 10,
+) -> DataFrame:
+    """BoostingQuery (lucene/queries/src/java/org/apache/lucene/queries/
+    BoostingQuery.java:28-75): demote (boost < 1) or promote (boost > 1)
+    docs that ALSO match a context query, without letting the context match
+    anything by itself. The reference rewrites to BooleanQuery(match MUST,
+    context SHOULD with boost 0) plus a coord override — context adds 0 to
+    the sum, coord multiplies the score by `boost` exactly when both clauses
+    matched. Net effect: score = match_score × (boost iff doc matches
+    context else 1).
+
+    Plan: the match terms score in one term-pruned scan; context docs decode
+    NON-SCORING (like MUST_NOT's excluded side) and left-join as a flag —
+    no second scoring pass, no global sort before the final top-k."""
+    tinfo = searcher.lookup_terms(match_terms)
+    if tinfo.empty:
+        return searcher._empty()
+    matched = (
+        searcher._scored(tinfo)
+        .groupBy("doc_id")
+        .agg(F.sum("score").cast("float").alias("score"))
+    )
+    ctx_info = searcher.lookup_terms(context_terms)
+    if not ctx_info.empty:
+        ctx = searcher._posting_docs(ctx_info)
+        if len(ctx_info) > 1:
+            ctx = ctx.distinct()
+        b32 = float(np.float32(boost))
+        matched = matched.join(
+            ctx.withColumn("_in_ctx", F.lit(True)), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.when(
+                F.col("_in_ctx"), (F.col("score") * F.lit(b32)).cast("float")
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+    return searcher._topk(searcher._drop_deleted(matched), k)
+
+
+def custom_score_topk(
+    searcher,
+    terms: list[str],
+    source_frame: DataFrame,
+    value_cols: list[Column | str],
+    k: int = 10,
+    query_boost: float = 1.0,
+) -> DataFrame:
+    """CustomScoreQuery with the default provider (CustomScoreQuery.java,
+    CustomScoreProvider.java:64-86): ModifiedScore = queryBoost ×
+    subQueryScore × Π valSrcScores — the N-ValueSource generalization of
+    BoostedQuery (boosted_topk handles the 1-source case with missing-row
+    semantics). `value_cols` are Column expressions over `source_frame`
+    (which must carry doc_id); docs absent from source_frame keep their
+    relevance score (each missing factor is 1, FunctionQuery's default).
+
+    Same plan discipline as boosted_topk: score the match set unsorted,
+    join the factors, single TakeOrderedAndProject."""
+    tinfo = searcher.lookup_terms(terms)
+    if tinfo.empty:
+        return searcher._empty()
+    matched = searcher._drop_deleted(
+        searcher._scored(tinfo)
+        .groupBy("doc_id")
+        .agg(F.sum("score").cast("float").alias("score"))
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in value_cols]
+    factors = source_frame.select(
+        "doc_id", *(c.cast("double").alias(f"_vs{i}") for i, c in enumerate(cols))
+    )
+    joined = matched.join(factors, "doc_id", "left")
+    product = F.lit(float(query_boost)).cast("double")
+    for i in range(len(cols)):
+        product = product * F.coalesce(F.col(f"_vs{i}"), F.lit(1.0))
+    scored = joined.select(
+        "doc_id", (F.col("score") * product).cast("double").alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
 def function_range_docset(
     searcher,
     source: DataFrame,

@@ -322,6 +322,51 @@ def solr_join(
     return to_source.join(keys, to_col, "left_semi")
 
 
+def solr_join_scored(
+    from_source: DataFrame,
+    from_col: str,
+    to_source: DataFrame,
+    to_col: str,
+    from_predicate: Column,
+    score_col: Column | str,
+    score_mode: str = "avg",
+    to_key: str | None = None,
+) -> DataFrame:
+    """JoinUtil.createJoinQuery with ScoreMode Total/Max/Avg
+    (JoinUtil.java:64-91, TermsWithScoreCollector.java:119-173,
+    TermsIncludingScoreQuery.java): from-side scores aggregate PER UNIQUE
+    JOIN VALUE — sum for Total, max for Max, sum/count for Avg — and every
+    to-side doc holding that join value inherits the value's score. Spark:
+    filter → groupBy(join value) agg → equi-join (broadcast by AQE when the
+    key set is small); adds a `join_score` column to the matching to rows.
+
+    `to_key`: when the to side is multi-valued (several rows per document,
+    e.g. an exploded array field), pass the document key; a doc matching
+    several join values keeps the score of the FIRST term in sort order —
+    the reference's in-order scorer maps only the first encountered join
+    value's score (JoinUtil.java:43-47, SVInOrderScorer), which in term-dict
+    order is deterministically the smallest join value."""
+    try:
+        agg = {"total": F.sum, "max": F.max, "avg": F.avg}[score_mode]
+    except KeyError:
+        raise ValueError(f"Score mode {score_mode} isn't supported.") from None
+    score_col = F.col(score_col) if isinstance(score_col, str) else score_col
+    per_value = (
+        from_source.where(from_predicate)
+        .groupBy(F.col(from_col).alias(to_col))
+        .agg(agg(score_col).cast("float").alias("join_score"))
+    )
+    joined = to_source.join(per_value, to_col)
+    if to_key is not None:
+        w = Window.partitionBy(to_key).orderBy(F.col(to_col).asc())
+        joined = (
+            joined.withColumn("_jv_rn", F.row_number().over(w))
+            .where(F.col("_jv_rn") == 1)
+            .drop("_jv_rn")
+        )
+    return joined
+
+
 def block_join_parent(
     children: DataFrame,
     child_predicate: Column,
