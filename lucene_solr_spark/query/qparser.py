@@ -1,0 +1,494 @@
+"""Solr request-surface dispatch: local-params syntax + the QParser registry.
+
+Two reference pieces re-expressed here:
+
+- `{!type param=value ...}body` local-params parsing —
+  QueryParsing.parseLocalParams (solr/core/src/java/org/apache/solr/search/
+  QueryParsing.java:103-171) with its exact token rules: a bare first word is
+  shorthand for `type=word`, `$name` values dereference request params,
+  quoted values use '/" with backslash escapes, unquoted values run to
+  whitespace or '}', and a local `v` parameter overrides the body
+  (QParser.java getParser).
+- the built-in parser registry QParserPlugin.standardPlugins
+  (solr/core/src/java/org/apache/solr/search/QParserPlugin.java:32-52):
+  lucene (default), func, prefix, boost, dismax, edismax, field, raw, term,
+  query (nested), frange, geofilt, bbox, join, surround, switch, maxscore —
+  each dispatched to this engine's existing operator, so the whole query
+  surface is reachable through one Solr-shaped entry point.
+
+Also a function-query EXPRESSION parser (FunctionQParser.parseValueSource,
+solr/core/src/java/org/apache/solr/search/FunctionQParser.java:221-380) for
+the ValueSource names that map to pure Column factories — what `bf=`,
+`{!func}`, `{!frange}` and `{!boost b=}` strings contain in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import valuesources as vs
+
+
+class SyntaxError_(ValueError):
+    """QueryParsing.SyntaxError analog."""
+
+
+# ---------------------------------------------------------------------------
+# local params: {!type k=v k2='quoted' k3=$deref}body
+# ---------------------------------------------------------------------------
+def _is_id_start(ch: str) -> bool:
+    return ch.isalpha() or ch == "_"
+
+
+def _is_id_part(ch: str) -> bool:
+    return ch.isalnum() or ch in "_$."
+
+
+def parse_local_params(
+    txt: str, params: dict[str, str] | None = None
+) -> tuple[dict[str, str] | None, str]:
+    """Returns (local_params, rest-of-string); (None, txt) when `txt` does
+    not start with '{!'. Faithful transcription of
+    QueryParsing.parseLocalParams (QueryParsing.java:103-171) + StrParser
+    getId/getQuotedString: bare word → type, `=` then `$name` dereferences
+    `params`, quotes escape with backslash, unquoted values end at
+    whitespace or '}' (no escaping)."""
+    if not txt.startswith("{!"):
+        return None, txt
+    target: dict[str, str] = {}
+    pos, end = 2, len(txt)
+    while True:
+        # eat whitespace (StrParser.eatws runs inside getId; peek at the
+        # loop top sees it first, so skip here before testing endChar)
+        while pos < end and txt[pos].isspace():
+            pos += 1
+        if pos >= end:
+            raise SyntaxError_(f"Missing '}}' parsing local params '{txt}'")
+        if txt[pos] == "}":
+            pos += 1
+            break
+        if not _is_id_start(txt[pos]):
+            raise SyntaxError_(
+                f"Expected ending character '}}' parsing local params '{txt}'"
+            )
+        id_start = pos
+        pos += 1
+        while pos < end and _is_id_part(txt[pos]):
+            pos += 1
+        key = txt[id_start:pos]
+        if pos < end and txt[pos] == "=":
+            pos += 1
+            deref = False
+            if pos < end and txt[pos] == "$":
+                deref = True
+                pos += 1
+            if pos < end and txt[pos] in "\"'":
+                quote = txt[pos]
+                pos += 1
+                out = []
+                while True:
+                    if pos >= end:
+                        raise SyntaxError_(f"Missing closing quote in '{txt}'")
+                    ch = txt[pos]
+                    if ch == "\\" and pos + 1 < end:
+                        out.append(txt[pos + 1])
+                        pos += 2
+                        continue
+                    if ch == quote:
+                        pos += 1
+                        break
+                    out.append(ch)
+                    pos += 1
+                val = "".join(out)
+            else:
+                val_start = pos
+                while True:
+                    if pos >= end:
+                        raise SyntaxError_(
+                            f"Missing end to unquoted value starting at "
+                            f"{val_start} str='{txt}'"
+                        )
+                    if txt[pos] == "}" or txt[pos].isspace():
+                        val = txt[val_start:pos]
+                        break
+                    pos += 1
+            if deref:
+                val = (params or {}).get(val)
+        else:
+            # single word: {!func} is shorthand for type=func
+            val, key = key, "type"
+        target[key] = val
+    return target, txt[pos:]
+
+
+# ---------------------------------------------------------------------------
+# function-query expressions: recip(ms(NOW,ts),...) etc.
+# ---------------------------------------------------------------------------
+# name -> (factory, spec) where spec marks which positions are plain floats
+# (the reference parses those with parseFloat, everything else as a nested
+# ValueSource — FunctionQParser.java:221-380 / ValueSourceParser.java:88-775)
+_FLOAT_TAIL = {
+    "recip": (vs.recip, 1),  # recip(x, m, a, b): floats from arg 1
+    "linear": (vs.linear, 1),  # linear(x, m, c)
+    "map": (vs.map_, 1),  # map(x, min, max, target)
+}
+_ALL_COLS = {
+    "sum": vs.sum_,
+    "sub": vs.sub,
+    "product": vs.product,
+    "div": vs.div,
+    "mod": vs.mod,
+    "abs": vs.abs_,
+    "max": vs.max_,
+    "min": vs.min_,
+    "sqrt": vs.sqrt,
+    "pow": vs.pow_,
+    "log": vs.log,
+    "ln": vs.ln,
+    "if": vs.if_,
+    "exists": vs.exists,
+    "not": vs.not_,
+    "and": vs.and_,
+    "or": vs.or_,
+    "xor": vs.xor,
+    "def": vs.def_,
+}
+_NO_ARGS = {"pi": vs.pi, "e": vs.e, "true": vs.true_, "false": vs.false_}
+
+
+class _FuncParser:
+    def __init__(self, s: str):
+        self.s = s
+        self.pos = 0
+
+    def _ws(self):
+        while self.pos < len(self.s) and self.s[self.pos].isspace():
+            self.pos += 1
+
+    def _peek(self) -> str:
+        self._ws()
+        return self.s[self.pos] if self.pos < len(self.s) else ""
+
+    def _number(self) -> float:
+        self._ws()
+        start = self.pos
+        if self._peek() in "+-":
+            self.pos += 1
+        while self.pos < len(self.s) and (
+            self.s[self.pos].isdigit() or self.s[self.pos] in ".eE+-"
+        ):
+            # stop '+-' unless it follows an exponent marker
+            if self.s[self.pos] in "+-" and self.s[self.pos - 1] not in "eE":
+                break
+            self.pos += 1
+        try:
+            return float(self.s[start : self.pos])
+        except ValueError:
+            raise SyntaxError_(f"Expected number at {start} in '{self.s}'") from None
+
+    def expr(self) -> Column:
+        ch = self._peek()
+        if ch == "" :
+            raise SyntaxError_(f"Unexpected end of function '{self.s}'")
+        if ch.isdigit() or ch in "+-.":
+            return F.lit(self._number()).cast("double")
+        if ch in "\"'":
+            quote = ch
+            self.pos += 1
+            start = self.pos
+            while self.pos < len(self.s) and self.s[self.pos] != quote:
+                self.pos += 1
+            val = self.s[start : self.pos]
+            self.pos += 1
+            return vs.literal(val)
+        # identifier: function call or field reference
+        start = self.pos
+        while self.pos < len(self.s) and (
+            self.s[self.pos].isalnum() or self.s[self.pos] in "_."
+        ):
+            self.pos += 1
+        name = self.s[start : self.pos]
+        if not name:
+            raise SyntaxError_(f"Expected identifier at {start} in '{self.s}'")
+        if self._peek() != "(":
+            return vs.field(name).cast("double")
+        self.pos += 1  # '('
+        lname = name.lower()
+        if lname in _NO_ARGS:
+            self._expect(")")
+            return _NO_ARGS[lname]()
+        if lname in _FLOAT_TAIL:
+            factory, n_cols = _FLOAT_TAIL[lname]
+            cols = []
+            for i in range(n_cols):
+                cols.append(self.expr())
+                self._expect(",")
+            floats = [self._number()]
+            while self._peek() == ",":
+                self.pos += 1
+                floats.append(self._number())
+            self._expect(")")
+            return factory(*cols, *floats)
+        if lname == "field":  # field("name") / field(name)
+            inner = self.expr()
+            self._expect(")")
+            return inner
+        if lname in _ALL_COLS:
+            args = [self.expr()]
+            while self._peek() == ",":
+                self.pos += 1
+                args.append(self.expr())
+            self._expect(")")
+            return _ALL_COLS[lname](*args)
+        raise SyntaxError_(f"Unknown function '{name}' in '{self.s}'")
+
+    def _expect(self, ch: str):
+        if self._peek() != ch:
+            raise SyntaxError_(
+                f"Expected '{ch}' at {self.pos} in '{self.s}'"
+            )
+        self.pos += 1
+
+
+def parse_function(expr: str) -> Column:
+    """Function-query string → ValueSource Column (FunctionQParser.java:
+    221-380): numbers are literals, bare identifiers are field references,
+    calls dispatch to the ValueSourceParser registry subset that maps to
+    pure Column factories (sum/sub/product/div/mod/abs/max/min/sqrt/pow/
+    log/ln/recip/linear/map/if/exists/not/and/or/xor/def/pi/e)."""
+    p = _FuncParser(expr)
+    col = p.expr()
+    if p._peek() != "":
+        raise SyntaxError_(f"Trailing input at {p.pos} in '{expr}'")
+    return col
+
+
+# ---------------------------------------------------------------------------
+# the registry dispatch
+# ---------------------------------------------------------------------------
+class SolrQueries:
+    """The q/fq request surface over one Searcher: dispatches `{!type ...}`
+    to the engine operator each QParserPlugin wraps (QParserPlugin.java:
+    32-52; SolrIndexSearcher runs the parsed Query + fq DocSets).
+
+    `source` is the stored-fields frame (key_col + doc columns) backing
+    func/frange/join/geofilt; `dismax` an optional DisMaxSearcher for
+    dismax/edismax; `params` the request params `$name` dereferences use.
+    """
+
+    def __init__(
+        self,
+        searcher,
+        source: DataFrame | None = None,
+        dismax=None,
+        params: dict[str, str] | None = None,
+        key_col: str = "url",
+        lat_col: str = "lat",
+        lon_col: str = "lon",
+    ):
+        self.searcher = searcher
+        self.source = source
+        self.dismax = dismax
+        self.params = params or {}
+        self.key_col = key_col
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+
+    # -- helpers -------------------------------------------------------------
+    def _need_source(self, qtype: str) -> DataFrame:
+        if self.source is None:
+            raise ValueError(f"{{!{qtype}}} needs a source frame")
+        return self.source
+
+    def _doc_values(self, col: Column, alias: str) -> DataFrame:
+        """(doc_id, alias) frame: the ValueSource evaluated per doc."""
+        src = self._need_source("func")
+        keyed = self.searcher.docs.select("doc_id", self.key_col)
+        return keyed.join(
+            src.select(self.key_col, col.alias(alias)), self.key_col
+        ).select("doc_id", alias)
+
+    def _rows_to_docset(self, rows: DataFrame) -> DataFrame:
+        keyed = self.searcher.docs.select("doc_id", self.key_col)
+        return keyed.join(
+            rows.select(self.key_col).distinct(), self.key_col, "left_semi"
+        ).select("doc_id")
+
+    def _field_predicate(self, body: str) -> Column:
+        """`field:value` → Catalyst predicate (the LuceneQParser fq shape
+        for stored fields); numbers compare numerically, `[a TO b]` is a
+        range (TermRangeQuery / NumericRangeQuery shape)."""
+        if ":" not in body:
+            raise SyntaxError_(f"expected field:value, got '{body}'")
+        fname, val = body.split(":", 1)
+        fname, val = fname.strip(), val.strip()
+        if val.startswith("[") and val.endswith("]") and " TO " in val:
+            lo, hi = val[1:-1].split(" TO ")
+            lo, hi = lo.strip(), hi.strip()
+            col = F.col(fname)
+            pred = F.lit(True)
+            if lo != "*":
+                pred = pred & (col >= _typed(lo))
+            if hi != "*":
+                pred = pred & (col <= _typed(hi))
+            return pred
+        if val.startswith('"') and val.endswith('"'):
+            return F.col(fname) == val[1:-1]
+        return F.col(fname) == _typed(val)
+
+    def _const_score(self, docset: DataFrame, k: int, boost: float = 1.0) -> DataFrame:
+        scored = docset.select(
+            "doc_id", F.lit(float(boost)).cast("float").alias("score")
+        )
+        return self.searcher._topk(self.searcher._drop_deleted(scored), k)
+
+    # -- q= ------------------------------------------------------------------
+    def query(self, q: str, k: int = 10, filter_docs: DataFrame | None = None) -> DataFrame:
+        local, rest = parse_local_params(q, self.params)
+        if local is None:
+            return self.searcher.query(q, k=k)
+        qtype = local.get("type") or "lucene"
+        body = local["v"] if "v" in local and local["v"] is not None else rest.strip()
+        s = self.searcher
+
+        if qtype == "lucene":
+            return s.query(body, k=k)
+        if qtype in ("term", "raw"):
+            # TermQParserPlugin / RawQParserPlugin: the value is NOT analyzed
+            return s.boolean_search(should=[body], k=k, filter_docs=filter_docs)
+        if qtype == "prefix":
+            return s.prefix_search(body, k=k)
+        if qtype == "field":
+            toks = s.analyze_query(body)
+            if not toks:
+                return s._empty()
+            if len(toks) == 1:
+                return s.boolean_search(should=toks, k=k, filter_docs=filter_docs)
+            return s.phrase_search(toks, k=k)
+        if qtype in ("dismax", "edismax"):
+            if self.dismax is None:
+                raise ValueError("dismax dispatch needs a DisMaxSearcher")
+            get = lambda p, d=None: local.get(p, self.params.get(p, d))  # noqa: E731
+            return self.dismax.dismax_search(
+                body,
+                qf=get("qf"),
+                tie=float(get("tie", 0.0)),
+                mm=int(get("mm", 0)),
+                pf=get("pf"),
+                k=k,
+            )
+        if qtype == "maxscore":
+            must, should, must_not = [], [], []
+            for word in body.split():
+                bucket = (
+                    must if word.startswith("+")
+                    else must_not if word.startswith("-")
+                    else should
+                )
+                bucket.extend(s.analyze_query(word.lstrip("+-")))
+            return s.max_score_search(
+                must=must, should=should, must_not=must_not,
+                tie=float(local.get("tie", 0.0)), k=k, filter_docs=filter_docs,
+            )
+        if qtype == "surround":
+            from .surround import surround_search
+
+            return surround_search(s, body, k=k)
+        if qtype == "frange":
+            col = parse_function(body)
+            return vs.function_range_query(
+                s, self._need_source("frange"), col,
+                l=_opt_float(local.get("l")), u=_opt_float(local.get("u")),
+                incl=local.get("incl", "true") != "false",
+                incu=local.get("incu", "true") != "false",
+                boost=float(local.get("boost", 1.0)), k=k, key_col=self.key_col,
+            )
+        if qtype == "func":
+            frame = self._doc_values(parse_function(body), "score")
+            scored = frame.select("doc_id", F.col("score").cast("float"))
+            return s._topk(s._drop_deleted(scored), k)
+        if qtype == "boost":
+            terms = s.analyze_query(body)
+            bframe = self._doc_values(parse_function(local["b"]), "boost_v")
+            return vs.boosted_topk(s, terms, bframe, "boost_v", k=k)
+        if qtype == "query":
+            # NestedQParserPlugin: re-parse v under defType
+            inner = local.get("v") or body
+            def_type = local.get("defType", "lucene")
+            if not inner.startswith("{!"):
+                inner = f"{{!{def_type}}}{inner}"
+            return self.query(inner, k=k, filter_docs=filter_docs)
+        if qtype == "switch":
+            case_val = body.strip()
+            key = f"case.{case_val}" if case_val else "case"
+            target = local.get(key, local.get("default"))
+            if target is None:
+                raise SyntaxError_(f"No switch case matched '{case_val}'")
+            return self.query(target, k=k, filter_docs=filter_docs)
+        if qtype in ("join", "geofilt", "bbox"):
+            return self._const_score(self.docset(q), k)
+        raise SyntaxError_(f"Unknown query parser '{qtype}'")
+
+    # -- fq= (non-scoring DocSets) --------------------------------------------
+    def docset(self, fq: str) -> DataFrame:
+        """fq → DocSet (doc_id frame) for search(filter_docs=...) /
+        put_filter — the filterCache entry shape (SolrIndexSearcher fq path)."""
+        local, rest = parse_local_params(fq, self.params)
+        s = self.searcher
+        if local is None:
+            if ":" in fq:
+                return s.filter_docs_from_source(
+                    self._need_source("fq"), self._field_predicate(fq),
+                    key_col=self.key_col,
+                )
+            return s.match_docs(s.analyze_query(fq))
+        qtype = local.get("type") or "lucene"
+        body = local["v"] if "v" in local and local["v"] is not None else rest.strip()
+        if qtype == "frange":
+            return vs.function_range_docset(
+                s, self._need_source("frange"), parse_function(body),
+                l=_opt_float(local.get("l")), u=_opt_float(local.get("u")),
+                incl=local.get("incl", "true") != "false",
+                incu=local.get("incu", "true") != "false", key_col=self.key_col,
+            )
+        if qtype in ("geofilt", "bbox"):
+            from .spatial import bbox_filter, geofilt
+
+            lat, lon = (float(x) for x in local["pt"].split(","))
+            fn = geofilt if qtype == "geofilt" else bbox_filter
+            rows = fn(
+                self._need_source(qtype), self.lat_col, self.lon_col,
+                lat, lon, float(local["d"]),
+            )
+            return self._rows_to_docset(rows)
+        if qtype == "join":
+            from .components import solr_join
+
+            src = self._need_source("join")
+            rows = solr_join(
+                src, local["from"], src, local["to"], self._field_predicate(body)
+            )
+            return self._rows_to_docset(rows)
+        if qtype in ("term", "raw"):
+            fname = local.get("f")
+            if fname and self.source is not None and fname != "text":
+                return s.filter_docs_from_source(
+                    self.source, F.col(fname) == _typed(body), key_col=self.key_col
+                )
+            return s.match_docs([body])
+        # everything else: run the query, keep the doc_ids
+        hits = self.query(fq, k=s.stats.max_doc)
+        return hits.select("doc_id")
+
+
+def _typed(val: str):
+    try:
+        f = float(val)
+        return int(f) if f.is_integer() and "." not in val and "e" not in val.lower() else f
+    except ValueError:
+        return val
+
+
+def _opt_float(v: str | None) -> float | None:
+    return None if v is None else float(v)
