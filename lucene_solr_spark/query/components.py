@@ -168,6 +168,26 @@ def grouping_top_docs(
     )
 
 
+def grouping_by_function(
+    source: DataFrame,
+    func_col: Column,
+    sort_col: str,
+    top_n: int,
+    asc: bool = False,
+    id_col: str = "doc_id",
+    matches: DataFrame | None = None,
+) -> DataFrame:
+    """group.func (Grouping.java's CommandFunc — grouping keyed by a
+    ValueSource's per-doc value instead of a stored field): materialize the
+    function value as the group key, then the same one-window plan as
+    group.field. Compose with qparser.parse_function for string exprs."""
+    keyed = source.withColumn("group_value", func_col)
+    return grouping_top_docs(
+        keyed, "group_value", sort_col, top_n, asc=asc, id_col=id_col,
+        matches=matches,
+    )
+
+
 def stats_component(
     source: DataFrame, field: str, facet_cols: Sequence[str] = (),
     scale: int | None = None,
@@ -292,6 +312,91 @@ def docset_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def docset_and_not(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.select("doc_id").join(b.select("doc_id"), "doc_id", "left_anti")
+
+
+def docset_xor(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Symmetric difference (ChainedFilter XOR op) = union minus intersect."""
+    return docset_and_not(docset_union(a, b), docset_intersect(a, b))
+
+
+def boolean_filter(
+    should: Sequence[DataFrame] = (),
+    must: Sequence[DataFrame] = (),
+    must_not: Sequence[DataFrame] = (),
+    universe: DataFrame | None = None,
+) -> DataFrame:
+    """BooleanFilter (lucene/queries/src/java/org/apache/lucene/queries/
+    BooleanFilter.java:52-100): non-scoring boolean algebra over cached
+    filter DocSets — union of SHOULD sets, MUST intersection, MUST_NOT
+    subtraction. A MUST_NOT-only filter starts from ALL docs (`universe`,
+    e.g. searcher.docs — the reference flips a full bitset)."""
+    from functools import reduce as _reduce
+
+    res = _reduce(docset_union, should) if should else None
+    for f in must:
+        res = f.select("doc_id") if res is None else docset_intersect(res, f)
+    if res is None:
+        if not must_not:
+            raise ValueError("BooleanFilter needs at least one clause")
+        if universe is None:
+            raise ValueError("MUST_NOT-only BooleanFilter needs `universe`")
+        res = universe.select("doc_id")
+    # reference order is SHOULD → MUST_NOT → MUST; ANDNOT distributes over
+    # AND, so subtracting once at the end is set-identical and cheaper
+    for f in must_not:
+        res = docset_and_not(res, f)
+    return res.distinct()
+
+
+def chained_filter(
+    filters: Sequence[DataFrame],
+    ops: Sequence[str] | str = "or",
+    universe: DataFrame | None = None,
+) -> DataFrame:
+    """ChainedFilter (lucene/queries/src/java/org/apache/lucene/queries/
+    ChainedFilter.java:130-250): fold filters left-to-right with a per-step
+    op in {or, and, andnot, xor}. Initial-result rule (initialResult,
+    :130-149): a leading AND starts from the first filter's set, a leading
+    ANDNOT from its complement (needs `universe`), OR/XOR start empty."""
+    if isinstance(ops, str):
+        ops = [ops] * len(filters)
+    if len(ops) != len(filters):
+        raise ValueError("Invalid number of elements in logic array")
+    ops = [o.lower() for o in ops]
+    idx = 0
+    if ops[0] == "and":
+        res = filters[0].select("doc_id")
+        idx = 1
+    elif ops[0] == "andnot":
+        if universe is None:
+            raise ValueError("leading ANDNOT needs `universe`")
+        res = docset_and_not(universe.select("doc_id"), filters[0])
+        idx = 1
+    else:
+        res = None  # OR/XOR against the empty set = the set itself
+    table = {
+        "or": docset_union,
+        "and": docset_intersect,
+        "andnot": docset_and_not,
+        "xor": docset_xor,
+    }
+    for f, op in zip(list(filters)[idx:], list(ops)[idx:]):
+        if op not in table:
+            raise ValueError(f"unknown op '{op}'")
+        res = f.select("doc_id").distinct() if res is None else table[op](res, f)
+    return res
+
+
+def terms_filter(
+    searcher, source: DataFrame, field: str, values: Sequence, key_col: str = "url"
+) -> DataFrame:
+    """TermsFilter (lucene/queries/src/java/org/apache/lucene/queries/
+    TermsFilter.java): docs whose `field` holds ANY of `values` — the
+    classic cacheable IN-list filter. Catalyst `isin` pushes down to the
+    source scan; result is a DocSet for filter_docs / put_filter."""
+    return searcher.filter_docs_from_source(
+        source, F.col(field).isin(list(values)), key_col=key_col
+    )
 
 
 def match_all(searcher) -> DataFrame:
