@@ -495,6 +495,67 @@ def block_join_parent(
     return children.where(child_predicate).groupBy(parent_key).agg(*aggs)
 
 
+def block_join_children(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_predicate: Column,
+    parent_key: str,
+    score_col: str | None = None,
+) -> DataFrame:
+    """ToChildBlockJoinQuery (lucene/join/src/java/org/apache/lucene/search/
+    join/ToChildBlockJoinQuery.java:49-120): the inverse block join — run a
+    query against PARENTS and return every CHILD of a matching parent. With
+    `score_col` (doScores=true) each child inherits its parent's score
+    (`parentScore` in ToChildBlockJoinScorer); without it the join is a
+    non-scoring semi-join. Broadcast-friendly: the matched-parent side is
+    the small one."""
+    matched = parents.where(parent_predicate)
+    if score_col is None:
+        return children.join(
+            matched.select(parent_key), parent_key, "left_semi"
+        )
+    return children.join(
+        matched.select(parent_key, F.col(score_col).alias("parent_score")),
+        parent_key,
+    )
+
+
+def random_sort_value(
+    doc_id: Column, field_name: str, version: int
+) -> Column:
+    """RandomSortField (solr/core/src/java/org/apache/solr/schema/
+    RandomSortField.java:65-110): a repeatable pseudo-random per-doc sort
+    key — Thomas Wang's hash32shift over (seed + docID) where seed =
+    fieldName.hashCode() + docBase + indexVersion, result >>> 1 so it is
+    non-negative. Changing `field_name` (dynamic-field trick) or `version`
+    (index update) reshuffles the order; same inputs give the same order on
+    every node at any parallelism. Pure codegen int arithmetic (32-bit ops
+    emulated on longs with masking)."""
+    # Java String.hashCode for the seed component
+    h = 0
+    for ch in field_name:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    if h >= 1 << 31:
+        h -= 1 << 32
+    seed = (h + version) & 0xFFFFFFFF  # docBase = 0: one logical segment
+
+    m = F.lit(0xFFFFFFFF).cast("long")
+    k = (F.lit(seed).cast("long") + doc_id.cast("long")).bitwiseAND(m)
+    # key = ~key + (key << 15)
+    k = (k.bitwiseXOR(m) + F.shiftleft(k, 15).bitwiseAND(m)).bitwiseAND(m)
+    # key ^= key >>> 12  (values stay unsigned-32 in a long, so >> == >>>)
+    k = k.bitwiseXOR(F.shiftright(k, 12))
+    # key += key << 2
+    k = (k + F.shiftleft(k, 2).bitwiseAND(m)).bitwiseAND(m)
+    # key ^= key >>> 4
+    k = k.bitwiseXOR(F.shiftright(k, 4))
+    # key *= 2057
+    k = (k * F.lit(2057).cast("long")).bitwiseAND(m)
+    # key ^= key >>> 16; return key >>> 1
+    k = k.bitwiseXOR(F.shiftright(k, 16))
+    return F.shiftright(k, 1).cast("int")
+
+
 # --- §2.14 relevance features over the real index -----------------------------
 def more_like_this(
     searcher,

@@ -92,3 +92,38 @@ def delta_pages(
     With parquet/Iceberg the predicate prunes files/partitions at the scan
     (min/max statistics), so a delta pull reads only fresh data."""
     return read_pages(spark, source, fmt=fmt).where(F.col(watermark_col) > F.lit(since))
+
+
+def external_file_field(
+    spark: SparkSession,
+    path: str,
+    key_col: str = "url",
+    val_col: str = "external_val",
+) -> DataFrame:
+    """ExternalFileField / FileFloatSource (solr/core/src/java/org/apache/
+    solr/schema/ExternalFileField.java, search/function/FileFloatSource.java:
+    245-300): per-document floats maintained OUTSIDE the index (click rates,
+    editorial ranks) in `key=value` text lines. Parse rules reproduced:
+    split on the LAST '=', lines without '=' skipped, unparsable floats
+    skipped, a key's LAST line wins. Returns (key_col, val_col float) for
+    joining as a ValueSource (boosted_topk / custom_score_topk /
+    sort_topk); coalesce missing keys to the FileFloatSource defVal at
+    join time.
+
+    Order: monotonically_increasing_id over the text scan is globally
+    ascending in file order (partition index ⋅ row-in-split), so
+    max_by(value, line_id) is the reference's overwrite semantics without
+    collecting the file."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("_line"), "value"
+    )
+    parsed = lines.select(
+        "_line",
+        F.regexp_extract("value", r"^(.*)=([^=]*)$", 1).alias(key_col),
+        F.regexp_extract("value", r"^(.*)=([^=]*)$", 2)
+        .try_cast("float")
+        .alias(val_col),
+    ).where((F.col(key_col) != "") & F.col(val_col).isNotNull())
+    return parsed.groupBy(key_col).agg(
+        F.max_by(val_col, "_line").alias(val_col)
+    )
