@@ -1,11 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns.
 
 The Spark-side machinery is real and tested — schema contracts, Arrow batch
-shapes, `mapInPandas` feature extraction, partition sizing — while the
-actual codec work is stubbed: the decode UDFs use real libraries when
-importable (PIL etc., absent in this container) and otherwise either raise
-`NotImplementedError` or run a clearly-marked deterministic fake decoder so
-the pipeline plumbing stays exercisable end-to-end.
+shapes, `mapInPandas` feature extraction, partition sizing. Codec status:
+- PNG: REAL decoder (`decode_png`) — chunk walk, stdlib zlib inflate,
+  numpy scanline unfiltering (all five PNG filters), gray/RGB/GA/RGBA at
+  bit depth 8. No image library involved.
+- WAV: REAL parser (`decode_wav`) — RIFF chunk walk, 16-bit PCM to float32
+  mono; raw PCM16 blobs decode directly (np.frombuffer).
+- JPEG / compressed audio (mp3, ogg) / video codecs: stubbed — the decode
+  UDFs use real libraries when importable (PIL etc., absent in this
+  container) and otherwise raise `NotImplementedError` or run a
+  clearly-marked deterministic fake decoder so the pipeline plumbing stays
+  exercisable end-to-end.
 
 Schema contract for a multimodal corpus table:
     id: long, media: binary, media_type: string,
@@ -20,6 +26,8 @@ FIRST select after the UDF so downstream stages never shuffle the blobs.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -51,14 +59,137 @@ def _fake_decode(blob: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height, width), dtype=np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """REAL PNG decode with no image library: chunk walk (IHDR/IDAT/IEND),
+    stdlib zlib inflate, scanline unfiltering per the PNG spec (RFC 2083
+    §6: filters None/Sub/Up/Average/Paeth). Supports bit depth 8, color
+    types 0/2/4/6, no interlace — the overwhelming majority of real-world
+    PNGs. Returns (H, W) uint8 grayscale; color converts via the ITU-R 601
+    luma transform (R·299 + G·587 + B·114) // 1000 (what PIL convert('L')
+    computes), alpha ignored.
+
+    Unfiltering cost: None/Up are fully vectorized; Sub is a per-channel
+    cumsum (vectorized); Average/Paeth fall back to a per-byte loop — rows
+    are short, and an encoder that cares about this path pre-filters with
+    None/Up anyway."""
+    if not blob.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = ctype = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + CRC
+        if tag == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+            if ctype not in _PNG_CHANNELS:
+                raise NotImplementedError(f"PNG color type {ctype}")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    raw = zlib.decompress(b"".join(idat))
+    ch = _PNG_CHANNELS[ctype]
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    off = 0
+    for y in range(height):
+        ft = raw[off]
+        row = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int64)
+        off += stride + 1
+        if ft == 0:  # None
+            rec = row
+        elif ft == 1:  # Sub: per-channel running sum
+            rec = np.empty_like(row)
+            for c in range(ch):
+                rec[c::ch] = np.cumsum(row[c::ch]) & 0xFF
+        elif ft == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            rec = np.empty_like(row)
+            for c in range(stride):
+                left = rec[c - ch] if c >= ch else 0
+                rec[c] = (row[c] + ((left + prev[c]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            rec = np.empty_like(row)
+            for c in range(stride):
+                a = rec[c - ch] if c >= ch else 0
+                b = prev[c]
+                cc = prev[c - ch] if c >= ch else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[c] = (row[c] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        img[y] = rec.astype(np.uint8)
+        prev = rec
+    px = img.reshape(height, width, ch)
+    if ctype == 0:
+        return px[:, :, 0]
+    if ctype == 4:  # gray + alpha
+        return px[:, :, 0]
+    r, g, b = (px[:, :, i].astype(np.int64) for i in range(3))
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE parse with no audio library: chunk walk, 'fmt '
+    (PCM, 16-bit) + 'data'; returns (float32 mono samples in [-1, 1),
+    sample_rate). Multi-channel input averages to mono. Odd-length chunks
+    honor the RIFF pad byte."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        chunk = blob[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif tag == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV (no fmt/data chunk)")
+    audio_format, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("only 16-bit PCM WAV (format 1)")
+    pcm = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    if n_ch > 1:
+        pcm = pcm[: len(pcm) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm.astype(np.float32), int(rate)
+
+
 def decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
+    blob = bytes(blob)
+    if blob.startswith(_PNG_SIG):
+        return decode_png(blob)  # real path, no libraries needed
     if _HAS_PIL:  # pragma: no cover - not installed in this container
         import io
 
         return np.asarray(Image.open(io.BytesIO(blob)).convert("L"))
     raise NotImplementedError(
-        "real image decode needs PIL/libvips; use image_features(fake=True) "
-        "for plumbing tests"
+        "non-PNG image decode needs PIL/libvips; use image_features("
+        "fake=True) for plumbing tests"
     )
 
 
@@ -86,8 +217,9 @@ def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 ]
                 ids.append(row.id)
                 feats.append(np.asarray(tiles, dtype=np.float32))
-                ws.append(w)
-                hs.append(h)
+                # real decoders report their own dimensions; meta is a hint
+                hs.append(int(px.shape[0]))
+                ws.append(int(px.shape[1]))
             yield pd.DataFrame(
                 {"id": ids, "features": feats, "width": ws, "height": hs}
             )
@@ -154,18 +286,25 @@ def resize_images(
 def audio_features(
     df: DataFrame, frame_len: int = 256, n_frames_keep: int = 8
 ) -> DataFrame:
-    """Raw-PCM audio feature extraction — REAL end to end: int16 PCM decodes
-    with np.frombuffer (no codec library involved), then per-frame RMS
-    energy and zero-crossing rate over the first `n_frames_keep` frames
-    (padded with zeros for short clips). Compressed codecs (mp3/ogg) would
-    slot in at the frombuffer line."""
+    """Audio feature extraction — REAL end to end for raw PCM16 AND WAV
+    containers: RIFF blobs parse through decode_wav (chunk walk, mono mix,
+    container sample rate wins), anything else decodes as bare int16 PCM
+    via np.frombuffer. Features: per-frame RMS energy and zero-crossing
+    rate over the first `n_frames_keep` frames (padded with zeros for
+    short clips). Compressed codecs (mp3/ogg) would slot in at the decode
+    line."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, feats, rates = [], [], []
             for row in pdf.itertuples(index=False):
-                pcm = np.frombuffer(bytes(row.media), dtype="<i2").astype(np.float32)
-                pcm = pcm / 32768.0
+                raw = bytes(row.media)
+                wav_rate = None
+                if raw[:4] == b"RIFF":
+                    pcm, wav_rate = decode_wav(raw)
+                else:
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32)
+                    pcm = pcm / 32768.0
                 n = (len(pcm) // frame_len) * frame_len
                 frames = pcm[:n].reshape(-1, frame_len) if n else np.zeros((0, frame_len), np.float32)
                 rms = np.sqrt((frames**2).mean(axis=1)) if len(frames) else np.array([])
@@ -180,7 +319,10 @@ def audio_features(
                 vec[n_frames_keep : n_frames_keep + k] = zcr[:k]
                 ids.append(row.id)
                 feats.append(vec)
-                rates.append(int(row.meta["sample_rate"] or 0))
+                rates.append(
+                    int(wav_rate if wav_rate is not None
+                        else (row.meta["sample_rate"] or 0))
+                )
             yield pd.DataFrame(
                 {"id": ids, "features": feats, "sample_rate": rates}
             )
