@@ -604,6 +604,80 @@ def suggest(searcher, prefix: str, n: int = 10) -> DataFrame:
     )
 
 
+def infix_gram_frame(
+    suggestions: DataFrame,
+    min_prefix_chars: int = 4,
+    text_col: str = "suggestion",
+) -> DataFrame:
+    """The AnalyzingInfixSuggester 'textgrams' field analog
+    (AnalyzingInfixSuggester.java:204-208): (gram, suggestion) pairs — edge
+    n-grams of length 1..min_prefix_chars of EVERY analyzed token. Persist
+    this bucketed/partitioned by `gram` and short typed fragments become a
+    pruned equi-join instead of a corpus scan (exactly why the reference
+    indexes leading grams: PrefixQuery only beyond minPrefixChars)."""
+    from ..analysis.analyzer import token_array
+    from ..analysis.ngram import edge_ngrams
+
+    grams = F.array_distinct(
+        edge_ngrams(token_array(F.col(text_col)), 1, min_prefix_chars)
+    )
+    return suggestions.select(text_col, F.explode(grams).alias("gram"))
+
+
+def infix_suggest(
+    suggestions: DataFrame,
+    key: str,
+    n: int = 5,
+    all_terms_required: bool = True,
+    text_col: str = "suggestion",
+    weight_col: str = "weight",
+    gram_frame: DataFrame | None = None,
+    min_prefix_chars: int = 4,
+) -> DataFrame:
+    """AnalyzingInfixSuggester.lookup (lucene/suggest/src/java/org/apache/
+    lucene/search/suggest/analyzing/AnalyzingInfixSuggester.java:320-400):
+    analyze the typed key; every token but the last must appear as a FULL
+    token of the suggestion (MUST when all_terms_required, else the clauses
+    are SHOULD and ≥1 must match), and the LAST token matches as a token
+    PREFIX — unless the key ends in discarded chars (trailing whitespace),
+    which the reference treats as "token finished" and requires exactly.
+    Results rank by weight desc (relevance score ignored, :399), text asc.
+
+    Plan: analyzer token array + array predicates over the suggestions
+    frame → one TakeOrderedAndProject. With `gram_frame`
+    (infix_gram_frame output, the 'textgrams' index analog) and
+    all_terms_required, the last token first prunes candidates via a gram
+    equi-join — the scale path for short fragments."""
+    from functools import reduce
+
+    from ..analysis.analyzer import standard_tokenize, token_array
+
+    trailing = key != key.rstrip()
+    toks = [t for _, t in standard_tokenize(key)]
+    if not toks:
+        return suggestions.select(text_col, weight_col).limit(0)
+    full, last = (toks, None) if trailing else (toks[:-1], toks[-1])
+
+    toks_col = token_array(F.col(text_col))
+    conds = [F.array_contains(toks_col, t) for t in full]
+    if last is not None:
+        conds.append(F.exists(toks_col, lambda x: x.startswith(last)))
+    combine = (lambda a, b: a & b) if all_terms_required else (lambda a, b: a | b)
+    pred = reduce(combine, conds)
+
+    cand = suggestions
+    if gram_frame is not None and last is not None and all_terms_required:
+        g = last[: min(len(last), min_prefix_chars)]
+        keys = gram_frame.where(F.col("gram") == g).select(text_col)
+        cand = cand.join(keys, text_col, "left_semi")
+    return (
+        cand.where(pred)
+        .select(text_col, weight_col)
+        .orderBy(F.col(weight_col).desc(), F.col(text_col).asc())
+        .limit(n)
+    )
+
+
 def fuzzy_suggest(
     searcher,
     prefix: str,
