@@ -83,12 +83,18 @@ def html_strip(col: Column | str) -> Column:
         out = F.regexp_replace(out, pat, rep)
     # numeric character references for the Latin-1 range, via a small
     # generated alternation (pure JVM; RE2-safe). Two-pass: decimal then hex.
-    for ordinal in (60, 62, 38, 34, 39, 160):  # < > & " ' nbsp
+    # &#38; (the ampersand itself) decodes LAST, after the named entities —
+    # decoding it first would let '&#38;lt;' become '&lt;' and then '<'
+    # (two levels), while the single-pass reference scanner decodes exactly
+    # one level (same reason '&amp;' is last in HTML_ENTITIES).
+    for ordinal in (60, 62, 34, 39, 160):  # < > " ' nbsp
         ch = " " if ordinal == 160 else chr(ordinal)
         out = F.regexp_replace(out, rf"&#0*{ordinal};", ch)
         out = F.regexp_replace(out, rf"&#[xX]0*{ordinal:x};", ch)
     for ent, ch in HTML_ENTITIES:
         out = F.regexp_replace(out, ent, ch)
+    out = F.regexp_replace(out, r"&#0*38;", "&")
+    out = F.regexp_replace(out, r"&#[xX]0*26;", "&")
     return out
 
 
@@ -102,7 +108,7 @@ def html_strip_sql(expr: str) -> str:
         p = pat.replace("'", "''")
         r = rep.replace("\n", "' || chr(10) || '")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
-    for ordinal in (60, 62, 38, 34, 39, 160):
+    for ordinal in (60, 62, 34, 39, 160):
         ch = " " if ordinal == 160 else chr(ordinal)
         ch_sql = "''''" if ch == "'" else f"'{ch}'"
         out = f"regexp_replace({out}, '&#0*{ordinal};', {ch_sql}, 'g')"
@@ -110,4 +116,7 @@ def html_strip_sql(expr: str) -> str:
     for ent, ch in HTML_ENTITIES:
         ch_sql = "''''" if ch == "'" else f"'{ch}'"
         out = f"regexp_replace({out}, '{ent}', {ch_sql}, 'g')"
+    # ampersand numeric refs last — one decode level, like '&amp;' above
+    out = f"regexp_replace({out}, '&#0*38;', '&', 'g')"
+    out = f"regexp_replace({out}, '&#[xX]0*26;', '&', 'g')"
     return out

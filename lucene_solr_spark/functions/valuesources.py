@@ -307,15 +307,15 @@ def query_score(searcher, terms: list[str], out_col: str = "qscore") -> DataFram
     )
 
 
+EARTH_RADIUS_KM = 6371.0087714  # GeoUtils mean earth radius
+
+
 def geodist(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """`geodist()` (ValueSourceParser.java:296 → HaversineFunction): great-
-    circle distance in km on the mean earth radius, pure JVM expression."""
-    r = 6371.0087714  # GeoUtils mean earth radius, km
-    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
-    dlat = F.radians(lat2 - lat1) / 2.0
-    dlon = F.radians(lon2 - lon1) / 2.0
-    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
-    return (F.lit(2.0 * r) * F.asin(F.sqrt(a))).cast("double")
+    circle distance in km on the mean earth radius — exactly hsin() pinned
+    to that radius (one haversine implementation; {!geofilt}'s prefilter+
+    verify contract depends on the two staying numerically identical)."""
+    return hsin(EARTH_RADIUS_KM, lat1, lon1, lat2, lon2)
 
 
 def boosted_topk(

@@ -263,15 +263,16 @@ def connected_components(
     transitive closure — a~b and b~c put all three in ONE group even when
     (a,c) was never emitted.
 
-    Each superstep: label(x) <- min(label(x), min label of x's neighbours);
-    converges in O(component diameter) supersteps — near-dup clusters are
-    shallow (pair generators link most members directly), so 3-5 rounds
-    close web-scale corpora. Each round is one shuffle on the edge list;
-    labels persist + localCheckpoint to keep the plan flat (no lineage
-    blow-up at iteration 20). The observed convergence check rides the
-    aggregation (no extra pass). Returns (key, component) where component
-    is the lexicographic min key of the group — members of no pair are
-    absent (callers treat missing as singleton).
+    Each superstep: label(x) <- min(label(x), min label of x's neighbours),
+    then pointer-jump label(x) <- label(label(x)) — the jump doubles the
+    propagated distance per round, so convergence is O(log component
+    diameter) (a 2^25-link chain fits the default budget). Each round is
+    one shuffle on the edge list plus one on the labels frame; labels
+    persist + localCheckpoint to keep the plan flat (no lineage blow-up at
+    iteration 20). Non-convergence inside max_iter raises instead of
+    returning silently split groups. Returns (key, component) where
+    component is the lexicographic min key of the group — members of no
+    pair are absent (callers treat missing as singleton).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -293,6 +294,23 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("src")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jumping: label(x) <- label(label(x)) — doubles the
+        # propagated distance every round, so convergence is O(log
+        # diameter) instead of O(diameter); a 1000-link chain (pathological
+        # near-dup topology: each page links only to its neighbour)
+        # converges in ~10 rounds instead of 999
+        parent = new_labels.select(
+            F.col("src").alias("component"), F.col("component").alias("gp")
+        )
+        new_labels = (
+            new_labels.join(parent, "component", "left")
+            .select(
+                "src",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("gp"), F.col("component"))
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -304,6 +322,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # never converged inside max_iter: returning split labels would
+        # silently leave duplicates marked distinct — refuse instead (a
+        # chain-shaped component's diameter exceeds the budget; raise
+        # max_iter, its cost is one shuffle per extra round)
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     edges.unpersist()
     return labels.select(F.col("src").alias("key"), "component")
 

@@ -208,10 +208,19 @@ def image_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     px = _fake_decode(bytes(row.media), w, h)
                 else:  # pragma: no cover
                     px = decode_image(bytes(row.media), w, h)
-                # 4x4 tile means → FEATURE_DIM floats (deterministic)
-                th, tw = max(1, px.shape[0] // 4), max(1, px.shape[1] // 4)
+                # 4x4 tile means → FEATURE_DIM floats (deterministic).
+                # Rounded bounds clamped to ≥1 px so images smaller than
+                # 4 px per side repeat rows/cols instead of producing
+                # empty slices (mean of an empty slice is NaN and would
+                # poison every downstream cosine/ANN comparison).
+                ih, iw = px.shape
+                rb = [min(ih - 1, round(i * ih / 4)) for i in range(4)] + [ih]
+                cb = [min(iw - 1, round(j * iw / 4)) for j in range(4)] + [iw]
                 tiles = [
-                    float(px[i * th : (i + 1) * th, j * tw : (j + 1) * tw].mean())
+                    float(
+                        px[rb[i] : max(rb[i + 1], rb[i] + 1),
+                           cb[j] : max(cb[j + 1], cb[j] + 1)].mean()
+                    )
                     for i in range(4)
                     for j in range(4)
                 ]

@@ -832,17 +832,26 @@ def elevate_query(
     organic = searcher.boolean_search(should=terms, k=k + len(elevate_keys))
     organic = organic.join(keymap, "doc_id")
     drop = [str(x) for x in (list(elevate_keys) + list(exclude_keys))]
-    organic = (
-        organic.where(~F.col(key_col).isin(drop))
-        .select("doc_id", "score", F.lit(False).alias("elevated"))
-        .limit(max(0, k - len(elevate_keys)))
-    )
     spark = searcher.spark
     import pandas as pd
 
     order = pd.DataFrame(
         {key_col: [str(x) for x in elevate_keys],
          "elev_rank": range(len(elevate_keys))}
+    )
+    # an elevate id absent from the corpus pins nothing — the page must
+    # fill with organic hits, so budget on RESOLVED pins (elevate lists
+    # are tiny editorial configs; this count is a broadcast-join of
+    # len(elevate_keys) rows)
+    n_pinned = (
+        F.broadcast(spark.createDataFrame(order)).join(keymap, key_col).count()
+        if elevate_keys
+        else 0
+    )
+    organic = (
+        organic.where(~F.col(key_col).isin(drop))
+        .select("doc_id", "score", F.lit(False).alias("elevated"))
+        .limit(max(0, k - n_pinned))
     )
     pinned = (
         F.broadcast(spark.createDataFrame(order))

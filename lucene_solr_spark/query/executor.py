@@ -1589,8 +1589,6 @@ class Searcher:
         if need_pos:
             cols.append("pos_flat")
         total_must_f = total_must
-        sloppy_fn = Searcher._sloppy_freq
-        sloppy2_fn = Searcher._sloppy_freq_2
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             store: dict[str, list] = {}

@@ -257,6 +257,9 @@ def parse_function(expr: str) -> Column:
     calls dispatch to the ValueSourceParser registry subset that maps to
     pure Column factories (sum/sub/product/div/mod/abs/max/min/sqrt/pow/
     log/ln/recip/linear/map/if/exists/not/and/or/xor/def/pi/e)."""
+    if expr is None:
+        # a $param dereference that resolved to nothing reaches here as None
+        raise SyntaxError_("missing function expression (undefined $param?)")
     p = _FuncParser(expr)
     col = p.expr()
     if p._peek() != "":
@@ -352,14 +355,34 @@ class SolrQueries:
         body = local["v"] if "v" in local and local["v"] is not None else rest.strip()
         s = self.searcher
 
+        # `f` targeting a STORED (non-indexed-text) field: the engine has a
+        # scored index only for the text field(s); stored-field term/prefix/
+        # field queries execute constant-score over the source frame (the
+        # SolrConstantScoreQuery shape), exactly like the docset() branch —
+        # never silently searched against the wrong field.
+        fname = local.get("f")
+        stored_f = fname is not None and fname != "text" and self.source is not None
         if qtype == "lucene":
             return s.query(body, k=k)
         if qtype in ("term", "raw"):
             # TermQParserPlugin / RawQParserPlugin: the value is NOT analyzed
+            if stored_f:
+                return self._const_score(self.docset(q), k)
             return s.boolean_search(should=[body], k=k, filter_docs=filter_docs)
         if qtype == "prefix":
+            if stored_f:
+                lit = body.replace("%", r"\%").replace("_", r"\_")
+                ds = s.filter_docs_from_source(
+                    self.source, F.col(fname).like(lit + "%"), key_col=self.key_col
+                )
+                return self._const_score(ds, k)
             return s.prefix_search(body, k=k)
         if qtype == "field":
+            if stored_f:
+                ds = s.filter_docs_from_source(
+                    self.source, F.col(fname) == _typed(body), key_col=self.key_col
+                )
+                return self._const_score(ds, k)
             toks = s.analyze_query(body)
             if not toks:
                 return s._empty()
@@ -370,6 +393,8 @@ class SolrQueries:
             if self.dismax is None:
                 raise ValueError("dismax dispatch needs a DisMaxSearcher")
             get = lambda p, d=None: local.get(p, self.params.get(p, d))  # noqa: E731
+            if get("qf") is None:
+                raise SyntaxError_("dismax/edismax needs a qf parameter")
             return self.dismax.dismax_search(
                 body,
                 qf=get("qf"),
@@ -409,6 +434,8 @@ class SolrQueries:
             scored = frame.select("doc_id", F.col("score").cast("float"))
             return s._topk(s._drop_deleted(scored), k)
         if qtype == "boost":
+            if local.get("b") is None:
+                raise SyntaxError_("{!boost} needs a b=<function> parameter")
             terms = s.analyze_query(body)
             bframe = self._doc_values(parse_function(local["b"]), "boost_v")
             return vs.boosted_topk(s, terms, bframe, "boost_v", k=k)

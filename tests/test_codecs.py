@@ -158,6 +158,20 @@ def test_audio_features_accepts_wav_container(spark):
     )
 
 
+def test_image_features_tiny_image_no_nan(spark):
+    # 2x2 and 1x5 images: tile slices must repeat pixels, never go empty
+    rows = []
+    for i, (h, w) in enumerate([(2, 2), (1, 5), (3, 1)]):
+        px = np.full((h, w, 1), 100 + i, dtype=np.uint8)
+        rows.append((i, bytearray(encode_png(px, 0, [0])), "image/png", (w, h, 1, 0)))
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.image_features(df, fake=False).orderBy("id").toPandas()
+    feats = np.stack(out["features"].values)
+    assert np.isfinite(feats).all()
+    # constant images -> every tile mean equals the constant
+    np.testing.assert_allclose(feats, np.array([[100.0] * 16, [101.0] * 16, [102.0] * 16]))
+
+
 def test_image_features_real_png_path(spark):
     rng = np.random.RandomState(11)
     rows = []
