@@ -158,7 +158,33 @@ def token_array_for(text: Column, tokenizer: str = "jvm") -> Column:
             token_array(text),
             lambda t: F.regexp_replace(t, POSSESSIVE_REGEX, ""),
         )
+    if tokenizer == "folding":
+        # standard chain + ASCIIFoldingFilter BEFORE the stop filter
+        # (declared chain order: 'às' folds to the stopword 'as' and is
+        # dropped; the stop/length filters downstream in the inverter see
+        # the FOLDED form). Pure codegen (translate + regexp chain).
+        from .asciifolding import fold_token_array
+
+        return fold_token_array(token_array(text))
     raise ValueError(f"unknown tokenizer '{tokenizer}'")
+
+
+def folding_analyze(text: str | None) -> list[tuple[int, str]]:
+    """Query-side twin of tokenizer='folding': [(pre-stop position, folded
+    token)] with the stop/length filters applied to the folded form —
+    exactly what the inverter indexes from token_array_for('folding')."""
+    from .asciifolding import fold_str
+
+    if not text:
+        return []
+    out: list[tuple[int, str]] = []
+    pos = 0
+    for m in _PY_TOKEN_RE.finditer(text):
+        tok = fold_str(_java_lower(m.group(0)))
+        if tok not in ENGLISH_STOP_WORDS and len(tok) <= MAX_TOKEN_LENGTH:
+            out.append((pos, tok))
+        pos += 1
+    return out
 
 
 def doc_length_col_for(text: Column, tokenizer: str = "jvm") -> Column:

@@ -252,6 +252,10 @@ class Searcher:
             from ..analysis.english import english_analyze
 
             return [t for _, t in english_analyze(query_text)]
+        if self.meta.get("tokenizer") == "folding":
+            from ..analysis.analyzer import folding_analyze
+
+            return [t for _, t in folding_analyze(query_text)]
         return [t for _, t in standard_tokenize(query_text)]
 
     # --- scoring scan -----------------------------------------------------

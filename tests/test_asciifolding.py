@@ -57,6 +57,36 @@ def test_fold_token_array_codegen(spark):
     assert "Python" not in plan
 
 
+def test_folding_index_build_and_query(spark, tmp_path_factory):
+    # tokenizer='folding': accented query text matches unaccented docs and
+    # vice versa through the REAL index; query analysis folds identically
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import Searcher
+
+    corpus = {
+        "u0": "café résumé merge",
+        "u1": "cafe resume spark",
+        "u2": "unrelated tokens here",
+        "u3": "às vezes cafe",  # 'às' folds to the stopword 'as' -> dropped
+    }
+    pages = spark.createDataFrame(list(corpus.items()), "url string, text string")
+    paths = build_index(
+        spark, pages, str(tmp_path_factory.mktemp("fold_idx") / "idx"),
+        tokenizer="folding",
+    )
+    s = Searcher(spark, paths)
+    url_of = dict(s.docs.select("doc_id", "url").toPandas().itertuples(index=False, name=None))
+    hits = {url_of[r.doc_id] for r in s.search("café", k=10).collect()}
+    assert hits == {"u0", "u1", "u3"}
+    hits2 = {url_of[r.doc_id] for r in s.search("resume", k=10).collect()}
+    assert hits2 == {"u0", "u1"}
+    # folded-to-stopword term is not in the dictionary
+    assert s.lookup_terms(["as"]).empty
+    # phrase across the fold
+    ph = {url_of[r.doc_id] for r in s.phrase_search(["cafe", "resume"], k=10).collect()}
+    assert ph == {"u0", "u1"}
+
+
 def test_fold_feeds_analysis_chain(spark):
     # folded tokens merge with their ASCII forms in downstream grouping
     from lucene_solr_spark.analysis.analyzer import token_array
