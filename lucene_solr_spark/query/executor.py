@@ -1756,6 +1756,77 @@ class Searcher:
         terms = self._rewrite_terms(F.col("term").rlike(rx))
         return self.boolean_search(should=terms, k=k) if terms else self._empty()
 
+    def build_reversed_dictionary(self, path: str | None = None) -> str:
+        """ReversedWildcardFilter analog (solr/core/src/java/org/apache/
+        solr/analysis/ReversedWildcardFilter.java, Factory:32-70): the
+        reference indexes a REVERSED copy of every token so a leading
+        wildcard becomes a prefix query on the reversed form. Here the
+        reversed copy lives in the TERM DICTIONARY only — postings are
+        shared, the dictionary maps back to the original term — as a
+        parquet table (rterm, term, df) SORTED by rterm, so `*ing` turns
+        into `rterm LIKE 'gni%'`: a pushdown-able prefix with row-group
+        pruning instead of a full-dictionary regex scan. At a 10^8-term
+        web dictionary that is the difference between reading ~one row
+        group and reading all of them."""
+        import os as _os
+
+        path = path or _os.path.join(self.paths.root, "rterms")
+        (
+            self.terms.select(
+                F.reverse(F.col("term")).alias("rterm"), "term", "df"
+            )
+            .repartition(1)
+            .sortWithinPartitions("rterm")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        self._rterms = None  # reload on next use
+        return path
+
+    def _reversed_dictionary(self) -> DataFrame:
+        import os as _os
+
+        if getattr(self, "_rterms", None) is None:
+            path = _os.path.join(self.paths.root, "rterms")
+            if _os.path.exists(path):
+                self._rterms = self.spark.read.parquet(path)
+            else:
+                # fallback: derive on the fly (no parquet pushdown, still
+                # avoids the anchored-regex full scan shape)
+                self._rterms = self.terms.select(
+                    F.reverse(F.col("term")).alias("rterm"), "term", "df"
+                )
+        return self._rterms
+
+    def leading_wildcard_search(self, pattern: str, k: int = 10) -> DataFrame:
+        """Leading-wildcard query (`*ing`, `?at`) via the reversed
+        dictionary: the longest literal SUFFIX of the pattern becomes a
+        reversed PREFIX pushdown, the full anchored regex then verifies
+        only the pruned candidates (ReversedWildcardFilter's query-time
+        rule: reverse the pattern when the wildcard is leading)."""
+        import re as _re
+
+        m = _re.search(r"[^*?]+$", pattern)
+        suffix = m.group(0) if m else ""
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in pattern
+        ) + "$"
+        rdict = self._reversed_dictionary()
+        cond = F.col("term").rlike(rx)
+        if suffix:
+            lit = suffix[::-1].replace("%", r"\%").replace("_", r"\_")
+            cond = F.col("rterm").like(lit + "%") & cond
+        rows = (
+            rdict.where(cond)
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(self.MAX_EXPANSIONS)
+            .collect()
+        )
+        terms = [r.term for r in rows]
+        return self.boolean_search(should=terms, k=k) if terms else self._empty()
+
     def regexp_search(self, regex: str, k: int = 10) -> DataFrame:
         """RegexpQuery (RegexpQuery.java:107) — anchored like Lucene."""
         terms = self._rewrite_terms(F.col("term").rlike(f"^(?:{regex})$"))
