@@ -350,7 +350,7 @@ class SolrQueries:
     def query(self, q: str, k: int = 10, filter_docs: DataFrame | None = None) -> DataFrame:
         local, rest = parse_local_params(q, self.params)
         if local is None:
-            return self.searcher.query(q, k=k)
+            local, rest = {"type": "lucene"}, q
         qtype = local.get("type") or "lucene"
         body = local["v"] if "v" in local and local["v"] is not None else rest.strip()
         s = self.searcher
@@ -363,7 +363,19 @@ class SolrQueries:
         fname = local.get("f")
         stored_f = fname is not None and fname != "text" and self.source is not None
         if qtype == "lucene":
-            return s.query(body, k=k)
+            if filter_docs is None:
+                return s.query(body, k=k)
+            # fq composes BEFORE the top-k: score the parsed clause tree
+            # unsorted, restrict to the DocSet, then one
+            # TakeOrderedAndProject (getDocListC's filtered collect)
+            from .parser import parse
+
+            scored = s._clauses_scored(parse(body))
+            if scored is None:
+                return s._empty()
+            return s._topk(
+                s._drop_deleted(s._apply_filter(scored, filter_docs)), k
+            )
         if qtype in ("term", "raw"):
             # TermQParserPlugin / RawQParserPlugin: the value is NOT analyzed
             if stored_f:
@@ -376,6 +388,12 @@ class SolrQueries:
                     self.source, F.col(fname).like(lit + "%"), key_col=self.key_col
                 )
                 return self._const_score(ds, k)
+            if filter_docs is not None:
+                lit = body.replace("%", r"\%").replace("_", r"\_")
+                terms = s._rewrite_terms(F.col("term").like(lit + "%"))
+                if not terms:
+                    return s._empty()
+                return s.boolean_search(should=terms, k=k, filter_docs=filter_docs)
             return s.prefix_search(body, k=k)
         if qtype == "field":
             if stored_f:
@@ -388,7 +406,7 @@ class SolrQueries:
                 return s._empty()
             if len(toks) == 1:
                 return s.boolean_search(should=toks, k=k, filter_docs=filter_docs)
-            return s.phrase_search(toks, k=k)
+            return s.phrase_search(toks, k=k, filter_docs=filter_docs)
         if qtype in ("dismax", "edismax"):
             if self.dismax is None:
                 raise ValueError("dismax dispatch needs a DisMaxSearcher")
@@ -456,6 +474,124 @@ class SolrQueries:
         if qtype in ("join", "geofilt", "bbox"):
             return self._const_score(self.docset(q), k)
         raise SyntaxError_(f"Unknown query parser '{qtype}'")
+
+    # -- the /select request lifecycle ------------------------------------------
+    def _source_with_ids(self) -> DataFrame:
+        src = self._need_source("select")
+        return self.searcher.docs.select("doc_id", self.key_col).join(
+            src, self.key_col
+        )
+
+    def select(self, params: dict) -> dict:
+        """The /select request lifecycle (SearchHandler.java:164-217):
+        QueryComponent answers q over the intersected fq DocSets with
+        start/rows paging (SolrIndexSearcher.getDocListC), then the other
+        components — facet.field / facet.query / stats.field — run over the
+        SAME q+fq match DocSet (SimpleFacets.java:336-448,
+        StatsValuesFactory.java:82-181). `sort` ('field asc|desc') replaces
+        the score ordering with a TopFieldCollector-style field sort; `fl`
+        lists stored source columns to return with each hit.
+
+        Returns {'response': {'numFound', 'start', 'docs'}, 'facet_counts',
+        'stats'} with docs as plain dicts — the NamedList analog."""
+        from .components import (
+            docset_intersect,
+            facet_query,
+            sort_topk,
+            stats_component,
+        )
+
+        q = params.get("q", "")
+        fq = params.get("fq") or []
+        if isinstance(fq, str):
+            fq = [fq]
+        start = int(params.get("start", 0))
+        rows = int(params.get("rows", 10))
+        fl = params.get("fl") or []
+        if isinstance(fl, str):
+            fl = [c.strip() for c in fl.split(",") if c.strip()]
+
+        filter_docs = None
+        for f in fq:
+            ds = self.docset(f)
+            filter_docs = ds if filter_docs is None else docset_intersect(filter_docs, ds)
+
+        # the q+fq DocSet every non-query component consumes
+        match_set = self.docset(q).select("doc_id")
+        if filter_docs is not None:
+            match_set = docset_intersect(match_set, filter_docs)
+        match_set = match_set.persist()
+        num_found = match_set.count()
+
+        sort = params.get("sort")
+        if sort and not sort.startswith("score"):
+            fname, _, direction = sort.partition(" ")
+            ranked = sort_topk(
+                self._source_with_ids().join(match_set, "doc_id", "left_semi"),
+                [(fname, direction.strip().lower() != "desc")],
+                start + rows,
+            ).select("doc_id", F.col(fname).cast("double").alias("score"))
+        else:
+            ranked = self.query(q, k=start + rows, filter_docs=filter_docs)
+
+        page = ranked.limit(start + rows).collect()[start:]
+        docs = [{"doc_id": r.doc_id, "score": float(r.score)} for r in page]
+        if fl and docs:
+            ids = [d["doc_id"] for d in docs]
+            stored = (
+                self._source_with_ids()
+                .where(F.col("doc_id").isin(ids))
+                .select("doc_id", *fl)
+                .collect()
+            )
+            by_id = {r.doc_id: r.asDict() for r in stored}
+            for d in docs:
+                for c in fl:
+                    d[c] = by_id.get(d["doc_id"], {}).get(c)
+
+        out: dict = {
+            "response": {"numFound": num_found, "start": start, "docs": docs}
+        }
+
+        ff = params.get("facet.field") or []
+        if isinstance(ff, str):
+            ff = [ff]
+        if ff:
+            src = self._source_with_ids().join(match_set, "doc_id", "left_semi")
+            out["facet_counts"] = {}
+            limit = int(params.get("facet.limit", 20))
+            mincount = int(params.get("facet.mincount", 1))
+            for col in ff:
+                buckets = (
+                    src.groupBy(col)
+                    .count()
+                    .where(F.col("count") >= mincount)
+                    .orderBy(F.col("count").desc(), F.col(col).asc())
+                    .limit(limit)
+                    .collect()
+                )
+                out["facet_counts"][col] = {r[col]: r["count"] for r in buckets}
+
+        fqueries = params.get("facet.query") or {}
+        if fqueries:
+            conds = {
+                name: (self._field_predicate(p) if isinstance(p, str) else p)
+                for name, p in fqueries.items()
+            }
+            row = facet_query(
+                self._source_with_ids(), conds, matches=match_set
+            ).collect()[0]
+            out.setdefault("facet_counts", {})["facet_queries"] = row.asDict()
+
+        sf = params.get("stats.field")
+        if sf:
+            st = stats_component(
+                self._source_with_ids(), sf, matches=match_set
+            ).collect()[0]
+            out["stats"] = {sf: st.asDict()}
+
+        match_set.unpersist()
+        return out
 
     # -- fq= (non-scoring DocSets) --------------------------------------------
     def docset(self, fq: str) -> DataFrame:
