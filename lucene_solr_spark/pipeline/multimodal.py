@@ -341,14 +341,49 @@ def audio_features(
     )
 
 
-def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling STUB: emits (id, frame_idx) for frames
-    0, every_n, 2*every_n, ... of meta.n_frames — the real implementation
-    would attach the decoded frame bytes. JVM-only (sequence + explode)."""
+def frame_sample(
+    df: DataFrame, every_n: int = 10, attach_bytes: bool = True
+) -> DataFrame:
+    """Video frame sampling: emits (id, frame_idx, frame) for frames
+    0, every_n, 2*every_n, ... of meta.n_frames.
+
+    For the raw-video container (media = n_frames concatenated
+    width*height grayscale planes, detected by exact length match) the
+    frame bytes are sliced JVM-side with substring over the binary column
+    — no decode UDF, whole-stage codegen end to end. Compressed video
+    codecs remain stubbed (frame = NULL, the libs aren't in this
+    container); the per-frame row shape, partitioning, and downstream
+    contract (feed frames to image_features via resize_gray) are identical
+    either way."""
     idxs = F.sequence(
         F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
     )
-    return df.select("id", F.explode(idxs).alias("frame_idx"))
+    out = df.select("id", "media", "meta", F.explode(idxs).alias("frame_idx"))
+    if not attach_bytes:
+        return out.select("id", "frame_idx")
+    fsz = F.col("meta.width") * F.col("meta.height")
+    is_raw = F.length(F.col("media")) == fsz * F.col("meta.n_frames")
+    frame = F.when(
+        is_raw,
+        F.expr(
+            "substring(media, frame_idx * (meta.width * meta.height) + 1,"
+            " meta.width * meta.height)"
+        ),
+    )
+    return out.select("id", "frame_idx", frame.alias("frame"))
+
+
+def synthetic_video(spark, n: int = 8, seed: int = 7) -> DataFrame:
+    """Deterministic raw-container video corpus: media = n_frames
+    concatenated width*height grayscale planes."""
+    rows = []
+    for i in range(n):
+        rng = np.random.RandomState(seed * 99991 + i)
+        w, h = int(rng.randint(4, 17)), int(rng.randint(4, 17))
+        nf = int(rng.randint(1, 25))
+        blob = rng.bytes(w * h * nf)
+        rows.append((i, bytearray(blob), "video/raw-gray", (w, h, nf, 0)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 3) -> DataFrame:

@@ -352,3 +352,33 @@ def test_dedup_groups_end_to_end(spark, docs):
     npairs = pairs.count()
     if npairs:
         assert out["is_duplicate"].sum() >= 1
+
+
+def test_frame_sample_raw_container_bytes(spark):
+    vids = multimodal.synthetic_video(spark, n=6)
+    out = multimodal.frame_sample(vids, every_n=3).toPandas()
+    src = vids.toPandas().set_index("id")
+    for _, row in out.iterrows():
+        meta = src.loc[row["id"], "meta"]
+        w, h = meta["width"], meta["height"]
+        lo = int(row["frame_idx"]) * w * h
+        assert bytes(row["frame"]) == bytes(src.loc[row["id"], "media"])[lo : lo + w * h]
+    # synthetic_media blobs hold ONE w*h plane but claim a random n_frames,
+    # so whenever n_frames != 1 the length check fails -> NULL frame (the
+    # compressed-codec stub path); n_frames == 1 rows slice the real plane
+    media = multimodal.synthetic_media(spark, n=16)
+    stub = multimodal.frame_sample(media, every_n=5).toPandas()
+    nf = media.select("id", "meta.n_frames").toPandas().set_index("id")["n_frames"]
+    for _, row in stub.iterrows():
+        assert (row["frame"] is None) == (int(nf.loc[row["id"]]) != 1)
+
+
+def test_frame_sample_plan_is_jvm_only(spark):
+    vids = multimodal.synthetic_video(spark, n=2)
+    plan = (
+        multimodal.frame_sample(vids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
