@@ -238,3 +238,50 @@ def tokens_with_positions(
     """
     toks = df.select(*keep_cols, F.posexplode(token_array(F.col(text_col))).alias("pos", "term"))
     return toks.where(_not_stopword(F.col("term")) & (F.length("term") <= MAX_TOKEN_LENGTH))
+
+
+def field_analysis(text: str | None, tokenizer: str = "standard") -> list[dict]:
+    """FieldAnalysisRequestHandler (solr/core/src/java/org/apache/solr/
+    handler/FieldAnalysisRequestHandler.java:61-160): the per-stage token
+    stream a text produces under the index chain — one dict per stage with
+    the stage name and its [(position, token, start, end)] output, so a
+    user can see exactly where a token was length-dropped, lowercased,
+    stop-removed, or stemmed.
+
+    Driver-side diagnostics over ONE string (the /analysis/field handler's
+    job) — the corpus path stays in the JVM/Arrow analyzers."""
+    stages: list[dict] = []
+    if not text:
+        return [{"stage": "tokenizer", "tokens": []}]
+
+    raw = [
+        (i, m.group(0), m.start(), m.end())
+        for i, m in enumerate(_PY_TOKEN_RE.finditer(text))
+    ]
+    stages.append({"stage": "tokenizer (UAX#29)", "tokens": raw})
+
+    kept = [t for t in raw if len(t[1]) <= MAX_TOKEN_LENGTH]
+    stages.append({"stage": f"maxTokenLength({MAX_TOKEN_LENGTH})", "tokens": kept})
+
+    if tokenizer == "folding":
+        from .asciifolding import fold_str as fold_ascii_py
+
+        kept = [(p, fold_ascii_py(t), s, e) for p, t, s, e in kept]
+        stages.append({"stage": "ASCIIFoldingFilter", "tokens": kept})
+
+    lowered = [(p, _java_lower(t), s, e) for p, t, s, e in kept]
+    stages.append({"stage": "LowerCaseFilter", "tokens": lowered})
+
+    if tokenizer == "english":
+        from .english import porter_stem, strip_possessive
+
+        lowered = [(p, strip_possessive(t), s, e) for p, t, s, e in lowered]
+        stages.append({"stage": "EnglishPossessiveFilter", "tokens": lowered})
+        stopped = [t for t in lowered if t[1] not in ENGLISH_STOP_WORDS]
+        stages.append({"stage": "StopFilter", "tokens": stopped})
+        stemmed = [(p, porter_stem(t), s, e) for p, t, s, e in stopped]
+        stages.append({"stage": "PorterStemFilter", "tokens": stemmed})
+    else:
+        stopped = [t for t in lowered if t[1] not in ENGLISH_STOP_WORDS]
+        stages.append({"stage": "StopFilter", "tokens": stopped})
+    return stages

@@ -945,3 +945,28 @@ def spellcheck_collate(
             seen.add(c)
             uniq.append((c, h))
     return uniq
+
+
+def luke_overview(searcher, top_n: int = 10) -> dict:
+    """LukeRequestHandler index overview (solr/core/src/java/org/apache/
+    solr/handler/admin/LukeRequestHandler.java:104-210): corpus-level
+    counts plus the highest-df terms (the /admin/luke "top terms" panel).
+
+    top_terms is a DataFrame (dictionary scan -> TakeOrderedAndProject on
+    df desc), so the only driver-side values are the scalar counts the
+    handler itself reports."""
+    num_deleted = 0
+    if searcher._deletes is not None:
+        num_deleted = searcher._deletes.count()
+    return {
+        "max_doc": searcher.stats.max_doc,
+        "num_docs": searcher.stats.max_doc - num_deleted,
+        "num_deleted": num_deleted,
+        "num_terms": searcher.terms.count(),
+        "sum_total_term_freq": searcher.stats.sum_total_term_freq,
+        "top_terms": (
+            searcher.terms.select("term", "df", "ttf")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(top_n)
+        ),
+    }

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..analysis.analyzer import standard_tokenize
 from ..index.build import IndexPaths
-from .bm25 import BM25Stats, K1, bm25_idf, norm_cache
+from .bm25 import B, BM25Stats, K1, bm25_idf, norm_cache
 
 # "single-slice path not applicable" sentinel (None already means "matches
 # nothing" in the clause-execution contract)
@@ -863,6 +863,94 @@ class Searcher:
         """Free-text query = BooleanQuery of SHOULD TermQuery clauses."""
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
         return self.boolean_search(should=terms, k=k, filter_docs=filter_docs)
+
+    def explain(self, query: str | list[str], doc_id: int) -> dict:
+        """IndexSearcher.explain / Solr debugQuery=true: the nested
+        Explanation tree for one doc's BM25 score (BM25Similarity.explain,
+        BM25Similarity.java:244-278; Explanation.java:29).
+
+        The total and every per-term value reproduce `search()` float32-
+        exactly (same idf/(k1+1) weight product, same 256-entry norm cache
+        lookup, same float32(double-sum) combine as boolean_search's
+        sum.cast(float)).
+
+        Scale: explain is per-doc diagnostics. The scan reads ONLY the
+        posting blocks that can contain doc_id — `term IN (...)` plus the
+        `first_doc <= doc_id` pushdown prune at the parquet level, and the
+        skip-list last_doc check drops the remaining non-covering chunks
+        before decode — so cost is O(query terms), not O(postings).
+        """
+        terms = self.analyze_query(query) if isinstance(query, str) else list(query)
+        tinfo = self.lookup_terms(terms)
+        doc_id = int(doc_id)
+        details: list[dict] = []
+        hits: dict[str, tuple[int, int]] = {}
+        if not tinfo.empty:
+            qterms = sorted(set(tinfo["term"]))
+            rows = (
+                self.postings.where(
+                    F.col("term").isin(qterms)
+                    & (F.col("first_doc") <= doc_id)
+                    & (F.element_at("skip_last_doc", -1) >= doc_id)
+                )
+                .select("term", "first_doc", "doc_gaps", "tfs", "norm_bytes")
+                .toPandas()
+            )
+            for r in rows.itertuples(index=False):
+                docs = r.first_doc + np.cumsum(np.asarray(r.doc_gaps, dtype=np.int64))
+                pos = np.searchsorted(docs, doc_id)
+                if pos < len(docs) and docs[pos] == doc_id:
+                    hits[r.term] = (int(r.tfs[pos]), int(r.norm_bytes[pos]) & 0xFF)
+        if self._deletes is not None and hits:
+            if self._deletes.where(F.col("doc_id") == doc_id).limit(1).count():
+                hits = {}
+        cache = norm_cache(self.stats)
+        n, avgdl = self.stats.max_doc, float(self.stats.avgdl)
+        from ..index.norms import decode_norm_doclen
+
+        for r in tinfo.itertuples(index=False):
+            if r.term not in hits:
+                continue
+            tf, nb = hits[r.term]
+            idf = bm25_idf(int(r.df), n)
+            w = np.float32(idf * (K1 + np.float32(1.0)))
+            tf32 = np.float32(tf)
+            value = np.float32(np.float32(w * tf32) / (tf32 + cache[nb]))
+            dl = float(decode_norm_doclen(np.array([nb]))[0])
+            tf_norm = float(value / idf) if idf else 0.0
+            details.append(
+                {
+                    "match": True,
+                    "value": float(value),
+                    "description": f"weight({r.term} in {doc_id}) [BM25Similarity], product of:",
+                    "details": [
+                        {
+                            "value": float(idf),
+                            "description": f"idf(docFreq={int(r.df)}, docCount={n})",
+                        },
+                        {
+                            "value": tf_norm,
+                            "description": "tfNorm, computed from:",
+                            "details": [
+                                {"value": float(tf), "description": "termFreq"},
+                                {"value": float(K1), "description": "parameter k1"},
+                                {"value": float(B), "description": "parameter b"},
+                                {"value": avgdl, "description": "avgFieldLength"},
+                                {"value": dl, "description": "fieldLength (norm-decoded)"},
+                            ],
+                        },
+                    ],
+                }
+            )
+        total = float(np.float32(np.sum([d["value"] for d in details], dtype=np.float64)))
+        return {
+            "match": bool(details),
+            "value": total if details else 0.0,
+            "description": f"sum of {len(details)} clause(s):" if details else (
+                f"no matching terms in doc {doc_id}"
+            ),
+            "details": details,
+        }
 
     def boolean_search(
         self,
