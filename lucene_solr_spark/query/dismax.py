@@ -140,6 +140,11 @@ class DisMaxSearcher:
         bq: list[tuple[str, list[str], float]] | None = None,
         bf: DataFrame | None = None,
         bf_col: str = "bf",
+        pf2: dict[str, float] | str | None = None,
+        pf3: dict[str, float] | str | None = None,
+        ps: int = 0,
+        ps2: int | None = None,
+        ps3: int | None = None,
     ) -> DataFrame:
         """eDisMax main query: Σ over user terms of
         [max_f(qf_f·score_f) + tie·(Σ_f − max_f)], docs must cover ≥ mm
@@ -150,11 +155,21 @@ class DisMaxSearcher:
         136-148: the main query is the REQUIRED clause of the outer
         BooleanQuery, bq entries (field, terms, boost) and the bf frame
         (doc_id, bf_col) are extra SHOULD clauses whose scores ADD to docs
-        the main query already matches — they never change the match set."""
+        the main query already matches — they never change the match set.
+
+        pf2/pf3 + ps/ps2/ps3 follow ExtendedDismaxQParser's shingled phrase
+        boosts (ExtendedDismaxQParser.java:398-450 addShingledPhraseQueries):
+        every consecutive bigram (pf2) / trigram (pf3) of the user terms
+        becomes one more SHOULD phrase clause on those fields; ps is the
+        whole-phrase slop, ps2/ps3 default to ps when unset."""
         if isinstance(qf, str):
             qf = self.parse_qf(qf)
         if isinstance(pf, str):
             pf = self.parse_qf(pf)
+        if isinstance(pf2, str):
+            pf2 = self.parse_qf(pf2)
+        if isinstance(pf3, str):
+            pf3 = self.parse_qf(pf3)
         terms = self.analyze_query(query) if isinstance(query, str) else list(query)
         empty = self.spark.createDataFrame([], "doc_id long, score float")
         if not terms:
@@ -202,22 +217,40 @@ class DisMaxSearcher:
             per_doc = per_doc.where(F.col("n_terms") >= mm)
         result = per_doc.select("doc_id", "score")
 
-        if pf and len(terms) > 1:
-            # pf phrase boost: exact-phrase score per pf field, added to the
-            # main score for docs that already match (DisMaxQParser
-            # addShingledPhraseQueries → SHOULD clause)
+        if len(terms) > 1 and (pf or pf2 or pf3):
+            # shingled phrase boosts: pf = whole phrase, pf2/pf3 = every
+            # consecutive bigram/trigram, each an extra SHOULD clause whose
+            # score adds to docs the main query matched (DisMaxQParser /
+            # ExtendedDismaxQParser addShingledPhraseQueries)
             ph_parts = []
-            for fname, boost in pf.items():
-                ph = self.searchers[fname]._phrase_scored(terms)
-                if ph is None:
-                    continue
-                b32 = float(np.float32(boost))
-                ph_parts.append(
-                    ph.select(
-                        "doc_id",
-                        (F.col("score") * F.lit(b32)).cast("float").alias("pscore"),
-                    )
+
+            def add_shingles(fields, n, slop):
+                grams = (
+                    [terms]
+                    if n >= len(terms)
+                    else [terms[i : i + n] for i in range(len(terms) - n + 1)]
                 )
+                for fname, boost in fields.items():
+                    b32 = float(np.float32(boost))
+                    for g in grams:
+                        ph = self.searchers[fname]._phrase_scored(g, slop=slop)
+                        if ph is None:
+                            continue
+                        ph_parts.append(
+                            ph.select(
+                                "doc_id",
+                                (F.col("score") * F.lit(b32))
+                                .cast("float")
+                                .alias("pscore"),
+                            )
+                        )
+
+            if pf:
+                add_shingles(pf, len(terms), ps)
+            if pf2:
+                add_shingles(pf2, 2, ps if ps2 is None else ps2)
+            if pf3 and len(terms) >= 3:
+                add_shingles(pf3, 3, ps if ps3 is None else ps3)
             if ph_parts:
                 phrases = (
                     reduce(DataFrame.unionByName, ph_parts)

@@ -201,3 +201,50 @@ def test_fielded_classic_query(mf_index):
         d for d in texts if any(t.startswith("stre") for t in tok(titles[d]))
     }
     assert got == expect
+
+
+def test_dismax_pf2_bigram_boost(mf_index):
+    """pf2 (ExtendedDismaxQParser addShingledPhraseQueries): every
+    consecutive bigram of the user terms is an extra SHOULD phrase clause."""
+    q = ["spark", "merge", "window"]
+    base = mf_index.dismax_search(q, qf={"text": 1.0}, k=10).toPandas()
+    b2 = mf_index.dismax_search(q, qf={"text": 1.0}, pf2={"text": 4.0}, k=10).toPandas()
+    b = dict(zip(base["doc_id"], base["score"]))
+    p = dict(zip(b2["doc_id"], b2["score"]))
+    # doc 0 "spark merge window agg fast merge": both bigrams present
+    # doc 3 "spark spark spark merge window": "spark merge" + "merge window"
+    # doc 1 "merge spark": NEITHER query bigram ("spark merge" reversed)
+    assert p[0] > b[0] and p[3] > b[3]
+    assert p[1] == pytest.approx(b[1], rel=1e-6)
+    # whole-phrase pf: docs 0 and 3 contain the contiguous trigram
+    # "spark merge window"; doc 5 "spark window" does not
+    b3 = mf_index.dismax_search(q, qf={"text": 1.0}, pf={"text": 4.0}, k=10).toPandas()
+    f = dict(zip(b3["doc_id"], b3["score"]))
+    assert f[0] > b[0] and f[3] > b[3]
+    assert f[5] == pytest.approx(b[5], rel=1e-6)
+    # pf3 on a 3-term query == pf (single trigram shingle)
+    b3b = mf_index.dismax_search(q, qf={"text": 1.0}, pf3={"text": 4.0}, k=10).toPandas()
+    f3 = dict(zip(b3b["doc_id"], b3b["score"]))
+    for d in f:
+        assert f3[d] == pytest.approx(f[d], rel=1e-6)
+
+
+def test_dismax_ps_slop(mf_index):
+    """ps: whole-phrase slop. 'spark window' is exact in doc 5, and within
+    slop 2 of doc 0's 'spark merge window'."""
+    q = ["spark", "window"]
+    exact = mf_index.dismax_search(q, qf={"text": 1.0}, pf={"text": 4.0}, k=10).toPandas()
+    slop = mf_index.dismax_search(
+        q, qf={"text": 1.0}, pf={"text": 4.0}, ps=2, k=10
+    ).toPandas()
+    e = dict(zip(exact["doc_id"], exact["score"]))
+    s = dict(zip(slop["doc_id"], slop["score"]))
+    # doc 0 gains only under slop (one intervening term)
+    base = dict(zip(
+        mf_index.dismax_search(q, qf={"text": 1.0}, k=10).toPandas()["doc_id"],
+        mf_index.dismax_search(q, qf={"text": 1.0}, k=10).toPandas()["score"],
+    ))
+    assert e[0] == pytest.approx(base[0], rel=1e-6)
+    assert s[0] > base[0]
+    # the exact-phrase doc 5 gains in both
+    assert e[5] > base[5] and s[5] > base[5]
