@@ -178,12 +178,23 @@ class Searcher:
         the full parameter surface: facet.limit/mincount/offset/prefix/
         sort (count desc | index asc — FacetParams.FACET_SORT)/missing
         (a NULL-keyed bucket counting matching docs with no value,
-        appended after the ordered buckets)."""
+        appended after the ordered buckets).
+
+        Multi-valued fields (array columns) facet per UnInvertedField
+        semantics (UnInvertedField.java:48-66, getCounts): a doc counts
+        once per DISTINCT value it holds (a term's count is |DocSet ∩
+        docsWithTerm|, so duplicate values in one doc don't double-count);
+        a doc with no values (NULL or empty array) lands in the missing
+        bucket. explode_outer keeps those docs on the NULL row."""
         matches = self.match_docs(terms)
         joined = (
             matches.join(self.docs.select("doc_id", key_col), "doc_id")
             .join(source.select(key_col, facet_col), key_col)
         )
+        if dict(joined.dtypes)[facet_col].startswith("array<"):
+            joined = joined.withColumn(
+                facet_col, F.explode_outer(F.array_distinct(F.col(facet_col)))
+            )
         buckets = (
             joined.where(F.col(facet_col).isNotNull() if prefix is None
                          else F.col(facet_col).startswith(prefix))

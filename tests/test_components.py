@@ -252,3 +252,26 @@ def test_fuzzy_suggest(spark, idx):
     # short inputs fall back to exact prefix completion
     got = fuzzy_suggest(s, "me", max_edits=1).toPandas()
     assert all(t.startswith("me") for t in got["term"])
+
+
+def test_facet_field_multivalued(spark, idx):
+    """UnInvertedField semantics: array columns facet once per DISTINCT
+    value per doc; empty/NULL arrays land in the missing bucket."""
+    src = spark.createDataFrame(
+        [
+            ("u00", ["x", "y", "x"]),  # dup 'x' counts once
+            ("u01", ["y"]),
+            ("u02", ["z"]),            # no 'spark' -> excluded from match set
+            ("u03", []),               # matches, no values -> missing
+        ],
+        "url string, tags array<string>",
+    )
+    got = idx.facet_field(["spark"], src, "tags").collect()
+    assert [(r["tags"], r["facet_count"]) for r in got] == [("y", 2), ("x", 1)]
+    m = idx.facet_field(["spark"], src, "tags", missing=True).collect()
+    assert (None, 1) in [(r["tags"], r["facet_count"]) for r in m]
+    # single-valued path untouched
+    sv = spark.createDataFrame([("u00", "a"), ("u01", "a"), ("u03", "b")],
+                               "url string, cat string")
+    assert [(r["cat"], r["facet_count"]) for r in
+            idx.facet_field(["spark"], sv, "cat").collect()] == [("a", 2), ("b", 1)]
