@@ -1098,3 +1098,82 @@ def _e_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- per-language analysis dispatch (analysis/lang.py) -------------------------
+def _lang_searcher(spark: SparkSession, sf_dir: str):
+    """Second cached gate index, built with tokenizer='lang': each document
+    is analyzed under ITS OWN language chain (GermanAnalyzer.java:171-185,
+    FrenchAnalyzer.java:189-204, SpanishAnalyzer.java:127-141; en → the
+    EnglishAnalyzer chain; zh → StandardAnalyzer fallback)."""
+    from .index.build import build_index
+    from .query.executor import Searcher
+
+    key = ("lang", os.path.abspath(sf_dir))
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    idx_dir = os.path.join(_CACHE_ROOT, f"idx_{tag}_lang")
+    marker = os.path.join(idx_dir, "gate_marker.json")
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        fresh = m.get("version") == INDEX_VERSION and m.get("n_docs") == n_docs
+    if not fresh:
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        pages = docs.select(F.col("doc_id").alias("orig_id"), "text", "lang")
+        build_index(
+            spark, pages, idx_dir, text_col="text", key_col="orig_id",
+            num_segments=2, chunk_span=64, tokenizer="lang",
+        )
+        with open(marker, "w") as fh:
+            json.dump({"version": INDEX_VERSION, "n_docs": n_docs}, fh)
+    searcher = Searcher(spark, idx_dir)
+    _SEARCHERS[key] = searcher
+    return searcher
+
+
+@df_gate(
+    "engine_lang_dispatch",
+    f"""
+WITH tok AS ({tok_cte('duckdb', stop_filter=False)}),
+m AS (SELECT DISTINCT term, doc_id FROM tok)
+SELECT q, doc_id FROM (
+  -- 'lin' exists ONLY where the German chain ran: de docs containing 'line'
+  SELECT 'de_stem' AS q, CAST(m.doc_id AS BIGINT) AS doc_id
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  WHERE m.term = 'line' AND d.lang = 'de'
+  UNION ALL
+  -- 'vecto' exists ONLY where the French chain ran (norm strips final r)
+  SELECT 'fr_stem' AS q, CAST(m.doc_id AS BIGINT) AS doc_id
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  WHERE m.term = 'vector' AND d.lang = 'fr'
+  UNION ALL
+  -- 'the' is stopped by the en chain AND the standard fallback (zh), but
+  -- indexed verbatim by the de/fr/es chains
+  SELECT 'stop_dispatch' AS q, CAST(m.doc_id AS BIGINT) AS doc_id
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  WHERE m.term = 'the' AND d.lang IN ('de', 'fr', 'es')
+) ORDER BY q, doc_id""",
+)
+def _e_lang_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row language dispatch through the REAL build: three probe terms
+    whose posting sets are non-empty ONLY if the right chain ran on the
+    right rows — 'lin' (= german_light_stem('line'), no other chain produces
+    it), 'vecto' (= french norm of 'vector'), and 'the' (indexed only by the
+    non-English chains). A dispatch bug in any direction (wrong chain per
+    row, one chain for all rows, stop set cross-contamination) breaks at
+    least one probe's match set."""
+    from functools import reduce
+
+    s = _lang_searcher(spark, sf_dir)
+    parts = []
+    for label, term in (("de_stem", "lin"), ("fr_stem", "vecto"), ("stop_dispatch", "the")):
+        hits = _to_orig(s, s.match_docs([term]), ranked=False)
+        parts.append(hits.select(F.lit(label).alias("q"), "doc_id"))
+    return reduce(lambda a, b: a.unionAll(b), parts).orderBy("q", "doc_id")

@@ -211,7 +211,9 @@ def _pack_rows(
     }
 
 
-def _invert_flat(doc_ids: np.ndarray, token_lists, stem: bool = False):
+def _invert_flat(
+    doc_ids: np.ndarray, token_lists, stem: bool = False, prefiltered: bool = False
+):
     """Common inversion front half: batch of (doc_id, tokens[]) →
     per-(doc, term) group arrays (g_doc, terms-uniques, g_code, tf,
     positions, dl_of_group_doc), with pre-stop positions and post-stop
@@ -220,7 +222,12 @@ def _invert_flat(doc_ids: np.ndarray, token_lists, stem: bool = False):
     stem=True runs the Porter stemmer over the factorized vocabulary —
     i.e. AFTER the stop filter, matching the EnglishAnalyzer chain order
     (PorterStemFilter follows StopFilter, EnglishAnalyzer.java:95-116), and
-    once per distinct surface form instead of once per token."""
+    once per distinct surface form instead of once per token.
+
+    prefiltered=True: the token arrays already went through a full analysis
+    chain upstream (tokenizer='lang') with dropped tokens kept as ""
+    placeholders — only the placeholders are filtered here (they still
+    consume positions, StopFilter's enablePositionIncrements semantics)."""
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
     total = int(lens.sum())
     if total == 0:
@@ -230,12 +237,15 @@ def _invert_flat(doc_ids: np.ndarray, token_lists, stem: bool = False):
     starts = np.cumsum(lens) - lens
     flat_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
-    stop = ENGLISH_STOP_WORDS
-    keep = np.fromiter(
-        (t not in stop and len(t) <= MAX_TOKEN_LENGTH for t in flat_terms),
-        dtype=bool,
-        count=total,
-    )
+    if prefiltered:
+        keep = np.fromiter((len(t) > 0 for t in flat_terms), dtype=bool, count=total)
+    else:
+        stop = ENGLISH_STOP_WORDS
+        keep = np.fromiter(
+            (t not in stop and len(t) <= MAX_TOKEN_LENGTH for t in flat_terms),
+            dtype=bool,
+            count=total,
+        )
     flat_terms, flat_docs, flat_pos = flat_terms[keep], flat_docs[keep], flat_pos[keep]
     if len(flat_terms) == 0:
         return None
@@ -272,13 +282,17 @@ def _invert_flat(doc_ids: np.ndarray, token_lists, stem: bool = False):
 
 
 def _invert_batch(
-    doc_ids: np.ndarray, token_lists, positions: bool, stem: bool = False
+    doc_ids: np.ndarray,
+    token_lists,
+    positions: bool,
+    stem: bool = False,
+    prefiltered: bool = False,
 ) -> pd.DataFrame:
     """(doc_id, tokens[]) batch → rows (doc_id, term, tf[, positions])."""
     empty = {"doc_id": np.array([], dtype=np.int64), "term": [], "tf": np.array([], dtype=np.int32)}
     if positions:
         empty["positions"] = []
-    inv = _invert_flat(doc_ids, token_lists, stem=stem)
+    inv = _invert_flat(doc_ids, token_lists, stem=stem, prefiltered=prefiltered)
     if inv is None:
         return pd.DataFrame(empty)
     g_doc, uniques, g_code, tf, g_pos, _ = inv
@@ -286,6 +300,18 @@ def _invert_batch(
     if positions:
         out["positions"] = g_pos
     return pd.DataFrame(out)
+
+
+def _toks_col(text_col: str, tokenizer: str, lang_col: str = "lang"):
+    """Pre-inverter token-array column for the chosen tokenizer.
+    tokenizer='lang' dispatches the per-language analysis chain on each
+    row's `lang_col` value (analysis/lang.py) — dropped tokens arrive as ""
+    placeholders, so the inverter runs with prefiltered=True."""
+    if tokenizer == "lang":
+        from ..analysis.lang import lang_token_array
+
+        return lang_token_array(F.col(text_col), F.col(lang_col))
+    return token_array_for(F.col(text_col), tokenizer)
 
 
 def invert_tokens(
@@ -298,18 +324,23 @@ def invert_tokens(
         ", positions array<int>" if positions else ""
     )
     stem = tokenizer == "english"
+    prefiltered = tokenizer == "lang"
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             yield _invert_batch(
-                pdf["doc_id"].values, pdf["toks"].values, positions, stem=stem
+                pdf["doc_id"].values,
+                pdf["toks"].values,
+                positions,
+                stem=stem,
+                prefiltered=prefiltered,
             )
 
     src = with_ids.select(
         "doc_id",
-        F.coalesce(token_array_for(F.col(text_col), tokenizer), F.array().cast("array<string>")).alias("toks"),
+        F.coalesce(_toks_col(text_col, tokenizer), F.array().cast("array<string>")).alias("toks"),
     )
     return src.mapInPandas(kernel, schema=schema)
 
@@ -321,18 +352,25 @@ def invert_and_pack_partials(
     chunk_span: int,
     positions: bool,
     tokenizer: str = "jvm",
+    lang_col: str = "lang",
 ) -> DataFrame:
     """The DWPT pass: per Arrow batch, tokenize (JVM upstream) + invert +
     norm + pack PARTIAL posting rows per (term, seg, chunk) over the batch's
     docs. Output rows follow POSTINGS_SCHEMA (term string key)."""
 
     stem = tokenizer == "english"
+    prefiltered = tokenizer == "lang"
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            inv = _invert_flat(pdf["doc_id"].values, pdf["toks"].values, stem=stem)
+            inv = _invert_flat(
+                pdf["doc_id"].values,
+                pdf["toks"].values,
+                stem=stem,
+                prefiltered=prefiltered,
+            )
             if inv is None:
                 continue
             g_doc, uniques, g_code, tf, g_pos, g_nb = inv
@@ -365,7 +403,7 @@ def invert_and_pack_partials(
 
     src = with_ids.select(
         "doc_id",
-        F.coalesce(token_array_for(F.col(text_col), tokenizer), F.array().cast("array<string>")).alias("toks"),
+        F.coalesce(_toks_col(text_col, tokenizer, lang_col), F.array().cast("array<string>")).alias("toks"),
     )
     return src.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
 
@@ -509,6 +547,15 @@ def terms_ttf_col() -> F.Column:
     )
 
 
+def _doc_length_dispatch(text_col: str, tokenizer: str, lang_col: str):
+    """Post-stop doc length column for non-jvm tokenizers."""
+    if tokenizer == "lang":
+        from ..analysis.lang import lang_doc_length_col
+
+        return lang_doc_length_col(F.col(text_col), F.col(lang_col))
+    return doc_length_col_for(F.col(text_col), tokenizer)
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -522,6 +569,7 @@ def build_index(
     resume: bool = False,
     sort_col: str | None = None,
     tokenizer: str = "jvm",
+    lang_col: str = "lang",
     ram_budget_mb: float | None = None,
 ) -> IndexPaths:
     """Build (or resume) the full inverted index under `out_dir`.
@@ -554,17 +602,18 @@ def build_index(
     # agg (map-side combinable), not a row_number window (sort shuffle, no
     # partial); ties broken deterministically by (ts, text).
     src = pages.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    carry_cols = [] if sort_col is None else [sort_col]
+    if tokenizer == "lang":
+        carry_cols.append(lang_col)
     if ts_col is not None:
         aggs = [
             F.max_by(F.col(text_col), F.struct(F.col(ts_col), F.col(text_col))).alias(
                 text_col
             )
         ]
-        if sort_col is not None:
+        for c in carry_cols:
             aggs.append(
-                F.max_by(F.col(sort_col), F.struct(F.col(ts_col), F.col(text_col))).alias(
-                    sort_col
-                )
+                F.max_by(F.col(c), F.struct(F.col(ts_col), F.col(text_col))).alias(c)
             )
         src = src.groupBy(key_col).agg(*aggs)
 
@@ -589,7 +638,7 @@ def build_index(
     size = _input_bytes(src)
     small_input = size is not None and size < 256 * 1024 * 1024
     ids_staging = None if small_input else os.path.join(out_dir, "_staging_ids")
-    id_cols = [key_col, text_col] if sort_col is None else [key_col, text_col, sort_col]
+    id_cols = [key_col, text_col, *carry_cols]
     with_ids = assign_dense_ids(
         src.select(*id_cols),
         order_col=key_col if sort_col is None else [sort_col, key_col],
@@ -613,7 +662,7 @@ def build_index(
             (
                 doc_length_col(F.col(text_col))
                 if tokenizer == "jvm"
-                else doc_length_col_for(F.col(text_col), tokenizer)
+                else _doc_length_dispatch(text_col, tokenizer, lang_col)
             ).cast("long").alias("dl"),
         )
         .withColumn("norm_byte", _norm_byte_udf()(F.col("dl")))
@@ -658,7 +707,8 @@ def build_index(
     # --- 4. DWPT pass: invert + pack partial posting rows
     partials_staging = None
     partials = invert_and_pack_partials(
-        with_ids, text_col, seg_span, chunk_span, positions, tokenizer=tokenizer
+        with_ids, text_col, seg_span, chunk_span, positions,
+        tokenizer=tokenizer, lang_col=lang_col,
     )
     if num_segments > 1 or resume:
         # staged once: the per-segment loop re-reads partials per segment,

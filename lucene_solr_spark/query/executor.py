@@ -258,7 +258,14 @@ class Searcher:
     def analyze_query(self, query_text: str) -> list[str]:
         """Query-time analysis under the INDEX's chain (stats.json records
         the build tokenizer) — the QueryParser-uses-the-field-analyzer rule
-        (QueryParserBase.newFieldQuery)."""
+        (QueryParserBase.newFieldQuery). For a tokenizer='lang' index the
+        query language comes from `self.query_lang` (settable per request,
+        the fl=lang analog of Solr's per-field analyzer choice)."""
+        if self.meta.get("tokenizer") == "lang":
+            from ..analysis.lang import lang_analyze
+
+            lang = getattr(self, "query_lang", None)
+            return [t for _, t in lang_analyze(query_text, lang)]
         if self.meta.get("tokenizer") == "english":
             from ..analysis.english import english_analyze
 

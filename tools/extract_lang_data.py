@@ -1,0 +1,67 @@
+"""Extract per-language stopword sets from the reference's snowball-format
+stop files into `lucene_solr_spark/analysis/langdata.py`.
+
+The stop lists are SPEC CONSTANTS (same category as the ASCII-fold table and
+the 33-word English stoplist): each language's analyzer loads its
+`<lang>_stop.txt` resource via WordlistLoader.getSnowballWordSet
+(WordlistLoader.java:142-159 — strip `|` comments, split on whitespace, add
+every word). The lists themselves are the public tartarus.org snowball stop
+lists (BSD license, noted in each file's header). Matching the reference's
+stop behavior REQUIRES the identical word set, so we extract the data; the
+parsing and everything around it is original.
+
+Run from the repo root:  python tools/extract_lang_data.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+REF = pathlib.Path("/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis/snowball")
+OUT = pathlib.Path(__file__).resolve().parent.parent / "lucene_solr_spark" / "analysis" / "langdata.py"
+
+FILES = {
+    "de": "german_stop.txt",
+    "fr": "french_stop.txt",
+    "es": "spanish_stop.txt",
+    "it": "italian_stop.txt",
+    "pt": "portuguese_stop.txt",
+}
+
+
+def snowball_words(path: pathlib.Path) -> list[str]:
+    """WordlistLoader.getSnowballWordSet semantics (WordlistLoader.java:142-159)."""
+    words: list[str] = []
+    for line in path.read_text(encoding="utf-8").splitlines():
+        comment = line.find("|")
+        if comment >= 0:
+            line = line[:comment]
+        words.extend(w for w in line.split() if w)
+    return words
+
+
+def main() -> None:
+    parts = [
+        '"""Per-language stopword sets (GENERATED — tools/extract_lang_data.py).',
+        "",
+        "Data source: the snowball-project stop lists shipped as analyzer",
+        "resources (lucene/analysis/common/src/resources/org/apache/lucene/",
+        "analysis/snowball/<lang>_stop.txt, BSD-licensed, from",
+        "svn.tartarus.org/snowball), parsed with the exact",
+        "WordlistLoader.getSnowballWordSet rules (WordlistLoader.java:142-159).",
+        '"""',
+        "",
+    ]
+    for lang, fname in sorted(FILES.items()):
+        words = snowball_words(REF / fname)
+        assert len(words) == len(set(words)) or True  # duplicates collapse in the set
+        lit = " ".join(sorted(set(words)))
+        parts.append(f"# {fname}: {len(set(words))} distinct words")
+        parts.append(f'STOP_{lang.upper()} = frozenset("""{lit}""".split())')
+        parts.append("")
+    OUT.write_text("\n".join(parts), encoding="utf-8")
+    print(f"wrote {OUT} ({sum(1 for _ in OUT.open())} lines)")
+
+
+if __name__ == "__main__":
+    main()
