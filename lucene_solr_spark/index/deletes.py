@@ -19,11 +19,17 @@ SegmentMerger docID remap around deletes):
   a purge the index is value-identical to a fresh build over the surviving
   docs (docID holes are fine: docIDs are global url ranks, never remapped).
 
-Scale: tombstones ship to the filter kernel as ONE sorted broadcast array
-(np.searchsorted membership) — the bitset equivalent; a delete wave of 10^8
-docs is an ~800 MB broadcast, at which point purge soon or shard the purge
-by doc range (chunk_id prune: only posting rows whose chunk intersects the
-tombstone range are rewritten).
+Scale: the tombstone set NEVER materializes on the driver. It stays a
+DataFrame end to end: grouped by chunk_id (= doc_id // chunk_span, the same
+salt that keys posting rows) into per-chunk sorted delete arrays — each
+array is the per-chunk liveDocs bitset analog, bounded to chunk_span docs —
+and JOINED to the posting rows on chunk_id. Posting rows in chunks with no
+deletions never enter the Python kernel at all (anti-join bypass), so a
+purge's rewrite cost is proportional to the touched chunks, and a 10^12-doc
+index with 10^10 tombstones shuffles only the tombstones + touched rows.
+The set digest (segment markers recording which delete generation a merge
+already applied) is likewise a commutative distributed aggregate, two longs
+on the driver instead of the set.
 """
 
 from __future__ import annotations
@@ -45,14 +51,20 @@ def _deletes_dir(paths: IndexPaths) -> str:
     return os.path.join(paths.root, "deletes")
 
 
-def tombstone_digest(deleted_sorted: np.ndarray) -> str:
+def tombstone_digest(tomb: DataFrame) -> str:
     """Stable digest of a tombstone set — lets a segment record which
     delete generation was already applied to its postings (merge-inline
-    reclaim), so purge_deletes can skip rewriting it."""
-    import hashlib
+    reclaim), so purge_deletes can skip rewriting it.
 
-    arr = np.sort(np.asarray(deleted_sorted, dtype=np.int64))
-    return hashlib.md5(arr.tobytes()).hexdigest()
+    Commutative distributed aggregate (count + XOR of per-doc xxhash64 —
+    XOR is order-independent and overflow-free, and the tombstone table is
+    distinct so no pair can cancel): two longs to the driver, the set
+    itself never leaves the cluster."""
+    row = tomb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("h"),
+    ).head()
+    return f"{int(row['n'])}:{int(row['h'] or 0)}"
 
 
 def read_deletes(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
@@ -118,61 +130,70 @@ def delete_by_term(spark: SparkSession, paths: IndexPaths | str, term: str) -> i
 
 
 def filter_deleted_rows(
-    rows: DataFrame, deleted_sorted: np.ndarray, positions: bool
+    rows: DataFrame, tomb: DataFrame, positions: bool, chunk_span: int
 ) -> DataFrame:
     """Drop tombstoned docs from posting rows, re-packing gap/block metadata
-    (the liveDocs skip in TermsConsumer.java:86-171's merge loop)."""
-    spark = rows.sparkSession
-    bc = spark.sparkContext.broadcast(np.sort(deleted_sorted.astype(np.int64)))
+    (the liveDocs skip in TermsConsumer.java:86-171's merge loop).
+
+    Fully distributed: tombstones are grouped into per-chunk sorted arrays
+    (chunk_id = doc_id // chunk_span, the posting-row salt, so each array is
+    bounded to chunk_span entries — the per-segment liveDocs bitset analog)
+    and joined to the posting rows on chunk_id. Rows in chunks with no
+    deletions bypass the Python kernel entirely via anti-join, so rewrite
+    cost is proportional to TOUCHED chunks, and nothing ever collects to
+    the driver."""
+    tomb_chunks = (
+        tomb.select(
+            (F.col("doc_id") / F.lit(int(chunk_span))).cast("long").alias("chunk_id"),
+            "doc_id",
+        )
+        .groupBy("chunk_id")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("del_docs"))
+    )
+    out_cols = [f.name for f in rows.schema.fields]
+    untouched = rows.join(tomb_chunks.select("chunk_id"), "chunk_id", "left_anti")
+    touched = rows.join(tomb_chunks, "chunk_id", "inner")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dels = bc.value
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                dels = np.asarray(row.del_docs, dtype=np.int64)
                 gaps = np.asarray(row.doc_gaps, dtype=np.int64)
                 docs = row.first_doc + np.cumsum(gaps)
-                if len(dels):
-                    idx = np.minimum(np.searchsorted(dels, docs), len(dels) - 1)
-                    keep = dels[idx] != docs
-                else:
-                    keep = np.ones(len(docs), dtype=bool)
+                idx = np.minimum(np.searchsorted(dels, docs), len(dels) - 1)
+                keep = dels[idx] != docs
                 tfs = np.asarray(row.tfs, dtype=np.int64)
-                if keep.all():
-                    out.append(
-                        _pack_rows(
-                            row.term,
-                            int(row.seg_id),
-                            int(row.chunk_id),
-                            docs,
-                            tfs,
-                            np.asarray(row.norm_bytes, dtype=np.int64),
-                            _split_pos(row, tfs) if positions else None,
-                        )
-                    )
-                    continue
                 if not keep.any():
                     continue
-                pos_lists = None
-                if positions:
-                    pos_lists = [
-                        p for p, k in zip(_split_pos(row, tfs), keep) if k
-                    ]
+                if keep.all():
+                    pos_lists = _split_pos(row, tfs) if positions else None
+                    kept_docs, kept_tfs = docs, tfs
+                    kept_nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                else:
+                    pos_lists = (
+                        [p for p, k in zip(_split_pos(row, tfs), keep) if k]
+                        if positions
+                        else None
+                    )
+                    kept_docs, kept_tfs = docs[keep], tfs[keep]
+                    kept_nbs = np.asarray(row.norm_bytes, dtype=np.int64)[keep]
                 out.append(
                     _pack_rows(
                         row.term,
                         int(row.seg_id),
                         int(row.chunk_id),
-                        docs[keep],
-                        tfs[keep],
-                        np.asarray(row.norm_bytes, dtype=np.int64)[keep],
+                        kept_docs,
+                        kept_tfs,
+                        kept_nbs,
                         pos_lists,
                     )
                 )
             if out:
                 yield pd.DataFrame(out)
 
-    return rows.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+    filtered = touched.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+    return filtered.select(out_cols).unionByName(untouched.select(out_cols))
 
 
 def _split_pos(row, tfs: np.ndarray) -> list:
@@ -191,14 +212,15 @@ def purge_deletes(spark: SparkSession, paths: IndexPaths | str) -> int:
     tomb = read_deletes(spark, paths)
     if tomb is None:
         return 0
-    deleted = np.array(sorted(r.doc_id for r in tomb.collect()), dtype=np.int64)
-    if len(deleted) == 0:
+    n_deleted = tomb.count()  # scalar only — the set stays distributed
+    if n_deleted == 0:
         return 0
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
 
     with open(paths.stats) as fh:
         meta = json.load(fh)
     positions = bool(meta.get("positions", True))
+    chunk_span = int(meta.get("chunk_span", 1 << 16))
 
     live = live_seg_ids(spark, paths.lineage)
     if live is None:
@@ -207,7 +229,7 @@ def purge_deletes(spark: SparkSession, paths: IndexPaths | str) -> int:
             for d in os.listdir(paths.postings)
             if d.startswith("seg_id=")
         )
-    digest = tombstone_digest(deleted)
+    digest = tombstone_digest(tomb)
     for seg_id in live:
         seg_dir = os.path.join(paths.postings, f"seg_id={seg_id}")
         marker = os.path.join(seg_dir, "_deletes_applied.json")
@@ -219,8 +241,9 @@ def purge_deletes(spark: SparkSession, paths: IndexPaths | str) -> int:
         rows = spark.read.parquet(seg_dir)
         filtered = filter_deleted_rows(
             rows.withColumn("seg_id", F.lit(seg_id).cast("int")),
-            deleted,
+            tomb,
             positions,
+            chunk_span,
         )
         tmp = seg_dir + "__purge_tmp"
         (
@@ -280,4 +303,4 @@ def purge_deletes(spark: SparkSession, paths: IndexPaths | str) -> int:
         json.dump(meta, fh)
 
     shutil.rmtree(_deletes_dir(paths), ignore_errors=True)
-    return int(len(deleted))
+    return int(n_deleted)

@@ -181,21 +181,22 @@ def merge_segments(
     srcs = [os.path.join(paths.postings, f"seg_id={s}") for s in sorted(seg_ids)]
     union = spark.read.parquet(*srcs)
 
-    deleted = None
+    tomb = None
     if apply_deletes:
         tomb = read_deletes(spark, paths)
-        if tomb is not None:
-            import numpy as np
-
-            arr = np.array(sorted(r.doc_id for r in tomb.collect()), dtype=np.int64)
-            if len(arr):
-                deleted = arr
-    if deleted is not None:
+        if tomb is not None and tomb.limit(1).count() == 0:
+            tomb = None  # empty tombstone table: nothing to reclaim
+    if tomb is not None:
         import json as _json
 
         with open(paths.stats) as fh:
-            positions = bool(_json.load(fh).get("positions", True))
-        union = filter_deleted_rows(union, deleted, positions)
+            _meta = _json.load(fh)
+        union = filter_deleted_rows(
+            union,
+            tomb,
+            bool(_meta.get("positions", True)),
+            int(_meta.get("chunk_span", 1 << 16)),
+        )
 
     merged = (
         union.groupBy("term", "chunk_id")
@@ -213,13 +214,13 @@ def merge_segments(
         .option("parquet.block.size", str(32 * 1024 * 1024))
         .parquet(out_dir)
     )
-    if deleted is not None:
+    if tomb is not None:
         # marker AFTER the parquet write (the writer clears the dir), BEFORE
         # the lineage append — a crash in between replays the whole merge
         with open(os.path.join(out_dir, "_deletes_applied.json"), "w") as fh:
             import json as _json
 
-            _json.dump({"digest": tombstone_digest(deleted), "n": int(len(deleted))}, fh)
+            _json.dump({"digest": tombstone_digest(tomb)}, fh)
 
     # lineage: new segment row + superseded markers, all in one append;
     # n_docs/ttf of the merged segment = sum over its sources (doc ranges
