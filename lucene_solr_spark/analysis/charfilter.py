@@ -30,6 +30,7 @@ Java regex (Spark) and RE2 (DuckDB): no backreferences, no lookaround.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -96,6 +97,71 @@ def html_strip(col: Column | str) -> Column:
     out = F.regexp_replace(out, r"&#0*38;", "&")
     out = F.regexp_replace(out, r"&#[xX]0*26;", "&")
     return out
+
+
+def _entity_decode_batch():
+    """Single-pass full-table entity decoder (round 4): the COMPLETE named
+    map extracted from HTMLStripCharFilter.java:30683-30766 (253 names + 6
+    upper-case variants, analysis/htmlentities.py) plus numeric character
+    references over the FULL codepoint range `&#d+;` / `&#xh+;` — the two
+    things the codegen chain cannot express (regexp_replace has no
+    map-valued or computed replacement). One compiled alternation + dict
+    lookup per match, Arrow-batched.
+
+    Matches the scanner's single decode level: the regex consumes each
+    reference exactly once and replacements are never re-scanned, so
+    '&amp;lt;' → '&lt;' (not '<'), same as the JFlex pass."""
+    import re as _re
+
+    from .htmlentities import HTML_ENTITY_MAP
+
+    names = "|".join(sorted(HTML_ENTITY_MAP, key=len, reverse=True))
+    pat = _re.compile(rf"&(?:#(\d{{1,7}})|#[xX]([0-9a-fA-F]{{1,6}})|({names}));")
+
+    def one(m: "_re.Match[str]") -> str:
+        if m.group(3) is not None:
+            return HTML_ENTITY_MAP[m.group(3)]
+        cp = int(m.group(1), 10) if m.group(1) is not None else int(m.group(2), 16)
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return " " if cp == 160 else chr(cp)
+        return m.group(0)  # invalid reference: emit the literal text
+
+    def decode(s: str | None) -> str | None:
+        return None if s is None else pat.sub(one, s)
+
+    return decode
+
+
+def html_strip_full(col: Column | str) -> Column:
+    """Tag strip (JVM codegen chain, identical to `html_strip`) + FULL
+    character-entity decode (Arrow UDF over the complete reference table and
+    the unrestricted numeric range). Use for fidelity-critical ingestion;
+    `html_strip` stays the zero-Python option for the common subset."""
+    from pyspark.sql.types import StringType
+
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_STRIP_CHAIN:
+        out = F.regexp_replace(out, pat, rep)
+    decode = _entity_decode_batch()
+
+    @F.pandas_udf(StringType())
+    def _decode_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(decode)
+
+    return _decode_udf(out)
+
+
+def html_to_text(html: str | None) -> str | None:
+    """Driver-side/one-string twin of `html_strip_full` (diagnostics, tests,
+    and the byte-identical-text-per-url invariant checks)."""
+    import re as _re
+
+    if html is None:
+        return None
+    out = html
+    for pat, rep in HTML_STRIP_CHAIN:
+        out = _re.sub(pat, rep, out)
+    return _entity_decode_batch()(out)
 
 
 def html_strip_sql(expr: str) -> str:

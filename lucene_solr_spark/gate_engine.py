@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from .gate import bm25_sql, classic_sql, df_gate, tok_cte
 
-INDEX_VERSION = "r3.1"
+INDEX_VERSION = "r4.1"
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".gate_cache")
 _SEARCHERS: dict = {}
 

@@ -709,3 +709,82 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_lsh_pairs(dedup.minhash_signatures(docs))
     return dedup.connected_components(pairs)
+
+
+# --- end-to-end curation pipeline ----------------------------------------------
+# pipeline/curate.py: lang filter → quality filter → exact dedup → MinHash-LSH
+# near-dup groups → canonical survivors. Every stage's oracle fragment is the
+# SAME SQL the per-stage gates use (langid/quality thresholds, MD5 exact
+# groups, shingle→sig→band pairs, recursive-CTE closure), composed over the
+# progressively filtered doc set — so a wiring bug BETWEEN stages (wrong
+# join, filter applied to the wrong frame, sigs computed pre-filter) breaks
+# this row even while each stage's own gate stays green.
+def _curate_oracle() -> str:
+    return f"""
+WITH RECURSIVE tok_all AS ({tok_cte('duckdb', stop_filter=False)}),
+per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(LENGTH(term)) AS sum_len,
+         SUM(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END) AS n_stop
+  FROM tok_all GROUP BY doc_id
+),
+keepq AS (
+  SELECT doc_id FROM per
+  WHERE CAST(n_stop AS DOUBLE) / n_tokens >= 0.03
+    AND n_tokens >= 5
+    AND CAST(sum_len AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+),
+exact AS (
+  SELECT MIN(d.doc_id) AS doc_id
+  FROM documents d JOIN keepq k ON k.doc_id = d.doc_id
+  GROUP BY MD5(d.text)
+),
+tok AS ({tok_cte('duckdb')}),
+seq AS (
+  SELECT doc_id, term,
+         LEAD(term, 1) OVER w AS t1,
+         LEAD(term, 2) OVER w AS t2
+  FROM tok WHERE doc_id IN (SELECT doc_id FROM exact)
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (
+  SELECT DISTINCT doc_id, CONCAT(term, '_', t1, '_', t2) AS shingle
+  FROM seq WHERE t2 IS NOT NULL
+),
+sigs AS ({_sigs_select()}),
+banded AS ({_bands_union()}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT key_a AS src, key_b AS dst FROM pairs
+  UNION
+  SELECT key_b AS src, key_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+  FROM reach GROUP BY src
+)
+SELECT CAST(e.doc_id AS BIGINT) AS doc_id
+FROM exact e LEFT JOIN comp c ON c.doc_id = e.doc_id
+WHERE c.canonical IS NULL OR c.canonical = e.doc_id
+ORDER BY doc_id"""
+
+
+@df_gate("curation_pipeline", _curate_oracle())
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-data flow through the REAL composed pipeline
+    (pipeline/curate.py:52): survivors of lang→quality→exact→LSH-groups."""
+    from .pipeline.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out, _report = curate_corpus(docs, key_col="doc_id", lang="en")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id")).orderBy("doc_id")

@@ -44,7 +44,7 @@ import numpy as np
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .build import BLOCK_SIZE, IndexPaths, POSTINGS_SCHEMA, recombine_partials
+from .build import BLOCK_SIZE, IndexPaths, POSTINGS_SCHEMA
 from .lineage import gc_superseded, latest_rows, read_lineage
 
 # TieredMergePolicy defaults (TieredMergePolicy.java:81-88)
@@ -198,18 +198,24 @@ def merge_segments(
             int(_meta.get("chunk_span", 1 << 16)),
         )
 
+    # streaming recombine over term-sorted partitions (one exchange that
+    # also gives the write its term-sorted layout) — groupBy.applyInPandas
+    # pays per-group pandas overhead, ruinous at web-scale vocabulary where
+    # most (term, chunk) groups are singletons (see make_stream_recombiner)
+    from .build import make_stream_recombiner
+
     merged = (
-        union.groupBy("term", "chunk_id")
-        .applyInPandas(recombine_partials, schema=POSTINGS_SCHEMA)
+        union.repartition(F.col("term"))
+        .sortWithinPartitions("term", "chunk_id")
+        .mapInPandas(make_stream_recombiner(None), schema=POSTINGS_SCHEMA)
         .withColumn("seg_id", F.lit(new_seg_id).cast("int"))
     )
     out_dir = os.path.join(paths.postings, f"seg_id={new_seg_id}")
-    # merged segments are long-lived: sort rows by term so parquet row-group
-    # min/max stats stay tight for query-side term pruning (rows are
-    # ≤ chunk_span docs ≈ 1-2 MB, safe to sort)
+    # merged segments are long-lived: rows stay term-sorted through the
+    # kernel, so parquet row-group min/max stats stay tight for query-side
+    # term pruning (rows are ≤ chunk_span docs ≈ 1-2 MB)
     (
-        merged.repartition(F.col("term"))
-        .sortWithinPartitions("term", "chunk_id")
+        merged.sortWithinPartitions("term", "chunk_id")
         .write.mode("overwrite")
         .option("parquet.block.size", str(32 * 1024 * 1024))
         .parquet(out_dir)

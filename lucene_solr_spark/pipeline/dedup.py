@@ -103,9 +103,14 @@ def minhash_lsh_pairs(
                 md5_long(F.concat_ws("|", *parts)).alias("bucket"),
             )
         )
+    # the self-join shuffle carries ONLY (key, band, bucket) — 3 columns,
+    # one row per (doc, band). Signatures re-attach ONCE per side after the
+    # pairs are distinct, so the 128 sig values cross the wire once per doc
+    # per side instead of once per (doc, band) through the fat self-join
+    # (a ~64× pair-shuffle-width cut at the production 128/16 params).
     buckets = sigs.select(
-        key_col, *[f"sig_{i}" for i in range(n_hashes)], F.explode(F.array(*band_cols)).alias("bb")
-    ).select(key_col, *[f"sig_{i}" for i in range(n_hashes)], "bb.band", "bb.bucket")
+        key_col, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(key_col, "bb.band", "bb.bucket")
 
     # skew guard: drop buckets with too many members
     sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -118,26 +123,42 @@ def minhash_lsh_pairs(
     pairs = (
         a.join(
             b_,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col(f"a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
         )
         .select(
             F.col(f"a.{key_col}").alias("key_a"),
             F.col(f"b.{key_col}").alias("key_b"),
-            *[
-                (F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}")).cast("int").alias(f"m_{i}")
-                for i in range(n_hashes)
-            ],
         )
         .distinct()
     )
-    match_sum = sum(F.col(f"m_{i}") for i in range(n_hashes))
-    return pairs.select(
-        "key_a",
-        "key_b",
-        (match_sum / F.lit(float(n_hashes))).alias("est_jaccard"),
-    ).distinct()
+    sig_arr = sigs.select(
+        key_col, F.array(*[F.col(f"sig_{i}") for i in range(n_hashes)]).alias("sig")
+    )
+    return (
+        pairs.join(
+            sig_arr.select(F.col(key_col).alias("key_a"), F.col("sig").alias("sig_a")),
+            "key_a",
+        )
+        .join(
+            sig_arr.select(F.col(key_col).alias("key_b"), F.col("sig").alias("sig_b")),
+            "key_b",
+        )
+        .select(
+            "key_a",
+            "key_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(float(n_hashes))
+            ).alias("est_jaccard"),
+        )
+    )
 
 
 def ngram_jaccard(

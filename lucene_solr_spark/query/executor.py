@@ -410,6 +410,144 @@ class Searcher:
         )
         return self.spark.createDataFrame(out)
 
+    def _bmw_chunk_topk(
+        self,
+        survivors: DataFrame,
+        weights: dict[str, float],
+        theta_pad: float,
+        k: int,
+        chunk_span: int,
+        pruning_stats: dict | None = None,
+    ) -> DataFrame:
+        """True block-max-WAND execution shape: shuffle the (already
+        chunk-pruned) posting rows BY CHUNK into one Arrow kernel that, per
+        chunk, (a) builds JOINT doc-aligned 128-doc bucket bounds from the
+        block metadata riding with the rows (Σ over terms of each term's
+        max block bound intersecting the bucket — the BlockMaxScoreSkipper
+        idea, no separate metadata action), (b) skips dead buckets and
+        whole dead chunks, (c) scores the live buckets exactly via dense
+        float64 accumulation (a doc's postings across terms share its
+        bucket, so live docs get their FULL sum), and (d) emits only the
+        chunk's top-k — so the downstream global top-k reads ≤ k rows per
+        chunk instead of one (doc, score) row per posting. Compared to the
+        exhaustive plan this replaces the posting-wide groupBy(doc) shuffle
+        with a shuffle of the compact packed rows (positions pruned out).
+
+        Lossless: every skipped doc has provable float32 score < θ_pad ≤
+        the true kth score (see _pad_theta); emitted scores reproduce
+        exhaustive's float32(float64-sum-of-float32-terms) arithmetic."""
+        cache = norm_cache(self.stats)
+        w32 = {t: np.float32(w) for t, w in weights.items()}
+        bucket = 128
+        nbuckets = (chunk_span + bucket - 1) // bucket
+        use_prune = theta_pad != float("-inf")
+        sc = self.spark.sparkContext
+        want_stats = pruning_stats is not None
+        acc_chunks_pruned = sc.accumulator(0) if want_stats else None
+        acc_buckets_total = sc.accumulator(0) if want_stats else None
+        acc_buckets_live = sc.accumulator(0) if want_stats else None
+
+        def score_chunk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            chunk_start = int(key[0]) * chunk_span
+            empty = pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float32)}
+            )
+            live = None
+            if use_prune:
+                joint = np.zeros(nbuckets, dtype=np.float64)
+                per_term: dict[str, np.ndarray] = {}
+                for row in pdf.itertuples(index=False):
+                    last = np.asarray(row.skip_last_doc, dtype=np.int64)
+                    starts = np.empty_like(last)
+                    starts[0] = row.first_doc
+                    starts[1:] = last[:-1] + 1
+                    bmtf = np.asarray(row.block_max_tf, dtype=np.float64)
+                    bmnb = np.asarray(row.block_max_nb, dtype=np.int64)
+                    ub = float(w32[row.term]) * bmtf / (bmtf + cache[bmnb])
+                    lo = (starts - chunk_start) // bucket
+                    hi = (last - chunk_start) // bucket
+                    arr = per_term.setdefault(
+                        row.term, np.zeros(nbuckets, dtype=np.float64)
+                    )
+                    for j in range(len(lo)):
+                        a, b = int(lo[j]), int(hi[j]) + 1
+                        seg = arr[a:b]
+                        np.maximum(seg, ub[j], out=seg)
+                for arr in per_term.values():
+                    joint += arr
+                live = joint >= theta_pad
+                n_live = int(live.sum())
+                if want_stats:
+                    nz_b = int((joint > 0.0).sum())
+                    acc_buckets_total.add(nz_b)
+                    acc_buckets_live.add(min(n_live, nz_b))
+                if n_live == 0:
+                    if want_stats:
+                        acc_chunks_pruned.add(1)
+                    return empty
+                if n_live == nbuckets:
+                    live = None  # nothing prunable: skip the mask cost
+            acc = np.zeros(chunk_span, dtype=np.float64)
+            for row in pdf.itertuples(index=False):
+                gaps = np.asarray(row.doc_gaps, dtype=np.int64)
+                off = np.cumsum(gaps) + (row.first_doc - chunk_start)
+                tfs = np.asarray(row.tfs, dtype=np.float32)
+                nbs = np.asarray(row.norm_bytes, dtype=np.int64)
+                if live is not None:
+                    m = live[off // bucket]
+                    if not m.any():
+                        continue
+                    off, tfs, nbs = off[m], tfs[m], nbs[m]
+                s = (w32[row.term] * tfs / (tfs + cache[nbs])).astype(np.float32)
+                np.add.at(acc, off, s.astype(np.float64))
+            nz = np.flatnonzero(acc)
+            if len(nz) == 0:
+                return empty
+            scores32 = acc[nz].astype(np.float32)
+            if len(nz) > k:
+                # exact tie-safe top-k: keep EVERY doc at or above the kth
+                # score, then (score desc, doc asc) — ties beyond k resolve
+                # by doc id, matching HitQueue.java:76-81
+                kth = np.partition(scores32, len(scores32) - k)[len(scores32) - k]
+                idx = np.flatnonzero(scores32 >= kth)
+                order = idx[np.lexsort((nz[idx], -scores32[idx]))][:k]
+            else:
+                order = np.lexsort((nz, -scores32))
+            return pd.DataFrame(
+                {
+                    "doc_id": (chunk_start + nz[order]).astype(np.int64),
+                    "score": scores32[order],
+                }
+            )
+
+        cols = [
+            "chunk_id", "term", "first_doc", "doc_gaps", "tfs", "norm_bytes",
+            "skip_last_doc", "block_max_tf", "block_max_nb",
+        ]
+        cand = (
+            survivors.select(*cols)
+            .groupBy("chunk_id")
+            .applyInPandas(score_chunk, schema="doc_id long, score float")
+        )
+        out = self._topk(cand, k)
+        if want_stats:
+            rows_out = out.collect()  # force the job so accumulators settle
+            pruning_stats["kernel"] = True
+            pruning_stats["buckets_total"] = int(acc_buckets_total.value)
+            pruning_stats["buckets_live"] = int(acc_buckets_live.value)
+            pruning_stats["chunks_kernel_pruned"] = int(acc_chunks_pruned.value)
+            return self.spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "doc_id": np.array([r.doc_id for r in rows_out], dtype=np.int64),
+                        "score": np.array([r.score for r in rows_out], dtype=np.float32),
+                    }
+                ),
+                schema="doc_id long, score float",
+            )
+        return out
+
     def search_wand(
         self,
         query: str | list[str],
@@ -530,10 +668,24 @@ class Searcher:
             if len(live) == 0 or len(live) >= 0.95 * max(1, len(nz)):
                 # empty live set cannot happen for a θ attained by real docs
                 # (their superchunk's bound dominates it) — defensive fall
-                # back rather than an empty predicate; and pruning that
-                # drops <5% makes the predicate pure overhead
+                # back rather than an empty predicate; pruning that drops
+                # <5% makes the predicate (and the chunk-kernel's extra
+                # shuffle) pure overhead — measured 0.62× at 200k docs on a
+                # saturated-bounds corpus, so exhaustive is the right plan
+                # when the driver-side superchunk analysis says unprunable
                 return self.search(terms, k=k)
             survivors = rows.where(self._sc_predicate(live, sc_factor))
+            if len(qterms) > 1 and bucket_prune is not False:
+                # multi-term WITH real chunk pruning (the head+tail web
+                # query shape): the BMW chunk kernel — joint in-kernel
+                # 128-doc bucket bounds prune inside surviving chunks and
+                # each chunk emits only its top-k, replacing the
+                # posting-wide groupBy(doc) shuffle. This path already
+                # guarantees self._deletes is None.
+                return self._bmw_chunk_topk(
+                    survivors, weights, self._pad_theta(theta), k, chunk_span,
+                    pruning_stats,
+                )
             scored = self._scored_rows(
                 survivors,
                 weights,
@@ -648,6 +800,18 @@ class Searcher:
         # it only where the small path MEASURED weak chunk pruning — on the
         # large paths (frac_live unknown without an extra action) it is
         # strictly opt-in
+        if (
+            len(qterms) > 1
+            and bucket_prune is not False
+            and self._deletes is None
+            and frac_live < 0.95
+        ):
+            # multi-term with MEASURED-real chunk pruning, no tombstones:
+            # BMW chunk kernel (see _bmw_chunk_topk)
+            return self._bmw_chunk_topk(
+                survivors, weights, self._pad_theta(theta), k, chunk_span,
+                pruning_stats,
+            )
         use_buckets = (
             bucket_prune is True
             or (bucket_prune == "auto" and auto_buckets_ok and frac_live > 0.5)
@@ -2284,6 +2448,50 @@ class Searcher:
         return freq
 
     @staticmethod
+    def _sloppy_freq_k(slot_arrs: list, slop: int) -> float | None:
+        """Vectorized k-slot sloppyFreq, exactly equal to `_sloppy_freq` on
+        tie-free inputs (returns None when any two lists share an adjusted
+        position — the caller falls back to the PQ reference loop; ties
+        only arise from repeated terms at phrase-compatible distances).
+
+        Derivation from the PQ loop: consumption order of the leap-frog IS
+        the merged position order (each step advances the global minimum),
+        a window is recorded exactly at every cross-list SWITCH of that
+        merged sequence, its length is (max over the OTHER lists of their
+        first position after the switch index) − p[i] (same-list runs keep
+        only their last element — the running shrink in the loop), the walk
+        stops at the first list exhaustion (the merged index of the
+        smallest per-list maximum), and one tail window is recorded there.
+        """
+        k = len(slot_arrs)
+        lens = np.fromiter((len(a) for a in slot_arrs), dtype=np.int64, count=k)
+        p = np.concatenate(slot_arrs).astype(np.int64)
+        s = np.repeat(np.arange(k, dtype=np.int64), lens)
+        order = np.argsort(p, kind="stable")
+        p, s = p[order], s[order]
+        if bool(np.any(p[1:] == p[:-1])):
+            return None
+        n = len(p)
+        INF = np.int64(1) << 62
+        # m[L, i] = first position of list L strictly after merged index i
+        m = np.empty((k, n), dtype=np.int64)
+        for L in range(k):
+            col = np.where(s == L, p, INF)
+            rev = np.minimum.accumulate(col[::-1])[::-1]  # rev[i] = min col[i:]
+            m[L, :-1] = rev[1:]
+            m[L, -1] = INF
+        m[s, np.arange(n)] = -1  # exclude the own list from the max
+        E = m.max(axis=0)
+        # stop = merged index of the smallest per-list last element
+        stop_val = min(int(a[-1]) for a in slot_arrs)
+        stop = int(np.searchsorted(p, stop_val))
+        idx = np.flatnonzero(s[:-1] != s[1:])
+        idx = idx[idx < stop]
+        d = np.concatenate((E[idx] - p[idx], [E[stop] - p[stop]]))
+        d = d[d <= slop]
+        return float((1.0 / (d + 1.0)).sum())
+
+    @staticmethod
     def _sloppy_freq_2(a: np.ndarray, b: np.ndarray, slop: int) -> float:
         """Vectorized 2-slot sloppyFreq, exactly equal to `_sloppy_freq`:
         with two sorted offset-adjusted lists, the PQ leap-frog records one
@@ -2437,6 +2645,7 @@ class Searcher:
 
         sloppy_fn = Searcher._sloppy_freq
         sloppy2_fn = Searcher._sloppy_freq_2
+        sloppyk_fn = Searcher._sloppy_freq_k
 
         def phrase_freq(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # alignment check AND BM25 scoring in ONE Python eval — a second
@@ -2467,7 +2676,9 @@ class Searcher:
                         # vectorized common case — no per-position Python
                         freq = sloppy2_fn(slot_arrs[0], slot_arrs[1], slop)
                     else:
-                        freq = sloppy_fn(slot_arrs, slop)
+                        freq = sloppyk_fn(slot_arrs, slop)
+                        if freq is None:  # adjusted-position ties: PQ loop
+                            freq = sloppy_fn(slot_arrs, slop)
                     if freq > 0:
                         doc_ids.append(row.doc_id)
                         freqs.append(freq)
@@ -2500,6 +2711,7 @@ class Searcher:
         `_sloppy_freq`)."""
         sloppy_fn = Searcher._sloppy_freq
         sloppy2_fn = Searcher._sloppy_freq_2
+        sloppyk_fn = Searcher._sloppy_freq_k
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             slot_maps: list[dict] = [dict() for _ in range(n_slots)]
@@ -2537,7 +2749,9 @@ class Searcher:
                 elif n_slots == 2:
                     freq = sloppy2_fn(slot_arrs[0], slot_arrs[1], slop)
                 else:
-                    freq = sloppy_fn(slot_arrs, slop)
+                    freq = sloppyk_fn(slot_arrs, slop)
+                    if freq is None:  # adjusted-position ties: PQ loop
+                        freq = sloppy_fn(slot_arrs, slop)
                 if freq > 0:
                     doc_ids.append(d)
                     freqs.append(freq)

@@ -438,6 +438,16 @@ class SolrQueries:
             from .surround import surround_search
 
             return surround_search(s, body, k=k)
+        if qtype == "complexphrase":
+            # ComplexPhraseQParserPlugin: wildcard/fuzzy/OR-groups inside a
+            # quoted phrase → span rewrite (query/complexphrase.py)
+            from .complexphrase import complex_phrase_search
+
+            return complex_phrase_search(
+                s, local.get("v") or body, k=k,
+                in_order=local.get("inOrder", "true") != "false",
+                filter_docs=filter_docs,
+            )
         if qtype == "frange":
             col = parse_function(body)
             return vs.function_range_query(

@@ -44,7 +44,7 @@ def _row_rng(seed: int, i: int) -> np.random.RandomState:
 _TOPICS = "spark merge query window stream value fast index".split()
 
 
-def _make_text(rng: np.random.RandomState, bursty: bool = False) -> str:
+def _make_text(rng: np.random.RandomState, bursty: bool = False, tail: bool = False) -> str:
     n = int(rng.randint(20, 400))
     # Zipfian over content vocab
     ranks = rng.zipf(1.3, size=n) % len(_CONTENT)
@@ -66,6 +66,14 @@ def _make_text(rng: np.random.RandomState, bursty: bool = False) -> str:
         pos = rng.randint(0, len(words) + 1, size=reps)
         for p in sorted(pos.tolist(), reverse=True):
             words.insert(p, t)
+    if tail:
+        # rare-term tail (real web vocabulary is mostly hapax-ish terms;
+        # the fixed 2k-word vocab above bottoms out at df≈1% — unrealistic,
+        # and provably chunk-unprunable for ANY multi-term query). 1-3
+        # draws per doc from a 400k-id space → df ≈ n_docs/160k per id:
+        # the "navigational" head+tail query shape becomes representable.
+        for _ in range(int(rng.randint(1, 4))):
+            words.append(f"t{int(rng.randint(0, 400_000)):06d}")
     return " ".join(words)
 
 
@@ -75,10 +83,13 @@ def generate_pages(
     seed: int = 42,
     partitions: int | None = None,
     bursty: bool = False,
+    tail: bool = False,
 ) -> DataFrame:
     """n synthetic pages, deterministic for (n, seed, bursty) at any
     parallelism. bursty=False (default) is byte-identical to prior rounds;
-    bursty=True adds topical tf bursts (see _make_text)."""
+    bursty=True adds topical tf bursts; tail=True adds a rare-term
+    vocabulary tail (see _make_text) — both opt-in, default output stays
+    byte-identical to prior rounds."""
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = spark.range(0, n, 1, partitions)
@@ -94,9 +105,9 @@ def generate_pages(
                 src = i - 1 if is_dup else i
                 url = f"https://site{src % 1000}.example/p/{src}"
                 text = (
-                    _make_text(_row_rng(seed, src), bursty)
+                    _make_text(_row_rng(seed, src), bursty, tail)
                     if not is_dup
-                    else _make_text(rng, bursty)
+                    else _make_text(rng, bursty, tail)
                 )
                 ts = np.datetime64("2025-01-01") + np.timedelta64(i, "s")
                 title = f"page {src}"

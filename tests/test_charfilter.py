@@ -69,3 +69,53 @@ def test_html_strip_null_and_tokenize(spark):
     ).collect()
     assert rows[0]["toks"] is None
     assert rows[1]["toks"] == ["fast", "merge"]
+
+
+def test_full_entity_table_python():
+    """Every one of the 259 reference entity names decodes to its exact
+    codepoint (HTMLStripCharFilter.java:30683-30766), via the driver-side
+    twin of html_strip_full."""
+    from lucene_solr_spark.analysis.charfilter import html_to_text
+    from lucene_solr_spark.analysis.htmlentities import HTML_ENTITY_MAP
+
+    for name, want in HTML_ENTITY_MAP.items():
+        if name == "nbsp":
+            want = " "  # engine-wide nbsp→space convention (see HTML_ENTITIES)
+        got = html_to_text(f"x&{name};y")
+        assert got == f"x{want}y", (name, want, got)
+
+
+def test_numeric_references_full_range():
+    from lucene_solr_spark.analysis.charfilter import html_to_text
+
+    assert html_to_text("&#65;&#x42;") == "AB"
+    assert html_to_text("&#233;") == "é"          # Latin-1
+    assert html_to_text("&#x1F600;") == "\U0001F600"  # astral plane
+    assert html_to_text("&#26085;&#x672C;") == "日本"  # past Latin-1, decimal+hex
+    assert html_to_text("&#0;") == "&#0;"          # invalid → literal
+    assert html_to_text("&#x110000;") == "&#x110000;"
+    assert html_to_text("&#xD800;") == "&#xD800;"  # surrogate guarded
+    # single decode level (the scanner's one pass)
+    assert html_to_text("&amp;lt;") == "&lt;"
+    # uppercase variants accepted for exactly the six names
+    assert html_to_text("&AMP;&LT;&GT;&QUOT;&COPY;&REG;") == '&<>"©®'
+    assert html_to_text("&NBSP;") == "&NBSP;"  # not an accepted variant
+
+
+def test_html_strip_full_spark(spark):
+    """html_strip_full through a live plan: tag chain + full entity decode,
+    byte-identical to the stored text for a webgen-style page."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.analysis.charfilter import html_strip_full
+
+    text = "café & friends — Δx \U0001F600"
+    html = (
+        "<html><!-- c --><body>caf&eacute; &amp; friends &mdash; "
+        "&Delta;x &#x1F600;</body></html>"
+    )
+    df = spark.createDataFrame([(html, text)], "html string, text string")
+    row = df.select(
+        html_strip_full(F.col("html")).alias("stripped"), "text"
+    ).head()
+    assert row.stripped == row.text  # byte-identical extracted text

@@ -166,3 +166,85 @@ def test_sloppy_freq_2slot_vectorized_equals_pq_loop():
         want = Searcher._sloppy_freq([a.astype(np.int64), b.astype(np.int64)], slop)
         got = Searcher._sloppy_freq_2(a.astype(np.int64), b.astype(np.int64), slop)
         assert abs(want - got) < 1e-12, (a.tolist(), b.tolist(), slop, want, got)
+
+
+def test_sloppy_freq_kslot_vectorized_equals_pq_loop():
+    """The vectorized k-slot sloppyFreq (round 4) must be value-identical
+    to the PQ leap-frog on tie-free inputs, and must return None (caller
+    falls back to the loop) whenever two lists share an adjusted position."""
+    import numpy as np
+
+    from lucene_solr_spark.query.executor import Searcher
+
+    rng = np.random.default_rng(11)
+    vec_checked = tie_checked = 0
+    for trial in range(800):
+        k = int(rng.integers(3, 6))
+        npos = int(rng.integers(k, 36))
+        allpos = rng.choice(np.arange(-3, 120), size=npos, replace=False)
+        cuts = np.sort(rng.choice(np.arange(1, npos), size=k - 1, replace=False)) if npos > k else np.arange(1, k)
+        arrs = [np.sort(a.astype(np.int64)) for a in np.split(allpos, cuts) if len(a)]
+        if len(arrs) < 3:
+            continue
+        slop = int(rng.integers(0, 20))
+        want = Searcher._sloppy_freq(arrs, slop)
+        got = Searcher._sloppy_freq_k(arrs, slop)
+        assert got is not None  # distinct positions → vectorized path
+        assert abs(want - got) < 1e-12, ([a.tolist() for a in arrs], slop, want, got)
+        vec_checked += 1
+        # force a cross-list tie → must decline so the exact loop runs
+        tied = [a.copy() for a in arrs]
+        tied[1][0] = tied[0][0]
+        tied[1].sort()
+        if len(np.unique(tied[1])) == len(tied[1]):
+            assert Searcher._sloppy_freq_k(tied, slop) is None
+            tie_checked += 1
+    assert vec_checked > 300 and tie_checked > 300
+
+
+def test_sloppy_phrase_3slot_e2e(spark, tmp_path):
+    """3- and 4-slot sloppy phrases through the REAL index + kernels
+    (vectorized path + tie fallback) vs a brute-force window oracle."""
+    import itertools
+
+    import numpy as np
+
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import Searcher
+
+    texts = {
+        # repeated terms at phrase-compatible distances → adjusted-position
+        # ties exercise the PQ fallback inside the kernel
+        "u1": "alpha beta gamma delta alpha beta gamma",
+        "u2": "alpha x beta y gamma z delta",
+        "u3": "gamma beta alpha delta gamma beta alpha",
+        "u4": "alpha alpha beta beta gamma gamma delta",
+        "u5": "x y z alpha q beta w gamma",
+        "u6": "beta gamma delta",
+    }
+    pages = spark.createDataFrame(
+        [(u, t) for u, t in texts.items()], "url string, text string"
+    )
+    paths = build_index(spark, pages, str(tmp_path / "sloppy3"))
+    s = Searcher(spark, paths)
+
+    def oracle_freq(tokens, phrase, slop):
+        arrs = []
+        for si, term in enumerate(phrase):
+            pos = np.array([i - si for i, t in enumerate(tokens) if t == term], dtype=np.int64)
+            if len(pos) == 0:
+                return 0.0
+            arrs.append(pos)
+        return Searcher._sloppy_freq(arrs, slop)
+
+    urls = sorted(texts)
+    for phrase in (["alpha", "beta", "gamma"], ["alpha", "beta", "gamma", "delta"]):
+        for slop in (0, 1, 2, 4):
+            got = {
+                int(r.doc_id) for r in s.phrase_search(phrase, k=100, slop=slop).collect()
+            }
+            want = {
+                i for i, u in enumerate(urls)
+                if oracle_freq(texts[u].split(), phrase, slop) > 0
+            }
+            assert got == want, (phrase, slop, got, want)

@@ -51,7 +51,7 @@ def main() -> None:
     else:
         tmp = tempfile.mkdtemp(prefix="wand_pages_")
         pages_dir = os.path.join(tmp, "pages")
-        generate_pages(spark, n, seed=42, bursty=bursty).write.mode(
+        generate_pages(spark, n, seed=42, bursty=bursty, tail=bursty).write.mode(
             "overwrite"
         ).parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
@@ -77,6 +77,17 @@ def main() -> None:
             "three_term": ["query", "window", "stream"],
             "single_head": ["value"],
         }
+        if bursty:
+            # the navigational head+tail web query shape: a common word +
+            # a rare one (the tail vocab ships only in bursty/tail mode).
+            # Pick a tail term deterministically from a known doc's text.
+            from lucene_solr_spark.sources.webgen import _make_text, _row_rng
+
+            tail_term = next(
+                w for w in _make_text(_row_rng(42, 12345), True, True).split()
+                if w.startswith("t") and w[1:].isdigit()
+            )
+            queries["head_plus_tail"] = ["value", tail_term]
         reps = 5
         out = {
             "n_docs": n,
