@@ -14,6 +14,15 @@ Reference chains (Lucene 4.4 analyzers, matchVersion >= LUCENE_36):
   (ItalianAnalyzer.java:140-155)
 - pt: StandardTokenizer → LowerCase → Stop(portuguese_stop.txt) →
   PortugueseLightStemFilter (PortugueseAnalyzer.java:125-139)
+- ru: StandardTokenizer → LowerCase → Stop(russian_stop.txt) →
+  SnowballFilter(RussianStemmer) (RussianAnalyzer.java:152-163; stemmer
+  re-derived from the published snowball algorithm, fuzz-verified
+  0/30,015 mismatches vs the reference's compiled generated code —
+  analysis/russian.py)
+- ar: StandardTokenizer → LowerCase → Stop(ar/stopwords.txt, unnormalized)
+  → ArabicNormalization → ArabicStem light10 (ArabicAnalyzer.java:138-151;
+  analysis/arabic.py)
+- zh/ja/ko: the CJKAnalyzer width-fold + bigram chain (analysis/cjk.py)
 - en: the EnglishAnalyzer chain (analysis/english.py)
 - anything else: StandardAnalyzer (tokenize + lower + English stop)
 
@@ -51,7 +60,11 @@ from .analyzer import (
     _java_lower,
 )
 from .english import porter_stem, strip_possessive
-from .langdata import STOP_DE, STOP_ES, STOP_FR, STOP_IT, STOP_PT
+from .arabic import arabic_normalize, arabic_stem
+from .langdata import (
+    STOP_AR, STOP_DE, STOP_ES, STOP_FR, STOP_IT, STOP_PT, STOP_RU,
+)
+from .russian import russian_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -450,11 +463,18 @@ _CHAINS: dict[str, tuple] = {
     "es": (None, STOP_ES, spanish_light_stem),
     "it": (lambda t: elide(t, IT_ARTICLES), STOP_IT, italian_light_stem),
     "pt": (None, STOP_PT, portuguese_light_stem),
+    "ru": (None, STOP_RU, russian_stem),  # RussianAnalyzer.java:152-163
+    # ArabicAnalyzer.java:138-151 — stop BEFORE normalization (:143-144),
+    # then normalize + light10 stem
+    "ar": (None, STOP_AR, lambda t: arabic_stem(arabic_normalize(t))),
     "en": (strip_possessive, ENGLISH_STOP_WORDS, porter_stem),
 }
+# CJK languages take the bigram path (a structural transform, not a
+# per-token chain) — see analysis/cjk.py
+_CJK_LANGS = frozenset(("zh", "ja", "ko"))
 _STANDARD = (None, ENGLISH_STOP_WORDS, None)  # StandardAnalyzer fallback
 
-SUPPORTED_LANGS = frozenset(_CHAINS)
+SUPPORTED_LANGS = frozenset(_CHAINS) | frozenset(("zh", "ja", "ko"))
 
 # (lang, surface) → final term; bounded like english._STEM_CACHE
 _LANG_STEM_CACHE: dict[tuple[str, str], str] = {}
@@ -489,6 +509,10 @@ def lang_analyze(text: str | None, lang: str | None) -> list[tuple[int, str]]:
     the exact mirror of what the inverter indexes under tokenizer='lang'."""
     if not text:
         return []
+    if lang in _CJK_LANGS:
+        from .cjk import cjk_analyze
+
+        return cjk_analyze(text)
     out: list[tuple[int, str]] = []
     for pos, m in enumerate(_PY_TOKEN_RE.finditer(text)):
         term = analyze_token(m.group(0), lang)
@@ -502,6 +526,10 @@ def _analyzed_placeholder_tokens(text: str | None, lang: str | None) -> list[str
     (the inverter filters empties but counts every slot as a position)."""
     if not text:
         return []
+    if lang in _CJK_LANGS:
+        from .cjk import cjk_placeholder_tokens
+
+        return cjk_placeholder_tokens(text)
     return [analyze_token(m.group(0), lang) for m in _PY_TOKEN_RE.finditer(text)]
 
 

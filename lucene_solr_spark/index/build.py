@@ -458,11 +458,6 @@ def make_recombiner(cache64: np.ndarray | None):
     return recombine
 
 
-# no-stats variant (merge/delete rewrites: the dictionary sketches are
-# invalidated by those paths anyway, see stats.json impact_meta)
-recombine_partials = make_recombiner(None)
-
-
 def make_stream_recombiner(cache64: np.ndarray | None):
     """Streaming recombine kernel for mapInPandas over term-sorted
     partitions — the scale-robust replacement for groupBy.applyInPandas in

@@ -675,13 +675,16 @@ class Searcher:
                 # when the driver-side superchunk analysis says unprunable
                 return self.search(terms, k=k)
             survivors = rows.where(self._sc_predicate(live, sc_factor))
-            if len(qterms) > 1 and bucket_prune is not False:
-                # multi-term WITH real chunk pruning (the head+tail web
-                # query shape): the BMW chunk kernel — joint in-kernel
-                # 128-doc bucket bounds prune inside surviving chunks and
-                # each chunk emits only its top-k, replacing the
-                # posting-wide groupBy(doc) shuffle. This path already
-                # guarantees self._deletes is None.
+            if len(qterms) > 1 and bucket_prune is True:
+                # multi-term BMW chunk kernel (EXPLICIT opt-in): joint
+                # in-kernel 128-doc bucket bounds prune inside surviving
+                # chunks (measured 22/1152 buckets live on a head+tail
+                # query) and each chunk emits only its top-k, replacing the
+                # posting-wide groupBy(doc) shuffle — the 100 TB-shape
+                # plan. NOT the default: at sandbox scale fixed stage costs
+                # dominate and the extra exchange loses ~25% wall-clock
+                # (BASELINE.md round-4 table), so 'auto' keeps the
+                # single-scan plan. This path guarantees _deletes is None.
                 return self._bmw_chunk_topk(
                     survivors, weights, self._pad_theta(theta), k, chunk_span,
                     pruning_stats,
@@ -802,12 +805,11 @@ class Searcher:
         # strictly opt-in
         if (
             len(qterms) > 1
-            and bucket_prune is not False
+            and bucket_prune is True
             and self._deletes is None
             and frac_live < 0.95
         ):
-            # multi-term with MEASURED-real chunk pruning, no tombstones:
-            # BMW chunk kernel (see _bmw_chunk_topk)
+            # multi-term BMW chunk kernel — explicit opt-in, see above
             return self._bmw_chunk_topk(
                 survivors, weights, self._pad_theta(theta), k, chunk_span,
                 pruning_stats,

@@ -67,3 +67,23 @@ def test_wand_prunes_chunks(wand_index, spark):
 
 def test_wand_unknown_term(wand_index):
     assert wand_index.search_wand(["zzzznotaword"], k=10).count() == 0
+
+
+@pytest.mark.parametrize(
+    "terms,k",
+    [
+        (["alpha", "rare1"], 10),
+        (["beta", "gamma", "rare2"], 5),
+        (["spark", "query", "merge"], 10),
+    ],
+)
+def test_bmw_chunk_kernel_identical(wand_index, terms, k):
+    """The round-4 BMW chunk kernel (bucket_prune=True: in-kernel joint
+    bucket bounds + per-chunk top-k) must stay rank- AND score-identical
+    to exhaustive on multi-term queries."""
+    s = wand_index
+    exhaustive = s.search(terms, k=k).toPandas()
+    ps: dict = {}
+    pruned = s.search_wand(terms, k=k, bucket_prune=True, pruning_stats=ps).toPandas()
+    assert pruned["doc_id"].tolist() == exhaustive["doc_id"].tolist()
+    np.testing.assert_array_equal(pruned["score"].values, exhaustive["score"].values)

@@ -21,12 +21,33 @@ REF = pathlib.Path("/root/reference/lucene/analysis/common/src/resources/org/apa
 OUT = pathlib.Path(__file__).resolve().parent.parent / "lucene_solr_spark" / "analysis" / "langdata.py"
 
 FILES = {
+    "ru": "russian_stop.txt",
     "de": "german_stop.txt",
     "fr": "french_stop.txt",
     "es": "spanish_stop.txt",
     "it": "italian_stop.txt",
     "pt": "portuguese_stop.txt",
 }
+
+# '#'-comment wordlists loaded via loadStopwordSet(..., "#")
+# (ArabicAnalyzer.java:78, CJKAnalyzer.java:61); one word per line
+HASH_FILES = {
+    "ar": pathlib.Path(
+        "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis/ar/stopwords.txt"
+    ),
+    "cjk": pathlib.Path(
+        "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt"
+    ),
+}
+
+
+def hash_words(path: pathlib.Path) -> list[str]:
+    words = []
+    for line in path.read_text(encoding="utf-8").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line:
+            words.append(line)
+    return words
 
 
 def snowball_words(path: pathlib.Path) -> list[str]:
@@ -52,6 +73,12 @@ def main() -> None:
         '"""',
         "",
     ]
+    for lang, path in sorted(HASH_FILES.items()):
+        words = hash_words(path)
+        lit = " ".join(sorted(set(words)))
+        parts.append(f"# {path.name} ({lang}): {len(set(words))} words")
+        parts.append(f'STOP_{lang.upper()} = frozenset("""{lit}""".split())')
+        parts.append("")
     for lang, fname in sorted(FILES.items()):
         words = snowball_words(REF / fname)
         assert len(words) == len(set(words)) or True  # duplicates collapse in the set
