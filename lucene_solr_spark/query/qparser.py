@@ -438,6 +438,13 @@ class SolrQueries:
             from .surround import surround_search
 
             return surround_search(s, body, k=k)
+        if qtype == "xmlparser":
+            # CoreParser XML query syntax (query/xmlparser.py)
+            from .xmlparser import xml_query_search
+
+            return xml_query_search(
+                s, local.get("v") or body, k=k, filter_docs=filter_docs
+            )
         if qtype == "complexphrase":
             # ComplexPhraseQParserPlugin: wildcard/fuzzy/OR-groups inside a
             # quoted phrase → span rewrite (query/complexphrase.py)
