@@ -788,3 +788,44 @@ def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out, _report = curate_corpus(docs, key_col="doc_id", lang="en")
     return out.select(F.col("doc_id").cast("long").alias("doc_id")).orderBy("doc_id")
+
+
+# --- recursive prefix tree spatial (shapes beyond point-radius) -----------------
+_POLY = (
+    (0.0, 0.0), (0.0, 40.0), (25.0, 40.0), (32.0, 15.0), (12.0, -8.0)
+)
+
+
+def _poly_oracle() -> str:
+    from .query.spatial_prefix import Polygon, polygon_refine_sql
+
+    refine = polygon_refine_sql("lat", "lon", Polygon(_POLY))
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         (CAST((doc_id * 37) % 1800 AS DOUBLE) / 10.0 - 90.0) AS lat,
+         (CAST((doc_id * 73) % 3600 AS DOUBLE) / 10.0 - 180.0) AS lon
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM pts
+WHERE {refine}
+ORDER BY doc_id"""
+
+
+@df_gate("spatial_prefix_polygon", _poly_oracle())
+def _q_prefix_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RecursivePrefixTreeStrategy intersects(polygon): quad-cell covering
+    (full cells by prefix, boundary cells + generated ray-cast refine) vs
+    the DuckDB oracle running the IDENTICAL even-odd test directly on every
+    point (RecursivePrefixTreeStrategy.java:40-90 semantics: the strategy
+    is a pruning plan, never a different answer)."""
+    from .query.spatial_prefix import Polygon, prefix_tree_search, quad_cell_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 37) % 1800) / 10.0 - 90.0).alias("lat"),
+        (((F.col("doc_id") * 73) % 3600) / 10.0 - 180.0).alias("lon"),
+    ).withColumn("cell", quad_cell_col(F.col("lat"), F.col("lon"), 12))
+    out = prefix_tree_search(pts, Polygon(_POLY), detail_level=7, cell_col="cell")
+    return out.select(F.col("doc_id").cast("long")).orderBy("doc_id")
