@@ -62,9 +62,11 @@ from .analyzer import (
 from .english import porter_stem, strip_possessive
 from .arabic import arabic_normalize, arabic_stem
 from .langdata import (
-    STOP_AR, STOP_DE, STOP_ES, STOP_FR, STOP_IT, STOP_PT, STOP_RU,
+    STOP_AR, STOP_DA, STOP_DE, STOP_ES, STOP_FR, STOP_IT, STOP_NO,
+    STOP_PT, STOP_RU, STOP_SV,
 )
 from .russian import russian_stem
+from .scandinavian import danish_stem, norwegian_stem, swedish_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -468,6 +470,12 @@ _CHAINS: dict[str, tuple] = {
     # then normalize + light10 stem
     "ar": (None, STOP_AR, lambda t: arabic_stem(arabic_normalize(t))),
     "en": (strip_possessive, ENGLISH_STOP_WORDS, porter_stem),
+    # DanishAnalyzer.java:123-129 / NorwegianAnalyzer.java:123-129 /
+    # SwedishAnalyzer.java:123-129 — Snowball stemmers, fuzz-verified
+    # 0/30,000 vs the reference's compiled code (analysis/scandinavian.py)
+    "da": (None, STOP_DA, danish_stem),
+    "no": (None, STOP_NO, norwegian_stem),
+    "sv": (None, STOP_SV, swedish_stem),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py
@@ -550,3 +558,11 @@ def lang_token_array(text: Column, lang: Column) -> Column:
 def lang_doc_length_col(text: Column, lang: Column) -> Column:
     """Post-stop doc length under the per-language chain (norms input)."""
     return F.size(F.filter(lang_token_array(text, lang), lambda t: F.length(t) > 0))
+
+
+def stem_for_lang(lang: str, word: str) -> str:
+    """The bare stemmer for `lang` (no tokenize/lower/stop) — the unit
+    tools/stemmer_oracle.py fuzz-compares against the reference's own
+    compiled stemmer classes."""
+    stem = _CHAINS[lang][2]
+    return stem(word) if stem else word

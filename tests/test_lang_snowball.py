@@ -1,0 +1,67 @@
+"""Snowball-family language chains vs the reference's own test fixtures.
+
+TestSnowballVocabData.zip is the data TestSnowballVocab.java:40-60 asserts:
+full voc.txt → output.txt vocabularies per language (20k-30k words each).
+Our stemmers must be byte-identical on every word.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from lucene_solr_spark.analysis.lang import lang_analyze
+from lucene_solr_spark.analysis.scandinavian import (
+    danish_stem,
+    norwegian_stem,
+    swedish_stem,
+)
+
+VOCAB_ZIP = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/"
+    "analysis/snowball/TestSnowballVocabData.zip"
+)
+
+SNOWBALL_VOCABS = {
+    "danish": danish_stem,
+    "norwegian": norwegian_stem,
+    "swedish": swedish_stem,
+}
+
+
+@pytest.mark.parametrize("lang", sorted(SNOWBALL_VOCABS))
+def test_snowball_vocabulary(lang):
+    stem = SNOWBALL_VOCABS[lang]
+    z = zipfile.ZipFile(VOCAB_ZIP)
+    voc = z.read(f"{lang}/voc.txt").decode("utf-8").split()
+    out = z.read(f"{lang}/output.txt").decode("utf-8").split()
+    assert len(voc) == len(out) and len(voc) > 20_000
+    bad = [(v, o, stem(v)) for v, o in zip(voc, out) if stem(v) != o]
+    assert bad == []
+
+
+def terms(text, lang):
+    return [t for _, t in lang_analyze(text, lang)]
+
+
+def test_danish_chain():
+    # stop list drops 'og'/'i'; snowball stems the rest
+    assert terms("Undersøgelsen og spørgsmålene i bogen", "da") == [
+        "undersøg", "spørgsmål", "bog"]
+    # undouble: final doubled consonant in R1 drops one
+    assert danish_stem("bekendtgørelse") == danish_stem("bekendtgørelsen")
+
+
+def test_norwegian_chain():
+    assert terms("Havnedistriktene og havnedistrikter", "no") == [
+        "havnedistrikt", "havnedistrikt"]
+    # ert/erte → er
+    assert norwegian_stem("operert") == "operer"
+
+
+def test_swedish_chain():
+    assert terms("Klockorna och jaktkarlarne", "sv") == ["klock", "jaktkarl"]
+    # löst → lös, fullt → full (other_suffix replacements)
+    assert swedish_stem("meningslöst") == "meningslös"
+    assert swedish_stem("betydelsefullt") == "betydelsefull"

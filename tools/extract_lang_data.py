@@ -27,6 +27,12 @@ FILES = {
     "es": "spanish_stop.txt",
     "it": "italian_stop.txt",
     "pt": "portuguese_stop.txt",
+    "da": "danish_stop.txt",
+    "no": "norwegian_stop.txt",
+    "sv": "swedish_stop.txt",
+    "nl": "dutch_stop.txt",
+    "fi": "finnish_stop.txt",
+    "hu": "hungarian_stop.txt",
 }
 
 # '#'-comment wordlists loaded via loadStopwordSet(..., "#")
