@@ -62,11 +62,12 @@ from .analyzer import (
 from .english import porter_stem, strip_possessive
 from .arabic import arabic_normalize, arabic_stem
 from .langdata import (
-    STOP_AR, STOP_DA, STOP_DE, STOP_ES, STOP_FR, STOP_IT, STOP_NO,
-    STOP_PT, STOP_RU, STOP_SV,
+    STOP_AR, STOP_DA, STOP_DE, STOP_ES, STOP_FR, STOP_IT, STOP_NL,
+    STOP_NO, STOP_PT, STOP_RU, STOP_SV,
 )
 from .russian import russian_stem
 from .scandinavian import danish_stem, norwegian_stem, swedish_stem
+from .dutch import dutch_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -476,6 +477,8 @@ _CHAINS: dict[str, tuple] = {
     "da": (None, STOP_DA, danish_stem),
     "no": (None, STOP_NO, norwegian_stem),
     "sv": (None, STOP_SV, swedish_stem),
+    # DutchAnalyzer.java:192-200 (no stem-override dict by default)
+    "nl": (None, STOP_NL, dutch_stem),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py

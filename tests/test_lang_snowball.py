@@ -12,6 +12,7 @@ import zipfile
 import pytest
 
 from lucene_solr_spark.analysis.lang import lang_analyze
+from lucene_solr_spark.analysis.dutch import dutch_stem
 from lucene_solr_spark.analysis.scandinavian import (
     danish_stem,
     norwegian_stem,
@@ -25,6 +26,7 @@ VOCAB_ZIP = (
 
 SNOWBALL_VOCABS = {
     "danish": danish_stem,
+    "dutch": dutch_stem,
     "norwegian": norwegian_stem,
     "swedish": swedish_stem,
 }
@@ -58,6 +60,14 @@ def test_norwegian_chain():
         "havnedistrikt", "havnedistrikt"]
     # ert/erte → er
     assert norwegian_stem("operert") == "operer"
+
+
+def test_dutch_chain():
+    assert terms("De lichamelijkheden en het ophouden", "nl") == [
+        "licham", "ophoud"]
+    # i-between-vowels / y handling act as consonants
+    assert dutch_stem("koeien") == "koei"
+    assert dutch_stem("polynoom") == "polynom"
 
 
 def test_swedish_chain():
