@@ -51,8 +51,14 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH (:58)
 
 # Letter/digit runs, joined across a single internal apostrophe (UAX#29
 # MidLetter, WB6/WB7 — "o'brien"), right single quote, or dot (MidNumLet —
-# "3.14", "u.s.a"). Valid in both Java regex and RE2.
-TOKEN_REGEX = r"[\p{L}\p{N}]+(?:['’.][\p{L}\p{N}]+)*"
+# "3.14", "u.s.a"). Combining marks (\p{M}) extend a run per UAX#29 WB4
+# (Extend attaches to the preceding char) — Devanagari matras, Arabic
+# harakat, Hebrew points stay word-internal. Valid in both Java regex and
+# RE2 (the DuckDB oracle uses the same shape — gate._regex_literal).
+TOKEN_REGEX = (
+    r"[\p{L}\p{N}][\p{L}\p{N}\p{M}]*"
+    r"(?:['’.][\p{L}\p{N}][\p{L}\p{N}\p{M}]*)*"
+)
 
 # EnglishPossessiveFilter.java:59-68 — trailing apostrophe (' U+2019 U+FF07)
 # + s/S. Valid in Java regex and RE2, so the oracle can strip identically.
@@ -63,14 +69,43 @@ POSSESSIVE_REGEX = "['’＇][sS]$"
 _CJK_IDEO = "一-鿿㐀-䶿豈-﫿"
 _HIRA = "぀-ゟ"
 _KATA = "゠-ヿ"
+def _mark_class() -> str:
+    """BMP combining-mark ranges (Mn/Mc/Me) as a regex class body — the
+    Python-re stand-in for \\p{M}. Marks beyond the BMP (musical symbols)
+    are Java-path-only, like the documented CJK divergence."""
+    import unicodedata
+
+    ranges: list[tuple[int, int]] = []
+    start = prev = None
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            ranges.append((start, prev))
+            start = None
+    if start is not None:
+        ranges.append((start, prev))
+    return "".join(
+        f"\\u{a:04x}-\\u{b:04x}" if b > a else f"\\u{a:04x}"
+        for a, b in ranges
+    )
+
+
+_PY_MARK = _mark_class()
 _PY_WORD_CHAR = rf"(?:(?![{_CJK_IDEO}{_HIRA}{_KATA}])[^\W_])"
+# run continuation: word chars OR combining marks (UAX#29 WB4 Extend)
+_PY_WORD_CONT = rf"(?:{_PY_WORD_CHAR}|[{_PY_MARK}])"
 _PY_TOKEN_RE = re.compile(
     rf"([{_CJK_IDEO}])"  # one token per ideograph (StandardTokenizer.java:83)
     rf"|([{_KATA}]+)"  # Katakana runs join (UAX#29 WB13)
-    rf"|([{_HIRA}])"  # Hiragana: no join rule → one token per char
-    # word runs: joined across ' ’ . (MidLetter/MidNumLet) and across a comma
-    # when flanked by digits (MidNum, UAX#29 WB11/WB12 — "1,000")
-    rf"|({_PY_WORD_CHAR}+(?:['’.]{_PY_WORD_CHAR}+|(?<=\d),(?=\d){_PY_WORD_CHAR}+)*)"
+    rf"|([{_HIRA}])"  # Hiragana: no join rule -> one token per char
+    # word runs: joined across ' \u2019 . (MidLetter/MidNumLet) and across a
+    # comma when flanked by digits (MidNum, UAX#29 WB11/WB12 -- "1,000")
+    rf"|({_PY_WORD_CHAR}{_PY_WORD_CONT}*"
+    rf"(?:['\u2019.]{_PY_WORD_CHAR}{_PY_WORD_CONT}*"
+    rf"|(?<=\d),(?=\d){_PY_WORD_CHAR}{_PY_WORD_CONT}*)*)"
 )
 
 

@@ -62,12 +62,19 @@ from .analyzer import (
 from .english import porter_stem, strip_possessive
 from .arabic import arabic_normalize, arabic_stem
 from .langdata import (
-    STOP_AR, STOP_DA, STOP_DE, STOP_ES, STOP_FR, STOP_IT, STOP_NL,
-    STOP_NO, STOP_PT, STOP_RU, STOP_SV,
+    STOP_AR, STOP_BG, STOP_CZ, STOP_DA, STOP_DE, STOP_ES, STOP_FA,
+    STOP_FR, STOP_HI, STOP_ID, STOP_IT, STOP_LV, STOP_NL, STOP_NO,
+    STOP_PT, STOP_RU, STOP_SV,
 )
 from .russian import russian_stem
 from .scandinavian import danish_stem, norwegian_stem, swedish_stem
 from .dutch import dutch_stem
+from .czech import czech_stem
+from .bulgarian import bulgarian_stem
+from .latvian import latvian_stem
+from .indonesian import indonesian_stem
+from .indic import hindi_normalize, hindi_stem, indic_normalize
+from .persian import persian_normalize
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -479,6 +486,17 @@ _CHAINS: dict[str, tuple] = {
     "sv": (None, STOP_SV, swedish_stem),
     # DutchAnalyzer.java:192-200 (no stem-override dict by default)
     "nl": (None, STOP_NL, dutch_stem),
+    # CzechAnalyzer.java:139-147 / BulgarianAnalyzer.java:123-129 /
+    # LatvianAnalyzer.java:121-127 / IndonesianAnalyzer.java:121-127
+    "cs": (None, STOP_CZ, czech_stem),
+    "bg": (None, STOP_BG, bulgarian_stem),
+    "lv": (None, STOP_LV, latvian_stem),
+    "id": (None, STOP_ID, indonesian_stem),
+    # HindiAnalyzer.java:135-142: normalize BEFORE the stop check
+    "hi": (lambda t: hindi_normalize(indic_normalize(t)), STOP_HI,
+           hindi_stem),
+    # PersianAnalyzer.java:126-134: normalization only, no stemmer
+    "fa": (lambda t: persian_normalize(arabic_normalize(t)), STOP_FA, None),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py

@@ -38,8 +38,10 @@ _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 
 
 def _regex_literal(dialect: str) -> str:
-    # token regex: letter/digit runs joined across ' ’ . — see analyzer.py
-    pat = r"[\p{L}\p{N}]+(?:[''’.][\p{L}\p{N}]+)*"  # '' = escaped quote in SQL
+    # token regex: letter/digit runs (+ combining-mark extension, UAX#29
+    # WB4) joined across ' ’ . — see analyzer.py TOKEN_REGEX
+    pat = (r"[\p{L}\p{N}][\p{L}\p{N}\p{M}]*"
+           r"(?:[''’.][\p{L}\p{N}][\p{L}\p{N}\p{M}]*)*")  # '' = escaped quote in SQL
     if dialect == "spark":
         pat = pat.replace("\\", "\\\\")  # Spark SQL string literals eat backslashes
     return pat

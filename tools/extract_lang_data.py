@@ -37,13 +37,30 @@ FILES = {
 
 # '#'-comment wordlists loaded via loadStopwordSet(..., "#")
 # (ArabicAnalyzer.java:78, CJKAnalyzer.java:61); one word per line
+_RES = pathlib.Path(
+    "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis"
+)
 HASH_FILES = {
-    "ar": pathlib.Path(
-        "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis/ar/stopwords.txt"
-    ),
-    "cjk": pathlib.Path(
-        "/root/reference/lucene/analysis/common/src/resources/org/apache/lucene/analysis/cjk/stopwords.txt"
-    ),
+    "ar": _RES / "ar/stopwords.txt",
+    "cjk": _RES / "cjk/stopwords.txt",
+    # per-language stopwords.txt loaded with '#' comments ("lv"/"gl" are
+    # loaded comment-blind in 4.4, which only adds unmatchable junk lines —
+    # stripping is behaviorally identical)
+    "cz": _RES / "cz/stopwords.txt",
+    "bg": _RES / "bg/stopwords.txt",
+    "lv": _RES / "lv/stopwords.txt",
+    "id": _RES / "id/stopwords.txt",
+    "hi": _RES / "hi/stopwords.txt",
+    "fa": _RES / "fa/stopwords.txt",
+    "el": _RES / "el/stopwords.txt",
+    "ro": _RES / "ro/stopwords.txt",
+    "tr": _RES / "tr/stopwords.txt",
+    "ga": _RES / "ga/stopwords.txt",
+    "ca": _RES / "ca/stopwords.txt",
+    "eu": _RES / "eu/stopwords.txt",
+    "hy": _RES / "hy/stopwords.txt",
+    "gl": _RES / "gl/stopwords.txt",
+    "br": _RES / "br/stopwords.txt",
 }
 
 
