@@ -64,7 +64,7 @@ from .arabic import arabic_normalize, arabic_stem
 from .langdata import (
     STOP_AR, STOP_BG, STOP_CZ, STOP_DA, STOP_DE, STOP_ES, STOP_FA,
     STOP_FR, STOP_HI, STOP_ID, STOP_IT, STOP_LV, STOP_NL, STOP_NO,
-    STOP_PT, STOP_RU, STOP_SV,
+    STOP_PT, STOP_RO, STOP_RU, STOP_SV,
 )
 from .russian import russian_stem
 from .scandinavian import danish_stem, norwegian_stem, swedish_stem
@@ -75,6 +75,7 @@ from .latvian import latvian_stem
 from .indonesian import indonesian_stem
 from .indic import hindi_normalize, hindi_stem, indic_normalize
 from .persian import persian_normalize
+from .romanian import romanian_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -497,6 +498,9 @@ _CHAINS: dict[str, tuple] = {
            hindi_stem),
     # PersianAnalyzer.java:126-134: normalization only, no stemmer
     "fa": (lambda t: persian_normalize(arabic_normalize(t)), STOP_FA, None),
+    # RomanianAnalyzer.java:126-132 (4.4 tables use cedilla ş/ţ, like the
+    # reference — no comma-below folding)
+    "ro": (None, STOP_RO, romanian_stem),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py

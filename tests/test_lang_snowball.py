@@ -13,6 +13,7 @@ import pytest
 
 from lucene_solr_spark.analysis.lang import lang_analyze
 from lucene_solr_spark.analysis.dutch import dutch_stem
+from lucene_solr_spark.analysis.romanian import romanian_stem
 from lucene_solr_spark.analysis.scandinavian import (
     danish_stem,
     norwegian_stem,
@@ -28,6 +29,7 @@ SNOWBALL_VOCABS = {
     "danish": danish_stem,
     "dutch": dutch_stem,
     "norwegian": norwegian_stem,
+    "romanian": romanian_stem,
     "swedish": swedish_stem,
 }
 
