@@ -63,8 +63,8 @@ from .english import porter_stem, strip_possessive
 from .arabic import arabic_normalize, arabic_stem
 from .langdata import (
     STOP_AR, STOP_BG, STOP_CZ, STOP_DA, STOP_DE, STOP_ES, STOP_FA,
-    STOP_FR, STOP_HI, STOP_ID, STOP_IT, STOP_LV, STOP_NL, STOP_NO,
-    STOP_PT, STOP_RO, STOP_RU, STOP_SV,
+    STOP_FI, STOP_FR, STOP_HI, STOP_HU, STOP_ID, STOP_IT, STOP_LV,
+    STOP_NL, STOP_NO, STOP_PT, STOP_RO, STOP_RU, STOP_SV,
 )
 from .russian import russian_stem
 from .scandinavian import danish_stem, norwegian_stem, swedish_stem
@@ -76,6 +76,8 @@ from .indonesian import indonesian_stem
 from .indic import hindi_normalize, hindi_stem, indic_normalize
 from .persian import persian_normalize
 from .romanian import romanian_stem
+from .hungarian import hungarian_stem
+from .finnish import finnish_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -501,6 +503,9 @@ _CHAINS: dict[str, tuple] = {
     # RomanianAnalyzer.java:126-132 (4.4 tables use cedilla ş/ţ, like the
     # reference — no comma-below folding)
     "ro": (None, STOP_RO, romanian_stem),
+    # HungarianAnalyzer.java:123-129 / FinnishAnalyzer.java:123-129
+    "hu": (None, STOP_HU, hungarian_stem),
+    "fi": (None, STOP_FI, finnish_stem),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py
