@@ -62,10 +62,11 @@ from .analyzer import (
 from .english import porter_stem, strip_possessive
 from .arabic import arabic_normalize, arabic_stem
 from .langdata import (
-    STOP_AR, STOP_BG, STOP_CA, STOP_CZ, STOP_DA, STOP_DE, STOP_ES,
-    STOP_EU, STOP_FA, STOP_FI, STOP_FR, STOP_GA, STOP_HI, STOP_HU,
-    STOP_HY, STOP_ID, STOP_IT, STOP_LV, STOP_NL, STOP_NO, STOP_PT,
-    STOP_RO, STOP_RU, STOP_SV,
+    STOP_AR, STOP_BG, STOP_BR, STOP_CA, STOP_CZ, STOP_DA, STOP_DE,
+    STOP_EL, STOP_ES, STOP_EU, STOP_FA, STOP_FI, STOP_FR, STOP_GA,
+    STOP_HI,
+    STOP_GL, STOP_HU, STOP_HY, STOP_ID, STOP_IT, STOP_LV, STOP_NL,
+    STOP_NO, STOP_PT, STOP_RO, STOP_RU, STOP_SV,
 )
 from .russian import russian_stem
 from .scandinavian import danish_stem, norwegian_stem, swedish_stem
@@ -83,6 +84,9 @@ from .armenian import armenian_stem
 from .basque import basque_stem
 from .catalan import catalan_stem
 from .irish import irish_pre_lower, irish_stem
+from .greek import greek_lower, greek_stem
+from .galician import galician_stem
+from .brazilian import brazilian_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -524,6 +528,15 @@ _CHAINS: dict[str, tuple] = {
     # IrishAnalyzer.java:137-151: hyphenations stop + elision + Irish
     # lowercase all run BEFORE the stop check (custom lower slot)
     "ga": (None, STOP_GA, irish_stem, irish_pre_lower),
+    # GreekAnalyzer.java:114-121: Greek lowercase (final sigma → σ, tonos
+    # folds) runs BEFORE the stop check; Ntais stemmer after
+    "el": (None, STOP_EL, greek_stem, greek_lower),
+    # GalicianAnalyzer.java:121-127 — full RSLP-G stemmer
+    "gl": (None, STOP_GL, galician_stem),
+    # BrazilianAnalyzer.java:128-136 — the dedicated 2001 stemmer; mapped
+    # to the pt-BR locale tag (plain "pt" keeps the PortugueseAnalyzer
+    # light chain, like the reference's per-analyzer split)
+    "pt-br": (None, STOP_BR, brazilian_stem),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py
