@@ -66,7 +66,7 @@ from .langdata import (
     STOP_EL, STOP_ES, STOP_EU, STOP_FA, STOP_FI, STOP_FR, STOP_GA,
     STOP_HI,
     STOP_GL, STOP_HU, STOP_HY, STOP_ID, STOP_IT, STOP_LV, STOP_NL,
-    STOP_NO, STOP_PT, STOP_RO, STOP_RU, STOP_SV,
+    STOP_NO, STOP_PT, STOP_RO, STOP_RU, STOP_SV, STOP_TR,
 )
 from .russian import russian_stem
 from .scandinavian import danish_stem, norwegian_stem, swedish_stem
@@ -87,6 +87,7 @@ from .irish import irish_pre_lower, irish_stem
 from .greek import greek_lower, greek_stem
 from .galician import galician_stem
 from .brazilian import brazilian_stem
+from .turkish import turkish_lower, turkish_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -537,6 +538,9 @@ _CHAINS: dict[str, tuple] = {
     # to the pt-BR locale tag (plain "pt" keeps the PortugueseAnalyzer
     # light chain, like the reference's per-analyzer split)
     "pt-br": (None, STOP_BR, brazilian_stem),
+    # TurkishAnalyzer.java:125-131: Turkish lowercase (İ/I dotted-dotless)
+    # replaces the default lower; stop on the lowered form; Snowball stem
+    "tr": (None, STOP_TR, turkish_stem, turkish_lower),
 }
 # CJK languages take the bigram path (a structural transform, not a
 # per-token chain) — see analysis/cjk.py

@@ -79,3 +79,35 @@ def test_pt_br_vs_pt_dispatch():
     br = [t for _, t in lang_analyze("meninas bonitas", "pt-br")]
     assert pt != [] and br != [] and (pt != br or pt == br)  # both run
     assert br[0] == "menin"
+
+
+def test_turkish_vocabulary():
+    """The reference's full 96,325-word snowball turkish vocabulary —
+    byte-identical (TestSnowballVocab.java asserts the same data)."""
+    from lucene_solr_spark.analysis.turkish import turkish_stem
+
+    z = zipfile.ZipFile(
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/snowball/TestSnowballVocabData.zip")
+    voc = z.read("turkish/voc.txt").decode("utf-8").splitlines()
+    out = z.read("turkish/output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) > 90_000
+    bad = [(v, o, turkish_stem(v))
+           for v, o in zip(voc, out) if turkish_stem(v) != o]
+    assert bad == []
+
+
+def test_turkish_lower():
+    # TestTurkishLowerCaseFilter: dotted/dotless i
+    from lucene_solr_spark.analysis.turkish import turkish_lower
+
+    assert turkish_lower("İSTANBUL") == "istanbul"
+    assert turkish_lower("DİYARBAKIR") == "diyarbakır"
+    assert turkish_lower("Irmak") == "ırmak"
+    # I + combining dot above → i (dot removed)
+    assert turkish_lower("İstanbul") == "istanbul"
+
+
+def test_turkish_chain():
+    out = [t for _, t in lang_analyze("kitapları ve ağaçlar", "tr")]
+    assert out == ["kitap", "ağaç"]  # 've' is a stopword
