@@ -107,6 +107,9 @@ IT_ARTICLES = frozenset(
 )
 # CatalanAnalyzer.DEFAULT_ARTICLES (CatalanAnalyzer.java:56-60)
 CA_ARTICLES = frozenset("d l m n s t".split())
+# DutchAnalyzer.DEFAULT_STEM_DICT (DutchAnalyzer.java:99-103)
+_NL_STEM_DICT = {"fiets": "fiets", "bromfiets": "bromfiets",
+                 "ei": "eier", "kind": "kinder"}
 
 
 def elide(token: str, articles: frozenset[str]) -> str:
@@ -501,8 +504,10 @@ _CHAINS: dict[str, tuple] = {
     "da": (None, STOP_DA, danish_stem),
     "no": (None, STOP_NO, norwegian_stem),
     "sv": (None, STOP_SV, swedish_stem),
-    # DutchAnalyzer.java:192-200 (no stem-override dict by default)
-    "nl": (None, STOP_NL, dutch_stem),
+    # DutchAnalyzer.java:192-200 — the default ctor installs a 4-entry
+    # StemmerOverrideFilter (DutchAnalyzer.java:99-103); overridden terms
+    # are keyword-marked, so the Snowball stemmer skips them
+    "nl": (None, STOP_NL, lambda t: _NL_STEM_DICT.get(t) or dutch_stem(t)),
     # CzechAnalyzer.java:139-147 / BulgarianAnalyzer.java:123-129 /
     # LatvianAnalyzer.java:121-127 / IndonesianAnalyzer.java:121-127
     "cs": (None, STOP_CZ, czech_stem),

@@ -170,7 +170,15 @@ def classify_naive_bayes(
     input, argmax over classes of ln(prior) + Σ_tokens ln((hits+1)/den).
     Tokens keep multiplicity (the reference multiplies once per word
     occurrence in the tokenized input). Returns
-    (id, assigned_class, log_score), one row per input."""
+    (id, assigned_class, log_score), one row per input.
+
+    SCALE BOUND: the tokens × classes crossJoin (below) is linear in
+    |classes| — the class table is a broadcast-sized dimension (labels are
+    enumerated on the driver at train time, NaiveBayesModel.classes), so
+    the plan is a broadcast nested loop over at most a few hundred classes.
+    For many-class problems (10^4+ labels) switch to blocking on a
+    class-candidate join (e.g. restrict to classes sharing at least one
+    input term via word_class) before the scoring aggregate."""
     spark = inputs.sparkSession
     # tokenize under the index's chain (the reference classifies with the
     # same analyzer it trained with); keep duplicates as counts

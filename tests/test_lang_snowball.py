@@ -141,3 +141,10 @@ def test_irish_chain():
     # hyphenation tokens dropped pre-stop
     assert irish_pre_lower("T") == ""
     assert terms("t-athair", "ga")  # tokenizes and survives the chain
+
+
+def test_dutch_stem_override_dict():
+    # DutchAnalyzer.java:99-103: default StemmerOverrideFilter entries are
+    # keyword-marked (snowball skipped)
+    assert terms("fiets bromfiets ei kind fietsen", "nl") == [
+        "fiets", "bromfiets", "eier", "kinder", "fiets"]
