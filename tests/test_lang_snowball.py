@@ -148,3 +148,54 @@ def test_dutch_stem_override_dict():
     # keyword-marked (snowball skipped)
     assert terms("fiets bromfiets ei kind fietsen", "nl") == [
         "fiets", "bromfiets", "eier", "kinder", "fiets"]
+
+
+# --- factory-only snowballs (SnowballPorterFilterFactory registry) ----------
+
+FACTORY_VOCABS = {
+    "english": "english_snowball_stem",
+    "german": "german_snowball_stem",
+    "german2": "german2_snowball_stem",
+    "spanish": "spanish_snowball_stem",
+    "french": "french_snowball_stem",
+    "italian": "italian_snowball_stem",
+    "portuguese": "portuguese_snowball_stem",
+}
+
+
+@pytest.mark.parametrize("lang", sorted(FACTORY_VOCABS))
+def test_factory_snowball_vocabulary(lang):
+    """Factory-only stemmers: byte-identical on the reference's own
+    snowball vocabularies (30k-word compiled-oracle fuzz also 0-diff)."""
+    from lucene_solr_spark.analysis import snowball_registry
+
+    name = FACTORY_VOCABS[lang]
+    mod = name.rsplit("_stem", 1)[0]
+    stem = {
+        "english_snowball_stem": "English", "german_snowball_stem": "German",
+        "german2_snowball_stem": "German2", "spanish_snowball_stem": "Spanish",
+        "french_snowball_stem": "French", "italian_snowball_stem": "Italian",
+        "portuguese_snowball_stem": "Portuguese",
+    }[name]
+    fn = snowball_registry.SNOWBALL_STEMMERS[stem]
+    z = zipfile.ZipFile(VOCAB_ZIP)
+    voc = z.read(f"{lang}/voc.txt").decode("utf-8").splitlines()
+    out = z.read(f"{lang}/output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) > 20_000
+    bad = [(v, o, fn(v)) for v, o in zip(voc, out) if fn(v) != o]
+    assert bad == []
+
+
+def test_snowball_registry():
+    from lucene_solr_spark.analysis.snowball_registry import (
+        SNOWBALL_STEMMERS,
+        snowball_stem,
+    )
+
+    assert len(SNOWBALL_STEMMERS) == 20
+    assert snowball_stem("English", "consistency") == "consist"
+    assert snowball_stem("German2", "schoen") == snowball_stem(
+        "German2", "schön")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        snowball_stem("Klingon", "x")
