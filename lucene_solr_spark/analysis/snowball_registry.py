@@ -24,6 +24,7 @@ from .german_snowball import german2_snowball_stem, german_snowball_stem
 from .hungarian import hungarian_stem
 from .irish import irish_stem
 from .italian_snowball import italian_snowball_stem
+from .porter_snowball import porter_snowball_stem
 from .portuguese_snowball import portuguese_snowball_stem
 from .romanian import romanian_stem
 from .russian import russian_stem
@@ -46,6 +47,7 @@ SNOWBALL_STEMMERS: dict[str, Callable[[str], str]] = {
     "Irish": irish_stem,
     "Italian": italian_snowball_stem,
     "Norwegian": norwegian_stem,
+    "Porter": porter_snowball_stem,
     "Portuguese": portuguese_snowball_stem,
     "Romanian": romanian_stem,
     "Russian": russian_stem,

@@ -204,3 +204,20 @@ def test_engine_english_index(spark, tmp_path):
     dl = {r.url: r.dl for r in s.docs.select("url", "dl").collect()}
     assert dl["u1"] == 5  # "the" stopped: running runs ran runner's race
     assert dl["u4"] == 3  # it's→it, on, the stopped: raining racing track
+
+
+def test_porter_full_vocabulary():
+    """The reference's complete porterTestData.zip fixture (the data
+    TestPorterStemFilter asserts) — byte-identical on all 23,531 words."""
+    import zipfile
+
+    from lucene_solr_spark.analysis.english import porter_stem
+
+    z = zipfile.ZipFile(
+        "/root/reference/lucene/analysis/common/src/test/org/apache/"
+        "lucene/analysis/en/porterTestData.zip")
+    voc = z.read("voc.txt").decode("utf-8").splitlines()
+    out = z.read("output.txt").decode("utf-8").splitlines()
+    assert len(voc) == len(out) > 23_000
+    bad = [(v, o) for v, o in zip(voc, out) if porter_stem(v) != o]
+    assert bad == []

@@ -153,6 +153,7 @@ def test_dutch_stem_override_dict():
 # --- factory-only snowballs (SnowballPorterFilterFactory registry) ----------
 
 FACTORY_VOCABS = {
+    "porter": "porter_snowball_stem",
     "english": "english_snowball_stem",
     "german": "german_snowball_stem",
     "german2": "german2_snowball_stem",
@@ -172,6 +173,7 @@ def test_factory_snowball_vocabulary(lang):
     name = FACTORY_VOCABS[lang]
     mod = name.rsplit("_stem", 1)[0]
     stem = {
+        "porter_snowball_stem": "Porter",
         "english_snowball_stem": "English", "german_snowball_stem": "German",
         "german2_snowball_stem": "German2", "spanish_snowball_stem": "Spanish",
         "french_snowball_stem": "French", "italian_snowball_stem": "Italian",
@@ -192,7 +194,7 @@ def test_snowball_registry():
         snowball_stem,
     )
 
-    assert len(SNOWBALL_STEMMERS) == 20
+    assert len(SNOWBALL_STEMMERS) == 21
     assert snowball_stem("English", "consistency") == "consist"
     assert snowball_stem("German2", "schoen") == snowball_stem(
         "German2", "schön")
