@@ -14,11 +14,15 @@ import pathlib
 import pprint
 import re
 
-SRC = pathlib.Path(
+RES = pathlib.Path(
     "/root/reference/lucene/analysis/common/src/resources/org/apache/"
-    "lucene/analysis/gl/galician.rslp")
-OUT = pathlib.Path(__file__).resolve().parent.parent / \
-    "lucene_solr_spark" / "analysis" / "galician_rules.py"
+    "lucene/analysis")
+ANALYSIS = pathlib.Path(__file__).resolve().parent.parent / \
+    "lucene_solr_spark" / "analysis"
+FILES = {
+    RES / "gl/galician.rslp": ANALYSIS / "galician_rules.py",
+    RES / "pt/portuguese.rslp": ANALYSIS / "portuguese_rules.py",
+}
 
 HEADER = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+),\s*(0|1),\s*\{(.*)\},\s*$')
 STRIP = re.compile(r'^\{\s*"([^"]*)",\s*([0-9]+)\s*\}\s*(,|(\}\s*;))$')
@@ -33,7 +37,7 @@ def parse_list(s: str):
     return [w.strip()[1:-1] for w in s.split(",")]
 
 
-def main() -> None:
+def extract(SRC, OUT) -> None:
     lines = [ln.strip() for ln in SRC.read_text(encoding="utf-8").splitlines()]
     lines = [ln for ln in lines if ln and not ln.startswith("#")]
     steps = {}
@@ -66,11 +70,16 @@ def main() -> None:
                        "rules": rules}
     body = pprint.pformat(steps, width=76, sort_dicts=False)
     OUT.write_text(
-        '"""Galician RSLP-G rule set (GENERATED — tools/extract_rslp.py)\n'
-        "from the reference's galician.rslp resource, parsed with\n"
-        "RSLPStemmerBase.parse semantics (RSLPStemmerBase.java:246-345).\n"
+        f'"""{SRC.name} rule set (GENERATED — tools/extract_rslp.py)\n'
+        "from the reference's resource, parsed with RSLPStemmerBase.parse\n"
+        "semantics (RSLPStemmerBase.java:246-345).\n"
         '"""\n\nSTEPS = ' + body + "\n", encoding="utf-8")
     print(f"wrote {OUT}: steps {list(steps)}")
+
+
+def main() -> None:
+    for src_path, out_path in FILES.items():
+        extract(src_path, out_path)
 
 
 if __name__ == "__main__":
