@@ -94,3 +94,37 @@ def test_galician_minimal():
     assert galician_minimal_stem("elefante") == "elefante"
     assert galician_minimal_stem("kalóres") == "kalór"
     assert galician_minimal_stem("E") == "E"
+
+
+def test_kstem_vocabulary():
+    """kstemTestData.zip — all 12,130 pairs byte-identical (the data
+    TestKStemmer.testVocabulary asserts)."""
+    from lucene_solr_spark.analysis.kstem import kstem
+
+    z = zipfile.ZipFile(BASE / "en/kstemTestData.zip")
+    data = z.read("kstem_examples.txt").decode("utf-8")
+    n = 0
+    bad = []
+    for line in data.splitlines():
+        if not line.strip():
+            continue
+        w, want = line.split("\t")
+        n += 1
+        if kstem(w) != want:
+            bad.append((w, want, kstem(w)))
+    assert n > 12_000 and bad == [], bad[:5]
+
+
+def test_kstem_basics():
+    from lucene_solr_spark.analysis.kstem import kstem
+
+    # dictionary-driven conflations (TestKStemmer.java style)
+    assert kstem("bricks") == "brick"
+    assert kstem("flying") == "flying"  # head word in the lexicon
+    assert kstem("abolishing") == "abolish"
+    assert kstem("abatement") == "abate"
+    assert kstem("italians") == "italy"       # countryNationality table
+    assert kstem("aging") == "age"            # directConflations table
+    assert kstem("aides") == "aide"           # exception word protected
+    assert kstem("aided") == "aid"
+    assert kstem("AIDS") == "AIDS"            # non-lowercase untouched
