@@ -1,0 +1,79 @@
+"""Alternative tokenizers vs Test(Reverse)PathHierarchyTokenizer /
+TestPatternTokenizer expectations."""
+
+from __future__ import annotations
+
+from lucene_solr_spark.analysis.tokenizers import (
+    keyword_tokenize,
+    letter_tokenize,
+    lowercase_tokenize,
+    path_hierarchy,
+    pattern_replace_char,
+    pattern_tokenize,
+    reverse_path_hierarchy,
+    whitespace_tokenize,
+)
+
+
+def terms(r):
+    return [t for t, _ in r]
+
+
+def test_path_hierarchy():
+    # TestPathHierarchyTokenizer.java:35-128
+    assert terms(path_hierarchy("/a/b/c")) == ["/a", "/a/b", "/a/b/c"]
+    assert terms(path_hierarchy("/a/b/c/")) == [
+        "/a", "/a/b", "/a/b/c", "/a/b/c/"]
+    assert terms(path_hierarchy("a/b/c")) == ["a", "a/b", "a/b/c"]
+    assert terms(path_hierarchy("/")) == ["/"]
+    assert terms(path_hierarchy("//")) == ["/", "//"]
+    assert terms(path_hierarchy("c:\\a\\b\\c", "\\")) == [
+        "c:", "c:\\a", "c:\\a\\b", "c:\\a\\b\\c"]
+    assert terms(path_hierarchy("c:\\a\\b\\c", "\\", "/")) == [
+        "c:", "c:/a", "c:/a/b", "c:/a/b/c"]
+    # skip (:138-172)
+    assert terms(path_hierarchy("/a/b/c", skip=1)) == ["/b", "/b/c"]
+    assert terms(path_hierarchy("/a/b/c/", skip=1)) == [
+        "/b", "/b/c", "/b/c/"]
+    assert terms(path_hierarchy("a/b/c", skip=1)) == ["/b", "/b/c"]
+    # position increments: first 1, rest 0
+    assert [i for _, i in path_hierarchy("/a/b/c")] == [1, 0, 0]
+
+
+def test_reverse_path_hierarchy():
+    # TestReversePathHierarchyTokenizer.java:35-123
+    assert terms(reverse_path_hierarchy("/a/b/c")) == [
+        "/a/b/c", "a/b/c", "b/c", "c"]
+    assert terms(reverse_path_hierarchy("/a/b/c/")) == [
+        "/a/b/c/", "a/b/c/", "b/c/", "c/"]
+    assert terms(reverse_path_hierarchy("a/b/c")) == ["a/b/c", "b/c", "c"]
+    assert terms(reverse_path_hierarchy("/")) == ["/"]
+    assert terms(reverse_path_hierarchy("//")) == ["//", "/"]
+    assert terms(reverse_path_hierarchy("/a/b/c", skip=1)) == [
+        "/a/b/", "a/b/", "b/"]
+    assert terms(reverse_path_hierarchy("/a/b/c/", skip=1)) == [
+        "/a/b/", "a/b/", "b/"]
+    assert terms(reverse_path_hierarchy("a/b/c", skip=1)) == ["a/b/", "b/"]
+    assert terms(reverse_path_hierarchy("/", skip=1)) == []
+
+
+def test_pattern_tokenizer():
+    # TestPatternTokenizer.java: split vs group extraction
+    # TestPatternTokenizer.java:45-52
+    assert pattern_tokenize("aaa--bbb--ccc", "--") == ["aaa", "bbb", "ccc"]
+    assert pattern_tokenize("aaa   bbb \t\tccc  ", r"\s+") == [
+        "aaa", "bbb", "ccc"]
+    assert pattern_tokenize("boo:and:foo", "o") == ["b", ":and:f"]
+    assert pattern_tokenize("boo:and:foo", ":", group=0) == [":", ":"]
+    assert pattern_tokenize("aaa 'bbb' 'ccc'", "'([^']+)'", group=0) == [
+        "'bbb'", "'ccc'"]
+    assert pattern_tokenize("aaa 'bbb' 'ccc'", "'([^']+)'", group=1) == [
+        "bbb", "ccc"]
+
+
+def test_pattern_replace_and_core():
+    assert pattern_replace_char("a-b-c", "-", " ") == "a b c"
+    assert whitespace_tokenize("foo  bar") == ["foo", "bar"]
+    assert letter_tokenize("foo123bar!baz") == ["foo", "bar", "baz"]
+    assert keyword_tokenize("as-is TOKEN") == ["as-is TOKEN"]
+    assert lowercase_tokenize("FooBar Baz99") == ["foobar", "baz"]
