@@ -86,3 +86,44 @@ def test_keep_remove_limit():
     assert limit_token_count(toks, 2) == [("a", 1), ("b", 1)]
     assert limit_token_position(toks, 3) == [
         ("a", 1), ("b", 1), ("c", 1), ("b", 0)]
+
+
+def test_dictionary_compound():
+    # TestCompoundWordTokenFilter.java:56-196
+    from lucene_solr_spark.analysis.compound import dictionary_compound
+
+    def terms(toks, d, **kw):
+        return [t for t, _ in dictionary_compound(toks, frozenset(d), **kw)]
+
+    dict_da = ["læse", "hest"]
+    toks = [(w, 1) for w in
+            "min veninde som er lidt af en læsehest".split()]
+    assert terms(toks, dict_da) == [
+        "min", "veninde", "som", "er", "lidt", "af", "en",
+        "læsehest", "læse", "hest"]
+
+    # TestCompoundWordTokenFilter.testDumbCompoundWordsSE (:136-154)
+    d2 = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar",
+          "Pelar", "Glas", "Ögon", "Fodral", "Bas", "Fiol", "Makare",
+          "Gesäll", "Sko", "Vind", "Rute", "Torkare", "Blad"]
+    assert terms([("Bildörr", 1)], d2) == ["Bildörr", "Bil", "dörr"]
+    assert terms([("Glasögonfodral", 1)], d2) == [
+        "Glasögonfodral", "Glas", "ögon", "fodral"]
+    assert terms([("Vindrutetorkarblad", 1)], d2) == [
+        "Vindrutetorkarblad", "Vind", "rute", "blad"]
+    assert terms([("abba", 1)], d2) == ["abba"]
+
+    # onlyLongestMatch (:166-177)
+    d3 = ["Bil", "Dörr", "Motor", "Tak", "Borr", "Slag", "Hammar",
+          "Pelar", "Glas", "Ögon", "Fodral", "Bas", "Fiols", "Makare",
+          "Gesäll", "Sko", "Vind", "Rute", "Torkare", "Blad",
+          "Fiolsfodral"]
+    assert terms([("Basfiolsfodralmakaregesäll", 1)], d3,
+                 only_longest_match=True) == [
+        "Basfiolsfodralmakaregesäll", "Bas", "fiolsfodral", "fodral",
+        "makare", "gesäll"]
+
+    # subwords are all at position 0 relative to the original
+    out = dictionary_compound([("abcdef", 1)], frozenset(["ab", "cd", "ef"]),
+                              min_word_size=0)
+    assert out == [("abcdef", 1), ("ab", 0), ("cd", 0), ("ef", 0)]
