@@ -127,3 +127,32 @@ def test_dictionary_compound():
     out = dictionary_compound([("abcdef", 1)], frozenset(["ab", "cd", "ef"]),
                               min_word_size=0)
     assert out == [("abcdef", 1), ("ab", 0), ("cd", 0), ("ef", 0)]
+
+
+def test_position_payload_keyword_filters():
+    from lucene_solr_spark.analysis.english import porter_stem
+    from lucene_solr_spark.analysis.payloads import (
+        delimited_payload,
+        keyword_repeat,
+        position_filter,
+    )
+
+    toks = [("a", 1), ("b", 1), ("c", 1)]
+    assert position_filter(toks) == [("a", 1), ("b", 0), ("c", 0)]
+    assert position_filter(toks, 5) == [("a", 1), ("b", 5), ("c", 5)]
+    assert delimited_payload("the|JJ") == ("the", "JJ")
+    assert delimited_payload("plain") == ("plain", "")
+    assert keyword_repeat([("running", 1)], porter_stem) == [
+        ("running", 1), ("run", 0)]
+    assert keyword_repeat([("run", 1)], porter_stem) == [("run", 1)]
+
+
+def test_auto_stop_words(spark):
+    from lucene_solr_spark.analysis.payloads import auto_stop_words
+
+    td = spark.createDataFrame(
+        [("the", 950), ("of", 800), ("spark", 120), ("rare", 3)],
+        "term string, df long")
+    assert auto_stop_words(td, max_doc_freq=500) == ["of", "the"]
+    assert auto_stop_words(td, max_percent_docs=0.5, n_docs=1000) == [
+        "of", "the"]
