@@ -77,3 +77,37 @@ def test_pattern_replace_and_core():
     assert letter_tokenize("foo123bar!baz") == ["foo", "bar", "baz"]
     assert keyword_tokenize("as-is TOKEN") == ["as-is TOKEN"]
     assert lowercase_tokenize("FooBar Baz99") == ["foobar", "baz"]
+
+
+def test_uax29_url_email():
+    """The reference's own fixture pairs: every URL and e-mail token
+    byte-identical (TestUAX29URLEmailTokenizer.testURLs/testEmails)."""
+    from lucene_solr_spark.analysis.urlemail import uax29_url_email_tokenize
+
+    base = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
+            "lucene/analysis/core")
+    for text_f, want_f, typ in [
+            ("random.text.with.urls.txt",
+             "urls.from.random.text.with.urls.txt", "<URL>"),
+            ("random.text.with.email.addresses.txt",
+             "email.addresses.from.random.text.with.email.addresses.txt",
+             "<EMAIL>")]:
+        text = open(f"{base}/{text_f}", encoding="utf-8").read()
+        want = [ln.strip() for ln in open(f"{base}/{want_f}",
+                                          encoding="utf-8") if ln.strip()]
+        got = [t for t, ty in uax29_url_email_tokenize(text) if ty == typ]
+        assert got == want
+
+
+def test_uax29_url_email_basics():
+    from lucene_solr_spark.analysis.urlemail import uax29_url_email_tokenize
+
+    out = uax29_url_email_tokenize(
+        "visit https://example.com/a?b=c or mail foo.bar@example.com now")
+    assert ("https://example.com/a?b=c", "<URL>") in out
+    assert ("foo.bar@example.com", "<EMAIL>") in out
+    assert ("visit", "<ALPHANUM>") in out
+    # mailto: prefix stays a word, the address is the EMAIL token
+    out2 = uax29_url_email_tokenize("mailto:foo@example.com")
+    assert out2[0] == ("mailto", "<ALPHANUM>")
+    assert out2[1] == ("foo@example.com", "<EMAIL>")
