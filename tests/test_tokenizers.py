@@ -111,3 +111,55 @@ def test_uax29_url_email_basics():
     out2 = uax29_url_email_tokenize("mailto:foo@example.com")
     assert out2[0] == ("mailto", "<ALPHANUM>")
     assert out2[1] == ("foo@example.com", "<EMAIL>")
+
+
+def test_classic_analyzer():
+    """TestClassicAnalyzer.java:72-189 cases through the classic chain
+    (tokenizer → ClassicFilter → lowercase → classic stop set)."""
+    from lucene_solr_spark.analysis.analyzer import (
+        ENGLISH_STOP_WORDS,
+        _java_lower,
+    )
+    from lucene_solr_spark.analysis.classic import (
+        classic_filter,
+        classic_tokenize,
+    )
+
+    def analyze(text):
+        out = []
+        for t, _ in classic_filter(classic_tokenize(text)):
+            low = "".join(_java_lower(c) for c in t)
+            if low not in ENGLISH_STOP_WORDS:
+                out.append(low)
+        return out
+
+    cases = [
+        ("B2B", ["b2b"]), ("2B", ["2b"]),
+        ("word_having_underscore", ["word", "having", "underscore"]),
+        ("some-dashed-phrase", ["some", "dashed", "phrase"]),
+        ("dogs,chase,cats", ["dogs", "chase", "cats"]),
+        ("ac/dc", ["ac", "dc"]),
+        ("O'Reilly", ["o'reilly"]), ("you're", ["you're"]),
+        ("she's", ["she"]), ("Jim's", ["jim"]), ("don't", ["don't"]),
+        ("O'Reilly's", ["o'reilly"]),
+        ("s-class", ["s", "class"]), ("t-com", ["t", "com"]),
+        ("a-class", ["class"]),
+        ("AT&T", ["at&t"]), ("Excite@Home", ["excite@home"]),
+        ("test@example.com", ["test@example.com"]),
+        ("first.lastname@example.com", ["first.lastname@example.com"]),
+        ("first_lastname@example.com", ["first_lastname@example.com"]),
+        ("21.35", ["21.35"]), ("R2D2 C3PO", ["r2d2", "c3po"]),
+        ("216.239.63.104", ["216.239.63.104"]),
+        ("1-2-3", ["1-2-3"]), ("a1-b2-c3", ["a1-b2-c3"]),
+        ("a1-b-c3", ["a1-b-c3"]),
+        ("David has 5000 bones", ["david", "has", "5000", "bones"]),
+        ("C embedded developers wanted",
+         ["c", "embedded", "developers", "wanted"]),
+        ("foo bar FOO BAR", ["foo", "bar", "foo", "bar"]),
+        ('"QUOTED" word', ["quoted", "word"]),
+        ("U.S.A.", ["usa"]), ("C++", ["c"]), ("C#", ["c"]),
+        ("안녕하세요 한글입니다", ["안녕하세요", "한글입니다"]),
+        ("www.nutch.org", ["www.nutch.org"]),
+    ]
+    for text, want in cases:
+        assert analyze(text) == want, text
