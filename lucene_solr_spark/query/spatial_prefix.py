@@ -300,12 +300,24 @@ def prefix_tree_search(
             & (lon >= shape.lon_min) & (lon <= shape.lon_max)
         )
     def _any_prefix(cells: list[str]) -> Column:
-        """Balanced OR tree over startswith predicates — a linear chain of
-        hundreds of Or nodes breaks whole-stage codegen (quadratic code
-        size); log-depth keeps both codegen and parquet StartsWith
-        pushdown."""
+        """Small covers: a balanced OR tree over startswith predicates —
+        log-depth keeps whole-stage codegen and parquet StartsWith
+        pushdown. Large covers (deep detail levels produce hundreds of
+        boundary cells): group by prefix length and use ONE hash-set
+        `substr(cell,1,L).isin(...)` per length — a handful of compact
+        InSet expressions instead of a multi-MB codegen'd OR chain (the
+        42 MiB task-binary fix)."""
         if not cells:
             return F.lit(False)
+        if len(cells) > 64:
+            by_len: dict[int, list[str]] = {}
+            for c in cells:
+                by_len.setdefault(len(c), []).append(c)
+            pred = None
+            for length, group in sorted(by_len.items()):
+                p = F.substring(cell, 1, length).isin(group)
+                pred = p if pred is None else (pred | p)
+            return pred
         nodes = [cell.startswith(c) for c in cells]
         while len(nodes) > 1:
             nodes = [
