@@ -787,6 +787,19 @@ RETIRED_DF_GATES = {
     # the same _rewrite_terms + postings retrieval with a more general
     # pattern); retired for engine_common_terms
     "engine_prefix_match",
+    # round-5 re-cut to the driver's 50-gate budget (round-4 verdict #1):
+    # facet.date is facet.range over a date-truncated column — the range
+    # bucketing machinery is pinned by engine_facet_range, the date-trunc
+    # path by pytest goldens; retired for dedup_connected_components
+    "engine_facet_date",
+    # dismax bq is a small additive-boost delta on the engine_dismax_qf
+    # scoring path (same qf/tie machinery, plus one boost-query clause that
+    # pytest covers); retired for curation_pipeline
+    "engine_dismax_bq",
+    # the simhash 64-bit fingerprint hash path is pinned by
+    # doc_fingerprint_rolling_hash (same xxhash64 plumbing) and the Hamming
+    # blocking by pytest; retired for spatial_prefix_polygon
+    "dedup_simhash_fingerprint",
 }
 
 
