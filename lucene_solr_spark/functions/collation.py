@@ -37,9 +37,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
-# root primary order: a-z then digits handled by codepoint tail
+# root primary order: digits BEFORE letters (weights 20-29 < 'a' at 32),
+# matching JDK/ICU RuleBasedCollator semantics, then a-z. Non-Latin
+# characters get marker weight 200 — they sort AFTER the Latin alphabet as
+# one block, ordered by codepoint within it (a documented simplification;
+# full UCA would interleave scripts by DUCET weight).
 _BASE = "abcdefghijklmnopqrstuvwxyz"
 _ROOT_PRIMARY = {ch: i + 32 for i, ch in enumerate(_BASE)}
+_ROOT_PRIMARY.update({d: 20 + i for i, d in enumerate("0123456789")})
 
 # locale tailorings: extra letters with their PRIMARY slot, and per-char
 # (base, secondary) overrides

@@ -59,7 +59,16 @@ def tombstone_digest(tomb: DataFrame) -> str:
     Commutative distributed aggregate (count + XOR of per-doc xxhash64 —
     XOR is order-independent and overflow-free, and the tombstone table is
     distinct so no pair can cancel): two longs to the driver, the set
-    itself never leaves the cluster."""
+    itself never leaves the cluster.
+
+    Collision model: XOR-of-hashes is linearly malleable, so two DIFFERENT
+    equal-size tombstone sets can be constructed to collide if doc_ids are
+    attacker-influenced (random collision odds stay ~2^-64). The digest is
+    a change-detection optimization for purge scheduling inside a trusted
+    pipeline, not an integrity MAC; deployments where doc_ids are
+    adversarial should force-purge (ignore the digest) or swap in a
+    cryptographic order-independent combiner (e.g. sum of sha2 prefixes
+    mod 2^128)."""
     row = tomb.agg(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(F.col("doc_id"))).alias("h"),
@@ -144,7 +153,10 @@ def filter_deleted_rows(
     the driver."""
     tomb_chunks = (
         tomb.select(
-            (F.col("doc_id") / F.lit(int(chunk_span))).cast("long").alias("chunk_id"),
+            # integer floor-division (`div`), matching the build side's
+            # `g_doc // chunk_span` exactly — float division would only be
+            # exact while doc_id < 2^53
+            F.expr(f"doc_id div {int(chunk_span)}").alias("chunk_id"),
             "doc_id",
         )
         .groupBy("chunk_id")

@@ -179,11 +179,21 @@ def highlight(
     pre: str = "<em>",
     post: str = "</em>",
     ellipsis: str = "... ",
-    max_chars: int | None = None,  # back-compat alias (ignored; passages
-    # are sentence-bounded like the reference, not char-bounded)
+    max_chars: int | None = None,  # deprecated: passages are
+    # sentence-bounded like the reference; honored as a post-format clip
 ) -> DataFrame:
     """Highlight the query terms in each hit's stored text via the
     PostingsHighlighter passage pipeline. Returns (doc_id, score, snippet)."""
+    if max_chars is not None:
+        import warnings
+
+        warnings.warn(
+            "highlight(max_chars=...) is deprecated: passages are "
+            "sentence-bounded (reference PostingsHighlighter semantics); "
+            "the value is applied as a post-format clip on the snippet",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     terms = (
         searcher.analyze_query(query) if isinstance(query, str) else list(query)
     )
@@ -197,9 +207,10 @@ def highlight(
     for r in pdf.itertuples(index=False):
         text = getattr(r, text_col) or ""
         ps = highlight_passages(text, tset, max_passages, max_length)
-        snippets.append(
-            format_passages(ps, text[:max_length], pre, post, ellipsis)
-        )
+        snip = format_passages(ps, text[:max_length], pre, post, ellipsis)
+        if max_chars is not None:
+            snip = snip[:max_chars]
+        snippets.append(snip)
 
     out = pd.DataFrame(
         {"doc_id": pdf["doc_id"], "score": pdf["score"], "snippet": snippets}

@@ -119,7 +119,15 @@ def xml_query_search(
     filter_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Parse a CoreParser XML query and execute it. Returns (doc_id, score)."""
-    e = ET.fromstring(xml) if isinstance(xml, str) else xml
+    if isinstance(xml, str):
+        # CoreParser hardens its SAX parser against DOCTYPE/entity tricks
+        # (disallow-doctype-decl); mirror that — rejects billion-laughs
+        # expansion bombs regardless of the host expat version.
+        if "<!DOCTYPE" in xml or "<!ENTITY" in xml:
+            raise ValueError("DOCTYPE/ENTITY declarations are not allowed in query XML")
+        e = ET.fromstring(xml)
+    else:
+        e = xml
     tag = e.tag
     boost = float(e.get("boost", "1.0"))
 

@@ -62,3 +62,9 @@ def test_range_in_key_space(spark):
     assert got == ["apelsin", "banan", "zebra", "åka", "äpple"]
     rng = {r.w for r in collated_range(df, "w", "zebra", None, locale="sv").collect()}
     assert rng == {"zebra", "åka", "äpple"}  # å/ä AFTER z in Swedish
+
+
+def test_digits_sort_before_letters():
+    # RuleBasedCollator orders digits before the alphabet
+    assert order(["b2", "a", "1", "z", "10"], "root") == ["1", "10", "a", "b2", "z"]
+    assert order(["item2", "item10", "itema"], "root") == ["item10", "item2", "itema"]

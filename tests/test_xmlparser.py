@@ -153,3 +153,16 @@ def test_unknown_element(xidx):
 
     with pytest.raises(ValueError):
         xml_query_search(xidx, "<FuzzyLikeThisQuery>x</FuzzyLikeThisQuery>")
+
+
+def test_doctype_rejected():
+    import pytest as _pytest
+
+    from lucene_solr_spark.query.xmlparser import xml_query_search
+
+    bomb = (
+        '<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY lol "lol">]>'
+        "<TermQuery fieldName='text'>&lol;</TermQuery>"
+    )
+    with _pytest.raises(ValueError, match="DOCTYPE"):
+        xml_query_search(None, bomb)
