@@ -120,6 +120,37 @@ def main() -> None:
         p50 = samples[len(samples) // 2]
         p95 = samples[min(len(samples) - 1, int(len(samples) * 0.95))]
         total = round(build_sec + sum(q_times.values()), 3)
+
+        # flagship multilingual path (tokenizer='lang'): same corpus, each
+        # doc analyzed under its own language chain — measured every round
+        # (round-4 verdict #4) but kept OUT of `value`/`queries` so those
+        # stay comparable with rounds 1-4.
+        lang_dir = tempfile.mkdtemp(prefix="lss_bench_lang_")
+        try:
+            lang_pages = docs.select(
+                F.concat(
+                    F.lit("doc://"),
+                    F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+                ).alias("url"),
+                F.col("text"),
+                F.col("lang"),
+            )
+            t0 = time.time()
+            lang_paths = build_index(
+                spark, lang_pages, lang_dir, num_segments=1, positions=True,
+                tokenizer="lang",
+            )
+            lang_build_sec = time.time() - t0
+            ls = Searcher(spark, lang_paths)
+            ls.query_lang = "de"
+            per_rep = []
+            for _ in range(REPS):
+                t = time.time()
+                ls.search(ls.analyze_query("Tische Linien"), k=10).collect()
+                per_rep.append(time.time() - t)
+            lang_q_sec = round(min(per_rep), 3)
+        finally:
+            shutil.rmtree(lang_dir, ignore_errors=True)
         print(
             json.dumps(
                 {
@@ -133,6 +164,9 @@ def main() -> None:
                     "docs_per_sec": round(n_docs / build_sec, 1),
                     "query_p50_sec": round(p50, 3),
                     "query_p95_sec": round(p95, 3),
+                    "lang_build_sec": round(lang_build_sec, 3),
+                    "lang_docs_per_sec": round(n_docs / lang_build_sec, 1),
+                    "lang_query_de_sec": lang_q_sec,
                     "cpus": cpus,
                 }
             )

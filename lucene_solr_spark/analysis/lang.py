@@ -48,10 +48,11 @@ batch, not per token.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 from .analyzer import (
     ENGLISH_STOP_WORDS,
@@ -622,13 +623,117 @@ def _lang_tokens_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
 
 def lang_token_array(text: Column, lang: Column) -> Column:
     """(text, lang) → array<string> of final analyzed terms with ""
-    placeholders at dropped positions. Arrow-batched; the single analysis
-    pass for a mixed-language corpus."""
+    placeholders at dropped positions. Arrow-batched fidelity path — every
+    token goes through Python. The index build uses the factorized fast
+    path below (`raw_lang_token_array` + `finalize_token_batch`) instead;
+    this stays as the reference implementation their equivalence tests
+    compare against, and as the CJK structural transform."""
     return _lang_tokens_udf(text, lang)
 
 
+# ---------------------------------------------------------------------------
+# Vectorized index-build path: JVM tokenization + per-distinct-surface chain.
+#
+# The Java-regex twin of analyzer._PY_TOKEN_RE, RAW (cased) so the chains'
+# language-specific lowercase slots (Irish/Greek/Turkish) see the original
+# case. Same alternation: one token per CJK ideograph / Hiragana char,
+# Katakana runs, and word runs of \p{L}\p{N} (CJK excluded) extended by
+# combining marks (UAX#29 WB4) and joined across ' ’ . (MidLetter/
+# MidNumLet) or a digit-flanked comma (MidNum). \p{Nd} mirrors Python's
+# \d. Fuzz-verified token-identical to _PY_TOKEN_RE on the sf0.01 corpus
+# (500 docs) and 4,000 random-unicode strings spanning Latin+marks,
+# Devanagari, Arabic, CJK, Katakana, fullwidth forms (0 diffs) —
+# tests/test_lang_vectorized.py.
+_J_CJK = "一-鿿㐀-䶿豈-﫿"
+_J_KATA = "゠-ヿ"
+_J_HIRA = "぀-ゟ"
+_J_W = f"(?:(?![{_J_CJK}{_J_KATA}{_J_HIRA}])[\\p{{L}}\\p{{N}}])"
+_J_C = f"(?:{_J_W}|\\p{{M}})"
+RAW_TOKEN_REGEX_JAVA = (
+    f"([{_J_CJK}])|([{_J_KATA}]+)|([{_J_HIRA}])"
+    f"|({_J_W}{_J_C}*"
+    f"(?:['’.]{_J_W}{_J_C}*|(?<=\\p{{Nd}}),(?=\\p{{Nd}}){_J_W}{_J_C}*)*)"
+)
+
+
+def raw_lang_token_array(text: Column, lang: Column) -> Column:
+    """Build-side pre-chain token column: JVM regexp (whole-stage codegen,
+    RAW cased tokens) for every non-CJK row; CJK rows take the structural
+    bigram transform via the Arrow UDF with the text column MASKED to null
+    for non-CJK rows, so a Latin-script corpus ships nulls — not text —
+    through Arrow and pays no per-token Python anywhere. The per-language
+    chain then runs in the inverter once per distinct (lang, surface) via
+    `finalize_token_batch`, never per token."""
+    cjk = lang.isin(*sorted(_CJK_LANGS))
+    return F.when(
+        cjk, _lang_tokens_udf(F.when(cjk, text), lang)
+    ).otherwise(F.regexp_extract_all(text, F.lit(RAW_TOKEN_REGEX_JAVA), 0))
+
+
+def _sanitize_langs(langs) -> np.ndarray:
+    return np.asarray(
+        [lg if isinstance(lg, str) else "" for lg in langs], dtype=object
+    )
+
+
+def finalize_token_batch(
+    flat_terms: np.ndarray, flat_langs: np.ndarray
+) -> np.ndarray:
+    """Map a flat batch of RAW surface tokens to final indexed terms (""
+    where the chain drops the token), running the chain ONCE per distinct
+    (lang, surface) pair — the english.py stem_tokens factorization
+    generalized to the whole chain registry. CJK rows' tokens arrive
+    already-final from the bigram transform and pass through unchanged.
+    Python cost is ∝ new vocabulary per batch (amortized further by the
+    cross-batch _LANG_STEM_CACHE), not ∝ corpus tokens."""
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    lcodes, luniq = pd.factorize(flat_langs, sort=False)
+    n_langs = max(len(luniq), 1)
+    if len(luniq) <= 1:
+        # single-language batch: one vocabulary pass, no combined key
+        lg = luniq[0] if len(luniq) else ""
+        if lg in _CJK_LANGS:
+            return flat_terms
+        final = np.asarray(
+            [analyze_token(u, lg) for u in uniques], dtype=object
+        )
+        return final[codes]
+    comb = codes.astype(np.int64) * n_langs + lcodes
+    ccodes, cuniq = pd.factorize(comb, sort=False)
+    final = np.empty(len(cuniq), dtype=object)
+    for i, v in enumerate(cuniq):
+        surf = uniques[v // n_langs]
+        lg = luniq[v % n_langs]
+        final[i] = surf if lg in _CJK_LANGS else analyze_token(surf, lg)
+    return final[ccodes]
+
+
+@F.pandas_udf(LongType())
+def _lang_dl_udf(toks: pd.Series, langs: pd.Series) -> pd.Series:
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    total = int(lens.sum())
+    if total == 0:
+        return pd.Series(np.zeros(len(toks), dtype=np.int64))
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in toks if len(t)]
+    )
+    flat_langs = np.repeat(_sanitize_langs(langs), lens)
+    keep = (finalize_token_batch(flat, flat_langs) != "").astype(np.int64)
+    row_idx = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    return pd.Series(
+        np.bincount(row_idx, weights=keep, minlength=len(toks)).astype(np.int64)
+    )
+
+
 def lang_doc_length_col(text: Column, lang: Column) -> Column:
-    """Post-stop doc length under the per-language chain (norms input)."""
+    """Post-stop doc length under the per-language chain (norms input).
+    Tokenization stays JVM-side; the Arrow hop carries token arrays and the
+    chain runs per distinct (lang, surface), not per token."""
+    return _lang_dl_udf(raw_lang_token_array(text, lang), lang)
+
+
+def lang_doc_length_col_fidelity(text: Column, lang: Column) -> Column:
+    """Doc length via the per-token reference UDF (tokenizer='lang-fidelity')."""
     return F.size(F.filter(lang_token_array(text, lang), lambda t: F.length(t) > 0))
 
 

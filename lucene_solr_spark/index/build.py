@@ -212,7 +212,11 @@ def _pack_rows(
 
 
 def _invert_flat(
-    doc_ids: np.ndarray, token_lists, stem: bool = False, prefiltered: bool = False
+    doc_ids: np.ndarray,
+    token_lists,
+    stem: bool = False,
+    prefiltered: bool = False,
+    langs=None,
 ):
     """Common inversion front half: batch of (doc_id, tokens[]) →
     per-(doc, term) group arrays (g_doc, terms-uniques, g_code, tf,
@@ -225,9 +229,16 @@ def _invert_flat(
     once per distinct surface form instead of once per token.
 
     prefiltered=True: the token arrays already went through a full analysis
-    chain upstream (tokenizer='lang') with dropped tokens kept as ""
-    placeholders — only the placeholders are filtered here (they still
-    consume positions, StopFilter's enablePositionIncrements semantics)."""
+    chain upstream with dropped tokens kept as "" placeholders — only the
+    placeholders are filtered here (they still consume positions,
+    StopFilter's enablePositionIncrements semantics).
+
+    langs (tokenizer='lang'): per-row language tags; tokens arrive RAW from
+    the JVM regexp (or already-final from the CJK bigram transform) and the
+    per-language chain runs HERE, once per distinct (lang, surface) via
+    lang.finalize_token_batch — tokens the chain drops become "" after
+    their positions are assigned, so stopwords consume positions exactly
+    like the placeholder path."""
     lens = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
     total = int(lens.sum())
     if total == 0:
@@ -237,7 +248,14 @@ def _invert_flat(
     starts = np.cumsum(lens) - lens
     flat_pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
 
-    if prefiltered:
+    if langs is not None:
+        from ..analysis.lang import _sanitize_langs, finalize_token_batch
+
+        flat_terms = finalize_token_batch(
+            flat_terms, np.repeat(_sanitize_langs(langs), lens)
+        )
+        keep = flat_terms != ""
+    elif prefiltered:
         keep = np.fromiter((len(t) > 0 for t in flat_terms), dtype=bool, count=total)
     else:
         stop = ENGLISH_STOP_WORDS
@@ -287,12 +305,15 @@ def _invert_batch(
     positions: bool,
     stem: bool = False,
     prefiltered: bool = False,
+    langs=None,
 ) -> pd.DataFrame:
     """(doc_id, tokens[]) batch → rows (doc_id, term, tf[, positions])."""
     empty = {"doc_id": np.array([], dtype=np.int64), "term": [], "tf": np.array([], dtype=np.int32)}
     if positions:
         empty["positions"] = []
-    inv = _invert_flat(doc_ids, token_lists, stem=stem, prefiltered=prefiltered)
+    inv = _invert_flat(
+        doc_ids, token_lists, stem=stem, prefiltered=prefiltered, langs=langs
+    )
     if inv is None:
         return pd.DataFrame(empty)
     g_doc, uniques, g_code, tf, g_pos, _ = inv
@@ -304,10 +325,18 @@ def _invert_batch(
 
 def _toks_col(text_col: str, tokenizer: str, lang_col: str = "lang"):
     """Pre-inverter token-array column for the chosen tokenizer.
-    tokenizer='lang' dispatches the per-language analysis chain on each
-    row's `lang_col` value (analysis/lang.py) — dropped tokens arrive as ""
-    placeholders, so the inverter runs with prefiltered=True."""
+    tokenizer='lang' emits RAW JVM-regexp tokens (CJK rows: final bigram
+    placeholders) — the per-language chain runs inside the inverter, once
+    per distinct (lang, surface) (analysis/lang.py)."""
     if tokenizer == "lang":
+        from ..analysis.lang import raw_lang_token_array
+
+        return raw_lang_token_array(F.col(text_col), F.col(lang_col))
+    if tokenizer == "lang-fidelity":
+        # reference path: the whole chain per token inside the Arrow UDF —
+        # kept for A/B measurement and as an escape hatch; ~an order of
+        # magnitude more Python CPU than tokenizer='lang' on the 3
+        # codegen-able stages (tokenize/lower/stop)
         from ..analysis.lang import lang_token_array
 
         return lang_token_array(F.col(text_col), F.col(lang_col))
@@ -315,7 +344,11 @@ def _toks_col(text_col: str, tokenizer: str, lang_col: str = "lang"):
 
 
 def invert_tokens(
-    with_ids: DataFrame, text_col: str, positions: bool, tokenizer: str = "jvm"
+    with_ids: DataFrame,
+    text_col: str,
+    positions: bool,
+    tokenizer: str = "jvm",
+    lang_col: str = "lang",
 ) -> DataFrame:
     """(doc_id, text) → (doc_id, term, tf[, positions]) via the chosen
     tokenizer + the Arrow inversion kernel (used by the NRT micro-batch
@@ -324,7 +357,8 @@ def invert_tokens(
         ", positions array<int>" if positions else ""
     )
     stem = tokenizer == "english"
-    prefiltered = tokenizer == "lang"
+    lang_mode = tokenizer == "lang"
+    prefiltered = tokenizer == "lang-fidelity"
 
     def kernel(batches):
         for pdf in batches:
@@ -336,13 +370,19 @@ def invert_tokens(
                 positions,
                 stem=stem,
                 prefiltered=prefiltered,
+                langs=pdf["lang"].values if lang_mode else None,
             )
 
-    src = with_ids.select(
+    cols = [
         "doc_id",
-        F.coalesce(_toks_col(text_col, tokenizer), F.array().cast("array<string>")).alias("toks"),
-    )
-    return src.mapInPandas(kernel, schema=schema)
+        F.coalesce(
+            _toks_col(text_col, tokenizer, lang_col),
+            F.array().cast("array<string>"),
+        ).alias("toks"),
+    ]
+    if lang_mode:
+        cols.append(F.col(lang_col).alias("lang"))
+    return with_ids.select(*cols).mapInPandas(kernel, schema=schema)
 
 
 def invert_and_pack_partials(
@@ -359,7 +399,8 @@ def invert_and_pack_partials(
     docs. Output rows follow POSTINGS_SCHEMA (term string key)."""
 
     stem = tokenizer == "english"
-    prefiltered = tokenizer == "lang"
+    lang_mode = tokenizer == "lang"
+    prefiltered = tokenizer == "lang-fidelity"
 
     def kernel(batches):
         for pdf in batches:
@@ -370,6 +411,7 @@ def invert_and_pack_partials(
                 pdf["toks"].values,
                 stem=stem,
                 prefiltered=prefiltered,
+                langs=pdf["lang"].values if lang_mode else None,
             )
             if inv is None:
                 continue
@@ -401,11 +443,16 @@ def invert_and_pack_partials(
                 )
             yield pd.DataFrame(rows)
 
-    src = with_ids.select(
+    cols = [
         "doc_id",
-        F.coalesce(_toks_col(text_col, tokenizer, lang_col), F.array().cast("array<string>")).alias("toks"),
-    )
-    return src.mapInPandas(kernel, schema=POSTINGS_SCHEMA)
+        F.coalesce(
+            _toks_col(text_col, tokenizer, lang_col),
+            F.array().cast("array<string>"),
+        ).alias("toks"),
+    ]
+    if lang_mode:
+        cols.append(F.col(lang_col).alias("lang"))
+    return with_ids.select(*cols).mapInPandas(kernel, schema=POSTINGS_SCHEMA)
 
 
 def make_recombiner(cache64: np.ndarray | None):
@@ -640,6 +687,10 @@ def _doc_length_dispatch(text_col: str, tokenizer: str, lang_col: str):
         from ..analysis.lang import lang_doc_length_col
 
         return lang_doc_length_col(F.col(text_col), F.col(lang_col))
+    if tokenizer == "lang-fidelity":
+        from ..analysis.lang import lang_doc_length_col_fidelity
+
+        return lang_doc_length_col_fidelity(F.col(text_col), F.col(lang_col))
     return doc_length_col_for(F.col(text_col), tokenizer)
 
 
@@ -690,7 +741,7 @@ def build_index(
     # partial); ties broken deterministically by (ts, text).
     src = pages.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     carry_cols = [] if sort_col is None else [sort_col]
-    if tokenizer == "lang":
+    if tokenizer in ("lang", "lang-fidelity"):
         carry_cols.append(lang_col)
     if ts_col is not None:
         aggs = [

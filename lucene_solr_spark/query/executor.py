@@ -261,7 +261,7 @@ class Searcher:
         (QueryParserBase.newFieldQuery). For a tokenizer='lang' index the
         query language comes from `self.query_lang` (settable per request,
         the fl=lang analog of Solr's per-field analyzer choice)."""
-        if self.meta.get("tokenizer") == "lang":
+        if self.meta.get("tokenizer") in ("lang", "lang-fidelity"):
             from ..analysis.lang import lang_analyze
 
             lang = getattr(self, "query_lang", None)
