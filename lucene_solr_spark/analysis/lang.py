@@ -548,12 +548,14 @@ _CHAINS: dict[str, tuple] = {
     # replaces the default lower; stop on the lowered form; Snowball stem
     "tr": (None, STOP_TR, turkish_stem, turkish_lower),
 }
-# CJK languages take the bigram path (a structural transform, not a
-# per-token chain) — see analysis/cjk.py
+# CJK languages take the bigram path and Thai the dictionary-segmentation
+# path — structural transforms (token boundaries depend on the text, not a
+# per-token chain) — see analysis/cjk.py / analysis/thai.py
 _CJK_LANGS = frozenset(("zh", "ja", "ko"))
+_STRUCT_LANGS = _CJK_LANGS | frozenset(("th",))
 _STANDARD = (None, ENGLISH_STOP_WORDS, None)  # StandardAnalyzer fallback
 
-SUPPORTED_LANGS = frozenset(_CHAINS) | frozenset(("zh", "ja", "ko"))
+SUPPORTED_LANGS = frozenset(_CHAINS) | _STRUCT_LANGS
 
 # (lang, surface) → final term; bounded like english._STEM_CACHE
 _LANG_STEM_CACHE: dict[tuple[str, str], str] = {}
@@ -594,6 +596,10 @@ def lang_analyze(text: str | None, lang: str | None) -> list[tuple[int, str]]:
         from .cjk import cjk_analyze
 
         return cjk_analyze(text)
+    if lang == "th":
+        from .thai import thai_analyze
+
+        return thai_analyze(text)
     out: list[tuple[int, str]] = []
     for pos, m in enumerate(_PY_TOKEN_RE.finditer(text)):
         term = analyze_token(m.group(0), lang)
@@ -611,6 +617,10 @@ def _analyzed_placeholder_tokens(text: str | None, lang: str | None) -> list[str
         from .cjk import cjk_placeholder_tokens
 
         return cjk_placeholder_tokens(text)
+    if lang == "th":
+        from .thai import thai_placeholder_tokens
+
+        return thai_placeholder_tokens(text)
     return [analyze_token(m.group(0), lang) for m in _PY_TOKEN_RE.finditer(text)]
 
 
@@ -664,9 +674,9 @@ def raw_lang_token_array(text: Column, lang: Column) -> Column:
     through Arrow and pays no per-token Python anywhere. The per-language
     chain then runs in the inverter once per distinct (lang, surface) via
     `finalize_token_batch`, never per token."""
-    cjk = lang.isin(*sorted(_CJK_LANGS))
+    struct = lang.isin(*sorted(_STRUCT_LANGS))
     return F.when(
-        cjk, _lang_tokens_udf(F.when(cjk, text), lang)
+        struct, _lang_tokens_udf(F.when(struct, text), lang)
     ).otherwise(F.regexp_extract_all(text, F.lit(RAW_TOKEN_REGEX_JAVA), 0))
 
 
@@ -692,7 +702,7 @@ def finalize_token_batch(
     if len(luniq) <= 1:
         # single-language batch: one vocabulary pass, no combined key
         lg = luniq[0] if len(luniq) else ""
-        if lg in _CJK_LANGS:
+        if lg in _STRUCT_LANGS:
             return flat_terms
         final = np.asarray(
             [analyze_token(u, lg) for u in uniques], dtype=object
@@ -704,7 +714,7 @@ def finalize_token_batch(
     for i, v in enumerate(cuniq):
         surf = uniques[v // n_langs]
         lg = luniq[v % n_langs]
-        final[i] = surf if lg in _CJK_LANGS else analyze_token(surf, lg)
+        final[i] = surf if lg in _STRUCT_LANGS else analyze_token(surf, lg)
     return final[ccodes]
 
 
