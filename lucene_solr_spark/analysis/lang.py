@@ -89,6 +89,7 @@ from .greek import greek_lower, greek_stem
 from .galician import galician_stem
 from .brazilian import brazilian_stem
 from .turkish import turkish_lower, turkish_stem
+from .stempel import STOP_PL, polish_stem
 
 # ---------------------------------------------------------------------------
 # ElisionFilter (ElisionFilter.java:63-86): strip everything through the
@@ -547,6 +548,9 @@ _CHAINS: dict[str, tuple] = {
     # TurkishAnalyzer.java:125-131: Turkish lowercase (İ/I dotted-dotless)
     # replaces the default lower; stop on the lowered form; Snowball stem
     "tr": (None, STOP_TR, turkish_stem, turkish_lower),
+    # PolishAnalyzer.java (analysis/stempel): stop BEFORE the stempel
+    # patch-trie stemmer; minLength=3 pass-through is inside polish_stem
+    "pl": (None, STOP_PL, polish_stem),
 }
 # CJK languages take the bigram path and Thai the dictionary-segmentation
 # path — structural transforms (token boundaries depend on the text, not a
