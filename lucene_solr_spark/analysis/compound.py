@@ -1,7 +1,7 @@
 """Dictionary-based compound word decomposition
 (DictionaryCompoundWordTokenFilter — the non-hyphenation variant of
-analysis/compound; the hyphenation variant needs external XLS hyphenation
-grammars and stays out of scope like hunspell).
+analysis/compound; the hyphenation-grammar variant lives in
+analysis/hyphenation.py).
 
 Re-derives CompoundWordTokenFilterBase.java:76-130 +
 DictionaryCompoundWordTokenFilter.decompose: the original token is always
