@@ -599,6 +599,31 @@ class Searcher:
         if tinfo.empty:
             return self.spark.createDataFrame([], "doc_id long, score float")
 
+        # --- df-stats head+tail pre-classifier (round 5). The navigational
+        # web-query shape — one common word + one rare word — is where joint
+        # chunk/bucket pruning provably bites (the rare term confines the
+        # candidate set; the head term's huge postings are what pruning
+        # skips). The dictionary already tells us this BEFORE any Spark
+        # action: df ratio ≥ ~100× says head+tail, Σdf over a floor says
+        # the decode is large enough that the kernel's extra exchange can
+        # pay for itself (measured crossover, BASELINE.md round-5 table).
+        # Only upgrades 'auto' — explicit True/False is always respected.
+        if (
+            bucket_prune == "auto"
+            and len(tinfo) > 1
+            and self._deletes is None
+        ):
+            dfs = tinfo["df"].astype("int64")
+            df_min, df_max, df_sum = int(dfs.min()), int(dfs.max()), int(dfs.sum())
+            if (
+                df_min > 0
+                and df_max >= 100 * df_min
+                and df_sum >= int(self.meta.get("kernel_auto_min_postings") or 6_000_000)
+            ):
+                bucket_prune = True
+                if pruning_stats is not None:
+                    pruning_stats["auto_head_tail"] = True
+
         weights = {
             str(t): float(
                 np.float32(bm25_idf(int(df_), self.stats.max_doc) * (K1 + np.float32(1.0)))

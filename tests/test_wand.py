@@ -20,6 +20,8 @@ def _corpus(n, seed):
         words = [VOCAB[min(int(rng.zipf(1.6)) - 1, len(VOCAB) - 1)] for _ in range(rng.randint(4, 30))]
         if i % 97 == 0:
             words.append("rare1")
+        if i % 997 == 0:
+            words.append("needle")  # df≈3: a TRUE tail term (head+tail shape)
         rows.append((f"u{i:05d}", " ".join(words)))
     return rows
 
@@ -67,6 +69,34 @@ def test_wand_prunes_chunks(wand_index, spark):
 
 def test_wand_unknown_term(wand_index):
     assert wand_index.search_wand(["zzzznotaword"], k=10).count() == 0
+
+
+def test_auto_head_tail_classifier(wand_index):
+    """The round-5 df-stats pre-classifier: with the postings floor lowered
+    to this corpus's size, a head+tail query (df ratio ≥100×) upgrades
+    'auto' to the BMW chunk kernel — and stays rank+score identical. A
+    balanced query must NOT engage it."""
+    s = wand_index
+    old = s.meta.get("kernel_auto_min_postings")
+    s.meta["kernel_auto_min_postings"] = 1
+    try:
+        tinfo = s.lookup_terms(["alpha", "needle"])
+        dfs = tinfo["df"].astype("int64")
+        assert int(dfs.max()) >= 100 * int(dfs.min())  # corpus gives head+tail
+        ps: dict = {}
+        exhaustive = s.search(["alpha", "needle"], k=10).toPandas()
+        auto = s.search_wand(["alpha", "needle"], k=10, pruning_stats=ps).toPandas()
+        assert ps.get("auto_head_tail") is True
+        assert auto["doc_id"].tolist() == exhaustive["doc_id"].tolist()
+        np.testing.assert_array_equal(auto["score"].values, exhaustive["score"].values)
+        ps2: dict = {}
+        s.search_wand(["spark", "query"], k=10, pruning_stats=ps2).toPandas()
+        assert "auto_head_tail" not in ps2  # balanced dfs: classifier stays off
+    finally:
+        if old is None:
+            s.meta.pop("kernel_auto_min_postings", None)
+        else:
+            s.meta["kernel_auto_min_postings"] = old
 
 
 @pytest.mark.parametrize(
