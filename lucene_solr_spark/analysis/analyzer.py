@@ -201,6 +201,13 @@ def token_array_for(text: Column, tokenizer: str = "jvm") -> Column:
         from .asciifolding import fold_token_array
 
         return fold_token_array(token_array(text))
+    if tokenizer == "icu_folding":
+        # standard chain + ICUFoldingFilter AFTER the stop filter
+        # (chain: Standard → lower → stop → ICUFolding): tokenization and
+        # stop stay pure codegen; the fold runs inside the inverter once
+        # per DISTINCT surface form (the factorized hook, build.py) —
+        # so the pre-stop array is just the standard one.
+        return token_array(text)
     raise ValueError(f"unknown tokenizer '{tokenizer}'")
 
 
@@ -218,6 +225,29 @@ def folding_analyze(text: str | None) -> list[tuple[int, str]]:
         tok = fold_str(_java_lower(m.group(0)))
         if tok not in ENGLISH_STOP_WORDS and len(tok) <= MAX_TOKEN_LENGTH:
             out.append((pos, tok))
+        pos += 1
+    return out
+
+
+def icu_folding_analyze(text: str | None) -> list[tuple[int, str]]:
+    """Query-side twin of tokenizer='icu_folding': [(pre-stop position,
+    ICU-folded token)] — the stop/length filters apply to the UNfolded
+    lowercase form (fold is post-stop in this chain), then each surviving
+    surface folds through the utr30 normalizer; a token folded away
+    entirely (bare modifier letter) yields no term but keeps its
+    position."""
+    from .icu import fold as icu_fold
+
+    if not text:
+        return []
+    out: list[tuple[int, str]] = []
+    pos = 0
+    for m in _PY_TOKEN_RE.finditer(text):
+        tok = _java_lower(m.group(0))
+        if tok not in ENGLISH_STOP_WORDS and len(tok) <= MAX_TOKEN_LENGTH:
+            folded = icu_fold(tok)
+            if folded:
+                out.append((pos, folded))
         pos += 1
     return out
 

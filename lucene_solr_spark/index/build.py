@@ -217,6 +217,7 @@ def _invert_flat(
     stem: bool = False,
     prefiltered: bool = False,
     langs=None,
+    fold_icu: bool = False,
 ):
     """Common inversion front half: batch of (doc_id, tokens[]) →
     per-(doc, term) group arrays (g_doc, terms-uniques, g_code, tf,
@@ -282,6 +283,18 @@ def _invert_flat(
         )
         codes = scodes[codes]
         uniques = np.asarray(suniques, dtype=object)
+    if fold_icu:
+        # ICUFoldingFilter post-stop, once per DISTINCT surface form
+        # (the factorized-inverter hook, same shape as the stem path) —
+        # surfaces merged by folding ("Résumé"/"RESUME") coalesce below
+        from ..analysis.icu import get_normalizer
+
+        _fold = get_normalizer("utr30").normalize
+        fcodes, funiques = pd.factorize(
+            np.asarray([_fold(u) for u in uniques], dtype=object), sort=False
+        )
+        codes = fcodes[codes]
+        uniques = np.asarray(funiques, dtype=object)
     order = np.lexsort((codes, flat_docs))  # stable → positions stay ascending
     d, c, p = flat_docs[order], codes[order], flat_pos[order]
     change = np.flatnonzero((np.diff(d) != 0) | (np.diff(c) != 0))
@@ -296,6 +309,16 @@ def _invert_flat(
     doc_codes, doc_uniq = pd.factorize(g_doc, sort=False)
     dl = np.bincount(doc_codes, weights=tf).astype(np.int64)
     g_nb = encode_norm(dl)[doc_codes].astype(np.int64)
+    if fold_icu and "" in uniques:
+        # a token folded away entirely (e.g. a bare modifier letter "ʰ")
+        # produces no term, but still counted in the norm above (it WAS a
+        # post-stop token, like a stopword position)
+        live = np.flatnonzero(uniques[g_code] != "")
+        g_doc, g_code, tf, g_nb = (
+            g_doc[live], g_code[live], tf[live], g_nb[live])
+        g_pos = [g_pos[i] for i in live]
+        if len(g_doc) == 0:
+            return None
     return g_doc, uniques, g_code, tf, g_pos, g_nb
 
 
@@ -306,13 +329,15 @@ def _invert_batch(
     stem: bool = False,
     prefiltered: bool = False,
     langs=None,
+    fold_icu: bool = False,
 ) -> pd.DataFrame:
     """(doc_id, tokens[]) batch → rows (doc_id, term, tf[, positions])."""
     empty = {"doc_id": np.array([], dtype=np.int64), "term": [], "tf": np.array([], dtype=np.int32)}
     if positions:
         empty["positions"] = []
     inv = _invert_flat(
-        doc_ids, token_lists, stem=stem, prefiltered=prefiltered, langs=langs
+        doc_ids, token_lists, stem=stem, prefiltered=prefiltered, langs=langs,
+        fold_icu=fold_icu,
     )
     if inv is None:
         return pd.DataFrame(empty)
@@ -357,6 +382,7 @@ def invert_tokens(
         ", positions array<int>" if positions else ""
     )
     stem = tokenizer == "english"
+    fold_icu = tokenizer == "icu_folding"
     lang_mode = tokenizer == "lang"
     prefiltered = tokenizer == "lang-fidelity"
 
@@ -371,6 +397,7 @@ def invert_tokens(
                 stem=stem,
                 prefiltered=prefiltered,
                 langs=pdf["lang"].values if lang_mode else None,
+                fold_icu=fold_icu,
             )
 
     cols = [
@@ -399,6 +426,7 @@ def invert_and_pack_partials(
     docs. Output rows follow POSTINGS_SCHEMA (term string key)."""
 
     stem = tokenizer == "english"
+    fold_icu = tokenizer == "icu_folding"
     lang_mode = tokenizer == "lang"
     prefiltered = tokenizer == "lang-fidelity"
 
@@ -412,6 +440,7 @@ def invert_and_pack_partials(
                 stem=stem,
                 prefiltered=prefiltered,
                 langs=pdf["lang"].values if lang_mode else None,
+                fold_icu=fold_icu,
             )
             if inv is None:
                 continue

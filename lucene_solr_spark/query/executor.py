@@ -274,6 +274,10 @@ class Searcher:
             from ..analysis.analyzer import folding_analyze
 
             return [t for _, t in folding_analyze(query_text)]
+        if self.meta.get("tokenizer") == "icu_folding":
+            from ..analysis.analyzer import icu_folding_analyze
+
+            return [t for _, t in icu_folding_analyze(query_text)]
         return [t for _, t in standard_tokenize(query_text)]
 
     # --- scoring scan -----------------------------------------------------
