@@ -150,6 +150,155 @@ def decode_png(blob: bytes) -> np.ndarray:
     return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
 
 
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """REAL BMP decode, no image library: BITMAPFILEHEADER + DIB header,
+    uncompressed (BI_RGB) 24/32-bit truecolor or 8-bit paletted, bottom-up
+    or top-down rows, 4-byte row padding. Returns (H, W) uint8 grayscale
+    via the same ITU-R 601 luma as decode_png."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    (data_off,) = struct.unpack("<I", blob[10:14])
+    (hdr_size,) = struct.unpack("<I", blob[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    width, height_raw = struct.unpack("<ii", blob[18:26])
+    planes, bpp = struct.unpack("<HH", blob[26:30])
+    (compression,) = struct.unpack("<I", blob[30:34])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp}")
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    stride = (width * (bpp // 8) + 3) & ~3
+    raw = np.frombuffer(blob, np.uint8, stride * height, data_off)
+    rows = raw.reshape(height, stride)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRX quads right after the DIB header
+        (used,) = struct.unpack("<I", blob[46:50])
+        n_col = used or 256
+        pal = np.frombuffer(blob, np.uint8, n_col * 4, 14 + hdr_size)
+        pal = pal.reshape(n_col, 4).astype(np.int64)
+        luma = (pal[:, 2] * 299 + pal[:, 1] * 587 + pal[:, 0] * 114) // 1000
+        return luma.astype(np.uint8)[rows[:, :width]]
+    ch = bpp // 8
+    px = rows[:, : width * ch].reshape(height, width, ch).astype(np.int64)
+    b, g, r = px[:, :, 0], px[:, :, 1], px[:, :, 2]  # BMP stores BGR
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width from min_code_size+1 up to 12 bits, CLEAR resets the table,
+    EOI ends the stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit reader (LSB-first within bytes)
+    acc = bits = pos = 0
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        if prev is not None and len(table) == (1 << code_size) \
+                and code_size < 12:
+            code_size += 1
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF pixel data ended early")
+    return out
+
+
+def decode_gif(blob: bytes) -> np.ndarray:
+    """REAL GIF decode (first frame), no image library: logical screen +
+    color tables, extension skip, LZW decompress, interlace reorder.
+    Returns (H, W) uint8 grayscale (601 luma of the palette)."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    flags = blob[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(blob):
+        block = blob[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, width, height = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            iflags = blob[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(blob, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code_size = blob[pos]
+            pos += 1
+            chunks = []
+            while blob[pos] != 0:
+                ln = blob[pos]
+                chunks.append(blob[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw(b"".join(chunks), min_code_size, width * height)
+            img = idx.reshape(height, width)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                deinterlaced = np.empty_like(img)
+                order = (
+                    list(range(0, height, 8)) + list(range(4, height, 8))
+                    + list(range(2, height, 4)) + list(range(1, height, 2)))
+                deinterlaced[order] = img
+                img = deinterlaced
+            pal64 = pal.astype(np.int64)
+            luma = (pal64[:, 0] * 299 + pal64[:, 1] * 587
+                    + pal64[:, 2] * 114) // 1000
+            return luma.astype(np.uint8)[img]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """REAL RIFF/WAVE parse with no audio library: chunk walk, 'fmt '
     (PCM, 16-bit) + 'data'; returns (float32 mono samples in [-1, 1),
@@ -183,6 +332,10 @@ def decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
     blob = bytes(blob)
     if blob.startswith(_PNG_SIG):
         return decode_png(blob)  # real path, no libraries needed
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)  # real path
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(blob)  # real path
     if _HAS_PIL:  # pragma: no cover - not installed in this container
         import io
 
