@@ -346,6 +346,17 @@ def field_analysis(text: str | None, tokenizer: str = "standard") -> list[dict]:
         stages.append({"stage": "StopFilter", "tokens": stopped})
         stemmed = [(p, porter_stem(t), s, e) for p, t, s, e in stopped]
         stages.append({"stage": "PorterStemFilter", "tokens": stemmed})
+    elif tokenizer == "icu_folding":
+        from .icu import fold as icu_fold
+
+        stopped = [t for t in lowered if t[1] not in ENGLISH_STOP_WORDS]
+        stages.append({"stage": "StopFilter", "tokens": stopped})
+        folded = [
+            (p, ft, s, e)
+            for p, t, s, e in stopped
+            if (ft := icu_fold(t))
+        ]
+        stages.append({"stage": "ICUFoldingFilter", "tokens": folded})
     else:
         stopped = [t for t in lowered if t[1] not in ENGLISH_STOP_WORDS]
         stages.append({"stage": "StopFilter", "tokens": stopped})
