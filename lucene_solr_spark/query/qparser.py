@@ -528,17 +528,41 @@ class SolrQueries:
         if isinstance(fl, str):
             fl = [c.strip() for c in fl.split(",") if c.strip()]
 
+        # multi-select faceting (SimpleFacets.java:316-334 /
+        # QueryParsing tag semantics): fq may carry {!tag=name}; facet
+        # params may carry {!ex=name[,name2] key=alias} to compute their
+        # counts over the match set WITH those filters excluded — the
+        # lucene/facet DrillSideways pattern expressed Solr-style.
+        tagged: list[tuple[frozenset, DataFrame]] = []
         filter_docs = None
         for f in fq:
-            ds = self.docset(f)
+            tags, body = self._strip_tag(f)
+            ds = self.docset(body)
+            tagged.append((tags, ds))
             filter_docs = ds if filter_docs is None else docset_intersect(filter_docs, ds)
 
         # the q+fq DocSet every non-query component consumes
-        match_set = self.docset(q).select("doc_id")
+        q_set = self.docset(q).select("doc_id")
+        match_set = q_set
         if filter_docs is not None:
             match_set = docset_intersect(match_set, filter_docs)
         match_set = match_set.persist()
         num_found = match_set.count()
+
+        _ex_cache: dict = {}
+
+        def match_set_excluding(ex_tags: frozenset) -> DataFrame:
+            """q ∩ every fq whose tags don't intersect ex_tags."""
+            if not ex_tags or not any(t & ex_tags for t, _ in tagged):
+                return match_set
+            key = ex_tags
+            if key not in _ex_cache:
+                ms = q_set
+                for t, ds in tagged:
+                    if not (t & ex_tags):
+                        ms = docset_intersect(ms, ds)
+                _ex_cache[key] = ms.persist()
+            return _ex_cache[key]
 
         sort = params.get("sort")
         if sort and not sort.startswith("score"):
@@ -574,11 +598,13 @@ class SolrQueries:
         if isinstance(ff, str):
             ff = [ff]
         if ff:
-            src = self._source_with_ids().join(match_set, "doc_id", "left_semi")
             out["facet_counts"] = {}
             limit = int(params.get("facet.limit", 20))
             mincount = int(params.get("facet.mincount", 1))
-            for col in ff:
+            for spec in ff:
+                ex_tags, key, col = self._parse_facet_spec(spec)
+                src = self._source_with_ids().join(
+                    match_set_excluding(ex_tags), "doc_id", "left_semi")
                 buckets = (
                     src.groupBy(col)
                     .count()
@@ -587,28 +613,63 @@ class SolrQueries:
                     .limit(limit)
                     .collect()
                 )
-                out["facet_counts"][col] = {r[col]: r["count"] for r in buckets}
+                out["facet_counts"][key or col] = {
+                    r[col]: r["count"] for r in buckets}
 
         fqueries = params.get("facet.query") or {}
         if fqueries:
-            conds = {
-                name: (self._field_predicate(p) if isinstance(p, str) else p)
-                for name, p in fqueries.items()
-            }
-            row = facet_query(
-                self._source_with_ids(), conds, matches=match_set
-            ).collect()[0]
-            out.setdefault("facet_counts", {})["facet_queries"] = row.asDict()
+            by_set: dict = {}
+            for name, p in fqueries.items():
+                ex_tags, key, body = self._parse_facet_spec(name)
+                cond = self._field_predicate(p) if isinstance(p, str) else p
+                by_set.setdefault(ex_tags, {})[key or body] = cond
+            merged: dict = {}
+            for ex_tags, conds in by_set.items():
+                row = facet_query(
+                    self._source_with_ids(), conds,
+                    matches=match_set_excluding(ex_tags),
+                ).collect()[0]
+                merged.update(row.asDict())
+            out.setdefault("facet_counts", {})["facet_queries"] = merged
 
         sf = params.get("stats.field")
         if sf:
+            ex_tags, key, col = self._parse_facet_spec(sf)
             st = stats_component(
-                self._source_with_ids(), sf, matches=match_set
+                self._source_with_ids(), col,
+                matches=match_set_excluding(ex_tags),
             ).collect()[0]
-            out["stats"] = {sf: st.asDict()}
+            out["stats"] = {key or col: st.asDict()}
 
+        for ms in _ex_cache.values():
+            ms.unpersist()
         match_set.unpersist()
         return out
+
+    @staticmethod
+    def _strip_tag(fq: str) -> tuple[frozenset, str]:
+        """Harvest {!tag=a,b} from an fq; returns (tags, fq-without-tag) so
+        the DocSet builder never sees the bookkeeping param."""
+        local, rest = parse_local_params(fq, {})
+        if local is None or "tag" not in local:
+            return frozenset(), fq
+        tags = frozenset(t for t in local["tag"].split(",") if t)
+        others = {k: v for k, v in local.items() if k not in ("tag",)}
+        if not others:
+            return tags, rest
+        inner = " ".join(
+            k if v is None else f"{k}={v}" for k, v in others.items())
+        return tags, "{!%s}%s" % (inner, rest)
+
+    @staticmethod
+    def _parse_facet_spec(spec: str) -> tuple[frozenset, str | None, str]:
+        """{!ex=a,b key=alias}field → (ex tags, output key, field)."""
+        local, rest = parse_local_params(spec, {})
+        if local is None:
+            return frozenset(), None, spec
+        ex = frozenset(
+            t for t in (local.get("ex") or "").split(",") if t)
+        return ex, local.get("key"), rest.strip()
 
     # -- fq= (non-scoring DocSets) --------------------------------------------
     def docset(self, fq: str) -> DataFrame:

@@ -198,3 +198,35 @@ def test_surround_dispatch(ctx):
 def test_unknown_parser_raises(ctx):
     with pytest.raises(SyntaxError_):
         ctx.query("{!nosuch}x")
+
+
+def test_select_tagged_fq_exclusion(ctx):
+    """Multi-select faceting: {!tag=}/{!ex=} — the facet over the tagged
+    dimension ignores its own filter (SimpleFacets tag/ex semantics, the
+    DrillSideways pattern), other facets still see it."""
+    res = ctx.select({
+        "q": "spark",
+        "fq": ["{!tag=catf}cat:a"],
+        "facet.field": ["{!ex=catf key=cats_multiselect}cat", "cat"],
+        "rows": 10,
+    })
+    # response respects the fq: only cat=a spark docs (u00 u01 u05)
+    assert res["response"]["numFound"] == 3
+    # excluded facet counts over ALL spark matches (u00 u01 u03 u05)
+    assert res["facet_counts"]["cats_multiselect"] == {"a": 3, "b": 1}
+    # the un-excluded facet still sees the filter
+    assert res["facet_counts"]["cat"] == {"a": 3}
+
+
+def test_select_tagged_exclusion_stats_and_query(ctx):
+    res = ctx.select({
+        "q": "spark",
+        "fq": ["{!tag=catf}cat:a"],
+        "facet.query": {"{!ex=catf key=highrank}rank:[4 TO *]": "rank:[4 TO *]"},
+        "stats.field": "{!ex=catf key=rank_all}rank",
+        "rows": 0,
+    })
+    # u03 (rank 4) is outside cat:a but counts with the filter excluded
+    assert res["facet_counts"]["facet_queries"]["highrank"] == 2
+    st = res["stats"]["rank_all"]
+    assert st["cnt"] == 4 and st["max_v"] == 6.0
