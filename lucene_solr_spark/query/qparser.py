@@ -632,6 +632,26 @@ class SolrQueries:
                 merged.update(row.asDict())
             out.setdefault("facet_counts", {})["facet_queries"] = merged
 
+        fr = params.get("facet.range") or []
+        if isinstance(fr, str):
+            fr = [fr]
+        if fr:
+            from .components import facet_range
+
+            ranges: dict = {}
+            for spec in fr:
+                ex_tags, key, col = self._parse_facet_spec(spec)
+                gap = float(params.get(f"f.{col}.facet.range.gap",
+                                       params.get("facet.range.gap", 1.0)))
+                rows_ = facet_range(
+                    self._source_with_ids(), col, gap,
+                    mincount=int(params.get("facet.mincount", 0)),
+                    matches=match_set_excluding(ex_tags),
+                ).collect()
+                ranges[key or col] = {
+                    float(r["bucket_lo"]): r["cnt"] for r in rows_}
+            out.setdefault("facet_counts", {})["facet_ranges"] = ranges
+
         sf = params.get("stats.field")
         if sf:
             ex_tags, key, col = self._parse_facet_spec(sf)

@@ -230,3 +230,16 @@ def test_select_tagged_exclusion_stats_and_query(ctx):
     assert res["facet_counts"]["facet_queries"]["highrank"] == 2
     st = res["stats"]["rank_all"]
     assert st["cnt"] == 4 and st["max_v"] == 6.0
+
+
+def test_select_facet_range_with_exclusion(ctx):
+    res = ctx.select({
+        "q": "spark",
+        "fq": ["{!tag=catf}cat:a"],
+        "facet.range": ["{!ex=catf key=ranks}rank"],
+        "facet.range.gap": 2.0,
+        "rows": 0,
+    })
+    # spark matches u00(1.0) u01(2.0) u03(4.0) u05(6.0), filter excluded
+    assert res["facet_counts"]["facet_ranges"]["ranks"] == {
+        0.0: 1, 2.0: 1, 4.0: 1, 6.0: 1}
