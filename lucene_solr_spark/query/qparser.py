@@ -661,6 +661,93 @@ class SolrQueries:
             ).collect()[0]
             out["stats"] = {key or col: st.asDict()}
 
+        fp = params.get("facet.pivot") or []
+        if isinstance(fp, str):
+            fp = [fp]
+        if fp:
+            from .components import facet_pivot
+
+            pivots: dict = {}
+            for spec in fp:
+                ex_tags, key, cols = self._parse_facet_spec(spec)
+                col_list = [c.strip() for c in cols.split(",") if c.strip()]
+                rows_ = facet_pivot(
+                    self._source_with_ids(), col_list,
+                    matches=match_set_excluding(ex_tags),
+                ).collect()
+                pivots[key or cols] = [
+                    {**{c: r[c] for c in col_list}, "count": r["cnt"]}
+                    for r in rows_
+                ]
+            out.setdefault("facet_counts", {})["facet_pivot"] = pivots
+
+        if str(params.get("group", "")).lower() == "true" \
+                and params.get("group.field"):
+            from .components import grouping_top_docs
+
+            gf = params["group.field"]
+            gsort = params.get("group.sort") or "doc_id asc"
+            gcol, _, gdir = gsort.partition(" ")
+            grows = grouping_top_docs(
+                self._source_with_ids(), gf, gcol,
+                int(params.get("group.limit", 1)),
+                asc=gdir.strip().lower() != "desc",
+                matches=match_set,
+            ).collect()
+            groups: dict = {}
+            for r in grows:
+                groups.setdefault(r[gf], []).append(
+                    {"doc_id": r["doc_id"], gcol: r[gcol]})
+            out["grouped"] = {
+                gf: {"matches": num_found, "groups": [
+                    {"groupValue": k, "doclist": v}
+                    for k, v in groups.items()
+                ]}
+            }
+
+        if str(params.get("hl", "")).lower() == "true" and docs:
+            from .highlight import highlight
+
+            hits_df = self.searcher.spark.createDataFrame(
+                [(d["doc_id"], d["score"]) for d in docs],
+                "doc_id long, score double",
+            )
+            snips = highlight(
+                self.searcher, hits_df, self._need_source("hl"),
+                q, key_col=self.key_col,
+                text_col=params.get("hl.fl", "text"),
+                max_passages=int(params.get("hl.snippets", 1)),
+            ).collect()
+            by_id = {r.doc_id: r.snippet for r in snips}
+            out["highlighting"] = {
+                d["doc_id"]: {params.get("hl.fl", "text"):
+                              by_id.get(d["doc_id"])}
+                for d in docs
+            }
+
+        if str(params.get("debugQuery", "")).lower() == "true":
+            out["debug"] = {
+                "explain": {
+                    d["doc_id"]: self.searcher.explain(q, d["doc_id"])
+                    for d in docs
+                }
+            }
+
+        sq = params.get("spellcheck.q")
+        if str(params.get("spellcheck", "")).lower() == "true" and sq:
+            from .components import spellcheck as _spellcheck
+
+            sugg = _spellcheck(
+                self.searcher, sq,
+                max_edits=int(params.get("spellcheck.maxEdits", 2)),
+                n=int(params.get("spellcheck.count", 10)),
+            ).collect()
+            out["spellcheck"] = {
+                "suggestions": {sq: [
+                    {"word": r["term"], "freq": int(r["df"])} for r in sugg
+                ]}
+            }
+
         for ms in _ex_cache.values():
             ms.unpersist()
         match_set.unpersist()

@@ -243,3 +243,50 @@ def test_select_facet_range_with_exclusion(ctx):
     # spark matches u00(1.0) u01(2.0) u03(4.0) u05(6.0), filter excluded
     assert res["facet_counts"]["facet_ranges"]["ranks"] == {
         0.0: 1, 2.0: 1, 4.0: 1, 6.0: 1}
+
+
+def test_select_full_component_stack(ctx, spark):
+    """One request exercising grouping + pivot + highlighting + debug +
+    spellcheck alongside the query (SearchHandler's component chain).
+    Uses a source carrying the stored text (what hl highlights)."""
+    source = spark.createDataFrame(
+        [(u, *META[u], CORPUS[u]) for u in sorted(CORPUS)],
+        "url string, rank double, lat double, lon double, cat string, text string",
+    )
+    ctx = SolrQueries(ctx.searcher, source=source)
+    res = ctx.select({
+        "q": "spark merge",
+        "rows": 3,
+        "facet.pivot": "cat",
+        "group": "true",
+        "group.field": "cat",
+        "group.sort": "rank asc",
+        "hl": "true",
+        "hl.fl": "text",
+        "debugQuery": "true",
+        "spellcheck": "true",
+        "spellcheck.q": "spak",
+    })
+    docs = res["response"]["docs"]
+    assert docs, "query returned hits"
+    # pivot counts cover the match set
+    pivot = {r["cat"]: r["count"] for r in
+             res["facet_counts"]["facet_pivot"]["cat"]}
+    assert sum(pivot.values()) == res["response"]["numFound"]
+    # grouping: one top doc per cat by rank asc
+    grouped = res["grouped"]["cat"]
+    assert grouped["matches"] == res["response"]["numFound"]
+    for g in grouped["groups"]:
+        ranks = [d["rank"] for d in g["doclist"]]
+        assert ranks == sorted(ranks)
+    # highlighting covers every returned doc with an <em> span
+    for d in docs:
+        snip = res["highlighting"][d["doc_id"]]["text"]
+        assert snip and "<em>" in snip
+    # debug explain is float32-identical to the hit scores
+    for d in docs:
+        exp = res["debug"]["explain"][d["doc_id"]]
+        assert abs(exp["value"] - d["score"]) < 1e-6
+    # spellcheck suggests the real term
+    words = [s["word"] for s in res["spellcheck"]["suggestions"]["spak"]]
+    assert "spark" in words
