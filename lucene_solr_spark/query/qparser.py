@@ -733,6 +733,37 @@ class SolrQueries:
                 }
             }
 
+        if str(params.get("mlt", "")).lower() == "true" and docs:
+            from .components import more_like_this
+
+            mlt_count = int(params.get("mlt.count", 5))
+            text_col = params.get("mlt.fl", "text")
+            seed_ids = [d["doc_id"] for d in
+                        docs[: int(params.get("mlt.maxdocs", 1))]]
+            seeds = (
+                self._source_with_ids()
+                .where(F.col("doc_id").isin(seed_ids))
+                .select("doc_id", text_col)
+                .collect()
+            )
+            out["moreLikeThis"] = {}
+            for r in seeds:
+                hits, terms = more_like_this(
+                    self.searcher, r[text_col] or "",
+                    max_query_terms=int(params.get("mlt.maxqt", 5)),
+                    k=mlt_count + 1,
+                    min_doc_freq=int(params.get("mlt.mindf", 1)),
+                    min_term_freq=int(params.get("mlt.mintf", 1)),
+                )
+                out["moreLikeThis"][r["doc_id"]] = {
+                    "interestingTerms": terms,
+                    "docs": [
+                        {"doc_id": h.doc_id, "score": float(h.score)}
+                        for h in hits.collect()
+                        if h.doc_id != r["doc_id"]
+                    ][:mlt_count],
+                }
+
         sq = params.get("spellcheck.q")
         if str(params.get("spellcheck", "")).lower() == "true" and sq:
             from .components import spellcheck as _spellcheck

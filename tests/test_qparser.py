@@ -290,3 +290,17 @@ def test_select_full_component_stack(ctx, spark):
     # spellcheck suggests the real term
     words = [s["word"] for s in res["spellcheck"]["suggestions"]["spak"]]
     assert "spark" in words
+
+
+def test_select_mlt(ctx, spark):
+    source = spark.createDataFrame(
+        [(u, *META[u], CORPUS[u]) for u in sorted(CORPUS)],
+        "url string, rank double, lat double, lon double, cat string, text string",
+    )
+    ctx = SolrQueries(ctx.searcher, source=source)
+    res = ctx.select({"q": "merge", "rows": 1, "mlt": "true",
+                      "mlt.fl": "text", "mlt.count": 3})
+    (seed_id, mlt), = res["moreLikeThis"].items()
+    assert mlt["interestingTerms"]
+    assert all(d["doc_id"] != seed_id for d in mlt["docs"])
+    assert len(mlt["docs"]) >= 1
