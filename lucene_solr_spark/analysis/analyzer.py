@@ -176,6 +176,18 @@ def tokenize_fidelity_prestop_udf(texts: pd.Series) -> pd.Series:
     return texts.map(toks)
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_icu_prestop_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-batched ICUTokenizer, PRE-stop: script-run dispatch with the
+    Khmer/Lao/Myanmar RBBI syllable grammars and the Hebrew quote
+    tailorings (analysis/icu_segmentation.py), everything else UAX#29.
+    Tokens arrive lowercased; the inverter's default branch applies the
+    stop/length filters downstream (chain: ICUTokenizer → lower → stop)."""
+    from .icu_segmentation import icu_tokenize
+
+    return texts.map(icu_tokenize)
+
+
 def token_array_for(text: Column, tokenizer: str = "jvm") -> Column:
     """Pre-stop token array under the chosen tokenizer: 'jvm' (codegen
     regex, exact for Latin-script text), 'fidelity' (Arrow UDF adding the
@@ -208,6 +220,12 @@ def token_array_for(text: Column, tokenizer: str = "jvm") -> Column:
         # per DISTINCT surface form (the factorized hook, build.py) —
         # so the pre-stop array is just the standard one.
         return token_array(text)
+    if tokenizer == "icu":
+        # ICUTokenizer (script-run RBBI dispatch) — Python is unavoidable
+        # for the no-space-script grammars, so this is an Arrow UDF like
+        # the fidelity path; Latin-script runs take the same UAX#29 regex
+        # the JVM path compiles.
+        return tokenize_icu_prestop_udf(text)
     raise ValueError(f"unknown tokenizer '{tokenizer}'")
 
 
@@ -249,6 +267,21 @@ def icu_folding_analyze(text: str | None) -> list[tuple[int, str]]:
             if folded:
                 out.append((pos, folded))
         pos += 1
+    return out
+
+
+def icu_analyze(text: str | None) -> list[tuple[int, str]]:
+    """Query-side twin of tokenizer='icu': [(pre-stop position, token)]
+    with the stop/length filters applied — exactly what the inverter
+    indexes from token_array_for('icu'). Every ICU segment (incl. a
+    Khmer/Lao/Myanmar syllable) consumes one position; status-0 chars
+    between syllables never enter the stream (ICUTokenizer.java:210)."""
+    from .icu_segmentation import icu_tokenize
+
+    out: list[tuple[int, str]] = []
+    for pos, tok in enumerate(icu_tokenize(text)):
+        if tok not in ENGLISH_STOP_WORDS and len(tok) <= MAX_TOKEN_LENGTH:
+            out.append((pos, tok))
     return out
 
 

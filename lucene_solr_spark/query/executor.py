@@ -278,6 +278,10 @@ class Searcher:
             from ..analysis.analyzer import icu_folding_analyze
 
             return [t for _, t in icu_folding_analyze(query_text)]
+        if self.meta.get("tokenizer") == "icu":
+            from ..analysis.analyzer import icu_analyze
+
+            return [t for _, t in icu_analyze(query_text)]
         return [t for _, t in standard_tokenize(query_text)]
 
     # --- scoring scan -----------------------------------------------------
