@@ -764,6 +764,30 @@ class SolrQueries:
                     ][:mlt_count],
                 }
 
+        if (
+            str(params.get("clustering", "")).lower() == "true"
+            and str(params.get("clustering.results", "true")).lower() == "true"
+            and docs
+        ):
+            # ClusteringComponent (solr/contrib/clustering,
+            # ClusteringComponent.java:117-130): the SearchClusteringEngine
+            # clusters THIS page of results; carrot.snippet names the
+            # stored field, response key is "clusters"
+            from .clustering import cluster_search_results
+
+            snippet_col = params.get("carrot.snippet", "text")
+            page_ids = [d["doc_id"] for d in docs]
+            snips = (
+                self._source_with_ids()
+                .where(F.col("doc_id").isin(page_ids))
+                .select("doc_id", snippet_col)
+                .collect()
+            )
+            out["clusters"] = cluster_search_results(
+                {int(r["doc_id"]): r[snippet_col] for r in snips},
+                num_descriptions=int(params.get("carrot.numDescriptions", 5)),
+            )
+
         sq = params.get("spellcheck.q")
         if str(params.get("spellcheck", "")).lower() == "true" and sq:
             from .components import spellcheck as _spellcheck

@@ -76,6 +76,38 @@ def test_cluster_hits_component_flow(spark, tmp_path):
     assert all_ids <= hit_ids
 
 
+def test_select_facade_clustering(spark, tmp_path):
+    """/select with clustering=true attaches the "clusters" key, clustering
+    the returned page over carrot.snippet."""
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import Searcher
+    from lucene_solr_spark.query.qparser import SolrQueries
+
+    rows = [(f"u{k}", text) for k, text in SNIPPETS.items()]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    idx = build_index(spark, pages, str(tmp_path / "idx"))
+    facade = SolrQueries(Searcher(spark, idx), source=pages)
+    resp = facade.select({
+        "q": "lucene search fishing salmon river",
+        "rows": 6,
+        "clustering": "true",
+        "carrot.snippet": "text",
+    })
+    assert "clusters" in resp and resp["clusters"]
+    page_ids = {d["doc_id"] for d in resp["response"]["docs"]}
+    for c in resp["clusters"]:
+        assert set(c["docs"]) <= page_ids
+        assert c["labels"]
+    # component off by default / with clustering.results=false
+    resp2 = facade.select({"q": "lucene", "rows": 3})
+    assert "clusters" not in resp2
+    resp3 = facade.select({
+        "q": "lucene", "rows": 3,
+        "clustering": "true", "clustering.results": "false",
+    })
+    assert "clusters" not in resp3
+
+
 def test_hashed_vectors_shape_and_plan(spark):
     docs = spark.createDataFrame(
         [(k, t) for k, t in SNIPPETS.items()], "doc_id long, text string"
