@@ -182,6 +182,35 @@ def test_enforce_schema_raises(spark):
         )
 
 
+def test_langid_feeds_lang_dispatch_build(spark, tmp_path):
+    """The full multilingual pipeline: langid populates the lang column
+    that build_index(tokenizer='lang') dispatches on — the Solr
+    langid-UpdateProcessor-before-analysis chain, end to end."""
+    from lucene_solr_spark.index.build import build_index
+    from lucene_solr_spark.query.executor import Searcher
+
+    rows = [
+        ("u1", GLOBAL_FIXTURES[1][1]),   # en
+        ("u2", GLOBAL_FIXTURES[6][1]),   # de
+        ("u3", GLOBAL_FIXTURES[7][1]),   # fr
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+    tagged = langid_transform(pages, fl=["text"], lang_field="lang", fallback="en")
+    assert {r["lang"] for r in tagged.collect()} == {"en", "de", "fr"}
+    idx = build_index(spark, tagged, str(tmp_path / "idx"), tokenizer="lang")
+    s = Searcher(spark, idx)
+    # German query stems under the de chain and must hit the de doc
+    s.query_lang = "de"
+    hits = s.search("Skalierbarkeit", k=3).collect()
+    urls = {
+        r["url"]
+        for r in spark.read.parquet(idx.docs)
+        .where(f"doc_id in ({','.join(str(h['doc_id']) for h in hits)})")
+        .collect()
+    }
+    assert urls == {"u2"}
+
+
 def test_plan_is_jvm_only(spark):
     """The whole processor — detection, resolution, mapping — is column
     expressions: one codegen'd map stage, no Python eval, no shuffle."""
