@@ -783,8 +783,33 @@ class SolrQueries:
                 .select("doc_id", snippet_col)
                 .collect()
             )
+            texts = {int(r["doc_id"]): r[snippet_col] for r in snips}
+            if str(params.get("carrot.produceSummary", "")).lower() == "true":
+                # CarrotClusteringEngine.getDocuments:396-457: highlight the
+                # snippet field with EMPTY pre/post tags, join fragments
+                # with " . " (no cross-fragment phrases), fall back to the
+                # full content when highlighting yields nothing
+                from .highlight import format_passages, highlight_passages
+
+                terms = set(self.searcher.analyze_query(q))
+                frag = int(params.get(
+                    "carrot.fragSize", params.get("hl.fragsize", 100)))
+                nsnip = int(params.get(
+                    "carrot.summarySnippets", params.get("hl.snippets", 1)))
+                for did, text in texts.items():
+                    ps = [
+                        p for p in highlight_passages(
+                            text or "", terms, max_passages=nsnip)
+                        if p["matches"]
+                    ]
+                    if ps:
+                        texts[did] = " . ".join(
+                            format_passages(
+                                [p], (text or "")[:10000], pre="", post="")[:frag]
+                            for p in ps
+                        )
             out["clusters"] = cluster_search_results(
-                {int(r["doc_id"]): r[snippet_col] for r in snips},
+                texts,
                 num_descriptions=int(params.get("carrot.numDescriptions", 5)),
             )
 

@@ -106,6 +106,16 @@ def test_select_facade_clustering(spark, tmp_path):
         "clustering": "true", "clustering.results": "false",
     })
     assert "clusters" not in resp3
+    # carrot.produceSummary clusters the query-focused highlighter
+    # summaries instead of the full field
+    resp4 = facade.select({
+        "q": "lucene search fishing salmon river",
+        "rows": 6,
+        "clustering": "true",
+        "carrot.produceSummary": "true",
+        "carrot.fragSize": 80,
+    })
+    assert "clusters" in resp4 and resp4["clusters"]
 
 
 def test_hashed_vectors_shape_and_plan(spark):
