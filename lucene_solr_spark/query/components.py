@@ -970,3 +970,44 @@ def luke_overview(searcher, top_n: int = 10) -> dict:
             .limit(top_n)
         ),
     }
+
+
+def duplicate_filter(
+    field_docs: DataFrame,
+    field: str,
+    keep_mode: str = "last",
+    processing_mode: str = "full",
+    all_docs: DataFrame | None = None,
+) -> DataFrame:
+    """DuplicateFilter (lucene/sandbox/.../DuplicateFilter.java:38-160):
+    one DocIdSet bit per distinct value of `field`, the kept doc being the
+    first or last occurrence in docID order (KM_USE_FIRST_OCCURRENCE /
+    KM_USE_LAST_OCCURRENCE, correctBits:90-125).
+
+    processing_mode='full' (PM_FULL_VALIDATION): only docs that HAVE the
+    field and win their group survive. 'fast' (PM_FAST_INVALIDATION,
+    fastBits:127-160): start from ALL docs (pass `all_docs`) and unset the
+    losers — docs without the field stay set, the documented fast-mode
+    imprecision. One map-side-combinable min/max aggregation, no window.
+    """
+    agg = F.min("doc_id") if keep_mode in ("first", "KM_USE_FIRST_OCCURRENCE") \
+        else F.max("doc_id")
+    keepers = (
+        field_docs.select("doc_id", field)
+        .where(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(agg.alias("doc_id"))
+        .select("doc_id")
+    )
+    if processing_mode in ("full", "PM_FULL_VALIDATION"):
+        return keepers
+    if all_docs is None:
+        raise ValueError("processing_mode='fast' needs all_docs")
+    losers = (
+        field_docs.select("doc_id", field)
+        .where(F.col(field).isNotNull())
+        .join(keepers.withColumnRenamed("doc_id", "keep_id"),
+              F.col("doc_id") == F.col("keep_id"), "left_anti")
+        .select("doc_id")
+    )
+    return all_docs.select("doc_id").join(losers, "doc_id", "left_anti")
