@@ -226,7 +226,21 @@ def token_array_for(text: Column, tokenizer: str = "jvm") -> Column:
         # the fidelity path; Latin-script runs take the same UAX#29 regex
         # the JVM path compiles.
         return tokenize_icu_prestop_udf(text)
+    if tokenizer == "preanalyzed":
+        # PreAnalyzedField: the column holds a SERIALIZED token stream
+        # (JSON or simple format) — parse it, position increments become
+        # "" placeholder slots for the inverter's prefiltered path
+        return tokenize_preanalyzed_udf(text)
     raise ValueError(f"unknown tokenizer '{tokenizer}'")
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_preanalyzed_udf(vals: pd.Series) -> pd.Series:
+    """Arrow-batched PreAnalyzedField parser (analysis/preanalyzed.py):
+    serialized stream → placeholder token array (one slot per position)."""
+    from .preanalyzed import preanalyzed_placeholder_tokens
+
+    return vals.map(preanalyzed_placeholder_tokens)
 
 
 def folding_analyze(text: str | None) -> list[tuple[int, str]]:

@@ -384,7 +384,7 @@ def invert_tokens(
     stem = tokenizer == "english"
     fold_icu = tokenizer == "icu_folding"
     lang_mode = tokenizer == "lang"
-    prefiltered = tokenizer == "lang-fidelity"
+    prefiltered = tokenizer in ("lang-fidelity", "preanalyzed")
 
     def kernel(batches):
         for pdf in batches:
@@ -428,7 +428,7 @@ def invert_and_pack_partials(
     stem = tokenizer == "english"
     fold_icu = tokenizer == "icu_folding"
     lang_mode = tokenizer == "lang"
-    prefiltered = tokenizer == "lang-fidelity"
+    prefiltered = tokenizer in ("lang-fidelity", "preanalyzed")
 
     def kernel(batches):
         for pdf in batches:
@@ -720,6 +720,15 @@ def _doc_length_dispatch(text_col: str, tokenizer: str, lang_col: str):
         from ..analysis.lang import lang_doc_length_col_fidelity
 
         return lang_doc_length_col_fidelity(F.col(text_col), F.col(lang_col))
+    if tokenizer == "preanalyzed":
+        # post-stop length = non-placeholder slots (the "" slots consume
+        # positions but are not indexed terms, like stopword holes)
+        return F.size(
+            F.filter(
+                token_array_for(F.col(text_col), tokenizer),
+                lambda t: F.length(t) > 0,
+            )
+        )
     return doc_length_col_for(F.col(text_col), tokenizer)
 
 
