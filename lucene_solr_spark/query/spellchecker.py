@@ -116,7 +116,12 @@ class NGramSpellChecker:
         num_sug: int = 5,
         suggest_mode: str = "when_not_in_index",
         accuracy: float | None = None,
+        distance: str = "levenshtein",
     ) -> list[str]:
+        """`distance` mirrors setStringDistance (SpellChecker.java:239-247;
+        the reference test cycles Levenstein/JaroWinkler/NGram distances):
+        'levenshtein' (default), 'jarowinkler', 'ngram' — the same
+        implementations backing the strdist() function query."""
         accuracy = self.accuracy if accuracy is None else accuracy
         if not self.has_freq:
             suggest_mode = "always"
@@ -150,9 +155,20 @@ class NGramSpellChecker:
             .orderBy(F.desc("gscore"), F_WORD)
             .limit(10 * num_sug)  # maxHits (:369)
         )
-        sim = F.lit(1.0) - F.levenshtein(F.lit(word), F.col(F_WORD)).cast(
-            "double"
-        ) / F.greatest(F.length(F_WORD), F.lit(l)).cast("double")
+        if distance == "levenshtein":
+            sim = F.lit(1.0) - F.levenshtein(F.lit(word), F.col(F_WORD)).cast(
+                "double"
+            ) / F.greatest(F.length(F_WORD), F.lit(l)).cast("double")
+        elif distance == "jarowinkler":
+            from ..functions.valuesources import strdist_jaro_winkler
+
+            sim = strdist_jaro_winkler(F.lit(word), F.col(F_WORD))
+        elif distance == "ngram":
+            from ..functions.valuesources import strdist_ngram
+
+            sim = strdist_ngram(F.lit(word), F.col(F_WORD))
+        else:
+            raise ValueError(f"unknown distance '{distance}'")
         out = (
             cand.where(F.col(F_WORD) != word)
             .withColumn("score", sim)

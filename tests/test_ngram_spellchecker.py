@@ -64,6 +64,19 @@ def test_index_backed_modes(spark, tmp_path):
         assert w != "rar"
 
 
+def test_pluggable_distances(file_sc):
+    # TestSpellChecker cycles string distances (:125-143); JaroWinkler at
+    # accuracy 0.8 still admits fvie→five (score ≈ 0.925), 0.93 rejects it
+    assert file_sc.suggest_similar(
+        "fvie", 2, accuracy=0.92, distance="jarowinkler") == ["five"]
+    assert file_sc.suggest_similar(
+        "fvie", 2, accuracy=0.93, distance="jarowinkler") == []
+    assert file_sc.suggest_similar(
+        "fiv", 2, distance="ngram", accuracy=0.3)[0] == "five"
+    with pytest.raises(ValueError):
+        file_sc.suggest_similar("fvie", 2, distance="bogus")
+
+
 def test_ordering_score_then_freq(spark):
     # two equally-distant candidates order by freq
     words = spark.createDataFrame(
