@@ -244,3 +244,36 @@ class ProcessorChain:
         for step in self.steps:
             df = step(df)
         return df
+
+
+def regexp_boost(
+    df: DataFrame,
+    boost_entries,
+    input_field: str = "url",
+    boost_field: str = "urlboost",
+) -> DataFrame:
+    """RegexpBoostProcessor (RegexpBoostProcessor.java:40-178): match
+    `input_field` against each (pattern, boost) entry — whole-value match
+    (Matcher.matches(), :170) — multiplying the boosts of every matching
+    pattern into `boost_field` (double, 1.0 when nothing matches).
+    `boost_entries` is a list of (pattern, boost) or a boost file path
+    (lines `<pattern><whitespace><boost>`, :137)."""
+    if isinstance(boost_entries, str):
+        entries = []
+        with open(boost_entries) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                if len(parts) == 2:
+                    entries.append((parts[0], float(parts[1])))
+        boost_entries = entries
+    boost = F.lit(1.0)
+    for pattern, b in boost_entries:
+        # matches() = anchored whole-value match
+        boost = boost * F.when(
+            F.regexp_like(F.col(input_field), F.lit(f"^(?:{pattern})$")),
+            F.lit(float(b)),
+        ).otherwise(F.lit(1.0))
+    return df.withColumn(boost_field, boost)

@@ -99,3 +99,23 @@ def test_chain_composes(spark):
     )
     r = chain.run(df).collect()[0]
     assert r["n"] == 42 and r["note"] == "none" and r["ts"] is not None
+
+
+def test_regexp_boost(spark):
+    from lucene_solr_spark.pipeline.processors import regexp_boost
+
+    df = spark.createDataFrame(
+        [("https://my.domain.com/temp1",),
+         ("https://my.domain.com/keep",),
+         ("https://spam.site/temp2",)],
+        "url string",
+    )
+    out = regexp_boost(df, [
+        (r"https?://my\.domain\.com/temp.*", 0.2),
+        (r".*spam.*", 0.1),
+        (r".*temp.*", 0.5),   # multiplies with the others on overlap
+    ])
+    got = {r["url"]: r["urlboost"] for r in out.collect()}
+    assert got["https://my.domain.com/temp1"] == pytest.approx(0.2 * 0.5)
+    assert got["https://my.domain.com/keep"] == 1.0
+    assert got["https://spam.site/temp2"] == pytest.approx(0.1 * 0.5)
