@@ -12,7 +12,9 @@ with zipfile.ZipFile("dist/lucene_solr_spark.zip", "w", zipfile.ZIP_DEFLATED) as
         if "__pycache__" in root:
             continue
         for f in files:
-            if f.endswith(".py"):
+            # .bin: marshal data blobs loaded via importlib.resources
+            # (e.g. analysis/stempel_data.bin), readable from the zip
+            if f.endswith((".py", ".bin")):
                 p = os.path.join(root, f)
                 z.write(p, p)
 print("wrote dist/lucene_solr_spark.zip")

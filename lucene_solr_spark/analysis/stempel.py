@@ -22,7 +22,8 @@ tests/test_stempel.py.
 
 from __future__ import annotations
 
-from .stempel_data import FORWARD, STOP_PL, TRIES
+from . import stempel_data
+from .stempel_data import FORWARD, STOP_PL
 
 __all__ = ["STOP_PL", "polish_stem", "stempel_stem"]
 
@@ -42,11 +43,13 @@ _ROWMAPS: list[tuple[bool, int, tuple[str, ...], list[dict]]] | None = None
 def _ensure_rowmaps() -> list:
     global _ROWMAPS
     if _ROWMAPS is None:
+        # stempel_data.TRIES is a lazy module attribute (marshal blob on
+        # first access) so workers that never stem Polish skip the load
         _ROWMAPS = [
             (forward, root, cmds,
              [{ch: (cmd, ref, skip) for ch, cmd, ref, skip in cells}
               for cells in rows])
-            for forward, root, cmds, rows in TRIES
+            for forward, root, cmds, rows in stempel_data.TRIES
         ]
     return _ROWMAPS
 

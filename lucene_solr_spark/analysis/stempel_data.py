@@ -2,13 +2,35 @@
 from the reference's stemmer_20000.tbl (egothor MultiTrie2,
 method='-0ME2', 8 tries, 121822 cells) and
 pl/stopwords.txt.
+
+The trie table itself lives in stempel_data.bin (marshal,
+same tuple shape) and is loaded lazily via module
+__getattr__ on first TRIES access — keeping this module's
+import cost negligible for the analysis.lang dispatch that
+every UDF worker pays on spawn.
 """
 
 FORWARD = False
 BY = 1
 
-# per-trie: (forward, root, cmds, rows); each row is a tuple
-# of (char, cmd_index, ref_row, skip) cells
-TRIES = ((False, 0, ('-a', 'Da', 'Dc', 'Db', 'Ić', 'DbRć', 'DaRć', 'DcRć', 'DgRć', 'DfRć', 'DeRć', 'DdRć', 'Rć', 'DbRćRi', 'DaRćRi', 'DdRćRi', 'DcRćRi', 'RćRi', 'IćIiRs', 'RćRiRs', 'IaRj', 'Ra', 'DaRa', 'IćIaRwRo', 'DaRćRaRwRo', 'IćRaRwRo', 'DbRćRaRwRo', 'RćRaRwRo', 'Ry', 'DbRy', 'DaRy', 'Iy', '-s', 'DaRk', 'Dd', 'DaRaRg', 'RiRk', 'Ri', 'DaRt', 'DbRt', 'RaRk', 'Ia', '-i', 'Ii', 'DbRi', 'DaRi', 'DaRcReRiRn', 'Ic', 'Rc', 'RcReRiRn', 'DaRćRaRr', 'DbRćRa', 'RćRa', 'DcRćRa', 'DaRćRa', 'Re', 'DbRe', 'DaRe', 'IeIiRn', 'Rk', '-m', 'IćIąRn', 'RćRąRn', 'DaRćRąRn', 'IćRąRn', 'DeRćRąRn', 'DdRćRąRn', 'DcRćRąRn', 'DbRćRąRn', 'RćRą', 'DcRćRą', 'DbRćRą', 'DeRćRą', 'DdRćRą', 'IćRą', 'DaRńRe', 'DcRńRe', 'Rń', 'DbRńRe', 'Ro', 'DaRo', 'IeIiRc', 'DaRz', 'DcRz', 'DbRz', 'IćIi', 'IćRi', 'DbRa', '-h', 'RyRt', 'DcRa', 'RaRtRs', 'DaRaRtRs', '-n', 'DcRk', 'DaRćRe', 'RćRe', 'DcRćRe', 'DdRćRe', 'DbRćRe', 'DgRćRe', 'DfRćRe', 'DeRćRe', 'DaRaRkRń', 'IćIy', 'DaRćRy', 'DbRćRy', 'DdRćRy', 'DcRćRy', 'RćRy', 'IćRy', '-k', '-o', 'RćRiRc', '-l', 'DaRń', 'DbRń', 'DdRń', 'DcRń', '-j', 'RyRł', 'DbRo', 'DaRiRkRn', 'DbRiRkRn', 'IaIiRn', 'Rl', 'DaRćRą', 'DgRćRą', 'DfRćRą', 'Rł', 'Ił', 'ImRu', 'DaRmRu', 'RmRu', 'DcRćRś', 'DeRćRś', 'DdRćRś', 'DaRćRś', 'RćRśRe', 'DaRćRśRe', 'DcRćRśRe', 'DdRćRśRe', 'DbRćRśRe', 'IćRiRo', 'DaRćRiRo', 'DaRaRt', 'DaRł', 'DaRćRź', 'DdRćRź', 'DcRćRź', 'DfRćRź', 'DeRćRź', 'DbRćRź', 'RćRź', 'DgRćRź', '-e', 'DbRg', 'DaRcReRi', 'RcReRi', 'IćRaRw', 'DbRćRaRw', 'DaRćRaRw', 'DbRtRs', 'DaRlReRi', 'Il', 'RlReRi', 'IćIa', 'IćIiRn', 'RćRiRn', 'IćRaRt', 'DbRćRaRt', 'RćRaRt', 'DcRćRaRt', 'DaRćRaRt', 'IćIaRwRy', 'DaRćRaRwRy', 'IćRaRwRy', 'DbRćRaRwRy', 'RćRaRwRy', '-g', 'IćIaRwRi', 'DaRćRaRwRi', 'IćRaRwRi', 'DbRćRaRwRi', 'RćRaRwRi', 'Io', 'IćIiRz', 'RćRiRz', 'DaRćRiRz', 'DcRćRiRz', 'DbRćRiRz', 'IćRiRz', 'RoRł', 'DaRc', 'DcRc', 'DdRc', 'DbRc', 'DbRcRą', 'DdRcRą', 'DgRcRą', 'DeRcRą', 'DfRcRą', 'DaRcRą', 'DcRcRą', 'RjRó', '-q', 'RyRtRs', 'DaRyRtRs', 'IćIe', 'IćIeRi', '-b', 'IćReRiRc', 'DaRiRk', 'DcRiRk', 'DbRiRk', '-f', 'Rr', 'IćRe', '-p', 'DdRćRa', 'DeRy', 'IćIś', 'RćRś', 'DfRćRś', 'DbRćRś', 'IćRś', 'IńIe', 'IńRe', 'Iń', 'RńRe', '-d', 'IoRk', 'DbRoRk', 'RoRkRc', 'RaRt', 'DgRćRś', 'Ie', 'DaRnRi', 'RnRi', 'Rn', 'DbRnRi', 'In', 'IćRa', 'IaIiRs', 'IiRn', 'RaRhRc', 'DdRy', 'DfRy', 'IeRi', 'DaRoRł', 'DaRiRg', 'DaRłReRz', 'RłReRz', 'DaRcReRiRs', 'RcReRiRs', 'RaRł', 'IćIeIi', 'IćReRi', 'IćIeIiIzRd', 'IćIeIiRzRd', 'DdRyRt', 'DaRyRt', 'DcRy', 'IyRhRc', 'DaRoRt', 'DbRćRśRj', 'DdRćRśRj', 'DeRćRśRj', 'DaRćRśRj', 'DcRćRśRj', 'RaRi', 'DeRa', 'DdRa', 'Rh', 'DbRhRc', 'DdRhRc', 'DcRhRc', 'DaRtRs', 'DaRź', 'DbRź', 'IćIaRz', 'DaRćRaRz', 'IćRaRz', 'DbRćRaRz', 'RćRaRz', 'IcReRi', 'DaRaRł', 'RćRźRe', 'DbRćRźRe', 'DaRćRźRe', 'DcRćRźRe', 'DdRćRźRe', 'DgRćRźRe', 'DfRćRźRe', 'DeRćRźRe', 'DaRćRśRó', 'DcRź', 'DdRź', 'IćRąRnRs', 'DaRćRąRnRs', 'DeRćRąRnRs', 'DdRćRąRnRs', 'DcRćRąRnRs', 'DbRćRąRnRs', 'RćReRz', 'DbRćReRz', 'DaRćReRz', 'IćReRz', 'DeRćReRz', 'DdRćReRz', 'DcRćReRz', 'IćIeRz', 'DaRćRiRnRoRg', 'DgRy', 'DaRłRó', 'DaRłRs', 'DaRćRśRą', 'DdRćRśRą', 'DcRćRśRą', 'DfRćRśRą', 'DeRćRśRą', 'DbRćRśRą', 'RćRśRą', 'DaRoRn', 'RyRż', 'DcRoRk', 'DaRoRk', 'RhRc', 'De', 'Dg', 'Df', 'DgRc', 'DeRc', 'IyRz', 'RćRaRw', 'DbRś', 'DdRś', 'DcRś', 'DeRś', 'IćIeIiRz', 'IćReRiRz', 'RćRaRhRc', 'DcRćRaRhRc', 'DbRćRaRhRc', 'IćIaRhRc', 'DaRćRaRhRc', 'IćRaRk', 'DbRćRaRk', 'RćRaRk', 'DcRćRaRk', 'DaRćRaRk', 'DaRrReRi', 'RrReRi', 'Ir', '-r', 'Ik', 'RcReRiRz', 'DaRcReRiRz', 'IćRąRnRz', 'IcIe', 'DaRwRe', 'Iw', 'RwRe', 'IwRe', 'IaIiRc', 'RiRl', 'IiRl', 'DaRiRl', 'DaRćRźReRl', 'IćRźReRl', 'RyRłRs', 'DaRś', 'DaRćRaRłRs', 'DdRćRaRłRs', 'DbRćRaRłRs', 'DeRćRaRłRs', 'DcRćRaRłRs', 'IćRaRłRs', 'RćRaRłRs', 'DaRyRłRa', 'DdRyRłRa', 'IćRąRi', 'DaRćRąRiRz', 'DaRćRśRjRe', 'IkIyRz', 'RkRyRzRc', 'IkRyRzRc', 'DaRf', 'DaRłRo', 'DaRaRn', 'RoRłRa', 'DaRę', 'RkRe', 'DdRyRł', 'DfRyRł', 'DaRkReRiRs', 'RkReRiRs', 'DfRćRy', 'DeRćRy', 'DaRzReRi', 'Rz', 'Iz', 'RzReRi', 'DaRaRr', 'RtRs', 'RoRłRs', 'DaRtRe', 'Rt', 'DfRc', 'DaRcReRz', 'RcReRz', 'DaRćRyRż', 'DcRę', 'DdRę', 'DbRę', 'DcRo', 'DdRćRaRk', 'DaRtReRs', 'DbRj', 'DaRj', 'DaRoRtRsRa', 'DaRcRe', 'DbRcRe', 'DdRcRe', 'DeRcRe', 'DcRcRe', 'DgRcRe', 'DbRyRn', 'DaRyRn', 'DaRłReRi', 'RłReRi', 'Rj', 'IćRąRiRc', 'RćReRi', '-c', 'DaRaRkRć', 'IeRj', 'DaRnRo', 'RnRo', 'DbRnRo', 'DeRnRo', 'DcRćRaRwRy', 'DbRoRtRs', 'DaRćRąRiRc', 'RćRąRiRc', 'IaIi', 'DbRcRó', 'DdRcRó', 'DgRcRó', 'DeRcRó', 'DaRcRó', 'DcRcRó', 'DfRcRó', '-t', 'Rę', 'DaRęRi', 'RyRłRz', 'DaRgRó', 'DbRtRa', 'DaRćReRi', 'DbRćReRi', 'DaRaRc', 'DaRćRaRłRsRe', 'IjRó', 'DaRjRó', 'DbRjRó', 'DaRćRiRbRoRr', 'DbRtRó', 'DbRyRł'), ((('1', 6, -1, 0), ('a', -1, 1, 0), ('b', -1, 4668, 0), ('c', -1, 4669, 0), ('d', -1, 4671, 0), ('e', -1, 3970, 0), ('f', -1, 4670, 0), ('g', -1, 4672, 0), ('h', -1, 1533, 0), ('i', -1, 4673, 0), ('j', -1, 4680, 0), ('k', -1, 4462, 0), ('l', -1, 4405, 0), ('m', -1, 4681, 0), ('n', -1, 3493, 0), ('o', 0, 3732, 0), ('p', -1, 3612, 0), ('r', -1, 2057, 0), ('s', -1, 2257, 0), ('t', -1, 4525, 0), ('u', -1, 4587, 0), ('w', -1, 1771, 0), ('y', -1, 1501, 0), ('z', -1, 1233, 0), ('ą', -1, 4522, 0), ('ć', -1, 1591, 0), ('ę', -1, 3006, 0), ('ł', -1, 1163, 0), ('ń', -1, 104, 0), ('ś', -1, 287, 0), ('ź', -1, 188, 0), ('ż', -1, 386, 0)), (('a', 0, -1, 0), ('b', -1, 2, 0), ('c', -1, 4606, 0), ('d', -1, 4612, 0), ('e', -1, 2085, 0), ('f', -1, 4617, 0), ('g', -1, 4618, 0), ('h', -1, 4613, 0), ('i', -1, 1023, 0), ('j', -1, 4622, 0), ('k', -1, 4624, 0), ('l', -1, 4650, 0), ('m', 209, 4652, 0), ('n', -1, 4653, 0), ('o', -1, 172, 0), ('p', -1, 4158, 0), ('r', -1, 4657, 0), ('s', -1, 4658, 0), ('t', -1, 4659, 0), ('u', 0, -1, 0), ('w', -1, 4660, 0), ('y', 1, -1, 0), ('z', -1, 4661, 0), ('ł', -1, 4665, 0), ('ż', -1, 4667, 0)), (('a', -1, 3, 0), ('d', 4, -1, 0), ('e', -1, 4604, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1517, 0), ('u', -1, 4605, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ć', 28, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 3, -1, 0), ('e', 30, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 30, -1, 0), ('o', -1, 4, 0), ('p', 16, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 62, -1, 0), ('w', 1, -1, 0), ('y', 3, -1, 0), ('z', 194, -1, 0)), (('a', -1, 5, 0), ('b', 40, -1, 0), ('d', 3, -1, 0), ('e', -1, 3100, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 63, -1, 0), ('m', 40, -1, 0), ('o', -1, 681, 0), ('p', 3, -1, 0), ('r', -1, 2285, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('w', 22, -1, 0), ('y', -1, 1033, 0), ('z', -1, 1831, 0)), (('-', 0, -1, 0), ('a', -1, 6, 0), ('b', -1, 2796, 0), ('c', 25, -1, 0), ('d', 109, -1, 0), ('e', -1, 96, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 109, -1, 0), ('i', -1, 148, 0), ('j', 109, -1, 0), ('k', 109, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', -1, 536, 0), ('o', -1, 468, 0), ('p', 109, -1, 0), ('r', -1, 20, 0), ('s', 176, -1, 0), ('t', 12, -1, 0), ('u', -1, 313, 0), ('w', 109, -1, 0), ('y', -1, 2130, 0), ('z', 12, -1, 0), ('ó', 109, -1, 0), ('ą', 14, -1, 0), ('ę', 109, -1, 0), ('ł', 52, -1, 0), ('ś', -1, 654, 0), ('ż', 109, -1, 0)), (('a', -1, 7, 0), ('b', 14, -1, 0), ('c', -1, 449, 0), ('d', 21, -1, 0), ('e', -1, 891, 0), ('g', 14, -1, 0), ('i', -1, 1468, 0), ('j', 224, -1, 0), ('k', 79, -1, 0), ('l', 17, -1, 0), ('m', 14, -1, 0), ('n', 105, -1, 0), ('o', 58, 42, 0), ('p', 21, -1, 0), ('r', -1, 239, 0), ('s', -1, 378, 0), ('t', 28, -1, 0), ('u', 0, 164, 0), ('w', 14, -1, 0), ('y', 109, -1, 0), ('z', 17, -1, 0), ('ą', 109, -1, 0), ('ł', -1, 19, 0), ('ś', 100, 2166, 0), ('ż', 28, -1, 0)), (('a', -1, 8, 0), ('b', 3, -1, 0), ('c', 98, -1, 0), ('d', 0, 310, 0), ('e', -1, 433, 0), ('f', 22, -1, 0), ('g', 11, -1, 0), ('h', -1, 1137, 0), ('i', -1, 21, 0), ('j', 10, -1, 0), ('k', 21, -1, 0), ('l', 11, -1, 0), ('m', 96, 156, 0), ('n', -1, 954, 0), ('o', 11, -1, 0), ('p', -1, 857, 0), ('r', 11, -1, 0), ('s', 196, -1, 0), ('t', 98, -1, 0), ('u', -1, 421, 0), ('w', 11, -1, 0), ('y', 17, -1, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ś', 110, -1, 0)), (('a', 11, -1, 0), ('b', 98, -1, 0), ('c', 0, 9, 0), ('d', 11, -1, 0), ('e', -1, 433, 0), ('g', 0, 148, 0), ('h', -1, 68, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('k', 17, -1, 0), ('l', 11, -1, 0), ('m', 98, -1, 0), ('n', 0, 288, 0), ('o', 11, -1, 0), ('p', 98, -1, 0), ('r', 98, -1, 0), ('s', 98, -1, 0), ('t', 110, -1, 0), ('u', 11, -1, 0), ('w', 98, -1, 0), ('y', 11, -1, 0), ('z', 98, -1, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0), ('ł', 11, -1, 0), ('ś', -1, 1964, 0), ('ż', 80, -1, 0)), (('a', 11, -1, 0), ('b', -1, 10, 0), ('c', 98, -1, 0), ('d', 179, -1, 0), ('e', 11, -1, 0), ('f', 98, -1, 0), ('g', 21, -1, 0), ('h', 11, -1, 0), ('i', -1, 134, 0), ('j', 106, 386, 0), ('k', 25, -1, 0), ('l', -1, 33, 0), ('m', 98, 1086, 0), ('n', -1, 2183, 0), ('o', -1, 360, 0), ('p', -1, 707, 0), ('r', 11, -1, 0), ('s', -1, 58, 0), ('t', -1, 80, 0), ('u', -1, 499, 0), ('w', 11, 9, 0), ('y', -1, 1247, 0), ('z', -1, 296, 0), ('ó', -1, 1799, 0), ('ę', 7, -1, 0), ('ł', -1, 1313, 0), ('ś', -1, 172, 0), ('ź', 11, -1, 0)), (('a', -1, 11, 0), ('b', 0, 916, 0), ('c', 0, 106, 0), ('d', -1, 1649, 0), ('e', 194, -1, 0), ('f', 6, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 62, -1, 0), ('j', 0, -1, 0), ('k', 86, -1, 0), ('l', -1, 2185, 0), ('m', 12, -1, 0), ('n', 6, -1, 0), ('o', 4, -1, 0), ('p', 6, -1, 0), ('r', 11, -1, 0), ('s', 62, -1, 0), ('t', -1, 1793, 0), ('u', -1, 467, 0), ('w', 62, -1, 0), ('y', -1, 707, 0), ('z', 98, -1, 0), ('ę', -1, 433, 0), ('ł', 55, -1, 0), ('ś', 21, 936, 0)), (('a', -1, 12, 0), ('b', 98, -1, 0), ('c', 109, -1, 0), ('d', 11, -1, 0), ('e', 98, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', 62, -1, 0), ('j', 1, 359, 0), ('k', 21, -1, 0), ('l', -1, 755, 0), ('m', 109, -1, 0), ('n', 109, -1, 0), ('o', -1, 433, 0), ('p', 12, 755, 0), ('r', -1, 149, 0), ('s', 58, -1, 0), ('t', 1, -1, 0), ('u', 2, -1, 0), ('w', -1, 452, 0), ('y', -1, 168, 0), ('z', 224, -1, 0), ('ó', 11, -1, 0), ('ę', 3, -1, 0), ('ł', 0, 44, 0), ('ś', -1, 398, 0)), (('a', -1, 13, 0), ('b', 0, 1966, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 799, 0), ('g', 95, 140, 0), ('h', -1, 2535, 0), ('i', -1, 388, 0), ('j', -1, 2214, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 98, -1, 0), ('n', -1, 146, 0), ('o', 5, -1, 0), ('p', 12, -1, 0), ('r', 11, -1, 0), ('s', -1, 101, 0), ('t', 62, -1, 0), ('u', 5, 433, 0), ('w', 11, -1, 0), ('y', 12, -1, 0), ('z', 194, -1, 0), ('ę', 99, -1, 0), ('ł', 0, 288, 0), ('ś', -1, 815, 0)), (('a', -1, 14, 0), ('b', 186, -1, 0), ('c', -1, 429, 0), ('d', 7, -1, 0), ('e', -1, 1035, 0), ('f', 0, 346, 0), ('g', 186, -1, 0), ('h', -1, 378, 0), ('i', 63, -1, 0), ('j', 0, 310, 0), ('k', -1, 111, 0), ('l', -1, 296, 0), ('m', 98, 8, 0), ('n', -1, 296, 0), ('o', 186, -1, 0), ('p', 222, -1, 0), ('r', 186, -1, 0), ('s', 7, -1, 0), ('t', 14, -1, 0), ('u', 186, -1, 0), ('w', -1, 387, 0), ('y', 186, -1, 0), ('z', 186, -1, 0), ('ó', 140, -1, 0), ('ą', -1, 2100, 0), ('ę', 7, -1, 0), ('ł', 186, -1, 0), ('ś', 96, 503, 0), ('ż', 0, 288, 0)), (('a', -1, 15, 0), ('b', -1, 478, 0), ('c', -1, 106, 0), ('d', 11, -1, 0), ('e', -1, 521, 0), ('f', 0, -1, 0), ('g', 99, 186, 0), ('h', -1, 405, 0), ('i', 339, -1, 0), ('j', -1, 521, 0), ('k', 18, -1, 0), ('l', 48, -1, 0), ('m', 62, -1, 0), ('n', 0, -1, 0), ('o', 186, -1, 0), ('p', -1, 59, 0), ('r', -1, 862, 0), ('s', -1, 360, 0), ('t', -1, 754, 0), ('u', 186, -1, 0), ('w', 186, -1, 0), ('y', 186, -1, 0), ('z', 4, -1, 0), ('ó', -1, 13, 0), ('ą', -1, 387, 0), ('ę', -1, 188, 0), ('ł', -1, 781, 0), ('ś', -1, 708, 0), ('ź', 186, -1, 0), ('ż', -1, 569, 0)), (('a', -1, 16, 0), ('b', -1, 891, 0), ('c', -1, 1098, 0), ('d', 98, 135, 0), ('e', -1, 111, 0), ('f', -1, 1932, 0), ('g', 99, 239, 0), ('h', 0, 225, 0), ('i', 63, -1, 0), ('j', 0, 225, 0), ('k', 0, 862, 0), ('l', 58, -1, 0), ('m', 98, 80, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', 195, 403, 0), ('r', 186, -1, 0), ('s', 186, -1, 0), ('t', -1, 11, 0), ('u', 21, -1, 0), ('w', 186, -1, 0), ('y', 7, -1, 0), ('z', 186, -1, 0), ('ó', -1, 522, 0), ('ą', -1, 17, 0), ('ę', 63, -1, 0), ('ł', 186, -1, 0), ('ś', -1, 489, 0), ('ż', -1, 2702, 0)), (('a', -1, 17, 0), ('b', 63, -1, 0), ('c', -1, 100, 0), ('d', 411, -1, 0), ('e', -1, 1644, 0), ('f', 4, -1, 0), ('g', 63, -1, 0), ('h', 0, 128, 0), ('i', 0, -1, 0), ('j', 0, 64, 0), ('k', 7, 521, 0), ('l', 423, -1, 0), ('m', 63, -1, 0), ('n', -1, 242, 0), ('o', 104, -1, 0), ('p', 134, -1, 0), ('r', 0, -1, 0), ('s', -1, 100, 0), ('t', 3, -1, 0), ('u', 195, -1, 0), ('w', 104, -1, 0), ('y', 3, -1, 0), ('z', 48, -1, 0), ('ó', -1, 521, 0), ('ą', -1, 360, 0), ('ę', 208, -1, 0), ('ł', 74, -1, 0), ('ś', 99, 779, 0), ('ź', -1, 789, 0), ('ż', 0, 164, 0)), (('a', 63, -1, 0), ('b', -1, 6, 0), ('c', -1, 18, 0), ('d', 306, -1, 0), ('e', -1, 296, 0), ('f', -1, 1795, 0), ('g', 109, 63, 0), ('h', -1, 627, 0), ('i', 63, -1, 0), ('j', 105, 386, 0), ('k', 5, 478, 0), ('l', 63, -1, 0), ('m', 306, -1, 0), ('n', 82, -1, 0), ('o', -1, 403, 0), ('p', 306, -1, 0), ('r', 63, -1, 0), ('s', -1, 102, 0), ('t', 306, -1, 0), ('u', 195, -1, 0), ('w', 306, -1, 0), ('y', 63, -1, 0), ('z', 134, -1, 0), ('ó', -1, 16, 0), ('ą', -1, 13, 0), ('ę', 21, -1, 0), ('ł', 63, -1, 0), ('ś', 0, 44, 0), ('ż', 99, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', -1, 19, 0), ('d', 5, -1, 0), ('e', -1, 381, 0), ('g', 51, -1, 0), ('h', 14, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 4, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 51, -1, 0), ('o', 99, -1, 0), ('p', -1, 222, 0), ('r', 99, -1, 0), ('s', 99, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 99, -1, 0), ('y', 28, -1, 0), ('z', -1, 2132, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 4, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 20, 0), ('b', 0, -1, 0), ('c', 82, -1, 0), ('d', -1, 1578, 0), ('e', 12, -1, 0), ('g', -1, 4564, 0), ('h', -1, 312, 0), ('i', 36, -1, 0), ('k', -1, 481, 0), ('l', 41, -1, 0), ('m', 0, 300, 0), ('n', 4, -1, 0), ('o', 21, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 21, -1, 0), ('w', 1, -1, 0), ('y', 4, -1, 0), ('z', -1, 636, 0), ('ż', 0, -1, 0)), (('a', -1, 21, 0), ('b', 21, -1, 0), ('c', -1, 2208, 0), ('d', 99, -1, 0), ('e', -1, 402, 0), ('f', 41, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 5, -1, 0), ('k', -1, 319, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 1675, 0), ('o', -1, 17, 0), ('p', 41, -1, 0), ('r', -1, 981, 0), ('s', 5, -1, 0), ('t', -1, 685, 0), ('u', 12, -1, 0), ('w', 109, -1, 0), ('y', 13, -1, 0), ('z', 196, -1, 0), ('ó', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 105, -1, 0)), (('a', 68, -1, 0), ('b', 196, 22, 0), ('c', -1, 1620, 0), ('d', 12, -1, 0), ('e', -1, 511, 0), ('f', 12, -1, 0), ('g', 96, -1, 0), ('h', -1, 659, 0), ('i', 68, -1, 0), ('j', 108, 452, 0), ('k', 12, -1, 0), ('l', 68, -1, 0), ('m', 58, 1033, 0), ('n', -1, 487, 0), ('o', -1, 522, 0), ('p', -1, 1018, 0), ('r', 68, -1, 0), ('s', -1, 981, 0), ('t', 322, -1, 0), ('u', 332, -1, 0), ('w', -1, 430, 0), ('y', 68, -1, 0), ('z', 317, -1, 0), ('ą', 68, -1, 0), ('ę', -1, 359, 0), ('ł', 68, -1, 0), ('ś', 12, -1, 0), ('ż', -1, 1289, 0)), (('a', 4, -1, 0), ('b', 1, -1, 0), ('c', -1, 23, 0), ('d', -1, 4521, 0), ('e', -1, 1981, 0), ('i', 37, -1, 0), ('k', 79, -1, 0), ('l', 37, -1, 0), ('m', -1, 965, 0), ('n', 2, -1, 0), ('o', 4, 665, 0), ('p', 37, -1, 0), ('r', 21, -1, 0), ('s', -1, 225, 0), ('t', -1, 113, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', -1, 340, 0), ('z', 196, 10, 0), ('ó', 79, -1, 0), ('ą', 37, -1, 0)), (('a', 2, -1, 0), ('e', -1, 24, 0), ('i', 2, -1, 0), ('k', 0, -1, 0), ('o', -1, 1009, 0), ('r', 1, -1, 0), ('s', 28, -1, 0), ('t', 4, -1, 0), ('u', 2, -1, 0), ('w', 41, -1, 0), ('y', 2, -1, 0), ('z', 115, -1, 0)), (('a', 167, -1, 0), ('b', -1, 25, 0), ('c', 110, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('f', 2, -1, 0), ('g', -1, 212, 0), ('h', 2, -1, 0), ('i', -1, 1472, 0), ('k', 0, 520, 0), ('l', 193, -1, 0), ('m', 110, -1, 0), ('n', 110, -1, 0), ('o', -1, 1332, 0), ('p', 0, 85, 0), ('r', -1, 133, 0), ('s', 28, -1, 0), ('t', -1, 781, 0), ('u', 12, -1, 0), ('w', 110, 1202, 0), ('y', 12, -1, 0), ('z', 193, -1, 0), ('ą', 12, -1, 0), ('ł', -1, 2529, 0)), (('a', -1, 26, 0), ('d', -1, 1363, 0), ('e', -1, 347, 0), ('g', -1, 1311, 0), ('i', -1, 851, 0), ('k', -1, 289, 0), ('m', 3, -1, 0), ('o', -1, 317, 0), ('p', -1, 2475, 0), ('r', -1, 1414, 0), ('s', 22, -1, 0), ('t', -1, 2183, 0), ('u', -1, 761, 0), ('w', 353, -1, 0), ('y', -1, 1057, 0), ('z', -1, 653, 0), ('ś', -1, 2073, 0), ('ź', -1, 173, 0)), (('a', 0, -1, 0), ('b', 3, -1, 0), ('c', 0, -1, 0), ('d', -1, 27, 0), ('e', -1, 851, 0), ('f', -1, 891, 0), ('g', -1, 332, 0), ('h', 3, -1, 0), ('i', -1, 1692, 0), ('k', -1, 1031, 0), ('l', 64, -1, 0), ('m', 2, -1, 0), ('n', 335, -1, 0), ('o', 446, -1, 0), ('p', -1, 794, 0), ('r', 21, -1, 0), ('s', -1, 2063, 0), ('t', 41, -1, 0), ('u', 22, -1, 0), ('w', 0, 1100, 0), ('y', -1, 340, 0), ('z', 44, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 2353, 0), ('ż', -1, 683, 0)), (('a', -1, 28, 0), ('c', 1, -1, 0), ('d', -1, 355, 0), ('e', -1, 588, 0), ('g', 5, -1, 0), ('h', 95, -1, 0), ('i', -1, 742, 0), ('k', 5, -1, 0), ('l', 1, -1, 0), ('m', 5, -1, 0), ('n', 1, -1, 0), ('o', -1, 3104, 0), ('p', 1, -1, 0), ('r', -1, 2873, 0), ('s', -1, 1638, 0), ('t', 1, -1, 0), ('u', -1, 587, 0), ('w', 95, -1, 0), ('y', -1, 328, 0), ('z', -1, 1743, 0), ('ł', 5, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 178, -1, 0), ('e', -1, 29, 0), ('i', -1, 574, 0), ('j', 6, -1, 0), ('k', 51, 239, 0), ('l', -1, 62, 0), ('m', 48, -1, 0), ('o', 178, -1, 0), ('p', 48, -1, 0), ('r', 68, -1, 0), ('s', 178, -1, 0), ('t', -1, 1380, 0), ('u', 68, -1, 0), ('w', 3, -1, 0), ('y', 68, -1, 0), ('z', -1, 285, 0), ('ę', -1, 301, 0)), (('a', 0, -1, 0), ('b', 3, -1, 0), ('c', 12, -1, 0), ('d', 17, -1, 0), ('e', 0, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 17, -1, 0), ('l', -1, 30, 0), ('m', 3, -1, 0), ('n', -1, 2880, 0), ('o', -1, 1677, 0), ('p', 3, -1, 0), ('r', 17, -1, 0), ('s', 1, 186, 0), ('t', 52, -1, 0), ('u', 1, -1, 0), ('w', 3, -1, 0), ('y', 5, -1, 0), ('z', 68, -1, 0), ('ł', -1, 348, 0)), (('a', -1, 31, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 225, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 720, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 30, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 32, 0), ('b', 4, 123, 0), ('c', -1, 1020, 0), ('d', 0, 226, 0), ('e', -1, 226, 0), ('g', 13, -1, 0), ('h', 21, -1, 0), ('i', 14, -1, 0), ('j', 28, -1, 0), ('k', 3, -1, 0), ('l', 14, -1, 0), ('m', 13, -1, 0), ('n', 22, -1, 0), ('o', 28, -1, 0), ('p', 1, 288, 0), ('r', -1, 1198, 0), ('s', -1, 168, 0), ('t', -1, 172, 0), ('u', -1, 1698, 0), ('w', 13, -1, 0), ('y', -1, 2511, 0), ('z', 14, -1, 0), ('ó', 28, -1, 0)), (('a', -1, 33, 0), ('b', 4, -1, 0), ('c', -1, 1389, 0), ('d', 28, -1, 0), ('e', -1, 2110, 0), ('f', 28, -1, 0), ('g', -1, 51, 0), ('i', -1, 380, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 17, -1, 0), ('p', 1, 980, 0), ('r', 110, -1, 0), ('s', -1, 301, 0), ('t', 28, -1, 0), ('u', -1, 423, 0), ('w', -1, 82, 0), ('y', -1, 786, 0), ('z', 28, -1, 0), ('ę', 17, -1, 0), ('ł', 3, -1, 0), ('ż', 28, -1, 0)), (('a', 12, -1, 0), ('b', 12, 34, 0), ('c', 1, -1, 0), ('d', 6, -1, 0), ('e', 12, -1, 0), ('f', 2, -1, 0), ('g', 4, -1, 0), ('h', 2, -1, 0), ('i', 96, -1, 0), ('k', 1, -1, 0), ('l', 350, -1, 0), ('m', 17, -1, 0), ('n', -1, 862, 0), ('o', 96, -1, 0), ('p', 28, -1, 0), ('r', 96, -1, 0), ('s', 21, -1, 0), ('t', 110, -1, 0), ('u', -1, 1193, 0), ('w', 17, -1, 0), ('y', 12, -1, 0), ('z', 242, -1, 0), ('ę', 96, -1, 0), ('ł', -1, 668, 0), ('ż', 28, -1, 0)), (('a', 4, -1, 0), ('b', -1, 35, 0), ('c', 7, -1, 0), ('d', 21, 1925, 0), ('e', 4, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 626, 0), ('k', 41, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 55, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 36, 0), ('b', 0, 225, 0), ('d', 0, -1, 0), ('e', -1, 890, 0), ('g', 13, -1, 0), ('i', -1, 1250, 0), ('j', 0, 225, 0), ('k', 13, -1, 0), ('l', -1, 3456, 0), ('m', 11, -1, 0), ('n', 0, -1, 0), ('o', -1, 359, 0), ('p', 105, -1, 0), ('r', 0, -1, 0), ('s', -1, 2170, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', 136, 1076, 0), ('y', 14, -1, 0), ('z', -1, 682, 0), ('ł', 56, -1, 0)), (('a', 6, -1, 0), ('b', 2, -1, 0), ('c', -1, 37, 0), ('d', -1, 116, 0), ('e', 95, -1, 0), ('i', -1, 1044, 0), ('j', 2, -1, 0), ('k', 22, -1, 0), ('l', 6, -1, 0), ('m', 95, -1, 0), ('n', 3, -1, 0), ('o', 6, -1, 0), ('p', -1, 1195, 0), ('r', 95, -1, 0), ('s', -1, 891, 0), ('t', 0, -1, 0), ('u', -1, 2325, 0), ('w', 3, -1, 0), ('y', 6, -1, 0), ('z', 95, -1, 0), ('ł', -1, 365, 0)), (('a', -1, 38, 0), ('b', 10, -1, 0), ('c', 2, -1, 0), ('d', -1, 2858, 0), ('e', 10, -1, 0), ('h', 3, -1, 0), ('i', -1, 1183, 0), ('l', 102, -1, 0), ('o', -1, 3076, 0), ('p', 38, -1, 0), ('r', -1, 893, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('y', 10, -1, 0), ('z', 10, -1, 0), ('ó', 102, -1, 0)), (('a', -1, 39, 0), ('b', 0, -1, 0), ('c', 2, -1, 0), ('e', -1, 2955, 0), ('i', -1, 510, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', -1, 4200, 0), ('r', 2, -1, 0), ('t', 0, -1, 0), ('u', -1, 2982, 0), ('w', 11, -1, 0), ('y', 41, -1, 0), ('z', 56, -1, 0), ('ó', -1, 4494, 0)), (('a', 0, -1, 0), ('b', 0, 40, 0), ('c', 82, -1, 0), ('d', -1, 1117, 0), ('e', 0, -1, 0), ('g', 41, -1, 0), ('h', 0, -1, 0), ('i', -1, 3613, 0), ('j', -1, 2768, 0), ('k', -1, 2638, 0), ('l', -1, 1117, 0), ('m', -1, 2904, 0), ('n', 41, -1, 0), ('o', -1, 3146, 0), ('p', 41, -1, 0), ('r', -1, 1014, 0), ('s', -1, 2065, 0), ('t', -1, 2138, 0), ('u', 0, -1, 0), ('w', -1, 2358, 0), ('z', -1, 1708, 0), ('ę', 0, -1, 0), ('ż', 41, -1, 0)), (('a', -1, 18, 0), ('b', 0, -1, 0), ('c', -1, 41, 0), ('d', 104, -1, 0), ('e', -1, 419, 0), ('g', -1, 756, 0), ('i', -1, 523, 0), ('j', 0, -1, 0), ('k', 0, 1270, 0), ('l', -1, 617, 0), ('m', 0, 420, 0), ('n', 0, -1, 0), ('o', 12, -1, 0), ('p', 0, -1, 0), ('r', 41, -1, 0), ('s', -1, 98, 0), ('t', 104, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 856, 0), ('z', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 104, 862, 0)), (('a', -1, 42, 0), ('b', -1, 278, 0), ('c', -1, 490, 0), ('d', 176, -1, 0), ('e', -1, 177, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 787, 0), ('j', 0, -1, 0), ('k', -1, 2465, 0), ('l', 21, -1, 0), ('m', 4, -1, 0), ('n', 1, -1, 0), ('o', -1, 140, 0), ('p', 176, -1, 0), ('r', 6, -1, 0), ('s', 0, 288, 0), ('t', -1, 498, 0), ('u', 1, -1, 0), ('w', 6, -1, 0), ('y', -1, 223, 0), ('z', 167, -1, 0), ('ó', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 182, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 1, -1, 0), ('i', 58, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 24, -1, 0), ('n', -1, 43, 0), ('o', 12, -1, 0), ('p', 96, -1, 0), ('r', 6, -1, 0), ('s', -1, 238, 0), ('t', -1, 501, 0), ('u', 12, 146, 0), ('w', 6, -1, 0), ('y', 96, -1, 0), ('z', 6, -1, 0), ('ó', -1, 151, 0), ('ą', 7, -1, 0), ('ę', 12, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 0, 44, 0), ('d', -1, 208, 0), ('e', -1, 28, 0), ('g', -1, 108, 0), ('i', 0, 164, 0), ('k', -1, 2511, 0), ('o', -1, 31, 0), ('p', -1, 2968, 0), ('r', -1, 940, 0), ('s', -1, 940, 0), ('t', 107, -1, 0), ('w', -1, 1506, 0), ('y', -1, 145, 0), ('z', -1, 2489, 0), ('ł', -1, 995, 0)), (('a', -1, 45, 0), ('b', 0, -1, 0), ('c', -1, 2079, 0), ('d', 0, -1, 0), ('e', 119, -1, 0), ('g', 0, -1, 0), ('h', 131, -1, 0), ('i', 198, -1, 0), ('k', -1, 239, 0), ('l', -1, 2247, 0), ('m', 0, -1, 0), ('n', -1, 165, 0), ('o', -1, 626, 0), ('p', 0, -1, 0), ('r', -1, 1269, 0), ('s', 0, -1, 0), ('t', -1, 1269, 0), ('u', -1, 1669, 0), ('w', 0, -1, 0), ('y', -1, 815, 0), ('z', 0, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 46, 0), ('b', 3, -1, 0), ('c', -1, 1378, 0), ('d', 332, -1, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('i', -1, 541, 0), ('j', 3, -1, 0), ('k', -1, 1059, 0), ('l', -1, 970, 0), ('m', 22, -1, 0), ('n', -1, 905, 0), ('o', -1, 156, 0), ('p', 71, -1, 0), ('r', -1, 665, 0), ('s', 22, -1, 0), ('t', -1, 41, 0), ('u', 21, -1, 0), ('v', 3, -1, 0), ('w', 22, -1, 0), ('y', 1, -1, 0), ('z', 22, -1, 0), ('ł', 30, -1, 0)), (('a', 3, -1, 0), ('b', 45, -1, 0), ('c', 0, -1, 0), ('d', -1, 47, 0), ('e', 21, -1, 0), ('f', 22, -1, 0), ('g', 12, -1, 0), ('h', 1, -1, 0), ('i', -1, 371, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', -1, 177, 0), ('m', 21, -1, 0), ('n', 6, -1, 0), ('o', 21, -1, 0), ('p', 95, -1, 0), ('r', 21, -1, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('u', 95, -1, 0), ('w', 12, -1, 0), ('y', 28, -1, 0), ('z', 22, -1, 0), ('ó', -1, 824, 0), ('ę', 73, -1, 0), ('ł', 12, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 33, 0), ('c', -1, 48, 0), ('d', 21, -1, 0), ('e', -1, 538, 0), ('g', 28, -1, 0), ('i', -1, 132, 0), ('k', 28, -1, 0), ('l', -1, 1269, 0), ('m', -1, 4420, 0), ('n', -1, 1244, 0), ('o', 4, -1, 0), ('p', 28, 1090, 0), ('r', 28, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 95, -1, 0), ('w', 28, -1, 0), ('y', -1, 1015, 0), ('z', -1, 1620, 0), ('ę', 4, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 3, -1, 0), ('c', 5, -1, 0), ('d', 15, -1, 0), ('e', 22, -1, 0), ('i', -1, 49, 0), ('k', 3, -1, 0), ('l', 1, -1, 0), ('n', 3, -1, 0), ('o', -1, 957, 0), ('p', 0, -1, 0), ('r', -1, 33, 0), ('s', 12, -1, 0), ('t', 0, -1, 0), ('u', 133, -1, 0), ('w', -1, 3412, 0), ('y', 3, -1, 0), ('z', -1, 3573, 0), ('ś', 3, -1, 0)), (('a', -1, 50, 0), ('b', 3, -1, 0), ('c', 96, -1, 0), ('d', 0, -1, 0), ('e', -1, 1070, 0), ('f', 3, -1, 0), ('g', 57, -1, 0), ('i', -1, 234, 0), ('k', 12, -1, 0), ('l', -1, 404, 0), ('m', -1, 1661, 0), ('n', -1, 3100, 0), ('o', 217, -1, 0), ('p', 0, 533, 0), ('r', -1, 169, 0), ('s', 110, -1, 0), ('t', -1, 1118, 0), ('u', -1, 2012, 0), ('w', 13, 278, 0), ('y', -1, 222, 0), ('z', -1, 406, 0), ('ą', 12, -1, 0), ('ę', -1, 692, 0), ('ł', 96, -1, 0), ('ń', 12, -1, 0)), (('a', 12, -1, 0), ('b', 54, -1, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', -1, 51, 0), ('h', 14, -1, 0), ('i', 12, -1, 0), ('k', 58, -1, 0), ('l', 96, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', -1, 83, 0), ('p', 0, 288, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', -1, 312, 0), ('w', 21, -1, 0), ('y', -1, 1332, 0), ('z', 58, -1, 0), ('ł', 12, -1, 0)), (('a', 155, -1, 0), ('b', 4, -1, 0), ('c', 1, 52, 0), ('d', 110, -1, 0), ('e', 4, -1, 0), ('i', -1, 315, 0), ('k', 284, -1, 0), ('l', 28, -1, 0), ('m', 4, -1, 0), ('n', 4, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 110, -1, 0), ('s', 6, 385, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 4, -1, 0), ('y', -1, 196, 0), ('z', 1, -1, 0), ('ł', 28, -1, 0), ('ś', 28, -1, 0)), (('a', 190, -1, 0), ('b', 190, -1, 0), ('d', 190, -1, 0), ('e', 1, -1, 0), ('i', 48, -1, 0), ('o', 16, -1, 0), ('p', 14, -1, 0), ('r', 12, -1, 0), ('s', 14, -1, 0), ('t', -1, 53, 0), ('w', 14, -1, 0), ('y', 190, -1, 0), ('z', 190, -1, 0)), (('a', -1, 54, 0), ('b', 6, -1, 0), ('d', 185, -1, 0), ('e', 41, -1, 0), ('i', 21, -1, 0), ('k', 40, -1, 0), ('l', 0, -1, 0), ('m', 28, -1, 0), ('n', 40, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 31, -1, 0), ('t', 6, -1, 0), ('u', 238, -1, 0), ('w', 17, -1, 0), ('y', 96, -1, 0), ('z', 96, -1, 0), ('ę', 28, -1, 0), ('ł', -1, 3032, 0)), (('a', 12, -1, 0), ('b', 0, 55, 0), ('c', -1, 1656, 0), ('d', -1, 1786, 0), ('e', 12, -1, 0), ('g', 0, -1, 0), ('h', 12, -1, 0), ('i', -1, 1017, 0), ('j', 185, -1, 0), ('k', 41, -1, 0), ('l', 41, -1, 0), ('m', 0, -1, 0), ('n', 110, -1, 0), ('o', -1, 808, 0), ('p', 0, -1, 0), ('r', 12, -1, 0), ('s', 105, -1, 0), ('t', -1, 670, 0), ('u', -1, 555, 0), ('w', 0, -1, 0), ('y', -1, 2012, 0), ('z', 171, -1, 0), ('ł', 105, 1864, 0), ('ś', 0, -1, 0), ('ź', 12, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 17, -1, 0), ('d', -1, 51, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('k', 346, -1, 0), ('l', -1, 56, 0), ('m', -1, 11, 0), ('n', 28, 524, 0), ('o', 0, -1, 0), ('p', -1, 2525, 0), ('r', 17, -1, 0), ('s', -1, 32, 0), ('t', -1, 398, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 409, 0), ('ł', 55, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 57, 0), ('b', 2, -1, 0), ('c', 80, -1, 0), ('d', 3, -1, 0), ('e', -1, 1184, 0), ('f', 1, -1, 0), ('g', 3, -1, 0), ('h', -1, 784, 0), ('i', -1, 378, 0), ('j', -1, 101, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 373, 0), ('p', 245, -1, 0), ('r', 3, -1, 0), ('s', -1, 3071, 0), ('t', 22, 154, 0), ('w', 80, -1, 0), ('y', -1, 2864, 0), ('z', 3, -1, 0), ('ą', -1, 614, 0), ('ę', -1, 145, 0), ('ł', 3, -1, 0)), (('a', 6, -1, 0), ('d', -1, 58, 0), ('e', 6, -1, 0), ('f', 27, -1, 0), ('h', 57, -1, 0), ('i', -1, 1456, 0), ('j', 0, -1, 0), ('k', 108, -1, 0), ('l', -1, 1462, 0), ('m', 108, -1, 0), ('o', -1, 141, 0), ('p', 108, -1, 0), ('r', -1, 2525, 0), ('s', 27, -1, 0), ('t', 27, -1, 0), ('u', 6, -1, 0), ('w', 108, -1, 0), ('y', 6, -1, 0), ('z', -1, 1864, 0)), (('a', -1, 59, 0), ('b', 0, -1, 0), ('c', 25, -1, 0), ('d', 176, -1, 0), ('e', -1, 133, 0), ('f', 41, -1, 0), ('g', -1, 332, 0), ('h', -1, 761, 0), ('i', -1, 111, 0), ('j', 28, -1, 0), ('k', 242, 467, 0), ('l', -1, 1173, 0), ('m', 11, -1, 0), ('n', -1, 505, 0), ('o', 11, -1, 0), ('p', 98, -1, 0), ('r', 98, -1, 0), ('s', 11, -1, 0), ('t', 11, -1, 0), ('u', 11, 538, 0), ('w', -1, 541, 0), ('y', 98, -1, 0), ('z', -1, 1098, 0), ('ę', 11, -1, 0), ('ł', -1, 112, 0), ('ś', 0, 164, 0), ('ż', 11, -1, 0)), (('a', 97, -1, 0), ('b', -1, 60, 0), ('c', -1, 671, 0), ('d', 11, -1, 0), ('e', 7, -1, 0), ('f', -1, 431, 0), ('g', 98, -1, 0), ('h', -1, 103, 0), ('i', -1, 1035, 0), ('j', 97, -1, 0), ('k', 11, -1, 0), ('l', 97, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 403, 0), ('p', -1, 334, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', -1, 385, 0), ('y', 11, -1, 0), ('z', 97, -1, 0), ('ó', -1, 914, 0), ('ą', -1, 950, 0), ('ć', 56, -1, 0), ('ę', -1, 915, 0), ('ł', 7, -1, 0), ('ś', 11, -1, 0), ('ż', -1, 1411, 0)), (('a', 82, -1, 0), ('b', 41, -1, 0), ('c', 0, -1, 0), ('d', -1, 61, 0), ('e', -1, 782, 0), ('g', 86, -1, 0), ('i', -1, 419, 0), ('k', 86, -1, 0), ('l', 193, -1, 0), ('m', 86, -1, 0), ('n', -1, 1721, 0), ('o', -1, 583, 0), ('p', 197, 673, 0), ('r', 21, -1, 0), ('s', 176, -1, 0), ('t', 21, -1, 0), ('u', -1, 934, 0), ('w', 176, -1, 0), ('y', 82, -1, 0), ('z', 25, -1, 0), ('ł', 86, -1, 0), ('ś', 21, -1, 0)), (('a', -1, 62, 0), ('b', 3, -1, 0), ('c', -1, 869, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 2, -1, 0), ('i', 6, -1, 0), ('j', 29, -1, 0), ('k', 118, -1, 0), ('l', 2, -1, 0), ('m', -1, 1815, 0), ('n', 2, -1, 0), ('o', 0, 288, 0), ('p', 118, -1, 0), ('r', -1, 585, 0), ('s', -1, 1310, 0), ('t', 121, -1, 0), ('u', 2, -1, 0), ('w', 0, 64, 0), ('y', -1, 1651, 0), ('z', -1, 2527, 0), ('ą', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 63, 0), ('b', 109, -1, 0), ('c', -1, 623, 0), ('d', 52, -1, 0), ('e', -1, 537, 0), ('f', 17, -1, 0), ('g', -1, 261, 0), ('h', 12, -1, 0), ('i', 17, -1, 0), ('k', -1, 61, 0), ('l', 1, -1, 0), ('m', 17, -1, 0), ('n', 21, -1, 0), ('o', 17, -1, 0), ('p', -1, 3255, 0), ('r', 12, 478, 0), ('s', 1, -1, 0), ('t', 109, -1, 0), ('u', 3, -1, 0), ('w', 0, 314, 0), ('y', 17, -1, 0), ('z', 12, -1, 0), ('ę', 22, -1, 0), ('ł', 22, -1, 0), ('ś', -1, 672, 0), ('ż', 109, -1, 0)), (('a', -1, 18, 0), ('b', 0, 64, 0), ('c', -1, 107, 0), ('d', -1, 121, 0), ('e', -1, 381, 0), ('g', 21, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', 21, -1, 0), ('l', 5, -1, 0), ('m', -1, 7, 0), ('n', 12, -1, 0), ('o', 5, -1, 0), ('p', 110, -1, 0), ('r', -1, 625, 0), ('s', 14, -1, 0), ('t', 6, -1, 0), ('u', 0, -1, 0), ('w', 17, -1, 0), ('y', 86, -1, 0), ('z', 58, -1, 0), ('ą', 1, -1, 0), ('ę', 41, -1, 0), ('ł', 12, -1, 0), ('ś', -1, 2180, 0)), (('a', 54, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 12, -1, 0), ('e', 111, -1, 0), ('g', -1, 65, 0), ('h', 0, -1, 0), ('i', 6, -1, 0), ('k', 12, -1, 0), ('l', -1, 706, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 6, -1, 0), ('p', 156, -1, 0), ('r', 21, 522, 0), ('s', 21, -1, 0), ('t', 52, -1, 0), ('u', 6, -1, 0), ('w', 21, -1, 0), ('y', 28, -1, 0), ('z', 21, -1, 0), ('ę', 6, -1, 0), ('ł', -1, 487, 0)), (('a', -1, 66, 0), ('d', 31, -1, 0), ('e', 5, -1, 0), ('g', 79, -1, 0), ('i', -1, 1081, 0), ('j', 79, 1022, 0), ('k', 79, -1, 0), ('o', 5, -1, 0), ('p', 64, 4603, 0), ('r', 137, -1, 0), ('s', 79, -1, 0), ('w', 79, -1, 0), ('y', 31, -1, 0), ('z', 5, -1, 0)), (('a', -1, 67, 0), ('d', 5, -1, 0), ('e', 7, -1, 0), ('f', 145, -1, 0), ('i', 222, -1, 0), ('k', 145, -1, 0), ('l', 39, -1, 0), ('m', 7, -1, 0), ('n', 5, -1, 0), ('o', 55, -1, 0), ('p', 39, -1, 0), ('r', -1, 990, 0), ('s', 39, -1, 0), ('t', 39, 3411, 0), ('u', 11, -1, 0), ('w', 3, -1, 0), ('y', 55, -1, 0), ('z', 5, -1, 0)), (('a', 196, -1, 0), ('b', 4, -1, 0), ('c', 21, -1, 0), ('d', 4, -1, 0), ('e', -1, 68, 0), ('g', 55, -1, 0), ('i', 6, -1, 0), ('j', -1, 3001, 0), ('k', 7, -1, 0), ('l', 3, -1, 0), ('m', 6, -1, 0), ('n', 22, -1, 0), ('o', -1, 154, 0), ('p', -1, 347, 0), ('r', 28, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 196, -1, 0), ('z', 6, -1, 0), ('ą', 136, -1, 0), ('ę', -1, 1032, 0), ('ś', 4, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 69, 0), ('d', 434, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 136, -1, 0), ('j', 343, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 767, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 611, 0), ('r', -1, 1487, 0), ('s', 0, 288, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 81, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('b', 27, -1, 0), ('d', 16, -1, 0), ('e', -1, 70, 0), ('g', 348, -1, 0), ('i', -1, 1335, 0), ('k', -1, 1673, 0), ('l', 27, -1, 0), ('m', 27, -1, 0), ('n', 1, -1, 0), ('o', -1, 716, 0), ('p', -1, 2528, 0), ('r', 27, -1, 0), ('s', 184, -1, 0), ('t', 27, -1, 0), ('u', 1, -1, 0), ('w', 22, -1, 0), ('y', 4, -1, 0), ('z', 27, -1, 0), ('ą', 6, -1, 0), ('ę', 1, -1, 0), ('ł', 27, -1, 0)), (('a', -1, 71, 0), ('b', 70, -1, 0), ('c', 0, -1, 0), ('d', 21, -1, 0), ('e', 159, -1, 0), ('g', 3, -1, 0), ('i', 5, -1, 0), ('k', 22, -1, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 724, 0), ('p', -1, 130, 0), ('r', 1, -1, 0), ('s', -1, 627, 0), ('t', 21, -1, 0), ('u', 22, -1, 0), ('w', 1, -1, 0), ('y', -1, 1780, 0), ('z', 1, -1, 0), ('ł', -1, 1508, 0)), (('a', -1, 72, 0), ('b', -1, 557, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 1947, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 28, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 21, -1, 0), ('o', -1, 47, 0), ('p', -1, 463, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', -1, 1542, 0), ('u', 28, -1, 0), ('w', 95, 42, 0), ('y', 28, -1, 0), ('z', 159, 1093, 0), ('ł', -1, 1078, 0), ('ż', 6, -1, 0)), (('a', -1, 73, 0), ('b', 21, -1, 0), ('c', 4, 1417, 0), ('d', -1, 2194, 0), ('e', 5, -1, 0), ('g', 39, -1, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', -1, 1873, 0), ('m', -1, 164, 0), ('n', 30, -1, 0), ('o', 5, -1, 0), ('p', 21, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 21, -1, 0), ('y', -1, 154, 0), ('z', 21, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0)), (('a', 54, -1, 0), ('b', 188, -1, 0), ('c', 3, -1, 0), ('d', 188, -1, 0), ('e', 188, -1, 0), ('g', 41, -1, 0), ('h', 0, -1, 0), ('i', 64, -1, 0), ('j', 0, -1, 0), ('k', 41, -1, 0), ('l', -1, 74, 0), ('m', 0, 44, 0), ('n', 1, -1, 0), ('o', 188, -1, 0), ('p', -1, 402, 0), ('r', -1, 2132, 0), ('s', -1, 410, 0), ('t', -1, 530, 0), ('u', 85, -1, 0), ('w', 5, -1, 0), ('y', 28, -1, 0), ('z', 54, -1, 0), ('ł', 5, -1, 0), ('ś', 85, -1, 0)), (('a', 64, -1, 0), ('b', 95, -1, 0), ('c', -1, 75, 0), ('d', 6, -1, 0), ('e', 64, -1, 0), ('i', 64, -1, 0), ('k', 64, -1, 0), ('l', -1, 4512, 0), ('m', -1, 927, 0), ('o', 139, -1, 0), ('p', -1, 267, 0), ('r', -1, 4544, 0), ('s', 0, 164, 0), ('t', -1, 3202, 0), ('u', 0, 164, 0), ('w', -1, 1408, 0), ('y', -1, 1591, 0), ('z', 197, -1, 0)), (('a', -1, 76, 0), ('b', 21, 231, 0), ('c', 21, -1, 0), ('d', -1, 1913, 0), ('e', -1, 3694, 0), ('i', -1, 2998, 0), ('k', -1, 3303, 0), ('o', -1, 1905, 0), ('r', -1, 428, 0), ('t', 1, -1, 0), ('u', 132, -1, 0), ('y', 2, -1, 0), ('z', -1, 769, 0)), (('a', -1, 77, 0), ('e', 157, -1, 0), ('i', -1, 1633, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', -1, 1976, 0), ('s', 2, 46, 0), ('u', 157, -1, 0), ('w', 3, -1, 0), ('z', 157, -1, 0), ('ę', 157, -1, 0), ('ł', 34, -1, 0)), (('a', 62, -1, 0), ('b', 28, -1, 0), ('d', 2, -1, 0), ('e', -1, 78, 0), ('g', 28, -1, 0), ('i', 2, -1, 0), ('k', -1, 307, 0), ('l', 62, -1, 0), ('n', 2, -1, 0), ('o', -1, 14, 0), ('p', 2, -1, 0), ('r', 62, -1, 0), ('s', 30, -1, 0), ('t', 2, -1, 0), ('u', 194, -1, 0), ('w', 2, -1, 0), ('y', 62, -1, 0), ('z', 80, -1, 0), ('ą', -1, 11, 0), ('ę', 30, -1, 0), ('ł', 62, -1, 0)), (('a', -1, 79, 0), ('b', 6, -1, 0), ('e', -1, 3482, 0), ('h', 6, -1, 0), ('i', -1, 511, 0), ('k', 6, -1, 0), ('l', 194, -1, 0), ('m', -1, 2748, 0), ('n', 6, -1, 0), ('o', -1, 3042, 0), ('p', 328, 2087, 0), ('r', -1, 53, 0), ('s', 328, -1, 0), ('t', 6, -1, 0), ('u', -1, 2321, 0), ('w', 106, -1, 0), ('y', -1, 3244, 0), ('z', 194, -1, 0), ('ę', 3, -1, 0), ('ł', 22, -1, 0)), (('a', -1, 80, 0), ('c', -1, 428, 0), ('d', 22, -1, 0), ('e', -1, 196, 0), ('g', 22, -1, 0), ('h', 22, -1, 0), ('i', -1, 1899, 0), ('j', 22, -1, 0), ('k', 22, 720, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 0, -1, 0), ('o', 3, -1, 0), ('p', 1, -1, 0), ('r', 22, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', -1, 378, 0), ('w', 0, -1, 0), ('y', -1, 440, 0), ('z', 12, -1, 0), ('ą', 22, -1, 0), ('ł', -1, 3043, 0)), (('a', 98, -1, 0), ('b', -1, 81, 0), ('c', 0, 64, 0), ('d', 12, -1, 0), ('e', -1, 538, 0), ('g', -1, 477, 0), ('h', -1, 1722, 0), ('i', -1, 339, 0), ('j', 357, 46, 0), ('k', 14, -1, 0), ('l', 421, -1, 0), ('m', 61, -1, 0), ('n', 155, 15, 0), ('o', 11, -1, 0), ('p', 109, -1, 0), ('r', -1, 12, 0), ('s', -1, 468, 0), ('t', 34, -1, 0), ('u', 12, -1, 0), ('w', 11, -1, 0), ('y', 58, -1, 0), ('z', 11, -1, 0), ('ą', 12, -1, 0), ('ę', 5, -1, 0), ('ł', 0, 164, 0), ('ś', -1, 2285, 0)), (('a', -1, 82, 0), ('b', 2, -1, 0), ('c', 1, -1, 0), ('d', -1, 2491, 0), ('e', 316, -1, 0), ('g', 1, -1, 0), ('i', -1, 537, 0), ('j', -1, 1374, 0), ('k', 3, -1, 0), ('l', 0, -1, 0), ('m', -1, 1747, 0), ('n', 3, -1, 0), ('o', 316, -1, 0), ('p', 4, -1, 0), ('r', 3, -1, 0), ('s', 0, 164, 0), ('t', 3, -1, 0), ('u', 316, -1, 0), ('w', -1, 438, 0), ('y', 85, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 97, -1, 0)), (('a', 1, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 83, 0), ('e', 12, -1, 0), ('i', 335, -1, 0), ('k', 14, -1, 0), ('l', -1, 332, 0), ('m', -1, 3080, 0), ('n', 6, -1, 0), ('o', -1, 1792, 0), ('p', 1, -1, 0), ('r', 95, 612, 0), ('s', 4, -1, 0), ('t', 6, -1, 0), ('u', -1, 530, 0), ('w', -1, 310, 0), ('y', 1, -1, 0), ('z', 95, -1, 0), ('ł', 1, -1, 0), ('ż', 6, -1, 0)), (('a', 109, -1, 0), ('b', -1, 84, 0), ('c', 95, -1, 0), ('d', -1, 313, 0), ('e', -1, 848, 0), ('g', 6, -1, 0), ('i', -1, 722, 0), ('j', 58, -1, 0), ('k', -1, 1278, 0), ('l', -1, 2094, 0), ('m', 25, -1, 0), ('n', -1, 1344, 0), ('o', 58, -1, 0), ('p', 176, -1, 0), ('r', 12, -1, 0), ('s', 58, -1, 0), ('t', 12, -1, 0), ('u', -1, 240, 0), ('w', 6, -1, 0), ('y', 167, -1, 0), ('z', 167, -1, 0), ('ł', -1, 10, 0), ('ż', 12, -1, 0)), (('a', 0, 85, 0), ('b', -1, 307, 0), ('d', 0, 2433, 0), ('e', -1, 72, 0), ('g', -1, 1529, 0), ('i', -1, 747, 0), ('m', -1, 934, 0), ('o', -1, 912, 0), ('p', 11, 16, 0), ('r', -1, 480, 0), ('s', -1, 3622, 0), ('t', -1, 536, 0), ('u', 11, -1, 0), ('w', 57, -1, 0), ('y', -1, 1928, 0), ('z', 7, -1, 0)), (('a', 176, -1, 0), ('b', 34, 86, 0), ('c', 4, -1, 0), ('d', 25, -1, 0), ('e', 114, -1, 0), ('f', 182, -1, 0), ('g', 1, -1, 0), ('i', 182, -1, 0), ('k', 0, 560, 0), ('l', -1, 460, 0), ('m', 4, -1, 0), ('n', 4, -1, 0), ('o', 25, 41, 0), ('p', 182, -1, 0), ('r', -1, 2132, 0), ('s', 0, -1, 0), ('t', -1, 1044, 0), ('u', -1, 1672, 0), ('w', -1, 1692, 0), ('y', 176, -1, 0), ('z', 182, -1, 0), ('ł', 182, -1, 0)), (('a', 72, -1, 0), ('d', -1, 87, 0), ('e', -1, 2667, 0), ('i', 89, -1, 0), ('m', 4, -1, 0), ('o', 72, 650, 0), ('r', 4, -1, 0), ('s', 1, -1, 0), ('u', 72, -1, 0), ('w', 72, -1, 0), ('y', -1, 4455, 0), ('z', 34, 2698, 0)), (('a', 34, -1, 0), ('b', 21, -1, 0), ('d', 1, 88, 0), ('e', 3, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('l', -1, 2397, 0), ('m', 3, 945, 0), ('n', 21, -1, 0), ('o', 72, 327, 0), ('r', 21, 2026, 0), ('s', 3, -1, 0), ('t', 21, 2322, 0), ('w', 21, -1, 0), ('z', -1, 370, 0), ('ł', 21, 179, 0)), (('a', 1, -1, 0), ('b', 41, -1, 0), ('c', -1, 89, 0), ('d', 1, -1, 0), ('e', -1, 672, 0), ('f', 41, -1, 0), ('g', 41, -1, 0), ('i', 41, -1, 0), ('l', -1, 2086, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('p', 41, -1, 0), ('r', -1, 1533, 0), ('s', 1, -1, 0), ('t', 41, -1, 0), ('u', 12, -1, 0), ('w', 41, -1, 0), ('y', -1, 2372, 0), ('z', 41, -1, 0)), (('a', -1, 90, 0), ('b', 185, -1, 0), ('d', 208, -1, 0), ('e', -1, 1235, 0), ('g', 4, -1, 0), ('i', -1, 2771, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 79, -1, 0), ('w', 185, -1, 0), ('y', -1, 3313, 0), ('z', 208, -1, 0), ('ę', 185, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 91, 0), ('b', -1, 44, 0), ('c', 0, -1, 0), ('d', -1, 90, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 188, 0), ('i', -1, 233, 0), ('k', -1, 31, 0), ('l', 0, -1, 0), ('m', 6, -1, 0), ('n', 41, -1, 0), ('o', -1, 1086, 0), ('p', -1, 1966, 0), ('r', -1, 334, 0), ('s', 0, -1, 0), ('t', -1, 453, 0), ('u', -1, 240, 0), ('w', 6, -1, 0), ('y', 4, -1, 0), ('z', 0, -1, 0), ('ł', 41, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 92, 0), ('b', -1, 915, 0), ('c', -1, 236, 0), ('d', -1, 1492, 0), ('e', 25, -1, 0), ('g', -1, 921, 0), ('i', -1, 140, 0), ('j', 25, -1, 0), ('k', -1, 3287, 0), ('l', 25, -1, 0), ('m', 6, -1, 0), ('n', 25, -1, 0), ('o', 25, -1, 0), ('p', -1, 1461, 0), ('r', 25, -1, 0), ('s', -1, 1087, 0), ('t', -1, 212, 0), ('u', 25, -1, 0), ('w', 6, -1, 0), ('y', 25, -1, 0), ('z', -1, 151, 0), ('ę', 176, -1, 0), ('ł', 25, -1, 0)), (('a', 25, -1, 0), ('b', 196, 93, 0), ('c', -1, 2664, 0), ('d', -1, 29, 0), ('e', 25, -1, 0), ('g', 176, -1, 0), ('i', -1, 60, 0), ('k', 24, -1, 0), ('l', 12, -1, 0), ('m', 25, -1, 0), ('n', -1, 716, 0), ('o', 25, -1, 0), ('p', 0, 113, 0), ('r', 25, -1, 0), ('s', -1, 2374, 0), ('t', 24, -1, 0), ('u', 176, -1, 0), ('w', 175, -1, 0), ('y', -1, 972, 0), ('z', -1, 718, 0), ('ł', 25, -1, 0)), (('a', 64, -1, 0), ('d', -1, 94, 0), ('e', 120, -1, 0), ('i', 228, -1, 0), ('n', 30, -1, 0), ('o', 64, -1, 0), ('r', -1, 3211, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', -1, 554, 0), ('z', 196, 919, 0), ('ł', 69, -1, 0)), (('a', 196, -1, 0), ('e', 1, -1, 0), ('i', 242, -1, 0), ('k', 4, -1, 0), ('m', 4, -1, 0), ('o', 64, 95, 0), ('r', -1, 1564, 0), ('s', 71, -1, 0), ('w', 71, -1, 0), ('y', -1, 1872, 0), ('z', 1, -1, 0)), (('a', 87, -1, 0), ('b', 0, 44, 0), ('c', -1, 96, 0), ('d', 0, -1, 0), ('e', -1, 14, 0), ('g', 5, -1, 0), ('h', 4, -1, 0), ('i', 124, -1, 0), ('k', 124, -1, 0), ('l', 124, -1, 0), ('m', 81, 121, 0), ('n', 6, -1, 0), ('o', 244, -1, 0), ('p', 196, -1, 0), ('r', -1, 1692, 0), ('s', 124, -1, 0), ('t', 0, 128, 0), ('u', 0, 164, 0), ('w', 96, 223, 0), ('y', 88, -1, 0), ('z', 124, -1, 0), ('ł', 5, -1, 0), ('ś', 11, 2858, 0)), (('a', 58, -1, 0), ('b', 0, 97, 0), ('c', 12, -1, 0), ('d', 28, -1, 0), ('e', 17, -1, 0), ('g', 5, -1, 0), ('h', 21, -1, 0), ('i', -1, 382, 0), ('j', 244, -1, 0), ('k', 28, -1, 0), ('l', -1, 49, 0), ('m', 87, -1, 0), ('n', -1, 684, 0), ('o', 167, -1, 0), ('p', 109, -1, 0), ('r', -1, 1461, 0), ('s', -1, 2489, 0), ('t', -1, 2522, 0), ('u', 6, -1, 0), ('w', -1, 537, 0), ('y', 167, -1, 0), ('z', 109, -1, 0), ('ł', 5, -1, 0), ('ś', 2, -1, 0)), (('a', -1, 98, 0), ('c', -1, 2349, 0), ('d', 6, -1, 0), ('e', 218, -1, 0), ('g', -1, 656, 0), ('h', -1, 1069, 0), ('i', -1, 1163, 0), ('k', -1, 9, 0), ('l', -1, 583, 0), ('m', 14, -1, 0), ('n', -1, 339, 0), ('o', -1, 189, 0), ('p', 14, -1, 0), ('r', -1, 623, 0), ('s', 1, -1, 0), ('t', -1, 528, 0), ('u', 0, 97, 0), ('w', -1, 102, 0), ('y', -1, 755, 0), ('z', 0, 238, 0)), (('a', 287, -1, 0), ('b', -1, 99, 0), ('c', 0, 164, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 1892, 0), ('i', 193, -1, 0), ('k', 0, 164, 0), ('l', 6, -1, 0), ('m', 28, -1, 0), ('n', -1, 1933, 0), ('o', -1, 421, 0), ('p', -1, 1017, 0), ('r', 61, -1, 0), ('s', 220, -1, 0), ('t', -1, 313, 0), ('u', 28, -1, 0), ('w', 95, -1, 0), ('y', 153, -1, 0), ('z', -1, 1789, 0), ('ó', 287, -1, 0), ('ą', -1, 1057, 0), ('ę', 1, -1, 0), ('ł', 61, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 100, 0), ('b', 2, -1, 0), ('c', -1, 2521, 0), ('d', 0, -1, 0), ('e', 220, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 355, 0), ('l', -1, 1316, 0), ('m', -1, 214, 0), ('n', -1, 934, 0), ('o', -1, 97, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1374, 0), ('u', 0, 2221, 0), ('w', -1, 225, 0), ('y', 28, -1, 0), ('z', -1, 149, 0), ('ł', -1, 44, 0)), (('a', 7, -1, 0), ('b', -1, 90, 0), ('c', 97, -1, 0), ('d', 7, -1, 0), ('e', -1, 101, 0), ('f', 0, 310, 0), ('g', 97, -1, 0), ('h', -1, 171, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', -1, 172, 0), ('o', 97, -1, 0), ('p', 7, -1, 0), ('r', 97, -1, 0), ('s', 97, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 97, -1, 0), ('ó', -1, 283, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 71, -1, 0), ('ś', 7, -1, 0), ('ż', 185, -1, 0)), (('a', -1, 102, 0), ('b', 196, 310, 0), ('c', -1, 848, 0), ('d', 97, -1, 0), ('e', -1, 102, 0), ('f', -1, 500, 0), ('g', 68, -1, 0), ('h', 0, 44, 0), ('i', 7, -1, 0), ('j', 0, 44, 0), ('k', 97, -1, 0), ('l', 97, -1, 0), ('m', 97, -1, 0), ('n', 7, -1, 0), ('o', 11, -1, 0), ('p', 136, -1, 0), ('r', 63, -1, 0), ('s', -1, 187, 0), ('t', -1, 524, 0), ('u', 63, -1, 0), ('w', -1, 1035, 0), ('y', 63, -1, 0), ('z', 97, -1, 0), ('ó', 140, -1, 0), ('ą', -1, 17, 0), ('ę', -1, 3203, 0), ('ł', 7, -1, 0), ('ś', -1, 516, 0), ('ż', 0, 225, 0)), (('a', 267, -1, 0), ('b', -1, 103, 0), ('c', -1, 477, 0), ('d', 265, -1, 0), ('e', -1, 403, 0), ('f', 0, 164, 0), ('g', 6, 63, 0), ('h', 6, -1, 0), ('i', 318, -1, 0), ('j', 140, -1, 0), ('k', 5, 490, 0), ('l', 63, -1, 0), ('m', 99, 779, 0), ('n', -1, 128, 0), ('o', 267, -1, 0), ('p', 134, -1, 0), ('r', 134, -1, 0), ('s', 98, -1, 0), ('t', -1, 96, 0), ('u', 1, -1, 0), ('w', 265, -1, 0), ('y', -1, 296, 0), ('z', -1, 17, 0), ('ó', 195, -1, 0), ('ą', -1, 286, 0), ('ę', 21, -1, 0), ('ł', 34, -1, 0), ('ś', -1, 167, 0), ('ż', -1, 1817, 0)), (('a', -1, 104, 0), ('b', -1, 1929, 0), ('c', -1, 474, 0), ('d', 217, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 21, -1, 0), ('j', 96, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 21, -1, 0), ('n', 1, -1, 0), ('o', 96, -1, 0), ('p', 12, -1, 0), ('r', -1, 503, 0), ('s', 28, -1, 0), ('t', -1, 40, 0), ('u', 12, -1, 0), ('w', 217, -1, 0), ('y', -1, 7, 0), ('z', 110, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 411, 0), ('ź', 0, -1, 0)), (('a', -1, 105, 0), ('b', -1, 2890, 0), ('c', -1, 135, 0), ('d', 12, -1, 0), ('e', -1, 1458, 0), ('g', -1, 1911, 0), ('i', -1, 755, 0), ('j', 12, -1, 0), ('k', 0, 506, 0), ('l', 124, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', -1, 1693, 0), ('p', 12, -1, 0), ('r', -1, 1693, 0), ('s', -1, 1900, 0), ('t', 12, -1, 0), ('u', -1, 537, 0), ('w', 12, -1, 0), ('y', -1, 1461, 0), ('z', 96, -1, 0), ('ł', -1, 2004, 0), ('ś', 0, -1, 0), ('ź', -1, 862, 0)), (('a', -1, 106, 0), ('b', -1, 24, 0), ('c', 12, -1, 0), ('d', -1, 703, 0), ('e', 12, -1, 0), ('f', 12, -1, 0), ('g', -1, 132, 0), ('h', -1, 96, 0), ('i', 12, -1, 0), ('j', -1, 1929, 0), ('k', -1, 394, 0), ('l', -1, 1248, 0), ('m', -1, 780, 0), ('n', -1, 489, 0), ('o', 61, 1472, 0), ('p', 244, 1393, 0), ('r', -1, 394, 0), ('s', -1, 1193, 0), ('t', -1, 749, 0), ('u', 12, -1, 0), ('w', -1, 1594, 0), ('y', 12, -1, 0), ('z', -1, 489, 0), ('ł', -1, 1119, 0), ('ż', 12, -1, 0)), (('a', 5, -1, 0), ('b', -1, 107, 0), ('c', -1, 735, 0), ('d', 88, -1, 0), ('e', 5, -1, 0), ('g', -1, 866, 0), ('h', 5, -1, 0), ('i', -1, 238, 0), ('k', -1, 278, 0), ('l', 99, -1, 0), ('m', 12, -1, 0), ('n', -1, 285, 0), ('o', -1, 523, 0), ('p', 12, 96, 0), ('r', 5, -1, 0), ('s', 99, -1, 0), ('t', -1, 452, 0), ('u', 99, -1, 0), ('w', 62, -1, 0), ('y', -1, 779, 0), ('z', 203, -1, 0), ('ó', 99, -1, 0), ('ł', -1, 844, 0), ('ś', -1, 2778, 0), ('ź', 5, -1, 0)), (('a', 6, -1, 0), ('b', 95, -1, 0), ('c', -1, 108, 0), ('d', 12, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 69, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 0, -1, 0), ('l', 95, -1, 0), ('m', 86, -1, 0), ('n', -1, 856, 0), ('o', 58, 239, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', -1, 583, 0), ('w', -1, 10, 0), ('y', 12, -1, 0), ('z', 6, -1, 0), ('ó', -1, 2531, 0), ('ł', 6, -1, 0)), (('a', -1, 109, 0), ('d', -1, 2884, 0), ('e', 0, -1, 0), ('g', 178, -1, 0), ('h', 27, -1, 0), ('i', 27, -1, 0), ('k', -1, 625, 0), ('l', 184, -1, 0), ('m', 3, -1, 0), ('n', 0, -1, 0), ('o', -1, 145, 0), ('p', 328, 1849, 0), ('r', -1, 1078, 0), ('s', 328, -1, 0), ('t', 184, -1, 0), ('u', 0, 44, 0), ('w', 12, -1, 0), ('y', 0, -1, 0), ('z', -1, 749, 0), ('ż', 27, -1, 0)), (('a', -1, 110, 0), ('b', -1, 2483, 0), ('c', 21, -1, 0), ('d', -1, 1503, 0), ('e', -1, 865, 0), ('f', -1, 669, 0), ('g', 21, 1549, 0), ('h', 1, -1, 0), ('i', -1, 128, 0), ('j', 21, -1, 0), ('k', 21, 855, 0), ('l', -1, 1620, 0), ('m', 21, -1, 0), ('n', 0, -1, 0), ('o', -1, 1512, 0), ('p', -1, 1381, 0), ('r', 0, 643, 0), ('s', 0, -1, 0), ('t', -1, 300, 0), ('u', -1, 1518, 0), ('w', -1, 309, 0), ('y', -1, 1714, 0), ('z', -1, 581, 0), ('ó', -1, 2032, 0)), (('a', -1, 111, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 1356, 0), ('g', -1, 836, 0), ('h', 1, -1, 0), ('i', 21, -1, 0), ('j', 1, -1, 0), ('k', 21, -1, 0), ('l', -1, 976, 0), ('m', 11, 4598, 0), ('n', 0, -1, 0), ('o', -1, 799, 0), ('p', 21, 179, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 659, 0), ('u', 0, -1, 0), ('w', -1, 664, 0), ('y', 0, -1, 0), ('z', -1, 704, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 7, -1, 0), ('b', 0, 85, 0), ('c', 167, -1, 0), ('d', 5, -1, 0), ('e', -1, 101, 0), ('f', -1, 85, 0), ('g', 12, -1, 0), ('h', -1, 112, 0), ('i', 97, -1, 0), ('j', 0, 85, 0), ('k', 5, -1, 0), ('l', 425, -1, 0), ('m', 62, -1, 0), ('n', -1, 284, 0), ('o', 98, 59, 0), ('p', 98, 8, 0), ('r', 7, -1, 0), ('s', 97, -1, 0), ('t', 12, -1, 0), ('u', 7, -1, 0), ('w', -1, 17, 0), ('y', -1, 1035, 0), ('z', -1, 16, 0), ('ó', -1, 59, 0), ('ą', -1, 4382, 0), ('ć', 0, -1, 0), ('ę', 7, -1, 0), ('ł', -1, 822, 0), ('ś', 5, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 113, 0), ('b', 14, -1, 0), ('c', 30, 723, 0), ('d', 14, -1, 0), ('e', -1, 475, 0), ('g', -1, 498, 0), ('i', 21, 971, 0), ('j', 1, -1, 0), ('k', 14, -1, 0), ('l', 22, -1, 0), ('m', -1, 2736, 0), ('n', 21, -1, 0), ('o', -1, 1000, 0), ('p', 14, -1, 0), ('r', 37, -1, 0), ('s', -1, 44, 0), ('t', 14, -1, 0), ('u', 14, -1, 0), ('w', -1, 821, 0), ('y', 14, -1, 0), ('z', 21, -1, 0), ('ś', 14, -1, 0)), (('a', 21, -1, 0), ('b', -1, 3, 0), ('c', 14, -1, 0), ('d', -1, 114, 0), ('e', -1, 193, 0), ('f', 14, -1, 0), ('g', 21, -1, 0), ('i', 86, -1, 0), ('k', 21, -1, 0), ('l', 21, 287, 0), ('m', 14, -1, 0), ('n', -1, 635, 0), ('o', 377, -1, 0), ('p', -1, 1679, 0), ('r', -1, 755, 0), ('s', 4, -1, 0), ('t', 21, -1, 0), ('u', 37, -1, 0), ('w', 14, -1, 0), ('y', -1, 686, 0), ('z', 217, -1, 0)), (('a', 64, -1, 0), ('b', 0, -1, 0), ('c', 419, -1, 0), ('d', 0, 115, 0), ('e', -1, 1268, 0), ('i', 1, -1, 0), ('j', 0, -1, 0), ('k', 296, -1, 0), ('l', 1, -1, 0), ('m', 79, -1, 0), ('n', 21, -1, 0), ('o', 4, -1, 0), ('p', 7, 474, 0), ('r', 64, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 707, 0), ('y', 64, -1, 0), ('z', 55, -1, 0), ('ł', 296, -1, 0)), (('a', -1, 116, 0), ('b', -1, 130, 0), ('d', -1, 130, 0), ('e', 119, -1, 0), ('i', -1, 2351, 0), ('k', -1, 1031, 0), ('l', -1, 339, 0), ('m', 4, -1, 0), ('n', 28, -1, 0), ('o', -1, 1591, 0), ('p', -1, 1317, 0), ('r', -1, 2374, 0), ('s', -1, 904, 0), ('t', 28, -1, 0), ('w', 41, -1, 0), ('y', -1, 196, 0), ('z', -1, 569, 0), ('ł', -1, 683, 0)), (('a', 1, -1, 0), ('b', -1, 117, 0), ('c', -1, 4435, 0), ('d', 33, 675, 0), ('e', -1, 1670, 0), ('i', 1, -1, 0), ('k', 3, -1, 0), ('l', -1, 2971, 0), ('m', 2, -1, 0), ('n', 0, 64, 0), ('o', 21, -1, 0), ('p', -1, 2554, 0), ('r', -1, 144, 0), ('s', 7, 1944, 0), ('t', -1, 1183, 0), ('u', 11, -1, 0), ('w', -1, 2104, 0), ('y', 1, -1, 0), ('z', 0, 85, 0)), (('a', -1, 118, 0), ('d', -1, 602, 0), ('e', -1, 1552, 0), ('f', -1, 2535, 0), ('i', -1, 595, 0), ('k', 2, -1, 0), ('l', -1, 1961, 0), ('o', -1, 1941, 0), ('p', -1, 344, 0), ('r', -1, 881, 0), ('s', -1, 2382, 0), ('t', 3, -1, 0), ('w', -1, 4289, 0), ('z', -1, 505, 0), ('ł', -1, 1611, 0)), (('a', 348, -1, 0), ('b', 25, -1, 0), ('c', -1, 119, 0), ('d', -1, 1125, 0), ('e', 171, -1, 0), ('g', 36, -1, 0), ('h', 178, -1, 0), ('i', -1, 433, 0), ('k', 27, -1, 0), ('l', -1, 1034, 0), ('m', 0, 164, 0), ('n', 21, -1, 0), ('o', 182, -1, 0), ('p', 25, -1, 0), ('r', 171, -1, 0), ('s', 110, -1, 0), ('t', 3, -1, 0), ('u', 1, -1, 0), ('w', 21, -1, 0), ('y', 348, -1, 0), ('z', 348, -1, 0), ('ł', 171, -1, 0)), (('a', 1, -1, 0), ('d', 2, -1, 0), ('e', -1, 120, 0), ('g', 3, -1, 0), ('i', -1, 5, 0), ('k', 180, -1, 0), ('l', 23, -1, 0), ('m', 2, -1, 0), ('o', -1, 856, 0), ('p', 23, -1, 0), ('r', -1, 2874, 0), ('s', 13, -1, 0), ('t', 3, -1, 0), ('w', 23, -1, 0), ('y', -1, 1456, 0), ('z', -1, 1178, 0), ('ł', 180, -1, 0)), (('a', -1, 121, 0), ('c', 7, 179, 0), ('d', 21, -1, 0), ('e', 200, -1, 0), ('f', 21, -1, 0), ('i', -1, 434, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 55, -1, 0), ('o', 6, 33, 0), ('p', 1, -1, 0), ('r', 21, 1472, 0), ('s', 71, -1, 0), ('t', -1, 1043, 0), ('u', 28, -1, 0), ('w', 71, -1, 0), ('y', -1, 279, 0), ('z', 200, -1, 0), ('ł', 28, -1, 0)), (('a', 0, -1, 0), ('b', 81, -1, 0), ('c', 110, -1, 0), ('d', -1, 122, 0), ('e', 0, -1, 0), ('g', 2, -1, 0), ('h', 21, -1, 0), ('i', -1, 394, 0), ('k', 28, -1, 0), ('l', 4, -1, 0), ('m', 28, -1, 0), ('n', 6, -1, 0), ('o', 0, -1, 0), ('p', 21, -1, 0), ('r', 0, -1, 0), ('s', 28, -1, 0), ('t', 0, 164, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 81, -1, 0), ('z', 28, -1, 0), ('ę', 0, -1, 0), ('ł', 28, -1, 0), ('ż', 28, 2163, 0)), (('a', 0, -1, 0), ('b', 21, -1, 0), ('c', -1, 123, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('f', 21, -1, 0), ('g', 41, -1, 0), ('h', 0, -1, 0), ('i', -1, 121, 0), ('k', 21, -1, 0), ('l', 28, -1, 0), ('m', 21, -1, 0), ('n', 2, -1, 0), ('o', -1, 1246, 0), ('p', 21, -1, 0), ('r', 0, -1, 0), ('s', -1, 2780, 0), ('t', 21, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 28, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ź', 0, -1, 0)), (('a', 5, -1, 0), ('b', -1, 124, 0), ('c', 28, 663, 0), ('d', -1, 147, 0), ('e', 5, -1, 0), ('g', 61, -1, 0), ('i', -1, 102, 0), ('j', 55, -1, 0), ('k', -1, 2012, 0), ('l', 99, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 12, -1, 0), ('p', 222, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 12, -1, 0), ('w', -1, 188, 0), ('y', 4, -1, 0), ('z', -1, 878, 0), ('ó', -1, 2883, 0), ('ą', 28, -1, 0), ('ł', 5, -1, 0), ('ś', 12, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 125, 0), ('b', 27, 2993, 0), ('d', -1, 389, 0), ('e', -1, 2088, 0), ('h', 27, -1, 0), ('i', 27, -1, 0), ('j', 3, -1, 0), ('k', 34, -1, 0), ('l', 27, -1, 0), ('m', 3, -1, 0), ('o', -1, 19, 0), ('p', 22, 720, 0), ('r', 0, -1, 0), ('s', 3, -1, 0), ('t', 27, -1, 0), ('u', 0, -1, 0), ('w', 178, -1, 0), ('y', 178, -1, 0), ('z', -1, 408, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 9, -1, 0), ('e', 5, -1, 0), ('i', 0, -1, 0), ('j', 9, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 9, -1, 0), ('n', 9, -1, 0), ('o', 21, 126, 0), ('p', 9, -1, 0), ('r', 9, -1, 0), ('s', -1, 170, 0), ('t', 9, -1, 0), ('u', 3, -1, 0), ('w', 9, -1, 0), ('y', 5, -1, 0), ('z', 101, -1, 0), ('ż', 99, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 3, -1, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('g', 6, 127, 0), ('i', 0, -1, 0), ('k', -1, 2664, 0), ('l', 1, -1, 0), ('m', 6, -1, 0), ('n', 0, -1, 0), ('o', 6, 1029, 0), ('p', 6, -1, 0), ('r', 1, -1, 0), ('s', 6, -1, 0), ('t', 1, -1, 0), ('u', -1, 42, 0), ('w', 41, 1743, 0), ('y', 6, -1, 0), ('z', -1, 726, 0), ('ł', 4, -1, 0)), (('a', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 0, -1, 0), ('i', 6, -1, 0), ('j', 3, -1, 0), ('k', 6, -1, 0), ('l', 22, 46, 0), ('m', -1, 128, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 51, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', -1, 283, 0), ('z', 21, -1, 0), ('ą', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 60, -1, 0), ('b', -1, 129, 0), ('c', -1, 1944, 0), ('d', 0, -1, 0), ('e', 42, -1, 0), ('g', 55, -1, 0), ('i', 36, -1, 0), ('k', 1, -1, 0), ('l', -1, 1460, 0), ('m', 21, -1, 0), ('n', -1, 2737, 0), ('o', -1, 13, 0), ('p', 1, -1, 0), ('r', -1, 24, 0), ('s', -1, 147, 0), ('t', 21, -1, 0), ('u', 0, 44, 0), ('w', 1, -1, 0), ('y', 110, -1, 0), ('z', 0, 310, 0), ('ł', 64, -1, 0)), (('a', 1, -1, 0), ('b', -1, 130, 0), ('c', 115, -1, 0), ('d', -1, 1983, 0), ('e', 119, -1, 0), ('g', 5, -1, 0), ('i', 1, -1, 0), ('j', -1, 1763, 0), ('k', 1, -1, 0), ('l', 92, -1, 0), ('m', 64, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 5, -1, 0), ('s', 21, 231, 0), ('t', -1, 852, 0), ('u', 1, -1, 0), ('w', 5, -1, 0), ('y', 1, -1, 0), ('z', -1, 569, 0), ('ó', 0, -1, 0), ('ł', -1, 237, 0), ('ź', 2, -1, 0)), (('a', -1, 131, 0), ('b', 16, -1, 0), ('d', -1, 236, 0), ('e', -1, 1902, 0), ('f', 0, 179, 0), ('i', 199, -1, 0), ('k', -1, 3143, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, 85, 0), ('p', 16, 837, 0), ('r', -1, 1450, 0), ('s', -1, 1555, 0), ('t', 11, 62, 0), ('w', 1, -1, 0), ('y', -1, 168, 0), ('z', -1, 761, 0)), (('a', -1, 132, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', 0, -1, 0), ('f', -1, 428, 0), ('g', -1, 1348, 0), ('h', -1, 1260, 0), ('i', -1, 428, 0), ('j', -1, 1332, 0), ('k', -1, 3457, 0), ('l', -1, 1196, 0), ('m', -1, 1197, 0), ('n', -1, 40, 0), ('o', 3, 224, 0), ('p', 41, 723, 0), ('r', -1, 1488, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', -1, 1071, 0), ('w', -1, 1593, 0), ('y', 12, -1, 0), ('z', -1, 1173, 0), ('ł', 12, -1, 0), ('ż', -1, 2012, 0)), (('a', -1, 133, 0), ('b', -1, 1721, 0), ('c', -1, 775, 0), ('d', -1, 1392, 0), ('e', 12, -1, 0), ('g', -1, 285, 0), ('i', -1, 360, 0), ('j', 2, -1, 0), ('k', 4, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', -1, 133, 0), ('o', -1, 384, 0), ('p', 0, -1, 0), ('r', 12, -1, 0), ('s', -1, 432, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 28, -1, 0), ('y', -1, 111, 0), ('z', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 134, 0), ('b', 332, 1057, 0), ('c', -1, 522, 0), ('d', 110, -1, 0), ('e', 68, -1, 0), ('f', 74, -1, 0), ('g', 86, -1, 0), ('h', -1, 1966, 0), ('i', -1, 1691, 0), ('j', 106, 1724, 0), ('k', -1, 670, 0), ('l', 11, -1, 0), ('m', -1, 624, 0), ('n', -1, 360, 0), ('o', 141, -1, 0), ('p', 99, 106, 0), ('r', 68, -1, 0), ('s', 5, -1, 0), ('t', 21, -1, 0), ('u', 68, -1, 0), ('w', -1, 521, 0), ('y', 68, -1, 0), ('z', -1, 15, 0), ('ó', 99, -1, 0), ('ę', -1, 21, 0), ('ł', -1, 177, 0), ('ś', -1, 11, 0), ('ż', 6, -1, 0)), (('a', -1, 135, 0), ('b', -1, 1933, 0), ('c', 11, -1, 0), ('d', -1, 420, 0), ('e', 11, -1, 0), ('g', 0, 164, 0), ('h', -1, 606, 0), ('i', 317, -1, 0), ('j', 141, -1, 0), ('k', 12, 334, 0), ('l', -1, 59, 0), ('m', -1, 786, 0), ('n', 98, -1, 0), ('o', 11, -1, 0), ('p', 136, -1, 0), ('r', 136, -1, 0), ('s', 98, -1, 0), ('t', 98, -1, 0), ('u', 96, -1, 0), ('w', 98, -1, 0), ('y', 98, -1, 0), ('z', 11, -1, 0), ('ę', 12, -1, 0), ('ł', -1, 862, 0), ('ś', -1, 532, 0), ('ż', 10, -1, 0)), (('a', 291, -1, 0), ('b', 21, -1, 0), ('c', -1, 136, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('f', -1, 2691, 0), ('g', 22, -1, 0), ('h', -1, 1766, 0), ('i', 141, -1, 0), ('j', 11, -1, 0), ('k', -1, 83, 0), ('l', -1, 402, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', 291, -1, 0), ('p', 11, -1, 0), ('r', 68, -1, 0), ('s', 266, -1, 0), ('t', 11, -1, 0), ('u', 21, -1, 0), ('w', 11, -1, 0), ('y', 148, -1, 0), ('z', 98, -1, 0), ('ó', 214, -1, 0), ('ę', 30, -1, 0), ('ł', 68, -1, 0), ('ś', 52, 7, 0), ('ż', -1, 576, 0)), (('a', 52, -1, 0), ('b', -1, 137, 0), ('c', -1, 1925, 0), ('d', -1, 933, 0), ('e', 52, -1, 0), ('g', 12, -1, 0), ('i', -1, 133, 0), ('j', 1, -1, 0), ('k', 52, -1, 0), ('l', 55, -1, 0), ('m', 272, -1, 0), ('n', 4, -1, 0), ('o', 12, -1, 0), ('p', 217, -1, 0), ('r', -1, 822, 0), ('s', -1, 345, 0), ('t', 12, -1, 0), ('u', 0, -1, 0), ('w', -1, 332, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', -1, 799, 0)), (('a', -1, 138, 0), ('b', -1, 2353, 0), ('c', -1, 425, 0), ('d', -1, 317, 0), ('e', 24, -1, 0), ('f', 24, -1, 0), ('g', -1, 1778, 0), ('h', -1, 1611, 0), ('i', 24, -1, 0), ('j', 24, -1, 0), ('k', -1, 4601, 0), ('l', -1, 1610, 0), ('m', -1, 2373, 0), ('n', -1, 791, 0), ('o', -1, 3238, 0), ('p', -1, 1436, 0), ('r', -1, 2351, 0), ('s', -1, 204, 0), ('t', -1, 4602, 0), ('u', 24, -1, 0), ('w', -1, 747, 0), ('z', -1, 573, 0), ('ł', -1, 926, 0), ('ż', 7, 1611, 0)), (('a', -1, 139, 0), ('b', 2, -1, 0), ('e', 2, -1, 0), ('f', 3, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('n', 10, -1, 0), ('o', 2, -1, 0), ('p', 3, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 102, -1, 0), ('ł', -1, 36, 0)), (('a', 50, -1, 0), ('b', 3, -1, 0), ('c', 12, 140, 0), ('d', 50, -1, 0), ('e', 50, -1, 0), ('f', 22, -1, 0), ('i', -1, 834, 0), ('j', 139, -1, 0), ('k', -1, 3707, 0), ('l', 2, -1, 0), ('m', 1, 4415, 0), ('n', 3, -1, 0), ('o', 50, -1, 0), ('p', 64, 1825, 0), ('r', 137, -1, 0), ('s', -1, 943, 0), ('t', 22, -1, 0), ('u', -1, 899, 0), ('w', -1, 1333, 0), ('y', 50, -1, 0), ('z', 50, 311, 0), ('ó', 22, -1, 0)), (('a', 58, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 12, -1, 0), ('f', 1, -1, 0), ('g', 12, -1, 0), ('h', 6, -1, 0), ('i', 12, -1, 0), ('j', 31, -1, 0), ('k', 6, -1, 0), ('l', 25, -1, 0), ('m', 28, -1, 0), ('n', -1, 42, 0), ('o', 0, -1, 0), ('p', 12, -1, 0), ('r', 6, -1, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 126, -1, 0), ('w', -1, 141, 0), ('y', 6, -1, 0), ('z', 12, -1, 0), ('ę', 126, -1, 0), ('ł', -1, 404, 0), ('ś', 1, -1, 0), ('ż', 12, -1, 0)), (('a', 176, -1, 0), ('b', -1, 142, 0), ('c', -1, 115, 0), ('d', 6, -1, 0), ('e', 176, -1, 0), ('g', 12, -1, 0), ('h', -1, 135, 0), ('i', 25, -1, 0), ('k', 52, -1, 0), ('l', 52, -1, 0), ('m', 1, -1, 0), ('n', 25, -1, 0), ('o', 25, -1, 0), ('p', 0, -1, 0), ('r', -1, 1042, 0), ('s', 25, -1, 0), ('t', 0, 44, 0), ('u', 25, -1, 0), ('w', 12, -1, 0), ('y', -1, 147, 0), ('z', 25, -1, 0), ('ł', 52, 348, 0)), (('a', -1, 143, 0), ('b', 4, -1, 0), ('c', 33, -1, 0), ('d', -1, 3739, 0), ('e', 3, -1, 0), ('g', 29, -1, 0), ('i', 3, -1, 0), ('k', -1, 1395, 0), ('l', 11, -1, 0), ('m', 0, 4241, 0), ('n', 1, -1, 0), ('o', -1, 241, 0), ('p', -1, 1095, 0), ('r', 1, -1, 0), ('s', -1, 653, 0), ('t', -1, 313, 0), ('u', -1, 455, 0), ('w', 11, 1196, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 144, 0), ('e', 21, -1, 0), ('g', 62, -1, 0), ('h', 1, -1, 0), ('i', -1, 80, 0), ('j', 1, -1, 0), ('k', 21, -1, 0), ('l', -1, 664, 0), ('m', 3, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 346, -1, 0), ('t', -1, 664, 0), ('u', 156, -1, 0), ('w', 1, -1, 0), ('y', 104, -1, 0), ('z', 1, -1, 0), ('ó', 3, -1, 0), ('ł', 22, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 102, 0)), (('a', 1, -1, 0), ('b', 190, 145, 0), ('c', 21, -1, 0), ('d', 159, -1, 0), ('e', -1, 153, 0), ('f', 245, -1, 0), ('g', 11, 1800, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 175, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', -1, 143, 0), ('o', 1, -1, 0), ('p', 24, -1, 0), ('r', 82, -1, 0), ('s', 21, -1, 0), ('t', -1, 1933, 0), ('u', 21, -1, 0), ('w', -1, 351, 0), ('y', 6, -1, 0), ('z', -1, 398, 0), ('ó', 21, -1, 0), ('ę', 21, -1, 0), ('ł', 7, -1, 0), ('ź', 82, -1, 0), ('ż', 82, -1, 0)), (('a', -1, 146, 0), ('b', -1, 1198, 0), ('c', 12, -1, 0), ('d', 0, 64, 0), ('e', -1, 189, 0), ('f', 12, -1, 0), ('g', 101, 2386, 0), ('i', -1, 334, 0), ('k', 18, -1, 0), ('l', 24, -1, 0), ('m', 12, 123, 0), ('n', -1, 623, 0), ('o', 30, -1, 0), ('p', -1, 848, 0), ('r', 12, 1644, 0), ('s', -1, 12, 0), ('t', 21, -1, 0), ('u', 22, -1, 0), ('w', 5, 106, 0), ('y', 12, -1, 0), ('z', -1, 239, 0), ('ę', 1, -1, 0), ('ł', -1, 344, 0), ('ś', -1, 1855, 0)), (('a', 288, -1, 0), ('b', 188, 147, 0), ('c', -1, 530, 0), ('d', 109, -1, 0), ('e', 5, -1, 0), ('g', 0, 288, 0), ('h', -1, 1842, 0), ('i', 5, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', 17, -1, 0), ('o', 288, -1, 0), ('p', 12, -1, 0), ('r', 62, -1, 0), ('s', 265, -1, 0), ('t', 96, -1, 0), ('u', 0, 355, 0), ('w', -1, 211, 0), ('y', 152, -1, 0), ('z', 12, -1, 0), ('ó', 288, -1, 0), ('ą', 5, -1, 0), ('ę', 129, -1, 0), ('ł', 62, -1, 0), ('ś', -1, 778, 0)), (('a', -1, 148, 0), ('b', -1, 2092, 0), ('c', -1, 158, 0), ('d', 101, 1291, 0), ('e', -1, 582, 0), ('g', 13, 164, 0), ('i', 188, -1, 0), ('j', -1, 728, 0), ('k', -1, 1983, 0), ('l', -1, 2622, 0), ('m', 0, 128, 0), ('n', -1, 1035, 0), ('o', -1, 489, 0), ('p', -1, 1071, 0), ('r', -1, 671, 0), ('s', -1, 827, 0), ('t', -1, 1088, 0), ('u', 0, 44, 0), ('w', 0, 64, 0), ('y', 0, -1, 0), ('z', -1, 717, 0), ('ł', -1, 1403, 0)), (('a', 243, -1, 0), ('b', 21, -1, 0), ('c', 109, -1, 0), ('d', 42, -1, 0), ('e', -1, 149, 0), ('g', 0, 498, 0), ('h', -1, 1310, 0), ('i', 4, -1, 0), ('j', 134, -1, 0), ('k', 14, -1, 0), ('l', 62, -1, 0), ('m', 82, -1, 0), ('n', 0, -1, 0), ('o', 451, -1, 0), ('p', -1, 382, 0), ('r', 62, -1, 0), ('s', -1, 501, 0), ('t', -1, 1332, 0), ('u', 6, -1, 0), ('w', 58, -1, 0), ('y', -1, 12, 0), ('z', 18, -1, 0), ('ó', 194, -1, 0), ('ą', -1, 467, 0), ('ę', -1, 878, 0), ('ł', 0, -1, 0), ('ś', -1, 3976, 0)), (('a', 11, -1, 0), ('b', -1, 150, 0), ('c', -1, 502, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('g', -1, 8, 0), ('h', -1, 191, 0), ('i', 62, -1, 0), ('k', 21, -1, 0), ('l', -1, 522, 0), ('m', 18, -1, 0), ('n', 18, -1, 0), ('o', 11, -1, 0), ('p', -1, 312, 0), ('r', 18, -1, 0), ('s', 0, -1, 0), ('t', -1, 209, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', 194, -1, 0), ('ó', 142, -1, 0), ('ł', 18, -1, 0), ('ś', -1, 1985, 0)), (('a', -1, 151, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', -1, 546, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('h', -1, 297, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', -1, 4197, 0), ('l', -1, 1504, 0), ('m', -1, 743, 0), ('n', -1, 1091, 0), ('o', 21, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 33, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ą', 21, -1, 0), ('ę', 21, -1, 0), ('ł', -1, 744, 0), ('ż', 28, -1, 0)), (('a', 6, -1, 0), ('b', 12, -1, 0), ('c', 28, -1, 0), ('d', 224, -1, 0), ('e', 0, -1, 0), ('g', -1, 152, 0), ('h', 2, -1, 0), ('i', 110, -1, 0), ('j', 110, -1, 0), ('k', 4, 1202, 0), ('l', 21, 1378, 0), ('m', 12, -1, 0), ('n', 104, -1, 0), ('o', 58, -1, 0), ('p', 0, 238, 0), ('r', -1, 357, 0), ('s', 0, 85, 0), ('t', 28, -1, 0), ('u', -1, 419, 0), ('v', 1, -1, 0), ('w', 21, -1, 0), ('y', 224, -1, 0), ('z', 224, -1, 0), ('ą', -1, 995, 0), ('ę', 6, -1, 0), ('ł', 28, -1, 0), ('ś', 41, -1, 0)), (('a', -1, 153, 0), ('b', -1, 1559, 0), ('c', -1, 2865, 0), ('d', -1, 2216, 0), ('e', 0, 64, 0), ('f', -1, 1212, 0), ('g', -1, 212, 0), ('h', -1, 979, 0), ('i', -1, 1521, 0), ('j', -1, 217, 0), ('k', -1, 1385, 0), ('l', -1, 1859, 0), ('m', -1, 1795, 0), ('n', -1, 796, 0), ('o', 1, -1, 0), ('p', -1, 2736, 0), ('r', -1, 2018, 0), ('s', -1, 213, 0), ('t', -1, 825, 0), ('w', 1, -1, 0), ('z', -1, 1476, 0), ('ł', -1, 154, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', -1, 154, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', -1, 208, 0), ('m', -1, 1213, 0), ('n', 21, -1, 0), ('o', -1, 651, 0), ('p', -1, 367, 0), ('r', -1, 242, 0), ('s', 21, -1, 0), ('t', 311, 841, 0), ('u', 21, -1, 0), ('w', -1, 1792, 0), ('y', 21, -1, 0), ('z', 1, -1, 0), ('ó', 21, -1, 0), ('ł', 1, -1, 0), ('ś', 79, -1, 0), ('ż', 217, -1, 0)), (('a', -1, 155, 0), ('b', -1, 1123, 0), ('c', -1, 946, 0), ('d', 196, -1, 0), ('e', -1, 155, 0), ('f', -1, 3513, 0), ('g', 28, -1, 0), ('i', -1, 311, 0), ('j', 3, -1, 0), ('k', 21, -1, 0), ('l', -1, 750, 0), ('m', 4, -1, 0), ('n', 21, -1, 0), ('o', 444, -1, 0), ('p', 4, -1, 0), ('r', 432, -1, 0), ('s', 3, -1, 0), ('t', 274, -1, 0), ('u', -1, 173, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ą', 21, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 156, 0), ('b', 1, -1, 0), ('c', -1, 879, 0), ('d', 110, -1, 0), ('e', 96, -1, 0), ('f', 22, -1, 0), ('g', 3, -1, 0), ('i', -1, 315, 0), ('k', -1, 1236, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('n', 311, 542, 0), ('o', -1, 594, 0), ('p', -1, 165, 0), ('r', 110, -1, 0), ('s', -1, 1092, 0), ('t', 21, -1, 0), ('u', -1, 684, 0), ('w', 311, -1, 0), ('y', -1, 382, 0), ('z', 311, -1, 0), ('ó', 12, -1, 0), ('ł', 4, -1, 0)), (('a', 96, -1, 0), ('b', 189, 157, 0), ('c', 0, 97, 0), ('d', 12, -1, 0), ('e', -1, 297, 0), ('f', 21, -1, 0), ('g', -1, 3549, 0), ('h', 4, -1, 0), ('i', 21, -1, 0), ('k', 12, -1, 0), ('l', 421, -1, 0), ('m', 96, -1, 0), ('n', 1, -1, 0), ('o', 12, -1, 0), ('p', 21, -1, 0), ('r', 12, -1, 0), ('s', 28, 281, 0), ('t', -1, 296, 0), ('u', 1, -1, 0), ('w', 12, -1, 0), ('y', 1, -1, 0), ('z', 12, -1, 0), ('ó', 21, -1, 0), ('ł', 21, -1, 0)), (('a', 55, -1, 0), ('b', 1, -1, 0), ('c', -1, 158, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 770, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', 29, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 70, -1, 0), ('w', 1, -1, 0), ('y', 15, -1, 0), ('z', 1, -1, 0), ('ę', 70, -1, 0), ('ł', 1, -1, 0), ('ś', 7, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 1, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('l', 39, -1, 0), ('n', -1, 159, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', -1, 4152, 0), ('t', 5, -1, 0), ('u', -1, 3205, 0), ('w', -1, 405, 0), ('y', 5, -1, 0), ('z', 1, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0)), (('a', 145, -1, 0), ('b', 55, -1, 0), ('e', 39, -1, 0), ('g', 0, -1, 0), ('i', 145, -1, 0), ('n', -1, 160, 0), ('o', 39, -1, 0), ('r', 55, -1, 0), ('u', 39, -1, 0), ('y', 39, -1, 0), ('z', 39, -1, 0), ('ł', 55, -1, 0)), (('a', 39, -1, 0), ('c', -1, 161, 0), ('e', 39, -1, 0), ('i', 39, -1, 0), ('k', 5, -1, 0), ('m', 39, -1, 0), ('n', 39, -1, 0), ('o', 145, -1, 0), ('p', 5, 15, 0), ('r', -1, 2915, 0), ('s', -1, 4600, 0), ('u', 5, -1, 0), ('w', 467, -1, 0), ('y', 39, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 162, 0), ('i', -1, 1741, 0), ('j', 5, -1, 0), ('l', -1, 1377, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 1530, 0), ('u', -1, 4336, 0), ('y', -1, 2009, 0), ('z', -1, 448, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ę', -1, 1018, 0), ('ń', 5, -1, 0)), (('a', 6, -1, 0), ('b', 126, -1, 0), ('c', 5, -1, 0), ('d', 126, -1, 0), ('e', -1, 163, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 6, -1, 0), ('l', -1, 3831, 0), ('m', -1, 1498, 0), ('n', 6, -1, 0), ('o', -1, 1929, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', -1, 1047, 0), ('z', 126, -1, 0)), (('a', 0, 164, 0), ('b', 0, -1, 0), ('c', 6, -1, 0), ('d', 28, -1, 0), ('e', -1, 185, 0), ('i', -1, 2254, 0), ('k', 2, -1, 0), ('l', 7, -1, 0), ('m', 2, -1, 0), ('n', 6, -1, 0), ('o', -1, 132, 0), ('p', 0, -1, 0), ('r', -1, 1424, 0), ('s', -1, 2535, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 5, 2014, 0), ('y', 5, -1, 0), ('z', 6, -1, 0)), (('a', 21, -1, 0), ('b', 21, 165, 0), ('c', -1, 1164, 0), ('d', 21, -1, 0), ('e', 42, -1, 0), ('g', 0, 44, 0), ('i', 21, -1, 0), ('j', -1, 583, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 46, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', -1, 1119, 0), ('w', 21, -1, 0), ('y', -1, 61, 0), ('z', 21, -1, 0), ('ż', 21, -1, 0)), (('-', 117, -1, 0), ('a', -1, 166, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 28, -1, 0), ('p', 0, 583, 0), ('r', 0, -1, 0), ('s', 4, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 41, -1, 0), ('c', 41, -1, 0), ('d', 215, -1, 0), ('e', -1, 167, 0), ('g', 0, 1038, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1047, 0), ('p', 21, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 1080, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 44, 0), ('ł', 0, -1, 0), ('ź', 28, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 41, 0), ('b', -1, 168, 0), ('c', 0, 856, 0), ('d', 54, -1, 0), ('e', 6, -1, 0), ('f', -1, 107, 0), ('g', 0, -1, 0), ('i', -1, 1691, 0), ('k', -1, 498, 0), ('l', -1, 501, 0), ('m', 12, 1793, 0), ('n', -1, 781, 0), ('o', -1, 63, 0), ('p', 58, 167, 0), ('r', -1, 4550, 0), ('s', 0, 1458, 0), ('t', 6, -1, 0), ('u', -1, 1458, 0), ('w', -1, 41, 0), ('y', 105, -1, 0), ('z', -1, 209, 0), ('ą', -1, 14, 0), ('ę', -1, 787, 0), ('ł', 6, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 169, 0), ('b', 21, -1, 0), ('c', 28, -1, 0), ('d', 21, -1, 0), ('e', 6, -1, 0), ('g', 21, -1, 0), ('i', -1, 2185, 0), ('k', 21, -1, 0), ('l', -1, 297, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 42, 0), ('p', 21, -1, 0), ('r', -1, 682, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', -1, 107, 0), ('w', 0, 310, 0), ('y', 6, -1, 0), ('z', -1, 422, 0), ('ą', 6, -1, 0), ('ę', -1, 877, 0), ('ł', 28, -1, 0), ('ń', 58, -1, 0), ('ź', 58, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', -1, 170, 0), ('d', 12, -1, 0), ('e', 96, -1, 0), ('f', 2, -1, 0), ('g', -1, 1209, 0), ('h', 4, -1, 0), ('i', -1, 995, 0), ('k', 0, 626, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 17, -1, 0), ('p', 137, -1, 0), ('r', -1, 1035, 0), ('s', 12, -1, 0), ('t', 6, 767, 0), ('u', 96, -1, 0), ('w', 6, 63, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 28, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 171, 0), ('i', -1, 1235, 0), ('k', -1, 2939, 0), ('l', 1, -1, 0), ('m', 13, -1, 0), ('n', 13, -1, 0), ('o', 1, -1, 0), ('p', 328, 3802, 0), ('r', -1, 944, 0), ('s', 328, -1, 0), ('t', 105, -1, 0), ('u', -1, 1187, 0), ('w', 106, -1, 0), ('y', 16, -1, 0), ('z', -1, 209, 0), ('ę', 0, -1, 0), ('ł', -1, 998, 0)), (('a', 12, -1, 0), ('b', 0, -1, 0), ('c', 0, 44, 0), ('d', 155, -1, 0), ('e', 12, -1, 0), ('g', 0, -1, 0), ('h', 21, -1, 0), ('i', 96, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 21, -1, 0), ('m', 96, -1, 0), ('n', -1, 101, 0), ('o', 96, -1, 0), ('p', 81, -1, 0), ('r', 96, -1, 0), ('s', 96, -1, 0), ('t', 0, -1, 0), ('u', 12, -1, 0), ('w', -1, 102, 0), ('y', 96, -1, 0), ('z', 0, -1, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ł', -1, 172, 0), ('ż', 0, -1, 0)), (('a', -1, 173, 0), ('b', 0, 225, 0), ('c', -1, 3037, 0), ('d', -1, 2023, 0), ('e', -1, 50, 0), ('f', 0, 164, 0), ('g', 41, -1, 0), ('h', -1, 1595, 0), ('i', 28, -1, 0), ('k', -1, 1332, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', -1, 1018, 0), ('o', -1, 345, 0), ('p', 0, 355, 0), ('r', 0, 85, 0), ('s', 0, 355, 0), ('t', -1, 426, 0), ('u', 0, 85, 0), ('w', 21, -1, 0), ('y', 0, -1, 0), ('z', -1, 530, 0), ('ó', -1, 225, 0)), (('a', -1, 174, 0), ('b', 40, -1, 0), ('c', 21, -1, 0), ('d', -1, 1660, 0), ('e', -1, 1488, 0), ('g', -1, 1221, 0), ('h', 1, -1, 0), ('i', -1, 339, 0), ('k', 1, 997, 0), ('l', 28, -1, 0), ('m', -1, 1644, 0), ('n', 126, 1686, 0), ('o', -1, 891, 0), ('p', -1, 280, 0), ('r', -1, 877, 0), ('s', -1, 3233, 0), ('t', 0, 2081, 0), ('u', -1, 2865, 0), ('w', 0, -1, 0), ('y', -1, 708, 0), ('z', -1, 128, 0), ('ł', 47, -1, 0), ('ż', 1, 543, 0)), (('a', -1, 123, 0), ('b', 0, 175, 0), ('c', 99, -1, 0), ('d', 215, -1, 0), ('e', -1, 184, 0), ('g', 0, 310, 0), ('i', -1, 421, 0), ('k', 5, -1, 0), ('l', -1, 123, 0), ('m', 0, 310, 0), ('n', -1, 1699, 0), ('o', 14, -1, 0), ('p', -1, 665, 0), ('r', -1, 106, 0), ('s', 12, -1, 0), ('t', 110, -1, 0), ('u', -1, 981, 0), ('w', -1, 177, 0), ('y', -1, 18, 0), ('z', -1, 433, 0), ('ą', 5, -1, 0), ('ę', -1, 1018, 0), ('ł', 99, -1, 0), ('ń', 5, -1, 0), ('ś', 30, 779, 0)), (('a', -1, 176, 0), ('b', 0, 267, 0), ('c', 95, -1, 0), ('d', -1, 213, 0), ('e', 155, -1, 0), ('f', 95, -1, 0), ('i', -1, 719, 0), ('k', 2, 556, 0), ('l', 3, 576, 0), ('m', 95, 1892, 0), ('n', -1, 1831, 0), ('o', -1, 680, 0), ('p', -1, 874, 0), ('r', -1, 92, 0), ('s', -1, 1394, 0), ('t', 22, -1, 0), ('u', 87, -1, 0), ('w', 6, 1651, 0), ('y', 1, -1, 0), ('z', -1, 822, 0), ('ę', -1, 805, 0)), (('a', -1, 177, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 285, -1, 0), ('e', 82, -1, 0), ('g', 64, -1, 0), ('i', -1, 905, 0), ('j', 21, -1, 0), ('k', -1, 971, 0), ('l', 21, -1, 0), ('m', 3, -1, 0), ('n', -1, 1455, 0), ('o', 21, -1, 0), ('p', -1, 338, 0), ('r', -1, 943, 0), ('s', 21, -1, 0), ('t', -1, 577, 0), ('u', 21, -1, 0), ('w', -1, 179, 0), ('y', 82, -1, 0), ('z', 21, -1, 0)), (('a', 167, -1, 0), ('b', 58, -1, 0), ('c', -1, 125, 0), ('d', 17, -1, 0), ('e', 58, -1, 0), ('g', 0, 64, 0), ('h', 2, -1, 0), ('i', 21, -1, 0), ('k', 3, -1, 0), ('l', 6, -1, 0), ('m', 95, 178, 0), ('n', 21, -1, 0), ('o', -1, 381, 0), ('p', 0, 226, 0), ('r', -1, 627, 0), ('s', 12, -1, 0), ('t', -1, 934, 0), ('u', -1, 345, 0), ('w', -1, 46, 0), ('y', 12, -1, 0), ('z', -1, 404, 0), ('ó', 6, -1, 0), ('ą', 28, -1, 0), ('ę', 110, -1, 0), ('ł', 5, -1, 0), ('ś', 2, -1, 0)), (('a', 95, -1, 0), ('c', -1, 179, 0), ('d', 24, -1, 0), ('e', 169, -1, 0), ('f', 181, -1, 0), ('i', 181, -1, 0), ('k', -1, 896, 0), ('l', -1, 2096, 0), ('m', -1, 2938, 0), ('o', 6, -1, 0), ('p', 181, -1, 0), ('r', -1, 3457, 0), ('s', -1, 108, 0), ('t', -1, 2737, 0), ('u', 104, -1, 0), ('w', -1, 698, 0), ('y', 6, -1, 0), ('z', 181, -1, 0), ('ł', 181, -1, 0)), (('a', 1, -1, 0), ('b', 41, -1, 0), ('c', 21, -1, 0), ('d', 347, -1, 0), ('e', -1, 180, 0), ('f', 0, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 1143, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 21, -1, 0), ('n', 242, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 143, 0), ('s', 1, -1, 0), ('t', -1, 515, 0), ('u', 1, -1, 0), ('w', 347, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ó', -1, 397, 0), ('ę', 70, -1, 0), ('ł', 347, -1, 0), ('ś', 11, -1, 0), ('ź', -1, 559, 0)), (('a', 21, -1, 0), ('b', 79, -1, 0), ('c', 126, -1, 0), ('d', 86, -1, 0), ('e', 21, -1, 0), ('f', 3, -1, 0), ('g', 1, -1, 0), ('h', 28, -1, 0), ('i', 82, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 86, -1, 0), ('p', -1, 181, 0), ('r', 1, -1, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', 86, -1, 0), ('w', 86, -1, 0), ('y', 1, -1, 0), ('z', 21, -1, 0), ('ó', -1, 1546, 0), ('ą', 0, -1, 0), ('ł', -1, 1577, 0), ('ż', 1, -1, 0)), (('a', 95, -1, 0), ('b', 181, -1, 0), ('c', 7, -1, 0), ('d', -1, 141, 0), ('e', 6, -1, 0), ('g', 0, 100, 0), ('i', 24, -1, 0), ('k', 7, -1, 0), ('l', 118, -1, 0), ('m', 181, -1, 0), ('o', -1, 182, 0), ('p', -1, 355, 0), ('r', 181, -1, 0), ('s', 0, 44, 0), ('t', -1, 312, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 181, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 183, 0), ('d', 95, -1, 0), ('e', 21, -1, 0), ('g', 54, -1, 0), ('h', 54, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 21, -1, 0), ('l', 96, 2247, 0), ('m', -1, 412, 0), ('n', 41, -1, 0), ('o', 6, -1, 0), ('p', 95, -1, 0), ('r', 52, 136, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 1766, 0), ('w', 95, 787, 0), ('y', -1, 956, 0), ('z', 0, -1, 0), ('ó', 6, -1, 0), ('ę', 95, -1, 0), ('ł', -1, 134, 0)), (('a', -1, 184, 0), ('c', 1, -1, 0), ('d', -1, 2886, 0), ('e', -1, 123, 0), ('f', 1, -1, 0), ('i', -1, 1546, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 592, 0), ('p', 2, -1, 0), ('r', 63, -1, 0), ('s', 29, -1, 0), ('u', -1, 593, 0), ('w', 2, 783, 0), ('z', 79, -1, 0), ('ę', 29, -1, 0), ('ł', 63, -1, 0)), (('a', -1, 185, 0), ('b', -1, 355, 0), ('c', 28, 667, 0), ('d', -1, 1468, 0), ('e', -1, 503, 0), ('g', -1, 359, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', -1, 166, 0), ('l', -1, 1018, 0), ('m', -1, 145, 0), ('n', 28, -1, 0), ('o', 5, 360, 0), ('p', -1, 452, 0), ('r', 5, -1, 0), ('s', 99, -1, 0), ('t', -1, 80, 0), ('u', 5, -1, 0), ('w', 6, -1, 0), ('y', 5, -1, 0), ('z', -1, 186, 0), ('ł', -1, 398, 0), ('ś', -1, 384, 0), ('ź', 5, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 186, 0), ('b', 28, 576, 0), ('c', 12, -1, 0), ('d', 5, -1, 0), ('e', -1, 7, 0), ('f', 99, -1, 0), ('g', -1, 611, 0), ('i', 62, -1, 0), ('k', 5, -1, 0), ('l', 6, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 142, -1, 0), ('p', 5, -1, 0), ('r', -1, 452, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', -1, 1245, 0), ('w', 5, -1, 0), ('y', -1, 783, 0), ('z', 5, 1691, 0), ('ó', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 0, -1, 0), ('ś', 12, 1958, 0)), (('a', -1, 187, 0), ('b', 97, -1, 0), ('c', 98, -1, 0), ('d', 7, -1, 0), ('e', -1, 239, 0), ('f', 12, -1, 0), ('g', 348, -1, 0), ('h', -1, 971, 0), ('i', -1, 100, 0), ('j', 110, -1, 0), ('k', 109, -1, 0), ('l', 68, -1, 0), ('m', 12, 223, 0), ('n', 0, 454, 0), ('o', 5, -1, 0), ('p', -1, 503, 0), ('r', -1, 1692, 0), ('s', -1, 16, 0), ('t', 109, -1, 0), ('u', 110, -1, 0), ('w', 11, -1, 0), ('y', 97, -1, 0), ('z', 317, -1, 0), ('ę', -1, 754, 0), ('ł', -1, 1678, 0), ('ś', -1, 878, 0), ('ż', -1, 3029, 0)), (('a', -1, 188, 0), ('b', 74, -1, 0), ('c', -1, 288, 0), ('d', 305, -1, 0), ('e', -1, 468, 0), ('f', 22, -1, 0), ('g', 96, 478, 0), ('h', 0, 164, 0), ('i', -1, 478, 0), ('j', -1, 129, 0), ('k', 109, 384, 0), ('l', 68, -1, 0), ('m', 305, -1, 0), ('n', -1, 308, 0), ('o', 449, -1, 0), ('p', 305, -1, 0), ('r', 97, 13, 0), ('s', 7, -1, 0), ('t', 305, -1, 0), ('u', 196, -1, 0), ('w', 305, -1, 0), ('y', -1, 511, 0), ('z', 7, -1, 0), ('ó', -1, 511, 0), ('ą', -1, 3538, 0), ('ę', -1, 1098, 0), ('ł', -1, 382, 0), ('ś', -1, 582, 0), ('ż', 97, -1, 0)), (('a', 186, -1, 0), ('b', 68, -1, 0), ('c', -1, 189, 0), ('d', -1, 14, 0), ('e', 4, -1, 0), ('f', 0, 64, 0), ('g', 12, 239, 0), ('h', 6, -1, 0), ('i', 0, -1, 0), ('j', -1, 383, 0), ('k', 11, 296, 0), ('l', 186, -1, 0), ('m', 97, 100, 0), ('n', -1, 334, 0), ('o', 186, -1, 0), ('p', 186, -1, 0), ('r', -1, 13, 0), ('s', 7, -1, 0), ('t', -1, 467, 0), ('u', 332, -1, 0), ('w', 186, -1, 0), ('y', 4, -1, 0), ('z', -1, 521, 0), ('ó', 97, -1, 0), ('ą', -1, 452, 0), ('ę', 186, -1, 0), ('ł', -1, 390, 0), ('ś', 17, 477, 0), ('ż', -1, 3003, 0)), (('a', 62, -1, 0), ('b', -1, 130, 0), ('c', -1, 190, 0), ('d', 109, -1, 0), ('e', -1, 1086, 0), ('g', 58, -1, 0), ('i', -1, 390, 0), ('k', -1, 312, 0), ('l', 62, -1, 0), ('m', 187, -1, 0), ('n', -1, 3739, 0), ('o', -1, 14, 0), ('p', 58, 503, 0), ('r', 62, -1, 0), ('s', 109, -1, 0), ('t', -1, 97, 0), ('u', 194, -1, 0), ('w', 12, 511, 0), ('y', 62, -1, 0), ('z', -1, 1644, 0), ('ó', -1, 111, 0), ('ą', -1, 11, 0), ('ł', 62, -1, 0), ('ś', -1, 285, 0)), (('a', 195, -1, 0), ('b', 0, -1, 0), ('c', -1, 191, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('g', 13, 278, 0), ('i', 4, -1, 0), ('j', 0, -1, 0), ('k', 348, -1, 0), ('l', -1, 199, 0), ('m', -1, 3728, 0), ('n', -1, 1077, 0), ('o', -1, 1693, 0), ('p', 13, -1, 0), ('r', 21, 1929, 0), ('s', -1, 530, 0), ('t', -1, 284, 0), ('u', -1, 155, 0), ('w', 0, -1, 0), ('y', 195, -1, 0), ('z', 4, -1, 0), ('ę', 4, -1, 0), ('ś', 0, -1, 0)), (('a', 208, -1, 0), ('b', -1, 192, 0), ('c', 0, 799, 0), ('d', 41, 214, 0), ('e', 215, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 892, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 104, -1, 0), ('n', 104, -1, 0), ('o', 0, -1, 0), ('p', -1, 533, 0), ('r', -1, 192, 0), ('s', 0, -1, 0), ('t', -1, 851, 0), ('u', 41, -1, 0), ('w', -1, 55, 0), ('y', 6, -1, 0), ('z', 0, -1, 0), ('ł', -1, 531, 0), ('ż', 0, -1, 0)), (('a', -1, 95, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 193, 0), ('k', -1, 2542, 0), ('l', 104, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 104, -1, 0), ('w', 0, -1, 0), ('y', -1, 2010, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 500, 0), ('ż', 0, -1, 0)), (('a', 74, -1, 0), ('b', 3, -1, 0), ('c', 1, -1, 0), ('d', 377, -1, 0), ('e', 74, -1, 0), ('g', 22, -1, 0), ('i', 74, -1, 0), ('k', 74, -1, 0), ('l', -1, 194, 0), ('m', 96, -1, 0), ('n', -1, 463, 0), ('o', -1, 153, 0), ('p', 74, -1, 0), ('r', 86, -1, 0), ('s', 6, -1, 0), ('t', 21, -1, 0), ('u', 74, -1, 0), ('w', 6, -1, 0), ('y', 74, -1, 0), ('z', 197, -1, 0), ('ą', 74, -1, 0), ('ę', 74, -1, 0), ('ł', 6, 4015, 0)), (('a', 101, -1, 0), ('b', 145, -1, 0), ('c', -1, 195, 0), ('d', 28, -1, 0), ('e', 27, -1, 0), ('f', 145, -1, 0), ('g', 2, -1, 0), ('h', 39, -1, 0), ('i', -1, 798, 0), ('k', 39, -1, 0), ('l', 2, -1, 0), ('m', -1, 3886, 0), ('n', 139, -1, 0), ('o', 9, -1, 0), ('p', 101, -1, 0), ('r', -1, 297, 0), ('s', -1, 283, 0), ('t', -1, 588, 0), ('u', 9, 760, 0), ('w', 27, -1, 0), ('y', 101, -1, 0), ('z', -1, 797, 0), ('ł', 184, -1, 0)), (('a', -1, 196, 0), ('b', 0, -1, 0), ('c', -1, 4223, 0), ('d', -1, 3260, 0), ('e', -1, 17, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 1, -1, 0), ('m', 79, -1, 0), ('n', 1, -1, 0), ('o', -1, 1036, 0), ('p', 21, -1, 0), ('r', 0, -1, 0), ('s', 79, -1, 0), ('t', 1, -1, 0), ('u', -1, 429, 0), ('w', 21, -1, 0), ('y', -1, 2626, 0), ('z', 21, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 197, 0), ('b', 31, -1, 0), ('c', -1, 2003, 0), ('d', 0, -1, 0), ('e', -1, 1747, 0), ('f', 0, -1, 0), ('g', 65, -1, 0), ('i', -1, 915, 0), ('j', 21, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 21, -1, 0), ('n', 12, -1, 0), ('o', 1, 2521, 0), ('p', 5, -1, 0), ('r', -1, 533, 0), ('s', -1, 2264, 0), ('t', 0, -1, 0), ('u', -1, 883, 0), ('w', 0, 85, 0), ('y', -1, 2029, 0), ('z', -1, 218, 0), ('ó', 0, -1, 0), ('ł', 39, -1, 0)), (('a', 3, -1, 0), ('b', 7, -1, 0), ('c', -1, 198, 0), ('d', 0, 225, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('i', 0, -1, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', -1, 392, 0), ('m', 22, -1, 0), ('n', -1, 192, 0), ('o', 3, -1, 0), ('p', 133, -1, 0), ('r', -1, 12, 0), ('s', 0, 225, 0), ('t', 1, -1, 0), ('u', 30, -1, 0), ('w', 30, -1, 0), ('y', -1, 981, 0), ('z', 0, -1, 0), ('ó', 22, -1, 0), ('ą', 76, -1, 0), ('ł', 0, -1, 0)), (('a', 3, -1, 0), ('b', 28, -1, 0), ('c', 28, 199, 0), ('d', 0, -1, 0), ('e', 3, -1, 0), ('g', -1, 165, 0), ('h', 28, -1, 0), ('i', 3, -1, 0), ('k', 5, -1, 0), ('l', 28, -1, 0), ('n', 3, -1, 0), ('o', -1, 2893, 0), ('p', 11, -1, 0), ('r', -1, 1362, 0), ('s', 28, -1, 0), ('t', 21, -1, 0), ('u', -1, 1014, 0), ('w', 28, -1, 0), ('y', 3, -1, 0), ('z', 28, -1, 0), ('ą', 3, -1, 0)), (('a', 4, -1, 0), ('b', 110, -1, 0), ('c', 2, -1, 0), ('d', 21, 186, 0), ('e', 4, -1, 0), ('f', 28, -1, 0), ('g', -1, 200, 0), ('i', 28, -1, 0), ('j', 110, -1, 0), ('k', 4, -1, 0), ('l', -1, 71, 0), ('m', 110, -1, 0), ('n', -1, 1249, 0), ('o', 95, -1, 0), ('p', 110, -1, 0), ('r', -1, 878, 0), ('s', 6, -1, 0), ('t', 110, -1, 0), ('u', -1, 1003, 0), ('w', -1, 190, 0), ('y', 28, -1, 0), ('z', 197, -1, 0), ('ó', 55, -1, 0), ('ł', 348, -1, 0), ('ś', 4, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', -1, 201, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 31, -1, 0), ('g', 402, -1, 0), ('h', -1, 340, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 2052, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', -1, 4336, 0), ('y', 3, -1, 0), ('z', 230, -1, 0), ('ę', -1, 1386, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 232, -1, 0), ('p', 3, -1, 0), ('r', 133, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 202, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', -1, 1015, 0), ('ą', 5, -1, 0), ('ę', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 30, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 203, 0), ('j', 3, -1, 0), ('k', -1, 1539, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 823, 0), ('s', 3, -1, 0), ('t', -1, 203, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 204, 0), ('c', 3, -1, 0), ('d', -1, 355, 0), ('e', -1, 455, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 1047, 0), ('p', 30, -1, 0), ('r', -1, 1233, 0), ('s', 3, 2474, 0), ('t', 30, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 205, 0), ('c', 3, -1, 0), ('d', -1, 251, 0), ('e', -1, 2374, 0), ('g', 52, -1, 0), ('i', -1, 784, 0), ('k', 24, -1, 0), ('l', 24, -1, 0), ('m', 3, 4544, 0), ('n', 24, -1, 0), ('o', 24, -1, 0), ('p', 24, -1, 0), ('r', 24, -1, 0), ('s', -1, 99, 0), ('t', 22, -1, 0), ('u', 24, -1, 0), ('w', 0, 226, 0), ('y', -1, 147, 0), ('z', 0, 44, 0)), (('a', 0, -1, 0), ('b', 24, -1, 0), ('c', -1, 206, 0), ('d', 5, -1, 0), ('e', 0, -1, 0), ('i', -1, 402, 0), ('k', -1, 273, 0), ('l', 24, -1, 0), ('m', 24, -1, 0), ('n', 1, -1, 0), ('o', -1, 452, 0), ('p', -1, 2374, 0), ('r', 24, -1, 0), ('s', 21, -1, 0), ('t', 24, -1, 0), ('u', 0, -1, 0), ('w', 5, -1, 0), ('y', -1, 459, 0), ('z', 24, -1, 0), ('ę', 1, -1, 0), ('ł', 24, -1, 0)), (('a', 83, -1, 0), ('e', -1, 207, 0), ('i', 64, -1, 0), ('o', 107, 2506, 0), ('r', 120, -1, 0), ('s', -1, 1878, 0), ('u', -1, 1031, 0), ('y', 83, -1, 0), ('z', 64, -1, 0), ('ą', 64, -1, 0), ('ę', 64, -1, 0), ('ł', 95, -1, 0)), (('a', 28, -1, 0), ('e', 13, -1, 0), ('i', -1, 208, 0), ('o', -1, 2110, 0), ('r', 28, 2347, 0), ('s', 3, -1, 0), ('u', 28, -1, 0), ('y', 13, -1, 0), ('z', 28, -1, 0)), (('a', -1, 209, 0), ('d', -1, 1399, 0), ('e', -1, 71, 0), ('f', 7, -1, 0), ('i', -1, 636, 0), ('k', 83, -1, 0), ('l', -1, 2504, 0), ('m', 83, -1, 0), ('n', 7, -1, 0), ('o', -1, 7, 0), ('p', 7, -1, 0), ('r', -1, 698, 0), ('s', 3, -1, 0), ('t', 0, 1233, 0), ('w', 7, 720, 0), ('y', 2, -1, 0), ('z', -1, 943, 0)), (('a', -1, 187, 0), ('b', 58, -1, 0), ('c', -1, 210, 0), ('d', -1, 140, 0), ('e', 152, -1, 0), ('g', -1, 316, 0), ('i', -1, 2130, 0), ('j', 12, -1, 0), ('k', 176, -1, 0), ('l', 12, -1, 0), ('m', 109, -1, 0), ('n', 0, 226, 0), ('o', 109, -1, 0), ('p', 25, -1, 0), ('r', 109, -1, 0), ('s', -1, 1192, 0), ('t', -1, 775, 0), ('u', 12, -1, 0), ('w', 2, -1, 0), ('y', 152, -1, 0), ('z', 12, -1, 0), ('ę', 0, -1, 0), ('ł', 30, -1, 0), ('ś', 14, 4120, 0)), (('a', -1, 211, 0), ('b', 133, -1, 0), ('c', -1, 2031, 0), ('d', 133, -1, 0), ('e', 21, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 21, -1, 0), ('j', 1, -1, 0), ('k', 2, 46, 0), ('l', 350, -1, 0), ('m', 5, -1, 0), ('n', -1, 3333, 0), ('o', 21, -1, 0), ('p', -1, 3152, 0), ('r', 21, -1, 0), ('s', 133, -1, 0), ('t', -1, 2537, 0), ('u', 241, -1, 0), ('w', 133, -1, 0), ('y', 21, -1, 0), ('z', -1, 914, 0), ('ł', 350, -1, 0)), (('a', 58, -1, 0), ('b', -1, 212, 0), ('c', 0, 807, 0), ('d', 109, -1, 0), ('e', 109, -1, 0), ('g', 21, -1, 0), ('i', 58, -1, 0), ('k', 12, -1, 0), ('l', -1, 1693, 0), ('m', 446, -1, 0), ('n', 109, -1, 0), ('o', 109, -1, 0), ('p', 167, -1, 0), ('r', -1, 189, 0), ('s', 58, -1, 0), ('t', 109, -1, 0), ('u', 109, -1, 0), ('w', -1, 668, 0), ('y', 12, -1, 0), ('z', 109, -1, 0), ('ł', 109, -1, 0), ('ś', 0, 452, 0)), (('a', -1, 116, 0), ('b', -1, 130, 0), ('c', 116, -1, 0), ('d', -1, 213, 0), ('e', -1, 1667, 0), ('i', -1, 1409, 0), ('m', -1, 4472, 0), ('n', -1, 50, 0), ('o', 0, 64, 0), ('p', 2, -1, 0), ('r', -1, 1363, 0), ('s', 0, 64, 0), ('t', -1, 669, 0), ('u', 0, 64, 0), ('w', 0, 64, 0), ('y', -1, 780, 0), ('z', -1, 569, 0)), (('a', -1, 214, 0), ('b', 2, -1, 0), ('d', -1, 236, 0), ('e', -1, 667, 0), ('g', 166, -1, 0), ('i', -1, 2003, 0), ('k', 2, -1, 0), ('l', -1, 2779, 0), ('m', 2, -1, 0), ('n', -1, 2286, 0), ('o', -1, 2522, 0), ('p', 2, -1, 0), ('r', -1, 20, 0), ('s', 2, -1, 0), ('t', 85, 1533, 0), ('w', 2, -1, 0), ('y', -1, 4486, 0), ('z', -1, 84, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 215, 0), ('d', 0, -1, 0), ('e', -1, 799, 0), ('g', 346, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 104, -1, 0), ('k', 0, -1, 0), ('l', -1, 782, 0), ('m', -1, 147, 0), ('n', 0, -1, 0), ('o', -1, 1377, 0), ('p', 0, -1, 0), ('r', -1, 499, 0), ('s', 0, -1, 0), ('t', -1, 703, 0), ('u', 104, -1, 0), ('w', 0, -1, 0), ('y', -1, 35, 0), ('z', 95, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 41, -1, 0), ('c', 185, -1, 0), ('d', 0, -1, 0), ('e', 41, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 41, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 7, -1, 0), ('t', 41, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 216, 0), ('z', 0, -1, 0), ('ó', 5, -1, 0), ('ą', 31, -1, 0), ('ę', 0, -1, 0), ('ł', 41, -1, 0), ('ś', 0, -1, 0)), (('a', 22, -1, 0), ('c', 41, -1, 0), ('d', 0, -1, 0), ('e', -1, 217, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 0, -1, 0), ('n', 41, -1, 0), ('o', -1, 690, 0), ('p', 22, -1, 0), ('r', 22, -1, 0), ('s', 0, -1, 0), ('t', 30, -1, 0), ('u', 22, -1, 0), ('w', 41, -1, 0), ('y', 3, -1, 0), ('z', 41, -1, 0), ('ł', 2, -1, 0), ('ś', 69, -1, 0)), (('a', -1, 218, 0), ('c', -1, 2615, 0), ('d', -1, 1712, 0), ('e', -1, 193, 0), ('i', 22, -1, 0), ('j', 3, -1, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 1932, 0), ('p', 3, -1, 0), ('r', -1, 2893, 0), ('s', -1, 1546, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', -1, 671, 0), ('z', -1, 80, 0), ('ł', -1, 1564, 0)), (('a', -1, 143, 0), ('c', -1, 219, 0), ('d', 16, -1, 0), ('e', 1, -1, 0), ('g', 56, 568, 0), ('i', 14, -1, 0), ('j', -1, 2780, 0), ('k', 10, -1, 0), ('l', 14, -1, 0), ('m', 1, -1, 0), ('o', -1, 1791, 0), ('p', 1, -1, 0), ('r', -1, 177, 0), ('s', -1, 3166, 0), ('t', 21, -1, 0), ('u', 6, -1, 0), ('w', -1, 2552, 0), ('y', 6, -1, 0), ('z', 14, -1, 0)), (('a', -1, 220, 0), ('b', 5, -1, 0), ('d', 143, -1, 0), ('e', -1, 2567, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 143, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 4, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 4, -1, 0), ('z', 11, -1, 0)), (('a', 81, -1, 0), ('b', 0, -1, 0), ('c', -1, 221, 0), ('d', 155, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 278, 0), ('k', 208, -1, 0), ('l', 210, 630, 0), ('m', 1, -1, 0), ('n', 143, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, 704, 0), ('t', 179, -1, 0), ('u', 0, -1, 0), ('w', 4, -1, 0), ('y', -1, 1231, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 16, -1, 0), ('e', -1, 222, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 16, -1, 0), ('l', 64, -1, 0), ('m', 28, -1, 0), ('n', 16, -1, 0), ('o', 41, 387, 0), ('p', 16, -1, 0), ('r', -1, 549, 0), ('s', -1, 4445, 0), ('t', 79, -1, 0), ('u', -1, 122, 0), ('w', -1, 125, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 16, -1, 0)), (('a', 96, -1, 0), ('b', -1, 199, 0), ('c', 24, -1, 0), ('d', 175, -1, 0), ('e', -1, 223, 0), ('f', 24, -1, 0), ('g', 0, 288, 0), ('i', 41, -1, 0), ('j', 0, -1, 0), ('k', -1, 1374, 0), ('l', -1, 384, 0), ('m', 12, -1, 0), ('n', 0, -1, 0), ('o', -1, 857, 0), ('p', 0, 97, 0), ('r', 96, -1, 0), ('s', 41, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', -1, 625, 0), ('z', -1, 1193, 0), ('ę', 104, -1, 0), ('ł', -1, 1223, 0), ('ż', 12, -1, 0)), (('a', -1, 224, 0), ('b', -1, 1518, 0), ('c', -1, 385, 0), ('d', 5, -1, 0), ('e', -1, 334, 0), ('f', 2, -1, 0), ('g', 21, -1, 0), ('h', 3, -1, 0), ('i', -1, 612, 0), ('j', 5, -1, 0), ('k', 242, -1, 0), ('l', 41, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 98, -1, 0), ('p', 5, -1, 0), ('r', 98, -1, 0), ('s', 109, -1, 0), ('t', 5, -1, 0), ('u', 6, -1, 0), ('w', 5, -1, 0), ('y', -1, 765, 0), ('z', 12, -1, 0), ('ł', 109, 787, 0), ('ś', 58, -1, 0), ('ż', 6, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 21, -1, 0), ('e', 11, -1, 0), ('g', 11, -1, 0), ('h', -1, 51, 0), ('i', -1, 13, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 0, 225, 0), ('m', 98, -1, 0), ('n', 21, -1, 0), ('o', 11, -1, 0), ('p', 98, -1, 0), ('r', 98, -1, 0), ('s', 11, -1, 0), ('t', -1, 315, 0), ('u', 11, -1, 0), ('w', 12, 384, 0), ('y', 98, -1, 0), ('z', 11, -1, 0), ('ó', 11, -1, 0), ('ą', 11, -1, 0), ('ę', 98, -1, 0), ('ł', 11, -1, 0), ('ś', -1, 189, 0), ('ż', -1, 2239, 0)), (('a', -1, 226, 0), ('b', -1, 217, 0), ('c', 0, -1, 0), ('d', -1, 1792, 0), ('e', 88, -1, 0), ('f', 1, -1, 0), ('g', 106, 693, 0), ('i', -1, 1025, 0), ('k', -1, 83, 0), ('l', -1, 14, 0), ('m', 0, 226, 0), ('n', -1, 1486, 0), ('o', -1, 1246, 0), ('p', 5, 499, 0), ('r', 0, 288, 0), ('s', -1, 2093, 0), ('t', 0, 164, 0), ('u', -1, 781, 0), ('w', -1, 859, 0), ('y', -1, 478, 0), ('z', -1, 223, 0), ('ł', 0, -1, 0), ('ś', 0, 164, 0), ('ż', 0, 164, 0)), (('a', 169, -1, 0), ('b', 2, -1, 0), ('c', 28, -1, 0), ('d', -1, 227, 0), ('e', 93, -1, 0), ('g', 2, -1, 0), ('i', 28, -1, 0), ('j', -1, 3328, 0), ('k', -1, 234, 0), ('l', 4, -1, 0), ('m', 21, -1, 0), ('n', 5, -1, 0), ('o', -1, 177, 0), ('p', -1, 854, 0), ('r', -1, 50, 0), ('s', 0, 1264, 0), ('t', 28, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', -1, 2527, 0), ('z', 86, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 189, 0), ('b', 3, -1, 0), ('c', 1, -1, 0), ('d', -1, 228, 0), ('e', -1, 35, 0), ('g', 6, -1, 0), ('i', 0, -1, 0), ('k', 6, -1, 0), ('l', -1, 3256, 0), ('m', -1, 285, 0), ('n', 4, -1, 0), ('o', 0, 44, 0), ('p', 108, -1, 0), ('r', -1, 959, 0), ('s', -1, 2543, 0), ('t', -1, 1644, 0), ('u', -1, 1416, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 173, -1, 0), ('ś', 0, 44, 0)), (('a', 271, -1, 0), ('b', 7, -1, 0), ('c', -1, 229, 0), ('d', -1, 2108, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 1626, 0), ('j', 7, -1, 0), ('k', -1, 3893, 0), ('l', -1, 4449, 0), ('m', 7, -1, 0), ('n', -1, 3535, 0), ('o', 3, -1, 0), ('p', 7, -1, 0), ('r', -1, 2806, 0), ('s', 7, -1, 0), ('t', -1, 4217, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 0, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('e', 57, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 57, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 230, 0), ('ł', 7, -1, 0)), (('a', 7, -1, 0), ('b', 13, -1, 0), ('c', 13, -1, 0), ('d', 1, -1, 0), ('e', 7, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('l', 7, -1, 0), ('m', -1, 231, 0), ('n', 13, -1, 0), ('o', -1, 1209, 0), ('p', -1, 2035, 0), ('r', 0, -1, 0), ('s', 41, -1, 0), ('t', 0, -1, 0), ('u', 30, -1, 0), ('w', 13, -1, 0), ('y', 1, -1, 0), ('z', -1, 1700, 0), ('ż', 0, -1, 0)), (('a', 99, -1, 0), ('b', -1, 232, 0), ('c', -1, 1565, 0), ('d', 311, -1, 0), ('e', 5, -1, 0), ('f', 21, -1, 0), ('g', 5, -1, 0), ('h', 13, -1, 0), ('i', 99, -1, 0), ('k', 6, 199, 0), ('l', 5, -1, 0), ('m', 311, -1, 0), ('n', -1, 2874, 0), ('o', 99, -1, 0), ('p', 311, -1, 0), ('r', -1, 14, 0), ('s', 5, -1, 0), ('t', 311, -1, 0), ('u', 99, -1, 0), ('w', 311, -1, 0), ('y', 1, -1, 0), ('z', -1, 857, 0), ('ó', 79, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 1556, 0), ('ś', -1, 3378, 0), ('ż', 217, -1, 0)), (('a', 105, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 233, 0), ('g', 3, -1, 0), ('h', 1, -1, 0), ('i', -1, 394, 0), ('k', 2, -1, 0), ('l', 187, -1, 0), ('m', 2, -1, 0), ('o', -1, 222, 0), ('p', 187, -1, 0), ('r', -1, 1462, 0), ('s', -1, 484, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 187, -1, 0), ('y', -1, 1691, 0), ('z', -1, 854, 0)), (('a', 61, -1, 0), ('b', 185, -1, 0), ('c', 0, -1, 0), ('d', -1, 234, 0), ('e', -1, 24, 0), ('g', -1, 2716, 0), ('h', 0, 95, 0), ('i', -1, 1193, 0), ('k', 81, 420, 0), ('l', 61, -1, 0), ('m', 0, 1268, 0), ('n', 13, -1, 0), ('o', 52, -1, 0), ('p', 0, -1, 0), ('r', 61, -1, 0), ('s', 185, -1, 0), ('t', 185, -1, 0), ('u', 193, -1, 0), ('w', 0, -1, 0), ('y', 61, -1, 0), ('z', 0, -1, 0), ('ó', -1, 80, 0), ('ą', -1, 1693, 0), ('ę', 61, -1, 0), ('ł', 61, -1, 0), ('ż', 3, -1, 0)), (('a', 185, -1, 0), ('b', -1, 116, 0), ('c', -1, 144, 0), ('d', 242, -1, 0), ('e', -1, 235, 0), ('g', -1, 2321, 0), ('i', 185, -1, 0), ('k', -1, 147, 0), ('l', 12, -1, 0), ('m', 0, 808, 0), ('n', -1, 756, 0), ('o', -1, 1459, 0), ('p', -1, 1391, 0), ('r', -1, 1793, 0), ('s', 21, 165, 0), ('t', 6, -1, 0), ('u', -1, 1047, 0), ('w', -1, 1098, 0), ('y', 185, -1, 0), ('z', -1, 468, 0)), (('a', 265, -1, 0), ('b', -1, 236, 0), ('c', -1, 943, 0), ('d', 383, -1, 0), ('e', 265, -1, 0), ('g', 12, -1, 0), ('i', 86, -1, 0), ('k', 1, -1, 0), ('l', 0, 64, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 265, -1, 0), ('p', 21, -1, 0), ('r', 96, -1, 0), ('s', 12, -1, 0), ('t', 0, -1, 0), ('u', -1, 1212, 0), ('w', 383, -1, 0), ('y', 21, -1, 0), ('z', 383, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 237, 0), ('d', 117, -1, 0), ('e', -1, 815, 0), ('g', 0, 288, 0), ('i', -1, 2220, 0), ('k', -1, 1545, 0), ('l', 3, -1, 0), ('o', 0, 310, 0), ('p', 28, -1, 0), ('r', -1, 728, 0), ('s', 41, -1, 0), ('t', 3, -1, 0), ('w', -1, 1054, 0), ('y', -1, 2874, 0), ('z', -1, 1676, 0), ('ś', -1, 3330, 0), ('ż', 0, -1, 0)), (('a', -1, 238, 0), ('b', 3, 2553, 0), ('c', 21, -1, 0), ('d', 217, -1, 0), ('e', 191, -1, 0), ('g', -1, 1452, 0), ('i', 52, -1, 0), ('k', 5, -1, 0), ('l', -1, 860, 0), ('m', 17, -1, 0), ('n', 21, 675, 0), ('o', 191, -1, 0), ('p', 105, -1, 0), ('r', -1, 174, 0), ('s', 37, -1, 0), ('t', 110, -1, 0), ('u', 191, -1, 0), ('w', 74, -1, 0), ('y', 0, -1, 0), ('z', 196, -1, 0), ('ó', 0, -1, 0), ('ł', -1, 1461, 0)), (('a', -1, 239, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 111, -1, 0), ('e', -1, 388, 0), ('g', 1, 15, 0), ('i', 62, -1, 0), ('k', 110, -1, 0), ('l', -1, 111, 0), ('m', 21, -1, 0), ('n', 12, -1, 0), ('o', -1, 148, 0), ('p', 99, -1, 0), ('r', -1, 490, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', -1, 224, 0), ('w', 99, -1, 0), ('y', -1, 16, 0), ('z', 5, -1, 0), ('ó', -1, 1472, 0), ('ą', -1, 525, 0), ('ę', 62, -1, 0), ('ł', -1, 521, 0), ('ś', 0, -1, 0)), (('a', -1, 240, 0), ('b', 0, 951, 0), ('c', -1, 311, 0), ('d', 12, -1, 0), ('e', -1, 101, 0), ('f', -1, 3786, 0), ('g', 62, -1, 0), ('h', -1, 683, 0), ('i', -1, 387, 0), ('j', -1, 398, 0), ('k', 14, -1, 0), ('l', 7, -1, 0), ('m', 244, 16, 0), ('n', 24, -1, 0), ('o', 7, -1, 0), ('p', 224, -1, 0), ('r', -1, 187, 0), ('s', -1, 478, 0), ('t', 109, -1, 0), ('u', 12, -1, 0), ('w', 68, -1, 0), ('y', 5, -1, 0), ('z', 200, -1, 0), ('ó', -1, 21, 0), ('ę', 5, -1, 0), ('ł', -1, 174, 0), ('ś', 175, -1, 0), ('ż', -1, 1260, 0)), (('a', -1, 101, 0), ('b', -1, 241, 0), ('c', -1, 171, 0), ('d', 99, 848, 0), ('e', -1, 58, 0), ('f', 0, 44, 0), ('g', 7, -1, 0), ('h', -1, 1488, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', -1, 382, 0), ('l', -1, 59, 0), ('m', 7, -1, 0), ('n', -1, 914, 0), ('o', 7, -1, 0), ('p', 97, -1, 0), ('r', 97, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, 286, 0), ('w', 97, -1, 0), ('y', 97, -1, 0), ('z', -1, 286, 0), ('ó', -1, 2630, 0), ('ą', -1, 1927, 0), ('ę', -1, 624, 0), ('ł', 7, -1, 0), ('ś', -1, 1188, 0), ('ż', 7, -1, 0)), (('a', -1, 242, 0), ('b', 5, -1, 0), ('c', 21, 144, 0), ('d', 21, -1, 0), ('e', 74, -1, 0), ('f', 3, -1, 0), ('g', 348, -1, 0), ('h', 1, -1, 0), ('i', -1, 1044, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 21, 1459, 0), ('m', 21, -1, 0), ('n', 0, -1, 0), ('o', -1, 151, 0), ('p', 1, -1, 0), ('r', 74, -1, 0), ('s', 3, -1, 0), ('t', -1, 1794, 0), ('u', 74, -1, 0), ('w', 104, -1, 0), ('y', 74, -1, 0), ('z', 3, -1, 0), ('ę', 74, -1, 0), ('ł', 4, -1, 0), ('ż', -1, 2489, 0)), (('a', 74, -1, 0), ('b', 74, -1, 0), ('c', -1, 243, 0), ('d', 295, -1, 0), ('e', 21, -1, 0), ('g', 74, -1, 0), ('h', 3, -1, 0), ('i', 197, -1, 0), ('k', -1, 1391, 0), ('l', -1, 129, 0), ('m', 21, -1, 0), ('n', -1, 557, 0), ('o', 74, -1, 0), ('p', 74, 1677, 0), ('r', 137, -1, 0), ('s', 1, -1, 0), ('t', -1, 385, 0), ('u', 74, -1, 0), ('w', -1, 1016, 0), ('y', 42, -1, 0), ('z', 74, -1, 0)), (('a', -1, 244, 0), ('b', -1, 403, 0), ('d', 6, -1, 0), ('e', -1, 287, 0), ('f', 3, -1, 0), ('i', -1, 285, 0), ('k', 3, -1, 0), ('l', -1, 121, 0), ('n', 7, -1, 0), ('o', -1, 97, 0), ('p', 2, -1, 0), ('r', -1, 1822, 0), ('s', 2, -1, 0), ('t', 2, 957, 0), ('u', -1, 2757, 0), ('w', 21, -1, 0), ('z', 29, -1, 0)), (('a', 25, -1, 0), ('b', -1, 245, 0), ('c', -1, 932, 0), ('d', 25, -1, 0), ('e', 176, -1, 0), ('g', 25, -1, 0), ('i', 25, -1, 0), ('k', -1, 1004, 0), ('l', 24, -1, 0), ('m', 0, 44, 0), ('n', -1, 3215, 0), ('o', -1, 404, 0), ('p', 176, -1, 0), ('r', -1, 1119, 0), ('s', -1, 677, 0), ('t', -1, 1572, 0), ('u', 25, -1, 0), ('w', -1, 947, 0), ('y', 25, -1, 0), ('z', 25, -1, 0), ('ę', 25, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 246, 0), ('i', 44, -1, 0), ('l', 44, -1, 0), ('o', 56, 2858, 0), ('r', 107, -1, 0), ('w', 44, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', -1, 2702, 0), ('ę', 5, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 247, 0), ('d', 0, -1, 0), ('e', 21, -1, 0), ('i', -1, 3173, 0), ('j', 28, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 1, 3152, 0), ('p', 3, 756, 0), ('r', -1, 1195, 0), ('s', 5, 4045, 0), ('t', -1, 2349, 0), ('y', -1, 1012, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 12, -1, 0), ('d', 2, -1, 0), ('e', 12, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', 12, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', -1, 248, 0), ('n', 28, -1, 0), ('o', -1, 249, 0), ('p', 184, 545, 0), ('r', -1, 163, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 12, -1, 0), ('w', 28, -1, 0), ('y', 12, -1, 0), ('z', 28, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 106, -1, 0), ('c', 39, -1, 0), ('d', 106, -1, 0), ('e', 12, -1, 0), ('i', 188, -1, 0), ('k', 188, -1, 0), ('m', 105, -1, 0), ('o', 55, -1, 0), ('p', 39, -1, 0), ('r', 188, -1, 0), ('s', 12, -1, 0), ('t', 5, -1, 0), ('u', 106, -1, 0), ('w', 105, -1, 0), ('y', 30, -1, 0), ('z', 106, -1, 0), ('ł', 188, -1, 0)), (('a', 126, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 12, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 97, 0), ('j', 105, -1, 0), ('k', -1, 250, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 0, -1, 0), ('p', -1, 1261, 0), ('r', -1, 351, 0), ('s', 55, -1, 0), ('t', 21, -1, 0), ('u', 126, -1, 0), ('w', 135, 620, 0), ('y', 0, -1, 0), ('z', 194, -1, 0)), (('a', -1, 20, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 1, -1, 0), ('e', -1, 251, 0), ('g', 21, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 21, -1, 0), ('m', 2, -1, 0), ('n', 1, -1, 0), ('o', -1, 532, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 1731, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1182, 0), ('ł', 1, -1, 0)), (('a', 191, -1, 0), ('b', 191, -1, 0), ('c', 86, -1, 0), ('d', 191, -1, 0), ('e', 171, -1, 0), ('f', 86, -1, 0), ('g', -1, 252, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 1, -1, 0), ('m', -1, 807, 0), ('n', -1, 1486, 0), ('o', 21, -1, 0), ('p', 86, -1, 0), ('r', 110, -1, 0), ('s', 1, 7, 0), ('t', -1, 22, 0), ('u', 110, -1, 0), ('w', 86, -1, 0), ('y', 191, -1, 0), ('z', 191, -1, 0), ('ę', 28, -1, 0), ('ł', 0, -1, 0)), (('a', 11, -1, 0), ('e', -1, 253, 0), ('g', 10, -1, 0), ('i', -1, 813, 0), ('o', -1, 4379, 0), ('r', 11, -1, 0), ('t', -1, 1581, 0), ('w', 10, -1, 0), ('y', -1, 490, 0), ('z', 7, -1, 0), ('ó', 11, -1, 0), ('ł', -1, 1601, 0)), (('a', -1, 254, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', -1, 2391, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 11, -1, 0), ('m', -1, 1448, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 0, 453, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', -1, 3205, 0), ('w', 56, -1, 0), ('y', 5, -1, 0), ('z', -1, 417, 0), ('ó', 55, -1, 0)), (('a', -1, 5, 0), ('c', -1, 255, 0), ('d', 175, 85, 0), ('e', 21, -1, 0), ('f', 5, -1, 0), ('i', 21, -1, 0), ('j', -1, 1620, 0), ('k', 5, -1, 0), ('l', 1, -1, 0), ('m', 55, 1753, 0), ('o', -1, 749, 0), ('p', 21, -1, 0), ('r', -1, 706, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', -1, 1045, 0), ('w', -1, 7, 0), ('y', -1, 2972, 0), ('z', -1, 502, 0)), (('a', -1, 256, 0), ('b', 0, -1, 0), ('d', 0, 647, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('k', -1, 2565, 0), ('n', 143, -1, 0), ('o', -1, 2610, 0), ('p', 143, -1, 0), ('r', -1, 2864, 0), ('u', 7, -1, 0), ('w', -1, 3495, 0), ('y', 7, -1, 0), ('z', 275, -1, 0), ('ł', 143, -1, 0), ('ń', 3, -1, 0)), (('a', -1, 257, 0), ('b', 7, -1, 0), ('d', 7, -1, 0), ('e', 22, -1, 0), ('g', 7, -1, 0), ('i', 1, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('o', 0, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 1853, 0), ('t', 7, -1, 0), ('u', 22, -1, 0), ('w', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 258, 0), ('b', 22, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 22, -1, 0), ('p', 3, -1, 0), ('r', 106, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 106, -1, 0), ('w', 3, -1, 0), ('y', 106, -1, 0), ('z', 55, -1, 0), ('ż', 52, -1, 0)), (('a', -1, 259, 0), ('b', 3, -1, 0), ('c', -1, 612, 0), ('d', 13, -1, 0), ('e', 28, -1, 0), ('i', 28, -1, 0), ('j', 105, -1, 0), ('k', -1, 2971, 0), ('l', 22, -1, 0), ('m', 13, -1, 0), ('n', 3, -1, 0), ('o', -1, 744, 0), ('p', 0, 1767, 0), ('r', 105, -1, 0), ('s', 105, -1, 0), ('t', -1, 2867, 0), ('u', 28, -1, 0), ('w', 101, 733, 0), ('y', 28, -1, 0), ('z', 4, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 105, -1, 0)), (('a', 21, -1, 0), ('b', 28, -1, 0), ('c', -1, 260, 0), ('d', 96, -1, 0), ('e', -1, 172, 0), ('i', 28, -1, 0), ('k', 178, -1, 0), ('l', -1, 153, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 13, -1, 0), ('p', 27, -1, 0), ('r', 28, -1, 0), ('s', 21, -1, 0), ('t', 28, -1, 0), ('u', 21, -1, 0), ('w', 217, -1, 0), ('y', 28, -1, 0), ('z', 4, -1, 0), ('ó', 28, -1, 0), ('ł', -1, 1344, 0)), (('a', 73, -1, 0), ('e', 73, -1, 0), ('i', 73, -1, 0), ('n', 23, -1, 0), ('o', -1, 261, 0), ('p', 73, -1, 0), ('r', -1, 2102, 0), ('s', 73, -1, 0), ('t', 1, 1624, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ą', 73, -1, 0), ('ę', 73, -1, 0)), (('a', -1, 262, 0), ('b', 87, -1, 0), ('d', 51, -1, 0), ('e', -1, 854, 0), ('g', 87, -1, 0), ('i', 155, -1, 0), ('k', 41, -1, 0), ('l', 9, -1, 0), ('m', 2, -1, 0), ('o', 9, -1, 0), ('p', -1, 2065, 0), ('r', -1, 1223, 0), ('s', -1, 2478, 0), ('t', 11, -1, 0), ('u', 87, -1, 0), ('w', -1, 851, 0), ('y', 106, -1, 0), ('z', -1, 1024, 0), ('ł', 3, -1, 0)), (('a', 34, -1, 0), ('b', 39, -1, 0), ('d', -1, 263, 0), ('e', 93, -1, 0), ('i', -1, 2867, 0), ('j', 9, -1, 0), ('k', 0, 355, 0), ('l', 145, -1, 0), ('m', -1, 2910, 0), ('n', 39, -1, 0), ('o', 0, 164, 0), ('p', -1, 1402, 0), ('r', 101, -1, 0), ('s', 0, -1, 0), ('t', 12, -1, 0), ('u', 34, -1, 0), ('w', 101, -1, 0), ('y', 34, -1, 0), ('z', -1, 623, 0), ('ł', 9, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', 158, -1, 0), ('e', 30, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 264, 0), ('j', 22, -1, 0), ('k', -1, 752, 0), ('l', -1, 3132, 0), ('m', 2, -1, 0), ('o', -1, 1777, 0), ('r', -1, 2705, 0), ('s', 22, -1, 0), ('t', -1, 2157, 0), ('w', -1, 4408, 0), ('z', -1, 553, 0)), (('a', 5, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('e', -1, 265, 0), ('i', 5, -1, 0), ('m', 0, -1, 0), ('n', 22, -1, 0), ('o', 1, -1, 0), ('p', 22, -1, 0), ('r', 237, -1, 0), ('s', 28, -1, 0), ('t', 22, -1, 0), ('w', 3, 2309, 0), ('y', 5, -1, 0), ('z', -1, 1467, 0), ('ó', 1, -1, 0)), (('a', 1, -1, 0), ('b', 21, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('g', 22, -1, 0), ('h', -1, 177, 0), ('i', 21, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 266, 0), ('n', -1, 1505, 0), ('o', 0, 1966, 0), ('p', 5, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 1, -1, 0), ('y', 21, -1, 0), ('z', 1, -1, 0), ('ł', 21, -1, 0)), (('a', 1, -1, 0), ('b', -1, 267, 0), ('c', 95, -1, 0), ('d', 4, -1, 0), ('e', 1, -1, 0), ('f', 95, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 79, -1, 0), ('k', 1, -1, 0), ('m', 95, 1998, 0), ('n', -1, 2423, 0), ('o', -1, 582, 0), ('p', -1, 2800, 0), ('r', 1, -1, 0), ('s', 0, 1394, 0), ('t', 4, -1, 0), ('u', 1, -1, 0), ('w', 6, 1651, 0), ('y', 1, -1, 0), ('z', -1, 791, 0)), (('a', -1, 74, 0), ('b', 28, -1, 0), ('c', -1, 268, 0), ('d', 265, -1, 0), ('e', 267, -1, 0), ('f', -1, 2511, 0), ('g', 0, -1, 0), ('i', 215, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 267, -1, 0), ('p', -1, 621, 0), ('r', 6, -1, 0), ('s', 0, 44, 0), ('t', -1, 2330, 0), ('u', -1, 585, 0), ('w', 265, -1, 0), ('y', -1, 61, 0), ('z', 95, -1, 0), ('ę', -1, 1029, 0)), (('a', 54, -1, 0), ('d', 188, -1, 0), ('e', -1, 269, 0), ('g', 0, -1, 0), ('i', 41, -1, 0), ('l', 1, -1, 0), ('n', 0, -1, 0), ('o', 12, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 248, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', 55, -1, 0), ('z', 4, -1, 0)), (('a', -1, 270, 0), ('e', -1, 4107, 0), ('i', 4, -1, 0), ('m', 4, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('r', -1, 4592, 0), ('u', -1, 674, 0), ('y', -1, 2359, 0), ('z', 54, -1, 0), ('ą', 4, -1, 0), ('ę', -1, 2846, 0)), (('a', 3, -1, 0), ('c', 255, -1, 0), ('e', 6, -1, 0), ('i', 120, -1, 0), ('l', 120, -1, 0), ('m', 120, -1, 0), ('o', -1, 271, 0), ('p', 64, 2755, 0), ('r', -1, 1967, 0), ('u', 1, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ą', 3, -1, 0), ('ż', 164, -1, 0)), (('a', 63, -1, 0), ('b', 41, -1, 0), ('c', 0, -1, 0), ('d', -1, 272, 0), ('e', 63, -1, 0), ('f', 3, -1, 0), ('g', 22, -1, 0), ('i', 3, -1, 0), ('k', 63, -1, 0), ('l', 3, -1, 0), ('m', 34, -1, 0), ('n', -1, 3005, 0), ('o', 3, -1, 0), ('p', 2, -1, 0), ('r', 3, -1, 0), ('s', -1, 48, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 198, -1, 0), ('ł', 94, -1, 0)), (('a', -1, 143, 0), ('c', 59, -1, 0), ('e', -1, 273, 0), ('i', -1, 1714, 0), ('k', 3, -1, 0), ('m', 59, -1, 0), ('o', 62, -1, 0), ('p', 59, -1, 0), ('r', -1, 46, 0), ('s', 1, 1456, 0), ('u', 3, -1, 0), ('w', 22, -1, 0), ('z', 121, -1, 0), ('ę', 62, -1, 0)), (('a', 175, -1, 0), ('b', 24, 274, 0), ('c', -1, 999, 0), ('d', 175, -1, 0), ('e', -1, 222, 0), ('h', 24, -1, 0), ('i', 24, -1, 0), ('k', -1, 274, 0), ('l', 24, -1, 0), ('m', 22, 720, 0), ('n', 24, -1, 0), ('o', 24, -1, 0), ('p', -1, 690, 0), ('r', 268, -1, 0), ('s', -1, 285, 0), ('t', 24, -1, 0), ('u', -1, 1195, 0), ('w', 175, -1, 0), ('y', 175, -1, 0), ('z', -1, 1758, 0)), (('a', 24, -1, 0), ('b', 55, -1, 0), ('c', 28, 275, 0), ('d', 4, -1, 0), ('e', 24, -1, 0), ('g', 21, -1, 0), ('i', 24, -1, 0), ('k', -1, 2975, 0), ('l', -1, 465, 0), ('m', 3, 3488, 0), ('n', 4, -1, 0), ('o', 175, -1, 0), ('p', -1, 236, 0), ('r', -1, 113, 0), ('s', -1, 1740, 0), ('t', 4, -1, 0), ('u', 15, 957, 0), ('w', 4, -1, 0), ('y', 24, -1, 0), ('z', -1, 1047, 0), ('ł', -1, 693, 0)), (('a', -1, 276, 0), ('b', 64, -1, 0), ('d', 64, -1, 0), ('e', 179, -1, 0), ('i', -1, 977, 0), ('l', 6, -1, 0), ('n', 0, -1, 0), ('o', -1, 1552, 0), ('p', -1, 4330, 0), ('r', -1, 83, 0), ('s', -1, 870, 0), ('w', 64, -1, 0), ('y', 196, -1, 0), ('z', -1, 98, 0), ('ó', -1, 2669, 0), ('ś', 28, -1, 0)), (('a', -1, 147, 0), ('d', -1, 277, 0), ('e', -1, 148, 0), ('i', -1, 378, 0), ('k', 0, -1, 0), ('l', 0, 1270, 0), ('m', 95, -1, 0), ('o', -1, 42, 0), ('p', -1, 3309, 0), ('r', -1, 175, 0), ('s', 5, -1, 0), ('t', 41, -1, 0), ('u', 10, -1, 0), ('w', 5, -1, 0), ('z', -1, 594, 0), ('ę', -1, 148, 0)), (('a', 41, -1, 0), ('b', 85, -1, 0), ('d', 268, 278, 0), ('e', 0, -1, 0), ('h', 12, -1, 0), ('i', -1, 3898, 0), ('k', 21, -1, 0), ('l', -1, 2177, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 12, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 41, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 214, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('f', 0, -1, 0), ('g', 37, -1, 0), ('i', -1, 242, 0), ('k', 0, -1, 0), ('l', -1, 236, 0), ('m', 0, -1, 0), ('n', -1, 279, 0), ('o', 0, 981, 0), ('p', 0, -1, 0), ('r', 0, 220, 0), ('s', 0, -1, 0), ('t', -1, 606, 0), ('u', -1, 2884, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 63, 0), ('ą', 6, -1, 0), ('ę', -1, 2176, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 280, 0), ('c', -1, 3107, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 71, -1, 0), ('y', 0, -1, 0), ('z', 200, -1, 0), ('ę', 41, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 934, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 28, 281, 0), ('c', 95, -1, 0), ('d', 230, -1, 0), ('e', 0, -1, 0), ('i', -1, 1061, 0), ('k', -1, 1414, 0), ('l', -1, 1941, 0), ('m', -1, 185, 0), ('n', -1, 3803, 0), ('o', 0, -1, 0), ('p', -1, 708, 0), ('r', -1, 762, 0), ('s', 95, -1, 0), ('t', -1, 2669, 0), ('u', 307, -1, 0), ('w', 95, -1, 0), ('y', 0, -1, 0), ('z', -1, 46, 0), ('ł', -1, 954, 0)), (('a', 95, -1, 0), ('b', 28, -1, 0), ('c', -1, 282, 0), ('d', 21, -1, 0), ('e', -1, 744, 0), ('f', 28, -1, 0), ('g', 6, -1, 0), ('i', -1, 280, 0), ('k', -1, 787, 0), ('l', 95, -1, 0), ('m', 21, -1, 0), ('n', -1, 651, 0), ('o', 28, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', -1, 1318, 0), ('t', -1, 103, 0), ('u', 6, -1, 0), ('w', -1, 1407, 0), ('y', 21, -1, 0), ('z', -1, 307, 0), ('ę', 95, -1, 0), ('ł', 2, -1, 0), ('ż', 95, -1, 0)), (('a', -1, 283, 0), ('b', 55, -1, 0), ('d', 55, -1, 0), ('e', 148, -1, 0), ('i', -1, 2089, 0), ('l', 37, -1, 0), ('o', 106, -1, 0), ('p', 37, -1, 0), ('r', 21, -1, 0), ('s', -1, 3881, 0), ('t', 37, -1, 0), ('u', 5, -1, 0), ('w', 328, -1, 0), ('y', 148, -1, 0), ('z', -1, 1324, 0), ('ę', 116, -1, 0)), (('a', -1, 284, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 14, -1, 0), ('g', 0, -1, 0), ('i', 6, -1, 0), ('k', 106, 1346, 0), ('l', 28, -1, 0), ('m', 19, -1, 0), ('n', 6, -1, 0), ('o', 28, -1, 0), ('p', -1, 2972, 0), ('r', 6, -1, 0), ('s', -1, 2874, 0), ('t', -1, 2298, 0), ('u', 11, -1, 0), ('w', -1, 2022, 0), ('y', 1, -1, 0), ('z', 14, -1, 0), ('ł', 6, -1, 0), ('ż', 28, -1, 0)), (('a', 62, -1, 0), ('b', 6, -1, 0), ('c', 105, -1, 0), ('d', -1, 285, 0), ('e', -1, 1086, 0), ('g', -1, 1983, 0), ('i', 5, -1, 0), ('k', 13, -1, 0), ('l', 62, -1, 0), ('m', -1, 726, 0), ('n', -1, 460, 0), ('o', -1, 111, 0), ('p', 2, 576, 0), ('r', 62, -1, 0), ('s', 2, -1, 0), ('t', -1, 1292, 0), ('u', 194, -1, 0), ('w', 109, -1, 0), ('y', 62, -1, 0), ('z', 99, -1, 0), ('ą', 62, -1, 0), ('ę', -1, 387, 0), ('ł', 62, -1, 0), ('ś', 1, 477, 0)), (('a', -1, 286, 0), ('b', 64, 278, 0), ('c', 4, -1, 0), ('d', 21, -1, 0), ('e', -1, 13, 0), ('f', 121, -1, 0), ('g', 2, -1, 0), ('h', 4, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('l', -1, 1656, 0), ('m', 4, -1, 0), ('n', 2, -1, 0), ('o', 0, 64, 0), ('p', 4, -1, 0), ('r', -1, 222, 0), ('s', 14, -1, 0), ('t', -1, 1930, 0), ('u', 0, 64, 0), ('w', -1, 177, 0), ('y', -1, 1071, 0), ('z', -1, 1644, 0), ('ł', 4, -1, 0), ('ś', -1, 1046, 0), ('ż', 28, -1, 0)), (('a', 195, -1, 0), ('b', 63, -1, 0), ('c', -1, 287, 0), ('d', 63, -1, 0), ('e', 7, -1, 0), ('f', 0, 226, 0), ('g', 12, 1459, 0), ('h', 0, 64, 0), ('i', 195, -1, 0), ('j', 1, 675, 0), ('k', -1, 333, 0), ('l', 97, -1, 0), ('m', 12, 503, 0), ('n', 0, 64, 0), ('o', 195, -1, 0), ('p', 7, -1, 0), ('r', 97, -1, 0), ('s', -1, 390, 0), ('t', 97, -1, 0), ('u', -1, 189, 0), ('w', 63, -1, 0), ('y', 195, -1, 0), ('z', -1, 296, 0), ('ó', 97, -1, 0), ('ą', -1, 1960, 0), ('ę', 7, -1, 0), ('ł', -1, 862, 0), ('ś', 195, -1, 0), ('ż', -1, 59, 0)), (('a', -1, 287, 0), ('b', 18, -1, 0), ('c', 0, 288, 0), ('d', 21, -1, 0), ('e', -1, 452, 0), ('g', 18, -1, 0), ('i', -1, 14, 0), ('k', 45, -1, 0), ('l', -1, 285, 0), ('m', 18, -1, 0), ('n', 1, -1, 0), ('o', -1, 149, 0), ('p', 4, -1, 0), ('r', -1, 145, 0), ('s', -1, 1318, 0), ('t', -1, 1905, 0), ('u', -1, 384, 0), ('w', 18, -1, 0), ('y', -1, 386, 0), ('z', -1, 2183, 0), ('ą', -1, 14, 0), ('ę', 4, -1, 0), ('ł', -1, 378, 0), ('ś', 56, 430, 0)), (('a', 196, -1, 0), ('b', 74, -1, 0), ('c', -1, 289, 0), ('d', 74, -1, 0), ('e', 179, -1, 0), ('g', 66, -1, 0), ('h', 22, -1, 0), ('i', -1, 101, 0), ('j', -1, 4034, 0), ('k', 0, 288, 0), ('l', -1, 187, 0), ('m', -1, 1786, 0), ('n', 1, -1, 0), ('o', -1, 537, 0), ('p', 6, -1, 0), ('r', 3, -1, 0), ('s', 28, -1, 0), ('t', 95, -1, 0), ('u', 74, -1, 0), ('w', 74, -1, 0), ('y', 196, -1, 0), ('z', 381, -1, 0), ('ą', 45, -1, 0), ('ł', 1, -1, 0), ('ś', 74, -1, 0), ('ż', 74, -1, 0)), (('a', -1, 290, 0), ('b', 21, -1, 0), ('c', -1, 3763, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('i', -1, 4420, 0), ('k', 108, 2473, 0), ('l', -1, 680, 0), ('m', -1, 1553, 0), ('n', 139, -1, 0), ('o', -1, 406, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', -1, 204, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', -1, 505, 0), ('y', -1, 1053, 0), ('z', -1, 1577, 0), ('ź', 21, -1, 0), ('ż', 21, -1, 0)), (('a', 21, -1, 0), ('b', 194, 291, 0), ('c', -1, 1770, 0), ('d', -1, 2797, 0), ('e', 21, -1, 0), ('g', -1, 2963, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('j', -1, 1435, 0), ('k', 21, 348, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 28, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 12, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', -1, 1213, 0), ('ó', -1, 617, 0), ('ł', -1, 862, 0)), (('a', 69, -1, 0), ('d', -1, 292, 0), ('e', 2, 790, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, 473, 0), ('m', 2, -1, 0), ('n', 28, 637, 0), ('o', 69, 2529, 0), ('p', 2, -1, 0), ('r', -1, 1865, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 69, -1, 0), ('w', 69, -1, 0), ('y', -1, 3801, 0), ('z', 194, 1435, 0), ('ł', -1, 310, 0)), (('a', 194, -1, 0), ('c', 2, -1, 0), ('d', -1, 293, 0), ('e', -1, 1769, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 69, 511, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1706, 0), ('y', 3, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 294, 0), ('b', 2, -1, 0), ('d', 28, -1, 0), ('e', -1, 790, 0), ('h', 2, -1, 0), ('i', -1, 1481, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 0, -1, 0), ('n', 28, -1, 0), ('o', 2, -1, 0), ('p', 4, -1, 0), ('r', 4, -1, 0), ('s', -1, 1339, 0), ('t', -1, 2518, 0), ('u', 2, -1, 0), ('w', 28, 2532, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ś', 12, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('c', 28, -1, 0), ('d', 22, -1, 0), ('e', -1, 295, 0), ('h', 22, -1, 0), ('i', 22, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('n', 2, -1, 0), ('o', 22, -1, 0), ('p', 22, -1, 0), ('r', 3, -1, 0), ('s', -1, 553, 0), ('t', 22, -1, 0), ('u', 41, -1, 0), ('w', 1, 121, 0), ('z', 28, -1, 0), ('ą', 22, -1, 0), ('ę', 22, -1, 0)), (('a', 63, -1, 0), ('d', 34, -1, 0), ('e', -1, 296, 0), ('g', 3, -1, 0), ('i', -1, 1127, 0), ('j', 34, -1, 0), ('l', 63, -1, 0), ('o', -1, 16, 0), ('p', -1, 844, 0), ('r', 63, -1, 0), ('s', 34, -1, 0), ('t', 34, -1, 0), ('u', 195, -1, 0), ('w', 5, -1, 0), ('y', 63, -1, 0), ('z', -1, 3340, 0), ('ą', 63, -1, 0), ('ę', -1, 1091, 0), ('ł', 63, -1, 0)), (('a', 63, -1, 0), ('b', 193, 297, 0), ('c', 58, 174, 0), ('d', 98, -1, 0), ('e', 63, -1, 0), ('f', -1, 576, 0), ('g', 17, -1, 0), ('h', -1, 80, 0), ('i', -1, 359, 0), ('j', 0, 288, 0), ('k', 63, -1, 0), ('l', 195, -1, 0), ('m', 12, 779, 0), ('n', 25, -1, 0), ('o', 7, -1, 0), ('p', 97, 100, 0), ('r', -1, 15, 0), ('s', -1, 15, 0), ('t', 63, -1, 0), ('u', 98, -1, 0), ('w', 63, -1, 0), ('y', 98, -1, 0), ('z', 195, -1, 0), ('ó', -1, 1560, 0), ('ą', -1, 1721, 0), ('ę', 11, -1, 0), ('ł', -1, 41, 0), ('ś', 176, -1, 0), ('ż', 0, 44, 0)), (('a', 61, -1, 0), ('b', -1, 298, 0), ('c', 28, -1, 0), ('d', -1, 105, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', 242, -1, 0), ('k', 217, -1, 0), ('l', 0, 2511, 0), ('m', 217, -1, 0), ('n', 1, -1, 0), ('o', 61, -1, 0), ('p', 138, -1, 0), ('r', 96, 239, 0), ('s', 74, 477, 0), ('t', 0, 225, 0), ('u', 61, -1, 0), ('w', 61, -1, 0), ('y', -1, 1789, 0), ('z', 193, 877, 0), ('ó', 0, -1, 0), ('ł', -1, 195, 0)), (('a', -1, 299, 0), ('d', -1, 285, 0), ('e', -1, 61, 0), ('i', 7, -1, 0), ('k', 57, -1, 0), ('l', 29, -1, 0), ('m', 7, -1, 0), ('o', 0, 44, 0), ('p', -1, 1532, 0), ('r', 7, -1, 0), ('s', 14, -1, 0), ('t', 106, -1, 0), ('u', 0, 44, 0), ('w', -1, 471, 0), ('y', -1, 147, 0), ('z', -1, 717, 0), ('ł', 7, -1, 0), ('ż', 57, -1, 0)), (('a', 1, -1, 0), ('b', -1, 300, 0), ('c', 7, 4201, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('g', 21, -1, 0), ('i', 1, -1, 0), ('k', -1, 2031, 0), ('l', 3, -1, 0), ('m', -1, 4420, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 21, -1, 0), ('r', 1, -1, 0), ('s', 55, 1472, 0), ('t', 106, -1, 0), ('u', -1, 1956, 0), ('w', 12, -1, 0), ('y', 1, -1, 0), ('z', 0, 64, 0), ('ó', -1, 1119, 0), ('ą', 1, -1, 0), ('ł', 106, -1, 0)), (('a', 1, -1, 0), ('b', 0, 301, 0), ('c', -1, 302, 0), ('d', 0, 3259, 0), ('e', -1, 995, 0), ('g', 14, -1, 0), ('h', 14, -1, 0), ('i', -1, 155, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 224, -1, 0), ('n', 21, -1, 0), ('o', 0, 355, 0), ('p', -1, 1505, 0), ('r', -1, 757, 0), ('s', -1, 4283, 0), ('t', 2, -1, 0), ('u', 1, -1, 0), ('w', 14, -1, 0), ('y', 2, -1, 0), ('z', -1, 1518, 0), ('ó', -1, 272, 0), ('ł', 14, -1, 0)), (('a', 0, -1, 0), ('b', 14, -1, 0), ('d', 51, -1, 0), ('e', 179, -1, 0), ('i', 68, -1, 0), ('k', 120, -1, 0), ('l', 101, -1, 0), ('m', 9, -1, 0), ('n', 9, -1, 0), ('o', 14, -1, 0), ('p', 1, -1, 0), ('r', 9, -1, 0), ('s', 9, -1, 0), ('t', 9, -1, 0), ('u', 14, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 6, -1, 0), ('ł', 9, -1, 0)), (('a', 1, -1, 0), ('e', 227, -1, 0), ('i', 1, -1, 0), ('o', -1, 303, 0), ('s', 1, -1, 0), ('y', 227, -1, 0)), (('a', 37, -1, 0), ('b', 0, -1, 0), ('d', -1, 304, 0), ('e', 37, -1, 0), ('h', 6, -1, 0), ('i', -1, 277, 0), ('j', 37, -1, 0), ('l', 37, -1, 0), ('m', 37, -1, 0), ('n', 1, -1, 0), ('o', 37, -1, 0), ('r', 37, -1, 0), ('s', -1, 4591, 0), ('t', 1, -1, 0), ('u', 37, -1, 0), ('w', -1, 303, 0), ('y', -1, 2414, 0), ('z', -1, 1319, 0), ('ó', 0, -1, 0), ('ą', 37, -1, 0), ('ę', -1, 1676, 0), ('ń', 37, -1, 0)), (('a', 21, -1, 0), ('b', 37, -1, 0), ('c', 3, -1, 0), ('d', 37, -1, 0), ('e', 4, -1, 0), ('i', 37, -1, 0), ('j', 37, -1, 0), ('k', 37, -1, 0), ('l', -1, 305, 0), ('m', 21, 625, 0), ('n', 37, -1, 0), ('o', 37, -1, 0), ('p', 37, -1, 0), ('r', 37, -1, 0), ('s', 37, -1, 0), ('t', 37, -1, 0), ('u', -1, 649, 0), ('w', -1, 1061, 0), ('y', -1, 857, 0), ('z', 86, -1, 0), ('ę', 79, -1, 0), ('ż', 37, -1, 0)), (('a', 7, -1, 0), ('d', 11, -1, 0), ('e', 80, -1, 0), ('g', 11, -1, 0), ('h', 12, -1, 0), ('i', -1, 306, 0), ('j', 121, -1, 0), ('k', 59, -1, 0), ('l', 121, -1, 0), ('m', 12, -1, 0), ('o', 11, -1, 0), ('p', 12, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 1, -1, 0), ('y', 11, -1, 0), ('z', -1, 1444, 0)), (('a', -1, 307, 0), ('b', 121, -1, 0), ('c', 121, -1, 0), ('d', 2, -1, 0), ('e', -1, 1265, 0), ('i', -1, 235, 0), ('k', 2, -1, 0), ('l', 68, -1, 0), ('m', -1, 3434, 0), ('n', 121, -1, 0), ('o', 449, -1, 0), ('p', 121, -1, 0), ('r', -1, 1983, 0), ('s', 121, -1, 0), ('t', 28, -1, 0), ('u', -1, 935, 0), ('w', -1, 2543, 0), ('y', -1, 511, 0), ('z', -1, 1181, 0), ('ę', -1, 1098, 0)), (('a', 28, -1, 0), ('b', 4, -1, 0), ('c', 95, -1, 0), ('d', -1, 308, 0), ('e', -1, 173, 0), ('g', 4, -1, 0), ('h', 2, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 4, -1, 0), ('m', -1, 1182, 0), ('n', 2, -1, 0), ('o', -1, 1373, 0), ('p', 28, -1, 0), ('r', -1, 2110, 0), ('s', -1, 340, 0), ('t', 4, -1, 0), ('u', -1, 243, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ą', 28, -1, 0), ('ę', 217, -1, 0), ('ł', 28, -1, 0), ('ś', -1, 1936, 0)), (('a', 21, -1, 0), ('b', 1, -1, 0), ('c', 82, -1, 0), ('d', -1, 309, 0), ('e', 21, -1, 0), ('g', 11, 452, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 168, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', -1, 760, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ę', 21, -1, 0), ('ł', 3, -1, 0), ('ź', 28, -1, 0)), (('a', 21, -1, 0), ('b', 55, -1, 0), ('c', 106, -1, 0), ('d', 0, 288, 0), ('e', -1, 310, 0), ('i', 1, -1, 0), ('k', 12, -1, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('o', -1, 146, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', -1, 367, 0), ('t', 12, -1, 0), ('u', 2, -1, 0), ('w', 0, -1, 0), ('y', 12, -1, 0), ('z', -1, 1391, 0)), (('a', 74, -1, 0), ('b', 6, 311, 0), ('c', -1, 426, 0), ('d', -1, 1006, 0), ('e', 60, -1, 0), ('g', 2, 2561, 0), ('i', 21, -1, 0), ('k', 0, 64, 0), ('l', -1, 681, 0), ('m', 1, -1, 0), ('n', -1, 332, 0), ('o', 74, 594, 0), ('p', 116, 223, 0), ('r', 86, -1, 0), ('s', 71, 388, 0), ('t', 21, -1, 0), ('u', 74, -1, 0), ('w', 74, -1, 0), ('y', -1, 237, 0), ('z', 196, 721, 0), ('ł', 0, -1, 0)), (('a', 74, -1, 0), ('b', 21, -1, 0), ('c', -1, 312, 0), ('d', 110, -1, 0), ('e', 74, -1, 0), ('g', 21, -1, 0), ('h', 22, -1, 0), ('i', 74, -1, 0), ('j', 0, -1, 0), ('k', 285, -1, 0), ('l', 3, -1, 0), ('m', 101, 1450, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('p', 74, -1, 0), ('r', 3, -1, 0), ('s', 74, -1, 0), ('t', 74, -1, 0), ('u', -1, 780, 0), ('w', 242, -1, 0), ('y', 74, -1, 0), ('z', 74, -1, 0), ('ą', 74, -1, 0), ('ę', 74, -1, 0), ('ł', 3, -1, 0), ('ź', -1, 1199, 0)), (('a', -1, 63, 0), ('b', -1, 313, 0), ('c', -1, 2028, 0), ('d', 6, -1, 0), ('e', 12, -1, 0), ('g', 17, -1, 0), ('h', 12, -1, 0), ('i', -1, 1460, 0), ('k', 17, -1, 0), ('l', -1, 624, 0), ('m', 17, -1, 0), ('n', -1, 848, 0), ('o', 12, -1, 0), ('p', 58, -1, 0), ('r', -1, 102, 0), ('s', 0, 64, 0), ('t', -1, 998, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 167, -1, 0), ('ł', 17, -1, 0), ('ś', -1, 340, 0)), (('a', 187, -1, 0), ('b', -1, 262, 0), ('c', -1, 314, 0), ('d', 14, -1, 0), ('e', -1, 671, 0), ('g', -1, 943, 0), ('h', 175, -1, 0), ('i', -1, 11, 0), ('j', 109, -1, 0), ('k', 24, -1, 0), ('l', 61, -1, 0), ('m', 14, -1, 0), ('n', -1, 284, 0), ('o', 109, -1, 0), ('p', 197, -1, 0), ('r', 109, -1, 0), ('s', 109, -1, 0), ('t', 109, 980, 0), ('u', -1, 515, 0), ('w', 187, -1, 0), ('y', -1, 780, 0), ('z', -1, 315, 0), ('ó', 193, -1, 0), ('ą', -1, 98, 0), ('ę', 12, -1, 0), ('ł', 109, -1, 0), ('ś', -1, 4015, 0)), (('a', 17, -1, 0), ('b', -1, 141, 0), ('c', 17, -1, 0), ('d', 17, -1, 0), ('e', 6, -1, 0), ('g', -1, 84, 0), ('h', 17, -1, 0), ('i', 0, -1, 0), ('k', 6, 315, 0), ('l', 21, -1, 0), ('m', 28, -1, 0), ('n', 0, 174, 0), ('o', -1, 149, 0), ('p', 12, -1, 0), ('r', 17, -1, 0), ('s', -1, 685, 0), ('t', 21, -1, 0), ('u', -1, 225, 0), ('w', 17, -1, 0), ('y', 17, -1, 0), ('z', 321, -1, 0), ('ą', 28, -1, 0), ('ę', 4, -1, 0), ('ł', 169, -1, 0), ('ż', 0, -1, 0)), (('a', 312, -1, 0), ('b', -1, 316, 0), ('c', 21, 133, 0), ('d', 109, -1, 0), ('e', -1, 3255, 0), ('f', 80, -1, 0), ('g', 1, -1, 0), ('h', 21, -1, 0), ('i', -1, 524, 0), ('k', 12, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 3, -1, 0), ('o', 167, -1, 0), ('p', 3, -1, 0), ('r', -1, 313, 0), ('s', -1, 1004, 0), ('t', 1, -1, 0), ('u', 12, -1, 0), ('w', 282, -1, 0), ('y', 95, -1, 0), ('z', 109, -1, 0), ('ł', 28, -1, 0), ('ś', -1, 3672, 0), ('ż', 2, -1, 0)), (('a', -1, 317, 0), ('d', -1, 346, 0), ('e', -1, 2194, 0), ('i', -1, 114, 0), ('k', 31, -1, 0), ('l', 31, -1, 0), ('m', 31, -1, 0), ('o', -1, 1608, 0), ('p', 330, 3506, 0), ('r', -1, 677, 0), ('s', 330, -1, 0), ('t', 31, -1, 0), ('w', 6, -1, 0), ('z', -1, 463, 0), ('ł', -1, 1955, 0)), (('a', -1, 318, 0), ('b', -1, 285, 0), ('c', 132, -1, 0), ('d', -1, 398, 0), ('e', 24, -1, 0), ('h', 3, -1, 0), ('i', -1, 244, 0), ('j', 24, -1, 0), ('k', 3, 1794, 0), ('l', 24, -1, 0), ('m', 22, -1, 0), ('n', 24, -1, 0), ('o', 24, -1, 0), ('p', -1, 2864, 0), ('r', 24, -1, 0), ('s', -1, 1271, 0), ('t', 3, -1, 0), ('u', 24, -1, 0), ('w', 0, 44, 0), ('y', 24, -1, 0), ('z', 0, 226, 0), ('ę', 175, -1, 0), ('ł', 24, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 180, 0), ('b', -1, 319, 0), ('c', -1, 4251, 0), ('d', -1, 1330, 0), ('e', -1, 278, 0), ('f', 0, 225, 0), ('g', 175, -1, 0), ('h', 59, -1, 0), ('i', -1, 2091, 0), ('k', 6, -1, 0), ('l', 121, -1, 0), ('m', 24, -1, 0), ('n', 104, -1, 0), ('o', -1, 576, 0), ('p', 0, 225, 0), ('r', 24, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', -1, 259, 0), ('y', 6, -1, 0), ('z', 169, -1, 0), ('ą', 6, -1, 0), ('ł', 24, -1, 0), ('ś', 2, -1, 0)), (('a', 28, -1, 0), ('b', 21, -1, 0), ('c', 11, 320, 0), ('d', 13, -1, 0), ('e', -1, 121, 0), ('g', -1, 401, 0), ('h', 28, -1, 0), ('i', 139, -1, 0), ('j', 21, -1, 0), ('k', 28, -1, 0), ('l', -1, 630, 0), ('m', -1, 613, 0), ('n', 21, 1092, 0), ('o', -1, 951, 0), ('p', -1, 2362, 0), ('r', -1, 720, 0), ('s', 28, -1, 0), ('t', -1, 281, 0), ('u', 105, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', -1, 1504, 0), ('ą', 28, -1, 0), ('ł', -1, 1694, 0), ('ż', 28, -1, 0)), (('a', 11, -1, 0), ('b', 7, -1, 0), ('c', 11, -1, 0), ('d', -1, 321, 0), ('e', 11, -1, 0), ('g', -1, 1295, 0), ('h', 11, -1, 0), ('i', -1, 142, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('o', 11, -1, 0), ('p', 56, -1, 0), ('r', 11, -1, 0), ('s', 1, -1, 0), ('t', -1, 1783, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', -1, 917, 0), ('ą', 11, -1, 0), ('ę', -1, 1208, 0), ('ł', 11, -1, 0), ('ś', -1, 2111, 0), ('ź', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 322, 0), ('d', 0, -1, 0), ('e', -1, 3259, 0), ('i', 14, -1, 0), ('j', 134, -1, 0), ('k', 26, -1, 0), ('l', 14, -1, 0), ('m', 0, -1, 0), ('o', -1, 2106, 0), ('p', 0, 222, 0), ('r', -1, 1327, 0), ('s', -1, 4242, 0), ('t', 26, -1, 0), ('u', 11, -1, 0), ('w', 177, -1, 0), ('y', 11, -1, 0), ('z', 14, -1, 0), ('ó', 16, -1, 0)), (('a', 6, -1, 0), ('b', 4, -1, 0), ('c', -1, 323, 0), ('d', 4, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('k', -1, 1976, 0), ('l', 6, -1, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', 4, -1, 0), ('p', -1, 961, 0), ('r', -1, 1785, 0), ('s', 0, -1, 0), ('t', -1, 3081, 0), ('u', 6, -1, 0), ('w', 16, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 70, -1, 0), ('e', -1, 324, 0), ('i', 70, -1, 0), ('l', 99, -1, 0), ('o', 7, -1, 0), ('p', 70, -1, 0), ('r', -1, 3333, 0), ('s', 70, -1, 0), ('t', 70, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0)), (('a', -1, 325, 0), ('c', -1, 3038, 0), ('e', 22, -1, 0), ('i', 70, -1, 0), ('o', -1, 690, 0), ('r', -1, 714, 0), ('s', 22, -1, 0), ('z', 7, -1, 0)), (('a', -1, 326, 0), ('d', 21, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 245, 454, 0), ('k', 1, -1, 0), ('l', 245, -1, 0), ('m', 21, -1, 0), ('n', 245, -1, 0), ('o', 28, 668, 0), ('r', -1, 1268, 0), ('s', 1, -1, 0), ('t', -1, 3445, 0), ('y', -1, 1525, 0), ('z', -1, 3240, 0)), (('a', 33, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 327, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 838, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ą', 21, -1, 0), ('ł', 56, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 70, 0), ('d', 21, -1, 0), ('e', -1, 328, 0), ('i', 33, -1, 0), ('k', 34, -1, 0), ('l', 33, -1, 0), ('m', 3, -1, 0), ('n', 34, -1, 0), ('o', -1, 62, 0), ('p', 34, -1, 0), ('r', -1, 312, 0), ('s', 34, 1617, 0), ('t', 0, 779, 0), ('u', 34, -1, 0), ('w', 21, -1, 0), ('z', -1, 1859, 0), ('ł', 21, -1, 0)), (('a', -1, 329, 0), ('b', 3, -1, 0), ('d', 80, -1, 0), ('e', -1, 1156, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 685, 0), ('k', 185, -1, 0), ('l', 2, -1, 0), ('m', 121, -1, 0), ('o', -1, 913, 0), ('p', 41, -1, 0), ('r', -1, 54, 0), ('s', 121, -1, 0), ('t', 2, -1, 0), ('u', 19, -1, 0), ('w', -1, 1106, 0), ('y', -1, 231, 0), ('z', -1, 284, 0), ('ą', -1, 1786, 0), ('ę', 6, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 233, 0), ('b', 19, -1, 0), ('d', 13, -1, 0), ('e', -1, 330, 0), ('g', 19, -1, 0), ('h', 2, -1, 0), ('i', 66, -1, 0), ('k', 2, 915, 0), ('l', -1, 1119, 0), ('m', 19, -1, 0), ('o', 13, -1, 0), ('p', 6, -1, 0), ('r', 19, -1, 0), ('s', -1, 1942, 0), ('t', 2, -1, 0), ('u', 30, -1, 0), ('w', 19, -1, 0), ('y', 13, -1, 0), ('z', 331, -1, 0), ('ż', 2, -1, 0)), (('a', 1, -1, 0), ('b', 79, -1, 0), ('c', 79, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('h', 64, -1, 0), ('i', 42, -1, 0), ('k', 21, -1, 0), ('l', 245, -1, 0), ('m', 180, -1, 0), ('n', 79, -1, 0), ('o', -1, 331, 0), ('p', 79, -1, 0), ('r', -1, 226, 0), ('s', 79, -1, 0), ('t', 21, 179, 0), ('u', -1, 4089, 0), ('w', -1, 2090, 0), ('y', 23, -1, 0), ('z', -1, 2527, 0)), (('a', 4, -1, 0), ('c', 52, -1, 0), ('d', -1, 21, 0), ('e', 0, -1, 0), ('g', 6, -1, 0), ('i', 1, -1, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 75, 165, 0), ('n', 22, -1, 0), ('o', -1, 332, 0), ('p', 15, 620, 0), ('r', 0, -1, 0), ('s', 6, -1, 0), ('t', 1, -1, 0), ('u', -1, 420, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ó', -1, 3173, 0), ('ł', 6, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 333, 0), ('b', 0, 355, 0), ('c', 0, -1, 0), ('d', -1, 482, 0), ('e', -1, 707, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('i', 335, -1, 0), ('k', -1, 520, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', 0, 225, 0), ('o', -1, 652, 0), ('p', 4, -1, 0), ('r', 0, -1, 0), ('s', -1, 1087, 0), ('t', -1, 619, 0), ('u', 21, -1, 0), ('w', 217, -1, 0), ('y', 1, -1, 0), ('z', 0, 164, 0), ('ó', -1, 783, 0), ('ą', 0, -1, 0), ('ł', 52, -1, 0)), (('a', -1, 334, 0), ('b', 1, -1, 0), ('c', 98, -1, 0), ('d', -1, 822, 0), ('e', -1, 1247, 0), ('g', 176, -1, 0), ('h', 7, -1, 0), ('i', -1, 133, 0), ('j', 107, 1814, 0), ('k', 11, -1, 0), ('l', -1, 224, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 12, 239, 0), ('p', 99, -1, 0), ('r', -1, 525, 0), ('s', -1, 2132, 0), ('t', 25, -1, 0), ('u', -1, 8, 0), ('w', -1, 524, 0), ('y', -1, 58, 0), ('z', -1, 14, 0), ('ą', 11, -1, 0), ('ę', -1, 334, 0), ('ł', 98, -1, 0), ('ń', 11, -1, 0), ('ś', -1, 129, 0)), (('a', 98, -1, 0), ('b', 196, 335, 0), ('c', 12, -1, 0), ('d', 176, -1, 0), ('e', -1, 189, 0), ('f', 25, -1, 0), ('g', -1, 173, 0), ('h', -1, 2110, 0), ('i', -1, 134, 0), ('j', 98, -1, 0), ('k', 110, 49, 0), ('l', 98, -1, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', -1, 8, 0), ('p', 58, 7, 0), ('r', 11, -1, 0), ('s', 11, -1, 0), ('t', 11, -1, 0), ('u', 11, -1, 0), ('w', 5, -1, 0), ('y', 96, -1, 0), ('z', 98, -1, 0), ('ó', 0, -1, 0), ('ę', 3, -1, 0), ('ł', 11, -1, 0), ('ś', -1, 313, 0), ('ż', -1, 4163, 0)), (('a', 64, -1, 0), ('b', 28, -1, 0), ('c', 1, -1, 0), ('d', -1, 336, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('g', 21, -1, 0), ('i', 1, -1, 0), ('k', 30, -1, 0), ('l', 1, -1, 0), ('m', 2, 165, 0), ('n', 21, -1, 0), ('o', 64, 487, 0), ('p', 1, -1, 0), ('r', -1, 1041, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', 64, -1, 0), ('z', 196, 919, 0)), (('a', 196, -1, 0), ('b', -1, 337, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 1, -1, 0), ('f', -1, 3217, 0), ('g', -1, 322, 0), ('h', -1, 82, 0), ('i', -1, 175, 0), ('j', -1, 2298, 0), ('k', -1, 949, 0), ('l', -1, 645, 0), ('m', -1, 1319, 0), ('n', -1, 804, 0), ('o', 64, -1, 0), ('p', 21, 4122, 0), ('r', -1, 126, 0), ('s', 6, -1, 0), ('t', -1, 470, 0), ('u', -1, 2221, 0), ('w', -1, 1608, 0), ('y', -1, 1677, 0), ('z', -1, 61, 0), ('ł', 6, -1, 0), ('ż', -1, 1395, 0)), (('a', -1, 338, 0), ('b', 6, -1, 0), ('c', -1, 624, 0), ('d', 6, 151, 0), ('e', 6, -1, 0), ('f', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 751, 0), ('n', 6, 179, 0), ('o', 6, -1, 0), ('p', 4, -1, 0), ('r', -1, 1086, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 6, -1, 0), ('w', 1, -1, 0), ('y', 6, -1, 0), ('z', 1, -1, 0), ('ą', 6, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 339, 0), ('b', 6, -1, 0), ('c', -1, 467, 0), ('d', -1, 212, 0), ('e', 21, -1, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('k', 7, -1, 0), ('l', 6, -1, 0), ('m', 0, 225, 0), ('n', 0, -1, 0), ('o', 137, -1, 0), ('p', -1, 1332, 0), ('r', 6, -1, 0), ('s', 0, -1, 0), ('t', -1, 951, 0), ('u', -1, 70, 0), ('w', -1, 359, 0), ('y', 64, -1, 0), ('z', 0, 1093, 0)), (('a', 7, -1, 0), ('b', -1, 340, 0), ('c', -1, 651, 0), ('d', 7, -1, 0), ('e', 97, -1, 0), ('f', 3, -1, 0), ('g', 7, -1, 0), ('h', -1, 1792, 0), ('i', 97, -1, 0), ('j', -1, 530, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 244, 541, 0), ('n', 0, 355, 0), ('o', 7, -1, 0), ('p', 97, -1, 0), ('r', -1, 386, 0), ('s', 97, -1, 0), ('t', -1, 478, 0), ('u', 97, -1, 0), ('w', -1, 862, 0), ('y', 7, -1, 0), ('z', 97, -1, 0), ('ę', -1, 489, 0), ('ł', 97, -1, 0), ('ś', -1, 471, 0), ('ż', 97, -1, 0)), (('a', 0, -1, 0), ('c', -1, 341, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('g', 298, -1, 0), ('i', -1, 783, 0), ('k', -1, 145, 0), ('l', -1, 3243, 0), ('m', 95, -1, 0), ('n', -1, 2130, 0), ('o', -1, 722, 0), ('p', 6, -1, 0), ('r', 95, -1, 0), ('s', 21, -1, 0), ('t', 64, -1, 0), ('u', -1, 1035, 0), ('w', 4, -1, 0), ('y', -1, 958, 0), ('z', 196, -1, 0), ('ę', 6, -1, 0), ('ł', -1, 12, 0)), (('a', 1, 239, 0), ('b', -1, 342, 0), ('d', 22, 912, 0), ('e', -1, 2421, 0), ('g', -1, 1480, 0), ('i', -1, 690, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 2588, 0), ('n', -1, 3, 0), ('o', -1, 1642, 0), ('p', -1, 2776, 0), ('r', -1, 2980, 0), ('s', 3, -1, 0), ('t', 22, 1079, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ł', -1, 952, 0)), (('a', -1, 343, 0), ('b', -1, 563, 0), ('c', -1, 416, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('f', 3, -1, 0), ('g', -1, 1195, 0), ('i', -1, 2818, 0), ('k', -1, 4433, 0), ('l', -1, 2960, 0), ('m', -1, 4425, 0), ('n', 22, -1, 0), ('o', 22, -1, 0), ('p', -1, 1133, 0), ('r', -1, 30, 0), ('s', 22, -1, 0), ('u', 22, -1, 0), ('w', -1, 1133, 0), ('z', -1, 262, 0)), (('a', -1, 115, 0), ('d', 22, -1, 0), ('e', -1, 344, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', -1, 1724, 0), ('m', -1, 1794, 0), ('n', 3, -1, 0), ('o', -1, 914, 0), ('p', -1, 4210, 0), ('r', -1, 2071, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', -1, 773, 0), ('w', 3, -1, 0), ('y', -1, 1673, 0), ('z', 22, -1, 0), ('ę', -1, 2128, 0), ('ł', -1, 117, 0), ('ż', 22, -1, 0)), (('a', -1, 345, 0), ('d', -1, 973, 0), ('e', 14, -1, 0), ('g', -1, 243, 0), ('i', -1, 273, 0), ('l', -1, 699, 0), ('m', 409, -1, 0), ('o', 14, -1, 0), ('p', 409, -1, 0), ('r', -1, 98, 0), ('s', 0, 164, 0), ('t', -1, 781, 0), ('u', 0, 164, 0), ('w', 2, -1, 0), ('y', 28, -1, 0), ('z', -1, 2180, 0)), (('a', -1, 312, 0), ('b', -1, 346, 0), ('c', -1, 971, 0), ('d', 105, -1, 0), ('e', -1, 1461, 0), ('g', 0, -1, 0), ('h', 12, -1, 0), ('i', -1, 2132, 0), ('k', 0, 914, 0), ('l', 0, -1, 0), ('m', 188, -1, 0), ('n', -1, 806, 0), ('o', 17, -1, 0), ('p', 0, 44, 0), ('r', 17, -1, 0), ('s', 58, -1, 0), ('t', -1, 214, 0), ('u', 17, -1, 0), ('w', 12, -1, 0), ('y', 17, -1, 0), ('z', -1, 502, 0), ('ó', 17, -1, 0), ('ą', 17, -1, 0), ('ę', -1, 1677, 0), ('ł', -1, 877, 0)), (('a', -1, 119, 0), ('b', -1, 347, 0), ('d', -1, 347, 0), ('e', 42, -1, 0), ('g', 15, 957, 0), ('i', 42, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 1344, 0), ('o', 0, 226, 0), ('p', -1, 2092, 0), ('r', -1, 1164, 0), ('s', 3, -1, 0), ('t', -1, 2095, 0), ('u', -1, 1545, 0), ('w', 11, -1, 0), ('y', -1, 2529, 0), ('z', -1, 1385, 0), ('ć', -1, 827, 0), ('ł', 3, -1, 0)), (('a', -1, 348, 0), ('d', 4, -1, 0), ('e', -1, 378, 0), ('i', -1, 3826, 0), ('k', 28, -1, 0), ('m', 4, -1, 0), ('o', 0, 506, 0), ('p', 4, -1, 0), ('r', -1, 211, 0), ('s', -1, 1904, 0), ('t', -1, 423, 0), ('u', -1, 972, 0), ('w', 28, -1, 0), ('z', -1, 2542, 0)), (('a', -1, 349, 0), ('b', 25, -1, 0), ('c', -1, 151, 0), ('d', 52, -1, 0), ('e', 52, -1, 0), ('g', 17, -1, 0), ('i', 25, -1, 0), ('j', 25, -1, 0), ('k', -1, 372, 0), ('l', 25, -1, 0), ('m', 0, 506, 0), ('n', 25, -1, 0), ('o', 52, -1, 0), ('p', 25, -1, 0), ('r', 25, -1, 0), ('s', 52, 807, 0), ('t', 17, -1, 0), ('u', 12, -1, 0), ('w', 52, -1, 0), ('y', 25, -1, 0), ('z', 52, -1, 0)), (('a', 21, -1, 0), ('b', 25, -1, 0), ('c', -1, 212, 0), ('d', 25, -1, 0), ('e', -1, 350, 0), ('g', 25, -1, 0), ('i', 25, -1, 0), ('k', 25, -1, 0), ('l', 25, -1, 0), ('m', 176, -1, 0), ('n', 25, -1, 0), ('o', 21, -1, 0), ('p', 25, -1, 0), ('r', 25, -1, 0), ('s', 95, -1, 0), ('t', -1, 441, 0), ('u', 21, -1, 0), ('w', 25, -1, 0), ('y', -1, 367, 0), ('z', 25, -1, 0), ('ł', 25, -1, 0)), (('a', -1, 351, 0), ('b', 2, 307, 0), ('c', -1, 3104, 0), ('d', 176, -1, 0), ('e', -1, 976, 0), ('g', 21, -1, 0), ('i', 285, -1, 0), ('j', 21, -1, 0), ('k', -1, 844, 0), ('l', -1, 1385, 0), ('m', -1, 1383, 0), ('n', 21, -1, 0), ('o', 176, -1, 0), ('p', 53, -1, 0), ('r', 21, -1, 0), ('s', 176, -1, 0), ('t', 7, -1, 0), ('u', -1, 857, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ł', 5, -1, 0), ('ż', 21, -1, 0)), (('a', 21, -1, 0), ('b', 22, -1, 0), ('c', 1, -1, 0), ('d', 3, -1, 0), ('e', 1, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 22, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 21, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 352, 0), ('o', 3, -1, 0), ('p', 21, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 1, -1, 0), ('w', 21, -1, 0), ('y', -1, 945, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0), ('ą', -1, 554, 0), ('ę', 121, -1, 0), ('ł', 22, -1, 0), ('ś', 3, -1, 0)), (('a', -1, 353, 0), ('c', 23, -1, 0), ('d', 174, -1, 0), ('e', -1, 846, 0), ('f', 23, -1, 0), ('i', -1, 312, 0), ('k', 2, -1, 0), ('l', 184, -1, 0), ('m', 100, 1838, 0), ('n', 3, -1, 0), ('o', -1, 106, 0), ('p', 27, -1, 0), ('r', -1, 154, 0), ('s', 22, -1, 0), ('t', 184, -1, 0), ('u', -1, 2457, 0), ('w', -1, 284, 0), ('z', 184, -1, 0), ('ę', -1, 1489, 0), ('ł', 184, -1, 0)), (('a', -1, 354, 0), ('b', 2, -1, 0), ('d', 6, -1, 0), ('e', -1, 532, 0), ('i', -1, 2457, 0), ('j', 2, -1, 0), ('k', -1, 1025, 0), ('l', -1, 2401, 0), ('m', -1, 122, 0), ('o', 0, -1, 0), ('p', -1, 2161, 0), ('r', -1, 720, 0), ('s', -1, 69, 0), ('t', -1, 984, 0), ('u', 0, -1, 0), ('w', -1, 1025, 0), ('y', -1, 2059, 0), ('z', -1, 671, 0), ('ą', -1, 424, 0), ('ę', 0, -1, 0), ('ł', 62, -1, 0), ('ż', 6, -1, 0)), (('a', 0, -1, 0), ('b', 0, 355, 0), ('c', 0, -1, 0), ('d', 33, 675, 0), ('e', -1, 1140, 0), ('g', 41, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 934, 0), ('m', -1, 41, 0), ('n', 0, -1, 0), ('o', -1, 220, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 85, 3244, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', 85, -1, 0), ('y', 41, -1, 0), ('z', 0, -1, 0), ('ę', 217, -1, 0), ('ł', -1, 2106, 0)), (('a', -1, 147, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 0, -1, 0), ('e', 215, -1, 0), ('i', 6, -1, 0), ('k', 0, 288, 0), ('l', -1, 240, 0), ('m', -1, 356, 0), ('n', -1, 1739, 0), ('o', 0, 44, 0), ('p', 0, 262, 0), ('r', -1, 533, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 13, 85, 0), ('y', 0, -1, 0), ('z', -1, 1018, 0), ('ł', 0, -1, 0)), (('a', 6, -1, 0), ('b', 54, -1, 0), ('c', 28, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 28, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 95, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 357, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 6, -1, 0), ('z', 114, -1, 0), ('ą', 6, -1, 0), ('ę', -1, 951, 0), ('ł', 0, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 357, 0), ('b', -1, 358, 0), ('c', 21, -1, 0), ('d', 0, -1, 0), ('e', -1, 576, 0), ('f', 6, -1, 0), ('g', 1, 142, 0), ('h', 3, -1, 0), ('i', -1, 1332, 0), ('k', 0, -1, 0), ('l', 17, -1, 0), ('m', 41, -1, 0), ('n', -1, 1527, 0), ('o', 6, -1, 0), ('p', 54, -1, 0), ('r', 12, 296, 0), ('s', 159, -1, 0), ('t', 6, -1, 0), ('u', 28, -1, 0), ('v', 1, -1, 0), ('w', 0, -1, 0), ('y', 58, -1, 0), ('z', 17, -1, 0), ('ą', 96, -1, 0), ('ę', 12, -1, 0), ('ł', -1, 328, 0), ('ś', 1, -1, 0)), (('a', -1, 359, 0), ('b', 3, -1, 0), ('c', 12, -1, 0), ('d', 1, -1, 0), ('e', -1, 1042, 0), ('f', 1, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', 12, -1, 0), ('k', 21, -1, 0), ('l', 12, -1, 0), ('m', 0, -1, 0), ('n', 106, -1, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', -1, 382, 0), ('w', -1, 110, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 169, -1, 0), ('ż', 12, -1, 0)), (('a', 0, -1, 0), ('b', 236, -1, 0), ('c', -1, 286, 0), ('d', 236, -1, 0), ('e', 280, -1, 0), ('f', -1, 360, 0), ('g', 41, -1, 0), ('h', -1, 707, 0), ('i', -1, 521, 0), ('j', 109, 63, 0), ('k', 97, -1, 0), ('l', -1, 612, 0), ('m', 48, -1, 0), ('n', 104, -1, 0), ('o', 97, 15, 0), ('p', 195, -1, 0), ('r', 41, 862, 0), ('s', 195, -1, 0), ('t', 7, -1, 0), ('u', 104, -1, 0), ('w', 104, -1, 0), ('y', 104, -1, 0), ('z', 236, -1, 0), ('ó', 212, -1, 0), ('ą', -1, 503, 0), ('ę', 28, -1, 0), ('ł', -1, 359, 0), ('ś', 12, 779, 0), ('ź', -1, 1047, 0), ('ż', -1, 1633, 0)), (('a', 11, -1, 0), ('b', 12, -1, 0), ('c', 96, -1, 0), ('d', 98, -1, 0), ('e', -1, 8, 0), ('f', 3, -1, 0), ('g', -1, 361, 0), ('h', 22, -1, 0), ('i', 98, -1, 0), ('j', 6, 367, 0), ('k', 11, -1, 0), ('l', 167, -1, 0), ('m', 12, -1, 0), ('n', -1, 847, 0), ('o', 98, -1, 0), ('p', 98, -1, 0), ('r', -1, 240, 0), ('s', 98, -1, 0), ('t', -1, 80, 0), ('u', 11, -1, 0), ('w', 12, -1, 0), ('y', -1, 134, 0), ('z', 98, -1, 0), ('ę', 11, -1, 0), ('ł', 98, -1, 0), ('ś', 0, 310, 0), ('ż', 98, -1, 0)), (('a', 28, -1, 0), ('b', -1, 117, 0), ('c', 27, -1, 0), ('d', -1, 20, 0), ('e', 28, -1, 0), ('g', -1, 362, 0), ('i', -1, 1076, 0), ('k', -1, 1460, 0), ('l', -1, 365, 0), ('m', 196, -1, 0), ('n', 4, -1, 0), ('o', 28, -1, 0), ('p', 105, -1, 0), ('r', 4, -1, 0), ('s', -1, 2079, 0), ('t', -1, 1860, 0), ('u', -1, 315, 0), ('w', 4, -1, 0), ('y', -1, 1409, 0), ('z', 105, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 4, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 363, 0), ('c', -1, 3135, 0), ('d', -1, 3918, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('o', 2, -1, 0), ('r', -1, 3418, 0), ('s', -1, 4590, 0), ('y', 28, -1, 0), ('z', 28, 259, 0), ('ó', 28, -1, 0), ('ś', 2, -1, 0)), (('a', -1, 364, 0), ('c', 2, -1, 0), ('e', 28, -1, 0), ('i', -1, 1641, 0), ('l', 2, -1, 0), ('n', -1, 556, 0), ('o', -1, 3634, 0), ('p', -1, 1255, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('w', -1, 1641, 0), ('y', 28, -1, 0), ('z', 2, -1, 0), ('ę', 62, -1, 0)), (('a', -1, 365, 0), ('d', 28, 1292, 0), ('e', 21, -1, 0), ('g', 62, -1, 0), ('h', -1, 2109, 0), ('i', -1, 350, 0), ('k', 0, 1386, 0), ('m', 69, -1, 0), ('o', 17, -1, 0), ('p', 30, -1, 0), ('r', 17, -1, 0), ('s', -1, 489, 0), ('t', 0, 225, 0), ('u', 17, -1, 0), ('w', 0, 225, 0), ('y', 17, -1, 0), ('z', -1, 166, 0)), (('a', -1, 235, 0), ('b', 17, -1, 0), ('c', -1, 366, 0), ('d', 311, -1, 0), ('e', -1, 692, 0), ('g', -1, 4412, 0), ('i', -1, 95, 0), ('k', 6, 1086, 0), ('l', 17, -1, 0), ('m', 17, -1, 0), ('n', -1, 827, 0), ('o', 96, -1, 0), ('p', 17, -1, 0), ('r', 96, -1, 0), ('s', -1, 1239, 0), ('t', 21, -1, 0), ('u', -1, 1722, 0), ('w', 28, -1, 0), ('y', -1, 1903, 0), ('z', 311, -1, 0), ('ł', 52, -1, 0)), (('a', 21, -1, 0), ('b', 80, -1, 0), ('c', 80, -1, 0), ('d', -1, 130, 0), ('e', 21, -1, 0), ('g', 3, -1, 0), ('i', -1, 45, 0), ('k', 184, -1, 0), ('l', 27, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 21, -1, 0), ('p', 27, -1, 0), ('r', 37, -1, 0), ('s', 24, -1, 0), ('t', 3, -1, 0), ('u', -1, 367, 0), ('w', 27, -1, 0), ('y', -1, 664, 0), ('z', -1, 1088, 0), ('ł', 184, -1, 0)), (('a', 196, -1, 0), ('b', -1, 368, 0), ('c', 69, -1, 0), ('d', 3, 675, 0), ('e', 311, -1, 0), ('f', 22, -1, 0), ('g', 21, -1, 0), ('h', 1, -1, 0), ('i', -1, 674, 0), ('j', 22, -1, 0), ('k', 1, -1, 0), ('l', -1, 117, 0), ('m', -1, 775, 0), ('n', -1, 209, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 74, -1, 0), ('s', 21, -1, 0), ('t', -1, 286, 0), ('u', 311, -1, 0), ('w', -1, 1644, 0), ('y', 21, -1, 0), ('z', 3, -1, 0), ('ę', 74, -1, 0), ('ł', 74, -1, 0), ('ś', 1, -1, 0)), (('a', 1, -1, 0), ('b', 3, -1, 0), ('e', 123, -1, 0), ('i', -1, 369, 0), ('k', 3, -1, 0), ('n', 22, 1508, 0), ('o', 7, 1694, 0), ('p', 3, -1, 0), ('r', 62, -1, 0), ('s', 3, -1, 0), ('t', -1, 1938, 0), ('u', 62, -1, 0), ('w', 22, -1, 0), ('y', 1, -1, 0), ('z', 3, -1, 0), ('ę', 62, -1, 0)), (('a', -1, 298, 0), ('c', 22, -1, 0), ('d', 7, -1, 0), ('e', -1, 370, 0), ('g', 41, -1, 0), ('h', 7, -1, 0), ('i', 0, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 31, -1, 0), ('m', 27, -1, 0), ('n', 2, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 31, -1, 0), ('s', 7, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 3406, 0), ('y', 7, -1, 0), ('z', -1, 351, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 31, -1, 0), ('ś', 7, -1, 0)), (('a', -1, 371, 0), ('b', 11, -1, 0), ('c', 21, -1, 0), ('d', 305, -1, 0), ('e', 88, -1, 0), ('i', -1, 1297, 0), ('k', -1, 440, 0), ('m', 305, -1, 0), ('n', -1, 568, 0), ('o', -1, 1747, 0), ('p', -1, 1046, 0), ('r', -1, 4434, 0), ('s', 21, 1043, 0), ('t', 305, 2787, 0), ('w', 305, -1, 0), ('z', -1, 800, 0), ('ż', 97, -1, 0)), (('a', 25, -1, 0), ('b', 25, -1, 0), ('c', -1, 372, 0), ('d', 25, -1, 0), ('e', 25, -1, 0), ('f', 25, -1, 0), ('g', 25, -1, 0), ('h', 25, -1, 0), ('i', 25, -1, 0), ('k', -1, 1060, 0), ('l', -1, 676, 0), ('m', -1, 2385, 0), ('n', 84, -1, 0), ('o', 25, -1, 0), ('p', 6, 503, 0), ('r', -1, 997, 0), ('s', 25, -1, 0), ('t', 25, -1, 0), ('u', 25, -1, 0), ('w', -1, 719, 0), ('y', 25, -1, 0), ('z', -1, 7, 0), ('ó', 25, -1, 0), ('ę', 22, -1, 0)), (('a', -1, 373, 0), ('d', 268, 2485, 0), ('e', 119, -1, 0), ('i', -1, 2101, 0), ('k', 3, -1, 0), ('m', -1, 569, 0), ('o', -1, 2438, 0), ('p', 121, 16, 0), ('r', -1, 317, 0), ('s', 3, 576, 0), ('t', 3, 1417, 0), ('u', 3, -1, 0), ('w', -1, 4491, 0), ('z', -1, 2465, 0)), (('a', 70, -1, 0), ('c', -1, 374, 0), ('d', 10, -1, 0), ('e', 5, -1, 0), ('g', 70, -1, 0), ('i', -1, 254, 0), ('j', 7, -1, 0), ('m', 57, -1, 0), ('n', -1, 2255, 0), ('o', 70, -1, 0), ('p', -1, 3312, 0), ('r', -1, 2114, 0), ('s', 70, -1, 0), ('t', 21, 779, 0), ('u', 7, -1, 0), ('w', 70, -1, 0), ('y', 5, -1, 0), ('z', 70, -1, 0)), (('a', 70, -1, 0), ('b', 70, -1, 0), ('c', 3, -1, 0), ('d', 70, -1, 0), ('e', 70, -1, 0), ('i', 70, -1, 0), ('l', -1, 375, 0), ('m', 1, -1, 0), ('o', 70, -1, 0), ('p', 0, -1, 0), ('r', -1, 1130, 0), ('s', -1, 1156, 0), ('t', 70, -1, 0), ('u', 70, -1, 0), ('w', 57, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0), ('ł', 70, -1, 0)), (('a', 70, -1, 0), ('b', -1, 376, 0), ('c', 3, 206, 0), ('d', 5, -1, 0), ('e', 70, -1, 0), ('i', 12, -1, 0), ('k', 70, -1, 0), ('m', 3, -1, 0), ('n', -1, 4381, 0), ('o', 55, 1644, 0), ('p', 3, -1, 0), ('r', -1, 1493, 0), ('s', 5, -1, 0), ('t', 67, -1, 0), ('u', 30, -1, 0), ('w', -1, 1115, 0), ('y', 5, -1, 0), ('z', 3, -1, 0), ('ę', 12, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('f', 11, -1, 0), ('i', 3, -1, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('n', -1, 377, 0), ('o', 11, 378, 0), ('p', -1, 4492, 0), ('r', 83, -1, 0), ('s', -1, 3041, 0), ('u', 3, -1, 0), ('w', 219, 3894, 0), ('y', 11, -1, 0), ('z', 11, -1, 0), ('ę', 3, -1, 0), ('ź', 83, -1, 0), ('ż', 83, -1, 0)), (('a', 11, -1, 0), ('b', 219, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('n', 11, -1, 0), ('o', 11, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('t', 11, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('ś', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 379, 0), ('b', 62, -1, 0), ('c', 0, 225, 0), ('d', -1, 1047, 0), ('e', -1, 231, 0), ('g', -1, 148, 0), ('h', 62, -1, 0), ('i', 5, -1, 0), ('k', -1, 284, 0), ('l', 0, 880, 0), ('m', 12, -1, 0), ('n', -1, 1904, 0), ('o', 109, -1, 0), ('p', 62, -1, 0), ('r', -1, 541, 0), ('s', -1, 499, 0), ('t', -1, 185, 0), ('u', 5, -1, 0), ('w', -1, 234, 0), ('y', 5, -1, 0), ('z', -1, 146, 0), ('ę', 71, -1, 0), ('ł', 3, -1, 0), ('ś', 107, -1, 0)), (('a', -1, 380, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 99, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 422, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 765, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 11, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 1, -1, 0), ('w', 5, -1, 0), ('y', 116, -1, 0), ('z', -1, 980, 0), ('ó', 5, -1, 0), ('ę', 0, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 2841, 0), ('ż', -1, 18, 0)), (('a', -1, 381, 0), ('b', 71, -1, 0), ('c', 99, -1, 0), ('d', 5, -1, 0), ('e', -1, 722, 0), ('g', 5, -1, 0), ('h', 3, -1, 0), ('i', -1, 385, 0), ('j', -1, 1490, 0), ('k', 5, -1, 0), ('l', 58, -1, 0), ('m', 99, -1, 0), ('n', 110, -1, 0), ('o', 14, -1, 0), ('p', 217, -1, 0), ('r', 5, -1, 0), ('s', 86, -1, 0), ('t', 99, -1, 0), ('u', 332, -1, 0), ('w', 5, -1, 0), ('y', 58, -1, 0), ('z', 5, -1, 0), ('ó', 21, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 1864, 0)), (('a', 5, -1, 0), ('b', 1, -1, 0), ('c', -1, 382, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 21, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 99, -1, 0), ('l', 99, -1, 0), ('m', 99, -1, 0), ('n', -1, 1547, 0), ('o', 5, -1, 0), ('p', -1, 107, 0), ('r', -1, 1468, 0), ('s', -1, 625, 0), ('t', -1, 1069, 0), ('u', 12, -1, 0), ('w', -1, 584, 0), ('y', 5, -1, 0), ('z', 12, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 99, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 3494, 0)), (('a', -1, 383, 0), ('b', -1, 2361, 0), ('c', 12, -1, 0), ('d', 0, 85, 0), ('e', -1, 501, 0), ('g', 101, 706, 0), ('i', -1, 754, 0), ('k', 5, -1, 0), ('l', -1, 625, 0), ('m', -1, 389, 0), ('n', 27, -1, 0), ('o', 99, 239, 0), ('p', -1, 223, 0), ('r', -1, 381, 0), ('s', -1, 511, 0), ('t', -1, 476, 0), ('u', -1, 779, 0), ('w', 14, -1, 0), ('y', -1, 501, 0), ('z', -1, 478, 0), ('ą', 5, -1, 0), ('ę', -1, 383, 0), ('ł', 12, -1, 0), ('ń', 5, -1, 0), ('ś', 178, -1, 0)), (('a', 194, -1, 0), ('b', 62, -1, 0), ('c', -1, 355, 0), ('d', 62, -1, 0), ('e', -1, 333, 0), ('g', -1, 147, 0), ('h', 12, -1, 0), ('i', -1, 384, 0), ('j', 12, -1, 0), ('k', 6, -1, 0), ('l', 12, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 194, -1, 0), ('p', 167, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 62, -1, 0), ('w', 62, -1, 0), ('y', 194, -1, 0), ('z', 12, -1, 0), ('ł', 5, -1, 0), ('ś', 194, -1, 0)), (('a', -1, 385, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 18, -1, 0), ('e', 5, -1, 0), ('f', 185, -1, 0), ('g', 0, -1, 0), ('h', 41, -1, 0), ('i', 243, -1, 0), ('j', -1, 1893, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 18, -1, 0), ('n', 0, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 0, -1, 0), ('s', 109, -1, 0), ('t', -1, 148, 0), ('u', 17, -1, 0), ('w', 12, -1, 0), ('y', -1, 286, 0), ('z', 5, -1, 0), ('ą', 43, -1, 0), ('ć', 1, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 388, 0), ('ś', 71, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 385, 0), ('b', -1, 240, 0), ('c', 41, 385, 0), ('d', 104, -1, 0), ('e', 48, -1, 0), ('f', 0, -1, 0), ('g', 236, -1, 0), ('h', -1, 296, 0), ('i', -1, 386, 0), ('j', 104, -1, 0), ('k', 104, -1, 0), ('l', 208, -1, 0), ('m', 41, -1, 0), ('n', -1, 151, 0), ('o', 41, -1, 0), ('p', 48, 385, 0), ('r', -1, 385, 0), ('s', 48, -1, 0), ('t', 104, -1, 0), ('u', 0, -1, 0), ('w', 280, -1, 0), ('y', 48, -1, 0), ('z', 48, -1, 0), ('ó', 81, -1, 0), ('ą', -1, 1644, 0), ('ć', -1, 879, 0), ('ę', -1, 1260, 0), ('ł', -1, 429, 0), ('ń', -1, 97, 0), ('ś', 97, 403, 0), ('ź', -1, 754, 0), ('ż', -1, 237, 0)), (('a', -1, 387, 0), ('b', -1, 384, 0), ('c', -1, 240, 0), ('d', 97, 59, 0), ('e', -1, 385, 0), ('f', -1, 155, 0), ('g', 97, 296, 0), ('h', -1, 467, 0), ('i', -1, 862, 0), ('j', -1, 775, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 97, 478, 0), ('n', 104, -1, 0), ('o', -1, 385, 0), ('p', -1, 862, 0), ('r', -1, 385, 0), ('s', 97, -1, 0), ('t', 1, -1, 0), ('u', 104, -1, 0), ('w', 104, -1, 0), ('y', -1, 16, 0), ('z', 0, -1, 0), ('ó', -1, 359, 0), ('ą', -1, 862, 0), ('ę', 104, -1, 0), ('ł', 0, -1, 0), ('ś', 58, 503, 0), ('ź', -1, 2675, 0), ('ż', -1, 476, 0)), (('a', 186, -1, 0), ('b', 105, -1, 0), ('c', -1, 388, 0), ('d', 0, -1, 0), ('e', -1, 478, 0), ('f', -1, 1045, 0), ('g', 98, 59, 0), ('h', -1, 421, 0), ('i', 222, -1, 0), ('j', -1, 16, 0), ('k', -1, 359, 0), ('l', -1, 2132, 0), ('m', 104, -1, 0), ('n', 0, -1, 0), ('o', -1, 522, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1097, 0), ('t', 0, -1, 0), ('u', 186, -1, 0), ('w', 104, 16, 0), ('y', 186, -1, 0), ('z', -1, 188, 0), ('ó', -1, 606, 0), ('ą', 97, -1, 0), ('ć', 41, -1, 0), ('ę', 7, -1, 0), ('ł', 0, -1, 0), ('ś', 58, 96, 0), ('ź', -1, 2887, 0), ('ż', -1, 1722, 0)), (('a', -1, 389, 0), ('b', 63, -1, 0), ('c', -1, 1990, 0), ('d', -1, 101, 0), ('e', 11, -1, 0), ('f', -1, 735, 0), ('g', -1, 102, 0), ('h', 63, -1, 0), ('i', 7, -1, 0), ('j', 106, 693, 0), ('k', -1, 17, 0), ('l', 98, -1, 0), ('m', 11, -1, 0), ('n', -1, 685, 0), ('o', 98, -1, 0), ('p', 63, -1, 0), ('r', -1, 16, 0), ('s', -1, 15, 0), ('t', -1, 13, 0), ('u', 7, -1, 0), ('w', -1, 432, 0), ('y', 7, -1, 0), ('z', -1, 522, 0), ('ó', 98, -1, 0), ('ą', 7, -1, 0), ('ę', -1, 1977, 0), ('ł', -1, 2130, 0), ('ś', 0, -1, 0), ('ż', 121, -1, 0)), (('a', -1, 390, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 97, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 1143, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', -1, 1691, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 111, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', -1, 930, 0), ('w', 7, -1, 0), ('y', 14, -1, 0), ('z', -1, 1692, 0), ('ó', 7, -1, 0), ('ę', -1, 824, 0), ('ł', 7, -1, 0), ('ś', 109, -1, 0), ('ż', -1, 100, 0)), (('a', -1, 186, 0), ('b', 188, 165, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 187, 0), ('f', -1, 391, 0), ('g', -1, 1521, 0), ('h', -1, 755, 0), ('i', -1, 538, 0), ('j', -1, 172, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 97, -1, 0), ('n', -1, 2208, 0), ('o', 98, -1, 0), ('p', 12, 779, 0), ('r', 7, -1, 0), ('s', -1, 452, 0), ('t', 21, 807, 0), ('u', -1, 339, 0), ('w', 7, -1, 0), ('y', 11, -1, 0), ('z', 97, -1, 0), ('ę', -1, 101, 0), ('ł', -1, 2161, 0), ('ś', 0, 42, 0), ('ż', -1, 2501, 0)), (('a', 0, -1, 0), ('c', 4, 392, 0), ('d', 0, -1, 0), ('e', -1, 1825, 0), ('g', 41, -1, 0), ('i', 0, -1, 0), ('k', -1, 73, 0), ('l', -1, 1477, 0), ('m', -1, 1593, 0), ('o', 21, -1, 0), ('p', 5, 34, 0), ('r', -1, 1408, 0), ('s', 54, -1, 0), ('t', 41, -1, 0), ('u', -1, 1669, 0), ('w', 105, 475, 0), ('y', 0, -1, 0), ('z', 0, 288, 0), ('ł', 188, -1, 0)), (('a', 21, -1, 0), ('b', 1, -1, 0), ('c', -1, 393, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 1773, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 4, -1, 0), ('o', -1, 651, 0), ('p', -1, 3976, 0), ('r', -1, 148, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 394, 0), ('c', 31, -1, 0), ('e', 26, -1, 0), ('i', 145, -1, 0), ('o', 11, -1, 0), ('r', 27, -1, 0), ('u', 39, -1, 0), ('y', 145, -1, 0), ('z', 31, -1, 0)), (('a', 12, -1, 0), ('b', 12, 395, 0), ('c', -1, 1251, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('i', 12, -1, 0), ('j', 39, -1, 0), ('k', -1, 1554, 0), ('l', -1, 407, 0), ('m', 12, -1, 0), ('n', -1, 286, 0), ('o', 12, -1, 0), ('p', -1, 1930, 0), ('r', -1, 105, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', -1, 340, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ą', 12, -1, 0), ('ć', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 95, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 0, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('i', -1, 174, 0), ('j', 12, -1, 0), ('k', 81, -1, 0), ('l', -1, 396, 0), ('m', 0, 85, 0), ('n', 12, -1, 0), ('o', 12, 503, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 0, -1, 0), ('t', -1, 144, 0), ('u', -1, 1223, 0), ('w', 210, -1, 0), ('y', 12, -1, 0), ('z', 58, -1, 0), ('ł', 12, -1, 0)), (('a', 66, -1, 0), ('b', 23, -1, 0), ('d', 23, -1, 0), ('e', 66, -1, 0), ('i', -1, 397, 0), ('k', 66, -1, 0), ('l', 21, -1, 0), ('m', 180, -1, 0), ('o', 0, 1223, 0), ('p', -1, 3615, 0), ('r', 21, -1, 0), ('s', 337, -1, 0), ('t', -1, 4536, 0), ('u', 11, -1, 0), ('w', 73, -1, 0), ('y', 6, -1, 0), ('z', 199, -1, 0), ('ł', 57, -1, 0)), (('a', 25, -1, 0), ('b', 3, -1, 0), ('c', 21, -1, 0), ('d', 0, -1, 0), ('e', 25, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 398, 0), ('k', 21, -1, 0), ('l', -1, 718, 0), ('m', 1, -1, 0), ('n', -1, 1896, 0), ('o', 176, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', 12, -1, 0), ('w', 21, -1, 0), ('y', 14, -1, 0), ('z', -1, 1649, 0), ('ż', 21, -1, 0)), (('a', -1, 45, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 95, -1, 0), ('e', -1, 58, 0), ('f', 6, -1, 0), ('g', 29, -1, 0), ('i', 21, -1, 0), ('k', 13, 329, 0), ('l', 68, -1, 0), ('m', 6, -1, 0), ('n', -1, 356, 0), ('o', 25, -1, 0), ('p', -1, 64, 0), ('r', -1, 333, 0), ('s', -1, 399, 0), ('t', 13, -1, 0), ('u', 0, 64, 0), ('w', 54, 182, 0), ('y', 13, -1, 0), ('z', 6, -1, 0), ('ł', 95, -1, 0)), (('a', 22, -1, 0), ('b', 21, -1, 0), ('c', -1, 400, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 22, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', -1, 2780, 0), ('l', -1, 45, 0), ('m', 3, 945, 0), ('n', 21, -1, 0), ('o', 54, -1, 0), ('p', -1, 2630, 0), ('r', 21, 1007, 0), ('s', 3, -1, 0), ('t', 21, -1, 0), ('u', 54, 357, 0), ('w', 21, -1, 0), ('y', 6, -1, 0), ('z', 21, -1, 0), ('ę', 5, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 401, 0), ('d', 7, -1, 0), ('e', -1, 395, 0), ('i', -1, 1747, 0), ('j', -1, 1164, 0), ('o', -1, 1163, 0), ('p', 108, -1, 0), ('r', -1, 1428, 0), ('s', 15, -1, 0), ('u', -1, 24, 0), ('w', 7, -1, 0), ('z', 108, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 402, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 12, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 145, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 184, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 388, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 28, -1, 0), ('w', 5, -1, 0), ('y', -1, 460, 0), ('z', -1, 381, 0), ('ó', 5, -1, 0), ('ę', 21, -1, 0), ('ł', 5, -1, 0), ('ś', 374, -1, 0), ('ż', -1, 779, 0)), (('a', -1, 403, 0), ('b', 0, 451, 0), ('c', 12, -1, 0), ('d', 5, -1, 0), ('e', -1, 145, 0), ('f', 239, -1, 0), ('g', 5, -1, 0), ('h', 71, -1, 0), ('i', -1, 58, 0), ('j', 55, -1, 0), ('k', 5, -1, 0), ('l', 0, 1842, 0), ('m', 12, -1, 0), ('n', 70, 4004, 0), ('o', 5, -1, 0), ('p', 99, -1, 0), ('r', 5, -1, 0), ('s', -1, 1119, 0), ('t', 12, -1, 0), ('u', 5, 525, 0), ('w', 5, -1, 0), ('y', 99, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 51, -1, 0)), (('a', 7, -1, 0), ('b', 97, -1, 0), ('c', -1, 404, 0), ('d', 97, -1, 0), ('e', 195, -1, 0), ('f', -1, 259, 0), ('g', -1, 477, 0), ('h', -1, 98, 0), ('i', 63, -1, 0), ('j', 0, 164, 0), ('k', 99, -1, 0), ('l', -1, 16, 0), ('m', 12, 625, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 97, -1, 0), ('r', -1, 16, 0), ('s', 63, -1, 0), ('t', 5, -1, 0), ('u', 97, -1, 0), ('w', 63, -1, 0), ('y', -1, 296, 0), ('z', 195, -1, 0), ('ó', 7, -1, 0), ('ą', -1, 935, 0), ('ę', 97, -1, 0), ('ł', 28, -1, 0), ('ś', -1, 281, 0), ('ż', -1, 1980, 0)), (('a', 12, -1, 0), ('b', 6, -1, 0), ('c', -1, 163, 0), ('d', 6, -1, 0), ('e', -1, 405, 0), ('g', 6, -1, 0), ('h', 86, -1, 0), ('i', -1, 707, 0), ('k', 25, -1, 0), ('l', 21, -1, 0), ('m', -1, 226, 0), ('n', 86, -1, 0), ('o', 6, -1, 0), ('p', 86, -1, 0), ('r', 0, 612, 0), ('s', 86, 15, 0), ('t', 25, -1, 0), ('u', 0, -1, 0), ('w', 176, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ę', 28, -1, 0), ('ł', 86, -1, 0)), (('a', -1, 406, 0), ('b', 109, -1, 0), ('c', -1, 1721, 0), ('d', 109, -1, 0), ('e', -1, 458, 0), ('g', 1, -1, 0), ('i', -1, 12, 0), ('j', 109, -1, 0), ('k', 279, -1, 0), ('l', 12, -1, 0), ('m', 109, -1, 0), ('n', 109, -1, 0), ('o', -1, 1070, 0), ('p', 109, -1, 0), ('r', 109, -1, 0), ('s', 209, -1, 0), ('t', 109, -1, 0), ('u', -1, 1086, 0), ('w', -1, 435, 0), ('y', -1, 477, 0), ('z', 58, 140, 0), ('ę', 14, -1, 0), ('ł', 279, -1, 0), ('ś', -1, 3632, 0)), (('a', 5, -1, 0), ('b', 12, -1, 0), ('c', 4, -1, 0), ('d', 5, -1, 0), ('e', 12, -1, 0), ('f', 2, -1, 0), ('g', -1, 407, 0), ('i', 62, -1, 0), ('k', 28, -1, 0), ('l', 96, -1, 0), ('m', 14, -1, 0), ('n', -1, 1391, 0), ('o', 5, -1, 0), ('p', -1, 856, 0), ('r', -1, 1472, 0), ('s', -1, 1197, 0), ('t', 109, -1, 0), ('u', 12, -1, 0), ('w', 14, -1, 0), ('y', -1, 1033, 0), ('z', 321, -1, 0), ('ó', 96, -1, 0), ('ą', -1, 2537, 0), ('ę', 442, -1, 0), ('ł', 109, -1, 0), ('ś', -1, 2705, 0)), (('a', 9, -1, 0), ('b', 66, -1, 0), ('d', -1, 408, 0), ('e', 9, -1, 0), ('g', -1, 1462, 0), ('h', 66, -1, 0), ('i', 9, -1, 0), ('k', -1, 2019, 0), ('m', -1, 2031, 0), ('o', -1, 611, 0), ('p', 66, -1, 0), ('r', -1, 2524, 0), ('s', 12, -1, 0), ('t', -1, 1078, 0), ('u', 9, -1, 0), ('w', 142, -1, 0), ('y', 9, -1, 0), ('z', -1, 1408, 0), ('ę', 128, -1, 0), ('ś', -1, 759, 0), ('ź', 9, -1, 0)), (('a', 6, -1, 0), ('b', -1, 409, 0), ('c', 28, -1, 0), ('d', 2, -1, 0), ('e', -1, 1753, 0), ('f', 2, -1, 0), ('i', 27, -1, 0), ('k', 28, 465, 0), ('l', -1, 357, 0), ('m', 0, -1, 0), ('n', 7, -1, 0), ('o', 178, -1, 0), ('p', 7, 2179, 0), ('r', 66, -1, 0), ('s', 27, -1, 0), ('t', 2, -1, 0), ('u', 66, -1, 0), ('w', 1, 296, 0), ('y', 66, -1, 0), ('z', -1, 1916, 0), ('ę', -1, 1700, 0)), (('a', 41, 386, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', -1, 410, 0), ('m', 16, -1, 0), ('n', 16, -1, 0), ('o', 7, 762, 0), ('r', -1, 4486, 0), ('t', 106, -1, 0), ('w', 7, -1, 0), ('y', -1, 1806, 0), ('z', 7, -1, 0), ('ł', -1, 855, 0)), (('a', -1, 411, 0), ('d', -1, 383, 0), ('e', -1, 231, 0), ('i', -1, 1137, 0), ('j', -1, 841, 0), ('k', -1, 683, 0), ('l', -1, 172, 0), ('m', 3, -1, 0), ('o', -1, 1462, 0), ('p', -1, 2669, 0), ('r', -1, 803, 0), ('s', -1, 748, 0), ('t', 0, 225, 0), ('u', -1, 1247, 0), ('w', 97, -1, 0), ('y', -1, 3211, 0), ('z', -1, 1511, 0), ('ę', -1, 642, 0)), (('a', -1, 412, 0), ('b', 28, -1, 0), ('c', 14, 344, 0), ('d', 96, -1, 0), ('e', -1, 1929, 0), ('g', 6, -1, 0), ('h', 0, -1, 0), ('i', 12, -1, 0), ('k', 105, 484, 0), ('l', -1, 2531, 0), ('m', 28, -1, 0), ('n', -1, 147, 0), ('o', 52, -1, 0), ('p', 0, 914, 0), ('r', 61, -1, 0), ('s', 217, -1, 0), ('t', 0, 164, 0), ('u', 61, -1, 0), ('w', 4, -1, 0), ('y', 61, -1, 0), ('z', 96, -1, 0), ('ó', 138, -1, 0), ('ą', -1, 670, 0), ('ł', 6, -1, 0)), (('a', 61, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 88, -1, 0), ('e', 61, -1, 0), ('f', -1, 413, 0), ('g', -1, 3252, 0), ('h', 1, -1, 0), ('i', 322, -1, 0), ('j', 138, -1, 0), ('k', 61, -1, 0), ('l', -1, 997, 0), ('m', 181, -1, 0), ('n', 21, -1, 0), ('o', -1, 981, 0), ('p', 222, -1, 0), ('r', 222, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 24, -1, 0), ('z', 193, -1, 0), ('ł', -1, 2773, 0), ('ż', 0, -1, 0)), (('a', 17, -1, 0), ('e', 1, -1, 0), ('g', 37, -1, 0), ('i', 1, -1, 0), ('l', 0, 414, 0), ('n', 3, -1, 0), ('o', 31, -1, 0), ('p', 0, -1, 0), ('r', 131, -1, 0), ('s', 37, -1, 0), ('t', 4, -1, 0), ('u', 37, -1, 0), ('w', 37, -1, 0), ('z', 37, -1, 0), ('ł', 0, 4476, 0)), (('a', 0, -1, 0), ('b', -1, 415, 0), ('c', 118, 580, 0), ('e', 41, -1, 0), ('f', -1, 589, 0), ('i', 41, -1, 0), ('k', 4, -1, 0), ('l', 2, -1, 0), ('m', 7, 3118, 0), ('n', -1, 4589, 0), ('o', 28, -1, 0), ('p', 57, 589, 0), ('r', 0, -1, 0), ('s', 118, 2568, 0), ('t', 41, -1, 0), ('u', -1, 2034, 0), ('w', -1, 252, 0), ('y', 2, -1, 0), ('z', -1, 4412, 0), ('ś', 28, 2190, 0)), (('a', -1, 416, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 11, -1, 0), ('i', -1, 1985, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', -1, 1208, 0), ('r', -1, 3232, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 1056, 0), ('w', 2, -1, 0), ('y', 11, -1, 0), ('z', -1, 5, 0), ('ą', 11, -1, 0), ('ę', -1, 1347, 0), ('ń', 57, -1, 0), ('ź', 57, -1, 0), ('ż', 28, -1, 0)), (('a', 22, -1, 0), ('b', 7, -1, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 5, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('n', 22, -1, 0), ('o', 30, -1, 0), ('p', 116, -1, 0), ('r', -1, 251, 0), ('s', 62, -1, 0), ('t', -1, 417, 0), ('u', 22, -1, 0), ('w', 11, 1099, 0), ('y', 16, -1, 0), ('z', 22, -1, 0), ('ś', 22, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('d', 11, -1, 0), ('e', 22, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('r', 118, 14, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 22, -1, 0), ('z', -1, 418, 0), ('ą', 22, -1, 0)), (('a', 0, -1, 0), ('b', 17, -1, 0), ('c', -1, 419, 0), ('d', 52, -1, 0), ('e', 0, -1, 0), ('g', 17, -1, 0), ('h', 17, -1, 0), ('i', 0, -1, 0), ('k', 2, -1, 0), ('l', 0, 179, 0), ('m', 17, -1, 0), ('n', 17, -1, 0), ('o', -1, 1794, 0), ('p', 17, -1, 0), ('r', 52, 1931, 0), ('s', -1, 2421, 0), ('t', 34, -1, 0), ('u', 0, -1, 0), ('w', 17, -1, 0), ('y', 0, -1, 0), ('z', 17, -1, 0)), (('a', 17, -1, 0), ('b', 17, -1, 0), ('c', -1, 420, 0), ('d', -1, 1189, 0), ('e', -1, 224, 0), ('f', 95, -1, 0), ('g', 17, -1, 0), ('h', 17, -1, 0), ('i', -1, 891, 0), ('k', 6, -1, 0), ('l', -1, 95, 0), ('m', 17, -1, 0), ('n', -1, 402, 0), ('o', -1, 146, 0), ('p', 193, 784, 0), ('r', -1, 419, 0), ('s', 193, -1, 0), ('t', 6, -1, 0), ('u', 58, -1, 0), ('w', 17, -1, 0), ('y', -1, 63, 0), ('z', 17, -1, 0), ('ą', -1, 189, 0), ('ę', 17, -1, 0), ('ł', 17, -1, 0), ('ś', 17, 2529, 0)), (('a', -1, 421, 0), ('b', 0, -1, 0), ('c', -1, 504, 0), ('d', 81, -1, 0), ('e', -1, 171, 0), ('f', 217, -1, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 96, -1, 0), ('k', 4, -1, 0), ('l', 105, -1, 0), ('m', 81, -1, 0), ('n', -1, 3173, 0), ('o', 0, -1, 0), ('p', 0, 220, 0), ('r', 96, -1, 0), ('s', 0, -1, 0), ('t', 4, -1, 0), ('u', 96, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 430, -1, 0), ('ł', -1, 387, 0)), (('a', 12, -1, 0), ('b', 217, -1, 0), ('c', -1, 319, 0), ('d', 12, -1, 0), ('e', 5, -1, 0), ('f', 1, -1, 0), ('g', 5, -1, 0), ('h', 64, -1, 0), ('i', 12, -1, 0), ('k', 96, -1, 0), ('l', 5, -1, 0), ('m', 96, -1, 0), ('n', -1, 422, 0), ('o', 12, -1, 0), ('p', 0, -1, 0), ('r', -1, 522, 0), ('s', 5, -1, 0), ('t', 58, -1, 0), ('u', 12, -1, 0), ('w', -1, 403, 0), ('y', 12, -1, 0), ('z', -1, 240, 0), ('ę', 5, -1, 0), ('ł', 104, -1, 0), ('ś', 1, 779, 0)), (('a', 5, -1, 0), ('b', -1, 423, 0), ('c', 99, -1, 0), ('d', 99, -1, 0), ('e', -1, 284, 0), ('f', 99, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', 99, -1, 0), ('k', 4, -1, 0), ('l', 28, -1, 0), ('m', 99, 594, 0), ('n', -1, 4550, 0), ('o', 224, -1, 0), ('p', -1, 2130, 0), ('r', -1, 383, 0), ('s', -1, 402, 0), ('t', -1, 310, 0), ('u', 5, -1, 0), ('w', 5, 1694, 0), ('y', -1, 503, 0), ('z', -1, 1143, 0), ('ę', 5, -1, 0), ('ł', -1, 2050, 0), ('ś', -1, 4267, 0)), (('a', -1, 424, 0), ('b', 187, -1, 0), ('c', -1, 187, 0), ('d', 110, -1, 0), ('e', 187, -1, 0), ('g', -1, 505, 0), ('i', -1, 1377, 0), ('k', 52, -1, 0), ('l', 350, -1, 0), ('m', 0, 64, 0), ('n', -1, 2182, 0), ('o', 187, -1, 0), ('p', 17, -1, 0), ('r', 5, -1, 0), ('s', 3, 1041, 0), ('t', 12, -1, 0), ('u', -1, 231, 0), ('w', 58, -1, 0), ('y', 187, -1, 0), ('z', 99, -1, 0), ('ę', -1, 20, 0), ('ł', 110, 390, 0), ('ś', 56, 281, 0)), (('a', 5, -1, 0), ('b', 99, -1, 0), ('c', -1, 425, 0), ('d', 5, -1, 0), ('e', 99, -1, 0), ('f', -1, 735, 0), ('g', 37, -1, 0), ('h', 74, -1, 0), ('i', 109, -1, 0), ('j', 109, -1, 0), ('k', 3, -1, 0), ('l', 12, -1, 0), ('m', 0, -1, 0), ('n', 21, -1, 0), ('o', 5, -1, 0), ('p', 74, -1, 0), ('r', -1, 980, 0), ('s', 21, -1, 0), ('t', 250, -1, 0), ('u', 99, -1, 0), ('w', 96, -1, 0), ('y', -1, 501, 0), ('z', -1, 477, 0), ('ł', -1, 803, 0), ('ś', 3, 403, 0), ('ż', 1, -1, 0)), (('a', -1, 426, 0), ('b', 24, -1, 0), ('c', -1, 4482, 0), ('d', -1, 285, 0), ('e', -1, 583, 0), ('i', 24, -1, 0), ('j', 24, -1, 0), ('k', -1, 1312, 0), ('l', 24, -1, 0), ('m', 7, 2056, 0), ('n', 24, -1, 0), ('o', 136, -1, 0), ('p', 24, -1, 0), ('r', 24, -1, 0), ('s', -1, 557, 0), ('t', -1, 51, 0), ('u', 136, -1, 0), ('w', -1, 4089, 0), ('y', 24, -1, 0), ('z', 136, -1, 0)), (('a', -1, 427, 0), ('b', 24, -1, 0), ('c', -1, 2893, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 141, 0), ('j', 95, -1, 0), ('k', 6, -1, 0), ('l', 1, -1, 0), ('m', 175, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 24, -1, 0), ('s', 0, 346, 0), ('t', -1, 318, 0), ('u', 6, -1, 0), ('w', 0, 64, 0), ('y', -1, 780, 0), ('z', 24, -1, 0), ('ó', 6, -1, 0)), (('a', 21, -1, 0), ('b', 25, -1, 0), ('c', 25, -1, 0), ('d', 6, -1, 0), ('e', 182, -1, 0), ('g', 45, -1, 0), ('h', 6, -1, 0), ('i', 21, -1, 0), ('k', 25, -1, 0), ('l', 176, -1, 0), ('m', 25, -1, 0), ('n', 25, -1, 0), ('o', -1, 428, 0), ('p', 6, -1, 0), ('r', 25, -1, 0), ('s', -1, 379, 0), ('t', 25, -1, 0), ('u', 25, -1, 0), ('w', -1, 318, 0), ('y', 3, -1, 0), ('z', 176, -1, 0), ('ł', -1, 1990, 0), ('ż', 6, -1, 0)), (('a', -1, 429, 0), ('b', -1, 807, 0), ('c', -1, 721, 0), ('d', 88, -1, 0), ('e', 0, -1, 0), ('f', 96, -1, 0), ('g', 41, -1, 0), ('i', 3, -1, 0), ('j', 216, -1, 0), ('k', 21, -1, 0), ('l', 0, 164, 0), ('m', 96, 762, 0), ('n', -1, 4549, 0), ('o', 12, -1, 0), ('p', -1, 33, 0), ('r', 0, -1, 0), ('s', -1, 42, 0), ('t', 21, -1, 0), ('u', 12, -1, 0), ('w', 12, 54, 0), ('y', -1, 499, 0), ('z', -1, 134, 0), ('ł', -1, 703, 0)), (('a', -1, 430, 0), ('b', 68, -1, 0), ('c', -1, 1086, 0), ('d', -1, 133, 0), ('e', 5, -1, 0), ('g', -1, 187, 0), ('h', 68, -1, 0), ('i', 11, -1, 0), ('k', -1, 21, 0), ('l', 12, -1, 0), ('m', 96, 1173, 0), ('n', -1, 1418, 0), ('o', 12, -1, 0), ('p', 68, -1, 0), ('r', -1, 186, 0), ('s', -1, 468, 0), ('t', -1, 612, 0), ('u', 11, -1, 0), ('w', 99, 384, 0), ('y', 11, -1, 0), ('z', -1, 135, 0), ('ó', 12, -1, 0), ('ę', 73, -1, 0), ('ł', -1, 541, 0), ('ś', -1, 1102, 0)), (('a', -1, 223, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 5, -1, 0), ('f', 11, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', -1, 9, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', -1, 431, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', 5, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('s', 11, -1, 0), ('t', 11, -1, 0), ('u', -1, 423, 0), ('w', 11, -1, 0), ('y', 12, -1, 0), ('z', -1, 525, 0), ('ł', 11, -1, 0), ('ś', 0, 225, 0), ('ż', -1, 8, 0)), (('a', -1, 432, 0), ('b', -1, 2236, 0), ('c', 99, -1, 0), ('d', -1, 525, 0), ('e', -1, 799, 0), ('g', -1, 862, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('j', 47, 307, 0), ('k', -1, 131, 0), ('l', 95, -1, 0), ('m', -1, 432, 0), ('n', -1, 2737, 0), ('o', 11, 511, 0), ('p', -1, 799, 0), ('r', 11, -1, 0), ('s', 109, 2132, 0), ('t', -1, 478, 0), ('u', 11, -1, 0), ('w', 5, -1, 0), ('y', 11, -1, 0), ('z', -1, 101, 0), ('ó', -1, 68, 0), ('ę', -1, 3930, 0), ('ł', -1, 50, 0), ('ś', -1, 1247, 0), ('ź', 11, -1, 0), ('ż', 56, -1, 0)), (('a', -1, 433, 0), ('b', 0, 705, 0), ('c', 98, -1, 0), ('d', 11, -1, 0), ('e', -1, 538, 0), ('g', -1, 764, 0), ('h', -1, 47, 0), ('i', -1, 186, 0), ('j', 1, 46, 0), ('k', 11, -1, 0), ('l', 0, -1, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', -1, 612, 0), ('p', 11, -1, 0), ('r', -1, 1098, 0), ('s', 11, -1, 0), ('t', 11, -1, 0), ('u', -1, 500, 0), ('w', 11, -1, 0), ('y', 98, -1, 0), ('z', 11, 102, 0), ('ę', -1, 53, 0), ('ł', 6, -1, 0), ('ś', -1, 879, 0)), (('a', 7, -1, 0), ('b', 12, -1, 0), ('c', 21, -1, 0), ('d', 98, -1, 0), ('e', 7, -1, 0), ('f', 1, -1, 0), ('g', 52, -1, 0), ('h', -1, 434, 0), ('i', 11, -1, 0), ('j', 356, 399, 0), ('k', 98, -1, 0), ('l', 98, -1, 0), ('m', 98, -1, 0), ('n', 3, -1, 0), ('o', 97, -1, 0), ('p', 5, -1, 0), ('r', 7, -1, 0), ('s', -1, 422, 0), ('t', 12, -1, 0), ('u', 97, -1, 0), ('w', -1, 538, 0), ('y', 6, -1, 0), ('z', -1, 538, 0), ('ę', -1, 2338, 0), ('ł', 11, -1, 0), ('ś', 97, -1, 0), ('ż', -1, 2495, 0)), (('a', -1, 435, 0), ('b', -1, 2992, 0), ('c', -1, 1365, 0), ('d', -1, 195, 0), ('e', 21, -1, 0), ('g', 25, -1, 0), ('h', 25, -1, 0), ('i', 176, -1, 0), ('k', 176, -1, 0), ('l', 25, -1, 0), ('m', 21, -1, 0), ('n', -1, 1874, 0), ('o', -1, 311, 0), ('p', 176, -1, 0), ('r', 25, -1, 0), ('s', 25, -1, 0), ('t', 25, -1, 0), ('u', 21, -1, 0), ('w', -1, 1542, 0), ('y', 21, -1, 0), ('z', 25, -1, 0), ('ł', 176, -1, 0)), (('a', 171, -1, 0), ('b', 21, -1, 0), ('c', -1, 436, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 665, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 242, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 82, -1, 0), ('w', 138, -1, 0), ('y', 242, -1, 0), ('z', 86, -1, 0), ('ł', 3, -1, 0), ('ż', 21, -1, 0)), (('-', 0, -1, 0), ('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 29, -1, 0), ('d', 0, -1, 0), ('e', 0, 437, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, 3650, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 5, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 180, 0), ('s', -1, 517, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 31, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 180, 0), ('g', 3, -1, 0), ('h', 2, -1, 0), ('i', 0, -1, 0), ('k', 6, -1, 0), ('l', 22, -1, 0), ('m', 1, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 438, 0), ('s', 318, -1, 0), ('t', -1, 4441, 0), ('u', 3, -1, 0), ('w', 134, -1, 0), ('y', -1, 1660, 0), ('z', -1, 2245, 0), ('ą', 1, -1, 0)), (('a', 4, -1, 0), ('b', 28, -1, 0), ('c', 82, -1, 0), ('d', 0, 288, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 11, -1, 0), ('l', 1, -1, 0), ('m', -1, 439, 0), ('n', 1, -1, 0), ('o', 4, -1, 0), ('p', 1, -1, 0), ('r', 0, 505, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 3, -1, 0), ('e', 233, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 440, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 157, -1, 0), ('o', 306, -1, 0), ('r', -1, 3728, 0), ('s', 3, -1, 0), ('t', -1, 327, 0), ('u', 306, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 441, 0), ('c', 22, -1, 0), ('d', 30, -1, 0), ('e', -1, 85, 0), ('g', 22, -1, 0), ('h', 2, -1, 0), ('i', -1, 1433, 0), ('j', 3, -1, 0), ('k', -1, 3119, 0), ('l', 3, -1, 0), ('m', 132, -1, 0), ('n', -1, 1389, 0), ('o', -1, 659, 0), ('p', 3, -1, 0), ('r', -1, 2712, 0), ('s', 22, -1, 0), ('t', -1, 1387, 0), ('u', -1, 419, 0), ('w', 3, -1, 0), ('y', 22, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 101, -1, 0), ('b', 7, -1, 0), ('d', 236, -1, 0), ('e', 9, -1, 0), ('f', 7, -1, 0), ('i', 101, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', -1, 442, 0), ('n', 7, -1, 0), ('o', 101, -1, 0), ('p', 7, 311, 0), ('r', -1, 100, 0), ('s', 9, -1, 0), ('t', -1, 3081, 0), ('u', 101, -1, 0), ('w', 7, -1, 0), ('y', 4, -1, 0), ('z', -1, 2186, 0), ('ę', 9, -1, 0), ('ł', 7, -1, 0)), (('a', 64, -1, 0), ('b', 31, -1, 0), ('d', 31, -1, 0), ('e', -1, 443, 0), ('i', 7, 783, 0), ('k', 31, -1, 0), ('l', 64, -1, 0), ('m', 1, -1, 0), ('n', 5, -1, 0), ('o', -1, 489, 0), ('p', 0, 14, 0), ('r', 64, -1, 0), ('s', 7, -1, 0), ('t', 31, -1, 0), ('u', 196, -1, 0), ('w', 55, -1, 0), ('y', 64, -1, 0), ('z', 0, -1, 0), ('ą', 64, -1, 0), ('ę', -1, 1182, 0), ('ł', 64, -1, 0)), (('a', -1, 444, 0), ('d', 49, -1, 0), ('e', -1, 61, 0), ('g', 49, -1, 0), ('h', 49, -1, 0), ('i', -1, 1493, 0), ('k', 49, -1, 0), ('l', 196, -1, 0), ('m', 49, -1, 0), ('o', 0, 44, 0), ('p', 49, -1, 0), ('r', 49, -1, 0), ('s', 49, -1, 0), ('t', 49, -1, 0), ('u', 0, 44, 0), ('w', 49, -1, 0), ('y', -1, 61, 0), ('z', -1, 717, 0), ('ł', 57, -1, 0)), (('a', 4, -1, 0), ('b', 208, -1, 0), ('c', -1, 445, 0), ('d', 217, -1, 0), ('e', -1, 2369, 0), ('i', -1, 41, 0), ('k', 21, -1, 0), ('l', 4, -1, 0), ('m', -1, 541, 0), ('n', 6, -1, 0), ('o', 37, -1, 0), ('p', 96, -1, 0), ('r', 4, -1, 0), ('s', 0, 635, 0), ('t', 1, -1, 0), ('u', 4, -1, 0), ('w', 96, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ą', 4, -1, 0), ('ę', -1, 476, 0), ('ł', 217, -1, 0)), (('a', -1, 446, 0), ('d', 6, -1, 0), ('e', 34, -1, 0), ('i', 28, -1, 0), ('m', 28, -1, 0), ('o', -1, 4455, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('s', 41, -1, 0), ('u', 6, -1, 0), ('y', 3, -1, 0), ('z', 6, -1, 0), ('ł', 28, -1, 0)), (('a', 5, -1, 0), ('b', 5, 447, 0), ('c', 39, -1, 0), ('d', 55, -1, 0), ('e', 5, -1, 0), ('f', 39, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('l', 39, -1, 0), ('m', 5, -1, 0), ('n', -1, 3810, 0), ('o', 5, -1, 0), ('p', -1, 2883, 0), ('r', -1, 564, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 0, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ó', 5, -1, 0)), (('a', 5, -1, 0), ('b', 30, 430, 0), ('c', -1, 448, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', -1, 1322, 0), ('h', 5, -1, 0), ('i', 80, -1, 0), ('j', 30, -1, 0), ('k', 5, -1, 0), ('l', 3, -1, 0), ('n', 0, -1, 0), ('o', 5, 2066, 0), ('p', 5, -1, 0), ('r', -1, 1182, 0), ('s', -1, 2653, 0), ('t', -1, 3205, 0), ('u', 5, -1, 0), ('w', -1, 2611, 0), ('y', 5, -1, 0), ('z', 55, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 79, -1, 0), ('i', 1, -1, 0), ('j', -1, 449, 0), ('k', -1, 1902, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 4002, 0), ('t', -1, 2301, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0), ('ń', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 0, -1, 0), ('g', 7, -1, 0), ('i', 0, -1, 0), ('k', 3, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 0, -1, 0), ('p', -1, 450, 0), ('r', -1, 1296, 0), ('s', 41, -1, 0), ('t', 7, -1, 0), ('u', 0, -1, 0), ('w', 16, 1076, 0), ('y', -1, 1791, 0), ('z', 105, -1, 0), ('ó', 1, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 451, 0), ('d', -1, 660, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 299, -1, 0), ('k', 7, -1, 0), ('m', 7, -1, 0), ('o', 299, -1, 0), ('p', -1, 3984, 0), ('r', 7, -1, 0), ('s', 29, -1, 0), ('t', 29, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 29, -1, 0), ('z', 29, -1, 0), ('ę', -1, 573, 0), ('ł', -1, 4399, 0)), (('a', 7, -1, 0), ('b', 53, -1, 0), ('c', 29, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 299, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, 452, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 1128, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', -1, 98, 0), ('y', 7, -1, 0), ('z', 155, -1, 0), ('ę', -1, 2297, 0), ('ś', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 5, -1, 0), ('b', 12, -1, 0), ('c', 0, 453, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('f', 0, -1, 0), ('g', 104, -1, 0), ('h', 58, -1, 0), ('i', -1, 799, 0), ('j', 104, -1, 0), ('k', 167, 1694, 0), ('l', 0, -1, 0), ('m', 109, -1, 0), ('n', -1, 659, 0), ('o', -1, 333, 0), ('p', 109, -1, 0), ('r', -1, 402, 0), ('s', -1, 185, 0), ('t', -1, 98, 0), ('u', -1, 387, 0), ('w', -1, 1086, 0), ('y', 58, -1, 0), ('z', 1, -1, 0), ('ę', -1, 1647, 0), ('ł', -1, 783, 0), ('ś', 21, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 179, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', -1, 233, 0), ('k', 217, -1, 0), ('l', -1, 454, 0), ('m', -1, 316, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 3457, 0), ('s', -1, 521, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 569, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 12, -1, 0), ('b', -1, 455, 0), ('c', 1, -1, 0), ('d', 110, -1, 0), ('e', 6, -1, 0), ('f', 4, -1, 0), ('g', -1, 2542, 0), ('h', 110, -1, 0), ('i', 12, -1, 0), ('j', 0, -1, 0), ('k', 52, -1, 0), ('l', -1, 627, 0), ('m', 110, -1, 0), ('n', -1, 1113, 0), ('o', -1, 140, 0), ('p', 110, -1, 0), ('r', 6, -1, 0), ('s', 58, -1, 0), ('t', 104, -1, 0), ('u', 12, -1, 0), ('w', 110, -1, 0), ('y', 119, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', -1, 241, 0), ('ż', 110, -1, 0)), (('a', 51, -1, 0), ('b', 1, -1, 0), ('c', -1, 456, 0), ('d', 70, -1, 0), ('e', -1, 397, 0), ('f', 21, -1, 0), ('g', 1, -1, 0), ('h', -1, 234, 0), ('i', -1, 2196, 0), ('j', 70, -1, 0), ('k', 102, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 63, 0), ('o', -1, 1719, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('s', -1, 629, 0), ('t', 10, -1, 0), ('u', 6, -1, 0), ('w', 1, 1913, 0), ('y', -1, 61, 0), ('z', 7, -1, 0), ('ś', 6, -1, 0), ('ź', 126, -1, 0)), (('a', 41, -1, 0), ('b', 41, -1, 0), ('e', 7, -1, 0), ('g', 41, -1, 0), ('i', 85, -1, 0), ('l', -1, 457, 0), ('m', 3, -1, 0), ('o', -1, 441, 0), ('p', 0, -1, 0), ('r', -1, 1251, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 7, -1, 0), ('w', 0, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 458, 0), ('b', 4, -1, 0), ('e', 0, -1, 0), ('h', -1, 112, 0), ('i', 62, -1, 0), ('k', 4, -1, 0), ('l', 3, 359, 0), ('n', 4, -1, 0), ('o', -1, 789, 0), ('r', 30, 963, 0), ('s', -1, 3765, 0), ('t', 4, -1, 0), ('u', -1, 2202, 0), ('z', 62, -1, 0), ('ę', 62, -1, 0)), (('a', -1, 5, 0), ('b', 12, -1, 0), ('c', 25, -1, 0), ('d', 109, -1, 0), ('e', -1, 315, 0), ('g', -1, 459, 0), ('h', 109, -1, 0), ('i', 14, -1, 0), ('j', -1, 537, 0), ('k', 109, -1, 0), ('l', 105, -1, 0), ('m', -1, 1457, 0), ('n', -1, 877, 0), ('o', -1, 452, 0), ('p', 109, -1, 0), ('r', -1, 786, 0), ('s', -1, 427, 0), ('t', -1, 6, 0), ('u', 109, -1, 0), ('w', 96, -1, 0), ('y', -1, 1393, 0), ('z', 12, -1, 0), ('ó', 109, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 947, 0), ('ś', 256, 2474, 0)), (('a', -1, 460, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 173, 0), ('g', 7, -1, 0), ('i', -1, 1754, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 1047, 0), ('p', -1, 2490, 0), ('r', -1, 273, 0), ('s', -1, 2840, 0), ('t', 7, -1, 0), ('u', 0, 164, 0), ('w', 0, 164, 0), ('z', -1, 1479, 0)), (('a', -1, 285, 0), ('c', -1, 461, 0), ('d', 9, -1, 0), ('e', 220, -1, 0), ('g', 101, -1, 0), ('h', 0, -1, 0), ('i', -1, 462, 0), ('k', 9, -1, 0), ('l', 0, -1, 0), ('m', -1, 1807, 0), ('n', 2, 278, 0), ('o', -1, 503, 0), ('p', -1, 643, 0), ('r', -1, 717, 0), ('s', 5, 471, 0), ('t', -1, 49, 0), ('u', 110, -1, 0), ('w', 0, -1, 0), ('y', -1, 779, 0), ('z', -1, 1038, 0), ('ó', -1, 234, 0), ('ł', 28, -1, 0), ('ś', 9, -1, 0)), (('a', 166, -1, 0), ('b', 29, -1, 0), ('c', 29, -1, 0), ('d', 29, -1, 0), ('e', 29, -1, 0), ('f', 29, -1, 0), ('g', 29, -1, 0), ('h', 29, -1, 0), ('i', 29, -1, 0), ('j', 29, -1, 0), ('k', 29, -1, 0), ('l', 29, -1, 0), ('m', 29, -1, 0), ('n', 29, -1, 0), ('o', 85, -1, 0), ('p', 29, -1, 0), ('r', 29, -1, 0), ('s', 29, -1, 0), ('t', 29, -1, 0), ('w', 29, -1, 0), ('y', 29, -1, 0), ('z', 29, -1, 0), ('ł', 29, -1, 0), ('ż', 29, -1, 0)), (('a', 109, -1, 0), ('b', 17, -1, 0), ('c', -1, 309, 0), ('d', 96, -1, 0), ('e', 17, -1, 0), ('g', -1, 463, 0), ('h', 17, -1, 0), ('i', 12, -1, 0), ('k', 17, -1, 0), ('l', 17, -1, 0), ('m', -1, 2738, 0), ('n', 17, -1, 0), ('o', 12, -1, 0), ('p', 17, -1, 0), ('r', -1, 1017, 0), ('s', -1, 133, 0), ('t', 17, -1, 0), ('u', 13, 225, 0), ('w', 17, -1, 0), ('y', -1, 490, 0), ('z', -1, 458, 0), ('ł', 12, -1, 0), ('ś', -1, 2497, 0)), (('a', -1, 464, 0), ('b', -1, 1732, 0), ('c', -1, 3081, 0), ('d', -1, 1183, 0), ('e', -1, 2738, 0), ('f', -1, 1655, 0), ('g', -1, 2372, 0), ('h', -1, 2181, 0), ('i', -1, 740, 0), ('j', -1, 1645, 0), ('k', 0, 3350, 0), ('l', -1, 2125, 0), ('m', -1, 3958, 0), ('n', -1, 1338, 0), ('o', -1, 1672, 0), ('p', -1, 343, 0), ('r', -1, 1639, 0), ('s', -1, 3309, 0), ('t', -1, 2700, 0), ('u', -1, 601, 0), ('w', -1, 1162, 0), ('z', -1, 2504, 0), ('ł', -1, 1165, 0), ('ż', -1, 2878, 0)), (('a', 9, -1, 0), ('d', 28, 465, 0), ('e', 9, -1, 0), ('h', 9, -1, 0), ('i', -1, 1952, 0), ('k', 1, -1, 0), ('l', 11, -1, 0), ('m', -1, 4174, 0), ('o', -1, 2361, 0), ('p', -1, 194, 0), ('r', 9, -1, 0), ('s', 7, -1, 0), ('t', -1, 232, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', -1, 845, 0), ('z', 0, 729, 0), ('ł', 31, -1, 0), ('ź', 9, -1, 0)), (('a', -1, 466, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 2296, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 6, -1, 0), ('j', 7, -1, 0), ('k', 28, -1, 0), ('l', -1, 4587, 0), ('m', -1, 2716, 0), ('n', 7, -1, 0), ('o', 2, -1, 0), ('p', 28, -1, 0), ('r', -1, 1739, 0), ('s', -1, 2345, 0), ('t', 7, -1, 0), ('u', 28, -1, 0), ('w', -1, 3613, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 3, -1, 0), ('ł', 7, -1, 0), ('ś', -1, 230, 0), ('ź', -1, 450, 0), ('ż', 7, -1, 0)), (('a', -1, 467, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 3071, 0), ('e', -1, 61, 0), ('g', 7, 1816, 0), ('h', -1, 2432, 0), ('i', 7, -1, 0), ('k', 29, -1, 0), ('l', 5, -1, 0), ('m', -1, 2477, 0), ('o', -1, 489, 0), ('p', 57, 1816, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', -1, 61, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 1, -1, 0)), (('a', 11, -1, 0), ('b', 99, -1, 0), ('c', -1, 468, 0), ('d', 11, -1, 0), ('e', 98, -1, 0), ('f', 217, -1, 0), ('g', 11, -1, 0), ('h', 0, 1435, 0), ('i', 194, -1, 0), ('j', 37, -1, 0), ('k', 110, -1, 0), ('l', 11, -1, 0), ('m', 99, -1, 0), ('n', 0, 44, 0), ('o', 11, -1, 0), ('p', 58, 421, 0), ('r', -1, 521, 0), ('s', -1, 1377, 0), ('t', 110, -1, 0), ('u', 98, -1, 0), ('w', 99, -1, 0), ('y', 217, -1, 0), ('z', -1, 238, 0), ('ł', -1, 244, 0), ('ś', 0, 329, 0)), (('a', -1, 101, 0), ('b', -1, 469, 0), ('c', -1, 358, 0), ('d', 96, 692, 0), ('e', 200, -1, 0), ('g', 0, 171, 0), ('h', -1, 340, 0), ('i', 68, -1, 0), ('j', 12, 452, 0), ('k', -1, 177, 0), ('l', -1, 188, 0), ('m', 14, -1, 0), ('n', 14, -1, 0), ('o', -1, 135, 0), ('p', 203, 1198, 0), ('r', -1, 799, 0), ('s', 68, -1, 0), ('t', 109, -1, 0), ('u', 0, 44, 0), ('w', 68, -1, 0), ('y', -1, 239, 0), ('z', 332, -1, 0), ('ó', 11, -1, 0), ('ę', -1, 186, 0), ('ł', -1, 80, 0), ('ś', -1, 4203, 0), ('ż', -1, 179, 0)), (('a', 5, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 5, -1, 0), ('g', 6, 470, 0), ('i', 28, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 5, -1, 0), ('m', 6, -1, 0), ('n', -1, 281, 0), ('o', 5, 403, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 1695, 0), ('w', 6, -1, 0), ('y', 5, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 471, 0), ('d', 6, -1, 0), ('e', 95, -1, 0), ('h', 6, -1, 0), ('i', -1, 1554, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 56, -1, 0), ('m', 6, 1234, 0), ('n', 1, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 337, 0), ('t', 0, -1, 0), ('u', -1, 432, 0), ('w', -1, 624, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 0, -1, 0), ('ś', 6, -1, 0)), (('a', 54, -1, 0), ('c', 108, -1, 0), ('d', 54, -1, 0), ('e', 5, -1, 0), ('i', 4, -1, 0), ('j', 4, -1, 0), ('k', 6, -1, 0), ('l', 96, -1, 0), ('m', 3, -1, 0), ('o', 0, -1, 0), ('p', 9, -1, 0), ('r', 101, -1, 0), ('s', -1, 472, 0), ('t', -1, 556, 0), ('u', -1, 2124, 0), ('w', 57, -1, 0), ('y', 5, -1, 0), ('z', 196, -1, 0), ('ę', 9, -1, 0), ('ł', -1, 382, 0)), (('a', -1, 473, 0), ('b', 28, -1, 0), ('c', -1, 294, 0), ('d', -1, 1545, 0), ('e', 0, 95, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', -1, 638, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', -1, 3532, 0), ('ą', 28, -1, 0), ('ł', 28, -1, 0), ('ń', 28, -1, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 474, 0), ('d', 5, -1, 0), ('e', 106, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('k', -1, 1176, 0), ('l', 2, -1, 0), ('m', 0, -1, 0), ('n', 28, -1, 0), ('o', 106, -1, 0), ('p', 2, -1, 0), ('r', -1, 944, 0), ('s', 5, -1, 0), ('t', 2, -1, 0), ('u', 5, -1, 0), ('w', 28, -1, 0), ('y', 5, -1, 0), ('z', 106, -1, 0), ('ę', 5, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 475, 0), ('b', -1, 420, 0), ('c', 0, 288, 0), ('d', 105, -1, 0), ('e', -1, 516, 0), ('i', -1, 542, 0), ('j', 105, -1, 0), ('k', -1, 2250, 0), ('l', 105, -1, 0), ('m', 105, -1, 0), ('n', 105, -1, 0), ('o', -1, 1212, 0), ('p', 105, -1, 0), ('r', 105, -1, 0), ('s', 0, 226, 0), ('t', 105, -1, 0), ('u', -1, 1890, 0), ('w', 281, 15, 0), ('y', 105, -1, 0), ('z', -1, 1463, 0), ('ó', 105, -1, 0), ('ą', -1, 54, 0), ('ę', 105, -1, 0), ('ń', -1, 1000, 0)), (('a', 13, -1, 0), ('b', -1, 476, 0), ('c', 0, -1, 0), ('d', -1, 1559, 0), ('e', 54, -1, 0), ('i', -1, 977, 0), ('k', 0, 288, 0), ('l', -1, 1494, 0), ('m', 105, -1, 0), ('n', 105, -1, 0), ('o', -1, 998, 0), ('p', 105, -1, 0), ('r', 105, -1, 0), ('s', -1, 177, 0), ('t', 105, -1, 0), ('u', 54, -1, 0), ('w', 0, 288, 0), ('y', 28, -1, 0), ('z', 14, -1, 0), ('ę', -1, 317, 0)), (('a', -1, 477, 0), ('b', 2, -1, 0), ('c', -1, 1446, 0), ('d', 5, -1, 0), ('e', 21, -1, 0), ('g', 4, -1, 0), ('i', 197, -1, 0), ('j', 21, -1, 0), ('k', 86, -1, 0), ('l', 105, -1, 0), ('m', 0, 1527, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', 86, -1, 0), ('s', 86, -1, 0), ('t', -1, 499, 0), ('u', 126, -1, 0), ('w', 86, -1, 0), ('y', 6, -1, 0), ('z', 4, -1, 0), ('ą', 76, -1, 0), ('ę', 126, -1, 0), ('ł', 86, -1, 0), ('ś', 28, 293, 0)), (('a', -1, 478, 0), ('b', 116, -1, 0), ('c', -1, 1032, 0), ('d', 12, -1, 0), ('e', 6, -1, 0), ('g', 12, 80, 0), ('h', 63, -1, 0), ('i', 12, -1, 0), ('j', 1, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', -1, 1191, 0), ('n', 12, -1, 0), ('o', 58, -1, 0), ('p', 12, -1, 0), ('r', -1, 188, 0), ('s', 12, -1, 0), ('t', 58, -1, 0), ('u', 17, -1, 0), ('w', 12, -1, 0), ('y', -1, 177, 0), ('z', 14, -1, 0), ('ó', 12, -1, 0), ('ł', 12, -1, 0), ('ś', 0, 199, 0), ('ż', 12, -1, 0)), (('a', 97, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 109, -1, 0), ('e', -1, 80, 0), ('f', -1, 479, 0), ('g', -1, 995, 0), ('h', -1, 957, 0), ('i', -1, 59, 0), ('j', -1, 1677, 0), ('k', -1, 431, 0), ('l', -1, 478, 0), ('m', 99, 848, 0), ('n', -1, 741, 0), ('o', 7, -1, 0), ('p', 97, -1, 0), ('r', -1, 1097, 0), ('s', -1, 523, 0), ('t', 12, -1, 0), ('u', 58, -1, 0), ('w', 7, -1, 0), ('y', 12, -1, 0), ('z', 7, -1, 0), ('ó', 7, -1, 0), ('ą', 98, -1, 0), ('ę', 11, -1, 0), ('ł', -1, 1392, 0), ('ś', -1, 839, 0), ('ż', 1, -1, 0)), (('a', -1, 480, 0), ('b', 1, -1, 0), ('c', 3, -1, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 85, 612, 0), ('k', -1, 957, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 36, -1, 0), ('p', 3, -1, 0), ('r', -1, 271, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', -1, 315, 0), ('w', 3, -1, 0), ('y', 22, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 345, 0), ('b', -1, 43, 0), ('c', 1, -1, 0), ('d', 3, -1, 0), ('e', -1, 481, 0), ('g', -1, 402, 0), ('i', 33, -1, 0), ('n', 3, -1, 0), ('o', -1, 879, 0), ('p', 206, -1, 0), ('r', 21, -1, 0), ('s', 91, -1, 0), ('w', -1, 3772, 0), ('y', -1, 3104, 0), ('z', 36, -1, 0), ('ł', -1, 118, 0)), (('a', -1, 469, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 482, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 8, 0), ('j', 6, -1, 0), ('k', -1, 4315, 0), ('l', -1, 3600, 0), ('m', -1, 853, 0), ('n', 6, -1, 0), ('o', -1, 933, 0), ('p', 73, 576, 0), ('r', -1, 736, 0), ('s', 3, -1, 0), ('t', 6, -1, 0), ('u', 2, -1, 0), ('w', -1, 2313, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 2471, 0), ('ź', -1, 4521, 0), ('ż', 6, -1, 0)), (('a', -1, 331, 0), ('b', 6, -1, 0), ('c', -1, 483, 0), ('d', -1, 983, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', -1, 907, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', -1, 2909, 0), ('l', -1, 1840, 0), ('m', 6, -1, 0), ('n', -1, 1123, 0), ('o', -1, 1927, 0), ('p', 6, -1, 0), ('r', -1, 1668, 0), ('s', -1, 162, 0), ('t', -1, 1802, 0), ('u', -1, 3001, 0), ('w', 6, -1, 0), ('y', -1, 3405, 0), ('z', -1, 3084, 0), ('ł', -1, 1120, 0), ('ż', -1, 2300, 0)), (('a', -1, 469, 0), ('b', 6, -1, 0), ('d', 41, -1, 0), ('e', -1, 484, 0), ('g', 6, -1, 0), ('h', 96, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 1451, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 0, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 240, 0), ('t', 3, 8, 0), ('u', 1, -1, 0), ('w', 96, -1, 0), ('y', 6, -1, 0), ('z', -1, 1372, 0), ('ą', 101, -1, 0), ('ę', 9, -1, 0), ('ł', 6, -1, 0)), (('a', 105, -1, 0), ('b', 52, -1, 0), ('d', 51, -1, 0), ('e', -1, 419, 0), ('g', 106, -1, 0), ('i', -1, 485, 0), ('k', 106, -1, 0), ('l', -1, 4005, 0), ('m', -1, 2245, 0), ('n', 51, -1, 0), ('o', 105, -1, 0), ('p', 12, -1, 0), ('r', -1, 750, 0), ('s', 0, -1, 0), ('t', 41, 151, 0), ('w', 16, -1, 0), ('y', 105, -1, 0), ('z', 0, -1, 0), ('ó', 9, -1, 0)), (('a', -1, 486, 0), ('b', -1, 2484, 0), ('c', 0, -1, 0), ('d', -1, 756, 0), ('e', -1, 226, 0), ('i', -1, 725, 0), ('j', 21, -1, 0), ('k', -1, 1391, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('n', 105, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 105, -1, 0), ('s', 13, -1, 0), ('t', -1, 650, 0), ('u', -1, 667, 0), ('w', -1, 511, 0), ('y', -1, 1671, 0), ('z', 105, -1, 0), ('ó', 28, -1, 0), ('ł', -1, 54, 0)), (('a', -1, 487, 0), ('b', 110, -1, 0), ('c', -1, 1921, 0), ('d', 110, -1, 0), ('e', -1, 122, 0), ('g', 1, -1, 0), ('i', 28, -1, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 28, -1, 0), ('m', 21, -1, 0), ('n', -1, 951, 0), ('o', 110, -1, 0), ('p', -1, 2194, 0), ('r', 21, -1, 0), ('s', 28, -1, 0), ('t', 21, -1, 0), ('u', 15, 620, 0), ('w', -1, 503, 0), ('y', 6, -1, 0), ('z', 28, -1, 0)), (('a', 21, -1, 0), ('b', 2, -1, 0), ('c', -1, 488, 0), ('d', 52, -1, 0), ('e', 52, -1, 0), ('g', 12, -1, 0), ('i', 21, -1, 0), ('k', 217, -1, 0), ('l', 52, -1, 0), ('m', 0, -1, 0), ('n', 79, -1, 0), ('o', 3, -1, 0), ('p', 64, 367, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', -1, 486, 0), ('u', 21, -1, 0), ('w', 28, -1, 0), ('y', 21, -1, 0), ('z', 52, -1, 0), ('ó', 21, -1, 0)), (('a', -1, 467, 0), ('b', 3, -1, 0), ('c', 5, 359, 0), ('d', -1, 285, 0), ('e', -1, 61, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 489, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 1202, 0), ('u', 0, 44, 0), ('w', 3, -1, 0), ('y', -1, 147, 0), ('z', -1, 1025, 0), ('ł', 12, -1, 0)), (('a', -1, 490, 0), ('b', -1, 1983, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('i', 12, -1, 0), ('k', -1, 1025, 0), ('l', 422, -1, 0), ('m', 64, -1, 0), ('n', -1, 1046, 0), ('o', -1, 468, 0), ('p', 0, 64, 0), ('r', -1, 502, 0), ('s', 12, -1, 0), ('t', -1, 546, 0), ('u', -1, 101, 0), ('w', -1, 226, 0), ('y', 12, -1, 0), ('z', -1, 1070, 0), ('ą', -1, 537, 0), ('ł', 12, -1, 0)), (('a', 97, -1, 0), ('b', -1, 491, 0), ('c', 97, -1, 0), ('d', -1, 862, 0), ('e', 7, -1, 0), ('f', 87, -1, 0), ('g', 7, -1, 0), ('h', -1, 541, 0), ('i', 97, -1, 0), ('j', -1, 2797, 0), ('k', -1, 452, 0), ('l', 25, -1, 0), ('m', 12, 62, 0), ('n', 111, 15, 0), ('o', 97, -1, 0), ('p', 194, 10, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 97, -1, 0), ('u', 97, -1, 0), ('w', 7, -1, 0), ('y', 99, -1, 0), ('z', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ś', -1, 108, 0), ('ż', 11, -1, 0)), (('a', 110, -1, 0), ('b', 21, -1, 0), ('c', 6, 492, 0), ('d', 21, -1, 0), ('e', 37, -1, 0), ('f', 21, -1, 0), ('h', 28, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 538, 0), ('p', 21, -1, 0), ('r', 28, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 110, -1, 0), ('y', 110, -1, 0), ('z', -1, 807, 0), ('ł', 21, -1, 0), ('ź', 28, -1, 0)), (('a', -1, 493, 0), ('e', 6, -1, 0), ('i', 69, -1, 0), ('o', 1, -1, 0), ('r', 5, -1, 0), ('s', 6, -1, 0), ('u', -1, 421, 0), ('w', 21, -1, 0), ('z', 12, -1, 0), ('ę', -1, 1468, 0), ('ł', 69, -1, 0)), (('a', -1, 263, 0), ('b', 12, -1, 0), ('d', 5, -1, 0), ('e', -1, 494, 0), ('g', 2, -1, 0), ('i', -1, 2800, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 4441, 0), ('p', 28, -1, 0), ('r', -1, 1472, 0), ('t', 3, 3786, 0), ('u', -1, 1421, 0), ('w', 2, -1, 0), ('y', -1, 3225, 0), ('z', 2, -1, 0)), (('a', -1, 317, 0), ('b', 30, -1, 0), ('c', 22, -1, 0), ('d', 1, 495, 0), ('e', -1, 1892, 0), ('f', 3, -1, 0), ('h', -1, 1129, 0), ('i', -1, 1854, 0), ('j', 22, -1, 0), ('l', 3, -1, 0), ('o', -1, 3254, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', -1, 1459, 0), ('z', 62, -1, 0), ('ł', 0, -1, 0), ('ż', 3, -1, 0)), (('a', 87, -1, 0), ('d', 70, -1, 0), ('e', -1, 496, 0), ('h', 7, -1, 0), ('i', -1, 373, 0), ('j', 70, 3175, 0), ('l', 57, -1, 0), ('o', 45, -1, 0), ('r', 57, -1, 0), ('u', 7, -1, 0), ('z', -1, 978, 0), ('ł', 22, -1, 0), ('ż', 70, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 55, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 79, -1, 0), ('l', -1, 497, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 0, -1, 0), ('r', 62, -1, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('w', 5, -1, 0), ('y', 55, -1, 0), ('z', -1, 1833, 0), ('ę', 1, -1, 0), ('ł', 62, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 1, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', -1, 218, 0), ('i', -1, 498, 0), ('j', 1, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', -1, 527, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 1, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0)), (('a', 14, -1, 0), ('b', 0, 355, 0), ('c', 6, -1, 0), ('d', 110, -1, 0), ('e', 14, -1, 0), ('f', 5, -1, 0), ('g', 37, -1, 0), ('i', -1, 499, 0), ('k', 110, -1, 0), ('l', 6, -1, 0), ('m', 110, 435, 0), ('n', -1, 2194, 0), ('o', -1, 3255, 0), ('p', 21, -1, 0), ('r', -1, 390, 0), ('s', -1, 177, 0), ('t', 110, -1, 0), ('u', 110, -1, 0), ('w', 1, -1, 0), ('y', 179, -1, 0), ('z', 6, -1, 0), ('ę', 28, -1, 0), ('ł', 7, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 239, 0), ('b', 167, -1, 0), ('c', 5, -1, 0), ('d', -1, 500, 0), ('e', 167, -1, 0), ('g', 68, -1, 0), ('i', 62, -1, 0), ('j', -1, 481, 0), ('k', 0, 1696, 0), ('l', -1, 1097, 0), ('m', 6, -1, 0), ('n', 99, -1, 0), ('o', -1, 1472, 0), ('p', 6, -1, 0), ('r', -1, 468, 0), ('s', 99, -1, 0), ('t', 0, -1, 0), ('u', 318, 278, 0), ('w', 12, -1, 0), ('y', 0, -1, 0), ('z', 5, -1, 0), ('ó', -1, 2063, 0), ('ę', -1, 1468, 0), ('ł', -1, 803, 0), ('ś', 124, -1, 0)), (('a', -1, 501, 0), ('b', -1, 61, 0), ('c', -1, 2334, 0), ('d', 155, -1, 0), ('e', -1, 914, 0), ('g', 6, -1, 0), ('i', 138, -1, 0), ('k', 0, -1, 0), ('l', -1, 386, 0), ('m', 21, -1, 0), ('n', 28, -1, 0), ('o', 0, -1, 0), ('p', 0, 1038, 0), ('r', -1, 285, 0), ('s', 0, -1, 0), ('t', -1, 468, 0), ('u', 0, 355, 0), ('w', -1, 391, 0), ('y', -1, 726, 0), ('z', -1, 430, 0), ('ę', -1, 386, 0), ('ł', 28, -1, 0)), (('a', 266, -1, 0), ('b', 0, -1, 0), ('c', 21, -1, 0), ('d', 268, -1, 0), ('e', 266, -1, 0), ('f', 79, -1, 0), ('g', 0, -1, 0), ('h', 39, -1, 0), ('i', 5, -1, 0), ('k', -1, 502, 0), ('l', -1, 503, 0), ('m', 5, -1, 0), ('n', 1, -1, 0), ('o', 266, -1, 0), ('p', 5, -1, 0), ('r', 12, -1, 0), ('s', 6, 404, 0), ('t', 5, -1, 0), ('u', 195, -1, 0), ('w', 268, -1, 0), ('y', -1, 189, 0), ('z', -1, 501, 0), ('ę', 5, -1, 0), ('ł', -1, 188, 0), ('ś', 55, 779, 0), ('ż', 5, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('h', -1, 101, 0), ('i', -1, 135, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', 58, -1, 0), ('p', 12, -1, 0), ('r', -1, 421, 0), ('s', 0, 128, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', -1, 358, 0), ('y', 60, -1, 0), ('z', 12, -1, 0), ('ł', 63, -1, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('b', 96, -1, 0), ('c', -1, 504, 0), ('d', 12, 1198, 0), ('e', -1, 524, 0), ('g', 0, 1927, 0), ('i', -1, 384, 0), ('k', 0, 226, 0), ('l', 58, -1, 0), ('m', 25, -1, 0), ('n', 0, 1270, 0), ('o', -1, 779, 0), ('p', 12, -1, 0), ('r', -1, 286, 0), ('s', 5, -1, 0), ('t', 99, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 12, -1, 0), ('z', 5, -1, 0), ('ą', 99, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 15, 0), ('ś', 12, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 165, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 21, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 505, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 395, 0), ('o', -1, 188, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 81, 359, 0), ('u', 0, -1, 0), ('w', 81, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 212, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, 506, 0), ('b', 1, 704, 0), ('c', -1, 2826, 0), ('d', -1, 143, 0), ('e', -1, 1762, 0), ('f', 1, -1, 0), ('g', -1, 1791, 0), ('i', -1, 397, 0), ('j', 1, -1, 0), ('k', -1, 250, 0), ('l', -1, 1375, 0), ('m', 21, -1, 0), ('n', 21, 33, 0), ('o', -1, 382, 0), ('p', 1, 665, 0), ('r', 1, -1, 0), ('s', 21, -1, 0), ('t', -1, 254, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 7, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 336, 0), ('b', 64, -1, 0), ('c', -1, 507, 0), ('d', -1, 2665, 0), ('e', 112, -1, 0), ('g', -1, 26, 0), ('h', -1, 765, 0), ('i', -1, 4544, 0), ('j', 79, -1, 0), ('k', -1, 3203, 0), ('l', -1, 113, 0), ('m', -1, 629, 0), ('o', -1, 3004, 0), ('p', -1, 114, 0), ('r', -1, 2003, 0), ('s', -1, 175, 0), ('t', -1, 74, 0), ('u', -1, 1941, 0), ('w', 7, 1102, 0), ('y', -1, 2718, 0), ('z', -1, 931, 0), ('ó', 21, -1, 0), ('ę', 126, -1, 0)), (('a', 11, -1, 0), ('b', 21, -1, 0), ('d', -1, 508, 0), ('e', 11, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', 11, -1, 0), ('l', -1, 509, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 3232, 0), ('p', 21, -1, 0), ('r', -1, 3264, 0), ('s', 11, -1, 0), ('t', 21, -1, 0), ('w', 21, -1, 0), ('y', 11, -1, 0), ('z', -1, 1589, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0)), (('a', 4, -1, 0), ('b', 4, -1, 0), ('d', 4, -1, 0), ('e', 21, -1, 0), ('i', 0, -1, 0), ('l', 21, -1, 0), ('m', 80, 200, 0), ('n', 55, -1, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('s', 1, -1, 0), ('t', 22, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 120, 0), ('e', 21, -1, 0), ('g', 41, -1, 0), ('i', 21, -1, 0), ('o', 21, -1, 0), ('r', -1, 510, 0), ('t', 0, -1, 0), ('u', 21, -1, 0), ('y', 21, -1, 0), ('z', -1, 2208, 0)), (('a', 68, -1, 0), ('b', 0, -1, 0), ('d', 41, -1, 0), ('e', -1, 511, 0), ('f', 0, -1, 0), ('g', -1, 2714, 0), ('i', -1, 1591, 0), ('k', 0, -1, 0), ('l', 68, -1, 0), ('m', 82, -1, 0), ('o', 68, -1, 0), ('p', -1, 262, 0), ('r', 68, -1, 0), ('s', -1, 1040, 0), ('t', 85, -1, 0), ('u', 332, -1, 0), ('w', 0, -1, 0), ('y', 68, -1, 0), ('z', -1, 1985, 0), ('ą', 68, -1, 0), ('ę', -1, 359, 0), ('ł', 68, -1, 0)), (('a', -1, 240, 0), ('b', 98, -1, 0), ('c', -1, 383, 0), ('d', 17, -1, 0), ('e', -1, 59, 0), ('f', -1, 512, 0), ('g', 58, -1, 0), ('h', -1, 1794, 0), ('i', -1, 1097, 0), ('j', -1, 1006, 0), ('k', 6, -1, 0), ('l', 332, -1, 0), ('m', 98, -1, 0), ('n', -1, 1097, 0), ('o', 97, -1, 0), ('p', 194, -1, 0), ('r', 97, -1, 0), ('s', 194, -1, 0), ('t', 68, -1, 0), ('u', 6, -1, 0), ('w', 98, -1, 0), ('y', 58, -1, 0), ('z', 332, -1, 0), ('ó', 0, -1, 0), ('ę', 37, -1, 0), ('ł', -1, 1591, 0), ('ś', 101, 1450, 0), ('ż', -1, 4134, 0)), (('a', -1, 513, 0), ('e', 39, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 39, -1, 0), ('l', 3, -1, 0), ('o', 2, -1, 0), ('r', 3, 665, 0), ('s', 145, -1, 0), ('t', -1, 399, 0), ('w', 2, -1, 0), ('y', 5, -1, 0)), (('a', -1, 514, 0), ('b', 3, -1, 0), ('d', 22, -1, 0), ('e', 87, -1, 0), ('i', -1, 2867, 0), ('l', 22, -1, 0), ('m', 28, 11, 0), ('n', 87, -1, 0), ('o', -1, 2245, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 22, -1, 0), ('y', 22, -1, 0), ('z', 2, -1, 0)), (('a', 13, -1, 0), ('c', 3, -1, 0), ('d', 99, -1, 0), ('e', 13, -1, 0), ('f', 3, -1, 0), ('g', 168, -1, 0), ('h', 3, -1, 0), ('i', 62, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', -1, 515, 0), ('p', 22, -1, 0), ('r', 168, -1, 0), ('s', 1, -1, 0), ('t', 2, -1, 0), ('u', 22, -1, 0), ('w', 168, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', -1, 761, 0)), (('a', 0, 64, 0), ('b', 12, -1, 0), ('c', 5, -1, 0), ('d', 13, -1, 0), ('e', 1, -1, 0), ('h', -1, 516, 0), ('i', -1, 775, 0), ('k', 13, -1, 0), ('l', 5, -1, 0), ('m', 13, -1, 0), ('n', 13, -1, 0), ('o', -1, 498, 0), ('p', 13, -1, 0), ('r', -1, 398, 0), ('s', 1, -1, 0), ('t', 12, -1, 0), ('u', 1, -1, 0), ('w', -1, 699, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 13, -1, 0), ('ż', 5, -1, 0)), (('a', 54, -1, 0), ('b', 28, 517, 0), ('c', -1, 329, 0), ('d', 54, -1, 0), ('e', 6, -1, 0), ('f', -1, 670, 0), ('g', 14, -1, 0), ('h', 14, -1, 0), ('i', -1, 2797, 0), ('k', 14, -1, 0), ('l', -1, 1947, 0), ('m', -1, 41, 0), ('n', 73, 3652, 0), ('o', 28, -1, 0), ('p', 0, 355, 0), ('r', 14, -1, 0), ('s', -1, 1665, 0), ('t', -1, 1356, 0), ('u', 6, -1, 0), ('w', 14, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ł', 14, -1, 0)), (('a', 34, -1, 0), ('b', 72, -1, 0), ('c', -1, 474, 0), ('d', -1, 518, 0), ('e', 28, -1, 0), ('i', -1, 1988, 0), ('k', -1, 1944, 0), ('l', -1, 1670, 0), ('m', 9, -1, 0), ('n', 145, 384, 0), ('o', 14, -1, 0), ('p', -1, 2737, 0), ('r', -1, 1212, 0), ('s', -1, 2325, 0), ('t', -1, 973, 0), ('u', 34, -1, 0), ('w', -1, 769, 0), ('y', 34, -1, 0), ('z', 105, -1, 0)), (('a', 14, -1, 0), ('b', 55, -1, 0), ('c', -1, 519, 0), ('d', 0, 506, 0), ('e', -1, 31, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('k', 3, 672, 0), ('l', 28, -1, 0), ('m', 5, -1, 0), ('n', 107, -1, 0), ('o', -1, 516, 0), ('p', -1, 1946, 0), ('r', 14, -1, 0), ('s', 1, -1, 0), ('t', -1, 2851, 0), ('u', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', 5, -1, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 520, 0), ('c', -1, 2001, 0), ('d', -1, 2546, 0), ('e', 5, -1, 0), ('f', 31, -1, 0), ('i', -1, 1340, 0), ('l', 12, 3741, 0), ('m', 31, -1, 0), ('o', -1, 391, 0), ('p', 31, -1, 0), ('r', -1, 4494, 0), ('s', -1, 2551, 0), ('u', 5, -1, 0), ('w', 17, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 0, -1, 0), ('d', 304, -1, 0), ('e', -1, 98, 0), ('g', 92, -1, 0), ('i', -1, 521, 0), ('k', 0, -1, 0), ('l', -1, 2391, 0), ('m', 304, -1, 0), ('o', 0, -1, 0), ('p', -1, 3644, 0), ('r', 0, 1592, 0), ('s', 41, -1, 0), ('t', 304, 2519, 0), ('u', 30, -1, 0), ('w', 304, -1, 0), ('y', 4, -1, 0), ('z', 42, -1, 0), ('ó', 0, -1, 0), ('ż', 95, -1, 0)), (('a', -1, 522, 0), ('b', -1, 430, 0), ('c', -1, 360, 0), ('d', 97, -1, 0), ('e', 222, -1, 0), ('f', -1, 3255, 0), ('g', 98, 101, 0), ('h', -1, 123, 0), ('i', -1, 522, 0), ('j', 344, -1, 0), ('k', 98, -1, 0), ('l', 186, -1, 0), ('m', 339, -1, 0), ('n', -1, 755, 0), ('o', 222, -1, 0), ('p', 322, -1, 0), ('r', -1, 521, 0), ('s', 186, -1, 0), ('t', 11, -1, 0), ('u', 97, -1, 0), ('w', 186, -1, 0), ('y', 97, -1, 0), ('z', 186, -1, 0), ('ó', -1, 708, 0), ('ą', -1, 24, 0), ('ę', 7, -1, 0), ('ł', -1, 525, 0), ('ś', 12, 42, 0), ('ż', -1, 2262, 0)), (('a', 290, -1, 0), ('b', 62, -1, 0), ('c', -1, 523, 0), ('d', 186, -1, 0), ('e', 7, -1, 0), ('f', -1, 316, 0), ('g', 12, 186, 0), ('h', 0, 2089, 0), ('i', 140, -1, 0), ('j', 105, 121, 0), ('k', 12, -1, 0), ('l', 424, -1, 0), ('m', 68, -1, 0), ('n', 4, -1, 0), ('o', 97, -1, 0), ('p', 0, -1, 0), ('r', 63, -1, 0), ('s', 339, -1, 0), ('t', 5, -1, 0), ('u', 194, -1, 0), ('w', -1, 15, 0), ('y', 149, -1, 0), ('z', 222, -1, 0), ('ó', 290, -1, 0), ('ą', 0, -1, 0), ('ć', 58, -1, 0), ('ę', -1, 395, 0), ('ł', 63, -1, 0), ('ś', 52, 478, 0), ('ż', -1, 1721, 0)), (('a', 5, -1, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', -1, 146, 0), ('f', 0, -1, 0), ('g', 12, -1, 0), ('h', 0, -1, 0), ('i', 12, -1, 0), ('j', 41, -1, 0), ('k', 5, -1, 0), ('l', 109, -1, 0), ('m', -1, 132, 0), ('n', -1, 83, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 334, 0), ('s', 12, -1, 0), ('t', -1, 524, 0), ('u', 5, -1, 0), ('w', -1, 522, 0), ('y', -1, 238, 0), ('z', 12, -1, 0), ('ą', 11, -1, 0), ('ę', 5, -1, 0), ('ł', 12, -1, 0), ('ś', -1, 1432, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('b', 18, -1, 0), ('c', -1, 431, 0), ('d', 18, -1, 0), ('e', 18, -1, 0), ('g', 350, -1, 0), ('h', 28, -1, 0), ('i', -1, 525, 0), ('j', 4, -1, 0), ('k', 0, 1966, 0), ('l', -1, 1098, 0), ('m', -1, 211, 0), ('n', 209, -1, 0), ('o', 5, -1, 0), ('p', 109, -1, 0), ('r', -1, 238, 0), ('s', 58, 312, 0), ('t', 58, -1, 0), ('u', 4, -1, 0), ('w', 109, -1, 0), ('y', 18, -1, 0), ('z', 4, -1, 0), ('ą', 5, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 132, 0), ('ś', -1, 301, 0)), (('a', 11, -1, 0), ('b', 12, -1, 0), ('c', -1, 333, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('f', 21, -1, 0), ('g', 1, -1, 0), ('h', -1, 31, 0), ('i', 11, -1, 0), ('j', -1, 526, 0), ('k', -1, 62, 0), ('l', 62, -1, 0), ('m', 98, -1, 0), ('n', -1, 737, 0), ('o', 11, -1, 0), ('p', 5, -1, 0), ('r', -1, 1247, 0), ('s', -1, 224, 0), ('t', 99, -1, 0), ('u', 98, -1, 0), ('w', -1, 16, 0), ('y', 11, -1, 0), ('z', 224, -1, 0), ('ó', 11, -1, 0), ('ą', 11, -1, 0), ('ę', 7, -1, 0), ('ł', 11, -1, 0), ('ś', -1, 366, 0), ('ż', -1, 199, 0)), (('a', 5, -1, 0), ('b', 2, -1, 0), ('e', -1, 527, 0), ('g', -1, 895, 0), ('i', 2, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 2638, 0), ('p', 29, -1, 0), ('r', -1, 556, 0), ('s', 2, -1, 0), ('t', -1, 4221, 0), ('u', 5, -1, 0), ('y', 30, -1, 0), ('z', 2, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ł', 2, -1, 0), ('ż', 28, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 528, 0), ('g', 5, -1, 0), ('i', -1, 2821, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('n', 3, -1, 0), ('o', -1, 3802, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('t', -1, 2221, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', -1, 1005, 0), ('ż', 5, -1, 0)), (('a', 6, -1, 0), ('b', -1, 529, 0), ('c', -1, 3614, 0), ('d', -1, 355, 0), ('e', -1, 986, 0), ('f', -1, 2669, 0), ('g', -1, 373, 0), ('h', -1, 419, 0), ('i', 96, -1, 0), ('k', -1, 141, 0), ('l', 41, 359, 0), ('m', -1, 1807, 0), ('n', 7, -1, 0), ('o', 6, -1, 0), ('p', -1, 1165, 0), ('r', -1, 1671, 0), ('s', -1, 1692, 0), ('t', -1, 719, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 947, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ź', 6, -1, 0)), (('-', 2, -1, 0), ('a', 6, -1, 0), ('b', 28, -1, 0), ('d', -1, 530, 0), ('e', 6, -1, 0), ('h', 2, -1, 0), ('i', 1, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('m', 2, -1, 0), ('n', -1, 648, 0), ('o', 6, -1, 0), ('p', 28, -1, 0), ('r', -1, 530, 0), ('s', -1, 1264, 0), ('t', 2, -1, 0), ('u', 0, -1, 0), ('w', 28, -1, 0), ('y', -1, 3332, 0), ('z', -1, 147, 0), ('ż', 2, -1, 0)), (('a', -1, 530, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 105, -1, 0), ('e', -1, 531, 0), ('f', 1, -1, 0), ('g', 13, -1, 0), ('i', -1, 187, 0), ('j', 0, -1, 0), ('k', -1, 130, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 210, -1, 0), ('o', -1, 24, 0), ('p', 105, -1, 0), ('r', -1, 58, 0), ('s', 0, 914, 0), ('t', 21, -1, 0), ('u', 0, 506, 0), ('w', 105, -1, 0), ('y', 4, -1, 0), ('z', 210, 1086, 0), ('ł', 28, -1, 0), ('ż', 105, -1, 0)), (('a', 81, -1, 0), ('b', 28, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 532, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 803, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 285, 0), ('p', 346, -1, 0), ('r', 0, -1, 0), ('s', -1, 1790, 0), ('t', 0, 166, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 4, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 176, -1, 0), ('b', 1, -1, 0), ('c', -1, 17, 0), ('d', -1, 51, 0), ('e', -1, 144, 0), ('g', 0, -1, 0), ('h', 21, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 21, -1, 0), ('l', -1, 533, 0), ('m', 25, -1, 0), ('n', 0, -1, 0), ('o', -1, 956, 0), ('p', -1, 638, 0), ('r', 25, -1, 0), ('s', 6, -1, 0), ('t', -1, 1489, 0), ('u', -1, 434, 0), ('w', 1, -1, 0), ('y', 25, -1, 0), ('z', 0, -1, 0), ('ó', 95, -1, 0), ('ą', 176, -1, 0), ('ę', 25, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 3, -1, 0), ('c', -1, 534, 0), ('d', 215, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 6, 0), ('i', -1, 54, 0), ('k', 0, -1, 0), ('l', -1, 1128, 0), ('m', -1, 3710, 0), ('n', -1, 1830, 0), ('o', -1, 692, 0), ('p', 0, 44, 0), ('r', -1, 192, 0), ('s', 104, -1, 0), ('t', 6, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 198, -1, 0), ('ó', -1, 3066, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 120, -1, 0), ('e', 108, -1, 0), ('i', 64, -1, 0), ('k', 0, -1, 0), ('l', -1, 74, 0), ('m', 108, -1, 0), ('n', -1, 535, 0), ('o', -1, 1363, 0), ('p', 0, 113, 0), ('r', 108, -1, 0), ('s', 64, -1, 0), ('t', 108, -1, 0), ('u', 64, -1, 0), ('z', 64, -1, 0), ('ą', 64, -1, 0), ('ę', 64, -1, 0), ('ł', 108, -1, 0)), (('a', -1, 536, 0), ('c', 1, -1, 0), ('d', -1, 3356, 0), ('e', -1, 1040, 0), ('f', 1, -1, 0), ('h', -1, 477, 0), ('i', -1, 1499, 0), ('j', 1, -1, 0), ('k', -1, 1259, 0), ('l', -1, 549, 0), ('m', 1, -1, 0), ('n', -1, 2480, 0), ('o', -1, 505, 0), ('p', -1, 437, 0), ('r', -1, 1547, 0), ('s', -1, 196, 0), ('t', -1, 338, 0), ('u', -1, 3976, 0), ('w', 99, -1, 0), ('y', -1, 2236, 0), ('z', -1, 1139, 0), ('ą', -1, 2247, 0), ('ę', -1, 619, 0), ('ł', 0, -1, 0)), (('a', -1, 537, 0), ('b', -1, 821, 0), ('c', -1, 4118, 0), ('d', 21, 153, 0), ('e', 21, -1, 0), ('g', -1, 1296, 0), ('h', 0, -1, 0), ('i', -1, 225, 0), ('k', 1, 2105, 0), ('l', -1, 1905, 0), ('m', -1, 770, 0), ('n', -1, 1300, 0), ('o', 6, 387, 0), ('p', -1, 391, 0), ('r', 21, 330, 0), ('s', -1, 782, 0), ('t', 21, 62, 0), ('u', 0, -1, 0), ('w', -1, 839, 0), ('y', 143, -1, 0), ('z', -1, 919, 0), ('ł', -1, 116, 0)), (('a', -1, 538, 0), ('b', 64, 151, 0), ('c', 4, -1, 0), ('d', 196, -1, 0), ('e', -1, 1017, 0), ('g', 0, -1, 0), ('h', 64, -1, 0), ('i', -1, 1018, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 61, -1, 0), ('m', 0, -1, 0), ('n', 6, -1, 0), ('o', 12, -1, 0), ('p', 74, -1, 0), ('r', 61, -1, 0), ('s', 61, -1, 0), ('t', 167, -1, 0), ('u', 12, -1, 0), ('w', 124, -1, 0), ('y', 244, -1, 0), ('z', 0, -1, 0), ('ó', -1, 339, 0), ('ł', -1, 49, 0), ('ś', 185, -1, 0), ('ż', -1, 452, 0)), (('a', -1, 59, 0), ('b', 244, -1, 0), ('c', 97, -1, 0), ('d', -1, 95, 0), ('e', -1, 240, 0), ('f', -1, 539, 0), ('g', -1, 1677, 0), ('h', 0, 506, 0), ('i', -1, 1644, 0), ('j', -1, 1693, 0), ('k', 7, -1, 0), ('l', -1, 1097, 0), ('m', 7, -1, 0), ('n', -1, 1042, 0), ('o', -1, 1692, 0), ('p', 11, -1, 0), ('r', -1, 403, 0), ('s', 11, -1, 0), ('t', 98, -1, 0), ('u', -1, 1097, 0), ('w', -1, 296, 0), ('y', -1, 240, 0), ('z', -1, 862, 0), ('ó', 98, -1, 0), ('ą', 7, -1, 0), ('ę', -1, 59, 0), ('ł', 97, -1, 0), ('ń', 7, -1, 0), ('ś', -1, 1395, 0), ('ż', -1, 3745, 0)), (('a', -1, 379, 0), ('b', 62, -1, 0), ('d', -1, 540, 0), ('e', 3, -1, 0), ('g', -1, 148, 0), ('h', 62, -1, 0), ('i', 5, -1, 0), ('k', -1, 189, 0), ('l', 106, -1, 0), ('n', 3, -1, 0), ('o', 30, -1, 0), ('p', 62, -1, 0), ('r', -1, 541, 0), ('s', -1, 238, 0), ('t', -1, 149, 0), ('u', 5, -1, 0), ('w', -1, 1613, 0), ('y', 5, -1, 0), ('z', -1, 146, 0), ('ą', 5, -1, 0)), (('a', -1, 541, 0), ('b', 3, -1, 0), ('c', -1, 2002, 0), ('d', -1, 720, 0), ('e', -1, 542, 0), ('g', 22, -1, 0), ('h', 3, -1, 0), ('i', -1, 897, 0), ('j', -1, 2058, 0), ('k', 3, -1, 0), ('l', -1, 4070, 0), ('m', 3, -1, 0), ('o', 22, -1, 0), ('p', -1, 3365, 0), ('r', 62, -1, 0), ('s', 116, -1, 0), ('t', 1, -1, 0), ('u', 62, -1, 0), ('w', -1, 1511, 0), ('y', 62, -1, 0), ('z', -1, 2048, 0), ('ó', 142, -1, 0), ('ą', -1, 11, 0), ('ś', 3, -1, 0), ('ż', -1, 2037, 0)), (('a', -1, 542, 0), ('b', 4, -1, 0), ('c', -1, 570, 0), ('d', 244, -1, 0), ('e', 5, -1, 0), ('g', 0, 44, 0), ('i', 321, -1, 0), ('j', 142, -1, 0), ('k', 58, -1, 0), ('l', 6, -1, 0), ('m', -1, 182, 0), ('n', 0, -1, 0), ('o', 5, -1, 0), ('p', 224, -1, 0), ('r', 224, -1, 0), ('s', 12, -1, 0), ('t', -1, 2369, 0), ('u', 196, -1, 0), ('w', 6, -1, 0), ('y', 99, -1, 0), ('z', 87, -1, 0), ('ł', -1, 891, 0), ('ś', 7, 8, 0)), (('a', 98, -1, 0), ('b', -1, 543, 0), ('c', -1, 172, 0), ('d', 304, -1, 0), ('e', 11, -1, 0), ('g', -1, 317, 0), ('h', 176, -1, 0), ('i', 98, -1, 0), ('j', -1, 1264, 0), ('k', 25, -1, 0), ('l', 105, -1, 0), ('m', 304, -1, 0), ('n', -1, 1779, 0), ('o', 98, -1, 0), ('p', 304, -1, 0), ('r', -1, 8, 0), ('s', 11, -1, 0), ('t', 304, -1, 0), ('u', 98, -1, 0), ('w', 304, -1, 0), ('y', 21, -1, 0), ('z', -1, 148, 0), ('ę', 11, -1, 0), ('ł', -1, 2622, 0), ('ś', -1, 530, 0), ('ż', 95, -1, 0)), (('a', 96, -1, 0), ('b', 0, -1, 0), ('c', -1, 544, 0), ('d', -1, 369, 0), ('e', 96, -1, 0), ('i', 1, -1, 0), ('k', 0, 179, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('n', -1, 449, 0), ('o', -1, 21, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 2769, 0), ('u', 330, -1, 0), ('w', -1, 1612, 0), ('y', 96, -1, 0), ('z', 105, 151, 0), ('ę', 7, -1, 0), ('ł', -1, 357, 0)), (('a', 1, -1, 0), ('e', 220, -1, 0), ('i', -1, 545, 0), ('o', -1, 2248, 0), ('r', 3, -1, 0), ('z', 1, -1, 0)), (('a', -1, 546, 0), ('b', 106, -1, 0), ('d', 106, -1, 0), ('e', 31, -1, 0), ('i', 3, -1, 0), ('j', 106, -1, 0), ('k', 0, -1, 0), ('l', 5, -1, 0), ('m', 106, -1, 0), ('n', 106, -1, 0), ('o', 3, -1, 0), ('p', 106, -1, 0), ('r', 106, -1, 0), ('s', 85, -1, 0), ('t', 106, -1, 0), ('u', 3, -1, 0), ('w', -1, 3390, 0), ('y', 3, -1, 0), ('z', 166, -1, 0), ('ę', 0, -1, 0)), (('a', 28, -1, 0), ('c', -1, 547, 0), ('d', 14, -1, 0), ('e', 28, -1, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('k', -1, 1832, 0), ('l', -1, 1508, 0), ('m', 0, 57, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('p', 6, -1, 0), ('r', 28, -1, 0), ('s', -1, 2993, 0), ('t', -1, 1825, 0), ('u', 21, -1, 0), ('w', 6, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0)), (('a', 108, -1, 0), ('d', -1, 548, 0), ('e', -1, 2312, 0), ('i', -1, 2626, 0), ('m', 28, -1, 0), ('o', 136, -1, 0), ('r', 7, -1, 0), ('y', 136, -1, 0), ('z', 136, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 549, 0), ('b', 108, -1, 0), ('d', 71, -1, 0), ('e', 108, -1, 0), ('h', 108, -1, 0), ('i', -1, 2579, 0), ('j', 71, 3094, 0), ('l', -1, 637, 0), ('o', 108, -1, 0), ('p', 108, -1, 0), ('r', 55, -1, 0), ('s', 7, -1, 0), ('t', 108, -1, 0), ('u', 108, -1, 0), ('w', -1, 3867, 0), ('y', 53, -1, 0), ('z', -1, 1411, 0), ('ę', 7, -1, 0), ('ż', 71, -1, 0)), (('a', 21, -1, 0), ('c', -1, 550, 0), ('d', 108, -1, 0), ('e', -1, 693, 0), ('i', -1, 1459, 0), ('j', 29, -1, 0), ('k', 16, 882, 0), ('l', -1, 90, 0), ('m', -1, 3297, 0), ('n', -1, 4547, 0), ('o', -1, 151, 0), ('p', 108, -1, 0), ('r', 0, -1, 0), ('s', -1, 1753, 0), ('t', 16, -1, 0), ('u', 1, -1, 0), ('w', 108, -1, 0), ('y', 16, -1, 0), ('z', -1, 419, 0), ('ż', 108, -1, 0)), (('a', 55, -1, 0), ('d', 4, -1, 0), ('e', -1, 551, 0), ('o', 5, -1, 0), ('u', 5, -1, 0), ('y', 4, -1, 0)), (('a', 5, -1, 0), ('d', 55, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('i', 5, -1, 0), ('j', -1, 552, 0), ('k', -1, 2062, 0), ('l', -1, 539, 0), ('n', -1, 4263, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 55, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 22, 553, 0), ('b', 22, 957, 0), ('d', 3, 48, 0), ('e', -1, 3958, 0), ('g', 3, -1, 0), ('i', -1, 1642, 0), ('k', 1, 1378, 0), ('n', 3, -1, 0), ('o', 6, -1, 0), ('r', -1, 2187, 0), ('s', 22, -1, 0), ('t', 28, 4224, 0), ('w', 22, -1, 0), ('y', 5, -1, 0), ('z', -1, 2653, 0)), (('a', 3, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', 22, -1, 0), ('e', -1, 554, 0), ('i', 3, -1, 0), ('j', 22, -1, 0), ('l', 22, -1, 0), ('m', -1, 1331, 0), ('o', 22, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('y', -1, 1379, 0), ('z', 3, -1, 0), ('ą', 22, -1, 0)), (('a', 196, -1, 0), ('b', 64, -1, 0), ('c', 45, -1, 0), ('d', 64, -1, 0), ('e', 0, -1, 0), ('h', 45, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 28, 524, 0), ('n', 3, -1, 0), ('o', 196, -1, 0), ('p', -1, 555, 0), ('r', 3, -1, 0), ('s', -1, 142, 0), ('t', 3, -1, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', 196, -1, 0), ('z', 196, -1, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0)), (('a', 217, -1, 0), ('b', 28, -1, 0), ('c', -1, 556, 0), ('d', -1, 557, 0), ('e', 4, -1, 0), ('i', -1, 96, 0), ('k', 28, 10, 0), ('l', 28, 2756, 0), ('m', -1, 465, 0), ('n', 7, -1, 0), ('o', -1, 694, 0), ('p', -1, 400, 0), ('r', -1, 2236, 0), ('s', -1, 2866, 0), ('t', 108, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ę', 0, -1, 0)), (('a', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 28, -1, 0), ('r', 2, -1, 0), ('s', 14, -1, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 315, 0), ('b', 21, -1, 0), ('c', -1, 558, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', -1, 2669, 0), ('g', 22, -1, 0), ('h', 3, -1, 0), ('i', 6, -1, 0), ('j', 3, -1, 0), ('k', 22, -1, 0), ('l', 0, 1240, 0), ('m', -1, 1199, 0), ('n', -1, 1940, 0), ('o', 21, -1, 0), ('p', -1, 84, 0), ('r', -1, 1695, 0), ('s', 51, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', -1, 217, 0), ('y', -1, 204, 0), ('z', 95, -1, 0)), (('a', -1, 179, 0), ('b', 3, -1, 0), ('c', 3, 559, 0), ('d', -1, 4523, 0), ('e', -1, 1088, 0), ('g', 3, -1, 0), ('i', -1, 169, 0), ('k', -1, 2022, 0), ('l', 80, -1, 0), ('m', -1, 2521, 0), ('n', 1, -1, 0), ('o', 170, -1, 0), ('p', 170, -1, 0), ('r', 347, -1, 0), ('s', 242, -1, 0), ('t', 80, -1, 0), ('u', 242, 102, 0), ('w', -1, 2129, 0), ('y', 242, -1, 0), ('z', -1, 1932, 0), ('ą', 170, -1, 0)), (('a', -1, 560, 0), ('b', 63, -1, 0), ('c', -1, 1195, 0), ('d', 63, -1, 0), ('e', -1, 11, 0), ('h', 53, -1, 0), ('i', -1, 1038, 0), ('l', 4, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', -1, 1217, 0), ('p', 3, -1, 0), ('r', -1, 1195, 0), ('s', -1, 197, 0), ('t', -1, 680, 0), ('w', 63, -1, 0), ('y', 1, -1, 0), ('z', -1, 2583, 0), ('ś', 3, -1, 0), ('ż', 4, -1, 0)), (('a', -1, 561, 0), ('d', 3, -1, 0), ('e', -1, 1415, 0), ('f', -1, 619, 0), ('i', -1, 405, 0), ('k', 3, -1, 0), ('l', -1, 1173, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 708, 0), ('p', 3, -1, 0), ('r', -1, 340, 0), ('s', -1, 602, 0), ('t', 6, -1, 0), ('u', -1, 315, 0), ('w', -1, 432, 0), ('y', 2, -1, 0), ('z', -1, 745, 0), ('ł', -1, 2505, 0)), (('a', 27, -1, 0), ('b', 178, -1, 0), ('d', -1, 562, 0), ('e', 27, -1, 0), ('g', 27, -1, 0), ('i', 27, -1, 0), ('k', 30, -1, 0), ('l', -1, 635, 0), ('o', 27, -1, 0), ('p', 30, -1, 0), ('r', -1, 2505, 0), ('s', 0, 64, 0), ('t', 30, -1, 0), ('u', 178, 118, 0), ('w', 30, -1, 0), ('y', 27, -1, 0), ('z', -1, 569, 0), ('ż', -1, 615, 0)), (('a', 30, -1, 0), ('b', 30, -1, 0), ('c', 12, -1, 0), ('d', 30, -1, 0), ('e', -1, 563, 0), ('i', 30, -1, 0), ('l', 62, -1, 0), ('o', 30, -1, 0), ('r', -1, 1898, 0), ('s', -1, 3053, 0), ('y', 62, -1, 0), ('z', 30, 799, 0), ('ą', 30, -1, 0), ('ę', 12, -1, 0)), (('a', -1, 564, 0), ('d', 11, -1, 0), ('e', 84, -1, 0), ('f', 56, -1, 0), ('g', 3, -1, 0), ('h', 11, -1, 0), ('i', -1, 113, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 30, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 22, -1, 0), ('r', -1, 333, 0), ('s', 3, -1, 0), ('t', -1, 3000, 0), ('u', 3, -1, 0), ('y', 84, -1, 0), ('z', 3, -1, 0), ('ę', 22, -1, 0), ('ł', 11, -1, 0)), (('a', 5, -1, 0), ('b', 28, -1, 0), ('c', -1, 565, 0), ('d', 5, -1, 0), ('e', -1, 1488, 0), ('i', -1, 4305, 0), ('j', -1, 4578, 0), ('k', 5, -1, 0), ('l', -1, 4225, 0), ('m', -1, 985, 0), ('n', 3, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 954, 0), ('s', 28, -1, 0), ('t', -1, 1846, 0), ('u', 29, -1, 0), ('w', 1, -1, 0), ('y', 2, -1, 0), ('z', -1, 519, 0), ('ł', 1, -1, 0), ('ś', 28, -1, 0), ('ż', -1, 4230, 0)), (('a', 13, -1, 0), ('e', 13, -1, 0), ('i', 13, -1, 0), ('o', 13, -1, 0), ('r', 13, -1, 0), ('s', 41, -1, 0), ('t', -1, 566, 0), ('u', -1, 2007, 0), ('y', 13, -1, 0), ('z', -1, 1770, 0), ('ó', 13, -1, 0), ('ą', 13, -1, 0), ('ę', 13, -1, 0), ('ł', -1, 2788, 0)), (('a', 1, -1, 0), ('c', 85, -1, 0), ('d', 21, -1, 0), ('e', 60, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 567, 0), ('o', -1, 1472, 0), ('p', 0, -1, 0), ('r', -1, 877, 0), ('s', 41, -1, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', 0, 451, 0), ('y', 0, -1, 0), ('z', 0, 226, 0), ('ł', 0, -1, 0), ('ż', 41, -1, 0)), (('a', 3, -1, 0), ('d', 107, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('m', 452, -1, 0), ('n', 107, -1, 0), ('o', 7, -1, 0), ('r', -1, 568, 0), ('t', 107, -1, 0), ('w', -1, 245, 0), ('y', 7, -1, 0), ('z', 0, 59, 0), ('ł', 107, -1, 0)), (('a', -1, 187, 0), ('b', 4, -1, 0), ('c', -1, 569, 0), ('d', 107, -1, 0), ('e', -1, 904, 0), ('g', 0, -1, 0), ('i', -1, 297, 0), ('k', 4, -1, 0), ('l', 7, -1, 0), ('m', 5, -1, 0), ('o', -1, 1633, 0), ('p', 56, 4358, 0), ('r', -1, 2616, 0), ('s', 107, -1, 0), ('t', 4, -1, 0), ('u', -1, 1677, 0), ('w', 10, -1, 0), ('z', -1, 370, 0), ('ł', 107, 2671, 0), ('ż', -1, 821, 0)), (('a', -1, 299, 0), ('b', 5, -1, 0), ('d', -1, 285, 0), ('e', -1, 520, 0), ('g', 9, -1, 0), ('i', -1, 570, 0), ('k', -1, 4579, 0), ('l', 211, 1678, 0), ('m', 5, 3140, 0), ('n', 0, -1, 0), ('o', -1, 914, 0), ('p', -1, 1523, 0), ('r', 101, -1, 0), ('s', 9, -1, 0), ('t', -1, 1992, 0), ('u', 0, 44, 0), ('w', 0, 44, 0), ('y', -1, 61, 0), ('z', 0, 44, 0), ('ł', 9, -1, 0)), (('a', -1, 154, 0), ('b', 7, 571, 0), ('c', 7, -1, 0), ('d', -1, 236, 0), ('e', 4, -1, 0), ('i', 4, -1, 0), ('k', 7, 1407, 0), ('l', 7, -1, 0), ('m', -1, 912, 0), ('n', 3, -1, 0), ('o', 21, -1, 0), ('p', 4, -1, 0), ('r', -1, 1060, 0), ('s', 4, -1, 0), ('t', 4, -1, 0), ('u', -1, 285, 0), ('w', 113, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ą', 4, -1, 0), ('ę', 4, -1, 0), ('ł', -1, 647, 0), ('ż', 3, -1, 0)), (('a', -1, 572, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 3, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 573, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 42, -1, 0), ('f', 7, -1, 0), ('g', 7, 4306, 0), ('h', 29, -1, 0), ('i', 7, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 22, 1035, 0), ('m', 7, -1, 0), ('n', -1, 1816, 0), ('o', -1, 145, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 2311, 0), ('t', 7, -1, 0), ('w', 7, -1, 0), ('y', 57, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 574, 0), ('b', 22, -1, 0), ('c', -1, 1096, 0), ('d', 24, -1, 0), ('e', 24, -1, 0), ('g', 1, -1, 0), ('i', -1, 1611, 0), ('k', 11, -1, 0), ('l', 299, -1, 0), ('m', 84, -1, 0), ('n', 0, 44, 0), ('o', 24, -1, 0), ('p', -1, 2616, 0), ('r', 24, -1, 0), ('s', 24, -1, 0), ('t', 5, -1, 0), ('u', 24, -1, 0), ('w', -1, 360, 0), ('y', 24, -1, 0), ('z', 7, -1, 0), ('ą', 175, -1, 0)), (('a', -1, 575, 0), ('c', 21, -1, 0), ('d', -1, 1460, 0), ('e', -1, 397, 0), ('f', 24, -1, 0), ('i', 6, -1, 0), ('k', -1, 2074, 0), ('l', -1, 1460, 0), ('m', 175, -1, 0), ('n', 175, -1, 0), ('o', -1, 1279, 0), ('p', 0, 44, 0), ('r', 24, -1, 0), ('s', 21, -1, 0), ('t', 24, -1, 0), ('u', -1, 2530, 0), ('w', -1, 299, 0), ('y', -1, 724, 0), ('z', 21, -1, 0), ('ł', 24, -1, 0)), (('a', 21, -1, 0), ('b', 242, 576, 0), ('c', 6, -1, 0), ('d', -1, 1911, 0), ('e', -1, 22, 0), ('f', 21, 1060, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 1933, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 433, 2381, 0), ('n', -1, 636, 0), ('o', 53, -1, 0), ('p', -1, 1372, 0), ('r', -1, 2523, 0), ('s', 6, -1, 0), ('t', 242, 636, 0), ('u', 53, 350, 0), ('w', 6, -1, 0), ('y', 7, -1, 0), ('z', 6, -1, 0), ('ł', -1, 798, 0), ('ż', 6, -1, 0)), (('a', 2, -1, 0), ('b', -1, 577, 0), ('c', 14, -1, 0), ('d', 6, -1, 0), ('e', 286, -1, 0), ('f', 28, -1, 0), ('g', 12, -1, 0), ('h', 21, -1, 0), ('i', -1, 981, 0), ('k', 104, 940, 0), ('l', -1, 935, 0), ('m', 110, -1, 0), ('n', -1, 676, 0), ('o', 6, -1, 0), ('p', 110, -1, 0), ('r', -1, 385, 0), ('s', -1, 405, 0), ('t', 104, -1, 0), ('u', 2, -1, 0), ('w', -1, 957, 0), ('y', 2, -1, 0), ('z', -1, 95, 0), ('ó', -1, 690, 0), ('ę', 0, -1, 0), ('ł', 110, -1, 0), ('ś', 6, -1, 0)), (('a', 21, -1, 0), ('b', 28, 578, 0), ('c', 25, -1, 0), ('d', 176, -1, 0), ('e', 21, -1, 0), ('f', 25, -1, 0), ('g', -1, 2215, 0), ('h', 25, -1, 0), ('i', 3, -1, 0), ('k', 1, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', -1, 1310, 0), ('o', 82, -1, 0), ('p', 21, -1, 0), ('r', -1, 1990, 0), ('s', 25, -1, 0), ('t', 12, -1, 0), ('u', -1, 2757, 0), ('w', 21, -1, 0), ('y', -1, 861, 0), ('z', 25, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 579, 0), ('b', 2, -1, 0), ('c', -1, 578, 0), ('d', 28, -1, 0), ('e', 121, -1, 0), ('g', 3, -1, 0), ('i', 2, -1, 0), ('j', 29, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 34, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', -1, 637, 0), ('r', 2, -1, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('u', 59, -1, 0), ('w', 2, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 580, 0), ('b', 41, -1, 0), ('d', 304, -1, 0), ('e', 168, -1, 0), ('h', 12, -1, 0), ('i', -1, 1864, 0), ('k', -1, 3320, 0), ('l', -1, 2702, 0), ('m', 304, -1, 0), ('o', -1, 514, 0), ('p', 304, -1, 0), ('r', 168, -1, 0), ('s', 185, -1, 0), ('t', 304, -1, 0), ('u', -1, 2094, 0), ('w', 304, -1, 0), ('y', -1, 580, 0), ('z', -1, 1452, 0), ('ź', 168, -1, 0), ('ż', 95, -1, 0)), (('a', -1, 195, 0), ('b', 168, -1, 0), ('c', 5, -1, 0), ('d', 118, -1, 0), ('e', -1, 581, 0), ('g', 168, -1, 0), ('i', -1, 3217, 0), ('k', 168, -1, 0), ('l', -1, 726, 0), ('m', 168, -1, 0), ('o', -1, 566, 0), ('p', -1, 3204, 0), ('r', 168, -1, 0), ('s', -1, 1849, 0), ('t', -1, 1372, 0), ('u', 0, -1, 0), ('w', 7, 612, 0), ('y', -1, 171, 0), ('z', 168, -1, 0), ('ł', 62, -1, 0), ('ś', -1, 4408, 0), ('ż', 28, -1, 0)), (('a', -1, 582, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 2106, 0), ('g', 0, -1, 0), ('h', 21, -1, 0), ('i', -1, 3710, 0), ('j', -1, 1182, 0), ('k', 2, -1, 0), ('l', 0, -1, 0), ('m', -1, 3810, 0), ('o', -1, 1928, 0), ('p', 28, -1, 0), ('r', 0, 355, 0), ('s', 0, 916, 0), ('t', -1, 3701, 0), ('u', -1, 605, 0), ('w', 0, -1, 0), ('y', -1, 1293, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 21, -1, 0), ('ż', 0, -1, 0)), (('a', 21, 164, 0), ('b', -1, 583, 0), ('c', 79, -1, 0), ('d', -1, 1610, 0), ('e', 21, -1, 0), ('g', 1, -1, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('j', -1, 726, 0), ('k', 21, 311, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 993, 0), ('p', 13, 226, 0), ('r', 21, -1, 0), ('s', -1, 775, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', -1, 530, 0), ('y', 21, -1, 0), ('z', -1, 775, 0), ('ó', 1, -1, 0), ('ą', 222, -1, 0), ('ę', -1, 1061, 0), ('ł', -1, 717, 0)), (('a', -1, 584, 0), ('b', 6, -1, 0), ('c', 12, 248, 0), ('d', 0, -1, 0), ('e', -1, 143, 0), ('g', -1, 4389, 0), ('i', -1, 284, 0), ('k', -1, 663, 0), ('l', 4, 331, 0), ('m', -1, 236, 0), ('n', -1, 1842, 0), ('o', -1, 1035, 0), ('p', 21, -1, 0), ('r', -1, 584, 0), ('s', 1, -1, 0), ('t', 21, 1381, 0), ('u', -1, 1268, 0), ('w', -1, 453, 0), ('y', 6, -1, 0), ('z', 0, 225, 0), ('ł', 6, -1, 0)), (('a', 12, -1, 0), ('b', -1, 62, 0), ('c', -1, 585, 0), ('d', 17, -1, 0), ('e', 6, -1, 0), ('g', 17, -1, 0), ('h', 17, -1, 0), ('i', 6, -1, 0), ('k', 0, 1693, 0), ('l', 12, -1, 0), ('m', -1, 357, 0), ('n', 21, -1, 0), ('o', 17, -1, 0), ('p', 0, 356, 0), ('r', 17, -1, 0), ('s', 17, -1, 0), ('t', 95, -1, 0), ('u', 58, -1, 0), ('w', 12, 1459, 0), ('y', 58, -1, 0), ('z', 6, -1, 0), ('ł', -1, 80, 0), ('ż', 17, -1, 0)), (('a', -1, 586, 0), ('b', -1, 1565, 0), ('c', -1, 2477, 0), ('d', -1, 134, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 1, -1, 0), ('j', 95, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', -1, 1600, 0), ('n', 7, -1, 0), ('o', -1, 356, 0), ('p', 6, -1, 0), ('r', -1, 707, 0), ('s', -1, 960, 0), ('t', -1, 2010, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', -1, 1660, 0), ('ł', 6, -1, 0), ('ź', 1, -1, 0)), (('a', 24, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 6, -1, 0), ('e', 181, -1, 0), ('f', 41, -1, 0), ('i', 24, -1, 0), ('j', 6, -1, 0), ('k', 41, -1, 0), ('l', -1, 587, 0), ('m', 6, -1, 0), ('o', 181, -1, 0), ('p', 6, -1, 0), ('r', 181, -1, 0), ('s', -1, 940, 0), ('t', -1, 1669, 0), ('u', -1, 181, 0), ('w', 6, -1, 0), ('y', -1, 851, 0), ('z', 95, -1, 0), ('ą', 181, -1, 0)), (('a', 9, -1, 0), ('d', 41, -1, 0), ('e', 9, -1, 0), ('i', -1, 588, 0), ('k', 41, -1, 0), ('l', 11, -1, 0), ('m', 0, 311, 0), ('o', 101, -1, 0), ('p', 41, -1, 0), ('r', 9, -1, 0), ('s', -1, 3693, 0), ('t', -1, 2076, 0), ('u', 101, -1, 0), ('w', -1, 260, 0), ('y', 0, -1, 0), ('z', -1, 130, 0), ('ł', 11, -1, 0), ('ś', 101, -1, 0)), (('a', -1, 304, 0), ('c', 2, 589, 0), ('d', -1, 515, 0), ('e', -1, 1219, 0), ('f', 24, -1, 0), ('i', 37, -1, 0), ('k', 85, -1, 0), ('l', 0, -1, 0), ('m', 5, 1324, 0), ('n', 37, -1, 0), ('o', 37, -1, 0), ('p', -1, 8, 0), ('r', 37, -1, 0), ('s', 24, -1, 0), ('t', 24, -1, 0), ('u', 37, -1, 0), ('w', -1, 1231, 0), ('y', -1, 1219, 0), ('z', -1, 669, 0), ('ó', 21, -1, 0), ('ę', 37, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 11, -1, 0), ('g', 219, -1, 0), ('i', -1, 181, 0), ('j', 11, -1, 0), ('n', -1, 590, 0), ('o', -1, 766, 0), ('r', 7, -1, 0), ('s', 2, -1, 0), ('t', 11, -1, 0), ('u', -1, 3333, 0), ('w', 2, -1, 0), ('y', 3, -1, 0), ('z', 2, -1, 0), ('ą', 11, -1, 0), ('ę', -1, 813, 0), ('ł', 11, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 591, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', 2, -1, 0), ('ś', 2, -1, 0)), (('-', 118, -1, 0), ('a', -1, 592, 0), ('e', -1, 1480, 0), ('i', -1, 471, 0), ('j', 108, -1, 0), ('k', 108, -1, 0), ('l', 2, -1, 0), ('m', 7, -1, 0), ('o', -1, 3039, 0), ('r', -1, 2007, 0), ('u', -1, 3171, 0), ('y', -1, 400, 0), ('z', -1, 2579, 0), ('ó', 108, -1, 0), ('ą', 6, -1, 0), ('ę', 108, -1, 0), ('ż', 108, -1, 0)), (('a', -1, 593, 0), ('b', 6, -1, 0), ('d', 34, -1, 0), ('e', -1, 4284, 0), ('g', 6, -1, 0), ('i', 21, -1, 0), ('l', 21, -1, 0), ('m', 6, -1, 0), ('n', 1, -1, 0), ('o', -1, 80, 0), ('p', 72, -1, 0), ('r', -1, 2262, 0), ('s', -1, 730, 0), ('t', -1, 1743, 0), ('w', 6, -1, 0), ('y', -1, 595, 0), ('z', 33, -1, 0)), (('a', -1, 594, 0), ('c', 34, -1, 0), ('d', -1, 3292, 0), ('e', -1, 70, 0), ('g', -1, 1050, 0), ('i', 21, -1, 0), ('k', -1, 178, 0), ('l', 0, 1240, 0), ('m', -1, 781, 0), ('n', 153, -1, 0), ('o', -1, 177, 0), ('p', -1, 931, 0), ('r', -1, 965, 0), ('s', -1, 2616, 0), ('t', -1, 2392, 0), ('u', 1, -1, 0), ('w', -1, 204, 0), ('y', 1, -1, 0), ('z', 136, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 681, 0), ('ś', 5, -1, 0)), (('a', 5, -1, 0), ('b', 0, 164, 0), ('c', -1, 595, 0), ('d', 110, -1, 0), ('e', 5, -1, 0), ('g', -1, 842, 0), ('i', 6, -1, 0), ('k', 54, 433, 0), ('l', 171, -1, 0), ('m', 191, -1, 0), ('n', -1, 236, 0), ('o', 99, -1, 0), ('p', 74, 367, 0), ('r', 5, -1, 0), ('s', 110, -1, 0), ('t', -1, 433, 0), ('u', 99, -1, 0), ('w', -1, 412, 0), ('y', 104, -1, 0), ('z', -1, 63, 0), ('ą', 0, -1, 0), ('ł', 110, -1, 0), ('ś', 99, -1, 0)), (('a', -1, 596, 0), ('c', -1, 1526, 0), ('d', 55, -1, 0), ('e', -1, 1722, 0), ('i', 55, -1, 0), ('k', -1, 402, 0), ('l', 4, 1202, 0), ('m', 21, -1, 0), ('o', -1, 274, 0), ('p', -1, 355, 0), ('r', -1, 673, 0), ('s', -1, 147, 0), ('t', 22, 403, 0), ('u', 4, -1, 0), ('w', -1, 213, 0), ('y', -1, 411, 0), ('z', -1, 1332, 0), ('ó', -1, 1002, 0), ('ą', -1, 2630, 0), ('ę', -1, 1611, 0), ('ł', 1, -1, 0)), (('a', 71, -1, 0), ('b', 1, -1, 0), ('c', 28, -1, 0), ('d', 1, -1, 0), ('e', 71, -1, 0), ('f', 4, -1, 0), ('h', 0, 225, 0), ('i', 71, -1, 0), ('j', 1, -1, 0), ('k', 71, -1, 0), ('l', -1, 216, 0), ('m', 4, -1, 0), ('n', 1, -1, 0), ('o', -1, 597, 0), ('p', -1, 74, 0), ('r', -1, 2381, 0), ('s', -1, 1460, 0), ('t', 1, -1, 0), ('u', 71, -1, 0), ('w', 4, -1, 0), ('y', 71, -1, 0), ('z', 200, -1, 0), ('ą', 71, -1, 0), ('ę', 71, -1, 0), ('ł', -1, 569, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 598, 0), ('d', -1, 530, 0), ('e', 6, -1, 0), ('f', 41, 681, 0), ('i', -1, 1458, 0), ('k', 0, -1, 0), ('l', -1, 2354, 0), ('m', -1, 1666, 0), ('n', -1, 1278, 0), ('o', -1, 127, 0), ('p', -1, 1333, 0), ('r', -1, 1961, 0), ('s', 6, -1, 0), ('t', 0, -1, 0), ('u', 0, 164, 0), ('w', -1, 767, 0), ('y', -1, 173, 0), ('z', -1, 1239, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 95, -1, 0), ('d', 1, -1, 0), ('e', -1, 182, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('k', 0, 44, 0), ('l', 23, -1, 0), ('m', -1, 599, 0), ('o', 6, -1, 0), ('p', 0, 44, 0), ('r', 6, -1, 0), ('s', -1, 11, 0), ('t', 95, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', -1, 1124, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ś', 6, -1, 0)), (('a', 1, -1, 0), ('b', 37, -1, 0), ('c', 99, -1, 0), ('d', 37, -1, 0), ('e', -1, 600, 0), ('i', 1, -1, 0), ('j', 335, -1, 0), ('l', 62, -1, 0), ('m', 37, -1, 0), ('n', 1, 467, 0), ('o', 1, 13, 0), ('r', -1, 1238, 0), ('s', -1, 3212, 0), ('u', 3, -1, 0), ('w', 7, -1, 0), ('y', 62, -1, 0), ('z', 3, -1, 0), ('ą', 1, -1, 0), ('ł', -1, 1807, 0)), (('a', 6, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('g', 6, 601, 0), ('i', -1, 1045, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 1890, 0), ('p', 28, -1, 0), ('r', -1, 723, 0), ('s', 6, -1, 0), ('t', -1, 1055, 0), ('u', 6, -1, 0), ('w', 28, 524, 0), ('y', 6, -1, 0), ('z', 21, -1, 0)), (('a', -1, 337, 0), ('b', 2, -1, 0), ('d', -1, 602, 0), ('e', -1, 385, 0), ('g', 1, 476, 0), ('i', 6, 1542, 0), ('k', 4, 165, 0), ('l', -1, 2542, 0), ('m', -1, 1188, 0), ('n', -1, 1560, 0), ('o', 1, -1, 0), ('p', 54, -1, 0), ('r', -1, 2533, 0), ('s', 7, -1, 0), ('t', -1, 2775, 0), ('u', 2, -1, 0), ('w', 28, -1, 0), ('y', 1, -1, 0), ('z', -1, 936, 0), ('ś', 372, -1, 0)), (('a', 3, -1, 0), ('c', -1, 603, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 2, -1, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', 3, -1, 0), ('d', 262, -1, 0), ('e', -1, 604, 0), ('i', 2, -1, 0), ('j', -1, 3311, 0), ('k', 28, -1, 0), ('m', 12, -1, 0), ('n', -1, 556, 0), ('o', -1, 2567, 0), ('p', 30, -1, 0), ('r', 12, -1, 0), ('s', 2, 3632, 0), ('t', -1, 135, 0), ('u', 30, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0), ('ż', 212, -1, 0)), (('a', -1, 605, 0), ('b', -1, 1401, 0), ('c', 2, -1, 0), ('d', 2, 2251, 0), ('e', -1, 57, 0), ('g', 2, -1, 0), ('h', 28, -1, 0), ('i', 70, -1, 0), ('j', 28, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', 34, 637, 0), ('o', 85, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 30, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 890, 0), ('ą', 0, -1, 0), ('ł', 70, -1, 0)), (('-', 1, -1, 0), ('a', 21, -1, 0), ('b', -1, 606, 0), ('c', 261, 251, 0), ('d', 21, -1, 0), ('e', 12, -1, 0), ('f', -1, 659, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 1458, 0), ('k', 1, -1, 0), ('l', 21, -1, 0), ('m', -1, 1231, 0), ('n', -1, 1118, 0), ('o', 12, -1, 0), ('p', -1, 1025, 0), ('r', 21, -1, 0), ('s', 0, 332, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', -1, 615, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ę', 12, -1, 0), ('ł', 1, -1, 0), ('ż', 21, -1, 0)), (('a', 12, -1, 0), ('b', -1, 607, 0), ('c', 29, 885, 0), ('d', -1, 1276, 0), ('e', -1, 92, 0), ('g', 3, -1, 0), ('i', -1, 239, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 518, 0), ('n', 0, -1, 0), ('o', -1, 2251, 0), ('p', -1, 128, 0), ('r', 12, -1, 0), ('s', -1, 699, 0), ('t', -1, 555, 0), ('u', -1, 136, 0), ('w', 0, -1, 0), ('y', -1, 62, 0), ('z', 12, -1, 0), ('ą', -1, 182, 0), ('ę', 12, -1, 0), ('ł', 21, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 608, 0), ('e', 105, -1, 0), ('m', 105, -1, 0), ('n', -1, 419, 0), ('o', 55, -1, 0), ('r', 105, -1, 0), ('t', 105, 4586, 0), ('u', 4, -1, 0), ('z', 4, -1, 0), ('ł', 105, -1, 0)), (('a', -1, 609, 0), ('d', 56, -1, 0), ('e', 2, -1, 0), ('i', 56, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('o', -1, 2441, 0), ('r', 3, -1, 0), ('z', -1, 2250, 0), ('ó', -1, 3373, 0), ('ą', 3, -1, 0), ('ę', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 473, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', 3, -1, 0), ('g', 5, -1, 0), ('i', -1, 610, 0), ('j', 2, -1, 0), ('k', 3, -1, 0), ('l', 2, 424, 0), ('m', 315, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 5, -1, 0), ('r', 56, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', 377, -1, 0)), (('a', -1, 611, 0), ('d', 106, -1, 0), ('e', 180, -1, 0), ('i', 62, -1, 0), ('m', 30, -1, 0), ('n', 106, -1, 0), ('o', -1, 1472, 0), ('p', 3, -1, 0), ('r', -1, 1720, 0), ('s', 3, -1, 0), ('t', 106, -1, 0), ('u', 23, -1, 0), ('w', -1, 3338, 0), ('z', 34, -1, 0), ('ę', -1, 1468, 0), ('ł', -1, 3815, 0)), (('a', 101, -1, 0), ('b', 39, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 62, -1, 0), ('h', 80, -1, 0), ('i', -1, 133, 0), ('k', 12, -1, 0), ('l', -1, 380, 0), ('m', 0, 373, 0), ('o', 0, 612, 0), ('p', 224, -1, 0), ('r', -1, 90, 0), ('s', 108, 2266, 0), ('t', 10, -1, 0), ('u', 9, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 5, -1, 0), ('ł', 11, -1, 0), ('ż', 71, -1, 0)), (('a', 68, -1, 0), ('b', 61, -1, 0), ('c', 3, -1, 0), ('d', 6, -1, 0), ('e', 68, -1, 0), ('g', 21, -1, 0), ('h', -1, 91, 0), ('i', 68, -1, 0), ('j', 108, 613, 0), ('k', 68, -1, 0), ('l', 12, -1, 0), ('m', -1, 668, 0), ('n', 5, -1, 0), ('o', 141, -1, 0), ('p', 12, -1, 0), ('r', -1, 1035, 0), ('s', -1, 755, 0), ('t', -1, 402, 0), ('u', 193, -1, 0), ('w', 98, 134, 0), ('y', 193, -1, 0), ('z', 200, -1, 0), ('ó', -1, 2570, 0), ('ą', 5, -1, 0), ('ę', -1, 3178, 0), ('ł', 12, -1, 0), ('ś', 0, 64, 0), ('ż', -1, 893, 0)), (('a', -1, 614, 0), ('b', 73, -1, 0), ('d', -1, 213, 0), ('e', -1, 196, 0), ('h', -1, 182, 0), ('i', -1, 1671, 0), ('k', 255, -1, 0), ('l', -1, 1394, 0), ('m', 120, -1, 0), ('n', -1, 332, 0), ('o', -1, 382, 0), ('p', 120, -1, 0), ('r', -1, 258, 0), ('s', 1, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('w', -1, 704, 0), ('y', -1, 196, 0), ('z', 29, -1, 0), ('ł', 196, -1, 0), ('ż', 29, -1, 0)), (('a', -1, 516, 0), ('d', -1, 615, 0), ('e', -1, 1211, 0), ('i', -1, 1939, 0), ('k', 5, -1, 0), ('l', -1, 2022, 0), ('m', -1, 3810, 0), ('n', -1, 231, 0), ('o', -1, 759, 0), ('p', 4, -1, 0), ('r', -1, 1656, 0), ('s', -1, 1645, 0), ('t', 105, -1, 0), ('u', -1, 2012, 0), ('w', -1, 63, 0), ('y', -1, 172, 0), ('z', -1, 937, 0), ('ł', -1, 691, 0), ('ś', 0, 1674, 0)), (('a', 12, -1, 0), ('b', 30, -1, 0), ('c', -1, 616, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('g', -1, 103, 0), ('h', -1, 155, 0), ('i', 12, -1, 0), ('k', -1, 129, 0), ('l', 0, 542, 0), ('m', 0, 355, 0), ('n', -1, 395, 0), ('o', 12, -1, 0), ('p', -1, 2003, 0), ('r', 12, -1, 0), ('s', -1, 2031, 0), ('t', 12, -1, 0), ('u', -1, 288, 0), ('w', 4, 34, 0), ('y', 12, -1, 0), ('z', -1, 312, 0), ('ó', 12, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 615, 0), ('c', 102, -1, 0), ('d', 298, -1, 0), ('e', -1, 296, 0), ('i', 33, -1, 0), ('k', 56, -1, 0), ('l', 10, -1, 0), ('n', 1, -1, 0), ('o', -1, 617, 0), ('p', 298, -1, 0), ('r', -1, 693, 0), ('s', 11, -1, 0), ('w', 10, -1, 0), ('z', 21, -1, 0)), (('a', 82, -1, 0), ('b', 0, -1, 0), ('c', -1, 333, 0), ('d', -1, 618, 0), ('e', 21, -1, 0), ('f', 25, -1, 0), ('g', 82, -1, 0), ('i', -1, 148, 0), ('k', 82, -1, 0), ('l', -1, 314, 0), ('m', 37, -1, 0), ('n', 215, -1, 0), ('o', 21, -1, 0), ('p', 348, -1, 0), ('r', 21, -1, 0), ('s', 25, -1, 0), ('t', 25, -1, 0), ('u', -1, 1036, 0), ('w', 21, -1, 0), ('y', 82, -1, 0), ('z', -1, 42, 0), ('ś', 82, -1, 0), ('ź', 21, -1, 0)), (('a', -1, 16, 0), ('b', -1, 619, 0), ('c', -1, 857, 0), ('d', 21, 704, 0), ('e', -1, 1892, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 1714, 0), ('j', -1, 331, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 4, -1, 0), ('n', -1, 190, 0), ('o', 4, -1, 0), ('p', -1, 82, 0), ('r', -1, 735, 0), ('s', 1, -1, 0), ('t', -1, 437, 0), ('u', 7, -1, 0), ('w', -1, 672, 0), ('y', 55, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 217, -1, 0), ('b', 4, -1, 0), ('c', 6, -1, 0), ('d', 126, -1, 0), ('e', 155, -1, 0), ('g', 15, 620, 0), ('h', 21, -1, 0), ('i', -1, 4122, 0), ('j', 126, 249, 0), ('k', -1, 1936, 0), ('l', 4, -1, 0), ('m', 29, -1, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('p', -1, 1886, 0), ('r', 1, -1, 0), ('s', 21, -1, 0), ('t', 320, -1, 0), ('u', 14, -1, 0), ('w', 5, 239, 0), ('y', 1, -1, 0), ('z', -1, 180, 0), ('ę', 1, -1, 0), ('ł', 29, -1, 0), ('ż', 126, -1, 0)), (('a', -1, 621, 0), ('b', 6, -1, 0), ('d', -1, 179, 0), ('e', 29, -1, 0), ('i', -1, 645, 0), ('k', 0, -1, 0), ('l', 7, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 63, -1, 0), ('p', 15, -1, 0), ('r', 6, -1, 0), ('s', 5, -1, 0), ('t', -1, 1078, 0), ('u', 63, -1, 0), ('w', 7, -1, 0), ('z', 195, -1, 0), ('ą', 7, -1, 0), ('ę', 63, -1, 0)), (('a', 6, -1, 0), ('c', -1, 622, 0), ('d', 6, -1, 0), ('e', 95, -1, 0), ('g', 63, -1, 0), ('h', 16, -1, 0), ('i', -1, 259, 0), ('j', 217, -1, 0), ('k', 34, -1, 0), ('l', 217, -1, 0), ('m', 4, -1, 0), ('n', -1, 146, 0), ('o', 6, -1, 0), ('p', 29, -1, 0), ('r', 4, -1, 0), ('s', -1, 355, 0), ('t', 73, -1, 0), ('u', 95, -1, 0), ('w', -1, 148, 0), ('y', 29, -1, 0), ('z', 217, -1, 0)), (('a', -1, 616, 0), ('b', -1, 285, 0), ('d', 5, -1, 0), ('e', -1, 61, 0), ('g', 15, -1, 0), ('i', -1, 623, 0), ('k', 1, -1, 0), ('m', 15, -1, 0), ('o', 0, 44, 0), ('p', 146, -1, 0), ('r', -1, 1457, 0), ('s', 16, -1, 0), ('u', 0, 44, 0), ('w', 15, -1, 0), ('y', -1, 147, 0), ('z', 106, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 595, 0)), (('a', -1, 402, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 624, 0), ('e', -1, 754, 0), ('g', 5, -1, 0), ('h', -1, 13, 0), ('i', 12, -1, 0), ('j', -1, 799, 0), ('k', -1, 1144, 0), ('l', -1, 401, 0), ('m', -1, 429, 0), ('n', -1, 145, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 406, 0), ('s', 17, -1, 0), ('t', -1, 421, 0), ('u', 12, -1, 0), ('w', 5, -1, 0), ('y', -1, 238, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 878, 0), ('ź', 5, -1, 0), ('ż', -1, 625, 0)), (('a', -1, 625, 0), ('b', -1, 905, 0), ('c', 99, -1, 0), ('d', 5, -1, 0), ('e', -1, 383, 0), ('g', 0, 225, 0), ('i', -1, 224, 0), ('k', 5, -1, 0), ('l', -1, 7, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 12, -1, 0), ('p', 5, -1, 0), ('r', 12, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 13, 278, 0), ('w', 5, -1, 0), ('y', 58, -1, 0), ('z', 5, 1098, 0), ('ł', -1, 365, 0), ('ś', -1, 79, 0)), (('a', 5, -1, 0), ('b', 99, -1, 0), ('c', 0, -1, 0), ('d', 58, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', -1, 296, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 37, -1, 0), ('m', 12, -1, 0), ('n', -1, 626, 0), ('o', 5, -1, 0), ('p', 99, -1, 0), ('r', 12, -1, 0), ('s', 5, -1, 0), ('t', 41, -1, 0), ('u', 5, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 12, -1, 0), ('ł', 5, -1, 0), ('ś', 106, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 627, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 12, -1, 0), ('e', -1, 594, 0), ('g', -1, 398, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('k', -1, 1381, 0), ('l', -1, 211, 0), ('m', 12, -1, 0), ('n', -1, 2362, 0), ('o', -1, 625, 0), ('p', 12, -1, 0), ('r', -1, 151, 0), ('s', -1, 13, 0), ('t', 5, 385, 0), ('u', -1, 862, 0), ('w', 12, -1, 0), ('y', 114, -1, 0), ('z', 12, -1, 0), ('ó', -1, 403, 0), ('ł', -1, 1843, 0)), (('a', -1, 381, 0), ('b', -1, 530, 0), ('c', 0, 329, 0), ('d', 109, -1, 0), ('e', 12, -1, 0), ('g', -1, 628, 0), ('h', 171, -1, 0), ('i', -1, 284, 0), ('k', 348, -1, 0), ('l', -1, 209, 0), ('m', 12, -1, 0), ('n', -1, 568, 0), ('o', 109, -1, 0), ('p', 21, 103, 0), ('r', 12, -1, 0), ('s', 96, -1, 0), ('t', 109, -1, 0), ('u', 6, -1, 0), ('w', 110, -1, 0), ('y', 109, -1, 0), ('z', 58, -1, 0), ('ł', -1, 15, 0), ('ś', -1, 4585, 0)), (('a', 3, -1, 0), ('b', 116, -1, 0), ('c', 22, -1, 0), ('d', -1, 629, 0), ('e', 178, -1, 0), ('g', 0, 225, 0), ('h', 69, -1, 0), ('i', -1, 936, 0), ('k', 3, -1, 0), ('l', -1, 1489, 0), ('m', -1, 1490, 0), ('n', 3, -1, 0), ('o', 211, -1, 0), ('p', 22, -1, 0), ('r', -1, 729, 0), ('s', 22, -1, 0), ('t', -1, 155, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 27, -1, 0), ('z', -1, 163, 0), ('ę', 27, -1, 0), ('ł', -1, 118, 0)), (('a', 2, 165, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 2, -1, 0), ('g', 28, -1, 0), ('i', -1, 630, 0), ('l', 2, -1, 0), ('n', 28, -1, 0), ('o', 2, -1, 0), ('r', 28, -1, 0), ('t', 28, 2220, 0), ('u', -1, 931, 0), ('y', 2, -1, 0), ('z', -1, 194, 0), ('ó', 2, -1, 0), ('ę', 28, -1, 0)), (('a', -1, 530, 0), ('b', 2, -1, 0), ('c', -1, 631, 0), ('d', -1, 691, 0), ('e', 0, -1, 0), ('f', 2, -1, 0), ('g', 0, -1, 0), ('h', 2, -1, 0), ('i', -1, 1691, 0), ('k', 21, -1, 0), ('l', 171, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 28, -1, 0), ('s', 110, -1, 0), ('t', -1, 151, 0), ('u', 28, -1, 0), ('w', 0, 1061, 0), ('y', 210, -1, 0), ('z', -1, 395, 0), ('ę', 0, -1, 0), ('ł', 110, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 632, 0), ('b', -1, 219, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 56, 402, 0), ('h', 5, -1, 0), ('i', -1, 2313, 0), ('k', 117, 384, 0), ('l', -1, 2288, 0), ('m', -1, 3272, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('w', 11, 1762, 0), ('y', 5, -1, 0), ('z', 57, -1, 0), ('ą', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 166, -1, 0), ('d', -1, 633, 0), ('e', 149, -1, 0), ('g', 37, -1, 0), ('i', 5, -1, 0), ('l', 1, -1, 0), ('m', 5, -1, 0), ('n', 1, -1, 0), ('o', 0, 821, 0), ('p', 0, 179, 0), ('r', 1, -1, 0), ('s', 166, -1, 0), ('t', 5, -1, 0), ('w', 41, -1, 0), ('y', 149, -1, 0), ('z', 0, -1, 0), ('ł', 5, -1, 0)), (('a', 136, -1, 0), ('d', 7, -1, 0), ('e', -1, 634, 0), ('i', 7, -1, 0), ('n', 7, -1, 0), ('o', 29, 13, 0), ('p', 0, -1, 0), ('r', 7, -1, 0), ('s', 31, -1, 0), ('t', 3, -1, 0), ('u', 0, -1, 0), ('w', 7, -1, 0), ('y', -1, 3226, 0), ('z', -1, 1363, 0), ('ł', 7, -1, 0)), (('a', -1, 635, 0), ('d', 461, -1, 0), ('e', -1, 684, 0), ('i', -1, 543, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 0, 310, 0), ('p', 2, -1, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('y', -1, 204, 0), ('z', 3, -1, 0), ('ł', -1, 933, 0)), (('a', -1, 636, 0), ('d', 28, -1, 0), ('e', 354, -1, 0), ('g', -1, 313, 0), ('i', -1, 425, 0), ('k', 4, -1, 0), ('l', -1, 2480, 0), ('m', 2, -1, 0), ('o', -1, 1097, 0), ('p', 4, -1, 0), ('r', -1, 960, 0), ('s', 41, -1, 0), ('t', -1, 1110, 0), ('u', -1, 3313, 0), ('w', 56, -1, 0), ('y', -1, 2629, 0), ('z', 7, 64, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 28, 637, 0), ('d', 6, -1, 0), ('e', -1, 719, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 108, 2007, 0), ('l', 17, -1, 0), ('m', -1, 56, 0), ('n', 2, -1, 0), ('o', 6, -1, 0), ('p', -1, 1807, 0), ('r', -1, 1191, 0), ('s', -1, 70, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', -1, 860, 0), ('y', 6, -1, 0), ('z', -1, 681, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 28, -1, 0), ('ś', 6, -1, 0)), (('a', 2, -1, 0), ('b', -1, 638, 0), ('c', -1, 2804, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 28, -1, 0), ('h', 2, -1, 0), ('i', -1, 4430, 0), ('j', -1, 2092, 0), ('k', 55, -1, 0), ('l', -1, 1979, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', 55, 180, 0), ('p', 3, -1, 0), ('r', 2, -1, 0), ('s', -1, 3132, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 29, -1, 0), ('y', 28, -1, 0), ('z', -1, 3166, 0), ('ą', 2, -1, 0), ('ę', 22, -1, 0), ('ł', 29, -1, 0), ('ś', 3, -1, 0), ('ź', 2, -1, 0), ('ż', -1, 2825, 0)), (('a', 0, -1, 0), ('c', 0, 604, 0), ('d', -1, 639, 0), ('e', 21, -1, 0), ('i', -1, 668, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 2, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 478, 0), ('p', 5, 1691, 0), ('r', 21, -1, 0), ('s', 108, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', -1, 392, 0), ('y', 28, -1, 0), ('z', 21, -1, 0), ('ł', 108, 3206, 0), ('ś', 57, -1, 0)), (('a', -1, 640, 0), ('b', 63, -1, 0), ('c', 92, -1, 0), ('d', -1, 4431, 0), ('e', 108, -1, 0), ('g', -1, 1411, 0), ('h', -1, 164, 0), ('i', -1, 2361, 0), ('k', -1, 3801, 0), ('o', 53, -1, 0), ('p', -1, 3694, 0), ('r', -1, 2542, 0), ('s', -1, 620, 0), ('t', 63, -1, 0), ('u', 29, -1, 0), ('w', 207, -1, 0), ('y', 29, -1, 0), ('z', -1, 183, 0)), (('a', -1, 641, 0), ('b', 29, -1, 0), ('c', 21, -1, 0), ('d', 1, -1, 0), ('e', -1, 708, 0), ('f', 29, -1, 0), ('i', -1, 2624, 0), ('k', 1, 127, 0), ('l', 6, -1, 0), ('m', -1, 119, 0), ('o', -1, 2074, 0), ('p', 4, -1, 0), ('r', -1, 172, 0), ('s', 0, -1, 0), ('t', 29, -1, 0), ('u', -1, 59, 0), ('w', 29, -1, 0), ('y', -1, 467, 0), ('z', -1, 660, 0), ('ł', 6, -1, 0), ('ż', 29, -1, 0)), (('a', 6, -1, 0), ('b', -1, 465, 0), ('d', 6, -1, 0), ('e', -1, 642, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 1671, 0), ('j', 6, -1, 0), ('k', 118, 787, 0), ('l', -1, 240, 0), ('m', -1, 3102, 0), ('o', -1, 4122, 0), ('p', 2, 743, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', -1, 2887, 0), ('u', -1, 411, 0), ('w', 7, 42, 0), ('y', 6, -1, 0), ('z', -1, 234, 0), ('ż', 6, -1, 0)), (('a', -1, 643, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 6, -1, 0), ('f', 5, -1, 0), ('i', -1, 31, 0), ('k', 5, -1, 0), ('l', 22, -1, 0), ('m', 0, 1753, 0), ('n', -1, 885, 0), ('o', -1, 686, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 0, -1, 0), ('t', -1, 2612, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 6, -1, 0), ('z', -1, 2012, 0), ('ą', 6, -1, 0)), (('a', 0, -1, 0), ('b', 6, -1, 0), ('d', 0, 644, 0), ('e', 119, -1, 0), ('i', 6, -1, 0), ('k', 1, 2298, 0), ('l', -1, 2251, 0), ('m', 6, -1, 0), ('o', 0, -1, 0), ('p', 0, 64, 0), ('r', 0, -1, 0), ('s', 0, 225, 0), ('t', 6, -1, 0), ('u', 41, -1, 0), ('w', 41, -1, 0), ('y', -1, 1332, 0), ('z', -1, 1779, 0)), (('a', -1, 128, 0), ('d', -1, 236, 0), ('e', 111, -1, 0), ('i', -1, 645, 0), ('o', -1, 462, 0), ('p', 0, 85, 0), ('r', -1, 72, 0), ('s', 2, 1688, 0), ('t', 0, 2517, 0), ('w', -1, 843, 0), ('z', -1, 595, 0), ('ł', -1, 318, 0)), (('a', -1, 646, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 356, 0), ('e', -1, 1234, 0), ('f', 3, -1, 0), ('g', -1, 13, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('k', 63, -1, 0), ('l', -1, 560, 0), ('m', -1, 950, 0), ('o', 6, 745, 0), ('p', -1, 36, 0), ('r', 6, -1, 0), ('s', -1, 130, 0), ('t', -1, 2369, 0), ('u', 6, -1, 0), ('w', 29, -1, 0), ('y', 6, -1, 0), ('z', -1, 1542, 0), ('ś', -1, 1565, 0), ('ź', 6, -1, 0)), (('a', 71, -1, 0), ('b', 23, 647, 0), ('c', 95, -1, 0), ('d', 6, -1, 0), ('e', 71, -1, 0), ('i', 71, -1, 0), ('k', 6, -1, 0), ('l', 23, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 126, 100, 0), ('p', 6, -1, 0), ('r', 71, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 71, -1, 0), ('w', 6, -1, 0), ('y', 71, -1, 0), ('z', 6, 349, 0), ('ó', 71, -1, 0), ('ą', 71, -1, 0), ('ę', 5, -1, 0)), (('a', 143, -1, 0), ('c', 28, -1, 0), ('d', -1, 648, 0), ('e', -1, 352, 0), ('g', -1, 603, 0), ('i', 324, -1, 0), ('l', -1, 2514, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 23, -1, 0), ('r', 2, -1, 0), ('t', 0, 723, 0), ('w', 4, -1, 0), ('z', 4, -1, 0), ('ł', 236, -1, 0)), (('a', 24, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('h', 2, -1, 0), ('i', 28, -1, 0), ('k', 2, -1, 0), ('l', -1, 649, 0), ('m', 2, -1, 0), ('o', 23, -1, 0), ('r', -1, 2428, 0), ('s', 4, -1, 0), ('u', 2, -1, 0), ('w', -1, 2192, 0), ('y', 2, -1, 0), ('z', 28, -1, 0), ('ę', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 189, -1, 0), ('b', 189, -1, 0), ('c', 2, -1, 0), ('d', 189, -1, 0), ('e', -1, 650, 0), ('g', 2, -1, 0), ('h', 28, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 189, -1, 0), ('p', 28, -1, 0), ('r', 108, -1, 0), ('s', -1, 3627, 0), ('t', 22, -1, 0), ('u', -1, 810, 0), ('w', -1, 3678, 0), ('y', 189, -1, 0), ('z', 189, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 651, 0), ('d', -1, 1601, 0), ('e', -1, 489, 0), ('i', 189, -1, 0), ('j', -1, 778, 0), ('o', 0, 1036, 0), ('p', 72, 517, 0), ('r', -1, 2038, 0), ('s', 0, 164, 0), ('w', 0, 164, 0), ('y', -1, 2632, 0), ('z', -1, 2780, 0)), (('a', 242, -1, 0), ('b', 21, -1, 0), ('c', -1, 652, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', 4, -1, 0), ('h', 21, -1, 0), ('i', -1, 945, 0), ('k', 21, -1, 0), ('l', 0, 44, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 242, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 238, -1, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 274, -1, 0), ('ć', 0, -1, 0), ('ę', 21, -1, 0), ('ł', -1, 1508, 0), ('ń', 21, -1, 0), ('ś', 4, -1, 0), ('ż', 79, -1, 0)), (('a', -1, 334, 0), ('b', -1, 653, 0), ('c', -1, 284, 0), ('d', 110, -1, 0), ('e', 82, -1, 0), ('g', -1, 1521, 0), ('i', 86, -1, 0), ('k', -1, 2521, 0), ('l', -1, 104, 0), ('m', 217, -1, 0), ('n', 21, -1, 0), ('o', 110, -1, 0), ('p', 322, -1, 0), ('r', 217, -1, 0), ('s', 0, -1, 0), ('t', 110, -1, 0), ('u', -1, 85, 0), ('w', 37, -1, 0), ('y', 110, -1, 0), ('z', 21, -1, 0), ('ł', 0, -1, 0)), (('a', 33, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', -1, 654, 0), ('e', 21, -1, 0), ('f', 33, -1, 0), ('g', 33, -1, 0), ('h', 7, -1, 0), ('i', -1, 163, 0), ('j', 97, -1, 0), ('k', 7, -1, 0), ('l', -1, 916, 0), ('m', -1, 653, 0), ('n', -1, 4078, 0), ('o', 21, -1, 0), ('p', 0, 779, 0), ('r', -1, 3488, 0), ('s', 21, -1, 0), ('t', 7, -1, 0), ('u', -1, 1003, 0), ('w', -1, 2591, 0), ('y', 33, -1, 0), ('z', -1, 116, 0)), (('a', 97, -1, 0), ('d', 372, -1, 0), ('e', 97, -1, 0), ('f', 31, -1, 0), ('i', -1, 246, 0), ('k', -1, 655, 0), ('l', 31, -1, 0), ('m', 31, -1, 0), ('n', 7, -1, 0), ('o', 375, -1, 0), ('r', -1, 1144, 0), ('t', 31, -1, 0), ('y', 375, -1, 0), ('z', 31, -1, 0), ('ł', 31, -1, 0)), (('a', 178, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 656, 0), ('e', 31, -1, 0), ('f', -1, 656, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 3977, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', -1, 2302, 0), ('m', -1, 3046, 0), ('n', 0, 4038, 0), ('o', 27, 2334, 0), ('p', -1, 2340, 0), ('r', -1, 742, 0), ('s', -1, 3742, 0), ('t', -1, 1863, 0), ('u', 1, -1, 0), ('y', 178, -1, 0), ('z', 79, 3436, 0), ('ż', -1, 4585, 0)), (('a', 0, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('i', 1, -1, 0), ('l', 131, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 657, 0), ('s', -1, 839, 0), ('u', 0, -1, 0), ('z', 4, -1, 0), ('ż', 1, -1, 0)), (('a', 4, -1, 0), ('b', 4, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('g', 4, -1, 0), ('h', 0, -1, 0), ('o', 4, -1, 0), ('r', 28, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', -1, 658, 0), ('ź', 28, -1, 0)), (('a', -1, 659, 0), ('c', 1, -1, 0), ('d', 3, 142, 0), ('e', -1, 81, 0), ('f', 1, -1, 0), ('g', -1, 787, 0), ('h', 4, -1, 0), ('i', 1, -1, 0), ('j', -1, 351, 0), ('k', 0, 438, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 4, -1, 0), ('p', 4, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 693, 0), ('u', 12, -1, 0), ('w', -1, 1456, 0), ('y', 79, -1, 0), ('z', -1, 1089, 0), ('ł', 1, -1, 0), ('ż', 4, -1, 0)), (('a', -1, 371, 0), ('b', 64, -1, 0), ('c', -1, 660, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('f', 1, -1, 0), ('g', -1, 1003, 0), ('h', 0, -1, 0), ('i', 364, -1, 0), ('k', 1, -1, 0), ('l', -1, 174, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 21, -1, 0), ('p', 0, -1, 0), ('r', 21, -1, 0), ('s', 1, 359, 0), ('t', -1, 322, 0), ('u', 196, -1, 0), ('w', 0, -1, 0), ('y', 196, -1, 0), ('z', -1, 389, 0), ('ł', 0, -1, 0)), (('a', 29, -1, 0), ('b', -1, 661, 0), ('c', 6, -1, 0), ('d', 15, -1, 0), ('e', 79, -1, 0), ('f', 29, -1, 0), ('i', -1, 2094, 0), ('n', -1, 634, 0), ('o', 1, -1, 0), ('p', 29, -1, 0), ('r', -1, 662, 0), ('s', -1, 620, 0), ('u', 1, -1, 0), ('w', 29, -1, 0), ('y', 63, -1, 0), ('z', 7, -1, 0), ('ę', 73, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 85, 662, 0), ('d', 7, -1, 0), ('e', -1, 572, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('m', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 166, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 47, -1, 0), ('y', 29, -1, 0), ('z', 29, -1, 0), ('ł', 40, -1, 0), ('ś', 376, -1, 0)), (('a', -1, 663, 0), ('b', 6, -1, 0), ('d', 85, -1, 0), ('e', -1, 517, 0), ('i', 22, -1, 0), ('j', 6, -1, 0), ('l', -1, 846, 0), ('m', 26, -1, 0), ('n', 3, -1, 0), ('o', 108, 1018, 0), ('p', 177, -1, 0), ('r', 29, -1, 0), ('s', 102, -1, 0), ('t', -1, 1123, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 41, -1, 0), ('z', -1, 35, 0), ('ł', 6, -1, 0)), (('a', 5, -1, 0), ('b', 6, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 28, -1, 0), ('g', 30, -1, 0), ('h', 5, -1, 0), ('i', -1, 664, 0), ('k', -1, 226, 0), ('l', -1, 945, 0), ('m', -1, 827, 0), ('n', 5, -1, 0), ('o', 13, -1, 0), ('p', 6, -1, 0), ('r', 5, -1, 0), ('s', -1, 152, 0), ('t', -1, 1904, 0), ('u', 28, -1, 0), ('w', 95, -1, 0), ('y', -1, 744, 0), ('z', 6, -1, 0), ('ł', 5, -1, 0), ('ś', 31, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 665, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', -1, 1794, 0), ('e', -1, 762, 0), ('f', 0, -1, 0), ('g', 21, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 3, -1, 0), ('k', -1, 1787, 0), ('l', 1, -1, 0), ('m', -1, 908, 0), ('n', 21, -1, 0), ('o', 1, -1, 0), ('p', 6, -1, 0), ('r', -1, 145, 0), ('s', 1, -1, 0), ('t', 21, -1, 0), ('u', 1, -1, 0), ('w', 6, -1, 0), ('y', 1, -1, 0), ('z', -1, 113, 0), ('ę', 21, -1, 0), ('ł', 73, -1, 0), ('ś', -1, 2566, 0), ('ź', -1, 4402, 0), ('ż', -1, 45, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', -1, 666, 0), ('d', 110, -1, 0), ('e', 110, -1, 0), ('g', 3, -1, 0), ('h', 1, -1, 0), ('i', -1, 576, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 52, -1, 0), ('n', 1, -1, 0), ('o', 110, -1, 0), ('p', 4, 367, 0), ('r', 21, -1, 0), ('s', 17, -1, 0), ('t', 22, -1, 0), ('u', 21, -1, 0), ('w', 287, -1, 0), ('y', 217, -1, 0), ('z', 110, -1, 0), ('ę', 1, -1, 0), ('ł', 21, -1, 0)), (('a', 9, -1, 0), ('c', 73, -1, 0), ('d', 9, -1, 0), ('e', 101, -1, 0), ('i', -1, 667, 0), ('k', 1, 1623, 0), ('l', 3, -1, 0), ('m', 65, -1, 0), ('o', 9, -1, 0), ('p', 73, -1, 0), ('r', -1, 478, 0), ('s', 1, 1692, 0), ('t', 29, -1, 0), ('u', 101, -1, 0), ('w', 73, -1, 0), ('y', 2, -1, 0), ('z', -1, 1964, 0)), (('a', 96, -1, 0), ('b', 4, -1, 0), ('c', -1, 316, 0), ('d', 4, -1, 0), ('e', 12, -1, 0), ('f', 0, -1, 0), ('g', 21, -1, 0), ('h', 3, -1, 0), ('i', 96, -1, 0), ('k', 21, -1, 0), ('l', 1, -1, 0), ('m', 28, -1, 0), ('n', -1, 458, 0), ('o', 96, -1, 0), ('p', 28, -1, 0), ('r', 21, 668, 0), ('s', 12, -1, 0), ('t', -1, 474, 0), ('u', 96, -1, 0), ('w', 4, -1, 0), ('y', 196, -1, 0), ('z', -1, 1521, 0), ('ę', 12, -1, 0), ('ł', 4, 133, 0), ('ś', 28, -1, 0)), (('a', 187, -1, 0), ('b', 187, -1, 0), ('c', -1, 669, 0), ('d', 187, -1, 0), ('e', 109, -1, 0), ('g', 350, -1, 0), ('h', 28, -1, 0), ('i', 12, 15, 0), ('k', 109, -1, 0), ('l', -1, 2484, 0), ('m', 109, -1, 0), ('n', -1, 490, 0), ('o', 6, -1, 0), ('p', 167, -1, 0), ('r', 109, -1, 0), ('s', 12, -1, 0), ('t', 109, -1, 0), ('u', 58, -1, 0), ('w', 110, -1, 0), ('y', 187, -1, 0), ('z', 187, -1, 0), ('ę', 95, -1, 0), ('ł', 109, -1, 0), ('ś', -1, 1552, 0)), (('a', -1, 670, 0), ('b', 21, -1, 0), ('c', 181, -1, 0), ('d', 4, -1, 0), ('e', 21, -1, 0), ('g', 57, -1, 0), ('i', -1, 1025, 0), ('k', -1, 611, 0), ('l', -1, 2245, 0), ('m', 21, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 24, 164, 0), ('r', 7, -1, 0), ('s', 0, -1, 0), ('t', -1, 2876, 0), ('u', 21, -1, 0), ('w', 0, -1, 0), ('y', -1, 153, 0), ('z', 86, -1, 0)), (('a', -1, 123, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 191, -1, 0), ('e', 282, -1, 0), ('g', 21, -1, 0), ('h', 28, -1, 0), ('i', 61, -1, 0), ('k', 1, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 369, -1, 0), ('o', 96, 478, 0), ('p', 21, -1, 0), ('r', -1, 428, 0), ('s', -1, 671, 0), ('t', 21, -1, 0), ('u', -1, 775, 0), ('w', 28, -1, 0), ('y', 0, -1, 0), ('z', 222, -1, 0), ('ó', -1, 703, 0), ('ą', -1, 1392, 0), ('ę', 61, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 406, 0), ('b', 37, -1, 0), ('c', -1, 672, 0), ('d', 37, -1, 0), ('e', 12, -1, 0), ('g', 36, 807, 0), ('h', 28, -1, 0), ('i', -1, 296, 0), ('k', 0, 85, 0), ('l', -1, 612, 0), ('m', 37, -1, 0), ('n', 37, -1, 0), ('o', -1, 20, 0), ('p', -1, 780, 0), ('r', -1, 169, 0), ('s', 12, -1, 0), ('t', -1, 1489, 0), ('u', 41, -1, 0), ('w', -1, 476, 0), ('y', 12, -1, 0), ('z', 193, -1, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ł', -1, 652, 0)), (('a', 1, -1, 0), ('b', 55, -1, 0), ('c', 21, -1, 0), ('d', 0, -1, 0), ('e', -1, 673, 0), ('f', 7, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', -1, 265, 0), ('m', 1, -1, 0), ('n', 7, -1, 0), ('o', 1, -1, 0), ('p', 7, -1, 0), ('r', -1, 542, 0), ('s', 55, -1, 0), ('t', 21, -1, 0), ('u', 1, -1, 0), ('w', 7, 157, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 214, -1, 0), ('ę', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 674, 0), ('c', 0, -1, 0), ('d', 217, -1, 0), ('e', 197, -1, 0), ('f', 0, -1, 0), ('g', 41, -1, 0), ('h', -1, 638, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 208, 3690, 0), ('n', 41, -1, 0), ('o', 41, -1, 0), ('p', -1, 530, 0), ('r', -1, 1434, 0), ('s', 64, -1, 0), ('t', 41, -1, 0), ('u', -1, 2537, 0), ('w', 64, -1, 0), ('y', -1, 2354, 0), ('z', 1, -1, 0), ('ó', 41, -1, 0), ('ł', 41, -1, 0), ('ś', 166, 81, 0)), (('a', 6, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 12, -1, 0), ('e', -1, 83, 0), ('g', 6, -1, 0), ('h', 64, -1, 0), ('i', -1, 360, 0), ('k', 4, -1, 0), ('l', -1, 675, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 167, -1, 0), ('p', -1, 133, 0), ('r', 167, -1, 0), ('s', 58, -1, 0), ('t', 0, -1, 0), ('u', 95, -1, 0), ('w', 21, -1, 0), ('y', 96, -1, 0), ('z', -1, 477, 0), ('ł', 6, -1, 0), ('ś', 0, 840, 0)), (('a', 21, -1, 0), ('b', 28, -1, 0), ('c', -1, 676, 0), ('d', 0, 225, 0), ('e', 17, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 3, -1, 0), ('i', -1, 367, 0), ('j', -1, 1095, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 22, -1, 0), ('n', 110, -1, 0), ('o', 17, -1, 0), ('p', 13, 278, 0), ('r', 21, -1, 0), ('s', 28, -1, 0), ('t', 110, -1, 0), ('u', 17, -1, 0), ('w', 17, -1, 0), ('y', 17, -1, 0), ('z', 17, -1, 0), ('ę', 21, -1, 0), ('ł', 193, -1, 0), ('ś', 74, -1, 0)), (('a', 25, -1, 0), ('b', -1, 677, 0), ('c', -1, 136, 0), ('d', 25, -1, 0), ('e', 25, -1, 0), ('f', 25, -1, 0), ('g', 25, -1, 0), ('h', -1, 388, 0), ('i', 25, -1, 0), ('k', -1, 1552, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', -1, 478, 0), ('o', -1, 677, 0), ('p', -1, 2530, 0), ('r', -1, 149, 0), ('s', 95, -1, 0), ('t', -1, 141, 0), ('u', 25, -1, 0), ('w', 95, -1, 0), ('y', 25, -1, 0), ('z', -1, 404, 0), ('ó', 25, -1, 0)), (('a', 176, -1, 0), ('b', 25, 397, 0), ('c', 12, -1, 0), ('d', 176, -1, 0), ('e', 25, -1, 0), ('g', -1, 678, 0), ('h', 25, -1, 0), ('i', 25, -1, 0), ('k', 0, 310, 0), ('l', 25, -1, 0), ('m', 25, -1, 0), ('n', 25, -1, 0), ('o', 25, -1, 0), ('p', 95, 908, 0), ('r', 52, -1, 0), ('s', -1, 267, 0), ('t', 25, -1, 0), ('u', -1, 760, 0), ('w', 176, -1, 0), ('y', 176, -1, 0), ('z', -1, 2633, 0), ('ż', -1, 240, 0)), (('a', 3, 223, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('i', 39, -1, 0), ('o', 134, -1, 0), ('r', -1, 679, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 134, -1, 0)), (('a', 7, -1, 0), ('b', 99, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 680, 0), ('j', 7, -1, 0), ('k', -1, 585, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 57, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', 7, -1, 0), ('ę', -1, 633, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 681, 0), ('b', 53, -1, 0), ('c', 0, 44, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('i', 139, -1, 0), ('j', -1, 2683, 0), ('k', -1, 1674, 0), ('l', -1, 1381, 0), ('m', -1, 660, 0), ('n', 7, -1, 0), ('o', 53, 100, 0), ('p', 7, -1, 0), ('r', -1, 919, 0), ('s', -1, 346, 0), ('t', 7, -1, 0), ('u', -1, 95, 0), ('w', -1, 385, 0), ('y', 53, -1, 0), ('z', 53, -1, 0), ('ś', 7, -1, 0)), (('a', 0, 140, 0), ('c', 7, -1, 0), ('d', -1, 43, 0), ('e', 6, -1, 0), ('h', 86, -1, 0), ('i', -1, 682, 0), ('k', -1, 141, 0), ('l', 28, -1, 0), ('m', -1, 1980, 0), ('n', 106, -1, 0), ('o', 159, -1, 0), ('p', -1, 569, 0), ('r', 86, -1, 0), ('s', -1, 83, 0), ('t', -1, 431, 0), ('u', 30, -1, 0), ('w', -1, 1374, 0), ('y', -1, 1786, 0), ('z', 53, 188, 0), ('ł', 6, -1, 0)), (('a', -1, 511, 0), ('b', 21, -1, 0), ('c', -1, 683, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 21, -1, 0), ('g', -1, 1985, 0), ('h', 6, -1, 0), ('i', -1, 627, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 652, 0), ('m', 21, -1, 0), ('n', 28, -1, 0), ('o', 58, -1, 0), ('p', 86, -1, 0), ('r', -1, 383, 0), ('s', 86, -1, 0), ('t', -1, 779, 0), ('u', -1, 118, 0), ('w', 86, -1, 0), ('y', 12, -1, 0), ('z', 58, -1, 0), ('ł', -1, 668, 0)), (('a', -1, 454, 0), ('b', 52, -1, 0), ('c', 0, 506, 0), ('d', 110, -1, 0), ('e', -1, 665, 0), ('g', 52, -1, 0), ('h', 110, -1, 0), ('i', 17, -1, 0), ('j', 217, -1, 0), ('k', 110, -1, 0), ('l', -1, 684, 0), ('m', 52, -1, 0), ('n', 21, -1, 0), ('o', 52, 1521, 0), ('p', -1, 936, 0), ('r', 86, -1, 0), ('s', 1, -1, 0), ('t', -1, 979, 0), ('u', 110, -1, 0), ('w', 12, -1, 0), ('y', -1, 1591, 0), ('z', 217, -1, 0), ('ó', 110, -1, 0), ('ę', 86, -1, 0)), (('a', 0, 226, 0), ('b', 63, -1, 0), ('d', 63, -1, 0), ('e', -1, 685, 0), ('i', -1, 1223, 0), ('k', 54, -1, 0), ('l', -1, 1786, 0), ('o', -1, 3007, 0), ('p', -1, 284, 0), ('r', -1, 1666, 0), ('s', -1, 61, 0), ('t', 12, -1, 0), ('w', 63, -1, 0), ('y', 195, -1, 0), ('z', -1, 147, 0), ('ł', 54, -1, 0), ('ś', 3, -1, 0), ('ż', 73, -1, 0)), (('a', -1, 33, 0), ('b', 86, -1, 0), ('c', 0, 686, 0), ('d', -1, 558, 0), ('e', -1, 683, 0), ('g', 86, -1, 0), ('i', -1, 380, 0), ('k', 19, -1, 0), ('l', -1, 2773, 0), ('m', 86, -1, 0), ('n', -1, 1487, 0), ('o', 17, -1, 0), ('p', 86, -1, 0), ('r', 110, -1, 0), ('s', -1, 274, 0), ('t', -1, 1461, 0), ('u', -1, 423, 0), ('w', 86, -1, 0), ('y', -1, 786, 0), ('z', 86, -1, 0), ('ę', 17, -1, 0)), (('a', 86, -1, 0), ('b', -1, 687, 0), ('c', 6, -1, 0), ('d', 105, -1, 0), ('e', -1, 936, 0), ('g', 108, 452, 0), ('i', 209, -1, 0), ('k', 6, 385, 0), ('l', 6, -1, 0), ('m', 217, 976, 0), ('n', 21, -1, 0), ('o', 86, -1, 0), ('p', -1, 1166, 0), ('r', -1, 1677, 0), ('s', 455, -1, 0), ('t', 29, -1, 0), ('u', 86, -1, 0), ('w', 86, -1, 0), ('y', 86, -1, 0), ('z', 377, -1, 0), ('ą', -1, 1488, 0), ('ę', -1, 723, 0), ('ł', -1, 541, 0), ('ś', 86, 841, 0)), (('a', 29, -1, 0), ('d', 108, -1, 0), ('e', 29, -1, 0), ('g', 7, -1, 0), ('i', 29, -1, 0), ('j', 29, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('o', 29, -1, 0), ('p', -1, 688, 0), ('r', 5, -1, 0), ('s', 464, -1, 0), ('t', 29, -1, 0), ('u', 108, -1, 0), ('w', -1, 3485, 0), ('y', 29, -1, 0), ('z', 55, -1, 0), ('ł', -1, 2075, 0), ('ź', 29, -1, 0)), (('a', 106, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 106, -1, 0), ('e', 106, -1, 0), ('f', 3, -1, 0), ('g', 5, -1, 0), ('i', -1, 689, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', -1, 11, 0), ('o', 55, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', -1, 3047, 0), ('t', 5, -1, 0), ('u', -1, 2737, 0), ('w', 5, -1, 0), ('y', 55, -1, 0), ('z', 5, -1, 0), ('ł', -1, 1005, 0), ('ż', 5, -1, 0)), (('a', -1, 690, 0), ('b', 80, -1, 0), ('d', 2, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 1467, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 976, 0), ('p', -1, 878, 0), ('r', 3, -1, 0), ('s', 5, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 5, -1, 0), ('y', -1, 1977, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 691, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', -1, 285, 0), ('e', -1, 61, 0), ('f', 3, -1, 0), ('i', 22, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 145, 0), ('p', 7, -1, 0), ('r', 3, -1, 0), ('s', 0, 44, 0), ('t', 3, -1, 0), ('u', 0, 44, 0), ('w', -1, 406, 0), ('y', -1, 147, 0), ('z', -1, 717, 0), ('ł', -1, 1310, 0)), (('a', 210, -1, 0), ('c', 54, -1, 0), ('d', 101, -1, 0), ('e', -1, 226, 0), ('g', 349, -1, 0), ('i', -1, 692, 0), ('k', -1, 1981, 0), ('l', -1, 132, 0), ('m', 0, -1, 0), ('n', 2, -1, 0), ('o', 210, -1, 0), ('p', 34, 262, 0), ('r', 4, -1, 0), ('s', 34, -1, 0), ('t', 28, -1, 0), ('u', 101, -1, 0), ('w', 105, -1, 0), ('y', 4, -1, 0), ('z', -1, 185, 0), ('ę', 9, -1, 0)), (('a', 193, -1, 0), ('b', 61, -1, 0), ('c', 21, -1, 0), ('d', 61, -1, 0), ('e', 12, -1, 0), ('g', 7, 693, 0), ('i', -1, 458, 0), ('j', 96, -1, 0), ('k', -1, 116, 0), ('l', 96, -1, 0), ('m', 12, -1, 0), ('n', -1, 694, 0), ('o', 193, -1, 0), ('p', -1, 531, 0), ('r', 12, -1, 0), ('s', 28, -1, 0), ('t', -1, 390, 0), ('u', 61, -1, 0), ('w', 61, -1, 0), ('y', 193, -1, 0), ('z', 96, -1, 0), ('ł', -1, 3069, 0), ('ś', 193, -1, 0)), (('a', -1, 318, 0), ('b', 79, -1, 0), ('c', 21, -1, 0), ('d', 55, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 22, -1, 0), ('k', 1, -1, 0), ('l', 62, -1, 0), ('m', 23, -1, 0), ('n', 1, -1, 0), ('o', -1, 314, 0), ('p', -1, 97, 0), ('r', 4, -1, 0), ('s', 3, 359, 0), ('t', 1, -1, 0), ('u', 4, -1, 0), ('w', -1, 622, 0), ('y', 4, -1, 0), ('z', 55, -1, 0)), (('a', 4, -1, 0), ('b', 28, -1, 0), ('c', 0, -1, 0), ('d', 220, -1, 0), ('e', -1, 695, 0), ('i', 21, -1, 0), ('j', 220, -1, 0), ('k', -1, 569, 0), ('l', 4, -1, 0), ('m', -1, 460, 0), ('n', -1, 3965, 0), ('o', 4, -1, 0), ('p', 217, -1, 0), ('r', 220, -1, 0), ('s', -1, 762, 0), ('t', -1, 47, 0), ('u', -1, 667, 0), ('w', -1, 99, 0), ('y', -1, 703, 0), ('z', 220, -1, 0), ('ą', 4, -1, 0), ('ę', -1, 190, 0), ('ł', -1, 862, 0), ('ź', 28, -1, 0), ('ż', 220, -1, 0)), (('a', 209, -1, 0), ('b', 12, -1, 0), ('c', -1, 696, 0), ('d', -1, 3006, 0), ('e', -1, 16, 0), ('g', -1, 1383, 0), ('i', -1, 184, 0), ('k', -1, 361, 0), ('l', 28, -1, 0), ('m', 71, -1, 0), ('n', 52, -1, 0), ('o', 86, -1, 0), ('p', -1, 1342, 0), ('r', -1, 359, 0), ('s', -1, 822, 0), ('t', -1, 1875, 0), ('u', -1, 1890, 0), ('w', -1, 2465, 0), ('y', 209, -1, 0), ('z', 209, -1, 0)), (('a', -1, 697, 0), ('c', 1, -1, 0), ('d', -1, 3389, 0), ('e', 55, -1, 0), ('i', -1, 1078, 0), ('k', 31, -1, 0), ('l', 79, -1, 0), ('m', 31, -1, 0), ('n', 79, -1, 0), ('o', 79, -1, 0), ('p', -1, 1773, 0), ('r', -1, 763, 0), ('s', 79, -1, 0), ('u', 12, -1, 0), ('w', 79, -1, 0), ('y', 12, -1, 0), ('z', 79, -1, 0), ('ó', 7, -1, 0)), (('a', -1, 698, 0), ('c', 80, -1, 0), ('d', 106, -1, 0), ('e', -1, 2180, 0), ('i', -1, 498, 0), ('k', -1, 2322, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 2504, 0), ('p', -1, 756, 0), ('r', 1, -1, 0), ('s', 203, -1, 0), ('t', -1, 1128, 0), ('u', -1, 463, 0), ('w', 12, -1, 0), ('y', -1, 2781, 0), ('z', 55, -1, 0), ('ł', 106, 111, 0)), (('a', -1, 699, 0), ('b', 7, -1, 0), ('c', -1, 2223, 0), ('d', -1, 2297, 0), ('e', -1, 2098, 0), ('f', -1, 3007, 0), ('g', -1, 3252, 0), ('h', -1, 860, 0), ('i', -1, 2865, 0), ('j', -1, 2886, 0), ('k', -1, 4228, 0), ('l', -1, 25, 0), ('m', 460, 2475, 0), ('n', -1, 236, 0), ('o', -1, 764, 0), ('p', -1, 4376, 0), ('r', -1, 2421, 0), ('s', -1, 2621, 0), ('t', -1, 56, 0), ('w', -1, 1525, 0), ('z', -1, 217, 0), ('ł', 0, 2076, 0), ('ż', -1, 4440, 0)), (('a', -1, 411, 0), ('b', 24, -1, 0), ('c', -1, 700, 0), ('d', 6, -1, 0), ('e', -1, 859, 0), ('f', 0, -1, 0), ('g', -1, 1595, 0), ('h', 0, -1, 0), ('i', -1, 189, 0), ('k', -1, 1088, 0), ('l', -1, 478, 0), ('m', 0, -1, 0), ('n', 163, 165, 0), ('o', 0, 225, 0), ('p', 0, 1270, 0), ('r', -1, 699, 0), ('s', -1, 705, 0), ('t', -1, 312, 0), ('u', 0, 635, 0), ('w', 0, -1, 0), ('y', 64, -1, 0), ('z', 195, -1, 0)), (('a', 0, -1, 0), ('c', 41, -1, 0), ('d', 3, -1, 0), ('e', 230, -1, 0), ('i', 41, -1, 0), ('k', 3, -1, 0), ('l', -1, 701, 0), ('m', 41, -1, 0), ('n', -1, 1273, 0), ('o', 0, -1, 0), ('p', -1, 3879, 0), ('r', -1, 940, 0), ('s', 41, -1, 0), ('t', 3, -1, 0), ('u', 0, -1, 0), ('w', -1, 2988, 0), ('y', 41, -1, 0), ('z', -1, 732, 0), ('ą', 41, -1, 0)), (('a', -1, 204, 0), ('b', 0, -1, 0), ('c', 41, -1, 0), ('d', -1, 227, 0), ('e', -1, 702, 0), ('g', 0, -1, 0), ('h', -1, 349, 0), ('i', 0, -1, 0), ('k', 28, -1, 0), ('l', 41, -1, 0), ('m', 41, 16, 0), ('n', 3, -1, 0), ('o', 0, 128, 0), ('p', 41, -1, 0), ('r', 41, -1, 0), ('s', -1, 2281, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', 41, -1, 0), ('y', -1, 173, 0), ('z', -1, 2780, 0), ('ó', 0, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 703, 0), ('b', 27, -1, 0), ('d', 4, 165, 0), ('e', 96, -1, 0), ('g', 30, -1, 0), ('i', -1, 857, 0), ('k', 41, -1, 0), ('l', 7, -1, 0), ('m', 0, 225, 0), ('o', 184, -1, 0), ('p', 27, -1, 0), ('r', 4, -1, 0), ('s', -1, 1327, 0), ('t', -1, 811, 0), ('u', -1, 726, 0), ('w', 7, 974, 0), ('y', 96, -1, 0), ('z', -1, 3310, 0), ('ł', 41, -1, 0), ('ż', -1, 163, 0)), (('a', -1, 395, 0), ('b', -1, 704, 0), ('c', -1, 2299, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 95, 386, 0), ('h', 95, -1, 0), ('i', 138, -1, 0), ('k', -1, 1790, 0), ('l', -1, 936, 0), ('m', 95, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 0, 106, 0), ('r', 61, -1, 0), ('s', -1, 2110, 0), ('t', 4, -1, 0), ('u', 12, -1, 0), ('w', -1, 307, 0), ('y', 12, -1, 0), ('z', 58, 477, 0), ('ą', -1, 478, 0), ('ł', -1, 996, 0)), (('a', 1, -1, 0), ('b', 21, -1, 0), ('c', -1, 143, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('h', 2, -1, 0), ('i', 21, -1, 0), ('j', 4, -1, 0), ('k', 21, -1, 0), ('l', 121, -1, 0), ('m', 29, -1, 0), ('n', 1, -1, 0), ('o', 21, -1, 0), ('p', 29, -1, 0), ('r', 1, -1, 0), ('s', -1, 705, 0), ('t', 108, -1, 0), ('u', 4, -1, 0), ('w', -1, 21, 0), ('y', 1, -1, 0), ('z', -1, 524, 0), ('ę', 0, -1, 0), ('ł', -1, 2428, 0)), (('a', -1, 706, 0), ('b', 1, -1, 0), ('c', 1, 1665, 0), ('d', -1, 735, 0), ('e', 13, -1, 0), ('g', 175, -1, 0), ('h', 24, -1, 0), ('i', 24, -1, 0), ('k', 21, -1, 0), ('l', 181, -1, 0), ('m', 1, -1, 0), ('n', 110, -1, 0), ('o', 0, -1, 0), ('p', 0, 1265, 0), ('r', 0, -1, 0), ('s', 13, 278, 0), ('t', 181, -1, 0), ('u', 0, -1, 0), ('w', 110, -1, 0), ('y', 13, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 500, 0), ('ż', 24, -1, 0)), (('a', 12, -1, 0), ('b', 21, -1, 0), ('c', -1, 707, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('g', -1, 3876, 0), ('h', 21, -1, 0), ('i', 81, -1, 0), ('k', -1, 152, 0), ('l', -1, 767, 0), ('m', 21, 180, 0), ('n', 21, -1, 0), ('o', 86, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 86, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 86, -1, 0), ('y', 9, -1, 0), ('z', -1, 675, 0), ('ł', 0, -1, 0), ('ź', 21, -1, 0), ('ż', 21, -1, 0)), (('a', 11, -1, 0), ('b', 0, -1, 0), ('c', 0, 708, 0), ('d', 86, -1, 0), ('e', 11, -1, 0), ('g', 95, 668, 0), ('h', 61, -1, 0), ('i', 98, -1, 0), ('j', 39, -1, 0), ('k', 167, -1, 0), ('l', 6, -1, 0), ('m', 96, 503, 0), ('n', 21, -1, 0), ('o', 98, -1, 0), ('p', 0, 891, 0), ('r', 98, -1, 0), ('s', 167, -1, 0), ('t', 0, 64, 0), ('u', -1, 1098, 0), ('w', 62, -1, 0), ('y', 11, -1, 0), ('z', 194, -1, 0), ('ó', -1, 932, 0), ('ę', 98, -1, 0), ('ł', -1, 1024, 0), ('ś', -1, 1006, 0), ('ż', 28, -1, 0)), (('a', 93, -1, 0), ('b', -1, 709, 0), ('c', -1, 1818, 0), ('d', 105, -1, 0), ('e', -1, 878, 0), ('g', -1, 446, 0), ('i', 95, -1, 0), ('k', -1, 781, 0), ('l', 21, -1, 0), ('m', -1, 879, 0), ('n', -1, 163, 0), ('o', -1, 695, 0), ('p', -1, 769, 0), ('r', 0, 64, 0), ('s', -1, 431, 0), ('t', 21, -1, 0), ('u', 28, -1, 0), ('w', -1, 878, 0), ('y', -1, 1332, 0), ('z', 0, 225, 0), ('ę', 95, -1, 0), ('ł', -1, 3255, 0)), (('a', 79, -1, 0), ('c', -1, 710, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', -1, 4045, 0), ('j', -1, 4582, 0), ('k', -1, 2587, 0), ('l', -1, 4583, 0), ('m', -1, 3258, 0), ('n', 0, 102, 0), ('o', -1, 2273, 0), ('p', 0, -1, 0), ('r', -1, 883, 0), ('s', 1, -1, 0), ('t', -1, 3436, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 0, 4436, 0), ('ł', -1, 1138, 0), ('ż', 0, 4584, 0)), (('a', 14, -1, 0), ('e', 14, -1, 0), ('i', 14, -1, 0), ('n', 0, -1, 0), ('o', 14, -1, 0), ('r', 14, -1, 0), ('u', -1, 711, 0), ('y', 14, -1, 0), ('ó', -1, 1091, 0), ('ą', 14, -1, 0), ('ę', -1, 4445, 0), ('ł', -1, 1286, 0)), (('a', 2, -1, 0), ('c', -1, 712, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('m', 14, -1, 0), ('o', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('u', 2, -1, 0), ('z', -1, 713, 0), ('ą', 2, -1, 0)), (('a', 89, -1, 0), ('b', 2, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('m', 0, -1, 0), ('o', 89, -1, 0), ('r', 44, -1, 0), ('s', 236, -1, 0), ('w', 2, -1, 0), ('y', 89, -1, 0), ('z', 2, -1, 0), ('ę', 2, -1, 0), ('ń', 2, -1, 0)), (('a', 82, -1, 0), ('d', 31, -1, 0), ('e', -1, 714, 0), ('g', -1, 1482, 0), ('h', 31, -1, 0), ('k', -1, 4390, 0), ('m', 31, -1, 0), ('o', 31, -1, 0), ('r', 14, 2448, 0), ('s', -1, 1768, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('y', 82, -1, 0), ('z', 31, -1, 0), ('ś', 40, -1, 0), ('ż', 31, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('e', 22, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 715, 0), ('k', 22, 424, 0), ('o', 3, -1, 0), ('r', -1, 3677, 0), ('s', 40, -1, 0), ('t', -1, 1876, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 69, -1, 0)), (('a', -1, 716, 0), ('c', 3, -1, 0), ('d', 55, -1, 0), ('e', 55, -1, 0), ('i', -1, 1719, 0), ('k', 82, -1, 0), ('l', 3, -1, 0), ('m', 82, -1, 0), ('n', 3, -1, 0), ('o', 5, 595, 0), ('p', 3, -1, 0), ('r', -1, 341, 0), ('s', 40, -1, 0), ('t', 3, -1, 0), ('w', 5, -1, 0), ('y', -1, 1566, 0), ('z', 5, -1, 0)), (('a', -1, 717, 0), ('b', 0, -1, 0), ('c', -1, 2132, 0), ('d', 0, -1, 0), ('e', -1, 691, 0), ('g', 41, -1, 0), ('h', -1, 1468, 0), ('i', -1, 420, 0), ('j', 0, 121, 0), ('k', 0, -1, 0), ('l', 81, -1, 0), ('m', -1, 1592, 0), ('n', 0, -1, 0), ('o', -1, 856, 0), ('p', -1, 683, 0), ('r', -1, 106, 0), ('s', -1, 505, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 4550, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 718, 0), ('b', 0, -1, 0), ('c', 41, -1, 0), ('d', -1, 728, 0), ('e', 0, -1, 0), ('g', -1, 404, 0), ('i', -1, 2533, 0), ('k', 28, -1, 0), ('l', -1, 721, 0), ('m', -1, 2616, 0), ('n', 12, -1, 0), ('o', -1, 172, 0), ('p', 0, -1, 0), ('r', -1, 775, 0), ('s', 5, 2023, 0), ('t', 21, -1, 0), ('u', 1, -1, 0), ('w', 105, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 184, 0), ('ż', 28, -1, 0)), (('a', -1, 719, 0), ('b', -1, 4103, 0), ('c', -1, 1339, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', -1, 780, 0), ('k', 17, -1, 0), ('l', -1, 742, 0), ('m', 1, -1, 0), ('n', -1, 2589, 0), ('o', 54, 1070, 0), ('p', 6, -1, 0), ('r', -1, 433, 0), ('s', 4, -1, 0), ('t', 6, -1, 0), ('u', 21, -1, 0), ('w', -1, 840, 0), ('y', 54, -1, 0), ('z', 54, -1, 0), ('ł', 6, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 720, 0), ('b', 189, 720, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 2028, 0), ('g', 6, -1, 0), ('i', 3, -1, 0), ('k', 64, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', -1, 46, 0), ('p', -1, 1418, 0), ('r', -1, 2132, 0), ('s', -1, 470, 0), ('t', 6, -1, 0), ('u', 21, -1, 0), ('w', -1, 114, 0), ('y', 21, -1, 0), ('z', 54, 1093, 0), ('ó', 21, -1, 0), ('ł', 25, 1070, 0)), (('a', 432, -1, 0), ('b', 41, -1, 0), ('c', 24, -1, 0), ('d', 28, -1, 0), ('e', -1, 721, 0), ('f', 41, -1, 0), ('g', -1, 3118, 0), ('h', 0, -1, 0), ('i', 74, -1, 0), ('j', 30, -1, 0), ('k', 0, -1, 0), ('l', -1, 193, 0), ('m', -1, 2094, 0), ('n', -1, 11, 0), ('o', 3, -1, 0), ('p', 21, -1, 0), ('r', 74, -1, 0), ('s', -1, 1552, 0), ('t', 21, 1318, 0), ('u', -1, 226, 0), ('w', 1, -1, 0), ('y', 432, -1, 0), ('z', 74, -1, 0), ('ą', 74, -1, 0), ('ę', 22, -1, 0), ('ł', 2, -1, 0), ('ś', 2, -1, 0)), (('a', 96, -1, 0), ('b', 444, -1, 0), ('c', 28, -1, 0), ('d', 444, -1, 0), ('e', 96, -1, 0), ('g', 7, 8, 0), ('h', 96, -1, 0), ('i', 96, -1, 0), ('k', 101, -1, 0), ('l', -1, 226, 0), ('m', -1, 184, 0), ('n', -1, 134, 0), ('o', 74, -1, 0), ('p', 54, -1, 0), ('r', -1, 722, 0), ('s', -1, 980, 0), ('t', 9, -1, 0), ('u', -1, 350, 0), ('w', 185, -1, 0), ('y', 105, -1, 0), ('z', -1, 154, 0), ('ś', 96, -1, 0)), (('a', 99, -1, 0), ('b', 21, 165, 0), ('c', 21, 723, 0), ('d', 0, 106, 0), ('e', -1, 7, 0), ('f', 21, -1, 0), ('g', 153, -1, 0), ('h', 1, -1, 0), ('i', -1, 431, 0), ('j', 28, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', -1, 878, 0), ('n', 3, -1, 0), ('o', 5, -1, 0), ('p', 21, -1, 0), ('r', 99, 1644, 0), ('s', -1, 169, 0), ('t', 3, -1, 0), ('u', 21, -1, 0), ('w', 5, -1, 0), ('y', 99, -1, 0), ('z', 5, -1, 0), ('ł', 21, -1, 0), ('ś', -1, 1255, 0)), (('a', 12, -1, 0), ('b', -1, 620, 0), ('c', -1, 724, 0), ('d', 4, -1, 0), ('e', 12, -1, 0), ('g', 95, 433, 0), ('i', 12, -1, 0), ('k', -1, 2361, 0), ('l', 86, -1, 0), ('m', 86, -1, 0), ('n', 21, -1, 0), ('o', 0, 754, 0), ('p', 86, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 0, 310, 0), ('u', 12, -1, 0), ('w', 86, -1, 0), ('y', 12, -1, 0), ('z', 86, -1, 0), ('ą', 12, -1, 0)), (('a', -1, 314, 0), ('b', 6, -1, 0), ('c', 21, -1, 0), ('d', 159, -1, 0), ('e', -1, 725, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 41, 1086, 0), ('l', -1, 553, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 4, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 174, 0), ('t', 6, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 4, -1, 0), ('z', -1, 944, 0), ('ł', -1, 83, 0), ('ż', 6, -1, 0)), (('a', 21, -1, 0), ('b', -1, 726, 0), ('c', -1, 1900, 0), ('d', -1, 2799, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 677, 0), ('k', 21, -1, 0), ('l', 21, 881, 0), ('m', -1, 2581, 0), ('n', -1, 1770, 0), ('o', -1, 997, 0), ('p', 21, -1, 0), ('r', 28, -1, 0), ('s', -1, 1781, 0), ('t', -1, 2352, 0), ('u', 21, -1, 0), ('w', -1, 725, 0), ('y', 21, -1, 0), ('z', -1, 307, 0)), (('a', -1, 670, 0), ('b', 0, 727, 0), ('c', -1, 3213, 0), ('d', 4, -1, 0), ('e', 222, -1, 0), ('g', -1, 4581, 0), ('i', -1, 59, 0), ('k', 4, -1, 0), ('l', 347, -1, 0), ('m', 4, -1, 0), ('n', 23, -1, 0), ('o', 222, -1, 0), ('p', -1, 821, 0), ('r', -1, 332, 0), ('s', 0, -1, 0), ('t', 4, -1, 0), ('u', 4, -1, 0), ('w', -1, 386, 0), ('y', -1, 378, 0), ('z', -1, 542, 0), ('ł', 4, -1, 0), ('ś', 174, -1, 0), ('ż', 0, -1, 0)), (('a', 41, -1, 0), ('c', -1, 277, 0), ('d', -1, 728, 0), ('e', 85, -1, 0), ('i', 41, -1, 0), ('k', -1, 1432, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 41, -1, 0), ('r', 0, -1, 0), ('s', 41, -1, 0), ('t', -1, 221, 0), ('u', 0, -1, 0), ('w', 0, 175, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 41, -1, 0)), (('a', 215, -1, 0), ('b', 41, 165, 0), ('c', 0, 311, 0), ('d', 54, -1, 0), ('e', 188, -1, 0), ('g', 15, -1, 0), ('i', -1, 24, 0), ('k', -1, 729, 0), ('l', -1, 4197, 0), ('m', -1, 301, 0), ('n', 28, -1, 0), ('o', 0, -1, 0), ('p', 6, -1, 0), ('r', 110, -1, 0), ('s', -1, 663, 0), ('t', -1, 598, 0), ('u', -1, 2066, 0), ('w', 191, -1, 0), ('y', -1, 14, 0), ('z', 191, -1, 0)), (('a', 0, 310, 0), ('d', -1, 730, 0), ('e', 205, -1, 0), ('i', -1, 2878, 0), ('k', 28, -1, 0), ('l', -1, 701, 0), ('m', 79, 672, 0), ('o', -1, 286, 0), ('p', -1, 650, 0), ('r', -1, 594, 0), ('s', -1, 2235, 0), ('t', 0, -1, 0), ('w', -1, 424, 0), ('z', -1, 1033, 0), ('ł', 0, 1842, 0)), (('a', -1, 141, 0), ('d', -1, 731, 0), ('e', 0, 1005, 0), ('g', 33, -1, 0), ('i', -1, 626, 0), ('j', -1, 1463, 0), ('k', 21, -1, 0), ('n', -1, 730, 0), ('o', -1, 280, 0), ('p', 21, -1, 0), ('r', -1, 815, 0), ('s', -1, 2815, 0), ('u', -1, 477, 0), ('w', 2, 783, 0), ('y', 120, -1, 0), ('z', -1, 354, 0)), (('a', -1, 732, 0), ('e', -1, 4580, 0), ('i', 51, -1, 0), ('k', 5, -1, 0), ('m', 5, -1, 0), ('o', 146, -1, 0), ('r', 120, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 146, -1, 0)), (('a', 14, -1, 0), ('d', 14, -1, 0), ('e', 0, -1, 0), ('g', 85, -1, 0), ('i', -1, 733, 0), ('j', 101, -1, 0), ('k', 242, 188, 0), ('l', 101, -1, 0), ('m', 9, -1, 0), ('o', 14, -1, 0), ('p', 5, 1076, 0), ('r', 9, -1, 0), ('s', -1, 354, 0), ('t', 41, -1, 0), ('u', 0, -1, 0), ('w', -1, 1953, 0), ('y', 171, -1, 0), ('z', 101, -1, 0)), (('a', -1, 734, 0), ('b', 101, -1, 0), ('d', 9, -1, 0), ('e', 1, -1, 0), ('i', -1, 1952, 0), ('k', 1, -1, 0), ('l', 301, -1, 0), ('m', 146, -1, 0), ('n', 79, -1, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', -1, 3276, 0), ('s', 9, -1, 0), ('t', 101, -1, 0), ('u', 1, -1, 0), ('w', 101, -1, 0), ('y', 1, -1, 0), ('z', 9, -1, 0), ('ó', 14, -1, 0), ('ł', -1, 123, 0)), (('a', -1, 735, 0), ('b', 22, -1, 0), ('c', 126, -1, 0), ('d', -1, 385, 0), ('e', -1, 1966, 0), ('g', 126, -1, 0), ('i', 282, -1, 0), ('k', -1, 1777, 0), ('l', 110, 917, 0), ('m', 21, -1, 0), ('n', -1, 1779, 0), ('o', -1, 1378, 0), ('p', -1, 1671, 0), ('r', -1, 237, 0), ('s', -1, 2184, 0), ('t', 0, -1, 0), ('u', 110, -1, 0), ('w', 14, -1, 0), ('y', -1, 668, 0), ('z', -1, 671, 0), ('ó', -1, 190, 0), ('ą', -1, 51, 0), ('ę', -1, 728, 0)), (('a', 179, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', 191, -1, 0), ('k', -1, 670, 0), ('l', -1, 736, 0), ('m', 110, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 6, -1, 0), ('r', -1, 1249, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 4, -1, 0), ('w', 110, -1, 0), ('y', 1, -1, 0), ('z', 110, -1, 0), ('ó', 79, -1, 0), ('ł', 191, -1, 0), ('ś', 4, -1, 0)), (('a', -1, 737, 0), ('b', 54, -1, 0), ('c', 1, -1, 0), ('d', 6, -1, 0), ('e', 54, -1, 0), ('i', -1, 861, 0), ('k', 4, -1, 0), ('l', 0, -1, 0), ('m', -1, 864, 0), ('o', -1, 699, 0), ('p', 22, -1, 0), ('r', -1, 258, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', 85, -1, 0), ('w', 4, -1, 0), ('y', 85, -1, 0), ('z', 54, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 738, 0), ('e', -1, 739, 0), ('f', 0, -1, 0), ('g', -1, 2523, 0), ('h', 0, -1, 0), ('i', -1, 950, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 234, 0), ('p', 0, -1, 0), ('r', 0, 1487, 0), ('s', 37, -1, 0), ('t', 41, -1, 0), ('u', 99, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 1697, 0), ('ł', -1, 402, 0), ('ż', 0, -1, 0)), (('a', 21, -1, 0), ('c', 41, -1, 0), ('d', 2, -1, 0), ('e', -1, 622, 0), ('i', 28, -1, 0), ('k', 2, -1, 0), ('l', 0, -1, 0), ('m', 41, -1, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 41, -1, 0), ('u', 99, -1, 0), ('w', 163, -1, 0), ('y', 242, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('c', 5, 740, 0), ('d', 0, -1, 0), ('e', -1, 3898, 0), ('g', -1, 555, 0), ('i', -1, 188, 0), ('k', -1, 2677, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 55, 799, 0), ('r', 0, -1, 0), ('s', -1, 548, 0), ('t', 41, -1, 0), ('u', 0, -1, 0), ('w', -1, 222, 0), ('y', 0, -1, 0), ('z', -1, 864, 0), ('ł', 0, -1, 0)), (('a', -1, 741, 0), ('b', 6, 3601, 0), ('c', 0, -1, 0), ('d', -1, 1766, 0), ('e', 6, -1, 0), ('f', 1, -1, 0), ('g', 6, 1619, 0), ('i', -1, 483, 0), ('k', 0, 355, 0), ('l', -1, 1113, 0), ('m', 0, 355, 0), ('n', -1, 1576, 0), ('o', 6, 1016, 0), ('p', -1, 773, 0), ('r', 0, 1264, 0), ('s', 6, -1, 0), ('t', -1, 2354, 0), ('u', 31, -1, 0), ('w', -1, 234, 0), ('y', 31, -1, 0), ('z', -1, 593, 0), ('ł', -1, 4486, 0)), (('a', 21, -1, 0), ('b', 28, -1, 0), ('c', 108, -1, 0), ('d', 134, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('k', 6, -1, 0), ('l', 21, -1, 0), ('m', -1, 742, 0), ('n', -1, 1435, 0), ('o', 28, -1, 0), ('p', 21, -1, 0), ('r', 6, -1, 0), ('s', 95, -1, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 1, -1, 0), ('y', 134, -1, 0), ('z', 28, -1, 0), ('ł', 6, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 743, 0), ('d', 1, -1, 0), ('e', -1, 600, 0), ('g', 1, -1, 0), ('i', -1, 883, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 5, -1, 0), ('o', -1, 728, 0), ('p', 1, -1, 0), ('r', -1, 285, 0), ('s', 12, -1, 0), ('t', 0, -1, 0), ('u', -1, 775, 0), ('w', 1, -1, 0), ('z', 55, -1, 0)), (('a', 28, -1, 0), ('c', -1, 221, 0), ('d', 28, -1, 0), ('e', -1, 744, 0), ('g', 79, -1, 0), ('i', 28, -1, 0), ('k', -1, 824, 0), ('l', 28, -1, 0), ('m', -1, 84, 0), ('n', 9, -1, 0), ('o', 28, -1, 0), ('p', 101, -1, 0), ('r', 28, -1, 0), ('s', -1, 3691, 0), ('t', -1, 2262, 0), ('u', 28, -1, 0), ('w', -1, 191, 0), ('y', 28, -1, 0), ('z', -1, 150, 0), ('ł', 28, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 121, 0), ('p', 4, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 0, 668, 0), ('y', 28, -1, 0), ('z', 21, -1, 0), ('ę', 71, -1, 0), ('ł', -1, 745, 0), ('ż', 28, -1, 0)), (('a', -1, 427, 0), ('b', 95, -1, 0), ('c', -1, 746, 0), ('d', -1, 3994, 0), ('e', 25, -1, 0), ('f', 25, -1, 0), ('g', 28, -1, 0), ('h', 25, -1, 0), ('i', -1, 1677, 0), ('j', 25, -1, 0), ('k', 25, -1, 0), ('l', 25, -1, 0), ('m', 95, -1, 0), ('n', 25, -1, 0), ('o', -1, 349, 0), ('p', -1, 398, 0), ('r', 25, -1, 0), ('s', -1, 92, 0), ('t', 0, 506, 0), ('u', 25, -1, 0), ('w', 95, -1, 0), ('y', -1, 834, 0), ('z', 25, -1, 0), ('ę', -1, 434, 0), ('ł', -1, 244, 0)), (('a', -1, 747, 0), ('d', -1, 285, 0), ('e', -1, 641, 0), ('f', -1, 4080, 0), ('i', -1, 237, 0), ('l', -1, 834, 0), ('o', -1, 1321, 0), ('p', 2, -1, 0), ('r', -1, 518, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('w', 11, 2287, 0), ('y', -1, 511, 0), ('z', -1, 2586, 0), ('ą', -1, 187, 0), ('ę', -1, 1985, 0), ('ł', -1, 240, 0), ('ż', 70, -1, 0)), (('a', -1, 748, 0), ('c', 45, -1, 0), ('d', 24, -1, 0), ('e', 175, -1, 0), ('g', 3, -1, 0), ('i', 53, -1, 0), ('k', 24, -1, 0), ('l', 24, -1, 0), ('m', 22, -1, 0), ('n', -1, 137, 0), ('o', 175, -1, 0), ('p', -1, 3081, 0), ('r', 24, -1, 0), ('s', -1, 3203, 0), ('t', 7, 102, 0), ('u', 24, -1, 0), ('w', 6, -1, 0), ('y', 24, -1, 0), ('z', -1, 741, 0), ('ó', 24, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 749, 0), ('b', 24, -1, 0), ('c', -1, 484, 0), ('d', 104, -1, 0), ('e', 0, -1, 0), ('h', 181, -1, 0), ('i', 24, -1, 0), ('k', -1, 1463, 0), ('l', 0, -1, 0), ('m', 24, 2107, 0), ('n', -1, 2796, 0), ('o', 0, -1, 0), ('p', -1, 913, 0), ('r', 0, -1, 0), ('s', -1, 728, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 181, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 12, -1, 0), ('b', -1, 43, 0), ('c', -1, 750, 0), ('d', 12, -1, 0), ('e', -1, 334, 0), ('g', -1, 1825, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', -1, 143, 0), ('m', 0, -1, 0), ('n', 21, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 61, 1390, 0), ('t', 21, -1, 0), ('u', 286, -1, 0), ('w', 0, 500, 0), ('y', -1, 856, 0), ('z', 249, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', -1, 848, 0), ('ś', 12, -1, 0)), (('a', 9, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 101, -1, 0), ('h', 1, -1, 0), ('i', -1, 15, 0), ('k', 108, -1, 0), ('l', 2, -1, 0), ('m', 108, -1, 0), ('o', 101, -1, 0), ('p', 108, -1, 0), ('r', -1, 489, 0), ('s', 101, -1, 0), ('t', -1, 751, 0), ('u', -1, 98, 0), ('w', -1, 74, 0), ('y', -1, 98, 0), ('z', -1, 1795, 0), ('ł', -1, 1666, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('d', -1, 752, 0), ('e', 28, -1, 0), ('g', 2, -1, 0), ('i', 28, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', -1, 2408, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', -1, 774, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', 236, -1, 0), ('ę', -1, 1836, 0)), (('a', 2, -1, 0), ('b', 0, -1, 0), ('c', 3, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 28, -1, 0), ('i', 237, -1, 0), ('j', -1, 753, 0), ('k', 7, -1, 0), ('l', 380, -1, 0), ('m', -1, 1816, 0), ('n', 28, -1, 0), ('o', -1, 2481, 0), ('p', 29, -1, 0), ('r', 246, -1, 0), ('s', 7, -1, 0), ('t', -1, 2458, 0), ('u', 29, -1, 0), ('w', 2, -1, 0), ('y', -1, 2023, 0), ('z', 22, -1, 0), ('ż', -1, 794, 0)), (('a', 0, -1, 0), ('b', 41, 754, 0), ('d', 0, 851, 0), ('e', -1, 3037, 0), ('g', 0, -1, 0), ('i', -1, 847, 0), ('k', 41, -1, 0), ('n', 0, -1, 0), ('o', 403, -1, 0), ('p', -1, 1155, 0), ('r', -1, 747, 0), ('s', 41, -1, 0), ('t', 41, -1, 0), ('u', 0, -1, 0), ('w', 7, -1, 0), ('z', -1, 453, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 755, 0), ('b', -1, 851, 0), ('c', 5, -1, 0), ('d', 0, 2251, 0), ('e', -1, 542, 0), ('f', 41, -1, 0), ('g', -1, 2554, 0), ('h', 0, 862, 0), ('i', -1, 333, 0), ('j', 0, -1, 0), ('k', 12, -1, 0), ('l', 5, -1, 0), ('m', 0, -1, 0), ('n', -1, 523, 0), ('o', 4, -1, 0), ('p', 58, 478, 0), ('r', 62, -1, 0), ('s', 6, 584, 0), ('t', -1, 151, 0), ('u', 62, -1, 0), ('w', -1, 522, 0), ('y', 62, -1, 0), ('z', -1, 1035, 0), ('ą', -1, 11, 0), ('ę', 96, -1, 0), ('ł', 12, -1, 0), ('ś', 55, 452, 0)), (('a', 62, -1, 0), ('b', 0, 566, 0), ('c', 0, 85, 0), ('d', -1, 695, 0), ('e', 62, -1, 0), ('f', 4, -1, 0), ('g', 61, -1, 0), ('h', 244, -1, 0), ('i', 321, -1, 0), ('j', 4, -1, 0), ('k', 62, -1, 0), ('l', 167, -1, 0), ('m', 61, -1, 0), ('n', 0, 164, 0), ('o', 99, -1, 0), ('p', 224, -1, 0), ('r', 224, -1, 0), ('s', 17, -1, 0), ('t', 21, -1, 0), ('u', -1, 756, 0), ('w', 167, 499, 0), ('y', 5, -1, 0), ('z', 194, -1, 0), ('ó', 21, -1, 0), ('ł', 0, 85, 0), ('ś', 29, 403, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 96, -1, 0), ('e', 12, -1, 0), ('f', 12, -1, 0), ('g', 0, 225, 0), ('i', 22, -1, 0), ('k', -1, 757, 0), ('l', 12, -1, 0), ('m', -1, 1391, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 62, 0), ('s', 41, 1033, 0), ('t', -1, 399, 0), ('u', -1, 98, 0), ('w', 12, -1, 0), ('y', 0, -1, 0), ('z', 12, -1, 0), ('ł', -1, 1668, 0)), (('a', 14, -1, 0), ('d', 101, -1, 0), ('e', -1, 168, 0), ('g', -1, 301, 0), ('i', 9, -1, 0), ('k', 28, -1, 0), ('l', -1, 611, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 50, 0), ('p', 330, 758, 0), ('r', -1, 1720, 0), ('s', 330, -1, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('w', 108, -1, 0), ('y', 14, -1, 0), ('z', 14, -1, 0), ('ę', 0, -1, 0), ('ł', 9, -1, 0)), (('a', 330, -1, 0), ('b', 4, -1, 0), ('c', -1, 700, 0), ('d', 121, -1, 0), ('e', 41, -1, 0), ('f', 59, -1, 0), ('h', 59, -1, 0), ('i', -1, 759, 0), ('k', 4, -1, 0), ('l', 59, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 215, 0), ('s', 41, -1, 0), ('t', 4, -1, 0), ('u', 330, -1, 0), ('w', 4, -1, 0), ('y', 330, -1, 0), ('z', -1, 3738, 0), ('ż', 59, -1, 0)), (('a', -1, 760, 0), ('b', 0, 355, 0), ('c', 41, -1, 0), ('d', -1, 1680, 0), ('e', 9, -1, 0), ('g', 59, -1, 0), ('i', 301, -1, 0), ('k', 121, -1, 0), ('l', 23, -1, 0), ('m', -1, 1271, 0), ('o', 301, -1, 0), ('p', 43, -1, 0), ('r', -1, 1198, 0), ('s', 121, -1, 0), ('t', -1, 1457, 0), ('w', -1, 3201, 0), ('z', -1, 1180, 0), ('ę', -1, 733, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', -1, 761, 0), ('d', -1, 1698, 0), ('e', -1, 957, 0), ('g', 301, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', -1, 1167, 0), ('l', 21, -1, 0), ('m', -1, 2737, 0), ('n', 13, -1, 0), ('o', -1, 435, 0), ('p', 9, -1, 0), ('r', -1, 2867, 0), ('s', -1, 978, 0), ('t', 101, -1, 0), ('u', 21, -1, 0), ('w', -1, 186, 0), ('y', -1, 721, 0), ('z', 28, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 199, 0), ('b', 28, -1, 0), ('c', 1, 668, 0), ('d', -1, 150, 0), ('e', -1, 682, 0), ('h', 62, -1, 0), ('i', -1, 762, 0), ('j', -1, 1372, 0), ('k', 168, -1, 0), ('l', -1, 2024, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 1372, 0), ('p', -1, 251, 0), ('r', -1, 1833, 0), ('s', 168, -1, 0), ('t', -1, 95, 0), ('u', -1, 2024, 0), ('w', 28, -1, 0), ('y', -1, 1202, 0), ('z', -1, 55, 0), ('ó', 110, -1, 0), ('ą', -1, 630, 0), ('ę', -1, 1045, 0), ('ł', 28, -1, 0), ('ń', -1, 486, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 12, -1, 0), ('b', -1, 763, 0), ('c', 1, -1, 0), ('d', 21, -1, 0), ('e', 12, -1, 0), ('f', 4, -1, 0), ('g', 3, -1, 0), ('h', 21, -1, 0), ('i', 1, -1, 0), ('j', 21, -1, 0), ('k', -1, 536, 0), ('l', 110, 491, 0), ('m', -1, 1642, 0), ('n', -1, 2115, 0), ('o', 96, -1, 0), ('p', -1, 120, 0), ('r', 12, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 96, -1, 0), ('w', -1, 2115, 0), ('y', -1, 914, 0), ('z', -1, 103, 0), ('ł', 5, -1, 0), ('ś', 96, -1, 0)), (('a', -1, 764, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 5, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 1996, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 645, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 55, 403, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 5, -1, 0), ('w', 6, -1, 0), ('y', 1, -1, 0), ('z', -1, 868, 0), ('ł', 6, -1, 0), ('ż', -1, 1553, 0)), (('a', -1, 765, 0), ('b', -1, 1178, 0), ('c', -1, 593, 0), ('d', 21, -1, 0), ('e', 12, -1, 0), ('f', -1, 659, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', 12, -1, 0), ('k', -1, 48, 0), ('l', 21, -1, 0), ('m', -1, 254, 0), ('n', 3, 4203, 0), ('o', 6, 135, 0), ('p', -1, 1982, 0), ('r', -1, 557, 0), ('s', -1, 82, 0), ('t', 21, -1, 0), ('u', 12, -1, 0), ('w', -1, 4420, 0), ('y', 1, -1, 0), ('z', -1, 118, 0), ('ó', 12, -1, 0)), (('a', -1, 624, 0), ('b', 1, -1, 0), ('c', -1, 766, 0), ('d', -1, 381, 0), ('e', -1, 1047, 0), ('g', -1, 16, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 12, -1, 0), ('k', 116, -1, 0), ('l', 0, -1, 0), ('m', -1, 380, 0), ('n', -1, 1966, 0), ('o', 5, 467, 0), ('p', -1, 981, 0), ('r', 5, -1, 0), ('s', 96, -1, 0), ('t', -1, 503, 0), ('u', 5, -1, 0), ('w', 96, 799, 0), ('y', 5, -1, 0), ('z', -1, 12, 0), ('ł', 6, -1, 0), ('ś', -1, 891, 0), ('ź', 5, -1, 0), ('ż', 30, -1, 0)), (('a', 268, -1, 0), ('b', -1, 355, 0), ('c', 2, -1, 0), ('d', -1, 147, 0), ('e', -1, 767, 0), ('i', 64, -1, 0), ('k', -1, 1782, 0), ('l', -1, 578, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 807, 0), ('p', -1, 598, 0), ('r', -1, 204, 0), ('s', -1, 699, 0), ('t', 11, -1, 0), ('u', -1, 1649, 0), ('w', 0, 164, 0), ('y', -1, 173, 0), ('z', 64, -1, 0), ('ą', 64, -1, 0), ('ę', 64, -1, 0), ('ł', 7, -1, 0)), (('a', 6, -1, 0), ('b', 29, -1, 0), ('c', 0, -1, 0), ('d', 268, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('k', -1, 768, 0), ('l', 0, -1, 0), ('m', 41, -1, 0), ('n', 4, -1, 0), ('o', 6, -1, 0), ('p', -1, 313, 0), ('r', -1, 1666, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 0, -1, 0), ('w', 268, -1, 0), ('y', 6, -1, 0), ('z', 0, 273, 0), ('ó', 6, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 769, 0), ('d', 28, -1, 0), ('e', 22, -1, 0), ('i', 3, -1, 0), ('k', 4, -1, 0), ('o', 57, -1, 0), ('p', 79, 420, 0), ('r', 7, -1, 0), ('t', 0, 2714, 0), ('u', -1, 473, 0), ('y', 7, -1, 0), ('z', 57, -1, 0)), (('a', 1, -1, 0), ('b', 21, -1, 0), ('d', 1, -1, 0), ('e', 14, -1, 0), ('i', 21, -1, 0), ('k', 59, -1, 0), ('l', 3, -1, 0), ('m', 21, -1, 0), ('n', 59, -1, 0), ('o', 0, 770, 0), ('p', 1, -1, 0), ('r', -1, 771, 0), ('s', 0, 44, 0), ('t', 21, -1, 0), ('u', 1, -1, 0), ('w', 2, -1, 0), ('y', 1, -1, 0), ('z', 21, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 0, 64, 0), ('e', 119, -1, 0), ('g', 56, -1, 0), ('i', 1, -1, 0), ('k', 10, -1, 0), ('l', 1, -1, 0), ('m', 79, 143, 0), ('n', 1, -1, 0), ('o', -1, 180, 0), ('p', 13, -1, 0), ('r', 21, -1, 0), ('s', 79, -1, 0), ('t', 30, -1, 0), ('u', 30, -1, 0), ('w', 1, -1, 0), ('y', 3, -1, 0), ('z', 1, -1, 0), ('ł', 21, -1, 0)), (('a', 6, -1, 0), ('b', 2, -1, 0), ('d', 3, -1, 0), ('e', -1, 108, 0), ('g', 5, -1, 0), ('i', -1, 772, 0), ('j', 1, -1, 0), ('k', 21, -1, 0), ('l', 1, -1, 0), ('m', 2, -1, 0), ('o', 1, -1, 0), ('p', 0, 288, 0), ('r', 1, -1, 0), ('s', 5, -1, 0), ('t', 3, -1, 0), ('u', 6, -1, 0), ('w', 415, -1, 0), ('y', -1, 353, 0), ('z', -1, 773, 0), ('ł', 5, -1, 0)), (('a', 25, -1, 0), ('b', 176, -1, 0), ('c', 21, -1, 0), ('d', -1, 311, 0), ('e', 25, -1, 0), ('g', 25, -1, 0), ('h', 21, -1, 0), ('i', 25, -1, 0), ('k', 181, -1, 0), ('l', 24, -1, 0), ('m', 0, 225, 0), ('n', 0, 242, 0), ('o', 25, -1, 0), ('p', 24, -1, 0), ('r', 52, -1, 0), ('s', 52, -1, 0), ('t', 21, -1, 0), ('u', 176, 9, 0), ('w', 24, -1, 0), ('y', 25, -1, 0), ('z', -1, 676, 0), ('ł', 181, -1, 0)), (('a', 6, -1, 0), ('b', 21, -1, 0), ('c', 15, 486, 0), ('d', 2, -1, 0), ('e', 6, -1, 0), ('i', -1, 774, 0), ('k', 0, 1600, 0), ('l', -1, 1667, 0), ('m', 145, 1843, 0), ('n', 2, -1, 0), ('o', -1, 97, 0), ('p', 73, -1, 0), ('r', -1, 134, 0), ('s', -1, 1413, 0), ('t', -1, 1486, 0), ('u', 6, -1, 0), ('w', -1, 2140, 0), ('y', 6, -1, 0), ('z', -1, 2230, 0)), (('a', -1, 775, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 3191, 0), ('e', -1, 2245, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('k', 2, -1, 0), ('l', 0, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 1906, 0), ('p', -1, 2078, 0), ('r', -1, 708, 0), ('s', -1, 1646, 0), ('t', -1, 1020, 0), ('u', -1, 670, 0), ('w', 51, 1343, 0), ('y', 28, -1, 0), ('z', 5, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 452, 0), ('b', 51, -1, 0), ('c', -1, 776, 0), ('d', 0, -1, 0), ('e', -1, 367, 0), ('g', 67, -1, 0), ('i', 71, -1, 0), ('k', 0, 164, 0), ('l', -1, 1125, 0), ('m', 5, 1346, 0), ('n', -1, 1917, 0), ('o', -1, 1677, 0), ('p', 5, -1, 0), ('r', 0, 44, 0), ('s', -1, 854, 0), ('t', -1, 2071, 0), ('u', -1, 2775, 0), ('w', 0, 1381, 0), ('y', -1, 44, 0), ('z', -1, 995, 0), ('ę', -1, 726, 0), ('ł', 28, -1, 0)), (('a', 29, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 777, 0), ('e', -1, 2586, 0), ('f', -1, 4089, 0), ('g', -1, 3341, 0), ('h', -1, 147, 0), ('i', -1, 1874, 0), ('j', -1, 3080, 0), ('k', 5, -1, 0), ('l', -1, 1447, 0), ('m', 5, -1, 0), ('n', -1, 3644, 0), ('o', 11, 1018, 0), ('p', 5, -1, 0), ('r', -1, 446, 0), ('s', 5, -1, 0), ('t', -1, 2170, 0), ('w', -1, 3809, 0), ('y', -1, 1309, 0), ('z', -1, 1497, 0), ('ł', -1, 1753, 0), ('ż', 5, -1, 0)), (('a', -1, 778, 0), ('d', 5, -1, 0), ('e', -1, 2052, 0), ('i', 80, -1, 0), ('k', -1, 991, 0), ('l', 216, -1, 0), ('m', -1, 329, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 3800, 0), ('r', -1, 2653, 0), ('s', 51, -1, 0), ('u', 5, -1, 0), ('w', 12, 3989, 0), ('y', 5, -1, 0), ('z', 55, 3522, 0), ('ą', 5, -1, 0), ('ł', 190, -1, 0)), (('a', 53, -1, 0), ('b', 5, -1, 0), ('d', 53, -1, 0), ('e', 189, -1, 0), ('f', 5, -1, 0), ('g', 55, 779, 0), ('i', -1, 218, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', -1, 3014, 0), ('n', 5, -1, 0), ('o', 29, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 239, -1, 0), ('t', 5, -1, 0), ('w', 5, -1, 0), ('y', 6, -1, 0), ('z', 55, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('b', 12, -1, 0), ('c', -1, 780, 0), ('d', 5, -1, 0), ('e', -1, 146, 0), ('g', -1, 449, 0), ('h', 145, -1, 0), ('i', 5, -1, 0), ('k', -1, 285, 0), ('l', 5, -1, 0), ('m', 12, -1, 0), ('n', -1, 866, 0), ('o', 5, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', -1, 699, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 1468, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 0, 310, 0), ('ś', 5, 403, 0), ('ż', 5, -1, 0)), (('a', 12, -1, 0), ('b', 1, -1, 0), ('c', 74, -1, 0), ('d', 21, -1, 0), ('e', -1, 83, 0), ('f', 21, -1, 0), ('g', -1, 299, 0), ('h', 74, -1, 0), ('i', 12, -1, 0), ('k', -1, 781, 0), ('l', -1, 185, 0), ('m', 74, -1, 0), ('n', -1, 1722, 0), ('o', 12, -1, 0), ('p', 74, -1, 0), ('r', 167, -1, 0), ('s', 0, 310, 0), ('t', 61, -1, 0), ('u', 12, -1, 0), ('w', 0, 85, 0), ('y', 12, -1, 0), ('z', 193, -1, 0), ('ł', 74, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 782, 0), ('b', 6, -1, 0), ('c', 6, 432, 0), ('d', -1, 50, 0), ('e', -1, 498, 0), ('g', 6, -1, 0), ('h', -1, 102, 0), ('i', -1, 541, 0), ('j', -1, 42, 0), ('k', -1, 3255, 0), ('l', -1, 626, 0), ('m', -1, 314, 0), ('n', 12, -1, 0), ('o', -1, 782, 0), ('p', 12, -1, 0), ('r', -1, 315, 0), ('s', 0, 164, 0), ('t', -1, 454, 0), ('u', 6, -1, 0), ('w', -1, 3255, 0), ('y', -1, 787, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 782, 0), ('ź', 6, -1, 0), ('ż', -1, 42, 0)), (('a', -1, 783, 0), ('b', 6, -1, 0), ('c', 12, -1, 0), ('d', 21, -1, 0), ('e', -1, 584, 0), ('g', 6, -1, 0), ('i', -1, 786, 0), ('j', 0, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 1, -1, 0), ('o', -1, 878, 0), ('p', 450, -1, 0), ('r', 6, -1, 0), ('s', 21, -1, 0), ('t', 12, -1, 0), ('u', -1, 1392, 0), ('w', -1, 454, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 0, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 401, 0), ('b', 62, -1, 0), ('c', -1, 67, 0), ('d', -1, 754, 0), ('e', 5, -1, 0), ('f', 21, -1, 0), ('g', -1, 148, 0), ('h', 62, -1, 0), ('i', 5, -1, 0), ('j', 58, -1, 0), ('k', -1, 189, 0), ('l', 1, -1, 0), ('m', 1, 784, 0), ('n', 21, -1, 0), ('o', 99, -1, 0), ('p', 62, -1, 0), ('r', 12, -1, 0), ('s', -1, 238, 0), ('t', -1, 10, 0), ('u', 5, -1, 0), ('w', 12, -1, 0), ('y', 5, -1, 0), ('z', -1, 146, 0), ('ą', 5, -1, 0), ('ł', -1, 101, 0), ('ś', 3, -1, 0)), (('a', 193, -1, 0), ('b', 56, -1, 0), ('c', -1, 559, 0), ('d', 1, -1, 0), ('e', -1, 46, 0), ('g', 106, 386, 0), ('i', 176, -1, 0), ('k', 25, -1, 0), ('l', -1, 542, 0), ('m', 24, -1, 0), ('n', -1, 785, 0), ('o', 21, -1, 0), ('p', 175, -1, 0), ('r', -1, 334, 0), ('s', 176, -1, 0), ('t', -1, 191, 0), ('u', 193, -1, 0), ('w', 208, -1, 0), ('y', 193, -1, 0), ('z', 272, -1, 0), ('ł', 176, -1, 0)), (('a', 79, -1, 0), ('d', 136, -1, 0), ('e', -1, 25, 0), ('i', -1, 45, 0), ('j', 22, -1, 0), ('k', 21, -1, 0), ('l', 22, -1, 0), ('m', 22, -1, 0), ('n', 21, -1, 0), ('o', 55, -1, 0), ('p', 3, -1, 0), ('r', 55, -1, 0), ('s', 3, 399, 0), ('t', 0, -1, 0), ('u', 55, -1, 0), ('w', 21, -1, 0), ('y', 136, -1, 0), ('z', 136, -1, 0), ('ę', 55, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 787, 0), ('b', -1, 402, 0), ('c', 1, 1714, 0), ('d', 187, -1, 0), ('e', -1, 424, 0), ('g', -1, 1795, 0), ('i', -1, 1093, 0), ('k', 82, -1, 0), ('l', 109, -1, 0), ('m', 82, -1, 0), ('n', -1, 842, 0), ('o', -1, 211, 0), ('p', 321, -1, 0), ('r', -1, 477, 0), ('s', 21, -1, 0), ('t', -1, 1965, 0), ('u', 109, -1, 0), ('w', -1, 665, 0), ('y', -1, 20, 0), ('z', 17, -1, 0), ('ó', 109, -1, 0), ('ą', 109, -1, 0), ('ę', -1, 313, 0), ('ł', 217, -1, 0), ('ś', 102, 2858, 0)), (('a', 109, -1, 0), ('b', 1, -1, 0), ('c', 6, -1, 0), ('d', 109, -1, 0), ('e', 109, -1, 0), ('g', -1, 788, 0), ('h', 16, -1, 0), ('i', 187, -1, 0), ('k', 187, -1, 0), ('l', -1, 576, 0), ('m', 109, -1, 0), ('n', 12, -1, 0), ('o', 58, -1, 0), ('p', 12, -1, 0), ('r', -1, 423, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', -1, 186, 0), ('w', 109, -1, 0), ('y', 3, -1, 0), ('z', 6, -1, 0), ('ó', -1, 70, 0), ('ą', 21, -1, 0), ('ę', 1, -1, 0), ('ł', 187, -1, 0), ('ś', 12, 2521, 0)), (('a', -1, 789, 0), ('d', 53, -1, 0), ('e', 119, -1, 0), ('i', -1, 3728, 0), ('l', 3, -1, 0), ('m', 31, -1, 0), ('n', 53, -1, 0), ('o', -1, 84, 0), ('p', 6, -1, 0), ('r', -1, 1529, 0), ('s', 16, -1, 0), ('t', -1, 3405, 0), ('w', -1, 1156, 0), ('z', -1, 518, 0)), (('a', -1, 125, 0), ('b', -1, 789, 0), ('c', 108, -1, 0), ('d', 28, 790, 0), ('e', 9, -1, 0), ('g', 9, -1, 0), ('h', 9, -1, 0), ('i', -1, 2114, 0), ('j', 101, -1, 0), ('k', 9, -1, 0), ('l', 41, -1, 0), ('m', 108, -1, 0), ('n', 108, -1, 0), ('o', 101, -1, 0), ('p', 9, -1, 0), ('r', -1, 2529, 0), ('s', 1, -1, 0), ('t', -1, 879, 0), ('u', 9, -1, 0), ('w', 43, -1, 0), ('y', -1, 2633, 0), ('z', 0, 97, 0)), (('a', -1, 791, 0), ('b', -1, 1401, 0), ('c', 2, -1, 0), ('d', 28, -1, 0), ('e', 1, -1, 0), ('g', 2, -1, 0), ('i', 1, -1, 0), ('k', 2, -1, 0), ('l', 28, 1178, 0), ('m', 2, -1, 0), ('n', 34, 637, 0), ('o', 1, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 2973, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ą', 44, -1, 0), ('ł', 2, -1, 0)), (('a', 24, -1, 0), ('b', 24, -1, 0), ('c', -1, 792, 0), ('d', 95, -1, 0), ('e', 24, -1, 0), ('g', -1, 926, 0), ('i', 24, -1, 0), ('j', 24, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 7, 84, 0), ('o', 24, -1, 0), ('p', -1, 1977, 0), ('r', 24, -1, 0), ('s', 7, -1, 0), ('t', 79, -1, 0), ('u', 95, -1, 0), ('w', -1, 80, 0), ('y', 24, -1, 0), ('z', -1, 869, 0), ('ę', 6, -1, 0), ('ż', 24, -1, 0)), (('a', 7, -1, 0), ('d', -1, 793, 0), ('e', -1, 572, 0), ('i', 7, -1, 0), ('o', 7, -1, 0), ('r', 41, 3813, 0), ('s', 0, 222, 0), ('t', 41, -1, 0), ('y', 7, -1, 0), ('z', -1, 2084, 0), ('ż', 41, -1, 0)), (('a', 1, -1, 0), ('b', -1, 794, 0), ('c', 1, -1, 0), ('d', 6, -1, 0), ('e', 41, -1, 0), ('g', 41, -1, 0), ('h', 0, -1, 0), ('i', 41, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 185, -1, 0), ('o', 41, -1, 0), ('p', -1, 1600, 0), ('r', 0, -1, 0), ('s', 0, 1927, 0), ('t', 21, -1, 0), ('u', 1, -1, 0), ('w', 7, -1, 0), ('y', 1, -1, 0), ('z', 104, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 166, -1, 0)), (('a', -1, 755, 0), ('d', -1, 795, 0), ('e', -1, 1085, 0), ('i', 214, -1, 0), ('j', 1, -1, 0), ('k', 40, -1, 0), ('m', 1, -1, 0), ('o', 0, 164, 0), ('p', 1, -1, 0), ('r', -1, 1785, 0), ('s', -1, 1423, 0), ('t', 1, -1, 0), ('u', 40, -1, 0), ('w', 2, -1, 0), ('y', -1, 2632, 0), ('z', 0, 1036, 0), ('ę', 37, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 467, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 796, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 80, -1, 0), ('l', -1, 2474, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 0, 44, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 1280, 0), ('ł', 16, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 797, 0), ('b', -1, 147, 0), ('d', -1, 2541, 0), ('e', -1, 2488, 0), ('i', -1, 1080, 0), ('j', -1, 597, 0), ('k', -1, 2718, 0), ('m', 2, -1, 0), ('n', -1, 141, 0), ('o', -1, 955, 0), ('p', 56, 999, 0), ('r', -1, 55, 0), ('s', 3, -1, 0), ('t', -1, 451, 0), ('u', 6, -1, 0), ('w', 351, -1, 0), ('z', -1, 1061, 0)), (('a', 28, -1, 0), ('c', 210, -1, 0), ('d', 12, -1, 0), ('e', 22, -1, 0), ('g', 1, -1, 0), ('h', 37, -1, 0), ('i', 37, -1, 0), ('k', -1, 683, 0), ('l', -1, 798, 0), ('m', 3, -1, 0), ('n', 1, -1, 0), ('o', 6, 403, 0), ('p', -1, 212, 0), ('r', 21, 315, 0), ('s', -1, 1191, 0), ('t', 52, -1, 0), ('u', 6, -1, 0), ('w', 28, -1, 0), ('y', -1, 1452, 0), ('z', 21, -1, 0), ('ł', -1, 487, 0), ('ż', 37, -1, 0)), (('a', 37, -1, 0), ('b', 2, 799, 0), ('c', 2, 165, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 3, -1, 0), ('g', 2, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('k', 6, -1, 0), ('l', 2, -1, 0), ('m', 6, -1, 0), ('n', 22, -1, 0), ('o', -1, 974, 0), ('p', -1, 827, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 37, -1, 0), ('u', 85, -1, 0), ('w', -1, 2867, 0), ('y', 6, -1, 0), ('z', -1, 2247, 0)), (('a', 11, -1, 0), ('b', -1, 800, 0), ('c', -1, 15, 0), ('d', 52, -1, 0), ('e', 98, -1, 0), ('f', 2, -1, 0), ('g', 28, -1, 0), ('h', -1, 1279, 0), ('i', -1, 224, 0), ('j', -1, 164, 0), ('k', 6, -1, 0), ('l', 0, 1038, 0), ('m', 18, -1, 0), ('n', 4, -1, 0), ('o', 12, -1, 0), ('p', -1, 2130, 0), ('r', 98, 14, 0), ('s', 11, -1, 0), ('t', 109, -1, 0), ('u', -1, 1644, 0), ('w', -1, 524, 0), ('y', 5, -1, 0), ('z', 11, -1, 0), ('ę', -1, 3725, 0), ('ł', 21, -1, 0), ('ś', 21, -1, 0)), (('a', -1, 197, 0), ('b', 21, -1, 0), ('c', 31, 801, 0), ('d', -1, 62, 0), ('e', 0, -1, 0), ('g', -1, 1461, 0), ('h', -1, 313, 0), ('i', 0, -1, 0), ('j', -1, 1790, 0), ('k', -1, 110, 0), ('l', -1, 705, 0), ('m', 2, 2872, 0), ('n', 21, 192, 0), ('o', 0, 1192, 0), ('p', 55, 1449, 0), ('r', -1, 583, 0), ('s', 0, -1, 0), ('t', -1, 220, 0), ('u', 22, -1, 0), ('w', 0, -1, 0), ('y', 165, -1, 0), ('z', -1, 2106, 0), ('ł', 21, 615, 0), ('ż', 0, -1, 0)), (('a', -1, 802, 0), ('d', 1, -1, 0), ('e', 31, -1, 0), ('h', 1, -1, 0), ('i', -1, 735, 0), ('j', -1, 3564, 0), ('k', 1, -1, 0), ('o', -1, 3198, 0), ('p', 5, -1, 0), ('r', -1, 4187, 0), ('s', 1, -1, 0), ('u', -1, 1441, 0), ('w', 1, -1, 0), ('y', 5, -1, 0), ('z', -1, 20, 0)), (('a', -1, 803, 0), ('d', 55, -1, 0), ('e', 391, -1, 0), ('g', 80, -1, 0), ('i', -1, 1557, 0), ('k', 31, -1, 0), ('l', -1, 1563, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 134, -1, 0), ('p', 0, -1, 0), ('r', 391, -1, 0), ('s', 39, -1, 0), ('t', 5, -1, 0), ('w', 5, 3069, 0), ('y', 134, -1, 0), ('z', 134, -1, 0), ('ó', 12, -1, 0), ('ś', 12, -1, 0), ('ź', 391, -1, 0)), (('a', -1, 804, 0), ('b', 0, 164, 0), ('c', -1, 2605, 0), ('d', -1, 4473, 0), ('e', 0, 164, 0), ('i', 21, -1, 0), ('k', -1, 1002, 0), ('l', -1, 180, 0), ('m', -1, 802, 0), ('n', -1, 1499, 0), ('o', -1, 1392, 0), ('p', 0, -1, 0), ('r', -1, 1928, 0), ('s', -1, 2437, 0), ('t', 55, -1, 0), ('u', 21, -1, 0), ('w', 12, -1, 0), ('y', 1, -1, 0), ('z', -1, 195, 0), ('ł', 71, -1, 0)), (('a', -1, 805, 0), ('c', -1, 4242, 0), ('d', 0, 44, 0), ('e', -1, 107, 0), ('g', -1, 1382, 0), ('h', -1, 2004, 0), ('i', -1, 1457, 0), ('j', 1, -1, 0), ('k', -1, 285, 0), ('l', 6, -1, 0), ('m', 28, 1630, 0), ('n', 21, -1, 0), ('o', 6, -1, 0), ('p', 0, 44, 0), ('r', -1, 143, 0), ('s', 0, 2393, 0), ('t', 0, 174, 0), ('u', 1, -1, 0), ('w', 21, -1, 0), ('y', -1, 1610, 0), ('z', 6, -1, 0)), (('a', 208, -1, 0), ('c', -1, 806, 0), ('d', 6, -1, 0), ('e', 51, -1, 0), ('g', 57, -1, 0), ('i', 0, -1, 0), ('j', 6, -1, 0), ('k', 11, -1, 0), ('l', 64, -1, 0), ('m', 95, -1, 0), ('n', 1, -1, 0), ('o', 6, -1, 0), ('p', -1, 163, 0), ('r', 95, -1, 0), ('s', -1, 60, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 95, -1, 0), ('y', 6, -1, 0), ('z', 316, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 807, 0), ('d', 14, -1, 0), ('e', -1, 1983, 0), ('i', -1, 394, 0), ('l', 21, -1, 0), ('o', -1, 6, 0), ('p', 329, 3921, 0), ('r', -1, 795, 0), ('s', 329, -1, 0), ('u', 28, -1, 0), ('w', 107, -1, 0), ('y', 14, -1, 0), ('z', 33, -1, 0), ('ą', -1, 2616, 0)), (('a', -1, 808, 0), ('b', 21, -1, 0), ('c', 28, -1, 0), ('d', 268, 151, 0), ('e', 17, -1, 0), ('f', 21, -1, 0), ('g', 1, -1, 0), ('h', 86, -1, 0), ('i', 3, -1, 0), ('k', 21, -1, 0), ('l', -1, 1392, 0), ('m', 21, -1, 0), ('n', -1, 739, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 12, -1, 0), ('s', 86, -1, 0), ('t', -1, 2182, 0), ('u', -1, 1197, 0), ('v', 2, -1, 0), ('w', 3, -1, 0), ('y', 17, -1, 0), ('z', 96, -1, 0), ('ę', -1, 462, 0), ('ł', 33, -1, 0), ('ś', 1, -1, 0)), (('a', 12, -1, 0), ('b', 96, -1, 0), ('c', 105, -1, 0), ('d', 12, -1, 0), ('e', 96, -1, 0), ('g', -1, 809, 0), ('i', 96, -1, 0), ('j', 28, -1, 0), ('k', 12, -1, 0), ('l', 21, -1, 0), ('m', 0, 175, 0), ('n', 0, -1, 0), ('o', 110, -1, 0), ('p', 96, -1, 0), ('r', -1, 1393, 0), ('s', 96, -1, 0), ('t', -1, 156, 0), ('u', -1, 102, 0), ('w', 28, -1, 0), ('y', 112, -1, 0), ('z', 96, -1, 0), ('ę', 217, -1, 0), ('ł', 96, -1, 0), ('ż', 96, -1, 0)), (('a', -1, 810, 0), ('b', 7, -1, 0), ('c', -1, 1612, 0), ('d', -1, 4414, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', -1, 2472, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', -1, 679, 0), ('l', -1, 661, 0), ('m', 7, -1, 0), ('n', -1, 3485, 0), ('o', 29, 13, 0), ('p', 7, -1, 0), ('r', -1, 3573, 0), ('s', -1, 1583, 0), ('t', -1, 4449, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 4218, 0), ('ł', -1, 1816, 0), ('ż', -1, 3191, 0)), (('-', 1, -1, 0), ('a', -1, 811, 0), ('b', 0, -1, 0), ('d', 79, -1, 0), ('e', -1, 3287, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 79, -1, 0), ('l', 37, -1, 0), ('o', -1, 2262, 0), ('p', -1, 660, 0), ('r', -1, 156, 0), ('s', 79, -1, 0), ('t', 79, -1, 0), ('u', 0, -1, 0), ('w', 73, -1, 0), ('z', 1, -1, 0), ('ó', -1, 104, 0)), (('a', -1, 90, 0), ('b', 1, -1, 0), ('c', -1, 812, 0), ('d', 11, 2506, 0), ('e', -1, 764, 0), ('i', -1, 2700, 0), ('k', -1, 187, 0), ('l', 56, -1, 0), ('m', 11, 1359, 0), ('o', -1, 1409, 0), ('p', 11, -1, 0), ('r', -1, 2971, 0), ('s', 11, -1, 0), ('t', -1, 3920, 0), ('w', -1, 2737, 0), ('z', 36, -1, 0)), (('a', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 813, 0), ('g', 3, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('l', -1, 1398, 0), ('m', 11, -1, 0), ('o', 11, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('u', -1, 908, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', 11, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('g', 11, -1, 0), ('i', 11, -1, 0), ('j', 56, -1, 0), ('k', -1, 814, 0), ('l', -1, 1783, 0), ('n', 7, -1, 0), ('o', -1, 1208, 0), ('p', 219, -1, 0), ('r', 11, -1, 0), ('s', 7, -1, 0), ('t', 11, -1, 0), ('u', 29, -1, 0), ('w', -1, 2176, 0), ('y', 11, -1, 0), ('z', 11, -1, 0), ('ó', 11, -1, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 80, -1, 0), ('d', 7, -1, 0), ('e', 11, -1, 0), ('i', 28, -1, 0), ('j', 28, 815, 0), ('k', -1, 2694, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('t', -1, 2542, 0), ('u', 1, -1, 0), ('w', 115, 406, 0), ('y', 1, -1, 0), ('z', 7, -1, 0), ('ę', 1, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 307, 0), ('c', 16, 816, 0), ('d', 0, 97, 0), ('e', 28, -1, 0), ('i', 4, -1, 0), ('k', -1, 1128, 0), ('l', -1, 1533, 0), ('m', 13, -1, 0), ('n', 13, -1, 0), ('o', -1, 881, 0), ('p', 4, -1, 0), ('r', -1, 944, 0), ('s', 159, 144, 0), ('t', 105, -1, 0), ('u', 4, -1, 0), ('w', -1, 2566, 0), ('y', 4, -1, 0), ('z', 159, -1, 0), ('ą', 4, -1, 0), ('ę', -1, 121, 0), ('ł', -1, 237, 0)), (('a', 16, -1, 0), ('d', 308, -1, 0), ('e', 16, -1, 0), ('g', -1, 817, 0), ('i', 16, -1, 0), ('j', 3, -1, 0), ('l', 16, -1, 0), ('m', 308, -1, 0), ('o', 16, -1, 0), ('p', 308, -1, 0), ('r', 16, -1, 0), ('s', 16, 823, 0), ('t', 308, -1, 0), ('u', 16, -1, 0), ('w', 308, -1, 0), ('y', 16, -1, 0), ('z', 16, -1, 0), ('ó', 16, -1, 0), ('ą', 16, -1, 0), ('ę', 16, -1, 0), ('ł', -1, 321, 0), ('ż', 101, -1, 0)), (('a', 29, -1, 0), ('b', 29, 151, 0), ('c', 6, -1, 0), ('d', 3, -1, 0), ('e', 29, -1, 0), ('i', 29, -1, 0), ('m', -1, 307, 0), ('n', -1, 818, 0), ('o', 16, -1, 0), ('p', -1, 1000, 0), ('r', -1, 1082, 0), ('s', 6, -1, 0), ('u', 29, -1, 0), ('w', 6, -1, 0), ('y', -1, 613, 0), ('z', -1, 1928, 0), ('ó', 29, -1, 0), ('ł', 70, -1, 0)), (('a', 6, -1, 0), ('d', -1, 819, 0), ('e', -1, 1682, 0), ('h', -1, 706, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 29, -1, 0), ('l', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 69, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 1, 668, 0), ('ś', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 820, 0), ('b', -1, 1565, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 108, 0), ('j', 95, -1, 0), ('k', 6, -1, 0), ('l', -1, 1480, 0), ('o', -1, 662, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 4, -1, 0), ('t', -1, 3623, 0), ('u', 6, -1, 0), ('w', 4, -1, 0), ('y', 6, -1, 0), ('z', 1, -1, 0)), (('a', -1, 821, 0), ('d', 6, -1, 0), ('e', 55, -1, 0), ('i', 158, -1, 0), ('j', 6, -1, 0), ('k', 21, -1, 0), ('m', 6, -1, 0), ('o', -1, 2890, 0), ('p', 6, -1, 0), ('r', 12, 1705, 0), ('s', -1, 838, 0), ('t', 6, -1, 0), ('w', 6, -1, 0), ('y', 158, -1, 0), ('z', 95, -1, 0), ('ó', 22, -1, 0), ('ę', 55, -1, 0)), (('a', -1, 822, 0), ('b', 0, -1, 0), ('d', 22, -1, 0), ('e', -1, 173, 0), ('g', 158, -1, 0), ('i', 434, -1, 0), ('k', -1, 355, 0), ('l', 158, -1, 0), ('m', 0, 913, 0), ('n', 22, -1, 0), ('o', 21, -1, 0), ('p', 166, -1, 0), ('r', -1, 170, 0), ('s', 0, 164, 0), ('t', 22, -1, 0), ('u', 0, -1, 0), ('w', 0, 164, 0), ('y', 24, -1, 0), ('z', -1, 2780, 0)), (('a', 272, -1, 0), ('b', 12, -1, 0), ('c', -1, 823, 0), ('d', -1, 1785, 0), ('e', 272, -1, 0), ('g', 12, -1, 0), ('i', 21, -1, 0), ('k', 0, 501, 0), ('l', 21, -1, 0), ('m', 21, 807, 0), ('n', 22, -1, 0), ('o', 1, -1, 0), ('p', 0, 1487, 0), ('r', -1, 2522, 0), ('s', 1, -1, 0), ('t', 21, -1, 0), ('u', 95, -1, 0), ('w', 0, 454, 0), ('y', 0, -1, 0), ('z', 12, -1, 0), ('ó', 272, -1, 0), ('ę', 6, -1, 0)), (('a', 3, -1, 0), ('b', 106, -1, 0), ('c', 22, -1, 0), ('d', 30, -1, 0), ('e', 30, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 41, -1, 0), ('l', -1, 824, 0), ('m', 22, -1, 0), ('n', -1, 4579, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 5, 915, 0), ('s', 22, -1, 0), ('t', 106, -1, 0), ('u', 85, -1, 0), ('w', -1, 1976, 0), ('y', 22, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ż', 106, -1, 0)), (('a', -1, 825, 0), ('b', 30, -1, 0), ('c', 3, -1, 0), ('d', -1, 213, 0), ('e', -1, 196, 0), ('h', 229, -1, 0), ('i', -1, 82, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 0, 64, 0), ('p', 3, -1, 0), ('r', 22, -1, 0), ('s', 0, 64, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 132, -1, 0), ('y', -1, 196, 0), ('z', -1, 1455, 0), ('ó', 3, -1, 0), ('ł', 41, 3254, 0)), (('a', -1, 826, 0), ('b', 0, 164, 0), ('d', -1, 1861, 0), ('e', -1, 154, 0), ('g', 2, -1, 0), ('i', -1, 1070, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 2, -1, 0), ('n', -1, 560, 0), ('o', -1, 423, 0), ('p', 3, -1, 0), ('r', -1, 541, 0), ('s', -1, 1455, 0), ('t', 0, 10, 0), ('u', -1, 676, 0), ('w', 2, -1, 0), ('z', -1, 141, 0)), (('a', -1, 108, 0), ('b', 62, -1, 0), ('d', 62, -1, 0), ('e', 27, -1, 0), ('g', 16, 823, 0), ('i', 27, -1, 0), ('k', -1, 827, 0), ('m', 30, -1, 0), ('o', 27, -1, 0), ('p', -1, 4578, 0), ('r', -1, 313, 0), ('s', -1, 2136, 0), ('t', -1, 1789, 0), ('u', 27, -1, 0), ('w', 62, -1, 0), ('y', 194, -1, 0), ('z', -1, 151, 0), ('ł', 30, -1, 0), ('ś', 30, -1, 0)), (('a', -1, 116, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 828, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 2148, 0), ('m', 6, -1, 0), ('o', 105, 386, 0), ('p', 16, 1076, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('w', 6, -1, 0), ('y', -1, 355, 0), ('z', -1, 454, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 829, 0), ('d', 21, -1, 0), ('e', 1, -1, 0), ('i', -1, 993, 0), ('k', -1, 536, 0), ('l', 29, -1, 0), ('m', 56, 2924, 0), ('n', -1, 501, 0), ('o', -1, 114, 0), ('p', 1, -1, 0), ('r', 0, 502, 0), ('s', 5, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 1152, 0), ('y', 6, -1, 0), ('z', -1, 836, 0)), (('a', 5, -1, 0), ('b', -1, 830, 0), ('c', 7, 323, 0), ('d', -1, 831, 0), ('e', -1, 844, 0), ('g', -1, 4575, 0), ('h', -1, 322, 0), ('i', 5, -1, 0), ('j', 7, -1, 0), ('k', -1, 4576, 0), ('l', -1, 4044, 0), ('m', -1, 1851, 0), ('o', 5, -1, 0), ('p', -1, 1788, 0), ('r', -1, 3715, 0), ('t', -1, 4577, 0), ('w', 7, -1, 0), ('y', 5, -1, 0), ('z', -1, 1886, 0), ('ł', 7, -1, 0), ('ś', -1, 3764, 0), ('ź', -1, 2429, 0), ('ż', -1, 2429, 0)), (('a', 70, -1, 0), ('b', 70, -1, 0), ('e', 0, -1, 0), ('i', -1, 194, 0), ('l', 139, -1, 0), ('o', 0, -1, 0), ('r', 70, -1, 0), ('u', 70, -1, 0), ('z', 70, -1, 0), ('ó', 70, -1, 0), ('ą', 70, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 832, 0), ('e', 70, -1, 0), ('i', -1, 3167, 0), ('l', -1, 2002, 0), ('o', 7, -1, 0), ('r', 70, -1, 0), ('u', -1, 1226, 0), ('y', 70, -1, 0), ('z', 196, -1, 0), ('ę', 70, -1, 0)), (('a', 53, -1, 0), ('b', 189, -1, 0), ('d', 189, -1, 0), ('e', 189, -1, 0), ('g', 63, -1, 0), ('i', -1, 833, 0), ('l', 12, -1, 0), ('m', 63, -1, 0), ('o', 189, -1, 0), ('p', 70, 2519, 0), ('r', 135, -1, 0), ('s', 22, -1, 0), ('w', 12, -1, 0), ('y', 189, -1, 0), ('z', 53, -1, 0)), (('a', -1, 71, 0), ('b', 0, -1, 0), ('d', 106, -1, 0), ('e', 6, -1, 0), ('h', 106, -1, 0), ('i', 71, -1, 0), ('j', 55, -1, 0), ('k', 84, -1, 0), ('l', -1, 834, 0), ('m', 84, -1, 0), ('o', -1, 365, 0), ('p', 106, -1, 0), ('r', 6, -1, 0), ('s', 22, -1, 0), ('t', 5, -1, 0), ('u', 6, -1, 0), ('w', 106, -1, 0), ('y', 6, -1, 0), ('z', 5, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 106, -1, 0)), (('a', -1, 722, 0), ('b', 70, -1, 0), ('c', 25, -1, 0), ('d', 25, -1, 0), ('e', 21, -1, 0), ('f', 25, -1, 0), ('g', -1, 835, 0), ('h', 5, -1, 0), ('i', 3, -1, 0), ('k', -1, 85, 0), ('l', -1, 703, 0), ('m', 176, -1, 0), ('n', -1, 2737, 0), ('o', -1, 188, 0), ('p', 176, -1, 0), ('r', 25, -1, 0), ('s', 316, 81, 0), ('t', 25, -1, 0), ('u', 3, -1, 0), ('w', 176, -1, 0), ('y', 21, -1, 0), ('z', -1, 388, 0), ('ą', 21, -1, 0), ('ł', 25, -1, 0)), (('a', 10, -1, 0), ('b', 102, -1, 0), ('e', 10, -1, 0), ('i', -1, 836, 0), ('o', -1, 611, 0), ('p', 102, -1, 0), ('r', 11, -1, 0), ('t', 10, -1, 0), ('u', -1, 2227, 0), ('z', 11, -1, 0), ('ą', 10, -1, 0), ('ę', -1, 2228, 0), ('ł', 10, -1, 0)), (('a', 0, -1, 0), ('b', 30, -1, 0), ('c', 11, -1, 0), ('d', 106, -1, 0), ('e', 1, -1, 0), ('g', -1, 837, 0), ('i', -1, 486, 0), ('j', 0, -1, 0), ('k', 11, -1, 0), ('l', 117, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 6, 224, 0), ('p', 12, -1, 0), ('r', -1, 582, 0), ('s', -1, 1346, 0), ('t', 30, -1, 0), ('u', 7, -1, 0), ('w', 6, -1, 0), ('y', 0, -1, 0), ('z', 0, 619, 0), ('ł', 106, 111, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('d', -1, 838, 0), ('e', -1, 2794, 0), ('f', 1, -1, 0), ('g', -1, 2583, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('n', 106, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 300, 0), ('s', 11, -1, 0), ('t', -1, 3340, 0), ('u', 1, -1, 0), ('w', 100, 3512, 0), ('y', 1, -1, 0), ('z', 16, -1, 0), ('ó', 7, -1, 0)), (('a', 79, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', -1, 839, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 55, -1, 0), ('p', 348, -1, 0), ('r', 1, -1, 0), ('s', -1, 3367, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 79, -1, 0), ('ł', 1, -1, 0)), (('a', 95, -1, 0), ('b', 21, -1, 0), ('c', 3, -1, 0), ('d', 21, -1, 0), ('e', 1, -1, 0), ('g', 28, -1, 0), ('i', 1, -1, 0), ('j', -1, 531, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 3, -1, 0), ('n', 21, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 4, -1, 0), ('s', 1, 840, 0), ('t', 21, 392, 0), ('u', -1, 501, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', -1, 2004, 0), ('ę', 4, -1, 0), ('ł', 4, -1, 0), ('ś', 0, -1, 0)), (('a', 4, -1, 0), ('b', 4, -1, 0), ('c', -1, 457, 0), ('d', 295, -1, 0), ('e', 4, -1, 0), ('i', -1, 841, 0), ('k', -1, 73, 0), ('l', -1, 199, 0), ('m', -1, 1593, 0), ('n', 3, 1686, 0), ('o', 4, -1, 0), ('p', 28, -1, 0), ('r', -1, 73, 0), ('s', 54, -1, 0), ('t', 28, -1, 0), ('u', 4, -1, 0), ('w', 105, 475, 0), ('y', 217, -1, 0), ('z', 4, -1, 0), ('ć', 0, -1, 0), ('ę', 28, -1, 0), ('ł', 188, -1, 0), ('ś', 41, -1, 0)), (('a', 311, -1, 0), ('b', 190, 311, 0), ('c', -1, 370, 0), ('d', 462, -1, 0), ('e', -1, 365, 0), ('g', -1, 842, 0), ('h', 33, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 52, -1, 0), ('l', 0, 788, 0), ('m', 4, -1, 0), ('n', 21, -1, 0), ('o', 374, -1, 0), ('p', 28, -1, 0), ('r', 74, -1, 0), ('s', 21, -1, 0), ('t', 17, -1, 0), ('u', 21, -1, 0), ('w', 86, -1, 0), ('y', -1, 998, 0), ('z', 86, -1, 0), ('ł', 52, -1, 0)), (('a', -1, 606, 0), ('d', -1, 843, 0), ('e', -1, 844, 0), ('i', -1, 1356, 0), ('l', -1, 400, 0), ('o', -1, 367, 0), ('p', -1, 2863, 0), ('r', -1, 765, 0), ('s', -1, 3502, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 2795, 0), ('ż', -1, 3502, 0)), (('a', 97, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('o', 3, -1, 0), ('r', 2, -1, 0), ('z', 3, 439, 0)), (('a', 5, -1, 0), ('b', 86, -1, 0), ('c', -1, 686, 0), ('d', 0, 729, 0), ('e', 5, -1, 0), ('g', 86, -1, 0), ('i', 5, -1, 0), ('j', 0, -1, 0), ('k', -1, 845, 0), ('l', 1, -1, 0), ('m', 86, -1, 0), ('n', -1, 1487, 0), ('o', 4, 663, 0), ('p', -1, 936, 0), ('r', 5, -1, 0), ('s', -1, 347, 0), ('t', 5, -1, 0), ('u', 0, -1, 0), ('w', 86, -1, 0), ('y', 5, -1, 0), ('z', -1, 1093, 0), ('ó', -1, 458, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 846, 0), ('b', 22, -1, 0), ('c', 17, -1, 0), ('d', 22, -1, 0), ('e', 5, -1, 0), ('h', -1, 30, 0), ('i', -1, 475, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('o', -1, 1458, 0), ('p', 22, 46, 0), ('r', 52, -1, 0), ('s', 7, 1147, 0), ('t', 5, -1, 0), ('u', -1, 956, 0), ('w', 9, -1, 0), ('y', 55, -1, 0), ('z', -1, 1665, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 3, 905, 0), ('ż', 9, -1, 0)), (('a', 21, 693, 0), ('c', -1, 847, 0), ('d', 105, -1, 0), ('e', 1, -1, 0), ('f', 41, -1, 0), ('i', -1, 760, 0), ('k', 41, -1, 0), ('l', -1, 577, 0), ('m', 105, -1, 0), ('n', 105, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 626, 0), ('s', 0, -1, 0), ('t', 0, 2208, 0), ('u', 105, -1, 0), ('w', 5, -1, 0), ('y', 0, -1, 0), ('z', 105, -1, 0), ('ł', 5, -1, 0)), (('-', 0, -1, 0), ('a', 111, -1, 0), ('b', 41, -1, 0), ('c', 0, -1, 0), ('d', 41, -1, 0), ('e', 105, -1, 0), ('g', 22, -1, 0), ('i', -1, 367, 0), ('k', 0, -1, 0), ('l', 26, -1, 0), ('m', 105, -1, 0), ('n', -1, 434, 0), ('o', -1, 104, 0), ('p', 41, -1, 0), ('r', 105, -1, 0), ('s', 0, -1, 0), ('t', 105, 846, 0), ('u', 41, -1, 0), ('w', -1, 848, 0), ('y', -1, 1316, 0), ('z', 0, -1, 0), ('ł', 105, -1, 0)), (('a', 5, -1, 0), ('b', -1, 717, 0), ('c', 28, 807, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 37, -1, 0), ('i', 12, -1, 0), ('j', 5, -1, 0), ('k', 21, -1, 0), ('l', 96, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 12, -1, 0), ('p', 5, -1, 0), ('r', 12, -1, 0), ('s', 167, -1, 0), ('t', 5, -1, 0), ('u', -1, 501, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 99, -1, 0), ('ę', 12, -1, 0), ('ł', -1, 849, 0), ('ś', -1, 2704, 0), ('ż', 58, -1, 0)), (('a', -1, 850, 0), ('b', 2, -1, 0), ('c', -1, 3826, 0), ('d', 104, -1, 0), ('e', -1, 1185, 0), ('g', 242, -1, 0), ('h', 104, -1, 0), ('i', 64, -1, 0), ('j', 208, -1, 0), ('k', 104, -1, 0), ('l', 3, -1, 0), ('m', 242, -1, 0), ('n', 2, -1, 0), ('o', 242, 2100, 0), ('p', 104, -1, 0), ('r', -1, 107, 0), ('s', -1, 2388, 0), ('t', -1, 2756, 0), ('u', -1, 1383, 0), ('w', -1, 2018, 0), ('y', -1, 1591, 0), ('z', 316, -1, 0), ('ó', -1, 1758, 0)), (('a', -1, 537, 0), ('c', 0, -1, 0), ('d', -1, 851, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 104, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 2034, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 104, -1, 0), ('r', 0, -1, 0), ('s', -1, 2247, 0), ('t', -1, 630, 0), ('u', 0, -1, 0), ('w', -1, 1094, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 104, -1, 0)), (('a', 0, -1, 0), ('b', 104, -1, 0), ('c', 21, -1, 0), ('d', 105, -1, 0), ('e', 41, -1, 0), ('g', 0, -1, 0), ('i', -1, 334, 0), ('j', -1, 205, 0), ('k', -1, 852, 0), ('l', -1, 659, 0), ('m', -1, 597, 0), ('n', 0, -1, 0), ('o', -1, 421, 0), ('p', -1, 932, 0), ('r', -1, 892, 0), ('s', -1, 172, 0), ('t', 41, -1, 0), ('u', 105, -1, 0), ('w', 0, 729, 0), ('y', 0, -1, 0), ('z', 196, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 853, 0), ('d', 12, -1, 0), ('e', -1, 773, 0), ('i', -1, 1982, 0), ('m', -1, 404, 0), ('o', 259, -1, 0), ('p', 166, -1, 0), ('r', 51, -1, 0), ('s', -1, 1706, 0), ('t', 106, -1, 0), ('u', -1, 2195, 0), ('w', 12, -1, 0), ('y', -1, 1262, 0), ('z', 51, -1, 0), ('ó', 144, -1, 0), ('ł', 106, -1, 0)), (('a', -1, 854, 0), ('b', 52, 779, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 6, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 1325, 0), ('m', -1, 1523, 0), ('n', 5, -1, 0), ('o', -1, 55, 0), ('p', 1, 3204, 0), ('r', -1, 1325, 0), ('s', 5, -1, 0), ('t', 52, 1523, 0), ('u', 55, -1, 0), ('w', -1, 3205, 0), ('y', 31, -1, 0), ('z', 5, -1, 0), ('ł', -1, 2625, 0), ('ż', 5, -1, 0)), (('a', -1, 855, 0), ('d', -1, 699, 0), ('e', -1, 250, 0), ('i', 9, -1, 0), ('k', 101, -1, 0), ('l', 101, -1, 0), ('m', 101, -1, 0), ('n', 0, -1, 0), ('o', -1, 675, 0), ('p', 41, -1, 0), ('r', -1, 1721, 0), ('s', 0, -1, 0), ('t', -1, 277, 0), ('u', 0, 226, 0), ('w', 0, -1, 0), ('y', -1, 540, 0), ('z', 0, -1, 0)), (('a', -1, 856, 0), ('c', 0, 188, 0), ('d', -1, 1574, 0), ('e', 21, -1, 0), ('g', 16, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', -1, 1669, 0), ('m', -1, 1750, 0), ('n', 1, -1, 0), ('o', -1, 2489, 0), ('p', 106, -1, 0), ('r', -1, 146, 0), ('s', 21, 1032, 0), ('t', 7, 1864, 0), ('u', 1, -1, 0), ('w', 106, -1, 0), ('y', 0, -1, 0), ('z', 0, 506, 0), ('ś', 1, -1, 0)), (('a', 6, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('f', 21, -1, 0), ('g', -1, 401, 0), ('h', -1, 300, 0), ('i', 0, -1, 0), ('k', 6, -1, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', 21, -1, 0), ('o', -1, 857, 0), ('p', 58, 523, 0), ('r', 0, -1, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 856, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('b', -1, 858, 0), ('c', -1, 945, 0), ('d', 54, -1, 0), ('e', 109, -1, 0), ('f', 2, -1, 0), ('g', 105, -1, 0), ('h', 28, -1, 0), ('i', -1, 1247, 0), ('k', 105, -1, 0), ('l', 21, -1, 0), ('m', 28, -1, 0), ('n', 4, -1, 0), ('o', -1, 787, 0), ('p', 96, -1, 0), ('r', -1, 707, 0), ('s', 96, -1, 0), ('t', 41, -1, 0), ('u', 109, -1, 0), ('w', 109, -1, 0), ('y', 109, -1, 0), ('z', 109, -1, 0), ('ć', 28, -1, 0), ('ę', 12, -1, 0), ('ł', -1, 579, 0), ('ś', 54, 478, 0)), (('a', -1, 859, 0), ('b', -1, 1179, 0), ('d', 16, -1, 0), ('e', -1, 2529, 0), ('i', -1, 506, 0), ('j', -1, 204, 0), ('l', -1, 12, 0), ('m', -1, 1601, 0), ('n', -1, 1834, 0), ('o', -1, 286, 0), ('p', -1, 1813, 0), ('r', -1, 142, 0), ('s', -1, 2615, 0), ('t', -1, 3203, 0), ('u', 3, -1, 0), ('w', -1, 1940, 0), ('y', 16, -1, 0), ('z', -1, 585, 0), ('ł', -1, 1311, 0)), (('a', 7, -1, 0), ('b', -1, 699, 0), ('c', 97, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 21, -1, 0), ('g', 96, 799, 0), ('h', -1, 860, 0), ('i', 97, -1, 0), ('j', -1, 213, 0), ('k', 7, -1, 0), ('l', -1, 6, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 97, -1, 0), ('p', 7, -1, 0), ('r', 97, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', -1, 286, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, 386, 0), ('ó', -1, 612, 0), ('ę', 97, -1, 0), ('ł', -1, 2522, 0), ('ś', -1, 1043, 0), ('ż', -1, 46, 0)), (('a', -1, 861, 0), ('b', -1, 355, 0), ('c', -1, 2808, 0), ('d', -1, 355, 0), ('e', -1, 912, 0), ('i', 95, -1, 0), ('k', -1, 284, 0), ('m', 28, -1, 0), ('n', -1, 1282, 0), ('o', -1, 2385, 0), ('p', -1, 3379, 0), ('r', -1, 695, 0), ('s', 333, -1, 0), ('t', 105, -1, 0), ('u', -1, 675, 0), ('w', 13, -1, 0), ('z', -1, 2780, 0), ('ł', -1, 1045, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 781, 0), ('d', 155, -1, 0), ('e', -1, 606, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 862, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 668, 0), ('t', -1, 226, 0), ('u', 0, -1, 0), ('w', 0, 225, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 863, 0)), (('a', -1, 862, 0), ('b', -1, 134, 0), ('c', -1, 111, 0), ('d', 104, -1, 0), ('e', -1, 359, 0), ('f', 0, 85, 0), ('g', 97, 15, 0), ('h', 0, -1, 0), ('i', -1, 385, 0), ('j', 167, -1, 0), ('k', 0, -1, 0), ('l', 280, -1, 0), ('m', 97, 403, 0), ('n', 280, -1, 0), ('o', 186, -1, 0), ('p', 0, 862, 0), ('r', 104, -1, 0), ('s', -1, 111, 0), ('t', 41, -1, 0), ('u', 0, -1, 0), ('w', 104, -1, 0), ('y', 215, -1, 0), ('z', -1, 385, 0), ('ó', -1, 386, 0), ('ą', -1, 188, 0), ('ę', 6, -1, 0), ('ł', 17, -1, 0), ('ś', 98, 8, 0), ('ź', -1, 722, 0), ('ż', 52, -1, 0)), (('a', 21, -1, 0), ('b', 29, -1, 0), ('c', 0, -1, 0), ('d', 313, -1, 0), ('e', 0, -1, 0), ('i', 21, -1, 0), ('j', -1, 220, 0), ('k', 0, -1, 0), ('l', -1, 864, 0), ('m', 11, 2410, 0), ('n', 21, -1, 0), ('o', -1, 606, 0), ('p', 55, 779, 0), ('r', 21, -1, 0), ('s', -1, 1364, 0), ('t', 29, -1, 0), ('u', 21, -1, 0), ('w', 29, -1, 0), ('y', 41, -1, 0), ('z', -1, 308, 0), ('ę', 0, -1, 0), ('ź', 29, -1, 0), ('ż', 313, -1, 0)), (('a', -1, 251, 0), ('b', 0, -1, 0), ('c', 120, -1, 0), ('d', -1, 865, 0), ('e', 0, -1, 0), ('g', -1, 98, 0), ('h', 0, -1, 0), ('i', 21, -1, 0), ('k', -1, 3898, 0), ('l', 22, -1, 0), ('m', 0, -1, 0), ('n', -1, 1331, 0), ('o', 21, -1, 0), ('p', -1, 916, 0), ('r', 0, -1, 0), ('s', 21, -1, 0), ('t', -1, 250, 0), ('u', 21, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 21, -1, 0), ('ę', 0, -1, 0), ('ł', 79, -1, 0), ('ś', -1, 101, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 866, 0), ('e', 1, -1, 0), ('f', -1, 309, 0), ('i', -1, 249, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', -1, 1416, 0), ('m', -1, 2066, 0), ('n', 21, 452, 0), ('o', -1, 13, 0), ('p', -1, 1381, 0), ('r', 0, -1, 0), ('s', -1, 3739, 0), ('t', -1, 1507, 0), ('u', 11, -1, 0), ('w', -1, 170, 0), ('y', 57, -1, 0), ('z', -1, 116, 0), ('ę', 0, -1, 0), ('ł', 22, -1, 0), ('ż', 1, -1, 0)), (('a', 21, -1, 0), ('b', 0, -1, 0), ('c', -1, 153, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('h', 21, -1, 0), ('i', 0, 502, 0), ('j', 0, 175, 0), ('k', 21, -1, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 1, -1, 0), ('p', -1, 867, 0), ('r', -1, 917, 0), ('s', 21, -1, 0), ('t', -1, 173, 0), ('u', 21, -1, 0), ('w', -1, 2031, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 21, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 742, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 5, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 266, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 645, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 5, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 55, -1, 0), ('w', 6, -1, 0), ('y', 5, -1, 0), ('z', -1, 868, 0), ('ł', 6, -1, 0), ('ż', -1, 1553, 0)), (('a', 6, -1, 0), ('b', 28, 477, 0), ('c', -1, 869, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 28, -1, 0), ('k', 6, -1, 0), ('o', 29, 218, 0), ('p', 6, -1, 0), ('r', -1, 819, 0), ('s', -1, 1380, 0), ('t', -1, 356, 0), ('u', 6, -1, 0), ('y', -1, 546, 0), ('z', 16, -1, 0), ('ą', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 870, 0), ('c', 95, -1, 0), ('d', -1, 879, 0), ('e', -1, 2527, 0), ('i', -1, 1577, 0), ('k', 6, -1, 0), ('l', -1, 597, 0), ('m', 3, -1, 0), ('o', -1, 766, 0), ('p', 133, -1, 0), ('r', -1, 674, 0), ('s', 95, -1, 0), ('t', -1, 277, 0), ('u', -1, 36, 0), ('w', 352, -1, 0), ('y', -1, 1861, 0), ('z', -1, 1670, 0), ('ą', 6, -1, 0), ('ę', -1, 1125, 0), ('ł', 95, -1, 0), ('ń', 6, -1, 0)), (('a', 21, -1, 0), ('b', -1, 871, 0), ('c', 21, -1, 0), ('d', -1, 17, 0), ('e', 21, -1, 0), ('g', 6, 1124, 0), ('i', -1, 45, 0), ('k', 28, -1, 0), ('l', 95, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 21, -1, 0), ('p', -1, 668, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 367, 0), ('w', 6, -1, 0), ('y', -1, 664, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', 82, -1, 0), ('ż', 6, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 39, -1, 0), ('e', 5, -1, 0), ('g', -1, 872, 0), ('i', -1, 644, 0), ('k', 5, -1, 0), ('m', 5, -1, 0), ('n', -1, 1117, 0), ('o', 30, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', -1, 4084, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('l', 5, -1, 0), ('o', 5, 873, 0), ('r', 39, -1, 0), ('y', 5, -1, 0), ('z', 0, -1, 0), ('ż', 5, -1, 0)), (('a', 1, -1, 0), ('b', 55, -1, 0), ('d', 5, 15, 0), ('e', -1, 27, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('m', 37, -1, 0), ('n', 37, -1, 0), ('o', -1, 874, 0), ('p', 5, -1, 0), ('r', 79, -1, 0), ('s', -1, 2814, 0), ('t', -1, 820, 0), ('u', 1, -1, 0), ('w', 37, -1, 0), ('y', 1, -1, 0), ('z', -1, 300, 0), ('ó', 55, -1, 0)), (('a', 6, -1, 0), ('b', 55, -1, 0), ('c', 106, -1, 0), ('d', 0, 225, 0), ('e', 6, -1, 0), ('g', 1, -1, 0), ('i', 95, -1, 0), ('k', 12, -1, 0), ('l', 7, -1, 0), ('m', 55, -1, 0), ('o', 95, -1, 0), ('p', -1, 875, 0), ('r', 95, -1, 0), ('s', -1, 443, 0), ('t', -1, 2803, 0), ('u', -1, 340, 0), ('w', 55, -1, 0), ('y', 6, -1, 0), ('z', -1, 931, 0), ('ę', 95, -1, 0), ('ł', 7, -1, 0), ('ź', -1, 931, 0)), (('a', -1, 204, 0), ('b', -1, 876, 0), ('c', -1, 833, 0), ('d', -1, 2310, 0), ('e', 1, -1, 0), ('f', 6, -1, 0), ('g', -1, 1242, 0), ('h', -1, 1610, 0), ('i', -1, 2875, 0), ('j', -1, 1276, 0), ('k', -1, 1464, 0), ('l', -1, 3615, 0), ('m', -1, 771, 0), ('n', -1, 2408, 0), ('o', 0, 164, 0), ('p', -1, 3706, 0), ('r', 0, 740, 0), ('s', -1, 1984, 0), ('t', -1, 1218, 0), ('u', -1, 63, 0), ('w', -1, 2631, 0), ('y', 3, -1, 0), ('z', -1, 967, 0), ('ł', 1, 1037, 0), ('ż', -1, 352, 0)), (('a', 1, -1, 0), ('b', 40, -1, 0), ('c', 21, -1, 0), ('d', 0, -1, 0), ('e', -1, 877, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('i', 21, -1, 0), ('k', 22, -1, 0), ('l', 21, -1, 0), ('m', 82, -1, 0), ('n', 3, -1, 0), ('o', 6, -1, 0), ('p', 258, -1, 0), ('r', -1, 1269, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', 6, -1, 0), ('w', -1, 1771, 0), ('y', -1, 582, 0), ('z', 21, -1, 0), ('ą', 6, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 878, 0), ('b', -1, 61, 0), ('c', -1, 3008, 0), ('d', 12, -1, 0), ('e', 193, -1, 0), ('g', -1, 644, 0), ('h', 0, -1, 0), ('i', 6, -1, 0), ('k', 21, -1, 0), ('l', -1, 4522, 0), ('m', 95, 181, 0), ('n', -1, 102, 0), ('o', 61, -1, 0), ('p', -1, 502, 0), ('r', -1, 17, 0), ('s', 61, -1, 0), ('t', 0, -1, 0), ('u', -1, 403, 0), ('w', 61, -1, 0), ('y', -1, 1789, 0), ('z', 6, -1, 0), ('ó', 17, -1, 0), ('ł', -1, 1143, 0), ('ś', 1, -1, 0)), (('a', -1, 625, 0), ('b', 28, -1, 0), ('c', 13, 705, 0), ('d', -1, 355, 0), ('e', -1, 146, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('h', 3, -1, 0), ('i', 203, -1, 0), ('j', 351, -1, 0), ('k', 21, -1, 0), ('l', 5, -1, 0), ('m', 12, -1, 0), ('n', 0, 175, 0), ('o', 5, -1, 0), ('p', -1, 478, 0), ('r', -1, 779, 0), ('s', 17, -1, 0), ('t', 58, -1, 0), ('u', 110, -1, 0), ('w', 17, -1, 0), ('y', -1, 500, 0), ('z', -1, 499, 0), ('ł', -1, 879, 0), ('ś', -1, 2788, 0)), (('a', -1, 486, 0), ('d', -1, 236, 0), ('e', -1, 880, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 651, 0), ('k', 4, -1, 0), ('m', 7, -1, 0), ('o', 101, -1, 0), ('p', -1, 4236, 0), ('r', -1, 296, 0), ('s', 9, -1, 0), ('t', 38, -1, 0), ('u', 0, -1, 0), ('w', 0, 85, 0), ('y', 9, -1, 0), ('z', -1, 84, 0), ('ę', 9, -1, 0)), (('a', 0, -1, 0), ('c', 21, -1, 0), ('d', 0, 164, 0), ('e', 88, -1, 0), ('g', 1, -1, 0), ('i', -1, 881, 0), ('k', 5, -1, 0), ('l', 1, -1, 0), ('m', -1, 2165, 0), ('o', -1, 2554, 0), ('p', -1, 1125, 0), ('r', 1, 1450, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', -1, 1851, 0), ('w', 21, -1, 0), ('y', 28, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 308, 0), ('b', 21, 145, 0), ('c', -1, 882, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('k', -1, 557, 0), ('l', 21, -1, 0), ('m', -1, 284, 0), ('n', 30, -1, 0), ('o', -1, 997, 0), ('p', 28, -1, 0), ('r', -1, 840, 0), ('s', 21, -1, 0), ('t', -1, 273, 0), ('u', 21, -1, 0), ('w', -1, 1073, 0), ('y', -1, 2435, 0), ('z', 28, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 883, 0), ('c', 3, -1, 0), ('d', 16, -1, 0), ('e', 3, -1, 0), ('i', -1, 923, 0), ('k', -1, 1632, 0), ('l', 22, -1, 0), ('m', -1, 399, 0), ('n', -1, 1288, 0), ('o', 16, -1, 0), ('p', 0, -1, 0), ('r', -1, 1195, 0), ('s', -1, 638, 0), ('t', -1, 79, 0), ('u', -1, 351, 0), ('y', 3, -1, 0), ('z', 274, -1, 0), ('ę', 21, -1, 0), ('ń', 41, -1, 0)), (('a', 1, -1, 0), ('c', -1, 884, 0), ('d', -1, 156, 0), ('e', -1, 1965, 0), ('g', -1, 153, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 335, -1, 0), ('k', -1, 1680, 0), ('l', 1, -1, 0), ('m', -1, 939, 0), ('n', 16, -1, 0), ('o', -1, 2465, 0), ('p', 0, -1, 0), ('r', -1, 143, 0), ('s', -1, 277, 0), ('t', 0, -1, 0), ('u', 156, -1, 0), ('w', -1, 473, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ą', 21, -1, 0), ('ę', -1, 424, 0)), (('a', -1, 885, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 79, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 330, -1, 0), ('c', 70, -1, 0), ('d', 145, -1, 0), ('e', 29, -1, 0), ('f', 1, -1, 0), ('i', -1, 886, 0), ('k', 0, 373, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 39, -1, 0), ('o', 15, -1, 0), ('p', 70, -1, 0), ('r', -1, 180, 0), ('s', 6, -1, 0), ('t', 39, -1, 0), ('u', 330, -1, 0), ('w', 70, -1, 0), ('y', 330, -1, 0), ('z', 108, -1, 0), ('ł', 1, -1, 0)), (('a', 24, -1, 0), ('b', 175, -1, 0), ('c', -1, 887, 0), ('d', -1, 365, 0), ('e', 24, -1, 0), ('f', 41, -1, 0), ('g', 24, -1, 0), ('i', 24, -1, 0), ('k', -1, 2562, 0), ('l', 0, -1, 0), ('m', -1, 2612, 0), ('n', 0, -1, 0), ('o', 24, -1, 0), ('p', 6, -1, 0), ('r', 0, -1, 0), ('s', -1, 124, 0), ('t', 41, -1, 0), ('u', 175, 313, 0), ('w', -1, 692, 0), ('y', 24, -1, 0), ('z', -1, 1633, 0)), (('a', -1, 863, 0), ('d', 1, -1, 0), ('e', -1, 261, 0), ('g', 11, -1, 0), ('i', 11, -1, 0), ('o', -1, 888, 0), ('p', 21, -1, 0), ('r', -1, 2216, 0), ('y', 11, -1, 0), ('z', 11, -1, 0)), (('a', -1, 287, 0), ('c', -1, 353, 0), ('d', 6, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 21, -1, 0), ('k', -1, 889, 0), ('l', 0, -1, 0), ('m', 13, -1, 0), ('n', -1, 104, 0), ('o', -1, 378, 0), ('p', 0, 626, 0), ('r', 0, -1, 0), ('s', -1, 391, 0), ('t', 105, -1, 0), ('u', 82, -1, 0), ('w', 13, -1, 0), ('y', 21, -1, 0), ('z', 6, 1079, 0), ('ł', 105, -1, 0)), (('a', -1, 890, 0), ('e', 56, -1, 0), ('f', 2, -1, 0), ('g', 3, -1, 0), ('i', -1, 1103, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('o', -1, 4396, 0), ('p', 2, -1, 0), ('r', 121, 3786, 0), ('s', 11, -1, 0), ('t', 3, -1, 0), ('y', 11, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 783, 0), ('c', 3, -1, 0), ('d', 2, -1, 0), ('e', 1, -1, 0), ('f', 3, -1, 0), ('g', 28, 891, 0), ('i', 1, -1, 0), ('k', 55, -1, 0), ('l', 7, -1, 0), ('m', 14, -1, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('p', 5, -1, 0), ('r', -1, 2012, 0), ('s', 5, -1, 0), ('t', -1, 2264, 0), ('u', 2, -1, 0), ('w', 7, -1, 0), ('y', 1, -1, 0), ('z', -1, 1503, 0), ('ć', 3, -1, 0)), (('a', -1, 848, 0), ('b', -1, 783, 0), ('c', -1, 892, 0), ('d', -1, 315, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 146, 0), ('j', 99, -1, 0), ('k', 5, -1, 0), ('l', 21, 384, 0), ('m', 0, 288, 0), ('n', -1, 515, 0), ('o', 99, -1, 0), ('p', 5, -1, 0), ('r', -1, 1461, 0), ('s', -1, 20, 0), ('t', -1, 20, 0), ('u', 5, -1, 0), ('w', -1, 1260, 0), ('y', -1, 1644, 0), ('z', 167, -1, 0), ('ć', 28, -1, 0), ('ł', 2, -1, 0), ('ś', -1, 261, 0)), (('a', 104, -1, 0), ('b', 41, -1, 0), ('c', -1, 893, 0), ('d', 41, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1319, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 683, 0), ('n', 0, -1, 0), ('o', 104, -1, 0), ('p', 208, -1, 0), ('r', 104, -1, 0), ('s', 0, 892, 0), ('t', 41, 151, 0), ('u', 104, -1, 0), ('w', -1, 754, 0), ('y', -1, 3003, 0), ('z', 104, -1, 0), ('ł', 104, -1, 0)), (('a', 2, -1, 0), ('b', 89, 894, 0), ('d', 4, -1, 0), ('e', -1, 1048, 0), ('i', 3, -1, 0), ('o', 120, -1, 0), ('r', 89, -1, 0), ('s', 64, -1, 0), ('u', 4, -1, 0), ('y', 4, -1, 0), ('z', 64, -1, 0)), (('a', -1, 895, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 89, -1, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 21, -1, 0), ('m', 21, 386, 0), ('n', 0, -1, 0), ('o', 2, -1, 0), ('p', 0, -1, 0), ('r', -1, 4020, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 2, -1, 0), ('y', 89, -1, 0), ('z', 4, -1, 0), ('ż', 0, -1, 0)), (('-', 2, -1, 0), ('a', 5, -1, 0), ('b', 3, -1, 0), ('c', 22, 896, 0), ('d', 22, 142, 0), ('e', 5, -1, 0), ('f', 2, -1, 0), ('g', 3, -1, 0), ('i', -1, 2572, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 22, 1276, 0), ('m', -1, 1195, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('p', 28, -1, 0), ('r', 5, -1, 0), ('s', 3, 1938, 0), ('t', -1, 2573, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 2, -1, 0), ('ż', -1, 3481, 0)), (('a', -1, 897, 0), ('d', 5, -1, 0), ('e', 57, -1, 0), ('g', 73, -1, 0), ('i', 2, -1, 0), ('j', 28, -1, 0), ('k', 22, -1, 0), ('l', 34, -1, 0), ('m', 28, -1, 0), ('n', 3, -1, 0), ('o', -1, 2023, 0), ('p', 3, -1, 0), ('r', 84, -1, 0), ('s', 7, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', 73, -1, 0)), (('a', 21, -1, 0), ('b', -1, 898, 0), ('c', 116, 905, 0), ('d', 5, 545, 0), ('e', -1, 2042, 0), ('f', -1, 2470, 0), ('g', -1, 1325, 0), ('i', -1, 3004, 0), ('k', 1, -1, 0), ('m', 5, 1361, 0), ('n', -1, 2539, 0), ('o', -1, 1529, 0), ('p', 55, 3393, 0), ('r', -1, 2252, 0), ('s', -1, 3522, 0), ('u', 55, -1, 0), ('w', -1, 3262, 0), ('z', -1, 282, 0), ('ż', 1, -1, 0)), (('-', 39, -1, 0), ('a', -1, 899, 0), ('b', 5, -1, 0), ('c', 26, -1, 0), ('d', 4, -1, 0), ('e', 7, -1, 0), ('h', 39, -1, 0), ('i', -1, 2100, 0), ('k', 39, 2618, 0), ('l', 142, -1, 0), ('m', 4, -1, 0), ('o', -1, 572, 0), ('p', -1, 1605, 0), ('r', -1, 66, 0), ('s', 177, -1, 0), ('t', 4, 3824, 0), ('u', -1, 1587, 0), ('w', -1, 1165, 0), ('y', 7, -1, 0), ('z', -1, 2614, 0), ('ą', 7, -1, 0), ('ę', -1, 2841, 0), ('ń', 55, -1, 0), ('ź', 55, -1, 0), ('ż', 39, 1997, 0)), (('a', 22, -1, 0), ('b', 5, -1, 0), ('c', 69, -1, 0), ('d', 22, -1, 0), ('e', 158, -1, 0), ('h', 69, -1, 0), ('i', 87, -1, 0), ('k', 21, -1, 0), ('m', 69, -1, 0), ('n', 337, -1, 0), ('o', 158, -1, 0), ('p', 69, -1, 0), ('r', -1, 233, 0), ('s', -1, 900, 0), ('t', -1, 495, 0), ('u', 158, -1, 0), ('w', 7, 693, 0), ('z', 158, -1, 0), ('ę', 158, -1, 0), ('ł', 69, -1, 0)), (('a', 5, -1, 0), ('c', -1, 901, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('l', 5, -1, 0), ('m', 0, -1, 0), ('o', -1, 762, 0), ('p', 0, -1, 0), ('r', -1, 1761, 0), ('s', -1, 925, 0), ('u', 5, -1, 0), ('y', -1, 1688, 0), ('z', 185, 385, 0), ('ą', -1, 653, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('d', 39, -1, 0), ('e', 5, -1, 0), ('f', 39, -1, 0), ('i', 5, -1, 0), ('j', 1, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('o', 1, -1, 0), ('r', -1, 902, 0), ('t', 39, -1, 0), ('u', 5, -1, 0), ('w', 1, -1, 0), ('y', 5, -1, 0), ('z', -1, 2327, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 1, -1, 0), ('ń', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 903, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, 180, 0), ('e', 5, -1, 0), ('i', -1, 1689, 0), ('j', 2, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 1, 1644, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 2, -1, 0), ('t', 276, -1, 0), ('w', 22, -1, 0), ('y', 5, -1, 0), ('z', 22, -1, 0)), (('a', -1, 904, 0), ('b', 5, -1, 0), ('c', -1, 351, 0), ('d', -1, 105, 0), ('e', 24, -1, 0), ('f', 24, -1, 0), ('g', -1, 1032, 0), ('h', 24, -1, 0), ('i', -1, 1418, 0), ('j', 24, -1, 0), ('k', 24, -1, 0), ('l', 24, -1, 0), ('m', -1, 273, 0), ('n', 24, -1, 0), ('o', -1, 1946, 0), ('p', -1, 273, 0), ('r', 24, -1, 0), ('s', -1, 1981, 0), ('t', -1, 1958, 0), ('u', 24, -1, 0), ('w', -1, 666, 0), ('y', -1, 2184, 0), ('z', 24, -1, 0), ('ę', -1, 904, 0), ('ł', -1, 926, 0)), (('a', -1, 905, 0), ('b', 24, -1, 0), ('c', -1, 4289, 0), ('d', -1, 355, 0), ('e', -1, 856, 0), ('i', 175, -1, 0), ('k', 24, -1, 0), ('l', 175, -1, 0), ('m', 24, -1, 0), ('n', 82, -1, 0), ('o', 21, -1, 0), ('p', 175, -1, 0), ('r', 24, -1, 0), ('s', -1, 1031, 0), ('t', -1, 299, 0), ('u', -1, 121, 0), ('w', -1, 576, 0), ('y', -1, 1591, 0), ('z', 24, -1, 0), ('ó', 21, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 675, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 116, -1, 0), ('e', 22, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 22, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 96, 906, 0), ('n', 21, -1, 0), ('o', 22, -1, 0), ('p', 21, -1, 0), ('r', 238, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 238, -1, 0), ('y', -1, 1395, 0), ('z', 21, -1, 0), ('ą', 78, -1, 0), ('ś', -1, 2391, 0), ('ż', 21, -1, 0)), (('a', 96, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 21, 356, 0), ('e', 1, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 21, 907, 0), ('m', 433, 356, 0), ('n', -1, 949, 0), ('o', 17, -1, 0), ('p', -1, 4494, 0), ('r', -1, 600, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('w', 6, -1, 0), ('y', 17, -1, 0), ('z', 6, -1, 0), ('ł', -1, 2129, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 21, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 21, -1, 0), ('k', 22, -1, 0), ('m', 28, 908, 0), ('n', -1, 1048, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 912, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 1, -1, 0), ('ę', 6, -1, 0), ('ł', 22, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0)), (('a', 6, -1, 0), ('b', 21, -1, 0), ('c', -1, 909, 0), ('d', 3, -1, 0), ('e', 6, -1, 0), ('g', 11, -1, 0), ('h', 21, -1, 0), ('i', -1, 1047, 0), ('j', 28, -1, 0), ('k', 21, -1, 0), ('l', 30, -1, 0), ('m', -1, 317, 0), ('n', 21, -1, 0), ('o', -1, 33, 0), ('p', 3, -1, 0), ('r', 28, -1, 0), ('s', 95, -1, 0), ('t', -1, 2129, 0), ('u', 6, -1, 0), ('w', -1, 1939, 0), ('y', 6, -1, 0), ('z', -1, 237, 0), ('ł', 11, -1, 0)), (('a', 3, -1, 0), ('b', -1, 623, 0), ('c', 180, -1, 0), ('d', 12, -1, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 55, 625, 0), ('h', 12, -1, 0), ('i', -1, 908, 0), ('k', 116, 223, 0), ('m', -1, 910, 0), ('n', 336, -1, 0), ('o', 3, -1, 0), ('p', 3, 3900, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', -1, 2693, 0), ('u', 84, -1, 0), ('w', 5, 502, 0), ('y', 3, -1, 0), ('z', 99, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ś', 3, -1, 0), ('ż', 12, -1, 0)), (('a', -1, 911, 0), ('d', -1, 4062, 0), ('e', 12, -1, 0), ('g', 0, -1, 0), ('i', 316, -1, 0), ('j', 0, 1022, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 5, -1, 0), ('p', 64, 3623, 0), ('r', 137, -1, 0), ('s', 0, -1, 0), ('t', -1, 1038, 0), ('u', 31, -1, 0), ('w', 0, -1, 0), ('y', -1, 1572, 0), ('z', 12, -1, 0), ('ś', 5, -1, 0)), (('a', -1, 912, 0), ('b', 3, -1, 0), ('d', -1, 1012, 0), ('e', -1, 201, 0), ('f', 3, -1, 0), ('g', 352, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('k', -1, 2851, 0), ('m', 85, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 5, 111, 0), ('s', 2, -1, 0), ('t', -1, 1281, 0), ('u', -1, 2039, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 3949, 0), ('ó', 3, -1, 0)), (('a', 173, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 913, 0), ('g', -1, 202, 0), ('h', -1, 2522, 0), ('i', 114, -1, 0), ('j', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 2, -1, 0), ('n', 85, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 0, 226, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 30, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ś', 113, -1, 0), ('ż', 3, -1, 0)), (('a', 0, 914, 0), ('c', 3, -1, 0), ('d', 0, 310, 0), ('e', 114, -1, 0), ('f', 3, -1, 0), ('h', 28, 798, 0), ('i', -1, 781, 0), ('j', 3, -1, 0), ('k', 22, -1, 0), ('l', 28, -1, 0), ('m', 19, -1, 0), ('n', 19, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 19, -1, 0), ('s', 5, 102, 0), ('t', 5, -1, 0), ('u', 0, -1, 0), ('w', -1, 1130, 0), ('y', 114, -1, 0), ('z', 2, -1, 0), ('ł', 19, -1, 0), ('ś', 121, -1, 0)), (('a', -1, 524, 0), ('b', 28, -1, 0), ('c', 5, 157, 0), ('d', 14, -1, 0), ('e', -1, 755, 0), ('f', 2, -1, 0), ('g', 29, -1, 0), ('h', 28, -1, 0), ('i', -1, 808, 0), ('j', -1, 259, 0), ('k', -1, 203, 0), ('l', -1, 915, 0), ('m', -1, 2362, 0), ('n', 2, -1, 0), ('o', -1, 582, 0), ('p', 0, 913, 0), ('r', 0, 310, 0), ('s', 105, -1, 0), ('t', -1, 1601, 0), ('u', 0, -1, 0), ('w', -1, 543, 0), ('y', 14, -1, 0), ('z', 119, -1, 0), ('ł', 105, 1156, 0), ('ż', 28, -1, 0)), (('a', 21, -1, 0), ('b', -1, 357, 0), ('c', -1, 916, 0), ('d', 106, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 172, 0), ('k', 21, -1, 0), ('l', 21, 2059, 0), ('m', -1, 210, 0), ('n', -1, 1403, 0), ('o', -1, 1794, 0), ('p', 21, -1, 0), ('r', -1, 933, 0), ('s', -1, 863, 0), ('t', 5, -1, 0), ('u', 0, -1, 0), ('w', -1, 1893, 0), ('y', 16, -1, 0), ('z', -1, 225, 0), ('ś', 106, -1, 0)), (('a', -1, 917, 0), ('b', 21, -1, 0), ('c', -1, 3163, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('g', 33, -1, 0), ('i', -1, 285, 0), ('k', -1, 966, 0), ('l', 21, -1, 0), ('m', 5, -1, 0), ('n', 21, -1, 0), ('o', 0, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 12, -1, 0), ('t', 21, -1, 0), ('u', -1, 652, 0), ('w', 12, -1, 0), ('y', 59, -1, 0), ('z', 155, -1, 0), ('ó', 121, -1, 0), ('ę', -1, 96, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 21, -1, 0), ('ż', 21, -1, 0)), (('a', 21, -1, 0), ('b', 196, 918, 0), ('c', -1, 321, 0), ('d', 28, -1, 0), ('e', 193, -1, 0), ('g', 5, 2449, 0), ('h', 28, -1, 0), ('i', -1, 1248, 0), ('k', 21, 340, 0), ('l', 21, -1, 0), ('m', -1, 716, 0), ('n', 21, -1, 0), ('o', -1, 350, 0), ('p', -1, 68, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', -1, 1269, 0), ('u', 21, -1, 0), ('w', -1, 780, 0), ('y', -1, 1139, 0), ('z', 21, -1, 0), ('ę', -1, 1633, 0), ('ł', 21, -1, 0)), (('a', 64, -1, 0), ('d', -1, 94, 0), ('e', 28, -1, 0), ('i', 3, -1, 0), ('n', -1, 365, 0), ('o', 64, -1, 0), ('r', 82, -1, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', -1, 554, 0), ('z', 196, 919, 0)), (('a', 64, -1, 0), ('b', 64, -1, 0), ('c', -1, 920, 0), ('d', 6, -1, 0), ('e', -1, 82, 0), ('g', 6, 545, 0), ('i', 1, -1, 0), ('k', 6, -1, 0), ('l', 3, -1, 0), ('m', 95, -1, 0), ('n', 22, -1, 0), ('o', 64, -1, 0), ('p', 5, 225, 0), ('r', 6, -1, 0), ('s', -1, 1791, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 6, -1, 0), ('y', 0, -1, 0), ('z', 64, -1, 0), ('ł', 31, -1, 0)), (('a', 1, -1, 0), ('e', 228, -1, 0), ('i', 31, -1, 0), ('j', -1, 921, 0), ('l', 31, 2798, 0), ('m', 7, -1, 0), ('o', 30, -1, 0), ('r', 7, 2478, 0), ('s', 1, -1, 0), ('t', 7, -1, 0), ('u', 6, -1, 0), ('y', 228, -1, 0), ('z', -1, 2425, 0), ('ł', 27, -1, 0), ('ż', -1, 3092, 0)), (('a', 99, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('g', 1, -1, 0), ('i', -1, 922, 0), ('o', 5, -1, 0), ('p', 31, -1, 0), ('r', -1, 1966, 0), ('t', 31, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 31, -1, 0)), (('a', 21, -1, 0), ('d', -1, 79, 0), ('e', -1, 693, 0), ('g', 0, -1, 0), ('i', -1, 514, 0), ('k', 3, -1, 0), ('m', 79, -1, 0), ('o', 0, -1, 0), ('r', 62, -1, 0), ('s', 37, -1, 0), ('t', -1, 923, 0), ('u', 37, -1, 0), ('w', 3, -1, 0), ('y', 62, -1, 0), ('z', 85, -1, 0), ('ó', 37, -1, 0), ('ą', 0, -1, 0), ('ę', 37, -1, 0)), (('a', -1, 83, 0), ('b', 4, -1, 0), ('c', 3, -1, 0), ('d', -1, 924, 0), ('e', 0, -1, 0), ('f', -1, 539, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 3, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 57, 2047, 0), ('r', 96, 723, 0), ('s', 22, -1, 0), ('t', 4, -1, 0), ('u', 0, -1, 0), ('w', 352, -1, 0), ('y', 0, -1, 0), ('z', 96, -1, 0), ('ż', 4, -1, 0)), (('a', 22, -1, 0), ('b', -1, 925, 0), ('c', 30, -1, 0), ('e', -1, 21, 0), ('i', 22, -1, 0), ('m', 5, -1, 0), ('n', -1, 3245, 0), ('o', -1, 1862, 0), ('p', -1, 2060, 0), ('r', 22, -1, 0), ('s', -1, 4285, 0), ('u', -1, 1333, 0), ('w', -1, 2900, 0), ('y', -1, 1315, 0), ('z', -1, 1120, 0), ('ó', -1, 1363, 0), ('ą', 3, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 22, -1, 0), ('n', 5, -1, 0), ('o', -1, 926, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', -1, 173, 0), ('t', -1, 1575, 0), ('u', 5, -1, 0), ('w', 22, -1, 0), ('y', 1, -1, 0), ('z', 118, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ę', -1, 1561, 0), ('ł', -1, 2014, 0)), (('a', 24, -1, 0), ('b', 5, 927, 0), ('c', -1, 858, 0), ('d', 24, -1, 0), ('e', 175, -1, 0), ('g', 24, -1, 0), ('i', 24, -1, 0), ('k', -1, 1002, 0), ('l', 5, -1, 0), ('m', -1, 2410, 0), ('o', -1, 92, 0), ('p', 175, -1, 0), ('r', -1, 60, 0), ('s', -1, 273, 0), ('t', -1, 196, 0), ('u', 24, -1, 0), ('w', -1, 2884, 0), ('y', 24, -1, 0), ('z', 24, -1, 0), ('ę', 24, -1, 0), ('ł', 5, -1, 0)), (('a', 30, -1, 0), ('b', 2, -1, 0), ('d', 5, -1, 0), ('e', -1, 928, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', -1, 2411, 0), ('o', 5, -1, 0), ('r', 2, -1, 0), ('t', -1, 1538, 0), ('w', 2, -1, 0), ('y', 30, -1, 0), ('z', 30, -1, 0), ('ł', -1, 1703, 0)), (('a', 3, -1, 0), ('c', 2, -1, 0), ('e', 12, -1, 0), ('i', -1, 860, 0), ('o', 0, -1, 0), ('r', 121, -1, 0), ('t', 333, -1, 0), ('u', 12, -1, 0), ('z', -1, 929, 0)), (('a', -1, 930, 0), ('e', 3, -1, 0), ('h', 52, -1, 0), ('i', 12, -1, 0), ('o', 12, -1, 0), ('r', -1, 2072, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('y', -1, 3039, 0), ('z', 12, -1, 0), ('ę', 12, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', -1, 931, 0), ('d', -1, 404, 0), ('e', 12, -1, 0), ('f', 12, -1, 0), ('g', -1, 879, 0), ('h', 12, -1, 0), ('i', -1, 1694, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 0, -1, 0), ('n', 12, -1, 0), ('o', -1, 477, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 0, -1, 0), ('u', 12, -1, 0), ('w', -1, 382, 0), ('y', -1, 50, 0), ('z', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0), ('ż', 3, -1, 0)), (('a', 289, -1, 0), ('b', 1, -1, 0), ('c', 79, -1, 0), ('d', -1, 530, 0), ('e', -1, 61, 0), ('g', -1, 932, 0), ('i', -1, 676, 0), ('j', 1, -1, 0), ('k', 2, 307, 0), ('l', -1, 3279, 0), ('m', -1, 2152, 0), ('n', 1, -1, 0), ('o', 289, -1, 0), ('p', -1, 2491, 0), ('r', 64, -1, 0), ('s', -1, 766, 0), ('t', -1, 2610, 0), ('u', 0, 44, 0), ('w', 21, -1, 0), ('y', 147, -1, 0), ('z', 1, -1, 0), ('ę', -1, 532, 0), ('ł', 64, -1, 0)), (('a', -1, 116, 0), ('d', 0, -1, 0), ('e', -1, 788, 0), ('h', 56, -1, 0), ('i', -1, 933, 0), ('k', 107, -1, 0), ('m', 107, -1, 0), ('o', -1, 24, 0), ('p', 107, -1, 0), ('r', -1, 267, 0), ('s', 0, 64, 0), ('t', -1, 505, 0), ('u', -1, 208, 0), ('w', 107, -1, 0), ('z', 0, 64, 0)), (('a', -1, 10, 0), ('b', 6, -1, 0), ('c', 37, -1, 0), ('d', -1, 130, 0), ('e', 149, -1, 0), ('g', 3, -1, 0), ('i', -1, 546, 0), ('k', 0, -1, 0), ('l', 298, -1, 0), ('m', 97, -1, 0), ('n', 21, -1, 0), ('o', -1, 98, 0), ('p', 6, -1, 0), ('r', -1, 934, 0), ('s', -1, 53, 0), ('t', -1, 1681, 0), ('u', 0, -1, 0), ('w', 13, -1, 0), ('y', 149, -1, 0), ('z', 6, -1, 0), ('ę', -1, 187, 0)), (('a', 0, -1, 0), ('b', -1, 530, 0), ('c', -1, 699, 0), ('d', -1, 716, 0), ('e', -1, 58, 0), ('f', -1, 146, 0), ('g', 3, -1, 0), ('h', 0, -1, 0), ('i', -1, 935, 0), ('j', -1, 460, 0), ('k', 0, 1270, 0), ('l', -1, 1267, 0), ('m', 0, -1, 0), ('n', -1, 1268, 0), ('o', -1, 225, 0), ('p', 6, 359, 0), ('r', -1, 914, 0), ('s', 14, -1, 0), ('t', -1, 500, 0), ('u', 0, 1987, 0), ('w', -1, 172, 0), ('y', -1, 974, 0), ('z', -1, 1677, 0), ('ż', -1, 173, 0)), (('a', -1, 936, 0), ('b', 0, -1, 0), ('c', -1, 2433, 0), ('d', 110, -1, 0), ('e', -1, 682, 0), ('f', 96, -1, 0), ('g', 41, -1, 0), ('h', 1, -1, 0), ('i', -1, 1069, 0), ('j', 110, -1, 0), ('k', 4, -1, 0), ('l', -1, 957, 0), ('m', 0, -1, 0), ('n', -1, 316, 0), ('o', -1, 1192, 0), ('p', -1, 251, 0), ('r', -1, 1521, 0), ('s', 104, -1, 0), ('t', 4, -1, 0), ('u', -1, 652, 0), ('w', -1, 1714, 0), ('y', -1, 1076, 0), ('z', -1, 314, 0), ('ó', 110, -1, 0), ('ą', -1, 594, 0), ('ę', -1, 1045, 0), ('ń', -1, 1045, 0)), (('a', 52, -1, 0), ('b', 110, -1, 0), ('c', -1, 937, 0), ('d', 21, 186, 0), ('e', 110, -1, 0), ('g', -1, 3082, 0), ('h', 170, -1, 0), ('i', -1, 405, 0), ('j', 110, -1, 0), ('k', 347, -1, 0), ('l', 86, -1, 0), ('m', 110, -1, 0), ('n', 110, -1, 0), ('o', 86, -1, 0), ('p', 110, -1, 0), ('r', 110, -1, 0), ('s', -1, 593, 0), ('t', 110, -1, 0), ('u', 21, -1, 0), ('w', 348, -1, 0), ('y', 86, -1, 0), ('z', 86, -1, 0), ('ą', 1, -1, 0), ('ł', -1, 1694, 0)), (('a', -1, 938, 0), ('d', -1, 79, 0), ('e', -1, 423, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 2042, 0), ('m', 2, -1, 0), ('o', 0, 85, 0), ('p', 41, 1438, 0), ('r', -1, 797, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('y', -1, 61, 0), ('z', -1, 84, 0)), (('a', 113, -1, 0), ('b', 0, 939, 0), ('c', 2, -1, 0), ('d', -1, 2153, 0), ('e', -1, 569, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 113, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 2084, 0), ('n', 0, 44, 0), ('o', 113, -1, 0), ('p', -1, 2788, 0), ('r', 113, -1, 0), ('s', 85, -1, 0), ('t', 6, 2211, 0), ('u', 113, -1, 0), ('w', -1, 1905, 0), ('y', 113, -1, 0), ('z', 0, 64, 0), ('ó', 113, -1, 0), ('ą', 113, -1, 0), ('ę', 113, -1, 0), ('ł', 113, -1, 0), ('ś', 113, -1, 0)), (('a', 0, -1, 0), ('c', 3, -1, 0), ('d', 0, -1, 0), ('e', -1, 869, 0), ('g', 0, -1, 0), ('i', 41, -1, 0), ('j', 0, -1, 0), ('n', 34, -1, 0), ('o', -1, 940, 0), ('r', 85, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 1107, 0)), (('a', 0, -1, 0), ('b', -1, 285, 0), ('c', 0, -1, 0), ('d', -1, 285, 0), ('e', -1, 941, 0), ('g', -1, 2873, 0), ('i', 0, -1, 0), ('k', 41, -1, 0), ('l', 37, -1, 0), ('m', -1, 2637, 0), ('n', 0, -1, 0), ('o', 208, -1, 0), ('p', -1, 1006, 0), ('r', -1, 851, 0), ('s', 104, -1, 0), ('t', -1, 994, 0), ('u', 41, -1, 0), ('w', 0, 44, 0), ('y', -1, 147, 0), ('z', -1, 1374, 0), ('ą', 41, -1, 0), ('ę', 41, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 942, 0), ('c', -1, 850, 0), ('d', 242, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 4, -1, 0), ('i', 256, -1, 0), ('j', 222, -1, 0), ('k', 364, -1, 0), ('l', -1, 1373, 0), ('m', 0, -1, 0), ('n', -1, 4528, 0), ('o', -1, 214, 0), ('p', 0, 68, 0), ('r', -1, 150, 0), ('s', 0, -1, 0), ('t', -1, 681, 0), ('u', -1, 390, 0), ('w', -1, 1245, 0), ('y', 242, -1, 0), ('z', -1, 121, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 81, -1, 0), ('e', -1, 460, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 943, 0), ('k', 0, -1, 0), ('l', -1, 569, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', 0, 278, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 460, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 944, 0), ('b', -1, 2820, 0), ('c', 21, -1, 0), ('d', 1, -1, 0), ('e', -1, 1521, 0), ('g', 1, -1, 0), ('h', 21, -1, 0), ('i', 74, -1, 0), ('k', -1, 234, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 209, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 74, -1, 0), ('t', 21, -1, 0), ('u', 0, 310, 0), ('w', -1, 1356, 0), ('y', 209, -1, 0), ('z', 21, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 424, 0), ('ż', 21, -1, 0)), (('a', -1, 945, 0), ('b', -1, 3644, 0), ('c', 1, -1, 0), ('d', -1, 385, 0), ('e', -1, 151, 0), ('g', 5, -1, 0), ('i', 282, -1, 0), ('k', 9, 2530, 0), ('l', 110, -1, 0), ('m', 21, -1, 0), ('n', 209, -1, 0), ('o', -1, 1378, 0), ('p', -1, 485, 0), ('r', -1, 237, 0), ('s', 6, -1, 0), ('t', 105, -1, 0), ('u', 110, -1, 0), ('w', -1, 1457, 0), ('y', 110, -1, 0), ('z', 74, -1, 0), ('ó', -1, 667, 0), ('ą', -1, 155, 0), ('ę', -1, 1487, 0), ('ł', 5, -1, 0)), (('a', 12, -1, 0), ('b', 50, -1, 0), ('c', 21, -1, 0), ('d', 12, -1, 0), ('e', 96, -1, 0), ('g', -1, 902, 0), ('i', 191, -1, 0), ('k', -1, 670, 0), ('l', -1, 946, 0), ('m', 110, -1, 0), ('n', 1, -1, 0), ('o', 12, -1, 0), ('p', 50, -1, 0), ('r', 191, -1, 0), ('s', 12, -1, 0), ('t', -1, 236, 0), ('u', 96, -1, 0), ('w', 110, -1, 0), ('y', -1, 695, 0), ('z', 21, -1, 0), ('ł', 191, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 595, 0), ('d', 2, -1, 0), ('e', 0, 85, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 947, 0), ('l', -1, 576, 0), ('m', 28, -1, 0), ('o', -1, 80, 0), ('p', 28, -1, 0), ('r', -1, 1209, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('w', 2, -1, 0), ('z', -1, 3728, 0), ('ł', 2, -1, 0)), (('a', 175, -1, 0), ('b', -1, 187, 0), ('c', -1, 948, 0), ('d', 7, -1, 0), ('e', 175, -1, 0), ('i', 24, -1, 0), ('k', -1, 2245, 0), ('l', -1, 3739, 0), ('m', 29, -1, 0), ('n', 24, -1, 0), ('o', 24, -1, 0), ('p', -1, 312, 0), ('r', -1, 537, 0), ('s', 24, -1, 0), ('t', -1, 960, 0), ('u', 24, -1, 0), ('w', -1, 1095, 0), ('y', -1, 1591, 0), ('z', 24, -1, 0)), (('a', -1, 949, 0), ('d', 5, -1, 0), ('e', 2, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('n', -1, 2574, 0), ('o', -1, 38, 0), ('p', 2, -1, 0), ('r', 115, 1644, 0), ('s', 2, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 210, -1, 0), ('ń', 3, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', -1, 529, 0), ('h', 0, -1, 0), ('i', 6, -1, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('m', 6, -1, 0), ('n', -1, 151, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', -1, 660, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', -1, 950, 0), ('ć', 6, -1, 0), ('ę', 6, -1, 0), ('ż', 0, 1479, 0)), (('a', -1, 951, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('h', 28, -1, 0), ('i', 6, -1, 0), ('j', 21, -1, 0), ('k', -1, 3949, 0), ('l', 0, -1, 0), ('m', -1, 313, 0), ('n', -1, 2090, 0), ('o', 21, 670, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 0, -1, 0), ('t', 6, -1, 0), ('u', 28, -1, 0), ('w', 0, -1, 0), ('y', 21, -1, 0), ('z', 6, -1, 0), ('ę', 21, -1, 0), ('ł', 6, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 952, 0), ('d', 215, -1, 0), ('e', 0, -1, 0), ('g', 6, -1, 0), ('h', 28, -1, 0), ('i', 6, -1, 0), ('k', 95, -1, 0), ('l', -1, 1795, 0), ('m', 95, -1, 0), ('n', 2, -1, 0), ('o', 0, -1, 0), ('p', 21, -1, 0), ('r', 28, -1, 0), ('s', 6, -1, 0), ('t', 28, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 122, 0), ('z', 0, -1, 0), ('ł', 6, -1, 0)), (('a', 3, -1, 0), ('d', -1, 465, 0), ('e', 3, -1, 0), ('i', 57, -1, 0), ('k', -1, 953, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', -1, 513, 0), ('r', -1, 954, 0), ('s', 2, -1, 0), ('u', 3, -1, 0), ('y', 22, -1, 0), ('z', 22, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 351, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 80, 200, 0), ('n', 3, -1, 0), ('o', -1, 258, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('z', 3, -1, 0)), (('a', 3, -1, 0), ('b', -1, 331, 0), ('c', 1, -1, 0), ('d', 4, -1, 0), ('e', -1, 426, 0), ('g', 22, -1, 0), ('h', 1, -1, 0), ('i', 0, 64, 0), ('k', 1, 955, 0), ('l', 1, -1, 0), ('m', 0, 2756, 0), ('n', 4, -1, 0), ('o', 217, -1, 0), ('p', 4, -1, 0), ('r', 1, -1, 0), ('s', 0, 572, 0), ('t', 0, 154, 0), ('u', 22, -1, 0), ('w', -1, 2070, 0), ('y', 4, -1, 0), ('z', -1, 46, 0), ('ź', 0, -1, 0)), (('a', 4, -1, 0), ('b', 7, -1, 0), ('c', 12, -1, 0), ('d', 4, -1, 0), ('e', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 16, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 53, -1, 0), ('o', 4, -1, 0), ('p', -1, 190, 0), ('r', -1, 956, 0), ('s', 21, -1, 0), ('t', -1, 458, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 37, -1, 0), ('ć', 6, -1, 0), ('ł', -1, 424, 0)), (('a', -1, 957, 0), ('b', -1, 376, 0), ('c', 0, -1, 0), ('d', 5, -1, 0), ('e', -1, 675, 0), ('g', -1, 2936, 0), ('i', 21, -1, 0), ('k', -1, 1080, 0), ('l', -1, 345, 0), ('m', 12, 986, 0), ('n', 25, -1, 0), ('o', 21, -1, 0), ('p', 21, 503, 0), ('r', -1, 209, 0), ('s', 116, -1, 0), ('t', -1, 1077, 0), ('u', 21, -1, 0), ('w', 54, -1, 0), ('y', -1, 179, 0), ('z', -1, 1060, 0), ('ó', 21, -1, 0), ('ł', 5, -1, 0)), (('a', 110, -1, 0), ('b', 238, -1, 0), ('c', -1, 313, 0), ('d', -1, 808, 0), ('e', 3, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 22, -1, 0), ('i', 217, -1, 0), ('k', -1, 958, 0), ('l', 153, -1, 0), ('m', 3, -1, 0), ('n', 21, -1, 0), ('o', 110, -1, 0), ('p', 217, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 3, -1, 0), ('z', 0, -1, 0), ('ą', 22, -1, 0), ('ę', 21, -1, 0), ('ł', 33, -1, 0), ('ś', 22, -1, 0)), (('a', 9, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 959, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 132, -1, 0), ('i', 101, -1, 0), ('k', -1, 4064, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 101, 706, 0), ('p', 3, -1, 0), ('r', 95, 1770, 0), ('s', 0, 288, 0), ('t', -1, 1916, 0), ('u', 9, -1, 0), ('w', 3, -1, 0), ('y', -1, 733, 0), ('z', -1, 2993, 0), ('ę', 9, -1, 0), ('ż', 0, 288, 0)), (('a', 0, -1, 0), ('b', 2, -1, 0), ('c', -1, 960, 0), ('d', 41, -1, 0), ('e', -1, 4283, 0), ('f', 0, -1, 0), ('i', 9, -1, 0), ('k', 121, -1, 0), ('l', 3, -1, 0), ('m', -1, 3357, 0), ('n', 1, -1, 0), ('o', 0, 1070, 0), ('p', 0, -1, 0), ('r', -1, 1079, 0), ('s', -1, 1808, 0), ('t', -1, 1432, 0), ('u', 21, -1, 0), ('w', 22, -1, 0), ('y', 164, -1, 0), ('z', 101, -1, 0)), (('a', 6, -1, 0), ('c', -1, 961, 0), ('d', 6, -1, 0), ('e', -1, 877, 0), ('i', -1, 98, 0), ('j', 6, -1, 0), ('k', -1, 1614, 0), ('l', -1, 3002, 0), ('m', 0, 454, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 151, 0), ('s', -1, 2182, 0), ('t', -1, 130, 0), ('u', -1, 805, 0), ('w', -1, 570, 0), ('y', -1, 82, 0), ('z', -1, 1192, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', -1, 1125, 0), ('ń', 6, -1, 0)), (('a', 2, -1, 0), ('b', 22, -1, 0), ('c', -1, 962, 0), ('d', 28, -1, 0), ('e', 199, -1, 0), ('g', 3, -1, 0), ('i', -1, 1540, 0), ('j', -1, 1102, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 2, -1, 0), ('o', -1, 1132, 0), ('p', 29, -1, 0), ('r', 6, -1, 0), ('s', 73, -1, 0), ('t', 29, -1, 0), ('u', 29, -1, 0), ('w', 73, -1, 0), ('y', -1, 396, 0), ('z', 199, -1, 0), ('ż', 214, -1, 0)), (('a', -1, 963, 0), ('b', 87, -1, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('g', 87, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 87, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', -1, 3179, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 4011, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 28, -1, 0), ('ą', 2, -1, 0)), (('a', 71, -1, 0), ('b', 4, -1, 0), ('d', -1, 774, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('i', -1, 964, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 556, 0), ('n', 28, -1, 0), ('o', 30, -1, 0), ('r', 2, -1, 0), ('s', -1, 4285, 0), ('t', 4, -1, 0), ('u', 71, -1, 0), ('w', 2, -1, 0), ('y', 30, -1, 0), ('z', 28, -1, 0), ('ł', 2, -1, 0)), (('a', 71, -1, 0), ('b', 71, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', -1, 965, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 964, 0), ('r', -1, 3287, 0), ('s', 30, -1, 0), ('t', 5, -1, 0), ('u', 71, -1, 0), ('w', 2, 720, 0), ('y', 71, -1, 0), ('z', -1, 168, 0)), (('a', -1, 241, 0), ('c', -1, 966, 0), ('d', -1, 1128, 0), ('e', 5, -1, 0), ('i', 175, -1, 0), ('j', 21, -1, 0), ('k', 24, -1, 0), ('l', -1, 313, 0), ('m', 55, 373, 0), ('o', -1, 1542, 0), ('p', -1, 1167, 0), ('r', -1, 222, 0), ('s', 175, -1, 0), ('t', -1, 529, 0), ('u', 37, -1, 0), ('w', -1, 91, 0), ('y', -1, 28, 0), ('z', 37, -1, 0), ('ł', 175, -1, 0)), (('a', 2, -1, 0), ('b', 44, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 56, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 73, 967, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 6, -1, 0), ('b', 28, 968, 0), ('c', -1, 1243, 0), ('d', -1, 1194, 0), ('e', 6, -1, 0), ('h', 3, -1, 0), ('i', 6, -1, 0), ('k', -1, 4084, 0), ('l', 22, -1, 0), ('m', 22, -1, 0), ('n', 2, -1, 0), ('o', -1, 1186, 0), ('p', 2, -1, 0), ('r', -1, 1078, 0), ('s', -1, 1619, 0), ('t', 22, -1, 0), ('u', 0, -1, 0), ('w', -1, 70, 0), ('y', 21, -1, 0), ('z', 0, -1, 0), ('ą', -1, 1503, 0), ('ł', 6, -1, 0)), (('a', -1, 69, 0), ('d', 2, -1, 0), ('e', -1, 969, 0), ('h', 12, -1, 0), ('i', -1, 1900, 0), ('k', 27, -1, 0), ('l', 27, -1, 0), ('m', 0, -1, 0), ('n', 27, -1, 0), ('o', 27, -1, 0), ('p', 27, -1, 0), ('r', 27, -1, 0), ('s', 0, 858, 0), ('t', -1, 1899, 0), ('u', 27, -1, 0), ('w', 12, -1, 0), ('y', 2, -1, 0), ('z', -1, 1374, 0)), (('a', -1, 706, 0), ('c', 27, -1, 0), ('d', -1, 970, 0), ('e', 21, -1, 0), ('g', 178, -1, 0), ('h', 1, -1, 0), ('i', -1, 1551, 0), ('k', 21, -1, 0), ('l', -1, 672, 0), ('m', 27, -1, 0), ('n', 27, -1, 0), ('o', -1, 769, 0), ('p', 1, -1, 0), ('r', 27, -1, 0), ('s', 21, -1, 0), ('t', 27, -1, 0), ('u', 21, -1, 0), ('w', 216, 378, 0), ('y', 21, -1, 0), ('z', 178, -1, 0), ('ł', 27, -1, 0), ('ź', 21, -1, 0)), (('a', -1, 971, 0), ('b', 21, -1, 0), ('c', 82, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 22, -1, 0), ('g', 21, -1, 0), ('i', -1, 975, 0), ('j', -1, 308, 0), ('k', -1, 2489, 0), ('l', -1, 870, 0), ('m', 82, -1, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', -1, 435, 0), ('s', -1, 180, 0), ('t', -1, 2028, 0), ('u', 22, -1, 0), ('w', 21, -1, 0), ('y', 0, -1, 0), ('z', -1, 651, 0), ('ż', 21, -1, 0)), (('a', -1, 297, 0), ('b', 2, -1, 0), ('c', -1, 226, 0), ('d', 21, -1, 0), ('e', -1, 972, 0), ('f', 3, -1, 0), ('g', -1, 718, 0), ('h', 3, -1, 0), ('i', 238, -1, 0), ('j', 21, -1, 0), ('k', 22, -1, 0), ('l', -1, 595, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 86, -1, 0), ('p', 14, -1, 0), ('r', -1, 1348, 0), ('s', -1, 2369, 0), ('t', -1, 179, 0), ('u', 22, -1, 0), ('w', 14, -1, 0), ('y', -1, 2024, 0), ('z', 21, -1, 0), ('ł', -1, 821, 0), ('ś', 3, -1, 0), ('ż', 21, -1, 0)), (('a', 21, -1, 0), ('b', 3, -1, 0), ('c', 21, -1, 0), ('d', 175, -1, 0), ('e', 25, -1, 0), ('f', -1, 43, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 859, 0), ('k', -1, 973, 0), ('l', -1, 403, 0), ('m', 21, -1, 0), ('n', -1, 43, 0), ('o', -1, 2107, 0), ('p', 175, -1, 0), ('r', 22, -1, 0), ('s', 25, -1, 0), ('t', -1, 593, 0), ('u', -1, 154, 0), ('w', 25, -1, 0), ('y', 274, -1, 0), ('z', -1, 2489, 0), ('ł', 182, -1, 0), ('ż', 22, -1, 0)), (('a', 14, -1, 0), ('d', -1, 285, 0), ('e', -1, 59, 0), ('i', -1, 974, 0), ('k', -1, 1545, 0), ('l', -1, 1669, 0), ('n', -1, 1320, 0), ('o', -1, 489, 0), ('p', 115, 14, 0), ('r', -1, 860, 0), ('s', 0, 44, 0), ('t', -1, 663, 0), ('w', -1, 2051, 0), ('y', -1, 147, 0), ('z', -1, 717, 0)), (('a', -1, 975, 0), ('b', -1, 2927, 0), ('c', 21, -1, 0), ('d', 6, -1, 0), ('e', -1, 2185, 0), ('g', 10, 1814, 0), ('h', 22, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', -1, 1018, 0), ('l', -1, 665, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 1620, 0), ('p', 242, -1, 0), ('r', -1, 2183, 0), ('s', 21, -1, 0), ('t', -1, 1184, 0), ('u', 21, -1, 0), ('w', 6, -1, 0), ('y', -1, 1318, 0), ('z', 21, -1, 0), ('ó', 21, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 976, 0), ('b', -1, 144, 0), ('c', 21, 60, 0), ('d', 21, -1, 0), ('e', -1, 1595, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 285, -1, 0), ('m', 21, -1, 0), ('n', -1, 617, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', -1, 722, 0), ('s', 21, -1, 0), ('t', -1, 423, 0), ('u', 21, -1, 0), ('w', -1, 577, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ó', 21, -1, 0), ('ł', 21, -1, 0), ('ż', 21, -1, 0)), (('a', 217, -1, 0), ('b', 22, -1, 0), ('c', 0, 310, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('f', 21, -1, 0), ('g', 30, -1, 0), ('h', -1, 797, 0), ('i', 21, -1, 0), ('k', -1, 977, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 86, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 21, -1, 0), ('t', 3, -1, 0), ('u', 1, -1, 0), ('w', 4, 2293, 0), ('y', 86, -1, 0), ('z', 21, -1, 0), ('ć', 22, -1, 0), ('ę', 7, -1, 0), ('ł', 210, -1, 0)), (('a', 4, -1, 0), ('b', 14, -1, 0), ('c', 14, -1, 0), ('d', -1, 754, 0), ('e', -1, 978, 0), ('i', 4, -1, 0), ('k', -1, 1741, 0), ('l', -1, 2177, 0), ('m', -1, 18, 0), ('n', 14, -1, 0), ('o', 4, 1472, 0), ('p', -1, 517, 0), ('r', 4, -1, 0), ('s', -1, 344, 0), ('t', -1, 285, 0), ('u', -1, 406, 0), ('w', 14, -1, 0), ('y', 4, -1, 0), ('z', -1, 546, 0), ('ą', 4, -1, 0), ('ę', 28, -1, 0)), (('a', -1, 979, 0), ('c', -1, 3175, 0), ('d', 4, -1, 0), ('e', -1, 1378, 0), ('f', 7, -1, 0), ('i', -1, 2130, 0), ('j', -1, 716, 0), ('k', -1, 177, 0), ('l', -1, 18, 0), ('m', 21, -1, 0), ('n', -1, 4278, 0), ('o', -1, 237, 0), ('p', 28, -1, 0), ('r', 110, -1, 0), ('s', 101, -1, 0), ('t', -1, 359, 0), ('u', -1, 1487, 0), ('w', 29, -1, 0), ('y', -1, 103, 0), ('z', -1, 1189, 0), ('ó', 110, -1, 0), ('ą', 17, -1, 0), ('ę', 110, -1, 0), ('ż', -1, 128, 0)), (('a', -1, 980, 0), ('b', 21, 862, 0), ('c', -1, 1526, 0), ('d', 95, 1333, 0), ('e', -1, 782, 0), ('g', 17, -1, 0), ('i', 74, -1, 0), ('k', 86, -1, 0), ('l', 21, -1, 0), ('m', 17, -1, 0), ('n', 1, -1, 0), ('o', -1, 1017, 0), ('p', 52, -1, 0), ('r', -1, 8, 0), ('s', 110, -1, 0), ('t', -1, 155, 0), ('u', 21, -1, 0), ('w', 17, -1, 0), ('y', 110, -1, 0), ('z', 21, -1, 0), ('ą', 110, -1, 0), ('ł', 21, -1, 0)), (('a', 5, -1, 0), ('b', 21, -1, 0), ('c', -1, 174, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 1, -1, 0), ('g', -1, 981, 0), ('h', 21, -1, 0), ('i', 5, -1, 0), ('k', -1, 120, 0), ('l', 1, -1, 0), ('m', -1, 708, 0), ('n', 109, -1, 0), ('o', 5, -1, 0), ('p', -1, 1192, 0), ('r', -1, 891, 0), ('s', -1, 1377, 0), ('t', -1, 1003, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 14, -1, 0), ('ą', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 28, 4255, 0)), (('a', 5, -1, 0), ('b', 95, -1, 0), ('c', 0, 862, 0), ('d', 0, 385, 0), ('e', 99, -1, 0), ('g', 5, -1, 0), ('i', -1, 878, 0), ('k', 6, 24, 0), ('l', 5, -1, 0), ('m', 99, -1, 0), ('n', 12, -1, 0), ('o', 5, -1, 0), ('p', 96, -1, 0), ('r', 99, -1, 0), ('s', 5, -1, 0), ('t', 0, 95, 0), ('u', -1, 133, 0), ('w', -1, 13, 0), ('y', 5, -1, 0), ('z', 99, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 982, 0)), (('a', -1, 663, 0), ('d', 5, -1, 0), ('e', 2, -1, 0), ('i', -1, 946, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 30, 223, 0), ('r', -1, 983, 0), ('s', 28, -1, 0), ('w', 28, -1, 0), ('y', 5, -1, 0), ('z', 2, -1, 0), ('ó', 5, -1, 0), ('ł', 2, -1, 0)), (('a', 6, -1, 0), ('b', 28, -1, 0), ('c', 22, -1, 0), ('d', 2, -1, 0), ('e', 6, -1, 0), ('f', -1, 984, 0), ('g', 28, 2134, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 2, -1, 0), ('l', 6, -1, 0), ('m', 1, -1, 0), ('n', 6, -1, 0), ('o', -1, 2972, 0), ('p', 22, -1, 0), ('r', 6, -1, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('u', -1, 1047, 0), ('w', 0, 225, 0), ('y', -1, 694, 0), ('z', -1, 1182, 0), ('ł', 6, -1, 0)), (('a', 2, -1, 0), ('b', -1, 556, 0), ('c', 2, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('f', -1, 985, 0), ('h', 2, -1, 0), ('i', -1, 1651, 0), ('k', 2, -1, 0), ('l', -1, 4397, 0), ('m', -1, 4258, 0), ('n', -1, 3063, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', -1, 11, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', -1, 406, 0), ('w', -1, 1976, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('h', -1, 986, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('o', 2, -1, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 28, -1, 0), ('y', 2, -1, 0), ('z', 28, 465, 0), ('ł', 2, -1, 0), ('ś', 28, -1, 0)), (('a', -1, 351, 0), ('b', 22, -1, 0), ('c', -1, 987, 0), ('d', 12, -1, 0), ('e', 3, -1, 0), ('g', 22, -1, 0), ('i', -1, 1042, 0), ('k', 6, 41, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 12, -1, 0), ('p', 6, -1, 0), ('r', 116, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 12, -1, 0), ('w', 6, -1, 0), ('y', 21, -1, 0), ('z', 6, -1, 0)), (('a', -1, 572, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 988, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 3254, 0), ('j', 7, -1, 0), ('l', -1, 2377, 0), ('m', -1, 228, 0), ('n', 7, -1, 0), ('o', -1, 2079, 0), ('r', -1, 3305, 0), ('t', 7, -1, 0), ('u', 3, -1, 0), ('w', -1, 2342, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ś', -1, 3713, 0), ('ź', -1, 4201, 0), ('ż', 7, -1, 0)), (('a', -1, 989, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('e', 7, -1, 0), ('f', 6, -1, 0), ('i', 7, -1, 0), ('m', 6, -1, 0), ('n', -1, 356, 0), ('o', 3, 100, 0), ('p', -1, 64, 0), ('r', -1, 2534, 0), ('s', -1, 399, 0), ('w', 54, 182, 0), ('y', 7, -1, 0), ('z', -1, 2042, 0)), (('a', -1, 990, 0), ('b', 21, -1, 0), ('c', 1, -1, 0), ('d', 3, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', -1, 978, 0), ('k', 12, -1, 0), ('m', 3, -1, 0), ('n', -1, 2261, 0), ('o', 7, -1, 0), ('r', 3, -1, 0), ('s', 7, -1, 0), ('t', 3, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 57, -1, 0), ('ą', 7, -1, 0), ('ł', 7, -1, 0)), (('a', 63, -1, 0), ('b', 7, -1, 0), ('d', -1, 991, 0), ('e', -1, 2477, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 63, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 0, 2474, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 29, -1, 0), ('z', 63, -1, 0), ('ł', -1, 3994, 0)), (('a', 51, -1, 0), ('d', 190, -1, 0), ('e', -1, 217, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('m', 3, -1, 0), ('o', -1, 992, 0), ('r', 3, -1, 0), ('s', 34, -1, 0), ('t', 3, -1, 0), ('u', 7, -1, 0), ('z', 80, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 993, 0), ('b', 27, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('g', 7, -1, 0), ('i', 21, -1, 0), ('k', -1, 285, 0), ('l', 31, -1, 0), ('m', 2, -1, 0), ('n', 0, 164, 0), ('o', 1, -1, 0), ('p', -1, 505, 0), ('r', -1, 1010, 0), ('s', 11, 813, 0), ('t', 21, -1, 0), ('u', 3, -1, 0), ('w', -1, 369, 0), ('y', -1, 61, 0), ('z', 0, 44, 0), ('ą', 21, -1, 0), ('ł', 7, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 29, 994, 0), ('d', 12, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('h', 0, -1, 0), ('i', -1, 435, 0), ('k', -1, 1070, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', -1, 1544, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 0, -1, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 12, -1, 0), ('ą', 21, -1, 0), ('ę', 21, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 995, 0), ('b', 63, -1, 0), ('c', 69, -1, 0), ('d', 63, -1, 0), ('e', 1, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', -1, 877, 0), ('m', 21, -1, 0), ('n', 1, -1, 0), ('o', -1, 167, 0), ('p', 0, -1, 0), ('r', 21, -1, 0), ('s', 0, -1, 0), ('t', 21, -1, 0), ('u', 41, -1, 0), ('w', 63, -1, 0), ('y', 195, -1, 0), ('z', 0, -1, 0), ('ś', 29, -1, 0)), (('a', -1, 50, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 58, -1, 0), ('e', 12, -1, 0), ('f', 0, -1, 0), ('g', -1, 824, 0), ('h', -1, 996, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 21, -1, 0), ('l', 12, -1, 0), ('m', 1, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 96, -1, 0), ('r', 12, -1, 0), ('s', -1, 123, 0), ('t', 21, -1, 0), ('u', -1, 1692, 0), ('w', 0, 174, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 399, 0), ('b', 2, -1, 0), ('c', -1, 130, 0), ('d', 1, -1, 0), ('e', -1, 974, 0), ('f', 3, -1, 0), ('g', 347, -1, 0), ('h', 28, -1, 0), ('i', -1, 997, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 182, -1, 0), ('m', 27, -1, 0), ('n', -1, 350, 0), ('o', -1, 1435, 0), ('p', 25, -1, 0), ('r', -1, 176, 0), ('s', -1, 870, 0), ('t', 182, -1, 0), ('u', -1, 976, 0), ('w', 4, -1, 0), ('y', 21, -1, 0), ('z', 182, -1, 0), ('ą', 21, -1, 0), ('ę', -1, 2797, 0), ('ł', 182, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', -1, 935, 0), ('d', -1, 686, 0), ('e', -1, 957, 0), ('f', 22, -1, 0), ('g', 21, -1, 0), ('h', 3, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 28, -1, 0), ('l', 21, -1, 0), ('m', 3, -1, 0), ('n', -1, 525, 0), ('o', -1, 435, 0), ('p', -1, 815, 0), ('r', -1, 683, 0), ('s', -1, 998, 0), ('t', 12, -1, 0), ('u', 21, -1, 0), ('w', 28, -1, 0), ('y', -1, 721, 0), ('z', 74, -1, 0), ('ć', 3, -1, 0), ('ł', 21, -1, 0), ('ś', 4, -1, 0)), (('a', -1, 979, 0), ('b', 195, 620, 0), ('c', -1, 999, 0), ('d', 54, -1, 0), ('e', -1, 1378, 0), ('g', -1, 2481, 0), ('i', -1, 2130, 0), ('j', 110, -1, 0), ('k', -1, 177, 0), ('l', 0, 85, 0), ('m', 21, -1, 0), ('n', 54, -1, 0), ('o', -1, 237, 0), ('p', 105, -1, 0), ('r', 110, -1, 0), ('s', -1, 4284, 0), ('t', -1, 1983, 0), ('u', -1, 1487, 0), ('w', 86, -1, 0), ('y', -1, 103, 0), ('z', 374, -1, 0), ('ó', 110, -1, 0), ('ą', 17, -1, 0), ('ę', 110, -1, 0), ('ż', 110, -1, 0)), (('a', -1, 299, 0), ('d', -1, 530, 0), ('e', -1, 244, 0), ('i', 85, -1, 0), ('m', 41, -1, 0), ('o', -1, 145, 0), ('p', -1, 1000, 0), ('r', -1, 1506, 0), ('s', 408, -1, 0), ('w', -1, 95, 0), ('y', -1, 147, 0), ('z', 0, 2586, 0)), (('a', 105, -1, 0), ('b', 14, -1, 0), ('c', -1, 1001, 0), ('d', 14, -1, 0), ('e', -1, 914, 0), ('g', 14, -1, 0), ('i', 6, -1, 0), ('j', -1, 115, 0), ('k', 14, -1, 0), ('l', -1, 1677, 0), ('m', 14, -1, 0), ('n', 26, -1, 0), ('o', -1, 20, 0), ('p', -1, 782, 0), ('r', 14, -1, 0), ('s', 14, -1, 0), ('t', -1, 776, 0), ('u', 29, -1, 0), ('w', -1, 283, 0), ('y', -1, 1213, 0), ('z', 28, -1, 0), ('ę', 6, -1, 0), ('ś', 177, -1, 0), ('ż', 14, -1, 0)), (('a', 3, -1, 0), ('e', -1, 1002, 0), ('f', 2, -1, 0), ('i', 13, -1, 0), ('j', 30, -1, 0), ('k', 3, -1, 0), ('l', 13, -1, 0), ('n', 3, -1, 0), ('o', 0, -1, 0), ('p', 2, -1, 0), ('r', 2, 18, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('y', 7, -1, 0), ('z', 13, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 3, -1, 0), ('d', 175, -1, 0), ('e', -1, 1003, 0), ('g', 53, -1, 0), ('i', 175, -1, 0), ('j', 7, -1, 0), ('k', -1, 230, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 55, -1, 0), ('o', 175, -1, 0), ('p', -1, 1645, 0), ('r', 21, 996, 0), ('s', 175, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 175, -1, 0), ('y', 175, -1, 0), ('z', 24, -1, 0), ('ł', 30, -1, 0)), (('a', -1, 102, 0), ('b', 52, -1, 0), ('c', 2, -1, 0), ('d', 4, -1, 0), ('e', -1, 1004, 0), ('g', -1, 1526, 0), ('i', 1, -1, 0), ('k', -1, 3632, 0), ('l', 33, -1, 0), ('m', -1, 3259, 0), ('n', -1, 217, 0), ('o', 4, -1, 0), ('p', 31, -1, 0), ('r', 21, -1, 0), ('s', 3, -1, 0), ('t', -1, 217, 0), ('u', 3, -1, 0), ('w', -1, 755, 0), ('y', 21, -1, 0), ('z', 4, -1, 0), ('ż', 27, -1, 0)), (('a', 6, -1, 0), ('b', 21, -1, 0), ('c', -1, 1005, 0), ('d', 17, -1, 0), ('e', 25, -1, 0), ('g', -1, 2732, 0), ('i', 176, -1, 0), ('k', 17, -1, 0), ('l', -1, 394, 0), ('m', 71, -1, 0), ('n', 17, -1, 0), ('o', 176, -1, 0), ('p', 17, -1, 0), ('r', -1, 1018, 0), ('s', 21, -1, 0), ('t', 54, -1, 0), ('u', 6, -1, 0), ('w', -1, 878, 0), ('y', 25, -1, 0), ('z', -1, 677, 0), ('ę', 5, -1, 0), ('ł', 17, -1, 0)), (('a', 0, 164, 0), ('b', -1, 147, 0), ('d', 0, 44, 0), ('e', 88, -1, 0), ('h', -1, 1006, 0), ('i', -1, 240, 0), ('k', 40, -1, 0), ('m', -1, 2089, 0), ('o', -1, 2362, 0), ('p', 6, -1, 0), ('r', -1, 50, 0), ('s', 5, 2502, 0), ('t', 94, -1, 0), ('w', 15, -1, 0), ('y', -1, 945, 0), ('z', -1, 139, 0), ('ł', -1, 1188, 0)), (('a', 196, -1, 0), ('b', -1, 113, 0), ('c', -1, 285, 0), ('d', -1, 683, 0), ('e', -1, 652, 0), ('g', -1, 1007, 0), ('h', 86, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 86, -1, 0), ('l', -1, 189, 0), ('m', 86, -1, 0), ('n', -1, 164, 0), ('o', 74, 95, 0), ('p', 21, -1, 0), ('r', 21, 133, 0), ('s', -1, 936, 0), ('t', 21, -1, 0), ('u', 0, 226, 0), ('w', 217, 1043, 0), ('y', 21, -1, 0), ('z', 86, -1, 0), ('ł', 55, -1, 0), ('ż', 86, -1, 0)), (('a', 21, -1, 0), ('b', 194, 1008, 0), ('c', 12, -1, 0), ('d', -1, 665, 0), ('e', 3, -1, 0), ('g', 2, 165, 0), ('i', 25, -1, 0), ('k', 21, -1, 0), ('l', 182, -1, 0), ('m', -1, 1048, 0), ('n', -1, 1006, 0), ('o', 74, -1, 0), ('p', 116, -1, 0), ('r', -1, 234, 0), ('s', 161, -1, 0), ('t', 182, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 74, -1, 0), ('z', 86, -1, 0), ('ą', 7, -1, 0), ('ę', 429, -1, 0)), (('a', 62, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1009, 0), ('e', 80, -1, 0), ('f', 41, -1, 0), ('i', 185, -1, 0), ('j', 41, -1, 0), ('k', 41, -1, 0), ('l', 41, -1, 0), ('m', 41, -1, 0), ('o', 62, -1, 0), ('p', 41, -1, 0), ('r', 41, -1, 0), ('s', 3, -1, 0), ('t', 41, -1, 0), ('u', 62, -1, 0), ('w', 62, -1, 0), ('y', 62, -1, 0), ('z', 62, -1, 0), ('ł', 0, 727, 0)), (('a', 194, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 1010, 0), ('g', 59, -1, 0), ('h', 59, -1, 0), ('i', -1, 2778, 0), ('k', 2, -1, 0), ('l', 121, -1, 0), ('n', 28, -1, 0), ('o', 62, 511, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 2781, 0), ('w', -1, 2125, 0), ('y', 7, -1, 0), ('z', 59, -1, 0), ('ł', 28, -1, 0)), (('a', 0, 433, 0), ('b', 0, -1, 0), ('c', 3, -1, 0), ('d', -1, 1011, 0), ('e', -1, 748, 0), ('f', -1, 381, 0), ('g', 22, -1, 0), ('i', -1, 444, 0), ('j', 96, -1, 0), ('k', 3, -1, 0), ('l', 96, -1, 0), ('m', 4, -1, 0), ('n', -1, 2703, 0), ('o', 0, -1, 0), ('p', 3, -1, 0), ('r', 4, -1, 0), ('s', 3, -1, 0), ('t', -1, 564, 0), ('u', 0, -1, 0), ('w', 3, -1, 0), ('y', 0, -1, 0), ('z', 96, -1, 0), ('ł', 22, -1, 0)), (('a', 1, -1, 0), ('b', 52, -1, 0), ('d', 41, -1, 0), ('e', 7, -1, 0), ('f', 41, -1, 0), ('g', -1, 384, 0), ('h', 43, -1, 0), ('i', 0, -1, 0), ('k', 0, 1012, 0), ('l', 41, 847, 0), ('m', 41, -1, 0), ('n', 3, -1, 0), ('o', 7, 241, 0), ('r', -1, 261, 0), ('s', 41, -1, 0), ('t', 3, -1, 0), ('w', 0, -1, 0), ('y', 52, -1, 0), ('z', 52, -1, 0), ('ł', -1, 900, 0)), (('a', 3, -1, 0), ('c', 3, -1, 0), ('d', 121, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 12, -1, 0), ('k', -1, 249, 0), ('m', 106, -1, 0), ('n', 3, -1, 0), ('o', -1, 366, 0), ('p', 3, 1013, 0), ('r', -1, 1705, 0), ('s', -1, 3923, 0), ('t', 22, -1, 0), ('u', -1, 908, 0), ('w', 106, -1, 0), ('y', 0, -1, 0), ('z', -1, 1705, 0), ('ę', 41, -1, 0), ('ł', 12, -1, 0), ('ż', 28, -1, 0)), (('a', 80, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 0, -1, 0), ('l', 41, -1, 0), ('m', 0, -1, 0), ('o', 125, -1, 0), ('p', -1, 409, 0), ('r', -1, 391, 0), ('s', 67, -1, 0), ('u', 125, -1, 0), ('w', 67, -1, 0), ('y', -1, 1014, 0), ('z', 41, -1, 0)), (('a', 80, -1, 0), ('d', -1, 798, 0), ('e', 41, -1, 0), ('f', 41, -1, 0), ('g', -1, 1015, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 3826, 0), ('o', 0, -1, 0), ('p', 30, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 82, -1, 0), ('w', 67, -1, 0), ('y', 31, -1, 0), ('z', 3, -1, 0), ('ł', 121, -1, 0)), (('a', -1, 67, 0), ('b', 73, -1, 0), ('c', 21, 1016, 0), ('d', 21, -1, 0), ('e', 6, -1, 0), ('f', 3, -1, 0), ('g', 57, -1, 0), ('i', -1, 1044, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 21, 1459, 0), ('m', 21, -1, 0), ('n', 22, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 3, -1, 0), ('t', -1, 1794, 0), ('u', 6, -1, 0), ('w', 0, 506, 0), ('y', 6, -1, 0), ('z', 3, -1, 0), ('ą', 6, -1, 0), ('ł', 121, -1, 0), ('ż', -1, 2489, 0)), (('a', -1, 1017, 0), ('b', 6, -1, 0), ('c', 22, -1, 0), ('d', 4, -1, 0), ('e', 6, -1, 0), ('f', 1, -1, 0), ('g', 6, -1, 0), ('i', 3, -1, 0), ('k', 4, -1, 0), ('l', 1, -1, 0), ('m', 4, 912, 0), ('n', 21, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 82, -1, 0), ('s', 6, -1, 0), ('t', 4, -1, 0), ('u', 4, -1, 0), ('w', -1, 787, 0), ('y', 95, -1, 0), ('z', 6, -1, 0), ('ł', -1, 1486, 0)), (('a', -1, 981, 0), ('b', 17, -1, 0), ('c', 12, -1, 0), ('d', 58, -1, 0), ('e', -1, 1018, 0), ('g', -1, 570, 0), ('i', -1, 429, 0), ('k', 6, -1, 0), ('l', -1, 21, 0), ('m', -1, 460, 0), ('n', 96, -1, 0), ('o', 99, -1, 0), ('p', -1, 943, 0), ('r', 99, -1, 0), ('s', 96, -1, 0), ('t', 17, -1, 0), ('u', 21, -1, 0), ('w', 58, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', -1, 664, 0), ('ś', -1, 2739, 0)), (('a', 99, -1, 0), ('b', 21, -1, 0), ('c', -1, 274, 0), ('d', -1, 238, 0), ('e', -1, 981, 0), ('g', 52, -1, 0), ('i', -1, 238, 0), ('j', 99, -1, 0), ('k', 17, -1, 0), ('l', 99, -1, 0), ('m', 5, -1, 0), ('n', -1, 729, 0), ('o', -1, 625, 0), ('p', 96, 857, 0), ('r', 5, -1, 0), ('s', 96, -1, 0), ('t', 17, -1, 0), ('u', 5, -1, 0), ('w', 12, 682, 0), ('y', 17, -1, 0), ('z', 99, -1, 0), ('ę', 99, -1, 0), ('ł', 29, -1, 0), ('ś', -1, 1019, 0)), (('a', 12, -1, 0), ('d', -1, 562, 0), ('e', 7, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('l', 30, -1, 0), ('m', 30, -1, 0), ('o', 30, -1, 0), ('r', -1, 1020, 0), ('t', 30, -1, 0), ('w', 30, -1, 0), ('y', 7, -1, 0), ('z', 30, -1, 0), ('ą', 30, -1, 0), ('ę', -1, 4343, 0), ('ś', 30, -1, 0), ('ź', 30, -1, 0), ('ż', 30, -1, 0)), (('a', 30, -1, 0), ('b', 30, -1, 0), ('d', 16, -1, 0), ('e', -1, 1021, 0), ('f', 30, -1, 0), ('i', -1, 2422, 0), ('l', 22, -1, 0), ('o', 30, -1, 0), ('p', 30, -1, 0), ('r', 62, -1, 0), ('s', 5, -1, 0), ('u', 62, -1, 0), ('w', 30, -1, 0), ('y', 30, -1, 0), ('z', 5, -1, 0), ('ó', 30, -1, 0), ('ę', 62, -1, 0)), (('a', -1, 1022, 0), ('c', -1, 513, 0), ('e', 87, -1, 0), ('f', 87, -1, 0), ('g', 87, -1, 0), ('i', -1, 836, 0), ('k', -1, 3316, 0), ('l', -1, 2442, 0), ('m', 87, -1, 0), ('n', -1, 3699, 0), ('o', -1, 1388, 0), ('r', -1, 2331, 0), ('s', 87, -1, 0), ('u', 0, -1, 0), ('w', 87, -1, 0), ('y', 3, -1, 0), ('z', 87, -1, 0)), (('a', 139, -1, 0), ('b', 1, 15, 0), ('d', 139, -1, 0), ('e', 428, -1, 0), ('f', -1, 1023, 0), ('g', 1, -1, 0), ('i', 13, -1, 0), ('j', 1, -1, 0), ('l', 13, -1, 0), ('m', -1, 793, 0), ('n', 22, -1, 0), ('o', 139, -1, 0), ('p', -1, 1182, 0), ('r', -1, 30, 0), ('s', -1, 2239, 0), ('u', 139, -1, 0), ('w', 22, -1, 0), ('z', 13, -1, 0), ('ó', 389, -1, 0)), (('a', -1, 1024, 0), ('b', -1, 4556, 0), ('c', -1, 4557, 0), ('d', -1, 4065, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 4558, 0), ('h', 0, -1, 0), ('l', -1, 4559, 0), ('m', -1, 4560, 0), ('n', -1, 4561, 0), ('o', -1, 632, 0), ('p', -1, 4571, 0), ('r', -1, 4572, 0), ('s', -1, 4573, 0), ('t', -1, 4156, 0), ('v', 131, -1, 0), ('w', -1, 4574, 0), ('y', 1, -1, 0), ('z', -1, 3519, 0), ('ż', 79, -1, 0)), (('a', -1, 1025, 0), ('b', 0, -1, 0), ('d', -1, 213, 0), ('e', -1, 196, 0), ('i', 33, -1, 0), ('l', 33, 807, 0), ('m', 2, -1, 0), ('o', -1, 1646, 0), ('p', 3, 465, 0), ('r', -1, 791, 0), ('s', 2, -1, 0), ('t', 131, -1, 0), ('w', 0, 64, 0), ('y', -1, 780, 0), ('z', 0, 64, 0)), (('a', -1, 141, 0), ('b', -1, 1026, 0), ('c', -1, 197, 0), ('d', -1, 699, 0), ('e', -1, 1004, 0), ('g', 54, -1, 0), ('i', -1, 487, 0), ('k', -1, 226, 0), ('l', -1, 90, 0), ('m', 1, -1, 0), ('n', -1, 2562, 0), ('o', -1, 290, 0), ('p', 21, 14, 0), ('r', -1, 1554, 0), ('s', -1, 522, 0), ('t', 12, -1, 0), ('u', -1, 64, 0), ('w', -1, 10, 0), ('y', -1, 772, 0), ('z', -1, 10, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0), ('ś', 52, -1, 0)), (('a', -1, 1027, 0), ('b', -1, 1420, 0), ('c', 5, -1, 0), ('d', 145, 4551, 0), ('e', -1, 3404, 0), ('f', 5, -1, 0), ('g', 0, 4193, 0), ('h', -1, 2245, 0), ('i', -1, 3474, 0), ('j', -1, 446, 0), ('k', 39, 4552, 0), ('l', -1, 2819, 0), ('m', 4, 3473, 0), ('n', -1, 4553, 0), ('o', -1, 3256, 0), ('p', -1, 3953, 0), ('r', 145, 3843, 0), ('s', -1, 4554, 0), ('t', 145, 158, 0), ('w', -1, 4555, 0), ('z', -1, 3409, 0), ('ł', -1, 3880, 0), ('ż', 5, -1, 0)), (('a', 3, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('n', 8, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 1028, 0), ('s', -1, 1130, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('z', 100, -1, 0)), (('a', -1, 1029, 0), ('e', -1, 2743, 0), ('g', 1, -1, 0), ('i', -1, 1346, 0), ('o', 1, -1, 0), ('r', -1, 1577, 0), ('s', 1, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 1, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 1030, 0), ('d', 95, -1, 0), ('e', 6, -1, 0), ('h', 1, -1, 0), ('i', 6, -1, 0), ('j', 0, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 1, -1, 0), ('n', 6, -1, 0), ('o', -1, 1047, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 1656, 0), ('t', 1, -1, 0), ('u', 6, -1, 0), ('w', -1, 2616, 0), ('y', 21, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 28, -1, 0), ('e', 4, -1, 0), ('i', -1, 1031, 0), ('l', 95, 1441, 0), ('o', 41, -1, 0), ('r', -1, 1769, 0), ('u', -1, 473, 0), ('w', 2, -1, 0), ('z', -1, 4259, 0)), (('a', -1, 188, 0), ('d', 374, -1, 0), ('e', -1, 775, 0), ('i', -1, 1032, 0), ('k', 314, -1, 0), ('m', -1, 2215, 0), ('n', -1, 577, 0), ('o', 0, 164, 0), ('p', -1, 893, 0), ('r', -1, 9, 0), ('s', -1, 1423, 0), ('u', -1, 188, 0), ('w', 5, -1, 0), ('z', -1, 451, 0), ('ł', 64, -1, 0)), (('a', 1, -1, 0), ('b', 398, -1, 0), ('c', 1, -1, 0), ('d', -1, 1033, 0), ('e', -1, 2010, 0), ('g', 5, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', -1, 1753, 0), ('m', 5, -1, 0), ('n', 21, -1, 0), ('o', 12, -1, 0), ('p', -1, 259, 0), ('r', 181, -1, 0), ('s', 24, -1, 0), ('t', 4, -1, 0), ('u', 24, -1, 0), ('w', 0, 2433, 0), ('y', 21, -1, 0), ('z', 317, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('f', 22, -1, 0), ('g', -1, 613, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('j', 121, -1, 0), ('k', 12, -1, 0), ('l', 3, -1, 0), ('m', 1, -1, 0), ('n', -1, 1034, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 1033, 0), ('s', 12, -1, 0), ('t', -1, 671, 0), ('u', 12, -1, 0), ('w', -1, 97, 0), ('y', 58, -1, 0), ('z', 41, -1, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 96, -1, 0), ('ł', 12, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1035, 0), ('c', -1, 344, 0), ('d', -1, 1046, 0), ('e', -1, 518, 0), ('i', -1, 1610, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 765, 0), ('p', -1, 530, 0), ('r', -1, 947, 0), ('s', -1, 1294, 0), ('t', -1, 173, 0), ('w', 7, 1508, 0), ('z', -1, 2186, 0)), (('a', 7, -1, 0), ('b', 97, -1, 0), ('c', 7, -1, 0), ('d', 12, 146, 0), ('e', 7, -1, 0), ('f', 0, 1036, 0), ('g', -1, 856, 0), ('h', 0, 310, 0), ('i', -1, 101, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', -1, 100, 0), ('m', 97, -1, 0), ('n', 97, -1, 0), ('o', 7, -1, 0), ('p', 200, 468, 0), ('r', 97, -1, 0), ('s', 97, -1, 0), ('t', 97, -1, 0), ('u', 7, -1, 0), ('w', 97, -1, 0), ('y', 97, -1, 0), ('z', 7, -1, 0), ('ó', 7, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', -1, 385, 0), ('ś', 28, 42, 0), ('ż', 0, 1035, 0)), (('a', 71, -1, 0), ('b', 71, -1, 0), ('c', -1, 1037, 0), ('d', 0, 44, 0), ('e', 42, -1, 0), ('g', 3, -1, 0), ('i', -1, 1038, 0), ('j', 2, -1, 0), ('k', 3, -1, 0), ('l', -1, 3694, 0), ('m', -1, 569, 0), ('n', -1, 2202, 0), ('o', 0, -1, 0), ('p', 0, 44, 0), ('r', 0, 164, 0), ('s', 106, -1, 0), ('t', 0, 44, 0), ('u', 71, -1, 0), ('w', 0, 44, 0), ('y', 0, -1, 0), ('z', 71, -1, 0), ('ł', 106, 688, 0), ('ś', 0, -1, 0)), (('a', 101, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 118, 0), ('k', 6, -1, 0), ('l', 95, -1, 0), ('m', -1, 151, 0), ('o', -1, 743, 0), ('p', 57, 15, 0), ('r', -1, 397, 0), ('s', 6, -1, 0), ('t', -1, 27, 0), ('u', 1, -1, 0), ('w', 9, -1, 0), ('y', -1, 728, 0), ('z', 9, -1, 0), ('ó', -1, 68, 0)), (('a', 0, -1, 0), ('b', 4, 1039, 0), ('c', -1, 1040, 0), ('d', -1, 728, 0), ('e', -1, 1139, 0), ('f', 21, -1, 0), ('i', 404, -1, 0), ('j', 0, -1, 0), ('k', 21, -1, 0), ('l', -1, 541, 0), ('m', -1, 366, 0), ('n', -1, 3276, 0), ('o', -1, 99, 0), ('p', 1, -1, 0), ('r', -1, 171, 0), ('s', 1, -1, 0), ('t', 1, 297, 0), ('u', 0, -1, 0), ('w', -1, 1143, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 21, -1, 0)), (('a', 4, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('o', 4, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 1, -1, 0), ('z', 4, -1, 0)), (('a', 0, -1, 0), ('b', 1, 1041, 0), ('c', 28, 15, 0), ('d', 21, -1, 0), ('e', -1, 624, 0), ('f', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 703, 0), ('j', -1, 179, 0), ('k', 1, -1, 0), ('l', -1, 218, 0), ('m', 21, -1, 0), ('n', -1, 2105, 0), ('o', -1, 2527, 0), ('p', 21, -1, 0), ('r', -1, 2093, 0), ('s', -1, 2481, 0), ('t', -1, 1375, 0), ('u', 0, -1, 0), ('w', 21, -1, 0), ('y', 85, -1, 0), ('z', 1, 866, 0), ('ż', 0, -1, 0)), (('a', 21, -1, 0), ('b', 74, -1, 0), ('c', -1, 1042, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 1, -1, 0), ('g', 13, 278, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('k', 37, -1, 0), ('l', 21, -1, 0), ('m', 28, -1, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', -1, 475, 0), ('r', -1, 651, 0), ('s', -1, 972, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 242, 2185, 0), ('ó', 21, -1, 0), ('ą', 21, -1, 0), ('ć', 21, -1, 0), ('ę', 12, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 1043, 0), ('b', -1, 3817, 0), ('c', -1, 1191, 0), ('d', 52, -1, 0), ('e', 21, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 144, 0), ('j', 3, -1, 0), ('k', -1, 2165, 0), ('l', -1, 671, 0), ('m', 28, -1, 0), ('n', 6, -1, 0), ('o', 21, -1, 0), ('p', 71, 1098, 0), ('r', 21, -1, 0), ('s', 96, -1, 0), ('t', 12, -1, 0), ('u', -1, 665, 0), ('w', 6, -1, 0), ('y', -1, 971, 0), ('z', -1, 4550, 0), ('ą', 21, -1, 0), ('ł', 12, -1, 0)), (('a', 86, -1, 0), ('b', 1, -1, 0), ('c', -1, 339, 0), ('d', -1, 1044, 0), ('e', 21, -1, 0), ('f', 1, -1, 0), ('g', -1, 957, 0), ('h', 75, -1, 0), ('i', -1, 177, 0), ('k', 21, 16, 0), ('l', 426, -1, 0), ('m', 66, -1, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', -1, 1076, 0), ('r', 3, -1, 0), ('s', -1, 2262, 0), ('t', 3, -1, 0), ('u', 1, -1, 0), ('w', -1, 1044, 0), ('y', 1, -1, 0), ('z', 86, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 521, 0), ('b', 21, -1, 0), ('c', 3, -1, 0), ('d', 0, 847, 0), ('e', 1, -1, 0), ('g', 21, -1, 0), ('i', 3, -1, 0), ('k', -1, 46, 0), ('l', 21, -1, 0), ('m', 28, -1, 0), ('n', -1, 427, 0), ('o', -1, 424, 0), ('p', 28, -1, 0), ('r', 3, -1, 0), ('s', 182, -1, 0), ('t', 105, -1, 0), ('u', 21, -1, 0), ('w', -1, 387, 0), ('y', -1, 288, 0), ('z', 25, -1, 0), ('ą', 5, -1, 0), ('ł', -1, 1045, 0)), (('a', -1, 675, 0), ('b', -1, 249, 0), ('c', -1, 1046, 0), ('d', 217, -1, 0), ('e', 110, -1, 0), ('g', 12, -1, 0), ('i', -1, 103, 0), ('j', 217, -1, 0), ('k', 110, -1, 0), ('l', 217, -1, 0), ('m', 110, -1, 0), ('n', -1, 1247, 0), ('o', 110, -1, 0), ('p', 28, -1, 0), ('r', 110, -1, 0), ('s', -1, 1611, 0), ('t', 1, 808, 0), ('u', 110, -1, 0), ('w', 105, -1, 0), ('y', -1, 300, 0), ('z', 217, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 615, 0), ('c', 72, -1, 0), ('d', 52, -1, 0), ('e', -1, 1047, 0), ('g', 22, -1, 0), ('h', 22, -1, 0), ('i', -1, 1591, 0), ('k', 56, 4451, 0), ('l', 63, -1, 0), ('n', -1, 1985, 0), ('o', -1, 1178, 0), ('p', 72, -1, 0), ('r', -1, 794, 0), ('s', 56, -1, 0), ('t', 22, -1, 0), ('u', 305, -1, 0), ('w', 72, -1, 0), ('z', 318, -1, 0)), (('a', -1, 541, 0), ('b', 0, 1048, 0), ('c', -1, 351, 0), ('d', 0, 44, 0), ('e', 62, -1, 0), ('g', 21, -1, 0), ('i', -1, 238, 0), ('k', 31, -1, 0), ('l', 6, -1, 0), ('m', -1, 1677, 0), ('n', -1, 538, 0), ('o', 142, -1, 0), ('p', 185, -1, 0), ('r', 62, -1, 0), ('s', 5, -1, 0), ('t', -1, 4549, 0), ('u', 62, -1, 0), ('w', 17, -1, 0), ('y', 62, -1, 0), ('z', 5, -1, 0), ('ę', -1, 406, 0), ('ł', 6, -1, 0), ('ś', 6, 1416, 0)), (('a', 0, -1, 0), ('c', -1, 1049, 0), ('d', 6, -1, 0), ('e', -1, 992, 0), ('i', 6, -1, 0), ('k', -1, 2161, 0), ('l', -1, 1302, 0), ('m', 3, -1, 0), ('o', 6, -1, 0), ('p', 85, -1, 0), ('r', -1, 1387, 0), ('s', 51, -1, 0), ('t', 2, -1, 0), ('u', 41, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 347, -1, 0), ('b', 3, -1, 0), ('c', 0, -1, 0), ('d', 3, -1, 0), ('e', 34, -1, 0), ('i', -1, 44, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('o', 170, -1, 0), ('p', 170, -1, 0), ('r', 347, -1, 0), ('s', -1, 1050, 0), ('t', -1, 4070, 0), ('u', 34, -1, 0), ('w', 28, -1, 0), ('y', -1, 1675, 0), ('z', 349, -1, 0), ('ą', 170, -1, 0)), (('a', 2, -1, 0), ('b', 73, -1, 0), ('c', 2, -1, 0), ('d', 73, -1, 0), ('e', -1, 1051, 0), ('i', 73, -1, 0), ('k', 2, -1, 0), ('l', -1, 2642, 0), ('n', 3, -1, 0), ('o', -1, 773, 0), ('p', 1, -1, 0), ('r', 34, -1, 0), ('s', 3, -1, 0), ('t', 34, -1, 0), ('u', 28, -1, 0), ('w', 73, -1, 0), ('y', 2, -1, 0), ('z', 73, -1, 0), ('ł', 73, -1, 0), ('ś', 73, -1, 0)), (('a', -1, 772, 0), ('c', -1, 1052, 0), ('d', 24, -1, 0), ('e', -1, 588, 0), ('i', 24, -1, 0), ('j', 24, -1, 0), ('k', 0, -1, 0), ('l', 24, -1, 0), ('m', 80, 200, 0), ('n', 24, -1, 0), ('o', 24, -1, 0), ('p', 24, -1, 0), ('r', -1, 747, 0), ('s', -1, 1053, 0), ('t', 24, -1, 0), ('u', -1, 178, 0), ('w', 7, 1611, 0), ('y', -1, 1077, 0), ('z', -1, 720, 0), ('ą', 181, -1, 0), ('ę', -1, 705, 0), ('ł', 24, -1, 0), ('ż', 24, -1, 0)), (('a', 1, 56, 0), ('d', 52, -1, 0), ('e', 28, -1, 0), ('h', 3, -1, 0), ('i', 80, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('y', 52, -1, 0), ('z', -1, 352, 0)), (('a', -1, 1054, 0), ('b', 24, -1, 0), ('c', -1, 3509, 0), ('d', -1, 1003, 0), ('e', 24, -1, 0), ('f', 3, -1, 0), ('g', -1, 102, 0), ('h', 174, -1, 0), ('i', 24, -1, 0), ('k', 23, -1, 0), ('l', 7, -1, 0), ('m', 57, 4415, 0), ('o', 181, -1, 0), ('p', 24, -1, 0), ('r', 181, -1, 0), ('s', 140, -1, 0), ('t', -1, 2520, 0), ('u', 181, -1, 0), ('w', -1, 2182, 0), ('y', 181, -1, 0), ('z', 290, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 399, 0), ('b', 34, -1, 0), ('c', -1, 1055, 0), ('d', -1, 1795, 0), ('e', -1, 974, 0), ('f', 3, -1, 0), ('g', 2, -1, 0), ('i', -1, 997, 0), ('k', 3, -1, 0), ('l', 181, -1, 0), ('m', 79, 672, 0), ('n', -1, 986, 0), ('o', -1, 1435, 0), ('p', 24, -1, 0), ('r', -1, 176, 0), ('s', -1, 366, 0), ('t', 181, -1, 0), ('u', -1, 797, 0), ('w', -1, 2336, 0), ('y', 21, -1, 0), ('z', 181, -1, 0), ('ó', 37, -1, 0), ('ą', 21, -1, 0), ('ę', -1, 1222, 0), ('ł', 181, -1, 0)), (('a', 2, -1, 0), ('b', 22, -1, 0), ('c', 1, -1, 0), ('e', 1, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('n', 22, -1, 0), ('o', 229, -1, 0), ('p', 1, -1, 0), ('r', -1, 1056, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('u', 1, -1, 0), ('w', 28, -1, 0), ('y', 3, -1, 0), ('z', 2, -1, 0), ('ł', 22, -1, 0)), (('a', -1, 1057, 0), ('b', 22, 1195, 0), ('e', -1, 2694, 0), ('f', 1, -1, 0), ('g', 11, -1, 0), ('i', 11, -1, 0), ('l', 3, -1, 0), ('m', -1, 4545, 0), ('n', 0, -1, 0), ('o', -1, 1436, 0), ('p', 0, -1, 0), ('r', 7, -1, 0), ('s', 79, -1, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 0, 4546, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0)), (('a', 71, -1, 0), ('c', -1, 1058, 0), ('d', -1, 1059, 0), ('e', 169, -1, 0), ('g', 7, -1, 0), ('h', -1, 487, 0), ('i', -1, 423, 0), ('k', 22, -1, 0), ('l', -1, 679, 0), ('m', 7, -1, 0), ('o', 71, 1042, 0), ('p', -1, 875, 0), ('r', 169, -1, 0), ('s', 104, -1, 0), ('t', 57, -1, 0), ('u', 71, -1, 0), ('w', 71, -1, 0), ('y', -1, 1293, 0), ('z', 332, 1452, 0), ('ł', 169, -1, 0)), (('a', 2, -1, 0), ('d', 28, -1, 0), ('e', -1, 790, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 28, -1, 0), ('l', 87, -1, 0), ('m', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 556, 0), ('s', 28, -1, 0), ('t', 29, -1, 0), ('u', 2, -1, 0), ('y', 28, -1, 0), ('z', 28, 209, 0), ('ó', 3, -1, 0), ('ą', 2, -1, 0)), (('a', 332, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 945, 0), ('f', -1, 1060, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 1808, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 1765, 0), ('m', 433, 1185, 0), ('n', 0, 1765, 0), ('o', 71, 1097, 0), ('p', -1, 941, 0), ('r', -1, 1277, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 207, 0), ('w', -1, 4544, 0), ('y', 21, -1, 0), ('z', -1, 1277, 0), ('ł', 41, 1277, 0), ('ż', 6, -1, 0)), (('a', 25, -1, 0), ('b', 25, -1, 0), ('c', -1, 1061, 0), ('d', 25, -1, 0), ('e', 25, -1, 0), ('f', 25, -1, 0), ('g', 25, -1, 0), ('h', 25, -1, 0), ('i', 217, -1, 0), ('j', 0, -1, 0), ('k', -1, 347, 0), ('l', -1, 772, 0), ('m', 25, -1, 0), ('n', 25, -1, 0), ('o', 6, -1, 0), ('p', 159, -1, 0), ('r', 54, -1, 0), ('s', 6, -1, 0), ('t', -1, 1715, 0), ('u', 6, -1, 0), ('w', 25, -1, 0), ('y', 6, -1, 0), ('z', 52, -1, 0), ('ó', 25, -1, 0)), (('a', 25, -1, 0), ('b', 105, -1, 0), ('c', -1, 788, 0), ('d', 0, -1, 0), ('e', 182, -1, 0), ('g', 100, 1062, 0), ('i', 25, -1, 0), ('k', -1, 854, 0), ('l', 21, -1, 0), ('m', 0, -1, 0), ('n', 33, -1, 0), ('o', 182, -1, 0), ('p', 1, 793, 0), ('r', 182, -1, 0), ('s', 1, -1, 0), ('t', -1, 2077, 0), ('u', -1, 1990, 0), ('w', 104, -1, 0), ('y', -1, 220, 0), ('z', -1, 2522, 0), ('ą', 182, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 1063, 0), ('c', 102, -1, 0), ('e', -1, 1355, 0), ('i', -1, 4537, 0), ('k', 10, -1, 0), ('l', -1, 3367, 0), ('o', 8, -1, 0), ('r', -1, 2858, 0), ('s', -1, 3853, 0), ('u', -1, 3392, 0), ('y', -1, 2121, 0), ('z', -1, 3672, 0), ('ą', 10, -1, 0), ('ę', -1, 4380, 0), ('ł', 102, -1, 0), ('ń', 10, -1, 0)), (('a', -1, 1064, 0), ('c', 10, -1, 0), ('d', 92, -1, 0), ('e', -1, 4192, 0), ('i', 2, -1, 0), ('l', 102, -1, 0), ('m', 10, -1, 0), ('n', 10, -1, 0), ('o', -1, 2452, 0), ('p', 10, -1, 0), ('r', 10, -1, 0), ('s', 10, -1, 0), ('t', 10, -1, 0), ('u', 87, -1, 0), ('w', 10, -1, 0), ('ł', 10, -1, 0)), (('a', -1, 1065, 0), ('b', 2, 95, 0), ('c', -1, 1066, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('i', 3, -1, 0), ('k', 87, -1, 0), ('l', 121, 604, 0), ('o', 2, -1, 0), ('p', 87, -1, 0), ('r', 121, -1, 0), ('s', -1, 3960, 0), ('t', 121, -1, 0), ('w', 87, -1, 0), ('y', -1, 1431, 0), ('z', -1, 804, 0), ('ó', -1, 117, 0), ('ą', -1, 236, 0)), (('a', -1, 842, 0), ('b', 188, -1, 0), ('e', 188, -1, 0), ('i', 11, 470, 0), ('o', 188, -1, 0), ('r', -1, 752, 0), ('s', 11, -1, 0), ('w', 3, -1, 0), ('y', 188, -1, 0), ('z', 54, -1, 0)), (('a', -1, 1067, 0), ('e', -1, 3790, 0), ('i', -1, 3825, 0), ('j', 34, -1, 0), ('o', 121, 3516, 0), ('r', -1, 4204, 0), ('u', -1, 1862, 0), ('y', -1, 4372, 0), ('z', -1, 1859, 0), ('ą', -1, 1913, 0)), (('a', 0, -1, 0), ('d', -1, 1068, 0), ('e', 226, -1, 0), ('g', -1, 2655, 0), ('i', -1, 2642, 0), ('j', -1, 2734, 0), ('k', 3, 2524, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', 28, -1, 0), ('p', -1, 3933, 0), ('r', -1, 4419, 0), ('s', 0, -1, 0), ('t', 34, -1, 0), ('u', 1, -1, 0), ('w', -1, 3346, 0), ('y', 226, -1, 0), ('z', 2, -1, 0), ('ł', 34, -1, 0)), (('a', -1, 1069, 0), ('e', 2, -1, 0), ('i', -1, 566, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 1893, 0), ('r', -1, 817, 0), ('s', 3, -1, 0), ('z', 2, -1, 0)), (('a', -1, 62, 0), ('b', 17, -1, 0), ('c', -1, 914, 0), ('d', 17, -1, 0), ('e', -1, 786, 0), ('g', -1, 1070, 0), ('i', 17, -1, 0), ('k', 17, -1, 0), ('l', 110, -1, 0), ('m', -1, 584, 0), ('n', -1, 957, 0), ('o', -1, 584, 0), ('p', 167, 83, 0), ('r', 58, -1, 0), ('s', 21, 799, 0), ('t', -1, 419, 0), ('u', 17, -1, 0), ('w', 217, -1, 0), ('y', 17, -1, 0), ('z', 12, -1, 0), ('ł', -1, 2481, 0), ('ś', -1, 462, 0)), (('a', 17, -1, 0), ('b', -1, 147, 0), ('c', 13, 1071, 0), ('d', 209, -1, 0), ('e', 12, -1, 0), ('g', 14, -1, 0), ('i', 12, -1, 0), ('k', 28, -1, 0), ('l', -1, 222, 0), ('m', 6, -1, 0), ('n', -1, 51, 0), ('o', -1, 467, 0), ('p', 14, -1, 0), ('r', 58, -1, 0), ('s', 182, -1, 0), ('t', -1, 7, 0), ('u', 224, -1, 0), ('w', 224, -1, 0), ('y', -1, 1017, 0), ('z', 17, 422, 0), ('ą', 12, -1, 0), ('ł', 12, -1, 0), ('ś', 4, -1, 0)), (('a', 13, -1, 0), ('c', -1, 1072, 0), ('d', -1, 2130, 0), ('e', 13, -1, 0), ('g', 55, 100, 0), ('h', 5, -1, 0), ('i', -1, 4434, 0), ('j', -1, 1071, 0), ('k', 7, -1, 0), ('l', -1, 112, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 2369, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 13, 64, 0), ('t', 21, -1, 0), ('u', 0, 44, 0), ('w', 28, -1, 0), ('y', -1, 147, 0), ('z', 21, 517, 0), ('ł', -1, 156, 0), ('ż', 21, 4434, 0)), (('a', 14, -1, 0), ('c', 28, 465, 0), ('d', -1, 1073, 0), ('e', 14, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', 14, -1, 0), ('k', -1, 688, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 14, -1, 0), ('p', 2, 1986, 0), ('r', 14, -1, 0), ('s', 2, -1, 0), ('t', -1, 1649, 0), ('u', 14, -1, 0), ('w', 4, -1, 0), ('y', 14, -1, 0), ('z', 37, -1, 0), ('ó', 14, -1, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0), ('ł', 14, -1, 0)), (('a', 9, -1, 0), ('c', -1, 1074, 0), ('d', 3, -1, 0), ('e', 9, -1, 0), ('h', -1, 1930, 0), ('i', -1, 1609, 0), ('j', 9, -1, 0), ('k', 9, -1, 0), ('l', 0, 315, 0), ('m', 101, -1, 0), ('o', 9, -1, 0), ('p', 3, -1, 0), ('r', 101, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 9, -1, 0), ('w', -1, 3765, 0), ('y', 101, -1, 0), ('z', -1, 1983, 0), ('ó', 9, -1, 0), ('ą', 9, -1, 0), ('ę', 101, -1, 0)), (('a', 3, -1, 0), ('b', 67, -1, 0), ('d', 67, -1, 0), ('e', -1, 1073, 0), ('g', 41, -1, 0), ('h', 41, -1, 0), ('i', 3, -1, 0), ('j', 41, -1, 0), ('k', 41, -1, 0), ('l', 48, -1, 0), ('o', 3, -1, 0), ('r', -1, 1075, 0), ('s', 41, -1, 0), ('t', -1, 2566, 0), ('u', 3, -1, 0), ('w', 67, -1, 0), ('y', 3, -1, 0), ('z', 41, -1, 0), ('ł', 41, -1, 0), ('ś', 3, -1, 0), ('ż', 41, -1, 0)), (('a', -1, 1076, 0), ('c', 28, -1, 0), ('d', 28, 188, 0), ('e', -1, 57, 0), ('i', -1, 118, 0), ('k', 82, -1, 0), ('l', -1, 1193, 0), ('m', 82, -1, 0), ('n', 28, -1, 0), ('o', 4, -1, 0), ('p', 41, -1, 0), ('r', -1, 1271, 0), ('s', 41, -1, 0), ('t', 3, -1, 0), ('u', 41, -1, 0), ('w', 2, -1, 0), ('y', -1, 1452, 0), ('z', -1, 240, 0)), (('a', -1, 54, 0), ('b', 110, -1, 0), ('c', 24, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('f', 41, -1, 0), ('g', 0, -1, 0), ('i', -1, 107, 0), ('k', 4, 1077, 0), ('l', 209, 695, 0), ('m', -1, 20, 0), ('n', -1, 2484, 0), ('o', 171, -1, 0), ('p', 105, -1, 0), ('r', 217, 133, 0), ('s', 175, -1, 0), ('t', 110, -1, 0), ('u', -1, 2131, 0), ('w', 13, -1, 0), ('y', 21, -1, 0), ('z', 217, -1, 0), ('ą', 1, -1, 0), ('ę', 21, -1, 0), ('ł', 21, -1, 0), ('ś', 21, -1, 0), ('ż', 110, -1, 0)), (('a', 41, -1, 0), ('b', 0, -1, 0), ('c', -1, 1078, 0), ('d', 24, -1, 0), ('e', 6, -1, 0), ('g', 3, -1, 0), ('i', -1, 358, 0), ('k', -1, 466, 0), ('l', 22, -1, 0), ('m', 181, -1, 0), ('n', 29, -1, 0), ('o', 96, -1, 0), ('p', -1, 615, 0), ('r', -1, 1053, 0), ('s', 4, -1, 0), ('t', 24, -1, 0), ('u', 41, -1, 0), ('w', 7, -1, 0), ('y', 0, -1, 0), ('z', -1, 1032, 0)), (('a', 6, -1, 0), ('b', 0, 477, 0), ('d', 11, 452, 0), ('e', 6, -1, 0), ('g', -1, 1079, 0), ('h', 6, -1, 0), ('i', 66, -1, 0), ('j', -1, 2081, 0), ('k', 6, -1, 0), ('l', 95, -1, 0), ('m', 102, 3412, 0), ('o', -1, 1268, 0), ('p', 6, -1, 0), ('r', -1, 1966, 0), ('s', -1, 2269, 0), ('t', -1, 2298, 0), ('u', -1, 1458, 0), ('w', -1, 1198, 0), ('y', -1, 2664, 0), ('z', -1, 536, 0), ('ó', -1, 1338, 0), ('ę', 57, -1, 0), ('ł', 27, 1779, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', 21, -1, 0), ('j', 95, -1, 0), ('k', 6, -1, 0), ('l', 3, -1, 0), ('m', -1, 276, 0), ('n', -1, 399, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 1080, 0), ('s', 3, -1, 0), ('t', -1, 318, 0), ('u', 6, -1, 0), ('w', -1, 1081, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 6, -1, 0)), (('a', 0, -1, 0), ('b', 28, -1, 0), ('c', 3, 440, 0), ('d', -1, 728, 0), ('e', 0, -1, 0), ('f', 217, -1, 0), ('g', 41, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 110, -1, 0), ('l', 0, -1, 0), ('m', -1, 115, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 6, 151, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 110, -1, 0), ('u', -1, 432, 0), ('w', 5, -1, 0), ('y', 0, -1, 0), ('z', 28, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1082, 0), ('b', 11, -1, 0), ('c', -1, 4170, 0), ('d', -1, 2179, 0), ('e', 11, -1, 0), ('f', 5, -1, 0), ('g', 56, -1, 0), ('i', 11, -1, 0), ('l', 7, -1, 0), ('m', 5, -1, 0), ('o', -1, 1208, 0), ('p', 5, -1, 0), ('r', 11, -1, 0), ('s', 316, 4136, 0), ('t', 11, -1, 0), ('u', 1, -1, 0), ('w', 117, 1498, 0), ('y', 11, -1, 0), ('z', 11, -1, 0), ('ó', -1, 1293, 0)), (('a', -1, 965, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 107, -1, 0), ('e', 70, -1, 0), ('g', 11, -1, 0), ('i', -1, 1083, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('o', 70, -1, 0), ('p', 70, -1, 0), ('r', 11, -1, 0), ('s', 347, -1, 0), ('t', -1, 992, 0), ('u', 57, -1, 0), ('w', 11, -1, 0), ('y', 105, -1, 0), ('z', 11, -1, 0), ('ł', -1, 2457, 0), ('ż', 11, -1, 0)), (('a', 6, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 0, -1, 0), ('h', 21, -1, 0), ('i', 66, -1, 0), ('k', 0, -1, 0), ('l', -1, 1084, 0), ('m', 11, -1, 0), ('n', 0, -1, 0), ('o', 6, -1, 0), ('p', 11, -1, 0), ('r', -1, 1167, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('w', 7, -1, 0), ('y', -1, 744, 0), ('z', 6, -1, 0)), (('a', 79, -1, 0), ('d', 0, -1, 0), ('e', -1, 259, 0), ('i', -1, 60, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 1085, 0), ('y', 1, -1, 0), ('z', -1, 3261, 0), ('ę', 1, -1, 0), ('ł', -1, 2012, 0)), (('a', -1, 1073, 0), ('b', -1, 1076, 0), ('c', 3, -1, 0), ('d', -1, 1086, 0), ('e', -1, 2522, 0), ('g', -1, 1184, 0), ('i', -1, 2432, 0), ('l', -1, 3333, 0), ('m', -1, 1034, 0), ('n', -1, 4089, 0), ('o', -1, 1210, 0), ('p', -1, 1165, 0), ('r', -1, 691, 0), ('s', -1, 739, 0), ('t', -1, 2118, 0), ('w', 0, 1005, 0), ('z', -1, 781, 0)), (('a', 11, -1, 0), ('b', 0, 1087, 0), ('c', 12, -1, 0), ('d', 109, -1, 0), ('e', 11, -1, 0), ('g', -1, 34, 0), ('h', 2, -1, 0), ('i', -1, 511, 0), ('k', -1, 615, 0), ('l', 194, -1, 0), ('m', 5, -1, 0), ('n', -1, 1549, 0), ('o', 98, -1, 0), ('p', -1, 380, 0), ('r', 11, -1, 0), ('s', 0, -1, 0), ('t', -1, 211, 0), ('u', 98, -1, 0), ('w', -1, 1461, 0), ('y', -1, 173, 0), ('z', -1, 542, 0), ('ł', 109, 13, 0), ('ś', 98, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 1088, 0), ('b', 4, -1, 0), ('c', -1, 2508, 0), ('d', -1, 524, 0), ('e', -1, 126, 0), ('i', -1, 136, 0), ('j', 4, -1, 0), ('k', 105, 2017, 0), ('l', 0, 1036, 0), ('m', 4, -1, 0), ('n', 4, -1, 0), ('o', -1, 1644, 0), ('p', 4, -1, 0), ('r', 4, -1, 0), ('s', 0, 1533, 0), ('t', 4, -1, 0), ('u', -1, 667, 0), ('w', 350, -1, 0), ('y', 217, -1, 0), ('z', 215, -1, 0), ('ł', 350, -1, 0)), (('a', -1, 1089, 0), ('b', -1, 306, 0), ('c', 0, 128, 0), ('d', -1, 285, 0), ('e', -1, 1093, 0), ('g', 24, -1, 0), ('i', 34, -1, 0), ('j', 1, -1, 0), ('k', -1, 1498, 0), ('l', 34, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 12, -1, 0), ('p', -1, 2796, 0), ('r', 175, -1, 0), ('s', -1, 155, 0), ('t', 4, -1, 0), ('u', 21, -1, 0), ('w', 0, 44, 0), ('y', -1, 424, 0), ('z', 242, -1, 0), ('ę', 12, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 1090, 0), ('b', 22, -1, 0), ('c', 1, -1, 0), ('d', 377, -1, 0), ('e', 28, -1, 0), ('g', 22, -1, 0), ('h', 1, -1, 0), ('i', 28, -1, 0), ('k', 392, -1, 0), ('l', 4, -1, 0), ('m', 21, 180, 0), ('n', -1, 977, 0), ('o', -1, 1092, 0), ('p', 28, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 28, -1, 0), ('w', 96, -1, 0), ('y', 28, -1, 0), ('z', 21, -1, 0), ('ó', 28, -1, 0), ('ś', 28, -1, 0)), (('a', -1, 524, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 22, 424, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 1070, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 4, 1091, 0), ('y', 209, -1, 0), ('z', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 28, -1, 0), ('b', 0, -1, 0), ('c', 4, -1, 0), ('d', 21, -1, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('k', 137, -1, 0), ('l', -1, 271, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('p', 54, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 86, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ó', -1, 744, 0), ('ę', 1, -1, 0), ('ł', 14, -1, 0)), (('a', 21, -1, 0), ('b', 6, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('i', 21, -1, 0), ('k', 4, 121, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 21, -1, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 21, -1, 0), ('t', 28, -1, 0), ('u', -1, 514, 0), ('w', 28, -1, 0), ('y', 13, -1, 0), ('z', 28, -1, 0), ('ą', 21, -1, 0), ('ę', 28, -1, 0), ('ł', 2, -1, 0)), (('a', 17, -1, 0), ('b', 17, -1, 0), ('c', 17, -1, 0), ('d', -1, 63, 0), ('e', -1, 6, 0), ('f', 208, -1, 0), ('g', 17, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('k', -1, 1094, 0), ('l', 1, -1, 0), ('m', 17, -1, 0), ('n', 17, -1, 0), ('o', -1, 419, 0), ('p', -1, 379, 0), ('r', 0, 1018, 0), ('s', 6, -1, 0), ('t', 104, -1, 0), ('u', -1, 462, 0), ('w', 17, -1, 0), ('y', 17, -1, 0), ('z', 167, 177, 0), ('ó', 95, -1, 0), ('ą', 17, -1, 0), ('ę', -1, 462, 0), ('ł', 69, -1, 0), ('ś', -1, 735, 0)), (('a', 126, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 104, -1, 0), ('e', 126, -1, 0), ('i', 71, -1, 0), ('k', 104, -1, 0), ('l', -1, 388, 0), ('m', 57, -1, 0), ('n', 7, -1, 0), ('o', 104, -1, 0), ('p', -1, 1095, 0), ('r', 71, -1, 0), ('s', 0, -1, 0), ('t', 0, 16, 0), ('u', 104, -1, 0), ('w', 7, -1, 0), ('y', 126, -1, 0), ('z', 7, -1, 0), ('ą', 71, -1, 0), ('ł', 89, -1, 0)), (('a', -1, 116, 0), ('d', -1, 130, 0), ('e', -1, 196, 0), ('g', 3, -1, 0), ('i', -1, 112, 0), ('o', -1, 382, 0), ('p', -1, 564, 0), ('r', -1, 1096, 0), ('s', 0, 64, 0), ('t', -1, 754, 0), ('u', 7, -1, 0), ('w', 0, 64, 0), ('y', -1, 196, 0), ('z', -1, 1140, 0)), (('a', 24, -1, 0), ('b', 5, -1, 0), ('c', 41, -1, 0), ('d', 0, -1, 0), ('e', 7, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 37, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 437, 0), ('o', 7, -1, 0), ('p', -1, 141, 0), ('r', 24, -1, 0), ('s', 0, -1, 0), ('t', -1, 205, 0), ('u', 7, 145, 0), ('w', 0, -1, 0), ('y', 7, -1, 0), ('z', -1, 1045, 0), ('ł', 7, -1, 0), ('ś', 1, 1097, 0)), (('a', 7, -1, 0), ('b', -1, 501, 0), ('c', -1, 1098, 0), ('d', 5, -1, 0), ('e', 97, -1, 0), ('f', -1, 43, 0), ('g', 99, -1, 0), ('h', -1, 156, 0), ('i', -1, 862, 0), ('j', -1, 3457, 0), ('k', 5, -1, 0), ('l', 7, -1, 0), ('m', 97, -1, 0), ('n', 230, 386, 0), ('o', 7, -1, 0), ('p', 332, -1, 0), ('r', 97, -1, 0), ('s', 332, -1, 0), ('t', 21, 380, 0), ('u', -1, 1097, 0), ('w', 97, 1035, 0), ('y', 7, -1, 0), ('z', -1, 862, 0), ('ó', -1, 1097, 0), ('ą', -1, 1979, 0), ('ć', 55, -1, 0), ('ę', -1, 394, 0), ('ł', -1, 273, 0), ('ś', 5, -1, 0), ('ż', -1, 3672, 0)), (('a', 332, -1, 0), ('b', 68, -1, 0), ('c', 21, 503, 0), ('d', 68, -1, 0), ('e', -1, 188, 0), ('g', 12, -1, 0), ('h', -1, 348, 0), ('i', 200, -1, 0), ('j', 108, 1099, 0), ('k', 96, -1, 0), ('l', -1, 312, 0), ('m', 12, -1, 0), ('n', -1, 2432, 0), ('o', 332, -1, 0), ('p', 11, -1, 0), ('r', 98, -1, 0), ('s', 99, -1, 0), ('t', 12, -1, 0), ('u', -1, 1929, 0), ('w', 68, -1, 0), ('y', 332, -1, 0), ('z', -1, 612, 0), ('ę', 11, -1, 0), ('ł', -1, 387, 0), ('ś', 332, -1, 0), ('ż', 89, 2636, 0)), (('a', 1, -1, 0), ('c', 3, -1, 0), ('e', -1, 1100, 0), ('g', 3, -1, 0), ('i', 1, -1, 0), ('k', 2, 1451, 0), ('m', 3, -1, 0), ('n', 7, -1, 0), ('o', -1, 2866, 0), ('p', 6, -1, 0), ('r', 95, -1, 0), ('s', -1, 3630, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 3, -1, 0), ('z', 57, -1, 0), ('ó', 1, -1, 0), ('ł', -1, 723, 0)), (('a', -1, 189, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 1101, 0), ('e', -1, 1602, 0), ('h', -1, 244, 0), ('i', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 114, 0), ('p', -1, 1972, 0), ('r', -1, 55, 0), ('s', 1, -1, 0), ('t', -1, 1790, 0), ('w', 1, -1, 0), ('z', -1, 2780, 0), ('ł', 64, -1, 0)), (('a', -1, 725, 0), ('b', -1, 1102, 0), ('d', 1, -1, 0), ('e', -1, 936, 0), ('i', 1, -1, 0), ('m', 108, -1, 0), ('n', 108, -1, 0), ('o', -1, 725, 0), ('p', 108, -1, 0), ('r', 108, -1, 0), ('s', 0, 1011, 0), ('t', 108, -1, 0), ('w', 3, -1, 0), ('z', 79, -1, 0), ('ą', 79, -1, 0), ('ł', -1, 638, 0)), (('a', 6, -1, 0), ('c', 5, -1, 0), ('d', 3, -1, 0), ('e', -1, 1103, 0), ('i', 5, -1, 0), ('k', 55, -1, 0), ('l', 108, -1, 0), ('m', 5, -1, 0), ('o', 29, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('w', 5, -1, 0), ('y', 7, -1, 0), ('z', 15, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 1104, 0), ('b', -1, 1402, 0), ('d', 269, -1, 0), ('e', 88, -1, 0), ('g', -1, 1784, 0), ('i', -1, 1297, 0), ('k', -1, 2736, 0), ('m', 20, -1, 0), ('o', -1, 345, 0), ('p', -1, 307, 0), ('r', -1, 3203, 0), ('s', 0, 2258, 0), ('t', 29, -1, 0), ('w', 436, -1, 0), ('z', 29, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 74, 0)), (('a', 27, -1, 0), ('b', 16, -1, 0), ('d', -1, 141, 0), ('e', 184, -1, 0), ('i', 27, -1, 0), ('k', 13, 1105, 0), ('m', 30, -1, 0), ('o', 184, -1, 0), ('p', 16, 1106, 0), ('r', 184, -1, 0), ('s', 7, 2443, 0), ('t', 13, -1, 0), ('u', -1, 2143, 0), ('w', 30, -1, 0), ('y', 13, -1, 0), ('z', -1, 1332, 0), ('ą', 184, -1, 0)), (('a', -1, 760, 0), ('d', 13, -1, 0), ('e', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('n', 21, -1, 0), ('o', 13, -1, 0), ('r', -1, 916, 0), ('u', 21, -1, 0)), (('a', -1, 1107, 0), ('b', 23, -1, 0), ('e', 5, -1, 0), ('i', 23, -1, 0), ('j', 23, -1, 0), ('l', 23, -1, 0), ('n', 23, -1, 0), ('o', 30, -1, 0), ('p', 23, -1, 0), ('r', 23, -1, 0), ('u', 71, -1, 0), ('y', 23, -1, 0), ('z', 16, -1, 0), ('ę', 71, -1, 0)), (('a', 59, -1, 0), ('b', 23, -1, 0), ('c', -1, 1108, 0), ('d', 2, -1, 0), ('e', 121, -1, 0), ('i', 174, -1, 0), ('m', 174, -1, 0), ('o', 59, -1, 0), ('p', 174, -1, 0), ('r', 23, -1, 0), ('s', -1, 2500, 0), ('u', 121, -1, 0), ('y', 59, -1, 0), ('z', 23, -1, 0), ('ó', 59, -1, 0), ('ą', 59, -1, 0)), (('a', 59, -1, 0), ('e', -1, 1109, 0), ('i', 59, -1, 0), ('o', 121, 3545, 0), ('r', 59, -1, 0), ('u', 59, -1, 0), ('y', -1, 2592, 0), ('z', 59, -1, 0), ('ą', 59, -1, 0)), (('a', -1, 1053, 0), ('b', 59, -1, 0), ('c', -1, 51, 0), ('d', 121, -1, 0), ('e', 73, -1, 0), ('i', 59, -1, 0), ('l', -1, 1110, 0), ('n', -1, 2570, 0), ('o', 73, -1, 0), ('p', 73, -1, 0), ('r', -1, 1107, 0), ('s', 59, -1, 0), ('t', 59, -1, 0), ('w', 121, -1, 0), ('z', -1, 702, 0), ('ł', -1, 916, 0)), (('a', 5, -1, 0), ('b', 28, -1, 0), ('d', -1, 1111, 0), ('e', 115, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', -1, 276, 0), ('k', 28, -1, 0), ('m', 28, -1, 0), ('o', 4, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 4, -1, 0), ('t', 28, -1, 0), ('u', 4, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ś', -1, 840, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 28, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 602, 0), ('e', 2, -1, 0), ('f', -1, 1027, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 1112, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', -1, 1027, 0), ('m', -1, 3753, 0), ('n', 3, 2842, 0), ('o', -1, 422, 0), ('p', -1, 1417, 0), ('r', 28, -1, 0), ('s', -1, 4536, 0), ('t', -1, 1618, 0), ('u', 2, -1, 0), ('w', -1, 2503, 0), ('z', 121, 2135, 0), ('ę', 28, -1, 0), ('ż', 2, -1, 0)), (('a', 28, -1, 0), ('c', 2, -1, 0), ('d', 107, -1, 0), ('e', 2, -1, 0), ('i', -1, 1113, 0), ('k', -1, 138, 0), ('l', 3, -1, 0), ('m', -1, 1937, 0), ('n', -1, 2212, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', -1, 1910, 0), ('s', 4, -1, 0), ('t', -1, 1885, 0), ('u', -1, 883, 0), ('y', 28, -1, 0), ('z', 107, -1, 0), ('ą', 28, -1, 0)), (('a', -1, 423, 0), ('d', -1, 1114, 0), ('e', -1, 1125, 0), ('i', -1, 1097, 0), ('m', -1, 3920, 0), ('o', -1, 102, 0), ('p', 107, -1, 0), ('r', -1, 1166, 0), ('s', 0, 355, 0), ('t', -1, 1209, 0), ('u', -1, 1781, 0), ('w', 107, -1, 0), ('z', -1, 718, 0), ('ę', 6, -1, 0), ('ł', -1, 468, 0)), (('a', -1, 1115, 0), ('e', -1, 3507, 0), ('i', -1, 4406, 0), ('j', -1, 4510, 0), ('o', -1, 3379, 0), ('r', 4, -1, 0), ('s', 28, -1, 0), ('u', -1, 89, 0), ('y', -1, 4247, 0), ('z', -1, 1239, 0), ('ć', -1, 439, 0)), (('a', 3, -1, 0), ('b', -1, 1116, 0), ('c', -1, 4531, 0), ('d', -1, 4533, 0), ('e', -1, 3120, 0), ('f', -1, 4328, 0), ('g', -1, 4534, 0), ('h', -1, 2740, 0), ('i', -1, 3960, 0), ('j', -1, 4355, 0), ('k', -1, 4535, 0), ('l', -1, 3024, 0), ('m', 4, 4539, 0), ('n', -1, 4540, 0), ('o', 83, -1, 0), ('p', -1, 1352, 0), ('r', -1, 3512, 0), ('s', -1, 2839, 0), ('t', -1, 4541, 0), ('u', 3, -1, 0), ('w', 29, 4542, 0), ('y', 2, -1, 0), ('z', -1, 3999, 0), ('ł', -1, 4543, 0), ('ż', -1, 3846, 0)), (('a', -1, 1117, 0), ('e', -1, 2777, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 2140, 0), ('o', 2, -1, 0), ('r', 2, -1, 0), ('u', -1, 3337, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ę', -1, 1345, 0), ('ń', 3, -1, 0), ('ś', 3, -1, 0), ('ź', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 41, -1, 0), ('d', -1, 1118, 0), ('e', 41, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('l', 2, 406, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', -1, 2063, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ą', 41, -1, 0), ('ł', 2, -1, 0), ('ś', 82, -1, 0)), (('a', -1, 822, 0), ('b', -1, 1041, 0), ('c', 12, 241, 0), ('d', -1, 164, 0), ('e', -1, 358, 0), ('g', -1, 156, 0), ('h', -1, 21, 0), ('i', -1, 1119, 0), ('j', -1, 380, 0), ('k', -1, 945, 0), ('l', -1, 1139, 0), ('m', -1, 975, 0), ('n', 82, -1, 0), ('o', -1, 2527, 0), ('p', 21, -1, 0), ('r', -1, 1633, 0), ('s', 21, 15, 0), ('t', -1, 605, 0), ('u', 21, 1435, 0), ('w', -1, 2251, 0), ('y', -1, 772, 0), ('z', -1, 468, 0), ('ę', 41, -1, 0), ('ł', 12, -1, 0), ('ś', -1, 1620, 0), ('ź', 12, -1, 0), ('ż', -1, 2522, 0)), (('a', 58, -1, 0), ('b', 66, -1, 0), ('c', -1, 1120, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('f', 21, -1, 0), ('g', -1, 530, 0), ('h', 1, -1, 0), ('i', 12, -1, 0), ('k', -1, 423, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', 1, -1, 0), ('o', 12, -1, 0), ('p', 21, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 21, -1, 0), ('u', 331, -1, 0), ('w', 12, 452, 0), ('y', 12, -1, 0), ('z', -1, 1461, 0), ('ł', 79, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 30, -1, 0), ('e', 0, -1, 0), ('g', 6, -1, 0), ('i', 6, 728, 0), ('k', 22, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', -1, 1121, 0), ('r', 6, -1, 0), ('s', 22, -1, 0), ('t', -1, 4506, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ę', 5, -1, 0), ('ł', 1, -1, 0)), (('-', 441, -1, 0), ('a', -1, 906, 0), ('b', -1, 1122, 0), ('d', 21, -1, 0), ('e', -1, 3600, 0), ('f', 17, -1, 0), ('h', 21, -1, 0), ('i', -1, 3100, 0), ('j', -1, 852, 0), ('k', 37, -1, 0), ('l', -1, 2818, 0), ('m', -1, 364, 0), ('n', 37, -1, 0), ('o', -1, 2528, 0), ('p', -1, 2330, 0), ('r', -1, 119, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', -1, 2481, 0), ('w', 17, -1, 0), ('y', -1, 1482, 0), ('z', -1, 1640, 0), ('ć', -1, 938, 0), ('ń', -1, 579, 0), ('ś', -1, 328, 0), ('ź', -1, 1719, 0), ('ż', -1, 3211, 0)), (('a', 17, -1, 0), ('c', 28, -1, 0), ('d', -1, 388, 0), ('e', -1, 1123, 0), ('f', 28, -1, 0), ('h', 3, -1, 0), ('i', -1, 2012, 0), ('j', 2, -1, 0), ('k', 28, -1, 0), ('o', 52, -1, 0), ('p', 2, 2198, 0), ('r', 17, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 2471, 0), ('w', 117, -1, 0), ('y', -1, 418, 0), ('z', 17, -1, 0), ('ó', 17, -1, 0), ('ą', -1, 418, 0), ('ę', 17, -1, 0)), (('a', -1, 1124, 0), ('b', 6, -1, 0), ('d', 108, -1, 0), ('e', -1, 950, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 17, -1, 0), ('m', 108, -1, 0), ('o', 6, -1, 0), ('p', 7, -1, 0), ('r', 6, -1, 0), ('s', -1, 2589, 0), ('t', -1, 3297, 0), ('u', 57, -1, 0), ('w', 108, -1, 0), ('y', -1, 1125, 0), ('z', -1, 1004, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('b', 1, -1, 0), ('c', -1, 1125, 0), ('d', 6, -1, 0), ('e', 28, -1, 0), ('h', 21, -1, 0), ('i', 4, -1, 0), ('k', 6, -1, 0), ('l', -1, 934, 0), ('m', -1, 833, 0), ('n', 6, -1, 0), ('o', -1, 47, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 1245, 0), ('w', 104, 188, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 405, 0), ('b', -1, 1126, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 279, -1, 0), ('g', 6, -1, 0), ('i', -1, 663, 0), ('j', 95, -1, 0), ('k', -1, 2308, 0), ('l', 95, -1, 0), ('m', 6, -1, 0), ('n', 21, -1, 0), ('o', 279, -1, 0), ('p', -1, 2184, 0), ('r', 6, -1, 0), ('s', -1, 706, 0), ('t', -1, 767, 0), ('u', -1, 2385, 0), ('w', -1, 834, 0), ('y', -1, 1932, 0), ('z', 95, -1, 0), ('ą', 279, -1, 0), ('ę', 279, -1, 0), ('ł', -1, 1914, 0)), (('a', -1, 1127, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 3045, 0), ('e', 0, -1, 0), ('h', -1, 3411, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', -1, 1738, 0), ('l', -1, 4491, 0), ('m', 39, -1, 0), ('n', 5, -1, 0), ('o', 22, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 1, -1, 0), ('t', 39, -1, 0), ('y', 5, -1, 0), ('z', 3, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('b', 27, -1, 0), ('c', 22, -1, 0), ('d', 11, -1, 0), ('e', -1, 1128, 0), ('g', 0, -1, 0), ('h', 184, -1, 0), ('i', 27, -1, 0), ('j', 5, -1, 0), ('k', 1, -1, 0), ('l', 3, -1, 0), ('m', 27, 1779, 0), ('o', 5, -1, 0), ('p', 45, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 55, -1, 0), ('u', -1, 95, 0), ('w', 184, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 1129, 0), ('b', -1, 715, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 196, 0), ('g', 4, -1, 0), ('h', 5, -1, 0), ('i', -1, 1900, 0), ('k', -1, 1488, 0), ('l', 39, -1, 0), ('m', 0, -1, 0), ('n', 5, -1, 0), ('o', 21, 241, 0), ('p', 5, 1999, 0), ('r', 5, -1, 0), ('s', 41, -1, 0), ('t', -1, 895, 0), ('u', 0, -1, 0), ('w', 55, 186, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', 5, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1130, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 2089, 0), ('k', -1, 332, 0), ('l', 5, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1190, 0), ('p', -1, 1556, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 5, 382, 0), ('y', -1, 192, 0), ('z', 0, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 976, 0), ('b', 22, -1, 0), ('c', 105, -1, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('g', 22, -1, 0), ('i', 3, -1, 0), ('k', 2, -1, 0), ('l', 41, -1, 0), ('m', 12, -1, 0), ('n', -1, 1131, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 1327, 0), ('s', 63, -1, 0), ('t', -1, 1911, 0), ('u', 22, -1, 0), ('w', 281, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', 1, -1, 0), ('ą', 22, -1, 0), ('ł', -1, 1893, 0)), (('a', 106, -1, 0), ('d', -1, 473, 0), ('e', -1, 1132, 0), ('i', 5, -1, 0), ('k', 0, -1, 0), ('l', 30, -1, 0), ('m', 5, -1, 0), ('o', 12, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 3, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 116, 0), ('c', 29, -1, 0), ('d', -1, 213, 0), ('e', -1, 196, 0), ('i', 7, -1, 0), ('m', 7, -1, 0), ('o', -1, 84, 0), ('p', 7, -1, 0), ('r', 29, -1, 0), ('s', -1, 752, 0), ('t', 7, -1, 0), ('w', 0, 64, 0), ('z', -1, 1133, 0), ('ł', -1, 398, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', -1, 1134, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('h', 22, -1, 0), ('i', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, 216, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 22, -1, 0), ('p', 22, -1, 0), ('r', -1, 739, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', -1, 1467, 0), ('y', 2, -1, 0), ('z', 22, -1, 0), ('ó', 30, -1, 0), ('ł', 40, -1, 0), ('ś', 52, -1, 0)), (('a', -1, 1135, 0), ('b', 5, -1, 0), ('d', 31, -1, 0), ('e', -1, 1401, 0), ('i', -1, 3739, 0), ('m', 5, -1, 0), ('o', -1, 2311, 0), ('p', 31, -1, 0), ('r', 5, 2897, 0), ('s', 1, -1, 0), ('t', 0, 735, 0), ('u', 5, -1, 0), ('w', -1, 4445, 0), ('y', 31, -1, 0), ('z', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 29, -1, 0), ('b', 0, -1, 0), ('c', 4, -1, 0), ('d', 0, -1, 0), ('e', -1, 1136, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1830, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 185, 504, 0), ('n', 41, -1, 0), ('o', 7, 1018, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1412, 0), ('u', 7, -1, 0), ('w', 29, -1, 0), ('y', 42, -1, 0), ('z', 0, -1, 0)), (('a', -1, 1137, 0), ('c', 120, 2754, 0), ('d', -1, 1691, 0), ('e', -1, 97, 0), ('i', -1, 916, 0), ('k', -1, 4434, 0), ('o', -1, 98, 0), ('p', 196, -1, 0), ('r', -1, 297, 0), ('s', 196, -1, 0), ('t', -1, 1391, 0), ('u', -1, 2012, 0), ('w', -1, 2128, 0), ('z', -1, 2868, 0), ('ł', -1, 197, 0), ('ż', -1, 2624, 0)), (('a', 21, -1, 0), ('c', 56, 186, 0), ('d', -1, 742, 0), ('e', 193, -1, 0), ('h', -1, 171, 0), ('i', -1, 718, 0), ('k', 3, 399, 0), ('l', -1, 1138, 0), ('m', -1, 147, 0), ('n', 21, -1, 0), ('o', -1, 1181, 0), ('p', 0, 164, 0), ('r', 21, -1, 0), ('s', -1, 1982, 0), ('t', -1, 289, 0), ('u', 21, -1, 0), ('w', -1, 147, 0), ('y', -1, 1139, 0), ('z', -1, 290, 0), ('ę', -1, 3320, 0)), (('a', 71, -1, 0), ('b', 0, -1, 0), ('c', 41, -1, 0), ('e', -1, 1139, 0), ('g', 85, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 71, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 28, 4111, 0), ('t', 0, -1, 0), ('u', 71, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 59, -1, 0), ('ł', 85, -1, 0), ('ś', 121, -1, 0)), (('a', -1, 397, 0), ('b', 41, -1, 0), ('c', 21, -1, 0), ('d', 104, -1, 0), ('e', -1, 1140, 0), ('g', 0, -1, 0), ('i', -1, 40, 0), ('j', 0, -1, 0), ('k', 104, -1, 0), ('l', 0, -1, 0), ('m', 104, 226, 0), ('n', 41, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', -1, 994, 0), ('t', 104, -1, 0), ('u', 104, -1, 0), ('w', 0, -1, 0), ('y', 42, -1, 0), ('z', 193, -1, 0), ('ó', 12, -1, 0), ('ą', 41, -1, 0)), (('a', -1, 784, 0), ('b', 196, 340, 0), ('c', -1, 701, 0), ('d', -1, 786, 0), ('e', 176, -1, 0), ('g', 102, 1141, 0), ('i', -1, 1648, 0), ('k', 0, -1, 0), ('l', 104, -1, 0), ('m', 25, -1, 0), ('n', -1, 2034, 0), ('o', -1, 434, 0), ('p', 0, -1, 0), ('r', 25, -1, 0), ('s', 0, -1, 0), ('t', -1, 424, 0), ('u', -1, 2028, 0), ('w', -1, 220, 0), ('y', -1, 5, 0), ('z', 21, -1, 0), ('ę', -1, 224, 0), ('ł', 25, -1, 0)), (('a', 21, -1, 0), ('b', 11, -1, 0), ('d', 307, -1, 0), ('e', 21, -1, 0), ('g', 0, -1, 0), ('i', 21, -1, 0), ('k', -1, 1142, 0), ('l', -1, 1089, 0), ('m', 307, -1, 0), ('n', 21, -1, 0), ('o', 1, -1, 0), ('p', 307, -1, 0), ('r', 21, -1, 0), ('s', 1, -1, 0), ('t', 307, -1, 0), ('u', 21, -1, 0), ('w', 307, -1, 0), ('y', 10, -1, 0), ('z', -1, 1671, 0), ('ą', 1, -1, 0), ('ż', 96, -1, 0)), (('a', 21, 1143, 0), ('b', 3, -1, 0), ('c', -1, 4530, 0), ('d', -1, 4019, 0), ('e', 6, -1, 0), ('f', 3, -1, 0), ('i', -1, 3282, 0), ('k', 7, -1, 0), ('l', 97, -1, 0), ('o', 120, -1, 0), ('r', -1, 3418, 0), ('s', -1, 2752, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 3697, 0), ('ż', 3, -1, 0)), (('a', 7, -1, 0), ('b', -1, 390, 0), ('c', 97, -1, 0), ('d', 99, -1, 0), ('e', 7, -1, 0), ('f', 97, -1, 0), ('g', 58, 184, 0), ('h', 7, -1, 0), ('i', -1, 1035, 0), ('j', 0, -1, 0), ('k', 6, -1, 0), ('l', -1, 664, 0), ('m', 97, 433, 0), ('n', -1, 1144, 0), ('o', -1, 339, 0), ('p', -1, 859, 0), ('r', 7, -1, 0), ('s', -1, 240, 0), ('t', -1, 239, 0), ('u', 99, -1, 0), ('w', 7, 1143, 0), ('y', -1, 1692, 0), ('z', -1, 521, 0), ('ó', 7, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 1391, 0), ('ś', -1, 1156, 0), ('ź', 7, -1, 0), ('ż', -1, 4442, 0)), (('a', -1, 490, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 511, 0), ('e', -1, 390, 0), ('f', 31, 1145, 0), ('g', 7, -1, 0), ('h', -1, 359, 0), ('i', 97, -1, 0), ('j', -1, 100, 0), ('k', -1, 188, 0), ('l', -1, 389, 0), ('m', -1, 522, 0), ('n', -1, 186, 0), ('o', 97, -1, 0), ('p', 97, -1, 0), ('r', -1, 339, 0), ('s', 5, -1, 0), ('t', -1, 490, 0), ('u', 97, -1, 0), ('w', 7, -1, 0), ('y', -1, 1035, 0), ('z', 7, -1, 0), ('ó', 12, -1, 0), ('ę', -1, 2583, 0), ('ł', 7, -1, 0), ('ś', -1, 239, 0), ('ź', 7, -1, 0), ('ż', -1, 403, 0)), (('a', -1, 1146, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 31, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', -1, 2006, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 79, 299, 0), ('n', 0, -1, 0), ('o', -1, 897, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 2509, 0), ('u', 131, -1, 0), ('w', 131, -1, 0), ('y', 31, -1, 0), ('z', 1, -1, 0)), (('a', -1, 1147, 0), ('b', 12, -1, 0), ('d', 12, -1, 0), ('e', -1, 1848, 0), ('i', 12, -1, 0), ('m', -1, 1465, 0), ('o', -1, 4282, 0), ('p', 12, -1, 0), ('r', -1, 4037, 0), ('t', 12, -1, 0), ('u', -1, 2117, 0), ('y', 12, -1, 0), ('z', 95, -1, 0), ('ó', 95, -1, 0), ('ś', -1, 2058, 0)), (('a', 29, -1, 0), ('b', 7, -1, 0), ('c', 12, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 12, -1, 0), ('i', 7, -1, 0), ('m', 12, -1, 0), ('n', 0, -1, 0), ('o', 7, -1, 0), ('p', -1, 1148, 0), ('r', 166, -1, 0), ('s', -1, 632, 0), ('t', -1, 15, 0), ('u', 1, -1, 0), ('w', 12, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0)), (('a', 12, -1, 0), ('d', -1, 1149, 0), ('e', 5, -1, 0), ('i', 53, -1, 0), ('k', 145, -1, 0), ('o', 12, -1, 0), ('r', 53, -1, 0), ('y', 5, -1, 0), ('z', 145, -1, 0), ('ę', 12, -1, 0)), (('a', 12, -1, 0), ('d', 12, -1, 0), ('e', -1, 1150, 0), ('i', 4, -1, 0), ('j', -1, 3896, 0), ('k', -1, 1889, 0), ('o', 12, -1, 0), ('r', -1, 3347, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ó', 12, -1, 0), ('ą', -1, 4022, 0), ('ę', -1, 4463, 0), ('ź', 12, -1, 0)), (('a', 6, -1, 0), ('e', -1, 1151, 0), ('i', -1, 1413, 0), ('j', 345, -1, 0), ('k', 6, -1, 0), ('l', 12, -1, 0), ('n', 6, -1, 0), ('o', -1, 1047, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('z', 12, -1, 0)), (('a', 330, -1, 0), ('c', 2, -1, 0), ('d', 6, -1, 0), ('e', -1, 1152, 0), ('i', -1, 493, 0), ('j', 7, -1, 0), ('k', -1, 1153, 0), ('l', 2, -1, 0), ('n', 6, -1, 0), ('o', 7, -1, 0), ('p', 6, -1, 0), ('r', -1, 1124, 0), ('t', 2, -1, 0), ('u', 330, -1, 0), ('w', 6, -1, 0), ('y', 330, -1, 0), ('z', -1, 825, 0), ('ę', 7, -1, 0), ('ł', 6, 62, 0)), (('a', -1, 800, 0), ('d', 55, -1, 0), ('e', -1, 742, 0), ('i', -1, 1094, 0), ('j', 7, -1, 0), ('k', 177, -1, 0), ('l', 7, -1, 0), ('m', 13, -1, 0), ('n', 13, -1, 0), ('o', -1, 863, 0), ('p', 26, -1, 0), ('r', -1, 944, 0), ('s', 106, -1, 0), ('t', 105, -1, 0), ('u', 136, -1, 0), ('w', 136, -1, 0), ('y', 106, -1, 0), ('z', 12, 425, 0), ('ą', 106, -1, 0), ('ł', -1, 35, 0)), (('a', 21, 1154, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 1826, 0), ('f', 28, -1, 0), ('h', 21, -1, 0), ('i', 0, 455, 0), ('j', 21, -1, 0), ('k', 2, -1, 0), ('l', -1, 179, 0), ('m', 2, -1, 0), ('n', -1, 2101, 0), ('o', -1, 2799, 0), ('p', -1, 337, 0), ('r', -1, 2027, 0), ('s', 28, 465, 0), ('t', -1, 4358, 0), ('u', -1, 2310, 0), ('w', 2, -1, 0), ('y', -1, 1083, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 3706, 0), ('ł', 1, -1, 0)), (('a', -1, 1155, 0), ('d', 0, -1, 0), ('e', 101, -1, 0), ('i', -1, 1668, 0), ('j', 1, 152, 0), ('k', 21, -1, 0), ('l', 21, 807, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 1890, 0), ('p', 1, 1792, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', -1, 1702, 0), ('w', 1, -1, 0), ('y', -1, 3515, 0), ('z', 1, 435, 0), ('ó', 9, -1, 0), ('ł', 1, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 499, 0), ('b', 3, 399, 0), ('d', 9, -1, 0), ('e', -1, 1156, 0), ('g', 3, -1, 0), ('i', 68, -1, 0), ('k', 9, -1, 0), ('l', 1, -1, 0), ('m', 101, -1, 0), ('o', -1, 2780, 0), ('p', 22, -1, 0), ('r', 9, -1, 0), ('s', 337, -1, 0), ('t', 1, -1, 0), ('u', 55, -1, 0), ('w', 9, -1, 0), ('y', 5, -1, 0), ('z', -1, 194, 0), ('ó', 12, -1, 0), ('ę', -1, 398, 0), ('ł', 1, -1, 0)), (('a', 105, -1, 0), ('d', 105, -1, 0), ('e', 105, -1, 0), ('f', 5, -1, 0), ('i', -1, 283, 0), ('k', 6, 1157, 0), ('l', -1, 569, 0), ('m', -1, 1955, 0), ('n', 5, -1, 0), ('o', 0, -1, 0), ('p', 5, -1, 0), ('r', 101, 460, 0), ('s', -1, 1244, 0), ('t', -1, 2779, 0), ('u', 37, -1, 0), ('w', 66, -1, 0), ('y', 105, -1, 0), ('z', 199, -1, 0)), (('a', 6, -1, 0), ('d', -1, 1158, 0), ('e', -1, 1151, 0), ('i', 10, -1, 0), ('k', 6, -1, 0), ('l', 11, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 3, -1, 0), ('t', 6, -1, 0), ('y', 6, -1, 0), ('z', 10, -1, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 30, -1, 0), ('m', 30, -1, 0), ('o', 6, -1, 0), ('p', 69, 1159, 0), ('r', -1, 4442, 0), ('s', 21, -1, 0), ('y', -1, 1208, 0), ('z', 6, -1, 0), ('ł', 30, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('e', -1, 317, 0), ('g', 3, -1, 0), ('i', 22, -1, 0), ('l', -1, 1160, 0), ('m', 34, -1, 0), ('o', 224, -1, 0), ('p', 2, -1, 0), ('r', 80, -1, 0), ('s', 2, -1, 0), ('u', 224, -1, 0), ('z', 224, -1, 0)), (('a', 7, -1, 0), ('e', -1, 1161, 0), ('i', -1, 4291, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 30, -1, 0), ('o', -1, 1423, 0), ('r', -1, 3216, 0), ('t', -1, 1154, 0), ('u', 7, -1, 0), ('y', 3, -1, 0), ('z', -1, 1321, 0), ('ó', 7, -1, 0), ('ą', 7, -1, 0)), (('a', -1, 1162, 0), ('b', 7, -1, 0), ('e', 3, -1, 0), ('i', -1, 3081, 0), ('l', 3, -1, 0), ('n', -1, 2879, 0), ('o', -1, 1511, 0), ('p', 7, -1, 0), ('r', 3, -1, 0), ('y', 1, -1, 0), ('z', 7, -1, 0), ('ó', 5, -1, 0)), (('a', -1, 1163, 0), ('d', -1, 3498, 0), ('e', -1, 587, 0), ('i', -1, 579, 0), ('k', -1, 327, 0), ('l', -1, 2622, 0), ('m', -1, 378, 0), ('o', -1, 152, 0), ('p', 107, -1, 0), ('r', -1, 40, 0), ('s', 0, 44, 0), ('t', 56, -1, 0), ('w', 5, -1, 0), ('y', -1, 807, 0), ('z', -1, 312, 0), ('ę', 7, -1, 0)), (('a', -1, 131, 0), ('b', 61, -1, 0), ('c', -1, 147, 0), ('d', -1, 411, 0), ('e', -1, 233, 0), ('g', -1, 313, 0), ('h', 61, -1, 0), ('i', -1, 756, 0), ('k', -1, 233, 0), ('l', -1, 847, 0), ('m', -1, 967, 0), ('n', -1, 1164, 0), ('o', -1, 857, 0), ('p', 61, -1, 0), ('r', -1, 1677, 0), ('s', -1, 670, 0), ('t', -1, 1693, 0), ('u', -1, 1260, 0), ('w', 6, 476, 0), ('y', -1, 1595, 0), ('z', -1, 98, 0), ('ó', -1, 357, 0), ('ą', 12, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1165, 0), ('b', 3, -1, 0), ('d', 307, -1, 0), ('e', -1, 2078, 0), ('i', 63, -1, 0), ('l', -1, 271, 0), ('m', -1, 3961, 0), ('o', -1, 395, 0), ('p', 307, -1, 0), ('r', -1, 517, 0), ('s', -1, 1874, 0), ('t', 307, -1, 0), ('u', -1, 1832, 0), ('w', 307, -1, 0), ('z', 63, -1, 0), ('ę', 63, -1, 0), ('ż', 96, -1, 0)), (('a', -1, 1166, 0), ('d', -1, 1199, 0), ('e', 0, 225, 0), ('i', -1, 2369, 0), ('k', -1, 262, 0), ('m', 73, -1, 0), ('o', -1, 1239, 0), ('p', -1, 235, 0), ('r', -1, 141, 0), ('s', -1, 2004, 0), ('t', 261, -1, 0), ('w', -1, 1015, 0), ('y', 4, -1, 0), ('z', -1, 933, 0), ('ł', -1, 1193, 0)), (('a', 96, -1, 0), ('b', 28, -1, 0), ('c', -1, 851, 0), ('d', 0, 225, 0), ('e', 96, -1, 0), ('f', -1, 402, 0), ('i', 105, -1, 0), ('k', -1, 530, 0), ('l', -1, 1167, 0), ('m', 0, 164, 0), ('n', 12, -1, 0), ('o', 28, 190, 0), ('p', 0, 225, 0), ('r', -1, 721, 0), ('s', 28, -1, 0), ('t', 54, -1, 0), ('u', -1, 724, 0), ('w', 54, -1, 0), ('y', 96, -1, 0), ('z', 28, -1, 0)), (('a', 1, -1, 0), ('b', -1, 285, 0), ('c', -1, 1168, 0), ('d', -1, 285, 0), ('e', -1, 315, 0), ('i', 21, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 11, -1, 0), ('n', 28, -1, 0), ('o', 21, -1, 0), ('p', -1, 648, 0), ('r', -1, 1810, 0), ('s', 0, 44, 0), ('t', 28, -1, 0), ('u', 0, 44, 0), ('w', 28, -1, 0), ('y', -1, 61, 0), ('z', -1, 717, 0)), (('a', 2, -1, 0), ('b', 28, -1, 0), ('c', -1, 1169, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('g', 28, 2440, 0), ('h', -1, 2972, 0), ('i', -1, 699, 0), ('k', 28, -1, 0), ('m', 14, -1, 0), ('o', 2, -1, 0), ('r', 41, 165, 0), ('s', -1, 3343, 0), ('u', 28, -1, 0), ('w', -1, 3791, 0), ('y', 2, -1, 0), ('z', -1, 4015, 0), ('ó', 2, -1, 0), ('ą', -1, 3204, 0), ('ł', 4, -1, 0), ('ś', 2, -1, 0)), (('a', -1, 1170, 0), ('e', -1, 526, 0), ('i', -1, 3104, 0), ('o', 2, -1, 0), ('r', 2, -1, 0), ('u', 2, -1, 0), ('y', -1, 2652, 0), ('z', -1, 2128, 0), ('ą', -1, 1290, 0)), (('a', -1, 1171, 0), ('d', -1, 556, 0), ('e', 7, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 7, -1, 0), ('p', 2, -1, 0), ('r', -1, 1174, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 53, -1, 0), ('z', 2, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 28, -1, 0)), (('a', 85, -1, 0), ('b', 41, -1, 0), ('d', 41, -1, 0), ('e', 85, -1, 0), ('i', 41, -1, 0), ('k', 85, -1, 0), ('m', 85, -1, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('r', -1, 855, 0), ('s', 0, -1, 0), ('t', -1, 1172, 0), ('w', 7, -1, 0), ('y', -1, 673, 0), ('z', -1, 566, 0), ('ł', 7, -1, 0)), (('a', 41, -1, 0), ('d', 85, -1, 0), ('e', 174, -1, 0), ('g', 69, -1, 0), ('i', 203, -1, 0), ('k', 3, -1, 0), ('n', 41, -1, 0), ('o', 85, -1, 0), ('r', -1, 1173, 0), ('s', 41, -1, 0), ('t', -1, 303, 0), ('u', 85, -1, 0), ('w', 85, -1, 0), ('y', 23, -1, 0), ('z', 69, -1, 0), ('ę', 23, -1, 0), ('ł', 12, -1, 0)), (('a', 12, -1, 0), ('b', 3, -1, 0), ('c', -1, 49, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 28, -1, 0), ('i', 12, -1, 0), ('k', 3, 452, 0), ('l', 5, -1, 0), ('m', -1, 95, 0), ('n', -1, 942, 0), ('o', 12, -1, 0), ('p', 0, 412, 0), ('r', -1, 103, 0), ('s', -1, 171, 0), ('t', 3, -1, 0), ('u', -1, 310, 0), ('w', 5, 468, 0), ('y', 12, -1, 0), ('z', 96, -1, 0), ('ą', 12, -1, 0), ('ł', 12, -1, 0)), (('a', 28, -1, 0), ('c', -1, 1175, 0), ('e', -1, 2312, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('n', -1, 2561, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 3097, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', 28, -1, 0), ('c', 3, -1, 0), ('e', -1, 1176, 0), ('g', 2, -1, 0), ('i', 28, -1, 0), ('l', 2, -1, 0), ('m', -1, 1885, 0), ('o', -1, 1950, 0), ('r', 2, 1443, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('y', -1, 4288, 0), ('z', 2, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0)), (('a', 28, 604, 0), ('e', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('m', -1, 1177, 0), ('n', 28, -1, 0), ('o', -1, 914, 0), ('r', 41, -1, 0), ('s', 2, -1, 0), ('t', -1, 1112, 0), ('u', 2, -1, 0), ('z', 28, -1, 0), ('ł', -1, 1920, 0)), (('a', 28, 1178, 0), ('b', 2, -1, 0), ('e', -1, 913, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 2, -1, 0), ('l', 2, 1912, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', -1, 556, 0), ('ł', 2, -1, 0)), (('a', -1, 625, 0), ('b', 28, -1, 0), ('c', 6, -1, 0), ('d', -1, 1179, 0), ('e', -1, 92, 0), ('f', 3, -1, 0), ('g', 28, -1, 0), ('h', 2, 403, 0), ('i', -1, 1383, 0), ('k', 2, -1, 0), ('l', 6, -1, 0), ('m', 41, 15, 0), ('n', 3, -1, 0), ('o', -1, 2251, 0), ('p', -1, 151, 0), ('r', 12, -1, 0), ('s', -1, 213, 0), ('t', 70, -1, 0), ('u', -1, 136, 0), ('w', -1, 500, 0), ('y', -1, 62, 0), ('z', -1, 955, 0), ('ą', -1, 182, 0), ('ę', 12, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 1180, 0), ('b', 5, -1, 0), ('d', 4, -1, 0), ('e', 5, -1, 0), ('g', 2, -1, 0), ('i', -1, 1077, 0), ('k', -1, 3161, 0), ('m', 2, -1, 0), ('n', 0, -1, 0), ('o', 71, -1, 0), ('p', -1, 1761, 0), ('r', 0, 97, 0), ('s', -1, 4442, 0), ('t', 28, -1, 0), ('u', 4, -1, 0), ('w', -1, 648, 0), ('y', -1, 147, 0), ('z', -1, 717, 0), ('ó', 5, -1, 0)), (('a', -1, 283, 0), ('b', 21, -1, 0), ('c', 3, 684, 0), ('d', 37, -1, 0), ('e', 21, -1, 0), ('f', 37, -1, 0), ('h', 6, -1, 0), ('i', 37, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 37, -1, 0), ('m', 37, -1, 0), ('n', 21, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 1181, 0), ('s', 4, 356, 0), ('t', 21, -1, 0), ('u', 5, -1, 0), ('w', 71, -1, 0), ('y', 6, -1, 0), ('z', -1, 1542, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 1182, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 789, 0), ('e', 37, -1, 0), ('f', 22, -1, 0), ('g', 21, -1, 0), ('i', -1, 719, 0), ('j', 21, -1, 0), ('k', -1, 514, 0), ('l', -1, 1340, 0), ('m', -1, 1383, 0), ('n', 21, 965, 0), ('o', 21, -1, 0), ('p', 0, 635, 0), ('r', -1, 2535, 0), ('s', -1, 1006, 0), ('t', 21, -1, 0), ('u', 86, -1, 0), ('w', 21, -1, 0), ('y', -1, 411, 0), ('z', 21, -1, 0), ('ż', 21, -1, 0)), (('a', 21, -1, 0), ('b', 85, -1, 0), ('c', 30, 826, 0), ('d', 105, -1, 0), ('e', 21, -1, 0), ('g', 0, -1, 0), ('i', 21, -1, 0), ('k', -1, 1183, 0), ('l', -1, 74, 0), ('m', 28, -1, 0), ('n', 105, -1, 0), ('o', -1, 630, 0), ('p', 242, -1, 0), ('r', -1, 345, 0), ('s', 350, -1, 0), ('t', 105, -1, 0), ('u', 1, -1, 0), ('w', -1, 1722, 0), ('y', 4, -1, 0), ('z', 37, -1, 0), ('ł', -1, 1890, 0)), (('a', -1, 84, 0), ('c', 7, -1, 0), ('d', -1, 346, 0), ('e', -1, 28, 0), ('i', -1, 178, 0), ('j', 24, -1, 0), ('k', 0, -1, 0), ('m', 6, -1, 0), ('n', -1, 640, 0), ('o', -1, 1184, 0), ('p', 87, -1, 0), ('r', -1, 1713, 0), ('s', -1, 3013, 0), ('u', -1, 699, 0), ('w', -1, 955, 0), ('y', -1, 204, 0), ('z', -1, 1246, 0), ('ę', -1, 1960, 0), ('ł', -1, 1564, 0)), (('a', -1, 857, 0), ('b', 27, -1, 0), ('d', 6, -1, 0), ('e', 0, 226, 0), ('h', 0, 225, 0), ('i', -1, 1185, 0), ('k', 0, 225, 0), ('l', 0, 880, 0), ('m', -1, 1603, 0), ('n', -1, 163, 0), ('o', -1, 841, 0), ('p', -1, 3506, 0), ('r', -1, 1165, 0), ('s', -1, 2461, 0), ('t', 31, -1, 0), ('w', 0, 1103, 0), ('z', -1, 1682, 0), ('ł', -1, 569, 0)), (('a', -1, 107, 0), ('c', 0, -1, 0), ('d', 104, -1, 0), ('e', 0, -1, 0), ('i', -1, 1186, 0), ('k', 41, -1, 0), ('l', 0, -1, 0), ('m', 242, -1, 0), ('n', 0, -1, 0), ('o', 6, -1, 0), ('p', 0, -1, 0), ('r', -1, 1331, 0), ('s', -1, 2208, 0), ('t', 0, -1, 0), ('u', 6, -1, 0), ('w', -1, 2797, 0), ('y', 6, -1, 0), ('z', -1, 891, 0)), (('a', -1, 434, 0), ('b', 50, 139, 0), ('c', 0, -1, 0), ('d', 0, 225, 0), ('e', 25, -1, 0), ('g', 0, -1, 0), ('i', 25, -1, 0), ('j', 25, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 1187, 0), ('n', 0, -1, 0), ('o', 25, -1, 0), ('p', 50, -1, 0), ('r', 25, -1, 0), ('s', 95, -1, 0), ('t', 25, -1, 0), ('u', -1, 577, 0), ('w', -1, 892, 0), ('y', -1, 427, 0), ('z', 25, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1188, 0), ('c', -1, 4344, 0), ('d', 21, -1, 0), ('e', 71, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1696, 0), ('p', -1, 172, 0), ('r', 71, -1, 0), ('s', 0, 1258, 0), ('t', 0, -1, 0), ('u', 71, -1, 0), ('w', 0, -1, 0), ('y', 71, -1, 0), ('z', 104, -1, 0), ('ą', 136, -1, 0), ('ę', 71, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1189, 0), ('c', 2, -1, 0), ('d', 378, -1, 0), ('e', 230, -1, 0), ('g', 2, -1, 0), ('i', -1, 20, 0), ('k', 22, -1, 0), ('l', 0, -1, 0), ('m', 3, -1, 0), ('o', 373, -1, 0), ('p', 71, 425, 0), ('r', 136, -1, 0), ('s', -1, 613, 0), ('t', -1, 1870, 0), ('u', 22, -1, 0), ('w', -1, 208, 0), ('y', 373, -1, 0), ('z', 332, -1, 0)), (('a', 0, -1, 0), ('b', 6, -1, 0), ('c', 28, -1, 0), ('d', -1, 1190, 0), ('e', -1, 522, 0), ('i', 54, -1, 0), ('k', 6, -1, 0), ('l', -1, 694, 0), ('m', 6, -1, 0), ('n', -1, 2869, 0), ('o', 0, 2012, 0), ('p', -1, 1124, 0), ('r', 4, -1, 0), ('s', 28, -1, 0), ('t', -1, 33, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 699, 0), ('z', 195, 15, 0), ('ę', 28, -1, 0), ('ł', 4, -1, 0), ('ż', 55, -1, 0)), (('a', 195, -1, 0), ('b', 0, -1, 0), ('c', -1, 1191, 0), ('d', -1, 1080, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 359, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1715, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 453, 0), ('b', 0, -1, 0), ('c', 6, -1, 0), ('d', 0, -1, 0), ('e', -1, 934, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 1192, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 307, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1048, 0), ('t', -1, 2003, 0), ('u', 307, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 28, -1, 0), ('ł', 0, -1, 0)), (('a', 217, -1, 0), ('b', 171, -1, 0), ('c', -1, 1193, 0), ('d', -1, 1144, 0), ('e', 110, -1, 0), ('g', 171, -1, 0), ('h', 171, -1, 0), ('i', -1, 1198, 0), ('k', -1, 118, 0), ('l', -1, 173, 0), ('m', 110, 1076, 0), ('n', 110, -1, 0), ('o', -1, 957, 0), ('p', 171, -1, 0), ('r', -1, 498, 0), ('s', -1, 1758, 0), ('t', 110, -1, 0), ('u', 110, -1, 0), ('w', 110, -1, 0), ('y', 110, -1, 0), ('z', 110, -1, 0), ('ł', 110, -1, 0)), (('a', 12, -1, 0), ('b', -1, 366, 0), ('c', 105, -1, 0), ('d', -1, 708, 0), ('e', 12, -1, 0), ('g', -1, 576, 0), ('i', 12, -1, 0), ('k', -1, 749, 0), ('l', -1, 1194, 0), ('m', 0, 1270, 0), ('n', -1, 1600, 0), ('o', -1, 421, 0), ('p', 12, -1, 0), ('r', 96, -1, 0), ('s', 12, -1, 0), ('t', 21, -1, 0), ('u', -1, 95, 0), ('w', 0, -1, 0), ('y', 12, -1, 0), ('z', 185, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', -1, 187, 0)), (('a', 6, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', -1, 1195, 0), ('e', -1, 163, 0), ('i', 4, -1, 0), ('k', 3, -1, 0), ('l', -1, 216, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', -1, 1196, 0), ('p', 4, -1, 0), ('r', 6, -1, 0), ('s', 1, -1, 0), ('t', 22, -1, 0), ('u', 6, -1, 0), ('w', 22, -1, 0), ('y', -1, 3821, 0), ('z', -1, 691, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 22, -1, 0), ('d', 97, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 30, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 80, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ę', 22, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 1197, 0), ('b', -1, 776, 0), ('c', 0, 226, 0), ('d', -1, 1789, 0), ('e', -1, 169, 0), ('g', -1, 521, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('k', 0, 242, 0), ('l', 0, 288, 0), ('m', -1, 420, 0), ('n', -1, 789, 0), ('o', 12, 1461, 0), ('p', -1, 808, 0), ('r', 12, -1, 0), ('s', 209, -1, 0), ('t', -1, 357, 0), ('u', 12, -1, 0), ('w', -1, 1407, 0), ('y', 12, -1, 0), ('z', -1, 462, 0), ('ś', -1, 103, 0), ('ź', 12, -1, 0)), (('a', 12, -1, 0), ('b', 95, 15, 0), ('c', 96, -1, 0), ('d', 12, -1, 0), ('e', -1, 411, 0), ('g', 12, -1, 0), ('i', 96, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 859, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', -1, 1198, 0), ('z', 12, 1018, 0), ('ę', 12, -1, 0), ('ł', 54, -1, 0)), (('a', -1, 406, 0), ('b', 332, 1199, 0), ('c', 5, -1, 0), ('d', -1, 40, 0), ('e', 203, -1, 0), ('g', -1, 2797, 0), ('i', -1, 1086, 0), ('k', 13, -1, 0), ('l', 5, -1, 0), ('m', 1, 80, 0), ('n', 0, 85, 0), ('o', 58, -1, 0), ('p', 193, 877, 0), ('r', 5, -1, 0), ('s', 62, -1, 0), ('t', 105, -1, 0), ('u', -1, 421, 0), ('w', 62, -1, 0), ('y', -1, 106, 0), ('z', 12, -1, 0), ('ę', -1, 1468, 0), ('ł', -1, 102, 0), ('ś', 57, 477, 0), ('ż', 12, -1, 0)), (('a', 68, -1, 0), ('d', 68, -1, 0), ('e', -1, 286, 0), ('g', 131, -1, 0), ('i', 0, 225, 0), ('k', 220, -1, 0), ('m', 0, 498, 0), ('o', 68, -1, 0), ('p', -1, 1012, 0), ('r', -1, 1047, 0), ('s', -1, 357, 0), ('t', -1, 98, 0), ('u', 68, -1, 0), ('w', 68, -1, 0), ('y', 68, -1, 0), ('z', 332, 1200, 0)), (('a', -1, 301, 0), ('c', 101, -1, 0), ('d', 28, -1, 0), ('e', -1, 757, 0), ('i', -1, 1201, 0), ('k', 9, -1, 0), ('l', -1, 1450, 0), ('m', -1, 3255, 0), ('o', 68, -1, 0), ('p', 108, -1, 0), ('r', -1, 1450, 0), ('s', 11, 3532, 0), ('t', 2, -1, 0), ('u', -1, 2386, 0), ('w', 6, -1, 0), ('y', -1, 2161, 0), ('z', -1, 2110, 0), ('ą', 9, -1, 0), ('ę', -1, 732, 0), ('ł', 101, -1, 0), ('ń', 9, -1, 0)), (('a', -1, 1202, 0), ('b', -1, 769, 0), ('c', -1, 1203, 0), ('d', 14, -1, 0), ('e', -1, 1296, 0), ('g', -1, 757, 0), ('i', 21, 32, 0), ('k', -1, 283, 0), ('l', 9, -1, 0), ('m', 102, 2858, 0), ('n', -1, 1450, 0), ('o', -1, 4283, 0), ('p', -1, 619, 0), ('r', 1, -1, 0), ('s', 7, 1855, 0), ('t', 14, -1, 0), ('u', 14, -1, 0), ('w', -1, 721, 0), ('y', -1, 97, 0), ('z', -1, 147, 0), ('ś', -1, 35, 0)), (('a', 110, -1, 0), ('b', 28, 808, 0), ('c', 14, -1, 0), ('d', 1, -1, 0), ('e', 110, -1, 0), ('f', 14, -1, 0), ('h', 28, -1, 0), ('i', -1, 976, 0), ('j', 30, -1, 0), ('k', -1, 316, 0), ('l', -1, 594, 0), ('m', 14, -1, 0), ('n', 3, -1, 0), ('o', 217, -1, 0), ('p', -1, 959, 0), ('r', 217, 311, 0), ('s', 4, -1, 0), ('t', -1, 1202, 0), ('u', 3, -1, 0), ('w', 14, -1, 0), ('y', 110, -1, 0), ('z', 217, -1, 0), ('ł', 21, -1, 0), ('ż', 110, -1, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 37, -1, 0), ('i', -1, 1135, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', 4, -1, 0), ('p', -1, 1204, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 1, 2046, 0), ('u', 37, -1, 0), ('y', 4, -1, 0), ('z', 1, -1, 0), ('ą', 0, -1, 0)), (('a', 4, -1, 0), ('b', 6, -1, 0), ('d', 0, -1, 0), ('e', -1, 1205, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', -1, 438, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 0, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 4, -1, 0)), (('a', -1, 1206, 0), ('d', 6, -1, 0), ('e', -1, 1710, 0), ('i', -1, 88, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 2280, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', -1, 4529, 0), ('u', -1, 3531, 0), ('y', -1, 792, 0), ('z', 28, -1, 0)), (('a', 59, -1, 0), ('b', 41, -1, 0), ('c', 41, -1, 0), ('d', 48, -1, 0), ('e', 121, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1207, 0), ('j', 41, -1, 0), ('k', -1, 4518, 0), ('l', -1, 2717, 0), ('m', 3, -1, 0), ('o', -1, 2573, 0), ('r', -1, 2570, 0), ('s', 41, -1, 0), ('t', -1, 2217, 0), ('u', 2, -1, 0), ('w', -1, 3923, 0), ('y', 59, -1, 0), ('z', -1, 2569, 0)), (('a', 7, -1, 0), ('b', 41, -1, 0), ('c', 41, -1, 0), ('e', 11, -1, 0), ('i', 7, -1, 0), ('n', 41, -1, 0), ('o', -1, 1208, 0), ('p', 41, -1, 0), ('r', 238, -1, 0), ('s', 1, -1, 0), ('t', 41, -1, 0), ('u', 7, -1, 0), ('w', 0, 3181, 0), ('y', -1, 4259, 0), ('z', -1, 53, 0), ('ę', 11, -1, 0)), (('a', -1, 316, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 309, 0), ('g', 7, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('k', -1, 1209, 0), ('l', 3, 224, 0), ('n', 11, -1, 0), ('o', -1, 1670, 0), ('p', 7, -1, 0), ('r', 11, -1, 0), ('s', -1, 1868, 0), ('t', -1, 1547, 0), ('w', 28, 668, 0), ('z', -1, 813, 0), ('ł', 11, -1, 0)), (('a', -1, 1210, 0), ('b', -1, 1397, 0), ('d', -1, 285, 0), ('e', -1, 61, 0), ('i', 29, -1, 0), ('k', 3, -1, 0), ('n', 11, -1, 0), ('o', -1, 827, 0), ('p', 11, 2734, 0), ('r', -1, 612, 0), ('s', 0, 44, 0), ('w', 56, 101, 0), ('y', 0, -1, 0), ('z', -1, 1333, 0), ('ł', 7, -1, 0)), (('a', -1, 1211, 0), ('d', 4, -1, 0), ('e', -1, 2331, 0), ('g', 54, -1, 0), ('h', 4, -1, 0), ('i', 0, 164, 0), ('j', 96, -1, 0), ('k', 4, -1, 0), ('m', 54, -1, 0), ('n', 0, -1, 0), ('o', 54, 736, 0), ('p', 4, -1, 0), ('r', -1, 1199, 0), ('s', -1, 3072, 0), ('t', -1, 2102, 0), ('u', 4, -1, 0), ('w', 16, 823, 0), ('z', -1, 4203, 0), ('ó', 4, -1, 0)), (('a', -1, 1044, 0), ('c', -1, 510, 0), ('d', 4, -1, 0), ('e', -1, 1212, 0), ('h', 4, -1, 0), ('i', -1, 2132, 0), ('k', 54, -1, 0), ('l', -1, 403, 0), ('m', 28, -1, 0), ('n', 12, -1, 0), ('o', -1, 1041, 0), ('p', 4, -1, 0), ('r', 105, -1, 0), ('s', -1, 2088, 0), ('t', 0, 288, 0), ('u', -1, 686, 0), ('w', 4, -1, 0), ('y', -1, 123, 0), ('z', -1, 371, 0), ('ę', 28, -1, 0), ('ł', 0, 288, 0), ('ż', 4, -1, 0)), (('a', -1, 1213, 0), ('c', 108, -1, 0), ('d', 28, -1, 0), ('e', 105, -1, 0), ('h', 105, -1, 0), ('i', -1, 2107, 0), ('k', 15, -1, 0), ('l', 27, -1, 0), ('m', 105, -1, 0), ('n', -1, 419, 0), ('o', 105, -1, 0), ('p', 105, -1, 0), ('r', 105, -1, 0), ('s', -1, 2610, 0), ('t', 105, -1, 0), ('u', 105, -1, 0), ('w', -1, 1640, 0), ('y', -1, 31, 0), ('z', 28, -1, 0), ('ł', 105, -1, 0)), (('a', 21, -1, 0), ('b', 57, -1, 0), ('c', -1, 1214, 0), ('d', 105, -1, 0), ('e', 381, -1, 0), ('g', 21, -1, 0), ('i', -1, 187, 0), ('j', 28, -1, 0), ('k', 21, -1, 0), ('l', 21, 424, 0), ('m', -1, 905, 0), ('n', -1, 367, 0), ('o', 311, -1, 0), ('p', 105, -1, 0), ('r', -1, 133, 0), ('s', 74, -1, 0), ('t', 21, -1, 0), ('u', 311, -1, 0), ('w', 105, -1, 0), ('y', 3, -1, 0), ('z', 196, -1, 0), ('ż', 105, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', -1, 1215, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 33, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', -1, 1217, 0), ('o', -1, 686, 0), ('p', -1, 128, 0), ('r', -1, 412, 0), ('s', -1, 1212, 0), ('t', 21, -1, 0), ('u', -1, 2543, 0), ('w', 0, 225, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ć', 28, -1, 0), ('ł', 24, 2107, 0), ('ń', 21, -1, 0), ('ś', 21, -1, 0), ('ź', 21, -1, 0), ('ż', 21, -1, 0)), (('a', 73, -1, 0), ('b', 56, -1, 0), ('d', 21, -1, 0), ('e', 11, -1, 0), ('i', -1, 46, 0), ('l', 1, -1, 0), ('o', 73, -1, 0), ('r', 1, -1, 0), ('t', 0, 1216, 0), ('u', 73, -1, 0), ('y', 56, -1, 0), ('z', 73, -1, 0)), (('a', -1, 435, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 230, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 963, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 121, 637, 0), ('n', 3, -1, 0), ('o', 21, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 963, 0), ('u', 132, -1, 0), ('w', 132, -1, 0), ('y', -1, 179, 0), ('z', 2, -1, 0)), (('a', -1, 1218, 0), ('b', 28, -1, 0), ('c', 117, 1951, 0), ('d', -1, 262, 0), ('e', -1, 2870, 0), ('i', -1, 99, 0), ('m', -1, 1704, 0), ('n', 28, -1, 0), ('o', 14, -1, 0), ('p', -1, 3956, 0), ('r', -1, 834, 0), ('s', -1, 355, 0), ('t', -1, 1075, 0), ('w', -1, 4206, 0), ('y', -1, 204, 0), ('z', -1, 463, 0)), (('a', -1, 950, 0), ('d', 185, -1, 0), ('e', 21, -1, 0), ('g', 1, -1, 0), ('h', 6, -1, 0), ('i', -1, 50, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', -1, 1219, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 63, 0), ('s', 1, 3534, 0), ('t', 108, -1, 0), ('u', 41, -1, 0), ('w', 6, -1, 0), ('y', -1, 2520, 0), ('z', 1, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 108, -1, 0), ('ś', 6, -1, 0)), (('a', 6, -1, 0), ('b', -1, 1220, 0), ('c', -1, 2718, 0), ('d', 37, -1, 0), ('e', 6, -1, 0), ('g', 1, -1, 0), ('h', 37, -1, 0), ('i', -1, 1540, 0), ('j', 37, -1, 0), ('k', -1, 727, 0), ('l', 6, -1, 0), ('m', 21, -1, 0), ('n', 37, -1, 0), ('o', -1, 226, 0), ('p', 37, -1, 0), ('r', 37, -1, 0), ('s', 37, -1, 0), ('t', 37, -1, 0), ('u', 1, -1, 0), ('w', 37, -1, 0), ('y', -1, 593, 0), ('z', 37, -1, 0), ('ą', -1, 1390, 0), ('ł', 37, -1, 0), ('ż', 37, -1, 0)), (('a', 3, -1, 0), ('b', 41, -1, 0), ('c', 80, -1, 0), ('d', 3, -1, 0), ('e', 80, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 22, 197, 0), ('l', 3, -1, 0), ('n', 22, -1, 0), ('o', 41, -1, 0), ('p', 3, -1, 0), ('r', -1, 1221, 0), ('s', -1, 696, 0), ('t', 3, -1, 0), ('u', 216, -1, 0), ('w', 12, -1, 0), ('y', 3, -1, 0), ('z', 0, -1, 0), ('ą', 216, -1, 0), ('ę', 216, -1, 0)), (('a', -1, 588, 0), ('d', 105, -1, 0), ('e', 7, -1, 0), ('i', 7, 1222, 0), ('m', 451, -1, 0), ('n', 105, -1, 0), ('o', 55, -1, 0), ('p', 5, 545, 0), ('r', -1, 2484, 0), ('s', 7, -1, 0), ('t', 105, -1, 0), ('u', 55, -1, 0), ('w', -1, 1722, 0), ('y', 5, -1, 0), ('z', 55, -1, 0), ('ł', 105, -1, 0)), (('a', -1, 1223, 0), ('b', -1, 2385, 0), ('c', 21, -1, 0), ('d', 28, -1, 0), ('e', -1, 877, 0), ('g', -1, 1075, 0), ('i', -1, 498, 0), ('k', -1, 750, 0), ('l', 57, -1, 0), ('m', -1, 946, 0), ('n', -1, 3472, 0), ('o', 6, -1, 0), ('p', -1, 638, 0), ('r', -1, 431, 0), ('s', -1, 189, 0), ('t', -1, 2481, 0), ('u', 6, -1, 0), ('w', 53, -1, 0), ('y', 6, -1, 0), ('z', -1, 1388, 0), ('ą', 6, -1, 0)), (('a', 74, -1, 0), ('b', 2, 1224, 0), ('c', -1, 1209, 0), ('d', 6, -1, 0), ('e', -1, 1213, 0), ('f', 6, -1, 0), ('g', -1, 2422, 0), ('i', 74, -1, 0), ('k', 0, 225, 0), ('l', 74, -1, 0), ('m', 74, -1, 0), ('n', -1, 226, 0), ('o', 74, -1, 0), ('p', 6, -1, 0), ('r', 74, -1, 0), ('s', 74, -1, 0), ('t', 74, -1, 0), ('u', 74, -1, 0), ('w', 6, 165, 0), ('y', 74, -1, 0), ('z', 74, -1, 0), ('ą', 74, -1, 0), ('ę', -1, 720, 0), ('ł', 74, -1, 0)), (('a', 73, -1, 0), ('d', -1, 966, 0), ('e', -1, 1225, 0), ('i', 0, -1, 0), ('n', 41, -1, 0), ('o', 73, 481, 0), ('r', 85, -1, 0), ('u', 73, -1, 0), ('w', 73, -1, 0), ('y', -1, 1432, 0), ('z', 2, 1624, 0), ('ę', 85, -1, 0)), (('a', 7, -1, 0), ('d', 28, -1, 0), ('e', -1, 1226, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 12, -1, 0), ('m', 3, -1, 0), ('o', 7, -1, 0), ('r', 1, 15, 0), ('s', 7, -1, 0), ('u', 12, 13, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', 117, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ś', 7, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1227, 0), ('d', 7, -1, 0), ('e', 95, -1, 0), ('g', 29, -1, 0), ('h', 70, -1, 0), ('i', 97, -1, 0), ('j', 57, -1, 0), ('k', 7, -1, 0), ('l', -1, 1927, 0), ('m', 7, -1, 0), ('n', -1, 2478, 0), ('o', -1, 235, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 186, 0), ('t', 7, -1, 0), ('u', 21, -1, 0), ('w', 7, -1, 0), ('y', 15, -1, 0), ('z', 97, -1, 0), ('ś', 108, -1, 0), ('ż', 7, -1, 0)), (('a', 10, -1, 0), ('e', 10, -1, 0), ('i', 102, -1, 0), ('o', 102, -1, 0), ('r', 102, -1, 0), ('s', 102, -1, 0), ('u', -1, 1228, 0), ('y', 10, -1, 0), ('ę', 102, -1, 0)), (('a', -1, 1229, 0), ('c', 21, -1, 0), ('d', 221, -1, 0), ('e', -1, 3874, 0), ('i', -1, 3340, 0), ('o', -1, 4392, 0), ('p', 10, -1, 0), ('r', 102, -1, 0), ('s', -1, 1105, 0), ('u', 221, 2530, 0), ('y', -1, 724, 0), ('z', 21, -1, 0), ('ę', 10, -1, 0), ('ł', -1, 1140, 0)), (('a', 3, -1, 0), ('b', 242, -1, 0), ('d', 159, -1, 0), ('e', 1, -1, 0), ('f', 21, -1, 0), ('g', 1, -1, 0), ('i', 242, -1, 0), ('m', 1, -1, 0), ('n', 221, 815, 0), ('o', 1, -1, 0), ('r', -1, 1230, 0), ('t', 242, 357, 0), ('u', 1, -1, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 3910, 0)), (('a', -1, 1231, 0), ('c', -1, 2669, 0), ('d', 5, -1, 0), ('e', 1, -1, 0), ('g', 21, -1, 0), ('i', 36, -1, 0), ('k', 1, 3099, 0), ('m', 1, -1, 0), ('o', 1, -1, 0), ('p', 2, 165, 0), ('r', -1, 49, 0), ('s', -1, 144, 0), ('t', 5, -1, 0), ('u', -1, 384, 0), ('w', -1, 2946, 0), ('y', 1, -1, 0), ('z', -1, 930, 0), ('ę', 1, -1, 0)), (('a', -1, 332, 0), ('b', 28, -1, 0), ('c', 15, 1232, 0), ('d', 1, -1, 0), ('e', -1, 532, 0), ('g', 7, -1, 0), ('i', 21, -1, 0), ('j', -1, 1620, 0), ('k', 0, 44, 0), ('l', 21, -1, 0), ('m', 36, -1, 0), ('n', -1, 1344, 0), ('o', -1, 749, 0), ('p', 1, -1, 0), ('r', -1, 706, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', -1, 1045, 0), ('w', 0, 1233, 0), ('y', 12, -1, 0), ('z', -1, 502, 0), ('ł', 7, -1, 0)), (('a', 108, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 15, -1, 0), ('g', 5, -1, 0), ('i', 55, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('o', 53, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 15, 620, 0), ('t', 5, -1, 0), ('u', -1, 1233, 0), ('w', 5, -1, 0), ('y', 39, -1, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 1234, 0), ('b', 41, -1, 0), ('c', -1, 1860, 0), ('d', -1, 940, 0), ('e', -1, 673, 0), ('f', 7, -1, 0), ('i', -1, 54, 0), ('j', 41, -1, 0), ('k', 108, -1, 0), ('l', 41, -1, 0), ('m', -1, 1968, 0), ('o', -1, 2208, 0), ('p', -1, 2187, 0), ('r', -1, 849, 0), ('s', -1, 1321, 0), ('t', 108, -1, 0), ('u', -1, 19, 0), ('w', -1, 1590, 0), ('y', -1, 2091, 0), ('z', 42, -1, 0), ('ó', -1, 1794, 0), ('ą', 0, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 180, 0), ('c', 41, -1, 0), ('d', 31, -1, 0), ('e', 6, -1, 0), ('g', -1, 1235, 0), ('i', -1, 1239, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 131, -1, 0), ('o', 41, -1, 0), ('p', -1, 139, 0), ('r', 0, 58, 0), ('s', 6, -1, 0), ('t', 41, -1, 0), ('u', 1, -1, 0), ('v', 0, -1, 0), ('w', 41, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1236, 0), ('b', 13, -1, 0), ('c', 21, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 41, -1, 0), ('k', -1, 273, 0), ('l', 21, -1, 0), ('m', -1, 1128, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 13, 1237, 0), ('r', -1, 490, 0), ('s', -1, 140, 0), ('t', 21, -1, 0), ('u', 0, -1, 0), ('w', -1, 189, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 355, 0), ('d', 0, -1, 0), ('e', 81, -1, 0), ('g', 0, -1, 0), ('h', 4, -1, 0), ('i', 0, -1, 0), ('j', 0, 861, 0), ('k', 0, -1, 0), ('l', -1, 530, 0), ('m', -1, 110, 0), ('n', 0, -1, 0), ('o', 81, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 875, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 55, -1, 0), ('y', 81, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 695, 0), ('d', -1, 1238, 0), ('e', -1, 1198, 0), ('g', 9, -1, 0), ('i', -1, 815, 0), ('k', 11, -1, 0), ('l', 9, -1, 0), ('m', 1, -1, 0), ('o', -1, 382, 0), ('p', 1, -1, 0), ('r', -1, 145, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('w', -1, 8, 0), ('y', 3, -1, 0), ('z', 13, -1, 0), ('ę', -1, 300, 0), ('ł', -1, 301, 0)), (('a', -1, 909, 0), ('b', 99, -1, 0), ('d', 1, -1, 0), ('e', 12, -1, 0), ('i', 1, -1, 0), ('j', 99, -1, 0), ('m', 22, -1, 0), ('o', 51, -1, 0), ('p', 28, -1, 0), ('r', 22, -1, 0), ('s', 95, -1, 0), ('t', 87, -1, 0), ('w', 0, -1, 0), ('z', 87, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 528, 0), ('e', -1, 1000, 0), ('g', 6, -1, 0), ('h', 4, -1, 0), ('i', 6, 288, 0), ('j', 37, -1, 0), ('k', 0, 1240, 0), ('l', -1, 491, 0), ('m', 6, -1, 0), ('n', 21, -1, 0), ('o', 6, -1, 0), ('p', 95, -1, 0), ('r', -1, 444, 0), ('s', 0, 433, 0), ('t', 37, -1, 0), ('u', 6, -1, 0), ('w', -1, 1462, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ę', 6, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 1037, 0), ('d', -1, 147, 0), ('e', 88, -1, 0), ('f', 0, 164, 0), ('i', -1, 857, 0), ('j', 0, 288, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('m', 0, 288, 0), ('o', -1, 49, 0), ('p', 41, -1, 0), ('r', -1, 772, 0), ('s', -1, 1241, 0), ('t', -1, 3804, 0), ('w', 14, -1, 0), ('z', -1, 1332, 0), ('ł', 2, -1, 0)), (('a', -1, 114, 0), ('d', 108, -1, 0), ('e', 296, -1, 0), ('i', 7, -1, 0), ('m', 449, -1, 0), ('n', 108, -1, 0), ('o', 57, -1, 0), ('r', -1, 1242, 0), ('t', 108, -1, 0), ('u', 57, -1, 0), ('w', -1, 2445, 0), ('z', -1, 445, 0), ('ą', 296, -1, 0), ('ę', 296, -1, 0), ('ł', -1, 2455, 0)), (('a', 6, -1, 0), ('d', 108, -1, 0), ('e', 6, -1, 0), ('g', 57, -1, 0), ('i', 6, -1, 0), ('k', 3, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', -1, 599, 0), ('o', 1, -1, 0), ('p', 3, -1, 0), ('r', -1, 1243, 0), ('s', 108, -1, 0), ('t', 2, -1, 0), ('u', 6, -1, 0), ('w', 3, -1, 0), ('y', -1, 1792, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 6, -1, 0), ('c', 6, -1, 0), ('d', 3, -1, 0), ('e', 6, -1, 0), ('f', -1, 1244, 0), ('h', 3, -1, 0), ('i', 6, -1, 0), ('j', 0, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', -1, 1243, 0), ('o', 1, -1, 0), ('p', 3, -1, 0), ('r', -1, 337, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 6, -1, 0), ('z', -1, 1245, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', -1, 170, 0), ('ń', 6, -1, 0), ('ż', 22, -1, 0)), (('a', 70, -1, 0), ('b', 70, -1, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('g', 0, -1, 0), ('i', 70, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 3, -1, 0), ('n', 1, 15, 0), ('o', 70, -1, 0), ('r', 0, -1, 0), ('s', 2, -1, 0), ('t', -1, 612, 0), ('u', 70, -1, 0), ('y', 1, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1246, 0), ('b', 71, -1, 0), ('c', 16, 1741, 0), ('d', 95, -1, 0), ('e', 0, -1, 0), ('g', 4, -1, 0), ('i', 0, -1, 0), ('k', -1, 7, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', 4, -1, 0), ('r', 0, -1, 0), ('s', -1, 2331, 0), ('t', 0, -1, 0), ('u', -1, 756, 0), ('w', 21, -1, 0), ('y', 0, -1, 0), ('z', 28, -1, 0), ('ó', 0, -1, 0), ('ę', -1, 209, 0), ('ł', 6, -1, 0)), (('a', 86, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 86, -1, 0), ('e', 21, -1, 0), ('f', 41, -1, 0), ('g', 0, -1, 0), ('h', -1, 452, 0), ('i', -1, 1247, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 538, 0), ('n', -1, 583, 0), ('o', -1, 707, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1236, 0), ('t', -1, 1248, 0), ('u', -1, 1927, 0), ('w', 0, -1, 0), ('y', -1, 1300, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 135, 0), ('b', -1, 388, 0), ('c', -1, 238, 0), ('d', -1, 799, 0), ('e', 11, -1, 0), ('f', 0, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('j', 98, -1, 0), ('k', 11, -1, 0), ('l', -1, 334, 0), ('m', 41, -1, 0), ('n', 0, -1, 0), ('o', 98, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('s', 98, -1, 0), ('t', -1, 58, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', -1, 15, 0), ('z', -1, 1247, 0), ('ę', -1, 358, 0), ('ł', 0, 1036, 0), ('ś', 0, 85, 0), ('ż', 11, -1, 0)), (('a', 12, -1, 0), ('b', 21, -1, 0), ('c', -1, 408, 0), ('d', 12, -1, 0), ('e', -1, 1119, 0), ('f', 21, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('k', 1, -1, 0), ('l', 27, -1, 0), ('m', 12, -1, 0), ('n', 21, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 0, 717, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 110, 1249, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 3, -1, 0), ('ś', 12, -1, 0), ('ź', 12, -1, 0)), (('a', 110, -1, 0), ('b', 191, -1, 0), ('c', 28, -1, 0), ('d', 1, -1, 0), ('e', 191, -1, 0), ('i', 110, -1, 0), ('j', 28, -1, 0), ('k', -1, 1250, 0), ('l', -1, 58, 0), ('m', -1, 43, 0), ('n', 27, -1, 0), ('o', 191, -1, 0), ('p', -1, 1239, 0), ('r', -1, 259, 0), ('s', 28, -1, 0), ('t', -1, 316, 0), ('u', -1, 594, 0), ('w', 28, -1, 0), ('y', 191, -1, 0), ('z', 110, -1, 0), ('ł', -1, 1178, 0)), (('a', 71, -1, 0), ('b', 1, -1, 0), ('c', 70, -1, 0), ('d', -1, 1251, 0), ('e', 71, -1, 0), ('g', 71, -1, 0), ('h', 5, -1, 0), ('i', 200, -1, 0), ('j', 99, -1, 0), ('k', 5, -1, 0), ('l', 71, -1, 0), ('m', 99, -1, 0), ('n', -1, 2889, 0), ('o', 105, 403, 0), ('p', 51, -1, 0), ('r', 71, -1, 0), ('s', -1, 141, 0), ('t', 5, -1, 0), ('u', 71, -1, 0), ('w', -1, 1905, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ą', 71, -1, 0), ('ę', -1, 1373, 0), ('ł', 71, -1, 0)), (('a', 99, -1, 0), ('d', -1, 1252, 0), ('e', 99, -1, 0), ('f', 0, 225, 0), ('i', -1, 1293, 0), ('k', -1, 459, 0), ('m', -1, 875, 0), ('n', 5, -1, 0), ('o', 178, -1, 0), ('p', 16, 823, 0), ('r', -1, 13, 0), ('s', 180, -1, 0), ('t', -1, 1222, 0), ('w', 178, -1, 0), ('y', 178, -1, 0), ('z', 27, -1, 0), ('ł', -1, 1677, 0)), (('a', 3, -1, 0), ('b', 2, -1, 0), ('c', 3, 1253, 0), ('d', 3, 3891, 0), ('e', 28, -1, 0), ('f', 34, -1, 0), ('i', -1, 2933, 0), ('j', 34, -1, 0), ('k', 34, -1, 0), ('l', 3, 327, 0), ('m', -1, 2779, 0), ('o', -1, 2385, 0), ('p', 22, -1, 0), ('r', 63, -1, 0), ('s', 2, 2852, 0), ('t', -1, 4485, 0), ('u', 63, -1, 0), ('w', 2, -1, 0), ('y', 3, -1, 0), ('z', 34, -1, 0), ('ę', 63, -1, 0), ('ł', 41, -1, 0), ('ż', -1, 2005, 0)), (('a', -1, 283, 0), ('e', -1, 1254, 0), ('g', 72, -1, 0), ('h', 6, -1, 0), ('i', 34, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('n', 2, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 83, -1, 0), ('s', -1, 529, 0), ('y', 6, -1, 0), ('z', 72, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 1, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 1255, 0), ('b', -1, 1176, 0), ('d', -1, 948, 0), ('e', -1, 3798, 0), ('f', 2, -1, 0), ('g', -1, 2184, 0), ('h', 2, -1, 0), ('i', -1, 1153, 0), ('k', -1, 1915, 0), ('l', 3, -1, 0), ('m', 4, 307, 0), ('o', -1, 4258, 0), ('p', -1, 2411, 0), ('r', -1, 1775, 0), ('t', -1, 3636, 0), ('u', -1, 4529, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 132, -1, 0), ('ó', 2, -1, 0)), (('a', -1, 1256, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 41, -1, 0), ('g', -1, 2192, 0), ('h', -1, 1124, 0), ('i', -1, 804, 0), ('j', 2, -1, 0), ('k', 28, -1, 0), ('l', -1, 984, 0), ('n', 4, -1, 0), ('o', 28, -1, 0), ('p', 28, 576, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', -1, 2465, 0), ('u', -1, 1049, 0), ('w', -1, 629, 0), ('y', -1, 2129, 0), ('z', -1, 1938, 0), ('ż', 28, 2115, 0)), (('a', -1, 1257, 0), ('b', 2, -1, 0), ('d', 30, -1, 0), ('e', 148, -1, 0), ('i', 41, -1, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', 185, -1, 0), ('p', 28, 3026, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 79, -1, 0), ('w', -1, 1703, 0), ('y', 148, -1, 0), ('z', -1, 1802, 0), ('ę', 30, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 30, 0), ('d', 225, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 28, -1, 0), ('o', -1, 1258, 0), ('r', 41, -1, 0), ('s', 28, -1, 0), ('t', 22, -1, 0), ('u', 225, -1, 0), ('w', 28, -1, 0), ('y', 3, -1, 0), ('z', 22, -1, 0)), (('a', -1, 22, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 111, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 1259, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', -1, 7, 0), ('p', 225, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 559, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 436, 0), ('b', 71, -1, 0), ('c', 71, -1, 0), ('d', -1, 1260, 0), ('e', -1, 358, 0), ('g', -1, 1250, 0), ('h', 71, -1, 0), ('i', -1, 695, 0), ('k', -1, 2080, 0), ('l', 71, -1, 0), ('m', 6, -1, 0), ('n', 1, -1, 0), ('o', -1, 1388, 0), ('p', 71, -1, 0), ('r', 71, -1, 0), ('s', 7, 2252, 0), ('t', 71, -1, 0), ('u', -1, 1620, 0), ('w', -1, 2034, 0), ('y', 71, -1, 0), ('z', -1, 803, 0), ('ś', 0, 1452, 0), ('ź', 0, -1, 0), ('ż', 71, -1, 0)), (('a', 0, -1, 0), ('b', 41, -1, 0), ('c', 12, -1, 0), ('d', -1, 15, 0), ('e', 12, -1, 0), ('f', 41, -1, 0), ('g', 5, 1097, 0), ('i', -1, 498, 0), ('k', -1, 222, 0), ('l', 12, -1, 0), ('m', 71, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 41, -1, 0), ('r', 12, -1, 0), ('s', 81, -1, 0), ('t', 41, -1, 0), ('u', -1, 14, 0), ('w', -1, 1245, 0), ('y', 96, -1, 0), ('z', 12, -1, 0), ('ó', -1, 1261, 0), ('ę', 71, -1, 0), ('ł', 12, -1, 0), ('ś', 7, -1, 0), ('ż', 12, -1, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('e', 12, -1, 0), ('f', 41, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1262, 0), ('k', 41, -1, 0), ('l', -1, 2612, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 79, -1, 0), ('p', 40, -1, 0), ('r', 41, -1, 0), ('s', 55, -1, 0), ('u', 30, -1, 0), ('w', 355, -1, 0), ('y', 1, -1, 0), ('z', -1, 661, 0), ('ł', 41, -1, 0), ('ż', 41, -1, 0)), (('a', -1, 1263, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 0, -1, 0), ('g', 5, -1, 0), ('i', -1, 1593, 0), ('k', -1, 2182, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 0, -1, 0), ('p', -1, 2821, 0), ('r', 5, 125, 0), ('s', -1, 2420, 0), ('t', 5, -1, 0), ('u', -1, 3233, 0), ('w', 7, 768, 0), ('y', -1, 1264, 0), ('z', -1, 1619, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 34, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, 1264, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('k', -1, 195, 0), ('l', 7, -1, 0), ('m', -1, 1110, 0), ('n', -1, 520, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 1927, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 7, 367, 0), ('y', -1, 128, 0), ('z', -1, 332, 0)), (('a', 42, 16, 0), ('b', 0, -1, 0), ('c', -1, 1265, 0), ('d', 0, -1, 0), ('e', 215, -1, 0), ('g', 0, -1, 0), ('i', 6, -1, 0), ('k', 2, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1677, 0), ('p', 0, 288, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 5, 545, 0), ('w', 21, -1, 0), ('y', -1, 2079, 0), ('z', -1, 2457, 0), ('ł', 6, -1, 0)), (('a', -1, 1266, 0), ('b', 22, -1, 0), ('d', 22, -1, 0), ('e', 155, -1, 0), ('g', 22, -1, 0), ('h', 0, -1, 0), ('i', -1, 1198, 0), ('k', 0, -1, 0), ('l', -1, 188, 0), ('m', 3, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1642, 0), ('r', 17, -1, 0), ('s', 21, -1, 0), ('t', 22, -1, 0), ('u', -1, 3457, 0), ('w', 108, -1, 0), ('y', 0, -1, 0), ('z', 332, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 880, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 418, 0), ('l', -1, 1010, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1267, 0), ('p', -1, 633, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 1268, 0), ('b', -1, 1236, 0), ('c', -1, 1542, 0), ('d', 0, -1, 0), ('e', -1, 1418, 0), ('f', 0, -1, 0), ('g', 28, -1, 0), ('h', 41, -1, 0), ('i', -1, 1097, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 332, 0), ('o', -1, 1193, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1463, 0), ('w', 0, -1, 0), ('y', -1, 2130, 0), ('z', -1, 3008, 0), ('ł', 0, -1, 0), ('ż', -1, 748, 0)), (('a', -1, 1269, 0), ('b', 30, -1, 0), ('c', -1, 2552, 0), ('d', -1, 728, 0), ('e', -1, 83, 0), ('g', 41, -1, 0), ('i', 0, -1, 0), ('j', 0, 175, 0), ('k', -1, 878, 0), ('l', 64, -1, 0), ('m', 21, -1, 0), ('n', -1, 504, 0), ('o', 0, -1, 0), ('p', -1, 1619, 0), ('r', -1, 7, 0), ('s', 64, -1, 0), ('t', -1, 185, 0), ('u', 0, -1, 0), ('w', -1, 99, 0), ('y', -1, 1374, 0), ('z', -1, 132, 0), ('ę', 41, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 980, 0), ('b', 1, -1, 0), ('c', 105, -1, 0), ('d', 6, -1, 0), ('e', -1, 188, 0), ('g', 3, -1, 0), ('i', -1, 98, 0), ('k', 13, -1, 0), ('l', -1, 1043, 0), ('m', 1, -1, 0), ('n', 41, -1, 0), ('o', -1, 10, 0), ('p', 1, -1, 0), ('r', -1, 147, 0), ('s', 0, 1270, 0), ('t', 0, -1, 0), ('u', -1, 671, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 123, 0)), (('a', 0, -1, 0), ('b', -1, 1271, 0), ('c', 17, 3045, 0), ('d', -1, 1501, 0), ('e', 179, -1, 0), ('g', -1, 2181, 0), ('h', -1, 1554, 0), ('i', -1, 4528, 0), ('j', 0, -1, 0), ('k', -1, 400, 0), ('l', -1, 3607, 0), ('m', -1, 1338, 0), ('n', -1, 288, 0), ('o', 0, -1, 0), ('p', -1, 340, 0), ('r', -1, 874, 0), ('s', -1, 50, 0), ('t', 0, 225, 0), ('u', 0, -1, 0), ('w', 5, 1221, 0), ('y', 0, -1, 0), ('z', 179, -1, 0), ('ł', -1, 1651, 0)), (('a', -1, 773, 0), ('b', 2, 1272, 0), ('d', -1, 3633, 0), ('e', -1, 174, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 129, 0), ('k', 2, 165, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', -1, 441, 0), ('p', 2, -1, 0), ('r', -1, 1178, 0), ('s', 0, 288, 0), ('t', 28, -1, 0), ('u', 97, -1, 0), ('w', -1, 2135, 0), ('y', 3, -1, 0), ('z', -1, 726, 0)), (('a', 2, -1, 0), ('d', 5, -1, 0), ('e', -1, 1273, 0), ('h', 5, -1, 0), ('i', -1, 1005, 0), ('j', 5, -1, 0), ('o', -1, 506, 0), ('p', 6, -1, 0), ('r', -1, 614, 0), ('z', 6, -1, 0), ('ę', 7, -1, 0), ('ł', -1, 2241, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1274, 0), ('e', 41, -1, 0), ('h', 0, -1, 0), ('i', -1, 729, 0), ('l', -1, 2948, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', -1, 279, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', -1, 63, 0)), (('a', 0, -1, 0), ('b', 0, 1275, 0), ('c', -1, 4084, 0), ('d', -1, 4343, 0), ('e', -1, 1235, 0), ('f', -1, 2168, 0), ('i', -1, 1893, 0), ('j', -1, 2969, 0), ('l', -1, 4277, 0), ('m', -1, 3483, 0), ('n', -1, 1205, 0), ('o', 0, -1, 0), ('p', -1, 2989, 0), ('r', -1, 38, 0), ('s', -1, 2346, 0), ('t', -1, 3689, 0), ('w', -1, 2412, 0), ('z', -1, 2758, 0), ('ó', 41, -1, 0), ('ł', -1, 4066, 0), ('ż', -1, 2707, 0)), (('a', 41, -1, 0), ('e', -1, 1276, 0), ('i', 41, -1, 0), ('k', 2, -1, 0), ('l', 5, -1, 0), ('o', -1, 942, 0), ('p', 5, -1, 0), ('r', 41, -1, 0), ('u', -1, 2353, 0), ('w', 5, -1, 0), ('y', -1, 2460, 0), ('z', -1, 3964, 0), ('ó', -1, 2142, 0), ('ą', 0, -1, 0)), (('a', -1, 1277, 0), ('b', 34, -1, 0), ('d', 27, -1, 0), ('e', 6, -1, 0), ('f', 3, -1, 0), ('h', 87, -1, 0), ('i', 6, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 184, -1, 0), ('n', 28, -1, 0), ('o', 0, 668, 0), ('p', 2, -1, 0), ('r', -1, 702, 0), ('s', 1, -1, 0), ('t', 27, -1, 0), ('u', 2, -1, 0), ('w', 5, -1, 0), ('y', 1, -1, 0), ('z', -1, 2517, 0)), (('a', 6, -1, 0), ('b', 1, -1, 0), ('c', 41, 1278, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 281, 0), ('m', 6, -1, 0), ('n', -1, 1279, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 104, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', -1, 1077, 0), ('n', -1, 64, 0), ('o', 6, -1, 0), ('p', 0, 506, 0), ('r', 6, -1, 0), ('s', 28, 42, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ń', 6, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('b', 21, -1, 0), ('c', 157, 18, 0), ('d', 17, -1, 0), ('e', -1, 355, 0), ('g', 6, -1, 0), ('h', 3, -1, 0), ('i', 6, -1, 0), ('k', 17, -1, 0), ('l', -1, 1280, 0), ('m', -1, 1433, 0), ('n', 17, -1, 0), ('o', 6, -1, 0), ('p', 17, -1, 0), ('r', -1, 1018, 0), ('s', 21, -1, 0), ('t', 54, -1, 0), ('u', 6, -1, 0), ('w', -1, 251, 0), ('y', 6, -1, 0), ('z', -1, 1456, 0), ('ł', 17, -1, 0)), (('a', 3, -1, 0), ('c', -1, 1281, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 22, -1, 0), ('m', 0, -1, 0), ('n', 2, -1, 0), ('o', 3, -1, 0), ('p', 2, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 6, 0), ('y', -1, 2621, 0), ('z', -1, 2321, 0), ('ą', 3, -1, 0), ('ę', 2, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', -1, 1282, 0), ('d', -1, 2923, 0), ('e', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 2, -1, 0), ('n', 133, -1, 0), ('o', -1, 1724, 0), ('p', 3, -1, 0), ('r', 45, -1, 0), ('s', 3, -1, 0), ('t', 30, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 22, -1, 0), ('z', 3, -1, 0), ('ó', 213, -1, 0), ('ę', 3, -1, 0), ('ń', 3, -1, 0)), (('a', -1, 1283, 0), ('b', 333, -1, 0), ('e', -1, 1976, 0), ('i', -1, 1002, 0), ('j', 22, -1, 0), ('l', 22, -1, 0), ('n', 3, -1, 0), ('o', -1, 4495, 0), ('r', -1, 1362, 0), ('t', 246, -1, 0), ('u', -1, 4527, 0), ('w', -1, 1805, 0), ('y', -1, 2486, 0), ('z', 246, -1, 0), ('ą', -1, 1999, 0), ('ę', 1, -1, 0), ('ś', 246, -1, 0), ('ź', 333, -1, 0), ('ż', 246, -1, 0)), (('a', -1, 272, 0), ('c', -1, 1284, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('i', 22, -1, 0), ('l', -1, 1033, 0), ('m', 3, -1, 0), ('o', 3, -1, 0), ('p', 22, -1, 0), ('r', -1, 1043, 0), ('s', -1, 1951, 0), ('y', -1, 2338, 0), ('z', 22, -1, 0), ('ó', -1, 1721, 0), ('ą', -1, 3420, 0)), (('a', -1, 1285, 0), ('d', 307, -1, 0), ('e', -1, 2271, 0), ('h', 4, -1, 0), ('i', -1, 823, 0), ('j', 2, -1, 0), ('k', 1, -1, 0), ('m', -1, 1191, 0), ('o', 1, 3370, 0), ('p', 307, -1, 0), ('r', -1, 2841, 0), ('t', 307, -1, 0), ('u', -1, 1980, 0), ('w', 307, -1, 0), ('y', -1, 3267, 0), ('z', -1, 1262, 0), ('ą', -1, 1010, 0), ('ż', 96, -1, 0)), (('a', 1, -1, 0), ('b', 13, -1, 0), ('d', -1, 1286, 0), ('e', -1, 1140, 0), ('g', -1, 1881, 0), ('i', -1, 1312, 0), ('j', -1, 316, 0), ('k', 22, 300, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 13, -1, 0), ('p', -1, 479, 0), ('r', -1, 4249, 0), ('s', 55, -1, 0), ('t', 2, -1, 0), ('u', 12, -1, 0), ('w', -1, 1626, 0), ('z', 3, -1, 0), ('ę', 1, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 6, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 3, -1, 0), ('g', 7, -1, 0), ('i', 57, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', -1, 1287, 0), ('o', 2, 2245, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('w', 7, -1, 0), ('z', 7, -1, 0), ('ó', 14, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 488, 0), ('b', 1, -1, 0), ('c', 12, -1, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 7, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', -1, 1288, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 12, 1131, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 62, -1, 0), ('ą', 3, -1, 0)), (('a', -1, 479, 0), ('b', 30, -1, 0), ('c', -1, 1289, 0), ('d', -1, 604, 0), ('e', 3, -1, 0), ('f', 69, -1, 0), ('g', 85, 420, 0), ('i', -1, 538, 0), ('j', 80, -1, 0), ('l', 3, -1, 0), ('m', 30, -1, 0), ('n', 22, -1, 0), ('o', -1, 937, 0), ('p', 3, -1, 0), ('r', 252, -1, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', 69, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 28, -1, 0), ('e', 83, -1, 0), ('g', 28, -1, 0), ('h', 97, -1, 0), ('i', 28, -1, 0), ('k', -1, 1290, 0), ('n', 3, -1, 0), ('o', 28, -1, 0), ('p', 97, -1, 0), ('r', 28, -1, 0), ('s', 4, -1, 0), ('u', -1, 198, 0), ('y', 28, -1, 0), ('z', 64, -1, 0), ('ę', 28, -1, 0), ('ł', -1, 3379, 0), ('ś', -1, 2441, 0)), (('a', 0, -1, 0), ('d', 2, -1, 0), ('e', 0, -1, 0), ('i', -1, 1291, 0), ('j', 1, -1, 0), ('k', 3, -1, 0), ('l', 1, -1, 0), ('n', -1, 4526, 0), ('o', 28, -1, 0), ('p', 2, 165, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('u', 0, 1373, 0), ('w', 41, -1, 0), ('y', 95, -1, 0), ('z', -1, 126, 0), ('ł', 2, -1, 0)), (('a', 6, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 41, -1, 0), ('e', 9, -1, 0), ('g', 41, -1, 0), ('i', -1, 489, 0), ('k', 69, -1, 0), ('l', 101, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 1292, 0), ('p', 1, -1, 0), ('r', -1, 769, 0), ('s', -1, 797, 0), ('t', 41, -1, 0), ('u', 6, -1, 0), ('w', -1, 783, 0), ('y', 30, -1, 0), ('z', 101, -1, 0), ('ó', 101, -1, 0), ('ś', 69, -1, 0)), (('a', 28, -1, 0), ('b', 0, -1, 0), ('c', -1, 1293, 0), ('d', 110, -1, 0), ('e', 21, -1, 0), ('g', 5, -1, 0), ('i', -1, 454, 0), ('k', 6, -1, 0), ('l', -1, 98, 0), ('m', 52, -1, 0), ('n', -1, 2506, 0), ('o', 21, -1, 0), ('p', -1, 1591, 0), ('r', 4, -1, 0), ('s', 6, -1, 0), ('t', -1, 4440, 0), ('u', 4, -1, 0), ('w', -1, 1343, 0), ('y', 28, -1, 0), ('z', -1, 106, 0), ('ó', 21, -1, 0), ('ę', 4, -1, 0), ('ł', 5, -1, 0), ('ż', 0, 225, 0)), (('a', 21, -1, 0), ('c', -1, 1294, 0), ('d', -1, 115, 0), ('e', 21, -1, 0), ('i', -1, 168, 0), ('j', 21, -1, 0), ('k', -1, 1286, 0), ('l', 21, -1, 0), ('m', -1, 1295, 0), ('n', 1, -1, 0), ('o', 21, -1, 0), ('p', -1, 2042, 0), ('r', 21, -1, 0), ('s', -1, 931, 0), ('t', -1, 664, 0), ('u', -1, 2114, 0), ('w', 71, -1, 0), ('y', 21, -1, 0), ('z', 332, -1, 0), ('ą', 21, -1, 0)), (('a', 41, -1, 0), ('d', 28, -1, 0), ('e', -1, 493, 0), ('h', 2, -1, 0), ('i', -1, 513, 0), ('l', 2, -1, 0), ('o', 28, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 952, 0), ('y', 28, -1, 0), ('z', 2, -1, 0)), (('a', 29, -1, 0), ('d', 29, -1, 0), ('e', 151, -1, 0), ('g', 1, -1, 0), ('i', 29, -1, 0), ('k', 5, -1, 0), ('l', -1, 1296, 0), ('n', -1, 1647, 0), ('o', 11, -1, 0), ('p', 5, -1, 0), ('r', -1, 890, 0), ('s', 55, -1, 0), ('u', 5, -1, 0), ('w', 11, -1, 0), ('y', 151, -1, 0), ('z', -1, 518, 0), ('ę', 29, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 525, 0), ('d', 105, -1, 0), ('e', -1, 1297, 0), ('g', 0, -1, 0), ('i', -1, 2093, 0), ('k', 5, -1, 0), ('l', 1, -1, 0), ('m', -1, 2081, 0), ('n', 105, -1, 0), ('o', -1, 332, 0), ('p', 5, 34, 0), ('r', -1, 345, 0), ('s', 0, 200, 0), ('t', 105, -1, 0), ('u', 1, -1, 0), ('w', -1, 1722, 0), ('y', -1, 151, 0), ('z', -1, 518, 0), ('ł', -1, 3994, 0)), (('a', -1, 942, 0), ('b', 0, -1, 0), ('c', -1, 1298, 0), ('d', 0, -1, 0), ('e', -1, 1236, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 2, 2230, 0), ('n', -1, 863, 0), ('o', -1, 861, 0), ('p', 0, -1, 0), ('r', 0, 525, 0), ('s', 29, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 2323, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 31, -1, 0), ('e', 5, -1, 0), ('i', -1, 369, 0), ('j', 27, -1, 0), ('n', 31, -1, 0), ('o', 31, -1, 0), ('r', -1, 1299, 0), ('u', -1, 992, 0), ('y', 31, -1, 0), ('z', 31, -1, 0), ('ę', 31, -1, 0), ('ł', 31, -1, 0)), (('a', -1, 1184, 0), ('e', -1, 873, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', -1, 1300, 0), ('o', 31, -1, 0), ('p', 0, -1, 0), ('r', -1, 249, 0), ('t', 0, 4524, 0), ('z', 0, -1, 0)), (('a', 1, -1, 0), ('c', 70, -1, 0), ('d', 13, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 105, -1, 0), ('k', 55, 373, 0), ('l', -1, 1301, 0), ('m', 13, -1, 0), ('n', 0, -1, 0), ('o', -1, 335, 0), ('p', 70, -1, 0), ('r', -1, 411, 0), ('s', 105, -1, 0), ('t', -1, 2867, 0), ('u', 0, -1, 0), ('w', 70, -1, 0), ('y', 1, -1, 0), ('z', -1, 378, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 105, -1, 0)), (('a', 8, -1, 0), ('b', 65, -1, 0), ('d', -1, 1302, 0), ('e', 8, -1, 0), ('g', -1, 1307, 0), ('h', 65, -1, 0), ('i', 8, -1, 0), ('k', -1, 2896, 0), ('o', 177, -1, 0), ('p', 65, -1, 0), ('r', -1, 3939, 0), ('s', 26, -1, 0), ('t', -1, 3398, 0), ('u', 8, -1, 0), ('y', 8, -1, 0), ('z', -1, 1303, 0), ('ę', 127, -1, 0), ('ś', -1, 3671, 0), ('ź', 8, -1, 0)), (('a', 5, -1, 0), ('e', -1, 1303, 0), ('i', 5, 1127, 0), ('o', -1, 1211, 0), ('r', 65, -1, 0), ('u', 65, -1, 0), ('y', 65, -1, 0), ('z', 5, -1, 0), ('ę', -1, 1306, 0)), (('a', 34, -1, 0), ('e', 90, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('n', 22, -1, 0), ('o', -1, 1304, 0), ('r', 65, -1, 0), ('s', 5, -1, 0), ('u', 34, -1, 0), ('z', 65, -1, 0), ('ł', 65, -1, 0)), (('a', 12, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 1305, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', 51, -1, 0), ('p', 22, 720, 0), ('r', -1, 271, 0), ('s', 1, -1, 0), ('t', -1, 487, 0), ('u', 240, -1, 0), ('w', -1, 200, 0), ('y', 1, -1, 0), ('z', 3, -1, 0)), (('a', -1, 204, 0), ('b', 3, -1, 0), ('c', 1, -1, 0), ('d', -1, 355, 0), ('e', -1, 173, 0), ('h', 22, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 200, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 1047, 0), ('p', 41, -1, 0), ('r', -1, 257, 0), ('s', 3, -1, 0), ('t', -1, 271, 0), ('u', 2, -1, 0), ('w', 22, -1, 0), ('y', -1, 173, 0), ('z', 3, -1, 0), ('ę', 2, -1, 0), ('ż', 30, -1, 0)), (('a', 34, -1, 0), ('e', 34, -1, 0), ('i', 65, -1, 0), ('k', 353, -1, 0), ('o', -1, 295, 0), ('r', -1, 835, 0), ('t', 34, -1, 0), ('u', 34, -1, 0), ('z', 5, -1, 0)), (('a', 0, -1, 0), ('e', -1, 1308, 0), ('i', 105, -1, 0), ('l', 65, -1, 0), ('o', 3, -1, 0), ('p', 105, -1, 0), ('r', 39, -1, 0), ('y', -1, 2447, 0), ('z', -1, 3994, 0), ('ę', -1, 3056, 0)), (('a', 120, -1, 0), ('e', 87, -1, 0), ('i', 65, -1, 0), ('l', -1, 1309, 0), ('o', -1, 2187, 0), ('r', -1, 3772, 0), ('s', 120, -1, 0), ('u', 1, -1, 0), ('z', 3, -1, 0)), (('a', -1, 919, 0), ('b', 65, -1, 0), ('c', -1, 142, 0), ('d', -1, 1310, 0), ('e', 95, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 81, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 437, 0), ('m', 3, -1, 0), ('n', -1, 197, 0), ('o', -1, 371, 0), ('p', -1, 144, 0), ('r', 0, 95, 0), ('s', 3, -1, 0), ('t', -1, 554, 0), ('u', 3, -1, 0), ('w', 15, 620, 0), ('y', -1, 1907, 0), ('z', -1, 1633, 0), ('ó', 6, -1, 0), ('ż', 3, -1, 0)), (('a', 6, -1, 0), ('c', 3, 807, 0), ('d', -1, 1311, 0), ('e', -1, 1479, 0), ('f', 7, -1, 0), ('g', 22, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 3, -1, 0), ('m', 95, -1, 0), ('n', -1, 1539, 0), ('o', -1, 288, 0), ('p', -1, 197, 0), ('r', 95, -1, 0), ('s', -1, 97, 0), ('t', 22, -1, 0), ('u', 6, -1, 0), ('w', 3, -1, 0), ('y', 95, -1, 0), ('z', 4, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 1006, 0), ('c', -1, 62, 0), ('d', -1, 285, 0), ('e', -1, 490, 0), ('g', -1, 1312, 0), ('i', 79, -1, 0), ('k', 4, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 1474, 0), ('o', -1, 2756, 0), ('p', -1, 313, 0), ('r', 1, -1, 0), ('s', -1, 4522, 0), ('t', 1, -1, 0), ('w', 35, -1, 0), ('y', 1, -1, 0), ('z', 79, -1, 0), ('ę', -1, 593, 0), ('ł', 1, -1, 0)), (('a', -1, 1313, 0), ('b', 3, -1, 0), ('c', 2, -1, 0), ('d', -1, 130, 0), ('e', -1, 196, 0), ('i', 3, -1, 0), ('k', 2, -1, 0), ('l', -1, 913, 0), ('m', -1, 1721, 0), ('n', -1, 30, 0), ('o', 0, 64, 0), ('p', 41, -1, 0), ('r', 3, -1, 0), ('s', 41, -1, 0), ('t', -1, 1133, 0), ('w', -1, 2198, 0), ('y', -1, 780, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 569, 0), ('b', 59, -1, 0), ('d', 59, -1, 0), ('e', -1, 125, 0), ('h', 59, -1, 0), ('i', -1, 258, 0), ('k', 15, 1314, 0), ('l', 59, -1, 0), ('m', -1, 2040, 0), ('o', 101, -1, 0), ('p', 0, 1603, 0), ('r', 101, -1, 0), ('s', -1, 773, 0), ('t', 15, -1, 0), ('u', 59, -1, 0), ('w', -1, 4159, 0), ('y', 15, -1, 0), ('z', -1, 665, 0)), (('a', -1, 1315, 0), ('b', 6, -1, 0), ('d', 15, -1, 0), ('e', -1, 1205, 0), ('i', 6, -1, 0), ('j', -1, 1051, 0), ('k', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 15, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('y', 31, -1, 0), ('z', -1, 3767, 0)), (('a', 29, -1, 0), ('c', 22, -1, 0), ('d', 3, -1, 0), ('e', -1, 1316, 0), ('i', 29, -1, 0), ('l', 63, -1, 0), ('m', 41, -1, 0), ('n', 15, -1, 0), ('o', 16, -1, 0), ('p', 40, -1, 0), ('r', 22, -1, 0), ('s', 16, -1, 0), ('t', -1, 217, 0), ('u', 16, -1, 0), ('y', 63, -1, 0), ('z', 3, -1, 0), ('ą', 29, -1, 0)), (('a', 1, -1, 0), ('b', 5, -1, 0), ('c', -1, 1317, 0), ('d', -1, 3826, 0), ('e', -1, 1806, 0), ('g', -1, 1721, 0), ('i', -1, 998, 0), ('k', 3, 2160, 0), ('l', 29, -1, 0), ('o', -1, 845, 0), ('p', 2, 132, 0), ('r', -1, 2180, 0), ('s', -1, 3375, 0), ('t', 5, -1, 0), ('w', -1, 4237, 0), ('y', 21, -1, 0), ('z', -1, 235, 0)), (('a', -1, 485, 0), ('d', -1, 1318, 0), ('e', -1, 1319, 0), ('i', -1, 1196, 0), ('k', 4, -1, 0), ('l', -1, 860, 0), ('m', 105, -1, 0), ('o', -1, 1222, 0), ('p', 105, -1, 0), ('r', -1, 402, 0), ('s', -1, 2604, 0), ('t', -1, 2897, 0), ('u', -1, 1240, 0), ('w', 105, -1, 0), ('y', -1, 958, 0), ('z', -1, 73, 0), ('ó', -1, 58, 0), ('ń', -1, 2773, 0)), (('a', -1, 58, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', -1, 997, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', -1, 1007, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', -1, 1213, 0), ('u', 21, -1, 0), ('w', -1, 1041, 0), ('y', 28, -1, 0), ('z', 21, -1, 0), ('ę', 28, -1, 0), ('ł', 21, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 0, -1, 0), ('d', 6, -1, 0), ('e', -1, 950, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('l', 0, 1320, 0), ('m', 0, 288, 0), ('n', 82, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 310, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', -1, 481, 0), ('y', -1, 1786, 0), ('z', -1, 892, 0), ('ę', 40, -1, 0)), (('a', -1, 98, 0), ('c', 30, -1, 0), ('d', 2, -1, 0), ('e', 179, -1, 0), ('i', -1, 1321, 0), ('k', 20, -1, 0), ('l', 2, -1, 0), ('o', -1, 862, 0), ('p', 28, -1, 0), ('r', -1, 2757, 0), ('s', 204, 188, 0), ('t', -1, 1187, 0), ('w', -1, 4473, 0), ('z', -1, 860, 0), ('ł', 22, -1, 0)), (('a', -1, 1059, 0), ('c', -1, 1322, 0), ('d', 0, 64, 0), ('e', -1, 3001, 0), ('g', 7, -1, 0), ('i', -1, 597, 0), ('j', 104, -1, 0), ('k', -1, 222, 0), ('l', -1, 2472, 0), ('m', 7, -1, 0), ('n', -1, 1077, 0), ('o', -1, 1911, 0), ('p', 0, 64, 0), ('r', -1, 205, 0), ('s', -1, 570, 0), ('t', -1, 3706, 0), ('u', -1, 892, 0), ('w', -1, 996, 0), ('y', -1, 1552, 0), ('z', 88, -1, 0), ('ó', 104, -1, 0), ('ę', 104, -1, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0), ('ż', -1, 594, 0)), (('a', 5, -1, 0), ('c', -1, 382, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('o', 5, -1, 0), ('r', -1, 1323, 0), ('s', -1, 625, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('y', 3, -1, 0), ('z', 30, -1, 0), ('ą', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 223, 0), ('b', -1, 429, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 600, 0), ('j', 12, -1, 0), ('k', 5, -1, 0), ('l', 0, -1, 0), ('o', -1, 1324, 0), ('p', 5, -1, 0), ('r', 85, -1, 0), ('t', -1, 3291, 0), ('u', 5, -1, 0), ('z', 85, -1, 0), ('ź', 3, -1, 0)), (('a', 0, -1, 0), ('b', 5, 1127, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 6, -1, 0), ('g', 5, 1325, 0), ('i', 6, -1, 0), ('k', 30, -1, 0), ('l', 106, -1, 0), ('m', 5, -1, 0), ('n', -1, 1131, 0), ('o', 6, -1, 0), ('p', 1, 1097, 0), ('r', 5, -1, 0), ('s', -1, 2473, 0), ('t', -1, 496, 0), ('u', 7, -1, 0), ('w', 5, -1, 0), ('y', 6, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', -1, 1326, 0), ('k', 52, -1, 0), ('l', 145, 433, 0), ('m', -1, 380, 0), ('n', -1, 2750, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 30, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0)), (('a', 136, -1, 0), ('b', 0, -1, 0), ('d', 136, -1, 0), ('e', -1, 855, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 41, 717, 0), ('l', 0, 1327, 0), ('m', 41, 499, 0), ('n', 0, -1, 0), ('o', 136, -1, 0), ('p', 0, -1, 0), ('r', 41, 851, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 136, -1, 0), ('w', 30, 862, 0), ('y', 5, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 79, -1, 0), ('c', -1, 1328, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 68, 0), ('j', 0, -1, 0), ('k', 41, -1, 0), ('l', 0, -1, 0), ('m', -1, 351, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 742, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 106, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 51, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('h', 31, -1, 0), ('i', 39, -1, 0), ('m', 31, -1, 0), ('n', -1, 1329, 0), ('o', 137, -1, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('t', 31, 4163, 0), ('u', 39, -1, 0), ('y', 31, -1, 0), ('z', -1, 1662, 0), ('ł', -1, 3733, 0)), (('a', -1, 803, 0), ('d', 1, -1, 0), ('e', -1, 155, 0), ('i', -1, 1330, 0), ('j', 1, -1, 0), ('k', 282, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('r', -1, 2170, 0), ('t', 1, -1, 0), ('z', -1, 4053, 0)), (('a', 0, 225, 0), ('b', 1, -1, 0), ('c', -1, 1331, 0), ('d', -1, 285, 0), ('e', -1, 61, 0), ('f', 1, -1, 0), ('i', 33, -1, 0), ('k', 1, -1, 0), ('l', 21, -1, 0), ('n', 1, -1, 0), ('o', -1, 411, 0), ('p', 1, -1, 0), ('r', -1, 1214, 0), ('s', 11, 3330, 0), ('w', 1, -1, 0), ('y', -1, 147, 0), ('z', -1, 147, 0)), (('a', -1, 1332, 0), ('b', 21, -1, 0), ('c', 6, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 4, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1418, 0), ('p', 85, -1, 0), ('r', 4, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 3, -1, 0), ('w', 33, -1, 0), ('y', 0, -1, 0), ('z', 21, -1, 0), ('ł', 21, -1, 0), ('ń', 33, -1, 0)), (('a', 12, -1, 0), ('b', -1, 854, 0), ('c', 0, -1, 0), ('d', -1, 782, 0), ('e', 12, -1, 0), ('g', 178, -1, 0), ('i', 12, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 95, 1333, 0), ('n', 12, -1, 0), ('o', -1, 612, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 0, 44, 0), ('t', 27, -1, 0), ('u', 12, -1, 0), ('w', 0, 164, 0), ('y', 12, -1, 0), ('z', 185, -1, 0), ('ł', -1, 1237, 0)), (('a', 6, -1, 0), ('b', 3, -1, 0), ('c', -1, 224, 0), ('d', 242, -1, 0), ('e', 6, -1, 0), ('i', 96, -1, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('l', -1, 54, 0), ('m', -1, 1334, 0), ('o', -1, 234, 0), ('p', -1, 147, 0), ('r', 96, -1, 0), ('s', -1, 1556, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 242, -1, 0), ('y', -1, 1095, 0), ('z', 95, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ś', 54, -1, 0)), (('a', -1, 180, 0), ('b', -1, 1093, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 21, -1, 0), ('k', 4, -1, 0), ('n', 39, -1, 0), ('o', -1, 1335, 0), ('r', 12, -1, 0), ('s', 0, 736, 0), ('t', 1, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 1, -1, 0)), (('a', -1, 1124, 0), ('b', 0, 225, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 1336, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('k', 0, 95, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', -1, 4521, 0), ('p', -1, 950, 0), ('r', -1, 1542, 0), ('s', 433, 225, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 0, 225, 0), ('y', -1, 469, 0), ('z', 28, 356, 0)), (('a', 5, -1, 0), ('b', 28, 1337, 0), ('c', 1, -1, 0), ('d', -1, 2995, 0), ('e', 5, -1, 0), ('i', -1, 870, 0), ('k', 6, 24, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 5, -1, 0), ('p', 6, -1, 0), ('r', 5, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 518, 0), ('w', 6, -1, 0), ('y', 5, -1, 0), ('z', 6, -1, 0), ('ą', 5, -1, 0), ('ę', -1, 1864, 0), ('ź', 28, -1, 0)), (('a', 28, -1, 0), ('d', 6, -1, 0), ('e', 106, -1, 0), ('i', 145, -1, 0), ('k', 106, -1, 0), ('l', 39, -1, 0), ('m', 106, -1, 0), ('n', -1, 1338, 0), ('o', 6, -1, 0), ('r', 106, -1, 0), ('s', 39, -1, 0), ('t', 106, 3656, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ł', 106, -1, 0)), (('a', -1, 1339, 0), ('b', -1, 276, 0), ('d', -1, 3016, 0), ('e', -1, 3803, 0), ('g', -1, 2669, 0), ('i', -1, 1698, 0), ('j', -1, 617, 0), ('o', -1, 410, 0), ('p', -1, 1331, 0), ('r', -1, 2042, 0), ('s', 316, -1, 0), ('w', 137, -1, 0), ('y', -1, 1415, 0), ('z', -1, 542, 0)), (('a', 178, -1, 0), ('d', 106, -1, 0), ('e', -1, 1340, 0), ('i', -1, 118, 0), ('k', -1, 781, 0), ('l', -1, 669, 0), ('m', 27, -1, 0), ('o', -1, 1249, 0), ('p', -1, 3344, 0), ('r', 27, -1, 0), ('s', 0, 225, 0), ('t', -1, 1251, 0), ('u', -1, 1341, 0), ('w', -1, 1046, 0), ('y', 27, -1, 0), ('z', -1, 781, 0), ('ą', 178, -1, 0), ('ę', 27, -1, 0), ('ł', -1, 543, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 22, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('k', 22, -1, 0), ('m', -1, 547, 0), ('n', -1, 1341, 0), ('o', -1, 1758, 0), ('p', 22, -1, 0), ('r', 0, 1239, 0), ('s', 2, 4495, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 3, -1, 0), ('z', -1, 1492, 0), ('ł', 6, -1, 0)), (('a', -1, 1342, 0), ('d', 136, -1, 0), ('e', -1, 1830, 0), ('f', 27, -1, 0), ('g', -1, 1970, 0), ('i', 0, -1, 0), ('k', 178, -1, 0), ('l', -1, 1931, 0), ('m', 178, -1, 0), ('n', 178, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 27, -1, 0), ('s', -1, 1195, 0), ('t', 27, -1, 0), ('u', 0, -1, 0), ('w', -1, 1082, 0), ('y', -1, 19, 0), ('z', -1, 845, 0), ('ó', 0, -1, 0), ('ł', 27, -1, 0), ('ś', -1, 1521, 0)), (('a', -1, 332, 0), ('b', 0, -1, 0), ('c', -1, 1343, 0), ('d', -1, 2161, 0), ('e', -1, 581, 0), ('f', 0, -1, 0), ('g', -1, 1665, 0), ('i', -1, 2089, 0), ('j', -1, 847, 0), ('k', -1, 214, 0), ('l', 79, -1, 0), ('m', -1, 2088, 0), ('n', -1, 1482, 0), ('o', 0, 880, 0), ('p', 0, -1, 0), ('r', -1, 3710, 0), ('s', -1, 332, 0), ('t', -1, 923, 0), ('u', -1, 1905, 0), ('w', 0, 227, 0), ('y', 100, -1, 0), ('z', -1, 748, 0), ('ż', 0, -1, 0)), (('a', -1, 774, 0), ('b', -1, 1344, 0), ('c', 101, -1, 0), ('d', 5, -1, 0), ('e', -1, 836, 0), ('f', 101, -1, 0), ('h', 51, -1, 0), ('i', 5, -1, 0), ('k', 27, 28, 0), ('l', 27, -1, 0), ('m', 101, 587, 0), ('n', -1, 1345, 0), ('o', 5, -1, 0), ('p', -1, 2803, 0), ('r', 27, -1, 0), ('s', -1, 194, 0), ('t', 5, -1, 0), ('u', 0, -1, 0), ('w', 9, 464, 0), ('y', -1, 3084, 0), ('z', -1, 691, 0), ('ł', 178, -1, 0)), (('a', -1, 733, 0), ('d', 12, -1, 0), ('e', 17, -1, 0), ('g', 39, -1, 0), ('i', 0, 44, 0), ('k', 145, -1, 0), ('m', 12, -1, 0), ('o', 54, -1, 0), ('p', -1, 88, 0), ('r', 9, -1, 0), ('s', 96, -1, 0), ('t', 12, 1304, 0), ('u', -1, 1237, 0), ('w', 12, -1, 0), ('y', -1, 905, 0), ('z', 101, -1, 0), ('ę', -1, 757, 0), ('ż', 12, -1, 0)), (('a', -1, 1346, 0), ('b', 9, -1, 0), ('c', 9, -1, 0), ('d', -1, 1313, 0), ('e', -1, 1665, 0), ('g', 9, -1, 0), ('h', -1, 1393, 0), ('i', 101, -1, 0), ('j', -1, 879, 0), ('k', -1, 2024, 0), ('l', -1, 1154, 0), ('m', -1, 789, 0), ('n', -1, 2627, 0), ('o', 101, -1, 0), ('p', 101, -1, 0), ('r', -1, 666, 0), ('s', -1, 2598, 0), ('t', -1, 441, 0), ('u', 101, -1, 0), ('w', 9, -1, 0), ('y', -1, 733, 0), ('z', 9, -1, 0), ('ł', 9, -1, 0), ('ś', -1, 261, 0), ('ź', 9, -1, 0), ('ż', -1, 1073, 0)), (('a', 0, -1, 0), ('c', 101, -1, 0), ('d', 5, -1, 0), ('e', -1, 1036, 0), ('g', 9, -1, 0), ('i', -1, 41, 0), ('k', 7, -1, 0), ('l', 1, -1, 0), ('m', -1, 1347, 0), ('n', 2, -1, 0), ('o', 5, -1, 0), ('p', 3, -1, 0), ('r', 9, -1, 0), ('s', 106, -1, 0), ('t', 101, -1, 0), ('u', 5, -1, 0), ('w', 9, -1, 0), ('y', 55, -1, 0), ('z', 9, -1, 0), ('ł', 9, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('d', 7, -1, 0), ('e', -1, 756, 0), ('g', 3, -1, 0), ('i', 11, -1, 0), ('l', -1, 1068, 0), ('m', 34, -1, 0), ('n', -1, 1348, 0), ('o', 57, -1, 0), ('p', 2, -1, 0), ('r', -1, 943, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('z', 11, -1, 0), ('ł', -1, 1349, 0)), (('a', 12, -1, 0), ('b', 21, -1, 0), ('c', -1, 762, 0), ('d', 110, -1, 0), ('e', 12, -1, 0), ('g', 11, 1099, 0), ('h', 110, -1, 0), ('i', 12, -1, 0), ('k', 52, -1, 0), ('l', 12, -1, 0), ('m', 105, -1, 0), ('n', 105, -1, 0), ('o', -1, 11, 0), ('p', 110, -1, 0), ('r', -1, 131, 0), ('s', -1, 942, 0), ('t', 17, -1, 0), ('u', 12, -1, 0), ('w', -1, 1045, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0), ('ż', 110, -1, 0)), (('a', -1, 60, 0), ('c', -1, 1350, 0), ('d', 21, -1, 0), ('e', -1, 1076, 0), ('g', 57, 186, 0), ('h', 209, -1, 0), ('i', -1, 1679, 0), ('j', 21, -1, 0), ('k', 11, -1, 0), ('l', -1, 289, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 3320, 0), ('p', 21, -1, 0), ('r', -1, 1966, 0), ('s', -1, 192, 0), ('t', -1, 3810, 0), ('u', -1, 723, 0), ('w', 21, -1, 0), ('y', -1, 706, 0), ('z', 21, -1, 0), ('ó', 86, -1, 0), ('ą', -1, 2381, 0), ('ę', -1, 681, 0), ('ł', 86, -1, 0), ('ń', 21, -1, 0), ('ź', 21, -1, 0)), (('a', 28, -1, 0), ('b', -1, 1351, 0), ('c', 117, 236, 0), ('e', 10, -1, 0), ('f', -1, 835, 0), ('i', 28, -1, 0), ('l', 11, -1, 0), ('m', 11, 3661, 0), ('n', -1, 4520, 0), ('o', 28, 1257, 0), ('p', 56, 2226, 0), ('r', 28, -1, 0), ('s', 117, 3718, 0), ('t', 56, -1, 0), ('u', 28, -1, 0), ('w', -1, 1845, 0), ('y', 28, -1, 0), ('z', -1, 2845, 0), ('ó', 11, -1, 0)), (('a', -1, 1352, 0), ('e', 10, -1, 0), ('i', -1, 1140, 0), ('l', -1, 1601, 0), ('o', -1, 3752, 0), ('r', -1, 3708, 0), ('u', -1, 2815, 0), ('y', 10, -1, 0), ('z', -1, 1027, 0), ('ą', 10, -1, 0), ('ę', -1, 1355, 0), ('ń', 56, -1, 0), ('ź', 56, -1, 0)), (('a', -1, 1353, 0), ('b', 11, -1, 0), ('e', -1, 1354, 0), ('i', -1, 613, 0), ('m', -1, 1355, 0), ('n', -1, 1956, 0), ('o', -1, 4266, 0), ('r', -1, 834, 0), ('u', -1, 2621, 0), ('w', 10, 1814, 0), ('y', -1, 2487, 0), ('z', -1, 47, 0), ('ę', 2, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 1188, 0), ('c', 84, -1, 0), ('d', 21, -1, 0), ('e', 22, -1, 0), ('i', 22, -1, 0), ('k', 3, 465, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', 22, 315, 0), ('p', 41, -1, 0), ('r', 3, -1, 0), ('t', 2, -1, 0), ('u', 22, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', -1, 613, 0)), (('a', -1, 968, 0), ('c', 2, -1, 0), ('d', 28, -1, 0), ('e', 3, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('o', -1, 285, 0), ('r', 3, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 588, 0), ('ś', -1, 406, 0)), (('a', -1, 1356, 0), ('d', 11, -1, 0), ('e', 83, -1, 0), ('i', 10, -1, 0), ('l', -1, 3412, 0), ('n', -1, 974, 0), ('o', 3, -1, 0), ('r', -1, 244, 0), ('y', 83, -1, 0), ('z', 10, -1, 0), ('ł', -1, 218, 0)), (('a', -1, 40, 0), ('b', 169, -1, 0), ('c', -1, 1357, 0), ('d', -1, 1825, 0), ('e', 104, -1, 0), ('g', 169, -1, 0), ('h', 169, -1, 0), ('i', -1, 287, 0), ('k', -1, 1057, 0), ('l', 3, 1178, 0), ('m', 104, 693, 0), ('n', 104, -1, 0), ('o', 104, -1, 0), ('p', 169, -1, 0), ('r', -1, 1139, 0), ('s', -1, 1450, 0), ('t', 104, -1, 0), ('u', -1, 2262, 0), ('w', -1, 699, 0), ('y', 208, -1, 0), ('z', 104, -1, 0), ('ł', 104, -1, 0)), (('a', 69, -1, 0), ('c', 21, -1, 0), ('e', 69, -1, 0), ('g', 39, -1, 0), ('i', 69, -1, 0), ('m', 39, -1, 0), ('o', 3, -1, 0), ('p', 69, -1, 0), ('r', 145, -1, 0), ('s', 69, -1, 0), ('t', 69, -1, 0), ('u', -1, 899, 0), ('w', 39, -1, 0), ('y', 69, -1, 0), ('z', -1, 1358, 0), ('ó', 80, -1, 0), ('ą', 69, -1, 0), ('ę', 69, -1, 0)), (('a', -1, 1188, 0), ('b', 3, -1, 0), ('c', -1, 1359, 0), ('d', -1, 1690, 0), ('e', 3, -1, 0), ('f', -1, 1690, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 3019, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 4067, 0), ('m', -1, 3540, 0), ('n', 22, 3273, 0), ('o', 2, -1, 0), ('p', -1, 4348, 0), ('r', -1, 4301, 0), ('s', -1, 952, 0), ('t', -1, 1404, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', -1, 1188, 0), ('z', 80, 3746, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('c', 31, -1, 0), ('d', 11, -1, 0), ('e', 3, -1, 0), ('g', 31, -1, 0), ('i', 3, -1, 0), ('m', -1, 1360, 0), ('n', 1, -1, 0), ('o', 11, -1, 0), ('p', 31, -1, 0), ('r', 1, -1, 0), ('u', 11, -1, 0), ('y', 1, -1, 0), ('z', 31, -1, 0)), (('a', 5, -1, 0), ('c', 31, -1, 0), ('e', 5, -1, 0), ('h', 28, -1, 0), ('i', 2, -1, 0), ('l', 5, -1, 0), ('o', -1, 1361, 0), ('r', -1, 564, 0), ('s', 31, -1, 0), ('t', 29, -1, 0), ('w', 5, -1, 0), ('y', -1, 1530, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1362, 0), ('b', 21, -1, 0), ('c', -1, 881, 0), ('d', 22, -1, 0), ('e', 412, -1, 0), ('g', 21, -1, 0), ('i', 30, -1, 0), ('j', 7, -1, 0), ('l', 21, -1, 0), ('n', 7, -1, 0), ('o', -1, 2657, 0), ('p', -1, 3771, 0), ('r', 7, -1, 0), ('s', 21, -1, 0), ('u', 5, 3222, 0), ('w', 22, -1, 0), ('y', 7, -1, 0), ('z', -1, 212, 0), ('ł', 5, -1, 0), ('ś', 5, -1, 0), ('ż', 30, -1, 0)), (('a', -1, 1363, 0), ('c', 126, -1, 0), ('d', 85, -1, 0), ('e', 185, -1, 0), ('g', 126, -1, 0), ('i', 0, -1, 0), ('k', 185, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', -1, 2547, 0), ('o', 85, -1, 0), ('p', 126, -1, 0), ('r', 412, -1, 0), ('s', 7, 228, 0), ('w', -1, 1026, 0), ('y', 0, -1, 0), ('z', 126, -1, 0), ('ś', 85, -1, 0)), (('a', 7, -1, 0), ('b', 5, -1, 0), ('c', 22, -1, 0), ('d', 22, -1, 0), ('e', -1, 344, 0), ('i', -1, 289, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('l', 139, -1, 0), ('m', -1, 1364, 0), ('n', 22, -1, 0), ('o', -1, 274, 0), ('p', 3, -1, 0), ('r', 22, -1, 0), ('s', 7, -1, 0), ('t', -1, 216, 0), ('u', 1, -1, 0), ('w', -1, 3303, 0), ('y', -1, 1407, 0), ('z', 22, -1, 0), ('ł', 3, -1, 0), ('ż', 22, -1, 0)), (('a', 7, -1, 0), ('b', 0, -1, 0), ('d', -1, 1014, 0), ('e', -1, 1365, 0), ('f', 0, -1, 0), ('g', -1, 215, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 1530, 0), ('l', -1, 215, 0), ('m', -1, 715, 0), ('n', 41, 862, 0), ('o', -1, 4434, 0), ('p', 0, 1077, 0), ('r', 0, -1, 0), ('s', 41, -1, 0), ('t', -1, 1712, 0), ('u', 7, -1, 0), ('w', 0, -1, 0), ('y', 7, -1, 0), ('z', 0, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 855, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 347, 0), ('e', 88, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 7, -1, 0), ('l', 3, -1, 0), ('m', 1, -1, 0), ('n', 22, -1, 0), ('o', 0, 164, 0), ('p', 22, -1, 0), ('r', 45, -1, 0), ('s', -1, 1366, 0), ('t', 3, -1, 0), ('w', 22, -1, 0), ('y', 22, -1, 0), ('z', 29, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 210, 0), ('b', -1, 1023, 0), ('d', 0, -1, 0), ('e', -1, 1367, 0), ('g', 7, -1, 0), ('h', 4, -1, 0), ('i', 0, -1, 0), ('l', 4, -1, 0), ('m', 37, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 466, 0), ('s', 1, -1, 0), ('t', -1, 1368, 0), ('u', -1, 116, 0), ('w', -1, 1818, 0), ('z', -1, 1927, 0), ('ł', -1, 2147, 0)), (('a', 21, -1, 0), ('e', 1, -1, 0), ('i', 28, -1, 0), ('k', 21, -1, 0), ('l', 1, -1, 0), ('o', 21, -1, 0), ('r', 1, -1, 0), ('y', 21, -1, 0), ('z', 1, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('i', -1, 1369, 0), ('l', 4, -1, 0), ('n', 0, -1, 0), ('o', 4, -1, 0), ('p', 4, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 2340, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 1370, 0), ('c', -1, 735, 0), ('d', 108, -1, 0), ('e', -1, 3680, 0), ('g', 69, -1, 0), ('i', -1, 967, 0), ('j', 12, -1, 0), ('m', 449, -1, 0), ('n', 108, -1, 0), ('o', -1, 2421, 0), ('p', 0, -1, 0), ('r', -1, 1242, 0), ('s', 4, -1, 0), ('t', 108, -1, 0), ('w', -1, 2445, 0), ('z', 69, -1, 0), ('ł', 108, -1, 0)), (('a', 12, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 1371, 0), ('f', 0, 720, 0), ('g', 3, -1, 0), ('i', -1, 271, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 1, 200, 0), ('n', 22, -1, 0), ('o', -1, 2067, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 1422, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 3, -1, 0)), (('a', -1, 412, 0), ('c', 7, -1, 0), ('d', 30, -1, 0), ('e', -1, 1372, 0), ('i', -1, 4284, 0), ('l', -1, 1817, 0), ('n', 5, -1, 0), ('o', -1, 1270, 0), ('p', -1, 1208, 0), ('r', -1, 1310, 0), ('s', 5, -1, 0), ('w', 30, 2538, 0), ('y', -1, 1113, 0), ('z', -1, 2080, 0), ('ó', -1, 541, 0), ('ę', -1, 878, 0), ('ł', -1, 2467, 0)), (('a', -1, 1373, 0), ('b', 171, -1, 0), ('c', -1, 1376, 0), ('d', -1, 1217, 0), ('e', 110, -1, 0), ('g', 171, -1, 0), ('h', 171, -1, 0), ('i', -1, 171, 0), ('j', 105, -1, 0), ('k', -1, 118, 0), ('l', 0, 355, 0), ('m', 110, 1076, 0), ('n', 110, -1, 0), ('o', 110, -1, 0), ('p', 171, -1, 0), ('r', -1, 1378, 0), ('s', 62, 430, 0), ('t', 110, -1, 0), ('u', 0, 506, 0), ('w', 28, -1, 0), ('y', -1, 759, 0), ('z', 194, -1, 0), ('ó', 28, -1, 0), ('ł', 110, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 110, -1, 0), ('g', 0, -1, 0), ('h', 28, -1, 0), ('i', 0, -1, 0), ('j', 2, -1, 0), ('k', 0, -1, 0), ('l', -1, 546, 0), ('m', 0, -1, 0), ('n', 12, 359, 0), ('o', -1, 1374, 0), ('p', 0, -1, 0), ('r', 28, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 110, -1, 0), ('y', 0, -1, 0), ('z', -1, 280, 0), ('ą', -1, 1077, 0), ('ł', 95, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 384, 0), ('d', 0, -1, 0), ('e', -1, 708, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1374, 0), ('k', 0, -1, 0), ('l', -1, 1374, 0), ('m', 0, -1, 0), ('n', 210, -1, 0), ('o', -1, 521, 0), ('p', 104, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 104, -1, 0), ('u', 105, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 10, 0), ('ę', 0, -1, 0), ('ł', -1, 703, 0), ('ś', -1, 1375, 0), ('ż', 0, -1, 0)), (('a', -1, 501, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('h', 146, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 79, -1, 0), ('l', 1, -1, 0), ('m', 79, -1, 0), ('n', 79, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 143, 0), ('t', 1, -1, 0), ('u', -1, 19, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 120, -1, 0)), (('a', 80, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', 62, -1, 0), ('o', -1, 29, 0), ('r', -1, 1377, 0), ('s', 62, -1, 0), ('u', 62, -1, 0), ('z', 62, -1, 0), ('ą', 62, -1, 0), ('ę', 62, -1, 0)), (('a', 5, -1, 0), ('b', 1, -1, 0), ('c', -1, 1002, 0), ('d', -1, 1318, 0), ('e', 5, -1, 0), ('f', 41, -1, 0), ('g', 0, -1, 0), ('i', 99, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 21, -1, 0), ('m', 99, -1, 0), ('n', 1, -1, 0), ('o', -1, 334, 0), ('p', 99, -1, 0), ('r', 99, -1, 0), ('s', 99, -1, 0), ('t', -1, 722, 0), ('u', 5, -1, 0), ('w', -1, 502, 0), ('y', 99, -1, 0), ('z', 99, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ł', 99, -1, 0), ('ś', -1, 483, 0), ('ż', 99, -1, 0)), (('a', 217, -1, 0), ('b', -1, 1379, 0), ('c', -1, 3334, 0), ('d', 110, -1, 0), ('e', 22, -1, 0), ('g', 21, -1, 0), ('i', -1, 63, 0), ('k', 110, -1, 0), ('l', 21, -1, 0), ('m', 110, 435, 0), ('n', 110, -1, 0), ('o', 217, -1, 0), ('p', 110, -1, 0), ('r', -1, 594, 0), ('s', 28, -1, 0), ('t', 110, -1, 0), ('u', 110, -1, 0), ('w', -1, 251, 0), ('y', 217, -1, 0), ('z', -1, 1487, 0), ('ę', 430, -1, 0), ('ł', 110, -1, 0)), (('a', 64, -1, 0), ('b', 28, -1, 0), ('d', -1, 1380, 0), ('e', -1, 475, 0), ('g', 4, -1, 0), ('i', -1, 1434, 0), ('j', 1, -1, 0), ('m', 4, -1, 0), ('n', 0, -1, 0), ('o', 64, -1, 0), ('p', 4, -1, 0), ('r', -1, 2435, 0), ('s', -1, 2260, 0), ('t', 4, -1, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', 64, -1, 0), ('z', 64, -1, 0), ('ł', 4, -1, 0)), (('a', 6, -1, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('g', 0, -1, 0), ('i', -1, 130, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', 95, -1, 0), ('n', -1, 1381, 0), ('o', 64, 95, 0), ('p', 28, -1, 0), ('r', 95, -1, 0), ('s', 4, -1, 0), ('u', 6, -1, 0), ('w', -1, 2460, 0), ('y', 95, -1, 0), ('z', 1, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0)), (('a', -1, 1382, 0), ('b', 7, -1, 0), ('c', -1, 1923, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 21, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 21, -1, 0), ('p', -1, 1363, 0), ('r', 1, 780, 0), ('s', -1, 662, 0), ('t', 21, -1, 0), ('u', 85, -1, 0), ('w', 21, -1, 0), ('y', 0, -1, 0), ('z', -1, 3710, 0), ('ł', 1, -1, 0)), (('a', 6, -1, 0), ('b', 0, -1, 0), ('c', 84, -1, 0), ('d', 3, -1, 0), ('e', 6, -1, 0), ('g', 116, -1, 0), ('h', 0, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 4, -1, 0), ('l', 3, -1, 0), ('m', 4, -1, 0), ('n', 22, -1, 0), ('o', 6, -1, 0), ('p', -1, 1383, 0), ('r', 0, 1139, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 980, 0), ('y', 1, -1, 0), ('z', 21, 428, 0)), (('a', -1, 996, 0), ('b', 104, -1, 0), ('c', -1, 306, 0), ('d', 104, -1, 0), ('e', 25, -1, 0), ('g', 102, 1384, 0), ('i', 25, -1, 0), ('k', 0, 2756, 0), ('l', -1, 1601, 0), ('m', -1, 2430, 0), ('n', 104, -1, 0), ('o', -1, 782, 0), ('p', 104, -1, 0), ('r', 182, -1, 0), ('s', 0, 188, 0), ('t', 104, -1, 0), ('u', 182, -1, 0), ('w', -1, 2034, 0), ('y', 182, -1, 0), ('z', 450, -1, 0)), (('a', -1, 1385, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 10, -1, 0), ('e', -1, 3328, 0), ('g', 11, -1, 0), ('i', -1, 746, 0), ('k', 0, -1, 0), ('o', 10, -1, 0), ('r', 0, 16, 0), ('s', -1, 4297, 0), ('t', 0, -1, 0), ('y', 107, -1, 0), ('z', 0, -1, 0), ('ą', 107, -1, 0), ('ś', 10, -1, 0)), (('a', -1, 798, 0), ('d', -1, 1386, 0), ('e', -1, 423, 0), ('i', -1, 2067, 0), ('k', 3, -1, 0), ('l', -1, 3728, 0), ('n', -1, 1810, 0), ('o', -1, 242, 0), ('p', -1, 2670, 0), ('r', -1, 749, 0), ('s', -1, 2454, 0), ('t', -1, 2736, 0), ('u', -1, 349, 0), ('w', -1, 1053, 0), ('y', -1, 2028, 0), ('z', -1, 359, 0), ('ł', 3, -1, 0)), (('a', -1, 1387, 0), ('d', -1, 569, 0), ('e', -1, 1986, 0), ('g', 22, -1, 0), ('h', -1, 569, 0), ('i', 30, -1, 0), ('l', 62, -1, 0), ('m', 0, 1419, 0), ('n', -1, 261, 0), ('o', -1, 499, 0), ('p', -1, 141, 0), ('r', -1, 425, 0), ('s', -1, 370, 0), ('t', 0, 2473, 0), ('w', 3, -1, 0), ('z', -1, 285, 0), ('ą', -1, 408, 0), ('ł', -1, 2373, 0)), (('a', 51, -1, 0), ('b', 51, -1, 0), ('d', 6, -1, 0), ('e', 51, -1, 0), ('g', 51, -1, 0), ('i', -1, 286, 0), ('k', -1, 483, 0), ('m', -1, 805, 0), ('o', 51, -1, 0), ('p', -1, 1388, 0), ('r', -1, 745, 0), ('s', -1, 1541, 0), ('t', 6, -1, 0), ('w', 6, -1, 0), ('y', 0, -1, 0), ('z', -1, 2757, 0)), (('a', 51, -1, 0), ('b', -1, 357, 0), ('c', -1, 1225, 0), ('d', 70, -1, 0), ('e', 6, -1, 0), ('i', 71, -1, 0), ('j', 70, -1, 0), ('k', 57, -1, 0), ('l', -1, 596, 0), ('m', 3, 905, 0), ('n', 0, 355, 0), ('o', 104, -1, 0), ('p', -1, 108, 0), ('r', 53, -1, 0), ('s', 7, -1, 0), ('t', -1, 119, 0), ('u', 6, -1, 0), ('w', -1, 1389, 0), ('y', 51, -1, 0), ('z', 71, -1, 0), ('ł', 0, -1, 0), ('ś', 104, -1, 0), ('ź', 126, -1, 0)), (('a', -1, 780, 0), ('b', 3, -1, 0), ('c', 22, -1, 0), ('d', 3, -1, 0), ('e', -1, 651, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 288, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', -1, 1390, 0), ('p', 3, -1, 0), ('r', -1, 516, 0), ('s', 3, 3057, 0), ('t', 3, -1, 0), ('u', -1, 100, 0), ('w', 3, -1, 0), ('z', 22, -1, 0), ('ł', 3, -1, 0), ('ń', 22, -1, 0), ('ż', -1, 3502, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', -1, 1391, 0), ('d', -1, 995, 0), ('e', 12, -1, 0), ('f', 12, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', -1, 1392, 0), ('j', 12, -1, 0), ('k', -1, 1393, 0), ('l', -1, 1789, 0), ('m', 12, -1, 0), ('n', -1, 1595, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 1392, 0), ('s', -1, 1332, 0), ('t', -1, 930, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', -1, 345, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 96, -1, 0), ('d', 86, -1, 0), ('e', 58, -1, 0), ('g', 12, -1, 0), ('h', 3, -1, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 0, 1270, 0), ('l', 12, -1, 0), ('m', 28, -1, 0), ('n', 12, -1, 0), ('o', -1, 930, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 0, 225, 0), ('t', 96, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 626, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', -1, 502, 0), ('f', 12, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('k', 0, 44, 0), ('l', 61, -1, 0), ('m', 1, 807, 0), ('n', -1, 749, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 524, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', -1, 355, 0), ('y', 12, -1, 0), ('z', 222, -1, 0), ('ó', 12, -1, 0), ('ł', 328, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', -1, 1291, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', -1, 1173, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 52, -1, 0), ('l', 12, -1, 0), ('m', -1, 1394, 0), ('n', -1, 1033, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', -1, 779, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0), ('ż', 12, -1, 0)), (('a', -1, 722, 0), ('b', 1, -1, 0), ('c', 11, -1, 0), ('d', -1, 1395, 0), ('e', 0, -1, 0), ('i', -1, 223, 0), ('k', -1, 4221, 0), ('l', 21, -1, 0), ('m', 73, -1, 0), ('n', 5, -1, 0), ('o', 6, -1, 0), ('p', 95, -1, 0), ('r', 1, -1, 0), ('s', 0, 2038, 0), ('t', 1, -1, 0), ('u', 6, 288, 0), ('w', -1, 613, 0), ('y', 95, -1, 0), ('z', 0, 106, 0)), (('a', 6, -1, 0), ('b', 28, -1, 0), ('c', -1, 1396, 0), ('d', 6, -1, 0), ('e', -1, 107, 0), ('i', 6, -1, 0), ('k', 2, 184, 0), ('l', 6, -1, 0), ('m', -1, 648, 0), ('o', -1, 675, 0), ('p', 0, 164, 0), ('r', 95, -1, 0), ('s', -1, 2148, 0), ('t', 0, 164, 0), ('u', 6, -1, 0), ('w', 0, 164, 0), ('y', -1, 234, 0), ('z', -1, 1747, 0), ('ą', 6, -1, 0), ('ę', -1, 1666, 0)), (('a', 72, -1, 0), ('b', -1, 1397, 0), ('c', 72, -1, 0), ('d', -1, 1399, 0), ('e', -1, 2871, 0), ('g', -1, 2921, 0), ('h', -1, 318, 0), ('i', 72, -1, 0), ('k', -1, 2924, 0), ('l', 72, -1, 0), ('m', 72, -1, 0), ('o', 72, -1, 0), ('p', 72, -1, 0), ('r', 72, -1, 0), ('s', 72, -1, 0), ('t', 72, -1, 0), ('u', 72, -1, 0), ('y', 72, -1, 0), ('z', -1, 3342, 0), ('ś', -1, 3929, 0), ('ź', -1, 3920, 0), ('ż', 72, -1, 0)), (('a', -1, 1398, 0), ('c', 11, -1, 0), ('d', 56, -1, 0), ('e', 56, -1, 0), ('i', -1, 811, 0), ('l', 11, -1, 0), ('o', 11, 1398, 0), ('r', 72, -1, 0), ('u', 72, -1, 0), ('w', 11, -1, 0), ('y', -1, 38, 0), ('z', 11, -1, 0), ('ó', 72, -1, 0), ('ą', 72, -1, 0), ('ż', 11, -1, 0)), (('a', 4, -1, 0), ('d', 14, -1, 0), ('e', -1, 896, 0), ('i', 56, -1, 0), ('k', 11, -1, 0), ('o', 28, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('u', -1, 896, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 72, -1, 0)), (('a', -1, 1400, 0), ('b', 21, -1, 0), ('c', 1, -1, 0), ('d', -1, 1508, 0), ('e', 72, -1, 0), ('f', 1, -1, 0), ('h', 21, -1, 0), ('i', -1, 903, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 21, -1, 0), ('o', 357, -1, 0), ('p', -1, 143, 0), ('r', 72, -1, 0), ('u', 72, -1, 0), ('y', 72, -1, 0), ('z', -1, 640, 0), ('ą', 235, -1, 0), ('ę', 72, -1, 0), ('ź', -1, 478, 0)), (('a', 3, -1, 0), ('d', -1, 1401, 0), ('e', 3, -1, 0), ('h', 1, -1, 0), ('i', -1, 335, 0), ('k', 1, -1, 0), ('n', 3, -1, 0), ('o', 29, -1, 0), ('p', 72, 4404, 0), ('r', 235, -1, 0), ('s', 1, -1, 0), ('u', 3, -1, 0), ('w', 1, -1, 0), ('z', 3, -1, 0), ('ś', 3, -1, 0)), (('a', -1, 1402, 0), ('c', 0, 277, 0), ('d', 0, -1, 0), ('e', 79, -1, 0), ('h', 28, -1, 0), ('i', -1, 1403, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 1854, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 22, -1, 0), ('r', 0, -1, 0), ('s', 22, -1, 0), ('t', 0, -1, 0), ('u', 79, -1, 0), ('w', 41, 387, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 815, 0), ('b', 6, -1, 0), ('c', 22, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('i', -1, 828, 0), ('j', 55, 1326, 0), ('l', 12, -1, 0), ('m', 22, -1, 0), ('n', 164, 675, 0), ('o', -1, 1089, 0), ('p', 317, -1, 0), ('r', 87, -1, 0), ('s', 16, -1, 0), ('t', 6, -1, 0), ('u', 392, -1, 0), ('w', 255, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ó', 21, -1, 0), ('ż', 2, -1, 0)), (('a', 21, -1, 0), ('b', 3, 1404, 0), ('c', -1, 4519, 0), ('d', 106, -1, 0), ('e', -1, 994, 0), ('g', 55, -1, 0), ('i', 21, -1, 0), ('k', -1, 4204, 0), ('l', 7, -1, 0), ('m', 12, -1, 0), ('o', 21, -1, 0), ('p', 0, -1, 0), ('r', -1, 638, 0), ('s', 106, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 41, -1, 0), ('y', 21, -1, 0), ('z', 0, 129, 0), ('ł', 0, -1, 0)), (('a', 3, -1, 0), ('d', 7, -1, 0), ('e', -1, 351, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 7, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 1405, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 143, 0), ('e', 255, -1, 0), ('i', 255, -1, 0), ('l', 3, -1, 0), ('n', 146, -1, 0), ('o', 3, -1, 0), ('r', -1, 1406, 0), ('s', 255, -1, 0), ('w', 3, -1, 0), ('y', -1, 1641, 0)), (('a', 1, -1, 0), ('b', 3, 807, 0), ('d', 3, -1, 0), ('e', -1, 84, 0), ('g', 21, -1, 0), ('i', 41, -1, 0), ('l', -1, 1407, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 7, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('u', 7, -1, 0), ('w', 3, -1, 0), ('y', 0, -1, 0), ('z', 22, -1, 0)), (('a', 21, -1, 0), ('b', 3, -1, 0), ('c', 27, -1, 0), ('d', 178, -1, 0), ('e', 21, -1, 0), ('f', 27, -1, 0), ('g', -1, 313, 0), ('h', 21, -1, 0), ('i', -1, 1196, 0), ('j', 137, -1, 0), ('k', -1, 313, 0), ('l', 86, -1, 0), ('m', -1, 1408, 0), ('n', 108, -1, 0), ('o', 209, -1, 0), ('p', -1, 3810, 0), ('r', -1, 382, 0), ('s', 1, -1, 0), ('t', 105, -1, 0), ('u', 29, -1, 0), ('w', -1, 14, 0), ('y', -1, 2821, 0), ('z', 86, -1, 0), ('ł', -1, 717, 0)), (('a', -1, 467, 0), ('b', 188, -1, 0), ('d', 1, -1, 0), ('e', 188, -1, 0), ('g', 3, -1, 0), ('i', 6, -1, 0), ('k', -1, 129, 0), ('l', 3, -1, 0), ('m', 1, -1, 0), ('n', 3, -1, 0), ('o', 188, -1, 0), ('p', -1, 1409, 0), ('r', 66, -1, 0), ('s', 6, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 54, -1, 0), ('ł', 66, -1, 0), ('ż', -1, 1997, 0)), (('a', 1, -1, 0), ('b', 2, -1, 0), ('d', 1, -1, 0), ('e', -1, 1119, 0), ('i', 21, -1, 0), ('k', 3, -1, 0), ('l', -1, 629, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 1, -1, 0), ('p', -1, 1410, 0), ('r', -1, 111, 0), ('s', -1, 355, 0), ('t', 28, -1, 0), ('u', 304, -1, 0), ('w', 2, -1, 0), ('y', 1, -1, 0), ('z', -1, 212, 0)), (('a', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 1411, 0), ('i', 2, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('o', 2, 529, 0), ('r', -1, 1913, 0), ('s', 2, 23, 0), ('u', 3, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ę', 2, -1, 0)), (('a', 29, -1, 0), ('b', 7, -1, 0), ('c', -1, 1412, 0), ('d', 16, -1, 0), ('e', -1, 2701, 0), ('f', 2, -1, 0), ('g', 7, -1, 0), ('h', 3, -1, 0), ('i', 29, -1, 0), ('j', 2, -1, 0), ('k', 1, -1, 0), ('l', 63, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 29, -1, 0), ('p', -1, 3069, 0), ('r', 2, -1, 0), ('s', 63, -1, 0), ('t', -1, 1913, 0), ('u', 7, -1, 0), ('w', 28, -1, 0), ('y', 63, -1, 0), ('z', 63, -1, 0), ('ó', 212, -1, 0), ('ą', 29, -1, 0), ('ę', 28, -1, 0), ('ł', 3, -1, 0)), (('a', 71, -1, 0), ('d', 71, -1, 0), ('e', 0, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 1413, 0), ('j', 71, 1138, 0), ('k', 0, -1, 0), ('l', 2, -1, 0), ('m', 121, -1, 0), ('n', 3, -1, 0), ('o', 71, -1, 0), ('p', 3, -1, 0), ('r', 0, -1, 0), ('s', -1, 863, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('y', 2, -1, 0), ('z', 71, -1, 0), ('ł', 2, -1, 0), ('ż', 71, -1, 0)), (('a', -1, 704, 0), ('c', 71, -1, 0), ('d', 4, -1, 0), ('e', -1, 1414, 0), ('g', 71, -1, 0), ('i', -1, 1407, 0), ('m', 29, -1, 0), ('n', -1, 4433, 0), ('o', -1, 619, 0), ('p', 71, -1, 0), ('r', 108, -1, 0), ('s', 4, -1, 0), ('t', 0, -1, 0), ('u', -1, 2188, 0), ('w', 12, -1, 0), ('y', -1, 1655, 0), ('z', -1, 866, 0), ('ę', 29, -1, 0)), (('a', -1, 1415, 0), ('d', 29, -1, 0), ('e', -1, 100, 0), ('i', -1, 3233, 0), ('k', 234, -1, 0), ('n', 4, -1, 0), ('o', -1, 854, 0), ('p', 234, -1, 0), ('r', -1, 460, 0), ('s', 3, -1, 0), ('w', -1, 897, 0), ('y', -1, 779, 0), ('z', 29, -1, 0)), (('a', 27, -1, 0), ('c', -1, 101, 0), ('d', -1, 1416, 0), ('e', 27, -1, 0), ('i', 111, -1, 0), ('k', -1, 1420, 0), ('n', -1, 4408, 0), ('o', 27, -1, 0), ('p', -1, 1387, 0), ('r', 0, 310, 0), ('s', 30, -1, 0), ('t', -1, 350, 0), ('u', 178, -1, 0), ('w', -1, 174, 0), ('y', -1, 2517, 0), ('z', -1, 3254, 0), ('ż', -1, 1692, 0)), (('a', 21, -1, 0), ('b', 2, -1, 0), ('d', 105, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('o', 1, -1, 0), ('p', 13, -1, 0), ('r', -1, 355, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 6, -1, 0), ('w', 1, -1, 0), ('y', -1, 1417, 0), ('z', -1, 682, 0), ('ł', 105, 398, 0)), (('a', 4, -1, 0), ('b', 1, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 1, 188, 0), ('l', 4, -1, 0), ('m', 2, -1, 0), ('o', 3, -1, 0), ('r', -1, 1418, 0), ('s', 4, -1, 0), ('t', 1, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', 25, -1, 0), ('b', 24, -1, 0), ('c', 0, 1419, 0), ('d', -1, 569, 0), ('e', 6, -1, 0), ('f', 24, -1, 0), ('g', 4, -1, 0), ('h', 388, -1, 0), ('i', -1, 1269, 0), ('k', 24, -1, 0), ('l', 24, -1, 0), ('m', 24, -1, 0), ('n', 24, -1, 0), ('o', 6, -1, 0), ('p', 1, -1, 0), ('r', 25, -1, 0), ('s', 28, -1, 0), ('t', -1, 147, 0), ('u', 6, 490, 0), ('w', -1, 239, 0), ('y', 6, -1, 0), ('z', -1, 96, 0), ('ł', 6, -1, 0)), (('a', -1, 1332, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 7, -1, 0), ('e', 42, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1270, 0), ('k', 22, -1, 0), ('l', 0, -1, 0), ('m', -1, 1102, 0), ('n', 0, -1, 0), ('o', -1, 98, 0), ('p', 0, -1, 0), ('r', 63, -1, 0), ('s', 269, -1, 0), ('t', 3, -1, 0), ('u', 7, -1, 0), ('w', 0, -1, 0), ('y', -1, 147, 0), ('z', -1, 717, 0), ('ł', 63, -1, 0)), (('a', -1, 1337, 0), ('c', 79, -1, 0), ('d', 5, -1, 0), ('e', -1, 1421, 0), ('g', 79, -1, 0), ('i', 79, -1, 0), ('j', 79, -1, 0), ('k', 79, -1, 0), ('l', 79, -1, 0), ('n', 79, -1, 0), ('o', -1, 4477, 0), ('r', -1, 1843, 0), ('s', 79, -1, 0), ('t', 79, -1, 0), ('w', 0, -1, 0), ('y', 31, -1, 0), ('z', 79, -1, 0)), (('a', -1, 1422, 0), ('b', 41, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 3194, 0), ('g', 41, -1, 0), ('h', -1, 47, 0), ('i', -1, 1907, 0), ('k', -1, 2565, 0), ('l', 41, -1, 0), ('n', -1, 3692, 0), ('o', -1, 1959, 0), ('p', 2, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 85, -1, 0), ('y', 3, -1, 0), ('z', -1, 1220, 0)), (('a', -1, 1423, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('g', 22, -1, 0), ('i', -1, 2465, 0), ('k', 3, -1, 0), ('l', 22, 367, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 1382, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 1422, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 5, 3317, 0), ('y', 22, -1, 0), ('z', -1, 2462, 0), ('ł', 3, -1, 0)), (('a', -1, 558, 0), ('b', -1, 285, 0), ('d', 3, -1, 0), ('e', -1, 299, 0), ('i', -1, 1424, 0), ('j', 3, -1, 0), ('k', 7, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 1981, 0), ('p', -1, 2586, 0), ('r', 57, -1, 0), ('s', 7, -1, 0), ('t', 3, -1, 0), ('w', 44, -1, 0), ('z', -1, 2373, 0)), (('a', -1, 354, 0), ('b', 0, -1, 0), ('c', -1, 1425, 0), ('d', 6, -1, 0), ('e', 0, -1, 0), ('g', -1, 708, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 354, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 6, -1, 0), ('u', 0, -1, 0), ('w', -1, 2897, 0), ('y', 0, -1, 0), ('z', 119, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 799, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('e', -1, 304, 0), ('f', 3, -1, 0), ('i', 0, -1, 0), ('j', 21, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 1426, 0), ('p', 3, -1, 0), ('r', 44, 46, 0), ('s', -1, 3997, 0), ('t', 3, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 3, -1, 0), ('ś', 0, -1, 0)), (('a', 10, -1, 0), ('d', 0, -1, 0), ('e', 10, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 11, -1, 0), ('r', 0, -1, 0), ('t', 21, -1, 0), ('w', -1, 1427, 0), ('y', 0, -1, 0), ('z', -1, 3958, 0), ('ó', 10, -1, 0), ('ę', 11, -1, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('b', 0, 277, 0), ('c', 0, -1, 0), ('e', -1, 1428, 0), ('f', 41, -1, 0), ('i', -1, 1219, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 2033, 0), ('m', 41, -1, 0), ('n', -1, 215, 0), ('o', 1, -1, 0), ('p', -1, 793, 0), ('r', -1, 2238, 0), ('s', -1, 53, 0), ('t', 0, -1, 0), ('w', 41, -1, 0), ('y', 1, -1, 0), ('z', 0, 727, 0), ('ó', 1, -1, 0)), (('a', -1, 100, 0), ('b', 26, -1, 0), ('c', 1, -1, 0), ('d', 26, -1, 0), ('e', -1, 1395, 0), ('i', 63, -1, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('m', 183, -1, 0), ('o', 140, -1, 0), ('p', -1, 395, 0), ('r', 79, -1, 0), ('s', 28, -1, 0), ('t', 79, -1, 0), ('u', -1, 102, 0), ('w', -1, 1429, 0), ('y', -1, 1677, 0), ('z', 55, 59, 0)), (('a', -1, 1430, 0), ('b', -1, 4362, 0), ('d', 3, -1, 0), ('e', -1, 1011, 0), ('f', -1, 1522, 0), ('g', 3, -1, 0), ('h', 22, -1, 0), ('i', -1, 3934, 0), ('j', 3, -1, 0), ('k', -1, 216, 0), ('m', -1, 2681, 0), ('n', 22, -1, 0), ('o', -1, 2038, 0), ('p', -1, 197, 0), ('r', 22, -1, 0), ('s', 3, -1, 0), ('t', -1, 1617, 0), ('u', 3, -1, 0), ('w', 3, 437, 0), ('z', 52, 3275, 0)), (('a', 63, -1, 0), ('d', -1, 1431, 0), ('e', -1, 296, 0), ('i', 5, -1, 0), ('l', 63, -1, 0), ('m', 0, -1, 0), ('o', 63, -1, 0), ('p', -1, 2235, 0), ('r', 63, -1, 0), ('s', 5, -1, 0), ('t', 28, 1289, 0), ('u', 195, -1, 0), ('w', 28, -1, 0), ('y', 63, -1, 0), ('z', -1, 4203, 0), ('ą', 63, -1, 0), ('ę', -1, 1091, 0), ('ł', 63, -1, 0), ('ż', -1, 4482, 0)), (('a', -1, 1240, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 1432, 0), ('i', 28, -1, 0), ('k', 1, -1, 0), ('l', 4, -1, 0), ('m', 4, -1, 0), ('o', 28, -1, 0), ('p', 41, -1, 0), ('r', -1, 2797, 0), ('t', 1, 113, 0), ('u', 28, -1, 0), ('w', 0, -1, 0), ('z', 4, -1, 0), ('ó', 28, -1, 0)), (('a', -1, 1433, 0), ('b', 41, -1, 0), ('c', 28, -1, 0), ('d', 0, -1, 0), ('e', 41, -1, 0), ('g', 0, -1, 0), ('i', 41, -1, 0), ('k', 28, -1, 0), ('m', 0, -1, 0), ('n', 28, -1, 0), ('o', 41, -1, 0), ('p', 0, -1, 0), ('r', -1, 1014, 0), ('s', 0, -1, 0), ('t', 28, -1, 0), ('u', 0, -1, 0), ('w', 73, -1, 0), ('y', 0, -1, 0), ('z', 2, -1, 0)), (('a', -1, 204, 0), ('b', 56, -1, 0), ('d', -1, 355, 0), ('e', -1, 510, 0), ('i', 41, -1, 0), ('m', 56, -1, 0), ('n', 41, -1, 0), ('o', -1, 1434, 0), ('p', 12, -1, 0), ('r', 30, -1, 0), ('s', 0, -1, 0), ('t', 22, 257, 0), ('u', -1, 569, 0), ('w', 56, -1, 0), ('y', -1, 1591, 0), ('z', 3, -1, 0), ('ł', 0, -1, 0)), (('a', 71, -1, 0), ('c', 21, 1435, 0), ('d', 0, 44, 0), ('e', -1, 1436, 0), ('f', 0, -1, 0), ('h', 41, -1, 0), ('i', 71, -1, 0), ('k', 0, -1, 0), ('l', 71, -1, 0), ('m', -1, 4410, 0), ('n', 166, -1, 0), ('o', 41, -1, 0), ('p', -1, 312, 0), ('r', 71, -1, 0), ('s', -1, 1962, 0), ('t', -1, 2008, 0), ('u', 71, -1, 0), ('w', -1, 558, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ą', 71, -1, 0), ('ę', -1, 1250, 0), ('ś', 0, -1, 0)), (('a', 69, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', 2, -1, 0), ('i', -1, 685, 0), ('k', 1, 957, 0), ('l', 21, 135, 0), ('m', 21, -1, 0), ('n', -1, 97, 0), ('o', 69, -1, 0), ('p', 37, -1, 0), ('r', 21, -1, 0), ('s', 6, -1, 0), ('t', 12, -1, 0), ('u', 69, -1, 0), ('w', 21, -1, 0), ('y', 111, -1, 0), ('z', -1, 310, 0), ('ć', 21, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 965, 0), ('c', 2, -1, 0), ('d', -1, 1437, 0), ('e', 175, -1, 0), ('f', 3, -1, 0), ('i', -1, 133, 0), ('k', 22, -1, 0), ('l', -1, 380, 0), ('m', 24, -1, 0), ('n', 2, -1, 0), ('o', -1, 2091, 0), ('p', -1, 1312, 0), ('r', 24, -1, 0), ('s', -1, 905, 0), ('t', 3, -1, 0), ('u', -1, 2374, 0), ('w', -1, 827, 0), ('y', -1, 1076, 0), ('z', 126, -1, 0), ('ę', -1, 20, 0), ('ł', 24, -1, 0), ('ż', 71, -1, 0)), (('a', -1, 118, 0), ('b', 33, -1, 0), ('c', 33, -1, 0), ('d', -1, 1438, 0), ('e', -1, 614, 0), ('g', 21, -1, 0), ('i', 33, -1, 0), ('j', -1, 2890, 0), ('k', -1, 1925, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('o', -1, 2102, 0), ('p', 21, -1, 0), ('r', -1, 3268, 0), ('s', 21, -1, 0), ('t', -1, 2096, 0), ('w', -1, 1636, 0), ('z', -1, 615, 0), ('ł', 33, -1, 0), ('ż', -1, 2324, 0)), (('a', 33, -1, 0), ('c', 21, -1, 0), ('d', 40, -1, 0), ('e', 85, -1, 0), ('g', 335, -1, 0), ('i', 21, -1, 0), ('l', 335, -1, 0), ('m', 1, -1, 0), ('n', 335, -1, 0), ('o', 33, -1, 0), ('p', 1, -1, 0), ('r', 335, -1, 0), ('s', -1, 1439, 0), ('t', 335, -1, 0), ('w', 1, -1, 0), ('z', 21, -1, 0), ('ł', 33, -1, 0), ('ś', 185, -1, 0)), (('a', 34, -1, 0), ('b', 72, -1, 0), ('d', 72, -1, 0), ('e', 21, -1, 0), ('f', 55, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 592, 0), ('p', 21, -1, 0), ('r', -1, 1440, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 72, -1, 0), ('y', 34, -1, 0), ('z', 21, -1, 0), ('ś', 72, -1, 0)), (('a', -1, 74, 0), ('b', 2, -1, 0), ('e', 21, -1, 0), ('i', -1, 939, 0), ('k', 2, -1, 0), ('n', 3, 1441, 0), ('o', 55, -1, 0), ('p', 2, -1, 0), ('r', 6, -1, 0), ('s', 2, -1, 0), ('t', -1, 2852, 0), ('u', 6, -1, 0), ('w', 3, -1, 0), ('z', 2, -1, 0), ('ę', -1, 1029, 0)), (('a', 95, -1, 0), ('c', 4, 1442, 0), ('d', 95, -1, 0), ('e', 44, -1, 0), ('g', 5, -1, 0), ('h', 39, -1, 0), ('i', -1, 2124, 0), ('l', 3, -1, 0), ('o', 5, -1, 0), ('p', 135, -1, 0), ('r', -1, 1877, 0), ('s', 206, -1, 0), ('y', 95, -1, 0), ('z', 95, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 664, 0), ('b', 1, -1, 0), ('e', -1, 1443, 0), ('i', 1, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 206, -1, 0), ('r', -1, 3272, 0), ('s', 4, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 1444, 0), ('b', 1, -1, 0), ('e', -1, 1075, 0), ('i', 206, -1, 0), ('k', 4, -1, 0), ('l', 72, -1, 0), ('n', 0, -1, 0), ('o', -1, 1832, 0), ('r', 72, -1, 0), ('s', -1, 4251, 0), ('t', 2, -1, 0), ('y', 3, -1, 0), ('z', 4, -1, 0)), (('a', 7, -1, 0), ('b', 3, -1, 0), ('c', 59, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 1445, 0), ('l', 59, -1, 0), ('o', 7, 2870, 0), ('r', 121, -1, 0), ('s', 7, -1, 0), ('t', 121, -1, 0), ('u', 3, -1, 0), ('y', 7, -1, 0), ('z', 57, -1, 0)), (('a', -1, 1446, 0), ('e', 73, -1, 0), ('i', 62, -1, 0), ('o', -1, 898, 0), ('r', 73, -1, 0), ('s', 28, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 157, -1, 0), ('ą', 223, -1, 0), ('ę', 73, -1, 0)), (('a', -1, 288, 0), ('d', 3, -1, 0), ('e', -1, 1433, 0), ('g', -1, 1447, 0), ('i', -1, 1325, 0), ('k', 30, -1, 0), ('o', -1, 1867, 0), ('p', 73, 2380, 0), ('r', 223, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 30, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1430, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('m', 5, -1, 0), ('n', -1, 1448, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 3, 3665, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', -1, 209, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 30, -1, 0), ('ł', 30, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0)), (('a', 5, -1, 0), ('b', -1, 1449, 0), ('d', 2, -1, 0), ('e', 30, -1, 0), ('g', 2, -1, 0), ('h', 28, -1, 0), ('i', -1, 691, 0), ('k', 2, -1, 0), ('m', 28, 637, 0), ('n', -1, 751, 0), ('o', -1, 1683, 0), ('p', -1, 4292, 0), ('r', -1, 3344, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 7, -1, 0), ('z', 2, -1, 0)), (('a', 5, -1, 0), ('c', -1, 472, 0), ('d', -1, 1403, 0), ('e', 106, -1, 0), ('i', -1, 1450, 0), ('k', 117, -1, 0), ('l', 96, 3184, 0), ('m', 117, -1, 0), ('o', -1, 1131, 0), ('p', 117, -1, 0), ('r', 28, -1, 0), ('s', -1, 722, 0), ('t', 2, -1, 0), ('u', 106, -1, 0), ('w', 106, -1, 0), ('y', 106, -1, 0), ('z', 106, -1, 0), ('ł', 28, -1, 0)), (('a', 9, -1, 0), ('b', 101, -1, 0), ('d', 101, -1, 0), ('e', -1, 128, 0), ('i', -1, 311, 0), ('k', 3, -1, 0), ('l', 0, 238, 0), ('m', -1, 547, 0), ('n', -1, 936, 0), ('o', -1, 155, 0), ('p', 101, -1, 0), ('r', -1, 1451, 0), ('s', 101, -1, 0), ('t', 1, -1, 0), ('u', 101, -1, 0), ('w', 6, -1, 0), ('y', 21, -1, 0), ('z', 101, -1, 0)), (('a', -1, 1452, 0), ('b', -1, 646, 0), ('c', 5, 964, 0), ('d', -1, 1453, 0), ('e', -1, 2023, 0), ('g', -1, 2579, 0), ('h', -1, 1929, 0), ('i', 68, -1, 0), ('j', 5, -1, 0), ('k', -1, 2061, 0), ('l', -1, 1179, 0), ('m', -1, 2821, 0), ('n', 0, -1, 0), ('o', 6, -1, 0), ('p', -1, 646, 0), ('r', -1, 964, 0), ('s', 57, -1, 0), ('t', -1, 1754, 0), ('u', 330, -1, 0), ('w', 5, -1, 0), ('y', 131, -1, 0), ('z', -1, 1961, 0), ('ł', 5, -1, 0), ('ś', -1, 1960, 0), ('ź', -1, 4004, 0), ('ż', -1, 4004, 0)), (('a', 71, -1, 0), ('c', 27, -1, 0), ('d', 0, 164, 0), ('e', 71, -1, 0), ('f', 6, -1, 0), ('i', 71, -1, 0), ('k', -1, 879, 0), ('l', 33, -1, 0), ('m', 28, -1, 0), ('n', 21, -1, 0), ('o', 71, -1, 0), ('p', 6, -1, 0), ('r', -1, 675, 0), ('s', 178, -1, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('w', 6, 15, 0), ('y', 71, -1, 0), ('z', 28, 259, 0), ('ą', 71, -1, 0), ('ę', 71, -1, 0), ('ł', 71, -1, 0)), (('a', -1, 1188, 0), ('d', 34, -1, 0), ('e', 71, -1, 0), ('g', 279, -1, 0), ('i', -1, 395, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', 5, -1, 0), ('p', 5, 823, 0), ('r', 71, -1, 0), ('s', -1, 1454, 0), ('t', -1, 2864, 0), ('u', -1, 402, 0), ('w', 2, -1, 0), ('y', 71, -1, 0), ('z', -1, 382, 0), ('ę', 71, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 1261, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1455, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 3072, 0), ('m', 0, -1, 0), ('n', -1, 2085, 0), ('o', -1, 857, 0), ('p', 0, -1, 0), ('r', -1, 2457, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 216, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1456, 0), ('d', 3, -1, 0), ('e', -1, 1794, 0), ('g', 157, -1, 0), ('i', -1, 74, 0), ('k', 29, -1, 0), ('l', 157, -1, 0), ('n', 3, -1, 0), ('o', -1, 147, 0), ('p', 121, -1, 0), ('r', -1, 3958, 0), ('s', 121, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 2621, 0)), (('a', 28, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', -1, 1457, 0), ('i', -1, 844, 0), ('k', 4, -1, 0), ('l', -1, 4249, 0), ('m', -1, 147, 0), ('n', -1, 749, 0), ('o', 4, -1, 0), ('p', -1, 1721, 0), ('r', 21, -1, 0), ('s', -1, 1060, 0), ('t', 1, 10, 0), ('u', 4, -1, 0), ('w', -1, 612, 0), ('y', 6, -1, 0), ('z', -1, 310, 0), ('ł', 6, -1, 0)), (('a', 28, -1, 0), ('c', 6, -1, 0), ('d', 5, -1, 0), ('e', -1, 187, 0), ('f', 1, -1, 0), ('g', 6, -1, 0), ('i', 28, -1, 0), ('k', 15, -1, 0), ('l', -1, 1458, 0), ('m', -1, 1310, 0), ('n', 95, -1, 0), ('o', 5, -1, 0), ('p', 6, -1, 0), ('r', -1, 848, 0), ('s', 95, -1, 0), ('t', 108, -1, 0), ('u', 28, -1, 0), ('w', 5, -1, 0), ('y', 51, -1, 0), ('z', 6, -1, 0), ('ę', -1, 1607, 0), ('ł', 21, -1, 0), ('ś', 0, 779, 0)), (('a', 224, -1, 0), ('b', 1, 612, 0), ('c', -1, 345, 0), ('d', 6, -1, 0), ('e', -1, 380, 0), ('g', 95, -1, 0), ('i', -1, 167, 0), ('j', -1, 498, 0), ('k', 6, -1, 0), ('l', -1, 1069, 0), ('m', 95, 42, 0), ('n', 6, -1, 0), ('o', 58, -1, 0), ('p', 12, -1, 0), ('r', -1, 799, 0), ('s', 0, -1, 0), ('t', -1, 205, 0), ('u', 12, -1, 0), ('w', -1, 1246, 0), ('y', 12, -1, 0), ('z', -1, 1459, 0), ('ę', -1, 314, 0), ('ł', -1, 286, 0), ('ś', 6, -1, 0), ('ż', -1, 786, 0)), (('a', 17, -1, 0), ('b', 110, -1, 0), ('c', -1, 1460, 0), ('d', -1, 1093, 0), ('e', 17, -1, 0), ('f', 22, -1, 0), ('g', 185, -1, 0), ('h', 22, -1, 0), ('i', 185, -1, 0), ('j', 41, -1, 0), ('k', 3, -1, 0), ('l', -1, 1346, 0), ('m', -1, 1461, 0), ('n', -1, 1386, 0), ('o', 6, -1, 0), ('p', 3, -1, 0), ('r', -1, 458, 0), ('s', -1, 5, 0), ('t', 110, -1, 0), ('u', 3, -1, 0), ('w', 110, -1, 0), ('y', 6, -1, 0), ('z', 17, -1, 0), ('ł', 2, 556, 0), ('ś', -1, 396, 0)), (('a', -1, 405, 0), ('b', -1, 285, 0), ('c', 12, -1, 0), ('d', 109, -1, 0), ('e', -1, 627, 0), ('g', -1, 860, 0), ('i', -1, 523, 0), ('j', 109, -1, 0), ('k', 95, -1, 0), ('l', -1, 462, 0), ('m', 209, -1, 0), ('n', -1, 859, 0), ('o', -1, 668, 0), ('p', 109, -1, 0), ('r', -1, 787, 0), ('s', 86, -1, 0), ('t', 6, -1, 0), ('u', -1, 627, 0), ('w', -1, 1097, 0), ('y', -1, 62, 0), ('z', -1, 576, 0), ('ó', 109, -1, 0), ('ą', -1, 223, 0), ('ę', -1, 209, 0), ('ł', 12, -1, 0), ('ń', 109, -1, 0)), (('a', -1, 478, 0), ('b', 96, -1, 0), ('c', -1, 1226, 0), ('d', 244, -1, 0), ('e', 87, -1, 0), ('g', 17, -1, 0), ('i', -1, 1047, 0), ('k', 17, -1, 0), ('l', 12, 169, 0), ('m', 96, -1, 0), ('n', -1, 1462, 0), ('o', 244, -1, 0), ('p', 110, -1, 0), ('r', -1, 101, 0), ('s', 348, -1, 0), ('t', 124, -1, 0), ('u', 0, -1, 0), ('w', 96, -1, 0), ('y', 110, -1, 0), ('z', -1, 95, 0), ('ó', 87, -1, 0), ('ę', 21, -1, 0), ('ł', 61, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 311, 0), ('d', -1, 355, 0), ('e', -1, 329, 0), ('g', -1, 284, 0), ('i', 0, 729, 0), ('k', 3, -1, 0), ('l', 66, -1, 0), ('m', -1, 999, 0), ('o', 448, -1, 0), ('p', -1, 443, 0), ('r', -1, 725, 0), ('s', -1, 1463, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('w', 0, 164, 0), ('y', -1, 2016, 0), ('z', 0, 164, 0), ('ę', -1, 130, 0), ('ł', -1, 296, 0)), (('a', -1, 1042, 0), ('b', -1, 150, 0), ('c', 13, 624, 0), ('d', 0, 175, 0), ('e', 21, -1, 0), ('f', 28, -1, 0), ('i', -1, 85, 0), ('k', -1, 97, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 96, 0), ('p', 28, -1, 0), ('r', -1, 521, 0), ('s', -1, 1211, 0), ('t', 21, -1, 0), ('u', -1, 1464, 0), ('w', -1, 1463, 0), ('y', 21, -1, 0), ('z', -1, 1452, 0), ('ż', 0, 175, 0)), (('a', -1, 765, 0), ('b', 21, 1375, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('i', -1, 1093, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 95, 1465, 0), ('o', 6, -1, 0), ('p', -1, 548, 0), ('r', 1, -1, 0), ('s', -1, 1551, 0), ('t', 6, -1, 0), ('u', -1, 949, 0), ('w', 1, -1, 0), ('y', 6, -1, 0), ('z', -1, 734, 0), ('ą', -1, 355, 0), ('ć', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 95, -1, 0), ('e', -1, 1466, 0), ('i', -1, 4312, 0), ('j', 0, 2692, 0), ('k', 41, -1, 0), ('l', 41, 793, 0), ('m', 41, -1, 0), ('n', 41, -1, 0), ('o', 12, -1, 0), ('p', 0, 35, 0), ('r', 0, 2946, 0), ('s', 41, -1, 0), ('w', 0, -1, 0), ('y', 12, -1, 0), ('z', 0, 222, 0), ('ł', 0, -1, 0), ('ż', 41, -1, 0)), (('a', -1, 1467, 0), ('e', -1, 1469, 0), ('g', 3, -1, 0), ('i', -1, 1084, 0), ('j', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('o', 3, 1803, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 3, -1, 0)), (('a', -1, 16, 0), ('c', 5, -1, 0), ('d', 1, -1, 0), ('e', 22, -1, 0), ('i', 63, -1, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 522, 0), ('p', -1, 1468, 0), ('r', 22, -1, 0), ('s', 5, -1, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 5, -1, 0), ('y', 22, -1, 0), ('z', 5, -1, 0), ('ę', -1, 1046, 0), ('ł', 5, -1, 0)), (('a', -1, 223, 0), ('b', -1, 429, 0), ('c', 0, 21, 0), ('d', 12, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 12, -1, 0), ('k', 5, -1, 0), ('l', 62, -1, 0), ('m', 12, -1, 0), ('n', -1, 386, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 12, -1, 0), ('t', -1, 185, 0), ('u', 5, -1, 0), ('w', -1, 1070, 0), ('y', 5, -1, 0), ('z', 321, -1, 0), ('ł', 5, -1, 0), ('ś', 55, 779, 0), ('ż', 55, -1, 0)), (('a', 90, -1, 0), ('b', 34, -1, 0), ('d', -1, 1470, 0), ('e', 90, -1, 0), ('i', -1, 343, 0), ('n', 34, -1, 0), ('o', 22, 621, 0), ('r', 34, -1, 0), ('t', -1, 3675, 0), ('u', 34, -1, 0), ('y', 34, -1, 0), ('z', 34, -1, 0), ('ł', 34, -1, 0)), (('a', -1, 514, 0), ('b', -1, 1471, 0), ('e', -1, 3214, 0), ('i', -1, 616, 0), ('l', 22, -1, 0), ('o', -1, 1252, 0), ('p', 1, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('y', 102, -1, 0)), (('a', 3, -1, 0), ('e', 22, -1, 0), ('i', -1, 1472, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', -1, 1248, 0), ('r', 3, -1, 0), ('u', -1, 2465, 0), ('y', 22, -1, 0), ('z', 40, -1, 0)), (('a', 5, -1, 0), ('b', 1, -1, 0), ('c', -1, 692, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 22, -1, 0), ('g', -1, 381, 0), ('i', 142, -1, 0), ('k', 28, -1, 0), ('l', 21, -1, 0), ('m', 74, -1, 0), ('n', 28, -1, 0), ('o', 5, -1, 0), ('p', 193, -1, 0), ('r', 62, -1, 0), ('s', 193, -1, 0), ('t', 21, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 184, 0), ('ą', -1, 1473, 0), ('ł', 4, -1, 0), ('ś', 57, 222, 0), ('ż', 5, -1, 0)), (('a', -1, 1474, 0), ('b', 5, -1, 0), ('e', -1, 2725, 0), ('h', 5, -1, 0), ('i', -1, 236, 0), ('k', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 3122, 0), ('r', -1, 2565, 0), ('t', 5, -1, 0), ('z', -1, 4386, 0)), (('a', 4, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 1475, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 963, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 121, 637, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 963, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 2, -1, 0)), (('a', -1, 1476, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 157, -1, 0), ('e', 7, -1, 0), ('g', 1, -1, 0), ('i', 157, -1, 0), ('j', 28, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 793, 0), ('n', 3, 2587, 0), ('o', 464, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 1304, 0), ('w', 1, -1, 0), ('y', -1, 2888, 0), ('z', 1, -1, 0)), (('a', 6, -1, 0), ('b', 7, -1, 0), ('d', 306, -1, 0), ('e', -1, 64, 0), ('i', -1, 594, 0), ('j', 1, -1, 0), ('k', -1, 1477, 0), ('m', 306, -1, 0), ('o', 1, -1, 0), ('p', -1, 3534, 0), ('r', 6, -1, 0), ('s', -1, 208, 0), ('t', 306, 4518, 0), ('u', -1, 1673, 0), ('w', 306, -1, 0), ('z', -1, 3976, 0), ('ż', 99, -1, 0)), (('a', 65, -1, 0), ('b', 3, -1, 0), ('e', 65, -1, 0), ('f', 3, -1, 0), ('i', -1, 1011, 0), ('k', 65, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 100, 1478, 0), ('r', -1, 2857, 0), ('s', 454, 197, 0), ('t', 262, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 6, -1, 0), ('b', 27, -1, 0), ('d', 57, -1, 0), ('e', -1, 499, 0), ('i', 257, -1, 0), ('k', 27, -1, 0), ('l', 178, -1, 0), ('m', 27, -1, 0), ('n', 6, -1, 0), ('o', -1, 1479, 0), ('p', 1, 1660, 0), ('r', 27, -1, 0), ('s', 0, -1, 0), ('t', 22, 1133, 0), ('u', 22, -1, 0), ('w', 7, -1, 0), ('y', 8, -1, 0), ('z', 52, -1, 0)), (('a', -1, 870, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 950, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 91, 0), ('j', 6, -1, 0), ('k', 12, 1480, 0), ('l', -1, 2437, 0), ('m', -1, 516, 0), ('n', 6, -1, 0), ('o', 242, -1, 0), ('p', 6, -1, 0), ('r', -1, 2186, 0), ('s', 208, -1, 0), ('t', 6, -1, 0), ('u', 28, -1, 0), ('w', -1, 2114, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 1219, 0), ('ź', -1, 516, 0), ('ż', 6, -1, 0)), (('a', 12, -1, 0), ('e', -1, 1481, 0), ('i', -1, 1482, 0), ('l', 3, -1, 0), ('o', 12, -1, 0), ('p', 108, -1, 0), ('r', -1, 139, 0), ('s', 1, -1, 0), ('u', -1, 433, 0), ('w', 328, -1, 0), ('y', 12, -1, 0), ('z', 108, -1, 0)), (('a', 28, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 230, 0), ('k', 28, -1, 0), ('m', 2, -1, 0), ('o', -1, 581, 0), ('p', 131, -1, 0), ('r', 30, 155, 0), ('s', 2, -1, 0), ('t', -1, 121, 0), ('u', -1, 675, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 13, -1, 0), ('ó', 28, -1, 0)), (('a', 0, -1, 0), ('c', 21, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 0, -1, 0), ('k', -1, 1483, 0), ('l', 12, 920, 0), ('m', -1, 3255, 0), ('n', 6, -1, 0), ('o', -1, 2247, 0), ('p', -1, 638, 0), ('r', 21, -1, 0), ('s', -1, 952, 0), ('t', -1, 103, 0), ('u', 0, -1, 0), ('w', 6, -1, 0), ('y', 0, -1, 0), ('z', -1, 959, 0), ('ż', -1, 3002, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 275, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('u', -1, 1484, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0)), (('a', -1, 1485, 0), ('c', 6, -1, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('i', 6, -1, 0), ('k', 4, -1, 0), ('m', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 155, 0), ('ó', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 1125, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', 41, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 95, -1, 0), ('o', 226, 199, 0), ('p', 1, -1, 0), ('r', 6, -1, 0), ('s', 31, -1, 0), ('t', -1, 1486, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 310, 0), ('b', -1, 313, 0), ('c', 2, -1, 0), ('d', 3, -1, 0), ('e', -1, 1487, 0), ('g', 1, -1, 0), ('i', -1, 3310, 0), ('k', 11, -1, 0), ('l', 1, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 345, 0), ('p', 56, -1, 0), ('r', -1, 2465, 0), ('s', 6, 3097, 0), ('t', 3, -1, 0), ('w', 11, -1, 0), ('y', -1, 173, 0), ('z', 21, -1, 0)), (('a', -1, 1488, 0), ('b', 21, 15, 0), ('c', 52, -1, 0), ('d', 21, 62, 0), ('e', -1, 848, 0), ('g', 21, -1, 0), ('i', 110, -1, 0), ('j', 110, -1, 0), ('k', 0, 1435, 0), ('l', 12, -1, 0), ('m', 17, -1, 0), ('n', -1, 743, 0), ('o', 12, -1, 0), ('p', -1, 199, 0), ('r', 110, -1, 0), ('s', 110, -1, 0), ('t', 21, 675, 0), ('u', 21, -1, 0), ('w', 191, -1, 0), ('y', 93, -1, 0), ('z', 191, -1, 0), ('ł', 110, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', -1, 628, 0), ('d', 21, -1, 0), ('e', 12, -1, 0), ('g', 12, 1033, 0), ('h', 5, -1, 0), ('i', 0, -1, 0), ('j', -1, 223, 0), ('k', 0, 1489, 0), ('l', -1, 1231, 0), ('m', 12, -1, 0), ('n', 5, -1, 0), ('o', 12, 930, 0), ('p', 12, -1, 0), ('r', 96, -1, 0), ('s', 12, -1, 0), ('t', 0, -1, 0), ('u', -1, 523, 0), ('w', 96, -1, 0), ('y', 12, -1, 0), ('z', 86, -1, 0), ('ł', 12, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 786, 0), ('b', 7, -1, 0), ('c', 121, -1, 0), ('d', -1, 530, 0), ('e', 42, -1, 0), ('g', 2, -1, 0), ('i', -1, 345, 0), ('k', 2, 578, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', -1, 117, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 460, 0), ('s', 0, 164, 0), ('t', 2, -1, 0), ('u', -1, 780, 0), ('w', -1, 1490, 0), ('y', 0, -1, 0), ('z', -1, 717, 0), ('ą', 0, -1, 0)), (('a', -1, 583, 0), ('b', 9, -1, 0), ('c', 9, -1, 0), ('d', 9, -1, 0), ('e', 0, -1, 0), ('f', 9, -1, 0), ('g', 9, -1, 0), ('h', 9, -1, 0), ('i', -1, 1343, 0), ('j', 9, -1, 0), ('k', 9, -1, 0), ('l', -1, 1491, 0), ('m', 9, -1, 0), ('n', 9, -1, 0), ('o', -1, 705, 0), ('p', 9, -1, 0), ('r', 9, -1, 0), ('s', 9, -1, 0), ('t', 9, -1, 0), ('u', -1, 171, 0), ('w', 9, -1, 0), ('y', 5, -1, 0), ('z', -1, 3276, 0), ('ł', 9, -1, 0), ('ż', -1, 2386, 0)), (('a', -1, 1492, 0), ('d', -1, 3276, 0), ('e', -1, 733, 0), ('g', -1, 296, 0), ('h', 9, -1, 0), ('i', 9, -1, 0), ('k', 145, 3820, 0), ('m', -1, 853, 0), ('n', -1, 2132, 0), ('o', 9, 1558, 0), ('p', -1, 750, 0), ('r', 9, -1, 0), ('s', 12, -1, 0), ('t', -1, 483, 0), ('u', 9, -1, 0), ('w', -1, 2715, 0), ('y', 9, -1, 0), ('z', -1, 2386, 0), ('ś', -1, 789, 0), ('ź', 9, -1, 0)), (('a', -1, 737, 0), ('c', 101, -1, 0), ('d', 9, -1, 0), ('e', -1, 1493, 0), ('i', -1, 310, 0), ('k', 9, -1, 0), ('l', 0, 762, 0), ('m', 9, -1, 0), ('n', 9, -1, 0), ('o', -1, 1292, 0), ('p', 9, -1, 0), ('r', -1, 1332, 0), ('s', 9, -1, 0), ('t', 9, -1, 0), ('u', 5, -1, 0), ('w', 9, -1, 0), ('y', 6, -1, 0), ('z', 9, 978, 0), ('ł', 6, -1, 0)), (('a', -1, 866, 0), ('b', 12, -1, 0), ('c', -1, 1494, 0), ('d', 51, -1, 0), ('e', -1, 165, 0), ('g', 12, -1, 0), ('i', 0, -1, 0), ('k', 12, -1, 0), ('l', -1, 64, 0), ('m', 12, -1, 0), ('o', -1, 2480, 0), ('p', 196, -1, 0), ('r', -1, 933, 0), ('s', 196, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 12, -1, 0), ('y', 0, -1, 0), ('z', 6, -1, 0), ('ó', -1, 3898, 0), ('ż', 31, -1, 0)), (('a', 196, -1, 0), ('b', 64, -1, 0), ('d', 64, -1, 0), ('e', 185, -1, 0), ('i', -1, 484, 0), ('o', 196, -1, 0), ('p', 12, -1, 0), ('r', 0, -1, 0), ('s', -1, 1495, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', 196, -1, 0), ('z', 12, -1, 0), ('ś', 196, -1, 0)), (('a', 31, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('i', 79, -1, 0), ('m', 0, -1, 0), ('o', -1, 1496, 0), ('r', 0, -1, 0), ('w', 31, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0)), (('a', -1, 1497, 0), ('b', 3, -1, 0), ('c', -1, 779, 0), ('d', 31, -1, 0), ('e', 5, -1, 0), ('f', 12, -1, 0), ('h', 3, -1, 0), ('i', 5, -1, 0), ('k', 3, -1, 0), ('m', 12, -1, 0), ('n', 0, -1, 0), ('o', -1, 3341, 0), ('p', -1, 1260, 0), ('r', 5, -1, 0), ('t', 3, -1, 0), ('u', 5, -1, 0), ('w', 116, 1393, 0), ('y', 5, -1, 0), ('z', 5, -1, 0)), (('a', -1, 844, 0), ('c', -1, 1498, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 30, -1, 0), ('h', 1, -1, 0), ('i', 5, -1, 0), ('k', 3, -1, 0), ('m', -1, 3670, 0), ('n', -1, 689, 0), ('o', -1, 1757, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', -1, 2034, 0), ('y', -1, 1556, 0), ('z', 5, -1, 0), ('ą', -1, 1419, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 1, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('o', 55, 223, 0), ('p', 1, -1, 0), ('r', 5, -1, 0), ('s', 160, -1, 0), ('t', -1, 871, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 1499, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 196, 0), ('ń', 5, -1, 0)), (('a', -1, 358, 0), ('b', -1, 836, 0), ('c', -1, 1500, 0), ('d', 134, -1, 0), ('e', 0, -1, 0), ('f', -1, 299, 0), ('g', -1, 802, 0), ('h', 1, -1, 0), ('i', -1, 721, 0), ('k', 1, -1, 0), ('l', -1, 2462, 0), ('m', -1, 1507, 0), ('n', -1, 1512, 0), ('o', -1, 1270, 0), ('p', -1, 436, 0), ('r', -1, 14, 0), ('s', -1, 1761, 0), ('t', 21, -1, 0), ('u', 94, -1, 0), ('w', -1, 855, 0), ('y', 21, -1, 0), ('z', 0, -1, 0), ('ę', 40, -1, 0)), (('a', 28, -1, 0), ('d', 4, -1, 0), ('e', 28, -1, 0), ('g', 4, -1, 0), ('i', 28, -1, 0), ('m', 28, -1, 0), ('o', -1, 744, 0), ('r', -1, 1501, 0), ('t', 4, -1, 0), ('u', 4, 150, 0), ('z', 28, -1, 0), ('ł', 4, -1, 0)), (('-', 3, -1, 0), ('a', 0, -1, 0), ('b', -1, 1502, 0), ('c', -1, 2224, 0), ('d', -1, 1153, 0), ('e', 0, -1, 0), ('f', -1, 2312, 0), ('h', -1, 2625, 0), ('i', 403, -1, 0), ('k', 4, -1, 0), ('m', -1, 1121, 0), ('n', -1, 2516, 0), ('o', 356, -1, 0), ('p', -1, 581, 0), ('r', -1, 109, 0), ('s', -1, 2104, 0), ('t', 0, 535, 0), ('w', 0, 2188, 0), ('y', 1, -1, 0), ('z', -1, 1903, 0), ('ł', -1, 506, 0), ('ź', -1, 8, 0), ('ż', -1, 595, 0)), (('a', -1, 70, 0), ('d', 22, -1, 0), ('e', -1, 1503, 0), ('f', 3, -1, 0), ('i', -1, 72, 0), ('j', 21, -1, 0), ('k', 0, -1, 0), ('l', 21, -1, 0), ('m', -1, 338, 0), ('o', -1, 1507, 0), ('p', 3, -1, 0), ('r', 1, -1, 0), ('s', 224, -1, 0), ('t', -1, 2705, 0), ('u', -1, 1702, 0), ('w', 2, -1, 0), ('y', -1, 651, 0), ('z', 21, -1, 0), ('ć', 0, -1, 0), ('ę', -1, 1661, 0), ('ł', -1, 539, 0), ('ń', 21, -1, 0), ('ś', 21, -1, 0), ('ź', 21, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 783, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', 3, -1, 0), ('e', -1, 793, 0), ('g', 22, -1, 0), ('i', -1, 1504, 0), ('k', 3, -1, 0), ('l', -1, 367, 0), ('m', 21, -1, 0), ('n', -1, 1505, 0), ('o', -1, 63, 0), ('p', 70, -1, 0), ('r', 14, 301, 0), ('s', 335, -1, 0), ('t', 22, -1, 0), ('u', -1, 179, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ą', -1, 808, 0), ('ł', 55, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('c', -1, 218, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('h', 4, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', -1, 505, 0), ('n', 1, -1, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', 21, -1, 0), ('s', -1, 941, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 6, 140, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ó', -1, 675, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ś', 28, -1, 0)), (('a', -1, 980, 0), ('b', 5, -1, 0), ('c', 3, -1, 0), ('d', 106, -1, 0), ('e', -1, 315, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('i', 1, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', -1, 1506, 0), ('n', 5, -1, 0), ('o', 21, -1, 0), ('p', 55, 1127, 0), ('r', 5, -1, 0), ('s', 55, 239, 0), ('t', -1, 717, 0), ('u', 21, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', -1, 460, 0), ('ż', 5, -1, 0)), (('a', -1, 1235, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 22, -1, 0), ('e', -1, 635, 0), ('f', 22, -1, 0), ('g', 3, -1, 0), ('i', 5, 136, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('n', 85, -1, 0), ('o', -1, 1024, 0), ('p', 3, -1, 0), ('r', -1, 1422, 0), ('s', 5, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 7, -1, 0), ('d', 55, -1, 0), ('e', -1, 762, 0), ('f', 1, -1, 0), ('g', 41, -1, 0), ('i', 1, -1, 0), ('j', 21, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 762, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 62, -1, 0), ('z', -1, 330, 0), ('ł', -1, 1508, 0)), (('a', -1, 389, 0), ('b', 63, -1, 0), ('d', -1, 1509, 0), ('e', 45, -1, 0), ('g', -1, 2039, 0), ('h', 63, -1, 0), ('i', 7, -1, 0), ('k', -1, 295, 0), ('l', 6, -1, 0), ('n', 1, -1, 0), ('o', 3, -1, 0), ('p', 63, -1, 0), ('r', -1, 16, 0), ('s', -1, 1467, 0), ('t', -1, 1428, 0), ('u', 7, -1, 0), ('w', -1, 3551, 0), ('y', 7, -1, 0), ('z', -1, 2537, 0), ('ę', 70, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 102, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 63, -1, 0), ('f', 39, -1, 0), ('g', 5, -1, 0), ('i', -1, 1072, 0), ('k', 5, 62, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 140, -1, 0), ('p', 5, -1, 0), ('r', 63, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 63, -1, 0), ('w', 5, -1, 0), ('y', 63, -1, 0), ('z', 5, -1, 0), ('ę', -1, 1510, 0), ('ż', 5, -1, 0)), (('a', -1, 98, 0), ('d', -1, 1423, 0), ('e', -1, 102, 0), ('i', 63, -1, 0), ('n', -1, 1511, 0), ('o', -1, 1988, 0), ('p', 6, -1, 0), ('r', -1, 869, 0), ('s', -1, 3931, 0), ('u', -1, 1677, 0), ('w', 120, -1, 0), ('z', 318, -1, 0), ('ą', -1, 956, 0), ('ł', 120, -1, 0)), (('a', -1, 937, 0), ('c', 3, -1, 0), ('d', 0, -1, 0), ('e', -1, 1332, 0), ('i', 198, -1, 0), ('l', 1, -1, 0), ('m', -1, 1512, 0), ('o', 0, 164, 0), ('p', 3, -1, 0), ('r', -1, 1861, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', -1, 2754, 0), ('y', 106, -1, 0), ('z', -1, 2586, 0)), (('a', 21, 943, 0), ('b', -1, 1128, 0), ('c', -1, 1513, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', -1, 866, 0), ('g', 1, -1, 0), ('h', 21, 211, 0), ('i', -1, 1832, 0), ('k', -1, 156, 0), ('l', 3, -1, 0), ('m', -1, 1503, 0), ('n', 21, -1, 0), ('o', -1, 856, 0), ('p', -1, 669, 0), ('r', 21, -1, 0), ('s', 1, -1, 0), ('t', -1, 129, 0), ('u', 22, -1, 0), ('w', 1, 179, 0), ('y', 108, -1, 0), ('z', 1, -1, 0)), (('a', 55, -1, 0), ('d', -1, 1417, 0), ('e', 4, -1, 0), ('k', 4, -1, 0), ('o', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 1514, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('m', 28, -1, 0), ('o', -1, 1515, 0), ('p', 28, -1, 0), ('r', -1, 1516, 0), ('t', 28, -1, 0), ('u', 28, -1, 0)), (('a', -1, 311, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 554, 0), ('f', 28, -1, 0), ('g', 1, -1, 0), ('i', 3, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 22, -1, 0), ('p', 28, -1, 0), ('r', 3, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 22, -1, 0), ('w', 28, -1, 0), ('z', 28, -1, 0)), (('a', -1, 1517, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 4307, 0), ('g', 1, -1, 0), ('h', -1, 2081, 0), ('i', -1, 408, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 3885, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 4, -1, 0), ('z', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 1, -1, 0), ('c', -1, 909, 0), ('d', 4, -1, 0), ('e', -1, 728, 0), ('f', 1, -1, 0), ('h', -1, 1518, 0), ('i', 7, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', -1, 1055, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 1902, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 85, -1, 0), ('z', 1, -1, 0), ('ó', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 21, 883, 0), ('b', 21, 220, 0), ('c', -1, 1519, 0), ('d', 1, 297, 0), ('e', -1, 916, 0), ('g', 1, -1, 0), ('h', 13, -1, 0), ('i', -1, 1620, 0), ('k', 21, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 1790, 0), ('p', -1, 3976, 0), ('r', -1, 500, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 7, -1, 0), ('w', 21, -1, 0), ('y', 30, -1, 0), ('z', -1, 1032, 0)), (('a', -1, 1520, 0), ('e', -1, 407, 0), ('i', 37, -1, 0), ('l', 37, -1, 0), ('n', 37, -1, 0), ('o', 37, -1, 0), ('r', 37, -1, 0), ('u', 37, -1, 0), ('y', 37, -1, 0), ('ó', 37, -1, 0), ('ą', 37, -1, 0)), (('a', -1, 660, 0), ('d', 37, -1, 0), ('e', 22, -1, 0), ('g', 22, -1, 0), ('h', 0, -1, 0), ('i', -1, 1021, 0), ('l', 37, -1, 0), ('o', 22, -1, 0), ('r', -1, 1521, 0), ('s', 0, -1, 0), ('t', 3, -1, 0), ('u', -1, 1401, 0), ('y', -1, 4494, 0), ('z', -1, 923, 0)), (('a', -1, 1459, 0), ('b', 52, -1, 0), ('c', -1, 134, 0), ('d', 37, -1, 0), ('e', 52, -1, 0), ('g', -1, 1522, 0), ('h', 21, -1, 0), ('i', 285, -1, 0), ('k', 110, -1, 0), ('l', 37, -1, 0), ('m', 110, -1, 0), ('n', -1, 1523, 0), ('o', -1, 315, 0), ('p', 110, -1, 0), ('r', 21, 21, 0), ('s', 21, -1, 0), ('t', -1, 651, 0), ('u', -1, 467, 0), ('w', 110, -1, 0), ('y', -1, 1163, 0), ('z', 21, 233, 0), ('ł', 21, -1, 0)), (('a', 22, -1, 0), ('c', -1, 1195, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('m', 22, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 4, -1, 0), ('z', -1, 456, 0), ('ó', 3, -1, 0), ('ł', 22, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', -1, 1524, 0), ('e', -1, 666, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 14, -1, 0), ('m', -1, 1349, 0), ('o', 5, -1, 0), ('p', -1, 166, 0), ('r', -1, 1199, 0), ('s', 5, -1, 0), ('t', 0, -1, 0), ('u', 14, 1644, 0), ('w', -1, 478, 0), ('y', 5, -1, 0), ('z', -1, 998, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 1, -1, 0), ('ś', 5, -1, 0), ('ż', -1, 1321, 0)), (('a', 56, -1, 0), ('b', 91, -1, 0), ('c', 8, -1, 0), ('d', 34, -1, 0), ('e', 2, -1, 0), ('i', 91, -1, 0), ('j', 2, -1, 0), ('k', 206, -1, 0), ('l', -1, 1525, 0), ('m', 3, -1, 0), ('n', 100, -1, 0), ('o', 2, -1, 0), ('r', -1, 1976, 0), ('s', 100, -1, 0), ('t', 3, -1, 0), ('u', -1, 1312, 0), ('w', -1, 4506, 0), ('z', 8, -1, 0)), (('a', -1, 1526, 0), ('b', -1, 451, 0), ('c', 29, -1, 0), ('d', 8, -1, 0), ('e', -1, 729, 0), ('g', 100, -1, 0), ('i', -1, 1223, 0), ('k', 8, -1, 0), ('l', -1, 1961, 0), ('m', 7, -1, 0), ('n', -1, 465, 0), ('o', -1, 403, 0), ('p', -1, 2477, 0), ('r', -1, 297, 0), ('s', -1, 1135, 0), ('t', -1, 443, 0), ('u', -1, 1527, 0), ('w', -1, 2478, 0), ('y', -1, 2336, 0), ('z', -1, 543, 0), ('ś', 8, -1, 0)), (('a', -1, 854, 0), ('d', -1, 1527, 0), ('e', -1, 775, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 45, -1, 0), ('k', 117, -1, 0), ('l', 45, -1, 0), ('m', -1, 3383, 0), ('n', -1, 1210, 0), ('o', -1, 145, 0), ('p', 117, -1, 0), ('r', -1, 760, 0), ('s', -1, 402, 0), ('t', 3, -1, 0), ('w', 45, -1, 0), ('y', -1, 147, 0), ('z', -1, 1724, 0), ('ł', 117, -1, 0), ('ś', -1, 147, 0), ('ż', 3, -1, 0)), (('a', -1, 600, 0), ('b', 3, -1, 0), ('d', -1, 1528, 0), ('e', 0, 346, 0), ('h', 2, -1, 0), ('i', -1, 370, 0), ('j', 3, -1, 0), ('k', -1, 1529, 0), ('l', -1, 681, 0), ('m', 1, -1, 0), ('n', -1, 2630, 0), ('o', 0, 644, 0), ('p', 3, -1, 0), ('r', -1, 1698, 0), ('s', -1, 766, 0), ('u', 95, -1, 0), ('w', 3, -1, 0), ('y', 120, -1, 0), ('z', -1, 1990, 0), ('ę', 6, -1, 0), ('ł', -1, 2024, 0), ('ż', -1, 166, 0)), (('a', -1, 797, 0), ('c', 192, -1, 0), ('e', -1, 133, 0), ('f', 1, -1, 0), ('i', 1, -1, 0), ('l', 21, -1, 0), ('o', 3, -1, 0), ('r', 120, -1, 0), ('s', 192, -1, 0), ('u', 95, -1, 0), ('z', 193, -1, 0)), (('a', -1, 204, 0), ('b', -1, 355, 0), ('d', -1, 147, 0), ('e', -1, 173, 0), ('f', 33, -1, 0), ('i', -1, 803, 0), ('k', 33, -1, 0), ('l', 5, 1530, 0), ('n', 33, -1, 0), ('o', -1, 357, 0), ('p', -1, 2703, 0), ('r', 33, -1, 0), ('s', -1, 1943, 0), ('t', 33, -1, 0), ('u', 0, 164, 0), ('w', 21, -1, 0), ('y', -1, 1591, 0), ('z', -1, 2780, 0), ('ł', 21, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 0, -1, 0), ('d', 5, -1, 0), ('e', -1, 793, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 1531, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 12, -1, 0), ('p', 134, -1, 0), ('r', 0, -1, 0), ('s', 0, 239, 0), ('t', -1, 471, 0), ('u', -1, 185, 0), ('w', 31, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 0, -1, 0)), (('a', 5, -1, 0), ('b', -1, 1532, 0), ('c', 0, -1, 0), ('d', -1, 3242, 0), ('e', 0, -1, 0), ('f', -1, 2714, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 2611, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 2714, 0), ('m', -1, 727, 0), ('n', 41, 453, 0), ('o', 55, -1, 0), ('p', -1, 2580, 0), ('r', 13, 1285, 0), ('s', -1, 2240, 0), ('t', -1, 3146, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 913, 0), ('z', 185, 504, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 41, -1, 0), ('e', -1, 19, 0), ('g', 0, -1, 0), ('i', 41, -1, 0), ('k', 0, -1, 0), ('l', 0, 1533, 0), ('m', 0, -1, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', -1, 520, 0), ('r', 0, -1, 0), ('s', 12, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 1565, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 41, -1, 0), ('c', -1, 1534, 0), ('d', -1, 2648, 0), ('e', 85, -1, 0), ('h', 85, -1, 0), ('i', 0, -1, 0), ('m', 10, -1, 0), ('o', 41, -1, 0), ('p', 387, -1, 0), ('r', 55, 239, 0), ('s', 85, -1, 0), ('t', 0, -1, 0), ('u', 236, -1, 0), ('w', -1, 2837, 0), ('y', 85, -1, 0), ('z', 85, -1, 0)), (('a', -1, 1535, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 4517, 0), ('i', 437, 3016, 0), ('j', 41, -1, 0), ('l', 41, -1, 0), ('n', 0, -1, 0), ('o', -1, 3051, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 3300, 0), ('y', -1, 4301, 0), ('z', -1, 3835, 0), ('ą', -1, 4419, 0), ('ę', 185, -1, 0), ('ż', -1, 3223, 0)), (('-', 34, -1, 0), ('a', 468, -1, 0), ('b', -1, 1116, 0), ('c', -1, 1536, 0), ('d', -1, 4501, 0), ('e', -1, 2736, 0), ('f', 0, 4328, 0), ('g', -1, 4502, 0), ('h', -1, 2740, 0), ('i', -1, 3721, 0), ('j', -1, 4351, 0), ('k', -1, 4504, 0), ('l', -1, 3345, 0), ('m', -1, 4508, 0), ('n', -1, 4509, 0), ('o', 245, -1, 0), ('p', -1, 1352, 0), ('r', -1, 2449, 0), ('s', -1, 2839, 0), ('t', -1, 4513, 0), ('u', 3, -1, 0), ('w', -1, 4515, 0), ('y', 2, -1, 0), ('z', -1, 2341, 0), ('ł', -1, 4516, 0), ('ż', -1, 608, 0)), (('a', -1, 690, 0), ('b', 1, -1, 0), ('d', 3, -1, 0), ('e', -1, 1537, 0), ('i', -1, 1538, 0), ('j', -1, 143, 0), ('l', -1, 4377, 0), ('m', -1, 3762, 0), ('n', -1, 3056, 0), ('o', 2, -1, 0), ('p', -1, 4395, 0), ('r', -1, 4384, 0), ('u', -1, 1633, 0), ('w', -1, 3455, 0), ('y', 3, -1, 0), ('z', -1, 3, 0), ('ą', 2, -1, 0), ('ć', 1, -1, 0), ('ń', -1, 325, 0), ('ś', 1, -1, 0), ('ź', -1, 1941, 0), ('ż', 1, -1, 0)), (('a', 11, -1, 0), ('b', 6, -1, 0), ('e', 38, -1, 0), ('i', -1, 183, 0), ('k', 234, -1, 0), ('n', 38, -1, 0), ('o', 5, -1, 0), ('r', 10, -1, 0), ('t', 38, -1, 0), ('y', 208, -1, 0), ('z', 10, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', -1, 1539, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 2, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 4499, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 2924, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 4176, 0), ('y', 2, -1, 0), ('z', -1, 952, 0), ('ó', 29, -1, 0)), (('a', 3, -1, 0), ('c', -1, 909, 0), ('d', 45, -1, 0), ('e', -1, 1540, 0), ('g', 34, -1, 0), ('h', 2, -1, 0), ('i', -1, 935, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 45, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 133, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ń', 3, -1, 0)), (('a', 6, -1, 0), ('b', 2, -1, 0), ('c', -1, 1541, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', -1, 201, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 6, -1, 0), ('k', 21, -1, 0), ('l', 37, -1, 0), ('m', 37, -1, 0), ('n', 37, -1, 0), ('o', -1, 944, 0), ('p', 3, -1, 0), ('r', -1, 1541, 0), ('s', -1, 1933, 0), ('t', 3, -1, 0), ('u', 5, -1, 0), ('w', 37, -1, 0), ('y', 21, -1, 0), ('z', 37, -1, 0), ('ą', -1, 97, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('b', 28, 477, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', -1, 1542, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 28, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', -1, 2090, 0), ('n', -1, 2435, 0), ('o', -1, 3457, 0), ('p', 6, -1, 0), ('r', -1, 283, 0), ('s', 6, -1, 0), ('t', -1, 356, 0), ('u', 6, -1, 0), ('w', 28, -1, 0), ('y', 6, -1, 0), ('z', -1, 365, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 28, -1, 0), ('ń', 6, -1, 0)), (('a', 6, -1, 0), ('b', 28, -1, 0), ('c', -1, 1543, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 21, -1, 0), ('k', 37, -1, 0), ('l', 95, -1, 0), ('m', -1, 690, 0), ('n', 37, -1, 0), ('o', 6, -1, 0), ('p', 1, -1, 0), ('r', 37, -1, 0), ('s', -1, 724, 0), ('t', 21, -1, 0), ('u', 28, -1, 0), ('w', 37, -1, 0), ('y', 95, -1, 0), ('z', 28, -1, 0), ('ó', 95, -1, 0)), (('a', 2, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 1544, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 1545, 0), ('p', 3, 465, 0), ('r', -1, 2454, 0), ('s', 28, -1, 0), ('w', -1, 985, 0), ('z', 2, -1, 0)), (('a', 1, -1, 0), ('c', 121, -1, 0), ('d', 3, 399, 0), ('e', 41, -1, 0), ('i', 1, -1, 0), ('k', 3, -1, 0), ('l', 1, -1, 0), ('m', 41, -1, 0), ('n', 2, -1, 0), ('o', 1, -1, 0), ('r', 3, -1, 0), ('s', 0, -1, 0), ('t', -1, 433, 0), ('w', 2, -1, 0), ('y', 1, -1, 0), ('z', 2, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 12, 0), ('d', 28, -1, 0), ('e', -1, 1163, 0), ('g', 28, -1, 0), ('i', -1, 878, 0), ('k', 100, -1, 0), ('l', 29, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', -1, 328, 0), ('p', 2, -1, 0), ('r', -1, 650, 0), ('s', 4, -1, 0), ('t', 8, -1, 0), ('w', 15, 957, 0), ('y', 14, -1, 0), ('z', -1, 1546, 0)), (('a', -1, 1547, 0), ('b', 0, 175, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 946, 0), ('i', -1, 694, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, 1143, 0), ('o', -1, 964, 0), ('p', -1, 1297, 0), ('r', -1, 3194, 0), ('s', 28, 197, 0), ('u', -1, 3287, 0), ('w', 1, -1, 0), ('z', 79, -1, 0), ('ó', -1, 2736, 0), ('ą', -1, 734, 0), ('ł', -1, 2522, 0), ('ż', -1, 1125, 0)), (('a', -1, 173, 0), ('b', 7, -1, 0), ('c', 21, 265, 0), ('d', 1, 1318, 0), ('e', -1, 783, 0), ('g', -1, 999, 0), ('i', 0, 454, 0), ('k', 107, 1548, 0), ('l', 22, 428, 0), ('m', -1, 1333, 0), ('n', 0, 225, 0), ('o', -1, 1038, 0), ('p', 55, 239, 0), ('r', -1, 992, 0), ('s', -1, 351, 0), ('t', -1, 1141, 0), ('u', -1, 1248, 0), ('w', -1, 779, 0), ('y', 11, -1, 0), ('z', -1, 1549, 0), ('ł', -1, 1407, 0), ('ż', -1, 993, 0)), (('a', 29, -1, 0), ('c', 22, -1, 0), ('d', 11, -1, 0), ('e', -1, 317, 0), ('h', 22, -1, 0), ('i', 3, -1, 0), ('l', -1, 553, 0), ('m', 22, 288, 0), ('n', 22, -1, 0), ('o', 11, -1, 0), ('r', 22, -1, 0), ('s', 107, -1, 0), ('t', 22, -1, 0), ('u', 11, -1, 0), ('z', 3, -1, 0), ('ę', 29, -1, 0)), (('a', 21, -1, 0), ('b', -1, 355, 0), ('c', -1, 1550, 0), ('d', 134, -1, 0), ('e', 21, -1, 0), ('h', 55, -1, 0), ('i', 21, -1, 0), ('k', 106, -1, 0), ('l', 5, -1, 0), ('m', 106, -1, 0), ('o', 21, -1, 0), ('p', 106, -1, 0), ('r', -1, 2066, 0), ('s', 21, -1, 0), ('t', -1, 1960, 0), ('u', 1, -1, 0), ('w', -1, 1807, 0), ('y', 134, -1, 0), ('z', -1, 2032, 0), ('ą', 1, -1, 0), ('ł', 5, -1, 0)), (('a', 21, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 225, 0), ('g', 3, -1, 0), ('i', 21, -1, 0), ('k', -1, 143, 0), ('l', 0, -1, 0), ('m', 189, -1, 0), ('o', 1, -1, 0), ('p', -1, 231, 0), ('r', -1, 1340, 0), ('s', 16, -1, 0), ('t', -1, 1551, 0), ('u', 146, -1, 0), ('w', -1, 3002, 0), ('y', 21, -1, 0), ('z', -1, 225, 0), ('ą', 21, -1, 0)), (('a', 6, -1, 0), ('b', 28, 477, 0), ('d', 108, -1, 0), ('e', 6, -1, 0), ('g', -1, 1542, 0), ('h', -1, 1552, 0), ('i', 6, -1, 0), ('j', 28, -1, 0), ('k', 6, -1, 0), ('l', 90, -1, 0), ('m', 34, -1, 0), ('o', 0, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 178, -1, 0), ('t', -1, 356, 0), ('u', 6, -1, 0), ('w', 178, -1, 0), ('y', 6, -1, 0), ('z', 27, -1, 0), ('ł', 108, 63, 0)), (('a', -1, 870, 0), ('b', 6, -1, 0), ('c', -1, 1553, 0), ('d', -1, 805, 0), ('e', 181, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', -1, 1555, 0), ('l', -1, 1222, 0), ('m', -1, 2793, 0), ('n', 6, -1, 0), ('o', 28, 1223, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 1190, 0), ('t', 0, -1, 0), ('u', 24, -1, 0), ('w', -1, 96, 0), ('y', 6, -1, 0), ('z', -1, 1826, 0), ('ł', -1, 1479, 0), ('ż', -1, 3002, 0)), (('a', 6, -1, 0), ('c', 131, -1, 0), ('d', 6, -1, 0), ('e', -1, 107, 0), ('i', 6, -1, 0), ('l', 6, -1, 0), ('o', 139, 387, 0), ('p', 6, -1, 0), ('r', 95, -1, 0), ('s', 4, -1, 0), ('t', 0, -1, 0), ('u', 6, -1, 0), ('y', 139, -1, 0), ('z', 139, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', -1, 1554, 0)), (('a', 52, -1, 0), ('b', 242, -1, 0), ('c', -1, 79, 0), ('d', 159, -1, 0), ('e', -1, 1060, 0), ('f', 21, -1, 0), ('g', 95, 476, 0), ('i', 242, -1, 0), ('k', 257, -1, 0), ('l', 52, -1, 0), ('m', 17, -1, 0), ('n', 159, -1, 0), ('o', 52, -1, 0), ('p', 21, -1, 0), ('r', -1, 223, 0), ('s', 52, 478, 0), ('t', 242, 357, 0), ('u', 17, -1, 0), ('w', 6, -1, 0), ('y', 52, -1, 0), ('z', 52, -1, 0), ('ł', 242, -1, 0)), (('a', 29, -1, 0), ('b', 108, -1, 0), ('d', 108, -1, 0), ('e', 29, -1, 0), ('i', -1, 1556, 0), ('j', 108, -1, 0), ('l', 7, -1, 0), ('m', 108, -1, 0), ('n', 108, -1, 0), ('o', 12, 1694, 0), ('p', 108, -1, 0), ('r', 108, -1, 0), ('s', 29, -1, 0), ('t', 108, -1, 0), ('u', 108, -1, 0), ('y', 108, -1, 0), ('z', 29, -1, 0)), (('a', -1, 430, 0), ('b', 68, -1, 0), ('d', -1, 1557, 0), ('e', -1, 2094, 0), ('g', -1, 187, 0), ('h', 68, -1, 0), ('i', 11, -1, 0), ('k', -1, 21, 0), ('l', 56, -1, 0), ('m', 99, 921, 0), ('o', 0, 913, 0), ('p', 68, -1, 0), ('r', -1, 186, 0), ('s', -1, 1155, 0), ('t', -1, 1451, 0), ('u', 11, -1, 0), ('w', -1, 4231, 0), ('y', 11, -1, 0), ('z', -1, 1806, 0), ('ę', 73, -1, 0)), (('a', 6, -1, 0), ('d', 30, -1, 0), ('e', 68, -1, 0), ('g', 7, -1, 0), ('i', -1, 1558, 0), ('k', -1, 306, 0), ('l', 22, -1, 0), ('m', 41, -1, 0), ('n', 3, -1, 0), ('o', 6, -1, 0), ('p', 3, -1, 0), ('r', 68, -1, 0), ('s', 80, -1, 0), ('t', 22, -1, 0), ('u', 68, -1, 0), ('w', 142, -1, 0), ('y', 68, -1, 0), ('z', -1, 1378, 0), ('ę', -1, 301, 0), ('ł', 7, -1, 0)), (('a', -1, 1559, 0), ('b', 101, -1, 0), ('c', -1, 3891, 0), ('d', -1, 954, 0), ('e', -1, 2775, 0), ('h', 21, -1, 0), ('i', -1, 1463, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 101, -1, 0), ('n', -1, 741, 0), ('o', -1, 168, 0), ('p', 21, -1, 0), ('r', -1, 2775, 0), ('s', -1, 485, 0), ('t', 21, -1, 0), ('u', -1, 741, 0), ('w', 101, -1, 0), ('y', -1, 2090, 0), ('z', 21, -1, 0), ('ą', 28, -1, 0), ('ę', -1, 1833, 0), ('ł', 28, -1, 0)), (('a', 105, -1, 0), ('b', -1, 1560, 0), ('c', -1, 2652, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', -1, 151, 0), ('k', 21, -1, 0), ('l', 28, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 54, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', -1, 1693, 0), ('t', 21, -1, 0), ('u', -1, 24, 0), ('w', -1, 281, 0), ('y', -1, 296, 0), ('z', 28, -1, 0), ('ł', 21, -1, 0)), (('a', 21, -1, 0), ('b', 4, -1, 0), ('c', -1, 1561, 0), ('d', 4, -1, 0), ('e', 21, -1, 0), ('g', -1, 1562, 0), ('i', 28, -1, 0), ('k', 7, 164, 0), ('l', 41, 862, 0), ('m', -1, 774, 0), ('n', 5, -1, 0), ('o', 21, -1, 0), ('p', -1, 31, 0), ('r', -1, 319, 0), ('s', 21, 857, 0), ('t', 21, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', -1, 681, 0), ('z', 4, -1, 0), ('ć', 21, -1, 0)), (('a', 238, -1, 0), ('d', 174, -1, 0), ('e', 41, -1, 0), ('i', 5, -1, 0), ('m', 5, -1, 0), ('o', 174, -1, 0), ('r', 30, -1, 0), ('s', 174, -1, 0), ('t', 5, -1, 0), ('w', 174, -1, 0), ('y', 174, -1, 0), ('z', 23, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 7, -1, 0), ('i', 5, -1, 0), ('o', -1, 1563, 0), ('p', 39, -1, 0), ('r', -1, 1851, 0), ('s', 0, -1, 0), ('u', 5, -1, 0), ('y', 0, -1, 0), ('z', 5, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 851, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 919, 0), ('g', 5, -1, 0), ('i', -1, 691, 0), ('j', 11, -1, 0), ('k', 7, -1, 0), ('l', -1, 1564, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 557, 0), ('p', 5, -1, 0), ('r', 7, -1, 0), ('s', 29, -1, 0), ('t', -1, 2716, 0), ('u', -1, 1236, 0), ('w', 7, -1, 0), ('y', 39, -1, 0), ('z', 29, -1, 0), ('ó', -1, 149, 0), ('ł', 7, -1, 0), ('ż', 29, -1, 0)), (('a', -1, 102, 0), ('c', -1, 1371, 0), ('d', 0, -1, 0), ('e', -1, 573, 0), ('i', -1, 1565, 0), ('j', -1, 697, 0), ('k', -1, 641, 0), ('l', -1, 614, 0), ('m', -1, 1463, 0), ('n', -1, 2077, 0), ('o', -1, 187, 0), ('p', 7, 46, 0), ('r', -1, 2511, 0), ('s', -1, 1644, 0), ('t', -1, 735, 0), ('w', -1, 1508, 0), ('z', -1, 1316, 0), ('ż', -1, 2864, 0)), (('a', 6, -1, 0), ('b', -1, 1566, 0), ('c', 0, -1, 0), ('d', 95, -1, 0), ('e', 6, -1, 0), ('f', -1, 2469, 0), ('i', -1, 1593, 0), ('j', 0, -1, 0), ('k', 22, -1, 0), ('l', 0, -1, 0), ('m', -1, 2041, 0), ('n', -1, 2021, 0), ('o', 95, -1, 0), ('p', -1, 1899, 0), ('r', -1, 724, 0), ('s', 95, -1, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', -1, 2124, 0), ('y', -1, 877, 0), ('z', -1, 99, 0), ('ż', 0, -1, 0)), (('a', -1, 1558, 0), ('b', 1, 1567, 0), ('d', 0, -1, 0), ('e', 51, -1, 0), ('f', -1, 2914, 0), ('g', 1, 16, 0), ('i', -1, 170, 0), ('k', 1, -1, 0), ('l', -1, 282, 0), ('m', -1, 3257, 0), ('o', -1, 555, 0), ('p', 255, 1714, 0), ('r', -1, 765, 0), ('s', 255, -1, 0), ('u', -1, 972, 0), ('w', 5, -1, 0), ('z', 55, -1, 0), ('ą', -1, 1576, 0)), (('a', 1, -1, 0), ('c', 22, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, 1568, 0), ('g', -1, 4498, 0), ('i', -1, 2284, 0), ('j', 3, -1, 0), ('k', -1, 2052, 0), ('l', -1, 4363, 0), ('m', -1, 3200, 0), ('n', 22, 201, 0), ('o', -1, 262, 0), ('p', -1, 2487, 0), ('r', -1, 2588, 0), ('s', 3, -1, 0), ('t', -1, 3954, 0), ('z', 22, 1280, 0), ('ł', -1, 628, 0), ('ż', 22, -1, 0)), (('a', 3, -1, 0), ('b', 100, -1, 0), ('d', 8, -1, 0), ('e', 3, -1, 0), ('i', 21, -1, 0), ('l', 3, -1, 0), ('o', -1, 1569, 0), ('r', -1, 2402, 0)), (('a', -1, 1570, 0), ('e', 0, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 40, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('z', 40, -1, 0), ('ó', 16, -1, 0), ('ź', 3, -1, 0)), (('a', 27, -1, 0), ('d', 51, -1, 0), ('e', 5, -1, 0), ('f', -1, 1545, 0), ('g', 0, 225, 0), ('i', -1, 181, 0), ('k', -1, 1571, 0), ('m', -1, 915, 0), ('n', 51, -1, 0), ('o', 5, -1, 0), ('p', 106, -1, 0), ('r', 27, -1, 0), ('s', 0, 1842, 0), ('t', -1, 2013, 0), ('u', 5, 1248, 0), ('w', 16, -1, 0), ('y', 5, -1, 0), ('z', -1, 743, 0), ('ł', 5, -1, 0)), (('a', 31, -1, 0), ('d', 31, -1, 0), ('e', -1, 1421, 0), ('i', -1, 1572, 0), ('o', 31, -1, 0), ('r', 0, -1, 0), ('y', 31, -1, 0)), (('a', 21, -1, 0), ('b', 3, -1, 0), ('c', 12, -1, 0), ('d', 5, -1, 0), ('e', -1, 350, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 956, 0), ('k', 0, 44, 0), ('l', 12, -1, 0), ('m', 5, 1573, 0), ('n', -1, 627, 0), ('o', -1, 1457, 0), ('p', 52, -1, 0), ('r', -1, 231, 0), ('s', -1, 576, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 5, -1, 0), ('y', -1, 367, 0), ('z', -1, 2438, 0), ('ł', 5, -1, 0), ('ż', 12, -1, 0)), (('a', -1, 742, 0), ('b', 5, -1, 0), ('c', -1, 1574, 0), ('d', -1, 2272, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 3801, 0), ('j', 5, -1, 0), ('k', -1, 3269, 0), ('l', -1, 253, 0), ('m', -1, 1325, 0), ('n', -1, 2304, 0), ('o', 12, -1, 0), ('p', 5, -1, 0), ('r', -1, 2337, 0), ('s', -1, 925, 0), ('t', -1, 2647, 0), ('u', 5, -1, 0), ('w', -1, 3810, 0), ('y', 12, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 22, -1, 0), ('d', 3, -1, 0), ('e', 55, -1, 0), ('h', 22, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', -1, 1575, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, 2080, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 94, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', -1, 825, 0), ('y', 5, -1, 0), ('z', -1, 4443, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 15, -1, 0), ('e', 5, -1, 0), ('i', -1, 143, 0), ('j', 108, -1, 0), ('m', 15, -1, 0), ('o', 5, -1, 0), ('p', 31, -1, 0), ('r', -1, 636, 0), ('s', 108, -1, 0), ('t', -1, 1576, 0), ('u', 30, -1, 0), ('w', -1, 4492, 0), ('y', -1, 295, 0), ('z', 55, -1, 0), ('ł', 108, -1, 0)), (('a', -1, 1577, 0), ('d', 0, -1, 0), ('e', -1, 422, 0), ('h', 21, -1, 0), ('i', -1, 1166, 0), ('l', 0, -1, 0), ('m', 71, -1, 0), ('n', 108, -1, 0), ('o', -1, 1213, 0), ('p', -1, 1578, 0), ('r', 0, 1270, 0), ('s', 21, -1, 0), ('t', -1, 1387, 0), ('u', 0, 164, 0), ('w', -1, 1579, 0), ('y', -1, 1591, 0), ('z', 15, -1, 0)), (('a', 281, -1, 0), ('c', 7, -1, 0), ('d', 51, -1, 0), ('e', 194, -1, 0), ('g', 1, -1, 0), ('i', 281, -1, 0), ('k', 166, -1, 0), ('l', 6, -1, 0), ('m', 99, -1, 0), ('n', -1, 1565, 0), ('o', 451, -1, 0), ('p', -1, 741, 0), ('r', -1, 1002, 0), ('s', 7, -1, 0), ('t', 85, -1, 0), ('u', -1, 762, 0), ('w', -1, 1460, 0), ('y', 194, -1, 0), ('z', -1, 979, 0), ('ą', 281, -1, 0), ('ę', 203, -1, 0)), (('a', 0, -1, 0), ('d', -1, 301, 0), ('e', 6, -1, 0), ('f', 3, -1, 0), ('i', -1, 772, 0), ('k', 6, -1, 0), ('l', 3, -1, 0), ('m', -1, 624, 0), ('n', -1, 780, 0), ('o', -1, 699, 0), ('p', 22, -1, 0), ('r', 6, -1, 0), ('s', 22, -1, 0), ('t', 0, -1, 0), ('u', 37, -1, 0), ('w', 6, -1, 0), ('y', 3, -1, 0), ('z', 0, -1, 0)), (('a', -1, 1287, 0), ('b', 71, -1, 0), ('d', -1, 1580, 0), ('e', -1, 2635, 0), ('h', -1, 1947, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('t', -1, 2151, 0), ('u', -1, 1927, 0), ('y', 12, -1, 0), ('z', 89, -1, 0), ('ś', 12, -1, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('b', 11, -1, 0), ('e', -1, 1581, 0), ('i', 12, -1, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', -1, 1391, 0), ('p', 11, -1, 0), ('r', 12, -1, 0), ('s', 11, -1, 0), ('t', 3, -1, 0), ('w', 11, -1, 0), ('z', 11, -1, 0)), (('a', -1, 1582, 0), ('b', -1, 1584, 0), ('c', 22, -1, 0), ('d', -1, 1585, 0), ('e', -1, 3103, 0), ('f', -1, 79, 0), ('g', 22, 3818, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 22, -1, 0), ('k', 22, 3533, 0), ('m', 22, -1, 0), ('o', -1, 4491, 0), ('p', 0, 428, 0), ('r', -1, 790, 0), ('s', -1, 2274, 0), ('t', -1, 3181, 0), ('u', -1, 1881, 0), ('w', -1, 1133, 0), ('y', -1, 1740, 0), ('z', -1, 3680, 0), ('ó', -1, 1436, 0)), (('a', 391, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 391, -1, 0), ('g', -1, 202, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('j', 3, -1, 0), ('k', 22, -1, 0), ('l', -1, 1583, 0), ('n', 30, -1, 0), ('o', -1, 180, 0), ('p', 22, 46, 0), ('r', 99, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 30, -1, 0), ('w', -1, 79, 0), ('z', -1, 1539, 0), ('ż', 3, -1, 0)), (('a', 7, -1, 0), ('d', 22, -1, 0), ('e', 7, -1, 0), ('f', 22, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 1053, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 57, -1, 0), ('u', 3, -1, 0), ('z', 22, -1, 0), ('ż', 22, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('h', 22, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, 216, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 22, -1, 0), ('p', 22, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('u', 3, -1, 0), ('w', -1, 1467, 0), ('z', 22, -1, 0), ('ó', -1, 1120, 0)), (('a', -1, 919, 0), ('c', -1, 1586, 0), ('d', -1, 4199, 0), ('e', -1, 1012, 0), ('i', -1, 1182, 0), ('l', 30, -1, 0), ('n', -1, 3039, 0), ('o', 41, -1, 0), ('r', -1, 2545, 0), ('s', -1, 591, 0), ('u', -1, 908, 0), ('y', 22, -1, 0), ('z', 22, -1, 0), ('ą', -1, 112, 0)), (('a', -1, 1555, 0), ('c', 7, -1, 0), ('d', 108, -1, 0), ('e', -1, 631, 0), ('i', -1, 1587, 0), ('j', 108, -1, 0), ('l', -1, 2007, 0), ('o', -1, 1951, 0), ('p', 108, -1, 0), ('r', -1, 1232, 0), ('u', -1, 1994, 0), ('y', -1, 1617, 0), ('z', -1, 3818, 0), ('ó', 108, -1, 0), ('ą', -1, 638, 0), ('ę', -1, 3105, 0), ('ł', 7, -1, 0), ('ń', 108, -1, 0)), (('a', -1, 1588, 0), ('d', 410, -1, 0), ('e', -1, 343, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('l', 108, -1, 0), ('m', 39, -1, 0), ('n', -1, 547, 0), ('o', -1, 343, 0), ('p', 100, 2166, 0), ('r', 5, -1, 0), ('s', -1, 446, 0), ('w', 7, -1, 0), ('y', 22, -1, 0), ('z', 7, -1, 0), ('ó', 22, -1, 0), ('ł', 7, -1, 0)), (('a', 95, -1, 0), ('b', 0, 10, 0), ('c', -1, 1589, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('i', 95, -1, 0), ('k', 117, 165, 0), ('l', 0, -1, 0), ('m', 410, -1, 0), ('o', 95, -1, 0), ('p', 410, -1, 0), ('r', 217, 669, 0), ('s', 6, -1, 0), ('t', -1, 954, 0), ('u', 95, -1, 0), ('w', 3, -1, 0), ('y', 0, -1, 0), ('z', 217, -1, 0), ('ę', 6, -1, 0), ('ł', 21, -1, 0), ('ż', 4, -1, 0)), (('a', -1, 833, 0), ('b', 5, -1, 0), ('d', 106, -1, 0), ('e', -1, 1590, 0), ('h', 106, -1, 0), ('i', 105, -1, 0), ('j', -1, 2241, 0), ('k', -1, 2105, 0), ('o', -1, 1549, 0), ('p', 106, -1, 0), ('r', 105, -1, 0), ('s', -1, 1170, 0), ('t', -1, 1152, 0), ('u', 106, -1, 0), ('w', 188, -1, 0), ('y', 145, -1, 0), ('z', -1, 4490, 0), ('ó', 106, -1, 0)), (('a', -1, 1511, 0), ('b', 29, 817, 0), ('d', 106, -1, 0), ('e', -1, 173, 0), ('g', 16, -1, 0), ('h', 16, -1, 0), ('i', -1, 855, 0), ('j', 4, -1, 0), ('k', 16, -1, 0), ('l', 0, -1, 0), ('m', 146, -1, 0), ('o', -1, 1047, 0), ('p', 255, -1, 0), ('r', 16, -1, 0), ('s', -1, 868, 0), ('u', 0, 1489, 0), ('w', 16, -1, 0), ('y', -1, 1591, 0), ('z', 106, -1, 0), ('ł', 16, -1, 0)), (('a', -1, 1592, 0), ('b', 110, -1, 0), ('c', -1, 3401, 0), ('d', 110, -1, 0), ('e', -1, 220, 0), ('i', -1, 941, 0), ('k', 110, -1, 0), ('l', 6, -1, 0), ('m', -1, 327, 0), ('n', 110, -1, 0), ('o', -1, 659, 0), ('p', 110, -1, 0), ('r', -1, 1592, 0), ('s', -1, 537, 0), ('t', 28, 576, 0), ('u', -1, 504, 0), ('w', 0, 44, 0), ('y', -1, 1267, 0), ('z', 28, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 716, 0), ('ł', 0, -1, 0), ('ś', -1, 1038, 0), ('ź', -1, 428, 0)), (('a', -1, 1593, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1235, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 861, 0), ('h', 0, -1, 0), ('i', -1, 44, 0), ('j', -1, 533, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 279, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 4, -1, 0), ('w', -1, 1129, 0), ('y', 111, -1, 0), ('z', -1, 504, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 107, 0), ('b', 0, -1, 0), ('c', 0, 1321, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('f', -1, 1451, 0), ('g', -1, 549, 0), ('h', -1, 59, 0), ('i', 12, -1, 0), ('k', 0, -1, 0), ('l', 0, 288, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1594, 0), ('p', 0, -1, 0), ('r', 12, -1, 0), ('s', -1, 1781, 0), ('t', 0, 1260, 0), ('u', 12, -1, 0), ('w', 0, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 28, -1, 0), ('ż', 0, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('f', 12, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', -1, 1390, 0), ('p', 0, 1595, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 0, -1, 0), ('e', -1, 848, 0), ('g', 12, -1, 0), ('h', 0, -1, 0), ('i', -1, 1098, 0), ('j', 12, -1, 0), ('k', 58, -1, 0), ('l', 21, -1, 0), ('m', 12, -1, 0), ('n', -1, 1210, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', -1, 1033, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0), ('ś', 12, 1596, 0), ('ż', 12, -1, 0)), (('a', -1, 1597, 0), ('c', 5, -1, 0), ('d', -1, 2118, 0), ('e', 27, -1, 0), ('g', 14, -1, 0), ('i', 31, -1, 0), ('n', 31, 4390, 0), ('o', 373, -1, 0), ('p', 5, -1, 0), ('r', 31, -1, 0), ('t', 31, -1, 0), ('u', 145, -1, 0), ('w', 12, -1, 0), ('y', -1, 3785, 0), ('z', 12, -1, 0), ('ł', 31, -1, 0)), (('a', -1, 1598, 0), ('e', 11, -1, 0), ('g', 145, -1, 0), ('h', 5, -1, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('k', 145, -1, 0), ('l', 11, -1, 0), ('n', 11, -1, 0), ('o', 11, -1, 0), ('r', 11, -1, 0), ('u', -1, 2029, 0), ('w', 39, -1, 0), ('y', 11, -1, 0), ('z', 39, -1, 0), ('ł', 11, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('k', 56, -1, 0), ('l', -1, 1398, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', -1, 1599, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('t', 11, -1, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', 56, -1, 0), ('ó', -1, 1907, 0), ('ł', 11, -1, 0)), (('a', 11, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 1600, 0), ('g', 29, -1, 0), ('h', 11, -1, 0), ('i', -1, 1830, 0), ('j', 11, -1, 0), ('k', -1, 2091, 0), ('l', 11, -1, 0), ('n', 11, -1, 0), ('o', 11, -1, 0), ('p', 117, -1, 0), ('r', 11, -1, 0), ('s', -1, 2549, 0), ('t', 7, -1, 0), ('u', -1, 2240, 0), ('w', 56, -1, 0), ('y', 11, -1, 0), ('z', 11, -1, 0), ('ę', 7, -1, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 204, 0), ('b', -1, 355, 0), ('d', -1, 1601, 0), ('e', -1, 1602, 0), ('g', 0, -1, 0), ('h', -1, 171, 0), ('i', -1, 1003, 0), ('m', -1, 1047, 0), ('o', -1, 296, 0), ('p', 0, 164, 0), ('r', 0, 164, 0), ('s', -1, 3685, 0), ('u', 0, 164, 0), ('w', 0, 164, 0), ('y', -1, 1591, 0), ('z', -1, 2780, 0)), (('a', -1, 503, 0), ('b', 64, -1, 0), ('c', 1, -1, 0), ('d', 28, -1, 0), ('e', -1, 1043, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', 73, -1, 0), ('m', 11, -1, 0), ('n', 28, -1, 0), ('o', 0, 643, 0), ('p', 10, -1, 0), ('r', -1, 56, 0), ('s', 10, 37, 0), ('t', 1, -1, 0), ('u', 196, -1, 0), ('w', 0, 44, 0), ('y', 196, -1, 0), ('z', 0, 44, 0), ('ł', 29, -1, 0)), (('a', -1, 1603, 0), ('c', 6, -1, 0), ('d', -1, 1604, 0), ('e', 178, -1, 0), ('i', 88, -1, 0), ('k', 6, 401, 0), ('l', 6, -1, 0), ('m', 27, -1, 0), ('o', -1, 1768, 0), ('p', 30, -1, 0), ('r', 27, -1, 0), ('s', 106, -1, 0), ('t', 69, -1, 0), ('u', -1, 1343, 0), ('w', 106, -1, 0), ('y', -1, 1452, 0), ('z', -1, 128, 0), ('ę', -1, 489, 0), ('ł', 27, -1, 0)), (('a', 21, -1, 0), ('d', 119, -1, 0), ('e', 21, -1, 0), ('i', 178, -1, 0), ('k', 27, -1, 0), ('l', -1, 118, 0), ('m', 3, -1, 0), ('n', 21, -1, 0), ('o', -1, 1245, 0), ('p', -1, 885, 0), ('r', -1, 1407, 0), ('s', 178, -1, 0), ('t', 108, -1, 0), ('u', 21, -1, 0), ('w', 216, -1, 0), ('y', 31, -1, 0), ('z', 21, -1, 0), ('ł', 178, -1, 0), ('ś', 21, -1, 0)), (('a', -1, 1605, 0), ('b', 62, -1, 0), ('d', -1, 1020, 0), ('e', 106, -1, 0), ('g', -1, 562, 0), ('h', -1, 840, 0), ('i', -1, 635, 0), ('k', -1, 3165, 0), ('o', 51, -1, 0), ('p', -1, 2744, 0), ('r', -1, 3783, 0), ('s', -1, 363, 0), ('t', 62, -1, 0), ('u', 30, -1, 0), ('y', 30, -1, 0), ('z', -1, 77, 0)), (('a', 0, -1, 0), ('b', 30, -1, 0), ('c', 2, -1, 0), ('d', 0, -1, 0), ('e', 82, -1, 0), ('f', 30, -1, 0), ('i', -1, 1606, 0), ('k', 5, -1, 0), ('l', 12, -1, 0), ('m', 1, -1, 0), ('n', 40, -1, 0), ('o', 41, -1, 0), ('r', -1, 2349, 0), ('s', 0, -1, 0), ('t', 30, -1, 0), ('u', 4, -1, 0), ('w', 30, -1, 0), ('y', 82, -1, 0), ('z', -1, 562, 0), ('ł', 0, -1, 0), ('ż', 30, -1, 0)), (('a', -1, 546, 0), ('b', 30, 857, 0), ('c', 12, -1, 0), ('e', -1, 1195, 0), ('i', -1, 959, 0), ('m', -1, 1607, 0), ('n', -1, 3112, 0), ('o', 3, -1, 0), ('p', -1, 375, 0), ('r', 3, -1, 0), ('s', 12, -1, 0), ('u', 3, -1, 0), ('w', 12, -1, 0), ('y', -1, 1022, 0), ('z', -1, 2799, 0)), (('a', -1, 120, 0), ('b', 33, -1, 0), ('c', 101, -1, 0), ('d', 95, -1, 0), ('e', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 33, -1, 0), ('m', 0, 164, 0), ('n', 21, -1, 0), ('o', -1, 500, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', -1, 435, 0), ('t', -1, 1608, 0), ('u', -1, 1724, 0), ('w', 9, -1, 0), ('y', -1, 1669, 0), ('z', -1, 4284, 0), ('ą', 28, -1, 0), ('ę', -1, 667, 0), ('ł', 33, -1, 0)), (('a', -1, 1609, 0), ('b', 1, -1, 0), ('c', -1, 4009, 0), ('d', -1, 1233, 0), ('e', 6, -1, 0), ('h', -1, 1461, 0), ('i', 6, -1, 0), ('k', 1, -1, 0), ('l', 22, -1, 0), ('m', -1, 3919, 0), ('n', 85, -1, 0), ('o', -1, 2719, 0), ('p', 41, -1, 0), ('r', -1, 2972, 0), ('s', -1, 2795, 0), ('t', 3, -1, 0), ('u', 6, -1, 0), ('w', 45, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 283, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 1, -1, 0), ('l', -1, 971, 0), ('m', -1, 127, 0), ('n', 21, 1610, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', -1, 285, 0), ('y', -1, 71, 0), ('z', 159, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 24, -1, 0), ('b', 24, -1, 0), ('c', -1, 642, 0), ('d', 24, -1, 0), ('e', 24, -1, 0), ('f', 24, -1, 0), ('g', 24, -1, 0), ('h', 24, -1, 0), ('i', 24, -1, 0), ('k', -1, 1611, 0), ('l', 2, 165, 0), ('m', -1, 1614, 0), ('n', 0, -1, 0), ('o', 24, -1, 0), ('p', 7, 42, 0), ('r', 1, -1, 0), ('s', 24, -1, 0), ('t', 24, -1, 0), ('u', 24, -1, 0), ('w', -1, 1777, 0), ('y', 24, -1, 0), ('z', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 24, -1, 0), ('b', 24, -1, 0), ('c', -1, 586, 0), ('d', 24, -1, 0), ('e', 24, -1, 0), ('f', 24, -1, 0), ('g', 24, -1, 0), ('h', 24, -1, 0), ('i', -1, 85, 0), ('k', 11, -1, 0), ('l', -1, 886, 0), ('m', 24, -1, 0), ('n', 24, -1, 0), ('o', 7, -1, 0), ('p', -1, 285, 0), ('r', 4, -1, 0), ('s', -1, 569, 0), ('t', -1, 634, 0), ('u', 29, -1, 0), ('w', 24, -1, 0), ('y', 7, -1, 0), ('z', 1, -1, 0), ('ó', 24, -1, 0), ('ś', -1, 1612, 0)), (('a', -1, 466, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 1613, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', -1, 1361, 0), ('l', -1, 1614, 0), ('n', 7, -1, 0), ('o', 29, 100, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 4191, 0), ('t', -1, 261, 0), ('u', 136, -1, 0), ('w', 136, -1, 0), ('y', 7, -1, 0), ('z', 5, 425, 0), ('ł', 7, -1, 0)), (('a', -1, 1034, 0), ('d', -1, 355, 0), ('e', -1, 173, 0), ('i', 29, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 0, 1419, 0), ('p', -1, 1611, 0), ('r', -1, 216, 0), ('s', 7, -1, 0), ('u', 0, -1, 0), ('w', 7, -1, 0), ('y', -1, 173, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ś', 53, -1, 0)), (('a', -1, 672, 0), ('b', 7, -1, 0), ('c', -1, 1612, 0), ('d', -1, 1615, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', -1, 2472, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', -1, 679, 0), ('l', -1, 661, 0), ('m', 7, -1, 0), ('n', -1, 2807, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 3573, 0), ('s', 7, -1, 0), ('t', -1, 2478, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 57, -1, 0), ('z', -1, 2507, 0), ('ł', -1, 1816, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 1, -1, 0), ('d', 136, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', -1, 1616, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 27, 545, 0), ('r', 7, -1, 0), ('s', 30, -1, 0), ('t', -1, 1508, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', -1, 436, 0), ('z', -1, 35, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0)), (('a', 7, -1, 0), ('d', -1, 1617, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 1620, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 3, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', 7, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('b', 108, -1, 0), ('d', -1, 1618, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 7, 1619, 0), ('s', 22, 201, 0), ('t', 108, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 7, -1, 0), ('ż', 108, -1, 0)), (('a', 2, -1, 0), ('e', -1, 1122, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('n', 2, -1, 0), ('o', 3, 967, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', 6, -1, 0), ('c', 51, -1, 0), ('d', 108, -1, 0), ('e', -1, 933, 0), ('h', 3, -1, 0), ('i', 1, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 80, -1, 0), ('m', 0, -1, 0), ('o', -1, 1416, 0), ('p', 22, -1, 0), ('r', -1, 1250, 0), ('s', 5, -1, 0), ('t', 7, -1, 0), ('u', 6, -1, 0), ('w', 22, -1, 0), ('y', -1, 859, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0)), (('a', 12, -1, 0), ('b', 7, -1, 0), ('c', 28, -1, 0), ('d', 21, -1, 0), ('e', 12, -1, 0), ('g', -1, 1621, 0), ('i', 21, -1, 0), ('k', 1, -1, 0), ('l', 12, -1, 0), ('m', -1, 1499, 0), ('n', 7, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', -1, 11, 0), ('s', -1, 1036, 0), ('t', -1, 283, 0), ('u', 21, -1, 0), ('w', -1, 1181, 0), ('y', 12, -1, 0), ('z', 21, -1, 0), ('ś', 70, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('n', -1, 1622, 0), ('o', -1, 2492, 0), ('r', 7, -1, 0), ('t', -1, 1104, 0), ('u', 11, -1, 0), ('w', 7, -1, 0), ('y', 1, -1, 0), ('z', 7, -1, 0), ('ł', -1, 2995, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 73, -1, 0), ('c', 73, -1, 0), ('d', -1, 46, 0), ('e', 3, -1, 0), ('g', -1, 1623, 0), ('h', 73, -1, 0), ('i', -1, 1165, 0), ('k', -1, 2724, 0), ('l', 73, -1, 0), ('o', -1, 1632, 0), ('p', 73, -1, 0), ('r', 73, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ś', 3, 1624, 0), ('ź', 3, -1, 0), ('ż', 73, -1, 0)), (('a', 73, -1, 0), ('b', 73, -1, 0), ('c', 73, -1, 0), ('d', -1, 660, 0), ('e', 73, -1, 0), ('g', -1, 1623, 0), ('h', 73, -1, 0), ('i', -1, 1394, 0), ('k', -1, 1624, 0), ('l', 73, -1, 0), ('m', -1, 293, 0), ('n', 2, -1, 0), ('o', -1, 1601, 0), ('p', 73, -1, 0), ('r', 73, -1, 0), ('s', 73, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('w', 12, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ą', 73, -1, 0), ('ę', -1, 1136, 0), ('ś', 29, 1624, 0), ('ź', 29, -1, 0), ('ż', 73, -1, 0)), (('a', 73, -1, 0), ('d', 0, -1, 0), ('e', 73, -1, 0), ('g', 323, -1, 0), ('i', 73, -1, 0), ('k', 323, -1, 0), ('m', 29, -1, 0), ('n', -1, 1625, 0), ('o', 73, -1, 0), ('p', 39, -1, 0), ('r', -1, 373, 0), ('s', 22, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('w', -1, 1022, 0), ('y', 73, -1, 0), ('z', -1, 195, 0), ('ą', 73, -1, 0), ('ę', 73, -1, 0), ('ł', 73, -1, 0)), (('a', 389, -1, 0), ('b', 22, 30, 0), ('d', 3, -1, 0), ('e', 0, -1, 0), ('g', 3, -1, 0), ('i', 0, -1, 0), ('j', 3, -1, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('o', -1, 892, 0), ('p', -1, 1626, 0), ('r', -1, 1503, 0), ('s', -1, 4489, 0), ('t', 5, -1, 0), ('u', -1, 530, 0), ('w', 22, -1, 0), ('y', 1, -1, 0), ('z', 22, -1, 0)), (('a', 22, 367, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('l', -1, 1627, 0), ('n', 7, -1, 0), ('o', -1, 352, 0), ('p', 7, -1, 0), ('r', -1, 1741, 0), ('s', 7, -1, 0), ('t', -1, 2198, 0), ('u', 22, -1, 0), ('y', -1, 1411, 0), ('z', 2, -1, 0), ('ż', 2, -1, 0)), (('a', 2, -1, 0), ('c', -1, 1628, 0), ('e', 28, -1, 0), ('f', 2, -1, 0), ('g', 28, -1, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('o', -1, 1629, 0), ('p', 2, -1, 0), ('r', 28, 984, 0), ('s', 2, -1, 0), ('t', -1, 2101, 0), ('u', 28, -1, 0), ('w', 2, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0), ('ł', -1, 2512, 0)), (('a', 2, -1, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('i', 3, -1, 0), ('j', 2, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('o', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('y', -1, 1312, 0), ('z', 2, -1, 0), ('ś', 2, -1, 0)), (('a', 126, -1, 0), ('c', 28, -1, 0), ('d', -1, 1630, 0), ('e', 12, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 41, -1, 0), ('o', 126, -1, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('s', -1, 165, 0), ('t', 3, -1, 0), ('y', 12, -1, 0), ('z', 126, -1, 0)), (('a', 28, -1, 0), ('b', -1, 1631, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('h', 28, -1, 0), ('i', 2, -1, 0), ('j', 28, -1, 0), ('k', 28, 22, 0), ('l', -1, 3144, 0), ('m', -1, 985, 0), ('n', -1, 4207, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', 117, -1, 0), ('s', 1, 1915, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0)), (('a', 2, -1, 0), ('c', 3, -1, 0), ('e', -1, 799, 0), ('i', 2, -1, 0), ('l', -1, 1632, 0), ('m', 3, -1, 0), ('n', -1, 3416, 0), ('o', 28, -1, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('u', -1, 1092, 0), ('w', -1, 4385, 0), ('y', -1, 2572, 0), ('z', 28, -1, 0), ('ę', 28, -1, 0)), (('a', -1, 976, 0), ('e', -1, 1633, 0), ('i', 73, -1, 0), ('l', -1, 2642, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 73, -1, 0), ('ó', 2, -1, 0), ('ł', 3, -1, 0)), (('a', 21, -1, 0), ('b', 2, -1, 0), ('c', -1, 839, 0), ('d', 21, -1, 0), ('e', -1, 856, 0), ('g', -1, 1634, 0), ('i', 21, -1, 0), ('k', 0, 860, 0), ('l', -1, 2737, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', 21, -1, 0), ('p', -1, 1966, 0), ('r', -1, 784, 0), ('s', 3, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 0, 1901, 0), ('y', 3, -1, 0), ('z', 202, -1, 0), ('ó', 21, -1, 0), ('ą', 21, -1, 0), ('ę', 37, -1, 0)), (('a', 22, 238, 0), ('c', 11, -1, 0), ('e', 3, -1, 0), ('i', -1, 1079, 0), ('l', 21, -1, 0), ('o', -1, 1635, 0), ('r', -1, 589, 0), ('s', 11, -1, 0)), (('a', -1, 1636, 0), ('d', -1, 807, 0), ('e', -1, 1353, 0), ('g', -1, 3099, 0), ('h', -1, 2665, 0), ('i', -1, 1406, 0), ('k', 3, -1, 0), ('l', -1, 3374, 0), ('m', 3, -1, 0), ('n', -1, 1043, 0), ('o', -1, 3900, 0), ('p', 21, -1, 0), ('r', -1, 351, 0), ('s', -1, 197, 0), ('t', -1, 2407, 0), ('u', 34, -1, 0), ('ł', 34, -1, 0)), (('a', -1, 895, 0), ('c', 10, -1, 0), ('e', 44, -1, 0), ('i', -1, 1533, 0), ('k', 34, -1, 0), ('l', 10, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 1637, 0), ('w', 34, -1, 0), ('z', 3, 1086, 0)), (('a', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 90, -1, 0), ('h', 3, -1, 0), ('i', 34, -1, 0), ('l', 3, -1, 0), ('o', 1, -1, 0), ('p', 3, -1, 0), ('r', -1, 1638, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('y', 121, -1, 0), ('z', 1, -1, 0), ('ł', 3, -1, 0)), (('a', 240, -1, 0), ('c', 7, -1, 0), ('e', 3, -1, 0), ('i', -1, 1639, 0), ('k', 30, -1, 0), ('l', 0, -1, 0), ('o', -1, 796, 0), ('p', 0, -1, 0), ('r', 21, -1, 0), ('s', 30, -1, 0), ('t', -1, 2028, 0), ('w', 30, -1, 0), ('z', 7, -1, 0)), (('a', -1, 1640, 0), ('b', -1, 1875, 0), ('d', -1, 1510, 0), ('e', -1, 2993, 0), ('f', -1, 2325, 0), ('g', -1, 2102, 0), ('h', -1, 1045, 0), ('i', -1, 1214, 0), ('m', -1, 806, 0), ('o', -1, 364, 0), ('p', 0, 288, 0), ('r', -1, 389, 0), ('s', -1, 2028, 0), ('t', -1, 592, 0), ('u', -1, 702, 0), ('w', -1, 1917, 0), ('z', -1, 3243, 0)), (('a', -1, 993, 0), ('c', -1, 1641, 0), ('d', -1, 1556, 0), ('e', 178, -1, 0), ('i', 1, -1, 0), ('k', 145, -1, 0), ('l', -1, 98, 0), ('m', 39, -1, 0), ('o', 27, -1, 0), ('p', -1, 2865, 0), ('r', -1, 1210, 0), ('s', -1, 2632, 0), ('t', 0, 225, 0), ('w', 0, 225, 0), ('y', 1, -1, 0), ('z', -1, 98, 0)), (('a', -1, 1087, 0), ('c', 146, -1, 0), ('d', 4, -1, 0), ('e', -1, 1642, 0), ('i', -1, 1089, 0), ('j', 4, -1, 0), ('k', 62, -1, 0), ('l', -1, 2566, 0), ('o', -1, 2194, 0), ('p', -1, 1806, 0), ('r', -1, 306, 0), ('s', -1, 1894, 0), ('t', 255, -1, 0), ('u', -1, 2102, 0), ('w', 30, -1, 0), ('y', -1, 923, 0), ('z', -1, 2115, 0), ('ó', 4, -1, 0), ('ą', 4, -1, 0), ('ę', -1, 1010, 0), ('ń', 4, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1643, 0), ('d', 22, -1, 0), ('e', -1, 877, 0), ('f', 22, -1, 0), ('g', 3, -1, 0), ('h', 41, -1, 0), ('i', -1, 1072, 0), ('k', 3, -1, 0), ('l', -1, 1075, 0), ('m', 3, -1, 0), ('o', 0, 1644, 0), ('p', 22, -1, 0), ('r', 0, -1, 0), ('s', 41, -1, 0), ('t', 3, -1, 0), ('u', 0, -1, 0), ('w', 5, -1, 0), ('y', 0, -1, 0), ('z', -1, 3803, 0)), (('a', -1, 877, 0), ('b', 22, -1, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 3, 387, 0), ('p', 22, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', 21, -1, 0), ('w', 3, -1, 0)), (('a', -1, 100, 0), ('b', -1, 522, 0), ('c', -1, 406, 0), ('d', 5, -1, 0), ('e', 7, -1, 0), ('f', -1, 1645, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 296, 0), ('j', 97, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 99, 722, 0), ('n', -1, 403, 0), ('o', 97, -1, 0), ('p', 7, -1, 0), ('r', -1, 387, 0), ('s', -1, 799, 0), ('t', -1, 13, 0), ('u', 7, -1, 0), ('w', -1, 359, 0), ('y', -1, 386, 0), ('z', -1, 386, 0), ('ó', -1, 372, 0), ('ą', -1, 489, 0), ('ę', -1, 1155, 0), ('ł', -1, 542, 0), ('ś', 217, 503, 0), ('ż', -1, 649, 0)), (('a', -1, 1646, 0), ('c', -1, 3334, 0), ('d', 7, 386, 0), ('e', -1, 1122, 0), ('i', -1, 954, 0), ('j', 0, 1876, 0), ('o', -1, 861, 0), ('p', -1, 1590, 0), ('r', -1, 1890, 0), ('s', -1, 4488, 0), ('t', 2, -1, 0), ('w', 6, -1, 0), ('z', -1, 1188, 0), ('ł', -1, 1077, 0)), (('a', -1, 18, 0), ('d', 5, -1, 0), ('e', -1, 1647, 0), ('f', -1, 1049, 0), ('i', -1, 7, 0), ('k', 5, -1, 0), ('l', -1, 1732, 0), ('m', -1, 478, 0), ('n', -1, 677, 0), ('o', 51, -1, 0), ('p', 5, -1, 0), ('r', 0, 729, 0), ('s', -1, 184, 0), ('t', -1, 1362, 0), ('u', 51, 1250, 0), ('w', 28, 914, 0), ('y', 5, -1, 0), ('z', -1, 594, 0)), (('a', -1, 1648, 0), ('b', 2, -1, 0), ('c', -1, 2897, 0), ('d', -1, 67, 0), ('e', 149, -1, 0), ('i', -1, 136, 0), ('k', 55, -1, 0), ('l', 3, -1, 0), ('m', -1, 316, 0), ('n', 5, -1, 0), ('o', 256, -1, 0), ('p', -1, 1217, 0), ('r', 51, -1, 0), ('s', 5, -1, 0), ('t', 22, -1, 0), ('u', -1, 1093, 0), ('w', -1, 345, 0), ('y', 149, -1, 0), ('z', 51, -1, 0)), (('a', -1, 1649, 0), ('b', 104, -1, 0), ('c', -1, 2971, 0), ('d', 25, -1, 0), ('e', 176, -1, 0), ('g', 21, -1, 0), ('i', 54, -1, 0), ('k', 25, -1, 0), ('l', 25, -1, 0), ('m', -1, 143, 0), ('n', -1, 1615, 0), ('o', 176, -1, 0), ('p', -1, 1588, 0), ('r', 25, -1, 0), ('s', 21, -1, 0), ('t', 104, -1, 0), ('u', 25, -1, 0), ('w', 104, -1, 0), ('y', 25, -1, 0), ('z', -1, 1247, 0), ('ó', 25, -1, 0)), (('a', -1, 308, 0), ('b', 25, -1, 0), ('c', 6, -1, 0), ('d', 21, -1, 0), ('e', 3, -1, 0), ('g', -1, 1650, 0), ('h', 182, -1, 0), ('i', 25, -1, 0), ('k', -1, 685, 0), ('l', -1, 1006, 0), ('m', 25, 1070, 0), ('n', 1, -1, 0), ('o', -1, 134, 0), ('p', -1, 1268, 0), ('r', -1, 182, 0), ('s', 6, -1, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 182, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ó', 21, -1, 0), ('ą', 21, -1, 0), ('ę', 21, -1, 0), ('ł', 64, -1, 0)), (('a', -1, 338, 0), ('d', 71, -1, 0), ('e', 7, -1, 0), ('h', -1, 1651, 0), ('i', -1, 4297, 0), ('j', 71, 3781, 0), ('l', 0, -1, 0), ('m', 39, -1, 0), ('o', 0, -1, 0), ('r', -1, 2616, 0), ('u', 0, -1, 0), ('z', -1, 4314, 0), ('ż', 71, -1, 0)), (('a', 6, -1, 0), ('b', 67, -1, 0), ('c', 5, 1652, 0), ('d', -1, 1591, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 1457, 0), ('k', 2, 401, 0), ('l', -1, 403, 0), ('m', -1, 217, 0), ('n', 0, -1, 0), ('o', -1, 2003, 0), ('p', -1, 690, 0), ('r', 6, -1, 0), ('s', -1, 147, 0), ('t', -1, 1185, 0), ('u', 3, -1, 0), ('w', -1, 1732, 0), ('y', -1, 747, 0), ('z', 0, 288, 0), ('ź', 6, -1, 0)), (('a', 145, -1, 0), ('d', 105, -1, 0), ('e', 5, -1, 0), ('i', -1, 1653, 0), ('l', -1, 3477, 0), ('m', 95, -1, 0), ('o', 105, -1, 0), ('r', 95, -1, 0), ('t', 105, -1, 0), ('u', 145, -1, 0), ('y', 105, -1, 0), ('z', 31, -1, 0), ('ł', 34, -1, 0)), (('a', -1, 1654, 0), ('c', 31, -1, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('m', 31, -1, 0), ('o', -1, 1599, 0), ('p', 31, -1, 0), ('r', 11, -1, 0), ('s', 31, -1, 0), ('t', 11, -1, 0), ('w', 31, -1, 0), ('y', 11, -1, 0), ('z', -1, 2241, 0), ('ó', -1, 1907, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('e', 11, -1, 0), ('g', 11, -1, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('o', -1, 252, 0), ('r', 11, -1, 0), ('t', -1, 1655, 0), ('u', 10, -1, 0), ('w', 11, -1, 0), ('z', 11, -1, 0), ('ł', -1, 1330, 0), ('ż', 11, -1, 0)), (('a', -1, 1656, 0), ('d', 21, -1, 0), ('e', -1, 118, 0), ('i', -1, 971, 0), ('k', 79, -1, 0), ('m', -1, 2251, 0), ('o', -1, 1767, 0), ('p', 21, -1, 0), ('r', -1, 1330, 0), ('s', 11, 376, 0), ('w', 3, 296, 0), ('y', 1, -1, 0), ('z', -1, 1231, 0)), (('a', -1, 677, 0), ('d', -1, 1657, 0), ('e', -1, 1864, 0), ('i', -1, 139, 0), ('l', -1, 531, 0), ('o', -1, 780, 0), ('p', 15, 957, 0), ('r', -1, 344, 0), ('s', 6, -1, 0), ('t', 40, -1, 0), ('u', 22, -1, 0), ('w', -1, 2364, 0), ('z', -1, 338, 0)), (('a', 189, -1, 0), ('b', 189, -1, 0), ('d', 189, -1, 0), ('e', 6, -1, 0), ('g', 192, -1, 0), ('i', 120, -1, 0), ('j', 192, -1, 0), ('k', 192, -1, 0), ('l', 64, -1, 0), ('m', 120, -1, 0), ('n', 4, -1, 0), ('o', 53, -1, 0), ('p', -1, 1658, 0), ('r', 6, -1, 0), ('s', 192, -1, 0), ('w', 192, -1, 0), ('y', 189, -1, 0), ('z', 189, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 1659, 0), ('e', -1, 2655, 0), ('i', -1, 2296, 0), ('n', -1, 1515, 0), ('o', 120, -1, 0), ('r', 192, -1, 0), ('u', 3, -1, 0), ('y', 22, -1, 0), ('z', 22, -1, 0), ('ą', -1, 2332, 0)), (('a', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', 80, -1, 0), ('l', 3, -1, 0), ('n', 4, 1660, 0), ('o', 21, -1, 0), ('r', 21, -1, 0), ('t', -1, 1381, 0), ('u', 21, -1, 0), ('z', 4, -1, 0), ('ś', 21, -1, 0)), (('a', -1, 1661, 0), ('b', 0, -1, 0), ('c', 418, -1, 0), ('d', 0, -1, 0), ('e', -1, 1096, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 3, -1, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1929, 0), ('s', 3, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1493, 0), ('y', 22, -1, 0), ('z', 0, 1191, 0), ('ę', 28, -1, 0)), (('a', 0, -1, 0), ('b', 3, -1, 0), ('c', -1, 1499, 0), ('d', 0, -1, 0), ('e', -1, 314, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1193, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 83, -1, 0), ('n', -1, 1662, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1901, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 312, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 754, 0), ('b', 0, -1, 0), ('c', 82, -1, 0), ('d', -1, 1663, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 197, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 4487, 0), ('t', 317, -1, 0), ('u', 0, -1, 0), ('w', 3, -1, 0), ('y', 0, -1, 0), ('z', -1, 700, 0)), (('a', -1, 1664, 0), ('d', 31, -1, 0), ('e', -1, 3859, 0), ('g', 31, -1, 0), ('i', 31, -1, 0), ('k', 31, -1, 0), ('o', -1, 3043, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('y', 31, -1, 0), ('ś', 31, -1, 0), ('ź', 31, -1, 0)), (('a', -1, 1237, 0), ('d', 31, -1, 0), ('e', -1, 1380, 0), ('g', 31, -1, 0), ('i', -1, 717, 0), ('k', 31, -1, 0), ('m', 1, -1, 0), ('o', -1, 1665, 0), ('p', 31, -1, 0), ('r', 12, -1, 0), ('s', 31, -1, 0), ('u', -1, 2094, 0), ('w', 31, 3716, 0), ('y', -1, 1243, 0), ('z', -1, 1921, 0), ('ę', 1, -1, 0), ('ż', 31, -1, 0)), (('a', -1, 1036, 0), ('b', 62, -1, 0), ('c', 9, -1, 0), ('d', 62, -1, 0), ('e', -1, 1666, 0), ('g', 16, 1076, 0), ('i', -1, 517, 0), ('k', 41, -1, 0), ('l', 9, -1, 0), ('m', 1, -1, 0), ('o', 0, 313, 0), ('p', -1, 3989, 0), ('r', 9, -1, 0), ('s', 101, -1, 0), ('t', -1, 614, 0), ('u', 1, -1, 0), ('w', 62, -1, 0), ('y', 194, -1, 0), ('z', 14, -1, 0), ('ł', 1, -1, 0), ('ś', 1, -1, 0)), (('a', 6, -1, 0), ('c', -1, 315, 0), ('d', 6, -1, 0), ('e', -1, 95, 0), ('h', 0, -1, 0), ('i', 95, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 940, 0), ('m', 29, -1, 0), ('o', 6, -1, 0), ('p', -1, 129, 0), ('r', 6, -1, 0), ('s', -1, 1667, 0), ('t', 6, -1, 0), ('u', -1, 411, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 234, 0), ('ł', 330, -1, 0)), (('a', -1, 1668, 0), ('d', 5, -1, 0), ('e', -1, 515, 0), ('g', 5, -1, 0), ('i', -1, 1669, 0), ('k', 14, -1, 0), ('l', -1, 3728, 0), ('m', 208, -1, 0), ('o', 51, 518, 0), ('p', -1, 469, 0), ('r', -1, 2736, 0), ('s', 4, -1, 0), ('t', 5, -1, 0), ('u', 39, -1, 0), ('w', 4, -1, 0), ('y', 51, -1, 0), ('z', 51, -1, 0), ('ł', 5, -1, 0), ('ś', 5, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 5, -1, 0), ('d', 6, -1, 0), ('e', -1, 1335, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('k', 7, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 6, -1, 0), ('p', 57, -1, 0), ('r', -1, 1488, 0), ('s', 21, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 7, -1, 0), ('y', 6, -1, 0), ('z', 51, 1144, 0)), (('a', -1, 1670, 0), ('b', -1, 1043, 0), ('c', -1, 2434, 0), ('d', 0, 2521, 0), ('e', -1, 427, 0), ('g', -1, 2959, 0), ('i', -1, 83, 0), ('k', 25, -1, 0), ('l', 25, -1, 0), ('m', -1, 1034, 0), ('n', 25, -1, 0), ('o', 25, -1, 0), ('p', 25, -1, 0), ('r', 25, -1, 0), ('s', -1, 1185, 0), ('t', -1, 91, 0), ('u', 25, -1, 0), ('w', 6, -1, 0), ('y', 0, -1, 0), ('z', -1, 8, 0), ('ł', -1, 582, 0)), (('a', -1, 970, 0), ('b', 25, -1, 0), ('c', -1, 1671, 0), ('d', -1, 163, 0), ('e', -1, 241, 0), ('g', -1, 602, 0), ('i', 21, -1, 0), ('k', -1, 677, 0), ('l', 25, -1, 0), ('m', 25, -1, 0), ('n', -1, 331, 0), ('o', 21, 118, 0), ('p', -1, 1794, 0), ('r', 25, -1, 0), ('s', -1, 2465, 0), ('t', 25, -1, 0), ('u', -1, 2185, 0), ('w', -1, 554, 0), ('y', 21, -1, 0), ('z', 25, -1, 0), ('ó', -1, 807, 0), ('ł', 25, -1, 0)), (('a', 126, -1, 0), ('b', 28, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', -1, 192, 0), ('g', 1, -1, 0), ('i', 21, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 1672, 0), ('n', 21, -1, 0), ('o', 126, -1, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('s', 1, -1, 0), ('t', 21, -1, 0), ('u', 126, -1, 0), ('w', -1, 11, 0), ('y', 28, -1, 0), ('z', -1, 1249, 0), ('ą', 21, -1, 0), ('ł', 0, -1, 0), ('ż', -1, 1092, 0)), (('a', 27, -1, 0), ('b', -1, 1673, 0), ('d', 27, -1, 0), ('e', 27, -1, 0), ('f', 27, -1, 0), ('g', 27, -1, 0), ('h', -1, 1248, 0), ('i', 27, -1, 0), ('k', -1, 516, 0), ('o', -1, 124, 0), ('p', -1, 1674, 0), ('r', 0, 506, 0), ('s', -1, 416, 0), ('t', -1, 4486, 0), ('u', 27, -1, 0), ('w', 3, 3164, 0), ('y', 27, -1, 0), ('z', -1, 780, 0), ('ó', 27, -1, 0)), (('a', 178, -1, 0), ('b', 3, -1, 0), ('c', -1, 1526, 0), ('d', 178, -1, 0), ('e', 27, -1, 0), ('i', 27, -1, 0), ('k', 40, -1, 0), ('l', -1, 299, 0), ('m', 27, -1, 0), ('n', 27, -1, 0), ('o', 27, -1, 0), ('p', 51, -1, 0), ('r', -1, 1017, 0), ('s', -1, 650, 0), ('t', 0, 225, 0), ('w', 30, 186, 0), ('y', 106, -1, 0), ('z', -1, 118, 0)), (('a', 178, -1, 0), ('d', 52, -1, 0), ('e', -1, 261, 0), ('i', -1, 116, 0), ('j', -1, 54, 0), ('k', -1, 1675, 0), ('l', 67, -1, 0), ('m', -1, 119, 0), ('n', -1, 635, 0), ('o', 5, -1, 0), ('p', 7, 1518, 0), ('r', -1, 347, 0), ('s', -1, 3338, 0), ('t', -1, 1989, 0), ('u', -1, 1072, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0)), (('a', -1, 667, 0), ('b', -1, 746, 0), ('c', -1, 1676, 0), ('d', -1, 4485, 0), ('e', -1, 917, 0), ('i', -1, 1542, 0), ('l', 0, 225, 0), ('o', -1, 780, 0), ('p', -1, 1777, 0), ('r', -1, 440, 0), ('s', -1, 1173, 0), ('t', -1, 1666, 0), ('u', 3, -1, 0), ('w', -1, 634, 0), ('y', -1, 1683, 0), ('z', -1, 2100, 0)), (('a', -1, 938, 0), ('d', 5, -1, 0), ('e', -1, 821, 0), ('i', -1, 737, 0), ('l', 132, -1, 0), ('m', -1, 1254, 0), ('n', 41, -1, 0), ('o', -1, 1677, 0), ('p', 3, -1, 0), ('r', -1, 1014, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 0, 44, 0), ('w', 41, -1, 0), ('y', -1, 1395, 0), ('z', -1, 717, 0), ('ł', -1, 1678, 0)), (('a', -1, 231, 0), ('b', 25, -1, 0), ('c', -1, 775, 0), ('d', 58, -1, 0), ('e', -1, 312, 0), ('f', 25, -1, 0), ('g', -1, 754, 0), ('h', 17, -1, 0), ('i', -1, 123, 0), ('k', 25, -1, 0), ('l', 25, -1, 0), ('m', 25, -1, 0), ('n', 25, -1, 0), ('o', 137, -1, 0), ('p', 0, 164, 0), ('r', 17, -1, 0), ('s', -1, 1260, 0), ('t', 0, -1, 0), ('u', 137, -1, 0), ('w', -1, 296, 0), ('y', 137, -1, 0), ('z', 137, -1, 0), ('ł', -1, 390, 0), ('ś', 17, -1, 0)), (('a', 211, -1, 0), ('d', -1, 628, 0), ('e', -1, 1492, 0), ('i', -1, 1679, 0), ('k', 59, -1, 0), ('l', 132, -1, 0), ('m', -1, 1680, 0), ('o', 113, -1, 0), ('p', 3, -1, 0), ('r', -1, 973, 0), ('s', 121, -1, 0), ('t', 0, -1, 0), ('w', -1, 226, 0), ('y', 211, -1, 0), ('z', 211, -1, 0), ('ę', 121, -1, 0)), (('a', -1, 155, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', -1, 1271, 0), ('e', -1, 155, 0), ('f', 21, -1, 0), ('h', 21, 848, 0), ('i', -1, 945, 0), ('k', 21, -1, 0), ('l', -1, 289, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 28, 1070, 0), ('p', -1, 103, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 16, 823, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ą', -1, 857, 0)), (('a', -1, 1476, 0), ('b', 0, -1, 0), ('c', -1, 1681, 0), ('d', -1, 468, 0), ('e', -1, 59, 0), ('f', 14, -1, 0), ('h', -1, 805, 0), ('i', -1, 1436, 0), ('k', 12, -1, 0), ('m', 14, -1, 0), ('o', -1, 628, 0), ('p', 14, -1, 0), ('r', -1, 1137, 0), ('s', 28, 815, 0), ('t', 12, -1, 0), ('w', 115, 3514, 0), ('y', 12, -1, 0), ('z', -1, 2353, 0)), (('a', 6, -1, 0), ('b', -1, 1508, 0), ('d', -1, 961, 0), ('e', -1, 1682, 0), ('h', -1, 706, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 29, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 14, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 330, -1, 0), ('y', 6, -1, 0), ('z', -1, 2160, 0), ('ś', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 775, 0), ('d', 107, -1, 0), ('e', -1, 1683, 0), ('i', -1, 1666, 0), ('k', 0, 225, 0), ('m', -1, 765, 0), ('n', -1, 423, 0), ('o', -1, 879, 0), ('p', -1, 2334, 0), ('r', -1, 1452, 0), ('s', 95, -1, 0), ('u', -1, 378, 0), ('w', -1, 3383, 0), ('z', -1, 43, 0), ('ł', 107, 522, 0), ('ż', 21, -1, 0)), (('a', 52, -1, 0), ('b', 0, -1, 0), ('c', -1, 5, 0), ('d', -1, 1684, 0), ('e', -1, 1478, 0), ('g', 7, -1, 0), ('i', -1, 500, 0), ('k', 39, -1, 0), ('m', -1, 2796, 0), ('n', 12, -1, 0), ('o', 52, -1, 0), ('p', -1, 3219, 0), ('r', -1, 1006, 0), ('s', 52, 7, 0), ('t', -1, 1917, 0), ('u', -1, 345, 0), ('w', -1, 1818, 0), ('y', 52, -1, 0), ('z', 52, -1, 0), ('ł', 7, -1, 0)), (('a', 90, -1, 0), ('c', 3, -1, 0), ('d', 2, -1, 0), ('e', 90, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 1685, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 3, 576, 0), ('o', 0, -1, 0), ('p', -1, 2189, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 3055, 0), ('u', 34, -1, 0), ('z', 3, 2842, 0), ('ó', 90, -1, 0), ('ł', -1, 1050, 0), ('ż', 3, -1, 0)), (('a', 21, -1, 0), ('c', 121, -1, 0), ('d', 126, -1, 0), ('e', -1, 1009, 0), ('g', 2, -1, 0), ('i', 21, -1, 0), ('j', -1, 1686, 0), ('l', 2, -1, 0), ('m', 2, 1798, 0), ('n', 2, -1, 0), ('o', 21, -1, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', 21, -1, 0), ('u', 217, -1, 0), ('w', 121, -1, 0), ('z', -1, 502, 0), ('ź', 382, -1, 0)), (('a', -1, 173, 0), ('d', -1, 1687, 0), ('e', 2, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', -1, 2139, 0), ('o', 126, -1, 0), ('r', -1, 983, 0), ('s', 2, -1, 0), ('t', -1, 529, 0), ('u', 126, -1, 0), ('w', 2, -1, 0), ('y', 126, -1, 0), ('z', 12, -1, 0)), (('a', -1, 1178, 0), ('b', 2, -1, 0), ('e', 3, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, 1688, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 0, -1, 0), ('t', 2, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 2, -1, 0), ('b', 3, -1, 0), ('c', 5, -1, 0), ('d', 3, -1, 0), ('e', -1, 1689, 0), ('i', 2, -1, 0), ('m', 2, -1, 0), ('o', 3, -1, 0), ('r', -1, 7, 0), ('s', -1, 4471, 0), ('y', -1, 3030, 0), ('z', -1, 470, 0), ('ł', 5, -1, 0)), (('a', 41, -1, 0), ('b', 22, -1, 0), ('c', 3, -1, 0), ('d', 0, -1, 0), ('e', 41, -1, 0), ('g', 2, -1, 0), ('i', 0, -1, 0), ('k', 59, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 1690, 0), ('o', -1, 88, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 22, -1, 0), ('t', 41, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 79, 0), ('ó', 31, -1, 0)), (('a', 22, -1, 0), ('c', 12, -1, 0), ('d', 231, -1, 0), ('e', -1, 769, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 229, -1, 0), ('s', -1, 540, 0), ('t', 87, -1, 0), ('u', 22, -1, 0), ('y', 22, -1, 0), ('z', 52, 1691, 0)), (('a', -1, 859, 0), ('b', 195, 1189, 0), ('c', 12, -1, 0), ('d', -1, 1692, 0), ('e', -1, 187, 0), ('f', 2, 401, 0), ('g', -1, 385, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', -1, 47, 0), ('k', 12, -1, 0), ('l', 0, -1, 0), ('m', -1, 240, 0), ('n', -1, 1693, 0), ('o', 7, 1035, 0), ('p', -1, 1097, 0), ('r', 7, -1, 0), ('s', 12, -1, 0), ('t', -1, 387, 0), ('u', 7, -1, 0), ('w', -1, 134, 0), ('y', 7, -1, 0), ('z', -1, 296, 0), ('ó', 96, -1, 0), ('ę', -1, 244, 0), ('ł', -1, 3691, 0), ('ś', -1, 1644, 0), ('ź', 7, -1, 0), ('ż', 29, -1, 0)), (('a', 7, -1, 0), ('b', 12, 1119, 0), ('c', -1, 538, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', -1, 449, 0), ('g', -1, 339, 0), ('h', -1, 530, 0), ('i', 7, -1, 0), ('j', -1, 173, 0), ('k', 124, -1, 0), ('l', 12, -1, 0), ('m', 97, -1, 0), ('n', 11, -1, 0), ('o', 7, -1, 0), ('p', 98, -1, 0), ('r', -1, 1644, 0), ('s', -1, 1035, 0), ('t', -1, 333, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 111, 0), ('ó', -1, 1143, 0), ('ą', 7, -1, 0), ('ę', -1, 1271, 0), ('ł', 7, -1, 0), ('ś', 95, 42, 0), ('ż', 7, -1, 0)), (('a', -1, 95, 0), ('b', 0, 310, 0), ('c', 86, -1, 0), ('d', 195, -1, 0), ('e', -1, 1694, 0), ('g', 167, 891, 0), ('h', -1, 1696, 0), ('i', 61, -1, 0), ('j', 28, -1, 0), ('k', 0, -1, 0), ('l', -1, 412, 0), ('m', 0, -1, 0), ('n', -1, 1902, 0), ('o', 124, -1, 0), ('p', 0, -1, 0), ('r', 167, -1, 0), ('s', 21, -1, 0), ('t', -1, 386, 0), ('u', 21, -1, 0), ('w', 167, -1, 0), ('y', -1, 20, 0), ('z', 17, -1, 0), ('ó', 138, -1, 0), ('ą', 28, -1, 0), ('ł', -1, 707, 0), ('ś', -1, 4483, 0), ('ż', 28, -1, 0)), (('a', 5, -1, 0), ('b', 12, -1, 0), ('c', -1, 1695, 0), ('d', 28, -1, 0), ('e', 5, -1, 0), ('f', 12, -1, 0), ('g', -1, 177, 0), ('h', 5, -1, 0), ('i', -1, 499, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', -1, 668, 0), ('n', 12, -1, 0), ('o', -1, 1377, 0), ('p', 17, 118, 0), ('r', 5, -1, 0), ('s', 124, -1, 0), ('t', -1, 891, 0), ('u', 109, -1, 0), ('w', 12, -1, 0), ('y', -1, 1472, 0), ('z', 167, -1, 0), ('ę', 6, -1, 0), ('ł', 1, -1, 0), ('ś', 69, -1, 0), ('ź', 5, -1, 0)), (('a', 51, -1, 0), ('b', 51, -1, 0), ('c', 6, 1370, 0), ('d', 6, -1, 0), ('e', 51, -1, 0), ('g', -1, 1222, 0), ('h', 0, -1, 0), ('i', 51, -1, 0), ('k', 2, 62, 0), ('l', 185, -1, 0), ('m', -1, 805, 0), ('o', 51, -1, 0), ('p', -1, 1388, 0), ('r', 51, -1, 0), ('s', 104, -1, 0), ('t', 6, -1, 0), ('u', 51, -1, 0), ('w', 6, -1, 0), ('y', 51, -1, 0), ('z', -1, 703, 0), ('ą', 51, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 1697, 0), ('c', -1, 1907, 0), ('d', -1, 51, 0), ('e', -1, 699, 0), ('f', 0, -1, 0), ('g', -1, 182, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 277, 0), ('o', 0, -1, 0), ('p', 104, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 532, 0), ('ł', 0, -1, 0), ('ż', 1, -1, 0)), (('a', 111, -1, 0), ('c', 0, -1, 0), ('d', 166, -1, 0), ('e', 14, -1, 0), ('g', 41, -1, 0), ('h', 41, -1, 0), ('i', -1, 1698, 0), ('k', -1, 2287, 0), ('l', 331, -1, 0), ('m', -1, 4022, 0), ('n', -1, 3631, 0), ('o', 0, -1, 0), ('p', 318, -1, 0), ('r', 0, 1268, 0), ('s', 29, -1, 0), ('t', 85, -1, 0), ('u', 28, -1, 0), ('w', -1, 1790, 0), ('y', 2, -1, 0), ('z', 14, -1, 0)), (('a', -1, 476, 0), ('c', -1, 1699, 0), ('d', 28, -1, 0), ('e', -1, 1407, 0), ('f', -1, 1330, 0), ('i', 209, -1, 0), ('k', 28, -1, 0), ('l', -1, 999, 0), ('m', -1, 1740, 0), ('n', -1, 3995, 0), ('o', 86, -1, 0), ('p', 331, -1, 0), ('r', -1, 1677, 0), ('s', 331, -1, 0), ('t', -1, 999, 0), ('u', 86, -1, 0), ('w', 86, -1, 0), ('y', 86, -1, 0), ('z', 4, -1, 0), ('ą', -1, 1488, 0), ('ę', -1, 723, 0), ('ł', -1, 172, 0), ('ż', 28, -1, 0)), (('a', 331, -1, 0), ('b', 66, -1, 0), ('c', 1, -1, 0), ('d', 66, -1, 0), ('e', 173, -1, 0), ('g', -1, 1700, 0), ('i', 0, 85, 0), ('k', 6, -1, 0), ('l', 3, -1, 0), ('m', 67, -1, 0), ('o', 331, -1, 0), ('p', 108, -1, 0), ('r', 173, -1, 0), ('s', 4, -1, 0), ('t', -1, 1701, 0), ('u', 1, -1, 0), ('w', 66, -1, 0), ('y', 331, -1, 0), ('z', -1, 1390, 0), ('ł', 173, -1, 0), ('ś', 331, -1, 0)), (('a', -1, 381, 0), ('c', 79, -1, 0), ('d', 13, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 66, -1, 0), ('k', 3, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 16, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 56, -1, 0), ('u', 1, -1, 0), ('w', 79, -1, 0), ('y', 1, -1, 0), ('z', 6, -1, 0), ('ę', 21, -1, 0)), (('a', -1, 1702, 0), ('e', -1, 2768, 0), ('g', 360, -1, 0), ('i', 92, -1, 0), ('k', 360, -1, 0), ('m', 162, -1, 0), ('o', 56, -1, 0), ('r', 34, -1, 0), ('t', 92, -1, 0), ('u', 132, -1, 0), ('y', 132, -1, 0), ('z', 2, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 11, 0), ('d', 10, -1, 0), ('e', -1, 1703, 0), ('g', 102, -1, 0), ('i', 21, -1, 0), ('k', 10, -1, 0), ('l', 1, -1, 0), ('m', 2, -1, 0), ('n', -1, 3976, 0), ('o', -1, 1677, 0), ('p', 132, -1, 0), ('r', -1, 1076, 0), ('s', -1, 3915, 0), ('t', 21, -1, 0), ('u', 5, -1, 0), ('w', -1, 46, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ś', 10, -1, 0)), (('a', 6, -1, 0), ('c', 2, -1, 0), ('d', 28, -1, 0), ('e', 6, -1, 0), ('f', 2, -1, 0), ('i', 96, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', -1, 720, 0), ('o', 6, -1, 0), ('p', 2, -1, 0), ('r', 96, -1, 0), ('s', -1, 1704, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', -1, 708, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ś', 54, -1, 0)), (('a', 28, -1, 0), ('b', 2, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 2, -1, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', -1, 1705, 0), ('r', -1, 3282, 0), ('s', -1, 4448, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('y', 28, -1, 0), ('z', -1, 3320, 0), ('ł', 2, -1, 0)), (('a', 55, -1, 0), ('b', 12, -1, 0), ('c', -1, 1373, 0), ('d', 7, -1, 0), ('e', 12, -1, 0), ('f', 2, -1, 0), ('i', 55, -1, 0), ('k', 82, -1, 0), ('l', 2, 1706, 0), ('m', 82, -1, 0), ('o', 12, -1, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('s', 0, -1, 0), ('t', -1, 738, 0), ('u', 7, -1, 0), ('w', 55, -1, 0), ('y', 12, -1, 0), ('z', 7, -1, 0)), (('a', -1, 61, 0), ('b', 3, 992, 0), ('c', -1, 1707, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 3, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('r', -1, 1731, 0), ('s', -1, 603, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0), ('ó', 2, -1, 0), ('ą', -1, 3891, 0), ('ę', 28, -1, 0)), (('a', -1, 1708, 0), ('b', 30, -1, 0), ('c', 12, -1, 0), ('d', 30, -1, 0), ('e', -1, 649, 0), ('i', -1, 1958, 0), ('j', 30, -1, 0), ('k', 69, 1724, 0), ('l', 30, -1, 0), ('m', 30, -1, 0), ('n', 30, -1, 0), ('o', 30, -1, 0), ('p', 30, -1, 0), ('r', 30, -1, 0), ('t', 21, -1, 0), ('u', 30, -1, 0), ('w', 30, -1, 0), ('y', -1, 615, 0), ('z', -1, 2072, 0), ('ą', 30, -1, 0), ('ł', -1, 1261, 0), ('ń', 30, -1, 0), ('ź', 30, -1, 0), ('ż', 30, -1, 0)), (('a', 73, -1, 0), ('b', 73, -1, 0), ('c', -1, 1709, 0), ('d', 22, -1, 0), ('e', 41, -1, 0), ('i', 30, -1, 0), ('k', 30, -1, 0), ('l', 12, -1, 0), ('n', 30, -1, 0), ('o', 1, -1, 0), ('r', 30, -1, 0), ('s', 41, -1, 0), ('t', 21, 145, 0), ('u', 73, -1, 0), ('w', 30, -1, 0), ('y', 41, -1, 0), ('z', 73, -1, 0), ('ł', 30, -1, 0)), (('a', 59, -1, 0), ('c', -1, 1710, 0), ('d', 59, -1, 0), ('e', 82, -1, 0), ('g', -1, 2598, 0), ('i', 7, -1, 0), ('n', 41, -1, 0), ('o', -1, 1981, 0), ('r', -1, 1790, 0), ('y', 7, -1, 0), ('z', -1, 2169, 0)), (('a', 121, -1, 0), ('c', 41, -1, 0), ('d', 185, 1711, 0), ('e', -1, 1137, 0), ('f', 0, -1, 0), ('h', -1, 190, 0), ('i', -1, 1771, 0), ('j', 41, -1, 0), ('l', -1, 804, 0), ('o', 59, -1, 0), ('p', 2, -1, 0), ('r', 41, -1, 0), ('s', 41, -1, 0), ('t', 41, -1, 0), ('u', 59, -1, 0), ('w', 3, -1, 0), ('y', 59, -1, 0), ('z', 275, -1, 0), ('ę', 59, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1712, 0), ('b', 166, 523, 0), ('c', 12, -1, 0), ('d', 12, -1, 0), ('e', 30, -1, 0), ('f', 41, 421, 0), ('g', -1, 4281, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', -1, 2749, 0), ('m', 0, 3054, 0), ('n', 12, -1, 0), ('o', 43, -1, 0), ('r', -1, 4246, 0), ('s', 12, -1, 0), ('t', 166, 3054, 0), ('u', 41, -1, 0), ('w', -1, 3052, 0), ('z', -1, 3813, 0), ('ł', -1, 4282, 0), ('ż', 12, -1, 0)), (('a', -1, 43, 0), ('c', 21, -1, 0), ('d', -1, 213, 0), ('e', -1, 327, 0), ('i', 41, -1, 0), ('k', 3, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 382, 0), ('p', 41, -1, 0), ('r', -1, 1713, 0), ('s', 41, -1, 0), ('t', -1, 1210, 0), ('u', -1, 796, 0), ('w', 282, -1, 0), ('y', -1, 780, 0), ('z', 0, 64, 0), ('ą', -1, 1409, 0), ('ę', -1, 2312, 0)), (('a', -1, 99, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 1714, 0), ('e', -1, 115, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', -1, 357, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 118, 0), ('p', 1, -1, 0), ('r', -1, 1784, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('y', -1, 736, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 21, -1, 0), ('b', 1, -1, 0), ('c', -1, 1042, 0), ('d', -1, 1715, 0), ('e', 21, -1, 0), ('i', 21, -1, 0), ('k', 62, -1, 0), ('l', -1, 2107, 0), ('m', -1, 3216, 0), ('n', -1, 954, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 37, -1, 0), ('s', -1, 972, 0), ('t', -1, 1407, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 21, -1, 0), ('z', 1, -1, 0), ('ó', 21, -1, 0), ('ą', 21, -1, 0), ('ł', -1, 594, 0)), (('a', -1, 1521, 0), ('c', -1, 1716, 0), ('d', -1, 316, 0), ('e', -1, 385, 0), ('f', 0, -1, 0), ('i', 37, -1, 0), ('k', 12, -1, 0), ('l', 37, -1, 0), ('m', -1, 1188, 0), ('n', 37, -1, 0), ('o', 37, -1, 0), ('p', 54, -1, 0), ('r', 37, -1, 0), ('s', -1, 346, 0), ('t', 106, -1, 0), ('u', 37, -1, 0), ('w', -1, 1006, 0), ('y', 37, -1, 0), ('z', -1, 936, 0), ('ó', 37, -1, 0), ('ą', 37, -1, 0), ('ś', 372, -1, 0)), (('a', -1, 1717, 0), ('e', 7, -1, 0), ('i', -1, 1136, 0), ('l', -1, 1511, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 4467, 0), ('ą', 7, -1, 0)), (('a', -1, 1122, 0), ('b', 0, -1, 0), ('c', 3, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('g', 0, -1, 0), ('i', 7, -1, 0), ('k', -1, 1718, 0), ('l', 0, -1, 0), ('m', 7, -1, 0), ('n', -1, 2822, 0), ('o', -1, 1588, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 21, -1, 0), ('t', 7, -1, 0), ('u', 28, -1, 0), ('w', 1, -1, 0), ('z', -1, 1671, 0)), (('a', -1, 1719, 0), ('e', 0, -1, 0), ('o', -1, 2090, 0), ('y', 0, -1, 0)), (('a', 187, -1, 0), ('d', -1, 1720, 0), ('e', 6, -1, 0), ('g', 3, -1, 0), ('h', 21, -1, 0), ('i', -1, 1029, 0), ('k', 63, -1, 0), ('l', 1, -1, 0), ('m', 3, -1, 0), ('n', 1, -1, 0), ('o', 187, -1, 0), ('p', 1, -1, 0), ('r', -1, 1409, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('w', 3, -1, 0), ('y', 6, -1, 0), ('z', 1, -1, 0), ('ę', 187, -1, 0)), (('a', 187, -1, 0), ('d', 106, -1, 0), ('e', -1, 1721, 0), ('f', 11, -1, 0), ('g', 30, -1, 0), ('i', 340, -1, 0), ('j', -1, 2799, 0), ('k', 107, -1, 0), ('m', 190, -1, 0), ('n', 0, -1, 0), ('o', 187, -1, 0), ('p', 224, -1, 0), ('r', -1, 1768, 0), ('s', -1, 2942, 0), ('t', 107, -1, 0), ('u', 187, -1, 0), ('w', 187, -1, 0), ('y', 187, -1, 0), ('z', 187, -1, 0), ('ó', 187, -1, 0), ('ą', -1, 3120, 0), ('ę', -1, 232, 0), ('ź', 187, -1, 0)), (('a', -1, 128, 0), ('d', 13, -1, 0), ('e', -1, 147, 0), ('i', -1, 1722, 0), ('j', 341, -1, 0), ('k', 28, -1, 0), ('l', 187, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', 188, -1, 0), ('p', 321, -1, 0), ('r', -1, 957, 0), ('s', -1, 888, 0), ('t', 28, -1, 0), ('u', -1, 855, 0), ('w', -1, 952, 0), ('y', 132, -1, 0), ('z', 187, -1, 0)), (('a', 188, -1, 0), ('b', 188, -1, 0), ('c', 30, 1723, 0), ('d', 188, -1, 0), ('e', -1, 147, 0), ('f', 1, -1, 0), ('i', -1, 51, 0), ('j', 4, -1, 0), ('k', -1, 1391, 0), ('l', 21, 1378, 0), ('m', 0, 288, 0), ('n', -1, 724, 0), ('o', 188, -1, 0), ('p', -1, 226, 0), ('r', 105, -1, 0), ('s', 340, -1, 0), ('t', 0, 288, 0), ('u', -1, 498, 0), ('w', 187, -1, 0), ('y', 188, -1, 0), ('z', 188, -1, 0)), (('a', -1, 1724, 0), ('b', 2, -1, 0), ('d', 16, -1, 0), ('e', 30, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', -1, 1881, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 16, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 3532, 0), ('w', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 172, 0), ('b', 70, -1, 0), ('d', 12, -1, 0), ('e', -1, 595, 0), ('g', 21, -1, 0), ('i', -1, 59, 0), ('j', 0, -1, 0), ('l', -1, 1725, 0), ('m', -1, 4303, 0), ('n', 16, -1, 0), ('o', -1, 1035, 0), ('p', 3, -1, 0), ('r', -1, 114, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 24, -1, 0), ('w', -1, 2034, 0), ('z', 30, -1, 0)), (('a', 3, 7, 0), ('b', -1, 1726, 0), ('c', 22, -1, 0), ('d', -1, 956, 0), ('e', 22, -1, 0), ('f', -1, 200, 0), ('g', -1, 714, 0), ('h', 1, -1, 0), ('i', 22, -1, 0), ('k', -1, 1425, 0), ('l', -1, 1727, 0), ('m', -1, 1729, 0), ('n', -1, 4481, 0), ('o', 22, -1, 0), ('p', -1, 3868, 0), ('r', 22, -1, 0), ('s', 30, 3997, 0), ('u', 22, -1, 0), ('w', -1, 3659, 0), ('z', 22, -1, 0)), (('a', -1, 564, 0), ('b', 92, -1, 0), ('e', 126, -1, 0), ('i', 92, -1, 0), ('k', 207, -1, 0), ('l', 22, -1, 0), ('o', 22, -1, 0), ('r', 162, -1, 0), ('u', 3, -1, 0), ('y', 126, -1, 0), ('z', 3, -1, 0), ('ę', 22, -1, 0)), (('a', -1, 1548, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('f', 92, -1, 0), ('i', 10, -1, 0), ('k', 22, -1, 0), ('l', 10, -1, 0), ('o', -1, 1728, 0), ('p', 3, -1, 0), ('r', 10, -1, 0), ('s', 22, -1, 0), ('u', 22, -1, 0), ('y', 22, -1, 0), ('ł', 10, -1, 0), ('ź', 22, -1, 0)), (('a', 3, -1, 0), ('d', 3, -1, 0), ('e', 39, -1, 0), ('i', 22, -1, 0), ('k', 39, -1, 0), ('o', -1, 79, 0), ('r', 22, -1, 0), ('t', 22, -1, 0), ('u', 22, -1, 0), ('y', 145, -1, 0), ('z', 22, -1, 0)), (('a', -1, 1730, 0), ('e', -1, 1731, 0), ('i', 207, -1, 0), ('j', -1, 3937, 0), ('m', 92, -1, 0), ('o', 69, 424, 0), ('r', 92, -1, 0), ('t', 92, -1, 0), ('u', 22, -1, 0), ('w', 22, -1, 0), ('y', 69, -1, 0), ('ą', 135, -1, 0), ('ę', -1, 2211, 0)), (('a', -1, 701, 0), ('c', 45, -1, 0), ('d', -1, 1014, 0), ('e', 41, -1, 0), ('i', 3, -1, 0), ('k', 41, -1, 0), ('l', -1, 48, 0), ('m', 30, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 3, -1, 0), ('s', 41, -1, 0), ('t', 22, -1, 0), ('z', 22, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 31, -1, 0), ('d', 12, -1, 0), ('e', -1, 1732, 0), ('g', 52, -1, 0), ('i', 135, -1, 0), ('j', 342, -1, 0), ('k', 39, -1, 0), ('l', 57, -1, 0), ('m', -1, 1733, 0), ('o', -1, 3898, 0), ('p', 198, -1, 0), ('r', 106, -1, 0), ('s', 145, -1, 0), ('t', 30, 452, 0), ('u', 30, -1, 0), ('w', 31, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ą', -1, 619, 0), ('ę', 12, -1, 0)), (('a', -1, 598, 0), ('d', -1, 32, 0), ('e', -1, 964, 0), ('i', -1, 892, 0), ('k', 21, -1, 0), ('o', -1, 459, 0), ('p', -1, 43, 0), ('r', -1, 101, 0), ('s', -1, 143, 0), ('u', -1, 1249, 0), ('w', -1, 180, 0), ('y', -1, 1085, 0), ('z', 108, 620, 0), ('ó', -1, 1163, 0), ('ą', -1, 788, 0), ('ł', 21, -1, 0)), (('a', 5, -1, 0), ('d', 31, -1, 0), ('e', -1, 1734, 0), ('g', 5, -1, 0), ('j', 1, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('o', 31, -1, 0), ('p', 0, -1, 0), ('r', -1, 230, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('y', 5, -1, 0), ('z', 0, -1, 0)), (('a', 10, -1, 0), ('d', 31, -1, 0), ('e', 10, -1, 0), ('i', -1, 1735, 0), ('o', 102, -1, 0), ('r', 10, -1, 0), ('u', 102, -1, 0), ('z', -1, 1306, 0), ('ś', 102, -1, 0), ('ż', 31, -1, 0)), (('a', 3, -1, 0), ('b', 31, -1, 0), ('c', -1, 1736, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 31, -1, 0), ('r', -1, 2173, 0), ('s', -1, 2558, 0), ('u', -1, 1616, 0), ('w', -1, 3477, 0), ('y', -1, 1991, 0), ('z', -1, 2537, 0), ('ą', 3, -1, 0), ('ę', -1, 2852, 0), ('ł', 3, -1, 0)), (('a', 31, -1, 0), ('d', -1, 1737, 0), ('e', 5, -1, 0), ('h', 28, -1, 0), ('i', 11, -1, 0), ('k', 0, 278, 0), ('l', 0, -1, 0), ('o', 5, -1, 0), ('r', -1, 95, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 31, -1, 0), ('z', 31, -1, 0), ('ł', 0, -1, 0)), (('a', 28, -1, 0), ('e', -1, 1738, 0), ('i', 28, -1, 0), ('l', 64, -1, 0), ('m', 1, -1, 0), ('o', 446, -1, 0), ('r', 1, -1, 0), ('y', -1, 340, 0), ('z', 335, -1, 0), ('ą', 28, -1, 0), ('ę', -1, 2353, 0)), (('a', 261, -1, 0), ('c', 0, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 917, 0), ('k', 7, -1, 0), ('l', -1, 1601, 0), ('m', 7, -1, 0), ('n', 5, -1, 0), ('o', -1, 1739, 0), ('r', 7, -1, 0), ('y', 7, -1, 0), ('z', 196, -1, 0), ('ł', 261, -1, 0)), (('a', -1, 1740, 0), ('d', 7, -1, 0), ('e', 106, -1, 0), ('g', 41, -1, 0), ('i', 134, -1, 0), ('k', 106, -1, 0), ('l', 134, -1, 0), ('m', 106, -1, 0), ('n', -1, 1018, 0), ('o', -1, 947, 0), ('p', 54, -1, 0), ('r', 106, -1, 0), ('s', 41, -1, 0), ('t', 106, 248, 0), ('u', 106, -1, 0), ('w', 7, -1, 0), ('y', 106, -1, 0), ('z', 0, -1, 0), ('ł', 106, -1, 0)), (('a', -1, 826, 0), ('b', -1, 130, 0), ('c', 3, -1, 0), ('d', -1, 130, 0), ('e', -1, 116, 0), ('g', -1, 1741, 0), ('i', -1, 1987, 0), ('k', 29, -1, 0), ('l', 12, -1, 0), ('n', 22, -1, 0), ('o', -1, 1047, 0), ('p', 22, -1, 0), ('r', -1, 734, 0), ('s', 2, -1, 0), ('t', -1, 399, 0), ('u', 185, -1, 0), ('w', 70, -1, 0), ('z', 3, -1, 0), ('ó', 12, -1, 0), ('ż', 29, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 7, -1, 0), ('e', 16, -1, 0), ('i', -1, 204, 0), ('k', -1, 1742, 0), ('l', 5, -1, 0), ('n', -1, 2647, 0), ('o', 7, -1, 0), ('p', 0, -1, 0), ('r', -1, 277, 0), ('s', 16, 1076, 0), ('t', 57, -1, 0), ('u', 29, -1, 0), ('w', 99, -1, 0), ('y', 29, -1, 0), ('z', 7, -1, 0), ('ę', 29, -1, 0)), (('a', -1, 1743, 0), ('e', 0, -1, 0), ('i', -1, 2124, 0), ('l', 0, -1, 0), ('n', -1, 4478, 0), ('o', -1, 644, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 3691, 0)), (('a', 0, -1, 0), ('c', 28, 18, 0), ('d', 1, -1, 0), ('e', -1, 1744, 0), ('g', 1, -1, 0), ('i', 79, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 2220, 0), ('p', 0, -1, 0), ('r', -1, 766, 0), ('s', -1, 4477, 0), ('t', -1, 2844, 0), ('w', 1, -1, 0), ('y', -1, 1395, 0), ('z', 85, -1, 0), ('ó', 28, -1, 0), ('ą', -1, 332, 0)), (('a', 27, -1, 0), ('b', 27, -1, 0), ('d', -1, 355, 0), ('e', 27, -1, 0), ('g', -1, 628, 0), ('i', 27, -1, 0), ('j', 27, -1, 0), ('k', -1, 1745, 0), ('l', -1, 1747, 0), ('m', 30, -1, 0), ('n', 5, -1, 0), ('o', 27, -1, 0), ('p', 30, -1, 0), ('r', 27, -1, 0), ('s', 5, -1, 0), ('t', 106, -1, 0), ('w', -1, 525, 0), ('y', 27, -1, 0), ('z', -1, 1747, 0), ('ł', -1, 1602, 0), ('ż', 27, -1, 0)), (('a', -1, 1746, 0), ('e', 131, -1, 0), ('i', 0, -1, 0), ('n', 131, -1, 0), ('o', 0, 1694, 0)), (('a', -1, 549, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 655, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', 352, -1, 0), ('b', 239, -1, 0), ('c', 2, -1, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('g', -1, 1748, 0), ('i', 0, -1, 0), ('j', 4, -1, 0), ('k', 115, -1, 0), ('l', 1, -1, 0), ('m', -1, 1226, 0), ('n', 352, -1, 0), ('o', -1, 337, 0), ('p', 108, -1, 0), ('r', -1, 489, 0), ('s', 4, -1, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 15, -1, 0), ('y', -1, 2351, 0), ('z', 4, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 126, 0), ('c', 0, -1, 0), ('d', 41, -1, 0), ('e', 185, -1, 0), ('g', 12, -1, 0), ('h', 5, -1, 0), ('i', 0, -1, 0), ('k', 12, -1, 0), ('m', 12, -1, 0), ('n', 6, -1, 0), ('o', -1, 1608, 0), ('p', -1, 1749, 0), ('r', 55, -1, 0), ('s', 85, -1, 0), ('t', 0, -1, 0), ('w', 5, -1, 0), ('y', 29, -1, 0), ('z', 15, -1, 0), ('ł', 12, -1, 0)), (('a', 95, -1, 0), ('e', 105, -1, 0), ('i', -1, 1750, 0), ('o', -1, 3288, 0), ('r', 40, -1, 0), ('t', 40, -1, 0), ('u', 105, -1, 0), ('w', 105, -1, 0), ('y', 105, -1, 0), ('z', 105, -1, 0)), (('a', 55, -1, 0), ('d', 106, -1, 0), ('e', -1, 1533, 0), ('i', -1, 672, 0), ('l', 57, -1, 0), ('m', 5, -1, 0), ('o', 106, -1, 0), ('p', 1, 1751, 0), ('r', 5, -1, 0), ('s', 55, -1, 0), ('t', 106, -1, 0), ('u', 106, -1, 0), ('w', 1, 799, 0), ('y', 106, -1, 0), ('z', 106, -1, 0), ('ł', -1, 1222, 0)), (('a', -1, 1752, 0), ('c', 79, -1, 0), ('e', 5, -1, 0), ('i', -1, 2021, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 4476, 0), ('o', 40, -1, 0), ('p', 40, -1, 0), ('r', -1, 285, 0), ('s', 79, -1, 0), ('u', 5, -1, 0), ('w', 3, -1, 0), ('z', 28, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ś', 47, -1, 0)), (('a', -1, 1753, 0), ('b', 5, -1, 0), ('c', 6, -1, 0), ('d', 5, -1, 0), ('e', -1, 765, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('l', 6, -1, 0), ('n', 95, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('s', 95, -1, 0), ('t', 39, -1, 0), ('w', 5, -1, 0), ('y', -1, 925, 0), ('z', 6, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 30, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 5, -1, 0), ('l', -1, 1754, 0), ('m', -1, 3037, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 55, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 1531, 0), ('u', -1, 774, 0), ('w', 55, -1, 0), ('y', 5, -1, 0), ('z', 66, -1, 0), ('ą', 5, -1, 0), ('ę', -1, 3810, 0), ('ź', 0, -1, 0)), (('a', 126, -1, 0), ('c', 30, -1, 0), ('d', -1, 1755, 0), ('e', -1, 162, 0), ('f', 2, -1, 0), ('i', 71, -1, 0), ('k', 2, -1, 0), ('o', 5, -1, 0), ('p', 5, 2776, 0), ('r', 71, -1, 0), ('s', -1, 139, 0), ('t', 2, -1, 0), ('u', 30, -1, 0), ('w', -1, 556, 0), ('y', 126, -1, 0), ('z', -1, 1293, 0), ('ą', 71, -1, 0), ('ę', 5, -1, 0)), (('a', 3, -1, 0), ('c', -1, 1756, 0), ('e', 29, -1, 0), ('i', -1, 2991, 0), ('j', -1, 3981, 0), ('l', -1, 4475, 0), ('o', -1, 2477, 0), ('r', 3, -1, 0), ('s', 117, -1, 0), ('z', -1, 4167, 0), ('ż', -1, 3823, 0)), (('a', -1, 27, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1030, 0), ('h', 95, -1, 0), ('i', -1, 635, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 1757, 0), ('r', 5, -1, 0), ('s', 56, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 0, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 1161, 0)), (('a', 85, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1758, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 0, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 1761, 0), ('u', 5, -1, 0), ('w', 41, -1, 0), ('y', 41, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 718, 0), ('c', -1, 1759, 0), ('d', -1, 903, 0), ('e', 95, -1, 0), ('g', 6, -1, 0), ('h', 104, -1, 0), ('i', -1, 46, 0), ('j', 6, -1, 0), ('k', 104, -1, 0), ('l', 6, -1, 0), ('m', 104, -1, 0), ('n', 0, -1, 0), ('o', 175, -1, 0), ('p', 104, -1, 0), ('r', 6, -1, 0), ('s', 24, -1, 0), ('t', -1, 51, 0), ('u', 6, -1, 0), ('w', 104, -1, 0), ('y', 95, -1, 0), ('z', 41, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('d', 29, -1, 0), ('e', 2, -1, 0), ('i', -1, 122, 0), ('j', 2, -1, 0), ('k', 28, 576, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 2, -1, 0), ('p', 0, -1, 0), ('r', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ó', 2, -1, 0), ('ą', 2, -1, 0), ('ę', -1, 1760, 0), ('ń', 2, -1, 0)), (('a', -1, 695, 0), ('d', 12, -1, 0), ('e', -1, 1683, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 12, -1, 0), ('l', 2, -1, 0), ('n', 3, -1, 0), ('o', 52, -1, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', 2, -1, 0)), (('a', 5, -1, 0), ('b', 1, 430, 0), ('d', -1, 1306, 0), ('e', 5, -1, 0), ('g', -1, 158, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 1, -1, 0), ('k', 5, -1, 0), ('l', 0, 1762, 0), ('m', -1, 1764, 0), ('n', 5, -1, 0), ('o', -1, 2533, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 4004, 0), ('u', 5, -1, 0), ('w', 31, -1, 0), ('y', -1, 3739, 0), ('z', 1, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 1, -1, 0)), (('a', 5, -1, 0), ('b', 5, 1763, 0), ('c', 5, -1, 0), ('d', -1, 1540, 0), ('e', 5, -1, 0), ('g', -1, 1457, 0), ('h', 5, -1, 0), ('i', -1, 1173, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 30, -1, 0), ('o', 5, -1, 0), ('p', 0, 729, 0), ('r', 5, -1, 0), ('s', 0, -1, 0), ('t', -1, 72, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 469, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 1088, 0), ('d', 5, -1, 0), ('e', 55, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('m', 15, -1, 0), ('n', 15, -1, 0), ('o', 5, -1, 0), ('p', 31, -1, 0), ('r', -1, 555, 0), ('s', 5, -1, 0), ('t', 108, -1, 0), ('u', 55, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 1, -1, 0), ('ą', -1, 1423, 0), ('ł', -1, 1747, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('j', 30, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('o', -1, 1765, 0), ('r', -1, 1343, 0), ('u', 5, -1, 0), ('w', 30, -1, 0), ('y', 5, -1, 0), ('z', -1, 1767, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 30, -1, 0), ('ń', 5, -1, 0)), (('a', 0, 1766, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 41, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('k', 5, 1415, 0), ('l', 4, -1, 0), ('m', 6, -1, 0), ('n', -1, 500, 0), ('o', -1, 1143, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 25, -1, 0), ('b', 25, -1, 0), ('c', -1, 950, 0), ('d', 6, -1, 0), ('e', 25, -1, 0), ('f', 6, -1, 0), ('g', -1, 244, 0), ('i', 25, -1, 0), ('j', 25, -1, 0), ('k', 6, -1, 0), ('l', -1, 1189, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 25, -1, 0), ('p', 6, -1, 0), ('r', 25, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 148, 0), ('w', 6, -1, 0), ('y', 25, -1, 0), ('z', -1, 974, 0), ('ł', 38, -1, 0), ('ż', 25, -1, 0)), (('a', -1, 1768, 0), ('b', 27, -1, 0), ('c', -1, 683, 0), ('d', -1, 226, 0), ('e', 111, -1, 0), ('h', 30, -1, 0), ('i', 27, -1, 0), ('j', 27, -1, 0), ('l', 27, -1, 0), ('n', 27, -1, 0), ('o', 0, -1, 0), ('p', 27, -1, 0), ('r', 27, -1, 0), ('s', -1, 3195, 0), ('t', 3, -1, 0), ('w', -1, 1281, 0), ('y', 27, -1, 0), ('z', -1, 1607, 0)), (('a', -1, 749, 0), ('b', 27, -1, 0), ('c', 27, -1, 0), ('d', 178, -1, 0), ('e', -1, 1769, 0), ('f', 27, -1, 0), ('h', 27, -1, 0), ('i', 178, -1, 0), ('k', 178, -1, 0), ('l', 27, -1, 0), ('m', 178, -1, 0), ('n', 31, -1, 0), ('o', 1, -1, 0), ('p', 178, -1, 0), ('r', 27, -1, 0), ('s', 27, -1, 0), ('t', 27, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 27, -1, 0), ('z', 27, -1, 0)), (('a', 0, -1, 0), ('d', 85, -1, 0), ('e', -1, 267, 0), ('g', 0, -1, 0), ('i', -1, 1770, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 3064, 0), ('o', 0, -1, 0), ('p', -1, 2186, 0), ('r', -1, 179, 0), ('s', -1, 140, 0), ('t', 2, 278, 0), ('u', 0, -1, 0), ('w', 85, -1, 0), ('y', 2, -1, 0), ('z', -1, 1128, 0)), (('a', 21, -1, 0), ('c', -1, 1771, 0), ('d', -1, 106, 0), ('e', -1, 486, 0), ('i', 21, -1, 0), ('k', -1, 1721, 0), ('l', 28, -1, 0), ('m', 340, -1, 0), ('n', -1, 1542, 0), ('o', 21, -1, 0), ('p', 28, -1, 0), ('r', -1, 1292, 0), ('s', 187, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 187, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ą', 21, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 1772, 0), ('c', 105, -1, 0), ('d', -1, 205, 0), ('e', -1, 2221, 0), ('g', 0, -1, 0), ('i', -1, 3694, 0), ('k', 185, -1, 0), ('l', 41, -1, 0), ('m', 41, -1, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', 51, -1, 0), ('r', -1, 1757, 0), ('s', -1, 1256, 0), ('t', -1, 2063, 0), ('u', -1, 883, 0), ('w', 41, -1, 0), ('y', -1, 2886, 0), ('z', 41, -1, 0), ('ó', 0, 4473, 0)), (('a', -1, 1372, 0), ('b', -1, 1773, 0), ('c', 26, -1, 0), ('d', 177, -1, 0), ('e', -1, 135, 0), ('f', 26, -1, 0), ('g', -1, 2110, 0), ('i', -1, 104, 0), ('j', 85, 277, 0), ('k', -1, 545, 0), ('l', -1, 73, 0), ('n', 41, -1, 0), ('o', -1, 1558, 0), ('p', -1, 536, 0), ('r', -1, 1902, 0), ('s', -1, 1656, 0), ('t', -1, 1087, 0), ('w', 85, -1, 0), ('z', -1, 2971, 0), ('ę', -1, 339, 0), ('ł', -1, 354, 0), ('ż', 85, -1, 0)), (('a', 85, -1, 0), ('c', 79, -1, 0), ('d', -1, 1268, 0), ('e', 79, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 106, -1, 0), ('l', 1, -1, 0), ('m', 106, -1, 0), ('n', 1, -1, 0), ('o', 41, -1, 0), ('p', 106, -1, 0), ('r', -1, 1152, 0), ('s', 79, -1, 0), ('t', -1, 1304, 0), ('u', 79, -1, 0), ('w', -1, 1774, 0), ('y', 1, -1, 0), ('z', 85, -1, 0)), (('a', -1, 194, 0), ('d', 28, -1, 0), ('e', 27, -1, 0), ('g', 28, -1, 0), ('i', 27, -1, 0), ('l', 27, -1, 0), ('m', -1, 1775, 0), ('n', 27, -1, 0), ('o', 27, -1, 0), ('p', 328, 3344, 0), ('r', 27, -1, 0), ('s', 328, -1, 0), ('t', -1, 2996, 0), ('u', -1, 1078, 0), ('w', 106, -1, 0), ('y', 27, -1, 0), ('z', 184, -1, 0), ('ę', 27, -1, 0), ('ł', 184, -1, 0)), (('a', 28, 433, 0), ('b', -1, 1776, 0), ('d', 3, 1401, 0), ('e', -1, 3076, 0), ('g', -1, 4255, 0), ('i', -1, 2573, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 4472, 0), ('n', -1, 4463, 0), ('o', -1, 2973, 0), ('p', -1, 2451, 0), ('r', -1, 4326, 0), ('s', 2, -1, 0), ('t', 3, 1913, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ł', -1, 4000, 0)), (('a', -1, 1777, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', -1, 2581, 0), ('k', 1, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 1976, 0), ('u', 3, -1, 0), ('w', 34, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0)), (('a', -1, 299, 0), ('d', -1, 285, 0), ('e', -1, 61, 0), ('g', 22, -1, 0), ('i', 3, -1, 0), ('k', 34, -1, 0), ('o', -1, 1778, 0), ('p', 5, -1, 0), ('r', 30, -1, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 0, 44, 0), ('w', 0, 44, 0), ('y', -1, 147, 0), ('z', -1, 717, 0), ('ł', 30, -1, 0)), (('a', -1, 1779, 0), ('b', 3, -1, 0), ('c', -1, 3603, 0), ('d', -1, 2076, 0), ('e', 24, -1, 0), ('i', 24, -1, 0), ('k', 41, -1, 0), ('l', 24, -1, 0), ('m', -1, 1167, 0), ('n', 24, -1, 0), ('o', 24, -1, 0), ('p', -1, 147, 0), ('r', 24, -1, 0), ('s', -1, 1305, 0), ('t', -1, 582, 0), ('u', -1, 1214, 0), ('w', -1, 2626, 0), ('y', 24, -1, 0), ('z', 181, -1, 0), ('ę', 24, -1, 0), ('ł', 181, -1, 0), ('ż', -1, 147, 0)), (('a', -1, 1780, 0), ('b', 71, -1, 0), ('c', 71, -1, 0), ('d', -1, 744, 0), ('e', 24, -1, 0), ('g', -1, 1250, 0), ('h', 71, -1, 0), ('i', -1, 1260, 0), ('k', -1, 1452, 0), ('l', 71, -1, 0), ('m', -1, 729, 0), ('n', -1, 4020, 0), ('o', -1, 775, 0), ('p', 71, -1, 0), ('r', 71, -1, 0), ('s', 184, -1, 0), ('t', 71, -1, 0), ('u', -1, 104, 0), ('w', 24, -1, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ł', 181, -1, 0), ('ś', 28, 1452, 0), ('ź', 28, -1, 0), ('ż', 71, -1, 0)), (('a', -1, 1781, 0), ('b', -1, 1182, 0), ('c', 21, -1, 0), ('d', -1, 1679, 0), ('e', -1, 491, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 21, 259, 0), ('l', 108, -1, 0), ('m', -1, 1213, 0), ('n', -1, 809, 0), ('o', -1, 1679, 0), ('p', -1, 367, 0), ('r', -1, 360, 0), ('s', -1, 1457, 0), ('t', 311, 1890, 0), ('u', -1, 164, 0), ('w', -1, 1792, 0), ('y', 21, -1, 0), ('z', -1, 570, 0), ('ó', -1, 226, 0), ('ż', 217, -1, 0)), (('a', 21, -1, 0), ('b', 105, -1, 0), ('c', -1, 1782, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', -1, 3254, 0), ('n', 21, -1, 0), ('o', 105, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 28, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 54, -1, 0), ('z', -1, 692, 0), ('ę', 28, -1, 0), ('ł', 0, -1, 0)), (('a', 7, -1, 0), ('d', -1, 457, 0), ('e', -1, 484, 0), ('g', -1, 1257, 0), ('i', -1, 1783, 0), ('j', 0, -1, 0), ('k', 41, 16, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 41, -1, 0), ('o', 1, 100, 0), ('p', -1, 277, 0), ('r', -1, 2992, 0), ('t', 3, -1, 0), ('w', -1, 2357, 0), ('y', 7, -1, 0), ('z', 0, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 1784, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('g', 7, -1, 0), ('h', 41, -1, 0), ('i', 41, -1, 0), ('k', 10, -1, 0), ('l', 79, -1, 0), ('m', 0, -1, 0), ('n', -1, 215, 0), ('o', 11, -1, 0), ('p', 435, -1, 0), ('r', 0, -1, 0), ('s', 29, -1, 0), ('t', 11, -1, 0), ('u', 11, -1, 0), ('w', -1, 2975, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0), ('ś', 11, -1, 0)), (('a', -1, 1785, 0), ('d', 0, -1, 0), ('e', -1, 1790, 0), ('i', 190, -1, 0), ('j', -1, 2941, 0), ('k', 21, -1, 0), ('o', 0, 1489, 0), ('p', 1, -1, 0), ('r', -1, 2369, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 11, -1, 0), ('y', -1, 1386, 0), ('z', -1, 1639, 0), ('ł', 11, -1, 0)), (('a', -1, 1786, 0), ('c', -1, 1788, 0), ('d', -1, 1208, 0), ('e', -1, 931, 0), ('h', 2, -1, 0), ('i', 95, -1, 0), ('k', -1, 877, 0), ('l', -1, 1627, 0), ('m', -1, 355, 0), ('n', 5, -1, 0), ('o', 1, -1, 0), ('p', 79, -1, 0), ('r', -1, 1226, 0), ('s', -1, 311, 0), ('t', 1, -1, 0), ('u', 95, -1, 0), ('w', -1, 157, 0), ('y', 6, -1, 0), ('z', 1, -1, 0)), (('a', 28, -1, 0), ('b', 73, -1, 0), ('c', -1, 258, 0), ('d', -1, 1787, 0), ('e', 105, -1, 0), ('i', -1, 412, 0), ('k', 19, -1, 0), ('l', -1, 808, 0), ('m', 6, -1, 0), ('n', 108, -1, 0), ('o', 54, -1, 0), ('p', 1, -1, 0), ('r', -1, 840, 0), ('s', 28, -1, 0), ('t', 6, -1, 0), ('u', 2, -1, 0), ('w', 159, -1, 0), ('y', 21, -1, 0), ('z', 6, -1, 0), ('ę', 4, -1, 0), ('ł', 4, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 724, 0), ('b', 6, -1, 0), ('c', 0, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 21, -1, 0), ('k', 21, 348, 0), ('l', -1, 670, 0), ('m', 0, 385, 0), ('n', 21, -1, 0), ('o', 6, -1, 0), ('p', -1, 346, 0), ('r', 21, -1, 0), ('s', 0, 42, 0), ('t', 12, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', -1, 707, 0), ('ł', 52, -1, 0)), (('a', 70, -1, 0), ('e', 70, -1, 0), ('i', 70, -1, 0), ('o', 71, 1789, 0), ('p', 70, -1, 0), ('r', 70, -1, 0), ('s', 70, -1, 0), ('t', 0, 373, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0)), (('a', -1, 21, 0), ('b', 12, -1, 0), ('c', -1, 1642, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('f', 12, -1, 0), ('g', -1, 140, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('k', 12, -1, 0), ('l', -1, 102, 0), ('m', 96, -1, 0), ('n', -1, 1510, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 1198, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 61, -1, 0), ('y', 12, -1, 0), ('z', 193, -1, 0), ('ł', 70, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', -1, 673, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 174, -1, 0), ('i', 21, -1, 0), ('k', 1, -1, 0), ('l', -1, 883, 0), ('m', -1, 625, 0), ('n', -1, 704, 0), ('o', 0, 1791, 0), ('p', -1, 2188, 0), ('r', 0, -1, 0), ('s', 79, -1, 0), ('t', 23, -1, 0), ('u', 1, -1, 0), ('w', 12, -1, 0), ('y', 5, -1, 0), ('z', 1, -1, 0), ('ę', 79, -1, 0), ('ł', 21, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', -1, 1084, 0), ('d', 1, -1, 0), ('e', 179, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 21, 179, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 489, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 80, -1, 0), ('y', -1, 1792, 0), ('z', -1, 915, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 79, -1, 0), ('ż', 1, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', -1, 561, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 1793, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', -1, 435, 0), ('t', -1, 297, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 311, -1, 0), ('z', 21, -1, 0), ('ę', -1, 667, 0), ('ł', 1, -1, 0), ('ź', 0, -1, 0)), (('a', 6, -1, 0), ('b', 96, -1, 0), ('c', 1, -1, 0), ('d', -1, 674, 0), ('e', -1, 421, 0), ('f', 1, -1, 0), ('g', 0, 226, 0), ('i', 138, -1, 0), ('j', 6, -1, 0), ('k', 182, -1, 0), ('l', 25, -1, 0), ('m', 21, -1, 0), ('n', 1, -1, 0), ('o', -1, 682, 0), ('p', 25, -1, 0), ('r', -1, 151, 0), ('s', -1, 1794, 0), ('t', -1, 716, 0), ('u', 12, 674, 0), ('w', 25, -1, 0), ('y', 6, -1, 0), ('z', -1, 626, 0), ('ł', 182, -1, 0), ('ś', 12, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', -1, 1795, 0), ('d', 41, -1, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 16, 0), ('k', -1, 518, 0), ('l', -1, 1478, 0), ('m', 25, -1, 0), ('n', 22, -1, 0), ('o', -1, 972, 0), ('p', 41, -1, 0), ('r', 3, -1, 0), ('s', 82, -1, 0), ('t', -1, 3333, 0), ('u', -1, 3375, 0), ('w', 0, -1, 0), ('y', 25, -1, 0), ('z', 176, -1, 0), ('ł', 0, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1692, 0), ('b', 2, 1796, 0), ('d', -1, 1977, 0), ('e', -1, 958, 0), ('f', -1, 37, 0), ('g', 2, 2441, 0), ('i', -1, 1459, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', -1, 1017, 0), ('p', 2, -1, 0), ('r', -1, 181, 0), ('s', -1, 208, 0), ('t', 3, -1, 0), ('u', -1, 365, 0), ('w', -1, 570, 0), ('z', -1, 1310, 0)), (('a', 2, -1, 0), ('b', 11, -1, 0), ('c', -1, 1797, 0), ('d', -1, 1597, 0), ('e', 11, -1, 0), ('f', 11, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', -1, 1798, 0), ('j', 11, -1, 0), ('k', -1, 2674, 0), ('l', -1, 2674, 0), ('m', 11, -1, 0), ('n', -1, 2675, 0), ('o', -1, 1903, 0), ('p', 11, -1, 0), ('r', -1, 4450, 0), ('s', 11, -1, 0), ('t', -1, 2679, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('d', 39, -1, 0), ('e', 56, -1, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('l', 11, -1, 0), ('n', 11, -1, 0), ('o', 56, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('y', 11, -1, 0), ('z', 145, -1, 0)), (('a', 413, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 413, -1, 0), ('f', 21, -1, 0), ('i', -1, 367, 0), ('k', 21, -1, 0), ('l', 1, 7, 0), ('m', 2, -1, 0), ('n', 11, -1, 0), ('o', 4, -1, 0), ('p', 11, -1, 0), ('r', -1, 1799, 0), ('s', 11, -1, 0), ('u', 2, -1, 0), ('y', 4, -1, 0), ('z', 3, -1, 0), ('ę', 2, -1, 0)), (('a', 11, -1, 0), ('d', 11, -1, 0), ('e', 118, -1, 0), ('i', 57, -1, 0), ('l', 107, -1, 0), ('n', -1, 1800, 0), ('o', 7, -1, 0), ('r', -1, 1783, 0), ('t', 56, -1, 0), ('u', 3, -1, 0), ('w', -1, 59, 0), ('y', 1, -1, 0), ('z', 11, -1, 0)), (('a', 107, -1, 0), ('d', -1, 1801, 0), ('e', 22, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', -1, 2963, 0), ('m', 3, -1, 0), ('o', 10, -1, 0), ('r', 11, -1, 0), ('s', -1, 2913, 0), ('y', 10, -1, 0), ('z', -1, 2671, 0), ('ż', 0, -1, 0)), (('a', 385, -1, 0), ('d', 107, -1, 0), ('e', 3, -1, 0), ('i', -1, 614, 0), ('j', 6, -1, 0), ('m', 11, -1, 0), ('o', 107, -1, 0), ('r', 11, -1, 0), ('t', 107, -1, 0), ('u', 11, -1, 0), ('y', 107, -1, 0), ('z', 1, -1, 0), ('ę', 11, -1, 0), ('ł', -1, 1802, 0)), (('a', 6, -1, 0), ('b', 6, 1803, 0), ('d', -1, 556, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('k', -1, 1478, 0), ('l', -1, 51, 0), ('m', 12, -1, 0), ('n', -1, 2408, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 1291, 0), ('s', 6, -1, 0), ('t', -1, 1917, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 1191, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 6, -1, 0), ('e', -1, 1804, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 6, -1, 0), ('p', 3, -1, 0), ('r', 5, -1, 0), ('t', 3, -1, 0), ('y', 6, -1, 0), ('z', 3, -1, 0)), (('a', -1, 1805, 0), ('d', 6, -1, 0), ('e', -1, 3182, 0), ('i', -1, 555, 0), ('m', 3, -1, 0), ('n', 6, -1, 0), ('o', -1, 3247, 0), ('r', -1, 1550, 0), ('t', 6, -1, 0), ('u', -1, 2985, 0), ('w', -1, 1657, 0), ('y', -1, 3924, 0), ('z', 6, 552, 0), ('ł', -1, 2382, 0)), (('a', -1, 1446, 0), ('d', 5, -1, 0), ('e', 246, -1, 0), ('g', 28, 315, 0), ('h', 2, -1, 0), ('i', -1, 1075, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('o', -1, 1806, 0), ('r', 2, -1, 0), ('t', -1, 3375, 0), ('w', 2, -1, 0), ('y', 333, -1, 0), ('z', 2, -1, 0)), (('a', 291, -1, 0), ('d', 5, -1, 0), ('e', 173, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 1807, 0), ('j', 1, -1, 0), ('k', -1, 1809, 0), ('l', -1, 1230, 0), ('m', 30, -1, 0), ('n', 7, -1, 0), ('o', 291, -1, 0), ('p', 36, -1, 0), ('r', 68, -1, 0), ('s', 6, -1, 0), ('t', 36, -1, 0), ('u', 4, -1, 0), ('w', 7, -1, 0), ('y', 148, -1, 0), ('z', 1, -1, 0), ('ł', 68, -1, 0), ('ż', 1, -1, 0)), (('a', 4, -1, 0), ('b', 1, -1, 0), ('c', 2, 1694, 0), ('d', -1, 347, 0), ('e', 28, -1, 0), ('g', -1, 494, 0), ('i', 37, -1, 0), ('k', 21, -1, 0), ('l', 37, -1, 0), ('m', 1, -1, 0), ('n', -1, 1596, 0), ('o', 28, -1, 0), ('p', 1, -1, 0), ('r', -1, 1456, 0), ('s', 36, -1, 0), ('t', -1, 1750, 0), ('u', -1, 422, 0), ('w', 37, -1, 0), ('y', -1, 1808, 0), ('z', 37, -1, 0), ('ó', 4, -1, 0), ('ą', 4, -1, 0), ('ę', 28, -1, 0), ('ś', 4, -1, 0), ('ż', 28, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 1439, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 0, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 0, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 515, 0), ('t', -1, 1234, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', -1, 398, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, 1451, 0), ('ż', 6, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 48, 0), ('o', -1, 1810, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('u', -1, 3449, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', 7, -1, 0)), (('a', -1, 467, 0), ('d', 7, -1, 0), ('e', -1, 41, 0), ('i', -1, 993, 0), ('k', 121, -1, 0), ('m', 40, -1, 0), ('n', 3, -1, 0), ('o', -1, 9, 0), ('p', 3, -1, 0), ('r', -1, 71, 0), ('s', -1, 1811, 0), ('t', 40, -1, 0), ('u', -1, 964, 0), ('w', 0, 44, 0), ('y', -1, 61, 0), ('z', -1, 717, 0)), (('a', -1, 47, 0), ('b', 157, -1, 0), ('d', -1, 1812, 0), ('e', 2, -1, 0), ('g', 157, -1, 0), ('i', 157, -1, 0), ('j', 157, -1, 0), ('k', 157, -1, 0), ('l', 157, -1, 0), ('m', 157, -1, 0), ('n', 157, -1, 0), ('o', 240, -1, 0), ('p', 157, -1, 0), ('r', 157, -1, 0), ('s', 157, -1, 0), ('t', 157, -1, 0), ('z', 157, -1, 0), ('ł', 157, -1, 0), ('ż', 157, -1, 0)), (('a', 3, -1, 0), ('e', 157, -1, 0), ('h', 4, -1, 0), ('i', -1, 1813, 0), ('l', 234, -1, 0), ('m', 4, -1, 0), ('n', 4, -1, 0), ('o', 157, -1, 0), ('p', 4, -1, 0), ('r', 38, -1, 0), ('u', 157, -1, 0), ('z', 157, -1, 0), ('ę', 157, -1, 0), ('ł', -1, 4290, 0)), (('a', -1, 1814, 0), ('b', 1, -1, 0), ('c', 41, -1, 0), ('e', -1, 3289, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('j', 11, -1, 0), ('l', 21, 308, 0), ('m', 89, -1, 0), ('n', 3, -1, 0), ('o', 11, -1, 0), ('p', 21, -1, 0), ('r', 234, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 11, -1, 0), ('z', -1, 1089, 0), ('ę', 11, -1, 0), ('ł', 21, 2467, 0)), (('a', 7, -1, 0), ('c', 2, -1, 0), ('d', 0, -1, 0), ('e', 185, -1, 0), ('g', 2, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('m', 2, -1, 0), ('n', 11, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 330, 0), ('s', 7, -1, 0), ('w', 2, -1, 0), ('y', -1, 1815, 0), ('z', 56, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 23, 1251, 0), ('ś', 7, -1, 0)), (('a', 118, -1, 0), ('b', 7, -1, 0), ('c', 5, -1, 0), ('d', 229, -1, 0), ('e', 118, -1, 0), ('g', 7, -1, 0), ('i', 133, -1, 0), ('k', 7, -1, 0), ('m', 7, -1, 0), ('n', 133, -1, 0), ('o', -1, 61, 0), ('p', 1, 1816, 0), ('r', 7, -1, 0), ('s', 106, -1, 0), ('t', 5, -1, 0), ('u', 118, -1, 0), ('w', 7, -1, 0), ('y', 133, -1, 0), ('z', 7, -1, 0), ('ę', 229, -1, 0), ('ł', 106, 3656, 0), ('ź', 229, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', -1, 1817, 0), ('d', 7, -1, 0), ('e', 29, -1, 0), ('f', 6, -1, 0), ('g', 7, -1, 0), ('i', 7, 680, 0), ('k', -1, 1819, 0), ('m', 6, -1, 0), ('n', 1, -1, 0), ('o', 7, -1, 0), ('p', -1, 876, 0), ('r', 31, 384, 0), ('s', 7, -1, 0), ('t', 1, -1, 0), ('u', 7, -1, 0), ('w', 118, 1277, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 3, -1, 0), ('ł', 29, -1, 0)), (('a', -1, 204, 0), ('b', 185, -1, 0), ('c', 6, -1, 0), ('d', -1, 1818, 0), ('e', -1, 61, 0), ('g', 5, -1, 0), ('i', -1, 1259, 0), ('j', 185, -1, 0), ('l', 6, -1, 0), ('o', 7, -1, 0), ('p', 185, -1, 0), ('r', -1, 1748, 0), ('s', 6, -1, 0), ('u', 0, 164, 0), ('w', 0, 164, 0), ('y', -1, 147, 0), ('z', 0, 164, 0), ('ń', 185, -1, 0), ('ś', 7, -1, 0), ('ż', 55, -1, 0)), (('a', 5, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 55, -1, 0), ('g', 7, -1, 0), ('i', -1, 767, 0), ('k', 7, 154, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 30, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 243, 0), ('e', 201, -1, 0), ('g', 59, -1, 0), ('i', 121, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('n', 3, -1, 0), ('o', 7, 621, 0), ('r', -1, 1347, 0), ('s', 70, -1, 0), ('t', 0, -1, 0), ('u', 29, -1, 0), ('w', 70, -1, 0), ('y', -1, 1820, 0), ('z', 201, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', -1, 1821, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('o', 1, -1, 0), ('p', 41, -1, 0), ('r', -1, 873, 0), ('s', -1, 3672, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 70, -1, 0), ('y', 1, -1, 0), ('z', 201, -1, 0), ('ó', 1, -1, 0)), (('a', -1, 1822, 0), ('b', 1, -1, 0), ('d', 106, -1, 0), ('e', -1, 619, 0), ('g', 0, -1, 0), ('i', -1, 1825, 0), ('j', 1, -1, 0), ('k', 5, -1, 0), ('m', 12, -1, 0), ('n', -1, 838, 0), ('o', 326, 672, 0), ('p', -1, 1827, 0), ('r', 1, -1, 0), ('s', 106, -1, 0), ('t', 3, 1144, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('z', -1, 1842, 0), ('ą', 55, -1, 0)), (('a', -1, 317, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 644, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', -1, 1823, 0), ('o', -1, 177, 0), ('p', 1, -1, 0), ('r', -1, 693, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 63, -1, 0), ('c', 1, -1, 0), ('e', -1, 1824, 0), ('h', 1, -1, 0), ('i', 192, -1, 0), ('l', 1, -1, 0), ('o', 63, -1, 0), ('r', 1, -1, 0), ('y', 3, -1, 0), ('z', 63, -1, 0), ('ź', 28, -1, 0)), (('a', 1, -1, 0), ('c', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 600, 0), ('l', 1, -1, 0), ('o', -1, 1510, 0), ('r', -1, 1808, 0), ('s', 6, -1, 0), ('u', 4, -1, 0), ('y', 4, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1722, 0), ('d', -1, 130, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('i', -1, 1633, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 1826, 0), ('n', -1, 157, 0), ('o', 137, 387, 0), ('p', 1, -1, 0), ('r', -1, 1032, 0), ('s', -1, 1822, 0), ('t', 4, -1, 0), ('u', 137, -1, 0), ('w', 1, -1, 0), ('y', -1, 196, 0), ('z', 137, -1, 0), ('ł', 4, -1, 0)), (('a', 86, -1, 0), ('b', 21, -1, 0), ('c', -1, 960, 0), ('d', 21, -1, 0), ('e', -1, 193, 0), ('i', 21, -1, 0), ('k', 86, -1, 0), ('l', -1, 845, 0), ('m', 37, 707, 0), ('n', 21, -1, 0), ('o', -1, 1089, 0), ('p', 1, -1, 0), ('r', -1, 426, 0), ('s', -1, 1808, 0), ('t', -1, 180, 0), ('u', -1, 1072, 0), ('w', 1, -1, 0), ('y', -1, 686, 0), ('z', -1, 1693, 0)), (('a', 99, -1, 0), ('d', 31, -1, 0), ('e', 5, -1, 0), ('i', -1, 1828, 0), ('o', -1, 625, 0), ('r', 109, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 31, -1, 0), ('d', 37, -1, 0), ('e', -1, 810, 0), ('g', 12, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 0, -1, 0), ('k', -1, 1829, 0), ('l', -1, 354, 0), ('m', 37, -1, 0), ('o', 1, -1, 0), ('p', 12, -1, 0), ('r', 0, -1, 0), ('s', 63, 522, 0), ('t', -1, 1769, 0), ('u', 1, -1, 0), ('w', 284, -1, 0), ('y', 1, -1, 0), ('z', -1, 1830, 0), ('ó', -1, 183, 0), ('ł', -1, 793, 0)), (('a', -1, 179, 0), ('d', 166, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 28, -1, 0), ('n', 57, -1, 0), ('o', 166, -1, 0), ('p', 28, -1, 0), ('r', 22, 1503, 0), ('s', 166, 121, 0), ('w', 166, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 196, -1, 0)), (('a', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 1831, 0), ('e', -1, 49, 0), ('i', -1, 2104, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 11, 1548, 0), ('n', 0, -1, 0), ('o', -1, 754, 0), ('p', 11, -1, 0), ('r', 0, -1, 0), ('s', 41, 359, 0), ('t', -1, 1246, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 598, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 1832, 0), ('e', -1, 1178, 0), ('g', 6, -1, 0), ('h', -1, 63, 0), ('i', -1, 1186, 0), ('j', -1, 2110, 0), ('k', -1, 532, 0), ('l', -1, 1309, 0), ('m', -1, 1565, 0), ('n', -1, 1941, 0), ('o', -1, 676, 0), ('p', 95, -1, 0), ('r', -1, 621, 0), ('s', -1, 1182, 0), ('t', -1, 1588, 0), ('u', 95, -1, 0), ('w', 6, -1, 0), ('y', -1, 584, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 804, 0), ('ź', 6, -1, 0), ('ż', -1, 182, 0)), (('a', -1, 1833, 0), ('b', 1, -1, 0), ('c', 21, -1, 0), ('d', -1, 285, 0), ('e', -1, 1125, 0), ('i', -1, 182, 0), ('k', 0, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 428, 0), ('p', -1, 1411, 0), ('r', 95, -1, 0), ('s', 1, -1, 0), ('t', 3, -1, 0), ('u', 105, -1, 0), ('w', 0, 44, 0), ('y', -1, 61, 0), ('z', -1, 1007, 0), ('ł', 63, -1, 0)), (('a', -1, 1459, 0), ('b', 105, -1, 0), ('c', -1, 305, 0), ('d', 126, -1, 0), ('e', 28, -1, 0), ('g', 6, -1, 0), ('h', 21, -1, 0), ('i', -1, 734, 0), ('j', 126, 1671, 0), ('k', -1, 505, 0), ('l', -1, 1834, 0), ('m', 105, -1, 0), ('n', 83, -1, 0), ('o', -1, 1373, 0), ('p', 199, 2143, 0), ('r', 95, -1, 0), ('s', 6, -1, 0), ('t', 0, -1, 0), ('u', -1, 1080, 0), ('w', 105, -1, 0), ('y', -1, 2602, 0), ('z', 126, -1, 0), ('ó', 28, -1, 0), ('ę', 3, -1, 0), ('ł', 6, -1, 0), ('ż', 126, -1, 0)), (('a', -1, 546, 0), ('c', 29, -1, 0), ('d', -1, 285, 0), ('e', -1, 555, 0), ('f', 1, -1, 0), ('i', -1, 330, 0), ('j', 79, -1, 0), ('k', 1, -1, 0), ('l', 79, -1, 0), ('m', 245, -1, 0), ('o', -1, 489, 0), ('p', -1, 1835, 0), ('r', -1, 1947, 0), ('s', -1, 961, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('z', -1, 1428, 0)), (('a', -1, 1836, 0), ('d', 52, -1, 0), ('e', 245, -1, 0), ('i', 30, -1, 0), ('o', 52, -1, 0), ('r', 64, -1, 0), ('u', 64, -1, 0), ('w', 52, -1, 0), ('y', 28, -1, 0), ('z', -1, 4223, 0), ('ę', 64, -1, 0)), (('a', -1, 436, 0), ('b', 457, 386, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 1246, 0), ('g', 21, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('l', 28, -1, 0), ('m', 450, -1, 0), ('n', 28, -1, 0), ('o', -1, 846, 0), ('p', -1, 1837, 0), ('r', 0, -1, 0), ('s', -1, 1481, 0), ('t', 41, -1, 0), ('u', -1, 720, 0), ('w', 429, -1, 0), ('z', 28, -1, 0), ('ł', 0, -1, 0), ('ż', 28, -1, 0)), (('a', 28, -1, 0), ('d', 100, -1, 0), ('e', 28, -1, 0), ('i', 8, -1, 0), ('k', 100, -1, 0), ('l', -1, 1838, 0), ('m', 100, -1, 0), ('o', 137, 6, 0), ('r', 105, -1, 0), ('u', 105, -1, 0), ('y', 105, -1, 0), ('z', 28, -1, 0), ('ł', 8, -1, 0)), (('a', 100, -1, 0), ('e', 145, -1, 0), ('i', -1, 1839, 0), ('j', 145, -1, 0), ('l', 145, -1, 0), ('o', -1, 2166, 0), ('r', 145, -1, 0), ('u', 8, -1, 0), ('w', 8, -1, 0), ('z', 8, -1, 0)), (('a', 41, -1, 0), ('d', 16, -1, 0), ('e', -1, 26, 0), ('i', -1, 1840, 0), ('j', 12, -1, 0), ('k', 0, -1, 0), ('m', 16, -1, 0), ('n', 41, -1, 0), ('o', -1, 1692, 0), ('p', -1, 256, 0), ('r', -1, 1479, 0), ('s', 12, -1, 0), ('t', -1, 2096, 0), ('w', -1, 458, 0), ('y', 41, -1, 0), ('z', 41, -1, 0), ('ł', 12, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 949, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('m', 1, -1, 0), ('n', 95, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 891, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', -1, 1841, 0), ('y', 28, -1, 0), ('z', 0, 1842, 0), ('ó', 6, -1, 0), ('ł', -1, 50, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('e', 1, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 1, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0)), (('a', -1, 337, 0), ('b', 0, -1, 0), ('c', 5, 1843, 0), ('d', -1, 354, 0), ('e', 88, -1, 0), ('g', 0, 175, 0), ('h', 0, -1, 0), ('i', -1, 1620, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 2796, 0), ('o', 0, -1, 0), ('p', -1, 3254, 0), ('r', 0, -1, 0), ('s', -1, 3631, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', 0, -1, 0), ('y', -1, 717, 0), ('z', 1, 395, 0), ('ł', -1, 296, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1844, 0), ('b', 65, -1, 0), ('d', -1, 4181, 0), ('e', 145, -1, 0), ('g', -1, 1307, 0), ('h', 65, -1, 0), ('i', 8, -1, 0), ('k', -1, 3943, 0), ('o', 39, -1, 0), ('p', 65, -1, 0), ('r', -1, 3939, 0), ('s', -1, 4153, 0), ('t', -1, 4023, 0), ('u', 8, -1, 0), ('y', 8, -1, 0), ('z', -1, 2319, 0), ('ę', 127, -1, 0)), (('a', 12, -1, 0), ('b', 8, -1, 0), ('c', 8, -1, 0), ('d', 8, -1, 0), ('e', 12, -1, 0), ('f', 8, -1, 0), ('g', 8, -1, 0), ('h', 8, -1, 0), ('i', -1, 1845, 0), ('j', 8, -1, 0), ('k', 8, -1, 0), ('l', -1, 4470, 0), ('m', 8, -1, 0), ('n', 8, -1, 0), ('o', -1, 3020, 0), ('p', 8, -1, 0), ('r', 8, -1, 0), ('s', 8, -1, 0), ('t', 8, -1, 0), ('w', 8, -1, 0), ('z', -1, 2617, 0), ('ł', 8, -1, 0), ('ż', -1, 2166, 0)), (('a', -1, 1846, 0), ('b', -1, 1847, 0), ('c', 100, -1, 0), ('e', -1, 4462, 0), ('f', 100, -1, 0), ('i', -1, 1969, 0), ('m', 100, 4464, 0), ('n', -1, 4465, 0), ('o', -1, 2503, 0), ('p', -1, 4468, 0), ('r', 10, -1, 0), ('s', -1, 3679, 0), ('t', -1, 2212, 0), ('w', 8, 4469, 0), ('y', -1, 134, 0), ('z', -1, 2038, 0), ('ó', 10, -1, 0)), (('a', 351, -1, 0), ('b', 10, -1, 0), ('e', 2, -1, 0), ('g', 10, -1, 0), ('i', 3, -1, 0), ('j', 10, -1, 0), ('k', 10, -1, 0), ('l', 10, -1, 0), ('o', -1, 825, 0), ('r', 10, -1, 0), ('s', 2, -1, 0), ('t', -1, 1601, 0), ('u', 2, -1, 0), ('w', 10, -1, 0), ('z', 10, -1, 0), ('ł', 10, -1, 0), ('ż', 10, -1, 0)), (('a', -1, 1568, 0), ('c', -1, 1605, 0), ('e', 40, -1, 0), ('i', 145, -1, 0), ('o', 1, -1, 0), ('r', 8, -1, 0), ('s', 40, -1, 0), ('u', -1, 1848, 0), ('y', 40, -1, 0), ('z', 100, -1, 0), ('ę', -1, 1837, 0)), (('a', -1, 1724, 0), ('c', 145, -1, 0), ('e', 21, -1, 0), ('g', 8, -1, 0), ('i', -1, 1849, 0), ('k', 21, -1, 0), ('l', 8, -1, 0), ('o', 21, -1, 0), ('r', -1, 1061, 0), ('z', 12, -1, 0)), (('a', 328, -1, 0), ('b', 12, -1, 0), ('c', -1, 1595, 0), ('e', -1, 715, 0), ('f', 41, -1, 0), ('g', -1, 1850, 0), ('i', -1, 1312, 0), ('k', 41, -1, 0), ('l', 0, 54, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', 5, -1, 0), ('p', 12, -1, 0), ('r', -1, 732, 0), ('s', -1, 4145, 0), ('u', 328, -1, 0), ('w', 12, -1, 0), ('y', 328, -1, 0), ('z', 12, -1, 0)), (('a', 12, -1, 0), ('c', 39, 1851, 0), ('d', 39, -1, 0), ('e', 12, -1, 0), ('i', -1, 2092, 0), ('k', 39, -1, 0), ('l', 39, -1, 0), ('m', -1, 4195, 0), ('n', 39, -1, 0), ('o', 0, -1, 0), ('r', 39, -1, 0), ('t', 39, -1, 0), ('w', 145, 2011, 0), ('z', 12, -1, 0)), (('a', 145, -1, 0), ('b', 31, -1, 0), ('c', 27, -1, 0), ('d', 6, 545, 0), ('e', 7, -1, 0), ('g', 14, -1, 0), ('h', 31, -1, 0), ('i', 70, -1, 0), ('m', 5, -1, 0), ('o', -1, 1411, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('s', 39, -1, 0), ('t', 39, -1, 0), ('u', 39, -1, 0), ('w', 31, -1, 0), ('z', 31, -1, 0), ('ł', -1, 1852, 0), ('ż', 31, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1853, 0), ('c', 0, 4460, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 41, -1, 0), ('i', -1, 2208, 0), ('k', 41, -1, 0), ('m', 0, -1, 0), ('n', -1, 4461, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 2250, 0), ('s', -1, 4184, 0), ('t', -1, 40, 0), ('u', -1, 179, 0), ('w', -1, 4086, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 333, 0), ('e', 28, -1, 0), ('i', 4, -1, 0), ('o', -1, 1854, 0), ('r', 82, -1, 0), ('u', 0, -1, 0), ('ę', 0, -1, 0), ('ź', 82, -1, 0), ('ż', 82, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 185, -1, 0), ('k', 1, -1, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', -1, 369, 0), ('p', -1, 1135, 0), ('r', 0, -1, 0), ('s', -1, 1855, 0), ('t', 41, 1374, 0), ('u', 0, -1, 0), ('w', 22, -1, 0), ('y', 0, -1, 0), ('z', 22, -1, 0)), (('a', 99, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 28, -1, 0), ('e', 7, -1, 0), ('g', -1, 314, 0), ('i', 22, -1, 0), ('j', 1, -1, 0), ('m', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 1856, 0), ('s', 1, -1, 0), ('u', -1, 1857, 0), ('w', 1, -1, 0), ('y', 7, -1, 0), ('z', -1, 2640, 0), ('ń', 1, -1, 0)), (('a', -1, 1194, 0), ('d', 22, -1, 0), ('e', 1, -1, 0), ('i', 22, -1, 0), ('k', 3, -1, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('r', 22, -1, 0), ('s', 7, -1, 0), ('t', 3, 907, 0), ('u', 1, -1, 0), ('y', 7, -1, 0), ('z', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1858, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 11, -1, 0), ('g', 21, -1, 0), ('i', 11, -1, 0), ('j', 21, -1, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('n', 21, 1425, 0), ('o', 2, 315, 0), ('r', -1, 2662, 0), ('t', 1, -1, 0), ('u', 11, -1, 0), ('w', 21, -1, 0), ('y', 11, -1, 0), ('z', -1, 506, 0), ('ł', 1, -1, 0), ('ż', -1, 3413, 0)), (('a', 2, -1, 0), ('b', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 1859, 0), ('g', 11, -1, 0), ('i', 56, -1, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('o', -1, 2756, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('t', 11, -1, 0), ('w', 11, -1, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0)), (('a', -1, 1080, 0), ('c', -1, 690, 0), ('d', 3, -1, 0), ('e', -1, 1163, 0), ('g', -1, 1407, 0), ('i', -1, 1860, 0), ('l', -1, 932, 0), ('o', -1, 2803, 0), ('p', 2, -1, 0), ('r', -1, 1128, 0), ('s', -1, 1398, 0), ('t', -1, 2841, 0), ('w', -1, 3969, 0), ('z', -1, 730, 0)), (('a', -1, 191, 0), ('c', -1, 285, 0), ('d', 104, -1, 0), ('e', -1, 280, 0), ('i', -1, 1140, 0), ('j', -1, 1861, 0), ('k', 28, 1865, 0), ('l', -1, 2432, 0), ('m', -1, 183, 0), ('n', 0, -1, 0), ('o', -1, 1356, 0), ('p', -1, 178, 0), ('r', -1, 1647, 0), ('s', -1, 2433, 0), ('t', -1, 1451, 0), ('u', -1, 2432, 0), ('w', -1, 806, 0), ('y', -1, 2074, 0), ('z', -1, 1043, 0), ('ó', 104, -1, 0), ('ą', 104, -1, 0), ('ę', -1, 2756, 0), ('ń', -1, 1356, 0)), (('a', 104, -1, 0), ('b', 5, 1346, 0), ('c', 5, -1, 0), ('d', -1, 1862, 0), ('e', -1, 404, 0), ('i', 21, -1, 0), ('k', 5, 1864, 0), ('l', 5, -1, 0), ('m', 6, -1, 0), ('n', 1, -1, 0), ('o', -1, 452, 0), ('p', -1, 934, 0), ('r', 95, -1, 0), ('s', 21, -1, 0), ('t', 6, -1, 0), ('u', 2, -1, 0), ('w', 6, -1, 0), ('y', -1, 193, 0), ('z', -1, 340, 0), ('ł', 3, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 1833, 0), ('b', 3, -1, 0), ('c', -1, 1863, 0), ('d', 3, -1, 0), ('e', -1, 300, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 2, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', 0, 729, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 133, -1, 0), ('w', 133, -1, 0), ('y', 2, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 126, -1, 0), ('e', -1, 664, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, 1362, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('y', 3, -1, 0), ('z', 126, -1, 0)), (('a', 105, -1, 0), ('b', 0, 385, 0), ('c', 184, -1, 0), ('d', 105, -1, 0), ('e', 105, -1, 0), ('g', 62, -1, 0), ('i', 5, -1, 0), ('k', 0, -1, 0), ('l', 168, -1, 0), ('m', 62, -1, 0), ('n', 5, -1, 0), ('o', 28, -1, 0), ('p', -1, 474, 0), ('r', 5, -1, 0), ('s', 105, -1, 0), ('t', 0, -1, 0), ('u', 30, -1, 0), ('w', 168, -1, 0), ('y', 105, -1, 0), ('z', -1, 663, 0), ('ą', 105, -1, 0), ('ł', 5, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 437, 0), ('b', 22, -1, 0), ('d', 3, 1866, 0), ('e', 2, -1, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('j', 22, -1, 0), ('k', 2, 165, 0), ('l', -1, 4064, 0), ('m', 2, 46, 0), ('n', 28, -1, 0), ('o', 3, -1, 0), ('r', 22, 3786, 0), ('s', 2, -1, 0), ('t', 22, 257, 0), ('u', -1, 649, 0), ('w', 22, -1, 0), ('y', 2, -1, 0), ('z', -1, 2299, 0), ('ą', 22, -1, 0), ('ł', 22, 437, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 1867, 0), ('f', -1, 1868, 0), ('g', 3, 2704, 0), ('i', -1, 1456, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 2820, 0), ('n', -1, 3555, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 48, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', -1, 2161, 0), ('z', 3, -1, 0)), (('a', -1, 739, 0), ('d', 0, -1, 0), ('e', -1, 1505, 0), ('g', 3, -1, 0), ('i', 41, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', 0, -1, 0), ('r', 3, -1, 0), ('s', 2, -1, 0), ('t', 41, -1, 0), ('y', 5, -1, 0), ('z', 22, -1, 0), ('ą', 3, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 45, 0), ('b', -1, 1869, 0), ('c', 30, -1, 0), ('e', 337, -1, 0), ('f', 7, -1, 0), ('i', 337, -1, 0), ('m', -1, 3956, 0), ('n', -1, 4459, 0), ('o', -1, 396, 0), ('p', -1, 1170, 0), ('r', 57, -1, 0), ('s', 30, -1, 0), ('u', -1, 2748, 0), ('w', -1, 4401, 0), ('y', 3, -1, 0), ('z', -1, 1256, 0)), (('a', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 991, 0), ('e', 7, -1, 0), ('g', -1, 1870, 0), ('h', 7, -1, 0), ('i', -1, 1263, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', -1, 2352, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 2472, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', 7, -1, 0), ('ę', -1, 229, 0), ('ł', 7, -1, 0), ('ś', -1, 2323, 0), ('ź', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 1, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 952, 0), ('e', -1, 1871, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', 3, -1, 0), ('o', 7, -1, 0), ('p', -1, 1474, 0), ('r', -1, 2052, 0), ('s', 3, 971, 0), ('t', -1, 3500, 0), ('u', 1, -1, 0), ('y', -1, 449, 0), ('z', -1, 2421, 0), ('ł', 1, 46, 0), ('ż', 3, -1, 0)), (('a', -1, 157, 0), ('b', 100, -1, 0), ('d', 79, -1, 0), ('e', 1, -1, 0), ('g', 79, -1, 0), ('h', 79, -1, 0), ('i', -1, 392, 0), ('j', 1, -1, 0), ('k', 79, -1, 0), ('m', 100, -1, 0), ('o', -1, 1872, 0), ('p', 5, 15, 0), ('r', 1, -1, 0), ('s', 1, 1873, 0), ('t', 79, -1, 0), ('u', -1, 1958, 0), ('w', 100, -1, 0), ('y', 1, -1, 0), ('z', -1, 2426, 0)), (('a', -1, 187, 0), ('d', 1, -1, 0), ('e', -1, 560, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', -1, 1700, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 977, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 130, -1, 0), ('t', 1, -1, 0), ('w', 71, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 7, -1, 0), ('b', 63, -1, 0), ('d', -1, 1874, 0), ('e', 7, -1, 0), ('g', -1, 2039, 0), ('h', 63, -1, 0), ('i', 7, -1, 0), ('k', -1, 1430, 0), ('m', -1, 802, 0), ('n', -1, 677, 0), ('o', 79, -1, 0), ('p', 63, -1, 0), ('r', -1, 16, 0), ('s', -1, 1611, 0), ('t', -1, 2124, 0), ('u', 7, -1, 0), ('w', 12, -1, 0), ('y', 7, -1, 0), ('z', -1, 1419, 0), ('ę', 70, -1, 0), ('ś', -1, 450, 0), ('ź', 7, -1, 0)), (('a', 134, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1875, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('l', -1, 2586, 0), ('m', 5, -1, 0), ('n', -1, 2540, 0), ('o', -1, 746, 0), ('p', 5, -1, 0), ('r', 63, -1, 0), ('s', 5, -1, 0), ('t', 239, -1, 0), ('u', 63, -1, 0), ('w', 5, -1, 0), ('y', 63, -1, 0), ('z', 5, -1, 0), ('ę', -1, 1510, 0), ('ł', -1, 870, 0), ('ż', 5, -1, 0)), (('a', -1, 1070, 0), ('b', 29, -1, 0), ('d', 175, -1, 0), ('e', -1, 1649, 0), ('g', 6, -1, 0), ('i', -1, 437, 0), ('j', 134, -1, 0), ('m', -1, 1209, 0), ('o', -1, 254, 0), ('p', 6, -1, 0), ('r', -1, 1876, 0), ('s', -1, 1032, 0), ('u', 175, 64, 0), ('w', 1, -1, 0), ('y', -1, 196, 0), ('z', 63, -1, 0)), (('a', -1, 274, 0), ('d', 15, -1, 0), ('e', 88, -1, 0), ('h', 12, -1, 0), ('i', 99, -1, 0), ('k', 15, -1, 0), ('m', 1, -1, 0), ('n', 15, -1, 0), ('o', -1, 1047, 0), ('p', 15, -1, 0), ('r', 15, -1, 0), ('s', -1, 1877, 0), ('u', 1, -1, 0), ('w', -1, 2521, 0), ('z', -1, 48, 0), ('ę', 99, -1, 0), ('ł', 15, -1, 0)), (('a', 91, -1, 0), ('b', 206, -1, 0), ('e', -1, 1878, 0), ('i', -1, 1198, 0), ('n', 91, -1, 0), ('o', 206, -1, 0), ('r', 206, -1, 0), ('u', 91, -1, 0), ('y', 22, -1, 0), ('z', 206, -1, 0), ('ó', 206, -1, 0), ('ę', 206, -1, 0)), (('a', -1, 1411, 0), ('d', 2, -1, 0), ('e', -1, 534, 0), ('i', 206, -1, 0), ('l', 91, -1, 0), ('m', 91, -1, 0), ('o', 56, 1879, 0), ('r', -1, 1242, 0), ('t', 2, -1, 0), ('w', 91, -1, 0), ('y', 64, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('n', -1, 1880, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', -1, 916, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', 1, -1, 0), ('ó', 28, -1, 0), ('ż', 4, -1, 0)), (('a', 28, 1774, 0), ('b', 2, -1, 0), ('e', 28, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 3, 1881, 0), ('l', 2, 3928, 0), ('m', 3, 576, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', 3, 1986, 0), ('s', 2, -1, 0), ('t', -1, 61, 0), ('u', -1, 2575, 0), ('w', 2, -1, 0), ('z', -1, 2737, 0)), (('a', -1, 203, 0), ('b', 22, 957, 0), ('d', 3, 976, 0), ('e', 2, -1, 0), ('g', 3, -1, 0), ('i', -1, 1642, 0), ('k', 22, -1, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 1882, 0), ('p', 28, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', -1, 3375, 0), ('w', 2, 2651, 0), ('y', 2, -1, 0), ('z', -1, 2779, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 22, -1, 0), ('l', -1, 1883, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('r', 1, -1, 0), ('s', 22, -1, 0), ('u', -1, 1195, 0), ('w', 7, -1, 0), ('y', -1, 1928, 0), ('z', 7, -1, 0)), (('a', -1, 1884, 0), ('d', 377, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', -1, 1310, 0), ('n', 5, 545, 0), ('o', 7, -1, 0), ('r', -1, 449, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 31, -1, 0)), (('a', -1, 970, 0), ('b', 7, -1, 0), ('e', -1, 1885, 0), ('i', 7, -1, 0), ('j', -1, 2602, 0), ('k', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 21, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 31, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 1, -1, 0), ('z', -1, 4307, 0)), (('a', 7, -1, 0), ('b', 28, -1, 0), ('c', 3, -1, 0), ('d', 7, -1, 0), ('e', -1, 1886, 0), ('g', -1, 1224, 0), ('h', 22, -1, 0), ('i', 2, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 2, -1, 0), ('m', 7, -1, 0), ('n', 3, -1, 0), ('o', -1, 3120, 0), ('p', 7, -1, 0), ('r', 3, -1, 0), ('s', 2, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 29, -1, 0), ('z', -1, 2057, 0), ('ó', 7, -1, 0), ('ą', 7, -1, 0)), (('a', 15, -1, 0), ('b', 7, -1, 0), ('c', -1, 1887, 0), ('d', -1, 1232, 0), ('e', 53, -1, 0), ('i', -1, 3994, 0), ('l', 70, -1, 0), ('o', -1, 1901, 0), ('p', 7, -1, 0), ('r', 70, -1, 0), ('s', -1, 3949, 0), ('u', 53, -1, 0), ('w', -1, 3655, 0), ('y', 29, -1, 0), ('z', 7, -1, 0)), (('a', 73, -1, 0), ('e', 7, -1, 0), ('i', 31, -1, 0), ('j', 31, -1, 0), ('k', 31, -1, 0), ('m', 31, -1, 0), ('n', -1, 1888, 0), ('o', 73, -1, 0), ('r', -1, 1889, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('y', 7, -1, 0), ('z', 73, -1, 0)), (('a', 27, -1, 0), ('b', 31, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('g', 31, -1, 0), ('i', 31, -1, 0), ('j', 31, -1, 0), ('l', 31, -1, 0), ('n', 31, -1, 0), ('o', 31, -1, 0), ('r', 31, -1, 0), ('y', 31, -1, 0), ('z', 31, 921, 0), ('ń', 31, -1, 0)), (('a', 105, -1, 0), ('d', -1, 1890, 0), ('e', -1, 1807, 0), ('i', 95, -1, 0), ('m', 31, -1, 0), ('o', 54, -1, 0), ('r', 109, -1, 0), ('s', 54, 478, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('w', 31, -1, 0), ('y', 54, -1, 0), ('z', 54, -1, 0)), (('a', 311, -1, 0), ('b', 0, -1, 0), ('c', -1, 1891, 0), ('d', 105, -1, 0), ('e', -1, 365, 0), ('g', 347, -1, 0), ('h', -1, 171, 0), ('i', 21, -1, 0), ('j', 105, -1, 0), ('k', -1, 1892, 0), ('l', 41, -1, 0), ('m', -1, 1332, 0), ('n', 21, -1, 0), ('o', 105, -1, 0), ('p', 6, -1, 0), ('r', 105, -1, 0), ('s', -1, 476, 0), ('t', 105, -1, 0), ('u', 105, -1, 0), ('w', -1, 1037, 0), ('y', 105, -1, 0), ('z', 28, -1, 0), ('ę', 95, -1, 0), ('ł', 34, -1, 0)), (('a', 69, -1, 0), ('e', -1, 492, 0), ('i', 69, -1, 0), ('l', 217, -1, 0), ('o', 12, -1, 0), ('p', 69, -1, 0), ('r', 28, 11, 0), ('s', 69, -1, 0), ('t', 69, -1, 0), ('u', 69, -1, 0), ('y', 69, -1, 0), ('z', 69, -1, 0), ('ą', 69, -1, 0), ('ę', 69, -1, 0)), (('a', 6, -1, 0), ('b', 22, -1, 0), ('c', 0, -1, 0), ('d', -1, 530, 0), ('e', 6, -1, 0), ('f', 22, -1, 0), ('g', 56, -1, 0), ('h', 0, -1, 0), ('i', -1, 1893, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 95, -1, 0), ('p', 3, -1, 0), ('r', 6, -1, 0), ('s', 0, 44, 0), ('t', -1, 15, 0), ('u', 95, 791, 0), ('w', 3, -1, 0), ('y', -1, 147, 0), ('z', -1, 849, 0), ('ł', 28, -1, 0), ('ś', 95, -1, 0)), (('a', -1, 388, 0), ('c', 0, 1894, 0), ('d', 85, 15, 0), ('e', 21, -1, 0), ('g', -1, 1958, 0), ('i', -1, 333, 0), ('k', 12, -1, 0), ('l', 3, -1, 0), ('m', 0, -1, 0), ('n', 103, -1, 0), ('o', -1, 431, 0), ('p', 106, -1, 0), ('r', -1, 1391, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 0, -1, 0), ('y', 21, -1, 0), ('z', -1, 145, 0)), (('a', -1, 1783, 0), ('b', -1, 1895, 0), ('c', -1, 1106, 0), ('d', -1, 4451, 0), ('e', 23, -1, 0), ('f', 23, -1, 0), ('g', -1, 4452, 0), ('h', -1, 1968, 0), ('i', 23, -1, 0), ('j', 23, -1, 0), ('k', -1, 4453, 0), ('l', -1, 4455, 0), ('m', -1, 4456, 0), ('n', -1, 3511, 0), ('o', 12, -1, 0), ('p', -1, 3592, 0), ('r', -1, 3441, 0), ('s', -1, 3543, 0), ('t', -1, 4457, 0), ('u', 23, -1, 0), ('w', -1, 2168, 0), ('y', 0, -1, 0), ('z', -1, 4458, 0), ('ł', -1, 3740, 0), ('ś', 0, -1, 0), ('ż', 12, 1968, 0)), (('a', 174, -1, 0), ('b', 2, -1, 0), ('c', 28, -1, 0), ('d', -1, 556, 0), ('e', -1, 1896, 0), ('h', 2, -1, 0), ('i', -1, 38, 0), ('m', 23, -1, 0), ('n', -1, 556, 0), ('o', -1, 260, 0), ('r', 23, -1, 0), ('t', -1, 1897, 0), ('u', -1, 2978, 0), ('y', 23, -1, 0), ('z', -1, 472, 0), ('ą', 174, -1, 0), ('ę', 23, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 385, 0), ('e', 22, -1, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('k', 1, -1, 0), ('m', 22, -1, 0), ('o', 22, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 1144, 0), ('u', 1, -1, 0), ('z', -1, 1709, 0), ('ć', 1, -1, 0), ('ł', -1, 388, 0)), (('a', -1, 1898, 0), ('b', 3, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('i', 3, -1, 0), ('o', 28, -1, 0), ('r', 2, -1, 0), ('s', 28, -1, 0), ('u', 79, -1, 0), ('z', 28, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1899, 0), ('b', 12, -1, 0), ('c', 4, -1, 0), ('d', 270, -1, 0), ('e', 270, -1, 0), ('i', 278, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 4, -1, 0), ('m', 4, -1, 0), ('n', -1, 659, 0), ('o', 270, -1, 0), ('p', 4, -1, 0), ('r', -1, 4292, 0), ('s', -1, 3298, 0), ('t', 0, -1, 0), ('u', 270, -1, 0), ('w', 4, -1, 0), ('y', 12, -1, 0), ('z', 4, -1, 0), ('ł', 278, -1, 0), ('ż', 96, -1, 0)), (('a', -1, 1900, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 54, -1, 0), ('e', -1, 2669, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', -1, 1651, 0), ('k', 0, 355, 0), ('l', 270, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', -1, 783, 0), ('p', -1, 3802, 0), ('r', -1, 3803, 0), ('s', -1, 2389, 0), ('t', -1, 2202, 0), ('u', -1, 1211, 0), ('w', 12, -1, 0), ('y', -1, 2392, 0), ('z', 12, -1, 0), ('ą', -1, 1722, 0), ('ś', 0, -1, 0)), (('a', 71, -1, 0), ('b', 71, -1, 0), ('c', 21, -1, 0), ('d', -1, 1901, 0), ('e', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 2028, 0), ('j', 21, -1, 0), ('k', 0, 288, 0), ('l', 21, -1, 0), ('m', 27, -1, 0), ('n', 21, -1, 0), ('o', 28, -1, 0), ('p', 178, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 71, -1, 0), ('w', -1, 390, 0), ('y', 28, -1, 0), ('z', 71, -1, 0), ('ł', 0, 275, 0), ('ś', 28, -1, 0), ('ż', 0, 288, 0)), (('a', 21, -1, 0), ('b', 0, -1, 0), ('c', 1, 1902, 0), ('d', 53, -1, 0), ('e', -1, 1245, 0), ('i', 21, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 53, -1, 0), ('o', -1, 511, 0), ('p', 108, -1, 0), ('r', 1, -1, 0), ('s', 33, -1, 0), ('t', 0, -1, 0), ('u', 21, -1, 0), ('w', 21, 1929, 0), ('y', 1, -1, 0), ('z', 111, -1, 0), ('ó', 0, -1, 0), ('ł', 33, -1, 0)), (('a', 21, -1, 0), ('b', 0, -1, 0), ('c', 44, -1, 0), ('d', 55, -1, 0), ('e', -1, 1903, 0), ('g', 2, -1, 0), ('i', -1, 453, 0), ('k', 85, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 21, -1, 0), ('o', 0, -1, 0), ('p', 185, 1757, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 41, 1748, 0), ('u', -1, 999, 0), ('w', 5, -1, 0), ('y', 106, -1, 0), ('z', 0, 191, 0), ('ę', 0, -1, 0)), (('a', -1, 1381, 0), ('b', 21, -1, 0), ('c', -1, 1904, 0), ('d', -1, 883, 0), ('e', -1, 335, 0), ('g', 1, -1, 0), ('i', 21, 2251, 0), ('j', 21, -1, 0), ('k', 16, -1, 0), ('l', 21, -1, 0), ('m', -1, 1206, 0), ('o', -1, 2581, 0), ('p', -1, 778, 0), ('r', -1, 1907, 0), ('s', -1, 4435, 0), ('t', 106, -1, 0), ('u', -1, 1394, 0), ('w', 0, -1, 0), ('y', -1, 2010, 0), ('z', -1, 1163, 0), ('ę', -1, 532, 0), ('ł', 21, -1, 0)), (('a', -1, 618, 0), ('b', 0, -1, 0), ('c', -1, 1133, 0), ('d', -1, 147, 0), ('e', -1, 669, 0), ('i', -1, 583, 0), ('j', -1, 618, 0), ('k', -1, 344, 0), ('l', -1, 1905, 0), ('m', 0, -1, 0), ('n', -1, 1331, 0), ('o', 326, 2430, 0), ('p', -1, 524, 0), ('r', -1, 331, 0), ('s', -1, 4431, 0), ('t', 41, -1, 0), ('u', -1, 2428, 0), ('w', 0, -1, 0), ('y', -1, 1588, 0), ('z', -1, 91, 0), ('ó', 4, -1, 0), ('ą', -1, 2032, 0), ('ę', -1, 621, 0), ('ł', 0, -1, 0), ('ń', -1, 658, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 615, 0), ('b', 1, -1, 0), ('c', -1, 861, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 217, -1, 0), ('k', 85, -1, 0), ('l', 0, -1, 0), ('m', 2, 720, 0), ('n', -1, 1906, 0), ('o', -1, 1129, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 723, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 1236, 0), ('b', 0, 1907, 0), ('c', 40, -1, 0), ('d', 0, -1, 0), ('e', -1, 1565, 0), ('g', 91, -1, 0), ('h', 0, -1, 0), ('i', -1, 1593, 0), ('k', 0, -1, 0), ('l', -1, 480, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 278, 0), ('s', -1, 977, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 2517, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 658, 0), ('b', 0, -1, 0), ('c', -1, 1908, 0), ('d', -1, 522, 0), ('e', -1, 1309, 0), ('g', 352, -1, 0), ('h', 4, -1, 0), ('i', 0, -1, 0), ('j', 217, -1, 0), ('k', -1, 1747, 0), ('l', 0, -1, 0), ('m', -1, 1910, 0), ('n', 3, -1, 0), ('o', -1, 1382, 0), ('p', 4, -1, 0), ('r', -1, 40, 0), ('s', 133, -1, 0), ('t', 0, 2428, 0), ('u', -1, 954, 0), ('w', -1, 1902, 0), ('y', -1, 1721, 0), ('z', 0, 1188, 0), ('ó', -1, 1236, 0)), (('a', -1, 501, 0), ('c', 31, -1, 0), ('e', -1, 1909, 0), ('i', 26, -1, 0), ('l', 39, -1, 0), ('o', 177, -1, 0), ('r', 184, -1, 0), ('u', 39, -1, 0), ('y', 31, -1, 0)), (('a', 35, -1, 0), ('b', -1, 623, 0), ('d', 12, -1, 0), ('e', 35, -1, 0), ('g', 0, 625, 0), ('h', 12, -1, 0), ('i', 35, -1, 0), ('k', 116, 223, 0), ('m', -1, 910, 0), ('o', 192, -1, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('u', 1, -1, 0), ('w', 5, 1850, 0), ('z', 39, -1, 0), ('ą', 1, -1, 0), ('ż', 12, -1, 0)), (('a', 3, -1, 0), ('c', 3, -1, 0), ('d', 121, 15, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('h', -1, 1911, 0), ('i', -1, 2285, 0), ('j', 3, -1, 0), ('l', 2, -1, 0), ('m', 87, -1, 0), ('n', 368, -1, 0), ('o', 3, 14, 0), ('p', 87, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('w', 11, -1, 0), ('z', 224, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 1609, 0), ('b', 1, -1, 0), ('c', -1, 1912, 0), ('d', 159, -1, 0), ('e', -1, 1211, 0), ('g', 0, -1, 0), ('i', -1, 26, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 5, 693, 0), ('n', 6, -1, 0), ('o', 159, -1, 0), ('p', 0, -1, 0), ('r', -1, 1374, 0), ('s', -1, 2024, 0), ('t', 104, -1, 0), ('u', -1, 878, 0), ('w', 0, -1, 0), ('y', 159, -1, 0), ('z', 159, -1, 0), ('ą', 6, -1, 0), ('ę', 4, -1, 0), ('ł', 104, -1, 0)), (('a', -1, 1913, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', -1, 1050, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 28, -1, 0), ('ó', 121, -1, 0)), (('a', 21, -1, 0), ('b', 28, -1, 0), ('c', 2, -1, 0), ('d', -1, 67, 0), ('e', 149, -1, 0), ('f', 2, -1, 0), ('h', 28, -1, 0), ('i', 215, -1, 0), ('k', -1, 1914, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', -1, 1937, 0), ('o', 1, -1, 0), ('p', 2, -1, 0), ('r', 1, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 3798, 0), ('w', 28, -1, 0), ('y', 149, -1, 0), ('z', -1, 1223, 0), ('ł', 3, -1, 0)), (('a', 6, -1, 0), ('d', 2, -1, 0), ('e', -1, 1110, 0), ('i', 2, -1, 0), ('l', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 1915, 0), ('p', 6, -1, 0), ('r', -1, 2736, 0), ('s', 3, 465, 0), ('t', 2, -1, 0), ('y', 28, -1, 0), ('z', -1, 120, 0), ('ł', 2, -1, 0)), (('a', -1, 1916, 0), ('b', 4, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('i', 28, -1, 0), ('l', -1, 3187, 0), ('m', -1, 1346, 0), ('n', -1, 1911, 0), ('o', 2, 401, 0), ('r', 28, -1, 0), ('s', 351, -1, 0), ('t', -1, 729, 0), ('u', 351, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ę', 28, -1, 0), ('ł', 55, -1, 0)), (('a', 71, -1, 0), ('d', 11, -1, 0), ('e', -1, 833, 0), ('i', 71, -1, 0), ('k', -1, 346, 0), ('l', 95, -1, 0), ('m', 2, -1, 0), ('o', -1, 1607, 0), ('p', 71, -1, 0), ('r', -1, 1917, 0), ('s', 71, -1, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('w', 351, -1, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ą', 71, -1, 0), ('ę', 71, -1, 0), ('ł', 11, -1, 0)), (('a', -1, 489, 0), ('b', -1, 1672, 0), ('d', -1, 1918, 0), ('e', -1, 454, 0), ('g', -1, 879, 0), ('h', -1, 996, 0), ('i', 158, -1, 0), ('j', 22, -1, 0), ('m', -1, 1959, 0), ('o', -1, 575, 0), ('p', -1, 2700, 0), ('r', -1, 1017, 0), ('s', 56, -1, 0), ('t', -1, 2778, 0), ('u', 329, -1, 0), ('w', -1, 433, 0), ('z', -1, 645, 0), ('ł', -1, 2718, 0)), (('a', 234, -1, 0), ('e', 234, -1, 0), ('g', 0, -1, 0), ('i', -1, 1779, 0), ('k', 6, -1, 0), ('l', 0, -1, 0), ('m', 4, -1, 0), ('n', 6, -1, 0), ('o', 3, 296, 0), ('p', -1, 1919, 0), ('r', 6, -1, 0), ('z', -1, 4450, 0), ('ł', 6, -1, 0), ('ż', 89, -1, 0)), (('a', -1, 1766, 0), ('d', 73, -1, 0), ('e', 234, -1, 0), ('h', 11, -1, 0), ('i', -1, 1920, 0), ('j', 73, 1215, 0), ('l', 56, -1, 0), ('o', -1, 1414, 0), ('r', 56, -1, 0), ('z', -1, 1214, 0), ('ż', 73, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('c', -1, 1921, 0), ('e', 28, -1, 0), ('g', 73, -1, 0), ('i', 3, -1, 0), ('m', 56, -1, 0), ('n', -1, 1396, 0), ('o', -1, 115, 0), ('p', -1, 1922, 0), ('r', 121, -1, 0), ('s', 3, -1, 0), ('z', 73, -1, 0)), (('a', 73, -1, 0), ('b', 73, -1, 0), ('d', 73, -1, 0), ('e', 73, -1, 0), ('i', 73, -1, 0), ('o', 1, 288, 0), ('p', 73, -1, 0), ('r', -1, 1313, 0), ('s', 73, -1, 0), ('t', 57, 1624, 0), ('u', 73, -1, 0), ('w', 56, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ą', 73, -1, 0), ('ę', 73, -1, 0)), (('a', 56, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', -1, 1923, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 73, -1, 0), ('p', 21, -1, 0), ('r', -1, 2127, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('z', 21, -1, 0), ('ł', -1, 2559, 0), ('ż', 21, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 5, -1, 0), ('d', 21, -1, 0), ('e', -1, 1924, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('o', 21, -1, 0), ('r', -1, 7, 0), ('s', -1, 3123, 0), ('t', 21, -1, 0), ('z', 273, -1, 0), ('ń', 40, -1, 0)), (('a', -1, 1925, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 35, 0), ('i', -1, 2430, 0), ('j', 41, -1, 0), ('k', 0, -1, 0), ('m', 41, -1, 0), ('o', -1, 321, 0), ('p', 55, -1, 0), ('r', -1, 2823, 0), ('s', 0, -1, 0), ('t', -1, 3531, 0), ('u', -1, 1696, 0), ('w', 4, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 204, 0), ('b', 87, -1, 0), ('c', 1, -1, 0), ('d', -1, 1926, 0), ('e', 33, -1, 0), ('i', 185, -1, 0), ('k', 41, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 21, -1, 0), ('o', -1, 345, 0), ('p', 0, 955, 0), ('r', 0, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('w', -1, 4012, 0), ('y', 33, -1, 0), ('z', 33, -1, 0), ('ó', 21, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 1927, 0), ('d', 4, -1, 0), ('e', 53, -1, 0), ('i', 0, -1, 0), ('o', -1, 1148, 0), ('r', 4, -1, 0), ('u', 53, -1, 0), ('y', 53, -1, 0), ('z', 39, -1, 0), ('ą', 53, -1, 0)), (('a', -1, 531, 0), ('c', 4, -1, 0), ('d', 21, -1, 0), ('e', -1, 1928, 0), ('g', 11, -1, 0), ('i', -1, 533, 0), ('k', 3, -1, 0), ('l', -1, 320, 0), ('m', 11, -1, 0), ('n', 52, -1, 0), ('o', 0, -1, 0), ('p', 7, 660, 0), ('r', -1, 95, 0), ('s', 0, -1, 0), ('t', 12, -1, 0), ('u', 0, -1, 0), ('w', 85, -1, 0), ('y', 0, -1, 0), ('z', 88, -1, 0)), (('a', -1, 1929, 0), ('c', 106, -1, 0), ('d', -1, 662, 0), ('e', 71, -1, 0), ('h', 1, -1, 0), ('i', 155, -1, 0), ('k', 1, -1, 0), ('l', -1, 179, 0), ('m', 106, -1, 0), ('n', 106, -1, 0), ('o', 71, -1, 0), ('p', 71, -1, 0), ('r', 21, 919, 0), ('s', 55, -1, 0), ('t', -1, 1785, 0), ('u', 6, -1, 0), ('w', 29, 296, 0), ('y', 29, -1, 0), ('z', 21, -1, 0), ('ł', -1, 367, 0)), (('a', -1, 1930, 0), ('b', -1, 1932, 0), ('c', -1, 1916, 0), ('d', 1, -1, 0), ('e', 12, -1, 0), ('f', 21, -1, 0), ('g', -1, 1374, 0), ('h', 29, -1, 0), ('i', 12, -1, 0), ('k', 21, 62, 0), ('l', 6, -1, 0), ('m', -1, 2080, 0), ('n', 1, -1, 0), ('o', 96, -1, 0), ('p', -1, 147, 0), ('r', 61, -1, 0), ('s', -1, 235, 0), ('t', -1, 861, 0), ('u', 12, -1, 0), ('w', 110, -1, 0), ('y', 12, -1, 0), ('z', -1, 1929, 0), ('ć', 21, -1, 0), ('ę', 5, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 754, 0), ('b', 12, -1, 0), ('c', -1, 1931, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('i', 58, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', -1, 964, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', -1, 389, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0)), (('a', 52, -1, 0), ('b', 0, 1077, 0), ('c', 41, -1, 0), ('d', 17, -1, 0), ('e', 52, -1, 0), ('g', 0, -1, 0), ('i', -1, 530, 0), ('k', -1, 1683, 0), ('l', 0, -1, 0), ('m', 185, -1, 0), ('o', 17, -1, 0), ('p', 41, -1, 0), ('r', -1, 84, 0), ('s', 0, -1, 0), ('t', 17, -1, 0), ('u', 12, -1, 0), ('w', 69, -1, 0), ('y', 17, -1, 0), ('z', 17, -1, 0)), (('a', -1, 975, 0), ('b', 12, -1, 0), ('c', -1, 1059, 0), ('d', -1, 346, 0), ('e', -1, 1933, 0), ('g', 12, -1, 0), ('i', 21, -1, 0), ('k', 12, -1, 0), ('l', 21, -1, 0), ('m', 21, 807, 0), ('n', -1, 121, 0), ('o', 242, -1, 0), ('p', 1, -1, 0), ('r', -1, 1032, 0), ('s', 349, -1, 0), ('t', -1, 427, 0), ('u', 21, -1, 0), ('w', -1, 313, 0), ('y', -1, 1318, 0), ('z', 12, -1, 0), ('ó', 21, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 1934, 0), ('d', -1, 668, 0), ('e', -1, 663, 0), ('i', 21, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 807, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 28, -1, 0), ('p', 6, -1, 0), ('r', -1, 1041, 0), ('s', -1, 131, 0), ('t', 21, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 28, -1, 0), ('z', 242, 862, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ż', 21, -1, 0)), (('a', 2, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 1935, 0), ('e', -1, 1936, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', -1, 1715, 0), ('i', -1, 3892, 0), ('j', 7, -1, 0), ('k', -1, 3899, 0), ('l', -1, 4446, 0), ('m', 7, -1, 0), ('n', -1, 2770, 0), ('o', -1, 581, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 3542, 0), ('u', 2, -1, 0), ('w', -1, 4447, 0), ('y', 28, -1, 0), ('z', -1, 4399, 0), ('ł', -1, 4449, 0), ('ż', 3, -1, 0)), (('a', -1, 990, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 336, -1, 0), ('i', 3, -1, 0), ('l', 336, -1, 0), ('n', 336, -1, 0), ('o', 7, -1, 0), ('r', 336, -1, 0), ('t', -1, 909, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', -1, 570, 0)), (('a', 28, 815, 0), ('b', 3, -1, 0), ('e', 28, -1, 0), ('g', 3, -1, 0), ('i', 75, -1, 0), ('j', -1, 1937, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('n', 28, -1, 0), ('o', -1, 3803, 0), ('r', -1, 372, 0), ('t', -1, 644, 0), ('y', 28, -1, 0), ('z', 3, -1, 0), ('ł', -1, 1095, 0)), (('a', 3, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('n', 28, -1, 0), ('o', 52, 378, 0), ('p', 3, 1691, 0), ('r', 2, -1, 0), ('s', -1, 1938, 0), ('t', 2, -1, 0), ('u', 52, 1942, 0), ('y', -1, 488, 0), ('z', 2, -1, 0), ('ł', -1, 564, 0), ('ż', 2, -1, 0)), (('a', 2, -1, 0), ('b', 22, -1, 0), ('c', -1, 984, 0), ('e', 2, -1, 0), ('g', 30, 399, 0), ('h', -1, 822, 0), ('i', 22, -1, 0), ('k', 2, -1, 0), ('l', 22, -1, 0), ('n', 2, -1, 0), ('o', 3, -1, 0), ('p', 132, -1, 0), ('r', -1, 976, 0), ('s', 2, -1, 0), ('t', 22, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('y', -1, 1939, 0), ('z', 2, 1091, 0), ('ł', 3, -1, 0)), (('a', -1, 8, 0), ('b', 0, 165, 0), ('c', -1, 722, 0), ('d', -1, 775, 0), ('e', -1, 250, 0), ('f', 0, 225, 0), ('g', 0, -1, 0), ('i', -1, 1188, 0), ('k', 0, 1240, 0), ('l', -1, 476, 0), ('m', 1, -1, 0), ('o', -1, 1166, 0), ('p', -1, 821, 0), ('r', -1, 594, 0), ('s', 28, 637, 0), ('t', 0, 225, 0), ('u', 0, -1, 0), ('w', 2, -1, 0), ('y', -1, 250, 0), ('z', -1, 1807, 0), ('ł', 0, 1940, 0)), (('a', -1, 101, 0), ('b', 0, 164, 0), ('d', -1, 325, 0), ('e', 88, -1, 0), ('h', 56, -1, 0), ('i', -1, 171, 0), ('k', 107, -1, 0), ('m', 107, -1, 0), ('o', -1, 95, 0), ('p', 107, -1, 0), ('r', -1, 1770, 0), ('s', 56, -1, 0), ('t', -1, 1941, 0), ('u', 5, -1, 0), ('w', -1, 1120, 0), ('z', -1, 273, 0), ('ł', 0, 164, 0)), (('a', -1, 576, 0), ('b', 21, -1, 0), ('c', 1, -1, 0), ('d', -1, 664, 0), ('e', -1, 1181, 0), ('f', 21, -1, 0), ('i', -1, 83, 0), ('k', -1, 1861, 0), ('l', 6, -1, 0), ('m', 69, -1, 0), ('n', 6, -1, 0), ('o', 104, -1, 0), ('p', 21, -1, 0), ('r', 6, -1, 0), ('s', -1, 489, 0), ('t', 21, -1, 0), ('u', 120, -1, 0), ('w', 1, -1, 0), ('y', 95, -1, 0), ('z', -1, 584, 0), ('ę', 12, -1, 0), ('ł', 6, -1, 0), ('ś', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 7, -1, 0), ('b', 12, -1, 0), ('e', -1, 1943, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 12, -1, 0), ('p', 52, -1, 0), ('r', 7, -1, 0), ('s', 87, 997, 0), ('t', 12, -1, 0), ('u', 7, -1, 0), ('w', 3, -1, 0), ('y', 51, -1, 0), ('z', -1, 690, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 210, 0), ('b', -1, 1944, 0), ('c', 7, -1, 0), ('d', 22, -1, 0), ('e', 133, -1, 0), ('g', 7, -1, 0), ('i', -1, 116, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 133, -1, 0), ('p', -1, 1096, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 1259, 0), ('w', 7, -1, 0), ('y', -1, 1655, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 51, -1, 0), ('c', -1, 1945, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('k', -1, 1221, 0), ('l', 5, -1, 0), ('m', 105, -1, 0), ('o', 7, 621, 0), ('p', 51, -1, 0), ('r', -1, 1945, 0), ('s', -1, 2716, 0), ('t', 55, -1, 0), ('u', -1, 2002, 0), ('w', 105, -1, 0), ('y', 55, -1, 0), ('z', 7, -1, 0), ('ó', 5, -1, 0), ('ą', -1, 858, 0), ('ł', 7, -1, 0)), (('a', 7, -1, 0), ('b', 29, 522, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 29, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', -1, 1816, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 1946, 0), ('s', 7, -1, 0), ('t', -1, 1873, 0), ('u', 7, -1, 0), ('w', 29, -1, 0), ('y', 7, -1, 0), ('z', -1, 863, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 29, -1, 0), ('ń', 7, -1, 0)), (('a', -1, 1947, 0), ('b', 3, -1, 0), ('c', 2, -1, 0), ('d', 24, -1, 0), ('e', -1, 307, 0), ('g', 24, -1, 0), ('i', 24, -1, 0), ('k', 24, -1, 0), ('l', 24, -1, 0), ('m', 175, -1, 0), ('n', 24, -1, 0), ('o', 28, -1, 0), ('p', 24, -1, 0), ('r', 4, -1, 0), ('s', -1, 491, 0), ('t', -1, 250, 0), ('u', -1, 169, 0), ('w', 24, -1, 0), ('y', 4, -1, 0), ('z', 28, -1, 0), ('ą', 28, -1, 0), ('ę', -1, 2115, 0), ('ł', 24, -1, 0)), (('a', 105, -1, 0), ('b', 7, -1, 0), ('c', -1, 1740, 0), ('d', 28, -1, 0), ('e', 149, -1, 0), ('g', 28, -1, 0), ('h', 21, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 1, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', -1, 1948, 0), ('o', 105, -1, 0), ('p', 4, 1677, 0), ('r', -1, 1091, 0), ('s', 28, -1, 0), ('t', -1, 4431, 0), ('u', 29, -1, 0), ('w', 34, -1, 0), ('y', 149, -1, 0), ('z', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 2, -1, 0), ('b', -1, 544, 0), ('c', 15, 274, 0), ('e', -1, 1151, 0), ('i', 2, -1, 0), ('k', 220, -1, 0), ('m', 220, -1, 0), ('o', 2, -1, 0), ('r', -1, 12, 0), ('s', -1, 1949, 0), ('t', 220, -1, 0), ('u', 2, -1, 0), ('w', -1, 4330, 0), ('y', 3, -1, 0), ('z', 220, -1, 0), ('ó', 2, -1, 0), ('ś', 220, -1, 0), ('ź', 28, -1, 0), ('ż', 220, -1, 0)), (('a', -1, 560, 0), ('d', 6, -1, 0), ('e', -1, 1950, 0), ('i', -1, 3001, 0), ('m', 3, -1, 0), ('n', 4, 787, 0), ('o', -1, 346, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 1184, 0), ('y', -1, 2142, 0), ('z', 4, -1, 0), ('ę', 3, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('d', 3, -1, 0), ('e', -1, 1951, 0), ('i', -1, 3333, 0), ('k', 28, -1, 0), ('o', 2, -1, 0), ('r', 28, -1, 0), ('t', -1, 3793, 0), ('u', 28, -1, 0), ('y', -1, 2346, 0), ('z', 3, -1, 0), ('ó', -1, 2062, 0), ('ł', 41, -1, 0)), (('a', -1, 1625, 0), ('d', 117, -1, 0), ('e', 108, -1, 0), ('h', 28, -1, 0), ('i', -1, 1181, 0), ('k', 108, -1, 0), ('l', 2, -1, 0), ('m', 108, -1, 0), ('n', -1, 1952, 0), ('o', -1, 2260, 0), ('r', 108, -1, 0), ('s', 6, -1, 0), ('t', 108, -1, 0), ('u', -1, 902, 0), ('w', 4, -1, 0), ('y', -1, 3573, 0), ('z', 28, -1, 0), ('ó', 95, -1, 0), ('ł', 108, -1, 0), ('ś', -1, 2015, 0)), (('a', -1, 1505, 0), ('b', 9, -1, 0), ('c', 9, -1, 0), ('d', -1, 1953, 0), ('e', 5, -1, 0), ('g', 7, -1, 0), ('i', 5, -1, 0), ('k', -1, 2808, 0), ('l', -1, 460, 0), ('m', 5, -1, 0), ('n', 101, -1, 0), ('o', -1, 1128, 0), ('p', 101, -1, 0), ('r', 5, -1, 0), ('s', 101, -1, 0), ('t', 5, -1, 0), ('u', 7, -1, 0), ('w', -1, 2807, 0), ('y', 5, -1, 0), ('z', 9, -1, 0), ('ó', -1, 762, 0), ('ł', -1, 210, 0)), (('a', 165, -1, 0), ('b', 162, -1, 0), ('d', 207, -1, 0), ('e', -1, 1098, 0), ('g', 207, -1, 0), ('i', -1, 1007, 0), ('l', -1, 522, 0), ('n', -1, 800, 0), ('o', 22, 378, 0), ('p', -1, 1954, 0), ('r', 165, -1, 0), ('u', 207, -1, 0), ('y', 207, -1, 0), ('z', 194, -1, 0), ('ę', 165, -1, 0)), (('a', -1, 1955, 0), ('e', 162, -1, 0), ('i', 162, -1, 0), ('k', 92, -1, 0), ('o', 162, -1, 0), ('p', 12, -1, 0), ('r', -1, 3665, 0), ('u', 207, -1, 0), ('y', 162, -1, 0), ('z', 162, -1, 0)), (('a', 1, -1, 0), ('b', 13, -1, 0), ('d', 39, -1, 0), ('e', 1, -1, 0), ('g', 13, -1, 0), ('i', 1, -1, 0), ('k', 3, -1, 0), ('m', 13, -1, 0), ('n', 1, -1, 0), ('o', -1, 1956, 0), ('p', -1, 4445, 0), ('r', -1, 1198, 0), ('s', 1, -1, 0), ('t', 92, -1, 0), ('u', 1, -1, 0), ('w', 13, -1, 0), ('y', 1, -1, 0), ('z', 5, -1, 0), ('ą', -1, 1834, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 21, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, 1428, 0), ('e', 36, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 33, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 1, -1, 0), ('y', 146, -1, 0), ('z', -1, 1957, 0), ('ą', 255, -1, 0), ('ł', -1, 1959, 0)), (('a', -1, 56, 0), ('b', 102, -1, 0), ('d', 7, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 256, -1, 0), ('l', 166, -1, 0), ('m', 102, -1, 0), ('n', 121, -1, 0), ('o', 3, -1, 0), ('p', 63, 197, 0), ('r', -1, 1958, 0), ('s', 3, -1, 0), ('t', 7, -1, 0), ('u', 3, -1, 0), ('w', 102, -1, 0), ('y', 3, -1, 0), ('z', 166, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('d', 55, -1, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('i', 55, -1, 0), ('l', 30, -1, 0), ('n', -1, 1019, 0), ('o', 55, -1, 0), ('p', 318, -1, 0), ('r', 79, -1, 0), ('s', 5, -1, 0), ('t', 317, -1, 0), ('u', 12, -1, 0), ('w', 30, -1, 0), ('y', 1, -1, 0), ('z', 12, -1, 0), ('ó', 55, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 1198, 0), ('c', 4, -1, 0), ('d', 85, 311, 0), ('e', -1, 1960, 0), ('i', 3, -1, 0), ('k', 47, -1, 0), ('l', 3, -1, 0), ('m', 1, -1, 0), ('n', 3, -1, 0), ('o', 0, 85, 0), ('p', 1, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 22, -1, 0), ('y', -1, 233, 0), ('z', 79, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 1961, 0), ('d', 4, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('i', 71, -1, 0), ('k', 28, -1, 0), ('l', 5, -1, 0), ('m', -1, 1020, 0), ('n', 28, -1, 0), ('o', -1, 597, 0), ('p', 5, -1, 0), ('r', -1, 327, 0), ('s', 30, 186, 0), ('t', -1, 836, 0), ('u', 71, -1, 0), ('w', 5, 145, 0), ('y', 71, -1, 0), ('z', -1, 3333, 0), ('ą', 71, -1, 0), ('ę', 71, -1, 0), ('ł', 5, -1, 0)), (('a', 71, -1, 0), ('b', -1, 1962, 0), ('c', -1, 373, 0), ('d', 11, -1, 0), ('e', -1, 1188, 0), ('g', 71, -1, 0), ('i', 71, -1, 0), ('j', 5, -1, 0), ('k', -1, 3815, 0), ('l', 71, -1, 0), ('m', 71, -1, 0), ('o', 71, -1, 0), ('p', 0, 1365, 0), ('r', 71, -1, 0), ('s', 71, -1, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('w', -1, 931, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ą', 71, -1, 0), ('ę', -1, 1388, 0), ('ł', 71, -1, 0)), (('a', -1, 1917, 0), ('b', -1, 320, 0), ('c', 29, -1, 0), ('d', 100, 1963, 0), ('e', -1, 1964, 0), ('f', 11, -1, 0), ('i', -1, 299, 0), ('m', -1, 1599, 0), ('n', -1, 320, 0), ('o', -1, 51, 0), ('p', -1, 1783, 0), ('r', -1, 1258, 0), ('s', 29, -1, 0), ('u', -1, 2100, 0), ('w', -1, 813, 0), ('y', -1, 869, 0), ('z', -1, 1295, 0), ('ę', -1, 1316, 0)), (('a', -1, 870, 0), ('b', 6, -1, 0), ('e', 8, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('l', -1, 1222, 0), ('n', 6, -1, 0), ('o', 28, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('y', 6, -1, 0), ('z', 100, -1, 0)), (('a', -1, 116, 0), ('b', 121, -1, 0), ('c', 121, -1, 0), ('d', -1, 213, 0), ('e', -1, 196, 0), ('g', 55, -1, 0), ('i', -1, 1647, 0), ('k', 4, -1, 0), ('n', 121, -1, 0), ('o', -1, 1179, 0), ('p', 121, -1, 0), ('r', -1, 1965, 0), ('s', -1, 1957, 0), ('t', -1, 1967, 0), ('w', -1, 318, 0), ('z', -1, 2702, 0), ('ł', 55, -1, 0)), (('a', -1, 60, 0), ('b', 1, 675, 0), ('c', -1, 1503, 0), ('d', 21, -1, 0), ('e', -1, 1076, 0), ('g', 1, -1, 0), ('h', 209, -1, 0), ('i', -1, 64, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 404, 0), ('p', 21, -1, 0), ('r', -1, 1966, 0), ('s', 0, 1036, 0), ('t', -1, 780, 0), ('u', -1, 723, 0), ('w', 21, -1, 0), ('y', -1, 706, 0), ('z', 21, -1, 0), ('ó', 86, -1, 0), ('ą', 86, -1, 0), ('ę', 86, -1, 0), ('ł', 86, -1, 0), ('ń', 21, -1, 0), ('ź', 21, -1, 0)), (('a', 86, -1, 0), ('b', 31, -1, 0), ('c', 55, 799, 0), ('d', 0, -1, 0), ('e', -1, 605, 0), ('g', 85, -1, 0), ('i', -1, 705, 0), ('j', 110, -1, 0), ('k', 0, -1, 0), ('l', 21, 1378, 0), ('m', 184, -1, 0), ('n', 59, -1, 0), ('o', -1, 979, 0), ('p', -1, 775, 0), ('r', -1, 583, 0), ('s', -1, 172, 0), ('t', -1, 1349, 0), ('u', -1, 708, 0), ('w', -1, 140, 0), ('y', 27, -1, 0), ('z', 179, -1, 0), ('ó', 21, -1, 0), ('ł', 121, -1, 0)), (('a', -1, 1968, 0), ('d', -1, 4036, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('h', -1, 1542, 0), ('i', 28, -1, 0), ('k', 137, -1, 0), ('l', 28, -1, 0), ('o', 4, -1, 0), ('r', -1, 3605, 0), ('s', 55, -1, 0), ('u', 0, -1, 0), ('w', -1, 4444, 0), ('y', 324, -1, 0), ('z', 28, -1, 0), ('ę', -1, 647, 0), ('ł', -1, 2101, 0)), (('a', 23, -1, 0), ('b', 23, -1, 0), ('c', -1, 1969, 0), ('d', 23, -1, 0), ('e', 23, -1, 0), ('f', 23, -1, 0), ('g', 23, -1, 0), ('h', 23, -1, 0), ('i', 4, -1, 0), ('k', 4, -1, 0), ('l', -1, 1971, 0), ('m', 23, -1, 0), ('n', 23, -1, 0), ('o', 12, -1, 0), ('r', 1, 3381, 0), ('u', 12, -1, 0), ('w', 23, -1, 0), ('y', 12, -1, 0), ('z', 30, -1, 0), ('ó', 23, -1, 0), ('ł', 4, -1, 0)), (('a', 23, -1, 0), ('c', 10, -1, 0), ('d', 10, -1, 0), ('e', 180, -1, 0), ('f', 92, -1, 0), ('g', 10, -1, 0), ('i', 23, -1, 0), ('l', -1, 1384, 0), ('m', 10, -1, 0), ('n', 11, -1, 0), ('o', 180, -1, 0), ('p', 10, -1, 0), ('r', 180, -1, 0), ('s', 11, -1, 0), ('t', 92, -1, 0), ('u', -1, 1970, 0), ('z', 10, -1, 0), ('ą', 180, -1, 0)), (('a', -1, 1563, 0), ('b', 180, -1, 0), ('d', 1, -1, 0), ('e', -1, 1081, 0), ('i', 23, -1, 0), ('l', 11, -1, 0), ('m', 180, -1, 0), ('o', 136, -1, 0), ('r', 180, -1, 0), ('s', 23, -1, 0), ('u', 23, -1, 0), ('y', 11, -1, 0), ('z', 136, -1, 0), ('ł', 180, -1, 0)), (('a', 23, -1, 0), ('b', 174, -1, 0), ('c', -1, 648, 0), ('d', -1, 1972, 0), ('e', 23, -1, 0), ('g', 23, -1, 0), ('i', 23, -1, 0), ('o', 23, -1, 0), ('r', -1, 293, 0), ('s', 2, -1, 0), ('t', -1, 1973, 0), ('u', 174, 1053, 0), ('y', 23, -1, 0), ('z', -1, 2198, 0)), (('a', -1, 350, 0), ('b', 3, -1, 0), ('d', 6, -1, 0), ('e', 2, -1, 0), ('g', 5, -1, 0), ('i', -1, 1276, 0), ('m', 3, -1, 0), ('o', 28, -1, 0), ('r', 4, -1, 0), ('s', 64, -1, 0), ('u', 41, -1, 0), ('w', 41, -1, 0), ('z', 41, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 1276, 0), ('b', 28, -1, 0), ('d', 2, -1, 0), ('e', 2, 165, 0), ('i', -1, 1974, 0), ('k', -1, 2193, 0), ('l', 28, -1, 0), ('n', 28, -1, 0), ('o', 2, -1, 0), ('p', -1, 3633, 0), ('r', 2, -1, 0), ('s', -1, 3517, 0), ('t', -1, 635, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 472, 0)), (('a', -1, 1975, 0), ('c', 28, -1, 0), ('e', 3, -1, 0), ('g', -1, 53, 0), ('i', -1, 2592, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('s', 41, -1, 0), ('t', 80, -1, 0), ('u', 3, -1, 0), ('y', -1, 991, 0), ('z', -1, 1251, 0)), (('a', -1, 1976, 0), ('b', 13, -1, 0), ('c', 13, -1, 0), ('e', -1, 3878, 0), ('i', 2, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('m', -1, 1518, 0), ('n', 13, -1, 0), ('o', -1, 2711, 0), ('p', -1, 2197, 0), ('r', -1, 2631, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 13, -1, 0), ('y', -1, 2208, 0), ('z', -1, 4442, 0), ('ó', -1, 1980, 0), ('ł', 3, -1, 0)), (('a', -1, 1977, 0), ('d', 28, -1, 0), ('e', 3, -1, 0), ('i', -1, 1194, 0), ('j', 2, -1, 0), ('k', 2, 24, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('r', 22, -1, 0), ('s', -1, 578, 0), ('u', 28, -1, 0), ('w', 386, -1, 0), ('y', 28, -1, 0), ('z', 45, -1, 0), ('ó', 3, -1, 0), ('ś', 2, -1, 0)), (('a', -1, 755, 0), ('b', 40, -1, 0), ('c', 1, -1, 0), ('d', -1, 346, 0), ('e', -1, 28, 0), ('g', 3, -1, 0), ('i', 45, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 3, 1978, 0), ('n', 3, -1, 0), ('o', -1, 31, 0), ('p', 2, -1, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', -1, 1539, 0), ('u', 0, 310, 0), ('w', 1, -1, 0), ('y', -1, 1591, 0), ('z', 0, 164, 0), ('ł', 3, -1, 0)), (('a', 412, -1, 0), ('e', 412, -1, 0), ('i', 84, -1, 0), ('l', 84, -1, 0), ('n', -1, 563, 0), ('o', 57, 1979, 0), ('p', 22, -1, 0), ('r', -1, 4415, 0), ('s', 84, -1, 0), ('u', 84, -1, 0), ('w', 84, -1, 0), ('y', 84, -1, 0), ('z', 84, -1, 0), ('ł', 22, -1, 0)), (('a', 16, -1, 0), ('b', 16, -1, 0), ('d', 16, -1, 0), ('e', -1, 1980, 0), ('g', 16, -1, 0), ('i', -1, 2363, 0), ('k', 16, -1, 0), ('o', 16, -1, 0), ('p', 16, -1, 0), ('r', -1, 764, 0), ('s', 79, 10, 0), ('t', 16, -1, 0), ('u', 16, -1, 0), ('w', 139, -1, 0), ('y', 16, -1, 0), ('z', -1, 2709, 0), ('ś', 16, -1, 0)), (('a', -1, 1981, 0), ('c', 22, -1, 0), ('d', 3, -1, 0), ('e', -1, 675, 0), ('h', 3, -1, 0), ('i', -1, 4440, 0), ('j', -1, 1460, 0), ('k', 22, -1, 0), ('l', -1, 1407, 0), ('m', 22, 288, 0), ('n', 3, -1, 0), ('o', 7, -1, 0), ('p', 1, 905, 0), ('r', 22, -1, 0), ('s', -1, 4441, 0), ('t', -1, 569, 0), ('u', 55, -1, 0), ('w', 0, 85, 0), ('y', -1, 1591, 0), ('z', 16, -1, 0), ('ł', 22, -1, 0)), (('a', 24, -1, 0), ('b', 54, -1, 0), ('c', 28, -1, 0), ('d', 161, -1, 0), ('e', 24, -1, 0), ('g', 0, -1, 0), ('i', 54, -1, 0), ('k', -1, 1856, 0), ('l', 2, -1, 0), ('m', 22, -1, 0), ('n', 222, 1982, 0), ('o', 24, -1, 0), ('p', -1, 316, 0), ('r', 54, -1, 0), ('s', -1, 3255, 0), ('t', 54, 1007, 0), ('u', 175, -1, 0), ('w', -1, 877, 0), ('y', -1, 366, 0), ('z', -1, 231, 0), ('ł', 54, -1, 0)), (('a', -1, 141, 0), ('b', 52, 1674, 0), ('c', 5, -1, 0), ('d', -1, 1983, 0), ('e', -1, 1004, 0), ('i', -1, 487, 0), ('k', 16, -1, 0), ('l', -1, 401, 0), ('m', -1, 1984, 0), ('n', -1, 1451, 0), ('o', -1, 1787, 0), ('p', 5, 402, 0), ('r', -1, 1554, 0), ('s', 51, -1, 0), ('t', 12, -1, 0), ('u', -1, 797, 0), ('w', -1, 2202, 0), ('y', -1, 772, 0), ('z', 161, -1, 0), ('ą', -1, 423, 0), ('ę', 12, -1, 0), ('ł', -1, 82, 0), ('ś', 52, -1, 0)), (('a', -1, 1198, 0), ('d', -1, 488, 0), ('e', 0, 44, 0), ('f', 95, -1, 0), ('g', 3, -1, 0), ('i', -1, 791, 0), ('k', 105, -1, 0), ('l', 11, -1, 0), ('o', -1, 128, 0), ('p', -1, 1130, 0), ('r', -1, 703, 0), ('s', 28, 524, 0), ('t', 105, -1, 0), ('w', 11, 956, 0), ('z', 0, 164, 0), ('ł', 63, -1, 0)), (('a', 6, -1, 0), ('c', 73, -1, 0), ('d', 70, -1, 0), ('e', 6, -1, 0), ('g', 5, -1, 0), ('i', -1, 68, 0), ('j', -1, 1985, 0), ('k', 57, 1623, 0), ('l', -1, 496, 0), ('m', 5, -1, 0), ('n', 0, 2128, 0), ('o', 6, -1, 0), ('p', 73, -1, 0), ('r', -1, 24, 0), ('s', 6, -1, 0), ('t', -1, 475, 0), ('u', 95, -1, 0), ('w', 73, -1, 0), ('y', 6, -1, 0), ('z', -1, 20, 0), ('ą', 6, -1, 0), ('ź', 126, -1, 0)), (('a', -1, 402, 0), ('c', 2, 1986, 0), ('d', -1, 130, 0), ('e', -1, 1300, 0), ('g', 2, -1, 0), ('i', -1, 1178, 0), ('k', -1, 1627, 0), ('l', 2, -1, 0), ('o', 70, -1, 0), ('p', 2, 307, 0), ('r', -1, 2543, 0), ('s', -1, 3246, 0), ('t', 2, -1, 0), ('u', 70, -1, 0), ('w', 28, -1, 0), ('y', -1, 780, 0), ('z', -1, 569, 0), ('ę', -1, 771, 0)), (('a', 2, -1, 0), ('b', 185, -1, 0), ('c', 185, -1, 0), ('d', 0, 44, 0), ('e', -1, 1407, 0), ('f', 3, -1, 0), ('g', 2, -1, 0), ('i', 88, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', 185, -1, 0), ('o', 27, -1, 0), ('p', 185, -1, 0), ('r', -1, 1987, 0), ('s', -1, 793, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('w', -1, 1695, 0), ('y', 2, -1, 0), ('z', 4, -1, 0), ('ś', 28, 649, 0)), (('a', -1, 1988, 0), ('c', 6, -1, 0), ('d', 0, 225, 0), ('e', 32, -1, 0), ('h', 69, -1, 0), ('i', -1, 1247, 0), ('l', 30, -1, 0), ('m', 30, -1, 0), ('n', 30, -1, 0), ('o', 0, 635, 0), ('p', 0, 225, 0), ('r', -1, 203, 0), ('s', -1, 1253, 0), ('t', 21, -1, 0), ('u', -1, 128, 0), ('w', 29, -1, 0), ('y', -1, 347, 0), ('z', 7, -1, 0), ('ł', 30, -1, 0)), (('a', -1, 176, 0), ('b', 2, -1, 0), ('c', 0, 554, 0), ('d', 25, -1, 0), ('e', 21, -1, 0), ('g', 3, -1, 0), ('i', 21, -1, 0), ('k', -1, 1034, 0), ('l', -1, 1989, 0), ('m', 182, -1, 0), ('n', -1, 429, 0), ('o', 21, -1, 0), ('p', 196, -1, 0), ('r', -1, 118, 0), ('s', 196, -1, 0), ('t', 25, -1, 0), ('u', -1, 315, 0), ('w', 6, -1, 0), ('y', 21, -1, 0), ('z', -1, 1990, 0), ('ł', 28, -1, 0)), (('a', -1, 14, 0), ('d', -1, 1977, 0), ('e', -1, 382, 0), ('f', 3, 576, 0), ('i', -1, 518, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('n', -1, 1675, 0), ('o', -1, 891, 0), ('p', 53, -1, 0), ('r', -1, 190, 0), ('s', -1, 998, 0), ('t', 2, -1, 0), ('u', -1, 104, 0), ('w', 2, -1, 0), ('y', 6, -1, 0), ('z', -1, 1165, 0)), (('a', 238, -1, 0), ('b', 182, -1, 0), ('c', 7, 1071, 0), ('d', 0, -1, 0), ('e', 21, -1, 0), ('g', -1, 1991, 0), ('i', 25, -1, 0), ('k', 0, -1, 0), ('l', 236, -1, 0), ('m', 182, -1, 0), ('n', 104, -1, 0), ('o', 176, -1, 0), ('p', 208, -1, 0), ('r', 182, -1, 0), ('s', 25, -1, 0), ('t', 1, -1, 0), ('u', 25, -1, 0), ('w', 176, -1, 0), ('y', 176, -1, 0), ('z', 25, -1, 0), ('ł', 182, -1, 0), ('ż', 0, -1, 0)), (('a', 4, -1, 0), ('b', 7, -1, 0), ('e', -1, 1992, 0), ('i', 64, -1, 0), ('m', 7, -1, 0), ('n', 55, -1, 0), ('o', 120, -1, 0), ('r', 7, 2492, 0), ('s', 3, -1, 0), ('u', 4, -1, 0), ('y', 6, -1, 0), ('z', 3, -1, 0), ('ą', 4, -1, 0), ('ę', 4, -1, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 1912, 0), ('e', -1, 1993, 0), ('i', -1, 2077, 0), ('l', 137, -1, 0), ('m', 2, -1, 0), ('o', 1, -1, 0), ('r', -1, 1706, 0), ('s', 2, 424, 0), ('t', -1, 3454, 0), ('y', -1, 1545, 0), ('z', -1, 3122, 0), ('ó', 3, -1, 0), ('ł', 121, 576, 0), ('ż', 2, -1, 0)), (('a', -1, 1994, 0), ('b', 7, -1, 0), ('e', -1, 466, 0), ('g', 7, -1, 0), ('i', -1, 1321, 0), ('j', 7, -1, 0), ('k', 1, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 614, 0), ('ż', 7, -1, 0)), (('a', -1, 1995, 0), ('d', 108, -1, 0), ('e', 118, -1, 0), ('i', 22, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('o', 108, -1, 0), ('p', -1, 660, 0), ('r', 7, -1, 0), ('t', 108, -1, 0), ('u', 3, -1, 0), ('y', 108, -1, 0), ('z', 1, -1, 0), ('ł', -1, 1860, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1325, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('m', 23, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 1996, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 23, -1, 0), ('z', 174, -1, 0)), (('a', 22, -1, 0), ('b', -1, 267, 0), ('c', -1, 1997, 0), ('d', 7, -1, 0), ('e', 133, -1, 0), ('f', 95, -1, 0), ('g', 2, -1, 0), ('i', 22, -1, 0), ('k', 7, -1, 0), ('m', 95, 1998, 0), ('n', -1, 2423, 0), ('o', 133, -1, 0), ('p', -1, 2800, 0), ('r', -1, 1346, 0), ('s', -1, 1394, 0), ('t', -1, 1133, 0), ('w', 6, 1651, 0), ('y', 22, -1, 0), ('z', -1, 791, 0), ('ł', -1, 1260, 0)), (('a', 95, -1, 0), ('b', 1, -1, 0), ('d', 22, -1, 0), ('e', 95, -1, 0), ('h', 95, -1, 0), ('i', 95, -1, 0), ('o', 29, 296, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', -1, 1021, 0), ('w', 0, -1, 0), ('y', 95, -1, 0), ('z', 1, -1, 0), ('ł', 3, -1, 0), ('ś', 95, -1, 0)), (('a', 6, -1, 0), ('b', -1, 715, 0), ('d', 15, -1, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 162, 0), ('j', 6, -1, 0), ('k', 0, -1, 0), ('m', 15, -1, 0), ('n', 5, -1, 0), ('o', 95, -1, 0), ('p', 5, 1999, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', -1, 1748, 0), ('u', 95, -1, 0), ('w', 55, 186, 0), ('z', -1, 849, 0), ('ł', 6, -1, 0), ('ś', 95, -1, 0)), (('a', 7, -1, 0), ('d', 5, -1, 0), ('e', 55, -1, 0), ('i', -1, 514, 0), ('j', 37, -1, 0), ('l', 37, -1, 0), ('n', 0, -1, 0), ('o', 7, -1, 0), ('p', -1, 2000, 0), ('r', 37, -1, 0), ('s', 92, -1, 0), ('t', 37, -1, 0), ('u', 3, -1, 0), ('w', 5, -1, 0), ('y', 55, -1, 0), ('z', 5, -1, 0)), (('a', -1, 692, 0), ('d', 31, -1, 0), ('e', -1, 1421, 0), ('i', -1, 2001, 0), ('j', 79, -1, 0), ('k', 1, -1, 0), ('l', 79, -1, 0), ('o', 31, -1, 0), ('r', 31, -1, 0), ('s', 5, -1, 0), ('u', 31, -1, 0), ('w', 5, -1, 0), ('z', 79, -1, 0)), (('a', -1, 2002, 0), ('b', 79, -1, 0), ('c', 79, -1, 0), ('d', -1, 3152, 0), ('e', -1, 819, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('l', 12, -1, 0), ('n', 79, -1, 0), ('o', -1, 2456, 0), ('p', 79, -1, 0), ('r', -1, 2747, 0), ('s', -1, 3710, 0), ('u', -1, 1392, 0), ('w', -1, 2090, 0), ('y', 12, -1, 0), ('z', -1, 2580, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ń', -1, 1370, 0)), (('a', -1, 1748, 0), ('b', -1, 2003, 0), ('e', -1, 1529, 0), ('h', -1, 775, 0), ('i', -1, 4122, 0), ('k', 30, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 55, -1, 0), ('t', 12, -1, 0), ('u', -1, 2113, 0), ('w', -1, 3168, 0), ('y', 12, -1, 0), ('z', -1, 281, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ę', -1, 277, 0), ('ł', -1, 802, 0)), (('a', -1, 2004, 0), ('c', 1, -1, 0), ('d', 6, -1, 0), ('e', 0, 191, 0), ('i', 95, -1, 0), ('k', 6, -1, 0), ('l', 12, -1, 0), ('m', -1, 9, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 95, -1, 0), ('r', 21, -1, 0), ('s', 95, -1, 0), ('t', -1, 178, 0), ('u', 0, -1, 0), ('w', -1, 366, 0), ('y', 0, -1, 0), ('z', 95, -1, 0), ('ł', 95, -1, 0), ('ż', 95, -1, 0)), (('a', -1, 972, 0), ('b', 12, 15, 0), ('c', -1, 1980, 0), ('d', 307, -1, 0), ('e', 25, -1, 0), ('g', -1, 2005, 0), ('i', 25, -1, 0), ('k', 1, -1, 0), ('l', 25, -1, 0), ('m', -1, 2010, 0), ('n', 25, -1, 0), ('o', 25, -1, 0), ('p', 307, -1, 0), ('r', 25, -1, 0), ('s', 0, 90, 0), ('t', 307, -1, 0), ('u', -1, 719, 0), ('w', 307, -1, 0), ('y', 25, -1, 0), ('z', 182, -1, 0), ('ę', 25, -1, 0), ('ł', 182, -1, 0), ('ż', 96, -1, 0)), (('a', -1, 271, 0), ('b', 3, -1, 0), ('c', -1, 2006, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('i', 21, -1, 0), ('k', 3, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1810, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 21, -1, 0), ('ł', 40, -1, 0)), (('a', -1, 1375, 0), ('d', -1, 1162, 0), ('e', -1, 2007, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 3495, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 4436, 0), ('t', 4, 1263, 0), ('u', 79, 1773, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0), ('ń', 1, -1, 0)), (('a', 108, -1, 0), ('d', 108, -1, 0), ('e', 7, -1, 0), ('g', 29, -1, 0), ('i', 7, -1, 0), ('m', 13, -1, 0), ('o', 108, -1, 0), ('p', -1, 2008, 0), ('r', -1, 22, 0), ('s', 29, -1, 0), ('t', 108, -1, 0), ('u', 7, -1, 0), ('w', 330, -1, 0), ('y', 108, -1, 0), ('z', -1, 1531, 0), ('ł', 330, -1, 0)), (('a', -1, 839, 0), ('b', 1, -1, 0), ('c', 79, -1, 0), ('d', 1, -1, 0), ('e', -1, 811, 0), ('i', -1, 847, 0), ('l', 79, 180, 0), ('o', 1, -1, 0), ('p', -1, 2009, 0), ('r', 79, -1, 0), ('s', 79, -1, 0), ('t', 79, -1, 0), ('u', 4, -1, 0), ('w', 75, -1, 0), ('y', 4, -1, 0), ('z', 7, 34, 0)), (('a', -1, 2010, 0), ('b', 5, -1, 0), ('e', -1, 2959, 0), ('i', 67, -1, 0), ('o', 5, -1, 0), ('r', 99, 1644, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 99, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 180, 0), ('b', 2, -1, 0), ('c', 1, -1, 0), ('d', 21, -1, 0), ('e', -1, 120, 0), ('i', -1, 92, 0), ('k', -1, 1174, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 5, -1, 0), ('o', 307, -1, 0), ('p', 198, 2011, 0), ('r', -1, 807, 0), ('s', -1, 1331, 0), ('t', 0, -1, 0), ('u', 307, -1, 0), ('w', -1, 149, 0), ('y', -1, 2736, 0), ('z', 0, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 2012, 0), ('d', 39, -1, 0), ('e', 198, -1, 0), ('g', 5, -1, 0), ('i', -1, 2013, 0), ('m', 1, -1, 0), ('n', 39, -1, 0), ('o', 36, -1, 0), ('p', 21, -1, 0), ('r', -1, 2324, 0), ('s', 63, -1, 0), ('t', 39, -1, 0), ('w', 63, -1, 0), ('y', -1, 3309, 0), ('z', -1, 583, 0), ('ł', 5, -1, 0)), (('a', 12, -1, 0), ('b', -1, 284, 0), ('c', -1, 91, 0), ('d', 12, -1, 0), ('e', -1, 848, 0), ('g', 0, 1662, 0), ('i', 12, -1, 0), ('k', -1, 732, 0), ('l', 12, -1, 0), ('m', 96, -1, 0), ('n', 0, 225, 0), ('o', 12, -1, 0), ('p', 0, 286, 0), ('r', 96, -1, 0), ('s', -1, 1250, 0), ('t', 0, 355, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', -1, 627, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ż', 12, -1, 0)), (('a', -1, 474, 0), ('b', 7, -1, 0), ('d', -1, 1665, 0), ('e', -1, 2014, 0), ('i', -1, 458, 0), ('j', 105, -1, 0), ('k', -1, 2368, 0), ('l', 105, -1, 0), ('m', -1, 3485, 0), ('o', -1, 847, 0), ('p', -1, 2329, 0), ('r', -1, 1832, 0), ('s', 13, -1, 0), ('t', -1, 2863, 0), ('u', -1, 1890, 0), ('w', -1, 1388, 0), ('y', 105, -1, 0), ('z', -1, 2014, 0), ('ó', 105, -1, 0), ('ą', -1, 914, 0), ('ę', 105, -1, 0), ('ń', -1, 232, 0)), (('a', -1, 856, 0), ('b', 0, -1, 0), ('c', 13, 462, 0), ('d', 41, -1, 0), ('e', 1, -1, 0), ('h', -1, 311, 0), ('i', -1, 691, 0), ('k', -1, 2015, 0), ('l', -1, 1947, 0), ('m', 7, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 7, -1, 0), ('r', -1, 17, 0), ('s', -1, 2016, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 0, -1, 0)), (('a', -1, 1960, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 117, -1, 0), ('k', 0, -1, 0), ('o', 5, -1, 0), ('r', 28, -1, 0), ('s', 30, 625, 0), ('u', 28, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0)), (('a', -1, 1407, 0), ('c', -1, 2017, 0), ('d', -1, 3239, 0), ('e', -1, 170, 0), ('f', 5, -1, 0), ('i', -1, 6, 0), ('k', -1, 2987, 0), ('l', -1, 1179, 0), ('m', 0, 225, 0), ('n', 5, -1, 0), ('o', -1, 147, 0), ('p', 5, -1, 0), ('r', 105, -1, 0), ('s', -1, 3597, 0), ('t', 66, -1, 0), ('u', -1, 708, 0), ('w', 5, 311, 0), ('y', -1, 489, 0), ('z', 331, -1, 0), ('ę', -1, 383, 0)), (('a', 105, -1, 0), ('d', 105, -1, 0), ('e', -1, 516, 0), ('i', 105, -1, 0), ('j', 105, -1, 0), ('l', 105, -1, 0), ('m', 105, -1, 0), ('o', 105, -1, 0), ('p', 105, -1, 0), ('r', 105, -1, 0), ('s', 28, -1, 0), ('u', -1, 1890, 0), ('w', -1, 2018, 0), ('y', 105, -1, 0), ('z', -1, 2241, 0), ('ó', 105, -1, 0), ('ą', 105, -1, 0), ('ę', 105, -1, 0), ('ń', 105, -1, 0)), (('a', -1, 2019, 0), ('d', -1, 1097, 0), ('e', -1, 194, 0), ('i', -1, 2010, 0), ('k', -1, 781, 0), ('l', -1, 1925, 0), ('m', -1, 586, 0), ('n', -1, 184, 0), ('o', -1, 750, 0), ('p', -1, 1940, 0), ('r', -1, 1462, 0), ('s', -1, 1689, 0), ('t', -1, 2020, 0), ('u', -1, 1038, 0), ('w', -1, 1576, 0), ('z', -1, 520, 0)), (('a', 66, -1, 0), ('d', 0, 372, 0), ('e', -1, 1697, 0), ('i', 0, -1, 0), ('k', 23, -1, 0), ('l', 66, -1, 0), ('m', 121, -1, 0), ('o', 66, -1, 0), ('p', -1, 285, 0), ('r', 66, -1, 0), ('s', 59, -1, 0), ('t', 23, -1, 0), ('u', 331, -1, 0), ('w', 174, -1, 0), ('y', 66, -1, 0), ('z', -1, 155, 0), ('ą', 66, -1, 0), ('ę', -1, 395, 0), ('ł', 66, -1, 0)), (('a', -1, 2021, 0), ('d', 105, -1, 0), ('e', -1, 3308, 0), ('i', 281, -1, 0), ('o', 105, -1, 0), ('r', 105, -1, 0), ('s', 248, -1, 0), ('u', 105, -1, 0), ('y', -1, 2872, 0), ('z', 105, -1, 0), ('ó', -1, 3800, 0), ('ą', -1, 3903, 0), ('ę', 105, -1, 0)), (('a', -1, 2022, 0), ('b', 105, -1, 0), ('c', 0, 355, 0), ('d', -1, 278, 0), ('e', -1, 276, 0), ('i', -1, 21, 0), ('k', 281, -1, 0), ('m', 105, -1, 0), ('n', 1, -1, 0), ('o', -1, 222, 0), ('p', 34, 2919, 0), ('r', -1, 157, 0), ('s', 34, -1, 0), ('t', 28, -1, 0), ('u', -1, 476, 0), ('w', 105, -1, 0), ('y', -1, 1300, 0), ('z', -1, 4435, 0), ('ł', -1, 1563, 0), ('ś', 5, -1, 0), ('ź', -1, 3287, 0)), (('a', -1, 288, 0), ('b', 19, -1, 0), ('d', 19, -1, 0), ('e', 19, -1, 0), ('g', -1, 2023, 0), ('h', 172, -1, 0), ('i', 66, -1, 0), ('k', 349, -1, 0), ('l', -1, 2850, 0), ('m', 0, 275, 0), ('o', -1, 1408, 0), ('p', -1, 3702, 0), ('r', 0, 288, 0), ('s', 108, 3295, 0), ('t', 121, -1, 0), ('u', 6, -1, 0), ('w', -1, 4434, 0), ('y', 19, -1, 0), ('z', 6, -1, 0), ('ę', -1, 2533, 0)), (('a', -1, 1929, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 1, -1, 0), ('g', 21, -1, 0), ('i', -1, 2024, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', 31, -1, 0), ('o', 0, 1270, 0), ('p', 1, -1, 0), ('r', -1, 1331, 0), ('s', -1, 84, 0), ('t', 21, -1, 0), ('u', 0, -1, 0), ('w', 55, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 24, 0), ('c', -1, 200, 0), ('d', -1, 808, 0), ('e', 28, -1, 0), ('i', 217, -1, 0), ('k', -1, 488, 0), ('l', -1, 941, 0), ('m', 217, -1, 0), ('n', -1, 2025, 0), ('o', 110, -1, 0), ('p', 101, 1450, 0), ('r', 217, -1, 0), ('s', 9, -1, 0), ('t', 110, -1, 0), ('u', -1, 2029, 0), ('w', -1, 1769, 0), ('y', 110, -1, 0), ('z', 21, -1, 0), ('ó', 101, -1, 0)), (('a', 7, -1, 0), ('e', -1, 1638, 0), ('g', 69, -1, 0), ('i', -1, 697, 0), ('o', -1, 2026, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('z', 69, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0)), (('a', 21, -1, 0), ('b', 1, -1, 0), ('d', -1, 468, 0), ('e', 3, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 397, 0), ('r', -1, 1699, 0), ('s', 21, -1, 0), ('u', 21, -1, 0), ('z', 30, -1, 0), ('ó', -1, 281, 0), ('ą', -1, 2027, 0), ('ę', 0, -1, 0)), (('a', -1, 250, 0), ('b', 21, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('g', 2, -1, 0), ('i', 1, -1, 0), ('j', 21, -1, 0), ('k', -1, 2028, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', 21, -1, 0), ('o', 0, -1, 0), ('p', -1, 556, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 180, 0), ('u', 21, -1, 0), ('w', 4, -1, 0), ('y', 2, -1, 0), ('z', 21, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 37, -1, 0), ('d', 3, -1, 0), ('e', 82, -1, 0), ('g', 63, -1, 0), ('h', 21, -1, 0), ('i', -1, 612, 0), ('k', 25, 350, 0), ('l', 25, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 3, -1, 0), ('r', 25, -1, 0), ('s', 21, -1, 0), ('t', -1, 348, 0), ('u', 0, -1, 0), ('w', 21, -1, 0), ('y', -1, 250, 0), ('z', 21, -1, 0), ('ł', 176, -1, 0)), (('a', 0, -1, 0), ('b', 11, 2030, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 2323, 0), ('l', 11, -1, 0), ('m', 0, -1, 0), ('n', 7, -1, 0), ('o', 0, -1, 0), ('p', -1, 473, 0), ('r', 21, -1, 0), ('s', 0, -1, 0), ('t', -1, 309, 0), ('u', 0, -1, 0), ('w', 7, -1, 0), ('y', -1, 392, 0), ('z', -1, 1661, 0), ('ż', -1, 1902, 0)), (('a', 56, -1, 0), ('b', 21, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('g', -1, 2031, 0), ('i', -1, 2372, 0), ('k', 21, -1, 0), ('l', -1, 733, 0), ('m', 1, -1, 0), ('o', 11, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('t', 21, -1, 0), ('z', -1, 4395, 0), ('ł', 21, -1, 0)), (('a', 21, -1, 0), ('b', -1, 2032, 0), ('c', -1, 2250, 0), ('d', -1, 2244, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 2240, 0), ('h', -1, 435, 0), ('i', -1, 1905, 0), ('j', 0, -1, 0), ('k', -1, 3031, 0), ('l', -1, 1297, 0), ('m', -1, 739, 0), ('n', -1, 1327, 0), ('o', 1, -1, 0), ('p', -1, 2029, 0), ('r', -1, 1660, 0), ('s', -1, 1424, 0), ('t', -1, 3233, 0), ('u', 71, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 71, -1, 0), ('ł', 1, 3898, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 2033, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 1118, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 55, -1, 0), ('o', -1, 531, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 4, -1, 0), ('t', -1, 720, 0), ('u', 0, -1, 0), ('w', 134, 44, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 4, -1, 0), ('ń', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 2034, 0), ('b', 1, 2035, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 13, -1, 0), ('h', 13, -1, 0), ('i', 62, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 230, 0), ('p', 0, -1, 0), ('r', 13, -1, 0), ('s', -1, 3482, 0), ('t', 0, -1, 0), ('u', -1, 353, 0), ('w', 13, -1, 0), ('z', 62, -1, 0), ('ę', 62, -1, 0), ('ł', 13, -1, 0)), (('a', 104, -1, 0), ('b', 28, -1, 0), ('c', 20, -1, 0), ('d', -1, 16, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 41, -1, 0), ('l', 0, -1, 0), ('m', 41, -1, 0), ('n', 0, -1, 0), ('o', 242, -1, 0), ('p', 0, -1, 0), ('r', -1, 22, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 2036, 0), ('b', 62, -1, 0), ('d', -1, 368, 0), ('e', 1, -1, 0), ('g', -1, 599, 0), ('h', -1, 2032, 0), ('i', -1, 2194, 0), ('k', -1, 3975, 0), ('n', -1, 2276, 0), ('o', 13, -1, 0), ('p', -1, 922, 0), ('r', -1, 4433, 0), ('s', -1, 272, 0), ('t', 62, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 496, 0)), (('a', -1, 832, 0), ('b', 1, -1, 0), ('c', 14, -1, 0), ('d', 31, -1, 0), ('e', 70, -1, 0), ('f', 1, -1, 0), ('i', -1, 2037, 0), ('k', 5, -1, 0), ('l', 99, -1, 0), ('o', -1, 73, 0), ('p', 5, 545, 0), ('r', 70, -1, 0), ('s', -1, 4173, 0), ('t', 1, -1, 0), ('u', 70, -1, 0), ('w', 1, -1, 0), ('y', 70, -1, 0), ('z', -1, 599, 0), ('ą', 135, -1, 0), ('ę', 70, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 1012, 0), ('b', 1, 1018, 0), ('c', 99, -1, 0), ('d', 12, -1, 0), ('e', -1, 2038, 0), ('i', 57, -1, 0), ('k', 7, -1, 0), ('l', 106, -1, 0), ('m', -1, 1092, 0), ('n', -1, 2040, 0), ('o', -1, 3420, 0), ('p', -1, 1876, 0), ('r', -1, 473, 0), ('s', 99, -1, 0), ('u', 106, -1, 0), ('w', 99, -1, 0), ('y', -1, 3216, 0), ('z', -1, 737, 0), ('ó', 106, -1, 0), ('ą', 106, -1, 0), ('ę', -1, 3351, 0), ('ł', 73, -1, 0)), (('a', -1, 940, 0), ('d', 100, -1, 0), ('e', 42, -1, 0), ('i', 106, -1, 0), ('j', 106, -1, 0), ('k', -1, 832, 0), ('l', 5, -1, 0), ('m', -1, 739, 0), ('o', -1, 145, 0), ('p', -1, 1290, 0), ('r', -1, 832, 0), ('s', 53, -1, 0), ('u', 100, -1, 0), ('w', 108, 1886, 0), ('y', -1, 1526, 0), ('z', -1, 2039, 0), ('ę', 8, -1, 0), ('ł', 189, -1, 0)), (('a', -1, 203, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 403, 0), ('g', 3, -1, 0), ('h', 2, -1, 0), ('i', 3, -1, 0), ('j', 2, -1, 0), ('l', 63, -1, 0), ('n', 3, -1, 0), ('o', 447, -1, 0), ('p', -1, 1064, 0), ('r', -1, 1946, 0), ('s', 56, -1, 0), ('t', 41, -1, 0), ('w', 2, -1, 0), ('y', -1, 296, 0), ('z', 3, -1, 0), ('ę', -1, 1511, 0), ('ż', 3, -1, 0)), (('a', 99, -1, 0), ('d', -1, 1582, 0), ('e', -1, 2041, 0), ('h', -1, 122, 0), ('i', 99, -1, 0), ('j', 99, -1, 0), ('k', 1, -1, 0), ('l', 99, -1, 0), ('n', 99, -1, 0), ('o', 99, -1, 0), ('p', 99, -1, 0), ('r', 99, -1, 0), ('s', 2, -1, 0), ('t', 99, -1, 0), ('u', 99, -1, 0), ('y', 99, -1, 0), ('z', 59, -1, 0), ('ś', 99, -1, 0), ('ż', 99, -1, 0)), (('a', -1, 1510, 0), ('b', 132, -1, 0), ('d', 132, -1, 0), ('e', -1, 1184, 0), ('f', 22, -1, 0), ('g', 147, -1, 0), ('i', -1, 535, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('n', -1, 1134, 0), ('o', -1, 2042, 0), ('p', 22, -1, 0), ('r', -1, 1222, 0), ('s', 132, -1, 0), ('t', -1, 3059, 0), ('w', 132, -1, 0), ('y', -1, 438, 0), ('z', -1, 3292, 0), ('ę', -1, 1486, 0), ('ś', 0, 355, 0)), (('a', -1, 671, 0), ('b', 11, -1, 0), ('c', 33, -1, 0), ('d', -1, 2043, 0), ('e', -1, 244, 0), ('f', 11, -1, 0), ('i', -1, 730, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', -1, 1065, 0), ('n', 11, -1, 0), ('o', -1, 148, 0), ('p', -1, 2424, 0), ('r', -1, 36, 0), ('s', 21, -1, 0), ('t', 33, -1, 0), ('u', 6, -1, 0), ('w', 11, -1, 0), ('z', 33, -1, 0)), (('a', 0, -1, 0), ('b', -1, 2044, 0), ('c', 3, -1, 0), ('d', -1, 976, 0), ('e', 6, -1, 0), ('i', -1, 1300, 0), ('k', 34, -1, 0), ('l', 3, -1, 0), ('m', 80, 2045, 0), ('n', -1, 3959, 0), ('o', 1, -1, 0), ('p', 5, -1, 0), ('r', -1, 3865, 0), ('s', 80, 779, 0), ('t', -1, 3739, 0), ('u', 6, -1, 0), ('w', 5, 4432, 0), ('y', -1, 626, 0), ('z', -1, 399, 0)), (('a', -1, 402, 0), ('e', 145, -1, 0), ('i', 145, -1, 0), ('l', 39, -1, 0), ('o', -1, 653, 0), ('p', 145, -1, 0), ('r', 5, -1, 0), ('s', 145, -1, 0), ('u', 5, -1, 0), ('ę', 5, -1, 0)), (('a', 5, -1, 0), ('b', 41, -1, 0), ('d', 0, -1, 0), ('e', -1, 2046, 0), ('i', 0, -1, 0), ('j', 3, -1, 0), ('k', 0, -1, 0), ('l', 41, -1, 0), ('n', 0, -1, 0), ('o', 3, -1, 0), ('p', 0, -1, 0), ('r', 5, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 4361, 0), ('ś', 3, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 22, -1, 0), ('d', 5, -1, 0), ('e', -1, 1262, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('k', 0, -1, 0), ('m', 22, -1, 0), ('o', 5, -1, 0), ('r', -1, 2047, 0), ('s', -1, 672, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 22, -1, 0), ('ł', 0, -1, 0)), (('a', 386, -1, 0), ('b', 3, -1, 0), ('d', 96, -1, 0), ('e', 22, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', -1, 2048, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 96, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('y', 96, -1, 0), ('z', 3, -1, 0)), (('a', -1, 824, 0), ('c', -1, 2049, 0), ('d', -1, 3649, 0), ('e', 3, -1, 0), ('i', 391, -1, 0), ('k', 0, -1, 0), ('l', -1, 802, 0), ('m', 3, -1, 0), ('n', 80, -1, 0), ('o', 3, -1, 0), ('p', 132, -1, 0), ('r', -1, 1589, 0), ('s', -1, 4422, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('w', -1, 3209, 0), ('y', 3, -1, 0), ('z', -1, 3401, 0), ('ę', 3, -1, 0)), (('a', -1, 545, 0), ('c', 5, -1, 0), ('d', 106, -1, 0), ('e', -1, 1566, 0), ('i', -1, 1324, 0), ('j', 106, -1, 0), ('l', -1, 1131, 0), ('o', -1, 1739, 0), ('p', 106, -1, 0), ('r', -1, 688, 0), ('s', -1, 393, 0), ('t', 31, -1, 0), ('u', -1, 1750, 0), ('w', 96, -1, 0), ('y', -1, 823, 0), ('z', -1, 2050, 0), ('ó', 106, -1, 0), ('ą', -1, 1036, 0), ('ę', -1, 2851, 0), ('ł', 5, -1, 0), ('ń', 106, -1, 0)), (('a', -1, 1980, 0), ('b', -1, 540, 0), ('c', 12, -1, 0), ('d', 158, -1, 0), ('e', 158, -1, 0), ('f', 3, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 3, -1, 0), ('l', -1, 2051, 0), ('m', -1, 2053, 0), ('n', -1, 1012, 0), ('o', -1, 1526, 0), ('p', 3, -1, 0), ('r', -1, 133, 0), ('s', -1, 4305, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 48, 0), ('y', 22, -1, 0), ('z', 0, 165, 0)), (('a', 3, -1, 0), ('b', 12, -1, 0), ('d', 2, -1, 0), ('e', 22, -1, 0), ('g', 70, -1, 0), ('h', 12, -1, 0), ('i', 3, -1, 0), ('k', 12, -1, 0), ('l', 40, -1, 0), ('n', 12, -1, 0), ('o', -1, 2052, 0), ('p', 3, -1, 0), ('r', -1, 515, 0), ('s', 3, -1, 0), ('t', 12, -1, 0), ('u', 3, -1, 0), ('w', -1, 786, 0), ('y', 63, -1, 0), ('z', 70, -1, 0)), (('a', -1, 1892, 0), ('b', 22, 1188, 0), ('c', 83, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 22, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', -1, 1195, 0), ('l', 3, -1, 0), ('m', 21, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 22, -1, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 335, -1, 0), ('y', 3, -1, 0), ('z', -1, 837, 0), ('ę', 1, -1, 0), ('ł', 116, -1, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('b', 55, -1, 0), ('c', -1, 2054, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('g', 79, -1, 0), ('h', 3, -1, 0), ('i', -1, 434, 0), ('j', 22, -1, 0), ('k', 0, -1, 0), ('l', 3, -1, 0), ('m', -1, 2264, 0), ('n', -1, 2426, 0), ('o', -1, 2245, 0), ('p', -1, 897, 0), ('r', 3, -1, 0), ('s', -1, 3488, 0), ('t', 3, 1632, 0), ('u', 3, -1, 0), ('w', -1, 785, 0), ('y', 3, -1, 0), ('z', -1, 2391, 0), ('ł', 0, -1, 0), ('ż', 79, -1, 0)), (('a', -1, 1128, 0), ('c', 79, -1, 0), ('e', 55, -1, 0), ('f', 57, -1, 0), ('g', 22, -1, 0), ('h', 95, -1, 0), ('i', -1, 1128, 0), ('k', 217, -1, 0), ('l', -1, 540, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', -1, 1006, 0), ('p', 95, -1, 0), ('r', -1, 519, 0), ('s', 22, -1, 0), ('t', -1, 2055, 0), ('u', -1, 1295, 0), ('w', 22, -1, 0), ('y', -1, 2092, 0), ('z', 22, -1, 0), ('ę', -1, 548, 0), ('ł', 95, -1, 0), ('ś', -1, 1763, 0)), (('a', -1, 1981, 0), ('e', 85, -1, 0), ('i', 0, -1, 0), ('k', 3, -1, 0), ('m', 6, -1, 0), ('n', -1, 2056, 0), ('o', 22, -1, 0), ('r', -1, 1603, 0), ('t', -1, 1462, 0), ('u', 85, -1, 0), ('z', 3, -1, 0), ('ł', -1, 1699, 0)), (('a', -1, 672, 0), ('e', -1, 2057, 0), ('h', 28, -1, 0), ('i', -1, 596, 0), ('j', -1, 1967, 0), ('k', 48, 1086, 0), ('l', 3, -1, 0), ('m', 28, -1, 0), ('o', 6, -1, 0), ('r', -1, 1832, 0), ('s', 28, 433, 0), ('t', 4, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 2058, 0), ('b', -1, 1432, 0), ('c', -1, 1133, 0), ('d', -1, 1839, 0), ('e', -1, 1531, 0), ('f', -1, 1842, 0), ('g', -1, 3094, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 41, -1, 0), ('k', -1, 2054, 0), ('o', -1, 2460, 0), ('r', -1, 637, 0), ('s', -1, 3948, 0), ('t', -1, 2888, 0), ('u', -1, 753, 0), ('w', -1, 3694, 0), ('y', -1, 854, 0), ('z', -1, 2961, 0), ('ó', -1, 4431, 0)), (('a', 12, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('g', -1, 2059, 0), ('h', 0, -1, 0), ('i', -1, 216, 0), ('j', 0, -1, 0), ('k', 41, -1, 0), ('l', -1, 2075, 0), ('n', 31, -1, 0), ('o', -1, 2863, 0), ('p', 41, 359, 0), ('r', -1, 1096, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 1080, 0), ('y', -1, 1464, 0), ('z', -1, 214, 0), ('ż', 0, -1, 0)), (('a', -1, 638, 0), ('c', -1, 2060, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('k', -1, 2336, 0), ('l', 21, -1, 0), ('m', 217, 3476, 0), ('n', 0, -1, 0), ('o', -1, 265, 0), ('p', 0, -1, 0), ('r', -1, 3994, 0), ('s', 0, -1, 0), ('t', -1, 1263, 0), ('u', 21, -1, 0), ('w', 139, -1, 0), ('y', -1, 669, 0), ('z', 0, -1, 0)), (('a', 5, -1, 0), ('b', 30, -1, 0), ('d', 30, -1, 0), ('e', 5, -1, 0), ('i', -1, 2061, 0), ('j', 30, -1, 0), ('o', 5, -1, 0), ('p', 1, -1, 0), ('r', 30, -1, 0), ('s', 5, -1, 0), ('t', -1, 2070, 0), ('u', 5, -1, 0), ('w', 21, -1, 0), ('y', 5, -1, 0), ('z', 274, -1, 0), ('ą', 5, -1, 0), ('ł', 30, -1, 0), ('ń', 0, -1, 0), ('ż', 30, -1, 0)), (('a', 71, -1, 0), ('b', 3, -1, 0), ('d', 2, -1, 0), ('e', -1, 1188, 0), ('i', 71, -1, 0), ('k', 2, -1, 0), ('l', 71, -1, 0), ('m', 71, -1, 0), ('o', 71, -1, 0), ('p', -1, 2062, 0), ('r', 71, -1, 0), ('s', -1, 1004, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('w', -1, 949, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ą', 71, -1, 0), ('ę', -1, 1388, 0), ('ł', 71, -1, 0)), (('a', 5, -1, 0), ('b', 41, -1, 0), ('c', -1, 2063, 0), ('d', 5, -1, 0), ('e', -1, 525, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('l', 41, -1, 0), ('m', 28, -1, 0), ('n', 5, -1, 0), ('o', 30, 1644, 0), ('r', -1, 1704, 0), ('s', 41, -1, 0), ('t', 28, -1, 0), ('w', 5, -1, 0), ('z', 4, -1, 0), ('ł', -1, 2064, 0), ('ż', 28, -1, 0)), (('a', -1, 755, 0), ('b', 28, -1, 0), ('c', 185, -1, 0), ('d', -1, 355, 0), ('e', -1, 173, 0), ('i', 41, -1, 0), ('k', 41, -1, 0), ('l', 131, -1, 0), ('n', 28, -1, 0), ('o', -1, 1047, 0), ('p', 0, -1, 0), ('r', 85, -1, 0), ('s', -1, 1817, 0), ('t', 28, -1, 0), ('w', 0, 164, 0), ('y', -1, 173, 0), ('z', 185, -1, 0), ('ą', 41, -1, 0), ('ę', 41, -1, 0)), (('a', 163, -1, 0), ('d', 70, -1, 0), ('e', -1, 1617, 0), ('g', 28, 985, 0), ('i', -1, 2065, 0), ('j', 70, -1, 0), ('n', -1, 2066, 0), ('o', 2, 121, 0), ('r', 163, -1, 0), ('y', 7, -1, 0), ('z', 70, -1, 0), ('ę', -1, 738, 0), ('ł', 7, -1, 0), ('ż', 70, -1, 0)), (('a', -1, 664, 0), ('c', 70, -1, 0), ('d', 7, -1, 0), ('e', 41, -1, 0), ('g', 70, -1, 0), ('i', 82, -1, 0), ('n', -1, 1622, 0), ('o', 1, 13, 0), ('p', 70, -1, 0), ('r', 73, -1, 0), ('s', 7, -1, 0), ('u', 73, -1, 0), ('y', 7, -1, 0), ('z', -1, 1320, 0), ('ó', 73, -1, 0), ('ą', 73, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 5, 34, 0), ('e', 21, -1, 0), ('g', -1, 142, 0), ('h', 1, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 55, -1, 0), ('m', 1, -1, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('p', 5, -1, 0), ('r', -1, 754, 0), ('s', 0, 9, 0), ('t', 21, -1, 0), ('u', 5, -1, 0), ('w', 1, -1, 0), ('y', -1, 2067, 0), ('z', 1, -1, 0)), (('a', 21, -1, 0), ('c', 163, -1, 0), ('d', -1, 570, 0), ('e', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 122, 0), ('j', -1, 955, 0), ('k', -1, 658, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', -1, 2068, 0), ('o', -1, 917, 0), ('p', -1, 1128, 0), ('r', 21, -1, 0), ('s', 28, -1, 0), ('t', -1, 1986, 0), ('u', 21, -1, 0), ('w', -1, 729, 0), ('y', 21, -1, 0), ('z', -1, 304, 0)), (('a', -1, 2069, 0), ('e', 28, -1, 0), ('i', 28, -1, 0), ('o', 31, 801, 0), ('r', 28, -1, 0), ('t', 28, -1, 0), ('z', 79, -1, 0), ('ą', 28, -1, 0), ('ł', 28, -1, 0)), (('a', 21, -1, 0), ('e', 21, -1, 0), ('i', -1, 1793, 0), ('l', 21, -1, 0), ('n', 0, -1, 0), ('o', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('u', 1, -1, 0), ('z', 184, 545, 0)), (('a', -1, 2071, 0), ('b', -1, 2041, 0), ('c', -1, 275, 0), ('d', -1, 2431, 0), ('e', -1, 1859, 0), ('h', -1, 2531, 0), ('i', -1, 1577, 0), ('j', -1, 3216, 0), ('k', -1, 1226, 0), ('l', -1, 810, 0), ('m', -1, 1101, 0), ('o', -1, 931, 0), ('p', 0, 799, 0), ('r', -1, 2024, 0), ('s', -1, 4127, 0), ('t', -1, 1772, 0), ('w', -1, 238, 0), ('y', -1, 825, 0), ('z', -1, 1669, 0), ('ł', -1, 26, 0), ('ś', -1, 1872, 0), ('ź', -1, 1563, 0), ('ż', -1, 275, 0)), (('a', -1, 2072, 0), ('c', 7, -1, 0), ('d', -1, 2204, 0), ('e', -1, 2330, 0), ('g', -1, 488, 0), ('i', 7, -1, 0), ('k', -1, 1875, 0), ('m', -1, 2007, 0), ('o', -1, 1453, 0), ('p', -1, 94, 0), ('r', -1, 1917, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', -1, 2351, 0), ('z', -1, 1209, 0), ('ł', -1, 804, 0)), (('a', 5, -1, 0), ('b', -1, 824, 0), ('c', -1, 2073, 0), ('d', 246, -1, 0), ('e', 178, -1, 0), ('i', 178, -1, 0), ('k', 27, -1, 0), ('l', 27, -1, 0), ('m', -1, 480, 0), ('n', -1, 2623, 0), ('o', 178, -1, 0), ('p', -1, 195, 0), ('r', 27, -1, 0), ('s', -1, 1711, 0), ('t', 333, -1, 0), ('u', 5, -1, 0), ('w', -1, 559, 0), ('y', 27, -1, 0), ('z', -1, 1137, 0)), (('a', -1, 2074, 0), ('b', -1, 355, 0), ('d', 107, -1, 0), ('e', -1, 2542, 0), ('g', -1, 3243, 0), ('i', -1, 2244, 0), ('k', -1, 569, 0), ('l', -1, 2007, 0), ('m', 5, 4386, 0), ('o', -1, 3001, 0), ('p', 5, -1, 0), ('r', -1, 344, 0), ('s', -1, 1423, 0), ('t', 2, -1, 0), ('w', 44, -1, 0), ('y', -1, 908, 0), ('z', 29, -1, 0), ('ł', 107, 522, 0), ('ś', -1, 3292, 0)), (('a', 175, -1, 0), ('b', 104, -1, 0), ('c', -1, 2075, 0), ('d', 0, -1, 0), ('e', 24, -1, 0), ('g', 1, 186, 0), ('h', -1, 399, 0), ('i', 24, -1, 0), ('k', 11, -1, 0), ('l', -1, 1694, 0), ('m', 24, -1, 0), ('o', 24, 972, 0), ('p', -1, 886, 0), ('r', 208, 748, 0), ('s', 0, 164, 0), ('t', 104, -1, 0), ('u', 0, 164, 0), ('w', -1, 730, 0), ('y', 175, -1, 0), ('z', 208, -1, 0), ('ż', 104, -1, 0)), (('a', -1, 2076, 0), ('c', -1, 2857, 0), ('d', 7, -1, 0), ('e', -1, 701, 0), ('f', 41, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 41, -1, 0), ('k', -1, 1533, 0), ('l', 0, -1, 0), ('m', 5, -1, 0), ('n', 0, -1, 0), ('o', 3, -1, 0), ('p', -1, 3845, 0), ('r', 116, 13, 0), ('s', 3, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 3, -1, 0), ('z', 41, -1, 0), ('ó', 3, -1, 0), ('ą', 3, -1, 0), ('ń', 41, -1, 0)), (('a', -1, 344, 0), ('c', -1, 816, 0), ('d', -1, 1529, 0), ('e', -1, 2077, 0), ('i', -1, 1962, 0), ('j', -1, 2092, 0), ('k', -1, 357, 0), ('l', -1, 3401, 0), ('m', -1, 1655, 0), ('o', -1, 1278, 0), ('p', -1, 225, 0), ('r', -1, 46, 0), ('s', -1, 2030, 0), ('t', -1, 1181, 0), ('u', -1, 297, 0), ('w', 29, -1, 0), ('y', -1, 1778, 0), ('z', -1, 2393, 0), ('ł', 29, -1, 0), ('ż', -1, 4430, 0)), (('a', -1, 1166, 0), ('c', 4, -1, 0), ('d', -1, 2078, 0), ('e', -1, 745, 0), ('g', -1, 735, 0), ('h', -1, 40, 0), ('i', -1, 617, 0), ('k', -1, 1545, 0), ('m', 137, -1, 0), ('n', 137, -1, 0), ('o', -1, 431, 0), ('p', 115, -1, 0), ('r', -1, 2024, 0), ('s', 28, -1, 0), ('t', -1, 483, 0), ('u', -1, 310, 0), ('w', 4, -1, 0), ('y', 28, -1, 0), ('z', -1, 1985, 0), ('ż', -1, 581, 0)), (('a', 51, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 2079, 0), ('g', 5, 2081, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', -1, 1497, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 2091, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 1557, 0), ('z', -1, 976, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 293, -1, 0), ('b', 3, -1, 0), ('d', -1, 281, 0), ('e', 184, -1, 0), ('f', 3, -1, 0), ('i', -1, 147, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', 293, -1, 0), ('p', 3, -1, 0), ('r', 66, -1, 0), ('s', 6, -1, 0), ('t', 56, -1, 0), ('u', 27, -1, 0), ('w', 3, -1, 0), ('y', 150, -1, 0), ('z', -1, 2080, 0), ('ł', 66, -1, 0)), (('a', 71, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 7, 693, 0), ('e', 71, -1, 0), ('f', 21, -1, 0), ('i', 71, -1, 0), ('k', 7, -1, 0), ('l', -1, 1655, 0), ('m', 0, -1, 0), ('o', 71, -1, 0), ('p', 55, -1, 0), ('r', 0, 225, 0), ('s', -1, 381, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('w', 71, -1, 0), ('y', 71, -1, 0), ('z', 0, -1, 0), ('ą', 71, -1, 0), ('ę', 71, -1, 0), ('ł', 71, -1, 0)), (('a', -1, 1651, 0), ('b', 1, -1, 0), ('c', -1, 2082, 0), ('d', 5, -1, 0), ('e', -1, 250, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 21, 735, 0), ('l', 1, 143, 0), ('m', 21, 231, 0), ('n', -1, 865, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 21, 672, 0), ('s', 1, -1, 0), ('t', -1, 41, 0), ('u', 5, -1, 0), ('w', 1, -1, 0), ('y', 55, -1, 0), ('z', -1, 668, 0), ('ł', 0, -1, 0)), (('a', -1, 2083, 0), ('b', 0, 836, 0), ('e', -1, 1134, 0), ('o', -1, 386, 0), ('p', 131, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('z', 1, -1, 0)), (('a', -1, 1139, 0), ('c', 0, -1, 0), ('d', 41, 2084, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 1432, 0), ('o', 0, -1, 0), ('p', 0, 524, 0), ('r', -1, 2089, 0), ('s', 27, 545, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 131, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 2085, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 220, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 22, -1, 0), ('n', 31, -1, 0), ('o', -1, 2088, 0), ('p', 0, -1, 0), ('r', 41, -1, 0), ('s', 41, -1, 0), ('t', 0, -1, 0), ('w', 28, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 185, -1, 0), ('d', 0, -1, 0), ('e', -1, 2086, 0), ('g', -1, 2087, 0), ('h', 0, -1, 0), ('i', 226, -1, 0), ('l', 131, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 41, -1, 0), ('y', 5, -1, 0), ('z', 41, -1, 0), ('ł', 5, -1, 0)), (('a', 41, -1, 0), ('d', 41, -1, 0), ('e', 41, -1, 0), ('g', 41, -1, 0), ('i', 30, -1, 0), ('k', 41, -1, 0), ('l', 106, -1, 0), ('n', -1, 1131, 0), ('o', 41, -1, 0), ('p', 0, -1, 0), ('r', 41, -1, 0), ('s', 41, -1, 0), ('t', -1, 673, 0), ('u', 41, -1, 0), ('w', -1, 1097, 0), ('z', 5, -1, 0)), (('a', 328, -1, 0), ('o', -1, 1481, 0), ('u', 328, -1, 0), ('y', 328, -1, 0), ('z', -1, 1722, 0)), (('a', 0, -1, 0), ('b', 40, -1, 0), ('d', 0, -1, 0), ('e', -1, 861, 0), ('g', 22, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 460, 0), ('s', 41, -1, 0), ('t', 0, -1, 0), ('u', 40, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 956, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 111, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 930, 0), ('k', 41, 121, 0), ('l', -1, 215, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 828, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 2090, 0), ('t', 0, -1, 0), ('u', 0, 85, 0), ('w', 0, -1, 0), ('y', 15, -1, 0), ('z', -1, 745, 0), ('ś', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 4, -1, 0), ('d', 21, -1, 0), ('e', 28, -1, 0), ('f', 1, -1, 0), ('h', 1, -1, 0), ('i', 21, -1, 0), ('k', -1, 120, 0), ('l', 79, -1, 0), ('m', 6, 576, 0), ('n', 1, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 6, 2090, 0), ('s', 28, -1, 0), ('t', -1, 113, 0), ('u', 37, -1, 0), ('w', 284, -1, 0), ('y', 6, -1, 0), ('z', 21, 24, 0), ('ś', 1, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 720, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 908, 0), ('i', 3, -1, 0), ('k', 175, -1, 0), ('l', 24, -1, 0), ('m', 0, -1, 0), ('n', 11, -1, 0), ('o', -1, 46, 0), ('p', -1, 937, 0), ('r', -1, 20, 0), ('s', 175, -1, 0), ('t', 24, -1, 0), ('u', 21, -1, 0), ('w', 175, -1, 0), ('y', 21, -1, 0), ('z', 24, -1, 0), ('ó', 21, -1, 0)), (('a', 15, -1, 0), ('b', -1, 66, 0), ('d', 106, -1, 0), ('e', 15, -1, 0), ('f', 22, -1, 0), ('i', -1, 1401, 0), ('k', 22, -1, 0), ('l', 3, 971, 0), ('m', 5, -1, 0), ('o', -1, 1876, 0), ('p', 39, -1, 0), ('r', 5, 1530, 0), ('s', 15, 957, 0), ('t', 55, 239, 0), ('u', 55, -1, 0), ('w', 145, -1, 0), ('y', 3, -1, 0), ('z', -1, 2093, 0), ('ż', 5, -1, 0)), (('a', -1, 1377, 0), ('b', 14, -1, 0), ('c', 14, -1, 0), ('d', 1, 487, 0), ('e', 1, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('i', 1, -1, 0), ('k', -1, 839, 0), ('l', 3, 807, 0), ('m', -1, 50, 0), ('n', 14, -1, 0), ('o', 21, -1, 0), ('p', -1, 2094, 0), ('r', 1, -1, 0), ('s', -1, 496, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', 14, -1, 0), ('y', -1, 1395, 0), ('z', -1, 2262, 0), ('ą', 28, -1, 0)), (('a', -1, 1677, 0), ('b', 0, 225, 0), ('d', 12, -1, 0), ('e', -1, 1395, 0), ('i', 257, -1, 0), ('j', 224, -1, 0), ('k', 146, -1, 0), ('l', 62, -1, 0), ('m', 5, 386, 0), ('n', 255, 2095, 0), ('o', 14, -1, 0), ('p', -1, 3878, 0), ('r', 62, -1, 0), ('s', 62, -1, 0), ('t', 168, -1, 0), ('u', 39, -1, 0), ('w', -1, 1896, 0), ('y', -1, 1332, 0), ('z', -1, 1779, 0), ('ł', -1, 1188, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 2096, 0), ('o', 7, -1, 0), ('r', 146, -1, 0), ('s', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 2133, 0), ('ą', 7, -1, 0)), (('a', -1, 318, 0), ('d', 21, -1, 0), ('e', 0, 225, 0), ('f', 1, -1, 0), ('i', 16, -1, 0), ('j', 29, -1, 0), ('k', 1, -1, 0), ('l', 16, -1, 0), ('n', 12, -1, 0), ('o', -1, 1572, 0), ('p', -1, 2097, 0), ('r', -1, 653, 0), ('s', 21, -1, 0), ('u', 21, -1, 0), ('w', 1, -1, 0), ('y', 33, -1, 0), ('z', 16, -1, 0), ('ą', 21, -1, 0)), (('a', -1, 2098, 0), ('d', 7, -1, 0), ('e', 105, -1, 0), ('i', 228, -1, 0), ('l', 69, -1, 0), ('m', 105, -1, 0), ('n', -1, 419, 0), ('o', 3, 13, 0), ('r', 105, -1, 0), ('t', 105, 2099, 0), ('u', 6, -1, 0), ('w', 7, -1, 0), ('z', 30, -1, 0), ('ł', 105, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 4, -1, 0), ('e', -1, 986, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 96, -1, 0), ('j', 4, -1, 0), ('k', 4, -1, 0), ('m', 6, -1, 0), ('o', -1, 1340, 0), ('p', 278, -1, 0), ('r', -1, 1671, 0), ('s', -1, 1058, 0), ('t', 3, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 1196, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 4, -1, 0), ('ź', 6, -1, 0)), (('a', -1, 2100, 0), ('d', 105, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', 3, -1, 0), ('i', -1, 3062, 0), ('l', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 3783, 0), ('r', -1, 223, 0), ('t', 3, -1, 0), ('u', 105, -1, 0), ('w', 95, -1, 0), ('y', 28, -1, 0), ('z', 105, -1, 0)), (('a', 53, -1, 0), ('b', 242, -1, 0), ('c', -1, 1550, 0), ('d', -1, 1712, 0), ('e', 242, -1, 0), ('g', 0, -1, 0), ('h', 53, -1, 0), ('i', 7, -1, 0), ('k', 104, -1, 0), ('l', -1, 2101, 0), ('m', -1, 2640, 0), ('n', 142, -1, 0), ('o', 7, -1, 0), ('p', 0, 3194, 0), ('r', -1, 41, 0), ('s', -1, 1414, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 104, -1, 0), ('y', -1, 1222, 0), ('z', 242, -1, 0), ('ę', 7, -1, 0), ('ł', -1, 116, 0)), (('a', -1, 1965, 0), ('c', -1, 1300, 0), ('d', 0, 225, 0), ('e', -1, 1214, 0), ('g', 28, -1, 0), ('i', 1, -1, 0), ('k', 2, -1, 0), ('l', -1, 2102, 0), ('m', 0, 225, 0), ('n', -1, 2103, 0), ('o', -1, 358, 0), ('p', 2, -1, 0), ('r', 0, 225, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('u', 21, -1, 0), ('w', 0, 225, 0), ('z', -1, 558, 0)), (('a', -1, 319, 0), ('d', 4, -1, 0), ('e', -1, 1237, 0), ('i', -1, 476, 0), ('k', 174, -1, 0), ('m', 96, -1, 0), ('n', -1, 422, 0), ('o', 4, -1, 0), ('p', 23, -1, 0), ('r', 96, -1, 0), ('s', 4, -1, 0), ('t', 4, -1, 0), ('u', 0, 164, 0), ('w', -1, 891, 0), ('y', 4, -1, 0), ('z', -1, 1591, 0), ('ą', 4, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 2104, 0), ('b', 28, -1, 0), ('c', 1, -1, 0), ('d', 220, -1, 0), ('e', 0, -1, 0), ('i', 22, -1, 0), ('k', 220, -1, 0), ('m', -1, 4426, 0), ('n', 3, -1, 0), ('o', 41, -1, 0), ('p', 0, -1, 0), ('r', -1, 3554, 0), ('s', -1, 1855, 0), ('u', 0, -1, 0), ('w', -1, 4330, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', 16, -1, 0), ('ą', 22, -1, 0), ('ę', 22, -1, 0), ('ś', 220, -1, 0), ('ź', 28, -1, 0), ('ż', 220, -1, 0)), (('a', -1, 2081, 0), ('c', 0, -1, 0), ('d', -1, 1997, 0), ('e', -1, 2105, 0), ('g', 0, -1, 0), ('i', -1, 1269, 0), ('j', 1, -1, 0), ('k', -1, 2236, 0), ('l', -1, 189, 0), ('m', 1, -1, 0), ('n', -1, 846, 0), ('o', -1, 543, 0), ('p', -1, 890, 0), ('r', -1, 2014, 0), ('s', -1, 593, 0), ('t', 29, -1, 0), ('u', 1, -1, 0), ('w', 16, -1, 0), ('y', 1, -1, 0), ('z', -1, 92, 0), ('ą', -1, 2522, 0), ('ę', 21, -1, 0)), (('a', -1, 980, 0), ('c', 1, -1, 0), ('d', 21, 2106, 0), ('e', 21, -1, 0), ('g', 1, -1, 0), ('h', 11, -1, 0), ('i', 1, -1, 0), ('j', 92, -1, 0), ('k', 10, -1, 0), ('l', -1, 2112, 0), ('m', -1, 1043, 0), ('n', -1, 106, 0), ('o', 1, -1, 0), ('p', -1, 375, 0), ('r', -1, 1791, 0), ('s', 106, -1, 0), ('t', 1, -1, 0), ('u', 55, -1, 0), ('w', -1, 524, 0), ('y', 106, -1, 0), ('z', 1, -1, 0), ('ł', 106, 4279, 0)), (('a', -1, 233, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 11, -1, 0), ('i', 0, -1, 0), ('k', -1, 842, 0), ('l', 3, -1, 0), ('m', 0, -1, 0), ('o', -1, 2107, 0), ('p', 53, -1, 0), ('r', 21, -1, 0), ('s', -1, 595, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 2111, 0), ('y', 108, -1, 0), ('z', -1, 786, 0), ('ę', 0, -1, 0), ('ł', 11, -1, 0)), (('a', 74, -1, 0), ('b', 13, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 74, -1, 0), ('g', -1, 2108, 0), ('i', 74, -1, 0), ('k', -1, 46, 0), ('l', -1, 441, 0), ('m', 28, -1, 0), ('n', 0, -1, 0), ('o', 381, 16, 0), ('p', 13, 2109, 0), ('r', 74, -1, 0), ('s', 181, -1, 0), ('t', 1, -1, 0), ('u', 74, -1, 0), ('w', 28, -1, 0), ('y', 74, -1, 0), ('z', -1, 339, 0), ('ą', 74, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 298, 0), ('b', 7, -1, 0), ('d', 1, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('s', 3, 1035, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 2110, 0), ('c', 30, 499, 0), ('d', 309, -1, 0), ('e', -1, 1560, 0), ('i', -1, 411, 0), ('k', 0, 225, 0), ('l', -1, 1208, 0), ('m', 309, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('p', 309, -1, 0), ('r', -1, 307, 0), ('s', 28, -1, 0), ('t', 309, -1, 0), ('u', 28, -1, 0), ('w', 309, -1, 0), ('y', -1, 307, 0), ('z', 13, -1, 0), ('ą', -1, 307, 0), ('ę', 28, -1, 0), ('ł', 28, -1, 0), ('ż', 102, -1, 0)), (('a', -1, 214, 0), ('b', 95, -1, 0), ('c', 57, 668, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('h', 75, -1, 0), ('i', -1, 365, 0), ('j', 95, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', -1, 676, 0), ('n', 4, 401, 0), ('o', 95, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', -1, 958, 0), ('t', 28, -1, 0), ('u', 85, -1, 0), ('w', 28, -1, 0), ('y', 6, -1, 0), ('z', 217, -1, 0), ('ę', 41, -1, 0), ('ł', 28, -1, 0)), (('a', 11, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('i', 29, -1, 0), ('k', 0, -1, 0), ('l', 11, -1, 0), ('m', 41, -1, 0), ('n', 1, -1, 0), ('o', 11, -1, 0), ('p', 41, -1, 0), ('r', 0, -1, 0), ('s', 31, 754, 0), ('t', 0, -1, 0), ('u', 29, -1, 0), ('w', 0, -1, 0), ('y', 11, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 185, -1, 0)), (('a', 67, -1, 0), ('c', 27, -1, 0), ('e', 67, -1, 0), ('g', 26, -1, 0), ('i', 31, -1, 0), ('k', 67, -1, 0), ('m', 31, -1, 0), ('o', -1, 2113, 0), ('r', 177, -1, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('z', 3, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 957, 0), ('d', 40, -1, 0), ('e', -1, 1061, 0), ('i', 33, -1, 0), ('l', 33, -1, 0), ('m', 12, -1, 0), ('n', 1, -1, 0), ('o', -1, 1607, 0), ('p', -1, 2023, 0), ('r', 21, -1, 0), ('s', -1, 326, 0), ('t', 28, -1, 0), ('u', -1, 2114, 0), ('w', 28, -1, 0), ('y', 33, -1, 0), ('z', -1, 820, 0), ('ó', 33, -1, 0), ('ą', 33, -1, 0), ('ę', -1, 480, 0)), (('a', 6, -1, 0), ('b', 69, -1, 0), ('c', 15, 2092, 0), ('d', -1, 1987, 0), ('e', -1, 2115, 0), ('f', 21, -1, 0), ('g', 12, 993, 0), ('i', 6, -1, 0), ('j', 21, -1, 0), ('k', 33, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 28, -1, 0), ('p', -1, 1833, 0), ('r', -1, 2522, 0), ('s', -1, 644, 0), ('t', 21, -1, 0), ('u', 194, -1, 0), ('w', 12, -1, 0), ('y', 6, -1, 0), ('z', 21, -1, 0), ('ó', 28, -1, 0), ('ł', -1, 477, 0)), (('a', 110, -1, 0), ('b', 28, -1, 0), ('c', -1, 2116, 0), ('d', -1, 307, 0), ('e', 28, -1, 0), ('g', -1, 4270, 0), ('i', 4, -1, 0), ('j', 28, -1, 0), ('k', 217, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', -1, 2235, 0), ('o', 28, -1, 0), ('p', 6, -1, 0), ('r', 28, -1, 0), ('s', -1, 702, 0), ('t', 28, -1, 0), ('u', -1, 815, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ę', 2, -1, 0), ('ł', 28, -1, 0), ('ś', 28, -1, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 1610, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('i', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 239, -1, 0), ('p', -1, 2100, 0), ('r', 7, -1, 0), ('s', -1, 2117, 0), ('u', 7, -1, 0), ('w', 53, 2100, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ó', 80, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 1334, 0), ('c', -1, 2118, 0), ('e', -1, 2112, 0), ('h', -1, 1270, 0), ('i', -1, 2543, 0), ('k', 12, -1, 0), ('l', 248, -1, 0), ('m', -1, 2094, 0), ('o', 53, -1, 0), ('p', 7, -1, 0), ('r', 31, -1, 0), ('t', 12, -1, 0), ('u', 53, 350, 0), ('w', -1, 3768, 0), ('y', 7, -1, 0), ('z', 12, -1, 0), ('ł', 31, -1, 0)), (('a', 31, -1, 0), ('c', -1, 2119, 0), ('e', -1, 2120, 0), ('o', 5, -1, 0), ('r', -1, 2293, 0), ('y', 31, -1, 0), ('z', 5, 545, 0)), (('a', 6, -1, 0), ('e', -1, 182, 0), ('j', 1, -1, 0), ('o', 325, -1, 0), ('r', 6, -1, 0), ('z', 6, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 2121, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 2815, 0), ('i', 31, -1, 0), ('l', 10, -1, 0), ('m', 5, -1, 0), ('o', 10, -1, 0), ('r', -1, 3196, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 2, -1, 0), ('d', -1, 2122, 0), ('e', 170, -1, 0), ('g', 10, -1, 0), ('i', 87, -1, 0), ('j', 10, -1, 0), ('m', 10, -1, 0), ('o', -1, 3351, 0), ('r', 102, -1, 0), ('s', 10, -1, 0), ('t', 10, -1, 0), ('u', 105, -1, 0), ('w', 102, -1, 0), ('z', -1, 1228, 0), ('ł', 10, -1, 0), ('ż', 10, -1, 0)), (('a', 0, -1, 0), ('b', 30, -1, 0), ('c', 30, -1, 0), ('d', 30, -1, 0), ('e', 30, -1, 0), ('f', 30, -1, 0), ('g', 30, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('k', -1, 2123, 0), ('m', 30, -1, 0), ('n', 30, -1, 0), ('o', 2, -1, 0), ('p', -1, 3851, 0), ('r', 30, -1, 0), ('s', -1, 2526, 0), ('t', 30, -1, 0), ('u', 30, -1, 0), ('w', 69, 3575, 0), ('z', 30, -1, 0), ('ż', -1, 324, 0)), (('a', 30, -1, 0), ('e', 5, -1, 0), ('i', 67, -1, 0), ('o', 69, -1, 0), ('r', 80, -1, 0), ('s', 30, -1, 0), ('t', 21, -1, 0), ('u', -1, 2124, 0), ('y', 30, -1, 0), ('z', 4, -1, 0)), (('a', -1, 1136, 0), ('c', 0, -1, 0), ('d', 3, -1, 0), ('e', 134, -1, 0), ('g', -1, 240, 0), ('i', 63, -1, 0), ('k', -1, 1722, 0), ('l', -1, 1195, 0), ('m', 1, -1, 0), ('n', 4, -1, 0), ('o', -1, 2125, 0), ('p', 3, -1, 0), ('r', -1, 2129, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 0, -1, 0), ('z', -1, 44, 0)), (('a', -1, 172, 0), ('b', -1, 797, 0), ('c', -1, 1179, 0), ('d', -1, 1930, 0), ('e', -1, 805, 0), ('g', -1, 1193, 0), ('h', -1, 242, 0), ('i', -1, 528, 0), ('j', -1, 1164, 0), ('k', -1, 946, 0), ('l', 40, -1, 0), ('m', 40, -1, 0), ('o', -1, 318, 0), ('p', 0, 288, 0), ('r', -1, 2011, 0), ('s', 21, -1, 0), ('t', -1, 538, 0), ('u', -1, 1003, 0), ('w', -1, 2126, 0), ('y', -1, 1965, 0), ('z', -1, 240, 0), ('ó', -1, 2128, 0)), (('a', 1, -1, 0), ('e', 4, -1, 0), ('i', 107, -1, 0), ('j', 107, -1, 0), ('l', 11, -1, 0), ('n', 1, -1, 0), ('o', 21, 1694, 0), ('r', 1, -1, 0), ('z', -1, 2127, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('o', 1, -1, 0), ('r', -1, 1154, 0), ('s', 30, -1, 0), ('t', -1, 1141, 0), ('u', 21, -1, 0), ('z', 21, -1, 0)), (('a', -1, 332, 0), ('d', -1, 262, 0), ('e', 215, -1, 0), ('i', -1, 573, 0), ('m', 183, -1, 0), ('o', -1, 1452, 0), ('p', 204, 188, 0), ('r', -1, 98, 0), ('s', -1, 1865, 0), ('t', -1, 593, 0), ('u', 0, 225, 0), ('w', 0, 225, 0), ('y', 26, -1, 0), ('z', -1, 593, 0)), (('a', -1, 2130, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 1453, 0), ('k', 6, -1, 0), ('l', 2, -1, 0), ('m', 6, -1, 0), ('n', -1, 2133, 0), ('o', -1, 1336, 0), ('p', -1, 1153, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('w', 2, 403, 0), ('y', 6, -1, 0), ('z', -1, 425, 0), ('ł', 6, -1, 0)), (('a', 5, -1, 0), ('b', 0, 225, 0), ('c', 110, -1, 0), ('d', 12, -1, 0), ('e', 5, -1, 0), ('f', 21, -1, 0), ('g', 175, -1, 0), ('h', -1, 429, 0), ('i', 99, -1, 0), ('k', 17, -1, 0), ('l', 21, -1, 0), ('m', -1, 699, 0), ('n', -1, 2131, 0), ('o', 99, -1, 0), ('p', 52, -1, 0), ('r', 99, -1, 0), ('s', 14, -1, 0), ('t', 24, -1, 0), ('u', -1, 2132, 0), ('w', 12, -1, 0), ('y', 5, -1, 0), ('z', 109, -1, 0), ('ę', 99, -1, 0), ('ł', 12, -1, 0), ('ś', -1, 843, 0)), (('a', 6, -1, 0), ('d', 12, -1, 0), ('e', 66, -1, 0), ('h', 12, -1, 0), ('i', 0, 97, 0), ('k', 129, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', 6, -1, 0), ('p', 12, -1, 0), ('r', 66, -1, 0), ('s', 11, 1081, 0), ('t', 12, -1, 0), ('u', 66, -1, 0), ('w', 12, -1, 0), ('y', 66, -1, 0), ('z', -1, 1029, 0), ('ę', -1, 1700, 0), ('ł', 12, -1, 0), ('ż', 12, -1, 0)), (('a', 62, -1, 0), ('b', 25, -1, 0), ('c', -1, 1015, 0), ('d', 25, -1, 0), ('e', 62, -1, 0), ('f', 2, -1, 0), ('g', -1, 1523, 0), ('i', -1, 239, 0), ('k', 62, -1, 0), ('l', -1, 419, 0), ('m', 182, -1, 0), ('n', 105, -1, 0), ('o', 109, 1198, 0), ('p', 5, -1, 0), ('r', 99, -1, 0), ('s', -1, 1929, 0), ('t', 5, 401, 0), ('u', 28, -1, 0), ('w', 58, -1, 0), ('y', 25, -1, 0), ('z', 203, -1, 0), ('ó', 0, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 15, 0), ('ś', 1, 503, 0)), (('a', -1, 1478, 0), ('b', 106, -1, 0), ('d', -1, 2134, 0), ('e', 27, -1, 0), ('f', 27, -1, 0), ('h', 27, -1, 0), ('i', -1, 2438, 0), ('j', 27, -1, 0), ('k', 27, -1, 0), ('l', 27, -1, 0), ('m', 106, -1, 0), ('n', 27, -1, 0), ('o', -1, 2230, 0), ('p', -1, 1986, 0), ('r', -1, 826, 0), ('s', -1, 1415, 0), ('t', 30, -1, 0), ('u', 27, -1, 0), ('w', 106, -1, 0), ('y', -1, 2526, 0), ('z', 27, -1, 0), ('ę', -1, 1768, 0), ('ł', -1, 3334, 0)), (('a', -1, 2135, 0), ('b', 14, -1, 0), ('d', 14, -1, 0), ('e', -1, 360, 0), ('g', 14, -1, 0), ('i', 2, -1, 0), ('k', 115, 980, 0), ('m', 14, -1, 0), ('o', -1, 2136, 0), ('r', 14, -1, 0), ('s', 14, -1, 0), ('t', -1, 2048, 0), ('u', 28, -1, 0), ('w', -1, 283, 0), ('y', 2, -1, 0), ('z', 132, -1, 0), ('ż', 14, -1, 0)), (('a', -1, 588, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 959, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 1269, 0), ('p', 22, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 4, -1, 0), ('w', 22, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 121, 576, 0), ('ż', 2, -1, 0)), (('a', 70, -1, 0), ('b', 70, -1, 0), ('c', 2, -1, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('k', 28, 637, 0), ('l', -1, 984, 0), ('m', -1, 2137, 0), ('n', 2, -1, 0), ('o', 30, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', 70, -1, 0), ('y', 30, -1, 0), ('z', 70, -1, 0)), (('a', 62, -1, 0), ('c', 2, 472, 0), ('d', 2, -1, 0), ('e', -1, 2138, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 2139, 0), ('n', -1, 293, 0), ('o', 62, -1, 0), ('r', -1, 1786, 0), ('t', -1, 556, 0), ('w', -1, 738, 0), ('y', 30, -1, 0), ('z', 62, -1, 0)), (('a', 41, -1, 0), ('e', 82, -1, 0), ('i', -1, 1975, 0), ('n', 41, -1, 0), ('o', 41, -1, 0), ('r', -1, 641, 0), ('s', 41, -1, 0), ('z', 13, -1, 0)), (('a', -1, 2140, 0), ('e', -1, 798, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('l', 14, -1, 0), ('o', -1, 1836, 0), ('r', 2, -1, 0), ('u', 2, -1, 0), ('y', -1, 338, 0), ('z', 14, -1, 0)), (('a', 121, -1, 0), ('b', 2, -1, 0), ('c', -1, 1130, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('i', 2, -1, 0), ('l', -1, 2141, 0), ('m', 22, -1, 0), ('n', -1, 3892, 0), ('o', -1, 3276, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 22, -1, 0), ('t', 28, -1, 0), ('u', -1, 1117, 0), ('w', 22, -1, 0), ('y', 2, -1, 0), ('z', 22, -1, 0)), (('a', -1, 2142, 0), ('d', 71, -1, 0), ('e', 41, -1, 0), ('g', 41, -1, 0), ('i', -1, 4425, 0), ('j', 71, 963, 0), ('m', 2, -1, 0), ('o', 41, -1, 0), ('r', -1, 1007, 0), ('t', 2, -1, 0), ('u', 22, -1, 0), ('y', 0, -1, 0), ('z', 71, -1, 0), ('ż', 71, -1, 0)), (('a', -1, 766, 0), ('d', 41, -1, 0), ('e', -1, 216, 0), ('i', 7, -1, 0), ('j', 41, -1, 0), ('k', 22, -1, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 7, -1, 0), ('r', -1, 2143, 0), ('s', 7, -1, 0), ('u', 22, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 2114, 0), ('ą', -1, 2414, 0), ('ł', 0, -1, 0)), (('a', -1, 1769, 0), ('b', 184, -1, 0), ('c', 3, -1, 0), ('d', -1, 2144, 0), ('e', 199, -1, 0), ('g', 40, -1, 0), ('i', 27, -1, 0), ('k', 41, -1, 0), ('l', 21, -1, 0), ('m', 184, -1, 0), ('o', 21, -1, 0), ('p', -1, 4239, 0), ('r', 184, -1, 0), ('s', 66, -1, 0), ('t', -1, 2027, 0), ('u', 1, -1, 0), ('w', 66, -1, 0), ('y', -1, 1156, 0), ('z', 1, -1, 0), ('ę', 21, -1, 0), ('ł', 184, -1, 0)), (('a', -1, 2145, 0), ('e', -1, 1406, 0), ('f', 28, -1, 0), ('g', 28, 465, 0), ('i', -1, 2102, 0), ('j', 106, -1, 0), ('k', -1, 293, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 41, 759, 0), ('r', 2, 99, 0), ('y', 41, -1, 0), ('z', 195, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1287, 0), ('d', 3, -1, 0), ('e', -1, 2146, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 41, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', -1, 2149, 0), ('w', 41, -1, 0), ('y', -1, 771, 0), ('z', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 1, -1, 0), ('d', 3, -1, 0), ('e', -1, 2147, 0), ('h', 70, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 3, -1, 0), ('o', 79, 1507, 0), ('p', 3, -1, 0), ('r', 1, -1, 0), ('s', 261, -1, 0), ('t', -1, 1902, 0), ('u', 1, -1, 0), ('w', 40, -1, 0), ('y', -1, 1791, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ł', -1, 1219, 0)), (('a', 21, -1, 0), ('b', 1, -1, 0), ('d', 79, -1, 0), ('e', -1, 762, 0), ('i', 1, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('n', -1, 1261, 0), ('o', -1, 147, 0), ('p', 0, -1, 0), ('r', -1, 1401, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 79, -1, 0), ('z', -1, 2148, 0), ('ł', -1, 231, 0)), (('a', -1, 1691, 0), ('b', 21, 231, 0), ('c', 7, -1, 0), ('d', 1, -1, 0), ('e', -1, 213, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('m', 171, -1, 0), ('n', 1, -1, 0), ('o', 0, 97, 0), ('p', 6, 307, 0), ('r', 55, -1, 0), ('s', 28, -1, 0), ('t', 1, -1, 0), ('u', 28, -1, 0), ('w', 21, -1, 0), ('z', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 67, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 22, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 2150, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 22, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 29, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 1, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ł', -1, 45, 0)), (('a', 3, -1, 0), ('b', -1, 929, 0), ('c', -1, 1354, 0), ('e', 3, -1, 0), ('f', 12, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 80, -1, 0), ('k', 3, -1, 0), ('m', 12, 2151, 0), ('n', 2, 1579, 0), ('o', -1, 366, 0), ('p', -1, 2931, 0), ('r', 3, -1, 0), ('s', -1, 1937, 0), ('u', 3, -1, 0), ('w', 52, 929, 0), ('y', 3, -1, 0), ('z', -1, 2781, 0)), (('a', -1, 989, 0), ('d', 0, -1, 0), ('e', 3, -1, 0), ('g', 28, -1, 0), ('i', 12, -1, 0), ('k', 28, -1, 0), ('l', 4, -1, 0), ('m', 0, -1, 0), ('o', 12, -1, 0), ('r', 28, -1, 0), ('u', 12, -1, 0), ('w', 28, -1, 0), ('y', 3, -1, 0), ('z', -1, 2152, 0), ('ę', 1, -1, 0), ('ł', 28, -1, 0), ('ś', 12, -1, 0)), (('a', 70, -1, 0), ('d', 4, -1, 0), ('e', 70, -1, 0), ('i', 70, -1, 0), ('m', 30, -1, 0), ('o', 70, -1, 0), ('r', -1, 2153, 0), ('t', 70, -1, 0), ('u', 70, -1, 0), ('w', 70, -1, 0), ('y', 70, -1, 0), ('z', 30, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0), ('ł', 70, -1, 0)), (('a', 236, -1, 0), ('c', 16, -1, 0), ('d', -1, 1474, 0), ('e', -1, 4, 0), ('i', -1, 2154, 0), ('j', -1, 2378, 0), ('k', 1, -1, 0), ('l', -1, 3527, 0), ('o', -1, 1891, 0), ('r', 63, -1, 0), ('t', 41, -1, 0), ('w', 3, -1, 0), ('y', 63, -1, 0), ('z', -1, 362, 0), ('ł', 3, -1, 0), ('ż', -1, 4017, 0)), (('a', -1, 2155, 0), ('b', -1, 2815, 0), ('c', 3, -1, 0), ('e', -1, 1086, 0), ('f', 11, -1, 0), ('i', 12, -1, 0), ('l', 62, -1, 0), ('m', -1, 812, 0), ('n', -1, 4424, 0), ('o', -1, 111, 0), ('p', -1, 3927, 0), ('r', 62, -1, 0), ('s', 3, -1, 0), ('u', 194, -1, 0), ('w', -1, 1598, 0), ('y', 62, -1, 0), ('z', -1, 4221, 0), ('ą', 62, -1, 0), ('ę', -1, 387, 0), ('ł', 62, -1, 0)), (('a', -1, 2156, 0), ('c', 80, -1, 0), ('e', -1, 895, 0), ('i', -1, 2165, 0), ('l', 62, -1, 0), ('o', -1, 368, 0), ('r', 62, -1, 0), ('s', 80, -1, 0), ('t', 3, -1, 0), ('u', -1, 1856, 0), ('y', 22, -1, 0), ('z', 166, -1, 0), ('ó', -1, 961, 0)), (('a', 22, -1, 0), ('b', 3, 972, 0), ('c', 84, -1, 0), ('d', -1, 2157, 0), ('e', 3, -1, 0), ('g', 22, -1, 0), ('h', 3, -1, 0), ('i', -1, 2264, 0), ('j', -1, 1353, 0), ('k', -1, 1978, 0), ('l', -1, 2903, 0), ('m', -1, 4422, 0), ('n', 22, -1, 0), ('o', -1, 351, 0), ('p', 22, -1, 0), ('r', -1, 909, 0), ('s', -1, 2923, 0), ('t', -1, 2267, 0), ('u', 3, -1, 0), ('w', -1, 4423, 0), ('z', -1, 2923, 0), ('ż', 22, -1, 0)), (('a', 22, -1, 0), ('d', 2, -1, 0), ('e', 22, -1, 0), ('f', 2, -1, 0), ('i', 2, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 22, -1, 0), ('n', 28, -1, 0), ('o', -1, 217, 0), ('p', 22, -1, 0), ('r', -1, 2158, 0), ('s', 3, -1, 0), ('t', 2, 2162, 0), ('u', 2, -1, 0), ('w', 28, -1, 0), ('y', 1, -1, 0), ('z', 28, -1, 0), ('ą', 22, -1, 0), ('ł', 22, -1, 0)), (('a', 237, -1, 0), ('d', 2, -1, 0), ('e', 22, -1, 0), ('g', 80, -1, 0), ('i', 321, -1, 0), ('j', 80, 2159, 0), ('k', 80, -1, 0), ('o', -1, 2160, 0), ('p', -1, 1159, 0), ('r', 224, -1, 0), ('s', 80, -1, 0), ('t', -1, 476, 0), ('w', 80, -1, 0), ('z', 2, -1, 0), ('ł', 3, -1, 0), ('ż', 2, -1, 0)), (('a', 142, -1, 0), ('b', 28, -1, 0), ('c', -1, 630, 0), ('d', 142, -1, 0), ('e', -1, 1379, 0), ('i', 7, -1, 0), ('l', 28, -1, 0), ('n', 28, -1, 0), ('o', 142, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('u', 142, -1, 0), ('w', 28, -1, 0), ('y', 64, -1, 0), ('z', -1, 628, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 1492, 0), ('e', -1, 515, 0), ('g', -1, 1346, 0), ('h', 5, -1, 0), ('i', -1, 1129, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('o', -1, 129, 0), ('p', 57, 1097, 0), ('r', -1, 2161, 0), ('s', -1, 1181, 0), ('t', -1, 1762, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 404, 0), ('ł', -1, 1550, 0), ('ś', -1, 125, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 296, 0), ('d', 2, -1, 0), ('e', 5, -1, 0), ('f', -1, 822, 0), ('i', 0, -1, 0), ('k', 22, -1, 0), ('l', 2, -1, 0), ('m', 9, -1, 0), ('n', 22, -1, 0), ('o', 1, -1, 0), ('p', 22, -1, 0), ('r', 101, -1, 0), ('s', 62, -1, 0), ('t', 9, -1, 0), ('u', -1, 886, 0), ('w', 3, -1, 0), ('y', 0, -1, 0), ('z', -1, 471, 0), ('ż', 9, -1, 0)), (('a', -1, 2061, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 1881, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 2163, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('u', 2, -1, 0), ('z', 3, -1, 0)), (('a', -1, 2164, 0), ('d', 23, -1, 0), ('e', 28, -1, 0), ('h', 28, -1, 0), ('i', 2, -1, 0), ('l', 28, -1, 0), ('n', 28, -1, 0), ('o', 443, -1, 0), ('p', 2, -1, 0), ('r', 74, -1, 0), ('s', 3, -1, 0), ('t', 4, -1, 0), ('u', 23, -1, 0), ('w', 2, -1, 0), ('y', 4, -1, 0), ('z', 28, -1, 0), ('ó', 23, -1, 0)), (('a', -1, 559, 0), ('b', 23, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 1243, 0), ('h', 180, -1, 0), ('i', 23, -1, 0), ('l', 180, -1, 0), ('m', 23, 1251, 0), ('n', 3, -1, 0), ('o', -1, 971, 0), ('r', -1, 2165, 0), ('s', 37, -1, 0), ('t', 180, -1, 0), ('w', 180, -1, 0), ('z', 22, -1, 0)), (('a', 6, -1, 0), ('d', 22, -1, 0), ('e', 6, -1, 0), ('f', 3, -1, 0), ('g', 6, -1, 0), ('i', 68, -1, 0), ('j', 6, -1, 0), ('k', 3, -1, 0), ('l', 6, -1, 0), ('m', 100, 2166, 0), ('o', -1, 287, 0), ('p', 320, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', -1, 281, 0), ('u', -1, 2484, 0), ('w', 3, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0)), (('a', 8, -1, 0), ('b', 100, -1, 0), ('d', 8, -1, 0), ('e', -1, 2167, 0), ('i', 8, -1, 0), ('l', 8, -1, 0), ('m', 100, -1, 0), ('o', 8, -1, 0), ('p', 100, -1, 0), ('r', 100, -1, 0), ('s', 100, -1, 0), ('u', 8, -1, 0), ('y', 8, -1, 0), ('z', 100, -1, 0), ('ą', 8, -1, 0), ('ę', 8, -1, 0)), (('a', -1, 2168, 0), ('b', 11, -1, 0), ('d', 107, -1, 0), ('e', -1, 1112, 0), ('h', 107, -1, 0), ('i', 8, -1, 0), ('j', -1, 4170, 0), ('k', 107, -1, 0), ('l', 100, -1, 0), ('o', -1, 932, 0), ('p', 107, -1, 0), ('r', -1, 1602, 0), ('t', -1, 1384, 0), ('u', 107, -1, 0), ('z', 69, -1, 0), ('ó', 107, -1, 0), ('ł', 69, -1, 0)), (('a', -1, 2169, 0), ('d', 107, -1, 0), ('e', 174, -1, 0), ('h', 107, -1, 0), ('i', 41, -1, 0), ('k', 23, -1, 0), ('l', 23, -1, 0), ('o', 174, -1, 0), ('p', 107, -1, 0), ('r', 23, -1, 0), ('t', 11, -1, 0), ('u', 0, -1, 0), ('w', 107, -1, 0), ('y', 23, -1, 0), ('z', 11, -1, 0), ('ż', 107, -1, 0)), (('a', 135, -1, 0), ('d', 135, -1, 0), ('e', -1, 455, 0), ('i', -1, 1986, 0), ('j', 185, -1, 0), ('k', 0, -1, 0), ('l', 185, -1, 0), ('o', 135, -1, 0), ('r', -1, 1077, 0), ('u', 135, -1, 0), ('y', 7, -1, 0), ('z', -1, 2170, 0), ('ł', 7, -1, 0)), (('a', 5, -1, 0), ('b', 41, -1, 0), ('c', 0, -1, 0), ('d', 5, -1, 0), ('e', 0, -1, 0), ('g', -1, 2171, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('m', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 185, -1, 0), ('s', -1, 1575, 0), ('t', 5, -1, 0), ('w', 28, -1, 0), ('y', -1, 1505, 0), ('z', 85, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ś', 5, -1, 0)), (('a', -1, 1208, 0), ('d', 30, -1, 0), ('e', -1, 2172, 0), ('h', 11, -1, 0), ('i', -1, 346, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 30, -1, 0), ('m', 21, 180, 0), ('n', 74, 1864, 0), ('o', 11, -1, 0), ('p', 11, -1, 0), ('r', -1, 770, 0), ('s', -1, 3510, 0), ('t', 1, -1, 0), ('w', 30, -1, 0), ('y', 11, -1, 0), ('z', 21, -1, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0), ('ś', 11, -1, 0)), (('a', -1, 113, 0), ('b', 14, -1, 0), ('d', 14, -1, 0), ('e', -1, 2173, 0), ('g', -1, 498, 0), ('i', 14, -1, 0), ('k', 14, -1, 0), ('o', 14, -1, 0), ('p', 14, -1, 0), ('r', 0, 239, 0), ('t', 14, -1, 0), ('u', 14, -1, 0), ('y', -1, 1680, 0), ('ś', -1, 3966, 0)), (('a', -1, 1389, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 2174, 0), ('k', 7, -1, 0), ('m', -1, 1622, 0), ('o', -1, 1564, 0), ('r', -1, 2013, 0), ('s', 7, -1, 0), ('y', -1, 1529, 0), ('z', 14, -1, 0)), (('a', -1, 2175, 0), ('b', 14, -1, 0), ('c', 14, -1, 0), ('e', -1, 2805, 0), ('i', 14, -1, 0), ('m', -1, 18, 0), ('n', 14, -1, 0), ('o', 14, -1, 0), ('p', -1, 517, 0), ('r', 14, -1, 0), ('u', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', -1, 472, 0), ('ó', 14, -1, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0), ('ł', -1, 3719, 0)), (('a', -1, 2176, 0), ('e', -1, 253, 0), ('g', 14, -1, 0), ('h', 6, -1, 0), ('i', -1, 2177, 0), ('k', 14, -1, 0), ('m', 14, -1, 0), ('o', -1, 2275, 0), ('r', -1, 813, 0), ('t', -1, 2545, 0), ('w', 6, -1, 0), ('y', -1, 490, 0), ('z', 4, -1, 0), ('ó', 11, -1, 0), ('ł', 14, -1, 0)), (('a', 7, -1, 0), ('b', -1, 1799, 0), ('c', 183, -1, 0), ('d', 1, -1, 0), ('e', 151, -1, 0), ('g', 11, -1, 0), ('i', -1, 331, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('o', 6, -1, 0), ('r', 11, -1, 0), ('t', -1, 2131, 0), ('u', 7, -1, 0), ('w', 11, -1, 0), ('y', 151, -1, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 0, -1, 0), ('c', 11, -1, 0), ('d', 230, -1, 0), ('e', -1, 940, 0), ('g', 12, -1, 0), ('h', 4, -1, 0), ('i', -1, 960, 0), ('k', 12, -1, 0), ('l', -1, 2178, 0), ('m', 12, -1, 0), ('n', 7, -1, 0), ('o', 0, -1, 0), ('p', 79, 15, 0), ('r', 0, -1, 0), ('s', 7, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 4, -1, 0), ('y', -1, 1243, 0), ('z', -1, 1078, 0), ('ł', 12, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', -1, 2179, 0), ('e', 5, -1, 0), ('g', 7, -1, 0), ('i', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', -1, 2540, 0), ('o', 11, -1, 0), ('p', 5, -1, 0), ('r', -1, 2200, 0), ('s', 5, -1, 0), ('t', 0, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 11, -1, 0), ('ż', 1, -1, 0)), (('a', 11, -1, 0), ('d', 7, -1, 0), ('e', 1, -1, 0), ('i', -1, 2180, 0), ('o', 11, -1, 0), ('r', 82, -1, 0), ('u', 41, -1, 0), ('w', 7, -1, 0), ('y', 1, -1, 0), ('z', 7, -1, 0), ('ę', 41, -1, 0), ('ź', 82, -1, 0), ('ż', 82, -1, 0)), (('a', -1, 1900, 0), ('d', 53, -1, 0), ('e', -1, 1578, 0), ('g', -1, 740, 0), ('i', -1, 2072, 0), ('l', 0, 2181, 0), ('m', 51, -1, 0), ('o', 0, 355, 0), ('p', -1, 2077, 0), ('r', -1, 91, 0), ('s', -1, 2665, 0), ('t', -1, 606, 0), ('u', -1, 692, 0), ('w', -1, 380, 0), ('y', 6, -1, 0), ('z', -1, 2633, 0)), (('a', -1, 2182, 0), ('c', -1, 4286, 0), ('d', -1, 775, 0), ('e', 215, -1, 0), ('h', 1, -1, 0), ('i', -1, 621, 0), ('j', 108, -1, 0), ('k', -1, 695, 0), ('l', -1, 1249, 0), ('m', 0, 664, 0), ('o', -1, 1560, 0), ('p', 1, -1, 0), ('r', -1, 604, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', -1, 1223, 0), ('w', 6, -1, 0), ('y', -1, 675, 0), ('z', 332, -1, 0), ('ś', -1, 3292, 0), ('ż', 21, -1, 0)), (('a', -1, 998, 0), ('d', 11, -1, 0), ('e', -1, 1196, 0), ('i', -1, 127, 0), ('k', -1, 2183, 0), ('l', -1, 652, 0), ('m', 5, -1, 0), ('o', -1, 244, 0), ('p', -1, 11, 0), ('r', -1, 941, 0), ('s', 28, -1, 0), ('t', 107, -1, 0), ('u', 11, -1, 0), ('w', 5, -1, 0), ('y', 56, -1, 0), ('z', -1, 2184, 0), ('ł', 107, -1, 0)), (('a', -1, 7, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 223, 0), ('e', -1, 12, 0), ('f', 21, -1, 0), ('g', 11, -1, 0), ('h', -1, 387, 0), ('i', 98, -1, 0), ('j', -1, 390, 0), ('k', -1, 538, 0), ('l', -1, 11, 0), ('m', -1, 388, 0), ('n', -1, 432, 0), ('o', 98, -1, 0), ('p', 98, -1, 0), ('r', -1, 467, 0), ('s', -1, 384, 0), ('t', -1, 542, 0), ('u', 98, -1, 0), ('w', 11, -1, 0), ('y', -1, 134, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ś', -1, 7, 0), ('ź', 11, -1, 0), ('ż', -1, 224, 0)), (('a', -1, 2185, 0), ('c', 24, -1, 0), ('d', 24, -1, 0), ('e', -1, 2186, 0), ('i', 21, -1, 0), ('k', 175, -1, 0), ('l', 12, -1, 0), ('m', 5, -1, 0), ('n', -1, 2988, 0), ('o', 21, -1, 0), ('p', 175, -1, 0), ('r', 24, -1, 0), ('s', -1, 1459, 0), ('t', -1, 1705, 0), ('u', 351, 422, 0), ('w', 175, -1, 0), ('y', 12, -1, 0), ('z', -1, 1377, 0), ('ą', 351, -1, 0), ('ł', 55, -1, 0)), (('a', 242, -1, 0), ('b', 6, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 242, -1, 0), ('g', -1, 814, 0), ('i', 21, -1, 0), ('j', -1, 33, 0), ('k', 82, -1, 0), ('l', -1, 807, 0), ('m', 138, -1, 0), ('n', 138, -1, 0), ('o', 242, -1, 0), ('p', -1, 182, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 86, -1, 0), ('w', 116, -1, 0), ('y', 242, -1, 0), ('z', 21, -1, 0), ('ł', 74, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 717, 0), ('c', -1, 1633, 0), ('d', 6, -1, 0), ('e', 37, -1, 0), ('i', -1, 1007, 0), ('k', 27, -1, 0), ('l', 116, -1, 0), ('m', -1, 2187, 0), ('n', -1, 36, 0), ('o', -1, 140, 0), ('p', -1, 788, 0), ('r', -1, 3259, 0), ('s', -1, 43, 0), ('t', 27, -1, 0), ('u', 0, 288, 0), ('w', 178, -1, 0), ('y', -1, 775, 0), ('z', 12, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 190, 0), ('b', 121, -1, 0), ('d', 108, -1, 0), ('e', -1, 196, 0), ('i', 0, 1435, 0), ('m', 29, -1, 0), ('n', 108, -1, 0), ('o', -1, 382, 0), ('p', 6, 278, 0), ('r', -1, 2188, 0), ('s', 87, -1, 0), ('t', 108, -1, 0), ('w', -1, 649, 0), ('y', -1, 780, 0), ('z', -1, 569, 0), ('ł', -1, 2810, 0)), (('a', -1, 800, 0), ('b', -1, 2189, 0), ('c', -1, 4421, 0), ('d', 108, -1, 0), ('e', 21, 672, 0), ('i', -1, 863, 0), ('j', 0, -1, 0), ('k', -1, 3321, 0), ('l', 21, -1, 0), ('m', 189, -1, 0), ('n', 21, -1, 0), ('o', -1, 2031, 0), ('p', -1, 2810, 0), ('r', -1, 1059, 0), ('s', 106, -1, 0), ('t', -1, 864, 0), ('u', -1, 615, 0), ('w', -1, 381, 0), ('y', -1, 3217, 0), ('z', 21, -1, 0), ('ó', 21, -1, 0), ('ł', -1, 1000, 0), ('ś', 55, -1, 0), ('ź', 0, -1, 0)), (('a', 236, -1, 0), ('b', 2, -1, 0), ('d', -1, 1117, 0), ('e', 2, -1, 0), ('g', -1, 1704, 0), ('h', 2, -1, 0), ('i', -1, 1411, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, 2190, 0), ('n', -1, 2191, 0), ('o', 3, -1, 0), ('p', 2, -1, 0), ('r', -1, 2439, 0), ('s', 2, -1, 0), ('t', -1, 363, 0), ('u', 2, -1, 0), ('w', -1, 556, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 2, -1, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('h', -1, 22, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 1411, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', 2, 948, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 2141, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('f', -1, 2192, 0), ('g', 2, -1, 0), ('h', 28, 199, 0), ('i', 2, -1, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', -1, 2193, 0), ('r', -1, 3995, 0), ('s', -1, 3484, 0), ('t', -1, 2349, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('z', -1, 1786, 0)), (('a', 28, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 336, -1, 0), ('t', -1, 126, 0), ('u', -1, 851, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 2194, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', -1, 2498, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, 1178, 0), ('p', -1, 3605, 0), ('r', -1, 4207, 0), ('s', -1, 1255, 0), ('t', 28, -1, 0), ('u', -1, 3699, 0), ('w', 28, 1350, 0), ('z', 28, -1, 0), ('ż', -1, 2344, 0)), (('a', 101, -1, 0), ('b', 173, -1, 0), ('d', 28, 564, 0), ('e', 4, -1, 0), ('g', 173, -1, 0), ('h', 173, -1, 0), ('i', 0, 310, 0), ('k', -1, 1699, 0), ('m', 4, 2195, 0), ('n', 4, -1, 0), ('o', -1, 1450, 0), ('p', 173, -1, 0), ('r', -1, 1016, 0), ('s', 108, -1, 0), ('t', 4, -1, 0), ('u', 1, -1, 0), ('w', -1, 793, 0), ('y', 108, -1, 0), ('z', -1, 2818, 0), ('ł', 4, -1, 0)), (('a', -1, 227, 0), ('b', -1, 1339, 0), ('c', -1, 1767, 0), ('d', -1, 2196, 0), ('e', 27, -1, 0), ('f', 27, -1, 0), ('g', -1, 1774, 0), ('h', -1, 2202, 0), ('i', 27, -1, 0), ('j', 27, -1, 0), ('k', -1, 4109, 0), ('l', -1, 2488, 0), ('m', -1, 2949, 0), ('n', -1, 1744, 0), ('o', 173, -1, 0), ('p', -1, 1602, 0), ('r', -1, 1672, 0), ('s', -1, 968, 0), ('t', -1, 2133, 0), ('u', 27, -1, 0), ('w', -1, 2072, 0), ('y', 3, -1, 0), ('z', -1, 2201, 0), ('ó', -1, 274, 0), ('ł', -1, 3334, 0), ('ż', 5, 2202, 0)), (('a', -1, 969, 0), ('d', 208, -1, 0), ('e', 27, -1, 0), ('i', -1, 1212, 0), ('j', 27, -1, 0), ('k', 28, -1, 0), ('l', 27, -1, 0), ('n', 27, -1, 0), ('o', 27, -1, 0), ('p', 13, -1, 0), ('r', 27, -1, 0), ('s', -1, 2197, 0), ('t', -1, 2480, 0), ('u', 27, -1, 0), ('w', 13, -1, 0), ('y', 27, -1, 0), ('z', -1, 1715, 0), ('ę', 178, -1, 0), ('ł', 27, -1, 0)), (('a', 30, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 30, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', -1, 556, 0), ('l', -1, 1058, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 13, -1, 0), ('p', 2, -1, 0), ('r', -1, 2198, 0), ('t', 2, -1, 0), ('u', 13, -1, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ł', 28, -1, 0)), (('a', 2, -1, 0), ('b', 28, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 22, -1, 0), ('g', 28, -1, 0), ('i', 108, -1, 0), ('j', 108, -1, 0), ('k', 2, -1, 0), ('l', 7, -1, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', 22, -1, 0), ('p', 2, -1, 0), ('r', -1, 2199, 0), ('s', 28, -1, 0), ('t', 3, -1, 0), ('u', -1, 3244, 0), ('w', 2, -1, 0), ('y', -1, 46, 0), ('z', -1, 2433, 0)), (('a', -1, 1099, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 3, -1, 0), ('f', -1, 2200, 0), ('g', -1, 2178, 0), ('h', -1, 48, 0), ('i', -1, 2242, 0), ('j', -1, 3269, 0), ('k', -1, 3754, 0), ('l', -1, 184, 0), ('m', 5, -1, 0), ('n', -1, 4133, 0), ('o', 6, -1, 0), ('p', -1, 3248, 0), ('r', -1, 2646, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 2, -1, 0), ('w', -1, 1496, 0), ('y', 6, -1, 0), ('z', -1, 1322, 0), ('ł', 5, -1, 0), ('ż', -1, 779, 0)), (('a', -1, 2201, 0), ('e', 3, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 41, -1, 0), ('o', 5, -1, 0), ('r', 3, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 166, 0)), (('a', -1, 1341, 0), ('c', -1, 1570, 0), ('d', 27, -1, 0), ('e', 27, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 2202, 0), ('k', -1, 871, 0), ('l', 21, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 27, -1, 0), ('p', 3, -1, 0), ('r', 27, -1, 0), ('s', 27, -1, 0), ('t', 5, -1, 0), ('u', 27, -1, 0), ('w', 5, -1, 0), ('y', 27, -1, 0), ('z', 5, -1, 0), ('ą', 178, -1, 0)), (('a', 27, -1, 0), ('b', 27, -1, 0), ('c', -1, 1104, 0), ('d', 27, -1, 0), ('e', 27, -1, 0), ('f', 27, -1, 0), ('g', 27, -1, 0), ('h', 27, -1, 0), ('i', 0, 788, 0), ('k', 27, 545, 0), ('l', -1, 561, 0), ('m', 27, -1, 0), ('n', 27, -1, 0), ('o', 5, -1, 0), ('p', -1, 416, 0), ('r', -1, 1646, 0), ('s', -1, 2203, 0), ('t', 5, -1, 0), ('u', 1, -1, 0), ('w', 27, -1, 0), ('y', 5, -1, 0), ('z', 51, -1, 0), ('ó', 27, -1, 0), ('ł', 62, -1, 0)), (('a', 174, -1, 0), ('b', 30, -1, 0), ('c', 30, -1, 0), ('d', 30, -1, 0), ('e', 30, -1, 0), ('f', 30, -1, 0), ('g', 30, -1, 0), ('h', 30, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('k', 30, -1, 0), ('l', -1, 2204, 0), ('m', 30, -1, 0), ('n', 30, -1, 0), ('o', 12, -1, 0), ('p', 30, -1, 0), ('r', 30, -1, 0), ('s', 30, -1, 0), ('t', 30, -1, 0), ('w', 30, -1, 0), ('y', 30, -1, 0), ('z', 30, -1, 0), ('ł', 30, -1, 0), ('ż', 30, -1, 0)), (('a', 30, -1, 0), ('b', 30, -1, 0), ('c', -1, 476, 0), ('d', 30, -1, 0), ('e', 30, -1, 0), ('f', 30, -1, 0), ('g', 30, -1, 0), ('h', 22, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('k', 30, -1, 0), ('l', 30, -1, 0), ('o', 30, -1, 0), ('p', 30, -1, 0), ('r', -1, 2205, 0), ('s', 30, -1, 0), ('t', 30, -1, 0), ('u', 30, -1, 0), ('y', 30, -1, 0), ('z', 30, -1, 0), ('ó', -1, 824, 0), ('ł', 21, -1, 0), ('ś', 30, -1, 0), ('ż', 30, -1, 0)), (('a', 0, -1, 0), ('b', 120, 1440, 0), ('c', 95, -1, 0), ('d', 1, -1, 0), ('e', 4, -1, 0), ('f', 21, -1, 0), ('i', 7, -1, 0), ('m', -1, 2206, 0), ('n', -1, 2210, 0), ('o', 76, -1, 0), ('p', -1, 3413, 0), ('r', 3, -1, 0), ('s', -1, 1394, 0), ('t', 28, -1, 0), ('w', 6, 2206, 0), ('z', -1, 1527, 0), ('ł', 7, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 1752, 0), ('o', -1, 2003, 0), ('r', 6, -1, 0), ('t', -1, 2207, 0), ('u', -1, 2209, 0), ('y', -1, 747, 0), ('z', 6, -1, 0), ('ź', 6, -1, 0)), (('a', 3, -1, 0), ('b', 8, -1, 0), ('c', 8, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('o', 3, -1, 0), ('p', 100, -1, 0), ('r', -1, 1546, 0), ('s', -1, 2208, 0), ('y', 3, -1, 0), ('z', 8, -1, 0), ('ó', 3, -1, 0)), (('a', 332, -1, 0), ('b', 71, -1, 0), ('c', 0, -1, 0), ('d', 71, -1, 0), ('e', 41, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 41, -1, 0), ('k', 41, -1, 0), ('l', 41, -1, 0), ('m', 41, -1, 0), ('n', -1, 793, 0), ('o', -1, 45, 0), ('p', -1, 1932, 0), ('r', -1, 470, 0), ('s', 41, -1, 0), ('t', -1, 437, 0), ('u', 71, -1, 0), ('w', 71, -1, 0), ('y', 332, -1, 0), ('z', 0, 1424, 0), ('ó', 6, -1, 0), ('ł', 185, -1, 0), ('ś', 71, -1, 0)), (('a', 5, -1, 0), ('d', 95, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('u', -1, 926, 0), ('y', -1, 1754, 0), ('z', 120, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 598, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 2211, 0), ('e', -1, 2212, 0), ('g', 6, -1, 0), ('h', -1, 1077, 0), ('i', 95, -1, 0), ('j', -1, 2110, 0), ('k', -1, 3112, 0), ('l', -1, 4376, 0), ('m', 6, -1, 0), ('n', -1, 2789, 0), ('o', 95, -1, 0), ('p', 95, -1, 0), ('r', -1, 621, 0), ('t', -1, 1588, 0), ('u', 95, -1, 0), ('w', 6, -1, 0), ('y', -1, 584, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 804, 0), ('ź', 6, -1, 0), ('ż', -1, 182, 0)), (('a', 6, -1, 0), ('b', 397, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', -1, 206, 0), ('r', 95, -1, 0), ('s', 6, -1, 0), ('u', 28, -1, 0), ('y', 6, -1, 0), ('z', 320, -1, 0)), (('a', -1, 1544, 0), ('c', 6, -1, 0), ('e', 2, -1, 0), ('i', -1, 1724, 0), ('l', 6, -1, 0), ('m', 2, -1, 0), ('o', -1, 2213, 0), ('p', 2, -1, 0), ('r', -1, 887, 0), ('s', -1, 2214, 0), ('t', 3, -1, 0), ('y', 2, -1, 0), ('z', -1, 3419, 0)), (('a', -1, 931, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 70, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('l', -1, 336, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 70, -1, 0), ('p', 70, -1, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('w', 3, -1, 0), ('z', 2, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 796, 0), ('b', 21, -1, 0), ('e', 56, -1, 0), ('i', -1, 358, 0), ('m', 21, -1, 0), ('n', 351, -1, 0), ('o', -1, 177, 0), ('r', -1, 2215, 0), ('s', 3, 1846, 0), ('u', 351, -1, 0), ('y', 10, -1, 0), ('z', 3, -1, 0), ('ó', 10, -1, 0)), (('a', -1, 2216, 0), ('b', 1, -1, 0), ('d', 56, -1, 0), ('e', 11, -1, 0), ('i', -1, 1941, 0), ('n', 147, -1, 0), ('o', 135, -1, 0), ('r', -1, 381, 0), ('t', -1, 2218, 0), ('y', 135, -1, 0), ('z', 135, -1, 0), ('ś', 5, -1, 0)), (('a', -1, 707, 0), ('c', 3, -1, 0), ('d', -1, 2031, 0), ('e', -1, 296, 0), ('i', -1, 1394, 0), ('k', 1, -1, 0), ('l', -1, 1600, 0), ('m', 121, -1, 0), ('n', -1, 32, 0), ('o', -1, 615, 0), ('p', 3, -1, 0), ('r', -1, 853, 0), ('s', 2, -1, 0), ('t', 21, -1, 0), ('u', -1, 211, 0), ('w', -1, 2217, 0), ('z', -1, 203, 0)), (('a', 41, -1, 0), ('e', 41, -1, 0), ('i', 3, -1, 0), ('l', 41, -1, 0), ('o', 185, -1, 0), ('p', 41, -1, 0), ('r', -1, 1561, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 56, -1, 0), ('w', 102, -1, 0), ('y', 185, -1, 0), ('z', 10, -1, 0), ('ł', 41, -1, 0)), (('a', 21, -1, 0), ('e', 3, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 3, -1, 0), ('s', 82, -1, 0), ('z', -1, 2219, 0)), (('a', -1, 681, 0), ('b', 0, -1, 0), ('d', 7, -1, 0), ('e', -1, 2220, 0), ('g', 39, 100, 0), ('i', -1, 358, 0), ('k', 12, -1, 0), ('m', 0, -1, 0), ('o', 53, 4420, 0), ('p', -1, 1855, 0), ('r', -1, 1615, 0), ('t', 7, -1, 0), ('y', 53, -1, 0), ('z', 53, -1, 0), ('ś', 7, -1, 0)), (('a', -1, 361, 0), ('c', -1, 1600, 0), ('d', 121, -1, 0), ('e', -1, 1620, 0), ('g', -1, 2221, 0), ('h', -1, 171, 0), ('i', -1, 680, 0), ('m', -1, 2893, 0), ('o', -1, 3004, 0), ('p', -1, 2063, 0), ('r', -1, 569, 0), ('s', 41, 10, 0), ('t', -1, 45, 0), ('u', 3, -1, 0), ('w', -1, 4419, 0), ('z', -1, 2867, 0)), (('a', -1, 992, 0), ('c', 41, -1, 0), ('d', -1, 355, 0), ('e', 453, -1, 0), ('g', 64, -1, 0), ('h', 79, -1, 0), ('i', 0, -1, 0), ('k', 4, -1, 0), ('l', -1, 1048, 0), ('o', -1, 1047, 0), ('p', -1, 2222, 0), ('r', -1, 1864, 0), ('s', 5, 2015, 0), ('t', 41, -1, 0), ('u', 0, 164, 0), ('w', 0, 164, 0), ('y', 434, -1, 0), ('z', -1, 2712, 0)), (('a', 117, -1, 0), ('e', 3, -1, 0), ('i', -1, 2223, 0), ('o', 137, -1, 0), ('r', 3, -1, 0), ('s', 28, -1, 0), ('y', 132, -1, 0), ('z', 5, -1, 0)), (('a', -1, 1103, 0), ('b', 12, -1, 0), ('d', -1, 1247, 0), ('e', -1, 2018, 0), ('i', -1, 2109, 0), ('j', 1, -1, 0), ('l', 12, -1, 0), ('m', 12, 40, 0), ('o', -1, 243, 0), ('p', 12, -1, 0), ('r', -1, 2148, 0), ('s', -1, 731, 0), ('u', -1, 1682, 0), ('w', 12, -1, 0), ('z', -1, 2224, 0), ('ą', -1, 1164, 0), ('ę', -1, 613, 0), ('ł', -1, 2324, 0)), (('a', -1, 2225, 0), ('c', 36, -1, 0), ('d', -1, 479, 0), ('e', -1, 1810, 0), ('i', -1, 653, 0), ('j', 21, -1, 0), ('k', 36, -1, 0), ('l', -1, 2008, 0), ('m', -1, 2147, 0), ('n', -1, 1956, 0), ('o', -1, 2011, 0), ('p', -1, 1076, 0), ('r', -1, 1402, 0), ('s', 36, -1, 0), ('t', 36, -1, 0), ('u', -1, 1452, 0), ('w', -1, 2231, 0), ('y', -1, 4286, 0), ('z', -1, 3263, 0), ('ą', -1, 1564, 0), ('ę', -1, 3601, 0), ('ń', -1, 1316, 0), ('ś', 36, -1, 0), ('ź', -1, 772, 0), ('ż', 36, -1, 0)), (('a', -1, 582, 0), ('b', 33, -1, 0), ('d', 102, 2226, 0), ('e', -1, 1489, 0), ('i', 33, -1, 0), ('j', 36, -1, 0), ('l', -1, 1956, 0), ('m', 33, -1, 0), ('n', 0, -1, 0), ('o', -1, 663, 0), ('p', 56, 62, 0), ('r', -1, 2011, 0), ('s', -1, 2229, 0), ('t', 36, -1, 0), ('w', -1, 1925, 0), ('z', 33, -1, 0), ('ę', -1, 73, 0), ('ż', 33, -1, 0)), (('a', 10, -1, 0), ('e', 10, -1, 0), ('i', -1, 836, 0), ('o', -1, 611, 0), ('r', 11, -1, 0), ('t', 10, -1, 0), ('u', -1, 2227, 0), ('z', 102, -1, 0), ('ą', -1, 1292, 0), ('ę', -1, 2228, 0), ('ł', 10, -1, 0)), (('a', -1, 798, 0), ('d', 10, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('j', 10, -1, 0), ('k', 10, -1, 0), ('m', 10, -1, 0), ('o', 3, -1, 0), ('p', 10, -1, 0), ('r', -1, 1783, 0), ('t', 10, -1, 0), ('u', 3, -1, 0), ('w', 10, -1, 0), ('z', 102, -1, 0), ('ł', -1, 144, 0)), (('a', 174, -1, 0), ('b', 10, -1, 0), ('c', 10, -1, 0), ('d', 174, -1, 0), ('e', 23, -1, 0), ('i', 23, -1, 0), ('l', 2, -1, 0), ('m', 23, -1, 0), ('n', 23, -1, 0), ('o', 23, -1, 0), ('p', 102, -1, 0), ('r', -1, 996, 0), ('s', 11, -1, 0), ('t', 102, -1, 0), ('z', 10, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 74, 0), ('d', 46, -1, 0), ('e', -1, 1068, 0), ('g', 46, -1, 0), ('h', 46, -1, 0), ('i', -1, 2161, 0), ('k', 46, -1, 0), ('m', 46, -1, 0), ('n', 92, -1, 0), ('o', 2, -1, 0), ('p', 46, -1, 0), ('r', 46, -1, 0), ('s', 46, -1, 0), ('t', 46, -1, 0), ('u', 2, -1, 0), ('w', 46, -1, 0), ('y', -1, 76, 0), ('z', -1, 2230, 0), ('ł', 56, -1, 0)), (('a', 0, -1, 0), ('c', 5, -1, 0), ('d', 27, -1, 0), ('e', 0, -1, 0), ('g', 27, -1, 0), ('i', 27, -1, 0), ('k', 27, -1, 0), ('l', 27, -1, 0), ('m', 178, -1, 0), ('n', 27, -1, 0), ('o', -1, 1842, 0), ('p', 27, -1, 0), ('r', -1, 18, 0), ('s', 5, -1, 0), ('t', 330, -1, 0), ('u', 0, -1, 0), ('w', 27, -1, 0), ('y', 162, -1, 0), ('z', -1, 1343, 0), ('ą', -1, 109, 0), ('ę', -1, 737, 0), ('ł', 27, -1, 0)), (('a', -1, 1671, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 36, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', -1, 696, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1713, 0), ('p', -1, 637, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 390, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 21, -1, 0), ('ł', 79, 179, 0), ('ś', -1, 2232, 0), ('ż', 1, -1, 0)), (('a', 6, -1, 0), ('c', 22, 2233, 0), ('d', 462, -1, 0), ('e', -1, 288, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 2726, 0), ('j', -1, 1844, 0), ('l', -1, 4418, 0), ('m', -1, 2395, 0), ('n', 6, -1, 0), ('o', -1, 1031, 0), ('r', 3, 3845, 0), ('s', -1, 4346, 0), ('t', 3, -1, 0), ('u', 1, -1, 0), ('w', 22, -1, 0), ('y', 374, -1, 0), ('z', -1, 4067, 0), ('ż', -1, 4304, 0)), (('a', -1, 2177, 0), ('e', -1, 2234, 0), ('h', -1, 74, 0), ('i', -1, 1048, 0), ('o', -1, 2704, 0), ('r', 12, -1, 0), ('s', 22, 387, 0), ('u', -1, 2879, 0), ('y', 12, -1, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ę', -1, 3430, 0), ('ł', -1, 1155, 0)), (('a', 132, -1, 0), ('e', -1, 2235, 0), ('i', -1, 1873, 0), ('l', 4, 2237, 0), ('o', 28, -1, 0), ('r', 132, -1, 0), ('y', 56, -1, 0), ('z', 22, -1, 0), ('ł', 3, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('c', 3, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('h', 0, -1, 0), ('i', 4, -1, 0), ('k', 0, -1, 0), ('l', 131, -1, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', -1, 2236, 0), ('s', 2, -1, 0), ('t', 28, -1, 0), ('u', 4, -1, 0), ('y', 28, -1, 0), ('z', 28, 273, 0)), (('a', -1, 1633, 0), ('b', -1, 2003, 0), ('c', 1, -1, 0), ('d', 21, -1, 0), ('e', -1, 1231, 0), ('g', 3, -1, 0), ('i', -1, 424, 0), ('k', 87, -1, 0), ('l', 3, -1, 0), ('m', 6, 576, 0), ('o', 0, 238, 0), ('p', 21, -1, 0), ('r', 6, 828, 0), ('s', 0, 1188, 0), ('t', 1, -1, 0), ('u', -1, 980, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 21, 735, 0), ('ż', -1, 1040, 0)), (('a', 4, -1, 0), ('d', 4, -1, 0), ('e', 170, -1, 0), ('i', -1, 2238, 0), ('l', 17, -1, 0), ('o', 12, -1, 0), ('p', 134, -1, 0), ('r', 170, -1, 0), ('s', 105, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ł', 170, -1, 0)), (('a', 0, -1, 0), ('b', 31, -1, 0), ('d', 434, -1, 0), ('e', 0, -1, 0), ('g', 41, -1, 0), ('i', 0, -1, 0), ('k', -1, 90, 0), ('m', -1, 2239, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 31, -1, 0), ('r', -1, 1839, 0), ('s', 257, 545, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', 31, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 31, -1, 0), ('b', 1, 1374, 0), ('d', 0, -1, 0), ('e', -1, 920, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 2240, 0), ('j', 0, -1, 0), ('l', -1, 4417, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 27, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 5, -1, 0), ('w', 0, -1, 0), ('z', 1, 1266, 0)), (('a', 0, -1, 0), ('b', -1, 121, 0), ('c', -1, 2241, 0), ('d', 29, -1, 0), ('e', 0, -1, 0), ('g', 11, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 3146, 0), ('l', -1, 980, 0), ('m', 2, -1, 0), ('n', -1, 1270, 0), ('o', 0, -1, 0), ('p', 29, -1, 0), ('r', 0, -1, 0), ('s', -1, 1411, 0), ('t', 29, -1, 0), ('u', 0, -1, 0), ('w', 29, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1907, 0), ('ł', 11, -1, 0), ('ż', -1, 767, 0)), (('a', 12, -1, 0), ('c', 13, -1, 0), ('d', -1, 2068, 0), ('e', -1, 2023, 0), ('i', 5, -1, 0), ('k', 12, -1, 0), ('m', 12, -1, 0), ('o', 5, -1, 0), ('p', 4, -1, 0), ('r', 13, -1, 0), ('s', -1, 2242, 0), ('t', 12, -1, 0), ('u', 5, -1, 0), ('w', 31, -1, 0), ('y', 1, -1, 0), ('z', -1, 695, 0)), (('a', -1, 888, 0), ('b', -1, 492, 0), ('c', -1, 2243, 0), ('e', 13, -1, 0), ('f', 12, -1, 0), ('i', 105, -1, 0), ('m', 12, 123, 0), ('n', -1, 4416, 0), ('o', 13, -1, 0), ('p', -1, 848, 0), ('r', 105, -1, 0), ('s', -1, 12, 0), ('u', -1, 1416, 0), ('w', 5, 106, 0), ('y', 13, -1, 0), ('z', -1, 2313, 0), ('ę', 13, -1, 0)), (('a', 12, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 277, 0), ('e', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('m', 0, -1, 0), ('o', -1, 686, 0), ('r', -1, 2244, 0), ('s', 0, 54, 0), ('t', -1, 3479, 0), ('u', 7, -1, 0), ('w', 80, -1, 0), ('z', 0, -1, 0), ('ł', 185, 359, 0), ('ś', 12, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 2245, 0), ('b', 41, 2247, 0), ('c', -1, 2249, 0), ('d', -1, 638, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 2250, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 330, 885, 0), ('r', 0, -1, 0), ('s', 330, -1, 0), ('t', 0, -1, 0), ('u', 21, -1, 0), ('w', 108, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 151, 0), ('b', 52, -1, 0), ('c', -1, 2246, 0), ('d', 22, -1, 0), ('e', 155, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 3, 465, 0), ('n', 3, -1, 0), ('o', 4, -1, 0), ('p', -1, 265, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 779, 0), ('y', 16, -1, 0), ('z', -1, 337, 0), ('ł', 0, -1, 0), ('ś', 12, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 160, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('ą', 5, -1, 0)), (('a', 96, -1, 0), ('b', 1, -1, 0), ('c', -1, 2248, 0), ('d', 96, -1, 0), ('e', -1, 981, 0), ('f', 0, 498, 0), ('g', 0, -1, 0), ('h', -1, 411, 0), ('i', 0, -1, 0), ('j', -1, 107, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 131, -1, 0), ('o', 6, -1, 0), ('p', -1, 1779, 0), ('r', -1, 2130, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', -1, 1217, 0), ('y', 96, -1, 0), ('z', 96, -1, 0), ('ł', -1, 624, 0)), (('a', 126, -1, 0), ('b', 89, -1, 0), ('c', 3, -1, 0), ('d', 28, -1, 0), ('e', 6, -1, 0), ('f', 30, -1, 0), ('i', 30, -1, 0), ('k', 30, -1, 0), ('n', 30, -1, 0), ('o', 126, -1, 0), ('p', 30, -1, 0), ('r', 220, -1, 0), ('t', -1, 2026, 0), ('u', 126, -1, 0), ('w', 30, -1, 0), ('y', 89, -1, 0), ('z', 126, -1, 0)), (('a', 5, -1, 0), ('e', 31, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', 31, -1, 0), ('p', 0, -1, 0), ('r', 28, -1, 0), ('u', 5, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 2251, 0), ('d', 53, -1, 0), ('e', 0, -1, 0), ('g', 108, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 108, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 106, 2252, 0), ('t', 41, -1, 0), ('u', -1, 1966, 0), ('w', 0, -1, 0), ('y', -1, 537, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ć', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 21, -1, 0), ('b', -1, 853, 0), ('c', 4, -1, 0), ('d', 12, -1, 0), ('e', -1, 314, 0), ('f', 21, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 52, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('n', 121, -1, 0), ('o', 21, -1, 0), ('p', 0, 1233, 0), ('r', 12, 1393, 0), ('s', 12, -1, 0), ('t', 1, -1, 0), ('u', -1, 304, 0), ('w', 1, -1, 0), ('y', 12, -1, 0), ('z', 111, -1, 0), ('ó', 21, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 518, 0), ('b', 7, -1, 0), ('d', -1, 1999, 0), ('e', -1, 1428, 0), ('i', 139, -1, 0), ('m', 7, -1, 0), ('n', -1, 2253, 0), ('o', 106, 34, 0), ('p', 7, -1, 0), ('r', 64, -1, 0), ('s', 7, -1, 0), ('u', 3, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('h', -1, 2254, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 228, 0), ('r', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ś', 7, -1, 0), ('ź', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 319, 0), ('b', 27, -1, 0), ('c', -1, 2255, 0), ('d', 27, -1, 0), ('e', 21, 1235, 0), ('g', 303, -1, 0), ('i', -1, 1092, 0), ('j', 28, -1, 0), ('k', -1, 775, 0), ('l', 21, -1, 0), ('m', 184, -1, 0), ('n', 21, -1, 0), ('o', 1, 150, 0), ('p', 11, -1, 0), ('r', -1, 651, 0), ('s', 463, -1, 0), ('t', -1, 1092, 0), ('u', 21, -1, 0), ('w', -1, 606, 0), ('y', -1, 47, 0), ('z', 242, 2185, 0), ('ó', 21, -1, 0), ('ź', 28, -1, 0)), (('a', 73, -1, 0), ('b', -1, 2256, 0), ('c', 73, -1, 0), ('d', -1, 1445, 0), ('e', -1, 3316, 0), ('g', -1, 3295, 0), ('h', -1, 486, 0), ('i', 73, -1, 0), ('k', -1, 4415, 0), ('l', 73, -1, 0), ('m', 73, -1, 0), ('o', 73, -1, 0), ('p', 73, -1, 0), ('r', 73, -1, 0), ('s', 73, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', -1, 2328, 0), ('ś', -1, 2642, 0), ('ź', -1, 3297, 0), ('ż', 73, -1, 0)), (('a', -1, 2037, 0), ('d', 57, -1, 0), ('e', 57, -1, 0), ('i', 157, -1, 0), ('j', 3, -1, 0), ('o', 7, 2037, 0), ('r', 73, -1, 0), ('s', 28, -1, 0), ('t', 157, -1, 0), ('u', 73, -1, 0), ('w', 7, -1, 0), ('y', -1, 2257, 0), ('z', 7, -1, 0), ('ó', 73, -1, 0), ('ą', 73, -1, 0)), (('a', -1, 1326, 0), ('e', -1, 2083, 0), ('i', -1, 2089, 0), ('j', 0, -1, 0), ('k', -1, 1852, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 2258, 0), ('o', -1, 1084, 0), ('p', -1, 2083, 0), ('r', -1, 1662, 0), ('s', -1, 2262, 0), ('u', 0, -1, 0), ('w', 7, -1, 0), ('y', 0, -1, 0), ('z', 57, -1, 0), ('ą', 0, -1, 0), ('ę', 41, -1, 0)), (('a', 41, 1190, 0), ('c', 41, 449, 0), ('d', 185, -1, 0), ('e', -1, 1296, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 190, 0), ('i', -1, 1624, 0), ('j', 445, -1, 0), ('k', -1, 2259, 0), ('l', 0, -1, 0), ('m', -1, 1625, 0), ('o', 0, -1, 0), ('p', 0, 1417, 0), ('r', 0, 2260, 0), ('s', 0, 1434, 0), ('t', 0, -1, 0), ('w', 4, -1, 0), ('y', 179, -1, 0), ('z', 0, -1, 0), ('ł', 41, -1, 0)), (('a', 1, -1, 0), ('b', 4, -1, 0), ('e', 4, -1, 0), ('o', 4, -1, 0), ('s', 4, -1, 0), ('w', 1, 10, 0), ('y', -1, 51, 0), ('z', 4, -1, 0)), (('a', -1, 2170, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 22, -1, 0), ('e', -1, 1904, 0), ('i', -1, 747, 0), ('k', -1, 2198, 0), ('l', 3, -1, 0), ('n', -1, 2261, 0), ('o', -1, 767, 0), ('r', 3, -1, 0), ('s', -1, 1052, 0), ('t', 0, -1, 0), ('w', 6, -1, 0), ('y', 41, -1, 0), ('z', -1, 1591, 0), ('ł', 22, -1, 0)), (('a', 1, -1, 0), ('c', 6, -1, 0), ('e', -1, 1719, 0), ('i', 21, -1, 0), ('m', 26, -1, 0), ('o', 1, -1, 0), ('r', -1, 28, 0), ('s', 6, -1, 0), ('t', 37, -1, 0), ('u', 1, -1, 0), ('y', 26, -1, 0), ('z', 177, -1, 0)), (('a', -1, 454, 0), ('b', 41, -1, 0), ('c', -1, 2263, 0), ('d', -1, 397, 0), ('e', -1, 886, 0), ('i', -1, 1990, 0), ('k', 6, -1, 0), ('l', -1, 1938, 0), ('m', 82, -1, 0), ('o', 0, -1, 0), ('p', -1, 666, 0), ('r', 104, -1, 0), ('s', 0, 2089, 0), ('t', 108, -1, 0), ('u', -1, 40, 0), ('w', -1, 3334, 0), ('y', 208, -1, 0), ('z', 64, -1, 0)), (('a', 55, -1, 0), ('b', -1, 1432, 0), ('d', 41, 504, 0), ('e', 0, -1, 0), ('g', -1, 2264, 0), ('h', 0, -1, 0), ('i', -1, 2480, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 2238, 0), ('n', -1, 2084, 0), ('o', 71, 891, 0), ('p', 0, -1, 0), ('r', 41, 1854, 0), ('s', -1, 3994, 0), ('t', -1, 1696, 0), ('u', 12, -1, 0), ('w', 0, -1, 0), ('y', 12, -1, 0), ('z', 0, -1, 0), ('ł', -1, 700, 0)), (('a', 55, -1, 0), ('b', -1, 2265, 0), ('c', 22, 2266, 0), ('d', 5, -1, 0), ('e', -1, 1816, 0), ('i', 70, -1, 0), ('k', -1, 2705, 0), ('l', 0, -1, 0), ('m', 22, -1, 0), ('n', -1, 2575, 0), ('o', 5, -1, 0), ('p', 22, -1, 0), ('r', 70, -1, 0), ('s', -1, 2813, 0), ('u', -1, 384, 0), ('w', -1, 2903, 0), ('y', 0, -1, 0), ('z', 22, -1, 0), ('ę', 70, -1, 0), ('ł', 70, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('i', -1, 2013, 0), ('k', 174, -1, 0), ('l', 23, -1, 0), ('o', 5, -1, 0), ('r', 84, -1, 0), ('s', 5, -1, 0), ('t', 23, -1, 0), ('u', 22, -1, 0), ('y', 5, -1, 0), ('z', 23, -1, 0), ('ą', 5, -1, 0), ('ę', 22, -1, 0), ('ź', 84, -1, 0), ('ż', 84, -1, 0)), (('a', 84, -1, 0), ('d', 30, -1, 0), ('e', -1, 832, 0), ('i', -1, 2267, 0), ('j', 3, 2268, 0), ('k', 22, -1, 0), ('l', 22, 540, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 108, 2269, 0), ('p', 3, 399, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('w', 3, -1, 0), ('y', 84, -1, 0), ('z', 3, 45, 0), ('ł', 3, -1, 0), ('ż', 22, -1, 0)), (('a', 22, -1, 0), ('e', 84, -1, 0), ('g', 2, -1, 0), ('h', 3, -1, 0), ('i', -1, 26, 0), ('j', 2, -1, 0), ('k', 22, -1, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 22, -1, 0), ('r', -1, 1361, 0), ('s', 22, -1, 0), ('u', 2, -1, 0), ('w', 85, -1, 0), ('y', 2, -1, 0), ('z', 3, -1, 0)), (('a', -1, 1015, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 375, 0), ('g', 2, -1, 0), ('i', 12, -1, 0), ('k', 2, -1, 0), ('o', 3, -1, 0), ('p', 22, -1, 0), ('r', 12, -1, 0), ('s', 3, -1, 0), ('t', -1, 399, 0), ('u', 12, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0)), (('a', -1, 1324, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 2270, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 3, -1, 0), ('j', 5, -1, 0), ('l', -1, 2271, 0), ('m', -1, 2161, 0), ('n', 5, -1, 0), ('o', 57, -1, 0), ('r', -1, 896, 0), ('s', 7, -1, 0), ('t', 5, -1, 0), ('w', -1, 264, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 900, 0), ('ź', -1, 763, 0), ('ż', 5, -1, 0)), (('a', -1, 771, 0), ('d', 30, -1, 0), ('e', 5, -1, 0), ('g', 22, -1, 0), ('i', 5, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', 22, -1, 0), ('r', 3, 7, 0), ('s', 180, -1, 0), ('t', 22, -1, 0), ('w', 22, -1, 0), ('z', 23, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 2272, 0), ('b', 3, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', 22, -1, 0), ('i', -1, 732, 0), ('l', 22, -1, 0), ('n', -1, 2274, 0), ('o', -1, 73, 0), ('p', 22, -1, 0), ('r', -1, 2277, 0), ('s', -1, 1865, 0), ('t', -1, 2277, 0), ('w', -1, 1584, 0), ('z', 22, -1, 0), ('ó', 5, -1, 0), ('ł', -1, 787, 0), ('ż', 22, -1, 0)), (('a', -1, 1102, 0), ('b', 47, -1, 0), ('d', -1, 1955, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 2273, 0), ('r', 5, -1, 0), ('s', 40, -1, 0), ('t', 1, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 1, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 1883, 0), ('e', 1, -1, 0), ('i', -1, 994, 0), ('l', 28, -1, 0), ('o', 31, -1, 0), ('r', 28, -1, 0), ('s', 31, -1, 0), ('u', 31, -1, 0), ('w', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 972, 0), ('d', 7, -1, 0), ('e', 57, -1, 0), ('i', -1, 470, 0), ('o', -1, 1017, 0), ('r', -1, 2275, 0), ('w', 7, -1, 0), ('y', -1, 46, 0), ('z', 7, -1, 0), ('ó', 11, -1, 0)), (('a', -1, 1341, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('h', 11, -1, 0), ('i', 7, -1, 0), ('k', 11, -1, 0), ('n', -1, 2276, 0), ('o', -1, 178, 0), ('p', 7, -1, 0), ('r', 11, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ł', -1, 305, 0), ('ż', 7, -1, 0)), (('a', 1, -1, 0), ('b', 6, -1, 0), ('d', 11, -1, 0), ('e', 6, -1, 0), ('i', 1, -1, 0), ('m', 4, -1, 0), ('o', 6, -1, 0), ('p', 4, -1, 0), ('r', 0, -1, 0), ('s', 41, -1, 0), ('t', 41, -1, 0), ('u', 41, -1, 0), ('w', 1, -1, 0), ('y', 6, -1, 0), ('z', 11, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('c', -1, 2267, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('h', 22, -1, 0), ('i', 22, -1, 0), ('l', 22, -1, 0), ('m', 22, -1, 0), ('n', -1, 2278, 0), ('o', 3, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', 28, -1, 0), ('u', -1, 1238, 0), ('w', 22, -1, 0), ('z', -1, 540, 0), ('ó', 22, -1, 0), ('ą', 3, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('h', 22, -1, 0), ('i', 22, -1, 0), ('l', 22, -1, 0), ('m', 22, -1, 0), ('n', -1, 2279, 0), ('o', 22, -1, 0), ('p', 22, -1, 0), ('r', 22, -1, 0), ('t', 22, -1, 0), ('w', 22, -1, 0), ('z', 22, -1, 0), ('ś', 22, -1, 0), ('ź', 22, -1, 0), ('ż', 22, -1, 0)), (('a', 22, -1, 0), ('b', -1, 2280, 0), ('c', 7, -1, 0), ('d', -1, 3323, 0), ('e', -1, 3989, 0), ('f', -1, 3293, 0), ('g', -1, 4410, 0), ('h', -1, 1507, 0), ('i', -1, 2252, 0), ('j', -1, 255, 0), ('k', 7, -1, 0), ('l', -1, 4411, 0), ('m', 7, -1, 0), ('n', -1, 1709, 0), ('o', 22, -1, 0), ('p', 7, -1, 0), ('r', -1, 2978, 0), ('s', 7, -1, 0), ('t', -1, 1814, 0), ('u', 22, -1, 0), ('w', -1, 4413, 0), ('y', 22, -1, 0), ('z', -1, 3914, 0), ('ł', -1, 4306, 0), ('ż', 7, -1, 0)), (('a', -1, 1344, 0), ('b', 41, -1, 0), ('c', -1, 1629, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', -1, 277, 0), ('i', -1, 1931, 0), ('k', 41, -1, 0), ('l', -1, 2281, 0), ('m', 0, -1, 0), ('o', -1, 990, 0), ('p', 41, -1, 0), ('r', 69, -1, 0), ('t', 41, -1, 0), ('u', 7, -1, 0), ('w', 185, -1, 0), ('y', 7, -1, 0), ('z', -1, 3005, 0), ('ą', 7, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 54, 0), ('b', 29, -1, 0), ('c', 29, -1, 0), ('d', 29, -1, 0), ('e', 0, -1, 0), ('h', 29, -1, 0), ('i', -1, 790, 0), ('j', 439, 564, 0), ('k', 0, -1, 0), ('l', 44, -1, 0), ('m', 29, -1, 0), ('n', -1, 2282, 0), ('o', 41, -1, 0), ('p', 4, 508, 0), ('r', 29, -1, 0), ('s', 29, -1, 0), ('t', -1, 3079, 0), ('w', -1, 3193, 0), ('y', 391, -1, 0), ('z', -1, 1132, 0), ('ł', -1, 2333, 0), ('ż', 29, -1, 0)), (('a', -1, 2283, 0), ('b', 29, -1, 0), ('c', 29, -1, 0), ('d', 29, -1, 0), ('e', -1, 2322, 0), ('h', 29, -1, 0), ('i', 29, -1, 0), ('j', 29, -1, 0), ('k', 29, -1, 0), ('l', 29, -1, 0), ('m', 29, -1, 0), ('n', 29, -1, 0), ('o', 2, 637, 0), ('p', 29, -1, 0), ('r', 29, -1, 0), ('s', 29, -1, 0), ('t', 29, -1, 0), ('w', 29, -1, 0), ('y', 29, -1, 0), ('z', 29, -1, 0), ('ś', 29, -1, 0), ('ź', 29, -1, 0), ('ż', 29, -1, 0)), (('a', 1, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 2284, 0), ('e', 1, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', -1, 726, 0), ('i', -1, 2477, 0), ('j', 7, -1, 0), ('k', -1, 2470, 0), ('l', -1, 2490, 0), ('m', 7, -1, 0), ('n', -1, 2479, 0), ('o', -1, 1791, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 4306, 0), ('t', -1, 369, 0), ('u', 1, -1, 0), ('w', -1, 3955, 0), ('z', -1, 2938, 0), ('ł', -1, 752, 0), ('ż', 29, -1, 0)), (('a', 7, -1, 0), ('c', 80, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 2285, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 7, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 399, 0), ('u', 7, -1, 0), ('w', 69, 2123, 0), ('y', -1, 1987, 0), ('z', 7, -1, 0), ('ą', -1, 1786, 0)), (('-', 3, -1, 0), ('a', -1, 317, 0), ('b', 22, -1, 0), ('d', 3, -1, 0), ('e', -1, 2182, 0), ('g', 87, -1, 0), ('i', 3, -1, 0), ('j', -1, 316, 0), ('k', 121, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 0, 310, 0), ('p', 3, -1, 0), ('r', -1, 2050, 0), ('s', -1, 2286, 0), ('t', 22, -1, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('y', -1, 28, 0), ('z', 3, -1, 0)), (('a', 56, -1, 0), ('b', 121, -1, 0), ('c', 11, -1, 0), ('d', -1, 2287, 0), ('e', 2, -1, 0), ('i', 3, -1, 0), ('j', 121, -1, 0), ('m', 121, -1, 0), ('o', 121, -1, 0), ('p', 121, -1, 0), ('r', -1, 3964, 0), ('w', 121, -1, 0), ('z', 2, -1, 0), ('ę', 56, -1, 0), ('ń', 121, -1, 0)), (('a', -1, 2288, 0), ('b', 1, -1, 0), ('e', 297, -1, 0), ('i', -1, 2066, 0), ('k', 1, -1, 0), ('n', 21, 151, 0), ('o', 56, -1, 0), ('p', 1, -1, 0), ('r', 11, -1, 0), ('s', 1, -1, 0), ('t', -1, 2289, 0), ('u', 56, -1, 0), ('w', 21, -1, 0), ('y', 11, -1, 0), ('z', 1, -1, 0), ('ą', 297, -1, 0), ('ę', 297, -1, 0)), (('a', -1, 289, 0), ('b', 57, -1, 0), ('d', 121, -1, 0), ('e', 62, -1, 0), ('g', 121, -1, 0), ('i', 121, -1, 0), ('j', 3, -1, 0), ('k', 297, -1, 0), ('o', 108, -1, 0), ('p', -1, 578, 0), ('r', 62, -1, 0), ('s', 121, -1, 0), ('t', 121, -1, 0), ('u', 129, -1, 0), ('w', 330, -1, 0), ('y', 62, -1, 0), ('z', 59, -1, 0), ('ł', 297, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', -1, 2290, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 1, -1, 0), ('k', 3, -1, 0), ('l', -1, 4409, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('p', 3, -1, 0), ('r', 80, 957, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', 1, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 119, 0), ('d', 2, -1, 0), ('e', -1, 1055, 0), ('i', 3, -1, 0), ('o', 2, -1, 0), ('r', 2, -1, 0), ('t', 3, -1, 0), ('z', -1, 2291, 0)), (('a', 1, -1, 0), ('e', -1, 2292, 0), ('i', -1, 1402, 0), ('o', 1, -1, 0), ('r', -1, 1012, 0), ('u', -1, 613, 0), ('y', -1, 2003, 0), ('z', 192, -1, 0), ('ł', 120, -1, 0)), (('a', 0, -1, 0), ('b', 21, 2251, 0), ('e', -1, 1657, 0), ('i', 120, -1, 0), ('l', 120, -1, 0), ('m', 1, -1, 0), ('o', -1, 11, 0), ('r', 64, -1, 0), ('t', 1, -1, 0), ('u', -1, 2293, 0), ('y', 64, -1, 0), ('z', 21, -1, 0), ('ę', 1, -1, 0)), (('a', 4, -1, 0), ('b', 54, -1, 0), ('c', 2, 2294, 0), ('d', 1, -1, 0), ('e', -1, 340, 0), ('g', 1, -1, 0), ('i', 4, -1, 0), ('k', 55, 1144, 0), ('l', 4, -1, 0), ('m', 4, -1, 0), ('n', 1, -1, 0), ('o', 4, -1, 0), ('p', 54, -1, 0), ('r', 4, -1, 0), ('s', 4, -1, 0), ('t', 4, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ą', 4, -1, 0), ('ę', -1, 840, 0), ('ł', 4, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1865, 0), ('e', -1, 2295, 0), ('f', 2, -1, 0), ('i', -1, 2308, 0), ('k', 2, -1, 0), ('n', -1, 2309, 0), ('o', -1, 4201, 0), ('r', -1, 4408, 0), ('s', -1, 1520, 0), ('u', -1, 3119, 0), ('w', 2, -1, 0), ('y', -1, 2608, 0), ('z', -1, 1939, 0), ('ą', -1, 1290, 0), ('ę', -1, 3317, 0), ('ł', 3, -1, 0)), (('a', 5, -1, 0), ('c', 22, -1, 0), ('d', 5, -1, 0), ('e', -1, 2296, 0), ('h', 87, -1, 0), ('i', 22, -1, 0), ('j', 22, -1, 0), ('l', -1, 1690, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 5, -1, 0), ('r', -1, 970, 0), ('s', -1, 976, 0), ('u', 22, -1, 0), ('y', 5, -1, 0), ('z', 22, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 2297, 0), ('b', 105, -1, 0), ('d', 5, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('m', -1, 1082, 0), ('o', 44, -1, 0), ('p', 44, -1, 0), ('r', 44, -1, 0), ('s', -1, 2307, 0), ('t', 105, -1, 0), ('u', 44, -1, 0), ('w', 105, -1, 0), ('y', 1, -1, 0), ('z', 5, 1849, 0), ('ź', 44, -1, 0)), (('a', -1, 1645, 0), ('d', -1, 775, 0), ('e', -1, 27, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('n', -1, 797, 0), ('o', -1, 874, 0), ('p', 80, 1365, 0), ('r', 29, -1, 0), ('s', 7, -1, 0), ('t', 22, 1133, 0), ('u', 22, -1, 0), ('w', -1, 2298, 0), ('z', 0, 288, 0), ('ą', -1, 1292, 0), ('ł', 7, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 1, -1, 0), ('d', -1, 1786, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 2299, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 28, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 404, 0), ('t', 28, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 28, -1, 0), ('ę', -1, 1264, 0), ('ł', -1, 664, 0)), (('a', -1, 2300, 0), ('b', 1, -1, 0), ('c', 22, -1, 0), ('d', -1, 1166, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 12, -1, 0), ('i', -1, 357, 0), ('j', 96, -1, 0), ('k', 12, -1, 0), ('l', -1, 717, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 6, -1, 0), ('p', 1, -1, 0), ('r', -1, 598, 0), ('s', 22, 1133, 0), ('t', -1, 169, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 1780, 0), ('ł', 6, -1, 0)), (('a', -1, 283, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 793, 0), ('h', 0, -1, 0), ('i', 6, -1, 0), ('j', -1, 1119, 0), ('k', 6, -1, 0), ('l', -1, 2301, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', -1, 1487, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 22, 46, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 17, -1, 0), ('y', 0, -1, 0), ('z', 376, -1, 0), ('ó', 6, -1, 0)), (('a', -1, 2250, 0), ('b', 1, -1, 0), ('d', -1, 2302, 0), ('e', -1, 2303, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, 241, 0), ('p', 1, -1, 0), ('r', -1, 2306, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0)), (('a', 40, -1, 0), ('e', 82, -1, 0), ('i', 227, -1, 0), ('k', 1, 2304, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 40, -1, 0), ('o', 40, -1, 0), ('r', 414, -1, 0), ('s', 40, -1, 0), ('y', 40, -1, 0), ('z', 0, -1, 0)), (('a', -1, 687, 0), ('b', 5, -1, 0), ('d', -1, 2305, 0), ('e', -1, 1468, 0), ('g', 5, -1, 0), ('i', -1, 1032, 0), ('j', 5, -1, 0), ('k', 3, -1, 0), ('m', 3, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 40, -1, 0), ('t', 5, -1, 0), ('u', 3, -1, 0), ('w', 55, 188, 0), ('y', 5, -1, 0), ('z', 22, -1, 0), ('ę', 3, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('b', 2, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 28, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', 5, -1, 0), ('r', 2, -1, 0), ('t', 3, -1, 0), ('y', -1, 1673, 0), ('z', 5, -1, 0), ('ł', 2, -1, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 2302, 0), ('k', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0)), (('a', 8, -1, 0), ('e', 100, -1, 0), ('g', 10, -1, 0), ('i', -1, 1969, 0), ('k', 40, -1, 0), ('m', 22, -1, 0), ('n', 94, -1, 0), ('o', -1, 2105, 0), ('r', 40, -1, 0), ('u', -1, 1352, 0), ('y', 10, -1, 0), ('z', 10, -1, 0), ('ł', 40, -1, 0)), (('a', 22, -1, 0), ('b', 22, -1, 0), ('e', -1, 1016, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('l', -1, 316, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 45, 0), ('p', 3, -1, 0), ('r', -1, 1321, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('z', 3, -1, 0), ('ę', 3, -1, 0)), (('a', -1, 2135, 0), ('b', 7, -1, 0), ('e', 2, -1, 0), ('g', 7, -1, 0), ('i', -1, 2310, 0), ('j', 7, -1, 0), ('k', 2, 165, 0), ('m', 2, -1, 0), ('n', 7, -1, 0), ('o', 237, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('y', 22, -1, 0), ('z', 57, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 2298, 0), ('b', 21, -1, 0), ('d', 6, -1, 0), ('e', -1, 2311, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 21, -1, 0), ('l', 1, -1, 0), ('m', 96, 545, 0), ('n', 21, -1, 0), ('o', -1, 1269, 0), ('p', 1, 421, 0), ('r', 0, -1, 0), ('s', 7, -1, 0), ('t', 21, -1, 0), ('u', 6, -1, 0), ('w', -1, 2312, 0), ('y', -1, 950, 0), ('z', 6, -1, 0), ('ą', -1, 780, 0), ('ł', 21, -1, 0)), (('a', -1, 886, 0), ('d', -1, 2308, 0), ('e', -1, 1893, 0), ('i', 0, -1, 0), ('k', 185, -1, 0), ('l', 2, -1, 0), ('m', 0, -1, 0), ('n', -1, 737, 0), ('o', -1, 1518, 0), ('p', -1, 1819, 0), ('r', 0, -1, 0), ('s', -1, 449, 0), ('t', 28, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 735, 0), ('ą', 0, -1, 0), ('ę', -1, 504, 0), ('ł', 0, -1, 0)), (('a', -1, 2313, 0), ('d', 12, -1, 0), ('e', 21, -1, 0), ('f', 2, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 28, -1, 0), ('l', 1, -1, 0), ('m', -1, 156, 0), ('o', -1, 2408, 0), ('p', -1, 488, 0), ('r', 21, -1, 0), ('s', 2, 6, 0), ('t', 28, -1, 0), ('w', -1, 1836, 0), ('y', -1, 436, 0), ('z', -1, 350, 0)), (('a', 6, -1, 0), ('d', -1, 2268, 0), ('e', -1, 886, 0), ('g', 21, -1, 0), ('i', 6, -1, 0), ('k', -1, 2314, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 0, -1, 0), ('p', 330, 1151, 0), ('r', -1, 106, 0), ('s', 330, -1, 0), ('t', 1, -1, 0), ('u', 12, -1, 0), ('w', 108, -1, 0), ('y', 6, -1, 0), ('z', -1, 33, 0), ('ó', 0, -1, 0), ('ę', 5, -1, 0)), (('a', 5, -1, 0), ('b', 10, -1, 0), ('c', 10, -1, 0), ('d', 10, -1, 0), ('e', 92, -1, 0), ('f', 10, -1, 0), ('g', 10, -1, 0), ('h', 10, -1, 0), ('i', 10, -1, 0), ('j', -1, 2315, 0), ('k', -1, 2316, 0), ('l', 10, -1, 0), ('m', -1, 2317, 0), ('n', -1, 2307, 0), ('o', 0, 223, 0), ('p', 10, -1, 0), ('r', -1, 3992, 0), ('s', 10, -1, 0), ('t', -1, 2813, 0), ('u', 92, -1, 0), ('w', -1, 4407, 0), ('y', 5, -1, 0), ('z', -1, 3546, 0), ('ł', 10, -1, 0), ('ż', 10, -1, 0)), (('a', 10, -1, 0), ('e', 10, -1, 0), ('i', 10, -1, 0), ('j', 40, -1, 0), ('k', 40, -1, 0), ('m', 40, -1, 0), ('o', 92, -1, 0), ('p', 40, -1, 0), ('r', 40, -1, 0), ('s', 3, -1, 0), ('t', 1, -1, 0), ('u', 10, -1, 0), ('y', 10, -1, 0), ('z', 92, -1, 0), ('ł', 3, -1, 0)), (('a', 10, -1, 0), ('e', 10, -1, 0), ('i', 10, -1, 0), ('o', 10, -1, 0), ('r', 10, -1, 0), ('s', 10, -1, 0), ('t', 10, -1, 0), ('u', 10, -1, 0), ('y', -1, 1063, 0), ('z', 10, -1, 0), ('ą', 10, -1, 0), ('ć', 10, -1, 0), ('ę', 10, -1, 0)), (('a', 10, -1, 0), ('e', -1, 2318, 0), ('g', -1, 2320, 0), ('h', 40, -1, 0), ('i', 92, -1, 0), ('j', 40, -1, 0), ('k', 40, -1, 0), ('l', 47, -1, 0), ('o', 10, -1, 0), ('r', -1, 2321, 0), ('s', 40, -1, 0), ('t', -1, 1447, 0), ('u', 10, -1, 0), ('y', 10, -1, 0), ('z', 40, -1, 0), ('ł', 40, -1, 0), ('ż', 40, -1, 0)), (('a', -1, 539, 0), ('c', 12, -1, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('i', 47, -1, 0), ('o', -1, 1925, 0), ('r', 54, -1, 0), ('t', -1, 2319, 0), ('u', 136, -1, 0), ('w', 136, -1, 0), ('z', 12, 425, 0)), (('a', 292, -1, 0), ('e', 40, -1, 0), ('i', 82, -1, 0), ('o', 292, -1, 0), ('r', 65, -1, 0), ('s', 5, -1, 0), ('u', 238, -1, 0), ('y', 154, -1, 0), ('ł', 65, -1, 0)), (('a', 294, -1, 0), ('e', 47, -1, 0), ('i', 40, -1, 0), ('o', 294, -1, 0), ('r', 67, -1, 0), ('s', 5, -1, 0), ('u', 47, -1, 0), ('y', 151, -1, 0), ('ł', 67, -1, 0)), (('-', 3, -1, 0), ('a', 1, -1, 0), ('b', 79, -1, 0), ('c', 0, -1, 0), ('d', 22, -1, 0), ('e', 55, 239, 0), ('i', -1, 696, 0), ('k', 3, -1, 0), ('l', -1, 367, 0), ('o', 1, -1, 0), ('p', 40, -1, 0), ('r', 64, -1, 0), ('s', 0, -1, 0), ('t', 3, -1, 0), ('u', 40, -1, 0), ('w', 79, -1, 0), ('y', -1, 2322, 0), ('z', 22, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 1743, 0), ('ł', 3, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 30, -1, 0), ('d', 30, -1, 0), ('e', -1, 1024, 0), ('g', 21, -1, 0), ('i', -1, 558, 0), ('l', -1, 2323, 0), ('m', 3, -1, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 22, -1, 0), ('u', 21, -1, 0), ('w', 30, -1, 0), ('z', 1, 2008, 0), ('ł', 1, -1, 0), ('ż', 79, -1, 0)), (('a', 7, -1, 0), ('d', 108, -1, 0), ('e', 7, -1, 0), ('h', 108, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', -1, 1050, 0), ('l', 7, -1, 0), ('o', -1, 1903, 0), ('p', 108, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', -1, 2324, 0), ('w', 108, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ó', -1, 3047, 0), ('ą', 7, -1, 0), ('ę', 5, -1, 0), ('ż', 108, -1, 0)), (('a', -1, 2325, 0), ('c', 69, -1, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('f', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('k', -1, 2507, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 33, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 228, -1, 0), ('t', 7, -1, 0), ('u', 21, -1, 0), ('w', 7, -1, 0), ('z', -1, 2240, 0), ('ó', -1, 14, 0), ('ł', 7, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 31, 0), ('b', -1, 356, 0), ('c', 28, -1, 0), ('d', 21, -1, 0), ('e', -1, 361, 0), ('i', -1, 284, 0), ('j', 105, -1, 0), ('k', 105, -1, 0), ('l', -1, 2326, 0), ('m', -1, 2535, 0), ('n', -1, 1479, 0), ('o', -1, 815, 0), ('p', -1, 908, 0), ('r', 105, -1, 0), ('s', -1, 797, 0), ('t', -1, 4, 0), ('u', -1, 258, 0), ('w', -1, 356, 0), ('y', -1, 595, 0), ('z', -1, 1694, 0), ('ó', 105, -1, 0), ('ą', 13, -1, 0), ('ę', 105, -1, 0), ('ż', 105, -1, 0)), (('a', 0, -1, 0), ('c', -1, 2327, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', -1, 2483, 0), ('j', -1, 514, 0), ('k', 1, -1, 0), ('l', -1, 1201, 0), ('m', -1, 299, 0), ('n', 21, 179, 0), ('o', -1, 1693, 0), ('p', -1, 733, 0), ('r', -1, 265, 0), ('s', 1, -1, 0), ('t', -1, 1700, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 21, 3739, 0), ('ł', -1, 793, 0), ('ż', 21, 2363, 0)), (('a', 14, -1, 0), ('b', 3, 2328, 0), ('d', 22, -1, 0), ('e', 14, -1, 0), ('f', -1, 1446, 0), ('g', 3, 1423, 0), ('i', 14, -1, 0), ('k', 3, -1, 0), ('l', 303, -1, 0), ('m', 22, -1, 0), ('n', 21, -1, 0), ('o', 14, -1, 0), ('p', 3, -1, 0), ('r', 14, -1, 0), ('s', -1, 2329, 0), ('t', -1, 2705, 0), ('u', -1, 890, 0), ('w', -1, 3074, 0), ('y', 14, -1, 0), ('z', 11, -1, 0), ('ó', -1, 3008, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0), ('ł', -1, 733, 0)), (('a', 3, -1, 0), ('d', 22, -1, 0), ('e', -1, 1402, 0), ('h', 0, -1, 0), ('i', 185, -1, 0), ('j', 22, -1, 0), ('k', 87, -1, 0), ('m', 87, -1, 0), ('n', 87, -1, 0), ('o', -1, 926, 0), ('r', -1, 1109, 0), ('u', 87, -1, 0), ('z', -1, 222, 0), ('ł', 73, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 70, 0), ('g', 22, -1, 0), ('h', 22, -1, 0), ('i', -1, 2330, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('l', 158, -1, 0), ('o', 1, 1644, 0), ('r', -1, 514, 0), ('s', 22, -1, 0), ('t', -1, 1340, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 22, -1, 0), ('ę', 5, -1, 0), ('ł', 22, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 2331, 0), ('d', 194, -1, 0), ('e', -1, 1341, 0), ('h', 177, -1, 0), ('i', -1, 1554, 0), ('k', 26, -1, 0), ('m', 30, -1, 0), ('o', -1, 841, 0), ('p', 69, -1, 0), ('r', -1, 1683, 0), ('s', -1, 3177, 0), ('t', 17, -1, 0), ('u', -1, 29, 0), ('w', 12, -1, 0), ('y', 52, -1, 0), ('z', -1, 935, 0), ('ą', -1, 1348, 0), ('ę', 17, -1, 0), ('ł', 17, -1, 0)), (('a', 6, -1, 0), ('d', 4, -1, 0), ('e', -1, 2332, 0), ('g', 17, -1, 0), ('h', -1, 1930, 0), ('i', -1, 2293, 0), ('k', 52, -1, 0), ('l', 52, -1, 0), ('m', 54, -1, 0), ('o', -1, 2867, 0), ('p', 200, -1, 0), ('r', -1, 348, 0), ('s', 3, 553, 0), ('t', -1, 952, 0), ('u', 6, -1, 0), ('w', 17, -1, 0), ('y', 6, -1, 0), ('z', 4, -1, 0), ('ę', 6, -1, 0), ('ł', 52, 1554, 0)), (('a', -1, 1268, 0), ('c', 7, -1, 0), ('d', -1, 1083, 0), ('e', -1, 549, 0), ('h', 21, -1, 0), ('i', 6, -1, 0), ('j', 80, -1, 0), ('k', 15, -1, 0), ('l', 22, -1, 0), ('m', 30, -1, 0), ('n', 6, -1, 0), ('o', -1, 1781, 0), ('p', 6, -1, 0), ('r', -1, 437, 0), ('s', -1, 2333, 0), ('t', 6, -1, 0), ('u', 3, -1, 0), ('w', -1, 421, 0), ('y', 163, -1, 0), ('z', -1, 528, 0), ('ę', -1, 1196, 0), ('ł', 75, 1724, 0)), (('a', -1, 2334, 0), ('b', 63, -1, 0), ('d', -1, 2335, 0), ('e', -1, 2337, 0), ('g', -1, 1315, 0), ('h', -1, 164, 0), ('i', -1, 407, 0), ('k', -1, 3801, 0), ('o', 7, -1, 0), ('p', -1, 3694, 0), ('r', -1, 2542, 0), ('s', -1, 3482, 0), ('t', 63, -1, 0), ('u', 29, -1, 0), ('y', 29, -1, 0), ('z', -1, 2334, 0)), (('a', 7, -1, 0), ('b', 29, -1, 0), ('d', 31, -1, 0), ('e', -1, 1422, 0), ('f', 29, -1, 0), ('i', -1, 817, 0), ('k', 7, -1, 0), ('l', 6, -1, 0), ('o', 5, -1, 0), ('p', 178, -1, 0), ('r', 63, -1, 0), ('s', -1, 1102, 0), ('t', 29, -1, 0), ('w', 29, -1, 0), ('y', 56, -1, 0), ('z', -1, 660, 0), ('ę', 29, -1, 0), ('ł', 63, -1, 0), ('ż', 29, -1, 0)), (('a', -1, 2336, 0), ('c', 3, -1, 0), ('d', 79, -1, 0), ('e', 0, -1, 0), ('i', -1, 1099, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 37, -1, 0), ('p', 3, -1, 0), ('r', 63, -1, 0), ('s', -1, 607, 0), ('t', 3, -1, 0), ('u', 63, -1, 0), ('w', 65, -1, 0), ('y', 29, -1, 0), ('z', 3, -1, 0), ('ę', 63, -1, 0)), (('a', -1, 121, 0), ('b', -1, 1613, 0), ('d', -1, 1613, 0), ('e', -1, 972, 0), ('g', 3, -1, 0), ('i', 29, -1, 0), ('l', 63, -1, 0), ('m', -1, 860, 0), ('n', -1, 1025, 0), ('o', -1, 844, 0), ('p', 63, 687, 0), ('r', -1, 2073, 0), ('s', 107, 206, 0), ('w', 2, -1, 0), ('z', -1, 849, 0), ('ł', -1, 273, 0), ('ż', -1, 1433, 0)), (('a', -1, 1874, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1509, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('l', 40, -1, 0), ('n', 3, -1, 0), ('o', 5, -1, 0), ('p', 40, -1, 0), ('r', -1, 2338, 0), ('s', 39, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 1867, 0), ('ó', 5, -1, 0), ('ł', 40, -1, 0)), (('a', 29, 15, 0), ('b', -1, 2339, 0), ('c', -1, 3060, 0), ('d', 0, -1, 0), ('e', 41, -1, 0), ('f', 0, -1, 0), ('g', -1, 277, 0), ('i', -1, 1794, 0), ('k', -1, 1379, 0), ('l', -1, 1730, 0), ('m', -1, 643, 0), ('n', -1, 3878, 0), ('o', 41, -1, 0), ('p', -1, 2762, 0), ('r', -1, 155, 0), ('s', 41, -1, 0), ('u', 41, -1, 0), ('w', -1, 1689, 0), ('z', -1, 774, 0)), (('a', -1, 695, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 253, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 1720, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 41, -1, 0), ('p', 0, 2340, 0), ('r', -1, 1262, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 4151, 0), ('z', 0, -1, 0), ('ę', 41, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('m', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, 452, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 2341, 0), ('ą', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 2342, 0), ('c', 41, 2343, 0), ('d', -1, 4000, 0), ('e', -1, 2099, 0), ('g', 399, -1, 0), ('i', -1, 825, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('o', -1, 2767, 0), ('r', -1, 4000, 0), ('s', -1, 4001, 0), ('u', -1, 2506, 0), ('y', -1, 1486, 0), ('z', -1, 3579, 0), ('ę', -1, 2336, 0), ('ł', 3, -1, 0)), (('a', 7, -1, 0), ('d', 29, -1, 0), ('e', -1, 690, 0), ('g', 3, -1, 0), ('i', 7, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 3, -1, 0), ('r', 2, 971, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', -1, 2257, 0), ('ó', 3, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 2344, 0), ('b', 5, -1, 0), ('e', -1, 1604, 0), ('g', 5, -1, 0), ('i', -1, 213, 0), ('j', 2, -1, 0), ('m', 5, -1, 0), ('n', -1, 4406, 0), ('o', 325, 784, 0), ('r', -1, 3706, 0), ('u', 3, -1, 0), ('w', 5, -1, 0), ('y', -1, 2573, 0), ('z', -1, 459, 0), ('ą', 56, -1, 0), ('ń', 3, -1, 0)), (('a', -1, 2345, 0), ('b', 2, -1, 0), ('d', 3, 961, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 3326, 0), ('o', -1, 3197, 0), ('p', 2, -1, 0), ('r', -1, 2740, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0), ('ż', 2, -1, 0)), (('a', 2, 278, 0), ('b', 2, -1, 0), ('e', -1, 2346, 0), ('i', 2, -1, 0), ('l', 3, 81, 0), ('m', 41, -1, 0), ('n', 34, -1, 0), ('o', -1, 3783, 0), ('p', 3, -1, 0), ('r', -1, 2034, 0), ('u', 2, -1, 0), ('z', 2, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 701, 0), ('e', 41, -1, 0), ('f', 2, -1, 0), ('i', -1, 1199, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', -1, 2347, 0), ('n', 28, -1, 0), ('o', -1, 222, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', -1, 2350, 0), ('u', 3, -1, 0), ('w', 28, -1, 0), ('y', 41, -1, 0), ('z', 28, -1, 0), ('ą', -1, 2351, 0), ('ę', 0, -1, 0), ('ł', 28, 1913, 0)), (('a', -1, 163, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 2348, 0), ('g', 6, -1, 0), ('i', 34, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', 6, -1, 0), ('o', -1, 2349, 0), ('p', 6, -1, 0), ('r', -1, 643, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 4, -1, 0), ('w', 6, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 69, -1, 0), ('b', 69, -1, 0), ('d', 5, -1, 0), ('e', 12, -1, 0), ('g', 69, -1, 0), ('i', -1, 55, 0), ('k', 80, -1, 0), ('o', 69, -1, 0), ('r', 69, -1, 0), ('s', 80, -1, 0), ('t', 69, -1, 0), ('u', 69, -1, 0), ('w', 116, 335, 0), ('z', 69, -1, 0), ('ó', 69, -1, 0), ('ą', 69, -1, 0), ('ę', 12, -1, 0)), (('a', 3, -1, 0), ('b', 70, -1, 0), ('c', 0, -1, 0), ('d', 70, -1, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('i', -1, 352, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('o', -1, 1503, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('s', 0, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 70, -1, 0), ('y', 3, -1, 0), ('z', 0, -1, 0), ('ę', 28, -1, 0), ('ś', 70, -1, 0)), (('a', -1, 782, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', -1, 1077, 0), ('o', -1, 2299, 0), ('p', -1, 637, 0), ('r', 6, -1, 0), ('s', 2, 961, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 24, -1, 0), ('b', -1, 2074, 0), ('c', 6, -1, 0), ('d', 24, -1, 0), ('e', 24, -1, 0), ('f', 24, -1, 0), ('g', 24, -1, 0), ('h', -1, 1018, 0), ('i', 24, -1, 0), ('k', 0, 1077, 0), ('l', 2, -1, 0), ('m', 7, 2199, 0), ('n', 28, -1, 0), ('o', -1, 273, 0), ('p', -1, 2352, 0), ('r', -1, 1808, 0), ('s', 6, -1, 0), ('t', -1, 947, 0), ('u', 24, -1, 0), ('w', -1, 1249, 0), ('y', 24, -1, 0), ('z', -1, 175, 0), ('ó', 24, -1, 0)), (('a', 175, -1, 0), ('b', -1, 2353, 0), ('c', -1, 425, 0), ('d', -1, 317, 0), ('e', 24, -1, 0), ('f', 24, -1, 0), ('g', -1, 1778, 0), ('h', -1, 1611, 0), ('i', 24, -1, 0), ('j', 24, -1, 0), ('k', -1, 1051, 0), ('l', -1, 1610, 0), ('m', -1, 2373, 0), ('n', -1, 791, 0), ('o', 7, -1, 0), ('p', -1, 1436, 0), ('r', -1, 2351, 0), ('s', -1, 204, 0), ('t', -1, 903, 0), ('u', 24, -1, 0), ('w', -1, 747, 0), ('y', -1, 644, 0), ('z', -1, 573, 0), ('ł', -1, 926, 0), ('ś', -1, 988, 0), ('ż', 7, 1611, 0)), (('a', 175, -1, 0), ('b', 0, -1, 0), ('c', -1, 2129, 0), ('d', 0, 310, 0), ('e', -1, 798, 0), ('i', 197, -1, 0), ('j', 41, -1, 0), ('k', 41, -1, 0), ('l', 5, -1, 0), ('m', 24, -1, 0), ('o', -1, 2354, 0), ('p', 0, 310, 0), ('r', 24, -1, 0), ('s', -1, 129, 0), ('t', -1, 29, 0), ('u', -1, 2184, 0), ('w', 1, -1, 0), ('y', 24, -1, 0), ('z', -1, 926, 0), ('ą', 175, -1, 0), ('ę', 24, -1, 0), ('ł', 5, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 143, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('k', 41, 584, 0), ('l', -1, 2355, 0), ('m', 6, -1, 0), ('n', 24, -1, 0), ('o', -1, 71, 0), ('p', 6, -1, 0), ('r', -1, 144, 0), ('s', -1, 1486, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 64, -1, 0), ('y', 6, -1, 0), ('z', 197, -1, 0), ('ś', -1, 477, 0)), (('a', -1, 40, 0), ('c', -1, 2356, 0), ('d', -1, 4268, 0), ('e', 43, -1, 0), ('g', 41, -1, 0), ('i', 0, -1, 0), ('o', 41, -1, 0), ('p', 41, -1, 0), ('r', -1, 2994, 0), ('s', -1, 2706, 0), ('u', 0, -1, 0), ('w', 3, -1, 0), ('z', 41, -1, 0)), (('a', -1, 2357, 0), ('d', 106, -1, 0), ('e', -1, 2358, 0), ('i', 106, -1, 0), ('j', 106, -1, 0), ('l', 106, -1, 0), ('o', -1, 2645, 0), ('r', -1, 3460, 0), ('u', -1, 2359, 0), ('y', 106, -1, 0), ('z', -1, 4405, 0), ('ó', 106, -1, 0), ('ą', -1, 2105, 0), ('ę', 106, -1, 0), ('ń', -1, 2564, 0)), (('a', -1, 673, 0), ('b', -1, 539, 0), ('c', 121, -1, 0), ('e', 0, -1, 0), ('i', 3, -1, 0), ('m', 106, -1, 0), ('n', 106, -1, 0), ('o', -1, 449, 0), ('p', 106, -1, 0), ('r', 106, -1, 0), ('s', -1, 2286, 0), ('t', 106, -1, 0), ('u', 41, -1, 0), ('y', -1, 1794, 0), ('z', 121, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0)), (('a', 41, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1774, 0), ('k', 41, -1, 0), ('l', -1, 2359, 0), ('n', 28, -1, 0), ('o', 41, -1, 0), ('r', -1, 1200, 0), ('s', 6, -1, 0), ('t', 2, -1, 0), ('y', 41, -1, 0), ('z', 30, -1, 0), ('ć', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 106, -1, 0), ('d', 106, -1, 0), ('e', -1, 1610, 0), ('h', 2, -1, 0), ('i', -1, 2360, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 4, -1, 0), ('o', 106, -1, 0), ('r', 28, 1706, 0), ('s', 2, -1, 0), ('t', 106, -1, 0), ('u', 2, -1, 0), ('w', 328, -1, 0), ('y', 106, -1, 0), ('z', -1, 2363, 0), ('ó', 28, -1, 0), ('ł', 328, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 483, 0), ('c', 2, -1, 0), ('e', -1, 1449, 0), ('h', 96, -1, 0), ('i', -1, 2361, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 4, -1, 0), ('r', 6, -1, 0), ('s', 57, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 464, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 0, 225, 0), ('d', 3, -1, 0), ('e', -1, 576, 0), ('g', 27, -1, 0), ('i', 101, -1, 0), ('k', 9, -1, 0), ('l', -1, 2362, 0), ('m', 22, -1, 0), ('n', -1, 177, 0), ('o', 5, 386, 0), ('p', 101, -1, 0), ('r', 178, -1, 0), ('s', 101, -1, 0), ('t', -1, 194, 0), ('w', 57, -1, 0), ('y', 22, -1, 0), ('z', 101, -1, 0), ('ł', 101, -1, 0), ('ż', 101, -1, 0)), (('a', 96, -1, 0), ('b', 20, -1, 0), ('c', 41, -1, 0), ('d', 174, -1, 0), ('e', 4, -1, 0), ('i', -1, 47, 0), ('k', 4, -1, 0), ('m', 23, -1, 0), ('o', -1, 444, 0), ('p', 174, -1, 0), ('r', -1, 110, 0), ('s', 41, 385, 0), ('t', 4, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ó', 4, -1, 0), ('ę', 227, -1, 0)), (('a', -1, 391, 0), ('d', -1, 522, 0), ('e', -1, 249, 0), ('h', -1, 926, 0), ('i', 54, -1, 0), ('k', -1, 2364, 0), ('l', 105, -1, 0), ('m', 16, -1, 0), ('n', 6, -1, 0), ('o', -1, 1296, 0), ('p', 16, -1, 0), ('r', -1, 2484, 0), ('s', -1, 1315, 0), ('t', 371, 231, 0), ('u', -1, 485, 0), ('w', 16, -1, 0), ('y', -1, 3803, 0), ('z', 224, -1, 0), ('ą', -1, 2867, 0), ('ę', -1, 2462, 0)), (('a', -1, 1700, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 2365, 0), ('e', -1, 506, 0), ('f', 11, -1, 0), ('g', 11, -1, 0), ('h', -1, 2286, 0), ('i', -1, 1580, 0), ('j', -1, 1857, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 3, 8, 0), ('n', -1, 887, 0), ('o', 3, 891, 0), ('p', 2, 2674, 0), ('r', -1, 2666, 0), ('s', -1, 507, 0), ('t', -1, 4402, 0), ('u', 3, -1, 0), ('w', -1, 4403, 0), ('z', -1, 4404, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 1598, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('i', 206, -1, 0), ('m', 91, -1, 0), ('n', 11, -1, 0), ('o', 11, -1, 0), ('r', 91, -1, 0), ('t', 91, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 56, 2366, 0), ('ą', 11, -1, 0)), (('a', 2, -1, 0), ('c', -1, 2367, 0), ('d', 34, -1, 0), ('e', -1, 2768, 0), ('g', 360, -1, 0), ('i', 11, -1, 0), ('k', 360, -1, 0), ('o', 56, -1, 0), ('r', 34, -1, 0), ('s', -1, 1684, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 2, -1, 0), ('ł', 3, -1, 0)), (('a', 6, -1, 0), ('b', 28, 517, 0), ('e', 6, -1, 0), ('g', 14, -1, 0), ('h', 14, -1, 0), ('i', 262, -1, 0), ('k', 28, -1, 0), ('o', -1, 569, 0), ('r', -1, 2368, 0), ('w', 14, -1, 0), ('z', 34, -1, 0), ('ł', 14, -1, 0)), (('a', 14, -1, 0), ('b', 5, -1, 0), ('d', 14, -1, 0), ('e', 28, -1, 0), ('g', -1, 2369, 0), ('i', -1, 1623, 0), ('l', 4, 2371, 0), ('o', 14, -1, 0), ('r', -1, 233, 0), ('w', 7, 386, 0), ('y', 14, -1, 0), ('z', 14, -1, 0)), (('a', 28, -1, 0), ('b', 14, -1, 0), ('c', -1, 2370, 0), ('d', 13, -1, 0), ('e', -1, 1463, 0), ('i', -1, 21, 0), ('k', 13, -1, 0), ('l', -1, 541, 0), ('m', 0, 225, 0), ('n', 13, -1, 0), ('o', 14, -1, 0), ('p', 13, -1, 0), ('r', 13, -1, 0), ('s', -1, 95, 0), ('t', 11, 1407, 0), ('u', 14, -1, 0), ('w', -1, 155, 0), ('y', -1, 49, 0), ('z', 4, -1, 0), ('ą', 95, -1, 0), ('ę', 6, -1, 0), ('ł', 13, -1, 0), ('ż', 4, -1, 0)), (('a', -1, 1561, 0), ('c', 28, -1, 0), ('e', 5, -1, 0), ('i', -1, 1217, 0), ('j', 28, -1, 0), ('l', -1, 1717, 0), ('o', -1, 1861, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 117, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 1629, 0), ('ą', 5, -1, 0), ('ż', 28, -1, 0)), (('a', 4, -1, 0), ('c', 82, -1, 0), ('d', 4, -1, 0), ('e', 40, -1, 0), ('i', 40, -1, 0), ('l', -1, 794, 0), ('n', 40, -1, 0), ('o', 12, -1, 0), ('p', 2, -1, 0), ('r', -1, 2372, 0), ('u', 40, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 2373, 0), ('c', 21, -1, 0), ('d', 3, -1, 0), ('e', -1, 280, 0), ('i', -1, 892, 0), ('k', 40, -1, 0), ('l', -1, 1113, 0), ('n', -1, 2511, 0), ('o', -1, 842, 0), ('p', 21, -1, 0), ('r', -1, 3310, 0), ('s', -1, 651, 0), ('u', -1, 117, 0), ('w', 1, -1, 0), ('y', -1, 2128, 0), ('z', -1, 1987, 0), ('ę', -1, 1025, 0), ('ł', -1, 996, 0)), (('a', -1, 2374, 0), ('b', 3, -1, 0), ('c', -1, 2375, 0), ('d', -1, 1526, 0), ('e', 24, -1, 0), ('i', 24, -1, 0), ('j', 24, -1, 0), ('k', 80, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('o', 24, -1, 0), ('p', -1, 2669, 0), ('r', 24, -1, 0), ('s', -1, 1966, 0), ('t', 24, -1, 0), ('u', -1, 2543, 0), ('w', -1, 398, 0), ('y', -1, 2374, 0), ('z', 24, -1, 0), ('ł', -1, 314, 0)), (('a', 21, -1, 0), ('b', 0, 225, 0), ('c', 24, -1, 0), ('d', -1, 204, 0), ('e', 1, -1, 0), ('g', 24, -1, 0), ('h', 24, -1, 0), ('i', -1, 274, 0), ('k', 24, 1002, 0), ('l', 24, -1, 0), ('m', 24, -1, 0), ('n', 24, -1, 0), ('o', -1, 46, 0), ('p', -1, 650, 0), ('r', 24, -1, 0), ('s', 24, -1, 0), ('t', 24, -1, 0), ('u', -1, 1119, 0), ('w', -1, 677, 0), ('y', 24, -1, 0), ('z', 175, -1, 0), ('ł', 175, -1, 0)), (('a', -1, 2376, 0), ('b', 6, -1, 0), ('d', 15, -1, 0), ('e', 6, -1, 0), ('i', 64, -1, 0), ('k', 15, -1, 0), ('n', 15, -1, 0), ('o', 6, -1, 0), ('p', 15, -1, 0), ('r', -1, 1313, 0), ('s', -1, 2159, 0), ('u', -1, 1100, 0), ('w', -1, 1184, 0), ('y', 6, -1, 0), ('z', 64, -1, 0), ('ę', 64, -1, 0), ('ł', 15, -1, 0)), (('a', -1, 2377, 0), ('d', -1, 1219, 0), ('e', -1, 1252, 0), ('h', 6, -1, 0), ('i', -1, 3287, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('o', -1, 2849, 0), ('r', 6, -1, 0), ('t', 2, -1, 0), ('u', -1, 3795, 0), ('y', 3, -1, 0), ('z', 120, 1093, 0), ('ó', -1, 1972, 0), ('ł', 6, -1, 0)), (('a', -1, 1616, 0), ('b', 2, 288, 0), ('c', 83, -1, 0), ('d', -1, 270, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('h', 2, -1, 0), ('i', -1, 375, 0), ('j', -1, 2052, 0), ('k', -1, 2378, 0), ('l', -1, 2382, 0), ('m', -1, 2383, 0), ('n', 3, -1, 0), ('o', -1, 890, 0), ('p', 3, -1, 0), ('r', -1, 2387, 0), ('s', -1, 3514, 0), ('t', -1, 4400, 0), ('u', 2, -1, 0), ('w', -1, 2207, 0), ('z', -1, 1288, 0), ('ó', 7, -1, 0), ('ż', 3, -1, 0)), (('a', 15, -1, 0), ('e', 15, -1, 0), ('i', 83, -1, 0), ('l', 83, -1, 0), ('n', -1, 1355, 0), ('o', -1, 2379, 0), ('p', 3, -1, 0), ('r', -1, 1539, 0), ('s', 83, -1, 0), ('u', 83, -1, 0), ('w', 83, -1, 0), ('y', 83, -1, 0), ('z', 83, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 2380, 0), ('d', 15, -1, 0), ('e', -1, 175, 0), ('i', -1, 1869, 0), ('k', 15, -1, 0), ('l', 7, -1, 0), ('n', 15, -1, 0), ('o', -1, 1360, 0), ('p', 15, -1, 0), ('r', 15, -1, 0), ('u', 2, -1, 0), ('w', -1, 1184, 0), ('y', 2, -1, 0), ('z', 7, -1, 0), ('ą', -1, 1240, 0), ('ł', 15, -1, 0)), (('a', -1, 1226, 0), ('d', 11, -1, 0), ('e', -1, 1081, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('k', 28, -1, 0), ('l', 11, -1, 0), ('o', 223, -1, 0), ('p', 2, -1, 0), ('r', -1, 2381, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 223, -1, 0), ('w', 2, -1, 0), ('y', 11, -1, 0), ('z', 223, -1, 0), ('ł', 2, -1, 0)), (('a', 6, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 55, -1, 0), ('g', 28, -1, 0), ('h', 0, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', -1, 1698, 0), ('n', 28, -1, 0), ('o', 6, -1, 0), ('p', -1, 1125, 0), ('r', -1, 1091, 0), ('s', 28, -1, 0), ('t', -1, 116, 0), ('u', 17, 612, 0), ('w', 0, -1, 0), ('y', 6, -1, 0), ('z', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 3, -1, 0), ('d', -1, 1833, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('o', 97, -1, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 3, -1, 0), ('ś', 83, -1, 0)), (('a', -1, 19, 0), ('b', 0, -1, 0), ('e', -1, 2384, 0), ('f', 41, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 41, -1, 0), ('r', 0, -1, 0), ('s', 2, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 2385, 0), ('ę', 5, -1, 0), ('ł', -1, 2386, 0)), (('a', -1, 399, 0), ('e', 84, -1, 0), ('f', 3, -1, 0), ('g', 22, -1, 0), ('i', -1, 1415, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('n', 22, -1, 0), ('o', -1, 1819, 0), ('p', 3, -1, 0), ('r', 1, 1288, 0), ('t', 22, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 242, 0), ('b', 28, -1, 0), ('c', 83, -1, 0), ('d', 95, 355, 0), ('e', -1, 723, 0), ('i', -1, 695, 0), ('k', 28, -1, 0), ('l', -1, 1607, 0), ('m', 4, -1, 0), ('o', -1, 879, 0), ('p', 28, -1, 0), ('r', -1, 965, 0), ('s', 2, -1, 0), ('t', 28, -1, 0), ('u', 34, -1, 0), ('w', 0, 225, 0), ('y', -1, 100, 0), ('z', -1, 1810, 0)), (('a', 9, -1, 0), ('b', 0, -1, 0), ('d', 9, -1, 0), ('e', -1, 854, 0), ('i', 9, -1, 0), ('j', 0, -1, 0), ('k', 5, 231, 0), ('l', 9, -1, 0), ('m', 101, -1, 0), ('o', 9, -1, 0), ('p', 1, 15, 0), ('r', 101, -1, 0), ('s', -1, 943, 0), ('t', 0, -1, 0), ('u', 9, -1, 0), ('w', 41, -1, 0), ('y', 9, -1, 0), ('z', 101, -1, 0), ('ą', 9, -1, 0), ('ę', 9, -1, 0)), (('a', -1, 558, 0), ('d', 7, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('i', 3, -1, 0), ('l', 14, -1, 0), ('n', 2, -1, 0), ('o', -1, 2388, 0), ('p', 14, -1, 0), ('r', -1, 2184, 0), ('s', 3, -1, 0), ('t', -1, 1810, 0), ('u', 83, -1, 0), ('w', 14, -1, 0), ('y', -1, 1436, 0), ('z', -1, 2389, 0)), (('a', -1, 1983, 0), ('b', 22, -1, 0), ('d', -1, 530, 0), ('e', -1, 299, 0), ('i', -1, 1613, 0), ('j', 3, -1, 0), ('l', 7, -1, 0), ('o', -1, 145, 0), ('p', 3, -1, 0), ('r', 80, -1, 0), ('s', 3, 15, 0), ('u', 1, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0)), (('a', -1, 2390, 0), ('b', 3, -1, 0), ('c', 22, -1, 0), ('d', 14, 545, 0), ('e', -1, 2392, 0), ('g', 85, -1, 0), ('h', -1, 460, 0), ('i', 1, -1, 0), ('k', 41, 632, 0), ('l', 166, -1, 0), ('m', 41, -1, 0), ('n', 3, -1, 0), ('o', -1, 2393, 0), ('p', 14, -1, 0), ('r', -1, 1697, 0), ('s', 3, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 85, -1, 0), ('y', -1, 3268, 0), ('z', -1, 2311, 0), ('ł', 166, 2711, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 106, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 1546, 0), ('k', 1, -1, 0), ('l', 79, -1, 0), ('m', 106, -1, 0), ('n', 106, -1, 0), ('o', -1, 1437, 0), ('p', 0, 239, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', -1, 658, 0), ('u', 33, -1, 0), ('w', -1, 2391, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 21, -1, 0), ('ł', 28, -1, 0)), (('a', 55, -1, 0), ('b', 0, -1, 0), ('d', -1, 785, 0), ('e', 5, -1, 0), ('g', 12, -1, 0), ('i', 116, -1, 0), ('m', 12, -1, 0), ('o', -1, 2090, 0), ('p', 207, -1, 0), ('r', 116, -1, 0), ('s', 92, -1, 0), ('t', 12, -1, 0), ('u', 55, -1, 0), ('w', 5, 545, 0), ('y', -1, 697, 0), ('z', 12, -1, 0), ('ż', 12, -1, 0)), (('a', -1, 1989, 0), ('d', 79, -1, 0), ('e', 215, -1, 0), ('f', 1, -1, 0), ('h', 1, -1, 0), ('i', 79, -1, 0), ('l', 1, -1, 0), ('m', 6, -1, 0), ('n', 5, -1, 0), ('o', -1, 1002, 0), ('p', -1, 1941, 0), ('r', 0, 288, 0), ('s', 0, 288, 0), ('w', 6, -1, 0), ('z', -1, 640, 0), ('ż', 1, -1, 0)), (('a', -1, 116, 0), ('c', -1, 2394, 0), ('d', -1, 2713, 0), ('e', 119, -1, 0), ('g', 1, -1, 0), ('i', -1, 114, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', 7, -1, 0), ('p', 0, 359, 0), ('r', -1, 548, 0), ('s', -1, 3215, 0), ('u', 3, -1, 0), ('w', 79, -1, 0), ('y', -1, 196, 0), ('z', -1, 3631, 0)), (('a', -1, 1101, 0), ('d', 108, -1, 0), ('e', -1, 2073, 0), ('i', 108, -1, 0), ('j', 108, -1, 0), ('l', 108, -1, 0), ('o', 108, -1, 0), ('p', 328, 2395, 0), ('r', 108, -1, 0), ('s', 328, -1, 0), ('u', -1, 2007, 0), ('w', 106, -1, 0), ('y', 108, -1, 0), ('z', -1, 773, 0), ('ó', 108, -1, 0), ('ą', 108, -1, 0), ('ę', 108, -1, 0), ('ń', 108, -1, 0)), (('a', 328, -1, 0), ('c', 0, -1, 0), ('d', -1, 852, 0), ('e', 3, -1, 0), ('f', 39, -1, 0), ('i', 39, -1, 0), ('k', 264, -1, 0), ('l', 39, -1, 0), ('m', 39, -1, 0), ('o', -1, 2245, 0), ('r', 39, -1, 0), ('u', 328, -1, 0), ('w', 39, -1, 0), ('y', 328, -1, 0), ('z', -1, 2396, 0)), (('a', -1, 2397, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 91, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 4395, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 4324, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ś', 3, -1, 0), ('ź', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 21, 452, 0), ('b', -1, 989, 0), ('c', -1, 2398, 0), ('d', -1, 3857, 0), ('e', -1, 4030, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', -1, 1715, 0), ('i', -1, 4391, 0), ('j', 7, -1, 0), ('k', -1, 4392, 0), ('l', -1, 4393, 0), ('m', -1, 1207, 0), ('n', -1, 2770, 0), ('o', -1, 592, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 2095, 0), ('t', -1, 3542, 0), ('u', 21, -1, 0), ('w', -1, 4394, 0), ('y', 1, -1, 0), ('z', -1, 2493, 0), ('ł', -1, 2173, 0), ('ż', 3, -1, 0)), (('a', -1, 450, 0), ('b', -1, 2399, 0), ('e', 7, -1, 0), ('f', 31, -1, 0), ('i', 3, -1, 0), ('m', -1, 2509, 0), ('n', -1, 4389, 0), ('o', 75, -1, 0), ('p', -1, 4390, 0), ('r', 7, -1, 0), ('s', 31, -1, 0), ('u', 7, -1, 0), ('w', -1, 3888, 0), ('y', 7, -1, 0), ('z', 31, -1, 0), ('ó', 7, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0)), (('a', 31, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('k', 31, -1, 0), ('l', 31, -1, 0), ('n', 31, -1, 0), ('o', -1, 920, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('y', 31, -1, 0), ('ę', -1, 2400, 0)), (('a', 5, -1, 0), ('d', 31, 2401, 0), ('e', 67, -1, 0), ('i', 31, -1, 0), ('l', 5, -1, 0), ('n', 31, -1, 0), ('o', 5, -1, 0), ('p', 31, -1, 0), ('r', 67, -1, 0), ('u', 67, -1, 0), ('y', 67, -1, 0), ('z', 31, -1, 0), ('ę', -1, 2406, 0), ('ł', 5, -1, 0), ('ż', 31, -1, 0)), (('a', -1, 2402, 0), ('b', 178, -1, 0), ('d', 178, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('o', 31, -1, 0), ('r', 0, 428, 0), ('s', 31, -1, 0), ('t', 40, -1, 0), ('u', 178, 545, 0), ('y', 31, -1, 0), ('z', 5, -1, 0)), (('a', 8, -1, 0), ('d', 8, -1, 0), ('e', 8, -1, 0), ('g', -1, 2166, 0), ('i', 1, -1, 0), ('m', 3, -1, 0), ('o', 8, -1, 0), ('r', 40, -1, 0), ('t', -1, 2403, 0), ('u', 8, -1, 0), ('w', 8, -1, 0), ('y', 8, -1, 0), ('z', -1, 925, 0), ('ł', 40, -1, 0)), (('a', 40, -1, 0), ('b', 21, -1, 0), ('d', 28, -1, 0), ('e', 94, -1, 0), ('i', 28, -1, 0), ('m', 0, -1, 0), ('o', 3, -1, 0), ('r', 0, -1, 0), ('s', -1, 2404, 0), ('t', 0, -1, 0), ('y', 3, -1, 0), ('z', 21, -1, 0)), (('a', 94, -1, 0), ('e', -1, 2405, 0), ('i', -1, 35, 0), ('k', 94, -1, 0), ('o', 94, -1, 0), ('p', 94, -1, 0), ('r', -1, 950, 0), ('s', 94, -1, 0), ('u', 94, -1, 0)), (('a', 100, -1, 0), ('e', 8, -1, 0), ('g', 94, -1, 0), ('i', 100, -1, 0), ('m', 40, -1, 0), ('o', 100, -1, 0), ('r', 94, -1, 0), ('s', 8, -1, 0), ('u', 100, -1, 0), ('z', 40, -1, 0), ('ę', 8, -1, 0)), (('a', -1, 283, 0), ('e', -1, 1586, 0), ('h', 6, -1, 0), ('i', 67, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 2407, 0), ('s', -1, 868, 0), ('y', 6, -1, 0), ('z', 5, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ś', 6, -1, 0)), (('a', 3, -1, 0), ('d', -1, 1729, 0), ('e', 148, -1, 0), ('i', -1, 2093, 0), ('k', -1, 1568, 0), ('n', 3, -1, 0), ('o', -1, 2408, 0), ('p', 116, -1, 0), ('r', 21, -1, 0), ('y', 148, -1, 0)), (('a', 6, -1, 0), ('d', -1, 2409, 0), ('e', -1, 1609, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('k', 0, 1144, 0), ('l', 1, -1, 0), ('m', 6, -1, 0), ('n', 28, -1, 0), ('o', 6, -1, 0), ('p', -1, 3102, 0), ('r', -1, 395, 0), ('s', 21, -1, 0), ('t', 108, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 1492, 0), ('ł', 108, -1, 0)), (('a', -1, 1767, 0), ('e', -1, 2410, 0), ('g', 28, -1, 0), ('i', -1, 1432, 0), ('j', 2, -1, 0), ('k', 28, -1, 0), ('l', -1, 414, 0), ('o', 236, -1, 0), ('p', 2, 2411, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ł', -1, 2579, 0)), (('a', -1, 734, 0), ('b', 11, -1, 0), ('c', 7, -1, 0), ('d', 11, -1, 0), ('e', 22, -1, 0), ('g', 11, -1, 0), ('i', -1, 1667, 0), ('k', 11, -1, 0), ('m', 11, -1, 0), ('o', -1, 1977, 0), ('p', 22, -1, 0), ('r', 11, -1, 0), ('t', 7, -1, 0), ('u', 10, -1, 0), ('w', 11, -1, 0), ('y', 56, -1, 0), ('z', 11, -1, 0), ('ł', -1, 1237, 0)), (('-', 2, -1, 0), ('a', -1, 2412, 0), ('c', 28, -1, 0), ('d', 2, -1, 0), ('e', -1, 2157, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', -1, 556, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ó', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1074, 0), ('d', -1, 951, 0), ('e', -1, 2413, 0), ('i', 41, -1, 0), ('j', 2, -1, 0), ('n', -1, 556, 0), ('o', 0, -1, 0), ('p', 2, -1, 0), ('r', -1, 4283, 0), ('s', 28, -1, 0), ('t', -1, 578, 0), ('u', 41, -1, 0), ('w', 107, -1, 0), ('y', -1, 3730, 0), ('z', 408, -1, 0), ('ó', -1, 2945, 0)), (('a', 266, -1, 0), ('d', 268, -1, 0), ('e', 266, -1, 0), ('i', 41, -1, 0), ('k', 1, -1, 0), ('l', 0, 2355, 0), ('o', 266, -1, 0), ('r', -1, 1218, 0), ('t', -1, 2414, 0), ('w', 268, -1, 0), ('z', 268, -1, 0), ('ż', 41, -1, 0)), (('a', -1, 1560, 0), ('d', -1, 2415, 0), ('e', 37, -1, 0), ('f', 3, -1, 0), ('g', 22, -1, 0), ('i', -1, 3534, 0), ('l', 3, -1, 0), ('m', 6, -1, 0), ('n', 22, -1, 0), ('o', 41, -1, 0), ('p', -1, 98, 0), ('r', -1, 360, 0), ('s', 185, -1, 0), ('t', 22, -1, 0), ('u', 95, -1, 0), ('w', 6, -1, 0), ('y', 28, -1, 0), ('z', 0, -1, 0), ('ę', 6, -1, 0), ('ż', 0, -1, 0)), (('a', 21, -1, 0), ('b', 40, -1, 0), ('e', -1, 2416, 0), ('f', 40, -1, 0), ('g', 40, -1, 0), ('i', 95, -1, 0), ('o', 40, -1, 0), ('p', 21, -1, 0), ('r', -1, 3669, 0), ('t', -1, 3263, 0), ('u', 95, -1, 0)), (('a', 100, -1, 0), ('b', -1, 2417, 0), ('c', -1, 4294, 0), ('d', -1, 2069, 0), ('e', 22, -1, 0), ('f', -1, 4316, 0), ('g', -1, 3250, 0), ('i', -1, 3267, 0), ('k', 1, -1, 0), ('l', -1, 3571, 0), ('m', -1, 4318, 0), ('n', 3, 4319, 0), ('o', 8, -1, 0), ('p', -1, 4350, 0), ('r', -1, 3538, 0), ('s', -1, 4360, 0), ('t', 21, -1, 0), ('u', 22, -1, 0), ('w', -1, 4364, 0), ('y', -1, 1637, 0), ('z', -1, 4382, 0)), (('a', -1, 2418, 0), ('e', -1, 2425, 0), ('i', 22, -1, 0), ('j', 22, -1, 0), ('l', 22, -1, 0), ('m', -1, 2428, 0), ('o', -1, 1477, 0), ('r', 3, -1, 0), ('u', -1, 3679, 0), ('y', -1, 3939, 0), ('z', -1, 3402, 0), ('ą', 52, -1, 0), ('ę', -1, 81, 0), ('ł', 21, -1, 0), ('ń', 22, -1, 0), ('ś', 22, -1, 0), ('ź', 22, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 2419, 0), ('e', -1, 1575, 0), ('i', -1, 1242, 0), ('j', 3, -1, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('n', -1, 1013, 0), ('o', -1, 1832, 0), ('r', 3, -1, 0), ('t', 22, -1, 0), ('w', 3, -1, 0), ('z', -1, 1720, 0), ('ą', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 22, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 2420, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('o', -1, 1320, 0), ('p', 3, -1, 0), ('r', -1, 689, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', -1, 440, 0), ('w', 3, -1, 0), ('y', -1, 1544, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 22, -1, 0), ('c', 1, -1, 0), ('e', -1, 798, 0), ('i', 158, -1, 0), ('l', 1, -1, 0), ('n', 22, 478, 0), ('o', 1, -1, 0), ('r', 22, -1, 0), ('s', 1, -1, 0), ('t', 3, -1, 0), ('u', -1, 2421, 0), ('y', 3, -1, 0), ('z', 22, -1, 0)), (('a', -1, 640, 0), ('b', 57, -1, 0), ('c', -1, 1539, 0), ('d', 3, -1, 0), ('e', -1, 2422, 0), ('g', 7, -1, 0), ('i', 3, -1, 0), ('j', 22, -1, 0), ('k', 1, -1, 0), ('l', 3, -1, 0), ('m', 57, -1, 0), ('n', 22, -1, 0), ('o', -1, 582, 0), ('p', 22, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 2225, 0), ('u', 22, -1, 0), ('w', 57, -1, 0), ('y', 3, -1, 0), ('z', 22, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1678, 0), ('c', -1, 1972, 0), ('d', -1, 134, 0), ('e', -1, 973, 0), ('i', -1, 1675, 0), ('l', -1, 1677, 0), ('o', -1, 1557, 0), ('p', -1, 2423, 0), ('r', -1, 1173, 0), ('s', 41, -1, 0), ('t', 6, -1, 0), ('w', 28, 1807, 0), ('y', 41, -1, 0), ('z', -1, 2180, 0), ('ł', 41, -1, 0), ('ż', -1, 1817, 0)), (('a', -1, 598, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 2424, 0), ('e', -1, 1817, 0), ('g', 6, -1, 0), ('h', -1, 1267, 0), ('i', 95, -1, 0), ('j', -1, 2110, 0), ('k', -1, 1093, 0), ('l', -1, 1309, 0), ('m', -1, 1565, 0), ('n', -1, 1941, 0), ('o', 95, -1, 0), ('p', 95, -1, 0), ('r', -1, 621, 0), ('s', 15, -1, 0), ('t', -1, 1588, 0), ('u', 95, -1, 0), ('w', 6, -1, 0), ('y', -1, 584, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 804, 0), ('ź', 6, -1, 0), ('ż', -1, 182, 0)), (('a', -1, 1833, 0), ('d', 7, -1, 0), ('e', -1, 1125, 0), ('g', 11, -1, 0), ('i', -1, 182, 0), ('k', 0, -1, 0), ('m', 4, -1, 0), ('o', 95, -1, 0), ('p', 4, -1, 0), ('r', 95, -1, 0), ('s', 57, -1, 0), ('w', 4, -1, 0), ('y', 120, -1, 0), ('z', -1, 2269, 0), ('ł', 11, -1, 0)), (('a', 136, -1, 0), ('c', 53, -1, 0), ('e', -1, 1918, 0), ('i', -1, 2426, 0), ('l', -1, 540, 0), ('m', 22, -1, 0), ('n', -1, 2427, 0), ('o', 0, -1, 0), ('p', 5, -1, 0), ('r', -1, 653, 0), ('s', 7, -1, 0), ('u', 5, -1, 0), ('w', 22, -1, 0), ('y', 5, -1, 0), ('z', -1, 766, 0), ('ę', -1, 2342, 0)), (('a', -1, 776, 0), ('c', 260, -1, 0), ('d', 227, -1, 0), ('e', -1, 540, 0), ('g', 227, -1, 0), ('i', -1, 1802, 0), ('n', 80, -1, 0), ('o', 116, -1, 0), ('p', 227, -1, 0), ('r', -1, 827, 0), ('s', 412, -1, 0), ('t', 227, -1, 0), ('u', 116, -1, 0), ('w', -1, 2027, 0), ('y', 55, -1, 0), ('z', 75, -1, 0), ('ś', 227, -1, 0), ('ź', 227, -1, 0)), (('a', 11, -1, 0), ('c', 0, -1, 0), ('d', 1, 675, 0), ('e', -1, 1773, 0), ('f', 2, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', 11, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 11, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 56, -1, 0), ('z', 3, -1, 0)), (('a', -1, 554, 0), ('b', 3, -1, 0), ('c', -1, 2429, 0), ('d', -1, 10, 0), ('e', -1, 1137, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 217, -1, 0), ('n', 2, -1, 0), ('o', 4, -1, 0), ('p', 29, -1, 0), ('r', 217, -1, 0), ('s', -1, 2430, 0), ('t', 4, -1, 0), ('u', -1, 634, 0), ('w', 108, -1, 0), ('y', 4, -1, 0), ('z', 21, -1, 0), ('ą', 4, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 109, 0), ('o', 177, -1, 0), ('r', 70, -1, 0), ('u', 7, -1, 0), ('w', 177, -1, 0), ('y', 177, -1, 0), ('z', 26, -1, 0), ('ó', 7, -1, 0), ('ę', 70, -1, 0), ('ł', 70, -1, 0)), (('a', -1, 107, 0), ('b', 55, -1, 0), ('c', 21, -1, 0), ('d', 6, -1, 0), ('e', 4, -1, 0), ('i', -1, 1033, 0), ('k', 4, -1, 0), ('l', 41, 1268, 0), ('m', 4, -1, 0), ('n', 4, -1, 0), ('o', 0, 331, 0), ('p', 0, -1, 0), ('r', -1, 726, 0), ('s', -1, 2431, 0), ('t', 4, -1, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 2432, 0), ('d', 15, -1, 0), ('e', -1, 1031, 0), ('i', -1, 1790, 0), ('j', 108, -1, 0), ('m', 15, -1, 0), ('o', 0, 913, 0), ('p', 106, -1, 0), ('r', 108, -1, 0), ('s', 108, -1, 0), ('t', -1, 1576, 0), ('u', -1, 2436, 0), ('w', 5, -1, 0), ('y', -1, 168, 0), ('z', 106, -1, 0), ('ł', 108, -1, 0)), (('a', 104, -1, 0), ('b', 4, -1, 0), ('c', 7, 1096, 0), ('d', 104, -1, 0), ('e', -1, 1395, 0), ('g', 1, -1, 0), ('i', 208, -1, 0), ('k', 41, -1, 0), ('l', -1, 537, 0), ('m', 208, -1, 0), ('o', 104, -1, 0), ('p', -1, 2148, 0), ('r', 208, -1, 0), ('s', -1, 1269, 0), ('t', 104, -1, 0), ('u', 3, -1, 0), ('w', -1, 2433, 0), ('y', 104, -1, 0), ('z', 41, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 286, 0), ('b', 7, -1, 0), ('d', -1, 1455, 0), ('e', 114, -1, 0), ('i', 7, -1, 0), ('m', 4, -1, 0), ('o', -1, 177, 0), ('p', 0, 310, 0), ('r', -1, 931, 0), ('s', -1, 2434, 0), ('t', -1, 1096, 0), ('w', 64, -1, 0), ('y', -1, 780, 0), ('z', -1, 569, 0), ('ł', 29, -1, 0)), (('a', -1, 176, 0), ('d', 102, -1, 0), ('e', -1, 351, 0), ('i', -1, 2435, 0), ('k', 6, -1, 0), ('o', -1, 1234, 0), ('p', -1, 275, 0), ('r', -1, 2106, 0), ('s', 6, -1, 0), ('t', 53, -1, 0), ('u', 102, -1, 0), ('w', 53, -1, 0), ('y', -1, 2090, 0), ('z', 29, -1, 0), ('ę', 10, -1, 0)), (('a', -1, 955, 0), ('b', 21, -1, 0), ('c', -1, 61, 0), ('d', -1, 1932, 0), ('e', 3, -1, 0), ('g', 21, -1, 0), ('i', -1, 435, 0), ('k', 22, 154, 0), ('l', 21, -1, 0), ('m', 108, -1, 0), ('n', 108, -1, 0), ('o', 37, -1, 0), ('p', -1, 570, 0), ('r', -1, 722, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ó', 21, -1, 0), ('ą', 21, -1, 0), ('ę', 21, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 2437, 0), ('b', -1, 1807, 0), ('c', 28, 2604, 0), ('d', -1, 1946, 0), ('e', 21, -1, 0), ('g', -1, 444, 0), ('h', -1, 541, 0), ('i', -1, 3259, 0), ('j', 28, -1, 0), ('k', -1, 2293, 0), ('l', -1, 1089, 0), ('m', -1, 1124, 0), ('n', -1, 71, 0), ('o', -1, 1071, 0), ('p', -1, 977, 0), ('r', -1, 31, 0), ('s', -1, 815, 0), ('t', -1, 2109, 0), ('u', -1, 113, 0), ('w', -1, 1091, 0), ('y', -1, 2581, 0), ('z', -1, 1786, 0), ('ł', 21, -1, 0), ('ś', 28, -1, 0), ('ź', 28, -1, 0), ('ż', -1, 361, 0)), (('a', -1, 2298, 0), ('b', -1, 1222, 0), ('c', 6, -1, 0), ('d', -1, 1787, 0), ('e', 28, -1, 0), ('f', 6, -1, 0), ('g', -1, 1029, 0), ('h', -1, 2132, 0), ('i', -1, 2325, 0), ('j', 6, -1, 0), ('k', -1, 2438, 0), ('l', -1, 3172, 0), ('m', -1, 908, 0), ('n', -1, 1279, 0), ('o', -1, 184, 0), ('p', 6, -1, 0), ('r', 28, 1016, 0), ('s', 6, -1, 0), ('t', -1, 1180, 0), ('u', 21, -1, 0), ('w', -1, 1335, 0), ('y', -1, 145, 0), ('z', -1, 1540, 0), ('ó', 6, -1, 0), ('ł', -1, 1541, 0), ('ż', 28, -1, 0)), (('a', 6, -1, 0), ('b', 27, -1, 0), ('c', -1, 2439, 0), ('d', -1, 2098, 0), ('e', 6, -1, 0), ('f', 27, -1, 0), ('i', 6, -1, 0), ('k', 27, -1, 0), ('l', 27, -1, 0), ('m', 27, -1, 0), ('n', 27, -1, 0), ('o', 6, -1, 0), ('p', -1, 2114, 0), ('r', -1, 312, 0), ('s', -1, 2298, 0), ('t', 6, -1, 0), ('u', -1, 950, 0), ('w', -1, 382, 0), ('y', 6, -1, 0), ('z', -1, 1348, 0), ('ą', -1, 182, 0), ('ć', 6, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 1703, 0), ('c', -1, 2440, 0), ('d', 2, -1, 0), ('e', -1, 408, 0), ('i', 63, -1, 0), ('l', -1, 2683, 0), ('o', -1, 896, 0), ('r', -1, 1665, 0), ('s', -1, 4292, 0), ('t', 2, -1, 0), ('u', -1, 1983, 0), ('z', 63, -1, 0), ('ę', 63, -1, 0)), (('a', 1, -1, 0), ('b', 4, -1, 0), ('d', 38, -1, 0), ('e', 28, -1, 0), ('i', 10, -1, 0), ('j', 0, -1, 0), ('l', 28, -1, 0), ('m', 90, -1, 0), ('o', 4, -1, 0), ('r', -1, 1684, 0), ('t', -1, 1141, 0), ('u', 21, -1, 0), ('w', -1, 2441, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 1683, 0), ('b', 56, -1, 0), ('e', 28, -1, 0), ('g', 3, -1, 0), ('i', -1, 2442, 0), ('j', 28, -1, 0), ('o', -1, 1167, 0), ('r', 56, -1, 0), ('t', 2, -1, 0), ('y', 0, -1, 0), ('z', 121, -1, 0), ('ó', -1, 142, 0), ('ę', 28, -1, 0), ('ł', 56, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 2328, 0), ('b', 3, -1, 0), ('c', -1, 1017, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('g', 22, -1, 0), ('i', -1, 272, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 22, 2443, 0), ('o', 22, -1, 0), ('r', -1, 2444, 0), ('t', 3, -1, 0), ('u', 87, -1, 0), ('w', 22, -1, 0), ('y', 3, -1, 0), ('z', 121, -1, 0), ('ł', 3, -1, 0), ('ż', -1, 2445, 0)), (('a', -1, 960, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('h', 3, -1, 0), ('i', 7, -1, 0), ('j', 22, -1, 0), ('o', -1, 1310, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 30, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', -1, 1261, 0), ('ł', 7, -1, 0)), (('a', 3, -1, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 80, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 545, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ę', -1, 1613, 0), ('ł', 3, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 696, 0), ('i', -1, 2446, 0), ('l', 2, -1, 0), ('n', 28, -1, 0), ('o', 3, 514, 0), ('r', 108, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', -1, 580, 0), ('ę', 6, -1, 0)), (('a', -1, 2447, 0), ('b', 1, -1, 0), ('d', 28, -1, 0), ('e', 22, -1, 0), ('i', -1, 1517, 0), ('k', 0, 399, 0), ('n', 2, -1, 0), ('o', -1, 36, 0), ('p', 3, -1, 0), ('r', 1, 187, 0), ('s', 22, -1, 0), ('t', -1, 952, 0), ('u', 2, -1, 0), ('w', 1, -1, 0), ('y', -1, 4225, 0), ('z', 2, -1, 0), ('ą', -1, 1137, 0), ('ę', -1, 762, 0)), (('a', -1, 935, 0), ('b', 3, -1, 0), ('c', -1, 2448, 0), ('d', 0, 1077, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 3, -1, 0), ('k', 0, -1, 0), ('l', 22, 972, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', 0, -1, 0), ('p', 22, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 65, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 3, -1, 0), ('ł', 22, -1, 0)), (('a', -1, 2449, 0), ('b', 14, -1, 0), ('d', 4, -1, 0), ('e', 82, -1, 0), ('n', 0, -1, 0), ('o', 14, -1, 0), ('p', 4, -1, 0), ('r', -1, 3800, 0), ('s', 4, -1, 0), ('z', 1, -1, 0)), (('a', -1, 2450, 0), ('b', -1, 2452, 0), ('c', 3, -1, 0), ('d', -1, 2453, 0), ('e', -1, 1111, 0), ('f', -1, 2454, 0), ('g', 3, 3378, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 3, -1, 0), ('k', 3, 2214, 0), ('m', 3, -1, 0), ('n', 28, -1, 0), ('o', -1, 3450, 0), ('p', 2, -1, 0), ('r', -1, 700, 0), ('s', 13, -1, 0), ('t', -1, 4192, 0), ('u', -1, 3513, 0), ('w', -1, 603, 0), ('y', -1, 2446, 0), ('z', 248, -1, 0), ('ó', -1, 2756, 0)), (('a', 115, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('g', -1, 2451, 0), ('h', 2, -1, 0), ('i', 3, -1, 0), ('j', 2, -1, 0), ('k', 3, -1, 0), ('l', -1, 203, 0), ('n', 29, -1, 0), ('o', -1, 890, 0), ('p', 3, 576, 0), ('r', 1, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 29, -1, 0), ('w', -1, 578, 0), ('z', -1, 1627, 0), ('ż', 2, -1, 0)), (('a', 29, -1, 0), ('c', 22, -1, 0), ('e', 2, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('m', 107, -1, 0), ('n', 2, -1, 0), ('o', 2, 2052, 0), ('r', -1, 253, 0), ('s', 5, -1, 0), ('w', 107, -1, 0), ('y', 2, -1, 0), ('z', -1, 2138, 0), ('ł', 5, -1, 0)), (('a', 3, -1, 0), ('d', 95, -1, 0), ('e', -1, 1740, 0), ('i', 3, -1, 0), ('k', 87, -1, 0), ('o', 3, -1, 0), ('p', 2, -1, 0), ('r', 121, 490, 0), ('s', 87, -1, 0), ('u', 2, -1, 0), ('z', -1, 741, 0)), (('a', -1, 1819, 0), ('d', 10, -1, 0), ('e', -1, 2198, 0), ('h', 10, -1, 0), ('i', 359, -1, 0), ('j', 10, -1, 0), ('k', 10, -1, 0), ('n', -1, 2227, 0), ('o', -1, 1920, 0), ('r', -1, 2105, 0), ('t', -1, 210, 0), ('u', -1, 1545, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ą', -1, 1033, 0), ('ł', 10, -1, 0)), (('a', -1, 292, 0), ('e', -1, 2455, 0), ('g', 3, -1, 0), ('i', 2, -1, 0), ('j', -1, 1046, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 2, -1, 0), ('p', 28, -1, 0), ('r', -1, 2499, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', -1, 913, 0), ('z', 2, -1, 0), ('ę', 28, -1, 0), ('ń', 2, -1, 0)), (('a', -1, 2456, 0), ('c', 2, -1, 0), ('e', 22, -1, 0), ('i', -1, 3699, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', 22, -1, 0), ('p', 2, -1, 0), ('r', 108, -1, 0), ('t', 2, -1, 0), ('u', 108, -1, 0), ('y', 108, -1, 0), ('z', 1, -1, 0), ('ó', 22, -1, 0)), (('a', -1, 1842, 0), ('c', 22, -1, 0), ('d', 118, -1, 0), ('e', 12, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('m', 12, -1, 0), ('n', -1, 2457, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 12, -1, 0), ('s', 22, -1, 0), ('t', 12, -1, 0), ('z', 22, -1, 0), ('ł', 12, -1, 0), ('ż', 22, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 187, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 888, 0), ('h', 0, -1, 0), ('i', -1, 1193, 0), ('k', 41, -1, 0), ('l', 0, 1769, 0), ('m', -1, 1266, 0), ('n', -1, 2088, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1213, 0), ('s', 11, 2458, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 861, 0), ('z', -1, 617, 0), ('ś', 0, -1, 0)), (('a', 246, -1, 0), ('b', 4, -1, 0), ('c', -1, 2459, 0), ('d', 3, 1584, 0), ('e', 11, -1, 0), ('i', 246, -1, 0), ('k', 1, -1, 0), ('m', 4, -1, 0), ('o', 29, -1, 0), ('p', 4, -1, 0), ('r', -1, 3119, 0), ('s', -1, 2461, 0), ('t', -1, 3786, 0), ('u', -1, 1387, 0), ('w', 1, 3163, 0), ('y', 11, -1, 0), ('z', -1, 2778, 0), ('ó', 213, -1, 0), ('ę', 29, -1, 0), ('ż', -1, 3107, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('g', 3, -1, 0), ('i', 22, -1, 0), ('j', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', -1, 2460, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 2464, 0), ('u', -1, 2465, 0), ('w', 3, -1, 0), ('y', -1, 1389, 0), ('z', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 727, 0), ('g', 0, -1, 0), ('h', 41, -1, 0), ('i', -1, 2461, 0), ('j', 0, -1, 0), ('k', -1, 1235, 0), ('l', 1, -1, 0), ('m', -1, 1771, 0), ('n', 41, -1, 0), ('o', 70, 315, 0), ('p', 41, -1, 0), ('r', 41, -1, 0), ('s', 0, -1, 0), ('t', -1, 2463, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 34, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1862, 0), ('b', 12, -1, 0), ('c', 41, -1, 0), ('d', 16, -1, 0), ('e', 3, -1, 0), ('g', 12, -1, 0), ('h', 0, -1, 0), ('i', 3, -1, 0), ('k', 22, -1, 0), ('m', 12, -1, 0), ('n', 0, -1, 0), ('o', 3, -1, 0), ('p', 22, -1, 0), ('r', -1, 1715, 0), ('s', 0, -1, 0), ('t', 40, -1, 0), ('u', 31, -1, 0), ('w', 12, -1, 0), ('y', 15, -1, 0), ('z', -1, 2462, 0), ('ę', 0, -1, 0)), (('a', 1, -1, 0), ('c', 263, -1, 0), ('d', -1, 277, 0), ('e', 21, -1, 0), ('i', -1, 1348, 0), ('k', 4, -1, 0), ('l', 1, -1, 0), ('m', 64, -1, 0), ('n', 371, -1, 0), ('o', -1, 299, 0), ('p', 1, -1, 0), ('r', -1, 721, 0), ('s', -1, 1660, 0), ('t', 54, -1, 0), ('u', 1, -1, 0), ('w', 54, -1, 0), ('y', 3, -1, 0), ('z', -1, 2430, 0)), (('a', 0, -1, 0), ('b', 57, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 22, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 80, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 57, -1, 0), ('s', 41, 533, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 2155, 0), ('ć', 0, -1, 0), ('ł', 57, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 937, 0), ('i', 3, -1, 0), ('j', -1, 1992, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('t', 335, 16, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ł', 3, -1, 0), ('ń', 3, -1, 0), ('ź', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 6, -1, 0), ('b', 71, -1, 0), ('c', -1, 2466, 0), ('d', -1, 1563, 0), ('e', -1, 557, 0), ('f', 3, -1, 0), ('g', 2, -1, 0), ('h', 40, -1, 0), ('i', 95, -1, 0), ('k', -1, 500, 0), ('l', 156, -1, 0), ('m', 22, -1, 0), ('n', 250, -1, 0), ('o', 95, 433, 0), ('p', 3, -1, 0), ('r', 250, -1, 0), ('s', -1, 586, 0), ('t', -1, 666, 0), ('u', 6, -1, 0), ('w', 22, -1, 0), ('y', -1, 584, 0), ('z', -1, 2481, 0), ('ę', 6, -1, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('d', 105, -1, 0), ('e', -1, 2467, 0), ('g', 4, -1, 0), ('h', 105, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 51, -1, 0), ('l', -1, 660, 0), ('n', -1, 1300, 0), ('o', 1, -1, 0), ('p', 105, -1, 0), ('r', 1, -1, 0), ('s', 79, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 105, -1, 0), ('y', 1, -1, 0), ('z', -1, 873, 0), ('ą', 4, -1, 0), ('ę', 1, -1, 0), ('ż', 105, -1, 0)), (('a', -1, 470, 0), ('b', 29, -1, 0), ('c', 29, -1, 0), ('d', 29, -1, 0), ('e', 21, -1, 0), ('h', 29, -1, 0), ('i', -1, 604, 0), ('j', 439, 465, 0), ('l', -1, 2296, 0), ('m', 29, -1, 0), ('n', -1, 2468, 0), ('o', -1, 1901, 0), ('p', 0, 355, 0), ('r', 29, -1, 0), ('s', -1, 1411, 0), ('t', -1, 3549, 0), ('w', -1, 687, 0), ('y', 33, -1, 0), ('z', -1, 1834, 0), ('ó', -1, 13, 0), ('ę', 21, -1, 0), ('ł', -1, 639, 0), ('ż', 29, -1, 0)), (('a', -1, 2469, 0), ('b', 29, -1, 0), ('c', 29, -1, 0), ('d', 29, -1, 0), ('e', -1, 2623, 0), ('h', 29, -1, 0), ('i', 29, -1, 0), ('j', 29, -1, 0), ('k', 29, -1, 0), ('l', 29, -1, 0), ('m', 29, -1, 0), ('n', 29, -1, 0), ('o', -1, 2076, 0), ('p', 29, -1, 0), ('r', 29, -1, 0), ('s', 29, -1, 0), ('t', 29, -1, 0), ('w', 29, -1, 0), ('y', 29, -1, 0), ('z', 29, -1, 0), ('ś', 29, -1, 0), ('ź', 29, -1, 0), ('ż', 29, -1, 0)), (('a', -1, 2436, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 33, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', -1, 726, 0), ('i', -1, 1525, 0), ('j', 7, -1, 0), ('k', -1, 2470, 0), ('l', -1, 2490, 0), ('m', 7, -1, 0), ('n', -1, 2479, 0), ('o', 21, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 369, 0), ('w', -1, 2492, 0), ('y', 255, -1, 0), ('z', -1, 1944, 0), ('ł', -1, 1945, 0), ('ż', 29, -1, 0)), (('a', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 7, 2471, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 5, -1, 0), ('s', -1, 2477, 0), ('t', 7, -1, 0), ('u', -1, 572, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', -1, 2433, 0), ('ć', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0)), (('a', 6, -1, 0), ('b', -1, 186, 0), ('d', 7, -1, 0), ('e', 6, -1, 0), ('g', 17, -1, 0), ('h', -1, 877, 0), ('i', -1, 104, 0), ('k', 52, -1, 0), ('l', 6, -1, 0), ('m', 3, -1, 0), ('o', -1, 856, 0), ('p', 1, 668, 0), ('r', -1, 671, 0), ('s', -1, 2472, 0), ('t', -1, 2476, 0), ('u', 7, -1, 0), ('w', -1, 1223, 0), ('y', 57, -1, 0), ('z', 17, -1, 0), ('ł', -1, 62, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 57, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('n', -1, 2473, 0), ('o', 7, -1, 0), ('p', 1, -1, 0), ('r', 7, -1, 0), ('s', 1, -1, 0), ('t', -1, 845, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 7, -1, 0), ('ł', -1, 1201, 0), ('ż', 7, -1, 0)), (('a', -1, 1320, 0), ('b', 7, -1, 0), ('d', -1, 530, 0), ('e', 42, -1, 0), ('g', 30, -1, 0), ('h', -1, 822, 0), ('i', 7, -1, 0), ('o', 7, -1, 0), ('p', 118, -1, 0), ('r', -1, 2474, 0), ('s', 108, -1, 0), ('t', 57, -1, 0), ('u', 6, -1, 0), ('w', 3, -1, 0), ('y', 29, -1, 0), ('z', 0, 44, 0), ('ł', 3, -1, 0)), (('a', 85, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 2053, 0), ('t', 3, -1, 0), ('u', -1, 1459, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', -1, 2475, 0), ('ś', 3, -1, 0)), (('a', -1, 1007, 0), ('b', 133, -1, 0), ('c', 7, -1, 0), ('d', 133, -1, 0), ('e', 215, -1, 0), ('g', 133, -1, 0), ('i', 0, 355, 0), ('l', -1, 1996, 0), ('m', 3, -1, 0), ('n', -1, 1815, 0), ('o', -1, 441, 0), ('p', 133, -1, 0), ('r', -1, 1943, 0), ('s', 337, -1, 0), ('t', 133, -1, 0), ('u', -1, 1123, 0), ('v', 133, -1, 0), ('w', 133, -1, 0), ('y', -1, 1989, 0), ('z', 80, -1, 0)), (('a', 3, -1, 0), ('b', 57, -1, 0), ('d', 11, -1, 0), ('e', -1, 2335, 0), ('i', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 2421, 0), ('r', -1, 48, 0), ('s', 3, -1, 0), ('t', -1, 1078, 0), ('u', 3, -1, 0), ('w', 11, -1, 0), ('y', 3, -1, 0), ('z', 238, -1, 0), ('ó', 57, -1, 0), ('ą', 22, -1, 0), ('ę', 22, -1, 0)), (('a', 7, -1, 0), ('b', -1, 451, 0), ('c', 29, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 3, -1, 0), ('i', 7, -1, 0), ('j', 29, -1, 0), ('k', -1, 1650, 0), ('l', 5, -1, 0), ('m', 7, -1, 0), ('n', -1, 465, 0), ('o', 29, -1, 0), ('p', -1, 2477, 0), ('r', 29, -1, 0), ('s', -1, 1135, 0), ('t', 0, -1, 0), ('u', 7, -1, 0), ('w', -1, 2478, 0), ('y', 7, -1, 0), ('z', -1, 2483, 0), ('ó', 5, -1, 0), ('ł', 29, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 3, -1, 0), ('d', 108, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 29, -1, 0), ('i', 7, -1, 0), ('j', -1, 1009, 0), ('k', 7, -1, 0), ('l', -1, 1411, 0), ('n', -1, 2479, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 1, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ź', 7, -1, 0), ('ż', 97, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', -1, 793, 0), ('e', -1, 2071, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('k', -1, 229, 0), ('l', 145, -1, 0), ('m', 41, -1, 0), ('n', -1, 2480, 0), ('o', 7, -1, 0), ('p', 185, 385, 0), ('r', 41, -1, 0), ('s', 0, -1, 0), ('t', 145, -1, 0), ('u', 7, -1, 0), ('w', -1, 1344, 0), ('y', 7, -1, 0), ('z', -1, 1612, 0), ('ą', 41, -1, 0), ('ł', 185, -1, 0)), (('a', -1, 2481, 0), ('b', 0, -1, 0), ('c', -1, 1959, 0), ('d', 0, -1, 0), ('e', -1, 1901, 0), ('f', 0, -1, 0), ('g', -1, 1791, 0), ('i', -1, 708, 0), ('k', 0, -1, 0), ('l', -1, 2482, 0), ('m', -1, 1381, 0), ('n', 282, -1, 0), ('o', -1, 1394, 0), ('p', -1, 853, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1499, 0), ('u', 328, -1, 0), ('w', -1, 523, 0), ('y', 41, -1, 0), ('z', -1, 60, 0)), (('a', -1, 995, 0), ('b', 1, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('i', -1, 70, 0), ('k', -1, 2385, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 21, -1, 0), ('o', -1, 438, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 55, -1, 0), ('t', -1, 1929, 0), ('u', 328, -1, 0), ('w', -1, 1102, 0), ('y', 0, -1, 0), ('z', 0, 259, 0), ('ż', 21, -1, 0)), (('a', 2, -1, 0), ('b', 0, -1, 0), ('e', -1, 529, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 28, -1, 0), ('m', 13, -1, 0), ('n', 13, -1, 0), ('o', -1, 267, 0), ('p', 2, -1, 0), ('r', -1, 944, 0), ('t', 105, -1, 0), ('u', 28, -1, 0), ('z', 282, -1, 0), ('ł', -1, 530, 0)), (('a', 21, -1, 0), ('b', -1, 1753, 0), ('c', -1, 2484, 0), ('d', 29, -1, 0), ('e', 21, -1, 0), ('f', 5, -1, 0), ('g', 1, -1, 0), ('i', 21, -1, 0), ('k', 16, 1723, 0), ('l', 1, -1, 0), ('m', 1, 1127, 0), ('n', -1, 2160, 0), ('o', -1, 428, 0), ('p', -1, 845, 0), ('r', 1, -1, 0), ('s', -1, 1237, 0), ('t', 16, -1, 0), ('u', 1, -1, 0), ('w', -1, 1952, 0), ('y', 16, -1, 0), ('z', -1, 933, 0), ('ę', 7, -1, 0)), (('a', -1, 234, 0), ('b', 64, 2485, 0), ('d', 105, -1, 0), ('e', -1, 1499, 0), ('f', 6, -1, 0), ('g', 28, -1, 0), ('i', 6, -1, 0), ('k', 120, -1, 0), ('l', -1, 606, 0), ('m', 188, -1, 0), ('n', 4, -1, 0), ('o', -1, 781, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 105, -1, 0), ('t', 6, -1, 0), ('u', 10, -1, 0), ('w', -1, 2486, 0), ('y', 56, -1, 0), ('z', -1, 1235, 0), ('ł', 6, -1, 0)), (('a', -1, 1934, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 120, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 2153, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ś', 3, -1, 0), ('ź', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1015, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('g', -1, 2487, 0), ('i', -1, 2488, 0), ('o', 3, 343, 0), ('p', 2, -1, 0), ('r', -1, 1642, 0), ('t', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ę', 3, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 116, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 1, -1, 0), ('k', 3, -1, 0), ('n', 2, -1, 0), ('o', 22, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 895, 0), ('t', -1, 564, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 22, -1, 0), ('ł', 3, -1, 0)), (('a', 27, -1, 0), ('b', 27, -1, 0), ('d', 27, -1, 0), ('e', 27, -1, 0), ('f', 27, -1, 0), ('g', 27, -1, 0), ('h', 27, -1, 0), ('i', 27, -1, 0), ('k', -1, 2202, 0), ('o', 27, -1, 0), ('p', 5, 996, 0), ('r', -1, 2489, 0), ('s', 27, -1, 0), ('t', 27, -1, 0), ('u', 27, -1, 0), ('w', 2, 1976, 0), ('y', 27, -1, 0), ('z', -1, 529, 0)), (('a', -1, 957, 0), ('b', -1, 2349, 0), ('c', -1, 827, 0), ('d', -1, 14, 0), ('e', 25, -1, 0), ('g', 25, -1, 0), ('h', 21, -1, 0), ('i', 82, -1, 0), ('k', 0, -1, 0), ('l', 82, -1, 0), ('m', 1, -1, 0), ('n', -1, 176, 0), ('o', 6, -1, 0), ('p', 21, -1, 0), ('r', 176, -1, 0), ('s', 82, -1, 0), ('t', -1, 1795, 0), ('u', 82, -1, 0), ('w', 82, -1, 0), ('y', 82, -1, 0), ('z', 82, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 2491, 0), ('d', -1, 1147, 0), ('e', 7, -1, 0), ('f', 29, -1, 0), ('g', -1, 620, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('m', 7, -1, 0), ('o', 7, 686, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 3, -1, 0), ('t', -1, 1599, 0), ('u', 7, -1, 0), ('w', 29, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ś', 7, -1, 0), ('ź', 7, -1, 0)), (('a', -1, 728, 0), ('d', 7, -1, 0), ('e', -1, 958, 0), ('i', -1, 1418, 0), ('k', 7, 1297, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 0, 1987, 0), ('p', 7, -1, 0), ('r', -1, 344, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', -1, 118, 0), ('w', 7, -1, 0), ('y', -1, 1165, 0), ('z', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 2388, 0), ('g', 11, -1, 0), ('i', -1, 2029, 0), ('k', -1, 2493, 0), ('o', -1, 1614, 0), ('p', -1, 3973, 0), ('r', 7, -1, 0), ('s', 100, -1, 0), ('t', -1, 1999, 0), ('u', 7, -1, 0), ('w', 11, -1, 0), ('y', 7, -1, 0), ('z', 7, 451, 0), ('ł', -1, 3084, 0)), (('a', 7, -1, 0), ('c', -1, 2494, 0), ('d', -1, 2025, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('o', 7, 315, 0), ('r', -1, 2936, 0), ('s', -1, 1160, 0), ('u', 3, -1, 0), ('y', 0, -1, 0), ('z', 7, -1, 0), ('ą', -1, 2988, 0), ('ł', 7, -1, 0)), (('a', 7, -1, 0), ('c', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('j', 3, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('o', -1, 1615, 0), ('r', -1, 2495, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', -1, 84, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 3, -1, 0), ('ń', 7, -1, 0)), (('a', -1, 2013, 0), ('b', 3, -1, 0), ('e', -1, 650, 0), ('g', -1, 602, 0), ('i', -1, 2216, 0), ('k', 3, -1, 0), ('l', -1, 1938, 0), ('m', 2, -1, 0), ('o', 189, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('u', -1, 2496, 0), ('w', 121, -1, 0), ('z', -1, 2846, 0), ('ł', 3, -1, 0)), (('a', -1, 2191, 0), ('b', -1, 1410, 0), ('c', 2, -1, 0), ('d', -1, 2497, 0), ('e', -1, 1895, 0), ('f', -1, 2498, 0), ('g', -1, 2064, 0), ('i', -1, 1271, 0), ('k', -1, 1168, 0), ('l', -1, 2499, 0), ('o', -1, 1448, 0), ('p', 2, -1, 0), ('r', -1, 719, 0), ('s', 2, -1, 0), ('u', -1, 2385, 0), ('w', 2, -1, 0), ('y', -1, 1971, 0), ('z', -1, 3375, 0), ('ó', 28, -1, 0), ('ś', 28, -1, 0)), (('a', 106, -1, 0), ('b', 2, -1, 0), ('d', 28, 961, 0), ('e', 28, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', 51, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1058, 0), ('u', 248, -1, 0), ('w', 2, -1, 0), ('y', 79, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0), ('ż', 2, -1, 0)), (('a', 28, -1, 0), ('d', 4, -1, 0), ('e', 2, -1, 0), ('i', -1, 614, 0), ('j', 6, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 2, -1, 0), ('r', 4, -1, 0), ('s', 28, -1, 0), ('t', 41, -1, 0), ('u', 2, -1, 0), ('y', 28, -1, 0), ('z', 332, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 2489, 0), ('b', 3, -1, 0), ('e', 28, -1, 0), ('f', 3, -1, 0), ('i', -1, 2500, 0), ('k', 145, -1, 0), ('l', 97, -1, 0), ('m', 39, -1, 0), ('o', 28, 967, 0), ('p', 51, -1, 0), ('r', 105, -1, 0), ('t', 3, -1, 0), ('u', 105, -1, 0), ('w', 3, -1, 0), ('y', 105, -1, 0), ('z', -1, 3697, 0), ('ż', 97, -1, 0)), (('a', 59, -1, 0), ('b', 3, 2501, 0), ('c', 97, -1, 0), ('d', 59, -1, 0), ('e', 59, -1, 0), ('i', 59, -1, 0), ('m', -1, 273, 0), ('n', -1, 4291, 0), ('o', 59, -1, 0), ('p', -1, 2570, 0), ('r', -1, 2570, 0), ('s', 97, -1, 0), ('u', -1, 2913, 0), ('w', 97, -1, 0), ('y', 59, -1, 0), ('z', -1, 1271, 0), ('ó', -1, 1966, 0), ('ą', 59, -1, 0)), (('a', 97, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, 1444, 0), ('e', -1, 147, 0), ('i', -1, 2502, 0), ('j', 34, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 188, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 34, -1, 0), ('t', 275, -1, 0), ('u', 188, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ę', 97, -1, 0)), (('a', -1, 364, 0), ('b', 3, -1, 0), ('c', 2, -1, 0), ('d', 34, -1, 0), ('e', 5, -1, 0), ('g', 34, -1, 0), ('i', 34, -1, 0), ('j', 34, -1, 0), ('l', 34, -1, 0), ('m', 34, -1, 0), ('n', -1, 2503, 0), ('o', 28, -1, 0), ('p', 3, -1, 0), ('r', 34, -1, 0), ('s', 34, -1, 0), ('t', 34, -1, 0), ('w', 3, -1, 0), ('y', 5, -1, 0), ('z', 34, -1, 0)), (('a', 29, -1, 0), ('c', 10, -1, 0), ('d', 10, -1, 0), ('e', -1, 2504, 0), ('g', 11, -1, 0), ('h', 10, -1, 0), ('i', 11, -1, 0), ('k', 10, -1, 0), ('l', 2, -1, 0), ('n', -1, 2858, 0), ('o', 2, -1, 0), ('p', 11, -1, 0), ('r', 10, -1, 0), ('s', 11, -1, 0), ('t', 11, -1, 0), ('z', 11, -1, 0), ('ł', -1, 3763, 0), ('ż', 11, -1, 0)), (('a', -1, 1251, 0), ('b', 7, -1, 0), ('c', 0, 2505, 0), ('d', 0, 355, 0), ('e', -1, 583, 0), ('i', -1, 1085, 0), ('k', 0, 2392, 0), ('l', 2, -1, 0), ('o', -1, 313, 0), ('p', -1, 2507, 0), ('r', 0, 2511, 0), ('s', -1, 2878, 0), ('t', -1, 1436, 0), ('u', -1, 2094, 0), ('w', 34, -1, 0), ('y', -1, 2566, 0), ('z', -1, 402, 0), ('ą', -1, 1719, 0), ('ł', 0, 355, 0)), (('a', -1, 1016, 0), ('b', 2, 46, 0), ('d', 3, -1, 0), ('e', 179, -1, 0), ('g', 2, -1, 0), ('i', -1, 594, 0), ('k', 2, -1, 0), ('l', 121, -1, 0), ('n', -1, 879, 0), ('o', -1, 98, 0), ('p', 3, -1, 0), ('r', -1, 108, 0), ('s', -1, 2506, 0), ('t', 121, -1, 0), ('u', -1, 807, 0), ('w', 6, -1, 0), ('y', 16, -1, 0), ('z', -1, 422, 0), ('ę', 56, -1, 0), ('ł', -1, 100, 0)), (('a', -1, 1540, 0), ('b', 2, -1, 0), ('d', 223, -1, 0), ('e', 3, -1, 0), ('i', 2, -1, 0), ('l', 3, -1, 0), ('o', 56, -1, 0), ('r', 2, -1, 0), ('s', 11, -1, 0), ('t', 2, -1, 0), ('y', 223, -1, 0), ('z', 223, -1, 0)), (('a', 7, -1, 0), ('b', 29, 522, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', -1, 2507, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 29, -1, 0), ('k', 7, -1, 0), ('l', 3, -1, 0), ('m', -1, 1731, 0), ('n', 40, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 1873, 0), ('u', 7, -1, 0), ('w', -1, 2508, 0), ('y', -1, 1563, 0), ('z', 29, -1, 0), ('ó', -1, 1405, 0), ('ę', 5, -1, 0), ('ł', 7, -1, 0)), (('a', 3, -1, 0), ('b', 70, -1, 0), ('d', 70, -1, 0), ('e', 40, -1, 0), ('g', 85, -1, 0), ('i', -1, 1790, 0), ('k', 166, -1, 0), ('l', 0, -1, 0), ('o', -1, 1503, 0), ('r', -1, 151, 0), ('t', 41, -1, 0), ('u', 70, -1, 0), ('w', 70, -1, 0), ('y', 3, -1, 0), ('z', 85, -1, 0), ('ł', 0, 2509, 0), ('ś', 70, -1, 0)), (('a', -1, 696, 0), ('d', -1, 2510, 0), ('e', 1, -1, 0), ('k', 1, -1, 0), ('o', 85, -1, 0), ('r', 1, -1, 0), ('s', -1, 1331, 0), ('y', 31, -1, 0), ('z', 31, -1, 0)), (('a', -1, 1434, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('i', -1, 135, 0), ('o', -1, 2115, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 1840, 0), ('b', 0, 288, 0), ('d', -1, 530, 0), ('e', 215, -1, 0), ('i', -1, 1388, 0), ('m', 0, 175, 0), ('o', -1, 1218, 0), ('p', 28, 576, 0), ('r', -1, 1601, 0), ('s', -1, 2512, 0), ('t', 0, 288, 0), ('w', 0, 175, 0), ('y', -1, 147, 0), ('z', -1, 3001, 0)), (('a', 28, 199, 0), ('b', -1, 2513, 0), ('c', -1, 4256, 0), ('d', -1, 4261, 0), ('e', 28, -1, 0), ('f', -1, 3816, 0), ('g', -1, 4262, 0), ('h', -1, 961, 0), ('i', -1, 4263, 0), ('j', -1, 2926, 0), ('k', -1, 4264, 0), ('l', -1, 2496, 0), ('m', -1, 4274, 0), ('n', -1, 4275, 0), ('o', -1, 1691, 0), ('p', -1, 3480, 0), ('r', -1, 1254, 0), ('s', -1, 4278, 0), ('t', -1, 4287, 0), ('w', -1, 4289, 0), ('y', -1, 751, 0), ('z', -1, 4290, 0), ('ł', 1, 3218, 0), ('ż', -1, 2411, 0)), (('a', 2, -1, 0), ('e', -1, 309, 0), ('i', 28, -1, 0), ('m', -1, 1630, 0), ('o', -1, 1704, 0), ('r', -1, 2514, 0), ('u', -1, 2515, 0), ('z', 2, -1, 0), ('ę', -1, 2516, 0)), (('a', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 1200, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('o', -1, 169, 0), ('r', -1, 2132, 0), ('t', 28, -1, 0), ('u', 2, -1, 0), ('w', 5, -1, 0), ('y', -1, 1705, 0), ('z', 4, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1447, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 322, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 2, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 875, 0), ('b', -1, 124, 0), ('c', 0, 2517, 0), ('d', -1, 2230, 0), ('e', -1, 880, 0), ('g', 21, -1, 0), ('h', -1, 169, 0), ('i', -1, 2524, 0), ('j', -1, 1262, 0), ('k', -1, 59, 0), ('l', -1, 1341, 0), ('m', -1, 1490, 0), ('n', -1, 580, 0), ('o', -1, 2326, 0), ('p', -1, 1245, 0), ('r', -1, 2520, 0), ('s', 1, 2332, 0), ('t', -1, 2311, 0), ('u', -1, 2023, 0), ('w', -1, 1493, 0), ('y', -1, 1547, 0), ('z', -1, 888, 0), ('ł', 21, -1, 0), ('ś', -1, 2326, 0), ('ź', 0, -1, 0), ('ż', -1, 774, 0)), (('a', 0, -1, 0), ('d', 0, 355, 0), ('e', -1, 821, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('i', -1, 474, 0), ('k', 118, -1, 0), ('l', -1, 708, 0), ('m', -1, 2518, 0), ('o', 0, -1, 0), ('p', 118, -1, 0), ('r', 184, -1, 0), ('s', 27, -1, 0), ('t', 22, -1, 0), ('u', 27, -1, 0), ('w', -1, 1512, 0), ('y', 215, -1, 0), ('z', -1, 2361, 0), ('ł', 118, -1, 0)), (('a', 118, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 22, -1, 0), ('g', 1, -1, 0), ('i', -1, 355, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 923, 0), ('p', 4, -1, 0), ('r', 22, -1, 0), ('t', 1, -1, 0), ('u', 135, -1, 0), ('w', 135, -1, 0), ('y', 0, -1, 0), ('z', 6, 2519, 0)), (('a', 304, -1, 0), ('d', 12, -1, 0), ('e', -1, 282, 0), ('i', -1, 176, 0), ('m', 1, -1, 0), ('n', 12, -1, 0), ('o', 135, -1, 0), ('p', 6, 545, 0), ('r', -1, 2520, 0), ('s', 55, -1, 0), ('t', 12, -1, 0), ('u', 135, -1, 0), ('w', -1, 52, 0), ('y', 55, -1, 0), ('z', 135, -1, 0), ('ł', -1, 1334, 0)), (('a', -1, 2244, 0), ('b', 0, -1, 0), ('c', -1, 2510, 0), ('d', 12, -1, 0), ('e', -1, 2521, 0), ('g', 44, -1, 0), ('h', 6, -1, 0), ('i', -1, 2523, 0), ('k', -1, 1915, 0), ('l', 6, -1, 0), ('m', 190, -1, 0), ('o', -1, 1187, 0), ('p', 6, -1, 0), ('r', 1, -1, 0), ('s', 29, 296, 0), ('t', 28, -1, 0), ('u', -1, 1990, 0), ('w', 6, -1, 0), ('y', 2, -1, 0), ('z', 6, -1, 0), ('ó', 0, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 390, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 1757, 0), ('e', 0, 643, 0), ('i', -1, 2522, 0), ('k', 0, -1, 0), ('l', 28, -1, 0), ('m', 1, -1, 0), ('n', 21, -1, 0), ('o', 0, -1, 0), ('p', 1, 177, 0), ('r', -1, 866, 0), ('s', -1, 157, 0), ('t', 0, -1, 0), ('u', 12, -1, 0), ('w', 21, -1, 0), ('y', 136, -1, 0), ('z', 215, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 50, 0), ('b', 12, -1, 0), ('c', -1, 199, 0), ('d', 1, -1, 0), ('e', -1, 103, 0), ('g', -1, 1521, 0), ('h', 12, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', -1, 313, 0), ('m', -1, 163, 0), ('n', 85, -1, 0), ('o', 12, -1, 0), ('p', 0, 310, 0), ('r', -1, 652, 0), ('s', -1, 95, 0), ('t', -1, 307, 0), ('u', 12, -1, 0), ('w', 0, -1, 0), ('y', 21, -1, 0), ('z', 12, -1, 0), ('ó', -1, 244, 0), ('ą', 21, -1, 0), ('ę', 21, -1, 0), ('ł', -1, 786, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 0, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, 127, 0), ('i', -1, 10, 0), ('j', 6, -1, 0), ('k', 242, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', -1, 1459, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ę', 0, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 2109, 0), ('b', -1, 2143, 0), ('c', -1, 1603, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', -1, 144, 0), ('g', 21, -1, 0), ('i', 21, -1, 0), ('k', -1, 1331, 0), ('l', -1, 969, 0), ('m', -1, 1768, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 0, 2525, 0), ('t', 34, -1, 0), ('u', 21, -1, 0), ('w', -1, 2526, 0), ('y', 34, -1, 0), ('z', -1, 2527, 0)), (('a', -1, 992, 0), ('c', 69, -1, 0), ('d', -1, 81, 0), ('e', -1, 2089, 0), ('i', -1, 418, 0), ('k', 30, -1, 0), ('l', 27, -1, 0), ('m', 102, 2226, 0), ('o', 21, 1193, 0), ('p', 184, -1, 0), ('r', 27, -1, 0), ('s', -1, 1591, 0), ('t', 27, -1, 0), ('u', 0, -1, 0), ('w', 27, -1, 0), ('y', 21, -1, 0), ('z', -1, 1265, 0), ('ę', 21, -1, 0)), (('a', 21, -1, 0), ('c', 27, -1, 0), ('d', 27, -1, 0), ('e', 21, -1, 0), ('g', 27, -1, 0), ('h', 27, -1, 0), ('i', 1, -1, 0), ('k', 30, -1, 0), ('l', 27, -1, 0), ('m', 30, -1, 0), ('o', 21, -1, 0), ('p', 178, -1, 0), ('r', 27, -1, 0), ('s', 27, -1, 0), ('t', 21, -1, 0), ('w', 178, -1, 0), ('y', 210, -1, 0), ('z', -1, 394, 0), ('ó', 0, -1, 0), ('ć', 21, -1, 0), ('ę', 30, -1, 0), ('ł', 178, -1, 0)), (('a', -1, 1554, 0), ('b', 3, -1, 0), ('c', 21, -1, 0), ('d', -1, 2528, 0), ('e', -1, 397, 0), ('f', 21, -1, 0), ('g', 12, 993, 0), ('i', 6, -1, 0), ('k', -1, 1795, 0), ('l', -1, 281, 0), ('m', 21, -1, 0), ('n', 22, -1, 0), ('o', -1, 1004, 0), ('p', -1, 41, 0), ('r', -1, 2522, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', -1, 2530, 0), ('w', 12, -1, 0), ('y', -1, 870, 0), ('z', 21, -1, 0), ('ł', 12, -1, 0)), (('a', 21, -1, 0), ('d', -1, 2529, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 313, 0), ('i', 1, -1, 0), ('j', 3, -1, 0), ('k', 21, 205, 0), ('l', 21, -1, 0), ('m', 27, -1, 0), ('n', 1, -1, 0), ('o', -1, 504, 0), ('p', 7, 1093, 0), ('r', -1, 1671, 0), ('s', 21, 311, 0), ('t', 1, -1, 0), ('u', 238, -1, 0), ('w', 216, -1, 0), ('y', 27, -1, 0), ('z', 178, -1, 0), ('ł', -1, 619, 0)), (('a', -1, 845, 0), ('c', 23, -1, 0), ('d', 0, 64, 0), ('e', -1, 1291, 0), ('i', 42, -1, 0), ('k', -1, 1574, 0), ('n', 1, -1, 0), ('o', 376, -1, 0), ('p', 69, 383, 0), ('r', -1, 1085, 0), ('s', 174, -1, 0), ('t', 2, -1, 0), ('u', 87, -1, 0), ('w', 17, -1, 0), ('y', -1, 2300, 0), ('z', 17, -1, 0)), (('a', 176, -1, 0), ('b', -1, 532, 0), ('c', -1, 348, 0), ('d', -1, 91, 0), ('e', 25, -1, 0), ('f', 25, -1, 0), ('g', -1, 2004, 0), ('h', -1, 1060, 0), ('i', 25, -1, 0), ('j', 25, -1, 0), ('k', -1, 2531, 0), ('l', -1, 371, 0), ('m', -1, 1186, 0), ('n', -1, 1766, 0), ('o', 6, -1, 0), ('p', -1, 1140, 0), ('r', -1, 676, 0), ('s', -1, 1669, 0), ('t', -1, 745, 0), ('u', 25, -1, 0), ('w', -1, 1648, 0), ('y', 101, -1, 0), ('z', -1, 2533, 0), ('ł', -1, 244, 0), ('ż', 6, 1060, 0)), (('a', -1, 1793, 0), ('b', -1, 2532, 0), ('c', -1, 47, 0), ('d', 25, -1, 0), ('e', -1, 617, 0), ('g', 100, 1478, 0), ('i', 25, -1, 0), ('j', 25, -1, 0), ('k', 0, 115, 0), ('l', 25, -1, 0), ('m', 0, 44, 0), ('n', 25, -1, 0), ('o', 25, -1, 0), ('p', 25, -1, 0), ('r', -1, 1648, 0), ('s', -1, 1383, 0), ('t', 25, -1, 0), ('u', -1, 85, 0), ('w', 6, 1060, 0), ('y', -1, 1988, 0), ('z', -1, 458, 0), ('ą', 182, -1, 0), ('ę', -1, 1007, 0), ('ł', 25, -1, 0), ('ż', 25, -1, 0)), (('a', 28, -1, 0), ('d', 105, -1, 0), ('e', 28, -1, 0), ('i', -1, 1946, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', 41, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('u', 105, -1, 0), ('z', 28, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 834, 0), ('b', 3, -1, 0), ('c', -1, 1418, 0), ('d', 25, -1, 0), ('e', 25, -1, 0), ('g', -1, 2534, 0), ('i', -1, 1060, 0), ('k', 21, -1, 0), ('l', 66, -1, 0), ('m', 0, -1, 0), ('n', 5, -1, 0), ('o', 25, -1, 0), ('p', 0, -1, 0), ('r', 25, -1, 0), ('s', 25, -1, 0), ('t', -1, 70, 0), ('u', 25, -1, 0), ('w', 28, -1, 0), ('y', 25, -1, 0), ('z', 6, -1, 0), ('ą', 176, -1, 0), ('ł', 196, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 7, -1, 0), ('g', -1, 146, 0), ('i', 5, -1, 0), ('k', 12, -1, 0), ('n', 21, -1, 0), ('o', -1, 1563, 0), ('p', 201, -1, 0), ('r', -1, 2535, 0), ('s', 55, -1, 0), ('t', 39, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 55, -1, 0), ('z', 5, -1, 0), ('ę', 7, -1, 0)), (('a', 6, -1, 0), ('b', -1, 863, 0), ('c', 3, 2536, 0), ('d', 21, -1, 0), ('e', -1, 64, 0), ('f', 21, -1, 0), ('i', 21, -1, 0), ('k', 29, -1, 0), ('l', 421, -1, 0), ('m', -1, 2537, 0), ('n', 7, -1, 0), ('o', 37, -1, 0), ('p', 21, -1, 0), ('r', 6, -1, 0), ('s', 37, -1, 0), ('t', 21, -1, 0), ('u', 37, -1, 0), ('w', -1, 97, 0), ('y', -1, 4089, 0), ('z', 6, -1, 0), ('ę', -1, 3236, 0), ('ł', 21, -1, 0)), (('a', -1, 1020, 0), ('c', 3, -1, 0), ('e', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', -1, 1280, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 15, -1, 0), ('r', -1, 1053, 0), ('s', -1, 890, 0), ('u', 3, -1, 0), ('z', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 290, -1, 0), ('c', 69, -1, 0), ('d', -1, 1888, 0), ('e', 133, -1, 0), ('i', 22, -1, 0), ('k', 69, -1, 0), ('l', 1, -1, 0), ('n', 133, -1, 0), ('o', 290, -1, 0), ('p', 69, -1, 0), ('r', 63, -1, 0), ('s', 269, -1, 0), ('t', -1, 1195, 0), ('w', 21, 2538, 0), ('y', 149, -1, 0), ('z', -1, 1773, 0), ('ł', 63, -1, 0)), (('a', 69, -1, 0), ('b', 26, -1, 0), ('e', 30, -1, 0), ('h', 183, -1, 0), ('i', 26, -1, 0), ('l', 183, -1, 0), ('m', 26, 2539, 0), ('o', 21, -1, 0), ('r', 8, -1, 0), ('s', 100, -1, 0), ('t', 183, -1, 0), ('w', 183, -1, 0), ('z', 30, -1, 0)), (('a', -1, 1815, 0), ('b', 7, -1, 0), ('c', 7, 4, 0), ('d', -1, 2540, 0), ('e', -1, 2591, 0), ('g', 7, -1, 0), ('h', -1, 128, 0), ('i', -1, 890, 0), ('j', -1, 2334, 0), ('k', -1, 3488, 0), ('l', -1, 3733, 0), ('m', -1, 3152, 0), ('n', 5, -1, 0), ('o', -1, 2808, 0), ('p', 5, -1, 0), ('r', -1, 1702, 0), ('s', 183, -1, 0), ('t', -1, 2534, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', -1, 573, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ś', -1, 3043, 0), ('ź', 7, -1, 0), ('ż', -1, 1143, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', -1, 500, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 1952, 0), ('p', -1, 2541, 0), ('r', 5, -1, 0), ('s', 12, -1, 0), ('t', 5, -1, 0), ('u', -1, 2387, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 2059, 0), ('d', 11, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('n', 6, -1, 0), ('o', -1, 2542, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', 4, -1, 0), ('z', 28, -1, 0), ('ą', 1, -1, 0), ('ł', 6, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 2543, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 0, 310, 0), ('i', -1, 60, 0), ('k', 28, -1, 0), ('l', 3, -1, 0), ('n', -1, 4255, 0), ('o', -1, 3320, 0), ('p', 11, 1144, 0), ('r', -1, 743, 0), ('s', 1, -1, 0), ('t', -1, 3208, 0), ('w', 1, -1, 0), ('z', -1, 128, 0)), (('a', -1, 176, 0), ('c', 24, -1, 0), ('d', 175, -1, 0), ('e', -1, 1900, 0), ('f', 24, -1, 0), ('h', 24, -1, 0), ('i', 21, -1, 0), ('k', -1, 2544, 0), ('l', 121, -1, 0), ('m', -1, 3340, 0), ('n', -1, 2732, 0), ('o', 21, -1, 0), ('p', -1, 2797, 0), ('r', -1, 799, 0), ('s', 24, -1, 0), ('t', 21, -1, 0), ('u', -1, 315, 0), ('w', -1, 402, 0), ('y', 21, -1, 0), ('z', 24, -1, 0), ('ś', 59, -1, 0)), (('a', 70, -1, 0), ('b', 59, -1, 0), ('c', 59, -1, 0), ('d', -1, 2545, 0), ('e', 70, -1, 0), ('i', -1, 769, 0), ('l', 70, -1, 0), ('m', 59, -1, 0), ('o', 5, 241, 0), ('r', 70, -1, 0), ('s', 59, -1, 0), ('t', -1, 1678, 0), ('u', 70, -1, 0), ('w', -1, 1689, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', -1, 911, 0)), (('a', -1, 2323, 0), ('b', 7, -1, 0), ('c', 2, -1, 0), ('d', 108, -1, 0), ('e', -1, 2546, 0), ('f', 2, -1, 0), ('h', 108, -1, 0), ('i', 59, -1, 0), ('j', -1, 1406, 0), ('k', 108, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 57, 0), ('p', 108, -1, 0), ('r', -1, 790, 0), ('s', -1, 2548, 0), ('t', -1, 3082, 0), ('u', 108, -1, 0), ('z', 121, -1, 0), ('ó', 108, -1, 0), ('ą', 121, -1, 0)), (('a', 13, -1, 0), ('c', 0, -1, 0), ('d', 108, -1, 0), ('e', -1, 1022, 0), ('i', -1, 549, 0), ('o', -1, 2033, 0), ('r', -1, 2547, 0), ('s', 0, 483, 0), ('u', 13, -1, 0), ('w', 13, -1, 0), ('y', 13, -1, 0), ('z', 108, -1, 0), ('ą', 13, -1, 0), ('ę', 13, -1, 0)), (('a', 71, -1, 0), ('b', 71, -1, 0), ('c', 71, -1, 0), ('d', -1, 1187, 0), ('e', -1, 2011, 0), ('g', -1, 1434, 0), ('h', 71, -1, 0), ('i', 71, -1, 0), ('k', -1, 1961, 0), ('l', 71, -1, 0), ('m', 71, -1, 0), ('o', 71, -1, 0), ('p', 71, -1, 0), ('r', 71, -1, 0), ('s', 71, -1, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ś', -1, 596, 0), ('ź', 71, -1, 0), ('ż', 71, -1, 0)), (('a', -1, 572, 0), ('e', 1, -1, 0), ('h', 7, -1, 0), ('i', -1, 1077, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 2549, 0), ('s', -1, 2609, 0), ('u', 1, -1, 0), ('y', -1, 466, 0), ('z', 2, 165, 0), ('ó', 11, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ś', 7, -1, 0)), (('a', -1, 1079, 0), ('b', -1, 456, 0), ('d', -1, 1224, 0), ('e', 7, -1, 0), ('g', 0, 1323, 0), ('h', 85, -1, 0), ('i', 0, -1, 0), ('k', -1, 1743, 0), ('m', -1, 2550, 0), ('n', 0, -1, 0), ('o', -1, 464, 0), ('p', 0, -1, 0), ('r', -1, 732, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 85, -1, 0), ('z', 0, -1, 0), ('ż', 85, -1, 0)), (('a', 85, -1, 0), ('d', 16, -1, 0), ('e', 0, -1, 0), ('i', -1, 788, 0), ('j', 106, -1, 0), ('m', 16, -1, 0), ('o', 372, -1, 0), ('r', 106, -1, 0), ('s', 106, -1, 0), ('t', -1, 837, 0), ('u', 0, -1, 0), ('w', 85, -1, 0), ('y', -1, 2551, 0), ('z', 85, -1, 0), ('ł', 106, -1, 0)), (('a', -1, 2552, 0), ('d', 12, -1, 0), ('e', -1, 1494, 0), ('i', -1, 955, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('o', -1, 2553, 0), ('r', 12, -1, 0), ('s', -1, 4253, 0), ('t', 54, -1, 0), ('u', -1, 1839, 0), ('w', 85, -1, 0), ('z', 372, -1, 0), ('ó', 12, -1, 0), ('ą', 16, -1, 0), ('ę', 12, -1, 0), ('ł', -1, 3414, 0), ('ż', 12, -1, 0)), (('a', 70, -1, 0), ('e', 70, -1, 0), ('g', 16, -1, 0), ('i', 70, -1, 0), ('m', 16, -1, 0), ('o', -1, 2105, 0), ('p', 70, -1, 0), ('r', -1, 1982, 0), ('s', 70, -1, 0), ('t', 55, 373, 0), ('u', 70, -1, 0), ('w', 16, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0), ('ł', 30, -1, 0)), (('a', 70, -1, 0), ('d', -1, 2460, 0), ('e', -1, 1739, 0), ('i', -1, 1025, 0), ('l', 1, -1, 0), ('m', 16, -1, 0), ('n', 16, -1, 0), ('o', 70, 2554, 0), ('p', -1, 2556, 0), ('r', -1, 262, 0), ('s', -1, 4252, 0), ('t', 12, -1, 0), ('u', 70, -1, 0), ('w', 70, -1, 0), ('y', -1, 1740, 0), ('z', 3, 4004, 0), ('ł', -1, 836, 0)), (('a', -1, 1247, 0), ('c', -1, 2555, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 857, 0), ('i', -1, 1696, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1649, 0), ('p', 70, 46, 0), ('r', 0, -1, 0), ('s', 21, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 0, -1, 0)), (('a', 116, -1, 0), ('e', 39, -1, 0), ('i', -1, 1194, 0), ('l', 39, -1, 0), ('n', 145, -1, 0), ('o', 30, -1, 0), ('r', 69, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', 22, -1, 0), ('z', 21, -1, 0), ('ę', 69, -1, 0), ('ł', 69, -1, 0)), (('a', -1, 346, 0), ('c', 0, -1, 0), ('d', 5, -1, 0), ('e', 31, -1, 0), ('g', 4, -1, 0), ('i', -1, 2557, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 5, -1, 0), ('r', -1, 1532, 0), ('s', 0, -1, 0), ('t', -1, 1578, 0), ('y', 5, -1, 0), ('z', 0, -1, 0), ('ó', 31, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 840, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 387, 0), ('e', -1, 1372, 0), ('i', 54, -1, 0), ('l', 105, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 2558, 0), ('p', 0, -1, 0), ('r', -1, 174, 0), ('s', 0, -1, 0), ('u', -1, 485, 0), ('w', 0, -1, 0), ('y', -1, 3803, 0), ('z', -1, 3068, 0), ('ą', -1, 2867, 0), ('ę', -1, 4221, 0)), (('a', -1, 2559, 0), ('d', 105, -1, 0), ('e', 3, -1, 0), ('i', -1, 2459, 0), ('m', 28, -1, 0), ('n', 105, -1, 0), ('o', -1, 4251, 0), ('r', -1, 2484, 0), ('t', 105, -1, 0), ('u', 3, -1, 0), ('w', -1, 1722, 0), ('y', 3, -1, 0), ('z', -1, 3031, 0), ('ó', 3, -1, 0), ('ł', -1, 1837, 0)), (('a', -1, 128, 0), ('d', 21, -1, 0), ('e', -1, 2560, 0), ('g', -1, 3508, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 1, 308, 0), ('r', 0, -1, 0), ('y', 1, -1, 0), ('z', 3, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 2561, 0), ('b', 4, -1, 0), ('c', -1, 664, 0), ('e', -1, 2562, 0), ('i', -1, 2462, 0), ('j', -1, 927, 0), ('l', 379, -1, 0), ('n', -1, 1721, 0), ('o', -1, 2563, 0), ('p', 0, 3922, 0), ('r', 1, -1, 0), ('t', 333, -1, 0), ('u', -1, 3288, 0), ('w', 30, -1, 0), ('y', -1, 4246, 0), ('z', 4, -1, 0), ('ą', -1, 132, 0), ('ż', 0, -1, 0)), (('a', -1, 267, 0), ('b', 4, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('g', 4, 2440, 0), ('h', 0, -1, 0), ('i', 28, -1, 0), ('k', 0, -1, 0), ('m', -1, 1416, 0), ('n', 400, 1076, 0), ('o', -1, 1703, 0), ('r', 4, -1, 0), ('s', 28, -1, 0), ('t', 4, -1, 0), ('u', 28, -1, 0), ('w', 4, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 777, 0), ('d', 135, -1, 0), ('e', 3, -1, 0), ('i', 4, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 216, -1, 0), ('o', 1, -1, 0), ('p', 21, -1, 0), ('r', 7, -1, 0), ('s', 1, -1, 0), ('u', 216, -1, 0), ('y', 135, -1, 0), ('z', 135, -1, 0), ('ą', 80, -1, 0)), (('a', -1, 2564, 0), ('d', 4, -1, 0), ('e', -1, 2137, 0), ('i', -1, 1609, 0), ('j', 4, -1, 0), ('k', 28, -1, 0), ('m', 4, -1, 0), ('n', -1, 3719, 0), ('o', -1, 1686, 0), ('r', 4, -1, 0), ('s', 371, -1, 0), ('t', 0, -1, 0), ('u', 28, -1, 0), ('w', -1, 51, 0), ('z', 41, -1, 0), ('ł', 0, 601, 0)), (('a', 106, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 106, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 2565, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', -1, 1961, 0), ('p', 2, -1, 0), ('r', -1, 2578, 0), ('s', -1, 293, 0), ('t', 2, -1, 0), ('w', 28, -1, 0), ('z', 2, -1, 0)), (('a', -1, 1588, 0), ('b', 5, -1, 0), ('d', 2, -1, 0), ('e', 41, -1, 0), ('i', 0, -1, 0), ('l', 2, -1, 0), ('o', -1, 2566, 0), ('r', -1, 1645, 0), ('t', 5, -1, 0), ('w', -1, 2192, 0), ('y', 95, -1, 0), ('z', 95, -1, 0)), (('a', 4, -1, 0), ('b', 23, -1, 0), ('c', 1, -1, 0), ('d', -1, 1989, 0), ('e', 4, -1, 0), ('f', 23, -1, 0), ('i', 96, -1, 0), ('k', 23, -1, 0), ('l', 23, -1, 0), ('m', 23, -1, 0), ('n', 23, -1, 0), ('o', 4, -1, 0), ('p', 0, 2567, 0), ('r', -1, 2220, 0), ('s', 3, 2577, 0), ('t', -1, 2422, 0), ('u', 1, -1, 0), ('w', -1, 726, 0), ('y', 96, -1, 0), ('z', 4, -1, 0)), (('a', -1, 2568, 0), ('b', 121, -1, 0), ('d', 5, -1, 0), ('e', 143, -1, 0), ('i', -1, 2570, 0), ('o', -1, 769, 0), ('p', 2, -1, 0), ('r', 30, -1, 0), ('s', 3, -1, 0), ('t', -1, 208, 0), ('w', 121, -1, 0), ('y', -1, 2572, 0), ('z', -1, 904, 0), ('ą', 59, -1, 0), ('ę', -1, 1819, 0), ('ł', 12, -1, 0)), (('a', 135, -1, 0), ('b', 59, -1, 0), ('e', -1, 1731, 0), ('g', 11, -1, 0), ('i', 59, -1, 0), ('l', 2, -1, 0), ('o', 57, -1, 0), ('p', 7, -1, 0), ('r', -1, 2569, 0), ('u', 7, -1, 0), ('w', -1, 2176, 0), ('y', 7, -1, 0), ('z', 2, -1, 0), ('ę', 320, -1, 0), ('ł', -1, 438, 0)), (('a', 0, -1, 0), ('b', 11, -1, 0), ('c', 41, -1, 0), ('d', 1, -1, 0), ('e', 148, -1, 0), ('h', -1, 319, 0), ('i', 41, -1, 0), ('j', 41, -1, 0), ('l', 107, -1, 0), ('n', -1, 1800, 0), ('o', 41, -1, 0), ('p', 56, 224, 0), ('r', 41, -1, 0), ('s', 41, -1, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', 148, -1, 0), ('z', 11, -1, 0), ('ą', 41, -1, 0), ('ę', 1, -1, 0)), (('a', 59, -1, 0), ('c', 2, -1, 0), ('e', -1, 52, 0), ('i', 97, -1, 0), ('l', 121, -1, 0), ('n', 121, -1, 0), ('o', 121, -1, 0), ('p', -1, 2571, 0), ('r', -1, 906, 0), ('s', 121, -1, 0), ('t', 59, -1, 0), ('u', 3, -1, 0), ('w', 121, -1, 0), ('y', 59, -1, 0), ('z', 121, -1, 0), ('ę', 97, -1, 0)), (('a', -1, 289, 0), ('b', 1, -1, 0), ('d', 185, -1, 0), ('e', 121, -1, 0), ('g', 23, -1, 0), ('i', 185, -1, 0), ('o', 108, -1, 0), ('p', 0, -1, 0), ('r', 174, -1, 0), ('s', 185, -1, 0), ('t', 185, -1, 0), ('u', 121, -1, 0), ('w', 330, -1, 0), ('y', 59, -1, 0), ('z', 0, -1, 0)), (('a', 5, -1, 0), ('b', 22, -1, 0), ('c', 2, -1, 0), ('d', 2, 184, 0), ('e', -1, 162, 0), ('g', 22, -1, 0), ('i', 5, -1, 0), ('k', -1, 768, 0), ('l', 22, -1, 0), ('n', -1, 2573, 0), ('o', 5, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1707, 0), ('u', 5, -1, 0), ('w', 3, -1, 0), ('y', 30, -1, 0), ('z', 2, 2576, 0), ('ł', 2, -1, 0), ('ż', 121, -1, 0)), (('a', 22, -1, 0), ('b', -1, 2574, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('i', 22, -1, 0), ('k', 3, -1, 0), ('l', 59, -1, 0), ('n', 59, -1, 0), ('o', -1, 649, 0), ('p', 3, -1, 0), ('r', 2, -1, 0), ('s', -1, 2575, 0), ('t', -1, 2351, 0), ('w', -1, 379, 0), ('y', 2, -1, 0), ('z', -1, 985, 0), ('ę', 1, -1, 0), ('ł', 3, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 2349, 0), ('d', 105, -1, 0), ('e', -1, 1489, 0), ('i', 2, -1, 0), ('k', 0, -1, 0), ('m', 28, -1, 0), ('n', 105, -1, 0), ('o', -1, 2575, 0), ('p', 4, -1, 0), ('r', -1, 345, 0), ('t', 105, -1, 0), ('w', -1, 1722, 0), ('z', 230, -1, 0), ('ł', -1, 2499, 0)), (('a', 84, -1, 0), ('d', 41, -1, 0), ('e', 22, -1, 0), ('g', 84, -1, 0), ('h', 28, -1, 0), ('i', -1, 573, 0), ('k', 84, -1, 0), ('l', -1, 449, 0), ('n', -1, 1786, 0), ('o', 22, -1, 0), ('r', 22, -1, 0), ('t', 2, -1, 0), ('u', 1, -1, 0), ('w', 22, -1, 0), ('y', 84, -1, 0), ('z', 28, -1, 0), ('ł', 28, -1, 0), ('ś', 84, -1, 0), ('ź', 22, -1, 0)), (('a', 1, -1, 0), ('c', 121, -1, 0), ('d', 2, -1, 0), ('e', 125, -1, 0), ('g', 6, -1, 0), ('i', 22, -1, 0), ('m', 6, -1, 0), ('n', 0, -1, 0), ('o', 22, -1, 0), ('r', 121, -1, 0), ('s', 121, -1, 0), ('u', 1, -1, 0), ('y', -1, 907, 0), ('z', 6, -1, 0)), (('a', 41, -1, 0), ('c', 2, -1, 0), ('d', -1, 221, 0), ('e', 41, -1, 0), ('f', 2, -1, 0), ('i', -1, 1415, 0), ('l', 2, -1, 0), ('n', 22, -1, 0), ('o', -1, 1315, 0), ('r', -1, 33, 0), ('t', 30, -1, 0), ('w', 41, -1, 0), ('y', 41, -1, 0), ('z', 30, -1, 0)), (('a', 28, -1, 0), ('b', 2, -1, 0), ('c', 0, -1, 0), ('d', -1, 1481, 0), ('e', 2, -1, 0), ('f', 28, -1, 0), ('i', 2, -1, 0), ('k', 28, 576, 0), ('l', 2, -1, 0), ('m', -1, 2190, 0), ('o', 2, -1, 0), ('p', -1, 1976, 0), ('r', 2, -1, 0), ('t', 3, -1, 0), ('u', -1, 1860, 0), ('y', -1, 2579, 0), ('z', 3, -1, 0)), (('a', 71, -1, 0), ('c', -1, 2580, 0), ('d', 28, -1, 0), ('e', -1, 611, 0), ('g', 71, -1, 0), ('i', 71, -1, 0), ('k', -1, 2582, 0), ('l', 71, -1, 0), ('m', 55, -1, 0), ('n', -1, 2584, 0), ('o', 5, -1, 0), ('p', 5, 2263, 0), ('r', 71, -1, 0), ('s', 2, -1, 0), ('t', 28, -1, 0), ('u', 71, -1, 0), ('w', 2, -1, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ą', 71, -1, 0), ('ę', -1, 1250, 0)), (('a', 71, -1, 0), ('b', 71, -1, 0), ('c', 16, 2581, 0), ('d', 71, -1, 0), ('e', 71, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 55, -1, 0), ('l', 41, -1, 0), ('m', 0, -1, 0), ('o', 41, 1434, 0), ('p', 0, -1, 0), ('r', -1, 224, 0), ('s', -1, 1664, 0), ('t', 41, -1, 0), ('w', 55, -1, 0), ('y', 71, -1, 0), ('z', 71, -1, 0)), (('a', -1, 9, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('h', 1, -1, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', -1, 704, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 16, 1076, 0), ('w', 1, -1, 0), ('y', 21, -1, 0), ('z', -1, 290, 0), ('ł', 4, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 2548, 0), ('c', -1, 2583, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('i', -1, 154, 0), ('o', -1, 2511, 0), ('r', -1, 445, 0), ('u', -1, 61, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 28, -1, 0)), (('a', -1, 634, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 1, -1, 0), ('e', 79, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 2161, 0), ('l', 3, -1, 0), ('m', -1, 2053, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 197, 0), ('u', 1, -1, 0), ('w', 3, -1, 0), ('y', 34, -1, 0), ('z', 3, -1, 0)), (('a', -1, 1178, 0), ('b', -1, 2585, 0), ('c', 70, -1, 0), ('d', -1, 2036, 0), ('e', -1, 2058, 0), ('g', -1, 3650, 0), ('h', -1, 1268, 0), ('i', 70, -1, 0), ('k', -1, 2892, 0), ('l', 70, -1, 0), ('m', 70, -1, 0), ('o', -1, 604, 0), ('p', 70, -1, 0), ('r', 70, -1, 0), ('s', 70, -1, 0), ('t', 70, -1, 0), ('u', -1, 1886, 0), ('w', -1, 4245, 0), ('y', 70, -1, 0), ('z', -1, 817, 0), ('ś', -1, 2611, 0), ('ź', -1, 2264, 0), ('ż', 70, -1, 0)), (('a', -1, 2586, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 2587, 0), ('e', -1, 518, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 55, -1, 0), ('p', -1, 2588, 0), ('r', 70, -1, 0), ('s', 0, -1, 0), ('t', -1, 275, 0), ('u', 70, -1, 0), ('w', 0, -1, 0), ('y', -1, 2023, 0), ('z', 0, -1, 0), ('ó', 70, -1, 0), ('ą', 70, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 355, 0), ('c', 3, -1, 0), ('d', 5, -1, 0), ('e', 119, -1, 0), ('i', 55, -1, 0), ('k', 5, -1, 0), ('l', 7, -1, 0), ('o', -1, 172, 0), ('p', 44, -1, 0), ('r', -1, 2010, 0), ('s', -1, 449, 0), ('u', -1, 1677, 0), ('w', 0, 64, 0), ('z', -1, 1904, 0), ('ł', 70, -1, 0)), (('a', -1, 126, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 59, -1, 0), ('h', 1, -1, 0), ('i', -1, 2019, 0), ('j', 0, -1, 0), ('l', 59, -1, 0), ('m', 59, -1, 0), ('o', 0, -1, 0), ('r', 43, -1, 0), ('s', 4, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 121, -1, 0), ('y', 4, -1, 0), ('z', -1, 2500, 0)), (('a', 3, -1, 0), ('b', -1, 2589, 0), ('d', 3, -1, 0), ('e', -1, 217, 0), ('h', -1, 1187, 0), ('i', 3, -1, 0), ('j', 22, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 554, 0), ('p', 3, -1, 0), ('r', -1, 3103, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('y', 1, -1, 0), ('z', 3, -1, 0)), (('a', -1, 397, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 2590, 0), ('e', 3, -1, 0), ('f', 7, -1, 0), ('g', -1, 2116, 0), ('h', 7, -1, 0), ('i', -1, 2591, 0), ('j', -1, 2592, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 22, 1692, 0), ('n', -1, 2275, 0), ('o', -1, 673, 0), ('p', 3, 2478, 0), ('r', -1, 2593, 0), ('s', -1, 2596, 0), ('t', -1, 2548, 0), ('w', -1, 2253, 0), ('z', -1, 2443, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 2309, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 59, -1, 0), ('i', 59, -1, 0), ('k', 59, -1, 0), ('l', 59, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('r', 59, -1, 0), ('u', 7, -1, 0), ('w', 59, -1, 0), ('y', 7, -1, 0), ('z', -1, 1241, 0), ('ą', 7, -1, 0), ('ł', -1, 272, 0)), (('a', 21, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 21, -1, 0), ('e', -1, 592, 0), ('g', 21, -1, 0), ('h', -1, 299, 0), ('i', -1, 2014, 0), ('k', 21, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 21, -1, 0), ('p', 7, -1, 0), ('r', 21, -1, 0), ('s', 7, -1, 0), ('t', 22, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 21, -1, 0), ('z', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 1286, 0), ('b', 59, -1, 0), ('c', 80, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('l', 80, -1, 0), ('m', 59, -1, 0), ('n', 80, -1, 0), ('o', 80, -1, 0), ('p', 69, -1, 0), ('r', 59, -1, 0), ('s', 80, -1, 0), ('t', 59, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 3, -1, 0), ('ł', 121, -1, 0)), (('a', 7, -1, 0), ('b', 7, 1444, 0), ('c', -1, 2594, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 22, -1, 0), ('m', 7, -1, 0), ('o', 7, -1, 0), ('p', -1, 2595, 0), ('r', 34, -1, 0), ('s', 7, -1, 0), ('t', 90, -1, 0), ('u', 7, -1, 0), ('y', -1, 595, 0), ('z', -1, 1075, 0), ('ł', 2, -1, 0)), (('a', 70, -1, 0), ('e', 23, -1, 0), ('i', 106, -1, 0), ('o', 70, -1, 0), ('r', -1, 484, 0), ('u', 34, -1, 0), ('w', 23, -1, 0), ('y', 34, -1, 0), ('z', 70, -1, 0), ('ł', 180, -1, 0)), (('a', -1, 1037, 0), ('b', 7, -1, 0), ('c', -1, 1841, 0), ('d', -1, 571, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 2596, 0), ('j', 7, -1, 0), ('k', -1, 2597, 0), ('l', -1, 2599, 0), ('m', -1, 2478, 0), ('n', -1, 1993, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 2600, 0), ('s', -1, 3339, 0), ('t', -1, 3621, 0), ('u', 7, -1, 0), ('w', -1, 2323, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('l', -1, 799, 0), ('n', -1, 2159, 0), ('o', -1, 2473, 0), ('p', 7, -1, 0), ('r', -1, 1816, 0), ('s', 7, -1, 0), ('t', 157, -1, 0), ('u', 157, -1, 0), ('y', 7, -1, 0), ('z', 157, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0)), (('a', 7, -1, 0), ('d', -1, 1097, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 54, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', -1, 2598, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 791, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 1, -1, 0), ('e', 7, -1, 0), ('g', 23, -1, 0), ('h', 23, -1, 0), ('i', 7, -1, 0), ('k', 23, 1561, 0), ('l', 23, -1, 0), ('o', 7, -1, 0), ('r', 23, -1, 0), ('s', 23, -1, 0), ('t', 23, -1, 0), ('y', 1, -1, 0), ('z', 174, -1, 0), ('ł', 174, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 23, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', -1, 1011, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('n', 23, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 23, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', -1, 1885, 0), ('y', 7, -1, 0), ('z', 174, -1, 0), ('ó', 1, -1, 0)), (('a', -1, 2601, 0), ('b', 7, -1, 0), ('c', 41, -1, 0), ('d', 7, -1, 0), ('e', -1, 2609, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('m', 41, -1, 0), ('o', 7, -1, 0), ('r', -1, 851, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 41, -1, 0), ('ó', 7, -1, 0)), (('a', -1, 2472, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 4, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', -1, 2602, 0), ('k', 7, -1, 0), ('l', -1, 338, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 679, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 331, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 1, -1, 0), ('ó', -1, 598, 0), ('ł', 4, -1, 0)), (('a', -1, 251, 0), ('b', 86, -1, 0), ('c', -1, 2603, 0), ('d', 86, -1, 0), ('e', -1, 1456, 0), ('f', 21, -1, 0), ('g', -1, 686, 0), ('i', -1, 682, 0), ('k', -1, 1006, 0), ('l', 21, -1, 0), ('m', -1, 971, 0), ('n', -1, 2304, 0), ('o', -1, 2604, 0), ('p', -1, 1181, 0), ('r', 37, -1, 0), ('s', -1, 1024, 0), ('t', 86, -1, 0), ('u', -1, 1826, 0), ('w', 0, 97, 0), ('y', 86, -1, 0), ('z', -1, 287, 0), ('ś', -1, 1826, 0), ('ź', 37, -1, 0)), (('a', -1, 208, 0), ('b', -1, 356, 0), ('c', 28, -1, 0), ('e', 3, -1, 0), ('i', 7, -1, 0), ('m', 6, -1, 0), ('n', -1, 1479, 0), ('o', 7, -1, 0), ('p', -1, 908, 0), ('r', 7, -1, 0), ('s', -1, 797, 0), ('w', -1, 356, 0), ('y', 3, -1, 0), ('z', -1, 1113, 0)), (('a', -1, 1245, 0), ('b', -1, 113, 0), ('c', 3, -1, 0), ('d', -1, 683, 0), ('e', 28, -1, 0), ('g', -1, 1007, 0), ('h', 86, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', -1, 304, 0), ('l', -1, 351, 0), ('m', 86, -1, 0), ('n', -1, 2605, 0), ('o', 28, -1, 0), ('p', 21, -1, 0), ('r', 21, 133, 0), ('s', 1, 936, 0), ('t', 21, -1, 0), ('u', 4, -1, 0), ('w', 217, 1043, 0), ('y', 4, -1, 0), ('z', -1, 1319, 0), ('ż', 86, -1, 0)), (('a', -1, 775, 0), ('e', 40, -1, 0), ('f', 40, -1, 0), ('i', 67, -1, 0), ('m', 40, -1, 0), ('o', -1, 2606, 0), ('r', 54, 2607, 0), ('s', 355, -1, 0), ('t', -1, 799, 0), ('u', 82, -1, 0), ('ó', 21, -1, 0), ('ę', -1, 1674, 0)), (('a', -1, 719, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', 5, -1, 0), ('o', 54, 499, 0), ('p', 6, -1, 0), ('r', 67, -1, 0), ('t', 6, -1, 0), ('u', 21, -1, 0), ('y', 54, -1, 0), ('z', 54, -1, 0), ('ś', 6, -1, 0)), (('a', 54, -1, 0), ('e', 54, -1, 0), ('g', 1, -1, 0), ('i', -1, 347, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 0, -1, 0), ('o', 94, -1, 0), ('p', 1, -1, 0), ('r', -1, 2608, 0), ('s', 94, -1, 0), ('t', 12, -1, 0), ('u', 94, -1, 0), ('w', 1, -1, 0), ('y', 94, -1, 0), ('z', 1, -1, 0), ('ę', 40, -1, 0)), (('a', 1, -1, 0), ('b', 3, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('m', 40, -1, 0), ('o', 3, 884, 0), ('p', 0, -1, 0), ('r', 22, -1, 0), ('s', 204, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 22, -1, 0), ('ź', 1, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', -1, 886, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 2610, 0), ('t', 7, -1, 0), ('y', -1, 2611, 0), ('z', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 66, -1, 0), ('d', -1, 285, 0), ('e', -1, 1697, 0), ('i', -1, 251, 0), ('k', 21, -1, 0), ('l', 66, -1, 0), ('m', -1, 1075, 0), ('o', -1, 1043, 0), ('p', 1, 100, 0), ('r', 66, -1, 0), ('s', -1, 1323, 0), ('t', 55, -1, 0), ('u', 331, -1, 0), ('w', -1, 1192, 0), ('y', 66, -1, 0), ('z', -1, 717, 0), ('ą', 66, -1, 0), ('ę', -1, 395, 0), ('ł', 66, -1, 0)), (('a', 70, -1, 0), ('c', 0, -1, 0), ('d', 4, -1, 0), ('e', 0, -1, 0), ('g', 403, 753, 0), ('i', -1, 1300, 0), ('k', 403, 2612, 0), ('l', 41, -1, 0), ('m', -1, 277, 0), ('n', -1, 2084, 0), ('o', -1, 1624, 0), ('p', 40, -1, 0), ('r', -1, 277, 0), ('s', 47, -1, 0), ('t', -1, 2479, 0), ('u', 70, -1, 0), ('w', 7, -1, 0), ('y', 70, -1, 0), ('z', -1, 2615, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0)), (('a', -1, 1139, 0), ('b', 31, -1, 0), ('d', 85, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 22, -1, 0), ('j', 22, -1, 0), ('k', -1, 2613, 0), ('l', -1, 1746, 0), ('m', 5, -1, 0), ('n', 0, -1, 0), ('o', 85, -1, 0), ('p', 31, -1, 0), ('r', 0, -1, 0), ('s', 403, 1501, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 85, -1, 0), ('z', 85, -1, 0)), (('a', -1, 545, 0), ('e', -1, 2614, 0), ('g', 3, -1, 0), ('i', -1, 1051, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('n', 0, -1, 0), ('o', 166, -1, 0), ('p', 3, -1, 0), ('r', -1, 628, 0), ('s', 166, 81, 0), ('u', 0, -1, 0), ('w', 3, -1, 0), ('y', 166, -1, 0), ('z', 166, -1, 0)), (('a', 158, -1, 0), ('d', 158, -1, 0), ('e', -1, 2050, 0), ('i', 256, -1, 0), ('k', 158, -1, 0), ('n', -1, 477, 0), ('o', 158, -1, 0), ('p', 158, -1, 0), ('r', -1, 2468, 0), ('s', 4, -1, 0), ('t', 158, -1, 0), ('u', 158, -1, 0), ('w', -1, 2318, 0), ('z', 166, -1, 0)), (('a', -1, 1386, 0), ('d', -1, 2388, 0), ('e', -1, 2616, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 3375, 0), ('k', 117, -1, 0), ('m', -1, 2222, 0), ('o', -1, 100, 0), ('p', 117, -1, 0), ('r', -1, 2473, 0), ('s', 11, -1, 0), ('t', 3, -1, 0), ('u', -1, 1980, 0), ('w', -1, 198, 0), ('y', -1, 903, 0), ('z', -1, 1434, 0), ('ą', -1, 596, 0), ('ę', -1, 372, 0), ('ł', 117, -1, 0), ('ń', -1, 1862, 0)), (('a', -1, 467, 0), ('b', -1, 285, 0), ('d', -1, 285, 0), ('e', -1, 862, 0), ('g', 11, -1, 0), ('i', -1, 317, 0), ('k', 39, 2617, 0), ('l', -1, 569, 0), ('o', -1, 145, 0), ('p', 0, 44, 0), ('r', -1, 189, 0), ('s', 0, 44, 0), ('t', 39, -1, 0), ('u', 0, 44, 0), ('w', -1, 2655, 0), ('y', -1, 61, 0), ('z', 0, 44, 0), ('ł', 11, -1, 0)), (('a', 8, -1, 0), ('c', -1, 2618, 0), ('d', 8, -1, 0), ('e', 8, -1, 0), ('i', 8, -1, 0), ('o', 39, 387, 0), ('r', -1, 3673, 0), ('s', -1, 4243, 0), ('u', 100, -1, 0), ('w', 39, -1, 0), ('ą', 8, -1, 0), ('ł', 8, -1, 0)), (('a', -1, 2619, 0), ('c', 100, -1, 0), ('e', -1, 1837, 0), ('i', -1, 2620, 0), ('k', 8, -1, 0), ('l', -1, 4243, 0), ('o', -1, 1357, 0), ('r', -1, 2617, 0), ('u', -1, 2166, 0), ('y', -1, 4244, 0), ('z', -1, 321, 0), ('ą', 8, -1, 0), ('ę', -1, 3726, 0), ('ł', 100, -1, 0), ('ń', 8, -1, 0)), (('a', 3, -1, 0), ('e', -1, 2124, 0), ('i', -1, 1578, 0), ('l', 100, -1, 0), ('m', 8, -1, 0), ('n', 8, -1, 0), ('o', 3, -1, 0), ('r', 8, -1, 0), ('s', 8, -1, 0), ('t', 8, -1, 0), ('u', -1, 351, 0), ('y', 3, -1, 0), ('ł', 8, -1, 0)), (('a', -1, 2542, 0), ('b', 3, -1, 0), ('c', 21, -1, 0), ('d', 3, -1, 0), ('e', -1, 2621, 0), ('i', -1, 2623, 0), ('l', 8, -1, 0), ('n', -1, 4242, 0), ('o', -1, 1153, 0), ('r', -1, 431, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 1545, 0), ('z', -1, 1962, 0)), (('-', 2, -1, 0), ('a', -1, 596, 0), ('d', 3, -1, 0), ('e', -1, 1699, 0), ('f', 56, -1, 0), ('g', 3, -1, 0), ('i', -1, 892, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 340, 0), ('p', -1, 933, 0), ('r', -1, 823, 0), ('s', 3, -1, 0), ('t', -1, 1528, 0), ('u', -1, 2622, 0), ('w', 2, -1, 0), ('y', -1, 1236, 0), ('z', 3, -1, 0), ('ą', -1, 2422, 0), ('ę', -1, 1189, 0), ('ł', 2, -1, 0)), (('a', -1, 63, 0), ('b', 64, -1, 0), ('c', 107, -1, 0), ('d', 120, -1, 0), ('e', -1, 1931, 0), ('g', 5, -1, 0), ('i', -1, 63, 0), ('k', 5, -1, 0), ('n', 120, -1, 0), ('o', -1, 940, 0), ('p', 107, -1, 0), ('r', -1, 2182, 0), ('s', 336, -1, 0), ('t', -1, 874, 0), ('u', 196, -1, 0), ('w', 56, -1, 0), ('z', -1, 1389, 0), ('ł', 56, -1, 0)), (('a', -1, 238, 0), ('b', -1, 2165, 0), ('c', 4, -1, 0), ('d', -1, 1702, 0), ('e', -1, 1939, 0), ('g', 0, -1, 0), ('i', -1, 2245, 0), ('l', -1, 2421, 0), ('m', -1, 2624, 0), ('o', -1, 2014, 0), ('p', 21, 179, 0), ('r', -1, 243, 0), ('s', 89, -1, 0), ('w', -1, 243, 0), ('z', -1, 1043, 0), ('ą', -1, 2488, 0), ('ż', -1, 2225, 0)), (('a', -1, 2625, 0), ('b', 29, 151, 0), ('c', 6, -1, 0), ('d', -1, 689, 0), ('e', -1, 3205, 0), ('i', -1, 1333, 0), ('m', -1, 307, 0), ('n', -1, 1681, 0), ('o', -1, 2109, 0), ('p', -1, 1000, 0), ('r', -1, 2664, 0), ('s', 6, -1, 0), ('u', -1, 706, 0), ('w', 6, -1, 0), ('y', -1, 684, 0), ('z', -1, 1928, 0)), (('a', -1, 239, 0), ('c', -1, 2626, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', -1, 345, 0), ('k', 5, -1, 0), ('l', 2, -1, 0), ('m', 5, -1, 0), ('o', -1, 1572, 0), ('p', -1, 472, 0), ('r', 5, -1, 0), ('s', 208, -1, 0), ('t', -1, 141, 0), ('w', -1, 3180, 0), ('y', 5, -1, 0), ('z', -1, 635, 0), ('ł', -1, 626, 0)), (('a', -1, 2627, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 396, 0), ('g', 2, -1, 0), ('i', -1, 485, 0), ('j', 21, -1, 0), ('l', 21, -1, 0), ('o', -1, 876, 0), ('p', 28, 649, 0), ('r', 21, -1, 0), ('s', 2, 1432, 0), ('t', -1, 505, 0), ('u', -1, 2027, 0), ('w', -1, 2628, 0), ('y', -1, 1037, 0), ('z', -1, 2633, 0), ('ą', 21, -1, 0)), (('a', 0, -1, 0), ('b', 21, -1, 0), ('c', 1, -1, 0), ('d', 3, -1, 0), ('e', -1, 262, 0), ('f', 1, -1, 0), ('i', -1, 1607, 0), ('k', 30, -1, 0), ('l', 21, -1, 0), ('m', 87, -1, 0), ('n', 2, -1, 0), ('o', 6, 386, 0), ('p', 21, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 2, -1, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 101, -1, 0), ('z', 21, -1, 0)), (('a', 3, -1, 0), ('c', -1, 2418, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 400, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 2629, 0), ('s', -1, 2145, 0), ('t', -1, 952, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 2632, 0)), (('a', 3, -1, 0), ('b', 1, -1, 0), ('e', -1, 715, 0), ('i', 3, -1, 0), ('k', 0, -1, 0), ('o', -1, 1269, 0), ('r', 80, -1, 0), ('t', 30, 1230, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 2630, 0), ('ó', 1, -1, 0)), (('a', 208, -1, 0), ('b', 2, -1, 0), ('c', 41, 278, 0), ('d', 4, -1, 0), ('e', 104, -1, 0), ('i', -1, 722, 0), ('k', 22, -1, 0), ('l', -1, 1481, 0), ('m', 59, -1, 0), ('o', -1, 892, 0), ('p', -1, 1669, 0), ('r', 4, -1, 0), ('s', -1, 1777, 0), ('t', -1, 2631, 0), ('u', 104, -1, 0), ('w', 104, -1, 0), ('y', 104, -1, 0), ('z', 104, -1, 0), ('ę', 2, -1, 0)), (('a', -1, 2332, 0), ('b', 7, -1, 0), ('d', 1, -1, 0), ('e', -1, 2520, 0), ('f', 7, -1, 0), ('h', 62, -1, 0), ('i', -1, 1042, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', -1, 1221, 0), ('n', 7, -1, 0), ('o', -1, 482, 0), ('p', 80, -1, 0), ('r', -1, 1079, 0), ('s', -1, 1741, 0), ('t', 3, -1, 0), ('u', 6, -1, 0), ('w', 7, -1, 0), ('y', -1, 1765, 0), ('z', 0, 2523, 0), ('ł', 1, -1, 0)), (('a', -1, 2293, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 28, -1, 0), ('e', -1, 1194, 0), ('f', 87, -1, 0), ('i', -1, 1091, 0), ('j', 4, -1, 0), ('k', 4, -1, 0), ('m', 0, -1, 0), ('n', 2, -1, 0), ('o', 4, -1, 0), ('p', 41, 15, 0), ('r', 4, -1, 0), ('s', 0, -1, 0), ('t', 87, -1, 0), ('u', 4, -1, 0), ('w', 0, 44, 0), ('y', -1, 259, 0), ('z', -1, 128, 0), ('ó', 4, -1, 0), ('ę', 4, -1, 0), ('ł', 2, -1, 0), ('ż', 4, -1, 0)), (('a', 74, -1, 0), ('b', -1, 2634, 0), ('c', -1, 1423, 0), ('d', 28, -1, 0), ('e', -1, 288, 0), ('g', 28, 556, 0), ('i', -1, 1472, 0), ('k', 21, -1, 0), ('l', 74, -1, 0), ('m', 101, 1037, 0), ('n', -1, 943, 0), ('o', 176, -1, 0), ('p', 28, -1, 0), ('r', 74, -1, 0), ('s', 25, -1, 0), ('t', 28, -1, 0), ('u', 74, -1, 0), ('w', 28, -1, 0), ('y', 74, -1, 0), ('z', 74, -1, 0), ('ą', 74, -1, 0), ('ę', -1, 242, 0), ('ł', 41, -1, 0), ('ż', -1, 1166, 0)), (('a', 6, -1, 0), ('b', -1, 2635, 0), ('c', -1, 2637, 0), ('d', -1, 2639, 0), ('e', -1, 2349, 0), ('f', 3, -1, 0), ('h', -1, 4133, 0), ('i', -1, 4230, 0), ('j', -1, 1257, 0), ('l', -1, 2956, 0), ('m', -1, 3729, 0), ('n', -1, 2855, 0), ('o', 1, 8, 0), ('p', 3, -1, 0), ('r', 0, 3290, 0), ('s', -1, 4237, 0), ('t', -1, 4238, 0), ('w', -1, 1974, 0), ('y', 3, -1, 0), ('z', -1, 2628, 0), ('ą', -1, 580, 0), ('ę', 6, -1, 0), ('ł', -1, 4240, 0), ('ż', -1, 2289, 0)), (('a', 3, -1, 0), ('b', 21, -1, 0), ('c', 3, -1, 0), ('e', -1, 447, 0), ('g', 21, -1, 0), ('i', 12, -1, 0), ('k', -1, 2636, 0), ('l', 21, -1, 0), ('m', 3, -1, 0), ('n', -1, 427, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('u', 3, -1, 0), ('w', 1, -1, 0), ('z', 3, -1, 0), ('ę', 3, -1, 0)), (('a', -1, 1719, 0), ('b', 0, -1, 0), ('e', 21, -1, 0), ('g', 0, -1, 0), ('h', 28, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('n', 1, -1, 0), ('o', 89, -1, 0), ('p', 1, -1, 0), ('r', 3, -1, 0), ('s', 121, -1, 0), ('t', 1, -1, 0), ('u', 126, -1, 0), ('w', -1, 2277, 0), ('y', 4, -1, 0), ('z', 3, -1, 0), ('ę', 126, -1, 0)), (('a', 3, -1, 0), ('b', 48, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 48, -1, 0), ('l', 48, -1, 0), ('m', 48, -1, 0), ('n', 3, -1, 0), ('o', -1, 34, 0), ('p', 48, -1, 0), ('r', -1, 2638, 0), ('u', 3, -1, 0), ('w', 48, -1, 0), ('z', 48, -1, 0), ('ą', -1, 2388, 0), ('ć', 48, -1, 0), ('ń', 48, -1, 0), ('ś', 48, -1, 0), ('ź', 48, -1, 0), ('ż', 48, -1, 0)), (('a', -1, 28, 0), ('d', 48, -1, 0), ('e', -1, 242, 0), ('i', 82, -1, 0), ('l', 82, -1, 0), ('n', -1, 1605, 0), ('o', 3, -1, 0), ('p', 41, -1, 0), ('r', -1, 1754, 0), ('s', 82, -1, 0), ('u', 82, -1, 0), ('w', 82, -1, 0), ('y', 82, -1, 0), ('z', 82, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 2444, 0), ('d', 3, -1, 0), ('e', -1, 2640, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 2641, 0), ('o', 3, -1, 0), ('p', 40, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 80, 1220, 0), ('w', 40, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 1959, 0), ('d', 59, -1, 0), ('e', 121, -1, 0), ('i', 22, -1, 0), ('o', 142, 2631, 0), ('p', -1, 1195, 0), ('r', -1, 2373, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 142, -1, 0), ('z', 142, -1, 0)), (('a', -1, 2642, 0), ('b', 5, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('m', 5, -1, 0), ('o', -1, 2388, 0), ('r', 5, 1574, 0), ('s', 30, -1, 0), ('u', 3, -1, 0), ('z', 30, -1, 0), ('ż', 30, -1, 0)), (('a', 73, -1, 0), ('b', 3, -1, 0), ('e', 73, -1, 0), ('g', 3, -1, 0), ('i', -1, 1984, 0), ('k', 73, -1, 0), ('l', 80, 288, 0), ('n', -1, 1687, 0), ('o', -1, 1978, 0), ('r', 80, -1, 0), ('t', 80, -1, 0), ('u', 73, -1, 0), ('w', -1, 2643, 0), ('y', 73, -1, 0), ('z', 2, -1, 0), ('ą', 73, -1, 0), ('ę', 73, -1, 0)), (('a', 34, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('i', -1, 989, 0), ('j', 3, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 3, -1, 0), ('p', 1, -1, 0), ('r', -1, 2644, 0), ('s', 3, -1, 0), ('t', 274, -1, 0), ('u', -1, 3042, 0), ('w', 21, -1, 0), ('y', -1, 351, 0), ('z', 21, -1, 0)), (('a', -1, 2645, 0), ('d', -1, 1044, 0), ('e', 5, -1, 0), ('g', -1, 957, 0), ('i', -1, 1702, 0), ('j', -1, 1068, 0), ('k', 21, 16, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 21, -1, 0), ('o', 11, -1, 0), ('p', -1, 2650, 0), ('r', -1, 2654, 0), ('t', 3, -1, 0), ('u', 34, -1, 0), ('w', -1, 1044, 0), ('y', -1, 110, 0), ('z', 1, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 1013, 0), ('e', 106, -1, 0), ('i', -1, 586, 0), ('k', 34, 1917, 0), ('m', 106, -1, 0), ('n', -1, 57, 0), ('o', -1, 2646, 0), ('r', 106, -1, 0), ('s', 5, -1, 0), ('t', 106, 248, 0), ('u', -1, 2649, 0), ('w', 5, -1, 0), ('y', -1, 882, 0), ('z', 56, -1, 0), ('ł', 106, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', 3, -1, 0), ('k', -1, 1220, 0), ('l', 0, -1, 0), ('m', 5, -1, 0), ('o', 5, 2647, 0), ('p', 5, -1, 0), ('r', 0, -1, 0), ('s', 5, -1, 0), ('t', 3, -1, 0), ('u', -1, 380, 0), ('y', 5, -1, 0), ('z', -1, 881, 0), ('ł', 41, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', -1, 12, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, 1447, 0), ('h', 5, -1, 0), ('i', -1, 1505, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 3, -1, 0), ('n', 5, -1, 0), ('o', -1, 2078, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 3, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 2648, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 85, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 1, -1, 0), ('g', 5, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('n', 10, -1, 0), ('o', 41, 1331, 0), ('p', 102, -1, 0), ('r', 5, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 5, -1, 0), ('y', 28, -1, 0), ('z', 55, -1, 0), ('ł', -1, 880, 0)), (('a', -1, 66, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 2170, 0), ('e', -1, 1208, 0), ('i', -1, 271, 0), ('j', 3, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 2631, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 3, -1, 0), ('t', 274, -1, 0), ('w', 41, -1, 0), ('z', 41, -1, 0), ('ó', -1, 2185, 0)), (('a', 3, -1, 0), ('c', 21, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('h', -1, 234, 0), ('i', -1, 2651, 0), ('j', 21, -1, 0), ('l', 1, -1, 0), ('o', -1, 1043, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 3, -1, 0), ('y', 21, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 226, 0), ('c', 0, -1, 0), ('e', 28, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 28, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 2652, 0), ('p', 28, -1, 0), ('r', 75, -1, 0), ('s', 21, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 21, -1, 0), ('z', 21, -1, 0)), (('-', 2, -1, 0), ('a', 82, -1, 0), ('b', 2, -1, 0), ('c', 28, -1, 0), ('d', 2, -1, 0), ('e', -1, 2653, 0), ('i', 23, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', 2, -1, 0), ('n', -1, 556, 0), ('o', 174, -1, 0), ('r', 2, -1, 0), ('s', 23, -1, 0), ('t', 28, 1055, 0), ('u', 79, -1, 0), ('y', 82, -1, 0), ('z', 28, -1, 0), ('ł', 2, -1, 0)), (('a', 3, -1, 0), ('b', 190, -1, 0), ('c', -1, 1545, 0), ('d', 214, -1, 0), ('e', 190, -1, 0), ('h', 1, -1, 0), ('i', -1, 1075, 0), ('j', 1, -1, 0), ('n', 22, -1, 0), ('o', 190, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 41, -1, 0), ('t', -1, 672, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 190, -1, 0), ('z', 51, -1, 0), ('ń', -1, 368, 0), ('ż', 212, -1, 0)), (('a', -1, 153, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', -1, 790, 0), ('h', 44, -1, 0), ('i', 2, -1, 0), ('k', 2, 2655, 0), ('l', 3, 895, 0), ('m', 3, -1, 0), ('o', -1, 1696, 0), ('r', -1, 372, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 2, -1, 0), ('z', 21, -1, 0), ('ł', -1, 3005, 0)), (('a', 3, -1, 0), ('b', 2, -1, 0), ('c', 3, -1, 0), ('d', 11, -1, 0), ('e', 34, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('o', 11, -1, 0), ('r', 3, -1, 0), ('s', -1, 2656, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', 4, -1, 0), ('y', 34, -1, 0), ('z', 4, -1, 0), ('ę', 3, -1, 0)), (('a', 44, -1, 0), ('e', 3, -1, 0), ('i', -1, 2657, 0), ('l', 3, -1, 0), ('n', -1, 2658, 0), ('o', -1, 1676, 0), ('p', 106, -1, 0), ('r', 3, -1, 0), ('y', 132, -1, 0), ('z', 106, -1, 0)), (('a', -1, 443, 0), ('c', 79, -1, 0), ('d', 7, -1, 0), ('e', 49, -1, 0), ('h', 7, -1, 0), ('i', 49, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 79, -1, 0), ('m', -1, 625, 0), ('n', 79, -1, 0), ('o', 79, -1, 0), ('p', -1, 1036, 0), ('r', -1, 1071, 0), ('s', 79, -1, 0), ('t', 1, -1, 0), ('u', 79, -1, 0), ('w', 12, -1, 0), ('y', -1, 1639, 0), ('z', 1, -1, 0), ('ę', 28, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 1813, 0), ('b', -1, 2659, 0), ('c', -1, 2682, 0), ('d', -1, 3251, 0), ('e', 132, -1, 0), ('f', 89, -1, 0), ('i', 56, -1, 0), ('k', 41, -1, 0), ('l', -1, 1919, 0), ('m', 234, -1, 0), ('n', 234, -1, 0), ('o', 3, 218, 0), ('p', 89, -1, 0), ('r', -1, 4223, 0), ('s', -1, 4226, 0), ('w', -1, 3349, 0), ('y', 234, -1, 0), ('z', 16, -1, 0)), (('a', 91, -1, 0), ('e', 206, -1, 0), ('i', 91, -1, 0), ('n', 91, -1, 0), ('o', 234, -1, 0), ('r', 91, -1, 0), ('u', 91, -1, 0), ('y', 89, -1, 0), ('z', 89, 2660, 0), ('ę', 206, -1, 0), ('ź', 206, -1, 0)), (('a', 4, -1, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 2661, 0), ('e', 89, -1, 0), ('f', 11, -1, 0), ('g', -1, 2663, 0), ('h', -1, 2286, 0), ('i', -1, 1580, 0), ('j', -1, 1857, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 3, 8, 0), ('n', 11, -1, 0), ('o', 38, -1, 0), ('p', 11, -1, 0), ('r', -1, 2666, 0), ('s', -1, 507, 0), ('t', -1, 2171, 0), ('w', -1, 2672, 0), ('z', -1, 2681, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 2662, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('l', 21, -1, 0), ('n', 11, -1, 0), ('o', 11, -1, 0), ('r', 30, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 56, 2366, 0), ('ą', 11, -1, 0)), (('a', 1, -1, 0), ('b', 11, -1, 0), ('d', 21, -1, 0), ('e', 1, -1, 0), ('g', 11, -1, 0), ('i', -1, 2615, 0), ('j', 11, -1, 0), ('n', 11, -1, 0), ('o', 0, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('z', 56, -1, 0), ('ł', 11, -1, 0)), (('a', -1, 35, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('l', 11, -1, 0), ('o', -1, 2664, 0), ('r', 11, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 11, -1, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0), ('ł', 11, -1, 0)), (('a', -1, 116, 0), ('d', 28, -1, 0), ('e', -1, 2129, 0), ('i', 108, -1, 0), ('k', 28, -1, 0), ('o', 0, 1767, 0), ('p', 6, -1, 0), ('r', -1, 2250, 0), ('s', 6, 401, 0), ('t', 6, -1, 0), ('u', 0, 64, 0), ('w', 0, 64, 0), ('z', -1, 2665, 0)), (('a', -1, 139, 0), ('b', 3, -1, 0), ('c', -1, 1649, 0), ('d', -1, 943, 0), ('e', 64, -1, 0), ('f', 28, -1, 0), ('g', 3, -1, 0), ('i', -1, 154, 0), ('k', 28, -1, 0), ('l', 1, -1, 0), ('m', 2, -1, 0), ('n', 21, -1, 0), ('o', -1, 319, 0), ('p', 4, 718, 0), ('r', 64, -1, 0), ('s', -1, 1217, 0), ('t', -1, 1200, 0), ('u', -1, 537, 0), ('w', 33, -1, 0), ('y', -1, 528, 0), ('z', 4, -1, 0), ('ę', -1, 849, 0)), (('a', 11, -1, 0), ('b', 11, 2667, 0), ('c', 91, -1, 0), ('d', 91, -1, 0), ('e', 11, -1, 0), ('g', 11, -1, 0), ('i', 3, -1, 0), ('m', 11, -1, 0), ('o', 11, -1, 0), ('p', -1, 2668, 0), ('r', 91, -1, 0), ('s', 11, -1, 0), ('t', 91, -1, 0), ('u', 11, -1, 0), ('y', -1, 483, 0), ('z', -1, 1441, 0), ('ż', -1, 1877, 0)), (('a', 11, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('f', 21, -1, 0), ('i', -1, 298, 0), ('l', 21, -1, 0), ('o', 11, 811, 0), ('p', 21, -1, 0), ('r', 0, 675, 0), ('t', 21, -1, 0), ('y', 11, -1, 0), ('z', 56, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 2669, 0), ('b', 1, -1, 0), ('c', 21, 2670, 0), ('d', 21, 762, 0), ('e', 11, -1, 0), ('f', 3, -1, 0), ('i', -1, 2635, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 21, 1459, 0), ('m', -1, 351, 0), ('o', 11, -1, 0), ('r', -1, 1823, 0), ('s', 1, 201, 0), ('t', -1, 2218, 0), ('u', 11, -1, 0), ('w', 1, -1, 0), ('y', 11, -1, 0), ('z', 3, -1, 0), ('ż', -1, 2489, 0)), (('a', -1, 218, 0), ('b', -1, 355, 0), ('d', 56, -1, 0), ('e', -1, 14, 0), ('i', -1, 1391, 0), ('m', -1, 1210, 0), ('o', -1, 1747, 0), ('p', 56, 59, 0), ('r', -1, 129, 0), ('s', -1, 357, 0), ('t', -1, 190, 0), ('u', -1, 1332, 0), ('w', 11, -1, 0), ('y', -1, 968, 0), ('z', -1, 594, 0)), (('a', 11, -1, 0), ('e', 107, -1, 0), ('i', 3, -1, 0), ('n', -1, 726, 0), ('o', -1, 2671, 0), ('r', 82, -1, 0), ('u', 107, -1, 0), ('w', 107, -1, 0), ('y', 107, -1, 0), ('z', 107, -1, 0)), (('a', 107, -1, 0), ('c', 1, -1, 0), ('d', 107, -1, 0), ('e', 107, -1, 0), ('i', 11, -1, 0), ('o', 56, -1, 0), ('p', 11, -1, 0), ('r', -1, 2390, 0), ('u', -1, 1720, 0), ('w', 8, -1, 0), ('z', -1, 2538, 0), ('ż', 8, -1, 0)), (('a', 11, -1, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('o', -1, 2673, 0), ('r', 11, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 11, -1, 0)), (('a', 28, -1, 0), ('b', 11, -1, 0), ('c', -1, 1797, 0), ('d', -1, 1597, 0), ('e', 11, -1, 0), ('f', 11, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', -1, 1798, 0), ('j', 11, -1, 0), ('k', -1, 2674, 0), ('l', -1, 2674, 0), ('m', 11, -1, 0), ('n', -1, 2675, 0), ('o', 245, -1, 0), ('p', 11, -1, 0), ('r', -1, 2676, 0), ('s', -1, 2678, 0), ('t', -1, 2679, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('f', 11, -1, 0), ('g', -1, 2030, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('n', -1, 2427, 0), ('o', 11, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('s', 11, -1, 0), ('t', 11, -1, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', -1, 811, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('e', -1, 431, 0), ('g', 11, -1, 0), ('i', -1, 1927, 0), ('j', 11, -1, 0), ('k', 5, -1, 0), ('o', 11, -1, 0), ('p', 0, -1, 0), ('r', 11, -1, 0), ('w', 5, -1, 0), ('y', 11, -1, 0), ('z', 264, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 812, 0), ('b', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 2677, 0), ('f', 11, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('o', 11, -1, 0), ('r', 30, -1, 0), ('t', 11, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 22, -1, 0), ('ó', 11, -1, 0)), (('a', 7, -1, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 7, -1, 0), ('g', 11, -1, 0), ('i', -1, 1697, 0), ('j', 3, -1, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', 7, 315, 0), ('p', 11, -1, 0), ('r', 3, -1, 0), ('t', 11, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 11, -1, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('n', 11, -1, 0), ('o', -1, 587, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 11, -1, 0), ('z', -1, 210, 0)), (('a', 11, -1, 0), ('e', 11, -1, 0), ('f', 11, -1, 0), ('h', 11, -1, 0), ('i', -1, 2042, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('n', 11, -1, 0), ('o', -1, 2680, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('s', 11, -1, 0), ('u', 11, -1, 0), ('y', -1, 1598, 0), ('z', 11, -1, 0), ('ę', 11, -1, 0), ('ł', 11, -1, 0)), (('a', -1, 1432, 0), ('d', 11, -1, 0), ('e', 2, -1, 0), ('f', 28, -1, 0), ('g', 11, 2182, 0), ('i', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('n', 11, -1, 0), ('o', 2, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 11, -1, 0), ('z', -1, 1799, 0), ('ł', 11, -1, 0)), (('a', -1, 170, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('o', -1, 557, 0), ('r', 11, -1, 0), ('s', 11, -1, 0), ('y', 0, -1, 0), ('z', 22, -1, 0), ('ą', -1, 1384, 0), ('ł', 11, -1, 0)), (('a', -1, 2683, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 1441, 0), ('i', -1, 3222, 0), ('j', -1, 4035, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', -1, 2648, 0), ('o', -1, 3442, 0), ('p', -1, 251, 0), ('r', -1, 3916, 0), ('u', -1, 32, 0), ('w', 28, -1, 0), ('y', -1, 1231, 0), ('z', -1, 1365, 0), ('ą', -1, 630, 0), ('ł', 28, -1, 0), ('ń', -1, 3750, 0), ('ź', -1, 2701, 0), ('ż', 28, -1, 0)), (('a', 63, -1, 0), ('b', 1, -1, 0), ('d', -1, 69, 0), ('e', 63, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 1822, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 28, -1, 0), ('o', -1, 94, 0), ('p', 1, -1, 0), ('r', -1, 438, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', -1, 2684, 0), ('z', 1, -1, 0), ('ł', -1, 838, 0), ('ż', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('e', -1, 1879, 0), ('f', -1, 2685, 0), ('g', -1, 2690, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 348, -1, 0), ('l', -1, 2691, 0), ('m', -1, 4222, 0), ('n', -1, 1516, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 146, -1, 0), ('s', -1, 1870, 0), ('t', 131, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 2686, 0), ('e', -1, 2687, 0), ('o', 0, -1, 0), ('y', 4, -1, 0), ('ą', 75, -1, 0), ('ę', 4, -1, 0)), (('a', 31, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 2112, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 727, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 369, 0), ('p', 0, -1, 0), ('r', -1, 453, 0), ('s', 1, -1, 0), ('t', -1, 272, 0), ('u', 31, -1, 0), ('w', 0, -1, 0), ('z', -1, 2101, 0)), (('a', 166, -1, 0), ('e', 166, -1, 0), ('i', 4, -1, 0), ('n', 4, -1, 0), ('o', 4, -1, 0), ('r', 0, -1, 0), ('s', 4, -1, 0), ('t', -1, 2688, 0), ('y', 0, -1, 0), ('z', 4, -1, 0), ('ł', 4, -1, 0)), (('a', 31, -1, 0), ('d', 85, -1, 0), ('e', -1, 788, 0), ('i', 31, -1, 0), ('k', -1, 268, 0), ('m', -1, 1593, 0), ('o', 31, -1, 0), ('r', -1, 1065, 0), ('s', 54, -1, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('w', 105, 475, 0), ('y', -1, 2689, 0), ('z', 85, -1, 0), ('ł', 188, -1, 0)), (('a', -1, 644, 0), ('b', 261, -1, 0), ('e', -1, 1587, 0), ('i', -1, 1705, 0), ('o', 39, -1, 0), ('p', 31, -1, 0), ('r', -1, 2492, 0), ('s', 0, -1, 0), ('y', 39, -1, 0), ('z', 31, -1, 0)), (('a', 0, -1, 0), ('e', 1, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('y', 0, -1, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 2692, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('u', -1, 865, 0), ('y', -1, 2695, 0)), (('a', -1, 182, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('w', 0, -1, 0), ('z', -1, 2693, 0)), (('a', -1, 530, 0), ('c', 1, -1, 0), ('d', 4, -1, 0), ('e', 105, -1, 0), ('g', 3, -1, 0), ('h', 105, -1, 0), ('i', -1, 2090, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('o', 105, -1, 0), ('p', 105, -1, 0), ('r', 4, -1, 0), ('s', -1, 2694, 0), ('t', 1, 1864, 0), ('u', 105, -1, 0), ('w', 3, -1, 0), ('y', 102, -1, 0), ('z', 196, -1, 0)), (('a', -1, 384, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', 229, -1, 0), ('o', 99, -1, 0), ('r', -1, 427, 0), ('s', 0, 165, 0), ('w', 3, -1, 0), ('z', 22, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1329, 0), ('d', -1, 385, 0), ('e', -1, 1528, 0), ('h', 210, -1, 0), ('i', -1, 2480, 0), ('j', -1, 2696, 0), ('l', 1, -1, 0), ('m', -1, 2526, 0), ('n', 0, -1, 0), ('o', -1, 1836, 0), ('r', 21, -1, 0), ('y', -1, 671, 0), ('z', -1, 1201, 0), ('ó', -1, 2697, 0), ('ą', -1, 2698, 0), ('ę', -1, 3144, 0), ('ł', -1, 2862, 0)), (('a', 5, -1, 0), ('d', 30, -1, 0), ('e', 210, -1, 0), ('i', 22, -1, 0), ('k', 30, -1, 0), ('m', 1, -1, 0), ('n', 30, -1, 0), ('o', -1, 1772, 0), ('p', 1, -1, 0), ('r', -1, 2348, 0), ('s', 22, -1, 0), ('u', 3, -1, 0), ('y', 1, -1, 0), ('z', 79, 15, 0), ('ł', -1, 1361, 0)), (('a', -1, 2148, 0), ('e', 202, -1, 0), ('i', 21, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('r', 21, 651, 0), ('s', 202, -1, 0), ('u', 1, -1, 0), ('y', 202, -1, 0), ('z', 202, -1, 0)), (('a', -1, 12, 0), ('d', -1, 704, 0), ('e', -1, 1157, 0), ('i', -1, 1712, 0), ('l', 10, -1, 0), ('o', 72, -1, 0), ('r', 21, 2699, 0), ('s', 1, 177, 0), ('t', 21, -1, 0), ('y', 10, -1, 0), ('z', -1, 2720, 0), ('ż', 21, -1, 0)), (('a', -1, 2700, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 1544, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', 21, -1, 0), ('p', 3, 465, 0), ('r', -1, 2454, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 0, 985, 0), ('z', 2, -1, 0)), (('a', -1, 2101, 0), ('d', 21, -1, 0), ('e', -1, 2385, 0), ('g', 21, -1, 0), ('h', -1, 1192, 0), ('i', -1, 557, 0), ('k', -1, 2336, 0), ('l', -1, 4, 0), ('m', 1, -1, 0), ('n', -1, 1682, 0), ('o', -1, 628, 0), ('p', -1, 4, 0), ('r', -1, 2701, 0), ('s', -1, 27, 0), ('t', 21, -1, 0), ('u', -1, 2702, 0), ('w', 11, 2706, 0), ('y', -1, 1523, 0), ('z', -1, 883, 0), ('ą', -1, 310, 0), ('ę', -1, 510, 0), ('ł', -1, 1318, 0)), (('a', -1, 187, 0), ('c', 107, -1, 0), ('d', -1, 386, 0), ('e', -1, 1088, 0), ('g', -1, 842, 0), ('i', -1, 723, 0), ('j', -1, 95, 0), ('k', 0, 225, 0), ('l', 29, -1, 0), ('m', 107, -1, 0), ('n', 107, -1, 0), ('o', -1, 2381, 0), ('p', -1, 2074, 0), ('r', -1, 361, 0), ('s', 56, -1, 0), ('u', 24, -1, 0), ('w', -1, 874, 0), ('z', -1, 1648, 0)), (('a', -1, 993, 0), ('c', 3, -1, 0), ('d', -1, 1333, 0), ('e', -1, 1780, 0), ('i', -1, 786, 0), ('k', -1, 172, 0), ('o', -1, 1864, 0), ('p', -1, 1249, 0), ('r', -1, 694, 0), ('s', 3, 2703, 0), ('t', -1, 163, 0), ('u', -1, 128, 0), ('w', 11, 1644, 0), ('z', -1, 2602, 0)), (('a', 57, -1, 0), ('c', 3, -1, 0), ('d', 22, 2704, 0), ('e', -1, 634, 0), ('g', 174, -1, 0), ('h', 23, -1, 0), ('i', 23, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 2705, 0), ('o', 3, -1, 0), ('p', 40, -1, 0), ('r', -1, 1220, 0), ('s', 40, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('y', 97, -1, 0), ('z', 3, -1, 0), ('ż', 23, -1, 0)), (('a', 12, -1, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('h', 12, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 12, -1, 0), ('n', 12, -1, 0), ('o', 1, -1, 0), ('p', 12, -1, 0), ('r', 22, -1, 0), ('s', 3, -1, 0), ('t', 22, 399, 0), ('u', 21, -1, 0), ('y', 12, -1, 0), ('z', 57, -1, 0), ('ł', 12, -1, 0)), (('a', 22, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 1917, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 7, -1, 0), ('i', 5, -1, 0), ('k', 7, -1, 0), ('l', -1, 910, 0), ('n', -1, 1705, 0), ('o', 22, -1, 0), ('p', 5, -1, 0), ('r', 7, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 57, -1, 0), ('w', 0, -1, 0), ('y', 3, -1, 0), ('z', 5, -1, 0), ('ł', -1, 1818, 0), ('ż', 5, -1, 0)), (('a', -1, 2707, 0), ('e', -1, 2717, 0), ('i', -1, 2718, 0), ('j', 106, -1, 0), ('k', 106, -1, 0), ('o', -1, 409, 0), ('r', 106, -1, 0), ('u', -1, 2550, 0), ('y', 11, -1, 0), ('z', 56, -1, 0), ('ó', 106, -1, 0), ('ą', 16, -1, 0), ('ę', 106, -1, 0), ('ż', 106, -1, 0)), (('a', 41, -1, 0), ('b', 12, -1, 0), ('d', -1, 239, 0), ('e', 0, -1, 0), ('g', 16, -1, 0), ('i', 41, -1, 0), ('k', 5, -1, 0), ('m', 16, -1, 0), ('o', 0, -1, 0), ('r', -1, 1903, 0), ('s', 333, -1, 0), ('t', 12, -1, 0), ('u', 41, -1, 0), ('w', 16, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ó', -1, 2479, 0), ('ą', -1, 2708, 0)), (('a', -1, 2323, 0), ('b', 7, -1, 0), ('c', 4, -1, 0), ('d', 108, -1, 0), ('e', 108, -1, 0), ('h', 108, -1, 0), ('i', 0, -1, 0), ('j', -1, 2709, 0), ('k', -1, 2194, 0), ('l', 1, -1, 0), ('o', -1, 750, 0), ('p', 108, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 2715, 0), ('u', 108, -1, 0), ('z', 41, -1, 0), ('ó', 108, -1, 0)), (('a', 7, -1, 0), ('b', 131, -1, 0), ('d', 131, -1, 0), ('e', -1, 2710, 0), ('g', 1, -1, 0), ('i', 7, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 305, 0), ('o', 7, -1, 0), ('r', -1, 255, 0), ('s', 131, -1, 0), ('t', -1, 1745, 0), ('u', 7, -1, 0), ('w', 131, -1, 0), ('y', 57, -1, 0), ('z', -1, 2714, 0)), (('a', -1, 198, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('i', 6, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 422, 0), ('p', 1, -1, 0), ('r', -1, 2711, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 6, -1, 0), ('w', 1, -1, 0), ('y', -1, 949, 0), ('z', 7, -1, 0), ('ę', -1, 2713, 0), ('ł', 28, -1, 0)), (('a', -1, 1141, 0), ('c', 40, -1, 0), ('e', -1, 2712, 0), ('i', 3, -1, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('m', 22, -1, 0), ('n', -1, 2361, 0), ('o', 166, -1, 0), ('r', 22, -1, 0), ('s', 2, -1, 0), ('t', 41, -1, 0), ('u', 85, 387, 0), ('z', 166, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 992, 0), ('c', 0, -1, 0), ('d', 85, -1, 0), ('e', -1, 208, 0), ('g', 245, -1, 0), ('i', -1, 1550, 0), ('o', -1, 149, 0), ('p', 245, -1, 0), ('r', -1, 2521, 0), ('s', 41, -1, 0), ('t', 0, -1, 0), ('w', 0, 164, 0), ('y', -1, 2632, 0), ('z', -1, 2432, 0), ('ś', -1, 1173, 0)), (('a', 16, -1, 0), ('b', 3, 882, 0), ('d', 126, -1, 0), ('e', -1, 2096, 0), ('g', 16, -1, 0), ('h', 16, -1, 0), ('i', -1, 1362, 0), ('j', 126, -1, 0), ('k', 16, -1, 0), ('o', -1, 1590, 0), ('p', 8, -1, 0), ('r', 16, -1, 0), ('s', -1, 2658, 0), ('t', 100, -1, 0), ('u', 16, -1, 0), ('w', 16, -1, 0), ('y', 16, -1, 0), ('z', 126, -1, 0), ('ą', 16, -1, 0), ('ę', 16, -1, 0), ('ł', 16, -1, 0), ('ż', 126, -1, 0)), (('a', 41, -1, 0), ('c', 0, -1, 0), ('d', -1, 1368, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 131, -1, 0), ('n', 5, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1230, 0), ('s', -1, 1434, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 28, -1, 0), ('z', -1, 1121, 0), ('ż', 0, -1, 0)), (('a', -1, 853, 0), ('d', 1, -1, 0), ('e', -1, 2716, 0), ('i', 226, -1, 0), ('k', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 2310, 0), ('r', -1, 586, 0), ('s', 108, -1, 0), ('u', 135, -1, 0), ('w', 135, -1, 0), ('y', 108, -1, 0), ('z', 6, 2519, 0), ('ą', 108, -1, 0), ('ł', 41, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', -1, 1882, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 2327, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', -1, 989, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 29, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', -1, 2393, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 29, -1, 0), ('z', 5, -1, 0), ('ó', 7, -1, 0), ('ą', 7, -1, 0), ('ę', -1, 2205, 0)), (('a', -1, 1778, 0), ('b', 41, -1, 0), ('e', 41, -1, 0), ('f', 41, -1, 0), ('i', -1, 1570, 0), ('k', 41, -1, 0), ('o', -1, 328, 0), ('p', 106, -1, 0), ('r', -1, 578, 0), ('t', 2, -1, 0), ('u', 41, -1, 0), ('w', 41, -1, 0), ('z', 106, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1981, 0), ('b', 6, -1, 0), ('c', 106, -1, 0), ('d', 222, -1, 0), ('e', -1, 289, 0), ('h', -1, 106, 0), ('i', 7, -1, 0), ('k', 16, -1, 0), ('l', 97, -1, 0), ('m', 6, -1, 0), ('o', 222, -1, 0), ('p', -1, 780, 0), ('r', 6, -1, 0), ('s', -1, 2718, 0), ('t', 6, -1, 0), ('u', 222, 2352, 0), ('w', -1, 965, 0), ('y', 7, -1, 0), ('z', -1, 2351, 0), ('ó', -1, 973, 0), ('ż', -1, 2719, 0)), (('a', -1, 90, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 1, 1277, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 1, -1, 0), ('b', 28, -1, 0), ('c', 21, -1, 0), ('d', 1, -1, 0), ('e', -1, 153, 0), ('f', 28, -1, 0), ('i', -1, 2721, 0), ('j', 21, -1, 0), ('k', 6, -1, 0), ('l', 95, -1, 0), ('o', -1, 3526, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 28, -1, 0), ('w', 28, -1, 0), ('z', -1, 307, 0), ('ó', 21, -1, 0), ('ą', 21, -1, 0), ('ż', 95, -1, 0)), (('a', -1, 2722, 0), ('b', 28, 281, 0), ('c', 95, -1, 0), ('d', -1, 390, 0), ('e', -1, 1372, 0), ('i', 54, -1, 0), ('l', 105, -1, 0), ('m', -1, 185, 0), ('n', -1, 4220, 0), ('o', -1, 2574, 0), ('p', -1, 708, 0), ('r', -1, 174, 0), ('s', 95, -1, 0), ('u', -1, 485, 0), ('w', 95, -1, 0), ('y', -1, 3803, 0), ('z', -1, 46, 0), ('ą', -1, 2867, 0), ('ę', -1, 4221, 0)), (('a', 2, -1, 0), ('c', 70, -1, 0), ('d', 2, -1, 0), ('e', -1, 2311, 0), ('g', 70, -1, 0), ('i', 28, -1, 0), ('k', -1, 73, 0), ('l', 28, -1, 0), ('m', -1, 1593, 0), ('n', -1, 2723, 0), ('o', 2, -1, 0), ('p', 70, -1, 0), ('r', -1, 1065, 0), ('s', 54, -1, 0), ('u', -1, 353, 0), ('w', 105, 475, 0), ('y', -1, 1453, 0), ('z', -1, 1320, 0), ('ł', 188, -1, 0)), (('a', 73, -1, 0), ('b', 73, -1, 0), ('c', 73, -1, 0), ('d', -1, 46, 0), ('e', 73, -1, 0), ('g', -1, 2723, 0), ('h', 73, -1, 0), ('i', -1, 1165, 0), ('k', -1, 2724, 0), ('l', 73, -1, 0), ('o', -1, 1632, 0), ('p', 73, -1, 0), ('r', 73, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ą', 73, -1, 0), ('ę', -1, 2725, 0), ('ś', 3, 1624, 0), ('ź', 3, -1, 0), ('ż', 73, -1, 0)), (('a', 73, -1, 0), ('d', 2, 46, 0), ('e', 73, -1, 0), ('i', 73, -1, 0), ('m', 3, -1, 0), ('o', 73, -1, 0), ('r', 2, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 34, -1, 0), ('ą', 73, -1, 0), ('ę', 73, -1, 0), ('ł', 73, -1, 0)), (('a', -1, 350, 0), ('c', 2, 2588, 0), ('d', 2, -1, 0), ('e', -1, 1626, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 2726, 0), ('n', 2, -1, 0), ('o', -1, 2445, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 2349, 0), ('w', 3, 773, 0), ('z', -1, 208, 0)), (('a', 2, -1, 0), ('b', -1, 2727, 0), ('c', 116, 905, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', -1, 2470, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 121, -1, 0), ('m', 5, 4211, 0), ('n', -1, 4212, 0), ('o', 3, -1, 0), ('p', 0, 4215, 0), ('r', 2, -1, 0), ('s', 116, 2425, 0), ('u', 2, -1, 0), ('w', -1, 4216, 0), ('y', 2, -1, 0), ('z', -1, 3724, 0), ('ł', 2, -1, 0)), (('a', -1, 2368, 0), ('e', 7, -1, 0), ('i', -1, 1906, 0), ('n', 40, -1, 0), ('o', -1, 1612, 0), ('r', -1, 1650, 0), ('t', -1, 2728, 0), ('u', -1, 1587, 0), ('w', 40, -1, 0), ('y', 7, -1, 0), ('z', -1, 2614, 0), ('ą', 7, -1, 0), ('ę', -1, 4021, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 3, -1, 0), ('c', -1, 2729, 0), ('e', -1, 3828, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 63, -1, 0), ('n', 3, -1, 0), ('o', 16, -1, 0), ('r', 1, -1, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('y', 63, -1, 0), ('z', 1, -1, 0), ('ą', 3, -1, 0)), (('a', 3, -1, 0), ('c', 3, -1, 0), ('d', 22, 2730, 0), ('e', -1, 2537, 0), ('i', 137, -1, 0), ('k', 3, -1, 0), ('l', 3, 2731, 0), ('m', -1, 2705, 0), ('o', 3, -1, 0), ('r', -1, 1220, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('z', 3, -1, 0), ('ę', 1, -1, 0)), (('a', 3, -1, 0), ('c', 1, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('l', 6, -1, 0), ('n', 3, -1, 0), ('o', 132, -1, 0), ('r', 22, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 454, 0)), (('a', -1, 2732, 0), ('c', 207, -1, 0), ('e', 145, -1, 0), ('i', 8, -1, 0), ('k', 3, -1, 0), ('o', 335, -1, 0), ('p', 3, -1, 0), ('r', -1, 3856, 0), ('s', 207, -1, 0), ('t', 3, -1, 0), ('u', 5, -1, 0), ('z', 100, -1, 0)), (('a', -1, 2733, 0), ('b', 28, -1, 0), ('e', 0, 239, 0), ('i', -1, 645, 0), ('j', 90, -1, 0), ('k', 90, -1, 0), ('n', 90, -1, 0), ('o', -1, 2735, 0), ('p', 34, -1, 0), ('r', 90, -1, 0), ('u', -1, 3586, 0), ('y', -1, 948, 0), ('z', -1, 2890, 0)), (('a', -1, 629, 0), ('e', 28, -1, 0), ('i', 28, -1, 0), ('j', 2, -1, 0), ('l', 3, -1, 0), ('m', 2, -1, 0), ('o', 28, -1, 0), ('p', -1, 2734, 0), ('r', -1, 119, 0), ('y', 28, -1, 0), ('z', 3, -1, 0), ('ó', 41, -1, 0)), (('a', 3, 913, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 11, -1, 0), ('e', 56, -1, 0), ('f', 3, -1, 0), ('i', -1, 558, 0), ('l', 3, -1, 0), ('o', -1, 1048, 0), ('p', 3, -1, 0), ('r', 0, 46, 0), ('t', 3, -1, 0), ('w', 11, -1, 0), ('z', 11, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 116, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('i', -1, 2736, 0), ('k', -1, 2643, 0), ('l', 2, -1, 0), ('o', -1, 1760, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', -1, 947, 0), ('ł', 3, -1, 0)), (('a', -1, 2737, 0), ('d', 3, -1, 0), ('e', -1, 306, 0), ('f', -1, 4210, 0), ('g', 132, -1, 0), ('h', 2, -1, 0), ('i', -1, 1833, 0), ('k', 2, -1, 0), ('l', 132, -1, 0), ('m', -1, 2737, 0), ('o', -1, 153, 0), ('p', 2, -1, 0), ('r', -1, 798, 0), ('s', 3, -1, 0), ('t', 2, -1, 0), ('w', 3, -1, 0), ('y', -1, 15, 0), ('z', -1, 1601, 0), ('ą', -1, 1557, 0), ('ż', 3, -1, 0)), (('a', -1, 2738, 0), ('b', 37, -1, 0), ('c', -1, 2739, 0), ('d', -1, 1982, 0), ('e', -1, 1180, 0), ('f', 5, -1, 0), ('h', 37, -1, 0), ('i', -1, 1540, 0), ('j', 37, -1, 0), ('k', 106, -1, 0), ('l', 37, -1, 0), ('m', 37, -1, 0), ('n', -1, 4208, 0), ('o', -1, 671, 0), ('p', 37, -1, 0), ('r', 37, -1, 0), ('s', 181, -1, 0), ('t', 106, -1, 0), ('u', -1, 2738, 0), ('w', 37, -1, 0), ('y', -1, 2186, 0), ('z', 24, -1, 0), ('ą', -1, 1807, 0), ('ę', 37, -1, 0), ('ń', 37, -1, 0)), (('a', 28, -1, 0), ('b', 37, -1, 0), ('c', 37, -1, 0), ('d', -1, 1807, 0), ('e', 6, -1, 0), ('g', 37, -1, 0), ('i', 6, -1, 0), ('k', 37, -1, 0), ('l', 21, -1, 0), ('m', -1, 1162, 0), ('n', 3, -1, 0), ('o', 6, -1, 0), ('p', 21, -1, 0), ('r', 37, 16, 0), ('s', 37, -1, 0), ('t', 37, -1, 0), ('u', 37, -1, 0), ('w', 37, -1, 0), ('y', 6, -1, 0), ('z', 37, -1, 0), ('ł', 21, 1435, 0)), (('a', -1, 328, 0), ('c', 28, -1, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('g', 80, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 1, -1, 0), ('k', 2, -1, 0), ('m', 28, -1, 0), ('n', -1, 1706, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 2740, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 29, -1, 0), ('y', -1, 604, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0), ('ę', 2, -1, 0)), (('a', 2, -1, 0), ('b', 121, -1, 0), ('c', -1, 2741, 0), ('d', 28, 576, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 48, -1, 0), ('k', -1, 4205, 0), ('l', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 771, 0), ('p', 2, -1, 0), ('r', 41, -1, 0), ('s', 185, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 41, -1, 0)), (('a', -1, 2742, 0), ('e', -1, 3238, 0), ('h', 5, -1, 0), ('i', -1, 1832, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 4204, 0), ('r', -1, 2583, 0), ('u', -1, 3966, 0), ('w', 5, -1, 0), ('y', -1, 1878, 0), ('z', -1, 502, 0), ('ą', -1, 1028, 0), ('ę', 121, -1, 0)), (('a', -1, 2743, 0), ('d', 3, -1, 0), ('e', -1, 3605, 0), ('i', -1, 1024, 0), ('l', -1, 798, 0), ('m', 2, -1, 0), ('o', -1, 1686, 0), ('p', 3, -1, 0), ('r', -1, 2756, 0), ('u', -1, 2567, 0), ('y', -1, 2736, 0), ('z', 3, -1, 0), ('ó', -1, 2441, 0)), (('a', -1, 2744, 0), ('b', 28, -1, 0), ('e', -1, 2062, 0), ('i', -1, 999, 0), ('o', -1, 2745, 0), ('p', 34, -1, 0), ('r', 34, -1, 0), ('s', 3, -1, 0), ('u', 28, -1, 0), ('w', 2, -1, 0), ('z', -1, 1867, 0), ('ó', -1, 2312, 0)), (('a', -1, 54, 0), ('c', 41, -1, 0), ('d', 115, 226, 0), ('e', -1, 1386, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('i', 41, -1, 0), ('j', 28, -1, 0), ('k', -1, 738, 0), ('l', -1, 1431, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 0, -1, 0), ('r', 62, -1, 0), ('s', 41, -1, 0), ('t', 28, -1, 0), ('y', 62, -1, 0), ('z', -1, 2422, 0), ('ą', 41, -1, 0), ('ż', -1, 414, 0)), (('a', -1, 2746, 0), ('d', 0, -1, 0), ('e', 413, -1, 0), ('f', 28, -1, 0), ('i', 28, -1, 0), ('j', 11, -1, 0), ('k', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 2939, 0), ('p', 28, -1, 0), ('r', 11, -1, 0), ('s', 0, 857, 0), ('t', -1, 3692, 0), ('u', 7, 3318, 0), ('w', 28, -1, 0), ('y', 11, -1, 0), ('z', -1, 3119, 0), ('ś', 7, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 66, 0), ('e', -1, 1208, 0), ('i', -1, 2747, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('o', -1, 1478, 0), ('r', 413, -1, 0), ('z', 185, -1, 0), ('ó', 11, -1, 0), ('ż', 41, -1, 0)), (('a', -1, 1493, 0), ('c', -1, 1377, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 22, -1, 0), ('k', 5, -1, 0), ('l', 3, 2748, 0), ('m', -1, 2750, 0), ('o', -1, 1697, 0), ('r', -1, 1512, 0), ('s', 5, -1, 0), ('t', -1, 1126, 0), ('u', 12, -1, 0), ('y', 5, -1, 0), ('z', 185, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 1090, 0), ('e', 45, -1, 0), ('g', 337, -1, 0), ('i', 22, -1, 0), ('l', 337, -1, 0), ('n', 337, -1, 0), ('o', 22, -1, 0), ('p', 22, -1, 0), ('r', 337, -1, 0), ('t', -1, 899, 0), ('w', 2, -1, 0), ('z', -1, 2749, 0)), (('a', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('m', -1, 420, 0), ('o', -1, 1985, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ś', 12, -1, 0), ('ź', 12, -1, 0)), (('a', 5, -1, 0), ('d', -1, 2751, 0), ('e', 1, -1, 0), ('g', 5, -1, 0), ('h', 45, -1, 0), ('i', 5, 1156, 0), ('k', 158, 154, 0), ('l', 2, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 981, 0), ('r', -1, 2756, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 2, -1, 0)), (('a', 5, -1, 0), ('e', -1, 2752, 0), ('i', 95, -1, 0), ('o', 5, -1, 0), ('r', -1, 1914, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ź', 5, -1, 0)), (('a', -1, 2753, 0), ('e', -1, 1272, 0), ('i', -1, 1457, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 5, -1, 0), ('o', -1, 2754, 0), ('r', 6, -1, 0), ('u', -1, 2755, 0), ('z', 5, -1, 0), ('ó', 6, -1, 0), ('ą', 15, -1, 0), ('ę', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 2, -1, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('g', 15, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 15, -1, 0), ('o', -1, 2305, 0), ('r', -1, 2332, 0), ('s', 2, -1, 0), ('t', 3, 1937, 0), ('u', 2, -1, 0), ('w', 15, -1, 0), ('y', 2, -1, 0), ('z', 56, -1, 0), ('ó', 2, -1, 0), ('ą', 2, -1, 0), ('ę', 2, -1, 0)), (('a', 196, -1, 0), ('b', 64, -1, 0), ('d', 64, -1, 0), ('e', 120, -1, 0), ('g', 192, -1, 0), ('i', 192, -1, 0), ('j', 255, -1, 0), ('m', 15, -1, 0), ('n', 15, -1, 0), ('o', 196, -1, 0), ('r', -1, 2422, 0), ('t', 6, -1, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', 196, -1, 0), ('z', 196, -1, 0), ('ł', -1, 2115, 0), ('ś', 120, -1, 0)), (('a', 120, -1, 0), ('d', 15, -1, 0), ('e', 120, -1, 0), ('i', 255, -1, 0), ('j', 6, -1, 0), ('m', 15, -1, 0), ('o', 137, -1, 0), ('r', -1, 1156, 0), ('s', 6, -1, 0), ('t', -1, 1748, 0), ('u', 137, -1, 0), ('y', 1, -1, 0), ('z', 137, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 399, 0), ('b', 121, -1, 0), ('c', 21, 823, 0), ('d', 104, -1, 0), ('e', -1, 942, 0), ('f', 28, -1, 0), ('g', 0, -1, 0), ('i', -1, 2757, 0), ('j', 208, -1, 0), ('k', 3, -1, 0), ('l', 208, -1, 0), ('m', 104, -1, 0), ('n', 3, -1, 0), ('o', 104, -1, 0), ('p', -1, 1795, 0), ('r', 104, -1, 0), ('s', -1, 16, 0), ('t', 2, -1, 0), ('u', -1, 357, 0), ('w', 104, -1, 0), ('y', 104, -1, 0), ('z', 208, -1, 0), ('ó', 2, -1, 0), ('ą', 104, -1, 0), ('ę', 236, -1, 0)), (('a', 21, 164, 0), ('b', 3, -1, 0), ('c', -1, 2758, 0), ('d', 0, 44, 0), ('e', 21, -1, 0), ('g', 30, -1, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('j', -1, 726, 0), ('k', 22, -1, 0), ('l', 21, -1, 0), ('m', -1, 186, 0), ('n', 21, -1, 0), ('o', -1, 2435, 0), ('p', -1, 760, 0), ('r', -1, 669, 0), ('s', 0, 506, 0), ('t', 0, 164, 0), ('u', -1, 491, 0), ('w', 208, -1, 0), ('y', 21, -1, 0), ('z', 104, -1, 0), ('ó', 28, -1, 0), ('ą', 222, -1, 0), ('ę', -1, 1061, 0)), (('a', -1, 643, 0), ('b', 4, -1, 0), ('c', -1, 2759, 0), ('d', 41, -1, 0), ('e', 41, -1, 0), ('g', 4, -1, 0), ('h', -1, 72, 0), ('i', 41, -1, 0), ('o', 0, -1, 0), ('r', -1, 2782, 0), ('s', -1, 2645, 0), ('w', -1, 2782, 0), ('y', -1, 1376, 0), ('z', -1, 2796, 0), ('ó', -1, 876, 0), ('ą', -1, 1555, 0), ('ł', 4, -1, 0)), (('a', -1, 1782, 0), ('e', -1, 2760, 0), ('i', -1, 700, 0), ('j', 3, -1, 0), ('o', 185, 727, 0), ('r', -1, 2357, 0), ('u', -1, 1261, 0), ('y', -1, 2764, 0), ('z', -1, 2773, 0), ('ą', -1, 44, 0)), (('a', -1, 573, 0), ('b', 0, -1, 0), ('d', 185, -1, 0), ('e', 11, -1, 0), ('f', 41, -1, 0), ('i', -1, 1073, 0), ('l', 41, -1, 0), ('n', -1, 1454, 0), ('o', 1, -1, 0), ('p', 41, -1, 0), ('r', -1, 2761, 0), ('s', -1, 2744, 0), ('t', -1, 2761, 0), ('w', -1, 2762, 0), ('z', 41, -1, 0), ('ł', -1, 499, 0), ('ż', 41, -1, 0)), (('a', 41, -1, 0), ('e', 185, -1, 0), ('h', 41, -1, 0), ('i', 41, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 41, -1, 0), ('s', 28, -1, 0), ('u', -1, 1008, 0), ('z', 41, -1, 0), ('ó', 41, -1, 0), ('ą', 0, -1, 0)), (('a', 41, -1, 0), ('b', -1, 1195, 0), ('d', -1, 798, 0), ('e', 41, -1, 0), ('g', 3, 972, 0), ('i', 0, -1, 0), ('j', 22, -1, 0), ('k', -1, 2763, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 41, -1, 0), ('p', -1, 1978, 0), ('r', 22, 957, 0), ('s', 3, 954, 0), ('t', -1, 2051, 0), ('z', 3, -1, 0), ('ó', -1, 2208, 0)), (('a', -1, 989, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 639, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 22, 612, 0), ('i', -1, 399, 0), ('k', -1, 1977, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', -1, 36, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0)), (('a', -1, 953, 0), ('b', 0, -1, 0), ('d', 41, -1, 0), ('e', -1, 2149, 0), ('i', 3, -1, 0), ('m', 0, -1, 0), ('o', -1, 795, 0), ('r', -1, 2765, 0), ('t', -1, 2766, 0), ('z', 41, -1, 0), ('ł', 185, -1, 0), ('ż', 41, -1, 0)), (('a', 85, -1, 0), ('b', 41, 277, 0), ('e', -1, 915, 0), ('g', 5, -1, 0), ('i', 0, -1, 0), ('o', -1, 1185, 0), ('r', 30, -1, 0), ('s', 5, -1, 0), ('t', 0, -1, 0), ('u', 12, -1, 0), ('w', 85, -1, 0), ('y', 0, -1, 0), ('z', -1, 1523, 0), ('ł', 5, -1, 0), ('ś', 85, 2550, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 2767, 0), ('f', -1, 2768, 0), ('g', 0, 2460, 0), ('i', -1, 2354, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 2771, 0), ('n', -1, 2772, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 447, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 0, -1, 0), ('h', 2, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 41, -1, 0), ('n', -1, 843, 0), ('o', 407, 976, 0), ('p', 3, -1, 0), ('r', 0, -1, 0), ('s', 3, -1, 0), ('t', 41, -1, 0), ('u', 3, -1, 0), ('w', 2, -1, 0), ('y', -1, 2245, 0), ('z', 41, -1, 0)), (('a', -1, 940, 0), ('c', 82, -1, 0), ('d', 41, -1, 0), ('e', 41, -1, 0), ('g', -1, 1605, 0), ('i', 41, -1, 0), ('k', 13, -1, 0), ('o', 0, 2432, 0), ('r', 13, -1, 0), ('s', -1, 2769, 0), ('u', 41, -1, 0), ('w', 13, -1, 0), ('y', 0, -1, 0), ('z', -1, 2770, 0), ('ł', 13, -1, 0)), (('a', 30, -1, 0), ('d', 2, -1, 0), ('e', -1, 1522, 0), ('i', 2, -1, 0), ('n', 2, -1, 0), ('o', 30, 319, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 2235, 0), ('y', -1, 1210, 0), ('z', 13, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 2601, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('o', 7, -1, 0), ('r', -1, 1524, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 2064, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 2238, 0), ('e', 41, -1, 0), ('i', 0, -1, 0), ('l', 185, -1, 0), ('m', 0, -1, 0), ('n', 185, -1, 0), ('o', 185, -1, 0), ('p', 185, -1, 0), ('r', 41, -1, 0), ('s', 185, -1, 0), ('u', 0, -1, 0), ('w', 185, -1, 0), ('y', 0, -1, 0), ('z', 185, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 39, 0), ('e', -1, 1664, 0), ('g', 0, -1, 0), ('h', -1, 1781, 0), ('i', -1, 1333, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 3, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 11, -1, 0), ('b', 68, -1, 0), ('d', -1, 28, 0), ('e', 11, -1, 0), ('g', -1, 306, 0), ('h', 68, -1, 0), ('i', 11, -1, 0), ('k', -1, 510, 0), ('o', -1, 1223, 0), ('p', 68, -1, 0), ('r', -1, 186, 0), ('s', -1, 2774, 0), ('t', -1, 2165, 0), ('u', 11, -1, 0), ('w', -1, 2776, 0), ('y', 11, -1, 0), ('z', -1, 2780, 0), ('ę', 73, -1, 0), ('ś', -1, 2781, 0), ('ź', 11, -1, 0)), (('a', 1, -1, 0), ('b', 41, -1, 0), ('c', 0, -1, 0), ('d', -1, 79, 0), ('e', -1, 2106, 0), ('f', 0, -1, 0), ('h', 41, -1, 0), ('i', -1, 2775, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 41, -1, 0), ('o', 70, 102, 0), ('p', -1, 839, 0), ('r', 41, -1, 0), ('u', -1, 701, 0), ('y', 0, -1, 0), ('z', -1, 1096, 0)), (('a', -1, 2633, 0), ('b', 21, -1, 0), ('c', -1, 4, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', -1, 453, 0), ('h', 21, -1, 0), ('i', -1, 149, 0), ('j', 21, -1, 0), ('k', -1, 853, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('w', 21, -1, 0), ('y', -1, 244, 0), ('z', 21, -1, 0)), (('a', 30, -1, 0), ('b', 3, -1, 0), ('c', -1, 520, 0), ('d', 3, -1, 0), ('e', -1, 2421, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 2777, 0), ('n', -1, 823, 0), ('o', 3, 1467, 0), ('p', -1, 2776, 0), ('r', -1, 2779, 0), ('s', 3, -1, 0), ('t', 22, 1660, 0), ('w', 3, -1, 0), ('y', 62, -1, 0), ('z', 3, -1, 0), ('ę', 70, -1, 0), ('ł', 3, -1, 0)), (('a', 3, -1, 0), ('b', 22, -1, 0), ('d', -1, 437, 0), ('e', 3, -1, 0), ('f', 22, -1, 0), ('i', 3, -1, 0), ('k', -1, 2778, 0), ('l', -1, 437, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 554, 0), ('p', 22, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ę', 3, -1, 0)), (('a', 51, -1, 0), ('c', -1, 417, 0), ('d', 51, -1, 0), ('e', 22, -1, 0), ('i', 22, -1, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('r', -1, 417, 0), ('s', 22, -1, 0), ('u', 237, -1, 0), ('w', 59, -1, 0), ('y', -1, 204, 0), ('z', 121, -1, 0)), (('a', 3, -1, 0), ('b', 12, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 2, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 70, -1, 0), ('k', 22, -1, 0), ('l', -1, 375, 0), ('n', 22, -1, 0), ('o', -1, 1777, 0), ('p', 55, -1, 0), ('r', -1, 2391, 0), ('s', 16, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('w', 12, -1, 0), ('y', 29, -1, 0), ('z', 70, -1, 0), ('ł', 12, -1, 0)), (('a', 0, -1, 0), ('b', -1, 262, 0), ('c', 3, -1, 0), ('d', -1, 172, 0), ('e', -1, 1395, 0), ('f', 22, 46, 0), ('i', 6, -1, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 2, -1, 0), ('o', -1, 708, 0), ('p', 51, -1, 0), ('r', 68, -1, 0), ('s', 6, -1, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('y', 12, -1, 0), ('z', 0, 225, 0), ('ł', 68, -1, 0)), (('a', -1, 2254, 0), ('d', -1, 928, 0), ('e', 11, -1, 0), ('i', 303, -1, 0), ('k', 5, -1, 0), ('l', 7, -1, 0), ('m', 39, -1, 0), ('o', 303, -1, 0), ('p', 41, 359, 0), ('r', 0, 355, 0), ('s', 59, -1, 0), ('t', 57, -1, 0), ('u', -1, 29, 0), ('w', 0, 355, 0), ('y', 121, -1, 0), ('z', -1, 41, 0), ('ó', 7, -1, 0), ('ę', -1, 2327, 0), ('ż', -1, 1098, 0)), (('a', 4, -1, 0), ('b', 30, -1, 0), ('d', -1, 2189, 0), ('e', 157, -1, 0), ('g', 4, -1, 0), ('i', 28, -1, 0), ('l', -1, 657, 0), ('m', -1, 1747, 0), ('n', -1, 2783, 0), ('o', -1, 2098, 0), ('r', 28, -1, 0), ('t', 41, 165, 0), ('u', 4, -1, 0), ('w', -1, 2786, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 1231, 0), ('d', 28, -1, 0), ('e', -1, 935, 0), ('j', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('o', 28, -1, 0), ('r', -1, 2784, 0), ('t', 28, -1, 0), ('w', 28, -1, 0), ('z', 1, 1189, 0), ('ś', 28, -1, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 28, -1, 0), ('e', -1, 2785, 0), ('l', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('t', 28, -1, 0), ('z', 0, -1, 0), ('ó', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 5, -1, 0), ('e', -1, 381, 0), ('i', -1, 744, 0), ('l', 5, -1, 0), ('o', 5, -1, 0), ('r', -1, 422, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 19, 0), ('d', 55, -1, 0), ('e', -1, 2787, 0), ('i', 28, -1, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 2791, 0), ('p', 4, -1, 0), ('r', 0, 386, 0), ('s', 0, 437, 0), ('t', -1, 47, 0), ('y', 28, -1, 0), ('ł', -1, 941, 0)), (('a', 305, -1, 0), ('b', 2, -1, 0), ('e', -1, 2788, 0), ('f', 3, -1, 0), ('g', 2, -1, 0), ('h', -1, 960, 0), ('i', -1, 1947, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', -1, 2336, 0), ('o', -1, 2789, 0), ('p', 2, -1, 0), ('r', 3, -1, 0), ('s', 56, -1, 0), ('w', 2, -1, 0), ('y', 56, -1, 0), ('z', 1, -1, 0)), (('a', -1, 933, 0), ('b', 3, -1, 0), ('c', 22, -1, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('n', -1, 1896, 0), ('o', 1, 223, 0), ('p', 22, -1, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', 2, -1, 0), ('u', 0, -1, 0), ('w', 3, -1, 0), ('y', 5, -1, 0), ('z', -1, 510, 0), ('ó', 13, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 1794, 0), ('e', 6, -1, 0), ('h', 3, -1, 0), ('i', -1, 83, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 357, 0), ('p', 2, -1, 0), ('r', -1, 2790, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('y', -1, 1740, 0), ('z', 2, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 1436, 0), ('g', 2, -1, 0), ('h', -1, 1293, 0), ('i', -1, 46, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ś', 2, -1, 0), ('ź', 2, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 838, 0), ('c', 1, -1, 0), ('d', 5, -1, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', -1, 2792, 0), ('o', -1, 2793, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 2794, 0), ('t', 79, -1, 0), ('u', 1, -1, 0), ('w', 3, -1, 0), ('y', -1, 2795, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, 24, 0)), (('a', -1, 1375, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 265, 0), ('i', 1, -1, 0), ('k', -1, 1122, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 1375, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('w', -1, 1497, 0), ('y', 5, -1, 0), ('z', -1, 1763, 0), ('ł', 5, -1, 0), ('ż', -1, 867, 0)), (('a', -1, 1113, 0), ('b', 1, -1, 0), ('c', 6, -1, 0), ('d', 1, -1, 0), ('e', -1, 2104, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('h', 21, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 693, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 980, 0), ('t', -1, 2322, 0), ('u', -1, 524, 0), ('w', 1, -1, 0), ('y', -1, 1611, 0), ('z', 1, -1, 0), ('ł', 79, -1, 0)), (('a', -1, 1311, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 863, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 79, -1, 0), ('ę', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 708, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 0, 225, 0), ('e', -1, 1892, 0), ('i', 1, -1, 0), ('k', 79, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 3, -1, 0), ('o', -1, 577, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('y', -1, 2738, 0), ('z', 1, -1, 0), ('ł', -1, 85, 0), ('ż', 79, -1, 0)), (('a', -1, 574, 0), ('c', 0, 225, 0), ('d', -1, 1043, 0), ('e', 0, -1, 0), ('i', -1, 2797, 0), ('k', 166, -1, 0), ('l', -1, 2798, 0), ('m', -1, 766, 0), ('o', -1, 310, 0), ('p', 0, 225, 0), ('r', -1, 1940, 0), ('s', -1, 1295, 0), ('t', -1, 2712, 0), ('u', -1, 627, 0), ('w', -1, 2063, 0), ('z', -1, 699, 0), ('ł', -1, 307, 0)), (('a', 86, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 69, -1, 0), ('f', 3, -1, 0), ('g', 2, -1, 0), ('i', 21, -1, 0), ('k', 86, -1, 0), ('l', -1, 84, 0), ('m', 86, -1, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 34, 517, 0), ('r', -1, 431, 0), ('s', 34, -1, 0), ('t', -1, 180, 0), ('u', 0, 729, 0), ('w', 105, -1, 0), ('y', 69, -1, 0), ('z', -1, 1693, 0), ('ą', 30, -1, 0)), (('a', -1, 2799, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 31, -1, 0), ('h', 41, -1, 0), ('i', -1, 2339, 0), ('j', 0, -1, 0), ('k', 5, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 105, -1, 0), ('p', 0, -1, 0), ('r', -1, 3987, 0), ('s', 41, -1, 0), ('t', 41, -1, 0), ('w', 34, -1, 0), ('y', 96, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 2363, 0), ('b', 21, -1, 0), ('d', -1, 2765, 0), ('e', 224, -1, 0), ('g', 0, 1041, 0), ('h', -1, 671, 0), ('i', 21, -1, 0), ('k', 105, 2800, 0), ('l', 21, -1, 0), ('m', -1, 4180, 0), ('n', 31, -1, 0), ('o', 224, -1, 0), ('p', -1, 337, 0), ('r', -1, 1487, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 12, -1, 0), ('w', -1, 1409, 0), ('y', 30, -1, 0), ('z', -1, 1721, 0), ('ł', -1, 179, 0)), (('a', 6, -1, 0), ('b', 22, -1, 0), ('c', -1, 1606, 0), ('e', 6, -1, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('i', 95, -1, 0), ('l', -1, 2801, 0), ('m', 3, -1, 0), ('o', 95, -1, 0), ('p', 22, -1, 0), ('r', 95, -1, 0), ('s', 105, -1, 0), ('t', 22, -1, 0), ('u', -1, 1099, 0), ('w', 22, -1, 0), ('y', 6, -1, 0), ('z', 22, -1, 0), ('ę', 95, -1, 0), ('ł', 105, 4202, 0)), (('a', 22, -1, 0), ('c', -1, 2802, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('g', 22, -1, 0), ('i', -1, 2804, 0), ('j', -1, 3705, 0), ('l', -1, 4198, 0), ('o', 22, -1, 0), ('r', 22, -1, 0), ('s', 118, -1, 0), ('t', -1, 1133, 0), ('u', 22, -1, 0), ('z', -1, 3182, 0), ('ż', -1, 4200, 0)), (('a', -1, 2803, 0), ('e', -1, 519, 0), ('h', -1, 546, 0), ('i', -1, 1826, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 1, -1, 0), ('t', -1, 117, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 97, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', -1, 1998, 0), ('ł', -1, 1309, 0)), (('a', 9, -1, 0), ('d', 7, 311, 0), ('e', 9, -1, 0), ('g', 6, -1, 0), ('h', 12, -1, 0), ('i', 101, -1, 0), ('k', 6, -1, 0), ('l', 1, -1, 0), ('m', 6, -1, 0), ('o', 101, -1, 0), ('p', 7, -1, 0), ('r', 101, -1, 0), ('s', -1, 1870, 0), ('t', -1, 449, 0), ('u', -1, 471, 0), ('w', 12, -1, 0), ('y', 9, -1, 0), ('z', -1, 313, 0), ('ę', 101, -1, 0), ('ł', 6, -1, 0)), (('a', 16, -1, 0), ('b', -1, 2805, 0), ('c', 118, 580, 0), ('e', 16, -1, 0), ('f', -1, 589, 0), ('i', 16, -1, 0), ('m', 7, 2745, 0), ('n', -1, 4196, 0), ('o', 16, -1, 0), ('p', 1, 3332, 0), ('r', 16, -1, 0), ('s', -1, 3078, 0), ('u', 16, -1, 0), ('w', -1, 2175, 0), ('y', 16, -1, 0), ('z', -1, 2176, 0), ('ó', 16, -1, 0), ('ą', 16, -1, 0), ('ę', 16, -1, 0), ('ł', -1, 2103, 0)), (('a', -1, 2806, 0), ('e', 11, -1, 0), ('i', -1, 300, 0), ('l', 14, -1, 0), ('o', -1, 1599, 0), ('r', -1, 2760, 0), ('u', -1, 1056, 0), ('y', 11, -1, 0), ('z', -1, 5, 0), ('ą', 11, -1, 0), ('ę', -1, 3232, 0), ('ń', 1, -1, 0), ('ź', 1, -1, 0)), (('a', -1, 2807, 0), ('b', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 1818, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('l', 28, -1, 0), ('o', 7, -1, 0), ('p', 2, -1, 0), ('r', -1, 251, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 11, 452, 0), ('y', 7, -1, 0), ('z', -1, 3817, 0), ('ó', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 1691, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 3, -1, 0), ('l', -1, 2037, 0), ('m', 7, -1, 0), ('n', -1, 1411, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 55, -1, 0), ('w', 7, -1, 0), ('y', -1, 2808, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 0, 1940, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 481, 0), ('g', 7, -1, 0), ('i', -1, 532, 0), ('o', -1, 1560, 0), ('p', 0, 1449, 0), ('r', 7, -1, 0), ('s', 106, 2809, 0), ('t', -1, 1741, 0), ('u', -1, 1600, 0), ('w', -1, 1818, 0), ('y', -1, 1651, 0), ('z', -1, 766, 0), ('ą', -1, 1332, 0), ('ł', -1, 2080, 0)), (('a', -1, 2808, 0), ('d', 162, -1, 0), ('e', -1, 742, 0), ('i', -1, 2810, 0), ('j', 5, -1, 0), ('l', 5, -1, 0), ('n', 162, -1, 0), ('o', 106, 15, 0), ('r', 162, -1, 0), ('s', -1, 2996, 0), ('t', 162, -1, 0), ('u', 92, -1, 0), ('y', 106, -1, 0), ('z', 34, -1, 0), ('ą', 106, -1, 0)), (('a', -1, 2240, 0), ('c', 420, -1, 0), ('d', 126, -1, 0), ('e', 29, -1, 0), ('i', -1, 757, 0), ('k', 21, -1, 0), ('l', -1, 2007, 0), ('m', -1, 856, 0), ('n', 5, -1, 0), ('o', 29, 620, 0), ('p', 126, -1, 0), ('r', 108, -1, 0), ('s', 29, -1, 0), ('u', 108, -1, 0), ('w', -1, 2811, 0), ('y', 108, -1, 0), ('z', 29, -1, 0)), (('a', -1, 639, 0), ('b', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('f', 40, -1, 0), ('i', 40, -1, 0), ('m', -1, 2812, 0), ('o', 5, -1, 0), ('p', -1, 2814, 0), ('r', 28, -1, 0), ('u', 5, -1, 0), ('y', 12, -1, 0), ('z', 5, -1, 0), ('ł', 40, -1, 0)), (('a', -1, 2813, 0), ('d', 0, 840, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('m', 4, -1, 0), ('o', -1, 358, 0), ('p', 4, -1, 0), ('r', 4, -1, 0), ('s', 1, -1, 0), ('t', 0, 121, 0), ('z', 55, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 1727, 0), ('e', 3, -1, 0), ('h', 10, -1, 0), ('i', 10, -1, 0), ('j', 10, -1, 0), ('k', 10, -1, 0), ('n', 92, -1, 0), ('o', 10, -1, 0), ('p', 10, -1, 0), ('r', 40, -1, 0), ('s', 10, -1, 0), ('t', 22, -1, 0), ('u', 40, -1, 0), ('y', 10, -1, 0), ('z', 22, -1, 0), ('ą', 10, -1, 0), ('ę', 10, -1, 0), ('ś', 10, -1, 0)), (('a', -1, 2815, 0), ('b', 39, 2816, 0), ('c', 4, -1, 0), ('d', 145, -1, 0), ('e', 40, 318, 0), ('f', 145, -1, 0), ('h', 145, -1, 0), ('i', -1, 3354, 0), ('j', -1, 4194, 0), ('k', 39, -1, 0), ('l', -1, 3945, 0), ('m', 458, 1652, 0), ('n', -1, 4188, 0), ('o', 102, -1, 0), ('p', -1, 3419, 0), ('r', -1, 4179, 0), ('s', -1, 3041, 0), ('t', -1, 4195, 0), ('w', 145, -1, 0), ('y', 10, -1, 0), ('z', 39, 4188, 0), ('ż', -1, 3942, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('d', 56, -1, 0), ('e', 11, -1, 0), ('g', 10, -1, 0), ('i', 10, -1, 0), ('k', 102, -1, 0), ('l', 102, -1, 0), ('m', 102, -1, 0), ('o', 11, -1, 0), ('r', 11, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 10, -1, 0), ('ą', 11, -1, 0), ('ę', -1, 2680, 0), ('ł', 10, -1, 0), ('ź', 3, -1, 0)), (('a', 145, -1, 0), ('c', -1, 2817, 0), ('d', 31, -1, 0), ('e', 39, -1, 0), ('i', -1, 2825, 0), ('j', -1, 3936, 0), ('k', 31, -1, 0), ('l', -1, 4110, 0), ('m', 31, -1, 0), ('n', -1, 713, 0), ('o', -1, 511, 0), ('r', -1, 4193, 0), ('s', 31, -1, 0), ('y', 145, -1, 0), ('z', -1, 3647, 0), ('ż', -1, 3032, 0)), (('a', 31, -1, 0), ('b', 1, -1, 0), ('c', 0, 918, 0), ('d', 0, 1101, 0), ('e', -1, 2818, 0), ('f', 3, -1, 0), ('i', -1, 1717, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 0, 1459, 0), ('m', -1, 29, 0), ('o', 31, -1, 0), ('p', 31, -1, 0), ('r', -1, 413, 0), ('s', 1, 201, 0), ('t', -1, 2822, 0), ('u', 17, -1, 0), ('y', 31, -1, 0), ('z', 4, 154, 0), ('ó', 31, -1, 0), ('ę', 31, -1, 0), ('ł', 31, -1, 0), ('ż', -1, 2824, 0)), (('a', 17, -1, 0), ('b', 17, -1, 0), ('c', 23, -1, 0), ('d', 17, -1, 0), ('e', -1, 2525, 0), ('i', 17, -1, 0), ('k', -1, 2819, 0), ('l', 257, 545, 0), ('m', -1, 906, 0), ('o', 17, -1, 0), ('p', 17, -1, 0), ('r', -1, 1762, 0), ('s', -1, 610, 0), ('t', 17, -1, 0), ('u', 17, -1, 0), ('w', 5, 539, 0), ('y', 17, -1, 0), ('z', 96, -1, 0), ('ó', 96, -1, 0), ('ś', -1, 1344, 0)), (('a', 5, -1, 0), ('b', 39, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('o', 3, 1438, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('u', -1, 2820, 0), ('y', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0)), (('a', 3, -1, 0), ('c', 5, -1, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('g', 39, -1, 0), ('h', 5, -1, 0), ('i', -1, 718, 0), ('k', -1, 2821, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 57, 8, 0), ('p', -1, 1457, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 2337, 0), ('u', 3, -1, 0), ('w', 5, -1, 0), ('y', 3, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 1127, 0), ('d', 27, -1, 0), ('e', 5, -1, 0), ('i', 71, -1, 0), ('k', -1, 1643, 0), ('m', 30, 625, 0), ('n', 3, -1, 0), ('o', 95, -1, 0), ('p', 5, -1, 0), ('r', -1, 644, 0), ('s', 1, -1, 0), ('t', -1, 1250, 0), ('u', 27, -1, 0), ('w', 5, -1, 0), ('y', -1, 73, 0), ('z', -1, 177, 0), ('ó', 27, -1, 0)), (('a', 0, -1, 0), ('e', 3, -1, 0), ('i', 0, -1, 0), ('o', -1, 2823, 0), ('r', 3, -1, 0), ('s', -1, 2652, 0), ('y', 3, -1, 0), ('ę', 79, -1, 0)), (('a', -1, 2585, 0), ('b', 0, -1, 0), ('c', 3, -1, 0), ('d', 117, -1, 0), ('e', 0, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('o', 0, -1, 0), ('r', 238, -1, 0), ('s', 3, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1902, 0), ('b', 1, -1, 0), ('e', 3, -1, 0), ('f', 21, -1, 0), ('i', -1, 2125, 0), ('l', 21, -1, 0), ('n', -1, 1216, 0), ('o', 2, -1, 0), ('p', 21, -1, 0), ('r', -1, 866, 0), ('s', -1, 992, 0), ('t', -1, 1141, 0), ('w', 21, -1, 0), ('y', -1, 1188, 0), ('z', 21, -1, 0), ('ł', -1, 156, 0), ('ż', 21, -1, 0)), (('a', -1, 2038, 0), ('b', -1, 2826, 0), ('d', -1, 1644, 0), ('e', -1, 2181, 0), ('f', 31, -1, 0), ('i', 53, -1, 0), ('l', 108, -1, 0), ('m', -1, 2827, 0), ('n', -1, 2828, 0), ('o', -1, 2897, 0), ('p', -1, 3935, 0), ('r', -1, 1392, 0), ('s', 0, -1, 0), ('u', -1, 1101, 0), ('w', -1, 3716, 0), ('y', -1, 1265, 0), ('z', 11, 311, 0), ('ą', -1, 2664, 0), ('ę', -1, 2434, 0)), (('a', 31, -1, 0), ('e', 4, -1, 0), ('i', 0, -1, 0), ('o', -1, 1485, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('y', 0, -1, 0), ('ą', 31, -1, 0)), (('a', 6, -1, 0), ('e', 31, -1, 0), ('i', 64, -1, 0), ('o', -1, 830, 0), ('r', 31, -1, 0), ('u', 6, -1, 0), ('y', 31, -1, 0), ('ś', 31, -1, 0)), (('a', 31, -1, 0), ('c', 31, -1, 0), ('d', -1, 880, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('o', -1, 919, 0), ('r', -1, 1513, 0), ('u', 31, -1, 0), ('y', 31, -1, 0), ('z', 31, -1, 0), ('ł', -1, 2829, 0), ('ź', -1, 920, 0)), (('a', -1, 1317, 0), ('b', 70, -1, 0), ('c', 70, -1, 0), ('d', -1, 2036, 0), ('e', -1, 2519, 0), ('g', -1, 2830, 0), ('h', 70, -1, 0), ('i', 70, -1, 0), ('k', 5, 2834, 0), ('l', 70, -1, 0), ('m', 70, -1, 0), ('o', 70, -1, 0), ('p', -1, 1788, 0), ('r', 70, -1, 0), ('s', 70, -1, 0), ('t', -1, 2891, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', -1, 2892, 0), ('ś', -1, 2895, 0), ('ź', 70, -1, 0), ('ż', 70, -1, 0)), (('a', 70, -1, 0), ('e', -1, 2831, 0), ('i', 70, -1, 0), ('l', 70, -1, 0), ('o', 137, -1, 0), ('r', 70, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', -1, 2832, 0), ('ą', 70, -1, 0), ('ę', -1, 2051, 0)), (('a', -1, 283, 0), ('b', 0, -1, 0), ('e', 92, -1, 0), ('i', -1, 237, 0), ('l', -1, 834, 0), ('o', 106, -1, 0), ('r', 207, -1, 0), ('t', 162, -1, 0), ('u', 92, -1, 0), ('w', 328, -1, 0), ('y', 92, -1, 0), ('z', 71, -1, 0), ('ż', 70, -1, 0)), (('a', 145, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 70, -1, 0), ('l', -1, 2833, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 137, -1, 0), ('r', 70, -1, 0), ('s', 0, -1, 0), ('u', 70, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', -1, 839, 0), ('u', 0, -1, 0), ('y', 1, -1, 0), ('ś', 0, -1, 0)), (('a', 70, -1, 0), ('e', -1, 2835, 0), ('i', 70, -1, 0), ('l', 70, -1, 0), ('m', 70, -1, 0), ('o', 70, -1, 0), ('r', 70, -1, 0), ('s', 70, -1, 0), ('t', 70, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', -1, 2779, 0), ('ł', 70, -1, 0)), (('a', 22, -1, 0), ('c', 80, -1, 0), ('d', 10, -1, 0), ('e', -1, 2836, 0), ('i', -1, 1087, 0), ('k', 10, -1, 0), ('l', -1, 2881, 0), ('m', 102, -1, 0), ('n', 22, 8, 0), ('o', 80, -1, 0), ('r', 10, -1, 0), ('s', 80, -1, 0), ('w', 10, -1, 0), ('z', 3, -1, 0)), (('a', 90, -1, 0), ('e', 90, -1, 0), ('i', 90, -1, 0), ('l', 90, -1, 0), ('o', 90, -1, 0), ('r', 102, 373, 0), ('s', -1, 2837, 0), ('u', 90, -1, 0), ('y', 90, -1, 0)), (('a', 90, -1, 0), ('b', 90, -1, 0), ('c', 90, -1, 0), ('e', 90, -1, 0), ('f', 90, -1, 0), ('g', 90, -1, 0), ('h', 90, -1, 0), ('i', -1, 2837, 0), ('k', 90, -1, 0), ('l', 34, 2836, 0), ('m', 90, -1, 0), ('n', 90, -1, 0), ('o', 90, -1, 0), ('p', 90, -1, 0), ('r', -1, 2838, 0), ('s', 90, -1, 0), ('w', 90, -1, 0), ('y', 90, -1, 0), ('z', 90, -1, 0)), (('a', 71, -1, 0), ('b', 71, -1, 0), ('e', -1, 2839, 0), ('i', 12, -1, 0), ('k', -1, 395, 0), ('m', 106, -1, 0), ('o', 71, -1, 0), ('r', -1, 2860, 0), ('u', 71, -1, 0), ('w', 106, -1, 0), ('y', 28, -1, 0), ('z', 71, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 1880, 0), ('e', -1, 2840, 0), ('i', -1, 213, 0), ('j', 2, -1, 0), ('k', -1, 2582, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', -1, 2843, 0), ('o', -1, 2532, 0), ('p', -1, 138, 0), ('r', -1, 2844, 0), ('s', -1, 2846, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 1226, 0), ('ą', 2, -1, 0), ('ę', 3, -1, 0)), (('a', 2, -1, 0), ('c', 2, -1, 0), ('d', 3, 1717, 0), ('e', 2, -1, 0), ('i', 56, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 2841, 0), ('o', 2, -1, 0), ('r', -1, 2842, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 4, 0), ('c', -1, 1817, 0), ('d', 5, -1, 0), ('e', -1, 1527, 0), ('f', 6, -1, 0), ('i', 7, -1, 0), ('m', 6, -1, 0), ('n', -1, 692, 0), ('o', 3, -1, 0), ('p', 6, -1, 0), ('r', -1, 762, 0), ('s', 121, -1, 0), ('u', 3, -1, 0), ('w', 118, 1277, 0), ('y', 2, -1, 0), ('z', 7, -1, 0), ('ł', -1, 1071, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 3, 1058, 0), ('l', 28, 637, 0), ('n', -1, 1481, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 1395, 0), ('y', 28, -1, 0), ('z', 2, -1, 0), ('ł', 28, 472, 0)), (('a', 3, 1706, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 3, 284, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('u', -1, 967, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ś', 2, -1, 0)), (('a', 3, -1, 0), ('b', 107, -1, 0), ('d', 107, -1, 0), ('e', 2, -1, 0), ('i', -1, 467, 0), ('j', 107, -1, 0), ('l', 11, -1, 0), ('m', 107, -1, 0), ('n', 107, -1, 0), ('o', -1, 1489, 0), ('p', 107, -1, 0), ('r', 107, -1, 0), ('t', 107, -1, 0), ('u', 2, -1, 0), ('w', 10, -1, 0), ('z', -1, 2845, 0), ('ż', 10, -1, 0)), (('a', 2, -1, 0), ('b', 10, -1, 0), ('c', 11, -1, 0), ('d', 56, -1, 0), ('e', 150, -1, 0), ('g', 10, -1, 0), ('i', 2, -1, 0), ('k', 10, -1, 0), ('m', 10, -1, 0), ('o', -1, 1647, 0), ('r', 10, -1, 0), ('s', 102, -1, 0), ('t', 11, -1, 0), ('u', 11, -1, 0), ('y', 150, -1, 0), ('z', 10, -1, 0), ('ę', 117, -1, 0)), (('a', -1, 689, 0), ('b', -1, 912, 0), ('d', 3, -1, 0), ('e', -1, 2305, 0), ('f', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 2433, 0), ('k', 2, -1, 0), ('l', -1, 2847, 0), ('m', -1, 2871, 0), ('n', -1, 2877, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 2879, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', -1, 2880, 0), ('y', 3, -1, 0), ('z', 316, -1, 0)), (('a', 2, -1, 0), ('e', 3, -1, 0), ('f', 0, -1, 0), ('g', 21, -1, 0), ('i', -1, 1456, 0), ('l', 2, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 2848, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 21, -1, 0), ('t', 21, -1, 0), ('u', 2, -1, 0), ('z', 21, -1, 0)), (('a', -1, 2849, 0), ('c', 44, -1, 0), ('d', 2, -1, 0), ('e', -1, 2736, 0), ('f', 2, -1, 0), ('i', 2, -1, 0), ('k', -1, 602, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 3, -1, 0), ('r', 2, -1, 0), ('z', 3, -1, 0)), (('a', -1, 2157, 0), ('b', 2, -1, 0), ('e', 2, -1, 0), ('i', -1, 939, 0), ('k', 2, -1, 0), ('n', 3, 151, 0), ('o', -1, 1721, 0), ('p', 2, -1, 0), ('r', -1, 2850, 0), ('s', 2, -1, 0), ('t', -1, 2852, 0), ('u', -1, 2864, 0), ('w', 3, -1, 0), ('z', 2, -1, 0)), (('a', 3, -1, 0), ('b', 158, -1, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('i', -1, 1740, 0), ('j', -1, 197, 0), ('k', 2, -1, 0), ('l', -1, 2841, 0), ('m', -1, 2705, 0), ('n', 3, -1, 0), ('o', -1, 1312, 0), ('p', -1, 2851, 0), ('r', -1, 1587, 0), ('s', 85, -1, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('w', -1, 820, 0), ('y', 3, -1, 0), ('z', -1, 399, 0), ('ą', 3, -1, 0), ('ć', 285, -1, 0), ('ń', -1, 2657, 0), ('ś', 254, -1, 0), ('ź', -1, 1270, 0), ('ż', 3, -1, 0)), (('a', -1, 869, 0), ('d', 99, -1, 0), ('e', 158, -1, 0), ('i', -1, 2431, 0), ('j', 5, -1, 0), ('k', 30, -1, 0), ('l', 5, -1, 0), ('m', 106, -1, 0), ('n', 352, -1, 0), ('o', 158, -1, 0), ('p', 319, -1, 0), ('r', 106, -1, 0), ('s', 352, -1, 0), ('t', 30, -1, 0), ('u', 352, -1, 0), ('w', -1, 1322, 0), ('y', 57, -1, 0), ('z', 5, -1, 0), ('ą', 158, -1, 0), ('ę', 22, -1, 0), ('ł', 99, -1, 0)), (('a', 34, -1, 0), ('d', 70, -1, 0), ('e', 34, -1, 0), ('i', -1, 2722, 0), ('j', 70, 2853, 0), ('k', 34, -1, 0), ('l', 64, -1, 0), ('n', 34, -1, 0), ('o', 2, -1, 0), ('r', -1, 919, 0), ('s', 34, -1, 0), ('t', 1, -1, 0), ('u', 34, -1, 0), ('z', 70, -1, 0), ('ż', 70, -1, 0)), (('a', 70, -1, 0), ('b', 3, -1, 0), ('c', 3, 311, 0), ('d', 3, 2696, 0), ('e', 132, -1, 0), ('f', 1, -1, 0), ('g', -1, 2052, 0), ('h', 3, -1, 0), ('i', -1, 2854, 0), ('j', 3, 351, 0), ('k', 22, 2859, 0), ('l', -1, 2862, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 3, -1, 0), ('p', 22, 46, 0), ('r', 1, -1, 0), ('s', -1, 299, 0), ('t', -1, 1955, 0), ('u', 70, -1, 0), ('w', -1, 2863, 0), ('y', 3, -1, 0), ('z', -1, 2728, 0), ('ł', 1, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 688, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('e', -1, 2855, 0), ('i', 5, -1, 0), ('m', 3, -1, 0), ('n', -1, 2859, 0), ('o', -1, 663, 0), ('p', 1, -1, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('w', 1, -1, 0), ('y', 5, -1, 0), ('z', -1, 2861, 0), ('ó', 5, -1, 0)), (('a', -1, 2856, 0), ('d', 80, -1, 0), ('e', 3, -1, 0), ('g', 80, -1, 0), ('h', -1, 2115, 0), ('i', -1, 958, 0), ('j', 3, -1, 0), ('k', 80, -1, 0), ('l', 5, -1, 0), ('m', 3, -1, 0), ('o', -1, 966, 0), ('r', 3, -1, 0), ('s', 239, 2592, 0), ('t', 80, -1, 0), ('u', -1, 2289, 0), ('y', 3, -1, 0), ('z', -1, 948, 0)), (('a', -1, 2131, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 2857, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 56, -1, 0), ('o', 129, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 2285, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', -1, 1310, 0), ('k', 52, -1, 0), ('l', 3, -1, 0), ('m', 80, 351, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 102, 2858, 0), ('r', 3, -1, 0), ('s', 80, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0)), (('a', 10, -1, 0), ('b', 11, -1, 0), ('d', 10, -1, 0), ('e', 56, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', 56, -1, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 10, -1, 0), ('p', 21, -1, 0), ('r', 0, -1, 0), ('s', 102, -1, 0), ('t', 1, -1, 0), ('u', 102, -1, 0), ('w', 21, -1, 0), ('y', 56, -1, 0), ('z', 10, -1, 0), ('ó', 10, -1, 0), ('ę', 102, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 2066, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 52, -1, 0), ('p', 1, -1, 0), ('r', 12, 2860, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ś', 1, -1, 0)), (('a', 0, -1, 0), ('b', 12, -1, 0), ('e', 12, -1, 0), ('i', 70, -1, 0), ('o', 12, -1, 0), ('r', 70, -1, 0), ('u', 12, -1, 0), ('w', 0, -1, 0), ('y', 12, -1, 0), ('z', 0, 799, 0), ('ę', 70, -1, 0), ('ł', 70, -1, 0)), (('a', -1, 2795, 0), ('b', 1, -1, 0), ('d', -1, 145, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 266, 0), ('s', 1, -1, 0), ('t', 21, -1, 0), ('u', 1, -1, 0), ('w', 12, -1, 0), ('y', 1, -1, 0), ('z', 195, -1, 0), ('ą', 1, -1, 0)), (('a', -1, 1876, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', 22, -1, 0), ('h', 1, -1, 0), ('i', 22, -1, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('r', -1, 968, 0), ('t', 1, -1, 0), ('u', -1, 180, 0), ('y', 0, -1, 0), ('z', 22, -1, 0), ('ś', 1, -1, 0)), (('a', 3, -1, 0), ('b', 12, -1, 0), ('d', 12, -1, 0), ('e', -1, 1258, 0), ('g', 22, -1, 0), ('i', 3, -1, 0), ('k', -1, 247, 0), ('l', 3, -1, 0), ('m', 12, 2391, 0), ('n', 12, -1, 0), ('o', 3, -1, 0), ('p', 12, -1, 0), ('r', -1, 309, 0), ('s', 7, -1, 0), ('t', 1, -1, 0), ('u', 306, -1, 0), ('w', 12, -1, 0), ('y', 3, -1, 0), ('z', 133, -1, 0), ('ł', 12, 672, 0)), (('a', -1, 740, 0), ('b', 41, -1, 0), ('d', 0, -1, 0), ('e', -1, 297, 0), ('g', 2, -1, 0), ('i', -1, 926, 0), ('k', 143, 219, 0), ('l', 0, 175, 0), ('m', 0, 175, 0), ('o', -1, 908, 0), ('p', 2, -1, 0), ('r', -1, 2385, 0), ('s', 2, 278, 0), ('t', 143, -1, 0), ('u', -1, 1840, 0), ('w', 2, -1, 0), ('y', 143, -1, 0), ('z', -1, 2865, 0), ('ą', -1, 2517, 0), ('ę', -1, 845, 0), ('ż', 28, -1, 0)), (('a', -1, 2078, 0), ('b', -1, 2866, 0), ('d', 89, -1, 0), ('e', -1, 1332, 0), ('f', -1, 1164, 0), ('h', 234, -1, 0), ('i', -1, 1006, 0), ('k', 89, -1, 0), ('l', 0, -1, 0), ('m', -1, 1784, 0), ('n', -1, 2070, 0), ('o', -1, 1080, 0), ('p', -1, 2793, 0), ('r', -1, 780, 0), ('s', -1, 2756, 0), ('t', 79, -1, 0), ('w', -1, 2868, 0), ('z', 0, 288, 0)), (('a', -1, 2433, 0), ('b', 1, -1, 0), ('d', 105, -1, 0), ('e', -1, 524, 0), ('i', -1, 559, 0), ('k', 1, -1, 0), ('l', 349, -1, 0), ('o', -1, 338, 0), ('p', 1, -1, 0), ('r', -1, 1872, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', -1, 2867, 0), ('w', 107, -1, 0), ('y', -1, 2220, 0), ('z', 1, -1, 0), ('ę', -1, 212, 0), ('ł', 105, -1, 0)), (('a', -1, 1348, 0), ('b', 52, -1, 0), ('c', -1, 1050, 0), ('d', 110, -1, 0), ('e', -1, 1292, 0), ('g', 52, -1, 0), ('h', 110, -1, 0), ('i', 105, -1, 0), ('j', 217, -1, 0), ('k', 110, -1, 0), ('l', -1, 542, 0), ('m', 52, -1, 0), ('n', 105, -1, 0), ('o', 52, 1521, 0), ('p', -1, 936, 0), ('r', -1, 857, 0), ('s', -1, 750, 0), ('t', -1, 979, 0), ('u', -1, 1591, 0), ('w', -1, 569, 0), ('y', -1, 510, 0), ('z', 13, -1, 0), ('ó', 110, -1, 0), ('ł', -1, 5, 0)), (('a', -1, 858, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 1184, 0), ('i', -1, 1656, 0), ('k', 3, -1, 0), ('m', 22, 351, 0), ('o', -1, 2254, 0), ('p', 3, -1, 0), ('r', -1, 322, 0), ('s', -1, 2869, 0), ('t', -1, 183, 0), ('w', 3, -1, 0), ('y', -1, 102, 0), ('z', -1, 4, 0), ('ź', -1, 1959, 0)), (('a', 5, -1, 0), ('c', -1, 1824, 0), ('d', 105, -1, 0), ('e', -1, 2714, 0), ('i', -1, 2870, 0), ('j', 135, -1, 0), ('k', 5, -1, 0), ('l', 6, -1, 0), ('n', 5, -1, 0), ('o', -1, 2353, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 21, -1, 0), ('u', 21, -1, 0), ('y', -1, 1208, 0), ('z', 6, -1, 0)), (('a', -1, 827, 0), ('d', 7, 2269, 0), ('e', 6, -1, 0), ('g', 0, -1, 0), ('i', 6, -1, 0), ('k', 8, 1342, 0), ('l', 57, -1, 0), ('m', -1, 1617, 0), ('n', -1, 1472, 0), ('o', 6, -1, 0), ('p', 7, -1, 0), ('r', 6, -1, 0), ('s', 96, -1, 0), ('t', 6, -1, 0), ('w', -1, 2518, 0), ('y', 6, -1, 0), ('z', -1, 736, 0), ('ź', 6, -1, 0)), (('a', 2, -1, 0), ('d', 3, -1, 0), ('e', -1, 2039, 0), ('i', 2, -1, 0), ('j', 3, -1, 0), ('l', 2, -1, 0), ('o', -1, 2627, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 2872, 0)), (('a', -1, 2776, 0), ('c', 3, -1, 0), ('d', 2, -1, 0), ('e', -1, 1305, 0), ('f', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 2050, 0), ('j', 3, -1, 0), ('k', -1, 1539, 0), ('l', 3, -1, 0), ('n', -1, 2461, 0), ('o', -1, 2873, 0), ('p', 3, -1, 0), ('r', -1, 1281, 0), ('s', -1, 2876, 0), ('t', 3, -1, 0), ('u', -1, 30, 0), ('w', 105, -1, 0), ('y', -1, 1506, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0)), (('a', -1, 242, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 2874, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 824, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 1130, 0), ('m', 3, 604, 0), ('n', 3, -1, 0), ('o', 0, 64, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ł', 34, -1, 0), ('ż', 80, -1, 0)), (('a', -1, 2522, 0), ('b', 115, -1, 0), ('d', 105, -1, 0), ('e', -1, 444, 0), ('i', -1, 2208, 0), ('k', 1, -1, 0), ('l', -1, 803, 0), ('o', -1, 1198, 0), ('p', -1, 1166, 0), ('r', 0, 370, 0), ('s', 28, 694, 0), ('t', 40, -1, 0), ('u', -1, 1996, 0), ('w', -1, 1165, 0), ('z', -1, 568, 0), ('ó', 40, -1, 0), ('ł', -1, 2875, 0), ('ż', -1, 459, 0)), (('a', -1, 31, 0), ('b', -1, 2298, 0), ('c', -1, 1374, 0), ('d', 21, -1, 0), ('e', -1, 361, 0), ('i', -1, 1269, 0), ('j', 105, -1, 0), ('k', 105, -1, 0), ('l', 1, -1, 0), ('m', -1, 1476, 0), ('n', -1, 481, 0), ('o', -1, 170, 0), ('p', -1, 57, 0), ('r', 105, -1, 0), ('s', -1, 2627, 0), ('t', -1, 207, 0), ('u', -1, 1300, 0), ('w', -1, 2870, 0), ('y', -1, 2436, 0), ('z', -1, 226, 0), ('ó', 105, -1, 0), ('ą', 13, -1, 0), ('ę', 105, -1, 0), ('ż', 105, -1, 0)), (('a', -1, 2421, 0), ('d', 12, -1, 0), ('e', 3, -1, 0), ('i', -1, 1133, 0), ('j', 106, -1, 0), ('k', 3, -1, 0), ('m', 12, -1, 0), ('n', 2, -1, 0), ('o', 3, 559, 0), ('p', 15, -1, 0), ('r', 106, -1, 0), ('s', 106, -1, 0), ('t', 106, 358, 0), ('u', -1, 203, 0), ('w', -1, 2112, 0), ('y', -1, 1363, 0), ('z', -1, 2066, 0), ('ł', 106, -1, 0)), (('a', 2, -1, 0), ('b', 107, -1, 0), ('e', 2, -1, 0), ('i', -1, 1416, 0), ('j', 2, -1, 0), ('l', 2, -1, 0), ('n', -1, 351, 0), ('o', -1, 757, 0), ('r', 11, 2878, 0), ('s', -1, 2871, 0), ('t', 107, -1, 0), ('u', 2, -1, 0), ('z', 11, -1, 0), ('ż', 107, -1, 0)), (('a', -1, 1000, 0), ('c', -1, 14, 0), ('d', 107, -1, 0), ('e', -1, 73, 0), ('i', -1, 807, 0), ('m', 0, 346, 0), ('n', -1, 427, 0), ('o', -1, 399, 0), ('p', -1, 227, 0), ('r', -1, 2078, 0), ('s', -1, 1591, 0), ('t', 11, -1, 0), ('u', -1, 594, 0), ('w', -1, 204, 0), ('y', -1, 1699, 0), ('z', -1, 1088, 0), ('ó', -1, 392, 0)), (('a', 3, -1, 0), ('c', 121, -1, 0), ('e', 1, -1, 0), ('i', 56, -1, 0), ('l', 121, -1, 0), ('m', 12, -1, 0), ('n', 3, 388, 0), ('o', 121, -1, 0), ('r', 75, -1, 0), ('s', 121, -1, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 2859, 0)), (('a', -1, 116, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 335, -1, 0), ('i', -1, 1892, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 335, -1, 0), ('n', 2, -1, 0), ('o', -1, 26, 0), ('r', 2, -1, 0), ('t', 335, -1, 0), ('w', 335, -1, 0), ('z', 335, -1, 0), ('ś', 2, -1, 0)), (('a', -1, 1270, 0), ('b', 30, -1, 0), ('d', 30, -1, 0), ('e', 80, -1, 0), ('g', 30, -1, 0), ('h', 30, -1, 0), ('i', -1, 2161, 0), ('k', -1, 2882, 0), ('m', 30, -1, 0), ('o', 2, -1, 0), ('p', 30, -1, 0), ('r', 30, -1, 0), ('t', 30, -1, 0), ('u', 2, -1, 0), ('w', 30, -1, 0), ('y', -1, 76, 0), ('z', 30, -1, 0), ('ś', 30, -1, 0), ('ź', 30, -1, 0), ('ż', 30, -1, 0)), (('a', -1, 25, 0), ('e', 30, -1, 0), ('i', 30, -1, 0), ('n', 353, -1, 0), ('o', 0, 2883, 0), ('r', 30, -1, 0), ('s', 22, 2889, 0), ('t', 30, -1, 0), ('u', 353, -1, 0), ('z', 80, -1, 0), ('ą', 30, -1, 0), ('ł', 30, -1, 0)), (('a', -1, 1547, 0), ('d', 70, -1, 0), ('e', 5, -1, 0), ('f', 39, -1, 0), ('i', -1, 2884, 0), ('j', 70, 2885, 0), ('k', 64, -1, 0), ('l', 39, -1, 0), ('o', 5, -1, 0), ('p', 39, -1, 0), ('r', -1, 1550, 0), ('s', 145, -1, 0), ('t', 39, -1, 0), ('u', 5, -1, 0), ('w', -1, 335, 0), ('y', 5, -1, 0), ('z', 70, -1, 0), ('ż', 70, -1, 0)), (('a', 0, -1, 0), ('c', 70, -1, 0), ('d', 0, 225, 0), ('e', -1, 1387, 0), ('g', 70, -1, 0), ('i', -1, 784, 0), ('k', 21, -1, 0), ('l', 55, -1, 0), ('n', -1, 1623, 0), ('o', -1, 24, 0), ('p', 70, -1, 0), ('r', -1, 411, 0), ('s', 0, 437, 0), ('t', 1, -1, 0), ('u', 21, -1, 0), ('w', -1, 2636, 0), ('y', 0, -1, 0), ('z', -1, 1785, 0)), (('a', 70, -1, 0), ('b', 29, -1, 0), ('c', 41, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 2886, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1662, 0), ('m', -1, 2888, 0), ('n', 41, 504, 0), ('o', 29, -1, 0), ('p', -1, 2103, 0), ('r', -1, 2084, 0), ('s', 0, -1, 0), ('t', -1, 2447, 0), ('u', 70, -1, 0), ('y', 29, -1, 0), ('z', 41, 279, 0), ('ł', -1, 520, 0), ('ż', 41, -1, 0)), (('a', -1, 2701, 0), ('c', 185, -1, 0), ('d', 41, -1, 0), ('e', -1, 1373, 0), ('g', 0, -1, 0), ('i', -1, 793, 0), ('l', 0, -1, 0), ('m', 0, 1582, 0), ('n', 0, -1, 0), ('o', 0, 2433, 0), ('p', 5, 18, 0), ('r', 0, -1, 0), ('s', 41, -1, 0), ('t', -1, 2887, 0), ('w', 185, -1, 0), ('y', 7, -1, 0), ('z', 185, -1, 0), ('ł', 0, -1, 0), ('ż', 31, 81, 0)), (('a', -1, 1676, 0), ('d', 0, 1603, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 931, 0), ('j', 1, -1, 0), ('k', -1, 2075, 0), ('l', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 1787, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, 1472, 0), ('t', 4, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, 767, 0), ('k', 6, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', 0, 2517, 0), ('r', -1, 1830, 0), ('s', -1, 221, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 652, 0), ('z', -1, 114, 0)), (('a', 353, -1, 0), ('b', 28, -1, 0), ('d', 134, -1, 0), ('e', -1, 1052, 0), ('i', 22, -1, 0), ('o', 134, -1, 0), ('r', -1, 2004, 0), ('s', 12, -1, 0), ('y', 134, -1, 0), ('z', -1, 2890, 0)), (('a', -1, 1890, 0), ('b', 158, -1, 0), ('d', -1, 899, 0), ('e', -1, 2220, 0), ('g', 158, -1, 0), ('i', 158, -1, 0), ('j', 158, -1, 0), ('k', 158, -1, 0), ('l', 158, -1, 0), ('m', 158, -1, 0), ('n', 158, -1, 0), ('o', -1, 2665, 0), ('p', 158, -1, 0), ('r', -1, 2614, 0), ('s', 158, -1, 0), ('t', 158, -1, 0), ('w', 134, 278, 0), ('y', -1, 1677, 0), ('z', 158, -1, 0), ('ł', 158, -1, 0), ('ż', 158, -1, 0)), (('a', 71, -1, 0), ('b', 40, -1, 0), ('e', 71, -1, 0), ('i', 70, -1, 0), ('o', -1, 1005, 0), ('r', 70, -1, 0), ('y', 71, -1, 0), ('ą', 70, -1, 0)), (('a', 70, -1, 0), ('c', 73, -1, 0), ('d', 334, -1, 0), ('e', -1, 2893, 0), ('i', 70, -1, 0), ('k', 0, -1, 0), ('l', 70, -1, 0), ('m', 70, -1, 0), ('o', 70, -1, 0), ('p', 31, -1, 0), ('r', 70, -1, 0), ('s', 70, -1, 0), ('t', 70, -1, 0), ('u', 70, -1, 0), ('w', -1, 1300, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', -1, 2779, 0), ('ł', 70, -1, 0)), (('a', -1, 1778, 0), ('d', -1, 59, 0), ('e', -1, 1680, 0), ('f', 30, -1, 0), ('i', -1, 97, 0), ('k', -1, 317, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 1094, 0), ('p', -1, 2894, 0), ('r', -1, 1281, 0), ('s', 132, -1, 0), ('t', -1, 746, 0), ('u', -1, 528, 0), ('w', 7, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ń', 3, -1, 0)), (('a', -1, 1700, 0), ('c', 3, -1, 0), ('d', 11, -1, 0), ('e', 0, -1, 0), ('f', 3, -1, 0), ('g', 22, -1, 0), ('i', 147, -1, 0), ('l', 147, -1, 0), ('m', 1, -1, 0), ('n', 22, -1, 0), ('o', 56, 14, 0), ('r', -1, 905, 0), ('s', 11, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('y', 11, -1, 0), ('z', 79, 165, 0)), (('a', 70, -1, 0), ('d', 166, -1, 0), ('e', -1, 2896, 0), ('h', 85, -1, 0), ('i', 70, -1, 0), ('o', -1, 1624, 0), ('r', 41, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 85, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0)), (('a', 65, -1, 0), ('e', -1, 788, 0), ('i', 31, -1, 0), ('l', 65, -1, 0), ('o', 65, -1, 0), ('r', 65, -1, 0), ('u', 3, -1, 0), ('y', 65, -1, 0), ('z', 54, -1, 0), ('ą', 65, -1, 0), ('ę', -1, 391, 0), ('ł', 65, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 108, -1, 0), ('e', -1, 123, 0), ('f', 145, -1, 0), ('i', 5, -1, 0), ('k', -1, 2898, 0), ('l', 39, -1, 0), ('m', 29, -1, 0), ('n', 108, -1, 0), ('o', 5, -1, 0), ('p', 39, -1, 0), ('r', -1, 2188, 0), ('s', 70, 1350, 0), ('t', 108, -1, 0), ('u', 5, -1, 0), ('w', -1, 649, 0), ('y', 5, -1, 0), ('z', 55, -1, 0), ('ł', -1, 1555, 0)), (('a', -1, 1785, 0), ('b', 5, -1, 0), ('c', -1, 1126, 0), ('d', -1, 2899, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', -1, 2900, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', -1, 2901, 0), ('l', -1, 1995, 0), ('m', 5, -1, 0), ('n', -1, 2902, 0), ('o', 5, 241, 0), ('p', 5, -1, 0), ('r', -1, 2046, 0), ('s', -1, 2869, 0), ('t', -1, 3188, 0), ('u', -1, 1753, 0), ('w', 5, -1, 0), ('z', -1, 2904, 0), ('ł', -1, 2750, 0), ('ż', -1, 925, 0)), (('a', 5, -1, 0), ('c', 23, -1, 0), ('d', 174, -1, 0), ('e', 5, -1, 0), ('f', 23, -1, 0), ('h', 23, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('s', 23, -1, 0), ('u', -1, 1762, 0), ('y', -1, 227, 0), ('z', 23, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('d', 4, -1, 0), ('e', 5, -1, 0), ('g', 30, -1, 0), ('i', 5, -1, 0), ('n', -1, 2241, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('s', 23, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 2571, 0), ('ę', 5, -1, 0), ('ź', 5, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', -1, 1156, 0), ('j', 5, -1, 0), ('k', 5, 1415, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ę', -1, 1864, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 184, 0), ('g', 5, -1, 0), ('h', 3, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 1940, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('w', -1, 2645, 0), ('y', -1, 1324, 0), ('z', -1, 2903, 0), ('ł', 5, 1917, 0), ('ż', 5, -1, 0)), (('a', 22, -1, 0), ('b', 28, -1, 0), ('c', 5, -1, 0), ('d', -1, 371, 0), ('e', 22, -1, 0), ('g', 3, -1, 0), ('h', 2, -1, 0), ('i', 3, -1, 0), ('k', 28, -1, 0), ('n', 2, -1, 0), ('o', 84, -1, 0), ('r', -1, 2904, 0), ('s', 5, -1, 0), ('w', -1, 1627, 0), ('z', 28, -1, 0), ('ł', 28, -1, 0), ('ś', 84, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 496, 0), ('k', 5, -1, 0), ('l', -1, 2905, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 2913, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 1128, 0), ('z', -1, 19, 0), ('ó', 5, -1, 0)), (('a', -1, 219, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('l', -1, 2906, 0), ('m', -1, 472, 0), ('n', -1, 1976, 0), ('o', 5, -1, 0), ('r', 28, 3063, 0), ('t', 2, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 2085, 0), ('ł', -1, 2973, 0), ('ż', 2, -1, 0)), (('a', -1, 649, 0), ('b', 6, -1, 0), ('c', -1, 1552, 0), ('d', -1, 2907, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', -1, 1278, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', -1, 2523, 0), ('l', -1, 1319, 0), ('m', 6, -1, 0), ('n', -1, 1609, 0), ('o', -1, 3933, 0), ('p', 6, -1, 0), ('r', -1, 636, 0), ('s', -1, 1157, 0), ('t', -1, 3137, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('z', -1, 3114, 0), ('ł', -1, 1239, 0), ('ż', -1, 1840, 0)), (('a', 6, -1, 0), ('b', 1, 2908, 0), ('c', 6, -1, 0), ('e', 6, -1, 0), ('f', -1, 2914, 0), ('g', 1, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 1, -1, 0), ('l', 6, -1, 0), ('m', -1, 3931, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, 3932, 0), ('r', 6, -1, 0), ('s', 4, 2916, 0), ('u', 6, -1, 0), ('w', -1, 1484, 0), ('y', -1, 721, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 907, 0), ('c', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 858, 0), ('o', 6, 2909, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 1766, 0), ('j', 6, -1, 0), ('k', 10, 2693, 0), ('l', 6, -1, 0), ('m', -1, 2910, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', -1, 2913, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 2911, 0), ('b', 0, -1, 0), ('c', -1, 2912, 0), ('d', 0, -1, 0), ('e', 3, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 277, 0), ('j', 0, -1, 0), ('l', -1, 2833, 0), ('n', 0, -1, 0), ('o', -1, 143, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 2428, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1117, 0), ('b', 3, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ę', 3, -1, 0), ('ś', 2, -1, 0)), (('a', 0, -1, 0), ('e', -1, 673, 0), ('o', 1, -1, 0), ('r', 1, -1, 0)), (('a', -1, 2909, 0), ('b', 59, -1, 0), ('c', 59, -1, 0), ('d', 59, 1444, 0), ('e', 5, -1, 0), ('i', 59, -1, 0), ('l', 59, -1, 0), ('m', 59, -1, 0), ('n', 59, -1, 0), ('o', -1, 779, 0), ('p', 59, -1, 0), ('r', 59, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0)), (('a', 6, -1, 0), ('c', 95, -1, 0), ('e', 6, -1, 0), ('i', -1, 2915, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('o', -1, 2005, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', -1, 2935, 0), ('z', -1, 1510, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 95, -1, 0), ('ń', 6, -1, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 2904, 0), ('j', 99, -1, 0), ('k', 5, -1, 0), ('l', 6, -1, 0), ('n', -1, 2916, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 2918, 0), ('u', 5, -1, 0), ('w', 6, -1, 0), ('y', -1, 1498, 0), ('z', -1, 2702, 0), ('ó', 5, -1, 0)), (('a', 6, -1, 0), ('c', 5, -1, 0), ('d', 95, -1, 0), ('e', 6, -1, 0), ('f', 5, -1, 0), ('i', 6, -1, 0), ('m', 5, -1, 0), ('n', 39, -1, 0), ('o', -1, 2360, 0), ('p', 5, -1, 0), ('r', -1, 2917, 0), ('u', 4, 719, 0), ('w', 5, -1, 0), ('z', 39, -1, 0), ('ą', 6, -1, 0)), (('a', 121, -1, 0), ('e', -1, 2437, 0), ('i', 121, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 2288, 0), ('r', 2, -1, 0), ('u', -1, 1455, 0), ('y', 121, -1, 0), ('z', 3, -1, 0)), (('a', -1, 1821, 0), ('e', -1, 2919, 0), ('i', -1, 442, 0), ('l', 4, -1, 0), ('o', 7, -1, 0), ('r', -1, 3930, 0), ('s', 5, -1, 0), ('t', 7, -1, 0), ('y', 5, -1, 0), ('z', 53, -1, 0), ('ą', 5, -1, 0)), (('a', 34, -1, 0), ('e', 0, -1, 0), ('i', -1, 548, 0), ('n', 0, -1, 0), ('o', 192, -1, 0), ('r', -1, 2318, 0), ('u', 34, -1, 0), ('y', 34, -1, 0), ('z', -1, 2920, 0), ('ó', 7, -1, 0)), (('a', 72, -1, 0), ('b', -1, 1397, 0), ('c', 72, -1, 0), ('d', -1, 1399, 0), ('e', -1, 2531, 0), ('g', -1, 2921, 0), ('h', -1, 318, 0), ('i', 72, -1, 0), ('k', -1, 2924, 0), ('l', 72, -1, 0), ('m', 72, -1, 0), ('o', 72, -1, 0), ('p', 72, -1, 0), ('r', 72, -1, 0), ('s', 72, -1, 0), ('t', 72, -1, 0), ('u', -1, 1443, 0), ('y', 72, -1, 0), ('z', -1, 3342, 0), ('ś', -1, 3929, 0), ('ź', -1, 3920, 0), ('ż', 72, -1, 0)), (('a', 72, -1, 0), ('e', -1, 2922, 0), ('i', 72, -1, 0), ('j', 3, -1, 0), ('l', 72, -1, 0), ('o', -1, 2380, 0), ('r', 72, -1, 0), ('u', 72, -1, 0), ('y', 72, -1, 0), ('z', 72, -1, 0), ('ą', 72, -1, 0), ('ę', -1, 1253, 0)), (('a', -1, 2106, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 85, 0), ('k', 6, -1, 0), ('l', -1, 517, 0), ('m', -1, 2090, 0), ('o', -1, 671, 0), ('r', -1, 2923, 0), ('s', 6, -1, 0), ('t', -1, 2460, 0), ('y', 6, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 72, -1, 0)), (('a', -1, 31, 0), ('b', 3, -1, 0), ('c', -1, 2384, 0), ('d', -1, 2505, 0), ('e', 22, -1, 0), ('g', 3, -1, 0), ('i', 84, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, 553, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 45, -1, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('y', 22, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 72, -1, 0), ('d', 8, -1, 0), ('e', -1, 2925, 0), ('i', 72, -1, 0), ('l', 72, -1, 0), ('m', 72, -1, 0), ('o', 72, -1, 0), ('r', 72, -1, 0), ('s', 72, -1, 0), ('t', 72, -1, 0), ('u', 72, -1, 0), ('w', 72, -1, 0), ('y', 72, -1, 0), ('z', 72, -1, 0), ('ą', 72, -1, 0), ('ę', -1, 3927, 0), ('ł', 72, -1, 0)), (('a', 7, -1, 0), ('e', -1, 2926, 0), ('i', -1, 1808, 0), ('k', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('z', 34, -1, 0)), (('a', -1, 2927, 0), ('c', 28, -1, 0), ('e', -1, 2359, 0), ('i', -1, 1453, 0), ('n', 7, -1, 0), ('o', -1, 2928, 0), ('r', -1, 1957, 0), ('y', 2, -1, 0), ('z', 28, -1, 0)), (('a', 7, -1, 0), ('b', 28, -1, 0), ('e', 7, -1, 0), ('g', 2, -1, 0), ('i', 30, -1, 0), ('k', 28, -1, 0), ('l', 7, -1, 0), ('m', 2, 165, 0), ('o', 7, 209, 0), ('r', -1, 2309, 0), ('y', 7, -1, 0), ('z', -1, 938, 0), ('ł', 2, -1, 0)), (('a', 30, -1, 0), ('b', 2, 2929, 0), ('d', 2, -1, 0), ('e', 30, -1, 0), ('g', 2, -1, 0), ('i', 30, -1, 0), ('k', -1, 2930, 0), ('n', 1, -1, 0), ('o', 22, -1, 0), ('r', -1, 306, 0), ('t', 28, -1, 0), ('u', 30, -1, 0), ('w', -1, 2939, 0), ('y', 30, -1, 0), ('z', 298, -1, 0), ('ó', 30, -1, 0)), (('a', -1, 719, 0), ('c', 2, -1, 0), ('d', -1, 2499, 0), ('e', 28, -1, 0), ('i', -1, 1814, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', -1, 966, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 2931, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 46, -1, 0), ('i', 46, -1, 0), ('o', -1, 1230, 0), ('r', -1, 2494, 0), ('t', -1, 2936, 0), ('y', 46, -1, 0), ('z', -1, 1160, 0)), (('a', 52, -1, 0), ('c', -1, 2932, 0), ('d', 46, -1, 0), ('e', 1, -1, 0), ('g', 28, -1, 0), ('h', 46, -1, 0), ('i', 12, -1, 0), ('k', 46, -1, 0), ('m', 46, -1, 0), ('o', -1, 1033, 0), ('p', 46, -1, 0), ('r', 46, -1, 0), ('s', 46, -1, 0), ('t', 46, -1, 0), ('u', -1, 1172, 0), ('w', 46, -1, 0), ('z', 28, -1, 0), ('ę', 12, -1, 0), ('ł', 3, -1, 0), ('ż', 28, -1, 0)), (('a', 46, -1, 0), ('e', -1, 2886, 0), ('i', 6, -1, 0), ('o', -1, 2933, 0), ('r', 3, -1, 0), ('t', 6, -1, 0), ('y', 6, -1, 0), ('z', 46, -1, 0)), (('a', 6, -1, 0), ('b', 3, -1, 0), ('c', 34, -1, 0), ('e', 6, -1, 0), ('g', 3, -1, 0), ('i', 6, -1, 0), ('k', -1, 2934, 0), ('l', 3, -1, 0), ('n', -1, 2935, 0), ('o', -1, 2165, 0), ('p', 4, 477, 0), ('r', 34, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 2, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 2504, 0), ('c', 102, -1, 0), ('d', 10, -1, 0), ('e', 3, -1, 0), ('i', 2, -1, 0), ('k', 10, -1, 0), ('m', 10, -1, 0), ('n', 10, -1, 0), ('o', 75, -1, 0), ('p', 10, -1, 0), ('r', -1, 1934, 0), ('s', 10, -1, 0), ('t', 10, -1, 0), ('w', 10, -1, 0), ('z', 10, 662, 0)), (('a', 3, -1, 0), ('e', -1, 989, 0), ('i', 3, -1, 0), ('m', 6, -1, 0), ('o', -1, 2347, 0), ('r', 95, -1, 0), ('t', 6, -1, 0), ('y', 34, -1, 0), ('z', 6, -1, 0), ('ę', 3, -1, 0), ('ż', 6, -1, 0)), (('a', 7, -1, 0), ('b', 3, 522, 0), ('e', 7, -1, 0), ('g', -1, 2937, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 3, -1, 0), ('k', 7, -1, 0), ('o', 3, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('t', -1, 2716, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 6, -1, 0)), (('a', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 2938, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('u', 7, -1, 0), ('y', -1, 2930, 0), ('z', 3, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', -1, 1945, 0), ('d', -1, 1942, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('l', -1, 2770, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 304, -1, 0), ('r', -1, 2507, 0), ('s', -1, 1885, 0), ('u', 304, -1, 0), ('w', 7, -1, 0), ('y', -1, 2893, 0), ('z', 1, -1, 0), ('ą', -1, 858, 0), ('ł', 7, -1, 0)), (('a', 7, -1, 0), ('d', -1, 2940, 0), ('e', 11, -1, 0), ('h', 11, -1, 0), ('i', 7, -1, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('o', -1, 1208, 0), ('r', -1, 333, 0), ('s', 57, -1, 0), ('u', 7, -1, 0), ('y', 56, -1, 0), ('z', -1, 2190, 0), ('ę', 11, -1, 0), ('ł', 11, -1, 0)), (('a', -1, 2519, 0), ('b', 41, 533, 0), ('c', -1, 2941, 0), ('d', 0, -1, 0), ('e', 11, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 2942, 0), ('n', 0, -1, 0), ('o', -1, 2022, 0), ('p', 0, -1, 0), ('r', 41, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('z', -1, 939, 0), ('ż', 0, -1, 0)), (('a', -1, 1642, 0), ('b', 208, -1, 0), ('d', 51, -1, 0), ('e', 190, -1, 0), ('g', 85, -1, 0), ('h', 41, -1, 0), ('i', 41, -1, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', 41, -1, 0), ('r', 41, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 41, -1, 0), ('w', 208, 1743, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 3, -1, 0)), (('a', 3, -1, 0), ('b', 85, -1, 0), ('c', -1, 2765, 0), ('e', 3, -1, 0), ('g', -1, 2943, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('m', 85, -1, 0), ('n', -1, 3926, 0), ('o', 3, -1, 0), ('p', -1, 604, 0), ('r', 0, -1, 0), ('u', 3, -1, 0), ('w', 85, -1, 0), ('y', 3, -1, 0), ('z', -1, 2525, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 85, -1, 0), ('d', 0, -1, 0), ('e', 85, -1, 0), ('f', -1, 1381, 0), ('g', 0, -1, 0), ('h', 41, 625, 0), ('i', -1, 1076, 0), ('k', -1, 1642, 0), ('m', -1, 1533, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 2944, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 2948, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('f', 41, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('m', -1, 140, 0), ('o', -1, 1331, 0), ('p', 85, 2945, 0), ('r', 12, -1, 0), ('s', 335, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 0, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 1, 2580, 0), ('ś', 12, -1, 0), ('ź', 12, -1, 0)), (('a', 12, -1, 0), ('b', 41, -1, 0), ('c', 41, -1, 0), ('d', 41, -1, 0), ('e', 41, -1, 0), ('g', 41, -1, 0), ('h', 41, -1, 0), ('i', 41, -1, 0), ('j', 41, -1, 0), ('k', 41, -1, 0), ('l', -1, 2946, 0), ('m', 41, -1, 0), ('n', 41, -1, 0), ('o', 85, -1, 0), ('p', 41, -1, 0), ('r', -1, 2947, 0), ('s', 41, -1, 0), ('t', 41, -1, 0), ('u', 12, -1, 0), ('y', 85, -1, 0), ('z', 41, -1, 0), ('ł', -1, 2768, 0), ('ż', 41, -1, 0)), (('a', 41, -1, 0), ('b', 41, -1, 0), ('d', 41, -1, 0), ('e', -1, 758, 0), ('g', 0, -1, 0), ('h', 41, -1, 0), ('i', 41, -1, 0), ('k', 278, 10, 0), ('o', 41, -1, 0), ('r', 3, 955, 0), ('s', 4, -1, 0), ('t', 41, -1, 0), ('w', 4, -1, 0), ('z', 0, -1, 0), ('ł', 4, -1, 0)), (('a', 41, -1, 0), ('d', 41, -1, 0), ('e', 41, -1, 0), ('f', 41, -1, 0), ('i', 41, -1, 0), ('k', 41, -1, 0), ('m', 2, -1, 0), ('n', 41, -1, 0), ('o', -1, 1712, 0), ('r', -1, 1489, 0), ('s', 0, -1, 0), ('t', -1, 2947, 0), ('u', 41, -1, 0), ('y', 0, -1, 0), ('z', 2, -1, 0)), (('a', 85, -1, 0), ('b', 2, -1, 0), ('c', 3, -1, 0), ('d', 85, -1, 0), ('e', -1, 1748, 0), ('h', 85, -1, 0), ('i', 0, -1, 0), ('n', 2, -1, 0), ('o', 0, -1, 0), ('r', 85, -1, 0), ('s', 2, -1, 0), ('t', 0, -1, 0), ('w', 85, -1, 0), ('y', 85, -1, 0), ('z', -1, 2949, 0)), (('a', -1, 2526, 0), ('b', 166, 2950, 0), ('c', 12, -1, 0), ('d', -1, 1280, 0), ('e', 27, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('i', 27, -1, 0), ('j', 27, -1, 0), ('k', 0, -1, 0), ('l', -1, 2952, 0), ('m', -1, 1685, 0), ('n', -1, 2953, 0), ('o', 27, -1, 0), ('p', 12, 3783, 0), ('r', 27, -1, 0), ('s', 52, -1, 0), ('t', 27, -1, 0), ('u', -1, 1768, 0), ('w', 0, 2951, 0), ('y', -1, 969, 0), ('z', 27, -1, 0)), (('a', -1, 2002, 0), ('c', 5, -1, 0), ('d', 166, -1, 0), ('e', 12, -1, 0), ('g', -1, 2951, 0), ('i', 12, -1, 0), ('o', 12, -1, 0), ('p', 134, -1, 0), ('r', 12, -1, 0), ('s', 5, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ę', 12, -1, 0)), (('a', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('i', 0, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('r', -1, 1760, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 52, -1, 0), ('ą', 12, -1, 0), ('ł', 21, -1, 0)), (('a', 21, -1, 0), ('b', 12, -1, 0), ('d', 12, -1, 0), ('e', 21, -1, 0), ('g', 12, -1, 0), ('i', 21, -1, 0), ('k', 12, -1, 0), ('m', 12, -1, 0), ('o', 21, -1, 0), ('p', 12, -1, 0), ('r', -1, 961, 0), ('s', 2, -1, 0), ('t', 12, -1, 0), ('y', 21, -1, 0), ('z', -1, 2931, 0), ('ś', 378, -1, 0)), (('a', 21, -1, 0), ('b', -1, 2348, 0), ('c', 12, 1891, 0), ('d', -1, 2954, 0), ('e', -1, 1001, 0), ('g', -1, 2974, 0), ('h', -1, 1890, 0), ('i', 21, -1, 0), ('j', 12, -1, 0), ('k', -1, 2976, 0), ('l', -1, 2983, 0), ('m', -1, 2985, 0), ('o', 21, -1, 0), ('p', -1, 2981, 0), ('r', -1, 2348, 0), ('t', -1, 3662, 0), ('u', 21, -1, 0), ('w', 12, -1, 0), ('y', 21, -1, 0), ('z', -1, 2280, 0), ('ł', 12, -1, 0), ('ś', -1, 3924, 0), ('ź', -1, 3703, 0), ('ż', -1, 3703, 0)), (('a', -1, 2955, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 69, -1, 0), ('i', 28, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 12, -1, 0), ('p', 2, -1, 0), ('r', 69, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', -1, 107, 0), ('w', 0, -1, 0), ('y', 69, -1, 0), ('z', 2, -1, 0), ('ę', 69, -1, 0), ('ż', 28, -1, 0)), (('a', 59, -1, 0), ('b', 0, -1, 0), ('c', 41, 2956, 0), ('d', 41, 2966, 0), ('e', -1, 1444, 0), ('f', 3, -1, 0), ('i', -1, 1421, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 41, 1459, 0), ('m', -1, 277, 0), ('o', 59, -1, 0), ('p', 69, 1159, 0), ('r', 224, -1, 0), ('s', 0, 201, 0), ('t', -1, 2967, 0), ('w', 0, -1, 0), ('y', 59, -1, 0), ('z', 3, -1, 0), ('ó', 59, -1, 0), ('ż', -1, 2969, 0)), (('a', 3, -1, 0), ('b', 125, -1, 0), ('c', 125, -1, 0), ('d', -1, 2957, 0), ('e', 3, -1, 0), ('f', -1, 1013, 0), ('g', 125, -1, 0), ('i', 3, -1, 0), ('k', -1, 2962, 0), ('l', 3, -1, 0), ('n', -1, 862, 0), ('o', -1, 2964, 0), ('p', 125, -1, 0), ('r', 82, -1, 0), ('s', 125, -1, 0), ('t', 1, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', -1, 2474, 0), ('z', 125, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 1506, 0), ('b', 6, -1, 0), ('c', 22, -1, 0), ('e', -1, 2958, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 3, -1, 0), ('n', 125, -1, 0), ('o', -1, 1625, 0), ('r', -1, 2576, 0), ('s', -1, 2960, 0), ('w', 6, -1, 0), ('y', -1, 690, 0), ('z', -1, 2961, 0), ('ł', 6, -1, 0)), (('a', -1, 912, 0), ('b', 3, -1, 0), ('d', 2, -1, 0), ('e', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 1259, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('o', -1, 2052, 0), ('p', 3, -1, 0), ('r', -1, 200, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('w', 22, -1, 0), ('y', 2, -1, 0), ('z', -1, 2959, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('f', 3, -1, 0), ('i', 5, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 2763, 0), ('s', -1, 901, 0), ('t', 5, -1, 0), ('u', -1, 1497, 0), ('w', 0, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', -1, 1523, 0), ('ć', 5, -1, 0), ('ę', 5, -1, 0)), (('a', -1, 1980, 0), ('d', -1, 30, 0), ('e', 22, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 768, 0), ('s', 22, -1, 0), ('u', 22, -1, 0), ('z', -1, 1049, 0)), (('a', 22, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('e', 22, -1, 0), ('h', 4, -1, 0), ('i', 22, -1, 0), ('l', 3, -1, 0), ('n', 22, -1, 0), ('o', 0, -1, 0), ('p', 2, -1, 0), ('r', -1, 2471, 0), ('s', 4, -1, 0), ('t', 28, -1, 0), ('u', 22, -1, 0), ('w', 28, -1, 0), ('y', 22, -1, 0), ('z', 2, -1, 0)), (('a', 3, -1, 0), ('b', 14, -1, 0), ('c', 14, -1, 0), ('e', 34, -1, 0), ('i', 125, -1, 0), ('k', 1, -1, 0), ('m', -1, 18, 0), ('n', 14, -1, 0), ('o', 3, -1, 0), ('p', -1, 517, 0), ('r', 34, -1, 0), ('s', -1, 2963, 0), ('w', 14, -1, 0), ('y', 3, -1, 0), ('z', 4, 1398, 0), ('ę', 3, -1, 0), ('ź', 34, -1, 0)), (('a', 0, -1, 0), ('d', 79, -1, 0), ('e', 3, -1, 0), ('i', 1, -1, 0), ('k', 37, -1, 0), ('l', 0, -1, 0), ('m', 28, -1, 0), ('o', -1, 327, 0), ('r', -1, 2560, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', 4, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 747, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', -1, 2965, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', -1, 1921, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('y', -1, 1002, 0), ('z', 3, -1, 0)), (('a', -1, 1997, 0), ('c', 41, -1, 0), ('e', -1, 2714, 0), ('i', -1, 2781, 0), ('o', -1, 876, 0), ('r', -1, 274, 0), ('z', 258, -1, 0)), (('a', -1, 1557, 0), ('e', 22, -1, 0), ('i', 0, -1, 0), ('l', 22, -1, 0), ('n', 0, -1, 0), ('o', -1, 736, 0), ('r', 22, -1, 0), ('y', 0, -1, 0), ('z', 185, -1, 0), ('ą', 185, -1, 0)), (('a', 41, -1, 0), ('d', 30, -1, 0), ('e', 3, -1, 0), ('i', -1, 1104, 0), ('k', 0, -1, 0), ('o', 82, -1, 0), ('r', 3, -1, 0), ('s', -1, 2968, 0), ('z', 30, -1, 0), ('ę', 185, -1, 0)), (('a', 82, -1, 0), ('d', 11, -1, 0), ('e', 41, -1, 0), ('g', 82, -1, 0), ('i', -1, 2262, 0), ('k', 82, -1, 0), ('o', 41, -1, 0), ('r', 41, -1, 0), ('s', 5, -1, 0), ('u', 185, -1, 0), ('w', 41, -1, 0), ('y', 82, -1, 0), ('z', 107, -1, 0), ('ł', 11, -1, 0), ('ś', 82, -1, 0), ('ź', 41, -1, 0)), (('a', -1, 2970, 0), ('b', 2, -1, 0), ('c', -1, 985, 0), ('e', -1, 1849, 0), ('i', 41, -1, 0), ('o', 41, -1, 0), ('r', -1, 2725, 0), ('s', 2, -1, 0), ('t', -1, 1275, 0), ('u', -1, 2075, 0), ('w', 2, -1, 0), ('y', -1, 2600, 0), ('z', -1, 2973, 0), ('ó', 41, -1, 0)), (('a', -1, 2971, 0), ('d', 1, -1, 0), ('e', 41, -1, 0), ('f', 41, -1, 0), ('i', 1, -1, 0), ('m', 3, -1, 0), ('o', 41, -1, 0), ('p', 3, -1, 0), ('r', 41, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 31, -1, 0), ('w', 41, -1, 0), ('y', 41, -1, 0), ('z', 3, -1, 0), ('ą', 41, -1, 0), ('ę', 41, -1, 0)), (('a', -1, 299, 0), ('b', 1, -1, 0), ('d', -1, 530, 0), ('e', -1, 61, 0), ('i', -1, 2188, 0), ('o', -1, 2972, 0), ('p', 350, -1, 0), ('r', 85, -1, 0), ('s', 41, -1, 0), ('u', -1, 177, 0), ('w', 0, 44, 0), ('y', -1, 1434, 0), ('z', -1, 717, 0)), (('a', 6, -1, 0), ('c', -1, 1067, 0), ('d', 12, -1, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', -1, 967, 0), ('l', 6, -1, 0), ('m', -1, 943, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', -1, 47, 0), ('r', 6, -1, 0), ('s', -1, 780, 0), ('t', -1, 140, 0), ('u', -1, 185, 0), ('w', 6, -1, 0), ('y', -1, 721, 0), ('z', -1, 333, 0), ('ł', 6, -1, 0)), (('a', 2, -1, 0), ('c', -1, 2960, 0), ('d', 2, -1, 0), ('e', -1, 2351, 0), ('g', 2, -1, 0), ('i', -1, 601, 0), ('j', 3, -1, 0), ('k', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 335, 0), ('p', 3, -1, 0), ('r', -1, 1179, 0), ('s', 28, -1, 0), ('t', -1, 1281, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', -1, 2748, 0), ('z', 28, -1, 0), ('ż', 214, -1, 0)), (('a', 69, -1, 0), ('d', 30, -1, 0), ('e', -1, 2975, 0), ('i', 69, -1, 0), ('k', 30, -1, 0), ('l', 69, -1, 0), ('o', 12, -1, 0), ('r', 69, -1, 0), ('t', 3, -1, 0), ('u', 69, -1, 0), ('y', 69, -1, 0), ('z', 69, -1, 0), ('ą', 69, -1, 0), ('ę', -1, 1172, 0)), (('a', 3, -1, 0), ('c', 3, 440, 0), ('d', 1, -1, 0), ('e', 41, -1, 0), ('i', -1, 290, 0), ('k', 41, -1, 0), ('l', -1, 2114, 0), ('o', 3, 1794, 0), ('r', 52, -1, 0), ('s', 12, -1, 0), ('u', 41, -1, 0), ('z', 12, -1, 0), ('ż', 69, -1, 0)), (('a', 69, -1, 0), ('e', -1, 2977, 0), ('i', 69, -1, 0), ('l', 69, -1, 0), ('m', 69, -1, 0), ('o', 69, -1, 0), ('r', 69, -1, 0), ('s', -1, 1941, 0), ('t', 69, -1, 0), ('u', 69, -1, 0), ('y', 69, -1, 0), ('z', 69, -1, 0), ('ą', 69, -1, 0), ('ę', -1, 2978, 0), ('ł', 69, -1, 0)), (('a', -1, 541, 0), ('e', 62, -1, 0), ('i', -1, 1558, 0), ('o', 166, 2333, 0), ('r', 62, -1, 0), ('u', 62, -1, 0), ('y', 62, -1, 0), ('z', 194, -1, 0), ('ę', -1, 406, 0)), (('a', 7, -1, 0), ('b', 7, 2979, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 69, -1, 0), ('k', 174, -1, 0), ('l', -1, 2981, 0), ('m', 7, -1, 0), ('o', 7, -1, 0), ('p', -1, 2982, 0), ('r', 23, -1, 0), ('s', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 69, -1, 0)), (('a', 7, -1, 0), ('b', 23, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 174, -1, 0), ('i', -1, 2980, 0), ('k', 23, -1, 0), ('l', 174, -1, 0), ('m', 23, -1, 0), ('o', 7, 2803, 0), ('r', 23, -1, 0), ('y', 7, -1, 0), ('z', 1, -1, 0), ('ł', 23, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 21, -1, 0), ('n', 3, -1, 0), ('o', -1, 1777, 0), ('r', 3, -1, 0), ('s', 174, -1, 0), ('t', 22, 154, 0), ('w', 174, -1, 0), ('y', -1, 1389, 0), ('z', 23, -1, 0), ('ą', 30, -1, 0), ('ę', 3, -1, 0)), (('a', 69, -1, 0), ('b', 69, -1, 0), ('e', 69, -1, 0), ('i', 69, -1, 0), ('k', 69, -1, 0), ('l', 30, -1, 0), ('m', 3, -1, 0), ('o', 74, 1093, 0), ('r', 69, -1, 0), ('u', 69, -1, 0), ('w', 69, -1, 0), ('y', 69, -1, 0), ('z', 203, -1, 0), ('ą', 69, -1, 0)), (('a', -1, 2386, 0), ('b', 41, -1, 0), ('d', 41, -1, 0), ('e', 7, -1, 0), ('g', 41, -1, 0), ('h', 0, -1, 0), ('i', 41, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 7, -1, 0), ('r', 41, -1, 0), ('t', 0, 702, 0), ('u', 7, -1, 0), ('w', 0, -1, 0), ('y', 7, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1931, 0), ('d', 2, -1, 0), ('e', 12, -1, 0), ('i', 2, -1, 0), ('k', 2, 2984, 0), ('m', 28, -1, 0), ('o', 69, -1, 0), ('p', 4, -1, 0), ('r', -1, 2349, 0), ('s', 28, -1, 0), ('w', 2, -1, 0), ('z', 28, -1, 0), ('ó', 12, -1, 0)), (('a', 166, -1, 0), ('e', 115, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 28, -1, 0), ('k', 28, 576, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 1605, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('w', 166, -1, 0), ('y', 166, -1, 0), ('z', 2, -1, 0)), (('a', -1, 1433, 0), ('d', -1, 1521, 0), ('e', 12, -1, 0), ('h', -1, 444, 0), ('i', 69, -1, 0), ('l', 28, -1, 0), ('o', -1, 1683, 0), ('r', -1, 2986, 0), ('s', 2, -1, 0), ('t', -1, 307, 0), ('u', 21, -1, 0), ('y', 30, -1, 0), ('z', 28, -1, 0), ('ę', 30, -1, 0)), (('a', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 2987, 0), ('i', 2, -1, 0), ('k', -1, 2643, 0), ('l', 2, -1, 0), ('n', -1, 1973, 0), ('o', -1, 2989, 0), ('r', 2, -1, 0), ('z', -1, 254, 0), ('ł', 3, -1, 0)), (('a', 16, -1, 0), ('b', 28, -1, 0), ('c', 28, 556, 0), ('e', 16, -1, 0), ('f', 28, -1, 0), ('g', -1, 2986, 0), ('i', 28, -1, 0), ('l', -1, 1631, 0), ('m', 2, -1, 0), ('n', 1, -1, 0), ('o', -1, 2988, 0), ('p', 28, -1, 0), ('r', 2, 556, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 0, -1, 0), ('w', 2, -1, 0), ('y', 3, -1, 0), ('z', 2, -1, 0)), (('a', -1, 34, 0), ('d', 16, -1, 0), ('e', 0, -1, 0), ('i', -1, 1034, 0), ('k', 16, -1, 0), ('m', 0, -1, 0), ('n', 16, -1, 0), ('o', 3, -1, 0), ('p', 16, -1, 0), ('r', -1, 2483, 0), ('s', 1, -1, 0), ('t', -1, 431, 0), ('w', -1, 1672, 0), ('z', 43, -1, 0), ('ł', 16, -1, 0)), (('a', -1, 2941, 0), ('c', 13, -1, 0), ('e', -1, 2432, 0), ('i', -1, 1868, 0), ('j', -1, 2987, 0), ('k', 2, -1, 0), ('l', -1, 2990, 0), ('m', 41, -1, 0), ('n', 2, -1, 0), ('o', -1, 2056, 0), ('r', 2, -1, 0), ('t', -1, 1050, 0), ('u', -1, 2460, 0), ('w', 30, -1, 0), ('y', -1, 2084, 0), ('z', -1, 2355, 0), ('ę', 0, -1, 0), ('ł', 30, -1, 0), ('ż', -1, 2991, 0)), (('a', 13, -1, 0), ('b', 13, -1, 0), ('d', 13, -1, 0), ('e', -1, 2138, 0), ('g', 13, -1, 0), ('i', -1, 2196, 0), ('k', 13, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', 13, -1, 0), ('p', 13, -1, 0), ('r', -1, 556, 0), ('s', 131, -1, 0), ('t', 13, -1, 0), ('u', 13, -1, 0), ('y', -1, 515, 0), ('z', 28, -1, 0), ('ś', 13, -1, 0)), (('a', -1, 2992, 0), ('b', -1, 1351, 0), ('c', 117, 236, 0), ('d', -1, 186, 0), ('e', -1, 2144, 0), ('f', -1, 835, 0), ('i', 51, -1, 0), ('l', 106, -1, 0), ('m', 11, 3661, 0), ('n', -1, 3917, 0), ('o', -1, 610, 0), ('p', 56, 835, 0), ('r', -1, 3922, 0), ('s', 117, 3718, 0), ('u', -1, 3351, 0), ('w', -1, 1845, 0), ('y', -1, 3216, 0), ('z', -1, 2845, 0), ('ą', -1, 2594, 0), ('ę', -1, 3923, 0)), (('a', -1, 1234, 0), ('e', 3, -1, 0), ('i', -1, 1234, 0), ('k', -1, 991, 0), ('m', -1, 2993, 0), ('o', 0, -1, 0), ('r', -1, 3460, 0), ('s', 51, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 106, 3179, 0), ('y', -1, 1676, 0), ('z', 195, -1, 0), ('ł', 190, -1, 0)), (('a', 27, -1, 0), ('b', -1, 517, 0), ('c', 0, 225, 0), ('d', -1, 2216, 0), ('e', 27, -1, 0), ('f', -1, 1031, 0), ('g', -1, 1595, 0), ('i', -1, 775, 0), ('k', 0, 990, 0), ('m', -1, 616, 0), ('n', -1, 1061, 0), ('o', 178, -1, 0), ('p', -1, 1526, 0), ('r', -1, 1278, 0), ('s', -1, 2994, 0), ('t', -1, 81, 0), ('w', -1, 217, 0), ('y', 27, -1, 0), ('z', -1, 904, 0)), (('a', -1, 2995, 0), ('b', 106, -1, 0), ('c', -1, 2454, 0), ('d', 2, -1, 0), ('e', 106, -1, 0), ('h', 106, -1, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('n', 3, -1, 0), ('o', 106, -1, 0), ('p', 106, -1, 0), ('r', -1, 2997, 0), ('s', -1, 3484, 0), ('t', 106, -1, 0), ('u', 106, -1, 0), ('y', 51, -1, 0), ('z', -1, 1689, 0), ('ę', 28, -1, 0)), (('a', -1, 352, 0), ('d', 106, -1, 0), ('e', 27, -1, 0), ('g', -1, 140, 0), ('i', 27, -1, 0), ('j', 30, -1, 0), ('k', 12, -1, 0), ('m', -1, 2996, 0), ('o', -1, 664, 0), ('p', 106, -1, 0), ('r', 184, -1, 0), ('s', 7, 1019, 0), ('t', 91, -1, 0), ('u', 184, -1, 0), ('w', 106, -1, 0), ('y', 184, -1, 0), ('z', 6, -1, 0), ('ż', 106, -1, 0)), (('a', 0, -1, 0), ('d', 106, -1, 0), ('e', 116, -1, 0), ('f', 40, -1, 0), ('i', -1, 2703, 0), ('k', 40, -1, 0), ('l', 40, -1, 0), ('m', 5, -1, 0), ('o', 106, -1, 0), ('r', 5, -1, 0), ('s', 0, -1, 0), ('t', 106, -1, 0), ('u', 106, -1, 0), ('y', 106, -1, 0), ('z', 106, -1, 0), ('ł', -1, 2196, 0)), (('a', 2, -1, 0), ('c', 13, -1, 0), ('e', -1, 649, 0), ('i', -1, 309, 0), ('k', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 1881, 0), ('r', -1, 521, 0), ('s', -1, 2998, 0), ('t', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 1660, 0)), (('a', -1, 860, 0), ('c', -1, 2231, 0), ('e', -1, 1212, 0), ('i', -1, 1189, 0), ('m', 28, -1, 0), ('n', -1, 2999, 0), ('o', -1, 190, 0), ('p', 1, -1, 0), ('r', 105, -1, 0), ('u', -1, 2874, 0), ('y', 13, -1, 0), ('z', -1, 3310, 0)), (('a', 388, 1418, 0), ('b', 1, 2622, 0), ('d', 1, -1, 0), ('e', 146, -1, 0), ('f', -1, 3000, 0), ('g', -1, 2684, 0), ('h', 21, 3910, 0), ('i', -1, 3911, 0), ('j', 146, -1, 0), ('k', -1, 1956, 0), ('m', -1, 2469, 0), ('n', -1, 3915, 0), ('o', -1, 143, 0), ('p', 255, 3916, 0), ('r', -1, 3870, 0), ('s', 1, -1, 0), ('t', -1, 3143, 0), ('u', 1, -1, 0), ('w', -1, 3677, 0), ('z', -1, 1308, 0), ('ż', 120, -1, 0)), (('a', -1, 3001, 0), ('b', 41, -1, 0), ('c', -1, 2358, 0), ('e', -1, 2100, 0), ('i', 132, -1, 0), ('l', 41, -1, 0), ('m', 41, -1, 0), ('n', -1, 3010, 0), ('o', 3, -1, 0), ('r', 146, -1, 0), ('s', 41, -1, 0), ('u', 120, -1, 0), ('w', -1, 3909, 0), ('z', -1, 1773, 0)), (('a', -1, 593, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 0, -1, 0), ('e', 136, -1, 0), ('g', 132, -1, 0), ('i', -1, 3002, 0), ('j', -1, 2718, 0), ('k', 5, -1, 0), ('l', 0, 1715, 0), ('m', 3, -1, 0), ('n', 6, -1, 0), ('o', 136, -1, 0), ('p', 104, 935, 0), ('r', 6, -1, 0), ('s', -1, 1795, 0), ('t', -1, 3006, 0), ('u', 3, -1, 0), ('w', 0, 44, 0), ('y', -1, 147, 0), ('z', -1, 557, 0), ('ł', 5, -1, 0), ('ż', -1, 1577, 0)), (('a', 6, -1, 0), ('b', 51, -1, 0), ('c', 134, -1, 0), ('d', -1, 1344, 0), ('e', -1, 107, 0), ('i', 95, -1, 0), ('k', 41, -1, 0), ('l', 6, -1, 0), ('m', -1, 1388, 0), ('n', -1, 3003, 0), ('o', 6, -1, 0), ('p', -1, 1695, 0), ('r', -1, 182, 0), ('s', -1, 3004, 0), ('t', -1, 1315, 0), ('u', 6, -1, 0), ('w', -1, 1647, 0), ('y', 6, -1, 0), ('z', -1, 1647, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 422, 0), ('b', 71, -1, 0), ('c', 71, -1, 0), ('d', -1, 1187, 0), ('e', -1, 1309, 0), ('g', -1, 1434, 0), ('h', 71, -1, 0), ('i', 71, -1, 0), ('k', -1, 1961, 0), ('l', 71, -1, 0), ('m', 71, -1, 0), ('o', 71, -1, 0), ('p', -1, 646, 0), ('r', 71, -1, 0), ('s', 71, -1, 0), ('t', -1, 1094, 0), ('u', 71, -1, 0), ('w', -1, 943, 0), ('y', 71, -1, 0), ('z', -1, 1250, 0), ('ś', -1, 596, 0), ('ź', 71, -1, 0), ('ż', 71, -1, 0)), (('a', 5, -1, 0), ('b', 3, -1, 0), ('c', -1, 3005, 0), ('d', -1, 2003, 0), ('e', 134, -1, 0), ('f', 264, -1, 0), ('g', 28, -1, 0), ('i', -1, 1793, 0), ('j', 5, -1, 0), ('k', 1, 144, 0), ('l', -1, 635, 0), ('m', 21, -1, 0), ('n', 39, -1, 0), ('o', 5, -1, 0), ('p', -1, 371, 0), ('r', 5, -1, 0), ('s', 51, -1, 0), ('t', 21, -1, 0), ('u', -1, 96, 0), ('w', 1, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 318, -1, 0), ('ł', 11, -1, 0)), (('a', -1, 1373, 0), ('d', 41, -1, 0), ('e', -1, 1588, 0), ('i', 12, 421, 0), ('m', 2, -1, 0), ('o', 0, -1, 0), ('p', 2, -1, 0), ('r', -1, 2217, 0), ('s', 41, -1, 0), ('u', -1, 604, 0), ('y', 0, -1, 0), ('z', 121, 720, 0)), (('a', 6, -1, 0), ('b', 21, -1, 0), ('c', -1, 1965, 0), ('d', -1, 582, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', -1, 917, 0), ('h', 21, -1, 0), ('i', -1, 605, 0), ('j', -1, 2527, 0), ('k', -1, 3007, 0), ('l', -1, 3008, 0), ('m', -1, 290, 0), ('n', -1, 3009, 0), ('o', 209, -1, 0), ('p', 21, -1, 0), ('r', -1, 153, 0), ('s', -1, 1792, 0), ('t', -1, 308, 0), ('u', 21, -1, 0), ('w', -1, 1041, 0), ('y', -1, 51, 0), ('z', -1, 997, 0), ('ł', 21, -1, 0), ('ż', -1, 944, 0)), (('a', 21, -1, 0), ('b', -1, 487, 0), ('c', 21, -1, 0), ('d', -1, 1649, 0), ('e', -1, 60, 0), ('f', -1, 398, 0), ('g', 7, 386, 0), ('i', 21, -1, 0), ('j', -1, 956, 0), ('k', 0, 1987, 0), ('l', -1, 719, 0), ('m', -1, 349, 0), ('n', -1, 1988, 0), ('o', -1, 156, 0), ('p', -1, 434, 0), ('r', -1, 1670, 0), ('s', -1, 834, 0), ('t', -1, 996, 0), ('u', -1, 675, 0), ('w', -1, 974, 0), ('y', 21, -1, 0), ('z', -1, 1041, 0), ('ć', 21, -1, 0), ('ę', 21, -1, 0), ('ł', -1, 975, 0), ('ń', 21, -1, 0), ('ź', 21, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 251, 0), ('b', 86, -1, 0), ('c', -1, 2032, 0), ('d', 86, -1, 0), ('e', -1, 1435, 0), ('f', 21, -1, 0), ('g', -1, 686, 0), ('i', -1, 682, 0), ('k', -1, 1006, 0), ('l', 21, -1, 0), ('m', -1, 971, 0), ('n', -1, 2300, 0), ('o', -1, 1006, 0), ('p', -1, 2185, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 86, -1, 0), ('u', -1, 2797, 0), ('w', -1, 338, 0), ('y', 86, -1, 0), ('z', -1, 287, 0), ('ł', 14, -1, 0), ('ś', -1, 113, 0), ('ź', 0, -1, 0)), (('a', -1, 1792, 0), ('b', 74, -1, 0), ('c', 74, -1, 0), ('d', -1, 241, 0), ('e', 21, -1, 0), ('g', -1, 2633, 0), ('h', -1, 239, 0), ('i', -1, 1318, 0), ('k', -1, 1223, 0), ('l', 74, -1, 0), ('m', -1, 979, 0), ('n', 21, -1, 0), ('o', -1, 943, 0), ('p', -1, 2107, 0), ('r', -1, 242, 0), ('s', -1, 193, 0), ('t', -1, 720, 0), ('u', -1, 1213, 0), ('w', 21, -1, 0), ('y', -1, 2185, 0), ('z', -1, 367, 0), ('ł', 21, -1, 0), ('ż', -1, 841, 0)), (('a', 41, -1, 0), ('b', 41, -1, 0), ('c', 41, -1, 0), ('d', 41, -1, 0), ('e', 41, -1, 0), ('h', 41, -1, 0), ('i', 41, -1, 0), ('l', 41, -1, 0), ('m', 41, -1, 0), ('n', -1, 3011, 0), ('o', 41, -1, 0), ('p', 41, -1, 0), ('r', 41, -1, 0), ('t', 41, -1, 0), ('w', 41, -1, 0), ('z', 41, -1, 0), ('ś', 41, -1, 0), ('ź', 41, -1, 0), ('ż', 41, -1, 0)), (('a', 41, -1, 0), ('b', -1, 880, 0), ('d', -1, 338, 0), ('e', -1, 3012, 0), ('g', 1, 16, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 3905, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 41, -1, 0), ('p', -1, 3908, 0), ('r', 0, -1, 0), ('s', 1, 1791, 0), ('t', -1, 1300, 0), ('u', 41, -1, 0), ('w', 0, -1, 0), ('y', 41, -1, 0)), (('a', 67, -1, 0), ('e', -1, 3013, 0), ('i', -1, 2075, 0), ('l', 67, -1, 0), ('o', 67, -1, 0), ('r', 67, -1, 0), ('u', 3, -1, 0), ('y', 67, -1, 0), ('z', 41, -1, 0), ('ą', 67, -1, 0), ('ę', -1, 2105, 0), ('ł', 67, -1, 0)), (('a', -1, 1142, 0), ('b', 63, -1, 0), ('d', -1, 3014, 0), ('e', -1, 3015, 0), ('g', -1, 2728, 0), ('h', -1, 2438, 0), ('i', -1, 1073, 0), ('k', -1, 3017, 0), ('l', 3, -1, 0), ('o', 7, -1, 0), ('p', -1, 2153, 0), ('r', -1, 3018, 0), ('s', 0, 3019, 0), ('t', 63, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 3343, 0)), (('a', -1, 1957, 0), ('e', 16, -1, 0), ('i', 5, 386, 0), ('o', 3, -1, 0), ('r', 63, -1, 0), ('s', 5, -1, 0), ('u', 63, -1, 0), ('y', 3, -1, 0), ('z', 16, -1, 0), ('ę', 63, -1, 0)), (('a', 21, -1, 0), ('d', 4, -1, 0), ('e', -1, 1638, 0), ('i', 4, -1, 0), ('n', 21, -1, 0), ('o', 4, -1, 0), ('r', -1, 3016, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('z', 217, -1, 0)), (('a', 3, 15, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('e', -1, 9, 0), ('g', 3, -1, 0), ('i', -1, 2051, 0), ('k', 3, -1, 0), ('l', -1, 1569, 0), ('m', 41, 16, 0), ('n', 2, 201, 0), ('o', 465, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('w', 3, -1, 0), ('y', -1, 2997, 0), ('z', 3, -1, 0)), (('a', 63, -1, 0), ('b', 6, -1, 0), ('e', -1, 2734, 0), ('i', -1, 200, 0), ('l', 63, -1, 0), ('m', 6, -1, 0), ('o', 63, -1, 0), ('r', 6, 2090, 0), ('s', 28, -1, 0), ('u', 3, -1, 0), ('y', -1, 973, 0), ('z', 28, -1, 0), ('ą', 63, -1, 0), ('ę', -1, 2439, 0), ('ł', -1, 187, 0), ('ż', 28, -1, 0)), (('a', -1, 438, 0), ('e', 155, -1, 0), ('i', -1, 1162, 0), ('n', 2, -1, 0), ('o', 0, -1, 0), ('p', 107, -1, 0), ('r', -1, 2286, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 107, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 2028, 0), ('b', 52, -1, 0), ('c', 3, -1, 0), ('e', 3, -1, 0), ('g', 1, -1, 0), ('i', -1, 1719, 0), ('k', -1, 1632, 0), ('l', 22, -1, 0), ('m', -1, 3020, 0), ('n', -1, 1288, 0), ('o', -1, 2668, 0), ('p', 52, -1, 0), ('r', -1, 1195, 0), ('t', -1, 79, 0), ('w', 22, 48, 0), ('z', 0, -1, 0), ('ę', 63, -1, 0)), (('a', 22, -1, 0), ('c', 80, -1, 0), ('d', 12, -1, 0), ('e', 3, -1, 0), ('i', 22, -1, 0), ('k', -1, 3021, 0), ('l', 1, -1, 0), ('n', 12, -1, 0), ('o', 1, -1, 0), ('p', -1, 1458, 0), ('r', -1, 1680, 0), ('s', -1, 3902, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 1532, 0), ('z', 80, -1, 0), ('ą', 22, -1, 0), ('ę', 22, -1, 0), ('ł', 12, 1086, 0)), (('a', -1, 380, 0), ('d', 39, -1, 0), ('e', -1, 466, 0), ('i', 12, -1, 0), ('l', 7, -1, 0), ('m', -1, 3022, 0), ('o', -1, 1428, 0), ('r', 145, -1, 0), ('t', 5, -1, 0), ('y', 7, -1, 0)), (('a', -1, 340, 0), ('c', 3, -1, 0), ('e', -1, 3023, 0), ('i', 298, -1, 0), ('o', -1, 3024, 0), ('r', -1, 1382, 0), ('s', 0, 2973, 0), ('u', 5, -1, 0), ('y', -1, 2059, 0), ('z', 261, -1, 0), ('ę', -1, 933, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', 6, -1, 0), ('r', 4, -1, 0), ('s', -1, 2298, 0), ('t', 6, -1, 0), ('u', -1, 950, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', -1, 636, 0), ('ć', 6, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 3025, 0), ('b', -1, 3025, 0), ('c', 2, -1, 0), ('d', -1, 3018, 0), ('e', -1, 3026, 0), ('f', -1, 1524, 0), ('g', -1, 3346, 0), ('i', -1, 1795, 0), ('k', -1, 1628, 0), ('l', -1, 2364, 0), ('o', -1, 3901, 0), ('p', 4, 1798, 0), ('r', -1, 3236, 0), ('s', 2, -1, 0), ('t', 56, -1, 0), ('u', -1, 2588, 0), ('y', 2, -1, 0), ('z', -1, 1122, 0), ('ś', -1, 889, 0)), (('a', -1, 1892, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('h', 3, 199, 0), ('i', -1, 890, 0), ('k', -1, 2346, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 1409, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ę', 2, -1, 0)), (('a', 208, -1, 0), ('b', 3, 576, 0), ('c', 3, -1, 0), ('d', -1, 602, 0), ('e', 28, -1, 0), ('i', 2, -1, 0), ('o', -1, 2196, 0), ('r', -1, 3027, 0), ('t', 2, -1, 0), ('y', 208, -1, 0), ('z', -1, 937, 0)), (('a', 157, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 3, -1, 0), ('e', 56, -1, 0), ('i', 157, -1, 0), ('k', 3, -1, 0), ('o', -1, 3028, 0), ('r', -1, 2735, 0), ('t', 2, -1, 0), ('w', 2, -1, 0), ('y', 157, -1, 0), ('z', 2, -1, 0), ('ź', 28, -1, 0), ('ż', 121, -1, 0)), (('a', 28, -1, 0), ('b', 157, -1, 0), ('d', -1, 76, 0), ('e', 2, -1, 0), ('g', 157, -1, 0), ('i', 157, -1, 0), ('j', 157, -1, 0), ('k', 157, -1, 0), ('l', 157, -1, 0), ('m', 157, -1, 0), ('n', 157, -1, 0), ('o', -1, 3029, 0), ('p', 157, -1, 0), ('r', -1, 3030, 0), ('s', 157, -1, 0), ('t', 157, -1, 0), ('z', 157, -1, 0), ('ł', -1, 3900, 0), ('ż', 157, -1, 0)), (('a', 13, -1, 0), ('b', 28, -1, 0), ('d', 2, -1, 0), ('e', -1, 1784, 0), ('g', -1, 2197, 0), ('i', 2, -1, 0), ('l', 28, -1, 0), ('n', 2, -1, 0), ('o', 190, -1, 0), ('r', -1, 2192, 0), ('u', -1, 2354, 0), ('y', 13, -1, 0), ('z', 13, -1, 0)), (('a', 157, -1, 0), ('d', 157, -1, 0), ('e', 157, -1, 0), ('i', 107, -1, 0), ('j', 107, -1, 0), ('k', 157, -1, 0), ('l', 11, -1, 0), ('o', -1, 2596, 0), ('p', 157, -1, 0), ('r', -1, 3031, 0), ('t', 157, -1, 0), ('u', -1, 2256, 0), ('z', -1, 3899, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 3032, 0), ('d', -1, 3898, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 3, 284, 0), ('l', 0, -1, 0), ('m', -1, 800, 0), ('n', 0, -1, 0), ('o', 21, 1267, 0), ('p', 0, -1, 0), ('r', -1, 1661, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 940, 0), ('z', -1, 1373, 0), ('ą', 0, -1, 0), ('ę', -1, 80, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 31, -1, 0), ('b', 27, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('i', -1, 2612, 0), ('l', 109, 545, 0), ('m', 31, -1, 0), ('o', -1, 1889, 0), ('p', 31, -1, 0), ('r', -1, 3033, 0), ('s', 5, -1, 0), ('u', 31, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 31, -1, 0), ('ą', -1, 1827, 0), ('ę', 31, -1, 0)), (('a', 31, -1, 0), ('b', 31, -1, 0), ('c', -1, 3034, 0), ('d', 96, 545, 0), ('e', -1, 3035, 0), ('g', 31, -1, 0), ('i', 96, -1, 0), ('j', 31, -1, 0), ('l', -1, 3036, 0), ('m', 31, -1, 0), ('n', 31, -1, 0), ('o', 31, -1, 0), ('p', 31, -1, 0), ('r', -1, 2310, 0), ('s', 0, -1, 0), ('u', 31, -1, 0), ('w', 31, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 31, -1, 0), ('e', -1, 1385, 0), ('i', 31, -1, 0), ('o', 31, -1, 0), ('r', 131, -1, 0), ('s', 0, -1, 0), ('u', -1, 1851, 0), ('w', 4, -1, 0), ('y', 31, -1, 0), ('z', 4, -1, 0), ('ą', 31, -1, 0), ('ż', 4, -1, 0)), (('a', 67, -1, 0), ('e', -1, 3013, 0), ('i', 31, -1, 0), ('l', 67, -1, 0), ('o', -1, 1699, 0), ('r', 67, -1, 0), ('u', 3, -1, 0), ('y', 67, -1, 0), ('z', 0, -1, 0), ('ą', 67, -1, 0), ('ę', -1, 2105, 0), ('ł', 67, -1, 0)), (('a', -1, 1887, 0), ('b', 178, -1, 0), ('c', 13, 624, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('o', 5, 3037, 0), ('r', -1, 521, 0), ('s', -1, 3040, 0), ('u', 31, -1, 0), ('w', 31, -1, 0), ('y', 31, -1, 0), ('z', 31, -1, 0)), (('a', -1, 1911, 0), ('b', 29, 817, 0), ('c', 26, -1, 0), ('d', 31, -1, 0), ('e', 5, -1, 0), ('g', 16, -1, 0), ('h', 16, -1, 0), ('i', -1, 1697, 0), ('k', 29, -1, 0), ('l', 394, -1, 0), ('o', 55, -1, 0), ('p', 31, -1, 0), ('r', -1, 816, 0), ('s', -1, 3038, 0), ('t', 29, -1, 0), ('u', 5, -1, 0), ('w', 16, -1, 0), ('y', 30, -1, 0), ('z', -1, 2794, 0), ('ł', 16, -1, 0)), (('a', -1, 2612, 0), ('e', 183, -1, 0), ('i', 22, -1, 0), ('j', 1, -1, 0), ('o', 3, -1, 0), ('r', 1, -1, 0), ('u', 26, -1, 0), ('w', 1, -1, 0), ('y', 22, -1, 0), ('z', -1, 3039, 0), ('ą', 22, -1, 0)), (('a', -1, 311, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 22, -1, 0), ('r', -1, 1603, 0), ('s', -1, 1515, 0), ('t', 108, -1, 0), ('u', 22, -1, 0), ('w', 52, -1, 0), ('z', -1, 2975, 0), ('ł', -1, 227, 0)), (('a', -1, 1044, 0), ('e', -1, 3041, 0), ('i', -1, 2132, 0), ('m', 28, -1, 0), ('o', -1, 1041, 0), ('r', 105, -1, 0), ('u', -1, 686, 0), ('y', -1, 123, 0), ('ę', 28, -1, 0)), (('a', -1, 1640, 0), ('d', 28, -1, 0), ('e', 145, -1, 0), ('i', -1, 3042, 0), ('l', 39, -1, 0), ('o', 219, -1, 0), ('r', 39, -1, 0), ('u', 219, 813, 0), ('y', 11, -1, 0), ('z', 28, -1, 0)), (('a', 37, -1, 0), ('b', 13, -1, 0), ('c', 3, -1, 0), ('d', 56, -1, 0), ('e', -1, 3043, 0), ('h', 3, -1, 0), ('i', 37, -1, 0), ('k', 3, -1, 0), ('l', -1, 1281, 0), ('m', -1, 2497, 0), ('n', 37, -1, 0), ('o', 37, -1, 0), ('p', 13, 2109, 0), ('r', 3, -1, 0), ('s', -1, 2735, 0), ('t', -1, 30, 0), ('u', 37, -1, 0), ('w', 28, -1, 0), ('y', 37, -1, 0), ('z', -1, 2300, 0), ('ł', 3, -1, 0)), (('a', -1, 402, 0), ('c', -1, 2888, 0), ('d', 37, -1, 0), ('e', -1, 466, 0), ('h', 37, -1, 0), ('i', -1, 873, 0), ('l', 7, -1, 0), ('n', 37, -1, 0), ('o', -1, 196, 0), ('p', 69, -1, 0), ('r', 37, -1, 0), ('s', 0, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', -1, 3044, 0), ('y', 7, -1, 0), ('z', 30, -1, 0)), (('a', -1, 3045, 0), ('e', -1, 3894, 0), ('i', 37, -1, 0), ('k', 1, 359, 0), ('l', 37, -1, 0), ('o', 0, 2251, 0), ('r', -1, 1465, 0), ('u', 31, -1, 0), ('w', 37, -1, 0), ('z', 37, -1, 0), ('ą', -1, 1884, 0), ('ę', 31, -1, 0)), (('a', 261, -1, 0), ('d', 31, -1, 0), ('e', 17, -1, 0), ('g', 31, -1, 0), ('h', -1, 2244, 0), ('i', 31, -1, 0), ('j', 31, -1, 0), ('k', 31, -1, 0), ('l', 31, -1, 0), ('n', 31, -1, 0), ('o', 5, -1, 0), ('p', -1, 713, 0), ('r', 31, -1, 0), ('s', 31, -1, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('w', -1, 3046, 0), ('z', 31, -1, 0), ('ł', 31, -1, 0)), (('a', 0, -1, 0), ('d', 28, -1, 0), ('e', -1, 2034, 0), ('g', 4, -1, 0), ('i', 0, -1, 0), ('o', -1, 3047, 0), ('r', 79, -1, 0), ('s', 0, -1, 0), ('z', 1, -1, 0), ('ł', 28, -1, 0)), (('a', 416, -1, 0), ('e', -1, 3048, 0), ('i', -1, 2101, 0), ('o', 39, -1, 0), ('r', -1, 1999, 0), ('t', 28, -1, 0), ('u', 416, -1, 0), ('y', -1, 2218, 0), ('z', 28, -1, 0)), (('a', -1, 3049, 0), ('d', -1, 3065, 0), ('e', -1, 2650, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 3073, 0), ('l', 2, -1, 0), ('m', 121, -1, 0), ('n', 3, -1, 0), ('o', -1, 2030, 0), ('p', 3, -1, 0), ('r', 44, -1, 0), ('t', 2, -1, 0), ('u', -1, 3268, 0), ('w', 3, -1, 0), ('y', -1, 2698, 0), ('z', 31, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 828, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 359, -1, 0), ('e', 72, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 3050, 0), ('j', 21, -1, 0), ('k', -1, 3055, 0), ('l', 21, -1, 0), ('m', 3, -1, 0), ('o', 72, -1, 0), ('p', 72, -1, 0), ('r', -1, 3056, 0), ('s', 21, -1, 0), ('t', -1, 3057, 0), ('w', -1, 179, 0), ('z', -1, 2720, 0)), (('a', 11, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('e', 10, -1, 0), ('i', 11, -1, 0), ('n', 21, -1, 0), ('o', -1, 2503, 0), ('p', 21, -1, 0), ('r', 241, -1, 0), ('s', 56, -1, 0), ('t', 21, -1, 0), ('u', 11, -1, 0), ('w', 1, 3051, 0), ('z', 21, -1, 0), ('ę', 10, -1, 0)), (('a', -1, 3052, 0), ('b', -1, 1565, 0), ('c', 41, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 41, -1, 0), ('j', 95, -1, 0), ('k', 6, -1, 0), ('l', 41, -1, 0), ('o', 241, -1, 0), ('p', 6, -1, 0), ('r', 0, -1, 0), ('s', 41, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('z', -1, 2074, 0), ('ł', 0, -1, 0)), (('a', 12, -1, 0), ('d', 6, -1, 0), ('e', 12, -1, 0), ('i', 12, -1, 0), ('j', 6, -1, 0), ('m', 6, -1, 0), ('o', 12, -1, 0), ('p', 6, -1, 0), ('r', 12, -1, 0), ('t', -1, 1645, 0), ('u', 12, -1, 0), ('w', 6, -1, 0), ('y', -1, 3053, 0), ('z', 95, -1, 0)), (('a', 73, -1, 0), ('b', 12, 3054, 0), ('d', 12, -1, 0), ('e', 30, -1, 0), ('i', -1, 666, 0), ('m', 12, -1, 0), ('o', -1, 1978, 0), ('r', 12, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 12, -1, 0), ('ą', 73, -1, 0), ('ę', 73, -1, 0), ('ł', 12, -1, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('d', 5, -1, 0), ('e', 2, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 86, -1, 0), ('o', 12, -1, 0), ('r', 28, -1, 0), ('s', 12, -1, 0), ('u', 86, 239, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ś', 12, -1, 0)), (('a', -1, 1988, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 241, -1, 0), ('o', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('y', 2, -1, 0), ('z', 21, -1, 0)), (('a', -1, 1795, 0), ('b', 3, -1, 0), ('e', -1, 2453, 0), ('f', 1, -1, 0), ('g', 29, 46, 0), ('h', -1, 1758, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('o', 2, -1, 0), ('r', -1, 26, 0), ('t', 3, -1, 0), ('w', 2, -1, 0), ('z', -1, 2156, 0), ('ą', 3, -1, 0), ('ł', 2, -1, 0)), (('a', 21, -1, 0), ('d', -1, 1128, 0), ('e', 21, -1, 0), ('i', 3, -1, 0), ('l', 21, -1, 0), ('o', -1, 1231, 0), ('p', 21, -1, 0), ('r', -1, 3058, 0), ('s', 1, -1, 0), ('w', 21, -1, 0), ('y', 21, -1, 0), ('z', 40, -1, 0), ('ą', 21, -1, 0), ('ł', 21, -1, 0)), (('a', 241, -1, 0), ('b', 71, -1, 0), ('c', 71, -1, 0), ('d', -1, 3059, 0), ('e', 21, -1, 0), ('g', -1, 3061, 0), ('h', 71, -1, 0), ('i', -1, 1576, 0), ('k', -1, 3064, 0), ('l', 71, -1, 0), ('o', -1, 1094, 0), ('p', 71, -1, 0), ('r', 71, -1, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ś', 89, 1452, 0), ('ź', 89, -1, 0), ('ż', 71, -1, 0)), (('a', 89, -1, 0), ('b', 3, -1, 0), ('e', 132, -1, 0), ('g', 29, 46, 0), ('h', -1, 1758, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('n', 132, -1, 0), ('o', 89, -1, 0), ('r', -1, 2665, 0), ('s', 307, -1, 0), ('t', 3, -1, 0), ('w', 2, -1, 0), ('y', 236, -1, 0), ('z', 5, 3060, 0), ('ę', 71, -1, 0), ('ł', 2, -1, 0)), (('a', 41, -1, 0), ('d', 3, -1, 0), ('e', 41, -1, 0), ('i', 3, -1, 0), ('l', 22, -1, 0), ('n', 3, -1, 0), ('o', 31, -1, 0), ('r', -1, 2327, 0), ('s', 22, 720, 0), ('t', 3, -1, 0), ('u', 41, -1, 0), ('y', 5, -1, 0), ('z', 41, -1, 0), ('ł', 3, -1, 0), ('ś', 41, -1, 0)), (('a', 71, -1, 0), ('b', 71, -1, 0), ('d', 71, -1, 0), ('e', 71, -1, 0), ('i', -1, 1508, 0), ('l', 71, -1, 0), ('o', -1, 893, 0), ('r', 71, -1, 0), ('u', 71, -1, 0), ('w', 0, -1, 0), ('y', 71, -1, 0), ('z', 71, -1, 0), ('ą', 71, -1, 0), ('ę', -1, 3062, 0)), (('a', 30, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 5, -1, 0), ('f', -1, 3054, 0), ('i', 5, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('n', -1, 2163, 0), ('o', 5, -1, 0), ('p', -1, 2578, 0), ('r', 28, 3063, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('w', 28, -1, 0), ('y', 5, -1, 0), ('z', -1, 343, 0)), (('a', 2, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('g', 28, -1, 0), ('i', 2, -1, 0), ('n', 28, -1, 0), ('o', -1, 2135, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 237, -1, 0)), (('a', 71, -1, 0), ('d', 3, -1, 0), ('e', 71, -1, 0), ('i', 71, -1, 0), ('m', 89, -1, 0), ('o', 71, -1, 0), ('p', 3, -1, 0), ('r', 52, -1, 0), ('t', 71, -1, 0), ('u', 71, -1, 0), ('w', 71, -1, 0), ('y', 71, -1, 0), ('z', 28, -1, 0), ('ą', 71, -1, 0), ('ę', 71, -1, 0), ('ł', 71, -1, 0)), (('a', 384, -1, 0), ('b', 1, 449, 0), ('d', 0, -1, 0), ('e', 40, -1, 0), ('g', -1, 566, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', -1, 3066, 0), ('l', -1, 2528, 0), ('m', -1, 3067, 0), ('n', 0, -1, 0), ('o', 27, 3069, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', -1, 3072, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ł', -1, 2894, 0)), (('a', 31, -1, 0), ('e', -1, 2247, 0), ('k', 0, -1, 0), ('o', -1, 1763, 0), ('r', 79, -1, 0), ('s', 0, -1, 0), ('u', 5, -1, 0), ('w', 31, -1, 0), ('y', 31, -1, 0), ('z', 31, -1, 0), ('ł', 79, -1, 0), ('ś', 31, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 3068, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1234, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', -1, 2335, 0), ('ę', -1, 224, 0), ('ł', 0, -1, 0)), (('a', -1, 2088, 0), ('b', 22, -1, 0), ('d', 4, -1, 0), ('e', -1, 932, 0), ('g', 22, -1, 0), ('h', 0, -1, 0), ('i', 21, -1, 0), ('j', -1, 399, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('o', 0, -1, 0), ('r', -1, 1478, 0), ('s', 236, -1, 0), ('t', -1, 2331, 0), ('y', -1, 460, 0), ('z', 22, -1, 0), ('ł', -1, 1310, 0)), (('a', 99, -1, 0), ('b', 178, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('g', 31, -1, 0), ('i', -1, 2238, 0), ('k', 31, -1, 0), ('o', 99, -1, 0), ('p', 27, -1, 0), ('r', 31, -1, 0), ('s', 70, -1, 0), ('t', -1, 2006, 0), ('w', 31, -1, 0), ('y', 99, -1, 0), ('z', 31, -1, 0), ('ł', -1, 3070, 0)), (('a', -1, 910, 0), ('b', 22, -1, 0), ('d', 57, -1, 0), ('e', 64, -1, 0), ('h', -1, 2240, 0), ('i', 0, -1, 0), ('k', -1, 3032, 0), ('l', -1, 46, 0), ('m', 3, -1, 0), ('n', 1, -1, 0), ('o', -1, 3071, 0), ('p', 3, -1, 0), ('r', 64, -1, 0), ('s', 31, -1, 0), ('t', -1, 1849, 0), ('u', -1, 421, 0), ('w', 3, -1, 0), ('y', -1, 1280, 0), ('z', 22, -1, 0), ('ę', -1, 849, 0), ('ł', 22, -1, 0)), (('a', -1, 1547, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 1395, 0), ('g', 0, -1, 0), ('i', -1, 2059, 0), ('k', 64, -1, 0), ('m', 3, -1, 0), ('n', -1, 308, 0), ('o', -1, 1983, 0), ('p', 121, 720, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 2444, 0), ('u', 0, -1, 0), ('w', 28, -1, 0), ('y', -1, 1395, 0), ('z', -1, 2421, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 993, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 41, 1086, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 3074, 0), ('b', 21, -1, 0), ('c', -1, 3075, 0), ('e', -1, 3076, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('i', -1, 1754, 0), ('l', -1, 1659, 0), ('m', 1, -1, 0), ('n', 28, -1, 0), ('o', -1, 3077, 0), ('p', 21, -1, 0), ('r', -1, 3687, 0), ('t', 21, -1, 0), ('u', -1, 3891, 0), ('w', 21, -1, 0), ('y', -1, 983, 0), ('z', 21, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 514, 0), ('e', 108, -1, 0), ('f', 2, -1, 0), ('i', -1, 194, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 108, -1, 0), ('p', 2, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('w', -1, 637, 0), ('y', 7, -1, 0), ('z', 108, -1, 0)), (('a', 21, -1, 0), ('b', 1, -1, 0), ('d', -1, 1229, 0), ('e', -1, 153, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 57, -1, 0), ('d', 2, -1, 0), ('e', -1, 1084, 0), ('g', 362, -1, 0), ('i', 28, -1, 0), ('k', 362, -1, 0), ('l', 2, -1, 0), ('m', 57, -1, 0), ('n', 2, -1, 0), ('o', 57, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 11, -1, 0), ('t', 22, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 3, -1, 0), ('ó', 7, -1, 0), ('ł', 22, -1, 0)), (('a', -1, 2035, 0), ('c', 3, -1, 0), ('d', 2, -1, 0), ('e', 41, -1, 0), ('g', 2, -1, 0), ('h', 3, -1, 0), ('i', -1, 2140, 0), ('k', 28, 1058, 0), ('l', 2, -1, 0), ('o', 41, -1, 0), ('p', 2, -1, 0), ('r', -1, 752, 0), ('t', 3, -1, 0), ('u', -1, 1305, 0), ('w', 2, -1, 0), ('y', -1, 3078, 0), ('z', -1, 3083, 0)), (('a', 135, -1, 0), ('c', 22, -1, 0), ('d', -1, 2577, 0), ('e', -1, 2553, 0), ('h', 4, -1, 0), ('i', -1, 1468, 0), ('l', 0, 3018, 0), ('o', 1, -1, 0), ('p', 7, -1, 0), ('r', -1, 26, 0), ('s', 28, -1, 0), ('u', 7, -1, 0), ('w', 28, -1, 0), ('y', 7, -1, 0), ('z', -1, 595, 0), ('ę', -1, 3079, 0), ('ż', -1, 1256, 0)), (('a', 29, -1, 0), ('d', 28, -1, 0), ('e', 29, -1, 0), ('h', 1, -1, 0), ('i', -1, 660, 0), ('k', 1, 354, 0), ('m', 440, -1, 0), ('n', 29, -1, 0), ('o', 29, -1, 0), ('p', 28, -1, 0), ('r', -1, 2810, 0), ('s', 29, -1, 0), ('t', 28, -1, 0), ('u', -1, 1563, 0), ('w', 28, -1, 0), ('y', -1, 3080, 0), ('z', -1, 3082, 0), ('ą', 29, -1, 0), ('ę', -1, 2883, 0), ('ł', 29, -1, 0), ('ż', -1, 1166, 0)), (('a', -1, 1232, 0), ('b', 7, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, 3081, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 7, -1, 0), ('n', 5, -1, 0), ('o', -1, 2794, 0), ('p', 5, -1, 0), ('r', 7, 1816, 0), ('s', 29, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 29, -1, 0), ('ł', 5, -1, 0), ('ż', 29, -1, 0)), (('a', 24, -1, 0), ('b', -1, 699, 0), ('d', 5, -1, 0), ('e', -1, 357, 0), ('i', -1, 1388, 0), ('j', -1, 1665, 0), ('l', -1, 1419, 0), ('m', 3, 1809, 0), ('n', -1, 2586, 0), ('o', -1, 1721, 0), ('p', 7, -1, 0), ('r', -1, 1437, 0), ('s', 3, 296, 0), ('u', 5, -1, 0), ('w', 7, -1, 0), ('y', 0, -1, 0), ('z', -1, 1906, 0), ('ń', -1, 699, 0)), (('a', -1, 580, 0), ('d', 57, -1, 0), ('e', -1, 2716, 0), ('i', -1, 1075, 0), ('o', 136, -1, 0), ('r', -1, 619, 0), ('s', -1, 1994, 0), ('u', 2, -1, 0), ('y', 108, -1, 0), ('z', 136, -1, 0), ('ą', 108, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', -1, 1524, 0), ('d', 7, -1, 0), ('e', -1, 1621, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 3084, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('z', -1, 3085, 0)), (('a', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 2298, 0), ('k', 3, -1, 0), ('m', 7, -1, 0), ('n', -1, 1082, 0), ('o', 6, -1, 0), ('p', 11, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', -1, 1386, 0), ('u', 6, -1, 0), ('w', 51, -1, 0), ('y', -1, 1550, 0), ('z', -1, 1647, 0)), (('a', 3, -1, 0), ('c', 126, -1, 0), ('e', -1, 217, 0), ('g', 126, -1, 0), ('i', -1, 1408, 0), ('j', -1, 1462, 0), ('l', 3, -1, 0), ('m', 4, -1, 0), ('n', -1, 3086, 0), ('o', 0, -1, 0), ('p', -1, 3877, 0), ('r', -1, 2860, 0), ('s', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 671, 0)), (('a', -1, 596, 0), ('b', 71, -1, 0), ('c', 71, -1, 0), ('d', -1, 744, 0), ('e', 0, -1, 0), ('g', -1, 1250, 0), ('h', 71, -1, 0), ('i', -1, 1260, 0), ('k', -1, 1452, 0), ('l', 71, -1, 0), ('o', -1, 3087, 0), ('p', 71, -1, 0), ('r', 71, -1, 0), ('t', 71, -1, 0), ('u', -1, 104, 0), ('y', 71, -1, 0), ('z', -1, 3446, 0), ('ś', 28, 1452, 0), ('ź', 28, -1, 0), ('ż', 71, -1, 0)), (('a', 94, -1, 0), ('c', 40, -1, 0), ('e', -1, 3088, 0), ('i', 71, -1, 0), ('l', 40, -1, 0), ('m', 40, -1, 0), ('n', -1, 3089, 0), ('o', 94, -1, 0), ('r', 3, -1, 0), ('s', 40, -1, 0), ('w', -1, 2403, 0), ('ó', 40, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 3043, 0), ('e', 30, -1, 0), ('i', 40, -1, 0), ('l', 24, -1, 0), ('o', -1, 72, 0), ('p', 181, -1, 0), ('r', 24, -1, 0), ('t', 24, -1, 0), ('u', 69, -1, 0), ('w', 24, -1, 0), ('y', 69, -1, 0), ('z', 94, -1, 0)), (('a', 94, -1, 0), ('b', 94, -1, 0), ('c', 94, -1, 0), ('d', -1, 3087, 0), ('e', 40, -1, 0), ('h', 94, -1, 0), ('l', -1, 3090, 0), ('n', 94, -1, 0), ('o', 94, -1, 0), ('p', 94, -1, 0), ('r', 94, -1, 0), ('t', -1, 2607, 0), ('w', 94, -1, 0), ('z', 94, -1, 0), ('ś', 94, -1, 0), ('ź', 94, -1, 0), ('ż', -1, 1499, 0)), (('a', 47, -1, 0), ('b', -1, 3091, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 3092, 0), ('f', -1, 3093, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 3123, 0), ('j', 6, -1, 0), ('k', -1, 3130, 0), ('l', -1, 645, 0), ('m', -1, 3131, 0), ('n', 6, -1, 0), ('o', 94, -1, 0), ('p', 0, 1277, 0), ('r', -1, 3133, 0), ('s', 6, -1, 0), ('t', -1, 3093, 0), ('w', -1, 3134, 0), ('z', -1, 3138, 0), ('ł', 6, -1, 0), ('ż', -1, 3876, 0)), (('a', -1, 1875, 0), ('d', 6, 278, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('k', 177, -1, 0), ('l', 26, -1, 0), ('o', 6, -1, 0), ('r', -1, 2520, 0), ('s', 6, -1, 0), ('t', 26, -1, 0), ('u', 6, -1, 0), ('w', 2, -1, 0), ('y', 6, -1, 0), ('z', 26, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 7, -1, 0), ('c', 94, -1, 0), ('d', 40, -1, 0), ('e', 116, -1, 0), ('i', 94, -1, 0), ('l', 7, -1, 0), ('o', -1, 2013, 0), ('r', 97, -1, 0), ('t', 94, -1, 0), ('u', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0)), (('a', 6, -1, 0), ('c', 0, -1, 0), ('e', 1, -1, 0), ('h', 6, -1, 0), ('i', -1, 3094, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', 0, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 1300, 0), ('s', -1, 3095, 0), ('u', -1, 283, 0), ('y', 6, -1, 0), ('z', 0, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ś', 6, -1, 0)), (('a', 71, -1, 0), ('b', 55, -1, 0), ('c', -1, 414, 0), ('d', 0, 2569, 0), ('e', 185, -1, 0), ('i', 41, -1, 0), ('o', 71, -1, 0), ('p', 0, -1, 0), ('r', -1, 1867, 0), ('s', -1, 1185, 0), ('t', -1, 2941, 0), ('u', 71, -1, 0), ('w', 6, -1, 0), ('y', 55, -1, 0), ('z', -1, 758, 0), ('ą', 0, -1, 0), ('ż', -1, 2970, 0)), (('a', -1, 3096, 0), ('b', 6, -1, 0), ('c', -1, 1963, 0), ('d', -1, 3108, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', -1, 1278, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', -1, 2523, 0), ('l', -1, 1319, 0), ('m', 6, -1, 0), ('n', -1, 1609, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 636, 0), ('s', -1, 1150, 0), ('t', -1, 3109, 0), ('u', -1, 620, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 3113, 0), ('ł', -1, 1239, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 3097, 0), ('l', 6, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('u', 6, -1, 0), ('y', -1, 283, 0), ('z', 28, 1093, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 1541, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('l', -1, 3098, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 229, -1, 0), ('p', 28, -1, 0), ('r', -1, 1551, 0), ('s', -1, 3100, 0), ('t', 28, -1, 0), ('w', 6, -1, 0), ('y', -1, 3106, 0), ('z', 6, -1, 0), ('ą', -1, 97, 0), ('ł', 6, -1, 0)), (('a', -1, 1314, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('n', -1, 3099, 0), ('o', 6, -1, 0), ('p', 5, -1, 0), ('r', -1, 1523, 0), ('s', 5, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0)), (('a', 242, -1, 0), ('e', -1, 1606, 0), ('i', 5, -1, 0), ('o', -1, 1511, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('w', 242, -1, 0), ('y', 242, -1, 0), ('z', 0, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 3101, 0), ('d', -1, 1810, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('i', 0, 226, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 3104, 0), ('m', -1, 641, 0), ('n', -1, 2350, 0), ('o', -1, 127, 0), ('p', -1, 1703, 0), ('r', -1, 532, 0), ('s', 6, -1, 0), ('t', -1, 3105, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 28, -1, 0), ('z', -1, 2438, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ł', 21, -1, 0)), (('a', 6, -1, 0), ('b', -1, 465, 0), ('c', 0, -1, 0), ('d', 6, -1, 0), ('e', -1, 182, 0), ('f', -1, 291, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('k', 118, 787, 0), ('l', 2, -1, 0), ('m', -1, 3102, 0), ('o', 6, -1, 0), ('p', -1, 455, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 2, -1, 0), ('u', 6, -1, 0), ('w', 7, 1242, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ś', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 3103, 0), ('d', 7, -1, 0), ('e', 3, -1, 0), ('i', -1, 969, 0), ('o', 57, 13, 0), ('r', 216, -1, 0), ('s', 7, -1, 0), ('y', 7, -1, 0), ('z', 6, -1, 0)), (('a', 22, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 1690, 0), ('e', 3, -1, 0), ('f', -1, 1690, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 882, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 1522, 0), ('m', -1, 1195, 0), ('n', 22, 2444, 0), ('o', -1, 478, 0), ('p', -1, 257, 0), ('r', 7, 83, 0), ('s', -1, 952, 0), ('t', -1, 953, 0), ('u', 3, -1, 0), ('w', -1, 202, 0), ('z', 1, 2421, 0), ('ż', 3, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('l', 28, 2756, 0), ('m', 6, -1, 0), ('n', 2, -1, 0), ('o', -1, 71, 0), ('p', 6, -1, 0), ('r', -1, 1930, 0), ('s', -1, 984, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 2, -1, 0), ('y', 6, -1, 0), ('z', -1, 2100, 0), ('ł', -1, 290, 0), ('ś', -1, 477, 0)), (('a', -1, 2780, 0), ('e', 238, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 400, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('m', 108, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 108, -1, 0), ('s', 22, -1, 0), ('u', 21, -1, 0), ('z', 7, -1, 0)), (('a', -1, 1744, 0), ('e', -1, 2967, 0), ('i', -1, 681, 0), ('k', 4, -1, 0), ('l', 54, -1, 0), ('m', 30, -1, 0), ('o', -1, 826, 0), ('r', 106, -1, 0), ('u', -1, 1339, 0), ('w', 6, -1, 0), ('y', -1, 3107, 0), ('z', 54, -1, 0), ('ę', 30, -1, 0)), (('a', 3, -1, 0), ('c', -1, 69, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('m', 22, -1, 0), ('n', 57, -1, 0), ('o', 22, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', 30, -1, 0), ('y', 22, -1, 0), ('z', -1, 815, 0), ('ą', 22, -1, 0), ('ę', 22, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('l', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('u', -1, 1336, 0), ('y', -1, 721, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('i', 6, -1, 0), ('k', -1, 2232, 0), ('l', -1, 281, 0), ('n', -1, 1279, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 3110, 0), ('s', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 1987, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('b', 30, -1, 0), ('e', -1, 3111, 0), ('g', 30, -1, 0), ('h', -1, 919, 0), ('i', 67, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 1651, 0), ('o', -1, 2434, 0), ('r', 21, 145, 0), ('u', 6, -1, 0), ('w', 30, -1, 0), ('y', 28, -1, 0), ('z', 3, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0)), (('a', -1, 3112, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 91, -1, 0), ('h', 6, -1, 0), ('i', -1, 907, 0), ('j', 6, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 12, -1, 0), ('d', -1, 603, 0), ('e', -1, 2329, 0), ('h', -1, 258, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 30, -1, 0), ('l', 12, -1, 0), ('m', 6, -1, 0), ('n', 12, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', 12, -1, 0), ('s', 6, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', 6, -1, 0), ('y', 12, -1, 0), ('z', 120, -1, 0), ('ś', 12, -1, 0), ('ż', 12, -1, 0)), (('a', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 3114, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('u', 6, -1, 0), ('y', -1, 283, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('l', -1, 3115, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', -1, 1991, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', -1, 3116, 0), ('z', 4, -1, 0)), (('a', -1, 1204, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('k', 0, -1, 0), ('o', 6, -1, 0), ('p', 1, -1, 0), ('r', 79, 385, 0), ('s', 0, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0)), (('a', -1, 3117, 0), ('b', 4, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 2954, 0), ('i', 2, -1, 0), ('m', 4, -1, 0), ('o', -1, 3118, 0), ('p', 4, -1, 0), ('r', -1, 2933, 0), ('t', -1, 2298, 0), ('u', -1, 3121, 0), ('w', 6, -1, 0), ('y', 2, -1, 0), ('z', 206, -1, 0), ('ó', -1, 2157, 0)), (('a', 30, -1, 0), ('b', 30, -1, 0), ('c', 28, -1, 0), ('d', 30, -1, 0), ('e', -1, 1724, 0), ('i', 28, -1, 0), ('k', 30, -1, 0), ('l', 2, -1, 0), ('o', -1, 364, 0), ('r', -1, 1703, 0), ('t', 30, -1, 0), ('u', 30, -1, 0), ('w', -1, 1050, 0), ('z', -1, 1122, 0), ('ó', 30, -1, 0)), (('a', 11, -1, 0), ('d', 2, -1, 0), ('e', 1, 15, 0), ('h', 28, -1, 0), ('i', -1, 199, 0), ('j', 11, -1, 0), ('k', 28, 649, 0), ('o', -1, 563, 0), ('r', -1, 1799, 0), ('s', 2, -1, 0), ('u', 7, 2424, 0), ('w', 2, -1, 0), ('y', 11, -1, 0), ('z', -1, 3119, 0), ('ś', 7, -1, 0)), (('a', -1, 3120, 0), ('c', 118, -1, 0), ('d', 3, -1, 0), ('e', 87, -1, 0), ('i', 22, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 2, -1, 0), ('o', 3, -1, 0), ('r', -1, 320, 0), ('t', 22, -1, 0), ('u', 56, -1, 0), ('z', -1, 374, 0)), (('a', -1, 516, 0), ('b', 108, -1, 0), ('d', 3, -1, 0), ('e', -1, 218, 0), ('g', 1, -1, 0), ('i', 224, -1, 0), ('k', 7, -1, 0), ('l', 1, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 300, 0), ('p', -1, 163, 0), ('r', -1, 1518, 0), ('s', 7, -1, 0), ('t', 22, -1, 0), ('u', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', -1, 757, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0)), (('a', 118, -1, 0), ('b', 28, -1, 0), ('e', 118, -1, 0), ('i', 22, -1, 0), ('o', 22, -1, 0), ('p', 2, 18, 0), ('r', -1, 3122, 0), ('t', 2, -1, 0), ('u', 1, -1, 0), ('z', -1, 1072, 0), ('ę', 229, -1, 0)), (('a', -1, 1695, 0), ('b', 2, -1, 0), ('c', -1, 1759, 0), ('d', 2, -1, 0), ('e', 6, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 121, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', -1, 2140, 0), ('o', 7, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', -1, 425, 0), ('z', 2, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 2182, 0), ('b', 28, 267, 0), ('c', -1, 3124, 0), ('e', -1, 219, 0), ('f', 95, -1, 0), ('i', -1, 3084, 0), ('m', 95, 3125, 0), ('n', -1, 3126, 0), ('o', -1, 609, 0), ('p', -1, 3129, 0), ('r', 107, -1, 0), ('s', -1, 1394, 0), ('u', -1, 2073, 0), ('w', 6, 1651, 0), ('y', -1, 3004, 0), ('z', -1, 2414, 0), ('ę', 5, -1, 0)), (('a', 95, -1, 0), ('e', 95, -1, 0), ('h', 95, -1, 0), ('i', 95, -1, 0), ('o', 0, -1, 0), ('r', 28, -1, 0), ('w', 79, -1, 0), ('y', 28, -1, 0), ('ś', 95, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('o', 95, -1, 0), ('r', 6, -1, 0), ('u', 95, 2452, 0), ('z', -1, 849, 0), ('ś', 95, -1, 0)), (('a', -1, 598, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', -1, 3127, 0), ('e', -1, 3128, 0), ('g', 6, -1, 0), ('h', -1, 1036, 0), ('i', 95, -1, 0), ('j', -1, 2110, 0), ('k', -1, 1951, 0), ('l', -1, 1309, 0), ('m', -1, 1565, 0), ('n', -1, 1941, 0), ('o', 95, -1, 0), ('p', 95, -1, 0), ('r', -1, 621, 0), ('t', -1, 1588, 0), ('u', 95, -1, 0), ('w', 6, -1, 0), ('y', -1, 584, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ś', -1, 804, 0), ('ź', 6, -1, 0), ('ż', -1, 182, 0)), (('a', -1, 1833, 0), ('e', -1, 1125, 0), ('i', -1, 182, 0), ('o', -1, 1373, 0), ('r', 95, -1, 0)), (('a', 170, -1, 0), ('b', 41, -1, 0), ('c', 6, -1, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('g', 41, -1, 0), ('i', -1, 1497, 0), ('l', 6, -1, 0), ('m', 41, -1, 0), ('o', -1, 1871, 0), ('r', -1, 2247, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 95, -1, 0), ('o', 95, -1, 0), ('r', 95, -1, 0), ('u', -1, 1553, 0), ('y', 6, -1, 0), ('ę', 95, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('y', -1, 1484, 0), ('z', 6, -1, 0), ('ą', -1, 1029, 0), ('ć', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('k', 285, 62, 0), ('l', 3, -1, 0), ('o', 6, -1, 0), ('r', -1, 1608, 0), ('u', 6, -1, 0), ('y', -1, 3132, 0), ('z', 230, -1, 0), ('ą', 6, -1, 0), ('ł', 3, -1, 0)), (('a', 45, -1, 0), ('b', 22, -1, 0), ('c', 3, -1, 0), ('d', -1, 2310, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('h', 22, -1, 0), ('i', -1, 1491, 0), ('j', 1, 2169, 0), ('k', 22, -1, 0), ('l', 6, -1, 0), ('o', -1, 514, 0), ('r', -1, 1159, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 22, -1, 0), ('z', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, 182, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', -1, 879, 0), ('m', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 2014, 0), ('s', 6, -1, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', 6, -1, 0), ('z', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 3135, 0), ('e', 6, -1, 0), ('h', -1, 2188, 0), ('i', 6, -1, 0), ('o', 6, -1, 0), ('r', -1, 3137, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0)), (('a', -1, 1681, 0), ('d', 6, -1, 0), ('e', -1, 3136, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 1, -1, 0), ('l', 6, -1, 0), ('n', 0, 787, 0), ('o', -1, 2129, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 1666, 0), ('y', 6, -1, 0), ('z', -1, 1948, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ń', 6, -1, 0)), (('a', 2, -1, 0), ('e', -1, 2739, 0), ('i', -1, 316, 0), ('l', -1, 1681, 0), ('o', -1, 1937, 0), ('r', 2, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 3, -1, 0)), (('a', 6, -1, 0), ('d', 6, 2485, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 281, 0), ('n', -1, 1279, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', -1, 476, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 1987, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 1672, 0), ('c', -1, 869, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', -1, 3139, 0), ('r', -1, 3872, 0), ('s', -1, 3563, 0), ('z', 0, -1, 0), ('ą', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 3140, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('n', 1, -1, 0), ('o', 355, -1, 0), ('r', 0, 242, 0), ('s', 4, -1, 0), ('u', 40, -1, 0), ('w', 4, -1, 0), ('y', 40, -1, 0)), (('a', -1, 2010, 0), ('c', -1, 3141, 0), ('d', -1, 276, 0), ('e', -1, 3502, 0), ('i', 40, -1, 0), ('k', 3, -1, 0), ('n', 355, -1, 0), ('o', 12, -1, 0), ('r', -1, 3869, 0), ('s', -1, 3871, 0), ('t', -1, 2553, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0)), (('a', -1, 3142, 0), ('d', 105, -1, 0), ('e', -1, 2796, 0), ('i', -1, 3401, 0), ('j', 105, -1, 0), ('l', -1, 1889, 0), ('o', -1, 3865, 0), ('p', -1, 2121, 0), ('r', -1, 3867, 0), ('u', 145, 1652, 0), ('y', -1, 3868, 0), ('z', -1, 1099, 0), ('ó', 105, -1, 0), ('ą', 105, -1, 0), ('ę', -1, 3422, 0), ('ń', 105, -1, 0)), (('a', -1, 31, 0), ('b', 105, -1, 0), ('d', -1, 1890, 0), ('e', -1, 361, 0), ('i', -1, 284, 0), ('j', 105, -1, 0), ('k', 105, -1, 0), ('m', 105, -1, 0), ('n', 105, -1, 0), ('o', -1, 3143, 0), ('p', 105, -1, 0), ('r', 105, -1, 0), ('t', 105, -1, 0), ('u', -1, 3144, 0), ('w', 347, -1, 0), ('ó', 105, -1, 0), ('ą', 13, -1, 0), ('ę', 105, -1, 0), ('ł', 347, -1, 0), ('ż', 105, -1, 0)), (('a', 16, -1, 0), ('d', 16, -1, 0), ('e', 3, -1, 0), ('g', -1, 2728, 0), ('i', 255, -1, 0), ('m', 13, -1, 0), ('n', 13, -1, 0), ('o', 16, -1, 0), ('p', 1, -1, 0), ('r', -1, 944, 0), ('s', 120, -1, 0), ('t', 105, -1, 0), ('u', 1, -1, 0), ('y', 16, -1, 0), ('z', 16, -1, 0), ('ł', -1, 361, 0)), (('a', 2, -1, 0), ('d', 13, -1, 0), ('e', 28, -1, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('j', 105, -1, 0), ('m', 13, -1, 0), ('o', -1, 751, 0), ('p', 2, -1, 0), ('r', -1, 1087, 0), ('s', 105, -1, 0), ('t', -1, 2867, 0), ('y', 28, -1, 0), ('z', -1, 3145, 0), ('ł', 105, -1, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('e', 10, -1, 0), ('i', 1, -1, 0), ('l', -1, 3146, 0), ('m', 0, -1, 0), ('n', -1, 3148, 0), ('o', -1, 195, 0), ('r', -1, 3243, 0), ('s', 0, -1, 0), ('w', -1, 3829, 0), ('y', 56, -1, 0), ('z', 10, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1571, 0), ('e', -1, 1267, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1890, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', -1, 2772, 0), ('y', 1, -1, 0), ('z', -1, 3147, 0), ('ó', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1265, 0), ('e', -1, 2426, 0), ('i', -1, 2244, 0), ('l', -1, 2571, 0), ('o', -1, 1730, 0), ('r', 62, -1, 0), ('s', -1, 2413, 0), ('t', 22, -1, 0), ('u', 22, -1, 0), ('z', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 3149, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 3819, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('t', -1, 2794, 0), ('u', -1, 358, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 379, 0)), (('a', 1, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 673, 0), ('i', 28, -1, 0), ('j', -1, 3150, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 1, -1, 0), ('r', -1, 3524, 0), ('s', 28, -1, 0), ('z', 28, -1, 0), ('ó', 0, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 3151, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', -1, 3153, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('h', -1, 1499, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', -1, 3154, 0), ('l', -1, 3155, 0), ('m', -1, 3157, 0), ('n', -1, 3158, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', -1, 1514, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ł', -1, 3159, 0), ('ż', 28, -1, 0)), (('a', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 1560, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 1, 3152, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 2008, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 7, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', -1, 1504, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 866, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', -1, 555, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ł', 28, -1, 0), ('ś', 4, -1, 0), ('ż', 28, -1, 0)), (('a', 28, -1, 0), ('e', 28, -1, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('u', -1, 726, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('d', -1, 307, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 0, 2110, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', -1, 3156, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ó', -1, 531, 0), ('ś', 28, -1, 0)), (('a', 12, -1, 0), ('e', -1, 2368, 0), ('i', 12, -1, 0), ('o', 12, -1, 0), ('r', 12, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 55, 799, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0), ('ś', 12, -1, 0)), (('a', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 2784, 0), ('i', 28, -1, 0), ('l', 28, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', -1, 3124, 0), ('ł', 28, -1, 0)), (('a', 28, -1, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ó', -1, 2349, 0)), (('a', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('g', -1, 3160, 0), ('o', -1, 3164, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0)), (('a', 427, -1, 0), ('d', 0, -1, 0), ('e', 122, -1, 0), ('i', 28, -1, 0), ('m', 28, -1, 0), ('o', -1, 1601, 0), ('r', 0, 3161, 0), ('s', 1, 16, 0), ('t', 0, -1, 0), ('u', 28, -1, 0), ('z', -1, 3162, 0), ('ę', 28, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 392, 0), ('e', -1, 708, 0), ('o', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0)), (('a', 1, -1, 0), ('c', -1, 3163, 0), ('d', 1, -1, 0), ('e', -1, 532, 0), ('i', 1, -1, 0), ('j', 0, -1, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0)), (('a', 79, -1, 0), ('b', 4, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('g', 37, -1, 0), ('i', 64, -1, 0), ('k', 37, -1, 0), ('l', 1, -1, 0), ('n', 1, 444, 0), ('o', 4, -1, 0), ('r', 1, 444, 0), ('s', -1, 2159, 0), ('u', -1, 1100, 0), ('w', 0, -1, 0), ('y', 4, -1, 0), ('z', 64, -1, 0), ('ą', 64, -1, 0), ('ę', 64, -1, 0), ('ł', 37, -1, 0)), (('a', 208, -1, 0), ('d', 208, -1, 0), ('e', -1, 3165, 0), ('i', 226, -1, 0), ('k', 28, -1, 0), ('m', 28, -1, 0), ('o', 208, -1, 0), ('p', 0, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', -1, 3174, 0), ('z', 28, -1, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 62, -1, 0), ('e', -1, 1585, 0), ('i', 2, -1, 0), ('k', 28, -1, 0), ('l', 62, -1, 0), ('o', 62, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('t', 41, -1, 0), ('u', 30, -1, 0), ('w', 28, -1, 0), ('y', -1, 2773, 0), ('z', 34, -1, 0), ('ą', 62, -1, 0), ('ę', -1, 3166, 0), ('ł', -1, 1692, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('c', -1, 3167, 0), ('d', -1, 3170, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 62, -1, 0), ('k', 5, -1, 0), ('l', -1, 2132, 0), ('o', 5, 2080, 0), ('p', 5, -1, 0), ('r', -1, 548, 0), ('s', -1, 3171, 0), ('t', 5, -1, 0), ('u', -1, 3172, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 62, -1, 0)), (('a', -1, 1101, 0), ('c', 28, 3168, 0), ('d', -1, 2970, 0), ('e', -1, 2810, 0), ('i', -1, 1780, 0), ('j', 108, -1, 0), ('l', 108, -1, 0), ('o', -1, 534, 0), ('p', 196, -1, 0), ('r', 108, -1, 0), ('s', 196, -1, 0), ('u', -1, 2007, 0), ('y', 108, -1, 0), ('z', -1, 773, 0), ('ó', 108, -1, 0), ('ą', 108, -1, 0), ('ę', 108, -1, 0), ('ń', -1, 3169, 0)), (('a', 196, -1, 0), ('b', 64, -1, 0), ('c', 0, -1, 0), ('d', 64, -1, 0), ('e', 28, -1, 0), ('i', -1, 632, 0), ('o', 196, -1, 0), ('r', -1, 2821, 0), ('u', 64, -1, 0), ('w', 64, -1, 0), ('y', 196, -1, 0), ('z', 196, -1, 0), ('ś', 28, -1, 0)), (('a', 108, -1, 0), ('b', 3, -1, 0), ('d', 22, 628, 0), ('e', 108, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('o', -1, 1552, 0), ('p', 3, -1, 0), ('r', -1, 479, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1590, 0), ('b', -1, 2410, 0), ('d', 22, -1, 0), ('e', -1, 2096, 0), ('i', 22, -1, 0), ('n', 22, -1, 0), ('o', -1, 3037, 0), ('r', -1, 2711, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('u', 16, -1, 0), ('w', 16, -1, 0), ('y', 16, -1, 0), ('z', 22, -1, 0), ('ą', 16, -1, 0), ('ę', 16, -1, 0)), (('a', -1, 622, 0), ('d', 6, -1, 0), ('e', -1, 400, 0), ('i', -1, 1212, 0), ('j', 108, -1, 0), ('k', 108, -1, 0), ('l', 11, -1, 0), ('m', 6, -1, 0), ('o', -1, 1763, 0), ('r', 108, -1, 0), ('s', 108, -1, 0), ('t', 108, 1786, 0), ('u', -1, 1575, 0), ('z', -1, 1394, 0), ('ó', 108, -1, 0), ('ą', 15, -1, 0), ('ę', 108, -1, 0), ('ł', 108, -1, 0), ('ż', 108, -1, 0)), (('a', -1, 1336, 0), ('b', 3, 1644, 0), ('c', 5, -1, 0), ('d', -1, 2738, 0), ('e', -1, 67, 0), ('f', 28, -1, 0), ('g', -1, 278, 0), ('h', 6, -1, 0), ('i', -1, 288, 0), ('k', 5, -1, 0), ('l', 116, -1, 0), ('m', 6, -1, 0), ('n', 5, -1, 0), ('o', 6, 6, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', -1, 316, 0), ('t', -1, 3173, 0), ('u', 6, -1, 0), ('w', 28, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', -1, 1656, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0)), (('a', 0, -1, 0), ('b', -1, 705, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1035, 0), ('g', -1, 166, 0), ('h', -1, 503, 0), ('i', 0, -1, 0), ('k', -1, 1696, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 21, 111, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1246, 0), ('w', -1, 287, 0), ('y', 0, -1, 0), ('z', -1, 533, 0), ('ę', 6, -1, 0), ('ł', 70, -1, 0), ('ś', -1, 453, 0), ('ź', -1, 531, 0), ('ż', 0, -1, 0)), (('a', 28, -1, 0), ('c', -1, 2685, 0), ('e', -1, 187, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('o', -1, 3175, 0), ('p', 28, -1, 0), ('r', 75, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', -1, 1983, 0), ('ę', 28, -1, 0)), (('a', 70, -1, 0), ('b', 57, -1, 0), ('e', 7, -1, 0), ('i', 75, -1, 0), ('o', 70, -1, 0), ('r', -1, 3176, 0), ('t', 28, -1, 0), ('u', 70, -1, 0), ('y', 57, -1, 0), ('z', 70, -1, 0), ('ł', 73, -1, 0)), (('a', -1, 139, 0), ('b', 23, 3177, 0), ('e', 73, -1, 0), ('h', 23, -1, 0), ('i', 23, -1, 0), ('l', 23, -1, 0), ('o', 73, -1, 0), ('p', 73, -1, 0), ('r', -1, 2213, 0), ('t', 23, -1, 0), ('w', 174, -1, 0), ('y', 174, -1, 0), ('z', -1, 2652, 0), ('ł', 70, -1, 0)), (('a', 23, -1, 0), ('b', 30, -1, 0), ('c', -1, 1019, 0), ('d', 30, -1, 0), ('e', 23, -1, 0), ('h', -1, 2776, 0), ('i', -1, 2150, 0), ('j', 437, 912, 0), ('k', 0, -1, 0), ('l', -1, 3178, 0), ('m', 30, -1, 0), ('n', -1, 3805, 0), ('o', 174, -1, 0), ('r', -1, 3117, 0), ('s', -1, 3815, 0), ('t', -1, 3439, 0), ('w', -1, 3817, 0), ('y', 23, -1, 0), ('z', -1, 1706, 0), ('ł', -1, 1604, 0), ('ż', -1, 2985, 0)), (('a', -1, 1690, 0), ('d', 12, -1, 0), ('e', -1, 1494, 0), ('g', 12, -1, 0), ('i', -1, 825, 0), ('k', 86, -1, 0), ('o', 52, 3179, 0), ('p', -1, 3180, 0), ('r', 45, -1, 0), ('t', 12, -1, 0), ('u', 45, -1, 0), ('y', 52, -1, 0), ('z', 52, -1, 0), ('ś', 12, -1, 0), ('ź', 45, -1, 0)), (('a', 86, -1, 0), ('b', 90, -1, 0), ('c', 10, -1, 0), ('d', -1, 2497, 0), ('e', 51, -1, 0), ('i', -1, 525, 0), ('k', 45, -1, 0), ('l', 2, -1, 0), ('m', 12, -1, 0), ('n', 78, -1, 0), ('o', -1, 1570, 0), ('r', 2, 2198, 0), ('s', 338, -1, 0), ('u', 51, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 45, -1, 0), ('c', 28, -1, 0), ('e', 12, -1, 0), ('i', -1, 967, 0), ('n', 55, -1, 0), ('o', 278, -1, 0), ('r', 28, -1, 0), ('s', 4, -1, 0), ('t', 5, -1, 0), ('u', -1, 3181, 0), ('w', 2, -1, 0), ('z', 4, -1, 0), ('ł', 4, -1, 0)), (('a', 3, -1, 0), ('b', 6, -1, 0), ('e', 3, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', -1, 2373, 0), ('j', 3, -1, 0), ('k', 1, -1, 0), ('l', 3, -1, 0), ('n', -1, 1126, 0), ('o', 238, -1, 0), ('r', -1, 3182, 0), ('s', -1, 2588, 0), ('u', 3, -1, 0), ('w', 6, -1, 0), ('y', 22, -1, 0), ('z', -1, 1211, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', -1, 3183, 0), ('d', -1, 3663, 0), ('e', 6, -1, 0), ('f', 2, -1, 0), ('g', 6, -1, 0), ('h', 28, -1, 0), ('i', -1, 121, 0), ('l', 2, -1, 0), ('m', 6, -1, 0), ('o', -1, 1808, 0), ('p', 4, -1, 0), ('r', -1, 2708, 0), ('s', -1, 3804, 0), ('y', -1, 3522, 0), ('z', 6, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 1555, 0), ('c', 7, -1, 0), ('d', 108, -1, 0), ('e', -1, 3147, 0), ('i', -1, 1587, 0), ('j', 108, -1, 0), ('l', -1, 2007, 0), ('o', -1, 3184, 0), ('p', 108, -1, 0), ('r', -1, 1232, 0), ('u', -1, 3202, 0), ('y', -1, 1617, 0), ('z', -1, 3204, 0), ('ó', 108, -1, 0), ('ą', -1, 638, 0), ('ę', -1, 3105, 0), ('ł', 7, -1, 0), ('ń', 108, -1, 0)), (('a', 96, -1, 0), ('d', 96, -1, 0), ('e', 108, -1, 0), ('i', -1, 2240, 0), ('k', 108, -1, 0), ('m', 108, -1, 0), ('n', -1, 923, 0), ('o', 6, -1, 0), ('p', 136, -1, 0), ('r', 108, -1, 0), ('t', 108, 3185, 0), ('y', 96, -1, 0), ('z', 96, -1, 0), ('ó', 236, -1, 0), ('ł', 108, -1, 0)), (('a', 108, -1, 0), ('d', 108, -1, 0), ('e', 59, -1, 0), ('f', 23, -1, 0), ('i', -1, 1230, 0), ('k', -1, 3186, 0), ('l', 23, -1, 0), ('m', 174, -1, 0), ('n', 174, -1, 0), ('o', 1, -1, 0), ('p', 180, -1, 0), ('r', 23, -1, 0), ('t', 23, -1, 0), ('u', 108, -1, 0), ('w', 23, -1, 0), ('y', 59, -1, 0), ('z', 108, -1, 0), ('ó', 121, -1, 0), ('ł', 23, -1, 0)), (('a', 174, -1, 0), ('b', 5, -1, 0), ('c', -1, 3187, 0), ('d', -1, 2209, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', -1, 3188, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', -1, 3196, 0), ('l', -1, 2515, 0), ('m', 5, -1, 0), ('n', -1, 1752, 0), ('o', 23, 2362, 0), ('p', 5, -1, 0), ('r', -1, 3197, 0), ('s', -1, 3198, 0), ('t', -1, 551, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 174, -1, 0), ('z', -1, 2915, 0), ('ł', -1, 3195, 0), ('ż', -1, 982, 0)), (('a', -1, 1324, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1323, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 2015, 0), ('n', 5, -1, 0), ('o', 30, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 1, -1, 0), ('t', 53, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 438, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, 3189, 0), ('d', 30, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 2066, 0), ('n', -1, 2572, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 580, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('b', 2, -1, 0), ('d', 5, -1, 0), ('e', -1, 3190, 0), ('i', -1, 895, 0), ('k', 28, -1, 0), ('o', 5, -1, 0), ('p', 2, -1, 0), ('r', -1, 1003, 0), ('s', 2, -1, 0), ('t', -1, 1706, 0), ('w', 28, -1, 0), ('y', 5, -1, 0), ('z', -1, 2411, 0), ('ż', 28, -1, 0)), (('a', -1, 3191, 0), ('d', 5, -1, 0), ('e', -1, 2703, 0), ('i', -1, 29, 0), ('j', 3, -1, 0), ('k', -1, 882, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 3192, 0), ('o', -1, 3194, 0), ('p', -1, 2149, 0), ('r', -1, 2156, 0), ('s', -1, 2703, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 5, 3195, 0), ('ą', 3, -1, 0), ('ę', 22, -1, 0)), (('a', -1, 1226, 0), ('b', 3, -1, 0), ('d', 7, -1, 0), ('e', 31, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 22, 957, 0), ('l', 3, 1280, 0), ('m', 22, 16, 0), ('n', 3, -1, 0), ('o', -1, 369, 0), ('p', 3, -1, 0), ('r', 22, 1012, 0), ('s', 3, -1, 0), ('t', -1, 1202, 0), ('w', 3, -1, 0), ('y', 29, -1, 0), ('z', -1, 1025, 0), ('ó', 7, -1, 0)), (('a', 22, 1422, 0), ('b', -1, 48, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', -1, 2459, 0), ('h', 3, -1, 0), ('i', -1, 3193, 0), ('j', -1, 2476, 0), ('k', -1, 1539, 0), ('l', -1, 2487, 0), ('m', -1, 2459, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 3105, 0), ('s', 3, -1, 0), ('t', -1, 2823, 0), ('u', -1, 557, 0), ('w', -1, 1446, 0), ('z', -1, 3194, 0), ('ł', 3, -1, 0)), (('a', 29, -1, 0), ('b', 238, -1, 0), ('c', 3, -1, 0), ('d', 22, -1, 0), ('e', 29, -1, 0), ('i', 29, -1, 0), ('j', 29, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 1, 30, 0), ('n', 3, -1, 0), ('o', 2, 461, 0), ('p', 0, -1, 0), ('r', 238, -1, 0), ('s', 464, -1, 0), ('t', 29, -1, 0), ('w', -1, 3181, 0), ('y', 29, -1, 0), ('z', 3, -1, 0), ('ź', 29, -1, 0)), (('a', -1, 1119, 0), ('b', 0, -1, 0), ('c', 3, -1, 0), ('d', -1, 236, 0), ('e', 111, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', 7, 2353, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 0, 85, 0), ('y', 22, -1, 0), ('z', 41, -1, 0), ('ł', 3, -1, 0)), (('a', 5, -1, 0), ('d', 106, -1, 0), ('e', -1, 1322, 0), ('g', 5, -1, 0), ('h', 106, -1, 0), ('i', 5, 1960, 0), ('j', 0, -1, 0), ('o', 5, -1, 0), ('p', 106, -1, 0), ('r', -1, 1453, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 106, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0), ('ż', 106, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', -1, 2016, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 145, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 964, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('l', 2, -1, 0), ('n', -1, 1704, 0), ('o', 5, -1, 0), ('p', 2, -1, 0), ('r', -1, 751, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 2, -1, 0)), (('a', 5, -1, 0), ('b', 2, -1, 0), ('d', -1, 3199, 0), ('e', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 946, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 2, -1, 0), ('m', 28, -1, 0), ('n', 5, -1, 0), ('o', -1, 1549, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 39, -1, 0), ('t', 39, -1, 0), ('w', 28, -1, 0), ('z', -1, 3201, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('e', -1, 3200, 0), ('i', 39, -1, 0), ('o', 145, -1, 0), ('r', 67, -1, 0), ('u', 67, -1, 0), ('y', 67, -1, 0), ('ę', -1, 2406, 0)), (('a', -1, 1382, 0), ('e', -1, 480, 0), ('g', 22, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('o', 21, 209, 0), ('r', -1, 351, 0), ('s', 21, -1, 0), ('z', 67, -1, 0)), (('a', 174, -1, 0), ('d', 12, -1, 0), ('e', 174, -1, 0), ('i', 23, -1, 0), ('n', 23, -1, 0), ('o', 23, -1, 0), ('r', -1, 471, 0), ('s', 23, -1, 0), ('u', 23, -1, 0), ('z', 23, -1, 0)), (('a', 216, -1, 0), ('d', 108, -1, 0), ('e', -1, 2528, 0), ('i', 216, -1, 0), ('j', 216, -1, 0), ('l', 216, -1, 0), ('m', 7, -1, 0), ('o', 108, -1, 0), ('r', 7, -1, 0), ('s', 1, -1, 0), ('t', 108, -1, 0), ('u', 108, -1, 0), ('y', 108, -1, 0), ('z', 108, -1, 0), ('ł', -1, 3203, 0)), (('a', 64, -1, 0), ('b', 7, -1, 0), ('c', 30, -1, 0), ('d', -1, 285, 0), ('e', -1, 517, 0), ('i', 21, -1, 0), ('k', -1, 1332, 0), ('l', 64, -1, 0), ('m', -1, 1354, 0), ('o', -1, 489, 0), ('p', 0, 288, 0), ('r', 64, -1, 0), ('s', -1, 1132, 0), ('t', -1, 543, 0), ('u', -1, 2533, 0), ('w', 0, 2473, 0), ('y', -1, 3008, 0), ('z', -1, 594, 0), ('ą', 64, -1, 0), ('ę', -1, 73, 0), ('ł', -1, 16, 0)), (('a', 7, -1, 0), ('c', 6, -1, 0), ('e', 108, -1, 0), ('i', -1, 3205, 0), ('o', -1, 3206, 0), ('r', -1, 58, 0), ('s', -1, 3207, 0), ('u', 108, -1, 0), ('w', 108, -1, 0), ('y', 108, -1, 0), ('z', 108, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', -1, 1750, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 95, 1441, 0), ('m', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', -1, 1754, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', -1, 984, 0), ('y', -1, 1324, 0), ('z', -1, 1042, 0), ('ę', -1, 632, 0), ('ł', -1, 836, 0)), (('a', 108, -1, 0), ('b', 6, -1, 0), ('d', 108, -1, 0), ('e', 108, -1, 0), ('h', 6, -1, 0), ('i', -1, 1943, 0), ('k', 6, -1, 0), ('l', 7, -1, 0), ('n', 6, -1, 0), ('o', 57, -1, 0), ('p', 7, -1, 0), ('r', -1, 1402, 0), ('t', 6, -1, 0), ('y', 1, -1, 0), ('z', 7, -1, 0)), (('a', -1, 1218, 0), ('b', -1, 2901, 0), ('c', 115, -1, 0), ('e', -1, 2274, 0), ('f', 5, -1, 0), ('i', -1, 1226, 0), ('m', 4, 3208, 0), ('n', -1, 3209, 0), ('o', 6, -1, 0), ('p', 41, 3210, 0), ('r', 108, -1, 0), ('s', 115, 3174, 0), ('u', -1, 3211, 0), ('w', -1, 2854, 0), ('y', -1, 3212, 0), ('z', -1, 1947, 0), ('ę', 6, -1, 0)), (('a', 5, -1, 0), ('d', 4, -1, 0), ('e', 1, -1, 0), ('g', 28, -1, 0), ('i', 3, -1, 0), ('j', 5, -1, 0), ('n', 1, -1, 0), ('o', -1, 1272, 0), ('r', -1, 1110, 0), ('u', -1, 1972, 0), ('y', 5, -1, 0), ('z', -1, 129, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 1540, 0), ('e', 5, -1, 0), ('g', -1, 1457, 0), ('h', 5, -1, 0), ('i', -1, 1173, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('o', -1, 2648, 0), ('r', 5, -1, 0), ('t', -1, 72, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 469, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 2514, 0), ('b', 31, -1, 0), ('d', 31, -1, 0), ('e', 5, -1, 0), ('i', 115, -1, 0), ('o', 5, -1, 0), ('r', -1, 1462, 0), ('t', 5, -1, 0), ('u', -1, 1262, 0), ('y', 31, -1, 0), ('z', 2, 2576, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 487, 0), ('ż', 121, -1, 0)), (('a', -1, 51, 0), ('c', 0, -1, 0), ('d', 108, -1, 0), ('e', -1, 471, 0), ('i', 284, -1, 0), ('k', 57, -1, 0), ('l', 11, -1, 0), ('m', 56, -1, 0), ('o', 4, -1, 0), ('p', -1, 1382, 0), ('r', 4, -1, 0), ('s', 7, -1, 0), ('t', 7, 1444, 0), ('u', 4, -1, 0), ('w', 11, -1, 0), ('y', -1, 340, 0), ('z', -1, 171, 0), ('ó', -1, 361, 0), ('ą', -1, 2693, 0), ('ę', 4, -1, 0), ('ł', 108, 63, 0)), (('a', -1, 867, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('h', -1, 716, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 99, -1, 0), ('n', -1, 309, 0), ('o', 1, 3213, 0), ('r', 99, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 21, -1, 0), ('z', -1, 491, 0), ('ł', 7, -1, 0)), (('a', -1, 1132, 0), ('c', 14, -1, 0), ('d', -1, 3214, 0), ('e', 7, -1, 0), ('g', 11, -1, 0), ('i', -1, 3258, 0), ('j', 13, -1, 0), ('l', 14, -1, 0), ('n', 7, -1, 0), ('o', -1, 570, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 8, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', -1, 305, 0), ('y', 7, -1, 0), ('z', -1, 2016, 0), ('ó', 100, -1, 0), ('ą', 7, -1, 0), ('ł', -1, 879, 0), ('ż', 21, 3800, 0)), (('a', 7, -1, 0), ('c', 314, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 3215, 0), ('o', 7, -1, 0), ('r', 314, -1, 0), ('s', 37, -1, 0), ('y', -1, 1655, 0), ('z', 7, -1, 0)), (('a', -1, 622, 0), ('b', 29, -1, 0), ('d', 135, -1, 0), ('e', -1, 400, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1212, 0), ('j', 108, -1, 0), ('k', 108, -1, 0), ('l', 0, -1, 0), ('m', 41, -1, 0), ('n', 41, -1, 0), ('o', -1, 3216, 0), ('p', 41, -1, 0), ('r', 108, -1, 0), ('s', -1, 3250, 0), ('t', 0, -1, 0), ('u', -1, 2431, 0), ('w', 41, 2975, 0), ('y', 135, -1, 0), ('z', -1, 249, 0), ('ó', 108, -1, 0), ('ą', 15, -1, 0), ('ę', 108, -1, 0), ('ł', 0, -1, 0), ('ż', 108, -1, 0)), (('a', -1, 1607, 0), ('d', 261, -1, 0), ('e', -1, 2542, 0), ('i', -1, 705, 0), ('k', 95, -1, 0), ('l', 1, -1, 0), ('m', 15, -1, 0), ('n', 15, -1, 0), ('o', -1, 804, 0), ('p', -1, 2056, 0), ('r', -1, 555, 0), ('s', 0, 164, 0), ('t', 108, -1, 0), ('w', 106, -1, 0), ('y', -1, 485, 0), ('z', 195, -1, 0), ('ł', -1, 3217, 0)), (('a', -1, 1226, 0), ('c', 0, -1, 0), ('d', 21, -1, 0), ('e', 1, -1, 0), ('g', 15, -1, 0), ('i', -1, 1094, 0), ('k', 28, -1, 0), ('l', 0, -1, 0), ('m', 28, 3218, 0), ('n', 28, -1, 0), ('o', 6, -1, 0), ('p', 108, -1, 0), ('r', 1, -1, 0), ('s', 21, -1, 0), ('t', -1, 803, 0), ('u', -1, 140, 0), ('w', 1, 386, 0), ('y', -1, 1035, 0), ('z', 0, -1, 0), ('ą', 7, -1, 0), ('ł', 1, -1, 0), ('ż', 0, 1188, 0)), (('a', -1, 3219, 0), ('c', 28, -1, 0), ('d', -1, 3245, 0), ('e', 28, -1, 0), ('g', 4, 751, 0), ('i', 2, -1, 0), ('o', -1, 2983, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('s', -1, 2093, 0), ('t', 28, -1, 0), ('u', -1, 2198, 0), ('y', -1, 33, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 3220, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 1256, 0), ('j', 4, 199, 0), ('k', 2, -1, 0), ('n', -1, 2267, 0), ('o', 217, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 69, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', -1, 293, 0), ('y', 217, -1, 0), ('z', -1, 2669, 0)), (('a', -1, 2270, 0), ('c', -1, 3221, 0), ('d', -1, 2476, 0), ('e', -1, 2414, 0), ('g', 402, -1, 0), ('i', -1, 2693, 0), ('j', 22, -1, 0), ('k', 30, -1, 0), ('l', 22, -1, 0), ('n', 217, -1, 0), ('o', -1, 2788, 0), ('r', -1, 2476, 0), ('s', -1, 3238, 0), ('u', -1, 513, 0), ('y', -1, 3242, 0), ('z', 69, -1, 0), ('ę', -1, 1386, 0), ('ł', 22, -1, 0)), (('a', -1, 3169, 0), ('c', -1, 905, 0), ('d', 5, -1, 0), ('e', -1, 3222, 0), ('i', -1, 1010, 0), ('j', 3, -1, 0), ('m', 31, -1, 0), ('n', -1, 3225, 0), ('o', 1, 1213, 0), ('p', 31, -1, 0), ('r', 78, -1, 0), ('t', 31, -1, 0), ('u', 22, -1, 0), ('w', -1, 3226, 0), ('y', -1, 351, 0), ('z', -1, 1482, 0), ('ą', 57, -1, 0), ('ń', 22, -1, 0), ('ż', 31, -1, 0)), (('a', 33, -1, 0), ('b', 20, -1, 0), ('d', 5, -1, 0), ('e', 33, -1, 0), ('g', 7, -1, 0), ('i', -1, 471, 0), ('k', 1, -1, 0), ('l', 28, -1, 0), ('n', -1, 3223, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', -1, 1731, 0), ('s', 55, -1, 0), ('t', 20, -1, 0), ('u', 21, -1, 0), ('w', -1, 3224, 0), ('z', -1, 1958, 0), ('ó', 33, -1, 0), ('ł', 7, -1, 0)), (('a', 0, -1, 0), ('d', 28, -1, 0), ('e', 7, -1, 0), ('i', -1, 1886, 0), ('j', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 0, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('t', 28, -1, 0), ('w', 28, -1, 0), ('y', 7, -1, 0), ('z', 1, 1189, 0), ('ę', 28, -1, 0), ('ś', 28, -1, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 212, -1, 0), ('d', 5, -1, 0), ('e', -1, 2787, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('l', -1, 125, 0), ('m', 5, -1, 0), ('o', -1, 2390, 0), ('p', 5, -1, 0), ('r', 29, -1, 0), ('t', 28, -1, 0), ('u', 29, -1, 0), ('w', 5, -1, 0), ('y', 28, -1, 0), ('z', 0, -1, 0)), (('a', 1, -1, 0), ('d', -1, 1896, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('o', 5, 1694, 0), ('r', 22, 3147, 0), ('s', 3, 756, 0), ('t', 22, -1, 0), ('u', 5, -1, 0), ('w', 1, -1, 0), ('z', -1, 3107, 0), ('ż', 22, -1, 0)), (('a', -1, 45, 0), ('e', 91, -1, 0), ('i', 21, -1, 0), ('k', 31, -1, 0), ('l', 91, -1, 0), ('n', 91, -1, 0), ('o', 206, -1, 0), ('p', -1, 2249, 0), ('r', 91, -1, 0), ('t', -1, 3227, 0), ('u', 1, -1, 0), ('w', 5, -1, 0), ('z', 31, -1, 0), ('ś', 206, -1, 0)), (('a', -1, 3228, 0), ('c', 1, 1067, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('i', -1, 250, 0), ('k', 1, -1, 0), ('m', 79, -1, 0), ('n', 1, -1, 0), ('o', 31, -1, 0), ('r', 1, -1, 0), ('s', 5, -1, 0), ('t', 1, -1, 0), ('u', 40, -1, 0), ('w', 0, -1, 0), ('y', 40, -1, 0), ('z', 40, -1, 0), ('ó', 40, -1, 0), ('ą', 40, -1, 0), ('ę', 40, -1, 0)), (('a', -1, 1158, 0), ('e', -1, 1835, 0), ('i', 40, -1, 0), ('j', 40, -1, 0), ('l', 40, -1, 0), ('m', 40, -1, 0), ('o', -1, 3110, 0), ('r', 69, -1, 0), ('s', 40, -1, 0), ('u', -1, 1987, 0), ('y', 69, -1, 0), ('z', 30, -1, 0), ('ą', 30, -1, 0), ('ę', -1, 3229, 0), ('ł', 3, -1, 0)), (('a', -1, 2451, 0), ('d', 5, -1, 0), ('e', -1, 2126, 0), ('i', 69, -1, 0), ('l', 107, -1, 0), ('o', -1, 3230, 0), ('r', -1, 2541, 0), ('u', 107, -1, 0), ('y', -1, 2866, 0), ('z', 30, -1, 0), ('ó', 107, -1, 0), ('ą', 107, -1, 0), ('ę', -1, 3235, 0), ('ł', 30, -1, 0)), (('a', -1, 3231, 0), ('d', 107, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('m', 1, -1, 0), ('n', 107, -1, 0), ('o', 0, -1, 0), ('r', -1, 568, 0), ('t', 107, -1, 0), ('u', 0, -1, 0), ('w', -1, 245, 0), ('y', 0, -1, 0), ('z', -1, 3234, 0), ('ł', 107, -1, 0)), (('a', -1, 3232, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 2440, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 2669, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 3233, 0), ('ó', 10, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 805, 0), ('d', 7, -1, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('m', 11, -1, 0), ('n', -1, 308, 0), ('o', 57, -1, 0), ('r', -1, 2633, 0), ('t', 56, -1, 0), ('u', 10, -1, 0), ('z', 11, -1, 0), ('ł', -1, 2074, 0)), (('a', -1, 1191, 0), ('b', 15, -1, 0), ('c', -1, 1426, 0), ('d', -1, 606, 0), ('e', -1, 34, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 29, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 15, 1102, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1051, 0), ('u', 0, -1, 0), ('w', 29, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 39, -1, 0), ('c', 5, -1, 0), ('d', 39, -1, 0), ('e', 145, -1, 0), ('g', 145, -1, 0), ('i', 39, -1, 0), ('l', 5, -1, 0), ('m', 39, -1, 0), ('o', 39, -1, 0), ('p', 39, -1, 0), ('r', -1, 2049, 0), ('w', 5, -1, 0), ('z', 39, -1, 0)), (('a', 206, -1, 0), ('d', -1, 2659, 0), ('e', 91, -1, 0), ('i', -1, 2701, 0), ('o', 38, 3236, 0), ('r', 107, -1, 0), ('t', 56, -1, 0), ('w', 5, -1, 0), ('z', -1, 3237, 0)), (('a', -1, 2928, 0), ('e', 234, -1, 0), ('i', 456, -1, 0), ('j', 234, -1, 0), ('l', 234, -1, 0), ('o', -1, 616, 0), ('r', 234, -1, 0), ('w', 130, -1, 0), ('z', 298, -1, 0)), (('a', 1, -1, 0), ('e', -1, 180, 0), ('i', -1, 1143, 0), ('k', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 1498, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0)), (('a', -1, 3070, 0), ('e', -1, 3239, 0), ('i', -1, 2780, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', -1, 2613, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 41, -1, 0), ('t', 21, -1, 0), ('u', -1, 2704, 0), ('w', 0, -1, 0), ('y', -1, 1423, 0), ('z', -1, 2479, 0)), (('a', 14, -1, 0), ('d', 3, -1, 0), ('e', -1, 321, 0), ('i', 22, -1, 0), ('k', 14, -1, 0), ('l', 3, -1, 0), ('o', 14, -1, 0), ('p', 3, -1, 0), ('r', 14, -1, 0), ('s', -1, 3240, 0), ('u', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', 57, -1, 0), ('ą', 14, -1, 0), ('ę', -1, 2387, 0), ('ł', 14, -1, 0)), (('a', 245, -1, 0), ('e', -1, 3241, 0), ('i', -1, 1280, 0), ('o', 28, 313, 0), ('r', 0, -1, 0), ('z', 14, -1, 0)), (('a', 96, -1, 0), ('b', 89, -1, 0), ('e', 96, -1, 0), ('i', -1, 1947, 0), ('l', 393, -1, 0), ('o', -1, 634, 0), ('r', 97, -1, 0), ('t', 28, -1, 0), ('y', 96, -1, 0), ('z', -1, 1210, 0)), (('a', -1, 3243, 0), ('c', 3, -1, 0), ('d', 166, -1, 0), ('e', 166, -1, 0), ('g', -1, 1362, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 3, -1, 0), ('n', -1, 1829, 0), ('o', 0, -1, 0), ('p', -1, 2449, 0), ('r', -1, 1642, 0), ('s', 0, -1, 0), ('t', 105, -1, 0), ('u', -1, 40, 0), ('w', -1, 1745, 0), ('z', 166, -1, 0), ('ą', -1, 54, 0)), (('a', -1, 467, 0), ('c', -1, 3244, 0), ('d', -1, 530, 0), ('e', -1, 842, 0), ('i', 185, -1, 0), ('k', 41, -1, 0), ('l', 0, -1, 0), ('m', 41, -1, 0), ('n', 41, -1, 0), ('o', 0, 770, 0), ('p', 202, 2697, 0), ('r', 49, -1, 0), ('s', -1, 2838, 0), ('t', 236, -1, 0), ('w', 41, -1, 0), ('y', -1, 147, 0), ('z', -1, 717, 0)), (('a', 49, -1, 0), ('c', 100, -1, 0), ('d', 57, -1, 0), ('e', -1, 2521, 0), ('i', 0, -1, 0), ('m', 87, -1, 0), ('n', 3, -1, 0), ('o', 0, -1, 0), ('p', 87, -1, 0), ('r', 22, -1, 0), ('s', -1, 1305, 0), ('t', -1, 437, 0), ('w', 8, -1, 0), ('y', -1, 354, 0), ('z', 49, -1, 0)), (('a', -1, 2647, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 3246, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 28, -1, 0), ('j', 5, -1, 0), ('l', -1, 3247, 0), ('m', -1, 1106, 0), ('n', 5, -1, 0), ('o', 4, 58, 0), ('r', -1, 1805, 0), ('t', 5, -1, 0), ('w', -1, 3249, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 1360, 0), ('ź', -1, 3037, 0), ('ż', 5, -1, 0)), (('a', -1, 2765, 0), ('c', 2, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('o', 12, -1, 0), ('p', 206, 10, 0), ('r', -1, 2482, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('y', 52, -1, 0), ('z', 277, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 3248, 0), ('b', 55, -1, 0), ('d', 28, -1, 0), ('e', 30, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', -1, 1762, 0), ('r', 28, -1, 0), ('s', 55, -1, 0), ('t', 28, -1, 0), ('w', 28, -1, 0), ('y', -1, 1191, 0), ('z', -1, 578, 0), ('ó', 5, -1, 0), ('ł', 28, -1, 0)), (('a', 5, -1, 0), ('d', -1, 1020, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('n', 5, -1, 0), ('o', 3, 3001, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 30, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 30, -1, 0), ('ą', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 30, -1, 0)), (('a', 5, -1, 0), ('e', -1, 1777, 0), ('i', 5, -1, 0), ('o', 30, -1, 0), ('r', -1, 2633, 0), ('t', 2, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 2, -1, 0), ('ó', 30, -1, 0)), (('a', 10, -1, 0), ('d', 102, -1, 0), ('e', 102, -1, 0), ('i', 21, -1, 0), ('o', -1, 70, 0), ('r', -1, 3251, 0), ('u', -1, 372, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 3252, 0), ('c', 8, -1, 0), ('e', -1, 2856, 0), ('i', -1, 3256, 0), ('l', 8, -1, 0), ('n', -1, 1909, 0), ('o', 35, -1, 0), ('r', -1, 3257, 0), ('u', 35, -1, 0), ('y', 35, -1, 0), ('z', 35, -1, 0), ('ą', 21, -1, 0), ('ę', 35, -1, 0)), (('a', -1, 1714, 0), ('d', 54, -1, 0), ('e', -1, 568, 0), ('i', -1, 338, 0), ('l', -1, 1455, 0), ('m', 35, -1, 0), ('n', 35, -1, 0), ('o', -1, 2130, 0), ('p', 35, -1, 0), ('r', -1, 2795, 0), ('s', 1, -1, 0), ('t', 12, -1, 0), ('u', -1, 1988, 0), ('w', 35, 3253, 0), ('y', -1, 2622, 0), ('z', -1, 440, 0), ('ą', -1, 3254, 0), ('ę', -1, 2216, 0)), (('a', 2, -1, 0), ('d', 2, -1, 0), ('e', 35, -1, 0), ('i', 2, -1, 0), ('k', 35, -1, 0), ('o', 0, -1, 0), ('r', 121, -1, 0), ('u', 35, -1, 0), ('y', 2, -1, 0), ('z', 35, -1, 0)), (('a', -1, 3255, 0), ('d', 21, -1, 0), ('e', -1, 1989, 0), ('f', 22, -1, 0), ('i', -1, 621, 0), ('k', 22, -1, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', 0, 44, 0), ('p', 3, -1, 0), ('r', -1, 95, 0), ('s', 3, -1, 0), ('t', 3, 1378, 0), ('u', 3, -1, 0), ('w', -1, 2654, 0), ('y', -1, 147, 0), ('z', 30, -1, 0)), (('a', 58, -1, 0), ('b', -1, 311, 0), ('c', 12, -1, 0), ('d', 14, -1, 0), ('e', 6, -1, 0), ('g', -1, 703, 0), ('i', -1, 378, 0), ('k', 14, -1, 0), ('l', 12, -1, 0), ('m', 58, -1, 0), ('n', 14, -1, 0), ('o', 17, -1, 0), ('p', 14, -1, 0), ('r', 14, -1, 0), ('s', 6, -1, 0), ('t', -1, 827, 0), ('u', -1, 530, 0), ('w', -1, 63, 0), ('y', 6, -1, 0), ('z', -1, 403, 0), ('ó', 12, -1, 0), ('ł', 14, 11, 0), ('ś', 108, -1, 0)), (('a', -1, 2887, 0), ('b', 79, -1, 0), ('d', 79, -1, 0), ('e', 79, -1, 0), ('h', 79, -1, 0), ('i', -1, 1378, 0), ('k', 79, -1, 0), ('l', -1, 659, 0), ('m', 8, -1, 0), ('n', 8, -1, 0), ('o', -1, 1743, 0), ('p', 100, -1, 0), ('r', 1, -1, 0), ('s', -1, 838, 0), ('t', 79, -1, 0), ('u', 1, -1, 0), ('w', -1, 714, 0), ('y', 1, -1, 0), ('z', 196, -1, 0)), (('a', -1, 1311, 0), ('e', 21, -1, 0), ('i', 35, -1, 0), ('k', 0, -1, 0), ('m', 37, -1, 0), ('n', 37, -1, 0), ('o', 146, -1, 0), ('r', 21, -1, 0), ('u', 255, -1, 0), ('w', 37, -1, 0), ('z', -1, 3258, 0)), (('a', -1, 794, 0), ('b', 5, -1, 0), ('c', -1, 2553, 0), ('d', 79, 3259, 0), ('e', 1, -1, 0), ('f', 5, -1, 0), ('g', 0, -1, 0), ('i', -1, 2657, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 1, -1, 0), ('p', 5, -1, 0), ('r', 1, -1, 0), ('s', -1, 3260, 0), ('t', 79, -1, 0), ('u', 1, -1, 0), ('w', -1, 446, 0), ('y', -1, 1311, 0), ('z', -1, 632, 0)), (('a', 37, -1, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', -1, 259, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('m', -1, 724, 0), ('n', 21, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('s', 28, 950, 0), ('t', 11, -1, 0), ('u', 21, -1, 0), ('w', -1, 1560, 0), ('y', -1, 181, 0), ('z', 21, -1, 0), ('ł', 29, -1, 0)), (('a', 134, -1, 0), ('b', -1, 497, 0), ('c', 5, -1, 0), ('d', -1, 3261, 0), ('e', 134, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', -1, 630, 0), ('i', -1, 3262, 0), ('j', 5, -1, 0), ('k', -1, 2959, 0), ('l', -1, 3265, 0), ('m', 5, -1, 0), ('n', -1, 2337, 0), ('o', 427, -1, 0), ('p', 5, -1, 0), ('r', -1, 3269, 0), ('s', -1, 2265, 0), ('t', -1, 3270, 0), ('u', 22, -1, 0), ('w', -1, 3271, 0), ('z', -1, 900, 0), ('ę', 318, -1, 0), ('ł', -1, 2747, 0), ('ż', 1, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', -1, 449, 0), ('j', 41, -1, 0), ('l', 41, -1, 0), ('m', 41, -1, 0), ('o', 5, -1, 0), ('p', 0, -1, 0), ('r', -1, 3076, 0), ('s', 0, 1077, 0), ('u', 5, -1, 0), ('y', -1, 3004, 0), ('z', 5, -1, 0), ('ą', -1, 663, 0), ('ł', 3, -1, 0)), (('a', -1, 1943, 0), ('b', -1, 3205, 0), ('c', 1, -1, 0), ('e', -1, 3263, 0), ('i', -1, 1371, 0), ('m', 5, -1, 0), ('n', -1, 2269, 0), ('o', -1, 2705, 0), ('p', -1, 497, 0), ('r', -1, 1944, 0), ('s', -1, 3225, 0), ('t', -1, 1220, 0), ('w', -1, 158, 0), ('y', -1, 384, 0), ('z', -1, 1929, 0), ('ó', 7, -1, 0)), (('a', 21, -1, 0), ('d', 36, -1, 0), ('e', 33, -1, 0), ('i', 70, -1, 0), ('k', 40, -1, 0), ('l', 7, -1, 0), ('n', 21, -1, 0), ('o', 33, -1, 0), ('p', 21, -1, 0), ('r', 36, -1, 0), ('s', -1, 3264, 0), ('t', 21, -1, 0), ('u', 0, -1, 0), ('w', 22, -1, 0), ('z', -1, 2075, 0), ('ł', 1, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('d', 21, -1, 0), ('e', -1, 1439, 0), ('i', 255, -1, 0), ('o', 21, -1, 0), ('r', 85, -1, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('z', 0, -1, 0)), (('a', -1, 1509, 0), ('d', -1, 3266, 0), ('e', 5, -1, 0), ('f', 1, -1, 0), ('g', -1, 1044, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('m', 5, -1, 0), ('o', 5, 386, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('t', -1, 3267, 0), ('u', 5, -1, 0), ('w', 1, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0)), (('a', 1, -1, 0), ('b', 3, -1, 0), ('d', 56, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('l', -1, 1986, 0), ('m', 2, -1, 0), ('o', 5, -1, 0), ('p', 2, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', 3, -1, 0), ('u', 0, -1, 0), ('w', 2, -1, 0), ('y', 5, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 2339, 0), ('b', 3, -1, 0), ('d', 22, -1, 0), ('e', -1, 3268, 0), ('i', 0, -1, 0), ('m', 3, -1, 0), ('n', -1, 403, 0), ('o', 0, -1, 0), ('r', -1, 1056, 0), ('s', 95, -1, 0), ('t', -1, 1866, 0), ('u', 0, -1, 0), ('w', 95, -1, 0), ('y', 0, -1, 0), ('z', 22, -1, 0), ('ę', 5, -1, 0), ('ł', 1, -1, 0), ('ż', 22, -1, 0)), (('a', 21, -1, 0), ('b', 21, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 33, -1, 0), ('g', 21, -1, 0), ('h', -1, 2354, 0), ('i', -1, 2332, 0), ('l', 22, -1, 0), ('m', 69, -1, 0), ('o', 21, -1, 0), ('p', 3, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 21, -1, 0), ('z', -1, 1791, 0)), (('a', 5, -1, 0), ('b', 5, 2295, 0), ('c', 3, -1, 0), ('d', -1, 406, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('l', 5, -1, 0), ('n', -1, 496, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 1647, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 160, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 844, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('h', 5, -1, 0), ('i', -1, 1120, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 22, 367, 0), ('m', 22, 428, 0), ('n', 3, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 2487, 0), ('s', 5, -1, 0), ('y', 5, -1, 0), ('z', 6, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 3, -1, 0), ('ś', 5, -1, 0)), (('a', 5, -1, 0), ('b', -1, 219, 0), ('d', 5, -1, 0), ('e', -1, 688, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 117, 384, 0), ('m', -1, 3272, 0), ('o', -1, 2898, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('w', 11, 1762, 0), ('y', 5, -1, 0), ('z', 1, 1336, 0), ('ż', 5, -1, 0)), (('a', -1, 3273, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('i', -1, 3280, 0), ('l', 56, -1, 0), ('m', 1, -1, 0), ('o', -1, 276, 0), ('r', 21, -1, 0), ('z', 5, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, 3274, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 11, 625, 0), ('s', 3, -1, 0), ('t', 1, -1, 0), ('u', 2, -1, 0), ('w', -1, 2048, 0), ('z', 3, -1, 0)), (('a', 3, -1, 0), ('b', -1, 3275, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 1897, 0), ('r', -1, 2506, 0), ('s', 2, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('z', 3, -1, 0)), (('a', -1, 3276, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 3277, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 3064, 0), ('p', 3, -1, 0), ('r', -1, 2628, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('z', 3, -1, 0), ('ł', -1, 3279, 0), ('ż', 3, -1, 0)), (('a', 9, -1, 0), ('b', 3, -1, 0), ('c', -1, 1200, 0), ('d', 9, -1, 0), ('e', 9, -1, 0), ('g', -1, 2386, 0), ('i', 9, -1, 0), ('k', 39, -1, 0), ('m', 101, -1, 0), ('n', 145, -1, 0), ('o', 9, -1, 0), ('p', -1, 2388, 0), ('r', -1, 789, 0), ('s', -1, 1073, 0), ('t', 132, -1, 0), ('u', 9, -1, 0), ('w', 9, -1, 0), ('y', 9, -1, 0), ('z', -1, 3172, 0), ('ą', 9, -1, 0), ('ł', 9, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 0, -1, 0), ('d', 3, -1, 0), ('e', -1, 3278, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 3, -1, 0), ('r', 1, 200, 0), ('s', 1, -1, 0), ('t', 3, -1, 0), ('z', -1, 1771, 0), ('ł', 3, -1, 0)), (('a', -1, 2823, 0), ('e', 3, -1, 0), ('g', 21, -1, 0), ('h', 21, -1, 0), ('i', -1, 2586, 0), ('j', 21, -1, 0), ('k', 21, -1, 0), ('l', 359, -1, 0), ('o', 3, -1, 0), ('r', -1, 722, 0), ('s', 21, -1, 0), ('t', -1, 1389, 0), ('z', 21, -1, 0), ('ó', 3, -1, 0), ('ł', 21, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 690, 0), ('b', 3, -1, 0), ('c', 121, -1, 0), ('d', 3, -1, 0), ('e', 121, -1, 0), ('g', -1, 2726, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('n', 3, -1, 0), ('o', 2, 241, 0), ('p', 2, -1, 0), ('r', 121, 339, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 100, -1, 0), ('z', 8, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 949, 0), ('b', 3, 1281, 0), ('c', -1, 3281, 0), ('d', -1, 3284, 0), ('e', -1, 1913, 0), ('i', 28, -1, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', -1, 2756, 0), ('r', -1, 3286, 0), ('s', -1, 3799, 0), ('t', 2, -1, 0), ('z', 232, -1, 0)), (('a', -1, 475, 0), ('d', -1, 3282, 0), ('e', -1, 516, 0), ('i', 105, -1, 0), ('j', 105, -1, 0), ('l', 105, -1, 0), ('o', 105, -1, 0), ('r', 105, -1, 0), ('u', -1, 1890, 0), ('y', 105, -1, 0), ('z', -1, 2997, 0), ('ó', 105, -1, 0), ('ą', 105, -1, 0), ('ę', 105, -1, 0), ('ń', 105, -1, 0)), (('a', -1, 2179, 0), ('b', 3, 2501, 0), ('c', 97, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('g', 28, -1, 0), ('i', 2, -1, 0), ('m', -1, 1882, 0), ('n', -1, 3283, 0), ('o', -1, 1401, 0), ('p', -1, 2570, 0), ('r', 29, -1, 0), ('s', 97, -1, 0), ('t', 2, -1, 0), ('w', 97, -1, 0), ('y', 2, -1, 0), ('z', -1, 1271, 0)), (('a', 97, -1, 0), ('b', 31, -1, 0), ('d', -1, 3241, 0), ('e', -1, 409, 0), ('h', -1, 1219, 0), ('i', 97, -1, 0), ('j', 97, -1, 0), ('k', 3, -1, 0), ('l', 97, -1, 0), ('m', 31, -1, 0), ('n', 97, -1, 0), ('o', 97, -1, 0), ('p', 97, -1, 0), ('r', 97, -1, 0), ('t', 97, -1, 0), ('u', 97, -1, 0), ('w', 31, -1, 0), ('y', 97, -1, 0), ('z', -1, 1133, 0), ('ś', 97, -1, 0), ('ż', 97, -1, 0)), (('a', 14, -1, 0), ('b', 3, -1, 0), ('c', 2, -1, 0), ('d', -1, 3285, 0), ('e', -1, 2139, 0), ('f', 2, -1, 0), ('h', 3, -1, 0), ('i', -1, 593, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 516, 0), ('p', -1, 578, 0), ('r', 115, 498, 0), ('u', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', -1, 890, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0)), (('a', -1, 2573, 0), ('b', 3, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 3, -1, 0), ('i', 236, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', 34, -1, 0), ('p', 4, -1, 0), ('r', -1, 757, 0), ('u', 34, -1, 0), ('w', 385, -1, 0), ('z', 0, -1, 0), ('ę', 90, -1, 0)), (('a', -1, 1213, 0), ('c', 3, -1, 0), ('e', 105, -1, 0), ('h', 105, -1, 0), ('i', -1, 3287, 0), ('o', -1, 1317, 0), ('p', 105, -1, 0), ('r', -1, 1403, 0), ('t', -1, 3288, 0), ('u', 105, -1, 0), ('z', -1, 3345, 0)), (('a', -1, 1715, 0), ('d', 3, -1, 0), ('e', -1, 2194, 0), ('f', 2, -1, 0), ('i', -1, 1202, 0), ('k', 2, -1, 0), ('m', -1, 141, 0), ('o', -1, 518, 0), ('p', 3, 576, 0), ('r', -1, 1408, 0), ('s', -1, 690, 0), ('t', -1, 2010, 0), ('u', 5, -1, 0), ('w', 2, -1, 0), ('y', -1, 1015, 0), ('z', -1, 1383, 0), ('ł', -1, 50, 0)), (('a', 105, -1, 0), ('c', 21, -1, 0), ('d', -1, 2293, 0), ('e', 105, -1, 0), ('g', 1, -1, 0), ('i', -1, 190, 0), ('k', 327, -1, 0), ('l', 0, -1, 0), ('m', -1, 520, 0), ('o', 263, -1, 0), ('p', 95, -1, 0), ('r', -1, 2363, 0), ('s', -1, 3289, 0), ('t', -1, 2707, 0), ('y', 105, -1, 0), ('z', 255, -1, 0), ('ą', 105, -1, 0)), (('a', -1, 2499, 0), ('b', 63, -1, 0), ('d', -1, 1252, 0), ('e', -1, 3290, 0), ('g', -1, 3321, 0), ('h', -1, 2438, 0), ('i', -1, 3211, 0), ('j', 11, -1, 0), ('k', -1, 3322, 0), ('l', 11, -1, 0), ('o', 105, -1, 0), ('p', -1, 2153, 0), ('r', -1, 3018, 0), ('s', -1, 3329, 0), ('t', 63, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 3343, 0)), (('a', 3, -1, 0), ('b', -1, 3291, 0), ('c', 0, -1, 0), ('d', -1, 2562, 0), ('e', -1, 3312, 0), ('f', 3, -1, 0), ('g', -1, 1220, 0), ('h', -1, 79, 0), ('i', 3, -1, 0), ('k', -1, 3313, 0), ('o', 3, -1, 0), ('p', 216, -1, 0), ('r', -1, 1432, 0), ('t', -1, 3319, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 1678, 0), ('ó', 3, -1, 0)), (('a', -1, 186, 0), ('d', 70, -1, 0), ('e', -1, 7, 0), ('i', -1, 3292, 0), ('j', 70, 3311, 0), ('l', -1, 2962, 0), ('m', 3, -1, 0), ('o', 216, -1, 0), ('r', 1, -1, 0), ('s', -1, 1376, 0), ('u', 3, -1, 0), ('z', -1, 2593, 0), ('ę', 5, -1, 0), ('ż', 70, -1, 0)), (('a', -1, 1392, 0), ('c', -1, 3293, 0), ('d', 70, -1, 0), ('e', -1, 2864, 0), ('g', 70, -1, 0), ('i', -1, 2884, 0), ('j', 70, -1, 0), ('m', 1, -1, 0), ('n', -1, 3294, 0), ('o', -1, 2505, 0), ('p', -1, 2774, 0), ('r', -1, 1197, 0), ('s', 34, -1, 0), ('w', 34, -1, 0), ('z', 70, -1, 0), ('ż', 70, -1, 0)), (('a', 70, -1, 0), ('b', 70, -1, 0), ('d', 70, -1, 0), ('e', 70, -1, 0), ('i', 174, -1, 0), ('k', 23, -1, 0), ('l', -1, 1053, 0), ('o', -1, 120, 0), ('r', -1, 352, 0), ('s', 174, -1, 0), ('u', 7, -1, 0), ('w', 1, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ł', 174, -1, 0)), (('a', -1, 621, 0), ('b', -1, 2065, 0), ('c', 73, -1, 0), ('d', -1, 1445, 0), ('e', -1, 1674, 0), ('g', -1, 3295, 0), ('h', -1, 259, 0), ('i', 73, -1, 0), ('k', -1, 3296, 0), ('l', 73, -1, 0), ('m', 73, -1, 0), ('o', -1, 1050, 0), ('p', 73, -1, 0), ('r', 73, -1, 0), ('s', 73, -1, 0), ('t', 73, -1, 0), ('u', -1, 3297, 0), ('y', 73, -1, 0), ('z', -1, 3175, 0), ('ś', -1, 3053, 0), ('ź', -1, 3298, 0), ('ż', 73, -1, 0)), (('a', 73, -1, 0), ('c', -1, 1921, 0), ('e', -1, 684, 0), ('g', 73, -1, 0), ('i', 73, -1, 0), ('l', 73, -1, 0), ('m', 56, -1, 0), ('n', -1, 2920, 0), ('o', 108, 311, 0), ('p', -1, 1922, 0), ('r', 73, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ą', 73, -1, 0), ('ę', -1, 896, 0)), (('a', 73, -1, 0), ('e', -1, 513, 0), ('i', 73, -1, 0), ('l', 73, -1, 0), ('m', 73, -1, 0), ('o', 73, -1, 0), ('r', 73, -1, 0), ('s', 73, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ą', 73, -1, 0), ('ę', -1, 1050, 0), ('ł', 73, -1, 0)), (('a', 57, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', 73, -1, 0), ('l', 73, -1, 0), ('o', 108, -1, 0), ('r', 73, -1, 0), ('s', -1, 1708, 0), ('z', 108, -1, 0), ('ę', 73, -1, 0), ('ł', 73, -1, 0)), (('a', 1, -1, 0), ('b', 4, -1, 0), ('c', 21, -1, 0), ('d', -1, 814, 0), ('e', 11, -1, 0), ('g', 4, -1, 0), ('h', 4, -1, 0), ('i', 73, -1, 0), ('k', 4, -1, 0), ('l', -1, 582, 0), ('m', 21, -1, 0), ('n', -1, 3299, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 73, -1, 0), ('s', 21, -1, 0), ('t', 55, -1, 0), ('u', 4, -1, 0), ('w', -1, 3300, 0), ('y', 11, -1, 0), ('z', 4, -1, 0), ('ę', 73, -1, 0), ('ł', 73, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 2720, 0), ('e', 21, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('l', -1, 664, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 2755, 0), ('t', -1, 1700, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 102, 0)), (('a', -1, 143, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 41, -1, 0), ('m', 0, -1, 0), ('n', 41, -1, 0), ('o', 3, -1, 0), ('r', 0, 2574, 0), ('s', 0, -1, 0), ('t', -1, 3301, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 41, -1, 0), ('b', 108, -1, 0), ('e', 34, -1, 0), ('i', 279, -1, 0), ('l', 87, -1, 0), ('o', -1, 245, 0), ('p', 2, -1, 0), ('r', 0, -1, 0), ('s', -1, 1533, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', -1, 3302, 0), ('ł', -1, 3308, 0)), (('a', -1, 76, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 254, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', -1, 3303, 0), ('l', -1, 2843, 0), ('m', 2, -1, 0), ('n', -1, 2917, 0), ('o', -1, 1905, 0), ('p', 2, -1, 0), ('r', -1, 3304, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 1, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 3304, 0), ('ż', 2, -1, 0)), (('a', 28, -1, 0), ('b', -1, 546, 0), ('d', -1, 166, 0), ('e', -1, 1885, 0), ('f', 28, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('l', -1, 414, 0), ('n', 28, -1, 0), ('o', 2, -1, 0), ('p', 6, 1504, 0), ('r', 2, 406, 0), ('s', 2, -1, 0), ('t', -1, 1481, 0), ('u', -1, 1986, 0), ('w', -1, 2663, 0), ('y', 64, -1, 0), ('z', 2, -1, 0), ('ż', 28, -1, 0)), (('a', 2, -1, 0), ('c', -1, 3305, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('o', 2, -1, 0), ('p', -1, 3307, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 87, -1, 0), ('ą', 2, -1, 0)), (('a', -1, 3306, 0), ('b', 2, -1, 0), ('d', 7, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('o', -1, 2471, 0), ('r', 0, -1, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ę', 2, -1, 0), ('ń', 2, -1, 0)), (('a', 23, -1, 0), ('e', 12, -1, 0), ('g', -1, 1816, 0), ('i', -1, 2388, 0), ('k', 3, -1, 0), ('o', 12, -1, 0), ('r', 23, -1, 0), ('u', 12, 598, 0), ('y', 12, -1, 0), ('z', -1, 1641, 0), ('ł', 12, -1, 0), ('ż', 3, -1, 0)), (('a', 6, -1, 0), ('c', -1, 1541, 0), ('d', -1, 3308, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', 2, 3309, 0), ('r', -1, 868, 0), ('s', -1, 3110, 0), ('ą', -1, 97, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('b', 87, -1, 0), ('e', -1, 2908, 0), ('i', 105, -1, 0), ('j', 105, -1, 0), ('l', 95, -1, 0), ('o', 279, -1, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('z', 3, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 1939, 0), ('d', 321, 637, 0), ('e', -1, 1230, 0), ('i', -1, 2374, 0), ('k', -1, 3310, 0), ('l', -1, 568, 0), ('n', -1, 276, 0), ('o', -1, 628, 0), ('p', 0, 288, 0), ('r', -1, 1113, 0), ('s', -1, 2484, 0), ('u', -1, 971, 0), ('w', 63, -1, 0), ('y', -1, 2080, 0), ('z', 198, -1, 0)), (('a', -1, 46, 0), ('d', -1, 1909, 0), ('e', -1, 82, 0), ('g', 302, -1, 0), ('i', -1, 172, 0), ('k', 21, -1, 0), ('l', 7, -1, 0), ('m', 10, -1, 0), ('n', -1, 478, 0), ('o', -1, 594, 0), ('p', 10, -1, 0), ('r', -1, 81, 0), ('s', -1, 811, 0), ('t', 102, -1, 0), ('u', 0, 225, 0), ('w', 11, -1, 0), ('z', -1, 34, 0)), (('a', 70, -1, 0), ('b', 1, -1, 0), ('d', 23, -1, 0), ('e', -1, 2577, 0), ('f', 180, -1, 0), ('i', 180, -1, 0), ('o', 70, -1, 0), ('p', 180, -1, 0), ('r', -1, 396, 0), ('t', -1, 2270, 0), ('u', 70, -1, 0), ('y', 1, -1, 0), ('z', 180, -1, 0), ('ł', 180, -1, 0)), (('a', 57, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 70, -1, 0), ('p', 3, -1, 0), ('r', -1, 366, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 80, 2421, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1603, 0), ('e', -1, 1953, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 2593, 0), ('k', 116, -1, 0), ('l', 62, -1, 0), ('m', -1, 3314, 0), ('n', 216, -1, 0), ('o', 451, -1, 0), ('p', 116, -1, 0), ('r', 0, -1, 0), ('s', 216, -1, 0), ('t', 0, -1, 0), ('u', 216, -1, 0), ('y', -1, 12, 0), ('z', 0, 3316, 0), ('ą', -1, 467, 0), ('ę', 129, -1, 0), ('ł', 0, -1, 0), ('ż', 185, -1, 0)), (('a', 116, -1, 0), ('e', 0, -1, 0), ('j', 0, -1, 0), ('o', -1, 3315, 0), ('r', 0, -1, 0), ('u', 37, -1, 0), ('y', -1, 3034, 0), ('z', 37, -1, 0)), (('a', -1, 2888, 0), ('b', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 37, -1, 0), ('n', 37, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 37, -1, 0), ('s', 6, -1, 0), ('t', 0, -1, 0), ('w', -1, 2261, 0), ('y', 6, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('c', 185, -1, 0), ('d', 0, -1, 0), ('e', -1, 2711, 0), ('i', -1, 3317, 0), ('n', 3, -1, 0), ('o', -1, 2325, 0), ('r', 185, -1, 0), ('s', 185, -1, 0), ('y', -1, 1924, 0), ('z', -1, 1313, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 22, -1, 0), ('d', -1, 170, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 3316, 0), ('h', 0, -1, 0), ('i', -1, 845, 0), ('k', 0, -1, 0), ('l', -1, 3267, 0), ('m', 0, -1, 0), ('n', -1, 3318, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1293, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 5, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 4, 1003, 0), ('d', 7, -1, 0), ('e', 0, -1, 0), ('g', 11, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 659, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 131, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('u', 0, 1333, 0), ('y', 0, -1, 0), ('z', -1, 601, 0), ('ł', 11, -1, 0)), (('a', -1, 3102, 0), ('b', 0, -1, 0), ('e', -1, 1051, 0), ('i', 3, 3320, 0), ('j', 216, -1, 0), ('l', 3, -1, 0), ('o', 3, -1, 0), ('r', 41, -1, 0), ('s', -1, 3202, 0), ('u', 216, -1, 0), ('z', 41, -1, 0)), (('a', -1, 970, 0), ('b', 216, -1, 0), ('c', 117, -1, 0), ('d', 21, -1, 0), ('e', -1, 1015, 0), ('h', 86, -1, 0), ('i', 21, -1, 0), ('k', 5, 62, 0), ('l', 3, -1, 0), ('m', -1, 669, 0), ('n', 86, -1, 0), ('o', 21, 118, 0), ('p', 86, -1, 0), ('r', 28, -1, 0), ('s', -1, 881, 0), ('t', 37, 1181, 0), ('u', -1, 2185, 0), ('w', -1, 803, 0), ('y', 21, -1, 0), ('z', 202, -1, 0), ('ó', -1, 807, 0), ('ł', 86, -1, 0)), (('a', 3, -1, 0), ('e', -1, 2053, 0), ('i', 3, -1, 0), ('l', 63, -1, 0), ('n', 2, -1, 0), ('o', -1, 81, 0), ('r', 97, -1, 0), ('u', 2, -1, 0), ('y', 63, -1, 0), ('z', 2, -1, 0), ('ą', 3, -1, 0)), (('a', 63, -1, 0), ('b', 2, -1, 0), ('d', -1, 843, 0), ('e', -1, 3323, 0), ('i', -1, 1151, 0), ('j', 2, -1, 0), ('l', 63, -1, 0), ('o', 63, -1, 0), ('r', 3, 3325, 0), ('s', 2, 428, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('y', -1, 973, 0), ('z', -1, 3328, 0), ('ą', 63, -1, 0), ('ę', -1, 1164, 0), ('ł', -1, 187, 0), ('ż', 3, -1, 0)), (('a', -1, 3324, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 1180, 0), ('l', 3, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('r', -1, 2348, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 1, 1517, 0), ('ą', -1, 1714, 0)), (('a', -1, 1588, 0), ('b', 7, -1, 0), ('d', 410, -1, 0), ('e', -1, 1583, 0), ('g', 1, 403, 0), ('i', -1, 587, 0), ('j', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 343, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('z', 1, -1, 0), ('ó', 22, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 232, 0), ('e', -1, 3326, 0), ('i', 1, -1, 0), ('l', 1, -1, 0), ('n', 21, -1, 0), ('o', -1, 2578, 0), ('r', 0, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('y', 16, -1, 0), ('z', -1, 250, 0)), (('a', 28, 914, 0), ('d', 2, -1, 0), ('e', -1, 766, 0), ('i', 3, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 2952, 0), ('p', 2, -1, 0), ('r', -1, 130, 0), ('s', -1, 1443, 0), ('u', 2, -1, 0), ('w', 11, -1, 0), ('y', 2, -1, 0), ('z', 56, -1, 0), ('ó', 2, -1, 0), ('ą', -1, 3327, 0), ('ł', 11, -1, 0)), (('a', -1, 642, 0), ('b', 22, -1, 0), ('d', 22, -1, 0), ('e', -1, 2054, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('m', 108, -1, 0), ('o', -1, 581, 0), ('r', -1, 2276, 0), ('t', 22, -1, 0), ('u', 22, -1, 0), ('w', 108, -1, 0), ('z', 2, 1373, 0), ('ł', 6, -1, 0)), (('a', 2, -1, 0), ('c', -1, 1710, 0), ('d', 2, -1, 0), ('e', -1, 2709, 0), ('i', -1, 1859, 0), ('j', 3, -1, 0), ('o', 2, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 334, 0), ('u', 3, -1, 0), ('w', 28, -1, 0), ('y', 2, -1, 0), ('z', 28, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 2028, 0), ('b', -1, 3330, 0), ('c', -1, 1400, 0), ('d', 2, -1, 0), ('e', 3, -1, 0), ('f', 2, -1, 0), ('g', -1, 602, 0), ('i', -1, 1719, 0), ('k', -1, 3326, 0), ('l', -1, 3331, 0), ('m', -1, 3342, 0), ('n', 3, -1, 0), ('o', 63, -1, 0), ('p', -1, 1538, 0), ('r', -1, 1540, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('w', -1, 1538, 0), ('z', -1, 1754, 0), ('ę', 63, -1, 0)), (('a', -1, 2952, 0), ('e', 11, -1, 0), ('i', 117, -1, 0), ('o', 3, -1, 0), ('r', 117, -1, 0), ('u', 2, -1, 0), ('y', 11, -1, 0), ('z', 2, -1, 0), ('ę', 3, -1, 0)), (('a', -1, 2873, 0), ('b', -1, 2410, 0), ('d', -1, 2779, 0), ('e', 3, -1, 0), ('i', -1, 3116, 0), ('j', 6, -1, 0), ('k', 3, -1, 0), ('l', 6, -1, 0), ('m', 11, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 11, 3332, 0), ('s', 3, -1, 0), ('t', 56, 59, 0), ('z', -1, 730, 0), ('ż', 11, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('e', -1, 3171, 0), ('i', -1, 181, 0), ('k', -1, 1797, 0), ('o', -1, 766, 0), ('r', 7, -1, 0), ('t', 11, -1, 0), ('u', -1, 3333, 0), ('w', 6, -1, 0), ('y', 11, -1, 0), ('z', 115, -1, 0), ('ą', -1, 2665, 0), ('ę', -1, 813, 0), ('ł', 11, -1, 0)), (('a', -1, 1674, 0), ('b', 15, -1, 0), ('d', 11, -1, 0), ('e', -1, 2067, 0), ('g', 31, -1, 0), ('i', -1, 2535, 0), ('k', 11, -1, 0), ('m', 3, -1, 0), ('o', -1, 3334, 0), ('p', 15, 3335, 0), ('r', -1, 1611, 0), ('s', -1, 3340, 0), ('t', -1, 2401, 0), ('u', -1, 517, 0), ('w', 3, -1, 0), ('y', -1, 998, 0), ('z', 0, 164, 0), ('ł', -1, 721, 0)), (('a', 27, -1, 0), ('d', 27, -1, 0), ('e', 178, -1, 0), ('g', 27, -1, 0), ('i', 27, -1, 0), ('k', -1, 2072, 0), ('m', 70, -1, 0), ('o', -1, 2186, 0), ('p', 178, -1, 0), ('r', -1, 67, 0), ('s', -1, 1673, 0), ('t', 316, -1, 0), ('u', 27, -1, 0), ('w', -1, 1724, 0), ('y', 27, -1, 0), ('z', 27, -1, 0)), (('a', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 1065, 0), ('s', -1, 3336, 0), ('u', -1, 1616, 0), ('y', -1, 3339, 0), ('z', 15, -1, 0), ('ą', 3, -1, 0), ('ę', -1, 2064, 0), ('ł', 3, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 3337, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 87, -1, 0), ('p', 3, -1, 0), ('r', -1, 2628, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0), ('ł', -1, 3279, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 3338, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('l', 2, -1, 0), ('o', 3, -1, 0), ('r', -1, 637, 0), ('t', 3, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 190, -1, 0), ('b', 190, -1, 0), ('d', 190, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 839, 0), ('l', 2, -1, 0), ('n', -1, 1631, 0), ('o', 106, 209, 0), ('r', 106, -1, 0), ('t', -1, 465, 0), ('y', 190, -1, 0), ('z', 190, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 874, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 3, -1, 0), ('u', 7, -1, 0), ('z', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 1, -1, 0), ('b', 6, -1, 0), ('d', -1, 432, 0), ('e', -1, 1054, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 3341, 0), ('s', 1, -1, 0), ('u', 6, -1, 0), ('w', 1, 668, 0), ('y', 53, -1, 0), ('z', 29, -1, 0)), (('a', -1, 2184, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 2293, 0), ('p', 3, 1762, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 1832, 0), ('c', 10, -1, 0), ('e', -1, 2136, 0), ('i', 2, -1, 0), ('l', -1, 1702, 0), ('n', 102, -1, 0), ('o', 2, -1, 0), ('r', -1, 3049, 0), ('s', 102, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 10, -1, 0), ('ł', 72, -1, 0)), (('a', -1, 2346, 0), ('c', 126, -1, 0), ('e', 28, -1, 0), ('g', 126, -1, 0), ('i', 2, -1, 0), ('n', -1, 3058, 0), ('o', 2, -1, 0), ('p', 126, -1, 0), ('r', 63, -1, 0), ('s', 3, -1, 0), ('u', -1, 3344, 0), ('w', 4, -1, 0), ('y', 2, -1, 0), ('z', -1, 2884, 0), ('ę', 3, -1, 0), ('ł', 63, -1, 0)), (('a', 328, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, 165, 0), ('e', -1, 1453, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 30, 3, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 30, -1, 0), ('t', 28, -1, 0), ('u', 328, -1, 0), ('y', 328, -1, 0), ('z', -1, 358, 0)), (('a', -1, 3025, 0), ('b', -1, 3025, 0), ('c', 2, -1, 0), ('d', -1, 3018, 0), ('e', -1, 3026, 0), ('f', 41, 1524, 0), ('g', -1, 3346, 0), ('i', -1, 1795, 0), ('k', -1, 1628, 0), ('l', -1, 2894, 0), ('o', -1, 3347, 0), ('p', -1, 1305, 0), ('r', 22, 3334, 0), ('s', 2, -1, 0), ('t', 56, -1, 0), ('u', -1, 3274, 0), ('y', 2, -1, 0), ('z', -1, 1122, 0), ('ś', -1, 889, 0)), (('a', 163, -1, 0), ('b', 443, -1, 0), ('d', 443, -1, 0), ('e', 2, -1, 0), ('i', 34, -1, 0), ('l', 1, -1, 0), ('n', -1, 2332, 0), ('o', -1, 124, 0), ('r', 163, -1, 0), ('s', 30, -1, 0), ('u', 3, -1, 0), ('w', 30, -1, 0), ('y', -1, 2593, 0), ('z', -1, 2163, 0), ('ę', 163, -1, 0)), (('a', -1, 243, 0), ('b', -1, 2850, 0), ('d', -1, 1885, 0), ('e', -1, 3348, 0), ('g', 2, 288, 0), ('i', 21, -1, 0), ('j', 3, -1, 0), ('k', -1, 37, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 1, -1, 0), ('p', -1, 1878, 0), ('r', 3, 3786, 0), ('s', 2, 966, 0), ('t', -1, 3787, 0), ('u', 21, -1, 0), ('y', -1, 3499, 0), ('z', 2, -1, 0)), (('a', 91, -1, 0), ('b', -1, 3349, 0), ('c', -1, 3226, 0), ('e', 91, -1, 0), ('f', 91, -1, 0), ('g', 91, -1, 0), ('h', 91, -1, 0), ('i', -1, 3351, 0), ('k', 91, -1, 0), ('l', 277, 3352, 0), ('m', -1, 3354, 0), ('n', -1, 3359, 0), ('o', -1, 3784, 0), ('p', 91, -1, 0), ('r', -1, 2712, 0), ('s', -1, 2659, 0), ('t', 1, -1, 0), ('w', -1, 3785, 0), ('z', -1, 3235, 0), ('ł', 52, -1, 0)), (('a', -1, 3350, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 234, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('l', -1, 2843, 0), ('m', 2, -1, 0), ('n', -1, 2917, 0), ('o', -1, 2865, 0), ('p', 2, -1, 0), ('r', -1, 3304, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('w', 2, -1, 0), ('z', -1, 711, 0), ('ż', 2, -1, 0)), (('a', -1, 593, 0), ('b', -1, 1743, 0), ('c', 91, -1, 0), ('d', -1, 2623, 0), ('e', -1, 1913, 0), ('i', -1, 1646, 0), ('j', -1, 698, 0), ('n', -1, 640, 0), ('o', -1, 2874, 0), ('p', -1, 1389, 0), ('r', -1, 1136, 0), ('s', -1, 2624, 0), ('t', -1, 1103, 0), ('u', -1, 729, 0), ('w', 206, -1, 0), ('y', -1, 1034, 0), ('z', -1, 805, 0), ('ą', -1, 467, 0), ('ę', -1, 2821, 0), ('ł', -1, 1526, 0), ('ż', -1, 1219, 0)), (('a', -1, 807, 0), ('d', 2, -1, 0), ('e', -1, 1486, 0), ('i', -1, 1928, 0), ('l', 2, -1, 0), ('m', 4, -1, 0), ('o', 21, -1, 0), ('p', 279, -1, 0), ('r', 106, -1, 0), ('s', 12, -1, 0), ('t', 55, -1, 0), ('u', 21, -1, 0), ('w', 12, -1, 0), ('y', 21, -1, 0), ('z', -1, 3222, 0), ('ł', -1, 1602, 0)), (('a', -1, 3353, 0), ('e', 206, -1, 0), ('i', 91, -1, 0), ('l', 91, -1, 0), ('o', -1, 1524, 0), ('p', 206, -1, 0), ('r', 64, -1, 0), ('s', -1, 2234, 0), ('u', 91, -1, 0), ('z', 206, -1, 0), ('ę', 28, -1, 0), ('ł', 64, -1, 0)), (('a', -1, 1455, 0), ('e', 91, -1, 0), ('i', 157, -1, 0), ('j', 91, -1, 0), ('k', 91, -1, 0), ('m', 91, -1, 0), ('n', 91, -1, 0), ('o', -1, 1811, 0), ('r', 91, -1, 0), ('t', 91, -1, 0), ('u', 91, -1, 0), ('w', -1, 1877, 0), ('y', 157, -1, 0), ('z', 91, -1, 0), ('ó', 3, -1, 0)), (('a', -1, 1906, 0), ('b', -1, 1926, 0), ('c', 136, -1, 0), ('e', 91, -1, 0), ('i', 91, -1, 0), ('k', -1, 159, 0), ('m', -1, 3355, 0), ('n', -1, 2829, 0), ('o', 91, -1, 0), ('p', 53, -1, 0), ('r', 91, -1, 0), ('s', -1, 3357, 0), ('w', -1, 3358, 0), ('y', 91, -1, 0), ('z', -1, 2407, 0)), (('a', 53, -1, 0), ('d', 73, -1, 0), ('e', -1, 1838, 0), ('i', -1, 3356, 0), ('j', 73, -1, 0), ('l', 4, -1, 0), ('m', 0, -1, 0), ('o', 137, -1, 0), ('r', -1, 1966, 0), ('t', 41, -1, 0), ('u', 5, -1, 0), ('w', 85, 386, 0), ('y', 137, -1, 0), ('z', 137, -1, 0), ('ś', 5, -1, 0), ('ź', 71, -1, 0)), (('a', 289, -1, 0), ('d', 105, -1, 0), ('e', -1, 612, 0), ('i', -1, 2105, 0), ('j', 12, -1, 0), ('k', 105, -1, 0), ('m', 105, 3128, 0), ('n', 4, -1, 0), ('o', 289, -1, 0), ('p', 1, -1, 0), ('r', 64, -1, 0), ('s', 268, -1, 0), ('t', 105, -1, 0), ('u', 105, -1, 0), ('w', -1, 674, 0), ('y', 147, -1, 0), ('z', 195, -1, 0), ('ł', 64, -1, 0)), (('a', -1, 200, 0), ('e', 136, -1, 0), ('i', 3, -1, 0), ('o', -1, 2096, 0), ('r', 80, -1, 0), ('s', 53, -1, 0), ('y', 3, -1, 0), ('ę', 317, -1, 0)), (('a', -1, 1562, 0), ('e', -1, 2883, 0), ('i', 39, -1, 0), ('k', 0, -1, 0), ('n', 39, -1, 0), ('o', 4, -1, 0), ('r', 53, -1, 0), ('y', 4, -1, 0), ('z', 53, -1, 0)), (('a', 91, -1, 0), ('b', 21, -1, 0), ('c', -1, 2251, 0), ('e', -1, 2365, 0), ('f', 40, -1, 0), ('g', 40, -1, 0), ('h', 40, -1, 0), ('i', 91, -1, 0), ('l', -1, 3360, 0), ('m', -1, 3361, 0), ('n', -1, 3362, 0), ('o', 91, -1, 0), ('p', 206, -1, 0), ('r', -1, 3235, 0), ('s', 21, -1, 0), ('t', 91, -1, 0), ('u', 91, -1, 0), ('w', -1, 3782, 0), ('y', 91, -1, 0), ('z', -1, 3783, 0), ('ł', 206, -1, 0)), (('a', -1, 1673, 0), ('b', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('f', 40, -1, 0), ('i', 1, -1, 0), ('o', 28, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('t', 21, -1, 0), ('u', -1, 2403, 0), ('y', 0, -1, 0), ('ż', 21, -1, 0)), (('a', 40, -1, 0), ('e', 40, -1, 0), ('i', 40, -1, 0), ('o', -1, 53, 0), ('r', 40, -1, 0), ('s', 40, -1, 0)), (('a', -1, 3363, 0), ('b', 21, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('h', -1, 803, 0), ('i', -1, 2125, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('n', -1, 3364, 0), ('o', -1, 3781, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('t', 21, -1, 0), ('w', 21, -1, 0), ('z', 21, -1, 0), ('ś', 21, -1, 0), ('ź', 21, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 2852, 0), ('e', -1, 1716, 0), ('h', 40, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('l', 64, -1, 0), ('o', -1, 129, 0), ('r', 64, -1, 0), ('s', 21, -1, 0), ('t', 40, -1, 0), ('u', -1, 613, 0), ('y', -1, 480, 0), ('z', 4, -1, 0), ('ą', 64, -1, 0), ('ę', -1, 534, 0), ('ł', -1, 859, 0)), (('a', 21, -1, 0), ('d', 3, 359, 0), ('e', -1, 3365, 0), ('i', -1, 708, 0), ('k', 79, -1, 0), ('m', 1, -1, 0), ('o', 21, -1, 0), ('r', 1, -1, 0), ('u', 21, -1, 0), ('y', 21, -1, 0), ('z', 3, -1, 0)), (('a', -1, 2227, 0), ('b', -1, 3366, 0), ('d', 5, -1, 0), ('e', 10, -1, 0), ('g', 10, -1, 0), ('h', 10, -1, 0), ('i', -1, 2027, 0), ('j', 102, -1, 0), ('k', 10, -1, 0), ('n', 26, -1, 0), ('o', 0, 1644, 0), ('p', 10, -1, 0), ('r', -1, 1152, 0), ('s', 5, -1, 0), ('t', -1, 3369, 0), ('u', 10, -1, 0), ('y', 5, -1, 0), ('z', 21, -1, 0)), (('a', 10, -1, 0), ('c', -1, 1062, 0), ('d', 10, -1, 0), ('e', 10, -1, 0), ('h', 10, -1, 0), ('i', 10, -1, 0), ('o', 102, -1, 0), ('r', -1, 3365, 0), ('s', -1, 3367, 0), ('y', -1, 1078, 0), ('ą', 10, -1, 0), ('ł', 10, -1, 0), ('ś', 10, -1, 0)), (('a', 10, -1, 0), ('e', 10, -1, 0), ('i', -1, 1201, 0), ('j', 10, -1, 0), ('k', 10, -1, 0), ('m', 102, -1, 0), ('o', -1, 3368, 0), ('r', 102, -1, 0), ('u', 10, -1, 0), ('y', 102, -1, 0), ('ó', 10, -1, 0), ('ą', 10, -1, 0)), (('a', 21, -1, 0), ('d', -1, 17, 0), ('e', 21, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('l', 3, -1, 0), ('o', 21, -1, 0), ('p', 3, -1, 0), ('r', 21, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ó', -1, 487, 0), ('ś', 82, -1, 0)), (('a', -1, 3370, 0), ('b', 26, -1, 0), ('e', -1, 1809, 0), ('g', 177, -1, 0), ('i', -1, 3779, 0), ('k', -1, 3645, 0), ('l', 26, -1, 0), ('m', 26, -1, 0), ('o', -1, 488, 0), ('p', -1, 2261, 0), ('r', 26, -1, 0), ('s', 10, -1, 0), ('t', 26, -1, 0), ('u', 5, -1, 0), ('z', 26, -1, 0), ('ę', 10, -1, 0), ('ł', 26, -1, 0)), (('a', -1, 202, 0), ('d', 41, -1, 0), ('e', 3, -1, 0), ('g', 133, -1, 0), ('h', 3, -1, 0), ('i', -1, 1389, 0), ('j', 3, -1, 0), ('k', -1, 257, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', -1, 3371, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 1353, 0), ('u', 3, -1, 0), ('w', 102, 2217, 0), ('y', -1, 1258, 0), ('z', 85, -1, 0)), (('a', 102, -1, 0), ('b', -1, 3372, 0), ('c', -1, 3570, 0), ('d', -1, 3572, 0), ('e', 26, -1, 0), ('f', 26, -1, 0), ('g', -1, 3574, 0), ('h', -1, 3579, 0), ('i', 26, -1, 0), ('j', 26, -1, 0), ('k', -1, 3583, 0), ('l', -1, 3599, 0), ('m', -1, 3609, 0), ('n', -1, 3624, 0), ('o', -1, 835, 0), ('p', -1, 3626, 0), ('r', -1, 3638, 0), ('s', -1, 3642, 0), ('t', -1, 3643, 0), ('u', 26, -1, 0), ('w', -1, 3587, 0), ('z', -1, 3777, 0), ('ł', -1, 3774, 0), ('ż', 11, 3579, 0)), (('a', 177, -1, 0), ('c', -1, 1311, 0), ('e', -1, 3373, 0), ('i', -1, 3376, 0), ('l', 1, -1, 0), ('m', 26, -1, 0), ('n', 1, -1, 0), ('o', -1, 3365, 0), ('p', 1, -1, 0), ('r', 26, -1, 0), ('t', 1, -1, 0), ('u', -1, 3566, 0), ('y', 26, -1, 0), ('z', 4, -1, 0), ('ą', 177, -1, 0), ('ę', 26, -1, 0)), (('a', -1, 2175, 0), ('b', 21, 718, 0), ('e', 6, -1, 0), ('f', 21, -1, 0), ('g', 21, -1, 0), ('h', 6, -1, 0), ('i', -1, 1713, 0), ('n', 56, -1, 0), ('o', -1, 70, 0), ('r', 3, 890, 0), ('t', -1, 2363, 0), ('w', 4, -1, 0), ('y', 1, -1, 0), ('z', -1, 3374, 0), ('ś', 4, 270, 0)), (('a', -1, 390, 0), ('d', 40, -1, 0), ('e', -1, 2711, 0), ('i', 21, -1, 0), ('j', 40, -1, 0), ('k', 22, -1, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('r', -1, 3375, 0), ('u', 22, -1, 0), ('y', 3, -1, 0)), (('a', -1, 2471, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 771, 0), ('g', 177, -1, 0), ('i', -1, 475, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', -1, 1777, 0), ('m', -1, 1697, 0), ('n', 2, -1, 0), ('o', -1, 1984, 0), ('p', 2, -1, 0), ('r', -1, 2796, 0), ('s', -1, 637, 0), ('t', 26, -1, 0), ('u', -1, 1722, 0), ('w', -1, 1292, 0), ('y', -1, 1143, 0), ('z', -1, 1436, 0), ('ą', -1, 288, 0), ('ę', -1, 406, 0)), (('a', -1, 3377, 0), ('e', -1, 3383, 0), ('g', 1, -1, 0), ('i', -1, 2289, 0), ('m', -1, 3384, 0), ('n', 3, -1, 0), ('o', -1, 2495, 0), ('p', 4, -1, 0), ('r', 52, 971, 0), ('s', -1, 3565, 0), ('t', -1, 1303, 0), ('u', -1, 3460, 0), ('w', -1, 3163, 0), ('y', -1, 3322, 0), ('z', 55, -1, 0)), (('a', 4, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 1, -1, 0), ('e', -1, 1611, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 3378, 0), ('j', 3, -1, 0), ('k', -1, 3379, 0), ('l', -1, 2005, 0), ('m', 34, -1, 0), ('o', 96, -1, 0), ('r', -1, 2427, 0), ('s', 3, -1, 0), ('t', -1, 1637, 0), ('w', -1, 3382, 0), ('z', -1, 966, 0), ('ó', -1, 1098, 0)), (('a', 53, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 53, -1, 0), ('e', 121, -1, 0), ('i', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 240, -1, 0), ('t', 3, -1, 0), ('u', 351, -1, 0), ('w', 2, 1811, 0), ('z', -1, 1012, 0), ('ą', 351, -1, 0), ('ę', 351, -1, 0)), (('a', -1, 3380, 0), ('c', 0, -1, 0), ('d', -1, 2536, 0), ('e', 208, -1, 0), ('h', -1, 1932, 0), ('i', 240, -1, 0), ('j', 4, -1, 0), ('k', -1, 1807, 0), ('o', 97, -1, 0), ('p', 28, -1, 0), ('r', 4, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', 28, -1, 0), ('ł', -1, 3381, 0)), (('a', -1, 1520, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 1, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', -1, 1977, 0), ('r', 22, -1, 0), ('y', -1, 1613, 0), ('z', 236, -1, 0)), (('a', 2, 1091, 0), ('b', -1, 1271, 0), ('e', 4, -1, 0), ('i', 2, -1, 0), ('k', 41, -1, 0), ('l', 28, -1, 0), ('o', 4, -1, 0), ('p', 0, 188, 0), ('r', 2, -1, 0), ('s', 28, -1, 0), ('u', 131, -1, 0), ('w', 324, -1, 0), ('y', 4, -1, 0), ('z', -1, 2057, 0)), (('a', -1, 2502, 0), ('d', 29, -1, 0), ('e', 34, -1, 0), ('i', -1, 1068, 0), ('j', 2, 894, 0), ('k', 3, -1, 0), ('l', 3, 720, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 704, 0), ('p', 2, 2051, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('w', 2, -1, 0), ('y', 3, -1, 0), ('z', 2, 154, 0), ('ł', 2, -1, 0), ('ż', 3, -1, 0)), (('a', 117, -1, 0), ('c', 3, -1, 0), ('d', 121, 2296, 0), ('e', 3, -1, 0), ('f', 2, -1, 0), ('h', -1, 1911, 0), ('i', -1, 2285, 0), ('j', 3, -1, 0), ('l', 2, -1, 0), ('o', -1, 568, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 223, -1, 0), ('w', 223, -1, 0), ('y', 1, -1, 0), ('z', 5, 2380, 0), ('ż', 2, -1, 0)), (('a', 4, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 4, -1, 0), ('e', -1, 3385, 0), ('i', 1, -1, 0), ('l', 1, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 238, -1, 0), ('s', -1, 3563, 0), ('t', 0, -1, 0), ('w', 1, 3181, 0), ('y', 4, -1, 0), ('z', -1, 2335, 0), ('ę', -1, 2602, 0), ('ś', 4, -1, 0)), (('a', 92, -1, 0), ('b', -1, 2811, 0), ('c', -1, 3386, 0), ('e', 92, -1, 0), ('f', 92, -1, 0), ('g', 92, -1, 0), ('h', 92, -1, 0), ('i', -1, 1924, 0), ('k', -1, 3525, 0), ('l', 92, 3537, 0), ('m', -1, 3560, 0), ('n', -1, 3561, 0), ('o', -1, 3387, 0), ('p', 92, -1, 0), ('r', 82, -1, 0), ('s', -1, 3562, 0), ('u', 40, -1, 0), ('w', -1, 2831, 0), ('z', -1, 3386, 0), ('ę', 40, -1, 0), ('ź', 82, -1, 0), ('ż', 82, -1, 0)), (('a', 207, -1, 0), ('d', -1, 3387, 0), ('e', 92, -1, 0), ('g', 31, 2117, 0), ('i', -1, 1359, 0), ('l', 92, -1, 0), ('n', 92, -1, 0), ('o', 207, -1, 0), ('r', 92, -1, 0), ('y', -1, 3388, 0), ('z', -1, 3389, 0), ('ś', 207, -1, 0)), (('a', 92, -1, 0), ('b', 92, -1, 0), ('e', -1, 1701, 0), ('i', 31, -1, 0), ('n', 92, -1, 0), ('o', 100, -1, 0), ('p', 92, -1, 0), ('r', 92, -1, 0), ('w', 207, -1, 0), ('y', 8, -1, 0), ('z', -1, 1327, 0), ('ź', 207, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 234, -1, 0), ('e', -1, 2067, 0), ('g', 54, -1, 0), ('i', 234, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('n', 38, -1, 0), ('o', 234, -1, 0), ('r', 38, -1, 0), ('s', 4, -1, 0), ('t', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 2117, 0), ('ż', 31, -1, 0)), (('a', -1, 3390, 0), ('b', -1, 3407, 0), ('c', 28, -1, 0), ('d', -1, 1394, 0), ('e', -1, 3059, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 95, 2119, 0), ('n', -1, 1479, 0), ('o', -1, 2892, 0), ('p', -1, 908, 0), ('r', 1, -1, 0), ('s', 79, 797, 0), ('t', 1, -1, 0), ('w', -1, 356, 0), ('y', 31, -1, 0), ('z', -1, 1694, 0), ('ł', 31, -1, 0)), (('a', -1, 3391, 0), ('e', 8, -1, 0), ('i', -1, 3393, 0), ('o', 8, -1, 0), ('r', 10, -1, 0), ('u', -1, 3394, 0), ('y', 100, -1, 0), ('z', 102, -1, 0), ('ę', -1, 3395, 0)), (('a', -1, 1551, 0), ('b', 102, -1, 0), ('d', 10, -1, 0), ('e', 22, -1, 0), ('i', 39, -1, 0), ('l', 39, -1, 0), ('n', 145, -1, 0), ('o', 34, -1, 0), ('p', 5, -1, 0), ('r', -1, 3392, 0), ('s', 39, -1, 0), ('t', 39, -1, 0), ('u', 39, -1, 0), ('y', 34, -1, 0), ('z', 22, -1, 0)), (('a', 10, -1, 0), ('d', 10, -1, 0), ('e', 10, -1, 0), ('g', -1, 3392, 0), ('i', 10, -1, 0), ('l', 10, -1, 0), ('m', 102, -1, 0), ('o', 10, -1, 0), ('r', 102, -1, 0), ('u', 10, -1, 0), ('w', 10, -1, 0), ('y', 10, -1, 0), ('z', 102, -1, 0)), (('a', 7, -1, 0), ('e', -1, 2147, 0), ('i', -1, 3172, 0), ('k', 21, -1, 0), ('m', 3, -1, 0), ('o', -1, 350, 0), ('p', 3, -1, 0), ('r', 5, -1, 0), ('s', 22, -1, 0), ('t', 7, -1, 0), ('u', -1, 1996, 0), ('w', -1, 663, 0), ('y', 3, -1, 0), ('z', 1, 905, 0), ('ą', -1, 2381, 0), ('ę', -1, 1144, 0), ('ł', 7, -1, 0)), (('a', 34, -1, 0), ('d', 22, -1, 0), ('e', 34, -1, 0), ('g', 10, -1, 0), ('i', 90, -1, 0), ('l', 10, -1, 0), ('m', 34, -1, 0), ('o', 34, -1, 0), ('r', -1, 1383, 0), ('y', 90, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 102, -1, 0), ('e', -1, 2632, 0), ('f', -1, 3396, 0), ('g', 2, 1717, 0), ('i', 10, -1, 0), ('l', 2, -1, 0), ('m', -1, 3416, 0), ('n', -1, 2790, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1938, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ł', 10, -1, 0)), (('a', -1, 3329, 0), ('b', -1, 3390, 0), ('c', 102, -1, 0), ('e', 336, -1, 0), ('f', 102, -1, 0), ('i', 336, -1, 0), ('m', 102, 1734, 0), ('n', -1, 3397, 0), ('o', -1, 2622, 0), ('p', -1, 1227, 0), ('r', 56, -1, 0), ('s', -1, 3409, 0), ('u', -1, 1935, 0), ('w', 10, 3410, 0), ('y', 2, -1, 0), ('z', -1, 2434, 0)), (('a', -1, 3398, 0), ('b', 10, -1, 0), ('c', 10, -1, 0), ('d', -1, 3399, 0), ('e', -1, 1636, 0), ('g', 10, -1, 0), ('h', -1, 36, 0), ('i', 102, -1, 0), ('j', -1, 2814, 0), ('k', -1, 3401, 0), ('l', -1, 3402, 0), ('m', -1, 3366, 0), ('n', -1, 1470, 0), ('o', 102, -1, 0), ('p', 102, -1, 0), ('r', -1, 3404, 0), ('t', -1, 3408, 0), ('u', 102, -1, 0), ('w', 10, -1, 0), ('y', -1, 2228, 0), ('z', 10, -1, 0), ('ł', 10, -1, 0), ('ś', -1, 2120, 0), ('ź', 10, -1, 0), ('ż', -1, 2858, 0)), (('a', 90, -1, 0), ('c', 102, -1, 0), ('d', 4, -1, 0), ('e', 5, -1, 0), ('g', 10, -1, 0), ('i', 65, -1, 0), ('o', 4, -1, 0), ('r', 10, -1, 0), ('t', 102, -1, 0), ('w', 10, -1, 0), ('y', 4, -1, 0), ('z', 10, -1, 0), ('ł', 10, -1, 0)), (('a', -1, 2121, 0), ('e', -1, 3400, 0), ('i', -1, 3370, 0), ('o', 102, -1, 0), ('r', 102, -1, 0)), (('a', 2, -1, 0), ('e', 2, -1, 0), ('g', 10, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 10, -1, 0), ('s', 3, 2740, 0), ('u', 2, -1, 0), ('w', -1, 1537, 0), ('y', 2, -1, 0), ('z', 102, -1, 0), ('ł', 10, -1, 0)), (('a', 16, -1, 0), ('b', 16, -1, 0), ('c', -1, 2281, 0), ('d', 16, -1, 0), ('e', -1, 1980, 0), ('g', 16, -1, 0), ('i', 16, -1, 0), ('k', 16, -1, 0), ('l', 105, -1, 0), ('n', -1, 1889, 0), ('o', 16, -1, 0), ('p', 16, -1, 0), ('r', 391, -1, 0), ('s', 10, -1, 0), ('t', 16, -1, 0), ('u', 16, -1, 0), ('w', 95, -1, 0), ('y', 16, -1, 0), ('z', 276, -1, 0), ('ó', 102, -1, 0), ('ę', 3, -1, 0), ('ń', 22, -1, 0), ('ś', 16, -1, 0)), (('a', -1, 2835, 0), ('e', 102, -1, 0), ('i', 82, -1, 0), ('l', 82, -1, 0), ('n', -1, 3403, 0), ('o', -1, 2048, 0), ('p', 40, -1, 0), ('r', -1, 1466, 0), ('s', 82, -1, 0), ('u', 82, -1, 0), ('w', 82, -1, 0), ('y', 82, -1, 0), ('z', 82, -1, 0), ('ó', 10, -1, 0), ('ł', 40, -1, 0)), (('a', 3, -1, 0), ('b', 0, -1, 0), ('d', -1, 693, 0), ('e', 82, -1, 0), ('f', 1, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 40, -1, 0), ('p', 1, -1, 0), ('r', 4, -1, 0), ('w', -1, 1311, 0), ('y', 82, -1, 0), ('z', 0, -1, 0), ('ł', 0, 1245, 0)), (('a', 10, -1, 0), ('b', 39, -1, 0), ('d', 10, -1, 0), ('e', 102, -1, 0), ('i', -1, 3405, 0), ('l', 31, -1, 0), ('o', 10, -1, 0), ('r', 39, -1, 0), ('u', 102, -1, 0), ('z', 145, -1, 0)), (('a', -1, 195, 0), ('c', -1, 3406, 0), ('d', 349, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 57, -1, 0), ('k', 27, -1, 0), ('m', 145, -1, 0), ('n', -1, 790, 0), ('o', 1, -1, 0), ('p', 31, -1, 0), ('r', -1, 2283, 0), ('s', 31, -1, 0), ('t', -1, 1222, 0), ('u', 1, -1, 0), ('w', 349, -1, 0), ('y', -1, 2093, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 349, -1, 0)), (('a', -1, 1003, 0), ('c', 0, -1, 0), ('d', 31, -1, 0), ('e', 178, -1, 0), ('g', 1, -1, 0), ('i', 31, -1, 0), ('k', 31, -1, 0), ('l', 1, -1, 0), ('m', -1, 735, 0), ('o', 31, -1, 0), ('p', 31, -1, 0), ('r', 1, 3407, 0), ('s', -1, 2239, 0), ('t', 1, -1, 0), ('u', 5, -1, 0), ('w', 0, -1, 0), ('z', 31, -1, 0), ('ś', 31, -1, 0)), (('a', -1, 140, 0), ('e', -1, 1269, 0), ('o', -1, 20, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', 0, -1, 0), ('ę', -1, 951, 0)), (('a', 102, -1, 0), ('e', 10, -1, 0), ('i', 102, -1, 0), ('j', 39, -1, 0), ('l', 145, -1, 0), ('o', 102, -1, 0), ('r', -1, 146, 0), ('s', 10, -1, 0), ('t', 39, -1, 0), ('u', 102, -1, 0), ('ę', 10, -1, 0)), (('a', -1, 2525, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 39, -1, 0), ('o', 10, -1, 0), ('p', 102, -1, 0), ('r', 5, -1, 0), ('s', -1, 1751, 0), ('u', 10, 3310, 0), ('y', 102, -1, 0), ('ł', 5, -1, 0)), (('a', 10, -1, 0), ('e', 10, -1, 0), ('h', 10, -1, 0), ('i', -1, 3342, 0), ('o', -1, 3411, 0), ('r', 10, -1, 0), ('t', -1, 3414, 0), ('y', -1, 2844, 0), ('ź', 10, -1, 0)), (('a', 87, -1, 0), ('c', -1, 2731, 0), ('d', 2, -1, 0), ('e', 145, -1, 0), ('i', 102, -1, 0), ('k', 10, -1, 0), ('o', 2, -1, 0), ('p', 102, -1, 0), ('r', 2, -1, 0), ('s', 102, -1, 0), ('t', -1, 3412, 0), ('u', 87, -1, 0), ('z', 102, -1, 0), ('ł', 102, -1, 0), ('ż', 102, -1, 0)), (('a', 102, -1, 0), ('b', 51, -1, 0), ('d', 160, -1, 0), ('e', 10, -1, 0), ('i', 51, -1, 0), ('k', 39, -1, 0), ('n', 137, 3413, 0), ('o', 10, -1, 0), ('r', 51, -1, 0), ('t', 51, 1498, 0), ('u', 10, -1, 0), ('w', 10, -1, 0), ('y', 102, -1, 0), ('z', 10, -1, 0), ('ł', 51, -1, 0)), (('a', 6, -1, 0), ('b', 16, -1, 0), ('d', 16, -1, 0), ('e', 6, -1, 0), ('g', 16, -1, 0), ('i', 95, -1, 0), ('k', 16, -1, 0), ('m', 16, -1, 0), ('o', 1, 722, 0), ('r', 16, -1, 0), ('s', 16, -1, 0), ('u', -1, 427, 0), ('w', -1, 3014, 0), ('y', 6, -1, 0), ('z', 160, -1, 0), ('ę', 95, -1, 0), ('ż', 16, -1, 0)), (('a', -1, 1022, 0), ('d', 54, -1, 0), ('e', 54, -1, 0), ('g', 12, -1, 0), ('i', 22, -1, 0), ('k', -1, 3316, 0), ('o', -1, 1388, 0), ('r', -1, 3409, 0), ('s', -1, 3415, 0), ('u', 22, -1, 0), ('y', 3, -1, 0), ('z', 54, -1, 0)), (('a', 52, -1, 0), ('d', 26, -1, 0), ('e', 52, -1, 0), ('g', 26, -1, 0), ('i', 26, -1, 0), ('k', 26, -1, 0), ('l', 26, -1, 0), ('m', 177, -1, 0), ('n', 26, -1, 0), ('o', 52, -1, 0), ('p', 26, -1, 0), ('r', -1, 3250, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', 26, -1, 0), ('y', 52, -1, 0), ('z', 52, -1, 0), ('ó', 10, -1, 0), ('ł', 26, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 3417, 0), ('e', 3, -1, 0), ('h', 2, -1, 0), ('i', -1, 2024, 0), ('l', -1, 3342, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', -1, 2911, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ś', 2, -1, 0), ('ź', 2, -1, 0), ('ż', -1, 11, 0)), (('a', 2, -1, 0), ('b', -1, 3418, 0), ('c', -1, 1485, 0), ('d', -1, 3419, 0), ('e', -1, 1055, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', -1, 2132, 0), ('i', -1, 2603, 0), ('j', 6, -1, 0), ('k', -1, 2438, 0), ('l', -1, 3423, 0), ('m', -1, 1194, 0), ('n', -1, 1279, 0), ('o', -1, 3091, 0), ('p', 6, -1, 0), ('r', -1, 1802, 0), ('s', -1, 1483, 0), ('t', -1, 2406, 0), ('w', -1, 3424, 0), ('z', -1, 3307, 0), ('ó', 3, -1, 0), ('ł', -1, 3430, 0), ('ż', -1, 3431, 0)), (('a', -1, 127, 0), ('d', 28, -1, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', 157, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 3, -1, 0), ('s', 121, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 3, -1, 0), ('ą', 6, -1, 0)), (('a', -1, 724, 0), ('d', 6, -1, 0), ('e', -1, 2930, 0), ('i', 145, -1, 0), ('m', 39, -1, 0), ('o', 6, -1, 0), ('r', -1, 3420, 0), ('u', 6, -1, 0), ('y', -1, 2533, 0), ('z', 6, -1, 0), ('ą', -1, 707, 0)), (('a', -1, 327, 0), ('d', 106, -1, 0), ('e', -1, 806, 0), ('i', -1, 2484, 0), ('m', 447, -1, 0), ('n', 106, -1, 0), ('o', 33, -1, 0), ('p', -1, 1530, 0), ('r', -1, 1403, 0), ('s', 7, 3421, 0), ('t', 106, -1, 0), ('u', 21, -1, 0), ('w', -1, 1731, 0), ('y', 21, -1, 0), ('z', 21, -1, 0), ('ł', -1, 257, 0)), (('a', -1, 2221, 0), ('b', 7, -1, 0), ('d', -1, 3422, 0), ('e', -1, 567, 0), ('i', -1, 3071, 0), ('o', -1, 2252, 0), ('r', -1, 2070, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 64, -1, 0)), (('a', 7, -1, 0), ('e', 0, -1, 0), ('i', -1, 2099, 0), ('j', 95, -1, 0), ('l', 95, -1, 0), ('m', 105, -1, 0), ('o', 7, -1, 0), ('r', 105, -1, 0), ('z', 95, -1, 0)), (('a', -1, 1336, 0), ('d', -1, 2738, 0), ('e', 6, -1, 0), ('f', 28, -1, 0), ('g', -1, 278, 0), ('h', 6, -1, 0), ('i', -1, 288, 0), ('m', 6, -1, 0), ('o', 6, 6, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('t', -1, 3173, 0), ('u', 6, -1, 0), ('w', 28, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0)), (('a', -1, 1157, 0), ('e', -1, 1336, 0), ('i', -1, 1482, 0), ('o', -1, 3425, 0), ('r', -1, 1703, 0), ('u', 6, -1, 0), ('y', -1, 469, 0), ('z', 28, 356, 0)), (('a', 130, -1, 0), ('b', 6, -1, 0), ('c', -1, 1963, 0), ('d', -1, 3426, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', -1, 1278, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', -1, 2523, 0), ('l', -1, 1319, 0), ('m', 6, -1, 0), ('n', -1, 3428, 0), ('o', 37, -1, 0), ('p', 6, -1, 0), ('r', -1, 636, 0), ('s', -1, 1150, 0), ('t', -1, 3429, 0), ('u', -1, 620, 0), ('w', 6, -1, 0), ('z', -1, 3096, 0), ('ł', -1, 1239, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('e', 6, -1, 0), ('h', 28, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 4, -1, 0), ('t', 6, -1, 0), ('u', -1, 1336, 0), ('y', -1, 2793, 0), ('z', -1, 2351, 0), ('ł', 6, -1, 0), ('ż', -1, 3427, 0)), (('a', -1, 2298, 0), ('e', 6, -1, 0), ('l', 6, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 827, 0), ('b', 6, -1, 0), ('e', -1, 283, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('y', -1, 71, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('i', 6, -1, 0), ('k', -1, 2232, 0), ('l', -1, 281, 0), ('n', -1, 1279, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 3110, 0), ('s', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 94, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('h', 12, -1, 0), ('i', -1, 1016, 0), ('k', 6, -1, 0), ('m', -1, 2090, 0), ('o', -1, 2297, 0), ('r', 12, -1, 0), ('s', 6, -1, 0), ('y', -1, 2868, 0)), (('a', -1, 1256, 0), ('b', -1, 898, 0), ('c', 116, 905, 0), ('e', 28, -1, 0), ('f', -1, 2470, 0), ('i', -1, 1770, 0), ('m', 5, 3432, 0), ('n', -1, 3487, 0), ('o', 28, -1, 0), ('p', 55, 3393, 0), ('r', 28, -1, 0), ('s', -1, 3522, 0), ('u', 28, -1, 0), ('w', -1, 3523, 0), ('z', -1, 282, 0), ('ę', 28, -1, 0)), (('a', -1, 3433, 0), ('d', 4, -1, 0), ('e', 412, -1, 0), ('j', 7, -1, 0), ('o', -1, 3452, 0), ('r', 7, -1, 0), ('u', 5, 3471, 0), ('y', -1, 3485, 0), ('z', -1, 3486, 0), ('ś', 5, -1, 0)), (('a', 1, -1, 0), ('e', -1, 729, 0), ('i', -1, 2247, 0), ('j', 1, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', -1, 3434, 0), ('o', 1, -1, 0), ('r', 412, -1, 0), ('s', -1, 3162, 0), ('u', 1, -1, 0), ('z', 4, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('d', 0, -1, 0), ('e', 131, -1, 0), ('i', 0, -1, 0), ('k', -1, 120, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 3435, 0), ('u', 1, -1, 0), ('y', 6, -1, 0)), (('a', 0, -1, 0), ('b', -1, 3436, 0), ('d', 0, 82, 0), ('e', -1, 3217, 0), ('g', -1, 1897, 0), ('h', 28, -1, 0), ('i', -1, 3458, 0), ('k', 1, 359, 0), ('l', -1, 3462, 0), ('m', -1, 3434, 0), ('n', -1, 3464, 0), ('o', -1, 388, 0), ('p', -1, 3463, 0), ('r', 0, 3468, 0), ('s', -1, 3470, 0), ('t', 0, 2081, 0), ('w', -1, 3360, 0), ('z', 28, -1, 0), ('ł', -1, 1203, 0)), (('a', 0, -1, 0), ('c', 28, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 3437, 0), ('s', 1, -1, 0), ('u', 28, -1, 0), ('y', 1, -1, 0)), (('a', 28, -1, 0), ('c', 0, -1, 0), ('d', 79, -1, 0), ('e', -1, 122, 0), ('f', 1, -1, 0), ('h', -1, 196, 0), ('i', -1, 3438, 0), ('j', 0, -1, 0), ('o', -1, 3457, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 2413, 0), ('c', 37, -1, 0), ('e', -1, 3439, 0), ('g', 1, -1, 0), ('h', 234, -1, 0), ('i', -1, 3440, 0), ('k', 79, -1, 0), ('l', 208, 3442, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 372, 0), ('r', -1, 3443, 0), ('s', -1, 3452, 0), ('t', 234, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0)), (('a', 30, -1, 0), ('d', 268, -1, 0), ('e', 30, -1, 0), ('i', -1, 1020, 0), ('n', 30, -1, 0), ('o', 30, -1, 0), ('r', -1, 560, 0), ('s', -1, 2928, 0), ('u', -1, 3248, 0), ('w', 268, -1, 0), ('y', -1, 2641, 0), ('z', 120, 273, 0), ('ą', 30, -1, 0), ('ę', -1, 2141, 0), ('ł', 30, -1, 0)), (('a', -1, 3198, 0), ('b', 89, -1, 0), ('c', -1, 2464, 0), ('e', 28, -1, 0), ('i', -1, 1167, 0), ('j', 28, -1, 0), ('m', 4, -1, 0), ('n', 6, -1, 0), ('o', -1, 1453, 0), ('r', -1, 2432, 0), ('s', -1, 3328, 0), ('w', 4, -1, 0), ('y', -1, 3441, 0), ('z', 231, -1, 0), ('ą', 2, -1, 0), ('ę', 2, -1, 0)), (('a', 23, -1, 0), ('b', -1, 2228, 0), ('d', 23, -1, 0), ('e', 23, -1, 0), ('f', 23, -1, 0), ('g', 23, -1, 0), ('h', -1, 1559, 0), ('i', 23, -1, 0), ('o', -1, 3176, 0), ('p', -1, 2203, 0), ('r', -1, 600, 0), ('t', -1, 3201, 0), ('u', 23, -1, 0), ('y', 23, -1, 0), ('z', 2, -1, 0), ('ó', 23, -1, 0), ('ł', -1, 577, 0), ('ż', 28, -1, 0)), (('a', 208, -1, 0), ('b', -1, 732, 0), ('d', 208, -1, 0), ('e', 116, -1, 0), ('g', 171, -1, 0), ('h', 171, -1, 0), ('i', 3, -1, 0), ('k', 171, -1, 0), ('m', 171, -1, 0), ('o', -1, 3285, 0), ('p', 171, -1, 0), ('r', -1, 2148, 0), ('s', 0, -1, 0), ('t', 234, -1, 0), ('w', 28, -1, 0), ('y', 208, -1, 0), ('z', 208, -1, 0)), (('a', 234, -1, 0), ('d', 126, -1, 0), ('e', -1, 221, 0), ('i', -1, 3444, 0), ('j', 126, 3451, 0), ('k', 0, -1, 0), ('o', 234, -1, 0), ('r', 64, -1, 0), ('u', 1, -1, 0), ('y', 64, -1, 0), ('z', 126, -1, 0), ('ż', 126, -1, 0)), (('a', -1, 648, 0), ('c', 126, -1, 0), ('e', -1, 415, 0), ('g', 126, -1, 0), ('i', 2, -1, 0), ('k', -1, 832, 0), ('m', -1, 3333, 0), ('n', -1, 3445, 0), ('o', -1, 3189, 0), ('p', 126, -1, 0), ('r', -1, 832, 0), ('s', 53, -1, 0), ('t', 2, -1, 0), ('u', -1, 3448, 0), ('w', 6, 3449, 0), ('z', -1, 671, 0), ('ó', -1, 547, 0), ('ł', 189, -1, 0)), (('a', -1, 330, 0), ('b', 71, -1, 0), ('c', 71, -1, 0), ('d', -1, 744, 0), ('e', 1, -1, 0), ('g', -1, 1250, 0), ('h', 71, -1, 0), ('i', -1, 1260, 0), ('k', -1, 1452, 0), ('l', 71, -1, 0), ('o', -1, 775, 0), ('p', 71, -1, 0), ('r', 71, -1, 0), ('s', -1, 2673, 0), ('t', 71, -1, 0), ('u', -1, 3243, 0), ('y', 71, -1, 0), ('z', -1, 3446, 0), ('ś', 28, 1452, 0), ('ź', 28, -1, 0), ('ż', 71, -1, 0)), (('a', 38, -1, 0), ('d', 4, -1, 0), ('e', 38, -1, 0), ('i', -1, 2021, 0), ('j', 89, -1, 0), ('l', -1, 1947, 0), ('n', 38, -1, 0), ('o', 89, -1, 0), ('p', 4, -1, 0), ('r', -1, 3447, 0), ('z', 28, -1, 0), ('ą', 89, -1, 0), ('ł', 71, -1, 0)), (('a', -1, 1769, 0), ('e', 71, -1, 0), ('i', -1, 2390, 0), ('l', 5, -1, 0), ('o', 71, -1, 0), ('p', 71, -1, 0), ('r', 106, -1, 0), ('t', 0, -1, 0), ('w', 12, -1, 0), ('z', -1, 3222, 0)), (('a', -1, 2408, 0), ('e', -1, 465, 0), ('i', -1, 1226, 0), ('k', 2, -1, 0), ('m', 28, -1, 0), ('n', 2, -1, 0), ('o', 6, -1, 0), ('r', 108, -1, 0), ('t', 2, -1, 0), ('u', -1, 1551, 0), ('y', -1, 498, 0), ('z', 2, -1, 0), ('ę', 6, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 2807, 0), ('b', 7, -1, 0), ('d', -1, 3450, 0), ('e', 53, -1, 0), ('f', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', -1, 2603, 0), ('n', 7, -1, 0), ('o', -1, 788, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('t', 7, -1, 0), ('u', 53, -1, 0), ('y', 7, -1, 0), ('z', -1, 559, 0), ('ł', 7, -1, 0)), (('a', 6, -1, 0), ('b', -1, 1618, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', -1, 602, 0), ('g', 2, -1, 0), ('h', 3, -1, 0), ('i', -1, 2948, 0), ('j', 2, -1, 0), ('k', -1, 1862, 0), ('m', -1, 2214, 0), ('n', 3, -1, 0), ('o', 53, -1, 0), ('p', -1, 1976, 0), ('r', 3, -1, 0), ('s', 2, -1, 0), ('t', -1, 3400, 0), ('w', 2, 564, 0), ('z', 2, -1, 0)), (('a', 126, -1, 0), ('b', 28, -1, 0), ('e', -1, 3016, 0), ('i', 30, -1, 0), ('l', -1, 3254, 0), ('o', 28, -1, 0), ('p', 30, -1, 0), ('r', 30, -1, 0), ('t', 30, -1, 0), ('u', 126, -1, 0), ('y', 28, -1, 0), ('z', 30, -1, 0), ('ą', 102, -1, 0), ('ę', 10, -1, 0)), (('a', 0, -1, 0), ('c', -1, 462, 0), ('d', -1, 3453, 0), ('e', 1, -1, 0), ('g', 4, -1, 0), ('h', 7, -1, 0), ('i', 0, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', -1, 3456, 0), ('n', 0, 651, 0), ('o', 79, -1, 0), ('r', -1, 1071, 0), ('s', 79, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 4, -1, 0), ('z', 28, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 3454, 0), ('d', 1, -1, 0), ('e', -1, 3455, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 0, 62, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('u', -1, 993, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 212, 0), ('e', -1, 1689, 0), ('i', -1, 1785, 0), ('k', -1, 2379, 0), ('n', 3, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', -1, 2229, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 1486, 0), ('e', 22, -1, 0), ('h', 22, -1, 0), ('i', 1, -1, 0), ('l', 22, -1, 0), ('m', 22, -1, 0), ('o', -1, 3075, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('y', 1, -1, 0), ('z', 37, -1, 0), ('ó', 3, -1, 0)), (('a', -1, 2307, 0), ('b', 28, -1, 0), ('d', 28, -1, 0), ('e', 79, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', 94, -1, 0), ('k', -1, 2068, 0), ('m', 28, -1, 0), ('o', -1, 3140, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('t', 28, -1, 0), ('u', 40, -1, 0), ('w', 28, -1, 0), ('y', 355, -1, 0), ('z', 28, -1, 0), ('ś', 28, -1, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 12, -1, 0), ('b', 24, -1, 0), ('c', -1, 1489, 0), ('d', 24, -1, 0), ('e', 12, -1, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 12, -1, 0), ('k', 0, -1, 0), ('l', -1, 2331, 0), ('m', 181, -1, 0), ('n', 0, 310, 0), ('o', 12, -1, 0), ('p', 0, 428, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('w', -1, 486, 0), ('y', -1, 1595, 0), ('z', 12, -1, 0), ('ą', -1, 523, 0), ('ć', 12, -1, 0), ('ę', 12, -1, 0)), (('a', -1, 3459, 0), ('c', 28, -1, 0), ('e', -1, 1910, 0), ('f', 1, -1, 0), ('i', -1, 2289, 0), ('k', -1, 46, 0), ('l', 1, -1, 0), ('m', 4, -1, 0), ('n', 4, -1, 0), ('o', -1, 2495, 0), ('r', 1, -1, 0), ('u', -1, 3460, 0), ('w', -1, 1093, 0), ('y', -1, 3322, 0), ('z', -1, 339, 0), ('ł', 21, -1, 0)), (('a', -1, 329, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 157, -1, 0), ('e', -1, 1276, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', -1, 3378, 0), ('j', 3, -1, 0), ('k', -1, 3379, 0), ('l', -1, 2005, 0), ('m', 34, -1, 0), ('o', -1, 243, 0), ('r', -1, 1474, 0), ('s', 3, -1, 0), ('t', -1, 1637, 0), ('u', -1, 1178, 0), ('w', -1, 3382, 0), ('z', -1, 966, 0)), (('a', -1, 2133, 0), ('b', 190, -1, 0), ('c', -1, 3461, 0), ('d', 2, -1, 0), ('e', 190, -1, 0), ('h', -1, 965, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('n', 34, -1, 0), ('o', 190, -1, 0), ('p', 34, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 106, -1, 0), ('y', 30, -1, 0), ('z', 51, -1, 0)), (('a', 2, -1, 0), ('c', 2, -1, 0), ('d', 28, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 44, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', -1, 2872, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0), ('ę', 28, -1, 0), ('ń', 2, -1, 0), ('ś', 2, -1, 0)), (('a', 4, -1, 0), ('c', -1, 1256, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('o', 4, -1, 0), ('r', -1, 1267, 0), ('s', -1, 3463, 0), ('u', 28, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ó', 28, -1, 0)), (('a', 4, -1, 0), ('b', 4, -1, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('f', 0, -1, 0), ('g', -1, 1713, 0), ('i', 4, -1, 0), ('j', 4, -1, 0), ('k', 4, -1, 0), ('l', 4, -1, 0), ('m', 1, 524, 0), ('o', 1, 1190, 0), ('p', 4, -1, 0), ('r', -1, 568, 0), ('u', 79, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 1129, 0), ('c', 79, -1, 0), ('e', 28, -1, 0), ('i', 0, -1, 0), ('o', -1, 735, 0), ('r', 28, -1, 0), ('s', -1, 3465, 0), ('z', 79, -1, 0), ('ą', 0, -1, 0), ('ę', 28, -1, 0)), (('a', -1, 1342, 0), ('b', 79, -1, 0), ('e', 79, -1, 0), ('i', 79, -1, 0), ('j', 79, -1, 0), ('l', 79, -1, 0), ('m', 79, -1, 0), ('o', 79, -1, 0), ('p', 79, -1, 0), ('r', -1, 3466, 0), ('w', 79, -1, 0), ('ó', 79, -1, 0), ('ę', 0, -1, 0), ('ń', 79, -1, 0), ('ź', 79, -1, 0)), (('a', -1, 1420, 0), ('d', -1, 1044, 0), ('e', 79, -1, 0), ('g', -1, 2942, 0), ('i', -1, 1380, 0), ('j', 1, -1, 0), ('k', 0, 16, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 79, -1, 0), ('p', -1, 2887, 0), ('r', -1, 3020, 0), ('t', 3, -1, 0), ('u', 79, -1, 0), ('w', -1, 3467, 0), ('z', 1, -1, 0), ('ó', 79, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 449, 0), ('e', 1, -1, 0), ('i', 3, -1, 0), ('o', -1, 1927, 0), ('u', 0, -1, 0), ('y', -1, 288, 0)), (('a', 4, -1, 0), ('b', 1, 188, 0), ('d', 4, -1, 0), ('e', 1, -1, 0), ('g', 4, -1, 0), ('i', 4, -1, 0), ('k', 0, -1, 0), ('m', 4, -1, 0), ('o', 6, -1, 0), ('r', -1, 839, 0), ('t', 0, 179, 0), ('u', -1, 3469, 0), ('w', 28, -1, 0), ('z', 4, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 2229, 0), ('d', 6, -1, 0), ('e', 46, -1, 0), ('f', 20, -1, 0), ('i', 46, -1, 0), ('l', 5, -1, 0), ('m', 4, -1, 0), ('o', 120, -1, 0), ('r', 20, -1, 0), ('t', 4, -1, 0), ('y', -1, 2952, 0), ('z', -1, 421, 0)), (('a', 1, -1, 0), ('d', 29, -1, 0), ('e', 1, -1, 0), ('i', 0, -1, 0), ('j', 28, -1, 0), ('n', 1, -1, 0), ('o', -1, 1929, 0), ('r', 4, -1, 0), ('s', 0, -1, 0), ('ą', 28, -1, 0)), (('a', -1, 3472, 0), ('b', -1, 3473, 0), ('d', 5, -1, 0), ('e', -1, 3372, 0), ('g', 7, -1, 0), ('h', 4, -1, 0), ('i', 4, -1, 0), ('k', 4, -1, 0), ('l', 1, 3475, 0), ('o', -1, 3479, 0), ('p', 4, -1, 0), ('r', 4, -1, 0), ('s', 55, -1, 0), ('t', -1, 3384, 0), ('u', -1, 3480, 0), ('z', -1, 1958, 0), ('ó', 55, -1, 0), ('ł', 7, -1, 0)), (('a', 238, -1, 0), ('c', 1, -1, 0), ('d', -1, 619, 0), ('e', 40, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', -1, 2566, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 657, 0), ('n', 1, -1, 0), ('o', -1, 2202, 0), ('p', 4, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 3139, 0), ('w', 4, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 3474, 0), ('e', -1, 1189, 0), ('i', 39, -1, 0), ('n', 39, -1, 0), ('o', -1, 3408, 0), ('r', -1, 2816, 0), ('u', 5, -1, 0), ('y', -1, 3474, 0), ('z', 39, -1, 0)), (('a', -1, 66, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1337, 0), ('f', 39, -1, 0), ('i', 39, -1, 0), ('j', 39, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 39, -1, 0), ('u', 5, -1, 0), ('w', -1, 3269, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', 39, -1, 0), ('ś', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 1, -1, 0), ('c', -1, 3476, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('l', -1, 3477, 0), ('n', 5, -1, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 31, -1, 0), ('y', -1, 51, 0), ('z', 31, -1, 0), ('ł', 1, -1, 0)), (('a', 217, -1, 0), ('b', 1, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('k', 4, -1, 0), ('l', 1, -1, 0), ('o', 4, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 20, -1, 0), ('w', 1, -1, 0), ('y', 4, -1, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0), ('ń', 1, -1, 0)), (('a', -1, 3478, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('h', 31, -1, 0), ('i', -1, 374, 0), ('l', 37, -1, 0), ('o', 31, -1, 0), ('p', 37, -1, 0), ('r', 0, -1, 0), ('t', -1, 1578, 0), ('y', 31, -1, 0), ('z', 31, -1, 0)), (('a', -1, 894, 0), ('e', -1, 2910, 0), ('i', -1, 1419, 0), ('n', 0, -1, 0), ('o', -1, 1244, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 3072, 0), ('z', 5, 545, 0), ('ó', 21, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 883, 0), ('b', 55, -1, 0), ('d', 79, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', -1, 1666, 0), ('k', -1, 527, 0), ('m', 55, -1, 0), ('n', 41, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 2992, 0), ('t', 4, -1, 0), ('u', 0, -1, 0), ('w', 3, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 2520, 0), ('b', 4, -1, 0), ('e', -1, 3481, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 4, -1, 0), ('l', -1, 2575, 0), ('m', -1, 1255, 0), ('n', 4, -1, 0), ('o', -1, 3483, 0), ('p', 28, 1807, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', -1, 2652, 0), ('y', -1, 1205, 0), ('z', 28, -1, 0), ('ę', 2, -1, 0)), (('a', -1, 3482, 0), ('b', 22, -1, 0), ('c', 2, -1, 0), ('d', 3, -1, 0), ('e', -1, 2092, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('l', 28, -1, 0), ('m', 22, -1, 0), ('o', 22, -1, 0), ('r', -1, 1565, 0), ('t', 28, -1, 0), ('u', -1, 343, 0), ('y', -1, 2046, 0), ('z', -1, 2293, 0), ('ó', 22, -1, 0)), (('a', -1, 621, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 1287, 0), ('f', 22, -1, 0), ('i', -1, 645, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('m', 2, -1, 0), ('n', 21, -1, 0), ('o', -1, 66, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', -1, 838, 0), ('w', 22, -1, 0), ('y', 62, -1, 0), ('z', -1, 1080, 0), ('ę', 63, -1, 0), ('ł', -1, 3393, 0)), (('a', 41, -1, 0), ('b', 2, -1, 0), ('e', -1, 2740, 0), ('h', 2, -1, 0), ('i', 0, -1, 0), ('j', 2, -1, 0), ('k', -1, 3484, 0), ('l', -1, 751, 0), ('o', -1, 2715, 0), ('r', -1, 2157, 0), ('t', -1, 465, 0), ('u', -1, 1739, 0), ('y', -1, 2447, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 2, -1, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('r', 2, -1, 0), ('s', -1, 3028, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ą', 28, -1, 0)), (('a', -1, 1226, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 1691, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 1616, 0), ('u', 0, -1, 0), ('w', 4, -1, 0), ('y', -1, 2808, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 767, 0), ('b', -1, 754, 0), ('c', 116, -1, 0), ('d', 4, -1, 0), ('e', -1, 531, 0), ('g', 1, -1, 0), ('k', 0, -1, 0), ('o', 4, -1, 0), ('r', -1, 1363, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 1815, 0), ('b', 7, -1, 0), ('c', 7, 4, 0), ('d', -1, 2540, 0), ('e', -1, 2591, 0), ('g', 7, -1, 0), ('h', -1, 128, 0), ('i', -1, 890, 0), ('j', -1, 2334, 0), ('k', -1, 3488, 0), ('l', -1, 3489, 0), ('m', -1, 3152, 0), ('n', 5, -1, 0), ('o', -1, 3490, 0), ('p', 5, -1, 0), ('r', -1, 1702, 0), ('t', -1, 2534, 0), ('u', 7, -1, 0), ('w', -1, 3519, 0), ('y', -1, 573, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ś', -1, 3521, 0), ('ź', 7, -1, 0), ('ż', -1, 2323, 0)), (('a', 55, -1, 0), ('d', 3, -1, 0), ('e', 335, -1, 0), ('i', 335, -1, 0), ('k', 183, -1, 0), ('l', 26, -1, 0), ('m', 55, -1, 0), ('o', -1, 1503, 0), ('p', 26, -1, 0), ('r', 55, -1, 0), ('s', 7, -1, 0), ('u', -1, 1438, 0), ('w', 26, -1, 0), ('y', 335, -1, 0), ('z', 271, -1, 0), ('ó', 5, -1, 0), ('ł', 183, -1, 0)), (('a', -1, 1952, 0), ('e', -1, 2433, 0), ('o', -1, 1902, 0), ('ó', -1, 173, 0)), (('a', 4, -1, 0), ('e', 0, -1, 0), ('g', 7, -1, 0), ('h', 37, -1, 0), ('i', 37, -1, 0), ('k', 4, -1, 0), ('l', -1, 3491, 0), ('m', 3, -1, 0), ('o', -1, 3493, 0), ('r', -1, 2591, 0), ('w', -1, 1818, 0), ('z', -1, 3496, 0), ('ł', -1, 2080, 0), ('ś', 4, -1, 0), ('ż', 37, -1, 0)), (('a', 37, -1, 0), ('d', 0, -1, 0), ('e', -1, 1590, 0), ('g', -1, 3492, 0), ('i', 1, -1, 0), ('o', 1, 386, 0), ('t', 37, -1, 0), ('u', 0, -1, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 1564, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 3494, 0), ('d', 28, -1, 0), ('e', -1, 2258, 0), ('h', 0, -1, 0), ('i', -1, 2338, 0), ('j', 0, -1, 0), ('k', 28, -1, 0), ('l', 0, -1, 0), ('m', -1, 2115, 0), ('n', 41, -1, 0), ('o', 0, 2885, 0), ('p', 6, -1, 0), ('r', -1, 215, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', -1, 1852, 0), ('y', -1, 3094, 0), ('z', 41, -1, 0), ('ł', 0, -1, 0)), (('a', 108, -1, 0), ('b', -1, 851, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 215, 0), ('h', 0, -1, 0), ('i', -1, 3495, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1432, 0), ('m', -1, 1327, 0), ('o', 29, -1, 0), ('p', 0, -1, 0), ('r', -1, 2456, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 73, 0), ('w', -1, 2694, 0), ('y', 108, -1, 0), ('z', -1, 354, 0), ('ł', 0, -1, 0)), (('a', -1, 2008, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 793, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('m', -1, 215, 0), ('n', 0, -1, 0), ('o', 79, -1, 0), ('p', -1, 1334, 0), ('r', 0, -1, 0), ('s', 0, 536, 0), ('t', 0, -1, 0), ('u', 85, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 3497, 0), ('c', 1, -1, 0), ('d', 8, -1, 0), ('e', -1, 2536, 0), ('f', 34, -1, 0), ('i', -1, 1347, 0), ('j', 8, -1, 0), ('k', 34, -1, 0), ('m', 8, -1, 0), ('n', -1, 3382, 0), ('o', -1, 3502, 0), ('p', 8, -1, 0), ('r', -1, 1776, 0), ('s', -1, 3503, 0), ('t', 8, -1, 0), ('u', -1, 3514, 0), ('w', 8, -1, 0), ('y', -1, 56, 0), ('z', 100, -1, 0), ('ą', -1, 3518, 0), ('ę', -1, 3286, 0), ('ł', 2, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('d', 2, 2722, 0), ('e', 34, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', -1, 3498, 0), ('m', 34, 367, 0), ('o', 7, 378, 0), ('r', 3, 2655, 0), ('s', 34, -1, 0), ('t', 3, 911, 0), ('u', 7, -1, 0), ('w', 3, -1, 0), ('z', -1, 2702, 0), ('ł', 3, 564, 0)), (('a', -1, 1885, 0), ('b', 2, -1, 0), ('e', -1, 3499, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 2387, 0), ('r', -1, 3500, 0), ('u', 3, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 76, 0), ('c', 21, -1, 0), ('e', 34, -1, 0), ('i', -1, 1414, 0), ('o', 2, -1, 0), ('r', -1, 2127, 0), ('u', -1, 1049, 0), ('y', -1, 2158, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0), ('ą', -1, 2621, 0), ('ę', 3, -1, 0)), (('a', -1, 1346, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 3, -1, 0), ('i', -1, 1279, 0), ('k', -1, 3501, 0), ('m', 2, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 1606, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0)), (('a', -1, 3260, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 127, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 564, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 99, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 99, -1, 0), ('f', 3, -1, 0), ('g', -1, 604, 0), ('h', 0, -1, 0), ('i', 2, -1, 0), ('k', 2, 2962, 0), ('l', 3, 895, 0), ('m', 3, -1, 0), ('o', 6, 378, 0), ('r', -1, 372, 0), ('w', 2, -1, 0), ('y', 99, -1, 0), ('z', -1, 3421, 0), ('ł', -1, 3005, 0)), (('a', -1, 871, 0), ('b', 6, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('h', -1, 892, 0), ('i', -1, 3504, 0), ('m', 4, 3114, 0), ('o', 3, -1, 0), ('p', 4, -1, 0), ('r', 6, 3505, 0), ('t', -1, 3507, 0), ('u', -1, 610, 0), ('y', 3, -1, 0), ('z', -1, 1824, 0), ('ż', -1, 3111, 0)), (('a', -1, 193, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 22, 154, 0), ('l', -1, 1538, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('u', -1, 1459, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ś', 3, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('e', -1, 3506, 0), ('i', -1, 881, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 30, -1, 0), ('m', 95, -1, 0), ('o', 1, -1, 0), ('r', 95, -1, 0), ('t', 1, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 724, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 330, -1, 0), ('b', 6, -1, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('i', -1, 2392, 0), ('l', 3, 913, 0), ('m', 3, 649, 0), ('n', 2, -1, 0), ('o', 3, 2876, 0), ('p', 6, -1, 0), ('r', -1, 2268, 0), ('s', 3, -1, 0), ('u', 330, -1, 0), ('y', 330, -1, 0), ('z', 6, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 370, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('e', 11, -1, 0), ('f', -1, 1884, 0), ('g', 1, 1318, 0), ('h', 21, -1, 0), ('i', -1, 1428, 0), ('k', 1, -1, 0), ('l', -1, 3508, 0), ('m', -1, 2069, 0), ('n', -1, 3509, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('y', 6, -1, 0), ('z', 1, -1, 0)), (('a', 1, -1, 0), ('c', 245, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', 245, -1, 0), ('k', 1, -1, 0), ('l', 245, 1507, 0), ('m', 1, -1, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 245, -1, 0), ('u', -1, 180, 0), ('w', 1, -1, 0), ('z', 245, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 2793, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 403, 0), ('g', 1, -1, 0), ('h', -1, 764, 0), ('i', -1, 994, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 3510, 0), ('r', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 5, -1, 0), ('z', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 11, -1, 0), ('b', 11, -1, 0), ('e', 11, -1, 0), ('g', 1, -1, 0), ('i', -1, 839, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 21, -1, 0), ('o', 11, -1, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('t', -1, 1367, 0), ('y', -1, 3511, 0), ('z', 1, -1, 0)), (('a', 23, -1, 0), ('b', 23, -1, 0), ('e', 23, -1, 0), ('g', -1, 1172, 0), ('i', 23, -1, 0), ('j', 23, -1, 0), ('o', 23, -1, 0), ('r', 23, -1, 0), ('s', 12, -1, 0), ('w', 11, -1, 0), ('y', 23, -1, 0), ('z', -1, 3512, 0), ('ż', 23, -1, 0)), (('a', -1, 2450, 0), ('b', -1, 3273, 0), ('c', 3, -1, 0), ('d', -1, 2453, 0), ('e', -1, 1111, 0), ('f', -1, 2454, 0), ('g', 3, 3378, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 3, -1, 0), ('k', 3, 2214, 0), ('l', 300, -1, 0), ('m', 3, -1, 0), ('o', -1, 3450, 0), ('p', 2, -1, 0), ('r', -1, 1599, 0), ('t', -1, 2877, 0), ('u', -1, 3513, 0), ('w', -1, 603, 0), ('y', -1, 2446, 0), ('z', 8, -1, 0), ('ó', -1, 2756, 0), ('ł', -1, 1025, 0)), (('a', -1, 1360, 0), ('b', 3, 26, 0), ('c', 117, -1, 0), ('d', 2, 2876, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 2505, 0), ('k', 3, -1, 0), ('n', 2, -1, 0), ('o', 29, -1, 0), ('r', -1, 2858, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('z', -1, 1050, 0)), (('a', 14, -1, 0), ('d', 14, -1, 0), ('e', 3, -1, 0), ('h', 14, -1, 0), ('i', 83, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 34, -1, 0), ('o', -1, 2128, 0), ('r', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', -1, 3515, 0)), (('a', -1, 1680, 0), ('b', 14, -1, 0), ('c', 2, -1, 0), ('d', 14, -1, 0), ('e', -1, 3516, 0), ('g', 14, -1, 0), ('i', 14, -1, 0), ('k', 14, -1, 0), ('o', -1, 2134, 0), ('p', 4, 3517, 0), ('r', -1, 2958, 0), ('t', 14, -1, 0), ('u', 14, -1, 0), ('y', 14, -1, 0), ('z', -1, 2756, 0), ('ś', 14, -1, 0)), (('a', -1, 2665, 0), ('e', 2, -1, 0), ('i', -1, 2962, 0), ('k', -1, 911, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 630, 0), ('r', 2, -1, 0), ('t', -1, 1618, 0), ('u', 28, -1, 0), ('z', 14, -1, 0)), (('a', 2, -1, 0), ('b', 3, -1, 0), ('d', -1, 564, 0), ('e', 4, -1, 0), ('f', 3, -1, 0), ('i', -1, 198, 0), ('j', -1, 1417, 0), ('k', -1, 2387, 0), ('l', 41, -1, 0), ('o', -1, 1276, 0), ('p', 3, -1, 0), ('r', -1, 2502, 0), ('t', 3, -1, 0), ('u', 14, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 344, 0), ('d', 409, -1, 0), ('e', -1, 24, 0), ('i', -1, 1964, 0), ('j', 121, -1, 0), ('k', 2, -1, 0), ('l', 121, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 1985, 0), ('p', 2, 428, 0), ('r', -1, 602, 0), ('z', -1, 928, 0)), (('a', 55, -1, 0), ('d', -1, 3520, 0), ('e', 7, -1, 0), ('o', 55, -1, 0), ('r', 5, -1, 0), ('s', 55, -1, 0), ('u', 1, -1, 0), ('y', 7, -1, 0), ('ę', 4, -1, 0)), (('a', -1, 1743, 0), ('e', -1, 2235, 0), ('i', 4, -1, 0), ('n', 0, -1, 0), ('o', 55, -1, 0), ('r', 55, -1, 0), ('u', 55, -1, 0), ('ę', 55, -1, 0)), (('a', -1, 129, 0), ('e', -1, 466, 0), ('l', 7, -1, 0), ('y', 7, -1, 0)), (('a', 136, -1, 0), ('d', 13, -1, 0), ('e', -1, 2884, 0), ('i', 5, -1, 0), ('j', 105, -1, 0), ('m', 13, -1, 0), ('o', 55, -1, 0), ('p', 5, -1, 0), ('r', 105, -1, 0), ('s', 105, -1, 0), ('t', 105, 2867, 0), ('u', 5, -1, 0), ('w', 6, -1, 0), ('y', 5, -1, 0), ('z', 57, -1, 0), ('ę', -1, 1956, 0), ('ł', 105, -1, 0)), (('a', -1, 1943, 0), ('e', -1, 3263, 0), ('i', -1, 1371, 0), ('o', -1, 2705, 0), ('r', -1, 3524, 0), ('t', -1, 1220, 0), ('y', -1, 384, 0), ('ó', 7, -1, 0)), (('a', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 555, 0), ('k', -1, 1221, 0), ('m', 28, -1, 0), ('o', -1, 743, 0), ('t', 4, -1, 0), ('w', 28, -1, 0)), (('a', -1, 3526, 0), ('d', 40, -1, 0), ('e', 3, -1, 0), ('f', 40, -1, 0), ('i', 40, -1, 0), ('k', 82, -1, 0), ('l', -1, 1751, 0), ('m', 3, -1, 0), ('o', 92, -1, 0), ('r', 40, -1, 0), ('t', 40, -1, 0), ('w', 40, -1, 0), ('y', 3, -1, 0), ('z', 1, -1, 0), ('ż', 40, -1, 0)), (('a', -1, 271, 0), ('e', -1, 609, 0), ('i', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 283, 0), ('u', -1, 2621, 0), ('w', 1, -1, 0), ('y', -1, 3527, 0), ('z', 12, 129, 0), ('ó', 3, -1, 0)), (('a', 16, -1, 0), ('b', 16, -1, 0), ('c', 3, -1, 0), ('d', 16, -1, 0), ('e', -1, 3528, 0), ('g', 16, -1, 0), ('i', 16, -1, 0), ('k', 16, -1, 0), ('m', 3, -1, 0), ('o', 16, -1, 0), ('p', 16, -1, 0), ('r', -1, 1801, 0), ('t', 16, -1, 0), ('u', 16, -1, 0), ('y', 16, -1, 0), ('z', 3, -1, 0), ('ś', 16, -1, 0)), (('a', -1, 2739, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', -1, 3529, 0), ('k', 2, -1, 0), ('m', 2, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('u', 2, -1, 0), ('z', 16, -1, 0), ('ó', 28, -1, 0)), (('a', -1, 1313, 0), ('b', 16, -1, 0), ('c', 16, -1, 0), ('e', -1, 2544, 0), ('i', 59, -1, 0), ('m', -1, 787, 0), ('n', 16, -1, 0), ('o', -1, 3530, 0), ('p', -1, 882, 0), ('r', 270, -1, 0), ('s', 270, -1, 0), ('t', 59, -1, 0), ('u', 59, -1, 0), ('w', 16, -1, 0), ('y', 12, -1, 0), ('z', -1, 2461, 0), ('ó', 59, -1, 0)), (('a', -1, 1123, 0), ('b', -1, 2630, 0), ('d', 6, -1, 0), ('e', -1, 3531, 0), ('i', -1, 1855, 0), ('k', 59, -1, 0), ('l', 108, -1, 0), ('o', -1, 1369, 0), ('p', 59, -1, 0), ('r', -1, 3532, 0), ('s', 59, -1, 0), ('t', 59, -1, 0), ('u', 108, -1, 0), ('y', -1, 1265, 0), ('z', 59, -1, 0), ('ó', 108, -1, 0), ('ą', 108, -1, 0), ('ę', -1, 3533, 0)), (('a', 0, -1, 0), ('b', 0, 498, 0), ('d', 0, -1, 0), ('e', -1, 1530, 0), ('g', 1, -1, 0), ('h', -1, 1166, 0), ('i', 108, -1, 0), ('j', 108, -1, 0), ('k', 0, -1, 0), ('l', 7, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 3, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 2308, 0)), (('a', -1, 669, 0), ('d', 7, -1, 0), ('e', 11, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 7, -1, 0), ('n', 2, -1, 0), ('o', -1, 2143, 0), ('r', -1, 818, 0), ('s', 2, -1, 0), ('t', 1, -1, 0), ('u', 28, -1, 0), ('y', 1, -1, 0), ('z', 11, -1, 0), ('ó', 7, -1, 0)), (('a', -1, 923, 0), ('e', -1, 1310, 0), ('i', -1, 3534, 0), ('n', 352, -1, 0), ('o', -1, 1002, 0), ('r', 108, -1, 0), ('s', 22, 3536, 0), ('t', 3, -1, 0), ('u', 352, -1, 0), ('w', 6, -1, 0), ('y', 22, -1, 0), ('z', -1, 1021, 0)), (('a', 6, -1, 0), ('c', 108, -1, 0), ('d', 27, -1, 0), ('e', -1, 787, 0), ('f', 184, -1, 0), ('i', 184, -1, 0), ('k', 69, -1, 0), ('l', 30, -1, 0), ('m', 108, -1, 0), ('n', 108, -1, 0), ('o', 1, -1, 0), ('p', 184, -1, 0), ('r', -1, 2254, 0), ('s', 57, -1, 0), ('t', -1, 69, 0), ('u', 306, -1, 0), ('w', -1, 3535, 0), ('y', -1, 90, 0), ('z', 184, -1, 0), ('ł', 184, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('e', -1, 298, 0), ('g', 7, -1, 0), ('i', -1, 1057, 0), ('j', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 1, -1, 0), ('ż', 7, -1, 0)), (('a', 352, -1, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', 22, -1, 0), ('e', 22, -1, 0), ('g', 22, -1, 0), ('h', 22, -1, 0), ('i', 22, -1, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('l', -1, 294, 0), ('m', 22, -1, 0), ('n', 22, -1, 0), ('o', 0, -1, 0), ('p', 22, -1, 0), ('r', -1, 416, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('z', 22, -1, 0), ('ł', -1, 2486, 0), ('ż', 22, -1, 0)), (('a', -1, 2314, 0), ('b', 67, -1, 0), ('d', -1, 3199, 0), ('e', -1, 3538, 0), ('g', 92, 3540, 0), ('h', 67, -1, 0), ('i', -1, 3546, 0), ('k', -1, 3012, 0), ('l', 92, -1, 0), ('o', -1, 1726, 0), ('p', -1, 3547, 0), ('r', -1, 3548, 0), ('t', -1, 2123, 0), ('u', -1, 3552, 0), ('y', 10, -1, 0), ('z', -1, 3556, 0), ('ę', 72, -1, 0), ('ś', -1, 3557, 0), ('ź', 10, -1, 0)), (('a', -1, 315, 0), ('b', 21, -1, 0), ('d', 21, -1, 0), ('e', -1, 2847, 0), ('i', -1, 3539, 0), ('l', 10, -1, 0), ('o', 21, -1, 0), ('r', -1, 1476, 0), ('t', 21, -1, 0), ('u', 21, -1, 0), ('z', 10, -1, 0), ('ż', 10, -1, 0)), (('a', -1, 896, 0), ('b', 10, -1, 0), ('c', 207, 3366, 0), ('e', 6, -1, 0), ('f', 10, -1, 0), ('i', 3, -1, 0), ('m', 10, -1, 0), ('n', 10, -1, 0), ('o', 0, -1, 0), ('p', 10, -1, 0), ('r', 358, -1, 0), ('s', 10, -1, 0), ('u', 2, -1, 0), ('w', 10, -1, 0), ('y', 6, -1, 0), ('z', 10, -1, 0), ('ł', 358, -1, 0)), (('a', 22, -1, 0), ('c', 12, -1, 0), ('e', -1, 3110, 0), ('g', 52, -1, 0), ('i', 22, -1, 0), ('l', 67, -1, 0), ('m', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 149, 0), ('s', -1, 3541, 0), ('y', -1, 375, 0), ('z', 3, -1, 0), ('ę', -1, 2290, 0)), (('a', -1, 852, 0), ('e', -1, 2222, 0), ('i', -1, 265, 0), ('o', -1, 1828, 0), ('r', 106, -1, 0), ('u', -1, 697, 0), ('y', -1, 3542, 0), ('ę', 12, -1, 0)), (('a', -1, 2507, 0), ('b', 2, -1, 0), ('e', -1, 3543, 0), ('h', 7, -1, 0), ('i', 2, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 1988, 0), ('s', -1, 2938, 0), ('t', -1, 1538, 0), ('u', 11, -1, 0), ('y', 7, -1, 0), ('z', -1, 139, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 5, -1, 0), ('ś', 7, -1, 0)), (('a', -1, 3544, 0), ('e', -1, 2599, 0), ('i', -1, 2362, 0), ('k', 23, -1, 0), ('l', 23, -1, 0), ('n', 23, -1, 0), ('o', 23, -1, 0), ('p', 23, -1, 0), ('r', 23, -1, 0), ('u', 23, -1, 0), ('z', -1, 289, 0)), (('a', -1, 1009, 0), ('b', 23, -1, 0), ('e', -1, 758, 0), ('i', 59, -1, 0), ('k', -1, 2228, 0), ('l', 23, -1, 0), ('m', 23, -1, 0), ('o', -1, 2587, 0), ('p', -1, 1995, 0), ('r', 23, -1, 0), ('t', 23, -1, 0), ('u', 59, -1, 0), ('y', -1, 3545, 0), ('z', 23, -1, 0), ('ł', 23, -1, 0)), (('a', -1, 3107, 0), ('c', 2, -1, 0), ('d', 59, -1, 0), ('e', -1, 1265, 0), ('i', 22, -1, 0), ('k', 59, -1, 0), ('l', 59, -1, 0), ('m', 59, -1, 0), ('n', 59, -1, 0), ('o', -1, 2161, 0), ('r', 59, -1, 0), ('s', 59, -1, 0), ('t', 59, -1, 0), ('u', 22, -1, 0), ('y', 22, -1, 0), ('z', -1, 1709, 0)), (('a', 10, -1, 0), ('b', 10, -1, 0), ('c', 10, -1, 0), ('d', 10, -1, 0), ('e', 10, -1, 0), ('f', 10, -1, 0), ('h', 92, -1, 0), ('i', 10, -1, 0), ('l', 10, -1, 0), ('m', 10, -1, 0), ('n', 10, -1, 0), ('o', 10, -1, 0), ('p', 10, -1, 0), ('r', 10, -1, 0), ('s', 10, -1, 0), ('u', 92, -1, 0), ('w', 10, -1, 0), ('z', 10, -1, 0), ('ą', 10, -1, 0), ('ł', 10, -1, 0)), (('a', -1, 2165, 0), ('d', 31, -1, 0), ('e', 67, -1, 0), ('i', -1, 1134, 0), ('o', 207, -1, 0), ('r', 67, -1, 0), ('y', 67, -1, 0), ('z', 31, -1, 0)), (('a', -1, 3549, 0), ('e', 39, -1, 0), ('g', -1, 3550, 0), ('i', 5, -1, 0), ('k', 39, -1, 0), ('o', -1, 481, 0), ('r', 39, -1, 0), ('s', -1, 1728, 0), ('y', 5, -1, 0), ('z', -1, 3551, 0)), (('a', 29, -1, 0), ('d', 310, -1, 0), ('e', 29, -1, 0), ('i', 29, -1, 0), ('m', 310, -1, 0), ('n', 29, -1, 0), ('o', 29, -1, 0), ('p', 310, -1, 0), ('r', -1, 2810, 0), ('s', -1, 817, 0), ('t', 310, -1, 0), ('u', -1, 1563, 0), ('w', 310, -1, 0), ('y', -1, 1563, 0), ('z', 108, -1, 0), ('ą', 29, -1, 0), ('ę', -1, 3292, 0), ('ł', 29, -1, 0), ('ż', 98, -1, 0)), (('a', 5, -1, 0), ('b', 26, -1, 0), ('e', 5, -1, 0), ('i', 177, -1, 0), ('k', 26, -1, 0), ('l', 177, -1, 0), ('m', 26, -1, 0), ('o', 5, -1, 0), ('p', 177, -1, 0), ('r', 26, -1, 0), ('y', 0, -1, 0), ('z', 26, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 833, 0), ('i', 0, -1, 0), ('n', 145, -1, 0), ('o', 0, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 2705, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 92, -1, 0), ('e', 170, -1, 0), ('g', 79, -1, 0), ('i', -1, 1979, 0), ('j', 0, -1, 0), ('k', -1, 3553, 0), ('l', 10, -1, 0), ('n', 10, -1, 0), ('o', 170, -1, 0), ('r', 10, -1, 0), ('u', 170, -1, 0), ('z', 10, -1, 0), ('ł', 10, -1, 0), ('ż', 10, -1, 0)), (('a', -1, 1837, 0), ('d', 40, -1, 0), ('e', 10, -1, 0), ('f', 40, -1, 0), ('i', -1, 2272, 0), ('k', 355, 3554, 0), ('l', 40, 2088, 0), ('m', 40, -1, 0), ('o', 92, -1, 0), ('r', 40, -1, 0), ('s', 40, -1, 0), ('t', 40, -1, 0), ('w', 10, -1, 0), ('y', 10, -1, 0), ('z', 0, -1, 0), ('ł', 40, -1, 0), ('ż', 47, -1, 0)), (('a', 57, -1, 0), ('d', -1, 1241, 0), ('e', 3, -1, 0), ('i', -1, 1200, 0), ('j', 3, -1, 0), ('m', 271, -1, 0), ('o', 3, -1, 0), ('p', 108, -1, 0), ('r', -1, 3555, 0), ('s', 40, -1, 0), ('u', -1, 824, 0), ('w', -1, 2195, 0), ('z', 108, -1, 0), ('ę', 40, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 271, -1, 0), ('g', 3, -1, 0), ('h', -1, 476, 0), ('i', -1, 1609, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ó', 271, -1, 0), ('ś', 3, -1, 0), ('ź', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 2122, 0), ('d', 207, -1, 0), ('e', -1, 1160, 0), ('i', 30, -1, 0), ('o', -1, 1707, 0), ('p', 30, -1, 0), ('r', 67, -1, 0), ('s', 5, -1, 0), ('u', 30, -1, 0), ('y', 30, -1, 0), ('ó', 30, -1, 0), ('ł', 67, -1, 0), ('ś', 30, -1, 0)), (('a', -1, 3310, 0), ('d', 40, -1, 0), ('e', 10, -1, 0), ('i', 302, -1, 0), ('o', 302, -1, 0), ('r', -1, 2415, 0), ('s', 40, -1, 0), ('t', 40, -1, 0), ('z', -1, 3558, 0), ('ę', -1, 3559, 0), ('ż', 21, -1, 0)), (('a', 8, -1, 0), ('c', 21, -1, 0), ('d', 8, -1, 0), ('e', 100, -1, 0), ('i', 40, -1, 0), ('o', 8, -1, 0), ('r', 21, -1, 0), ('u', 100, -1, 0)), (('a', 41, -1, 0), ('b', 23, -1, 0), ('c', 0, 1011, 0), ('e', 41, -1, 0), ('i', 41, -1, 0), ('l', 302, -1, 0), ('n', 41, -1, 0), ('o', 180, -1, 0), ('p', 23, -1, 0), ('r', -1, 2299, 0), ('s', 12, -1, 0), ('t', 11, -1, 0), ('u', 41, -1, 0), ('y', 41, -1, 0), ('z', 10, -1, 0), ('ł', -1, 136, 0)), (('a', -1, 520, 0), ('e', 92, -1, 0), ('i', 92, -1, 0), ('o', 92, -1, 0), ('r', 92, -1, 0), ('y', 92, -1, 0)), (('a', 92, -1, 0), ('e', -1, 1729, 0), ('i', 92, -1, 0), ('o', 92, -1, 0), ('p', 207, -1, 0), ('r', -1, 3386, 0), ('t', 92, -1, 0), ('u', 92, -1, 0), ('y', 92, -1, 0), ('ł', 207, -1, 0)), (('a', 92, -1, 0), ('d', 5, -1, 0), ('e', 207, -1, 0), ('i', 92, -1, 0), ('n', 92, -1, 0), ('o', 0, 1624, 0), ('r', 92, -1, 0), ('u', 92, -1, 0), ('y', 0, -1, 0), ('z', 5, -1, 0), ('ę', 207, -1, 0)), (('a', 6, -1, 0), ('e', -1, 3564, 0), ('i', 1, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', 95, -1, 0), ('o', 55, 188, 0), ('r', 95, -1, 0), ('u', 6, -1, 0), ('y', 95, -1, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0)), (('a', -1, 517, 0), ('b', 6, -1, 0), ('e', 261, -1, 0), ('i', -1, 2414, 0), ('o', 39, -1, 0), ('p', 6, -1, 0), ('r', 5, -1, 0), ('z', 6, -1, 0)), (('a', 52, -1, 0), ('e', 4, -1, 0), ('g', -1, 1195, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', 22, -1, 0), ('r', 3, 1642, 0), ('t', 22, -1, 0), ('u', 4, -1, 0), ('w', 22, -1, 0), ('y', 52, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 3567, 0), ('c', 3, -1, 0), ('e', 5, -1, 0), ('f', 26, -1, 0), ('i', 5, -1, 0), ('k', 177, -1, 0), ('m', 177, -1, 0), ('o', -1, 3568, 0), ('r', 26, -1, 0), ('s', 3, -1, 0), ('t', 26, -1, 0), ('u', 5, -1, 0), ('y', -1, 1505, 0), ('z', 239, -1, 0), ('ł', 26, -1, 0)), (('a', 21, -1, 0), ('b', 3, -1, 0), ('d', 5, -1, 0), ('e', 21, -1, 0), ('g', 5, -1, 0), ('i', 0, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 255, -1, 0), ('o', 146, -1, 0), ('p', 5, -1, 0), ('r', -1, 1316, 0), ('t', 5, -1, 0), ('w', 5, -1, 0), ('y', 21, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 0, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 1, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 1, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 3569, 0), ('u', -1, 605, 0), ('y', 4, -1, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 1560, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('ę', 5, -1, 0)), (('a', -1, 3571, 0), ('b', 26, -1, 0), ('e', 177, -1, 0), ('i', 26, -1, 0), ('j', 26, -1, 0), ('l', 26, -1, 0), ('n', 26, -1, 0), ('o', 26, -1, 0), ('p', 26, -1, 0), ('r', 26, -1, 0), ('y', 26, -1, 0)), (('a', -1, 241, 0), ('b', 26, -1, 0), ('e', 21, -1, 0), ('i', 21, -1, 0), ('m', 177, -1, 0), ('o', 21, -1, 0), ('r', 26, -1, 0), ('u', 21, -1, 0), ('y', 21, -1, 0), ('z', 26, -1, 0)), (('a', -1, 3369, 0), ('e', 26, -1, 0), ('i', -1, 3573, 0), ('j', 26, -1, 0), ('l', 26, -1, 0), ('n', 26, -1, 0), ('o', 26, -1, 0), ('r', 26, -1, 0), ('u', 26, -1, 0), ('y', 26, -1, 0), ('ę', 177, -1, 0), ('ł', 26, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 449, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('k', -1, 1841, 0), ('l', 26, -1, 0), ('o', 7, -1, 0), ('p', 3, -1, 0), ('r', -1, 1349, 0), ('s', -1, 3387, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', -1, 3570, 0), ('y', 7, -1, 0), ('z', 276, -1, 0)), (('a', -1, 3575, 0), ('e', 26, -1, 0), ('i', 26, -1, 0), ('l', 26, -1, 0), ('n', 26, -1, 0), ('o', 26, -1, 0), ('r', 26, -1, 0), ('u', -1, 3576, 0), ('y', 26, -1, 0), ('z', 183, -1, 0), ('ę', 26, -1, 0), ('ł', 183, -1, 0)), (('a', 30, -1, 0), ('e', 26, -1, 0), ('i', 30, -1, 0), ('o', 30, 1638, 0), ('r', 30, -1, 0), ('u', 30, -1, 0), ('w', 26, -1, 0), ('y', 30, -1, 0), ('ł', 183, -1, 0)), (('a', -1, 642, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', -1, 3577, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 2128, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', -1, 2170, 0), ('y', 5, -1, 0), ('ó', 0, -1, 0), ('ł', 26, 2539, 0)), (('a', 0, -1, 0), ('c', -1, 3578, 0), ('d', 7, -1, 0), ('e', 5, -1, 0), ('i', 0, -1, 0), ('o', -1, 3214, 0), ('r', 3, -1, 0), ('s', 255, -1, 0), ('z', 7, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('u', -1, 1498, 0), ('y', 5, -1, 0), ('ą', 5, -1, 0)), (('a', 26, -1, 0), ('b', 26, -1, 0), ('c', -1, 3580, 0), ('d', 26, -1, 0), ('e', 26, -1, 0), ('f', 26, -1, 0), ('g', 26, -1, 0), ('h', 26, -1, 0), ('i', -1, 1311, 0), ('l', -1, 3582, 0), ('m', 26, -1, 0), ('n', 26, -1, 0), ('o', 11, -1, 0), ('r', -1, 659, 0), ('w', 26, -1, 0), ('y', 11, -1, 0), ('z', 79, -1, 0), ('ó', 26, -1, 0), ('ż', 0, -1, 0)), (('a', 26, -1, 0), ('e', 183, -1, 0), ('i', 26, -1, 0), ('o', 183, -1, 0), ('r', 183, -1, 0), ('u', -1, 3581, 0), ('ą', 183, -1, 0)), (('a', 3, -1, 0), ('b', 183, -1, 0), ('d', 5, -1, 0), ('e', -1, 1467, 0), ('i', 26, -1, 0), ('m', 183, -1, 0), ('o', -1, 1761, 0), ('r', 183, -1, 0), ('u', 5, -1, 0), ('y', -1, 2624, 0), ('ą', 5, -1, 0), ('ł', 183, -1, 0)), (('a', 26, -1, 0), ('b', 177, -1, 0), ('e', 26, -1, 0), ('g', 26, -1, 0), ('i', 26, -1, 0), ('k', 31, -1, 0), ('l', 31, -1, 0), ('n', 31, -1, 0), ('o', 26, -1, 0), ('r', 31, -1, 0), ('s', -1, 3210, 0), ('u', 177, 2330, 0), ('y', 26, -1, 0), ('z', -1, 739, 0), ('ł', 31, -1, 0), ('ż', 31, -1, 0)), (('a', -1, 3488, 0), ('d', 26, -1, 0), ('e', -1, 3584, 0), ('i', 26, -1, 0), ('j', 26, -1, 0), ('l', 26, -1, 0), ('n', 26, -1, 0), ('o', 26, -1, 0), ('p', 26, -1, 0), ('r', -1, 3587, 0), ('s', -1, 3588, 0), ('t', 26, -1, 0), ('u', -1, 3590, 0), ('w', 11, 3579, 0), ('y', -1, 3593, 0), ('z', -1, 3037, 0), ('ą', 183, -1, 0), ('ę', -1, 2538, 0), ('ł', 26, -1, 0), ('ż', 26, -1, 0)), (('a', -1, 1352, 0), ('e', 21, -1, 0), ('f', 26, -1, 0), ('i', -1, 3585, 0), ('o', 21, -1, 0), ('r', 0, -1, 0), ('s', 26, -1, 0), ('t', 26, -1, 0), ('u', -1, 367, 0), ('y', -1, 664, 0), ('z', -1, 2176, 0)), (('a', 3, -1, 0), ('c', -1, 1378, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('i', 3, -1, 0), ('l', -1, 3586, 0), ('m', 22, -1, 0), ('n', -1, 905, 0), ('o', -1, 3460, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('u', -1, 996, 0), ('w', 22, -1, 0), ('y', -1, 1544, 0), ('z', 22, -1, 0), ('ó', -1, 2421, 0), ('ą', 2, -1, 0)), (('a', -1, 971, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, 1444, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', -1, 2502, 0), ('j', 34, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 21, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 34, -1, 0), ('t', 210, -1, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('y', 1, -1, 0), ('z', 3, -1, 0)), (('a', -1, 2538, 0), ('d', 26, -1, 0), ('e', 177, -1, 0), ('i', 219, -1, 0), ('k', 26, -1, 0), ('l', 26, -1, 0), ('o', 177, -1, 0), ('r', 26, -1, 0), ('u', 26, -1, 0), ('y', 26, -1, 0), ('ó', 26, -1, 0)), (('a', -1, 3589, 0), ('e', 26, -1, 0), ('i', 26, -1, 0), ('m', 28, -1, 0), ('o', -1, 486, 0), ('r', 183, -1, 0), ('u', 183, -1, 0), ('w', 28, -1, 0), ('y', 183, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('l', 183, -1, 0), ('o', -1, 640, 0), ('p', 26, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 183, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 183, -1, 0), ('ą', 6, -1, 0), ('ł', 183, -1, 0)), (('a', 22, -1, 0), ('d', 26, -1, 0), ('e', 94, -1, 0), ('f', 183, -1, 0), ('i', 183, -1, 0), ('o', 21, -1, 0), ('p', 183, -1, 0), ('r', -1, 1428, 0), ('t', -1, 3591, 0), ('y', 40, -1, 0), ('z', 183, -1, 0), ('ł', 183, -1, 0)), (('a', -1, 3592, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 183, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 26, -1, 0), ('ś', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 3293, 0), ('c', 6, -1, 0), ('d', 21, -1, 0), ('e', 174, -1, 0), ('i', -1, 2625, 0), ('k', 0, -1, 0), ('l', 4, -1, 0), ('m', 23, -1, 0), ('n', 4, -1, 0), ('o', -1, 2265, 0), ('p', 1, -1, 0), ('r', 23, -1, 0), ('t', 6, -1, 0), ('u', -1, 2598, 0), ('w', 3, -1, 0), ('y', -1, 2529, 0), ('z', 4, -1, 0), ('ę', -1, 267, 0), ('ł', 23, -1, 0)), (('a', -1, 840, 0), ('d', 26, -1, 0), ('e', 22, -1, 0), ('i', -1, 2799, 0), ('l', 31, -1, 0), ('m', 183, -1, 0), ('o', -1, 2810, 0), ('r', -1, 3594, 0), ('t', 26, -1, 0), ('u', 126, -1, 0), ('w', 11, -1, 0), ('z', -1, 3595, 0)), (('a', 39, -1, 0), ('b', 26, -1, 0), ('c', -1, 3128, 0), ('e', 39, -1, 0), ('i', 39, -1, 0), ('l', 145, -1, 0), ('o', 183, -1, 0), ('p', 26, -1, 0), ('r', 39, -1, 0), ('s', 39, -1, 0), ('y', -1, 1797, 0), ('z', 5, -1, 0), ('ę', 39, -1, 0)), (('a', 3, -1, 0), ('b', 26, 3596, 0), ('e', -1, 1502, 0), ('h', 26, -1, 0), ('i', 26, -1, 0), ('l', 26, -1, 0), ('o', -1, 366, 0), ('r', 183, -1, 0), ('s', 26, -1, 0), ('t', 26, -1, 0), ('u', 26, -1, 0), ('w', 177, -1, 0), ('y', 177, -1, 0), ('z', -1, 1301, 0)), (('a', 26, -1, 0), ('b', 5, -1, 0), ('e', 26, -1, 0), ('i', -1, 3597, 0), ('j', 31, -1, 0), ('o', 177, -1, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('ł', -1, 1570, 0)), (('a', -1, 1955, 0), ('c', 3, -1, 0), ('d', 106, -1, 0), ('e', -1, 361, 0), ('f', 3, -1, 0), ('i', -1, 284, 0), ('j', 105, -1, 0), ('k', 105, -1, 0), ('n', 3, -1, 0), ('o', -1, 1152, 0), ('p', -1, 268, 0), ('r', 105, -1, 0), ('s', 31, 3598, 0), ('u', -1, 3522, 0), ('w', -1, 2551, 0), ('y', 105, -1, 0), ('z', 80, -1, 0), ('ó', 105, -1, 0), ('ą', 13, -1, 0), ('ę', 105, -1, 0), ('ł', 106, 111, 0), ('ż', 105, -1, 0)), (('a', -1, 2023, 0), ('b', 0, 737, 0), ('c', 0, -1, 0), ('d', -1, 2627, 0), ('e', 31, -1, 0), ('i', -1, 2560, 0), ('o', 31, -1, 0), ('r', 0, -1, 0), ('s', 4, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 3470, 0)), (('a', 26, -1, 0), ('b', 26, -1, 0), ('d', 26, -1, 0), ('e', 26, -1, 0), ('f', 26, -1, 0), ('g', 26, -1, 0), ('h', 26, -1, 0), ('i', 26, -1, 0), ('k', -1, 3579, 0), ('o', 26, -1, 0), ('p', 11, 3600, 0), ('r', -1, 3355, 0), ('s', 26, -1, 0), ('t', 26, -1, 0), ('u', 26, -1, 0), ('y', 26, -1, 0)), (('a', -1, 1578, 0), ('b', -1, 2256, 0), ('c', 6, -1, 0), ('d', 7, -1, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 3601, 0), ('j', -1, 2718, 0), ('k', 22, -1, 0), ('l', -1, 601, 0), ('m', 26, -1, 0), ('n', 7, -1, 0), ('o', -1, 541, 0), ('p', 7, 2274, 0), ('r', 1, 133, 0), ('s', 1, -1, 0), ('t', -1, 1407, 0), ('u', 7, -1, 0), ('w', 57, 296, 0), ('y', 1, -1, 0), ('z', -1, 1048, 0), ('ó', 6, -1, 0), ('ż', -1, 1577, 0)), (('a', 6, -1, 0), ('b', 51, -1, 0), ('c', 134, -1, 0), ('d', 6, -1, 0), ('e', -1, 888, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', -1, 3602, 0), ('l', 0, -1, 0), ('m', -1, 455, 0), ('n', -1, 3003, 0), ('o', 6, -1, 0), ('p', 51, -1, 0), ('r', 36, -1, 0), ('s', -1, 3004, 0), ('t', 21, -1, 0), ('w', -1, 852, 0), ('y', 6, -1, 0), ('z', -1, 1913, 0)), (('a', 10, -1, 0), ('e', -1, 3603, 0), ('i', 102, -1, 0), ('o', 102, 1141, 0), ('r', -1, 1025, 0), ('u', 10, -1, 0), ('y', -1, 3559, 0), ('ę', 10, -1, 0)), (('a', 192, -1, 0), ('b', 2, -1, 0), ('e', -1, 3604, 0), ('f', 87, -1, 0), ('g', 2, -1, 0), ('h', -1, 1057, 0), ('i', 10, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 87, -1, 0), ('o', -1, 3608, 0), ('p', 2, -1, 0), ('r', 87, -1, 0), ('u', 120, -1, 0), ('w', 2, 3411, 0), ('z', 102, -1, 0)), (('a', -1, 2743, 0), ('d', 3, -1, 0), ('e', -1, 3605, 0), ('h', 87, -1, 0), ('i', -1, 1024, 0), ('m', 87, -1, 0), ('n', 87, -1, 0), ('o', -1, 3606, 0), ('r', 87, -1, 0), ('s', 87, -1, 0), ('t', 2, -1, 0), ('u', -1, 2567, 0), ('y', -1, 2736, 0), ('z', 2, -1, 0), ('ó', -1, 2441, 0)), (('a', -1, 2115, 0), ('d', 121, -1, 0), ('e', 28, -1, 0), ('g', 28, -1, 0), ('i', 121, -1, 0), ('m', 2, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', 41, -1, 0), ('s', 121, -1, 0), ('t', 121, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0), ('ś', 28, -1, 0)), (('a', -1, 2497, 0), ('d', -1, 3607, 0), ('e', -1, 649, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('n', -1, 2192, 0), ('o', 2, -1, 0), ('r', -1, 2192, 0), ('s', 2, -1, 0), ('u', 28, -1, 0), ('w', 2, -1, 0), ('z', -1, 2098, 0), ('ń', 28, -1, 0)), (('a', -1, 2705, 0), ('d', 7, -1, 0), ('e', 44, -1, 0), ('i', -1, 290, 0), ('j', 2, -1, 0), ('l', -1, 2114, 0), ('o', 2, -1, 0), ('r', 44, -1, 0), ('y', 3, -1, 0), ('z', 74, -1, 0), ('ó', 7, -1, 0), ('ż', 69, -1, 0)), (('a', 3, -1, 0), ('d', -1, 135, 0), ('e', 228, -1, 0), ('h', 87, -1, 0), ('i', 3, -1, 0), ('l', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 3395, 0), ('s', 87, -1, 0), ('t', 87, -1, 0), ('u', 3, -1, 0), ('y', 69, -1, 0), ('z', 2, -1, 0), ('ó', -1, 1014, 0), ('ą', -1, 2848, 0)), (('a', -1, 3610, 0), ('e', 26, -1, 0), ('i', 26, -1, 0), ('j', 26, -1, 0), ('o', 26, -1, 0), ('r', 26, -1, 0), ('t', 26, -1, 0), ('u', -1, 3614, 0), ('y', -1, 3616, 0), ('z', 26, -1, 0)), (('a', -1, 3611, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 2212, 0), ('g', 26, -1, 0), ('h', 26, -1, 0), ('i', 31, -1, 0), ('l', 26, -1, 0), ('n', 5, -1, 0), ('o', -1, 2791, 0), ('r', 26, -1, 0), ('s', 26, -1, 0), ('t', -1, 3612, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 0, 1757, 0), ('ą', -1, 855, 0), ('ł', 177, -1, 0)), (('a', -1, 1910, 0), ('b', 5, -1, 0), ('e', 224, -1, 0), ('g', 0, 779, 0), ('i', -1, 649, 0), ('j', 5, -1, 0), ('n', 5, -1, 0), ('o', 224, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('z', 0, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 2389, 0), ('e', -1, 1261, 0), ('i', -1, 1957, 0), ('l', 6, -1, 0), ('m', -1, 2414, 0), ('o', -1, 1828, 0), ('p', 6, -1, 0), ('r', -1, 2613, 0), ('s', 31, 1145, 0), ('t', 85, -1, 0), ('u', -1, 3613, 0), ('w', 6, -1, 0), ('y', -1, 1147, 0), ('z', -1, 2164, 0), ('ą', -1, 1577, 0), ('ę', -1, 48, 0), ('ł', -1, 727, 0)), (('-', 0, -1, 0), ('a', 7, -1, 0), ('b', -1, 2179, 0), ('c', 41, 2652, 0), ('d', 41, 2110, 0), ('e', -1, 1132, 0), ('i', 7, -1, 0), ('k', -1, 1927, 0), ('l', 41, -1, 0), ('m', 41, -1, 0), ('n', -1, 2968, 0), ('o', 29, -1, 0), ('p', 41, -1, 0), ('r', 85, -1, 0), ('s', 4, -1, 0), ('t', 166, -1, 0), ('w', -1, 2967, 0), ('y', 7, -1, 0), ('z', 41, -1, 0), ('ó', 29, -1, 0), ('ę', 28, -1, 0), ('ł', 0, 3242, 0)), (('a', 6, -1, 0), ('c', 26, -1, 0), ('d', 177, -1, 0), ('e', 6, -1, 0), ('f', 26, -1, 0), ('h', 26, -1, 0), ('i', 6, -1, 0), ('o', -1, 3615, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 26, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 26, -1, 0), ('ą', 6, -1, 0)), (('a', -1, 986, 0), ('c', 6, -1, 0), ('d', -1, 1324, 0), ('e', -1, 67, 0), ('f', 0, -1, 0), ('g', -1, 69, 0), ('h', 6, -1, 0), ('i', -1, 735, 0), ('k', 6, -1, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 1, -1, 0), ('o', 6, 235, 0), ('p', -1, 1243, 0), ('r', 6, -1, 0), ('s', -1, 865, 0), ('t', -1, 1127, 0), ('u', 6, -1, 0), ('w', 0, -1, 0), ('y', -1, 2520, 0), ('z', 6, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0)), (('a', -1, 1821, 0), ('b', 5, 872, 0), ('e', -1, 1874, 0), ('f', 3, -1, 0), ('g', 5, 1302, 0), ('i', 21, -1, 0), ('m', 5, -1, 0), ('o', 5, 2959, 0), ('p', -1, 3617, 0), ('r', 26, -1, 0), ('s', 5, -1, 0), ('t', 26, -1, 0), ('u', 5, -1, 0), ('y', -1, 373, 0), ('z', 177, -1, 0)), (('a', -1, 2390, 0), ('b', 54, 1692, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 5, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', -1, 3618, 0), ('m', -1, 1225, 0), ('n', 7, -1, 0), ('o', -1, 1676, 0), ('r', -1, 2597, 0), ('s', 7, -1, 0), ('t', 54, 1225, 0), ('u', 5, -1, 0), ('w', -1, 3620, 0), ('y', 5, -1, 0), ('z', 7, -1, 0), ('ł', -1, 1738, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('l', -1, 1508, 0), ('m', -1, 240, 0), ('n', -1, 3619, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ś', 7, -1, 0), ('ź', 7, -1, 0)), (('a', 7, -1, 0), ('e', -1, 466, 0), ('f', 3, -1, 0), ('g', 2, -1, 0), ('i', 7, -1, 0), ('m', 2, -1, 0), ('o', 7, -1, 0), ('r', -1, 1706, 0), ('u', 7, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', -1, 3621, 0)), (('a', 7, -1, 0), ('b', 7, 3622, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 441, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 3623, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('u', 7, -1, 0), ('y', -1, 2601, 0), ('z', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('d', 10, -1, 0), ('e', -1, 2592, 0), ('g', 7, -1, 0), ('i', 7, 2870, 0), ('o', 7, -1, 0), ('r', -1, 932, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 180, 0), ('d', 7, -1, 0), ('e', -1, 120, 0), ('g', 7, 3600, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 137, -1, 0), ('p', 7, -1, 0), ('r', 0, -1, 0), ('s', 6, -1, 0), ('u', 137, -1, 0), ('w', 7, -1, 0), ('z', 137, -1, 0), ('ę', 6, -1, 0), ('ł', 7, -1, 0)), (('a', 26, -1, 0), ('b', 26, -1, 0), ('e', 26, -1, 0), ('g', -1, 3625, 0), ('i', 26, -1, 0), ('j', 26, -1, 0), ('o', 26, -1, 0), ('r', 26, -1, 0), ('s', 11, -1, 0), ('y', 26, -1, 0), ('ż', 26, -1, 0)), (('a', 21, -1, 0), ('c', 100, -1, 0), ('e', 177, -1, 0), ('g', 8, -1, 0), ('i', 21, -1, 0), ('k', 30, -1, 0), ('o', -1, 770, 0), ('r', 8, -1, 0), ('t', 100, -1, 0), ('w', 8, -1, 0), ('y', 26, -1, 0), ('z', 8, -1, 0), ('ę', 26, -1, 0), ('ł', 8, -1, 0)), (('a', -1, 3627, 0), ('b', 4, -1, 0), ('d', 1, -1, 0), ('e', 177, -1, 0), ('i', -1, 2424, 0), ('l', 1, -1, 0), ('m', 26, -1, 0), ('o', -1, 3091, 0), ('p', 4, -1, 0), ('r', 26, -1, 0), ('u', -1, 3628, 0), ('y', -1, 898, 0), ('z', -1, 3632, 0), ('ę', -1, 1049, 0), ('ł', 26, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('e', 5, -1, 0), ('i', 177, -1, 0), ('k', 26, -1, 0), ('l', -1, 2330, 0), ('o', 5, 387, 0), ('r', -1, 1772, 0), ('s', 177, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('ł', 177, -1, 0)), (('a', -1, 3224, 0), ('b', 5, -1, 0), ('c', 26, -1, 0), ('d', 5, -1, 0), ('e', -1, 3629, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('k', 26, 3630, 0), ('l', 26, -1, 0), ('n', 26, -1, 0), ('o', 5, -1, 0), ('r', 26, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 177, -1, 0), ('ó', 5, -1, 0), ('ł', 177, -1, 0)), (('a', -1, 3239, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 31, 0), ('g', 5, -1, 0), ('i', -1, 967, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 2367, 0), ('p', 5, -1, 0), ('r', -1, 86, 0), ('t', 5, -1, 0), ('u', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', 5, -1, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 614, 0), ('d', 177, -1, 0), ('e', 95, -1, 0), ('i', -1, 3631, 0), ('o', 177, -1, 0), ('r', 105, -1, 0), ('s', 177, -1, 0), ('u', -1, 2866, 0), ('y', 95, -1, 0)), (('a', 1, -1, 0), ('b', 29, -1, 0), ('c', -1, 2146, 0), ('d', 313, -1, 0), ('e', 1, -1, 0), ('i', 55, -1, 0), ('j', 313, -1, 0), ('k', 313, -1, 0), ('m', 313, -1, 0), ('n', 105, -1, 0), ('o', 1, -1, 0), ('p', 95, -1, 0), ('r', -1, 2657, 0), ('s', -1, 299, 0), ('t', 313, -1, 0), ('u', 1, -1, 0), ('w', 29, -1, 0), ('y', 1, -1, 0), ('z', 313, -1, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ź', 29, -1, 0), ('ż', 313, -1, 0)), (('a', 4, -1, 0), ('d', 55, -1, 0), ('e', 2, -1, 0), ('g', 4, 3633, 0), ('i', 1, -1, 0), ('k', 115, -1, 0), ('l', 1, -1, 0), ('m', -1, 2450, 0), ('o', -1, 2961, 0), ('p', 115, -1, 0), ('r', -1, 3298, 0), ('u', 28, -1, 0), ('w', 4, 3636, 0), ('y', 4, -1, 0), ('z', 28, -1, 0), ('ł', -1, 2874, 0)), (('a', 1, -1, 0), ('b', 40, -1, 0), ('c', 3, -1, 0), ('d', 4, -1, 0), ('e', -1, 3634, 0), ('g', 40, -1, 0), ('i', 121, -1, 0), ('k', -1, 2508, 0), ('l', 40, -1, 0), ('m', 3, -1, 0), ('n', -1, 3635, 0), ('o', 28, 890, 0), ('r', 3, -1, 0), ('u', 97, -1, 0), ('w', 21, -1, 0), ('y', 41, -1, 0), ('z', 4, -1, 0)), (('a', -1, 2279, 0), ('d', 77, -1, 0), ('e', -1, 2801, 0), ('g', 77, -1, 0), ('i', -1, 340, 0), ('o', 118, -1, 0), ('p', 77, -1, 0), ('r', -1, 2137, 0), ('t', 77, -1, 0), ('u', 118, -1, 0), ('y', 1, -1, 0), ('z', 77, -1, 0), ('ś', 77, -1, 0), ('ź', 77, -1, 0)), (('a', 40, -1, 0), ('e', -1, 2401, 0), ('i', 40, -1, 0), ('j', -1, 3138, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 2461, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1576, 0), ('w', -1, 121, 0), ('y', 3, -1, 0), ('z', 0, -1, 0)), (('a', -1, 963, 0), ('b', 28, -1, 0), ('e', -1, 1608, 0), ('i', 2, 2630, 0), ('j', 2, -1, 0), ('l', 2, -1, 0), ('m', 4, -1, 0), ('o', 2, -1, 0), ('r', -1, 2163, 0), ('s', -1, 3637, 0), ('t', 4, -1, 0), ('u', 28, -1, 0), ('z', 4, -1, 0), ('ę', 28, -1, 0), ('ł', 0, -1, 0), ('ż', 4, -1, 0)), (('a', -1, 267, 0), ('b', 20, -1, 0), ('d', 4, -1, 0), ('e', -1, 132, 0), ('g', 431, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', -1, 3514, 0), ('l', 2, -1, 0), ('n', 4, -1, 0), ('o', 28, 2101, 0), ('p', 4, -1, 0), ('r', -1, 2362, 0), ('s', 20, -1, 0), ('t', 52, -1, 0), ('w', -1, 1320, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 4, -1, 0)), (('a', 26, -1, 0), ('b', -1, 3639, 0), ('d', 26, -1, 0), ('e', 26, -1, 0), ('f', 26, -1, 0), ('g', 26, -1, 0), ('h', -1, 1907, 0), ('i', 26, -1, 0), ('o', -1, 3595, 0), ('p', -1, 3641, 0), ('r', 166, 2687, 0), ('t', -1, 3639, 0), ('u', 26, -1, 0), ('y', 26, -1, 0), ('ó', 26, -1, 0)), (('a', 177, -1, 0), ('b', 31, -1, 0), ('d', 11, -1, 0), ('e', 26, -1, 0), ('g', -1, 3640, 0), ('i', 26, -1, 0), ('k', 31, -1, 0), ('m', 26, -1, 0), ('n', 26, -1, 0), ('o', 26, -1, 0), ('p', 31, -1, 0), ('r', -1, 802, 0), ('s', 26, -1, 0), ('u', 26, -1, 0), ('z', 26, -1, 0), ('ł', -1, 1266, 0)), (('a', -1, 3221, 0), ('d', 31, -1, 0), ('e', -1, 3547, 0), ('i', 1, -1, 0), ('k', 31, -1, 0), ('o', 31, 2798, 0), ('r', 1, -1, 0), ('t', 31, -1, 0), ('u', -1, 442, 0), ('z', 0, -1, 0)), (('a', 177, -1, 0), ('b', 31, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('l', 31, -1, 0), ('m', 31, -1, 0), ('o', 11, -1, 0), ('r', 31, -1, 0), ('t', 5, -1, 0), ('w', 31, -1, 0), ('z', 31, -1, 0), ('ż', 31, -1, 0)), (('a', -1, 3369, 0), ('e', -1, 3628, 0), ('i', -1, 662, 0), ('k', 26, -1, 0), ('l', 26, -1, 0), ('n', 26, -1, 0), ('o', 26, -1, 0), ('p', 26, -1, 0), ('r', 26, -1, 0), ('u', 26, -1, 0)), (('a', -1, 3550, 0), ('e', 26, -1, 0), ('f', 26, -1, 0), ('h', 26, -1, 0), ('i', -1, 3644, 0), ('j', 26, -1, 0), ('k', 26, -1, 0), ('l', 26, -1, 0), ('n', 26, -1, 0), ('o', -1, 3415, 0), ('p', -1, 3645, 0), ('r', 26, -1, 0), ('s', -1, 3646, 0), ('u', 26, -1, 0), ('y', -1, 3773, 0), ('z', 26, -1, 0), ('ę', -1, 3550, 0), ('ł', -1, 3774, 0)), (('a', 55, -1, 0), ('b', 26, -1, 0), ('d', 304, -1, 0), ('e', -1, 1693, 0), ('f', 26, -1, 0), ('g', -1, 496, 0), ('i', 5, -1, 0), ('k', 26, -1, 0), ('l', 26, -1, 0), ('m', 26, -1, 0), ('n', 26, -1, 0), ('o', -1, 950, 0), ('p', 5, 3405, 0), ('r', -1, 841, 0), ('s', 55, -1, 0), ('u', 304, -1, 0), ('w', -1, 1000, 0), ('y', 5, -1, 0), ('z', -1, 2585, 0)), (('a', 177, -1, 0), ('c', 31, -1, 0), ('d', 177, -1, 0), ('e', -1, 1772, 0), ('i', -1, 2584, 0), ('m', 31, -1, 0), ('n', 26, -1, 0), ('o', 26, -1, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('s', 4, -1, 0), ('t', -1, 3066, 0), ('w', 31, -1, 0), ('z', 31, -1, 0), ('ł', 31, -1, 0)), (('a', 26, -1, 0), ('b', -1, 1314, 0), ('e', 26, -1, 0), ('j', 31, -1, 0), ('l', 31, -1, 0), ('m', -1, 3647, 0), ('n', 31, -1, 0), ('o', 26, -1, 0), ('r', -1, 3769, 0), ('s', 31, -1, 0), ('t', -1, 1494, 0), ('u', 177, -1, 0), ('w', 31, -1, 0), ('y', -1, 3772, 0), ('z', 31, -1, 0), ('ł', 31, -1, 0)), (('a', -1, 2639, 0), ('c', -1, 3648, 0), ('d', -1, 3653, 0), ('e', 3, -1, 0), ('o', 31, -1, 0), ('r', -1, 3716, 0), ('s', -1, 3767, 0), ('w', 31, -1, 0), ('y', 40, -1, 0), ('z', 31, 921, 0)), (('a', -1, 3649, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('l', -1, 3033, 0), ('o', -1, 3650, 0), ('p', 173, -1, 0), ('r', 31, -1, 0), ('u', -1, 3033, 0), ('y', -1, 3652, 0), ('z', -1, 2036, 0), ('ó', 31, -1, 0), ('ą', 109, -1, 0), ('ń', 31, -1, 0)), (('a', 12, -1, 0), ('b', 31, -1, 0), ('d', 31, -1, 0), ('e', -1, 1402, 0), ('i', 5, -1, 0), ('k', 31, -1, 0), ('n', 109, -1, 0), ('o', -1, 2779, 0), ('p', 3, -1, 0), ('r', 116, 1135, 0), ('s', 22, -1, 0), ('t', -1, 1578, 0), ('u', -1, 2051, 0), ('w', 12, -1, 0), ('y', -1, 1876, 0), ('z', -1, 951, 0), ('ą', 12, -1, 0), ('ę', -1, 2223, 0)), (('a', 70, -1, 0), ('b', 31, -1, 0), ('d', 334, 545, 0), ('e', -1, 746, 0), ('g', 31, -1, 0), ('i', 70, -1, 0), ('k', 31, -1, 0), ('l', 70, -1, 0), ('m', 109, 3033, 0), ('o', -1, 701, 0), ('p', 31, -1, 0), ('r', 70, -1, 0), ('s', -1, 830, 0), ('t', 109, -1, 0), ('u', 70, -1, 0), ('w', -1, 3651, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', -1, 2051, 0), ('ł', -1, 2146, 0)), (('a', 0, -1, 0), ('e', -1, 153, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0)), (('a', 12, -1, 0), ('e', -1, 3021, 0), ('i', -1, 158, 0), ('o', 73, -1, 0), ('r', 96, 1234, 0), ('s', 31, -1, 0), ('t', 31, -1, 0), ('y', 73, -1, 0), ('z', 7, -1, 0), ('ż', 31, -1, 0)), (('a', 31, -1, 0), ('e', -1, 2237, 0), ('i', 257, -1, 0), ('n', 31, -1, 0), ('o', -1, 2117, 0), ('r', -1, 3654, 0), ('u', 31, -1, 0), ('ą', 31, -1, 0), ('ę', 31, -1, 0)), (('a', 70, -1, 0), ('b', -1, 3655, 0), ('c', 70, -1, 0), ('d', -1, 2036, 0), ('e', -1, 3656, 0), ('g', -1, 3650, 0), ('h', -1, 1785, 0), ('i', 70, -1, 0), ('k', -1, 3658, 0), ('l', 70, -1, 0), ('m', 70, -1, 0), ('o', -1, 3650, 0), ('p', 70, -1, 0), ('r', 70, -1, 0), ('s', 70, -1, 0), ('t', 70, -1, 0), ('u', -1, 3650, 0), ('y', 70, -1, 0), ('z', -1, 3659, 0), ('ś', -1, 3715, 0), ('ź', -1, 2860, 0), ('ż', 70, -1, 0)), (('a', -1, 3173, 0), ('d', -1, 2687, 0), ('e', 105, -1, 0), ('i', -1, 183, 0), ('k', 1, 1086, 0), ('m', 0, -1, 0), ('o', 105, -1, 0), ('r', 70, -1, 0), ('t', 0, -1, 0), ('u', 70, -1, 0), ('w', 1, 2293, 0), ('y', 95, -1, 0), ('z', 105, -1, 0), ('ó', 70, -1, 0), ('ą', 70, -1, 0)), (('a', 106, -1, 0), ('d', 106, -1, 0), ('e', 106, -1, 0), ('g', 12, -1, 0), ('h', -1, 267, 0), ('i', -1, 53, 0), ('k', 54, -1, 0), ('l', 54, -1, 0), ('o', 0, -1, 0), ('r', 39, 3252, 0), ('u', 106, -1, 0), ('w', 12, -1, 0), ('y', 0, -1, 0), ('z', 106, -1, 0), ('ł', 54, 3657, 0)), (('a', -1, 1748, 0), ('e', -1, 3223, 0), ('h', 0, -1, 0), ('i', 41, -1, 0), ('l', 41, -1, 0), ('o', 54, -1, 0), ('r', 0, -1, 0), ('s', 105, -1, 0), ('t', 41, -1, 0), ('u', 12, -1, 0), ('w', 41, -1, 0), ('y', 105, -1, 0), ('z', 54, -1, 0), ('ą', 105, -1, 0)), (('a', 70, -1, 0), ('e', -1, 2893, 0), ('i', 70, -1, 0), ('l', 70, -1, 0), ('m', 70, -1, 0), ('o', 70, -1, 0), ('r', 70, -1, 0), ('s', 70, -1, 0), ('t', 70, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', -1, 374, 0), ('ł', 70, -1, 0)), (('a', 22, -1, 0), ('b', 69, -1, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('i', 3, -1, 0), ('o', -1, 3660, 0), ('r', -1, 3664, 0), ('t', 22, -1, 0), ('ć', 22, -1, 0), ('ł', 70, -1, 0), ('ś', 21, -1, 0)), (('a', 64, -1, 0), ('e', -1, 3661, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 64, -1, 0), ('o', 64, -1, 0), ('r', -1, 553, 0), ('u', 28, -1, 0), ('y', -1, 1363, 0), ('z', 22, -1, 0), ('ą', 64, -1, 0), ('ę', -1, 534, 0), ('ł', -1, 239, 0)), (('a', 10, -1, 0), ('e', 117, -1, 0), ('i', -1, 274, 0), ('j', 10, -1, 0), ('l', 28, -1, 0), ('o', -1, 2453, 0), ('r', -1, 3661, 0), ('u', 11, 3662, 0), ('y', 10, -1, 0), ('z', -1, 3513, 0), ('ś', 11, -1, 0)), (('a', 74, -1, 0), ('d', 11, -1, 0), ('e', -1, 3663, 0), ('g', 10, -1, 0), ('i', 69, -1, 0), ('o', 12, -1, 0), ('r', 69, -1, 0), ('s', 56, -1, 0), ('y', 74, -1, 0), ('z', -1, 2506, 0), ('ą', 69, -1, 0), ('ę', 12, -1, 0), ('ł', 10, -1, 0)), (('a', 6, -1, 0), ('b', 443, -1, 0), ('d', 443, -1, 0), ('e', -1, 3132, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('o', -1, 2957, 0), ('r', 118, 3147, 0), ('u', -1, 3206, 0), ('w', 6, -1, 0), ('y', -1, 303, 0), ('z', -1, 2163, 0), ('ą', -1, 472, 0), ('ę', -1, 3612, 0)), (('a', -1, 611, 0), ('c', 40, -1, 0), ('e', 70, -1, 0), ('h', 22, -1, 0), ('i', 40, -1, 0), ('j', 40, -1, 0), ('l', -1, 3665, 0), ('m', 40, -1, 0), ('n', 40, -1, 0), ('o', 70, -1, 0), ('p', 70, -1, 0), ('r', -1, 3360, 0), ('s', 40, -1, 0), ('u', 40, -1, 0), ('z', 40, -1, 0), ('ż', 40, -1, 0)), (('a', 40, -1, 0), ('b', 1, -1, 0), ('c', -1, 3666, 0), ('d', 40, -1, 0), ('e', 40, -1, 0), ('g', 3, -1, 0), ('i', 40, -1, 0), ('n', 21, -1, 0), ('o', -1, 3673, 0), ('r', 40, -1, 0), ('s', -1, 3681, 0), ('t', 22, -1, 0), ('u', 40, -1, 0), ('w', 40, -1, 0), ('y', 40, -1, 0), ('ó', 40, -1, 0), ('ą', 40, -1, 0)), (('a', -1, 3667, 0), ('e', 40, -1, 0), ('i', -1, 3087, 0), ('j', 3, -1, 0), ('o', 40, -1, 0), ('r', 40, -1, 0), ('u', -1, 2307, 0), ('y', -1, 3671, 0), ('z', -1, 2264, 0), ('ą', 40, -1, 0)), (('a', 5, -1, 0), ('d', -1, 2024, 0), ('e', -1, 1999, 0), ('g', -1, 3525, 0), ('i', -1, 2507, 0), ('k', 40, 16, 0), ('n', 40, -1, 0), ('o', 5, -1, 0), ('p', -1, 3590, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('w', -1, 3668, 0), ('ł', 3, -1, 0)), (('a', -1, 2611, 0), ('b', 4, -1, 0), ('d', -1, 1474, 0), ('e', 94, -1, 0), ('i', 3, -1, 0), ('m', 4, -1, 0), ('o', -1, 2304, 0), ('r', -1, 3669, 0), ('s', 0, -1, 0), ('t', -1, 3067, 0), ('u', 40, -1, 0), ('y', -1, 271, 0), ('z', -1, 3462, 0), ('ł', -1, 2281, 0), ('ż', 28, 3670, 0)), (('a', 28, -1, 0), ('d', 3, -1, 0), ('e', 95, -1, 0), ('g', 4, -1, 0), ('i', 0, -1, 0), ('k', 4, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 508, 0), ('r', 3, -1, 0), ('s', 4, -1, 0), ('t', 3, -1, 0), ('z', 4, -1, 0)), (('a', -1, 870, 0), ('c', 0, -1, 0), ('d', 6, -1, 0), ('e', -1, 307, 0), ('l', 28, -1, 0), ('o', 4, -1, 0), ('r', -1, 19, 0), ('s', 0, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0)), (('a', -1, 3672, 0), ('d', 40, -1, 0), ('e', 8, -1, 0), ('i', 300, -1, 0), ('o', 300, -1, 0), ('r', -1, 2891, 0), ('t', -1, 2404, 0), ('z', 40, -1, 0), ('ę', -1, 3512, 0), ('ż', 40, -1, 0)), (('a', -1, 1507, 0), ('b', 1, -1, 0), ('d', 21, -1, 0), ('e', -1, 742, 0), ('g', 300, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 8, -1, 0), ('r', 1, -1, 0), ('s', -1, 3602, 0), ('t', 1, -1, 0), ('u', -1, 2648, 0), ('w', 1, -1, 0), ('y', -1, 2148, 0), ('z', 62, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 3496, 0), ('b', -1, 3674, 0), ('e', 8, -1, 0), ('g', 8, -1, 0), ('h', 8, -1, 0), ('i', 8, -1, 0), ('j', 100, -1, 0), ('k', 8, -1, 0), ('m', 100, -1, 0), ('o', 8, -1, 0), ('p', 8, -1, 0), ('r', -1, 2112, 0), ('t', -1, 3679, 0), ('u', 8, -1, 0), ('y', 8, -1, 0)), (('a', -1, 3675, 0), ('b', 67, -1, 0), ('d', -1, 2400, 0), ('e', 8, -1, 0), ('g', -1, 3540, 0), ('h', 67, -1, 0), ('i', 10, -1, 0), ('k', -1, 3035, 0), ('o', 100, -1, 0), ('p', 67, -1, 0), ('r', -1, 3548, 0), ('s', -1, 2605, 0), ('t', -1, 2009, 0), ('u', 10, -1, 0), ('y', 10, -1, 0), ('z', -1, 2320, 0), ('ę', 72, -1, 0)), (('a', -1, 2593, 0), ('b', 10, -1, 0), ('c', 10, -1, 0), ('d', 10, -1, 0), ('e', -1, 634, 0), ('f', 10, -1, 0), ('g', 10, -1, 0), ('h', 10, -1, 0), ('i', -1, 3396, 0), ('j', 10, -1, 0), ('k', 10, -1, 0), ('l', -1, 3676, 0), ('m', 10, -1, 0), ('n', 10, -1, 0), ('o', -1, 1572, 0), ('p', 10, -1, 0), ('r', 10, -1, 0), ('s', 10, -1, 0), ('t', 10, -1, 0), ('w', 10, -1, 0), ('y', 52, -1, 0), ('z', -1, 3366, 0), ('ł', 10, -1, 0), ('ż', -1, 3678, 0)), (('a', -1, 2934, 0), ('d', -1, 3392, 0), ('e', -1, 3677, 0), ('g', -1, 111, 0), ('h', 10, -1, 0), ('i', 10, -1, 0), ('m', -1, 2814, 0), ('o', 10, 1957, 0), ('p', -1, 3250, 0), ('r', 10, -1, 0), ('t', -1, 3451, 0), ('u', 10, -1, 0), ('y', 10, -1, 0), ('z', -1, 1800, 0), ('ś', -1, 3366, 0), ('ź', 10, -1, 0)), (('a', -1, 2094, 0), ('b', 146, -1, 0), ('e', -1, 1064, 0), ('h', -1, 425, 0), ('i', -1, 2228, 0), ('k', 146, -1, 0), ('o', -1, 622, 0), ('r', 120, -1, 0), ('s', 10, -1, 0), ('t', 1, -1, 0), ('z', 10, -1, 0)), (('a', 10, -1, 0), ('d', 10, -1, 0), ('e', -1, 2815, 0), ('i', 10, -1, 0), ('l', 10, -1, 0), ('o', -1, 540, 0), ('r', 102, -1, 0), ('u', 10, -1, 0), ('ą', 10, -1, 0), ('ę', 10, -1, 0)), (('a', -1, 3680, 0), ('e', -1, 544, 0), ('i', -1, 1904, 0), ('k', 52, -1, 0), ('l', 3, -1, 0), ('o', 8, -1, 0), ('p', 100, -1, 0), ('r', -1, 957, 0), ('s', 8, -1, 0), ('t', 22, -1, 0), ('u', 8, 2713, 0), ('y', 100, -1, 0), ('z', 3, -1, 0), ('ę', 8, -1, 0), ('ł', 3, 1925, 0)), (('a', -1, 1365, 0), ('c', 3, 1195, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 2487, 0), ('n', 3, -1, 0), ('o', -1, 1258, 0), ('p', -1, 1838, 0), ('r', 3, -1, 0), ('s', 12, -1, 0), ('t', 3, -1, 0), ('u', -1, 1365, 0), ('w', 22, 976, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ę', -1, 1977, 0)), (('a', 40, -1, 0), ('b', 40, -1, 0), ('e', 3, -1, 0), ('g', 40, -1, 0), ('i', 40, -1, 0), ('l', 40, -1, 0), ('m', 3, -1, 0), ('o', -1, 3682, 0), ('r', 3, -1, 0), ('s', 82, -1, 0), ('u', -1, 3714, 0), ('y', 273, -1, 0)), (('a', 0, -1, 0), ('c', -1, 3683, 0), ('d', -1, 3696, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 3403, 0), ('o', -1, 3708, 0), ('r', -1, 2167, 0), ('s', -1, 3711, 0), ('z', -1, 1381, 0), ('ł', 40, -1, 0)), (('a', -1, 2844, 0), ('c', 11, -1, 0), ('d', 107, -1, 0), ('e', -1, 3684, 0), ('i', -1, 1799, 0), ('j', 107, -1, 0), ('l', -1, 2671, 0), ('o', -1, 3688, 0), ('p', 107, -1, 0), ('r', -1, 2671, 0), ('u', -1, 1801, 0), ('y', -1, 2877, 0), ('z', -1, 1923, 0), ('ó', 107, -1, 0), ('ą', 107, -1, 0), ('ę', -1, 3688, 0), ('ł', 11, -1, 0), ('ń', 107, -1, 0)), (('a', -1, 2802, 0), ('b', 97, -1, 0), ('e', 28, -1, 0), ('i', -1, 806, 0), ('j', 97, -1, 0), ('l', -1, 3685, 0), ('o', -1, 2715, 0), ('r', -1, 3686, 0), ('u', 28, -1, 0), ('z', 56, -1, 0), ('ę', 28, -1, 0)), (('a', -1, 1547, 0), ('b', 56, -1, 0), ('d', 21, -1, 0), ('e', -1, 919, 0), ('i', 21, -1, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', 107, -1, 0), ('r', 21, -1, 0), ('t', -1, 1732, 0), ('u', -1, 309, 0), ('w', 329, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 1131, 0), ('d', 2, -1, 0), ('e', -1, 2085, 0), ('h', 5, -1, 0), ('i', -1, 1552, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 3687, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 2, -1, 0), ('s', 5, -1, 0), ('t', 2, -1, 0), ('w', 28, -1, 0), ('y', 5, -1, 0), ('z', 2, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 2, -1, 0), ('ś', 5, -1, 0)), (('a', -1, 335, 0), ('e', -1, 2486, 0), ('g', 2, -1, 0), ('i', 121, -1, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('o', 2, -1, 0), ('r', 28, -1, 0), ('s', 2, -1, 0), ('u', 28, -1, 0), ('y', 2, -1, 0), ('z', 28, -1, 0)), (('a', 3, -1, 0), ('e', 107, -1, 0), ('i', -1, 3689, 0), ('j', 11, -1, 0), ('k', 107, -1, 0), ('l', 11, -1, 0), ('m', 107, -1, 0), ('n', -1, 410, 0), ('o', -1, 239, 0), ('r', 107, -1, 0), ('t', 107, -1, 0), ('z', 11, -1, 0), ('ł', 107, -1, 0)), (('a', -1, 3690, 0), ('e', -1, 3693, 0), ('f', 3, -1, 0), ('i', -1, 456, 0), ('k', 3, -1, 0), ('n', -1, 2144, 0), ('o', -1, 1011, 0), ('p', 41, -1, 0), ('r', -1, 1711, 0), ('s', -1, 3077, 0), ('u', -1, 3695, 0), ('w', 11, -1, 0), ('y', -1, 3319, 0), ('z', 107, -1, 0), ('ą', -1, 2169, 0), ('ę', -1, 2965, 0), ('ł', 0, -1, 0)), (('a', 208, -1, 0), ('b', 41, -1, 0), ('d', 0, 2177, 0), ('e', 3, -1, 0), ('g', 41, -1, 0), ('i', -1, 3691, 0), ('j', 41, -1, 0), ('l', -1, 2947, 0), ('m', 3, 1033, 0), ('o', 85, -1, 0), ('r', 41, 3692, 0), ('s', 3, -1, 0), ('t', -1, 1432, 0), ('w', 41, -1, 0), ('y', 85, -1, 0), ('z', -1, 2362, 0), ('ł', 41, 220, 0)), (('a', -1, 1490, 0), ('b', 66, -1, 0), ('d', -1, 2131, 0), ('e', 27, -1, 0), ('g', -1, 1462, 0), ('h', 66, -1, 0), ('i', 9, -1, 0), ('j', 79, -1, 0), ('k', -1, 2610, 0), ('l', 0, -1, 0), ('m', 28, -1, 0), ('o', 5, -1, 0), ('p', 66, -1, 0), ('r', -1, 2524, 0), ('s', -1, 2022, 0), ('t', -1, 1083, 0), ('u', 9, -1, 0), ('w', -1, 1434, 0), ('y', 9, -1, 0), ('z', -1, 2079, 0), ('ę', 128, -1, 0)), (('a', 41, -1, 0), ('b', 0, -1, 0), ('d', 2, -1, 0), ('e', 3, -1, 0), ('i', 41, -1, 0), ('k', 41, -1, 0), ('m', 2, -1, 0), ('o', -1, 2039, 0), ('p', 2, -1, 0), ('r', 28, 985, 0), ('s', 41, -1, 0), ('u', 41, -1, 0), ('y', 3, -1, 0), ('z', 28, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 41, -1, 0), ('e', 7, -1, 0), ('h', 22, -1, 0), ('i', 41, -1, 0), ('j', 41, -1, 0), ('l', -1, 3694, 0), ('m', 41, -1, 0), ('n', 41, -1, 0), ('o', 7, 241, 0), ('r', -1, 2717, 0), ('s', -1, 387, 0), ('u', 41, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 41, -1, 0), ('ż', 41, -1, 0)), (('a', 41, -1, 0), ('c', -1, 1438, 0), ('d', 4, -1, 0), ('e', -1, 2336, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1362, 0), ('m', 3, -1, 0), ('n', 41, 100, 0), ('o', 185, -1, 0), ('p', 0, -1, 0), ('r', 63, -1, 0), ('s', 185, -1, 0), ('t', 22, -1, 0), ('u', 41, -1, 0), ('w', 3, -1, 0), ('y', 63, -1, 0), ('z', -1, 1893, 0)), (('a', 1, -1, 0), ('b', 3, -1, 0), ('c', 1, -1, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 3, -1, 0), ('n', 0, -1, 0), ('o', -1, 693, 0), ('r', 22, -1, 0), ('s', 4, -1, 0), ('t', 22, -1, 0), ('u', -1, 335, 0), ('y', 1, -1, 0), ('z', -1, 3290, 0)), (('a', 5, -1, 0), ('e', -1, 3697, 0), ('i', 95, -1, 0), ('n', 105, -1, 0), ('o', -1, 3700, 0), ('r', 117, 1914, 0), ('u', -1, 1473, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 170, -1, 0), ('ą', 5, -1, 0), ('ę', -1, 1275, 0)), (('a', 3, -1, 0), ('c', 97, -1, 0), ('d', 31, -1, 0), ('e', -1, 3517, 0), ('i', -1, 1682, 0), ('j', 223, -1, 0), ('l', 5, -1, 0), ('o', -1, 1256, 0), ('p', 31, -1, 0), ('r', -1, 3684, 0), ('s', -1, 3698, 0), ('u', -1, 3699, 0), ('z', 5, -1, 0)), (('a', -1, 274, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('m', 97, -1, 0), ('o', 2, -1, 0), ('r', 97, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 3244, 0), ('d', 3, -1, 0), ('e', 87, -1, 0), ('g', 2, -1, 0), ('i', 22, -1, 0), ('l', 1, -1, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', 87, -1, 0), ('p', 22, -1, 0), ('r', -1, 1194, 0), ('s', 28, -1, 0), ('t', -1, 619, 0), ('u', 22, -1, 0), ('w', 2, -1, 0), ('z', 28, -1, 0)), (('a', -1, 1819, 0), ('b', 5, -1, 0), ('c', 7, -1, 0), ('e', -1, 946, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 3273, 0), ('j', 3, -1, 0), ('k', 2, -1, 0), ('l', -1, 3701, 0), ('m', 3, -1, 0), ('n', 5, -1, 0), ('o', 2, 3518, 0), ('r', -1, 3707, 0), ('s', 5, -1, 0), ('u', -1, 526, 0), ('w', 5, -1, 0), ('y', -1, 2459, 0), ('z', -1, 1645, 0), ('ł', 5, -1, 0)), (('a', -1, 864, 0), ('d', -1, 3702, 0), ('e', 6, -1, 0), ('g', 5, -1, 0), ('i', -1, 789, 0), ('o', 7, -1, 0), ('p', 0, -1, 0), ('r', 108, -1, 0), ('u', 22, -1, 0), ('w', 6, -1, 0), ('y', -1, 2351, 0), ('z', -1, 1021, 0), ('ś', 7, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 672, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', 41, 2951, 0), ('e', 0, -1, 0), ('f', 12, -1, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('j', 12, -1, 0), ('k', 12, -1, 0), ('l', 41, 2944, 0), ('m', 257, 2951, 0), ('n', -1, 2950, 0), ('o', 7, -1, 0), ('r', -1, 3703, 0), ('s', 12, -1, 0), ('t', 12, -1, 0), ('w', 30, 2950, 0), ('y', 7, -1, 0), ('z', 12, -1, 0), ('ł', -1, 3704, 0), ('ż', 12, -1, 0)), (('a', 12, -1, 0), ('b', 0, -1, 0), ('c', 30, -1, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('g', 12, 3005, 0), ('i', -1, 2074, 0), ('k', 0, -1, 0), ('o', -1, 1433, 0), ('r', 69, -1, 0), ('s', 12, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 41, -1, 0), ('ó', 12, -1, 0), ('ę', 69, -1, 0), ('ł', 69, -1, 0)), (('a', -1, 3705, 0), ('b', 62, -1, 0), ('d', -1, 2977, 0), ('e', 12, -1, 0), ('g', -1, 148, 0), ('h', 62, -1, 0), ('i', 5, -1, 0), ('k', -1, 2154, 0), ('m', 12, -1, 0), ('o', -1, 3706, 0), ('p', 62, -1, 0), ('r', -1, 578, 0), ('s', -1, 610, 0), ('t', -1, 185, 0), ('u', 5, -1, 0), ('y', -1, 2540, 0), ('z', 166, 146, 0), ('ę', 71, -1, 0)), (('a', 6, -1, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 6, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 422, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', -1, 765, 0), ('m', 5, -1, 0), ('n', 166, 1325, 0), ('o', -1, 1151, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('w', 5, -1, 0), ('z', -1, 980, 0), ('ł', 5, -1, 0), ('ż', -1, 18, 0)), (('a', 6, -1, 0), ('d', -1, 132, 0), ('e', -1, 1336, 0), ('i', -1, 1789, 0), ('k', 5, -1, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('o', 6, -1, 0), ('p', 1, -1, 0), ('r', 6, -1, 0), ('s', -1, 2158, 0), ('t', 107, -1, 0), ('u', 6, -1, 0), ('w', 12, -1, 0), ('y', 6, -1, 0), ('z', -1, 1291, 0), ('ą', 6, -1, 0), ('ł', 21, -1, 0)), (('a', 5, -1, 0), ('c', -1, 1764, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('m', 5, -1, 0), ('o', 5, 364, 0), ('r', -1, 447, 0), ('s', -1, 526, 0), ('u', 39, -1, 0), ('y', -1, 2645, 0), ('z', 5, -1, 0), ('ą', -1, 342, 0), ('ł', 5, -1, 0)), (('a', -1, 770, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 10, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 56, -1, 0), ('p', 0, -1, 0), ('r', -1, 3709, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 3710, 0), ('g', 12, -1, 0), ('i', -1, 1424, 0), ('k', 4, -1, 0), ('m', 12, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 3694, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1220, 0), ('z', 12, -1, 0)), (('a', 0, -1, 0), ('b', -1, 537, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1743, 0), ('m', -1, 2457, 0), ('n', 79, -1, 0), ('o', -1, 2080, 0), ('p', 0, -1, 0), ('r', -1, 35, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 345, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 136, 0)), (('-', 117, -1, 0), ('a', -1, 2343, 0), ('d', 95, -1, 0), ('e', -1, 3018, 0), ('i', -1, 2622, 0), ('j', 107, -1, 0), ('k', 107, -1, 0), ('m', 11, -1, 0), ('o', -1, 3712, 0), ('p', 56, -1, 0), ('r', -1, 1801, 0), ('u', -1, 3713, 0), ('y', -1, 2968, 0), ('z', 105, -1, 0), ('ó', 107, -1, 0), ('ą', 5, -1, 0), ('ę', 107, -1, 0), ('ł', -1, 1238, 0), ('ż', 107, -1, 0)), (('a', -1, 914, 0), ('d', 2, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 2, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 43, 0), ('t', 107, -1, 0), ('z', 2, -1, 0), ('ł', -1, 2622, 0)), (('a', 7, -1, 0), ('d', 5, -1, 0), ('e', 7, -1, 0), ('i', -1, 2701, 0), ('j', 107, -1, 0), ('l', 7, -1, 0), ('m', 5, -1, 0), ('o', -1, 144, 0), ('r', 107, -1, 0), ('s', 107, -1, 0), ('t', 107, 518, 0), ('w', 5, -1, 0), ('z', -1, 988, 0), ('ł', 107, -1, 0)), (('a', -1, 492, 0), ('e', 30, -1, 0), ('i', -1, 1977, 0), ('j', 3, -1, 0), ('o', 30, -1, 0), ('r', -1, 2123, 0), ('s', 3, -1, 0), ('t', 273, -1, 0), ('u', -1, 3534, 0), ('w', 40, -1, 0), ('y', 21, -1, 0), ('z', 40, -1, 0), ('ó', 69, -1, 0), ('ą', 69, -1, 0), ('ę', 30, -1, 0), ('ł', 1, -1, 0), ('ż', 30, -1, 0)), (('a', 70, -1, 0), ('b', 70, -1, 0), ('c', 40, -1, 0), ('e', 7, -1, 0), ('i', -1, 885, 0), ('m', 40, -1, 0), ('o', -1, 1624, 0), ('r', -1, 3065, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 40, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0)), (('a', 31, -1, 0), ('e', 31, -1, 0), ('g', 31, -1, 0), ('h', -1, 1297, 0), ('i', 6, -1, 0), ('k', 31, -1, 0), ('m', 54, -1, 0), ('o', 31, -1, 0), ('p', 0, 3033, 0), ('r', 31, -1, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('y', -1, 3717, 0), ('z', -1, 3060, 0), ('ó', -1, 91, 0)), (('a', -1, 1813, 0), ('b', 0, -1, 0), ('e', -1, 3718, 0), ('h', 0, -1, 0), ('i', -1, 2585, 0), ('j', 0, -1, 0), ('l', -1, 3721, 0), ('m', 0, -1, 0), ('o', -1, 1546, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', -1, 1384, 0), ('w', -1, 3682, 0), ('y', -1, 3763, 0), ('z', -1, 3764, 0), ('ą', -1, 3765, 0), ('ę', -1, 2032, 0), ('ń', -1, 3230, 0)), (('a', 223, -1, 0), ('b', 21, -1, 0), ('d', 0, -1, 0), ('e', -1, 3719, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 21, -1, 0), ('o', 56, -1, 0), ('p', 11, -1, 0), ('r', -1, 1381, 0), ('t', 21, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', -1, 864, 0), ('ę', 319, -1, 0)), (('a', -1, 1240, 0), ('b', 0, -1, 0), ('e', 4, -1, 0), ('i', -1, 1292, 0), ('l', 56, -1, 0), ('m', -1, 3720, 0), ('n', 4, -1, 0), ('o', -1, 347, 0), ('p', 1, -1, 0), ('r', 29, 1435, 0), ('t', 0, -1, 0), ('u', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ó', 14, -1, 0)), (('a', 1, -1, 0), ('e', -1, 910, 0), ('g', 1, -1, 0), ('o', 0, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 2234, 0), ('c', -1, 3722, 0), ('d', -1, 2656, 0), ('e', -1, 3709, 0), ('f', 3, -1, 0), ('g', -1, 3724, 0), ('i', 0, -1, 0), ('l', -1, 3727, 0), ('m', 3, -1, 0), ('n', -1, 3747, 0), ('o', -1, 2888, 0), ('p', -1, 3760, 0), ('r', -1, 3761, 0), ('s', -1, 3396, 0), ('t', -1, 3762, 0), ('u', 0, -1, 0), ('v', 132, -1, 0), ('w', -1, 1701, 0), ('y', 0, -1, 0), ('z', -1, 2286, 0)), (('a', -1, 1081, 0), ('c', 121, -1, 0), ('e', -1, 3272, 0), ('h', 97, -1, 0), ('i', -1, 1209, 0), ('k', 95, -1, 0), ('o', -1, 1016, 0), ('p', 97, -1, 0), ('r', -1, 3507, 0), ('s', 4, -1, 0), ('u', -1, 3723, 0), ('y', -1, 3331, 0), ('z', 82, -1, 0), ('ę', -1, 1919, 0), ('ł', 97, -1, 0), ('ś', -1, 1813, 0)), (('a', 2, -1, 0), ('e', 3, -1, 0), ('i', -1, 694, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('n', -1, 616, 0), ('o', 237, -1, 0), ('p', 11, -1, 0), ('r', -1, 811, 0), ('s', 56, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 121, -1, 0), ('b', 3, -1, 0), ('d', 0, -1, 0), ('e', 148, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 21, 3725, 0), ('l', -1, 3181, 0), ('n', 132, -1, 0), ('o', 3, -1, 0), ('r', 22, 1382, 0), ('t', 3, -1, 0), ('u', 5, -1, 0), ('y', 148, -1, 0), ('z', -1, 2300, 0), ('ę', 30, -1, 0), ('ł', -1, 257, 0)), (('a', 30, -1, 0), ('b', 30, -1, 0), ('d', 52, -1, 0), ('e', 3, -1, 0), ('i', -1, 1261, 0), ('k', 30, -1, 0), ('o', 52, -1, 0), ('p', 126, -1, 0), ('r', 30, -1, 0), ('s', 52, 3726, 0), ('t', -1, 3200, 0), ('u', 30, -1, 0), ('w', 52, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 2052, 0), ('e', 3, -1, 0), ('i', -1, 3279, 0), ('j', 100, -1, 0), ('k', 3, -1, 0), ('l', 100, -1, 0), ('m', 8, -1, 0), ('n', 335, -1, 0), ('o', -1, 2980, 0), ('r', 8, -1, 0), ('s', 3, -1, 0), ('z', 100, -1, 0)), (('a', -1, 2856, 0), ('b', 3, -1, 0), ('e', -1, 958, 0), ('g', 3, -1, 0), ('h', 1, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 22, 875, 0), ('l', 3, 2459, 0), ('m', 22, 16, 0), ('n', 3, -1, 0), ('o', -1, 3728, 0), ('p', 3, -1, 0), ('r', 22, 1012, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0)), (('a', -1, 2527, 0), ('c', -1, 3729, 0), ('d', 3, -1, 0), ('e', -1, 2435, 0), ('f', -1, 1721, 0), ('h', -1, 1747, 0), ('i', -1, 2183, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 91, 0), ('p', 3, -1, 0), ('r', -1, 930, 0), ('s', 3, -1, 0), ('t', 34, -1, 0), ('u', 3, -1, 0), ('w', 56, -1, 0), ('z', -1, 1217, 0), ('ł', 2, 197, 0)), (('a', 3, -1, 0), ('b', 65, -1, 0), ('d', 65, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 210, -1, 0), ('l', -1, 3730, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('s', 80, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 65, -1, 0), ('y', 3, -1, 0), ('z', -1, 2629, 0), ('ś', 3, -1, 0)), (('a', 41, 976, 0), ('e', -1, 3731, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 2355, 0), ('t', -1, 3732, 0), ('u', 3, -1, 0), ('z', 41, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 1264, 0), ('c', 22, -1, 0), ('e', -1, 2281, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 80, -1, 0), ('l', 3, -1, 0), ('m', -1, 2053, 0), ('n', 0, -1, 0), ('o', -1, 2534, 0), ('r', 3, 3533, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('y', 0, -1, 0), ('z', 3, -1, 0), ('ę', 37, -1, 0)), (('1', 0, -1, 0), ('2', 0, -1, 0), ('4', 0, -1, 0), ('a', 41, -1, 0), ('b', -1, 98, 0), ('c', -1, 3733, 0), ('d', -1, 1290, 0), ('e', -1, 166, 0), ('f', 21, -1, 0), ('g', 241, 3731, 0), ('h', -1, 743, 0), ('i', -1, 3733, 0), ('k', -1, 3734, 0), ('m', -1, 738, 0), ('n', -1, 3212, 0), ('o', -1, 1234, 0), ('p', -1, 3735, 0), ('r', -1, 1481, 0), ('s', -1, 414, 0), ('t', -1, 2710, 0), ('u', 0, -1, 0), ('w', -1, 246, 0), ('y', 3, -1, 0), ('z', -1, 1449, 0), ('ł', -1, 3736, 0), ('ż', -1, 1292, 0)), (('a', -1, 1952, 0), ('b', 21, -1, 0), ('c', 0, -1, 0), ('d', 5, -1, 0), ('e', -1, 2433, 0), ('g', 0, -1, 0), ('i', -1, 2521, 0), ('j', 21, -1, 0), ('m', 52, -1, 0), ('n', -1, 1334, 0), ('o', -1, 1902, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('s', 1, -1, 0), ('t', 5, -1, 0), ('w', 31, -1, 0), ('z', 0, -1, 0), ('ó', 7, -1, 0), ('ą', -1, 1836, 0), ('ę', 28, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1999, 0), ('c', -1, 3042, 0), ('d', 37, -1, 0), ('e', 0, -1, 0), ('i', 37, -1, 0), ('k', 37, -1, 0), ('l', -1, 297, 0), ('m', -1, 2335, 0), ('n', -1, 3068, 0), ('o', 0, 444, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 303, 0), ('t', -1, 922, 0), ('w', -1, 2584, 0), ('y', 0, -1, 0), ('z', -1, 3043, 0), ('ę', 37, -1, 0), ('ł', 0, -1, 0), ('ń', -1, 2519, 0), ('ś', 37, -1, 0), ('ż', -1, 511, 0)), (('a', -1, 2221, 0), ('b', 37, -1, 0), ('c', 37, -1, 0), ('e', 13, -1, 0), ('i', -1, 2883, 0), ('k', 37, -1, 0), ('l', 4, -1, 0), ('m', 4, -1, 0), ('o', -1, 2252, 0), ('r', 37, 16, 0), ('s', 248, -1, 0), ('t', 37, -1, 0), ('z', 37, -1, 0), ('ę', -1, 805, 0), ('ł', 4, -1, 0)), (('a', -1, 763, 0), ('b', -1, 335, 0), ('d', -1, 3070, 0), ('e', 0, -1, 0), ('g', -1, 3737, 0), ('h', -1, 533, 0), ('i', 6, -1, 0), ('j', 0, -1, 0), ('k', -1, 442, 0), ('o', 0, -1, 0), ('p', 64, -1, 0), ('r', -1, 2711, 0), ('s', -1, 3738, 0), ('t', 0, 534, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 3356, 0), ('ę', 126, -1, 0)), (('a', 188, -1, 0), ('e', -1, 3256, 0), ('i', 12, -1, 0), ('l', 64, -1, 0), ('m', 12, -1, 0), ('o', 446, -1, 0), ('p', 203, -1, 0), ('r', -1, 2780, 0), ('s', 0, -1, 0), ('t', 51, -1, 0), ('w', 51, -1, 0), ('y', -1, 340, 0), ('z', 1, -1, 0), ('ę', -1, 2353, 0), ('ż', 12, -1, 0)), (('a', -1, 3739, 0), ('b', -1, 1896, 0), ('c', -1, 1544, 0), ('d', 0, 1517, 0), ('e', -1, 686, 0), ('h', 1, -1, 0), ('i', 64, -1, 0), ('m', 1, -1, 0), ('n', -1, 3501, 0), ('o', -1, 2252, 0), ('p', 0, 311, 0), ('r', -1, 1820, 0), ('s', 1, -1, 0), ('t', -1, 3742, 0), ('w', -1, 2608, 0), ('z', -1, 447, 0), ('ę', -1, 805, 0), ('ł', -1, 2035, 0), ('ż', -1, 1300, 0)), (('a', 1, -1, 0), ('c', -1, 2013, 0), ('d', -1, 3120, 0), ('e', 1, -1, 0), ('g', 64, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', -1, 566, 0), ('l', 41, -1, 0), ('m', -1, 3059, 0), ('o', 1, -1, 0), ('p', 137, -1, 0), ('r', -1, 2693, 0), ('s', -1, 2875, 0), ('t', 41, -1, 0), ('u', 1, -1, 0), ('w', -1, 54, 0), ('y', -1, 3740, 0), ('z', -1, 172, 0), ('ł', 5, -1, 0)), (('a', 23, -1, 0), ('d', 23, -1, 0), ('e', 174, -1, 0), ('g', 23, -1, 0), ('i', 23, -1, 0), ('k', -1, 3741, 0), ('o', -1, 2019, 0), ('p', 174, -1, 0), ('r', -1, 1394, 0), ('s', -1, 2228, 0), ('u', 23, -1, 0), ('y', 23, -1, 0), ('z', 23, -1, 0)), (('a', 12, -1, 0), ('d', 12, -1, 0), ('e', 43, -1, 0), ('i', 174, -1, 0), ('l', 12, -1, 0), ('o', 6, -1, 0), ('p', 136, -1, 0), ('r', 96, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0)), (('a', 1, -1, 0), ('e', 1, -1, 0), ('i', -1, 1507, 0), ('k', -1, 3743, 0), ('n', -1, 1517, 0), ('o', 1, -1, 0), ('p', 2, -1, 0), ('r', -1, 3745, 0), ('s', 1, -1, 0), ('t', 59, -1, 0), ('u', -1, 1761, 0), ('y', -1, 1134, 0), ('z', 59, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 1412, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('e', 37, -1, 0), ('i', 1, -1, 0), ('o', -1, 765, 0), ('r', -1, 3744, 0), ('z', 1, 2008, 0), ('ł', -1, 705, 0), ('ż', 79, -1, 0)), (('a', 37, -1, 0), ('e', 37, -1, 0), ('i', 37, -1, 0), ('k', 0, -1, 0), ('o', 37, -1, 0), ('p', 4, -1, 0), ('t', 4, -1, 0), ('u', 0, -1, 0), ('ó', 79, -1, 0)), (('a', -1, 1408, 0), ('b', 3, 1996, 0), ('d', 22, -1, 0), ('e', -1, 1784, 0), ('f', 22, -1, 0), ('h', 22, -1, 0), ('i', -1, 1125, 0), ('j', -1, 628, 0), ('k', 3, -1, 0), ('l', -1, 2958, 0), ('m', 22, -1, 0), ('n', -1, 30, 0), ('o', 190, -1, 0), ('p', 22, -1, 0), ('r', -1, 3746, 0), ('s', -1, 1353, 0), ('t', -1, 271, 0), ('u', -1, 3644, 0), ('w', 22, -1, 0), ('z', 3, 1522, 0), ('ż', 30, -1, 0)), (('a', -1, 258, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 22, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', -1, 1288, 0), ('l', -1, 3504, 0), ('m', 3, -1, 0), ('n', -1, 1406, 0), ('o', 22, -1, 0), ('p', 3, -1, 0), ('r', -1, 1280, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 1280, 0), ('ł', 85, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 2660, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 2650, 0), ('e', -1, 3748, 0), ('g', -1, 2398, 0), ('h', 3, -1, 0), ('i', -1, 440, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 132, -1, 0), ('o', -1, 2615, 0), ('p', -1, 2934, 0), ('r', -1, 3278, 0), ('t', -1, 2879, 0), ('u', 3, 1225, 0), ('w', 3, -1, 0), ('y', -1, 3077, 0), ('z', -1, 3757, 0), ('ł', 3, -1, 0), ('ś', -1, 3758, 0), ('ź', -1, 3758, 0), ('ż', 3, -1, 0)), (('a', 1, -1, 0), ('c', -1, 1756, 0), ('e', 1, -1, 0), ('i', -1, 1350, 0), ('j', -1, 3749, 0), ('k', 21, -1, 0), ('l', -1, 3755, 0), ('o', -1, 1096, 0), ('r', 3, -1, 0), ('s', 117, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('z', -1, 3682, 0), ('ż', -1, 3229, 0)), (('a', 5, -1, 0), ('b', -1, 180, 0), ('d', -1, 3750, 0), ('e', 5, -1, 0), ('g', 1, 675, 0), ('i', -1, 3751, 0), ('j', 21, -1, 0), ('k', 314, 3577, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 3754, 0), ('p', -1, 2882, 0), ('r', 21, 1331, 0), ('s', 1, 144, 0), ('t', -1, 3299, 0), ('w', 314, -1, 0), ('z', 1, -1, 0)), (('a', -1, 2113, 0), ('e', 28, -1, 0), ('i', 1, -1, 0), ('n', 21, -1, 0), ('o', 314, -1, 0), ('r', 255, -1, 0)), (('a', 41, -1, 0), ('c', -1, 3752, 0), ('e', 3, -1, 0), ('i', 41, -1, 0), ('k', 28, -1, 0), ('m', 255, -1, 0), ('o', -1, 2633, 0), ('p', 41, -1, 0), ('r', -1, 3753, 0), ('s', 3, -1, 0), ('z', 192, -1, 0)), (('a', 3, -1, 0), ('d', 10, -1, 0), ('e', 121, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('n', 10, -1, 0), ('o', 2, -1, 0), ('p', 10, -1, 0), ('r', 10, -1, 0), ('s', -1, 3272, 0), ('t', 10, -1, 0), ('u', -1, 3633, 0), ('y', 3, -1, 0), ('z', -1, 2018, 0), ('ó', 3, -1, 0), ('ą', 3, -1, 0), ('ł', 10, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('e', 3, -1, 0), ('h', 2, -1, 0), ('i', 3, -1, 0), ('m', 2, -1, 0), ('o', 2, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 39, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 39, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 1940, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 1102, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ć', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, 1917, 0), ('ż', 5, -1, 0)), (('a', -1, 1081, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 3756, 0), ('g', -1, 523, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('m', -1, 1537, 0), ('o', -1, 631, 0), ('p', -1, 2458, 0), ('r', 56, -1, 0), ('t', -1, 245, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 11, -1, 0), ('ś', -1, 2644, 0)), (('a', 41, -1, 0), ('e', 28, -1, 0), ('i', -1, 2540, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('u', 28, -1, 0), ('y', 41, -1, 0), ('z', 5, -1, 0), ('ę', -1, 32, 0), ('ż', 28, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', -1, 197, 0), ('d', 7, -1, 0), ('e', -1, 459, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('k', 3, 1086, 0), ('o', 7, -1, 0), ('r', 76, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 1101, 0)), (('a', 117, -1, 0), ('e', 117, -1, 0), ('i', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 3759, 0), ('t', -1, 1213, 0), ('z', 21, -1, 0), ('ę', 75, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 1141, 0), ('c', -1, 2914, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 21, -1, 0), ('i', 6, -1, 0), ('o', 21, -1, 0), ('r', -1, 3051, 0), ('s', -1, 3505, 0), ('u', 1, -1, 0), ('z', 21, -1, 0), ('ą', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 7, -1, 0), ('e', -1, 680, 0), ('i', 106, -1, 0), ('j', 106, -1, 0), ('l', 5, -1, 0), ('n', 7, -1, 0), ('o', 3, -1, 0), ('r', -1, 2644, 0), ('u', -1, 3042, 0), ('y', -1, 317, 0), ('z', -1, 2862, 0)), (('a', -1, 2041, 0), ('b', 3, -1, 0), ('c', 0, -1, 0), ('d', 3, -1, 0), ('e', -1, 563, 0), ('i', -1, 1925, 0), ('j', 341, -1, 0), ('n', 3, -1, 0), ('o', -1, 2134, 0), ('p', -1, 1064, 0), ('r', -1, 959, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 2, -1, 0), ('z', -1, 2583, 0)), (('a', -1, 1678, 0), ('e', -1, 664, 0), ('i', -1, 2614, 0), ('j', 0, 1326, 0), ('l', 12, -1, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('z', 12, -1, 0)), (('a', 11, -1, 0), ('b', 1, -1, 0), ('d', 10, -1, 0), ('e', 0, -1, 0), ('g', 10, -1, 0), ('i', -1, 2758, 0), ('j', 1, -1, 0), ('o', 10, -1, 0), ('r', -1, 2884, 0), ('y', 10, -1, 0), ('z', 1, -1, 0), ('ł', -1, 1043, 0)), (('a', -1, 373, 0), ('e', 7, -1, 0), ('g', 31, -1, 0), ('i', 70, -1, 0), ('l', 7, -1, 0), ('o', -1, 1624, 0), ('r', 178, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('ą', 70, -1, 0), ('ę', 70, -1, 0)), (('a', -1, 1245, 0), ('b', 0, -1, 0), ('e', -1, 494, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 1, 675, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 41, 386, 0), ('r', -1, 2771, 0), ('s', 0, -1, 0), ('t', -1, 3766, 0), ('w', 0, 175, 0), ('y', 62, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1199, 0), ('b', 0, -1, 0), ('c', 79, -1, 0), ('e', 79, -1, 0), ('h', 28, -1, 0), ('i', 131, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 28, -1, 0), ('t', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1851, 0), ('d', 105, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('m', 28, -1, 0), ('n', 105, -1, 0), ('o', -1, 1596, 0), ('r', -1, 345, 0), ('t', 105, -1, 0), ('u', -1, 1889, 0), ('w', -1, 1722, 0), ('y', 31, -1, 0), ('ą', 31, -1, 0), ('ę', 31, -1, 0), ('ł', -1, 3768, 0)), (('a', 17, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('o', 17, -1, 0), ('r', 105, -1, 0), ('u', 105, -1, 0), ('y', 105, -1, 0), ('z', 248, -1, 0)), (('a', 3, -1, 0), ('c', -1, 2360, 0), ('d', 31, -1, 0), ('e', -1, 1195, 0), ('i', -1, 414, 0), ('j', -1, 3182, 0), ('k', 31, -1, 0), ('l', -1, 3770, 0), ('o', -1, 2694, 0), ('p', -1, 3771, 0), ('r', 22, -1, 0), ('s', 118, -1, 0), ('t', 31, -1, 0), ('u', 31, -1, 0), ('z', -1, 1585, 0), ('ó', 22, -1, 0), ('ż', -1, 3530, 0)), (('a', -1, 2841, 0), ('b', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 3270, 0), ('g', -1, 42, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('m', -1, 2176, 0), ('o', -1, 641, 0), ('p', -1, 1944, 0), ('r', 57, -1, 0), ('t', -1, 2445, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 7, -1, 0), ('ś', -1, 3701, 0)), (('a', 31, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('i', 4, -1, 0), ('l', 1, 18, 0), ('n', 4, 531, 0), ('o', 31, -1, 0), ('p', 4, -1, 0), ('r', 37, -1, 0), ('s', 31, -1, 0), ('t', 4, -1, 0), ('u', 5, -1, 0), ('w', 4, -1, 0), ('z', -1, 3211, 0)), (('a', 120, -1, 0), ('e', 1, -1, 0), ('i', 6, -1, 0), ('j', 120, -1, 0), ('k', 1, -1, 0), ('o', -1, 1245, 0), ('p', 1, -1, 0), ('r', 6, -1, 0), ('s', 26, -1, 0), ('t', 146, -1, 0), ('u', 6, -1, 0), ('y', 64, -1, 0), ('z', -1, 2112, 0), ('ą', 1, -1, 0), ('ę', 6, -1, 0), ('ź', 146, -1, 0)), (('a', 3, 1468, 0), ('c', 26, -1, 0), ('d', 26, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('k', 3, -1, 0), ('o', -1, 1864, 0), ('p', 177, -1, 0), ('r', 26, -1, 0), ('s', 5, -1, 0), ('w', 177, -1, 0), ('y', 5, -1, 0), ('z', -1, 2428, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0)), (('a', 26, -1, 0), ('c', 41, -1, 0), ('d', 26, -1, 0), ('e', 177, -1, 0), ('g', 26, -1, 0), ('i', 26, -1, 0), ('k', -1, 3775, 0), ('o', -1, 321, 0), ('p', 177, -1, 0), ('r', -1, 1172, 0), ('s', -1, 3645, 0), ('u', 26, -1, 0), ('y', 26, -1, 0), ('z', 26, -1, 0)), (('a', 11, -1, 0), ('b', -1, 3776, 0), ('d', 31, -1, 0), ('e', 26, -1, 0), ('i', 177, -1, 0), ('m', 31, -1, 0), ('n', 31, -1, 0), ('o', 177, -1, 0), ('r', 31, -1, 0), ('u', 11, -1, 0), ('y', 26, -1, 0), ('z', -1, 1360, 0), ('ł', 31, -1, 0), ('ż', 31, -1, 0)), (('a', 5, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('l', 1, -1, 0), ('o', 31, 2798, 0), ('r', 1, 387, 0), ('t', 0, -1, 0), ('y', 31, -1, 0), ('z', 29, -1, 0)), (('a', -1, 3566, 0), ('c', -1, 3778, 0), ('d', 26, -1, 0), ('e', 26, -1, 0), ('i', -1, 3579, 0), ('o', 26, -1, 0), ('r', 26, -1, 0), ('s', 26, -1, 0), ('u', 26, -1, 0), ('y', 26, -1, 0), ('z', 11, -1, 0), ('ą', 177, -1, 0)), (('a', 26, -1, 0), ('e', 11, -1, 0), ('i', -1, 34, 0), ('o', 11, -1, 0), ('r', 26, -1, 0), ('u', 11, 847, 0), ('y', 11, -1, 0), ('z', -1, 2049, 0), ('ł', 11, -1, 0)), (('a', -1, 3780, 0), ('d', 0, -1, 0), ('e', -1, 2668, 0), ('i', 21, 2096, 0), ('o', 21, 2287, 0), ('p', 41, -1, 0), ('r', -1, 276, 0), ('s', 177, -1, 0), ('t', 1, -1, 0), ('u', -1, 3685, 0), ('w', 177, -1, 0), ('y', 21, -1, 0), ('z', 26, -1, 0), ('ó', -1, 2214, 0)), (('a', 3, -1, 0), ('b', 1, 675, 0), ('c', 82, -1, 0), ('d', -1, 3057, 0), ('e', -1, 2256, 0), ('g', 21, -1, 0), ('h', 1, -1, 0), ('i', -1, 975, 0), ('j', -1, 308, 0), ('k', -1, 2489, 0), ('l', -1, 3368, 0), ('m', -1, 3187, 0), ('n', 21, -1, 0), ('o', 3, -1, 0), ('p', 21, -1, 0), ('r', -1, 435, 0), ('s', -1, 180, 0), ('t', -1, 2028, 0), ('u', 1, -1, 0), ('w', -1, 1367, 0), ('z', -1, 651, 0), ('ż', 21, -1, 0)), (('a', 71, -1, 0), ('b', 0, -1, 0), ('e', 5, -1, 0), ('i', 40, -1, 0), ('m', 40, -1, 0), ('o', 71, -1, 0), ('r', 40, -1, 0), ('t', 40, -1, 0), ('u', 71, -1, 0), ('y', 0, -1, 0), ('z', 71, -1, 0), ('ł', 21, -1, 0)), (('a', 21, -1, 0), ('d', 21, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', -1, 2863, 0), ('k', 21, -1, 0), ('o', -1, 785, 0), ('r', 21, -1, 0), ('y', 21, -1, 0), ('z', 5, -1, 0)), (('a', -1, 1233, 0), ('d', -1, 664, 0), ('e', -1, 3203, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('l', 2, -1, 0), ('o', 21, -1, 0), ('p', 28, -1, 0), ('r', 2, -1, 0), ('s', 28, -1, 0), ('t', 2, -1, 0), ('u', 21, -1, 0), ('w', 12, -1, 0), ('y', 21, -1, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0), ('ś', 52, -1, 0)), (('a', 91, -1, 0), ('b', 91, -1, 0), ('d', 1, -1, 0), ('e', -1, 3495, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 21, 62, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('u', -1, 179, 0), ('w', 206, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ś', 1, -1, 0)), (('a', 121, -1, 0), ('e', 91, -1, 0), ('i', 3, -1, 0), ('n', 1, -1, 0), ('o', 3, -1, 0), ('r', 206, -1, 0), ('u', 91, -1, 0), ('w', 12, -1, 0), ('y', 91, -1, 0), ('z', 373, -1, 0)), (('a', 22, -1, 0), ('b', 3, -1, 0), ('d', -1, 859, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('p', 2, -1, 0), ('r', 22, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', 22, -1, 0), ('y', 2, -1, 0), ('z', 3, -1, 0), ('ó', -1, 2711, 0), ('ą', -1, 1730, 0)), (('a', 2, -1, 0), ('b', -1, 629, 0), ('c', 2, -1, 0), ('d', -1, 3788, 0), ('e', 3, -1, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('j', -1, 985, 0), ('k', 2, -1, 0), ('l', -1, 362, 0), ('m', -1, 637, 0), ('n', -1, 1938, 0), ('o', -1, 2984, 0), ('p', 2, -1, 0), ('r', -1, 1948, 0), ('s', 2, -1, 0), ('t', -1, 2753, 0), ('u', 2, -1, 0), ('w', -1, 3136, 0), ('z', -1, 3122, 0), ('ś', -1, 3789, 0), ('ź', -1, 556, 0), ('ż', -1, 3798, 0)), (('a', -1, 649, 0), ('e', 2, -1, 0), ('i', 6, -1, 0), ('o', 2, -1, 0), ('r', -1, 1989, 0), ('t', 53, -1, 0), ('w', 53, -1, 0), ('z', 3, -1, 0), ('ę', 2, -1, 0)), (('a', 2, -1, 0), ('b', -1, 3790, 0), ('c', -1, 1485, 0), ('d', 6, -1, 0), ('e', 2, -1, 0), ('f', -1, 1413, 0), ('g', -1, 3791, 0), ('h', -1, 2132, 0), ('i', -1, 3792, 0), ('j', -1, 3793, 0), ('k', -1, 3023, 0), ('l', -1, 3794, 0), ('m', -1, 1028, 0), ('n', -1, 1279, 0), ('o', -1, 460, 0), ('p', 0, 356, 0), ('r', 28, 3795, 0), ('s', 6, -1, 0), ('t', -1, 1253, 0), ('w', -1, 3796, 0), ('z', -1, 3097, 0), ('ł', 1, 2922, 0), ('ż', -1, 3797, 0)), (('a', 4, -1, 0), ('b', 2, -1, 0), ('d', 121, -1, 0), ('e', 6, -1, 0), ('f', 3, -1, 0), ('i', -1, 1656, 0), ('l', 3, -1, 0), ('n', -1, 2789, 0), ('o', 6, -1, 0), ('p', 3, -1, 0), ('r', -1, 3752, 0), ('s', -1, 3056, 0), ('t', -1, 3753, 0), ('u', 6, -1, 0), ('w', -1, 201, 0), ('y', 6, -1, 0), ('z', 3, -1, 0), ('ą', 6, -1, 0), ('ł', -1, 300, 0), ('ż', 3, -1, 0)), (('a', -1, 126, 0), ('d', 4, -1, 0), ('e', 6, -1, 0), ('i', -1, 1765, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', -1, 2133, 0), ('o', -1, 1960, 0), ('r', 6, -1, 0), ('t', 6, 445, 0), ('u', 6, -1, 0), ('y', 4, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 7, -1, 0), ('b', -1, 356, 0), ('c', 28, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('m', 95, 42, 0), ('n', -1, 1479, 0), ('o', -1, 3213, 0), ('p', -1, 908, 0), ('r', 7, -1, 0), ('s', -1, 797, 0), ('u', -1, 2380, 0), ('w', -1, 356, 0), ('z', -1, 1694, 0)), (('a', -1, 2347, 0), ('b', 237, -1, 0), ('c', 2, -1, 0), ('d', 3, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('k', 3, -1, 0), ('l', 2, -1, 0), ('m', 121, 3698, 0), ('n', 2, -1, 0), ('o', 41, 403, 0), ('r', 237, -1, 0), ('s', 41, -1, 0), ('w', -1, 3723, 0), ('z', 2, -1, 0)), (('a', -1, 1336, 0), ('d', -1, 2738, 0), ('e', 6, -1, 0), ('f', 28, -1, 0), ('g', -1, 278, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('m', 6, -1, 0), ('o', 6, 6, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('t', -1, 3173, 0), ('u', 6, -1, 0), ('w', 28, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0)), (('a', -1, 1292, 0), ('b', 6, -1, 0), ('d', 3, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', 3, -1, 0), ('k', 2, -1, 0), ('m', 6, -1, 0), ('n', 2, -1, 0), ('o', 6, 3182, 0), ('p', 6, -1, 0), ('r', 3, -1, 0), ('s', 6, -1, 0), ('t', 2, 1385, 0), ('z', 2, -1, 0), ('ż', 2, -1, 0)), (('a', 6, -1, 0), ('e', -1, 1336, 0), ('i', 6, -1, 0), ('o', -1, 2906, 0), ('r', -1, 1703, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 28, 356, 0)), (('a', -1, 1256, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('g', 28, -1, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 28, 891, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 2191, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('h', -1, 1946, 0), ('i', -1, 2136, 0), ('j', -1, 1176, 0), ('k', 2, -1, 0), ('l', -1, 1174, 0), ('m', -1, 1706, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', 2, -1, 0), ('r', 34, -1, 0), ('s', -1, 2911, 0), ('t', -1, 2162, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0), ('ę', 2, -1, 0), ('ż', 2, -1, 0)), (('-', 115, -1, 0), ('a', -1, 31, 0), ('b', 245, -1, 0), ('d', 0, -1, 0), ('e', -1, 361, 0), ('i', -1, 284, 0), ('j', 105, -1, 0), ('k', 105, -1, 0), ('l', -1, 144, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 2482, 0), ('p', -1, 1052, 0), ('r', 105, -1, 0), ('u', -1, 3144, 0), ('w', 1, -1, 0), ('z', 245, -1, 0), ('ó', 105, -1, 0), ('ą', 13, -1, 0), ('ę', 105, -1, 0), ('ż', 105, -1, 0)), (('a', -1, 248, 0), ('d', 188, -1, 0), ('e', -1, 3801, 0), ('g', 0, -1, 0), ('i', -1, 337, 0), ('l', 105, -1, 0), ('m', 3, -1, 0), ('n', 105, -1, 0), ('o', -1, 1221, 0), ('p', 4, 386, 0), ('r', 105, -1, 0), ('s', 334, 1603, 0), ('t', 1, -1, 0), ('u', 105, -1, 0), ('w', 105, -1, 0), ('y', -1, 3803, 0), ('z', 1, -1, 0), ('ó', 105, -1, 0), ('ą', 105, -1, 0), ('ę', -1, 1589, 0), ('ł', 105, -1, 0), ('ż', 22, -1, 0)), (('a', 63, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 828, 0), ('i', 105, -1, 0), ('j', 105, -1, 0), ('l', 63, -1, 0), ('n', -1, 3802, 0), ('o', 63, -1, 0), ('p', 5, -1, 0), ('r', -1, 1127, 0), ('s', 5, -1, 0), ('t', -1, 205, 0), ('u', 29, -1, 0), ('w', 69, -1, 0), ('y', -1, 949, 0), ('z', 194, -1, 0), ('ą', 63, -1, 0), ('ę', -1, 1164, 0), ('ł', -1, 111, 0)), (('a', 328, -1, 0), ('c', 5, -1, 0), ('d', -1, 125, 0), ('e', -1, 824, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 21, 1762, 0), ('m', 5, -1, 0), ('o', -1, 638, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', -1, 3474, 0), ('u', 328, -1, 0), ('w', 5, -1, 0), ('y', 328, -1, 0), ('z', 106, -1, 0), ('ł', 5, -1, 0)), (('a', 95, -1, 0), ('c', -1, 2781, 0), ('d', -1, 1833, 0), ('e', -1, 1269, 0), ('g', 158, -1, 0), ('h', -1, 524, 0), ('i', 95, -1, 0), ('j', 95, -1, 0), ('k', 28, -1, 0), ('l', 95, -1, 0), ('m', -1, 2669, 0), ('n', 95, -1, 0), ('o', 95, -1, 0), ('p', 95, -1, 0), ('r', 95, -1, 0), ('s', -1, 879, 0), ('t', 95, -1, 0), ('u', 95, -1, 0), ('w', 105, -1, 0), ('y', 95, -1, 0), ('z', 194, -1, 0), ('ś', 95, -1, 0), ('ż', 95, -1, 0)), (('-', 118, -1, 0), ('a', -1, 592, 0), ('e', -1, 3554, 0), ('i', -1, 741, 0), ('j', 108, -1, 0), ('k', 108, -1, 0), ('m', 7, -1, 0), ('o', -1, 2055, 0), ('r', -1, 2243, 0), ('u', -1, 3171, 0), ('y', -1, 400, 0), ('z', -1, 347, 0), ('ó', 108, -1, 0), ('ą', 6, -1, 0), ('ę', 108, -1, 0), ('ż', -1, 1906, 0)), (('a', -1, 3806, 0), ('b', 30, -1, 0), ('c', 30, -1, 0), ('d', 30, -1, 0), ('e', -1, 3185, 0), ('h', 30, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('k', 30, -1, 0), ('l', 30, -1, 0), ('m', 30, -1, 0), ('n', 30, -1, 0), ('o', -1, 2989, 0), ('p', 30, -1, 0), ('r', 30, -1, 0), ('s', 30, -1, 0), ('t', 30, -1, 0), ('w', 30, -1, 0), ('y', 30, -1, 0), ('z', 30, -1, 0), ('ś', 30, -1, 0), ('ź', 30, -1, 0), ('ż', 30, -1, 0)), (('a', 23, -1, 0), ('b', -1, 3188, 0), ('c', 5, -1, 0), ('d', -1, 3807, 0), ('e', 23, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', -1, 2369, 0), ('i', -1, 924, 0), ('j', 5, -1, 0), ('k', -1, 3808, 0), ('l', -1, 3811, 0), ('m', 5, -1, 0), ('n', -1, 2905, 0), ('o', 23, -1, 0), ('p', 5, -1, 0), ('r', -1, 3188, 0), ('s', -1, 2060, 0), ('t', -1, 3686, 0), ('u', 174, -1, 0), ('w', -1, 3812, 0), ('y', -1, 2900, 0), ('z', -1, 3707, 0), ('ł', -1, 253, 0), ('ż', 30, -1, 0)), (('a', -1, 925, 0), ('b', 2, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', -1, 1985, 0), ('l', 28, -1, 0), ('o', 5, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', 5, -1, 0), ('y', -1, 1325, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ł', 2, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('o', 5, -1, 0), ('p', 2, -1, 0), ('r', 28, 971, 0), ('s', -1, 3249, 0), ('t', 5, -1, 0), ('u', -1, 3809, 0), ('w', 2, -1, 0), ('y', 5, -1, 0), ('z', -1, 1453, 0), ('ą', -1, 1874, 0), ('ć', 5, -1, 0), ('ę', 5, -1, 0)), (('a', -1, 3810, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 689, 0), ('f', 5, -1, 0), ('g', 5, 527, 0), ('h', 30, -1, 0), ('i', 5, -1, 0), ('j', 3, -1, 0), ('m', 5, -1, 0), ('n', -1, 416, 0), ('o', -1, 1573, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 2792, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 891, 0), ('b', 5, 2264, 0), ('d', -1, 446, 0), ('e', -1, 1507, 0), ('i', 5, -1, 0), ('k', -1, 1665, 0), ('l', 5, -1, 0), ('m', 70, -1, 0), ('n', 5, -1, 0), ('o', 21, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 85, 2612, 0), ('t', -1, 549, 0), ('u', 39, -1, 0), ('w', -1, 70, 0), ('y', 5, -1, 0), ('z', -1, 844, 0), ('ę', 7, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 2901, 0), ('d', -1, 3062, 0), ('e', 5, -1, 0), ('f', 30, -1, 0), ('g', -1, 823, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('m', 5, -1, 0), ('o', 5, 836, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('t', -1, 2383, 0), ('u', 5, -1, 0), ('w', 30, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0)), (('a', -1, 2304, 0), ('e', -1, 3813, 0), ('i', -1, 2201, 0), ('o', -1, 3186, 0), ('r', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 3809, 0), ('z', 30, 1753, 0)), (('a', -1, 1291, 0), ('c', -1, 3814, 0), ('d', -1, 3814, 0), ('e', 12, -1, 0), ('i', -1, 2750, 0), ('l', 5, -1, 0), ('o', -1, 2767, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('t', 41, -1, 0), ('u', 41, -1, 0), ('z', 5, -1, 0), ('ł', 12, -1, 0)), (('a', 12, -1, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('e', 12, -1, 0), ('g', 12, -1, 0), ('i', 12, -1, 0), ('k', 12, -1, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('o', -1, 1479, 0), ('r', 12, -1, 0), ('t', -1, 1828, 0), ('u', 12, -1, 0), ('y', -1, 2391, 0), ('z', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ń', 12, -1, 0)), (('a', 30, -1, 0), ('d', -1, 3816, 0), ('e', 0, -1, 0), ('i', -1, 2545, 0), ('k', 2, -1, 0), ('o', 30, -1, 0), ('r', 106, -1, 0), ('s', 30, -1, 0), ('t', 3, -1, 0), ('u', 106, -1, 0), ('w', 2, -1, 0), ('y', 106, -1, 0), ('z', 30, -1, 0), ('ą', 30, -1, 0)), (('a', -1, 3249, 0), ('c', 3, -1, 0), ('d', 2, -1, 0), ('e', -1, 1760, 0), ('f', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('l', -1, 2450, 0), ('m', 2, -1, 0), ('o', 2, -1, 0), ('r', 3, -1, 0), ('t', -1, 2428, 0), ('y', -1, 2990, 0), ('z', 2, -1, 0)), (('a', 30, -1, 0), ('d', 106, -1, 0), ('e', 30, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('o', 3, 2203, 0), ('r', -1, 1973, 0), ('s', 0, -1, 0), ('t', 30, -1, 0), ('u', 106, -1, 0), ('y', -1, 3818, 0), ('z', 41, -1, 0), ('ź', 30, -1, 0)), (('a', -1, 1980, 0), ('b', -1, 540, 0), ('c', 6, -1, 0), ('e', 1, -1, 0), ('f', 3, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('k', 3, -1, 0), ('l', -1, 2051, 0), ('m', -1, 2053, 0), ('n', -1, 1012, 0), ('o', 22, -1, 0), ('p', 3, -1, 0), ('r', -1, 334, 0), ('s', -1, 3448, 0), ('t', 22, -1, 0), ('u', 352, -1, 0), ('w', -1, 48, 0), ('y', 22, -1, 0), ('z', -1, 1320, 0), ('ą', 352, -1, 0), ('ż', 30, -1, 0)), (('a', -1, 1029, 0), ('e', -1, 3820, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 6, -1, 0), ('y', -1, 3821, 0), ('z', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1464, 0), ('p', 1, -1, 0), ('r', -1, 88, 0), ('s', 39, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', -1, 1428, 0), ('ć', 1, -1, 0), ('ń', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 28, -1, 0), ('d', 6, -1, 0), ('e', 28, -1, 0), ('i', -1, 2192, 0), ('m', 15, -1, 0), ('n', 15, -1, 0), ('o', 2, -1, 0), ('r', -1, 2422, 0), ('t', 6, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 3822, 0), ('ł', -1, 728, 0), ('ż', 6, -1, 0)), (('a', 16, -1, 0), ('b', 16, -1, 0), ('d', 16, -1, 0), ('e', -1, 3823, 0), ('f', 31, -1, 0), ('g', -1, 3401, 0), ('i', 16, -1, 0), ('k', 16, -1, 0), ('l', -1, 3032, 0), ('m', 31, -1, 0), ('n', 31, -1, 0), ('o', -1, 3413, 0), ('p', 16, -1, 0), ('r', -1, 938, 0), ('s', 31, -1, 0), ('t', 16, -1, 0), ('u', 16, -1, 0), ('y', -1, 2363, 0), ('z', 31, -1, 0), ('ś', -1, 3325, 0)), (('a', -1, 2451, 0), ('d', 5, -1, 0), ('e', -1, 3030, 0), ('i', -1, 3824, 0), ('l', 107, -1, 0), ('o', -1, 567, 0), ('r', -1, 2541, 0), ('u', 107, -1, 0), ('y', -1, 2412, 0), ('z', 16, -1, 0), ('ó', 107, -1, 0), ('ą', 107, -1, 0), ('ę', -1, 3713, 0)), (('a', 4, -1, 0), ('b', 16, -1, 0), ('c', 16, -1, 0), ('e', 4, -1, 0), ('i', 208, -1, 0), ('m', -1, 787, 0), ('n', 16, -1, 0), ('o', -1, 2887, 0), ('p', -1, 882, 0), ('r', -1, 3379, 0), ('s', 0, 1128, 0), ('t', 4, -1, 0), ('u', -1, 3825, 0), ('w', 16, -1, 0), ('y', 0, -1, 0), ('z', -1, 2923, 0), ('ą', 4, -1, 0), ('ę', 4, -1, 0), ('ł', -1, 2205, 0), ('ś', 242, -1, 0)), (('a', 2, -1, 0), ('c', 3, -1, 0), ('d', 4, -1, 0), ('e', -1, 3826, 0), ('i', -1, 857, 0), ('k', -1, 2027, 0), ('l', -1, 1632, 0), ('m', 3, -1, 0), ('n', -1, 3827, 0), ('o', 2, -1, 0), ('r', -1, 674, 0), ('s', 3, -1, 0), ('u', -1, 1705, 0), ('w', -1, 3285, 0), ('y', 2, -1, 0), ('z', -1, 733, 0), ('ł', -1, 1128, 0)), (('a', -1, 2022, 0), ('b', -1, 141, 0), ('d', 2, -1, 0), ('e', -1, 69, 0), ('i', 433, -1, 0), ('l', -1, 2350, 0), ('m', -1, 141, 0), ('n', -1, 1271, 0), ('o', -1, 2247, 0), ('p', 2, -1, 0), ('r', -1, 912, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 976, 0), ('w', -1, 147, 0), ('y', 3, -1, 0), ('z', -1, 1356, 0), ('ą', -1, 388, 0), ('ę', -1, 3203, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 3828, 0), ('e', 3, -1, 0), ('h', 2, -1, 0), ('i', -1, 1932, 0), ('l', -1, 3342, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', -1, 2911, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ś', 2, -1, 0), ('ź', 2, -1, 0), ('ż', -1, 11, 0)), (('a', 2, -1, 0), ('e', -1, 1055, 0), ('g', 3, -1, 0), ('i', -1, 141, 0), ('l', 3, -1, 0), ('o', -1, 1030, 0), ('r', -1, 1670, 0), ('t', 2, -1, 0), ('z', -1, 1003, 0), ('ó', 3, -1, 0)), (('a', -1, 265, 0), ('b', 4, -1, 0), ('e', 1, -1, 0), ('g', 4, -1, 0), ('i', -1, 3830, 0), ('j', 1, 3862, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 4, 3863, 0), ('o', 3, -1, 0), ('p', 1, 3864, 0), ('r', 1, 3709, 0), ('s', 0, -1, 0), ('w', 1, -1, 0), ('z', 1, 90, 0), ('ł', -1, 2258, 0), ('ż', 0, -1, 0)), (('a', -1, 3831, 0), ('d', 0, -1, 0), ('e', -1, 3856, 0), ('i', 40, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 40, 2727, 0), ('r', 0, -1, 0), ('s', -1, 3861, 0), ('t', 1, -1, 0), ('u', -1, 3525, 0), ('w', 4, -1, 0), ('y', 40, -1, 0), ('z', 1, -1, 0), ('ó', -1, 4, 0)), (('a', -1, 2386, 0), ('b', 40, -1, 0), ('c', 82, -1, 0), ('d', 40, -1, 0), ('e', 53, -1, 0), ('g', 40, -1, 0), ('i', -1, 3832, 0), ('j', -1, 2371, 0), ('k', -1, 3402, 0), ('l', -1, 3835, 0), ('m', 47, 2489, 0), ('n', 40, -1, 0), ('o', 5, -1, 0), ('p', -1, 3858, 0), ('r', -1, 2605, 0), ('s', -1, 2319, 0), ('t', -1, 2303, 0), ('u', 5, -1, 0), ('w', -1, 2303, 0), ('z', -1, 1847, 0), ('ż', 40, -1, 0)), (('a', -1, 957, 0), ('b', -1, 3385, 0), ('c', 40, 713, 0), ('e', -1, 1798, 0), ('i', 21, -1, 0), ('l', 0, -1, 0), ('m', 40, -1, 0), ('n', -1, 3833, 0), ('o', 21, -1, 0), ('p', 40, -1, 0), ('r', -1, 2803, 0), ('s', 41, -1, 0), ('u', -1, 1438, 0), ('w', -1, 3834, 0), ('y', -1, 179, 0), ('z', 40, -1, 0), ('ó', 21, -1, 0)), (('a', 82, -1, 0), ('e', 40, -1, 0), ('g', 82, -1, 0), ('i', -1, 876, 0), ('k', 82, -1, 0), ('o', 40, -1, 0), ('r', 40, -1, 0), ('w', 40, -1, 0), ('y', 82, -1, 0), ('ś', 82, -1, 0), ('ź', 40, -1, 0)), (('a', 40, -1, 0), ('e', 40, -1, 0), ('i', 3, -1, 0), ('l', 40, -1, 0), ('o', 82, -1, 0), ('p', 40, -1, 0), ('r', -1, 3472, 0), ('z', 21, -1, 0), ('ł', 40, -1, 0)), (('a', 40, -1, 0), ('c', 28, -1, 0), ('d', -1, 1319, 0), ('e', 40, -1, 0), ('i', -1, 3836, 0), ('o', 40, -1, 0), ('r', -1, 3839, 0), ('s', 28, -1, 0), ('u', -1, 1315, 0), ('y', -1, 3844, 0), ('ś', 82, -1, 0)), (('a', -1, 3695, 0), ('c', -1, 2051, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('f', 22, -1, 0), ('g', 22, -1, 0), ('i', 22, -1, 0), ('l', -1, 3837, 0), ('m', 22, -1, 0), ('n', -1, 3838, 0), ('o', 3, -1, 0), ('r', -1, 2166, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('w', 22, -1, 0), ('z', 22, -1, 0)), (('a', -1, 3374, 0), ('d', 126, -1, 0), ('e', 40, -1, 0), ('g', 40, -1, 0), ('h', 0, -1, 0), ('i', -1, 3085, 0), ('j', 126, 3451, 0), ('l', 3, -1, 0), ('o', 40, -1, 0), ('p', 4, -1, 0), ('r', 1, -1, 0), ('u', 22, -1, 0), ('z', -1, 1862, 0), ('ł', 4, -1, 0), ('ż', 126, -1, 0)), (('a', -1, 2307, 0), ('b', 6, -1, 0), ('d', 0, -1, 0), ('e', 22, -1, 0), ('i', 40, -1, 0), ('m', 6, 64, 0), ('o', 22, -1, 0), ('p', -1, 2687, 0), ('r', 6, 3434, 0), ('s', 28, -1, 0), ('u', 40, -1, 0), ('w', 4, -1, 0), ('z', 0, 1091, 0), ('ż', 79, 1091, 0)), (('a', 0, -1, 0), ('b', 28, -1, 0), ('c', 12, -1, 0), ('e', -1, 2954, 0), ('i', 0, -1, 0), ('l', 28, -1, 0), ('o', 4, -1, 0), ('r', -1, 133, 0), ('s', -1, 3840, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 28, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 299, 0), ('e', -1, 3782, 0), ('i', -1, 265, 0), ('o', -1, 3841, 0), ('r', 106, -1, 0), ('u', -1, 3597, 0), ('y', -1, 2011, 0), ('ę', 12, -1, 0)), (('a', 4, -1, 0), ('b', 4, -1, 0), ('e', -1, 3034, 0), ('g', 12, -1, 0), ('h', 4, -1, 0), ('i', 0, -1, 0), ('o', 4, -1, 0), ('p', 12, -1, 0), ('r', 55, -1, 0), ('u', 4, -1, 0), ('w', 1, -1, 0), ('z', -1, 3842, 0), ('ę', 79, -1, 0)), (('a', -1, 464, 0), ('e', -1, 2400, 0), ('i', 31, -1, 0), ('l', 31, -1, 0), ('o', -1, 3843, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('y', 31, -1, 0), ('z', 31, -1, 0), ('ą', 31, -1, 0), ('ę', -1, 654, 0), ('ł', 5, -1, 0)), (('a', -1, 248, 0), ('b', 5, -1, 0), ('d', 39, -1, 0), ('e', -1, 901, 0), ('g', 5, -1, 0), ('h', 1, -1, 0), ('i', 79, -1, 0), ('k', 145, -1, 0), ('o', -1, 3391, 0), ('r', 1, 199, 0), ('s', 5, -1, 0), ('t', 145, 3594, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 735, 0)), (('a', -1, 3845, 0), ('c', 22, -1, 0), ('d', -1, 3848, 0), ('e', -1, 2809, 0), ('i', -1, 3385, 0), ('j', -1, 3667, 0), ('k', 162, -1, 0), ('m', 92, -1, 0), ('o', 417, 3849, 0), ('r', -1, 1656, 0), ('u', -1, 3854, 0), ('y', -1, 3855, 0), ('z', -1, 119, 0), ('ą', -1, 611, 0), ('ę', 5, -1, 0), ('ż', -1, 2812, 0)), (('a', -1, 3846, 0), ('b', 12, -1, 0), ('e', -1, 1310, 0), ('f', 21, -1, 0), ('g', 12, -1, 0), ('i', 207, -1, 0), ('j', 92, -1, 0), ('k', 92, -1, 0), ('l', -1, 1953, 0), ('m', 12, -1, 0), ('n', 92, -1, 0), ('o', -1, 1002, 0), ('p', 5, -1, 0), ('r', 12, -1, 0), ('t', 3, -1, 0), ('w', 12, -1, 0), ('y', 1, -1, 0), ('z', 207, -1, 0)), (('a', -1, 609, 0), ('d', 56, -1, 0), ('e', 2, -1, 0), ('i', 56, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('o', -1, 2441, 0), ('r', 3, -1, 0), ('z', 7, 15, 0), ('ó', -1, 3847, 0), ('ą', 3, -1, 0), ('ę', 2, -1, 0), ('ł', 2, -1, 0)), (('a', 28, -1, 0), ('d', -1, 207, 0), ('e', -1, 2370, 0), ('g', 75, -1, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('k', 28, -1, 0), ('n', 56, -1, 0), ('o', -1, 1449, 0), ('p', -1, 3174, 0), ('r', 3, 119, 0), ('t', -1, 2651, 0), ('u', -1, 1225, 0), ('z', -1, 2204, 0), ('ś', -1, 278, 0), ('ź', 75, -1, 0)), (('a', 40, -1, 0), ('c', 0, -1, 0), ('e', 3, -1, 0), ('i', -1, 1898, 0), ('k', 40, -1, 0), ('l', -1, 3841, 0), ('n', 22, -1, 0), ('o', -1, 2608, 0), ('r', -1, 225, 0), ('t', 0, -1, 0), ('u', 40, -1, 0), ('z', -1, 2693, 0)), (('a', -1, 3850, 0), ('b', 69, 2797, 0), ('d', 162, -1, 0), ('e', -1, 1361, 0), ('i', -1, 237, 0), ('k', 5, -1, 0), ('l', -1, 834, 0), ('m', 162, 779, 0), ('n', -1, 3853, 0), ('o', -1, 2248, 0), ('p', 162, 1701, 0), ('r', -1, 1954, 0), ('t', 5, -1, 0), ('u', -1, 2974, 0), ('w', 5, -1, 0), ('z', 7, -1, 0), ('ó', -1, 2851, 0), ('ł', -1, 2534, 0), ('ż', 70, -1, 0)), (('a', 21, -1, 0), ('b', 3, -1, 0), ('c', 21, -1, 0), ('d', 116, 1386, 0), ('e', -1, 3288, 0), ('g', -1, 2981, 0), ('i', 21, -1, 0), ('j', 30, -1, 0), ('k', 21, -1, 0), ('l', -1, 3851, 0), ('m', 30, -1, 0), ('n', 30, -1, 0), ('o', -1, 2795, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 30, -1, 0), ('u', -1, 308, 0), ('y', -1, 1512, 0), ('z', -1, 2554, 0), ('ó', -1, 605, 0), ('ą', 1, -1, 0), ('ż', -1, 3852, 0)), (('a', -1, 2627, 0), ('e', -1, 3203, 0), ('i', 30, -1, 0), ('o', 30, -1, 0), ('p', 21, -1, 0), ('r', 21, -1, 0), ('u', 30, -1, 0), ('y', 30, -1, 0), ('ó', 30, -1, 0)), (('a', -1, 1371, 0), ('c', -1, 2580, 0), ('e', -1, 3505, 0), ('g', 71, -1, 0), ('i', 21, -1, 0), ('m', 55, -1, 0), ('n', -1, 2584, 0), ('o', 30, -1, 0), ('p', -1, 2263, 0), ('r', 69, -1, 0), ('s', 2, -1, 0), ('u', -1, 45, 0), ('w', 2, -1, 0), ('z', 71, -1, 0), ('ó', 21, -1, 0), ('ą', 21, -1, 0), ('ę', -1, 1708, 0)), (('a', -1, 2870, 0), ('d', 5, -1, 0), ('e', 12, -1, 0), ('g', 92, -1, 0), ('i', -1, 1959, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 12, -1, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('u', 12, -1, 0), ('w', 12, 779, 0), ('y', 12, -1, 0), ('z', -1, 2950, 0), ('ż', 5, -1, 0)), (('a', -1, 3757, 0), ('d', 12, -1, 0), ('e', 52, -1, 0), ('g', -1, 2229, 0), ('i', 162, -1, 0), ('l', 162, -1, 0), ('m', 12, -1, 0), ('o', 3, 2130, 0), ('r', -1, 2307, 0), ('s', 52, -1, 0), ('t', 12, -1, 0), ('u', 3, -1, 0), ('z', 162, -1, 0), ('ó', 8, -1, 0)), (('a', 22, -1, 0), ('b', -1, 2043, 0), ('c', 92, -1, 0), ('d', 92, -1, 0), ('e', -1, 2204, 0), ('i', 30, -1, 0), ('o', -1, 1708, 0), ('r', 92, -1, 0), ('t', -1, 3387, 0), ('u', 30, -1, 0), ('w', 34, -1, 0), ('y', 30, -1, 0), ('z', -1, 2731, 0), ('ł', -1, 3674, 0), ('ż', -1, 3856, 0)), (('a', 92, -1, 0), ('b', 207, -1, 0), ('c', 40, 144, 0), ('d', 40, -1, 0), ('e', -1, 3857, 0), ('f', 3, -1, 0), ('h', 1, -1, 0), ('i', -1, 3633, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 40, 1459, 0), ('m', 40, -1, 0), ('n', 92, -1, 0), ('o', 207, -1, 0), ('r', 207, -1, 0), ('s', 0, 201, 0), ('t', -1, 3681, 0), ('u', 92, -1, 0), ('z', 3, -1, 0), ('ó', 207, -1, 0), ('ę', 207, -1, 0), ('ż', -1, 2401, 0)), (('a', -1, 990, 0), ('c', 6, -1, 0), ('d', 7, -1, 0), ('e', -1, 3825, 0), ('i', 207, -1, 0), ('l', 92, -1, 0), ('m', 92, -1, 0), ('o', 7, -1, 0), ('r', -1, 3388, 0), ('s', 6, -1, 0), ('u', 7, -1, 0), ('w', 92, -1, 0), ('y', -1, 2388, 0), ('z', 7, -1, 0), ('ą', 7, -1, 0)), (('a', -1, 3859, 0), ('e', -1, 3553, 0), ('i', 47, -1, 0), ('o', 40, -1, 0), ('r', 40, -1, 0), ('u', -1, 661, 0), ('y', 47, -1, 0)), (('a', -1, 3860, 0), ('d', 47, -1, 0), ('e', -1, 2167, 0), ('g', 47, -1, 0), ('h', 47, -1, 0), ('i', -1, 3283, 0), ('k', 47, -1, 0), ('l', 8, -1, 0), ('m', 40, 3090, 0), ('o', 8, -1, 0), ('r', 47, -1, 0), ('z', 31, -1, 0), ('ł', 0, -1, 0)), (('a', 69, -1, 0), ('d', 105, -1, 0), ('e', 69, -1, 0), ('g', 8, -1, 0), ('i', -1, 1944, 0), ('j', 8, -1, 0), ('m', 51, -1, 0), ('o', 69, 2008, 0), ('p', 30, -1, 0), ('r', 100, -1, 0), ('s', 8, -1, 0), ('t', 30, -1, 0), ('w', 100, -1, 0), ('z', 105, -1, 0), ('ł', 8, -1, 0)), (('a', 4, -1, 0), ('b', 4, -1, 0), ('e', -1, 531, 0), ('o', 4, -1, 0), ('w', 4, -1, 0), ('y', 4, -1, 0)), (('a', 4, -1, 0), ('d', 6, -1, 0), ('o', -1, 2518, 0), ('z', 4, -1, 0)), (('a', -1, 2636, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('o', -1, 1327, 0), ('u', 0, -1, 0)), (('a', -1, 3592, 0), ('d', 4, -1, 0), ('u', 0, -1, 0), ('y', 4, -1, 0)), (('a', 239, -1, 0), ('b', 170, -1, 0), ('d', 3, -1, 0), ('e', 105, -1, 0), ('g', 170, -1, 0), ('h', 170, -1, 0), ('i', 238, -1, 0), ('k', -1, 2237, 0), ('m', 105, 3866, 0), ('n', 105, -1, 0), ('o', 239, -1, 0), ('p', 145, 3552, 0), ('r', -1, 3356, 0), ('t', 105, -1, 0), ('z', 40, -1, 0), ('ł', 105, -1, 0)), (('a', -1, 3696, 0), ('b', 40, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 40, -1, 0), ('i', 40, -1, 0), ('j', 40, -1, 0), ('l', -1, 3456, 0), ('m', 3, 3057, 0), ('n', 40, -1, 0), ('o', 170, -1, 0), ('r', 40, 3848, 0), ('s', 3, -1, 0), ('t', 40, -1, 0), ('w', 40, -1, 0), ('z', 40, -1, 0), ('ł', 40, -1, 0)), (('a', -1, 2296, 0), ('c', 0, -1, 0), ('e', 5, -1, 0), ('h', 41, -1, 0), ('i', -1, 1574, 0), ('o', 5, -1, 0), ('r', -1, 3046, 0), ('s', 41, -1, 0), ('t', 0, -1, 0), ('u', -1, 1983, 0), ('y', 99, -1, 0), ('z', 5, -1, 0)), (('a', 22, -1, 0), ('b', 105, -1, 0), ('e', 22, -1, 0), ('i', -1, 1547, 0), ('l', 21, -1, 0), ('o', 22, -1, 0), ('r', 95, 345, 0), ('t', 105, -1, 0), ('z', 95, -1, 0), ('ż', 105, -1, 0)), (('a', -1, 2466, 0), ('d', 105, -1, 0), ('e', -1, 3860, 0), ('g', 51, -1, 0), ('h', -1, 1588, 0), ('i', 47, -1, 0), ('j', 95, -1, 0), ('k', 145, 167, 0), ('m', 51, -1, 0), ('o', 51, 3870, 0), ('p', 105, -1, 0), ('r', 40, -1, 0), ('t', -1, 3657, 0), ('u', 105, -1, 0), ('z', 40, -1, 0), ('ó', 105, -1, 0)), (('a', 1, -1, 0), ('b', 51, -1, 0), ('d', 22, -1, 0), ('e', 51, -1, 0), ('f', 21, -1, 0), ('g', 255, -1, 0), ('i', 146, -1, 0), ('k', 105, -1, 0), ('l', 22, -1, 0), ('m', 22, 428, 0), ('o', 146, -1, 0), ('r', -1, 2487, 0), ('t', 146, 62, 0), ('u', 146, -1, 0), ('w', 105, -1, 0), ('z', 51, -1, 0), ('ł', 52, -1, 0)), (('a', -1, 2499, 0), ('e', -1, 1307, 0), ('i', -1, 1771, 0), ('j', 105, -1, 0), ('k', 105, -1, 0), ('o', 105, -1, 0), ('r', 105, -1, 0), ('u', 105, -1, 0), ('y', -1, 3711, 0), ('ó', 105, -1, 0), ('ę', 105, -1, 0), ('ż', 105, -1, 0)), (('a', -1, 3873, 0), ('b', -1, 1565, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 285, -1, 0), ('j', 95, -1, 0), ('k', 6, -1, 0), ('o', 4, 501, 0), ('p', 6, -1, 0), ('r', 0, -1, 0), ('s', 79, -1, 0), ('t', -1, 3623, 0), ('u', 6, -1, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0)), (('a', -1, 3497, 0), ('d', 6, -1, 0), ('e', -1, 2536, 0), ('f', 34, -1, 0), ('i', -1, 1159, 0), ('j', 6, -1, 0), ('k', 34, -1, 0), ('m', 6, -1, 0), ('n', -1, 3874, 0), ('o', -1, 2654, 0), ('p', 6, -1, 0), ('r', -1, 1776, 0), ('s', -1, 3503, 0), ('t', -1, 2260, 0), ('u', -1, 3514, 0), ('w', 6, -1, 0), ('y', -1, 56, 0), ('z', 95, -1, 0), ('ą', -1, 3518, 0), ('ę', -1, 3286, 0), ('ł', 2, -1, 0)), (('a', -1, 2502, 0), ('e', -1, 3875, 0), ('h', 1, -1, 0), ('i', -1, 988, 0), ('j', 41, -1, 0), ('k', 1, -1, 0), ('l', -1, 2606, 0), ('o', -1, 2250, 0), ('r', -1, 2861, 0), ('s', 1, -1, 0), ('w', 21, -1, 0), ('y', 3, -1, 0), ('z', -1, 3857, 0)), (('a', -1, 720, 0), ('d', 34, -1, 0), ('e', -1, 1399, 0), ('i', 3, -1, 0), ('l', 41, -1, 0), ('m', 34, -1, 0), ('n', 34, -1, 0), ('o', -1, 46, 0), ('p', 0, -1, 0), ('r', 34, -1, 0), ('t', 34, -1, 0), ('u', 21, -1, 0), ('y', -1, 143, 0), ('z', -1, 2760, 0), ('ó', 21, -1, 0), ('ł', 41, -1, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 107, 0), ('i', 6, -1, 0), ('l', 6, -1, 0), ('o', 4, 2080, 0), ('r', 95, -1, 0), ('u', 6, -1, 0), ('z', 4, -1, 0), ('ą', 6, -1, 0), ('ę', -1, 469, 0)), (('a', -1, 3878, 0), ('b', 1, -1, 0), ('c', 4, 179, 0), ('d', -1, 2862, 0), ('e', -1, 3880, 0), ('i', 0, -1, 0), ('m', -1, 3882, 0), ('o', 126, 378, 0), ('p', 4, -1, 0), ('r', -1, 3883, 0), ('s', 4, 862, 0), ('t', -1, 3884, 0), ('w', 4, -1, 0), ('z', -1, 2510, 0), ('ł', 79, 179, 0), ('ż', 1, -1, 0)), (('a', -1, 3879, 0), ('b', 22, -1, 0), ('c', 3, -1, 0), ('d', -1, 564, 0), ('e', 41, -1, 0), ('f', 3, -1, 0), ('h', 22, -1, 0), ('i', -1, 199, 0), ('k', 4, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 1, 1700, 0), ('p', -1, 912, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 28, -1, 0), ('w', 28, -1, 0), ('y', 41, -1, 0), ('z', -1, 1503, 0)), (('a', -1, 1741, 0), ('d', 41, -1, 0), ('e', -1, 566, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 2014, 0), ('p', 41, -1, 0), ('r', -1, 428, 0), ('s', 41, -1, 0), ('t', -1, 727, 0), ('u', 0, -1, 0), ('w', 41, -1, 0), ('y', 41, -1, 0), ('z', 41, -1, 0)), (('a', 39, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', -1, 1951, 0), ('k', 5, -1, 0), ('l', 28, -1, 0), ('m', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 3881, 0), ('r', -1, 1596, 0), ('s', 5, -1, 0), ('y', 5, -1, 0), ('z', 28, -1, 0)), (('a', 0, -1, 0), ('d', 145, -1, 0), ('e', 0, -1, 0), ('i', 39, -1, 0), ('o', -1, 885, 0), ('r', -1, 3644, 0), ('s', 145, -1, 0), ('u', 39, -1, 0), ('w', 145, -1, 0), ('y', 145, -1, 0)), (('a', 1, -1, 0), ('e', 1, -1, 0), ('o', 1, 287, 0), ('s', 4, -1, 0), ('y', 4, -1, 0)), (('a', -1, 533, 0), ('b', 0, 993, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('o', -1, 2146, 0), ('t', -1, 3695, 0)), (('a', -1, 3719, 0), ('b', 4, -1, 0), ('d', 4, -1, 0), ('e', 0, 2427, 0), ('i', -1, 969, 0), ('k', -1, 3885, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 3886, 0), ('p', -1, 2031, 0), ('s', -1, 3887, 0), ('u', 4, 359, 0), ('y', -1, 3468, 0), ('z', 4, -1, 0), ('ś', 4, -1, 0)), (('a', 4, -1, 0), ('d', 4, -1, 0), ('e', -1, 418, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', -1, 2460, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 1003, 0), ('r', -1, 3710, 0), ('s', 4, -1, 0), ('t', -1, 2627, 0), ('y', 4, -1, 0), ('z', 1, -1, 0)), (('a', -1, 2993, 0), ('b', 0, -1, 0), ('d', 4, -1, 0), ('e', -1, 1533, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('o', 139, 1785, 0), ('r', -1, 717, 0), ('y', 139, -1, 0), ('z', 139, -1, 0)), (('a', -1, 662, 0), ('e', 37, -1, 0), ('i', -1, 2612, 0), ('o', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1744, 0), ('y', -1, 3888, 0)), (('a', -1, 3646, 0), ('c', 0, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('o', 31, -1, 0), ('r', -1, 3889, 0), ('t', 31, -1, 0), ('y', -1, 334, 0), ('z', 31, -1, 0), ('ź', 31, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('i', 3, -1, 0), ('l', 0, -1, 0), ('o', 131, -1, 0), ('p', 0, -1, 0), ('r', -1, 3890, 0), ('u', 0, -1, 0), ('y', 79, -1, 0), ('ł', 0, -1, 0)), (('a', 238, -1, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 496, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 194, -1, 0), ('b', 69, -1, 0), ('d', 69, -1, 0), ('e', -1, 750, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', -1, 3892, 0), ('l', 28, -1, 0), ('o', -1, 2330, 0), ('r', -1, 408, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 69, -1, 0), ('w', 69, -1, 0), ('y', 194, -1, 0), ('z', 121, -1, 0), ('ą', 121, -1, 0), ('ś', 69, -1, 0)), (('a', -1, 2084, 0), ('b', -1, 2716, 0), ('c', 3, -1, 0), ('e', 22, -1, 0), ('i', 41, -1, 0), ('m', 7, -1, 0), ('n', -1, 987, 0), ('o', 22, -1, 0), ('p', -1, 2677, 0), ('r', -1, 3381, 0), ('s', -1, 3497, 0), ('u', 41, -1, 0), ('w', -1, 3893, 0), ('y', 2, -1, 0), ('z', -1, 976, 0)), (('a', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 3, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', -1, 2709, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 1388, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ź', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 53, -1, 0), ('e', 5, -1, 0), ('h', 219, -1, 0), ('i', 11, -1, 0), ('o', 11, -1, 0), ('r', 31, -1, 0), ('t', 11, -1, 0), ('u', 5, -1, 0), ('y', -1, 3895, 0), ('z', -1, 3897, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', 21, -1, 0), ('r', 6, -1, 0), ('s', 4, -1, 0), ('u', 6, -1, 0), ('w', 219, -1, 0), ('y', 6, -1, 0), ('z', -1, 3896, 0), ('ó', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 802, 0), ('b', -1, 2401, 0), ('d', 3, -1, 0), ('e', 134, -1, 0), ('h', 40, -1, 0), ('i', -1, 2143, 0), ('j', 1, -1, 0), ('n', 40, -1, 0), ('o', 134, -1, 0), ('p', 3, -1, 0), ('r', 219, -1, 0), ('s', 11, -1, 0), ('z', 40, -1, 0)), (('a', 53, -1, 0), ('b', 53, -1, 0), ('d', 5, -1, 0), ('e', 53, -1, 0), ('g', 53, -1, 0), ('i', 53, -1, 0), ('m', -1, 3831, 0), ('n', 145, -1, 0), ('o', 53, -1, 0), ('p', -1, 3894, 0), ('r', -1, 801, 0), ('t', 1, 901, 0), ('w', 5, -1, 0), ('y', 53, -1, 0)), (('a', 0, -1, 0), ('c', 0, 451, 0), ('d', -1, 1842, 0), ('e', 0, -1, 0), ('g', -1, 2106, 0), ('i', -1, 1098, 0), ('k', 7, 154, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 166, 0), ('p', 55, 359, 0), ('r', 0, -1, 0), ('s', -1, 458, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 185, 0), ('y', 0, -1, 0), ('z', 21, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('o', 7, -1, 0), ('r', -1, 1037, 0), ('s', -1, 2936, 0), ('t', 7, -1, 0), ('u', -1, 2443, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', -1, 2473, 0), ('ć', 7, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 1475, 0), ('b', 2, -1, 0), ('c', 3, -1, 0), ('d', 90, -1, 0), ('e', 3, -1, 0), ('g', 157, -1, 0), ('h', 3, -1, 0), ('i', 34, -1, 0), ('l', 34, -1, 0), ('o', 157, -1, 0), ('p', 22, -1, 0), ('r', 2, -1, 0), ('s', 65, -1, 0), ('w', 65, -1, 0), ('y', -1, 2335, 0), ('z', -1, 2582, 0)), (('a', 28, -1, 0), ('b', -1, 2850, 0), ('d', -1, 1885, 0), ('e', 28, -1, 0), ('g', 2, 288, 0), ('i', -1, 294, 0), ('j', 3, -1, 0), ('k', -1, 37, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', -1, 1878, 0), ('r', 3, 637, 0), ('s', 2, 966, 0), ('t', -1, 3787, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0)), (('a', -1, 1619, 0), ('b', 80, -1, 0), ('e', 80, -1, 0), ('i', 80, -1, 0), ('j', 80, -1, 0), ('l', 80, -1, 0), ('m', 80, -1, 0), ('o', 80, -1, 0), ('p', 80, -1, 0), ('r', -1, 3903, 0), ('w', 80, -1, 0), ('ó', 80, -1, 0), ('ę', 22, -1, 0), ('ń', 80, -1, 0), ('ź', 80, -1, 0)), (('a', -1, 3904, 0), ('d', 105, -1, 0), ('e', 80, -1, 0), ('i', -1, 1130, 0), ('o', 80, -1, 0), ('r', 105, -1, 0), ('u', 80, -1, 0), ('z', 3, -1, 0), ('ó', 80, -1, 0)), (('a', 11, -1, 0), ('c', 80, -1, 0), ('e', 11, -1, 0), ('g', 80, -1, 0), ('i', 80, -1, 0), ('j', 80, -1, 0), ('k', 80, -1, 0), ('l', 80, -1, 0), ('n', 80, -1, 0), ('o', 11, -1, 0), ('r', 11, -1, 0), ('s', 80, -1, 0), ('t', 80, -1, 0), ('u', -1, 1056, 0), ('w', 22, -1, 0), ('y', 11, -1, 0), ('z', 80, -1, 0), ('ą', 11, -1, 0), ('ę', -1, 2680, 0), ('ź', 3, -1, 0)), (('a', -1, 697, 0), ('b', 0, -1, 0), ('d', 4, -1, 0), ('e', -1, 3906, 0), ('f', 1, -1, 0), ('g', -1, 1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 37, -1, 0), ('r', -1, 1939, 0), ('s', 0, -1, 0), ('t', -1, 3907, 0), ('w', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 5, -1, 0), ('d', 0, -1, 0), ('e', -1, 3469, 0), ('g', 39, -1, 0), ('i', 285, -1, 0), ('m', 39, -1, 0), ('o', 5, 3551, 0), ('r', 5, -1, 0), ('t', -1, 2528, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 2741, 0), ('z', 261, 3564, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0)), (('a', -1, 15, 0), ('d', 4, -1, 0), ('e', 0, -1, 0), ('o', -1, 669, 0), ('y', 4, -1, 0)), (('a', -1, 126, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('l', 6, -1, 0), ('o', 55, 16, 0), ('r', -1, 1243, 0), ('u', 6, -1, 0), ('y', -1, 1852, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 41, -1, 0), ('d', 41, -1, 0), ('e', 41, -1, 0), ('g', 41, -1, 0), ('i', -1, 78, 0), ('k', 41, -1, 0), ('l', -1, 282, 0), ('o', -1, 3243, 0), ('r', 41, -1, 0), ('y', 41, -1, 0), ('z', 55, -1, 0)), (('a', 146, -1, 0), ('b', 255, 3850, 0), ('c', 1, -1, 0), ('d', -1, 3567, 0), ('e', 1, -1, 0), ('f', 255, -1, 0), ('i', 21, -1, 0), ('k', -1, 1405, 0), ('l', 3, -1, 0), ('m', 37, -1, 0), ('n', 21, -1, 0), ('o', 242, -1, 0), ('p', 255, -1, 0), ('r', -1, 3100, 0), ('s', 22, -1, 0), ('t', -1, 3263, 0), ('z', -1, 864, 0)), (('a', 3, -1, 0), ('b', 146, -1, 0), ('d', 1, -1, 0), ('e', 3, -1, 0), ('f', 21, -1, 0), ('h', 0, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 157, 284, 0), ('l', 34, -1, 0), ('m', 120, -1, 0), ('n', -1, 3912, 0), ('o', 2, 3913, 0), ('p', 120, -1, 0), ('r', -1, 418, 0), ('s', 464, -1, 0), ('t', 3, -1, 0), ('w', 120, -1, 0), ('y', -1, 3914, 0), ('z', -1, 730, 0), ('ł', 34, -1, 0), ('ź', 3, -1, 0)), (('a', -1, 1182, 0), ('d', 120, -1, 0), ('e', 120, -1, 0), ('h', 120, -1, 0), ('i', 146, -1, 0), ('k', 120, -1, 0), ('m', 1, -1, 0), ('o', 146, -1, 0), ('r', -1, 2950, 0), ('u', -1, 1872, 0), ('z', 21, -1, 0), ('ę', 1, -1, 0)), (('a', 2, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 28, 1178, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('u', -1, 1913, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1002, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('o', -1, 3485, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('z', -1, 2235, 0), ('ą', -1, 2613, 0), ('ł', 7, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 2849, 0), ('e', -1, 746, 0), ('g', 146, -1, 0), ('i', 146, -1, 0), ('j', 146, -1, 0), ('m', 79, -1, 0), ('n', 2, -1, 0), ('o', -1, 2225, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 146, -1, 0), ('y', 146, -1, 0), ('z', -1, 1751, 0)), (('a', 348, -1, 0), ('e', 28, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('n', 30, -1, 0), ('o', 146, 733, 0), ('r', 21, -1, 0), ('t', 30, -1, 0), ('u', 28, -1, 0), ('z', 30, -1, 0), ('ó', 28, -1, 0), ('ł', 30, -1, 0)), (('a', -1, 2845, 0), ('b', 10, -1, 0), ('c', 10, -1, 0), ('d', -1, 1654, 0), ('e', -1, 3918, 0), ('g', 10, -1, 0), ('h', -1, 1349, 0), ('i', -1, 616, 0), ('j', -1, 1426, 0), ('k', -1, 3920, 0), ('l', -1, 3231, 0), ('m', -1, 3921, 0), ('n', 11, -1, 0), ('o', -1, 3400, 0), ('p', 11, -1, 0), ('r', -1, 3542, 0), ('t', -1, 3050, 0), ('u', 10, -1, 0), ('w', -1, 3920, 0), ('y', -1, 3559, 0), ('z', 10, -1, 0), ('ł', 10, -1, 0), ('ś', -1, 2698, 0), ('ź', 10, -1, 0), ('ż', -1, 1426, 0)), (('a', 16, -1, 0), ('c', 10, -1, 0), ('e', -1, 816, 0), ('i', -1, 3310, 0), ('l', 10, -1, 0), ('o', -1, 2713, 0), ('r', -1, 3919, 0), ('u', 16, -1, 0), ('w', 16, -1, 0), ('y', 16, -1, 0), ('z', 10, -1, 0), ('ą', 16, -1, 0), ('ę', 16, -1, 0), ('ż', 10, -1, 0)), (('a', -1, 3165, 0), ('d', 28, -1, 0), ('e', -1, 2550, 0), ('i', -1, 122, 0), ('l', 28, -1, 0), ('m', 41, 16, 0), ('n', 28, -1, 0), ('o', -1, 2213, 0), ('r', -1, 163, 0), ('t', -1, 684, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', -1, 2573, 0), ('z', 41, -1, 0)), (('a', 56, -1, 0), ('d', 11, -1, 0), ('e', 10, -1, 0), ('i', 72, -1, 0), ('m', 56, -1, 0), ('o', 107, -1, 0), ('r', 72, -1, 0), ('s', 10, -1, 0), ('y', 10, -1, 0), ('z', 107, -1, 0), ('ó', 11, -1, 0), ('ę', 72, -1, 0), ('ł', 72, -1, 0)), (('a', 329, -1, 0), ('d', 21, -1, 0), ('e', 10, -1, 0), ('f', 21, -1, 0), ('g', -1, 180, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 1, 882, 0), ('l', 21, 265, 0), ('m', 21, -1, 0), ('o', -1, 858, 0), ('r', -1, 1732, 0), ('u', 329, -1, 0), ('w', 1, -1, 0), ('y', 329, -1, 0), ('z', 107, -1, 0), ('ł', -1, 1438, 0)), (('a', -1, 680, 0), ('b', 70, -1, 0), ('c', 70, -1, 0), ('d', -1, 2776, 0), ('e', 333, -1, 0), ('g', -1, 2544, 0), ('h', 70, -1, 0), ('i', -1, 3334, 0), ('k', -1, 2152, 0), ('l', 70, -1, 0), ('o', -1, 2552, 0), ('p', 70, -1, 0), ('r', 70, -1, 0), ('t', 70, -1, 0), ('u', -1, 826, 0), ('y', 70, -1, 0), ('z', -1, 3176, 0), ('ś', 30, 1244, 0), ('ź', 30, -1, 0), ('ż', 70, -1, 0)), (('a', 43, -1, 0), ('e', 41, -1, 0), ('i', 106, -1, 0), ('o', -1, 1695, 0), ('r', -1, 1673, 0), ('t', 51, -1, 0), ('w', 51, -1, 0), ('y', 41, -1, 0), ('z', 30, -1, 0)), (('a', -1, 1369, 0), ('c', 2, -1, 0), ('d', -1, 363, 0), ('e', 12, -1, 0), ('i', 69, -1, 0), ('l', 12, -1, 0), ('o', -1, 3323, 0), ('r', 28, 3925, 0), ('s', 2, -1, 0), ('u', 69, -1, 0), ('y', 69, -1, 0), ('z', -1, 985, 0), ('ą', 69, -1, 0), ('ę', 69, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 163, 0), ('c', -1, 2174, 0), ('e', -1, 2893, 0), ('h', 41, -1, 0), ('i', -1, 3207, 0), ('j', -1, 1071, 0), ('l', -1, 3515, 0), ('o', 2, -1, 0), ('r', -1, 1331, 0), ('s', 1, 2984, 0), ('u', 4, -1, 0), ('y', 3, -1, 0), ('z', -1, 3280, 0), ('ł', 28, -1, 0), ('ż', -1, 2721, 0)), (('a', -1, 1743, 0), ('d', 23, -1, 0), ('e', 121, -1, 0), ('i', 59, -1, 0), ('m', 180, -1, 0), ('o', 59, -1, 0), ('r', -1, 3559, 0), ('t', 23, -1, 0), ('u', 59, -1, 0), ('w', 12, -1, 0), ('y', 59, -1, 0), ('z', -1, 1970, 0)), (('a', -1, 3326, 0), ('b', 3, 3928, 0), ('e', 11, -1, 0), ('g', 2, -1, 0), ('i', 72, -1, 0), ('k', 2, -1, 0), ('l', -1, 3929, 0), ('o', 11, -1, 0), ('r', -1, 2061, 0), ('s', 3, -1, 0), ('t', 11, -1, 0), ('u', -1, 1916, 0), ('w', 3, -1, 0), ('z', 72, -1, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0)), (('a', 2, -1, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('g', 2, -1, 0), ('i', -1, 1703, 0), ('j', 2, -1, 0), ('k', 3, -1, 0), ('l', -1, 556, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1296, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', -1, 873, 0), ('z', 2, -1, 0), ('ę', 2, -1, 0)), (('a', 72, -1, 0), ('c', 89, -1, 0), ('e', 72, -1, 0), ('i', -1, 1046, 0), ('k', 72, -1, 0), ('o', -1, 1538, 0), ('r', 38, -1, 0), ('u', 72, -1, 0), ('y', 72, -1, 0), ('z', 34, -1, 0), ('ą', 72, -1, 0), ('ę', 72, -1, 0)), (('a', -1, 955, 0), ('d', 7, -1, 0), ('e', -1, 680, 0), ('f', 31, -1, 0), ('i', -1, 19, 0), ('k', 7, -1, 0), ('l', 31, -1, 0), ('n', -1, 482, 0), ('o', 53, -1, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('t', 31, -1, 0), ('z', -1, 323, 0), ('ł', -1, 221, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 95, -1, 0), ('j', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('r', -1, 1142, 0), ('s', 1, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', 6, -1, 0), ('r', 4, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 1485, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 818, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 1985, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('m', 2, -1, 0), ('n', -1, 3934, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', -1, 3082, 0), ('t', 2, -1, 0), ('y', 3, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 798, 0), ('b', 3, -1, 0), ('c', 22, -1, 0), ('e', 2, -1, 0), ('g', 2, -1, 0), ('h', 3, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 1703, 0), ('p', 2, -1, 0), ('r', -1, 966, 0), ('s', 3, -1, 0), ('u', -1, 1205, 0), ('w', 2, -1, 0), ('z', -1, 2311, 0)), (('a', 31, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('k', 31, -1, 0), ('o', 31, -1, 0), ('r', -1, 2895, 0), ('u', 31, -1, 0), ('y', 31, -1, 0), ('ą', 31, -1, 0), ('ś', 31, -1, 0)), (('a', -1, 3937, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 4181, 0), ('i', -1, 196, 0), ('m', 1, -1, 0), ('o', 31, -1, 0), ('r', -1, 2082, 0), ('t', -1, 4183, 0), ('u', -1, 3947, 0), ('y', -1, 1851, 0), ('z', 0, -1, 0), ('ł', 79, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 2215, 0), ('b', 5, -1, 0), ('c', -1, 3938, 0), ('d', -1, 3940, 0), ('e', 135, -1, 0), ('f', -1, 910, 0), ('g', -1, 3842, 0), ('h', 31, -1, 0), ('i', -1, 2398, 0), ('j', -1, 3032, 0), ('k', -1, 4172, 0), ('l', -1, 1663, 0), ('m', 459, 2401, 0), ('n', -1, 3386, 0), ('o', 135, -1, 0), ('r', -1, 1733, 0), ('s', 31, -1, 0), ('t', 52, 4174, 0), ('w', -1, 4178, 0), ('z', 0, 4179, 0), ('ł', 31, -1, 0), ('ż', -1, 4180, 0)), (('a', -1, 3639, 0), ('e', -1, 3939, 0), ('i', 31, -1, 0), ('o', 31, -1, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('ą', 31, -1, 0), ('ę', -1, 3045, 0), ('ł', -1, 2556, 0)), (('a', -1, 816, 0), ('d', 52, -1, 0), ('e', 8, -1, 0), ('i', -1, 436, 0), ('l', 31, -1, 0), ('o', 100, -1, 0), ('p', 31, -1, 0), ('r', 22, 386, 0), ('y', -1, 352, 0), ('z', 0, -1, 0)), (('a', -1, 3596, 0), ('d', -1, 3941, 0), ('e', -1, 3944, 0), ('i', 0, -1, 0), ('l', 1, 1662, 0), ('n', 31, -1, 0), ('o', -1, 3650, 0), ('r', -1, 2963, 0), ('t', -1, 89, 0), ('z', 31, 4171, 0), ('ą', -1, 1493, 0), ('ż', 0, -1, 0)), (('a', -1, 3942, 0), ('e', -1, 3943, 0), ('i', 31, -1, 0), ('o', 334, 1003, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('ó', 31, -1, 0), ('ą', 31, -1, 0), ('ż', 31, -1, 0)), (('a', 283, -1, 0), ('d', 53, -1, 0), ('e', 3, -1, 0), ('g', 31, -1, 0), ('i', 283, -1, 0), ('o', 3, -1, 0), ('r', -1, 3226, 0), ('w', 31, -1, 0), ('y', 3, -1, 0), ('ą', 283, -1, 0), ('ę', 3, -1, 0), ('ł', 31, -1, 0)), (('a', 65, -1, 0), ('e', -1, 788, 0), ('i', -1, 1575, 0), ('l', 65, -1, 0), ('o', -1, 666, 0), ('r', 65, -1, 0), ('u', 3, -1, 0), ('y', 65, -1, 0), ('z', 31, -1, 0), ('ą', 65, -1, 0), ('ę', -1, 391, 0), ('ł', 65, -1, 0)), (('a', -1, 1563, 0), ('b', 7, -1, 0), ('e', -1, 2324, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('y', -1, 2492, 0), ('z', -1, 3945, 0), ('ż', 7, -1, 0)), (('a', -1, 1597, 0), ('e', -1, 3946, 0), ('i', 37, -1, 0), ('l', 37, -1, 0), ('m', -1, 3947, 0), ('n', -1, 1828, 0), ('o', -1, 4166, 0), ('p', -1, 1328, 0), ('r', -1, 777, 0), ('t', -1, 2832, 0), ('z', -1, 2700, 0), ('ś', 374, -1, 0)), (('a', -1, 962, 0), ('b', 87, -1, 0), ('e', -1, 3244, 0), ('i', -1, 1683, 0), ('o', 34, -1, 0), ('r', 34, -1, 0), ('u', 87, -1, 0), ('z', 0, -1, 0)), (('a', -1, 731, 0), ('b', 31, -1, 0), ('c', -1, 1888, 0), ('d', -1, 1298, 0), ('e', -1, 2272, 0), ('f', -1, 3948, 0), ('g', -1, 3950, 0), ('h', -1, 3033, 0), ('i', -1, 3951, 0), ('j', 31, -1, 0), ('k', 31, 3952, 0), ('l', 31, -1, 0), ('m', -1, 4039, 0), ('n', -1, 4040, 0), ('o', 39, -1, 0), ('p', -1, 4041, 0), ('r', 31, -1, 0), ('s', -1, 2399, 0), ('t', -1, 4042, 0), ('u', -1, 3930, 0), ('w', -1, 4043, 0), ('z', -1, 4164, 0), ('ł', -1, 3406, 0), ('ż', 31, -1, 0)), (('a', 31, -1, 0), ('e', -1, 3069, 0), ('i', 31, -1, 0), ('m', 31, -1, 0), ('o', -1, 393, 0), ('r', 31, -1, 0), ('u', -1, 3949, 0), ('y', 31, -1, 0), ('ę', 31, -1, 0)), (('a', 70, -1, 0), ('b', 70, -1, 0), ('d', 3, -1, 0), ('e', 55, -1, 0), ('i', -1, 3597, 0), ('k', 3, -1, 0), ('o', 55, -1, 0), ('p', 31, 3036, 0), ('r', -1, 2311, 0), ('s', 5, -1, 0), ('u', 70, -1, 0), ('w', 3, -1, 0), ('y', 5, -1, 0), ('z', 70, -1, 0), ('ł', 31, -1, 0)), (('a', 31, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('l', 31, -1, 0), ('n', 31, -1, 0), ('o', 31, -1, 0), ('r', 31, -1, 0), ('u', -1, 3930, 0), ('y', 31, -1, 0), ('z', 31, -1, 0), ('ę', 31, -1, 0), ('ł', 31, -1, 0)), (('a', 16, -1, 0), ('d', -1, 330, 0), ('e', 16, -1, 0), ('i', 16, -1, 0), ('l', 31, -1, 0), ('n', 31, -1, 0), ('o', 16, -1, 0), ('r', 16, -1, 0), ('t', 31, -1, 0), ('u', 16, -1, 0), ('y', 16, -1, 0), ('z', 31, -1, 0), ('ó', -1, 795, 0), ('ą', 16, -1, 0), ('ę', 16, -1, 0), ('ł', -1, 1569, 0)), (('a', -1, 316, 0), ('b', 31, -1, 0), ('d', 31, -1, 0), ('e', -1, 3387, 0), ('i', -1, 3822, 0), ('j', 31, -1, 0), ('n', 31, -1, 0), ('o', 31, -1, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('s', -1, 2688, 0), ('t', 31, -1, 0), ('u', -1, 921, 0), ('y', -1, 3953, 0), ('z', 31, -1, 0), ('ą', 31, -1, 0), ('ę', 31, -1, 0), ('ł', 31, -1, 0), ('ż', 31, -1, 0)), (('a', -1, 3617, 0), ('c', 31, -1, 0), ('d', 31, -1, 0), ('e', -1, 3954, 0), ('i', -1, 3955, 0), ('k', 31, -1, 0), ('m', 31, -1, 0), ('n', 31, -1, 0), ('o', 39, 1838, 0), ('r', 31, -1, 0), ('u', -1, 137, 0), ('w', -1, 4037, 0), ('y', -1, 920, 0), ('z', -1, 1908, 0), ('ó', 12, -1, 0)), (('a', -1, 193, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 2116, 0), ('j', 21, -1, 0), ('k', 3, -1, 0), ('l', -1, 2219, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 487, 0), ('y', 3, -1, 0), ('z', -1, 1577, 0)), (('a', -1, 2716, 0), ('b', 54, 3956, 0), ('c', 7, -1, 0), ('e', -1, 2388, 0), ('i', -1, 2029, 0), ('l', -1, 661, 0), ('m', -1, 3957, 0), ('n', -1, 829, 0), ('o', -1, 809, 0), ('p', 7, 1613, 0), ('r', 7, -1, 0), ('s', 53, -1, 0), ('u', 7, -1, 0), ('w', -1, 2918, 0), ('y', -1, 2807, 0), ('z', 29, 451, 0)), (('a', 7, -1, 0), ('d', 54, -1, 0), ('e', 28, -1, 0), ('g', 30, -1, 0), ('i', 117, -1, 0), ('j', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('u', -1, 1557, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 2022, 0), ('d', 73, -1, 0), ('e', -1, 1832, 0), ('i', -1, 3958, 0), ('j', -1, 3970, 0), ('o', 2, -1, 0), ('r', 206, -1, 0), ('t', 206, -1, 0), ('u', 99, -1, 0), ('y', -1, 4036, 0), ('z', -1, 678, 0), ('ź', 71, -1, 0)), (('a', -1, 971, 0), ('b', 2, -1, 0), ('d', -1, 3959, 0), ('e', -1, 2128, 0), ('f', 2, -1, 0), ('g', -1, 1795, 0), ('i', -1, 708, 0), ('j', -1, 1743, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 1680, 0), ('p', 2, -1, 0), ('r', -1, 1724, 0), ('s', -1, 3960, 0), ('u', -1, 1570, 0), ('w', 2, -1, 0), ('y', -1, 1320, 0), ('z', -1, 72, 0)), (('a', -1, 3809, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('h', -1, 1395, 0), ('i', 3, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, 387, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 689, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 2733, 0), ('b', -1, 3961, 0), ('c', -1, 3962, 0), ('d', -1, 1161, 0), ('e', -1, 3964, 0), ('f', 3, -1, 0), ('g', -1, 3785, 0), ('i', -1, 645, 0), ('l', -1, 3967, 0), ('m', 3, -1, 0), ('n', -1, 3968, 0), ('o', -1, 2986, 0), ('p', -1, 2643, 0), ('r', -1, 2620, 0), ('s', -1, 3396, 0), ('t', -1, 3969, 0), ('u', -1, 2501, 0), ('v', 1, -1, 0), ('w', -1, 2366, 0), ('y', -1, 1710, 0), ('z', -1, 2286, 0)), (('a', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', 21, -1, 0), ('h', 4, -1, 0), ('i', 1, -1, 0), ('o', 307, -1, 0), ('p', 4, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 307, -1, 0), ('y', 56, -1, 0), ('z', 120, -1, 0), ('ł', 3, -1, 0)), (('a', 56, -1, 0), ('c', 121, -1, 0), ('e', -1, 1556, 0), ('h', 97, -1, 0), ('i', -1, 1209, 0), ('k', 95, -1, 0), ('l', 5, -1, 0), ('o', -1, 1016, 0), ('p', 97, -1, 0), ('r', -1, 3507, 0), ('u', -1, 3723, 0), ('y', -1, 3331, 0), ('z', -1, 384, 0), ('ę', -1, 3963, 0), ('ł', 97, -1, 0), ('ś', -1, 1813, 0)), (('a', -1, 946, 0), ('d', 73, -1, 0), ('e', 237, -1, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('h', 11, -1, 0), ('i', -1, 3295, 0), ('j', 73, 1215, 0), ('l', 56, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 56, -1, 0), ('z', -1, 1214, 0), ('ż', 73, -1, 0)), (('a', -1, 1455, 0), ('c', -1, 1628, 0), ('e', 121, -1, 0), ('i', -1, 821, 0), ('l', 121, -1, 0), ('n', 121, -1, 0), ('o', 121, -1, 0), ('p', -1, 3965, 0), ('r', -1, 2851, 0), ('s', 121, -1, 0), ('u', 121, -1, 0), ('w', 121, -1, 0), ('z', 121, -1, 0)), (('a', 34, -1, 0), ('b', -1, 3015, 0), ('d', -1, 839, 0), ('e', 121, -1, 0), ('g', 1, 2963, 0), ('h', 4, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', -1, 3298, 0), ('m', -1, 3468, 0), ('n', 1, -1, 0), ('o', -1, 2142, 0), ('p', -1, 3966, 0), ('r', 21, 1331, 0), ('s', 1, 2440, 0), ('t', -1, 3961, 0), ('u', 121, -1, 0), ('w', 217, 508, 0), ('y', 2, -1, 0), ('z', 1, -1, 0), ('ż', 4, -1, 0)), (('a', 121, -1, 0), ('d', 2, -1, 0), ('e', -1, 2173, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 2883, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1937, 0), ('y', 14, -1, 0), ('z', -1, 1937, 0)), (('a', -1, 2856, 0), ('b', 6, -1, 0), ('d', 234, -1, 0), ('e', -1, 232, 0), ('i', 3, -1, 0), ('m', 6, -1, 0), ('o', -1, 560, 0), ('r', 6, 3388, 0), ('s', 4, 2660, 0), ('t', 0, -1, 0), ('u', 3, -1, 0), ('w', 4, -1, 0), ('y', 3, -1, 0), ('z', -1, 2623, 0), ('ż', 89, -1, 0)), (('a', -1, 2364, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 2650, 0), ('e', -1, 1755, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 1527, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 1, -1, 0), ('o', -1, 1526, 0), ('p', -1, 2934, 0), ('r', -1, 3278, 0), ('t', -1, 2879, 0), ('u', 3, 1225, 0), ('w', 3, -1, 0), ('y', -1, 3077, 0), ('z', -1, 3757, 0), ('ł', 3, -1, 0), ('ś', -1, 3758, 0), ('ź', -1, 3758, 0), ('ż', 3, -1, 0)), (('a', -1, 1346, 0), ('e', 107, -1, 0), ('i', -1, 1437, 0), ('o', 107, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('y', 11, -1, 0), ('z', 107, -1, 0)), (('a', -1, 516, 0), ('b', 28, -1, 0), ('c', -1, 3971, 0), ('d', -1, 4006, 0), ('e', 21, -1, 0), ('h', 28, -1, 0), ('i', -1, 2416, 0), ('j', 438, 1228, 0), ('l', -1, 4007, 0), ('m', 28, -1, 0), ('n', -1, 4014, 0), ('o', 73, -1, 0), ('r', -1, 1879, 0), ('s', -1, 1504, 0), ('t', -1, 4033, 0), ('u', 73, -1, 0), ('w', -1, 4003, 0), ('y', 1, -1, 0), ('z', -1, 2658, 0), ('ł', -1, 4034, 0), ('ż', -1, 2695, 0)), (('a', -1, 2371, 0), ('b', -1, 3972, 0), ('c', 40, -1, 0), ('d', -1, 3227, 0), ('e', -1, 1749, 0), ('f', -1, 3973, 0), ('h', 4, -1, 0), ('i', -1, 3359, 0), ('j', -1, 3974, 0), ('l', -1, 3977, 0), ('m', -1, 3982, 0), ('n', -1, 3985, 0), ('o', -1, 2811, 0), ('p', -1, 3988, 0), ('r', -1, 3830, 0), ('s', -1, 3990, 0), ('t', -1, 3991, 0), ('u', -1, 3665, 0), ('w', -1, 3993, 0), ('y', -1, 3557, 0), ('z', -1, 3665, 0), ('ą', -1, 3996, 0), ('ć', -1, 3668, 0), ('ę', -1, 4003, 0), ('ł', -1, 4005, 0), ('ń', -1, 3858, 0), ('ś', 47, -1, 0), ('ź', 47, -1, 0), ('ż', -1, 3665, 0)), (('a', 40, -1, 0), ('e', 47, -1, 0), ('i', 40, -1, 0), ('o', 3, -1, 0), ('r', 40, -1, 0), ('u', 40, -1, 0), ('y', 40, -1, 0), ('ó', 40, -1, 0)), (('a', -1, 1954, 0), ('e', 0, -1, 0), ('i', 40, -1, 0), ('o', 184, -1, 0), ('r', 28, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 31, -1, 0)), (('a', -1, 3525, 0), ('e', -1, 2996, 0), ('i', 40, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('o', -1, 2146, 0), ('r', 0, 1791, 0), ('u', 40, -1, 0), ('y', -1, 3715, 0), ('z', -1, 3975, 0), ('ó', 40, -1, 0), ('ł', -1, 420, 0)), (('a', 62, -1, 0), ('b', 22, 16, 0), ('c', 41, 216, 0), ('d', -1, 1522, 0), ('e', -1, 3216, 0), ('i', 3, -1, 0), ('l', 62, -1, 0), ('o', 62, -1, 0), ('r', -1, 896, 0), ('s', 0, 179, 0), ('t', 3, -1, 0), ('u', 1, -1, 0), ('y', -1, 3976, 0), ('z', -1, 217, 0), ('ą', 62, -1, 0), ('ę', -1, 3166, 0), ('ł', -1, 1097, 0)), (('a', -1, 1248, 0), ('b', 1, -1, 0), ('c', 79, -1, 0), ('d', 53, -1, 0), ('e', 21, -1, 0), ('g', 21, -1, 0), ('i', 1, -1, 0), ('k', -1, 585, 0), ('l', 1, 116, 0), ('m', 1, -1, 0), ('n', -1, 1435, 0), ('o', 1, -1, 0), ('p', -1, 144, 0), ('r', 6, -1, 0), ('s', -1, 618, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', -1, 1507, 0), ('y', 108, -1, 0), ('z', -1, 3217, 0), ('ł', 1, 1143, 0), ('ż', 0, -1, 0)), (('a', -1, 3978, 0), ('b', 4, -1, 0), ('c', 4, -1, 0), ('d', 0, -1, 0), ('e', -1, 3896, 0), ('i', 3, -1, 0), ('k', -1, 2627, 0), ('l', 0, -1, 0), ('m', -1, 3568, 0), ('n', -1, 3979, 0), ('o', -1, 2315, 0), ('p', 4, -1, 0), ('r', -1, 3452, 0), ('s', 0, -1, 0), ('t', -1, 110, 0), ('u', -1, 3980, 0), ('w', 4, -1, 0), ('y', 40, -1, 0), ('z', 4, -1, 0), ('ó', 40, -1, 0)), (('a', -1, 596, 0), ('b', -1, 814, 0), ('d', 1, -1, 0), ('e', -1, 1647, 0), ('i', -1, 2079, 0), ('m', 7, -1, 0), ('o', 3, -1, 0), ('p', 28, -1, 0), ('r', 7, 3573, 0), ('t', 1, 15, 0), ('w', 384, -1, 0), ('z', -1, 1345, 0), ('ż', 7, -1, 0)), (('a', 0, 384, 0), ('d', 3, -1, 0), ('e', 1, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('o', -1, 1416, 0), ('p', 0, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 3, -1, 0)), (('a', -1, 87, 0), ('d', 40, -1, 0), ('e', -1, 3981, 0), ('f', 3, -1, 0), ('g', 1, -1, 0), ('i', -1, 2322, 0), ('k', 3, -1, 0), ('l', 47, -1, 0), ('m', 40, -1, 0), ('n', -1, 986, 0), ('o', -1, 3921, 0), ('p', 1, -1, 0), ('r', -1, 176, 0), ('s', -1, 3584, 0), ('u', -1, 1800, 0), ('w', 1, -1, 0), ('y', -1, 308, 0), ('z', 40, -1, 0), ('ó', -1, 2553, 0), ('ą', -1, 1776, 0), ('ę', -1, 2620, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 5, -1, 0), ('c', 21, -1, 0), ('e', 5, -1, 0), ('h', 22, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('l', -1, 2322, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 2902, 0), ('r', -1, 2183, 0), ('s', -1, 1929, 0), ('u', 21, -1, 0), ('z', 21, -1, 0), ('ż', 21, -1, 0)), (('a', 40, -1, 0), ('b', 1, -1, 0), ('d', 0, 143, 0), ('e', -1, 3869, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 1822, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 4, -1, 0), ('n', -1, 307, 0), ('o', 40, -1, 0), ('p', 1, -1, 0), ('r', -1, 1334, 0), ('s', -1, 3872, 0), ('t', 4, 3983, 0), ('u', 40, -1, 0), ('w', -1, 2684, 0), ('y', -1, 3984, 0), ('z', 1, -1, 0), ('ł', -1, 266, 0), ('ż', 1, -1, 0)), (('a', -1, 3298, 0), ('d', 4, -1, 0), ('e', -1, 3843, 0), ('m', 0, 180, 0), ('o', 4, -1, 0), ('r', 1, -1, 0), ('s', 4, -1, 0), ('t', 1, -1, 0), ('y', 4, -1, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0)), (('a', -1, 440, 0), ('d', 3, 3665, 0), ('e', -1, 36, 0), ('i', -1, 1195, 0), ('l', 3, -1, 0), ('m', 69, -1, 0), ('n', -1, 2387, 0), ('o', -1, 2473, 0), ('p', 69, -1, 0), ('r', -1, 2053, 0), ('s', -1, 836, 0), ('t', 2, -1, 0), ('u', 80, 1220, 0), ('w', -1, 1714, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 3986, 0), ('b', 1, -1, 0), ('e', 40, -1, 0), ('g', -1, 69, 0), ('i', 40, -1, 0), ('j', 1, -1, 0), ('k', 0, 733, 0), ('l', -1, 3148, 0), ('m', 0, 231, 0), ('n', 1, -1, 0), ('o', 40, -1, 0), ('p', 1, 3885, 0), ('r', 0, 729, 0), ('t', 1, -1, 0), ('u', -1, 2465, 0), ('y', 40, -1, 0), ('ł', 28, -1, 0)), (('a', -1, 898, 0), ('b', 40, -1, 0), ('c', 40, -1, 0), ('d', 47, -1, 0), ('e', -1, 2897, 0), ('i', -1, 3987, 0), ('j', 40, -1, 0), ('k', -1, 3865, 0), ('l', 40, -1, 0), ('m', 3, -1, 0), ('o', -1, 66, 0), ('p', 1, -1, 0), ('r', -1, 2317, 0), ('s', 40, -1, 0), ('t', -1, 3834, 0), ('u', -1, 194, 0), ('w', -1, 3139, 0), ('z', 40, -1, 0)), (('a', 0, -1, 0), ('b', 40, -1, 0), ('c', 40, -1, 0), ('e', -1, 886, 0), ('i', 145, -1, 0), ('n', 40, -1, 0), ('o', 71, -1, 0), ('p', 40, -1, 0), ('r', 238, -1, 0), ('t', 40, -1, 0), ('w', 238, -1, 0), ('z', 40, -1, 0)), (('a', -1, 2315, 0), ('e', -1, 3980, 0), ('i', -1, 3989, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1504, 0), ('m', 40, -1, 0), ('n', -1, 3247, 0), ('o', -1, 1959, 0), ('r', 4, -1, 0), ('u', 40, -1, 0), ('y', -1, 3553, 0), ('z', -1, 3180, 0), ('ą', 47, -1, 0)), (('a', 16, -1, 0), ('b', 28, -1, 0), ('c', 79, 184, 0), ('d', -1, 1304, 0), ('e', 51, -1, 0), ('i', -1, 2264, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 484, 0), ('p', 28, -1, 0), ('r', -1, 1133, 0), ('s', 28, -1, 0), ('t', -1, 1133, 0), ('u', 51, -1, 0), ('w', 28, -1, 0), ('y', 1, -1, 0), ('z', 22, -1, 0), ('ł', 22, -1, 0)), (('a', -1, 2337, 0), ('d', 1, -1, 0), ('e', 40, -1, 0), ('i', 3, -1, 0), ('n', 0, -1, 0), ('o', -1, 104, 0), ('p', 0, -1, 0), ('r', -1, 534, 0), ('u', 3, -1, 0), ('y', 40, -1, 0), ('ą', 40, -1, 0)), (('a', -1, 3866, 0), ('e', -1, 3664, 0), ('f', 3, -1, 0), ('i', -1, 3681, 0), ('k', 3, -1, 0), ('n', -1, 3647, 0), ('o', -1, 3553, 0), ('r', -1, 3139, 0), ('s', -1, 3835, 0), ('u', -1, 1471, 0), ('y', 40, -1, 0), ('ą', 40, -1, 0), ('ę', -1, 3992, 0)), (('a', 10, -1, 0), ('b', 10, -1, 0), ('c', 40, -1, 0), ('e', 10, -1, 0), ('g', 10, -1, 0), ('i', 40, -1, 0), ('m', 10, -1, 0), ('o', 10, -1, 0), ('p', 10, -1, 0), ('r', -1, 2818, 0), ('s', 10, -1, 0), ('t', 92, -1, 0), ('u', -1, 1969, 0), ('y', 10, -1, 0)), (('a', -1, 2317, 0), ('b', 0, -1, 0), ('e', -1, 3525, 0), ('g', -1, 630, 0), ('h', 28, -1, 0), ('i', -1, 3994, 0), ('j', -1, 880, 0), ('k', -1, 1091, 0), ('l', -1, 2015, 0), ('n', 0, 1092, 0), ('o', 47, -1, 0), ('p', 4, -1, 0), ('r', -1, 768, 0), ('s', 28, -1, 0), ('t', -1, 3995, 0), ('u', 40, -1, 0), ('w', 28, -1, 0), ('y', -1, 2402, 0), ('z', -1, 2403, 0), ('ó', 40, -1, 0), ('ł', 0, 1855, 0), ('ż', 28, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 51, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1332, 0), ('k', -1, 2108, 0), ('l', -1, 1751, 0), ('m', 29, 1035, 0), ('n', 0, -1, 0), ('o', -1, 90, 0), ('p', 7, -1, 0), ('r', 105, -1, 0), ('s', 41, -1, 0), ('t', -1, 1830, 0), ('u', 105, -1, 0), ('w', 7, -1, 0), ('y', 105, -1, 0), ('z', 0, -1, 0)), (('a', 2, -1, 0), ('b', 28, -1, 0), ('d', 41, -1, 0), ('e', 28, -1, 0), ('i', 2, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('s', -1, 1660, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 28, -1, 0)), (('a', -1, 3997, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', 100, -1, 0), ('i', 28, -1, 0), ('j', -1, 3150, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', -1, 1362, 0), ('r', -1, 3588, 0), ('s', 28, -1, 0), ('z', 28, -1, 0), ('ó', 8, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 2388, 0), ('d', 8, -1, 0), ('e', -1, 3998, 0), ('g', 39, -1, 0), ('i', 5, -1, 0), ('k', 8, -1, 0), ('m', 100, -1, 0), ('o', 22, 2322, 0), ('r', 8, -1, 0), ('u', 30, -1, 0), ('w', 8, -1, 0), ('y', 22, -1, 0), ('z', -1, 4002, 0), ('ę', 22, -1, 0)), (('a', -1, 3999, 0), ('e', -1, 3916, 0), ('i', 30, -1, 0), ('o', -1, 3725, 0), ('r', 100, 1525, 0), ('u', 30, -1, 0), ('y', 30, -1, 0), ('z', 126, -1, 0), ('ą', -1, 2332, 0), ('ę', 30, -1, 0)), (('a', -1, 2342, 0), ('b', 30, -1, 0), ('c', -1, 2343, 0), ('d', -1, 4000, 0), ('e', -1, 2099, 0), ('g', 399, -1, 0), ('i', -1, 825, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', 30, -1, 0), ('n', 30, -1, 0), ('o', -1, 2767, 0), ('r', -1, 4000, 0), ('s', -1, 4001, 0), ('t', 30, -1, 0), ('u', -1, 2506, 0), ('y', -1, 1486, 0), ('z', 126, -1, 0), ('ę', -1, 2336, 0), ('ł', 3, -1, 0)), (('a', 2, -1, 0), ('b', 56, -1, 0), ('d', 5, -1, 0), ('e', -1, 2929, 0), ('g', 7, -1, 0), ('i', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 1433, 0), ('p', -1, 2871, 0), ('r', -1, 966, 0), ('s', 0, -1, 0), ('t', -1, 2505, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('z', -1, 1757, 0), ('ó', 56, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 3266, 0), ('d', 3, -1, 0), ('e', -1, 3326, 0), ('i', -1, 1989, 0), ('k', 3, -1, 0), ('m', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 3934, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', -1, 75, 0), ('u', -1, 2753, 0), ('y', -1, 2441, 0), ('z', 121, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1667, 0), ('e', 99, -1, 0), ('i', -1, 333, 0), ('o', 145, -1, 0), ('r', 5, -1, 0), ('u', 5, -1, 0), ('y', 99, -1, 0)), (('a', 28, -1, 0), ('d', 7, -1, 0), ('e', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('l', 28, -1, 0), ('n', 40, -1, 0), ('o', 1, 3797, 0), ('r', -1, 4004, 0), ('s', 463, -1, 0), ('t', 28, -1, 0), ('y', -1, 47, 0), ('z', 40, -1, 0), ('ź', 28, -1, 0)), (('a', 5, -1, 0), ('c', -1, 779, 0), ('d', 53, -1, 0), ('e', 5, -1, 0), ('f', 12, -1, 0), ('g', 6, -1, 0), ('i', -1, 222, 0), ('k', 6, -1, 0), ('l', 65, -1, 0), ('m', 12, -1, 0), ('n', 55, -1, 0), ('o', 70, -1, 0), ('p', -1, 1705, 0), ('r', 71, -1, 0), ('s', -1, 2202, 0), ('t', -1, 836, 0), ('u', 5, -1, 0), ('w', 116, 1393, 0), ('y', 70, -1, 0), ('z', 5, -1, 0), ('ó', 5, -1, 0), ('ę', 71, -1, 0), ('ł', 71, -1, 0)), (('a', -1, 1569, 0), ('d', 40, -1, 0), ('e', -1, 178, 0), ('i', 40, -1, 0), ('l', 4, -1, 0), ('o', 40, -1, 0), ('r', 4, -1, 0), ('s', 4, 1368, 0), ('u', 40, -1, 0), ('y', 40, -1, 0), ('z', 4, -1, 0), ('ó', 40, -1, 0), ('ł', 4, -1, 0)), (('a', 1, -1, 0), ('e', -1, 950, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 28, -1, 0), ('p', 1, -1, 0), ('r', 28, -1, 0), ('s', 0, -1, 0), ('u', 28, -1, 0), ('w', 6, -1, 0), ('y', -1, 1578, 0), ('z', 37, -1, 0), ('ó', 28, -1, 0), ('ł', -1, 424, 0)), (('a', -1, 2999, 0), ('b', -1, 4008, 0), ('c', 1, -1, 0), ('d', -1, 4009, 0), ('e', -1, 75, 0), ('f', -1, 3568, 0), ('g', -1, 4012, 0), ('h', -1, 1778, 0), ('i', -1, 1566, 0), ('j', 192, -1, 0), ('k', -1, 2291, 0), ('l', -1, 1643, 0), ('m', -1, 3430, 0), ('o', -1, 3749, 0), ('p', -1, 3912, 0), ('r', -1, 3425, 0), ('s', 1, -1, 0), ('t', 192, 2919, 0), ('u', -1, 3910, 0), ('y', -1, 1375, 0), ('z', -1, 2223, 0), ('ó', 255, -1, 0), ('ś', -1, 4013, 0), ('ź', -1, 2535, 0)), (('a', -1, 384, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 1823, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 2, -1, 0), ('m', 5, -1, 0), ('o', 87, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('w', 5, -1, 0), ('y', 1, -1, 0), ('z', -1, 612, 0), ('ę', 1, -1, 0), ('ł', 5, -1, 0), ('ś', 2, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 1657, 0), ('e', 8, -1, 0), ('i', 192, -1, 0), ('l', 100, -1, 0), ('n', 1, -1, 0), ('o', -1, 2754, 0), ('r', -1, 865, 0), ('u', 192, -1, 0), ('y', -1, 4010, 0), ('ó', 100, -1, 0)), (('a', -1, 3919, 0), ('e', -1, 3078, 0), ('i', 28, -1, 0), ('m', 192, -1, 0), ('n', 28, -1, 0), ('o', -1, 1410, 0), ('r', -1, 4011, 0), ('s', 28, -1, 0), ('u', -1, 1290, 0), ('y', -1, 236, 0), ('z', -1, 1528, 0), ('ą', 28, -1, 0), ('ę', -1, 2056, 0), ('ł', 28, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('d', -1, 2135, 0), ('e', 226, -1, 0), ('i', -1, 636, 0), ('k', 2, -1, 0), ('m', 2, -1, 0), ('o', -1, 2358, 0), ('p', 28, -1, 0), ('r', 28, 2411, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', -1, 1825, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 270, 0), ('e', -1, 270, 0), ('i', 120, -1, 0), ('n', -1, 959, 0), ('o', 279, -1, 0), ('r', 164, -1, 0), ('u', 224, -1, 0), ('w', 224, -1, 0), ('z', 224, -1, 0), ('ą', 120, -1, 0), ('ę', 164, -1, 0)), (('a', 405, -1, 0), ('d', -1, 2959, 0), ('e', 377, -1, 0), ('h', 22, -1, 0), ('i', 370, -1, 0), ('n', 5, -1, 0), ('o', -1, 1883, 0), ('p', 5, -1, 0), ('r', -1, 198, 0), ('t', -1, 1587, 0), ('y', -1, 609, 0)), (('a', -1, 3417, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 28, -1, 0), ('e', -1, 3240, 0), ('h', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', 28, -1, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 1, 4015, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', -1, 3151, 0), ('w', -1, 1091, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ą', 100, -1, 0), ('ę', 8, -1, 0), ('ś', 28, -1, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 6, -1, 0), ('c', -1, 4016, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 4017, 0), ('j', -1, 4028, 0), ('l', -1, 2172, 0), ('o', 3, -1, 0), ('r', 14, 2369, 0), ('w', 28, -1, 0), ('y', 6, -1, 0), ('z', -1, 4030, 0), ('ł', 28, -1, 0), ('ż', -1, 2557, 0)), (('a', 14, -1, 0), ('b', 14, -1, 0), ('d', 14, -1, 0), ('e', 14, -1, 0), ('g', 14, -1, 0), ('i', 14, -1, 0), ('k', 1, 980, 0), ('m', 14, -1, 0), ('o', 14, -1, 0), ('r', 14, -1, 0), ('s', 14, -1, 0), ('u', -1, 1168, 0), ('w', -1, 283, 0), ('y', 14, -1, 0), ('ó', -1, 1091, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0), ('ł', -1, 1286, 0), ('ż', 14, -1, 0)), (('a', -1, 3444, 0), ('b', -1, 1336, 0), ('c', 28, -1, 0), ('d', -1, 433, 0), ('e', -1, 2498, 0), ('f', 5, -1, 0), ('i', 53, -1, 0), ('l', 6, -1, 0), ('m', -1, 3004, 0), ('n', -1, 4018, 0), ('o', -1, 1804, 0), ('p', -1, 4021, 0), ('r', -1, 2922, 0), ('s', -1, 4022, 0), ('u', -1, 3172, 0), ('w', -1, 4025, 0), ('y', -1, 2181, 0), ('z', -1, 1947, 0), ('ą', -1, 4027, 0), ('ę', -1, 3788, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 1540, 0), ('e', -1, 4019, 0), ('g', -1, 1457, 0), ('h', 5, -1, 0), ('i', -1, 1173, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('t', -1, 72, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 1053, 0), ('ł', -1, 2932, 0), ('ś', -1, 469, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 2713, 0), ('c', 5, -1, 0), ('e', -1, 816, 0), ('i', -1, 2073, 0), ('l', 5, -1, 0), ('o', -1, 4020, 0), ('r', -1, 3919, 0), ('u', 16, -1, 0), ('w', 16, -1, 0), ('y', 16, -1, 0), ('z', 5, -1, 0), ('ą', 16, -1, 0), ('ę', 16, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 1164, 0), ('b', 3, 882, 0), ('d', 136, -1, 0), ('e', -1, 396, 0), ('g', 16, -1, 0), ('h', 16, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 3143, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 16, -1, 0), ('y', 136, -1, 0), ('z', 136, -1, 0), ('ł', 16, -1, 0)), (('a', -1, 73, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 7, -1, 0), ('n', -1, 3007, 0), ('o', -1, 759, 0), ('r', -1, 718, 0), ('t', 5, -1, 0), ('u', -1, 1262, 0), ('z', 7, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', -1, 181, 0)), (('a', 28, -1, 0), ('b', 107, -1, 0), ('d', -1, 4023, 0), ('e', -1, 35, 0), ('h', 7, -1, 0), ('i', 134, -1, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('o', 28, 1644, 0), ('r', -1, 1071, 0), ('w', 5, -1, 0), ('z', -1, 3912, 0), ('ę', 28, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 419, 0), ('b', -1, 3562, 0), ('c', 39, -1, 0), ('d', 145, -1, 0), ('e', 12, -1, 0), ('i', 65, -1, 0), ('m', 5, 779, 0), ('o', 5, -1, 0), ('p', 145, -1, 0), ('r', 5, 4024, 0), ('s', 39, -1, 0), ('t', 1, 512, 0), ('w', 39, -1, 0), ('y', -1, 569, 0), ('z', 145, 160, 0), ('ż', 264, 2785, 0)), (('a', -1, 611, 0), ('b', 5, -1, 0), ('d', 145, -1, 0), ('e', 39, -1, 0), ('i', -1, 2092, 0), ('k', -1, 3551, 0), ('o', -1, 3391, 0), ('p', 39, -1, 0), ('r', 39, -1, 0), ('t', 39, -1, 0), ('u', 39, -1, 0), ('y', 5, -1, 0)), (('a', -1, 527, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 663, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('w', -1, 3566, 0), ('y', 5, -1, 0), ('z', -1, 4026, 0), ('ó', -1, 1697, 0), ('ł', 5, -1, 0), ('ż', -1, 3266, 0)), (('a', -1, 2313, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('k', -1, 3061, 0), ('m', -1, 3677, 0), ('n', -1, 917, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 3, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 663, 0), ('ą', -1, 3017, 0), ('ł', 5, -1, 0)), (('a', 2, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('i', 6, -1, 0), ('k', 2, -1, 0), ('o', -1, 1290, 0), ('r', -1, 4004, 0), ('t', 2, -1, 0), ('z', -1, 1331, 0)), (('a', 13, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 13, -1, 0), ('h', 7, -1, 0), ('i', 5, -1, 0), ('k', 7, -1, 0), ('n', -1, 3577, 0), ('o', -1, 4029, 0), ('p', 5, -1, 0), ('r', 7, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('z', 5, -1, 0), ('ł', -1, 1818, 0), ('ż', 5, -1, 0)), (('a', -1, 3326, 0), ('d', 13, -1, 0), ('e', 11, -1, 0), ('i', -1, 364, 0), ('k', 13, -1, 0), ('l', -1, 2981, 0), ('n', 13, -1, 0), ('o', -1, 2471, 0), ('p', 13, -1, 0), ('r', -1, 1104, 0), ('t', 11, -1, 0), ('u', -1, 1916, 0), ('w', -1, 155, 0), ('z', 69, -1, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0), ('ł', 13, -1, 0)), (('a', 15, -1, 0), ('c', -1, 4031, 0), ('d', -1, 3629, 0), ('e', 15, -1, 0), ('i', -1, 2324, 0), ('o', -1, 2375, 0), ('r', -1, 1212, 0), ('s', -1, 3142, 0), ('z', -1, 1434, 0)), (('a', -1, 475, 0), ('d', 105, -1, 0), ('e', -1, 3446, 0), ('i', -1, 542, 0), ('j', 105, -1, 0), ('l', 105, -1, 0), ('o', -1, 2097, 0), ('r', 105, -1, 0), ('u', -1, 1890, 0), ('y', 105, -1, 0), ('z', -1, 1463, 0), ('ó', 105, -1, 0), ('ą', -1, 54, 0), ('ę', 105, -1, 0), ('ń', -1, 4032, 0)), (('a', 105, -1, 0), ('b', 30, -1, 0), ('c', 21, -1, 0), ('d', 21, -1, 0), ('e', 105, -1, 0), ('h', 21, -1, 0), ('i', 21, -1, 0), ('j', 21, -1, 0), ('k', -1, 2127, 0), ('l', 21, -1, 0), ('m', 30, -1, 0), ('n', 21, -1, 0), ('o', -1, 20, 0), ('p', 21, -1, 0), ('r', -1, 1848, 0), ('s', -1, 3625, 0), ('t', -1, 2026, 0), ('w', 21, -1, 0), ('z', -1, 2322, 0), ('ł', 21, -1, 0)), (('a', 28, -1, 0), ('e', 28, -1, 0), ('i', -1, 3303, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('r', -1, 1429, 0), ('s', 28, -1, 0), ('u', -1, 2541, 0), ('y', -1, 3017, 0), ('ą', 28, -1, 0), ('ę', -1, 3443, 0), ('ł', 28, -1, 0)), (('a', -1, 2720, 0), ('b', 64, -1, 0), ('d', -1, 1835, 0), ('e', 382, -1, 0), ('g', -1, 4035, 0), ('h', -1, 2373, 0), ('i', 3, -1, 0), ('k', -1, 3660, 0), ('o', -1, 2223, 0), ('p', -1, 3443, 0), ('r', -1, 1262, 0), ('s', -1, 3421, 0), ('t', 64, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', -1, 3352, 0)), (('a', 28, -1, 0), ('e', -1, 1351, 0), ('i', 28, -1, 0), ('l', 64, -1, 0), ('m', 12, -1, 0), ('n', -1, 3140, 0), ('o', 1, -1, 0), ('r', -1, 298, 0), ('t', -1, 1911, 0), ('y', 64, -1, 0), ('z', 79, -1, 0), ('ó', 28, -1, 0), ('ą', 28, -1, 0), ('ł', -1, 2995, 0)), (('a', -1, 2946, 0), ('d', 91, -1, 0), ('e', -1, 3592, 0), ('i', -1, 1672, 0), ('n', 41, -1, 0), ('o', -1, 2758, 0), ('r', -1, 2409, 0), ('u', -1, 457, 0), ('w', 4, -1, 0), ('y', 4, -1, 0), ('z', 206, -1, 0), ('ó', 30, -1, 0), ('ą', 4, -1, 0), ('ę', -1, 1898, 0), ('ź', 4, -1, 0)), (('a', -1, 1615, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', 5, -1, 0), ('f', -1, 2302, 0), ('h', 0, 1040, 0), ('i', -1, 3277, 0), ('j', 1, -1, 0), ('k', -1, 230, 0), ('m', -1, 3437, 0), ('n', 0, -1, 0), ('o', 31, -1, 0), ('p', 4, 264, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 4038, 0), ('u', 31, 2249, 0), ('w', 1, 387, 0), ('y', 31, -1, 0), ('z', 1, -1, 0)), (('a', 1, -1, 0), ('e', 1, -1, 0), ('i', 55, -1, 0), ('k', 1, -1, 0), ('l', 55, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, 299, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0)), (('a', 31, -1, 0), ('e', 31, -1, 0), ('g', 31, -1, 0), ('i', 31, -1, 0), ('j', -1, 3047, 0), ('o', 31, -1, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('y', -1, 3930, 0), ('z', 31, -1, 0)), (('a', 31, -1, 0), ('b', 31, -1, 0), ('e', 31, -1, 0), ('g', 31, -1, 0), ('i', 31, -1, 0), ('j', 31, -1, 0), ('o', -1, 3045, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('y', 31, -1, 0), ('z', 31, -1, 0)), (('a', 31, -1, 0), ('b', 1, -1, 0), ('e', 31, -1, 0), ('i', -1, 3761, 0), ('k', 1, -1, 0), ('l', 31, -1, 0), ('m', 31, -1, 0), ('n', 0, -1, 0), ('o', 31, -1, 0), ('p', 1, -1, 0), ('r', 31, -1, 0), ('s', 1, -1, 0), ('t', -1, 2289, 0), ('u', 31, -1, 0), ('w', 0, -1, 0), ('y', 31, -1, 0), ('z', 1, -1, 0), ('ę', -1, 3069, 0), ('ł', 31, -1, 0)), (('a', 31, -1, 0), ('e', 31, -1, 0), ('h', 31, -1, 0), ('i', 31, -1, 0), ('k', 31, -1, 0), ('l', 31, -1, 0), ('n', -1, 2686, 0), ('o', 31, -1, 0), ('p', 31, -1, 0), ('r', 31, -1, 0), ('s', -1, 3716, 0), ('u', 31, -1, 0), ('y', -1, 1851, 0), ('ą', 31, -1, 0), ('ę', 31, -1, 0), ('ł', 31, -1, 0)), (('a', 31, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('k', 31, -1, 0), ('l', 31, -1, 0), ('o', -1, 4044, 0), ('r', -1, 4161, 0), ('u', -1, 353, 0), ('y', 31, -1, 0), ('ó', 31, -1, 0)), (('a', -1, 373, 0), ('b', 31, -1, 0), ('c', 31, -1, 0), ('d', -1, 2000, 0), ('e', 7, -1, 0), ('f', 31, -1, 0), ('g', 31, -1, 0), ('h', 31, -1, 0), ('i', 31, -1, 0), ('j', 31, -1, 0), ('k', 31, -1, 0), ('l', 31, -1, 0), ('m', 31, -1, 0), ('n', 31, -1, 0), ('o', 70, -1, 0), ('p', 31, -1, 0), ('r', -1, 4045, 0), ('s', 31, -1, 0), ('t', 31, -1, 0), ('z', 31, -1, 0), ('ó', 7, -1, 0), ('ł', 31, -1, 0)), (('a', -1, 2400, 0), ('b', -1, 4046, 0), ('c', -1, 4047, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('f', 5, -1, 0), ('l', 1, -1, 0), ('m', -1, 4116, 0), ('n', -1, 4117, 0), ('o', 31, -1, 0), ('p', -1, 4021, 0), ('r', 1, -1, 0), ('s', -1, 4118, 0), ('u', 31, -1, 0), ('w', -1, 4119, 0), ('y', -1, 4160, 0), ('z', -1, 1947, 0)), (('a', 5, -1, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('i', -1, 2032, 0), ('l', 4, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('t', 37, 3887, 0), ('u', -1, 518, 0), ('y', 5, -1, 0), ('z', 4, -1, 0), ('ą', 5, -1, 0), ('ę', -1, 4026, 0), ('ń', 248, -1, 0)), (('a', 289, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 1508, 0), ('e', -1, 4035, 0), ('f', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 2480, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 289, -1, 0), ('p', -1, 143, 0), ('r', 64, -1, 0), ('s', -1, 4048, 0), ('y', 147, -1, 0), ('z', -1, 2164, 0), ('ę', -1, 3076, 0), ('ł', 64, -1, 0)), (('a', 268, -1, 0), ('b', -1, 4049, 0), ('c', 6, -1, 0), ('d', -1, 4050, 0), ('e', -1, 4051, 0), ('f', -1, 1413, 0), ('g', -1, 3908, 0), ('h', -1, 1403, 0), ('i', -1, 3389, 0), ('j', 1, 4052, 0), ('k', -1, 4054, 0), ('l', -1, 4055, 0), ('m', -1, 3819, 0), ('n', -1, 1279, 0), ('o', -1, 277, 0), ('p', -1, 4056, 0), ('r', 28, 3315, 0), ('s', -1, 4057, 0), ('t', -1, 4058, 0), ('u', -1, 537, 0), ('w', -1, 4059, 0), ('z', -1, 4115, 0), ('ł', -1, 4052, 0), ('ż', 28, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('d', 28, -1, 0), ('e', -1, 107, 0), ('i', 4, -1, 0), ('l', -1, 667, 0), ('m', -1, 2665, 0), ('o', 6, -1, 0), ('p', 0, -1, 0), ('r', -1, 180, 0), ('t', 4, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 0, -1, 0), ('ą', 6, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 724, 0), ('d', 6, -1, 0), ('e', -1, 2930, 0), ('o', 6, -1, 0), ('u', 6, -1, 0), ('y', -1, 2533, 0), ('z', 6, -1, 0), ('ą', -1, 580, 0)), (('a', -1, 2917, 0), ('d', 268, -1, 0), ('e', -1, 946, 0), ('i', -1, 3273, 0), ('j', 3, -1, 0), ('k', 2, -1, 0), ('m', 3, -1, 0), ('o', 2, 3518, 0), ('r', -1, 2041, 0), ('u', -1, 526, 0), ('w', 268, -1, 0), ('y', -1, 2459, 0), ('z', 28, 273, 0)), (('a', -1, 4053, 0), ('c', 1, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('m', -1, 2090, 0), ('o', -1, 671, 0), ('s', 6, -1, 0), ('u', 1, -1, 0), ('y', -1, 2868, 0)), (('a', 5, -1, 0), ('b', 1, -1, 0), ('d', 6, -1, 0), ('e', 31, -1, 0), ('g', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', 6, -1, 0), ('o', 5, -1, 0), ('p', 6, -1, 0), ('r', -1, 643, 0), ('w', 6, -1, 0), ('y', -1, 2391, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', -1, 1093, 0), ('o', 6, -1, 0), ('s', -1, 2298, 0), ('t', 6, -1, 0), ('u', -1, 950, 0), ('y', 6, -1, 0), ('z', -1, 1348, 0), ('ą', -1, 636, 0), ('ć', 6, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 1336, 0), ('d', -1, 2738, 0), ('e', -1, 3101, 0), ('f', 28, -1, 0), ('g', -1, 278, 0), ('h', 6, -1, 0), ('i', -1, 288, 0), ('m', 6, -1, 0), ('o', 6, 163, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('t', -1, 3173, 0), ('u', 6, -1, 0), ('w', 28, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ś', 6, -1, 0), ('ź', 6, -1, 0)), (('a', 6, -1, 0), ('e', -1, 2730, 0), ('i', -1, 1789, 0), ('m', 1, -1, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('ą', 6, -1, 0), ('ć', 1, -1, 0)), (('a', 1, 10, 0), ('e', 6, -1, 0), ('g', 4, -1, 0), ('i', -1, 275, 0), ('k', 1, -1, 0), ('m', 4, -1, 0), ('o', 6, -1, 0), ('r', -1, 758, 0), ('s', 6, -1, 0), ('y', 6, -1, 0), ('ą', 6, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 283, 0), ('e', 0, -1, 0), ('h', 6, -1, 0), ('i', 1, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('s', 6, -1, 0), ('y', -1, 2520, 0), ('z', 1, -1, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 1, -1, 0), ('ś', 6, -1, 0)), (('a', -1, 2300, 0), ('e', -1, 1336, 0), ('i', -1, 1482, 0), ('o', -1, 3095, 0), ('r', -1, 4060, 0), ('u', 6, -1, 0), ('y', -1, 469, 0), ('z', 28, 356, 0), ('ł', 1, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 6, -1, 0), ('m', -1, 4061, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 37, -1, 0), ('s', 0, 3131, 0), ('w', 6, -1, 0), ('y', 28, -1, 0), ('z', 6, -1, 0)), (('a', 6, -1, 0), ('e', -1, 227, 0), ('j', 6, -1, 0), ('o', -1, 2376, 0), ('r', 6, -1, 0), ('s', -1, 4062, 0), ('u', -1, 583, 0), ('y', 6, -1, 0), ('z', 6, -1, 0)), (('a', -1, 1958, 0), ('b', -1, 4063, 0), ('c', 5, -1, 0), ('d', -1, 4088, 0), ('e', 248, -1, 0), ('f', -1, 4089, 0), ('g', 4, 4090, 0), ('h', -1, 157, 0), ('i', -1, 2178, 0), ('j', -1, 3080, 0), ('k', 5, -1, 0), ('l', -1, 1447, 0), ('m', 0, 4091, 0), ('n', -1, 3644, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', -1, 4093, 0), ('s', 5, -1, 0), ('t', -1, 4096, 0), ('w', -1, 4098, 0), ('z', -1, 4112, 0), ('ł', -1, 4113, 0), ('ż', 5, -1, 0)), (('a', -1, 4064, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('o', -1, 4084, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('ą', 5, -1, 0)), (('a', -1, 798, 0), ('b', 3, -1, 0), ('d', 304, -1, 0), ('e', -1, 304, 0), ('h', 1, -1, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('m', 304, -1, 0), ('n', 3, -1, 0), ('o', -1, 662, 0), ('p', -1, 4065, 0), ('r', -1, 3695, 0), ('s', 80, -1, 0), ('t', 304, 4083, 0), ('u', 22, -1, 0), ('w', 304, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 95, -1, 0)), (('a', 55, -1, 0), ('e', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 131, -1, 0), ('o', -1, 4066, 0), ('r', 0, -1, 0), ('s', 55, -1, 0), ('u', 304, -1, 0), ('y', 131, -1, 0)), (('a', -1, 3238, 0), ('b', 30, 2197, 0), ('d', 41, -1, 0), ('e', -1, 2571, 0), ('g', 13, -1, 0), ('h', 13, -1, 0), ('i', -1, 2632, 0), ('l', 131, -1, 0), ('m', -1, 4067, 0), ('o', -1, 2585, 0), ('p', 0, -1, 0), ('r', -1, 3029, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 565, 0), ('w', 13, -1, 0), ('y', -1, 566, 0), ('z', 0, -1, 0), ('ó', -1, 2746, 0), ('ł', 13, -1, 0)), (('a', -1, 1089, 0), ('c', -1, 4068, 0), ('d', -1, 4071, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 0, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 4076, 0), ('s', -1, 4081, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('z', 131, -1, 0)), (('a', -1, 545, 0), ('c', 5, -1, 0), ('d', 106, -1, 0), ('e', -1, 4069, 0), ('i', -1, 4070, 0), ('j', 106, -1, 0), ('l', -1, 1131, 0), ('o', -1, 1337, 0), ('p', 106, -1, 0), ('r', -1, 688, 0), ('u', -1, 2996, 0), ('y', -1, 823, 0), ('z', -1, 3540, 0), ('ó', 106, -1, 0), ('ą', -1, 1815, 0), ('ę', -1, 2851, 0), ('ł', 5, -1, 0), ('ń', 106, -1, 0)), (('a', 10, -1, 0), ('e', 10, -1, 0), ('i', -1, 2394, 0), ('l', -1, 2831, 0), ('o', -1, 744, 0), ('r', 95, -1, 0), ('z', 0, -1, 0), ('ó', -1, 3513, 0), ('ę', 11, -1, 0)), (('a', -1, 4004, 0), ('b', 12, -1, 0), ('d', -1, 247, 0), ('e', -1, 79, 0), ('g', -1, 524, 0), ('i', 12, -1, 0), ('k', 12, -1, 0), ('l', 106, -1, 0), ('m', -1, 523, 0), ('n', -1, 1131, 0), ('o', -1, 909, 0), ('p', -1, 471, 0), ('r', 55, -1, 0), ('s', -1, 3775, 0), ('t', -1, 1731, 0), ('u', -1, 2241, 0), ('w', -1, 111, 0), ('y', 12, -1, 0), ('z', 5, -1, 0), ('ś', -1, 910, 0)), (('a', 12, -1, 0), ('e', -1, 3762, 0), ('i', 4, -1, 0), ('o', -1, 4072, 0), ('r', 116, 3347, 0), ('u', -1, 4074, 0), ('w', 12, -1, 0), ('y', -1, 4075, 0), ('z', 55, -1, 0), ('ą', -1, 3083, 0), ('ę', -1, 2223, 0), ('ł', 4, -1, 0)), (('a', -1, 4073, 0), ('b', 12, -1, 0), ('e', -1, 508, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 3, 2373, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('r', -1, 3709, 0), ('s', -1, 3085, 0), ('u', 3, -1, 0), ('w', 12, -1, 0), ('ę', 0, -1, 0), ('ł', 12, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('n', 4, -1, 0), ('o', 3, -1, 0), ('p', 41, -1, 0), ('r', 3, -1, 0), ('t', -1, 2884, 0), ('u', 3, -1, 0), ('z', 4, -1, 0), ('ó', 3, -1, 0)), (('a', 22, -1, 0), ('b', 12, -1, 0), ('e', 80, -1, 0), ('h', 12, -1, 0), ('i', 22, -1, 0), ('k', 12, -1, 0), ('n', 12, -1, 0), ('o', 22, -1, 0), ('r', -1, 2707, 0), ('t', 12, -1, 0), ('u', 353, -1, 0), ('z', 52, -1, 0), ('ą', 353, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('h', 12, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('u', -1, 570, 0), ('y', -1, 1085, 0), ('z', -1, 2889, 0), ('ł', 7, -1, 0)), (('a', -1, 3195, 0), ('b', 5, -1, 0), ('d', 106, -1, 0), ('e', -1, 4077, 0), ('h', 106, -1, 0), ('i', -1, 376, 0), ('j', -1, 2009, 0), ('k', -1, 4078, 0), ('l', -1, 4079, 0), ('o', -1, 1773, 0), ('p', 106, -1, 0), ('r', 54, 1491, 0), ('s', 54, -1, 0), ('t', -1, 2809, 0), ('u', 106, -1, 0), ('z', -1, 1634, 0), ('ó', 106, -1, 0)), (('a', 7, -1, 0), ('d', 106, -1, 0), ('e', -1, 2926, 0), ('i', -1, 2995, 0), ('k', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 441, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('z', 106, -1, 0)), (('a', -1, 841, 0), ('b', -1, 2467, 0), ('c', -1, 2324, 0), ('d', -1, 3420, 0), ('e', 21, -1, 0), ('h', -1, 136, 0), ('i', 21, -1, 0), ('k', 33, -1, 0), ('l', -1, 897, 0), ('m', -1, 2469, 0), ('n', -1, 3351, 0), ('o', -1, 1529, 0), ('p', 21, -1, 0), ('r', -1, 3222, 0), ('s', 106, -1, 0), ('t', -1, 2113, 0), ('u', 0, -1, 0), ('w', -1, 2390, 0), ('y', 106, -1, 0), ('z', -1, 142, 0), ('ł', 21, -1, 0), ('ś', -1, 2322, 0), ('ź', -1, 2469, 0), ('ż', -1, 150, 0)), (('a', -1, 4080, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('f', 0, -1, 0), ('g', 11, -1, 0), ('i', -1, 2613, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 219, 388, 0), ('p', 11, -1, 0), ('r', -1, 2796, 0), ('t', 11, -1, 0), ('y', 219, -1, 0), ('z', 219, -1, 0), ('ś', 11, -1, 0)), (('a', 6, -1, 0), ('c', 11, -1, 0), ('e', 2, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('o', 6, -1, 0), ('p', -1, 585, 0), ('r', 132, -1, 0), ('s', -1, 2375, 0), ('u', 1, -1, 0), ('y', 6, -1, 0), ('z', 219, 538, 0), ('ą', 6, -1, 0), ('ę', 6, -1, 0), ('ś', 6, -1, 0)), (('-', 116, -1, 0), ('a', -1, 2461, 0), ('e', -1, 2656, 0), ('i', -1, 309, 0), ('j', 106, -1, 0), ('k', 106, -1, 0), ('m', 5, -1, 0), ('o', -1, 4035, 0), ('p', 0, -1, 0), ('r', -1, 4082, 0), ('u', -1, 2876, 0), ('y', -1, 622, 0), ('ó', 106, -1, 0), ('ą', 12, -1, 0), ('ę', 106, -1, 0), ('ż', -1, 854, 0)), (('a', 12, -1, 0), ('e', -1, 891, 0), ('g', 12, -1, 0), ('i', 63, -1, 0), ('k', 12, -1, 0), ('m', 12, -1, 0), ('o', -1, 784, 0), ('r', 12, -1, 0), ('t', 12, -1, 0), ('u', 5, -1, 0), ('w', 12, -1, 0), ('z', -1, 2262, 0), ('ą', -1, 619, 0), ('ę', 12, -1, 0), ('ł', -1, 477, 0)), (('a', 304, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('o', 37, -1, 0), ('s', 304, -1, 0), ('t', 0, -1, 0), ('u', 37, -1, 0), ('w', 1, -1, 0), ('y', 55, -1, 0)), (('a', -1, 2208, 0), ('d', -1, 4085, 0), ('e', 41, -1, 0), ('f', 5, -1, 0), ('i', 5, -1, 0), ('o', 0, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 0, -1, 0), ('t', 5, -1, 0), ('y', -1, 767, 0), ('z', -1, 1179, 0), ('ł', 5, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', -1, 4086, 0), ('o', -1, 753, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 4087, 0), ('o', 82, -1, 0), ('u', 0, -1, 0)), (('a', -1, 3635, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 701, 0), ('p', 28, -1, 0), ('r', -1, 1696, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1179, 0), ('z', 28, -1, 0)), (('a', -1, 778, 0), ('d', 5, -1, 0), ('e', -1, 2052, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 55, 3522, 0), ('ą', -1, 2517, 0)), (('a', -1, 2610, 0), ('d', 1, -1, 0), ('e', -1, 723, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 717, 0), ('k', 1, -1, 0), ('l', 4, -1, 0), ('m', 28, -1, 0), ('o', -1, 914, 0), ('p', 1, -1, 0), ('r', -1, 975, 0), ('s', 28, -1, 0), ('t', -1, 2083, 0), ('u', 5, -1, 0), ('w', 4, 840, 0), ('y', -1, 807, 0), ('z', -1, 1861, 0)), (('a', -1, 1915, 0), ('d', 4, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('l', 5, -1, 0), ('r', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 3180, 0), ('z', 4, 1468, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('o', -1, 4092, 0), ('u', 5, -1, 0), ('y', 5, -1, 0)), (('a', -1, 2033, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 3732, 0), ('p', 0, -1, 0), ('r', -1, 1488, 0), ('t', 0, -1, 0)), (('a', -1, 1250, 0), ('b', 5, 4094, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 5, -1, 0), ('o', 5, -1, 0), ('p', -1, 2883, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 327, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('o', 5, 2066, 0), ('y', 5, -1, 0), ('z', -1, 4095, 0)), (('a', -1, 933, 0), ('e', 55, -1, 0), ('i', 0, -1, 0), ('o', -1, 2276, 0), ('u', 1, -1, 0), ('w', 4, -1, 0), ('z', 4, -1, 0)), (('a', -1, 1761, 0), ('h', 5, -1, 0), ('i', -1, 1080, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('s', -1, 4097, 0), ('y', -1, 1505, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ś', 5, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('e', 5, -1, 0), ('o', 5, -1, 0), ('u', 1, -1, 0), ('y', -1, 295, 0), ('z', 55, -1, 0)), (('a', -1, 3810, 0), ('d', 4, -1, 0), ('e', -1, 689, 0), ('i', 5, -1, 0), ('o', -1, 4099, 0), ('r', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 2792, 0), ('z', 5, 2900, 0)), (('a', 4, -1, 0), ('b', 5, -1, 0), ('c', -1, 1574, 0), ('d', -1, 4100, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 3801, 0), ('j', 5, -1, 0), ('k', -1, 3269, 0), ('l', -1, 253, 0), ('m', -1, 1325, 0), ('n', -1, 4101, 0), ('o', -1, 2430, 0), ('p', 5, -1, 0), ('r', -1, 4102, 0), ('s', -1, 925, 0), ('t', -1, 2647, 0), ('u', 5, -1, 0), ('w', -1, 3810, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 1102, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('u', -1, 3810, 0), ('y', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 687, 0), ('b', 5, -1, 0), ('e', -1, 1468, 0), ('g', 5, -1, 0), ('i', -1, 1032, 0), ('j', 5, -1, 0), ('k', 55, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('y', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 4103, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 4108, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('o', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('ó', 5, -1, 0)), (('a', -1, 1048, 0), ('c', -1, 4104, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('l', -1, 2586, 0), ('m', 5, -1, 0), ('o', 0, 403, 0), ('p', 5, -1, 0), ('r', -1, 3166, 0), ('s', 5, -1, 0), ('w', 5, -1, 0), ('y', 22, -1, 0), ('z', 55, -1, 0), ('ą', -1, 4106, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('o', 3, -1, 0), ('r', -1, 4105, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 899, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 3, -1, 0), ('ń', 5, -1, 0)), (('a', -1, 2269, 0), ('b', 39, 160, 0), ('d', -1, 1843, 0), ('e', 7, -1, 0), ('f', 39, -1, 0), ('g', -1, 3594, 0), ('i', -1, 1357, 0), ('j', 39, -1, 0), ('k', -1, 3474, 0), ('l', -1, 3234, 0), ('m', -1, 1596, 0), ('n', 145, 1731, 0), ('o', -1, 2008, 0), ('p', 39, 1652, 0), ('r', -1, 160, 0), ('s', 145, -1, 0), ('t', -1, 2044, 0), ('w', 39, -1, 0), ('z', 39, -1, 0), ('ł', -1, 2675, 0)), (('a', -1, 361, 0), ('e', 4, -1, 0), ('i', -1, 1422, 0), ('o', -1, 4107, 0), ('r', 4, -1, 0), ('u', -1, 3468, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ą', 4, -1, 0), ('ć', 28, -1, 0), ('ę', 4, -1, 0), ('ł', 41, -1, 0)), (('a', -1, 2873, 0), ('d', 4, -1, 0), ('e', -1, 1312, 0), ('f', 1, -1, 0), ('i', -1, 1338, 0), ('j', 137, -1, 0), ('m', 3, -1, 0), ('n', 1, -1, 0), ('o', -1, 3911, 0), ('r', 4, -1, 0), ('s', 4, -1, 0), ('u', -1, 2421, 0), ('y', -1, 1398, 0), ('z', 64, -1, 0), ('ę', 2, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 3239, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 31, 0), ('g', 5, -1, 0), ('i', -1, 4109, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 4110, 0), ('p', 5, -1, 0), ('r', -1, 86, 0), ('t', 5, -1, 0), ('u', 14, -1, 0), ('w', 14, -1, 0), ('y', 14, -1, 0), ('z', 5, -1, 0), ('ą', 14, -1, 0), ('ę', 14, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 366, 0), ('d', 27, -1, 0), ('e', -1, 57, 0), ('i', 27, -1, 0), ('j', 27, -1, 0), ('k', -1, 3519, 0), ('l', 27, -1, 0), ('n', 27, -1, 0), ('o', -1, 2525, 0), ('p', 27, -1, 0), ('r', -1, 2821, 0), ('s', -1, 2995, 0), ('t', 27, -1, 0), ('u', -1, 3534, 0), ('w', 5, 2202, 0), ('y', -1, 1276, 0), ('z', -1, 361, 0), ('ą', 184, -1, 0), ('ę', -1, 108, 0), ('ł', 27, -1, 0), ('ż', 27, -1, 0)), (('a', -1, 519, 0), ('b', 28, 517, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('g', 14, -1, 0), ('h', 14, -1, 0), ('k', 28, -1, 0), ('m', 31, -1, 0), ('o', 31, -1, 0), ('r', -1, 4111, 0), ('u', 31, -1, 0), ('w', 14, -1, 0), ('y', 31, -1, 0), ('z', 0, -1, 0), ('ł', 14, -1, 0), ('ś', 31, 2798, 0)), (('a', 14, -1, 0), ('d', 0, -1, 0), ('e', -1, 221, 0), ('f', 0, -1, 0), ('g', 14, -1, 0), ('l', 0, -1, 0), ('o', 28, -1, 0), ('p', 0, -1, 0), ('r', -1, 1825, 0), ('t', 0, -1, 0), ('u', 248, -1, 0), ('y', 14, -1, 0), ('z', 14, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 844, 0), ('c', -1, 1498, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('r', -1, 497, 0), ('s', 5, -1, 0), ('ą', -1, 1419, 0), ('ł', 5, -1, 0)), (('a', -1, 1131, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('h', 4, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', -1, 3645, 0), ('l', 5, -1, 0), ('m', -1, 3037, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('s', -1, 4114, 0), ('u', -1, 1861, 0), ('y', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 2707, 0), ('d', 4, -1, 0), ('e', 5, -1, 0), ('o', 4, 1644, 0), ('y', 5, -1, 0)), (('a', 6, -1, 0), ('c', -1, 1541, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', 0, 2084, 0), ('r', -1, 868, 0), ('s', -1, 3110, 0), ('u', 28, -1, 0), ('y', 0, -1, 0), ('ą', -1, 97, 0), ('ę', 0, -1, 0), ('ł', 6, -1, 0)), (('a', -1, 2303, 0), ('e', 414, -1, 0), ('g', 28, -1, 0), ('j', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('u', -1, 96, 0), ('y', 5, -1, 0), ('z', 5, -1, 0)), (('a', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 1540, 0), ('e', -1, 4019, 0), ('g', -1, 1457, 0), ('h', 5, -1, 0), ('i', -1, 1173, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', 5, -1, 0), ('o', -1, 2648, 0), ('r', 5, -1, 0), ('t', -1, 72, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ł', -1, 2932, 0), ('ś', -1, 469, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 28, -1, 0), ('b', -1, 66, 0), ('e', -1, 2117, 0), ('m', 5, -1, 0), ('o', 1, -1, 0), ('r', 5, 1530, 0), ('t', 1, 239, 0), ('u', -1, 2745, 0), ('z', -1, 2093, 0), ('ó', 79, -1, 0), ('ę', 28, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 527, 0), ('e', 5, -1, 0), ('i', -1, 2705, 0), ('o', -1, 663, 0), ('r', -1, 4120, 0), ('t', 5, -1, 0), ('y', 5, -1, 0), ('ó', -1, 1697, 0)), (('a', 5, -1, 0), ('c', -1, 4121, 0), ('d', 5, -1, 0), ('e', -1, 2392, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 3431, 0), ('j', -1, 4123, 0), ('k', 5, -1, 0), ('l', -1, 4125, 0), ('o', 248, -1, 0), ('r', -1, 664, 0), ('t', 0, -1, 0), ('u', 14, -1, 0), ('z', -1, 4129, 0), ('ż', -1, 4157, 0)), (('a', -1, 1748, 0), ('e', -1, 1529, 0), ('h', -1, 775, 0), ('i', -1, 4122, 0), ('o', 4, 2131, 0), ('r', 12, -1, 0), ('s', 55, -1, 0), ('u', -1, 2113, 0), ('y', 12, -1, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ę', -1, 277, 0), ('ł', -1, 802, 0)), (('a', 6, -1, 0), ('c', 126, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('g', 126, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('l', -1, 3043, 0), ('m', 1, -1, 0), ('n', -1, 1259, 0), ('o', 1, 856, 0), ('p', -1, 1671, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 21, -1, 0), ('u', 6, -1, 0), ('w', 55, -1, 0), ('y', 6, -1, 0), ('z', -1, 1966, 0), ('ą', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 12, -1, 0), ('e', 12, -1, 0), ('o', -1, 4124, 0)), (('a', -1, 19, 0), ('d', 12, -1, 0), ('e', 79, -1, 0), ('i', 0, 694, 0), ('k', -1, 247, 0), ('n', 12, -1, 0), ('o', 0, -1, 0), ('p', -1, 1285, 0), ('r', -1, 309, 0), ('w', -1, 742, 0), ('ą', 1, -1, 0), ('ł', 12, 672, 0)), (('a', -1, 4004, 0), ('b', 12, -1, 0), ('d', -1, 247, 0), ('e', -1, 79, 0), ('g', -1, 524, 0), ('i', 12, -1, 0), ('k', 12, -1, 0), ('m', -1, 523, 0), ('o', -1, 4126, 0), ('p', -1, 2123, 0), ('r', 55, -1, 0), ('t', -1, 1731, 0), ('u', -1, 2241, 0), ('y', 12, -1, 0), ('z', 5, -1, 0), ('ś', -1, 910, 0)), (('a', -1, 3814, 0), ('b', -1, 623, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('g', 55, 625, 0), ('h', 12, -1, 0), ('i', -1, 832, 0), ('k', 116, 223, 0), ('m', -1, 910, 0), ('o', -1, 4082, 0), ('r', 12, -1, 0), ('s', 12, -1, 0), ('u', -1, 4127, 0), ('w', 5, 4128, 0), ('y', -1, 502, 0), ('ź', 12, -1, 0), ('ż', 12, -1, 0)), (('a', 21, -1, 0), ('d', 30, -1, 0), ('e', -1, 2661, 0), ('i', 69, -1, 0), ('l', 63, -1, 0), ('o', 30, -1, 0), ('r', 63, -1, 0), ('s', 63, -1, 0), ('t', 12, -1, 0), ('u', -1, 1724, 0), ('y', 30, -1, 0)), (('a', 12, -1, 0), ('e', 12, -1, 0), ('o', 55, -1, 0), ('z', 12, -1, 0)), (('a', -1, 3988, 0), ('c', -1, 4130, 0), ('d', -1, 4131, 0), ('e', -1, 2987, 0), ('i', -1, 4135, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 3990, 0), ('r', -1, 4154, 0), ('s', -1, 4155, 0), ('u', -1, 1380, 0), ('y', -1, 1534, 0), ('ó', 28, -1, 0)), (('a', -1, 545, 0), ('c', 5, -1, 0), ('d', 106, -1, 0), ('e', -1, 3909, 0), ('i', -1, 2086, 0), ('j', 106, -1, 0), ('l', -1, 1131, 0), ('o', -1, 1739, 0), ('p', 106, -1, 0), ('r', -1, 688, 0), ('u', -1, 1750, 0), ('y', -1, 823, 0), ('z', -1, 3839, 0), ('ó', 106, -1, 0), ('ą', -1, 1036, 0), ('ę', -1, 2851, 0), ('ł', 5, -1, 0), ('ń', 106, -1, 0)), (('a', 12, -1, 0), ('e', -1, 1402, 0), ('i', 5, -1, 0), ('o', -1, 2779, 0), ('r', 116, 1135, 0), ('u', -1, 2051, 0), ('w', 12, -1, 0), ('y', -1, 1876, 0), ('ą', -1, 4132, 0), ('ę', -1, 2223, 0)), (('a', -1, 1036, 0), ('d', 106, -1, 0), ('e', -1, 886, 0), ('i', -1, 4133, 0), ('m', 447, -1, 0), ('n', 106, -1, 0), ('o', 0, -1, 0), ('r', -1, 1821, 0), ('t', 106, -1, 0), ('w', -1, 1731, 0), ('z', -1, 3155, 0), ('ł', -1, 1739, 0)), (('a', 3, -1, 0), ('b', 0, -1, 0), ('c', -1, 4134, 0), ('d', 0, -1, 0), ('e', -1, 139, 0), ('f', 0, -1, 0), ('g', -1, 1322, 0), ('i', -1, 688, 0), ('j', 3, -1, 0), ('k', 0, -1, 0), ('l', 41, -1, 0), ('n', 0, -1, 0), ('o', 5, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 3, -1, 0), ('w', 0, -1, 0), ('y', -1, 689, 0), ('z', 5, -1, 0)), (('a', -1, 3312, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 257, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, 2731, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 63, -1, 0), ('ą', 3, -1, 0), ('ę', 80, -1, 0), ('ł', 1, 606, 0)), (('a', 0, -1, 0), ('b', -1, 4136, 0), ('c', -1, 4137, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 4087, 0), ('m', -1, 4138, 0), ('n', -1, 4149, 0), ('o', -1, 2084, 0), ('p', 0, -1, 0), ('s', -1, 4151, 0), ('w', -1, 3973, 0), ('z', -1, 3303, 0)), (('a', -1, 1049, 0), ('d', 0, -1, 0), ('e', 316, -1, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, 2461, 0), ('l', 0, 810, 0), ('m', 0, -1, 0), ('o', 316, -1, 0), ('p', 4, -1, 0), ('r', -1, 2892, 0), ('u', 316, -1, 0), ('w', 1, -1, 0), ('z', 28, -1, 0), ('ł', -1, 2696, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 28, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 3318, 0), ('u', 0, -1, 0), ('z', -1, 110, 0), ('ś', 28, -1, 0)), (('a', -1, 1141, 0), ('b', 0, -1, 0), ('c', -1, 4139, 0), ('d', -1, 2783, 0), ('e', 0, -1, 0), ('f', -1, 179, 0), ('g', -1, 656, 0), ('i', 0, -1, 0), ('k', -1, 4061, 0), ('l', -1, 4143, 0), ('m', -1, 4144, 0), ('n', -1, 4147, 0), ('o', 0, -1, 0), ('p', -1, 4148, 0), ('r', 0, -1, 0), ('s', 28, 4115, 0), ('u', 0, -1, 0), ('w', -1, 2463, 0), ('y', 0, -1, 0), ('z', -1, 340, 0)), (('a', 0, -1, 0), ('d', 4, -1, 0), ('e', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 4, -1, 0), ('z', -1, 2245, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ś', -1, 4140, 0)), (('a', 4, -1, 0), ('b', 1, -1, 0), ('d', -1, 86, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('h', 0, 454, 0), ('i', 0, -1, 0), ('k', 4, 1086, 0), ('m', -1, 2961, 0), ('n', -1, 658, 0), ('o', 0, -1, 0), ('p', 4, -1, 0), ('r', 1, -1, 0), ('s', -1, 266, 0), ('t', -1, 1699, 0), ('w', 4, 4141, 0), ('z', 1, -1, 0)), (('a', -1, 1186, 0), ('d', 4, -1, 0), ('e', 4, -1, 0), ('h', 4, -1, 0), ('i', 1, -1, 0), ('k', -1, 19, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 4142, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 4, -1, 0), ('w', -1, 4095, 0), ('y', 4, -1, 0), ('z', 4, -1, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('e', 0, -1, 0), ('o', 4, -1, 0), ('u', 4, -1, 0), ('y', 4, -1, 0), ('ś', 1, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 4, -1, 0), ('i', 28, -1, 0), ('k', 0, -1, 0), ('l', 28, -1, 0), ('n', 4, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 4, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 2963, 0), ('b', 0, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 0, -1, 0), ('i', -1, 1966, 0), ('j', 0, -1, 0), ('l', -1, 4145, 0), ('m', 3, 386, 0), ('n', 0, -1, 0), ('o', -1, 337, 0), ('r', 0, 4146, 0), ('s', 3, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 2546, 0), ('ł', 0, 179, 0)), (('a', -1, 2184, 0), ('e', 1, -1, 0), ('o', -1, 3070, 0), ('u', 0, -1, 0), ('y', 1, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 3, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 856, 0), ('u', 0, -1, 0), ('ó', -1, 864, 0), ('ą', -1, 3640, 0), ('ę', 37, -1, 0)), (('a', -1, 1299, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 29, 0), ('y', 0, -1, 0)), (('a', -1, 531, 0), ('d', 4, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1492, 0), ('o', 4, 16, 0), ('r', -1, 97, 0), ('s', 4, -1, 0), ('u', 4, -1, 0), ('y', 4, -1, 0), ('z', -1, 735, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1696, 0), ('e', -1, 2403, 0), ('i', 0, -1, 0), ('l', -1, 4150, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 28, -1, 0), ('r', -1, 1481, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 3317, 0), ('ł', 28, -1, 0)), (('a', -1, 2710, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('o', 28, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('e', 28, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 3, -1, 0), ('n', 0, -1, 0), ('o', -1, 4152, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('ę', 28, -1, 0), ('ś', 41, -1, 0)), (('a', 5, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 39, -1, 0), ('g', -1, 55, 0), ('i', -1, 1661, 0), ('j', 0, -1, 0), ('k', -1, 3067, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 3651, 0), ('o', -1, 4153, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', -1, 2534, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 196, 0), ('e', 39, -1, 0), ('i', 65, -1, 0), ('o', -1, 1303, 0), ('r', -1, 1563, 0), ('s', 145, -1, 0), ('ę', -1, 4004, 0)), (('a', -1, 833, 0), ('b', 5, -1, 0), ('d', 106, -1, 0), ('e', -1, 1590, 0), ('h', 106, -1, 0), ('j', -1, 550, 0), ('k', -1, 2105, 0), ('o', -1, 1549, 0), ('p', 106, -1, 0), ('t', -1, 1152, 0), ('u', 106, -1, 0), ('ó', 106, -1, 0)), (('-', 116, -1, 0), ('a', -1, 2461, 0), ('e', -1, 2431, 0), ('i', -1, 874, 0), ('j', 106, -1, 0), ('k', 106, -1, 0), ('m', 5, -1, 0), ('o', -1, 1130, 0), ('p', 55, -1, 0), ('r', -1, 4156, 0), ('u', -1, 2876, 0), ('y', -1, 622, 0), ('ó', 106, -1, 0), ('ą', 12, -1, 0), ('ę', 106, -1, 0), ('ż', -1, 1309, 0)), (('a', -1, 2063, 0), ('o', -1, 225, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 5, -1, 0)), (('a', -1, 1012, 0), ('d', 12, -1, 0), ('e', -1, 2038, 0), ('l', 106, -1, 0), ('o', -1, 3420, 0), ('r', -1, 473, 0), ('u', 106, -1, 0), ('y', -1, 3216, 0), ('ó', 106, -1, 0), ('ą', 106, -1, 0), ('ę', -1, 4158, 0)), (('a', 0, -1, 0), ('e', -1, 1830, 0), ('i', -1, 1928, 0), ('l', 5, -1, 0), ('m', 0, -1, 0), ('o', -1, 3974, 0), ('r', 106, -1, 0), ('t', 55, -1, 0), ('u', -1, 246, 0), ('w', 12, -1, 0), ('y', -1, 4159, 0), ('z', -1, 3222, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 611, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 59, -1, 0), ('h', 85, -1, 0), ('i', 62, -1, 0), ('l', 2, -1, 0), ('m', 85, -1, 0), ('n', 1, -1, 0), ('o', -1, 1472, 0), ('p', 85, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', 3, -1, 0), ('z', 0, -1, 0), ('ą', -1, 525, 0), ('ę', 62, -1, 0)), (('a', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 1882, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('u', 7, -1, 0), ('y', -1, 2930, 0), ('z', -1, 3881, 0)), (('a', -1, 1197, 0), ('c', -1, 4162, 0), ('e', -1, 1768, 0), ('i', -1, 1731, 0), ('l', 31, -1, 0), ('o', 12, -1, 0), ('r', 12, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 31, -1, 0)), (('a', -1, 1328, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('i', -1, 3475, 0), ('o', 5, 1234, 0), ('r', -1, 3609, 0), ('u', -1, 4163, 0), ('y', 31, -1, 0), ('z', -1, 2057, 0), ('ą', -1, 53, 0), ('ę', 31, -1, 0), ('ń', 31, -1, 0)), (('a', 5, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('j', 31, -1, 0), ('k', -1, 1001, 0), ('l', 31, -1, 0), ('o', 5, -1, 0), ('r', 1, -1, 0), ('t', 31, -1, 0), ('y', 31, -1, 0), ('z', -1, 2059, 0), ('ł', 0, -1, 0)), (('a', -1, 654, 0), ('c', 31, -1, 0), ('d', 13, -1, 0), ('e', 31, -1, 0), ('i', -1, 3033, 0), ('k', -1, 4092, 0), ('n', 13, -1, 0), ('o', 31, -1, 0), ('p', 13, -1, 0), ('r', -1, 1104, 0), ('s', 31, -1, 0), ('u', 31, -1, 0), ('w', -1, 155, 0), ('y', -1, 4165, 0), ('z', 31, -1, 0), ('ą', 31, -1, 0), ('ł', 13, -1, 0)), (('a', -1, 705, 0), ('d', 31, -1, 0), ('e', 24, -1, 0), ('i', 24, -1, 0), ('o', 24, -1, 0), ('r', -1, 2688, 0), ('t', 31, -1, 0), ('u', 24, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('e', -1, 3004, 0), ('i', -1, 2395, 0), ('o', -1, 1803, 0), ('r', 39, -1, 0), ('s', 145, -1, 0), ('t', -1, 282, 0), ('u', 1, -1, 0), ('y', -1, 4167, 0), ('z', 0, -1, 0), ('ż', 39, -1, 0)), (('a', -1, 849, 0), ('c', -1, 4168, 0), ('d', -1, 3696, 0), ('e', 2, -1, 0), ('g', 3, -1, 0), ('i', 2, -1, 0), ('k', -1, 2740, 0), ('o', 3, -1, 0), ('r', -1, 4169, 0), ('s', -1, 3711, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('w', 5, -1, 0), ('z', -1, 2406, 0)), (('a', -1, 2844, 0), ('c', 11, -1, 0), ('d', 107, -1, 0), ('e', -1, 3684, 0), ('i', -1, 2569, 0), ('j', 107, -1, 0), ('l', -1, 2671, 0), ('o', -1, 3688, 0), ('p', 107, -1, 0), ('r', -1, 2671, 0), ('u', -1, 1801, 0), ('y', -1, 2877, 0), ('z', -1, 1688, 0), ('ó', 107, -1, 0), ('ą', -1, 568, 0), ('ę', -1, 3688, 0), ('ł', 11, -1, 0), ('ń', 107, -1, 0)), (('a', -1, 2168, 0), ('b', 11, -1, 0), ('d', 107, -1, 0), ('e', -1, 1112, 0), ('h', 107, -1, 0), ('i', 359, -1, 0), ('j', -1, 4170, 0), ('k', 107, -1, 0), ('o', -1, 1940, 0), ('p', 107, -1, 0), ('r', 21, -1, 0), ('t', -1, 1384, 0), ('u', 107, -1, 0), ('z', 21, -1, 0), ('ó', 107, -1, 0)), (('a', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 321, 0), ('e', -1, 1599, 0), ('g', -1, 1295, 0), ('h', 11, -1, 0), ('i', -1, 142, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('o', 11, -1, 0), ('r', 11, -1, 0), ('s', 5, -1, 0), ('t', -1, 1783, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', -1, 917, 0), ('ł', 11, -1, 0), ('ś', -1, 2111, 0), ('ź', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 1761, 0), ('d', 0, -1, 0), ('e', 31, -1, 0), ('l', 0, -1, 0), ('m', 0, 762, 0), ('o', 334, -1, 0), ('r', -1, 55, 0), ('u', 31, -1, 0), ('z', 4, -1, 0)), (('a', 31, -1, 0), ('e', -1, 3404, 0), ('i', 31, -1, 0), ('m', 31, -1, 0), ('o', 31, -1, 0), ('r', -1, 2118, 0), ('s', -1, 4173, 0), ('u', -1, 3697, 0), ('y', -1, 3645, 0), ('z', 31, -1, 0), ('ą', 31, -1, 0), ('ć', 31, -1, 0), ('ę', -1, 920, 0), ('ł', 31, -1, 0)), (('a', 31, -1, 0), ('e', -1, 3230, 0), ('i', -1, 800, 0), ('l', 31, -1, 0), ('o', -1, 1596, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('y', 31, -1, 0), ('ę', 31, -1, 0)), (('a', -1, 3593, 0), ('c', 0, -1, 0), ('d', 4, -1, 0), ('e', 31, -1, 0), ('h', 31, -1, 0), ('i', 31, -1, 0), ('j', 31, -1, 0), ('o', -1, 2036, 0), ('r', 0, -1, 0), ('s', 31, -1, 0), ('t', -1, 805, 0), ('y', -1, 4175, 0), ('z', -1, 2118, 0), ('ą', 31, -1, 0), ('ę', 31, -1, 0), ('ż', 4, -1, 0)), (('a', -1, 4176, 0), ('e', -1, 3331, 0), ('i', -1, 3348, 0), ('j', 245, -1, 0), ('k', 245, -1, 0), ('m', 1, -1, 0), ('n', 245, -1, 0), ('o', -1, 4177, 0), ('r', 245, -1, 0), ('u', -1, 3246, 0), ('w', 5, -1, 0), ('y', -1, 2666, 0), ('z', -1, 1596, 0), ('ó', 206, -1, 0), ('ę', -1, 4027, 0)), (('a', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', 206, -1, 0), ('j', 91, -1, 0), ('k', 3, -1, 0), ('l', 206, -1, 0), ('m', 4, -1, 0), ('n', -1, 3957, 0), ('o', -1, 2079, 0), ('r', 3, -1, 0), ('w', 4, -1, 0), ('y', 3, -1, 0), ('z', 206, -1, 0)), (('a', -1, 344, 0), ('d', 409, -1, 0), ('e', -1, 2039, 0), ('g', 4, -1, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('m', 6, -1, 0), ('n', -1, 3111, 0), ('o', -1, 3984, 0), ('p', 4, -1, 0), ('r', -1, 2994, 0), ('t', 6, -1, 0), ('w', 6, -1, 0), ('z', 6, -1, 0), ('ó', 3, -1, 0), ('ł', 6, -1, 0)), (('a', 31, -1, 0), ('e', -1, 1652, 0), ('i', 31, -1, 0), ('l', 31, -1, 0), ('o', 31, -1, 0), ('r', 31, -1, 0), ('t', 31, -1, 0), ('u', -1, 3582, 0), ('y', -1, 3775, 0)), (('a', -1, 262, 0), ('c', -1, 4162, 0), ('d', -1, 3044, 0), ('e', 39, -1, 0), ('g', 145, -1, 0), ('i', 39, -1, 0), ('k', 1, 2555, 0), ('o', 145, -1, 0), ('r', -1, 3640, 0), ('s', -1, 3941, 0), ('t', 39, -1, 0), ('u', 145, -1, 0), ('y', 31, -1, 0), ('ł', 31, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 3953, 0), ('d', -1, 224, 0), ('e', 31, -1, 0), ('i', -1, 643, 0), ('l', 5, -1, 0), ('o', 5, 1003, 0), ('r', 31, -1, 0), ('u', 31, -1, 0), ('ą', -1, 1596, 0), ('ę', 31, -1, 0)), (('a', 5, -1, 0), ('e', 65, -1, 0), ('i', -1, 4182, 0), ('l', 31, -1, 0), ('o', 5, -1, 0), ('r', 65, -1, 0), ('u', 65, -1, 0), ('y', 65, -1, 0), ('z', 31, -1, 0), ('ę', -1, 1306, 0)), (('a', -1, 3444, 0), ('b', 31, -1, 0), ('c', 31, -1, 0), ('d', -1, 433, 0), ('e', -1, 1801, 0), ('i', 53, -1, 0), ('l', 6, -1, 0), ('m', 31, -1, 0), ('n', -1, 3641, 0), ('o', -1, 1804, 0), ('p', 31, -1, 0), ('r', -1, 2922, 0), ('u', -1, 3172, 0), ('w', 31, -1, 0), ('y', -1, 907, 0), ('z', 31, -1, 0), ('ą', -1, 4027, 0), ('ę', -1, 3788, 0)), (('a', 1, -1, 0), ('e', -1, 4184, 0), ('i', -1, 2300, 0), ('k', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('z', 1, -1, 0)), (('a', -1, 2045, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('g', 1, -1, 0), ('i', -1, 1091, 0), ('m', 0, -1, 0), ('n', -1, 4006, 0), ('o', 31, -1, 0), ('r', 1, -1, 0), ('u', -1, 720, 0), ('y', -1, 4185, 0), ('z', 0, -1, 0), ('ł', 28, -1, 0)), (('a', 21, -1, 0), ('b', 0, -1, 0), ('e', -1, 4169, 0), ('i', 1, -1, 0), ('m', 41, -1, 0), ('n', 41, 3874, 0), ('o', -1, 3100, 0), ('r', -1, 1532, 0), ('t', 0, -1, 0), ('u', -1, 153, 0), ('w', 41, -1, 0), ('y', -1, 2427, 0), ('z', -1, 4186, 0), ('ł', 0, -1, 0), ('ż', -1, 4192, 0)), (('a', 39, 2916, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 3997, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('m', 5, -1, 0), ('o', -1, 4187, 0), ('p', -1, 160, 0), ('r', -1, 247, 0), ('t', 5, -1, 0), ('u', -1, 4191, 0), ('y', 5, -1, 0), ('ś', -1, 1497, 0)), (('a', -1, 2781, 0), ('b', -1, 284, 0), ('d', -1, 1232, 0), ('e', 39, -1, 0), ('f', 39, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', 39, -1, 0), ('k', -1, 4188, 0), ('m', -1, 3707, 0), ('n', 39, -1, 0), ('o', 39, -1, 0), ('p', -1, 3199, 0), ('r', -1, 2011, 0), ('s', 5, -1, 0), ('w', 99, 1762, 0), ('ż', 5, -1, 0)), (('a', 145, -1, 0), ('c', -1, 4189, 0), ('e', 145, -1, 0), ('g', 39, -1, 0), ('i', 39, -1, 0), ('o', 39, -1, 0), ('r', -1, 3897, 0), ('s', -1, 3897, 0), ('z', 5, -1, 0)), (('a', -1, 3405, 0), ('e', 328, -1, 0), ('f', 0, -1, 0), ('i', -1, 4190, 0), ('k', 0, -1, 0), ('l', 1, 862, 0), ('o', 172, -1, 0), ('p', 172, -1, 0), ('r', 349, -1, 0), ('u', 328, -1, 0), ('z', -1, 688, 0), ('ą', 172, -1, 0)), (('a', -1, 216, 0), ('e', -1, 2321, 0), ('i', 22, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('o', -1, 2750, 0), ('p', 0, -1, 0), ('r', -1, 957, 0), ('s', 0, -1, 0), ('t', 22, -1, 0), ('u', -1, 1363, 0), ('y', -1, 3266, 0), ('z', 3, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('e', 0, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', -1, 1667, 0), ('n', 5, -1, 0), ('o', -1, 450, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 3234, 0)), (('a', 2, -1, 0), ('b', 87, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 87, -1, 0), ('i', -1, 1416, 0), ('j', 2, -1, 0), ('l', 2, -1, 0), ('m', 87, -1, 0), ('n', -1, 2853, 0), ('o', 0, 20, 0), ('r', -1, 2529, 0), ('s', 0, 2871, 0), ('u', 2, -1, 0), ('z', -1, 3379, 0)), (('a', 5, -1, 0), ('e', -1, 872, 0), ('i', 5, -1, 0), ('l', -1, 3548, 0), ('m', 31, -1, 0), ('o', -1, 1600, 0), ('r', 5, -1, 0), ('u', -1, 3004, 0), ('w', 31, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 3412, 0), ('c', 145, -1, 0), ('d', 137, -1, 0), ('e', -1, 4076, 0), ('i', 11, -1, 0), ('o', 137, -1, 0), ('r', -1, 213, 0), ('u', 137, 3371, 0), ('y', 11, -1, 0)), (('a', 39, -1, 0), ('e', 39, -1, 0), ('g', 39, -1, 0), ('h', 39, -1, 0), ('i', 264, -1, 0), ('l', 39, -1, 0), ('o', 39, -1, 0), ('r', 39, -1, 0), ('s', -1, 3234, 0), ('u', 39, -1, 0), ('y', 39, -1, 0)), (('a', -1, 2410, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 3792, 0), ('e', -1, 1082, 0), ('g', 11, -1, 0), ('h', -1, 4197, 0), ('i', -1, 464, 0), ('j', -1, 1799, 0), ('k', -1, 837, 0), ('l', -1, 2649, 0), ('m', -1, 2940, 0), ('n', 7, -1, 0), ('o', -1, 2568, 0), ('p', 7, -1, 0), ('r', -1, 495, 0), ('t', -1, 1207, 0), ('u', 11, -1, 0), ('w', -1, 3298, 0), ('y', -1, 1599, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ś', -1, 1970, 0), ('ź', 11, -1, 0), ('ż', -1, 9, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('c', -1, 3532, 0), ('d', -1, 319, 0), ('e', 28, -1, 0), ('f', 28, -1, 0), ('i', 28, -1, 0), ('j', 28, -1, 0), ('k', -1, 827, 0), ('l', 28, -1, 0), ('m', 28, -1, 0), ('n', 28, -1, 0), ('o', 21, 2110, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 1816, 0), ('b', 6, -1, 0), ('d', -1, 1243, 0), ('e', -1, 3270, 0), ('g', -1, 42, 0), ('i', 6, -1, 0), ('k', 6, -1, 0), ('m', -1, 2176, 0), ('o', -1, 3101, 0), ('p', -1, 1944, 0), ('r', 1, -1, 0), ('t', -1, 2634, 0), ('u', -1, 4199, 0), ('y', 6, -1, 0), ('z', 7, -1, 0), ('ś', -1, 3122, 0)), (('a', 6, -1, 0), ('e', -1, 2869, 0), ('i', 96, -1, 0), ('k', 6, -1, 0), ('m', 6, -1, 0), ('o', -1, 3181, 0), ('r', 118, 1671, 0), ('t', 6, -1, 0), ('u', -1, 78, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', -1, 1504, 0), ('ą', 6, -1, 0), ('ę', -1, 3612, 0)), (('a', -1, 3327, 0), ('b', 0, -1, 0), ('d', 6, -1, 0), ('e', -1, 2198, 0), ('i', -1, 4201, 0), ('k', 0, -1, 0), ('l', 108, -1, 0), ('n', 41, 3741, 0), ('o', -1, 1241, 0), ('p', 0, -1, 0), ('r', -1, 2387, 0), ('s', 0, -1, 0), ('t', -1, 1001, 0), ('u', 108, -1, 0), ('w', 41, -1, 0), ('y', -1, 1265, 0), ('z', 0, -1, 0), ('ó', 108, -1, 0), ('ą', 108, -1, 0), ('ę', -1, 3701, 0)), (('a', -1, 753, 0), ('c', 41, -1, 0), ('d', 22, -1, 0), ('e', 7, -1, 0), ('f', 22, -1, 0), ('g', -1, 288, 0), ('h', 45, -1, 0), ('i', 3, -1, 0), ('k', 3, 637, 0), ('l', 22, 2285, 0), ('m', 22, -1, 0), ('n', 3, -1, 0), ('o', 7, -1, 0), ('r', -1, 913, 0), ('s', 55, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 1814, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', -1, 3393, 0)), (('a', 105, -1, 0), ('d', 105, -1, 0), ('e', 105, -1, 0), ('g', 335, -1, 0), ('i', -1, 4203, 0), ('l', -1, 883, 0), ('m', 1, -1, 0), ('n', 335, -1, 0), ('o', 28, -1, 0), ('r', 335, -1, 0), ('t', -1, 26, 0), ('y', 248, -1, 0)), (('a', -1, 1932, 0), ('b', -1, 1041, 0), ('c', 12, 241, 0), ('d', -1, 2374, 0), ('e', -1, 1572, 0), ('g', -1, 156, 0), ('h', -1, 18, 0), ('i', -1, 1119, 0), ('j', -1, 380, 0), ('k', -1, 945, 0), ('l', -1, 1139, 0), ('m', -1, 975, 0), ('n', -1, 214, 0), ('o', -1, 2114, 0), ('p', 21, -1, 0), ('r', -1, 904, 0), ('s', -1, 9, 0), ('t', -1, 1088, 0), ('u', 21, 577, 0), ('w', -1, 2251, 0), ('y', -1, 772, 0), ('z', -1, 468, 0), ('ł', 12, -1, 0), ('ś', -1, 2184, 0), ('ź', -1, 764, 0), ('ż', -1, 2522, 0)), (('a', -1, 1629, 0), ('c', 3, -1, 0), ('e', -1, 889, 0), ('f', 29, -1, 0), ('i', 3, -1, 0), ('k', 20, -1, 0), ('l', 3, -1, 0), ('o', 34, 976, 0), ('r', -1, 1058, 0), ('s', 3, -1, 0), ('z', -1, 426, 0), ('ł', 2, -1, 0)), (('a', -1, 1938, 0), ('b', -1, 637, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', -1, 2929, 0), ('h', 2, -1, 0), ('i', -1, 4206, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', -1, 2027, 0), ('m', -1, 3928, 0), ('o', 2, 18, 0), ('p', 2, -1, 0), ('r', -1, 2482, 0), ('s', 2, -1, 0), ('t', -1, 603, 0), ('u', 2, -1, 0), ('w', -1, 1897, 0), ('z', -1, 984, 0), ('ł', 2, -1, 0)), (('a', 30, -1, 0), ('b', 2, -1, 0), ('c', -1, 476, 0), ('d', 2, -1, 0), ('e', 117, -1, 0), ('i', 30, -1, 0), ('l', 2, -1, 0), ('m', -1, 4207, 0), ('n', 2, -1, 0), ('o', 7, -1, 0), ('p', 28, -1, 0), ('r', 2, -1, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('w', 2, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0)), (('a', -1, 3460, 0), ('d', 28, -1, 0), ('e', -1, 2063, 0), ('g', 28, -1, 0), ('i', 28, -1, 0), ('j', 2, -1, 0), ('k', 28, -1, 0), ('o', -1, 2228, 0), ('r', -1, 1786, 0), ('t', 28, -1, 0), ('u', 28, -1, 0), ('z', 28, -1, 0), ('ś', 2, -1, 0)), (('a', -1, 3276, 0), ('b', 39, -1, 0), ('e', 145, -1, 0), ('g', -1, 1847, 0), ('i', 0, 808, 0), ('k', -1, 678, 0), ('l', 39, 160, 0), ('m', 39, -1, 0), ('n', -1, 4209, 0), ('o', 39, -1, 0), ('p', -1, 4153, 0), ('r', -1, 3801, 0), ('s', 0, -1, 0), ('t', 39, -1, 0), ('z', -1, 3594, 0), ('ł', 39, 111, 0), ('ż', 5, -1, 0)), (('a', 34, -1, 0), ('e', 145, -1, 0), ('i', 34, -1, 0), ('k', 0, -1, 0), ('l', 34, -1, 0), ('o', 34, -1, 0), ('r', -1, 1303, 0), ('s', 5, -1, 0), ('u', 22, -1, 0), ('ć', 145, -1, 0), ('ł', 145, -1, 0)), (('a', -1, 785, 0), ('d', 23, -1, 0), ('e', 2, -1, 0), ('g', 23, -1, 0), ('i', 23, -1, 0), ('k', 23, -1, 0), ('l', 23, -1, 0), ('m', 174, -1, 0), ('n', 23, -1, 0), ('o', 3, -1, 0), ('p', 23, -1, 0), ('r', 1, -1, 0), ('u', -1, 845, 0), ('w', 23, -1, 0), ('y', -1, 351, 0), ('z', 22, -1, 0), ('ó', 22, -1, 0), ('ą', -1, 1389, 0), ('ę', 22, -1, 0), ('ł', 23, -1, 0)), (('a', 7, -1, 0), ('e', 145, -1, 0), ('i', 39, -1, 0), ('j', 7, -1, 0), ('o', -1, 4022, 0), ('r', -1, 3092, 0), ('t', 121, -1, 0), ('u', 5, 4000, 0), ('y', 7, -1, 0), ('z', -1, 212, 0), ('ś', 5, -1, 0)), (('a', -1, 1815, 0), ('b', 7, -1, 0), ('c', 7, 3092, 0), ('d', -1, 4213, 0), ('e', -1, 2591, 0), ('g', 7, -1, 0), ('h', -1, 585, 0), ('i', -1, 620, 0), ('j', -1, 2334, 0), ('k', -1, 215, 0), ('l', -1, 4214, 0), ('m', -1, 4105, 0), ('n', 5, -1, 0), ('o', -1, 1366, 0), ('p', 5, -1, 0), ('r', -1, 1702, 0), ('t', -1, 1562, 0), ('u', 7, -1, 0), ('w', -1, 3223, 0), ('y', -1, 573, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ś', -1, 3021, 0), ('ź', 7, -1, 0), ('ż', -1, 2507, 0)), (('a', 5, -1, 0), ('b', 39, -1, 0), ('e', 5, -1, 0), ('g', 5, -1, 0), ('i', 5, -1, 0), ('m', 39, -1, 0), ('n', 145, -1, 0), ('o', -1, 687, 0), ('r', 5, -1, 0), ('t', 39, -1, 0), ('u', -1, 4003, 0), ('w', 5, -1, 0), ('z', 39, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 1952, 0), ('b', 39, -1, 0), ('d', 39, -1, 0), ('e', -1, 2433, 0), ('f', 39, -1, 0), ('g', 39, -1, 0), ('i', -1, 2395, 0), ('j', 39, -1, 0), ('k', 39, -1, 0), ('l', 39, -1, 0), ('m', 264, 3594, 0), ('n', 145, -1, 0), ('o', -1, 1566, 0), ('p', 39, -1, 0), ('r', 39, -1, 0), ('s', 39, -1, 0), ('t', -1, 3548, 0), ('z', 39, -1, 0), ('ó', -1, 1649, 0)), (('a', 7, -1, 0), ('e', -1, 3310, 0), ('i', -1, 3172, 0), ('o', -1, 350, 0), ('r', 5, -1, 0), ('t', 7, -1, 0), ('u', -1, 1996, 0), ('ą', -1, 1646, 0), ('ę', -1, 1144, 0), ('ł', 7, -1, 0)), (('a', -1, 4217, 0), ('e', -1, 3263, 0), ('i', -1, 3700, 0), ('o', -1, 4028, 0), ('r', -1, 2477, 0), ('t', -1, 4219, 0), ('y', -1, 384, 0), ('ó', 7, -1, 0)), (('a', 7, -1, 0), ('b', -1, 2493, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 2631, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 2470, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 3420, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', -1, 4218, 0), ('z', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 3, 522, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 2716, 0), ('j', 3, -1, 0), ('k', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', -1, 2716, 0), ('u', 7, -1, 0), ('y', -1, 1563, 0), ('z', 57, -1, 0)), (('a', -1, 2245, 0), ('e', -1, 46, 0), ('i', 22, -1, 0), ('l', 0, -1, 0), ('m', 3, -1, 0), ('o', -1, 876, 0), ('p', 0, -1, 0), ('r', -1, 1221, 0), ('s', -1, 2919, 0), ('t', -1, 2082, 0), ('u', 3, -1, 0), ('z', 131, -1, 0)), (('a', 95, -1, 0), ('d', -1, 4069, 0), ('e', -1, 1269, 0), ('h', -1, 524, 0), ('i', 95, -1, 0), ('j', 95, -1, 0), ('k', 28, -1, 0), ('l', 95, -1, 0), ('m', 1, -1, 0), ('n', 95, -1, 0), ('o', 95, -1, 0), ('p', 95, -1, 0), ('r', 95, -1, 0), ('t', 95, -1, 0), ('u', 95, -1, 0), ('y', 95, -1, 0), ('z', -1, 2828, 0), ('ś', 95, -1, 0), ('ż', 95, -1, 0)), (('a', 28, 649, 0), ('d', 3, -1, 0), ('e', 151, -1, 0), ('i', -1, 846, 0), ('l', 6, -1, 0), ('o', -1, 1892, 0), ('r', -1, 721, 0), ('s', 28, -1, 0), ('t', 54, -1, 0), ('w', 54, -1, 0), ('y', 151, -1, 0), ('z', 28, -1, 0), ('ą', 2, -1, 0), ('ę', 3, -1, 0)), (('a', -1, 1610, 0), ('e', 0, -1, 0), ('i', -1, 2247, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0)), (('a', -1, 2853, 0), ('b', -1, 4219, 0), ('c', 22, -1, 0), ('d', -1, 1658, 0), ('e', -1, 1358, 0), ('f', -1, 79, 0), ('g', 22, 4074, 0), ('h', 3, -1, 0), ('i', -1, 2868, 0), ('j', 22, -1, 0), ('k', 22, 2882, 0), ('l', 0, -1, 0), ('m', -1, 4224, 0), ('o', 52, 1429, 0), ('p', -1, 3565, 0), ('r', 69, 241, 0), ('t', 4, 4072, 0), ('u', -1, 552, 0), ('w', -1, 1522, 0), ('y', -1, 2268, 0), ('z', -1, 4225, 0), ('ó', -1, 1419, 0)), (('a', 22, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 52, -1, 0), ('h', 0, -1, 0), ('i', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('n', 22, -1, 0), ('o', 4, -1, 0), ('r', 22, -1, 0), ('s', 22, -1, 0), ('t', 0, -1, 0), ('u', 4, -1, 0), ('y', 22, -1, 0), ('z', -1, 549, 0)), (('a', 13, -1, 0), ('b', 13, -1, 0), ('d', 13, -1, 0), ('e', -1, 1481, 0), ('g', 13, -1, 0), ('i', 13, -1, 0), ('k', 13, -1, 0), ('o', 13, -1, 0), ('p', 13, -1, 0), ('r', -1, 1565, 0), ('s', -1, 34, 0), ('t', 13, -1, 0), ('u', 13, -1, 0), ('y', 13, -1, 0), ('z', 3, 2627, 0), ('ł', -1, 540, 0), ('ś', 13, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 3799, 0), ('d', -1, 3224, 0), ('e', -1, 4227, 0), ('i', -1, 1834, 0), ('j', -1, 3240, 0), ('k', 44, -1, 0), ('l', -1, 1535, 0), ('n', -1, 180, 0), ('o', -1, 3508, 0), ('p', 28, -1, 0), ('r', -1, 4229, 0), ('t', -1, 1411, 0), ('u', -1, 325, 0), ('w', 29, -1, 0), ('y', -1, 3348, 0), ('ą', 245, -1, 0), ('ń', 427, -1, 0), ('ż', 36, -1, 0)), (('a', -1, 4228, 0), ('d', 1, -1, 0), ('e', -1, 37, 0), ('i', 245, -1, 0), ('l', -1, 56, 0), ('o', 4, -1, 0), ('p', 1, -1, 0), ('r', 245, -1, 0), ('z', -1, 331, 0)), (('a', -1, 585, 0), ('b', 6, -1, 0), ('d', 89, -1, 0), ('e', -1, 117, 0), ('h', 0, -1, 0), ('i', -1, 310, 0), ('k', 38, -1, 0), ('m', -1, 1772, 0), ('o', -1, 451, 0), ('p', -1, 712, 0), ('r', -1, 2890, 0), ('s', -1, 2491, 0), ('t', -1, 3059, 0), ('u', -1, 1987, 0), ('w', 89, -1, 0), ('y', -1, 2796, 0), ('z', -1, 378, 0), ('ą', -1, 35, 0), ('ć', -1, 2094, 0), ('ę', -1, 1675, 0), ('ł', 0, 288, 0), ('ż', -1, 3241, 0)), (('a', -1, 4175, 0), ('e', 1, -1, 0), ('i', 116, -1, 0), ('l', -1, 416, 0), ('o', 1, -1, 0), ('r', 30, -1, 0), ('z', 30, -1, 0)), (('a', -1, 777, 0), ('b', 1, -1, 0), ('c', -1, 4231, 0), ('d', -1, 538, 0), ('e', -1, 3356, 0), ('g', -1, 2739, 0), ('i', 51, -1, 0), ('k', -1, 4233, 0), ('l', 12, -1, 0), ('m', 12, -1, 0), ('n', -1, 3634, 0), ('o', -1, 2519, 0), ('p', -1, 3121, 0), ('r', -1, 530, 0), ('s', -1, 4236, 0), ('t', 41, -1, 0), ('u', -1, 1332, 0), ('w', -1, 2965, 0), ('y', -1, 2861, 0), ('z', -1, 3298, 0), ('ą', -1, 375, 0), ('ę', -1, 3737, 0), ('ż', 80, -1, 0)), (('a', -1, 182, 0), ('c', 80, -1, 0), ('e', 1, -1, 0), ('h', 12, -1, 0), ('i', -1, 408, 0), ('k', 12, -1, 0), ('o', 1, -1, 0), ('p', 12, -1, 0), ('r', -1, 2280, 0), ('u', -1, 4232, 0), ('y', -1, 3978, 0), ('z', 41, 862, 0), ('ę', -1, 3291, 0), ('ł', 12, -1, 0), ('ś', -1, 2548, 0)), (('a', -1, 1155, 0), ('e', -1, 3481, 0), ('i', 3, -1, 0), ('k', 7, -1, 0), ('l', -1, 441, 0), ('n', -1, 791, 0), ('o', -1, 2446, 0), ('p', 7, -1, 0), ('r', -1, 2803, 0), ('s', 1, -1, 0), ('u', 22, -1, 0), ('z', -1, 455, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 3122, 0), ('b', 59, -1, 0), ('c', -1, 1206, 0), ('d', 59, -1, 0), ('e', 2, -1, 0), ('f', 59, -1, 0), ('i', 2, -1, 0), ('j', 59, -1, 0), ('l', -1, 3185, 0), ('m', -1, 3926, 0), ('n', -1, 3544, 0), ('o', 121, 578, 0), ('p', -1, 1710, 0), ('r', -1, 3529, 0), ('s', -1, 2567, 0), ('t', -1, 4234, 0), ('u', 2, -1, 0), ('w', -1, 2955, 0), ('y', -1, 2135, 0), ('z', -1, 1107, 0), ('ą', 2, -1, 0), ('ę', 2, -1, 0), ('ł', -1, 4235, 0), ('ś', 59, -1, 0), ('ż', -1, 2500, 0)), (('a', 59, -1, 0), ('c', 23, -1, 0), ('d', 23, -1, 0), ('e', 59, -1, 0), ('i', 59, -1, 0), ('o', -1, 2590, 0), ('p', 174, -1, 0), ('r', 23, -1, 0), ('s', 59, -1, 0), ('u', 59, -1, 0), ('w', 174, -1, 0), ('y', 59, -1, 0), ('z', -1, 1560, 0), ('ą', -1, 305, 0), ('ę', 59, -1, 0), ('ł', 59, -1, 0)), (('a', 59, -1, 0), ('c', 41, -1, 0), ('d', 270, -1, 0), ('e', -1, 2288, 0), ('i', 59, -1, 0), ('m', 12, -1, 0), ('o', 59, -1, 0), ('r', 12, 1898, 0), ('s', 41, -1, 0), ('t', -1, 3529, 0), ('u', -1, 3742, 0), ('y', 59, -1, 0), ('z', -1, 3559, 0), ('ó', -1, 2442, 0), ('ż', -1, 3741, 0)), (('a', -1, 2825, 0), ('c', 1, -1, 0), ('d', -1, 1268, 0), ('e', 337, -1, 0), ('h', 41, -1, 0), ('i', 337, -1, 0), ('o', -1, 1155, 0), ('r', 1, -1, 0), ('t', -1, 1139, 0), ('u', 337, -1, 0), ('y', 337, -1, 0), ('z', -1, 2439, 0)), (('a', -1, 2047, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', -1, 1074, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', -1, 2150, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 105, 278, 0), ('ą', 3, -1, 0)), (('a', -1, 4239, 0), ('c', 407, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('n', -1, 2764, 0), ('o', -1, 2474, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', -1, 2767, 0), ('t', -1, 1220, 0), ('u', 3, -1, 0), ('y', -1, 2873, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0)), (('a', -1, 1099, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', -1, 479, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 3730, 0), ('o', 7, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 2199, 0), ('b', -1, 1008, 0), ('d', -1, 4241, 0), ('e', 80, -1, 0), ('g', -1, 3313, 0), ('h', -1, 1372, 0), ('i', -1, 497, 0), ('j', 80, -1, 0), ('k', -1, 77, 0), ('o', -1, 3949, 0), ('p', -1, 2288, 0), ('r', -1, 2856, 0), ('s', -1, 4159, 0), ('t', 80, 1445, 0), ('u', -1, 2820, 0), ('y', -1, 2902, 0), ('z', -1, 146, 0), ('ą', 5, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 2158, 0), ('d', 0, -1, 0), ('e', -1, 3146, 0), ('i', 80, -1, 0), ('o', -1, 802, 0), ('r', 62, -1, 0), ('u', -1, 2631, 0), ('y', -1, 2463, 0), ('z', 90, -1, 0), ('ą', -1, 11, 0)), (('a', 8, -1, 0), ('d', 100, -1, 0), ('e', -1, 2731, 0), ('i', 100, -1, 0), ('o', 100, -1, 0), ('r', -1, 2406, 0), ('s', 100, -1, 0), ('u', 8, -1, 0), ('y', -1, 3512, 0), ('ę', 8, -1, 0)), (('a', 8, -1, 0), ('e', 8, -1, 0), ('i', -1, 2165, 0), ('j', 8, -1, 0), ('k', 8, -1, 0), ('m', 100, -1, 0), ('o', 8, -1, 0), ('r', 100, -1, 0), ('u', 8, -1, 0), ('y', 100, -1, 0), ('ó', 8, -1, 0), ('ą', 8, -1, 0), ('ę', 100, -1, 0)), (('a', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('m', 8, -1, 0), ('o', 335, -1, 0), ('p', 8, -1, 0), ('r', 100, -1, 0), ('t', 8, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 4244, 0), ('ę', 8, -1, 0), ('ł', -1, 2531, 0), ('ż', 8, -1, 0)), (('a', 5, -1, 0), ('o', 55, -1, 0), ('u', 5, -1, 0), ('z', 5, -1, 0)), (('a', 12, -1, 0), ('e', -1, 3737, 0), ('g', 12, 1033, 0), ('i', -1, 728, 0), ('k', 0, 2984, 0), ('l', -1, 4247, 0), ('m', 0, -1, 0), ('o', 12, -1, 0), ('r', 0, 311, 0), ('s', 12, -1, 0), ('t', 1, -1, 0), ('u', 12, -1, 0), ('y', 12, -1, 0), ('z', 28, -1, 0)), (('a', -1, 4248, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 1522, 0), ('e', 336, -1, 0), ('h', 3, -1, 0), ('i', 336, -1, 0), ('m', 3, -1, 0), ('n', -1, 2485, 0), ('o', -1, 2192, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 3335, 0), ('u', 336, -1, 0), ('w', -1, 3911, 0), ('y', 336, -1, 0), ('z', -1, 3440, 0), ('ł', -1, 3289, 0), ('ż', 3, -1, 0)), (('a', -1, 669, 0), ('c', 1, -1, 0), ('e', -1, 1750, 0), ('h', 99, -1, 0), ('i', -1, 3600, 0), ('k', 96, -1, 0), ('o', -1, 756, 0), ('p', 99, -1, 0), ('r', -1, 1475, 0), ('u', -1, 4249, 0), ('y', -1, 4250, 0), ('z', -1, 51, 0), ('ę', -1, 495, 0), ('ł', 99, -1, 0), ('ś', -1, 1151, 0)), (('a', -1, 824, 0), ('b', 237, -1, 0), ('e', 2, -1, 0), ('i', 3, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('n', -1, 1388, 0), ('o', -1, 1526, 0), ('p', 7, -1, 0), ('r', -1, 1123, 0), ('s', 57, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 1689, 0), ('b', -1, 572, 0), ('d', 22, -1, 0), ('e', -1, 2970, 0), ('i', -1, 124, 0), ('m', 7, -1, 0), ('o', -1, 1281, 0), ('r', 7, 2479, 0), ('t', 57, 15, 0), ('u', -1, 3649, 0), ('y', -1, 1243, 0), ('z', -1, 2471, 0), ('ó', -1, 3800, 0), ('ż', 7, -1, 0)), (('a', 72, -1, 0), ('b', 72, -1, 0), ('e', 72, -1, 0), ('i', 72, -1, 0), ('o', 56, -1, 0), ('p', 72, -1, 0), ('r', -1, 1183, 0), ('s', 72, -1, 0), ('t', 56, 2924, 0), ('u', 72, -1, 0), ('y', 72, -1, 0), ('z', 72, -1, 0), ('ą', 72, -1, 0), ('ę', 72, -1, 0)), (('a', -1, 2604, 0), ('b', 0, -1, 0), ('e', -1, 2941, 0), ('f', 41, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 238, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 41, -1, 0), ('o', -1, 2798, 0), ('p', 0, -1, 0), ('r', 41, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 995, 0), ('b', 0, -1, 0), ('e', -1, 919, 0), ('g', -1, 170, 0), ('i', -1, 4254, 0), ('k', 0, -1, 0), ('l', -1, 839, 0), ('o', -1, 3976, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 839, 0), ('w', 79, -1, 0), ('y', 1, -1, 0), ('z', -1, 3977, 0), ('ł', 0, -1, 0)), (('a', -1, 3068, 0), ('c', 0, -1, 0), ('e', -1, 1548, 0), ('i', -1, 2420, 0), ('l', 22, -1, 0), ('m', 79, -1, 0), ('n', 22, -1, 0), ('o', -1, 845, 0), ('p', 0, -1, 0), ('r', -1, 1587, 0), ('s', -1, 943, 0), ('t', -1, 2103, 0), ('u', -1, 1341, 0), ('y', -1, 1997, 0), ('z', 22, -1, 0), ('ó', 22, -1, 0)), (('a', 41, -1, 0), ('e', -1, 3719, 0), ('i', -1, 1327, 0), ('l', 2, -1, 0), ('n', 41, -1, 0), ('o', -1, 1316, 0), ('r', 28, -1, 0), ('u', -1, 285, 0), ('z', 28, -1, 0)), (('a', -1, 2428, 0), ('b', -1, 2782, 0), ('e', 28, -1, 0), ('i', -1, 2159, 0), ('j', -1, 3913, 0), ('l', -1, 2849, 0), ('m', -1, 2955, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', -1, 4257, 0), ('r', -1, 3518, 0), ('s', 4, -1, 0), ('u', 2, -1, 0), ('w', -1, 3027, 0), ('y', 28, -1, 0), ('z', 28, -1, 0), ('ą', 2, -1, 0), ('ć', -1, 307, 0), ('ń', -1, 2930, 0), ('ś', 253, -1, 0), ('ź', 357, -1, 0), ('ż', 2, -1, 0)), (('a', 28, -1, 0), ('b', 2, 2726, 0), ('d', -1, 1976, 0), ('e', 157, -1, 0), ('f', 2, -1, 0), ('g', -1, 4258, 0), ('i', -1, 690, 0), ('j', 2, -1, 0), ('k', -1, 4260, 0), ('l', -1, 3712, 0), ('m', 3, -1, 0), ('n', 3, 1178, 0), ('o', 157, -1, 0), ('p', 2, 628, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', -1, 3728, 0), ('w', 2, -1, 0), ('y', 56, -1, 0), ('z', 2, -1, 0), ('ą', 157, -1, 0), ('ę', 3, -1, 0), ('ł', 2, -1, 0)), (('a', 2, -1, 0), ('b', 28, 3637, 0), ('d', -1, 2997, 0), ('e', 2, -1, 0), ('f', -1, 4011, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', 28, -1, 0), ('m', -1, 556, 0), ('n', 28, -1, 0), ('o', -1, 472, 0), ('p', -1, 4258, 0), ('r', 2, -1, 0), ('s', -1, 1685, 0), ('t', -1, 4259, 0), ('u', 2, -1, 0), ('w', 2, 556, 0), ('y', -1, 2872, 0), ('z', 2, -1, 0), ('ą', 29, -1, 0), ('ę', 2, -1, 0)), (('a', -1, 1723, 0), ('d', 7, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('k', -1, 2345, 0), ('n', 2, -1, 0), ('o', -1, 3217, 0), ('p', 2, -1, 0), ('r', -1, 3805, 0), ('s', 2, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 93, 0), ('ż', 7, -1, 0)), (('a', 2, -1, 0), ('b', -1, 1976, 0), ('c', -1, 3461, 0), ('e', -1, 798, 0), ('f', 2, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('l', -1, 3528, 0), ('m', -1, 3995, 0), ('n', -1, 3787, 0), ('o', 2, -1, 0), ('p', -1, 3484, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 28, -1, 0), ('w', -1, 4027, 0), ('y', 87, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 2409, 0), ('e', -1, 3808, 0), ('h', 28, -1, 0), ('i', -1, 2344, 0), ('l', 2, -1, 0), ('n', -1, 3934, 0), ('o', -1, 1967, 0), ('r', -1, 76, 0), ('u', 2, -1, 0), ('y', -1, 3246, 0), ('z', -1, 2651, 0), ('ą', -1, 3381, 0), ('ę', -1, 2806, 0), ('ł', 2, -1, 0)), (('a', -1, 946, 0), ('e', -1, 3180, 0), ('i', -1, 1939, 0), ('j', 28, -1, 0), ('n', -1, 2099, 0), ('o', -1, 2905, 0), ('r', -1, 609, 0), ('u', -1, 2632, 0), ('y', -1, 2572, 0), ('z', -1, 3184, 0), ('ą', -1, 575, 0), ('ę', -1, 3117, 0)), (('a', 5, -1, 0), ('b', 28, -1, 0), ('c', -1, 1289, 0), ('d', 28, -1, 0), ('e', -1, 2078, 0), ('i', 5, -1, 0), ('j', 28, -1, 0), ('l', 28, -1, 0), ('n', -1, 3847, 0), ('o', 5, -1, 0), ('p', -1, 3798, 0), ('r', 28, -1, 0), ('s', -1, 4247, 0), ('t', -1, 1034, 0), ('u', 5, -1, 0), ('w', -1, 3164, 0), ('y', 0, -1, 0), ('z', 28, -1, 0), ('ł', 28, -1, 0), ('ż', 28, -1, 0)), (('a', -1, 4265, 0), ('b', -1, 3326, 0), ('c', 2, -1, 0), ('d', -1, 2379, 0), ('e', -1, 3807, 0), ('f', -1, 1786, 0), ('i', -1, 4260, 0), ('j', -1, 2359, 0), ('l', -1, 4267, 0), ('m', -1, 3821, 0), ('n', -1, 1804, 0), ('o', -1, 4270, 0), ('p', 2, -1, 0), ('r', -1, 3444, 0), ('s', -1, 3440, 0), ('t', -1, 4271, 0), ('u', -1, 2842, 0), ('w', -1, 1950, 0), ('y', -1, 4272, 0), ('z', -1, 1168, 0), ('ą', -1, 1988, 0), ('ę', -1, 3179, 0), ('ł', -1, 3116, 0), ('ś', 395, -1, 0), ('ż', -1, 1706, 0)), (('a', -1, 529, 0), ('b', -1, 2739, 0), ('d', 2, -1, 0), ('e', -1, 2625, 0), ('h', 2, -1, 0), ('i', -1, 589, 0), ('j', 2, -1, 0), ('l', 28, 2911, 0), ('m', 28, 4266, 0), ('n', 2, -1, 0), ('o', -1, 1122, 0), ('p', 2, -1, 0), ('r', -1, 2680, 0), ('s', 2, -1, 0), ('t', -1, 1912, 0), ('u', -1, 1178, 0), ('w', 2, -1, 0), ('z', -1, 3461, 0), ('ł', 28, -1, 0), ('ż', -1, 637, 0)), (('a', 2, -1, 0), ('e', -1, 2573, 0), ('g', 2, -1, 0), ('h', 2, -1, 0), ('i', 2, 422, 0), ('k', 2, -1, 0), ('l', -1, 1055, 0), ('o', -1, 604, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1976, 0), ('u', 28, -1, 0), ('y', 2, -1, 0), ('z', -1, 372, 0), ('ł', 2, -1, 0)), (('a', 51, -1, 0), ('b', 2, -1, 0), ('d', 51, -1, 0), ('e', -1, 4268, 0), ('f', 28, -1, 0), ('i', -1, 2010, 0), ('j', 2, -1, 0), ('k', 2, -1, 0), ('l', -1, 4269, 0), ('n', -1, 2192, 0), ('o', 30, -1, 0), ('p', 2, -1, 0), ('r', -1, 3484, 0), ('s', -1, 3516, 0), ('t', -1, 3687, 0), ('u', 28, -1, 0), ('w', 28, -1, 0), ('y', 28, -1, 0), ('z', 2, -1, 0)), (('a', -1, 2768, 0), ('c', 28, 637, 0), ('d', 2, -1, 0), ('e', -1, 1001, 0), ('f', 2, -1, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', -1, 4066, 0), ('p', -1, 4258, 0), ('r', 13, -1, 0), ('u', 13, -1, 0), ('w', 13, -1, 0), ('y', 13, -1, 0), ('z', -1, 946, 0), ('ą', 13, -1, 0), ('ę', 13, -1, 0)), (('a', -1, 2192, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('f', 28, -1, 0), ('i', 28, 721, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 2, -1, 0), ('p', -1, 896, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('t', -1, 3302, 0), ('y', -1, 2101, 0), ('z', 121, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1686, 0), ('b', 2, -1, 0), ('d', 28, -1, 0), ('e', -1, 2626, 0), ('f', 28, -1, 0), ('i', 2, -1, 0), ('k', 2, 2347, 0), ('l', -1, 637, 0), ('o', 2, -1, 0), ('p', 28, -1, 0), ('r', -1, 1759, 0), ('t', -1, 2192, 0), ('w', 2, -1, 0), ('z', 3, 885, 0), ('ł', -1, 353, 0)), (('a', -1, 3686, 0), ('e', 2, -1, 0), ('i', -1, 1913, 0), ('o', -1, 927, 0), ('r', 28, -1, 0), ('s', -1, 3484, 0), ('u', 2, -1, 0), ('y', -1, 630, 0), ('z', 28, -1, 0), ('ą', -1, 982, 0), ('ę', -1, 1760, 0), ('ł', 2, -1, 0)), (('a', -1, 2703, 0), ('b', 2, -1, 0), ('c', -1, 2309, 0), ('d', 2, -1, 0), ('e', 23, -1, 0), ('i', 23, -1, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', 23, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 4273, 0), ('u', 23, -1, 0), ('z', -1, 2994, 0), ('ł', 28, 751, 0), ('ż', -1, 3928, 0)), (('a', 2, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('o', -1, 2135, 0), ('p', -1, 1706, 0), ('r', 2, -1, 0), ('s', -1, 3698, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', -1, 2180, 0)), (('a', -1, 982, 0), ('d', 28, -1, 0), ('e', -1, 3303, 0), ('i', -1, 914, 0), ('j', 2, -1, 0), ('l', -1, 1177, 0), ('o', -1, 2769, 0), ('r', -1, 3280, 0), ('t', 2, -1, 0), ('u', -1, 2140, 0), ('y', -1, 2158, 0), ('z', -1, 3063, 0), ('ł', 28, -1, 0)), (('a', -1, 4205, 0), ('d', 4, -1, 0), ('e', -1, 2987, 0), ('g', 28, -1, 0), ('h', 2, -1, 0), ('i', -1, 1630, 0), ('j', 2, -1, 0), ('m', 2, -1, 0), ('n', 28, -1, 0), ('o', -1, 4276, 0), ('r', -1, 2722, 0), ('s', 2, 165, 0), ('u', -1, 1627, 0), ('w', 28, -1, 0), ('y', -1, 4277, 0), ('z', -1, 2077, 0)), (('a', -1, 247, 0), ('b', 28, -1, 0), ('d', 2, -1, 0), ('e', -1, 2349, 0), ('f', 2, 2722, 0), ('g', 2, -1, 0), ('i', -1, 647, 0), ('j', 2, -1, 0), ('k', -1, 4269, 0), ('l', -1, 2578, 0), ('m', 2, -1, 0), ('n', 28, 23, 0), ('o', 2, -1, 0), ('p', -1, 3798, 0), ('r', -1, 2190, 0), ('s', -1, 949, 0), ('t', -1, 4266, 0), ('z', -1, 3933, 0), ('ł', 28, 961, 0)), (('a', -1, 79, 0), ('c', 28, 1986, 0), ('d', 2, 751, 0), ('e', -1, 2774, 0), ('i', 3, -1, 0), ('o', -1, 1008, 0), ('r', -1, 2514, 0), ('s', -1, 1881, 0), ('t', -1, 3928, 0), ('u', 41, -1, 0), ('y', -1, 1892, 0), ('z', -1, 578, 0), ('ó', -1, 2479, 0), ('ż', 28, -1, 0)), (('a', -1, 4279, 0), ('b', 3, -1, 0), ('d', 135, -1, 0), ('e', -1, 4280, 0), ('i', -1, 1409, 0), ('j', -1, 2953, 0), ('k', -1, 3825, 0), ('l', -1, 556, 0), ('m', -1, 4283, 0), ('n', -1, 4270, 0), ('o', -1, 291, 0), ('p', -1, 2842, 0), ('r', -1, 2842, 0), ('s', -1, 3516, 0), ('u', -1, 4285, 0), ('y', -1, 2717, 0), ('z', -1, 4286, 0), ('ą', -1, 247, 0)), (('a', 106, -1, 0), ('b', 2, -1, 0), ('d', 106, -1, 0), ('e', 106, -1, 0), ('g', 2, -1, 0), ('i', -1, 604, 0), ('j', 2, -1, 0), ('k', 28, 1865, 0), ('l', 2, 1058, 0), ('m', 2, -1, 0), ('n', -1, 637, 0), ('o', 30, -1, 0), ('p', 28, 564, 0), ('r', -1, 2651, 0), ('s', 2, -1, 0), ('t', -1, 3798, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ł', 28, -1, 0)), (('a', 28, 2411, 0), ('c', -1, 4281, 0), ('d', 2, -1, 0), ('e', -1, 3101, 0), ('i', -1, 1453, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 414, 0), ('n', -1, 304, 0), ('o', -1, 1951, 0), ('r', -1, 2740, 0), ('t', -1, 4276, 0), ('u', 2, -1, 0), ('z', 2, -1, 0)), (('a', 12, -1, 0), ('b', 28, -1, 0), ('e', 12, -1, 0), ('i', 12, -1, 0), ('l', 12, -1, 0), ('n', 2, -1, 0), ('o', 28, -1, 0), ('p', 115, -1, 0), ('r', 12, -1, 0), ('s', 2, -1, 0), ('u', 12, -1, 0), ('y', -1, 1787, 0), ('z', -1, 4282, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0)), (('a', 0, -1, 0), ('b', 12, -1, 0), ('d', 12, -1, 0), ('e', -1, 2243, 0), ('g', 12, -1, 0), ('h', 12, -1, 0), ('i', 12, -1, 0), ('k', 12, -1, 0), ('m', 12, -1, 0), ('o', -1, 852, 0), ('p', 1, -1, 0), ('r', 12, -1, 0), ('s', 21, -1, 0), ('t', -1, 180, 0), ('u', 12, -1, 0), ('v', 39, -1, 0), ('w', -1, 3652, 0), ('y', 12, -1, 0), ('z', -1, 178, 0), ('ż', 12, -1, 0)), (('a', 1, -1, 0), ('b', 14, -1, 0), ('d', 14, -1, 0), ('e', -1, 4284, 0), ('g', 14, -1, 0), ('i', 1, -1, 0), ('j', 21, -1, 0), ('k', 14, -1, 0), ('l', 1, -1, 0), ('m', 14, -1, 0), ('o', 0, 175, 0), ('p', 0, -1, 0), ('r', 14, -1, 0), ('s', 14, -1, 0), ('t', -1, 3783, 0), ('u', 2, -1, 0), ('w', -1, 1697, 0), ('y', 28, -1, 0), ('z', -1, 1779, 0), ('ż', 14, -1, 0)), (('a', -1, 281, 0), ('b', 4, -1, 0), ('c', 12, -1, 0), ('d', -1, 1292, 0), ('e', -1, 2604, 0), ('g', -1, 307, 0), ('h', -1, 189, 0), ('i', 21, -1, 0), ('j', 1, -1, 0), ('k', -1, 694, 0), ('l', -1, 345, 0), ('m', -1, 172, 0), ('n', 6, 14, 0), ('o', 21, -1, 0), ('p', -1, 691, 0), ('r', -1, 476, 0), ('s', -1, 47, 0), ('t', 4, -1, 0), ('u', -1, 122, 0), ('w', 1, -1, 0), ('y', 28, -1, 0), ('z', -1, 1189, 0), ('ó', 21, -1, 0)), (('a', 30, -1, 0), ('b', -1, 985, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', -1, 3063, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', -1, 4011, 0), ('m', 2, -1, 0), ('n', 2, -1, 0), ('o', 5, 209, 0), ('r', -1, 3928, 0), ('s', 2, -1, 0), ('t', -1, 751, 0), ('u', 5, -1, 0), ('w', 30, -1, 0), ('y', 3, -1, 0), ('z', -1, 1058, 0)), (('a', -1, 1036, 0), ('d', 33, -1, 0), ('e', -1, 2110, 0), ('i', -1, 419, 0), ('m', 1, -1, 0), ('o', -1, 378, 0), ('p', 21, 311, 0), ('r', -1, 3263, 0), ('s', 1, -1, 0), ('t', 33, -1, 0), ('u', -1, 1005, 0), ('w', 135, 957, 0), ('y', -1, 236, 0), ('z', -1, 1330, 0), ('ą', -1, 286, 0), ('ż', 21, -1, 0)), (('a', -1, 2189, 0), ('c', 2, -1, 0), ('e', -1, 4267, 0), ('f', 2, -1, 0), ('h', -1, 3004, 0), ('i', -1, 984, 0), ('j', 2, -1, 0), ('k', -1, 4280, 0), ('l', -1, 3303, 0), ('n', -1, 2563, 0), ('o', -1, 2197, 0), ('p', 2, -1, 0), ('r', -1, 4265, 0), ('s', -1, 4288, 0), ('t', 2, -1, 0), ('u', -1, 1177, 0), ('y', -1, 2969, 0), ('z', -1, 3104, 0), ('ą', 2, -1, 0), ('ę', -1, 2947, 0)), (('a', -1, 473, 0), ('d', 28, -1, 0), ('e', -1, 578, 0), ('i', 2, -1, 0), ('k', -1, 292, 0), ('o', 2, 3692, 0), ('r', -1, 2235, 0), ('s', 28, -1, 0), ('t', -1, 1879, 0), ('u', -1, 1760, 0), ('y', 2, -1, 0), ('z', 28, -1, 0)), (('a', -1, 2346, 0), ('e', -1, 1626, 0), ('i', -1, 913, 0), ('n', 28, -1, 0), ('o', 2, -1, 0), ('r', -1, 2192, 0), ('t', 28, -1, 0), ('u', -1, 1703, 0), ('y', -1, 790, 0), ('z', 3, -1, 0)), (('a', -1, 2144, 0), ('b', 4, -1, 0), ('c', -1, 3606, 0), ('d', 2, -1, 0), ('e', -1, 2577, 0), ('g', 399, -1, 0), ('i', -1, 1179, 0), ('k', 6, -1, 0), ('m', 28, -1, 0), ('o', -1, 2903, 0), ('r', -1, 2454, 0), ('s', -1, 3073, 0), ('u', -1, 751, 0), ('w', 6, -1, 0), ('y', 2, -1, 0), ('z', 89, -1, 0), ('ą', 28, -1, 0)), (('a', 97, -1, 0), ('c', 30, -1, 0), ('d', -1, 3321, 0), ('e', -1, 409, 0), ('g', -1, 2526, 0), ('h', -1, 1219, 0), ('i', 97, -1, 0), ('j', 97, -1, 0), ('k', 3, -1, 0), ('l', 97, -1, 0), ('n', 97, -1, 0), ('o', 97, -1, 0), ('p', 97, -1, 0), ('r', 97, -1, 0), ('s', 21, -1, 0), ('t', 97, -1, 0), ('u', 97, -1, 0), ('y', 97, -1, 0), ('z', -1, 2071, 0), ('ś', 97, -1, 0), ('ż', 97, -1, 0)), (('a', -1, 581, 0), ('b', 28, -1, 0), ('c', 41, -1, 0), ('d', -1, 2532, 0), ('e', -1, 1164, 0), ('h', 41, -1, 0), ('i', 41, -1, 0), ('j', 41, -1, 0), ('k', -1, 2761, 0), ('l', 41, -1, 0), ('m', 28, -1, 0), ('n', 41, -1, 0), ('o', -1, 2140, 0), ('p', 41, -1, 0), ('r', -1, 4293, 0), ('s', -1, 3751, 0), ('t', -1, 4255, 0), ('u', 28, -1, 0), ('w', 41, -1, 0), ('y', 63, -1, 0), ('z', -1, 2358, 0), ('ł', 41, -1, 0)), (('a', -1, 122, 0), ('e', 41, -1, 0), ('i', 2, -1, 0), ('k', 41, -1, 0), ('o', 41, -1, 0), ('r', 237, -1, 0), ('s', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1026, 0), ('b', -1, 4295, 0), ('c', 406, -1, 0), ('e', -1, 2814, 0), ('f', -1, 1908, 0), ('h', -1, 392, 0), ('i', -1, 4307, 0), ('j', -1, 3953, 0), ('k', -1, 3358, 0), ('l', -1, 1146, 0), ('m', -1, 4161, 0), ('n', -1, 4312, 0), ('o', -1, 4105, 0), ('p', -1, 4313, 0), ('r', -1, 3986, 0), ('t', -1, 4211, 0), ('u', -1, 4208, 0), ('w', 12, -1, 0), ('y', -1, 4023, 0), ('z', -1, 3140, 0), ('ą', 39, -1, 0), ('ć', -1, 3156, 0), ('ę', -1, 1650, 0), ('ł', 95, -1, 0), ('ń', -1, 4126, 0), ('ś', -1, 3844, 0), ('ź', -1, 1148, 0), ('ż', -1, 2020, 0)), (('a', 12, -1, 0), ('b', 1, -1, 0), ('e', -1, 4296, 0), ('i', -1, 3238, 0), ('j', 1, -1, 0), ('o', 54, -1, 0), ('r', 12, -1, 0), ('u', -1, 4304, 0), ('y', -1, 1899, 0), ('z', 12, -1, 0), ('ó', 12, -1, 0), ('ą', -1, 2605, 0), ('ę', 12, -1, 0)), (('a', -1, 4297, 0), ('c', -1, 4298, 0), ('d', -1, 4300, 0), ('e', 21, -1, 0), ('i', 21, -1, 0), ('l', 12, -1, 0), ('o', 1, -1, 0), ('r', 0, -1, 0), ('s', -1, 4301, 0), ('y', -1, 333, 0), ('z', -1, 3602, 0), ('ó', -1, 176, 0), ('ą', -1, 987, 0)), (('a', -1, 2378, 0), ('c', -1, 3061, 0), ('e', 117, -1, 0), ('g', 71, -1, 0), ('i', 3, -1, 0), ('m', 0, -1, 0), ('n', -1, 3654, 0), ('o', 107, -1, 0), ('p', -1, 3987, 0), ('r', -1, 437, 0), ('u', 2, -1, 0), ('w', 21, -1, 0), ('z', 71, -1, 0)), (('a', -1, 2644, 0), ('e', -1, 2824, 0), ('i', -1, 3298, 0), ('j', 3, -1, 0), ('o', -1, 697, 0), ('r', -1, 1903, 0), ('u', -1, 665, 0), ('y', -1, 4299, 0), ('z', -1, 1600, 0), ('ą', -1, 1038, 0)), (('a', -1, 3285, 0), ('b', 1, -1, 0), ('d', 21, -1, 0), ('e', -1, 3284, 0), ('i', 34, -1, 0), ('m', 1, -1, 0), ('o', -1, 991, 0), ('r', -1, 2292, 0), ('t', -1, 3237, 0), ('u', 3, -1, 0), ('y', -1, 1010, 0), ('z', 21, -1, 0), ('ó', -1, 3071, 0), ('ł', 1, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 1576, 0), ('d', 52, -1, 0), ('e', 52, -1, 0), ('g', 3, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 3, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 52, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 4302, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', -1, 4303, 0), ('h', 3, -1, 0), ('i', -1, 2080, 0), ('m', 3, -1, 0), ('n', -1, 2396, 0), ('o', -1, 3458, 0), ('r', -1, 4073, 0), ('s', 3, -1, 0), ('t', -1, 1735, 0), ('u', -1, 2643, 0), ('w', -1, 3911, 0), ('y', -1, 2060, 0), ('z', -1, 3022, 0), ('ł', -1, 3013, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('e', -1, 3418, 0), ('i', 2, -1, 0), ('j', 1, -1, 0), ('l', 21, -1, 0), ('m', 1, -1, 0), ('o', -1, 2228, 0), ('p', -1, 2397, 0), ('r', -1, 358, 0), ('u', -1, 1055, 0), ('y', -1, 2724, 0), ('z', 21, -1, 0)), (('a', -1, 301, 0), ('d', 6, -1, 0), ('e', 0, -1, 0), ('h', 44, -1, 0), ('i', -1, 3984, 0), ('k', 1, 284, 0), ('l', 34, -1, 0), ('o', 21, -1, 0), ('p', 21, -1, 0), ('r', -1, 418, 0), ('u', 6, -1, 0), ('w', 3, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ł', 34, -1, 0)), (('a', -1, 2838, 0), ('d', 12, -1, 0), ('e', -1, 3760, 0), ('g', 12, -1, 0), ('i', -1, 618, 0), ('k', 54, -1, 0), ('l', 106, -1, 0), ('o', -1, 4132, 0), ('r', -1, 3733, 0), ('u', 106, -1, 0), ('y', -1, 3216, 0), ('z', 12, -1, 0), ('ó', 106, -1, 0), ('ą', 106, -1, 0), ('ę', -1, 3447, 0), ('ł', -1, 4305, 0)), (('a', -1, 299, 0), ('b', -1, 679, 0), ('c', -1, 2282, 0), ('d', 54, -1, 0), ('e', -1, 623, 0), ('f', 7, -1, 0), ('i', -1, 265, 0), ('m', -1, 4306, 0), ('n', -1, 1869, 0), ('o', 12, -1, 0), ('p', -1, 4201, 0), ('r', 106, -1, 0), ('s', -1, 1285, 0), ('u', -1, 836, 0), ('w', -1, 2601, 0), ('y', -1, 2011, 0), ('z', -1, 2569, 0), ('ę', 12, -1, 0)), (('a', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 1, -1, 0), ('i', -1, 1266, 0), ('j', 7, -1, 0), ('k', -1, 1839, 0), ('m', -1, 450, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('u', -1, 1231, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', 7, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 3021, 0), ('b', -1, 3906, 0), ('c', -1, 4308, 0), ('e', 5, -1, 0), ('f', -1, 2689, 0), ('h', 39, -1, 0), ('i', -1, 3650, 0), ('k', 21, 707, 0), ('l', -1, 4186, 0), ('m', -1, 801, 0), ('n', -1, 4309, 0), ('o', -1, 3187, 0), ('p', 5, 4310, 0), ('r', -1, 2249, 0), ('s', 5, -1, 0), ('t', 145, -1, 0), ('w', 0, 4311, 0), ('y', 145, -1, 0), ('z', -1, 2750, 0)), (('a', 5, -1, 0), ('e', -1, 3205, 0), ('i', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ó', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 5, -1, 0)), (('a', 145, 871, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 3754, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 3234, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('m', -1, 2821, 0), ('o', -1, 4213, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', -1, 2534, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 3962, 0), ('i', -1, 3216, 0), ('l', 39, -1, 0), ('o', 5, -1, 0), ('r', 95, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 0, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ś', 51, -1, 0)), (('a', 5, -1, 0), ('e', -1, 1325, 0), ('i', 5, -1, 0), ('k', 39, -1, 0), ('n', 39, -1, 0), ('o', -1, 1126, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('y', 5, -1, 0), ('ó', 5, -1, 0), ('ś', 39, -1, 0)), (('a', -1, 4214, 0), ('e', -1, 1850, 0), ('i', -1, 2479, 0), ('m', 41, -1, 0), ('n', 41, -1, 0), ('o', -1, 2395, 0), ('r', 41, -1, 0), ('s', 41, -1, 0), ('z', 0, -1, 0)), (('a', -1, 3656, 0), ('e', -1, 4314, 0), ('i', -1, 3106, 0), ('m', 39, -1, 0), ('o', -1, 684, 0), ('r', -1, 268, 0), ('t', 12, -1, 0), ('u', -1, 2551, 0), ('y', -1, 4076, 0), ('ą', -1, 684, 0), ('ę', 12, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 4315, 0), ('c', -1, 3781, 0), ('e', 30, -1, 0), ('g', 5, -1, 0), ('i', 30, -1, 0), ('l', 145, 1149, 0), ('m', 5, -1, 0), ('o', 30, -1, 0), ('p', 5, -1, 0), ('r', 39, -1, 0), ('y', 30, -1, 0), ('z', -1, 2318, 0), ('ó', 21, -1, 0)), (('a', -1, 701, 0), ('b', 3, -1, 0), ('d', 30, -1, 0), ('e', 0, -1, 0), ('i', 41, -1, 0), ('o', 0, -1, 0), ('r', 30, -1, 0), ('s', 5, -1, 0), ('t', 30, 424, 0), ('u', 0, -1, 0), ('y', 5, -1, 0), ('z', 30, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 4317, 0), ('e', -1, 1315, 0), ('f', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 217, 0), ('o', -1, 3910, 0), ('r', -1, 3590, 0), ('y', -1, 1613, 0)), (('a', 2, -1, 0), ('e', -1, 2627, 0), ('g', 22, -1, 0), ('i', 2, -1, 0), ('o', 87, -1, 0), ('r', -1, 1633, 0), ('t', 3, -1, 0), ('z', -1, 923, 0)), (('a', -1, 3870, 0), ('d', 126, 1726, 0), ('e', -1, 512, 0), ('h', 22, -1, 0), ('i', -1, 747, 0), ('j', -1, 3593, 0), ('l', -1, 2889, 0), ('m', 22, -1, 0), ('o', -1, 3482, 0), ('r', -1, 3595, 0), ('s', 80, -1, 0), ('t', -1, 2462, 0), ('u', 4, 2788, 0), ('y', -1, 1315, 0), ('z', -1, 3357, 0), ('ś', 4, 447, 0), ('ź', -1, 4034, 0)), (('a', -1, 4320, 0), ('b', -1, 3714, 0), ('c', 30, 3088, 0), ('d', 80, 3228, 0), ('e', -1, 2232, 0), ('g', -1, 4337, 0), ('h', -1, 1356, 0), ('i', -1, 1725, 0), ('j', -1, 4314, 0), ('k', -1, 4338, 0), ('l', -1, 3556, 0), ('m', -1, 4127, 0), ('n', -1, 3855, 0), ('o', -1, 1567, 0), ('p', -1, 4339, 0), ('r', -1, 3849, 0), ('s', -1, 2592, 0), ('t', -1, 4341, 0), ('u', 21, 4344, 0), ('w', -1, 4345, 0), ('y', -1, 4346, 0), ('z', -1, 4348, 0), ('ł', -1, 3262, 0), ('ś', 3, 4349, 0), ('ź', -1, 2555, 0), ('ż', -1, 3852, 0)), (('a', 22, 201, 0), ('b', -1, 3581, 0), ('c', 5, -1, 0), ('d', -1, 3610, 0), ('e', 3, -1, 0), ('f', -1, 3369, 0), ('g', -1, 4321, 0), ('h', -1, 3577, 0), ('i', -1, 2043, 0), ('j', 3, 3566, 0), ('k', -1, 4322, 0), ('l', -1, 4323, 0), ('m', 21, 1466, 0), ('n', -1, 3548, 0), ('o', 3, -1, 0), ('p', 1, 4325, 0), ('r', -1, 3616, 0), ('s', -1, 3773, 0), ('t', -1, 4327, 0), ('u', -1, 557, 0), ('w', -1, 4329, 0), ('z', -1, 4103, 0), ('ł', 3, 4026, 0), ('ż', 5, -1, 0)), (('a', -1, 2053, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('l', 5, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 4104, 0), ('u', 5, -1, 0), ('y', -1, 1625, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', -1, 1572, 0), ('e', 5, -1, 0), ('i', -1, 1744, 0), ('l', 3, -1, 0), ('o', 5, -1, 0), ('r', -1, 678, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 3802, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ć', 5, -1, 0), ('ę', 5, -1, 0)), (('a', -1, 2901, 0), ('d', 5, -1, 0), ('e', -1, 2451, 0), ('g', -1, 201, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('m', 5, -1, 0), ('o', 5, 514, 0), ('p', -1, 4104, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 4324, 0), ('z', 5, -1, 0), ('ś', 5, -1, 0), ('ź', 5, -1, 0)), (('a', 3, -1, 0), ('e', -1, 1942, 0), ('h', 5, -1, 0), ('i', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 5, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 5, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 5, -1, 0), ('e', -1, 4326, 0), ('i', -1, 833, 0), ('m', 3, -1, 0), ('o', -1, 689, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 3, -1, 0), ('ą', 5, -1, 0), ('ć', 3, -1, 0)), (('a', 2, -1, 0), ('c', 3, -1, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('l', 5, -1, 0), ('o', -1, 3282, 0), ('r', 121, -1, 0), ('t', 3, 284, 0), ('y', 2, -1, 0), ('z', -1, 1505, 0)), (('a', -1, 3802, 0), ('e', 22, -1, 0), ('h', 5, -1, 0), ('i', -1, 2201, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('n', 3, -1, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 239, -1, 0), ('s', 3, 4166, 0), ('y', -1, 4328, 0), ('z', 3, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 3, -1, 0), ('ś', 5, -1, 0)), (('a', -1, 3828, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('j', 2, -1, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', -1, 1685, 0), ('p', 0, 1127, 0), ('r', 3, -1, 0), ('w', 5, -1, 0), ('y', -1, 2849, 0), ('z', 5, -1, 0)), (('a', -1, 4013, 0), ('d', 3, -1, 0), ('e', -1, 4330, 0), ('i', 5, -1, 0), ('o', -1, 4331, 0), ('r', -1, 4336, 0), ('u', 5, -1, 0), ('y', -1, 4025, 0), ('z', 5, -1, 0), ('ł', 3, -1, 0)), (('a', 220, -1, 0), ('d', 6, -1, 0), ('e', 220, -1, 0), ('i', -1, 2820, 0), ('l', 5, -1, 0), ('o', 28, 612, 0), ('r', 220, -1, 0), ('w', 6, -1, 0), ('y', 28, -1, 0), ('z', 5, -1, 0)), (('a', 87, -1, 0), ('b', 5, -1, 0), ('c', -1, 4191, 0), ('d', -1, 4113, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('g', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 3098, 0), ('j', 5, -1, 0), ('k', -1, 4332, 0), ('l', -1, 3576, 0), ('m', -1, 551, 0), ('n', -1, 4333, 0), ('o', 87, -1, 0), ('p', 5, -1, 0), ('r', -1, 3628, 0), ('s', -1, 4334, 0), ('t', -1, 4335, 0), ('u', 5, -1, 0), ('w', -1, 2792, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('d', -1, 1472, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('l', 5, -1, 0), ('n', -1, 4263, 0), ('o', 5, -1, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('w', 5, -1, 0), ('y', 5, -1, 0), ('z', -1, 828, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 1756, 0), ('b', 5, -1, 0), ('e', -1, 1864, 0), ('g', 5, -1, 0), ('i', -1, 1984, 0), ('j', 5, -1, 0), ('k', 0, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('y', 5, -1, 0), ('ż', 5, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 1960, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('u', 5, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('f', 5, -1, 0), ('h', 5, -1, 0), ('i', -1, 778, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('l', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 3080, 0), ('p', 5, -1, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 1756, 0), ('z', 5, -1, 0), ('ę', 5, -1, 0), ('ł', 5, -1, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('i', 22, -1, 0), ('m', 99, -1, 0), ('o', 5, -1, 0), ('r', 99, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 0, -1, 0)), (('a', 69, -1, 0), ('e', -1, 3607, 0), ('i', -1, 3268, 0), ('l', 69, -1, 0), ('o', 228, -1, 0), ('r', 69, -1, 0), ('u', 69, -1, 0), ('y', 69, -1, 0), ('z', 69, -1, 0), ('ą', 69, -1, 0), ('ę', -1, 2025, 0)), (('a', 69, -1, 0), ('e', -1, 2977, 0), ('i', 69, -1, 0), ('l', 69, -1, 0), ('m', 69, -1, 0), ('o', 80, 1941, 0), ('r', 69, -1, 0), ('s', 69, -1, 0), ('t', 69, -1, 0), ('u', -1, 2348, 0), ('y', 69, -1, 0), ('z', -1, 994, 0), ('ą', 69, -1, 0), ('ę', -1, 4029, 0), ('ł', 69, -1, 0)), (('a', 69, -1, 0), ('e', -1, 4340, 0), ('i', 69, -1, 0), ('o', 74, 93, 0), ('r', -1, 2397, 0), ('u', -1, 2525, 0), ('y', 69, -1, 0), ('ą', 69, -1, 0), ('ę', 30, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 69, -1, 0), ('e', -1, 2324, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', -1, 1291, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('y', -1, 2492, 0), ('z', -1, 3703, 0), ('ż', 7, -1, 0)), (('a', -1, 2171, 0), ('e', -1, 3346, 0), ('i', -1, 1288, 0), ('n', 30, -1, 0), ('o', 30, -1, 0), ('r', -1, 3608, 0), ('s', 30, -1, 0), ('u', -1, 2060, 0), ('y', -1, 4342, 0), ('ó', 80, -1, 0), ('ą', -1, 3220, 0), ('ę', -1, 4343, 0), ('ł', 30, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('n', -1, 2603, 0), ('o', 7, -1, 0), ('p', 30, -1, 0), ('r', 7, -1, 0), ('s', 21, -1, 0), ('u', 7, -1, 0), ('w', 74, -1, 0), ('y', 7, -1, 0), ('z', 74, -1, 0), ('ę', 7, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 3261, 0), ('e', 3, -1, 0), ('h', 0, -1, 0), ('i', 30, -1, 0), ('j', 30, -1, 0), ('l', 30, -1, 0), ('m', 30, -1, 0), ('o', 0, -1, 0), ('r', 80, -1, 0), ('t', 80, -1, 0), ('u', -1, 892, 0), ('y', -1, 44, 0), ('z', 41, -1, 0), ('ó', 41, -1, 0), ('ą', -1, 3493, 0)), (('a', -1, 399, 0), ('e', -1, 1658, 0), ('f', 3, -1, 0), ('g', 22, -1, 0), ('i', -1, 3244, 0), ('k', 22, -1, 0), ('l', 22, 2330, 0), ('m', 21, -1, 0), ('o', 22, 976, 0), ('p', 3, -1, 0), ('r', 80, 1288, 0), ('s', 69, -1, 0), ('t', -1, 824, 0), ('w', 21, -1, 0), ('y', 100, -1, 0), ('z', -1, 3442, 0), ('ł', 3, -1, 0)), (('a', -1, 2060, 0), ('e', -1, 3451, 0), ('i', 30, -1, 0), ('o', -1, 4032, 0), ('r', 30, -1, 0), ('u', 30, -1, 0), ('y', 30, -1, 0), ('ó', -1, 2676, 0)), (('a', 41, -1, 0), ('c', 22, 1471, 0), ('d', 3, 1728, 0), ('e', 116, -1, 0), ('h', 21, -1, 0), ('i', 0, -1, 0), ('k', 3, -1, 0), ('o', 41, -1, 0), ('r', -1, 3836, 0), ('s', -1, 2461, 0), ('t', -1, 4347, 0), ('z', -1, 324, 0), ('ó', 41, -1, 0), ('ł', 69, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 3455, 0), ('e', 22, -1, 0), ('i', 22, -1, 0), ('n', 22, -1, 0), ('o', 3, -1, 0), ('r', 22, -1, 0), ('s', -1, 2704, 0), ('u', 22, -1, 0), ('z', -1, 79, 0), ('ą', 21, -1, 0)), (('a', -1, 7, 0), ('c', -1, 3998, 0), ('e', -1, 1157, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', 10, -1, 0), ('m', 3, -1, 0), ('o', 22, 540, 0), ('r', -1, 3860, 0), ('s', 30, -1, 0), ('t', 4, -1, 0), ('y', 10, -1, 0), ('z', 37, -1, 0), ('ł', 69, -1, 0)), (('a', -1, 2348, 0), ('e', -1, 4229, 0), ('i', -1, 2537, 0), ('o', -1, 2696, 0), ('r', -1, 3547, 0), ('s', -1, 3854, 0), ('u', 69, 561, 0), ('y', -1, 2167, 0), ('ą', 69, -1, 0), ('ę', -1, 2097, 0)), (('a', -1, 4351, 0), ('e', -1, 4353, 0), ('i', 52, -1, 0), ('m', -1, 2748, 0), ('o', -1, 3724, 0), ('r', -1, 3854, 0), ('u', -1, 4359, 0), ('y', -1, 3376, 0), ('ą', 52, -1, 0), ('ę', 3, -1, 0), ('ł', 22, -1, 0)), (('a', -1, 3619, 0), ('c', 3, -1, 0), ('e', -1, 4352, 0), ('h', 52, -1, 0), ('i', 2, -1, 0), ('k', 22, 3854, 0), ('l', 52, -1, 0), ('m', 22, -1, 0), ('o', -1, 3927, 0), ('r', -1, 1046, 0), ('s', -1, 3274, 0), ('t', 3, -1, 0), ('y', -1, 1689, 0), ('z', -1, 2730, 0), ('ł', 52, 3415, 0)), (('a', 3, -1, 0), ('e', -1, 1885, 0), ('h', 2, -1, 0), ('i', -1, 2765, 0), ('k', 2, -1, 0), ('l', 3, -1, 0), ('o', -1, 807, 0), ('r', -1, 985, 0), ('s', 2, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('z', -1, 3622, 0)), (('a', -1, 2377, 0), ('c', 3, -1, 0), ('e', -1, 1252, 0), ('i', -1, 3287, 0), ('l', 52, -1, 0), ('o', -1, 1440, 0), ('r', 22, -1, 0), ('t', 2, -1, 0), ('u', -1, 4354, 0), ('y', 3, -1, 0), ('z', -1, 2975, 0), ('ó', -1, 1972, 0)), (('a', -1, 435, 0), ('d', 3, -1, 0), ('e', -1, 195, 0), ('i', 3, -1, 0), ('k', 2, -1, 0), ('m', 21, -1, 0), ('n', 2, -1, 0), ('o', -1, 4355, 0), ('r', 3, -1, 0), ('t', -1, 1385, 0), ('u', -1, 1792, 0), ('y', -1, 4358, 0), ('z', 2, -1, 0), ('ę', 1, -1, 0), ('ż', 2, -1, 0)), (('a', -1, 3619, 0), ('c', 3, -1, 0), ('e', -1, 4352, 0), ('h', 0, -1, 0), ('i', 2, -1, 0), ('k', 359, 62, 0), ('l', 3, -1, 0), ('o', -1, 3927, 0), ('r', -1, 1608, 0), ('s', -1, 3274, 0), ('y', -1, 1689, 0), ('z', -1, 4356, 0), ('ł', 3, -1, 0)), (('a', 3, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 1649, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('m', 1, -1, 0), ('n', 3, -1, 0), ('o', 1, -1, 0), ('r', -1, 3373, 0), ('s', 1, 7, 0), ('t', -1, 4357, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 2005, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 769, 0), ('e', 21, 943, 0), ('i', 21, -1, 0), ('k', 21, -1, 0), ('l', 21, -1, 0), ('n', 21, -1, 0), ('o', -1, 4358, 0), ('p', -1, 3302, 0), ('r', 1, -1, 0), ('s', -1, 3347, 0), ('u', -1, 351, 0), ('y', -1, 1512, 0), ('z', 1, -1, 0)), (('a', -1, 2236, 0), ('b', 21, -1, 0), ('d', 95, -1, 0), ('e', 132, -1, 0), ('i', -1, 1669, 0), ('o', 95, -1, 0), ('p', 1, -1, 0), ('r', 21, -1, 0), ('s', 21, -1, 0), ('t', 1, -1, 0), ('u', 3, -1, 0), ('y', 95, -1, 0), ('z', 1, -1, 0), ('ę', 121, -1, 0)), (('-', 3, -1, 0), ('a', 3, -1, 0), ('d', 22, 359, 0), ('e', -1, 2636, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('o', -1, 2228, 0), ('r', 21, 1450, 0), ('t', 52, -1, 0), ('u', -1, 1055, 0), ('y', -1, 2724, 0), ('z', 22, -1, 0), ('ł', 3, 4300, 0)), (('a', -1, 3727, 0), ('e', -1, 2729, 0), ('i', -1, 29, 0), ('j', 3, -1, 0), ('k', -1, 2619, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 4320, 0), ('o', -1, 4134, 0), ('p', 1, 2149, 0), ('r', -1, 4361, 0), ('s', -1, 3675, 0), ('u', -1, 4362, 0), ('y', -1, 3277, 0), ('ą', 3, -1, 0), ('ę', -1, 3286, 0)), (('a', -1, 997, 0), ('e', -1, 3694, 0), ('i', 100, -1, 0), ('k', 8, -1, 0), ('o', 3, -1, 0), ('p', 100, -1, 0), ('r', 5, -1, 0), ('s', 100, -1, 0), ('t', -1, 2416, 0), ('u', 3, -1, 0), ('z', 100, -1, 0), ('ł', 100, -1, 0), ('ż', 100, -1, 0)), (('a', -1, 2911, 0), ('b', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', -1, 4244, 0), ('i', -1, 3071, 0), ('k', 3, -1, 0), ('l', -1, 599, 0), ('m', -1, 4363, 0), ('n', -1, 2052, 0), ('o', 22, 2465, 0), ('r', -1, 2464, 0), ('s', 3, -1, 0), ('t', -1, 3726, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0)), (('a', 1, -1, 0), ('b', 3, -1, 0), ('e', 3, -1, 0), ('i', 22, 1892, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 0, -1, 0), ('w', 1, -1, 0), ('y', 3, -1, 0), ('z', -1, 110, 0)), (('a', -1, 4365, 0), ('e', 22, 4374, 0), ('g', 361, -1, 0), ('i', -1, 2835, 0), ('k', 361, -1, 0), ('l', 22, -1, 0), ('n', 22, -1, 0), ('o', -1, 4377, 0), ('r', -1, 4380, 0), ('t', -1, 3020, 0), ('u', -1, 1341, 0), ('y', -1, 4381, 0), ('z', 52, 3415, 0), ('ó', 22, -1, 0), ('ł', 21, -1, 0)), (('a', -1, 4000, 0), ('b', 22, -1, 0), ('c', -1, 4366, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 22, -1, 0), ('i', 3, -1, 0), ('j', -1, 1522, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('n', 22, -1, 0), ('o', 2, -1, 0), ('r', -1, 2297, 0), ('s', -1, 2732, 0), ('t', -1, 2331, 0), ('y', -1, 1431, 0), ('z', 22, -1, 0), ('ó', -1, 117, 0), ('ą', -1, 3969, 0), ('ł', 22, 1010, 0)), (('a', -1, 4367, 0), ('e', -1, 3790, 0), ('i', -1, 1631, 0), ('j', 34, -1, 0), ('o', 121, 3516, 0), ('r', -1, 4204, 0), ('u', -1, 1862, 0), ('y', -1, 4372, 0), ('z', -1, 1859, 0), ('ą', -1, 1913, 0)), (('a', 6, -1, 0), ('d', -1, 1068, 0), ('e', -1, 1786, 0), ('g', -1, 2655, 0), ('h', 4, -1, 0), ('i', -1, 2642, 0), ('j', -1, 4368, 0), ('k', 3, 2524, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('n', 3, -1, 0), ('o', -1, 71, 0), ('p', -1, 3933, 0), ('r', -1, 3301, 0), ('s', 4, -1, 0), ('t', 34, -1, 0), ('u', 6, -1, 0), ('w', -1, 3346, 0), ('y', 6, -1, 0), ('z', 2, -1, 0), ('ł', 34, -1, 0)), (('a', -1, 3827, 0), ('b', 7, -1, 0), ('c', -1, 3449, 0), ('d', -1, 4369, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', -1, 4342, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', -1, 4370, 0), ('l', -1, 3083, 0), ('m', 7, -1, 0), ('n', -1, 3944, 0), ('o', -1, 2073, 0), ('p', 7, -1, 0), ('r', -1, 3757, 0), ('s', -1, 4077, 0), ('t', -1, 4371, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('z', -1, 4160, 0), ('ł', -1, 3622, 0), ('ż', -1, 3607, 0)), (('a', 7, -1, 0), ('b', 71, -1, 0), ('d', 71, -1, 0), ('e', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 1615, 0), ('r', 7, -1, 0), ('u', -1, 1403, 0), ('y', -1, 1085, 0), ('z', 71, -1, 0), ('ł', 7, -1, 0)), (('a', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', -1, 208, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('i', 7, -1, 0), ('k', -1, 3760, 0), ('l', -1, 1508, 0), ('n', -1, 3619, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 1160, 0), ('s', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 1183, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 2193, 0), ('b', 2, -1, 0), ('d', 3, -1, 0), ('e', -1, 1973, 0), ('i', 28, -1, 0), ('m', 2, -1, 0), ('o', -1, 3165, 0), ('p', 28, -1, 0), ('r', -1, 3280, 0), ('t', -1, 4373, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('z', 3, -1, 0), ('ó', -1, 33, 0), ('ł', 121, -1, 0), ('ś', 28, -1, 0), ('ż', 3, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 2162, 0), ('i', -1, 931, 0), ('k', 2, -1, 0), ('l', 2, -1, 0), ('m', 3, -1, 0), ('n', 3, 2921, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', -1, 3484, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', 3, -1, 0), ('z', 2, -1, 0), ('ł', 2, -1, 0), ('ż', -1, 1857, 0)), (('a', -1, 4375, 0), ('c', 22, -1, 0), ('e', -1, 4376, 0), ('i', 3, -1, 0), ('l', -1, 553, 0), ('m', 1, -1, 0), ('o', 2, -1, 0), ('r', 22, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('y', -1, 2922, 0), ('z', -1, 2449, 0), ('ó', -1, 3275, 0)), (('a', -1, 1717, 0), ('d', 21, -1, 0), ('e', 1, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 4286, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 1, -1, 0), ('o', -1, 1400, 0), ('r', -1, 3728, 0), ('s', 3, -1, 0), ('t', -1, 327, 0), ('u', -1, 4282, 0), ('y', -1, 2181, 0), ('z', 3, -1, 0), ('ó', -1, 1682, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1485, 0), ('e', 1, -1, 0), ('i', 3, -1, 0), ('l', 2, 1636, 0), ('o', -1, 371, 0), ('r', -1, 2220, 0), ('s', 73, -1, 0), ('t', -1, 2841, 0), ('w', 73, -1, 0), ('y', -1, 810, 0), ('z', 1, -1, 0), ('ó', 6, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1101, 0), ('b', -1, 3285, 0), ('c', 90, -1, 0), ('d', -1, 4209, 0), ('e', -1, 3763, 0), ('f', 34, -1, 0), ('g', -1, 3946, 0), ('h', -1, 4378, 0), ('i', -1, 3179, 0), ('j', 34, -1, 0), ('k', -1, 1469, 0), ('l', -1, 4379, 0), ('m', -1, 3391, 0), ('n', -1, 3394, 0), ('o', 1, -1, 0), ('p', -1, 3398, 0), ('r', -1, 1306, 0), ('s', 34, -1, 0), ('t', -1, 2836, 0), ('u', 1, -1, 0), ('w', 90, -1, 0), ('z', -1, 2366, 0), ('ł', 3, 1635, 0)), (('a', 34, -1, 0), ('c', -1, 4378, 0), ('d', 3, -1, 0), ('e', 22, -1, 0), ('i', -1, 2207, 0), ('o', 34, -1, 0), ('r', -1, 2731, 0), ('s', 8, -1, 0), ('u', -1, 1050, 0), ('z', 8, -1, 0)), (('a', 3, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 2327, 0), ('h', 11, -1, 0), ('i', 7, -1, 0), ('k', 11, -1, 0), ('n', -1, 1799, 0), ('o', -1, 366, 0), ('p', 7, -1, 0), ('r', 11, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 34, -1, 0), ('y', 34, -1, 0), ('z', 7, -1, 0), ('ł', -1, 305, 0), ('ż', 7, -1, 0)), (('a', 52, -1, 0), ('e', -1, 343, 0), ('i', -1, 2217, 0), ('j', 102, -1, 0), ('k', 3, -1, 0), ('l', 102, -1, 0), ('m', 10, -1, 0), ('o', 52, -1, 0), ('r', 10, -1, 0), ('y', 22, -1, 0), ('z', 102, -1, 0)), (('a', 83, -1, 0), ('d', 22, -1, 0), ('e', 3, -1, 0), ('g', 83, -1, 0), ('i', -1, 1661, 0), ('k', 83, -1, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', -1, 3414, 0), ('u', 121, -1, 0), ('w', 3, -1, 0), ('y', 83, -1, 0), ('z', 80, -1, 0), ('ł', 3, -1, 0), ('ś', 83, -1, 0), ('ź', 3, -1, 0)), (('a', -1, 3565, 0), ('b', 22, -1, 0), ('c', 80, -1, 0), ('d', -1, 4383, 0), ('e', -1, 2894, 0), ('g', 401, -1, 0), ('i', 22, 2693, 0), ('j', 22, -1, 0), ('l', 22, -1, 0), ('o', -1, 1643, 0), ('r', -1, 3601, 0), ('u', -1, 1470, 0), ('y', -1, 4051, 0), ('ę', 0, -1, 0), ('ł', 22, -1, 0)), (('a', 87, 4384, 0), ('e', -1, 3761, 0), ('h', 87, -1, 0), ('i', -1, 3603, 0), ('j', -1, 3611, 0), ('l', -1, 4260, 0), ('n', -1, 1063, 0), ('o', -1, 4385, 0), ('r', -1, 3946, 0), ('u', 121, 4386, 0), ('y', -1, 4387, 0), ('ą', -1, 4388, 0), ('ę', -1, 3301, 0), ('ł', 2, -1, 0), ('ź', 2, -1, 0)), (('a', -1, 794, 0), ('d', 1, -1, 0), ('e', -1, 2039, 0), ('g', 1, -1, 0), ('i', -1, 3604, 0), ('j', 2, 512, 0), ('k', 279, 4331, 0), ('l', 87, 4008, 0), ('m', 87, -1, 0), ('n', -1, 1308, 0), ('o', -1, 3984, 0), ('p', 2, 3411, 0), ('r', 87, -1, 0), ('s', 87, -1, 0), ('w', 2, -1, 0), ('z', 2, 1021, 0), ('ó', 3, -1, 0), ('ł', -1, 1453, 0), ('ż', 87, -1, 0)), (('a', -1, 2573, 0), ('b', 87, -1, 0), ('e', 2, -1, 0), ('g', 87, -1, 0), ('h', 2, -1, 0), ('i', 87, -1, 0), ('l', 87, -1, 0), ('o', 34, -1, 0), ('r', -1, 261, 0), ('s', 87, -1, 0), ('t', 87, -1, 0), ('w', -1, 2121, 0), ('z', 44, -1, 0), ('ł', -1, 1276, 0)), (('a', 28, -1, 0), ('b', 87, -1, 0), ('c', 121, -1, 0), ('d', 5, -1, 0), ('e', 121, -1, 0), ('i', 2, -1, 0), ('k', 87, -1, 0), ('l', 2, 44, 0), ('n', 87, -1, 0), ('o', 5, -1, 0), ('r', -1, 2044, 0), ('t', 87, -1, 0), ('u', 5, -1, 0), ('ł', 87, -1, 0)), (('a', -1, 1216, 0), ('c', 2, -1, 0), ('e', -1, 2725, 0), ('h', 87, -1, 0), ('i', -1, 236, 0), ('l', -1, 673, 0), ('m', 41, -1, 0), ('o', -1, 3122, 0), ('r', -1, 4317, 0), ('s', 87, -1, 0), ('t', 2, -1, 0), ('w', 41, -1, 0), ('z', -1, 4194, 0)), (('a', -1, 2873, 0), ('e', -1, 1312, 0), ('i', -1, 1502, 0), ('m', 3, -1, 0), ('o', -1, 4303, 0), ('r', 2, -1, 0), ('u', -1, 2421, 0), ('y', -1, 1398, 0), ('z', 2, -1, 0), ('ę', 2, -1, 0)), (('a', -1, 3069, 0), ('b', 31, -1, 0), ('c', -1, 2249, 0), ('d', -1, 4171, 0), ('e', -1, 4161, 0), ('h', 31, -1, 0), ('i', 31, -1, 0), ('j', 31, -1, 0), ('k', 31, -1, 0), ('l', -1, 3716, 0), ('m', 31, -1, 0), ('o', 6, 58, 0), ('r', 31, -1, 0), ('t', 31, -1, 0), ('w', -1, 541, 0), ('y', -1, 2558, 0), ('z', 31, -1, 0), ('ł', -1, 3947, 0), ('ś', 31, -1, 0), ('ź', -1, 4043, 0), ('ż', 31, -1, 0)), (('a', 31, -1, 0), ('d', 31, -1, 0), ('e', 31, -1, 0), ('i', 31, -1, 0), ('l', 12, -1, 0), ('m', 13, -1, 0), ('n', 13, -1, 0), ('o', -1, 2389, 0), ('r', -1, 3242, 0), ('t', 105, -1, 0), ('u', 31, -1, 0), ('w', 31, -1, 0), ('y', -1, 1022, 0), ('ł', -1, 530, 0)), (('a', -1, 4263, 0), ('b', -1, 2716, 0), ('c', 3, -1, 0), ('e', -1, 3480, 0), ('i', 28, -1, 0), ('m', 7, -1, 0), ('n', -1, 987, 0), ('o', -1, 4292, 0), ('p', -1, 2677, 0), ('r', 28, -1, 0), ('s', -1, 3497, 0), ('u', 28, -1, 0), ('w', -1, 3893, 0), ('y', -1, 3164, 0), ('z', -1, 1162, 0), ('ó', 28, -1, 0)), (('a', 7, -1, 0), ('b', 21, 1375, 0), ('e', 7, -1, 0), ('g', 1, -1, 0), ('i', 7, -1, 0), ('k', 1, -1, 0), ('o', 7, -1, 0), ('p', 221, -1, 0), ('r', -1, 1790, 0), ('s', -1, 2936, 0), ('t', 7, -1, 0), ('u', -1, 2443, 0), ('w', -1, 1784, 0), ('y', 7, -1, 0), ('z', -1, 2225, 0), ('ą', -1, 2473, 0), ('ć', 7, -1, 0), ('ę', 7, -1, 0)), (('a', -1, 1818, 0), ('d', -1, 567, 0), ('e', 7, -1, 0), ('f', 3, -1, 0), ('g', -1, 1007, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('m', 7, -1, 0), ('o', 7, 16, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('t', -1, 1272, 0), ('u', 7, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ś', 7, -1, 0), ('ź', 7, -1, 0)), (('a', -1, 3213, 0), ('e', -1, 2379, 0), ('i', -1, 1806, 0), ('o', -1, 4368, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', -1, 1286, 0), ('z', 3, 2478, 0)), (('a', 55, -1, 0), ('c', -1, 3951, 0), ('d', 21, -1, 0), ('e', 1, -1, 0), ('i', -1, 4396, 0), ('j', -1, 4030, 0), ('l', -1, 3822, 0), ('o', 1, -1, 0), ('r', -1, 180, 0), ('s', 21, -1, 0), ('u', -1, 605, 0), ('w', 3, -1, 0), ('y', 56, -1, 0), ('z', -1, 1142, 0), ('ą', 1, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0), ('ż', -1, 4182, 0)), (('a', -1, 814, 0), ('b', -1, 3904, 0), ('c', 3, -1, 0), ('e', -1, 4397, 0), ('f', 11, -1, 0), ('i', 41, -1, 0), ('l', 4, -1, 0), ('m', -1, 812, 0), ('n', -1, 4398, 0), ('o', -1, 1698, 0), ('p', -1, 4029, 0), ('r', -1, 2366, 0), ('s', -1, 2935, 0), ('u', 28, -1, 0), ('w', -1, 1653, 0), ('y', -1, 259, 0), ('z', -1, 4221, 0), ('ę', -1, 3164, 0)), (('a', 2, 1432, 0), ('e', 28, -1, 0), ('i', -1, 2077, 0), ('k', 28, -1, 0), ('l', -1, 4281, 0), ('o', -1, 1912, 0), ('p', 2, -1, 0), ('r', 28, -1, 0), ('s', 4, -1, 0), ('u', -1, 513, 0), ('y', 28, -1, 0), ('z', -1, 1189, 0)), (('a', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 4399, 0), ('e', -1, 1397, 0), ('g', -1, 2655, 0), ('h', 11, -1, 0), ('i', -1, 1983, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('o', -1, 2410, 0), ('r', 11, -1, 0), ('t', -1, 3927, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', -1, 886, 0), ('ł', -1, 1406, 0), ('ś', -1, 376, 0), ('ź', 11, -1, 0), ('ż', 11, -1, 0)), (('a', 7, -1, 0), ('c', -1, 2494, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('o', -1, 2616, 0), ('p', 7, -1, 0), ('r', -1, 4218, 0), ('s', -1, 1616, 0), ('u', 11, -1, 0), ('z', -1, 2677, 0), ('ą', -1, 2988, 0), ('ł', 7, -1, 0)), (('a', 3, -1, 0), ('b', 21, 180, 0), ('c', 21, -1, 0), ('d', -1, 1913, 0), ('e', 83, -1, 0), ('h', 1, -1, 0), ('i', -1, 4401, 0), ('l', 6, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('r', -1, 820, 0), ('s', 3, -1, 0), ('t', 1, -1, 0), ('z', -1, 2261, 0), ('ż', 6, -1, 0)), (('a', -1, 1621, 0), ('b', -1, 3505, 0), ('c', -1, 3373, 0), ('e', 7, -1, 0), ('f', 6, -1, 0), ('g', -1, 2126, 0), ('i', 7, -1, 0), ('k', 1, -1, 0), ('m', 6, 1239, 0), ('n', -1, 3591, 0), ('o', -1, 1612, 0), ('p', -1, 3772, 0), ('r', 7, -1, 0), ('s', 6, -1, 0), ('t', 7, -1, 0), ('w', -1, 2932, 0), ('y', 7, -1, 0), ('z', -1, 796, 0), ('ó', 7, -1, 0)), (('a', -1, 1208, 0), ('d', 21, -1, 0), ('e', -1, 432, 0), ('g', 21, -1, 0), ('h', 11, -1, 0), ('i', -1, 346, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', -1, 3476, 0), ('o', 11, -1, 0), ('p', 11, -1, 0), ('r', -1, 3222, 0), ('s', -1, 3510, 0), ('w', 20, -1, 0), ('y', -1, 2569, 0), ('z', -1, 1066, 0), ('ą', 11, -1, 0), ('ę', 11, -1, 0), ('ś', 11, -1, 0)), (('a', 11, -1, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('o', -1, 1796, 0), ('r', 11, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 11, -1, 0)), (('a', -1, 170, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('i', 11, -1, 0), ('o', 235, -1, 0), ('r', 11, -1, 0), ('s', 11, -1, 0), ('u', 235, -1, 0), ('z', 235, -1, 0), ('ą', -1, 811, 0), ('ł', 11, -1, 0)), (('a', -1, 2943, 0), ('b', 85, -1, 0), ('c', 16, 1679, 0), ('d', 85, -1, 0), ('e', -1, 2940, 0), ('f', 0, -1, 0), ('i', -1, 938, 0), ('k', 0, -1, 0), ('l', -1, 585, 0), ('m', -1, 3690, 0), ('o', -1, 2549, 0), ('p', 85, -1, 0), ('r', -1, 80, 0), ('s', -1, 3106, 0), ('t', 85, -1, 0), ('u', -1, 1171, 0), ('w', 0, -1, 0), ('y', -1, 4159, 0), ('z', 208, -1, 0), ('ó', -1, 2941, 0), ('ś', -1, 1171, 0)), (('a', 121, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('e', 2, -1, 0), ('g', 3, -1, 0), ('i', 2, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 2, 1637, 0), ('o', 465, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('w', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 1675, 0)), (('a', 92, 3752, 0), ('e', 10, -1, 0), ('i', 10, -1, 0), ('o', 10, -1, 0), ('r', 10, -1, 0), ('u', 10, -1, 0), ('y', 10, -1, 0), ('z', 10, -1, 0)), (('a', -1, 217, 0), ('b', 30, -1, 0), ('d', 247, -1, 0), ('e', 7, -1, 0), ('i', 118, -1, 0), ('m', 247, -1, 0), ('o', -1, 667, 0), ('r', 118, -1, 0), ('t', 247, -1, 0), ('u', 22, -1, 0), ('w', 30, -1, 0), ('y', 22, -1, 0), ('z', 247, -1, 0), ('ś', 247, -1, 0), ('ź', 30, -1, 0), ('ż', 247, -1, 0)), (('a', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 308, 0), ('j', 21, -1, 0), ('l', 21, -1, 0), ('m', 21, -1, 0), ('o', 3, -1, 0), ('p', 1, -1, 0), ('r', 3, -1, 0), ('s', 1, 675, 0), ('t', -1, 1417, 0), ('u', 3, -1, 0), ('z', -1, 581, 0), ('ł', -1, 2756, 0)), (('a', -1, 1321, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('l', 7, -1, 0), ('o', -1, 2609, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0)), (('a', 7, -1, 0), ('d', 7, -1, 0), ('e', -1, 4412, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('m', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ś', 7, -1, 0), ('ź', 7, -1, 0)), (('a', -1, 1238, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 57, -1, 0), ('e', 151, -1, 0), ('f', 22, -1, 0), ('i', 7, -1, 0), ('l', 22, -1, 0), ('o', -1, 967, 0), ('p', 22, -1, 0), ('r', 45, 399, 0), ('s', 7, -1, 0), ('t', 22, -1, 0), ('u', 7, -1, 0), ('y', 151, -1, 0), ('z', -1, 1486, 0), ('ł', 22, -1, 0)), (('a', -1, 1612, 0), ('e', -1, 3206, 0), ('i', 7, -1, 0), ('o', -1, 2595, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', -1, 4414, 0), ('z', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('n', 7, -1, 0), ('o', -1, 2324, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('w', -1, 3914, 0), ('y', -1, 436, 0), ('z', -1, 2142, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 73, -1, 0), ('d', 9, -1, 0), ('e', -1, 513, 0), ('i', 73, -1, 0), ('l', 73, -1, 0), ('m', 73, -1, 0), ('o', 73, -1, 0), ('r', 73, -1, 0), ('s', 73, -1, 0), ('t', 73, -1, 0), ('u', 73, -1, 0), ('w', 73, -1, 0), ('y', 73, -1, 0), ('z', 73, -1, 0), ('ą', 73, -1, 0), ('ę', -1, 1632, 0), ('ł', 73, -1, 0)), (('a', -1, 402, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 624, 0), ('e', -1, 754, 0), ('g', 5, -1, 0), ('h', -1, 13, 0), ('i', -1, 1033, 0), ('j', -1, 799, 0), ('k', -1, 1144, 0), ('l', -1, 401, 0), ('m', -1, 429, 0), ('n', -1, 145, 0), ('o', -1, 108, 0), ('p', 12, -1, 0), ('r', -1, 406, 0), ('t', -1, 421, 0), ('u', 12, -1, 0), ('w', 5, -1, 0), ('y', -1, 238, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 878, 0), ('ź', 5, -1, 0), ('ż', -1, 625, 0)), (('a', -1, 720, 0), ('b', 0, -1, 0), ('d', 37, -1, 0), ('e', -1, 3652, 0), ('f', 37, -1, 0), ('i', 37, -1, 0), ('l', 37, -1, 0), ('m', 37, -1, 0), ('n', 0, -1, 0), ('o', -1, 1089, 0), ('r', -1, 3887, 0), ('t', 0, -1, 0), ('z', -1, 4060, 0), ('ę', 4, -1, 0)), (('a', -1, 1496, 0), ('b', 12, -1, 0), ('d', -1, 2944, 0), ('e', -1, 79, 0), ('g', -1, 524, 0), ('i', 12, -1, 0), ('k', 12, -1, 0), ('m', -1, 523, 0), ('o', -1, 1909, 0), ('p', -1, 471, 0), ('r', -1, 1307, 0), ('t', 3, 4082, 0), ('u', -1, 4082, 0), ('y', -1, 305, 0), ('z', 5, -1, 0), ('ś', -1, 4023, 0)), (('a', -1, 895, 0), ('d', 2, -1, 0), ('e', 34, -1, 0), ('i', -1, 854, 0), ('o', -1, 166, 0), ('p', 3, -1, 0), ('r', -1, 117, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', 2, -1, 0)), (('a', 12, -1, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 684, 0), ('e', -1, 995, 0), ('f', 7, -1, 0), ('g', 363, -1, 0), ('i', 12, -1, 0), ('k', 363, -1, 0), ('l', 21, -1, 0), ('m', 7, -1, 0), ('n', -1, 451, 0), ('o', 12, -1, 0), ('p', -1, 2100, 0), ('r', -1, 1173, 0), ('s', -1, 575, 0), ('t', 12, -1, 0), ('u', 55, -1, 0), ('w', 53, 2100, 0), ('y', 12, -1, 0), ('z', 7, -1, 0), ('ó', 12, -1, 0), ('ł', 21, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 3867, 0), ('f', 0, -1, 0), ('k', -1, 4006, 0), ('l', 6, -1, 0), ('n', 6, -1, 0), ('o', -1, 141, 0), ('p', 0, -1, 0), ('r', 6, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 2520, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('-', 116, -1, 0), ('a', -1, 2461, 0), ('e', -1, 2431, 0), ('g', 5, -1, 0), ('i', -1, 874, 0), ('j', 106, -1, 0), ('k', 106, -1, 0), ('l', 39, -1, 0), ('m', 5, -1, 0), ('n', 5, -1, 0), ('o', -1, 1130, 0), ('p', 55, -1, 0), ('r', -1, 473, 0), ('s', 3, -1, 0), ('u', -1, 2876, 0), ('w', 39, 383, 0), ('y', -1, 622, 0), ('z', -1, 1382, 0), ('ó', 106, -1, 0), ('ą', 12, -1, 0), ('ę', 106, -1, 0), ('ż', -1, 1309, 0)), (('a', 22, -1, 0), ('e', 3, -1, 0), ('h', 22, -1, 0), ('i', 3, -1, 0), ('k', 22, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 22, -1, 0), ('p', 3, -1, 0), ('r', -1, 4133, 0), ('s', 22, -1, 0), ('t', 22, -1, 0), ('y', 22, -1, 0), ('z', 3, -1, 0), ('ó', 22, -1, 0)), (('a', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 4399, 0), ('e', 11, -1, 0), ('g', -1, 2655, 0), ('h', 11, -1, 0), ('i', -1, 1983, 0), ('j', 11, -1, 0), ('k', 11, -1, 0), ('l', 11, -1, 0), ('m', 11, -1, 0), ('o', 11, -1, 0), ('r', 11, -1, 0), ('t', -1, 3927, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', 11, -1, 0), ('z', 11, -1, 0), ('ł', -1, 1406, 0), ('ś', -1, 376, 0), ('ź', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 1647, 0), ('c', 71, -1, 0), ('d', 22, -1, 0), ('e', -1, 479, 0), ('g', 71, -1, 0), ('i', 3, -1, 0), ('n', -1, 3922, 0), ('o', 3, -1, 0), ('p', 71, -1, 0), ('r', -1, 2420, 0), ('s', 22, -1, 0), ('u', 22, -1, 0), ('w', 22, -1, 0), ('z', -1, 328, 0)), (('a', 64, -1, 0), ('b', 1, -1, 0), ('d', 79, -1, 0), ('e', 79, -1, 0), ('f', 0, -1, 0), ('i', -1, 3242, 0), ('l', 0, -1, 0), ('n', -1, 4427, 0), ('o', 220, -1, 0), ('p', 0, -1, 0), ('r', -1, 4428, 0), ('s', -1, 4429, 0), ('t', -1, 2302, 0), ('u', 4, -1, 0), ('w', -1, 533, 0), ('z', 0, -1, 0), ('ł', -1, 180, 0), ('ż', 0, -1, 0)), (('a', -1, 2032, 0), ('c', 37, -1, 0), ('d', 37, -1, 0), ('e', 37, -1, 0), ('i', 37, -1, 0), ('l', 37, -1, 0), ('o', -1, 297, 0), ('p', 1, -1, 0), ('r', 37, -1, 0), ('t', 37, -1, 0), ('y', -1, 1038, 0), ('z', 37, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 4, -1, 0), ('e', 79, -1, 0), ('f', 4, -1, 0), ('h', 0, -1, 0), ('i', -1, 454, 0), ('k', 4, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 4, -1, 0), ('r', -1, 3318, 0), ('t', 4, -1, 0), ('u', -1, 1495, 0), ('z', -1, 1699, 0), ('ó', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 179, 0), ('e', -1, 3670, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 2038, 0), ('b', -1, 320, 0), ('c', 29, -1, 0), ('d', -1, 1644, 0), ('e', -1, 2181, 0), ('f', 11, -1, 0), ('i', 53, -1, 0), ('l', 108, -1, 0), ('m', -1, 1599, 0), ('n', -1, 4170, 0), ('o', -1, 2187, 0), ('p', -1, 1783, 0), ('r', -1, 1392, 0), ('s', -1, 1548, 0), ('u', -1, 1101, 0), ('w', -1, 1081, 0), ('y', -1, 1265, 0), ('z', -1, 1295, 0), ('ą', -1, 2664, 0), ('ę', -1, 2434, 0)), (('a', 29, -1, 0), ('b', -1, 221, 0), ('d', 0, -1, 0), ('e', 29, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 41, -1, 0), ('l', 4, -1, 0), ('m', -1, 2036, 0), ('o', 6, -1, 0), ('p', 0, -1, 0), ('r', 63, -1, 0), ('s', 7, -1, 0), ('t', 0, -1, 0), ('u', 63, -1, 0), ('w', 0, -1, 0), ('y', 29, -1, 0), ('z', 0, -1, 0), ('ę', 63, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 4008, 0), ('e', 5, -1, 0), ('h', 5, -1, 0), ('i', 5, -1, 0), ('o', -1, 778, 0), ('r', 5, -1, 0), ('t', 5, -1, 0), ('y', 5, -1, 0), ('ź', 5, -1, 0)), (('a', -1, 178, 0), ('b', 70, -1, 0), ('c', 70, -1, 0), ('d', -1, 179, 0), ('e', -1, 2604, 0), ('g', -1, 2544, 0), ('h', 70, -1, 0), ('i', -1, 3810, 0), ('k', -1, 374, 0), ('l', 70, -1, 0), ('n', 3, -1, 0), ('o', -1, 3263, 0), ('p', 70, -1, 0), ('r', 70, -1, 0), ('s', -1, 1088, 0), ('t', 70, -1, 0), ('u', -1, 1156, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ś', 1, 1244, 0), ('ź', 1, -1, 0), ('ż', 70, -1, 0)), (('a', -1, 840, 0), ('b', -1, 1336, 0), ('c', 28, -1, 0), ('d', -1, 387, 0), ('e', -1, 1372, 0), ('f', 5, -1, 0), ('i', 54, -1, 0), ('k', 7, 1297, 0), ('l', 105, -1, 0), ('m', -1, 3004, 0), ('n', -1, 1762, 0), ('o', -1, 1182, 0), ('p', -1, 72, 0), ('r', -1, 174, 0), ('s', -1, 1457, 0), ('t', -1, 2430, 0), ('u', -1, 485, 0), ('w', 4, 844, 0), ('y', -1, 3803, 0), ('z', -1, 1947, 0), ('ą', -1, 2867, 0), ('ę', -1, 1166, 0)), (('a', -1, 1331, 0), ('c', -1, 3728, 0), ('d', 0, -1, 0), ('e', -1, 2665, 0), ('i', -1, 2251, 0), ('j', -1, 1032, 0), ('k', -1, 1911, 0), ('l', 0, -1, 0), ('m', 21, -1, 0), ('n', -1, 180, 0), ('o', -1, 1825, 0), ('p', 0, -1, 0), ('r', -1, 392, 0), ('s', -1, 336, 0), ('t', -1, 504, 0), ('u', -1, 839, 0), ('w', -1, 3217, 0), ('y', -1, 444, 0), ('z', -1, 41, 0), ('ó', 4, -1, 0), ('ę', 4, -1, 0), ('ł', -1, 1053, 0), ('ż', -1, 19, 0)), (('a', 31, -1, 0), ('b', 31, -1, 0), ('c', -1, 4437, 0), ('d', -1, 4108, 0), ('e', 27, -1, 0), ('i', 1, -1, 0), ('o', -1, 2334, 0), ('r', -1, 4438, 0), ('s', -1, 4439, 0), ('u', 31, -1, 0)), (('a', -1, 475, 0), ('d', -1, 3282, 0), ('e', -1, 1751, 0), ('i', 105, -1, 0), ('j', 105, -1, 0), ('l', 105, -1, 0), ('o', -1, 607, 0), ('r', -1, 2020, 0), ('u', -1, 1890, 0), ('y', 105, -1, 0), ('z', -1, 3036, 0), ('ó', 105, -1, 0), ('ą', -1, 2800, 0), ('ę', 105, -1, 0), ('ń', -1, 1000, 0)), (('a', -1, 1213, 0), ('d', 71, -1, 0), ('e', 105, -1, 0), ('h', 105, -1, 0), ('i', -1, 3852, 0), ('j', 71, 3094, 0), ('l', -1, 637, 0), ('o', -1, 2017, 0), ('p', 105, -1, 0), ('r', 55, -1, 0), ('t', 105, -1, 0), ('u', 105, -1, 0), ('z', -1, 1411, 0), ('ż', 71, -1, 0)), (('a', -1, 31, 0), ('e', -1, 361, 0), ('i', -1, 1269, 0), ('j', 105, -1, 0), ('k', 105, -1, 0), ('o', -1, 4390, 0), ('r', 105, -1, 0), ('u', -1, 3144, 0), ('ó', 105, -1, 0), ('ą', 13, -1, 0), ('ę', 105, -1, 0), ('ż', 105, -1, 0)), (('a', -1, 2018, 0), ('b', 16, -1, 0), ('c', 16, -1, 0), ('d', -1, 403, 0), ('e', -1, 996, 0), ('i', -1, 453, 0), ('m', -1, 621, 0), ('n', 16, -1, 0), ('o', -1, 1202, 0), ('p', -1, 817, 0), ('r', -1, 1506, 0), ('s', 10, 3145, 0), ('u', -1, 644, 0), ('w', 16, -1, 0), ('z', -1, 1411, 0), ('ą', -1, 1795, 0), ('ę', -1, 1095, 0)), (('a', -1, 1188, 0), ('b', 22, -1, 0), ('e', 3, -1, 0), ('g', -1, 1195, 0), ('i', -1, 983, 0), ('k', 22, -1, 0), ('l', -1, 257, 0), ('m', 3, -1, 0), ('o', -1, 2161, 0), ('p', 22, -1, 0), ('r', 22, -1, 0), ('s', 3, -1, 0), ('t', 22, -1, 0), ('u', 3, -1, 0), ('w', 1, -1, 0), ('z', -1, 4425, 0), ('ł', 22, -1, 0)), (('a', -1, 4443, 0), ('b', 5, -1, 0), ('d', 13, -1, 0), ('e', 23, -1, 0), ('i', 23, -1, 0), ('k', 224, -1, 0), ('o', 30, -1, 0), ('r', 180, -1, 0), ('u', 180, -1, 0), ('y', 180, -1, 0), ('z', 62, -1, 0)), (('a', -1, 331, 0), ('c', -1, 3554, 0), ('e', -1, 232, 0), ('i', -1, 1584, 0), ('j', 22, -1, 0), ('k', 3, -1, 0), ('l', 180, -1, 0), ('m', 22, -1, 0), ('o', 3, 246, 0), ('p', 23, -1, 0), ('r', -1, 2630, 0), ('t', 180, -1, 0), ('u', -1, 1014, 0), ('y', -1, 1363, 0), ('z', 180, -1, 0), ('ł', 180, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('c', 3, -1, 0), ('d', 2, -1, 0), ('e', 28, -1, 0), ('i', 2, -1, 0), ('l', -1, 1410, 0), ('o', -1, 1320, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('z', 2, -1, 0)), (('a', 31, -1, 0), ('e', 5, -1, 0), ('h', 14, -1, 0), ('i', -1, 1447, 0), ('o', 184, -1, 0), ('r', 14, -1, 0)), (('a', -1, 1818, 0), ('d', -1, 567, 0), ('e', 7, -1, 0), ('f', 3, -1, 0), ('g', -1, 1007, 0), ('h', 7, -1, 0), ('i', -1, 208, 0), ('m', 7, -1, 0), ('o', 7, 16, 0), ('p', 7, -1, 0), ('r', 7, -1, 0), ('t', -1, 1272, 0), ('u', 7, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ś', 7, -1, 0), ('ź', 7, -1, 0)), (('a', 7, -1, 0), ('e', -1, 2379, 0), ('i', 7, -1, 0), ('o', -1, 4448, 0), ('r', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, 2478, 0)), (('a', 2, -1, 0), ('b', 7, -1, 0), ('c', -1, 3449, 0), ('d', -1, 4075, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', -1, 4342, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('j', 7, -1, 0), ('k', -1, 4370, 0), ('l', -1, 3083, 0), ('m', 7, -1, 0), ('n', -1, 4340, 0), ('o', 28, 3605, 0), ('p', 7, -1, 0), ('r', -1, 3757, 0), ('s', -1, 2925, 0), ('t', -1, 3618, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('z', -1, 2937, 0), ('ł', -1, 3622, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('f', 7, -1, 0), ('g', -1, 3297, 0), ('h', 7, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('l', -1, 1411, 0), ('m', -1, 1622, 0), ('n', -1, 2479, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 1885, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 2332, 0), ('ę', 7, -1, 0), ('ł', 7, -1, 0)), (('a', -1, 1598, 0), ('b', 11, -1, 0), ('c', 89, -1, 0), ('d', 11, -1, 0), ('e', -1, 2677, 0), ('f', 11, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('o', 11, -1, 0), ('r', 4, 2440, 0), ('t', 11, -1, 0), ('u', 11, -1, 0), ('y', 11, -1, 0), ('z', 89, -1, 0), ('ó', 11, -1, 0)), (('a', -1, 2979, 0), ('e', 23, -1, 0), ('i', -1, 759, 0), ('j', 23, -1, 0), ('l', 23, -1, 0), ('n', 23, -1, 0), ('o', 23, -1, 0), ('r', 23, -1, 0), ('s', 72, -1, 0), ('u', -1, 646, 0), ('y', 23, -1, 0), ('z', 72, -1, 0), ('ę', 174, -1, 0), ('ł', 23, -1, 0)), (('a', -1, 2594, 0), ('e', 23, -1, 0), ('i', 23, -1, 0), ('l', 23, -1, 0), ('n', 23, -1, 0), ('o', 23, -1, 0), ('r', 23, -1, 0), ('u', -1, 1814, 0), ('y', 23, -1, 0), ('z', 180, -1, 0), ('ę', 23, -1, 0), ('ł', 180, -1, 0)), (('a', -1, 119, 0), ('d', 23, -1, 0), ('e', -1, 4454, 0), ('i', 23, -1, 0), ('j', 23, -1, 0), ('l', 23, -1, 0), ('n', 23, -1, 0), ('o', -1, 3185, 0), ('p', 23, -1, 0), ('r', -1, 2163, 0), ('s', -1, 4442, 0), ('t', 23, -1, 0), ('u', -1, 3311, 0), ('w', 12, 1968, 0), ('y', -1, 3926, 0), ('z', -1, 2818, 0), ('ą', 180, -1, 0), ('ę', -1, 2164, 0), ('ł', 23, -1, 0), ('ż', 23, -1, 0)), (('a', -1, 1423, 0), ('d', 57, -1, 0), ('e', 3, -1, 0), ('f', 23, -1, 0), ('i', 57, -1, 0), ('l', 3, -1, 0), ('m', 22, -1, 0), ('o', -1, 2463, 0), ('r', 22, -1, 0), ('s', 23, -1, 0), ('t', 23, -1, 0), ('z', -1, 909, 0), ('ó', -1, 1829, 0), ('ą', 22, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0)), (('a', 23, -1, 0), ('b', 23, -1, 0), ('d', 23, -1, 0), ('e', 23, -1, 0), ('f', 23, -1, 0), ('g', 23, -1, 0), ('h', 23, -1, 0), ('i', 23, -1, 0), ('k', -1, 1968, 0), ('o', 23, -1, 0), ('p', 12, 693, 0), ('r', 2, 165, 0), ('s', 23, -1, 0), ('t', 23, -1, 0), ('u', 23, -1, 0), ('w', 72, -1, 0), ('y', 23, -1, 0), ('z', 34, -1, 0)), (('a', -1, 2598, 0), ('e', 23, -1, 0), ('i', 23, -1, 0), ('j', 23, -1, 0), ('o', 23, -1, 0), ('r', 23, -1, 0), ('t', 23, -1, 0), ('u', -1, 2899, 0), ('y', -1, 2598, 0), ('z', 23, -1, 0)), (('a', -1, 2979, 0), ('e', 23, -1, 0), ('f', 23, -1, 0), ('h', 23, -1, 0), ('i', -1, 2566, 0), ('j', 23, -1, 0), ('k', 23, -1, 0), ('l', 23, -1, 0), ('n', 23, -1, 0), ('o', -1, 4210, 0), ('p', -1, 647, 0), ('r', -1, 4272, 0), ('s', -1, 3806, 0), ('u', 23, -1, 0), ('y', -1, 4234, 0), ('z', 23, -1, 0), ('ę', -1, 1107, 0), ('ł', -1, 3740, 0)), (('a', -1, 3185, 0), ('c', -1, 3306, 0), ('d', 23, -1, 0), ('e', 23, -1, 0), ('i', -1, 1968, 0), ('o', 23, -1, 0), ('r', 23, -1, 0), ('s', 23, -1, 0), ('u', 23, -1, 0), ('y', 23, -1, 0), ('z', 12, -1, 0), ('ą', 174, -1, 0)), (('a', 7, -1, 0), ('c', 7, -1, 0), ('d', -1, 1448, 0), ('e', 7, -1, 0), ('g', -1, 4206, 0), ('h', 7, -1, 0), ('i', -1, 702, 0), ('j', 7, -1, 0), ('k', 7, -1, 0), ('l', 7, -1, 0), ('m', 7, -1, 0), ('o', 7, -1, 0), ('r', 7, -1, 0), ('t', -1, 1615, 0), ('u', 7, -1, 0), ('w', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 1000, 0), ('ł', -1, 3294, 0), ('ś', -1, 2927, 0), ('ź', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 82, -1, 0), ('e', -1, 2689, 0), ('o', 227, -1, 0), ('r', -1, 2301, 0), ('y', 82, -1, 0), ('ś', 0, -1, 0)), (('a', 82, -1, 0), ('e', 0, -1, 0), ('g', 82, -1, 0), ('i', -1, 510, 0), ('k', 82, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('w', 0, -1, 0), ('y', 82, -1, 0), ('ś', 82, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 1454, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 1274, 0), ('g', 0, -1, 0), ('i', -1, 2766, 0), ('l', 10, -1, 0), ('m', 0, -1, 0), ('n', -1, 2383, 0), ('o', 185, 2383, 0), ('r', 0, -1, 0), ('s', -1, 89, 0), ('u', -1, 3765, 0), ('w', 4, -1, 0), ('y', -1, 2243, 0), ('z', -1, 4463, 0), ('ą', 0, -1, 0), ('ę', -1, 2200, 0), ('ł', 0, -1, 0)), (('a', 2, -1, 0), ('d', 10, -1, 0), ('e', 29, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('l', 12, -1, 0), ('n', 29, -1, 0), ('o', -1, 2163, 0), ('p', 12, -1, 0), ('r', 117, 373, 0), ('w', 12, -1, 0), ('z', -1, 1957, 0)), (('a', 8, -1, 0), ('e', 8, -1, 0), ('i', -1, 51, 0), ('l', 0, -1, 0), ('o', 100, -1, 0), ('r', 8, -1, 0), ('u', 100, -1, 0), ('z', -1, 3836, 0), ('ś', 100, -1, 0)), (('a', -1, 3625, 0), ('b', 8, -1, 0), ('c', 8, -1, 0), ('d', -1, 4466, 0), ('e', -1, 3251, 0), ('g', 8, -1, 0), ('h', -1, 1608, 0), ('i', 100, -1, 0), ('j', -1, 3387, 0), ('k', -1, 3213, 0), ('l', -1, 3996, 0), ('m', -1, 3674, 0), ('n', -1, 4344, 0), ('o', 100, -1, 0), ('p', 100, -1, 0), ('r', -1, 3558, 0), ('t', -1, 2405, 0), ('u', 100, -1, 0), ('w', 8, -1, 0), ('y', -1, 4467, 0), ('z', 8, -1, 0), ('ł', 8, -1, 0), ('ś', -1, 3859, 0), ('ź', 8, -1, 0), ('ż', -1, 4243, 0)), (('a', -1, 3860, 0), ('e', -1, 3726, 0), ('i', -1, 837, 0), ('o', 100, -1, 0), ('r', 100, -1, 0)), (('a', -1, 2345, 0), ('b', 121, -1, 0), ('e', 3, -1, 0), ('i', -1, 3964, 0), ('o', -1, 3104, 0), ('r', 196, -1, 0), ('s', 21, -1, 0), ('t', 100, -1, 0), ('u', 34, -1, 0), ('w', 121, -1, 0), ('y', -1, 3210, 0), ('z', 8, -1, 0), ('ą', -1, 210, 0), ('ę', -1, 3687, 0)), (('a', 8, -1, 0), ('e', 8, -1, 0), ('i', 100, -1, 0), ('o', 100, -1, 0), ('r', 100, -1, 0), ('u', -1, 4244, 0), ('y', 8, -1, 0), ('ę', 100, -1, 0)), (('a', 8, -1, 0), ('e', 8, -1, 0), ('h', 8, -1, 0), ('i', -1, 1524, 0), ('o', -1, 4361, 0), ('r', 8, -1, 0), ('t', -1, 4349, 0), ('y', -1, 2671, 0), ('ź', 8, -1, 0)), (('a', -1, 4471, 0), ('d', -1, 3673, 0), ('e', -1, 4378, 0), ('g', -1, 187, 0), ('h', 8, -1, 0), ('i', 8, -1, 0), ('m', -1, 3553, 0), ('o', 8, 1871, 0), ('p', -1, 2307, 0), ('r', 8, -1, 0), ('t', -1, 4014, 0), ('u', 8, -1, 0), ('y', 8, -1, 0), ('z', -1, 1062, 0), ('ś', -1, 3939, 0), ('ź', 8, -1, 0)), (('a', -1, 2182, 0), ('c', 100, -1, 0), ('d', 8, -1, 0), ('e', -1, 219, 0), ('i', -1, 3084, 0), ('k', 8, -1, 0), ('m', 8, -1, 0), ('n', 8, -1, 0), ('o', 5, -1, 0), ('p', 8, -1, 0), ('r', 107, -1, 0), ('s', 8, -1, 0), ('t', 8, -1, 0), ('u', -1, 1682, 0), ('w', 8, -1, 0), ('y', -1, 3004, 0), ('z', 8, 2492, 0), ('ę', 5, -1, 0)), (('a', 2, -1, 0), ('e', -1, 2331, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('n', 2, -1, 0), ('o', -1, 3484, 0), ('r', -1, 3688, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('z', 2, -1, 0)), (('-', 2, -1, 0), ('a', 57, -1, 0), ('b', -1, 2444, 0), ('c', -1, 2850, 0), ('d', -1, 3984, 0), ('e', 133, -1, 0), ('f', 3, -1, 0), ('g', -1, 3680, 0), ('h', -1, 197, 0), ('i', -1, 2475, 0), ('j', -1, 2863, 0), ('k', -1, 4474, 0), ('l', -1, 48, 0), ('m', -1, 1421, 0), ('n', -1, 3370, 0), ('o', 3, -1, 0), ('p', -1, 2048, 0), ('r', -1, 911, 0), ('s', -1, 1287, 0), ('t', -1, 2872, 0), ('u', 70, -1, 0), ('w', -1, 689, 0), ('y', 3, -1, 0), ('z', -1, 200, 0), ('ę', 70, -1, 0), ('ł', 0, 1288, 0), ('ż', -1, 1422, 0)), (('a', -1, 795, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 2850, 0), ('e', -1, 1312, 0), ('f', 3, -1, 0), ('i', -1, 2583, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 1280, 0), ('o', 41, 30, 0), ('p', -1, 2777, 0), ('r', 3, -1, 0), ('s', -1, 909, 0), ('t', -1, 1957, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', -1, 3071, 0), ('z', -1, 2075, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0), ('ś', 396, -1, 0), ('ż', -1, 351, 0)), (('a', -1, 1081, 0), ('b', 5, -1, 0), ('d', 5, -1, 0), ('e', -1, 3756, 0), ('g', -1, 523, 0), ('i', 5, -1, 0), ('k', 5, -1, 0), ('m', -1, 1537, 0), ('o', -1, 3271, 0), ('p', -1, 2458, 0), ('r', 56, -1, 0), ('t', -1, 245, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 11, -1, 0), ('ś', -1, 2644, 0)), (('a', 105, -1, 0), ('b', 248, -1, 0), ('c', 4, 359, 0), ('e', 155, -1, 0), ('g', 4, -1, 0), ('i', 0, -1, 0), ('k', 4, -1, 0), ('l', 0, 14, 0), ('o', 105, -1, 0), ('p', 37, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('w', 34, -1, 0), ('z', -1, 391, 0)), (('a', -1, 16, 0), ('b', 1, -1, 0), ('d', 5, -1, 0), ('e', 1, -1, 0), ('f', 21, -1, 0), ('i', -1, 2090, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('o', -1, 1083, 0), ('p', 21, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('w', 1, -1, 0), ('z', 145, -1, 0), ('ł', -1, 931, 0)), (('a', -1, 20, 0), ('b', 1, -1, 0), ('d', -1, 2466, 0), ('e', -1, 386, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', -1, 302, 0), ('l', -1, 3453, 0), ('m', 1, -1, 0), ('n', -1, 4479, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 4480, 0), ('s', 1, -1, 0), ('t', 37, 2794, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 79, -1, 0), ('b', 37, -1, 0), ('e', -1, 810, 0), ('o', 79, -1, 0), ('r', 79, -1, 0), ('t', 79, -1, 0), ('u', 79, -1, 0), ('z', 0, -1, 0), ('ś', 37, -1, 0)), (('a', 1, -1, 0), ('e', 1, -1, 0), ('k', 0, -1, 0), ('o', -1, 3945, 0), ('t', 1, -1, 0), ('u', 1, -1, 0)), (('a', -1, 4482, 0), ('e', 22, -1, 0), ('i', 22, -1, 0), ('o', 22, -1, 0), ('r', -1, 1195, 0), ('y', 22, -1, 0)), (('a', 4, -1, 0), ('b', 28, -1, 0), ('e', 4, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', -1, 1130, 0), ('o', -1, 1590, 0), ('p', 22, -1, 0), ('r', -1, 986, 0), ('t', 22, 294, 0), ('u', 255, -1, 0), ('y', 4, -1, 0), ('z', 22, -1, 0)), (('a', 95, -1, 0), ('b', 89, -1, 0), ('d', 38, -1, 0), ('e', -1, 4484, 0), ('g', 236, 3061, 0), ('h', 89, -1, 0), ('i', -1, 3929, 0), ('k', 38, 148, 0), ('l', 89, -1, 0), ('m', -1, 3388, 0), ('o', 120, -1, 0), ('p', -1, 3235, 0), ('r', -1, 1537, 0), ('s', -1, 3446, 0), ('t', 38, -1, 0), ('w', 89, -1, 0), ('z', 89, -1, 0), ('ł', -1, 3446, 0)), (('a', -1, 2505, 0), ('e', -1, 3285, 0), ('i', 2, -1, 0), ('o', -1, 3279, 0), ('r', 38, -1, 0), ('u', 3, -1, 0), ('z', 234, -1, 0)), (('a', 3, -1, 0), ('e', 34, -1, 0), ('i', -1, 92, 0), ('k', 2, -1, 0), ('l', -1, 2622, 0), ('o', 28, -1, 0), ('r', 34, -1, 0), ('s', -1, 4381, 0), ('z', 196, -1, 0), ('ę', 121, -1, 0)), (('a', 178, -1, 0), ('d', 5, -1, 0), ('e', -1, 250, 0), ('h', 145, -1, 0), ('i', 27, -1, 0), ('k', 0, 1233, 0), ('l', 39, -1, 0), ('n', 27, -1, 0), ('o', 27, -1, 0), ('p', -1, 622, 0), ('r', -1, 1095, 0), ('s', 27, -1, 0), ('t', 106, -1, 0), ('u', 27, -1, 0), ('w', 0, 288, 0), ('y', -1, 983, 0), ('z', 27, -1, 0)), (('a', 184, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 2692, 0), ('o', 31, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('z', -1, 195, 0), ('ż', 0, -1, 0)), (('a', 4, -1, 0), ('b', 21, -1, 0), ('d', 21, -1, 0), ('e', 120, -1, 0), ('i', 21, -1, 0), ('k', 4, 819, 0), ('l', 6, -1, 0), ('m', 0, 723, 0), ('n', -1, 870, 0), ('o', 6, -1, 0), ('r', 6, -1, 0), ('s', 1, -1, 0), ('t', -1, 3015, 0), ('z', -1, 2869, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', -1, 1379, 0), ('c', 1, -1, 0), ('d', 37, -1, 0), ('e', -1, 2607, 0), ('i', 55, -1, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('r', 37, -1, 0), ('s', 37, -1, 0), ('t', 37, -1, 0), ('u', -1, 570, 0), ('y', 4, -1, 0), ('z', 37, -1, 0), ('ę', 4, -1, 0), ('ż', 37, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 2021, 0), ('e', -1, 2148, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('o', -1, 2231, 0), ('p', 1, -1, 0), ('r', -1, 3737, 0), ('s', 1, -1, 0), ('t', 55, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ś', 55, -1, 0)), (('a', -1, 2016, 0), ('b', -1, 1353, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', -1, 1522, 0), ('g', 3, -1, 0), ('h', 22, -1, 0), ('i', -1, 2389, 0), ('j', 3, -1, 0), ('k', -1, 216, 0), ('m', -1, 2164, 0), ('n', 22, -1, 0), ('o', 5, -1, 0), ('p', -1, 197, 0), ('r', 22, -1, 0), ('s', 3, -1, 0), ('t', -1, 1617, 0), ('w', 3, 437, 0), ('y', 2, -1, 0), ('z', 3, -1, 0)), (('a', 219, -1, 0), ('b', 0, -1, 0), ('d', 85, -1, 0), ('e', 31, -1, 0), ('i', 11, -1, 0), ('o', 11, -1, 0), ('r', 85, 4493, 0), ('s', -1, 4497, 0), ('u', 11, -1, 0), ('y', 31, -1, 0), ('z', 5, -1, 0), ('ę', 11, -1, 0), ('ł', 85, -1, 0)), (('a', -1, 2580, 0), ('b', 85, -1, 0), ('d', 466, -1, 0), ('e', 85, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 285, -1, 0), ('o', -1, 1048, 0), ('r', -1, 633, 0), ('s', 0, -1, 0), ('t', -1, 4494, 0), ('u', 85, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 477, 0), ('b', 41, -1, 0), ('c', 87, -1, 0), ('d', -1, 4495, 0), ('e', 12, -1, 0), ('h', 12, -1, 0), ('i', -1, 2533, 0), ('m', 41, -1, 0), ('o', 12, -1, 0), ('p', 12, -1, 0), ('r', -1, 175, 0), ('s', 3, 4496, 0), ('t', 12, -1, 0), ('u', 12, -1, 0), ('y', 30, -1, 0), ('z', -1, 1480, 0), ('ż', -1, 4412, 0)), (('a', 22, -1, 0), ('c', 22, -1, 0), ('d', -1, 1353, 0), ('e', 22, -1, 0), ('f', 30, -1, 0), ('i', 22, -1, 0), ('l', 22, -1, 0), ('n', 87, -1, 0), ('o', -1, 1402, 0), ('r', -1, 1281, 0), ('s', 22, -1, 0), ('w', 22, -1, 0), ('y', 22, -1, 0), ('z', -1, 32, 0), ('ł', 3, -1, 0)), (('a', 0, -1, 0), ('d', -1, 2301, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 1373, 0), ('r', 1, -1, 0), ('s', -1, 449, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 116, -1, 0)), (('a', 0, -1, 0), ('e', -1, 412, 0), ('g', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 3495, 0), ('p', 1, -1, 0), ('r', 79, 392, 0), ('t', -1, 53, 0), ('z', 1, -1, 0)), (('a', -1, 3368, 0), ('d', 39, -1, 0), ('e', 21, -1, 0), ('i', 39, -1, 0), ('k', 5, -1, 0), ('l', 39, -1, 0), ('o', 3, -1, 0), ('p', 39, -1, 0), ('r', 21, -1, 0), ('s', 145, -1, 0), ('u', 3, -1, 0), ('y', 21, -1, 0), ('z', 3, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('h', 3, -1, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 4500, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ś', 3, -1, 0), ('ź', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('d', 126, -1, 0), ('e', -1, 439, 0), ('h', -1, 1695, 0), ('i', -1, 3343, 0), ('j', 126, 2248, 0), ('o', 3, -1, 0), ('r', -1, 879, 0), ('t', 6, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', -1, 2247, 0), ('ż', 126, -1, 0)), (('a', -1, 3382, 0), ('e', -1, 2039, 0), ('h', 3, -1, 0), ('i', 29, 2787, 0), ('j', 3, -1, 0), ('l', -1, 1948, 0), ('n', -1, 4484, 0), ('o', -1, 3059, 0), ('r', -1, 4362, 0), ('u', 121, 3279, 0), ('y', -1, 37, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0), ('ę', -1, 2961, 0), ('ł', 2, -1, 0)), (('a', -1, 3048, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('n', -1, 3957, 0), ('o', -1, 4373, 0), ('r', -1, 3539, 0), ('u', -1, 1425, 0), ('y', -1, 4419, 0), ('z', -1, 2207, 0), ('ą', 2, -1, 0), ('ę', -1, 4503, 0)), (('a', -1, 4409, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', -1, 1902, 0), ('l', 2, -1, 0), ('o', -1, 2795, 0), ('r', 2, -1, 0), ('u', -1, 839, 0), ('y', -1, 265, 0), ('z', 21, -1, 0), ('ó', 21, -1, 0), ('ą', -1, 195, 0), ('ę', 21, -1, 0)), (('a', -1, 3349, 0), ('b', -1, 3585, 0), ('c', -1, 1358, 0), ('d', -1, 3499, 0), ('e', -1, 927, 0), ('f', -1, 4297, 0), ('i', -1, 3395, 0), ('j', -1, 3526, 0), ('l', -1, 4299, 0), ('m', -1, 4359, 0), ('n', -1, 3376, 0), ('o', 121, 138, 0), ('p', -1, 4388, 0), ('r', -1, 4353, 0), ('s', -1, 4467, 0), ('t', -1, 3873, 0), ('u', -1, 3498, 0), ('w', -1, 4374, 0), ('y', -1, 4505, 0), ('z', -1, 4365, 0), ('ą', 2, -1, 0), ('ć', 3, -1, 0), ('ę', -1, 2994, 0), ('ł', -1, 3604, 0), ('ń', 3, -1, 0), ('ś', 395, -1, 0), ('ż', -1, 3608, 0)), (('a', -1, 3278, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 1912, 0), ('e', -1, 4506, 0), ('i', 21, -1, 0), ('m', 2, -1, 0), ('o', 1, -1, 0), ('r', -1, 1706, 0), ('s', 2, 424, 0), ('t', -1, 4507, 0), ('u', 21, -1, 0), ('y', -1, 3758, 0), ('z', -1, 3460, 0), ('ó', -1, 1922, 0), ('ł', 121, 576, 0), ('ż', 2, -1, 0)), (('a', -1, 601, 0), ('d', 107, -1, 0), ('e', -1, 1819, 0), ('i', 21, -1, 0), ('l', 1, 4303, 0), ('o', 107, -1, 0), ('r', -1, 863, 0), ('s', 56, -1, 0), ('t', 21, -1, 0), ('u', 107, -1, 0), ('y', 2, -1, 0), ('z', 107, -1, 0), ('ó', -1, 800, 0), ('ż', 21, -1, 0)), (('a', -1, 212, 0), ('e', 2, -1, 0), ('i', -1, 1785, 0), ('k', -1, 2379, 0), ('n', 3, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', -1, 2881, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 3506, 0), ('d', 3, -1, 0), ('e', -1, 1294, 0), ('h', 3, -1, 0), ('i', -1, 2893, 0), ('j', 3, -1, 0), ('l', -1, 4506, 0), ('o', -1, 1914, 0), ('r', -1, 1858, 0), ('s', 121, -1, 0), ('t', 2, -1, 0), ('u', -1, 3900, 0), ('y', -1, 3816, 0), ('z', -1, 3253, 0)), (('a', -1, 4510, 0), ('d', 121, -1, 0), ('e', -1, 1175, 0), ('g', -1, 4358, 0), ('h', -1, 1911, 0), ('i', -1, 3329, 0), ('j', 2, -1, 0), ('k', 121, -1, 0), ('m', -1, 1356, 0), ('n', 3, -1, 0), ('o', -1, 1684, 0), ('r', -1, 3698, 0), ('s', 2, 2453, 0), ('t', 121, -1, 0), ('u', -1, 889, 0), ('w', 3, -1, 0), ('y', -1, 4511, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', 4, -1, 0), ('b', -1, 966, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('f', 2, -1, 0), ('g', -1, 3461, 0), ('h', 2, -1, 0), ('i', -1, 3793, 0), ('j', -1, 3063, 0), ('k', -1, 2847, 0), ('l', -1, 3786, 0), ('m', -1, 1628, 0), ('o', 41, -1, 0), ('p', 2, -1, 0), ('r', -1, 3963, 0), ('s', 2, -1, 0), ('t', -1, 4293, 0), ('u', -1, 1036, 0), ('w', -1, 1878, 0), ('z', -1, 292, 0), ('ł', 2, -1, 0)), (('a', -1, 1747, 0), ('c', -1, 3913, 0), ('d', 2, 351, 0), ('e', 4, -1, 0), ('i', 4, -1, 0), ('o', 28, -1, 0), ('r', -1, 2290, 0), ('s', -1, 2573, 0), ('t', -1, 4512, 0), ('u', 4, -1, 0), ('z', -1, 3751, 0), ('ó', 4, -1, 0), ('ż', -1, 2149, 0)), (('a', 3, -1, 0), ('d', -1, 135, 0), ('e', 0, -1, 0), ('i', 3, -1, 0), ('n', 3, -1, 0), ('o', 2, -1, 0), ('r', 3, -1, 0), ('s', 2, -1, 0), ('u', 3, -1, 0), ('z', 2, -1, 0), ('ó', -1, 1014, 0), ('ą', -1, 2578, 0)), (('a', -1, 1775, 0), ('c', 2, -1, 0), ('e', -1, 4514, 0), ('f', 2, -1, 0), ('h', -1, 1054, 0), ('i', -1, 2846, 0), ('j', 2, -1, 0), ('k', -1, 3915, 0), ('l', -1, 4352, 0), ('n', -1, 4387, 0), ('o', -1, 4257, 0), ('p', -1, 1688, 0), ('r', -1, 3459, 0), ('s', -1, 4051, 0), ('t', -1, 578, 0), ('u', -1, 1687, 0), ('y', -1, 3027, 0), ('z', -1, 3042, 0), ('ą', 2, -1, 0), ('ę', -1, 3900, 0)), (('a', -1, 293, 0), ('b', 2, 201, 0), ('d', 3, -1, 0), ('e', -1, 4246, 0), ('f', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 2188, 0), ('j', -1, 752, 0), ('k', 2, -1, 0), ('l', -1, 2212, 0), ('m', 3, -1, 0), ('n', -1, 3698, 0), ('o', 28, -1, 0), ('p', 3, -1, 0), ('r', -1, 4167, 0), ('s', -1, 2880, 0), ('t', -1, 2929, 0), ('u', 28, -1, 0), ('w', 3, -1, 0), ('z', 2, 602, 0), ('ó', -1, 1074, 0), ('ą', -1, 1629, 0), ('ę', -1, 2782, 0), ('ż', 29, -1, 0)), (('a', -1, 1936, 0), ('e', -1, 4444, 0), ('i', -1, 2879, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 3728, 0), ('r', -1, 3925, 0), ('t', -1, 2357, 0), ('u', -1, 560, 0), ('y', -1, 4001, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0)), (('a', -1, 2699, 0), ('b', 121, -1, 0), ('d', -1, 2917, 0), ('e', 121, -1, 0), ('g', -1, 1007, 0), ('i', 3, -1, 0), ('j', 121, -1, 0), ('k', -1, 272, 0), ('o', -1, 3815, 0), ('p', 2, -1, 0), ('r', 251, -1, 0), ('s', -1, 2140, 0), ('t', 121, -1, 0), ('u', -1, 3517, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ó', 3, -1, 0), ('ł', 2, -1, 0)), (('a', -1, 1840, 0), ('b', 6, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('i', -1, 1234, 0), ('l', 41, -1, 0), ('m', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 41, -1, 0), ('s', 6, -1, 0), ('t', 1, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 29, -1, 0)), (('a', 306, -1, 0), ('b', 3, -1, 0), ('e', -1, 79, 0), ('f', 22, -1, 0), ('g', 3, -1, 0), ('h', -1, 2024, 0), ('i', 238, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 1386, 0), ('o', -1, 4423, 0), ('p', 3, -1, 0), ('r', 22, -1, 0), ('s', 57, -1, 0), ('w', 3, -1, 0), ('y', 57, -1, 0), ('z', 41, -1, 0)), (('a', -1, 67, 0), ('e', 6, -1, 0), ('o', -1, 1602, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('ą', 6, -1, 0)), (('a', -1, 2845, 0), ('b', 10, -1, 0), ('c', 10, -1, 0), ('d', -1, 1654, 0), ('e', -1, 3918, 0), ('g', 10, -1, 0), ('h', -1, 1349, 0), ('i', -1, 616, 0), ('j', -1, 1426, 0), ('k', -1, 3920, 0), ('l', -1, 3231, 0), ('m', -1, 3921, 0), ('n', 11, -1, 0), ('o', -1, 3400, 0), ('p', 11, -1, 0), ('r', -1, 3542, 0), ('t', -1, 3050, 0), ('u', 10, -1, 0), ('w', 10, -1, 0), ('y', -1, 3559, 0), ('z', 10, -1, 0), ('ł', 10, -1, 0), ('ś', -1, 4348, 0), ('ź', 10, -1, 0), ('ż', -1, 4069, 0)), (('a', 196, -1, 0), ('b', 6, -1, 0), ('c', -1, 1552, 0), ('d', -1, 2972, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', -1, 1278, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', -1, 2523, 0), ('l', -1, 1319, 0), ('m', 6, -1, 0), ('n', -1, 1609, 0), ('o', 4, 95, 0), ('p', 6, -1, 0), ('r', -1, 636, 0), ('s', -1, 1029, 0), ('t', -1, 1277, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 0, -1, 0), ('z', -1, 127, 0), ('ł', -1, 1239, 0), ('ż', 6, -1, 0)), (('a', -1, 231, 0), ('b', -1, 1214, 0), ('c', -1, 1349, 0), ('d', -1, 2757, 0), ('e', 21, -1, 0), ('f', 21, -1, 0), ('g', -1, 1137, 0), ('h', -1, 1292, 0), ('i', -1, 764, 0), ('j', 438, 574, 0), ('k', -1, 4523, 0), ('l', -1, 2602, 0), ('m', -1, 2067, 0), ('n', -1, 2436, 0), ('o', 6, -1, 0), ('p', 21, -1, 0), ('r', -1, 1780, 0), ('s', -1, 1607, 0), ('t', -1, 1558, 0), ('u', 21, -1, 0), ('w', -1, 2254, 0), ('y', -1, 1279, 0), ('z', -1, 760, 0), ('ł', -1, 4284, 0), ('ż', -1, 734, 0)), (('a', -1, 1239, 0), ('b', -1, 487, 0), ('c', -1, 588, 0), ('d', -1, 2435, 0), ('e', -1, 60, 0), ('f', -1, 398, 0), ('i', -1, 1072, 0), ('j', -1, 956, 0), ('k', 37, -1, 0), ('l', -1, 2091, 0), ('m', -1, 1572, 0), ('n', -1, 2543, 0), ('o', -1, 2535, 0), ('p', -1, 434, 0), ('r', -1, 3320, 0), ('s', -1, 2737, 0), ('t', -1, 1054, 0), ('u', -1, 675, 0), ('w', -1, 1932, 0), ('y', 21, -1, 0), ('z', -1, 1714, 0), ('ć', 21, -1, 0), ('ę', -1, 112, 0), ('ł', -1, 975, 0), ('ń', -1, 575, 0), ('ś', 37, -1, 0), ('ź', 21, -1, 0), ('ż', -1, 1633, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 3477, 0), ('h', 1, -1, 0), ('i', -1, 4525, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 55, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 2263, 0), ('e', -1, 1427, 0), ('f', 0, -1, 0), ('h', -1, 699, 0), ('i', -1, 737, 0), ('j', 0, -1, 0), ('k', -1, 3879, 0), ('l', -1, 3732, 0), ('n', -1, 1134, 0), ('o', -1, 1364, 0), ('p', -1, 1532, 0), ('r', -1, 1836, 0), ('s', -1, 1924, 0), ('t', -1, 1362, 0), ('u', -1, 1532, 0), ('w', -1, 3907, 0), ('y', -1, 2111, 0), ('z', -1, 701, 0), ('ó', -1, 166, 0), ('ą', -1, 2048, 0), ('ę', -1, 1783, 0)), (('a', -1, 2554, 0), ('b', 3, 2487, 0), ('d', -1, 30, 0), ('e', 21, -1, 0), ('f', 3, -1, 0), ('g', -1, 2980, 0), ('i', -1, 824, 0), ('j', 3, -1, 0), ('k', -1, 991, 0), ('l', -1, 1130, 0), ('m', 22, -1, 0), ('n', 22, 424, 0), ('o', 0, -1, 0), ('p', 3, 216, 0), ('r', 3, -1, 0), ('s', 22, -1, 0), ('t', -1, 1578, 0), ('w', 3, -1, 0), ('z', 3, -1, 0)), (('a', 1, -1, 0), ('d', 3, -1, 0), ('e', -1, 2328, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('l', 22, -1, 0), ('m', 3, -1, 0), ('n', 22, -1, 0), ('o', 0, -1, 0), ('r', 3, 2055, 0), ('s', 3, -1, 0), ('t', -1, 294, 0), ('u', 0, -1, 0), ('z', -1, 1522, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 90, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 531, 0), ('p', -1, 1893, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('d', 2, 751, 0), ('e', 28, -1, 0), ('g', 2, -1, 0), ('i', -1, 529, 0), ('l', 28, -1, 0), ('n', 2, -1, 0), ('o', -1, 3338, 0), ('p', 28, -1, 0), ('r', 28, -1, 0), ('t', 28, -1, 0), ('z', -1, 1050, 0)), (('a', -1, 1681, 0), ('d', -1, 4368, 0), ('e', -1, 3136, 0), ('i', -1, 1541, 0), ('j', 6, -1, 0), ('l', 6, -1, 0), ('o', -1, 3791, 0), ('r', -1, 2097, 0), ('u', -1, 1666, 0), ('y', 6, -1, 0), ('z', -1, 1948, 0), ('ó', 6, -1, 0), ('ą', -1, 193, 0), ('ę', 6, -1, 0), ('ń', -1, 2367, 0)), (('a', -1, 690, 0), ('b', 157, -1, 0), ('d', 3, -1, 0), ('e', -1, 2042, 0), ('i', -1, 1538, 0), ('j', -1, 1058, 0), ('l', -1, 4532, 0), ('m', -1, 3780, 0), ('n', -1, 3056, 0), ('o', 2, -1, 0), ('p', -1, 4257, 0), ('r', -1, 4177, 0), ('u', -1, 1633, 0), ('w', -1, 3353, 0), ('y', 3, -1, 0), ('z', -1, 952, 0), ('ą', 2, -1, 0), ('ć', 158, -1, 0), ('ń', -1, 3469, 0), ('ś', 253, -1, 0), ('ź', -1, 208, 0), ('ż', 2, -1, 0)), (('a', -1, 2213, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 3322, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', -1, 3145, 0), ('l', -1, 3784, 0), ('m', 1, -1, 0), ('n', -1, 180, 0), ('o', 2, -1, 0), ('p', 1, -1, 0), ('r', -1, 3748, 0), ('s', 1, -1, 0), ('t', 0, 2794, 0), ('u', 2, -1, 0), ('w', 1, -1, 0), ('z', -1, 3475, 0), ('ż', 1, -1, 0)), (('a', -1, 3382, 0), ('e', -1, 2039, 0), ('h', 3, -1, 0), ('i', 29, 2787, 0), ('j', 3, -1, 0), ('l', -1, 1948, 0), ('n', -1, 4484, 0), ('o', -1, 3056, 0), ('r', -1, 2910, 0), ('u', 121, 3279, 0), ('y', -1, 37, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0), ('ę', -1, 2961, 0), ('ł', 2, -1, 0)), (('a', -1, 1412, 0), ('e', 2, -1, 0), ('i', 2, -1, 0), ('n', -1, 3957, 0), ('o', -1, 4373, 0), ('r', -1, 3539, 0), ('u', -1, 2734, 0), ('y', -1, 4419, 0), ('z', -1, 2207, 0), ('ą', 2, -1, 0), ('ę', -1, 2880, 0)), (('a', -1, 3302, 0), ('b', -1, 3585, 0), ('c', -1, 2824, 0), ('d', -1, 3499, 0), ('e', -1, 3542, 0), ('f', -1, 4297, 0), ('i', -1, 4536, 0), ('j', -1, 3526, 0), ('l', -1, 4299, 0), ('m', -1, 4302, 0), ('n', -1, 3458, 0), ('o', 121, 138, 0), ('p', -1, 4107, 0), ('r', -1, 2376, 0), ('s', -1, 4467, 0), ('t', -1, 3496, 0), ('u', -1, 3498, 0), ('w', -1, 4537, 0), ('y', -1, 1992, 0), ('z', -1, 1064, 0), ('ą', 2, -1, 0), ('ć', 3, -1, 0), ('ę', -1, 2994, 0), ('ł', -1, 2742, 0), ('ń', 3, -1, 0), ('ś', 395, -1, 0), ('ż', -1, 4512, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('e', 2, -1, 0), ('f', -1, 3396, 0), ('g', 2, 1717, 0), ('i', -1, 1087, 0), ('k', -1, 2845, 0), ('l', 2, -1, 0), ('m', -1, 3723, 0), ('n', -1, 2790, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', -1, 1055, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('z', 2, -1, 0)), (('a', -1, 439, 0), ('d', -1, 1247, 0), ('e', -1, 4538, 0), ('i', 3, -1, 0), ('j', 1, -1, 0), ('l', 10, -1, 0), ('n', -1, 3250, 0), ('o', 2, -1, 0), ('r', 64, -1, 0), ('s', -1, 3438, 0), ('u', 3, -1, 0), ('w', -1, 455, 0), ('y', -1, 2922, 0), ('z', -1, 2225, 0), ('ó', -1, 3336, 0), ('ę', 120, -1, 0), ('ł', 64, -1, 0)), (('a', -1, 445, 0), ('e', -1, 221, 0), ('i', 3, -1, 0), ('l', 2, 1776, 0), ('o', -1, 1168, 0), ('r', -1, 2220, 0), ('t', -1, 2841, 0), ('u', -1, 2498, 0), ('z', 28, -1, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 3506, 0), ('d', 3, -1, 0), ('e', -1, 1294, 0), ('h', 3, -1, 0), ('i', -1, 1832, 0), ('j', 3, -1, 0), ('l', 121, -1, 0), ('o', -1, 1914, 0), ('r', -1, 1858, 0), ('s', 121, -1, 0), ('t', 2, -1, 0), ('u', -1, 3900, 0), ('y', -1, 3816, 0), ('z', -1, 4326, 0)), (('a', -1, 4510, 0), ('d', 121, -1, 0), ('e', -1, 1175, 0), ('g', -1, 351, 0), ('h', -1, 1911, 0), ('i', -1, 3329, 0), ('j', 2, -1, 0), ('k', 121, -1, 0), ('m', -1, 1356, 0), ('n', 3, -1, 0), ('o', -1, 1684, 0), ('r', -1, 3698, 0), ('s', 2, 2453, 0), ('t', 121, -1, 0), ('u', -1, 889, 0), ('w', 3, -1, 0), ('y', -1, 4511, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 1775, 0), ('c', 2, -1, 0), ('e', -1, 4514, 0), ('f', 2, -1, 0), ('h', -1, 1054, 0), ('i', -1, 2846, 0), ('j', 2, -1, 0), ('k', -1, 2848, 0), ('l', -1, 4352, 0), ('n', -1, 1473, 0), ('o', -1, 4257, 0), ('p', -1, 1688, 0), ('r', -1, 3459, 0), ('s', -1, 3700, 0), ('t', -1, 578, 0), ('u', -1, 1687, 0), ('y', -1, 3027, 0), ('z', -1, 3042, 0), ('ą', 2, -1, 0), ('ę', -1, 3900, 0)), (('a', -1, 1936, 0), ('e', -1, 4444, 0), ('i', -1, 2879, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', -1, 3728, 0), ('r', -1, 3925, 0), ('t', -1, 2357, 0), ('u', -1, 560, 0), ('y', -1, 4269, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0)), (('a', -1, 1543, 0), ('b', 121, -1, 0), ('d', -1, 2917, 0), ('e', 121, -1, 0), ('g', -1, 1007, 0), ('i', 3, -1, 0), ('j', 121, -1, 0), ('k', -1, 272, 0), ('o', -1, 3815, 0), ('p', 2, -1, 0), ('r', 251, -1, 0), ('s', -1, 2140, 0), ('t', 121, -1, 0), ('u', -1, 3517, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ó', 3, -1, 0), ('ł', 2, -1, 0)), (('a', 6, -1, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', -1, 36, 0), ('i', 6, -1, 0), ('k', 21, -1, 0), ('l', 6, -1, 0), ('m', -1, 470, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', -1, 533, 0), ('s', 21, 127, 0), ('t', 328, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ę', -1, 1666, 0)), (('a', 0, -1, 0), ('i', 79, -1, 0), ('o', 4, -1, 0)), (('a', -1, 121, 0), ('b', -1, 4547, 0), ('d', 230, -1, 0), ('e', 0, -1, 0), ('f', 28, -1, 0), ('k', 0, -1, 0), ('l', -1, 4546, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1839, 0), ('p', 28, -1, 0), ('t', 0, -1, 0), ('u', 0, 175, 0), ('w', -1, 3490, 0), ('y', 0, -1, 0), ('z', -1, 934, 0)), (('a', -1, 3079, 0), ('e', -1, 179, 0), ('i', 1, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', -1, 1825, 0), ('w', 6, -1, 0), ('y', 28, -1, 0), ('z', 28, 4548, 0)), (('a', -1, 1284, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, 1428, 0), ('e', 28, -1, 0), ('i', -1, 2260, 0), ('j', 3, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('s', 3, -1, 0), ('t', 274, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 1391, 0), ('b', 12, -1, 0), ('c', 12, -1, 0), ('d', -1, 365, 0), ('e', -1, 3255, 0), ('g', 12, -1, 0), ('h', -1, 1644, 0), ('i', -1, 765, 0), ('j', -1, 1929, 0), ('k', -1, 1691, 0), ('l', -1, 155, 0), ('m', -1, 1929, 0), ('n', -1, 674, 0), ('o', -1, 424, 0), ('p', 96, -1, 0), ('r', -1, 945, 0), ('s', 28, 668, 0), ('t', -1, 667, 0), ('u', 96, -1, 0), ('w', 12, -1, 0), ('y', -1, 146, 0), ('z', 12, -1, 0), ('ł', 12, -1, 0), ('ś', -1, 1487, 0), ('ź', 12, -1, 0), ('ż', -1, 1033, 0)), (('a', -1, 380, 0), ('b', 5, -1, 0), ('c', 5, -1, 0), ('d', -1, 1017, 0), ('e', -1, 1198, 0), ('g', 5, -1, 0), ('h', -1, 14, 0), ('i', 99, -1, 0), ('j', -1, 755, 0), ('k', -1, 133, 0), ('l', -1, 379, 0), ('m', -1, 783, 0), ('n', -1, 722, 0), ('o', 99, -1, 0), ('p', 99, -1, 0), ('r', -1, 424, 0), ('s', -1, 957, 0), ('t', -1, 231, 0), ('u', 99, -1, 0), ('w', 5, -1, 0), ('y', -1, 503, 0), ('z', 5, -1, 0), ('ł', 5, -1, 0), ('ś', -1, 63, 0), ('ź', 5, -1, 0), ('ż', -1, 381, 0)), (('a', 5, -1, 0), ('d', 5, -1, 0), ('e', 5, -1, 0), ('n', 5, -1, 0), ('o', 5, -1, 0), ('r', 39, -1, 0), ('u', 5, -1, 0), ('y', -1, 1955, 0), ('z', 39, -1, 0), ('ą', 5, -1, 0), ('ł', 39, -1, 0)), (('a', -1, 4486, 0), ('e', 5, -1, 0), ('i', -1, 446, 0), ('o', -1, 4314, 0), ('r', 5, -1, 0), ('s', 5, -1, 0), ('t', 5, -1, 0), ('u', 5, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0), ('ą', 5, -1, 0), ('ć', 5, -1, 0), ('ę', 5, -1, 0)), (('a', 39, -1, 0), ('b', 4, -1, 0), ('d', 1, -1, 0), ('e', -1, 3047, 0), ('g', -1, 65, 0), ('i', -1, 1509, 0), ('k', 4, -1, 0), ('m', 4, -1, 0), ('n', 4, -1, 0), ('o', -1, 4498, 0), ('r', -1, 3468, 0), ('s', 4, -1, 0), ('w', 4, -1, 0), ('y', 5, -1, 0), ('z', 5, -1, 0)), (('a', -1, 4314, 0), ('c', 4, -1, 0), ('e', 39, -1, 0), ('i', -1, 447, 0), ('n', 39, -1, 0), ('o', 5, -1, 0), ('r', 4, -1, 0), ('s', 145, -1, 0), ('z', 4, -1, 0), ('ą', 5, -1, 0), ('ę', 5, -1, 0)), (('a', 5, -1, 0), ('e', 5, -1, 0), ('h', 39, -1, 0), ('i', -1, 4422, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 2120, 0)), (('a', -1, 656, 0), ('o', 0, -1, 0), ('r', -1, 3381, 0), ('u', 4, -1, 0), ('y', 55, -1, 0), ('ę', -1, 4071, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', 79, -1, 0), ('e', -1, 4038, 0), ('h', 95, -1, 0), ('i', -1, 1998, 0), ('k', 217, -1, 0), ('o', -1, 55, 0), ('p', 95, -1, 0), ('r', -1, 4063, 0), ('u', -1, 1295, 0), ('y', -1, 4118, 0), ('ę', -1, 4438, 0), ('ł', 95, -1, 0), ('ś', -1, 1763, 0)), (('a', -1, 810, 0), ('e', 0, -1, 0), ('g', 79, -1, 0), ('i', 0, -1, 0), ('n', 131, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 44, 0), ('i', 0, -1, 0), ('o', -1, 1593, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', -1, 2098, 0), ('e', -1, 2235, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 331, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', 1, -1, 0), ('z', 4, -1, 0)), (('a', -1, 4062, 0), ('b', -1, 4562, 0), ('c', -1, 4099, 0), ('d', -1, 4563, 0), ('e', -1, 4120, 0), ('g', -1, 4564, 0), ('h', -1, 1512, 0), ('i', -1, 2714, 0), ('j', -1, 520, 0), ('k', -1, 2032, 0), ('l', -1, 4565, 0), ('m', -1, 3491, 0), ('n', -1, 3520, 0), ('o', -1, 3313, 0), ('p', -1, 4460, 0), ('r', -1, 4566, 0), ('t', -1, 4567, 0), ('u', 0, 4496, 0), ('w', -1, 4568, 0), ('y', -1, 4224, 0), ('z', -1, 3174, 0), ('ł', -1, 3493, 0), ('ś', -1, 4569, 0), ('ź', -1, 2362, 0), ('ż', -1, 4570, 0)), (('a', -1, 1189, 0), ('o', 4, -1, 0), ('y', 0, -1, 0)), (('a', -1, 2601, 0), ('e', -1, 1611, 0), ('i', 4, -1, 0), ('o', -1, 856, 0), ('u', 0, -1, 0)), (('a', 0, 288, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 227, 14, 0), ('y', 0, -1, 0)), (('a', -1, 4141, 0), ('e', 0, -1, 0), ('o', -1, 2258, 0), ('ó', 4, -1, 0)), (('a', -1, 2556, 0), ('d', 4, -1, 0), ('e', 0, -1, 0), ('o', -1, 1413, 0), ('ó', 0, -1, 0)), (('a', -1, 3983, 0), ('e', -1, 3471, 0), ('o', 1, 387, 0), ('r', 227, -1, 0), ('s', 4, -1, 0), ('u', 0, -1, 0), ('y', -1, 1086, 0), ('ę', 4, -1, 0)), (('a', -1, 2563, 0), ('e', -1, 293, 0), ('i', 4, -1, 0), ('o', 0, -1, 0), ('y', 4, -1, 0), ('ó', 0, -1, 0)), (('a', 4, -1, 0), ('e', 4, -1, 0), ('i', 0, -1, 0), ('l', 4, -1, 0), ('o', 0, -1, 0), ('ę', 227, -1, 0)), (('a', -1, 2563, 0), ('e', 0, -1, 0), ('o', 4, -1, 0), ('ó', -1, 3892, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 1500, 0), ('e', 4, -1, 0), ('o', -1, 3318, 0), ('r', -1, 2252, 0), ('u', -1, 2786, 0), ('y', -1, 1553, 0), ('ł', 1, -1, 0)), (('a', -1, 2709, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 3765, 0), ('o', -1, 4219, 0), ('t', 0, -1, 0), ('u', 0, -1, 0)), (('a', 1, -1, 0), ('e', 335, -1, 0), ('i', 335, -1, 0), ('o', -1, 2944, 0), ('p', 1, -1, 0), ('r', 55, -1, 0), ('u', -1, 4202, 0), ('y', -1, 1737, 0)), (('a', 4, -1, 0), ('e', -1, 4220, 0), ('i', 4, -1, 0), ('l', 0, -1, 0), ('o', -1, 1964, 0), ('r', 4, -1, 0), ('t', 4, -1, 0), ('u', 131, -1, 0), ('y', -1, 3034, 0), ('ł', 0, -1, 0), ('ź', 4, -1, 0)), (('a', 70, -1, 0), ('e', -1, 3849, 0), ('i', 70, -1, 0), ('l', 70, -1, 0), ('o', 7, -1, 0), ('r', 70, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', -1, 2051, 0)), (('a', 70, -1, 0), ('e', -1, 2893, 0), ('i', 70, -1, 0), ('l', 70, -1, 0), ('m', 70, -1, 0), ('o', 70, -1, 0), ('r', 70, -1, 0), ('s', -1, 3810, 0), ('t', 70, -1, 0), ('u', 70, -1, 0), ('y', 70, -1, 0), ('z', 70, -1, 0), ('ą', 70, -1, 0), ('ę', -1, 2779, 0), ('ł', 70, -1, 0)), (('a', 71, -1, 0), ('e', -1, 4369, 0), ('i', 70, -1, 0), ('o', 7, -1, 0), ('r', 70, -1, 0), ('y', 71, -1, 0), ('ą', 70, -1, 0), ('ę', 7, -1, 0)), (('a', 16, -1, 0), ('c', 22, -1, 0), ('d', 3, -1, 0), ('e', 16, -1, 0), ('f', 3, -1, 0), ('g', 3, -1, 0), ('i', -1, 1977, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', 22, 46, 0), ('o', -1, 221, 0), ('p', -1, 2487, 0), ('r', -1, 2053, 0), ('s', 3, -1, 0), ('t', -1, 3504, 0), ('y', 30, -1, 0), ('z', 22, 2777, 0), ('ł', -1, 628, 0), ('ż', 22, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 3769, 0), ('e', 22, -1, 0), ('h', 3, -1, 0), ('i', 22, -1, 0), ('l', -1, 4425, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', -1, 1195, 0), ('u', 6, -1, 0), ('w', 3, -1, 0), ('y', -1, 824, 0), ('z', 3, -1, 0), ('ś', 3, -1, 0), ('ź', 3, -1, 0), ('ż', -1, 62, 0)), (('a', -1, 1657, 0), ('e', -1, 4485, 0), ('i', 120, -1, 0), ('l', 64, -1, 0), ('n', -1, 45, 0), ('o', 446, -1, 0), ('r', 1, -1, 0), ('y', -1, 340, 0), ('z', 146, -1, 0), ('ą', 120, -1, 0), ('ę', -1, 2353, 0)), (('a', -1, 3217, 0), ('e', 6, -1, 0), ('i', 0, -1, 0), ('o', 28, 612, 0), ('p', 79, -1, 0), ('r', 79, -1, 0), ('w', 1, -1, 0), ('y', 6, -1, 0), ('z', 4, -1, 0)), (('a', 13, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 285, -1, 0), ('e', 13, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 3384, 0), ('j', 0, -1, 0), ('k', -1, 4252, 0), ('l', -1, 3890, 0), ('m', 3, -1, 0), ('o', -1, 4164, 0), ('r', -1, 3905, 0), ('s', 0, -1, 0), ('t', -1, 3889, 0), ('w', -1, 1718, 0), ('z', -1, 1203, 0)), (('a', -1, 113, 0), ('b', 14, -1, 0), ('d', 14, -1, 0), ('e', -1, 2173, 0), ('g', 14, -1, 0), ('i', 0, 52, 0), ('k', 14, -1, 0), ('l', 1, -1, 0), ('o', -1, 4016, 0), ('p', 14, -1, 0), ('t', 14, -1, 0), ('u', 14, -1, 0), ('y', 14, -1, 0), ('ś', -1, 3966, 0)), (('a', -1, 2688, 0), ('d', -1, 387, 0), ('e', -1, 1372, 0), ('i', 54, -1, 0), ('l', 105, -1, 0), ('o', -1, 3767, 0), ('r', -1, 174, 0), ('u', -1, 485, 0), ('y', -1, 3803, 0), ('ą', -1, 2867, 0), ('ę', -1, 1166, 0)), (('a', -1, 392, 0), ('b', 37, -1, 0), ('d', 37, -1, 0), ('e', -1, 1450, 0), ('g', 1, -1, 0), ('i', 37, -1, 0), ('j', 37, -1, 0), ('k', 37, -1, 0), ('l', 0, -1, 0), ('m', 0, 625, 0), ('n', 37, -1, 0), ('o', -1, 640, 0), ('p', 37, -1, 0), ('r', 37, -1, 0), ('s', 37, -1, 0), ('t', 37, -1, 0), ('z', 4, -1, 0), ('ż', 37, -1, 0)), (('a', 28, -1, 0), ('c', 28, -1, 0), ('d', 105, -1, 0), ('e', 4, -1, 0), ('i', 0, -1, 0), ('o', 248, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('u', 105, -1, 0), ('y', -1, 4192, 0), ('z', 105, -1, 0), ('ł', 4, -1, 0)), (('a', -1, 450, 0), ('b', -1, 448, 0), ('c', -1, 3820, 0), ('d', -1, 2006, 0), ('e', 29, -1, 0), ('f', 1, -1, 0), ('g', -1, 3405, 0), ('h', -1, 883, 0), ('i', -1, 2053, 0), ('j', -1, 3820, 0), ('k', -1, 4588, 0), ('l', -1, 4490, 0), ('m', 438, 2466, 0), ('n', -1, 1871, 0), ('o', -1, 1077, 0), ('p', 1, -1, 0), ('r', -1, 837, 0), ('s', -1, 2861, 0), ('t', -1, 2791, 0), ('w', -1, 3258, 0), ('y', 1, -1, 0), ('z', -1, 1820, 0), ('ó', 7, -1, 0), ('ł', -1, 3256, 0), ('ż', -1, 1958, 0)), (('a', -1, 326, 0), ('b', 1, -1, 0), ('c', -1, 448, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', -1, 735, 0), ('m', -1, 448, 0), ('n', -1, 2389, 0), ('o', 79, 3672, 0), ('p', -1, 1084, 0), ('r', -1, 1099, 0), ('s', -1, 2321, 0), ('t', -1, 1955, 0), ('u', 1, -1, 0), ('w', -1, 1427, 0), ('y', -1, 2231, 0), ('z', -1, 3631, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 1828, 0), ('ś', 1, -1, 0), ('ż', -1, 299, 0)), (('a', -1, 2410, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', -1, 1621, 0), ('e', -1, 1082, 0), ('g', 11, -1, 0), ('h', -1, 3803, 0), ('i', -1, 3211, 0), ('j', -1, 1799, 0), ('k', -1, 3076, 0), ('l', -1, 2746, 0), ('m', -1, 3532, 0), ('n', 7, -1, 0), ('o', -1, 813, 0), ('p', 7, -1, 0), ('r', -1, 495, 0), ('t', -1, 2939, 0), ('u', 11, -1, 0), ('w', 11, -1, 0), ('y', -1, 1599, 0), ('z', 11, -1, 0), ('ł', 11, -1, 0), ('ś', -1, 2380, 0), ('ź', 11, -1, 0), ('ż', -1, 525, 0)), (('a', -1, 2753, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', -1, 1272, 0), ('i', -1, 1457, 0), ('j', 6, -1, 0), ('k', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', -1, 3821, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', -1, 1998, 0), ('w', 6, -1, 0), ('z', -1, 3932, 0), ('ó', 6, -1, 0), ('ą', 15, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 82, -1, 0), ('k', -1, 585, 0), ('l', -1, 839, 0), ('m', 1, -1, 0), ('n', -1, 2358, 0), ('o', 41, -1, 0), ('p', -1, 265, 0), ('r', 6, -1, 0), ('y', -1, 166, 0), ('z', 28, -1, 0), ('ł', 1, 1143, 0), ('ż', 28, -1, 0)), (('a', 64, -1, 0), ('b', 1, 3137, 0), ('c', -1, 3895, 0), ('d', -1, 3931, 0), ('e', -1, 2560, 0), ('f', -1, 3468, 0), ('g', -1, 4593, 0), ('h', 21, 528, 0), ('i', -1, 2205, 0), ('j', 6, -1, 0), ('k', -1, 4594, 0), ('l', -1, 4595, 0), ('m', -1, 4367, 0), ('n', -1, 4596, 0), ('o', -1, 143, 0), ('p', -1, 3589, 0), ('r', -1, 4517, 0), ('s', -1, 3091, 0), ('t', -1, 4080, 0), ('u', 1, -1, 0), ('w', -1, 4597, 0), ('z', -1, 3759, 0), ('ł', 6, -1, 0), ('ż', -1, 4544, 0)), (('a', -1, 126, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('l', 6, -1, 0), ('o', 1, -1, 0), ('r', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', -1, 4198, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0)), (('a', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', 6, -1, 0), ('r', -1, 4367, 0), ('s', -1, 3895, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ą', 6, -1, 0), ('ć', 6, -1, 0), ('ę', 6, -1, 0)), (('a', -1, 646, 0), ('d', -1, 356, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('m', 6, -1, 0), ('o', 6, -1, 0), ('p', -1, 36, 0), ('r', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ś', -1, 874, 0), ('ź', 6, -1, 0)), (('a', -1, 2610, 0), ('e', 21, -1, 0), ('g', 6, -1, 0), ('i', 6, -1, 0), ('o', 6, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 21, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0)), (('a', -1, 1949, 0), ('d', 4, -1, 0), ('e', 6, -1, 0), ('h', 4, -1, 0), ('i', 6, -1, 0), ('o', -1, 4598, 0), ('r', -1, 3114, 0), ('t', 1, -1, 0), ('u', 6, -1, 0), ('w', 4, -1, 0), ('y', -1, 4590, 0), ('z', 6, -1, 0)), (('a', -1, 1814, 0), ('b', 6, -1, 0), ('c', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('f', 6, -1, 0), ('g', 6, -1, 0), ('h', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('k', 1, 4599, 0), ('l', 6, -1, 0), ('m', 6, -1, 0), ('n', 6, -1, 0), ('o', 5, -1, 0), ('p', 146, 1277, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 5, -1, 0), ('z', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('j', 6, -1, 0), ('l', 6, -1, 0), ('n', 6, -1, 0), ('o', 6, -1, 0), ('p', 6, -1, 0), ('r', 6, -1, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 6, -1, 0), ('w', 6, -1, 0), ('y', 6, -1, 0), ('z', 6, -1, 0), ('ę', 6, -1, 0), ('ł', 6, -1, 0), ('ż', 6, -1, 0)), (('a', 5, -1, 0), ('b', 5, -1, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('j', 5, -1, 0), ('k', 5, -1, 0), ('o', 5, -1, 0), ('r', 5, -1, 0), ('u', 5, -1, 0), ('y', -1, 2851, 0), ('ó', 5, -1, 0), ('ę', 5, -1, 0), ('ż', 5, -1, 0)), (('a', -1, 772, 0), ('d', 24, -1, 0), ('e', -1, 588, 0), ('i', 24, -1, 0), ('j', 24, -1, 0), ('l', 24, -1, 0), ('n', 24, -1, 0), ('o', -1, 3088, 0), ('p', 24, -1, 0), ('r', -1, 747, 0), ('s', -1, 1053, 0), ('t', 24, -1, 0), ('u', -1, 178, 0), ('w', 7, 1611, 0), ('y', -1, 1077, 0), ('z', -1, 720, 0), ('ą', 181, -1, 0), ('ę', -1, 705, 0), ('ł', 24, -1, 0), ('ż', 24, -1, 0)), (('a', -1, 904, 0), ('e', 24, -1, 0), ('f', 24, -1, 0), ('h', 24, -1, 0), ('i', -1, 1418, 0), ('j', 24, -1, 0), ('k', 24, -1, 0), ('l', 24, -1, 0), ('n', 24, -1, 0), ('o', -1, 1946, 0), ('p', -1, 273, 0), ('r', -1, 4165, 0), ('s', -1, 1981, 0), ('u', 24, -1, 0), ('y', -1, 2184, 0), ('z', 24, -1, 0), ('ę', -1, 904, 0), ('ł', -1, 926, 0)), (('a', 28, -1, 0), ('b', 0, -1, 0), ('e', 28, -1, 0), ('g', 1, -1, 0), ('k', 0, -1, 0), ('l', 79, -1, 0), ('o', 137, 6, 0), ('p', 0, -1, 0), ('r', 79, -1, 0), ('t', 79, -1, 0), ('u', 137, -1, 0), ('w', 0, -1, 0), ('z', 137, -1, 0)), (('a', -1, 65, 0), ('e', 64, -1, 0), ('i', 79, -1, 0), ('l', -1, 420, 0), ('m', 0, -1, 0), ('o', -1, 3552, 0), ('r', 64, -1, 0), ('u', -1, 330, 0), ('w', 0, -1, 0), ('y', -1, 3915, 0), ('z', 0, -1, 0), ('ę', -1, 849, 0)), (('a', 1, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 839, 0), ('t', 0, -1, 0), ('y', -1, 531, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 4057, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 3355, 0), ('i', -1, 4149, 0), ('j', -1, 129, 0), ('l', -1, 4607, 0), ('m', -1, 4608, 0), ('n', -1, 4150, 0), ('o', 28, -1, 0), ('p', -1, 866, 0), ('r', -1, 4610, 0), ('u', -1, 1443, 0), ('w', -1, 4611, 0), ('y', -1, 4487, 0), ('z', -1, 1038, 0), ('ó', 4, -1, 0), ('ą', -1, 3149, 0), ('ć', 1, -1, 0), ('ę', -1, 4143, 0), ('ł', 4, -1, 0), ('ń', -1, 2691, 0), ('ś', 1, -1, 0), ('ź', -1, 620, 0), ('ż', 1, -1, 0)), (('a', -1, 1238, 0), ('e', -1, 4295, 0), ('o', 1, -1, 0), ('u', 1, -1, 0)), (('a', 0, -1, 0), ('e', -1, 114, 0), ('i', 4, -1, 0), ('o', 0, -1, 0), ('r', -1, 4609, 0), ('u', 4, -1, 0), ('y', 4, -1, 0), ('ó', -1, 1828, 0)), (('a', 0, -1, 0), ('e', -1, 3778, 0), ('i', 0, -1, 0), ('o', -1, 2795, 0), ('r', 0, -1, 0), ('u', -1, 1911, 0), ('y', -1, 705, 0), ('ó', -1, 1905, 0), ('ą', 1, -1, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 4524, 0), ('o', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 2339, 0), ('i', 1, -1, 0), ('o', -1, 2301, 0), ('y', 1, -1, 0), ('ó', 0, -1, 0)), (('a', 0, 3829, 0), ('d', 4, -1, 0), ('e', -1, 4581, 0), ('h', 0, -1, 0), ('i', -1, 4613, 0), ('j', 0, -1, 0), ('l', -1, 3237, 0), ('n', -1, 4616, 0), ('o', -1, 3905, 0), ('r', -1, 3863, 0), ('u', 79, 3766, 0), ('y', -1, 34, 0), ('z', 0, -1, 0), ('ó', 28, -1, 0), ('ą', 4, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 530, 0), ('c', -1, 4614, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 2085, 0), ('r', 0, -1, 0), ('w', -1, 2627, 0)), (('a', -1, 4049, 0), ('e', -1, 1742, 0), ('i', -1, 1743, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 4476, 0), ('p', 4, -1, 0), ('r', -1, 4615, 0), ('u', -1, 4615, 0), ('y', -1, 2448, 0), ('ą', -1, 2273, 0), ('ę', 79, -1, 0)), (('a', -1, 1138, 0), ('b', 4, -1, 0), ('d', 1, -1, 0), ('h', 4, -1, 0), ('i', -1, 954, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 4, -1, 0), ('n', 0, -1, 0), ('o', 28, -1, 0), ('r', 4, 33, 0), ('s', 1, -1, 0), ('t', -1, 4496, 0), ('u', 4, -1, 0), ('z', -1, 2627, 0), ('ł', 4, -1, 0)), (('a', -1, 4603, 0), ('e', -1, 4462, 0), ('o', -1, 3115, 0), ('u', 0, -1, 0)), (('a', -1, 4148, 0), ('e', -1, 705, 0), ('i', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 2708, 0), ('r', 0, -1, 0), ('u', 4, -1, 0), ('y', 0, -1, 0)), (('a', -1, 1056, 0), ('e', -1, 559, 0), ('i', 4, -1, 0), ('j', 57, -1, 0), ('l', 4, -1, 0), ('n', -1, 4619, 0), ('o', -1, 4620, 0), ('r', -1, 4621, 0), ('u', -1, 4111, 0), ('y', -1, 3479, 0), ('z', -1, 4608, 0), ('ą', 4, -1, 0), ('ę', -1, 4046, 0), ('ł', 4, -1, 0)), (('a', -1, 2865, 0), ('e', 0, -1, 0), ('i', -1, 130, 0), ('o', 1, -1, 0)), (('a', -1, 2249, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 2381, 0), ('g', 0, -1, 0), ('i', -1, 294, 0), ('j', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, 3314, 0), ('o', -1, 2151, 0), ('r', -1, 4083, 0), ('u', 28, -1, 0), ('w', 0, -1, 0), ('y', 28, -1, 0), ('ł', 1, -1, 0), ('ż', -1, 4567, 0)), (('a', -1, 1431, 0), ('e', 1, -1, 0), ('i', 0, -1, 0), ('o', -1, 1791, 0), ('u', 1, -1, 0), ('y', 4, -1, 0)), (('a', -1, 3463, 0), ('c', -1, 4085, 0), ('e', -1, 3133, 0), ('i', -1, 2458, 0), ('o', -1, 3531, 0), ('s', -1, 4429, 0), ('u', 4, -1, 0), ('y', -1, 2692, 0), ('z', -1, 4623, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 3318, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', -1, 4478, 0), ('b', -1, 4609, 0), ('c', -1, 4625, 0), ('d', -1, 4627, 0), ('e', -1, 1368, 0), ('f', -1, 4095, 0), ('i', -1, 2684, 0), ('j', -1, 4628, 0), ('k', 37, -1, 0), ('l', -1, 4629, 0), ('m', -1, 4630, 0), ('n', -1, 4631, 0), ('o', 79, 4632, 0), ('p', -1, 4633, 0), ('r', -1, 4634, 0), ('s', -1, 4639, 0), ('t', -1, 4641, 0), ('u', -1, 4428, 0), ('w', -1, 4644, 0), ('y', -1, 3877, 0), ('z', -1, 4646, 0), ('ą', -1, 3468, 0), ('ć', -1, 2082, 0), ('ę', -1, 3771, 0), ('ł', -1, 4649, 0), ('ń', -1, 4524, 0), ('ś', -1, 1203, 0), ('ź', 0, -1, 0), ('ż', -1, 4146, 0)), (('a', -1, 4585, 0), ('e', -1, 4626, 0), ('i', 37, -1, 0), ('n', 37, -1, 0), ('o', -1, 3163, 0), ('r', 37, -1, 0), ('u', -1, 4427, 0), ('y', -1, 4489, 0), ('ó', 0, -1, 0), ('ę', 37, -1, 0)), (('a', 28, -1, 0), ('b', 28, -1, 0), ('d', 37, -1, 0), ('e', -1, 2954, 0), ('h', 37, -1, 0), ('i', -1, 3257, 0), ('j', 37, -1, 0), ('n', 37, -1, 0), ('o', 28, -1, 0), ('p', 37, -1, 0), ('r', 37, -1, 0), ('u', 28, -1, 0), ('w', 37, -1, 0), ('z', 37, -1, 0), ('ó', 28, -1, 0), ('ł', 37, -1, 0), ('ż', 37, -1, 0)), (('a', -1, 4006, 0), ('e', 3, -1, 0), ('o', -1, 2146, 0), ('u', -1, 436, 0), ('y', -1, 1747, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 392, 0), ('ę', 0, -1, 0)), (('a', -1, 2447, 0), ('e', -1, 4189, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('u', -1, 532, 0), ('y', -1, 3093, 0), ('ó', 0, -1, 0)), (('a', -1, 720, 0), ('e', -1, 4047, 0), ('i', 3, -1, 0), ('o', -1, 2772, 0), ('u', 0, -1, 0), ('y', -1, 212, 0), ('ó', -1, 2177, 0)), (('a', 0, -1, 0), ('e', -1, 3872, 0), ('i', 1, -1, 0), ('o', -1, 1906, 0), ('u', 0, -1, 0), ('y', -1, 3364, 0)), (('a', -1, 4582, 0), ('e', -1, 3437, 0), ('i', -1, 2910, 0), ('o', -1, 4253, 0), ('u', -1, 1892, 0), ('y', -1, 3160, 0)), (('a', 3, -1, 0), ('e', 79, -1, 0), ('f', 0, -1, 0), ('i', -1, 421, 0), ('k', 1, -1, 0), ('m', 4, -1, 0), ('o', -1, 1121, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 37, -1, 0), ('t', 1, -1, 0), ('u', 79, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 942, 0), ('e', -1, 1783, 0), ('m', 0, -1, 0), ('o', -1, 3131, 0), ('u', -1, 122, 0), ('y', -1, 3476, 0), ('ę', 1, -1, 0)), (('a', -1, 4635, 0), ('e', -1, 2817, 0), ('i', 0, 659, 0), ('o', 0, 4041, 0), ('t', 1, -1, 0), ('u', -1, 1203, 0), ('y', 4, -1, 0), ('ó', -1, 2219, 0)), (('a', 28, -1, 0), ('b', 0, -1, 0), ('c', 82, -1, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 1852, 0), ('j', -1, 1662, 0), ('k', -1, 4636, 0), ('l', -1, 4638, 0), ('m', -1, 3722, 0), ('n', 0, -1, 0), ('o', 28, -1, 0), ('p', 4, 121, 0), ('r', -1, 888, 0), ('s', -1, 4591, 0), ('t', -1, 4637, 0), ('u', -1, 1593, 0), ('w', -1, 2690, 0), ('z', -1, 2447, 0), ('ą', 28, -1, 0), ('ę', 28, -1, 0), ('ż', 0, -1, 0)), (('a', 28, -1, 0), ('e', 28, -1, 0), ('i', 82, -1, 0), ('l', 82, -1, 0), ('n', -1, 4637, 0), ('o', -1, 3046, 0), ('p', 0, -1, 0), ('s', 82, -1, 0), ('u', 82, -1, 0), ('w', 82, -1, 0), ('y', 82, -1, 0), ('z', 82, -1, 0), ('ę', 28, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', 82, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('s', 0, -1, 0), ('y', 82, -1, 0)), (('a', 0, -1, 0), ('d', -1, 904, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('o', 0, -1, 0), ('ś', 82, -1, 0)), (('a', -1, 413, 0), ('b', -1, 22, 0), ('e', -1, 4417, 0), ('h', 37, -1, 0), ('i', -1, 4640, 0), ('j', 37, -1, 0), ('l', 37, -1, 0), ('m', 37, -1, 0), ('o', -1, 599, 0), ('p', 37, -1, 0), ('r', 37, -1, 0), ('u', -1, 3735, 0), ('w', -1, 3744, 0), ('y', -1, 3743, 0), ('ą', -1, 3044, 0), ('ę', -1, 921, 0), ('ń', 37, -1, 0)), (('a', -1, 3979, 0), ('c', -1, 4142, 0), ('e', -1, 3669, 0), ('l', -1, 4479, 0), ('m', 37, -1, 0), ('n', 79, -1, 0), ('o', 79, -1, 0), ('p', -1, 4632, 0), ('s', 79, -1, 0), ('w', 79, -1, 0), ('y', 0, -1, 0), ('z', -1, 303, 0)), (('a', -1, 4144, 0), ('e', -1, 4642, 0), ('f', 3, -1, 0), ('i', -1, 4151, 0), ('k', 3, -1, 0), ('n', -1, 4640, 0), ('o', -1, 4136, 0), ('r', -1, 3467, 0), ('s', -1, 4643, 0), ('u', -1, 3490, 0), ('y', 0, -1, 0), ('ó', 37, -1, 0), ('ą', -1, 2000, 0), ('ę', -1, 3168, 0), ('ł', 1, -1, 0)), (('a', -1, 1145, 0), ('c', 0, -1, 0), ('e', -1, 3227, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 436, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 3364, 0), ('r', -1, 3883, 0), ('s', -1, 651, 0), ('u', 0, -1, 0), ('z', -1, 4143, 0), ('ż', 0, -1, 0)), (('a', -1, 2425, 0), ('e', 0, -1, 0), ('i', -1, 2832, 0), ('o', 0, -1, 0), ('r', 37, -1, 0), ('u', -1, 3193, 0), ('y', 0, -1, 0)), (('a', -1, 4493, 0), ('e', -1, 3940, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('u', 0, -1, 0), ('y', -1, 2556, 0), ('ó', -1, 4645, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 357, 0), ('p', 0, -1, 0), ('r', -1, 4137, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('z', -1, 3146, 0), ('ł', -1, 3491, 0), ('ż', 0, -1, 0)), (('a', -1, 250, 0), ('c', -1, 4647, 0), ('d', -1, 1519, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('r', 37, -1, 0), ('s', -1, 4648, 0), ('y', -1, 199, 0), ('ó', -1, 866, 0), ('ą', 0, -1, 0)), (('a', -1, 3466, 0), ('e', -1, 4426, 0), ('i', -1, 3145, 0), ('j', 3, -1, 0), ('o', 79, 448, 0), ('r', -1, 365, 0), ('u', -1, 2111, 0), ('y', -1, 3936, 0), ('z', -1, 2551, 0), ('ą', -1, 1671, 0)), (('a', -1, 1733, 0), ('e', 4, -1, 0), ('i', -1, 1083, 0), ('o', -1, 4163, 0), ('u', -1, 4548, 0), ('y', -1, 2060, 0)), (('a', -1, 4363, 0), ('d', 0, -1, 0), ('e', -1, 810, 0), ('i', -1, 3738, 0), ('o', -1, 801, 0), ('u', -1, 2678, 0), ('y', -1, 412, 0), ('ó', -1, 3579, 0)), (('a', -1, 4140, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 4651, 0), ('e', -1, 3598, 0), ('f', -1, 1230, 0), ('g', -1, 2466, 0), ('h', 4, -1, 0), ('i', -1, 1022, 0), ('k', -1, 4605, 0), ('l', 0, -1, 0), ('o', -1, 3011, 0), ('p', -1, 4651, 0), ('r', -1, 444, 0), ('s', 1, -1, 0), ('t', -1, 4417, 0), ('u', -1, 1366, 0), ('w', 1, -1, 0), ('y', -1, 3961, 0), ('z', -1, 3340, 0), ('ś', -1, 34, 0), ('ź', -1, 444, 0)), (('a', -1, 4348, 0), ('e', 4, -1, 0), ('i', 4, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 4, -1, 0), ('r', -1, 157, 0), ('u', -1, 2293, 0), ('y', 4, -1, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 4171, 0), ('d', 0, -1, 0), ('e', -1, 3776, 0), ('h', 0, -1, 0), ('i', -1, 2990, 0), ('j', 0, -1, 0), ('l', -1, 3983, 0), ('m', 0, -1, 0), ('o', -1, 1736, 0), ('r', -1, 3492, 0), ('s', -1, 1743, 0), ('u', -1, 2714, 0), ('y', -1, 4174, 0), ('z', -1, 4581, 0)), (('a', -1, 4048, 0), ('b', 28, -1, 0), ('c', 28, -1, 0), ('d', 79, 1504, 0), ('e', -1, 3406, 0), ('g', -1, 3841, 0), ('h', -1, 536, 0), ('i', -1, 4138, 0), ('j', 28, -1, 0), ('k', -1, 2657, 0), ('l', 28, -1, 0), ('m', -1, 1880, 0), ('n', -1, 4620, 0), ('o', 1, 709, 0), ('p', 28, -1, 0), ('r', -1, 4626, 0), ('s', -1, 4636, 0), ('t', -1, 4654, 0), ('u', -1, 4497, 0), ('w', -1, 3158, 0), ('y', -1, 4655, 0), ('z', -1, 4586, 0), ('ł', 0, -1, 0), ('ś', 28, -1, 0), ('ź', 28, -1, 0), ('ż', -1, 4635, 0)), (('a', 28, -1, 0), ('e', -1, 2745, 0), ('i', 28, -1, 0), ('n', 28, -1, 0), ('o', 28, -1, 0), ('r', 28, -1, 0), ('s', 28, -1, 0), ('u', 28, -1, 0), ('y', 28, -1, 0), ('ó', 79, -1, 0), ('ą', 28, -1, 0), ('ę', -1, 221, 0), ('ł', 28, -1, 0)), (('a', -1, 1931, 0), ('c', 0, 3148, 0), ('d', 1, 3492, 0), ('e', -1, 3128, 0), ('i', 0, -1, 0), ('o', -1, 2086, 0), ('r', -1, 4092, 0), ('s', -1, 1741, 0), ('t', -1, 4137, 0), ('u', -1, 1261, 0), ('z', -1, 4656, 0), ('ż', -1, 4139, 0)), (('a', 0, 2148, 0), ('b', 0, 165, 0), ('c', -1, 3839, 0), ('d', 1, 531, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 3486, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 3695, 0)), (('a', -1, 2686, 0), ('b', -1, 4496, 0), ('c', 0, -1, 0), ('d', -1, 1742, 0), ('e', -1, 655, 0), ('f', -1, 822, 0), ('g', 0, 4124, 0), ('h', 1, -1, 0), ('i', -1, 2181, 0), ('j', 0, -1, 0), ('k', 0, 2786, 0), ('m', 0, -1, 0), ('o', -1, 4037, 0), ('p', -1, 839, 0), ('s', 4, -1, 0), ('t', -1, 3433, 0), ('u', -1, 4656, 0), ('w', -1, 2963, 0), ('y', -1, 2006, 0), ('ó', -1, 814, 0)), (('a', -1, 3985, 0), ('e', -1, 3830, 0), ('i', -1, 2299, 0), ('j', 1, -1, 0), ('k', -1, 1625, 0), ('l', 1, -1, 0), ('n', -1, 3979, 0), ('o', -1, 4184, 0), ('p', -1, 4141, 0), ('r', -1, 4253, 0), ('s', -1, 2031, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('ą', -1, 1417, 0), ('ę', -1, 4431, 0)), (('a', -1, 3435, 0), ('e', -1, 2239, 0), ('h', -1, 505, 0), ('i', -1, 4546, 0), ('j', -1, 3086, 0), ('k', -1, 4497, 0), ('l', -1, 4645, 0), ('n', -1, 4642, 0), ('o', -1, 3065, 0), ('p', 0, -1, 0), ('r', -1, 4547, 0), ('s', -1, 4129, 0), ('t', -1, 1299, 0), ('u', -1, 4591, 0), ('y', -1, 3838, 0), ('z', 0, -1, 0), ('ą', -1, 1431, 0), ('ę', -1, 3837, 0), ('ł', 28, -1, 0), ('ś', 4, -1, 0)), (('a', -1, 3993, 0), ('e', 0, 3848, 0), ('i', -1, 3452, 0), ('j', 28, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, 3150, 0), ('r', -1, 923, 0), ('t', -1, 3464, 0), ('u', -1, 4005, 0), ('y', -1, 3668, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ź', 28, -1, 0)), (('a', -1, 2340, 0), ('b', 0, -1, 0), ('c', -1, 4662, 0), ('d', -1, 4663, 0), ('e', -1, 268, 0), ('g', 1, -1, 0), ('i', 0, 1034, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 4487, 0), ('r', -1, 3471, 0), ('s', -1, 4664, 0), ('u', -1, 2888, 0), ('y', -1, 1925, 0), ('ł', 0, 51, 0)), (('a', -1, 3982, 0), ('b', 28, -1, 0), ('c', 4, -1, 0), ('d', 28, -1, 0), ('e', -1, 2918, 0), ('i', -1, 2782, 0), ('j', -1, 4035, 0), ('k', 4, -1, 0), ('l', -1, 1853, 0), ('m', 28, -1, 0), ('n', -1, 709, 0), ('o', -1, 3247, 0), ('p', 28, -1, 0), ('r', -1, 3462, 0), ('u', -1, 4663, 0), ('w', 28, -1, 0), ('y', -1, 3636, 0), ('z', -1, 1625, 0), ('ą', -1, 3180, 0), ('ę', 4, -1, 0), ('ł', 28, -1, 0), ('ń', -1, 3877, 0), ('ź', 28, -1, 0), ('ż', 28, -1, 0)), (('a', 4, -1, 0), ('d', 28, -1, 0), ('e', -1, 4554, 0), ('i', 1, -1, 0), ('l', 4, -1, 0), ('o', 4, -1, 0), ('r', -1, 4421, 0), ('u', 4, -1, 0), ('y', 4, -1, 0), ('z', 0, -1, 0), ('ą', -1, 2293, 0), ('ę', -1, 1210, 0)), (('a', -1, 3403, 0), ('d', 212, -1, 0), ('e', -1, 3626, 0), ('h', 29, -1, 0), ('i', -1, 130, 0), ('j', -1, 4553, 0), ('k', -1, 314, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 2607, 0), ('p', 28, -1, 0), ('r', -1, 3470, 0), ('t', -1, 359, 0), ('u', -1, 2812, 0), ('w', 29, -1, 0), ('y', -1, 2148, 0), ('ó', 4, -1, 0), ('ą', 4, -1, 0), ('ń', -1, 3160, 0), ('ż', 36, -1, 0)), (('a', -1, 3090, 0), ('b', -1, 4426, 0), ('d', -1, 4604, 0), ('e', -1, 3853, 0), ('g', -1, 1737, 0), ('h', -1, 916, 0), ('i', -1, 4060, 0), ('k', -1, 4666, 0), ('m', 4, -1, 0), ('o', -1, 3655, 0), ('p', -1, 3443, 0), ('r', -1, 4548, 0), ('s', -1, 3735, 0), ('t', 79, 2827, 0), ('u', -1, 4421, 0), ('y', -1, 3426, 0), ('z', -1, 4047, 0), ('ó', 0, -1, 0), ('ę', 126, -1, 0), ('ł', 1, -1, 0)), (('a', 64, -1, 0), ('e', -1, 831, 0), ('i', -1, 718, 0), ('l', 64, -1, 0), ('o', -1, 489, 0), ('r', 64, -1, 0), ('u', -1, 1829, 0), ('y', -1, 1363, 0), ('z', 79, -1, 0), ('ą', 64, -1, 0), ('ę', -1, 1182, 0), ('ł', -1, 239, 0)), (('a', -1, 4553, 0), ('d', -1, 525, 0), ('e', -1, 4464, 0), ('i', -1, 2484, 0), ('l', 4, -1, 0), ('m', 0, -1, 0), ('o', -1, 159, 0), ('r', 0, -1, 0), ('u', 4, -1, 0), ('y', -1, 180, 0), ('ó', -1, 2032, 0), ('ą', -1, 1926, 0), ('ę', -1, 2561, 0), ('ł', 1, -1, 0)), (('a', -1, 3355, 0), ('e', -1, 4387, 0), ('i', 41, -1, 0), ('j', 41, -1, 0), ('l', 41, -1, 0), ('m', -1, 2161, 0), ('o', -1, 4079, 0), ('r', -1, 3886, 0), ('u', -1, 2508, 0), ('y', -1, 2895, 0), ('z', -1, 3599, 0), ('ó', -1, 4492, 0), ('ą', -1, 3638, 0), ('ę', 85, -1, 0), ('ś', 41, -1, 0), ('ź', 41, -1, 0), ('ż', 41, -1, 0)), (('a', -1, 2084, 0), ('e', -1, 2798, 0), ('i', -1, 3000, 0), ('j', 41, -1, 0), ('n', -1, 4493, 0), ('o', 0, -1, 0), ('r', -1, 3067, 0), ('u', -1, 453, 0), ('y', -1, 4670, 0), ('ó', 0, -1, 0), ('ą', -1, 2816, 0)), (('a', -1, 509, 0), ('e', -1, 3264, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 336, 0), ('o', -1, 3832, 0), ('r', 41, -1, 0), ('y', -1, 3709, 0), ('z', -1, 3774, 0), ('ż', 41, -1, 0)), (('a', -1, 1465, 0), ('e', -1, 268, 0), ('h', 41, -1, 0), ('i', 31, 4252, 0), ('j', 41, -1, 0), ('l', -1, 700, 0), ('n', -1, 4655, 0), ('o', -1, 3657, 0), ('r', -1, 4184, 0), ('u', -1, 215, 0), ('y', -1, 3867, 0), ('z', 0, -1, 0), ('ó', -1, 2982, 0), ('ą', 0, -1, 0), ('ę', -1, 3875, 0), ('ł', 0, -1, 0)), (('a', -1, 3215, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('n', -1, 4132, 0), ('o', 0, -1, 0), ('r', -1, 4315, 0), ('u', -1, 1008, 0), ('y', -1, 3779, 0), ('z', -1, 4346, 0), ('ó', -1, 4185, 0), ('ą', 0, -1, 0), ('ę', -1, 414, 0)), (('a', -1, 3469, 0), ('b', -1, 4106, 0), ('c', 89, 4674, 0), ('e', -1, 4402, 0), ('f', -1, 3377, 0), ('g', -1, 4675, 0), ('i', -1, 507, 0), ('j', -1, 1438, 0), ('k', -1, 4676, 0), ('l', -1, 4677, 0), ('m', -1, 1114, 0), ('n', -1, 4678, 0), ('o', -1, 3637, 0), ('p', -1, 3824, 0), ('r', 0, -1, 0), ('s', -1, 2560, 0), ('u', 21, -1, 0), ('w', -1, 4679, 0), ('y', -1, 2034, 0), ('z', -1, 1967, 0)), (('a', -1, 4483, 0), ('e', -1, 3438, 0), ('h', 96, -1, 0), ('i', -1, 2658, 0), ('k', -1, 1537, 0), ('n', -1, 3446, 0), ('o', -1, 1812, 0), ('p', 96, -1, 0), ('r', -1, 4227, 0), ('u', -1, 1918, 0), ('y', -1, 3967, 0), ('z', 4, -1, 0), ('ó', 4, -1, 0), ('ą', -1, 86, 0), ('ę', -1, 4500, 0), ('ł', -1, 3377, 0), ('ś', -1, 4175, 0)), (('a', -1, 2858, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('n', -1, 1329, 0), ('o', -1, 1857, 0), ('r', -1, 2697, 0), ('u', -1, 2667, 0), ('y', -1, 887, 0), ('z', -1, 3368, 0), ('ą', 1, -1, 0), ('ę', -1, 1215, 0)), (('a', -1, 4532, 0), ('b', -1, 3850, 0), ('c', -1, 3478, 0), ('d', -1, 4503, 0), ('e', -1, 2215, 0), ('f', -1, 3226, 0), ('i', -1, 3507, 0), ('j', -1, 3832, 0), ('k', 0, -1, 0), ('l', -1, 3875, 0), ('m', -1, 4185, 0), ('n', -1, 3048, 0), ('o', -1, 4477, 0), ('p', -1, 4354, 0), ('r', -1, 3779, 0), ('s', -1, 3717, 0), ('t', -1, 3980, 0), ('u', -1, 1442, 0), ('w', -1, 4505, 0), ('y', -1, 4356, 0), ('z', -1, 4296, 0), ('ą', 1, -1, 0), ('ć', 21, -1, 0), ('ę', -1, 3325, 0), ('ł', -1, 4375, 0), ('ń', -1, 3015, 0), ('ś', -1, 1300, 0), ('ź', 21, -1, 0), ('ż', -1, 2026, 0)), (('a', -1, 4592, 0), ('b', -1, 2559, 0), ('c', 1, -1, 0), ('d', -1, 269, 0), ('e', -1, 4400, 0), ('f', -1, 4395, 0), ('g', -1, 4580, 0), ('h', -1, 205, 0), ('i', -1, 2907, 0), ('k', -1, 3363, 0), ('l', -1, 4596, 0), ('m', 4, -1, 0), ('o', -1, 3965, 0), ('p', -1, 2292, 0), ('r', -1, 4020, 0), ('s', -1, 3772, 0), ('t', -1, 1991, 0), ('u', -1, 4488, 0), ('y', -1, 3503, 0), ('z', -1, 4537, 0), ('ę', 126, -1, 0), ('ś', -1, 3022, 0), ('ź', -1, 3539, 0)), (('a', -1, 3789, 0), ('b', -1, 3756, 0), ('c', 4, 1920, 0), ('d', -1, 4538, 0), ('e', -1, 3925, 0), ('g', -1, 1485, 0), ('h', -1, 1029, 0), ('i', -1, 4089, 0), ('j', -1, 2733, 0), ('k', -1, 3613, 0), ('l', -1, 4372, 0), ('m', -1, 3697, 0), ('n', -1, 3901, 0), ('o', 1, 3632, 0), ('p', -1, 3684, 0), ('r', -1, 2743, 0), ('t', -1, 4010, 0), ('u', -1, 23, 0), ('w', -1, 4391, 0), ('y', -1, 4236, 0), ('z', -1, 1174, 0), ('ł', 4, -1, 0), ('ś', -1, 4396, 0), ('ź', -1, 4511, 0), ('ż', -1, 4514, 0)), (('a', -1, 4680, 0), ('e', -1, 2151, 0), ('g', 1, -1, 0), ('i', -1, 1109, 0), ('j', 28, -1, 0), ('k', 1, -1, 0), ('o', 1, 2512, 0), ('r', -1, 1417, 0), ('t', -1, 648, 0), ('y', -1, 121, 0), ('z', 0, -1, 0), ('ó', 4, -1, 0), ('ź', 28, -1, 0)), (('a', -1, 1711, 0), ('b', 4, -1, 0), ('e', -1, 3177, 0), ('g', -1, 904, 0), ('h', 28, -1, 0), ('i', -1, 2949, 0), ('j', 4, 51, 0), ('k', -1, 4397, 0), ('l', -1, 3152, 0), ('n', 28, -1, 0), ('o', 0, -1, 0), ('r', -1, 635, 0), ('s', 28, -1, 0), ('t', -1, 1630, 0), ('u', -1, 1894, 0), ('w', -1, 3189, 0), ('y', -1, 4235, 0), ('z', -1, 2561, 0), ('ó', -1, 255, 0), ('ł', -1, 1545, 0), ('ż', -1, 1292, 0)), (('a', -1, 3702, 0), ('d', 41, -1, 0), ('e', -1, 2634, 0), ('h', 41, -1, 0), ('i', 438, 1475, 0), ('j', 41, -1, 0), ('l', -1, 4527, 0), ('o', -1, 4682, 0), ('r', -1, 2135, 0), ('s', 185, -1, 0), ('t', 0, -1, 0), ('u', -1, 1138, 0), ('y', -1, 3738, 0), ('z', -1, 3316, 0)), (('-', 2, -1, 0), ('a', 22, -1, 0), ('b', -1, 4683, 0), ('c', -1, 4685, 0), ('d', -1, 4686, 0), ('e', -1, 2245, 0), ('f', -1, 3380, 0), ('g', -1, 4687, 0), ('h', -1, 1281, 0), ('i', -1, 4688, 0), ('j', -1, 2957, 0), ('k', -1, 4690, 0), ('l', -1, 4684, 0), ('m', -1, 4691, 0), ('n', -1, 4692, 0), ('o', -1, 824, 0), ('p', -1, 78, 0), ('r', -1, 1581, 0), ('s', -1, 3190, 0), ('t', -1, 4693, 0), ('u', 22, -1, 0), ('w', -1, 4254, 0), ('y', 3, -1, 0), ('z', -1, 3220, 0), ('ł', -1, 4694, 0), ('ż', -1, 4454, 0)), (('a', -1, 634, 0), ('e', -1, 2054, 0), ('i', 22, -1, 0), ('j', 22, -1, 0), ('l', 22, -1, 0), ('m', -1, 2428, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('u', -1, 4190, 0), ('y', 22, -1, 0), ('z', 22, -1, 0), ('ę', -1, 4684, 0), ('ń', 22, -1, 0), ('ś', 22, -1, 0), ('ź', 22, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 2763, 0), ('b', -1, 2486, 0), ('c', 3, -1, 0), ('d', -1, 2103, 0), ('e', -1, 3975, 0), ('f', -1, 3554, 0), ('g', -1, 1953, 0), ('i', -1, 2327, 0), ('k', -1, 4579, 0), ('l', -1, 1056, 0), ('o', -1, 2762, 0), ('p', -1, 2304, 0), ('r', -1, 770, 0), ('s', 3, -1, 0), ('t', 57, -1, 0), ('u', -1, 3170, 0), ('y', 3, -1, 0), ('z', -1, 124, 0), ('ś', -1, 2384, 0)), (('a', -1, 824, 0), ('b', 158, -1, 0), ('d', 22, -1, 0), ('e', -1, 1422, 0), ('i', -1, 2277, 0), ('j', -1, 197, 0), ('l', -1, 2841, 0), ('m', -1, 2705, 0), ('n', -1, 2966, 0), ('o', 3, -1, 0), ('p', -1, 2851, 0), ('r', -1, 3324, 0), ('u', -1, 2527, 0), ('w', -1, 820, 0), ('y', 22, -1, 0), ('z', -1, 399, 0), ('ą', 3, -1, 0), ('ć', 285, -1, 0), ('ń', -1, 2657, 0), ('ś', 254, -1, 0), ('ź', -1, 1270, 0), ('ż', 3, -1, 0)), (('a', -1, 2266, 0), ('e', -1, 343, 0), ('h', 22, -1, 0), ('i', 30, 4518, 0), ('j', 22, -1, 0), ('l', -1, 823, 0), ('n', -1, 4232, 0), ('o', -1, 1938, 0), ('r', -1, 256, 0), ('u', 1, 1055, 0), ('y', -1, 3132, 0), ('z', 3, -1, 0), ('ą', 3, -1, 0), ('ę', -1, 1506, 0), ('ł', 3, -1, 0)), (('a', -1, 1365, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('n', -1, 3978, 0), ('o', -1, 2442, 0), ('r', -1, 2640, 0), ('u', -1, 4412, 0), ('y', -1, 3699, 0), ('z', -1, 4423, 0), ('ą', 3, -1, 0), ('ę', -1, 2260, 0)), (('a', -1, 2329, 0), ('b', -1, 865, 0), ('c', -1, 4248, 0), ('d', -1, 2966, 0), ('e', -1, 2747, 0), ('f', 22, -1, 0), ('g', -1, 2576, 0), ('i', 22, -1, 0), ('l', -1, 3545, 0), ('m', 22, -1, 0), ('n', -1, 4689, 0), ('o', 3, -1, 0), ('p', -1, 2198, 0), ('r', -1, 3327, 0), ('s', -1, 1868, 0), ('t', -1, 3074, 0), ('u', 22, -1, 0), ('v', 0, -1, 0), ('w', -1, 3076, 0), ('y', -1, 3989, 0), ('z', -1, 3554, 0), ('ó', -1, 3536, 0)), (('a', -1, 2589, 0), ('b', 22, -1, 0), ('c', 22, -1, 0), ('d', -1, 4682, 0), ('e', -1, 3769, 0), ('g', 22, -1, 0), ('h', 22, -1, 0), ('i', -1, 1619, 0), ('j', 22, -1, 0), ('k', 22, -1, 0), ('l', 22, -1, 0), ('m', 22, -1, 0), ('n', 0, -1, 0), ('o', -1, 2517, 0), ('p', -1, 1055, 0), ('r', -1, 2455, 0), ('t', -1, 1690, 0), ('u', 22, 925, 0), ('w', 22, -1, 0), ('y', -1, 1574, 0), ('z', -1, 3221, 0), ('ł', 22, -1, 0), ('ś', -1, 3121, 0), ('ź', -1, 1815, 0), ('ż', 22, -1, 0)), (('a', -1, 3746, 0), ('b', -1, 924, 0), ('c', -1, 2964, 0), ('d', -1, 4210, 0), ('e', -1, 1312, 0), ('f', -1, 1994, 0), ('i', -1, 1866, 0), ('j', -1, 3481, 0), ('l', -1, 1975, 0), ('m', -1, 2419, 0), ('n', -1, 493, 0), ('o', 1, 2149, 0), ('p', -1, 4190, 0), ('r', -1, 2155, 0), ('s', -1, 2446, 0), ('t', -1, 2294, 0), ('u', -1, 4064, 0), ('w', -1, 4688, 0), ('y', -1, 1870, 0), ('z', -1, 1283, 0), ('ą', 3, -1, 0), ('ć', 22, -1, 0), ('ę', -1, 1942, 0), ('ł', -1, 4250, 0), ('ń', 22, -1, 0), ('ś', 396, -1, 0), ('ż', -1, 3786, 0)), (('a', -1, 3270, 0), ('d', 22, -1, 0), ('e', -1, 2284, 0), ('h', 22, -1, 0), ('i', -1, 322, 0), ('j', 22, -1, 0), ('l', 1, -1, 0), ('o', -1, 3060, 0), ('r', -1, 4379, 0), ('s', 1, -1, 0), ('t', 3, -1, 0), ('u', -1, 2788, 0), ('y', -1, 1315, 0), ('z', -1, 3, 0)), (('a', -1, 3192, 0), ('d', 1, -1, 0), ('e', -1, 3731, 0), ('g', -1, 98, 0), ('h', -1, 1129, 0), ('i', -1, 342, 0), ('j', 3, -1, 0), ('k', 1, -1, 0), ('m', -1, 1166, 0), ('n', 22, -1, 0), ('o', -1, 4578, 0), ('r', -1, 30, 0), ('s', 3, 1881, 0), ('t', 1, -1, 0), ('u', -1, 2384, 0), ('w', 22, -1, 0), ('y', -1, 2458, 0), ('z', 22, -1, 0), ('ł', 22, -1, 0), ('ż', 22, -1, 0)), (('a', -1, 341, 0), ('c', 3, -1, 0), ('e', -1, 3745, 0), ('f', 3, -1, 0), ('h', -1, 279, 0), ('i', -1, 3818, 0), ('j', 3, -1, 0), ('k', -1, 2164, 0), ('l', -1, 2308, 0), ('n', -1, 1369, 0), ('o', -1, 4526, 0), ('p', -1, 553, 0), ('r', -1, 494, 0), ('s', -1, 4443, 0), ('t', -1, 351, 0), ('u', -1, 2923, 0), ('y', -1, 1506, 0), ('z', -1, 1980, 0), ('ą', 3, -1, 0), ('ę', -1, 1885, 0)), (('a', -1, 1304, 0), ('b', 1, -1, 0), ('d', -1, 3695, 0), ('e', 1, -1, 0), ('g', -1, 1378, 0), ('i', 22, -1, 0), ('j', 1, -1, 0), ('k', -1, 70, 0), ('o', -1, 922, 0), ('p', 3, -1, 0), ('r', 252, -1, 0), ('s', -1, 2462, 0), ('t', 1, -1, 0), ('u', -1, 2777, 0), ('y', -1, 357, 0), ('z', 3, -1, 0), ('ó', 22, -1, 0), ('ł', 3, -1, 0)))), (False, 0, ('*', '-a', '-r', 'Dc', '-s', '-h', '-i', 'Db', '-l', '-m', 'DaRą', '-g', '-n', '-j', '-k', '-o', 'IiIc', '-b', 'Ru', 'Iś', '-c', '-d', 'Dd', 'Da', '-f', '-p', '-q', 'IiIcIe', '-e', 'DcRk', 'De', 'DcRś', 'Rą', 'IeIz', 'IiIn', 'IyIzRc', 'RiRcReRl', 'Ie', 'DdRł', 'Ri', 'IcIi', 'Rn', 'DaRnRe', 'RnRe', 'RtRs', '-t', 'Ik', 'DbRk', 'Ró', 'DbRł'), ((('1', -1, 1, 0), ('2', 7, -1, 0), ('4', 7, -1, 0), ('a', 23, 1836, 0), ('b', -1, 1898, 0), ('c', -1, 1899, 0), ('d', -1, 1900, 0), ('e', -1, 1568, 0), ('f', 0, -1, 0), ('g', -1, 1032, 0), ('h', -1, 779, 0), ('i', -1, 1901, 0), ('j', -1, 1614, 0), ('k', -1, 1911, 0), ('l', 27, 1912, 0), ('m', -1, 1887, 0), ('n', -1, 1913, 0), ('o', 0, 1824, 0), ('p', 0, -1, 0), ('r', -1, 1629, 0), ('s', -1, 1226, 0), ('t', 0, 1615, 0), ('u', -1, 1560, 0), ('w', 0, 1498, 0), ('y', -1, 1818, 0), ('z', -1, 1527, 0), ('ó', 0, 971, 0), ('ą', -1, 904, 0), ('ć', -1, 7, 0), ('ę', -1, 449, 0), ('ł', -1, 446, 0), ('ń', -1, 150, 0), ('ś', -1, 228, 0), ('ź', -1, 23, 0), ('ż', -1, 788, 0)), (('3', 7, -1, 0), ('a', 0, -1, 0), ('b', 0, 2, 0), ('c', 0, 13, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('f', -1, 75, 0), ('g', 0, 57, 0), ('h', 0, 5, 0), ('i', 0, -1, 0), ('j', 28, -1, 0), ('k', 0, 52, 0), ('l', 1, -1, 0), ('m', 0, 7, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1, 0), ('s', 0, 7, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 2, 0), ('ą', -1, 1, 0), ('ć', -1, 81, 0), ('ę', 0, -1, 0), ('ł', -1, 85, 0), ('ń', -1, 339, 0), ('ś', 1, 1, 0), ('ź', -1, 30, 0), ('ż', -1, 16, 0)), (('a', 0, -1, 0), ('b', 0, 3, 0), ('c', 0, 2, 0), ('d', 28, -1, 0), ('e', 0, -1, 0), ('f', -1, 194, 0), ('g', 0, -1, 0), ('h', 0, 69, 0), ('i', 0, -1, 0), ('j', -1, 297, 0), ('k', -1, 85, 0), ('l', -1, 57, 0), ('m', 0, -1, 0), ('n', -1, 78, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 563, 0), ('ą', -1, 199, 0), ('ę', 0, -1, 0), ('ł', -1, 14, 0), ('ś', -1, 296, 0), ('ż', -1, 156, 0)), (('a', 0, -1, 0), ('b', -1, 4, 0), ('c', -1, 82, 0), ('d', 20, -1, 0), ('e', 0, -1, 0), ('f', -1, 391, 0), ('g', 0, -1, 0), ('h', -1, 318, 0), ('i', -1, 13, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 93, 0), ('o', 0, -1, 0), ('p', 0, 143, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 22, 0), ('u', 0, 69, 0), ('w', -1, 332, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', -1, 513, 0), ('ą', -1, 26, 0), ('ę', -1, 63, 0), ('ł', -1, 38, 0), ('ś', -1, 866, 0), ('ż', -1, 1119, 0)), (('a', -1, 5, 0), ('b', 0, -1, 0), ('c', -1, 609, 0), ('d', -1, 163, 0), ('e', 14, -1, 0), ('g', -1, 13, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('j', -1, 333, 0), ('k', -1, 10, 0), ('l', 0, 70, 0), ('m', -1, 340, 0), ('n', 21, 1, 0), ('o', 0, 69, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 87, 0), ('t', -1, 59, 0), ('u', 0, -1, 0), ('w', 0, 42, 0), ('y', -1, 788, 0), ('z', -1, 91, 0), ('ą', 0, -1, 0), ('ę', -1, 617, 0), ('ł', -1, 332, 0), ('ś', 0, 60, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 10, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 162, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 3, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 46, 0), ('w', -1, 560, 0), ('y', 11, -1, 0), ('z', -1, 165, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 70, 0), ('ż', -1, 141, 0)), (('a', -1, 7, 0), ('b', 0, -1, 0), ('c', -1, 241, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 458, 0), ('g', -1, 40, 0), ('h', 0, -1, 0), ('i', -1, 3, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 226, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 197, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, 36, 0)), (('a', 28, -1, 0), ('b', 0, -1, 0), ('c', 0, 8, 0), ('d', -1, 7, 0), ('e', 0, -1, 0), ('f', -1, 145, 0), ('g', 0, -1, 0), ('h', 0, 441, 0), ('i', 0, -1, 0), ('j', 0, 13, 0), ('k', 0, 4, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 43, 0), ('u', 0, -1, 0), ('w', -1, 1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 76, 0), ('ą', -1, 518, 0), ('ę', -1, 188, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', -1, 645, 0)), (('a', 10, -1, 0), ('b', 0, 9, 0), ('c', 0, 42, 0), ('d', 3, -1, 0), ('e', 10, -1, 0), ('g', -1, 242, 0), ('h', -1, 306, 0), ('i', 10, -1, 0), ('k', -1, 622, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 683, 0), ('o', 10, -1, 0), ('p', -1, 103, 0), ('r', -1, 135, 0), ('s', -1, 517, 0), ('t', -1, 69, 0), ('u', 10, -1, 0), ('w', -1, 439, 0), ('y', 10, -1, 0), ('z', 10, -1, 0), ('ą', 10, -1, 0), ('ł', -1, 180, 0)), (('a', -1, 10, 0), ('b', 1, 1, 0), ('c', -1, 300, 0), ('d', -1, 147, 0), ('e', 8, -1, 0), ('g', 0, 153, 0), ('i', 0, 151, 0), ('k', -1, 447, 0), ('l', -1, 24, 0), ('m', -1, 549, 0), ('n', -1, 339, 0), ('o', -1, 162, 0), ('p', -1, 60, 0), ('r', -1, 380, 0), ('s', -1, 192, 0), ('t', -1, 438, 0), ('u', -1, 114, 0), ('w', -1, 158, 0), ('y', -1, 76, 0), ('z', 0, 522, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 11, 0), ('c', 1, -1, 0), ('d', 1, 16, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('g', 0, 70, 0), ('h', -1, 1052, 0), ('i', 0, 22, 0), ('j', -1, 153, 0), ('k', -1, 192, 0), ('l', 0, -1, 0), ('m', 1, 350, 0), ('n', -1, 40, 0), ('o', -1, 23, 0), ('p', -1, 128, 0), ('r', 0, -1, 0), ('s', -1, 31, 0), ('t', -1, 162, 0), ('u', 0, -1, 0), ('w', 0, 418, 0), ('y', 0, -1, 0), ('z', -1, 1, 0), ('ą', -1, 93, 0), ('ę', -1, 480, 0), ('ł', 0, -1, 0), ('ś', -1, 157, 0), ('ż', -1, 182, 0)), (('a', -1, 12, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 45, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 165, 0), ('j', -1, 797, 0), ('k', 0, -1, 0), ('l', -1, 200, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 563, 0), ('r', 0, -1, 0), ('s', -1, 1052, 0), ('t', 0, 13, 0), ('u', -1, 15, 0), ('w', 0, 92, 0), ('y', -1, 135, 0), ('z', 1, -1, 0), ('ę', -1, 46, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 13, 0), ('b', 1, -1, 0), ('c', -1, 90, 0), ('d', 0, -1, 0), ('e', 21, -1, 0), ('f', -1, 49, 0), ('g', 10, -1, 0), ('h', 0, -1, 0), ('i', -1, 78, 0), ('j', -1, 320, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 10, -1, 0), ('n', 0, -1, 0), ('o', -1, 84, 0), ('p', 0, -1, 0), ('r', -1, 165, 0), ('s', 0, -1, 0), ('t', -1, 139, 0), ('u', -1, 165, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 92, 0), ('ę', -1, 556, 0), ('ł', -1, 342, 0), ('ś', -1, 93, 0), ('ż', -1, 211, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 0, 14, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('f', -1, 449, 0), ('g', 1, -1, 0), ('h', 16, -1, 0), ('i', 1, -1, 0), ('j', 0, 69, 0), ('k', 0, 93, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 93, 0), ('o', 0, -1, 0), ('p', 0, 16, 0), ('r', 0, 1, 0), ('s', -1, 78, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 93, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0), ('ń', 1, -1, 0), ('ś', -1, 92, 0), ('ź', -1, 953, 0), ('ż', 16, -1, 0)), (('a', 0, -1, 0), ('b', -1, 15, 0), ('c', 0, -1, 0), ('d', 24, -1, 0), ('e', 0, -1, 0), ('f', -1, 18, 0), ('g', 0, 41, 0), ('h', 0, 139, 0), ('i', -1, 94, 0), ('j', -1, 118, 0), ('k', 0, 44, 0), ('l', 0, -1, 0), ('m', 1, 152, 0), ('n', -1, 342, 0), ('o', 0, -1, 0), ('p', 0, 138, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 57, 0), ('ą', -1, 93, 0), ('ę', -1, 84, 0), ('ł', 0, -1, 0), ('ś', 0, 42, 0), ('ż', 0, 42, 0)), (('a', -1, 16, 0), ('b', 1, -1, 0), ('c', -1, 350, 0), ('d', 0, -1, 0), ('e', -1, 43, 0), ('f', 0, 83, 0), ('g', 0, -1, 0), ('h', -1, 74, 0), ('i', -1, 53, 0), ('j', -1, 380, 0), ('k', 0, 235, 0), ('l', 0, -1, 0), ('m', 0, 171, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', -1, 89, 0), ('r', -1, 23, 0), ('s', 1, -1, 0), ('t', -1, 281, 0), ('u', 1, -1, 0), ('w', 0, 12, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, 13, 0), ('ś', 0, -1, 0), ('ż', 0, 381, 0)), (('-', 1, -1, 0), ('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 17, 0), ('d', -1, 94, 0), ('e', 0, -1, 0), ('f', 0, 70, 0), ('g', 1, -1, 0), ('h', -1, 319, 0), ('i', -1, 23, 0), ('j', 0, -1, 0), ('k', -1, 53, 0), ('l', -1, 58, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 13, 0), ('z', 1, -1, 0), ('ó', -1, 75, 0), ('ą', -1, 908, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, 54, 0), ('ż', -1, 43, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 18, 0), ('d', -1, 152, 0), ('e', 17, -1, 0), ('g', 0, -1, 0), ('h', 0, 169, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, 42, 0), ('o', 0, -1, 0), ('p', 0, 26, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 141, 0), ('u', 0, -1, 0), ('w', 0, 65, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 60, 0), ('ś', 0, -1, 0)), (('a', -1, 19, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 98, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 164, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 11, 0), ('w', -1, 614, 0), ('y', 0, -1, 0), ('z', 0, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 3, 0), ('b', 0, -1, 0), ('c', 0, 20, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 534, 0), ('l', -1, 360, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 107, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 21, 0), ('b', 0, 11, 0), ('c', 0, -1, 0), ('d', -1, 281, 0), ('e', 0, -1, 0), ('f', -1, 101, 0), ('g', -1, 9, 0), ('h', -1, 228, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 165, 0), ('t', -1, 41, 0), ('u', 0, -1, 0), ('w', 0, 21, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 736, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, 4, 0), ('ż', -1, 12, 0)), (('a', -1, 22, 0), ('b', 0, -1, 0), ('c', -1, 138, 0), ('d', 20, -1, 0), ('e', 0, -1, 0), ('f', -1, 300, 0), ('g', 0, 59, 0), ('h', 0, 54, 0), ('i', 0, -1, 0), ('j', 17, -1, 0), ('k', -1, 230, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 43, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', -1, 140, 0)), (('a', 0, -1, 0), ('b', 0, 20, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 23, 0), ('f', 0, 110, 0), ('g', 0, -1, 0), ('h', -1, 85, 0), ('i', -1, 1, 0), ('j', 0, 85, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 13, 0), ('o', -1, 53, 0), ('p', -1, 58, 0), ('r', -1, 13, 0), ('s', -1, 1, 0), ('t', 0, 59, 0), ('u', -1, 320, 0), ('w', 0, 13, 0), ('y', 12, -1, 0), ('z', 0, -1, 0), ('ó', -1, 1, 0), ('ą', -1, 24, 0), ('ę', -1, 169, 0), ('ł', -1, 93, 0), ('ś', -1, 448, 0), ('ź', -1, 1304, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 24, 0), ('c', -1, 23, 0), ('d', -1, 53, 0), ('e', 0, -1, 0), ('f', -1, 55, 0), ('g', 1, 1, 0), ('h', 10, -1, 0), ('i', -1, 59, 0), ('j', -1, 276, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 3, 0), ('o', 0, -1, 0), ('p', 0, 41, 0), ('r', -1, 788, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, 70, 0), ('w', -1, 141, 0), ('y', -1, 1, 0), ('z', 16, -1, 0), ('ó', 1, -1, 0), ('ą', -1, 141, 0), ('ę', 0, -1, 0), ('ł', -1, 16, 0), ('ś', -1, 199, 0), ('ż', -1, 117, 0)), (('a', -1, 1, 0), ('b', -1, 25, 0), ('c', -1, 788, 0), ('d', 0, 14, 0), ('e', 0, -1, 0), ('f', -1, 595, 0), ('g', 0, 276, 0), ('h', 0, 153, 0), ('i', -1, 89, 0), ('j', -1, 294, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 141, 0), ('n', -1, 78, 0), ('o', 1, -1, 0), ('p', 0, 42, 0), ('r', -1, 21, 0), ('s', -1, 15, 0), ('t', -1, 342, 0), ('u', -1, 24, 0), ('w', -1, 93, 0), ('y', -1, 14, 0), ('z', -1, 10, 0), ('ó', -1, 1013, 0), ('ą', -1, 182, 0), ('ć', 0, -1, 0), ('ę', -1, 6, 0), ('ł', -1, 230, 0), ('ś', -1, 833, 0), ('ż', -1, 300, 0)), (('a', 0, -1, 0), ('b', 0, 26, 0), ('c', -1, 64, 0), ('d', -1, 130, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 332, 0), ('i', -1, 2, 0), ('k', -1, 155, 0), ('l', -1, 173, 0), ('m', -1, 127, 0), ('n', -1, 79, 0), ('o', 0, 302, 0), ('p', -1, 132, 0), ('r', 10, -1, 0), ('s', -1, 313, 0), ('t', -1, 414, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 4, 0), ('z', -1, 572, 0), ('ó', 0, -1, 0), ('ę', 10, -1, 0), ('ł', 10, -1, 0)), (('a', -1, 4, 0), ('b', -1, 27, 0), ('c', -1, 107, 0), ('d', 0, -1, 0), ('e', 15, -1, 0), ('f', 0, -1, 0), ('g', -1, 863, 0), ('i', 0, 54, 0), ('k', -1, 304, 0), ('l', 0, -1, 0), ('m', 0, 143, 0), ('n', -1, 276, 0), ('o', -1, 155, 0), ('p', 0, 69, 0), ('r', -1, 96, 0), ('s', -1, 656, 0), ('t', 0, -1, 0), ('u', -1, 37, 0), ('w', 0, 153, 0), ('y', -1, 276, 0), ('z', -1, 149, 0), ('ł', -1, 151, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 28, 0), ('d', 0, -1, 0), ('e', -1, 281, 0), ('g', -1, 28, 0), ('i', -1, 446, 0), ('j', 0, 12, 0), ('k', -1, 477, 0), ('l', -1, 81, 0), ('m', -1, 1066, 0), ('n', 0, 54, 0), ('o', -1, 30, 0), ('p', -1, 229, 0), ('r', -1, 222, 0), ('s', -1, 51, 0), ('t', -1, 170, 0), ('u', 0, -1, 0), ('w', -1, 137, 0), ('y', -1, 609, 0), ('z', 0, 4, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 29, 0), ('b', -1, 180, 0), ('c', -1, 964, 0), ('d', -1, 180, 0), ('e', -1, 94, 0), ('i', -1, 8, 0), ('j', -1, 158, 0), ('l', -1, 532, 0), ('m', -1, 51, 0), ('n', -1, 535, 0), ('o', 0, 4, 0), ('p', -1, 315, 0), ('r', -1, 7, 0), ('s', 0, 70, 0), ('t', -1, 453, 0), ('w', -1, 156, 0), ('y', -1, 143, 0), ('z', -1, 264, 0)), (('a', -1, 30, 0), ('b', 0, 1, 0), ('c', -1, 581, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 683, 0), ('l', 0, -1, 0), ('m', -1, 144, 0), ('n', -1, 787, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 95, 0), ('s', -1, 762, 0), ('t', 0, 814, 0), ('u', 0, -1, 0), ('w', -1, 283, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, 54, 0)), (('a', -1, 31, 0), ('b', 0, 171, 0), ('c', -1, 25, 0), ('d', 0, 89, 0), ('e', -1, 44, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 312, 0), ('j', -1, 92, 0), ('k', 0, -1, 0), ('l', -1, 172, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 32, -1, 0), ('p', -1, 477, 0), ('r', 0, -1, 0), ('s', -1, 118, 0), ('t', 0, -1, 0), ('u', -1, 140, 0), ('w', 0, -1, 0), ('y', 32, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 516, 0)), (('a', -1, 22, 0), ('b', 0, 32, 0), ('c', -1, 49, 0), ('d', 1, -1, 0), ('e', -1, 23, 0), ('f', 0, 153, 0), ('g', -1, 360, 0), ('h', -1, 157, 0), ('i', -1, 41, 0), ('j', 0, -1, 0), ('k', 0, 169, 0), ('l', 0, -1, 0), ('m', -1, 15, 0), ('n', -1, 293, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 1, 93, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, 2, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', -1, 323, 0), ('ę', 0, -1, 0), ('ł', -1, 4, 0), ('ś', -1, 152, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 33, 0), ('c', -1, 2, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 165, 0), ('g', -1, 105, 0), ('h', -1, 775, 0), ('i', -1, 234, 0), ('j', 0, -1, 0), ('k', 0, 143, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 8, 0), ('s', -1, 74, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 127, 0), ('y', 0, -1, 0), ('z', 24, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 34, 0), ('b', -1, 148, 0), ('c', -1, 319, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, 85, 0), ('i', 0, -1, 0), ('k', 0, 9, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 477, 0), ('o', 0, -1, 0), ('p', -1, 309, 0), ('r', 0, -1, 0), ('s', 0, 9, 0), ('t', 0, 143, 0), ('u', 0, -1, 0), ('w', -1, 543, 0), ('y', 0, -1, 0), ('z', 0, 12, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 143, 0)), (('a', 0, -1, 0), ('b', -1, 35, 0), ('c', 0, 70, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 16, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 15, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 560, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 21, 0), ('y', -1, 281, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 128, 0), ('ż', 0, -1, 0)), (('a', -1, 36, 0), ('b', 0, 658, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 229, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 308, 0), ('j', -1, 86, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 109, 0), ('n', -1, 16, 0), ('o', -1, 67, 0), ('p', -1, 366, 0), ('r', -1, 188, 0), ('s', 0, 212, 0), ('t', -1, 229, 0), ('u', 0, 9, 0), ('w', 0, 39, 0), ('y', -1, 208, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 37, 0), ('b', -1, 610, 0), ('c', -1, 724, 0), ('d', 0, 9, 0), ('e', 20, -1, 0), ('g', -1, 554, 0), ('h', 1, -1, 0), ('i', -1, 547, 0), ('k', -1, 200, 0), ('l', 0, -1, 0), ('m', -1, 697, 0), ('n', -1, 447, 0), ('o', 0, 73, 0), ('p', -1, 130, 0), ('r', -1, 192, 0), ('s', -1, 24, 0), ('t', 0, -1, 0), ('u', -1, 52, 0), ('w', -1, 16, 0), ('y', -1, 222, 0), ('z', -1, 421, 0), ('ę', -1, 512, 0), ('ł', 1, -1, 0)), (('a', -1, 38, 0), ('b', 0, 69, 0), ('c', -1, 450, 0), ('d', -1, 328, 0), ('e', -1, 30, 0), ('g', -1, 179, 0), ('h', -1, 213, 0), ('i', -1, 84, 0), ('k', 0, 85, 0), ('l', -1, 630, 0), ('m', -1, 4, 0), ('n', -1, 127, 0), ('o', -1, 235, 0), ('p', 0, 85, 0), ('r', -1, 24, 0), ('s', -1, 413, 0), ('t', 24, -1, 0), ('u', 32, 698, 0), ('w', 0, 69, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 177, 0), ('ł', -1, 130, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 22, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 32, 30, 0), ('o', -1, 21, 0), ('p', 0, 13, 0), ('r', 0, -1, 0), ('s', 0, 39, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 609, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 6, 0), ('b', 0, 39, 0), ('c', -1, 40, 0), ('d', -1, 74, 0), ('e', -1, 13, 0), ('g', 0, -1, 0), ('h', -1, 8, 0), ('i', 0, -1, 0), ('j', -1, 103, 0), ('k', 0, 281, 0), ('l', -1, 103, 0), ('m', -1, 36, 0), ('n', 0, 70, 0), ('o', 1, -1, 0), ('p', 0, 70, 0), ('r', 0, -1, 0), ('s', 0, 356, 0), ('t', -1, 39, 0), ('u', -1, 152, 0), ('w', 32, -1, 0), ('y', -1, 16, 0), ('z', 21, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 168, 0), ('ś', -1, 12, 0)), (('a', -1, 41, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 312, 0), ('e', -1, 95, 0), ('g', 0, -1, 0), ('h', -1, 23, 0), ('i', 1, -1, 0), ('j', -1, 89, 0), ('k', -1, 93, 0), ('l', -1, 151, 0), ('m', -1, 89, 0), ('n', -1, 15, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 75, 0), ('s', 0, 70, 0), ('t', -1, 251, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 13, 0), ('z', 0, -1, 0), ('ó', -1, 57, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 342, 0), ('ź', 0, -1, 0), ('ż', -1, 13, 0)), (('a', 0, -1, 0), ('b', 16, -1, 0), ('c', 1, -1, 0), ('d', -1, 7, 0), ('e', 0, -1, 0), ('f', -1, 2, 0), ('g', 0, 41, 0), ('h', 0, 42, 0), ('i', 17, -1, 0), ('j', 0, 4, 0), ('k', 0, -1, 0), ('l', 0, 69, 0), ('m', 16, 1, 0), ('n', 0, -1, 0), ('o', 0, 140, 0), ('p', 16, -1, 0), ('r', 0, -1, 0), ('s', -1, 413, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 9, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 63, 0), ('ż', 0, 12, 0)), (('a', -1, 43, 0), ('b', -1, 65, 0), ('c', -1, 197, 0), ('d', -1, 535, 0), ('e', 6, -1, 0), ('g', 0, 5, 0), ('i', -1, 226, 0), ('k', -1, 73, 0), ('l', -1, 165, 0), ('m', -1, 146, 0), ('n', -1, 15, 0), ('o', -1, 85, 0), ('p', 1, -1, 0), ('r', -1, 63, 0), ('s', -1, 478, 0), ('t', -1, 441, 0), ('u', -1, 340, 0), ('w', -1, 14, 0), ('y', 1, -1, 0), ('z', 13, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 41, 0)), (('a', 0, -1, 0), ('b', 0, 44, 0), ('c', 0, 491, 0), ('d', -1, 7, 0), ('e', -1, 788, 0), ('f', 0, 42, 0), ('g', -1, 421, 0), ('h', 0, 9, 0), ('i', -1, 22, 0), ('j', -1, 976, 0), ('k', 10, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, 143, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 332, 0), ('y', 0, -1, 0), ('z', -1, 2, 0), ('ó', -1, 118, 0), ('ą', -1, 153, 0), ('ę', 1, -1, 0), ('ł', -1, 23, 0), ('ś', 0, 70, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 45, 0), ('e', -1, 2, 0), ('g', 10, -1, 0), ('h', 0, 92, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 22, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 89, 0), ('s', 0, -1, 0), ('t', -1, 239, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 131, 0), ('ł', 0, -1, 0), ('ś', -1, 522, 0), ('ż', 0, -1, 0)), (('a', 20, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 46, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 128, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 519, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', -1, 75, 0), ('u', -1, 154, 0), ('w', -1, 34, 0), ('y', -1, 572, 0), ('z', -1, 94, 0), ('ę', -1, 340, 0), ('ł', 0, -1, 0), ('ś', -1, 1112, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 47, 0), ('c', 10, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', -1, 217, 0), ('g', 0, 85, 0), ('h', -1, 8, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 12, 0), ('r', 0, -1, 0), ('s', -1, 2, 0), ('t', 0, -1, 0), ('u', -1, 22, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 788, 0), ('ó', 0, -1, 0), ('ą', -1, 93, 0), ('ć', 0, -1, 0), ('ę', -1, 128, 0), ('ł', 0, -1, 0), ('ś', -1, 35, 0), ('ż', -1, 770, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 48, 0), ('d', -1, 281, 0), ('e', 0, -1, 0), ('g', -1, 5, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 3, 0), ('l', 0, -1, 0), ('m', 0, 58, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 139, 0), ('u', -1, 46, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 60, 0), ('ą', -1, 995, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 28, 0), ('ż', 1, -1, 0)), (('a', 1, -1, 0), ('b', 0, 12, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 49, 0), ('g', 0, -1, 0), ('h', -1, 66, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, 312, 0), ('r', -1, 162, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 52, 0), ('y', -1, 928, 0), ('z', -1, 366, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 21, -1, 0), ('b', 0, -1, 0), ('c', -1, 50, 0), ('d', 0, -1, 0), ('e', -1, 140, 0), ('f', 0, -1, 0), ('g', 0, 21, 0), ('h', -1, 227, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 135, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1, 0), ('s', -1, 12, 0), ('t', 0, -1, 0), ('u', -1, 65, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 229, 0), ('ż', -1, 789, 0)), (('a', 10, -1, 0), ('b', -1, 51, 0), ('c', -1, 477, 0), ('d', -1, 562, 0), ('e', -1, 63, 0), ('g', -1, 398, 0), ('h', -1, 725, 0), ('i', 10, -1, 0), ('k', -1, 448, 0), ('l', 0, 709, 0), ('m', 0, 69, 0), ('n', -1, 221, 0), ('o', 0, -1, 0), ('p', 10, -1, 0), ('r', 0, 5, 0), ('s', 10, -1, 0), ('t', 10, -1, 0), ('u', -1, 477, 0), ('w', -1, 23, 0), ('y', 10, -1, 0), ('z', -1, 331, 0), ('ą', 10, -1, 0), ('ę', 10, -1, 0), ('ł', -1, 91, 0)), (('a', -1, 47, 0), ('b', 0, -1, 0), ('c', -1, 52, 0), ('d', -1, 316, 0), ('e', 0, 69, 0), ('f', 0, -1, 0), ('i', -1, 524, 0), ('k', -1, 499, 0), ('l', -1, 62, 0), ('m', 0, -1, 0), ('n', -1, 837, 0), ('o', -1, 283, 0), ('p', 0, -1, 0), ('r', -1, 617, 0), ('s', 0, -1, 0), ('t', 0, 60, 0), ('u', -1, 300, 0), ('w', 0, -1, 0), ('y', -1, 104, 0), ('z', -1, 344, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 49, 0), ('e', -1, 53, 0), ('f', 0, 193, 0), ('g', -1, 47, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, 70, 0), ('k', -1, 45, 0), ('l', 0, 418, 0), ('m', 1, 16, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', -1, 125, 0), ('t', 0, 152, 0), ('u', 0, -1, 0), ('w', 1, 1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 13, 0), ('ę', -1, 441, 0), ('ł', -1, 11, 0), ('ś', 0, -1, 0), ('ż', 0, 36, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, 13, 0), ('e', 0, -1, 0), ('f', 0, 54, 0), ('g', 0, -1, 0), ('h', -1, 13, 0), ('i', -1, 93, 0), ('j', -1, 93, 0), ('k', 0, -1, 0), ('l', 0, 52, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 57, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, 2, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 57, 0), ('ó', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 446, 0), ('ź', 0, -1, 0), ('ż', 0, 85, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 55, 0), ('d', 0, -1, 0), ('e', 13, -1, 0), ('g', -1, 369, 0), ('i', -1, 150, 0), ('k', 0, -1, 0), ('l', -1, 351, 0), ('m', -1, 192, 0), ('n', -1, 177, 0), ('o', -1, 22, 0), ('p', -1, 363, 0), ('r', 0, -1, 0), ('s', -1, 12, 0), ('t', -1, 293, 0), ('u', -1, 648, 0), ('w', -1, 35, 0), ('y', -1, 62, 0), ('z', -1, 143, 0), ('ę', 0, -1, 0), ('ł', 0, 69, 0)), (('a', -1, 56, 0), ('c', -1, 268, 0), ('d', -1, 154, 0), ('e', -1, 663, 0), ('f', -1, 81, 0), ('i', -1, 56, 0), ('k', -1, 183, 0), ('l', -1, 344, 0), ('m', 0, 42, 0), ('n', -1, 734, 0), ('o', -1, 231, 0), ('p', 0, 42, 0), ('r', -1, 63, 0), ('s', 0, 42, 0), ('t', -1, 752, 0), ('u', -1, 709, 0), ('w', -1, 383, 0), ('y', -1, 26, 0), ('z', -1, 173, 0)), (('a', -1, 57, 0), ('b', 0, 54, 0), ('c', 0, 85, 0), ('d', 20, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 871, 0), ('h', -1, 478, 0), ('i', 0, -1, 0), ('j', 23, 1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 283, 0), ('r', 0, -1, 0), ('s', -1, 276, 0), ('t', 0, -1, 0), ('u', 0, 12, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 84, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 16, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 57, 0), ('d', 21, -1, 0), ('e', 17, -1, 0), ('f', -1, 58, 0), ('g', 0, -1, 0), ('h', -1, 1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 0, 89, 0), ('r', 0, -1, 0), ('s', -1, 46, 0), ('t', -1, 1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 10, -1, 0), ('ź', -1, 67, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 59, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 546, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 519, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 53, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 61, 0), ('w', -1, 560, 0), ('y', 28, -1, 0), ('z', -1, 94, 0), ('ó', -1, 93, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 154, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 49, 0), ('e', 1, -1, 0), ('f', 0, 60, 0), ('g', 0, 1, 0), ('h', -1, 17, 0), ('i', 0, -1, 0), ('j', 0, 54, 0), ('k', 1, -1, 0), ('l', -1, 94, 0), ('m', 1, 1, 0), ('n', 1, -1, 0), ('o', 17, -1, 0), ('p', 1, 53, 0), ('r', -1, 57, 0), ('s', 1, -1, 0), ('t', -1, 93, 0), ('u', 0, -1, 0), ('w', -1, 93, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 21, -1, 0), ('ą', -1, 699, 0), ('ę', 0, -1, 0), ('ł', -1, 52, 0), ('ś', -1, 622, 0), ('ż', -1, 299, 0)), (('a', -1, 61, 0), ('b', 1, -1, 0), ('c', -1, 144, 0), ('d', -1, 43, 0), ('e', 9, -1, 0), ('g', -1, 572, 0), ('h', -1, 3, 0), ('i', -1, 20, 0), ('j', -1, 18, 0), ('k', -1, 155, 0), ('l', -1, 481, 0), ('m', -1, 368, 0), ('n', -1, 790, 0), ('o', 0, -1, 0), ('p', -1, 208, 0), ('r', -1, 131, 0), ('s', -1, 208, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', -1, 321, 0), ('y', 0, -1, 0), ('z', -1, 85, 0), ('ó', 0, -1, 0), ('ł', -1, 117, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 36, 0), ('d', -1, 62, 0), ('e', -1, 48, 0), ('f', 0, -1, 0), ('g', -1, 81, 0), ('h', 0, -1, 0), ('i', -1, 44, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, 54, 0), ('o', -1, 214, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 235, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 142, 0), ('ł', -1, 152, 0), ('ż', 0, -1, 0)), (('a', -1, 26, 0), ('b', -1, 63, 0), ('c', -1, 100, 0), ('d', 0, 26, 0), ('e', -1, 154, 0), ('f', 0, -1, 0), ('g', -1, 35, 0), ('i', -1, 50, 0), ('k', -1, 35, 0), ('l', -1, 129, 0), ('m', 0, -1, 0), ('n', -1, 580, 0), ('o', -1, 251, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 64, 0), ('t', 0, 70, 0), ('u', -1, 208, 0), ('w', 0, 546, 0), ('y', -1, 72, 0), ('z', -1, 190, 0), ('ę', -1, 327, 0), ('ł', -1, 476, 0)), (('a', 0, -1, 0), ('b', -1, 64, 0), ('c', 0, -1, 0), ('d', -1, 281, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 61, 0), ('i', 10, -1, 0), ('j', -1, 35, 0), ('k', -1, 104, 0), ('l', -1, 319, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 140, 0), ('p', 0, 54, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 10, -1, 0), ('ń', 0, -1, 0), ('ś', 0, 776, 0), ('ź', 0, -1, 0)), (('a', -1, 8, 0), ('b', 0, -1, 0), ('c', 0, 65, 0), ('d', 0, -1, 0), ('e', -1, 54, 0), ('i', -1, 42, 0), ('k', 0, -1, 0), ('l', -1, 702, 0), ('m', 0, 44, 0), ('n', 0, -1, 0), ('o', 0, 4, 0), ('p', 0, -1, 0), ('r', -1, 546, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, 4, 0), ('w', -1, 134, 0), ('y', -1, 101, 0), ('z', -1, 69, 0), ('ę', -1, 867, 0), ('ł', 0, -1, 0), ('ś', -1, 1431, 0)), (('a', 1, -1, 0), ('b', -1, 66, 0), ('c', -1, 1, 0), ('d', 0, -1, 0), ('e', -1, 312, 0), ('g', -1, 364, 0), ('h', -1, 83, 0), ('i', -1, 49, 0), ('j', 20, -1, 0), ('k', 1, -1, 0), ('l', -1, 413, 0), ('m', -1, 542, 0), ('n', -1, 96, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 0, 85, 0), ('s', 1, -1, 0), ('t', 0, 54, 0), ('u', 1, -1, 0), ('w', 0, 366, 0), ('y', -1, 319, 0), ('z', 5, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 67, 0), ('b', 0, 143, 0), ('c', 0, 513, 0), ('d', -1, 306, 0), ('e', -1, 90, 0), ('i', -1, 187, 0), ('k', 0, -1, 0), ('l', -1, 787, 0), ('m', -1, 369, 0), ('n', -1, 609, 0), ('o', -1, 143, 0), ('p', 0, 70, 0), ('r', -1, 251, 0), ('s', -1, 1041, 0), ('t', 0, 70, 0), ('u', 0, 69, 0), ('w', -1, 78, 0), ('y', -1, 156, 0), ('z', -1, 540, 0)), (('a', 0, -1, 0), ('b', -1, 68, 0), ('c', -1, 321, 0), ('d', 0, -1, 0), ('e', -1, 165, 0), ('f', 0, 70, 0), ('g', -1, 419, 0), ('i', -1, 125, 0), ('k', -1, 169, 0), ('l', -1, 63, 0), ('m', -1, 328, 0), ('n', -1, 428, 0), ('o', 0, -1, 0), ('p', 0, 235, 0), ('r', 0, 151, 0), ('s', 0, 438, 0), ('t', -1, 105, 0), ('u', 0, -1, 0), ('w', -1, 9, 0), ('y', 14, -1, 0), ('z', 0, 85, 0), ('ó', 0, -1, 0), ('ł', -1, 565, 0)), (('a', -1, 39, 0), ('b', 0, 69, 0), ('c', -1, 1114, 0), ('d', -1, 126, 0), ('e', 11, -1, 0), ('f', 0, 70, 0), ('i', -1, 286, 0), ('k', 0, 42, 0), ('l', -1, 582, 0), ('m', -1, 342, 0), ('n', -1, 200, 0), ('o', -1, 42, 0), ('p', -1, 756, 0), ('r', -1, 298, 0), ('s', -1, 420, 0), ('t', -1, 352, 0), ('u', -1, 169, 0), ('w', -1, 5, 0), ('y', -1, 4, 0), ('z', -1, 169, 0)), (('a', -1, 63, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, 70, 0), ('e', 11, -1, 0), ('g', -1, 807, 0), ('h', -1, 204, 0), ('i', -1, 342, 0), ('j', 0, -1, 0), ('k', -1, 146, 0), ('l', 0, -1, 0), ('m', -1, 148, 0), ('n', -1, 334, 0), ('o', 0, -1, 0), ('p', 1, 100, 0), ('r', 10, -1, 0), ('s', 0, 4, 0), ('t', -1, 4, 0), ('u', 10, -1, 0), ('w', -1, 63, 0), ('y', 0, -1, 0), ('z', -1, 228, 0), ('ó', 10, -1, 0), ('ą', 10, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 140, 0), ('ś', 0, 70, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', -1, 71, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 5, -1, 0), ('g', -1, 630, 0), ('h', -1, 100, 0), ('i', -1, 90, 0), ('j', -1, 81, 0), ('k', -1, 617, 0), ('l', 0, -1, 0), ('m', 0, 70, 0), ('n', -1, 213, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 43, 0), ('s', 0, -1, 0), ('t', -1, 320, 0), ('u', 0, 42, 0), ('w', -1, 162, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ę', -1, 53, 0), ('ł', 0, 276, 0), ('ś', 0, 42, 0)), (('a', -1, 72, 0), ('b', -1, 522, 0), ('c', 0, 42, 0), ('d', -1, 154, 0), ('e', 5, -1, 0), ('g', 0, 42, 0), ('i', -1, 208, 0), ('k', 0, 250, 0), ('l', -1, 755, 0), ('m', -1, 304, 0), ('n', -1, 78, 0), ('o', 0, 42, 0), ('p', 0, 42, 0), ('r', -1, 177, 0), ('s', 0, 42, 0), ('t', -1, 108, 0), ('u', -1, 7, 0), ('w', -1, 1, 0), ('y', -1, 300, 0), ('z', -1, 535, 0), ('ł', -1, 24, 0)), (('a', -1, 73, 0), ('b', 0, 69, 0), ('c', -1, 540, 0), ('d', -1, 55, 0), ('e', -1, 44, 0), ('g', 0, 16, 0), ('h', -1, 14, 0), ('i', -1, 487, 0), ('k', -1, 126, 0), ('l', -1, 512, 0), ('m', -1, 300, 0), ('n', -1, 788, 0), ('o', -1, 170, 0), ('p', -1, 140, 0), ('r', 0, 312, 0), ('s', -1, 420, 0), ('t', -1, 328, 0), ('u', 0, -1, 0), ('w', -1, 3, 0), ('y', -1, 137, 0), ('z', 1, -1, 0), ('ą', -1, 418, 0), ('ę', 0, -1, 0)), (('a', -1, 74, 0), ('b', 0, 143, 0), ('c', -1, 200, 0), ('d', 0, -1, 0), ('e', 24, -1, 0), ('f', -1, 137, 0), ('g', 0, 4, 0), ('h', 1, -1, 0), ('i', -1, 222, 0), ('k', 0, 70, 0), ('l', -1, 309, 0), ('m', -1, 477, 0), ('n', 0, -1, 0), ('o', -1, 78, 0), ('p', 0, 143, 0), ('r', 0, -1, 0), ('s', -1, 62, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 26, 0), ('y', -1, 40, 0), ('z', 1, -1, 0), ('ł', -1, 425, 0)), (('a', -1, 75, 0), ('b', -1, 328, 0), ('c', 0, 153, 0), ('d', -1, 131, 0), ('e', 0, 143, 0), ('g', -1, 978, 0), ('i', -1, 21, 0), ('k', -1, 490, 0), ('l', -1, 513, 0), ('m', 0, 69, 0), ('n', 0, -1, 0), ('o', -1, 46, 0), ('p', 0, -1, 0), ('r', -1, 342, 0), ('s', -1, 23, 0), ('t', -1, 340, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', -1, 582, 0)), (('a', 0, -1, 0), ('b', 0, 76, 0), ('c', -1, 208, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, 42, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 12, 0), ('n', -1, 62, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 281, 0), ('s', 0, -1, 0), ('t', -1, 95, 0), ('u', 1, -1, 0), ('w', -1, 89, 0), ('y', 0, -1, 0), ('z', 16, -1, 0), ('ó', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 331, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 4, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 77, 0), ('h', -1, 392, 0), ('i', 0, -1, 0), ('j', 11, -1, 0), ('k', -1, 62, 0), ('l', 0, 4, 0), ('m', 0, -1, 0), ('n', -1, 31, 0), ('o', 0, -1, 0), ('p', -1, 295, 0), ('r', 5, -1, 0), ('s', 0, 85, 0), ('t', -1, 169, 0), ('u', 0, -1, 0), ('w', -1, 12, 0), ('y', -1, 129, 0), ('z', 28, -1, 0), ('ó', 0, -1, 0), ('ł', -1, 77, 0), ('ź', 0, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 2, 0), ('b', -1, 78, 0), ('c', -1, 867, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', -1, 1012, 0), ('i', -1, 565, 0), ('k', -1, 441, 0), ('l', -1, 649, 0), ('m', -1, 437, 0), ('n', -1, 300, 0), ('o', 0, 171, 0), ('p', -1, 64, 0), ('r', 0, -1, 0), ('s', 1, 54, 0), ('t', 0, -1, 0), ('u', 0, 54, 0), ('w', -1, 1046, 0), ('y', -1, 79, 0), ('z', -1, 208, 0)), (('a', 0, -1, 0), ('b', -1, 63, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 49, 0), ('f', 0, -1, 0), ('g', -1, 79, 0), ('h', -1, 555, 0), ('i', 1, -1, 0), ('j', -1, 75, 0), ('k', -1, 84, 0), ('l', -1, 67, 0), ('m', 0, 17, 0), ('n', -1, 1008, 0), ('o', -1, 7, 0), ('p', 0, -1, 0), ('r', -1, 22, 0), ('s', 0, -1, 0), ('t', -1, 40, 0), ('u', 0, -1, 0), ('w', -1, 546, 0), ('y', -1, 2, 0), ('z', -1, 140, 0), ('ó', -1, 132, 0), ('ą', -1, 75, 0), ('ę', 0, -1, 0), ('ł', -1, 40, 0), ('ś', 0, 1, 0), ('ż', -1, 13, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 80, 0), ('d', -1, 71, 0), ('e', 0, 70, 0), ('g', -1, 182, 0), ('i', 17, -1, 0), ('j', 0, -1, 0), ('k', -1, 117, 0), ('l', -1, 580, 0), ('m', -1, 276, 0), ('n', 0, 69, 0), ('o', -1, 20, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 137, 0), ('t', -1, 2, 0), ('u', 0, -1, 0), ('w', -1, 51, 0), ('y', 0, -1, 0), ('z', 0, 70, 0), ('ł', -1, 545, 0)), (('a', -1, 27, 0), ('b', -1, 81, 0), ('c', -1, 656, 0), ('d', -1, 183, 0), ('e', 6, -1, 0), ('i', 0, 709, 0), ('k', -1, 83, 0), ('l', -1, 567, 0), ('m', -1, 90, 0), ('n', -1, 163, 0), ('o', -1, 169, 0), ('p', 0, 54, 0), ('r', -1, 574, 0), ('s', -1, 70, 0), ('t', -1, 208, 0), ('u', 0, 54, 0), ('w', 0, 54, 0), ('y', -1, 46, 0), ('z', -1, 191, 0)), (('a', -1, 82, 0), ('b', -1, 16, 0), ('c', -1, 97, 0), ('d', -1, 180, 0), ('e', -1, 135, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 1033, 0), ('l', -1, 1767, 0), ('m', 0, 54, 0), ('n', -1, 1793, 0), ('o', 0, -1, 0), ('p', -1, 304, 0), ('r', -1, 65, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 4, 0), ('y', -1, 205, 0), ('z', -1, 264, 0), ('ę', -1, 14, 0), ('ł', -1, 543, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 48, 0), ('e', 0, -1, 0), ('g', -1, 83, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', 24, -1, 0), ('k', -1, 65, 0), ('l', -1, 169, 0), ('m', 0, 85, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 131, 0), ('t', -1, 15, 0), ('u', -1, 251, 0), ('w', 1, -1, 0), ('y', -1, 149, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 0, 4, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 1, 0)), (('a', -1, 84, 0), ('b', 0, -1, 0), ('c', -1, 214, 0), ('d', 0, 1033, 0), ('e', 6, -1, 0), ('g', -1, 126, 0), ('h', -1, 333, 0), ('i', -1, 360, 0), ('k', -1, 311, 0), ('l', -1, 117, 0), ('m', -1, 756, 0), ('n', -1, 1412, 0), ('o', -1, 153, 0), ('p', -1, 545, 0), ('r', -1, 14, 0), ('s', -1, 364, 0), ('t', -1, 656, 0), ('u', -1, 1066, 0), ('w', -1, 341, 0), ('y', -1, 32, 0), ('z', -1, 1052, 0)), (('a', -1, 7, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, 85, 0), ('e', -1, 93, 0), ('f', -1, 1424, 0), ('g', -1, 111, 0), ('h', -1, 67, 0), ('i', -1, 24, 0), ('j', 21, -1, 0), ('k', 0, -1, 0), ('l', -1, 23, 0), ('m', 0, 4, 0), ('n', 0, -1, 0), ('o', -1, 65, 0), ('p', 0, 91, 0), ('r', -1, 1, 0), ('s', -1, 14, 0), ('t', -1, 331, 0), ('u', -1, 95, 0), ('w', 0, -1, 0), ('y', -1, 43, 0), ('z', -1, 13, 0), ('ą', 0, -1, 0), ('ę', -1, 3, 0), ('ł', 1, -1, 0), ('ń', 0, -1, 0), ('ś', 1, -1, 0), ('ż', -1, 1473, 0)), (('a', -1, 58, 0), ('b', 0, -1, 0), ('c', 0, 69, 0), ('d', 0, -1, 0), ('e', 24, -1, 0), ('f', -1, 86, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('j', -1, 77, 0), ('k', 0, -1, 0), ('l', -1, 52, 0), ('m', -1, 15, 0), ('n', -1, 230, 0), ('o', -1, 52, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 32, -1, 0), ('y', -1, 788, 0), ('z', -1, 91, 0), ('ó', -1, 100, 0), ('ą', -1, 109, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ś', -1, 77, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 87, 0), ('c', 1, 877, 0), ('d', -1, 718, 0), ('e', -1, 355, 0), ('g', -1, 59, 0), ('i', -1, 39, 0), ('k', 0, 493, 0), ('l', -1, 58, 0), ('m', 0, 42, 0), ('n', -1, 342, 0), ('o', -1, 547, 0), ('p', -1, 71, 0), ('r', -1, 418, 0), ('s', -1, 135, 0), ('t', -1, 154, 0), ('u', 0, 353, 0), ('w', 0, 513, 0), ('y', -1, 327, 0), ('z', 0, -1, 0), ('ą', -1, 12, 0), ('ł', -1, 349, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 88, 0), ('d', -1, 16, 0), ('e', -1, 24, 0), ('f', 0, 1309, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', -1, 183, 0), ('k', 0, -1, 0), ('l', 0, 17, 0), ('m', 0, -1, 0), ('n', 0, 92, 0), ('o', -1, 41, 0), ('p', 0, -1, 0), ('r', -1, 169, 0), ('s', -1, 49, 0), ('t', -1, 125, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 904, 0), ('ą', -1, 1, 0), ('ę', 0, -1, 0), ('ł', -1, 38, 0), ('ś', -1, 380, 0), ('ż', -1, 141, 0)), (('a', -1, 89, 0), ('b', 0, -1, 0), ('c', -1, 164, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 88, 0), ('h', 0, 26, 0), ('i', 0, -1, 0), ('j', 0, 940, 0), ('k', 0, 32, 0), ('l', -1, 45, 0), ('m', 0, 9, 0), ('n', -1, 328, 0), ('o', 0, -1, 0), ('p', 0, 65, 0), ('r', 0, 319, 0), ('s', 0, -1, 0), ('t', -1, 114, 0), ('u', 0, -1, 0), ('w', 1, 4, 0), ('y', 0, -1, 0), ('z', -1, 169, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 59, 0), ('b', 0, -1, 0), ('c', 0, 90, 0), ('d', 11, -1, 0), ('e', 0, -1, 0), ('f', -1, 294, 0), ('g', -1, 229, 0), ('h', -1, 192, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 136, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 61, 0), ('u', 0, 70, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 53, 0), ('ó', -1, 755, 0), ('ą', -1, 75, 0), ('ę', -1, 145, 0), ('ł', 0, 12, 0), ('ś', -1, 328, 0), ('ż', 0, -1, 0)), (('a', -1, 87, 0), ('b', 1, -1, 0), ('c', -1, 22, 0), ('d', 1, -1, 0), ('e', -1, 91, 0), ('g', -1, 276, 0), ('h', 1, -1, 0), ('i', -1, 546, 0), ('j', -1, 200, 0), ('k', 0, 71, 0), ('l', -1, 65, 0), ('m', -1, 118, 0), ('n', -1, 297, 0), ('o', 0, -1, 0), ('p', 0, 4, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 251, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 7, 0), ('c', -1, 92, 0), ('d', 17, -1, 0), ('e', 0, -1, 0), ('f', 0, 9, 0), ('g', 16, -1, 0), ('h', -1, 135, 0), ('i', 0, -1, 0), ('j', 0, 9, 0), ('k', 0, -1, 0), ('l', 1, 70, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 16, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 313, 0), ('ż', 0, 69, 0)), (('a', -1, 93, 0), ('b', 0, -1, 0), ('c', -1, 450, 0), ('d', -1, 477, 0), ('e', -1, 52, 0), ('f', 1, -1, 0), ('g', 0, -1, 0), ('h', -1, 343, 0), ('i', -1, 22, 0), ('j', -1, 26, 0), ('k', 0, -1, 0), ('l', -1, 126, 0), ('m', -1, 215, 0), ('n', -1, 352, 0), ('o', -1, 75, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 547, 0), ('u', -1, 788, 0), ('w', 0, 788, 0), ('y', 6, -1, 0), ('z', 0, -1, 0), ('ę', -1, 88, 0), ('ł', -1, 85, 0), ('ś', -1, 276, 0), ('ż', 1, -1, 0)), (('a', -1, 1, 0), ('b', 0, -1, 0), ('c', -1, 94, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 11, 0), ('g', -1, 1, 0), ('h', 10, -1, 0), ('i', 0, -1, 0), ('j', -1, 418, 0), ('k', 1, -1, 0), ('l', -1, 59, 0), ('m', 1, -1, 0), ('n', -1, 10, 0), ('o', 0, -1, 0), ('p', 0, 2, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 91, 0), ('w', -1, 22, 0), ('y', 1, -1, 0), ('z', -1, 22, 0), ('ó', 1, -1, 0), ('ą', -1, 22, 0), ('ć', -1, 51, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, 59, 0), ('ź', -1, 251, 0), ('ż', -1, 229, 0)), (('a', 0, -1, 0), ('b', 0, 95, 0), ('c', -1, 20, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 318, 0), ('g', 1, -1, 0), ('h', -1, 125, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 53, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 13, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, 70, 0)), (('a', 0, -1, 0), ('b', 0, 96, 0), ('c', 0, -1, 0), ('d', -1, 49, 0), ('e', 0, -1, 0), ('f', -1, 369, 0), ('g', 0, -1, 0), ('h', -1, 236, 0), ('i', -1, 43, 0), ('j', -1, 360, 0), ('k', 0, 32, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 16, -1, 0), ('o', 0, -1, 0), ('p', -1, 211, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, 276, 0), ('u', 0, 42, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 98, 0), ('ą', -1, 249, 0), ('ę', -1, 8, 0), ('ł', 0, -1, 0), ('ś', -1, 81, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 97, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', -1, 51, 0), ('h', 0, 4, 0), ('i', -1, 63, 0), ('j', -1, 716, 0), ('k', -1, 113, 0), ('l', 10, -1, 0), ('m', 0, -1, 0), ('n', -1, 9, 0), ('o', 0, -1, 0), ('p', 0, 42, 0), ('r', 10, -1, 0), ('s', 10, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ł', 10, -1, 0)), (('a', -1, 14, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 98, 0), ('j', 0, -1, 0), ('k', -1, 221, 0), ('l', 0, -1, 0), ('m', -1, 441, 0), ('n', 0, -1, 0), ('o', -1, 141, 0), ('p', -1, 574, 0), ('r', 0, -1, 0), ('s', 0, 556, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 99, 0), ('c', -1, 947, 0), ('d', -1, 26, 0), ('e', 0, -1, 0), ('g', -1, 327, 0), ('i', 5, -1, 0), ('k', -1, 108, 0), ('l', -1, 173, 0), ('m', -1, 68, 0), ('n', -1, 78, 0), ('o', -1, 92, 0), ('p', -1, 231, 0), ('r', 0, 4, 0), ('s', -1, 241, 0), ('t', -1, 392, 0), ('u', 0, -1, 0), ('w', 0, 435, 0), ('y', 0, -1, 0), ('z', -1, 572, 0), ('ł', -1, 317, 0)), (('a', -1, 100, 0), ('c', 0, -1, 0), ('d', 0, 4, 0), ('e', 28, -1, 0), ('i', 6, -1, 0), ('k', -1, 994, 0), ('m', 0, -1, 0), ('o', 0, 1064, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('w', 0, 867, 0), ('z', -1, 153, 0), ('ł', 0, -1, 0)), (('a', -1, 101, 0), ('b', -1, 28, 0), ('c', -1, 481, 0), ('d', 0, 143, 0), ('e', -1, 27, 0), ('h', -1, 340, 0), ('i', -1, 56, 0), ('k', -1, 4, 0), ('l', -1, 975, 0), ('m', -1, 126, 0), ('n', -1, 190, 0), ('o', -1, 135, 0), ('p', -1, 118, 0), ('r', -1, 37, 0), ('s', -1, 699, 0), ('t', 0, 70, 0), ('u', 0, 54, 0), ('w', -1, 601, 0), ('y', -1, 278, 0), ('z', 1, -1, 0), ('ł', -1, 128, 0), ('ż', 0, 143, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 102, 0), ('i', -1, 88, 0), ('k', -1, 199, 0), ('l', -1, 43, 0), ('m', -1, 35, 0), ('n', 0, -1, 0), ('o', -1, 70, 0), ('p', 0, -1, 0), ('r', 0, 7, 0), ('s', -1, 153, 0), ('t', 0, -1, 0), ('u', -1, 306, 0), ('w', -1, 8, 0), ('y', -1, 563, 0), ('z', 0, 69, 0), ('ł', -1, 241, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 103, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 12, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 199, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 976, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 52, 0), ('y', 0, -1, 0), ('z', -1, 26, 0), ('ą', -1, 1822, 0), ('ę', 0, -1, 0), ('ł', -1, 428, 0), ('ś', -1, 44, 0), ('ż', 0, -1, 0)), (('a', -1, 79, 0), ('b', -1, 104, 0), ('c', 0, -1, 0), ('d', -1, 648, 0), ('e', -1, 84, 0), ('g', -1, 16, 0), ('i', -1, 188, 0), ('k', 1, -1, 0), ('l', -1, 104, 0), ('m', -1, 66, 0), ('n', -1, 616, 0), ('o', 0, 69, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 539, 0), ('t', -1, 77, 0), ('u', 0, 438, 0), ('w', -1, 193, 0), ('y', -1, 69, 0), ('z', 0, -1, 0)), (('a', 13, -1, 0), ('b', 0, -1, 0), ('c', -1, 14, 0), ('d', -1, 105, 0), ('e', -1, 37, 0), ('g', -1, 133, 0), ('i', 0, -1, 0), ('k', -1, 319, 0), ('l', 0, -1, 0), ('m', -1, 621, 0), ('n', -1, 557, 0), ('o', 0, -1, 0), ('p', -1, 522, 0), ('r', -1, 72, 0), ('s', -1, 130, 0), ('t', -1, 100, 0), ('u', -1, 229, 0), ('w', 0, 60, 0), ('y', 0, -1, 0), ('z', -1, 101, 0), ('ł', -1, 39, 0)), (('a', -1, 106, 0), ('b', -1, 581, 0), ('c', -1, 440, 0), ('d', -1, 978, 0), ('e', 0, 42, 0), ('i', -1, 76, 0), ('k', -1, 419, 0), ('l', -1, 81, 0), ('m', -1, 610, 0), ('n', -1, 1026, 0), ('o', 0, 153, 0), ('p', -1, 359, 0), ('r', -1, 221, 0), ('s', -1, 897, 0), ('t', 0, 42, 0), ('u', 1, -1, 0), ('w', -1, 847, 0), ('y', 0, -1, 0), ('z', -1, 430, 0)), (('a', 0, -1, 0), ('b', -1, 107, 0), ('c', -1, 331, 0), ('d', -1, 107, 0), ('e', 0, -1, 0), ('i', -1, 318, 0), ('k', 0, -1, 0), ('l', -1, 154, 0), ('m', 0, 26, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', -1, 1360, 0), ('r', -1, 348, 0), ('s', 0, 85, 0), ('t', -1, 101, 0), ('u', -1, 484, 0), ('w', 0, 42, 0), ('y', -1, 319, 0), ('z', 0, 513, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, 85, 0)), (('a', -1, 108, 0), ('c', -1, 574, 0), ('d', -1, 183, 0), ('e', -1, 37, 0), ('i', -1, 118, 0), ('k', -1, 573, 0), ('l', 0, 69, 0), ('m', -1, 398, 0), ('n', -1, 518, 0), ('o', 0, 54, 0), ('p', 0, 12, 0), ('r', -1, 347, 0), ('s', 23, 459, 0), ('t', 0, -1, 0), ('u', 0, 70, 0), ('w', -1, 45, 0), ('y', 0, -1, 0), ('z', -1, 4, 0), ('ó', -1, 65, 0), ('ś', -1, 550, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 109, 0), ('d', 0, -1, 0), ('e', -1, 153, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 86, 0), ('m', 0, 139, 0), ('n', -1, 794, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 348, 0), ('s', -1, 107, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 103, 0), ('y', 0, -1, 0), ('z', -1, 74, 0), ('ś', 0, -1, 0)), (('a', -1, 110, 0), ('b', 0, -1, 0), ('c', -1, 1054, 0), ('d', -1, 323, 0), ('e', -1, 169, 0), ('i', -1, 543, 0), ('k', 0, -1, 0), ('l', 0, 13, 0), ('m', -1, 57, 0), ('n', 20, 1, 0), ('o', 0, 70, 0), ('p', -1, 1675, 0), ('r', -1, 198, 0), ('s', 0, 338, 0), ('t', -1, 145, 0), ('w', -1, 545, 0), ('y', -1, 976, 0), ('z', -1, 303, 0)), (('a', -1, 111, 0), ('b', 0, 70, 0), ('c', -1, 13, 0), ('d', -1, 95, 0), ('e', 5, -1, 0), ('i', 5, -1, 0), ('k', -1, 477, 0), ('l', -1, 689, 0), ('m', -1, 54, 0), ('n', -1, 193, 0), ('o', -1, 142, 0), ('p', -1, 393, 0), ('r', -1, 656, 0), ('s', 0, 70, 0), ('t', -1, 220, 0), ('u', 0, 1055, 0), ('w', 0, 70, 0), ('y', -1, 814, 0), ('z', -1, 512, 0), ('ż', 0, 42, 0)), (('a', -1, 26, 0), ('c', -1, 112, 0), ('d', -1, 71, 0), ('e', -1, 86, 0), ('i', -1, 157, 0), ('k', -1, 86, 0), ('l', -1, 393, 0), ('m', -1, 112, 0), ('n', -1, 290, 0), ('o', -1, 218, 0), ('p', 0, 59, 0), ('r', -1, 540, 0), ('s', -1, 1215, 0), ('t', -1, 69, 0), ('u', -1, 24, 0), ('w', 0, 70, 0), ('y', -1, 391, 0), ('z', -1, 42, 0), ('ę', 0, -1, 0)), (('a', -1, 113, 0), ('b', 0, 42, 0), ('c', 0, 1063, 0), ('d', -1, 4, 0), ('e', 0, 9, 0), ('i', -1, 135, 0), ('l', -1, 1343, 0), ('m', -1, 1, 0), ('n', -1, 143, 0), ('o', -1, 283, 0), ('p', -1, 656, 0), ('r', -1, 435, 0), ('s', 0, 85, 0), ('t', -1, 193, 0), ('u', -1, 334, 0), ('w', -1, 419, 0), ('y', -1, 272, 0), ('z', -1, 1171, 0)), (('a', -1, 114, 0), ('b', -1, 325, 0), ('c', -1, 1166, 0), ('d', -1, 366, 0), ('e', -1, 392, 0), ('i', -1, 89, 0), ('k', 0, 342, 0), ('l', -1, 170, 0), ('m', 0, 69, 0), ('n', -1, 35, 0), ('o', -1, 199, 0), ('p', -1, 113, 0), ('r', 0, -1, 0), ('s', -1, 242, 0), ('t', -1, 867, 0), ('u', -1, 192, 0), ('w', -1, 173, 0), ('y', -1, 189, 0), ('z', -1, 188, 0), ('ę', -1, 89, 0)), (('a', 32, -1, 0), ('b', 32, -1, 0), ('c', -1, 115, 0), ('d', 32, -1, 0), ('e', 32, -1, 0), ('g', 0, 212, 0), ('h', -1, 277, 0), ('i', 0, -1, 0), ('k', -1, 867, 0), ('l', 0, 85, 0), ('m', -1, 448, 0), ('n', -1, 885, 0), ('o', 0, -1, 0), ('p', -1, 535, 0), ('r', -1, 40, 0), ('s', -1, 140, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 94, 0), ('y', 32, -1, 0), ('z', 32, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 116, 0), ('b', -1, 64, 0), ('c', -1, 143, 0), ('d', -1, 64, 0), ('e', -1, 27, 0), ('f', -1, 147, 0), ('i', -1, 513, 0), ('k', -1, 709, 0), ('l', -1, 360, 0), ('m', -1, 419, 0), ('n', -1, 115, 0), ('o', -1, 33, 0), ('p', -1, 143, 0), ('r', -1, 71, 0), ('s', -1, 1058, 0), ('t', -1, 276, 0), ('u', -1, 332, 0), ('w', -1, 169, 0), ('y', -1, 339, 0), ('z', -1, 212, 0), ('ł', -1, 225, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 117, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 121, 0), ('h', -1, 154, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 194, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 234, 0), ('p', 0, -1, 0), ('r', -1, 16, 0), ('s', -1, 697, 0), ('t', -1, 218, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 11, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 118, 0), ('b', 0, -1, 0), ('c', -1, 397, 0), ('d', 0, -1, 0), ('e', -1, 78, 0), ('g', -1, 307, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 117, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 81, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 133, 0), ('w', 0, 42, 0), ('y', -1, 25, 0), ('z', 0, 42, 0), ('ł', 0, 187, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 119, 0), ('c', -1, 742, 0), ('d', -1, 656, 0), ('e', -1, 42, 0), ('g', -1, 436, 0), ('i', 0, -1, 0), ('k', -1, 1046, 0), ('l', -1, 78, 0), ('m', -1, 78, 0), ('n', 0, 42, 0), ('o', -1, 39, 0), ('p', -1, 35, 0), ('r', 0, 9, 0), ('s', -1, 11, 0), ('t', -1, 133, 0), ('u', -1, 222, 0), ('w', -1, 276, 0), ('y', 0, -1, 0), ('z', 0, 54, 0), ('ł', -1, 26, 0)), (('a', -1, 120, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('k', -1, 31, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 749, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('w', 0, 21, 0), ('y', 1, -1, 0), ('z', 11, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 121, 0), ('b', -1, 13, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, 138, 0), ('h', 1, -1, 0), ('i', -1, 697, 0), ('k', 0, 16, 0), ('l', 1, -1, 0), ('m', -1, 798, 0), ('n', 0, -1, 0), ('o', -1, 450, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 0, 53, 0), ('u', -1, 885, 0), ('w', 0, 801, 0), ('y', -1, 391, 0), ('z', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 100, 0), ('b', 1, -1, 0), ('c', -1, 122, 0), ('d', -1, 854, 0), ('e', -1, 283, 0), ('g', -1, 51, 0), ('i', -1, 108, 0), ('k', -1, 351, 0), ('l', -1, 355, 0), ('m', -1, 93, 0), ('n', -1, 231, 0), ('o', -1, 103, 0), ('p', -1, 148, 0), ('r', -1, 76, 0), ('s', 0, 70, 0), ('t', 1, -1, 0), ('u', 0, 70, 0), ('w', 1, -1, 0), ('y', -1, 4, 0), ('z', -1, 240, 0)), (('a', 3, -1, 0), ('b', -1, 123, 0), ('c', -1, 1832, 0), ('d', -1, 1190, 0), ('e', 0, -1, 0), ('f', -1, 306, 0), ('i', -1, 218, 0), ('l', 0, -1, 0), ('m', -1, 838, 0), ('n', -1, 1833, 0), ('o', -1, 377, 0), ('p', -1, 1834, 0), ('r', 0, -1, 0), ('s', -1, 1225, 0), ('t', 0, -1, 0), ('w', -1, 1835, 0), ('y', -1, 1, 0), ('z', -1, 121, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 124, 0), ('o', -1, 1049, 0), ('r', -1, 193, 0), ('u', -1, 683, 0), ('ą', -1, 198, 0)), (('a', -1, 125, 0), ('d', -1, 71, 0), ('e', 0, 754, 0), ('i', -1, 64, 0), ('l', -1, 563, 0), ('m', -1, 328, 0), ('n', -1, 294, 0), ('o', -1, 251, 0), ('p', -1, 1046, 0), ('r', -1, 635, 0), ('s', -1, 1376, 0), ('t', -1, 62, 0), ('u', 0, 70, 0), ('w', 0, 70, 0), ('y', -1, 1071, 0), ('z', 0, 70, 0)), (('a', -1, 16, 0), ('b', 0, 104, 0), ('c', -1, 126, 0), ('d', -1, 413, 0), ('e', -1, 13, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, 143, 0), ('k', 0, -1, 0), ('l', 0, 143, 0), ('m', -1, 23, 0), ('n', 0, -1, 0), ('o', -1, 16, 0), ('p', -1, 1, 0), ('r', 0, -1, 0), ('s', -1, 4, 0), ('t', 0, -1, 0), ('u', -1, 15, 0), ('w', -1, 235, 0), ('y', -1, 16, 0), ('z', 0, 42, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 1357, 0)), (('a', -1, 127, 0), ('b', -1, 183, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 450, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 422, 0), ('k', -1, 148, 0), ('l', 0, -1, 0), ('m', -1, 750, 0), ('n', -1, 229, 0), ('o', -1, 63, 0), ('p', -1, 69, 0), ('r', 0, -1, 0), ('s', -1, 347, 0), ('t', 0, -1, 0), ('u', -1, 609, 0), ('w', -1, 490, 0), ('y', -1, 10, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, 128, 0), ('c', -1, 259, 0), ('d', -1, 282, 0), ('e', 0, -1, 0), ('f', -1, 811, 0), ('g', -1, 183, 0), ('i', 0, -1, 0), ('k', 0, 85, 0), ('l', 0, 68, 0), ('m', -1, 808, 0), ('n', -1, 200, 0), ('o', -1, 213, 0), ('p', -1, 532, 0), ('r', -1, 308, 0), ('s', -1, 229, 0), ('t', -1, 1052, 0), ('u', -1, 355, 0), ('w', -1, 64, 0), ('y', 0, -1, 0), ('z', 0, 9, 0), ('ł', 0, 594, 0), ('ż', 0, 85, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 129, 0), ('d', 0, 69, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 69, 0), ('h', -1, 609, 0), ('i', 1, -1, 0), ('j', 47, -1, 0), ('k', 0, 348, 0), ('l', -1, 118, 0), ('m', 0, -1, 0), ('n', -1, 837, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', -1, 156, 0), ('u', -1, 43, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 87, 0), ('ę', 1, -1, 0), ('ł', -1, 48, 0), ('ś', 1, -1, 0)), (('a', 0, -1, 0), ('b', 3, 44, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 53, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 130, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 171, 0), ('o', -1, 332, 0), ('p', 0, -1, 0), ('r', -1, 251, 0), ('s', 0, -1, 0), ('t', -1, 302, 0), ('u', -1, 78, 0), ('w', 0, -1, 0), ('y', -1, 37, 0), ('z', 0, -1, 0), ('ł', 0, 85, 0), ('ś', 0, -1, 0)), (('a', 0, 69, 0), ('b', -1, 131, 0), ('c', 0, 57, 0), ('d', -1, 325, 0), ('e', -1, 92, 0), ('i', -1, 40, 0), ('k', 0, 42, 0), ('l', -1, 141, 0), ('m', -1, 649, 0), ('n', -1, 24, 0), ('o', -1, 34, 0), ('p', -1, 448, 0), ('r', -1, 286, 0), ('s', -1, 318, 0), ('t', -1, 221, 0), ('u', 0, -1, 0), ('w', -1, 445, 0), ('y', -1, 421, 0), ('z', -1, 293, 0)), (('a', -1, 85, 0), ('b', -1, 132, 0), ('c', -1, 16, 0), ('d', -1, 4, 0), ('e', -1, 3, 0), ('f', 0, 5, 0), ('g', 0, -1, 0), ('h', 3, -1, 0), ('i', 0, -1, 0), ('j', -1, 391, 0), ('k', 0, 477, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 10, 0), ('p', 0, -1, 0), ('r', -1, 95, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ł', 0, 304, 0)), (('a', -1, 133, 0), ('b', -1, 522, 0), ('c', -1, 712, 0), ('d', -1, 4, 0), ('e', -1, 928, 0), ('f', 0, -1, 0), ('g', -1, 137, 0), ('i', -1, 227, 0), ('k', -1, 225, 0), ('l', -1, 154, 0), ('m', -1, 847, 0), ('n', -1, 522, 0), ('o', -1, 128, 0), ('p', -1, 403, 0), ('r', -1, 32, 0), ('s', -1, 210, 0), ('t', -1, 747, 0), ('u', -1, 135, 0), ('w', 0, -1, 0), ('y', -1, 105, 0), ('z', 0, -1, 0), ('ą', -1, 795, 0)), (('a', -1, 134, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 172, 0), ('e', -1, 1052, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 159, 0), ('m', 0, -1, 0), ('n', -1, 42, 0), ('o', -1, 163, 0), ('p', 0, -1, 0), ('r', -1, 477, 0), ('s', -1, 333, 0), ('t', 0, 377, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 153, 0), ('ó', 0, -1, 0), ('ł', 0, 60, 0), ('ż', 0, -1, 0)), (('a', -1, 135, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 10, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 15, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 323, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 10, -1, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', -1, 93, 0), ('w', 0, -1, 0), ('y', 10, -1, 0), ('z', 0, -1, 0), ('ą', 31, -1, 0), ('ę', 10, -1, 0), ('ł', -1, 82, 0), ('ż', 0, -1, 0)), (('a', -1, 57, 0), ('b', -1, 136, 0), ('c', -1, 95, 0), ('d', 0, 4, 0), ('e', -1, 421, 0), ('g', 0, 54, 0), ('h', -1, 414, 0), ('i', 1, -1, 0), ('j', 11, -1, 0), ('k', 0, -1, 0), ('l', -1, 364, 0), ('m', 0, 67, 0), ('n', -1, 173, 0), ('o', -1, 20, 0), ('p', 10, 547, 0), ('r', 31, -1, 0), ('s', 0, -1, 0), ('t', -1, 229, 0), ('u', 0, -1, 0), ('w', -1, 67, 0), ('y', 1, -1, 0), ('z', 11, -1, 0), ('ł', -1, 75, 0), ('ś', 0, -1, 0)), (('a', -1, 14, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 85, 0), ('p', -1, 137, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 16, 0), ('ę', -1, 23, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 138, 0), ('b', -1, 180, 0), ('c', -1, 307, 0), ('d', 0, -1, 0), ('e', -1, 17, 0), ('g', -1, 132, 0), ('i', 21, -1, 0), ('k', 0, 42, 0), ('l', -1, 88, 0), ('m', 0, -1, 0), ('n', -1, 193, 0), ('o', 0, 143, 0), ('p', 0, 306, 0), ('r', -1, 562, 0), ('s', 0, -1, 0), ('t', -1, 355, 0), ('u', -1, 118, 0), ('w', -1, 155, 0), ('y', -1, 164, 0), ('z', 0, -1, 0), ('ł', -1, 319, 0), ('ż', -1, 191, 0)), (('a', 0, -1, 0), ('b', -1, 139, 0), ('c', 0, 85, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', -1, 69, 0), ('g', 0, 154, 0), ('h', 0, 70, 0), ('i', 1, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 59, 0), ('m', 1, -1, 0), ('n', -1, 188, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 152, 0), ('u', 0, -1, 0), ('w', -1, 42, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0), ('ś', -1, 1, 0), ('ż', 1, -1, 0)), (('a', -1, 140, 0), ('b', -1, 154, 0), ('c', -1, 81, 0), ('d', 0, 69, 0), ('e', 0, -1, 0), ('g', -1, 358, 0), ('h', -1, 811, 0), ('i', -1, 138, 0), ('k', 0, -1, 0), ('l', -1, 165, 0), ('m', 0, 85, 0), ('n', 0, -1, 0), ('o', 0, 418, 0), ('p', 0, 171, 0), ('r', -1, 26, 0), ('s', 0, 193, 0), ('t', 0, 85, 0), ('u', -1, 420, 0), ('w', -1, 135, 0), ('y', 13, -1, 0), ('z', 0, 85, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 41, 0), ('c', -1, 21, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 141, 0), ('h', -1, 34, 0), ('i', -1, 7, 0), ('j', 0, 42, 0), ('k', 0, 58, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 38, 0), ('o', -1, 49, 0), ('p', 0, 91, 0), ('r', 0, 546, 0), ('s', 0, -1, 0), ('t', -1, 21, 0), ('u', 0, -1, 0), ('w', -1, 546, 0), ('y', -1, 23, 0), ('z', -1, 16, 0), ('ó', -1, 189, 0), ('ą', -1, 296, 0), ('ę', -1, 84, 0), ('ł', 0, -1, 0), ('ś', -1, 182, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 142, 0), ('d', 0, -1, 0), ('e', -1, 1, 0), ('f', -1, 477, 0), ('g', 0, 518, 0), ('h', -1, 154, 0), ('i', 0, -1, 0), ('j', -1, 522, 0), ('k', -1, 74, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 13, 1, 0), ('o', -1, 24, 0), ('p', 16, -1, 0), ('r', 1, -1, 0), ('s', 10, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 2, 0), ('y', 24, -1, 0), ('z', -1, 21, 0), ('ó', -1, 158, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 16, -1, 0), ('ś', -1, 64, 0), ('ż', 0, 54, 0)), (('a', -1, 89, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 143, 0), ('g', 0, 709, 0), ('h', 0, -1, 0), ('i', -1, 129, 0), ('j', 0, -1, 0), ('k', -1, 55, 0), ('l', 0, 42, 0), ('m', -1, 342, 0), ('n', 0, -1, 0), ('o', 0, 32, 0), ('p', -1, 225, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 221, 0), ('u', -1, 41, 0), ('w', 0, -1, 0), ('y', -1, 8, 0), ('z', 0, -1, 0), ('ł', -1, 57, 0), ('ż', 0, -1, 0)), (('a', -1, 24, 0), ('b', 0, 70, 0), ('c', 0, -1, 0), ('d', -1, 136, 0), ('e', 28, -1, 0), ('g', -1, 144, 0), ('h', 0, 281, 0), ('i', -1, 332, 0), ('k', 0, 69, 0), ('l', -1, 251, 0), ('m', -1, 334, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 321, 0), ('r', -1, 6, 0), ('s', -1, 285, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 9, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 145, 0), ('c', -1, 1133, 0), ('d', -1, 754, 0), ('e', -1, 36, 0), ('i', -1, 435, 0), ('k', -1, 1388, 0), ('l', -1, 39, 0), ('m', -1, 181, 0), ('n', -1, 863, 0), ('o', -1, 421, 0), ('p', -1, 436, 0), ('r', -1, 448, 0), ('s', -1, 81, 0), ('t', -1, 1011, 0), ('u', -1, 1110, 0), ('w', -1, 105, 0), ('y', -1, 319, 0), ('z', -1, 316, 0), ('ś', -1, 319, 0)), (('a', -1, 143, 0), ('b', -1, 107, 0), ('c', -1, 86, 0), ('d', -1, 146, 0), ('e', -1, 118, 0), ('i', -1, 328, 0), ('k', -1, 596, 0), ('l', -1, 55, 0), ('m', -1, 211, 0), ('n', 0, -1, 0), ('o', -1, 603, 0), ('p', -1, 904, 0), ('r', -1, 126, 0), ('s', -1, 712, 0), ('t', 0, 69, 0), ('u', -1, 928, 0), ('w', 1, -1, 0), ('y', -1, 869, 0), ('z', -1, 212, 0)), (('a', -1, 147, 0), ('b', 1, -1, 0), ('c', -1, 747, 0), ('d', -1, 435, 0), ('e', -1, 380, 0), ('i', 0, -1, 0), ('k', 0, 26, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 145, 0), ('s', -1, 343, 0), ('t', -1, 42, 0), ('u', 0, -1, 0), ('w', -1, 428, 0), ('y', -1, 547, 0), ('z', -1, 421, 0), ('ó', 0, -1, 0), ('ł', 0, 36, 0), ('ś', -1, 302, 0)), (('a', -1, 64, 0), ('b', 0, -1, 0), ('c', -1, 148, 0), ('d', -1, 21, 0), ('e', -1, 487, 0), ('f', 0, -1, 0), ('g', -1, 307, 0), ('i', -1, 297, 0), ('j', -1, 435, 0), ('k', -1, 154, 0), ('l', 0, 41, 0), ('m', -1, 104, 0), ('n', -1, 543, 0), ('o', -1, 303, 0), ('p', 0, -1, 0), ('r', -1, 572, 0), ('s', -1, 188, 0), ('t', -1, 682, 0), ('u', -1, 451, 0), ('w', 0, 683, 0), ('y', -1, 478, 0), ('z', -1, 102, 0), ('ż', 0, -1, 0)), (('a', -1, 149, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 187, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 542, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 289, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 70, 0), ('p', 0, -1, 0), ('r', 0, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 185, 0), ('y', -1, 75, 0), ('z', -1, 237, 0), ('ł', 0, -1, 0), ('ż', -1, 573, 0)), (('a', -1, 150, 0), ('b', -1, 286, 0), ('c', 0, 114, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 976, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 711, 0), ('k', -1, 107, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 448, 0), ('o', 0, -1, 0), ('p', 0, 283, 0), ('r', -1, 340, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 56, 0), ('y', 0, -1, 0), ('z', -1, 85, 0), ('ł', -1, 143, 0)), (('a', -1, 151, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 12, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 392, 0), ('o', 0, -1, 0), ('p', -1, 142, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 89, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 866, 0), ('ę', -1, 141, 0), ('ł', 0, -1, 0), ('ś', 0, 853, 0), ('ź', 0, -1, 0)), (('a', -1, 152, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 93, 0), ('p', 0, -1, 0), ('r', -1, 519, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 139, 0), ('w', -1, 214, 0), ('y', 8, -1, 0), ('z', -1, 94, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 317, 0), ('ł', 0, -1, 0), ('ś', -1, 505, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 31, 0), ('f', -1, 153, 0), ('g', -1, 241, 0), ('h', -1, 76, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, 85, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', -1, 421, 0), ('t', 1, -1, 0), ('u', 0, 143, 0), ('w', 0, -1, 0), ('y', 28, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 221, 0), ('ł', 0, 22, 0), ('ś', -1, 200, 0), ('ż', -1, 1448, 0)), (('a', 0, 54, 0), ('b', 1, 154, 0), ('c', -1, 741, 0), ('d', -1, 126, 0), ('e', 12, -1, 0), ('g', -1, 621, 0), ('i', -1, 142, 0), ('j', 0, -1, 0), ('k', -1, 661, 0), ('l', -1, 450, 0), ('m', -1, 364, 0), ('n', -1, 322, 0), ('o', -1, 229, 0), ('p', -1, 9, 0), ('r', -1, 283, 0), ('s', 0, 70, 0), ('t', 0, 153, 0), ('u', 0, 70, 0), ('w', -1, 18, 0), ('y', -1, 293, 0), ('z', 0, -1, 0), ('ł', -1, 512, 0)), (('a', 0, -1, 0), ('b', 0, 155, 0), ('c', -1, 69, 0), ('d', 5, -1, 0), ('e', -1, 63, 0), ('g', -1, 158, 0), ('i', -1, 36, 0), ('k', -1, 567, 0), ('l', -1, 74, 0), ('m', 0, -1, 0), ('n', -1, 66, 0), ('o', -1, 90, 0), ('p', -1, 126, 0), ('r', -1, 87, 0), ('s', 0, -1, 0), ('t', -1, 342, 0), ('u', -1, 283, 0), ('w', 0, -1, 0), ('y', -1, 173, 0), ('z', -1, 9, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('b', -1, 156, 0), ('c', -1, 616, 0), ('d', -1, 106, 0), ('e', -1, 24, 0), ('g', -1, 856, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 132, 0), ('l', 1, -1, 0), ('m', -1, 327, 0), ('n', -1, 595, 0), ('o', 1, -1, 0), ('p', -1, 323, 0), ('r', 0, 276, 0), ('s', -1, 143, 0), ('t', 0, 9, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 138, 0), ('z', 0, 36, 0), ('ą', 1, -1, 0), ('ę', -1, 138, 0), ('ł', -1, 22, 0)), (('a', -1, 27, 0), ('b', -1, 157, 0), ('c', -1, 285, 0), ('d', -1, 64, 0), ('e', -1, 26, 0), ('i', -1, 307, 0), ('k', -1, 762, 0), ('l', -1, 487, 0), ('m', -1, 1033, 0), ('n', 0, 70, 0), ('o', -1, 609, 0), ('p', -1, 173, 0), ('r', -1, 414, 0), ('s', -1, 300, 0), ('t', -1, 808, 0), ('u', -1, 33, 0), ('w', -1, 168, 0), ('y', -1, 88, 0), ('z', 0, 42, 0)), (('a', -1, 81, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 64, 0), ('e', -1, 158, 0), ('i', -1, 77, 0), ('k', -1, 804, 0), ('l', -1, 54, 0), ('m', -1, 315, 0), ('n', 0, -1, 0), ('o', -1, 50, 0), ('p', 0, -1, 0), ('r', -1, 107, 0), ('s', 0, -1, 0), ('t', -1, 1311, 0), ('u', -1, 690, 0), ('w', -1, 332, 0), ('y', -1, 208, 0), ('z', -1, 191, 0)), (('a', -1, 88, 0), ('c', -1, 159, 0), ('d', -1, 440, 0), ('e', -1, 609, 0), ('g', 0, -1, 0), ('i', 14, -1, 0), ('k', -1, 620, 0), ('l', -1, 1824, 0), ('m', -1, 478, 0), ('n', -1, 648, 0), ('o', -1, 304, 0), ('p', 0, 195, 0), ('r', 0, 60, 0), ('s', 30, -1, 0), ('t', 0, 36, 0), ('u', 0, -1, 0), ('w', 0, 42, 0), ('y', -1, 294, 0), ('z', -1, 192, 0)), (('a', -1, 160, 0), ('b', -1, 71, 0), ('c', -1, 948, 0), ('d', 0, 42, 0), ('e', -1, 512, 0), ('i', 11, -1, 0), ('j', 0, 85, 0), ('k', -1, 719, 0), ('l', -1, 803, 0), ('m', 0, 85, 0), ('n', -1, 757, 0), ('o', -1, 9, 0), ('p', 0, 96, 0), ('r', -1, 50, 0), ('s', 0, -1, 0), ('t', -1, 446, 0), ('u', -1, 56, 0), ('w', 1, -1, 0), ('y', -1, 39, 0), ('z', -1, 192, 0), ('ł', -1, 26, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 161, 0), ('d', -1, 71, 0), ('e', 9, -1, 0), ('g', -1, 293, 0), ('i', -1, 70, 0), ('j', -1, 208, 0), ('k', -1, 139, 0), ('l', -1, 62, 0), ('m', -1, 107, 0), ('n', -1, 672, 0), ('o', -1, 139, 0), ('p', -1, 188, 0), ('r', -1, 368, 0), ('s', 0, -1, 0), ('t', -1, 582, 0), ('u', 0, -1, 0), ('w', -1, 574, 0), ('y', -1, 4, 0), ('z', -1, 295, 0), ('ł', -1, 57, 0)), (('a', -1, 162, 0), ('d', 0, 85, 0), ('e', -1, 488, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1078, 0), ('o', 0, -1, 0), ('p', -1, 284, 0), ('r', -1, 591, 0), ('s', -1, 70, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 387, 0), ('y', 0, -1, 0), ('z', -1, 190, 0), ('ś', 0, -1, 0)), (('a', -1, 163, 0), ('b', 0, 143, 0), ('c', -1, 93, 0), ('d', -1, 46, 0), ('e', -1, 281, 0), ('g', -1, 22, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 308, 0), ('k', -1, 40, 0), ('l', 0, -1, 0), ('m', -1, 92, 0), ('n', -1, 419, 0), ('o', 0, 16, 0), ('p', -1, 5, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 49, 0), ('u', 0, -1, 0), ('w', 32, -1, 0), ('y', 0, -1, 0), ('z', -1, 49, 0), ('ę', 0, -1, 0), ('ł', -1, 121, 0), ('ś', -1, 24, 0), ('ź', 0, -1, 0)), (('a', -1, 21, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 53, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 95, 0), ('j', -1, 64, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 17, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 53, 0), ('ą', -1, 13, 0), ('ę', -1, 164, 0), ('ł', -1, 165, 0), ('ś', 0, 69, 0), ('ź', 0, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 23, 0), ('b', -1, 55, 0), ('c', -1, 165, 0), ('d', -1, 51, 0), ('e', -1, 320, 0), ('i', 0, -1, 0), ('k', 0, 1229, 0), ('l', 0, 52, 0), ('m', -1, 558, 0), ('n', -1, 330, 0), ('o', -1, 491, 0), ('p', -1, 229, 0), ('r', 0, -1, 0), ('s', -1, 695, 0), ('t', -1, 446, 0), ('u', 0, -1, 0), ('w', -1, 115, 0), ('y', 0, -1, 0), ('z', -1, 222, 0), ('ś', 0, -1, 0), ('ż', -1, 229, 0)), (('a', 0, -1, 0), ('b', -1, 137, 0), ('c', -1, 84, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 166, 0), ('g', -1, 3, 0), ('h', -1, 73, 0), ('i', 0, -1, 0), ('j', 1, 1, 0), ('k', 0, 42, 0), ('l', -1, 328, 0), ('m', 10, -1, 0), ('n', 0, 2, 0), ('o', 0, -1, 0), ('p', 10, -1, 0), ('r', -1, 332, 0), ('s', -1, 138, 0), ('t', -1, 477, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 20, -1, 0), ('ó', 17, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 70, 0), ('ł', 0, -1, 0), ('ś', -1, 481, 0), ('ź', 1, -1, 0), ('ż', 0, -1, 0)), (('a', 0, 70, 0), ('c', -1, 167, 0), ('d', 0, 69, 0), ('e', 11, -1, 0), ('g', -1, 229, 0), ('i', -1, 89, 0), ('k', -1, 229, 0), ('l', -1, 107, 0), ('m', 0, 69, 0), ('n', 0, 153, 0), ('o', -1, 114, 0), ('p', -1, 352, 0), ('r', 0, 435, 0), ('s', 0, 522, 0), ('t', -1, 83, 0), ('u', -1, 934, 0), ('w', 0, 69, 0), ('y', -1, 142, 0), ('z', -1, 147, 0)), (('a', -1, 168, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 588, 0), ('i', -1, 707, 0), ('j', 1, -1, 0), ('k', -1, 49, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 762, 0), ('r', -1, 1655, 0), ('s', 1, -1, 0), ('t', -1, 1017, 0), ('u', -1, 205, 0), ('w', 1, -1, 0), ('y', -1, 552, 0), ('z', 1, -1, 0)), (('a', -1, 139, 0), ('c', -1, 138, 0), ('d', -1, 169, 0), ('e', -1, 179, 0), ('g', 1, -1, 0), ('i', -1, 697, 0), ('k', 0, -1, 0), ('l', -1, 113, 0), ('m', 0, 5, 0), ('n', -1, 815, 0), ('o', -1, 603, 0), ('p', -1, 811, 0), ('r', -1, 224, 0), ('s', -1, 550, 0), ('t', -1, 253, 0), ('w', 0, 1424, 0), ('y', -1, 266, 0), ('z', -1, 467, 0)), (('a', -1, 52, 0), ('b', 0, -1, 0), ('c', -1, 170, 0), ('d', -1, 93, 0), ('e', -1, 152, 0), ('g', 10, -1, 0), ('h', 0, -1, 0), ('i', -1, 87, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 542, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 49, 0), ('s', 0, 42, 0), ('t', 0, -1, 0), ('u', -1, 70, 0), ('w', 0, 56, 0), ('y', 14, -1, 0), ('z', 10, -1, 0), ('ę', -1, 236, 0), ('ł', 0, -1, 0), ('ś', -1, 304, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 141, 0), ('d', -1, 1, 0), ('e', 0, -1, 0), ('g', -1, 157, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, 171, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', -1, 935, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1, 0), ('ą', 0, -1, 0), ('ę', -1, 244, 0), ('ł', -1, 7, 0), ('ś', 0, -1, 0), ('ź', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 24, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 172, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 104, 0), ('n', -1, 135, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 46, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 157, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, 293, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 173, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 304, 0), ('i', -1, 20, 0), ('j', -1, 452, 0), ('k', 0, -1, 0), ('l', 0, 54, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 38, 0), ('s', -1, 141, 0), ('t', -1, 23, 0), ('u', 0, -1, 0), ('w', -1, 102, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 75, 0), ('ł', -1, 285, 0), ('ś', 0, -1, 0)), (('a', -1, 63, 0), ('b', 1, 174, 0), ('c', -1, 118, 0), ('d', -1, 142, 0), ('e', -1, 25, 0), ('g', -1, 1371, 0), ('i', 0, 92, 0), ('k', -1, 135, 0), ('l', -1, 92, 0), ('m', -1, 294, 0), ('n', -1, 696, 0), ('o', -1, 928, 0), ('p', -1, 95, 0), ('r', 0, -1, 0), ('s', -1, 194, 0), ('t', -1, 194, 0), ('u', 0, -1, 0), ('w', -1, 343, 0), ('y', -1, 355, 0), ('z', -1, 169, 0), ('ł', -1, 340, 0)), (('a', 0, -1, 0), ('d', -1, 175, 0), ('e', -1, 837, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 111, 0), ('r', -1, 253, 0), ('s', -1, 540, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 49, 0), ('z', 1, 1, 0)), (('a', 1, -1, 0), ('b', -1, 176, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 46, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, 53, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', -1, 478, 0), ('ę', 0, -1, 0), ('ł', -1, 94, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 177, 0), ('c', 0, -1, 0), ('d', 0, 143, 0), ('e', 1, -1, 0), ('i', -1, 656, 0), ('j', 0, -1, 0), ('k', 0, 85, 0), ('l', 0, -1, 0), ('m', 0, 85, 0), ('n', 0, -1, 0), ('o', -1, 141, 0), ('r', 0, 594, 0), ('s', -1, 1444, 0), ('t', 0, -1, 0), ('u', -1, 212, 0), ('w', -1, 621, 0), ('z', -1, 889, 0), ('ł', -1, 1248, 0), ('ż', 0, -1, 0)), (('a', -1, 146, 0), ('c', -1, 178, 0), ('d', -1, 811, 0), ('e', -1, 132, 0), ('i', 0, 9, 0), ('k', -1, 127, 0), ('l', -1, 112, 0), ('m', -1, 65, 0), ('n', -1, 415, 0), ('o', -1, 187, 0), ('p', -1, 1360, 0), ('r', -1, 273, 0), ('s', -1, 480, 0), ('t', -1, 35, 0), ('u', -1, 848, 0), ('w', -1, 770, 0), ('y', -1, 192, 0), ('z', -1, 68, 0), ('ó', -1, 214, 0), ('ł', -1, 330, 0)), (('a', -1, 179, 0), ('e', -1, 331, 0), ('i', -1, 83, 0), ('n', -1, 863, 0), ('o', -1, 415, 0), ('r', -1, 118, 0), ('t', -1, 448, 0), ('z', -1, 1464, 0)), (('a', -1, 127, 0), ('b', -1, 180, 0), ('c', -1, 320, 0), ('d', -1, 180, 0), ('e', -1, 975, 0), ('g', -1, 534, 0), ('i', -1, 241, 0), ('k', 0, -1, 0), ('l', 0, 69, 0), ('m', 0, -1, 0), ('n', -1, 436, 0), ('o', 0, 143, 0), ('p', -1, 111, 0), ('r', -1, 377, 0), ('s', -1, 359, 0), ('t', -1, 125, 0), ('u', -1, 69, 0), ('w', 0, -1, 0), ('y', 6, -1, 0), ('z', -1, 747, 0)), (('a', -1, 137, 0), ('b', -1, 64, 0), ('c', -1, 181, 0), ('d', -1, 325, 0), ('e', -1, 21, 0), ('i', -1, 229, 0), ('k', -1, 453, 0), ('l', -1, 328, 0), ('m', -1, 321, 0), ('n', -1, 771, 0), ('o', 0, 9, 0), ('p', -1, 979, 0), ('r', -1, 132, 0), ('s', -1, 496, 0), ('t', -1, 331, 0), ('u', -1, 168, 0), ('w', 0, 69, 0), ('y', -1, 104, 0), ('z', -1, 191, 0), ('ł', 0, -1, 0)), (('a', -1, 182, 0), ('b', -1, 1642, 0), ('c', 0, -1, 0), ('e', -1, 178, 0), ('f', 0, -1, 0), ('i', -1, 8, 0), ('m', 0, 1570, 0), ('n', 3, 1831, 0), ('o', -1, 818, 0), ('p', 0, 1575, 0), ('r', -1, 69, 0), ('s', 0, 411, 0), ('u', -1, 283, 0), ('w', -1, 1579, 0), ('y', -1, 81, 0), ('z', -1, 791, 0)), (('a', -1, 27, 0), ('c', -1, 94, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('i', -1, 435, 0), ('k', 0, 3, 0), ('l', -1, 72, 0), ('m', 0, 1063, 0), ('n', -1, 27, 0), ('o', -1, 172, 0), ('p', -1, 756, 0), ('r', -1, 19, 0), ('s', -1, 4, 0), ('t', -1, 294, 0), ('u', -1, 351, 0), ('w', -1, 125, 0), ('y', -1, 208, 0), ('z', -1, 304, 0)), (('a', -1, 155, 0), ('b', -1, 184, 0), ('c', -1, 480, 0), ('d', -1, 10, 0), ('e', -1, 51, 0), ('i', -1, 183, 0), ('k', -1, 552, 0), ('l', -1, 702, 0), ('m', -1, 154, 0), ('n', -1, 352, 0), ('o', -1, 188, 0), ('p', -1, 480, 0), ('r', -1, 570, 0), ('s', 0, -1, 0), ('t', -1, 736, 0), ('w', -1, 664, 0), ('y', -1, 83, 0), ('z', -1, 663, 0), ('ż', -1, 124, 0)), (('a', -1, 185, 0), ('b', -1, 269, 0), ('c', -1, 186, 0), ('d', -1, 60, 0), ('e', -1, 775, 0), ('f', 1, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 435, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 391, 0), ('p', -1, 380, 0), ('r', 1, -1, 0), ('s', -1, 107, 0), ('u', -1, 264, 0), ('w', 1, -1, 0), ('y', -1, 323, 0), ('z', -1, 338, 0), ('ó', -1, 23, 0), ('ą', -1, 144, 0), ('ę', -1, 228, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 186, 0), ('c', 1, 402, 0), ('d', -1, 83, 0), ('e', 0, -1, 0), ('h', 0, 69, 0), ('i', 0, -1, 0), ('k', -1, 657, 0), ('l', 18, -1, 0), ('m', -1, 108, 0), ('n', -1, 122, 0), ('o', -1, 682, 0), ('p', -1, 121, 0), ('r', 0, -1, 0), ('s', -1, 321, 0), ('t', -1, 261, 0), ('u', 0, -1, 0), ('w', -1, 10, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 27, 0), ('b', -1, 64, 0), ('d', -1, 64, 0), ('e', -1, 187, 0), ('i', -1, 475, 0), ('o', 0, 54, 0), ('r', 0, -1, 0), ('u', 0, 54, 0), ('y', -1, 208, 0), ('z', -1, 191, 0), ('ś', -1, 296, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 116, 0), ('d', -1, 188, 0), ('e', 0, -1, 0), ('g', -1, 1415, 0), ('h', -1, 139, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 522, 0), ('l', 0, -1, 0), ('m', 0, 60, 0), ('n', -1, 782, 0), ('o', 0, -1, 0), ('p', 0, 418, 0), ('r', 0, -1, 0), ('s', -1, 867, 0), ('t', -1, 36, 0), ('u', 0, -1, 0), ('w', -1, 278, 0), ('y', -1, 169, 0), ('z', -1, 153, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 136, 0), ('c', -1, 189, 0), ('d', -1, 296, 0), ('e', 0, -1, 0), ('g', -1, 523, 0), ('h', 0, -1, 0), ('i', -1, 519, 0), ('j', 0, -1, 0), ('k', -1, 522, 0), ('l', 0, -1, 0), ('m', -1, 101, 0), ('n', -1, 50, 0), ('o', -1, 546, 0), ('p', 0, 9, 0), ('r', 0, -1, 0), ('s', 0, 54, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 89, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 316, 0), ('ś', -1, 380, 0)), (('a', -1, 190, 0), ('b', -1, 231, 0), ('c', -1, 118, 0), ('d', -1, 45, 0), ('e', 0, -1, 0), ('g', -1, 380, 0), ('i', 0, -1, 0), ('k', -1, 105, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, 13, 0), ('o', -1, 1008, 0), ('p', -1, 155, 0), ('r', 0, -1, 0), ('s', -1, 451, 0), ('t', -1, 90, 0), ('u', 0, -1, 0), ('w', -1, 63, 0), ('y', -1, 94, 0), ('z', -1, 350, 0), ('ę', 0, -1, 0), ('ł', -1, 162, 0), ('ś', 0, -1, 0)), (('a', -1, 44, 0), ('b', 10, -1, 0), ('c', -1, 60, 0), ('d', -1, 191, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 616, 0), ('h', -1, 567, 0), ('i', -1, 350, 0), ('k', 0, 85, 0), ('l', 0, -1, 0), ('m', -1, 42, 0), ('n', -1, 20, 0), ('o', 0, -1, 0), ('p', 0, 975, 0), ('r', -1, 31, 0), ('s', 0, -1, 0), ('t', -1, 32, 0), ('u', 10, -1, 0), ('w', 0, 85, 0), ('y', -1, 23, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ę', -1, 332, 0), ('ł', 0, -1, 0)), (('a', -1, 192, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 73, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 118, 0), ('p', 0, -1, 0), ('r', -1, 196, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 473, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 169, 0), ('b', -1, 80, 0), ('c', -1, 193, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 118, 0), ('h', -1, 145, 0), ('i', -1, 211, 0), ('k', 0, 80, 0), ('l', 0, -1, 0), ('m', 0, 42, 0), ('n', -1, 512, 0), ('o', -1, 32, 0), ('p', -1, 71, 0), ('r', -1, 90, 0), ('s', 0, 333, 0), ('t', -1, 313, 0), ('u', 10, -1, 0), ('w', -1, 229, 0), ('y', 10, -1, 0), ('z', -1, 173, 0), ('ą', 10, -1, 0), ('ę', 10, -1, 0), ('ł', -1, 128, 0), ('ź', -1, 173, 0)), (('a', -1, 128, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 42, 0), ('e', 5, -1, 0), ('i', 0, 42, 0), ('k', -1, 127, 0), ('l', -1, 194, 0), ('m', -1, 1516, 0), ('n', -1, 80, 0), ('o', -1, 421, 0), ('p', 0, 42, 0), ('r', -1, 369, 0), ('s', -1, 369, 0), ('t', -1, 54, 0), ('u', -1, 63, 0), ('w', 0, 42, 0), ('y', -1, 807, 0), ('z', -1, 69, 0)), (('a', -1, 195, 0), ('b', -1, 307, 0), ('c', -1, 39, 0), ('d', -1, 264, 0), ('e', -1, 244, 0), ('f', -1, 228, 0), ('i', -1, 359, 0), ('k', 1, 1, 0), ('l', -1, 316, 0), ('m', -1, 331, 0), ('n', -1, 1351, 0), ('o', -1, 380, 0), ('p', 0, 85, 0), ('r', -1, 83, 0), ('s', -1, 104, 0), ('t', -1, 126, 0), ('u', -1, 53, 0), ('w', -1, 499, 0), ('y', -1, 588, 0), ('z', -1, 609, 0)), (('a', -1, 196, 0), ('b', -1, 392, 0), ('c', -1, 1048, 0), ('d', 6, -1, 0), ('e', -1, 915, 0), ('g', -1, 157, 0), ('i', -1, 130, 0), ('k', -1, 370, 0), ('l', -1, 277, 0), ('m', -1, 347, 0), ('n', -1, 467, 0), ('o', -1, 808, 0), ('p', -1, 51, 0), ('r', -1, 155, 0), ('s', 0, 852, 0), ('t', -1, 26, 0), ('u', -1, 327, 0), ('w', 0, 166, 0), ('y', -1, 226, 0), ('z', -1, 725, 0), ('ł', -1, 323, 0), ('ż', -1, 394, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 197, 0), ('d', -1, 545, 0), ('e', -1, 331, 0), ('g', 18, -1, 0), ('h', -1, 286, 0), ('i', 0, 513, 0), ('k', -1, 316, 0), ('l', 0, 1169, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 380, 0), ('r', -1, 137, 0), ('s', -1, 894, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 27, 0), ('y', -1, 4, 0), ('z', -1, 478, 0), ('ę', 1, -1, 0)), (('a', -1, 138, 0), ('c', 0, 198, 0), ('d', -1, 1005, 0), ('e', -1, 518, 0), ('i', -1, 100, 0), ('k', -1, 617, 0), ('l', -1, 341, 0), ('m', -1, 736, 0), ('n', -1, 281, 0), ('o', -1, 562, 0), ('p', -1, 115, 0), ('r', -1, 423, 0), ('s', 0, 856, 0), ('t', -1, 1039, 0), ('u', -1, 39, 0), ('w', -1, 113, 0), ('y', -1, 231, 0), ('z', -1, 289, 0), ('ł', 0, -1, 0)), (('a', -1, 199, 0), ('b', 0, -1, 0), ('c', 0, 119, 0), ('d', 0, -1, 0), ('e', -1, 709, 0), ('h', 0, -1, 0), ('i', -1, 999, 0), ('k', 23, 1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 4, 0), ('p', 0, -1, 0), ('r', 0, 954, 0), ('s', -1, 298, 0), ('t', 23, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 23, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 10, -1, 0), ('b', -1, 200, 0), ('c', 0, 60, 0), ('d', -1, 71, 0), ('e', 10, -1, 0), ('g', 1, 70, 0), ('h', -1, 438, 0), ('i', -1, 230, 0), ('k', -1, 156, 0), ('l', 10, -1, 0), ('m', 0, 70, 0), ('n', 0, 4, 0), ('o', 0, -1, 0), ('p', -1, 65, 0), ('r', 10, -1, 0), ('s', -1, 65, 0), ('t', -1, 572, 0), ('u', 10, -1, 0), ('w', -1, 26, 0), ('y', 10, -1, 0), ('z', 10, -1, 0), ('ą', 10, -1, 0), ('ę', 10, -1, 0), ('ł', -1, 9, 0)), (('a', 0, -1, 0), ('b', 0, 70, 0), ('c', -1, 201, 0), ('d', 0, 42, 0), ('e', -1, 239, 0), ('i', 0, -1, 0), ('k', 0, 135, 0), ('l', 0, -1, 0), ('m', -1, 165, 0), ('n', -1, 1645, 0), ('o', -1, 283, 0), ('p', -1, 484, 0), ('r', 0, -1, 0), ('s', -1, 259, 0), ('t', -1, 906, 0), ('u', 0, -1, 0), ('w', -1, 183, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, 1, 0), ('e', 0, 202, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1343, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('h', -1, 57, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 203, 0), ('o', -1, 1102, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 484, 0), ('y', 0, -1, 0), ('z', -1, 356, 0), ('ą', 0, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 38, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 204, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, 13, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 426, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, 293, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 205, 0), ('c', -1, 316, 0), ('d', -1, 164, 0), ('e', -1, 617, 0), ('i', -1, 9, 0), ('k', 0, 353, 0), ('l', -1, 1126, 0), ('m', 0, -1, 0), ('n', -1, 869, 0), ('o', 0, -1, 0), ('p', -1, 148, 0), ('r', -1, 524, 0), ('s', 23, -1, 0), ('t', -1, 747, 0), ('u', 17, -1, 0), ('w', -1, 897, 0), ('y', -1, 160, 0), ('z', -1, 303, 0)), (('a', 0, -1, 0), ('b', -1, 194, 0), ('c', -1, 206, 0), ('d', -1, 548, 0), ('e', -1, 35, 0), ('i', 0, -1, 0), ('k', 0, 69, 0), ('l', -1, 808, 0), ('m', -1, 359, 0), ('n', -1, 1008, 0), ('o', -1, 35, 0), ('p', -1, 103, 0), ('r', -1, 218, 0), ('s', 0, 70, 0), ('t', -1, 231, 0), ('u', 0, -1, 0), ('w', -1, 91, 0), ('y', -1, 319, 0), ('z', -1, 170, 0), ('ł', 0, 1140, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', -1, 207, 0), ('d', 0, -1, 0), ('e', -1, 700, 0), ('i', -1, 221, 0), ('j', -1, 1176, 0), ('k', -1, 540, 0), ('l', -1, 692, 0), ('m', -1, 352, 0), ('n', -1, 349, 0), ('o', -1, 1, 0), ('r', -1, 240, 0), ('s', -1, 52, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 325, 0), ('ą', -1, 788, 0), ('ę', 1, -1, 0), ('ś', 0, -1, 0), ('ż', -1, 445, 0)), (('a', -1, 208, 0), ('b', -1, 352, 0), ('d', -1, 66, 0), ('e', -1, 125, 0), ('f', 0, -1, 0), ('i', -1, 1261, 0), ('l', 1, -1, 0), ('n', 1, 93, 0), ('o', -1, 368, 0), ('p', -1, 708, 0), ('r', -1, 617, 0), ('s', 0, 889, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 645, 0), ('z', -1, 1197, 0), ('ó', -1, 134, 0), ('ę', -1, 236, 0), ('ł', -1, 1041, 0), ('ż', 0, -1, 0)), (('a', -1, 94, 0), ('b', -1, 107, 0), ('c', 0, -1, 0), ('d', -1, 209, 0), ('e', -1, 1, 0), ('g', -1, 617, 0), ('h', 0, -1, 0), ('i', -1, 281, 0), ('k', 0, 259, 0), ('l', -1, 192, 0), ('m', 0, 153, 0), ('n', -1, 323, 0), ('o', 1, -1, 0), ('p', -1, 25, 0), ('r', 1, -1, 0), ('s', -1, 542, 0), ('t', 0, 70, 0), ('u', -1, 297, 0), ('w', 0, 4, 0), ('y', 1, -1, 0), ('z', -1, 477, 0), ('ę', 1, -1, 0), ('ł', -1, 66, 0)), (('a', -1, 21, 0), ('b', 0, 69, 0), ('c', 0, -1, 0), ('d', -1, 210, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 301, 0), ('n', 1, -1, 0), ('o', -1, 15, 0), ('p', -1, 847, 0), ('r', 0, -1, 0), ('s', -1, 148, 0), ('t', -1, 289, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 25, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 211, 0), ('b', 0, 1069, 0), ('c', -1, 18, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 300, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 421, 0), ('o', -1, 230, 0), ('p', -1, 28, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 259, 0), ('w', -1, 300, 0), ('y', -1, 98, 0), ('z', -1, 487, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 20, 0), ('b', 0, 212, 0), ('c', 10, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 380, 0), ('i', 0, -1, 0), ('j', -1, 617, 0), ('k', 10, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 10, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 143, 0), ('u', 0, -1, 0), ('w', 0, 50, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 37, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 229, 0)), (('a', -1, 213, 0), ('b', -1, 126, 0), ('c', -1, 368, 0), ('d', -1, 58, 0), ('e', 0, -1, 0), ('g', -1, 300, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 154, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 54, 0), ('u', 0, -1, 0), ('w', -1, 273, 0), ('y', 0, -1, 0), ('z', 21, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 355, 0)), (('a', -1, 214, 0), ('b', -1, 177, 0), ('c', -1, 26, 0), ('d', -1, 12, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 567, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 5, -1, 0), ('k', 0, -1, 0), ('l', -1, 95, 0), ('m', -1, 312, 0), ('n', 0, -1, 0), ('o', -1, 519, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 96, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 38, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 93, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 143, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 130, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 152, 0), ('l', -1, 135, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 215, 0), ('p', -1, 331, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 281, 0), ('z', 0, -1, 0), ('ę', -1, 811, 0), ('ł', 0, -1, 0), ('ś', -1, 15, 0)), (('a', 16, -1, 0), ('b', 0, -1, 0), ('c', -1, 89, 0), ('d', -1, 47, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 128, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 216, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 217, 0), ('c', -1, 169, 0), ('d', 0, -1, 0), ('e', -1, 339, 0), ('i', -1, 273, 0), ('j', -1, 1302, 0), ('k', -1, 307, 0), ('l', -1, 451, 0), ('m', -1, 856, 0), ('n', 0, -1, 0), ('o', 0, 746, 0), ('r', -1, 697, 0), ('s', -1, 113, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 307, 0), ('z', -1, 294, 0), ('ż', 0, -1, 0)), (('a', -1, 154, 0), ('b', 18, -1, 0), ('c', 0, 218, 0), ('d', 18, -1, 0), ('e', -1, 9, 0), ('i', -1, 139, 0), ('k', -1, 609, 0), ('l', -1, 14, 0), ('m', 0, -1, 0), ('n', 18, -1, 0), ('o', -1, 617, 0), ('p', -1, 304, 0), ('r', -1, 104, 0), ('s', 18, -1, 0), ('t', 18, -1, 0), ('u', -1, 1016, 0), ('w', 18, -1, 0), ('y', -1, 287, 0), ('z', -1, 126, 0), ('ł', -1, 649, 0)), (('a', -1, 76, 0), ('b', -1, 219, 0), ('c', -1, 255, 0), ('d', -1, 107, 0), ('e', 1, -1, 0), ('i', -1, 74, 0), ('k', -1, 284, 0), ('l', 0, 1004, 0), ('m', -1, 145, 0), ('n', -1, 321, 0), ('o', 0, -1, 0), ('p', -1, 229, 0), ('r', -1, 147, 0), ('s', -1, 71, 0), ('t', -1, 308, 0), ('u', 33, -1, 0), ('w', -1, 421, 0), ('y', 1, -1, 0), ('z', -1, 928, 0), ('ó', 0, -1, 0)), (('a', -1, 220, 0), ('d', -1, 1165, 0), ('e', -1, 1830, 0), ('i', -1, 668, 0), ('o', 0, 13, 0), ('p', 0, -1, 0), ('r', -1, 392, 0), ('t', 0, -1, 0), ('y', -1, 128, 0), ('z', 0, -1, 0), ('ś', 0, 85, 0)), (('a', -1, 221, 0), ('e', 5, -1, 0), ('f', 0, 42, 0), ('i', -1, 328, 0), ('k', -1, 161, 0), ('o', -1, 166, 0), ('r', -1, 194, 0), ('z', -1, 347, 0)), (('a', -1, 222, 0), ('b', -1, 223, 0), ('c', -1, 132, 0), ('d', -1, 35, 0), ('e', -1, 76, 0), ('f', -1, 306, 0), ('i', -1, 60, 0), ('k', -1, 403, 0), ('l', -1, 265, 0), ('m', -1, 838, 0), ('n', -1, 1418, 0), ('o', -1, 116, 0), ('p', -1, 1109, 0), ('r', -1, 325, 0), ('s', 0, 287, 0), ('t', 0, 12, 0), ('u', -1, 1215, 0), ('w', -1, 708, 0), ('y', -1, 601, 0), ('z', -1, 158, 0), ('ę', -1, 76, 0)), (('a', -1, 13, 0), ('b', 0, 4, 0), ('c', -1, 154, 0), ('d', 0, 76, 0), ('e', 0, -1, 0), ('g', -1, 112, 0), ('h', -1, 183, 0), ('i', 0, -1, 0), ('k', 0, 60, 0), ('l', -1, 157, 0), ('m', -1, 221, 0), ('n', -1, 212, 0), ('o', 0, -1, 0), ('p', -1, 76, 0), ('r', -1, 125, 0), ('s', 0, 171, 0), ('t', -1, 222, 0), ('u', 0, -1, 0), ('w', 0, 117, 0), ('y', 0, -1, 0), ('z', -1, 42, 0), ('ó', 0, -1, 0), ('ł', -1, 30, 0)), (('a', -1, 124, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 224, 0), ('g', 0, -1, 0), ('i', -1, 985, 0), ('l', 0, -1, 0), ('m', -1, 347, 0), ('n', -1, 1674, 0), ('o', -1, 193, 0), ('p', 0, -1, 0), ('r', -1, 193, 0), ('s', 0, 70, 0), ('t', 0, -1, 0), ('u', -1, 683, 0), ('w', 1, 1, 0), ('z', 0, -1, 0), ('ą', -1, 198, 0)), (('a', -1, 225, 0), ('c', -1, 64, 0), ('d', -1, 876, 0), ('e', -1, 692, 0), ('i', -1, 304, 0), ('k', -1, 557, 0), ('l', 0, 542, 0), ('m', -1, 345, 0), ('o', -1, 70, 0), ('p', -1, 412, 0), ('r', -1, 368, 0), ('s', -1, 231, 0), ('t', 0, -1, 0), ('u', -1, 623, 0), ('w', -1, 584, 0), ('y', 0, -1, 0), ('z', -1, 192, 0), ('ó', 0, -1, 0)), (('a', -1, 226, 0), ('b', -1, 308, 0), ('c', -1, 41, 0), ('d', -1, 137, 0), ('e', -1, 222, 0), ('i', -1, 59, 0), ('k', -1, 713, 0), ('l', -1, 616, 0), ('m', 0, 928, 0), ('n', -1, 225, 0), ('o', 0, -1, 0), ('p', -1, 126, 0), ('r', -1, 79, 0), ('s', -1, 117, 0), ('t', -1, 158, 0), ('u', 0, 26, 0), ('w', -1, 742, 0), ('y', -1, 563, 0), ('z', -1, 307, 0), ('ł', -1, 313, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 227, 0), ('d', -1, 188, 0), ('e', 0, -1, 0), ('g', -1, 194, 0), ('h', 0, 1793, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 143, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 562, 0), ('o', 0, -1, 0), ('p', -1, 172, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 118, 0), ('u', 0, -1, 0), ('w', -1, 95, 0), ('y', -1, 169, 0), ('z', 14, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 569, 0)), (('a', -1, 228, 0), ('b', -1, 418, 0), ('c', 0, 54, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 72, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 139, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 11, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 48, 0), ('t', -1, 74, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 38, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, 93, 0)), (('a', -1, 92, 0), ('b', 0, -1, 0), ('c', -1, 229, 0), ('d', 0, -1, 0), ('e', -1, 31, 0), ('f', 0, -1, 0), ('g', 0, 422, 0), ('h', -1, 321, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 79, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 91, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 141, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', 32, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 93, 0), ('ł', 0, -1, 0), ('ś', -1, 321, 0), ('ż', 0, 70, 0)), (('a', -1, 230, 0), ('b', -1, 318, 0), ('c', -1, 1066, 0), ('d', -1, 101, 0), ('e', -1, 50, 0), ('g', 0, 69, 0), ('i', -1, 4, 0), ('k', -1, 662, 0), ('l', -1, 488, 0), ('m', -1, 517, 0), ('n', 0, 60, 0), ('o', 0, -1, 0), ('p', -1, 33, 0), ('r', 0, 70, 0), ('s', 0, 60, 0), ('t', -1, 603, 0), ('u', -1, 34, 0), ('w', 0, -1, 0), ('y', -1, 143, 0), ('z', -1, 535, 0), ('ę', 0, -1, 0), ('ł', -1, 41, 0)), (('a', -1, 58, 0), ('b', 0, -1, 0), ('c', -1, 53, 0), ('d', -1, 52, 0), ('e', -1, 16, 0), ('f', -1, 104, 0), ('g', -1, 13, 0), ('h', -1, 57, 0), ('i', -1, 140, 0), ('j', -1, 231, 0), ('k', -1, 14, 0), ('l', 0, 435, 0), ('m', 10, -1, 0), ('n', -1, 331, 0), ('o', 1, 1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 788, 0), ('z', -1, 57, 0), ('ó', -1, 755, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 137, 0), ('ś', 0, 18, 0), ('ż', -1, 1353, 0)), (('a', 0, -1, 0), ('b', -1, 232, 0), ('c', 0, -1, 0), ('d', 0, 153, 0), ('e', -1, 15, 0), ('g', 0, -1, 0), ('i', -1, 90, 0), ('k', -1, 386, 0), ('l', -1, 55, 0), ('m', -1, 77, 0), ('n', -1, 140, 0), ('o', 0, -1, 0), ('p', -1, 303, 0), ('r', -1, 542, 0), ('s', -1, 189, 0), ('t', -1, 118, 0), ('u', 0, 513, 0), ('w', -1, 604, 0), ('y', -1, 26, 0), ('z', -1, 236, 0), ('ł', -1, 94, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 233, 0), ('d', 0, 3, 0), ('e', -1, 111, 0), ('i', -1, 34, 0), ('k', -1, 666, 0), ('l', -1, 300, 0), ('m', 0, -1, 0), ('n', -1, 534, 0), ('o', -1, 126, 0), ('p', -1, 894, 0), ('r', -1, 237, 0), ('s', -1, 414, 0), ('t', -1, 209, 0), ('w', -1, 1001, 0), ('y', -1, 222, 0), ('z', -1, 662, 0), ('ł', -1, 522, 0), ('ż', -1, 62, 0)), (('a', 0, -1, 0), ('b', 0, 234, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 937, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 20, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 1, 22, 0), ('k', 0, -1, 0), ('l', 0, 235, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 13, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 13, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 572, 0)), (('a', -1, 30, 0), ('b', 0, -1, 0), ('c', -1, 236, 0), ('d', 32, 1, 0), ('e', 1, -1, 0), ('f', 0, 141, 0), ('g', 0, -1, 0), ('h', -1, 252, 0), ('i', 0, -1, 0), ('j', -1, 446, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 32, 13, 0), ('r', -1, 546, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 788, 0), ('z', 6, -1, 0), ('ł', 0, -1, 0), ('ś', 0, 57, 0)), (('a', 10, -1, 0), ('b', -1, 135, 0), ('c', 0, 26, 0), ('d', -1, 237, 0), ('e', 10, -1, 0), ('g', -1, 107, 0), ('h', -1, 572, 0), ('i', 10, -1, 0), ('k', -1, 81, 0), ('l', 10, -1, 0), ('m', 10, -1, 0), ('n', 0, 12, 0), ('o', 10, -1, 0), ('p', 0, 160, 0), ('r', 10, -1, 0), ('s', -1, 230, 0), ('t', 10, -1, 0), ('u', 10, -1, 0), ('w', -1, 77, 0), ('y', 10, -1, 0), ('z', -1, 46, 0), ('ą', 10, -1, 0), ('ę', 10, -1, 0), ('ł', 10, -1, 0)), (('a', 0, -1, 0), ('b', -1, 238, 0), ('c', -1, 209, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 847, 0), ('i', 0, -1, 0), ('k', -1, 747, 0), ('l', -1, 143, 0), ('m', -1, 1182, 0), ('n', -1, 814, 0), ('o', -1, 286, 0), ('p', -1, 232, 0), ('r', -1, 935, 0), ('s', -1, 377, 0), ('t', -1, 556, 0), ('u', -1, 128, 0), ('w', -1, 817, 0), ('y', 0, -1, 0), ('z', -1, 355, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 239, 0), ('b', -1, 1350, 0), ('c', -1, 1817, 0), ('d', -1, 1318, 0), ('e', -1, 1069, 0), ('f', -1, 1816, 0), ('g', -1, 1826, 0), ('h', -1, 1769, 0), ('i', -1, 600, 0), ('j', -1, 983, 0), ('k', 0, 1827, 0), ('l', -1, 810, 0), ('m', -1, 1828, 0), ('n', -1, 1829, 0), ('o', -1, 204, 0), ('p', -1, 592, 0), ('r', -1, 1091, 0), ('s', -1, 1132, 0), ('t', -1, 639, 0), ('u', -1, 760, 0), ('w', -1, 1830, 0), ('z', -1, 1768, 0), ('ł', -1, 1251, 0), ('ż', -1, 1247, 0)), (('a', -1, 78, 0), ('b', -1, 81, 0), ('c', -1, 240, 0), ('d', -1, 72, 0), ('e', -1, 928, 0), ('g', -1, 1532, 0), ('i', -1, 129, 0), ('k', -1, 191, 0), ('l', 0, -1, 0), ('m', -1, 354, 0), ('n', 0, 9, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 928, 0), ('s', -1, 582, 0), ('t', -1, 153, 0), ('u', -1, 162, 0), ('w', 0, 85, 0), ('y', -1, 928, 0), ('z', 1, -1, 0), ('ą', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 241, 0), ('c', -1, 380, 0), ('d', 0, 69, 0), ('e', -1, 96, 0), ('i', -1, 79, 0), ('k', -1, 574, 0), ('l', -1, 137, 0), ('m', 0, 12, 0), ('n', -1, 648, 0), ('o', -1, 542, 0), ('p', -1, 59, 0), ('r', -1, 98, 0), ('s', 0, 69, 0), ('t', 0, -1, 0), ('u', -1, 350, 0), ('w', 0, 12, 0), ('y', -1, 775, 0), ('z', -1, 164, 0), ('ó', -1, 121, 0)), (('a', 0, -1, 0), ('b', -1, 109, 0), ('c', -1, 242, 0), ('d', -1, 622, 0), ('e', 0, 48, 0), ('g', -1, 415, 0), ('i', 0, -1, 0), ('j', -1, 648, 0), ('k', -1, 64, 0), ('l', -1, 39, 0), ('m', 0, -1, 0), ('n', -1, 689, 0), ('o', 0, -1, 0), ('p', -1, 12, 0), ('r', 0, 12, 0), ('s', -1, 135, 0), ('t', -1, 359, 0), ('u', 0, -1, 0), ('w', -1, 656, 0), ('y', -1, 534, 0), ('z', 0, -1, 0), ('ł', -1, 514, 0)), (('a', -1, 79, 0), ('b', -1, 194, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('g', -1, 243, 0), ('i', -1, 237, 0), ('k', -1, 957, 0), ('l', -1, 56, 0), ('n', 0, -1, 0), ('o', -1, 135, 0), ('p', -1, 249, 0), ('r', -1, 663, 0), ('s', -1, 695, 0), ('t', -1, 511, 0), ('u', 0, 54, 0), ('w', -1, 148, 0), ('y', -1, 187, 0), ('z', -1, 303, 0), ('ł', -1, 65, 0)), (('a', -1, 127, 0), ('d', -1, 180, 0), ('e', -1, 244, 0), ('i', -1, 948, 0), ('o', -1, 36, 0), ('p', -1, 183, 0), ('r', -1, 1126, 0), ('s', -1, 168, 0), ('u', 0, 4, 0), ('w', 0, 4, 0), ('y', -1, 909, 0), ('z', 0, 4, 0)), (('a', -1, 131, 0), ('b', 0, -1, 0), ('c', -1, 245, 0), ('d', -1, 616, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 445, 0), ('l', -1, 391, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 48, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1048, 0), ('t', 0, 57, 0), ('u', 0, -1, 0), ('w', -1, 663, 0), ('y', 0, -1, 0), ('z', -1, 868, 0), ('ą', -1, 976, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', -1, 697, 0)), (('a', -1, 17, 0), ('b', -1, 107, 0), ('c', 0, -1, 0), ('d', -1, 246, 0), ('e', 11, -1, 0), ('f', 0, -1, 0), ('g', -1, 328, 0), ('i', -1, 545, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 748, 0), ('n', -1, 282, 0), ('o', 0, 70, 0), ('p', 0, 366, 0), ('r', 0, -1, 0), ('s', -1, 1157, 0), ('t', -1, 400, 0), ('w', 0, 42, 0), ('y', -1, 149, 0), ('z', 0, 42, 0), ('ł', -1, 152, 0)), (('a', -1, 61, 0), ('c', -1, 169, 0), ('d', 0, -1, 0), ('e', -1, 121, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 64, 0), ('n', 1, -1, 0), ('o', 0, 54, 0), ('p', 1, 1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 195, 0), ('w', -1, 247, 0), ('y', -1, 114, 0), ('z', -1, 93, 0), ('ł', 0, -1, 0), ('ż', -1, 21, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 248, 0), ('i', -1, 160, 0), ('k', -1, 169, 0), ('l', 1, -1, 0), ('m', -1, 70, 0), ('n', 0, -1, 0), ('o', -1, 489, 0), ('p', 0, -1, 0), ('r', -1, 711, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 143, 0), ('w', 0, 889, 0), ('y', -1, 1629, 0), ('z', 0, 335, 0), ('ę', -1, 405, 0)), (('a', -1, 249, 0), ('d', -1, 64, 0), ('e', -1, 597, 0), ('i', -1, 205, 0), ('k', -1, 872, 0), ('n', -1, 555, 0), ('o', -1, 480, 0), ('p', 0, 229, 0), ('r', -1, 1256, 0), ('s', -1, 70, 0), ('t', -1, 380, 0), ('u', -1, 511, 0), ('w', 0, 54, 0), ('y', -1, 187, 0), ('z', -1, 854, 0), ('ą', -1, 561, 0), ('ę', -1, 966, 0), ('ł', -1, 184, 0)), (('a', -1, 237, 0), ('b', -1, 250, 0), ('d', 0, -1, 0), ('e', -1, 523, 0), ('g', -1, 148, 0), ('i', -1, 672, 0), ('k', -1, 483, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 264, 0), ('p', -1, 321, 0), ('r', -1, 888, 0), ('s', -1, 108, 0), ('t', -1, 858, 0), ('w', -1, 1, 0), ('y', -1, 92, 0), ('z', -1, 439, 0), ('ą', -1, 141, 0), ('ę', -1, 709, 0), ('ł', -1, 782, 0)), (('a', -1, 126, 0), ('d', 1, -1, 0), ('e', 28, -1, 0), ('h', -1, 8, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('m', -1, 251, 0), ('n', 1, -1, 0), ('o', -1, 975, 0), ('p', 0, 70, 0), ('r', 0, 71, 0), ('s', 0, 533, 0), ('t', -1, 1519, 0), ('w', 1, -1, 0), ('z', -1, 970, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 42, 0), ('e', 0, -1, 0), ('g', -1, 252, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', -1, 535, 0), ('k', 0, 153, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 82, 0), ('o', 1, -1, 0), ('p', -1, 16, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 1, 0), ('y', -1, 17, 0), ('z', -1, 93, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ś', -1, 441, 0), ('ż', -1, 21, 0)), (('a', 0, -1, 0), ('b', 0, 14, 0), ('c', -1, 253, 0), ('d', 0, 42, 0), ('e', 0, -1, 0), ('i', -1, 63, 0), ('k', -1, 331, 0), ('l', -1, 140, 0), ('m', -1, 414, 0), ('n', -1, 479, 0), ('o', 0, -1, 0), ('p', -1, 188, 0), ('r', 0, -1, 0), ('s', -1, 141, 0), ('t', 0, 85, 0), ('u', 0, -1, 0), ('w', -1, 113, 0), ('y', 0, -1, 0), ('z', -1, 282, 0), ('ł', 0, 85, 0)), (('a', -1, 47, 0), ('b', 1, -1, 0), ('c', -1, 254, 0), ('d', 1, -1, 0), ('e', -1, 104, 0), ('g', -1, 77, 0), ('i', -1, 848, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 36, 0), ('p', 1, -1, 0), ('r', -1, 540, 0), ('u', -1, 7, 0), ('w', 1, -1, 0), ('z', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 152, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('l', 1, 21, 0), ('m', 1, 16, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 255, 0), ('ę', -1, 49, 0), ('ł', 1, -1, 0), ('ś', 1, 16, 0), ('ż', 0, -1, 0)), (('a', -1, 118, 0), ('b', -1, 107, 0), ('c', -1, 256, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('g', 0, -1, 0), ('h', -1, 535, 0), ('i', -1, 391, 0), ('m', 17, -1, 0), ('o', 0, 42, 0), ('p', 1, -1, 0), ('r', -1, 58, 0), ('s', 1, -1, 0), ('u', 0, 42, 0), ('w', 1, -1, 0), ('y', -1, 319, 0), ('z', -1, 535, 0), ('ł', 1, -1, 0), ('ś', -1, 200, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', -1, 257, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 57, 0), ('i', -1, 336, 0), ('k', 0, -1, 0), ('l', -1, 877, 0), ('m', 1, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 495, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 1067, 0), ('ó', 1, -1, 0), ('ą', -1, 1255, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 258, 0), ('b', -1, 13, 0), ('d', 1, -1, 0), ('e', -1, 1605, 0), ('g', 0, 138, 0), ('h', 1, -1, 0), ('i', -1, 977, 0), ('k', 0, 16, 0), ('m', -1, 798, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('w', 0, 802, 0), ('y', -1, 872, 0), ('z', -1, 1418, 0), ('ą', -1, 246, 0), ('ż', 1, -1, 0)), (('a', -1, 127, 0), ('d', -1, 1, 0), ('e', -1, 259, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 150, 0), ('p', 1, -1, 0), ('r', -1, 350, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 27, 0), ('b', -1, 64, 0), ('c', 0, 260, 0), ('d', -1, 64, 0), ('e', -1, 282, 0), ('g', -1, 1127, 0), ('i', -1, 522, 0), ('k', 0, 220, 0), ('l', -1, 747, 0), ('m', -1, 126, 0), ('n', -1, 772, 0), ('o', 0, 54, 0), ('p', -1, 299, 0), ('r', -1, 439, 0), ('s', 0, 54, 0), ('t', -1, 724, 0), ('u', 0, 54, 0), ('w', -1, 702, 0), ('y', -1, 208, 0), ('z', -1, 191, 0), ('ł', -1, 95, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 24, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 31, 0), ('i', -1, 261, 0), ('j', 0, -1, 0), ('k', -1, 343, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 626, 0), ('u', -1, 93, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 69, 0), ('d', -1, 259, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 262, 0), ('l', -1, 235, 0), ('m', 17, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 127, 0), ('r', 0, -1, 0), ('s', -1, 368, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 718, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 263, 0), ('b', 0, -1, 0), ('d', -1, 70, 0), ('e', -1, 928, 0), ('i', -1, 141, 0), ('j', 1, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1556, 0), ('z', 0, 171, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 264, 0), ('c', -1, 621, 0), ('d', -1, 71, 0), ('e', 0, -1, 0), ('i', -1, 350, 0), ('k', -1, 65, 0), ('l', -1, 1029, 0), ('m', -1, 141, 0), ('n', -1, 247, 0), ('o', -1, 418, 0), ('p', -1, 33, 0), ('r', 0, -1, 0), ('s', -1, 104, 0), ('t', -1, 250, 0), ('u', 0, -1, 0), ('w', -1, 173, 0), ('y', 0, -1, 0), ('z', -1, 230, 0), ('ą', -1, 210, 0), ('ę', -1, 104, 0)), (('a', -1, 229, 0), ('b', -1, 107, 0), ('c', -1, 265, 0), ('d', -1, 154, 0), ('e', -1, 135, 0), ('i', -1, 226, 0), ('k', -1, 872, 0), ('l', -1, 547, 0), ('m', -1, 1133, 0), ('n', -1, 595, 0), ('o', -1, 158, 0), ('p', 1, 153, 0), ('r', -1, 200, 0), ('s', -1, 662, 0), ('t', -1, 485, 0), ('u', -1, 32, 0), ('w', -1, 1052, 0), ('y', -1, 818, 0), ('z', -1, 319, 0)), (('a', -1, 266, 0), ('d', -1, 273, 0), ('e', -1, 349, 0), ('i', -1, 349, 0), ('o', -1, 359, 0), ('r', -1, 221, 0), ('z', -1, 668, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 267, 0), ('e', -1, 1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 13, 0), ('p', 1, -1, 0), ('r', -1, 499, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 0, 152, 0), ('y', 18, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 47, 0), ('c', -1, 268, 0), ('d', 0, -1, 0), ('e', 14, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 353, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('w', -1, 251, 0), ('z', -1, 1257, 0), ('ł', 1, -1, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('e', -1, 269, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 939, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 1825, 0)), (('a', -1, 46, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 152, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1, 0), ('o', 1, -1, 0), ('p', 0, 270, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 13, 0), ('z', 1, -1, 0), ('ó', -1, 184, 0), ('ą', -1, 1187, 0), ('ę', 1, -1, 0), ('ł', -1, 485, 0)), (('a', -1, 271, 0), ('d', -1, 180, 0), ('e', 13, -1, 0), ('h', -1, 699, 0), ('i', -1, 101, 0), ('j', -1, 15, 0), ('o', 0, 489, 0), ('s', -1, 971, 0), ('w', 0, 4, 0), ('y', -1, 1492, 0), ('ą', -1, 154, 0), ('ę', -1, 149, 0)), (('a', 20, -1, 0), ('d', 20, -1, 0), ('i', -1, 272, 0), ('l', -1, 341, 0), ('o', 17, -1, 0), ('p', 1, -1, 0), ('y', 20, -1, 0), ('z', 20, -1, 0)), (('a', -1, 72, 0), ('b', -1, 103, 0), ('c', -1, 273, 0), ('d', -1, 448, 0), ('e', -1, 535, 0), ('g', -1, 308, 0), ('h', -1, 318, 0), ('i', -1, 409, 0), ('j', -1, 557, 0), ('k', -1, 360, 0), ('l', -1, 659, 0), ('m', -1, 1463, 0), ('n', -1, 190, 0), ('o', -1, 609, 0), ('p', 0, 85, 0), ('r', -1, 637, 0), ('s', -1, 1377, 0), ('t', -1, 281, 0), ('u', -1, 948, 0), ('w', -1, 1248, 0), ('y', -1, 239, 0), ('z', -1, 259, 0), ('ó', -1, 438, 0)), (('a', -1, 17, 0), ('b', -1, 107, 0), ('c', -1, 274, 0), ('d', -1, 154, 0), ('e', -1, 227, 0), ('i', -1, 113, 0), ('k', -1, 522, 0), ('l', -1, 113, 0), ('m', 0, -1, 0), ('n', -1, 333, 0), ('o', -1, 421, 0), ('p', -1, 1109, 0), ('r', -1, 231, 0), ('s', 0, 42, 0), ('t', -1, 177, 0), ('u', 0, 42, 0), ('w', -1, 1265, 0), ('y', -1, 319, 0), ('z', 0, 42, 0)), (('a', -1, 275, 0), ('e', -1, 197, 0), ('i', -1, 194, 0), ('k', -1, 259, 0), ('o', -1, 273, 0), ('p', -1, 1751, 0), ('r', -1, 584, 0), ('u', -1, 197, 0), ('y', -1, 327, 0), ('z', 0, 42, 0)), (('a', 0, -1, 0), ('b', -1, 71, 0), ('e', -1, 276, 0), ('i', -1, 1195, 0), ('j', -1, 718, 0), ('k', -1, 376, 0), ('m', -1, 1427, 0), ('n', -1, 534, 0), ('o', -1, 524, 0), ('r', -1, 1177, 0), ('t', -1, 528, 0), ('u', -1, 811, 0), ('z', 0, 70, 0)), (('a', -1, 141, 0), ('b', 0, 69, 0), ('c', -1, 277, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('g', 0, -1, 0), ('i', 28, -1, 0), ('k', -1, 928, 0), ('l', -1, 9, 0), ('m', -1, 43, 0), ('n', -1, 350, 0), ('o', -1, 135, 0), ('p', -1, 143, 0), ('r', -1, 39, 0), ('s', 0, 69, 0), ('t', 0, 42, 0), ('u', -1, 143, 0), ('w', 0, 69, 0), ('y', -1, 25, 0), ('z', -1, 192, 0), ('ł', -1, 169, 0)), (('a', -1, 278, 0), ('c', -1, 33, 0), ('d', -1, 992, 0), ('e', -1, 241, 0), ('f', -1, 153, 0), ('i', -1, 67, 0), ('k', 0, 54, 0), ('l', -1, 7, 0), ('m', -1, 60, 0), ('n', -1, 153, 0), ('o', -1, 240, 0), ('p', -1, 1416, 0), ('r', -1, 91, 0), ('s', -1, 69, 0), ('t', 1, -1, 0), ('u', -1, 512, 0), ('w', -1, 235, 0), ('y', -1, 67, 0), ('z', 0, 70, 0), ('ę', 0, -1, 0), ('ł', -1, 87, 0)), (('a', -1, 152, 0), ('c', -1, 279, 0), ('d', -1, 118, 0), ('e', -1, 928, 0), ('i', -1, 548, 0), ('j', -1, 114, 0), ('k', -1, 517, 0), ('l', -1, 199, 0), ('m', -1, 478, 0), ('n', -1, 364, 0), ('o', -1, 609, 0), ('p', 0, 53, 0), ('r', -1, 316, 0), ('s', -1, 859, 0), ('t', -1, 264, 0), ('u', -1, 303, 0), ('w', 0, 4, 0), ('y', -1, 928, 0), ('z', -1, 153, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 280, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1360, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1738, 0), ('s', 34, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 539, 0), ('y', 0, -1, 0), ('z', -1, 884, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 281, 0), ('e', -1, 697, 0), ('i', -1, 997, 0), ('l', -1, 1373, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 531, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 24, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 141, 0), ('f', 0, -1, 0), ('g', -1, 14, 0), ('h', 0, -1, 0), ('i', -1, 52, 0), ('j', -1, 282, 0), ('k', 1, -1, 0), ('l', -1, 151, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 153, 0), ('w', 0, -1, 0), ('y', 5, -1, 0), ('z', 0, -1, 0), ('ó', -1, 888, 0), ('ą', 23, -1, 0), ('ę', -1, 362, 0), ('ł', -1, 23, 0), ('ś', 0, 9, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 283, 0), ('b', -1, 7, 0), ('c', -1, 922, 0), ('d', -1, 441, 0), ('e', -1, 130, 0), ('f', -1, 747, 0), ('i', 13, -1, 0), ('k', 0, 761, 0), ('l', -1, 517, 0), ('m', -1, 24, 0), ('n', -1, 137, 0), ('o', -1, 31, 0), ('p', -1, 210, 0), ('r', 0, 9, 0), ('s', -1, 70, 0), ('t', 0, 887, 0), ('u', -1, 200, 0), ('w', -1, 122, 0), ('y', -1, 237, 0), ('z', -1, 143, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 42, 0), ('c', 0, -1, 0), ('d', -1, 77, 0), ('e', 0, -1, 0), ('g', -1, 284, 0), ('h', -1, 27, 0), ('i', 0, -1, 0), ('k', 0, 54, 0), ('l', -1, 295, 0), ('m', 0, 42, 0), ('n', 0, -1, 0), ('o', 32, 46, 0), ('p', 0, 60, 0), ('r', 0, -1, 0), ('s', 0, 143, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 683, 0), ('y', 0, -1, 0), ('z', -1, 39, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 285, 0), ('c', 0, -1, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('i', -1, 157, 0), ('m', -1, 1134, 0), ('o', 0, 54, 0), ('p', -1, 138, 0), ('r', -1, 103, 0), ('s', 0, 54, 0), ('t', -1, 69, 0), ('u', -1, 24, 0), ('w', 0, 84, 0), ('y', -1, 208, 0), ('z', -1, 43, 0)), (('a', -1, 125, 0), ('b', -1, 286, 0), ('c', -1, 669, 0), ('d', 0, -1, 0), ('e', -1, 171, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 212, 0), ('k', -1, 43, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, 805, 0), ('o', 0, 70, 0), ('p', -1, 261, 0), ('r', -1, 340, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 31, 0), ('w', -1, 486, 0), ('y', 0, -1, 0), ('z', -1, 155, 0)), (('a', 0, -1, 0), ('b', -1, 287, 0), ('c', -1, 509, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 41, 0), ('h', -1, 342, 0), ('i', -1, 141, 0), ('j', 0, -1, 0), ('k', -1, 341, 0), ('l', 0, -1, 0), ('m', -1, 239, 0), ('n', 0, -1, 0), ('o', -1, 88, 0), ('p', 0, 70, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 31, 0), ('c', -1, 288, 0), ('d', 1, -1, 0), ('e', -1, 306, 0), ('g', 0, -1, 0), ('i', -1, 430, 0), ('l', -1, 317, 0), ('m', 0, 5, 0), ('n', -1, 1339, 0), ('o', -1, 61, 0), ('p', -1, 1193, 0), ('r', -1, 452, 0), ('s', -1, 477, 0), ('t', -1, 318, 0), ('w', 0, 4, 0), ('y', -1, 143, 0), ('z', -1, 72, 0), ('ł', -1, 908, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 289, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 886, 0), ('p', 0, -1, 0), ('r', -1, 327, 0), ('s', -1, 1168, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 131, 0), ('b', -1, 290, 0), ('c', 0, 85, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 89, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 689, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 646, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 291, 0), ('d', 0, -1, 0), ('e', -1, 74, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 261, 0), ('k', 0, 32, 0), ('m', 0, -1, 0), ('n', 23, -1, 0), ('o', -1, 324, 0), ('p', 0, -1, 0), ('r', -1, 1018, 0), ('s', -1, 401, 0), ('t', -1, 476, 0), ('u', -1, 84, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 292, 0), ('c', -1, 158, 0), ('d', 1, -1, 0), ('e', -1, 998, 0), ('i', -1, 885, 0), ('j', 1, -1, 0), ('l', -1, 59, 0), ('n', 0, -1, 0), ('o', -1, 402, 0), ('p', -1, 251, 0), ('r', -1, 120, 0), ('s', -1, 505, 0), ('t', 0, 70, 0), ('u', -1, 831, 0), ('w', -1, 10, 0), ('y', -1, 602, 0), ('z', -1, 359, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 1048, 0), ('ń', 1, -1, 0)), (('a', -1, 27, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 293, 0), ('e', -1, 117, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 90, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 142, 0), ('t', 1, -1, 0), ('u', -1, 856, 0), ('w', 0, -1, 0), ('y', -1, 187, 0), ('z', 0, 54, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('b', -1, 171, 0), ('c', 0, 71, 0), ('d', -1, 141, 0), ('e', -1, 222, 0), ('f', -1, 294, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', -1, 369, 0), ('l', -1, 14, 0), ('m', -1, 80, 0), ('n', -1, 294, 0), ('o', 1, -1, 0), ('p', -1, 200, 0), ('r', -1, 77, 0), ('s', -1, 380, 0), ('t', -1, 344, 0), ('u', 1, -1, 0), ('w', -1, 724, 0), ('y', -1, 131, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 595, 0)), (('a', 0, 42, 0), ('c', -1, 295, 0), ('d', -1, 1045, 0), ('e', -1, 188, 0), ('i', 0, 70, 0), ('k', -1, 868, 0), ('l', -1, 398, 0), ('m', -1, 467, 0), ('n', -1, 1006, 0), ('o', -1, 340, 0), ('p', -1, 593, 0), ('r', -1, 100, 0), ('s', -1, 193, 0), ('t', -1, 145, 0), ('u', 0, -1, 0), ('w', -1, 820, 0), ('y', -1, 421, 0), ('z', -1, 709, 0), ('ę', -1, 1244, 0)), (('a', -1, 125, 0), ('b', 0, -1, 0), ('c', 0, 89, 0), ('d', -1, 54, 0), ('e', 0, -1, 0), ('g', -1, 2, 0), ('h', 0, -1, 0), ('i', -1, 251, 0), ('j', 0, -1, 0), ('k', -1, 296, 0), ('l', -1, 62, 0), ('m', 0, -1, 0), ('n', -1, 573, 0), ('o', 0, -1, 0), ('p', -1, 366, 0), ('r', 0, -1, 0), ('s', -1, 319, 0), ('t', -1, 61, 0), ('u', -1, 57, 0), ('w', 0, -1, 0), ('y', -1, 477, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, 9, 0), ('ś', -1, 546, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 169, 0), ('b', -1, 297, 0), ('c', -1, 339, 0), ('d', -1, 11, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 532, 0), ('i', -1, 31, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 420, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 535, 0), ('r', 0, -1, 0), ('s', -1, 129, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 200, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 85, 0), ('b', 0, 36, 0), ('c', -1, 72, 0), ('d', 0, -1, 0), ('e', -1, 67, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 298, 0), ('l', -1, 46, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 312, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 118, 0), ('t', 0, -1, 0), ('u', -1, 487, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 50, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 62, 0), ('b', -1, 107, 0), ('c', -1, 243, 0), ('d', -1, 107, 0), ('e', -1, 293, 0), ('h', 0, 69, 0), ('i', -1, 71, 0), ('k', 0, 69, 0), ('l', 0, 166, 0), ('m', -1, 299, 0), ('n', -1, 328, 0), ('o', -1, 104, 0), ('p', -1, 487, 0), ('r', -1, 51, 0), ('s', 0, 42, 0), ('t', -1, 1126, 0), ('u', -1, 252, 0), ('w', 0, 511, 0), ('y', -1, 552, 0), ('z', -1, 535, 0)), (('a', -1, 300, 0), ('b', -1, 71, 0), ('c', 0, 82, 0), ('d', -1, 71, 0), ('e', -1, 523, 0), ('i', -1, 67, 0), ('k', -1, 1143, 0), ('l', -1, 570, 0), ('m', -1, 135, 0), ('n', -1, 761, 0), ('o', -1, 27, 0), ('p', -1, 502, 0), ('r', -1, 690, 0), ('s', 0, 70, 0), ('t', -1, 552, 0), ('u', -1, 127, 0), ('w', -1, 32, 0), ('y', -1, 4, 0), ('z', -1, 156, 0), ('ł', -1, 152, 0)), (('a', -1, 27, 0), ('b', -1, 64, 0), ('c', -1, 301, 0), ('d', -1, 316, 0), ('e', -1, 757, 0), ('g', 0, 69, 0), ('h', -1, 364, 0), ('i', 0, -1, 0), ('k', -1, 65, 0), ('l', -1, 84, 0), ('m', -1, 414, 0), ('n', -1, 12, 0), ('o', -1, 54, 0), ('p', -1, 117, 0), ('r', -1, 210, 0), ('s', 0, 42, 0), ('t', -1, 188, 0), ('u', 0, -1, 0), ('w', -1, 668, 0), ('y', 0, -1, 0), ('z', -1, 328, 0), ('ó', -1, 241, 0), ('ł', -1, 70, 0), ('ż', 0, -1, 0)), (('a', -1, 302, 0), ('b', 3, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 423, 0), ('g', 0, -1, 0), ('i', -1, 692, 0), ('j', 0, -1, 0), ('k', -1, 651, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 302, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 40, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 41, 0), ('c', -1, 21, 0), ('d', -1, 276, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 35, 0), ('h', 0, -1, 0), ('i', -1, 41, 0), ('j', -1, 303, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 38, 0), ('o', -1, 49, 0), ('p', 0, 91, 0), ('r', 10, -1, 0), ('s', 0, 165, 0), ('t', -1, 56, 0), ('u', 0, -1, 0), ('w', -1, 546, 0), ('y', -1, 450, 0), ('z', -1, 16, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, 70, 0), ('ś', -1, 450, 0)), (('a', 0, -1, 0), ('b', -1, 304, 0), ('c', -1, 130, 0), ('d', -1, 106, 0), ('e', -1, 39, 0), ('g', -1, 66, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 51, 0), ('l', -1, 208, 0), ('m', 0, -1, 0), ('n', 0, 69, 0), ('o', 0, -1, 0), ('p', -1, 316, 0), ('r', -1, 236, 0), ('s', -1, 126, 0), ('t', -1, 63, 0), ('u', -1, 81, 0), ('w', -1, 37, 0), ('y', -1, 73, 0), ('z', -1, 435, 0), ('ł', -1, 380, 0)), (('a', 0, -1, 0), ('b', -1, 101, 0), ('c', -1, 106, 0), ('d', -1, 107, 0), ('e', 21, -1, 0), ('i', -1, 276, 0), ('k', 0, 151, 0), ('l', -1, 259, 0), ('m', 0, 305, 0), ('n', -1, 126, 0), ('o', 0, -1, 0), ('p', 0, 143, 0), ('r', -1, 60, 0), ('s', 0, -1, 0), ('t', -1, 33, 0), ('u', 0, 856, 0), ('w', 0, 42, 0), ('y', 0, -1, 0), ('z', -1, 118, 0)), (('a', -1, 252, 0), ('b', -1, 87, 0), ('d', 0, -1, 0), ('e', -1, 154, 0), ('g', 0, -1, 0), ('i', -1, 80, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 306, 0), ('r', -1, 517, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 678, 0), ('y', 8, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 307, 0), ('c', -1, 545, 0), ('d', 0, 54, 0), ('e', 13, -1, 0), ('i', 5, -1, 0), ('k', -1, 656, 0), ('l', -1, 326, 0), ('m', -1, 208, 0), ('n', -1, 71, 0), ('o', 0, -1, 0), ('p', 0, 4, 0), ('r', -1, 403, 0), ('s', 0, 422, 0), ('t', -1, 252, 0), ('u', 0, 4, 0), ('w', 0, 139, 0), ('y', 21, -1, 0), ('z', -1, 33, 0), ('ł', 0, -1, 0)), (('a', -1, 308, 0), ('b', -1, 572, 0), ('c', -1, 562, 0), ('d', -1, 148, 0), ('e', -1, 303, 0), ('i', -1, 143, 0), ('k', -1, 208, 0), ('l', -1, 85, 0), ('m', 0, 1025, 0), ('n', -1, 130, 0), ('o', -1, 355, 0), ('p', -1, 55, 0), ('r', -1, 17, 0), ('s', -1, 115, 0), ('t', -1, 663, 0), ('u', -1, 668, 0), ('w', 0, 54, 0), ('y', -1, 208, 0), ('z', -1, 241, 0)), (('a', 13, -1, 0), ('b', -1, 309, 0), ('c', 0, -1, 0), ('d', -1, 976, 0), ('e', 0, 522, 0), ('g', -1, 58, 0), ('i', -1, 190, 0), ('k', 0, -1, 0), ('l', -1, 343, 0), ('m', -1, 487, 0), ('n', -1, 332, 0), ('o', -1, 1, 0), ('p', 0, -1, 0), ('r', -1, 25, 0), ('s', 0, -1, 0), ('t', -1, 64, 0), ('u', -1, 36, 0), ('w', 0, -1, 0), ('y', -1, 187, 0), ('z', -1, 25, 0), ('ł', -1, 51, 0)), (('a', -1, 296, 0), ('b', 0, -1, 0), ('c', 16, 310, 0), ('d', -1, 153, 0), ('e', -1, 366, 0), ('g', 23, -1, 0), ('i', -1, 141, 0), ('k', -1, 885, 0), ('l', -1, 421, 0), ('m', -1, 439, 0), ('n', -1, 89, 0), ('o', -1, 56, 0), ('p', -1, 98, 0), ('r', -1, 33, 0), ('s', 0, 69, 0), ('t', -1, 522, 0), ('u', 0, -1, 0), ('w', -1, 100, 0), ('y', -1, 563, 0), ('z', -1, 307, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 30, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 117, 0), ('k', -1, 311, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 939, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 233, 0), ('t', 0, -1, 0), ('u', 16, -1, 0), ('w', 0, -1, 0), ('y', 16, -1, 0), ('z', -1, 513, 0), ('ł', 0, -1, 0)), (('a', -1, 1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, 1, 0), ('r', 0, -1, 0), ('u', 1, -1, 0), ('z', -1, 312, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 95, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 16, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 52, 0), ('j', -1, 177, 0), ('k', -1, 308, 0), ('l', -1, 313, 0), ('m', 0, -1, 0), ('n', -1, 102, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1401, 0), ('w', 0, -1, 0), ('y', 9, -1, 0), ('z', 0, -1, 0), ('ę', -1, 10, 0), ('ł', 10, -1, 0), ('ś', -1, 137, 0)), (('a', 0, -1, 0), ('b', -1, 314, 0), ('c', -1, 230, 0), ('d', -1, 724, 0), ('e', -1, 565, 0), ('h', 0, -1, 0), ('i', -1, 50, 0), ('k', -1, 1310, 0), ('l', 1, -1, 0), ('m', 0, 69, 0), ('n', 0, 139, 0), ('o', -1, 327, 0), ('p', 0, 85, 0), ('r', -1, 66, 0), ('s', 0, -1, 0), ('t', -1, 782, 0), ('u', 0, -1, 0), ('w', -1, 93, 0), ('y', 0, -1, 0), ('z', -1, 697, 0), ('ę', 0, -1, 0)), (('a', -1, 315, 0), ('c', 1, 57, 0), ('d', 1, -1, 0), ('e', -1, 1180, 0), ('f', 0, -1, 0), ('i', -1, 660, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, 94, 0), ('m', 1, -1, 0), ('o', -1, 804, 0), ('r', -1, 1024, 0), ('s', 0, -1, 0), ('t', -1, 1152, 0), ('u', -1, 153, 0), ('w', 0, -1, 0), ('y', -1, 156, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', -1, 77, 0)), (('a', 0, 54, 0), ('d', -1, 316, 0), ('e', -1, 539, 0), ('i', 0, 42, 0), ('o', 0, 9, 0), ('r', -1, 55, 0), ('t', -1, 284, 0), ('y', -1, 135, 0), ('z', -1, 344, 0), ('ł', -1, 77, 0)), (('a', -1, 9, 0), ('b', -1, 64, 0), ('c', -1, 317, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('g', 1, 42, 0), ('i', -1, 1401, 0), ('k', -1, 248, 0), ('l', -1, 56, 0), ('m', 0, 80, 0), ('n', -1, 850, 0), ('o', 0, 60, 0), ('p', -1, 1119, 0), ('r', -1, 522, 0), ('s', -1, 255, 0), ('t', -1, 867, 0), ('u', -1, 362, 0), ('w', 0, 54, 0), ('y', -1, 59, 0), ('z', 0, 54, 0), ('ą', -1, 222, 0), ('ł', -1, 1299, 0)), (('a', -1, 318, 0), ('b', -1, 328, 0), ('c', -1, 312, 0), ('d', -1, 95, 0), ('e', -1, 276, 0), ('i', -1, 683, 0), ('j', -1, 731, 0), ('k', -1, 71, 0), ('l', -1, 24, 0), ('m', 0, 70, 0), ('n', 0, 70, 0), ('o', -1, 609, 0), ('p', -1, 154, 0), ('r', -1, 361, 0), ('s', -1, 95, 0), ('t', -1, 347, 0), ('u', -1, 50, 0), ('w', 0, 70, 0), ('y', -1, 80, 0), ('z', -1, 360, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 282, 0), ('d', 0, -1, 0), ('e', -1, 214, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 319, 0), ('n', -1, 115, 0), ('o', -1, 47, 0), ('p', 0, -1, 0), ('r', -1, 128, 0), ('s', -1, 54, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 173, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ł', -1, 139, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 320, 0), ('b', 0, -1, 0), ('c', 0, 323, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 114, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 32, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 54, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 3, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 295, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 2, 0), ('g', -1, 321, 0), ('h', 0, 141, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 12, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 342, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 140, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 334, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 90, 0), ('ł', -1, 46, 0), ('ś', -1, 183, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, 60, 0), ('c', -1, 180, 0), ('d', -1, 180, 0), ('e', -1, 276, 0), ('g', -1, 16, 0), ('i', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 322, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 438, 0), ('r', 0, 522, 0), ('s', 0, 70, 0), ('t', -1, 72, 0), ('u', 0, -1, 0), ('w', -1, 361, 0), ('y', -1, 121, 0), ('z', -1, 156, 0), ('ł', -1, 965, 0)), (('a', -1, 231, 0), ('b', 0, 70, 0), ('c', -1, 42, 0), ('d', 0, 70, 0), ('e', -1, 319, 0), ('f', 0, -1, 0), ('h', -1, 137, 0), ('i', -1, 323, 0), ('k', 0, -1, 0), ('l', 1, 1, 0), ('m', 0, 171, 0), ('n', 0, -1, 0), ('o', -1, 293, 0), ('p', 0, 70, 0), ('r', -1, 34, 0), ('s', -1, 1016, 0), ('t', -1, 109, 0), ('u', -1, 1413, 0), ('w', -1, 535, 0), ('y', -1, 224, 0), ('z', -1, 811, 0), ('ł', 0, -1, 0)), (('a', 9, -1, 0), ('b', -1, 324, 0), ('c', -1, 562, 0), ('d', -1, 115, 0), ('e', -1, 192, 0), ('i', 0, 4, 0), ('k', 0, 92, 0), ('l', -1, 277, 0), ('m', -1, 141, 0), ('n', -1, 74, 0), ('o', 0, 975, 0), ('p', -1, 666, 0), ('r', -1, 56, 0), ('s', -1, 295, 0), ('t', -1, 303, 0), ('u', -1, 1109, 0), ('w', -1, 328, 0), ('y', -1, 54, 0), ('z', -1, 81, 0), ('ż', -1, 89, 0)), (('a', -1, 39, 0), ('c', 0, -1, 0), ('d', -1, 71, 0), ('e', -1, 276, 0), ('g', 0, -1, 0), ('h', -1, 115, 0), ('i', 24, -1, 0), ('k', -1, 325, 0), ('m', 0, -1, 0), ('o', 0, 70, 0), ('p', 0, -1, 0), ('r', 23, -1, 0), ('s', 0, 1033, 0), ('w', 0, 70, 0), ('y', -1, 276, 0), ('z', 0, 193, 0), ('ż', 0, -1, 0)), (('a', -1, 199, 0), ('b', 0, 143, 0), ('c', -1, 326, 0), ('d', -1, 523, 0), ('e', -1, 154, 0), ('g', 0, 70, 0), ('i', -1, 70, 0), ('k', -1, 582, 0), ('l', -1, 154, 0), ('m', 0, 979, 0), ('n', -1, 226, 0), ('o', -1, 308, 0), ('p', 0, -1, 0), ('r', -1, 179, 0), ('s', -1, 999, 0), ('t', -1, 739, 0), ('u', -1, 8, 0), ('w', 0, 415, 0), ('y', -1, 69, 0), ('z', -1, 139, 0)), (('a', -1, 327, 0), ('b', 0, -1, 0), ('c', -1, 458, 0), ('d', -1, 147, 0), ('e', -1, 348, 0), ('g', 0, -1, 0), ('i', -1, 114, 0), ('k', -1, 180, 0), ('l', -1, 509, 0), ('m', -1, 537, 0), ('n', 0, -1, 0), ('o', -1, 362, 0), ('p', 0, 744, 0), ('r', -1, 139, 0), ('s', -1, 1351, 0), ('t', -1, 467, 0), ('u', -1, 159, 0), ('w', 0, -1, 0), ('y', -1, 106, 0), ('z', -1, 867, 0), ('ó', -1, 17, 0), ('ń', -1, 66, 0)), (('a', -1, 65, 0), ('b', -1, 328, 0), ('c', -1, 292, 0), ('d', -1, 229, 0), ('e', -1, 867, 0), ('g', -1, 27, 0), ('i', -1, 199, 0), ('k', -1, 331, 0), ('l', -1, 690, 0), ('m', -1, 115, 0), ('n', -1, 1401, 0), ('o', -1, 154, 0), ('p', -1, 104, 0), ('r', 0, -1, 0), ('s', -1, 954, 0), ('t', -1, 567, 0), ('u', 0, -1, 0), ('w', -1, 125, 0), ('y', -1, 189, 0), ('z', -1, 308, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 69, 0)), (('a', 0, 70, 0), ('b', -1, 329, 0), ('c', 0, -1, 0), ('d', -1, 64, 0), ('e', 8, -1, 0), ('h', -1, 227, 0), ('i', -1, 213, 0), ('k', 0, 42, 0), ('l', -1, 105, 0), ('m', -1, 173, 0), ('n', -1, 715, 0), ('o', -1, 40, 0), ('p', 0, 42, 0), ('r', -1, 226, 0), ('s', 0, 110, 0), ('t', -1, 477, 0), ('u', -1, 76, 0), ('w', -1, 118, 0), ('y', -1, 308, 0), ('z', 0, 60, 0)), (('a', -1, 330, 0), ('b', -1, 115, 0), ('e', 0, 1309, 0), ('g', -1, 71, 0), ('i', -1, 550, 0), ('k', -1, 637, 0), ('o', -1, 199, 0), ('p', -1, 173, 0), ('r', -1, 847, 0), ('s', 0, -1, 0), ('z', -1, 59, 0), ('ł', -1, 775, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 308, 0), ('h', -1, 265, 0), ('i', 0, -1, 0), ('j', -1, 76, 0), ('k', -1, 331, 0), ('l', -1, 222, 0), ('m', 0, -1, 0), ('n', -1, 149, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 88, 0), ('t', -1, 213, 0), ('u', 0, -1, 0), ('w', -1, 2, 0), ('y', 0, -1, 0), ('z', -1, 320, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 332, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 486, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 413, 0), ('l', -1, 976, 0), ('m', 0, -1, 0), ('n', -1, 92, 0), ('o', -1, 163, 0), ('p', 0, -1, 0), ('r', -1, 547, 0), ('s', 0, 69, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 235, 0), ('ó', 0, -1, 0), ('ł', -1, 283, 0), ('ż', 0, -1, 0)), (('a', -1, 49, 0), ('b', -1, 89, 0), ('c', -1, 333, 0), ('d', 0, 2, 0), ('e', 0, -1, 0), ('f', -1, 157, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 15, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 188, 0), ('n', -1, 76, 0), ('o', -1, 14, 0), ('p', 0, -1, 0), ('r', -1, 281, 0), ('s', -1, 70, 0), ('t', -1, 31, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 332, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 227, 0), ('ł', -1, 88, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0), ('ż', -1, 58, 0)), (('a', -1, 334, 0), ('b', -1, 255, 0), ('c', -1, 188, 0), ('d', 0, -1, 0), ('e', -1, 69, 0), ('g', -1, 1126, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('k', 0, -1, 0), ('l', -1, 300, 0), ('m', -1, 55, 0), ('n', -1, 1070, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 392, 0), ('s', -1, 127, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 188, 0), ('y', 24, -1, 0), ('z', 0, -1, 0), ('ł', -1, 49, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 147, 0), ('c', -1, 234, 0), ('d', 0, -1, 0), ('e', -1, 95, 0), ('f', 0, 42, 0), ('g', -1, 193, 0), ('h', -1, 8, 0), ('i', 0, -1, 0), ('j', -1, 335, 0), ('k', -1, 188, 0), ('l', 0, -1, 0), ('m', -1, 169, 0), ('n', -1, 333, 0), ('o', -1, 222, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, 42, 0), ('ś', -1, 107, 0), ('ż', 1, -1, 0)), (('a', -1, 336, 0), ('b', -1, 698, 0), ('c', -1, 1824, 0), ('d', -1, 176, 0), ('e', -1, 305, 0), ('g', -1, 959, 0), ('h', -1, 1066, 0), ('i', 0, -1, 0), ('k', -1, 1376, 0), ('m', -1, 360, 0), ('n', -1, 143, 0), ('o', 0, -1, 0), ('p', -1, 83, 0), ('r', -1, 1246, 0), ('s', -1, 26, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 13, -1, 0), ('ł', -1, 101, 0)), (('a', -1, 43, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 337, 0), ('h', 0, -1, 0), ('i', -1, 1418, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1364, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 696, 0), ('p', 0, -1, 0), ('r', -1, 496, 0), ('s', -1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 596, 0)), (('a', -1, 338, 0), ('b', -1, 324, 0), ('d', -1, 118, 0), ('e', -1, 691, 0), ('i', -1, 68, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 103, 0), ('o', -1, 478, 0), ('p', -1, 666, 0), ('r', 0, 856, 0), ('s', -1, 57, 0), ('t', -1, 210, 0), ('w', -1, 15, 0), ('z', 0, 85, 0), ('ą', -1, 975, 0), ('ł', 0, -1, 0)), (('a', -1, 339, 0), ('b', -1, 136, 0), ('c', -1, 214, 0), ('d', -1, 52, 0), ('e', 6, -1, 0), ('g', 0, -1, 0), ('i', -1, 339, 0), ('j', 0, 728, 0), ('k', 17, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 26, 0), ('o', -1, 98, 0), ('p', -1, 1464, 0), ('r', -1, 522, 0), ('s', 0, -1, 0), ('t', 18, -1, 0), ('u', 1, -1, 0), ('w', 0, 54, 0), ('y', -1, 25, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 617, 0), ('ż', 0, 36, 0)), (('a', -1, 340, 0), ('c', -1, 740, 0), ('d', -1, 1102, 0), ('e', -1, 154, 0), ('i', -1, 72, 0), ('k', -1, 428, 0), ('l', 0, 9, 0), ('m', -1, 658, 0), ('n', -1, 341, 0), ('o', -1, 334, 0), ('p', -1, 659, 0), ('r', -1, 419, 0), ('s', 0, 613, 0), ('t', -1, 685, 0), ('u', -1, 364, 0), ('w', -1, 440, 0), ('y', -1, 130, 0), ('z', -1, 32, 0), ('ę', -1, 225, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 153, 0), ('d', 0, -1, 0), ('e', -1, 211, 0), ('g', -1, 154, 0), ('h', -1, 9, 0), ('i', -1, 152, 0), ('k', -1, 40, 0), ('l', -1, 341, 0), ('m', 0, 54, 0), ('n', -1, 975, 0), ('o', 0, -1, 0), ('p', 1, 60, 0), ('r', -1, 140, 0), ('s', -1, 293, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 199, 0), ('y', -1, 188, 0), ('z', 0, -1, 0), ('ł', -1, 81, 0)), (('a', -1, 96, 0), ('c', -1, 342, 0), ('d', -1, 393, 0), ('e', -1, 231, 0), ('g', -1, 304, 0), ('i', -1, 328, 0), ('k', -1, 610, 0), ('l', -1, 668, 0), ('m', -1, 582, 0), ('n', -1, 346, 0), ('o', 0, 438, 0), ('p', -1, 939, 0), ('r', -1, 53, 0), ('s', -1, 511, 0), ('t', -1, 517, 0), ('u', -1, 323, 0), ('w', 0, 70, 0), ('y', -1, 998, 0), ('z', 0, 70, 0)), (('a', -1, 6, 0), ('b', 0, -1, 0), ('c', 0, 135, 0), ('d', 0, -1, 0), ('e', -1, 1, 0), ('g', -1, 190, 0), ('h', 0, -1, 0), ('i', 0, 70, 0), ('j', 29, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 14, 0), ('s', -1, 23, 0), ('t', 0, 343, 0), ('u', -1, 334, 0), ('w', 0, -1, 0), ('y', -1, 563, 0), ('z', 32, -1, 0), ('ę', -1, 542, 0), ('ł', 0, -1, 0), ('ś', -1, 1309, 0), ('ż', -1, 59, 0)), (('a', -1, 139, 0), ('b', 1, -1, 0), ('c', -1, 194, 0), ('d', 1, -1, 0), ('e', -1, 139, 0), ('g', -1, 344, 0), ('i', -1, 226, 0), ('k', -1, 71, 0), ('l', -1, 83, 0), ('m', -1, 156, 0), ('n', -1, 78, 0), ('o', 0, -1, 0), ('p', -1, 135, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 51, 0), ('u', -1, 293, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1042, 0)), (('a', -1, 293, 0), ('c', -1, 345, 0), ('d', 0, 16, 0), ('e', 0, 60, 0), ('i', -1, 1401, 0), ('j', -1, 915, 0), ('k', -1, 25, 0), ('l', -1, 1375, 0), ('m', -1, 647, 0), ('n', -1, 1074, 0), ('o', -1, 349, 0), ('p', -1, 68, 0), ('r', -1, 557, 0), ('s', -1, 352, 0), ('t', 0, 69, 0), ('u', 0, -1, 0), ('w', -1, 441, 0), ('y', -1, 435, 0), ('z', -1, 109, 0), ('ę', 0, -1, 0)), (('a', -1, 346, 0), ('b', 0, -1, 0), ('d', -1, 1423, 0), ('e', -1, 1132, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 95, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 408, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 750, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 93, 0)), (('a', -1, 347, 0), ('e', -1, 866, 0), ('i', -1, 1117, 0), ('n', -1, 221, 0), ('o', -1, 1312, 0), ('r', -1, 868, 0), ('s', -1, 192, 0), ('z', -1, 520, 0)), (('a', -1, 348, 0), ('c', -1, 436, 0), ('d', -1, 57, 0), ('e', -1, 95, 0), ('i', -1, 355, 0), ('k', -1, 567, 0), ('l', -1, 73, 0), ('m', -1, 429, 0), ('n', -1, 446, 0), ('o', -1, 155, 0), ('p', -1, 62, 0), ('r', -1, 808, 0), ('s', -1, 448, 0), ('t', -1, 27, 0), ('u', -1, 747, 0), ('w', -1, 10, 0), ('y', -1, 361, 0), ('z', -1, 867, 0), ('ż', -1, 313, 0)), (('a', 0, -1, 0), ('b', -1, 86, 0), ('c', 0, 39, 0), ('d', -1, 190, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 136, 0), ('k', 0, 157, 0), ('l', 0, 349, 0), ('m', 0, 85, 0), ('n', -1, 361, 0), ('o', 0, -1, 0), ('p', -1, 139, 0), ('r', 0, -1, 0), ('s', -1, 332, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 340, 0), ('y', 0, -1, 0), ('z', 5, -1, 0), ('ł', -1, 306, 0)), (('a', -1, 350, 0), ('c', -1, 63, 0), ('d', -1, 648, 0), ('e', 24, -1, 0), ('g', -1, 169, 0), ('h', -1, 50, 0), ('i', -1, 491, 0), ('k', -1, 814, 0), ('l', -1, 435, 0), ('m', 0, 85, 0), ('n', -1, 240, 0), ('o', -1, 211, 0), ('p', -1, 359, 0), ('r', 0, 153, 0), ('s', -1, 65, 0), ('t', -1, 171, 0), ('u', -1, 143, 0), ('w', -1, 336, 0), ('y', -1, 403, 0), ('z', -1, 369, 0), ('ż', -1, 487, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 1, 77, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', -1, 351, 0), ('h', -1, 355, 0), ('i', 0, -1, 0), ('j', -1, 55, 0), ('k', 0, 70, 0), ('l', -1, 35, 0), ('m', 0, 22, 0), ('n', -1, 380, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 36, 0), ('y', -1, 227, 0), ('z', -1, 22, 0), ('ó', 1, -1, 0), ('ą', -1, 292, 0), ('ę', -1, 318, 0), ('ł', -1, 159, 0), ('ś', 1, -1, 0)), (('a', -1, 171, 0), ('c', 0, -1, 0), ('d', -1, 328, 0), ('e', -1, 177, 0), ('i', -1, 352, 0), ('k', -1, 69, 0), ('l', -1, 795, 0), ('m', -1, 436, 0), ('n', -1, 521, 0), ('o', -1, 595, 0), ('p', 0, 1047, 0), ('r', -1, 361, 0), ('s', 0, 860, 0), ('t', -1, 535, 0), ('u', -1, 83, 0), ('w', 1, 9, 0), ('y', -1, 549, 0), ('z', -1, 683, 0), ('ś', -1, 64, 0)), (('a', -1, 228, 0), ('b', 0, -1, 0), ('c', -1, 353, 0), ('d', 0, 12, 0), ('e', -1, 572, 0), ('g', -1, 402, 0), ('i', -1, 25, 0), ('k', -1, 724, 0), ('l', -1, 121, 0), ('m', -1, 871, 0), ('n', -1, 200, 0), ('o', 0, -1, 0), ('p', 0, 153, 0), ('r', 0, -1, 0), ('s', -1, 154, 0), ('t', -1, 662, 0), ('u', 0, -1, 0), ('w', -1, 145, 0), ('y', 0, -1, 0), ('z', 0, 143, 0), ('ł', -1, 64, 0), ('ż', 0, 12, 0)), (('a', -1, 118, 0), ('c', -1, 354, 0), ('d', -1, 180, 0), ('e', 4, -1, 0), ('h', 1, -1, 0), ('i', -1, 296, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 188, 0), ('p', 1, -1, 0), ('r', -1, 728, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 356, 0), ('z', -1, 264, 0), ('ż', 0, -1, 0)), (('a', -1, 355, 0), ('b', -1, 4, 0), ('d', -1, 364, 0), ('e', -1, 562, 0), ('f', -1, 1360, 0), ('i', -1, 565, 0), ('j', -1, 264, 0), ('l', -1, 713, 0), ('n', -1, 478, 0), ('o', -1, 83, 0), ('p', -1, 818, 0), ('r', -1, 538, 0), ('s', 0, 42, 0), ('t', -1, 182, 0), ('w', -1, 359, 0), ('y', -1, 755, 0), ('z', -1, 543, 0), ('ą', -1, 179, 0), ('ń', -1, 868, 0)), (('a', -1, 34, 0), ('b', -1, 26, 0), ('c', -1, 326, 0), ('d', -1, 60, 0), ('e', 0, 356, 0), ('g', 0, 69, 0), ('h', -1, 102, 0), ('i', 0, -1, 0), ('k', -1, 62, 0), ('l', -1, 20, 0), ('m', -1, 341, 0), ('n', -1, 231, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 42, 0), ('s', 0, 352, 0), ('t', -1, 630, 0), ('u', 0, -1, 0), ('w', -1, 191, 0), ('y', -1, 318, 0), ('z', -1, 307, 0), ('ł', -1, 350, 0)), (('a', 5, 1, 0), ('b', 0, -1, 0), ('c', -1, 357, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('g', 0, -1, 0), ('i', -1, 135, 0), ('k', 0, 85, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 39, 0), ('p', 0, 85, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 59, 0), ('w', -1, 386, 0), ('y', -1, 325, 0), ('z', -1, 30, 0), ('ł', -1, 200, 0)), (('a', -1, 156, 0), ('b', 0, 85, 0), ('c', 1, -1, 0), ('d', -1, 71, 0), ('e', -1, 358, 0), ('i', -1, 385, 0), ('j', -1, 1043, 0), ('l', -1, 290, 0), ('m', -1, 331, 0), ('n', 0, -1, 0), ('o', -1, 251, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 441, 0), ('t', 0, -1, 0), ('u', 0, 70, 0), ('w', 0, 70, 0), ('z', -1, 637, 0), ('ż', -1, 673, 0)), (('a', -1, 359, 0), ('d', -1, 1250, 0), ('e', -1, 218, 0), ('i', -1, 1013, 0), ('k', 0, 69, 0), ('l', -1, 863, 0), ('m', -1, 117, 0), ('n', 0, 85, 0), ('o', -1, 29, 0), ('p', -1, 327, 0), ('r', -1, 549, 0), ('s', -1, 200, 0), ('t', 0, 42, 0), ('w', -1, 548, 0), ('y', -1, 752, 0), ('z', -1, 818, 0), ('ę', 0, -1, 0), ('ż', 0, 69, 0)), (('a', -1, 360, 0), ('c', -1, 685, 0), ('d', -1, 394, 0), ('e', -1, 156, 0), ('g', -1, 354, 0), ('i', -1, 421, 0), ('k', -1, 339, 0), ('l', 0, 1124, 0), ('m', -1, 71, 0), ('n', -1, 364, 0), ('o', -1, 229, 0), ('p', 0, 151, 0), ('r', -1, 567, 0), ('s', -1, 1007, 0), ('t', -1, 140, 0), ('u', -1, 135, 0), ('w', -1, 786, 0), ('y', -1, 37, 0), ('z', -1, 104, 0), ('ś', 0, 42, 0)), (('a', -1, 88, 0), ('b', 0, -1, 0), ('c', -1, 361, 0), ('d', -1, 65, 0), ('e', -1, 296, 0), ('f', -1, 135, 0), ('i', 0, -1, 0), ('k', -1, 36, 0), ('l', -1, 718, 0), ('m', -1, 95, 0), ('n', -1, 477, 0), ('o', 0, -1, 0), ('p', -1, 398, 0), ('r', -1, 208, 0), ('s', -1, 522, 0), ('t', -1, 137, 0), ('u', 0, -1, 0), ('w', -1, 808, 0), ('y', 0, -1, 0), ('z', -1, 362, 0), ('ł', 0, -1, 0)), (('a', -1, 362, 0), ('c', -1, 105, 0), ('d', -1, 1401, 0), ('e', -1, 522, 0), ('i', -1, 54, 0), ('k', -1, 615, 0), ('l', -1, 78, 0), ('m', 0, 329, 0), ('n', -1, 83, 0), ('o', -1, 2, 0), ('p', -1, 587, 0), ('r', -1, 205, 0), ('s', -1, 160, 0), ('t', -1, 487, 0), ('u', 0, 26, 0), ('w', -1, 539, 0), ('y', -1, 900, 0), ('z', -1, 573, 0), ('ł', -1, 25, 0)), (('a', -1, 150, 0), ('b', -1, 80, 0), ('c', -1, 77, 0), ('d', -1, 363, 0), ('e', 0, -1, 0), ('g', -1, 325, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 562, 0), ('l', -1, 1052, 0), ('m', -1, 601, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 331, 0), ('r', 0, -1, 0), ('s', -1, 421, 0), ('t', -1, 595, 0), ('u', -1, 91, 0), ('w', -1, 380, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, 709, 0)), (('a', 0, 34, 0), ('b', -1, 364, 0), ('c', -1, 409, 0), ('d', -1, 423, 0), ('e', 0, -1, 0), ('g', -1, 133, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 856, 0), ('l', 0, -1, 0), ('m', -1, 595, 0), ('n', 0, -1, 0), ('o', 32, 47, 0), ('p', 0, 304, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 69, 0), ('u', 0, -1, 0), ('w', -1, 616, 0), ('y', -1, 162, 0), ('z', 32, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 152, 0)), (('a', 0, 4, 0), ('c', -1, 365, 0), ('d', 1, -1, 0), ('e', 0, 4, 0), ('g', -1, 366, 0), ('h', 1, -1, 0), ('i', 28, -1, 0), ('k', 0, -1, 0), ('l', -1, 33, 0), ('m', 1, -1, 0), ('n', -1, 13, 0), ('o', -1, 43, 0), ('p', 1, -1, 0), ('r', -1, 94, 0), ('s', -1, 1416, 0), ('t', 1, -1, 0), ('u', -1, 266, 0), ('w', 1, -1, 0), ('y', -1, 522, 0), ('z', -1, 870, 0), ('ż', 1, -1, 0)), (('a', -1, 61, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 64, 0), ('e', -1, 187, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 90, 0), ('p', 0, -1, 0), ('r', -1, 138, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, 54, 0), ('w', -1, 59, 0), ('y', -1, 208, 0), ('z', -1, 59, 0), ('ł', 1, -1, 0)), (('a', -1, 70, 0), ('b', 0, 23, 0), ('c', 0, -1, 0), ('d', -1, 307, 0), ('e', 21, -1, 0), ('g', -1, 367, 0), ('h', -1, 31, 0), ('i', -1, 188, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 110, 0), ('n', -1, 356, 0), ('o', 0, -1, 0), ('p', 16, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 116, 0), ('w', 0, -1, 0), ('y', -1, 33, 0), ('z', -1, 173, 0), ('ę', -1, 24, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 368, 0), ('d', -1, 160, 0), ('e', -1, 64, 0), ('f', 0, -1, 0), ('i', -1, 409, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 898, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 528, 0), ('ł', 0, -1, 0)), (('a', -1, 323, 0), ('b', -1, 369, 0), ('c', -1, 75, 0), ('d', -1, 81, 0), ('e', -1, 8, 0), ('g', -1, 894, 0), ('h', -1, 300, 0), ('i', -1, 309, 0), ('k', -1, 556, 0), ('l', -1, 573, 0), ('m', -1, 1464, 0), ('n', -1, 37, 0), ('o', -1, 307, 0), ('p', -1, 208, 0), ('r', -1, 451, 0), ('s', -1, 37, 0), ('t', -1, 236, 0), ('u', -1, 79, 0), ('w', -1, 1170, 0), ('y', -1, 86, 0), ('z', -1, 635, 0), ('ł', -1, 139, 0)), (('a', 0, 9, 0), ('c', -1, 370, 0), ('d', -1, 93, 0), ('e', -1, 149, 0), ('h', 0, -1, 0), ('i', -1, 127, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 616, 0), ('p', -1, 23, 0), ('r', -1, 173, 0), ('s', 0, 85, 0), ('t', -1, 1565, 0), ('u', -1, 532, 0), ('w', 0, -1, 0), ('y', -1, 36, 0), ('z', -1, 73, 0), ('ę', -1, 313, 0), ('ł', 1, 13, 0)), (('a', -1, 371, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 1, 0), ('e', -1, 1427, 0), ('f', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 308, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 948, 0), ('p', -1, 169, 0), ('r', -1, 62, 0), ('y', -1, 133, 0), ('z', -1, 78, 0)), (('a', -1, 50, 0), ('d', -1, 71, 0), ('e', -1, 372, 0), ('i', -1, 615, 0), ('o', -1, 169, 0), ('p', -1, 473, 0), ('r', 0, 60, 0), ('s', 0, 69, 0), ('y', -1, 112, 0), ('z', -1, 142, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 57, 0), ('e', -1, 373, 0), ('i', 0, -1, 0), ('j', -1, 1529, 0), ('o', -1, 152, 0), ('p', 0, -1, 0), ('r', -1, 17, 0), ('s', -1, 1823, 0), ('t', -1, 251, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 448, 0), ('ę', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 343, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 374, 0), ('e', -1, 33, 0), ('f', 1, -1, 0), ('g', -1, 356, 0), ('h', -1, 192, 0), ('i', -1, 185, 0), ('k', -1, 207, 0), ('l', -1, 480, 0), ('m', -1, 117, 0), ('n', -1, 286, 0), ('o', -1, 261, 0), ('p', -1, 81, 0), ('r', 0, 70, 0), ('s', 0, -1, 0), ('t', -1, 97, 0), ('u', -1, 967, 0), ('w', -1, 447, 0), ('y', -1, 306, 0), ('z', -1, 441, 0)), (('a', -1, 185, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 146, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('l', -1, 175, 0), ('m', -1, 70, 0), ('n', 18, -1, 0), ('o', 18, -1, 0), ('p', 0, 69, 0), ('r', 18, -1, 0), ('s', -1, 375, 0), ('u', 1, -1, 0), ('w', -1, 75, 0), ('y', 18, -1, 0), ('z', -1, 573, 0), ('ż', 0, -1, 0)), (('a', -1, 376, 0), ('e', -1, 1501, 0), ('i', -1, 118, 0), ('r', -1, 517, 0), ('u', -1, 269, 0), ('y', -1, 488, 0), ('ę', -1, 83, 0)), (('a', -1, 377, 0), ('c', -1, 1223, 0), ('d', -1, 1415, 0), ('e', -1, 225, 0), ('g', -1, 81, 0), ('i', -1, 67, 0), ('k', -1, 787, 0), ('l', 0, 84, 0), ('m', -1, 198, 0), ('n', -1, 158, 0), ('o', -1, 143, 0), ('p', -1, 1024, 0), ('r', -1, 118, 0), ('s', -1, 373, 0), ('t', -1, 259, 0), ('w', -1, 128, 0), ('y', -1, 201, 0), ('z', -1, 533, 0), ('ł', -1, 263, 0)), (('a', 0, -1, 0), ('b', -1, 378, 0), ('c', -1, 403, 0), ('d', 16, -1, 0), ('e', 0, -1, 0), ('g', -1, 595, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 115, 0), ('m', 0, 596, 0), ('n', 0, -1, 0), ('o', 16, -1, 0), ('p', -1, 105, 0), ('r', 0, -1, 0), ('s', -1, 392, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 12, 0), ('z', -1, 392, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 50, 0)), (('a', -1, 379, 0), ('d', 0, 54, 0), ('e', -1, 1565, 0), ('h', -1, 139, 0), ('i', -1, 656, 0), ('k', -1, 472, 0), ('o', 0, 197, 0), ('p', 0, -1, 0), ('r', 0, 594, 0), ('s', 0, 1187, 0), ('w', 0, 85, 0), ('z', -1, 331, 0), ('ż', -1, 42, 0)), (('a', -1, 380, 0), ('b', 1, -1, 0), ('c', -1, 822, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 429, 0), ('i', -1, 915, 0), ('n', -1, 1071, 0), ('o', 1, -1, 0), ('r', -1, 177, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 13, 0), ('y', 1, -1, 0), ('z', -1, 301, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 368, 0), ('c', 0, 3, 0), ('d', 0, 60, 0), ('e', -1, 4, 0), ('g', -1, 381, 0), ('i', -1, 231, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 156, 0), ('n', 0, -1, 0), ('o', -1, 350, 0), ('p', -1, 259, 0), ('r', -1, 59, 0), ('s', -1, 113, 0), ('t', -1, 82, 0), ('u', 0, 60, 0), ('w', -1, 126, 0), ('y', -1, 244, 0), ('z', 0, -1, 0), ('ł', -1, 1464, 0)), (('a', -1, 13, 0), ('c', 0, -1, 0), ('e', 20, -1, 0), ('i', -1, 382, 0), ('l', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 89, 0), ('r', -1, 508, 0), ('s', 1, -1, 0), ('t', -1, 385, 0), ('u', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 383, 0), ('c', 0, -1, 0), ('d', -1, 230, 0), ('e', -1, 1323, 0), ('g', 0, -1, 0), ('i', -1, 485, 0), ('o', -1, 1313, 0), ('p', 0, -1, 0), ('r', -1, 218, 0), ('s', 0, -1, 0), ('u', -1, 1251, 0), ('z', -1, 1216, 0), ('ą', -1, 265, 0), ('ę', -1, 178, 0)), (('a', -1, 61, 0), ('b', -1, 64, 0), ('c', -1, 384, 0), ('d', -1, 1822, 0), ('e', -1, 934, 0), ('i', -1, 574, 0), ('k', -1, 169, 0), ('m', -1, 200, 0), ('n', -1, 208, 0), ('o', -1, 135, 0), ('r', -1, 245, 0), ('s', -1, 1320, 0), ('t', -1, 1769, 0), ('u', 0, 54, 0), ('w', -1, 1353, 0), ('y', -1, 187, 0), ('z', 0, 54, 0)), (('a', -1, 118, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 385, 0), ('o', 0, -1, 0), ('u', 0, 42, 0), ('z', -1, 535, 0)), (('a', -1, 386, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 7, 0), ('e', -1, 368, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 309, 0), ('k', 0, -1, 0), ('l', 3, -1, 0), ('m', -1, 170, 0), ('n', -1, 895, 0), ('o', -1, 867, 0), ('p', 0, -1, 0), ('r', -1, 437, 0), ('s', 0, -1, 0), ('t', -1, 1286, 0), ('u', -1, 225, 0), ('w', -1, 57, 0), ('y', -1, 453, 0), ('z', -1, 834, 0), ('ą', -1, 737, 0), ('ę', -1, 490, 0)), (('a', -1, 61, 0), ('c', -1, 387, 0), ('d', 0, 1244, 0), ('e', -1, 656, 0), ('i', -1, 409, 0), ('k', -1, 40, 0), ('l', -1, 671, 0), ('m', -1, 164, 0), ('n', -1, 70, 0), ('o', -1, 617, 0), ('p', -1, 369, 0), ('r', -1, 341, 0), ('s', -1, 344, 0), ('t', -1, 436, 0), ('u', 0, 54, 0), ('w', -1, 661, 0), ('y', -1, 208, 0), ('z', -1, 300, 0)), (('a', -1, 27, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 388, 0), ('j', 0, 14, 0), ('k', 0, -1, 0), ('l', -1, 289, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 90, 0), ('p', 0, -1, 0), ('r', 0, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 766, 0), ('z', -1, 237, 0), ('ł', 0, -1, 0), ('ż', -1, 573, 0)), (('a', -1, 389, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 202, 0), ('i', -1, 1266, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 97, 0), ('o', -1, 256, 0), ('p', -1, 543, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1034, 0), ('w', 0, -1, 0), ('y', -1, 1743, 0), ('z', -1, 42, 0)), (('a', -1, 138, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 390, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 1015, 0), ('j', 0, -1, 0), ('k', -1, 13, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 611, 0), ('r', -1, 1060, 0), ('s', 0, -1, 0), ('t', -1, 1483, 0), ('u', 1, -1, 0), ('w', -1, 89, 0), ('y', 1, -1, 0), ('z', -1, 515, 0), ('ą', -1, 544, 0)), (('a', -1, 391, 0), ('b', 0, -1, 0), ('c', -1, 698, 0), ('d', -1, 64, 0), ('e', -1, 599, 0), ('f', 0, -1, 0), ('g', -1, 152, 0), ('i', -1, 597, 0), ('k', -1, 395, 0), ('m', 0, -1, 0), ('n', 1, 1632, 0), ('o', -1, 90, 0), ('p', -1, 1570, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 419, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1327, 0)), (('a', 0, -1, 0), ('b', -1, 392, 0), ('c', -1, 1074, 0), ('d', 0, 54, 0), ('e', -1, 101, 0), ('g', -1, 179, 0), ('i', 0, -1, 0), ('k', -1, 277, 0), ('l', -1, 698, 0), ('m', 0, 594, 0), ('n', -1, 909, 0), ('o', -1, 915, 0), ('p', 0, 54, 0), ('r', 0, 85, 0), ('s', -1, 60, 0), ('t', -1, 966, 0), ('u', 0, -1, 0), ('w', -1, 617, 0), ('y', 0, -1, 0), ('z', 0, 26, 0), ('ą', -1, 756, 0)), (('a', -1, 350, 0), ('b', -1, 71, 0), ('c', -1, 393, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 872, 0), ('h', -1, 908, 0), ('i', -1, 69, 0), ('j', 0, -1, 0), ('k', 0, 70, 0), ('l', -1, 540, 0), ('m', -1, 358, 0), ('n', -1, 69, 0), ('o', 0, 12, 0), ('p', 0, -1, 0), ('r', -1, 143, 0), ('s', -1, 318, 0), ('t', -1, 192, 0), ('u', -1, 102, 0), ('w', -1, 477, 0), ('y', 0, -1, 0), ('z', -1, 4, 0), ('ł', -1, 135, 0)), (('a', -1, 17, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('i', -1, 164, 0), ('k', -1, 394, 0), ('o', -1, 63, 0), ('p', -1, 1485, 0), ('r', -1, 363, 0), ('s', 0, 42, 0), ('t', -1, 331, 0), ('u', 0, 42, 0), ('w', -1, 438, 0), ('y', -1, 319, 0), ('z', -1, 535, 0), ('ł', -1, 240, 0), ('ż', -1, 545, 0)), (('a', -1, 287, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 28, 0), ('g', -1, 395, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', -1, 885, 0), ('p', -1, 897, 0), ('r', 0, -1, 0), ('s', 0, 991, 0), ('t', -1, 722, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 625, 0), ('ź', -1, 834, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 396, 0), ('d', -1, 1023, 0), ('e', -1, 95, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1089, 0), ('t', -1, 85, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 397, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 398, 0), ('k', 0, -1, 0), ('m', -1, 187, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 1657, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 875, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 814, 0), ('ę', 0, -1, 0)), (('-', 1, -1, 0), ('a', -1, 92, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 251, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 161, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 219, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 42, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 85, 0), ('e', -1, 20, 0), ('h', 0, -1, 0), ('i', 0, 60, 0), ('k', -1, 328, 0), ('l', 0, -1, 0), ('m', -1, 399, 0), ('n', 0, -1, 0), ('o', -1, 193, 0), ('p', 0, -1, 0), ('r', -1, 64, 0), ('s', -1, 165, 0), ('t', 0, -1, 0), ('u', -1, 348, 0), ('w', 0, -1, 0), ('y', -1, 153, 0), ('z', -1, 144, 0)), (('a', -1, 400, 0), ('b', -1, 695, 0), ('c', 0, 489, 0), ('d', -1, 263, 0), ('e', -1, 351, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 549, 0), ('k', -1, 24, 0), ('l', -1, 785, 0), ('m', -1, 1197, 0), ('n', -1, 205, 0), ('o', -1, 626, 0), ('p', -1, 1368, 0), ('r', -1, 309, 0), ('s', -1, 518, 0), ('t', -1, 1096, 0), ('w', -1, 300, 0), ('y', 0, -1, 0), ('z', -1, 1351, 0), ('ś', -1, 98, 0), ('ź', 0, -1, 0), ('ż', -1, 327, 0)), (('a', -1, 87, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 401, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 289, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 184, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 185, 0), ('y', 1, -1, 0), ('z', -1, 237, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ż', -1, 573, 0)), (('a', -1, 2, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 402, 0), ('e', -1, 632, 0), ('i', -1, 163, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 97, 0), ('o', 1, -1, 0), ('p', -1, 543, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 49, 0), ('z', -1, 277, 0), ('ó', 1, -1, 0), ('ę', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 53, 0), ('b', 0, -1, 0), ('d', -1, 180, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 53, 0), ('m', 1, 93, 0), ('n', 1, -1, 0), ('o', -1, 152, 0), ('p', 0, -1, 0), ('r', -1, 403, 0), ('s', 1, 4, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 3, -1, 0), ('y', -1, 909, 0), ('z', -1, 980, 0), ('ę', -1, 70, 0), ('ł', 1, -1, 0)), (('a', -1, 333, 0), ('b', 0, -1, 0), ('c', -1, 404, 0), ('d', 1, -1, 0), ('e', -1, 295, 0), ('g', 0, -1, 0), ('i', -1, 788, 0), ('k', 1, -1, 0), ('l', -1, 399, 0), ('m', 1, 1, 0), ('n', 0, -1, 0), ('o', -1, 173, 0), ('p', 0, -1, 0), ('r', -1, 502, 0), ('s', -1, 499, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 12, 0), ('y', 1, -1, 0), ('z', -1, 609, 0), ('ł', 0, -1, 0)), (('a', -1, 405, 0), ('b', 0, -1, 0), ('d', -1, 1112, 0), ('e', -1, 346, 0), ('g', -1, 1112, 0), ('i', -1, 631, 0), ('k', -1, 112, 0), ('o', -1, 564, 0), ('p', -1, 987, 0), ('r', -1, 78, 0), ('t', -1, 1357, 0), ('u', -1, 75, 0), ('y', -1, 300, 0), ('z', -1, 645, 0), ('ł', -1, 837, 0), ('ś', -1, 987, 0), ('ź', -1, 1066, 0)), (('a', -1, 310, 0), ('d', -1, 406, 0), ('e', 0, -1, 0), ('g', -1, 125, 0), ('i', 0, -1, 0), ('k', -1, 957, 0), ('l', -1, 16, 0), ('o', -1, 184, 0), ('p', -1, 551, 0), ('r', -1, 350, 0), ('s', -1, 1602, 0), ('t', -1, 347, 0), ('u', -1, 413, 0), ('w', 0, 1407, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', -1, 65, 0)), (('a', -1, 304, 0), ('d', -1, 107, 0), ('e', 11, -1, 0), ('i', -1, 283, 0), ('n', -1, 171, 0), ('o', -1, 165, 0), ('r', -1, 407, 0), ('u', -1, 562, 0), ('z', -1, 144, 0), ('ł', -1, 140, 0)), (('a', -1, 61, 0), ('d', -1, 183, 0), ('e', -1, 408, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('o', 0, 1311, 0), ('r', -1, 752, 0), ('y', -1, 208, 0), ('z', -1, 191, 0)), (('a', -1, 409, 0), ('e', -1, 298, 0), ('g', -1, 376, 0), ('i', -1, 327, 0), ('j', -1, 95, 0), ('k', 0, 70, 0), ('o', -1, 631, 0), ('p', -1, 273, 0), ('r', -1, 1071, 0), ('w', -1, 1598, 0), ('z', -1, 195, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 410, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 68, 0), ('g', -1, 868, 0), ('h', -1, 349, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 415, 0), ('l', 0, -1, 0), ('m', -1, 64, 0), ('n', -1, 64, 0), ('o', -1, 94, 0), ('p', -1, 51, 0), ('r', 0, -1, 0), ('s', -1, 363, 0), ('t', -1, 68, 0), ('u', 0, -1, 0), ('w', -1, 231, 0), ('y', 0, -1, 0), ('z', -1, 380, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 30, 0), ('ń', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 7, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 411, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 179, 0), ('s', 0, -1, 0), ('t', -1, 721, 0), ('u', 0, -1, 0), ('w', 0, 42, 0), ('y', -1, 616, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 412, 0), ('g', -1, 603, 0), ('h', 0, -1, 0), ('i', -1, 273, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ś', 0, 293, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 127, 0), ('d', -1, 180, 0), ('e', -1, 244, 0), ('i', -1, 287, 0), ('k', -1, 131, 0), ('l', 0, -1, 0), ('m', -1, 340, 0), ('o', -1, 36, 0), ('r', -1, 413, 0), ('s', 0, 4, 0), ('w', -1, 773, 0), ('y', -1, 143, 0), ('z', -1, 264, 0)), (('a', -1, 23, 0), ('b', -1, 36, 0), ('c', 0, -1, 0), ('d', 16, -1, 0), ('e', -1, 70, 0), ('g', -1, 414, 0), ('h', 0, 60, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 225, 0), ('n', 0, -1, 0), ('o', 16, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 131, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 16, -1, 0), ('z', -1, 162, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 276, 0), ('b', -1, 71, 0), ('c', -1, 415, 0), ('d', -1, 126, 0), ('e', -1, 77, 0), ('f', 0, 69, 0), ('i', 21, -1, 0), ('k', 0, 68, 0), ('l', 0, 575, 0), ('m', -1, 518, 0), ('n', -1, 142, 0), ('o', -1, 617, 0), ('p', -1, 321, 0), ('r', -1, 143, 0), ('s', -1, 939, 0), ('t', 0, 69, 0), ('u', 0, 70, 0), ('w', 0, 70, 0), ('y', -1, 276, 0), ('z', -1, 532, 0), ('ł', 0, 754, 0)), (('a', -1, 410, 0), ('d', -1, 416, 0), ('e', -1, 755, 0), ('i', 0, 312, 0), ('n', 0, -1, 0), ('o', -1, 323, 0), ('r', -1, 648, 0), ('t', -1, 908, 0), ('w', 0, 42, 0), ('z', 14, -1, 0)), (('a', -1, 417, 0), ('b', 0, -1, 0), ('d', -1, 254, 0), ('e', -1, 545, 0), ('g', -1, 972, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('k', -1, 1455, 0), ('o', 0, 970, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('t', -1, 1, 0), ('u', 0, -1, 0), ('y', -1, 788, 0), ('z', -1, 53, 0), ('ę', 0, -1, 0), ('ś', -1, 165, 0), ('ź', -1, 23, 0)), (('a', -1, 225, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 67, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 225, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 560, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 419, 0), ('d', 13, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 12, 0), ('h', 0, -1, 0), ('i', -1, 59, 0), ('j', -1, 617, 0), ('k', 0, -1, 0), ('l', 0, 85, 0), ('m', 0, -1, 0), ('n', -1, 136, 0), ('o', -1, 138, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 87, 0), ('u', -1, 101, 0), ('w', 0, -1, 0), ('y', -1, 89, 0), ('z', 0, -1, 0), ('ę', -1, 361, 0), ('ł', -1, 187, 0), ('ś', -1, 145, 0), ('ź', 0, -1, 0)), (('a', 0, 153, 0), ('b', -1, 189, 0), ('c', -1, 420, 0), ('d', -1, 362, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 725, 0), ('h', -1, 6, 0), ('i', -1, 334, 0), ('j', 0, -1, 0), ('k', -1, 870, 0), ('l', -1, 318, 0), ('m', -1, 603, 0), ('n', -1, 915, 0), ('o', -1, 36, 0), ('p', -1, 555, 0), ('r', -1, 928, 0), ('s', -1, 212, 0), ('t', -1, 757, 0), ('u', -1, 352, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 348, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 3, 0), ('d', -1, 145, 0), ('e', 0, -1, 0), ('g', -1, 265, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 112, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 194, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 403, 0), ('t', -1, 333, 0), ('u', -1, 421, 0), ('w', 0, -1, 0), ('y', -1, 21, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ć', 0, -1, 0), ('ł', -1, 26, 0), ('ń', 0, -1, 0)), (('a', 0, 85, 0), ('b', -1, 276, 0), ('c', -1, 366, 0), ('d', 0, 54, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 422, 0), ('h', 0, -1, 0), ('i', 10, -1, 0), ('k', 0, -1, 0), ('l', -1, 449, 0), ('m', 0, -1, 0), ('n', -1, 162, 0), ('o', -1, 59, 0), ('p', -1, 118, 0), ('r', 0, -1, 0), ('s', 0, 542, 0), ('t', 0, -1, 0), ('u', -1, 304, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 7, 0), ('ł', -1, 23, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 423, 0), ('d', -1, 49, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 31, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 343, 0), ('l', 0, -1, 0), ('m', 0, 7, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 20, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 206, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 369, 0), ('c', -1, 424, 0), ('d', 0, -1, 0), ('e', -1, 211, 0), ('g', 0, 85, 0), ('i', -1, 477, 0), ('k', 0, 12, 0), ('l', 0, -1, 0), ('m', -1, 223, 0), ('n', -1, 441, 0), ('o', -1, 30, 0), ('p', -1, 6, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 409, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 8, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 143, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 175, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 86, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 12, 0), ('t', 0, -1, 0), ('u', -1, 425, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 521, 0), ('ż', -1, 1420, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 1, 0), ('e', -1, 289, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 212, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, 85, 0), ('w', 0, 426, 0), ('y', -1, 69, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 427, 0), ('b', -1, 63, 0), ('c', -1, 636, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1148, 0), ('o', 1, 1068, 0), ('p', 0, -1, 0), ('r', -1, 856, 0), ('s', -1, 1076, 0), ('t', 0, -1, 0), ('u', 0, 143, 0), ('w', -1, 546, 0), ('y', -1, 338, 0), ('z', -1, 913, 0), ('ć', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 127, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 31, 0), ('i', -1, 24, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 221, 0), ('n', 0, -1, 0), ('o', -1, 428, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 117, 0), ('b', 0, -1, 0), ('c', -1, 273, 0), ('d', 0, 80, 0), ('e', 0, -1, 0), ('i', -1, 134, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 429, 0), ('r', 0, -1, 0), ('s', -1, 105, 0), ('t', 0, 2, 0), ('u', 0, -1, 0), ('w', -1, 980, 0), ('y', 0, -1, 0), ('z', -1, 27, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 430, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 811, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 145, 0), ('p', -1, 1005, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 1075, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 431, 0), ('c', -1, 1029, 0), ('d', -1, 715, 0), ('e', 0, -1, 0), ('g', -1, 548, 0), ('i', 0, -1, 0), ('k', 0, 459, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1027, 0), ('o', 0, -1, 0), ('p', -1, 180, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 87, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 6, 0), ('ł', 0, -1, 0)), (('a', -1, 408, 0), ('c', 0, -1, 0), ('d', -1, 432, 0), ('e', -1, 194, 0), ('i', -1, 550, 0), ('o', -1, 133, 0), ('r', -1, 13, 0), ('z', -1, 183, 0), ('ż', -1, 342, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 2, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 433, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 289, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 93, 0), ('p', 0, -1, 0), ('r', 0, 233, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 1821, 0), ('y', 1, -1, 0), ('z', 0, 932, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ż', -1, 1459, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 434, 0), ('e', 0, -1, 0), ('i', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 97, 0), ('o', -1, 1176, 0), ('p', -1, 543, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 429, 0), ('w', 0, -1, 0), ('y', -1, 753, 0), ('z', -1, 42, 0)), (('a', -1, 435, 0), ('b', 0, -1, 0), ('c', 17, -1, 0), ('d', 0, -1, 0), ('e', -1, 1159, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1819, 0), ('j', -1, 1043, 0), ('k', 0, -1, 0), ('l', 0, 1744, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 887, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, 1355, 0), ('ż', -1, 1820, 0)), (('a', 0, -1, 0), ('b', -1, 436, 0), ('c', 0, -1, 0), ('d', -1, 104, 0), ('e', 11, -1, 0), ('g', -1, 963, 0), ('i', -1, 90, 0), ('k', -1, 137, 0), ('l', -1, 656, 0), ('m', -1, 25, 0), ('n', -1, 282, 0), ('o', -1, 662, 0), ('p', -1, 300, 0), ('r', -1, 302, 0), ('s', 0, -1, 0), ('t', 0, 70, 0), ('u', -1, 169, 0), ('w', -1, 542, 0), ('y', -1, 8, 0), ('z', 0, -1, 0), ('ł', -1, 503, 0), ('ż', 0, 70, 0)), (('a', -1, 127, 0), ('d', -1, 200, 0), ('e', -1, 437, 0), ('i', -1, 1064, 0), ('m', -1, 300, 0), ('o', 0, 4, 0), ('r', -1, 574, 0), ('s', 0, 4, 0), ('u', 0, 4, 0), ('w', 0, 4, 0), ('y', -1, 143, 0), ('z', -1, 264, 0)), (('a', -1, 98, 0), ('d', 0, 438, 0), ('e', -1, 438, 0), ('g', -1, 615, 0), ('i', -1, 617, 0), ('j', -1, 232, 0), ('k', -1, 1699, 0), ('l', 0, -1, 0), ('m', -1, 132, 0), ('o', -1, 276, 0), ('p', -1, 657, 0), ('r', -1, 716, 0), ('s', -1, 315, 0), ('t', -1, 132, 0), ('u', -1, 523, 0), ('w', -1, 447, 0), ('y', -1, 294, 0), ('z', -1, 535, 0)), (('a', -1, 439, 0), ('b', 0, -1, 0), ('c', -1, 608, 0), ('d', 16, -1, 0), ('e', 26, -1, 0), ('g', 0, -1, 0), ('i', -1, 1052, 0), ('k', -1, 1250, 0), ('l', -1, 27, 0), ('m', 0, -1, 0), ('n', -1, 285, 0), ('o', -1, 179, 0), ('p', 16, -1, 0), ('r', -1, 350, 0), ('s', -1, 419, 0), ('t', -1, 522, 0), ('u', -1, 98, 0), ('w', 0, -1, 0), ('y', -1, 1064, 0), ('z', -1, 954, 0)), (('a', -1, 189, 0), ('b', -1, 107, 0), ('c', -1, 440, 0), ('d', -1, 194, 0), ('e', -1, 343, 0), ('g', -1, 105, 0), ('i', 0, -1, 0), ('k', -1, 154, 0), ('l', -1, 75, 0), ('m', -1, 75, 0), ('n', -1, 101, 0), ('o', -1, 8, 0), ('p', -1, 352, 0), ('r', 0, -1, 0), ('s', -1, 563, 0), ('t', -1, 159, 0), ('u', 0, -1, 0), ('w', 0, 42, 0), ('y', -1, 74, 0), ('z', -1, 148, 0), ('ą', 0, -1, 0), ('ę', -1, 2, 0), ('ł', 0, -1, 0)), (('a', -1, 355, 0), ('d', -1, 107, 0), ('e', -1, 183, 0), ('g', -1, 259, 0), ('h', -1, 428, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 441, 0), ('p', -1, 35, 0), ('r', -1, 143, 0), ('s', -1, 718, 0), ('t', -1, 103, 0), ('w', -1, 371, 0), ('z', -1, 107, 0), ('ł', -1, 10, 0), ('ś', -1, 691, 0)), (('a', 8, -1, 0), ('b', -1, 127, 0), ('c', -1, 442, 0), ('d', -1, 538, 0), ('e', 0, -1, 0), ('i', -1, 573, 0), ('k', 0, 143, 0), ('l', -1, 127, 0), ('m', 0, 143, 0), ('n', -1, 552, 0), ('o', -1, 572, 0), ('p', -1, 194, 0), ('r', 0, 356, 0), ('s', 0, 306, 0), ('t', -1, 393, 0), ('u', -1, 413, 0), ('w', -1, 696, 0), ('y', -1, 104, 0), ('z', -1, 782, 0), ('ł', -1, 239, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 298, 0), ('e', -1, 301, 0), ('h', -1, 53, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 443, 0), ('r', 0, 1, 0), ('s', -1, 969, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', -1, 1331, 0), ('z', -1, 205, 0), ('ą', 1, -1, 0), ('ę', -1, 953, 0), ('ł', 1, 13, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 310, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('o', -1, 305, 0), ('p', -1, 444, 0), ('r', -1, 16, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 7, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 445, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 1818, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 16, 0), ('u', 1, -1, 0), ('w', -1, 602, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 441, 0), ('c', 0, 42, 0), ('d', 0, -1, 0), ('e', -1, 446, 0), ('g', 1, -1, 0), ('i', -1, 377, 0), ('k', 1, -1, 0), ('l', 0, 12, 0), ('m', 0, 12, 0), ('n', 0, -1, 0), ('o', -1, 187, 0), ('p', 1, -1, 0), ('r', -1, 622, 0), ('s', 0, 152, 0), ('t', -1, 199, 0), ('u', -1, 517, 0), ('w', -1, 398, 0), ('y', -1, 518, 0), ('z', -1, 326, 0), ('ą', -1, 100, 0), ('ę', -1, 308, 0), ('ł', 1, -1, 0)), (('a', -1, 45, 0), ('b', 0, -1, 0), ('c', -1, 447, 0), ('d', -1, 234, 0), ('e', -1, 350, 0), ('g', -1, 46, 0), ('h', -1, 16, 0), ('i', -1, 302, 0), ('j', 0, -1, 0), ('k', -1, 519, 0), ('l', 0, 478, 0), ('m', -1, 70, 0), ('n', -1, 24, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 30, 0), ('s', -1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 154, 0), ('y', -1, 251, 0), ('z', -1, 91, 0), ('ó', -1, 13, 0), ('ą', 0, -1, 0), ('ę', -1, 6, 0), ('ł', -1, 7, 0), ('ś', -1, 861, 0)), (('a', -1, 321, 0), ('b', -1, 105, 0), ('c', -1, 448, 0), ('d', -1, 133, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 331, 0), ('l', -1, 59, 0), ('m', 0, 138, 0), ('n', 0, -1, 0), ('o', -1, 363, 0), ('p', -1, 582, 0), ('r', -1, 164, 0), ('s', -1, 155, 0), ('t', -1, 147, 0), ('u', 0, -1, 0), ('w', -1, 208, 0), ('y', 0, -1, 0), ('z', -1, 65, 0), ('ł', 0, -1, 0)), (('a', -1, 17, 0), ('b', -1, 69, 0), ('c', 0, 199, 0), ('d', -1, 134, 0), ('e', -1, 136, 0), ('g', -1, 199, 0), ('h', -1, 49, 0), ('i', -1, 12, 0), ('j', 0, -1, 0), ('k', -1, 236, 0), ('l', -1, 449, 0), ('m', -1, 63, 0), ('n', -1, 369, 0), ('o', -1, 421, 0), ('p', -1, 8, 0), ('r', -1, 190, 0), ('s', 10, -1, 0), ('t', -1, 935, 0), ('u', 0, 96, 0), ('w', 0, -1, 0), ('y', -1, 312, 0), ('z', -1, 96, 0), ('ł', 0, -1, 0), ('ś', -1, 192, 0), ('ź', -1, 25, 0), ('ż', -1, 302, 0)), (('a', -1, 450, 0), ('b', 0, -1, 0), ('c', -1, 451, 0), ('d', 32, 363, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 296, 0), ('h', -1, 43, 0), ('i', -1, 149, 0), ('j', 32, 37, 0), ('k', -1, 330, 0), ('l', 0, -1, 0), ('m', -1, 170, 0), ('n', -1, 836, 0), ('o', -1, 43, 0), ('p', 0, -1, 0), ('r', -1, 331, 0), ('s', 0, -1, 0), ('t', -1, 319, 0), ('u', 0, -1, 0), ('w', -1, 698, 0), ('y', -1, 562, 0), ('z', -1, 226, 0), ('ó', 0, -1, 0), ('ł', -1, 172, 0), ('ż', 32, 211, 0)), (('a', 0, -1, 0), ('b', 0, 328, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, 9, 0), ('h', 0, 141, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 160, 0), ('n', -1, 61, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 96, 0), ('u', 0, -1, 0), ('w', 10, 1, 0), ('y', 0, -1, 0), ('z', -1, 52, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', -1, 51, 0), ('ż', 0, -1, 0)), (('a', -1, 3, 0), ('b', -1, 259, 0), ('c', -1, 328, 0), ('d', 0, -1, 0), ('e', -1, 87, 0), ('g', 0, 452, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 868, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 129, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 453, 0), ('c', 0, -1, 0), ('d', -1, 853, 0), ('e', -1, 1066, 0), ('g', 1, -1, 0), ('h', 17, -1, 0), ('i', -1, 79, 0), ('k', 1, -1, 0), ('l', -1, 170, 0), ('m', 1, -1, 0), ('o', -1, 430, 0), ('p', -1, 177, 0), ('r', -1, 339, 0), ('s', 18, -1, 0), ('t', -1, 540, 0), ('u', -1, 177, 0), ('w', 17, -1, 0), ('z', 0, -1, 0), ('ó', -1, 112, 0), ('ą', -1, 153, 0), ('ł', 1, -1, 0), ('ż', -1, 323, 0)), (('a', -1, 199, 0), ('c', -1, 454, 0), ('d', -1, 67, 0), ('e', -1, 321, 0), ('g', -1, 582, 0), ('i', -1, 790, 0), ('l', -1, 467, 0), ('m', -1, 485, 0), ('n', -1, 198, 0), ('o', -1, 9, 0), ('p', 0, 42, 0), ('r', -1, 548, 0), ('s', -1, 467, 0), ('t', -1, 124, 0), ('u', 0, 4, 0), ('w', -1, 231, 0), ('y', -1, 143, 0), ('z', -1, 261, 0), ('ł', -1, 62, 0)), (('a', 0, -1, 0), ('d', -1, 455, 0), ('e', -1, 542, 0), ('g', 0, -1, 0), ('i', -1, 667, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 430, 0), ('p', 1, -1, 0), ('r', -1, 350, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 235, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 23, 0), ('c', 0, -1, 0), ('d', 17, -1, 0), ('e', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 456, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 17, -1, 0), ('r', 0, -1, 0), ('s', -1, 46, 0), ('t', -1, 571, 0), ('u', 0, -1, 0), ('y', 17, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 12, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('l', -1, 295, 0), ('m', 0, -1, 0), ('n', 1, 57, 0), ('o', -1, 6, 0), ('p', 1, -1, 0), ('r', -1, 457, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, 1437, 0), ('y', 0, -1, 0), ('z', -1, 1066, 0), ('ę', -1, 46, 0), ('ł', 0, -1, 0)), (('a', -1, 458, 0), ('b', 1, -1, 0), ('d', -1, 266, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 97, 0), ('i', -1, 915, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 558, 0), ('p', 1, -1, 0), ('r', 18, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 13, 0), ('y', -1, 588, 0), ('z', -1, 254, 0)), (('a', -1, 46, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 66, 0), ('g', -1, 27, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 23, 459, 0), ('p', 23, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 242, 0), ('u', -1, 16, 0), ('w', 0, -1, 0), ('y', -1, 39, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 460, 0), ('d', -1, 853, 0), ('e', 23, -1, 0), ('g', 0, -1, 0), ('i', -1, 23, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 924, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 240, 0), ('s', 0, 59, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 1677, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 103, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, 48, 0), ('g', -1, 461, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, 670, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 897, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 886, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 462, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 40, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 173, 0), ('l', -1, 251, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 3, -1, 0), ('u', -1, 437, 0), ('y', -1, 463, 0), ('z', 1, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', -1, 63, 0), ('c', -1, 100, 0), ('d', 1, -1, 0), ('e', -1, 464, 0), ('f', 0, -1, 0), ('i', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 1730, 0), ('o', -1, 2, 0), ('p', 0, -1, 0), ('r', -1, 1648, 0), ('s', -1, 1520, 0), ('w', -1, 546, 0), ('y', 0, -1, 0), ('z', -1, 190, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 0, 70, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 1, 21, 0), ('p', 1, -1, 0), ('r', -1, 465, 0), ('s', 0, 70, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ą', 0, -1, 0), ('ć', 1, -1, 0), ('ń', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 152, 0), ('b', -1, 352, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', -1, 466, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 709, 0), ('s', -1, 1153, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 1197, 0), ('ó', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 467, 0), ('b', 0, 58, 0), ('c', 1, -1, 0), ('d', -1, 70, 0), ('e', -1, 570, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('m', -1, 323, 0), ('n', -1, 911, 0), ('o', 1, -1, 0), ('p', -1, 13, 0), ('r', -1, 467, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('z', -1, 105, 0), ('ó', 1, -1, 0)), (('a', -1, 218, 0), ('b', 1, -1, 0), ('c', -1, 68, 0), ('d', 1, -1, 0), ('e', -1, 190, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 276, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 70, 0), ('n', -1, 468, 0), ('o', -1, 60, 0), ('p', -1, 141, 0), ('r', -1, 67, 0), ('s', -1, 1228, 0), ('t', -1, 53, 0), ('u', 1, -1, 0), ('w', -1, 75, 0), ('y', -1, 116, 0), ('z', -1, 36, 0), ('ł', 0, -1, 0)), (('a', -1, 65, 0), ('d', -1, 469, 0), ('e', -1, 1301, 0), ('i', -1, 318, 0), ('j', -1, 1018, 0), ('n', -1, 68, 0), ('o', -1, 282, 0), ('r', -1, 164, 0), ('u', -1, 23, 0), ('z', -1, 535, 0)), (('a', -1, 470, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 951, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, 143, 0), ('m', 0, -1, 0), ('o', -1, 691, 0), ('r', -1, 182, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 2, 0), ('ó', -1, 153, 0), ('ł', 0, -1, 0)), (('a', -1, 471, 0), ('d', -1, 350, 0), ('e', -1, 1176, 0), ('i', -1, 1792, 0), ('l', -1, 1605, 0), ('o', -1, 1447, 0), ('r', -1, 167, 0), ('u', -1, 180, 0), ('w', -1, 299, 0), ('z', -1, 790, 0)), (('a', -1, 441, 0), ('b', 0, -1, 0), ('d', 0, 472, 0), ('e', 0, -1, 0), ('g', -1, 5, 0), ('h', -1, 473, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1029, 0), ('p', -1, 325, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 139, 0), ('u', 0, -1, 0), ('w', -1, 254, 0), ('z', -1, 572, 0), ('ę', 0, -1, 0), ('ł', -1, 170, 0)), (('a', -1, 61, 0), ('e', 13, -1, 0), ('i', -1, 473, 0), ('o', -1, 724, 0), ('r', -1, 1112, 0), ('s', 0, -1, 0), ('w', 0, 54, 0), ('y', -1, 187, 0), ('z', -1, 191, 0)), (('a', -1, 113, 0), ('c', -1, 474, 0), ('d', 0, 143, 0), ('e', -1, 159, 0), ('i', -1, 4, 0), ('k', 0, 250, 0), ('l', -1, 945, 0), ('m', -1, 1814, 0), ('n', -1, 545, 0), ('o', -1, 512, 0), ('p', -1, 361, 0), ('r', 0, 478, 0), ('s', -1, 1006, 0), ('t', -1, 1008, 0), ('w', -1, 513, 0), ('y', -1, 328, 0), ('z', -1, 690, 0), ('ą', -1, 153, 0), ('ł', 0, 143, 0), ('ż', -1, 124, 0)), (('a', 1, -1, 0), ('c', -1, 248, 0), ('d', -1, 337, 0), ('e', 0, -1, 0), ('f', -1, 237, 0), ('g', -1, 475, 0), ('h', -1, 509, 0), ('i', -1, 559, 0), ('j', -1, 742, 0), ('k', -1, 884, 0), ('l', -1, 893, 0), ('m', 0, 1171, 0), ('n', -1, 604, 0), ('o', -1, 364, 0), ('r', -1, 440, 0), ('s', -1, 184, 0), ('t', -1, 970, 0), ('w', -1, 985, 0), ('y', 0, -1, 0), ('z', 0, 710, 0), ('ł', 0, 561, 0), ('ż', -1, 385, 0)), (('a', -1, 423, 0), ('c', -1, 413, 0), ('d', 7, -1, 0), ('e', -1, 476, 0), ('i', -1, 313, 0), ('l', -1, 441, 0), ('m', 3, -1, 0), ('o', 0, -1, 0), ('p', 0, 795, 0), ('r', -1, 1013, 0), ('s', -1, 312, 0), ('t', -1, 77, 0), ('u', -1, 1027, 0), ('w', 0, 1280, 0), ('y', -1, 550, 0), ('z', -1, 700, 0), ('ą', -1, 1063, 0), ('ę', -1, 804, 0)), (('a', 0, 69, 0), ('b', -1, 35, 0), ('d', -1, 477, 0), ('e', -1, 499, 0), ('i', -1, 333, 0), ('k', -1, 130, 0), ('l', -1, 476, 0), ('o', -1, 208, 0), ('p', -1, 711, 0), ('r', -1, 158, 0), ('s', -1, 604, 0), ('t', -1, 813, 0), ('u', -1, 56, 0), ('w', -1, 950, 0), ('y', 0, -1, 0), ('z', -1, 610, 0), ('ż', -1, 321, 0)), (('a', 0, -1, 0), ('b', 1, 126, 0), ('c', 10, -1, 0), ('d', 0, -1, 0), ('e', -1, 6, 0), ('g', -1, 478, 0), ('h', 10, -1, 0), ('i', 1, -1, 0), ('j', 0, 60, 0), ('k', 0, -1, 0), ('l', -1, 334, 0), ('m', 10, -1, 0), ('n', -1, 26, 0), ('o', -1, 546, 0), ('p', 10, -1, 0), ('r', -1, 87, 0), ('s', 0, 85, 0), ('t', -1, 65, 0), ('u', -1, 169, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 10, -1, 0), ('ś', -1, 479, 0), ('ż', 0, -1, 0)), (('a', -1, 101, 0), ('b', 0, 85, 0), ('c', -1, 479, 0), ('d', 0, 69, 0), ('e', 28, -1, 0), ('i', -1, 154, 0), ('k', -1, 523, 0), ('l', -1, 415, 0), ('m', 18, -1, 0), ('n', -1, 739, 0), ('o', -1, 192, 0), ('p', -1, 295, 0), ('r', -1, 113, 0), ('s', 0, 54, 0), ('t', 0, 85, 0), ('u', -1, 39, 0), ('w', 0, -1, 0), ('y', -1, 189, 0), ('z', -1, 191, 0)), (('a', 0, 26, 0), ('b', -1, 180, 0), ('d', -1, 238, 0), ('e', 13, -1, 0), ('f', 0, 70, 0), ('h', 0, -1, 0), ('i', 0, 139, 0), ('k', -1, 480, 0), ('m', -1, 117, 0), ('o', -1, 621, 0), ('r', -1, 87, 0), ('s', 0, 4, 0), ('t', -1, 473, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 264, 0), ('ł', -1, 24, 0)), (('a', -1, 118, 0), ('b', -1, 107, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 481, 0), ('k', 0, -1, 0), ('m', -1, 676, 0), ('o', -1, 421, 0), ('p', 0, -1, 0), ('r', -1, 1066, 0), ('s', 0, 42, 0), ('t', 0, -1, 0), ('u', 0, 42, 0), ('w', 0, 42, 0), ('y', -1, 319, 0), ('z', -1, 535, 0), ('ł', 0, -1, 0)), (('a', -1, 79, 0), ('c', -1, 482, 0), ('d', -1, 148, 0), ('e', 28, -1, 0), ('f', 0, 69, 0), ('i', -1, 27, 0), ('k', -1, 558, 0), ('l', -1, 1324, 0), ('m', -1, 295, 0), ('n', -1, 1133, 0), ('o', -1, 69, 0), ('p', 0, 1, 0), ('r', -1, 22, 0), ('s', -1, 936, 0), ('t', -1, 420, 0), ('u', 0, 69, 0), ('w', 0, 69, 0), ('y', -1, 179, 0), ('z', -1, 953, 0), ('ł', -1, 39, 0)), (('a', -1, 483, 0), ('c', 1, -1, 0), ('d', -1, 64, 0), ('e', -1, 187, 0), ('i', -1, 610, 0), ('n', 1, -1, 0), ('o', -1, 355, 0), ('p', -1, 153, 0), ('r', -1, 214, 0), ('s', -1, 1779, 0), ('t', 0, -1, 0), ('u', -1, 392, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 716, 0)), (('a', -1, 156, 0), ('b', -1, 324, 0), ('d', -1, 484, 0), ('e', -1, 392, 0), ('i', -1, 304, 0), ('k', 0, 54, 0), ('l', -1, 42, 0), ('m', -1, 299, 0), ('n', -1, 775, 0), ('o', -1, 302, 0), ('p', 0, 54, 0), ('r', -1, 1256, 0), ('s', -1, 762, 0), ('t', -1, 574, 0), ('w', -1, 96, 0), ('y', -1, 88, 0), ('z', -1, 196, 0), ('ł', -1, 209, 0), ('ż', -1, 632, 0)), (('a', -1, 485, 0), ('c', 0, -1, 0), ('d', -1, 316, 0), ('e', -1, 355, 0), ('i', -1, 441, 0), ('m', 0, -1, 0), ('o', -1, 380, 0), ('p', -1, 1457, 0), ('r', 0, 85, 0), ('s', 0, 85, 0), ('t', -1, 778, 0), ('u', 0, 9, 0), ('w', 0, 141, 0), ('z', -1, 870, 0)), (('a', -1, 486, 0), ('b', 0, -1, 0), ('c', 0, 1227, 0), ('d', -1, 281, 0), ('e', -1, 782, 0), ('h', -1, 8, 0), ('i', -1, 300, 0), ('k', -1, 1692, 0), ('l', -1, 225, 0), ('m', -1, 308, 0), ('n', 0, 69, 0), ('o', -1, 614, 0), ('p', -1, 154, 0), ('r', -1, 117, 0), ('s', -1, 282, 0), ('t', -1, 615, 0), ('u', -1, 67, 0), ('w', -1, 999, 0), ('y', -1, 812, 0), ('z', 0, 4, 0)), (('a', -1, 57, 0), ('b', 0, 7, 0), ('c', -1, 487, 0), ('d', 0, 83, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', -1, 513, 0), ('n', -1, 1185, 0), ('o', 0, -1, 0), ('p', -1, 60, 0), ('r', -1, 915, 0), ('s', -1, 225, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 544, 0), ('y', 0, -1, 0), ('z', -1, 139, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 341, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 210, 0), ('h', 0, -1, 0), ('i', -1, 128, 0), ('k', -1, 488, 0), ('l', 0, 321, 0), ('m', -1, 635, 0), ('n', -1, 303, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 143, 0), ('s', 0, 153, 0), ('t', -1, 617, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 37, 0), ('z', -1, 61, 0), ('ś', 0, -1, 0)), (('a', -1, 489, 0), ('c', -1, 414, 0), ('d', -1, 107, 0), ('e', -1, 39, 0), ('i', -1, 70, 0), ('k', -1, 535, 0), ('l', -1, 909, 0), ('m', -1, 10, 0), ('n', -1, 67, 0), ('o', -1, 82, 0), ('p', 0, 141, 0), ('r', -1, 74, 0), ('s', -1, 689, 0), ('t', -1, 645, 0), ('u', -1, 999, 0), ('w', 0, 42, 0), ('y', -1, 25, 0), ('z', -1, 29, 0)), (('a', 0, -1, 0), ('b', -1, 490, 0), ('c', -1, 877, 0), ('d', 0, 9, 0), ('e', -1, 79, 0), ('i', -1, 757, 0), ('k', 1, 1265, 0), ('l', -1, 224, 0), ('m', -1, 26, 0), ('n', 0, 481, 0), ('o', 0, -1, 0), ('p', 0, 9, 0), ('r', -1, 78, 0), ('s', -1, 631, 0), ('t', -1, 36, 0), ('u', 0, -1, 0), ('w', -1, 85, 0), ('y', 0, -1, 0), ('z', -1, 196, 0)), (('a', -1, 491, 0), ('b', -1, 105, 0), ('c', 0, 709, 0), ('d', 0, 32, 0), ('e', -1, 295, 0), ('i', -1, 77, 0), ('k', -1, 357, 0), ('l', -1, 147, 0), ('m', -1, 1070, 0), ('n', -1, 914, 0), ('o', -1, 17, 0), ('p', -1, 78, 0), ('r', -1, 199, 0), ('s', -1, 863, 0), ('t', -1, 542, 0), ('w', -1, 306, 0), ('y', 0, -1, 0), ('z', -1, 790, 0), ('ł', -1, 172, 0)), (('a', 0, -1, 0), ('b', -1, 229, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 163, 0), ('g', 0, 492, 0), ('h', 0, 69, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 153, 0), ('o', 0, -1, 0), ('p', -1, 147, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 867, 0), ('y', 0, -1, 0), ('z', -1, 418, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 493, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 664, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 933, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 89, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 366, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 338, 0), ('ż', -1, 13, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 16, 0), ('s', -1, 494, 0), ('t', -1, 1056, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 11, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 41, 0), ('i', 0, -1, 0), ('o', -1, 495, 0), ('u', -1, 1567, 0), ('y', 1, -1, 0)), (('a', -1, 496, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 93, 0), ('t', 0, -1, 0), ('u', -1, 497, 0), ('w', -1, 1644, 0), ('y', 1, -1, 0), ('z', -1, 131, 0), ('ł', 0, -1, 0)), (('a', -1, 2, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 35, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 92, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 459, 0), ('t', -1, 59, 0), ('u', -1, 245, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', -1, 152, 0)), (('a', -1, 476, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, 1, 0), ('e', -1, 498, 0), ('i', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 391, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, 42, 0), ('t', 0, -1, 0), ('z', -1, 1592, 0), ('ó', -1, 24, 0)), (('a', -1, 132, 0), ('b', 0, 269, 0), ('e', -1, 499, 0), ('g', 0, -1, 0), ('i', -1, 737, 0), ('k', 1, -1, 0), ('m', -1, 1019, 0), ('o', -1, 540, 0), ('r', -1, 403, 0), ('w', 0, -1, 0), ('z', -1, 572, 0)), (('a', -1, 477, 0), ('b', 0, -1, 0), ('c', -1, 500, 0), ('d', 0, 3, 0), ('e', -1, 343, 0), ('i', -1, 42, 0), ('k', -1, 169, 0), ('l', -1, 385, 0), ('m', 0, -1, 0), ('n', -1, 175, 0), ('o', -1, 199, 0), ('p', 0, 22, 0), ('r', -1, 195, 0), ('s', -1, 154, 0), ('t', 0, 4, 0), ('u', -1, 143, 0), ('w', -1, 304, 0), ('y', -1, 725, 0), ('z', -1, 199, 0)), (('a', -1, 127, 0), ('d', 1, -1, 0), ('e', -1, 501, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('n', -1, 352, 0), ('o', 0, 1597, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 0, 4, 0), ('w', 0, 4, 0), ('z', -1, 561, 0), ('ł', -1, 40, 0)), (('a', -1, 112, 0), ('e', -1, 138, 0), ('i', -1, 476, 0), ('n', -1, 142, 0), ('o', -1, 491, 0), ('r', 0, 69, 0), ('s', 0, 69, 0), ('z', -1, 502, 0)), (('a', -1, 435, 0), ('c', 0, 503, 0), ('d', -1, 37, 0), ('e', -1, 212, 0), ('i', -1, 522, 0), ('k', -1, 323, 0), ('l', -1, 115, 0), ('m', -1, 1360, 0), ('n', -1, 182, 0), ('o', -1, 928, 0), ('p', -1, 1193, 0), ('r', -1, 334, 0), ('s', -1, 286, 0), ('t', -1, 316, 0), ('u', -1, 392, 0), ('w', -1, 438, 0), ('y', -1, 127, 0), ('z', -1, 131, 0)), (('a', -1, 144, 0), ('b', 0, -1, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('i', -1, 124, 0), ('o', 3, -1, 0), ('p', -1, 504, 0), ('t', 0, -1, 0), ('w', 0, 54, 0), ('z', 0, 54, 0)), (('a', -1, 352, 0), ('d', 1, -1, 0), ('e', -1, 505, 0), ('i', -1, 924, 0), ('j', 0, -1, 0), ('k', -1, 9, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', -1, 43, 0), ('r', -1, 656, 0), ('s', 1, -1, 0), ('w', -1, 59, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 1, 93, 0)), (('a', -1, 127, 0), ('d', -1, 200, 0), ('e', -1, 244, 0), ('i', -1, 502, 0), ('l', 0, 70, 0), ('o', 0, 80, 0), ('r', -1, 506, 0), ('w', 0, 42, 0), ('y', -1, 143, 0), ('z', -1, 535, 0)), (('a', -1, 507, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 687, 0), ('h', 1, -1, 0), ('i', -1, 558, 0), ('n', 1, -1, 0), ('o', -1, 188, 0), ('p', 0, -1, 0), ('r', 0, 92, 0), ('s', 0, 4, 0), ('t', 0, -1, 0), ('u', -1, 409, 0), ('z', 1, -1, 0)), (('a', -1, 508, 0), ('d', 0, -1, 0), ('e', -1, 630, 0), ('f', 0, -1, 0), ('i', -1, 162, 0), ('l', 0, -1, 0), ('n', 0, 4, 0), ('o', -1, 473, 0), ('r', -1, 63, 0), ('s', -1, 65, 0), ('t', 0, -1, 0), ('u', -1, 1023, 0), ('w', -1, 641, 0), ('y', -1, 718, 0), ('z', 0, 9, 0)), (('a', -1, 423, 0), ('c', -1, 248, 0), ('d', -1, 337, 0), ('e', -1, 124, 0), ('f', -1, 237, 0), ('g', -1, 475, 0), ('h', -1, 509, 0), ('i', -1, 559, 0), ('j', -1, 742, 0), ('k', -1, 884, 0), ('l', -1, 893, 0), ('m', 0, 1171, 0), ('n', -1, 604, 0), ('o', 0, 54, 0), ('p', 0, 444, 0), ('r', -1, 440, 0), ('s', -1, 184, 0), ('t', -1, 970, 0), ('w', -1, 985, 0), ('y', -1, 309, 0), ('z', -1, 710, 0), ('ł', 0, 561, 0), ('ż', -1, 385, 0)), (('a', -1, 37, 0), ('b', -1, 77, 0), ('c', -1, 510, 0), ('d', -1, 154, 0), ('e', 0, -1, 0), ('h', -1, 25, 0), ('i', -1, 362, 0), ('j', -1, 145, 0), ('k', 0, 473, 0), ('l', -1, 1401, 0), ('m', -1, 288, 0), ('n', -1, 1119, 0), ('o', -1, 695, 0), ('p', 0, 57, 0), ('r', -1, 364, 0), ('s', -1, 609, 0), ('t', 0, 69, 0), ('u', -1, 128, 0), ('w', 0, 69, 0), ('y', -1, 319, 0), ('z', -1, 62, 0), ('ę', 0, -1, 0)), (('a', 0, 511, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 340, 0), ('f', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 104, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 350, 0), ('p', 1, 1485, 0), ('r', -1, 991, 0), ('s', -1, 746, 0), ('t', 1, -1, 0), ('u', -1, 250, 0), ('w', 1, -1, 0), ('y', -1, 814, 0), ('z', -1, 713, 0), ('ą', -1, 563, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 28, 0), ('b', 0, -1, 0), ('d', -1, 132, 0), ('e', 11, -1, 0), ('i', -1, 8, 0), ('k', 0, 69, 0), ('l', -1, 512, 0), ('m', -1, 64, 0), ('o', -1, 24, 0), ('p', -1, 573, 0), ('r', -1, 228, 0), ('s', -1, 1315, 0), ('t', -1, 356, 0), ('u', 0, -1, 0), ('w', -1, 1055, 0), ('z', -1, 597, 0), ('ł', 0, 70, 0)), (('a', -1, 422, 0), ('b', -1, 4, 0), ('c', -1, 513, 0), ('d', -1, 90, 0), ('e', 0, -1, 0), ('g', -1, 64, 0), ('h', 0, -1, 0), ('i', -1, 283, 0), ('j', 0, -1, 0), ('k', -1, 2, 0), ('l', 0, -1, 0), ('m', -1, 229, 0), ('n', 0, -1, 0), ('o', 1, 419, 0), ('p', -1, 78, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 75, 0), ('y', -1, 6, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ł', -1, 1133, 0), ('ź', 0, -1, 0)), (('a', -1, 141, 0), ('c', 0, -1, 0), ('d', -1, 514, 0), ('e', 25, -1, 0), ('g', -1, 341, 0), ('i', -1, 356, 0), ('k', 0, 54, 0), ('l', -1, 776, 0), ('m', -1, 1071, 0), ('n', -1, 26, 0), ('o', -1, 683, 0), ('p', -1, 70, 0), ('r', -1, 15, 0), ('s', -1, 254, 0), ('t', 1, -1, 0), ('u', -1, 451, 0), ('w', -1, 653, 0), ('y', -1, 574, 0), ('z', -1, 534, 0), ('ł', -1, 871, 0)), (('a', -1, 58, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 515, 0), ('e', -1, 445, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 1389, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 402, 0), ('t', -1, 57, 0), ('u', 0, -1, 0), ('w', -1, 823, 0), ('y', -1, 788, 0), ('z', -1, 1044, 0), ('ę', 0, -1, 0)), (('a', 1, -1, 0), ('b', -1, 175, 0), ('c', 0, -1, 0), ('d', -1, 516, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 97, 0), ('h', 0, -1, 0), ('i', -1, 517, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 886, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, 169, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 790, 0), ('y', 0, -1, 0), ('z', -1, 516, 0), ('ą', 0, -1, 0), ('ę', -1, 49, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 147, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', -1, 471, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 430, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 328, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 356, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 11, 0), ('k', 0, 518, 0), ('l', -1, 11, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 208, 0), ('p', -1, 294, 0), ('r', -1, 82, 0), ('s', 0, -1, 0), ('t', -1, 66, 0), ('u', -1, 84, 0), ('w', 0, -1, 0), ('y', -1, 562, 0), ('z', 0, -1, 0), ('ł', -1, 37, 0)), (('a', -1, 519, 0), ('b', -1, 107, 0), ('c', 0, 141, 0), ('d', -1, 300, 0), ('e', -1, 173, 0), ('i', 0, -1, 0), ('k', -1, 131, 0), ('l', -1, 180, 0), ('m', -1, 340, 0), ('n', -1, 309, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 413, 0), ('s', -1, 517, 0), ('t', -1, 565, 0), ('u', 0, -1, 0), ('w', -1, 131, 0), ('y', 0, -1, 0), ('z', 11, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 162, 0), ('ł', -1, 596, 0)), (('a', 0, -1, 0), ('b', 0, 234, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, 12, 0), ('k', 1, 93, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 6, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 93, 0), ('u', 0, -1, 0), ('w', -1, 129, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 57, 0), ('ą', -1, 93, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', -1, 520, 0)), (('a', -1, 521, 0), ('e', 0, 153, 0), ('i', -1, 144, 0), ('o', -1, 298, 0), ('r', -1, 263, 0), ('u', -1, 47, 0), ('y', -1, 519, 0), ('z', -1, 436, 0), ('ą', -1, 122, 0)), (('a', -1, 143, 0), ('b', 1, -1, 0), ('c', 0, 54, 0), ('d', -1, 122, 0), ('e', -1, 241, 0), ('i', -1, 522, 0), ('k', 0, 459, 0), ('l', -1, 3, 0), ('n', -1, 194, 0), ('o', -1, 239, 0), ('p', -1, 750, 0), ('r', -1, 702, 0), ('s', -1, 783, 0), ('t', 0, -1, 0), ('u', -1, 1127, 0), ('w', -1, 93, 0), ('y', 0, -1, 0), ('z', -1, 631, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 513, 0), ('c', -1, 523, 0), ('d', 0, 513, 0), ('e', 6, -1, 0), ('f', -1, 135, 0), ('g', 0, 54, 0), ('i', -1, 57, 0), ('k', -1, 273, 0), ('l', -1, 403, 0), ('m', 0, 70, 0), ('n', -1, 398, 0), ('o', 0, -1, 0), ('p', -1, 148, 0), ('r', 0, -1, 0), ('s', -1, 273, 0), ('t', -1, 259, 0), ('u', 0, 153, 0), ('w', -1, 20, 0), ('y', -1, 66, 0), ('z', -1, 191, 0), ('ł', 1, 1, 0)), (('a', -1, 391, 0), ('b', 0, -1, 0), ('c', -1, 524, 0), ('d', 30, -1, 0), ('e', -1, 304, 0), ('f', -1, 159, 0), ('g', 0, 69, 0), ('i', -1, 192, 0), ('k', -1, 364, 0), ('l', -1, 197, 0), ('m', -1, 15, 0), ('n', -1, 696, 0), ('o', -1, 100, 0), ('p', 0, -1, 0), ('r', -1, 282, 0), ('s', 0, 68, 0), ('t', -1, 158, 0), ('u', -1, 25, 0), ('w', 1, -1, 0), ('y', 15, -1, 0), ('z', -1, 333, 0), ('ą', -1, 211, 0), ('ę', -1, 549, 0)), (('a', -1, 308, 0), ('c', -1, 525, 0), ('d', -1, 40, 0), ('e', -1, 229, 0), ('i', -1, 240, 0), ('k', -1, 1006, 0), ('l', -1, 144, 0), ('m', 0, -1, 0), ('n', -1, 854, 0), ('o', -1, 54, 0), ('p', -1, 303, 0), ('r', -1, 153, 0), ('s', -1, 70, 0), ('t', -1, 236, 0), ('u', -1, 1421, 0), ('w', 0, 630, 0), ('y', -1, 1434, 0), ('z', -1, 135, 0)), (('a', -1, 127, 0), ('b', -1, 526, 0), ('c', -1, 464, 0), ('d', -1, 1639, 0), ('e', -1, 1237, 0), ('f', 0, -1, 0), ('h', -1, 617, 0), ('i', -1, 1305, 0), ('j', -1, 1732, 0), ('l', -1, 1079, 0), ('m', -1, 1372, 0), ('n', -1, 577, 0), ('o', -1, 188, 0), ('p', 0, -1, 0), ('r', -1, 1497, 0), ('s', -1, 1651, 0), ('t', -1, 1277, 0), ('w', -1, 1672, 0), ('y', 0, -1, 0), ('z', -1, 730, 0), ('ł', -1, 1097, 0), ('ż', -1, 665, 0)), (('a', 0, -1, 0), ('d', -1, 307, 0), ('e', 0, -1, 0), ('h', -1, 31, 0), ('i', -1, 527, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 365, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 528, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 470, 0), ('i', -1, 350, 0), ('l', -1, 804, 0), ('m', -1, 208, 0), ('n', 0, -1, 0), ('o', -1, 46, 0), ('p', -1, 1, 0), ('r', -1, 208, 0), ('t', -1, 1769, 0), ('u', -1, 863, 0), ('w', 0, -1, 0), ('y', -1, 1177, 0), ('z', 0, 516, 0)), (('a', -1, 133, 0), ('e', -1, 36, 0), ('i', -1, 299, 0), ('n', -1, 529, 0), ('o', -1, 1416, 0), ('r', -1, 438, 0), ('s', -1, 76, 0), ('u', -1, 540, 0), ('z', -1, 1064, 0)), (('a', -1, 530, 0), ('b', -1, 54, 0), ('c', -1, 1125, 0), ('d', -1, 1262, 0), ('e', -1, 486, 0), ('h', -1, 321, 0), ('i', -1, 344, 0), ('o', -1, 193, 0), ('r', -1, 1077, 0), ('s', -1, 1179, 0), ('u', -1, 581, 0), ('y', -1, 1006, 0), ('z', -1, 755, 0), ('ł', -1, 861, 0)), (('a', -1, 101, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', -1, 531, 0), ('m', 0, 70, 0), ('o', 0, -1, 0), ('r', -1, 1769, 0), ('t', -1, 1738, 0), ('u', 0, -1, 0), ('y', -1, 51, 0), ('z', -1, 346, 0), ('ę', 0, -1, 0), ('ż', -1, 294, 0)), (('a', -1, 532, 0), ('e', -1, 547, 0), ('g', -1, 276, 0), ('i', -1, 640, 0), ('k', -1, 1361, 0), ('o', -1, 814, 0), ('r', -1, 259, 0), ('s', -1, 594, 0), ('w', -1, 382, 0), ('z', -1, 125, 0), ('ł', -1, 392, 0)), (('a', -1, 17, 0), ('c', 0, 1, 0), ('d', -1, 124, 0), ('e', -1, 435, 0), ('i', -1, 173, 0), ('k', -1, 533, 0), ('l', -1, 251, 0), ('m', -1, 498, 0), ('n', -1, 87, 0), ('o', -1, 648, 0), ('p', -1, 621, 0), ('r', -1, 143, 0), ('s', -1, 157, 0), ('t', 0, -1, 0), ('u', -1, 27, 0), ('w', 0, 42, 0), ('y', -1, 25, 0), ('z', -1, 535, 0), ('ł', 0, 68, 0), ('ż', 0, -1, 0)), (('a', -1, 534, 0), ('b', 0, -1, 0), ('c', -1, 665, 0), ('d', 0, -1, 0), ('e', 14, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 906, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1, 0), ('o', -1, 71, 0), ('p', 0, 9, 0), ('r', 0, -1, 0), ('s', -1, 1216, 0), ('t', -1, 548, 0), ('u', 0, 9, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 316, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 321, 0), ('e', 0, -1, 0), ('g', -1, 535, 0), ('i', 0, -1, 0), ('k', -1, 204, 0), ('l', 0, -1, 0), ('m', -1, 51, 0), ('n', 0, -1, 0), ('o', -1, 312, 0), ('p', -1, 51, 0), ('r', -1, 718, 0), ('s', -1, 661, 0), ('t', -1, 107, 0), ('u', 0, -1, 0), ('w', -1, 867, 0), ('y', 0, -1, 0), ('z', -1, 145, 0)), (('a', 0, 235, 0), ('b', 0, -1, 0), ('c', -1, 536, 0), ('d', 0, -1, 0), ('e', -1, 327, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 105, 0), ('o', -1, 98, 0), ('p', -1, 328, 0), ('r', 0, -1, 0), ('s', -1, 998, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 229, 0), ('z', -1, 422, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 537, 0), ('g', -1, 44, 0), ('i', -1, 200, 0), ('j', 0, -1, 0), ('k', -1, 779, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1087, 0), ('o', -1, 364, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 19, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 538, 0), ('c', 0, -1, 0), ('d', -1, 148, 0), ('e', -1, 130, 0), ('i', -1, 999, 0), ('j', 1, -1, 0), ('l', -1, 652, 0), ('m', -1, 62, 0), ('n', -1, 138, 0), ('o', -1, 325, 0), ('p', 0, -1, 0), ('r', -1, 1519, 0), ('s', 0, 1, 0), ('t', 0, -1, 0), ('u', -1, 86, 0), ('w', 0, -1, 0), ('y', -1, 485, 0), ('z', 1, -1, 0), ('ę', -1, 756, 0), ('ż', 1, -1, 0)), (('a', -1, 70, 0), ('c', -1, 63, 0), ('d', -1, 539, 0), ('e', -1, 194, 0), ('i', -1, 85, 0), ('l', 0, 954, 0), ('m', 0, 70, 0), ('n', 1, -1, 0), ('o', -1, 392, 0), ('p', 17, -1, 0), ('r', -1, 724, 0), ('s', -1, 394, 0), ('t', 0, 141, 0), ('w', -1, 788, 0), ('z', -1, 87, 0)), (('a', -1, 540, 0), ('d', -1, 1657, 0), ('e', -1, 502, 0), ('g', 1, -1, 0), ('i', -1, 225, 0), ('j', -1, 221, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 692, 0), ('p', -1, 1421, 0), ('r', -1, 323, 0), ('s', -1, 423, 0), ('t', -1, 847, 0), ('u', -1, 128, 0), ('w', -1, 210, 0), ('y', -1, 217, 0), ('z', -1, 194, 0)), (('a', -1, 188, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 541, 0), ('e', -1, 542, 0), ('h', 0, -1, 0), ('i', -1, 24, 0), ('k', -1, 648, 0), ('l', 0, -1, 0), ('m', -1, 514, 0), ('n', 0, -1, 0), ('o', -1, 788, 0), ('p', 0, -1, 0), ('r', -1, 321, 0), ('s', -1, 266, 0), ('t', -1, 65, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 222, 0), ('z', -1, 51, 0), ('ł', -1, 76, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 196, 0), ('k', -1, 440, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 342, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 7, -1, 0), ('u', 0, -1, 0), ('w', 0, 366, 0), ('y', -1, 391, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 39, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 137, 0), ('g', 0, -1, 0), ('i', -1, 37, 0), ('k', 1, 16, 0), ('l', -1, 212, 0), ('m', 0, -1, 0), ('n', -1, 97, 0), ('o', 0, -1, 0), ('p', -1, 543, 0), ('r', -1, 616, 0), ('s', 0, -1, 0), ('t', -1, 127, 0), ('u', -1, 40, 0), ('w', 0, -1, 0), ('y', -1, 380, 0), ('z', -1, 42, 0), ('ł', 0, 1145, 0)), (('a', 0, -1, 0), ('b', -1, 321, 0), ('c', -1, 107, 0), ('d', -1, 86, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 544, 0), ('m', -1, 1389, 0), ('n', 18, -1, 0), ('o', -1, 235, 0), ('p', -1, 68, 0), ('r', -1, 285, 0), ('s', -1, 966, 0), ('t', -1, 27, 0), ('u', 0, -1, 0), ('w', -1, 977, 0), ('y', 0, -1, 0), ('z', 0, 418, 0), ('ł', -1, 42, 0)), (('a', -1, 417, 0), ('b', 0, -1, 0), ('d', -1, 254, 0), ('e', -1, 545, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 822, 0), ('n', 1, -1, 0), ('o', 0, 65, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 810, 0), ('t', -1, 1, 0), ('u', 0, -1, 0), ('w', 17, -1, 0), ('y', -1, 788, 0), ('z', -1, 53, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ś', -1, 165, 0), ('ź', -1, 23, 0)), (('a', -1, 164, 0), ('c', 1, -1, 0), ('d', -1, 546, 0), ('e', -1, 317, 0), ('f', 0, -1, 0), ('i', -1, 556, 0), ('k', -1, 200, 0), ('l', -1, 172, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 352, 0), ('p', -1, 904, 0), ('r', -1, 183, 0), ('s', -1, 569, 0), ('t', -1, 249, 0), ('u', -1, 263, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 57, 0), ('b', 0, -1, 0), ('c', -1, 52, 0), ('d', 21, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 2, 0), ('i', 0, -1, 0), ('j', -1, 547, 0), ('k', 0, 44, 0), ('l', -1, 22, 0), ('m', 0, -1, 0), ('n', -1, 837, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 87, 0), ('ó', 0, -1, 0), ('ą', -1, 101, 0), ('ę', -1, 546, 0), ('ł', 0, -1, 0), ('ś', -1, 55, 0), ('ż', -1, 724, 0)), (('a', -1, 172, 0), ('b', 0, -1, 0), ('c', -1, 146, 0), ('d', 0, 308, 0), ('e', -1, 11, 0), ('g', 0, 60, 0), ('h', -1, 47, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 548, 0), ('l', 0, -1, 0), ('m', 0, 137, 0), ('n', 0, -1, 0), ('o', 31, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 132, 0), ('t', 0, -1, 0), ('u', 31, -1, 0), ('w', 0, 129, 0), ('y', 0, -1, 0), ('z', 31, -1, 0), ('ł', -1, 236, 0), ('ż', 0, -1, 0)), (('a', -1, 549, 0), ('b', -1, 339, 0), ('c', -1, 1371, 0), ('d', -1, 60, 0), ('e', -1, 172, 0), ('i', -1, 116, 0), ('k', -1, 259, 0), ('l', -1, 283, 0), ('m', -1, 59, 0), ('n', -1, 403, 0), ('o', -1, 152, 0), ('p', -1, 276, 0), ('r', -1, 420, 0), ('s', 0, 422, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 319, 0), ('z', 0, 42, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 77, 0), ('b', -1, 110, 0), ('c', -1, 152, 0), ('d', -1, 77, 0), ('e', 0, -1, 0), ('i', -1, 342, 0), ('k', -1, 550, 0), ('l', -1, 168, 0), ('m', -1, 1767, 0), ('n', -1, 77, 0), ('o', 0, -1, 0), ('p', 0, 85, 0), ('r', -1, 118, 0), ('s', -1, 183, 0), ('t', -1, 210, 0), ('u', -1, 283, 0), ('w', 0, 42, 0), ('y', -1, 210, 0), ('z', -1, 87, 0), ('ł', -1, 76, 0)), (('a', -1, 373, 0), ('b', -1, 551, 0), ('d', -1, 438, 0), ('e', -1, 157, 0), ('i', -1, 562, 0), ('l', -1, 420, 0), ('o', -1, 26, 0), ('p', -1, 661, 0), ('r', -1, 854, 0), ('s', -1, 438, 0), ('t', -1, 414, 0), ('u', -1, 752, 0), ('w', -1, 615, 0), ('y', -1, 231, 0), ('z', -1, 847, 0), ('ą', -1, 423, 0)), (('a', -1, 17, 0), ('d', -1, 246, 0), ('e', -1, 333, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', -1, 16, 0), ('o', 0, 42, 0), ('r', 1, -1, 0), ('s', -1, 100, 0), ('u', -1, 366, 0), ('w', 1, -1, 0), ('y', -1, 552, 0), ('z', 0, 80, 0), ('ł', -1, 53, 0)), (('a', -1, 53, 0), ('b', -1, 321, 0), ('c', -1, 553, 0), ('d', -1, 483, 0), ('e', -1, 915, 0), ('g', -1, 666, 0), ('h', -1, 227, 0), ('i', -1, 580, 0), ('k', 0, 141, 0), ('l', -1, 229, 0), ('m', -1, 188, 0), ('n', -1, 228, 0), ('o', -1, 54, 0), ('p', -1, 740, 0), ('r', -1, 804, 0), ('s', -1, 595, 0), ('t', -1, 604, 0), ('u', -1, 53, 0), ('w', 0, 54, 0), ('y', -1, 159, 0), ('z', -1, 572, 0), ('ł', -1, 870, 0)), (('a', -1, 554, 0), ('d', -1, 164, 0), ('e', 21, -1, 0), ('i', 3, -1, 0), ('o', 0, -1, 0), ('r', -1, 1234, 0), ('t', -1, 747, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 555, 0), ('d', -1, 800, 0), ('e', 0, -1, 0), ('i', -1, 32, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1, 0), ('r', -1, 662, 0), ('s', -1, 751, 0), ('t', 0, 530, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 976, 0), ('z', -1, 55, 0), ('ą', 0, -1, 0), ('ę', -1, 142, 0), ('ł', 0, -1, 0), ('ż', -1, 59, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 478, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 9, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 340, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 556, 0), ('ł', -1, 46, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0), ('ż', -1, 1080, 0)), (('a', -1, 118, 0), ('b', 0, -1, 0), ('c', -1, 516, 0), ('d', -1, 154, 0), ('e', 13, -1, 0), ('f', 0, -1, 0), ('i', -1, 398, 0), ('j', -1, 557, 0), ('m', 0, -1, 0), ('n', -1, 1453, 0), ('o', -1, 36, 0), ('p', 0, -1, 0), ('r', -1, 458, 0), ('s', 0, -1, 0), ('t', 0, 12, 0), ('u', -1, 78, 0), ('w', 0, -1, 0), ('y', -1, 319, 0), ('z', -1, 540, 0)), (('a', -1, 558, 0), ('b', 0, 70, 0), ('c', -1, 480, 0), ('d', -1, 71, 0), ('e', -1, 309, 0), ('i', -1, 543, 0), ('l', -1, 632, 0), ('n', -1, 1355, 0), ('o', -1, 165, 0), ('p', 0, 1123, 0), ('r', -1, 866, 0), ('s', -1, 130, 0), ('t', -1, 478, 0), ('w', -1, 782, 0), ('y', -1, 1769, 0), ('z', -1, 666, 0), ('ł', -1, 1657, 0)), (('a', -1, 74, 0), ('c', -1, 559, 0), ('d', -1, 107, 0), ('e', -1, 276, 0), ('g', 1, -1, 0), ('i', -1, 236, 0), ('k', -1, 141, 0), ('l', 0, 783, 0), ('m', 0, 69, 0), ('n', -1, 959, 0), ('o', -1, 251, 0), ('p', -1, 173, 0), ('r', -1, 276, 0), ('s', -1, 955, 0), ('t', -1, 328, 0), ('u', 0, 42, 0), ('w', -1, 240, 0), ('y', -1, 25, 0), ('z', -1, 535, 0), ('ł', -1, 74, 0)), (('a', -1, 380, 0), ('b', -1, 537, 0), ('d', -1, 560, 0), ('e', -1, 518, 0), ('f', -1, 557, 0), ('i', 0, -1, 0), ('l', -1, 140, 0), ('m', -1, 570, 0), ('n', -1, 1519, 0), ('o', -1, 350, 0), ('p', -1, 794, 0), ('r', -1, 487, 0), ('s', -1, 292, 0), ('t', -1, 1055, 0), ('u', -1, 303, 0), ('w', -1, 620, 0), ('y', -1, 11, 0), ('z', 0, 85, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 89, 0), ('d', -1, 46, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 560, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 281, 0), ('z', 0, -1, 0), ('ó', -1, 561, 0), ('ą', -1, 894, 0), ('ę', -1, 283, 0), ('ł', 0, -1, 0), ('ś', -1, 180, 0), ('ż', 0, -1, 0)), (('a', -1, 115, 0), ('d', -1, 561, 0), ('e', -1, 316, 0), ('i', 0, -1, 0), ('k', -1, 562, 0), ('l', 0, -1, 0), ('m', -1, 413, 0), ('o', -1, 856, 0), ('p', -1, 542, 0), ('r', -1, 441, 0), ('s', -1, 616, 0), ('t', -1, 35, 0), ('u', -1, 363, 0), ('w', -1, 999, 0), ('y', -1, 543, 0), ('z', 23, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 453, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 563, 0), ('k', -1, 276, 0), ('l', -1, 283, 0), ('m', -1, 369, 0), ('n', -1, 319, 0), ('o', -1, 190, 0), ('p', -1, 523, 0), ('r', -1, 142, 0), ('s', -1, 552, 0), ('t', -1, 380, 0), ('u', -1, 264, 0), ('w', -1, 281, 0), ('y', -1, 34, 0), ('z', -1, 141, 0), ('ł', -1, 121, 0)), (('a', 32, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 70, 0), ('y', -1, 154, 0), ('z', -1, 91, 0), ('ą', -1, 564, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 6, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 565, 0), ('b', -1, 804, 0), ('d', -1, 354, 0), ('e', -1, 364, 0), ('i', -1, 282, 0), ('j', -1, 716, 0), ('l', -1, 416, 0), ('n', -1, 688, 0), ('o', -1, 1013, 0), ('p', -1, 818, 0), ('r', -1, 559, 0), ('s', -1, 539, 0), ('t', -1, 998, 0), ('u', -1, 532, 0), ('w', -1, 307, 0), ('y', -1, 689, 0), ('z', -1, 132, 0), ('ą', -1, 481, 0), ('ę', -1, 445, 0), ('ł', -1, 147, 0), ('ż', -1, 86, 0)), (('a', 0, -1, 0), ('b', 0, 69, 0), ('c', -1, 566, 0), ('d', -1, 308, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 522, 0), ('l', 0, 68, 0), ('m', -1, 40, 0), ('n', 0, 143, 0), ('o', 1, 53, 0), ('p', -1, 712, 0), ('r', 0, -1, 0), ('s', -1, 95, 0), ('t', -1, 756, 0), ('u', -1, 70, 0), ('w', -1, 818, 0), ('y', 0, -1, 0), ('z', -1, 36, 0), ('ą', 0, -1, 0), ('ę', -1, 92, 0), ('ł', -1, 300, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 567, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 18, -1, 0), ('w', -1, 614, 0), ('y', 18, -1, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 286, 0), ('b', -1, 4, 0), ('c', -1, 568, 0), ('d', 1, -1, 0), ('e', 0, 54, 0), ('h', 0, -1, 0), ('i', -1, 231, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', -1, 43, 0), ('m', -1, 179, 0), ('n', 0, -1, 0), ('o', -1, 339, 0), ('p', 1, -1, 0), ('r', -1, 344, 0), ('s', -1, 886, 0), ('t', 0, -1, 0), ('u', -1, 339, 0), ('w', -1, 101, 0), ('y', -1, 808, 0), ('z', -1, 182, 0), ('ż', 0, 59, 0)), (('a', -1, 391, 0), ('d', -1, 569, 0), ('e', 14, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 301, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('o', -1, 380, 0), ('r', -1, 1027, 0), ('s', 1, -1, 0), ('t', -1, 594, 0), ('u', 0, 153, 0), ('w', 0, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 237, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 570, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 16, 1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 26, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 127, 0), ('w', 0, -1, 0), ('z', -1, 888, 0), ('ż', -1, 21, 0)), (('a', -1, 359, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 195, 0), ('i', -1, 281, 0), ('k', 0, -1, 0), ('l', 0, 195, 0), ('m', 1, -1, 0), ('n', 0, 571, 0), ('o', -1, 300, 0), ('p', -1, 506, 0), ('r', -1, 141, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', -1, 673, 0), ('w', -1, 93, 0), ('y', -1, 716, 0), ('z', -1, 48, 0), ('ó', 1, -1, 0), ('ł', -1, 40, 0)), (('a', -1, 78, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 572, 0), ('i', -1, 807, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', -1, 373, 0), ('y', 0, -1, 0), ('z', 0, 143, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 518, 0), ('c', -1, 51, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 522, 0), ('i', -1, 24, 0), ('j', -1, 251, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 573, 0), ('n', -1, 196, 0), ('o', -1, 12, 0), ('p', -1, 975, 0), ('r', -1, 188, 0), ('s', 0, 70, 0), ('t', 0, -1, 0), ('u', -1, 70, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 276, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 363, 0)), (('a', -1, 518, 0), ('b', 0, -1, 0), ('c', -1, 113, 0), ('d', -1, 193, 0), ('e', -1, 62, 0), ('i', -1, 65, 0), ('j', -1, 574, 0), ('k', 0, -1, 0), ('l', -1, 1266, 0), ('m', -1, 425, 0), ('n', 14, 1, 0), ('o', -1, 227, 0), ('p', 0, 970, 0), ('r', -1, 225, 0), ('s', -1, 441, 0), ('t', -1, 499, 0), ('u', -1, 276, 0), ('w', -1, 448, 0), ('y', -1, 81, 0), ('z', -1, 662, 0), ('ę', -1, 309, 0), ('ł', -1, 485, 0)), (('a', -1, 27, 0), ('b', -1, 575, 0), ('c', -1, 997, 0), ('d', -1, 64, 0), ('e', -1, 187, 0), ('g', -1, 784, 0), ('h', -1, 227, 0), ('i', -1, 535, 0), ('k', -1, 1246, 0), ('l', -1, 338, 0), ('m', -1, 734, 0), ('n', -1, 1598, 0), ('o', -1, 135, 0), ('p', -1, 1195, 0), ('r', -1, 300, 0), ('s', -1, 71, 0), ('t', -1, 814, 0), ('u', 0, 54, 0), ('w', 0, 54, 0), ('y', -1, 278, 0), ('z', -1, 287, 0)), (('a', -1, 576, 0), ('e', 24, -1, 0), ('i', -1, 63, 0), ('o', -1, 1176, 0), ('r', -1, 661, 0), ('t', -1, 35, 0), ('y', -1, 49, 0), ('z', -1, 716, 0), ('ł', -1, 512, 0)), (('a', 0, -1, 0), ('b', -1, 577, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 165, 0), ('h', 0, -1, 0), ('i', -1, 478, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 18, -1, 0), ('o', 18, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 782, 0), ('u', 0, -1, 0), ('w', 0, 127, 0), ('y', -1, 67, 0), ('z', 0, 71, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 57, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 578, 0), ('r', 0, -1, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 12, 0)), (('a', -1, 429, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 444, 0), ('m', -1, 579, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 63, 0), ('c', -1, 100, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 234, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 580, 0), ('o', 1, 21, 0), ('p', 0, -1, 0), ('r', -1, 855, 0), ('s', -1, 64, 0), ('t', -1, 782, 0), ('u', 0, -1, 0), ('w', -1, 546, 0), ('y', 0, -1, 0), ('z', -1, 190, 0)), (('a', 0, -1, 0), ('b', 0, 85, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 22, 0), ('g', -1, 231, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 376, 0), ('o', -1, 21, 0), ('p', -1, 562, 0), ('r', 0, -1, 0), ('s', -1, 581, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 582, 0), ('b', -1, 522, 0), ('d', -1, 107, 0), ('e', -1, 574, 0), ('h', -1, 25, 0), ('i', -1, 349, 0), ('l', -1, 757, 0), ('o', -1, 63, 0), ('p', -1, 94, 0), ('r', -1, 189, 0), ('s', -1, 1259, 0), ('t', -1, 89, 0), ('w', -1, 44, 0), ('y', -1, 423, 0), ('z', -1, 168, 0), ('ł', -1, 756, 0)), (('a', -1, 118, 0), ('b', 0, 70, 0), ('c', 0, 583, 0), ('d', -1, 107, 0), ('e', -1, 662, 0), ('f', -1, 599, 0), ('i', -1, 103, 0), ('k', 0, 1242, 0), ('l', 0, 220, 0), ('m', -1, 717, 0), ('n', -1, 309, 0), ('o', -1, 421, 0), ('p', -1, 795, 0), ('r', -1, 75, 0), ('s', -1, 319, 0), ('t', -1, 1102, 0), ('u', 0, 42, 0), ('w', -1, 951, 0), ('y', -1, 25, 0), ('z', 0, 338, 0)), (('a', 0, -1, 0), ('d', -1, 126, 0), ('e', 0, -1, 0), ('g', 0, 70, 0), ('i', 0, -1, 0), ('l', -1, 96, 0), ('m', -1, 584, 0), ('o', -1, 161, 0), ('r', -1, 5, 0), ('s', 0, 70, 0), ('u', 0, 70, 0), ('y', 0, -1, 0), ('z', -1, 294, 0), ('ł', -1, 283, 0)), (('a', -1, 80, 0), ('b', -1, 585, 0), ('d', -1, 75, 0), ('e', -1, 66, 0), ('f', -1, 157, 0), ('i', -1, 820, 0), ('l', -1, 46, 0), ('m', -1, 1765, 0), ('n', -1, 1814, 0), ('o', -1, 62, 0), ('p', -1, 314, 0), ('r', -1, 861, 0), ('s', -1, 551, 0), ('w', -1, 1600, 0), ('y', -1, 73, 0), ('z', 0, 69, 0), ('ż', -1, 1242, 0)), (('a', -1, 586, 0), ('d', 1, -1, 0), ('e', -1, 736, 0), ('i', -1, 163, 0), ('k', 1, 1645, 0), ('m', 0, -1, 0), ('o', -1, 1026, 0), ('p', 0, -1, 0), ('r', -1, 325, 0), ('s', 0, -1, 0), ('u', -1, 737, 0), ('w', 1, -1, 0), ('y', -1, 574, 0), ('z', 0, -1, 0), ('ę', -1, 1738, 0)), (('a', -1, 587, 0), ('d', -1, 1130, 0), ('e', -1, 473, 0), ('i', -1, 739, 0), ('k', 0, 70, 0), ('l', -1, 242, 0), ('m', -1, 752, 0), ('o', -1, 816, 0), ('r', -1, 242, 0), ('s', -1, 585, 0), ('u', -1, 811, 0), ('y', -1, 814, 0), ('z', -1, 791, 0)), (('a', -1, 156, 0), ('d', 0, -1, 0), ('e', -1, 213, 0), ('g', 1, -1, 0), ('i', -1, 588, 0), ('l', -1, 221, 0), ('m', 0, -1, 0), ('o', 0, 193, 0), ('p', 1, -1, 0), ('r', -1, 750, 0), ('w', 1, -1, 0), ('z', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 276, 0), ('c', 0, 589, 0), ('d', -1, 68, 0), ('e', -1, 339, 0), ('i', -1, 193, 0), ('k', -1, 1064, 0), ('l', -1, 604, 0), ('m', 0, 160, 0), ('n', -1, 1426, 0), ('o', -1, 595, 0), ('p', 0, 54, 0), ('r', -1, 285, 0), ('s', -1, 647, 0), ('t', -1, 306, 0), ('w', -1, 27, 0), ('y', -1, 343, 0), ('z', -1, 558, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 20, -1, 0), ('i', 0, -1, 0), ('o', -1, 590, 0), ('u', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 591, 0), ('i', -1, 1041, 0), ('j', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 1348, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 73, 0), ('c', 1, -1, 0), ('d', -1, 281, 0), ('e', -1, 44, 0), ('f', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 487, 0), ('m', 1, -1, 0), ('o', 0, -1, 0), ('p', -1, 57, 0), ('r', 0, 419, 0), ('s', 0, 592, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 137, 0), ('z', -1, 378, 0), ('ą', -1, 418, 0), ('ę', 0, -1, 0), ('ź', -1, 148, 0)), (('a', -1, 242, 0), ('e', -1, 593, 0), ('i', -1, 755, 0), ('l', -1, 333, 0), ('m', -1, 747, 0), ('n', 0, -1, 0), ('o', -1, 325, 0), ('r', -1, 1542, 0), ('u', -1, 582, 0), ('y', -1, 291, 0), ('z', 21, -1, 0), ('ę', -1, 1691, 0), ('ł', -1, 282, 0)), (('a', -1, 36, 0), ('e', -1, 594, 0), ('i', -1, 347, 0), ('l', -1, 240, 0), ('o', -1, 465, 0), ('p', -1, 71, 0), ('r', -1, 165, 0), ('t', -1, 169, 0), ('z', -1, 1119, 0)), (('a', -1, 125, 0), ('b', -1, 64, 0), ('d', -1, 64, 0), ('e', 24, -1, 0), ('i', -1, 595, 0), ('k', 0, 69, 0), ('o', -1, 24, 0), ('p', 0, 69, 0), ('r', -1, 128, 0), ('s', 0, 1017, 0), ('w', 0, 54, 0), ('y', -1, 208, 0), ('z', -1, 34, 0)), (('a', -1, 295, 0), ('b', -1, 435, 0), ('c', -1, 299, 0), ('d', -1, 596, 0), ('e', -1, 155, 0), ('f', -1, 718, 0), ('g', -1, 299, 0), ('h', -1, 60, 0), ('i', -1, 603, 0), ('j', -1, 552, 0), ('k', -1, 502, 0), ('l', -1, 373, 0), ('m', -1, 513, 0), ('n', -1, 752, 0), ('o', -1, 212, 0), ('p', -1, 294, 0), ('r', -1, 485, 0), ('s', -1, 317, 0), ('t', -1, 1013, 0), ('u', -1, 998, 0), ('w', 0, 1767, 0), ('y', -1, 174, 0), ('z', -1, 488, 0), ('ł', -1, 308, 0)), (('a', -1, 188, 0), ('b', 0, 69, 0), ('c', -1, 597, 0), ('d', -1, 215, 0), ('e', 0, 110, 0), ('g', -1, 357, 0), ('i', -1, 199, 0), ('j', 0, 69, 0), ('k', -1, 1216, 0), ('l', -1, 1133, 0), ('m', -1, 747, 0), ('n', -1, 125, 0), ('o', -1, 187, 0), ('p', -1, 324, 0), ('r', -1, 473, 0), ('s', -1, 264, 0), ('t', -1, 277, 0), ('u', -1, 192, 0), ('w', -1, 7, 0), ('y', -1, 864, 0), ('z', -1, 757, 0)), (('a', -1, 125, 0), ('b', -1, 71, 0), ('d', -1, 597, 0), ('e', -1, 159, 0), ('g', -1, 448, 0), ('i', -1, 185, 0), ('k', -1, 55, 0), ('l', -1, 594, 0), ('m', -1, 208, 0), ('n', -1, 142, 0), ('o', 0, 80, 0), ('p', -1, 598, 0), ('r', -1, 695, 0), ('s', -1, 106, 0), ('t', -1, 806, 0), ('u', 0, 70, 0), ('w', -1, 249, 0), ('y', -1, 4, 0), ('z', -1, 9, 0), ('ł', -1, 283, 0)), (('a', -1, 91, 0), ('b', 1, -1, 0), ('d', -1, 599, 0), ('e', -1, 447, 0), ('i', -1, 985, 0), ('j', 1, -1, 0), ('l', -1, 1187, 0), ('o', -1, 205, 0), ('p', -1, 478, 0), ('r', -1, 429, 0), ('s', -1, 1675, 0), ('t', 0, 58, 0), ('u', -1, 41, 0), ('w', -1, 1423, 0), ('z', -1, 108, 0), ('ł', -1, 34, 0)), (('a', -1, 600, 0), ('b', -1, 107, 0), ('e', -1, 609, 0), ('i', -1, 1264, 0), ('n', -1, 193, 0), ('o', -1, 192, 0), ('r', -1, 542, 0), ('s', -1, 81, 0), ('z', -1, 31, 0)), (('a', -1, 601, 0), ('c', 0, -1, 0), ('d', -1, 51, 0), ('e', -1, 1472, 0), ('i', -1, 55, 0), ('l', -1, 1242, 0), ('m', -1, 280, 0), ('n', -1, 675, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 73, 0), ('t', -1, 272, 0), ('u', -1, 67, 0), ('w', -1, 158, 0), ('z', -1, 127, 0), ('ą', 0, -1, 0)), (('a', -1, 88, 0), ('b', 0, 21, 0), ('c', 0, -1, 0), ('d', -1, 148, 0), ('e', -1, 489, 0), ('i', -1, 423, 0), ('k', -1, 300, 0), ('l', 0, -1, 0), ('m', -1, 602, 0), ('n', -1, 394, 0), ('o', -1, 302, 0), ('p', 0, 215, 0), ('r', -1, 35, 0), ('s', 0, -1, 0), ('t', -1, 166, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 18, -1, 0), ('z', -1, 137, 0), ('ł', 0, -1, 0)), (('a', -1, 236, 0), ('b', 1, -1, 0), ('c', -1, 16, 0), ('d', 0, 1, 0), ('e', -1, 350, 0), ('f', 1, -1, 0), ('i', -1, 603, 0), ('j', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 907, 0), ('p', 1, -1, 0), ('r', 0, 1, 0), ('s', -1, 582, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, 991, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 10, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 604, 0), ('c', -1, 91, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 531, 0), ('i', -1, 93, 0), ('k', 0, 68, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 485, 0), ('o', 0, -1, 0), ('p', -1, 368, 0), ('r', 0, -1, 0), ('s', -1, 540, 0), ('t', -1, 125, 0), ('u', 0, -1, 0), ('w', -1, 79, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 497, 0), ('ł', 0, -1, 0)), (('a', -1, 604, 0), ('c', -1, 605, 0), ('d', 0, -1, 0), ('e', -1, 340, 0), ('g', 0, 85, 0), ('i', -1, 596, 0), ('k', -1, 175, 0), ('l', -1, 6, 0), ('m', -1, 1771, 0), ('n', -1, 1431, 0), ('o', -1, 221, 0), ('p', -1, 1, 0), ('r', -1, 476, 0), ('s', -1, 173, 0), ('t', 0, 530, 0), ('w', 0, -1, 0), ('y', -1, 473, 0), ('z', -1, 817, 0), ('ż', -1, 59, 0)), (('a', 0, -1, 0), ('e', 17, -1, 0), ('i', -1, 606, 0), ('l', 0, 631, 0), ('o', 0, -1, 0), ('s', 0, -1, 0), ('y', 17, -1, 0), ('z', -1, 241, 0)), (('a', -1, 607, 0), ('b', -1, 581, 0), ('c', -1, 440, 0), ('e', 0, -1, 0), ('i', -1, 342, 0), ('m', -1, 610, 0), ('n', -1, 1198, 0), ('o', 0, -1, 0), ('p', -1, 359, 0), ('r', 0, 348, 0), ('s', 0, 85, 0), ('t', -1, 101, 0), ('w', -1, 847, 0), ('y', -1, 1352, 0), ('z', -1, 430, 0), ('ó', 0, -1, 0), ('ż', 0, 85, 0)), (('a', -1, 608, 0), ('c', -1, 1807, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('r', 0, -1, 0), ('s', -1, 1592, 0), ('t', 0, -1, 0), ('y', -1, 1738, 0), ('z', -1, 1688, 0), ('ó', -1, 385, 0), ('ą', -1, 482, 0)), (('a', -1, 596, 0), ('e', -1, 609, 0), ('i', -1, 985, 0), ('j', -1, 18, 0), ('l', -1, 480, 0), ('o', 0, 42, 0), ('r', -1, 59, 0), ('s', 0, 42, 0), ('w', 0, -1, 0), ('z', -1, 168, 0)), (('a', 0, -1, 0), ('b', -1, 35, 0), ('c', -1, 610, 0), ('d', 0, 69, 0), ('e', 0, -1, 0), ('f', 0, 69, 0), ('g', -1, 574, 0), ('i', -1, 935, 0), ('j', 0, -1, 0), ('k', -1, 327, 0), ('l', -1, 35, 0), ('m', 0, -1, 0), ('n', -1, 232, 0), ('o', 0, -1, 0), ('p', 0, 69, 0), ('r', 0, 54, 0), ('s', -1, 35, 0), ('t', -1, 293, 0), ('u', 0, -1, 0), ('w', -1, 296, 0), ('y', -1, 491, 0), ('z', -1, 126, 0), ('ó', 0, -1, 0), ('ł', -1, 226, 0)), (('a', -1, 133, 0), ('c', 1, -1, 0), ('d', -1, 105, 0), ('e', -1, 340, 0), ('i', -1, 43, 0), ('k', 0, 1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 169, 0), ('p', 0, -1, 0), ('r', -1, 517, 0), ('s', -1, 611, 0), ('t', 1, -1, 0), ('u', 0, 60, 0), ('w', -1, 714, 0), ('y', -1, 166, 0), ('z', 1, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 127, 0), ('d', -1, 200, 0), ('e', -1, 244, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('o', -1, 612, 0), ('r', -1, 15, 0), ('w', 0, 4, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 613, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 1424, 0), ('e', -1, 1389, 0), ('g', -1, 152, 0), ('i', -1, 601, 0), ('k', -1, 395, 0), ('m', 0, -1, 0), ('n', 1, 579, 0), ('o', -1, 281, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 299, 0), ('u', -1, 698, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 806, 0)), (('a', -1, 17, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 5, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 421, 0), ('p', 19, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 614, 0), ('y', -1, 521, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 280, 0), ('c', -1, 306, 0), ('d', -1, 557, 0), ('e', 0, -1, 0), ('g', -1, 79, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 615, 0), ('l', 0, -1, 0), ('m', -1, 183, 0), ('n', 28, 1, 0), ('o', 0, -1, 0), ('p', -1, 938, 0), ('r', 0, -1, 0), ('s', -1, 938, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, 876, 0), ('y', -1, 281, 0), ('z', -1, 1066, 0), ('ł', -1, 87, 0), ('ż', -1, 25, 0)), (('a', -1, 616, 0), ('b', -1, 225, 0), ('d', -1, 316, 0), ('e', -1, 355, 0), ('i', -1, 447, 0), ('k', -1, 1073, 0), ('l', 0, 1004, 0), ('m', -1, 169, 0), ('n', -1, 1765, 0), ('o', 0, 70, 0), ('p', -1, 276, 0), ('r', -1, 55, 0), ('s', -1, 145, 0), ('t', -1, 1100, 0), ('w', -1, 104, 0), ('y', -1, 1323, 0), ('z', -1, 209, 0), ('ł', -1, 435, 0)), (('a', -1, 617, 0), ('b', -1, 338, 0), ('c', -1, 318, 0), ('d', -1, 64, 0), ('e', -1, 65, 0), ('h', -1, 75, 0), ('i', -1, 65, 0), ('j', -1, 1183, 0), ('k', -1, 60, 0), ('l', -1, 562, 0), ('m', 0, 69, 0), ('n', -1, 750, 0), ('o', -1, 477, 0), ('p', -1, 169, 0), ('r', -1, 46, 0), ('s', 0, 1187, 0), ('t', -1, 183, 0), ('u', -1, 547, 0), ('w', -1, 336, 0), ('y', -1, 278, 0), ('z', -1, 1064, 0), ('ż', -1, 328, 0)), (('a', 0, -1, 0), ('b', -1, 148, 0), ('c', -1, 618, 0), ('d', -1, 294, 0), ('e', -1, 222, 0), ('i', -1, 102, 0), ('k', -1, 1166, 0), ('l', -1, 210, 0), ('m', -1, 755, 0), ('n', -1, 328, 0), ('o', -1, 37, 0), ('p', -1, 364, 0), ('r', -1, 229, 0), ('s', -1, 218, 0), ('t', -1, 28, 0), ('u', -1, 573, 0), ('w', -1, 321, 0), ('y', -1, 88, 0), ('z', 0, 69, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 427, 0), ('e', 0, -1, 0), ('g', -1, 619, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1033, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, 59, 0), ('e', -1, 532, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 72, 0), ('o', -1, 162, 0), ('p', 0, 142, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 620, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 40, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 621, 0), ('b', 0, 138, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 204, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 453, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 239, 0), ('p', 3, -1, 0), ('r', 1, -1, 0), ('s', 0, 424, 0), ('t', -1, 218, 0), ('w', 1, -1, 0), ('y', -1, 546, 0), ('z', -1, 272, 0), ('ł', 1, -1, 0), ('ź', -1, 632, 0)), (('a', -1, 165, 0), ('b', -1, 622, 0), ('d', -1, 569, 0), ('e', -1, 81, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 125, 0), ('l', -1, 24, 0), ('m', -1, 702, 0), ('n', -1, 1102, 0), ('o', 0, 193, 0), ('p', -1, 1195, 0), ('r', -1, 177, 0), ('s', -1, 893, 0), ('t', -1, 244, 0), ('u', -1, 928, 0), ('w', -1, 104, 0), ('y', 20, -1, 0), ('z', -1, 391, 0), ('ł', -1, 440, 0)), (('a', -1, 330, 0), ('b', 1, 623, 0), ('c', 1, -1, 0), ('d', 0, 143, 0), ('e', -1, 975, 0), ('g', 1, -1, 0), ('i', -1, 50, 0), ('k', 0, 16, 0), ('l', -1, 190, 0), ('m', 1, -1, 0), ('n', -1, 540, 0), ('o', -1, 63, 0), ('p', 1, -1, 0), ('r', -1, 351, 0), ('s', 0, 89, 0), ('t', -1, 928, 0), ('u', 0, 42, 0), ('w', 1, -1, 0), ('y', -1, 319, 0), ('z', -1, 535, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', -1, 624, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 13, 0), ('s', -1, 667, 0), ('t', -1, 58, 0), ('u', -1, 610, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ł', 0, 12, 0), ('ś', 1, -1, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 21, 0), ('e', -1, 625, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', -1, 915, 0), ('m', 0, -1, 0), ('n', -1, 1422, 0), ('o', 0, 292, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', -1, 515, 0), ('u', 1, -1, 0), ('w', -1, 1122, 0), ('y', -1, 292, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 16, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 70, 0), ('o', 1, -1, 0), ('r', -1, 138, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 626, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 49, 0), ('ś', 0, -1, 0)), (('a', -1, 627, 0), ('b', -1, 80, 0), ('c', -1, 19, 0), ('d', -1, 53, 0), ('e', 0, -1, 0), ('g', -1, 325, 0), ('i', -1, 579, 0), ('j', -1, 320, 0), ('k', -1, 562, 0), ('l', -1, 108, 0), ('m', 0, 601, 0), ('o', 0, -1, 0), ('p', -1, 331, 0), ('r', 1, 350, 0), ('s', 0, 1005, 0), ('t', 0, -1, 0), ('u', -1, 549, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', -1, 363, 0), ('ę', -1, 326, 0), ('ł', -1, 868, 0), ('ż', -1, 1401, 0)), (('a', -1, 508, 0), ('c', -1, 628, 0), ('d', -1, 45, 0), ('e', -1, 630, 0), ('h', -1, 72, 0), ('i', -1, 162, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, 136, 0), ('n', 0, -1, 0), ('o', -1, 473, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 944, 0), ('t', 0, -1, 0), ('u', -1, 1070, 0), ('w', -1, 63, 0), ('y', -1, 718, 0), ('z', -1, 241, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 101, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 560, 0), ('s', 0, -1, 0), ('t', -1, 629, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 287, 0), ('e', -1, 44, 0), ('i', 0, -1, 0), ('j', -1, 92, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 273, 0), ('c', 7, -1, 0), ('d', 0, -1, 0), ('e', -1, 199, 0), ('i', -1, 105, 0), ('k', -1, 84, 0), ('l', 0, 631, 0), ('m', -1, 128, 0), ('n', 0, -1, 0), ('o', -1, 74, 0), ('p', 1, -1, 0), ('r', -1, 954, 0), ('s', 0, -1, 0), ('t', 7, -1, 0), ('u', -1, 283, 0), ('w', 0, -1, 0), ('y', -1, 1048, 0), ('z', -1, 241, 0), ('ł', 0, 13, 0)), (('a', -1, 409, 0), ('d', -1, 118, 0), ('e', 28, -1, 0), ('i', -1, 430, 0), ('k', -1, 342, 0), ('l', 38, -1, 0), ('m', -1, 558, 0), ('o', -1, 239, 0), ('p', -1, 281, 0), ('r', -1, 27, 0), ('s', -1, 126, 0), ('t', 0, -1, 0), ('u', -1, 143, 0), ('w', -1, 43, 0), ('z', -1, 632, 0), ('ś', -1, 645, 0)), (('a', -1, 125, 0), ('d', -1, 71, 0), ('e', -1, 633, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 252, 0), ('p', 1, -1, 0), ('r', -1, 523, 0), ('s', -1, 765, 0), ('t', -1, 276, 0), ('u', -1, 548, 0), ('w', -1, 88, 0), ('y', -1, 4, 0), ('z', -1, 95, 0), ('ł', 1, -1, 0)), (('a', -1, 73, 0), ('c', -1, 634, 0), ('d', -1, 1, 0), ('e', -1, 111, 0), ('i', -1, 540, 0), ('k', 0, 70, 0), ('l', -1, 562, 0), ('m', 0, 49, 0), ('n', -1, 111, 0), ('o', -1, 364, 0), ('p', -1, 352, 0), ('r', -1, 61, 0), ('s', 1, -1, 0), ('t', -1, 869, 0), ('u', -1, 40, 0), ('w', 0, 110, 0), ('y', -1, 754, 0), ('z', -1, 716, 0)), (('a', -1, 27, 0), ('b', 0, 57, 0), ('c', 0, -1, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('i', -1, 337, 0), ('o', -1, 41, 0), ('r', -1, 635, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('w', 0, 54, 0), ('y', 0, -1, 0), ('z', -1, 191, 0)), (('a', 0, -1, 0), ('b', -1, 636, 0), ('c', -1, 19, 0), ('d', -1, 177, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 726, 0), ('i', -1, 62, 0), ('j', -1, 320, 0), ('k', -1, 284, 0), ('l', -1, 108, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 90, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 183, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 363, 0), ('ł', -1, 421, 0), ('ż', 0, 1401, 0)), (('a', -1, 637, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 1351, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 685, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 1742, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 313, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 185, 0), ('z', -1, 1222, 0), ('ł', 0, -1, 0), ('ż', -1, 1792, 0)), (('a', -1, 17, 0), ('b', 0, 21, 0), ('c', 0, -1, 0), ('d', -1, 154, 0), ('e', -1, 352, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 386, 0), ('l', 0, -1, 0), ('m', -1, 201, 0), ('n', -1, 638, 0), ('o', 0, 709, 0), ('p', 0, 451, 0), ('r', -1, 777, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 319, 0), ('z', -1, 535, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 639, 0), ('g', -1, 395, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 897, 0), ('r', 0, -1, 0), ('t', -1, 1775, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 13, 0), ('ł', 0, -1, 0), ('ś', -1, 625, 0), ('ź', -1, 834, 0), ('ż', 0, -1, 0)), (('a', -1, 640, 0), ('e', -1, 657, 0), ('h', -1, 158, 0), ('i', -1, 582, 0), ('k', -1, 957, 0), ('l', -1, 1115, 0), ('n', -1, 1359, 0), ('o', -1, 583, 0), ('p', -1, 1375, 0), ('r', -1, 1237, 0), ('s', -1, 586, 0), ('u', -1, 1771, 0), ('y', -1, 1311, 0), ('z', -1, 310, 0), ('ą', -1, 349, 0), ('ę', -1, 593, 0), ('ł', -1, 343, 0)), (('a', -1, 357, 0), ('d', 0, 70, 0), ('e', -1, 641, 0), ('i', -1, 851, 0), ('l', -1, 724, 0), ('m', 0, 70, 0), ('o', 0, -1, 0), ('r', 0, 276, 0), ('u', 0, -1, 0), ('w', 0, 70, 0), ('y', -1, 1220, 0), ('z', -1, 1256, 0), ('ą', -1, 212, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 352, 0), ('c', -1, 642, 0), ('d', -1, 442, 0), ('e', 0, -1, 0), ('f', -1, 188, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 889, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 704, 0), ('t', -1, 600, 0), ('u', 0, -1, 0), ('w', -1, 1020, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 970, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 643, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 826, 0), ('y', 0, -1, 0), ('z', -1, 903, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 250, 0), ('e', -1, 644, 0), ('g', -1, 621, 0), ('i', 0, -1, 0), ('k', -1, 483, 0), ('o', 17, -1, 0), ('p', -1, 321, 0), ('r', -1, 247, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 1, 1, 0), ('ł', -1, 782, 0)), (('a', 23, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 7, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 645, 0), ('r', -1, 177, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 869, 0), ('z', -1, 1308, 0), ('ł', 0, -1, 0)), (('a', -1, 303, 0), ('d', -1, 646, 0), ('e', -1, 573, 0), ('g', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 695, 0), ('k', 7, -1, 0), ('m', -1, 517, 0), ('o', -1, 144, 0), ('p', 0, -1, 0), ('r', -1, 106, 0), ('s', 0, 143, 0), ('t', -1, 174, 0), ('w', -1, 47, 0), ('z', -1, 77, 0)), (('a', -1, 647, 0), ('d', 0, -1, 0), ('e', -1, 1072, 0), ('i', -1, 330, 0), ('n', -1, 6, 0), ('o', -1, 283, 0), ('r', -1, 341, 0), ('u', -1, 609, 0), ('z', -1, 153, 0)), (('a', -1, 648, 0), ('b', -1, 221, 0), ('d', -1, 204, 0), ('e', -1, 98, 0), ('g', -1, 811, 0), ('i', -1, 352, 0), ('j', -1, 104, 0), ('l', -1, 351, 0), ('m', -1, 1427, 0), ('n', 1, 1, 0), ('o', -1, 344, 0), ('p', -1, 795, 0), ('r', -1, 948, 0), ('s', -1, 660, 0), ('t', -1, 18, 0), ('w', -1, 450, 0), ('y', -1, 323, 0), ('z', -1, 39, 0)), (('a', 0, 60, 0), ('b', -1, 163, 0), ('c', -1, 649, 0), ('d', -1, 650, 0), ('e', -1, 218, 0), ('i', -1, 70, 0), ('k', -1, 40, 0), ('l', -1, 39, 0), ('m', -1, 458, 0), ('n', -1, 159, 0), ('o', -1, 4, 0), ('p', -1, 616, 0), ('r', 0, 513, 0), ('s', 0, 69, 0), ('t', -1, 601, 0), ('u', 0, -1, 0), ('w', -1, 378, 0), ('y', -1, 377, 0), ('z', -1, 40, 0), ('ę', 0, -1, 0)), (('a', -1, 153, 0), ('d', -1, 157, 0), ('e', 0, 69, 0), ('g', -1, 393, 0), ('i', 0, 169, 0), ('k', -1, 598, 0), ('l', -1, 239, 0), ('o', -1, 130, 0), ('p', 0, 42, 0), ('r', -1, 509, 0), ('s', -1, 86, 0), ('t', 0, 42, 0), ('w', -1, 261, 0), ('z', -1, 511, 0), ('ł', -1, 616, 0), ('ż', 0, 69, 0)), (('a', 0, -1, 0), ('b', 0, 3, 0), ('c', -1, 234, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 23, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 651, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 334, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 652, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('k', 0, -1, 0), ('n', -1, 1160, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 22, 0), ('s', 0, 93, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 53, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 53, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 653, 0), ('o', 1, -1, 0), ('r', -1, 93, 0), ('s', 1, -1, 0), ('t', -1, 1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 228, 0), ('ó', -1, 57, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 654, 0), ('d', -1, 365, 0), ('e', -1, 913, 0), ('i', -1, 112, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1042, 0), ('r', -1, 249, 0), ('s', -1, 194, 0), ('t', -1, 998, 0), ('u', -1, 66, 0), ('y', 0, -1, 0), ('z', 0, 42, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 655, 0), ('l', -1, 1057, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 782, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 402, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 656, 0), ('p', -1, 328, 0), ('r', -1, 373, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 154, 0)), (('a', -1, 33, 0), ('b', 0, -1, 0), ('c', 0, 65, 0), ('d', -1, 532, 0), ('e', -1, 88, 0), ('g', 1, -1, 0), ('i', -1, 61, 0), ('k', 1, -1, 0), ('l', -1, 657, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 61, 0), ('p', 0, -1, 0), ('r', -1, 565, 0), ('s', -1, 521, 0), ('t', 1, -1, 0), ('u', -1, 91, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 518, 0)), (('a', 0, 70, 0), ('e', -1, 81, 0), ('i', -1, 80, 0), ('l', -1, 194, 0), ('n', -1, 193, 0), ('o', -1, 658, 0), ('r', -1, 737, 0), ('s', 0, -1, 0), ('w', 0, 70, 0), ('y', -1, 26, 0), ('z', -1, 1064, 0)), (('a', -1, 135, 0), ('d', -1, 70, 0), ('e', 9, -1, 0), ('i', -1, 376, 0), ('j', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 456, 0), ('s', -1, 659, 0), ('z', 0, 153, 0), ('ę', -1, 518, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('j', -1, 361, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 58, 0), ('p', 1, -1, 0), ('r', -1, 660, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 339, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 75, 0), ('e', -1, 453, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', -1, 1, 0), ('l', 1, -1, 0), ('m', -1, 661, 0), ('n', -1, 463, 0), ('o', -1, 47, 0), ('p', -1, 441, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0)), (('a', -1, 118, 0), ('b', -1, 107, 0), ('d', -1, 154, 0), ('e', -1, 25, 0), ('i', -1, 662, 0), ('m', 0, -1, 0), ('o', -1, 132, 0), ('p', 0, 70, 0), ('r', -1, 261, 0), ('s', -1, 301, 0), ('t', 0, -1, 0), ('u', 0, 70, 0), ('w', 0, 42, 0), ('y', -1, 4, 0), ('z', -1, 535, 0)), (('a', -1, 342, 0), ('b', 0, 21, 0), ('c', -1, 663, 0), ('d', -1, 368, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 15, 0), ('i', -1, 125, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 513, 0), ('r', 0, -1, 0), ('s', -1, 848, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 33, 0), ('y', -1, 27, 0), ('z', 0, -1, 0), ('ł', -1, 877, 0)), (('a', 0, -1, 0), ('b', -1, 350, 0), ('c', -1, 65, 0), ('d', -1, 664, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 36, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1195, 0), ('m', -1, 1006, 0), ('n', -1, 262, 0), ('o', -1, 191, 0), ('p', -1, 616, 0), ('r', -1, 199, 0), ('s', -1, 817, 0), ('t', 0, 281, 0), ('u', 0, 42, 0), ('w', -1, 143, 0), ('y', -1, 319, 0), ('z', -1, 699, 0), ('ó', 0, -1, 0)), (('a', -1, 118, 0), ('b', 0, 553, 0), ('c', -1, 665, 0), ('d', -1, 183, 0), ('e', -1, 369, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 39, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 636, 0), ('o', -1, 135, 0), ('p', -1, 294, 0), ('r', 0, -1, 0), ('s', -1, 334, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 208, 0), ('z', 0, 54, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 666, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 16, 0), ('s', 7, -1, 0), ('t', 0, 36, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 125, 0), ('b', -1, 71, 0), ('d', -1, 126, 0), ('e', -1, 276, 0), ('f', 0, -1, 0), ('h', 0, 70, 0), ('i', -1, 145, 0), ('l', 1, 667, 0), ('o', -1, 1401, 0), ('p', -1, 273, 0), ('r', -1, 833, 0), ('s', -1, 1816, 0), ('t', -1, 632, 0), ('u', 0, 70, 0), ('w', 0, 70, 0), ('y', -1, 4, 0), ('z', -1, 156, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 664, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 567, 0), ('s', 0, 668, 0), ('u', -1, 746, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 1, -1, 0)), (('a', -1, 562, 0), ('d', 0, 69, 0), ('e', -1, 217, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 23, -1, 0), ('k', -1, 204, 0), ('m', 17, -1, 0), ('n', -1, 555, 0), ('o', -1, 196, 0), ('p', 17, -1, 0), ('r', -1, 208, 0), ('s', -1, 124, 0), ('t', 23, -1, 0), ('w', -1, 669, 0), ('z', 17, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 16, -1, 0), ('l', 0, -1, 0), ('m', 0, 215, 0), ('n', -1, 670, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 16, 94, 0), ('t', 17, -1, 0), ('u', 0, -1, 0), ('w', 0, 36, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 63, 0), ('ś', -1, 509, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 671, 0), ('g', -1, 334, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 1617, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 886, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 0, -1, 0)), (('-', 1, -1, 0), ('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 319, 0), ('e', -1, 672, 0), ('g', 1, -1, 0), ('i', -1, 205, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', -1, 1770, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1360, 0), ('r', 0, -1, 0), ('s', -1, 522, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0)), (('a', 0, 34, 0), ('b', 0, 673, 0), ('c', 0, -1, 0), ('d', -1, 231, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 47, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 481, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 114, 0)), (('a', 0, -1, 0), ('b', 0, 3, 0), ('c', -1, 674, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 535, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 1814, 0), ('l', 0, -1, 0), ('m', -1, 688, 0), ('n', -1, 92, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 13, 0), ('u', 0, 53, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, 1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 533, 0), ('c', -1, 103, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 675, 0), ('o', -1, 630, 0), ('p', -1, 53, 0), ('r', 0, -1, 0), ('s', -1, 1763, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1050, 0), ('y', 0, -1, 0), ('z', -1, 326, 0), ('ó', -1, 620, 0), ('ę', 0, -1, 0), ('ł', -1, 290, 0)), (('a', -1, 127, 0), ('d', 0, -1, 0), ('e', -1, 144, 0), ('h', 0, -1, 0), ('i', -1, 55, 0), ('l', -1, 676, 0), ('m', 0, -1, 0), ('n', -1, 204, 0), ('o', -1, 195, 0), ('p', -1, 439, 0), ('r', -1, 360, 0), ('t', 0, -1, 0), ('w', -1, 1332, 0), ('z', 0, -1, 0), ('ż', -1, 488, 0)), (('a', 0, -1, 0), ('b', 0, 677, 0), ('d', -1, 679, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 429, 0), ('i', -1, 915, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 57, 0), ('n', 0, -1, 0), ('o', -1, 229, 0), ('p', -1, 266, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 13, 0), ('y', 1, -1, 0), ('z', -1, 254, 0)), (('a', -1, 678, 0), ('d', 0, -1, 0), ('e', -1, 324, 0), ('i', -1, 459, 0), ('j', 0, -1, 0), ('k', 23, -1, 0), ('m', 23, -1, 0), ('n', 23, -1, 0), ('o', 0, 31, 0), ('r', 3, -1, 0), ('u', 23, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', -1, 57, 0), ('d', 1, -1, 0), ('e', -1, 16, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 246, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('c', -1, 122, 0), ('d', -1, 680, 0), ('e', -1, 1067, 0), ('i', 0, -1, 0), ('j', 3, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1331, 0), ('p', 0, -1, 0), ('r', -1, 1808, 0), ('s', 0, -1, 0), ('t', -1, 1695, 0), ('u', -1, 1420, 0), ('y', 0, -1, 0), ('z', -1, 552, 0), ('ł', -1, 503, 0), ('ż', 0, -1, 0)), (('a', 3, -1, 0), ('b', 0, -1, 0), ('c', -1, 148, 0), ('d', -1, 21, 0), ('e', -1, 487, 0), ('f', 0, -1, 0), ('g', -1, 307, 0), ('i', -1, 297, 0), ('j', -1, 435, 0), ('k', -1, 681, 0), ('m', -1, 104, 0), ('n', -1, 543, 0), ('o', 3, -1, 0), ('p', 0, -1, 0), ('r', -1, 572, 0), ('s', -1, 188, 0), ('t', -1, 682, 0), ('u', -1, 451, 0), ('w', 0, 683, 0), ('z', -1, 102, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 51, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 519, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 261, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 560, 0), ('y', -1, 173, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 169, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 46, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 29, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 226, 0), ('b', -1, 568, 0), ('c', -1, 684, 0), ('d', -1, 621, 0), ('e', -1, 239, 0), ('i', 0, -1, 0), ('k', 0, 518, 0), ('l', -1, 140, 0), ('m', 0, 523, 0), ('n', 0, -1, 0), ('o', 0, 47, 0), ('p', -1, 284, 0), ('r', -1, 86, 0), ('s', -1, 598, 0), ('t', -1, 180, 0), ('u', -1, 356, 0), ('w', -1, 300, 0), ('y', 0, -1, 0), ('z', -1, 154, 0)), (('a', -1, 3, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 87, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 685, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 866, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 18, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 686, 0), ('e', -1, 699, 0), ('i', 18, -1, 0), ('m', 0, -1, 0), ('n', -1, 731, 0), ('o', 0, -1, 0), ('p', -1, 733, 0), ('r', 0, 20, 0), ('s', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 358, 0), ('ę', 0, -1, 0)), (('a', -1, 687, 0), ('e', -1, 1108, 0), ('g', -1, 393, 0), ('i', -1, 712, 0), ('k', -1, 598, 0), ('o', -1, 1187, 0), ('r', -1, 509, 0), ('u', -1, 590, 0), ('w', -1, 261, 0), ('y', -1, 52, 0), ('z', -1, 511, 0), ('ł', -1, 378, 0)), (('a', -1, 522, 0), ('d', 0, 688, 0), ('e', -1, 344, 0), ('i', -1, 303, 0), ('j', 1, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 334, 0), ('p', -1, 1340, 0), ('r', -1, 126, 0), ('s', -1, 468, 0), ('y', -1, 113, 0), ('z', 0, -1, 0)), (('a', -1, 567, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 14, -1, 0), ('f', 1, -1, 0), ('g', -1, 112, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', -1, 23, 0), ('k', 0, 69, 0), ('l', 1, -1, 0), ('m', 0, 54, 0), ('n', 1, -1, 0), ('o', -1, 283, 0), ('p', -1, 153, 0), ('r', -1, 307, 0), ('s', -1, 11, 0), ('t', -1, 183, 0), ('u', -1, 621, 0), ('w', -1, 689, 0), ('y', -1, 331, 0), ('z', -1, 352, 0), ('ż', 1, -1, 0)), (('a', -1, 524, 0), ('c', -1, 143, 0), ('d', -1, 690, 0), ('e', -1, 127, 0), ('i', -1, 656, 0), ('k', -1, 1408, 0), ('l', -1, 53, 0), ('m', -1, 1300, 0), ('n', -1, 208, 0), ('o', -1, 413, 0), ('p', -1, 1344, 0), ('r', -1, 975, 0), ('s', -1, 939, 0), ('t', -1, 908, 0), ('u', -1, 129, 0), ('w', -1, 265, 0), ('y', -1, 948, 0), ('z', -1, 173, 0)), (('a', -1, 153, 0), ('b', 0, -1, 0), ('c', -1, 117, 0), ('d', -1, 540, 0), ('e', -1, 251, 0), ('f', 0, -1, 0), ('i', -1, 237, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 351, 0), ('o', -1, 24, 0), ('p', -1, 691, 0), ('r', -1, 245, 0), ('s', 0, 26, 0), ('t', -1, 539, 0), ('u', 0, -1, 0), ('w', -1, 243, 0), ('y', -1, 276, 0), ('z', -1, 486, 0), ('ł', 0, -1, 0)), (('a', -1, 392, 0), ('b', 0, -1, 0), ('d', -1, 238, 0), ('e', -1, 513, 0), ('i', -1, 137, 0), ('l', -1, 211, 0), ('m', -1, 617, 0), ('o', -1, 692, 0), ('p', -1, 958, 0), ('r', -1, 476, 0), ('s', 0, 4, 0), ('t', -1, 783, 0), ('w', -1, 1758, 0), ('y', 3, -1, 0), ('z', -1, 661, 0), ('ś', -1, 173, 0)), (('a', -1, 73, 0), ('c', -1, 25, 0), ('d', -1, 26, 0), ('e', -1, 263, 0), ('i', -1, 562, 0), ('k', -1, 344, 0), ('l', 0, -1, 0), ('m', -1, 81, 0), ('n', -1, 93, 0), ('o', -1, 66, 0), ('p', 0, 693, 0), ('r', 0, 26, 0), ('s', 1, -1, 0), ('t', -1, 106, 0), ('u', -1, 33, 0), ('w', -1, 1351, 0), ('y', -1, 3, 0), ('z', -1, 724, 0), ('ł', 1, 1451, 0), ('ś', 0, 908, 0)), (('a', -1, 694, 0), ('b', -1, 695, 0), ('c', 0, 489, 0), ('d', -1, 263, 0), ('e', 9, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 549, 0), ('k', -1, 24, 0), ('l', -1, 864, 0), ('m', -1, 1197, 0), ('n', -1, 205, 0), ('o', 0, 749, 0), ('p', -1, 1368, 0), ('r', -1, 309, 0), ('s', -1, 518, 0), ('t', -1, 1447, 0), ('w', -1, 1516, 0), ('y', 0, -1, 0), ('z', -1, 770, 0), ('ł', 0, -1, 0), ('ś', -1, 98, 0), ('ź', 0, -1, 0), ('ż', -1, 327, 0)), (('a', 33, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 33, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 542, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 289, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 185, 0), ('y', 0, -1, 0), ('z', -1, 237, 0), ('ł', 0, -1, 0), ('ż', -1, 573, 0)), (('a', 0, -1, 0), ('b', -1, 107, 0), ('c', -1, 349, 0), ('d', -1, 107, 0), ('e', -1, 300, 0), ('g', -1, 508, 0), ('i', 0, -1, 0), ('k', -1, 192, 0), ('l', 0, 522, 0), ('m', -1, 159, 0), ('n', -1, 696, 0), ('o', -1, 757, 0), ('p', 0, 245, 0), ('r', 0, -1, 0), ('s', -1, 861, 0), ('t', -1, 423, 0), ('u', 0, -1, 0), ('w', -1, 121, 0), ('y', -1, 319, 0), ('z', -1, 235, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 517, 0), ('ż', 0, -1, 0)), (('a', -1, 697, 0), ('b', -1, 488, 0), ('c', -1, 131, 0), ('d', -1, 548, 0), ('e', -1, 698, 0), ('f', -1, 152, 0), ('h', 0, -1, 0), ('i', -1, 699, 0), ('j', -1, 177, 0), ('k', -1, 584, 0), ('l', -1, 359, 0), ('m', 0, -1, 0), ('n', -1, 204, 0), ('o', -1, 447, 0), ('p', -1, 974, 0), ('r', -1, 158, 0), ('s', 0, 42, 0), ('t', -1, 81, 0), ('u', -1, 21, 0), ('w', -1, 107, 0), ('y', -1, 25, 0), ('z', -1, 296, 0), ('ż', -1, 488, 0)), (('a', -1, 535, 0), ('b', -1, 107, 0), ('c', -1, 144, 0), ('d', -1, 107, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, 597, 0), ('l', -1, 90, 0), ('m', -1, 666, 0), ('n', 0, 14, 0), ('o', 0, -1, 0), ('p', -1, 71, 0), ('r', -1, 10, 0), ('s', -1, 622, 0), ('t', -1, 690, 0), ('u', 0, -1, 0), ('w', 1, 93, 0), ('y', 0, -1, 0), ('z', -1, 535, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 547, 0), ('d', -1, 422, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 169, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ę', -1, 6, 0), ('ł', 0, -1, 0), ('ś', -1, 214, 0), ('ż', 0, -1, 0)), (('a', -1, 555, 0), ('b', -1, 148, 0), ('c', -1, 700, 0), ('d', -1, 609, 0), ('e', 0, -1, 0), ('g', -1, 1100, 0), ('h', 0, -1, 0), ('i', -1, 32, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 103, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 662, 0), ('s', -1, 609, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 688, 0), ('y', -1, 976, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 142, 0), ('ł', 0, -1, 0)), (('a', -1, 158, 0), ('b', -1, 701, 0), ('c', -1, 1124, 0), ('d', 0, 85, 0), ('e', -1, 334, 0), ('f', -1, 219, 0), ('g', -1, 133, 0), ('i', -1, 66, 0), ('m', -1, 219, 0), ('n', -1, 1450, 0), ('o', -1, 446, 0), ('p', -1, 1696, 0), ('r', -1, 429, 0), ('s', -1, 64, 0), ('t', -1, 1474, 0), ('u', -1, 562, 0), ('w', -1, 1503, 0), ('z', -1, 331, 0)), (('a', -1, 70, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 23, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 702, 0), ('p', 0, -1, 0), ('r', -1, 9, 0), ('s', 0, -1, 0), ('t', -1, 1201, 0), ('u', -1, 297, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 166, 0), ('ż', 0, -1, 0)), (('a', -1, 617, 0), ('b', -1, 703, 0), ('d', -1, 107, 0), ('e', -1, 386, 0), ('i', -1, 34, 0), ('k', -1, 35, 0), ('o', 0, 83, 0), ('p', -1, 1430, 0), ('r', -1, 143, 0), ('s', -1, 808, 0), ('t', -1, 508, 0), ('u', -1, 70, 0), ('w', 0, 42, 0), ('y', -1, 558, 0), ('z', 0, 42, 0)), (('a', -1, 125, 0), ('d', -1, 183, 0), ('e', -1, 704, 0), ('i', -1, 307, 0), ('m', -1, 178, 0), ('o', 0, -1, 0), ('r', -1, 1313, 0), ('t', 0, -1, 0), ('w', -1, 398, 0), ('z', -1, 208, 0), ('ę', -1, 645, 0)), (('-', 0, -1, 0), ('a', -1, 652, 0), ('c', -1, 705, 0), ('d', -1, 706, 0), ('e', -1, 903, 0), ('i', -1, 281, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 282, 0), ('m', 0, -1, 0), ('o', -1, 459, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 704, 0), ('u', -1, 444, 0), ('y', 0, -1, 0), ('z', -1, 228, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 482, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 1, -1, 0), ('e', -1, 707, 0), ('i', 17, -1, 0), ('l', 1, -1, 0), ('o', -1, 443, 0), ('r', 0, 1503, 0), ('u', -1, 1377, 0), ('w', 1, -1, 0), ('y', -1, 1331, 0), ('z', 1, -1, 0), ('ą', -1, 809, 0), ('ę', -1, 953, 0)), (('a', -1, 118, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('i', -1, 708, 0), ('j', 0, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 421, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('t', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 25, 0), ('z', 1, -1, 0)), (('a', -1, 393, 0), ('b', 0, 85, 0), ('c', 0, -1, 0), ('d', -1, 709, 0), ('e', -1, 700, 0), ('g', -1, 598, 0), ('i', -1, 486, 0), ('k', -1, 139, 0), ('l', 0, -1, 0), ('m', -1, 371, 0), ('n', -1, 150, 0), ('o', -1, 284, 0), ('p', 0, -1, 0), ('r', -1, 36, 0), ('s', 17, -1, 0), ('w', -1, 1108, 0), ('z', -1, 306, 0)), (('a', -1, 512, 0), ('c', -1, 413, 0), ('d', 0, 54, 0), ('e', 6, -1, 0), ('i', -1, 126, 0), ('k', -1, 231, 0), ('l', -1, 710, 0), ('m', -1, 772, 0), ('n', -1, 115, 0), ('o', -1, 1066, 0), ('p', 0, 1128, 0), ('r', -1, 104, 0), ('s', -1, 35, 0), ('t', 0, 54, 0), ('u', -1, 392, 0), ('w', -1, 739, 0), ('y', -1, 187, 0), ('z', -1, 146, 0)), (('a', -1, 113, 0), ('c', -1, 711, 0), ('d', -1, 1256, 0), ('e', -1, 340, 0), ('i', -1, 125, 0), ('l', -1, 532, 0), ('n', 24, 13, 0), ('o', -1, 90, 0), ('p', -1, 552, 0), ('r', -1, 545, 0), ('s', -1, 452, 0), ('t', -1, 573, 0), ('w', -1, 437, 0), ('y', -1, 323, 0), ('z', -1, 118, 0), ('ł', -1, 598, 0)), (('a', -1, 712, 0), ('c', 0, -1, 0), ('d', -1, 338, 0), ('e', -1, 83, 0), ('i', -1, 373, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 513, 0), ('p', -1, 93, 0), ('r', -1, 550, 0), ('s', -1, 1008, 0), ('t', -1, 139, 0), ('u', -1, 160, 0), ('w', 0, -1, 0), ('y', -1, 185, 0), ('z', -1, 695, 0), ('ą', -1, 60, 0), ('ę', -1, 358, 0), ('ń', -1, 668, 0)), (('a', -1, 142, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 597, 0), ('e', -1, 294, 0), ('f', 0, -1, 0), ('h', -1, 582, 0), ('i', -1, 35, 0), ('l', -1, 49, 0), ('m', 0, 713, 0), ('n', -1, 567, 0), ('o', 0, 71, 0), ('p', -1, 65, 0), ('r', -1, 218, 0), ('s', 0, 70, 0), ('t', 0, 71, 0), ('w', 0, 70, 0), ('y', -1, 158, 0), ('z', -1, 156, 0), ('ą', -1, 55, 0), ('ł', -1, 236, 0)), (('a', -1, 563, 0), ('c', -1, 649, 0), ('d', 1, -1, 0), ('e', 5, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', -1, 714, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 350, 0), ('p', -1, 259, 0), ('r', -1, 1389, 0), ('s', -1, 1129, 0), ('t', 0, -1, 0), ('u', -1, 69, 0), ('w', 0, -1, 0), ('y', -1, 319, 0), ('z', -1, 535, 0)), (('a', -1, 16, 0), ('e', -1, 13, 0), ('g', 0, 140, 0), ('h', 1, -1, 0), ('i', -1, 715, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 538, 0), ('r', 0, -1, 0), ('t', -1, 22, 0), ('u', -1, 78, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0)), (('a', -1, 331, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 57, 0), ('e', -1, 308, 0), ('i', -1, 163, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, 16, 0), ('n', 0, -1, 0), ('o', -1, 601, 0), ('p', 1, -1, 0), ('r', -1, 20, 0), ('s', 0, 42, 0), ('t', -1, 716, 0), ('u', -1, 355, 0), ('w', 1, -1, 0), ('z', -1, 188, 0), ('ł', 1, -1, 0)), (('a', -1, 574, 0), ('d', -1, 117, 0), ('e', -1, 88, 0), ('i', -1, 41, 0), ('l', 1, -1, 0), ('m', -1, 717, 0), ('n', -1, 539, 0), ('o', -1, 52, 0), ('p', -1, 522, 0), ('r', -1, 683, 0), ('s', -1, 1344, 0), ('t', -1, 200, 0), ('w', -1, 1119, 0), ('y', -1, 24, 0), ('z', -1, 581, 0), ('ż', -1, 522, 0)), (('a', 0, -1, 0), ('d', -1, 64, 0), ('e', -1, 321, 0), ('i', 0, 70, 0), ('o', -1, 718, 0), ('r', -1, 1128, 0), ('s', -1, 856, 0), ('u', 0, 54, 0), ('y', -1, 187, 0), ('z', -1, 191, 0)), (('a', -1, 71, 0), ('c', -1, 719, 0), ('d', -1, 353, 0), ('e', 0, -1, 0), ('i', -1, 229, 0), ('k', -1, 158, 0), ('l', -1, 545, 0), ('m', -1, 361, 0), ('n', 0, 435, 0), ('o', -1, 96, 0), ('p', 23, 93, 0), ('r', 0, 356, 0), ('s', -1, 156, 0), ('t', 0, 32, 0), ('u', -1, 213, 0), ('w', 0, 143, 0), ('y', -1, 617, 0), ('z', -1, 477, 0), ('ż', -1, 446, 0)), (('a', -1, 720, 0), ('c', -1, 300, 0), ('d', -1, 77, 0), ('e', -1, 298, 0), ('i', -1, 869, 0), ('o', -1, 229, 0), ('r', -1, 1428, 0), ('z', -1, 144, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 197, 0), ('d', -1, 3, 0), ('e', -1, 721, 0), ('g', 0, -1, 0), ('i', -1, 91, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 603, 0), ('s', -1, 894, 0), ('t', -1, 364, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 410, 0), ('z', -1, 787, 0), ('ó', 0, -1, 0)), (('a', -1, 722, 0), ('d', -1, 1596, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 692, 0), ('s', -1, 42, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 49, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', -1, 723, 0), ('d', 0, -1, 0), ('e', -1, 429, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1690, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('v', 0, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 673, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 724, 0), ('b', 0, -1, 0), ('c', -1, 20, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 57, 0), ('n', 0, -1, 0), ('o', -1, 1408, 0), ('p', 0, 89, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, 1261, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 725, 0), ('c', -1, 460, 0), ('d', -1, 154, 0), ('e', -1, 25, 0), ('g', -1, 292, 0), ('i', -1, 132, 0), ('k', -1, 726, 0), ('l', 0, 69, 0), ('m', -1, 47, 0), ('n', -1, 430, 0), ('o', -1, 522, 0), ('p', -1, 168, 0), ('r', -1, 666, 0), ('s', 0, 42, 0), ('t', -1, 86, 0), ('u', 0, 42, 0), ('w', -1, 522, 0), ('y', -1, 319, 0), ('z', -1, 319, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 9, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 7, 0), ('m', 0, -1, 0), ('n', -1, 348, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, 13, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 131, 0), ('ł', -1, 192, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('-', 0, -1, 0), ('a', 0, 69, 0), ('b', -1, 727, 0), ('c', -1, 1794, 0), ('d', -1, 1715, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1795, 0), ('h', -1, 232, 0), ('i', -1, 1796, 0), ('j', 0, 1799, 0), ('k', -1, 1800, 0), ('l', -1, 1809, 0), ('m', -1, 1379, 0), ('n', -1, 1810, 0), ('o', 0, 143, 0), ('p', 0, -1, 0), ('r', -1, 1811, 0), ('s', -1, 1182, 0), ('t', -1, 1812, 0), ('u', 0, -1, 0), ('w', -1, 1813, 0), ('y', 0, -1, 0), ('z', -1, 1734, 0), ('ł', -1, 1735, 0), ('ż', -1, 1386, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 728, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 652, 0), ('ł', -1, 492, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 7, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 11, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 7, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 729, 0), ('n', 0, -1, 0), ('o', -1, 251, 0), ('p', 0, -1, 0), ('r', -1, 138, 0), ('s', 1, -1, 0), ('t', 0, 54, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 730, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 1742, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 70, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 766, 0), ('z', -1, 1222, 0), ('ł', 0, -1, 0), ('ż', -1, 1792, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 731, 0), ('o', -1, 6, 0), ('p', -1, 733, 0), ('r', -1, 1275, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 685, 0)), (('a', -1, 14, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 171, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 732, 0), ('n', 0, -1, 0), ('o', -1, 319, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 21, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 447, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 139, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 115, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 20, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 663, 0), ('p', -1, 279, 0), ('r', -1, 734, 0), ('s', 0, 776, 0), ('t', 0, 343, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 18, 0), ('ż', -1, 59, 0)), (('a', -1, 113, 0), ('d', -1, 273, 0), ('e', -1, 735, 0), ('h', 0, 70, 0), ('i', -1, 490, 0), ('k', 0, 70, 0), ('l', 0, 1063, 0), ('m', -1, 368, 0), ('n', -1, 294, 0), ('o', -1, 334, 0), ('r', -1, 79, 0), ('w', 0, 1613, 0), ('z', -1, 81, 0)), (('a', 0, -1, 0), ('d', -1, 557, 0), ('e', -1, 736, 0), ('g', -1, 79, 0), ('i', -1, 147, 0), ('k', -1, 615, 0), ('o', 0, -1, 0), ('p', -1, 938, 0), ('r', -1, 627, 0), ('s', -1, 938, 0), ('t', -1, 609, 0), ('u', 1, 93, 0), ('w', 0, 1791, 0), ('y', 0, -1, 0), ('z', -1, 145, 0), ('ż', -1, 25, 0)), (('a', -1, 138, 0), ('b', 0, 70, 0), ('c', 0, 663, 0), ('d', 0, -1, 0), ('e', -1, 293, 0), ('i', -1, 737, 0), ('k', -1, 53, 0), ('l', -1, 114, 0), ('m', -1, 303, 0), ('n', -1, 47, 0), ('o', -1, 439, 0), ('p', -1, 1376, 0), ('r', -1, 47, 0), ('s', -1, 813, 0), ('t', -1, 339, 0), ('u', 1, -1, 0), ('w', -1, 154, 0), ('y', -1, 663, 0), ('z', -1, 948, 0), ('ł', 0, -1, 0)), (('a', -1, 145, 0), ('b', -1, 65, 0), ('c', -1, 738, 0), ('d', -1, 739, 0), ('e', -1, 27, 0), ('i', -1, 75, 0), ('l', -1, 320, 0), ('m', -1, 65, 0), ('n', -1, 51, 0), ('o', -1, 398, 0), ('p', -1, 344, 0), ('r', -1, 360, 0), ('s', -1, 55, 0), ('t', -1, 545, 0), ('u', -1, 368, 0), ('w', -1, 126, 0), ('y', -1, 339, 0), ('z', -1, 244, 0), ('ł', -1, 1765, 0)), (('a', -1, 629, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 465, 0)), (('a', -1, 39, 0), ('c', -1, 740, 0), ('d', -1, 804, 0), ('e', -1, 747, 0), ('i', -1, 17, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 46, 0), ('o', -1, 689, 0), ('p', -1, 107, 0), ('r', -1, 15, 0), ('s', -1, 80, 0), ('t', -1, 991, 0), ('u', -1, 101, 0), ('w', -1, 321, 0), ('y', -1, 762, 0), ('z', 0, 70, 0), ('ó', -1, 276, 0), ('ą', -1, 724, 0), ('ł', -1, 48, 0)), (('a', -1, 298, 0), ('c', 0, 70, 0), ('d', -1, 741, 0), ('e', -1, 683, 0), ('i', -1, 1088, 0), ('m', -1, 117, 0), ('o', -1, 135, 0), ('p', 0, 70, 0), ('r', -1, 1259, 0), ('s', 0, -1, 0), ('t', -1, 1597, 0), ('w', -1, 532, 0), ('y', -1, 208, 0), ('z', -1, 32, 0), ('ł', -1, 173, 0), ('ś', -1, 208, 0)), (('a', -1, 580, 0), ('c', -1, 19, 0), ('d', 0, -1, 0), ('e', -1, 108, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 742, 0), ('j', -1, 541, 0), ('k', 0, -1, 0), ('l', -1, 779, 0), ('m', -1, 834, 0), ('n', 0, -1, 0), ('o', 0, 533, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 27, -1, 0), ('y', -1, 74, 0), ('z', 0, 897, 0), ('ł', 0, -1, 0), ('ż', 0, 1239, 0)), (('a', -1, 688, 0), ('b', -1, 63, 0), ('c', -1, 743, 0), ('d', -1, 188, 0), ('e', -1, 156, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 323, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 38, 0), ('o', -1, 225, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 42, 0), ('w', -1, 546, 0), ('z', -1, 140, 0), ('ł', -1, 281, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 20, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 744, 0), ('t', -1, 504, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1171, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ż', 0, 59, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 745, 0), ('d', 17, -1, 0), ('e', 0, -1, 0), ('g', 0, 59, 0), ('h', 23, -1, 0), ('i', -1, 23, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 69, 0), ('m', 0, -1, 0), ('n', 20, -1, 0), ('o', -1, 53, 0), ('p', 23, -1, 0), ('r', 0, -1, 0), ('s', -1, 458, 0), ('t', -1, 15, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 49, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 506, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 746, 0), ('p', 0, -1, 0), ('r', -1, 75, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 1714, 0), ('y', 1, -1, 0), ('z', -1, 236, 0), ('ó', 1, -1, 0)), (('a', -1, 747, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, 93, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1464, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 18, -1, 0), ('u', 1, -1, 0), ('w', -1, 817, 0), ('y', 1, -1, 0), ('z', 18, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 107, 0), ('b', 0, 143, 0), ('c', -1, 748, 0), ('d', 0, -1, 0), ('e', -1, 622, 0), ('g', 1, -1, 0), ('i', -1, 79, 0), ('k', -1, 318, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 97, 0), ('p', 0, 3, 0), ('r', -1, 154, 0), ('s', -1, 92, 0), ('t', 0, -1, 0), ('u', -1, 489, 0), ('w', 0, 99, 0), ('y', -1, 194, 0), ('z', -1, 754, 0), ('ł', 0, -1, 0)), (('a', -1, 27, 0), ('d', -1, 64, 0), ('e', -1, 29, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 135, 0), ('r', -1, 749, 0), ('u', 0, -1, 0), ('w', 0, 21, 0), ('y', -1, 187, 0), ('z', 0, 1296, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 19, 0), ('d', -1, 750, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 751, 0), ('j', -1, 320, 0), ('k', -1, 661, 0), ('l', -1, 108, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('p', -1, 412, 0), ('r', -1, 41, 0), ('s', -1, 1772, 0), ('t', -1, 229, 0), ('u', -1, 1375, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 363, 0), ('ł', -1, 868, 0), ('ż', -1, 1401, 0)), (('a', -1, 166, 0), ('d', -1, 709, 0), ('e', -1, 180, 0), ('g', -1, 403, 0), ('h', -1, 222, 0), ('i', -1, 127, 0), ('k', -1, 298, 0), ('l', -1, 453, 0), ('m', -1, 65, 0), ('n', -1, 633, 0), ('o', -1, 300, 0), ('p', -1, 386, 0), ('r', -1, 736, 0), ('s', -1, 737, 0), ('t', -1, 243, 0), ('u', -1, 558, 0), ('w', -1, 448, 0), ('y', -1, 347, 0), ('z', -1, 35, 0), ('ą', -1, 333, 0), ('ę', -1, 204, 0), ('ł', -1, 709, 0)), (('a', 0, -1, 0), ('b', -1, 63, 0), ('c', -1, 100, 0), ('d', -1, 752, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', -1, 53, 0), ('i', -1, 1453, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1730, 0), ('o', -1, 728, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 64, 0), ('t', -1, 537, 0), ('u', 0, -1, 0), ('w', -1, 546, 0), ('y', -1, 491, 0), ('z', -1, 190, 0), ('ó', 0, -1, 0), ('ę', -1, 147, 0), ('ł', 1, 13, 0)), (('a', -1, 380, 0), ('b', -1, 229, 0), ('c', -1, 753, 0), ('d', 1, -1, 0), ('e', -1, 369, 0), ('h', -1, 26, 0), ('i', -1, 293, 0), ('k', 0, 57, 0), ('l', -1, 183, 0), ('m', 1, -1, 0), ('n', -1, 598, 0), ('o', -1, 35, 0), ('p', -1, 659, 0), ('r', -1, 330, 0), ('s', -1, 524, 0), ('t', 1, 515, 0), ('u', -1, 1, 0), ('w', 1, -1, 0), ('y', -1, 113, 0), ('z', -1, 179, 0), ('ł', -1, 113, 0), ('ż', 1, -1, 0)), (('a', -1, 43, 0), ('d', 1, 1, 0), ('e', -1, 717, 0), ('g', -1, 158, 0), ('i', -1, 532, 0), ('m', -1, 754, 0), ('n', -1, 951, 0), ('o', -1, 41, 0), ('r', 1, -1, 0), ('t', -1, 951, 0), ('z', 0, -1, 0), ('ą', -1, 875, 0)), (('a', -1, 41, 0), ('c', -1, 477, 0), ('d', 0, 42, 0), ('e', 11, -1, 0), ('i', -1, 182, 0), ('k', 0, 212, 0), ('l', -1, 755, 0), ('m', -1, 1064, 0), ('n', 24, -1, 0), ('o', 0, 306, 0), ('p', -1, 908, 0), ('r', -1, 170, 0), ('s', -1, 221, 0), ('t', -1, 759, 0), ('u', -1, 24, 0), ('w', -1, 984, 0), ('y', -1, 871, 0), ('z', -1, 32, 0)), (('a', -1, 125, 0), ('d', -1, 756, 0), ('e', -1, 121, 0), ('h', -1, 127, 0), ('i', -1, 614, 0), ('k', -1, 522, 0), ('l', 0, 68, 0), ('m', -1, 40, 0), ('o', 0, 71, 0), ('p', 0, 82, 0), ('r', -1, 1401, 0), ('s', -1, 180, 0), ('t', -1, 756, 0), ('w', -1, 1350, 0), ('y', -1, 276, 0), ('z', -1, 156, 0), ('ł', -1, 1041, 0)), (('a', -1, 32, 0), ('d', -1, 398, 0), ('e', -1, 524, 0), ('i', -1, 272, 0), ('l', -1, 714, 0), ('m', -1, 107, 0), ('n', -1, 330, 0), ('o', 0, 42, 0), ('p', -1, 229, 0), ('r', -1, 757, 0), ('s', -1, 1100, 0), ('t', -1, 140, 0), ('w', -1, 736, 0), ('y', -1, 319, 0), ('z', -1, 117, 0), ('ł', 0, -1, 0), ('ś', 0, 42, 0)), (('a', -1, 227, 0), ('b', -1, 300, 0), ('c', -1, 473, 0), ('d', -1, 160, 0), ('e', -1, 286, 0), ('g', -1, 441, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 81, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 35, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 117, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 758, 0)), (('a', -1, 572, 0), ('b', -1, 689, 0), ('c', -1, 759, 0), ('d', -1, 1130, 0), ('e', 0, -1, 0), ('f', -1, 480, 0), ('g', -1, 806, 0), ('h', -1, 339, 0), ('i', -1, 341, 0), ('j', -1, 850, 0), ('k', -1, 1435, 0), ('l', -1, 1358, 0), ('m', -1, 1343, 0), ('n', -1, 1431, 0), ('o', -1, 73, 0), ('p', -1, 1170, 0), ('r', -1, 470, 0), ('s', -1, 1771, 0), ('t', -1, 1770, 0), ('u', 0, -1, 0), ('z', -1, 1691, 0), ('ł', -1, 567, 0)), (('a', -1, 760, 0), ('b', -1, 157, 0), ('e', -1, 131, 0), ('i', -1, 240, 0), ('j', -1, 118, 0), ('l', -1, 45, 0), ('m', -1, 1429, 0), ('n', -1, 390, 0), ('o', -1, 156, 0), ('r', -1, 749, 0), ('s', -1, 1125, 0), ('t', -1, 610, 0), ('w', -1, 1768, 0), ('z', -1, 132, 0), ('ł', -1, 987, 0)), (('a', 0, -1, 0), ('b', -1, 71, 0), ('c', -1, 65, 0), ('d', -1, 126, 0), ('e', -1, 246, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('l', -1, 761, 0), ('m', 0, -1, 0), ('n', -1, 217, 0), ('o', 0, -1, 0), ('r', -1, 28, 0), ('t', -1, 954, 0), ('y', -1, 276, 0), ('z', -1, 1139, 0)), (('a', -1, 762, 0), ('b', 0, 70, 0), ('e', -1, 1767, 0), ('g', -1, 365, 0), ('i', -1, 609, 0), ('j', 0, 70, 0), ('k', -1, 813, 0), ('o', -1, 144, 0), ('r', -1, 529, 0), ('w', -1, 240, 0), ('z', -1, 970, 0), ('ł', -1, 324, 0)), (('a', -1, 276, 0), ('c', -1, 763, 0), ('d', -1, 26, 0), ('e', -1, 355, 0), ('i', -1, 173, 0), ('j', -1, 724, 0), ('k', 0, 213, 0), ('l', -1, 50, 0), ('m', -1, 380, 0), ('n', -1, 358, 0), ('o', -1, 380, 0), ('p', 0, 856, 0), ('r', -1, 9, 0), ('s', 1, -1, 0), ('t', -1, 1243, 0), ('u', -1, 341, 0), ('w', -1, 81, 0), ('y', -1, 104, 0), ('z', -1, 40, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 764, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1692, 0), ('r', -1, 1538, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 477, 0), ('ą', 0, -1, 0)), (('a', -1, 765, 0), ('b', -1, 695, 0), ('c', 0, 489, 0), ('d', -1, 263, 0), ('e', -1, 219, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 549, 0), ('k', -1, 24, 0), ('l', -1, 864, 0), ('m', -1, 1197, 0), ('n', -1, 205, 0), ('o', -1, 626, 0), ('p', -1, 1368, 0), ('r', -1, 309, 0), ('s', -1, 518, 0), ('t', -1, 1447, 0), ('w', -1, 1628, 0), ('y', 0, -1, 0), ('z', -1, 770, 0), ('ś', -1, 98, 0), ('ź', 0, -1, 0), ('ż', -1, 902, 0)), (('a', -1, 511, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 616, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 542, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 289, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 490, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 71, 0), ('w', -1, 766, 0), ('z', -1, 237, 0), ('ł', 0, -1, 0), ('ż', -1, 573, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 9, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 3, 93, 0), ('o', -1, 767, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 768, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 751, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 769, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1557, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 614, 0), ('w', -1, 1766, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 518, 0), ('b', 0, 770, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1197, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 434, 0), ('ż', 0, -1, 0)), (('a', -1, 85, 0), ('c', -1, 771, 0), ('d', 0, 36, 0), ('e', -1, 75, 0), ('i', -1, 630, 0), ('l', 0, -1, 0), ('o', -1, 112, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', -1, 118, 0), ('z', 1, -1, 0)), (('a', -1, 73, 0), ('c', -1, 772, 0), ('d', -1, 1759, 0), ('e', -1, 886, 0), ('g', -1, 848, 0), ('i', -1, 487, 0), ('m', 0, 1765, 0), ('o', 0, -1, 0), ('p', -1, 71, 0), ('r', 0, 69, 0), ('s', -1, 622, 0), ('u', 0, -1, 0), ('w', -1, 68, 0), ('y', -1, 137, 0), ('z', -1, 848, 0), ('ą', -1, 418, 0), ('ę', 0, -1, 0)), (('a', -1, 773, 0), ('d', -1, 754, 0), ('e', -1, 208, 0), ('i', -1, 34, 0), ('l', 0, 435, 0), ('o', -1, 421, 0), ('r', -1, 632, 0), ('u', 0, -1, 0), ('z', -1, 573, 0), ('ś', -1, 319, 0)), (('a', -1, 752, 0), ('c', 0, -1, 0), ('d', -1, 4, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 326, 0), ('k', 0, 93, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 773, 0), ('s', 0, -1, 0), ('t', -1, 558, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 65, 0), ('ę', -1, 774, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 775, 0), ('f', 0, -1, 0), ('g', 0, 59, 0), ('h', -1, 61, 0), ('i', -1, 1389, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1763, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 144, 0), ('w', 0, -1, 0), ('y', -1, 276, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 214, 0), ('b', 1, -1, 0), ('c', 0, 776, 0), ('d', -1, 451, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 325, 0), ('m', 0, 57, 0), ('n', 0, -1, 0), ('o', -1, 519, 0), ('p', -1, 1187, 0), ('r', 0, -1, 0), ('s', -1, 252, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 128, 0), ('y', 0, -1, 0), ('z', -1, 12, 0), ('ó', -1, 132, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 777, 0), ('d', -1, 35, 0), ('e', -1, 99, 0), ('i', -1, 779, 0), ('k', -1, 81, 0), ('o', 0, -1, 0), ('r', -1, 762, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 188, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 723, 0), ('d', 0, -1, 0), ('e', -1, 13, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 778, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 37, 0), ('c', -1, 573, 0), ('d', 0, -1, 0), ('e', 0, 42, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 307, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 134, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 780, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 489, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 793, 0), ('l', -1, 1416, 0), ('m', -1, 583, 0), ('n', -1, 1223, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 111, 0), ('ę', -1, 140, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 726, 0), ('e', 0, -1, 0), ('i', 0, 781, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1757, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 152, 0), ('h', 0, -1, 0), ('i', -1, 46, 0), ('k', -1, 395, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, 579, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 782, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 603, 0), ('b', 0, 70, 0), ('c', -1, 156, 0), ('d', 0, 688, 0), ('e', -1, 125, 0), ('g', 0, -1, 0), ('h', -1, 535, 0), ('i', -1, 572, 0), ('k', -1, 783, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', -1, 175, 0), ('o', 0, -1, 0), ('p', -1, 696, 0), ('r', -1, 363, 0), ('s', -1, 159, 0), ('t', -1, 180, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 420, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 165, 0), ('d', -1, 64, 0), ('e', 11, -1, 0), ('i', -1, 718, 0), ('l', -1, 663, 0), ('n', -1, 228, 0), ('o', -1, 90, 0), ('r', -1, 784, 0), ('s', 0, 54, 0), ('t', -1, 83, 0), ('y', -1, 208, 0), ('z', -1, 191, 0)), (('a', -1, 782, 0), ('e', -1, 259, 0), ('i', -1, 283, 0), ('k', -1, 75, 0), ('l', -1, 159, 0), ('o', -1, 183, 0), ('r', -1, 785, 0), ('y', -1, 251, 0), ('z', -1, 89, 0)), (('a', -1, 147, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 74, 0), ('e', -1, 786, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 517, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 716, 0), ('y', -1, 547, 0), ('z', -1, 1195, 0), ('ó', 0, -1, 0), ('ś', -1, 302, 0)), (('a', -1, 152, 0), ('d', 1, -1, 0), ('e', -1, 223, 0), ('i', -1, 787, 0), ('j', 1, -1, 0), ('k', -1, 9, 0), ('l', 0, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 656, 0), ('s', -1, 536, 0), ('t', -1, 245, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, 93, 0)), (('a', -1, 277, 0), ('b', -1, 788, 0), ('c', 0, -1, 0), ('d', -1, 789, 0), ('e', -1, 477, 0), ('g', 0, -1, 0), ('h', -1, 790, 0), ('i', -1, 534, 0), ('k', 0, -1, 0), ('l', 0, 1064, 0), ('n', -1, 656, 0), ('o', -1, 513, 0), ('p', -1, 748, 0), ('r', -1, 304, 0), ('s', -1, 691, 0), ('t', -1, 647, 0), ('w', -1, 4, 0), ('y', -1, 319, 0), ('z', -1, 361, 0)), (('a', -1, 788, 0), ('b', 0, -1, 0), ('c', -1, 46, 0), ('d', 0, -1, 0), ('e', -1, 57, 0), ('f', 0, 4, 0), ('g', 0, 21, 0), ('h', 16, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 788, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 93, 0), ('p', 0, 14, 0), ('r', 0, -1, 0), ('s', -1, 89, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 1, 0), ('y', 0, -1, 0), ('z', -1, 93, 0), ('ó', -1, 13, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ś', -1, 215, 0), ('ź', -1, 421, 0), ('ż', -1, 21, 0)), (('a', -1, 542, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 78, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 425, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 210, 0), ('b', 0, -1, 0), ('c', -1, 145, 0), ('d', -1, 711, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', 0, 26, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 791, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 569, 0), ('r', -1, 699, 0), ('s', -1, 409, 0), ('t', -1, 886, 0), ('u', 0, -1, 0), ('w', -1, 397, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 49, 0)), (('a', -1, 792, 0), ('b', -1, 377, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', -1, 53, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 438, 0), ('p', 0, -1, 0), ('r', -1, 259, 0), ('s', 0, 39, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', -1, 623, 0), ('ó', 0, -1, 0), ('ę', 1, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 682, 0), ('p', 0, 2, 0), ('r', 0, -1, 0), ('s', -1, 559, 0), ('t', -1, 793, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 794, 0), ('b', 0, 1607, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 237, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1670, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1033, 0), ('p', 0, -1, 0), ('r', 0, 13, 0), ('s', 0, -1, 0), ('t', -1, 496, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 518, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 259, 0), ('b', 0, 366, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 795, 0), ('f', 0, -1, 0), ('g', -1, 111, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 102, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 559, 0), ('t', -1, 793, 0), ('u', -1, 547, 0), ('w', 0, -1, 0), ('y', -1, 225, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 563, 0), ('b', -1, 126, 0), ('c', -1, 796, 0), ('d', -1, 1229, 0), ('e', -1, 173, 0), ('i', -1, 89, 0), ('j', -1, 71, 0), ('k', -1, 489, 0), ('l', -1, 334, 0), ('m', 3, -1, 0), ('n', -1, 65, 0), ('o', -1, 16, 0), ('p', -1, 953, 0), ('r', -1, 103, 0), ('s', -1, 316, 0), ('t', -1, 209, 0), ('u', -1, 104, 0), ('w', -1, 1117, 0), ('y', -1, 362, 0), ('z', -1, 98, 0)), (('a', 0, 797, 0), ('d', 0, -1, 0), ('e', -1, 240, 0), ('i', -1, 131, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 165, 0), ('p', 0, -1, 0), ('r', -1, 546, 0), ('u', -1, 1237, 0), ('w', -1, 1266, 0), ('y', -1, 671, 0), ('z', -1, 505, 0), ('ą', -1, 4, 0), ('ł', 0, -1, 0)), (('a', -1, 187, 0), ('b', -1, 13, 0), ('d', 1, -1, 0), ('e', 5, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 227, 0), ('k', 0, 16, 0), ('m', -1, 798, 0), ('o', -1, 192, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('w', 0, 801, 0), ('z', 1, 93, 0), ('ł', 0, 42, 0), ('ż', 1, -1, 0)), (('a', -1, 793, 0), ('c', 0, -1, 0), ('d', 1, 788, 0), ('e', -1, 517, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 799, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 57, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('d', -1, 800, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 3, 1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, 343, 0), ('u', 0, 90, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 170, 0), ('ł', 0, -1, 0), ('ż', -1, 59, 0)), (('a', -1, 155, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 1, 0), ('u', 0, -1, 0), ('z', 0, 57, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 496, 0), ('r', -1, 489, 0), ('s', 1, -1, 0), ('t', -1, 1, 0), ('u', 1, -1, 0), ('w', -1, 802, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', -1, 991, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('d', -1, 58, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 453, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('t', 1, 803, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 1, -1, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 804, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 109, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 622, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 975, 0), ('p', 0, -1, 0), ('r', -1, 138, 0), ('s', 1, -1, 0), ('t', -1, 1220, 0), ('u', 1, -1, 0), ('w', -1, 1099, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', -1, 69, 0), ('ł', -1, 85, 0)), (('a', -1, 24, 0), ('b', -1, 294, 0), ('d', -1, 380, 0), ('e', -1, 157, 0), ('g', -1, 135, 0), ('i', -1, 805, 0), ('l', -1, 597, 0), ('o', -1, 485, 0), ('p', 0, 71, 0), ('r', -1, 806, 0), ('s', -1, 103, 0), ('t', -1, 807, 0), ('w', -1, 153, 0), ('y', -1, 190, 0), ('z', -1, 645, 0), ('ą', -1, 79, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 126, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 203, 0), ('o', -1, 228, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 613, 0), ('t', -1, 782, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 141, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 710, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 15, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 101, 0), ('p', 0, -1, 0), ('r', -1, 430, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 104, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 808, 0), ('b', -1, 490, 0), ('d', -1, 848, 0), ('e', -1, 868, 0), ('f', -1, 617, 0), ('g', -1, 445, 0), ('h', -1, 757, 0), ('i', -1, 98, 0), ('l', -1, 305, 0), ('m', -1, 343, 0), ('n', -1, 1654, 0), ('o', -1, 509, 0), ('p', 0, 85, 0), ('r', -1, 297, 0), ('s', -1, 788, 0), ('t', -1, 483, 0), ('u', -1, 616, 0), ('w', -1, 217, 0), ('y', -1, 868, 0), ('z', -1, 356, 0)), (('a', -1, 8, 0), ('c', -1, 809, 0), ('d', -1, 27, 0), ('e', -1, 237, 0), ('i', 0, 69, 0), ('k', 0, 69, 0), ('l', -1, 350, 0), ('m', 0, 69, 0), ('n', 1, -1, 0), ('o', -1, 160, 0), ('p', -1, 1070, 0), ('r', -1, 180, 0), ('s', -1, 420, 0), ('t', 0, 69, 0), ('u', 0, 42, 0), ('w', 0, 69, 0), ('y', 0, -1, 0), ('z', -1, 34, 0)), (('a', -1, 64, 0), ('e', -1, 164, 0), ('i', -1, 319, 0), ('k', -1, 177, 0), ('o', -1, 43, 0), ('r', -1, 208, 0), ('t', -1, 40, 0), ('u', -1, 689, 0), ('w', -1, 12, 0), ('z', -1, 810, 0), ('ł', -1, 464, 0), ('ż', -1, 156, 0)), (('a', -1, 322, 0), ('b', -1, 446, 0), ('c', -1, 157, 0), ('d', -1, 55, 0), ('e', -1, 517, 0), ('g', -1, 542, 0), ('h', -1, 296, 0), ('i', -1, 811, 0), ('j', -1, 157, 0), ('k', -1, 473, 0), ('o', -1, 1401, 0), ('p', 0, 69, 0), ('r', -1, 1655, 0), ('t', -1, 350, 0), ('u', -1, 753, 0), ('y', -1, 376, 0), ('z', -1, 1094, 0), ('ó', -1, 12, 0)), (('a', -1, 8, 0), ('b', -1, 71, 0), ('c', -1, 659, 0), ('d', -1, 812, 0), ('e', -1, 23, 0), ('f', -1, 478, 0), ('g', -1, 615, 0), ('h', -1, 194, 0), ('i', -1, 354, 0), ('l', -1, 1604, 0), ('m', -1, 183, 0), ('n', -1, 264, 0), ('o', -1, 42, 0), ('p', -1, 79, 0), ('r', -1, 148, 0), ('s', -1, 523, 0), ('t', -1, 158, 0), ('u', 0, -1, 0), ('w', -1, 1116, 0), ('y', -1, 221, 0), ('z', -1, 64, 0)), (('a', -1, 337, 0), ('d', -1, 152, 0), ('e', 0, -1, 0), ('i', -1, 83, 0), ('o', -1, 445, 0), ('p', -1, 365, 0), ('r', -1, 813, 0), ('u', 0, -1, 0), ('z', -1, 648, 0), ('ż', 0, -1, 0)), (('a', -1, 251, 0), ('b', -1, 569, 0), ('d', -1, 569, 0), ('e', -1, 814, 0), ('i', -1, 700, 0), ('o', 0, 153, 0), ('r', -1, 645, 0), ('z', -1, 292, 0)), (('a', -1, 129, 0), ('c', 0, -1, 0), ('d', -1, 4, 0), ('e', 20, -1, 0), ('f', 0, -1, 0), ('i', -1, 236, 0), ('k', 0, -1, 0), ('l', -1, 815, 0), ('m', -1, 818, 0), ('n', -1, 274, 0), ('o', 0, -1, 0), ('p', -1, 480, 0), ('r', -1, 294, 0), ('s', -1, 229, 0), ('t', -1, 327, 0), ('u', 18, -1, 0), ('w', 18, -1, 0), ('y', -1, 242, 0), ('z', -1, 213, 0)), (('a', -1, 689, 0), ('e', -1, 816, 0), ('i', -1, 322, 0), ('m', -1, 35, 0), ('o', -1, 315, 0), ('r', -1, 817, 0), ('s', -1, 574, 0), ('u', -1, 24, 0), ('z', -1, 627, 0), ('ł', -1, 189, 0)), (('a', 0, -1, 0), ('d', -1, 64, 0), ('e', -1, 324, 0), ('i', -1, 26, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 406, 0), ('u', 0, -1, 0), ('y', -1, 278, 0), ('z', -1, 600, 0)), (('a', -1, 61, 0), ('d', 0, -1, 0), ('e', -1, 321, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 663, 0), ('k', -1, 81, 0), ('m', 1, -1, 0), ('n', -1, 30, 0), ('o', -1, 39, 0), ('p', 0, -1, 0), ('r', 23, -1, 0), ('s', -1, 284, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 111, 0), ('z', -1, 191, 0), ('ł', -1, 159, 0)), (('a', -1, 197, 0), ('c', -1, 550, 0), ('d', -1, 458, 0), ('e', -1, 142, 0), ('i', -1, 189, 0), ('j', -1, 63, 0), ('k', -1, 35, 0), ('l', -1, 166, 0), ('o', -1, 12, 0), ('p', -1, 300, 0), ('r', -1, 121, 0), ('s', -1, 819, 0), ('t', -1, 80, 0), ('w', -1, 165, 0), ('y', -1, 319, 0), ('z', -1, 227, 0)), (('a', -1, 356, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 820, 0), ('f', 0, -1, 0), ('i', -1, 966, 0), ('l', 0, -1, 0), ('n', -1, 878, 0), ('o', -1, 373, 0), ('p', 0, -1, 0), ('r', -1, 845, 0), ('s', -1, 1655, 0), ('t', -1, 516, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 49, 0), ('ż', 0, -1, 0)), (('a', -1, 79, 0), ('b', -1, 821, 0), ('c', -1, 80, 0), ('d', -1, 141, 0), ('e', -1, 222, 0), ('i', -1, 689, 0), ('o', -1, 322, 0), ('p', -1, 259, 0), ('r', -1, 62, 0), ('w', -1, 1278, 0), ('y', -1, 222, 0), ('z', -1, 1261, 0)), (('a', -1, 105, 0), ('c', 1, -1, 0), ('d', -1, 325, 0), ('e', -1, 782, 0), ('i', 1, -1, 0), ('o', -1, 822, 0), ('r', -1, 83, 0), ('z', -1, 1296, 0)), (('a', -1, 659, 0), ('b', -1, 97, 0), ('c', 0, -1, 0), ('d', 0, 4, 0), ('e', 1, -1, 0), ('i', -1, 782, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 453, 0), ('o', 1, -1, 0), ('p', 0, 4, 0), ('r', 1, -1, 0), ('s', -1, 823, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 515, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ł', 1, -1, 0), ('ś', 17, -1, 0), ('ź', 0, -1, 0), ('ż', 1, -1, 0)), (('a', 3, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 49, 0), ('i', -1, 276, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 824, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1647, 0), ('y', 1, -1, 0), ('z', 0, -1, 0)), (('a', -1, 131, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 825, 0), ('e', -1, 1558, 0), ('g', 0, -1, 0), ('h', 3, -1, 0), ('i', -1, 1073, 0), ('j', 0, -1, 0), ('l', -1, 1756, 0), ('m', 0, -1, 0), ('n', 3, -1, 0), ('o', -1, 871, 0), ('p', 3, -1, 0), ('r', -1, 1548, 0), ('t', -1, 462, 0), ('w', -1, 1510, 0), ('z', 0, 822, 0), ('ś', -1, 1557, 0), ('ź', -1, 1736, 0), ('ż', -1, 1163, 0)), (('a', -1, 826, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 3, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 735, 0), ('n', 0, -1, 0), ('o', -1, 1115, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 201, 0), ('w', -1, 614, 0), ('z', -1, 94, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 827, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 1305, 0), ('h', -1, 683, 0), ('i', 3, -1, 0), ('j', 0, -1, 0), ('k', -1, 1229, 0), ('l', 3, -1, 0), ('o', -1, 1563, 0), ('p', 0, -1, 0), ('r', -1, 131, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 828, 0), ('b', -1, 100, 0), ('c', -1, 1755, 0), ('d', -1, 1657, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('i', -1, 427, 0), ('l', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 1427, 0), ('s', -1, 1361, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 99, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 53, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 13, 0), ('r', -1, 214, 0), ('s', -1, 829, 0), ('u', -1, 140, 0), ('y', 0, -1, 0), ('z', -1, 830, 0)), (('a', -1, 16, 0), ('e', -1, 13, 0), ('i', 0, -1, 0), ('o', -1, 16, 0), ('r', 0, -1, 0), ('u', -1, 630, 0), ('y', -1, 16, 0), ('ę', 1, -1, 0)), (('a', -1, 548, 0), ('b', 0, -1, 0), ('d', 5, -1, 0), ('e', -1, 13, 0), ('g', 0, -1, 0), ('h', -1, 535, 0), ('i', 0, -1, 0), ('k', -1, 69, 0), ('l', 0, -1, 0), ('o', 1, -1, 0), ('r', 0, -1, 0), ('s', 3, -1, 0), ('t', -1, 139, 0), ('u', -1, 630, 0), ('w', 1, -1, 0), ('y', -1, 831, 0), ('z', -1, 832, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 120, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 259, 0), ('i', -1, 146, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 175, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 372, 0), ('y', 1, -1, 0), ('z', -1, 86, 0), ('ł', 0, -1, 0)), (('a', -1, 833, 0), ('d', 7, -1, 0), ('e', -1, 357, 0), ('i', -1, 834, 0), ('j', -1, 895, 0), ('k', 0, -1, 0), ('l', 49, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 475, 0), ('s', -1, 392, 0), ('t', -1, 728, 0), ('u', 0, -1, 0), ('w', 7, -1, 0), ('y', -1, 246, 0), ('z', -1, 649, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 334, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 298, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 77, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 614, 0), ('y', -1, 39, 0), ('z', -1, 19, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 63, 0), ('c', -1, 835, 0), ('d', -1, 53, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 300, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 38, 0), ('o', -1, 49, 0), ('p', -1, 836, 0), ('r', -1, 120, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 546, 0), ('y', -1, 23, 0), ('z', -1, 838, 0), ('ó', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 22, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 164, 0), ('g', -1, 541, 0), ('h', -1, 156, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('g', -1, 334, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 297, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 837, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 14, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 457, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 2, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 242, 0), ('ą', -1, 512, 0), ('ę', -1, 87, 0), ('ł', 0, -1, 0), ('ś', -1, 43, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 744, 0), ('e', -1, 250, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 618, 0), ('o', 0, -1, 0), ('p', -1, 839, 0), ('r', -1, 145, 0), ('s', 0, -1, 0), ('t', 23, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 84, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 37, 0), ('ś', 0, 143, 0)), (('a', -1, 8, 0), ('c', -1, 207, 0), ('d', 0, -1, 0), ('e', -1, 244, 0), ('i', -1, 122, 0), ('j', -1, 840, 0), ('k', -1, 540, 0), ('l', -1, 1753, 0), ('m', -1, 352, 0), ('n', -1, 1471, 0), ('o', 0, -1, 0), ('r', -1, 965, 0), ('s', -1, 52, 0), ('y', 0, -1, 0), ('z', -1, 1174, 0), ('ż', -1, 1754, 0)), (('a', -1, 841, 0), ('e', -1, 605, 0), ('i', -1, 325, 0), ('o', -1, 473, 0), ('u', -1, 1151, 0), ('y', -1, 1227, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 842, 0), ('d', -1, 1745, 0), ('e', -1, 276, 0), ('f', -1, 1037, 0), ('g', -1, 1747, 0), ('h', -1, 509, 0), ('i', -1, 1680, 0), ('j', -1, 1748, 0), ('k', -1, 1749, 0), ('l', -1, 1750, 0), ('m', 0, 1171, 0), ('n', -1, 1478, 0), ('o', 0, 1246, 0), ('r', -1, 1751, 0), ('s', -1, 184, 0), ('t', 0, 270, 0), ('w', -1, 1752, 0), ('y', 0, -1, 0), ('z', -1, 1706, 0), ('ł', 0, 561, 0), ('ż', -1, 1746, 0)), (('a', -1, 643, 0), ('e', -1, 843, 0), ('i', -1, 205, 0), ('o', -1, 480, 0), ('r', -1, 1256, 0), ('u', -1, 511, 0), ('ą', -1, 561, 0), ('ę', -1, 1744, 0), ('ł', -1, 184, 0)), (('a', 1, -1, 0), ('e', -1, 844, 0), ('i', -1, 291, 0), ('l', -1, 594, 0), ('o', 0, -1, 0), ('p', -1, 598, 0), ('r', 1, -1, 0), ('u', -1, 972, 0), ('y', -1, 73, 0), ('z', 1, -1, 0), ('ó', 1, -1, 0), ('ą', -1, 793, 0), ('ę', 1, -1, 0)), (('a', -1, 845, 0), ('e', -1, 1129, 0), ('f', 0, -1, 0), ('i', -1, 801, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('n', -1, 918, 0), ('o', -1, 1127, 0), ('p', 0, -1, 0), ('r', -1, 736, 0), ('s', -1, 1741, 0), ('u', -1, 974, 0), ('y', 1, -1, 0), ('z', -1, 58, 0), ('ą', 1, -1, 0), ('ę', -1, 821, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', 0, 15, 0), ('m', 0, 16, 0), ('o', 1, -1, 0), ('r', 1, 846, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 53, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 223, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 847, 0), ('r', -1, 93, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 678, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 848, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('g', 0, -1, 0), ('i', -1, 439, 0), ('k', -1, 188, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 341, 0), ('p', 1, 1, 0), ('r', -1, 209, 0), ('s', 0, 42, 0), ('t', -1, 549, 0), ('u', 0, 42, 0), ('w', 0, 849, 0), ('y', -1, 319, 0), ('z', -1, 535, 0)), (('a', -1, 350, 0), ('b', -1, 105, 0), ('c', -1, 377, 0), ('d', -1, 105, 0), ('e', -1, 16, 0), ('i', -1, 287, 0), ('l', -1, 154, 0), ('m', -1, 497, 0), ('n', -1, 604, 0), ('o', 0, 60, 0), ('p', -1, 151, 0), ('r', -1, 29, 0), ('s', -1, 528, 0), ('t', 0, 26, 0), ('u', -1, 39, 0), ('w', -1, 222, 0), ('y', -1, 609, 0), ('z', -1, 377, 0), ('ą', -1, 9, 0), ('ł', -1, 283, 0)), (('a', -1, 468, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('h', 0, -1, 0), ('i', -1, 163, 0), ('k', 0, 13, 0), ('o', -1, 850, 0), ('r', 0, 830, 0), ('s', 1, -1, 0), ('w', 1, -1, 0), ('z', 0, 54, 0), ('ę', -1, 1358, 0)), (('a', -1, 851, 0), ('e', -1, 111, 0), ('g', 0, 69, 0), ('i', -1, 858, 0), ('m', -1, 193, 0), ('o', -1, 192, 0), ('r', -1, 427, 0), ('s', -1, 856, 0), ('t', -1, 635, 0), ('u', -1, 188, 0), ('y', -1, 1058, 0), ('z', -1, 874, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 852, 0), ('h', 0, -1, 0), ('i', -1, 478, 0), ('k', -1, 853, 0), ('l', 0, 816, 0), ('m', -1, 857, 0), ('n', -1, 760, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 848, 0), ('t', -1, 138, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 563, 0), ('z', -1, 107, 0), ('ś', 0, -1, 0)), (('a', 6, 1, 0), ('d', 0, 69, 0), ('e', 0, -1, 0), ('i', -1, 70, 0), ('l', 0, -1, 0), ('n', -1, 92, 0), ('o', -1, 218, 0), ('p', 0, 69, 0), ('r', 0, -1, 0), ('z', -1, 40, 0)), (('a', 17, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 854, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 673, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 792, 0), ('y', 28, -1, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0)), (('a', -1, 539, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 453, 0), ('i', -1, 542, 0), ('j', 11, -1, 0), ('k', -1, 10, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 855, 0), ('o', 0, 856, 0), ('p', 0, -1, 0), ('r', -1, 187, 0), ('s', 0, -1, 0), ('t', 5, -1, 0), ('u', -1, 132, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 160, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0), ('ż', 21, -1, 0)), (('a', -1, 286, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 805, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 320, 0), ('p', -1, 188, 0), ('r', 0, -1, 0), ('s', -1, 673, 0), ('t', 0, -1, 0), ('u', -1, 692, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 306, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 11, -1, 0), ('e', 2, -1, 0), ('i', -1, 169, 0), ('k', -1, 188, 0), ('l', -1, 26, 0), ('m', -1, 194, 0), ('n', -1, 740, 0), ('o', -1, 757, 0), ('p', 1, 253, 0), ('r', -1, 350, 0), ('s', -1, 666, 0), ('t', -1, 40, 0), ('u', -1, 435, 0), ('w', -1, 137, 0), ('y', -1, 298, 0), ('z', -1, 316, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 21, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 110, 0), ('k', 0, -1, 0), ('l', -1, 53, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 664, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 523, 0), ('ł', 0, -1, 0)), (('a', -1, 125, 0), ('c', -1, 480, 0), ('d', -1, 71, 0), ('e', 24, -1, 0), ('g', -1, 480, 0), ('i', -1, 199, 0), ('l', -1, 71, 0), ('m', -1, 859, 0), ('o', -1, 251, 0), ('p', -1, 1602, 0), ('r', -1, 221, 0), ('s', -1, 153, 0), ('u', 0, 70, 0), ('w', 0, 70, 0), ('z', -1, 210, 0)), (('a', -1, 860, 0), ('b', 0, -1, 0), ('c', -1, 678, 0), ('d', 0, -1, 0), ('e', -1, 869, 0), ('g', -1, 837, 0), ('h', 0, -1, 0), ('i', -1, 302, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', -1, 59, 0), ('o', -1, 977, 0), ('p', -1, 673, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 251, 0), ('z', -1, 777, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 53, 0)), (('a', -1, 567, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 861, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 519, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 650, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 560, 0), ('y', 11, -1, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 376, 0), ('b', 0, -1, 0), ('c', -1, 52, 0), ('d', -1, 615, 0), ('e', -1, 787, 0), ('f', 0, -1, 0), ('i', -1, 118, 0), ('k', 0, 32, 0), ('m', 0, -1, 0), ('n', -1, 837, 0), ('o', -1, 615, 0), ('p', 0, -1, 0), ('r', -1, 517, 0), ('s', 0, -1, 0), ('t', -1, 862, 0), ('u', -1, 573, 0), ('w', 0, -1, 0), ('y', -1, 488, 0), ('z', -1, 648, 0), ('ę', -1, 83, 0)), (('a', -1, 858, 0), ('b', -1, 13, 0), ('d', 1, -1, 0), ('e', -1, 863, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 49, 0), ('k', 0, 16, 0), ('m', -1, 798, 0), ('o', -1, 383, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 476, 0), ('u', 0, -1, 0), ('w', 0, 802, 0), ('z', -1, 1740, 0), ('ż', 1, -1, 0)), (('a', -1, 864, 0), ('d', -1, 750, 0), ('e', -1, 485, 0), ('i', -1, 710, 0), ('k', -1, 874, 0), ('l', -1, 818, 0), ('n', -1, 739, 0), ('o', -1, 231, 0), ('r', -1, 354, 0), ('s', -1, 875, 0), ('z', -1, 127, 0), ('ł', -1, 231, 0), ('ż', -1, 448, 0)), (('a', -1, 147, 0), ('d', 0, 70, 0), ('e', -1, 865, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 869, 0), ('s', 0, 69, 0), ('t', -1, 200, 0), ('u', 0, -1, 0), ('y', -1, 547, 0), ('z', 0, 438, 0), ('ó', 0, -1, 0), ('ś', -1, 302, 0), ('ż', 0, 69, 0)), (('a', -1, 119, 0), ('c', -1, 628, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', -1, 787, 0), ('l', 0, -1, 0), ('m', -1, 866, 0), ('o', -1, 305, 0), ('p', -1, 51, 0), ('r', 0, -1, 0), ('s', -1, 372, 0), ('t', -1, 82, 0), ('u', 0, -1, 0), ('w', -1, 867, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 254, 0)), (('a', -1, 47, 0), ('c', -1, 207, 0), ('d', 0, -1, 0), ('e', -1, 182, 0), ('i', -1, 221, 0), ('j', -1, 627, 0), ('k', -1, 540, 0), ('l', -1, 692, 0), ('m', -1, 352, 0), ('n', -1, 349, 0), ('o', 0, 9, 0), ('p', -1, 89, 0), ('r', -1, 240, 0), ('s', -1, 52, 0), ('t', -1, 490, 0), ('u', 0, -1, 0), ('w', 0, 192, 0), ('y', -1, 355, 0), ('z', -1, 325, 0), ('ł', 1, -1, 0), ('ż', -1, 445, 0)), (('a', 0, -1, 0), ('b', -1, 316, 0), ('c', -1, 582, 0), ('d', -1, 45, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 142, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 630, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 421, 0), ('s', -1, 868, 0), ('t', -1, 59, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 40, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 747, 0), ('ż', -1, 13, 0)), (('a', -1, 208, 0), ('b', -1, 481, 0), ('c', 0, 435, 0), ('d', -1, 28, 0), ('e', -1, 323, 0), ('f', -1, 615, 0), ('g', -1, 14, 0), ('i', -1, 392, 0), ('k', -1, 485, 0), ('l', -1, 141, 0), ('m', -1, 710, 0), ('n', -1, 355, 0), ('o', -1, 790, 0), ('p', -1, 86, 0), ('r', -1, 352, 0), ('s', 0, 366, 0), ('t', -1, 28, 0), ('u', -1, 70, 0), ('w', -1, 64, 0), ('y', -1, 423, 0), ('z', -1, 562, 0), ('ę', -1, 308, 0)), (('a', -1, 361, 0), ('d', -1, 339, 0), ('e', -1, 856, 0), ('i', -1, 225, 0), ('k', -1, 113, 0), ('l', -1, 66, 0), ('m', -1, 562, 0), ('n', 0, -1, 0), ('o', -1, 870, 0), ('p', -1, 872, 0), ('r', -1, 358, 0), ('s', -1, 692, 0), ('t', -1, 111, 0), ('u', -1, 697, 0), ('w', -1, 126, 0), ('y', -1, 145, 0), ('z', -1, 521, 0), ('ę', -1, 438, 0), ('ł', -1, 366, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 871, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 86, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 124, 0), ('l', 0, -1, 0), ('m', -1, 189, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 67, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 413, 0), ('z', -1, 136, 0), ('ą', 0, -1, 0), ('ę', -1, 140, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 814, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('i', -1, 209, 0), ('k', -1, 107, 0), ('l', 0, 459, 0), ('n', 3, -1, 0), ('o', -1, 251, 0), ('p', -1, 863, 0), ('r', -1, 453, 0), ('s', 0, 54, 0), ('t', -1, 69, 0), ('w', 0, 42, 0), ('y', 0, -1, 0), ('z', -1, 62, 0), ('ł', 0, -1, 0)), (('a', -1, 595, 0), ('b', 1, -1, 0), ('d', -1, 200, 0), ('e', -1, 244, 0), ('f', 0, -1, 0), ('i', -1, 145, 0), ('j', 0, -1, 0), ('l', 17, 873, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, 4, 0), ('r', 1, -1, 0), ('s', 0, 4, 0), ('t', 0, 70, 0), ('y', -1, 143, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 17, -1, 0), ('d', 17, -1, 0), ('e', -1, 322, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 623, 0), ('u', 1, -1, 0), ('w', 0, 21, 0), ('y', 17, -1, 0), ('z', 17, -1, 0), ('ó', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 118, 0), ('d', -1, 154, 0), ('e', -1, 229, 0), ('i', 0, -1, 0), ('l', 1, -1, 0), ('o', -1, 24, 0), ('r', -1, 861, 0), ('u', 0, 42, 0), ('y', -1, 158, 0), ('z', -1, 535, 0), ('ł', -1, 49, 0)), (('a', -1, 467, 0), ('b', -1, 107, 0), ('d', -1, 154, 0), ('e', -1, 876, 0), ('i', 1, -1, 0), ('o', -1, 877, 0), ('p', 0, 54, 0), ('r', -1, 137, 0), ('s', 0, 54, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('y', -1, 25, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0)), (('a', -1, 334, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 152, 0), ('e', -1, 159, 0), ('h', -1, 327, 0), ('i', -1, 281, 0), ('m', 1, -1, 0), ('o', -1, 428, 0), ('p', 0, 57, 0), ('r', -1, 103, 0), ('s', 1, -1, 0), ('t', -1, 93, 0), ('w', -1, 93, 0), ('z', -1, 156, 0)), (('a', -1, 366, 0), ('b', -1, 93, 0), ('c', -1, 75, 0), ('d', -1, 878, 0), ('e', 1, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('i', -1, 236, 0), ('k', 1, -1, 0), ('l', -1, 879, 0), ('m', 1, -1, 0), ('n', -1, 1706, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 157, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 210, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 13, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('u', 1, -1, 0), ('v', 0, -1, 0), ('w', -1, 254, 0), ('y', -1, 59, 0), ('z', 0, -1, 0), ('ł', 0, 143, 0), ('ż', 1, -1, 0)), (('a', -1, 880, 0), ('c', -1, 19, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 463, 0), ('j', -1, 320, 0), ('l', -1, 108, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 881, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 1325, 0), ('ę', 0, -1, 0), ('ł', -1, 868, 0), ('ż', -1, 1401, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 95, 0), ('i', -1, 188, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 2, 0), ('r', 0, 744, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 456, 0), ('c', -1, 207, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('i', -1, 221, 0), ('j', -1, 882, 0), ('k', -1, 540, 0), ('l', -1, 692, 0), ('m', -1, 352, 0), ('n', -1, 349, 0), ('o', -1, 421, 0), ('r', -1, 240, 0), ('s', -1, 52, 0), ('y', -1, 1687, 0), ('z', -1, 325, 0), ('ż', -1, 445, 0)), (('a', -1, 883, 0), ('e', -1, 630, 0), ('i', -1, 162, 0), ('o', -1, 473, 0), ('u', -1, 1070, 0), ('y', -1, 718, 0)), (('a', -1, 746, 0), ('c', -1, 248, 0), ('d', -1, 337, 0), ('e', -1, 570, 0), ('f', -1, 237, 0), ('g', -1, 475, 0), ('h', -1, 509, 0), ('i', -1, 559, 0), ('j', -1, 742, 0), ('k', -1, 884, 0), ('l', -1, 1170, 0), ('m', 0, 1171, 0), ('n', -1, 604, 0), ('r', -1, 440, 0), ('s', -1, 184, 0), ('t', -1, 970, 0), ('u', -1, 127, 0), ('w', -1, 985, 0), ('z', 0, 710, 0), ('ł', 0, 561, 0), ('ż', -1, 385, 0)), (('a', -1, 885, 0), ('d', -1, 1317, 0), ('e', -1, 168, 0), ('g', 1, -1, 0), ('i', -1, 25, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 511, 0), ('o', -1, 1401, 0), ('p', -1, 1514, 0), ('r', -1, 833, 0), ('s', -1, 702, 0), ('u', -1, 609, 0), ('w', 0, 218, 0), ('y', -1, 998, 0), ('z', -1, 85, 0), ('ą', -1, 596, 0), ('ć', -1, 542, 0), ('ę', -1, 724, 0), ('ł', 0, 85, 0)), (('a', -1, 18, 0), ('b', 0, -1, 0), ('c', -1, 450, 0), ('d', -1, 10, 0), ('e', -1, 30, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 84, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 666, 0), ('n', -1, 886, 0), ('o', -1, 64, 0), ('p', -1, 609, 0), ('r', -1, 240, 0), ('s', -1, 413, 0), ('t', 1, -1, 0), ('u', 0, 698, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', -1, 20, 0), ('d', -1, 57, 0), ('e', 1, -1, 0), ('g', 0, 143, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 3, 0), ('m', 0, 141, 0), ('n', 0, -1, 0), ('o', -1, 87, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 887, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 78, 0), ('b', 0, -1, 0), ('c', -1, 422, 0), ('d', 0, -1, 0), ('e', 6, -1, 0), ('h', -1, 193, 0), ('i', -1, 612, 0), ('j', 0, 89, 0), ('l', 0, -1, 0), ('m', -1, 888, 0), ('n', -1, 693, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1110, 0), ('s', 0, -1, 0), ('t', -1, 554, 0), ('u', -1, 162, 0), ('w', -1, 934, 0), ('y', 0, -1, 0), ('z', -1, 533, 0), ('ą', 0, -1, 0), ('ł', -1, 1045, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 17, 0), ('c', -1, 94, 0), ('d', -1, 218, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 251, 0), ('k', -1, 169, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 366, 0), ('p', -1, 790, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 305, 0), ('u', 0, -1, 0), ('w', 0, 889, 0), ('y', 0, -1, 0), ('z', -1, 1, 0), ('ł', 0, -1, 0)), (('a', -1, 224, 0), ('b', 0, -1, 0), ('c', -1, 262, 0), ('d', 0, -1, 0), ('e', 5, -1, 0), ('g', -1, 5, 0), ('h', -1, 565, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 23, -1, 0), ('n', 36, -1, 0), ('o', -1, 347, 0), ('p', -1, 890, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 139, 0), ('u', 0, -1, 0), ('w', -1, 254, 0), ('z', 0, 42, 0), ('ę', -1, 476, 0), ('ł', -1, 52, 0)), (('a', 0, -1, 0), ('e', -1, 891, 0), ('i', -1, 312, 0), ('l', -1, 1214, 0), ('o', 0, 975, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 892, 0), ('i', -1, 161, 0), ('l', -1, 884, 0), ('o', -1, 1206, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 168, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 748, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', -1, 893, 0), ('j', 0, 801, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1300, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 36, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 254, 0), ('ż', 0, 27, 0)), (('a', -1, 614, 0), ('c', -1, 195, 0), ('d', -1, 246, 0), ('e', -1, 736, 0), ('g', -1, 62, 0), ('i', -1, 252, 0), ('k', -1, 66, 0), ('n', 0, -1, 0), ('o', -1, 409, 0), ('p', -1, 894, 0), ('r', -1, 45, 0), ('s', -1, 716, 0), ('t', -1, 118, 0), ('u', -1, 172, 0), ('w', 1, 49, 0), ('y', -1, 76, 0), ('z', -1, 696, 0), ('ś', -1, 508, 0), ('ź', -1, 308, 0)), (('a', -1, 709, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 154, 0), ('e', -1, 118, 0), ('i', -1, 549, 0), ('k', 0, 59, 0), ('l', -1, 276, 0), ('m', -1, 170, 0), ('n', -1, 895, 0), ('o', -1, 421, 0), ('p', 0, -1, 0), ('r', -1, 305, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 848, 0), ('w', 0, -1, 0), ('y', -1, 128, 0), ('z', -1, 626, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 631, 0), ('g', -1, 896, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 897, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 886, 0), ('u', 0, -1, 0), ('w', -1, 1705, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 1594, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 610, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 192, 0), ('l', 0, -1, 0), ('n', -1, 211, 0), ('o', -1, 398, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('v', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, 12, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 898, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1063, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, 93, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 457, 0), ('ą', 0, -1, 0), ('ł', -1, 491, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 899, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 357, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 56, 0), ('y', 0, -1, 0), ('z', -1, 245, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 3, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 55, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 900, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1452, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 785, 0), ('ł', -1, 999, 0)), (('a', 0, -1, 0), ('b', -1, 901, 0), ('c', 0, 76, 0), ('d', -1, 1011, 0), ('e', 0, -1, 0), ('f', -1, 165, 0), ('g', 0, -1, 0), ('i', -1, 516, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 282, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1704, 0), ('y', 0, -1, 0), ('z', -1, 776, 0)), (('a', -1, 902, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1050, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 709, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1238, 0), ('p', 1, -1, 0), ('r', -1, 192, 0), ('t', -1, 1608, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 366, 0), ('ó', 0, -1, 0)), (('a', -1, 866, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 867, 0), ('g', -1, 541, 0), ('h', 0, -1, 0), ('i', -1, 903, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 154, 0), ('p', 0, -1, 0), ('r', -1, 798, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 198, 0), ('b', -1, 904, 0), ('c', 1, -1, 0), ('d', -1, 281, 0), ('e', -1, 249, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 523, 0), ('j', 20, -1, 0), ('k', -1, 948, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 744, 0), ('p', 0, -1, 0), ('r', -1, 214, 0), ('s', -1, 830, 0), ('t', 0, 744, 0), ('u', -1, 289, 0), ('w', 0, 143, 0), ('z', 0, -1, 0), ('ó', -1, 668, 0)), (('a', -1, 488, 0), ('b', 0, -1, 0), ('c', -1, 684, 0), ('d', 0, 672, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 682, 0), ('h', -1, 193, 0), ('i', -1, 285, 0), ('j', 0, 885, 0), ('k', -1, 905, 0), ('l', -1, 906, 0), ('m', -1, 888, 0), ('n', -1, 907, 0), ('o', -1, 817, 0), ('p', 0, -1, 0), ('r', -1, 133, 0), ('s', 0, -1, 0), ('t', -1, 699, 0), ('u', 0, -1, 0), ('w', -1, 512, 0), ('y', -1, 908, 0), ('z', -1, 187, 0), ('ł', -1, 60, 0), ('ż', 0, 33, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 428, 0), ('d', -1, 790, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 76, 0), ('k', 0, -1, 0), ('l', -1, 222, 0), ('m', 0, -1, 0), ('n', -1, 149, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 244, 0), ('t', -1, 775, 0), ('u', 0, -1, 0), ('w', -1, 2, 0), ('y', 0, -1, 0), ('z', -1, 320, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 293, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 684, 0), ('o', -1, 725, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 63, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 163, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 300, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 148, 0), ('b', -1, 695, 0), ('c', 0, 489, 0), ('d', -1, 263, 0), ('e', 0, -1, 0), ('g', -1, 200, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 549, 0), ('k', -1, 430, 0), ('l', -1, 146, 0), ('m', -1, 447, 0), ('n', -1, 205, 0), ('o', -1, 635, 0), ('p', -1, 565, 0), ('r', -1, 309, 0), ('s', -1, 518, 0), ('t', -1, 439, 0), ('u', 0, -1, 0), ('w', -1, 300, 0), ('y', -1, 837, 0), ('z', -1, 297, 0), ('ł', 0, -1, 0), ('ś', -1, 98, 0), ('ź', 0, -1, 0), ('ż', -1, 327, 0)), (('a', -1, 26, 0), ('c', -1, 315, 0), ('d', -1, 488, 0), ('e', -1, 414, 0), ('i', -1, 74, 0), ('k', -1, 489, 0), ('l', -1, 369, 0), ('m', -1, 336, 0), ('n', -1, 81, 0), ('o', -1, 603, 0), ('p', -1, 366, 0), ('r', -1, 689, 0), ('s', -1, 64, 0), ('t', -1, 909, 0), ('u', -1, 419, 0), ('w', 0, 235, 0), ('y', -1, 1216, 0), ('z', -1, 380, 0)), (('a', -1, 507, 0), ('c', -1, 910, 0), ('d', -1, 1702, 0), ('e', -1, 1688, 0), ('i', -1, 709, 0), ('j', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 146, 0), ('r', 0, -1, 0), ('s', -1, 1703, 0), ('w', 0, 9, 0), ('y', -1, 351, 0), ('z', -1, 868, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 11, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 911, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 912, 0), ('e', -1, 3, 0), ('h', -1, 420, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 1254, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 614, 0), ('ś', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 128, 0), ('b', 0, 269, 0), ('c', -1, 913, 0), ('d', 1, -1, 0), ('e', 0, 171, 0), ('g', 0, -1, 0), ('i', -1, 499, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 788, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 466, 0), ('ł', -1, 94, 0)), (('a', 33, -1, 0), ('b', -1, 600, 0), ('c', 0, -1, 0), ('d', -1, 593, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', -1, 851, 0), ('n', 0, -1, 0), ('o', -1, 914, 0), ('p', 0, -1, 0), ('r', 0, 67, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', -1, 811, 0), ('ę', -1, 757, 0), ('ł', 0, -1, 0)), (('a', -1, 915, 0), ('b', 0, -1, 0), ('c', -1, 628, 0), ('d', -1, 303, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 443, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 297, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 916, 0), ('u', 0, -1, 0), ('w', -1, 994, 0), ('y', 0, -1, 0), ('z', 16, -1, 0), ('ą', -1, 669, 0), ('ę', 0, -1, 0), ('ń', -1, 1245, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 376, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 319, 0), ('k', 1, 93, 0), ('l', -1, 221, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 152, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 107, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 516, 0), ('d', -1, 332, 0), ('e', -1, 49, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 917, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1453, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 1701, 0), ('ó', -1, 533, 0), ('ą', -1, 496, 0)), (('a', -1, 93, 0), ('b', 1, -1, 0), ('e', -1, 918, 0), ('i', -1, 11, 0), ('k', 1, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 700, 0), ('s', 1, -1, 0), ('t', -1, 516, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 1, -1, 0)), (('a', -1, 919, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 267, 0), ('f', 0, -1, 0), ('i', -1, 1047, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 949, 0), ('r', 0, 546, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', -1, 797, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 920, 0), ('d', 0, -1, 0), ('e', -1, 887, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 158, 0)), (('a', -1, 885, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 921, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1049, 0), ('p', 0, -1, 0), ('r', 0, 4, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 922, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 237, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 305, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 75, 0), ('y', 0, -1, 0), ('z', -1, 924, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 254, 0)), (('a', -1, 236, 0), ('e', 24, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', -1, 923, 0), ('m', 0, -1, 0), ('o', -1, 179, 0), ('r', 1, -1, 0), ('t', 1, -1, 0), ('w', 0, 21, 0), ('z', -1, 550, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 660, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, 1, 0), ('k', 0, -1, 0), ('m', -1, 192, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 293, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 143, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('d', -1, 925, 0), ('e', -1, 832, 0), ('i', -1, 622, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 513, 0), ('s', 17, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 53, 0)), (('a', 0, -1, 0), ('b', -1, 189, 0), ('c', -1, 420, 0), ('d', -1, 362, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 725, 0), ('h', -1, 724, 0), ('i', -1, 334, 0), ('j', 0, -1, 0), ('k', -1, 926, 0), ('l', -1, 318, 0), ('m', -1, 603, 0), ('n', -1, 915, 0), ('o', -1, 96, 0), ('p', -1, 555, 0), ('r', 0, 928, 0), ('s', -1, 212, 0), ('t', -1, 757, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 348, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', -1, 927, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 189, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 67, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 413, 0), ('z', -1, 136, 0), ('ą', 0, -1, 0), ('ę', -1, 140, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 744, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 23, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 20, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 93, 0), ('ł', 0, -1, 0)), (('a', -1, 134, 0), ('b', 0, -1, 0), ('c', -1, 386, 0), ('d', 0, -1, 0), ('e', -1, 129, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 929, 0), ('k', 0, -1, 0), ('l', -1, 522, 0), ('m', 0, -1, 0), ('n', -1, 308, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 69, 0), ('s', -1, 567, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 69, 0), ('y', 13, -1, 0), ('z', -1, 37, 0), ('ł', 0, -1, 0)), (('a', -1, 85, 0), ('c', -1, 930, 0), ('e', -1, 67, 0), ('i', -1, 921, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 679, 0), ('t', -1, 567, 0), ('z', 0, -1, 0)), (('a', -1, 73, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 455, 0), ('i', -1, 487, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 931, 0), ('z', 0, 888, 0), ('ó', 0, -1, 0), ('ą', -1, 289, 0), ('ę', 0, -1, 0), ('ż', 0, 21, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 517, 0), ('i', -1, 817, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 652, 0), ('r', -1, 932, 0), ('s', 0, -1, 0), ('t', -1, 355, 0), ('u', -1, 788, 0), ('y', -1, 936, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 933, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 190, 0), ('r', -1, 935, 0), ('s', -1, 377, 0), ('t', -1, 380, 0), ('z', -1, 902, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 21, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 934, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 25, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 422, 0), ('b', -1, 333, 0), ('d', 0, 69, 0), ('e', 0, -1, 0), ('h', -1, 320, 0), ('i', -1, 456, 0), ('j', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, 419, 0), ('r', -1, 157, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 350, 0), ('y', -1, 52, 0), ('z', -1, 229, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 286, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 10, -1, 0), ('j', -1, 239, 0), ('k', 0, -1, 0), ('l', 0, 29, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 10, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 29, 0), ('y', 0, -1, 0), ('z', -1, 73, 0), ('ą', 10, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 557, 0)), (('a', -1, 234, 0), ('b', -1, 97, 0), ('c', 1, 937, 0), ('d', -1, 57, 0), ('e', 0, 281, 0), ('g', 1, 1, 0), ('i', -1, 938, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 1539, 0), ('o', -1, 715, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', -1, 152, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 15, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 52, 0), ('r', 0, 212, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 39, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 939, 0), ('e', -1, 276, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, 57, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 251, 0), ('p', -1, 992, 0), ('r', 0, -1, 0), ('s', -1, 145, 0), ('t', -1, 788, 0), ('w', 1, -1, 0), ('y', -1, 158, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 17, 0), ('b', 1, 940, 0), ('d', 0, -1, 0), ('e', -1, 25, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 13, 0), ('o', 0, 42, 0), ('p', 1, -1, 0), ('r', 30, -1, 0), ('s', 0, -1, 0), ('t', -1, 1229, 0), ('u', 0, 42, 0), ('w', 0, -1, 0), ('y', -1, 25, 0), ('z', -1, 535, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', -1, 548, 0), ('j', -1, 114, 0), ('k', -1, 517, 0), ('m', -1, 478, 0), ('n', -1, 941, 0), ('o', 1, -1, 0), ('r', -1, 1648, 0), ('t', -1, 264, 0), ('u', -1, 303, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, 57, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 433, 0), ('g', -1, 366, 0), ('i', -1, 942, 0), ('o', -1, 43, 0), ('y', -1, 222, 0), ('z', -1, 4, 0)), (('a', -1, 58, 0), ('b', 1, -1, 0), ('c', -1, 653, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 943, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 16, 788, 0), ('m', -1, 1048, 0), ('n', -1, 13, 0), ('o', 0, 1110, 0), ('p', 1, 100, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 63, 0), ('y', 0, -1, 0), ('z', -1, 851, 0)), (('a', -1, 23, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', 18, -1, 0), ('i', 0, -1, 0), ('m', -1, 293, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 211, 0), ('s', -1, 384, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 944, 0), ('y', 1, -1, 0), ('z', -1, 372, 0), ('ł', -1, 1034, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 247, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', -1, 945, 0), ('k', -1, 16, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1527, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 3, -1, 0), ('t', -1, 175, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 803, 0), ('ń', -1, 251, 0), ('ż', -1, 484, 0)), (('a', -1, 681, 0), ('b', -1, 377, 0), ('d', 0, -1, 0), ('e', -1, 912, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 946, 0), ('z', -1, 91, 0), ('ę', 0, -1, 0)), (('a', -1, 947, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1046, 0), ('e', 0, -1, 0), ('g', 0, 12, 0), ('h', -1, 604, 0), ('i', -1, 540, 0), ('k', -1, 93, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 16, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 93, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', -1, 21, 0)), (('a', -1, 27, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 948, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 1001, 0), ('p', 0, -1, 0), ('r', -1, 1215, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, 54, 0), ('w', 0, 54, 0), ('y', -1, 149, 0), ('z', -1, 27, 0), ('ż', 0, -1, 0)), (('a', -1, 16, 0), ('b', -1, 698, 0), ('d', -1, 325, 0), ('e', -1, 98, 0), ('g', -1, 86, 0), ('i', 23, -1, 0), ('k', -1, 40, 0), ('l', 0, 1, 0), ('m', -1, 71, 0), ('n', -1, 64, 0), ('o', -1, 76, 0), ('p', -1, 458, 0), ('r', -1, 42, 0), ('s', -1, 197, 0), ('t', -1, 64, 0), ('w', -1, 949, 0), ('y', -1, 513, 0), ('z', -1, 522, 0)), (('a', -1, 531, 0), ('d', -1, 888, 0), ('e', -1, 950, 0), ('i', -1, 715, 0), ('k', -1, 229, 0), ('m', -1, 121, 0), ('o', -1, 1319, 0), ('p', -1, 477, 0), ('r', -1, 65, 0), ('s', 1, -1, 0), ('t', -1, 26, 0), ('u', -1, 208, 0), ('y', -1, 1071, 0), ('z', 0, -1, 0)), (('a', -1, 373, 0), ('b', -1, 347, 0), ('e', -1, 71, 0), ('g', -1, 265, 0), ('i', -1, 754, 0), ('l', -1, 274, 0), ('m', -1, 337, 0), ('n', -1, 951, 0), ('o', -1, 885, 0), ('p', -1, 79, 0), ('r', -1, 871, 0), ('w', 0, 1264, 0), ('z', -1, 967, 0)), (('a', -1, 600, 0), ('e', -1, 616, 0), ('g', -1, 51, 0), ('i', -1, 80, 0), ('m', -1, 952, 0), ('o', -1, 509, 0), ('p', -1, 370, 0), ('r', -1, 196, 0), ('t', -1, 557, 0), ('w', -1, 190, 0), ('y', -1, 953, 0), ('z', -1, 316, 0), ('ł', -1, 756, 0)), (('a', -1, 239, 0), ('c', 0, -1, 0), ('d', 0, 69, 0), ('e', -1, 584, 0), ('h', 23, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 838, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 9, 0), ('p', 0, 69, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 240, 0), ('u', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 481, 0), ('c', 0, 954, 0), ('d', 0, 154, 0), ('e', -1, 101, 0), ('i', -1, 195, 0), ('k', -1, 1018, 0), ('l', 1, -1, 0), ('m', -1, 648, 0), ('n', -1, 78, 0), ('o', -1, 33, 0), ('p', 1, -1, 0), ('r', -1, 84, 0), ('s', -1, 499, 0), ('t', -1, 338, 0), ('u', -1, 68, 0), ('w', 1, -1, 0), ('y', -1, 204, 0), ('z', -1, 169, 0), ('ą', -1, 285, 0)), (('a', -1, 90, 0), ('b', 0, 69, 0), ('c', -1, 251, 0), ('d', -1, 557, 0), ('e', 24, -1, 0), ('g', -1, 79, 0), ('i', -1, 143, 0), ('k', -1, 615, 0), ('l', -1, 720, 0), ('m', -1, 955, 0), ('n', -1, 153, 0), ('o', -1, 350, 0), ('p', -1, 938, 0), ('r', -1, 307, 0), ('s', -1, 938, 0), ('t', 0, 69, 0), ('u', -1, 139, 0), ('w', 0, 1472, 0), ('y', -1, 596, 0), ('z', -1, 241, 0), ('ł', -1, 41, 0), ('ż', -1, 25, 0)), (('a', -1, 105, 0), ('b', -1, 173, 0), ('e', -1, 956, 0), ('g', -1, 480, 0), ('i', -1, 521, 0), ('l', -1, 126, 0), ('o', -1, 299, 0), ('r', -1, 1350, 0), ('u', -1, 362, 0), ('y', -1, 818, 0), ('z', -1, 564, 0), ('ę', -1, 911, 0)), (('a', -1, 139, 0), ('d', -1, 406, 0), ('e', -1, 870, 0), ('g', -1, 125, 0), ('i', 11, -1, 0), ('k', -1, 957, 0), ('n', 0, 858, 0), ('o', -1, 615, 0), ('p', -1, 551, 0), ('r', -1, 76, 0), ('s', -1, 1602, 0), ('t', -1, 294, 0), ('w', 0, 1588, 0), ('z', -1, 266, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ż', -1, 65, 0)), (('a', -1, 742, 0), ('e', -1, 277, 0), ('i', -1, 617, 0), ('o', 0, 42, 0), ('r', -1, 958, 0), ('s', -1, 100, 0), ('z', -1, 173, 0)), (('a', -1, 959, 0), ('b', 0, -1, 0), ('c', -1, 150, 0), ('d', 0, -1, 0), ('e', -1, 592, 0), ('f', 0, -1, 0), ('h', -1, 193, 0), ('i', -1, 390, 0), ('j', 0, 89, 0), ('l', -1, 961, 0), ('m', -1, 888, 0), ('n', -1, 764, 0), ('o', -1, 946, 0), ('p', 0, -1, 0), ('r', 0, 1695, 0), ('s', 0, -1, 0), ('t', 41, 1699, 0), ('w', -1, 1617, 0), ('z', -1, 1559, 0), ('ł', -1, 1665, 0), ('ż', 0, -1, 0)), (('a', -1, 21, 0), ('b', -1, 11, 0), ('c', -1, 623, 0), ('e', 5, -1, 0), ('f', 1, -1, 0), ('i', -1, 581, 0), ('l', -1, 154, 0), ('m', 1, 350, 0), ('n', -1, 960, 0), ('o', -1, 107, 0), ('p', -1, 128, 0), ('r', -1, 258, 0), ('s', -1, 31, 0), ('w', 0, 418, 0), ('y', -1, 69, 0), ('z', -1, 877, 0)), (('a', -1, 41, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 312, 0), ('e', -1, 95, 0), ('g', 0, -1, 0), ('h', -1, 23, 0), ('i', -1, 15, 0), ('j', -1, 89, 0), ('k', -1, 93, 0), ('l', -1, 151, 0), ('m', -1, 89, 0), ('n', -1, 15, 0), ('o', -1, 13, 0), ('p', 1, -1, 0), ('r', -1, 75, 0), ('t', -1, 251, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 13, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 342, 0), ('ź', 0, -1, 0), ('ż', -1, 13, 0)), (('a', -1, 962, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 196, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 964, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', -1, 23, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 33, 0), ('c', 0, -1, 0), ('d', 0, 84, 0), ('e', 0, -1, 0), ('f', -1, 165, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 604, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 510, 0), ('p', 0, -1, 0), ('r', -1, 681, 0), ('s', 0, -1, 0), ('t', -1, 963, 0), ('u', 0, -1, 0), ('w', -1, 127, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 7, 0)), (('a', -1, 24, 0), ('d', 0, 143, 0), ('e', -1, 868, 0), ('i', -1, 56, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 965, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 58, 0), ('b', 0, -1, 0), ('d', -1, 515, 0), ('e', -1, 966, 0), ('g', -1, 972, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('k', -1, 1693, 0), ('m', 0, 12, 0), ('o', -1, 824, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 402, 0), ('t', -1, 57, 0), ('u', 0, -1, 0), ('w', 0, 12, 0), ('y', -1, 788, 0), ('z', -1, 1044, 0), ('ę', 0, -1, 0)), (('a', -1, 125, 0), ('b', 1, -1, 0), ('d', -1, 71, 0), ('e', -1, 276, 0), ('h', -1, 72, 0), ('i', -1, 489, 0), ('l', -1, 672, 0), ('m', 0, -1, 0), ('n', -1, 79, 0), ('o', -1, 251, 0), ('p', 1, -1, 0), ('r', -1, 153, 0), ('s', -1, 967, 0), ('t', 0, 968, 0), ('w', -1, 219, 0), ('y', -1, 276, 0), ('z', -1, 622, 0)), (('a', -1, 133, 0), ('d', 1, -1, 0), ('e', -1, 549, 0), ('i', -1, 16, 0), ('j', 0, -1, 0), ('o', -1, 352, 0), ('r', 0, 862, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0)), (('a', -1, 690, 0), ('d', 0, -1, 0), ('e', -1, 969, 0), ('i', -1, 132, 0), ('l', 0, 245, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0)), (('a', -1, 208, 0), ('e', -1, 970, 0), ('i', 5, -1, 0), ('l', -1, 141, 0), ('o', -1, 790, 0), ('u', -1, 70, 0), ('y', -1, 423, 0), ('z', 0, -1, 0), ('ę', -1, 308, 0)), (('a', -1, 197, 0), ('d', -1, 180, 0), ('e', 13, -1, 0), ('h', -1, 699, 0), ('i', -1, 101, 0), ('j', -1, 15, 0), ('l', 0, -1, 0), ('o', -1, 489, 0), ('p', 0, -1, 0), ('r', -1, 69, 0), ('s', -1, 971, 0), ('w', 0, 4, 0), ('y', -1, 565, 0), ('z', -1, 353, 0), ('ą', -1, 154, 0), ('ę', -1, 149, 0), ('ł', 0, -1, 0)), (('a', -1, 485, 0), ('b', 0, -1, 0), ('c', -1, 251, 0), ('d', 0, -1, 0), ('e', -1, 222, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 836, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 341, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 111, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, 669, 0), ('ż', 0, -1, 0)), (('a', -1, 301, 0), ('e', -1, 397, 0), ('g', 1, -1, 0), ('i', -1, 226, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('s', 0, 59, 0), ('u', 1, -1, 0), ('y', -1, 16, 0), ('z', 1, -1, 0), ('ę', -1, 973, 0), ('ł', -1, 15, 0)), (('a', -1, 974, 0), ('d', 0, -1, 0), ('e', -1, 1274, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, 93, 0), ('l', 0, 671, 0), ('m', 0, -1, 0), ('o', -1, 791, 0), ('r', -1, 24, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', -1, 1018, 0), ('z', -1, 1692, 0), ('ł', -1, 152, 0)), (('a', -1, 120, 0), ('d', 0, 54, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 13, 0), ('j', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 975, 0), ('p', -1, 69, 0), ('r', 0, -1, 0), ('s', -1, 678, 0), ('t', -1, 53, 0), ('u', 1, -1, 0), ('w', -1, 978, 0), ('y', 1, -1, 0), ('z', 1, -1, 0)), (('a', -1, 156, 0), ('b', -1, 552, 0), ('c', -1, 831, 0), ('d', 0, 9, 0), ('e', 14, -1, 0), ('h', 0, -1, 0), ('i', -1, 50, 0), ('k', -1, 307, 0), ('l', -1, 976, 0), ('m', -1, 128, 0), ('n', -1, 162, 0), ('o', 0, -1, 0), ('p', -1, 977, 0), ('r', -1, 149, 0), ('s', -1, 4, 0), ('t', -1, 617, 0), ('u', -1, 132, 0), ('w', -1, 598, 0), ('y', -1, 4, 0), ('z', -1, 151, 0), ('ż', 0, 69, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 347, 0), ('d', 0, -1, 0), ('e', -1, 342, 0), ('g', -1, 509, 0), ('h', -1, 173, 0), ('i', 0, -1, 0), ('j', -1, 275, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 134, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 36, 0), ('t', -1, 321, 0), ('u', -1, 231, 0), ('w', 0, 12, 0), ('y', -1, 78, 0), ('z', 0, -1, 0), ('ł', -1, 514, 0), ('ż', -1, 27, 0)), (('a', -1, 398, 0), ('c', -1, 666, 0), ('d', -1, 57, 0), ('e', -1, 240, 0), ('i', -1, 163, 0), ('k', 1, 312, 0), ('l', 0, 31, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 37, 0), ('p', -1, 243, 0), ('r', -1, 947, 0), ('s', -1, 26, 0), ('t', 0, -1, 0), ('u', 23, -1, 0), ('w', 1, -1, 0), ('y', -1, 644, 0), ('z', -1, 447, 0)), (('a', -1, 938, 0), ('b', 1, -1, 0), ('c', -1, 979, 0), ('d', 0, -1, 0), ('e', -1, 105, 0), ('i', -1, 524, 0), ('j', 1, -1, 0), ('l', 0, -1, 0), ('n', -1, 1434, 0), ('o', -1, 150, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 307, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 7, 0), ('e', -1, 429, 0), ('f', -1, 137, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 422, 0), ('m', -1, 477, 0), ('o', 0, -1, 0), ('p', 0, 143, 0), ('r', 0, -1, 0), ('s', 0, 69, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 980, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 981, 0)), (('a', 0, -1, 0), ('b', -1, 63, 0), ('c', 0, -1, 0), ('d', 0, 85, 0), ('e', -1, 893, 0), ('f', 0, -1, 0), ('i', -1, 261, 0), ('m', 0, -1, 0), ('n', -1, 38, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 465, 0), ('s', 0, -1, 0), ('w', -1, 546, 0), ('y', 0, -1, 0), ('z', -1, 140, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 982, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 309, 0), ('i', 0, -1, 0), ('j', -1, 904, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 369, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1029, 0)), (('a', -1, 983, 0), ('d', -1, 141, 0), ('e', -1, 1358, 0), ('i', -1, 347, 0), ('n', -1, 446, 0), ('o', -1, 1010, 0), ('r', 0, -1, 0), ('z', 0, 69, 0), ('ą', -1, 228, 0)), (('a', -1, 165, 0), ('c', -1, 984, 0), ('e', -1, 43, 0), ('i', -1, 985, 0), ('j', 0, 193, 0), ('n', -1, 1410, 0), ('o', -1, 563, 0), ('p', -1, 1602, 0), ('r', -1, 635, 0), ('u', -1, 24, 0), ('z', -1, 1613, 0), ('ą', -1, 67, 0), ('ł', -1, 689, 0)), (('a', -1, 724, 0), ('e', -1, 756, 0), ('i', -1, 437, 0), ('m', -1, 438, 0), ('o', -1, 437, 0), ('r', -1, 135, 0), ('t', -1, 71, 0), ('z', -1, 539, 0)), (('a', -1, 807, 0), ('d', 0, 60, 0), ('e', -1, 754, 0), ('i', -1, 143, 0), ('l', -1, 695, 0), ('o', -1, 140, 0), ('p', 0, 60, 0), ('r', -1, 363, 0), ('s', 0, 986, 0), ('t', -1, 438, 0), ('u', -1, 232, 0), ('w', -1, 987, 0), ('y', -1, 483, 0), ('z', -1, 524, 0)), (('a', -1, 61, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 6, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 135, 0), ('p', 0, -1, 0), ('r', -1, 87, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 177, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 954, 0), ('b', 1, -1, 0), ('d', -1, 64, 0), ('e', -1, 988, 0), ('g', -1, 28, 0), ('i', -1, 1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 868, 0), ('p', -1, 229, 0), ('r', -1, 515, 0), ('s', -1, 633, 0), ('u', -1, 204, 0), ('w', 0, -1, 0), ('y', -1, 1064, 0), ('z', 0, -1, 0)), (('a', 1, -1, 0), ('b', -1, 440, 0), ('c', 0, -1, 0), ('d', -1, 989, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 429, 0), ('l', 0, -1, 0), ('m', -1, 943, 0), ('n', 0, -1, 0), ('o', -1, 246, 0), ('p', 0, -1, 0), ('r', -1, 264, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0)), (('a', -1, 713, 0), ('b', 0, -1, 0), ('c', -1, 990, 0), ('d', -1, 1657, 0), ('e', -1, 581, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 12, 0), ('p', 0, -1, 0), ('r', -1, 1427, 0), ('s', -1, 1361, 0), ('u', 0, -1, 0), ('y', -1, 308, 0), ('z', -1, 685, 0), ('ą', 1, -1, 0), ('ł', -1, 75, 0)), (('a', -1, 991, 0), ('d', -1, 812, 0), ('e', -1, 1310, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('o', -1, 822, 0), ('r', -1, 15, 0), ('u', -1, 831, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 1207, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ń', -1, 1691, 0)), (('a', 1, -1, 0), ('b', -1, 1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 157, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', -1, 992, 0), ('t', 1, -1, 0), ('u', -1, 31, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 53, 0), ('ł', 1, -1, 0)), (('a', -1, 207, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 581, 0), ('g', -1, 427, 0), ('h', -1, 113, 0), ('i', -1, 325, 0), ('k', -1, 410, 0), ('l', 0, -1, 0), ('m', -1, 993, 0), ('n', 0, -1, 0), ('o', -1, 278, 0), ('p', 0, -1, 0), ('r', -1, 131, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('-', 0, -1, 0), ('a', 0, -1, 0), ('b', -1, 751, 0), ('c', -1, 994, 0), ('d', -1, 1010, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1364, 0), ('h', -1, 423, 0), ('i', -1, 896, 0), ('j', -1, 405, 0), ('k', -1, 1689, 0), ('l', 0, -1, 0), ('m', -1, 979, 0), ('n', -1, 1155, 0), ('o', -1, 246, 0), ('p', 0, -1, 0), ('r', -1, 1047, 0), ('s', -1, 1182, 0), ('t', -1, 1690, 0), ('u', -1, 1215, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 456, 0), ('ę', 0, -1, 0), ('ł', -1, 936, 0), ('ż', -1, 997, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 251, 0), ('k', 0, -1, 0), ('l', -1, 995, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 789, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 53, 0), ('u', 0, -1, 0), ('w', -1, 997, 0), ('y', -1, 23, 0), ('z', -1, 53, 0), ('ć', 1, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 713, 0), ('c', -1, 207, 0), ('d', 0, -1, 0), ('e', -1, 598, 0), ('i', -1, 221, 0), ('j', -1, 507, 0), ('k', -1, 540, 0), ('l', -1, 692, 0), ('m', -1, 352, 0), ('n', -1, 349, 0), ('o', 1, -1, 0), ('p', -1, 188, 0), ('r', -1, 240, 0), ('s', -1, 52, 0), ('u', 1, -1, 0), ('w', -1, 996, 0), ('z', -1, 325, 0), ('ż', -1, 445, 0)), (('a', 11, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 187, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 254, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 278, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 998, 0), ('e', -1, 666, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 975, 0), ('n', 0, -1, 0), ('o', -1, 536, 0), ('p', -1, 321, 0), ('r', -1, 232, 0), ('s', -1, 1002, 0), ('t', -1, 879, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 999, 0), ('c', 0, 69, 0), ('d', -1, 572, 0), ('e', -1, 491, 0), ('i', -1, 159, 0), ('l', -1, 789, 0), ('m', -1, 414, 0), ('n', -1, 1000, 0), ('o', -1, 164, 0), ('p', 0, 69, 0), ('r', -1, 200, 0), ('s', -1, 782, 0), ('t', -1, 1001, 0), ('w', -1, 324, 0), ('y', -1, 441, 0), ('z', -1, 574, 0), ('ą', 0, -1, 0), ('ł', -1, 321, 0)), (('a', -1, 663, 0), ('b', 1, -1, 0), ('c', -1, 287, 0), ('d', -1, 65, 0), ('e', -1, 313, 0), ('g', 0, -1, 0), ('i', -1, 190, 0), ('k', -1, 545, 0), ('l', -1, 118, 0), ('m', 1, -1, 0), ('n', -1, 238, 0), ('o', -1, 489, 0), ('p', 1, -1, 0), ('r', -1, 320, 0), ('s', 0, -1, 0), ('t', -1, 367, 0), ('u', -1, 139, 0), ('w', -1, 13, 0), ('y', -1, 75, 0), ('z', -1, 169, 0), ('ą', -1, 37, 0), ('ę', -1, 84, 0)), (('a', 0, -1, 0), ('d', 17, -1, 0), ('e', 0, -1, 0), ('i', -1, 572, 0), ('m', 0, -1, 0), ('o', 17, -1, 0), ('y', 17, -1, 0)), (('a', -1, 156, 0), ('c', 0, -1, 0), ('d', -1, 200, 0), ('e', 13, -1, 0), ('i', -1, 326, 0), ('o', -1, 160, 0), ('p', 1, -1, 0), ('r', 0, 777, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, 70, 0), ('y', -1, 158, 0), ('z', -1, 218, 0), ('ś', -1, 154, 0), ('ż', 0, -1, 0)), (('a', -1, 226, 0), ('e', -1, 338, 0), ('f', -1, 747, 0), ('i', 0, -1, 0), ('l', -1, 1003, 0), ('m', -1, 24, 0), ('n', -1, 137, 0), ('o', 0, 47, 0), ('r', -1, 1009, 0), ('s', -1, 70, 0), ('u', -1, 356, 0), ('y', 0, -1, 0), ('z', -1, 143, 0)), (('a', -1, 328, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 132, 0), ('p', -1, 294, 0), ('r', -1, 13, 0), ('s', 0, -1, 0), ('u', 0, 1004, 0), ('y', -1, 4, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('d', -1, 472, 0), ('e', 5, -1, 0), ('i', -1, 74, 0), ('o', -1, 1005, 0), ('r', -1, 804, 0), ('s', -1, 1006, 0), ('z', -1, 188, 0)), (('a', -1, 573, 0), ('b', 0, -1, 0), ('d', -1, 7, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 695, 0), ('i', -1, 210, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 135, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 413, 0), ('e', -1, 563, 0), ('i', -1, 239, 0), ('l', -1, 537, 0), ('o', -1, 502, 0), ('r', -1, 609, 0), ('z', -1, 1007, 0)), (('a', -1, 614, 0), ('b', -1, 63, 0), ('c', 0, -1, 0), ('d', -1, 436, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', -1, 1, 0), ('k', -1, 714, 0), ('m', 0, -1, 0), ('n', -1, 1008, 0), ('o', -1, 486, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', -1, 126, 0), ('w', -1, 546, 0), ('y', 0, -1, 0), ('z', -1, 994, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 22, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 21, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 36, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 304, 0), ('ł', 0, -1, 0), ('ś', -1, 44, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 355, 0), ('g', 0, -1, 0), ('h', -1, 31, 0), ('i', 7, -1, 0), ('j', 0, -1, 0), ('k', 0, 343, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 150, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 143, 0), ('d', 0, 70, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 263, 0), ('i', 0, -1, 0), ('k', -1, 1011, 0), ('l', 0, -1, 0), ('m', -1, 477, 0), ('n', 0, -1, 0), ('o', -1, 255, 0), ('p', -1, 117, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, 534, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 708, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 369, 0), ('d', -1, 1012, 0), ('e', -1, 538, 0), ('h', -1, 1013, 0), ('i', -1, 445, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 16, 0), ('y', 0, -1, 0), ('z', -1, 490, 0), ('ł', 0, -1, 0)), (('a', -1, 186, 0), ('b', 0, -1, 0), ('e', -1, 634, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 24, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 534, 0), ('z', -1, 93, 0), ('ż', -1, 21, 0)), (('a', -1, 601, 0), ('c', -1, 373, 0), ('d', 0, 69, 0), ('e', -1, 154, 0), ('i', -1, 928, 0), ('k', -1, 634, 0), ('l', -1, 557, 0), ('m', -1, 1014, 0), ('n', -1, 856, 0), ('o', -1, 90, 0), ('p', -1, 263, 0), ('r', 0, 68, 0), ('s', -1, 217, 0), ('t', -1, 509, 0), ('u', -1, 42, 0), ('w', -1, 51, 0), ('y', -1, 1401, 0), ('z', -1, 209, 0)), (('a', -1, 609, 0), ('c', -1, 1015, 0), ('d', -1, 141, 0), ('e', 24, -1, 0), ('i', -1, 1016, 0), ('j', -1, 1017, 0), ('k', -1, 115, 0), ('l', -1, 1022, 0), ('o', -1, 1013, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', -1, 350, 0), ('z', -1, 1089, 0), ('ś', -1, 457, 0), ('ż', -1, 921, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 666, 0), ('h', 1, -1, 0), ('i', -1, 1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 788, 0), ('b', -1, 63, 0), ('c', 0, -1, 0), ('d', 0, 70, 0), ('e', -1, 476, 0), ('f', 0, -1, 0), ('i', -1, 334, 0), ('m', 0, -1, 0), ('n', -1, 1008, 0), ('o', -1, 283, 0), ('p', 0, -1, 0), ('r', -1, 276, 0), ('s', 0, -1, 0), ('u', -1, 788, 0), ('w', -1, 546, 0), ('z', -1, 140, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 1018, 0), ('p', 1, -1, 0), ('r', -1, 1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 1019, 0), ('ł', 1, -1, 0)), (('a', -1, 364, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 803, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 7, 0), ('j', 20, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, 496, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 660, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('z', -1, 678, 0), ('ó', 1, -1, 0), ('ł', 1, 93, 0)), (('a', -1, 1020, 0), ('c', 1, -1, 0), ('e', -1, 188, 0), ('i', -1, 185, 0), ('o', 0, 42, 0), ('r', -1, 831, 0), ('z', -1, 1021, 0), ('ż', -1, 229, 0)), (('-', 0, -1, 0), ('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 51, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 168, 0), ('p', -1, 43, 0), ('r', -1, 243, 0), ('t', 1, 58, 0), ('u', -1, 490, 0), ('w', -1, 93, 0), ('y', 0, -1, 0), ('z', -1, 376, 0), ('ż', 0, 59, 0)), (('a', -1, 550, 0), ('e', 0, -1, 0), ('i', -1, 908, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 7, 0), ('r', -1, 715, 0), ('u', -1, 241, 0), ('z', -1, 1019, 0)), (('a', -1, 602, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 936, 0), ('g', -1, 58, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', -1, 57, 0), ('o', -1, 797, 0), ('p', -1, 441, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', -1, 206, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ś', -1, 1023, 0)), (('a', -1, 447, 0), ('b', -1, 739, 0), ('c', -1, 354, 0), ('d', -1, 1024, 0), ('e', 1, -1, 0), ('f', -1, 691, 0), ('g', -1, 1071, 0), ('h', -1, 818, 0), ('i', -1, 351, 0), ('j', -1, 977, 0), ('k', 0, 564, 0), ('l', -1, 272, 0), ('m', -1, 437, 0), ('n', -1, 647, 0), ('o', 0, -1, 0), ('p', -1, 869, 0), ('r', -1, 807, 0), ('s', -1, 1073, 0), ('t', -1, 1688, 0), ('u', -1, 549, 0), ('w', -1, 588, 0), ('y', -1, 447, 0), ('z', -1, 953, 0), ('ó', -1, 117, 0), ('ł', -1, 908, 0), ('ż', -1, 240, 0)), (('a', -1, 552, 0), ('d', -1, 179, 0), ('e', -1, 752, 0), ('i', -1, 77, 0), ('l', 0, 1025, 0), ('n', -1, 598, 0), ('o', -1, 298, 0), ('p', 0, 455, 0), ('r', -1, 224, 0), ('s', 0, 568, 0), ('t', 0, 1, 0), ('u', -1, 72, 0), ('w', -1, 60, 0), ('y', -1, 146, 0), ('z', -1, 281, 0), ('ę', -1, 567, 0), ('ł', -1, 1026, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 11, -1, 0), ('g', -1, 138, 0), ('i', -1, 856, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 598, 0), ('s', 0, -1, 0), ('u', -1, 84, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 441, 0)), (('a', -1, 16, 0), ('b', -1, 385, 0), ('d', -1, 1027, 0), ('e', -1, 380, 0), ('i', -1, 263, 0), ('k', -1, 40, 0), ('l', -1, 700, 0), ('m', -1, 113, 0), ('n', 0, -1, 0), ('o', -1, 138, 0), ('p', -1, 293, 0), ('r', -1, 282, 0), ('s', -1, 1177, 0), ('t', 0, 69, 0), ('w', -1, 327, 0), ('z', -1, 420, 0), ('ż', -1, 1063, 0)), (('a', -1, 334, 0), ('b', -1, 310, 0), ('d', -1, 1028, 0), ('e', -1, 403, 0), ('i', 46, -1, 0), ('k', 30, -1, 0), ('m', -1, 1029, 0), ('n', 30, -1, 0), ('o', -1, 61, 0), ('p', 1, -1, 0), ('r', -1, 70, 0), ('s', -1, 1055, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('z', 30, -1, 0), ('ą', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 30, -1, 0)), (('a', -1, 4, 0), ('d', 0, -1, 0), ('e', -1, 187, 0), ('f', 0, -1, 0), ('g', -1, 141, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 1, 93, 0), ('l', 0, 397, 0), ('m', 0, -1, 0), ('o', -1, 165, 0), ('r', -1, 24, 0), ('w', 1, -1, 0), ('z', -1, 208, 0), ('ł', -1, 152, 0)), (('a', 0, -1, 0), ('c', -1, 1030, 0), ('d', 0, -1, 0), ('e', 30, -1, 0), ('f', 0, -1, 0), ('g', -1, 817, 0), ('i', -1, 108, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 30, -1, 0), ('p', -1, 896, 0), ('r', 0, -1, 0), ('s', -1, 1034, 0), ('t', -1, 125, 0), ('u', 0, -1, 0), ('w', -1, 96, 0), ('y', 0, -1, 0), ('z', -1, 278, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, 48, 0), ('g', -1, 1031, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 670, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 897, 0), ('r', 0, -1, 0), ('t', -1, 722, 0), ('u', -1, 1033, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 625, 0), ('ź', -1, 834, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 1032, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 40, 0)), (('a', -1, 670, 0), ('e', 20, -1, 0), ('i', -1, 173, 0), ('l', -1, 251, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 127, 0), ('b', 0, -1, 0), ('c', 0, 143, 0), ('d', 0, -1, 0), ('e', 13, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 559, 0), ('p', 0, -1, 0), ('r', 0, 212, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 888, 0), ('y', -1, 244, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1035, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', -1, 954, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, 1039, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 48, 0), ('d', 0, 1036, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 251, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, 1, 0), ('l', -1, 915, 0), ('m', 0, -1, 0), ('n', -1, 822, 0), ('o', -1, 379, 0), ('p', 0, 612, 0), ('r', -1, 118, 0), ('s', -1, 154, 0), ('t', 0, 1037, 0), ('u', 0, -1, 0), ('w', -1, 336, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 356, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 131, 0), ('ł', -1, 46, 0)), (('a', -1, 120, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 1038, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 42, 0), ('s', -1, 496, 0), ('t', 0, -1, 0), ('u', -1, 128, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 11, 0), ('e', -1, 370, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 420, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 40, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 581, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 325, 0), ('b', -1, 264, 0), ('c', -1, 19, 0), ('d', -1, 71, 0), ('e', 11, -1, 0), ('i', -1, 426, 0), ('j', -1, 320, 0), ('k', -1, 65, 0), ('l', -1, 279, 0), ('n', 0, -1, 0), ('o', -1, 237, 0), ('r', -1, 747, 0), ('t', -1, 250, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 989, 0), ('ł', -1, 283, 0), ('ż', -1, 1040, 0)), (('a', -1, 1041, 0), ('d', -1, 3, 0), ('e', -1, 1045, 0), ('i', 0, -1, 0), ('l', 1, -1, 0), ('o', -1, 943, 0), ('r', -1, 439, 0), ('s', -1, 107, 0), ('u', -1, 1048, 0), ('y', -1, 13, 0), ('z', -1, 218, 0), ('ą', -1, 1051, 0), ('ę', -1, 1053, 0)), (('a', -1, 775, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 1042, 0), ('e', -1, 232, 0), ('h', 0, -1, 0), ('i', -1, 894, 0), ('j', -1, 1043, 0), ('k', 0, -1, 0), ('l', -1, 1044, 0), ('m', -1, 513, 0), ('n', -1, 208, 0), ('o', 0, 975, 0), ('p', -1, 384, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 1, 812, 0), ('y', -1, 143, 0), ('z', -1, 1001, 0), ('ó', -1, 53, 0), ('ł', 0, -1, 0), ('ż', -1, 673, 0)), (('a', 0, -1, 0), ('d', -1, 200, 0), ('e', -1, 244, 0), ('f', -1, 313, 0), ('g', 0, 70, 0), ('i', -1, 19, 0), ('o', -1, 26, 0), ('r', 0, -1, 0), ('s', 0, 71, 0), ('u', 0, -1, 0), ('w', 0, 4, 0), ('y', 0, -1, 0), ('z', 0, 4, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 30, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 84, 0), ('j', -1, 418, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1044, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, 698, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 38, 0), ('ń', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 993, 0), ('e', -1, 74, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 23, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 465, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1046, 0), ('g', -1, 427, 0), ('h', -1, 113, 0), ('i', -1, 403, 0), ('j', 1, -1, 0), ('k', -1, 410, 0), ('o', -1, 1047, 0), ('p', 0, -1, 0), ('r', -1, 131, 0), ('s', -1, 372, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 282, 0), ('d', -1, 519, 0), ('e', -1, 532, 0), ('i', -1, 331, 0), ('l', -1, 46, 0), ('o', -1, 51, 0), ('p', -1, 40, 0), ('r', -1, 334, 0), ('s', -1, 149, 0), ('t', 0, 69, 0), ('w', -1, 345, 0), ('y', -1, 295, 0), ('z', -1, 87, 0), ('ł', 0, 69, 0)), (('a', -1, 835, 0), ('b', 0, -1, 0), ('d', -1, 991, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 281, 0), ('o', -1, 457, 0), ('p', 1, -1, 0), ('r', -1, 37, 0), ('s', -1, 154, 0), ('t', -1, 974, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 8, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 27, 0), ('c', 0, -1, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('g', 0, -1, 0), ('i', -1, 49, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', -1, 1049, 0), ('o', -1, 782, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 714, 0), ('t', 11, -1, 0), ('u', 1, -1, 0), ('w', 0, 54, 0), ('y', -1, 354, 0), ('z', 0, -1, 0), ('ł', -1, 633, 0)), (('a', -1, 394, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 273, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 675, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 369, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1050, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 290, 0), ('ś', 0, 293, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 7, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 108, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 800, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', -1, 31, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('d', -1, 1052, 0), ('e', -1, 443, 0), ('h', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('o', 1, -1, 0), ('r', -1, 445, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', -1, 610, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 975, 0), ('ó', -1, 31, 0)), (('a', -1, 6, 0), ('b', -1, 325, 0), ('c', -1, 35, 0), ('d', 0, -1, 0), ('e', -1, 340, 0), ('f', 0, -1, 0), ('g', 0, 348, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', -1, 630, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 152, 0), ('w', 0, -1, 0), ('y', -1, 16, 0), ('z', -1, 75, 0), ('ę', 1, -1, 0), ('ł', -1, 85, 0)), (('a', 1, -1, 0), ('c', -1, 1054, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('m', -1, 1, 0), ('o', -1, 786, 0), ('r', -1, 49, 0), ('s', -1, 1152, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 847, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 1055, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', -1, 1464, 0), ('j', 0, -1, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 510, 0), ('ą', 1, -1, 0)), (('a', -1, 199, 0), ('d', 0, -1, 0), ('e', 45, -1, 0), ('g', -1, 2, 0), ('i', -1, 249, 0), ('k', 1, 1, 0), ('n', 1, -1, 0), ('o', 0, 60, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 1056, 0), ('y', -1, 26, 0), ('z', -1, 264, 0), ('ł', 0, -1, 0)), (('a', -1, 581, 0), ('b', 0, -1, 0), ('c', -1, 102, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', -1, 1057, 0), ('i', 0, -1, 0), ('m', -1, 1058, 0), ('n', -1, 1060, 0), ('o', -1, 53, 0), ('r', -1, 720, 0), ('s', 0, -1, 0), ('t', -1, 1687, 0), ('u', 1, -1, 0), ('w', -1, 1301, 0), ('y', 0, -1, 0), ('z', -1, 914, 0), ('ą', 0, -1, 0), ('ł', -1, 826, 0), ('ż', 0, -1, 0)), (('a', -1, 189, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 664, 0), ('f', -1, 252, 0), ('i', -1, 453, 0), ('j', -1, 548, 0), ('k', -1, 65, 0), ('o', 0, -1, 0), ('p', -1, 850, 0), ('r', -1, 112, 0), ('s', -1, 953, 0), ('t', 0, 70, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1019, 0)), (('a', 0, -1, 0), ('b', 0, 42, 0), ('e', -1, 1059, 0), ('i', 0, -1, 0), ('l', -1, 819, 0), ('o', -1, 787, 0), ('r', -1, 135, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 719, 0), ('ę', 0, -1, 0), ('ż', -1, 480, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 1, 0), ('e', 0, -1, 0), ('f', -1, 251, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 13, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 196, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 567, 0), ('ś', 0, -1, 0)), (('a', -1, 636, 0), ('b', -1, 1061, 0), ('c', 0, 1062, 0), ('d', -1, 1412, 0), ('e', -1, 40, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1338, 0), ('k', -1, 342, 0), ('l', -1, 1414, 0), ('m', -1, 758, 0), ('n', -1, 1421, 0), ('o', -1, 1137, 0), ('p', -1, 626, 0), ('r', -1, 1133, 0), ('s', -1, 703, 0), ('t', -1, 1181, 0), ('w', -1, 1680, 0), ('y', 0, -1, 0), ('z', -1, 1228, 0), ('ś', -1, 733, 0), ('ź', 0, -1, 0), ('ż', -1, 1413, 0)), (('a', -1, 40, 0), ('e', -1, 943, 0), ('i', -1, 283, 0), ('k', -1, 169, 0), ('l', -1, 24, 0), ('o', -1, 1041, 0), ('r', 0, -1, 0), ('s', 0, 70, 0), ('t', -1, 653, 0), ('u', 0, -1, 0), ('z', -1, 169, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 51, 0), ('c', 0, 1063, 0), ('d', -1, 501, 0), ('e', -1, 733, 0), ('f', -1, 608, 0), ('g', -1, 137, 0), ('i', -1, 1066, 0), ('m', -1, 1378, 0), ('n', -1, 168, 0), ('o', 0, -1, 0), ('p', -1, 599, 0), ('r', -1, 1116, 0), ('t', -1, 608, 0), ('u', -1, 67, 0), ('w', -1, 951, 0), ('y', -1, 294, 0), ('z', -1, 322, 0)), (('a', -1, 446, 0), ('c', 0, -1, 0), ('d', 0, 54, 0), ('e', 5, -1, 0), ('i', -1, 218, 0), ('m', -1, 8, 0), ('n', -1, 6, 0), ('o', -1, 72, 0), ('p', -1, 811, 0), ('r', -1, 23, 0), ('s', -1, 90, 0), ('t', 0, -1, 0), ('u', -1, 1064, 0), ('w', -1, 10, 0), ('y', 0, -1, 0), ('z', -1, 108, 0), ('ć', -1, 300, 0), ('ę', -1, 86, 0)), (('a', -1, 49, 0), ('c', 0, 84, 0), ('d', 14, -1, 0), ('e', -1, 339, 0), ('i', -1, 297, 0), ('k', -1, 1065, 0), ('l', -1, 815, 0), ('m', -1, 316, 0), ('n', -1, 273, 0), ('o', -1, 692, 0), ('p', -1, 614, 0), ('r', -1, 756, 0), ('s', -1, 299, 0), ('t', -1, 520, 0), ('u', -1, 303, 0), ('w', -1, 478, 0), ('y', -1, 368, 0), ('z', -1, 861, 0)), (('a', -1, 806, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 444, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 777, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 459, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, 515, 0), ('p', -1, 838, 0), ('r', 0, -1, 0), ('s', -1, 219, 0), ('t', 39, 831, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 560, 0), ('ó', 0, -1, 0)), (('a', -1, 27, 0), ('c', -1, 1067, 0), ('d', -1, 1068, 0), ('e', -1, 635, 0), ('i', -1, 160, 0), ('k', 0, 42, 0), ('l', -1, 49, 0), ('m', -1, 153, 0), ('n', -1, 954, 0), ('o', -1, 118, 0), ('p', 0, 1069, 0), ('r', -1, 998, 0), ('s', -1, 419, 0), ('t', -1, 66, 0), ('u', -1, 288, 0), ('w', -1, 321, 0), ('y', -1, 187, 0), ('z', -1, 633, 0)), (('a', -1, 334, 0), ('d', 0, -1, 0), ('e', -1, 816, 0), ('i', -1, 226, 0), ('o', 1, -1, 0), ('r', -1, 13, 0), ('s', 0, -1, 0), ('u', -1, 8, 0), ('z', 0, -1, 0)), (('a', -1, 814, 0), ('b', -1, 189, 0), ('c', -1, 420, 0), ('d', -1, 362, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1036, 0), ('h', 0, -1, 0), ('i', -1, 650, 0), ('j', 0, -1, 0), ('k', -1, 870, 0), ('l', -1, 318, 0), ('m', -1, 603, 0), ('n', -1, 915, 0), ('o', -1, 46, 0), ('p', -1, 555, 0), ('r', -1, 928, 0), ('s', -1, 212, 0), ('t', -1, 757, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 348, 0), ('ż', 0, -1, 0)), (('a', 14, -1, 0), ('d', 0, 60, 0), ('e', 8, -1, 0), ('f', -1, 1070, 0), ('i', 28, -1, 0), ('l', -1, 482, 0), ('m', -1, 4, 0), ('n', -1, 195, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 350, 0), ('s', -1, 208, 0), ('t', -1, 749, 0), ('z', -1, 283, 0)), (('a', -1, 204, 0), ('b', -1, 739, 0), ('c', -1, 354, 0), ('d', -1, 1024, 0), ('e', -1, 169, 0), ('f', -1, 691, 0), ('g', -1, 1071, 0), ('h', -1, 818, 0), ('i', -1, 351, 0), ('j', -1, 977, 0), ('k', 0, 564, 0), ('l', -1, 272, 0), ('m', -1, 437, 0), ('n', -1, 647, 0), ('o', -1, 348, 0), ('p', -1, 869, 0), ('r', -1, 807, 0), ('s', -1, 1073, 0), ('t', -1, 750, 0), ('u', -1, 549, 0), ('w', -1, 588, 0), ('y', -1, 653, 0), ('z', -1, 953, 0), ('ł', -1, 908, 0), ('ż', -1, 240, 0)), (('a', -1, 543, 0), ('b', -1, 1072, 0), ('d', -1, 419, 0), ('e', -1, 409, 0), ('i', -1, 435, 0), ('k', -1, 63, 0), ('l', -1, 795, 0), ('n', -1, 195, 0), ('o', -1, 299, 0), ('p', -1, 414, 0), ('r', -1, 66, 0), ('s', -1, 707, 0), ('t', -1, 1027, 0), ('u', -1, 115, 0), ('w', 0, 438, 0), ('y', -1, 438, 0), ('z', -1, 1064, 0), ('ę', -1, 523, 0), ('ł', -1, 715, 0)), (('a', -1, 771, 0), ('e', -1, 857, 0), ('i', -1, 197, 0), ('l', 0, -1, 0), ('n', -1, 1061, 0), ('o', -1, 440, 0), ('r', -1, 869, 0), ('u', -1, 391, 0), ('z', -1, 419, 0), ('ą', -1, 149, 0), ('ę', -1, 374, 0)), (('a', -1, 414, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', -1, 1074, 0), ('e', -1, 467, 0), ('h', -1, 80, 0), ('i', -1, 565, 0), ('j', -1, 358, 0), ('k', -1, 376, 0), ('l', -1, 197, 0), ('n', -1, 322, 0), ('o', -1, 548, 0), ('p', 0, 85, 0), ('r', -1, 795, 0), ('s', -1, 383, 0), ('t', -1, 399, 0), ('u', -1, 137, 0), ('w', -1, 675, 0), ('y', -1, 928, 0), ('z', -1, 79, 0)), (('a', -1, 1075, 0), ('e', 0, -1, 0), ('i', -1, 361, 0), ('k', -1, 13, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 131, 0), ('p', 0, -1, 0), ('r', -1, 1076, 0), ('y', 0, -1, 0), ('z', -1, 1077, 0)), (('a', 16, -1, 0), ('b', 0, -1, 0), ('d', 16, -1, 0), ('e', -1, 978, 0), ('f', 0, -1, 0), ('i', -1, 427, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 16, -1, 0), ('r', 0, 54, 0), ('s', -1, 977, 0), ('t', 0, -1, 0), ('u', 24, -1, 0), ('w', 0, -1, 0), ('z', -1, 99, 0), ('ć', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 361, 0), ('e', -1, 708, 0), ('i', -1, 398, 0), ('m', -1, 1021, 0), ('o', -1, 294, 0), ('r', -1, 358, 0), ('t', -1, 954, 0), ('u', -1, 63, 0), ('z', -1, 587, 0), ('ę', -1, 830, 0)), (('a', -1, 716, 0), ('c', -1, 1078, 0), ('d', -1, 837, 0), ('e', -1, 719, 0), ('i', -1, 1016, 0), ('j', -1, 1053, 0), ('k', -1, 1026, 0), ('l', -1, 1679, 0), ('o', -1, 274, 0), ('r', -1, 943, 0), ('s', 0, -1, 0), ('t', -1, 1099, 0), ('u', -1, 702, 0), ('z', -1, 704, 0), ('ż', -1, 892, 0)), (('a', -1, 452, 0), ('b', -1, 70, 0), ('e', -1, 872, 0), ('h', -1, 12, 0), ('i', -1, 713, 0), ('k', 28, -1, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', -1, 1075, 0), ('u', 1, -1, 0), ('w', -1, 1079, 0), ('y', 1, -1, 0), ('z', -1, 298, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 1018, 0), ('ł', -1, 15, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0), ('ż', -1, 1080, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 1, 0), ('e', 0, -1, 0), ('f', -1, 251, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('k', -1, 13, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 28, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 284, 0), ('b', 0, -1, 0), ('c', -1, 1081, 0), ('e', 24, -1, 0), ('i', -1, 1016, 0), ('j', -1, 1083, 0), ('k', 0, -1, 0), ('l', -1, 1022, 0), ('o', -1, 78, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 122, 0), ('ż', -1, 1537, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', -1, 129, 0), ('e', -1, 666, 0), ('f', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 1, 0), ('m', 0, 1082, 0), ('n', -1, 837, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 87, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 15, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 24, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, 320, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 87, 0), ('ś', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1084, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 289, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1088, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 766, 0), ('z', -1, 237, 0), ('ł', 0, -1, 0), ('ż', -1, 1678, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 97, 0), ('o', -1, 895, 0), ('p', -1, 543, 0), ('r', -1, 1085, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 771, 0), ('ą', 0, -1, 0)), (('a', -1, 1086, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 1087, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 519, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 214, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 559, 0), ('t', -1, 921, 0), ('u', 18, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 360, 0), ('g', -1, 619, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 670, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 136, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', -1, 924, 0), ('ź', -1, 138, 0), ('ż', 0, -1, 0)), (('a', -1, 277, 0), ('d', 1, -1, 0), ('e', -1, 1025, 0), ('i', -1, 808, 0), ('k', 1, -1, 0), ('m', 0, 70, 0), ('n', 1, -1, 0), ('o', -1, 316, 0), ('p', -1, 43, 0), ('r', 1, -1, 0), ('u', -1, 287, 0), ('w', -1, 59, 0), ('y', -1, 1089, 0), ('z', -1, 621, 0), ('ę', -1, 572, 0), ('ł', 1, 93, 0)), (('a', -1, 838, 0), ('b', 0, -1, 0), ('c', -1, 1090, 0), ('d', -1, 1190, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 944, 0), ('m', 0, -1, 0), ('o', -1, 747, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1225, 0), ('u', 0, -1, 0), ('w', -1, 1216, 0), ('y', 0, -1, 0), ('z', -1, 185, 0), ('ą', -1, 1166, 0), ('ę', 0, -1, 0), ('ń', -1, 721, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', -1, 74, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1091, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 1092, 0), ('b', -1, 498, 0), ('c', 1, -1, 0), ('d', -1, 983, 0), ('e', -1, 1062, 0), ('f', -1, 752, 0), ('g', -1, 1074, 0), ('h', -1, 808, 0), ('i', -1, 633, 0), ('k', -1, 57, 0), ('m', -1, 668, 0), ('o', -1, 1344, 0), ('p', 0, 69, 0), ('r', -1, 214, 0), ('s', -1, 1254, 0), ('t', -1, 687, 0), ('u', -1, 530, 0), ('w', -1, 1115, 0), ('z', -1, 110, 0), ('ł', 1, -1, 0)), (('a', -1, 458, 0), ('e', 0, -1, 0), ('i', -1, 641, 0), ('l', -1, 165, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 294, 0), ('r', -1, 604, 0), ('s', -1, 1093, 0), ('t', 0, 70, 0), ('u', 0, -1, 0), ('w', 0, 70, 0), ('y', -1, 424, 0), ('z', -1, 8, 0), ('ą', 0, -1, 0), ('ę', -1, 1103, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 785, 0), ('k', -1, 386, 0), ('l', -1, 468, 0), ('m', -1, 558, 0), ('o', -1, 591, 0), ('p', -1, 229, 0), ('r', -1, 790, 0), ('t', -1, 446, 0), ('u', 0, -1, 0), ('w', -1, 1094, 0), ('y', -1, 1096, 0), ('z', -1, 251, 0), ('ó', 0, -1, 0), ('ż', -1, 229, 0)), (('a', -1, 568, 0), ('d', 0, -1, 0), ('e', -1, 922, 0), ('f', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('k', 1, 93, 0), ('l', 0, 397, 0), ('m', 0, -1, 0), ('o', -1, 1095, 0), ('r', -1, 24, 0), ('t', -1, 740, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', -1, 624, 0), ('z', -1, 212, 0), ('ó', 1, -1, 0), ('ł', -1, 152, 0)), (('a', -1, 29, 0), ('b', 1, -1, 0), ('c', 0, 57, 0), ('d', 0, 152, 0), ('e', -1, 795, 0), ('f', 0, -1, 0), ('i', -1, 310, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 1, 0), ('o', -1, 377, 0), ('r', 1, 1, 0), ('s', 1, 53, 0), ('t', -1, 650, 0), ('w', -1, 93, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 627, 0), ('c', 0, -1, 0), ('d', -1, 1097, 0), ('e', -1, 343, 0), ('i', 0, -1, 0), ('m', 0, 85, 0), ('n', -1, 101, 0), ('o', -1, 8, 0), ('r', 0, -1, 0), ('s', -1, 563, 0), ('t', 0, 85, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1102, 0), ('ą', 0, -1, 0), ('ę', -1, 2, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1098, 0), ('b', 0, -1, 0), ('d', -1, 638, 0), ('e', 0, -1, 0), ('g', -1, 13, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('j', 0, -1, 0), ('k', -1, 927, 0), ('o', -1, 1099, 0), ('p', -1, 97, 0), ('r', 1, -1, 0), ('s', -1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1100, 0), ('z', -1, 777, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 817, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 959, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 162, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 6, 0), ('p', 0, -1, 0), ('r', -1, 899, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 560, 0), ('z', -1, 165, 0), ('ł', 0, -1, 0), ('ż', -1, 141, 0)), (('a', -1, 124, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 529, 0), ('i', -1, 545, 0), ('k', 1, -1, 0), ('o', 0, 54, 0), ('r', 0, 3, 0), ('t', -1, 85, 0), ('w', 1, -1, 0), ('y', -1, 192, 0), ('z', -1, 567, 0), ('ą', -1, 70, 0), ('ę', -1, 718, 0), ('ś', 0, 54, 0)), (('a', -1, 893, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 200, 0), ('e', -1, 244, 0), ('h', 0, -1, 0), ('i', -1, 111, 0), ('m', 0, -1, 0), ('o', -1, 36, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('y', -1, 244, 0), ('z', -1, 1101, 0), ('ż', -1, 21, 0)), (('a', -1, 776, 0), ('c', -1, 94, 0), ('d', -1, 57, 0), ('e', -1, 421, 0), ('i', -1, 545, 0), ('k', 1, -1, 0), ('n', -1, 731, 0), ('o', -1, 354, 0), ('r', -1, 493, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 94, 0), ('w', 1, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 543, 0), ('b', 0, -1, 0), ('c', -1, 583, 0), ('d', -1, 107, 0), ('e', -1, 230, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 16, -1, 0), ('o', -1, 63, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 25, 0), ('z', 0, -1, 0), ('ł', -1, 491, 0)), (('a', 37, -1, 0), ('d', 0, -1, 0), ('e', 37, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1048, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 33, -1, 0), ('r', -1, 512, 0), ('s', 0, -1, 0), ('t', -1, 1104, 0), ('u', 33, -1, 0), ('w', 0, 76, 0), ('y', 37, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 168, 0), ('d', 1, -1, 0), ('e', -1, 1105, 0), ('i', 1, -1, 0), ('j', -1, 1534, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 1386, 0), ('t', 0, -1, 0), ('u', -1, 290, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 49, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 649, 0), ('g', -1, 991, 0), ('i', -1, 198, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 1, 57, 0), ('r', 0, 1106, 0), ('s', 0, -1, 0), ('u', -1, 43, 0), ('y', -1, 24, 0), ('z', -1, 228, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1107, 0), ('d', 28, -1, 0), ('e', 0, -1, 0), ('f', -1, 391, 0), ('i', -1, 452, 0), ('j', -1, 1347, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 172, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 1456, 0), ('y', 0, -1, 0), ('z', 16, -1, 0), ('ż', 1, -1, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 326, 0), ('k', 17, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 1108, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, 814, 0), ('ę', -1, 774, 0), ('ł', 1, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 1109, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 1110, 0), ('o', -1, 1024, 0), ('r', -1, 214, 0), ('s', -1, 1677, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 1, 1, 0)), (('a', -1, 127, 0), ('b', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 1046, 0), ('i', -1, 559, 0), ('k', 0, 143, 0), ('m', 1, -1, 0), ('o', -1, 50, 0), ('p', -1, 43, 0), ('r', -1, 1041, 0), ('s', -1, 408, 0), ('t', 1, 515, 0), ('u', -1, 252, 0), ('w', 1, -1, 0), ('y', -1, 484, 0), ('z', -1, 334, 0), ('ą', -1, 252, 0), ('ś', 0, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 19, 0), ('d', -1, 89, 0), ('e', -1, 1052, 0), ('i', -1, 980, 0), ('j', -1, 320, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 35, 0), ('t', -1, 377, 0), ('u', 0, -1, 0), ('w', -1, 1111, 0), ('y', -1, 163, 0), ('z', -1, 742, 0), ('ó', 0, -1, 0), ('ż', 0, 211, 0)), (('a', -1, 956, 0), ('d', -1, 1112, 0), ('e', -1, 346, 0), ('g', -1, 1112, 0), ('i', -1, 631, 0), ('k', -1, 112, 0), ('o', -1, 484, 0), ('p', -1, 987, 0), ('r', -1, 78, 0), ('t', -1, 1357, 0), ('u', -1, 75, 0), ('y', -1, 300, 0), ('ś', -1, 987, 0), ('ź', -1, 1066, 0)), (('a', -1, 928, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 6, 0), ('e', -1, 813, 0), ('f', 0, -1, 0), ('g', -1, 1113, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', -1, 1131, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 709, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, 614, 0), ('y', -1, 277, 0), ('z', -1, 743, 0), ('ę', -1, 328, 0), ('ł', -1, 1676, 0), ('ż', 0, -1, 0)), (('a', -1, 1114, 0), ('e', -1, 22, 0), ('g', 0, 254, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, 1, 0), ('r', 0, -1, 0), ('t', -1, 239, 0), ('u', -1, 1116, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1123, 0), ('ł', 0, -1, 0)), (('a', -1, 200, 0), ('b', 1, -1, 0), ('e', -1, 520, 0), ('i', -1, 1115, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 100, 0), ('p', 1, -1, 0), ('r', 7, -1, 0), ('s', 1, -1, 0), ('t', -1, 516, 0), ('w', 0, -1, 0), ('z', 1, -1, 0), ('ę', -1, 688, 0)), (('a', -1, 77, 0), ('c', 0, -1, 0), ('e', -1, 361, 0), ('i', -1, 111, 0), ('n', 0, -1, 0), ('o', -1, 153, 0), ('r', -1, 691, 0), ('w', 3, -1, 0), ('z', -1, 46, 0)), (('a', -1, 857, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1117, 0), ('g', -1, 541, 0), ('h', 0, -1, 0), ('i', -1, 15, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1119, 0), ('p', 0, -1, 0), ('r', 7, 1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 173, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 358, 0), ('b', -1, 35, 0), ('e', -1, 488, 0), ('g', -1, 252, 0), ('i', -1, 649, 0), ('m', -1, 35, 0), ('o', 0, 85, 0), ('p', -1, 1118, 0), ('r', -1, 741, 0), ('t', -1, 209, 0), ('u', -1, 195, 0), ('w', -1, 154, 0), ('z', -1, 401, 0)), (('a', -1, 39, 0), ('d', 0, 85, 0), ('e', -1, 84, 0), ('i', 24, -1, 0), ('k', 0, 922, 0), ('l', -1, 656, 0), ('m', 0, 143, 0), ('o', -1, 816, 0), ('r', 0, 954, 0), ('t', -1, 977, 0), ('w', 0, 143, 0), ('z', -1, 481, 0), ('ł', 0, 85, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('e', -1, 78, 0), ('i', 0, 438, 0), ('l', -1, 915, 0), ('m', 0, -1, 0), ('n', -1, 1120, 0), ('o', 1, -1, 0), ('r', -1, 386, 0), ('s', 0, -1, 0), ('t', -1, 419, 0), ('u', -1, 524, 0), ('w', -1, 1122, 0), ('y', -1, 208, 0), ('z', -1, 369, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 48, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 53, 0), ('l', -1, 1121, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('t', -1, 652, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 1, 0)), (('a', -1, 1, 0), ('c', 0, 1, 0), ('d', 1, -1, 0), ('e', -1, 152, 0), ('f', 1, -1, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', 1, -1, 0), ('p', -1, 22, 0), ('r', -1, 125, 0), ('u', 0, -1, 0), ('z', -1, 31, 0), ('ć', 0, -1, 0), ('ł', -1, 230, 0)), (('a', -1, 6, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', -1, 541, 0), ('h', 0, -1, 0), ('i', -1, 15, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1124, 0), ('c', 0, -1, 0), ('d', -1, 316, 0), ('e', 14, -1, 0), ('i', -1, 630, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 985, 0), ('r', -1, 140, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, 9, 0), ('z', 0, -1, 0)), (('a', -1, 754, 0), ('d', 0, 267, 0), ('e', 13, -1, 0), ('i', -1, 156, 0), ('o', -1, 984, 0), ('r', -1, 1125, 0), ('t', -1, 1024, 0), ('z', -1, 341, 0)), (('a', -1, 1126, 0), ('d', -1, 1129, 0), ('e', -1, 1130, 0), ('i', -1, 279, 0), ('o', -1, 113, 0), ('r', -1, 1123, 0), ('u', -1, 818, 0), ('y', -1, 537, 0), ('z', -1, 581, 0), ('ą', -1, 906, 0), ('ę', -1, 436, 0), ('ń', -1, 821, 0)), (('a', -1, 104, 0), ('e', -1, 1013, 0), ('h', -1, 156, 0), ('i', -1, 690, 0), ('m', 0, 1127, 0), ('n', -1, 1128, 0), ('o', -1, 1093, 0), ('p', -1, 35, 0), ('r', -1, 248, 0), ('t', 0, 80, 0), ('z', -1, 26, 0), ('ł', -1, 127, 0)), (('a', -1, 355, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('f', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 23, -1, 0), ('k', -1, 138, 0), ('l', 1, 15, 0), ('m', -1, 886, 0), ('o', 0, 4, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', -1, 644, 0), ('y', -1, 208, 0), ('z', -1, 191, 0), ('ł', 1, -1, 0)), (('a', -1, 66, 0), ('e', 12, -1, 0), ('i', 0, -1, 0), ('o', 0, 630, 0), ('r', -1, 717, 0), ('s', 0, -1, 0), ('u', -1, 183, 0), ('y', 0, -1, 0), ('z', -1, 505, 0)), (('a', -1, 408, 0), ('c', 1, -1, 0), ('d', -1, 183, 0), ('e', -1, 27, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('l', -1, 251, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 135, 0), ('r', -1, 92, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('z', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 343, 0), ('e', -1, 552, 0), ('i', -1, 539, 0), ('l', -1, 300, 0), ('o', -1, 236, 0), ('r', -1, 747, 0), ('u', -1, 435, 0), ('z', -1, 403, 0)), (('a', -1, 1132, 0), ('b', 7, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('n', 7, -1, 0), ('o', 0, -1, 0), ('p', 7, -1, 0), ('r', -1, 1661, 0), ('s', 0, -1, 0), ('t', -1, 644, 0), ('u', 0, -1, 0), ('w', 7, -1, 0), ('y', -1, 1675, 0), ('z', -1, 1136, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 7, -1, 0), ('ż', 7, -1, 0)), (('a', -1, 1133, 0), ('d', 0, -1, 0), ('e', -1, 1193, 0), ('i', -1, 736, 0), ('k', -1, 1016, 0), ('l', -1, 754, 0), ('n', -1, 501, 0), ('o', -1, 718, 0), ('p', 0, 69, 0), ('r', -1, 809, 0), ('u', -1, 273, 0), ('y', -1, 229, 0), ('z', 7, -1, 0)), (('a', -1, 1134, 0), ('b', 0, -1, 0), ('e', -1, 1001, 0), ('f', 0, 70, 0), ('i', -1, 718, 0), ('k', 0, 71, 0), ('o', -1, 1360, 0), ('p', -1, 173, 0), ('r', -1, 283, 0), ('t', 0, 70, 0), ('u', 0, -1, 0), ('z', -1, 224, 0), ('ó', 0, -1, 0), ('ł', 0, 959, 0)), (('a', -1, 113, 0), ('b', 0, 33, 0), ('c', 1, -1, 0), ('d', -1, 255, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 135, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1135, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 283, 0), ('r', -1, 232, 0), ('s', -1, 1493, 0), ('t', 0, -1, 0), ('u', -1, 334, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1136, 0), ('u', -1, 467, 0), ('w', 0, -1, 0), ('y', -1, 20, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ć', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 7, -1, 0), ('b', 0, -1, 0), ('c', 7, -1, 0), ('d', 0, -1, 0), ('e', 0, 143, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 57, 0), ('p', 0, -1, 0), ('r', -1, 340, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1137, 0), ('ł', -1, 57, 0)), (('a', -1, 292, 0), ('c', -1, 19, 0), ('e', 1, -1, 0), ('i', -1, 1138, 0), ('j', -1, 320, 0), ('l', -1, 279, 0), ('m', -1, 57, 0), ('o', -1, 627, 0), ('r', -1, 1451, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 1655, 0), ('ł', -1, 283, 0), ('ż', -1, 1659, 0)), (('a', -1, 329, 0), ('b', -1, 63, 0), ('c', -1, 389, 0), ('e', -1, 1139, 0), ('f', 0, -1, 0), ('i', -1, 633, 0), ('m', 0, -1, 0), ('n', -1, 1148, 0), ('o', -1, 957, 0), ('p', 0, -1, 0), ('r', -1, 1425, 0), ('s', -1, 1654, 0), ('u', -1, 586, 0), ('w', -1, 546, 0), ('z', -1, 913, 0), ('ą', -1, 1115, 0), ('ę', -1, 1542, 0), ('ł', -1, 497, 0)), (('a', -1, 229, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 24, 0), ('i', -1, 645, 0), ('l', -1, 1140, 0), ('m', 1, -1, 0), ('o', -1, 954, 0), ('p', -1, 509, 0), ('r', -1, 634, 0), ('t', -1, 1144, 0), ('u', -1, 59, 0), ('y', -1, 733, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 118, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 11, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 63, 0), ('r', -1, 1141, 0), ('s', -1, 1142, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 8, 0), ('ł', 1, -1, 0)), (('a', -1, 799, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 11, 0), ('p', 0, -1, 0), ('r', -1, 994, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 981, 0), ('ł', -1, 1105, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('e', -1, 849, 0), ('f', 0, -1, 0), ('i', -1, 145, 0), ('j', -1, 1143, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 1080, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 866, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, 511, 0), ('c', 3, -1, 0), ('e', -1, 92, 0), ('g', -1, 582, 0), ('i', -1, 620, 0), ('n', -1, 24, 0), ('o', -1, 506, 0), ('r', -1, 274, 0), ('t', -1, 944, 0), ('w', -1, 231, 0), ('z', 0, -1, 0), ('ł', -1, 62, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 312, 0), ('i', -1, 49, 0), ('k', 1, -1, 0), ('m', -1, 293, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 211, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 944, 0), ('y', -1, 6, 0), ('z', 1, -1, 0), ('ł', -1, 1145, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 774, 0), ('l', -1, 1146, 0), ('m', 0, -1, 0), ('n', -1, 1147, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 219, 0), ('g', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 993, 0), ('e', -1, 22, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 22, 0), ('g', -1, 720, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1149, 0), ('o', -1, 21, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 286, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1150, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 785, 0), ('k', -1, 1151, 0), ('l', 0, 1445, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1166, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1452, 0), ('y', -1, 1096, 0), ('z', -1, 1534, 0), ('ó', 0, -1, 0)), (('a', -1, 1152, 0), ('b', -1, 739, 0), ('c', -1, 1153, 0), ('d', -1, 1154, 0), ('e', -1, 1291, 0), ('f', -1, 1293, 0), ('g', -1, 1390, 0), ('h', -1, 818, 0), ('i', -1, 351, 0), ('j', -1, 977, 0), ('k', 0, 1391, 0), ('l', -1, 272, 0), ('m', -1, 1396, 0), ('n', -1, 1399, 0), ('o', 0, -1, 0), ('p', -1, 1403, 0), ('r', -1, 807, 0), ('s', -1, 1073, 0), ('t', -1, 1404, 0), ('u', -1, 549, 0), ('w', -1, 1439, 0), ('z', -1, 1442, 0), ('ł', -1, 1444, 0), ('ż', -1, 240, 0)), (('a', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 1, -1, 0), ('o', -1, 1091, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1, 0), ('t', 1, -1, 0), ('u', -1, 967, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, 13, 0), ('ę', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 4, 0), ('e', -1, 562, 0), ('i', -1, 565, 0), ('j', -1, 264, 0), ('l', -1, 713, 0), ('n', -1, 478, 0), ('o', 0, 4, 0), ('r', -1, 538, 0), ('ń', -1, 868, 0)), (('a', -1, 552, 0), ('i', -1, 1155, 0), ('j', 0, -1, 0), ('n', -1, 598, 0), ('o', -1, 298, 0), ('r', -1, 1208, 0), ('u', -1, 511, 0), ('y', -1, 146, 0), ('z', -1, 281, 0), ('ę', -1, 567, 0), ('ł', -1, 1026, 0)), (('a', -1, 1156, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', -1, 649, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 1157, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', -1, 1158, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1043, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 234, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 394, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 16, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 444, 0), ('m', -1, 579, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 445, 0), ('w', 1, 1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 35, 1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 1159, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1160, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 17, 52, 0), ('n', 0, -1, 0), ('o', -1, 51, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 614, 0), ('y', 0, -1, 0), ('z', 0, 94, 0), ('ł', -1, 1161, 0), ('ż', 0, -1, 0)), (('a', -1, 7, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 34, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 136, 0), ('g', -1, 619, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 670, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 211, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1162, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1163, 0), ('ł', 0, -1, 0)), (('a', -1, 320, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 194, 0), ('n', -1, 138, 0), ('o', -1, 176, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 773, 0), ('d', 0, -1, 0), ('e', -1, 138, 0), ('g', 0, -1, 0), ('i', -1, 1164, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 1207, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 3, -1, 0), ('v', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1164, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 247, 0), ('h', 0, -1, 0), ('i', -1, 543, 0), ('k', 0, -1, 0), ('l', -1, 335, 0), ('m', 0, -1, 0), ('n', -1, 799, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1165, 0), ('s', 0, -1, 0), ('t', -1, 671, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 241, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 1166, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 519, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 560, 0), ('y', 16, -1, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 17, 0), ('b', 0, -1, 0), ('d', -1, 537, 0), ('e', -1, 25, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('n', -1, 16, 0), ('o', -1, 63, 0), ('p', -1, 1167, 0), ('r', -1, 328, 0), ('s', -1, 1168, 0), ('t', -1, 1026, 0), ('u', 0, -1, 0), ('w', 0, 143, 0), ('y', -1, 552, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 24, -1, 0), ('d', -1, 316, 0), ('e', -1, 355, 0), ('i', 11, -1, 0), ('o', -1, 380, 0), ('s', 0, -1, 0), ('u', 0, 9, 0), ('w', 0, -1, 0)), (('a', -1, 13, 0), ('b', -1, 374, 0), ('c', 0, -1, 0), ('d', -1, 374, 0), ('e', -1, 512, 0), ('f', 0, -1, 0), ('g', -1, 543, 0), ('h', 0, -1, 0), ('i', -1, 52, 0), ('l', -1, 1169, 0), ('m', 0, -1, 0), ('n', 0, 576, 0), ('o', -1, 1, 0), ('p', -1, 601, 0), ('r', -1, 216, 0), ('s', 0, -1, 0), ('t', 18, -1, 0), ('v', 18, -1, 0), ('w', -1, 566, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0)), (('a', 0, -1, 0), ('c', -1, 248, 0), ('d', -1, 337, 0), ('e', 18, -1, 0), ('f', -1, 237, 0), ('g', -1, 475, 0), ('h', -1, 509, 0), ('i', -1, 559, 0), ('j', -1, 742, 0), ('k', -1, 884, 0), ('l', -1, 1170, 0), ('m', 0, 1171, 0), ('n', -1, 604, 0), ('o', 18, -1, 0), ('r', -1, 440, 0), ('s', -1, 184, 0), ('t', -1, 970, 0), ('u', 0, -1, 0), ('w', -1, 985, 0), ('y', 0, -1, 0), ('z', -1, 710, 0), ('ł', 0, 561, 0), ('ż', -1, 385, 0)), (('a', -1, 954, 0), ('d', -1, 246, 0), ('e', -1, 736, 0), ('g', -1, 62, 0), ('i', -1, 252, 0), ('k', -1, 66, 0), ('m', -1, 437, 0), ('o', -1, 518, 0), ('p', -1, 894, 0), ('r', -1, 45, 0), ('s', -1, 664, 0), ('t', -1, 118, 0), ('u', -1, 172, 0), ('y', -1, 76, 0), ('z', -1, 484, 0), ('ś', -1, 508, 0), ('ź', -1, 308, 0)), (('a', -1, 757, 0), ('b', -1, 57, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 28, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, 143, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 309, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 616, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1172, 0), ('t', 0, -1, 0), ('w', 0, 13, 0), ('y', -1, 588, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 16, 0), ('c', -1, 1173, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1174, 0), ('t', 0, -1, 0), ('u', -1, 630, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 795, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1010, 0), ('e', -1, 1113, 0), ('i', -1, 487, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 137, 0), ('z', 0, -1, 0), ('ą', -1, 117, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1175, 0), ('d', -1, 1199, 0), ('e', -1, 42, 0), ('i', 0, -1, 0), ('o', -1, 308, 0), ('r', -1, 179, 0), ('s', -1, 1202, 0), ('u', -1, 409, 0), ('y', 0, -1, 0)), (('a', -1, 1176, 0), ('d', -1, 147, 0), ('e', -1, 348, 0), ('i', -1, 114, 0), ('l', -1, 1198, 0), ('o', -1, 626, 0), ('p', 0, -1, 0), ('r', -1, 139, 0), ('u', -1, 159, 0), ('y', -1, 606, 0), ('z', -1, 442, 0), ('ó', -1, 17, 0), ('ą', 0, -1, 0), ('ń', -1, 66, 0)), (('a', -1, 1169, 0), ('b', -1, 328, 0), ('d', -1, 229, 0), ('e', -1, 630, 0), ('i', -1, 162, 0), ('k', -1, 331, 0), ('n', 0, -1, 0), ('o', -1, 473, 0), ('r', -1, 152, 0), ('s', 0, 881, 0), ('t', -1, 1177, 0), ('u', -1, 1023, 0), ('y', -1, 718, 0), ('z', -1, 588, 0), ('ł', 0, -1, 0)), (('a', -1, 1064, 0), ('b', -1, 1178, 0), ('d', -1, 1178, 0), ('e', -1, 481, 0), ('i', -1, 81, 0), ('l', 0, -1, 0), ('m', -1, 697, 0), ('n', -1, 207, 0), ('o', -1, 196, 0), ('r', -1, 1179, 0), ('s', -1, 194, 0), ('t', -1, 111, 0), ('u', -1, 317, 0), ('w', -1, 300, 0), ('z', -1, 713, 0), ('ł', -1, 106, 0), ('ż', -1, 1196, 0)), (('a', -1, 243, 0), ('b', 0, -1, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('g', 0, -1, 0), ('i', -1, 248, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, 42, 0), ('p', 0, -1, 0), ('r', -1, 135, 0), ('t', 0, -1, 0), ('y', -1, 25, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1180, 0), ('b', -1, 107, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1126, 0), ('g', -1, 407, 0), ('h', 0, -1, 0), ('i', -1, 210, 0), ('k', -1, 156, 0), ('o', -1, 307, 0), ('p', -1, 1024, 0), ('r', -1, 126, 0), ('s', -1, 115, 0), ('t', 0, -1, 0), ('u', -1, 815, 0), ('z', -1, 744, 0), ('ó', -1, 747, 0), ('ą', -1, 240, 0), ('ż', -1, 177, 0)), (('a', -1, 194, 0), ('d', -1, 349, 0), ('e', -1, 1004, 0), ('g', -1, 574, 0), ('i', -1, 795, 0), ('l', -1, 351, 0), ('m', -1, 371, 0), ('o', -1, 708, 0), ('r', -1, 1181, 0), ('u', -1, 139, 0), ('w', -1, 180, 0), ('y', -1, 37, 0), ('z', -1, 499, 0), ('ł', -1, 166, 0), ('ś', 0, 238, 0)), (('a', -1, 1182, 0), ('d', -1, 325, 0), ('e', -1, 353, 0), ('i', 0, -1, 0), ('k', -1, 64, 0), ('n', -1, 1193, 0), ('o', -1, 667, 0), ('p', -1, 419, 0), ('r', 0, -1, 0), ('s', -1, 530, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 54, 0), ('ą', 0, -1, 0), ('ę', -1, 149, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1183, 0), ('d', -1, 908, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 672, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', -1, 534, 0), ('y', 0, -1, 0), ('z', 0, 154, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 1184, 0), ('d', -1, 64, 0), ('e', -1, 187, 0), ('i', -1, 325, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1185, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1007, 0), ('j', -1, 1053, 0), ('k', 0, -1, 0), ('l', -1, 1186, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 250, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 1188, 0), ('y', 0, -1, 0), ('z', -1, 641, 0), ('ż', -1, 865, 0)), (('a', -1, 664, 0), ('b', -1, 107, 0), ('d', 0, -1, 0), ('e', -1, 666, 0), ('h', -1, 170, 0), ('i', -1, 1, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, 530, 0), ('u', -1, 625, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 319, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 1018, 0), ('ł', -1, 15, 0), ('ż', -1, 59, 0)), (('a', -1, 1187, 0), ('b', 1, -1, 0), ('d', -1, 1053, 0), ('e', -1, 936, 0), ('g', -1, 58, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', -1, 57, 0), ('o', -1, 120, 0), ('p', -1, 441, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 206, 0), ('u', -1, 1051, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ś', -1, 1023, 0)), (('a', -1, 27, 0), ('c', -1, 16, 0), ('d', 1, -1, 0), ('e', 6, -1, 0), ('f', 1, -1, 0), ('i', -1, 53, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 90, 0), ('p', -1, 57, 0), ('r', 1, -1, 0), ('s', 0, 54, 0), ('t', 0, -1, 0), ('u', -1, 750, 0), ('w', 0, 991, 0), ('y', -1, 187, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 987, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', -1, 57, 0), ('i', -1, 711, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 57, 0), ('r', 0, 152, 0), ('u', 0, 36, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 1189, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 0, 1, 0)), (('a', -1, 1050, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 487, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1190, 0), ('z', 0, -1, 0), ('ł', -1, 3, 0)), (('a', 1, -1, 0), ('e', -1, 301, 0), ('i', 1, -1, 0), ('o', -1, 1191, 0), ('r', 0, 1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 859, 0), ('ą', 1, -1, 0), ('ę', -1, 953, 0)), (('a', -1, 380, 0), ('b', 1, -1, 0), ('e', -1, 295, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 40, 0), ('n', -1, 1139, 0), ('o', -1, 283, 0), ('r', -1, 1192, 0), ('u', 0, 70, 0), ('w', 1, -1, 0), ('z', -1, 573, 0), ('ł', 1, -1, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 49, 0), ('g', 1, -1, 0), ('i', -1, 353, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 990, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 13, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 478, 0), ('d', -1, 811, 0), ('e', -1, 1029, 0), ('i', -1, 413, 0), ('k', -1, 127, 0), ('o', 0, 1001, 0), ('p', -1, 1194, 0), ('r', -1, 1195, 0), ('s', 0, 54, 0), ('t', -1, 35, 0), ('u', -1, 848, 0), ('z', -1, 204, 0)), (('a', -1, 27, 0), ('d', -1, 64, 0), ('e', -1, 187, 0), ('o', -1, 135, 0), ('s', 0, 54, 0), ('u', 0, -1, 0)), (('a', -1, 308, 0), ('b', -1, 367, 0), ('d', 0, -1, 0), ('e', -1, 80, 0), ('g', 0, -1, 0), ('i', -1, 913, 0), ('j', -1, 275, 0), ('l', 0, -1, 0), ('o', -1, 331, 0), ('r', -1, 299, 0), ('s', 0, 76, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 118, 0), ('b', 0, -1, 0), ('d', -1, 107, 0), ('e', -1, 724, 0), ('f', 0, -1, 0), ('i', -1, 466, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('o', -1, 974, 0), ('r', 0, 23, 0), ('t', 0, -1, 0), ('u', -1, 1181, 0), ('w', 0, -1, 0), ('y', -1, 319, 0), ('z', -1, 1197, 0), ('ż', 0, -1, 0)), (('a', -1, 89, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', -1, 669, 0), ('j', 0, -1, 0), ('m', -1, 144, 0), ('n', 0, -1, 0), ('o', -1, 245, 0), ('p', 0, -1, 0), ('r', -1, 978, 0), ('s', -1, 95, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 37, 0), ('b', -1, 385, 0), ('d', -1, 1027, 0), ('e', -1, 380, 0), ('i', 0, -1, 0), ('l', -1, 700, 0), ('m', -1, 113, 0), ('o', -1, 609, 0), ('r', -1, 282, 0), ('t', 0, -1, 0), ('u', -1, 128, 0), ('w', -1, 327, 0), ('y', 0, -1, 0), ('z', -1, 420, 0), ('ż', -1, 1063, 0)), (('a', -1, 391, 0), ('e', -1, 823, 0), ('i', 0, -1, 0), ('n', -1, 696, 0), ('o', -1, 1200, 0), ('r', -1, 282, 0), ('u', -1, 25, 0), ('ą', -1, 211, 0), ('ę', -1, 549, 0)), (('a', -1, 541, 0), ('e', -1, 867, 0), ('h', -1, 582, 0), ('i', -1, 1035, 0), ('l', 1, -1, 0), ('o', -1, 154, 0), ('r', -1, 37, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1201, 0), ('y', 0, -1, 0), ('z', -1, 466, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 128, 0)), (('a', 0, -1, 0), ('d', -1, 148, 0), ('e', -1, 489, 0), ('i', -1, 1024, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0)), (('a', -1, 663, 0), ('e', -1, 313, 0), ('i', -1, 190, 0), ('o', -1, 1203, 0), ('u', -1, 1096, 0), ('y', -1, 75, 0), ('ą', -1, 37, 0), ('ę', -1, 84, 0)), (('a', 0, -1, 0), ('b', -1, 432, 0), ('c', 1, -1, 0), ('d', -1, 82, 0), ('e', -1, 1033, 0), ('f', -1, 350, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, 1204, 0), ('o', -1, 1205, 0), ('p', 1, -1, 0), ('r', -1, 78, 0), ('s', 1, -1, 0), ('t', -1, 36, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 786, 0), ('ó', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 79, 0), ('d', -1, 148, 0), ('e', 28, -1, 0), ('i', 20, -1, 0), ('o', -1, 864, 0), ('u', 0, 69, 0), ('w', 0, 69, 0), ('z', 0, -1, 0)), (('a', -1, 1206, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 367, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 853, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, 1, 0), ('c', -1, 587, 0), ('d', 0, -1, 0), ('e', -1, 561, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 428, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 774, 0), ('t', -1, 912, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 669, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 1165, 0), ('c', 0, 23, 0), ('d', 1, -1, 0), ('e', -1, 1184, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('m', -1, 15, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 32, 0), ('s', -1, 1088, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 523, 0), ('b', -1, 1209, 0), ('c', -1, 1210, 0), ('d', -1, 1211, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1212, 0), ('h', -1, 459, 0), ('i', -1, 1225, 0), ('j', 0, -1, 0), ('k', 0, 1252, 0), ('l', -1, 1276, 0), ('m', -1, 1282, 0), ('n', -1, 1283, 0), ('o', -1, 70, 0), ('p', 0, 1284, 0), ('r', -1, 1285, 0), ('s', -1, 1287, 0), ('t', -1, 1290, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 1212, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 1008, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', -1, 486, 0), ('w', 0, -1, 0), ('y', -1, 21, 0), ('z', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 150, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, 39, 0), ('d', -1, 190, 0), ('e', 0, -1, 0), ('g', -1, 1213, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 348, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1215, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 131, 0)), (('a', -1, 334, 0), ('e', -1, 1214, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 175, 0), ('u', 0, -1, 0), ('y', -1, 39, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 71, 0), ('k', 1, -1, 0), ('o', 0, 58, 0), ('p', 0, -1, 0), ('t', -1, 23, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 811, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 332, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 283, 0), ('r', -1, 1216, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 332, 0), ('z', -1, 1246, 0), ('ą', 0, -1, 0), ('ł', 0, 140, 0)), (('a', 0, -1, 0), ('d', 0, 1217, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1075, 0), ('k', 0, -1, 0), ('l', -1, 1220, 0), ('n', 0, -1, 0), ('o', -1, 1245, 0), ('p', 0, -1, 0), ('r', 24, -1, 0), ('s', 3, -1, 0), ('t', -1, 956, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 37, 0), ('ż', 1, -1, 0)), (('a', -1, 23, 0), ('b', -1, 13, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, 16, 0), ('m', -1, 798, 0), ('n', -1, 1218, 0), ('o', -1, 661, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('w', 0, 1219, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 23, 0), ('e', -1, 13, 0), ('i', 1, -1, 0), ('k', -1, 131, 0), ('m', -1, 340, 0), ('o', -1, 467, 0), ('r', -1, 413, 0), ('s', -1, 517, 0), ('u', 0, -1, 0), ('w', -1, 773, 0), ('z', 0, 156, 0)), (('a', 1, -1, 0), ('e', 1, -1, 0), ('i', -1, 544, 0), ('l', 20, 271, 0), ('o', -1, 285, 0), ('z', -1, 89, 0)), (('a', -1, 13, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 661, 0), ('i', -1, 1221, 0), ('l', 0, -1, 0), ('n', -1, 165, 0), ('o', -1, 1, 0), ('p', 1, -1, 0), ('r', -1, 1222, 0), ('s', 0, -1, 0), ('t', -1, 1243, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 94, 0)), (('a', -1, 1171, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 245, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 138, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 306, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 938, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 732, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 410, 0), ('r', -1, 906, 0), ('s', -1, 576, 0), ('t', -1, 1223, 0), ('y', 17, -1, 0), ('z', -1, 1024, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1224, 0), ('d', -1, 1190, 0), ('e', -1, 573, 0), ('i', -1, 115, 0), ('k', 0, -1, 0), ('l', -1, 342, 0), ('n', 0, -1, 0), ('o', -1, 155, 0), ('r', 0, -1, 0), ('s', -1, 1225, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 343, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 828, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('-', 0, -1, 0), ('a', -1, 652, 0), ('c', -1, 1226, 0), ('d', 0, -1, 0), ('e', -1, 903, 0), ('i', -1, 281, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1241, 0), ('o', -1, 1242, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 75, 0), ('u', -1, 444, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, 1, 0), ('k', 0, -1, 0), ('l', 0, 1227, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 1239, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 1240, 0), ('ż', -1, 1027, 0)), (('a', -1, 1142, 0), ('e', -1, 1228, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, 356, 0), ('u', 0, -1, 0), ('w', 0, 143, 0), ('z', -1, 477, 0), ('ż', -1, 446, 0)), (('a', -1, 697, 0), ('c', -1, 640, 0), ('d', -1, 148, 0), ('e', -1, 222, 0), ('i', -1, 109, 0), ('k', -1, 1229, 0), ('o', -1, 69, 0), ('r', 0, -1, 0), ('s', -1, 1020, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 136, 0), ('e', 0, -1, 0), ('i', -1, 4, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 238, 0), ('s', 0, 1230, 0), ('u', 0, -1, 0), ('w', -1, 1231, 0), ('y', -1, 359, 0), ('z', 6, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 17, 0), ('e', 5, -1, 0), ('o', -1, 421, 0), ('w', 0, -1, 0), ('y', 0, -1, 0)), (('a', -1, 1143, 0), ('e', -1, 1232, 0), ('i', -1, 79, 0), ('o', -1, 838, 0), ('p', -1, 177, 0), ('r', -1, 339, 0), ('u', -1, 177, 0), ('ó', -1, 112, 0), ('ą', -1, 153, 0), ('ż', -1, 323, 0)), (('a', -1, 922, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', -1, 995, 0), ('l', 0, -1, 0), ('o', -1, 495, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 633, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1233, 0)), (('a', -1, 1038, 0), ('b', 0, -1, 0), ('d', -1, 1234, 0), ('e', -1, 1235, 0), ('h', -1, 31, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 56, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('z', -1, 255, 0), ('ó', 0, -1, 0)), (('a', -1, 308, 0), ('d', 0, -1, 0), ('e', -1, 645, 0), ('i', -1, 129, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 54, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', -1, 236, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 303, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 418, 0), ('i', -1, 728, 0), ('l', 0, -1, 0), ('o', -1, 335, 0), ('p', -1, 1236, 0), ('r', -1, 66, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', -1, 1237, 0), ('z', 0, -1, 0), ('ó', -1, 377, 0), ('ę', -1, 43, 0), ('ł', -1, 1238, 0), ('ż', 0, -1, 0)), (('a', -1, 934, 0), ('d', -1, 276, 0), ('e', -1, 852, 0), ('i', -1, 808, 0), ('o', -1, 956, 0), ('r', -1, 157, 0), ('u', -1, 808, 0), ('y', -1, 78, 0), ('z', -1, 169, 0), ('ą', -1, 143, 0), ('ę', -1, 187, 0)), (('a', -1, 41, 0), ('e', -1, 490, 0), ('h', -1, 227, 0), ('i', -1, 724, 0), ('m', -1, 421, 0), ('o', -1, 168, 0), ('p', 0, 42, 0), ('r', 0, 522, 0), ('s', 0, 85, 0), ('z', -1, 87, 0)), (('a', -1, 1063, 0), ('b', -1, 175, 0), ('d', -1, 266, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 97, 0), ('h', 0, -1, 0), ('i', -1, 517, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', -1, 886, 0), ('n', 0, -1, 0), ('o', -1, 250, 0), ('p', -1, 169, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 790, 0), ('y', 1, -1, 0), ('z', -1, 254, 0), ('ó', -1, 91, 0)), (('a', -1, 491, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 49, 0), ('e', 0, -1, 0), ('g', 0, 553, 0), ('h', -1, 217, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1169, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 989, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 246, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 24, -1, 0), ('e', 0, -1, 0), ('j', -1, 251, 0), ('o', -1, 997, 0), ('ę', 0, -1, 0)), (('a', -1, 334, 0), ('d', 0, -1, 0), ('e', -1, 69, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 118, 0), ('d', -1, 754, 0), ('e', -1, 98, 0), ('i', -1, 152, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 43, 0), ('r', -1, 240, 0), ('t', 0, -1, 0), ('u', 0, 42, 0), ('w', 0, 42, 0), ('y', -1, 319, 0), ('z', 0, 42, 0), ('ł', -1, 656, 0)), (('a', -1, 635, 0), ('e', 0, 1244, 0), ('i', 0, -1, 0), ('k', -1, 909, 0), ('n', -1, 735, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1124, 0), ('s', 0, 776, 0), ('u', 0, -1, 0), ('y', -1, 447, 0), ('z', -1, 28, 0)), (('a', 14, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 24, -1, 0), ('g', 0, -1, 0), ('i', -1, 340, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 24, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('z', -1, 999, 0)), (('a', -1, 516, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 774, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 512, 0), ('c', -1, 332, 0), ('d', 0, 42, 0), ('e', -1, 110, 0), ('h', -1, 778, 0), ('i', -1, 648, 0), ('j', -1, 1011, 0), ('l', -1, 367, 0), ('o', -1, 549, 0), ('p', 0, -1, 0), ('r', -1, 696, 0), ('s', 0, 229, 0), ('t', -1, 708, 0), ('u', -1, 199, 0), ('w', -1, 989, 0), ('y', -1, 8, 0), ('z', -1, 335, 0), ('ł', -1, 1247, 0)), (('a', -1, 317, 0), ('d', -1, 383, 0), ('e', -1, 56, 0), ('g', -1, 616, 0), ('h', -1, 106, 0), ('i', -1, 1222, 0), ('k', -1, 1248, 0), ('n', -1, 110, 0), ('o', -1, 420, 0), ('r', -1, 232, 0), ('t', -1, 475, 0), ('y', -1, 187, 0), ('z', -1, 1251, 0), ('ó', -1, 574, 0), ('ż', -1, 65, 0)), (('a', -1, 54, 0), ('c', -1, 1249, 0), ('d', -1, 1072, 0), ('e', -1, 222, 0), ('i', -1, 43, 0), ('o', -1, 542, 0), ('r', -1, 1117, 0), ('s', -1, 1236, 0), ('w', 0, 69, 0), ('y', -1, 111, 0), ('z', -1, 1196, 0)), (('a', -1, 948, 0), ('d', -1, 217, 0), ('e', -1, 558, 0), ('i', -1, 107, 0), ('l', -1, 713, 0), ('o', -1, 574, 0), ('r', -1, 458, 0), ('u', -1, 1250, 0), ('y', -1, 864, 0), ('z', -1, 558, 0), ('ó', -1, 725, 0), ('ą', -1, 125, 0), ('ń', -1, 380, 0)), (('a', -1, 512, 0), ('b', -1, 64, 0), ('d', -1, 64, 0), ('e', -1, 909, 0), ('i', -1, 380, 0), ('j', 0, 69, 0), ('m', 0, 69, 0), ('o', -1, 137, 0), ('r', -1, 70, 0), ('s', 0, 54, 0), ('y', -1, 278, 0), ('z', -1, 191, 0)), (('a', -1, 39, 0), ('d', -1, 778, 0), ('e', -1, 808, 0), ('i', -1, 317, 0), ('k', -1, 1005, 0), ('o', -1, 259, 0), ('p', -1, 369, 0), ('r', -1, 485, 0), ('s', -1, 784, 0), ('z', -1, 557, 0), ('ę', -1, 867, 0), ('ł', -1, 1027, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 189, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 67, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1253, 0), ('z', -1, 136, 0), ('ą', 0, -1, 0), ('ę', -1, 140, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1254, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1261, 0), ('i', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('r', 0, -1, 0), ('t', -1, 1269, 0), ('u', 0, -1, 0), ('y', -1, 1274, 0), ('z', -1, 162, 0), ('ó', -1, 1275, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 16, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 13, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 1255, 0), ('n', -1, 1260, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 620, 0), ('u', -1, 630, 0), ('w', 0, -1, 0), ('y', -1, 16, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 428, 0), ('d', -1, 790, 0), ('e', 0, -1, 0), ('i', -1, 1256, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 1258, 0), ('t', -1, 78, 0), ('u', -1, 1259, 0), ('w', 0, -1, 0), ('y', -1, 452, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 597, 0), ('b', -1, 71, 0), ('c', 0, -1, 0), ('d', -1, 232, 0), ('e', -1, 322, 0), ('g', -1, 637, 0), ('i', -1, 64, 0), ('k', -1, 582, 0), ('l', 0, -1, 0), ('m', 18, -1, 0), ('o', -1, 106, 0), ('p', 0, -1, 0), ('r', -1, 1046, 0), ('s', -1, 145, 0), ('t', 18, -1, 0), ('u', -1, 795, 0), ('w', -1, 1257, 0), ('z', 0, -1, 0), ('ą', -1, 574, 0), ('ę', -1, 110, 0), ('ż', 0, -1, 0)), (('a', 1, -1, 0), ('c', 0, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 24, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0)), (('a', -1, 319, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 628, 0), ('m', 0, -1, 0), ('o', -1, 794, 0), ('r', 0, -1, 0), ('s', -1, 208, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 663, 0), ('y', 0, -1, 0), ('z', -1, 1073, 0), ('ą', -1, 15, 0), ('ę', 0, -1, 0), ('ł', -1, 1140, 0), ('ń', -1, 697, 0)), (('a', -1, 951, 0), ('b', 0, 42, 0), ('d', 0, -1, 0), ('e', -1, 984, 0), ('i', -1, 27, 0), ('o', -1, 56, 0), ('r', -1, 818, 0), ('t', -1, 1063, 0), ('u', -1, 557, 0), ('y', -1, 177, 0), ('z', -1, 742, 0), ('ę', -1, 121, 0)), (('a', -1, 14, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 867, 0), ('b', 0, 58, 0), ('c', 1, -1, 0), ('d', -1, 1262, 0), ('e', -1, 871, 0), ('i', 0, -1, 0), ('l', 1, 1, 0), ('m', -1, 323, 0), ('n', -1, 1265, 0), ('o', 0, -1, 0), ('p', -1, 13, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 105, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 531, 0), ('d', -1, 200, 0), ('e', -1, 1263, 0), ('f', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 94, 0), ('l', 1, -1, 0), ('o', -1, 36, 0), ('r', -1, 862, 0), ('u', -1, 1264, 0), ('y', -1, 143, 0), ('z', 0, 4, 0), ('ą', -1, 1040, 0), ('ę', -1, 812, 0), ('ż', 1, -1, 0)), (('a', -1, 647, 0), ('e', -1, 264, 0), ('i', -1, 282, 0), ('j', -1, 243, 0), ('o', -1, 1064, 0), ('r', -1, 491, 0), ('t', -1, 121, 0), ('z', -1, 220, 0)), (('a', 0, 42, 0), ('b', -1, 154, 0), ('e', 5, -1, 0), ('i', -1, 135, 0), ('j', -1, 107, 0), ('k', -1, 598, 0), ('n', -1, 35, 0), ('o', -1, 1025, 0), ('r', -1, 308, 0), ('t', -1, 173, 0), ('y', -1, 110, 0), ('z', -1, 616, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', -1, 107, 0), ('d', -1, 1266, 0), ('e', -1, 3, 0), ('h', -1, 420, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', -1, 1268, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('w', -1, 977, 0), ('y', 1, -1, 0), ('z', -1, 1093, 0), ('ś', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 417, 0), ('b', 0, -1, 0), ('c', -1, 916, 0), ('d', 0, -1, 0), ('e', -1, 545, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('k', 0, -1, 0), ('l', -1, 1267, 0), ('m', 1, -1, 0), ('o', -1, 142, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 89, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 788, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ś', -1, 165, 0), ('ź', -1, 23, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 790, 0), ('k', 0, -1, 0), ('l', 0, 738, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 13, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 741, 0), ('o', -1, 242, 0), ('u', -1, 369, 0), ('y', 0, -1, 0)), (('a', -1, 1270, 0), ('e', -1, 322, 0), ('k', 0, -1, 0), ('o', -1, 10, 0), ('p', 0, -1, 0), ('r', -1, 824, 0), ('s', 0, -1, 0), ('u', -1, 795, 0), ('z', 0, -1, 0), ('ą', -1, 1271, 0), ('ę', -1, 110, 0)), (('a', 0, -1, 0), ('d', -1, 332, 0), ('e', -1, 320, 0), ('g', -1, 448, 0), ('i', 0, -1, 0), ('k', -1, 55, 0), ('n', 0, -1, 0), ('o', -1, 41, 0), ('r', -1, 695, 0), ('s', -1, 106, 0), ('u', 0, -1, 0), ('w', -1, 1149, 0), ('z', -1, 9, 0), ('ó', -1, 533, 0), ('ą', -1, 496, 0), ('ł', -1, 283, 0)), (('a', -1, 167, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('f', 0, -1, 0), ('g', -1, 141, 0), ('h', 0, -1, 0), ('i', 1, -1, 0), ('k', 1, 93, 0), ('l', 0, 671, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 24, 0), ('s', -1, 71, 0), ('u', -1, 87, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 1272, 0), ('ł', -1, 152, 0)), (('a', -1, 334, 0), ('d', -1, 1009, 0), ('e', -1, 1105, 0), ('g', 1, -1, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1273, 0), ('r', -1, 454, 0), ('t', -1, 2, 0), ('u', 0, -1, 0), ('z', 0, -1, 0), ('ś', -1, 136, 0), ('ź', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 100, 0), ('e', -1, 229, 0), ('f', 0, -1, 0), ('i', -1, 992, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 251, 0), ('r', 1, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 99, 0), ('ż', 0, -1, 0)), (('a', -1, 953, 0), ('d', 0, -1, 0), ('e', -1, 113, 0), ('f', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 94, 0), ('l', 1, -1, 0), ('o', -1, 15, 0), ('r', -1, 305, 0), ('t', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 792, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 994, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 91, 0), ('ó', 0, -1, 0), ('ł', -1, 1105, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1036, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 1277, 0), ('p', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 58, 0), ('n', 0, -1, 0), ('o', -1, 1278, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1279, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 27, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 472, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 54, 0), ('p', 0, -1, 0), ('r', -1, 13, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 187, 0), ('z', 0, -1, 0), ('ł', -1, 57, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 192, 0), ('n', 0, -1, 0), ('o', 1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1280, 0), ('t', -1, 1281, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1229, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 24, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 402, 0), ('o', -1, 180, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('z', 1, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 938, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1239, 0), ('s', 0, -1, 0), ('u', -1, 13, 0), ('w', 0, 12, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 211, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 961, 0), ('j', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1123, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1286, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 701, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 47, 0), ('d', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 322, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1288, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1289, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 290, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 560, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 281, 0), ('z', 0, -1, 0), ('ł', 0, 93, 0)), (('a', 0, -1, 0), ('e', -1, 47, 0), ('o', 0, -1, 0)), (('a', -1, 1090, 0), ('e', -1, 286, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 196, 0), ('b', -1, 392, 0), ('g', -1, 157, 0), ('i', -1, 446, 0), ('l', -1, 1292, 0), ('m', -1, 347, 0), ('n', -1, 467, 0), ('o', -1, 808, 0), ('p', -1, 51, 0), ('w', 0, 166, 0), ('z', 0, -1, 0)), (('a', -1, 940, 0), ('b', 0, -1, 0), ('e', -1, 241, 0), ('i', -1, 67, 0), ('o', -1, 920, 0), ('u', -1, 512, 0), ('y', -1, 67, 0), ('z', 0, 70, 0)), (('a', -1, 392, 0), ('i', -1, 137, 0), ('m', -1, 617, 0), ('o', -1, 1294, 0), ('r', -1, 476, 0)), (('a', -1, 859, 0), ('c', -1, 25, 0), ('e', -1, 1295, 0), ('i', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 16, 0), ('r', 0, -1, 0), ('u', -1, 866, 0), ('y', -1, 831, 0), ('z', -1, 724, 0)), (('a', -1, 1296, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('i', -1, 966, 0), ('k', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', -1, 43, 0), ('r', 1, -1, 0), ('t', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', 1, -1, 0), ('ą', -1, 407, 0), ('ę', 0, -1, 0), ('ł', 1, 93, 0)), (('a', -1, 340, 0), ('b', -1, 24, 0), ('c', -1, 1297, 0), ('d', -1, 1330, 0), ('e', 13, -1, 0), ('i', -1, 16, 0), ('l', 0, -1, 0), ('o', -1, 118, 0), ('r', 0, -1, 0), ('s', -1, 1387, 0), ('t', 23, -1, 0), ('u', -1, 1063, 0), ('w', 0, 4, 0), ('z', 23, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1298, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 0, -1, 0), ('c', 1, -1, 0), ('e', -1, 1, 0), ('i', -1, 1299, 0), ('j', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 1300, 0), ('r', -1, 214, 0), ('s', -1, 1329, 0), ('u', -1, 788, 0), ('y', -1, 936, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 974, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 688, 0), ('i', 1, -1, 0), ('j', 0, 143, 0), ('n', 17, -1, 0), ('o', -1, 791, 0), ('r', -1, 180, 0), ('s', 17, -1, 0), ('t', -1, 180, 0), ('u', -1, 269, 0), ('w', -1, 643, 0), ('y', -1, 1018, 0), ('z', 0, 479, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 139, 0), ('d', 0, -1, 0), ('e', -1, 144, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 116, 0), ('p', 1, -1, 0), ('r', -1, 93, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 678, 0), ('z', 1, -1, 0), ('ą', -1, 1301, 0), ('ł', 0, -1, 0)), (('a', -1, 1010, 0), ('d', -1, 816, 0), ('e', 0, -1, 0), ('i', -1, 336, 0), ('j', 0, -1, 0), ('l', -1, 27, 0), ('o', 1, 1302, 0), ('r', -1, 212, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', -1, 41, 0), ('z', -1, 545, 0), ('ź', 0, -1, 0)), (('a', -1, 1246, 0), ('b', -1, 471, 0), ('c', -1, 1135, 0), ('d', -1, 578, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 899, 0), ('h', -1, 200, 0), ('i', -1, 978, 0), ('j', 0, -1, 0), ('k', -1, 1303, 0), ('l', -1, 288, 0), ('m', -1, 781, 0), ('n', -1, 1267, 0), ('o', -1, 71, 0), ('p', -1, 1312, 0), ('r', -1, 1324, 0), ('s', -1, 1325, 0), ('t', -1, 1205, 0), ('u', -1, 1327, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 900, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 1034, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 280, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1304, 0), ('z', -1, 563, 0), ('ą', 0, -1, 0), ('ę', -1, 198, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 555, 0), ('c', 0, -1, 0), ('d', 0, 1305, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 32, 0), ('k', 17, -1, 0), ('m', 17, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 17, -1, 0), ('r', -1, 662, 0), ('s', -1, 751, 0), ('t', -1, 1310, 0), ('u', 0, -1, 0), ('w', 17, -1, 0), ('y', -1, 976, 0), ('z', -1, 971, 0), ('ą', 0, -1, 0), ('ę', -1, 855, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1107, 0), ('d', 11, -1, 0), ('e', 0, -1, 0), ('g', -1, 1306, 0), ('i', -1, 164, 0), ('j', 0, -1, 0), ('k', -1, 1307, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1308, 0), ('o', -1, 1215, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 510, 0), ('r', -1, 681, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 7, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 988, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('i', -1, 1043, 0), ('j', 1, -1, 0), ('l', -1, 218, 0), ('m', -1, 625, 0), ('n', -1, 973, 0), ('o', 0, -1, 0), ('p', -1, 798, 0), ('r', -1, 875, 0), ('s', -1, 1220, 0), ('t', -1, 801, 0), ('u', -1, 997, 0), ('w', -1, 667, 0), ('y', 0, -1, 0), ('z', -1, 623, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1051, 0), ('ś', 17, -1, 0), ('ż', -1, 652, 0)), (('a', -1, 1165, 0), ('d', 17, -1, 0), ('e', -1, 1077, 0), ('g', 17, -1, 0), ('i', -1, 403, 0), ('j', 1, -1, 0), ('o', 0, -1, 0), ('p', 17, -1, 0), ('r', -1, 1309, 0), ('t', 17, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ś', 17, -1, 0), ('ź', 17, -1, 0)), (('a', -1, 523, 0), ('e', 6, -1, 0), ('i', 6, -1, 0), ('o', -1, 762, 0), ('r', -1, 525, 0), ('u', -1, 1074, 0), ('y', -1, 818, 0), ('z', -1, 447, 0), ('ć', -1, 126, 0)), (('a', -1, 1075, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, 1311, 0), ('g', -1, 1305, 0), ('h', -1, 683, 0), ('i', -1, 159, 0), ('k', -1, 1229, 0), ('l', -1, 155, 0), ('o', -1, 225, 0), ('p', 0, -1, 0), ('r', -1, 131, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, 4, 0), ('e', 13, -1, 0), ('i', -1, 63, 0), ('j', -1, 208, 0), ('l', -1, 62, 0), ('o', 0, -1, 0), ('p', -1, 448, 0), ('r', -1, 342, 0), ('s', 0, 42, 0), ('t', -1, 582, 0), ('w', -1, 20, 0), ('y', -1, 4, 0), ('z', -1, 107, 0), ('ż', -1, 145, 0)), (('a', 0, -1, 0), ('d', -1, 1313, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1263, 0), ('s', 0, -1, 0), ('t', -1, 1323, 0), ('u', 0, -1, 0), ('y', -1, 1037, 0), ('z', -1, 18, 0)), (('a', -1, 1025, 0), ('e', -1, 1193, 0), ('i', -1, 1314, 0), ('k', -1, 750, 0), ('l', 0, 1014, 0), ('o', -1, 359, 0), ('r', -1, 109, 0), ('z', -1, 282, 0)), (('a', -1, 1299, 0), ('b', -1, 1315, 0), ('c', -1, 1317, 0), ('e', -1, 1319, 0), ('i', 0, -1, 0), ('m', -1, 1320, 0), ('n', -1, 1321, 0), ('o', -1, 396, 0), ('p', -1, 482, 0), ('r', -1, 74, 0), ('u', 0, -1, 0), ('w', -1, 862, 0), ('y', 0, -1, 0), ('z', -1, 645, 0), ('ó', 0, -1, 0)), (('a', -1, 1058, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 47, 0), ('i', -1, 38, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, 1316, 0), ('o', -1, 523, 0), ('r', -1, 1107, 0), ('t', 1, -1, 0), ('w', 0, -1, 0), ('y', -1, 816, 0), ('z', -1, 784, 0), ('ł', 1, -1, 0), ('ż', -1, 230, 0)), (('a', -1, 885, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 43, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', -1, 138, 0), ('m', 0, 59, 0), ('o', -1, 659, 0), ('r', 1, -1, 0), ('t', 1, -1, 0), ('u', -1, 40, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 1073, 0), ('b', -1, 309, 0), ('c', 0, -1, 0), ('e', -1, 740, 0), ('i', -1, 762, 0), ('k', 0, -1, 0), ('m', -1, 487, 0), ('o', -1, 97, 0), ('p', 0, -1, 0), ('r', -1, 69, 0), ('s', 0, -1, 0), ('u', -1, 752, 0), ('w', 0, -1, 0), ('z', -1, 721, 0), ('ó', -1, 126, 0), ('ś', -1, 1318, 0)), (('a', -1, 955, 0), ('e', -1, 815, 0), ('i', -1, 811, 0), ('n', -1, 1101, 0), ('o', -1, 734, 0), ('r', -1, 646, 0), ('u', -1, 259, 0), ('y', -1, 1046, 0), ('z', -1, 341, 0), ('ę', -1, 130, 0), ('ł', -1, 753, 0)), (('a', -1, 853, 0), ('d', -1, 490, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 57, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 13, 0), ('o', -1, 741, 0), ('p', 0, 415, 0), ('r', 0, -1, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 837, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 309, 0), ('d', 0, -1, 0), ('e', -1, 240, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1176, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 1, 337, 0), ('w', 1, -1, 0), ('y', -1, 787, 0), ('z', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 283, 0), ('b', -1, 439, 0), ('d', -1, 1095, 0), ('e', -1, 1180, 0), ('i', -1, 255, 0), ('l', -1, 1322, 0), ('m', -1, 1072, 0), ('o', -1, 264, 0), ('r', -1, 1296, 0), ('w', -1, 368, 0), ('z', -1, 179, 0), ('ż', -1, 1114, 0)), (('a', -1, 647, 0), ('b', 0, -1, 0), ('d', -1, 105, 0), ('e', -1, 663, 0), ('g', -1, 57, 0), ('i', -1, 803, 0), ('k', 0, -1, 0), ('l', -1, 877, 0), ('m', 1, -1, 0), ('o', -1, 200, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 1067, 0), ('ł', 0, -1, 0)), (('a', -1, 703, 0), ('e', -1, 783, 0), ('f', -1, 147, 0), ('i', -1, 552, 0), ('o', -1, 1228, 0), ('p', -1, 143, 0), ('r', -1, 71, 0), ('z', -1, 180, 0), ('ł', -1, 943, 0)), (('a', -1, 778, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 939, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 717, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 737, 0)), (('a', -1, 424, 0), ('b', 0, -1, 0), ('c', -1, 409, 0), ('d', -1, 423, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 535, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 372, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1326, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 735, 0), ('ą', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 552, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1160, 0), ('h', 0, -1, 0), ('i', -1, 1254, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 650, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1288, 0), ('z', -1, 723, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 1328, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 96, 0), ('m', -1, 418, 0), ('n', -1, 978, 0), ('o', -1, 36, 0), ('p', -1, 247, 0), ('r', 0, -1, 0), ('s', -1, 956, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 543, 0), ('y', 0, -1, 0), ('z', -1, 322, 0)), (('a', 0, -1, 0), ('b', -1, 1316, 0), ('c', 1, -1, 0), ('d', -1, 1, 0), ('e', 0, -1, 0), ('f', -1, 260, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 203, 0), ('p', -1, 338, 0), ('r', -1, 28, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 466, 0), ('ś', 0, -1, 0)), (('a', -1, 548, 0), ('e', -1, 949, 0), ('i', 0, -1, 0), ('o', -1, 16, 0), ('r', 0, -1, 0), ('u', -1, 15, 0), ('y', -1, 831, 0), ('ę', 1, -1, 0)), (('a', 1, -1, 0), ('e', -1, 301, 0), ('i', 1, -1, 0), ('o', -1, 443, 0), ('r', 0, 1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', -1, 1331, 0), ('ą', -1, 809, 0), ('ę', -1, 953, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 1206, 0), ('d', -1, 170, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 52, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 897, 0), ('p', -1, 70, 0), ('r', -1, 793, 0), ('s', -1, 492, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 1332, 0), ('y', 0, -1, 0), ('z', -1, 762, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0)), (('-', 0, -1, 0), ('a', -1, 1256, 0), ('b', -1, 727, 0), ('c', -1, 1333, 0), ('d', -1, 1334, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1336, 0), ('h', -1, 232, 0), ('i', -1, 1337, 0), ('j', -1, 1345, 0), ('k', 0, 1346, 0), ('l', -1, 1328, 0), ('m', -1, 1379, 0), ('n', -1, 1380, 0), ('o', -1, 269, 0), ('p', 0, -1, 0), ('r', -1, 1381, 0), ('s', 0, 1182, 0), ('t', -1, 1383, 0), ('u', 0, -1, 0), ('w', -1, 767, 0), ('y', 0, -1, 0), ('z', -1, 1384, 0), ('ł', -1, 1385, 0), ('ż', -1, 1386, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 251, 0), ('l', -1, 995, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 997, 0), ('y', 0, -1, 0), ('z', -1, 53, 0), ('ą', 0, -1, 0), ('ć', 1, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 830, 0), ('r', 0, -1, 0), ('s', 0, 57, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 708, 0), ('ł', 0, -1, 0), ('ż', -1, 1335, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 483, 0), ('i', -1, 1164, 0), ('o', -1, 56, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1164, 0)), (('a', -1, 898, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 47, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1315, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 246, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1338, 0), ('b', 0, -1, 0), ('c', -1, 1339, 0), ('d', 0, -1, 0), ('e', -1, 483, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 316, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1341, 0), ('o', -1, 398, 0), ('p', 0, -1, 0), ('r', -1, 340, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 581, 0), ('w', -1, 1050, 0), ('y', -1, 1344, 0), ('z', 0, -1, 0), ('ą', -1, 736, 0)), (('a', -1, 1258, 0), ('e', 0, -1, 0), ('i', -1, 116, 0), ('l', -1, 24, 0), ('m', -1, 300, 0), ('o', 0, -1, 0), ('r', 0, 42, 0), ('y', -1, 942, 0), ('z', -1, 51, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1296, 0), ('h', 0, -1, 0), ('i', -1, 84, 0), ('k', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1108, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ę', -1, 774, 0), ('ł', 0, -1, 0), ('ś', -1, 1340, 0)), (('a', 0, 16, 0), ('b', 0, -1, 0), ('d', 1, 1144, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', -1, 1238, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 674, 0), ('r', 0, 792, 0), ('s', 0, -1, 0), ('t', 0, 16, 0), ('w', 0, -1, 0), ('z', -1, 537, 0), ('ę', 0, -1, 0), ('ł', 0, 138, 0)), (('a', -1, 1342, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 635, 0), ('e', -1, 1014, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1121, 0), ('r', 0, -1, 0), ('t', -1, 2, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 226, 0), ('ź', -1, 13, 0), ('ż', 0, -1, 0)), (('a', -1, 1343, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 276, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 1087, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 653, 0), ('p', 0, -1, 0), ('r', -1, 519, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 560, 0), ('y', -1, 158, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 222, 0), ('d', -1, 300, 0), ('e', -1, 907, 0), ('i', -1, 222, 0), ('n', 0, 70, 0), ('o', -1, 86, 0), ('r', -1, 292, 0), ('u', -1, 67, 0), ('z', -1, 801, 0), ('ą', -1, 1325, 0)), (('a', -1, 266, 0), ('e', -1, 1331, 0), ('i', -1, 39, 0), ('k', 0, 287, 0), ('o', 0, 1069, 0), ('r', -1, 710, 0), ('s', -1, 491, 0), ('t', 0, 70, 0), ('w', 0, 70, 0), ('y', -1, 104, 0), ('z', -1, 448, 0)), (('a', -1, 310, 0), ('b', 1, -1, 0), ('c', -1, 450, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, 1316, 0), ('o', -1, 498, 0), ('r', -1, 1107, 0), ('s', -1, 413, 0), ('t', -1, 59, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0), ('ż', -1, 230, 0)), (('a', 0, -1, 0), ('b', -1, 1347, 0), ('c', -1, 1348, 0), ('d', -1, 1349, 0), ('e', 0, -1, 0), ('f', -1, 1, 0), ('i', -1, 1043, 0), ('j', -1, 1281, 0), ('l', -1, 1038, 0), ('m', -1, 433, 0), ('n', -1, 1352, 0), ('o', 0, -1, 0), ('p', -1, 931, 0), ('r', -1, 1356, 0), ('s', -1, 1362, 0), ('t', -1, 1363, 0), ('u', -1, 1366, 0), ('w', -1, 1369, 0), ('y', 0, -1, 0), ('z', -1, 607, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1370, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ż', -1, 916, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1178, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', -1, 187, 0), ('o', -1, 175, 0), ('r', 0, -1, 0), ('s', -1, 1080, 0), ('t', -1, 875, 0), ('u', -1, 775, 0), ('y', -1, 16, 0), ('z', -1, 814, 0), ('ó', -1, 788, 0), ('ą', 1, -1, 0)), (('a', -1, 13, 0), ('b', 1, -1, 0), ('d', -1, 828, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 429, 0), ('i', -1, 915, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 688, 0), ('p', 1, -1, 0), ('r', -1, 739, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 13, 0), ('y', -1, 53, 0), ('z', -1, 254, 0), ('ó', 0, -1, 0)), (('a', -1, 1350, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1317, 0), ('j', -1, 86, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('o', 1, -1, 0), ('r', -1, 634, 0), ('s', 0, 212, 0), ('t', -1, 1144, 0), ('u', -1, 688, 0), ('y', -1, 429, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 885, 0), ('ę', 0, -1, 0), ('ł', 1, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 63, 0), ('b', -1, 153, 0), ('d', -1, 1351, 0), ('e', -1, 521, 0), ('g', -1, 81, 0), ('i', -1, 12, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1247, 0), ('p', 1, -1, 0), ('r', -1, 42, 0), ('s', 1, 1, 0), ('u', -1, 217, 0), ('y', -1, 1236, 0), ('z', 0, 1, 0), ('ó', -1, 37, 0), ('ą', -1, 575, 0), ('ł', 0, -1, 0)), (('a', -1, 85, 0), ('c', -1, 591, 0), ('d', 0, -1, 0), ('e', -1, 483, 0), ('i', -1, 414, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 14, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 118, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 1, 1, 0), ('ł', -1, 1122, 0)), (('a', -1, 1353, 0), ('c', -1, 18, 0), ('d', 0, -1, 0), ('e', -1, 202, 0), ('i', -1, 1266, 0), ('o', -1, 1322, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1034, 0), ('y', -1, 1354, 0), ('z', -1, 1355, 0)), (('a', -1, 483, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1263, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 1157, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 724, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 799, 0), ('u', 0, 42, 0), ('w', -1, 258, 0), ('y', -1, 319, 0), ('z', -1, 515, 0)), (('a', -1, 575, 0), ('d', -1, 2, 0), ('e', 0, 1063, 0), ('i', -1, 317, 0), ('o', -1, 820, 0), ('r', 0, 1098, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', -1, 438, 0), ('y', -1, 655, 0), ('z', -1, 1192, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 71, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 128, 0), ('o', 0, -1, 0), ('r', -1, 777, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 4, 0)), (('a', -1, 1357, 0), ('c', 1, -1, 0), ('d', -1, 880, 0), ('e', -1, 1095, 0), ('i', -1, 510, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1114, 0), ('r', -1, 1, 0), ('t', 1, -1, 0), ('u', -1, 1320, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 168, 0), ('ó', -1, 1361, 0), ('ł', 1, -1, 0), ('ż', -1, 923, 0)), (('a', -1, 133, 0), ('b', 1, 93, 0), ('c', 0, -1, 0), ('d', -1, 937, 0), ('e', -1, 1358, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 845, 0), ('m', -1, 329, 0), ('n', 0, -1, 0), ('o', 0, 60, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 75, 0), ('y', -1, 663, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 567, 0), ('b', -1, 229, 0), ('e', -1, 75, 0), ('g', -1, 856, 0), ('i', -1, 647, 0), ('o', -1, 1170, 0), ('r', -1, 72, 0), ('z', -1, 1359, 0)), (('a', -1, 68, 0), ('e', -1, 1076, 0), ('i', -1, 572, 0), ('o', -1, 1360, 0), ('r', -1, 511, 0), ('u', -1, 8, 0), ('z', -1, 403, 0)), (('a', -1, 27, 0), ('d', -1, 64, 0), ('e', -1, 187, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, 57, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 135, 0), ('p', -1, 112, 0), ('r', -1, 138, 0), ('s', 0, 54, 0), ('t', 0, -1, 0), ('u', 0, 54, 0), ('w', 0, -1, 0), ('y', -1, 208, 0), ('z', -1, 191, 0)), (('a', -1, 749, 0), ('b', 0, -1, 0), ('d', -1, 183, 0), ('e', -1, 770, 0), ('i', -1, 53, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 924, 0), ('r', 1, -1, 0), ('u', -1, 801, 0), ('z', -1, 649, 0), ('ó', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 623, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1221, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 57, 0), ('p', 0, -1, 0), ('r', -1, 1331, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 194, 0), ('ę', -1, 94, 0), ('ł', 0, -1, 0)), (('a', -1, 1340, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1364, 0), ('f', 0, -1, 0), ('i', -1, 266, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1028, 0), ('r', 0, -1, 0), ('s', -1, 1365, 0), ('t', 0, -1, 0), ('u', -1, 1021, 0), ('w', 0, -1, 0), ('y', -1, 152, 0), ('z', -1, 777, 0), ('ą', -1, 991, 0), ('ę', -1, 1100, 0), ('ł', 1, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 63, 0), ('e', 0, -1, 0), ('g', -1, 560, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 122, 0), ('l', -1, 16, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 510, 0), ('p', -1, 658, 0), ('r', 0, -1, 0), ('s', -1, 46, 0), ('t', -1, 479, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 7, 0), ('ś', -1, 418, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 646, 0), ('d', -1, 687, 0), ('e', 0, -1, 0), ('h', -1, 560, 0), ('i', -1, 793, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 463, 0), ('s', 1, -1, 0), ('t', -1, 87, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, 93, 0), ('p', 0, -1, 0), ('r', -1, 1367, 0), ('s', 0, -1, 0), ('t', -1, 927, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, 3, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 422, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1368, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 464, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 22, 560, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 13, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 70, 0), ('w', 0, -1, 0), ('y', 33, -1, 0), ('z', 0, -1, 0), ('ę', -1, 92, 0), ('ł', 0, -1, 0)), (('a', -1, 619, 0), ('c', 0, -1, 0), ('d', -1, 2, 0), ('e', -1, 254, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('r', 0, 917, 0), ('s', 1, -1, 0), ('u', 0, -1, 0), ('y', -1, 1274, 0), ('z', -1, 254, 0), ('ó', -1, 1275, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1371, 0), ('b', 0, -1, 0), ('c', -1, 1372, 0), ('d', 0, -1, 0), ('e', -1, 1300, 0), ('g', 0, -1, 0), ('i', -1, 876, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 1272, 0), ('o', -1, 1051, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1, 0), ('u', -1, 1375, 0), ('w', 0, -1, 0), ('y', -1, 353, 0), ('z', 0, -1, 0), ('ó', -1, 1377, 0), ('ł', -1, 622, 0), ('ż', 0, -1, 0)), (('a', -1, 477, 0), ('e', -1, 300, 0), ('i', -1, 915, 0), ('k', -1, 1191, 0), ('l', 0, 301, 0), ('n', -1, 394, 0), ('o', -1, 110, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('w', 1, -1, 0), ('z', -1, 53, 0), ('ę', -1, 300, 0)), (('a', 0, -1, 0), ('d', 0, 1373, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 93, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1163, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 1374, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 54, 0), ('e', 0, -1, 0), ('g', 0, 2, 0), ('h', 0, -1, 0), ('i', -1, 484, 0), ('k', -1, 296, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 831, 0), ('p', -1, 366, 0), ('r', 0, -1, 0), ('t', -1, 61, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 395, 0), ('ś', -1, 546, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 678, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 373, 0), ('j', -1, 251, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 711, 0), ('r', -1, 6, 0), ('s', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 69, 0), ('e', -1, 1004, 0), ('i', -1, 358, 0), ('o', -1, 309, 0), ('p', 0, -1, 0), ('r', -1, 1376, 0), ('s', 0, -1, 0), ('t', -1, 93, 0), ('u', -1, 316, 0), ('z', -1, 57, 0)), (('a', -1, 172, 0), ('c', -1, 574, 0), ('d', -1, 754, 0), ('e', -1, 848, 0), ('i', -1, 224, 0), ('j', -1, 157, 0), ('l', -1, 390, 0), ('o', 0, 80, 0), ('r', -1, 1105, 0), ('s', 0, 42, 0), ('u', -1, 76, 0), ('w', 0, 42, 0), ('y', -1, 552, 0), ('z', -1, 472, 0)), (('a', -1, 736, 0), ('b', 1, -1, 0), ('d', -1, 45, 0), ('e', -1, 226, 0), ('h', 1, -1, 0), ('i', -1, 338, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 165, 0), ('r', -1, 1378, 0), ('t', 1, -1, 0), ('u', -1, 317, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 64, 0), ('b', 1, -1, 0), ('e', -1, 261, 0), ('i', -1, 184, 0), ('o', -1, 157, 0), ('r', -1, 95, 0), ('t', 1, -1, 0), ('y', 17, -1, 0), ('z', 17, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 445, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 260, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 57, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1157, 0), ('r', 0, -1, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 855, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1116, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1050, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 709, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 402, 0), ('m', 0, -1, 0), ('o', -1, 1238, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('t', -1, 1382, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 53, 0), ('ó', 0, -1, 0)), (('a', -1, 2, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 13, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 47, 0), ('r', 0, -1, 0), ('s', -1, 175, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('z', -1, 1096, 0), ('ł', 0, -1, 0)), (('a', -1, 981, 0), ('b', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 45, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1368, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 579, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 63, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1366, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 897, 0), ('r', -1, 1275, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1348, 0), ('ę', -1, 46, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 20, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 1101, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 666, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 27, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 27, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0)), (('-', 0, -1, 0), ('a', -1, 1388, 0), ('e', -1, 903, 0), ('i', -1, 894, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 459, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', -1, 444, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 817, 0), ('b', 1, -1, 0), ('e', -1, 528, 0), ('g', 1, -1, 0), ('i', -1, 938, 0), ('m', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 93, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 610, 0), ('z', -1, 1389, 0)), (('a', -1, 313, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 741, 0), ('e', -1, 287, 0), ('g', 0, -1, 0), ('i', -1, 312, 0), ('l', -1, 172, 0), ('m', 0, -1, 0), ('n', -1, 1087, 0), ('o', -1, 242, 0), ('p', 0, -1, 0), ('r', -1, 3, 0), ('s', 0, -1, 0), ('t', -1, 185, 0), ('u', -1, 369, 0), ('w', 0, -1, 0), ('y', -1, 573, 0), ('z', 0, -1, 0)), (('a', -1, 543, 0), ('e', -1, 409, 0), ('i', -1, 435, 0), ('l', -1, 795, 0), ('n', -1, 195, 0), ('o', -1, 299, 0), ('r', -1, 66, 0), ('u', -1, 1323, 0), ('y', -1, 438, 0), ('z', -1, 1064, 0), ('ę', -1, 523, 0), ('ł', -1, 715, 0)), (('a', -1, 755, 0), ('b', -1, 804, 0), ('d', -1, 354, 0), ('e', -1, 1392, 0), ('i', -1, 1002, 0), ('j', -1, 716, 0), ('n', -1, 688, 0), ('o', -1, 1013, 0), ('p', -1, 818, 0), ('r', -1, 559, 0), ('s', -1, 539, 0), ('t', -1, 998, 0), ('u', -1, 1393, 0), ('y', -1, 689, 0), ('z', -1, 132, 0), ('ą', -1, 481, 0), ('ę', -1, 445, 0), ('ł', -1, 147, 0), ('ż', -1, 86, 0)), (('a', -1, 65, 0), ('e', 0, -1, 0), ('i', 28, -1, 0), ('o', -1, 154, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 737, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 619, 0), ('d', -1, 124, 0), ('e', -1, 1261, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('o', 1, -1, 0), ('p', -1, 621, 0), ('r', -1, 782, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1274, 0), ('z', -1, 1394, 0), ('ó', -1, 1141, 0), ('ł', 0, 68, 0)), (('a', 0, -1, 0), ('b', 0, 41, 0), ('c', -1, 21, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 564, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 38, 0), ('o', -1, 49, 0), ('p', 0, 91, 0), ('r', 0, 1395, 0), ('s', 0, -1, 0), ('w', -1, 56, 0), ('y', -1, 321, 0), ('z', -1, 16, 0)), (('a', -1, 16, 0), ('b', 0, -1, 0), ('o', 0, -1, 0)), (('a', -1, 98, 0), ('e', -1, 438, 0), ('g', -1, 615, 0), ('i', -1, 617, 0), ('j', -1, 941, 0), ('o', -1, 276, 0), ('r', -1, 716, 0), ('u', -1, 523, 0), ('y', -1, 1397, 0), ('z', -1, 535, 0)), (('a', -1, 1398, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 100, 0), ('z', -1, 917, 0)), (('a', -1, 889, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 27, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, 491, 0)), (('a', -1, 648, 0), ('b', -1, 221, 0), ('e', -1, 98, 0), ('g', -1, 811, 0), ('i', -1, 352, 0), ('j', -1, 104, 0), ('o', -1, 1400, 0), ('p', -1, 795, 0), ('r', -1, 948, 0), ('y', -1, 323, 0), ('z', -1, 39, 0)), (('a', -1, 1038, 0), ('b', 0, -1, 0), ('e', -1, 880, 0), ('i', -1, 1401, 0), ('j', -1, 915, 0), ('k', -1, 25, 0), ('o', -1, 1215, 0), ('p', -1, 1402, 0), ('r', -1, 557, 0), ('s', -1, 352, 0), ('t', 0, 69, 0), ('u', 0, -1, 0), ('z', -1, 109, 0), ('ó', 0, -1, 0)), (('a', -1, 491, 0), ('b', -1, 954, 0), ('c', -1, 560, 0), ('d', -1, 23, 0), ('e', 0, -1, 0), ('f', 0, 70, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('k', 0, 84, 0), ('l', 0, -1, 0), ('m', -1, 715, 0), ('n', 28, -1, 0), ('o', -1, 286, 0), ('p', 0, 70, 0), ('r', 0, -1, 0), ('s', -1, 294, 0), ('t', -1, 239, 0), ('u', 0, -1, 0), ('w', -1, 350, 0), ('y', 0, -1, 0), ('z', -1, 414, 0), ('ą', 0, -1, 0), ('ę', -1, 377, 0), ('ł', 1, -1, 0)), (('a', -1, 128, 0), ('c', 0, -1, 0), ('i', -1, 1176, 0), ('l', -1, 597, 0), ('m', -1, 342, 0), ('o', -1, 42, 0), ('r', 0, -1, 0), ('s', -1, 521, 0), ('t', -1, 352, 0), ('u', -1, 169, 0), ('z', -1, 645, 0)), (('a', -1, 361, 0), ('b', -1, 93, 0), ('e', -1, 856, 0), ('i', -1, 1115, 0), ('k', 1, -1, 0), ('l', -1, 66, 0), ('m', -1, 562, 0), ('o', -1, 870, 0), ('p', 1, -1, 0), ('r', -1, 358, 0), ('s', 1, -1, 0), ('t', -1, 516, 0), ('u', -1, 697, 0), ('y', -1, 145, 0), ('z', 1, -1, 0), ('ę', -1, 1069, 0), ('ł', -1, 366, 0)), (('a', -1, 166, 0), ('e', -1, 180, 0), ('h', -1, 222, 0), ('i', -1, 127, 0), ('k', -1, 298, 0), ('l', -1, 453, 0), ('n', -1, 1405, 0), ('o', -1, 300, 0), ('p', -1, 386, 0), ('r', -1, 736, 0), ('s', -1, 1436, 0), ('u', -1, 558, 0), ('y', -1, 1438, 0), ('ą', -1, 333, 0), ('ę', -1, 204, 0), ('ł', -1, 709, 0)), (('a', -1, 73, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, 93, 0), ('e', -1, 284, 0), ('i', -1, 1041, 0), ('j', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1406, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 22, -1, 0), ('u', -1, 40, 0)), (('a', -1, 374, 0), ('b', -1, 63, 0), ('c', 0, -1, 0), ('e', -1, 1407, 0), ('f', 0, -1, 0), ('i', 1, -1, 0), ('m', 0, -1, 0), ('n', 3, 1008, 0), ('o', -1, 1408, 0), ('p', 0, -1, 0), ('r', -1, 94, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', -1, 1155, 0), ('w', -1, 546, 0), ('z', -1, 834, 0), ('ó', -1, 1315, 0)), (('a', -1, 351, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 98, 0), ('h', -1, 524, 0), ('i', -1, 604, 0), ('m', 1, -1, 0), ('n', 0, 2, 0), ('o', -1, 83, 0), ('r', -1, 308, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('w', -1, 93, 0), ('z', -1, 535, 0), ('ż', 0, -1, 0)), (('a', -1, 61, 0), ('b', -1, 93, 0), ('d', -1, 1409, 0), ('e', -1, 187, 0), ('i', -1, 49, 0), ('k', 0, -1, 0), ('o', -1, 90, 0), ('p', 1, -1, 0), ('r', -1, 1432, 0), ('s', 1, -1, 0), ('t', -1, 57, 0), ('w', 0, -1, 0), ('y', -1, 278, 0), ('z', -1, 496, 0)), (('a', -1, 848, 0), ('e', -1, 1019, 0), ('i', -1, 538, 0), ('l', -1, 1410, 0), ('o', -1, 238, 0), ('r', -1, 1423, 0), ('u', -1, 153, 0), ('y', -1, 1431, 0), ('z', -1, 1375, 0), ('ą', -1, 1378, 0), ('ę', -1, 608, 0)), (('a', -1, 1118, 0), ('b', -1, 1121, 0), ('c', -1, 102, 0), ('d', 0, -1, 0), ('e', -1, 596, 0), ('h', -1, 1057, 0), ('i', -1, 1024, 0), ('m', -1, 1058, 0), ('n', -1, 1411, 0), ('o', -1, 300, 0), ('r', -1, 720, 0), ('s', 0, -1, 0), ('t', 43, 1092, 0), ('w', -1, 1301, 0), ('z', -1, 627, 0), ('ł', -1, 1310, 0), ('ż', 0, -1, 0)), (('a', -1, 636, 0), ('b', -1, 1061, 0), ('c', 0, 1062, 0), ('d', -1, 1412, 0), ('e', -1, 1413, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1338, 0), ('k', -1, 342, 0), ('l', -1, 1414, 0), ('m', -1, 758, 0), ('n', -1, 1421, 0), ('o', -1, 1039, 0), ('p', -1, 626, 0), ('r', -1, 1133, 0), ('s', -1, 703, 0), ('t', -1, 1181, 0), ('w', -1, 1314, 0), ('y', 0, -1, 0), ('z', -1, 1228, 0), ('ś', -1, 733, 0), ('ź', 0, -1, 0), ('ż', -1, 1413, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('f', -1, 596, 0), ('i', 0, 1124, 0), ('o', -1, 886, 0), ('p', -1, 69, 0), ('r', -1, 124, 0), ('u', 0, -1, 0), ('z', -1, 1411, 0), ('ą', -1, 773, 0), ('ę', -1, 989, 0), ('ł', -1, 156, 0)), (('a', -1, 747, 0), ('c', -1, 807, 0), ('d', -1, 157, 0), ('e', -1, 161, 0), ('i', -1, 264, 0), ('j', 0, -1, 0), ('o', -1, 1134, 0), ('r', -1, 984, 0), ('t', -1, 364, 0), ('u', 0, -1, 0), ('z', -1, 30, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', -1, 4, 0)), (('a', -1, 1415, 0), ('e', -1, 1420, 0), ('i', 0, -1, 0), ('l', -1, 688, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 797, 0), ('u', 0, -1, 0), ('w', -1, 79, 0), ('y', -1, 627, 0), ('z', -1, 288, 0), ('ó', 0, -1, 0), ('ś', -1, 351, 0)), (('a', -1, 651, 0), ('b', 0, -1, 0), ('c', -1, 1344, 0), ('d', -1, 222, 0), ('e', -1, 484, 0), ('f', 0, -1, 0), ('g', -1, 1344, 0), ('i', -1, 1172, 0), ('j', -1, 1416, 0), ('k', -1, 247, 0), ('m', -1, 1324, 0), ('n', -1, 1417, 0), ('o', -1, 426, 0), ('p', 0, -1, 0), ('r', -1, 855, 0), ('s', -1, 261, 0), ('t', -1, 1419, 0), ('u', -1, 1389, 0), ('w', 0, 1128, 0), ('z', -1, 1206, 0), ('ż', 0, -1, 0)), (('a', -1, 897, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 601, 0), ('i', -1, 263, 0), ('k', 0, 477, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 143, 0), ('p', 0, -1, 0), ('r', 0, 438, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 1354, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 131, 0), ('p', -1, 637, 0), ('r', -1, 283, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1418, 0), ('ł', 0, 713, 0)), (('a', -1, 391, 0), ('c', 0, 143, 0), ('d', -1, 307, 0), ('e', -1, 538, 0), ('i', -1, 906, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 33, 0), ('p', -1, 1246, 0), ('r', -1, 144, 0), ('s', -1, 1316, 0), ('u', -1, 448, 0), ('w', -1, 404, 0), ('y', -1, 149, 0), ('z', -1, 782, 0), ('ł', -1, 156, 0), ('ź', -1, 690, 0)), (('a', -1, 237, 0), ('c', -1, 69, 0), ('d', -1, 1101, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 787, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 848, 0)), (('a', 0, -1, 0), ('d', 0, 76, 0), ('e', -1, 39, 0), ('i', -1, 831, 0), ('k', -1, 126, 0), ('l', 0, -1, 0), ('o', -1, 214, 0), ('r', -1, 229, 0), ('t', -1, 567, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 30, 0)), (('a', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 1195, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 1103, 0), ('p', -1, 43, 0), ('r', -1, 1073, 0), ('t', 1, 1422, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 318, 0), ('z', -1, 740, 0), ('ż', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 1192, 0), ('e', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 6, 0), ('k', 1, -1, 0), ('l', -1, 1121, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', -1, 652, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 1, 0)), (('a', -1, 240, 0), ('b', 0, -1, 0), ('d', 0, 70, 0), ('e', -1, 51, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 485, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 1424, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 604, 0), ('z', 0, -1, 0), ('ł', -1, 57, 0)), (('a', -1, 1250, 0), ('c', -1, 1138, 0), ('d', -1, 982, 0), ('e', 8, -1, 0), ('f', -1, 179, 0), ('g', -1, 1409, 0), ('h', -1, 795, 0), ('i', -1, 584, 0), ('j', -1, 431, 0), ('k', -1, 1425, 0), ('l', -1, 404, 0), ('m', 0, 1428, 0), ('n', -1, 850, 0), ('o', -1, 352, 0), ('p', 0, 60, 0), ('r', -1, 952, 0), ('s', -1, 1429, 0), ('t', -1, 1430, 0), ('w', -1, 527, 0), ('z', -1, 529, 0), ('ł', 0, 949, 0), ('ż', -1, 382, 0)), (('a', -1, 660, 0), ('e', -1, 586, 0), ('i', -1, 596, 0), ('m', -1, 498, 0), ('o', -1, 818, 0), ('r', -1, 1426, 0), ('s', -1, 181, 0), ('u', -1, 322, 0), ('y', -1, 740, 0), ('z', -1, 34, 0), ('ą', -1, 761, 0), ('ć', -1, 143, 0), ('ę', -1, 505, 0), ('ł', 0, 69, 0)), (('a', -1, 552, 0), ('c', 23, -1, 0), ('d', -1, 290, 0), ('e', -1, 955, 0), ('h', 0, -1, 0), ('i', -1, 632, 0), ('n', 0, -1, 0), ('o', -1, 79, 0), ('r', -1, 977, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 24, 0), ('z', -1, 1427, 0), ('ż', -1, 1295, 0)), (('a', -1, 31, 0), ('e', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 306, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 521, 0), ('t', 1, -1, 0), ('u', 1, -1, 0), ('y', -1, 231, 0), ('z', -1, 950, 0)), (('a', -1, 61, 0), ('b', -1, 64, 0), ('c', 0, -1, 0), ('d', -1, 198, 0), ('e', 24, -1, 0), ('i', 0, 85, 0), ('o', -1, 169, 0), ('r', -1, 296, 0), ('s', -1, 1294, 0), ('y', -1, 734, 0), ('z', 0, 54, 0)), (('a', -1, 666, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', -1, 187, 0), ('i', -1, 573, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 15, 0), ('o', 0, 1124, 0), ('p', -1, 557, 0), ('r', 0, 1152, 0), ('t', 1, -1, 0), ('u', -1, 814, 0), ('w', 0, 54, 0), ('y', -1, 225, 0), ('z', 0, 54, 0), ('ą', -1, 1338, 0), ('ę', -1, 617, 0), ('ł', -1, 623, 0), ('ż', 1, -1, 0)), (('a', -1, 183, 0), ('d', 0, -1, 0), ('e', -1, 187, 0), ('h', -1, 747, 0), ('i', -1, 557, 0), ('j', -1, 42, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 54, 0), ('p', 0, -1, 0), ('r', -1, 521, 0), ('s', -1, 1342, 0), ('u', 0, 54, 0), ('w', 0, -1, 0), ('y', -1, 1414, 0), ('z', -1, 191, 0), ('ą', -1, 1417, 0), ('ę', -1, 327, 0), ('ł', 0, -1, 0)), (('a', -1, 144, 0), ('e', -1, 538, 0), ('i', -1, 351, 0), ('o', -1, 754, 0), ('r', -1, 500, 0), ('t', -1, 817, 0), ('z', -1, 586, 0)), (('a', -1, 666, 0), ('b', 0, 1433, 0), ('d', 1, -1, 0), ('e', -1, 199, 0), ('g', 0, -1, 0), ('i', -1, 313, 0), ('k', -1, 846, 0), ('o', -1, 1435, 0), ('r', -1, 713, 0), ('s', -1, 329, 0), ('t', 0, -1, 0), ('w', -1, 993, 0), ('y', -1, 750, 0), ('z', -1, 601, 0), ('ę', -1, 172, 0), ('ź', -1, 293, 0)), (('a', -1, 1434, 0), ('d', -1, 175, 0), ('e', 0, -1, 0), ('i', 1, -1, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 1, -1, 0)), (('a', -1, 223, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 176, 0), ('g', -1, 120, 0), ('h', 0, -1, 0), ('i', -1, 179, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 48, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 154, 0), ('d', -1, 1343, 0), ('e', -1, 908, 0), ('i', -1, 441, 0), ('l', -1, 110, 0), ('n', -1, 322, 0), ('o', -1, 27, 0), ('r', -1, 532, 0), ('t', -1, 520, 0), ('u', -1, 144, 0), ('w', -1, 1071, 0), ('y', -1, 439, 0), ('z', -1, 135, 0)), (('a', -1, 145, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 27, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 1081, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 519, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 398, 0), ('p', 0, -1, 0), ('r', -1, 2, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 368, 0), ('w', -1, 560, 0), ('y', -1, 249, 0), ('z', -1, 1437, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 89, 0), ('c', -1, 20, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 85, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('z', 13, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 1226, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 1, 21, 0), ('p', -1, 62, 0), ('r', -1, 808, 0), ('u', 0, -1, 0), ('w', -1, 10, 0), ('y', 0, -1, 0), ('z', -1, 867, 0), ('ż', -1, 313, 0)), (('a', -1, 276, 0), ('e', -1, 339, 0), ('i', -1, 193, 0), ('k', -1, 1064, 0), ('l', -1, 604, 0), ('o', -1, 1440, 0), ('r', -1, 285, 0), ('y', -1, 343, 0)), (('a', 1, -1, 0), ('b', -1, 435, 0), ('c', -1, 299, 0), ('d', -1, 1441, 0), ('e', -1, 272, 0), ('f', -1, 718, 0), ('g', -1, 299, 0), ('h', -1, 60, 0), ('i', -1, 603, 0), ('j', -1, 552, 0), ('k', -1, 502, 0), ('l', -1, 373, 0), ('m', -1, 513, 0), ('n', -1, 752, 0), ('o', 1, -1, 0), ('p', -1, 294, 0), ('r', -1, 485, 0), ('s', -1, 317, 0), ('t', -1, 1013, 0), ('z', -1, 488, 0), ('ł', -1, 308, 0)), (('a', -1, 435, 0), ('i', -1, 157, 0), ('j', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('o', -1, 187, 0), ('r', -1, 473, 0), ('u', -1, 192, 0), ('z', 0, -1, 0)), (('a', -1, 1443, 0), ('c', 0, 954, 0), ('e', -1, 101, 0), ('i', -1, 1291, 0), ('o', -1, 33, 0), ('s', -1, 499, 0), ('u', -1, 68, 0), ('y', -1, 553, 0), ('z', -1, 169, 0), ('ą', -1, 285, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, 69, 0), ('i', -1, 507, 0), ('k', -1, 841, 0), ('m', -1, 295, 0), ('o', -1, 1239, 0), ('r', -1, 22, 0), ('t', -1, 420, 0), ('u', 0, -1, 0), ('z', -1, 230, 0), ('ą', -1, 210, 0), ('ę', -1, 104, 0), ('ł', -1, 39, 0)), (('a', -1, 26, 0), ('d', -1, 488, 0), ('e', -1, 13, 0), ('i', -1, 74, 0), ('k', -1, 489, 0), ('o', -1, 603, 0), ('p', -1, 366, 0), ('s', -1, 839, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 380, 0)), (('a', -1, 1446, 0), ('b', 0, -1, 0), ('d', -1, 254, 0), ('e', -1, 1451, 0), ('g', 0, 972, 0), ('h', 0, -1, 0), ('i', -1, 1454, 0), ('k', -1, 1455, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('t', -1, 1, 0), ('u', 0, -1, 0), ('y', -1, 788, 0), ('z', -1, 246, 0), ('ę', 0, -1, 0), ('ś', -1, 165, 0), ('ź', -1, 23, 0)), (('a', 0, 1447, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 1105, 0), ('f', 0, -1, 0), ('g', -1, 38, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 1449, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 650, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 290, 0), ('w', -1, 560, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 627, 0), ('d', -1, 49, 0), ('e', -1, 343, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', -1, 101, 0), ('o', -1, 8, 0), ('p', -1, 1, 0), ('r', 0, -1, 0), ('s', -1, 563, 0), ('t', 0, 1448, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1177, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 836, 0), ('ł', 0, -1, 0), ('ż', -1, 59, 0)), (('a', -1, 139, 0), ('b', -1, 151, 0), ('d', 0, -1, 0), ('e', -1, 25, 0), ('h', 0, -1, 0), ('i', -1, 11, 0), ('j', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('s', 1, 1, 0), ('y', -1, 319, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 94, 0), ('o', -1, 1450, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 771, 0), ('c', 0, 85, 0), ('d', -1, 217, 0), ('e', -1, 772, 0), ('i', -1, 631, 0), ('o', -1, 355, 0), ('r', 0, 141, 0), ('u', -1, 511, 0), ('y', -1, 808, 0), ('z', -1, 893, 0), ('ł', -1, 303, 0), ('ź', -1, 692, 0)), (('a', 1, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', -1, 1452, 0), ('l', -1, 172, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 516, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', -1, 807, 0), ('m', 0, -1, 0), ('n', -1, 1453, 0), ('o', -1, 1, 0), ('p', 0, -1, 0), ('r', -1, 754, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 540, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 674, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 131, 0), ('y', 0, -1, 0), ('z', -1, 73, 0), ('ś', -1, 44, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 41, 0), ('c', -1, 21, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 125, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 38, 0), ('o', -1, 49, 0), ('p', 0, 91, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('w', -1, 546, 0), ('z', -1, 16, 0)), (('a', 0, -1, 0), ('e', -1, 1456, 0), ('i', -1, 1459, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 948, 0), ('ą', 0, -1, 0), ('ę', -1, 521, 0), ('ł', 0, -1, 0)), (('a', -1, 1273, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 1457, 0), ('h', -1, 683, 0), ('i', -1, 255, 0), ('k', -1, 1458, 0), ('l', 1, -1, 0), ('o', -1, 624, 0), ('p', 0, -1, 0), ('r', -1, 131, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 1177, 0), ('i', -1, 164, 0), ('l', 0, -1, 0), ('o', 0, 1069, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1072, 0), ('i', -1, 514, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 359, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 405, 0), ('ł', 0, -1, 0)), (('a', -1, 412, 0), ('b', -1, 65, 0), ('e', -1, 62, 0), ('i', -1, 65, 0), ('m', -1, 65, 0), ('o', -1, 227, 0), ('r', -1, 1460, 0), ('u', -1, 276, 0), ('w', -1, 126, 0), ('z', -1, 1301, 0), ('ę', -1, 309, 0)), (('a', -1, 502, 0), ('b', 0, 1461, 0), ('c', 0, 1462, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 555, 0), ('i', 0, -1, 0), ('k', -1, 1505, 0), ('l', 0, -1, 0), ('m', 0, 1506, 0), ('n', 3, 1509, 0), ('o', 1, 1, 0), ('p', 0, -1, 0), ('r', -1, 1549, 0), ('s', 0, 1551, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 1555, 0), ('y', 0, -1, 0), ('z', -1, 1652, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 365, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 141, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1158, 0), ('b', -1, 843, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 434, 0), ('f', -1, 1463, 0), ('h', 0, -1, 0), ('i', -1, 1465, 0), ('j', -1, 1471, 0), ('k', -1, 1222, 0), ('l', -1, 1475, 0), ('m', -1, 968, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1477, 0), ('r', -1, 1478, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 930, 0), ('z', -1, 1485, 0), ('ą', 0, -1, 0), ('ć', -1, 1488, 0), ('ę', -1, 1489, 0), ('ł', 0, -1, 0), ('ń', -1, 1490, 0), ('ś', -1, 1491, 0), ('ź', -1, 1501, 0), ('ż', -1, 1504, 0)), (('a', -1, 6, 0), ('b', 0, -1, 0), ('e', -1, 2, 0), ('i', -1, 1229, 0), ('j', 0, 728, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('m', -1, 138, 0), ('o', 0, 63, 0), ('p', -1, 1464, 0), ('r', -1, 522, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('z', 1, -1, 0), ('ł', -1, 617, 0)), (('a', -1, 867, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', -1, 777, 0), ('e', -1, 276, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 251, 0), ('p', 1, -1, 0), ('r', -1, 266, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('u', 0, 71, 0), ('w', -1, 70, 0), ('y', -1, 4, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1466, 0), ('c', -1, 835, 0), ('e', 0, -1, 0), ('f', -1, 1467, 0), ('h', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1468, 0), ('o', -1, 49, 0), ('p', 0, 1469, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 1470, 0), ('y', 0, -1, 0), ('z', -1, 838, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 771, 0), ('l', -1, 113, 0), ('m', 0, -1, 0), ('o', 0, 918, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 1032, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 392, 0), ('c', -1, 946, 0), ('d', -1, 626, 0), ('e', 0, -1, 0), ('i', -1, 838, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 786, 0), ('m', -1, 1163, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 5, 0), ('r', -1, 96, 0), ('s', -1, 914, 0), ('t', -1, 6, 0), ('u', 0, -1, 0), ('w', -1, 746, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 1166, 0), ('ę', -1, 3, 0), ('ń', -1, 536, 0), ('ś', 0, -1, 0), ('ź', -1, 347, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 22, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 774, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 17, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 444, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 57, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 857, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 825, 0), ('d', -1, 648, 0), ('e', -1, 890, 0), ('g', -1, 224, 0), ('h', -1, 50, 0), ('i', -1, 1472, 0), ('k', -1, 1474, 0), ('o', -1, 211, 0), ('t', -1, 171, 0), ('u', -1, 698, 0), ('y', 0, -1, 0), ('z', -1, 369, 0), ('ó', 1, -1, 0), ('ż', -1, 487, 0)), (('a', -1, 856, 0), ('b', 0, 21, 0), ('c', 0, -1, 0), ('d', -1, 1473, 0), ('e', -1, 159, 0), ('h', -1, 327, 0), ('i', -1, 616, 0), ('l', 0, -1, 0), ('m', -1, 602, 0), ('n', -1, 1030, 0), ('o', -1, 428, 0), ('p', 0, 215, 0), ('r', -1, 103, 0), ('s', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 156, 0)), (('a', -1, 303, 0), ('d', -1, 183, 0), ('e', -1, 616, 0), ('o', -1, 135, 0), ('y', -1, 208, 0), ('z', 0, 306, 0)), (('a', -1, 129, 0), ('d', 0, -1, 0), ('i', -1, 236, 0), ('l', 0, -1, 0), ('o', -1, 135, 0), ('s', -1, 699, 0), ('u', 0, 54, 0), ('y', -1, 278, 0)), (('a', -1, 591, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 1476, 0), ('i', 1, -1, 0), ('m', -1, 57, 0), ('o', -1, 878, 0), ('p', 1, -1, 0), ('t', 1, -1, 0), ('u', -1, 1463, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ś', -1, 1023, 0)), (('a', -1, 873, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 1384, 0), ('i', -1, 253, 0), ('l', 0, -1, 0), ('o', -1, 846, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 49, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 233, 0)), (('a', -1, 1188, 0), ('e', -1, 1371, 0), ('i', -1, 338, 0), ('m', 0, -1, 0), ('o', -1, 41, 0), ('r', -1, 494, 0), ('t', 1, -1, 0), ('u', -1, 912, 0), ('y', 0, -1, 0), ('ą', -1, 41, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 1020, 0), ('e', 0, -1, 0), ('g', 0, 816, 0), ('i', -1, 1479, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1483, 0), ('z', -1, 1484, 0)), (('a', -1, 1043, 0), ('c', -1, 597, 0), ('e', 0, -1, 0), ('g', -1, 357, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('m', -1, 1058, 0), ('o', 0, -1, 0), ('p', -1, 324, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 757, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1480, 0)), (('a', -1, 861, 0), ('c', -1, 1081, 0), ('e', 0, -1, 0), ('i', -1, 1007, 0), ('j', -1, 1481, 0), ('l', -1, 1482, 0), ('o', -1, 363, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 1223, 0), ('ó', 0, -1, 0), ('ż', -1, 1476, 0)), (('a', 1, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', -1, 939, 0), ('m', 0, -1, 0), ('o', -1, 1295, 0), ('z', 0, -1, 0)), (('a', -1, 602, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 936, 0), ('g', -1, 58, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', -1, 57, 0), ('o', -1, 120, 0), ('p', -1, 441, 0), ('r', 0, -1, 0), ('t', -1, 206, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ś', -1, 1023, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 251, 0), ('s', 1, -1, 0), ('u', 0, -1, 0), ('y', -1, 154, 0), ('z', -1, 383, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', -1, 124, 0)), (('a', -1, 539, 0), ('e', -1, 1218, 0), ('i', -1, 542, 0), ('o', -1, 286, 0), ('u', -1, 598, 0), ('y', -1, 111, 0), ('ó', -1, 160, 0), ('ł', -1, 159, 0)), (('a', -1, 713, 0), ('c', -1, 1156, 0), ('d', -1, 489, 0), ('e', 1, -1, 0), ('i', -1, 402, 0), ('l', 3, -1, 0), ('o', -1, 46, 0), ('r', -1, 1486, 0), ('s', 0, -1, 0), ('t', 3, -1, 0), ('u', -1, 622, 0), ('w', 0, -1, 0), ('y', -1, 49, 0), ('z', 1, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1481, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1487, 0), ('j', 20, -1, 0), ('k', 0, -1, 0), ('l', -1, 755, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 32, 0), ('ó', -1, 1304, 0)), (('a', -1, 491, 0), ('c', -1, 94, 0), ('d', -1, 49, 0), ('e', -1, 931, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 1063, 0), ('o', -1, 1351, 0), ('p', -1, 756, 0), ('r', -1, 1177, 0), ('s', -1, 4, 0), ('u', 0, -1, 0), ('w', -1, 125, 0), ('y', 0, -1, 0), ('z', -1, 415, 0), ('ą', 0, -1, 0), ('ę', -1, 1192, 0)), (('a', 17, -1, 0), ('e', -1, 1219, 0), ('i', 17, -1, 0), ('o', 17, -1, 0), ('r', 17, -1, 0), ('u', 17, -1, 0), ('y', 17, -1, 0), ('ó', 17, -1, 0), ('ą', 17, -1, 0), ('ę', 17, -1, 0), ('ł', 17, -1, 0), ('ś', 17, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 517, 0), ('h', -1, 588, 0), ('i', -1, 651, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1300, 0), ('r', 0, -1, 0), ('u', -1, 788, 0), ('y', -1, 936, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1295, 0), ('e', 1, -1, 0), ('i', -1, 782, 0), ('o', -1, 944, 0), ('r', 1, -1, 0), ('u', -1, 936, 0), ('y', -1, 16, 0), ('ź', 1, -1, 0)), (('a', -1, 1034, 0), ('e', -1, 1458, 0), ('i', -1, 1150, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, 1492, 0), ('r', 0, -1, 0), ('u', -1, 1495, 0), ('w', 0, -1, 0), ('y', -1, 1496, 0), ('ą', -1, 59, 0), ('ę', -1, 1497, 0)), (('a', -1, 190, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 659, 0), ('k', 0, -1, 0), ('m', 0, 2, 0), ('n', -1, 1493, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 1494, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', -1, 901, 0), ('ł', -1, 1025, 0)), (('a', -1, 332, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('l', -1, 676, 0), ('m', 0, -1, 0), ('n', -1, 204, 0), ('o', 1, -1, 0), ('r', -1, 360, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', 1, 1332, 0), ('y', 1, -1, 0), ('z', -1, 251, 0), ('ż', -1, 488, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 619, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 899, 0), ('r', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1074, 0), ('ł', 0, -1, 0)), (('a', -1, 714, 0), ('b', -1, 1394, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1262, 0), ('i', -1, 109, 0), ('o', -1, 311, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 1365, 0), ('w', 0, -1, 0), ('y', -1, 1369, 0), ('z', -1, 722, 0), ('ł', -1, 965, 0), ('ż', 0, -1, 0)), (('a', -1, 1498, 0), ('b', -1, 48, 0), ('d', -1, 311, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 97, 0), ('h', -1, 475, 0), ('i', 0, -1, 0), ('k', -1, 381, 0), ('o', -1, 1348, 0), ('p', 1, -1, 0), ('r', -1, 754, 0), ('t', 0, 1500, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 95, 0), ('ó', 0, -1, 0)), (('a', -1, 1221, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, 1239, 0), ('g', -1, 120, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 331, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1499, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 993, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1102, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 409, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 672, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 7, 1453, 0), ('ż', 0, -1, 0)), (('a', -1, 120, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 0, 13, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 678, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('d', -1, 1502, 0), ('e', 0, -1, 0), ('i', -1, 865, 0), ('o', 1, -1, 0), ('r', -1, 304, 0), ('y', -1, 1, 0), ('z', -1, 361, 0), ('ę', 1, -1, 0)), (('a', 1, -1, 0), ('e', -1, 504, 0), ('i', 17, -1, 0), ('j', -1, 93, 0), ('o', 1, -1, 0), ('r', -1, 1503, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('ó', 1, -1, 0), ('ą', -1, 932, 0), ('ę', -1, 953, 0), ('ź', 1, -1, 0)), (('a', -1, 809, 0), ('d', 0, -1, 0), ('e', -1, 1321, 0), ('g', -1, 208, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 363, 0), ('l', -1, 659, 0), ('m', 0, -1, 0), ('o', -1, 599, 0), ('p', -1, 1, 0), ('r', -1, 145, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('z', 1, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 20, 0), ('e', -1, 429, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 49, 0), ('ó', -1, 1356, 0), ('ą', -1, 777, 0), ('ę', 0, -1, 0)), (('a', -1, 56, 0), ('c', -1, 396, 0), ('d', -1, 1023, 0), ('e', -1, 1204, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1089, 0), ('t', -1, 85, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, 1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1507, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 19, 136, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 536, 0), ('z', 19, 1335, 0), ('ś', 16, 13, 0), ('ź', -1, 13, 0)), (('a', -1, 647, 0), ('d', -1, 1508, 0), ('e', 0, -1, 0), ('i', -1, 75, 0), ('o', 0, -1, 0), ('r', -1, 360, 0), ('u', 0, -1, 0)), (('a', -1, 39, 0), ('o', 0, -1, 0), ('z', 0, 70, 0)), (('a', -1, 1510, 0), ('b', -1, 1512, 0), ('c', 0, 489, 0), ('d', 0, 1513, 0), ('e', -1, 1514, 0), ('g', -1, 1518, 0), ('h', -1, 28, 0), ('i', 0, -1, 0), ('j', -1, 1521, 0), ('k', 0, 430, 0), ('l', -1, 1523, 0), ('m', -1, 1525, 0), ('n', -1, 1528, 0), ('o', -1, 1530, 0), ('p', -1, 1535, 0), ('r', -1, 1400, 0), ('s', 0, -1, 0), ('t', -1, 1540, 0), ('u', 0, -1, 0), ('w', -1, 1543, 0), ('y', -1, 837, 0), ('z', -1, 1172, 0), ('ł', 0, -1, 0), ('ś', 1, 1545, 0), ('ź', -1, 1548, 0), ('ż', -1, 1392, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1147, 0), ('h', 0, -1, 0), ('i', -1, 1148, 0), ('j', 0, 14, 0), ('k', 0, -1, 0), ('l', -1, 1511, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 679, 0), ('p', 0, -1, 0), ('r', -1, 899, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 34, 0), ('z', -1, 94, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1416, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 95, 0), ('e', -1, 300, 0), ('i', -1, 161, 0), ('o', -1, 757, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 360, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 946, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 230, 0), ('ą', -1, 210, 0), ('ę', -1, 104, 0)), (('a', -1, 549, 0), ('c', 0, 1515, 0), ('e', -1, 436, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1406, 0), ('j', -1, 1440, 0), ('l', -1, 1517, 0), ('m', 0, -1, 0), ('o', -1, 77, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', -1, 909, 0), ('ę', 0, -1, 0), ('ż', -1, 1232, 0)), (('a', -1, 452, 0), ('e', -1, 872, 0), ('h', 17, -1, 0), ('i', -1, 756, 0), ('o', -1, 1516, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 27, 0), ('c', 0, -1, 0), ('d', -1, 514, 0), ('e', -1, 757, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 923, 0), ('p', 1, -1, 0), ('r', -1, 210, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 9, 0), ('y', 0, -1, 0), ('z', -1, 344, 0), ('ó', -1, 241, 0), ('ł', 1, -1, 0)), (('a', -1, 1187, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 1388, 0), ('g', -1, 58, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', -1, 57, 0), ('o', -1, 1217, 0), ('p', -1, 441, 0), ('r', 0, -1, 0), ('t', 0, 206, 0), ('u', 1, -1, 0), ('y', -1, 254, 0), ('z', 0, -1, 0), ('ś', -1, 1023, 0)), (('a', 0, -1, 0), ('e', -1, 610, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 17, 1519, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1520, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 649, 0), ('b', -1, 889, 0), ('c', -1, 232, 0), ('d', -1, 569, 0), ('e', -1, 557, 0), ('h', -1, 102, 0), ('i', -1, 447, 0), ('j', -1, 1389, 0), ('k', -1, 565, 0), ('l', -1, 803, 0), ('m', -1, 417, 0), ('o', -1, 534, 0), ('p', 19, -1, 0), ('r', -1, 602, 0), ('s', -1, 455, 0), ('t', -1, 602, 0), ('w', -1, 131, 0), ('y', -1, 1073, 0), ('z', -1, 153, 0), ('ł', -1, 184, 0), ('ś', -1, 806, 0), ('ź', -1, 854, 0), ('ż', -1, 533, 0)), (('a', -1, 8, 0), ('d', 0, -1, 0), ('e', -1, 1430, 0), ('i', 0, -1, 0), ('o', 19, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('ę', -1, 867, 0)), (('a', -1, 1522, 0), ('e', 0, -1, 0), ('i', -1, 342, 0), ('o', 0, -1, 0), ('y', -1, 210, 0), ('ó', 0, -1, 0)), (('a', -1, 345, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 590, 0), ('o', -1, 897, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 208, 0), ('ą', 0, -1, 0)), (('a', -1, 680, 0), ('e', -1, 1524, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 547, 0), ('ó', 0, -1, 0), ('ś', -1, 302, 0)), (('a', -1, 403, 0), ('d', 1, -1, 0), ('e', -1, 2, 0), ('i', -1, 745, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 1, 119, 0), ('s', 1, -1, 0), ('t', -1, 947, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 21, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 61, 0), ('r', -1, 1526, 0), ('u', 0, -1, 0)), (('a', -1, 1527, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 526, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1156, 0), ('d', 0, -1, 0), ('e', -1, 301, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 333, 0), ('r', -1, 903, 0), ('s', -1, 832, 0), ('u', 0, -1, 0), ('w', -1, 1024, 0), ('y', 0, -1, 0), ('z', 23, -1, 0), ('ó', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 1529, 0), ('i', 0, -1, 0), ('o', -1, 35, 0), ('u', 0, -1, 0), ('y', -1, 319, 0)), (('a', -1, 31, 0), ('d', 0, -1, 0), ('e', -1, 1200, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 308, 0), ('j', -1, 86, 0), ('k', -1, 1340, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 14, 0), ('s', 0, 39, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 444, 0), ('m', -1, 1531, 0), ('n', 0, -1, 0), ('o', -1, 896, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 1532, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1533, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 1497, 0), ('y', -1, 1123, 0), ('z', -1, 1534, 0), ('ę', 0, -1, 0)), (('a', -1, 1104, 0), ('d', -1, 154, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 319, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 70, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 320, 0), ('r', 0, -1, 0), ('u', 0, -1, 0)), (('a', -1, 552, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 518, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1450, 0), ('p', 0, -1, 0), ('r', -1, 81, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 1, 41, 0), ('r', -1, 1536, 0), ('u', -1, 70, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 92, 0)), (('a', -1, 747, 0), ('e', -1, 1537, 0), ('i', 1, -1, 0), ('o', -1, 1538, 0), ('y', 1, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 873, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', -1, 708, 0), ('l', 0, -1, 0), ('o', -1, 1300, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 254, 0)), (('a', -1, 690, 0), ('b', 1, -1, 0), ('d', -1, 1539, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 21, -1, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('t', 1, -1, 0), ('z', 1, -1, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 13, 0), ('k', 0, -1, 0), ('o', 1, -1, 0), ('r', 1, -1, 0), ('u', 1, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0), ('ś', 0, -1, 0), ('ź', 1, -1, 0)), (('a', -1, 1541, 0), ('e', -1, 469, 0), ('i', 0, -1, 0), ('n', -1, 101, 0), ('o', -1, 1178, 0), ('r', -1, 17, 0), ('s', -1, 563, 0), ('u', 0, -1, 0), ('y', -1, 301, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 836, 0), ('ł', 0, -1, 0)), (('a', -1, 365, 0), ('d', -1, 45, 0), ('e', -1, 1503, 0), ('i', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, 13, 0), ('o', -1, 849, 0), ('r', 0, -1, 0), ('t', -1, 125, 0), ('u', -1, 1542, 0), ('w', -1, 63, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', -1, 152, 0)), (('a', -1, 720, 0), ('b', 0, -1, 0), ('e', -1, 868, 0), ('h', -1, 344, 0), ('i', -1, 23, 0), ('l', -1, 997, 0), ('n', -1, 125, 0), ('o', -1, 1244, 0), ('p', 0, -1, 0), ('r', -1, 1013, 0), ('t', 1, -1, 0), ('z', -1, 130, 0)), (('a', -1, 27, 0), ('e', -1, 757, 0), ('i', 0, -1, 0), ('o', -1, 1544, 0), ('r', -1, 210, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', -1, 241, 0)), (('a', -1, 923, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1381, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 192, 0), ('n', 0, -1, 0), ('o', -1, 570, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1280, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1229, 0), ('ę', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 671, 0), ('e', -1, 1280, 0), ('i', -1, 266, 0), ('o', -1, 500, 0), ('u', 1, 788, 0), ('y', -1, 1546, 0), ('ą', 1, -1, 0), ('ę', -1, 706, 0)), (('a', -1, 1122, 0), ('b', -1, 1136, 0), ('d', -1, 1217, 0), ('e', -1, 1366, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 475, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 676, 0), ('p', -1, 838, 0), ('r', -1, 2, 0), ('t', -1, 1547, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 120, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 0, 13, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('s', -1, 1538, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 1485, 0), ('i', 1, -1, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('y', 1, -1, 0), ('ó', 0, -1, 0), ('ę', 1, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 207, 0), ('d', 0, -1, 0), ('e', -1, 962, 0), ('i', -1, 221, 0), ('j', -1, 1550, 0), ('k', -1, 540, 0), ('l', -1, 692, 0), ('m', -1, 352, 0), ('n', -1, 349, 0), ('o', 0, -1, 0), ('r', -1, 240, 0), ('s', -1, 52, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', -1, 325, 0), ('ż', -1, 445, 0)), (('a', -1, 474, 0), ('e', -1, 630, 0), ('i', -1, 162, 0), ('o', -1, 473, 0), ('u', -1, 1070, 0), ('y', -1, 718, 0)), (('a', 0, -1, 0), ('e', -1, 1552, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 203, 0), ('o', -1, 1398, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 1553, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 381, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, 49, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 547, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ś', -1, 457, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', -1, 1554, 0), ('d', -1, 21, 0), ('e', -1, 487, 0), ('f', 0, -1, 0), ('g', -1, 307, 0), ('i', -1, 297, 0), ('j', -1, 435, 0), ('k', -1, 681, 0), ('m', -1, 104, 0), ('n', -1, 543, 0), ('o', 0, 93, 0), ('p', 0, -1, 0), ('r', -1, 572, 0), ('s', -1, 188, 0), ('t', -1, 682, 0), ('u', -1, 612, 0), ('w', 0, 1002, 0), ('z', -1, 674, 0), ('ż', 0, -1, 0)), (('a', -1, 149, 0), ('b', -1, 352, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('i', -1, 44, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 440, 0), ('r', -1, 125, 0), ('t', 0, -1, 0), ('u', -1, 197, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 142, 0), ('ę', -1, 92, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('g', 17, -1, 0), ('i', -1, 280, 0), ('k', 16, 1488, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1556, 0), ('r', -1, 650, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 16, -1, 0)), (('a', -1, 59, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1210, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1557, 0), ('h', -1, 898, 0), ('i', -1, 1220, 0), ('j', 0, -1, 0), ('k', -1, 1558, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1000, 0), ('r', -1, 851, 0), ('s', 0, -1, 0), ('t', -1, 1646, 0), ('u', 1, -1, 0), ('w', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ł', 1, 430, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 3, -1, 0), ('i', 0, -1, 0), ('o', -1, 1374, 0), ('r', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', -1, 140, 0), ('e', 0, -1, 0), ('i', -1, 1559, 0), ('j', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 1560, 0), ('s', 0, -1, 0), ('t', -1, 1568, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1134, 0), ('ę', 0, -1, 0), ('ł', -1, 48, 0)), (('a', 0, -1, 0), ('c', -1, 665, 0), ('d', 0, -1, 0), ('e', -1, 1256, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 244, 0), ('m', -1, 834, 0), ('n', 0, -1, 0), ('o', -1, 451, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1106, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 385, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ź', 0, -1, 0)), (('-', 0, -1, 0), ('a', 0, -1, 0), ('b', 0, 1305, 0), ('c', 0, 464, 0), ('d', 0, 654, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 962, 0), ('h', -1, 617, 0), ('i', -1, 1163, 0), ('j', -1, 1561, 0), ('k', -1, 1562, 0), ('l', 0, 1059, 0), ('m', 0, 1563, 0), ('n', -1, 1566, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 1035, 0), ('s', -1, 202, 0), ('t', 0, 1367, 0), ('u', -1, 413, 0), ('w', -1, 1327, 0), ('y', 0, -1, 0), ('z', -1, 1567, 0), ('ó', 1, -1, 0), ('ł', 0, 1184, 0), ('ż', 0, 665, 0)), (('-', 0, -1, 0), ('a', -1, 310, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 694, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 541, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, 1103, 0), ('n', 0, -1, 0), ('o', -1, 620, 0), ('p', 0, 218, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 913, 0), ('u', 0, -1, 0), ('w', -1, 1368, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, 1103, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 988, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('i', -1, 1043, 0), ('j', 1, -1, 0), ('l', -1, 218, 0), ('m', -1, 625, 0), ('n', -1, 1299, 0), ('o', 0, -1, 0), ('p', -1, 798, 0), ('r', -1, 875, 0), ('s', 0, 1220, 0), ('t', -1, 801, 0), ('u', -1, 997, 0), ('w', 0, 667, 0), ('y', 0, -1, 0), ('z', -1, 623, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1051, 0), ('ś', 1, -1, 0), ('ż', -1, 652, 0)), (('a', -1, 662, 0), ('d', -1, 1349, 0), ('e', -1, 1564, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 675, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 16, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 571, 0), ('y', 0, -1, 0), ('z', -1, 1163, 0), ('ł', -1, 290, 0)), (('a', -1, 73, 0), ('b', 0, -1, 0), ('c', -1, 47, 0), ('d', 0, -1, 0), ('e', -1, 284, 0), ('h', -1, 193, 0), ('i', -1, 612, 0), ('j', 0, 57, 0), ('l', 0, -1, 0), ('m', -1, 888, 0), ('n', -1, 399, 0), ('o', -1, 364, 0), ('r', -1, 1110, 0), ('s', 0, -1, 0), ('t', -1, 1304, 0), ('u', -1, 40, 0), ('w', -1, 1565, 0), ('z', -1, 664, 0), ('ł', -1, 992, 0), ('ż', 0, -1, 0)), (('a', -1, 422, 0), ('d', -1, 958, 0), ('e', 0, -1, 0), ('i', -1, 283, 0), ('j', 0, -1, 0), ('k', -1, 307, 0), ('m', -1, 107, 0), ('o', -1, 419, 0), ('r', -1, 1039, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('y', -1, 52, 0), ('z', -1, 721, 0), ('ę', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 239, 0), ('n', 0, -1, 0), ('o', -1, 1559, 0), ('p', 0, 1273, 0), ('r', 0, -1, 0), ('s', 1, 13, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 936, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 89, 0), ('o', -1, 6, 0), ('p', 1, -1, 0), ('r', 16, 791, 0), ('s', 0, -1, 0), ('t', 1, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0)), (('a', -1, 43, 0), ('b', 0, -1, 0), ('c', 0, 1569, 0), ('d', 0, -1, 0), ('e', -1, 1588, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, 1402, 0), ('i', -1, 1460, 0), ('j', 0, 1589, 0), ('k', 0, -1, 0), ('l', -1, 1618, 0), ('m', -1, 1526, 0), ('n', -1, 1623, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 1627, 0), ('s', 0, -1, 0), ('t', -1, 1630, 0), ('u', 0, -1, 0), ('w', -1, 1635, 0), ('y', 0, -1, 0), ('z', 0, 1636, 0), ('ą', 0, -1, 0), ('ł', -1, 1649, 0), ('ż', -1, 1650, 0)), (('a', 0, -1, 0), ('b', -1, 1570, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', -1, 1571, 0), ('l', -1, 1572, 0), ('m', -1, 1573, 0), ('n', -1, 1574, 0), ('o', 0, -1, 0), ('p', -1, 1576, 0), ('r', -1, 1578, 0), ('s', -1, 1580, 0), ('t', -1, 213, 0), ('u', 0, -1, 0), ('w', -1, 1581, 0), ('y', 0, -1, 0), ('z', -1, 493, 0), ('ą', -1, 1549, 0), ('ć', -1, 392, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', -1, 1585, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', -1, 589, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 7, 0), ('e', 1, -1, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 625, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 777, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 281, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 1, 0), ('e', -1, 1448, 0), ('i', 0, -1, 0), ('o', -1, 1182, 0), ('u', -1, 587, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 152, 0), ('i', -1, 333, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 610, 0), ('ż', -1, 321, 0)), (('a', -1, 1575, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', -1, 314, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 690, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 736, 0), ('w', -1, 89, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1577, 0), ('e', -1, 1, 0), ('i', -1, 1265, 0), ('l', -1, 632, 0), ('m', 0, -1, 0), ('o', -1, 627, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 666, 0), ('ą', 1, -1, 0)), (('a', -1, 617, 0), ('e', -1, 25, 0), ('i', -1, 112, 0), ('o', 0, 421, 0), ('r', -1, 143, 0), ('u', -1, 70, 0), ('y', -1, 558, 0)), (('a', -1, 1579, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 1370, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, 1, 0), ('n', 0, -1, 0), ('o', -1, 541, 0), ('p', -1, 1011, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 146, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('r', -1, 1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 1582, 0), ('e', 0, -1, 0), ('i', -1, 691, 0), ('o', 1, -1, 0), ('u', 0, -1, 0), ('y', -1, 1583, 0), ('ó', -1, 1584, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 1140, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 652, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 1349, 0), ('i', -1, 223, 0), ('o', -1, 35, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 319, 0), ('z', -1, 807, 0), ('ł', 0, -1, 0)), (('-', 0, -1, 0), ('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 469, 0), ('y', 0, -1, 0), ('z', -1, 1182, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1316, 0), ('e', -1, 1586, 0), ('i', 1, -1, 0), ('o', 0, 83, 0), ('w', 0, 42, 0), ('y', 1, -1, 0), ('z', 0, 522, 0)), (('a', -1, 7, 0), ('e', 0, -1, 0), ('i', -1, 12, 0), ('n', -1, 1587, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 75, 0), ('ę', 0, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 155, 0), ('e', -1, 13, 0), ('i', 1, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0)), (('a', -1, 830, 0), ('d', 0, -1, 0), ('e', -1, 98, 0), ('g', 0, -1, 0), ('h', -1, 524, 0), ('i', 23, -1, 0), ('o', -1, 83, 0), ('r', -1, 308, 0), ('z', -1, 535, 0)), (('a', 0, 1590, 0), ('c', -1, 450, 0), ('d', 0, -1, 0), ('e', -1, 1612, 0), ('i', -1, 84, 0), ('o', -1, 1614, 0), ('s', -1, 1533, 0), ('u', 0, 698, 0), ('y', -1, 1617, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 952, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1171, 0), ('r', 0, -1, 0), ('s', -1, 1591, 0), ('t', 0, -1, 0), ('u', -1, 701, 0), ('y', 0, -1, 0), ('z', -1, 1516, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1592, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1044, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1426, 0), ('z', 0, -1, 0)), (('a', -1, 687, 0), ('c', -1, 459, 0), ('e', 23, -1, 0), ('f', 23, -1, 0), ('g', 23, -1, 0), ('i', -1, 712, 0), ('l', -1, 1593, 0), ('m', 23, -1, 0), ('n', -1, 1606, 0), ('o', -1, 1187, 0), ('r', -1, 393, 0), ('s', 23, -1, 0), ('u', -1, 1613, 0), ('w', 23, -1, 0), ('y', -1, 52, 0), ('z', 23, -1, 0)), (('a', -1, 677, 0), ('c', -1, 1479, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 181, 0), ('j', -1, 1594, 0), ('l', -1, 1599, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 23, -1, 0), ('z', -1, 1600, 0), ('ł', 1, -1, 0), ('ż', -1, 1487, 0)), (('a', 0, -1, 0), ('c', -1, 1235, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 700, 0), ('j', -1, 1595, 0), ('k', -1, 815, 0), ('l', -1, 1180, 0), ('m', -1, 100, 0), ('n', -1, 1247, 0), ('o', -1, 796, 0), ('r', -1, 1118, 0), ('s', -1, 151, 0), ('z', -1, 1248, 0), ('ż', -1, 1598, 0)), (('a', -1, 1596, 0), ('e', -1, 1313, 0), ('i', -1, 580, 0), ('o', -1, 1118, 0), ('u', -1, 238, 0), ('y', -1, 378, 0)), (('a', -1, 1597, 0), ('c', -1, 1138, 0), ('d', -1, 982, 0), ('e', 0, -1, 0), ('f', -1, 179, 0), ('g', -1, 1409, 0), ('h', -1, 795, 0), ('i', -1, 584, 0), ('j', -1, 431, 0), ('k', -1, 1425, 0), ('l', -1, 1111, 0), ('m', 0, 1428, 0), ('n', -1, 850, 0), ('o', -1, 34, 0), ('r', -1, 952, 0), ('s', -1, 1429, 0), ('t', -1, 1430, 0), ('u', 0, -1, 0), ('w', -1, 527, 0), ('z', -1, 529, 0), ('ł', 0, 949, 0), ('ż', -1, 382, 0)), (('a', -1, 118, 0), ('d', -1, 545, 0), ('e', 14, -1, 0), ('i', -1, 45, 0), ('m', 0, -1, 0), ('o', -1, 126, 0), ('r', 0, 143, 0), ('w', 0, 42, 0), ('y', -1, 552, 0), ('z', -1, 718, 0), ('ś', -1, 71, 0)), (('a', -1, 176, 0), ('d', 0, -1, 0), ('e', -1, 414, 0), ('i', 0, 153, 0), ('l', 0, 143, 0), ('m', 0, 143, 0), ('o', -1, 294, 0), ('r', -1, 161, 0), ('s', -1, 1278, 0), ('u', -1, 159, 0), ('y', 0, -1, 0), ('z', -1, 148, 0), ('ą', -1, 980, 0), ('ę', -1, 542, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 526, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 480, 0), ('n', 0, -1, 0), ('o', -1, 642, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 447, 0), ('y', 0, -1, 0), ('z', -1, 441, 0), ('ś', 0, -1, 0)), (('a', -1, 759, 0), ('c', -1, 1601, 0), ('d', -1, 891, 0), ('e', -1, 238, 0), ('i', -1, 1006, 0), ('o', -1, 115, 0), ('r', -1, 1603, 0), ('s', -1, 1584, 0), ('t', -1, 1604, 0), ('y', -1, 10, 0), ('z', -1, 1309, 0), ('ź', -1, 1605, 0)), (('a', -1, 1171, 0), ('d', -1, 1596, 0), ('e', -1, 1602, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 94, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1428, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 17, 0), ('d', -1, 107, 0), ('e', -1, 25, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 421, 0), ('r', -1, 13, 0), ('t', 0, -1, 0), ('u', 0, 80, 0), ('w', 0, 42, 0), ('y', -1, 319, 0), ('z', -1, 987, 0), ('ł', -1, 1113, 0)), (('a', -1, 134, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 603, 0), ('h', 0, -1, 0), ('i', -1, 1418, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, 1120, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 352, 0), ('d', -1, 455, 0), ('e', 0, 70, 0), ('g', 0, -1, 0), ('i', -1, 537, 0), ('j', -1, 361, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', -1, 277, 0), ('p', -1, 397, 0), ('r', -1, 1382, 0), ('t', 0, -1, 0), ('w', -1, 235, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 118, 0), ('b', 1, -1, 0), ('d', -1, 246, 0), ('e', -1, 955, 0), ('h', -1, 347, 0), ('i', 1, -1, 0), ('n', 1, -1, 0), ('o', 0, 80, 0), ('r', -1, 57, 0), ('s', 1, -1, 0), ('t', -1, 151, 0), ('y', -1, 25, 0), ('z', -1, 535, 0), ('ł', 1, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 889, 0), ('b', -1, 1422, 0), ('c', -1, 1607, 0), ('d', -1, 1608, 0), ('e', 23, -1, 0), ('f', 0, -1, 0), ('g', -1, 1, 0), ('i', 0, -1, 0), ('l', -1, 1609, 0), ('m', 0, -1, 0), ('n', -1, 1611, 0), ('o', 23, -1, 0), ('p', -1, 1110, 0), ('r', -1, 1612, 0), ('s', 0, -1, 0), ('t', -1, 93, 0), ('u', 0, -1, 0), ('v', 1, -1, 0), ('w', -1, 1500, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 49, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 84, 0), ('k', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1108, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 774, 0), ('ł', 0, -1, 0), ('ś', -1, 920, 0)), (('a', -1, 120, 0), ('e', 0, -1, 0), ('i', -1, 13, 0), ('j', 1, -1, 0), ('l', 0, -1, 0), ('n', -1, 1, 0), ('o', -1, 247, 0), ('r', 0, -1, 0), ('s', -1, 175, 0), ('u', 1, -1, 0), ('w', 16, -1, 0), ('y', 1, -1, 0), ('z', 16, -1, 0)), (('a', 0, -1, 0), ('c', 0, 69, 0), ('e', -1, 150, 0), ('i', 0, -1, 0), ('m', -1, 414, 0), ('o', -1, 12, 0), ('p', 0, 69, 0), ('r', -1, 200, 0), ('t', -1, 1610, 0), ('u', 0, -1, 0), ('w', -1, 324, 0), ('y', 0, -1, 0), ('z', -1, 574, 0), ('ł', -1, 321, 0)), (('a', -1, 156, 0), ('o', -1, 855, 0), ('u', 0, -1, 0), ('w', 0, 70, 0), ('y', -1, 158, 0), ('z', -1, 218, 0), ('ś', -1, 154, 0)), (('a', -1, 1085, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 635, 0), ('e', -1, 1080, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 817, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 480, 0), ('p', -1, 1121, 0), ('r', 0, -1, 0), ('t', -1, 2, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1179, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 226, 0), ('ź', -1, 13, 0), ('ż', 0, -1, 0)), (('a', -1, 652, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1103, 0), ('h', 0, -1, 0), ('i', -1, 312, 0), ('k', 0, -1, 0), ('l', 0, 172, 0), ('o', -1, 803, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 55, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('d', 1, 93, 0), ('e', 5, -1, 0), ('g', 1, -1, 0), ('i', -1, 1041, 0), ('j', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 63, 0), ('p', 1, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 613, 0), ('b', 0, 269, 0), ('c', 0, -1, 0), ('e', -1, 958, 0), ('g', 0, -1, 0), ('i', -1, 637, 0), ('k', 0, 57, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 403, 0), ('s', 0, -1, 0), ('u', -1, 1615, 0), ('w', -1, 53, 0), ('y', -1, 267, 0), ('z', 0, -1, 0), ('ó', -1, 1430, 0)), (('a', -1, 1036, 0), ('b', 0, -1, 0), ('c', -1, 547, 0), ('d', -1, 1616, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 541, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0), ('ą', -1, 1065, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 1, 13, 0), ('t', 0, -1, 0), ('u', -1, 888, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 422, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('i', -1, 283, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 1, 419, 0), ('r', 0, 1158, 0), ('t', 0, -1, 0), ('u', 0, 12, 0), ('y', -1, 52, 0), ('z', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 769, 0), ('b', -1, 432, 0), ('c', 1, -1, 0), ('d', -1, 1619, 0), ('e', 0, -1, 0), ('f', -1, 260, 0), ('g', -1, 1162, 0), ('h', 0, -1, 0), ('i', -1, 667, 0), ('j', 0, -1, 0), ('k', -1, 1620, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1621, 0), ('p', -1, 1622, 0), ('r', -1, 152, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 658, 0), ('ó', 0, -1, 0), ('ś', 0, -1, 0), ('ź', -1, 11, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 628, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 207, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1382, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1432, 0), ('p', 16, 1, 0), ('r', 0, -1, 0), ('s', 1, 13, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('m', 1, -1, 0), ('o', -1, 613, 0), ('u', -1, 728, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0)), (('a', -1, 1083, 0), ('b', -1, 695, 0), ('c', 0, 489, 0), ('d', -1, 263, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 549, 0), ('k', -1, 24, 0), ('l', -1, 1624, 0), ('m', -1, 1197, 0), ('n', -1, 205, 0), ('o', 0, 879, 0), ('p', -1, 1368, 0), ('r', -1, 309, 0), ('s', -1, 518, 0), ('t', -1, 1447, 0), ('u', 0, -1, 0), ('w', -1, 1626, 0), ('y', 0, -1, 0), ('z', -1, 770, 0), ('ś', -1, 98, 0), ('ź', 0, -1, 0), ('ż', -1, 902, 0)), (('a', -1, 147, 0), ('e', -1, 1625, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 547, 0), ('ó', 0, -1, 0), ('ś', -1, 302, 0)), (('a', 0, -1, 0), ('e', -1, 300, 0), ('i', -1, 231, 0), ('l', 0, -1, 0), ('o', -1, 367, 0), ('r', 0, -1, 0), ('t', -1, 245, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 27, 0), ('e', -1, 757, 0), ('i', 0, -1, 0), ('o', -1, 923, 0), ('r', -1, 210, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 78, 0), ('e', -1, 1628, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('t', 0, 1629, 0), ('u', 0, -1, 0), ('ó', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 27, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 757, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 54, 0), ('r', -1, 210, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 762, 0), ('ó', 0, -1, 0)), (('a', -1, 1561, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 988, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('n', 1, 1, 0), ('o', -1, 569, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, 392, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 154, 0), ('ó', -1, 775, 0), ('ł', 0, -1, 0)), (('a', -1, 766, 0), ('e', 0, -1, 0), ('i', -1, 576, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1446, 0), ('s', 0, 1631, 0), ('u', 0, -1, 0), ('y', -1, 976, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 142, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 1632, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 491, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1633, 0), ('u', 0, -1, 0), ('w', -1, 131, 0), ('y', 0, -1, 0), ('z', -1, 73, 0), ('ś', -1, 44, 0), ('ż', 0, -1, 0)), (('a', -1, 1029, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 125, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, 503, 0), ('t', -1, 1634, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 286, 0), ('ł', 0, -1, 0)), (('a', -1, 475, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('o', -1, 677, 0), ('p', 3, -1, 0), ('s', 3, -1, 0), ('u', 3, -1, 0), ('z', 0, -1, 0)), (('a', -1, 422, 0), ('e', 0, -1, 0), ('i', -1, 456, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 1, 925, 0), ('s', 48, -1, 0), ('t', 0, -1, 0), ('y', -1, 52, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, 1637, 0), ('d', -1, 1183, 0), ('e', 7, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1638, 0), ('s', 0, 1646, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 768, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 823, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 16, 0), ('t', 0, -1, 0), ('u', -1, 394, 0), ('w', 0, -1, 0), ('y', -1, 1633, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ź', -1, 347, 0), ('ż', 0, -1, 0)), (('a', -1, 1639, 0), ('b', -1, 1640, 0), ('c', 0, -1, 0), ('d', -1, 1586, 0), ('e', -1, 920, 0), ('f', 0, -1, 0), ('g', 0, 1641, 0), ('h', -1, 152, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, 972, 0), ('m', 0, -1, 0), ('o', 0, 1642, 0), ('p', -1, 13, 0), ('t', 0, 1643, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 120, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 673, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1534, 0), ('t', -1, 793, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 402, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 246, 0), ('u', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 1, -1, 0), ('y', -1, 23, 0), ('z', 0, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 46, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 175, 0), ('d', -1, 828, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 429, 0), ('h', 0, -1, 0), ('i', -1, 517, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', -1, 886, 0), ('n', 0, -1, 0), ('o', -1, 140, 0), ('p', -1, 169, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, 895, 0), ('y', 0, -1, 0), ('z', 0, 996, 0), ('ą', 0, -1, 0), ('ę', -1, 888, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 1034, 0), ('e', 0, -1, 0), ('i', 0, 13, 0), ('j', 1, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('s', -1, 1644, 0), ('u', 1, -1, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('d', 1, -1, 0), ('e', -1, 1645, 0), ('i', -1, 539, 0), ('j', -1, 183, 0), ('l', 1, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('y', 1, -1, 0), ('z', 1, -1, 0)), (('a', -1, 981, 0), ('c', 1, -1, 0), ('d', -1, 1007, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 1368, 0), ('o', -1, 1368, 0), ('p', 0, -1, 0), ('r', -1, 860, 0), ('s', -1, 579, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 533, 0), ('ł', 0, -1, 0)), (('-', 0, -1, 0), ('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1525, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 890, 0), ('k', 21, -1, 0), ('l', -1, 7, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1647, 0), ('t', -1, 1648, 0), ('u', 0, -1, 0), ('w', -1, 503, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ń', 24, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('d', -1, 1, 0), ('e', -1, 828, 0), ('i', -1, 1267, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 1, -1, 0)), (('a', 28, -1, 0), ('e', -1, 998, 0), ('i', -1, 996, 0), ('o', -1, 385, 0), ('t', -1, 867, 0), ('u', -1, 362, 0), ('ó', -1, 755, 0), ('ę', 0, -1, 0)), (('a', -1, 1554, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 427, 0), ('h', -1, 113, 0), ('i', 0, -1, 0), ('k', -1, 410, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 131, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 78, 0), ('e', -1, 1142, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 13, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1651, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 203, 0), ('o', -1, 897, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 381, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1653, 0), ('e', 0, -1, 0), ('g', 17, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 897, 0), ('u', 0, -1, 0), ('y', -1, 169, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 471, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1136, 0), ('ł', 0, -1, 0), ('ź', -1, 656, 0)), (('a', -1, 361, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 810, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 1157, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1195, 0), ('r', -1, 690, 0), ('s', 0, -1, 0), ('t', -1, 799, 0), ('w', -1, 258, 0), ('z', -1, 515, 0), ('ę', -1, 830, 0)), (('a', -1, 31, 0), ('c', -1, 1656, 0), ('d', -1, 1657, 0), ('e', -1, 496, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 1427, 0), ('s', -1, 1658, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, 57, 0), ('ą', 0, -1, 0)), (('a', -1, 991, 0), ('d', 1, -1, 0), ('e', -1, 1310, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('j', 1, -1, 0), ('k', 1, 93, 0), ('l', 1, -1, 0), ('o', -1, 822, 0), ('p', 0, -1, 0), ('r', 1, -1, 0), ('u', -1, 831, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('z', -1, 1207, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', 1, -1, 0), ('ł', -1, 152, 0), ('ń', 1, -1, 0)), (('a', 0, -1, 0), ('d', -1, 7, 0), ('e', -1, 976, 0), ('i', -1, 121, 0), ('o', -1, 209, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1322, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 9, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 749, 0), ('e', -1, 770, 0), ('i', -1, 53, 0), ('j', 1, -1, 0), ('k', 1, -1, 0), ('o', -1, 924, 0), ('r', 1, -1, 0), ('u', -1, 800, 0), ('y', -1, 319, 0), ('z', -1, 1292, 0), ('ó', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 1041, 0), ('d', -1, 3, 0), ('e', -1, 1045, 0), ('i', 0, -1, 0), ('l', 1, -1, 0), ('o', -1, 1144, 0), ('r', -1, 439, 0), ('u', -1, 1048, 0), ('y', -1, 13, 0), ('z', -1, 1660, 0), ('ą', -1, 1051, 0), ('ę', -1, 1053, 0)), (('a', 0, -1, 0), ('b', -1, 1316, 0), ('c', 1, -1, 0), ('d', -1, 1, 0), ('e', 0, -1, 0), ('f', -1, 260, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 203, 0), ('p', 0, 459, 0), ('r', -1, 1418, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', -1, 919, 0), ('y', 0, -1, 0), ('z', -1, 466, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1582, 0), ('c', -1, 1662, 0), ('d', -1, 1495, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', -1, 1663, 0), ('h', -1, 1029, 0), ('i', -1, 1370, 0), ('j', -1, 1621, 0), ('k', -1, 1664, 0), ('l', -1, 1203, 0), ('m', -1, 1161, 0), ('n', -1, 1669, 0), ('o', 7, -1, 0), ('p', -1, 1531, 0), ('r', -1, 1546, 0), ('s', -1, 1522, 0), ('t', -1, 1671, 0), ('u', 0, -1, 0), ('w', -1, 1672, 0), ('y', 0, -1, 0), ('z', -1, 1084, 0), ('ł', 1, 1673, 0), ('ż', -1, 1674, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1553, 0), ('l', -1, 1485, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 997, 0), ('y', -1, 21, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ć', -1, 302, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 1, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('n', -1, 1145, 0), ('o', -1, 1429, 0), ('r', -1, 681, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 874, 0)), (('a', 0, -1, 0), ('b', -1, 918, 0), ('c', -1, 678, 0), ('d', -1, 389, 0), ('e', 0, -1, 0), ('f', -1, 1, 0), ('i', -1, 1591, 0), ('j', -1, 873, 0), ('l', -1, 1665, 0), ('m', -1, 1492, 0), ('n', -1, 1496, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 1406, 0), ('s', -1, 1188, 0), ('t', -1, 1666, 0), ('u', -1, 997, 0), ('w', -1, 1667, 0), ('y', -1, 1668, 0), ('z', -1, 256, 0), ('ą', 0, -1, 0), ('ę', -1, 603, 0), ('ł', -1, 1541, 0), ('ś', 0, -1, 0), ('ż', -1, 1295, 0)), (('a', -1, 1196, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1121, 0), ('g', -1, 427, 0), ('h', -1, 113, 0), ('i', -1, 410, 0), ('j', 0, -1, 0), ('k', -1, 410, 0), ('o', -1, 1196, 0), ('p', 0, -1, 0), ('r', -1, 131, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1316, 0), ('e', 1, -1, 0), ('i', -1, 53, 0), ('o', -1, 551, 0), ('r', 0, -1, 0), ('s', -1, 152, 0), ('u', 1, -1, 0), ('y', -1, 16, 0), ('z', 0, -1, 0), ('ą', -1, 568, 0), ('ę', -1, 152, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('e', -1, 885, 0), ('f', 0, -1, 0), ('i', -1, 397, 0), ('l', 0, -1, 0), ('n', -1, 878, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 516, 0), ('s', -1, 1655, 0), ('t', -1, 516, 0), ('w', 0, -1, 0), ('y', -1, 2, 0), ('z', 0, -1, 0), ('ó', -1, 1602, 0), ('ł', -1, 49, 0), ('ż', 0, -1, 0)), (('a', -1, 1424, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1313, 0), ('i', -1, 580, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1118, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 1530, 0), ('u', -1, 238, 0), ('y', -1, 378, 0), ('z', -1, 1156, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', -1, 1037, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1670, 0), ('r', 0, -1, 0), ('s', 1, 1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 320, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1379, 0), ('m', -1, 579, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1135, 0), ('c', 1, -1, 0), ('e', -1, 1423, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 986, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1279, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, 857, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1401, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', -1, 792, 0)), (('a', 0, -1, 0), ('c', 0, 39, 0), ('d', -1, 190, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 585, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, 332, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 872, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 803, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, 293, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 25, 0), ('c', 0, -1, 0), ('d', -1, 105, 0), ('e', -1, 663, 0), ('f', 1, -1, 0), ('i', -1, 266, 0), ('k', 1, -1, 0), ('l', 1, -1, 0), ('m', 0, -1, 0), ('o', -1, 231, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 665, 0), ('u', 0, 60, 0), ('w', 0, -1, 0), ('z', 7, -1, 0)), (('a', -1, 58, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 140, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 677, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 251, 0), ('z', 0, 91, 0), ('ę', 0, -1, 0)), (('a', -1, 16, 0), ('e', -1, 13, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('r', 0, -1, 0), ('u', -1, 15, 0), ('y', -1, 16, 0), ('z', 0, 87, 0), ('ę', 1, -1, 0)), (('a', -1, 1218, 0), ('e', -1, 62, 0), ('i', -1, 65, 0), ('o', -1, 227, 0), ('r', -1, 225, 0), ('u', -1, 276, 0), ('ę', -1, 309, 0)), (('a', -1, 1187, 0), ('b', 1, -1, 0), ('d', -1, 1053, 0), ('e', -1, 936, 0), ('g', -1, 58, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', -1, 57, 0), ('o', -1, 862, 0), ('p', -1, 441, 0), ('r', 0, -1, 0), ('t', -1, 206, 0), ('u', -1, 1051, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ś', -1, 1023, 0)), (('a', -1, 1299, 0), ('b', -1, 537, 0), ('e', -1, 1319, 0), ('f', -1, 557, 0), ('i', 0, -1, 0), ('m', -1, 570, 0), ('n', -1, 1681, 0), ('o', -1, 1347, 0), ('p', -1, 1684, 0), ('r', -1, 74, 0), ('s', -1, 292, 0), ('u', 0, -1, 0), ('w', -1, 1685, 0), ('y', 0, -1, 0), ('z', 0, 85, 0), ('ó', -1, 1597, 0)), (('a', -1, 686, 0), ('b', -1, 889, 0), ('c', -1, 232, 0), ('d', -1, 883, 0), ('e', -1, 1576, 0), ('h', -1, 102, 0), ('i', -1, 447, 0), ('j', -1, 1389, 0), ('k', -1, 565, 0), ('l', -1, 1682, 0), ('m', -1, 417, 0), ('r', -1, 602, 0), ('t', -1, 602, 0), ('w', -1, 131, 0), ('y', -1, 1066, 0), ('z', -1, 153, 0), ('ł', -1, 184, 0), ('ś', -1, 806, 0), ('ź', -1, 1484, 0), ('ż', -1, 533, 0)), (('a', -1, 804, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 6, 0), ('e', -1, 109, 0), ('f', 0, -1, 0), ('g', 0, 1683, 0), ('h', 0, -1, 0), ('i', -1, 418, 0), ('j', -1, 14, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 975, 0), ('p', 0, -1, 0), ('r', -1, 519, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 214, 0), ('z', -1, 94, 0), ('ó', -1, 435, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 7, 0), ('e', -1, 22, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 259, 0), ('d', 0, -1, 0), ('e', -1, 795, 0), ('g', 1, -1, 0), ('h', 1, -1, 0), ('i', -1, 52, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 547, 0), ('w', -1, 978, 0), ('y', -1, 1170, 0), ('z', 1, -1, 0)), (('a', -1, 1686, 0), ('e', -1, 204, 0), ('i', -1, 453, 0), ('o', -1, 239, 0), ('t', -1, 218, 0), ('y', -1, 152, 0), ('z', -1, 272, 0), ('ź', -1, 632, 0)), (('a', -1, 1371, 0), ('b', -1, 1658, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('i', -1, 876, 0), ('j', -1, 125, 0), ('l', -1, 24, 0), ('m', -1, 1585, 0), ('n', -1, 1102, 0), ('o', -1, 1374, 0), ('r', -1, 1193, 0), ('s', -1, 893, 0), ('t', -1, 372, 0), ('u', -1, 1375, 0), ('w', -1, 104, 0), ('y', -1, 353, 0), ('z', -1, 391, 0), ('ó', -1, 812, 0), ('ł', -1, 440, 0)), (('a', -1, 458, 0), ('e', 0, -1, 0), ('i', -1, 641, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 553, 0), ('s', -1, 1150, 0), ('u', 0, -1, 0), ('y', -1, 424, 0), ('z', -1, 1126, 0), ('ą', 0, -1, 0), ('ę', -1, 846, 0), ('ł', 0, -1, 0)), (('a', -1, 166, 0), ('c', 0, -1, 0), ('d', -1, 1665, 0), ('e', -1, 180, 0), ('h', -1, 222, 0), ('i', -1, 127, 0), ('k', -1, 298, 0), ('l', -1, 453, 0), ('n', -1, 1564, 0), ('o', -1, 300, 0), ('p', -1, 386, 0), ('r', -1, 736, 0), ('s', -1, 737, 0), ('u', -1, 558, 0), ('y', -1, 347, 0), ('z', -1, 988, 0), ('ą', -1, 333, 0), ('ę', -1, 204, 0), ('ł', -1, 709, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 678, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('f', 1, -1, 0), ('i', -1, 1043, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', -1, 923, 0), ('o', 1, 837, 0), ('p', -1, 400, 0), ('r', -1, 466, 0), ('s', -1, 1168, 0), ('t', -1, 119, 0), ('u', -1, 266, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', -1, 379, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 623, 0), ('ś', 0, -1, 0), ('ż', -1, 350, 0)), (('a', 0, -1, 0), ('c', 1, -1, 0), ('d', 40, -1, 0), ('e', -1, 971, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 1036, 0), ('o', -1, 1368, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 579, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 77, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 1, -1, 0), ('e', -1, 15, 0), ('i', -1, 603, 0), ('o', -1, 285, 0), ('r', -1, 165, 0), ('s', -1, 1130, 0), ('t', -1, 1073, 0), ('u', -1, 1301, 0), ('z', -1, 259, 0)), (('a', -1, 75, 0), ('b', 1, -1, 0), ('c', 0, 673, 0), ('d', 0, 13, 0), ('e', -1, 376, 0), ('f', 0, -1, 0), ('i', -1, 310, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', -1, 1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 510, 0), ('s', 1, 53, 0), ('t', -1, 650, 0), ('u', 0, -1, 0), ('w', -1, 93, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 10, 0), ('e', -1, 1456, 0), ('i', -1, 1694, 0), ('l', 0, -1, 0), ('o', -1, 23, 0), ('r', 0, -1, 0), ('u', 1, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 521, 0), ('ł', 0, -1, 0), ('ż', -1, 124, 0)), (('a', -1, 1383, 0), ('b', -1, 184, 0), ('c', -1, 384, 0), ('e', -1, 1426, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 101, 0), ('o', -1, 1178, 0), ('p', -1, 480, 0), ('r', -1, 1, 0), ('s', -1, 1483, 0), ('u', 0, -1, 0), ('w', -1, 664, 0), ('y', 0, -1, 0), ('z', -1, 1472, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 928, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 19, 0), ('d', -1, 89, 0), ('e', -1, 1052, 0), ('i', -1, 1696, 0), ('j', -1, 320, 0), ('k', 0, -1, 0), ('l', -1, 279, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 3, -1, 0), ('s', 0, -1, 0), ('t', -1, 832, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 3, -1, 0), ('z', -1, 827, 0), ('ó', 0, -1, 0), ('ł', -1, 283, 0), ('ż', -1, 1698, 0)), (('a', -1, 205, 0), ('b', -1, 63, 0), ('c', -1, 389, 0), ('e', -1, 1191, 0), ('f', 0, -1, 0), ('i', -1, 584, 0), ('k', 0, 85, 0), ('m', 0, -1, 0), ('n', -1, 1697, 0), ('o', -1, 231, 0), ('p', 0, -1, 0), ('r', -1, 394, 0), ('s', -1, 1076, 0), ('u', -1, 1046, 0), ('w', -1, 546, 0), ('y', -1, 501, 0), ('z', -1, 913, 0), ('ą', -1, 1026, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 992, 0), ('g', -1, 720, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 21, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1041, 0), ('d', -1, 3, 0), ('e', -1, 1308, 0), ('i', 0, -1, 0), ('l', 1, -1, 0), ('o', -1, 1144, 0), ('r', -1, 439, 0), ('u', -1, 1048, 0), ('y', 1, -1, 0), ('ą', -1, 1051, 0), ('ę', -1, 1053, 0)), (('a', -1, 555, 0), ('e', 0, -1, 0), ('i', -1, 962, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1141, 0), ('s', -1, 1700, 0), ('u', 0, -1, 0), ('y', -1, 976, 0), ('z', 3, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 142, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1453, 0), ('l', 0, -1, 0), ('m', -1, 1452, 0), ('n', -1, 1044, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 53, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 491, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 618, 0), ('d', -1, 961, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 84, 0), ('k', -1, 174, 0), ('l', 0, -1, 0), ('n', -1, 1068, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1018, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 1197, 0), ('ł', 0, -1, 0)), (('a', 1, -1, 0), ('e', -1, 1298, 0), ('i', 17, -1, 0), ('o', 1, -1, 0), ('r', 0, 1503, 0), ('u', -1, 1377, 0), ('w', 1, -1, 0), ('y', 1, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 953, 0)), (('-', 0, -1, 0), ('a', -1, 652, 0), ('e', -1, 903, 0), ('i', -1, 59, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1242, 0), ('r', 0, -1, 0), ('u', -1, 444, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 1, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 1, 0), ('k', 0, -1, 0), ('o', -1, 213, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('ś', 0, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 916, 0), ('l', -1, 172, 0), ('o', -1, 678, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 93, 0), ('c', -1, 1707, 0), ('d', -1, 1269, 0), ('e', 1, -1, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('r', -1, 1739, 0), ('s', -1, 1231, 0), ('u', 0, -1, 0), ('y', -1, 323, 0), ('ł', -1, 598, 0)), (('a', -1, 1708, 0), ('d', -1, 338, 0), ('e', -1, 83, 0), ('i', -1, 1599, 0), ('r', -1, 550, 0), ('u', -1, 1311, 0), ('y', -1, 185, 0), ('z', -1, 374, 0), ('ą', -1, 1258, 0), ('ę', -1, 358, 0), ('ń', -1, 668, 0)), (('a', -1, 2, 0), ('c', -1, 1709, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', -1, 582, 0), ('i', 0, -1, 0), ('m', 0, 713, 0), ('n', -1, 268, 0), ('o', 1, -1, 0), ('p', -1, 65, 0), ('r', -1, 218, 0), ('s', -1, 1592, 0), ('t', 0, 1711, 0), ('y', -1, 1738, 0), ('ó', -1, 385, 0), ('ą', -1, 482, 0), ('ł', -1, 1690, 0)), (('a', -1, 1710, 0), ('e', -1, 819, 0), ('i', -1, 1119, 0), ('j', 0, -1, 0), ('o', 0, 944, 0), ('r', -1, 995, 0), ('u', -1, 938, 0), ('y', -1, 1139, 0), ('z', -1, 1048, 0), ('ą', -1, 53, 0)), (('a', 1, -1, 0), ('d', -1, 455, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 537, 0), ('j', 1, -1, 0), ('k', 0, -1, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 1, -1, 0), ('p', -1, 397, 0), ('r', -1, 350, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 235, 0), ('y', -1, 619, 0), ('z', 1, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 154, 0), ('e', 5, -1, 0), ('i', -1, 1712, 0), ('o', 0, -1, 0), ('z', 1, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', 1, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', -1, 1531, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', -1, 1713, 0), ('p', -1, 992, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', -1, 1363, 0), ('z', 0, 1, 0), ('ó', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 715, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', -1, 192, 0), ('m', -1, 1714, 0), ('n', -1, 1736, 0), ('o', -1, 303, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', -1, 423, 0), ('u', 0, -1, 0), ('w', -1, 121, 0), ('y', 1, -1, 0), ('z', -1, 235, 0), ('ą', 1, -1, 0), ('ł', -1, 517, 0)), (('a', -1, 17, 0), ('b', -1, 727, 0), ('c', -1, 1333, 0), ('d', -1, 1715, 0), ('e', -1, 747, 0), ('f', 0, -1, 0), ('g', -1, 1716, 0), ('h', -1, 232, 0), ('i', -1, 1606, 0), ('j', -1, 1717, 0), ('k', 0, 1718, 0), ('l', -1, 1660, 0), ('m', 0, 1728, 0), ('n', -1, 1729, 0), ('o', -1, 326, 0), ('p', 0, -1, 0), ('r', 0, 901, 0), ('s', -1, 1182, 0), ('t', -1, 1731, 0), ('u', 0, -1, 0), ('w', 0, 1733, 0), ('y', 0, -1, 0), ('z', -1, 1734, 0), ('ó', -1, 633, 0), ('ł', -1, 1735, 0), ('ż', -1, 1386, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 54, 0), ('e', 0, -1, 0), ('g', -1, 2, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 296, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1325, 0), ('p', -1, 366, 0), ('r', 0, -1, 0), ('t', -1, 61, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 708, 0), ('ł', 0, -1, 0), ('ś', -1, 546, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 425, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1345, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 1570, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 246, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 310, 0), ('b', 0, 171, 0), ('c', -1, 642, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 498, 0), ('r', -1, 459, 0), ('s', -1, 1012, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 964, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1347, 0), ('c', -1, 1348, 0), ('d', -1, 1349, 0), ('e', 0, -1, 0), ('f', -1, 1, 0), ('i', -1, 1700, 0), ('j', -1, 1281, 0), ('l', -1, 1038, 0), ('m', -1, 433, 0), ('n', -1, 1352, 0), ('o', 0, -1, 0), ('p', -1, 931, 0), ('r', -1, 1356, 0), ('s', -1, 1719, 0), ('t', -1, 1720, 0), ('u', -1, 1366, 0), ('w', -1, 1393, 0), ('y', 0, -1, 0), ('z', -1, 1708, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1727, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ż', -1, 916, 0)), (('a', -1, 878, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 1221, 0), ('k', -1, 666, 0), ('l', -1, 300, 0), ('n', -1, 534, 0), ('o', -1, 57, 0), ('r', -1, 237, 0), ('s', -1, 760, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 736, 0), ('ą', -1, 194, 0), ('ę', -1, 94, 0), ('ł', -1, 522, 0), ('ż', -1, 62, 0)), (('a', -1, 1340, 0), ('e', -1, 455, 0), ('f', 0, -1, 0), ('i', -1, 266, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 973, 0), ('r', 0, -1, 0), ('s', -1, 1721, 0), ('u', -1, 1017, 0), ('y', -1, 152, 0), ('ą', -1, 991, 0), ('ę', -1, 1100, 0), ('ł', 1, -1, 0)), (('a', -1, 646, 0), ('b', -1, 1722, 0), ('d', -1, 484, 0), ('e', 0, -1, 0), ('i', -1, 877, 0), ('m', -1, 299, 0), ('n', -1, 775, 0), ('o', 0, -1, 0), ('r', -1, 1256, 0), ('u', 0, -1, 0), ('y', -1, 1356, 0), ('z', -1, 720, 0), ('ł', -1, 209, 0), ('ż', -1, 632, 0)), (('a', 0, -1, 0), ('c', -1, 1723, 0), ('d', -1, 71, 0), ('e', -1, 276, 0), ('i', -1, 1007, 0), ('j', -1, 1724, 0), ('l', -1, 1725, 0), ('o', 0, 276, 0), ('r', 0, -1, 0), ('y', -1, 276, 0), ('z', -1, 1296, 0), ('ż', -1, 1726, 0)), (('a', -1, 664, 0), ('e', -1, 666, 0), ('h', -1, 170, 0), ('i', -1, 1, 0), ('o', 0, 632, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('u', -1, 625, 0), ('y', 1, -1, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0), ('ę', -1, 1018, 0), ('ł', -1, 15, 0)), (('a', 1, -1, 0), ('e', 1, -1, 0), ('o', -1, 504, 0)), (('a', -1, 1187, 0), ('b', 1, -1, 0), ('d', -1, 1053, 0), ('e', -1, 1711, 0), ('g', -1, 58, 0), ('i', 1, -1, 0), ('k', 1, -1, 0), ('m', -1, 57, 0), ('o', -1, 257, 0), ('p', -1, 405, 0), ('r', 0, -1, 0), ('t', -1, 206, 0), ('u', -1, 1051, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ś', -1, 1023, 0)), (('a', -1, 119, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 305, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1233, 0)), (('a', -1, 1371, 0), ('d', 0, -1, 0), ('e', -1, 1300, 0), ('i', -1, 876, 0), ('k', -1, 40, 0), ('m', -1, 164, 0), ('n', -1, 70, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 341, 0), ('u', -1, 1375, 0), ('w', -1, 1003, 0), ('y', -1, 353, 0), ('z', 22, -1, 0), ('ó', -1, 1377, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 53, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 260, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 1, 0), ('h', -1, 57, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1157, 0), ('r', 0, -1, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1730, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 992, 0), ('g', -1, 231, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 21, 0), ('r', 0, -1, 0), ('s', -1, 1007, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 727, 0), ('c', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 1270, 0), ('l', 0, -1, 0), ('n', -1, 1397, 0), ('o', -1, 1732, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1438, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 310, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 912, 0), ('p', 0, -1, 0), ('r', -1, 13, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 619, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 39, 1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 442, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1225, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 897, 0), ('r', -1, 1275, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 418, 0), ('ę', -1, 46, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 791, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 1101, 0), ('p', 1, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1185, 0), ('b', -1, 488, 0), ('c', -1, 131, 0), ('d', -1, 1514, 0), ('e', -1, 1737, 0), ('f', -1, 152, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 168, 0), ('j', -1, 177, 0), ('l', -1, 359, 0), ('m', 0, -1, 0), ('n', -1, 204, 0), ('o', -1, 447, 0), ('r', -1, 158, 0), ('t', -1, 81, 0), ('u', 0, -1, 0), ('w', -1, 107, 0), ('z', -1, 296, 0), ('ż', -1, 488, 0)), (('a', -1, 1155, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', 1, -1, 0), ('o', 1, -1, 0), ('r', 3, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0)), (('a', -1, 868, 0), ('e', -1, 1119, 0), ('i', -1, 520, 0), ('k', -1, 788, 0), ('n', -1, 189, 0), ('o', -1, 1223, 0), ('r', -1, 312, 0), ('z', -1, 300, 0)), (('a', -1, 1093, 0), ('d', -1, 546, 0), ('e', -1, 1512, 0), ('g', 1, -1, 0), ('i', -1, 53, 0), ('k', -1, 200, 0), ('l', 1, -1, 0), ('t', -1, 249, 0), ('u', -1, 1039, 0), ('w', 0, -1, 0), ('z', -1, 22, 0)), (('-', 1, -1, 0), ('a', -1, 566, 0), ('b', -1, 915, 0), ('d', 0, -1, 0), ('e', -1, 1041, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 834, 0), ('j', -1, 612, 0), ('l', -1, 725, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 40, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 674, 0), ('y', -1, 569, 0), ('z', -1, 290, 0), ('ć', -1, 1261, 0), ('ń', -1, 1559, 0), ('ś', -1, 1164, 0), ('ź', -1, 23, 0), ('ż', -1, 269, 0)), (('a', 1, -1, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 1742, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, 1316, 0), ('o', 1, -1, 0), ('r', -1, 1107, 0), ('t', 1, -1, 0), ('u', -1, 52, 0), ('w', 0, -1, 0), ('y', -1, 431, 0), ('z', 0, -1, 0), ('ł', 1, -1, 0), ('ż', -1, 230, 0)), (('a', -1, 1498, 0), ('c', -1, 23, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('l', -1, 827, 0), ('m', 0, -1, 0), ('n', -1, 1743, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 2, 0), ('d', -1, 2, 0), ('e', 0, -1, 0), ('i', 1, -1, 0), ('o', 0, -1, 0), ('r', 0, 1388, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('y', -1, 6, 0), ('z', -1, 1192, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1736, 0), ('h', -1, 453, 0), ('i', -1, 489, 0), ('l', -1, 672, 0), ('m', 0, -1, 0), ('n', -1, 79, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 153, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 1463, 0), ('d', -1, 1746, 0), ('e', -1, 1659, 0), ('n', -1, 103, 0), ('o', -1, 478, 0), ('z', 0, 171, 0), ('ą', -1, 649, 0)), (('a', -1, 1727, 0), ('d', -1, 84, 0), ('e', -1, 368, 0), ('i', -1, 225, 0), ('l', 0, -1, 0), ('o', 0, 39, 0), ('r', -1, 437, 0), ('u', -1, 225, 0), ('ą', -1, 1507, 0), ('ę', -1, 490, 0)), (('a', -1, 423, 0), ('e', -1, 1573, 0), ('i', -1, 313, 0), ('l', -1, 441, 0), ('r', -1, 1013, 0), ('u', -1, 1027, 0), ('y', -1, 550, 0), ('z', -1, 700, 0), ('ą', -1, 1063, 0), ('ę', -1, 1402, 0), ('ł', 0, -1, 0)), (('a', -1, 688, 0), ('e', -1, 156, 0), ('i', -1, 337, 0), ('o', -1, 175, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('ó', 1, -1, 0), ('ą', 1, -1, 0)), (('a', -1, 885, 0), ('e', -1, 1466, 0), ('i', -1, 25, 0), ('m', -1, 511, 0), ('o', -1, 1401, 0), ('r', -1, 1213, 0), ('s', -1, 1577, 0), ('u', -1, 952, 0), ('y', -1, 1609, 0), ('z', -1, 85, 0), ('ą', -1, 596, 0), ('ć', -1, 542, 0), ('ę', -1, 968, 0), ('ł', 0, 85, 0)), (('a', -1, 735, 0), ('d', -1, 246, 0), ('e', -1, 1455, 0), ('g', -1, 62, 0), ('i', -1, 252, 0), ('k', -1, 66, 0), ('p', -1, 894, 0), ('r', -1, 45, 0), ('t', -1, 118, 0), ('u', -1, 172, 0), ('y', -1, 76, 0), ('ś', -1, 508, 0), ('ź', -1, 308, 0)), (('a', 0, -1, 0), ('c', 1, -1, 0), ('d', -1, 1, 0), ('e', -1, 1693, 0), ('f', 1, -1, 0), ('g', 0, -1, 0), ('i', -1, 312, 0), ('l', 1, -1, 0), ('m', 1, -1, 0), ('o', -1, 135, 0), ('p', -1, 169, 0), ('t', -1, 103, 0), ('z', -1, 31, 0)), (('a', -1, 807, 0), ('e', -1, 1486, 0), ('i', -1, 143, 0), ('l', -1, 695, 0), ('o', -1, 140, 0), ('r', -1, 363, 0), ('t', -1, 438, 0), ('u', -1, 1719, 0), ('y', -1, 1721, 0)), (('a', -1, 979, 0), ('d', -1, 26, 0), ('e', -1, 263, 0), ('i', -1, 150, 0), ('l', 1, -1, 0), ('m', -1, 81, 0), ('o', -1, 66, 0), ('u', -1, 33, 0), ('y', -1, 3, 0), ('ś', 0, 1598, 0)), (('a', -1, 441, 0), ('d', 0, -1, 0), ('e', -1, 446, 0), ('i', -1, 545, 0), ('k', 1, -1, 0), ('l', 0, 12, 0), ('m', 0, 12, 0), ('o', -1, 187, 0), ('r', -1, 622, 0), ('t', 0, -1, 0), ('u', -1, 517, 0), ('w', 1, 1, 0), ('ą', -1, 963, 0), ('ę', -1, 308, 0)), (('a', -1, 991, 0), ('d', -1, 812, 0), ('e', -1, 1310, 0), ('i', -1, 716, 0), ('j', 1, -1, 0), ('l', 1, -1, 0), ('o', -1, 802, 0), ('r', -1, 15, 0), ('u', -1, 831, 0), ('y', 1, -1, 0), ('z', -1, 1207, 0), ('ó', 1, -1, 0), ('ą', -1, 692, 0), ('ę', 1, -1, 0), ('ń', -1, 1219, 0)), (('a', 0, -1, 0), ('e', -1, 1143, 0), ('i', 0, -1, 0), ('o', 3, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 1758, 0), ('b', 0, -1, 0), ('c', -1, 895, 0), ('d', 0, -1, 0), ('e', -1, 314, 0), ('g', 0, -1, 0), ('h', -1, 1057, 0), ('i', 1, -1, 0), ('m', -1, 1058, 0), ('n', -1, 1759, 0), ('o', -1, 482, 0), ('r', -1, 720, 0), ('s', 0, -1, 0), ('t', 42, 1762, 0), ('u', -1, 500, 0), ('w', -1, 1301, 0), ('y', 1, -1, 0), ('z', -1, 865, 0), ('ó', -1, 938, 0), ('ł', -1, 1456, 0), ('ż', 0, -1, 0)), (('a', -1, 70, 0), ('b', 1, -1, 0), ('c', 0, -1, 0), ('d', 1, -1, 0), ('e', -1, 1359, 0), ('g', 1, -1, 0), ('i', -1, 936, 0), ('j', -1, 659, 0), ('k', -1, 1567, 0), ('l', -1, 802, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', -1, 453, 0), ('p', 1, -1, 0), ('r', -1, 402, 0), ('s', -1, 1, 0), ('t', -1, 1422, 0), ('w', 1, -1, 0), ('z', -1, 886, 0), ('ż', 1, -1, 0)), (('a', -1, 729, 0), ('b', -1, 1061, 0), ('c', 0, 1062, 0), ('d', -1, 1412, 0), ('e', -1, 1443, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 1338, 0), ('k', -1, 342, 0), ('l', -1, 1760, 0), ('m', -1, 758, 0), ('n', -1, 1421, 0), ('o', -1, 1695, 0), ('p', -1, 626, 0), ('r', -1, 1133, 0), ('s', -1, 703, 0), ('t', -1, 1181, 0), ('w', -1, 1761, 0), ('y', 0, -1, 0), ('z', -1, 1228, 0), ('ś', -1, 733, 0), ('ź', 0, -1, 0), ('ż', -1, 1413, 0)), (('a', -1, 1415, 0), ('e', -1, 929, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 627, 0), ('ó', 0, -1, 0), ('ś', -1, 351, 0)), (('a', -1, 1299, 0), ('e', -1, 1319, 0), ('i', 0, -1, 0), ('o', -1, 1347, 0), ('r', -1, 74, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 458, 0), ('e', 0, -1, 0), ('i', -1, 641, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1736, 0), ('s', -1, 1150, 0), ('u', 0, -1, 0), ('y', -1, 424, 0), ('ą', 0, -1, 0), ('ę', -1, 1665, 0), ('ł', 0, -1, 0)), (('a', -1, 138, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', -1, 485, 0), ('i', -1, 1764, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', -1, 231, 0), ('y', -1, 78, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1052, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 573, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1603, 0), ('o', -1, 803, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 2, 0), ('t', -1, 185, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 92, 0), ('z', 0, -1, 0), ('ę', -1, 1360, 0), ('ł', -1, 230, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1565, 0), ('e', 11, -1, 0), ('i', 0, 523, 0), ('o', -1, 976, 0), ('r', -1, 194, 0), ('y', -1, 1343, 0), ('z', -1, 970, 0)), (('a', 0, -1, 0), ('e', -1, 826, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 650, 0), ('ż', 0, -1, 0)), (('a', -1, 27, 0), ('e', -1, 273, 0), ('i', 8, -1, 0), ('o', -1, 322, 0), ('r', 0, 153, 0), ('u', 0, -1, 0), ('w', 0, 54, 0), ('y', -1, 187, 0), ('z', 0, 54, 0)), (('a', -1, 479, 0), ('c', 0, 406, 0), ('e', -1, 79, 0), ('i', -1, 950, 0), ('o', -1, 159, 0), ('r', -1, 303, 0), ('s', -1, 1769, 0), ('u', -1, 143, 0), ('y', -1, 1312, 0), ('z', -1, 139, 0), ('ą', -1, 600, 0)), (('a', -1, 299, 0), ('c', -1, 1337, 0), ('e', -1, 373, 0), ('i', -1, 548, 0), ('o', -1, 488, 0), ('r', -1, 950, 0), ('u', -1, 283, 0), ('z', -1, 1770, 0)), (('a', -1, 1420, 0), ('e', -1, 278, 0), ('i', -1, 350, 0), ('n', -1, 529, 0), ('o', -1, 67, 0), ('r', -1, 755, 0), ('s', -1, 408, 0), ('u', -1, 145, 0), ('z', -1, 76, 0)), (('a', -1, 306, 0), ('e', -1, 273, 0), ('i', -1, 239, 0), ('k', -1, 126, 0), ('o', -1, 552, 0), ('p', -1, 157, 0), ('r', -1, 42, 0), ('s', 0, 54, 0), ('t', -1, 294, 0), ('y', -1, 1020, 0), ('z', -1, 69, 0)), (('a', -1, 17, 0), ('b', -1, 107, 0), ('c', -1, 1773, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', -1, 1774, 0), ('j', -1, 1781, 0), ('k', 0, -1, 0), ('l', -1, 1782, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 378, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, 42, 0), ('w', 0, -1, 0), ('z', -1, 1783, 0), ('ł', -1, 868, 0), ('ż', -1, 1790, 0)), (('a', -1, 3, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', -1, 1393, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1454, 0), ('ł', 0, -1, 0)), (('a', -1, 1775, 0), ('b', -1, 1777, 0), ('c', -1, 1151, 0), ('e', -1, 1692, 0), ('f', 0, -1, 0), ('i', 0, 510, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1730, 0), ('o', 0, 917, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1778, 0), ('t', 1, -1, 0), ('u', -1, 1779, 0), ('w', -1, 1780, 0), ('y', 0, -1, 0), ('z', -1, 190, 0), ('ó', -1, 1361, 0)), (('a', 1, -1, 0), ('b', 1, 93, 0), ('c', 0, -1, 0), ('d', -1, 937, 0), ('e', -1, 469, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1776, 0), ('m', -1, 329, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('w', -1, 75, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 1, -1, 0), ('m', 1, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', -1, 1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 1, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('o', -1, 140, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 619, 0), ('ń', 1, -1, 0)), (('a', -1, 8, 0), ('e', -1, 1753, 0), ('o', -1, 267, 0), ('u', 0, -1, 0), ('z', 0, -1, 0), ('ę', -1, 867, 0)), (('a', -1, 548, 0), ('d', 0, -1, 0), ('e', -1, 949, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('r', 0, -1, 0), ('t', -1, 337, 0), ('u', -1, 15, 0), ('y', -1, 831, 0), ('z', 1, -1, 0), ('ę', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 57, 0), ('e', 0, -1, 0), ('i', -1, 452, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('o', -1, 1529, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 153, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1784, 0), ('d', -1, 1787, 0), ('e', -1, 1360, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1788, 0), ('s', -1, 1789, 0), ('u', -1, 13, 0), ('y', -1, 129, 0), ('z', 16, -1, 0), ('ó', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1035, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 244, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1785, 0), ('ó', 0, -1, 0), ('ą', -1, 542, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 623, 0), ('c', 0, 3, 0), ('e', 0, -1, 0), ('i', -1, 284, 0), ('o', -1, 57, 0), ('r', -1, 59, 0), ('s', -1, 1786, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', -1, 194, 0), ('ę', 1, -1, 0)), (('a', -1, 114, 0), ('e', -1, 941, 0), ('i', -1, 89, 0), ('m', 0, 69, 0), ('o', -1, 199, 0), ('r', 0, -1, 0), ('u', -1, 192, 0), ('y', -1, 189, 0), ('ę', -1, 89, 0)), (('a', 0, -1, 0), ('e', -1, 211, 0), ('o', -1, 1717, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('o', -1, 202, 0), ('p', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 1362, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 99, 0), ('d', -1, 23, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 1566, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 377, 0)), (('a', -1, 334, 0), ('e', -1, 159, 0), ('h', -1, 386, 0), ('o', -1, 428, 0), ('r', -1, 103, 0), ('z', -1, 1198, 0)), (('a', -1, 216, 0), ('c', -1, 236, 0), ('e', -1, 1223, 0), ('i', -1, 121, 0), ('m', 0, 1309, 0), ('o', -1, 380, 0), ('p', -1, 1099, 0), ('r', -1, 195, 0), ('s', -1, 319, 0), ('u', -1, 801, 0), ('w', -1, 118, 0), ('z', -1, 574, 0), ('ę', -1, 1793, 0)), (('a', 0, -1, 0), ('d', -1, 107, 0), ('e', 14, -1, 0), ('i', -1, 976, 0), ('o', -1, 683, 0), ('r', -1, 259, 0), ('w', -1, 103, 0), ('z', -1, 192, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 251, 0), ('l', -1, 995, 0), ('m', -1, 1163, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 397, 0), ('r', -1, 465, 0), ('u', 0, -1, 0), ('w', -1, 1536, 0), ('y', 0, -1, 0), ('z', -1, 53, 0), ('ą', 0, -1, 0), ('ć', 1, -1, 0), ('ń', -1, 1189, 0), ('ś', 1, -1, 0), ('ź', -1, 347, 0), ('ż', 1, -1, 0)), (('a', -1, 203, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1315, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 246, 0)), (('a', -1, 184, 0), ('b', 0, -1, 0), ('c', -1, 1797, 0), ('d', 0, -1, 0), ('e', -1, 1675, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 1, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1798, 0), ('o', 1, -1, 0), ('p', 0, -1, 0), ('r', -1, 1619, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 1, -1, 0), ('v', 0, -1, 0), ('w', -1, 1547, 0), ('y', 1, -1, 0), ('z', 0, -1, 0), ('ó', 1, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 84, 0), ('k', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1108, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ę', -1, 774, 0), ('ł', 0, -1, 0), ('ś', -1, 826, 0)), (('a', -1, 1085, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 635, 0), ('e', -1, 1480, 0), ('g', -1, 57, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1121, 0), ('r', 0, -1, 0), ('t', -1, 2, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1179, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 226, 0), ('ź', -1, 13, 0), ('ż', 0, -1, 0)), (('a', -1, 310, 0), ('c', -1, 642, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 498, 0), ('s', -1, 1012, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1347, 0), ('c', -1, 1348, 0), ('d', -1, 1349, 0), ('e', 0, -1, 0), ('f', -1, 1, 0), ('i', -1, 1043, 0), ('j', -1, 1281, 0), ('l', -1, 1038, 0), ('m', -1, 1801, 0), ('n', -1, 1802, 0), ('o', 0, -1, 0), ('p', -1, 1489, 0), ('r', -1, 1803, 0), ('s', -1, 1719, 0), ('t', -1, 1804, 0), ('u', -1, 1366, 0), ('w', -1, 1805, 0), ('y', 0, -1, 0), ('z', -1, 1806, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1370, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ż', -1, 916, 0)), (('a', 0, -1, 0), ('e', -1, 1186, 0), ('i', 1, -1, 0), ('o', -1, 1176, 0), ('u', -1, 429, 0), ('y', -1, 753, 0)), (('a', -1, 1654, 0), ('e', -1, 202, 0), ('i', -1, 1266, 0), ('o', -1, 1322, 0), ('u', -1, 1034, 0), ('y', -1, 1354, 0)), (('a', -1, 1357, 0), ('e', -1, 1095, 0), ('i', -1, 510, 0), ('o', -1, 1114, 0), ('t', 1, -1, 0), ('u', -1, 1779, 0), ('y', 0, -1, 0), ('ó', -1, 1361, 0)), (('a', -1, 1340, 0), ('e', -1, 455, 0), ('f', 0, -1, 0), ('i', -1, 266, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1271, 0), ('r', 0, -1, 0), ('s', -1, 1721, 0), ('u', -1, 1017, 0), ('y', -1, 152, 0), ('ą', -1, 991, 0), ('ę', -1, 1100, 0), ('ł', 1, -1, 0)), (('a', -1, 1254, 0), ('e', -1, 254, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('u', 0, -1, 0), ('y', -1, 1274, 0), ('ó', -1, 1141, 0)), (('a', -1, 608, 0), ('c', -1, 1807, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('s', -1, 1808, 0), ('y', -1, 1738, 0), ('ó', -1, 385, 0), ('ą', -1, 677, 0)), (('a', -1, 1604, 0), ('e', -1, 819, 0), ('i', -1, 624, 0), ('j', 0, -1, 0), ('o', 0, 944, 0), ('r', -1, 995, 0), ('u', -1, 938, 0), ('y', -1, 1139, 0), ('z', -1, 1048, 0), ('ą', -1, 53, 0)), (('a', -1, 687, 0), ('b', 0, -1, 0), ('e', 3, -1, 0), ('g', 0, -1, 0), ('i', -1, 712, 0), ('k', 0, -1, 0), ('o', -1, 1187, 0), ('r', 0, -1, 0), ('u', -1, 1613, 0), ('y', 1, -1, 0)), (('a', 0, -1, 0), ('b', -1, 1316, 0), ('c', 1, -1, 0), ('d', -1, 1, 0), ('e', 0, -1, 0), ('f', 0, 260, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 203, 0), ('p', -1, 338, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 466, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 57, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1157, 0), ('r', 0, -1, 0), ('s', 1, 1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1730, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 902, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1050, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 1, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1238, 0), ('p', 1, -1, 0), ('t', -1, 1382, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 727, 0), ('c', 1, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1368, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1438, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 442, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 761, 0), ('b', -1, 849, 0), ('c', -1, 627, 0), ('d', -1, 765, 0), ('e', -1, 1376, 0), ('h', -1, 27, 0), ('i', -1, 69, 0), ('j', -1, 1432, 0), ('k', -1, 711, 0), ('l', -1, 469, 0), ('m', -1, 1815, 0), ('o', -1, 598, 0), ('r', -1, 117, 0), ('t', -1, 1432, 0), ('w', -1, 162, 0), ('y', -1, 220, 0), ('z', -1, 166, 0), ('ł', -1, 569, 0), ('ś', -1, 1758, 0), ('ź', -1, 1317, 0), ('ż', -1, 1023, 0)), (('a', -1, 804, 0), ('b', -1, 802, 0), ('c', 1, -1, 0), ('d', -1, 1374, 0), ('e', -1, 782, 0), ('f', -1, 1433, 0), ('i', 0, -1, 0), ('j', -1, 1796, 0), ('l', -1, 745, 0), ('m', -1, 1710, 0), ('n', -1, 1271, 0), ('o', -1, 804, 0), ('p', -1, 1137, 0), ('r', -1, 1757, 0), ('s', 0, 1713, 0), ('t', -1, 844, 0), ('w', -1, 1094, 0), ('z', -1, 1053, 0), ('ł', -1, 1737, 0), ('ż', 1, -1, 0)), (('a', -1, 369, 0), ('b', -1, 180, 0), ('c', 0, -1, 0), ('d', -1, 180, 0), ('e', -1, 127, 0), ('i', -1, 273, 0), ('l', -1, 295, 0), ('m', -1, 180, 0), ('o', -1, 760, 0), ('r', -1, 1817, 0), ('z', -1, 785, 0)), (('a', 0, 70, 0), ('b', -1, 148, 0), ('e', -1, 229, 0), ('h', 0, -1, 0), ('i', -1, 358, 0), ('j', -1, 354, 0), ('l', -1, 1028, 0), ('m', 0, -1, 0), ('n', -1, 815, 0), ('o', -1, 276, 0), ('p', 0, -1, 0), ('r', -1, 1321, 0), ('z', 27, -1, 0), ('ń', -1, 414, 0)), (('-', 0, -1, 0), ('a', -1, 313, 0), ('b', -1, 1764, 0), ('c', -1, 1467, 0), ('d', 0, 641, 0), ('e', -1, 13, 0), ('f', -1, 673, 0), ('h', -1, 617, 0), ('i', 1, -1, 0), ('m', 0, 1740, 0), ('n', -1, 1319, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 1065, 0), ('s', 0, 1499, 0), ('t', -1, 1645, 0), ('u', 0, -1, 0), ('w', -1, 981, 0), ('y', 0, -1, 0), ('z', -1, 1331, 0), ('ł', -1, 859, 0), ('ż', -1, 1221, 0)), (('a', -1, 27, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', -1, 1566, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', -1, 1647, 0), ('n', -1, 460, 0), ('o', -1, 1279, 0), ('p', 0, -1, 0), ('r', -1, 210, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 455, 0), ('y', 0, -1, 0), ('z', -1, 834, 0), ('ó', -1, 241, 0)), (('a', 0, -1, 0), ('d', 1, -1, 0), ('e', 1, -1, 0), ('i', 0, -1, 0), ('o', 1, -1, 0), ('y', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1336, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 559, 0), ('t', -1, 793, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 1235, 0), ('d', 0, -1, 0), ('e', -1, 1793, 0), ('i', -1, 700, 0), ('j', -1, 1668, 0), ('k', -1, 815, 0), ('l', -1, 1180, 0), ('m', -1, 100, 0), ('n', -1, 1247, 0), ('o', -1, 188, 0), ('r', -1, 1118, 0), ('s', -1, 151, 0), ('y', -1, 276, 0), ('z', -1, 1248, 0), ('ż', -1, 1598, 0)), (('a', -1, 27, 0), ('d', -1, 183, 0), ('e', -1, 187, 0), ('o', -1, 687, 0), ('w', 0, 54, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 547, 0), ('b', 0, -1, 0), ('c', -1, 215, 0), ('d', 0, -1, 0), ('e', -1, 196, 0), ('f', 0, -1, 0), ('g', 1, 919, 0), ('h', -1, 912, 0), ('i', -1, 1168, 0), ('j', 0, -1, 0), ('k', 0, 1255, 0), ('l', -1, 1086, 0), ('m', -1, 1106, 0), ('n', -1, 942, 0), ('o', 0, -1, 0), ('p', 0, 946, 0), ('r', -1, 1226, 0), ('s', 0, -1, 0), ('t', -1, 1701, 0), ('u', 0, -1, 0), ('w', -1, 426, 0), ('z', -1, 492, 0), ('ł', -1, 945, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('c', -1, 57, 0), ('d', -1, 152, 0), ('e', -1, 187, 0), ('f', 0, -1, 0), ('i', -1, 946, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('s', 1, 53, 0), ('t', 0, -1, 0), ('y', -1, 208, 0), ('z', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 598, 0), ('e', -1, 557, 0), ('i', -1, 750, 0), ('l', -1, 809, 0), ('n', -1, 371, 0), ('o', -1, 1058, 0), ('r', -1, 1191, 0), ('u', -1, 1412, 0), ('y', -1, 12, 0), ('z', -1, 1062, 0), ('ę', -1, 1243, 0), ('ł', -1, 1542, 0)), (('a', -1, 615, 0), ('b', -1, 1249, 0), ('d', -1, 1300, 0), ('e', -1, 1118, 0), ('i', -1, 1069, 0), ('j', -1, 756, 0), ('n', -1, 1116, 0), ('o', -1, 1414, 0), ('p', -1, 1115, 0), ('r', -1, 1377, 0), ('s', -1, 1354, 0), ('t', -1, 1101, 0), ('u', -1, 1417, 0), ('y', -1, 1419, 0), ('z', -1, 752, 0), ('ą', -1, 26, 0), ('ę', -1, 735, 0), ('ł', -1, 248, 0), ('ż', -1, 473, 0)), (('a', -1, 513, 0), ('e', -1, 1691, 0), ('g', -1, 1274, 0), ('i', -1, 124, 0), ('j', -1, 1822, 0), ('o', -1, 1166, 0), ('r', -1, 1274, 0), ('u', -1, 1042, 0), ('y', -1, 1076, 0), ('z', -1, 100, 0)), (('a', -1, 1061, 0), ('b', -1, 1371, 0), ('e', -1, 158, 0), ('g', -1, 1139, 0), ('i', -1, 709, 0), ('j', -1, 127, 0), ('o', -1, 1057, 0), ('p', -1, 26, 0), ('r', -1, 1410, 0), ('y', -1, 1413, 0), ('z', -1, 512, 0)), (('a', -1, 37, 0), ('e', -1, 253, 0), ('i', -1, 1093, 0), ('k', -1, 813, 0), ('l', -1, 346, 0), ('o', -1, 758, 0), ('r', -1, 1435, 0), ('y', -1, 182, 0), ('z', -1, 129, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1218, 0), ('e', -1, 22, 0), ('g', -1, 152, 0), ('h', 0, -1, 0), ('i', -1, 884, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 744, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 13, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 94, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1108, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 391, 0), ('c', 0, 143, 0), ('d', -1, 307, 0), ('e', -1, 538, 0), ('i', -1, 906, 0), ('o', -1, 423, 0), ('u', -1, 448, 0), ('y', -1, 149, 0), ('z', -1, 782, 0), ('ł', -1, 156, 0), ('ź', -1, 690, 0)), (('a', -1, 127, 0), ('e', -1, 1046, 0), ('i', -1, 559, 0), ('k', 0, 143, 0), ('o', -1, 50, 0), ('r', -1, 434, 0), ('u', -1, 252, 0), ('y', -1, 484, 0), ('ą', -1, 252, 0), ('ś', 0, -1, 0)), (('a', -1, 393, 0), ('g', -1, 598, 0), ('i', 0, -1, 0), ('k', -1, 139, 0), ('o', -1, 284, 0), ('r', -1, 36, 0)), (('a', -1, 733, 0), ('b', 0, 1837, 0), ('c', 0, 1839, 0), ('d', 0, 1841, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, 1842, 0), ('h', 0, 1846, 0), ('i', -1, 1847, 0), ('j', 0, 1854, 0), ('k', 0, 1855, 0), ('l', 0, 1872, 0), ('m', 0, 1875, 0), ('n', -1, 1877, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 1879, 0), ('s', 0, -1, 0), ('t', -1, 1884, 0), ('u', 0, -1, 0), ('w', -1, 1886, 0), ('y', 0, -1, 0), ('z', 0, 1888, 0), ('ł', 0, 1892, 0), ('ż', -1, 1897, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('o', -1, 1838, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0)), (('a', -1, 13, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 370, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 1715, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, 138, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 581, 0), ('z', -1, 39, 0), ('ó', 0, -1, 0), ('ł', 1, -1, 0)), (('a', 0, -1, 0), ('b', 1, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 1, -1, 0), ('l', -1, 1840, 0), ('m', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 1, -1, 0), ('r', -1, 991, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('y', 0, -1, 0), ('z', 1, -1, 0), ('ó', 0, -1, 0), ('ą', -1, 881, 0), ('ć', 1, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 1, -1, 0), ('ś', 1, -1, 0), ('ź', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 78, 0), ('e', 1, -1, 0), ('o', 1, -1, 0), ('u', 1, -1, 0)), (('a', -1, 1226, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 136, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1843, 0), ('r', -1, 1845, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 665, 0), ('ł', 0, -1, 0)), (('a', -1, 2, 0), ('b', 1, 1783, 0), ('c', -1, 1844, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('k', 1, -1, 0), ('l', 0, -1, 0), ('n', -1, 1778, 0), ('o', 1, -1, 0), ('r', 0, 13, 0), ('s', -1, 686, 0), ('y', -1, 1738, 0), ('ó', -1, 385, 0), ('ą', -1, 634, 0), ('ł', 1, -1, 0), ('ż', 1, -1, 0)), (('a', -1, 1710, 0), ('e', -1, 1667, 0), ('i', -1, 1119, 0), ('j', 0, -1, 0), ('o', -1, 944, 0), ('r', -1, 995, 0), ('u', -1, 938, 0), ('y', -1, 1349, 0), ('z', -1, 1048, 0), ('ą', -1, 53, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('o', 0, 261, 0), ('u', 0, -1, 0), ('y', 0, -1, 0)), (('a', -1, 739, 0), ('c', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 1848, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 1850, 0), ('o', 0, 918, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('v', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 84, 0), ('k', 1, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1849, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ę', -1, 774, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 1421, 0),), (('a', -1, 1682, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1851, 0), ('e', -1, 1722, 0), ('g', -1, 230, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 1852, 0), ('r', 0, -1, 0), ('t', -1, 1853, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', -1, 13, 0), ('ź', -1, 13, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 139, 0)), (('a', 0, -1, 0), ('o', -1, 138, 0), ('r', 1, -1, 0)), (('a', -1, 603, 0), ('e', -1, 125, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('s', 0, -1, 0), ('y', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 793, 0), ('o', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 1733, 0), ('b', -1, 1748, 0), ('c', -1, 1856, 0), ('d', -1, 1857, 0), ('e', 0, -1, 0), ('f', -1, 1, 0), ('i', -1, 1145, 0), ('j', -1, 1704, 0), ('k', 0, -1, 0), ('l', -1, 1859, 0), ('m', -1, 1743, 0), ('n', -1, 1860, 0), ('o', 0, -1, 0), ('p', -1, 1862, 0), ('r', -1, 1863, 0), ('s', -1, 1864, 0), ('t', -1, 1865, 0), ('u', 0, -1, 0), ('w', -1, 1866, 0), ('y', 0, -1, 0), ('z', -1, 1867, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1871, 0), ('ń', 0, -1, 0), ('ś', -1, 515, 0), ('ż', -1, 40, 0)), (('a', -1, 1534, 0), ('e', 0, -1, 0), ('i', -1, 134, 0), ('n', 0, -1, 0), ('o', -1, 1629, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 774, 0), ('ę', 0, -1, 0)), (('a', -1, 1858, 0), ('e', 0, -1, 0), ('o', -1, 175, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('ą', 1, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, -1, 0), ('o', 1, -1, 0), ('p', 1, -1, 0), ('r', -1, 231, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 487, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 13, 0), ('e', -1, 1751, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 1, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 1684, 0), ('e', -1, 384, 0), ('i', 1, -1, 0), ('o', -1, 1739, 0), ('u', 0, -1, 0), ('y', -1, 1861, 0)), (('a', 0, -1, 0), ('e', -1, 152, 0), ('i', 1, -1, 0), ('o', -1, 1176, 0), ('r', 1, -1, 0), ('s', 1, -1, 0), ('u', -1, 429, 0), ('y', -1, 753, 0), ('z', -1, 70, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('o', -1, 652, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('ę', 1, -1, 0)), (('a', 0, 1570, 0), ('e', -1, 1825, 0), ('i', 1, -1, 0), ('o', -1, 1403, 0), ('t', 1, -1, 0), ('u', -1, 1155, 0), ('y', 0, -1, 0), ('ó', -1, 15, 0)), (('a', -1, 1189, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1221, 0), ('j', 0, -1, 0), ('l', -1, 391, 0), ('m', 0, -1, 0), ('o', -1, 456, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 663, 0), ('y', 0, -1, 0), ('ą', -1, 1281, 0), ('ę', -1, 94, 0), ('ń', -1, 697, 0)), (('a', -1, 1003, 0), ('e', -1, 1022, 0), ('f', 0, -1, 0), ('i', -1, 1018, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1656, 0), ('r', 0, -1, 0), ('s', -1, 678, 0), ('u', -1, 1503, 0), ('ó', -1, 132, 0), ('ą', -1, 1441, 0), ('ę', -1, 1666, 0), ('ł', 1, -1, 0)), (('a', -1, 751, 0), ('e', -1, 1261, 0), ('o', 1, -1, 0), ('y', -1, 43, 0), ('ó', 1, -1, 0)), (('a', 1, -1, 0), ('c', -1, 1868, 0), ('d', 0, -1, 0), ('o', -1, 1843, 0), ('r', 0, -1, 0), ('s', -1, 1869, 0), ('y', 1, -1, 0), ('ó', 1, -1, 0)), (('a', -1, 454, 0), ('e', -1, 625, 0), ('i', -1, 801, 0), ('j', 0, -1, 0), ('o', 0, 292, 0), ('r', 1, -1, 0), ('u', 1, -1, 0), ('y', -1, 292, 0), ('z', -1, 176, 0), ('ą', 1, -1, 0)), (('a', -1, 514, 0), ('e', 0, -1, 0), ('i', 1, -1, 0), ('o', -1, 1870, 0), ('u', -1, 1405, 0), ('y', -1, 1727, 0)), (('a', -1, 320, 0), ('e', 0, -1, 0), ('i', -1, 194, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', -1, 138, 0), ('o', 0, -1, 0), ('r', 1, -1, 0), ('y', 0, -1, 0), ('z', 22, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 87, 0)), (('a', -1, 1320, 0), ('e', -1, 443, 0), ('i', 1, -1, 0), ('o', 1, -1, 0), ('u', 1, -1, 0), ('y', 1, -1, 0), ('ó', -1, 31, 0)), (('a', 0, -1, 0), ('b', -1, 886, 0), ('c', 1, -1, 0), ('d', -1, 1580, 0), ('e', 0, -1, 0), ('f', -1, 251, 0), ('g', -1, 1873, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, 1874, 0), ('r', 0, -1, 0), ('s', 1, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1104, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 92, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('n', 1, -1, 0), ('r', 1, -1, 0), ('ą', 0, -1, 0), ('ę', 1, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('m', 1, -1, 0), ('o', 0, -1, 0), ('u', -1, 1, 0), ('ę', 1, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, 1233, 0), ('r', 0, -1, 0), ('s', -1, 1876, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 85, 0), ('c', -1, 771, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 669, 0), ('r', 0, -1, 0), ('s', -1, 118, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 387, 0), ('b', -1, 695, 0), ('c', 0, 489, 0), ('d', 0, 263, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 57, 0), ('i', 0, -1, 0), ('j', -1, 549, 0), ('k', -1, 446, 0), ('l', -1, 785, 0), ('m', -1, 1197, 0), ('n', -1, 1878, 0), ('o', 0, 1772, 0), ('p', -1, 1368, 0), ('r', -1, 309, 0), ('s', -1, 518, 0), ('t', -1, 1447, 0), ('u', 0, -1, 0), ('w', -1, 300, 0), ('y', 0, -1, 0), ('z', -1, 1876, 0), ('ś', -1, 98, 0), ('ź', 0, -1, 0), ('ż', -1, 902, 0)), (('a', 0, -1, 0), ('e', -1, 35, 0), ('i', -1, 223, 0), ('o', -1, 35, 0), ('u', 0, -1, 0), ('y', -1, 319, 0)), (('a', -1, 1434, 0), ('b', 0, -1, 0), ('d', 0, 1880, 0), ('e', -1, 1881, 0), ('f', 0, -1, 0), ('g', 0, 669, 0), ('h', -1, 152, 0), ('i', 0, -1, 0), ('k', 0, 1209, 0), ('m', 0, -1, 0), ('o', 0, 723, 0), ('p', -1, 13, 0), ('s', 0, -1, 0), ('t', 0, 1882, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0)), (('a', -1, 1, 0), ('n', 1, -1, 0), ('o', 0, -1, 0), ('ą', -1, 75, 0)), (('a', -1, 743, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('z', 0, 75, 0), ('ż', 0, -1, 0)), (('a', -1, 2, 0), ('e', 0, -1, 0), ('i', -1, 12, 0), ('j', 1, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('s', -1, 1883, 0), ('u', 1, -1, 0)), (('a', 1, -1, 0), ('e', 1, -1, 0), ('i', -1, 847, 0), ('o', 0, 366, 0), ('p', 0, -1, 0)), (('a', -1, 1733, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 900, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1423, 0), ('p', 0, -1, 0), ('r', -1, 1836, 0), ('s', 0, 1885, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 892, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1234, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 1453, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1734, 0), ('ó', 0, -1, 0)), (('a', -1, 1009, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1838, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', 1, 1208, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1887, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ź', 0, -1, 0)), (('a', -1, 1112, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 525, 0), ('h', 0, -1, 0), ('i', 0, 781, 0), ('j', -1, 644, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1332, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1410, 0), ('z', 0, -1, 0), ('ł', -1, 396, 0), ('ż', 0, 1505, 0)), (('a', 0, -1, 0), ('c', -1, 1889, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 1890, 0), ('s', -1, 1891, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 1716, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 16, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1821, 0), ('b', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 87, 0), ('p', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('ó', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 21, -1, 0), ('i', 0, -1, 0), ('j', -1, 1075, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 947, 0), ('r', -1, 91, 0), ('t', -1, 230, 0), ('u', 0, -1, 0), ('w', -1, 1167, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ń', -1, 1240, 0), ('ż', 1, -1, 0)), (('a', -1, 1436, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 1893, 0), ('e', 0, -1, 0), ('g', -1, 1082, 0), ('h', -1, 287, 0), ('i', -1, 140, 0), ('k', -1, 1894, 0), ('m', 0, -1, 0), ('o', -1, 1754, 0), ('p', 16, 1895, 0), ('r', -1, 1896, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1012, 0), ('z', -1, 1641, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', -1, 669, 0), ('y', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1035, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 16, -1, 0), ('d', 16, -1, 0), ('e', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, 53, 0), ('y', -1, 1608, 0)), (('a', -1, 1207, 0), ('o', 1, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 245, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 1808, 0), ('ó', -1, 1524, 0), ('ą', -1, 880, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0), ('ś', -1, 165, 0), ('ź', -1, 165, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1666, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', -1, 839, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, 766, 0), ('d', 23, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 732, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 44, -1, 0), ('ó', -1, 1613, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 1847, 0), ('c', 0, 1902, 0), ('d', 0, -1, 0), ('e', -1, 1009, 0), ('f', 0, -1, 0), ('g', 0, 1903, 0), ('h', 0, -1, 0), ('i', -1, 1136, 0), ('j', -1, 37, 0), ('k', 0, 1904, 0), ('l', -1, 1906, 0), ('m', -1, 1907, 0), ('n', -1, 1909, 0), ('o', -1, 1362, 0), ('p', 0, 1494, 0), ('r', 0, -1, 0), ('s', 0, 763, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 1910, 0), ('y', 0, -1, 0), ('z', -1, 1372, 0), ('ż', 0, -1, 0)), (('a', -1, 1672, 0), ('c', 0, -1, 0), ('e', -1, 979, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 1106, 0), ('k', -1, 1216, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 1881, 0), ('u', 0, -1, 0), ('y', -1, 1334, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 1763, 0), ('ł', 0, -1, 0), ('ś', -1, 1712, 0)), (('a', -1, 898, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1741, 0), ('r', -1, 643, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 569, 0)), (('a', 0, -1, 0), ('b', -1, 1347, 0), ('c', -1, 1348, 0), ('d', -1, 1349, 0), ('e', 0, -1, 0), ('f', -1, 1, 0), ('i', -1, 1043, 0), ('j', -1, 1783, 0), ('l', -1, 1838, 0), ('m', -1, 1861, 0), ('n', -1, 388, 0), ('o', 0, -1, 0), ('p', -1, 1298, 0), ('r', -1, 1774, 0), ('s', -1, 1785, 0), ('t', -1, 1905, 0), ('u', -1, 1366, 0), ('w', -1, 1253, 0), ('y', 0, -1, 0), ('z', -1, 1843, 0), ('ą', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', -1, 1686, 0), ('ń', 0, -1, 0), ('ś', 1, -1, 0), ('ź', 0, -1, 0), ('ż', -1, 1270, 0)), (('a', -1, 1340, 0), ('e', -1, 1364, 0), ('f', 0, -1, 0), ('i', -1, 266, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 1094, 0), ('r', 0, -1, 0), ('s', -1, 1365, 0), ('u', -1, 1021, 0), ('y', -1, 152, 0), ('ą', -1, 1422, 0), ('ę', -1, 1100, 0), ('ł', 1, -1, 0)), (('a', 0, 1326, 0), ('b', -1, 1524, 0), ('c', 1, -1, 0), ('d', -1, 1858, 0), ('e', -1, 1705, 0), ('f', 0, 260, 0), ('g', -1, 1870, 0), ('h', -1, 574, 0), ('i', -1, 1394, 0), ('k', -1, 1469, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 1616, 0), ('p', -1, 1776, 0), ('r', -1, 1529, 0), ('s', -1, 659, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 569, 0), ('z', -1, 262, 0), ('ę', 0, -1, 0), ('ś', -1, 165, 0), ('ź', -1, 122, 0)), (('a', 0, 1714, 0), ('e', 0, -1, 0), ('i', -1, 1908, 0), ('j', 0, -1, 0), ('o', -1, 1011, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1056, 0), ('z', 0, -1, 0), ('ć', 0, -1, 0)), (('a', -1, 896, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 152, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 395, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 1, 781, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0)), (('a', -1, 432, 0), ('b', -1, 1625, 0), ('c', 0, 489, 0), ('d', -1, 1443, 0), ('e', -1, 1593, 0), ('f', 0, -1, 0), ('g', -1, 1460, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 606, 0), ('k', -1, 698, 0), ('l', -1, 1552, 0), ('m', -1, 1480, 0), ('n', -1, 1583, 0), ('o', 0, 1367, 0), ('p', -1, 1554, 0), ('r', -1, 1233, 0), ('t', -1, 1694, 0), ('u', 0, -1, 0), ('w', -1, 1819, 0), ('y', 0, -1, 0), ('z', -1, 929, 0), ('ł', 0, -1, 0), ('ś', -1, 1544, 0), ('ź', 0, -1, 0), ('ż', -1, 1200, 0)), (('a', -1, 260, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 1, -1, 0), ('i', -1, 1816, 0), ('j', 0, -1, 0), ('k', 0, 463, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 1, 1661, 0), ('r', -1, 915, 0), ('t', 0, -1, 0), ('y', -1, 15, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 1815, 0), ('f', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 1908, 0), ('t', -1, 1590, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 1386, 0), ('b', 0, -1, 0), ('d', -1, 1398, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 722, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 1817, 0), ('z', -1, 741, 0), ('ó', 1, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 1049, 0), ('e', -1, 798, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 1764, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)))), (False, 0, ('Dc', 'DaRs', '*', 'Da', 'IeIiRn', 'ReRiRn', 'RiRn', 'Db', 'Ie', 'Rę', 'Rn', 'Ro', 'DaRz', 'Ró', 'Ru', 'De', 'Iś', 'DeRe', 'DcRe', 'DbRo', 'IeIi', 'ReRi', 'Ri', 'Dd', '-n', 'DaRn', 'DaRe', '-a', 'DbRz', 'DfRą', 'DdRą', 'DbRą', 'DeRą', 'Ii', 'RzRa', '-d', 'DaRś', 'Rs', 'Rz', '-e', 'Rk', 'Re', 'IeIz', 'IeIiRs', 'ReRiRs', 'RiRs', 'IzIdIeIi', 'IzRd', 'Rd', 'Rź', 'DeRj', 'DcRj', 'DbRn', 'DaRą', 'IeIiRc', 'IeRi', 'RnReRiRm', 'DcRą', 'Rą', 'DaRk', 'Df', 'DaRc', 'Ra', 'IhIcIe', 'DaRg', 'DaRi', 'IeIiRz', 'RiRz', 'ReRiRz', 'DaRiRz', 'InRś', 'DcRl', 'ReRl', 'IyIzIc', 'RiRcReRl', 'IoRi', 'IzRrRbRoRd', 'DbRzRrRbRoRd', 'ReRz', 'Rw', 'RuRb', '-c', 'DfRe', 'DdRe', '-h', 'RiRc', 'Io', '-b', 'DbRc', 'DaRiRc', 'Rc', 'Ry', '-f', 'IeRs', 'DfRó', 'DdRó', 'DbRó', 'DeRó', 'DdRł'), ((('-', 3, -1, 0), ('1', 2, -1, 0), ('2', 2, -1, 0), ('4', 2, -1, 0), ('a', 2, 1, 0), ('b', -1, 92, 0), ('c', -1, 93, 0), ('d', -1, 105, 0), ('e', -1, 106, 0), ('f', 8, -1, 0), ('g', 3, 33, 0), ('h', -1, 40, 0), ('i', -1, 41, 0), ('j', -1, 116, 0), ('k', -1, 104, 0), ('l', 2, 117, 0), ('m', -1, 118, 0), ('n', 79, 95, 0), ('o', 13, 9, 0), ('p', -1, 56, 0), ('r', -1, 90, 0), ('s', 8, 42, 0), ('t', -1, 85, 0), ('u', -1, 50, 0), ('w', -1, 31, 0), ('y', -1, 75, 0), ('z', 8, 43, 0), ('ó', -1, 10, 0), ('ą', -1, 23, 0), ('ć', 3, -1, 0), ('ę', -1, 67, 0), ('ł', -1, 78, 0), ('ń', 4, -1, 0), ('ś', 93, 14, 0), ('ź', -1, 26, 0), ('ż', -1, 6, 0)), (('c', -1, 2, 0), ('d', 3, -1, 0), ('e', 14, -1, 0), ('g', 2, -1, 0), ('i', -1, 13, 0), ('j', 14, -1, 0), ('k', -1, 74, 0), ('l', 14, -1, 0), ('m', -1, 91, 0), ('n', 80, 15, 0), ('p', 3, -1, 0), ('r', 14, -1, 0), ('t', 3, 66, 0), ('w', -1, 5, 0), ('ł', -1, 67, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('b', 21, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 26, -1, 0), ('l', 26, -1, 0), ('m', 21, -1, 0), ('o', -1, 3, 0), ('p', 21, -1, 0), ('r', 78, -1, 0), ('u', 3, -1, 0), ('w', 21, -1, 0), ('y', -1, 90, 0), ('z', 26, -1, 0), ('ó', 3, -1, 0), ('ć', 55, -1, 0), ('ń', 5, -1, 0), ('ś', 44, -1, 0), ('ź', 68, -1, 0), ('ż', 26, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', -1, 4, 0), ('g', -1, 50, 0), ('h', 2, -1, 0), ('i', 2, -1, 0), ('k', -1, 3, 0), ('l', 2, -1, 0), ('m', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 2, -1, 0), ('t', 2, -1, 0), ('u', 2, -1, 0), ('w', -1, 49, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0), ('ę', -1, 49, 0), ('ł', 2, -1, 0), ('ś', 27, -1, 0), ('ź', 27, -1, 0), ('ż', 2, -1, 0)), (('a', 23, -1, 0), ('b', 2, -1, 0), ('d', 2, -1, 0), ('e', 7, -1, 0), ('g', -1, 5, 0), ('i', -1, 5, 0), ('k', -1, 5, 0), ('l', 2, -1, 0), ('m', 14, -1, 0), ('n', 67, -1, 0), ('o', -1, 5, 0), ('p', 12, -1, 0), ('r', -1, 6, 0), ('t', 14, -1, 0), ('w', 2, -1, 0), ('y', 23, -1, 0), ('z', 23, -1, 0), ('ó', -1, 7, 0), ('ś', 2, -1, 0)), (('a', 23, -1, 0), ('b', 2, -1, 0), ('c', -1, 4, 0), ('d', 23, -1, 0), ('e', 23, -1, 0), ('g', 49, -1, 0), ('h', 7, -1, 0), ('i', 8, -1, 0), ('j', 15, -1, 0), ('k', 33, 6, 0), ('l', -1, 6, 0), ('m', 3, -1, 0), ('n', 8, -1, 0), ('o', 83, -1, 0), ('p', 2, -1, 0), ('r', 8, -1, 0), ('s', -1, 23, 0), ('t', 8, -1, 0), ('u', 23, -1, 0), ('w', 49, -1, 0), ('y', -1, 89, 0), ('z', 3, -1, 0), ('ą', -1, 27, 0), ('ę', 30, -1, 0), ('ł', -1, 6, 0), ('ś', 8, -1, 0), ('ż', 2, -1, 0)), (('a', 7, -1, 0), ('b', 23, 7, 0), ('c', 2, -1, 0), ('d', 8, -1, 0), ('e', -1, 27, 0), ('f', 2, -1, 0), ('g', -1, 24, 0), ('i', -1, 27, 0), ('j', 77, -1, 0), ('k', -1, 19, 0), ('l', 37, -1, 0), ('m', 7, -1, 0), ('n', -1, 5, 0), ('o', -1, 5, 0), ('p', 2, 5, 0), ('r', 37, -1, 0), ('s', 8, -1, 0), ('t', -1, 48, 0), ('u', 49, -1, 0), ('w', 49, -1, 0), ('y', 3, -1, 0), ('z', -1, 27, 0), ('ó', -1, 5, 0), ('ą', -1, 5, 0), ('ę', 53, -1, 0), ('ł', 41, -1, 0)), (('a', 2, -1, 0), ('b', 8, -1, 0), ('d', -1, 8, 0), ('e', 0, -1, 0), ('g', 7, -1, 0), ('i', 8, -1, 0), ('l', 8, -1, 0), ('m', 8, -1, 0), ('n', 0, -1, 0), ('o', 2, 6, 0), ('p', 8, -1, 0), ('r', -1, 50, 0), ('s', 8, -1, 0), ('t', -1, 63, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', -1, 52, 0), ('z', 23, 25, 0), ('ę', 57, -1, 0), ('ł', 8, -1, 0)), (('a', 23, -1, 0), ('c', -1, 9, 0), ('d', 8, -1, 0), ('e', 10, -1, 0), ('g', 37, -1, 0), ('i', 37, -1, 0), ('j', 43, 25, 0), ('k', 8, -1, 0), ('l', -1, 63, 0), ('m', 2, -1, 0), ('n', 36, -1, 0), ('o', 2, 15, 0), ('p', 31, 88, 0), ('r', 10, -1, 0), ('u', 3, -1, 0), ('w', 2, -1, 0), ('y', 10, -1, 0), ('z', 37, -1, 0), ('ł', 37, -1, 0)), (('a', 13, -1, 0), ('b', 13, -1, 0), ('c', 41, -1, 0), ('d', 13, -1, 0), ('e', 2, -1, 0), ('g', -1, 10, 0), ('h', -1, 8, 0), ('i', -1, 56, 0), ('j', -1, 84, 0), ('k', 13, 79, 0), ('l', 2, -1, 0), ('m', 13, 79, 0), ('n', -1, 79, 0), ('o', -1, 50, 0), ('p', 2, 65, 0), ('r', -1, 65, 0), ('s', 13, -1, 0), ('t', -1, 28, 0), ('w', 13, 36, 0), ('z', -1, 79, 0), ('ł', 13, 80, 0), ('ż', -1, 68, 0)), (('a', 0, -1, 0), ('b', 11, -1, 0), ('c', 11, -1, 0), ('d', 11, -1, 0), ('e', -1, 11, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', 11, -1, 0), ('k', 11, -1, 0), ('m', 11, -1, 0), ('n', 11, -1, 0), ('o', 18, -1, 0), ('p', 11, -1, 0), ('r', 11, -1, 0), ('s', 11, -1, 0), ('t', 11, -1, 0), ('u', 13, -1, 0), ('w', 11, -1, 0), ('z', 11, -1, 0), ('ę', 57, -1, 0), ('ł', -1, 64, 0), ('ż', 11, -1, 0)), (('a', 2, -1, 0), ('d', 81, -1, 0), ('e', 86, -1, 0), ('i', 86, -1, 0), ('o', 27, -1, 0), ('r', -1, 12, 0), ('s', 2, -1, 0), ('t', 25, -1, 0), ('u', 27, -1, 0), ('y', 2, -1, 0), ('z', 8, -1, 0), ('ó', 3, -1, 0)), (('a', 11, -1, 0), ('b', 25, -1, 0), ('d', 6, -1, 0), ('e', 2, -1, 0), ('g', -1, 13, 0), ('h', 6, -1, 0), ('k', -1, 55, 0), ('m', -1, 41, 0), ('o', 3, -1, 0), ('p', 6, -1, 0), ('r', -1, 53, 0), ('s', 6, -1, 0), ('t', 6, -1, 0), ('u', 3, -1, 0), ('w', 6, -1, 0), ('y', 2, -1, 0), ('z', 25, -1, 0)), (('a', -1, 14, 0), ('b', 14, -1, 0), ('d', 14, -1, 0), ('e', 11, -1, 0), ('g', 14, -1, 0), ('i', 25, -1, 0), ('l', 14, -1, 0), ('n', -1, 83, 0), ('o', 96, -1, 0), ('p', 14, -1, 0), ('r', 14, -1, 0), ('t', 14, -1, 0), ('v', 14, -1, 0), ('w', 14, -1, 0), ('y', 25, -1, 0), ('z', 96, -1, 0)), (('a', -1, 8, 0), ('c', 7, -1, 0), ('e', -1, 15, 0), ('g', 20, -1, 0), ('h', 8, -1, 0), ('i', -1, 26, 0), ('k', 6, -1, 0), ('l', 33, -1, 0), ('m', 8, -1, 0), ('n', 2, -1, 0), ('o', -1, 25, 0), ('p', 8, -1, 0), ('r', 7, -1, 0), ('s', -1, 49, 0), ('t', 8, -1, 0), ('u', 37, 24, 0), ('w', 70, -1, 0), ('y', -1, 19, 0), ('z', 7, -1, 0), ('ą', 37, -1, 0), ('ę', -1, 6, 0), ('ł', 25, -1, 0)), (('a', -1, 8, 0), ('c', 8, -1, 0), ('d', 8, -1, 0), ('e', -1, 16, 0), ('g', 14, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('l', 37, -1, 0), ('m', -1, 13, 0), ('n', 23, -1, 0), ('o', 58, -1, 0), ('p', 23, -1, 0), ('r', 37, -1, 0), ('s', 7, -1, 0), ('w', 48, -1, 0), ('y', 58, -1, 0), ('z', 37, -1, 0), ('ę', 29, -1, 0), ('ł', 11, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('d', -1, 5, 0), ('e', -1, 17, 0), ('g', 65, -1, 0), ('i', -1, 27, 0), ('k', -1, 51, 0), ('l', -1, 24, 0), ('o', 2, -1, 0), ('r', 73, -1, 0), ('s', 2, -1, 0), ('t', -1, 5, 0), ('u', 2, -1, 0), ('w', 63, -1, 0), ('y', 2, -1, 0), ('z', 15, -1, 0), ('ó', 2, -1, 0), ('ę', 3, -1, 0)), (('a', 7, -1, 0), ('d', 3, -1, 0), ('e', 33, -1, 0), ('i', 33, -1, 0), ('k', 22, -1, 0), ('l', 8, -1, 0), ('n', -1, 18, 0), ('o', 3, -1, 0), ('r', 33, -1, 0), ('t', 3, -1, 0), ('u', -1, 39, 0), ('w', -1, 48, 0), ('y', 3, -1, 0), ('z', -1, 24, 0), ('ę', 8, -1, 0), ('ś', -1, 81, 0)), (('a', -1, 5, 0), ('b', 7, -1, 0), ('c', 7, -1, 0), ('d', 7, -1, 0), ('h', 7, -1, 0), ('i', -1, 19, 0), ('l', -1, 69, 0), ('m', 8, -1, 0), ('n', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 4, 0), ('t', -1, 37, 0), ('w', 7, -1, 0), ('y', -1, 27, 0), ('z', -1, 15, 0), ('ś', 7, -1, 0), ('ź', 7, -1, 0), ('ż', 7, -1, 0)), (('a', 8, -1, 0), ('b', -1, 19, 0), ('c', 36, -1, 0), ('d', 38, -1, 0), ('e', 60, -1, 0), ('g', 2, -1, 0), ('h', 8, -1, 0), ('i', -1, 5, 0), ('k', 38, -1, 0), ('l', -1, 20, 0), ('m', 38, -1, 0), ('n', 7, -1, 0), ('o', 82, -1, 0), ('p', 38, -1, 0), ('r', 37, -1, 0), ('s', 7, -1, 0), ('t', 38, -1, 0), ('u', 60, -1, 0), ('w', 38, -1, 0), ('y', -1, 5, 0), ('z', -1, 6, 0), ('ę', 29, -1, 0), ('ł', 37, 27, 0), ('ż', 3, -1, 0)), (('a', -1, 20, 0), ('d', -1, 21, 0), ('i', 32, -1, 0), ('j', 17, -1, 0), ('o', 17, -1, 0), ('p', 15, -1, 0), ('r', 15, -1, 0), ('s', 57, -1, 0), ('t', 15, -1, 0), ('w', 0, -1, 0), ('z', 50, -1, 0), ('ę', 32, -1, 0)), (('a', 15, -1, 0), ('d', -1, 22, 0), ('e', -1, 64, 0), ('g', 0, -1, 0), ('i', 57, -1, 0), ('j', 18, -1, 0), ('k', -1, 7, 0), ('o', 17, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 10, 0), ('t', 18, -1, 0), ('z', 51, -1, 0), ('ę', 32, -1, 0)), (('a', -1, 21, 0), ('d', -1, 23, 0), ('e', -1, 40, 0), ('i', 8, -1, 0), ('j', 8, -1, 0), ('l', 8, -1, 0), ('m', 8, -1, 0), ('o', 18, -1, 0), ('p', -1, 63, 0), ('r', 8, -1, 0), ('w', 7, -1, 0), ('y', 90, -1, 0), ('z', 8, -1, 0), ('ę', 57, -1, 0)), (('a', 7, -1, 0), ('d', 3, -1, 0), ('e', 8, -1, 0), ('i', -1, 24, 0), ('j', 3, -1, 0), ('k', 7, -1, 0), ('l', 9, -1, 0), ('m', 2, -1, 0), ('n', 0, -1, 0), ('o', 2, 28, 0), ('p', 2, -1, 0), ('r', -1, 27, 0), ('s', 3, -1, 0), ('w', 2, -1, 0), ('y', 27, -1, 0), ('z', 9, -1, 0)), (('a', 2, -1, 0), ('b', 8, -1, 0), ('c', -1, 6, 0), ('d', 11, -1, 0), ('e', 60, -1, 0), ('g', 98, -1, 0), ('i', 0, -1, 0), ('k', 11, -1, 0), ('l', 0, -1, 0), ('m', 10, -1, 0), ('n', 86, -1, 0), ('o', 94, -1, 0), ('p', 2, -1, 0), ('r', 10, -1, 0), ('s', -1, 25, 0), ('t', 7, -1, 0), ('u', -1, 49, 0), ('w', 9, -1, 0), ('y', 60, -1, 0), ('z', 43, -1, 0), ('ę', 29, -1, 0), ('ł', 2, -1, 0), ('ś', 3, -1, 0)), (('a', -1, 26, 0), ('c', -1, 40, 0), ('d', 37, -1, 0), ('e', 37, -1, 0), ('g', 2, -1, 0), ('i', 37, -1, 0), ('k', 8, -1, 0), ('l', 10, -1, 0), ('n', 2, 17, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 37, -1, 0), ('s', 37, -1, 0), ('t', 35, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 10, -1, 0), ('z', 43, -1, 0), ('ę', 22, -1, 0), ('ł', 37, -1, 0), ('ż', 27, -1, 0)), (('a', -1, 19, 0), ('c', 37, -1, 0), ('d', 66, -1, 0), ('e', 34, -1, 0), ('g', 8, -1, 0), ('i', 38, -1, 0), ('k', 37, -1, 0), ('l', -1, 27, 0), ('n', 2, -1, 0), ('o', 38, -1, 0), ('p', 37, -1, 0), ('r', 38, -1, 0), ('s', 13, -1, 0), ('t', 36, -1, 0), ('u', 27, 78, 0), ('w', 37, -1, 0), ('y', 38, -1, 0), ('z', 58, -1, 0), ('ę', 38, -1, 0), ('ł', 38, -1, 0)), (('a', 8, -1, 0), ('b', 37, -1, 0), ('c', 37, -1, 0), ('d', 8, -1, 0), ('e', 23, -1, 0), ('g', -1, 27, 0), ('i', -1, 6, 0), ('j', 49, -1, 0), ('k', -1, 5, 0), ('l', 3, -1, 0), ('m', 2, 28, 0), ('n', -1, 69, 0), ('o', 95, -1, 0), ('p', -1, 39, 0), ('r', 2, -1, 0), ('s', 2, 49, 0), ('t', -1, 49, 0), ('u', 7, -1, 0), ('w', 38, -1, 0), ('y', 23, -1, 0), ('z', 3, -1, 0), ('ę', 30, -1, 0), ('ł', -1, 76, 0), ('ź', 20, -1, 0), ('ż', -1, 77, 0)), (('a', 0, -1, 0), ('c', 12, 29, 0), ('e', 35, -1, 0), ('i', 7, -1, 0), ('k', 2, -1, 0), ('l', 7, -1, 0), ('n', 2, -1, 0), ('o', 0, -1, 0), ('p', -1, 30, 0), ('r', 10, -1, 0), ('s', 13, -1, 0), ('t', 2, -1, 0), ('u', 10, -1, 0), ('w', -1, 19, 0), ('z', -1, 14, 0), ('ę', 10, -1, 0), ('ł', 11, -1, 0), ('ż', 7, -1, 0)), (('a', 12, -1, 0), ('d', 12, -1, 0), ('e', 12, -1, 0), ('o', -1, 4, 0), ('y', 12, -1, 0), ('z', 12, -1, 0)), (('a', -1, 31, 0), ('d', 3, -1, 0), ('e', -1, 57, 0), ('f', 3, -1, 0), ('i', 3, -1, 0), ('l', 3, -1, 0), ('n', 3, -1, 0), ('o', 11, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', 3, -1, 0), ('z', -1, 11, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 14, 0), ('d', 64, -1, 0), ('e', 8, -1, 0), ('g', 3, -1, 0), ('h', 3, -1, 0), ('i', 20, -1, 0), ('k', 3, -1, 0), ('n', 2, -1, 0), ('o', -1, 32, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('w', 11, -1, 0), ('y', -1, 35, 0), ('z', 46, -1, 0), ('ó', 8, -1, 0), ('ł', 3, -1, 0)), (('a', 27, -1, 0), ('b', 20, -1, 0), ('d', 20, -1, 0), ('e', 27, -1, 0), ('g', 20, -1, 0), ('h', -1, 25, 0), ('i', 20, -1, 0), ('j', 20, -1, 0), ('k', 20, -1, 0), ('l', 20, -1, 0), ('m', 20, -1, 0), ('n', 20, -1, 0), ('o', 8, -1, 0), ('p', -1, 33, 0), ('r', -1, 34, 0), ('s', 20, -1, 0), ('t', 20, -1, 0), ('z', 20, -1, 0), ('ł', 2, 75, 0), ('ż', 20, -1, 0)), (('a', 20, -1, 0), ('b', 8, -1, 0), ('d', 46, -1, 0), ('i', 8, -1, 0), ('k', 8, -1, 0), ('m', 20, -1, 0), ('n', 20, -1, 0), ('o', 46, -1, 0), ('p', 8, -1, 0), ('r', 20, -1, 0), ('s', 8, -1, 0), ('t', 8, -1, 0), ('u', 20, -1, 0), ('y', 46, -1, 0), ('z', 8, -1, 0), ('ą', 20, -1, 0), ('ę', 20, -1, 0)), (('a', 20, -1, 0), ('d', 20, -1, 0), ('e', 20, -1, 0), ('i', 91, -1, 0), ('k', -1, 35, 0), ('n', 0, -1, 0), ('o', 20, -1, 0), ('p', 20, -1, 0), ('r', -1, 71, 0), ('t', 20, -1, 0), ('u', 20, -1, 0), ('w', 13, -1, 0), ('z', 63, 6, 0)), (('a', 0, -1, 0), ('b', 8, -1, 0), ('c', 8, -1, 0), ('d', 8, -1, 0), ('e', -1, 36, 0), ('i', -1, 25, 0), ('m', 8, -1, 0), ('o', 20, -1, 0), ('r', 8, -1, 0), ('s', 8, -1, 0), ('t', 8, -1, 0), ('u', 20, -1, 0), ('w', 8, -1, 0), ('z', 20, -1, 0), ('ę', 57, -1, 0)), (('a', 13, -1, 0), ('d', 13, -1, 0), ('e', 40, -1, 0), ('h', 7, -1, 0), ('i', -1, 20, 0), ('j', 0, -1, 0), ('o', 13, -1, 0), ('p', 7, -1, 0), ('r', -1, 37, 0), ('s', 13, -1, 0), ('t', 13, -1, 0), ('y', 2, -1, 0), ('z', 13, -1, 0), ('ł', 7, -1, 0), ('ś', 0, -1, 0)), (('a', -1, 38, 0), ('b', 8, -1, 0), ('c', 8, -1, 0), ('d', 8, -1, 0), ('e', 8, -1, 0), ('i', 8, -1, 0), ('l', 8, -1, 0), ('m', 8, -1, 0), ('n', 8, -1, 0), ('o', 7, -1, 0), ('p', 8, 39, 0), ('r', 8, -1, 0), ('s', 7, -1, 0), ('t', 7, -1, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', -1, 4, 0), ('ł', -1, 26, 0)), (('a', 3, -1, 0), ('c', -1, 38, 0), ('d', 12, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('l', 3, -1, 0), ('m', 12, -1, 0), ('n', 3, -1, 0), ('o', 8, -1, 0), ('p', 12, -1, 0), ('r', -1, 8, 0), ('s', -1, 38, 0), ('t', 12, -1, 0), ('u', 3, -1, 0), ('w', 12, -1, 0), ('y', 3, -1, 0), ('z', 2, -1, 0), ('ę', 42, -1, 0), ('ł', 11, -1, 0), ('ż', 7, -1, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('e', 30, -1, 0), ('i', -1, 6, 0), ('l', -1, 5, 0), ('m', 6, -1, 0), ('n', 3, -1, 0), ('o', 36, -1, 0), ('p', 25, -1, 0), ('r', 33, -1, 0), ('s', 2, -1, 0), ('t', 10, -1, 0), ('w', 2, -1, 0), ('y', -1, 40, 0), ('z', 30, -1, 0), ('ł', 3, -1, 0), ('ż', 2, -1, 0)), (('a', 2, -1, 0), ('c', -1, 41, 0), ('d', 2, -1, 0), ('e', 2, -1, 0), ('g', 8, -1, 0), ('i', 10, -1, 0), ('k', 2, -1, 0), ('l', 76, 6, 0), ('m', 7, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 8, 6, 0), ('r', 10, -1, 0), ('s', 8, -1, 0), ('u', 2, -1, 0), ('w', 2, -1, 0), ('y', 3, -1, 0), ('z', 30, -1, 0), ('ę', 3, -1, 0), ('ł', 10, -1, 0)), (('a', 6, -1, 0), ('c', -1, 36, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 86, -1, 0), ('j', 8, -1, 0), ('k', 7, -1, 0), ('l', -1, 42, 0), ('m', 86, -1, 0), ('n', -1, 70, 0), ('o', 8, -1, 0), ('p', -1, 22, 0), ('r', 25, -1, 0), ('t', 91, -1, 0), ('y', 2, -1, 0), ('z', 71, -1, 0)), (('a', 8, -1, 0), ('c', 7, -1, 0), ('d', -1, 35, 0), ('e', -1, 43, 0), ('i', -1, 14, 0), ('k', 8, -1, 0), ('o', 8, -1, 0), ('p', 8, -1, 0), ('r', -1, 55, 0), ('s', 7, -1, 0), ('t', 0, -1, 0), ('z', 51, -1, 0), ('ą', 8, -1, 0), ('ę', 8, -1, 0), ('ż', 27, -1, 0)), (('a', 8, -1, 0), ('c', -1, 44, 0), ('d', -1, 17, 0), ('e', 2, -1, 0), ('g', 3, -1, 0), ('i', -1, 15, 0), ('j', 8, -1, 0), ('l', -1, 46, 0), ('m', 7, -1, 0), ('o', 8, -1, 0), ('p', 25, -1, 0), ('r', -1, 16, 0), ('s', -1, 47, 0), ('t', 7, -1, 0), ('w', 6, -1, 0), ('y', 8, -1, 0), ('z', 3, -1, 0), ('ó', 8, -1, 0), ('ą', 8, -1, 0), ('ę', 8, -1, 0)), (('a', -1, 22, 0), ('d', 8, -1, 0), ('e', 8, -1, 0), ('i', -1, 17, 0), ('m', 1, -1, 0), ('o', 59, 45, 0), ('p', 45, -1, 0), ('r', 8, -1, 0), ('s', 8, -1, 0), ('t', 0, -1, 0), ('u', -1, 19, 0), ('w', 1, -1, 0), ('y', -1, 7, 0), ('z', 8, -1, 0), ('ą', 8, -1, 0), ('ź', 69, -1, 0)), (('a', 7, -1, 0), ('c', 8, -1, 0), ('d', 8, -1, 0), ('e', 7, -1, 0), ('i', 7, -1, 0), ('k', 8, -1, 0), ('l', 8, -1, 0), ('m', 8, -1, 0), ('n', 8, -1, 0), ('o', 7, -1, 0), ('p', 8, -1, 0), ('r', 8, -1, 0), ('s', 7, -1, 0), ('t', 8, -1, 0), ('w', 20, -1, 0), ('y', 2, -1, 0), ('z', -1, 19, 0), ('ą', 7, -1, 0), ('ę', 7, -1, 0)), (('a', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('o', 3, -1, 0), ('s', 2, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0), ('ę', 3, -1, 0), ('ś', 22, -1, 0)), (('a', -1, 48, 0), ('d', -1, 50, 0), ('e', 36, -1, 0), ('h', 7, -1, 0), ('i', 8, -1, 0), ('j', -1, 15, 0), ('l', 2, -1, 0), ('o', -1, 51, 0), ('r', 7, -1, 0), ('t', -1, 39, 0), ('u', -1, 37, 0), ('w', 7, 45, 0), ('y', -1, 45, 0), ('z', 7, -1, 0), ('ę', 36, -1, 0), ('ń', 52, -1, 0)), (('a', 8, -1, 0), ('c', 0, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 2, -1, 0), ('i', 30, -1, 0), ('j', 8, -1, 0), ('k', 8, -1, 0), ('m', -1, 15, 0), ('o', -1, 6, 0), ('p', 8, -1, 0), ('r', 8, -1, 0), ('s', 0, -1, 0), ('w', 36, -1, 0), ('z', -1, 49, 0)), (('a', 3, -1, 0), ('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 92, -1, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 22, 17, 0), ('l', -1, 40, 0), ('m', 7, -1, 0), ('n', -1, 3, 0), ('o', 9, 5, 0), ('p', 2, -1, 0), ('r', -1, 27, 0), ('s', 11, -1, 0), ('t', 8, -1, 0), ('u', 20, -1, 0), ('w', 2, -1, 0), ('y', 7, -1, 0), ('z', 2, -1, 0)), (('a', 2, -1, 0), ('b', 8, -1, 0), ('d', 13, -1, 0), ('e', -1, 39, 0), ('i', 2, -1, 0), ('l', 2, -1, 0), ('m', -1, 11, 0), ('n', 13, -1, 0), ('o', 7, -1, 0), ('p', 13, -1, 0), ('r', 2, -1, 0), ('s', 32, -1, 0), ('t', 8, -1, 0), ('u', 2, -1, 0), ('w', 15, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0), ('ą', 2, -1, 0), ('ę', -1, 48, 0)), (('a', 65, -1, 0), ('c', 2, -1, 0), ('d', 3, -1, 0), ('g', 36, -1, 0), ('i', 2, -1, 0), ('l', 8, -1, 0), ('n', 65, -1, 0), ('o', -1, 52, 0), ('p', 36, -1, 0), ('r', 8, -1, 0), ('s', 65, -1, 0), ('t', 2, -1, 0), ('u', 65, -1, 0), ('w', 8, -1, 0), ('y', 2, -1, 0), ('z', 7, -1, 0)), (('a', 10, -1, 0), ('b', 6, -1, 0), ('c', 2, -1, 0), ('d', 20, -1, 0), ('e', 10, -1, 0), ('i', 10, -1, 0), ('k', 20, -1, 0), ('l', 10, -1, 0), ('m', 25, 53, 0), ('n', -1, 4, 0), ('o', -1, 24, 0), ('p', -1, 54, 0), ('r', 58, -1, 0), ('t', 2, -1, 0), ('w', 2, -1, 0), ('y', 10, -1, 0), ('z', 23, -1, 0), ('ą', 10, -1, 0), ('ę', 10, -1, 0), ('ł', 10, -1, 0)), (('a', 6, -1, 0), ('d', 25, -1, 0), ('e', 6, -1, 0), ('g', 6, -1, 0), ('k', 6, -1, 0), ('o', 25, -1, 0), ('u', 25, -1, 0), ('y', 25, -1, 0), ('z', 6, -1, 0)), (('a', 25, -1, 0), ('e', 6, -1, 0), ('o', -1, 43, 0), ('u', 6, -1, 0)), (('a', 7, -1, 0), ('e', 7, -1, 0), ('h', 7, -1, 0), ('i', 11, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', -1, 56, 0), ('t', 8, 69, 0), ('u', 7, -1, 0), ('z', -1, 38, 0)), (('a', -1, 39, 0), ('b', 7, 57, 0), ('c', 13, -1, 0), ('d', 2, -1, 0), ('e', -1, 8, 0), ('g', 2, -1, 0), ('i', 8, -1, 0), ('l', 2, -1, 0), ('m', 8, -1, 0), ('n', 2, -1, 0), ('o', -1, 5, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('s', 41, -1, 0), ('t', 2, -1, 0), ('u', 8, -1, 0), ('v', 2, -1, 0), ('w', -1, 68, 0), ('y', 8, -1, 0), ('z', 22, -1, 0), ('ą', 20, -1, 0), ('ę', 8, -1, 0), ('ż', 3, -1, 0)), (('a', 2, -1, 0), ('c', 3, -1, 0), ('e', 22, -1, 0), ('i', 75, -1, 0), ('j', 11, -1, 0), ('l', 3, -1, 0), ('m', 3, -1, 0), ('n', -1, 58, 0), ('o', 3, -1, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('w', -1, 66, 0), ('z', 13, -1, 0), ('ę', 41, -1, 0), ('ń', 41, -1, 0)), (('a', 2, -1, 0), ('b', 2, -1, 0), ('c', 2, -1, 0), ('d', -1, 59, 0), ('e', 3, -1, 0), ('h', 2, -1, 0), ('l', -1, 61, 0), ('n', 2, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('r', 2, -1, 0), ('t', -1, 16, 0), ('w', 2, -1, 0), ('z', 2, -1, 0), ('ś', 2, -1, 0), ('ź', 2, -1, 0), ('ż', -1, 40, 0)), (('a', 2, -1, 0), ('c', 25, -1, 0), ('e', -1, 38, 0), ('i', -1, 52, 0), ('j', 6, -1, 0), ('l', -1, 60, 0), ('o', 2, -1, 0), ('z', -1, 65, 0), ('ó', 3, -1, 0), ('ż', -1, 54, 0)), (('a', 6, -1, 0), ('e', -1, 61, 0), ('o', 6, -1, 0), ('p', 25, -1, 0), ('y', 6, -1, 0)), (('a', -1, 62, 0), ('e', -1, 51, 0), ('i', 25, -1, 0), ('l', 25, -1, 0), ('o', 2, -1, 0), ('w', 25, -1, 0), ('z', 6, -1, 0)), (('a', 8, -1, 0), ('d', 22, -1, 0), ('i', -1, 44, 0), ('k', 3, -1, 0), ('l', 8, -1, 0), ('n', 86, -1, 0), ('o', -1, 63, 0), ('r', 22, -1, 0), ('w', 3, -1, 0), ('y', 8, -1, 0), ('z', 8, -1, 0)), (('a', -1, 40, 0), ('e', 7, -1, 0), ('g', 8, -1, 0), ('h', 33, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('m', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('r', 31, 64, 0), ('s', 7, -1, 0), ('u', 7, -1, 0), ('w', 33, -1, 0), ('z', 8, -1, 0), ('ł', 8, -1, 0), ('ś', 20, -1, 0)), (('a', 11, -1, 0), ('d', 11, -1, 0), ('e', 11, -1, 0), ('g', 11, -1, 0), ('h', 11, -1, 0), ('i', -1, 50, 0), ('j', 15, -1, 0), ('k', 2, -1, 0), ('m', -1, 24, 0), ('o', 11, -1, 0), ('p', 11, -1, 0), ('r', 28, -1, 0), ('s', 11, -1, 0), ('u', 11, -1, 0), ('w', 28, -1, 0), ('y', 11, -1, 0), ('z', 11, -1, 0), ('ż', 11, -1, 0)), (('a', -1, 34, 0), ('c', 6, -1, 0), ('d', 13, -1, 0), ('g', 8, -1, 0), ('i', 8, -1, 0), ('k', 13, -1, 0), ('l', 8, -1, 0), ('m', 8, -1, 0), ('o', 13, -1, 0), ('r', 25, -1, 0), ('s', 2, -1, 0), ('t', -1, 26, 0), ('w', 13, -1, 0), ('y', 13, -1, 0), ('z', -1, 42, 0), ('ż', 7, -1, 0)), (('a', 3, -1, 0), ('b', 3, -1, 0), ('c', 7, -1, 0), ('d', 3, -1, 0), ('e', 2, -1, 0), ('i', 47, -1, 0), ('k', 14, -1, 0), ('l', 33, -1, 0), ('n', 14, -1, 0), ('o', -1, 67, 0), ('r', 2, -1, 0), ('s', 3, -1, 0), ('z', 3, -1, 0)), (('a', 22, -1, 0), ('d', 2, -1, 0), ('e', -1, 37, 0), ('h', 2, -1, 0), ('i', -1, 49, 0), ('j', 2, 25, 0), ('k', 3, -1, 0), ('l', 58, -1, 0), ('m', 58, -1, 0), ('n', 22, -1, 0), ('o', 15, -1, 0), ('p', 2, 11, 0), ('r', -1, 15, 0), ('s', 22, -1, 0), ('t', 2, -1, 0), ('u', 22, -1, 0), ('w', 58, -1, 0), ('z', -1, 52, 0), ('ł', 58, -1, 0), ('ż', 2, -1, 0)), (('a', 41, -1, 0), ('c', 3, -1, 0), ('e', 22, -1, 0), ('g', 3, -1, 0), ('i', 41, -1, 0), ('m', 11, -1, 0), ('o', 13, 6, 0), ('p', 11, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('u', 2, -1, 0), ('y', 2, -1, 0), ('z', 11, -1, 0)), (('a', 7, -1, 0), ('b', -1, 67, 0), ('e', 7, -1, 0), ('i', 8, -1, 0), ('j', 15, -1, 0), ('k', 15, -1, 0), ('l', 15, -1, 0), ('m', 2, -1, 0), ('n', 39, -1, 0), ('o', 7, -1, 0), ('r', 15, -1, 0), ('s', 7, -1, 0), ('t', 15, -1, 0), ('w', 15, -1, 0), ('y', 7, -1, 0), ('z', 15, -1, 0), ('ą', 7, -1, 0), ('ś', 15, -1, 0), ('ż', 15, -1, 0)), (('a', 28, -1, 0), ('b', 12, -1, 0), ('d', 28, -1, 0), ('e', 0, -1, 0), ('g', 12, -1, 0), ('h', -1, 28, 0), ('i', 11, -1, 0), ('o', 8, 64, 0), ('r', 12, -1, 0), ('y', 23, -1, 0), ('z', 7, -1, 0), ('ę', 28, -1, 0), ('ł', 12, -1, 0)), (('a', -1, 25, 0), ('d', 8, -1, 0), ('e', 11, -1, 0), ('i', 12, -1, 0), ('j', 67, 72, 0), ('o', 3, -1, 0), ('r', 8, -1, 0), ('t', 2, -1, 0), ('u', 3, -1, 0), ('z', -1, 24, 0)), (('a', 12, -1, 0), ('d', -1, 73, 0), ('e', 12, -1, 0), ('o', 12, -1, 0), ('ę', 12, -1, 0)), (('a', 12, -1, 0), ('e', 12, -1, 0), ('i', 12, -1, 0), ('o', -1, 70, 0), ('r', 12, -1, 0), ('u', 12, -1, 0), ('w', 12, -1, 0), ('y', 12, -1, 0), ('ó', 12, -1, 0), ('ą', 12, -1, 0), ('ę', 12, -1, 0), ('ź', -1, 74, 0)), (('a', 2, -1, 0), ('e', -1, 71, 0), ('i', -1, 4, 0), ('m', 21, -1, 0), ('n', 21, -1, 0), ('o', 12, -1, 0), ('p', 21, -1, 0), ('u', 12, -1, 0), ('w', 21, -1, 0), ('y', 14, -1, 0), ('z', 2, -1, 0)), (('a', 20, -1, 0), ('b', -1, 18, 0), ('c', 3, -1, 0), ('g', -1, 51, 0), ('i', 13, -1, 0), ('l', 41, -1, 0), ('n', 23, -1, 0), ('o', 20, -1, 0), ('r', 22, -1, 0), ('s', 2, 76, 0), ('t', -1, 15, 0), ('w', 2, -1, 0), ('z', -1, 38, 0), ('ł', -1, 21, 0)), (('a', 2, -1, 0), ('d', -1, 20, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 22, 38, 0), ('p', 2, -1, 0), ('r', 3, -1, 0), ('s', -1, 21, 0), ('t', 17, -1, 0), ('u', 3, -1, 0), ('w', 11, -1, 0), ('z', 50, -1, 0)), (('e', 15, -1, 0), ('o', 97, -1, 0), ('y', 15, -1, 0), ('ę', 32, -1, 0)), (('a', -1, 28, 0), ('b', 10, -1, 0), ('d', -1, 28, 0), ('e', 8, -1, 0), ('g', -1, 25, 0), ('h', 10, -1, 0), ('i', 8, -1, 0), ('k', -1, 52, 0), ('l', -1, 79, 0), ('o', 8, -1, 0), ('p', -1, 8, 0), ('r', -1, 26, 0), ('s', -1, 52, 0), ('t', -1, 40, 0), ('u', 8, -1, 0), ('w', 42, -1, 0), ('y', -1, 14, 0), ('z', -1, 40, 0), ('ó', -1, 5, 0)), (('a', -1, 31, 0), ('c', -1, 80, 0), ('d', -1, 80, 0), ('g', 2, -1, 0), ('i', 2, -1, 0), ('k', 2, -1, 0), ('o', 13, -1, 0), ('r', 41, -1, 0), ('s', 41, -1, 0), ('y', 2, -1, 0), ('z', 2, -1, 0)), (('a', 13, -1, 0), ('b', 2, -1, 0), ('c', -1, 53, 0), ('d', 13, -1, 0), ('e', -1, 75, 0), ('g', 13, -1, 0), ('i', 86, -1, 0), ('l', 8, -1, 0), ('m', 13, -1, 0), ('o', 41, -1, 0), ('p', 13, -1, 0), ('r', 6, -1, 0), ('t', 2, -1, 0), ('z', 41, -1, 0), ('ą', 41, -1, 0), ('ż', 13, -1, 0)), (('a', 8, -1, 0), ('b', 8, -1, 0), ('d', -1, 32, 0), ('e', 8, -1, 0), ('h', 8, -1, 0), ('i', 8, -1, 0), ('j', 8, -1, 0), ('k', 2, -1, 0), ('l', 8, -1, 0), ('m', 42, 11, 0), ('o', 3, -1, 0), ('p', -1, 26, 0), ('r', 11, -1, 0), ('s', -1, 82, 0), ('t', 27, -1, 0), ('u', 8, -1, 0), ('w', -1, 23, 0), ('z', -1, 80, 0), ('ę', 22, -1, 0), ('ż', 27, -1, 0)), (('a', 11, -1, 0), ('b', 3, -1, 0), ('e', 11, -1, 0), ('g', 22, -1, 0), ('h', 3, -1, 0), ('i', -1, 68, 0), ('j', 3, -1, 0), ('k', 3, -1, 0), ('l', -1, 24, 0), ('m', 11, -1, 0), ('n', 3, -1, 0), ('o', 11, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('u', -1, 28, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('e', -1, 27, 0), ('i', 14, -1, 0), ('n', 14, -1, 0), ('o', 14, -1, 0)), (('a', 85, -1, 0), ('d', 8, -1, 0), ('e', -1, 85, 0), ('i', 8, -1, 0), ('n', 2, -1, 0), ('o', 41, -1, 0), ('r', 61, -1, 0), ('w', 73, -1, 0), ('y', 85, -1, 0), ('z', 2, -1, 0)), (('a', 8, -1, 0), ('b', 89, -1, 0), ('c', 3, -1, 0), ('d', 89, -1, 0), ('e', 8, -1, 0), ('i', 8, -1, 0), ('j', 8, -1, 0), ('o', 8, -1, 0), ('r', -1, 26, 0), ('s', -1, 81, 0), ('u', 8, -1, 0), ('y', -1, 24, 0), ('z', -1, 86, 0), ('ą', 8, -1, 0), ('ę', 8, -1, 0), ('ł', 8, -1, 0)), (('a', 56, -1, 0), ('c', 7, -1, 0), ('e', 3, -1, 0), ('f', 8, -1, 0), ('h', 8, -1, 0), ('i', -1, 40, 0), ('j', 0, -1, 0), ('l', -1, 87, 0), ('o', 89, -1, 0), ('r', 85, -1, 0), ('y', 3, -1, 0), ('z', -1, 48, 0), ('ż', -1, 70, 0)), (('a', 7, -1, 0), ('b', 7, -1, 0), ('d', 7, -1, 0), ('e', 7, -1, 0), ('g', 7, -1, 0), ('i', 7, -1, 0), ('k', 7, -1, 0), ('m', 7, -1, 0), ('o', 7, -1, 0), ('p', 7, -1, 0), ('t', 8, 45, 0), ('u', 7, -1, 0), ('y', 7, -1, 0), ('z', 7, -1, 0), ('ę', 11, -1, 0), ('ś', 7, -1, 0)), (('a', 74, -1, 0), ('b', 11, -1, 0), ('d', 2, -1, 0), ('e', 11, -1, 0), ('g', 3, -1, 0), ('i', 3, -1, 0), ('k', 3, -1, 0), ('n', 3, -1, 0), ('o', 2, -1, 0), ('p', -1, 40, 0), ('r', 3, -1, 0), ('s', 31, 64, 0), ('w', -1, 12, 0), ('y', 31, -1, 0), ('z', -1, 62, 0)), (('a', -1, 34, 0), ('d', 3, -1, 0), ('e', -1, 70, 0), ('i', 3, -1, 0), ('o', -1, 15, 0), ('r', 11, -1, 0), ('t', 14, -1, 0), ('u', 3, -1, 0), ('w', 3, -1, 0), ('y', 7, -1, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0), ('ą', 3, -1, 0), ('ę', -1, 55, 0)), (('a', -1, 81, 0), ('b', 8, 17, 0), ('c', 3, -1, 0), ('d', -1, 38, 0), ('e', -1, 35, 0), ('g', 22, -1, 0), ('h', 3, -1, 0), ('i', 8, -1, 0), ('k', 8, 67, 0), ('l', -1, 17, 0), ('m', 3, -1, 0), ('o', 42, 33, 0), ('p', 3, -1, 0), ('r', -1, 76, 0), ('t', -1, 38, 0), ('u', 8, -1, 0), ('z', 3, -1, 0), ('ó', 8, -1, 0)), (('a', 3, -1, 0), ('e', 22, -1, 0), ('i', 14, -1, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('s', 2, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0)), (('a', 8, -1, 0), ('e', -1, 49, 0), ('o', -1, 45, 0), ('u', 8, -1, 0), ('y', 8, -1, 0), ('z', 0, -1, 0), ('ó', 8, -1, 0), ('ą', 8, -1, 0), ('ę', 8, -1, 0)), (('a', -1, 63, 0), ('b', -1, 94, 0), ('e', -1, 66, 0), ('f', 3, -1, 0), ('h', 33, -1, 0), ('i', 33, -1, 0), ('j', -1, 97, 0), ('k', 3, -1, 0), ('l', 3, -1, 0), ('m', -1, 91, 0), ('n', -1, 61, 0), ('o', 8, -1, 0), ('p', -1, 98, 0), ('r', 38, -1, 0), ('t', 3, -1, 0), ('w', -1, 99, 0), ('y', 8, -1, 0), ('z', 3, -1, 0), ('ć', 33, -1, 0), ('ń', -1, 100, 0), ('ś', -1, 101, 0), ('ź', -1, 72, 0), ('ż', 3, -1, 0)), (('a', 3, -1, 0), ('e', -1, 95, 0), ('r', 3, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 3, -1, 0), ('ó', 3, -1, 0), ('ą', 3, -1, 0), ('ę', 3, -1, 0)), (('a', -1, 96, 0), ('d', -1, 96, 0), ('e', -1, 86, 0), ('g', -1, 57, 0), ('h', 3, -1, 0), ('i', -1, 45, 0), ('l', 3, -1, 0), ('o', -1, 65, 0), ('p', -1, 76, 0), ('r', 22, -1, 0), ('s', 3, -1, 0), ('t', -1, 84, 0), ('u', 8, -1, 0), ('y', -1, 44, 0), ('z', 3, -1, 0), ('ś', 1, -1, 0), ('ź', 12, -1, 0)), (('a', 0, -1, 0), ('d', 33, -1, 0), ('g', 8, -1, 0), ('h', 8, -1, 0), ('i', -1, 51, 0), ('k', 53, -1, 0), ('o', 38, -1, 0), ('r', 33, -1, 0), ('t', 8, -1, 0), ('w', 8, -1, 0), ('z', 8, -1, 0)), (('a', -1, 43, 0), ('e', 7, -1, 0), ('o', 3, -1, 0), ('ó', 19, -1, 0)), (('a', 3, -1, 0), ('e', -1, 43, 0), ('i', 3, -1, 0), ('o', -1, 17, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('u', 3, -1, 0), ('ą', -1, 17, 0), ('ę', 3, -1, 0), ('ł', 3, -1, 0)), (('a', -1, 82, 0), ('e', 3, -1, 0), ('i', -1, 90, 0), ('o', 22, -1, 0), ('r', 3, -1, 0), ('t', 3, -1, 0), ('y', -1, 56, 0), ('ó', 3, -1, 0)), (('a', -1, 12, 0), ('e', -1, 59, 0), ('i', -1, 61, 0), ('o', 25, -1, 0), ('r', 25, -1, 0), ('u', 25, -1, 0), ('y', -1, 81, 0), ('ź', 25, -1, 0)), (('a', 1, -1, 0), ('e', -1, 62, 0), ('i', 1, -1, 0), ('o', -1, 102, 0), ('u', -1, 103, 0), ('ą', 1, -1, 0)), (('a', 3, -1, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('m', 1, -1, 0), ('n', 1, -1, 0), ('o', 3, -1, 0), ('r', 1, -1, 0), ('s', 11, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('z', 45, -1, 0), ('ó', 3, -1, 0), ('ł', 1, -1, 0)), (('a', 2, -1, 0), ('d', 1, -1, 0), ('e', -1, 104, 0), ('i', -1, 78, 0), ('k', 2, -1, 0), ('m', 1, -1, 0), ('o', 2, -1, 0), ('p', 2, -1, 0), ('s', 2, -1, 0), ('t', 1, -1, 0), ('u', 2, -1, 0), ('z', 45, -1, 0)), (('a', 20, -1, 0), ('g', 2, -1, 0), ('i', 20, -1, 0), ('m', 3, -1, 0), ('n', -1, 49, 0), ('o', 20, -1, 0), ('p', 3, -1, 0), ('r', 2, -1, 0), ('s', 20, -1, 0), ('t', 3, -1, 0), ('u', 20, -1, 0), ('w', 3, -1, 0), ('z', 3, -1, 0), ('ś', 1, -1, 0)), (('a', -1, 7, 0), ('d', 3, -1, 0), ('j', 72, -1, 0), ('n', 8, -1, 0), ('o', 8, -1, 0), ('r', 8, -1, 0), ('u', 8, -1, 0), ('y', 8, -1, 0), ('z', 2, -1, 0), ('ą', 8, -1, 0)), (('b', 3, -1, 0), ('c', -1, 38, 0), ('d', 3, -1, 0), ('e', 3, -1, 0), ('f', 3, -1, 0), ('h', 3, -1, 0), ('i', -1, 107, 0), ('j', -1, 2, 0), ('l', 62, 113, 0), ('m', 3, -1, 0), ('n', 3, -1, 0), ('o', 3, -1, 0), ('p', 3, -1, 0), ('r', 3, -1, 0), ('s', 3, -1, 0), ('t', 3, -1, 0), ('w', -1, 46, 0), ('z', -1, 114, 0), ('ł', 3, 102, 0), ('ż', -1, 89, 0)), (('a', 3, -1, 0), ('b', 7, 87, 0), ('e', 3, -1, 0), ('i', 3, -1, 0), ('k', 2, -1, 0), ('m', -1, 108, 0), ('n', 0, 109, 0), ('o', 3, -1, 0), ('p', -1, 110, 0), ('s', -1, 111, 0), ('u', -1, 89, 0), ('w', 62, 112, 0), ('z', 11, -1, 0), ('ż', 23, -1, 0)), (('a', 11, -1, 0), ('e', 23, -1, 0), ('g', 11, -1, 0), ('i', 11, -1, 0), ('o', 16, -1, 0), ('u', 11, -1, 0), ('y', 16, -1, 0), ('z', 16, -1, 0), ('ę', 30, -1, 0), ('ś', 2, -1, 0)), (('d', 11, -1, 0), ('e', 0, -1, 0), ('g', -1, 108, 0), ('i', 11, -1, 0), ('k', -1, 5, 0), ('o', 11, -1, 0), ('t', 11, -1, 0), ('ś', 11, -1, 0)), (('a', 11, -1, 0), ('d', 7, -1, 0), ('o', 7, -1, 0), ('u', 7, 24, 0), ('y', 7, -1, 0)), (('a', 11, -1, 0), ('e', 11, -1, 0), ('o', 62, -1, 0), ('ę', 11, -1, 0)), (('a', 11, -1, 0), ('e', 62, -1, 0), ('k', 2, -1, 0), ('o', 11, -1, 0), ('ś', 2, -1, 0)), (('a', 2, -1, 0), ('e', -1, 82, 0), ('o', -1, 76, 0), ('p', 16, -1, 0), ('u', 3, -1, 0), ('y', 3, -1, 0), ('ó', 3, -1, 0)), (('a', 3, -1, 0), ('c', -1, 115, 0), ('d', -1, 30, 0), ('e', -1, 39, 0), ('i', 3, -1, 0), ('o', 3, -1, 0), ('r', 11, -1, 0), ('s', -1, 107, 0), ('y', 3, -1, 0), ('ó', 3, -1, 0), ('ą', 3, -1, 0)), (('a', -1, 88, 0), ('d', 11, -1, 0), ('e', -1, 30, 0), ('i', -1, 57, 0), ('o', 3, -1, 0), ('r', 3, -1, 0), ('u', -1, 31, 0), ('y', -1, 116, 0), ('z', -1, 81, 0), ('ą', 3, -1, 0)), (('a', -1, 34, 0), ('b', 63, -1, 0), ('d', 3, -1, 0), ('e', -1, 80, 0), ('i', -1, 52, 0), ('o', 8, -1, 0), ('r', -1, 66, 0), ('t', -1, 103, 0), ('u', 8, -1, 0), ('y', -1, 16, 0), ('z', 3, -1, 0), ('ł', 3, -1, 0), ('ż', 3, -1, 0)), (('a', -1, 84, 0), ('b', 3, -1, 0), ('c', 3, -1, 0), ('d', -1, 88, 0), ('e', 8, -1, 0), ('f', 3, -1, 0), ('g', 22, -1, 0), ('k', 22, -1, 0), ('o', -1, 14, 0), ('p', 3, -1, 0), ('r', 38, -1, 0), ('s', 3, -1, 0), ('u', 8, -1, 0), ('y', -1, 49, 0), ('z', -1, 23, 0), ('ź', 12, -1, 0)), (('a', 2, -1, 0), ('d', -1, 86, 0), ('e', 33, -1, 0), ('i', -1, 62, 0), ('j', -1, 71, 0), ('o', 8, -1, 0), ('u', 8, -1, 0), ('y', -1, 71, 0), ('z', -1, 68, 0), ('ź', 28, -1, 0), ('ż', 3, -1, 0)))), (False, 0, ('*', '-k', '-a', 'Dd', '-n', '-f', 'Db', 'Dc', '-e', 'Rs', '-b', 'Da', '-c', '-d', 'Rz', '-h', 'Ró', '-i', '-g', 'Rą', '-j'), ((('-', 0, -1, 0), ('a', 11, 1, 0), ('b', 11, 27, 0), ('c', -1, 70, 0), ('d', -1, 69, 0), ('e', -1, 73, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 2, 0), ('j', -1, 68, 0), ('k', -1, 46, 0), ('l', 0, -1, 0), ('m', -1, 45, 0), ('n', 11, 61, 0), ('o', 0, 59, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 67, 0), ('u', 0, -1, 0), ('w', -1, 33, 0), ('y', -1, 21, 0), ('z', 0, 48, 0), ('ó', -1, 23, 0), ('ą', 0, -1, 0), ('ć', -1, 36, 0), ('ę', -1, 3, 0), ('ł', -1, 24, 0), ('ń', 0, -1, 0), ('ś', 0, 14, 0), ('ź', -1, 20, 0), ('ż', -1, 19, 0)), (('c', -1, 2, 0), ('d', -1, 51, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 6, 19, 0), ('p', -1, 69, 0), ('r', 0, -1, 0), ('t', 0, 69, 0), ('w', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 3, 0), ('b', 0, -1, 0), ('c', -1, 7, 0), ('d', 0, 46, 0), ('e', 2, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', -1, 44, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 6, 20, 0), ('o', 16, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 33, 0), ('z', 0, -1, 0), ('ć', 2, -1, 0), ('ł', 0, -1, 0), ('ń', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 10, -1, 0), ('b', 0, 4, 0), ('c', -1, 60, 0), ('d', -1, 17, 0), ('e', -1, 9, 0), ('g', -1, 68, 0), ('i', -1, 19, 0), ('j', 0, -1, 0), ('k', 0, 31, 0), ('l', 0, -1, 0), ('m', 19, 19, 0), ('n', -1, 43, 0), ('o', 0, -1, 0), ('p', 0, 30, 0), ('r', -1, 10, 0), ('s', -1, 12, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('d', 0, -1, 0), ('e', 13, -1, 0), ('i', -1, 5, 0), ('o', 0, 29, 0), ('z', -1, 3, 0)), (('a', 0, -1, 0), ('b', -1, 6, 0), ('c', -1, 62, 0), ('d', -1, 3, 0), ('e', 0, -1, 0), ('i', -1, 28, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 54, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, 67, 0), ('u', 0, -1, 0), ('w', -1, 7, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 2, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 7, 0), ('d', -1, 6, 0), ('e', 0, -1, 0), ('i', -1, 28, 0), ('o', -1, 25, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, 56, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, 8, 0), ('d', 0, 12, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 29, 0), ('o', 0, 29, 0), ('p', 0, -1, 0), ('r', 2, -1, 0), ('y', 0, -1, 0), ('z', -1, 28, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 9, -1, 0), ('b', 9, -1, 0), ('c', 0, 9, 0), ('d', 13, -1, 0), ('e', 8, -1, 0), ('g', 0, -1, 0), ('i', -1, 8, 0), ('j', 17, -1, 0), ('k', 0, -1, 0), ('l', -1, 20, 0), ('m', 0, -1, 0), ('n', -1, 11, 0), ('o', 9, -1, 0), ('p', 0, 31, 0), ('r', -1, 36, 0), ('s', 0, -1, 0), ('t', -1, 10, 0), ('w', 0, 9, 0), ('y', 4, -1, 0), ('z', 9, -1, 0), ('ą', -1, 19, 0), ('ł', -1, 16, 0), ('ś', -1, 66, 0)), (('a', -1, 10, 0), ('b', 0, -1, 0), ('c', 9, -1, 0), ('d', 5, -1, 0), ('e', 15, -1, 0), ('g', -1, 28, 0), ('i', -1, 17, 0), ('j', 5, -1, 0), ('k', 9, -1, 0), ('l', 0, -1, 0), ('m', 0, 65, 0), ('n', -1, 10, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 9, -1, 0), ('s', 0, -1, 0), ('t', -1, 14, 0), ('w', 9, -1, 0), ('y', -1, 12, 0), ('z', 9, -1, 0), ('ł', 9, 8, 0), ('ś', -1, 15, 0)), (('a', 0, -1, 0), ('b', 0, 11, 0), ('c', 0, 29, 0), ('d', 2, -1, 0), ('e', -1, 8, 0), ('g', 0, 32, 0), ('i', 0, -1, 0), ('j', -1, 54, 0), ('k', 0, -1, 0), ('l', -1, 20, 0), ('m', 2, -1, 0), ('n', -1, 13, 0), ('o', -1, 20, 0), ('p', 2, -1, 0), ('r', 0, -1, 0), ('s', 15, -1, 0), ('t', 2, -1, 0), ('w', 2, -1, 0), ('y', 0, -1, 0), ('z', -1, 16, 0), ('ż', 2, -1, 0)), (('a', 0, -1, 0), ('b', -1, 12, 0), ('c', 0, 64, 0), ('d', 12, -1, 0), ('e', 20, -1, 0), ('i', -1, 24, 0), ('j', 18, -1, 0), ('k', 8, -1, 0), ('l', 0, -1, 0), ('n', -1, 8, 0), ('o', 0, -1, 0), ('p', -1, 4, 0), ('r', -1, 13, 0), ('s', 0, 58, 0), ('t', -1, 10, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 17, 0), ('ł', -1, 9, 0), ('ś', 2, -1, 0), ('ż', -1, 20, 0)), (('a', -1, 13, 0), ('d', 18, -1, 0), ('e', 15, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('o', -1, 8, 0), ('r', -1, 3, 0), ('w', 0, 32, 0), ('z', -1, 5, 0), ('ż', -1, 35, 0)), (('a', 15, -1, 0), ('d', 0, -1, 0), ('e', -1, 14, 0), ('h', 0, -1, 0), ('i', 0, 8, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 13, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 17, 0), ('z', -1, 10, 0), ('ł', 0, 50, 0)), (('a', -1, 15, 0), ('b', 0, -1, 0), ('c', -1, 15, 0), ('d', -1, 8, 0), ('e', -1, 10, 0), ('f', 0, -1, 0), ('g', -1, 16, 0), ('i', -1, 9, 0), ('k', -1, 13, 0), ('l', -1, 10, 0), ('m', 0, -1, 0), ('n', -1, 21, 0), ('o', -1, 16, 0), ('p', 0, -1, 0), ('r', -1, 15, 0), ('s', 0, -1, 0), ('t', -1, 17, 0), ('u', 9, 20, 0), ('w', 0, -1, 0), ('y', -1, 9, 0), ('z', -1, 3, 0), ('ą', 9, -1, 0), ('ę', -1, 19, 0)), (('a', 0, -1, 0), ('b', 0, 16, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 16, 0), ('g', 9, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, 16, 0), ('k', 0, 36, 0), ('l', 0, 5, 0), ('m', -1, 43, 0), ('n', 0, 9, 0), ('o', -1, 17, 0), ('p', 0, 49, 0), ('r', -1, 17, 0), ('s', 0, -1, 0), ('w', -1, 15, 0), ('z', 9, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 13, -1, 0), ('b', 0, 17, 0), ('c', -1, 17, 0), ('d', 0, -1, 0), ('e', 10, -1, 0), ('g', -1, 3, 0), ('i', 0, -1, 0), ('j', 8, -1, 0), ('k', 0, -1, 0), ('l', 0, 28, 0), ('m', -1, 40, 0), ('n', -1, 28, 0), ('o', 0, -1, 0), ('p', 0, 11, 0), ('r', -1, 8, 0), ('s', 0, -1, 0), ('t', 0, 8, 0), ('u', -1, 10, 0), ('w', 0, 8, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 12, -1, 0), ('b', 0, 3, 0), ('c', -1, 9, 0), ('d', 0, 9, 0), ('e', 0, -1, 0), ('g', -1, 7, 0), ('i', -1, 15, 0), ('j', 13, -1, 0), ('k', -1, 18, 0), ('l', 0, 16, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 29, 0), ('t', -1, 20, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('z', 12, -1, 0), ('ł', -1, 20, 0)), (('a', -1, 19, 0), ('d', 8, -1, 0), ('e', -1, 25, 0), ('i', -1, 8, 0), ('l', 8, -1, 0), ('n', 2, -1, 0), ('o', 0, -1, 0), ('r', -1, 33, 0), ('w', 2, -1, 0), ('z', -1, 19, 0), ('ł', 2, -1, 0)), (('a', 0, -1, 0), ('b', 0, 20, 0), ('c', -1, 19, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 24, 0), ('i', -1, 20, 0), ('j', 2, -1, 0), ('k', -1, 10, 0), ('l', 9, -1, 0), ('m', 0, 17, 0), ('n', -1, 16, 0), ('o', 0, -1, 0), ('p', -1, 20, 0), ('r', -1, 14, 0), ('s', 0, 8, 0), ('t', 0, 36, 0), ('u', 0, -1, 0), ('w', 0, 19, 0), ('y', 0, -1, 0), ('z', -1, 19, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 19, 0), ('ł', -1, 2, 0), ('ś', 14, -1, 0), ('ź', -1, 7, 0)), (('a', -1, 21, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, 20, 0), ('i', -1, 20, 0), ('j', 12, -1, 0), ('k', 0, 11, 0), ('l', -1, 19, 0), ('n', 0, -1, 0), ('o', -1, 16, 0), ('p', 0, 9, 0), ('r', 14, -1, 0), ('s', -1, 8, 0), ('t', 2, -1, 0), ('u', 0, 29, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 19, 0), ('ą', -1, 16, 0), ('ę', 14, -1, 0), ('ł', 14, -1, 0), ('ś', -1, 19, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 22, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 36, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 17, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 29, 0), ('ę', -1, 14, 0), ('ł', 0, -1, 0), ('ś', -1, 10, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 23, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 31, 0), ('m', 0, -1, 0), ('n', -1, 34, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 48, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 63, 0), ('ę', 0, -1, 0), ('ł', -1, 15, 0), ('ż', 10, -1, 0)), (('a', 2, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, 16, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 24, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 22, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 25, 0), ('b', 0, -1, 0), ('c', 0, 32, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, 31, 0), ('n', 0, 29, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 9, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', -1, 19, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, 26, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 25, 0), ('i', -1, 14, 0), ('k', 0, -1, 0), ('l', -1, 25, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 9, 0), ('t', -1, 20, 0), ('u', -1, 9, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 61, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 8, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 27, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', -1, 11, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 13, -1, 0), ('i', 0, -1, 0), ('j', -1, 28, 0), ('m', -1, 9, 0), ('o', 0, -1, 0), ('p', -1, 54, 0), ('r', 10, -1, 0), ('s', 0, 16, 0), ('t', -1, 29, 0), ('u', 0, -1, 0), ('w', 0, 18, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 5, -1, 0)), (('a', 0, -1, 0), ('b', 2, -1, 0), ('c', 0, -1, 0), ('d', -1, 16, 0), ('e', -1, 18, 0), ('i', 0, 29, 0), ('k', 0, 5, 0), ('l', 0, 40, 0), ('n', 0, -1, 0), ('o', -1, 15, 0), ('p', 0, 29, 0), ('r', 0, -1, 0), ('s', 2, -1, 0), ('t', 0, -1, 0), ('w', -1, 34, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0)), (('a', -1, 9, 0), ('d', 0, 18, 0), ('e', 18, -1, 0), ('h', 0, -1, 0), ('i', 18, -1, 0), ('k', 10, -1, 0), ('m', 10, -1, 0), ('n', -1, 30, 0), ('o', 0, 17, 0), ('p', 10, -1, 0), ('r', 0, 9, 0), ('w', 10, -1, 0), ('z', 15, -1, 0)), (('a', 0, -1, 0), ('b', -1, 7, 0), ('d', 0, 31, 0), ('e', -1, 10, 0), ('o', -1, 3, 0), ('s', 0, 32, 0), ('y', 0, -1, 0), ('z', -1, 34, 0)), (('a', 0, -1, 0), ('d', -1, 17, 0), ('e', 17, -1, 0), ('o', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('d', 2, -1, 0), ('e', 5, -1, 0), ('o', 0, -1, 0), ('r', 0, 31, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 33, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('d', 2, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', -1, 34, 0), ('r', -1, 20, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', -1, 35, 0), ('d', 0, -1, 0), ('e', -1, 13, 0), ('g', -1, 21, 0), ('h', 0, -1, 0), ('i', -1, 3, 0), ('j', 0, -1, 0), ('k', -1, 39, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 39, 0), ('o', -1, 29, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 29, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 36, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', -1, 11, 0), ('l', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 2, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 18, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0)), (('a', -1, 8, 0), ('d', 0, 16, 0), ('e', -1, 15, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('l', -1, 16, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', -1, 37, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, 11, 0), ('y', 0, -1, 0), ('z', 5, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 37, 0), ('e', -1, 5, 0), ('n', 0, 8, 0), ('o', 0, 38, 0), ('z', 0, 32, 0)), (('d', 0, 32, 0), ('e', 8, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 20, 0), ('g', 0, 5, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 3, 0), ('ę', -1, 11, 0), ('ł', 0, -1, 0)), (('d', 17, -1, 0), ('e', -1, 41, 0), ('o', 0, -1, 0), ('z', 0, -1, 0)), (('a', 0, -1, 0), ('d', -1, 2, 0), ('e', -1, 36, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('r', -1, 19, 0), ('s', -1, 42, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 43, 0)), (('a', -1, 15, 0), ('e', -1, 4, 0), ('m', 0, 8, 0), ('o', -1, 10, 0), ('r', 0, -1, 0), ('u', -1, 11, 0)), (('a', -1, 24, 0), ('c', -1, 44, 0), ('d', -1, 43, 0), ('e', 0, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 59, 0), ('l', -1, 60, 0), ('o', -1, 5, 0), ('r', -1, 28, 0), ('z', -1, 6, 0), ('ż', -1, 32, 0)), (('a', -1, 22, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', -1, 24, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', -1, 41, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', -1, 45, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', -1, 2, 0), ('d', -1, 46, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('o', 0, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 46, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0), ('ź', 0, -1, 0), ('ż', -1, 35, 0)), (('a', 0, -1, 0), ('c', -1, 47, 0), ('d', 10, -1, 0), ('e', 2, -1, 0), ('i', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 21, 0), ('s', 0, -1, 0), ('t', -1, 22, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 12, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 48, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', -1, 5, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', -1, 11, 0), ('i', -1, 23, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 27, 0), ('t', 0, 49, 0), ('w', -1, 50, 0), ('y', 0, -1, 0), ('z', 2, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('c', 0, -1, 0), ('d', 13, -1, 0), ('e', 0, -1, 0), ('i', -1, 9, 0), ('j', 0, -1, 0), ('l', 0, -1, 0), ('o', 0, 32, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, 51, 0), ('d', 0, -1, 0), ('e', 12, -1, 0), ('m', 0, -1, 0), ('n', 0, 52, 0), ('o', -1, 54, 0), ('p', -1, 32, 0), ('s', -1, 55, 0), ('w', 0, 57, 0), ('z', -1, 19, 0)), (('a', 0, -1, 0), ('d', 2, -1, 0), ('e', 0, -1, 0), ('o', 0, -1, 0), ('w', 2, -1, 0), ('y', 0, -1, 0), ('z', 2, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', -1, 53, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 41, 0), ('ą', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 0, -1, 0), ('e', -1, 9, 0), ('i', -1, 17, 0), ('o', 0, -1, 0), ('z', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 49, 0), ('d', 0, 8, 0), ('e', -1, 32, 0), ('o', -1, 30, 0), ('z', 0, 8, 0)), (('a', -1, 36, 0), ('e', -1, 7, 0), ('o', 0, -1, 0), ('ę', -1, 56, 0)), (('c', 2, -1, 0), ('d', 2, -1, 0), ('e', 1, -1, 0), ('h', 2, -1, 0), ('k', 2, -1, 0), ('m', 0, -1, 0), ('n', 2, -1, 0), ('o', -1, 32, 0), ('r', 2, -1, 0), ('z', -1, 15, 0), ('ł', 2, -1, 0)), (('a', 0, -1, 0), ('d', -1, 58, 0), ('e', 10, -1, 0), ('o', 0, -1, 0), ('ę', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 16, 0), ('e', 0, -1, 0), ('i', -1, 48, 0), ('o', -1, 48, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 2, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 60, 0), ('p', 0, -1, 0), ('r', -1, 41, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', -1, 3, 0), ('t', 0, 49, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 37, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0)), (('a', 6, 62, 0), ('d', 0, -1, 0), ('e', -1, 43, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 12, 0), ('p', 0, -1, 0), ('r', -1, 28, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', -1, 35, 0), ('z', 0, -1, 0), ('ł', 0, -1, 0), ('ś', 0, -1, 0), ('ź', 0, -1, 0)), (('a', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('o', -1, 5, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ń', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', -1, 16, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 0, -1, 0), ('t', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 34, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0), ('ę', -1, 46, 0), ('ł', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 13, -1, 0), ('e', 0, -1, 0), ('o', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)), (('a', -1, 13, 0), ('d', -1, 17, 0), ('e', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('c', -1, 52, 0), ('d', -1, 30, 0), ('e', -1, 28, 0), ('i', 0, -1, 0), ('o', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 22, 0), ('y', 0, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0)), (('a', -1, 2, 0), ('c', 0, -1, 0), ('d', 13, -1, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('j', 0, -1, 0), ('o', 0, -1, 0), ('r', 2, -1, 0), ('s', 0, -1, 0), ('u', 0, -1, 0), ('y', -1, 20, 0), ('z', 0, -1, 0), ('ą', 0, -1, 0), ('ę', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', 10, -1, 0), ('e', 0, -1, 0), ('i', -1, 19, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', -1, 56, 0)), (('a', 0, -1, 0), ('d', 2, -1, 0), ('e', -1, 26, 0), ('j', 0, -1, 0), ('k', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', 2, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 2, -1, 0), ('ó', 0, -1, 0), ('ą', 0, -1, 0)), (('a', 0, -1, 0), ('b', -1, 5, 0), ('e', -1, 22, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', 0, -1, 0), ('j', -1, 25, 0), ('k', 0, -1, 0), ('l', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('w', -1, 71, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ć', 2, -1, 0), ('ń', -1, 72, 0), ('ś', 0, -1, 0), ('ź', -1, 57, 0), ('ż', 0, -1, 0)), (('a', -1, 26, 0), ('e', 0, -1, 0), ('i', 0, -1, 0), ('o', -1, 34, 0), ('r', 0, -1, 0), ('t', 0, -1, 0), ('y', 0, -1, 0), ('ó', -1, 56, 0)), (('a', 0, -1, 0), ('e', -1, 49, 0), ('i', 0, -1, 0), ('o', -1, 39, 0), ('r', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('ź', 0, -1, 0)), (('b', 6, 62, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 2, -1, 0), ('f', 0, -1, 0), ('h', 0, -1, 0), ('i', -1, 50, 0), ('j', 0, -1, 0), ('l', 0, 69, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, -1, 0), ('s', -1, 65, 0), ('t', 0, -1, 0), ('w', -1, 22, 0), ('z', -1, 66, 0), ('ł', 0, 27, 0), ('ż', -1, 63, 0)))), (False, 0, ('Dc', 'Ro', '*', 'Dd', 'Db', 'DaRś', 'Da', 'Rź', 'Ie', 'IeRz', 'Rw', 'Rs', 'Rj', 'Rą', '-c'), ((('a', 6, 1, 0), ('b', 6, 2, 0), ('d', -1, 4, 0), ('e', -1, 1, 0), ('i', 4, -1, 0), ('j', 0, -1, 0), ('n', 6, 5, 0), ('o', 2, -1, 0), ('s', 9, -1, 0), ('w', 8, -1, 0), ('y', 3, -1, 0), ('z', 8, 5, 0), ('ó', 1, -1, 0), ('ć', 6, -1, 0), ('ę', 13, -1, 0), ('ś', -1, 1, 0), ('ź', 2, -1, 0), ('ż', -1, 2, 0)), (('a', 2, -1, 0), ('b', 4, -1, 0), ('d', 6, -1, 0), ('i', 2, -1, 0), ('m', 6, -1, 0), ('n', 4, -1, 0), ('o', -1, 2, 0), ('p', 6, -1, 0), ('t', 2, 3, 0), ('u', 2, -1, 0), ('w', 6, -1, 0), ('y', 2, -1, 0), ('z', 6, -1, 0), ('ą', 2, -1, 0), ('ę', 2, -1, 0), ('ż', 6, -1, 0)), (('d', 11, -1, 0), ('e', 7, -1, 0), ('i', 14, -1, 0), ('o', 7, -1, 0), ('r', 2, -1, 0), ('u', 7, -1, 0), ('z', 0, -1, 0)), (('a', 6, -1, 0), ('d', 6, -1, 0), ('s', 6, -1, 0), ('z', 6, -1, 0)), (('a', 0, -1, 0), ('d', 6, -1, 0), ('o', 8, -1, 0)), (('a', 4, -1, 0), ('e', 0, -1, 0), ('o', 8, -1, 0), ('s', 5, -1, 0)))), (False, 0, ('*', '-a', 'Dc'), ((('a', 0, 0, 0), ('b', 0, -1, 0), ('d', -1, 1, 0), ('e', 0, -1, 0), ('i', -1, 2, 0), ('j', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('p', -1, 1, 0), ('s', 0, -1, 0), ('t', 0, 1, 0), ('w', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0), ('ó', -1, 2, 0), ('ć', 0, -1, 0), ('ę', 0, -1, 0), ('ś', 0, -1, 0), ('ż', 0, -1, 0)), (('a', 0, -1, 0), ('d', 1, -1, 0), ('e', 0, -1, 0), ('o', 0, -1, 0), ('s', 1, -1, 0), ('u', 0, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0)), (('a', 1, -1, 0), ('b', 0, -1, 0), ('c', 0, -1, 0), ('d', 0, -1, 0), ('e', 1, -1, 0), ('g', 0, -1, 0), ('h', 0, -1, 0), ('k', 0, -1, 0), ('m', 0, -1, 0), ('n', 0, -1, 0), ('o', 0, -1, 0), ('p', 0, -1, 0), ('r', 0, 3, 0), ('s', 0, -1, 0), ('w', 0, -1, 0), ('ł', 0, -1, 0)), (('a', 0, -1, 0), ('b', 0, -1, 0), ('d', -1, 2, 0), ('e', 0, -1, 0), ('g', 0, -1, 0), ('m', 0, -1, 0), ('o', 0, -1, 0), ('u', 0, -1, 0), ('y', 0, -1, 0), ('z', 0, -1, 0)))), (False, 0, ('IeRz', 'Ie', 'Db', 'Da', '*', 'Dc'), ((('a', 2, -1, 0), ('d', -1, 1, 0), ('j', 4, -1, 0), ('n', 3, -1, 0), ('s', 0, -1, 0), ('w', 1, -1, 0), ('z', 1, -1, 0)), (('a', 5, -1, 0), ('o', 1, -1, 0)))), (False, 0, ('*',), ((('a', 0, -1, 0), ('d', 0, -1, 0), ('n', 0, -1, 0), ('s', 0, -1, 0), ('w', 0, -1, 0), ('z', 0, -1, 0)),)))
-
 STOP_PL = frozenset(['vol', 'o.o.', 'mgr', 'godz', 'zł', 'www', 'pl', 'ul', 'tel', 'hab', 'prof', 'inż', 'dr', 'i', 'u', 'aby', 'albo', 'ale', 'ani', 'aż', 'bardzo', 'bez', 'bo', 'bowiem', 'by', 'byli', 'bym', 'był', 'była', 'było', 'były', 'być', 'będzie', 'będą', 'chce', 'choć', 'co', 'coraz', 'coś', 'czy', 'czyli', 'często', 'dla', 'do', 'gdy', 'gdyby', 'gdyż', 'gdzie', 'go', 'ich', 'im', 'inne', 'iż', 'ja', 'jak', 'jakie', 'jako', 'je', 'jednak', 'jednym', 'jedynie', 'jego', 'jej', 'jest', 'jeszcze', 'jeśli', 'jeżeli', 'już', 'ją', 'kiedy', 'kilku', 'kto', 'która', 'które', 'którego', 'której', 'który', 'których', 'którym', 'którzy', 'lat', 'lecz', 'lub', 'ma', 'mają', 'mamy', 'mi', 'miał', 'mimo', 'mnie', 'mogą', 'może', 'można', 'mu', 'musi', 'na', 'nad', 'nam', 'nas', 'nawet', 'nic', 'nich', 'nie', 'niej', 'nim', 'niż', 'no', 'nowe', 'np', 'nr', 'o', 'od', 'ok', 'on', 'one', 'oraz', 'pan', 'po', 'pod', 'ponad', 'ponieważ', 'poza', 'przed', 'przede', 'przez', 'przy', 'raz', 'razie', 'roku', 'również', 'się', 'sobie', 'sposób', 'swoje', 'są', 'ta', 'tak', 'takich', 'takie', 'także', 'tam', 'te', 'tego', 'tej', 'temu', 'ten', 'teraz', 'też', 'to', 'trzeba', 'tu', 'tych', 'tylko', 'tym', 'tys', 'tzw', 'tę', 'w', 'we', 'wie', 'więc', 'wszystko', 'wśród', 'właśnie', 'z', 'za', 'zaś', 'ze', 'że', 'żeby', 'ii', 'iii', 'iv', 'vi', 'vii', 'viii', 'ix', 'xi', 'xii', 'xiii', 'xiv', 'xv'])
+
+
+def _load_tries():
+    import marshal
+    from importlib import resources
+
+    # importlib.resources works both from a directory and from
+    # a --py-files zip (zipimport implements ResourceReader)
+    ref = resources.files(__package__).joinpath('stempel_data.bin')
+    with ref.open('rb') as f:
+        return marshal.load(f)
+
+
+def __getattr__(name):
+    # PEP 562 lazy attribute: per-trie (forward, root, cmds, rows);
+    # each row is a tuple of (char, cmd_index, ref_row, skip) cells
+    if name == 'TRIES':
+        globals()['TRIES'] = tries = _load_tries()
+        return tries
+    raise AttributeError(name)

@@ -27,6 +27,7 @@ REF_PL = pathlib.Path(
     "lucene/analysis/pl")
 OUT = pathlib.Path(__file__).resolve().parent.parent / \
     "lucene_solr_spark" / "analysis" / "stempel_data.py"
+BIN = OUT.with_suffix(".bin")
 
 
 class Reader:
@@ -88,18 +89,51 @@ def main() -> None:
              .split("\n") if ln.strip() and not ln.startswith("#")]
 
     ncells = sum(len(cells) for t in tries for cells in t[3])
+    # The trie table goes into a marshal blob loaded lazily on first
+    # Polish stem: as a 2.2 MB Python literal it cost ~2.9 s of parse time
+    # in EVERY Python UDF worker that imported analysis.lang (the pl chain
+    # is wired into the per-lang dispatch), i.e. a per-executor-worker
+    # spawn tax on all builds; marshal.load of the same tuple is ~40 ms
+    # and only paid by workers that actually stem Polish.
+    import marshal
+
+    with BIN.open("wb") as f:
+        marshal.dump(tuple(tries), f)
     with OUT.open("w", encoding="utf-8") as f:
         f.write('"""Polish stempel data (GENERATED — tools/extract_stempel.py)\n')
         f.write("from the reference's stemmer_20000.tbl (egothor MultiTrie2,\n")
         f.write(f"method={method!r}, {ntries} tries, {ncells} cells) and\n")
-        f.write("pl/stopwords.txt.\n")
+        f.write("pl/stopwords.txt.\n\n")
+        f.write("The trie table itself lives in stempel_data.bin (marshal,\n")
+        f.write("same tuple shape) and is loaded lazily via module\n")
+        f.write("__getattr__ on first TRIES access — keeping this module's\n")
+        f.write("import cost negligible for the analysis.lang dispatch that\n")
+        f.write("every UDF worker pays on spawn.\n")
         f.write('"""\n\n')
         f.write(f"FORWARD = {forward}\nBY = {by}\n\n")
-        f.write("# per-trie: (forward, root, cmds, rows); each row is a tuple\n")
-        f.write("# of (char, cmd_index, ref_row, skip) cells\n")
-        f.write(f"TRIES = {tuple(tries)!r}\n\n")
-        f.write(f"STOP_PL = frozenset({stops!r})\n")
-    print(f"wrote {OUT}: method={method} by={by} tries={ntries} "
+        f.write(f"STOP_PL = frozenset({stops!r})\n\n")
+        f.write(
+            "\n"
+            "def _load_tries():\n"
+            "    import marshal\n"
+            "    from importlib import resources\n"
+            "\n"
+            "    # importlib.resources works both from a directory and from\n"
+            "    # a --py-files zip (zipimport implements ResourceReader)\n"
+            "    ref = resources.files(__package__).joinpath('stempel_data.bin')\n"
+            "    with ref.open('rb') as f:\n"
+            "        return marshal.load(f)\n"
+            "\n"
+            "\n"
+            "def __getattr__(name):\n"
+            "    # PEP 562 lazy attribute: per-trie (forward, root, cmds, rows);\n"
+            "    # each row is a tuple of (char, cmd_index, ref_row, skip) cells\n"
+            "    if name == 'TRIES':\n"
+            "        globals()['TRIES'] = tries = _load_tries()\n"
+            "        return tries\n"
+            "    raise AttributeError(name)\n"
+        )
+    print(f"wrote {OUT} + {BIN}: method={method} by={by} tries={ntries} "
           f"cells={ncells} stops={len(stops)}")
 
 
