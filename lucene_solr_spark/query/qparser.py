@@ -833,6 +833,21 @@ class SolrQueries:
         match_set.unpersist()
         return out
 
+    def select_response(self, params: dict) -> str:
+        """/select with a serialized body: runs select() and writes the
+        response in the wt= format (QueryResponseWriter registry —
+        json/xml/csv/python/ruby/php/phps, response_writers.py), timing
+        the request for responseHeader.QTime as SolrCore does."""
+        import time
+
+        from .response_writers import write_response
+
+        t0 = time.time()
+        out = self.select(params)
+        return write_response(
+            out, wt=params.get("wt", "json"), params=params,
+            qtime_ms=int((time.time() - t0) * 1000))
+
     @staticmethod
     def _strip_tag(fq: str) -> tuple[frozenset, str]:
         """Harvest {!tag=a,b} from an fq; returns (tags, fq-without-tag) so

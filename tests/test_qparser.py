@@ -304,3 +304,35 @@ def test_select_mlt(ctx, spark):
     assert mlt["interestingTerms"]
     assert all(d["doc_id"] != seed_id for d in mlt["docs"])
     assert len(mlt["docs"]) >= 1
+
+
+def test_select_response_wt_formats(ctx):
+    # wt=json: parseable, Solr envelope, facet NamedList flat by default
+    import json as _json
+
+    out = ctx.select_response({
+        "q": "spark", "rows": 3, "fl": "cat",
+        "facet.field": "cat", "wt": "json"})
+    data = _json.loads(out)
+    assert data["responseHeader"]["status"] == 0
+    assert data["response"]["numFound"] == 4
+    assert len(data["response"]["docs"]) == 3
+    flat = data["facet_counts"]["facet_fields"]["cat"]
+    assert flat[0::2] == ["a", "b"] and flat[1::2] == [3, 1]
+
+    # wt=xml: typed envelope
+    out = ctx.select_response({"q": "spark", "rows": 1, "wt": "xml"})
+    assert out.startswith('<?xml version="1.0" encoding="UTF-8"?>')
+    assert 'numFound="4"' in out and "<doc>" in out
+
+    # wt=csv: fl-ordered columns
+    out = ctx.select_response({
+        "q": "spark", "rows": 2, "fl": "cat", "wt": "csv",
+        "csv.header": "true"})
+    lines = out.splitlines()
+    assert lines[0].split(",")[:2] == ["doc_id", "score"] or "cat" in lines[0]
+
+    # wt=python: eval round-trip
+    out = ctx.select_response({
+        "q": "spark", "rows": 1, "wt": "python", "omitHeader": "true"})
+    assert eval(out)["response"]["numFound"] == 4
