@@ -64,6 +64,13 @@ class Searcher:
         self._cache_terms = cache_terms
         # fat posting rows → small columnar reader batches
         spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "128")
+        # optional bloom sidecar over the term dictionary (index/bloom.py)
+        from ..index.bloom import BloomDict
+
+        self._bloom = (
+            BloomDict(spark, self.paths.root)
+            if BloomDict.exists(self.paths.root) else None
+        )
         self.reopen()
 
     def reopen(self) -> "Searcher":
@@ -227,6 +234,16 @@ class Searcher:
         uniq = sorted(set(terms))
         cache = self._term_info_cache
         missing = [t for t in uniq if t not in cache]
+        if missing and self._bloom is not None:
+            # BloomFilteringPostingsFormat consult: a NO is definitive, so
+            # the term caches as a negative entry with zero Spark jobs —
+            # when every probe misses (primary-key/tail-term checks) the
+            # dictionary scan is skipped entirely
+            maybe = set(self._bloom.filter_terms(missing))
+            for t in missing:
+                if t not in maybe:
+                    cache[t] = None
+            missing = [t for t in missing if t in maybe]
         if missing:
             cols = ["term", "term_id", "df", "ttf"]
             if self._impacts_on:
