@@ -289,6 +289,7 @@ class SolrQueries:
         key_col: str = "url",
         lat_col: str = "lat",
         lon_col: str = "lon",
+        config=None,
     ):
         self.searcher = searcher
         self.source = source
@@ -297,6 +298,17 @@ class SolrQueries:
         self.key_col = key_col
         self.lat_col = lat_col
         self.lon_col = lon_col
+        # optional SolrConfig (sources/solrconfig.py): handler defaults/
+        # appends/invariants resolve into every handler_select request
+        self.config = config
+
+    def handler_select(self, params: dict, handler: str = "/select") -> dict:
+        """/select through the configured requestHandler: the effective
+        params are invariants ▷ (user ▷ defaults) + appends
+        (SolrPluginUtils.setDefaults semantics) from solrconfig.xml."""
+        if self.config is None:
+            return self.select(params)
+        return self.select(self.config.handler_params(handler, params))
 
     # -- helpers -------------------------------------------------------------
     def _need_source(self, qtype: str) -> DataFrame:
