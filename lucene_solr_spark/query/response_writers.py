@@ -671,7 +671,8 @@ def _write_csv(dl: DocList, params: dict) -> str:
 # entry point
 # ---------------------------------------------------------------------------
 
-SUPPORTED_WT = ("json", "xml", "csv", "python", "ruby", "php", "phps")
+SUPPORTED_WT = ("json", "xml", "csv", "python", "ruby", "php", "phps",
+                "javabin")
 
 _WRITERS = {
     "json": _JSONWriter,
@@ -745,6 +746,14 @@ def write_response(rsp: dict | NamedList, wt: str = "json",
     if wt not in SUPPORTED_WT:
         raise ValueError(f"unsupported wt={wt!r}; one of {SUPPORTED_WT}")
     tree = _solrify(rsp, params, qtime_ms)
+    if wt == "javabin":
+        # BinaryResponseWriter: the SolrJ wire format — returns BYTES
+        # (javabin.py; numFound/start force the Java Long encoding via
+        # the DocList writer, matching SolrDocumentList)
+        from .javabin import dumps
+
+        tree.ordered = True  # the response root is a SimpleOrderedMap
+        return dumps(tree)
     if wt == "csv":
         dl = next((v for k, v in tree.pairs
                    if isinstance(v, DocList)), DocList(0, 0, []))
