@@ -86,6 +86,26 @@ class FacetIndex:
         self.policy = policy
         self.delim = delim
 
+    def save(self, out_dir: str) -> "FacetIndex":
+        """Persist the taxonomy index + the per-document ordinal lists —
+        the DirectoryTaxonomyWriter commit + category-list docvalues. A
+        loaded index answers every count from a parquet scan of the
+        ordinal table instead of re-exploding the corpus per request
+        (the whole point of encoding ordinals at index time)."""
+        import json
+        import os
+
+        spark = self.taxo.sparkSession
+        self.taxo.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "taxonomy"))
+        self.doc_ords.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "doc_ords"))
+        self.leaf_ords.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "leaf_ords"))
+        with open(os.path.join(out_dir, "facet_meta.json"), "w") as f:
+            json.dump({"policy": self.policy, "delim": self.delim}, f)
+        return load_facet_index(spark, out_dir)
+
     # -- lookups (driver-side, request-sized) -----------------------------
     def ordinal(self, path: str) -> int | None:
         comps = path.split(self.delim)
@@ -155,7 +175,10 @@ def build_facet_index(docs: DataFrame, cat_col: str = "categories",
         .cache()
     )
 
-    with_ord = prefixes.join(taxo.select("ord", "path"), "path")
+    # the taxonomy is the small dimension side — broadcast, exactly as
+    # the reference keeps the whole taxonomy in RAM per searcher
+    with_ord = prefixes.join(
+        F.broadcast(taxo.select("ord", "path")), "path")
     leaf_ords = with_ord.filter("is_leaf").select("doc_id", "ord").distinct()
     if policy == NO_PARENTS:
         doc_ords = leaf_ords
@@ -165,6 +188,20 @@ def build_facet_index(docs: DataFrame, cat_col: str = "categories",
         doc_ords = (with_ord.filter(F.col("depth") >= 2)
                     .select("doc_id", "ord").distinct())
     return FacetIndex(taxo, doc_ords, leaf_ords, policy, delim)
+
+
+def load_facet_index(spark, out_dir: str) -> FacetIndex:
+    """Open a saved facet index (TaxonomyReader + docvalues open)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "facet_meta.json")) as f:
+        meta = json.load(f)
+    return FacetIndex(
+        spark.read.parquet(os.path.join(out_dir, "taxonomy")).cache(),
+        spark.read.parquet(os.path.join(out_dir, "doc_ords")),
+        spark.read.parquet(os.path.join(out_dir, "leaf_ords")),
+        meta["policy"], meta["delim"])
 
 
 def _direct_counts(index: FacetIndex, matches: DataFrame | None) -> DataFrame:
@@ -183,7 +220,8 @@ def _rollup(index: FacetIndex, counts: DataFrame) -> DataFrame:
     recursion linearized through the prefix closure, reproducing the
     reference's documented over-count when one document carries sibling
     categories (each leaf contributes to the shared parent separately)."""
-    taxo_counts = counts.join(index.taxo.select("ord", "path"), "ord")
+    taxo_counts = counts.join(
+        F.broadcast(index.taxo.select("ord", "path")), "ord")
     contrib = taxo_counts.select(
         "value",
         F.explode(
@@ -192,7 +230,8 @@ def _rollup(index: FacetIndex, counts: DataFrame) -> DataFrame:
         ).alias("path"),
     )
     rolled = contrib.groupBy("path").agg(F.sum("value").alias("value"))
-    return rolled.join(index.taxo.select("ord", "path"), "path").select("ord", "value")
+    return rolled.join(F.broadcast(index.taxo.select("ord", "path")),
+                       "path").select("ord", "value")
 
 
 def count_facets(index: FacetIndex, matches: DataFrame | None,
@@ -235,7 +274,7 @@ def count_facets(index: FacetIndex, matches: DataFrame | None,
         counts = _rollup(index, counts)
 
     # annotate with taxonomy once; per-request slices are small top-ks
-    annotated = counts.join(index.taxo, "ord").cache()
+    annotated = counts.join(F.broadcast(index.taxo), "ord").cache()
     out: dict[str, list] = {}
     for path_str, k in requests:
         comps = path_str.split(index.delim)
@@ -416,7 +455,7 @@ def sum_score_facets(index: FacetIndex, scored_matches: DataFrame,
     joined = index.doc_ords.join(
         scored_matches.select("doc_id", "score"), "doc_id")
     sums = joined.groupBy("ord").agg(F.sum("score").alias("value"))
-    annotated = sums.join(index.taxo, "ord").cache()
+    annotated = sums.join(F.broadcast(index.taxo), "ord").cache()
     out: dict[str, list] = {}
     for path_str, k in requests:
         comps = path_str.split(index.delim)

@@ -269,3 +269,19 @@ class TestSampling:
         exact_map = dict(exact["d"][1:])
         for label, value in res["d"][1:]:
             assert value == exact_map[label]
+
+
+class TestPersistence:
+    def test_save_load_round_trip(self, spark, tmp_path, demo_index):
+        from lucene_solr_spark.query.facet_taxonomy import load_facet_index
+
+        saved = demo_index.save(str(tmp_path / "facets"))
+        res = count_facets(saved, None, [("Publish Date", 10), ("Author", 10)])
+        assert to_simple_string("Publish Date", res["Publish Date"]) == \
+            "Publish Date (0)\n  2012 (2)\n  2010 (2)\n  1999 (1)\n"
+        loaded = load_facet_index(spark, str(tmp_path / "facets"))
+        assert loaded.policy == demo_index.policy
+        hits = drill_down(loaded, [["Publish Date/2010"]])
+        res2 = count_facets(loaded, hits, [("Author", 10)])
+        assert to_simple_string("Author", res2["Author"]) == \
+            "Author (0)\n  Lisa (1)\n  Bob (1)\n"
