@@ -39,9 +39,14 @@ def main() -> None:
     ap.add_argument(
         "--tokenizer",
         default="jvm",
-        choices=["jvm", "fidelity"],
+        choices=["jvm", "fidelity", "english", "folding", "icu_folding",
+                 "icu", "lang", "lang-fidelity", "preanalyzed"],
         help="jvm = codegen regex (Latin-exact); fidelity = Arrow UDF with "
-        "CJK/Java-lowercase behaviors",
+        "CJK/Java-lowercase behaviors; english = Porter chain; folding/"
+        "icu_folding = ASCII/ICU fold chains; icu = ICUTokenizer script "
+        "runs; lang = per-row multilingual dispatch on the lang column "
+        "(lang-fidelity = its per-token A/B path); preanalyzed = tokens "
+        "supplied in PreAnalyzedField JSON",
     )
     args = ap.parse_args()
 
