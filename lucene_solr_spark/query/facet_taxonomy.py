@@ -44,6 +44,13 @@ is the big, distributed side — the category-list docvalues — and every
 aggregation below is a semi-join with the match DocSet plus one hash
 groupBy, i.e. a partial+final map-side-combined count at any scale.
 Requests and result pages are driver-side (top-k per request, k small).
+
+Scope note: requests evaluate at FacetRequest's DEFAULT depth=1
+(immediate children of the request path — what CountFacetRequest does
+unless setDepth is called); the deeper PER_NODE_IN_TREE /
+GLOBAL_FLAT result modes are expressible by issuing follow-up requests
+per child path, which is also how the driver-side result tree would be
+assembled here.
 """
 
 from __future__ import annotations
