@@ -606,6 +606,21 @@ class SolrQueries:
             "response": {"numFound": num_found, "start": start, "docs": docs}
         }
 
+        if str(params.get("responseLog", "")).lower() == "true" and docs:
+            # ResponseLogComponent.java:40-80: 'key:score,key:score,...'
+            # over the returned page, keys = the unique key field (url)
+            ids = [d["doc_id"] for d in docs]
+            key_rows = (
+                self.searcher.docs
+                .where(F.col("doc_id").isin(ids))
+                .select("doc_id", self.key_col)
+                .collect()
+            )
+            key_by_id = {r["doc_id"]: r[self.key_col] for r in key_rows}
+            out["responseLog"] = ",".join(
+                f"{key_by_id.get(d['doc_id'], d['doc_id'])}:{d['score']}"
+                for d in docs)
+
         ff = params.get("facet.field") or []
         if isinstance(ff, str):
             ff = [ff]

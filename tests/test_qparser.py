@@ -336,3 +336,17 @@ def test_select_response_wt_formats(ctx):
     out = ctx.select_response({
         "q": "spark", "rows": 1, "wt": "python", "omitHeader": "true"})
     assert eval(out)["response"]["numFound"] == 4
+
+
+def test_response_log_component(ctx):
+    # ResponseLogComponent: responseLog=true adds 'key:score,...' over
+    # the returned page (ResponseLogComponent.java processScores)
+    res = ctx.select({"q": "spark", "rows": 2, "responseLog": "true"})
+    entries = res["responseLog"].split(",")
+    assert len(entries) == 2
+    for e in entries:
+        key, score = e.rsplit(":", 1)
+        assert key.startswith("u")
+        float(score)
+    res2 = ctx.select({"q": "spark", "rows": 2})
+    assert "responseLog" not in res2
