@@ -105,6 +105,7 @@ class _Encoder:
         if s is None:
             self.out.append(NULL)
             return
+        s = str(s)
         idx = self.strings.get(s, 0)
         self._tag(EXTERN_STRING, idx)
         if idx == 0:

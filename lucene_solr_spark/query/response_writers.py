@@ -185,7 +185,7 @@ class _JSONWriter:
         self.out.append(",")
 
     def write_key(self, name: str):
-        self.write_str(name)
+        self.write_str(str(name))
         self.out.append(":")
 
     def write_null(self):
@@ -252,7 +252,7 @@ class _JSONWriter:
                 if i:
                     self.arr_sep()
                 self.arr_open()
-                self.write_str(k) if k is not None else self.write_null()
+                self.write_str(str(k)) if k is not None else self.write_null()
                 self.arr_sep()
                 self.write_val(v)
                 self.arr_close()
@@ -275,7 +275,7 @@ class _JSONWriter:
             for i, (k, v) in enumerate(nl.pairs):
                 if i:
                     self.arr_sep()
-                self.write_str(k if k is not None else "")
+                self.write_str(str(k) if k is not None else "")
                 self.arr_sep()
                 self.write_val(v)
             self.arr_close()
@@ -726,7 +726,8 @@ def _solrify(rsp: dict | NamedList, params: dict, qtime_ms: int) -> NamedList:
                                    "facet_pivot", "facet_dates")}
             fc["facet_dates"] = val.get("facet_dates", {})
             fc["facet_ranges"] = {
-                fname: ({"counts": NamedList(counts.items())}
+                fname: ({"counts": NamedList(
+                    (str(k), v) for k, v in counts.items())}
                         if isinstance(counts, dict) else counts)
                 for fname, counts in val.get("facet_ranges", {}).items()}
             if "facet_pivot" in val:

@@ -278,3 +278,52 @@ class TestXML:
                              wt="xml", params={"q": "x"})
         assert '<lst name="responseHeader">' in out
         assert '<int name="status">0</int>' in out
+
+
+class TestFullComponentSerialization:
+    """Every wt serializes a response carrying all facade sections."""
+
+    RSP = {
+        "response": {"numFound": 3, "start": 0, "docs": [
+            {"id": "a", "score": F32(1.5), "tags": ["x", "y"], "n": None}]},
+        "facet_counts": {
+            "cat": {"a": 2, "b": 1},
+            "facet_queries": {"q1": 5},
+            "facet_ranges": {"price": {0.0: 3, 10.0: 1}},
+            "facet_pivot": {"cat,lang": [
+                {"cat": "a", "lang": "en", "count": 2}]},
+        },
+        "stats": {"rank": {"count": 3, "min": 1.0, "max": 9.0,
+                           "mean": 4.0, "missing": 0}},
+        "grouped": {"cat": {"matches": 3, "groups": [
+            {"groupValue": "a", "doclist": [{"doc_id": 1, "rank": 2.0}]}]}},
+        "highlighting": {"1": {"text": ["a <em>hit</em>"]}},
+        "spellcheck": {"suggestions": {"spak": [
+            {"word": "spark", "freq": 4}]}},
+        "responseLog": "u1:1.5,u2:0.5",
+    }
+
+    def test_all_writers_accept_full_response(self):
+        import json as _json
+
+        for wt in ("json", "xml", "csv", "python", "ruby", "php", "phps",
+                   "javabin"):
+            out = write_response(self.RSP, wt=wt,
+                                 params={"omitHeader": "true"})
+            assert out  # no writer chokes on any section
+        data = _json.loads(write_response(
+            self.RSP, wt="json", params={"omitHeader": "true"}))
+        assert data["grouped"]["cat"]["matches"] == 3
+        assert data["highlighting"]["1"]["text"] == ["a <em>hit</em>"]
+        assert data["stats"]["rank"]["count"] == 3
+        assert data["responseLog"] == "u1:1.5,u2:0.5"
+        xml = write_response(self.RSP, wt="xml",
+                             params={"omitHeader": "true"})
+        assert '<lst name="grouped">' in xml
+        assert "&lt;em&gt;hit&lt;/em&gt;" in xml
+        from lucene_solr_spark.query.javabin import loads as jb_loads
+
+        back = jb_loads(write_response(self.RSP, wt="javabin",
+                                       params={"omitHeader": "true"}))
+        names = [k for k, _ in back.pairs]
+        assert "grouped" in names and "spellcheck" in names
