@@ -86,12 +86,21 @@ class FacetIndex:
     """
 
     def __init__(self, taxo: DataFrame, doc_ords: DataFrame,
-                 leaf_ords: DataFrame, policy: str, delim: str):
+                 leaf_ords: DataFrame, policy: str, delim: str,
+                 per_dim: dict | None = None):
         self.taxo = taxo
         self.doc_ords = doc_ords
         self.leaf_ords = leaf_ords
         self.policy = policy
         self.delim = delim
+        # {dimension: policy} overrides (PerDimensionOrdinalPolicy); the
+        # None key is the default
+        self.per_dim = dict(per_dim or {})
+        self.per_dim.setdefault(None, policy)
+
+    def policy_for(self, dim: str) -> str:
+        """CategoryListParams.getOrdinalPolicy(dimension)."""
+        return self.per_dim.get(dim, self.per_dim[None])
 
     def save(self, out_dir: str) -> "FacetIndex":
         """Persist the taxonomy index + the per-document ordinal lists —
@@ -110,7 +119,9 @@ class FacetIndex:
         self.leaf_ords.write.mode("overwrite").parquet(
             os.path.join(out_dir, "leaf_ords"))
         with open(os.path.join(out_dir, "facet_meta.json"), "w") as f:
-            json.dump({"policy": self.policy, "delim": self.delim}, f)
+            json.dump({"policy": self.policy, "delim": self.delim,
+                       "per_dim": {k if k is not None else "": v
+                                   for k, v in self.per_dim.items()}}, f)
         return load_facet_index(spark, out_dir)
 
     # -- lookups (driver-side, request-sized) -----------------------------
@@ -122,7 +133,7 @@ class FacetIndex:
 
 def build_facet_index(docs: DataFrame, cat_col: str = "categories",
                       doc_col: str = "doc_id",
-                      policy: str = ALL_BUT_DIMENSION,
+                      policy: str | dict = ALL_BUT_DIMENSION,
                       delim: str = DEFAULT_DELIM) -> FacetIndex:
     """DirectoryTaxonomyWriter + FacetFields.addFields over a corpus.
 
@@ -133,9 +144,20 @@ def build_facet_index(docs: DataFrame, cat_col: str = "categories",
     The taxonomy is ranked by one global sort over DISTINCT categories —
     a shuffle bounded by taxonomy cardinality (≈10^6 at web scale), never
     by document count; the (doc_id, ord) list stays fully distributed.
+
+    policy may be a dict {dimension: policy} with an optional None key
+    as the default — PerDimensionOrdinalPolicy.java:30-47, which is how
+    the reference mixes e.g. a NO_PARENTS flat dimension with
+    ALL_PARENTS hierarchies in one index.
     """
-    if policy not in (NO_PARENTS, ALL_PARENTS, ALL_BUT_DIMENSION):
-        raise ValueError(policy)
+    per_dim: dict[str | None, str] = (
+        dict(policy) if isinstance(policy, dict)
+        else {None: policy})
+    per_dim.setdefault(None, ALL_BUT_DIMENSION)
+    for p in per_dim.values():
+        if p not in (NO_PARENTS, ALL_PARENTS, ALL_BUT_DIMENSION):
+            raise ValueError(p)
+    policy = per_dim[None]  # index-level default recorded on FacetIndex
 
     cats = (
         docs.select(F.col(doc_col).alias("doc_id"),
@@ -187,14 +209,21 @@ def build_facet_index(docs: DataFrame, cat_col: str = "categories",
     with_ord = prefixes.join(
         F.broadcast(taxo.select("ord", "path")), "path")
     leaf_ords = with_ord.filter("is_leaf").select("doc_id", "ord").distinct()
-    if policy == NO_PARENTS:
-        doc_ords = leaf_ords
-    elif policy == ALL_PARENTS:
-        doc_ords = with_ord.select("doc_id", "ord").distinct()
-    else:  # ALL_BUT_DIMENSION: every prefix except the depth-1 dimension
-        doc_ords = (with_ord.filter(F.col("depth") >= 2)
-                    .select("doc_id", "ord").distinct())
-    return FacetIndex(taxo, doc_ords, leaf_ords, policy, delim)
+
+    def encoded(p: str):
+        # which prefixes a document ENCODES under this policy
+        if p == NO_PARENTS:
+            return F.col("is_leaf")
+        if p == ALL_PARENTS:
+            return F.lit(True)
+        return F.col("depth") >= 2  # ALL_BUT_DIMENSION
+
+    cond = encoded(per_dim[None])
+    for dim, p in per_dim.items():
+        if dim is not None:
+            cond = F.when(F.col("path")[0] == dim, encoded(p)).otherwise(cond)
+    doc_ords = with_ord.filter(cond).select("doc_id", "ord").distinct()
+    return FacetIndex(taxo, doc_ords, leaf_ords, policy, delim, per_dim)
 
 
 def load_facet_index(spark, out_dir: str) -> FacetIndex:
@@ -204,11 +233,13 @@ def load_facet_index(spark, out_dir: str) -> FacetIndex:
 
     with open(os.path.join(out_dir, "facet_meta.json")) as f:
         meta = json.load(f)
+    per_dim = {(k if k else None): v
+               for k, v in meta.get("per_dim", {}).items()}
     return FacetIndex(
         spark.read.parquet(os.path.join(out_dir, "taxonomy")).cache(),
         spark.read.parquet(os.path.join(out_dir, "doc_ords")),
         spark.read.parquet(os.path.join(out_dir, "leaf_ords")),
-        meta["policy"], meta["delim"])
+        meta["policy"], meta["delim"], per_dim)
 
 
 def _direct_counts(index: FacetIndex, matches: DataFrame | None) -> DataFrame:
@@ -277,20 +308,30 @@ def count_facets(index: FacetIndex, matches: DataFrame | None,
         )
     else:
         counts = _direct_counts(index, matches)
-    if index.policy == NO_PARENTS:
-        counts = _rollup(index, counts)
 
-    # annotate with taxonomy once; per-request slices are small top-ks
+    # rollup applies PER REQUEST DIMENSION (the accumulator consults the
+    # dimension's OrdinalPolicy — FacetsAccumulator.requiresRollup)
+    needs_rollup = any(
+        index.policy_for(p.split(index.delim)[0]) == NO_PARENTS
+        for p, _ in requests)
     annotated = counts.join(F.broadcast(index.taxo), "ord").cache()
+    rolled_annotated = None
+    if needs_rollup:
+        rolled_annotated = _rollup(index, counts).join(
+            F.broadcast(index.taxo), "ord").cache()
+
     out: dict[str, list] = {}
     for path_str, k in requests:
         comps = path_str.split(index.delim)
-        root = annotated.filter(
+        table = (rolled_annotated
+                 if index.policy_for(comps[0]) == NO_PARENTS
+                 else annotated)
+        root = table.filter(
             F.col("path") == F.array(*[F.lit(c) for c in comps])
         ).select("value").collect()
         root_value = root[0][0] if root else 0
         children = (
-            annotated
+            table
             .filter((F.col("depth") == len(comps) + 1)
                     & (F.slice("path", 1, len(comps))
                        == F.array(*[F.lit(c) for c in comps])))
@@ -302,6 +343,8 @@ def count_facets(index: FacetIndex, matches: DataFrame | None,
         out[path_str] = [("__root__", root_value)] + [
             (r["label"], r["value"]) for r in children]
     annotated.unpersist()
+    if rolled_annotated is not None:
+        rolled_annotated.unpersist()
     return out
 
 

@@ -285,3 +285,40 @@ class TestPersistence:
         res2 = count_facets(loaded, hits, [("Author", 10)])
         assert to_simple_string("Author", res2["Author"]) == \
             "Author (0)\n  Lisa (1)\n  Bob (1)\n"
+
+
+class TestPerDimensionPolicy:
+    def test_mixed_policies(self, spark):
+        # PerDimensionOrdinalPolicy: 'flat' uses NO_PARENTS (dim total =
+        # rollup over leaves), 'tree' keeps the ALL_BUT_DIMENSION
+        # default (dim count 0), 'full' uses ALL_PARENTS (real dim count)
+        docs = spark.createDataFrame(
+            [(0, ["flat/a", "tree/x/y", "full/p"]),
+             (1, ["flat/a", "flat/b", "tree/x/z"]),
+             (2, ["full/q"])],
+            "doc_id long, categories array<string>")
+        idx = build_facet_index(docs, policy={
+            "flat": NO_PARENTS, "full": ALL_PARENTS})
+        assert idx.policy_for("flat") == NO_PARENTS
+        assert idx.policy_for("tree") == ALL_BUT_DIMENSION
+        assert idx.policy_for("full") == ALL_PARENTS
+        res = count_facets(idx, None,
+                           [("flat", 10), ("tree", 10), ("full", 10)])
+        # flat: rollup over leaves -> a=2, b=1, dim total 3
+        assert res["flat"] == [("__root__", 3), ("a", 2), ("b", 1)]
+        # tree: dimension count reads 0 under ALL_BUT_DIMENSION
+        assert res["tree"][0] == ("__root__", 0)
+        assert res["tree"][1:] == [("x", 2)]
+        # full: dimension ordinal encoded -> real count
+        assert res["full"] == [("__root__", 2), ("q", 1), ("p", 1)]
+
+    def test_per_dim_survives_save_load(self, spark, tmp_path):
+        from lucene_solr_spark.query.facet_taxonomy import load_facet_index
+
+        docs = spark.createDataFrame(
+            [(0, ["flat/a"])], "doc_id long, categories array<string>")
+        idx = build_facet_index(docs, policy={"flat": NO_PARENTS})
+        idx.save(str(tmp_path / "f"))
+        loaded = load_facet_index(spark, str(tmp_path / "f"))
+        assert loaded.policy_for("flat") == NO_PARENTS
+        assert loaded.policy_for("other") == ALL_BUT_DIMENSION
