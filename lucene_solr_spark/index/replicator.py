@@ -147,8 +147,55 @@ class IndexRevision:
             _SNAPSHOT_REFS[self.snapshot] = n
 
 
+class IndexAndTaxonomyRevision:
+    """IndexAndTaxonomyRevision.java:47-180: one revision spanning the
+    search index and its side taxonomy (here: a facet index dir), with
+    two sources ('index', 'taxo') and a composite
+    '<indexGen>:<taxoGen>' version compared index-generation-first."""
+
+    INDEX_SOURCE = "index"
+    TAXONOMY_SOURCE = "taxo"
+
+    def __init__(self, index_root: str, taxo_root: str):
+        self._index = IndexRevision(index_root)
+        self._taxo = IndexRevision(taxo_root)
+        self.generation = (self._index.generation, self._taxo.generation)
+        self.version = (f"{_rev_version(self._index.generation)}:"
+                        f"{_rev_version(self._taxo.generation)}")
+        self.source_files = {
+            self.INDEX_SOURCE: self._index.source_files["index"],
+            self.TAXONOMY_SOURCE: self._taxo.source_files["index"],
+        }
+
+    def compare_to_version(self, version: str) -> int:
+        ig, tg = (int(p, _RADIX) for p in version.split(":"))
+        cmp = (self.generation[0] > ig) - (self.generation[0] < ig)
+        if cmp:
+            return cmp
+        return (self.generation[1] > tg) - (self.generation[1] < tg)
+
+    def compare_to(self, other: "IndexAndTaxonomyRevision") -> int:
+        cmp = ((self.generation[0] > other.generation[0])
+               - (self.generation[0] < other.generation[0]))
+        if cmp:
+            return cmp
+        return ((self.generation[1] > other.generation[1])
+                - (self.generation[1] < other.generation[1]))
+
+    def open(self, source: str, filename: str):
+        if source == self.INDEX_SOURCE:
+            return self._index.open("index", filename)
+        if source == self.TAXONOMY_SOURCE:
+            return self._taxo.open("index", filename)
+        raise ValueError(f"unknown source {source!r}")
+
+    def release(self) -> None:
+        self._index.release()
+        self._taxo.release()
+
+
 class SessionToken:
-    def __init__(self, session_id: str, revision: IndexRevision):
+    def __init__(self, session_id: str, revision):
         self.id = session_id
         self.version = revision.version
         self.source_files = revision.source_files
@@ -264,10 +311,22 @@ class ReplicationClient:
 
     VERSION_FILE = "replica.version"
 
-    def __init__(self, replicator: LocalReplicator, replica_dir: str):
+    def __init__(self, replicator: LocalReplicator, replica_dir: str,
+                 source_dirs: dict[str, str] | None = None):
+        """source_dirs routes each revision source to a directory — the
+        PerSessionDirectoryFactory/IndexAndTaxonomyReplicationHandler
+        split (e.g. {'index': ..., 'taxo': ...}); default: everything
+        under replica_dir with non-index sources in subdirs."""
         self.replicator = replicator
         self.replica_dir = replica_dir
+        self.source_dirs = source_dirs or {}
         os.makedirs(replica_dir, exist_ok=True)
+
+    def _dir_for(self, source: str) -> str:
+        if source in self.source_dirs:
+            return self.source_dirs[source]
+        return (self.replica_dir if source == "index"
+                else os.path.join(self.replica_dir, source))
 
     @property
     def current_version(self) -> str | None:
@@ -277,12 +336,14 @@ class ReplicationClient:
                 return f.read().strip() or None
         return None
 
-    def _required_files(self, token: SessionToken) -> list[tuple[str, int]]:
+    def _required_files(self, token: SessionToken,
+                        source: str) -> list[tuple[str, int]]:
         """requiredFiles: revision files missing locally or with a
         different size (ReplicationClient.java:186-210)."""
+        base = self._dir_for(source)
         out = []
-        for name, size in token.source_files["index"]:
-            local = os.path.join(self.replica_dir, name)
+        for name, size in token.source_files[source]:
+            local = os.path.join(base, name)
             if not os.path.exists(local) or os.path.getsize(local) != size:
                 out.append((name, size))
         return out
@@ -293,24 +354,30 @@ class ReplicationClient:
         if token is None:
             return False
         try:
-            for name, _ in self._required_files(token):
-                dst = os.path.join(self.replica_dir, name)
-                os.makedirs(os.path.dirname(dst) or self.replica_dir,
-                            exist_ok=True)
-                with self.replicator.obtain_file(token.id, "index", name) \
-                        as src, open(dst + ".tmp", "wb") as out:
-                    shutil.copyfileobj(src, out, length=16384)
-                os.replace(dst + ".tmp", dst)
-            # drop local files the revision no longer carries (stale
-            # segment dirs after a merge), EXCEPT the version marker
-            keep = {name for name, _ in token.source_files["index"]}
-            for dirpath, _, files in os.walk(self.replica_dir):
-                rel = os.path.relpath(dirpath, self.replica_dir)
-                for f in files:
-                    name = f if rel == "." else os.path.join(rel, f)
-                    if name not in keep and f != self.VERSION_FILE and \
-                            not f.endswith(".tmp"):
-                        os.remove(os.path.join(dirpath, f))
+            for source in token.source_files:
+                base = self._dir_for(source)
+                for name, _ in self._required_files(token, source):
+                    dst = os.path.join(base, name)
+                    os.makedirs(os.path.dirname(dst) or base, exist_ok=True)
+                    with self.replicator.obtain_file(token.id, source, name) \
+                            as src, open(dst + ".tmp", "wb") as out:
+                        shutil.copyfileobj(src, out, length=16384)
+                    os.replace(dst + ".tmp", dst)
+                # drop local files the revision no longer carries (stale
+                # segment dirs after a merge), EXCEPT the version marker
+                keep = {name for name, _ in token.source_files[source]}
+                other_dirs = {os.path.relpath(self._dir_for(s), base)
+                              for s in token.source_files if s != source}
+                for dirpath, _, files in os.walk(base):
+                    rel = os.path.relpath(dirpath, base)
+                    if any(rel == o or rel.startswith(o + os.sep)
+                           for o in other_dirs if not o.startswith("..")):
+                        continue  # another source's subtree
+                    for f in files:
+                        name = f if rel == "." else os.path.join(rel, f)
+                        if name not in keep and f != self.VERSION_FILE and \
+                                not f.endswith(".tmp"):
+                            os.remove(os.path.join(dirpath, f))
             # the version marker flips LAST: a crash mid-sync leaves the
             # replica readable at its previous committed revision
             with open(os.path.join(self.replica_dir, self.VERSION_FILE),

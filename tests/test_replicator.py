@@ -169,3 +169,48 @@ class TestReplicationE2E:
         hits = dst.search("fresh", k=5).collect()
         assert len(hits) == 2
         rep.close()
+
+
+class TestIndexAndTaxonomy:
+    def test_composite_revision_and_sync(self, spark, index, tmp_path):
+        from lucene_solr_spark.index.replicator import (
+            IndexAndTaxonomyRevision,
+        )
+        from lucene_solr_spark.query.facet_taxonomy import (
+            build_facet_index,
+            count_facets,
+            load_facet_index,
+            to_simple_string,
+        )
+
+        # build a facet side-index next to the search index
+        docs = spark.createDataFrame(
+            [(0, ["Author/Bob"]), (1, ["Author/Lisa"]), (2, ["Author/Lisa"])],
+            "doc_id long, categories array<string>")
+        taxo_dir = str(tmp_path / "facets")
+        build_facet_index(docs).save(taxo_dir)
+
+        rev = IndexAndTaxonomyRevision(index.root, taxo_dir)
+        assert ":" in rev.version
+        # composite comparison: index generation first
+        assert rev.compare_to_version(rev.version) == 0
+        assert rev.compare_to_version("0:0") > 0
+
+        rep = LocalReplicator()
+        rep.publish(rev)
+        replica_idx = str(tmp_path / "replica_idx")
+        replica_taxo = str(tmp_path / "replica_taxo")
+        client = ReplicationClient(
+            rep, replica_idx, source_dirs={"index": replica_idx,
+                                           "taxo": replica_taxo})
+        assert client.update_now() is True
+
+        # both replicas usable: search + facet counts
+        from lucene_solr_spark.query.executor import Searcher
+
+        assert Searcher(spark, replica_idx).search("alpha", k=3).count() == 3
+        fidx = load_facet_index(spark, replica_taxo)
+        res = count_facets(fidx, None, [("Author", 10)])
+        assert to_simple_string("Author", res["Author"]) == \
+            "Author (0)\n  Lisa (2)\n  Bob (1)\n"
+        rep.close()
